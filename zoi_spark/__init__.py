@@ -1,0 +1,39 @@
+"""zoi_spark — a PySpark-native schema + constraint validation engine.
+
+Re-expresses the declarative schema DSL of phcurado/zoi (Elixir) as
+compiled Spark SQL Column predicates and Arrow-vectorized batches over
+Parquet/Iceberg tables of web documents. See SURVEY.md for the full
+mapping and BASELINE.json for the target contract.
+
+Typical use::
+
+    import zoi_spark as z
+
+    schema = z.fields({
+        "url": z.url(),
+        "text": z.string(min=1, max=20000),
+        "lang": z.enum(["en", "de", "fr"]),
+        "warc_ts": z.datetime(),
+    })
+    result = z.validate(df, schema, id_cols=["url"])
+    result.violations.show()          # (url, rule_id, code, path, message)
+    result.parsed                      # coerced/transformed output
+"""
+
+from .schema import (  # noqa: F401
+    Schema, Check, Transform,
+    string, integer, float_, number, decimal, boolean, string_boolean,
+    literal, null, any_, atom, enum, date, time, datetime, naive_datetime,
+    array, list_, map_set, tuple_, fields, map_, struct, keyword, map_kv,
+    union, intersection, discriminated_union, lazy, json, codec,
+    email, uuid, url, ipv4, ipv6, hex, base64, base64url, jwt,
+    iso_date, iso_time, iso_datetime, iso_naive_datetime,
+    extend, pick, omit, traverse, coerce_all,
+)
+from .validate import (  # noqa: F401
+    ParseError, ValidationResult, parse, validate, validate_strict,
+)
+from .errors import treefy_errors, prettify_errors  # noqa: F401
+from .compile import RuleInfo, compile_schema  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,882 @@
+"""Schema IR → Spark expressions. Compile once on the driver, run JVM-side.
+
+The reference interprets its schema tree per value via protocol dispatch
+(``lib/zoi/context.ex:39-79``). We instead compile the whole tree ONCE
+into:
+
+* a parsed-value ``Column`` expression per field (guarded casts +
+  chain-ordered transforms),
+* one ``array<struct<rule_id,code,path,message>>`` error expression that
+  evaluates every rule per row and collects ALL failures (matching the
+  collect-all semantics of ``lib/zoi/validations.ex:10-28`` and
+  ``lib/zoi/types/meta.ex:62-95``),
+* a static rule catalog for describe/JSON-Schema export.
+
+Everything stays inside Catalyst whole-stage codegen except custom
+``refine(engine='pandas')`` predicates, which become Arrow-vectorized
+``pandas_udf`` batches — never per-row Python (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import errors as E
+from . import regexes
+from .schema import _UNSET, Check, Schema, Transform
+
+ERROR_DDL = "struct<rule_id:string,code:string,path:array<string>,message:string>"
+ERROR_ARRAY_DDL = f"array<{ERROR_DDL}>"
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType)
+
+# Days from proleptic-gregorian year 0 to 1970-01-01 (Elixir
+# Date.from_gregorian_days frame of reference, types/date.ex:67-80).
+_GREGORIAN_EPOCH_DAYS = 719_528
+_GREGORIAN_EPOCH_SECONDS = 62_167_219_200
+
+
+@dataclass(frozen=True)
+class RuleInfo:
+    """Static catalog entry for one compiled rule."""
+
+    rule_id: str
+    code: str
+    path: tuple
+    message: str
+    kind: str
+    params: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class Node:
+    """Result of compiling one schema node against one input column."""
+
+    value: Column          # parsed (cast + transformed) value
+    errors: Column         # array<ERROR_DDL>, already fully guarded
+    out_type: T.DataType   # best-effort parsed type
+
+
+class CompileCtx:
+    def __init__(self) -> None:
+        self._rule_ids: dict[str, int] = {}
+        self.rules: list[RuleInfo] = []
+
+    def rule_id(self, path: Sequence[Any], kind: str) -> str:
+        base = ".".join(str(p) for p in path) if path else "$"
+        rid = f"{base}.{kind}"
+        n = self._rule_ids.get(rid, 0)
+        self._rule_ids[rid] = n + 1
+        return rid if n == 0 else f"{rid}#{n}"
+
+    def register(self, rule_id: str, spec: E.ErrorSpec, path: Sequence[Any],
+                 kind: str, params: dict | None = None) -> None:
+        self.rules.append(RuleInfo(rule_id, spec.code, tuple(path),
+                                   spec.message, kind, dict(params or {})))
+
+
+def _null_error() -> Column:
+    return F.lit(None).cast(ERROR_DDL)
+
+
+def _empty_errors() -> Column:
+    return F.array().cast(ERROR_ARRAY_DDL)
+
+
+def _mk_error(rule_id: str, spec: E.ErrorSpec, path_cols: Sequence[Column],
+              message_col: Column | None = None) -> Column:
+    return F.struct(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(spec.code).alias("code"),
+        (F.array(*path_cols) if path_cols else F.array().cast("array<string>"))
+        .alias("path"),
+        (message_col if message_col is not None else F.lit(spec.message))
+        .alias("message"),
+    )
+
+
+def _collect(maybe_errs: Sequence[Column]) -> Column:
+    """Batch scalar when()-structs into one filtered array."""
+    if not maybe_errs:
+        return _empty_errors()
+    return F.filter(F.array(*maybe_errs), lambda x: x.isNotNull())
+
+
+def _concat_err_arrays(arrays: Sequence[Column]) -> Column:
+    arrays = [a for a in arrays if a is not None]
+    if not arrays:
+        return _empty_errors()
+    if len(arrays) == 1:
+        return arrays[0]
+    return F.concat(*arrays)
+
+
+def _path_lits(path: Sequence[Any]) -> list[Column]:
+    return [p if isinstance(p, Column) else F.lit(str(p)) for p in path]
+
+
+def _safe_not(pred: Column) -> Column:
+    # a null predicate counts as a failure (value escaped its guards)
+    return ~F.coalesce(pred, F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# type parsing: (typed value, type_ok, type ErrorSpec) per kind × input type
+# ---------------------------------------------------------------------------
+
+def _type_stage(schema: Schema, col: Column, itype: T.DataType
+                ) -> tuple[Column, Column, E.ErrorSpec | None, T.DataType]:
+    """Guarded cast per SURVEY §1.3: Spark casts are lenient, the
+    reference rejects trailing garbage — so string coercions are
+    regex-guarded (types/integer.ex:66-71 etc.)."""
+    kind, coerce, err = schema.kind, schema.coerce, schema.error
+    TRUE = F.lit(True)
+    FALSE = F.lit(False)
+
+    if kind == "string":
+        if isinstance(itype, T.StringType):
+            return col, TRUE, None, T.StringType()
+        if coerce and isinstance(itype, T.BinaryType):
+            return F.decode(col, "UTF-8"), TRUE, None, T.StringType()
+        if coerce and isinstance(itype, (T.NumericType, T.BooleanType,
+                                         T.DateType, T.TimestampType)):
+            return col.cast("string"), TRUE, None, T.StringType()
+        return col.cast("string"), FALSE, E.invalid_type("string", error=err), T.StringType()
+
+    if kind == "integer":
+        if isinstance(itype, _INTEGRAL):
+            return col.cast("long"), TRUE, None, T.LongType()
+        if coerce and isinstance(itype, T.StringType):
+            ok = col.rlike(regexes.INTEGER_STRICT)
+            return F.when(ok, col.cast("long")), ok, E.invalid_type("integer", error=err), T.LongType()
+        return F.lit(None).cast("long"), FALSE, E.invalid_type("integer", error=err), T.LongType()
+
+    if kind == "float":
+        # the reference rejects integers for float/1 (types/float.ex:64-73)
+        if isinstance(itype, _FRACTIONAL):
+            return col.cast("double"), TRUE, None, T.DoubleType()
+        if coerce and isinstance(itype, T.StringType):
+            ok = col.rlike(regexes.FLOAT_STRICT)
+            return F.when(ok, col.cast("double")), ok, E.invalid_type("float", error=err), T.DoubleType()
+        return F.lit(None).cast("double"), FALSE, E.invalid_type("float", error=err), T.DoubleType()
+
+    if kind == "number":
+        if isinstance(itype, (T.NumericType,)):
+            return col, TRUE, None, itype
+        if coerce and isinstance(itype, T.StringType):
+            ok = col.rlike(regexes.FLOAT_STRICT)
+            return F.when(ok, col.cast("double")), ok, E.invalid_type("number", error=err), T.DoubleType()
+        return F.lit(None).cast("double"), FALSE, E.invalid_type("number", error=err), T.DoubleType()
+
+    if kind == "boolean":
+        if isinstance(itype, T.BooleanType):
+            return col, TRUE, None, T.BooleanType()
+        if coerce and isinstance(itype, T.StringType):
+            # only exact "true"/"false" (types/boolean.ex:21-29)
+            ok = col.isin("true", "false")
+            return F.when(ok, col == F.lit("true")), ok, E.invalid_type("boolean", error=err), T.BooleanType()
+        return F.lit(None).cast("boolean"), FALSE, E.invalid_type("boolean", error=err), T.BooleanType()
+
+    if kind == "string_boolean":
+        spec = E.invalid_type("string_boolean",
+                              issue="invalid type: expected string boolean",
+                              error=err)
+        if isinstance(itype, T.BooleanType):
+            return col, TRUE, None, T.BooleanType()
+        if isinstance(itype, T.StringType):
+            cased = F.lower(col) if schema.params["case"] == "insensitive" else col
+            truthy = [t.lower() if schema.params["case"] == "insensitive" else t
+                      for t in schema.params["truthy"]]
+            falsy = [t.lower() if schema.params["case"] == "insensitive" else t
+                     for t in schema.params["falsy"]]
+            ok = cased.isin(*(truthy + falsy))
+            return F.when(ok, cased.isin(*truthy)), ok, spec, T.BooleanType()
+        return F.lit(None).cast("boolean"), FALSE, spec, T.BooleanType()
+
+    if kind == "literal":
+        v = schema.params["value"]
+        ok = col.eqNullSafe(F.lit(v)) if v is None else (col == F.lit(v))
+        return col, ok, E.invalid_literal(v, error=err), itype
+
+    if kind == "null":
+        return col, col.isNull(), E.invalid_type("nil", error=err), itype
+
+    if kind == "any":
+        return col, TRUE, None, itype
+
+    if kind == "enum":
+        pairs = schema.params["pairs"]
+        values = [v for _k, v in pairs]
+        keys = [k for k, _v in pairs]
+        member = col.isin(*values)
+        if coerce:
+            member = member | col.isin(*keys)
+        # parse remaps value→key (types/enum.ex:53-66)
+        remap = None
+        for k, v in pairs:
+            cond = (col == F.lit(v)) | ((col == F.lit(k)) if coerce else F.lit(False))
+            remap = F.when(cond, F.lit(k)) if remap is None else remap.when(cond, F.lit(k))
+        return remap, member, E.invalid_enum_value(values, error=err), itype
+
+    if kind == "date":
+        if isinstance(itype, T.DateType):
+            return col, TRUE, None, T.DateType()
+        spec = E.invalid_type("date", error=err)
+        if coerce and isinstance(itype, T.StringType):
+            ok = col.rlike(regexes.ISO_DATE) & F.to_date(col).isNotNull()
+            return F.when(ok, F.to_date(col)), ok, spec, T.DateType()
+        if coerce and isinstance(itype, _INTEGRAL):
+            # gregorian days from year 0 (types/date.ex:67-80)
+            val = F.date_add(F.lit("1970-01-01").cast("date"),
+                             (col - F.lit(_GREGORIAN_EPOCH_DAYS)).cast("int"))
+            return val, TRUE, None, T.DateType()
+        return F.lit(None).cast("date"), FALSE, spec, T.DateType()
+
+    if kind == "time":
+        # Spark has no TimeType: a validated ISO time stays a string
+        spec = E.invalid_type("time", error=err)
+        if isinstance(itype, T.StringType):
+            ok = col.rlike(regexes.ISO_TIME) if coerce else col.rlike(regexes.ISO_TIME)
+            return F.when(ok, col), ok, spec, T.StringType()
+        return F.lit(None).cast("string"), FALSE, spec, T.StringType()
+
+    if kind in ("datetime", "naive_datetime"):
+        spec = E.invalid_type(kind, error=err)
+        if isinstance(itype, (T.TimestampType, T.TimestampNTZType)):
+            return col, TRUE, None, itype
+        if coerce and isinstance(itype, T.StringType):
+            pat = regexes.ISO_DATETIME if kind == "datetime" else regexes.ISO_NAIVE_DATETIME
+            ts = F.to_timestamp(F.replace(col, F.lit("T"), F.lit(" ")))
+            ok = col.rlike(pat) & ts.isNotNull()
+            return F.when(ok, ts), ok, spec, T.TimestampType()
+        if coerce and isinstance(itype, _INTEGRAL):
+            if kind == "datetime":  # unix seconds (types/datetime.ex:67-87)
+                return F.timestamp_seconds(col), TRUE, None, T.TimestampType()
+            # gregorian seconds from year 0 (types/naive_datetime.ex:67-81)
+            return (F.timestamp_seconds(col - F.lit(_GREGORIAN_EPOCH_SECONDS)),
+                    TRUE, None, T.TimestampType())
+        return F.lit(None).cast("timestamp"), FALSE, spec, T.TimestampType()
+
+    if kind == "decimal":
+        p, s = schema.params["precision"], schema.params["scale"]
+        ddl = f"decimal({p},{s})"
+        spec = E.invalid_type("decimal", error=err)
+        if isinstance(itype, T.DecimalType):
+            return col.cast(ddl), TRUE, None, T.DecimalType(p, s)
+        if coerce and isinstance(itype, (T.NumericType,)):
+            return col.cast(ddl), TRUE, None, T.DecimalType(p, s)
+        if coerce and isinstance(itype, T.StringType):
+            ok = col.rlike(regexes.FLOAT_STRICT) & col.cast(ddl).isNotNull()
+            return F.when(ok, col.cast(ddl)), ok, spec, T.DecimalType(p, s)
+        return F.lit(None).cast(ddl), FALSE, spec, T.DecimalType(p, s)
+
+    if kind == "json":
+        spec = E.invalid_type("json", error=err)
+        if isinstance(itype, T.StringType):
+            # JVM-side parse probe (Spark 4 variant type); value kept as
+            # the original string — a true recursive type is impossible
+            # in Spark SQL (SURVEY §1.3 json row)
+            if hasattr(F, "try_parse_json"):
+                ok = F.try_parse_json(col).isNotNull()
+            else:
+                ok = F.trim(col).rlike(
+                    r'^(\{.*\}|\[.*\]|".*"|-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null)$')
+            return col, ok, spec, T.StringType()
+        return col.cast("string"), FALSE, spec, T.StringType()
+
+    raise NotImplementedError(f"no type stage for kind={kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# checks
+# ---------------------------------------------------------------------------
+
+def _measure(kind: str, value: Column) -> Column:
+    """What comparisons measure: strings their length, arrays their
+    size, everything else the value itself (SURVEY §2.2)."""
+    if kind == "string":
+        return F.length(value)
+    if kind == "array":
+        return F.size(value)
+    return value
+
+
+def _check_pred_and_spec(schema_kind: str, chk: Check, value: Column
+                         ) -> tuple[Column, E.ErrorSpec, Column | None]:
+    """Returns (passing predicate, error spec, dynamic message or None)."""
+    p = chk.params
+    err = chk.error
+    k = chk.kind
+
+    if k == "gte":
+        return (_measure(schema_kind, value) >= F.lit(p["value"]),
+                E.greater_than_or_equal_to(schema_kind, p["value"], error=err), None)
+    if k == "lte":
+        return (_measure(schema_kind, value) <= F.lit(p["value"]),
+                E.less_than_or_equal_to(schema_kind, p["value"], error=err), None)
+    if k == "gt":
+        return (_measure(schema_kind, value) > F.lit(p["value"]),
+                E.greater_than(schema_kind, p["value"], error=err), None)
+    if k == "lt":
+        return (_measure(schema_kind, value) < F.lit(p["value"]),
+                E.less_than(schema_kind, p["value"], error=err), None)
+    if k == "length":
+        return (_measure(schema_kind, value) == F.lit(p["value"]),
+                E.invalid_length(schema_kind, p["value"], error=err), None)
+    if k == "multiple_of":
+        v = p["value"]
+        if schema_kind in ("float", "number", "decimal") and not (
+                isinstance(v, int) and schema_kind == "number"):
+            q = value / F.lit(v)
+            pred = q == F.floor(q)
+        else:
+            pred = value % F.lit(v) == F.lit(0)
+        return pred, E.multiple_of(v, error=err), None
+    if k == "regex":
+        fmt = p.get("format")
+        spec = E.invalid_format(p["pattern"], error=err)
+        return value.rlike(p["pattern"]), spec, None
+    if k == "starts_with":
+        return (value.startswith(p["value"]),
+                E.invalid_starting_string(p["value"], error=err), None)
+    if k == "ends_with":
+        return (value.endswith(p["value"]),
+                E.invalid_ending_string(p["value"], error=err), None)
+    if k == "one_of":
+        return (value.isin(*p["values"]),
+                E.not_in_values(p["values"], error=err), None)
+    if k == "unique_items":
+        return (F.size(F.array_distinct(value)) == F.size(value),
+                E.not_unique(error=err), None)
+    if k == "url":
+        # scheme http/https AND host present (types/string.ex:121-131)
+        host = F.parse_url(value, F.lit("HOST"))
+        proto = F.parse_url(value, F.lit("PROTOCOL"))
+        pred = host.isNotNull() & (host != F.lit("")) & proto.isin("http", "https")
+        return pred, E.invalid_url(error=err), None
+    if k == "iso":
+        which = p["which"]
+        pats = {"date": regexes.ISO_DATE, "time": regexes.ISO_TIME,
+                "datetime": regexes.ISO_DATETIME,
+                "naive_datetime": regexes.ISO_NAIVE_DATETIME}
+        probe = {
+            "date": lambda c: F.to_date(c).isNotNull(),
+            "time": lambda c: F.lit(True),
+            "datetime": lambda c: F.to_timestamp(F.replace(c, F.lit("T"), F.lit(" "))).isNotNull(),
+            "naive_datetime": lambda c: F.to_timestamp(F.replace(c, F.lit("T"), F.lit(" "))).isNotNull(),
+        }[which]
+        spec = E.invalid_format(pats[which],
+                                internal_message=f"invalid format: must be a valid ISO {which}",
+                                error=err)
+        return value.rlike(pats[which]) & probe(value), spec, None
+    if k == "refine":
+        spec = E.custom_error(p.get("message", "is invalid"))
+        fn = p["fn"]
+        if p.get("engine") == "expr":
+            return F.coalesce(fn(value), F.lit(False)), spec, None
+        # Arrow-vectorized batch predicate — the only Python in the plan
+        udf = F.pandas_udf(fn, T.BooleanType())
+        return udf(value), spec, None
+
+    raise NotImplementedError(f"unknown check kind: {k}")
+
+
+def _apply_transform(t: Transform, value: Column, out_type: T.DataType) -> Column:
+    if t.kind == "trim":
+        return F.trim(value)
+    if t.kind == "to_downcase":
+        return F.lower(value)
+    if t.kind == "to_upcase":
+        return F.upper(value)
+    if t.kind == "expr":
+        return t.fn(value)
+    if t.kind == "pandas":
+        udf = F.pandas_udf(t.fn, out_type)
+        return udf(value)
+    raise NotImplementedError(f"unknown transform kind: {t.kind}")
+
+
+# ---------------------------------------------------------------------------
+# node compiler
+# ---------------------------------------------------------------------------
+
+def compile_node(ctx: CompileCtx, schema: Schema, col: Column,
+                 itype: T.DataType, path: tuple, guard: Column,
+                 allow_pandas: bool = True) -> Node:
+    """Compile one node. ``guard`` gates every emitted error (used by
+    union branches, discriminated dispatch and default short-circuit).
+    ``allow_pandas=False`` inside array lambdas, where pandas_udf cannot
+    be applied to lambda variables."""
+    kind = schema.kind
+
+    if kind == "lazy":
+        return _compile_lazy(ctx, schema, col, itype, path, guard, allow_pandas)
+    if kind == "fields":
+        return _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas)
+    if kind == "array":
+        return _compile_array(ctx, schema, col, itype, path, guard)
+    if kind == "tuple":
+        return _compile_tuple(ctx, schema, col, itype, path, guard, allow_pandas)
+    if kind == "map_kv":
+        return _compile_map_kv(ctx, schema, col, itype, path, guard)
+    if kind == "union":
+        return _compile_union(ctx, schema, col, itype, path, guard, allow_pandas)
+    if kind == "intersection":
+        return _compile_intersection(ctx, schema, col, itype, path, guard, allow_pandas)
+    if kind == "discriminated_union":
+        return _compile_discriminated(ctx, schema, col, itype, path, guard, allow_pandas)
+    if kind == "codec":
+        return _compile_codec(ctx, schema, col, itype, path, guard, allow_pandas)
+
+    return _compile_scalar(ctx, schema, col, itype, path, guard, allow_pandas)
+
+
+def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
+                    itype: T.DataType, path: tuple, guard: Column,
+                    allow_pandas: bool) -> Node:
+    present = col.isNotNull()
+    has_default = schema.default is not _UNSET
+
+    typed, type_ok, type_spec, out_type = _type_stage(schema, col, itype)
+
+    maybe: list[Column] = []
+    if type_spec is not None:
+        rid = ctx.rule_id(path, "type")
+        ctx.register(rid, type_spec, path, "type")
+        maybe.append(F.when(guard & present & _safe_not(type_ok),
+                            _mk_error(rid, type_spec, _path_lits(path))))
+
+    check_guard = guard & present & F.coalesce(type_ok, F.lit(False))
+    value = typed
+
+    def emit_check(chk: Check, current: Column) -> None:
+        if chk.kind == "refine" and chk.params.get("engine") != "expr" \
+                and not allow_pandas:
+            raise NotImplementedError(
+                "pandas refinements are not supported inside array elements; "
+                "use engine='expr'")
+        pred, spec, dyn_msg = _check_pred_and_spec(schema.kind, chk, current)
+        rid = ctx.rule_id(path, chk.kind if chk.kind != "regex"
+                          else chk.params.get("format") or "regex")
+        ctx.register(rid, spec, path, chk.kind, dict(chk.params))
+        maybe.append(F.when(check_guard & _safe_not(pred),
+                            _mk_error(rid, spec, _path_lits(path), dyn_msg)))
+
+    # field constraints: all evaluated on the typed value, errors
+    # collected (lib/zoi/validations.ex:10-28)
+    for chk in schema.checks:
+        emit_check(chk, value)
+
+    # ordered effect chain (lib/zoi/types/meta.ex:62-95)
+    for tag, eff in schema.effects:
+        if tag == "check":
+            emit_check(eff, value)
+        else:
+            if eff.kind == "pandas" and not allow_pandas:
+                raise NotImplementedError(
+                    "pandas transforms are not supported inside array elements")
+            value = _apply_transform(eff, value, out_type)
+
+    if has_default:
+        # nil → default, skipping type stage and effects
+        # (types/default.ex:16-23)
+        value = F.when(present, value).otherwise(F.lit(schema.default))
+
+    return Node(value, _collect(maybe), out_type)
+
+
+def _compile_lazy(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
+    depth = schema.params.get("_depth", 0)
+    if depth >= schema.params["max_depth"]:
+        return Node(col, _empty_errors(), itype)  # opaque beyond max depth
+    inner = schema.params["thunk"]()
+    inner = inner._clone()
+    if inner.kind == "lazy":
+        inner.params["_depth"] = depth + 1
+    return compile_node(ctx, inner, col, itype, path, guard, allow_pandas)
+
+
+def _wrap_field_node(ctx: CompileCtx, child: Schema, col: Column,
+                     itype: T.DataType, path: tuple, guard: Column,
+                     key: str, allow_pandas: bool) -> Node:
+    """Field-level required/optional/nullable handling.
+
+    Map fields are required by default (types/map.ex:13-29); a null in
+    the DataFrame maps to Zoi's missing key → `:required` error. For
+    optional/nullable fields a null passes with a null parsed value.
+    """
+    required = child.required is not False and not child.nullable \
+        and child.default is _UNSET
+    node = compile_node(ctx, child, col, itype, path, guard, allow_pandas)
+    errs = node.errors
+    if required:
+        spec = E.required(key)
+        rid = ctx.rule_id(path, "required")
+        ctx.register(rid, spec, path, "required")
+        req_err = F.when(guard & col.isNull(), _mk_error(rid, spec, _path_lits(path)))
+        errs = _concat_err_arrays([_collect([req_err]), errs])
+    return Node(node.value, errs, node.out_type)
+
+
+def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
+    if col is not None and not isinstance(itype, T.StructType):
+        spec = E.invalid_type("map", error=schema.error)
+        rid = ctx.rule_id(path, "type")
+        ctx.register(rid, spec, path, "type")
+        err = F.when(guard & col.isNotNull(),
+                     _mk_error(rid, spec, _path_lits(path)))
+        return Node(F.lit(None), _collect([err]), T.StructType([]))
+
+    declared = schema.params["fields"]
+    available = {f.name: f.dataType for f in itype.fields}
+    unrecognized_mode = schema.params.get("unrecognized", "strip")
+
+    err_arrays: list[Column] = []
+    parsed_fields: list[Column] = []
+    out_fields: list[T.StructField] = []
+    field_guard = guard & col.isNotNull() if col is not None else guard
+
+    for name, child in declared.items():
+        child_path = path + (name,)
+        if name in available:
+            child_col = col.getField(name) if col is not None else F.col(name)
+            node = _wrap_field_node(ctx, child, child_col, available[name],
+                                    child_path, field_guard, name, allow_pandas)
+            err_arrays.append(node.errors)
+            parsed_fields.append(node.value.alias(name))
+            out_fields.append(T.StructField(name, node.out_type, True))
+        else:
+            # column absent from the input schema entirely
+            if child.default is not _UNSET:
+                parsed_fields.append(F.lit(child.default).alias(name))
+                continue
+            if child.required is False or child.nullable:
+                continue
+            spec = E.required(name)
+            rid = ctx.rule_id(child_path, "required")
+            ctx.register(rid, spec, child_path, "required")
+            err_arrays.append(_collect([
+                F.when(field_guard, _mk_error(rid, spec, _path_lits(child_path)))]))
+
+    extra = [n for n in available if n not in declared]
+    if unrecognized_mode == "error":
+        for name in extra:
+            spec = E.unrecognized_key(name)
+            rid = ctx.rule_id(path + (name,), "unrecognized_key")
+            ctx.register(rid, spec, path + (name,), "unrecognized_key")
+            err_arrays.append(_collect([
+                F.when(field_guard, _mk_error(rid, spec, _path_lits(path + (name,))))]))
+    elif unrecognized_mode == "preserve":
+        for name in extra:
+            src = col.getField(name) if col is not None else F.col(name)
+            parsed_fields.append(src.alias(name))
+            out_fields.append(T.StructField(name, available[name], True))
+
+    value = F.struct(*parsed_fields) if parsed_fields else F.lit(None)
+    return Node(value, _concat_err_arrays(err_arrays), T.StructType(out_fields))
+
+
+def _compile_array(ctx, schema, col, itype, path, guard) -> Node:
+    if not isinstance(itype, T.ArrayType):
+        spec = E.invalid_type("array", error=schema.error)
+        rid = ctx.rule_id(path, "type")
+        ctx.register(rid, spec, path, "type")
+        err = F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))
+        return Node(F.lit(None), _collect([err]), T.ArrayType(T.StringType()))
+
+    inner = schema.params["inner"]
+    el_type = itype.elementType
+
+    # element errors with dynamic [index] path (types/array.ex:54-80)
+    def elem_errors(x: Column, i: Column) -> Column:
+        node = compile_node(ctx, inner, x, el_type,
+                            path + (i.cast("string"),), guard,
+                            allow_pandas=False)
+        return node.errors
+
+    # trick: run one compile to register rules & reuse expression shape —
+    # F.transform re-invokes the lambda with real lambda vars
+    elem_err_arr = F.flatten(F.transform(col, elem_errors))
+
+    def elem_value(x: Column) -> Column:
+        sub = CompileCtx()  # throwaway: avoid double-registering rules
+        return compile_node(sub, inner, x, el_type, path, guard,
+                            allow_pandas=False).value
+
+    parsed = F.transform(col, elem_value)
+
+    # array-level constraints run on parsed element values
+    # (types/array.ex:127-135)
+    maybe: list[Column] = []
+    present_guard = guard & col.isNotNull()
+    for chk in schema.checks + [e for t, e in schema.effects if t == "check"]:
+        pred, spec, _ = _check_pred_and_spec("array", chk, parsed)
+        rid = ctx.rule_id(path, chk.kind)
+        ctx.register(rid, spec, path, chk.kind, dict(chk.params))
+        maybe.append(F.when(present_guard & _safe_not(pred),
+                            _mk_error(rid, spec, _path_lits(path))))
+
+    errs = _concat_err_arrays([
+        F.when(col.isNotNull(), elem_err_arr).otherwise(_empty_errors()),
+        _collect(maybe),
+    ])
+    return Node(parsed, errs, T.ArrayType(el_type))
+
+
+def _compile_tuple(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
+    fields_ = schema.params["fields"]
+    n = len(fields_)
+    err_arrays: list[Column] = []
+    values: list[Column] = []
+    out_fields: list[T.StructField] = []
+
+    if isinstance(itype, T.StructType):
+        actual = len(itype.fields)
+        if actual != n:
+            spec = E.invalid_tuple(n, actual, error=schema.error)
+            rid = ctx.rule_id(path, "tuple_length")
+            ctx.register(rid, spec, path, "tuple_length")
+            return Node(col, _collect([
+                F.when(guard & col.isNotNull(),
+                       _mk_error(rid, spec, _path_lits(path)))]), itype)
+        for i, child in enumerate(fields_):
+            f = itype.fields[i]
+            node = compile_node(ctx, child, col.getField(f.name), f.dataType,
+                                path + (i,), guard & col.isNotNull(), allow_pandas)
+            err_arrays.append(node.errors)
+            values.append(node.value.alias(f.name))
+            out_fields.append(T.StructField(f.name, node.out_type, True))
+        return Node(F.struct(*values), _concat_err_arrays(err_arrays),
+                    T.StructType(out_fields))
+
+    if isinstance(itype, T.ArrayType):
+        spec = E.invalid_tuple(n, 0, error=schema.error)
+        # dynamic actual length message
+        msg = F.concat(F.lit(f"invalid tuple: expected length {n}, got "),
+                       F.size(col).cast("string"))
+        rid = ctx.rule_id(path, "tuple_length")
+        ctx.register(rid, spec, path, "tuple_length")
+        err_arrays.append(_collect([
+            F.when(guard & col.isNotNull() & (F.size(col) != n),
+                   _mk_error(rid, spec, _path_lits(path), msg))]))
+        ok = col.isNotNull() & (F.size(col) == n)
+        for i, child in enumerate(fields_):
+            node = compile_node(ctx, child, F.element_at(col, i + 1),
+                                itype.elementType, path + (i,), guard & ok,
+                                allow_pandas=False)
+            err_arrays.append(node.errors)
+            values.append(node.value.alias(f"_{i}"))
+        return Node(F.struct(*values), _concat_err_arrays(err_arrays),
+                    T.StructType([T.StructField(f"_{i}", itype.elementType, True)
+                                  for i in range(n)]))
+
+    spec = E.invalid_type("tuple", error=schema.error)
+    rid = ctx.rule_id(path, "type")
+    ctx.register(rid, spec, path, "type")
+    return Node(col, _collect([
+        F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))]),
+        itype)
+
+
+def _compile_map_kv(ctx, schema, col, itype, path, guard) -> Node:
+    if not isinstance(itype, T.MapType):
+        spec = E.invalid_type("map", error=schema.error)
+        rid = ctx.rule_id(path, "type")
+        ctx.register(rid, spec, path, "type")
+        return Node(col, _collect([
+            F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))]),
+            itype)
+
+    kschema, vschema = schema.params["key"], schema.params["value"]
+
+    def entry_errors(e: Column) -> Column:
+        kp = path + (e.getField("key").cast("string"),)
+        kn = compile_node(ctx, kschema, e.getField("key"), itype.keyType,
+                          kp, guard, allow_pandas=False)
+        vn = compile_node(ctx, vschema, e.getField("value"), itype.valueType,
+                          kp, guard, allow_pandas=False)
+        return F.concat(kn.errors, vn.errors)
+
+    errs = F.when(col.isNotNull(),
+                  F.flatten(F.transform(F.map_entries(col), entry_errors))) \
+        .otherwise(_empty_errors())
+
+    def value_xform(k: Column, v: Column) -> Column:
+        sub = CompileCtx()
+        return compile_node(sub, vschema, v, itype.valueType, path, guard,
+                            allow_pandas=False).value
+
+    parsed = F.transform_values(col, value_xform)
+    return Node(parsed, errs, itype)
+
+
+def _compile_union(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
+    """First-match-wins; total failure reports the LAST branch's errors
+    (types/union.ex:23-37) — as an ordered CASE WHEN chain, which
+    Catalyst evaluates lazily (SURVEY §4)."""
+    branches = schema.params["schemas"]
+    nodes = [compile_node(ctx, b, col, itype, path, guard, allow_pandas)
+             for b in branches]
+    oks = [F.size(n.errors) == 0 for n in nodes]
+
+    value = None
+    for ok, n in zip(oks, nodes):
+        value = F.when(ok, n.value) if value is None else value.when(ok, n.value)
+
+    any_ok = oks[0]
+    for ok in oks[1:]:
+        any_ok = any_ok | ok
+
+    if schema.error is not None:
+        spec = E.custom_error(schema.error)
+        rid = ctx.rule_id(path, "union")
+        ctx.register(rid, spec, path, "union")
+        errs = _collect([F.when(guard & col.isNotNull() & ~any_ok,
+                                _mk_error(rid, spec, _path_lits(path)))])
+    else:
+        errs = F.when(~any_ok, nodes[-1].errors).otherwise(_empty_errors())
+    return Node(value, errs, nodes[0].out_type)
+
+
+def _compile_intersection(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
+    """All branches parse the ORIGINAL input sequentially; halt on first
+    failure; last branch's parsed value wins
+    (types/intersection.ex:23-37)."""
+    branches = schema.params["schemas"]
+    nodes = [compile_node(ctx, b, col, itype, path, guard, allow_pandas)
+             for b in branches]
+    err_arrays: list[Column] = []
+    prev_ok = F.lit(True)
+    for n in nodes:
+        err_arrays.append(F.when(prev_ok, n.errors).otherwise(_empty_errors()))
+        prev_ok = prev_ok & (F.size(n.errors) == 0)
+    if schema.error is not None:
+        spec = E.custom_error(schema.error)
+        rid = ctx.rule_id(path, "intersection")
+        ctx.register(rid, spec, path, "intersection")
+        errs = _collect([F.when(guard & ~prev_ok,
+                                _mk_error(rid, spec, _path_lits(path)))])
+    else:
+        errs = _concat_err_arrays(err_arrays)
+    return Node(nodes[-1].value, errs, nodes[-1].out_type)
+
+
+def _compile_discriminated(ctx, schema, col, itype, path, guard,
+                           allow_pandas) -> Node:
+    """O(1) dispatch on a literal discriminator column → CASE WHEN chain
+    (types/discriminated_union.ex:20-75)."""
+    disc = schema.params["discriminator"]
+    lookup = schema.params["lookup"]
+
+    if not isinstance(itype, T.StructType):
+        spec = E.invalid_type("map", error=schema.error)
+        rid = ctx.rule_id(path, "type")
+        ctx.register(rid, spec, path, "type")
+        return Node(col, _collect([
+            F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))]),
+            itype)
+
+    disc_col = col.getField(disc) if col is not None else F.col(disc)
+    present = col.isNotNull() if col is not None else F.lit(True)
+
+    err_arrays: list[Column] = []
+    value = None
+    known = None
+    for key, branch in lookup.items():
+        cond = disc_col == F.lit(key)
+        known = cond if known is None else (known | cond)
+        node = compile_node(ctx, branch, col, itype, path,
+                            guard & present & cond, allow_pandas)
+        err_arrays.append(F.when(cond, node.errors).otherwise(_empty_errors()))
+        value = (F.when(cond, node.value) if value is None
+                 else value.when(cond, node.value))
+
+    # missing discriminator → required (discriminated_union.ex:75-88)
+    req_spec = E.required(disc)
+    rid_req = ctx.rule_id(path + (disc,), "required")
+    ctx.register(rid_req, req_spec, path + (disc,), "required")
+    err_arrays.append(_collect([
+        F.when(guard & present & disc_col.isNull(),
+               _mk_error(rid_req, req_spec, _path_lits(path + (disc,))))]))
+
+    # unknown discriminator → :custom with dynamic value
+    # (discriminated_union.ex:95-110)
+    unk_spec = E.custom_error(
+        "unknown discriminator '%{value}' for field '%{field}'",
+        {"value": "?", "field": disc})
+    rid_unk = ctx.rule_id(path, "unknown_discriminator")
+    ctx.register(rid_unk, unk_spec, path, "unknown_discriminator")
+    dyn_msg = F.concat(F.lit("unknown discriminator '"),
+                       disc_col.cast("string"),
+                       F.lit(f"' for field '{disc}'"))
+    err_arrays.append(_collect([
+        F.when(guard & present & disc_col.isNotNull() & ~F.coalesce(known, F.lit(False)),
+               _mk_error(rid_unk, unk_spec, _path_lits(path), dyn_msg))]))
+
+    return Node(value, _concat_err_arrays(err_arrays), itype)
+
+
+def _compile_codec(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
+    """parse = from → decode → to (types/codec.ex:54-67)."""
+    from_node = compile_node(ctx, schema.params["from_schema"], col, itype,
+                             path, guard, allow_pandas)
+    from_ok = F.size(from_node.errors) == 0
+    decode = schema.params.get("decode")
+    decoded = decode(from_node.value) if decode else from_node.value
+    to_schema = schema.params["to_schema"]
+    to_itype = _static_out_type(to_schema, from_node.out_type)
+    to_node = compile_node(ctx, to_schema, decoded, to_itype, path,
+                           guard & from_ok, allow_pandas)
+    errs = _concat_err_arrays([
+        from_node.errors,
+        F.when(from_ok, to_node.errors).otherwise(_empty_errors()),
+    ])
+    return Node(to_node.value, errs, to_node.out_type)
+
+
+def _static_out_type(schema: Schema, fallback: T.DataType) -> T.DataType:
+    return {
+        "string": T.StringType(), "integer": T.LongType(),
+        "float": T.DoubleType(), "number": T.DoubleType(),
+        "boolean": T.BooleanType(), "date": T.DateType(),
+        "datetime": T.TimestampType(), "naive_datetime": T.TimestampType(),
+    }.get(schema.kind, fallback)
+
+
+# ---------------------------------------------------------------------------
+# top-level entry
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompiledSchema:
+    errors_col: Column
+    valid_col: Column
+    parsed_col: Column
+    rules: list[RuleInfo]
+    out_type: T.DataType
+
+
+def compile_schema(schema: Schema, input_type: T.StructType) -> CompiledSchema:
+    """Compile a fields-schema against a DataFrame schema. The returned
+    Columns reference input columns by name (top-level row = the Zoi
+    input term, SURVEY §1.2)."""
+    if schema.kind not in ("fields", "discriminated_union"):
+        raise ValueError(
+            "top-level schema must be a fields/ discriminated_union schema; "
+            "wrap single columns in z.fields({...})")
+    ctx = CompileCtx()
+    node = compile_node(ctx, schema, None, input_type, (), F.lit(True))
+    errs = node.errors
+    return CompiledSchema(
+        errors_col=errs,
+        valid_col=F.size(errs) == 0,
+        parsed_col=node.value,
+        rules=ctx.rules,
+        out_type=node.out_type,
+    )

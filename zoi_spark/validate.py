@@ -1,0 +1,133 @@
+"""Run a compiled schema over a DataFrame.
+
+The reference's ``Zoi.parse(schema, input)`` validates ONE term and
+returns ``{:ok, parsed} | {:error, errors}`` (``lib/zoi.ex:207-218``).
+Here one input term = one row (SURVEY §1.2): a validation run is a
+single narrow projection over the table producing
+
+* ``annotated``  — input columns + ``valid:boolean`` + ``errors`` array
+  (the per-row ``{:ok,..}/{:error,..}``),
+* ``violations`` — the exploded error rows ``(id…, rule_id, code, path,
+  path_str, message)`` matching ``%Zoi.Error{}`` semantics,
+* ``parsed``     — the coerced/transformed output under the target
+  schema (Zoi's ``parsed`` value). Input columns are NEVER rewritten —
+  parsed values are new columns, which is what makes the byte-identity
+  invariant (BASELINE.md) hold by construction.
+
+Everything is lazy: no collect, no driver-side loops; the error array is
+one Catalyst expression evaluated inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compile import CompiledSchema, RuleInfo, compile_schema
+from .schema import Schema
+
+
+class ParseError(Exception):
+    """Raised by validate_strict when any row violates the schema
+    (mirrors ``Zoi.parse!/3`` / ``Zoi.ParseError``, lib/zoi.ex:234-242)."""
+
+    def __init__(self, sample_rows: list):
+        self.errors = sample_rows
+        super().__init__(
+            f"validation failed; first violations: {sample_rows[:5]!r}")
+
+
+@dataclass
+class ValidationResult:
+    annotated: DataFrame
+    compiled: CompiledSchema
+    id_cols: tuple[str, ...]
+
+    @property
+    def rules(self) -> list[RuleInfo]:
+        return self.compiled.rules
+
+    @property
+    def violations(self) -> DataFrame:
+        """Exploded violation rows — Zoi's flattened error list with
+        paths (lib/zoi/error.ex:118-120)."""
+        err = F.explode(F.col("__zoi_errors")).alias("e")
+        return (
+            self.annotated
+            .where(~F.col("__zoi_valid"))
+            .select(*self.id_cols, err)
+            .select(
+                *self.id_cols,
+                F.col("e.rule_id").alias("rule_id"),
+                F.col("e.code").alias("code"),
+                F.col("e.path").alias("path"),
+                F.array_join(F.col("e.path"), ".").alias("path_str"),
+                F.col("e.message").alias("message"),
+            )
+        )
+
+    @property
+    def valid_rows(self) -> DataFrame:
+        return (self.annotated.where(F.col("__zoi_valid"))
+                .drop("__zoi_valid", "__zoi_errors", "__zoi_parsed"))
+
+    @property
+    def invalid_rows(self) -> DataFrame:
+        return (self.annotated.where(~F.col("__zoi_valid"))
+                .drop("__zoi_valid", "__zoi_errors", "__zoi_parsed"))
+
+    @property
+    def parsed(self) -> DataFrame:
+        """id columns + the parsed (cast/transformed) fields expanded."""
+        return self.annotated.select(*self.id_cols, F.col("__zoi_parsed.*"))
+
+    def summary(self) -> DataFrame:
+        """Per-rule violation counts — one shuffle on a tiny key space."""
+        return (self.violations.groupBy("rule_id", "code")
+                .agg(F.count("*").alias("n_violations"))
+                .orderBy("rule_id"))
+
+    def counts(self) -> DataFrame:
+        return self.annotated.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("__zoi_valid").cast("long")).alias("n_valid"),
+            F.sum((~F.col("__zoi_valid")).cast("long")).alias("n_invalid"),
+        )
+
+
+def validate(df: DataFrame, schema: Schema,
+             id_cols: Sequence[str] = ()) -> ValidationResult:
+    """Compile ``schema`` against ``df.schema`` and annotate every row.
+
+    Collect-all semantics: every rule is evaluated for every row — no
+    fail-fast — matching ``lib/zoi/validations.ex:10-28`` (only union /
+    intersection / default short-circuit, by spec).
+    """
+    compiled = compile_schema(schema, df.schema)
+    id_cols = tuple(id_cols) or tuple(df.columns[:1])
+    # chain withColumn so `valid` references the materialized error
+    # array instead of re-inlining the whole rule expression tree
+    annotated = (
+        df.withColumn("__zoi_errors", compiled.errors_col)
+        .withColumn("__zoi_valid", F.size(F.col("__zoi_errors")) == 0)
+        .withColumn("__zoi_parsed", compiled.parsed_col)
+    )
+    return ValidationResult(annotated, compiled, id_cols)
+
+
+# aliases mirroring the reference's API surface
+parse = validate
+
+
+def validate_strict(df: DataFrame, schema: Schema,
+                    id_cols: Sequence[str] = (), sample: int = 20) -> DataFrame:
+    """``Zoi.parse!/3``: raise on any violation, else return the parsed
+    frame (lib/zoi.ex:234-242)."""
+    res = validate(df, schema, id_cols)
+    bad = res.violations.limit(sample).collect()
+    if bad:
+        raise ParseError([r.asDict() for r in bad])
+    return res.parsed
