@@ -1,0 +1,106 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and reports
+per-query wall-clock. The headline north-rule metric — validated
+docs/sec for the full webtext rule-set — is measured over a
+deterministically generated webtext table (BASELINE.json input_hint
+shape; TESTDATA has no webtext table, and the rule requires that exact
+shape).
+
+Timing uses the noop sink so every column is actually computed —
+``count()`` would let Catalyst prune the rule expressions away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEBTEXT_ROWS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_ROWS", "300000"))
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("zoi_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def _run(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    names = [
+        "documents_flagship", "customer_violation_rows",
+        "lineitem_rule_counts", "events_json_coercion",
+        "referential_custkey", "unique_doc_groups", "stats_customer",
+        "stats_hll", "drift_lang_psi", "dedup_jaccard_pairs",
+        "minhash_lsh_pairs", "ann_cosine_topk", "text_token_stats",
+        "text_lang_id", "fingerprints",
+    ]
+    qs = em.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        out[name] = round(_run(qs[name](spark, sf_dir)), 3)
+    return out
+
+
+def bench_webtext_ruleset(spark, n_rows: int) -> tuple[float, float]:
+    """The north-rule metric: full rule-set pass over the webtext
+    shape; returns (seconds, docs/sec). Input is materialized (cached +
+    counted) first so generation cost isn't billed to validation."""
+    import zoi_spark as z
+    from zoi_spark import testgen
+
+    web = testgen.webtext(spark, n_rows, partitions=CPUS * 2).cache()
+    web.count()
+    res = z.validate(web, testgen.webtext_schema(), id_cols=["row_id"])
+    sec = _run(res.annotated)
+    web.unpersist()
+    return sec, n_rows / sec if sec > 0 else 0.0
+
+
+def main() -> None:
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = bench_queries(spark, SF_DIR)
+    wt_sec, docs_per_sec = bench_webtext_ruleset(spark, WEBTEXT_ROWS)
+    queries["webtext_full_ruleset"] = round(wt_sec, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_queries_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "webtext_rows": WEBTEXT_ROWS,
+        "webtext_docs_per_sec": round(docs_per_sec),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

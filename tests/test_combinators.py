@@ -1,0 +1,241 @@
+"""Nesting & combinators: array element paths, nested structs, union /
+intersection / discriminated-union dispatch, tuple, map k/v, defaults.
+
+Ports the corresponding ExUnit shapes (zoi_test.exs "array/2" :2521,
+"map/2" :1371, "union/2" :815, "discriminated_union/3" :1024,
+"tuple/2" :1864) onto DataFrame columns.
+"""
+
+import pytest
+from pyspark.sql import types as ST
+
+import zoi_spark as z
+
+
+def run(spark, schema, rows, ddl=None, id_col="id"):
+    df = spark.createDataFrame(rows, schema=ddl) if ddl else spark.createDataFrame(rows)
+    res = z.validate(df, schema, id_cols=[id_col])
+    viols = [r.asDict() for r in res.violations.collect()]
+    parsed = {r[id_col]: r.asDict() for r in res.parsed.collect()}
+    return viols, parsed
+
+
+# --- arrays (types/array.ex:54-80, element index paths) --------------------
+
+def test_array_element_errors_carry_index_path(spark):
+    schema = z.fields({"id": z.integer(), "tags": z.array(z.string(min=2))})
+    viols, _ = run(spark, schema,
+                   [{"id": 1, "tags": ["ok", "x", "fine", "y"]}])
+    paths = sorted(v["path"] for v in viols)
+    assert paths == [["tags", "1"], ["tags", "3"]]
+    assert all(v["message"] == "too small: must have at least 2 character(s)"
+               for v in viols)
+
+
+def test_array_level_constraints(spark):
+    schema = z.fields({
+        "id": z.integer(),
+        "tags": z.array(z.string(), min_length=1, max_length=3, unique_items=True),
+    })
+    viols, _ = run(spark, schema, [
+        {"id": 1, "tags": []},
+        {"id": 2, "tags": ["a", "b", "c", "d"]},
+        {"id": 3, "tags": ["a", "a"]},
+        {"id": 4, "tags": ["a", "b"]},
+    ])
+    by_id = {v["id"]: v for v in viols}
+    assert by_id[1]["message"] == "too small: must have at least 1 item(s)"
+    assert by_id[2]["message"] == "too big: must have at most 3 item(s)"
+    assert by_id[3]["message"] == "must contain unique items"
+    assert by_id[3]["code"] == "not_unique"
+    assert 4 not in by_id
+
+
+def test_array_transform_elements(spark):
+    schema = z.fields({"id": z.integer(),
+                       "tags": z.array(z.string().to_upcase())})
+    viols, parsed = run(spark, schema, [{"id": 1, "tags": ["ab", "cd"]}])
+    assert viols == []
+    assert parsed[1]["tags"] == ["AB", "CD"]
+
+
+# --- nested structs (zoi_test.exs:1490-1520) --------------------------------
+
+def test_nested_struct_paths(spark):
+    ddl = "id int, address struct<city:string, zip:string>"
+    schema = z.fields({
+        "id": z.integer(),
+        "address": z.fields({"city": z.string(min=2), "zip": z.string()}),
+    })
+    viols, _ = run(spark, schema, [
+        (1, ("x", None)),
+        (2, ("berlin", "10115")),
+        (3, None),
+    ], ddl=ddl)
+    key = {(v["id"], tuple(v["path"])): v for v in viols}
+    assert key[(1, ("address", "city"))]["code"] == "greater_than_or_equal_to"
+    assert key[(1, ("address", "zip"))]["code"] == "required"
+    # whole struct null → required on the struct itself
+    assert key[(3, ("address",))]["code"] == "required"
+    assert (2, ("address", "city")) not in key
+
+
+def test_unrecognized_keys_error_mode(spark):
+    schema = z.fields({"id": z.integer()}, unrecognized="error")
+    viols, _ = run(spark, schema, [{"id": 1, "extra": "x"}])
+    assert viols[0]["code"] == "unrecognized_key"
+    assert viols[0]["message"] == "unrecognized key: extra"
+
+
+# --- union (types/union.ex:23-37) -------------------------------------------
+
+def test_union_first_match_wins_and_last_error(spark):
+    schema = z.fields({
+        "id": z.integer(),
+        "v": z.union([z.string().length(3), z.string().starts_with("x")]),
+    })
+    viols, _ = run(spark, schema, [
+        {"id": 1, "v": "abc"},   # matches branch 1
+        {"id": 2, "v": "xlong"}, # matches branch 2
+        {"id": 3, "v": "nope"},  # fails both → LAST branch's error
+    ])
+    assert len(viols) == 1
+    assert viols[0]["id"] == 3
+    assert viols[0]["message"] == "invalid format: must start with 'x'"
+
+
+def test_union_coercion_branches(spark):
+    # ordered fallback casting (SURVEY §2.6): int-string else bool-string
+    schema = z.fields({
+        "id": z.integer(),
+        "v": z.union([z.integer(coerce=True), z.boolean(coerce=True)]),
+    })
+    viols, parsed = run(spark, schema, [
+        {"id": 1, "v": "42"},
+        {"id": 2, "v": "true"},
+        {"id": 3, "v": "zzz"},
+    ])
+    assert [v["id"] for v in viols] == [3]
+    assert parsed[1]["v"] == "42" or parsed[1]["v"] == 42
+
+
+def test_intersection_halts_on_first_failure(spark):
+    schema = z.fields({
+        "id": z.integer(),
+        "v": z.intersection([z.string(min=3), z.string(max=5)]),
+    })
+    viols, _ = run(spark, schema, [
+        {"id": 1, "v": "okay"},
+        {"id": 2, "v": "x"},          # fails first → only first error
+        {"id": 3, "v": "toolongname"} # passes first, fails second
+    ])
+    by_id = {}
+    for v in viols:
+        by_id.setdefault(v["id"], []).append(v["message"])
+    assert by_id[2] == ["too small: must have at least 3 character(s)"]
+    assert by_id[3] == ["too big: must have at most 5 character(s)"]
+
+
+# --- discriminated union (types/discriminated_union.ex) --------------------
+
+def test_discriminated_union_dispatch(spark):
+    ddl = "id int, pet struct<type:string, meow:string, bark:string>"
+    schema = z.fields({
+        "id": z.integer(),
+        "pet": z.discriminated_union("type", [
+            z.fields({"type": z.literal("cat"), "meow": z.string(),
+                      "bark": z.string().optional()}),
+            z.fields({"type": z.literal("dog"), "bark": z.string(),
+                      "meow": z.string().optional()}),
+        ]),
+    })
+    viols, _ = run(spark, schema, [
+        (1, ("cat", "loud", None)),
+        (2, ("dog", None, "woof")),
+        (3, ("dog", None, None)),      # dog missing bark
+        (4, ("fish", None, None)),     # unknown discriminator
+    ], ddl=ddl)
+    key = {(v["id"]): v for v in viols}
+    assert key[3]["code"] == "required"
+    assert key[3]["path"] == ["pet", "bark"]
+    assert key[4]["code"] == "custom"
+    assert key[4]["message"] == "unknown discriminator 'fish' for field 'type'"
+    assert 1 not in key and 2 not in key
+
+
+def test_discriminated_union_duplicate_rejected():
+    with pytest.raises(ValueError, match="duplicate discriminator"):
+        z.discriminated_union("t", [
+            z.fields({"t": z.literal("a")}),
+            z.fields({"t": z.literal("a")}),
+        ])
+
+
+# --- tuple (types/tuple.ex) -------------------------------------------------
+
+def test_tuple_positional_fields(spark):
+    ddl = "id int, pair struct<f0:string, f1:int>"
+    schema = z.fields({
+        "id": z.integer(),
+        "pair": z.tuple_([z.string(min=2), z.integer(gte=0)]),
+    })
+    viols, _ = run(spark, schema, [
+        (1, ("ok", 5)),
+        (2, ("x", -1)),
+    ], ddl=ddl)
+    got = sorted((v["id"], tuple(v["path"])) for v in viols)
+    assert got == [(2, ("pair", "0")), (2, ("pair", "1"))]
+
+
+def test_tuple_from_array_length_mismatch(spark):
+    ddl = "id int, pair array<string>"
+    schema = z.fields({"id": z.integer(),
+                       "pair": z.tuple_([z.string(), z.string()])})
+    viols, _ = run(spark, schema, [(1, ["a"]), (2, ["a", "b"])], ddl=ddl)
+    assert len(viols) == 1
+    assert viols[0]["code"] == "invalid_tuple"
+    assert viols[0]["message"] == "invalid tuple: expected length 2, got 1"
+
+
+# --- map k/v (types/map.ex:63-86) -------------------------------------------
+
+def test_map_kv_per_entry_paths(spark):
+    ddl = "id int, attrs map<string,int>"
+    schema = z.fields({
+        "id": z.integer(),
+        "attrs": z.map_kv(z.string(min=2), z.integer(gte=0)),
+    })
+    viols, _ = run(spark, schema, [
+        (1, {"ok": 1, "x": 2, "fine": -5}),
+    ], ddl=ddl)
+    got = sorted((tuple(v["path"]), v["code"]) for v in viols)
+    assert (("attrs", "x"), "greater_than_or_equal_to") in got
+    assert (("attrs", "fine"), "greater_than_or_equal_to") in got
+    assert len(got) == 2
+
+
+# --- nullable / nullish / defaults ------------------------------------------
+
+def test_nullable_passes_null(spark):
+    schema = z.fields({"id": z.integer(),
+                       "v": z.string(min=2).as_nullable()})
+    viols, parsed = run(spark, schema, [(1, None), (2, "x")],
+                        ddl="id int, v string")
+    assert [(v["id"], v["code"]) for v in viols] == \
+        [(2, "greater_than_or_equal_to")]
+    assert parsed[1]["v"] is None
+
+
+def test_schema_algebra_extend_pick_omit(spark):
+    base = z.fields({"a": z.string(), "b": z.integer()})
+    ext = z.extend(base, {"c": z.boolean()})
+    assert set(ext.params["fields"]) == {"a", "b", "c"}
+    assert set(z.pick(ext, ["a", "c"]).params["fields"]) == {"a", "c"}
+    assert set(z.omit(ext, ["a"]).params["fields"]) == {"b", "c"}
+
+
+def test_coerce_all_traverse(spark):
+    s = z.fields({"n": z.integer(), "inner": z.fields({"m": z.integer()})})
+    c = z.coerce_all(s)
+    assert c.params["fields"]["n"].coerce is True
+    assert c.params["fields"]["inner"].params["fields"]["m"].coerce is True

@@ -1,0 +1,227 @@
+"""Table-level checks, text analysis, dedup, ANN, runner — on the
+deterministic synthetic webtext table (FIXTURES.md F1-F3) and the
+driver testdata."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import zoi_spark as z
+from zoi_spark import dedup, runner, similarity, tablechecks, testgen, text
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    df = testgen.webtext(spark, 2000, partitions=8).cache()
+    df.count()
+    return df
+
+
+# --- uniqueness -------------------------------------------------------------
+
+def test_duplicates_salted_matches_plain(spark, web):
+    plain = {r.url: r.n_occurrences
+             for r in tablechecks.duplicates(web, "url").collect()}
+    salted = {r.url: r.n_occurrences
+              for r in tablechecks.duplicates(web, "url",
+                                              salt_partitions=8).collect()}
+    assert plain == salted
+    assert len(plain) > 0
+    assert all(n > 1 for n in plain.values())
+
+
+def test_duplicates_match_seeded_ground_truth(spark, web):
+    seeded_dup_urls = (web.where(F.array_contains("expect_rule_ids",
+                                                  "url.duplicate"))
+                       .where(F.col("url").isNotNull())
+                       .select("url").distinct().count())
+    found = tablechecks.duplicates(web, "url").count()
+    # a dup target may itself be a seeded bad/null url (~4%), so a few
+    # seeded dups don't materialize as equal urls
+    assert found >= seeded_dup_urls * 0.8
+
+
+# --- referential ------------------------------------------------------------
+
+def test_referential_broadcast_anti_join(spark, web):
+    dictionary = testgen.allowed_langs(spark)
+    bad = tablechecks.referential_violations(web, "lang", dictionary)
+    got = {r.lang for r in bad.select("lang").distinct().collect()}
+    assert got == {"xx", "q1", "zz"}
+    seeded = web.where(F.array_contains("expect_rule_ids", "lang.one_of")).count()
+    assert bad.count() == seeded
+
+
+# --- single-pass stats + drift ----------------------------------------------
+
+def test_column_stats_single_pass(spark, web):
+    hist = tablechecks.HistogramSpec("text", 0, 4000, buckets=10, length_of=True)
+    row = tablechecks.column_stats(
+        web, ["url", "text", "lang"], histograms=[hist]).collect()[0].asDict()
+    assert row["n_rows"] == 2000
+    assert row["url__nulls"] == web.where(F.col("url").isNull()).count()
+    exact = web.select(F.countDistinct("lang")).collect()[0][0]
+    assert abs(row["lang__distinct"] - exact) <= max(2, exact * 0.15)
+    buckets = tablechecks.stats_to_rows(row, [hist])
+    assert sum(b["count"] for b in buckets) == web.where(
+        F.col("text").isNotNull()).count()
+
+
+def test_drift_kl_psi(spark, web):
+    base = [(r.value, r["count"]) for r in
+            tablechecks.categorical_histogram(web, "lang").collect()]
+    same = tablechecks.check_drift(base, base)
+    assert same["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert not same["drifted"]
+    # shift the mix hard: drop every 'en' row
+    shifted_df = web.where(F.col("lang") != "en")
+    shifted = [(r.value, r["count"]) for r in
+               tablechecks.categorical_histogram(shifted_df, "lang").collect()]
+    moved = tablechecks.check_drift(base, shifted)
+    assert moved["psi"] > 0.2 and moved["drifted"]
+
+
+# --- text analysis ----------------------------------------------------------
+
+def test_text_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog of the house went to the market in town."),
+         (2, "der hund und die katze und der vogel das haus nicht hier"),
+         (3, ""), (4, "HELLO!!! WORLD!!!")],
+        "id int, text string")
+    rows = {r.id: r.asDict() for r in text.profile(df).collect()}
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "de"
+    assert rows[3]["n_tokens"] == 0
+    assert rows[4]["punct_ratio"] > 0.3
+    assert rows[4]["upper_ratio"] > 0.5
+    assert 0.0 <= rows[1]["quality"] <= 1.0
+    assert rows[1]["fingerprint"] == rows[1]["fingerprint"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
+        "id int, text string")
+    fps = {r.id: r.fp for r in
+           df.select("id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# --- dedup ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    for i in range(30):
+        rows.append((i, base + f" unique tail {i} with extra words here"))
+    rows.append((100, base + " unique tail 5 with extra words here"))   # exact dup of 5
+    rows.append((101, base + " unique tail 7 with extra words HERE"))   # near dup of 7 (case)
+    rows.append((102, "completely different tiny text"))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, dup_docs):
+    # 100 is byte-identical to 5; 101 differs only by case, which the
+    # normalized fingerprint also collapses → 2 exact groups
+    groups = {g.keep_id: g.n_docs for g in
+              dedup.exact_duplicates(dup_docs).collect()}
+    assert groups == {5: 2, 7: 2}
+    kept = dedup.exact_dedup(dup_docs)
+    assert kept.count() == dup_docs.count() - 2
+    assert kept.where(F.col("doc_id").isin(100, 101)).count() == 0
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(
+                 dup_docs, threshold=0.7).collect()}
+    assert (5, 100) in pairs and pairs[(5, 100)] == 1.0
+    assert (7, 101) in pairs  # case-only difference normalizes away
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    verified = {(r.id_a, r.id_b): r.jaccard
+                for r in dedup.minhash_dedup_pairs(
+                    dup_docs, threshold=0.8, num_hashes=64, bands=16).collect()}
+    assert (5, 100) in verified
+    assert (7, 101) in verified
+    # all returned pairs are genuinely similar (verify step prunes)
+    assert all(j >= 0.8 for j in verified.values())
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(
+        dup_docs, max_hamming=4).collect()}
+    assert (5, 100) in pairs
+
+
+# --- embeddings: near-dup + ANN ----------------------------------------------
+
+def test_embedding_ops(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    topk = similarity.brute_force_topk(emb, queries, k=5)
+    rows = topk.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for q, lst in by_q.items():
+        lst.sort()
+        sims = [c for _rk, c in lst]
+        assert sims == sorted(sims, reverse=True)
+
+    # LSH path returns a subset with high precision vs brute force
+    lsh = similarity.lsh_topk(emb, queries, k=5, bits=4)
+    assert lsh.count() > 0
+    exact_top = {(r.query_id, r.vec_id) for r in rows}
+    lsh_rows = {(r.query_id, r.vec_id) for r in lsh.collect()}
+    assert len(lsh_rows & exact_top) > 0
+
+
+# --- runner: manifest + resume + byte identity --------------------------------
+
+def test_runner_resume_and_byte_identity(spark, web, tmp_path):
+    schema = testgen.webtext_schema()
+    r = runner.ValidationRunner(
+        spark, schema, id_col="row_id", n_partitions=16,
+        manifest_dir=str(tmp_path / "manifest"),
+        violations_dir=str(tmp_path / "violations"),
+        input_lineage="testgen.webtext(2000)")
+    s1 = r.run(web, "run1")
+    assert s1.n_partitions_total == 16
+    assert s1.n_rows == 2000
+    assert s1.n_invalid > 0 and s1.n_valid > 0
+    # resume: everything already done → 0 processed
+    s2 = r.run(web, "run1")
+    assert s2.n_partitions_skipped == 16
+    assert s2.n_rows == s1.n_rows  # manifest totals unchanged
+    # violations landed partitioned
+    v = spark.read.parquet(str(tmp_path / "violations"))
+    assert v.count() == s1.n_violations
+    # byte identity of text through validation
+    after = z.validate(web, schema, id_cols=["row_id"]).annotated
+    assert runner.assert_byte_identity(web, after, "row_id", "text")
+
+
+def test_seeded_violations_detected(spark, web):
+    """Every seeded violation class is caught by the matching rule
+    (oracle column expect_rule_ids from the generator)."""
+    schema = testgen.webtext_schema()
+    res = z.validate(web, schema, id_cols=["row_id"])
+    got = (res.violations.groupBy("rule_id").count().collect())
+    got_rules = {r.rule_id for r in got}
+    for expected in ["url.url", "url.required", "warc_ts.required",
+                     "text.gte", "text.lte", "lang.one_of"]:
+        assert expected in got_rules, f"missing {expected} in {got_rules}"
+    # url violations match the seeded count exactly
+    seeded_bad_url = web.where(
+        F.array_contains("expect_rule_ids", "url.url")).count()
+    found_bad_url = res.violations.where(F.col("rule_id") == "url.url").count()
+    assert found_bad_url == seeded_bad_url

@@ -667,7 +667,7 @@ def _compile_tuple(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
                    _mk_error(rid, spec, _path_lits(path), msg))]))
         ok = col.isNotNull() & (F.size(col) == n)
         for i, child in enumerate(fields_):
-            node = compile_node(ctx, child, F.element_at(col, i + 1),
+            node = compile_node(ctx, child, F.try_element_at(col, F.lit(i + 1)),
                                 itype.elementType, path + (i,), guard & ok,
                                 allow_pandas=False)
             err_arrays.append(node.errors)
@@ -725,9 +725,17 @@ def _compile_union(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
              for b in branches]
     oks = [F.size(n.errors) == 0 for n in nodes]
 
+    # a Spark column is monotyped: heterogeneous branch outputs (e.g.
+    # union([integer(coerce), boolean(coerce)])) collapse to string —
+    # documented delta vs the reference's dynamic terms
+    out_types = {n.out_type.simpleString() for n in nodes}
+    values = [n.value if len(out_types) == 1 else n.value.cast("string")
+              for n in nodes]
+    out_type = nodes[0].out_type if len(out_types) == 1 else T.StringType()
+
     value = None
-    for ok, n in zip(oks, nodes):
-        value = F.when(ok, n.value) if value is None else value.when(ok, n.value)
+    for ok, v in zip(oks, values):
+        value = F.when(ok, v) if value is None else value.when(ok, v)
 
     any_ok = oks[0]
     for ok in oks[1:]:
@@ -741,7 +749,7 @@ def _compile_union(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
                                 _mk_error(rid, spec, _path_lits(path)))])
     else:
         errs = F.when(~any_ok, nodes[-1].errors).otherwise(_empty_errors())
-    return Node(value, errs, nodes[0].out_type)
+    return Node(value, errs, out_type)
 
 
 def _compile_intersection(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
@@ -786,16 +794,37 @@ def _compile_discriminated(ctx, schema, col, itype, path, guard,
     present = col.isNotNull() if col is not None else F.lit(True)
 
     err_arrays: list[Column] = []
-    value = None
     known = None
+    nodes: list[tuple[Column, Node, Schema]] = []
     for key, branch in lookup.items():
         cond = disc_col == F.lit(key)
         known = cond if known is None else (known | cond)
         node = compile_node(ctx, branch, col, itype, path,
                             guard & present & cond, allow_pandas)
         err_arrays.append(F.when(cond, node.errors).otherwise(_empty_errors()))
-        value = (F.when(cond, node.value) if value is None
-                 else value.when(cond, node.value))
+        nodes.append((cond, node, branch))
+
+    # branch parsed structs differ in field ORDER/shape per branch —
+    # a CASE WHEN needs one type, so align every branch to the union
+    # of declared fields (first-declaring branch fixes each type)
+    field_types: dict[str, T.DataType] = {}
+    for _c, node, _b in nodes:
+        if isinstance(node.out_type, T.StructType):
+            for f in node.out_type.fields:
+                field_types.setdefault(f.name, f.dataType)
+    all_names = list(field_types)
+
+    value = None
+    for cond, node, branch in nodes:
+        have = ({f.name for f in node.out_type.fields}
+                if isinstance(node.out_type, T.StructType) else set())
+        aligned = F.struct(*[
+            (node.value.getField(n).cast(field_types[n].simpleString())
+             if n in have
+             else F.lit(None).cast(field_types[n].simpleString())).alias(n)
+            for n in all_names])
+        value = (F.when(cond, aligned) if value is None
+                 else value.when(cond, aligned))
 
     # missing discriminator → required (discriminated_union.ex:75-88)
     req_spec = E.required(disc)

@@ -1,0 +1,91 @@
+"""Structured Streaming validation — the same compiled rule-set over an
+unbounded stream.
+
+The reference is strictly batch-of-one (``Zoi.parse/3`` on a single
+term); its streaming analogue is "validate every arriving row". Because
+the compiled rule expressions are pure per-row Columns, they apply to a
+streaming DataFrame unchanged: ``readStream → withColumn(errors) →
+writeStream``. Extras here:
+
+* ``validate_stream`` — annotate a stream, optionally split valid /
+  violation sinks (violations explode exactly like the batch path)
+* ``windowed_violation_counts`` — per-rule violation rates in event-time
+  windows with a watermark (late data handled by Spark state store)
+* ``run_microbatch_manifest`` — foreachBatch wrapper that appends the
+  same per-partition manifest rows as the batch runner, giving streams
+  the identical checkpoint/lineage contract
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compile import compile_schema
+from .schema import Schema
+
+
+def validate_stream(sdf: DataFrame, schema: Schema) -> DataFrame:
+    """Annotate a streaming DataFrame with valid/errors columns. Purely
+    stateless — no watermark needed; every operator stays inside
+    whole-stage codegen exactly as in batch."""
+    compiled = compile_schema(schema, sdf.schema)
+    return (sdf.withColumn("__zoi_errors", compiled.errors_col)
+            .withColumn("__zoi_valid", F.size(F.col("__zoi_errors")) == 0))
+
+
+def stream_violations(sdf: DataFrame, schema: Schema,
+                      id_cols: list[str]) -> DataFrame:
+    ann = validate_stream(sdf, schema)
+    e = F.explode("__zoi_errors").alias("e")
+    return (ann.where(~F.col("__zoi_valid"))
+            .select(*id_cols, e)
+            .select(*id_cols,
+                    F.col("e.rule_id").alias("rule_id"),
+                    F.col("e.code").alias("code"),
+                    F.col("e.message").alias("message")))
+
+
+def windowed_violation_counts(sdf: DataFrame, schema: Schema, *,
+                              ts_col: str, window: str = "1 minute",
+                              watermark: str = "2 minutes") -> DataFrame:
+    """Per-rule violation counts in event-time windows. The watermark
+    bounds state for late data (readStream → window agg → append)."""
+    ann = validate_stream(sdf, schema)
+    exploded = (ann.withWatermark(ts_col, watermark)
+                .select(F.col(ts_col), F.explode("__zoi_errors").alias("e")))
+    return (exploded
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col("e.rule_id").alias("rule_id"))
+            .agg(F.count("*").alias("n_violations"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "rule_id", "n_violations"))
+
+
+def run_microbatch_manifest(sdf: DataFrame, schema: Schema, *, id_col: str,
+                            n_partitions: int, manifest_dir: str,
+                            checkpoint_dir: str,
+                            violations_dir: str | None = None,
+                            trigger_once: bool = True):
+    """foreachBatch bridge to the batch runner: each micro-batch appends
+    the same manifest rows (run_id = batch id), so a streaming job is
+    resumable/auditable through the identical partition-manifest
+    contract as batch runs."""
+    from .runner import ValidationRunner
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        runner = ValidationRunner(
+            batch_df.sparkSession, schema, id_col=id_col,
+            n_partitions=n_partitions, manifest_dir=manifest_dir,
+            violations_dir=violations_dir,
+            input_lineage=f"stream-microbatch-{batch_id}")
+        runner.run(batch_df, run_id=f"batch-{batch_id}", resume=False)
+
+    writer = (sdf.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

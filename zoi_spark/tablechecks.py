@@ -1,0 +1,237 @@
+"""Table-level checks — the scale-out side the reference only implies.
+
+The reference validates one value at a time; its only cross-value check
+is array `unique_items` (``types/array.ex:260-274``) and membership
+(``types/enum.ex:53-66``). At 10^12-document scale (BASELINE.json
+north_rule) those semantics become distributed jobs:
+
+* uniqueness on a key      → salted two-phase aggregation (skew-safe)
+* referential membership   → broadcast hash join (left_anti violations)
+* per-column stats         → ONE fused aggregation pass (operator
+  fusion, SURVEY §4 item 2): null counts, HLL distinct, min/max,
+  length histograms — a single job, single shuffle-free partial agg
+* distribution drift       → histogram snapshot + driver-side KL/PSI
+  over ≤~100-bucket arrays (tiny driver math, no extra job)
+
+Every function returns lazy DataFrames / plain dicts; no driver loops
+over rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import errors as E
+
+
+# ---------------------------------------------------------------------------
+# uniqueness (Zoi `:not_unique`, error.ex:655-667, lifted to table level)
+# ---------------------------------------------------------------------------
+
+def duplicates(df: DataFrame, key: str, *, salt_partitions: int | None = None
+               ) -> DataFrame:
+    """Rows whose ``key`` occurs more than once → violation rows
+    ``(key, n_occurrences, rule_id, code, message)``.
+
+    Scale notes: a plain ``groupBy(key).count()`` hash-shuffles on the
+    key — correct but hot keys (one host with 10^9 urls) overload a
+    reducer. Two-phase salted aggregation bounds any single task:
+    phase 1 counts ``(key, salt)`` groups (map-side partial agg does
+    most of the work), phase 2 re-aggregates per key over at most
+    ``salt_partitions`` rows per key. AQE skew hints only help joins,
+    not groupBy hot keys (SURVEY §4 item 1), hence explicit salting.
+    """
+    spec = E.not_unique()
+    if salt_partitions and salt_partitions > 1:
+        salted = df.select(
+            F.col(key),
+            (F.xxhash64(F.monotonically_increasing_id(), F.col(key))
+             % salt_partitions).alias("__salt"),
+        )
+        phase1 = salted.groupBy(key, "__salt").agg(F.count("*").alias("c"))
+        counts = phase1.groupBy(key).agg(F.sum("c").alias("n_occurrences"))
+    else:
+        counts = df.groupBy(key).agg(F.count("*").alias("n_occurrences"))
+    return (
+        counts.where(F.col("n_occurrences") > 1)
+        .select(
+            F.col(key),
+            F.col("n_occurrences"),
+            F.lit(f"{key}.unique").alias("rule_id"),
+            F.lit(spec.code).alias("code"),
+            F.lit(spec.message).alias("message"),
+        )
+    )
+
+
+def assert_unique(df: DataFrame, key: str, **kw) -> bool:
+    """True when no duplicates exist (single count job)."""
+    return duplicates(df, key, **kw).limit(1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# referential membership (Zoi enum/one_of lifted to a dictionary join)
+# ---------------------------------------------------------------------------
+
+def referential_violations(df: DataFrame, column: str, dictionary: DataFrame,
+                           dict_column: str | None = None) -> DataFrame:
+    """Rows whose ``column`` has no match in ``dictionary`` — broadcast
+    left-anti join (the dictionary is small by definition; Zoi analogue
+    ``types/enum.ex:53-66`` at table scale, SURVEY §2.6)."""
+    dict_column = dict_column or column
+    dim = F.broadcast(dictionary.select(F.col(dict_column).alias("__dict_key"))
+                      .distinct())
+    spec = E.not_in_values(["<dictionary>"])
+    return (
+        df.join(dim, on=df[column] == dim["__dict_key"], how="left_anti")
+        .withColumn("rule_id", F.lit(f"{column}.referential"))
+        .withColumn("code", F.lit("not_in_values"))
+        .withColumn("message",
+                    F.concat(F.lit("invalid value: '"),
+                             F.col(column).cast("string"),
+                             F.lit(f"' not present in reference dictionary "
+                                   f"for {column}")))
+    )
+
+
+def enum_violations(df: DataFrame, column: str, values: Sequence) -> DataFrame:
+    """In-literal variant: small value lists stay a Column predicate
+    (no join at all — cheapest plan)."""
+    spec = E.not_in_values(list(values))
+    return (
+        df.where(~F.col(column).isin(*values) | F.col(column).isNull())
+        .withColumn("rule_id", F.lit(f"{column}.one_of"))
+        .withColumn("code", F.lit(spec.code))
+        .withColumn("message", F.lit(spec.message))
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-pass stats (operator fusion — SURVEY §4 item 2)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class HistogramSpec:
+    column: str          # numeric column (or length_of= a string column)
+    lo: float
+    hi: float
+    buckets: int = 20
+    length_of: bool = False  # histogram of length(column) instead of value
+
+
+def _bucket_expr(col, lo: float, hi: float, buckets: int):
+    """width_bucket semantics: bucket 0 = underflow, buckets+1 = overflow."""
+    width = (hi - lo) / buckets
+    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int") + 1
+    return (
+        F.when(col.isNull(), F.lit(None))
+        .when(col < lo, F.lit(0))
+        .when(col >= hi, F.lit(buckets + 1))
+        .otherwise(raw)
+    )
+
+
+def column_stats(df: DataFrame, columns: Sequence[str] | None = None,
+                 histograms: Sequence[HistogramSpec] = (),
+                 hll_rsd: float = 0.05) -> DataFrame:
+    """ONE aggregation over all requested columns: per column null
+    count, approx distinct (HyperLogLog sketch), min, max, and string
+    avg-length — plus bucketed histograms as count-map columns.
+
+    This is the engine's fused stats operator: one job, one partial-agg
+    (map-side combine) per partition, one tiny final reduce — instead of
+    one job per rule. At 100 TB the input scan dominates; everything
+    here rides a single scan.
+    """
+    columns = list(columns or df.columns)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        dt = dict(df.dtypes)[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{c}__distinct"))
+        if dt not in ("binary",):
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        if dt == "string":
+            aggs.append(F.avg(F.length(c)).alias(f"{c}__avg_length"))
+    for h in histograms:
+        src = F.length(F.col(h.column)) if h.length_of else F.col(h.column)
+        bucket = _bucket_expr(src.cast("double"), h.lo, h.hi, h.buckets)
+        name = f"{h.column}__hist" + ("_len" if h.length_of else "")
+        # map<bucket,count> via aggregate-by-key without extra shuffle:
+        # collect per-bucket counts with conditional sums
+        aggs.extend(
+            F.sum((bucket == b).cast("long")).alias(f"{name}_{b}")
+            for b in range(0, h.buckets + 2)
+        )
+    return df.agg(*aggs)
+
+
+def stats_to_rows(stats_row: dict, histograms: Sequence[HistogramSpec] = ()
+                  ) -> list[dict]:
+    """Reshape the single wide stats row into per-(column, bucket) rows
+    matching the FIXTURES.md F3 baseline_stats shape — driver-side on a
+    dict, no extra job."""
+    out = []
+    for h in histograms:
+        name = f"{h.column}__hist" + ("_len" if h.length_of else "")
+        width = (h.hi - h.lo) / h.buckets
+        for b in range(0, h.buckets + 2):
+            lo = float("-inf") if b == 0 else h.lo + (b - 1) * width
+            hi = float("inf") if b == h.buckets + 1 else h.lo + b * width
+            out.append({
+                "column_name": name,
+                "bucket": b,
+                "lo": lo,
+                "hi": hi,
+                "count": int(stats_row.get(f"{name}_{b}") or 0),
+            })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distribution drift — KL / PSI vs a baseline snapshot
+# ---------------------------------------------------------------------------
+
+def categorical_histogram(df: DataFrame, column: str) -> DataFrame:
+    """(value, count) — one shuffle on a small key space."""
+    return df.groupBy(F.col(column).alias("value")).agg(
+        F.count("*").alias("count"))
+
+
+def drift_metrics(baseline: Sequence[tuple], current: Sequence[tuple],
+                  *, epsilon: float = 1e-9) -> dict:
+    """KL divergence and PSI between two (bucket, count) sequences.
+
+    Driver-side math on ≤~100 buckets (SURVEY §2.6): the heavy work —
+    producing the histograms — already happened in ONE distributed agg;
+    comparing two 100-entry arrays on the driver is free and avoids a
+    pointless two-row join job.
+    """
+    b = {k: float(v) for k, v in baseline}
+    c = {k: float(v) for k, v in current}
+    keys = sorted(set(b) | set(c), key=str)
+    tb = sum(b.values()) or 1.0
+    tc = sum(c.values()) or 1.0
+    kl = 0.0
+    psi = 0.0
+    for k in keys:
+        p = max(b.get(k, 0.0) / tb, epsilon)   # baseline = expected
+        q = max(c.get(k, 0.0) / tc, epsilon)   # current  = observed
+        kl += q * math.log(q / p)
+        psi += (q - p) * math.log(q / p)
+    return {"kl": kl, "psi": psi, "n_buckets": len(keys)}
+
+
+def check_drift(baseline: Sequence[tuple], current: Sequence[tuple],
+                *, psi_threshold: float = 0.2) -> dict:
+    m = drift_metrics(baseline, current)
+    m["drifted"] = m["psi"] > psi_threshold
+    m["psi_threshold"] = psi_threshold
+    return m

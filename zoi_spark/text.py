@@ -1,0 +1,160 @@
+"""Text analysis for training-data pipelines — pure Column expressions.
+
+Everything here is built from ``pyspark.sql.functions`` only (JVM-side,
+whole-stage codegen); no UDFs. Each operator is deliberately expressible
+in ANSI SQL so the DuckDB oracle can cross-check it (driver contract).
+
+These are the webtext counterparts of the reference's string
+refinements (SURVEY §2.3): where Zoi asks "is this one string an
+email?", a 100 TB corpus asks "what language / quality / token count is
+every document?" — same per-value shape, table scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram-free heuristic
+# language-ID. Deliberately small + disjoint so the SQL oracle matches
+# exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "por", "una"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("long")
+
+
+def avg_token_length(col: Column) -> Column:
+    """Mean token length = non-space chars / tokens (cheap, no explode)."""
+    t = F.trim(col)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    n = token_count(col)
+    return F.when(n > 0, nonspace.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(
+        col, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col: Column) -> Column:
+    total = F.length(col)
+    upper = total - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    return F.when(total > 0, upper.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def marker_hits(col: Column, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-bounded, case-insensitive)."""
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.coalesce(
+        F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(pat), F.lit(0))),
+        F.lit(0))
+
+
+def lang_id(col: Column, markers: dict[str, list[str]] | None = None,
+            default: str = "und") -> Column:
+    """Heuristic language ID: argmax of marker-stopword hits; ties and
+    zero hits → ``default``. Deterministic tie-break = first language in
+    dict order with the strictly-greatest count."""
+    markers = markers or LANG_MARKERS
+    scores = {lang: marker_hits(col, words) for lang, words in markers.items()}
+    langs = list(scores)
+    best = None
+    for lang in langs:
+        others_max = None
+        for other in langs:
+            if other == lang:
+                continue
+            others_max = scores[other] if others_max is None else \
+                F.greatest(others_max, scores[other])
+        cond = (scores[lang] > F.lit(0)) & (scores[lang] > others_max)
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit(default))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic document quality score in [0,1]:
+
+    * length component  — saturating chars/2000
+    * token component   — saturating tokens/200
+    * punctuation sanity — 1 - min(1, punct_ratio*5)
+    * shouting sanity    — 1 - min(1, uppercase_ratio*4)
+
+    Equal-weighted mean, rounded to 6 decimals (so the SQL oracle's
+    double math matches bit-for-bit after rounding).
+    """
+    length_c = F.least(char_count(col).cast("double") / 2000.0, F.lit(1.0))
+    token_c = F.least(token_count(col).cast("double") / 200.0, F.lit(1.0))
+    punct_c = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    caps_c = F.lit(1.0) - F.least(uppercase_ratio(col) * 4.0, F.lit(1.0))
+    return F.round((length_c + token_c + punct_c + caps_c) / 4.0, 6)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, trim. NEVER applied in place — fingerprints are new
+    columns; the byte-identity invariant on `text` stays intact."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (md5 exists in
+    both Spark and DuckDB → oracle-checkable; xxhash64 is Spark-only)."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of n-word shingles over the normalized token stream —
+    expression-only (sequence + slice), no explode, no UDF."""
+    tokens = F.split(normalize_text(col), " ")
+    k = F.size(tokens) - (n - 1)
+    return F.when(
+        k <= 0,
+        # degenerate short doc: single shingle = whole normalized text
+        F.array(F.concat_ws(" ", tokens)),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Array of overlapping character n-grams of the normalized text."""
+    t = normalize_text(col)
+    k = F.length(t) - (n - 1)
+    return F.when(k <= 0, F.array(t)).otherwise(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n)))
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set in one projection."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        char_count(c).alias("n_chars_measured"),
+        token_count(c).alias("n_tokens"),
+        avg_token_length(c).alias("avg_token_len"),
+        punct_ratio(c).alias("punct_ratio"),
+        uppercase_ratio(c).alias("upper_ratio"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )
