@@ -1,0 +1,202 @@
+"""JSON-Schema round trips, describe/DDL, errors post-processing,
+multimodal plumbing, streaming validation."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import zoi_spark as z
+from zoi_spark import describe as dsc
+from zoi_spark import json_schema as js
+from zoi_spark import multimodal, streaming
+from zoi_spark.errors import prettify_errors, treefy_errors
+
+
+def _user_schema():
+    return z.fields({
+        "name": z.string(min=2, max=100),
+        "age": z.integer(gte=18).optional(),
+        "email": z.email(),
+        "tags": z.array(z.string(), min_length=1, unique_items=True),
+        "role": z.enum(["admin", "user"]),
+    })
+
+
+def test_json_schema_export():
+    enc = js.to_json_schema(_user_schema())
+    assert enc["$schema"].endswith("2020-12/schema")
+    assert enc["type"] == "object"
+    p = enc["properties"]
+    assert p["name"] == {"type": "string", "minLength": 2, "maxLength": 100}
+    assert p["age"] == {"type": "integer", "minimum": 18}
+    assert p["email"]["format"] == "email"
+    assert p["tags"] == {"type": "array", "items": {"type": "string"},
+                         "minItems": 1, "uniqueItems": True}
+    assert p["role"] == {"enum": ["admin", "user"]}
+    assert sorted(enc["required"]) == ["email", "name", "role", "tags"]
+
+
+def test_json_schema_roundtrip():
+    rt = js.from_json_schema(js.to_json_schema(_user_schema()))
+    f = rt.params["fields"]
+    assert f["age"].required is False
+    assert f["name"].required is not False
+    assert f["role"].kind == "enum"
+    assert f["tags"].kind == "array"
+    # re-export is stable
+    assert js.to_json_schema(rt) == js.to_json_schema(_user_schema())
+
+
+def test_json_schema_import_constructs():
+    s = js.from_json_schema({
+        "type": "object",
+        "properties": {
+            "v": {"anyOf": [{"type": "null"}, {"type": "string"}]},
+            "n": {"type": "number", "exclusiveMinimum": 0, "multipleOf": 0.5},
+            "u": {"type": "string", "format": "uuid"},
+            "pair": {"allOf": [{"type": "string", "minLength": 2},
+                               {"type": "string", "maxLength": 4}]},
+        },
+        "required": ["n"],
+        "additionalProperties": False,
+    })
+    f = s.params["fields"]
+    assert f["v"].nullable is True
+    assert f["n"].kind == "number"
+    assert f["pair"].kind == "intersection"
+    assert s.params["unrecognized"] == "error"
+
+
+def test_describe_and_ddl():
+    text = dsc.describe(_user_schema())
+    assert "**name**" in text and "gte(value=2)" in text
+    assert "enum of [admin, user]" in text
+    ddl = dsc.to_ddl(_user_schema())
+    assert "name string NOT NULL" in ddl
+    assert "age bigint" in ddl and "age bigint NOT NULL" not in ddl
+    st = dsc.to_struct_type(_user_schema())
+    assert st["tags"].dataType.simpleString() == "array<string>"
+
+
+def test_treefy_and_prettify():
+    rows = [
+        {"path": ["user", "name"], "message": "is required"},
+        {"path": ["tags", "0"], "message": "too small"},
+        {"path": [], "message": "is invalid"},
+    ]
+    tree = treefy_errors(rows)
+    assert tree["user"]["name"]["__errors__"] == ["is required"]
+    assert tree["__errors__"] == ["is invalid"]
+    pretty = prettify_errors(rows)
+    assert pretty[0] == "is required, at user.name"
+    assert pretty[1] == "too small, at tags[0]"
+    assert pretty[2] == "is invalid"
+
+
+def test_multimodal_fake_decode(spark):
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG" + bytes(range(200))), (2, None), (3, b"abcd" * 50)],
+        "media_id long, payload binary")
+    feats = {r.media_id: r for r in multimodal.decode_image_features(
+        media, deterministic_fake=True).collect()}
+    assert feats[1].n_bytes == 204 and len(feats[1].feature) == 8
+    assert feats[2].n_bytes == 0
+    # deterministic across runs
+    again = {r.media_id: r for r in multimodal.decode_image_features(
+        media, deterministic_fake=True).collect()}
+    assert feats[1].feature == again[1].feature
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_features(media)
+
+    frames = multimodal.sample_frames(media, deterministic_fake=True,
+                                      every_n=10, max_frames=3)
+    out = frames.collect()
+    assert {r.media_id for r in out} == {1, 3}
+    assert max(r.frame_idx for r in out) <= 2
+
+    stats = multimodal.binary_stats(media).collect()[0]
+    assert stats.n_rows == 3 and stats.n_null == 1
+
+
+def test_media_metadata_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "image/png", 100), (2, "bogus", 50), (3, "video/mp4", None)],
+        "media_id long, mime string, width int")
+    schema = z.fields({
+        "media_id": z.integer(),
+        "mime": z.string().regex(r"^(image|audio|video)/[a-z0-9.+-]+$"),
+        "width": z.integer(gte=1).optional(),
+    })
+    res = z.validate(df, schema, ["media_id"])
+    bad = {r.media_id for r in res.violations.collect()}
+    assert bad == {2}
+
+
+def test_codec_encode_direction(spark):
+    import datetime as dt
+
+    codec = z.codec(z.iso_date(), z.date(),
+                    decode=lambda c: F.to_date(c),
+                    encode=lambda c: F.date_format(c, "yyyy-MM-dd"))
+    # forward: string → date
+    df = spark.createDataFrame([(1, "2024-06-15")], "id int, v string")
+    fwd = z.validate(df, z.fields({"id": z.integer(), "v": codec}), ["id"])
+    assert {r.id: r.v for r in fwd.parsed.collect()}[1] == dt.date(2024, 6, 15)
+    # reverse (Zoi.encode/3): date → ISO string
+    df2 = spark.createDataFrame([(1, dt.date(2024, 6, 15))], "id int, v date")
+    rev = z.encode(df2, z.fields({"id": z.integer(), "v": codec}), ["id"])
+    assert rev.violations.count() == 0
+    assert {r.id: r.v for r in rev.parsed.collect()}[1] == "2024-06-15"
+
+
+def test_prepare_form_lenient_ingest(spark):
+    df = spark.createDataFrame([(1, "", "42"), (2, "x", "")],
+                               "id int, name string, age string")
+    prepared = z.prepare_form(df)
+    schema = z.coerce_all(z.fields({
+        "id": z.integer(),
+        "name": z.string(),
+        "age": z.integer().optional(),
+    }))
+    res = z.validate(prepared, schema, ["id"])
+    viols = [(r.id, r.rule_id) for r in res.violations.collect()]
+    assert viols == [(1, "name.required")]  # "" → null → required
+    parsed = {r.id: r for r in res.parsed.collect()}
+    assert parsed[1].age == 42 and parsed[2].age is None
+
+
+def test_streaming_validation(spark, tmp_path):
+    sdf = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 100).load()
+           .selectExpr("value as row_id",
+                       "CAST(value % 3 AS STRING) as lang",
+                       "timestamp as ts"))
+    schema = z.fields({
+        "row_id": z.integer().non_negative(),
+        "lang": z.string().one_of(["0", "1"]),
+        "ts": z.datetime(),
+    })
+    ann = streaming.validate_stream(sdf, schema)
+    q = (ann.writeStream.format("memory").queryName("zoi_stream_test")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.sql("select count(*) n from zoi_stream_test").collect()[0].n
+            if n >= 30:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select `__zoi_valid` as ok, count(*) n from zoi_stream_test group by 1"
+    ).collect()
+    counts = {r.ok: r.n for r in rows}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+    # invalid rows are exactly lang == '2'
+    mism = spark.sql(
+        "select count(*) n from zoi_stream_test "
+        "where `__zoi_valid` != (lang in ('0','1'))").collect()[0].n
+    assert mism == 0

@@ -28,10 +28,11 @@ from .schema import (  # noqa: F401
     union, intersection, discriminated_union, lazy, json, codec,
     email, uuid, url, ipv4, ipv6, hex, base64, base64url, jwt,
     iso_date, iso_time, iso_datetime, iso_naive_datetime,
-    extend, pick, omit, traverse, coerce_all,
+    extend, pick, omit, traverse, coerce_all, reverse_codecs,
 )
 from .validate import (  # noqa: F401
-    ParseError, ValidationResult, parse, validate, validate_strict,
+    ParseError, ValidationResult, encode, parse, prepare_form, validate,
+    validate_strict,
 )
 from .errors import treefy_errors, prettify_errors  # noqa: F401
 from .compile import RuleInfo, compile_schema  # noqa: F401

@@ -1,0 +1,83 @@
+"""spark-submit entry point.
+
+north_rule: "run via spark-submit --py-files on a multi-executor
+cluster". Usage:
+
+    spark-submit --py-files zoi_spark.zip zoi_spark/cli.py \
+        --input  s3://bucket/webtext/          \
+        --schema schema.json                   \
+        --id-col url                           \
+        --manifest  s3://bucket/_manifest/     \
+        --violations s3://bucket/_violations/  \
+        --run-id 2026-08-16                    \
+        --partitions 4096
+
+The schema file is JSON Schema (draft 2020-12) — imported through
+``zoi_spark.json_schema.from_json_schema`` — so rule-sets are plain
+reviewable artifacts, not code. Exits 0 when every partition passed,
+3 when any partition failed (violations written either way).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="zoi-spark",
+                                description="validate a table against a schema")
+    p.add_argument("--input", required=True,
+                   help="parquet path or iceberg table (catalog.db.table)")
+    p.add_argument("--schema", required=True,
+                   help="JSON-Schema file describing the rule-set")
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--manifest", required=True,
+                   help="parquet dir for the per-partition manifest")
+    p.add_argument("--violations", default=None)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--partitions", type=int, default=256)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--stats", action="store_true",
+                   help="also print the fused single-pass column stats")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from . import json_schema
+    from .runner import ValidationRunner
+    from .tablechecks import column_stats
+
+    spark = SparkSession.builder.appName(
+        f"zoi-spark-{args.run_id}").getOrCreate()
+
+    with open(args.schema) as f:
+        schema = json_schema.from_json_schema(json.load(f))
+
+    if "/" in args.input or args.input.endswith(".parquet"):
+        df = spark.read.parquet(args.input)
+    else:
+        df = spark.read.table(args.input)
+
+    runner = ValidationRunner(
+        spark, schema, id_col=args.id_col, n_partitions=args.partitions,
+        manifest_dir=args.manifest, violations_dir=args.violations,
+        input_lineage=args.input)
+    summary = runner.run(df, args.run_id, resume=not args.no_resume)
+    print(json.dumps(summary.__dict__))
+
+    if args.stats:
+        row = column_stats(df).collect()[0].asDict()
+        print(json.dumps({k: (str(v) if v is not None else None)
+                          for k, v in row.items()}))
+
+    return 0 if summary.n_partitions_failed == 0 else 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -229,8 +229,11 @@ def _type_stage(schema: Schema, col: Column, itype: T.DataType
             return col, TRUE, None, T.DateType()
         spec = E.invalid_type("date", error=err)
         if coerce and isinstance(itype, T.StringType):
-            ok = col.rlike(regexes.ISO_DATE) & F.to_date(col).isNotNull()
-            return F.when(ok, F.to_date(col)), ok, spec, T.DateType()
+            # try_to_timestamp: ANSI mode makes plain to_date THROW on
+            # '2024-13-01'; validation must classify, never abort
+            parsed = F.try_to_timestamp(col, F.lit("yyyy-MM-dd")).cast("date")
+            ok = col.rlike(regexes.ISO_DATE) & parsed.isNotNull()
+            return F.when(ok, parsed), ok, spec, T.DateType()
         if coerce and isinstance(itype, _INTEGRAL):
             # gregorian days from year 0 (types/date.ex:67-80)
             val = F.date_add(F.lit("1970-01-01").cast("date"),
@@ -252,7 +255,7 @@ def _type_stage(schema: Schema, col: Column, itype: T.DataType
             return col, TRUE, None, itype
         if coerce and isinstance(itype, T.StringType):
             pat = regexes.ISO_DATETIME if kind == "datetime" else regexes.ISO_NAIVE_DATETIME
-            ts = F.to_timestamp(F.replace(col, F.lit("T"), F.lit(" ")))
+            ts = F.try_to_timestamp(F.replace(col, F.lit("T"), F.lit(" ")))
             ok = col.rlike(pat) & ts.isNotNull()
             return F.when(ok, ts), ok, spec, T.TimestampType()
         if coerce and isinstance(itype, _INTEGRAL):
@@ -272,8 +275,9 @@ def _type_stage(schema: Schema, col: Column, itype: T.DataType
         if coerce and isinstance(itype, (T.NumericType,)):
             return col.cast(ddl), TRUE, None, T.DecimalType(p, s)
         if coerce and isinstance(itype, T.StringType):
-            ok = col.rlike(regexes.FLOAT_STRICT) & col.cast(ddl).isNotNull()
-            return F.when(ok, col.cast(ddl)), ok, spec, T.DecimalType(p, s)
+            parsed = col.try_cast(ddl)  # ANSI cast would throw on junk
+            ok = col.rlike(regexes.FLOAT_STRICT) & parsed.isNotNull()
+            return F.when(ok, parsed), ok, spec, T.DecimalType(p, s)
         return F.lit(None).cast(ddl), FALSE, spec, T.DecimalType(p, s)
 
     if kind == "json":
@@ -355,9 +359,11 @@ def _check_pred_and_spec(schema_kind: str, chk: Check, value: Column
         return (F.size(F.array_distinct(value)) == F.size(value),
                 E.not_unique(error=err), None)
     if k == "url":
-        # scheme http/https AND host present (types/string.ex:121-131)
-        host = F.parse_url(value, F.lit("HOST"))
-        proto = F.parse_url(value, F.lit("PROTOCOL"))
+        # scheme http/https AND host present (types/string.ex:121-131);
+        # try_parse_url: plain parse_url THROWS on malformed urls in
+        # ANSI mode — a validator must classify, never abort
+        host = F.try_parse_url(value, F.lit("HOST"))
+        proto = F.try_parse_url(value, F.lit("PROTOCOL"))
         pred = host.isNotNull() & (host != F.lit("")) & proto.isin("http", "https")
         return pred, E.invalid_url(error=err), None
     if k == "iso":
@@ -366,10 +372,13 @@ def _check_pred_and_spec(schema_kind: str, chk: Check, value: Column
                 "datetime": regexes.ISO_DATETIME,
                 "naive_datetime": regexes.ISO_NAIVE_DATETIME}
         probe = {
-            "date": lambda c: F.to_date(c).isNotNull(),
+            "date": lambda c: F.try_to_timestamp(
+                c, F.lit("yyyy-MM-dd")).isNotNull(),
             "time": lambda c: F.lit(True),
-            "datetime": lambda c: F.to_timestamp(F.replace(c, F.lit("T"), F.lit(" "))).isNotNull(),
-            "naive_datetime": lambda c: F.to_timestamp(F.replace(c, F.lit("T"), F.lit(" "))).isNotNull(),
+            "datetime": lambda c: F.try_to_timestamp(
+                F.replace(c, F.lit("T"), F.lit(" "))).isNotNull(),
+            "naive_datetime": lambda c: F.try_to_timestamp(
+                F.replace(c, F.lit("T"), F.lit(" "))).isNotNull(),
         }[which]
         spec = E.invalid_format(pats[which],
                                 internal_message=f"invalid format: must be a valid ISO {which}",
@@ -857,7 +866,11 @@ def _compile_codec(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
                              path, guard, allow_pandas)
     from_ok = F.size(from_node.errors) == 0
     decode = schema.params.get("decode")
-    decoded = decode(from_node.value) if decode else from_node.value
+    # decode only runs after the from-side parse succeeded
+    # (types/codec.ex:54-60) — and a CASE WHEN branch is lazily
+    # evaluated, so ANSI-throwing decode exprs never see bad input
+    decoded = (F.when(from_ok, decode(from_node.value)) if decode
+               else from_node.value)
     to_schema = schema.params["to_schema"]
     to_itype = _static_out_type(to_schema, from_node.out_type)
     to_node = compile_node(ctx, to_schema, decoded, to_itype, path,

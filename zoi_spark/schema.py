@@ -597,3 +597,19 @@ def coerce_all(schema: Schema) -> Schema:
     """Flip coercion on every node (Zoi.Form.prepare-style lenient
     ingest, lib/zoi/form.ex:21-62)."""
     return traverse(schema, lambda s, _p: s.with_coerce(True))
+
+
+def reverse_codecs(schema: Schema) -> Schema:
+    """Swap every codec's direction: encode = to→encode-fn→from, the
+    mirror image of parse (types/codec.ex:38-50). ``Zoi.encode/3``
+    becomes ``validate(df, reverse_codecs(schema))``."""
+    def flip(s: Schema, _p: tuple) -> Schema:
+        if s.kind != "codec":
+            return s
+        new = s._clone()
+        new.params["from_schema"] = s.params["to_schema"]
+        new.params["to_schema"] = s.params["from_schema"]
+        new.params["decode"] = s.params.get("encode")
+        new.params["encode"] = s.params.get("decode")
+        return new
+    return traverse(schema, flip)

@@ -131,3 +131,24 @@ def validate_strict(df: DataFrame, schema: Schema,
     if bad:
         raise ParseError([r.asDict() for r in bad])
     return res.parsed
+
+
+def encode(df: DataFrame, schema: Schema,
+           id_cols: Sequence[str] = ()) -> ValidationResult:
+    """Codec reverse direction (``Zoi.encode/3``, lib/zoi.ex:3317-3344):
+    every codec runs to→encode-fn→from instead of from→decode-fn→to."""
+    from .schema import reverse_codecs
+
+    return validate(df, reverse_codecs(schema), id_cols)
+
+
+def prepare_form(df: DataFrame) -> DataFrame:
+    """Lenient-ingest preset (``Zoi.Form.prepare/1``,
+    lib/zoi/form.ex:21-62): empty strings in string columns become
+    null (`empty_values = ["", nil]`, types/key_value.ex:82-84). Pair
+    with ``z.coerce_all(schema)`` for the full HTML-form semantics."""
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "string":
+            out = out.withColumn(f.name, F.nullif(F.col(f.name), F.lit("")))
+    return out
