@@ -10,6 +10,14 @@ shape).
 
 Timing uses the noop sink so every column is actually computed —
 ``count()`` would let Catalyst prune the rule expressions away.
+
+Each query gets ONE untimed warmup pass, then the timed pass — the
+same protocol as the reference's Benchee suites (bench/run.exs:55-61
+sets ``warmup: 1s`` before every measurement). Rationale: Spark's
+generated code runs bytecode-interpreted until HotSpot JIT-compiles it
+(first pass measured ~15-30× slower, dominated by one-time JIT churn);
+at the 10^12-doc target scale that warmup is amortized to zero, so
+steady-state throughput is the honest number.
 """
 
 from __future__ import annotations
@@ -37,11 +45,21 @@ def _session(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
+        # rule-sets compile to wide expression trees; fall back from
+        # whole-stage fusion before the fused method outgrows HotSpot's
+        # 8000-bytecode JIT refusal (SPARK-21871 guidance)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # sf0.1 tables are single small files -> single input split;
+        # real deployments shard by row group. Split small so local
+        # runs parallelize the way a cluster scan would.
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "65536")
         .getOrCreate()
     )
 
 
 def _run(df) -> float:
+    df.write.format("noop").mode("overwrite").save()  # untimed warmup
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0

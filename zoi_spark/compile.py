@@ -6,10 +6,11 @@ into:
 
 * a parsed-value ``Column`` expression per field (guarded casts +
   chain-ordered transforms),
-* one ``array<struct<rule_id,code,path,message>>`` error expression that
-  evaluates every rule per row and collects ALL failures (matching the
-  collect-all semantics of ``lib/zoi/validations.ex:10-28`` and
-  ``lib/zoi/types/meta.ex:62-95``),
+* one ``array<struct<i,p,m>>`` error expression (rule ordinal +
+  dynamic path/message only) that evaluates every rule per row and
+  collects ALL failures (matching the collect-all semantics of
+  ``lib/zoi/validations.ex:10-28`` and ``lib/zoi/types/meta.ex:62-95``)
+  — static rule text is broadcast-joined back in the violations view,
 * a static rule catalog for describe/JSON-Schema export.
 
 Everything stays inside Catalyst whole-stage codegen except custom
@@ -30,7 +31,15 @@ from . import errors as E
 from . import regexes
 from .schema import _UNSET, Check, Schema, Transform
 
-ERROR_DDL = "struct<rule_id:string,code:string,path:array<string>,message:string>"
+# Hot-path error cell: rule ordinal + ONLY the dynamic parts (path with
+# runtime array indexes / map keys, dynamic message), null for the
+# common static case. rule_id/code/static path/static message live in
+# the driver-side rule catalog and are joined back (broadcast) when the
+# violations view is built — per-row state stays a few bytes and the
+# generated code stays small enough for HotSpot to JIT (a
+# struct<4 strings> per rule measured 15-30× slower first-run from
+# bytecode-interpreted whole-stage methods).
+ERROR_DDL = "struct<i:int,p:array<string>,m:string>"
 ERROR_ARRAY_DDL = f"array<{ERROR_DDL}>"
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -76,36 +85,50 @@ class CompileCtx:
         return rid if n == 0 else f"{rid}#{n}"
 
     def register(self, rule_id: str, spec: E.ErrorSpec, path: Sequence[Any],
-                 kind: str, params: dict | None = None) -> None:
-        self.rules.append(RuleInfo(rule_id, spec.code, tuple(path),
+                 kind: str, params: dict | None = None) -> int:
+        """Add a catalog entry; returns the rule's ordinal (the ``i``
+        stored in error cells). Dynamic path components (runtime array
+        indexes / map keys) are cataloged as ``*`` — the error cell's
+        ``p`` carries the concrete path for those rules."""
+        display = tuple(p if isinstance(p, str)
+                        else ("*" if isinstance(p, Column) else str(p))
+                        for p in path)
+        self.rules.append(RuleInfo(rule_id, spec.code, display,
                                    spec.message, kind, dict(params or {})))
-
-
-def _null_error() -> Column:
-    return F.lit(None).cast(ERROR_DDL)
+        return len(self.rules) - 1
 
 
 def _empty_errors() -> Column:
     return F.array().cast(ERROR_ARRAY_DDL)
 
 
-def _mk_error(rule_id: str, spec: E.ErrorSpec, path_cols: Sequence[Column],
+def _mk_error(ordinal: int, path: Sequence[Any] = (),
               message_col: Column | None = None) -> Column:
-    return F.struct(
-        F.lit(rule_id).alias("rule_id"),
-        F.lit(spec.code).alias("code"),
-        (F.array(*path_cols) if path_cols else F.array().cast("array<string>"))
-        .alias("path"),
-        (message_col if message_col is not None else F.lit(spec.message))
-        .alias("message"),
-    )
+    """Error cell: ordinal + dynamic path (only when a component is a
+    runtime Column) + dynamic message (only when rule text depends on
+    row values). Everything static lives in the rule catalog."""
+    dynamic_path = any(isinstance(c, Column) for c in path)
+    p = (F.array(*_path_lits(path)) if dynamic_path
+         else F.lit(None).cast("array<string>"))
+    m = message_col if message_col is not None else F.lit(None).cast("string")
+    return F.struct(F.lit(ordinal).alias("i"), p.alias("p"), m.alias("m"))
 
 
-def _collect(maybe_errs: Sequence[Column]) -> Column:
-    """Batch scalar when()-structs into one filtered array."""
+def _collect(maybe_errs: Sequence[tuple[Column, Column]]) -> Column:
+    """Batch (condition, error-struct) pairs into one array.
+
+    Deliberately pure CASE WHEN + concat — NO higher-order
+    ``F.filter(F.array(...), lambda)``: higher-order functions are
+    CodegenFallback, and one appearing in a Filter/Generate (e.g.
+    ``where(~valid)`` or ``explode(errors)``, where CollapseProject
+    inlines this whole expression) knocks the stage out of whole-stage
+    codegen → interpreted per-row evaluation, measured ~100× slower on
+    the violations path."""
     if not maybe_errs:
         return _empty_errors()
-    return F.filter(F.array(*maybe_errs), lambda x: x.isNotNull())
+    parts = [F.when(cond, F.array(err)).otherwise(_empty_errors())
+             for cond, err in maybe_errs]
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
 def _concat_err_arrays(arrays: Sequence[Column]) -> Column:
@@ -454,12 +477,12 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
 
     typed, type_ok, type_spec, out_type = _type_stage(schema, col, itype)
 
-    maybe: list[Column] = []
+    maybe: list[tuple[Column, Column]] = []
     if type_spec is not None:
         rid = ctx.rule_id(path, "type")
-        ctx.register(rid, type_spec, path, "type")
-        maybe.append(F.when(guard & present & _safe_not(type_ok),
-                            _mk_error(rid, type_spec, _path_lits(path))))
+        _ord = ctx.register(rid, type_spec, path, "type")
+        maybe.append((guard & present & _safe_not(type_ok),
+                      _mk_error(_ord, path)))
 
     check_guard = guard & present & F.coalesce(type_ok, F.lit(False))
     value = typed
@@ -473,9 +496,9 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
         pred, spec, dyn_msg = _check_pred_and_spec(schema.kind, chk, current)
         rid = ctx.rule_id(path, chk.kind if chk.kind != "regex"
                           else chk.params.get("format") or "regex")
-        ctx.register(rid, spec, path, chk.kind, dict(chk.params))
-        maybe.append(F.when(check_guard & _safe_not(pred),
-                            _mk_error(rid, spec, _path_lits(path), dyn_msg)))
+        _ord = ctx.register(rid, spec, path, chk.kind, dict(chk.params))
+        maybe.append((check_guard & _safe_not(pred),
+                      _mk_error(_ord, path, dyn_msg)))
 
     # field constraints: all evaluated on the typed value, errors
     # collected (lib/zoi/validations.ex:10-28)
@@ -527,8 +550,8 @@ def _wrap_field_node(ctx: CompileCtx, child: Schema, col: Column,
     if required:
         spec = E.required(key)
         rid = ctx.rule_id(path, "required")
-        ctx.register(rid, spec, path, "required")
-        req_err = F.when(guard & col.isNull(), _mk_error(rid, spec, _path_lits(path)))
+        _ord = ctx.register(rid, spec, path, "required")
+        req_err = (guard & col.isNull(), _mk_error(_ord, path))
         errs = _concat_err_arrays([_collect([req_err]), errs])
     return Node(node.value, errs, node.out_type)
 
@@ -537,9 +560,9 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
     if col is not None and not isinstance(itype, T.StructType):
         spec = E.invalid_type("map", error=schema.error)
         rid = ctx.rule_id(path, "type")
-        ctx.register(rid, spec, path, "type")
-        err = F.when(guard & col.isNotNull(),
-                     _mk_error(rid, spec, _path_lits(path)))
+        _ord = ctx.register(rid, spec, path, "type")
+        err = (guard & col.isNotNull(),
+               _mk_error(_ord, path))
         return Node(F.lit(None), _collect([err]), T.StructType([]))
 
     declared = schema.params["fields"]
@@ -569,18 +592,18 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
                 continue
             spec = E.required(name)
             rid = ctx.rule_id(child_path, "required")
-            ctx.register(rid, spec, child_path, "required")
+            _ord = ctx.register(rid, spec, child_path, "required")
             err_arrays.append(_collect([
-                F.when(field_guard, _mk_error(rid, spec, _path_lits(child_path)))]))
+                (field_guard, _mk_error(_ord, child_path))]))
 
     extra = [n for n in available if n not in declared]
     if unrecognized_mode == "error":
         for name in extra:
             spec = E.unrecognized_key(name)
             rid = ctx.rule_id(path + (name,), "unrecognized_key")
-            ctx.register(rid, spec, path + (name,), "unrecognized_key")
+            _ord = ctx.register(rid, spec, path + (name,), "unrecognized_key")
             err_arrays.append(_collect([
-                F.when(field_guard, _mk_error(rid, spec, _path_lits(path + (name,))))]))
+                (field_guard, _mk_error(_ord, path + (name,)))]))
     elif unrecognized_mode == "preserve":
         for name in extra:
             src = col.getField(name) if col is not None else F.col(name)
@@ -595,8 +618,8 @@ def _compile_array(ctx, schema, col, itype, path, guard) -> Node:
     if not isinstance(itype, T.ArrayType):
         spec = E.invalid_type("array", error=schema.error)
         rid = ctx.rule_id(path, "type")
-        ctx.register(rid, spec, path, "type")
-        err = F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))
+        _ord = ctx.register(rid, spec, path, "type")
+        err = (guard & col.isNotNull(), _mk_error(_ord, path))
         return Node(F.lit(None), _collect([err]), T.ArrayType(T.StringType()))
 
     inner = schema.params["inner"]
@@ -622,14 +645,14 @@ def _compile_array(ctx, schema, col, itype, path, guard) -> Node:
 
     # array-level constraints run on parsed element values
     # (types/array.ex:127-135)
-    maybe: list[Column] = []
+    maybe: list[tuple[Column, Column]] = []
     present_guard = guard & col.isNotNull()
     for chk in schema.checks + [e for t, e in schema.effects if t == "check"]:
         pred, spec, _ = _check_pred_and_spec("array", chk, parsed)
         rid = ctx.rule_id(path, chk.kind)
-        ctx.register(rid, spec, path, chk.kind, dict(chk.params))
-        maybe.append(F.when(present_guard & _safe_not(pred),
-                            _mk_error(rid, spec, _path_lits(path))))
+        _ord = ctx.register(rid, spec, path, chk.kind, dict(chk.params))
+        maybe.append((present_guard & _safe_not(pred),
+                      _mk_error(_ord, path)))
 
     errs = _concat_err_arrays([
         F.when(col.isNotNull(), elem_err_arr).otherwise(_empty_errors()),
@@ -650,10 +673,10 @@ def _compile_tuple(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
         if actual != n:
             spec = E.invalid_tuple(n, actual, error=schema.error)
             rid = ctx.rule_id(path, "tuple_length")
-            ctx.register(rid, spec, path, "tuple_length")
+            _ord = ctx.register(rid, spec, path, "tuple_length")
             return Node(col, _collect([
-                F.when(guard & col.isNotNull(),
-                       _mk_error(rid, spec, _path_lits(path)))]), itype)
+                (guard & col.isNotNull(),
+                 _mk_error(_ord, path))]), itype)
         for i, child in enumerate(fields_):
             f = itype.fields[i]
             node = compile_node(ctx, child, col.getField(f.name), f.dataType,
@@ -670,10 +693,10 @@ def _compile_tuple(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
         msg = F.concat(F.lit(f"invalid tuple: expected length {n}, got "),
                        F.size(col).cast("string"))
         rid = ctx.rule_id(path, "tuple_length")
-        ctx.register(rid, spec, path, "tuple_length")
+        _ord = ctx.register(rid, spec, path, "tuple_length")
         err_arrays.append(_collect([
-            F.when(guard & col.isNotNull() & (F.size(col) != n),
-                   _mk_error(rid, spec, _path_lits(path), msg))]))
+            (guard & col.isNotNull() & (F.size(col) != n),
+             _mk_error(_ord, path, msg))]))
         ok = col.isNotNull() & (F.size(col) == n)
         for i, child in enumerate(fields_):
             node = compile_node(ctx, child, F.try_element_at(col, F.lit(i + 1)),
@@ -687,9 +710,9 @@ def _compile_tuple(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
 
     spec = E.invalid_type("tuple", error=schema.error)
     rid = ctx.rule_id(path, "type")
-    ctx.register(rid, spec, path, "type")
+    _ord = ctx.register(rid, spec, path, "type")
     return Node(col, _collect([
-        F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))]),
+        (guard & col.isNotNull(), _mk_error(_ord, path))]),
         itype)
 
 
@@ -697,9 +720,9 @@ def _compile_map_kv(ctx, schema, col, itype, path, guard) -> Node:
     if not isinstance(itype, T.MapType):
         spec = E.invalid_type("map", error=schema.error)
         rid = ctx.rule_id(path, "type")
-        ctx.register(rid, spec, path, "type")
+        _ord = ctx.register(rid, spec, path, "type")
         return Node(col, _collect([
-            F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))]),
+            (guard & col.isNotNull(), _mk_error(_ord, path))]),
             itype)
 
     kschema, vschema = schema.params["key"], schema.params["value"]
@@ -753,9 +776,9 @@ def _compile_union(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
     if schema.error is not None:
         spec = E.custom_error(schema.error)
         rid = ctx.rule_id(path, "union")
-        ctx.register(rid, spec, path, "union")
-        errs = _collect([F.when(guard & col.isNotNull() & ~any_ok,
-                                _mk_error(rid, spec, _path_lits(path)))])
+        _ord = ctx.register(rid, spec, path, "union")
+        errs = _collect([(guard & col.isNotNull() & ~any_ok,
+                          _mk_error(_ord, path))])
     else:
         errs = F.when(~any_ok, nodes[-1].errors).otherwise(_empty_errors())
     return Node(value, errs, out_type)
@@ -776,9 +799,9 @@ def _compile_intersection(ctx, schema, col, itype, path, guard, allow_pandas) ->
     if schema.error is not None:
         spec = E.custom_error(schema.error)
         rid = ctx.rule_id(path, "intersection")
-        ctx.register(rid, spec, path, "intersection")
-        errs = _collect([F.when(guard & ~prev_ok,
-                                _mk_error(rid, spec, _path_lits(path)))])
+        _ord = ctx.register(rid, spec, path, "intersection")
+        errs = _collect([(guard & ~prev_ok,
+                          _mk_error(_ord, path))])
     else:
         errs = _concat_err_arrays(err_arrays)
     return Node(nodes[-1].value, errs, nodes[-1].out_type)
@@ -794,9 +817,9 @@ def _compile_discriminated(ctx, schema, col, itype, path, guard,
     if not isinstance(itype, T.StructType):
         spec = E.invalid_type("map", error=schema.error)
         rid = ctx.rule_id(path, "type")
-        ctx.register(rid, spec, path, "type")
+        _ord = ctx.register(rid, spec, path, "type")
         return Node(col, _collect([
-            F.when(guard & col.isNotNull(), _mk_error(rid, spec, _path_lits(path)))]),
+            (guard & col.isNotNull(), _mk_error(_ord, path))]),
             itype)
 
     disc_col = col.getField(disc) if col is not None else F.col(disc)
@@ -838,10 +861,10 @@ def _compile_discriminated(ctx, schema, col, itype, path, guard,
     # missing discriminator → required (discriminated_union.ex:75-88)
     req_spec = E.required(disc)
     rid_req = ctx.rule_id(path + (disc,), "required")
-    ctx.register(rid_req, req_spec, path + (disc,), "required")
+    _ord_req = ctx.register(rid_req, req_spec, path + (disc,), "required")
     err_arrays.append(_collect([
-        F.when(guard & present & disc_col.isNull(),
-               _mk_error(rid_req, req_spec, _path_lits(path + (disc,))))]))
+        (guard & present & disc_col.isNull(),
+         _mk_error(_ord_req, path + (disc,)))]))
 
     # unknown discriminator → :custom with dynamic value
     # (discriminated_union.ex:95-110)
@@ -849,13 +872,13 @@ def _compile_discriminated(ctx, schema, col, itype, path, guard,
         "unknown discriminator '%{value}' for field '%{field}'",
         {"value": "?", "field": disc})
     rid_unk = ctx.rule_id(path, "unknown_discriminator")
-    ctx.register(rid_unk, unk_spec, path, "unknown_discriminator")
+    _ord_unk = ctx.register(rid_unk, unk_spec, path, "unknown_discriminator")
     dyn_msg = F.concat(F.lit("unknown discriminator '"),
                        disc_col.cast("string"),
                        F.lit(f"' for field '{disc}'"))
     err_arrays.append(_collect([
-        F.when(guard & present & disc_col.isNotNull() & ~F.coalesce(known, F.lit(False)),
-               _mk_error(rid_unk, unk_spec, _path_lits(path), dyn_msg))]))
+        (guard & present & disc_col.isNotNull() & ~F.coalesce(known, F.lit(False)),
+         _mk_error(_ord_unk, path, dyn_msg))]))
 
     return Node(value, _concat_err_arrays(err_arrays), itype)
 

@@ -38,14 +38,18 @@ def validate_stream(sdf: DataFrame, schema: Schema) -> DataFrame:
 
 def stream_violations(sdf: DataFrame, schema: Schema,
                       id_cols: list[str]) -> DataFrame:
-    ann = validate_stream(sdf, schema)
-    e = F.explode("__zoi_errors").alias("e")
-    return (ann.where(~F.col("__zoi_valid"))
-            .select(*id_cols, e)
-            .select(*id_cols,
-                    F.col("e.rule_id").alias("rule_id"),
-                    F.col("e.code").alias("code"),
-                    F.col("e.message").alias("message")))
+    """Exploded violation rows over a stream. The rule catalog is a
+    static broadcast side (stream-static joins are stateless)."""
+    from .validate import rules_meta_df
+
+    compiled = compile_schema(schema, sdf.schema)
+    ann = sdf.withColumn("__zoi_errors", compiled.errors_col)
+    meta = F.broadcast(rules_meta_df(sdf.sparkSession, compiled.rules))
+    exploded = ann.select(*id_cols, F.explode("__zoi_errors").alias("e"))
+    return (exploded.join(meta, F.col("e.i") == meta["i"])
+            .select(*id_cols, "rule_id", "code",
+                    F.coalesce(F.col("e.m"), F.col("__static_message"))
+                    .alias("message")))
 
 
 def windowed_violation_counts(sdf: DataFrame, schema: Schema, *,
@@ -53,13 +57,20 @@ def windowed_violation_counts(sdf: DataFrame, schema: Schema, *,
                               watermark: str = "2 minutes") -> DataFrame:
     """Per-rule violation counts in event-time windows. The watermark
     bounds state for late data (readStream → window agg → append)."""
-    ann = validate_stream(sdf, schema)
+    from .validate import rules_meta_df
+
+    compiled = compile_schema(schema, sdf.schema)
+    ann = sdf.withColumn("__zoi_errors", compiled.errors_col)
     exploded = (ann.withWatermark(ts_col, watermark)
                 .select(F.col(ts_col), F.explode("__zoi_errors").alias("e")))
-    return (exploded
-            .groupBy(F.window(F.col(ts_col), window).alias("w"),
-                     F.col("e.rule_id").alias("rule_id"))
-            .agg(F.count("*").alias("n_violations"))
+    counts = (exploded
+              .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                       F.col("e.i").alias("i"))
+              .agg(F.count("*").alias("n_violations")))
+    # join the static catalog AFTER the windowed agg — per-window keys
+    # are ordinals (ints), the tiny broadcast join runs on agg output
+    meta = F.broadcast(rules_meta_df(sdf.sparkSession, compiled.rules))
+    return (counts.join(meta, "i")
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "rule_id", "n_violations"))

@@ -30,6 +30,16 @@ from .compile import CompiledSchema, RuleInfo, compile_schema
 from .schema import Schema
 
 
+def rules_meta_df(spark, rules: Sequence[RuleInfo]) -> DataFrame:
+    """Tiny driver-side rule catalog (one row per compiled rule) —
+    broadcast-joined against exploded error ordinals."""
+    rows = [(i, r.rule_id, r.code, list(r.path), r.message)
+            for i, r in enumerate(rules)]
+    return spark.createDataFrame(
+        rows, "i int, rule_id string, code string, "
+              "__static_path array<string>, __static_message string")
+
+
 class ParseError(Exception):
     """Raised by validate_strict when any row violates the schema
     (mirrors ``Zoi.parse!/3`` / ``Zoi.ParseError``, lib/zoi.ex:234-242)."""
@@ -53,19 +63,33 @@ class ValidationResult:
     @property
     def violations(self) -> DataFrame:
         """Exploded violation rows — Zoi's flattened error list with
-        paths (lib/zoi/error.ex:118-120)."""
+        paths (lib/zoi/error.ex:118-120).
+
+        The hot path emits only (ordinal, dynamic-path, dynamic-msg)
+        cells; rule_id/code/static path/static message come from the
+        driver-side rule catalog via a broadcast join — at 10^12-doc
+        scale the per-row violation state stays a few bytes and the
+        constant strings are never materialized per row.
+
+        No where(~valid): a non-outer explode already drops rows with
+        an empty error array, and the extra Filter would re-inline the
+        whole rule expression tree a second time (CollapseProject)."""
         err = F.explode(F.col("__zoi_errors")).alias("e")
+        exploded = self.annotated.select(*self.id_cols, err)
+        meta = F.broadcast(rules_meta_df(self.annotated.sparkSession,
+                                         self.compiled.rules))
+        path = F.coalesce(F.col("e.p"), F.col("__static_path"))
         return (
-            self.annotated
-            .where(~F.col("__zoi_valid"))
-            .select(*self.id_cols, err)
+            exploded
+            .join(meta, F.col("e.i") == meta["i"])
             .select(
                 *self.id_cols,
-                F.col("e.rule_id").alias("rule_id"),
-                F.col("e.code").alias("code"),
-                F.col("e.path").alias("path"),
-                F.array_join(F.col("e.path"), ".").alias("path_str"),
-                F.col("e.message").alias("message"),
+                "rule_id",
+                "code",
+                path.alias("path"),
+                F.array_join(path, ".").alias("path_str"),
+                F.coalesce(F.col("e.m"), F.col("__static_message"))
+                .alias("message"),
             )
         )
 
