@@ -269,6 +269,147 @@ def q_documents_flagship(spark, sf_dir):
     return res.violations.select("doc_id", "rule_id")
 
 
+# -- wave-2 operators: combinators, codec, verdicts, embeddings --------------
+
+def q_disc_union_events(spark, sf_dir):
+    """Discriminated union (types/discriminated_union.ex:20-75): O(1)
+    CASE WHEN dispatch on event_type; the 'error' type is not a branch,
+    so those rows surface the unknown-discriminator rule."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+
+    def branch(t, val):
+        return z.fields({"event_type": z.literal(t), "value": val})
+
+    schema = z.discriminated_union("event_type", [
+        branch("click", z.float_(lte=100.0)),
+        branch("view", z.float_(lt=200.0)),
+        branch("purchase", z.float_(gte=1.0)),
+        branch("signup", z.float_(gt=0.5)),
+    ])
+    res = z.validate(ev, schema, id_cols=["event_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+def q_union_mixed_ts(spark, sf_dir):
+    """Ordered union first-match (types/union.ex:23-37): ISO datetime
+    strings coerce through the datetime branch; pure-digit unix-seconds
+    strings fail its format guard and fall through to the integer
+    branch. Branch output types differ → value collapses to string."""
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    iso = F.concat(F.lit("2024-01-"),
+                   F.lpad((F.col("event_id") % 27 + 1).cast("string"), 2, "0"),
+                   F.lit(" 01:"),
+                   F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+                   F.lit(":00"))
+    unix = (F.lit(1704067200) + F.col("event_id")).cast("string")
+    mixed = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, iso).otherwise(unix).alias("mixed"))
+    schema = z.fields({
+        "event_id": z.integer(),
+        "mixed": z.union([z.naive_datetime(coerce=True),
+                          z.integer(coerce=True)]),
+    })
+    res = z.validate(mixed, schema, id_cols=["event_id"])
+    return res.annotated.select(
+        "event_id", F.col("__zoi_parsed.mixed").alias("parsed"))
+
+
+def q_codec_shipdate(spark, sf_dir):
+    """Codec parse direction (types/codec.ex:54-67): guarded string →
+    decode(to_date) → date schema; result grouped by parsed year."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_str"))
+    schema = z.fields({
+        "l_orderkey": z.integer(),
+        "ship_str": z.codec(
+            z.string().regex("^\\d{4}-\\d{2}-\\d{2}$"), z.date(),
+            decode=lambda c: F.to_date(c, "yyyy-MM-dd"),
+            encode=lambda c: F.date_format(c, "yyyy-MM-dd")),
+    })
+    res = z.validate(li, schema, id_cols=["l_orderkey"])
+    return (res.annotated
+            .select(F.year(F.col("__zoi_parsed.ship_str")).alias("ship_year"))
+            .groupBy("ship_year").agg(F.count("*").alias("n")))
+
+
+def q_partition_verdicts(spark, sf_dir):
+    """Per-partition pass/fail verdicts + metrics (north_rule core).
+    Bucket = pmod(doc_id, 16) — the SQL-expressible stand-in for the
+    runner's pmod(xxhash64(id), n) (zoi_spark/runner.py)."""
+    res = z.validate(_read(spark, sf_dir, "documents"), documents_schema(),
+                     id_cols=["doc_id"])
+    pid = F.pmod(F.col("doc_id"), F.lit(16)).cast("int")
+    return (res.annotated
+            .groupBy(pid.alias("partition_id"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum((~F.col("__zoi_valid")).cast("long")).alias("n_invalid"),
+                 F.sum(F.size("__zoi_errors").cast("long")).alias("n_violations"))
+            .withColumn("status",
+                        F.when(F.col("n_invalid") == 0, F.lit("pass"))
+                        .otherwise(F.lit("fail"))))
+
+
+def q_stats_by_source(spark, sf_dir):
+    """Grouped single-pass stats (SURVEY §2.6 stats row, per group)."""
+    d = _read(spark, sf_dir, "documents")
+    return (d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("text_nulls"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("langs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len")))
+
+
+def q_drift_len_kl(spark, sf_dir):
+    """KL divergence of the doc-length histogram between the doc_id
+    parity halves — the KL twin of the PSI drift check."""
+    d = _read(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
+    hist = (d.groupBy(bucket.alias("bucket"))
+            .agg(F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("c0"),
+                 F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("c1")))
+    tot = hist.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    joined = hist.crossJoin(tot)
+    p = F.greatest(F.col("c0").cast("double") / F.col("t0"), F.lit(1e-9))
+    q = F.greatest(F.col("c1").cast("double") / F.col("t1"), F.lit(1e-9))
+    return joined.agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        F.count(F.lit(1)).alias("n_buckets"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked on label so the pair
+    join is an equi-join per block (dedup.embedding_near_dups)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, id_col="vec_id",
+                                     vec_col="embedding",
+                                     threshold=0.35, block_col="label")
+
+
+def q_array_rules_embeddings(spark, sf_dir):
+    """Array-type rules in the oracle gate: fixed length on the vector,
+    range on the label (lte=7 seeds violations on labels 8-9)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    schema = z.fields({
+        "vec_id": z.integer().non_negative(),
+        "embedding": z.array(z.float_(), length=64),
+        "label": z.integer(gte=0, lte=7),
+    })
+    res = z.validate(emb, schema, id_cols=["vec_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+def q_exact_dedup_keepfirst(spark, sf_dir):
+    """Exact dedup keep-min-id representative (window over the content
+    fingerprint — one shuffle, no join)."""
+    kept = dedup.exact_dedup(_dup_docs(spark, sf_dir))
+    return kept.select("doc_id")
+
+
 # -- non-SQL-expressible ops (rows-only checks) ------------------------------
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -326,6 +467,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "fingerprints": q_fingerprints,
         "documents_flagship": q_documents_flagship,
+        "disc_union_events": q_disc_union_events,
+        "union_mixed_ts": q_union_mixed_ts,
+        "codec_shipdate": q_codec_shipdate,
+        "partition_verdicts": q_partition_verdicts,
+        "stats_by_source": q_stats_by_source,
+        "drift_len_kl": q_drift_len_kl,
+        "embedding_near_dups": q_embedding_near_dups,
+        "array_rules_embeddings": q_array_rules_embeddings,
+        "exact_dedup_keepfirst": q_exact_dedup_keepfirst,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -590,5 +740,121 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 'n_chars.gte' FROM documents
                 WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
             )
+        """,
+        "disc_union_events": """
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT CASE
+                WHEN event_type NOT IN ('click','view','purchase','signup')
+                  THEN '$.unknown_discriminator'
+                WHEN event_type = 'click' AND value IS NOT NULL
+                  AND NOT (value <= 100.0) THEN 'value.lte'
+                WHEN event_type = 'view' AND value IS NOT NULL
+                  AND NOT (value < 200.0) THEN 'value.lt'
+                WHEN event_type = 'purchase' AND value IS NOT NULL
+                  AND NOT (value >= 1.0) THEN 'value.gte'
+                WHEN event_type = 'signup' AND value IS NOT NULL
+                  AND NOT (value > 0.5) THEN 'value.gt'
+                END AS rule_id
+              FROM events)
+            WHERE rule_id IS NOT NULL GROUP BY 1
+        """,
+        "union_mixed_ts": """
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 0
+                     THEN '2024-01-' || lpad((event_id % 27 + 1)::VARCHAR, 2, '0')
+                          || ' 01:' || lpad((event_id % 60)::VARCHAR, 2, '0')
+                          || ':00'
+                     ELSE (1704067200 + event_id)::VARCHAR
+                   END AS parsed
+            FROM events WHERE event_id < 500
+        """,
+        "codec_shipdate": """
+            SELECT CAST(strftime(l_shipdate, '%Y') AS INTEGER) AS ship_year,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "partition_verdicts": """
+            WITH per AS (
+              SELECT doc_id % 16 AS partition_id,
+                (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN doc_id IS NOT NULL AND NOT (doc_id >= 0) THEN 1 ELSE 0 END)
+                + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN text IS NOT NULL AND NOT (length(text) >= 50) THEN 1 ELSE 0 END)
+                + (CASE WHEN text IS NOT NULL AND NOT (length(text) <= 520) THEN 1 ELSE 0 END)
+                + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN lang IS NOT NULL AND NOT (length(lang) >= 2) THEN 1 ELSE 0 END)
+                + (CASE WHEN lang IS NOT NULL AND NOT (length(lang) <= 2) THEN 1 ELSE 0 END)
+                + (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','es','fr') THEN 1 ELSE 0 END)
+                + (CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN source IS NOT NULL AND NOT starts_with(source, 'src') THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars IS NOT NULL AND NOT (n_chars >= 50) THEN 1 ELSE 0 END)
+                AS v
+              FROM documents)
+            SELECT partition_id::INTEGER AS partition_id,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT AS n_invalid,
+                   sum(v)::BIGINT AS n_violations,
+                   CASE WHEN sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) = 0
+                        THEN 'pass' ELSE 'fail' END AS status
+            FROM per GROUP BY 1
+        """,
+        "stats_by_source": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS text_nulls,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   count(DISTINCT lang)::BIGINT AS langs,
+                   round(avg(length(text)), 6) AS avg_len
+            FROM documents GROUP BY 1
+        """,
+        "drift_len_kl": """
+            WITH hist AS (
+              SELECT least(floor(n_chars / 100), 9)::BIGINT AS bucket,
+                     sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                     sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+              FROM documents GROUP BY 1),
+            tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM hist)
+            SELECT round(sum(p * ln(p / q)), 6) AS kl,
+                   count(*)::BIGINT AS n_buckets
+            FROM (
+              SELECT greatest(c0::DOUBLE / t0, 1e-9) AS p,
+                     greatest(c1::DOUBLE / t1, 1e-9) AS q
+              FROM hist, tot)
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "array_rules_embeddings": """
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 'vec_id.gte' AS rule_id FROM embeddings
+                WHERE vec_id IS NOT NULL AND NOT (vec_id >= 0)
+              UNION ALL
+              SELECT 'embedding.length' FROM embeddings
+                WHERE embedding IS NOT NULL AND NOT (len(embedding) = 64)
+              UNION ALL
+              SELECT 'label.gte' FROM embeddings
+                WHERE label IS NOT NULL AND NOT (label >= 0)
+              UNION ALL
+              SELECT 'label.lte' FROM embeddings
+                WHERE label IS NOT NULL AND NOT (label <= 7)
+            ) GROUP BY 1
+        """,
+        "exact_dedup_keepfirst": f"""
+            WITH docs AS ({_DUP_DOCS_SQL})
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+              FROM docs)
+            WHERE rn = 1
         """,
     }
