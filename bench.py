@@ -75,6 +75,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "stats_hll", "drift_lang_psi", "dedup_jaccard_pairs",
         "minhash_lsh_pairs", "ann_cosine_topk", "text_token_stats",
         "text_lang_id", "fingerprints",
+        "disc_union_events", "union_mixed_ts", "codec_shipdate",
+        "partition_verdicts", "embedding_near_dups",
+        "exact_dedup_keepfirst",
     ]
     qs = em.queries()
     out: dict[str, float] = {}

@@ -341,14 +341,27 @@ def embedding_near_dups(df: DataFrame, *, id_col: str = "vec_id",
                         block_col: str | None = None) -> DataFrame:
     """Pairs with cosine ≥ threshold. Without a block column this is a
     self cross-join (verification scale only); at scale pass an LSH
-    bucket from similarity.random_hyperplane_bucket as ``block_col``."""
-    base = df.select(id_col, vec_col,
+    bucket from similarity.random_hyperplane_bucket as ``block_col``.
+
+    Vector norms are folded ONCE per row before the pair join (the
+    same left-to-right fold as the per-pair form, so the quotient is
+    bitwise identical) — per-pair work is a single dot product instead
+    of three array folds."""
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    base = df.select(id_col, vec_col, norm.alias("__norm"),
                      *( [block_col] if block_col else [] ))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na, nb = F.col("a.__norm"), F.col("b.__norm")
+    sim = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
     return (a.join(b, cond)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
