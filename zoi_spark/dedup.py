@@ -123,7 +123,14 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
         *( [F.col(block_col)] if block_col else [] ),
         hashed_shingles(F.col(text_col), n, chars=chars).alias("__shingles"),
     )
-    a = base.alias("a")
+    # the pair join's cost lives on the STREAMED side (each of its rows
+    # probes the broadcast/hash side for every in-block partner), so its
+    # task count bounds parallelism. Small single-file inputs scan as
+    # 1-2 splits — spread them across the cluster; at real scale the
+    # scan already has thousands of splits and this is a cheap no-op
+    # relative to the pair work.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(par).alias("a")
     b = base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -352,7 +359,11 @@ def embedding_near_dups(df: DataFrame, *, id_col: str = "vec_id",
         lambda acc, v: acc + v.cast("double") * v.cast("double")))
     base = df.select(id_col, vec_col, norm.alias("__norm"),
                      *( [block_col] if block_col else [] ))
-    a, b = base.alias("a"), base.alias("b")
+    # spread the streamed side: pair-probe parallelism is bounded by its
+    # task count (see ngram_jaccard_pairs)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(par).alias("a")
+    b = base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
