@@ -410,7 +410,27 @@ def q_exact_dedup_keepfirst(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_ann_topk_arrow(spark, sf_dir):
+    """Arrow/numpy block-wise exact top-k (similarity.
+    brute_force_topk_arrow) — the vectorized-Pandas-UDF path, checked
+    against the same SQL oracle shape as the JVM expression path."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.brute_force_topk_arrow(emb, queries, k=5)
+
+
 # -- non-SQL-expressible ops (rows-only checks) ------------------------------
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (coarse-centroid inverted lists, nprobe probing) —
+    centroid sampling is engine-specific, so recall is pytest-verified
+    against brute force rather than SQL-oracled."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH verified near-dup pairs (signature permutations are
@@ -476,10 +496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "array_rules_embeddings": q_array_rules_embeddings,
         "exact_dedup_keepfirst": q_exact_dedup_keepfirst,
+        "ann_topk_arrow": q_ann_topk_arrow,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "stats_hll": q_stats_hll,
     }
 
@@ -642,6 +664,24 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT q.query_id, e.vec_id,
                      round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+                       AS cosine
+              FROM embeddings e, q WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                       AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_topk_arrow": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
                        AS cosine
               FROM embeddings e, q WHERE e.vec_id != q.query_id),
             ranked AS (

@@ -225,3 +225,51 @@ def test_seeded_violations_detected(spark, web):
         F.array_contains("expect_rule_ids", "url.url")).count()
     found_bad_url = res.violations.where(F.col("rule_id") == "url.url").count()
     assert found_bad_url == seeded_bad_url
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """IVF with nprobe == n_centroids scans every inverted list — must
+    reproduce the exact brute-force ranking."""
+    from zoi_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    full = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8)
+    assert sorted(map(tuple, exact.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """nprobe=4 of 8 lists: every result must still be a true corpus
+    pair, and recall vs exact top-5 should be well above random."""
+    from zoi_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r.query_id, r.vec_id) for r in
+             similarity.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.vec_id) for r in
+              similarity.ivf_topk(emb, queries, k=5, n_centroids=8,
+                                  nprobe=4).collect()}
+    assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_arrow_topk_matches_jvm_brute_force(spark, sf_dir):
+    """The Arrow/numpy block-wise top-k must agree with the JVM
+    expression path on ids and ranks (cosines to 5 decimals — the two
+    compute the quotient with different float orderings)."""
+    from zoi_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    jvm = similarity.brute_force_topk(emb, queries, k=5)
+    arrow = similarity.brute_force_topk_arrow(emb, queries, k=5)
+    jr = sorted((r.query_id, r.vec_id, r.rank, round(r.cosine, 5))
+                for r in jvm.collect())
+    ar = sorted((r.query_id, r.vec_id, r.rank, round(r.cosine, 5))
+                for r in arrow.collect())
+    assert jr == ar

@@ -89,3 +89,122 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def sample_centroids(corpus: DataFrame, *, n_centroids: int = 16,
+                     corpus_id: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse centroids: hash-rank the corpus ids and take
+    the first ``n_centroids`` vectors. One tiny collect on the driver —
+    at 10^12 rows you'd sample ~1e-9 of the table the same way (a
+    k-means refinement is a drop-in replacement; the IVF plumbing below
+    is unchanged)."""
+    rows = (corpus.select(corpus_id, vec_col)
+            .orderBy(F.xxhash64(F.col(corpus_id)))
+            .limit(n_centroids).collect())
+    return [list(map(float, r[1])) for r in rows]
+
+
+def _centroid_scores(vec: Column, cents: list[list[float]]) -> list[Column]:
+    out = []
+    for c in cents:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+        out.append(dot)
+    return out
+
+
+def nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
+    """argmax-dot centroid index as a pure expression chain (first
+    index wins ties — deterministic)."""
+    scores = _centroid_scores(vec, cents)
+    best = None
+    mx = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    for i, s in enumerate(scores):
+        cond = s == mx
+        best = F.when(cond, F.lit(i)) if best is None else best.when(cond, F.lit(i))
+    return best
+
+
+def top_centroids(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the ``nprobe`` highest-dot centroid indexes —
+    sort (score, index) structs descending without leaving the JVM."""
+    scores = _centroid_scores(vec, cents)
+    structs = F.array(*[
+        F.struct(F.round(s, 9).alias("s"), F.lit(i).alias("i"))
+        for i, s in enumerate(scores)])
+    ranked = F.reverse(F.array_sort(structs))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x.getField("i"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 2,
+             corpus_id: str = "vec_id", query_id: str = "query_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: corpus vectors are inverted-listed under their nearest
+    coarse centroid; each query scores only the lists of its ``nprobe``
+    closest centroids. Candidate fraction ≈ nprobe / n_centroids.
+
+    The centroid id is also the natural repartition/bucketing key at
+    scale — each executor owns whole inverted lists, and the query →
+    list join is an equi-join on the centroid index."""
+    cents = sample_centroids(corpus, n_centroids=n_centroids,
+                             corpus_id=corpus_id, vec_col=vec_col)
+    c = corpus.withColumn("__cent",
+                          nearest_centroid(F.col(vec_col), cents))
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+        .withColumn("__cent", F.explode(
+            top_centroids(F.col("__qvec"), cents, nprobe))))
+    sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
+    scored = (c.join(q, "__cent")
+              .where(F.col(corpus_id) != F.col(query_id))
+              .select(query_id, corpus_id, F.round(sim, 6).alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame, *,
+                           k: int = 10, corpus_id: str = "vec_id",
+                           query_id: str = "query_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k via Arrow-vectorized numpy: the (small) query matrix
+    is closed over and L2-normalized once; each corpus batch becomes one
+    normalized matmul. Per-partition top-k first (mapInPandas emits at
+    most k rows per query per batch), then a global re-rank — the
+    standard block-wise top-k that keeps the shuffle tiny at scale."""
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = [int(r[0]) for r in q_rows]
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    out_schema = f"{query_id} long, {corpus_id} long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy()
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            sims = cm @ qm.T                      # (batch, n_queries)
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand_ids, cand = ids[mask], col[mask]
+                if len(cand) > k:
+                    part = np.argpartition(-cand, k)[:k]
+                    cand_ids, cand = cand_ids[part], cand[part]
+                yield pd.DataFrame({query_id: qid,
+                                    corpus_id: cand_ids.astype("int64"),
+                                    "cosine": np.round(cand, 6)})
+
+    scored = corpus.select(corpus_id, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
