@@ -200,3 +200,77 @@ def test_streaming_validation(spark, tmp_path):
         "select count(*) n from zoi_stream_test "
         "where `__zoi_valid` != (lang in ('0','1'))").collect()[0].n
     assert mism == 0
+
+
+def test_streaming_windowed_violation_counts(spark):
+    """Event-time windowed per-rule violation rates with a watermark —
+    the streaming analogue of summary() (readStream → window agg →
+    broadcast catalog join after the agg)."""
+    sdf = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 200).load()
+           .selectExpr("value as row_id",
+                       "CAST(value % 3 AS STRING) as lang",
+                       "timestamp as ts"))
+    schema = z.fields({
+        "row_id": z.integer().non_negative(),
+        "lang": z.string().one_of(["0", "1"]),
+        "ts": z.datetime(),
+    })
+    win = streaming.windowed_violation_counts(
+        sdf, schema, ts_col="ts", window="2 seconds", watermark="2 seconds")
+    q = (win.writeStream.format("memory").queryName("zoi_win_test")
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from zoi_win_test").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows, "no closed windows emitted"
+    assert {r.rule_id for r in rows} == {"lang.one_of"}
+    assert all(r.n_violations > 0 for r in rows)
+    assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_streaming_microbatch_manifest(spark, tmp_path):
+    """foreachBatch bridge: each micro-batch appends the same
+    per-partition manifest rows as a batch run (run_id = batch id)."""
+    import pyspark.sql.functions as SF
+
+    sdf = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 500).load()
+           .selectExpr("value as row_id",
+                       "CAST(value % 3 AS STRING) as lang"))
+    schema = z.fields({
+        "row_id": z.integer().non_negative(),
+        "lang": z.string().one_of(["0", "1"]),
+    })
+    manifest = str(tmp_path / "stream_manifest")
+    q = streaming.run_microbatch_manifest(
+        sdf, schema, id_col="row_id", n_partitions=8,
+        manifest_dir=manifest, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=False)
+    try:
+        deadline = time.time() + 45
+        ok = False
+        while time.time() < deadline:
+            try:
+                m = spark.read.parquet(manifest)
+                if m.count() >= 8:
+                    ok = True
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert ok, "manifest never materialized"
+    m = spark.read.parquet(manifest)
+    assert {"run_id", "partition_id", "status", "n_rows", "n_violations",
+            "schema_fingerprint", "input_lineage"} <= set(m.columns)
+    assert m.where(SF.col("status") == "fail").count() > 0

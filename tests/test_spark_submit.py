@@ -1,0 +1,89 @@
+"""End-to-end spark-submit --py-files launch (north_rule: "launched via
+spark-submit --py-files on multi-executor clusters").
+
+Packages zoi_spark into a zip, submits cli.py against the documents
+table with a JSON-Schema rule-set, and checks the manifest, violations
+sink, exit code, and resume behavior — the exact deployment shape a
+cluster run uses (local[4] standing in for the executor fleet).
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 50, "maxLength": 520},
+        "lang": {"type": "string", "enum": ["en", "de", "es", "fr"]},
+    },
+    "required": ["doc_id", "text", "lang"],
+}
+
+
+def _zip_package(tmp_path) -> str:
+    zpath = str(tmp_path / "zoi_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        pkg = os.path.join(REPO, "zoi_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+@pytest.mark.timeout(600)
+def test_spark_submit_py_files_roundtrip(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__),
+                                    "bin", "spark-submit")
+    assert os.path.exists(spark_submit), "spark-submit not found"
+
+    zpath = _zip_package(tmp_path)
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps(SCHEMA))
+    manifest = str(tmp_path / "manifest")
+    violations = str(tmp_path / "violations")
+
+    def submit(run_id, extra=()):
+        cmd = [spark_submit, "--master", "local[4]",
+               "--conf", "spark.ui.enabled=false",
+               "--conf", "spark.sql.shuffle.partitions=8",
+               "--py-files", zpath,
+               os.path.join(REPO, "zoi_spark", "cli.py"),
+               "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--schema", str(schema_file),
+               "--id-col", "doc_id",
+               "--manifest", manifest,
+               "--violations", violations,
+               "--run-id", run_id, "--partitions", "8", *extra]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=540, cwd=str(tmp_path))
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        assert lines, f"no summary JSON:\n{out.stdout}\n{out.stderr[-2000:]}"
+        return out.returncode, json.loads(lines[0])
+
+    rc, summary = submit("r1")
+    # sf0.001 documents seed lang/type violations → some partition fails
+    assert rc == 3
+    assert summary["n_partitions_total"] == 8
+    assert summary["n_rows"] == 500
+    assert summary["n_invalid"] > 0
+    assert os.path.isdir(manifest)
+    assert os.path.isdir(violations)
+
+    # resume: identical run-id + fingerprint → all partitions skipped
+    rc2, summary2 = submit("r1")
+    assert summary2["n_partitions_skipped"] == 8
+    assert summary2["n_partitions_processed"] == 0

@@ -49,9 +49,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from . import json_schema
-    from .runner import ValidationRunner
-    from .tablechecks import column_stats
+    # absolute imports: spark-submit executes this FILE as __main__ (no
+    # package context); the package itself ships via --py-files
+    from zoi_spark import json_schema
+    from zoi_spark.runner import ValidationRunner
+    from zoi_spark.tablechecks import column_stats
 
     spark = SparkSession.builder.appName(
         f"zoi-spark-{args.run_id}").getOrCreate()
