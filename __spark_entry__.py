@@ -60,7 +60,7 @@ def documents_schema() -> z.Schema:
 def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with seeded exact duplicates (every 25th doc repeated
     under doc_id+10000) — the dedup-query corpus, defined identically
-    in SQL. ``block`` = (lang, length-bucket) is the pair-join blocking
+    in SQL. ``block`` = (lang, width-50 length-bucket) is the pair-join blocking
     key: near-dups necessarily share it, and it turns the O(n²) pair
     space into ~|block|² per block (the 100 TB-scale play)."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -70,12 +70,12 @@ def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.withColumn(
         "block",
         F.concat(F.col("lang"), F.lit("|"),
-                 F.floor(F.length("text") / 100).cast("string")))
+                 F.floor(F.length("text") / 50).cast("string")))
 
 
 _DUP_DOCS_SQL = """
     SELECT doc_id, text,
-           lang || '|' || CAST(floor(length(text) / 100) AS BIGINT) AS block
+           lang || '|' || CAST(floor(length(text) / 50) AS BIGINT) AS block
     FROM (
       SELECT doc_id, text, lang FROM documents
       UNION ALL

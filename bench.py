@@ -60,9 +60,12 @@ def _session(cpus: int):
 
 def _run(df) -> float:
     df.write.format("noop").mode("overwrite").save()  # untimed warmup
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    best = float("inf")
+    for _ in range(2):  # min-of-2: the sandbox host's CPU grant drifts
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
