@@ -7,7 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 import zoi_spark as z
-from zoi_spark import describe as dsc
+import importlib
+
+# the package re-exports describe() the FUNCTION, which shadows the
+# submodule as a package attribute — load the module explicitly
+dsc = importlib.import_module("zoi_spark.describe")
 from zoi_spark import json_schema as js
 from zoi_spark import multimodal, streaming
 from zoi_spark.errors import prettify_errors, treefy_errors

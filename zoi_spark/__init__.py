@@ -28,7 +28,8 @@ from .schema import (  # noqa: F401
     union, intersection, discriminated_union, lazy, json, codec,
     email, uuid, url, ipv4, ipv6, hex, base64, base64url, jwt,
     iso_date, iso_time, iso_datetime, iso_naive_datetime,
-    extend, pick, omit, traverse, coerce_all, reverse_codecs,
+    extend, pick, omit, traverse, coerce, coerce_all, reverse_codecs,
+    object,
 )
 from .validate import (  # noqa: F401
     ParseError, ValidationResult, encode, parse, prepare_form, validate,
@@ -36,5 +37,11 @@ from .validate import (  # noqa: F401
 )
 from .errors import treefy_errors, prettify_errors  # noqa: F401
 from .compile import RuleInfo, compile_schema  # noqa: F401
+from .describe import describe, to_ddl, to_struct_type  # noqa: F401
+from .json_schema import from_json_schema, to_json_schema  # noqa: F401
+
+# Zoi.type_spec/2 analogue: the engine-native "typespec" is the Spark
+# schema — exported as both StructType and DDL string emission.
+type_spec = to_ddl
 
 __version__ = "0.1.0"

@@ -150,6 +150,14 @@ class Schema:
         (types/default.ex:16-23)."""
         return self._with(default=value)
 
+    def to_struct(self, tag: str) -> "Schema":
+        """``Zoi.to_struct/2`` analogue: tag the parsed map with a
+        struct name (lib/zoi.ex:3042-3045). A Spark row IS a struct, so
+        this is metadata-only — the tag surfaces in describe()/DDL."""
+        new = self._clone()
+        new.metadata = {**new.metadata, "struct_tag": tag}
+        return new
+
     def with_coerce(self, flag: bool = True) -> "Schema":
         return self._with(coerce=flag)
 
@@ -396,6 +404,7 @@ def fields(field_map: Mapping[str, Schema], *, strict: bool = False,
 map_ = fields
 struct = fields
 keyword = fields
+object = fields  # Zoi object/2 alias (lib/zoi.ex)
 
 
 def map_kv(key: Schema, value: Schema, *, coerce: bool = False,
@@ -591,6 +600,12 @@ def traverse(schema: Schema, fn: Callable[[Schema, tuple], Schema],
         s.params["from_schema"] = traverse(s.params["from_schema"], fn, _path)
         s.params["to_schema"] = traverse(s.params["to_schema"], fn, _path)
     return fn(s, _path)
+
+
+def coerce(schema: Schema) -> Schema:
+    """Flip coercion on ONE node (``Zoi.coerce/1``, lib/zoi.ex:417-418);
+    use :func:`coerce_all` for the whole tree."""
+    return schema.with_coerce(True)
 
 
 def coerce_all(schema: Schema) -> Schema:
