@@ -410,6 +410,37 @@ def q_exact_dedup_keepfirst(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_unique_salted(spark, sf_dir):
+    """Salted two-phase uniqueness (SURVEY §4 item 1): same verdicts as
+    a plain groupBy — the salt only bounds per-task key width — so the
+    plain-SQL oracle checks the skew-safe path end to end."""
+    docs = _dup_docs(spark, sf_dir)
+    keyed = docs.select(text.fingerprint(F.col("text")).alias("fp"))
+    return (tablechecks.duplicates(keyed, "fp", salt_partitions=8)
+            .select("fp", "n_occurrences", "rule_id", "code"))
+
+
+def q_form_ingest_events(spark, sf_dir):
+    """Lenient HTML-form ingest (Zoi.Form.prepare, lib/zoi/form.ex:
+    21-62): stringified inputs, empty-string-as-null, coerce-all —
+    rows with ''/garbage surface required/type violations."""
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    form = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit(""))
+         .otherwise(F.col("user_id").cast("string")).alias("user_id"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("n/a"))
+         .otherwise(F.round("value", 2).cast("string")).alias("value"),
+    )
+    schema = z.coerce_all(z.fields({
+        "event_id": z.integer(),
+        "user_id": z.integer().non_negative(),
+        "value": z.float_(gte=0.0),
+    }))
+    res = z.validate(z.prepare_form(form), schema, id_cols=["event_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
 def q_ann_topk_arrow(spark, sf_dir):
     """Arrow/numpy block-wise exact top-k (similarity.
     brute_force_topk_arrow) — the vectorized-Pandas-UDF path, checked
@@ -497,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_rules_embeddings": q_array_rules_embeddings,
         "exact_dedup_keepfirst": q_exact_dedup_keepfirst,
         "ann_topk_arrow": q_ann_topk_arrow,
+        "unique_salted": q_unique_salted,
+        "form_ingest_events": q_form_ingest_events,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -887,6 +920,24 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'label.lte' FROM embeddings
                 WHERE label IS NOT NULL AND NOT (label <= 7)
+            ) GROUP BY 1
+        """,
+        "unique_salted": f"""
+            WITH docs AS ({_DUP_DOCS_SQL})
+            SELECT md5({_NORM_SQL}) AS fp,
+                   count(*)::BIGINT AS n_occurrences,
+                   'fp.unique' AS rule_id,
+                   'not_unique' AS code
+            FROM docs GROUP BY 1 HAVING count(*) > 1
+        """,
+        "form_ingest_events": """
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 'user_id.required' AS rule_id FROM events
+                WHERE event_id < 2000 AND (event_id % 11 = 0
+                                           OR user_id IS NULL)
+              UNION ALL
+              SELECT 'value.type' FROM events
+                WHERE event_id < 2000 AND event_id % 13 = 0
             ) GROUP BY 1
         """,
         "exact_dedup_keepfirst": f"""
