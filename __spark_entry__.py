@@ -26,6 +26,11 @@ from zoi_spark import dedup, similarity, tablechecks, text
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # oracle semantics are defined in UTC: parquet stores UTC-adjusted
+    # micros and DuckDB renders them as naive UTC wall time, so any
+    # timestamp-rendering query (codec_shipdate, orders datetime bound)
+    # must format in UTC regardless of the harness session's zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
