@@ -25,12 +25,18 @@ import zoi_spark as z
 from zoi_spark import dedup, similarity, tablechecks, text
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # oracle semantics are defined in UTC: parquet stores UTC-adjusted
-    # micros and DuckDB renders them as naive UTC wall time, so any
-    # timestamp-rendering query (codec_shipdate, orders datetime bound)
-    # must format in UTC regardless of the harness session's zone
+def _utc(spark: SparkSession) -> SparkSession:
+    """One explicit session-setup step, applied by the queries()/entry
+    wrappers below (NOT hidden inside the read helper): oracle semantics
+    are defined in UTC — parquet stores UTC-adjusted micros and DuckDB
+    renders them as naive UTC wall time, so any timestamp-rendering
+    query (codec_shipdate, orders datetime bound) must format in UTC
+    regardless of the harness session's zone."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -213,11 +219,21 @@ def q_drift_lang_psi(spark, sf_dir):
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
-    """3-word-shingle Jaccard near-dup pairs on the seeded corpus,
-    blocked on (lang, length-bucket) so the pair join is an equi-join
-    per block instead of a full cross product."""
-    return dedup.ngram_jaccard_pairs(_dup_docs(spark, sf_dir),
-                                     n=3, threshold=0.6, block_col="block")
+    """Exact-Jaccard near-dup pairs at threshold 0.6 — the flagship
+    near-dup plan: MinHash-LSH banding generates the candidate pairs
+    (equi-join on (band, bucket), cost ∝ bucket collisions, never
+    quadratic in a block) and exact 3-word-shingle Jaccard runs ONLY as
+    the verify stage over those candidates. The r1 plan blocked the
+    exact-Jaccard join on (lang, length-bucket), which is quadratic
+    within a block and unbounded at web scale; `ngram_jaccard_pairs`
+    remains available for bounded verification corpora.
+
+    Oracle parity: with 32 bands × 2 rows a true pair at J=0.6 is
+    missed with p=(1-0.36)^32 ≈ 6e-7 (the seeded corpus's pairs are all
+    J ≥ 0.9 → p ≈ 1e-20), so the LSH+verify output equals the full
+    all-pairs Jaccard answer the DuckDB oracle computes."""
+    return dedup.minhash_dedup_pairs(_dup_docs(spark, sf_dir),
+                                     threshold=0.6, num_hashes=64, bands=32)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -456,12 +472,14 @@ def q_ann_topk_arrow(spark, sf_dir):
     return similarity.brute_force_topk_arrow(emb, queries, k=5)
 
 
-# -- non-SQL-expressible ops (rows-only checks) ------------------------------
+# -- probabilistic / sketch ops, oracled via deterministic twins -------------
 
 def q_ivf_ann_topk(spark, sf_dir):
-    """IVF ANN (coarse-centroid inverted lists, nprobe probing) —
-    centroid sampling is engine-specific, so recall is pytest-verified
-    against brute force rather than SQL-oracled."""
+    """IVF ANN (coarse-centroid inverted lists, nprobe probing). The
+    centroid selection rule is md5-rank over ids (similarity.
+    sample_centroids) and every argmax works on 9-decimal-rounded dots,
+    so the DuckDB oracle re-derives centroids, list assignment and
+    probes exactly — full SQL parity, no recall hand-waving."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
@@ -469,30 +487,259 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH verified near-dup pairs (signature permutations are
-    engine-specific → no SQL oracle; validated in pytest against exact
-    Jaccard)."""
+    """MinHash-LSH candidates verified with exact Jaccard ≥ 0.8. The
+    oracle is the full all-pairs exact-Jaccard answer: LSH recall at
+    16 bands × 4 rows is 1-(1-J⁴)^16 ≥ 1-1e-7 for J ≥ 0.9 (every true
+    pair on this corpus), and the verify stage prunes all false
+    positives, so candidates∩verify ≡ the exact answer."""
     return dedup.minhash_dedup_pairs(_dup_docs(spark, sf_dir),
                                      threshold=0.8, num_hashes=64, bands=16)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_near_dups(_dup_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs — pure Column expressions end to end
+    (dedup.simhash: one transform + one aggregate fold, no UDF). The
+    md5 token-hash flavor is bit-identical to DuckDB's
+    ('0x'||substr(md5(t),1,15))::BIGINT, so the oracle recomputes the
+    full 60-bit simhash, the prefix blocking AND the hamming join."""
+    return dedup.simhash_near_dups(_dup_docs(spark, sf_dir), max_hamming=3,
+                                   hash="md5")
 
 
 def q_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN. Hyperplanes are seeded literals
+    (similarity.hyperplanes(64, 4, seed=42)) — the oracle inlines the
+    same constants and re-derives buckets + per-bucket top-k in SQL."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return similarity.lsh_topk(emb, queries, k=5, bits=4)
+    return similarity.lsh_topk(emb, queries, k=5, bits=4, dim=64)
 
 
 def q_stats_hll(spark, sf_dir):
-    """HLL-sketch flavor of the fused stats pass (approx distinct has
-    no deterministic SQL twin → rows-only)."""
+    """HLL-sketch flavor of the fused stats pass. The sketch estimate
+    itself has no deterministic SQL twin, so the query emits the exact
+    fused-stats columns PLUS `*_hll_ok` booleans asserting the sketch
+    landed within 3·rsd of the exact distinct count — the oracle checks
+    the exact columns value-for-value and the error-bound CLAIM (its
+    side is literally TRUE), keeping the sketch in the gated plan."""
     d = _read(spark, sf_dir, "documents")
     hist = tablechecks.HistogramSpec("text", 0, 600, buckets=6, length_of=True)
-    return tablechecks.column_stats(d, ["text", "lang"], histograms=[hist])
+    wide = tablechecks.column_stats(d, ["text", "lang"], histograms=[hist],
+                                    hll_rsd=0.05, exact_distinct=True)
+    rsd3 = 3 * 0.05
+    hll_ok = lambda c: (  # noqa: E731
+        F.abs(F.col(f"{c}__distinct") - F.col(f"{c}__distinct_exact"))
+        <= rsd3 * F.col(f"{c}__distinct_exact"))
+    return wide.select(
+        "n_rows", "text__nulls", "lang__nulls",
+        F.col("lang__min"), F.col("lang__max"),
+        F.round("text__avg_length", 6).alias("text_avg_len"),
+        F.col("text__distinct_exact"), F.col("lang__distinct_exact"),
+        hll_ok("text").alias("text_hll_ok"),
+        hll_ok("lang").alias("lang_hll_ok"),
+        *[F.col(f"text__hist_len_{b}") for b in range(0, 8)],
+    )
+
+
+# -- format validators (SURVEY §2.3) over a deterministic seeded corpus ------
+
+_FORMAT_POOLS: dict[str, list[str]] = {
+    # (format, candidate pool) — index = doc_id % len(pool); pools mix
+    # valid and invalid shapes so every rule fires. Pool strings chosen
+    # so Java-regex (engine) and RE2 (DuckDB oracle) agree; the default
+    # email's lookaheads are re-expressed as conjunctions oracle-side.
+    "email": ["alice@example.com", "bob.smith+tag@mail.example.org",
+              "bad..dots@example.com", ".leading@example.com",
+              "no-at-sign.example.com", "upper@EXAMPLE.COM"],
+    "uuid": ["550e8400-e29b-41d4-a716-446655440000",
+             "00000000-0000-7000-8000-000000000001",
+             "550e8400-e29b-91d4-a716-446655440000",   # version 9 → invalid
+             "not-a-uuid",
+             "550e8400-e29b-41d4-c716-446655440000"],  # variant c → invalid
+    "url": ["https://example.com/path?q=1", "http://sub.example.org/x",
+            "ftp://example.com/file", "https://", "not a url",
+            "http://host.tld"],
+    "ipv4": ["192.168.0.1", "255.255.255.255", "256.1.1.1", "10.0.0",
+             "1.2.3.4.5"],
+    # NB the reference ipv6 regex is UNANCHORED (lib/zoi/regexes.ex:79)
+    # — any substring match passes, so the invalid entry must contain no
+    # valid ipv6 fragment at all (no '::', no 'hex:hex' run)
+    "ipv6": ["2001:db8::1", "::1", "fe80::1%eth0", "zz:zz",
+             "1:2:3:4:5:6:7:8"],
+    "hexcol": ["deadBEEF01", "", "0123456789abcdef", "xyz123", "12 34"],
+    "b64": ["aGVsbG8=", "AAAA", "aGVsbG8", "a===", "!!!!"],
+    "b64u": ["aGVsbG8", "AA==", "a-_9", "a$bc", "####"],
+    "jwtcol": ["eyJhbGciOiJIUzI1NiJ9.eyJzdWIiOiIxIn0.sig123",
+               "a.b.c", "onlyonepart", "two.parts", "a.b.c.d"],
+    "iso_d": ["2024-01-15", "2024-02-30", "2024-1-5", "15/01/2024"],
+    "iso_t": ["10:30:00", "10:30:00.123", "10:30", "25:00:00x"],
+    "iso_dt": ["2024-01-15T10:30:00Z", "2024-01-15 10:30:00+02:00",
+               "2024-01-15T10:30:00", "2024-13-01T00:00:00Z"],
+    "iso_ndt": ["2024-01-15T10:30:00", "2024-01-15 10:30:00",
+                "2024-01-15T10:30:00Z", "2024-02-30T00:00:00"],
+}
+
+
+def _format_corpus(spark, sf_dir):
+    """documents.doc_id → one deterministic candidate string per format
+    column (identical CASE construction in the SQL oracle)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    cols = [F.col("doc_id")]
+    for name, pool in _FORMAT_POOLS.items():
+        expr = None
+        for i, s in enumerate(pool):
+            cond = F.pmod(F.col("doc_id"), F.lit(len(pool))) == i
+            expr = F.when(cond, F.lit(s)) if expr is None else expr.when(cond, F.lit(s))
+        cols.append(expr.alias(name))
+    return d.select(*cols)
+
+
+def _format_corpus_sql() -> str:
+    selects = ["doc_id"]
+    for name, pool in _FORMAT_POOLS.items():
+        whens = " ".join(
+            f"WHEN ((doc_id % {len(pool)}) + {len(pool)}) % {len(pool)} = {i} "
+            f"THEN '{s.replace(chr(39), chr(39) * 2)}'"
+            for i, s in enumerate(pool))
+        selects.append(f"CASE {whens} END AS {name}")
+    return "SELECT " + ", ".join(selects) + " FROM documents"
+
+
+def q_format_validators(spark, sf_dir):
+    """Every §2.3 format rule over the seeded corpus → rule_id counts
+    (reference lib/zoi/regexes.ex:7-88, lib/zoi/types/string.ex:121-174)."""
+    corpus = _format_corpus(spark, sf_dir)
+    schema = z.fields({
+        "doc_id": z.integer(),
+        "email": z.email(),            # default "reasonable email" pattern
+        "uuid": z.uuid(),
+        "url": z.url(),
+        "ipv4": z.ipv4(),
+        "ipv6": z.ipv6(),
+        "hexcol": z.hex(),
+        "b64": z.base64(),
+        "b64u": z.base64url(),
+        "jwtcol": z.jwt(),
+        "iso_d": z.iso_date(),
+        "iso_t": z.iso_time(),
+        "iso_dt": z.iso_datetime(),
+        "iso_ndt": z.iso_naive_datetime(),
+    })
+    res = z.validate(corpus, schema, id_cols=["doc_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+# -- remaining §2 combinators in the oracle gate -----------------------------
+
+def q_tuple_rules(spark, sf_dir):
+    """Tuple array-form (types/tuple.ex:23-63): fixed length 3 with a
+    dynamic actual-length message (every 7th row ships only 2 elements)
+    plus positional element rules with [index] paths."""
+    li = _read(spark, sf_dir, "lineitem")
+    short = F.array(F.col("l_quantity"), F.col("l_discount"))
+    full = F.array("l_quantity", "l_discount", "l_extendedprice")
+    t = li.select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 7 == 0, short).otherwise(full).alias("t"))
+    schema = z.fields({
+        "l_orderkey": z.integer(),
+        "t": z.tuple_([z.float_(lte=45.0), z.float_(lte=0.05),
+                       z.float_(lte=30000.0)]),
+    })
+    res = z.validate(t, schema, id_cols=["l_orderkey"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+def q_intersection_enum_remap(spark, sf_dir):
+    """Intersection halt-on-first-failing-branch (types/intersection.
+    ex:23-37) on a seeded name column + enum kv-pair value→key remap on
+    c_mktsegment (types/enum.ex:53-66): violations by rule and
+    remapped-parse counts in one result. Seeds: every 5th name truncated
+    to 8 chars (fails min(10); branch 2 halts — its starts_with failure
+    on the truncated 'Customer' prefix is NOT reported), every 7th
+    upper-cased prefix (passes min, fails starts_with)."""
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.substring("c_name", 1, 8))
+         .when(F.col("c_custkey") % 7 == 0,
+               F.concat(F.lit("CUSTOMER#"), F.substring("c_name", 10, 30)))
+         .otherwise(F.col("c_name")).alias("c_name"))
+    schema = z.fields({
+        "c_custkey": z.integer(),
+        "c_name": z.intersection([z.string(min=10),
+                                  z.string().starts_with("Customer#")]),
+        "c_mktsegment": z.enum({"bld": "BUILDING", "fur": "FURNITURE",
+                                "mach": "MACHINERY", "auto": "AUTOMOBILE",
+                                "house": "HOUSEHOLD"}),
+    })
+    res = z.validate(c, schema, id_cols=["c_custkey"])
+    by_rule = (res.violations.groupBy(F.col("rule_id").alias("key"))
+               .agg(F.count("*").alias("n")))
+    by_remap = (res.annotated
+                .groupBy(F.concat(F.lit("seg:"),
+                                  F.col("__zoi_parsed.c_mktsegment"))
+                         .alias("key"))
+                .agg(F.count("*").alias("n")))
+    return by_rule.unionAll(by_remap)
+
+
+def q_mapkv_props(spark, sf_dir):
+    """Homogeneous map k/v form (types/map.ex:63-86): events.props
+    parsed as map<string,string>, keys membership-checked, values
+    strict-coerced to int and range-checked; counts by error code."""
+    ev = _read(spark, sf_dir, "events")
+    # seeds: every 19th event carries a non-numeric value (type rule),
+    # every 17th an unexpected key (key one_of rule); both → both
+    props2 = (F.when(F.col("event_id") % 19 == 0, F.lit('{"k": "abc"}'))
+              .otherwise(F.col("props")))
+    props3 = (F.when(F.col("event_id") % 17 == 0,
+                     F.regexp_replace(props2, '"k"', '"x"'))
+              .otherwise(props2))
+    ev = ev.select("event_id",
+                   F.from_json(props3, "map<string,string>").alias("props"))
+    schema = z.fields({
+        "event_id": z.integer(),
+        "props": z.map_kv(z.string().one_of(["k"]),
+                          z.integer(coerce=True, lte=50)),
+    })
+    res = z.validate(ev, schema, id_cols=["event_id"])
+    return res.violations.groupBy("code").agg(F.count("*").alias("n"))
+
+
+def q_multiple_unique_decimal(spark, sf_dir):
+    """multiple_of (types/integer.ex:153-165), array unique_items
+    (types/array.ex:260-274) and guarded decimal coercion
+    (types/decimal.ex:70) in one seeded lineitem projection."""
+    li = _read(spark, sf_dir, "lineitem")
+    # price string built from integer columns only (no float→string
+    # formatting — rounding modes differ across engines)
+    price = F.concat(F.pmod("l_partkey", F.lit(10000)).cast("string"),
+                     F.lit("."),
+                     F.lpad(F.pmod("l_suppkey", F.lit(100)).cast("string"),
+                            2, "0"))
+    d = li.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("pk"),
+        F.array(F.pmod("l_partkey", F.lit(10)),
+                F.pmod("l_suppkey", F.lit(10)),
+                F.pmod("l_orderkey", F.lit(10))).alias("arr"),
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit("n/a"))
+         .otherwise(price).alias("price_str"),
+    )
+    schema = z.fields({
+        "l_orderkey": z.integer(),
+        "pk": z.integer(multiple_of=4),
+        "arr": z.array(z.integer(), unique_items=True),
+        "price_str": z.decimal(coerce=True, precision=12, scale=2),
+    })
+    res = z.validate(d, schema, id_cols=["l_orderkey"])
+    counts = res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+    total = (res.annotated
+             .agg(F.sum(F.col("__zoi_parsed.price_str")).alias("s"))
+             .select(F.lit("price_sum_x100").alias("rule_id"),
+                     (F.col("s") * 100).cast("long").alias("n")))
+    return counts.unionAll(total)
 
 
 # ---------------------------------------------------------------------------
@@ -501,11 +748,19 @@ def q_stats_hll(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-set validation over documents at sf0.001."""
-    return q_documents_flagship(spark, "/root/testdata/sf0.001")
+    return q_documents_flagship(_utc(spark), "/root/testdata/sf0.001")
+
+
+def _with_utc(fn: Callable[[SparkSession, str], DataFrame]
+              ) -> Callable[[SparkSession, str], DataFrame]:
+    return lambda spark, sf_dir: fn(_utc(spark), sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
         "orders_rule_counts": q_orders_rule_counts,
@@ -535,13 +790,165 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_arrow": q_ann_topk_arrow,
         "unique_salted": q_unique_salted,
         "form_ingest_events": q_form_ingest_events,
-        # rows-only (no SQL-expressible oracle):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "stats_hll": q_stats_hll,
+        "format_validators": q_format_validators,
+        "tuple_rules": q_tuple_rules,
+        "intersection_enum_remap": q_intersection_enum_remap,
+        "mapkv_props": q_mapkv_props,
+        "multiple_unique_decimal": q_multiple_unique_decimal,
     }
+
+
+# -- oracle-SQL generators ---------------------------------------------------
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Full all-pairs 3-word-shingle Jaccard ≥ threshold over the seeded
+    corpus — the deterministic twin of the LSH-candidates + exact-verify
+    plan (see q_dedup_jaccard_pairs for the recall argument)."""
+    return f"""
+        WITH docs AS ({_DUP_DOCS_SQL}),
+        toks AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+          FROM docs),
+        sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' '))
+              END) AS shingle
+            FROM toks)),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, prefix_bits: int = 16) -> str:
+    """Full 60-bit simhash recomputation in SQL: md5-prefix token hashes
+    (bit-identical to dedup.token_hash60(hash='md5')), per-bit votes,
+    majority bits, prefix blocking, hamming via xor+bit_count."""
+    bits = 60
+    h60 = "('0x' || substr(md5(t),1,15))::BIGINT"
+    votes = ",\n              ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN h % {2**(j+1)} >= {2**j} "
+        f"THEN 1 ELSE 0 END)) AS v{j}"
+        for j in range(bits))
+    sim = " + ".join(
+        f"CASE WHEN 2*v{j} > n THEN {2**j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(bits))
+    return f"""
+        WITH docs AS ({_DUP_DOCS_SQL}),
+        toks AS (
+          SELECT doc_id,
+                 list_transform(string_split({_NORM_SQL}, ' '),
+                                t -> {h60}) AS hs
+          FROM docs),
+        v AS (SELECT doc_id, len(hs) AS n,
+              {votes}
+              FROM toks),
+        sh AS (SELECT doc_id, ({sim}) AS simhash FROM v),
+        blk AS (SELECT doc_id, simhash,
+                       simhash >> {bits - prefix_bits} AS block FROM sh)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+        FROM blk a JOIN blk b
+          ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _lsh_ann_sql(k: int = 5, bits: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Re-derive the random-hyperplane buckets with the SAME seeded
+    literals the Spark plan inlines (similarity.hyperplanes), then rank
+    within buckets — full SQL parity with similarity.lsh_topk."""
+    planes = similarity.hyperplanes(dim, bits, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, ({bucket}) AS bucket FROM c),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM bk WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, bk.vec_id,
+                 round(list_cosine_similarity(bk.v, q.qv), 6) AS cosine
+          FROM bk JOIN q ON bk.bucket = q.bucket AND bk.vec_id != q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_ann_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 4) -> str:
+    """Re-derive IVF end to end: md5-ranked centroid sample (the same
+    deterministic rule as similarity.sample_centroids), 9-decimal-
+    rounded argmax list assignment (ties → lowest index, mirroring
+    nearest_centroid), nprobe probe lists ordered (dot DESC, index DESC)
+    (mirroring reverse(array_sort) in top_centroids), then per-candidate
+    cosine ranking."""
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                   AS i, v AS cv
+          FROM c QUALIFY i < {n_centroids}),
+        corp AS (
+          SELECT vec_id, v, i AS cent FROM (
+            SELECT c.vec_id, c.v, ct.i,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(list_dot_product(c.v, ct.cv), 9) DESC,
+                              ct.i ASC) AS rn
+            FROM c, cents ct)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, i AS cent FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, ct.i,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.v, ct.cv), 9) DESC,
+                              ct.i DESC) AS rn
+            FROM (SELECT vec_id, v FROM c WHERE vec_id < 3) q, cents ct)
+          WHERE rn <= {nprobe}),
+        scored AS (
+          SELECT p.query_id, corp.vec_id,
+                 round(list_cosine_similarity(corp.v, p.qv), 6) AS cosine
+          FROM corp JOIN probes p
+            ON corp.cent = p.cent AND corp.vec_id != p.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -668,33 +1075,11 @@ def oracle_sql() -> dict[str, str]:
                      greatest(c1::DOUBLE / t1, 1e-9) AS q
               FROM hist, tot)
         """,
-        "dedup_jaccard_pairs": f"""
-            WITH docs AS ({_DUP_DOCS_SQL}),
-            toks AS (
-              SELECT doc_id, block, string_split({_NORM_SQL}, ' ') AS t
-              FROM docs),
-            sh AS (
-              SELECT DISTINCT doc_id, block, shingle FROM (
-                SELECT doc_id, block, unnest(
-                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
-                       ELSE list_transform(range(1, len(t) - 1),
-                                           i -> array_to_string(t[i:i+2], ' '))
-                  END) AS shingle
-                FROM toks)),
-            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY 1),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
-              FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND a.block = b.block
-                   AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE i / (sa.sz + sb.sz - i) >= 0.6
-        """,
+        "dedup_jaccard_pairs": _jaccard_pairs_sql(0.6),
+        "minhash_lsh_pairs": _jaccard_pairs_sql(0.8),
+        "simhash_pairs": _simhash_pairs_sql(max_hamming=3, prefix_bits=16),
+        "lsh_ann_topk": _lsh_ann_sql(k=5, bits=4, dim=64, seed=42),
+        "ivf_ann_topk": _ivf_ann_sql(k=5, n_centroids=8, nprobe=4),
         "ann_cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -852,8 +1237,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "partition_verdicts": """
+            -- ((x % 16) + 16) % 16 ≡ Spark pmod — sign-stable should the
+            -- regenerated data ever carry negative ids
             WITH per AS (
-              SELECT doc_id % 16 AS partition_id,
+              SELECT ((doc_id % 16) + 16) % 16 AS partition_id,
                 (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
                 + (CASE WHEN doc_id IS NOT NULL AND NOT (doc_id >= 0) THEN 1 ELSE 0 END)
                 + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
@@ -936,13 +1323,28 @@ def oracle_sql() -> dict[str, str]:
             FROM docs GROUP BY 1 HAVING count(*) > 1
         """,
         "form_ingest_events": """
+            -- every engine rule mirrored definitionally (the gte/required
+            -- mirrors emit zero rows on current data but keep the oracle
+            -- aligned with the rule-set if the data regenerates)
             SELECT rule_id, count(*)::BIGINT AS n FROM (
               SELECT 'user_id.required' AS rule_id FROM events
                 WHERE event_id < 2000 AND (event_id % 11 = 0
                                            OR user_id IS NULL)
               UNION ALL
+              SELECT 'user_id.gte' FROM events
+                WHERE event_id < 2000 AND event_id % 11 != 0
+                  AND user_id IS NOT NULL AND user_id < 0
+              UNION ALL
               SELECT 'value.type' FROM events
                 WHERE event_id < 2000 AND event_id % 13 = 0
+              UNION ALL
+              SELECT 'value.required' FROM events
+                WHERE event_id < 2000 AND event_id % 13 != 0
+                  AND value IS NULL
+              UNION ALL
+              SELECT 'value.gte' FROM events
+                WHERE event_id < 2000 AND event_id % 13 != 0
+                  AND value IS NOT NULL AND round(value, 2) < 0
             ) GROUP BY 1
         """,
         "exact_dedup_keepfirst": f"""
@@ -952,5 +1354,202 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
               FROM docs)
             WHERE rn = 1
+        """,
+        "stats_hll": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS text__nulls,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS lang__nulls,
+                   min(lang) AS lang__min,
+                   max(lang) AS lang__max,
+                   round(avg(length(text)), 6) AS text_avg_len,
+                   count(DISTINCT text)::BIGINT AS text__distinct_exact,
+                   count(DISTINCT lang)::BIGINT AS lang__distinct_exact,
+                   -- the HLL error-bound CLAIM (|approx-exact| <= 3·rsd·exact):
+                   -- deterministic for fixed data; the engine derives it from
+                   -- the actual sketch, the oracle asserts the guarantee
+                   true AS text_hll_ok,
+                   true AS lang_hll_ok,
+                   sum(CASE WHEN length(text) < 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS text__hist_len_0,
+                   sum(CASE WHEN length(text) >= 0 AND length(text) < 100
+                       THEN 1 ELSE 0 END)::BIGINT AS text__hist_len_1,
+                   sum(CASE WHEN length(text) >= 100 AND length(text) < 200
+                       THEN 1 ELSE 0 END)::BIGINT AS text__hist_len_2,
+                   sum(CASE WHEN length(text) >= 200 AND length(text) < 300
+                       THEN 1 ELSE 0 END)::BIGINT AS text__hist_len_3,
+                   sum(CASE WHEN length(text) >= 300 AND length(text) < 400
+                       THEN 1 ELSE 0 END)::BIGINT AS text__hist_len_4,
+                   sum(CASE WHEN length(text) >= 400 AND length(text) < 500
+                       THEN 1 ELSE 0 END)::BIGINT AS text__hist_len_5,
+                   sum(CASE WHEN length(text) >= 500 AND length(text) < 600
+                       THEN 1 ELSE 0 END)::BIGINT AS text__hist_len_6,
+                   sum(CASE WHEN length(text) >= 600 THEN 1 ELSE 0 END)::BIGINT
+                     AS text__hist_len_7
+            FROM documents
+        """,
+        "format_validators": f"""
+            WITH corpus AS ({_format_corpus_sql()})
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 'email.email' AS rule_id FROM corpus
+                WHERE email IS NOT NULL AND NOT (
+                  regexp_matches(email,
+                    '(?i)^([a-z0-9_''+\\-\\.]*)[a-z0-9_+\\-]@([a-z0-9][a-z0-9\\-]*\\.)+[a-z]{{2,}}$')
+                  AND NOT regexp_matches(email, '^\\.')
+                  AND NOT contains(email, '..'))
+              UNION ALL
+              SELECT 'uuid.uuid' FROM corpus
+                WHERE uuid IS NOT NULL AND NOT regexp_matches(uuid,
+                  '^([0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[1-8][0-9a-fA-F]{{3}}-[89abAB][0-9a-fA-F]{{3}}-[0-9a-fA-F]{{12}})$')
+              UNION ALL
+              SELECT 'url.url' FROM corpus
+                WHERE url IS NOT NULL
+                  AND NOT regexp_matches(url, '^https?://[^/?#[:space:]]+')
+              UNION ALL
+              SELECT 'ipv4.ipv4' FROM corpus
+                WHERE ipv4 IS NOT NULL AND NOT regexp_matches(ipv4,
+                  '^((25[0-5]|(2[0-4]|1\\d|[1-9]|)\\d)\\.?\\b){{4}}$')
+              UNION ALL
+              SELECT 'ipv6.ipv6' FROM corpus
+                WHERE ipv6 IS NOT NULL AND NOT regexp_matches(ipv6,
+                  '(([0-9a-fA-F]{{1,4}}:){{7,7}}[0-9a-fA-F]{{1,4}}|([0-9a-fA-F]{{1,4}}:){{1,7}}:|([0-9a-fA-F]{{1,4}}:){{1,6}}:[0-9a-fA-F]{{1,4}}|([0-9a-fA-F]{{1,4}}:){{1,5}}(:[0-9a-fA-F]{{1,4}}){{1,2}}|([0-9a-fA-F]{{1,4}}:){{1,4}}(:[0-9a-fA-F]{{1,4}}){{1,3}}|([0-9a-fA-F]{{1,4}}:){{1,3}}(:[0-9a-fA-F]{{1,4}}){{1,4}}|([0-9a-fA-F]{{1,4}}:){{1,2}}(:[0-9a-fA-F]{{1,4}}){{1,5}}|[0-9a-fA-F]{{1,4}}:((:[0-9a-fA-F]{{1,4}}){{1,6}})|:((:[0-9a-fA-F]{{1,4}}){{1,7}}|:)|fe80:(:[0-9a-fA-F]{{0,4}}){{0,4}}%[0-9a-zA-Z]{{1,}}|::(ffff(:0{{1,4}}){{0,1}}:){{0,1}}((25[0-5]|(2[0-4]|1{{0,1}}[0-9]){{0,1}}[0-9])\\.){{3,3}}(25[0-5]|(2[0-4]|1{{0,1}}[0-9]){{0,1}}[0-9])|([0-9a-fA-F]{{1,4}}:){{1,4}}:((25[0-5]|(2[0-4]|1{{0,1}}[0-9]){{0,1}}[0-9])\\.){{3,3}}(25[0-5]|(2[0-4]|1{{0,1}}[0-9]){{0,1}}[0-9]))')
+              UNION ALL
+              SELECT 'hexcol.hex' FROM corpus
+                WHERE hexcol IS NOT NULL
+                  AND NOT regexp_matches(hexcol, '^[0-9a-fA-F]*$')
+              UNION ALL
+              SELECT 'b64.base64' FROM corpus
+                WHERE b64 IS NOT NULL AND NOT regexp_matches(b64,
+                  '^(?:[A-Za-z0-9+/]{{4}})*(?:[A-Za-z0-9+/]{{2}}==|[A-Za-z0-9+/]{{3}}=)?$')
+              UNION ALL
+              SELECT 'b64u.base64url' FROM corpus
+                WHERE b64u IS NOT NULL AND NOT regexp_matches(b64u,
+                  '^(?:[A-Za-z0-9_-]{{4}})*(?:[A-Za-z0-9_-]{{2}}(?:==)?|[A-Za-z0-9_-]{{3}}=?)?$')
+              UNION ALL
+              SELECT 'jwtcol.jwt' FROM corpus
+                WHERE jwtcol IS NOT NULL AND NOT regexp_matches(jwtcol,
+                  '^[A-Za-z0-9_-]+\\.[A-Za-z0-9_-]+\\.[A-Za-z0-9_-]*$')
+              UNION ALL
+              SELECT 'iso_d.iso' FROM corpus
+                WHERE iso_d IS NOT NULL AND NOT (
+                  regexp_matches(iso_d, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+                  AND try_strptime(iso_d, '%Y-%m-%d') IS NOT NULL)
+              UNION ALL
+              SELECT 'iso_t.iso' FROM corpus
+                WHERE iso_t IS NOT NULL AND NOT regexp_matches(iso_t,
+                  '^\\d{{2}}:\\d{{2}}:\\d{{2}}(\\.\\d{{1,6}})?$')
+              UNION ALL
+              SELECT 'iso_dt.iso' FROM corpus
+                WHERE iso_dt IS NOT NULL AND NOT (
+                  regexp_matches(iso_dt,
+                    '^\\d{{4}}-\\d{{2}}-\\d{{2}}[T ]\\d{{2}}:\\d{{2}}:\\d{{2}}(\\.\\d{{1,6}})?(Z|[+-]\\d{{2}}:?\\d{{2}})$')
+                  AND TRY_CAST(replace(iso_dt, 'T', ' ') AS TIMESTAMPTZ)
+                      IS NOT NULL)
+              UNION ALL
+              SELECT 'iso_ndt.iso' FROM corpus
+                WHERE iso_ndt IS NOT NULL AND NOT (
+                  regexp_matches(iso_ndt,
+                    '^\\d{{4}}-\\d{{2}}-\\d{{2}}[T ]\\d{{2}}:\\d{{2}}:\\d{{2}}(\\.\\d{{1,6}})?$')
+                  AND TRY_CAST(replace(iso_ndt, 'T', ' ') AS TIMESTAMP)
+                      IS NOT NULL)
+            ) GROUP BY rule_id
+        """,
+        "tuple_rules": """
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 't.tuple_length' AS rule_id FROM lineitem
+                WHERE ((l_orderkey % 7) + 7) % 7 = 0
+              UNION ALL
+              SELECT 't.0.lte' FROM lineitem
+                WHERE ((l_orderkey % 7) + 7) % 7 != 0
+                  AND l_quantity IS NOT NULL AND NOT (l_quantity <= 45.0)
+              UNION ALL
+              SELECT 't.1.lte' FROM lineitem
+                WHERE ((l_orderkey % 7) + 7) % 7 != 0
+                  AND l_discount IS NOT NULL AND NOT (l_discount <= 0.05)
+              UNION ALL
+              SELECT 't.2.lte' FROM lineitem
+                WHERE ((l_orderkey % 7) + 7) % 7 != 0
+                  AND l_extendedprice IS NOT NULL
+                  AND NOT (l_extendedprice <= 30000.0)
+            ) GROUP BY rule_id
+        """,
+        "intersection_enum_remap": """
+            WITH seeded AS (
+              SELECT c_custkey, c_mktsegment,
+                     CASE WHEN ((c_custkey % 5) + 5) % 5 = 0
+                            THEN substr(c_name, 1, 8)
+                          WHEN ((c_custkey % 7) + 7) % 7 = 0
+                            THEN 'CUSTOMER#' || substr(c_name, 10, 30)
+                          ELSE c_name END AS c_name
+              FROM customer)
+            SELECT key, count(*)::BIGINT AS n FROM (
+              -- intersection branch 1 (min 10); branch 2 halts when 1 fails
+              SELECT 'c_name.gte' AS key FROM seeded
+                WHERE c_name IS NOT NULL AND NOT (length(c_name) >= 10)
+              UNION ALL
+              SELECT 'c_name.starts_with' FROM seeded
+                WHERE c_name IS NOT NULL AND length(c_name) >= 10
+                  AND NOT starts_with(c_name, 'Customer#')
+              UNION ALL
+              SELECT 'seg:' || CASE c_mktsegment
+                       WHEN 'BUILDING' THEN 'bld'
+                       WHEN 'FURNITURE' THEN 'fur'
+                       WHEN 'MACHINERY' THEN 'mach'
+                       WHEN 'AUTOMOBILE' THEN 'auto'
+                       WHEN 'HOUSEHOLD' THEN 'house' END
+              FROM seeded
+            ) GROUP BY key
+        """,
+        "mapkv_props": """
+            WITH seeded AS (
+              SELECT event_id,
+                     CASE WHEN ((event_id % 17) + 17) % 17 = 0 THEN 'x'
+                          ELSE 'k' END AS key,
+                     CASE WHEN ((event_id % 19) + 19) % 19 = 0 THEN 'abc'
+                          ELSE json_extract_string(props, '$.k') END AS val
+              FROM events WHERE props IS NOT NULL)
+            SELECT code, count(*)::BIGINT AS n FROM (
+              SELECT 'not_in_values' AS code FROM seeded WHERE key != 'k'
+              UNION ALL
+              SELECT 'invalid_type' FROM seeded
+                WHERE val IS NOT NULL
+                  AND NOT regexp_matches(val, '^[+-]?\\d+$')
+              UNION ALL
+              SELECT 'less_than_or_equal_to' FROM seeded
+                WHERE val IS NOT NULL AND regexp_matches(val, '^[+-]?\\d+$')
+                  AND NOT (val::BIGINT <= 50)
+            ) GROUP BY code
+        """,
+        "multiple_unique_decimal": """
+            WITH seeded AS (
+              SELECT l_orderkey, l_partkey AS pk,
+                     [((l_partkey % 10) + 10) % 10,
+                      ((l_suppkey % 10) + 10) % 10,
+                      ((l_orderkey % 10) + 10) % 10] AS arr,
+                     CASE WHEN ((l_orderkey % 13) + 13) % 13 = 0 THEN 'n/a'
+                          ELSE (((l_partkey % 10000) + 10000) % 10000)::VARCHAR
+                               || '.' ||
+                               lpad((((l_suppkey % 100) + 100) % 100)::VARCHAR,
+                                    2, '0')
+                     END AS price_str
+              FROM lineitem)
+            SELECT rule_id, n FROM (
+              SELECT 'pk.multiple_of' AS rule_id, count(*)::BIGINT AS n
+              FROM seeded WHERE pk IS NOT NULL AND NOT (pk % 4 = 0)
+              UNION ALL
+              SELECT 'arr.unique_items', count(*)::BIGINT
+              FROM seeded WHERE len(list_distinct(arr)) != len(arr)
+              UNION ALL
+              SELECT 'price_str.type', count(*)::BIGINT
+              FROM seeded WHERE price_str IS NOT NULL
+                AND NOT (regexp_matches(price_str,
+                           '^[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$')
+                         AND TRY_CAST(price_str AS DECIMAL(12,2)) IS NOT NULL)
+              UNION ALL
+              SELECT 'price_sum_x100',
+                     (sum(TRY_CAST(price_str AS DECIMAL(12,2))) * 100)::BIGINT
+              FROM seeded
+            ) WHERE n > 0
         """,
     }

@@ -33,15 +33,18 @@ MODULE_API = {
     "lazy": "lazy", "json": "json", "extend": "extend", "pick": "pick",
     "omit": "omit", "Schema.traverse": "traverse",
     "Form.prepare": "prepare_form",
+    "Struct.enforce_keys": "enforce_keys",
+    "Struct.struct_fields": "struct_fields",
 }
 
 # Zoi refinement/transform/meta function -> Schema method
 SCHEMA_METHODS = [
     "gt", "gte", "lt", "lte", "min", "max", "length", "multiple_of",
     "one_of", "regex", "starts_with", "ends_with", "positive", "negative",
-    "non_negative", "downcase", "upcase", "refine", "transform", "trim",
-    "to_downcase", "to_upcase", "to_struct", "optional", "required",
-    "nullable", "nullish", "with_default", "with_coerce",
+    "non_negative", "downcase", "upcase", "refine", "refine_ctx",
+    "transform", "trim", "to_downcase", "to_upcase", "to_struct",
+    "optional", "required", "nullable", "nullish", "with_default",
+    "with_coerce",
 ]
 
 # BEAM-runtime types with no Spark analogue (documented unsupported)
@@ -72,3 +75,37 @@ def test_to_struct_is_metadata_only():
 def test_coerce_single_node():
     s = z.coerce(z.integer())
     assert s.coerce is True and z.integer().coerce is False
+
+
+def test_struct_enforce_keys_matches_reference_example():
+    """lib/zoi/struct.ex moduledoc example: nullable stays enforced,
+    optional+default drops out; struct_fields sorts defaults last."""
+    s = z.fields({
+        "name": z.string().as_nullable(),
+        "age": z.integer().with_default(0).optional(),
+        "email": z.string(),
+    })
+    assert z.enforce_keys(s) == ["name", "email"]
+    assert z.struct_fields(s) == ["name", "email", ("age", 0)]
+
+
+def test_required_struct_type_not_null_columns():
+    from zoi_spark.struct_keys import required_struct_type
+    s = z.fields({
+        "name": z.string().as_nullable(),
+        "age": z.integer().with_default(0).optional(),
+        "email": z.string(),
+    })
+    st = required_struct_type(s)
+    nullables = {f.name: f.nullable for f in st.fields}
+    # email is enforced+non-nullable+non-defaulted -> NOT NULL;
+    # name is enforced but nullable; age is defaulted
+    assert nullables == {"name": True, "age": True, "email": False}
+
+
+def test_struct_keys_require_fields_schema():
+    import pytest
+    with pytest.raises(ValueError):
+        z.enforce_keys(z.string())
+    with pytest.raises(ValueError):
+        z.struct_fields(z.integer())

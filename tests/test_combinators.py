@@ -239,3 +239,121 @@ def test_coerce_all_traverse(spark):
     c = z.coerce_all(s)
     assert c.params["fields"]["n"].coerce is True
     assert c.params["fields"]["inner"].params["fields"]["m"].coerce is True
+
+
+# --- unrecognized_keys {:preserve, schemas} (key_value.ex:104-129, 186-196) --
+
+def test_unrecognized_preserve_schemas_valid_values(spark):
+    """zoi_test.exs:1653-1668: extra keys validated through
+    map(key_schema, value_schema) and preserved when valid."""
+    schema = z.fields({"name": z.string()},
+                      unrecognized=("preserve", z.any_(), z.integer()))
+    viols, parsed = run(
+        spark, z.fields({"id": z.integer(), "rec": schema}),
+        [(1, ("John", 123, 456))],
+        ddl="id int, rec struct<name string, extra int, another int>")
+    assert viols == []
+    assert parsed[1]["rec"]["extra"] == 123
+    assert parsed[1]["rec"]["another"] == 456
+
+
+def test_unrecognized_preserve_schemas_invalid_value(spark):
+    schema = z.fields({"name": z.string()},
+                      unrecognized=("preserve", z.any_(), z.integer()))
+    viols, _ = run(
+        spark, z.fields({"id": z.integer(), "rec": schema}),
+        [(1, ("John", "not an integer"))],
+        ddl="id int, rec struct<name string, extra string>")
+    assert [(v["code"], tuple(v["path"])) for v in viols] == \
+        [("invalid_type", ("rec", "extra"))]
+
+
+def test_unrecognized_preserve_schemas_key_schema(spark):
+    """zoi_test.exs:1670-1685 analogue: the key schema validates the
+    (static) extra column names — a too-short key fails min(6)."""
+    schema = z.fields({"name": z.string()},
+                      unrecognized=("preserve", z.string(min=6), z.integer()))
+    viols, _ = run(
+        spark, z.fields({"id": z.integer(), "rec": schema}),
+        [(1, ("John", 1, 2))],
+        ddl="id int, rec struct<name string, ok_length int, x int>")
+    assert [(v["code"], tuple(v["path"])) for v in viols] == \
+        [("greater_than_or_equal_to", ("rec", "x"))]
+
+
+def test_unrecognized_mode_validation():
+    with pytest.raises(ValueError):
+        z.fields({"a": z.string()}, unrecognized="bogus")
+    with pytest.raises(ValueError):
+        z.fields({"a": z.string()}, unrecognized=("preserve", z.string()))
+
+
+# --- per-schema empty_values (key_value.ex:82-84) ----------------------------
+
+def test_fields_empty_values_required(spark):
+    """zoi_test.exs:1706-1729: a value in empty_values behaves as
+    MISSING → required error for required fields."""
+    schema = z.fields({"name": z.string(), "age": z.integer()},
+                      empty_values=("",))
+    viols, _ = run(spark, z.fields({"id": z.integer(), "rec": schema}),
+                   [(1, ("", 30)), (2, ("John", 31))],
+                   ddl="id int, rec struct<name string, age int>")
+    assert [(v["id"], v["code"], tuple(v["path"])) for v in viols] == \
+        [(1, "required", ("rec", "name"))]
+
+
+def test_fields_empty_values_default_and_optional(spark):
+    schema = z.fields({
+        "name": z.string().with_default("anon"),
+        "nick": z.string().optional(),
+    }, empty_values=("", "n/a"))
+    viols, parsed = run(spark, z.fields({"id": z.integer(), "rec": schema}),
+                        [(1, ("", "n/a"))],
+                        ddl="id int, rec struct<name string, nick string>")
+    assert viols == []
+    assert parsed[1]["rec"]["name"] == "anon"
+    assert parsed[1]["rec"]["nick"] is None
+
+
+def test_empty_values_type_scoped(spark):
+    """'' entries must not break numeric columns; numeric sentinels
+    apply to numeric columns only."""
+    schema = z.fields({"age": z.integer()}, empty_values=("", -1))
+    viols, parsed = run(spark, z.fields({"id": z.integer(), "rec": schema}),
+                        [(1, (-1,)), (2, (30,))],
+                        ddl="id int, rec struct<age int>")
+    assert [(v["id"], v["code"]) for v in viols] == [(1, "required")]
+    assert parsed[2]["rec"]["age"] == 30
+
+
+# --- context-style refine: multiple errors (lib/zoi.ex:3120-3143) ------------
+
+def test_refine_ctx_multiple_errors_pandas(spark):
+    """zoi_test.exs:4513-4540: one refinement emits several errors."""
+    def check(s):
+        return s.map(lambda v: [] if v is None or len(v) > 5
+                     else ["context error", "another error"])
+
+    schema = z.fields({"id": z.integer(),
+                       "name": z.string().refine_ctx(check)})
+    viols, _ = run(spark, schema, [(1, "hello"), (2, "long enough")],
+                   ddl="id int, name string")
+    assert [(v["id"], v["code"], v["message"]) for v in viols] == \
+        [(1, "custom", "context error"), (1, "custom", "another error")]
+
+
+def test_refine_ctx_expr_engine(spark):
+    from pyspark.sql import functions as F
+
+    def check(col):
+        return F.when(F.length(col) <= 3,
+                      F.array(F.concat(F.lit("too short: "), col),
+                              F.lit("second error"))
+                      ).otherwise(F.array().cast("array<string>"))
+
+    schema = z.fields({"id": z.integer(),
+                       "name": z.string().refine_ctx(check, engine="expr")})
+    viols, _ = run(spark, schema, [(1, "abc"), (2, "abcdef")],
+                   ddl="id int, name string")
+    assert [(v["id"], v["message"]) for v in viols] == \
+        [(1, "too short: abc"), (1, "second error")]

@@ -178,7 +178,7 @@ def test_embedding_ops(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
     # LSH path returns a subset with high precision vs brute force
-    lsh = similarity.lsh_topk(emb, queries, k=5, bits=4)
+    lsh = similarity.lsh_topk(emb, queries, k=5, bits=4, dim=64)
     assert lsh.count() > 0
     exact_top = {(r.query_id, r.vec_id) for r in rows}
     lsh_rows = {(r.query_id, r.vec_id) for r in lsh.collect()}

@@ -37,11 +37,36 @@ from .validate import (  # noqa: F401
 )
 from .errors import treefy_errors, prettify_errors  # noqa: F401
 from .compile import RuleInfo, compile_schema  # noqa: F401
+# NB the `describe` FUNCTION (Zoi.describe/1 parity) shadows the
+# `zoi_spark.describe` submodule attribute; the module stays reachable
+# as `zoi_spark.describe_mod` (and everything it exports is re-exported
+# here anyway).
+from . import describe as describe_mod  # noqa: F401
 from .describe import describe, to_ddl, to_struct_type  # noqa: F401
 from .json_schema import from_json_schema, to_json_schema  # noqa: F401
+from .struct_keys import enforce_keys, struct_fields  # noqa: F401
 
 # Zoi.type_spec/2 analogue: the engine-native "typespec" is the Spark
 # schema — exported as both StructType and DDL string emission.
 type_spec = to_ddl
 
-__version__ = "0.1.0"
+# `object` (Zoi object/2 parity alias) shadows the builtin for
+# star-import users — kept importable explicitly but OUT of __all__.
+__all__ = [
+    "Schema", "Check", "Transform",
+    "string", "integer", "float_", "number", "decimal", "boolean",
+    "string_boolean", "literal", "null", "any_", "atom", "enum", "date",
+    "time", "datetime", "naive_datetime", "array", "list_", "map_set",
+    "tuple_", "fields", "map_", "struct", "keyword", "map_kv", "union",
+    "intersection", "discriminated_union", "lazy", "json", "codec",
+    "email", "uuid", "url", "ipv4", "ipv6", "hex", "base64", "base64url",
+    "jwt", "iso_date", "iso_time", "iso_datetime", "iso_naive_datetime",
+    "extend", "pick", "omit", "traverse", "coerce", "coerce_all",
+    "reverse_codecs", "ParseError", "ValidationResult", "encode", "parse",
+    "prepare_form", "validate", "validate_strict", "treefy_errors",
+    "prettify_errors", "RuleInfo", "compile_schema", "describe",
+    "describe_mod", "to_ddl", "to_struct_type", "from_json_schema",
+    "to_json_schema", "enforce_keys", "struct_fields", "type_spec",
+]
+
+__version__ = "0.2.0"

@@ -268,7 +268,7 @@ def _type_stage(schema: Schema, col: Column, itype: T.DataType
         # Spark has no TimeType: a validated ISO time stays a string
         spec = E.invalid_type("time", error=err)
         if isinstance(itype, T.StringType):
-            ok = col.rlike(regexes.ISO_TIME) if coerce else col.rlike(regexes.ISO_TIME)
+            ok = col.rlike(regexes.ISO_TIME)
             return F.when(ok, col), ok, spec, T.StringType()
         return F.lit(None).cast("string"), FALSE, spec, T.StringType()
 
@@ -486,13 +486,38 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
 
     check_guard = guard & present & F.coalesce(type_ok, F.lit(False))
     value = typed
+    extra_err_arrays: list[Column] = []
+
+    def emit_refine_ctx(chk: Check, current: Column) -> None:
+        """Context-style refine: one rule ordinal, N dynamic-message
+        error cells per row (Zoi Context.add_error, lib/zoi.ex:3120-3143)."""
+        spec = E.custom_error("is invalid")
+        rid = ctx.rule_id(path, "refine_ctx")
+        _ord = ctx.register(rid, spec, path, "refine_ctx", dict(chk.params))
+        fn = chk.params["fn"]
+        if chk.params.get("engine") == "expr":
+            msgs = fn(current)
+        else:
+            udf = F.pandas_udf(fn, T.ArrayType(T.StringType()))
+            msgs = udf(current)
+        cells = F.transform(
+            msgs, lambda m: F.struct(
+                F.lit(_ord).alias("i"),
+                F.lit(None).cast("array<string>").alias("p"),
+                m.alias("m")))
+        extra_err_arrays.append(
+            F.when(check_guard & msgs.isNotNull(), cells)
+            .otherwise(_empty_errors()))
 
     def emit_check(chk: Check, current: Column) -> None:
-        if chk.kind == "refine" and chk.params.get("engine") != "expr" \
-                and not allow_pandas:
+        if chk.kind in ("refine", "refine_ctx") \
+                and chk.params.get("engine") != "expr" and not allow_pandas:
             raise NotImplementedError(
                 "pandas refinements are not supported inside array elements; "
                 "use engine='expr'")
+        if chk.kind == "refine_ctx":
+            emit_refine_ctx(chk, current)
+            return
         pred, spec, dyn_msg = _check_pred_and_spec(schema.kind, chk, current)
         rid = ctx.rule_id(path, chk.kind if chk.kind != "regex"
                           else chk.params.get("format") or "regex")
@@ -520,7 +545,9 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
         # (types/default.ex:16-23)
         value = F.when(present, value).otherwise(F.lit(schema.default))
 
-    return Node(value, _collect(maybe), out_type)
+    return Node(value,
+                _concat_err_arrays([_collect(maybe), *extra_err_arrays]),
+                out_type)
 
 
 def _compile_lazy(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
@@ -568,6 +595,7 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
     declared = schema.params["fields"]
     available = {f.name: f.dataType for f in itype.fields}
     unrecognized_mode = schema.params.get("unrecognized", "strip")
+    empty_values = schema.params.get("empty_values", ())
 
     err_arrays: list[Column] = []
     parsed_fields: list[Column] = []
@@ -578,6 +606,8 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
         child_path = path + (name,)
         if name in available:
             child_col = col.getField(name) if col is not None else F.col(name)
+            child_col = _apply_empty_values(child_col, available[name],
+                                            empty_values)
             node = _wrap_field_node(ctx, child, child_col, available[name],
                                     child_path, field_guard, name, allow_pandas)
             err_arrays.append(node.errors)
@@ -609,9 +639,49 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
             src = col.getField(name) if col is not None else F.col(name)
             parsed_fields.append(src.alias(name))
             out_fields.append(T.StructField(name, available[name], True))
+    elif isinstance(unrecognized_mode, tuple):
+        # validated preserve ({:preserve, schemas},
+        # types/key_value.ex:104-129, 186-196): extra keys parsed through
+        # map(key_schema, value_schema). Keys are static column names in
+        # the columnar model, so the key-schema check compiles against a
+        # literal (Catalyst constant-folds it per rule); a key error
+        # fires for every row that carries a value under that key.
+        _tag, kschema, vschema = unrecognized_mode
+        for name in extra:
+            src = col.getField(name) if col is not None else F.col(name)
+            key_node = compile_node(ctx, kschema, F.lit(name), T.StringType(),
+                                    path + (name,),
+                                    field_guard & src.isNotNull(), allow_pandas)
+            val_node = compile_node(ctx, vschema, src, available[name],
+                                    path + (name,), field_guard, allow_pandas)
+            err_arrays.append(key_node.errors)
+            err_arrays.append(val_node.errors)
+            parsed_fields.append(val_node.value.alias(name))
+            out_fields.append(T.StructField(name, val_node.out_type, True))
 
     value = F.struct(*parsed_fields) if parsed_fields else F.lit(None)
     return Node(value, _concat_err_arrays(err_arrays), T.StructType(out_fields))
+
+
+def _apply_empty_values(col: Column, itype: T.DataType,
+                        empty_values: tuple) -> Column:
+    """Per-schema empty_values (types/key_value.ex:82-84): raw values in
+    the list behave as MISSING — nulled before the required/default/type
+    stages. Only type-compatible literals are compared (an ``""`` entry
+    is meaningless — and un-castable — against a numeric column)."""
+    if not empty_values:
+        return col
+    if isinstance(itype, T.StringType):
+        vals = [v for v in empty_values if isinstance(v, str)]
+    elif isinstance(itype, (T.NumericType,)):
+        vals = [v for v in empty_values
+                if isinstance(v, (int, float)) and not isinstance(v, bool)]
+    else:
+        vals = [v for v in empty_values if not isinstance(v, str)]
+    if not vals:
+        return col
+    return F.when(col.isin(*vals), F.lit(None).cast(itype.simpleString())) \
+        .otherwise(col)
 
 
 def _compile_array(ctx, schema, col, itype, path, guard) -> Node:

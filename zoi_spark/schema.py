@@ -240,6 +240,16 @@ class Schema:
         per-row Python (mirrors Zoi refine/2, lib/zoi.ex:3120-3143)."""
         return self._check("refine", None, fn=fn, engine=engine, message=error)
 
+    def refine_ctx(self, fn: Callable, *, engine: str = "pandas") -> "Schema":
+        """Context-style refine (arity-2 Zoi refine with
+        ``Context.add_error``, lib/zoi.ex:3120-3143, lib/zoi/types/meta.
+        ex:98-165): the function returns, per value, a LIST of error
+        messages (empty/None → valid) so one refinement can emit
+        multiple errors. ``engine='expr'``: fn(Column)->Column
+        array<string>; ``engine='pandas'``: fn(pd.Series)->pd.Series of
+        list[str], vectorized Arrow batch."""
+        return self._check("refine_ctx", None, fn=fn, engine=engine)
+
     def transform(self, fn: Callable, *, engine: str = "expr") -> "Schema":
         """Custom value rewrite, chain-ordered with refinements
         (Zoi transform/2, lib/zoi.ex:3207-3230)."""
@@ -390,15 +400,33 @@ def tuple_(fields: Sequence[Schema], *, error: str | None = None) -> Schema:
 
 
 def fields(field_map: Mapping[str, Schema], *, strict: bool = False,
-           unrecognized: str = "strip", coerce: bool = False,
+           unrecognized: "str | tuple" = "strip", coerce: bool = False,
+           empty_values: Sequence[Any] = (),
            error: str | None = None) -> Schema:
     """Map/struct/keyword with declared fields; required-by-default
-    (types/map.ex:13-29). ``unrecognized`` ∈ {strip, error, preserve}
-    (types/key_value.ex:104-129)."""
+    (types/map.ex:13-29).
+
+    ``unrecognized`` ∈ {strip, error, preserve} or the validated-
+    preserve form ``("preserve", key_schema, value_schema)`` — extra
+    keys are parsed through ``Zoi.map(key_schema, value_schema)`` and
+    preserved when valid (types/key_value.ex:104-129, 186-196).
+
+    ``empty_values``: per-schema list of raw values treated as MISSING
+    (required error / default fill / skip), mirroring
+    types/key_value.ex:82-84; the Form preset is ``("",)``."""
     if strict:
         unrecognized = "error"
+    if isinstance(unrecognized, tuple):
+        if (len(unrecognized) != 3 or unrecognized[0] != "preserve"
+                or not isinstance(unrecognized[1], Schema)
+                or not isinstance(unrecognized[2], Schema)):
+            raise ValueError(
+                "unrecognized= must be 'strip' | 'error' | 'preserve' | "
+                "('preserve', key_schema, value_schema)")
+    elif unrecognized not in ("strip", "error", "preserve"):
+        raise ValueError(f"unknown unrecognized mode: {unrecognized!r}")
     return Schema("fields", fields=dict(field_map), unrecognized=unrecognized,
-                  coerce=coerce, error=error)
+                  empty_values=tuple(empty_values), coerce=coerce, error=error)
 
 
 map_ = fields

@@ -70,9 +70,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
     missed); increase recall with fewer bits or multi-probe. At 10^12
     rows the bucket key also serves as the repartition key so each
     executor sees one bucket range.
+
+    ``dim`` is required: hyperplanes are plan-time literals and the
+    array length is not part of the Spark schema, so inferring it would
+    mean a driver action inside plan construction.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim= (the embedding dimensionality); "
+            "ArrayType carries no length and plan construction must not "
+            "trigger a job to peek at the data")
     planes = hyperplanes(dim, bits, seed)
     c = corpus.withColumn("__bucket",
                           random_hyperplane_bucket(F.col(vec_col), planes))
@@ -98,9 +105,14 @@ def sample_centroids(corpus: DataFrame, *, n_centroids: int = 16,
     the first ``n_centroids`` vectors. One tiny collect on the driver —
     at 10^12 rows you'd sample ~1e-9 of the table the same way (a
     k-means refinement is a drop-in replacement; the IVF plumbing below
-    is unchanged)."""
+    is unchanged).
+
+    The rank hash is md5-of-id (not xxhash64) so the selection rule is
+    expressible in ANSI SQL — the DuckDB oracle re-derives the exact
+    same centroid set; the (md5, id) compound key makes the order total.
+    """
     rows = (corpus.select(corpus_id, vec_col)
-            .orderBy(F.xxhash64(F.col(corpus_id)))
+            .orderBy(F.md5(F.col(corpus_id).cast("string")), F.col(corpus_id))
             .limit(n_centroids).collect())
     return [list(map(float, r[1])) for r in rows]
 
@@ -118,8 +130,11 @@ def _centroid_scores(vec: Column, cents: list[list[float]]) -> list[Column]:
 
 def nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
     """argmax-dot centroid index as a pure expression chain (first
-    index wins ties — deterministic)."""
-    scores = _centroid_scores(vec, cents)
+    index wins ties — deterministic). Scores are rounded to 9 decimals
+    before comparison — same grid as :func:`top_centroids` — so an
+    engine computing the dot in a different fold order (the SQL oracle)
+    lands on the identical argmax."""
+    scores = [F.round(s, 9) for s in _centroid_scores(vec, cents)]
     best = None
     mx = F.greatest(*scores) if len(scores) > 1 else scores[0]
     for i, s in enumerate(scores):
@@ -195,13 +210,18 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame, *,
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
                 mask = ids != qid
-                cand_ids, cand = ids[mask], col[mask]
+                # round BEFORE selection and break boundary ties by id —
+                # the global re-rank orders by (rounded cosine desc, id
+                # asc), so batch selection must keep exactly the rows
+                # that ordering would keep (an argpartition on raw
+                # cosines can drop the deterministic winner of a tie)
+                cand_ids, cand = ids[mask], np.round(col[mask], 6)
                 if len(cand) > k:
-                    part = np.argpartition(-cand, k)[:k]
-                    cand_ids, cand = cand_ids[part], cand[part]
+                    order = np.lexsort((cand_ids, -cand))[:k]
+                    cand_ids, cand = cand_ids[order], cand[order]
                 yield pd.DataFrame({query_id: qid,
                                     corpus_id: cand_ids.astype("int64"),
-                                    "cosine": np.round(cand, 6)})
+                                    "cosine": cand})
 
     scored = corpus.select(corpus_id, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),

@@ -139,7 +139,7 @@ def _bucket_expr(col, lo: float, hi: float, buckets: int):
 
 def column_stats(df: DataFrame, columns: Sequence[str] | None = None,
                  histograms: Sequence[HistogramSpec] = (),
-                 hll_rsd: float = 0.05) -> DataFrame:
+                 hll_rsd: float = 0.05, exact_distinct: bool = False) -> DataFrame:
     """ONE aggregation over all requested columns: per column null
     count, approx distinct (HyperLogLog sketch), min, max, and string
     avg-length — plus bucketed histograms as count-map columns.
@@ -148,6 +148,10 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None,
     (map-side combine) per partition, one tiny final reduce — instead of
     one job per rule. At 100 TB the input scan dominates; everything
     here rides a single scan.
+
+    ``exact_distinct=True`` additionally emits ``{c}__distinct_exact``
+    (a real COUNT DISTINCT — an extra expand at scale, intended for
+    verification runs that cross-check the HLL sketch error bound).
     """
     columns = list(columns or df.columns)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -155,6 +159,8 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None,
         dt = dict(df.dtypes)[c]
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
         aggs.append(F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{c}__distinct"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(c).alias(f"{c}__distinct_exact"))
         if dt not in ("binary",):
             aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
