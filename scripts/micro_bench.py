@@ -156,9 +156,31 @@ def main() -> None:
         "array_of_structs_10": dps(arr_of_struct, structs),
     }
 
+    # -- dedup hashing (r2: SimHash is pure Column; MinHash hashes each
+    # shingle once) — docs/sec through the signature computation only
+    from zoi_spark import dedup, text as ztext
+
+    def dps_df(df) -> int:
+        sec = timed(df)
+        return round(N_ROWS / sec) if sec > 0 else 0
+
+    docs = web.select("row_id", "text")
+    dedup_suite = {
+        "simhash_xxhash64": dps_df(
+            dedup.with_simhash(docs).select("row_id", "__simhash")),
+        "simhash_md5": dps_df(
+            dedup.with_simhash(docs, hash="md5").select("row_id", "__simhash")),
+        "minhash_64": dps_df(
+            dedup.with_minhash(docs).select("row_id", "__minhash")),
+        "fingerprint_md5": dps_df(
+            docs.select("row_id",
+                        ztext.fingerprint(F.col("text")).alias("fp"))),
+    }
+
     web.unpersist()
     out = {"n_rows": N_ROWS, "cpus": CPUS, "unit": "validated docs/sec",
-           "primitives": primitives, "complex": complex_suite}
+           "primitives": primitives, "complex": complex_suite,
+           "dedup": dedup_suite}
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/micro.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -44,7 +44,7 @@ SCHEMA_METHODS = [
     "non_negative", "downcase", "upcase", "refine", "refine_ctx",
     "transform", "trim", "to_downcase", "to_upcase", "to_struct",
     "optional", "required", "nullable", "nullish", "with_default",
-    "with_coerce",
+    "with_coerce", "deprecated",
 ]
 
 # BEAM-runtime types with no Spark analogue (documented unsupported)
@@ -109,3 +109,19 @@ def test_struct_keys_require_fields_schema():
         z.enforce_keys(z.string())
     with pytest.raises(ValueError):
         z.struct_fields(z.integer())
+
+
+def test_deprecated_warns_once_on_validate(spark):
+    """lib/zoi/context.ex:50-63: parsing a deprecated schema warns;
+    table-scale collapses per-value IO.warn to once per run."""
+    import warnings
+    schema = z.fields({
+        "id": z.integer(),
+        "old": z.string().deprecated("use new_field"),
+    })
+    df = spark.createDataFrame([(1, "x")], "id int, old string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        z.validate(df, schema, id_cols=["id"])
+    msgs = [str(x.message) for x in w if x.category is DeprecationWarning]
+    assert msgs == ["old is deprecated: use new_field"]

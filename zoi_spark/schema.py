@@ -175,6 +175,15 @@ class Schema:
         new.metadata.update(kv)
         return new
 
+    def deprecated(self, message: str = "") -> "Schema":
+        """Mark the schema deprecated; validate() warns ONCE per field
+        at compile time (the per-value ``IO.warn`` of
+        lib/zoi/context.ex:50-63 would be per-row noise over a table —
+        one driver-side warning per run carries the same signal)."""
+        new = self._clone()
+        new.metadata = {**new.metadata, "deprecated": message or "deprecated"}
+        return new
+
     # -- comparison refinements (lib/zoi.ex:2592-2890) ----------------------
 
     def gte(self, value: Any, *, error: str | None = None) -> "Schema":

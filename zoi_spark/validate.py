@@ -130,6 +130,7 @@ def validate(df: DataFrame, schema: Schema,
     fail-fast — matching ``lib/zoi/validations.ex:10-28`` (only union /
     intersection / default short-circuit, by spec).
     """
+    _warn_deprecated(schema)
     compiled = compile_schema(schema, df.schema)
     id_cols = tuple(id_cols) or tuple(df.columns[:1])
     # chain withColumn so `valid` references the materialized error
@@ -140,6 +141,25 @@ def validate(df: DataFrame, schema: Schema,
         .withColumn("__zoi_parsed", compiled.parsed_col)
     )
     return ValidationResult(annotated, compiled, id_cols)
+
+
+def _warn_deprecated(schema: Schema) -> None:
+    """One driver-side DeprecationWarning per deprecated schema node
+    (``maybe_warn_deprecated``, lib/zoi/context.ex:50-63 — per-value
+    IO.warn collapses to once-per-run over a table)."""
+    import warnings
+
+    from .schema import traverse
+
+    def visit(s: Schema, path: tuple) -> Schema:
+        msg = s.metadata.get("deprecated")
+        if msg:
+            field = ".".join(str(p) for p in path) or "schema"
+            warnings.warn(f"{field} is deprecated: {msg}",
+                          DeprecationWarning, stacklevel=3)
+        return s
+
+    traverse(schema, visit)
 
 
 # aliases mirroring the reference's API surface
