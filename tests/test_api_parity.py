@@ -35,6 +35,10 @@ MODULE_API = {
     "Form.prepare": "prepare_form",
     "Struct.enforce_keys": "enforce_keys",
     "Struct.struct_fields": "struct_fields",
+    "ISO.to_date_struct": "to_date_struct",
+    "ISO.to_time_struct": "to_time_struct",
+    "ISO.to_datetime_struct": "to_datetime_struct",
+    "ISO.to_naive_datetime_struct": "to_naive_datetime_struct",
 }
 
 # Zoi refinement/transform/meta function -> Schema method

@@ -229,3 +229,29 @@ def test_codec_date_string(spark):
     assert bad == {2}
     parsed = {r.id: r.v for r in res.parsed.collect()}
     assert parsed[1] == dt.date(2024, 6, 15)
+
+
+def test_iso_to_struct_transforms(spark):
+    """Zoi.ISO.to_*_struct (lib/zoi/iso.ex:148-196): validated ISO
+    strings convert to native Date/Timestamp values, chain-ordered
+    after the format check."""
+    import datetime
+    import zoi_spark as z
+
+    schema = z.fields({
+        "id": z.integer(),
+        "d": z.to_date_struct(z.iso_date()),
+        "dt": z.to_naive_datetime_struct(z.iso_naive_datetime()),
+        "t": z.to_time_struct(z.iso_time()),
+    })
+    df = spark.createDataFrame(
+        [(1, "2024-01-15", "2024-01-15T10:30:00", "10:30:00"),
+         (2, "not-a-date", "2024-01-15 10:30:00", "10:30:00.5")],
+        "id int, d string, dt string, t string")
+    res = __import__("zoi_spark").validate(df, schema, id_cols=["id"])
+    parsed = {r.id: r for r in res.parsed.collect()}
+    assert parsed[1].d == datetime.date(2024, 1, 15)
+    assert parsed[1].dt == datetime.datetime(2024, 1, 15, 10, 30)
+    assert parsed[1].t == "10:30:00"
+    viols = [(v.id, v.rule_id) for v in res.violations.collect()]
+    assert (2, "d.iso") in viols

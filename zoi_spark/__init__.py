@@ -28,6 +28,8 @@ from .schema import (  # noqa: F401
     union, intersection, discriminated_union, lazy, json, codec,
     email, uuid, url, ipv4, ipv6, hex, base64, base64url, jwt,
     iso_date, iso_time, iso_datetime, iso_naive_datetime,
+    to_date_struct, to_datetime_struct, to_naive_datetime_struct,
+    to_time_struct,
     extend, pick, omit, traverse, coerce, coerce_all, reverse_codecs,
     object,
 )
@@ -61,6 +63,8 @@ __all__ = [
     "intersection", "discriminated_union", "lazy", "json", "codec",
     "email", "uuid", "url", "ipv4", "ipv6", "hex", "base64", "base64url",
     "jwt", "iso_date", "iso_time", "iso_datetime", "iso_naive_datetime",
+    "to_date_struct", "to_datetime_struct", "to_naive_datetime_struct",
+    "to_time_struct",
     "extend", "pick", "omit", "traverse", "coerce", "coerce_all",
     "reverse_codecs", "ParseError", "ValidationResult", "encode", "parse",
     "prepare_form", "validate", "validate_strict", "treefy_errors",

@@ -394,8 +394,11 @@ def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
     # frame rides along on the result as ``_zoi_persisted`` and
     # :func:`unpersist_candidates` releases it once the pairs have been
     # consumed (materialize → write/collect → unpersist).
+    # explode_OUTER (band_arr is never empty, but a plain explode makes
+    # InferFiltersFromGenerate add a size()>0 probe filter that would
+    # re-inline the banding expression below the Generate)
     buckets = (sig_df
-               .withColumn("__band", F.explode(band_arr))
+               .withColumn("__band", F.explode_outer(band_arr))
                .select(id_col, F.col("__band.band").alias("band"),
                        F.col("__band.bucket").alias("bucket"))
                .persist())

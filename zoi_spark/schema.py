@@ -575,6 +575,48 @@ def iso_naive_datetime(*, error: str | None = None) -> Schema:
     return string()._check("iso", error, which="naive_datetime")
 
 
+# -- ISO string → native struct transforms (lib/zoi/iso.ex:148-196) ----------
+
+def to_date_struct(schema: Schema) -> Schema:
+    """Append the ISO-string→Date conversion (``Zoi.ISO.to_date_struct``,
+    lib/zoi/iso.ex:162-169) — chain-ordered after the format check.
+    try_-variants throughout: transforms also evaluate on rows whose
+    format check failed (errors collected, value null), and ANSI casts
+    must classify, never abort."""
+    from pyspark.sql import functions as F
+    return schema.transform(
+        lambda c: F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"))
+
+
+def to_datetime_struct(schema: Schema) -> Schema:
+    """ISO string → timestamp (``Zoi.ISO.to_datetime_struct``,
+    lib/zoi/iso.ex:176-183)."""
+    from pyspark.sql import functions as F
+    return schema.transform(
+        lambda c: F.try_to_timestamp(F.replace(c, F.lit("T"), F.lit(" "))))
+
+
+def to_naive_datetime_struct(schema: Schema) -> Schema:
+    """ISO string → TIMESTAMP_NTZ (``Zoi.ISO.to_naive_datetime_struct``,
+    lib/zoi/iso.ex:190-196)."""
+    from pyspark.sql import functions as F
+    return schema.transform(
+        lambda c: F.try_to_timestamp(F.replace(c, F.lit("T"), F.lit(" ")))
+        .cast("timestamp_ntz"))
+
+
+def to_time_struct(schema: Schema) -> Schema:
+    """``Zoi.ISO.to_time_struct`` (lib/zoi/iso.ex:148-155). Spark has no
+    TimeType: the validated time string is normalized (fraction
+    stripped) and KEPT a string — documented delta vs the reference's
+    %Time{} struct."""
+    from pyspark.sql import functions as F
+    return schema.transform(
+        lambda c: F.date_format(
+            F.try_to_timestamp(F.concat(F.lit("1970-01-01 "), c)),
+            "HH:mm:ss"))
+
+
 # ---------------------------------------------------------------------------
 # schema algebra (lib/zoi.ex:1658-1684, lib/zoi/schema.ex:70-238)
 # ---------------------------------------------------------------------------

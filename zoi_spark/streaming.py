@@ -45,7 +45,10 @@ def stream_violations(sdf: DataFrame, schema: Schema,
     compiled = compile_schema(schema, sdf.schema)
     ann = sdf.withColumn("__zoi_errors", compiled.errors_col)
     meta = F.broadcast(rules_meta_df(sdf.sparkSession, compiled.rules))
-    exploded = ann.select(*id_cols, F.explode("__zoi_errors").alias("e"))
+    # explode_OUTER: a plain explode makes InferFiltersFromGenerate
+    # inject a size()>0 filter that re-inlines the whole rule expression
+    # (see ValidationResult.violations); null e rows drop in the join
+    exploded = ann.select(*id_cols, F.explode_outer("__zoi_errors").alias("e"))
     return (exploded.join(meta, F.col("e.i") == meta["i"])
             .select(*id_cols, "rule_id", "code",
                     F.coalesce(F.col("e.m"), F.col("__static_message"))
@@ -62,8 +65,10 @@ def windowed_violation_counts(sdf: DataFrame, schema: Schema, *,
     compiled = compile_schema(schema, sdf.schema)
     ann = sdf.withColumn("__zoi_errors", compiled.errors_col)
     exploded = (ann.withWatermark(ts_col, watermark)
-                .select(F.col(ts_col), F.explode("__zoi_errors").alias("e")))
+                .select(F.col(ts_col),
+                        F.explode_outer("__zoi_errors").alias("e")))
     counts = (exploded
+              .where(F.col("e").isNotNull())
               .groupBy(F.window(F.col(ts_col), window).alias("w"),
                        F.col("e.i").alias("i"))
               .agg(F.count("*").alias("n_violations")))

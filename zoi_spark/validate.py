@@ -71,10 +71,16 @@ class ValidationResult:
         scale the per-row violation state stays a few bytes and the
         constant strings are never materialized per row.
 
-        No where(~valid): a non-outer explode already drops rows with
-        an empty error array, and the extra Filter would re-inline the
-        whole rule expression tree a second time (CollapseProject)."""
-        err = F.explode(F.col("__zoi_errors")).alias("e")
+        explode_OUTER, deliberately: for a plain (non-outer) explode the
+        optimizer's InferFiltersFromGenerate rule injects a
+        ``size(errors) > 0`` filter below the Generate, and predicate
+        pushdown then re-inlines the ENTIRE rule expression into that
+        Filter — every rule (and any expensive input like a JSON probe)
+        evaluated a second time per row (measured 5× on the violations
+        path). With outer explode no filter is inferred; rows with an
+        empty error array surface as a null ``e`` and are dropped for
+        free by the inner broadcast join below."""
+        err = F.explode_outer(F.col("__zoi_errors")).alias("e")
         exploded = self.annotated.select(*self.id_cols, err)
         meta = F.broadcast(rules_meta_df(self.annotated.sparkSession,
                                          self.compiled.rules))
