@@ -89,6 +89,23 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+# queries added in r2 — timed and reported separately so the headline
+# total stays composition-comparable with BENCH_r01
+R2_NAMES = [
+    "simhash_pairs", "lsh_ann_topk", "ivf_ann_topk", "ann_topk_arrow",
+    "format_validators", "tuple_rules", "intersection_enum_remap",
+    "mapkv_props", "multiple_unique_decimal",
+]
+
+
+def bench_r2_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    return {name: round(_run(qs[name](spark, sf_dir)), 3)
+            for name in R2_NAMES}
+
+
 def bench_webtext_ruleset(spark, n_rows: int) -> tuple[float, float]:
     """The north-rule metric: full rule-set pass over the webtext
     shape; returns (seconds, docs/sec). Input is materialized (cached +
@@ -111,6 +128,7 @@ def main() -> None:
     queries = bench_queries(spark, SF_DIR)
     wt_sec, docs_per_sec = bench_webtext_ruleset(spark, WEBTEXT_ROWS)
     queries["webtext_full_ruleset"] = round(wt_sec, 3)
+    r2_queries = bench_r2_queries(spark, SF_DIR)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -118,6 +136,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # r2 additions, reported but NOT in `value` so the headline
+        # total compares like-for-like against BENCH_r01
+        "queries_added_r2": r2_queries,
+        "total_incl_r2_additions_sec": round(
+            total + sum(r2_queries.values()), 3),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "webtext_rows": WEBTEXT_ROWS,
         "webtext_docs_per_sec": round(docs_per_sec),

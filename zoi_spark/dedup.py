@@ -570,15 +570,24 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
 
     Blocking: equal high ``prefix_bits`` → equi-join per block (docs
     differing within the prefix are missed — standard simhash
-    multi-table trade-off; raise coverage by unioning rotations)."""
+    multi-table trade-off; raise coverage by unioning rotations).
+
+    The tiny (id, simhash, block) projection is persisted for the
+    self-join — both sides would otherwise recompute the hashing pass
+    over the full text. Same lifecycle contract as
+    :func:`minhash_lsh_candidates`: release with
+    :func:`unpersist_candidates` after materializing."""
     sim_df = with_simhash(df.select(id_col, text_col), text_col=text_col,
                           hash=hash, engine=engine)
-    blocked = sim_df.withColumn(
-        "__block",
-        F.shiftrightunsigned(F.col("__simhash"), SIMHASH_BITS - prefix_bits))
+    blocked = (sim_df
+               .select(id_col, "__simhash",
+                       F.shiftrightunsigned(
+                           F.col("__simhash"),
+                           SIMHASH_BITS - prefix_bits).alias("__block"))
+               .persist())
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.__simhash").bitwiseXOR(F.col("b.__simhash")))
-    return (
+    out = (
         a.join(b, "__block")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"),
@@ -586,6 +595,8 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
                 ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+    out._zoi_persisted = blocked
+    return out
 
 
 # ---------------------------------------------------------------------------
