@@ -516,6 +516,29 @@ def q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5, bits=4, dim=64)
 
 
+def q_lsh_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (own bucket + every single-bit flip) — the
+    recall knob over q_lsh_ann_topk; the oracle derives the same probe
+    set with xor over the inlined-plane buckets."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.lsh_topk_multiprobe(emb, queries, k=5, bits=4, dim=64)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: LSH-verified pairs at J ≥ 0.8 →
+    connected components via min-label propagation
+    (dedup.duplicate_clusters) → (doc_id, cluster_id = min id of the
+    component). Pairs alone are not a dedup verdict — A≈B≈C must
+    collapse to one kept doc even when A≉C; the oracle computes the
+    same transitive closure with a recursive CTE over the all-pairs
+    exact-Jaccard answer."""
+    pairs = dedup.minhash_dedup_pairs(_dup_docs(spark, sf_dir),
+                                      threshold=0.8, num_hashes=64, bands=16)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_stats_hll(spark, sf_dir):
     """HLL-sketch flavor of the fused stats pass. The sketch estimate
     itself has no deterministic SQL twin, so the query emits the exact
@@ -795,6 +818,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "stats_hll": q_stats_hll,
+        "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
+        "dedup_clusters": q_dedup_clusters,
         "format_validators": q_format_validators,
         "tuple_rules": q_tuple_rules,
         "intersection_enum_remap": q_intersection_enum_remap,
@@ -875,21 +900,33 @@ def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
 
 
-def _lsh_ann_sql(k: int = 5, bits: int = 4, dim: int = 64, seed: int = 42) -> str:
+def _lsh_ann_sql(k: int = 5, bits: int = 4, dim: int = 64, seed: int = 42,
+                 multiprobe: bool = False) -> str:
     """Re-derive the random-hyperplane buckets with the SAME seeded
     literals the Spark plan inlines (similarity.hyperplanes), then rank
-    within buckets — full SQL parity with similarity.lsh_topk."""
+    within buckets — full SQL parity with similarity.lsh_topk /
+    lsh_topk_multiprobe (probe set = own bucket + single-bit flips)."""
     planes = similarity.hyperplanes(dim, bits, seed)
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes))
+    if multiprobe:
+        probe_list = ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(bits)])
+        q_cte = f"""
+        q0 AS (SELECT vec_id AS query_id, v AS qv, bucket
+               FROM bk WHERE vec_id < 3),
+        q AS (SELECT query_id, qv,
+                     unnest([{probe_list}]) AS bucket FROM q0),"""
+    else:
+        q_cte = """
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM bk WHERE vec_id < 3),"""
     return f"""
         WITH c AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        bk AS (SELECT vec_id, v, ({bucket}) AS bucket FROM c),
-        q AS (SELECT vec_id AS query_id, v AS qv, bucket
-              FROM bk WHERE vec_id < 3),
+        bk AS (SELECT vec_id, v, ({bucket}) AS bucket FROM c),{q_cte}
         scored AS (
           SELECT q.query_id, bk.vec_id,
                  round(list_cosine_similarity(bk.v, q.qv), 6) AS cosine
@@ -901,6 +938,25 @@ def _lsh_ann_sql(k: int = 5, bits: int = 4, dim: int = 64, seed: int = 42) -> st
           FROM scored)
         SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _dedup_clusters_sql(threshold: float = 0.8) -> str:
+    """Transitive closure of the all-pairs Jaccard graph: per-node
+    reachability via a recursive CTE, cluster id = min reachable node
+    — the deterministic twin of min-label propagation."""
+    return f"""
+        WITH RECURSIVE jpairs AS ({_jaccard_pairs_sql(threshold)}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM jpairs
+          UNION
+          SELECT id_b, id_a FROM jpairs),
+        reach AS (
+          SELECT a AS src, a AS node FROM edges
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+        SELECT src AS doc_id, min(node) AS cluster_id
+        FROM reach GROUP BY src
     """
 
 
@@ -1079,6 +1135,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _jaccard_pairs_sql(0.8),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3, prefix_bits=16),
         "lsh_ann_topk": _lsh_ann_sql(k=5, bits=4, dim=64, seed=42),
+        "lsh_ann_multiprobe": _lsh_ann_sql(k=5, bits=4, dim=64, seed=42,
+                                           multiprobe=True),
+        "dedup_clusters": _dedup_clusters_sql(0.8),
         "ivf_ann_topk": _ivf_ann_sql(k=5, n_centroids=8, nprobe=4),
         "ann_cosine_topk": """
             WITH q AS (

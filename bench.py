@@ -92,9 +92,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 # queries added in r2 — timed and reported separately so the headline
 # total stays composition-comparable with BENCH_r01
 R2_NAMES = [
-    "simhash_pairs", "lsh_ann_topk", "ivf_ann_topk", "ann_topk_arrow",
-    "format_validators", "tuple_rules", "intersection_enum_remap",
-    "mapkv_props", "multiple_unique_decimal",
+    "simhash_pairs", "lsh_ann_topk", "lsh_ann_multiprobe", "ivf_ann_topk",
+    "ann_topk_arrow", "dedup_clusters", "format_validators", "tuple_rules",
+    "intersection_enum_remap", "mapkv_props", "multiple_unique_decimal",
 ]
 
 

@@ -273,3 +273,30 @@ def test_arrow_topk_matches_jvm_brute_force(spark, sf_dir):
     ar = sorted((r.query_id, r.vec_id, r.rank, round(r.cosine, 5))
                 for r in arrow.collect())
     assert jr == ar
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A≈B and B≈C collapse into one cluster even with no A-C pair;
+    cluster_id = min member id; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_lsh_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r.query_id, r.vec_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    single = {(r.query_id, r.vec_id)
+              for r in similarity.lsh_topk(emb, queries, k=5, bits=4,
+                                           dim=64).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in similarity.lsh_topk_multiprobe(emb, queries, k=5,
+                                                     bits=4, dim=64).collect()}
+    assert len(multi & exact) >= len(single & exact)

@@ -600,6 +600,57 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in ``pairs`` — connected
+    components with cluster_id = the component's minimum doc id (the
+    keep-one-per-cluster contract composes as
+    ``clusters.where(doc_id != cluster_id)`` = the drop list).
+
+    Near-dup PAIRS are not a dedup verdict: A≈B and B≈C must collapse
+    to one kept document even when A≉C, which needs the transitive
+    closure. Min-label propagation: every node starts labeled with its
+    own id; each round joins labels across edges and keeps the minimum;
+    converges in O(component diameter) rounds — near-dup components are
+    shallow (stars around a template), so a handful of rounds suffice
+    at any scale. Each round is one equi-join + one groupBy min over
+    the EDGE list (size = number of near-dup pairs, ≪ corpus);
+    convergence is checked with a cheap count per round (driver-side
+    loop over a handful of tiny jobs, not over rows).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionAll(pairs.select(F.col(id_b).alias("src"),
+                                    F.col(id_a).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .select("id", F.col("id").alias("label")))
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src").agg(F.min("label").alias("nb_label")))
+        new_labels = (labels.join(prop, labels["id"] == prop["src"], "left")
+                      .select(labels["id"],
+                              F.least("label", F.coalesce("nb_label", "label"))
+                              .alias("label"))
+                      .persist())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "id")
+                   .where(F.col("label") != F.col("old")).limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("cluster_id"))
+    out._zoi_persisted = labels
+    return out
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,43 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, *,
+                        k: int = 10, bits: int = 8, dim: int | None = None,
+                        corpus_id: str = "vec_id", query_id: str = "query_id",
+                        vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    single-bit-flip neighbor (1 + bits buckets) — the standard recall
+    knob for hyperplane LSH (a near neighbor across one hyperplane is
+    recovered by flipping that plane's bit) at (1+bits)/2^bits of the
+    corpus per query instead of 1/2^bits. Corpus vectors live in
+    exactly one bucket, probe buckets are distinct, so candidates never
+    duplicate and no distinct pass is needed. Same cost model as
+    :func:`lsh_topk` otherwise: bucketing is pure expressions, the
+    probe is an equi-join on the bucket key.
+    """
+    if dim is None:
+        raise ValueError("lsh_topk_multiprobe requires dim= "
+                         "(see lsh_topk)")
+    planes = hyperplanes(dim, bits, seed)
+    c = corpus.withColumn("__bucket",
+                          random_hyperplane_bucket(F.col(vec_col), planes))
+    qb = random_hyperplane_bucket(F.col("__qvec"), planes)
+    probe_arr = F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i))
+                              for i in range(bits)])
+    q = F.broadcast(
+        queries
+        .select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+        .withColumn("__bucket", F.explode_outer(probe_arr)))
+    sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
+    scored = (c.join(q, "__bucket")
+              .where(F.col(corpus_id) != F.col(query_id))
+              .select(query_id, corpus_id, F.round(sim, 6).alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def sample_centroids(corpus: DataFrame, *, n_centroids: int = 16,
                      corpus_id: str = "vec_id",
                      vec_col: str = "embedding") -> list[list[float]]:
