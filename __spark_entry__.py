@@ -257,11 +257,14 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_text_token_stats(spark, sf_dir):
-    """Per-lang token statistics via the text-analysis expressions."""
+    """Per-lang token statistics: whitespace tokens AND BPE-ish
+    pre-token runs (text.bpe_ish_token_count — letter/digit/punct runs,
+    the GPT-2-style pre-tokenizer proxy)."""
     d = _read(spark, sf_dir, "documents")
     return (d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+        F.sum(text.bpe_ish_token_count(F.col("text"))).alias("n_bpe_tokens"),
         F.round(F.avg(text.avg_token_length(F.col("text"))), 6)
         .alias("avg_tok_len")))
 
@@ -1180,6 +1183,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END
                    )::BIGINT AS n_tokens,
+                   sum(len(regexp_extract_all(coalesce(text, ''),
+                       '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')))::BIGINT
+                     AS n_bpe_tokens,
                    round(avg(CASE
                      WHEN length(trim(text)) = 0
                           OR len(string_split_regex(trim(text), '\\s+')) = 0

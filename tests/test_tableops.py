@@ -300,3 +300,16 @@ def test_lsh_multiprobe_recall_at_least_single_probe(spark, sf_dir):
              for r in similarity.lsh_topk_multiprobe(emb, queries, k=5,
                                                      bits=4, dim=64).collect()}
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_bpe_ish_token_count(spark):
+    """Letter/digit/punct runs, GPT-2-pre-tokenizer style: punctuation
+    and digits count even without surrounding whitespace."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "foo123bar!!"), (3, ""), (4, None),
+         (5, "naïve café, 42€")],
+        "id int, text string")
+    got = {r.id: r.n for r in df.select(
+        "id", text.bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    # foo|123|bar|!! ; naïve|café|,|42|€
+    assert got == {1: 2, 2: 4, 3: 0, 4: 0, 5: 5}

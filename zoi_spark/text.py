@@ -37,6 +37,25 @@ def char_count(col: Column) -> Column:
     return F.length(col).cast("long")
 
 
+# BPE-ish pre-tokenization classes (the GPT-2-family pre-tokenizer
+# splits on letter runs / digit runs / punctuation runs / whitespace);
+# counting these runs approximates subword-token counts far better than
+# whitespace words on code- or punctuation-heavy text. RE2-compatible
+# (no lookahead) so the SQL oracle evaluates the identical pattern.
+BPE_ISH_TOKEN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter runs, digit runs,
+    punctuation runs) — pure expression via regexp_extract_all, no
+    explode, no UDF. A deterministic training-budget proxy where true
+    BPE counts would need the tokenizer model."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")),
+                                    F.lit(BPE_ISH_TOKEN), F.lit(0))),
+        F.lit(0)).cast("long")
+
+
 def avg_token_length(col: Column) -> Column:
     """Mean token length = non-space chars / tokens (cheap, no explode)."""
     t = F.trim(col)
