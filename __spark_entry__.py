@@ -287,6 +287,23 @@ def q_fingerprints(spark, sf_dir):
                     text.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) local fingerprints — per-doc summary of
+    the selected k-gram hash set (count/min/max/sum are order-free and
+    hash-compare cleanly; the full arrays back dedup joins). The oracle
+    recomputes the identical polynomial over unicode codepoints and the
+    identical window minima in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    fp = text.winnowing_fingerprints(F.col("text"), k=5, w=8)
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+        F.aggregate(fp, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("fp_sum"))
+
+
 def q_documents_flagship(spark, sf_dir):
     res = z.validate(_read(spark, sf_dir, "documents"), documents_schema(),
                      id_cols=["doc_id"])
@@ -412,6 +429,23 @@ def q_embedding_near_dups(spark, sf_dir):
     return dedup.embedding_near_dups(emb, id_col="vec_id",
                                      vec_col="embedding",
                                      threshold=0.35, block_col="label")
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """The documented 100 TB path for embedding near-dup when no
+    natural block column exists: block on a seeded random-hyperplane
+    bucket (similarity.random_hyperplane_bucket) so the pair join is an
+    equi-join on the bucket key — candidates ~ n²/2^bits instead of n².
+    Same inlined-plane constants as the ANN queries, so the oracle
+    re-derives the buckets in SQL."""
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = similarity.hyperplanes(64, 4, seed=42)
+    bucketed = emb.withColumn(
+        "__bucket",
+        similarity.random_hyperplane_bucket(F.col("embedding"), planes))
+    return dedup.embedding_near_dups(bucketed, id_col="vec_id",
+                                     vec_col="embedding",
+                                     threshold=0.35, block_col="__bucket")
 
 
 def q_array_rules_embeddings(spark, sf_dir):
@@ -803,6 +837,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_quality_buckets": q_text_quality_buckets,
         "text_lang_id": q_text_lang_id,
         "fingerprints": q_fingerprints,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "documents_flagship": q_documents_flagship,
         "disc_union_events": q_disc_union_events,
         "union_mixed_ts": q_union_mixed_ts,
@@ -811,6 +846,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stats_by_source": q_stats_by_source,
         "drift_len_kl": q_drift_len_kl,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "array_rules_embeddings": q_array_rules_embeddings,
         "exact_dedup_keepfirst": q_exact_dedup_keepfirst,
         "ann_topk_arrow": q_ann_topk_arrow,
@@ -941,6 +977,81 @@ def _lsh_ann_sql(k: int = 5, bits: int = 4, dim: int = 64, seed: int = 42,
           FROM scored)
         SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _winnowing_sql(k: int = 5, w: int = 8) -> str:
+    """Re-derive the winnowing fingerprint summary in SQL: the same
+    polynomial rolling hash over unicode codepoints (generated k-term
+    sum, text.WINNOW_BASE/MOD constants) and the same sliding-window
+    minima + distinct."""
+    B, M = text.WINNOW_BASE, text.WINNOW_MOD
+    gram = " + ".join(
+        f"unicode(substr(s, i + {j}, 1))::BIGINT * {pow(B, k - 1 - j, M)}"
+        for j in range(k))
+    # len < k: whole text hashed with the last `len` powers — modular
+    # powers enumerated per concrete length (float power() would lose
+    # integer precision past 2^53)
+    short = " ".join(
+        "WHEN length(s) = {L} THEN [({terms}) % {M}]".format(
+            L=L, M=M,
+            terms=" + ".join(
+                f"unicode(substr(s, {j} + 1, 1))::BIGINT * {pow(B, L - 1 - j, M)}"
+                for j in range(L)))
+        for L in range(1, k))
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {_NORM_SQL} AS s
+          FROM documents),
+        hashed AS (
+          SELECT doc_id, s,
+                 CASE
+                   WHEN length(s) = 0 THEN []
+                   {short}
+                   ELSE list_transform(
+                     range(1, length(s) - {k} + 2),
+                     i -> ({gram}) % {M})
+                 END AS hs
+          FROM norm),
+        winnowed AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN len(hs) = 0 THEN []
+                   WHEN len(hs) <= {w} THEN [list_min(hs)]
+                   ELSE list_transform(
+                     range(1, len(hs) - {w} + 2),
+                     i -> list_min(hs[i:i + {w} - 1]))
+                 END AS sel
+          FROM hashed),
+        fp AS (SELECT doc_id, list_distinct(sel) AS u FROM winnowed)
+        SELECT doc_id,
+               len(u)::INTEGER AS n_fp,
+               list_min(u) AS fp_min,
+               list_max(u) AS fp_max,
+               coalesce(list_sum(u), 0)::BIGINT AS fp_sum
+        FROM fp
+    """
+
+
+def _embedding_lsh_pairs_sql(threshold: float, bits: int = 4,
+                             dim: int = 64, seed: int = 42) -> str:
+    """Pairs with cosine ≥ threshold within the same hyperplane bucket
+    — the SQL twin of q_embedding_near_dups_lsh (same plane literals)."""
+    planes = similarity.hyperplanes(dim, bits, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH bk AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 ({bucket}) AS bucket
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
     """
 
 
@@ -1242,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
         """,
+        "winnowing_fingerprints": _winnowing_sql(k=5, w=8),
         "documents_flagship": """
             SELECT doc_id, rule_id FROM (
               SELECT doc_id, 'doc_id.gte' AS rule_id FROM documents
@@ -1364,6 +1476,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
         """,
+        "embedding_near_dups_lsh": _embedding_lsh_pairs_sql(
+            0.35, bits=4, dim=64, seed=42),
         "array_rules_embeddings": """
             SELECT rule_id, count(*)::BIGINT AS n FROM (
               SELECT 'vec_id.gte' AS rule_id FROM embeddings

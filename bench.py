@@ -95,6 +95,7 @@ R2_NAMES = [
     "simhash_pairs", "lsh_ann_topk", "lsh_ann_multiprobe", "ivf_ann_topk",
     "ann_topk_arrow", "dedup_clusters", "format_validators", "tuple_rules",
     "intersection_enum_remap", "mapkv_props", "multiple_unique_decimal",
+    "winnowing_fingerprints", "embedding_near_dups_lsh",
 ]
 
 

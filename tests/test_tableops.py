@@ -313,3 +313,22 @@ def test_bpe_ish_token_count(spark):
         "id", text.bpe_ish_token_count(F.col("text")).alias("n")).collect()}
     # foo|123|bar|!! ; naïve|café|,|42|€
     assert got == {1: 2, 2: 4, 3: 0, 4: 0, 5: 5}
+
+
+def test_winnowing_fingerprints_shared_substring(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share at least one selected fingerprint; tiny/empty docs degrade
+    gracefully."""
+    common = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, "AAA " + common + " BBB"),
+         (2, "xyz123 " + common + " 987qrs"),
+         (3, "completely unrelated content with other words entirely"),
+         (4, "ab"), (5, "")],
+        "id int, text string")
+    fp = text.winnowing_fingerprints(F.col("text"), k=5, w=8)
+    rows = {r.id: set(r.fp or []) for r in df.select("id", fp.alias("fp")).collect()}
+    assert rows[1] & rows[2], "shared long substring must share a fingerprint"
+    assert not (rows[1] & rows[3] & rows[2]) or True  # disjoint docs: no guarantee either way
+    assert len(rows[4]) == 1   # shorter than k -> single whole-text hash
+    assert rows[5] == set()

@@ -12,6 +12,8 @@ every document?" — same per-value shape, table scale.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -161,6 +163,70 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     k = F.length(t) - (n - 1)
     return F.when(k <= 0, F.array(t)).otherwise(
         F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n)))
+
+
+# Winnowing (rolling-hash) fingerprints — Schleimer/Wilkerson/Aiken's
+# local document fingerprinting: polynomial rolling hash over every
+# char k-gram, then the minimum hash of each sliding window of w
+# consecutive k-gram hashes; the distinct set of selected hashes is a
+# position-robust fingerprint (shared substrings of length ≥ w+k-1
+# always share a fingerprint). Parameters sized for exact SQL parity:
+# BASE^(k-1)·(maxcodepoint) stays far inside signed-64.
+WINNOW_BASE = 1_000_003           # prime base for the polynomial hash
+WINNOW_MOD = (1 << 31) - 1        # Mersenne 2^31-1, same domain as minhash
+
+
+def winnowing_fingerprints(col: Column, *, k: int = 5, w: int = 8) -> Column:
+    """array<long> of distinct winnowed k-gram hashes of the normalized
+    text (docs shorter than k chars hash their whole text as one gram).
+
+    One Arrow batch over the raw string: codepoints are decoded
+    vectorized (utf-32 view — no per-char Python), the rolling hash and
+    the window minima are numpy sliding-window matrix ops. The same
+    polynomial over codepoints is re-derivable in ANSI SQL (generated
+    k-term sum over unicode()), which is what makes the fingerprint
+    oracle-checkable — xxhash-based shingles are not.
+    """
+    from pyspark.sql import functions as FF
+    from pyspark.sql import types as T
+
+    udf = FF.pandas_udf(_winnow_factory(k, w), T.ArrayType(T.LongType()))
+    return udf(normalize_text(col))
+
+
+def _winnow_factory(k: int, w: int):
+    import numpy as np
+    import pandas as pd
+
+    powers = np.array([pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)
+                       for j in range(k)], dtype=np.uint64)
+
+    def batch(texts: "pd.Series") -> "pd.Series":
+        out: list = []
+        for s in texts:
+            if s is None:
+                out.append(None)
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) \
+                .astype(np.uint64)
+            if cp.size == 0:
+                out.append([])
+                continue
+            if cp.size < k:
+                h = int((cp * powers[-cp.size:]).sum() % WINNOW_MOD)
+                out.append([h])
+                continue
+            grams = np.lib.stride_tricks.sliding_window_view(cp, k)
+            hashes = (grams * powers).sum(axis=1) % WINNOW_MOD
+            if hashes.size <= w:
+                sel = np.array([hashes.min()])
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(hashes, w)
+                sel = wins.min(axis=1)
+            out.append(np.unique(sel).astype(np.int64).tolist())
+        return pd.Series(out, dtype="object")
+
+    return batch
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
