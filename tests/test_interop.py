@@ -278,3 +278,38 @@ def test_streaming_microbatch_manifest(spark, tmp_path):
     assert {"run_id", "partition_id", "status", "n_rows", "n_violations",
             "schema_fingerprint", "input_lineage"} <= set(m.columns)
     assert m.where(SF.col("status") == "fail").count() > 0
+
+
+def test_streaming_stateful_violation_tracker(spark):
+    """applyInPandasWithState: cumulative per-key counts grow across
+    micro-batches; the all-violating key converges to rate 1.0."""
+    import time as _t
+
+    sdf = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 200).load()
+           .selectExpr("value as row_id",
+                       "CAST(value % 3 AS STRING) as lang"))
+    schema = z.fields({
+        "row_id": z.integer().non_negative(),
+        "lang": z.string().one_of(["0", "1"]),
+    })
+    out = streaming.stateful_violation_tracker(sdf, schema, key_col="lang")
+    q = (out.writeStream.format("memory").queryName("zoi_state_test")
+         .outputMode("update")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = _t.time() + 45
+        rows = []
+        while _t.time() < deadline:
+            rows = spark.sql(
+                "select key, max(n_rows) n, max(n_invalid) b "
+                "from zoi_state_test group by key").collect()
+            if len(rows) == 3 and min(r.n for r in rows) >= 20:
+                break
+            _t.sleep(1)
+    finally:
+        q.stop()
+    got = {r.key: (r.n, r.b) for r in rows}
+    assert set(got) == {"0", "1", "2"}
+    assert got["2"][0] == got["2"][1] > 0       # every '2' row violates
+    assert got["0"][1] == 0 and got["1"][1] == 0

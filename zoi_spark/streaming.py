@@ -105,3 +105,57 @@ def run_microbatch_manifest(sdf: DataFrame, schema: Schema, *, id_col: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_violation_tracker(sdf: DataFrame, schema: Schema, *,
+                               key_col: str,
+                               timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key CUMULATIVE validation state across micro-batches — running
+    row/violation counts and invalid-rate per key (e.g. per source
+    host), with a processing-time timeout that flushes and clears idle
+    keys so state stays bounded at web scale.
+
+    This is the piece windowed aggregation can't express: the state is
+    cumulative across ALL batches (no window boundary), updated by
+    Arrow-batched pandas per group — the API the north rule names for
+    custom stateful operators. Rows are pre-validated JVM-side
+    (validate_stream) so the stateful function only folds two counters
+    per key.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    ann = validate_stream(sdf, schema).select(
+        F.col(key_col).cast("string").alias("__key"), "__zoi_valid")
+
+    out_type = ("key string, n_rows long, n_invalid long, "
+                "invalid_rate double, final boolean")
+    state_type = "n_rows long, n_invalid long"
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n_rows, n_invalid = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "key": [key[0]], "n_rows": [n_rows],
+                "n_invalid": [n_invalid],
+                "invalid_rate": [n_invalid / n_rows if n_rows else 0.0],
+                "final": [True]})
+            return
+        n_rows, n_invalid = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            n_invalid += int((~pdf["__zoi_valid"]).sum())
+        state.update((n_rows, n_invalid))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({
+            "key": [key[0]], "n_rows": [n_rows], "n_invalid": [n_invalid],
+            "invalid_rate": [n_invalid / n_rows if n_rows else 0.0],
+            "final": [False]})
+
+    return (ann.groupBy("__key")
+            .applyInPandasWithState(track, out_type, state_type, "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
