@@ -1,0 +1,146 @@
+"""Property-based compiler checks (hypothesis).
+
+The reference's suite is example-based (SURVEY §5); these properties
+cross-check the Spark rule compiler against an INDEPENDENT pure-Python
+interpreter of the same documented semantics on randomized schemas and
+data — a per-row mini-oracle that example tests and the DuckDB gate
+can't provide. Batched: each example builds ONE DataFrame for all rows
+and runs ONE validate, so examples cost one tiny Spark job each.
+"""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import zoi_spark as z
+
+SET = settings(max_examples=8, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                      HealthCheck.too_slow])
+
+
+def _expected_int_rules(v, lo, hi):
+    """Independent interpretation of integer gte/lte semantics
+    (types/integer.ex:102-109): rules only fire on non-null values;
+    all failures collected."""
+    if v is None:
+        return {"required"}
+    out = set()
+    if not (v >= lo):
+        out.add("gte")
+    if not (v <= hi):
+        out.add("lte")
+    return out
+
+
+@SET
+@given(
+    lo=st.integers(-50, 50),
+    span=st.integers(0, 60),
+    values=st.lists(st.one_of(st.none(), st.integers(-120, 120)),
+                    min_size=1, max_size=30),
+)
+def test_integer_range_rules_match_reference_semantics(spark, lo, span, values):
+    hi = lo + span
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, v int")
+    schema = z.fields({"id": z.integer(), "v": z.integer(gte=lo, lte=hi)})
+    res = z.validate(df, schema, id_cols=["id"])
+    got: dict[int, set] = {}
+    for r in res.violations.collect():
+        got.setdefault(r.id, set()).add(r.rule_id.split(".")[-1])
+    for i, v in enumerate(values):
+        assert got.get(i, set()) == _expected_int_rules(v, lo, hi), \
+            f"value={v} bounds=({lo},{hi})"
+
+
+def _expected_str_rules(v, mn, mx, prefix):
+    if v is None:
+        return {"required"}
+    out = set()
+    if not (len(v) >= mn):
+        out.add("gte")
+    if not (len(v) <= mx):
+        out.add("lte")
+    if not v.startswith(prefix):
+        out.add("starts_with")
+    return out
+
+
+@SET
+@given(
+    mn=st.integers(0, 6),
+    extra=st.integers(0, 8),
+    prefix=st.text(alphabet="abxy", min_size=0, max_size=2),
+    values=st.lists(
+        st.one_of(st.none(), st.text(alphabet="abxy z", max_size=12)),
+        min_size=1, max_size=25),
+)
+def test_string_rules_match_reference_semantics(spark, mn, extra, prefix, values):
+    mx = mn + extra
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, v string")
+    schema = z.fields({
+        "id": z.integer(),
+        "v": z.string(min=mn, max=mx).starts_with(prefix),
+    })
+    res = z.validate(df, schema, id_cols=["id"])
+    got: dict[int, set] = {}
+    for r in res.violations.collect():
+        got.setdefault(r.id, set()).add(r.rule_id.split(".")[-1])
+    for i, v in enumerate(values):
+        assert got.get(i, set()) == _expected_str_rules(v, mn, mx, prefix), \
+            f"value={v!r} len=({mn},{mx}) prefix={prefix!r}"
+
+
+@SET
+@given(values=st.lists(
+    st.one_of(st.none(),
+              st.from_regex(r"[+-]?[0-9]{1,6}", fullmatch=True),
+              st.text(alphabet="0123456789abc.-+", max_size=8)),
+    min_size=1, max_size=25))
+def test_strict_integer_coercion_matches_reference(spark, values):
+    """Guarded coerce (types/integer.ex:64-73): only strings fully
+    matching ^[+-]?\\d+$ parse; anything else is an invalid_type —
+    never a partial/lenient cast."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, v string")
+    schema = z.fields({"id": z.integer(),
+                       "v": z.integer(coerce=True).optional()})
+    res = z.validate(df, schema, id_cols=["id"])
+    bad = {r.id for r in res.violations.collect()}
+    parsed = {r.id: r.asDict()["v"] for r in res.parsed.collect()}
+    for i, v in enumerate(values):
+        if v is None:
+            assert i not in bad and parsed[i] is None
+        elif re.fullmatch(r"[+-]?\d+", v):
+            assert i not in bad and parsed[i] == int(v)
+        else:
+            assert i in bad and parsed[i] is None
+
+
+@SET
+@given(values=st.lists(st.lists(st.integers(0, 5), max_size=6),
+                       min_size=1, max_size=15),
+       mn=st.integers(0, 3))
+def test_array_rules_match_reference_semantics(spark, values, mn):
+    """Array min-size + unique_items (types/array.ex:127-135, 260-274)."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, v array<int>")
+    schema = z.fields({
+        "id": z.integer(),
+        "v": z.array(z.integer(), min_length=mn, unique_items=True),
+    })
+    res = z.validate(df, schema, id_cols=["id"])
+    got: dict[int, set] = {}
+    for r in res.violations.collect():
+        got.setdefault(r.id, set()).add(r.rule_id.split(".")[-1])
+    for i, v in enumerate(values):
+        exp = set()
+        if not (len(v) >= mn):
+            exp.add("gte")
+        if len(set(v)) != len(v):
+            exp.add("unique_items")
+        assert got.get(i, set()) == exp, f"value={v} mn={mn}"
