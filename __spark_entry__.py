@@ -1681,22 +1681,35 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY key
         """,
         "mapkv_props": """
+            -- the %19 seed replaces props BEFORE the null check, exactly
+            -- as the engine's when().otherwise(props) does, so a null
+            -- props row that lands on the seed still validates; a null
+            -- map surfaces the required rule (definitional alignment if
+            -- the data ever regenerates with null props)
             WITH seeded AS (
               SELECT event_id,
+                     CASE WHEN ((event_id % 19) + 19) % 19 = 0
+                          THEN '{"k": "abc"}' ELSE props END AS p2,
                      CASE WHEN ((event_id % 17) + 17) % 17 = 0 THEN 'x'
-                          ELSE 'k' END AS key,
-                     CASE WHEN ((event_id % 19) + 19) % 19 = 0 THEN 'abc'
-                          ELSE json_extract_string(props, '$.k') END AS val
-              FROM events WHERE props IS NOT NULL)
+                          ELSE 'k' END AS key
+              FROM events),
+            vals AS (
+              SELECT event_id, key, p2,
+                     json_extract_string(p2, '$.k') AS val
+              FROM seeded)
             SELECT code, count(*)::BIGINT AS n FROM (
-              SELECT 'not_in_values' AS code FROM seeded WHERE key != 'k'
+              SELECT 'required' AS code FROM vals WHERE p2 IS NULL
               UNION ALL
-              SELECT 'invalid_type' FROM seeded
-                WHERE val IS NOT NULL
+              SELECT 'not_in_values' FROM vals
+                WHERE p2 IS NOT NULL AND key != 'k'
+              UNION ALL
+              SELECT 'invalid_type' FROM vals
+                WHERE p2 IS NOT NULL AND val IS NOT NULL
                   AND NOT regexp_matches(val, '^[+-]?\\d+$')
               UNION ALL
-              SELECT 'less_than_or_equal_to' FROM seeded
-                WHERE val IS NOT NULL AND regexp_matches(val, '^[+-]?\\d+$')
+              SELECT 'less_than_or_equal_to' FROM vals
+                WHERE p2 IS NOT NULL AND val IS NOT NULL
+                  AND regexp_matches(val, '^[+-]?\\d+$')
                   AND NOT (val::BIGINT <= 50)
             ) GROUP BY code
         """,
