@@ -313,3 +313,19 @@ def test_streaming_stateful_violation_tracker(spark):
     assert set(got) == {"0", "1", "2"}
     assert got["2"][0] == got["2"][1] > 0       # every '2' row violates
     assert got["0"][1] == 0 and got["1"][1] == 0
+
+
+def test_multimodal_resize_stub(spark):
+    """resize_images: real mapInPandas plumbing + fit-inside scaling
+    math over the deterministic fake decode; raises without the fake."""
+    df = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"\xff" * 64), (3, b"")],
+        "media_id long, payload binary")
+    out = {r.media_id: r for r in multimodal.resize_images(
+        df, max_side=64, deterministic_fake=True).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert max(r.width, r.height) <= 64 and min(r.width, r.height) >= 1
+        assert isinstance(r.thumb, (bytes, bytearray))
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(df).collect()

@@ -117,6 +117,53 @@ def sample_frames(df: DataFrame, *, id_col: str = "media_id",
     return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("thumb", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, *, id_col: str = "media_id",
+                  bin_col: str = "payload", max_side: int = 64,
+                  deterministic_fake: bool = False) -> DataFrame:
+    """image binary -> (media_id, width, height, thumb) resized to fit
+    ``max_side``. STUB decode/re-encode (no codec libs in this
+    environment); the deterministic fake derives pseudo-dimensions from
+    the payload hash, scales them with the exact fit-inside arithmetic
+    a real resize would use, and emits a truncated payload as the
+    thumbnail bytes — so batch shape, schema and the scaling math are
+    real and tested while only the pixel work is faked."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resize requires codec libraries unavailable in this "
+            "environment; pass deterministic_fake=True to exercise the "
+            "pipeline")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, thumbs = [], [], []
+            for payload in pdf[bin_col]:
+                payload = payload or b""
+                # pseudo-dimensions from content (stable across runs)
+                w0 = 64 + (sum(payload[:16]) % 1024)
+                h0 = 64 + (sum(payload[16:32]) % 1024)
+                scale = min(1.0, max_side / max(w0, h0))
+                w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                ws.append(w)
+                hs.append(h)
+                thumbs.append(bytes(payload[: w * h // 8 or 1]))
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "thumb": pd.Series(thumbs, dtype=object)})
+
+    return (df.select(id_col, bin_col)
+            .mapInPandas(batches, RESIZED_SCHEMA))
+
+
 def media_metadata_rules():
     """Validation rule-set for the media metadata struct — plain
     zoi_spark schema, so media tables run through the same validator."""
