@@ -332,3 +332,53 @@ def test_winnowing_fingerprints_shared_substring(spark):
     assert not (rows[1] & rows[3] & rows[2]) or True  # disjoint docs: no guarantee either way
     assert len(rows[4]) == 1   # shorter than k -> single whole-text hash
     assert rows[5] == set()
+
+
+def test_minhash_bucket_cap_prunes_mega_buckets(spark):
+    """max_bucket_size: a boilerplate mega-group is excluded from the
+    pairwise join (its members belong to the exact-dedup path), while
+    small near-dup groups still pair."""
+    boiler = "exactly the same boilerplate page body repeated verbatim here"
+    rows = [(i, boiler) for i in range(40)]                # one mega bucket
+    rows += [(100, "a rare unique page about gardens and trees today ok"),
+             (101, "a rare unique page about gardens and trees today OK")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_dedup_pairs(df, threshold=0.8, bands=16,
+                                       max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 40 and b < 40 for a, b in got)
+    uncapped = dedup.minhash_dedup_pairs(df, threshold=0.8, bands=16)
+    assert any(a < 40 and b < 40 for a, b in
+               {(r.id_a, r.id_b) for r in uncapped.collect()})
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """pipeline.curate: validate → quality → exact dedup → cluster
+    dedup; each seeded defect drops at exactly its stage."""
+    from zoi_spark import pipeline
+
+    base = ("a perfectly reasonable web document about gardens with many "
+            "plain words and sentences that go on for a while longer")
+    def doc(i):   # six distinct trailing tokens keep base docs ~J=0.5 apart
+        return base + f" sect{i} a{i} b{i} c{i} d{i} e{i}"
+    rows = [(i, doc(i), "en") for i in range(20)]
+    rows.append((50, None, "en"))                     # invalid: null text
+    rows.append((51, doc(3), "en"))                   # exact dup of 3
+    # near dup of 4: one trailing token changed (~J=0.78 after shingles)
+    rows.append((52, base + " sect4 a4 b4 c4 d4 zz", "en"))
+    rows.append((53, "AAA!!! BBB??? " * 30, "en"))    # quality reject
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    schema = z.fields({"doc_id": z.integer(), "text": z.string(min=10),
+                       "lang": z.string()})
+    res = pipeline.curate(df, schema, id_col="doc_id", min_quality=0.3,
+                          near_dup_threshold=0.7)
+    rep = res.report()
+    assert rep["input"] == 24
+    assert rep["valid"] == 23          # null text dropped by the schema
+    assert rep["quality"] == 22        # punctuation wall dropped
+    assert rep["exact_dedup"] == 21    # 51 collapses into 3
+    assert rep["near_dedup"] == 20     # 52 collapses into 4's cluster
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert kept_ids == set(range(20))
+    assert rep["kept_ws_tokens"] > 0 and rep["kept_bpe_tokens"] > 0

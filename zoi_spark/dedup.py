@@ -367,13 +367,25 @@ def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 64,
                            bands: int = 16, shingle_n: int = 3,
                            chars: bool = False,
-                           engine: str = "arrow") -> DataFrame:
+                           engine: str = "arrow",
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
     signature → ``bands`` slices → hash each slice → explode to
     (band, bucket) rows → self-equi-join on (band, bucket) → distinct
     pairs. The join is an equi-join: Catalyst shuffles both sides on
     the band key, so cost is proportional to bucket collisions, not n².
+
+    ``max_bucket_size``: web corpora have degenerate mega-buckets
+    (boilerplate/template pages hash to one bucket by the million) and
+    one such bucket is a quadratic blow-up no matter how good the
+    banding is. With a cap, buckets above the threshold are EXCLUDED
+    from the pair join — their members are near-certain exact-level
+    duplicates and belong to the cheap fingerprint groupBy path
+    (exact_duplicates) instead of the pairwise one. The bucket-size
+    count is one extra aggregation over the (id, band, bucket) table;
+    the pruned join's worst-case per-bucket work is then bounded by
+    max_bucket_size², independent of corpus size.
     """
     rows_per_band = num_hashes // bands
     sig_df = with_minhash(df.select(id_col, text_col), text_col=text_col,
@@ -402,7 +414,14 @@ def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
                .select(id_col, F.col("__band.band").alias("band"),
                        F.col("__band.bucket").alias("bucket"))
                .persist())
-    a, b = buckets.alias("a"), buckets.alias("b")
+    joinable = buckets
+    if max_bucket_size is not None:
+        sizes = (buckets.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("__bs"))
+                 .where(F.col("__bs") <= max_bucket_size)
+                 .drop("__bs"))
+        joinable = buckets.join(sizes, ["band", "bucket"])
+    a, b = joinable.alias("a"), joinable.alias("b")
     out = (
         a.join(b, ["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -427,14 +446,16 @@ def minhash_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.8,
                         num_hashes: int = 64, bands: int = 16,
                         shingle_n: int = 3, chars: bool = False,
-                        engine: str = "arrow") -> DataFrame:
+                        engine: str = "arrow",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard — the full
     minhash near-dup operator (candidates ⊇ true pairs, verify prunes
     false positives)."""
     cands = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col,
                                    num_hashes=num_hashes, bands=bands,
                                    shingle_n=shingle_n, chars=chars,
-                                   engine=engine)
+                                   engine=engine,
+                                   max_bucket_size=max_bucket_size)
     shingle_col = (hashed_shingles_arrow(F.col(text_col), shingle_n)
                    if engine == "arrow" and not chars
                    else hashed_shingles(F.col(text_col), shingle_n,

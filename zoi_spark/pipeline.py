@@ -1,0 +1,95 @@
+"""End-to-end corpus curation: the composition a training-data pipeline
+actually runs, built ONLY from this package's operators.
+
+    validate → quality gate → exact dedup → near-dup cluster dedup
+
+Stage shapes at 100 TB (every stage is lazy until materialized):
+
+1. **validate** — one scan-projection, no shuffle; invalid rows drop
+   (schema violations are the cheapest filter, run first).
+2. **quality gate** — pure Column expressions (text.quality_score,
+   optional lang allow-list), fused into the same scan.
+3. **exact dedup** — one hash shuffle on the md5 fingerprint
+   (dedup.exact_dedup window keep-min-id).
+4. **near-dup dedup** — MinHash-LSH candidates (+ optional mega-bucket
+   cap) → exact-Jaccard verify → connected components → drop every doc
+   whose cluster_id differs from its own id. Pair work is proportional
+   to bucket collisions, never n².
+
+The returned frame is the KEPT corpus; ``report(spark)`` runs the
+per-stage counting jobs (each one aggregation) for the curation ledger.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+from .schema import Schema
+from .validate import validate
+
+
+@dataclass
+class CurationResult:
+    kept: DataFrame
+    stages: dict  # stage name -> lazy DataFrame after that stage
+
+    def report(self) -> dict:
+        """Stage ledger: rows surviving each stage (one count job per
+        stage) + kept-corpus token totals in one aggregation."""
+        out = {name: df.count() for name, df in self.stages.items()}
+        toks = self.kept.agg(
+            F.sum(text.token_count(F.col(self._text_col))).alias("ws"),
+            F.sum(text.bpe_ish_token_count(F.col(self._text_col)))
+            .alias("bpe")).collect()[0]
+        out["kept_ws_tokens"] = int(toks.ws or 0)
+        out["kept_bpe_tokens"] = int(toks.bpe or 0)
+        return out
+
+    _text_col: str = "text"
+
+
+def curate(df: DataFrame, schema: Schema, *, id_col: str,
+           text_col: str = "text",
+           min_quality: float = 0.0,
+           allowed_langs: Sequence[str] | None = None,
+           lang_col: str | None = None,
+           near_dup_threshold: float = 0.85,
+           minhash_bands: int = 16,
+           max_bucket_size: int | None = None) -> CurationResult:
+    """Run the full curation composition; see module docstring for the
+    per-stage plan shapes."""
+    res = validate(df, schema, id_cols=[id_col])
+    valid = res.valid_rows
+
+    gated = valid.where(
+        text.quality_score(F.col(text_col)) >= F.lit(min_quality))
+    if allowed_langs is not None:
+        lc = (F.col(lang_col) if lang_col
+              else text.lang_id(F.col(text_col)))
+        gated = gated.where(lc.isin(*allowed_langs))
+
+    exact = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col)
+
+    pairs = dedup.minhash_dedup_pairs(
+        exact, id_col=id_col, text_col=text_col,
+        threshold=near_dup_threshold, bands=minhash_bands,
+        max_bucket_size=max_bucket_size)
+    clusters = dedup.duplicate_clusters(pairs, id_a="id_a", id_b="id_b")
+    drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias("__drop_id")))
+    # NOT broadcast: web corpora can be 20-40% near-duplicates, so the
+    # drop list scales with the corpus — a shuffled left_anti on the id
+    # is the safe plan (AQE downgrades it to broadcast when it IS small)
+    kept = exact.join(drop, exact[id_col] == F.col("__drop_id"), "left_anti")
+
+    out = CurationResult(
+        kept=kept,
+        stages={"input": df, "valid": valid, "quality": gated,
+                "exact_dedup": exact, "near_dedup": kept})
+    out._text_col = text_col
+    return out
