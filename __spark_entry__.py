@@ -275,6 +275,45 @@ def q_text_quality_buckets(spark, sf_dir):
     return d.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
 
 
+def q_text_quality_stopword(spark, sf_dir):
+    """quality_score_v2 buckets — adds the stopword-density component
+    (the length/punct/STOPWORD-ratio triple the training-data
+    literature uses; text.stopword_ratio over the union of all marker
+    lists)."""
+    d = _read(spark, sf_dir, "documents")
+    bucket = F.floor(text.quality_score_v2(F.col("text")) * 10).cast("long")
+    return d.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+def _quality_stopword_sql() -> str:
+    words = sorted({w for ws in text.LANG_MARKERS.values() for w in ws})
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    toks = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    return f"""
+        WITH m AS (
+          SELECT
+            least(length(text)::DOUBLE / 2000.0, 1.0) AS length_c,
+            least(({toks})::DOUBLE / 200.0, 1.0) AS token_c,
+            1.0 - least((CASE WHEN length(text) > 0 THEN
+                (length(text) - length(regexp_replace(text,
+                   '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE / length(text)
+              ELSE 0.0 END) * 5.0, 1.0) AS punct_c,
+            1.0 - least((CASE WHEN length(text) > 0 THEN
+                (length(text) - length(regexp_replace(text, '[A-Z]', '',
+                   'g')))::DOUBLE / length(text)
+              ELSE 0.0 END) * 4.0, 1.0) AS caps_c,
+            least((CASE WHEN ({toks}) > 0 THEN
+                len(regexp_extract_all(coalesce(text, ''), '{pat}'))::DOUBLE
+                / ({toks}) ELSE 0.0 END) / 0.05, 1.0) AS stop_c
+          FROM documents)
+        SELECT floor(round((length_c + token_c + punct_c + caps_c + stop_c)
+                           / 5.0, 6) * 10)::BIGINT AS bucket,
+               count(*)::BIGINT AS n
+        FROM m GROUP BY 1
+    """
+
+
 def q_text_lang_id(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return (d.groupBy("lang", text.lang_id(F.col("text")).alias("lang_pred"))
@@ -835,6 +874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality_buckets": q_text_quality_buckets,
+        "text_quality_stopword": q_text_quality_stopword,
         "text_lang_id": q_text_lang_id,
         "fingerprints": q_fingerprints,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1327,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM m GROUP BY 1
         """,
+        "text_quality_stopword": _quality_stopword_sql(),
         "text_lang_id": """
             WITH scores AS (
               SELECT lang,

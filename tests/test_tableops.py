@@ -382,3 +382,19 @@ def test_curation_pipeline_end_to_end(spark):
     kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
     assert kept_ids == set(range(20))
     assert rep["kept_ws_tokens"] > 0 and rep["kept_bpe_tokens"] > 0
+
+
+def test_suggest_salt_from_frequency_sketch(spark):
+    """Hot keys drive the salt factor up; uniform keys leave it at 1;
+    the seeded sample keeps the choice deterministic across resumes."""
+    hot = spark.range(0, 100_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'hot-host' ELSE concat('h', id) END AS k")
+    s_hot = tablechecks.suggest_salt(hot, "k", sample_fraction=0.05,
+                                     target_rows_per_task=10_000)
+    assert s_hot >= 4
+    uniform = spark.range(0, 50_000).selectExpr("concat('h', id) AS k")
+    s_uni = tablechecks.suggest_salt(uniform, "k", sample_fraction=0.05,
+                                     target_rows_per_task=10_000)
+    assert s_uni == 1
+    assert s_hot == tablechecks.suggest_salt(
+        hot, "k", sample_fraction=0.05, target_rows_per_task=10_000)

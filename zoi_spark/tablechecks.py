@@ -75,6 +75,28 @@ def assert_unique(df: DataFrame, key: str, **kw) -> bool:
     return duplicates(df, key, **kw).limit(1).count() == 0
 
 
+def suggest_salt(df: DataFrame, key: str, *, sample_fraction: float = 0.01,
+                 target_rows_per_task: int = 5_000_000,
+                 max_salt: int = 1024, seed: int = 42) -> int:
+    """Choose the salt factor for :func:`duplicates` from a SAMPLED
+    key-frequency sketch (SURVEY §7 hard parts): sample the key column,
+    estimate the hottest key's full-data count by scaling the sampled
+    max, and size the salt so no single reducer task sees more than
+    ``target_rows_per_task`` rows of one key.
+
+    One tiny seeded-sample job at plan time (deterministic across
+    resumes — the seed is fixed); at 10^12 rows a 1% sample of one
+    column is ~instant next to the aggregation it protects. Returns 1
+    (no salting) when even the hottest key fits a task."""
+    import math
+
+    top = (df.select(key).sample(fraction=sample_fraction, seed=seed)
+           .groupBy(key).agg(F.count("*").alias("c"))
+           .agg(F.max("c")).collect()[0][0])
+    est_max = (top or 0) / sample_fraction
+    return max(1, min(max_salt, math.ceil(est_max / target_rows_per_task)))
+
+
 # ---------------------------------------------------------------------------
 # referential membership (Zoi enum/one_of lifted to a dictionary join)
 # ---------------------------------------------------------------------------

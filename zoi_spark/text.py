@@ -127,6 +127,36 @@ def quality_score(col: Column) -> Column:
     return F.round((length_c + token_c + punct_c + caps_c) / 4.0, 6)
 
 
+def stopword_ratio(col: Column,
+                   markers: dict[str, list[str]] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords (any language's
+    marker list) — natural prose sits well above ~5%; keyword-stuffed
+    or symbol-heavy junk near zero. Word-bounded case-insensitive
+    count, pure expressions."""
+    markers = markers or LANG_MARKERS
+    words = sorted({w for ws in markers.values() for w in ws})
+    hits = marker_hits(col, words)
+    n = token_count(col)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score_v2(col: Column) -> Column:
+    """quality_score plus the stopword-density component the reference
+    pipeline literature uses (length / punct / STOPWORD ratios):
+
+    * stopword sanity — saturating stopword_ratio/0.05 (≥5% stopword
+      density scores full marks; keyword-stuffed junk scores ~0).
+
+    Five equal-weighted components, rounded to 6 decimals (same
+    SQL-parity contract as quality_score)."""
+    length_c = F.least(char_count(col).cast("double") / 2000.0, F.lit(1.0))
+    token_c = F.least(token_count(col).cast("double") / 200.0, F.lit(1.0))
+    punct_c = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    caps_c = F.lit(1.0) - F.least(uppercase_ratio(col) * 4.0, F.lit(1.0))
+    stop_c = F.least(stopword_ratio(col) / 0.05, F.lit(1.0))
+    return F.round((length_c + token_c + punct_c + caps_c + stop_c) / 5.0, 6)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse
     whitespace, trim. NEVER applied in place — fingerprints are new
