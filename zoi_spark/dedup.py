@@ -1,13 +1,16 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-Five strategies, all DataFrame-native:
+All DataFrame-native:
 
-* exact            — hash-groupBy on a canonical fingerprint
-* n-gram Jaccard   — shingle-set similarity on candidate pairs
-* MinHash + LSH    — shingles → minhash signature → banded buckets →
-                     bucket-join candidates → exact-Jaccard verify
-* SimHash          — 64-bit near-dup hash via per-bit token votes
-* embedding cosine — near-dup via normalized-vector dot product
+* exact              — hash-groupBy on a canonical fingerprint
+* n-gram Jaccard     — shingle-set similarity on candidate pairs
+* MinHash + LSH      — shingles → minhash signature → banded buckets →
+                       bucket-join candidates (optional mega-bucket
+                       cap) → exact-Jaccard verify
+* SimHash            — 60-bit near-dup hash via per-bit token votes
+* embedding cosine   — near-dup via normalized-vector dot product
+* duplicate clusters — connected components over near-dup pairs
+                       (min-label propagation → keep-one-per-cluster)
 
 Scale notes: every strategy avoids the O(n²) cross join. LSH banding
 turns pairing into an equi-join on (band, bucket-hash); exact dedup is
