@@ -236,6 +236,40 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
                                      threshold=0.6, num_hashes=64, bands=32)
 
 
+def q_jaccard_blocked_verify(spark, sf_dir):
+    """The blocked n-gram Jaccard operator (dedup.ngram_jaccard_pairs)
+    on its own oracle row: equi-join per (lang, length-bucket) block
+    with hashed shingles + size-ratio prefilter. This is the BOUNDED-
+    corpus verification shape — within-block cost is quadratic, so at
+    web scale the flagship plan (q_dedup_jaccard_pairs) generates
+    candidates with LSH instead and uses exact Jaccard only as the
+    verify stage; this query exists to keep the operator itself
+    value-checked at gate scale."""
+    return dedup.ngram_jaccard_pairs(_dup_docs(spark, sf_dir),
+                                     n=3, threshold=0.6, block_col="block")
+
+
+def q_codec_encode_shipdate(spark, sf_dir):
+    """Codec ENCODE direction (Zoi.encode/3, types/codec.ex:38-50):
+    the mirror image of q_codec_shipdate — native dates run
+    to→encode-fn→from, producing validated strings; grouped by the
+    encoded year-month."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_str"))
+    schema = z.fields({
+        "l_orderkey": z.integer(),
+        "ship_str": z.codec(
+            z.string().regex("^\\d{4}-\\d{2}-\\d{2}$"), z.date(),
+            decode=lambda c: F.to_date(c, "yyyy-MM-dd"),
+            encode=lambda c: F.date_format(c, "yyyy-MM-dd")),
+    })
+    res = z.encode(li, schema, id_cols=["l_orderkey"])
+    return (res.annotated
+            .select(F.substring(F.col("__zoi_parsed.ship_str"), 1, 7)
+                    .alias("ym"))
+            .groupBy("ym").agg(F.count("*").alias("n")))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id<3; rank by
     (rounded cosine desc, vec_id asc) so ordering is identical in both
@@ -871,6 +905,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hist_doc_length": q_hist_doc_length,
         "drift_lang_psi": q_drift_lang_psi,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "jaccard_blocked_verify": q_jaccard_blocked_verify,
+        "codec_encode_shipdate": q_codec_encode_shipdate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality_buckets": q_text_quality_buckets,
@@ -1286,6 +1322,38 @@ def oracle_sql() -> dict[str, str]:
               FROM hist, tot)
         """,
         "dedup_jaccard_pairs": _jaccard_pairs_sql(0.6),
+        "jaccard_blocked_verify": f"""
+            WITH docs AS ({_DUP_DOCS_SQL}),
+            toks AS (
+              SELECT doc_id, block, string_split({_NORM_SQL}, ' ') AS t
+              FROM docs),
+            sh AS (
+              SELECT DISTINCT doc_id, block, shingle FROM (
+                SELECT doc_id, block, unnest(
+                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                                           i -> array_to_string(t[i:i+2], ' '))
+                  END) AS shingle
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.block = b.block
+                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.6
+        """,
+        "codec_encode_shipdate": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1
+        """,
         "minhash_lsh_pairs": _jaccard_pairs_sql(0.8),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=3, prefix_bits=16),
         "lsh_ann_topk": _lsh_ann_sql(k=5, bits=4, dim=64, seed=42),

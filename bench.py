@@ -96,7 +96,7 @@ R2_NAMES = [
     "ann_topk_arrow", "dedup_clusters", "format_validators", "tuple_rules",
     "intersection_enum_remap", "mapkv_props", "multiple_unique_decimal",
     "winnowing_fingerprints", "embedding_near_dups_lsh",
-    "text_quality_stopword",
+    "text_quality_stopword", "jaccard_blocked_verify", "codec_encode_shipdate",
 ]
 
 
