@@ -104,13 +104,19 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         block_col: str | None = None,
+                        max_block_size: int | None = None,
                         chars: bool = False) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
     WARNING: without ``block_col`` this is a full self-join — fine for
     verification corpora, quadratic at scale. At 100 TB pass a blocking
     key (e.g. lang, or an LSH band from :func:`minhash_lsh_candidates`)
-    so the join is an equi-join per block.
+    so the join is an equi-join per block — AND ``max_block_size``,
+    which EXCLUDES blocks above the cap from pairing (the
+    mega-bucket contract of :func:`minhash_lsh_candidates`): in-block
+    cost is quadratic, so one unbounded block defeats the blocking no
+    matter how rare, and capped blocks' members belong to the
+    fingerprint/LSH paths instead.
 
     Per-pair cost engineering (the hot loop at scale):
 
@@ -128,6 +134,14 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
         *( [F.col(block_col)] if block_col else [] ),
         hashed_shingles(F.col(text_col), n, chars=chars).alias("__shingles"),
     )
+    if max_block_size is not None:
+        if block_col is None:
+            raise ValueError("max_block_size requires block_col")
+        sizes = (df.groupBy(block_col)
+                 .agg(F.count("*").alias("__bs"))
+                 .where(F.col("__bs") <= max_block_size)
+                 .drop("__bs"))
+        base = base.join(sizes, block_col)
     # the pair join's cost lives on the STREAMED side (each of its rows
     # probes the broadcast/hash side for every in-block partner), so its
     # task count bounds parallelism. Small single-file inputs scan as
@@ -180,14 +194,33 @@ def _splitmix_finalize(z):
     return z
 
 
+def _mix_multiplier(j: int) -> int:
+    """Distinct odd 64-bit multiplier per token offset. The first three
+    are the published xxhash/splitmix constants; beyond that each offset
+    gets its own splitmix-finalized multiplier — cycling the three
+    constants would make offsets j and j+3 commute (shingles differing
+    only by swapping those tokens would collide, breaking the
+    order-sensitivity claim for shingle_n > 3)."""
+    if j < len(_MIX_K):
+        return _MIX_K[j]
+    x = (j + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+    x ^= x >> 30
+    x = x * 0xBF58476D1CE4E5B9 % (1 << 64)
+    x ^= x >> 27
+    x = x * 0x94D049BB133111EB % (1 << 64)
+    x ^= x >> 31
+    return x | 1
+
+
 def _numeric_shingles(h, shingle_n: int):
     """Distinct shingle hashes from a token-hash vector, fully
-    vectorized: shingle_i = finalize(Σ_j K_j·h_{i+j}). Short docs
-    (< shingle_n tokens) zero-pad to one whole-doc shingle — mirroring
-    word_shingles' single degenerate shingle. Distinctness matches the
-    string-shingle domain up to ~2⁻⁶⁴ collisions (Jaccard over either
-    domain is therefore equal — the same argument hashed_shingles
-    already relies on)."""
+    vectorized: shingle_i = finalize(Σ_j K_j·h_{i+j}) with a distinct
+    odd multiplier K_j per offset (order-sensitive for every
+    shingle_n). Short docs (< shingle_n tokens) zero-pad to one
+    whole-doc shingle — mirroring word_shingles' single degenerate
+    shingle. Distinctness matches the string-shingle domain up to
+    ~2⁻⁶⁴ collisions (Jaccard over either domain is therefore equal —
+    the same argument hashed_shingles already relies on)."""
     import numpy as np
 
     if h.size < shingle_n:
@@ -196,7 +229,7 @@ def _numeric_shingles(h, shingle_n: int):
         h = padded
     acc = np.zeros(h.size - shingle_n + 1, dtype=np.uint64)
     for j in range(shingle_n):
-        acc += np.uint64(_MIX_K[j % len(_MIX_K)] | 1) * \
+        acc += np.uint64(_mix_multiplier(j) | 1) * \
             h[j:h.size - shingle_n + 1 + j]
     return np.unique(_splitmix_finalize(acc))
 
@@ -644,7 +677,25 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     the EDGE list (size = number of near-dup pairs, ≪ corpus);
     convergence is checked with a cheap count per round (driver-side
     loop over a handful of tiny jobs, not over rows).
+
+    Each round's labels are ``localCheckpoint(eager=True)``-ed, not
+    merely persisted: a persist leaves the full round tower in the
+    lineage, so the FINAL plan re-derives every round (hundreds of
+    scans) whenever a cached partition is lost — routine at scale — and
+    the plan itself grows toward optimizer blow-up. The checkpoint
+    truncates lineage to the materialized RDD each round; superseded
+    round RDDs are released by Spark's ContextCleaner as the driver
+    references drop.
+
+    If the loop exhausts ``max_iters`` before converging (components
+    deeper than ``max_iters`` hops — e.g. templated page chains), the
+    returned labels are NOT a valid transitive closure: a
+    ``RuntimeWarning`` is emitted and the result carries
+    ``_zoi_converged = False`` so callers (pipeline.curate) can fail
+    loudly instead of dropping the wrong documents.
     """
+    import warnings
+
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionAll(pairs.select(F.col(id_b).alias("src"),
                                     F.col(id_a).alias("dst")))
@@ -652,6 +703,7 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .select("id", F.col("id").alias("label")))
+    converged = False
     for _ in range(max_iters):
         prop = (edges.join(labels, edges["dst"] == labels["id"])
                 .groupBy("src").agg(F.min("label").alias("nb_label")))
@@ -659,18 +711,23 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                       .select(labels["id"],
                               F.least("label", F.coalesce("nb_label", "label"))
                               .alias("label"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
                                    "id")
                    .where(F.col("label") != F.col("old")).limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"duplicate_clusters: label propagation did not converge in "
+            f"{max_iters} rounds — cluster ids are incomplete; raise "
+            f"max_iters (component diameter exceeds it)", RuntimeWarning)
     out = labels.select(F.col("id").alias("doc_id"),
                         F.col("label").alias("cluster_id"))
-    out._zoi_persisted = labels
+    out._zoi_converged = converged
     return out
 
 
@@ -691,39 +748,103 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _block_pair_batch_factory(threshold: float):
+    """applyInPandas kernel: all within-block cosine pairs via ONE
+    numpy matmul per block. Per block of n vectors the pair scoring is
+    an (n × d)·(d × n) float64 matmul — BLAS-vectorized, ~3 orders of
+    magnitude over evaluating an interpreted per-pair array fold in the
+    join condition, and the per-task work is small enough that host
+    scheduling jitter cannot stretch a straggler. Division order
+    matches the expression engine (dot / (nᵢ·nⱼ)); zero norms → 0.0."""
+    import numpy as np
+    import pandas as pd
+
+    def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        V = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["__vec"]])
+        G = V @ V.T
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.where(denom > 0, G / denom, 0.0)
+        iu, ju = np.triu_indices(n, k=1)
+        cos = np.round(C[iu, ju], 6)
+        keep = cos >= threshold
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                             "cosine": cos[keep]})
+
+    return batch
+
+
 def embedding_near_dups(df: DataFrame, *, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        block_col: str | None = None) -> DataFrame:
-    """Pairs with cosine ≥ threshold. Without a block column this is a
-    self cross-join (verification scale only); at scale pass an LSH
-    bucket from similarity.random_hyperplane_bucket as ``block_col``.
+                        block_col: str | None = None,
+                        max_block_size: int | None = None,
+                        engine: str = "arrow") -> DataFrame:
+    """Pairs with cosine ≥ threshold. Without a block column this is
+    all-pairs (verification scale only); at scale pass an LSH bucket
+    from ``similarity.random_hyperplane_bucket`` as ``block_col`` —
+    and size its ``bits`` from the corpus via
+    ``similarity.suggest_bits`` so the block population stays bounded
+    as the corpus grows (a fixed-cardinality key makes in-block pair
+    work quadratic again at 100×).
 
-    Vector norms are folded ONCE per row before the pair join (the
-    same left-to-right fold as the per-pair form, so the quotient is
-    bitwise identical) — per-pair work is a single dot product instead
-    of three array folds."""
+    ``max_block_size``: blocks larger than the cap are EXCLUDED from
+    pairing (same contract as ``minhash_lsh_candidates``'s mega-bucket
+    cap): a degenerate block is a quadratic blow-up regardless of the
+    engine, and its members belong to the exact-dup fingerprint path.
+
+    ``engine='arrow'`` (default): group by block, score all in-block
+    pairs with one numpy matmul per block (applyInPandas) — the
+    vectorized verify stage. ``engine='column'``: pure-expression
+    self-equi-join with the norms folded once per row; zero Python in
+    the plan, ~10² slower per pair (the dot product is an interpreted
+    higher-order fold inside the join condition)."""
+    block = F.col(block_col) if block_col else F.lit(0)
+    base = df.select(F.col(id_col).cast("long").alias("__id"),
+                     F.col(vec_col).alias("__vec"),
+                     block.alias("__block"))
+    if max_block_size is not None:
+        sizes = (base.groupBy("__block")
+                 .agg(F.count("*").alias("__bs"))
+                 .where(F.col("__bs") <= max_block_size)
+                 .drop("__bs"))
+        base = base.join(sizes, "__block")
+
+    if engine == "arrow":
+        out_ddl = "id_a long, id_b long, cosine double"
+        return (base.groupBy("__block")
+                .applyInPandas(_block_pair_batch_factory(threshold), out_ddl))
+    if engine != "column":
+        raise ValueError(f"unknown embedding_near_dups engine: {engine!r}")
+
     norm = F.sqrt(F.aggregate(
-        F.col(vec_col), F.lit(0.0),
+        F.col("__vec"), F.lit(0.0),
         lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    base = df.select(id_col, vec_col, norm.alias("__norm"),
-                     *( [block_col] if block_col else [] ))
+    base = base.select("__id", "__vec", "__block", norm.alias("__norm"))
     # spread the streamed side: pair-probe parallelism is bounded by its
     # task count (see ngram_jaccard_pairs)
     par = df.sparkSession.sparkContext.defaultParallelism
     a = base.repartition(par).alias("a")
     b = base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cond = (F.col("a.__id") < F.col("b.__id")) & \
+        (F.col("a.__block") == F.col("b.__block"))
     dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+        F.zip_with(F.col("a.__vec"), F.col("b.__vec"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
     na, nb = F.col("a.__norm"), F.col("b.__norm")
     sim = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
     return (a.join(b, cond)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
                     F.round(sim, 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))

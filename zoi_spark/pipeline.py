@@ -16,13 +16,17 @@ Stage shapes at 100 TB (every stage is lazy until materialized):
    whose cluster_id differs from its own id. Pair work is proportional
    to bucket collisions, never n².
 
-The returned frame is the KEPT corpus; ``report(spark)`` runs the
-per-stage counting jobs (each one aggregation) for the curation ledger.
+The returned frame is the KEPT corpus; ``report()`` runs the per-stage
+counting jobs (each one aggregation) for the curation ledger. Cache
+lifecycle: the LSH bucket table the pair stage persists is carried on
+``CurationResult.caches`` — call ``release()`` once the kept corpus has
+been materialized (at 100 TB the (id, band, bucket) table is not small
+and would otherwise stay pinned for the session).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -37,20 +41,30 @@ from .validate import validate
 class CurationResult:
     kept: DataFrame
     stages: dict  # stage name -> lazy DataFrame after that stage
+    text_col: str = "text"
+    # persisted frames owned by this run (LSH bucket table); release()
+    # unpersists them once the kept corpus is materialized
+    caches: list = dc_field(default_factory=list)
+    converged: bool = True
 
     def report(self) -> dict:
         """Stage ledger: rows surviving each stage (one count job per
         stage) + kept-corpus token totals in one aggregation."""
         out = {name: df.count() for name, df in self.stages.items()}
         toks = self.kept.agg(
-            F.sum(text.token_count(F.col(self._text_col))).alias("ws"),
-            F.sum(text.bpe_ish_token_count(F.col(self._text_col)))
+            F.sum(text.token_count(F.col(self.text_col))).alias("ws"),
+            F.sum(text.bpe_ish_token_count(F.col(self.text_col)))
             .alias("bpe")).collect()[0]
         out["kept_ws_tokens"] = int(toks.ws or 0)
         out["kept_bpe_tokens"] = int(toks.bpe or 0)
         return out
 
-    _text_col: str = "text"
+    def release(self) -> None:
+        """Unpersist every cache this run pinned (call after the kept
+        corpus has been written/collected)."""
+        for df in self.caches:
+            df.unpersist()
+        self.caches.clear()
 
 
 def curate(df: DataFrame, schema: Schema, *, id_col: str,
@@ -60,9 +74,13 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            lang_col: str | None = None,
            near_dup_threshold: float = 0.85,
            minhash_bands: int = 16,
-           max_bucket_size: int | None = None) -> CurationResult:
+           max_bucket_size: int | None = None,
+           cluster_max_iters: int = 20) -> CurationResult:
     """Run the full curation composition; see module docstring for the
-    per-stage plan shapes."""
+    per-stage plan shapes. If cluster label propagation fails to
+    converge within ``cluster_max_iters`` (already warned by
+    duplicate_clusters), the result's ``converged`` flag is False —
+    check it before trusting the drop list."""
     res = validate(df, schema, id_cols=[id_col])
     valid = res.valid_rows
 
@@ -79,7 +97,8 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
         exact, id_col=id_col, text_col=text_col,
         threshold=near_dup_threshold, bands=minhash_bands,
         max_bucket_size=max_bucket_size)
-    clusters = dedup.duplicate_clusters(pairs, id_a="id_a", id_b="id_b")
+    clusters = dedup.duplicate_clusters(pairs, id_a="id_a", id_b="id_b",
+                                        max_iters=cluster_max_iters)
     drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
             .select(F.col("doc_id").alias("__drop_id")))
     # NOT broadcast: web corpora can be 20-40% near-duplicates, so the
@@ -87,9 +106,12 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
     # is the safe plan (AQE downgrades it to broadcast when it IS small)
     kept = exact.join(drop, exact[id_col] == F.col("__drop_id"), "left_anti")
 
-    out = CurationResult(
+    caches = [c for c in [getattr(pairs, "_zoi_persisted", None)]
+              if c is not None]
+    return CurationResult(
         kept=kept,
         stages={"input": df, "valid": valid, "quality": gated,
-                "exact_dedup": exact, "near_dedup": kept})
-    out._text_col = text_col
-    return out
+                "exact_dedup": exact, "near_dedup": kept},
+        text_col=text_col,
+        caches=caches,
+        converged=getattr(clusters, "_zoi_converged", True))

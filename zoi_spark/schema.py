@@ -409,22 +409,31 @@ def tuple_(fields: Sequence[Schema], *, error: str | None = None) -> Schema:
 
 
 def fields(field_map: Mapping[str, Schema], *, strict: bool = False,
-           unrecognized: "str | tuple" = "strip", coerce: bool = False,
+           unrecognized: "str | tuple | None" = None, coerce: bool = False,
            empty_values: Sequence[Any] = (),
            error: str | None = None) -> Schema:
     """Map/struct/keyword with declared fields; required-by-default
     (types/map.ex:13-29).
 
-    ``unrecognized`` ∈ {strip, error, preserve} or the validated-
-    preserve form ``("preserve", key_schema, value_schema)`` — extra
-    keys are parsed through ``Zoi.map(key_schema, value_schema)`` and
-    preserved when valid (types/key_value.ex:104-129, 186-196).
+    ``unrecognized`` ∈ {strip (default), error, preserve} or the
+    validated-preserve form ``("preserve", key_schema, value_schema)``
+    — extra keys are parsed through ``Zoi.map(key_schema,
+    value_schema)`` and preserved when valid (types/key_value.ex:
+    104-129, 186-196). ``strict=True`` is sugar for
+    ``unrecognized='error'``; combining it with a DIFFERENT explicit
+    mode is contradictory and raises (it used to silently win).
 
     ``empty_values``: per-schema list of raw values treated as MISSING
     (required error / default fill / skip), mirroring
     types/key_value.ex:82-84; the Form preset is ``("",)``."""
     if strict:
+        if unrecognized not in (None, "error"):
+            raise ValueError(
+                "strict=True means unrecognized='error'; combining it "
+                f"with unrecognized={unrecognized!r} is contradictory")
         unrecognized = "error"
+    elif unrecognized is None:
+        unrecognized = "strip"
     if isinstance(unrecognized, tuple):
         if (len(unrecognized) != 3 or unrecognized[0] != "preserve"
                 or not isinstance(unrecognized[1], Schema)

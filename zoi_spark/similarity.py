@@ -46,6 +46,23 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(bits, dim).round(6).tolist()
 
 
+def suggest_bits(n_rows: int, *, target_block: int = 1024,
+                 max_bits: int = 24) -> int:
+    """Corpus-size-derived hyperplane count: ``bits ≈ log2(n / target)``
+    keeps the EXPECTED bucket population ~``target_block`` as the corpus
+    grows — the same parameterize-from-the-data habit as
+    ``tablechecks.suggest_salt``. A fixed ``bits`` makes bucket
+    population grow linearly with the corpus, so in-bucket pair work
+    turns quadratic again at 100×; pass the (approximate) corpus size
+    from a count you already have — never peek at the data during plan
+    construction."""
+    import math
+
+    if n_rows <= target_block:
+        return 1
+    return max(1, min(max_bits, math.ceil(math.log2(n_rows / target_block))))
+
+
 def random_hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit_i = 1 iff vec · plane_i > 0. Pure
     expressions — each dot product is a zip_with against a literal
