@@ -876,6 +876,334 @@ def q_multiple_unique_decimal(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r3: oracle rows for the previously pytest-only §2 components
+# ---------------------------------------------------------------------------
+
+_SCALAR_POOLS: dict[str, list[str]] = {
+    # seeded corpora for the scalar type/coercion/transform matrix
+    # (reference test/zoi_test.exs:54-815); index = doc_id % len(pool)
+    "num_s": ["42", "-3.5", "1e3", "abc", "7.25"],
+    "bool_s": ["true", "false", "TRUE", "1"],
+    "sb": ["yes", "NO", "on", "disabled", "maybe"],
+    "atom_s": ["red", "green", "blue", "magenta"],
+    "time_s": ["10:30:00", "10:30:00.123", "10:30", "25:00:00x"],
+    "chain": ["  ab  ", "abc", "  abcdef  "],
+    "tx": [" a ", "b ", " A"],
+}
+
+
+def _pool_col(name: str, pool: list[str]) -> F.Column:
+    expr = None
+    for i, s in enumerate(pool):
+        cond = F.pmod(F.col("doc_id"), F.lit(len(pool))) == i
+        expr = F.when(cond, F.lit(s)) if expr is None else expr.when(cond, F.lit(s))
+    return expr.alias(name)
+
+
+def _pool_sql(name: str, pool: list[str]) -> str:
+    whens = " ".join(
+        f"WHEN ((doc_id % {len(pool)}) + {len(pool)}) % {len(pool)} = {i} "
+        f"THEN '{s.replace(chr(39), chr(39) * 2)}'"
+        for i, s in enumerate(pool))
+    return f"CASE {whens} END AS {name}"
+
+
+def q_scalar_coercion_matrix(spark, sf_dir):
+    """The scalar §1.3/§2.4 matrix in one oracle row: number / boolean
+    / string_boolean / atom / null / any / time / map_set types,
+    downcase/upcase refinements, trim + to_downcase/to_upcase
+    transforms, and constraint-after-transform chain order
+    (string(min=6).trim().to_downcase().gte(5) checks min on the RAW
+    value, gte on the trimmed+lowered one — lib/zoi/types/meta.ex:
+    62-95). Output = violation counts by rule + parsed-value aggregates
+    proving the coercions/transforms produced the right values."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        "doc_id",
+        *[_pool_col(n, p) for n, p in _SCALAR_POOLS.items()],
+        F.when(F.pmod("doc_id", F.lit(10)) == 0, F.lit("x"))
+         .otherwise(F.lit(None).cast("string")).alias("null_c"),
+        F.lit("anything").alias("any_c"),
+        F.when(F.pmod("doc_id", F.lit(6)) == 0, F.lit("Mixed"))
+         .otherwise(F.lit("lower")).alias("dc"),
+        F.when(F.pmod("doc_id", F.lit(8)) == 0, F.lit("mixed"))
+         .otherwise(F.lit("UPPER")).alias("uc"),
+        F.array(F.pmod("doc_id", F.lit(7)),
+                F.pmod("doc_id", F.lit(3))).alias("ms"),
+    )
+    schema = z.fields({
+        "doc_id": z.integer(),
+        "num_s": z.number(coerce=True, gte=0.0),
+        "bool_s": z.boolean(coerce=True),
+        "sb": z.string_boolean(),
+        "atom_s": z.atom().one_of(["red", "green", "blue"]),
+        "null_c": z.null().optional(),
+        "any_c": z.any_().optional(),
+        "time_s": z.time(),
+        "ms": z.map_set(z.integer()),
+        "dc": z.string().downcase(),
+        "uc": z.string().upcase(),
+        "chain": z.string(min=6).trim().to_downcase().gte(5),
+        "tx": z.string().trim().to_upcase(),
+    })
+    res = z.validate(corpus, schema, id_cols=["doc_id"])
+    counts = (res.violations.groupBy(F.col("rule_id").alias("key"))
+              .agg(F.count("*").alias("n")))
+    p = F.col("__zoi_parsed")
+    aggs = res.annotated.agg(
+        (F.sum(p.getField("num_s")) * 100).cast("long").alias("num_sum_x100"),
+        F.sum(p.getField("bool_s").cast("long")).alias("bool_true"),
+        F.sum(p.getField("sb").cast("long")).alias("sb_true"),
+        F.countDistinct(p.getField("tx")).alias("tx_distinct"),
+        F.countDistinct(p.getField("atom_s")).alias("atom_distinct"),
+    )
+    extra = aggs.selectExpr(
+        "stack(5, 'num_sum_x100', num_sum_x100, 'bool_true', bool_true, "
+        "'sb_true', sb_true, 'tx_distinct', tx_distinct, "
+        "'atom_distinct', atom_distinct) as (key, n)")
+    return counts.unionAll(extra)
+
+
+def q_schema_algebra(spark, sf_dir):
+    """extend / pick / omit (lib/zoi.ex:1658-1684, types/extend.ex:
+    4-55, types/pick.ex, types/omit.ex) in the gate: the customer
+    schema extended with a synthetic tag rule, then picked+omitted down
+    to {c_custkey, c_name, c_tag} — the violations can only match the
+    oracle if the algebra produced exactly that rule set (no
+    c_mktsegment/one_of, no c_acctbal/lte rows may appear)."""
+    c = _read(spark, sf_dir, "customer").withColumn(
+        "c_tag", F.concat(F.lit("tag-"), F.col("c_custkey").cast("string")))
+    extended = z.extend(customer_schema(),
+                        {"c_tag": z.string(min=8).starts_with("tag-")})
+    final = z.omit(z.pick(extended,
+                          ["c_custkey", "c_name", "c_acctbal", "c_tag"]),
+                   ["c_acctbal"])
+    res = z.validate(c, final, id_cols=["c_custkey"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+def q_json_schema_roundtrip(spark, sf_dir):
+    """from_json_schema → to_json_schema → from_json_schema round-trip
+    IN the gated path (lib/zoi/json_schema/decoder.ex:16-120, encoder
+    lib/zoi/json_schema.ex:138-322): the validated rule set derives
+    entirely from a JSON-Schema document that survives one full
+    encode/decode cycle, so both directions are oracle-checked."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "user_id",
+        F.get_json_object("props", "$.k").alias("k"))
+    js = {
+        "type": "object",
+        "properties": {
+            "event_id": {"type": "integer", "minimum": 0},
+            "event_type": {"enum": ["click", "view", "signup", "purchase"]},
+            "value": {"type": "number", "maximum": 150.0},
+            "user_id": {"type": "integer", "exclusiveMinimum": 0},
+            "k": {"type": "string", "pattern": "^[0-4]?[0-9]$"},
+        },
+        "required": ["event_id", "event_type", "value", "user_id"],
+    }
+    schema = z.from_json_schema(z.to_json_schema(z.from_json_schema(js)))
+    res = z.validate(ev, schema, id_cols=["event_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+def q_refine_ctx_multi(spark, sf_dir):
+    """Context-refine emitting MULTIPLE dynamic messages per value
+    (Zoi refine/2 arity-2 with Context.add_error, lib/zoi.ex:3120-3143)
+    + an expr refine + an Arrow-batched pandas refine, grouped by
+    MESSAGE — plus the treefy/prettify post-processors
+    (lib/zoi.ex:452-521) run on a bounded collected subset so the real
+    driver-side functions are inside the oracle gate."""
+
+    def name_issues(c):
+        last = F.substring(c, F.length(c).cast("int"), 1)
+        return F.filter(F.array(
+            F.when(last.rlike("^[0-4]$"),
+                   F.concat(F.lit("name ends "), last)),
+            F.when(c.contains("00"), F.lit("padded name")),
+        ), lambda m: m.isNotNull())
+
+    schema = z.fields({
+        "c_custkey": z.integer(),
+        "c_name": z.string().refine_ctx(name_issues, engine="expr"),
+        "c_acctbal": z.float_().refine(lambda c: c <= F.lit(9000.0),
+                                       error="balance too high",
+                                       engine="expr"),
+        "c_nationkey": z.integer().refine(
+            lambda s: s.between(0, 20), error="nation out of range",
+            engine="pandas"),
+    })
+    res = z.validate(_read(spark, sf_dir, "customer"), schema,
+                     id_cols=["c_custkey"])
+    counts = (res.violations.groupBy(F.col("message").alias("key"))
+              .agg(F.count("*").alias("n")))
+
+    from collections import Counter
+
+    from zoi_spark import errors as zerr
+    sub = [r.asDict() for r in
+           (res.violations.where(F.col("c_custkey") <= 120)
+            .select("path", "message").collect())]
+    pretty = Counter(zerr.prettify_errors(sub))
+    tree = zerr.treefy_errors(sub)
+    rows = [("pretty:" + line, n) for line, n in pretty.items()]
+    rows += [("treefy:" + k, len(v.get("__errors__", [])))
+             for k, v in tree.items()]
+    extra = spark.createDataFrame(rows, "key string, n long")
+    return counts.unionAll(extra)
+
+
+_EMAIL_POOL = [
+    "alice@example.com",        # valid under all four patterns
+    "Abc..def@example.com",     # consecutive dots: html5/simple only
+    "a@b",                      # no TLD: html5/simple only
+    "name@host.example.org",    # valid under all four
+    "bad name@example.com",     # space: invalid everywhere
+    '"quoted"@example.com',     # quoted local: rfc5322/simple only
+]
+
+
+def q_email_variants(spark, sf_dir):
+    """The four selectable email patterns (lib/zoi/regexes.ex:7-31):
+    default 'reasonable', html5, rfc5322, simple — one column per
+    variant over the same pool, counts by rule."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select("doc_id", *[
+        _pool_col(n, _EMAIL_POOL)
+        for n in ("em_default", "em_html5", "em_rfc", "em_simple")])
+    schema = z.fields({
+        "doc_id": z.integer(),
+        "em_default": z.email(),
+        "em_html5": z.email(pattern="html5"),
+        "em_rfc": z.email(pattern="rfc5322"),
+        "em_simple": z.email(pattern="simple"),
+    })
+    res = z.validate(corpus, schema, id_cols=["doc_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+def q_schema_introspection(spark, sf_dir):
+    """Driver-side schema derivations in the gate: Zoi.type_spec
+    (to_struct_type/to_ddl, lib/zoi.ex:284-289),
+    Zoi.Struct.enforce_keys / struct_fields (lib/zoi/struct.ex:45-80).
+    The engine derives the rows from the real APIs; the oracle is the
+    hand-written expectation — a drift in either fails the hash."""
+    from zoi_spark import struct_keys as zsk
+    from zoi_spark.describe import to_ddl
+
+    doc = documents_schema()
+    rows = [(f"doc:{f.name}", f.dataType.simpleString(), not f.nullable)
+            for f in zsk.required_struct_type(doc).fields]
+    rows.append(("doc:__ddl__", to_ddl(doc), False))
+    mini = z.fields({"a": z.integer(), "b": z.string().optional(),
+                     "c": z.integer().with_default(7)})
+    rows.append(("mini:enforce_keys", ",".join(zsk.enforce_keys(mini)),
+                 False))
+    rows.append(("mini:struct_fields",
+                 ",".join(x if isinstance(x, str) else f"{x[0]}={x[1]}"
+                          for x in zsk.struct_fields(mini)), False))
+    rows += [(f"mini:{f.name}", f.dataType.simpleString(), not f.nullable)
+             for f in zsk.required_struct_type(mini).fields]
+    return spark.createDataFrame(rows, "key string, info string, "
+                                       "enforced boolean")
+
+
+def q_validate_strict_parsed(spark, sf_dir):
+    """Zoi.parse!/3 pass path (lib/zoi.ex:234-242): validate_strict on
+    the rule-clean customer subset returns the PARSED frame (raising
+    path is pytest-covered — an oracle can't observe a raise)."""
+    cond = ((F.col("c_custkey") >= 100)
+            & F.length("c_name").between(5, 25)
+            & F.col("c_name").startswith("Customer#")
+            & F.col("c_nationkey").between(0, 24)
+            & (F.col("c_acctbal") <= 5000.0)
+            & F.col("c_mktsegment").isin("BUILDING", "FURNITURE",
+                                         "MACHINERY"))
+    clean = _read(spark, sf_dir, "customer").where(cond)
+    parsed = z.validate_strict(clean, customer_schema(),
+                               id_cols=["c_custkey"])
+    named = parsed.toDF("id", "c_custkey", "c_name", "c_nationkey",
+                        "c_acctbal", "c_mktsegment")
+    return named.select("c_custkey", "c_name",
+                        F.round("c_acctbal", 2).alias("bal"))
+
+
+def q_lazy_tree(spark, sf_dir):
+    """Recursive schema via bounded lazy unrolling (types/lazy.ex:
+    19-27, SURVEY §7 hard parts): a two-level tree struct validated by
+    a self-referential fields schema; element rules fire with full
+    nested paths at both depths."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.pmod("doc_id", F.lit(8)).alias("v"),
+            F.struct(F.pmod(F.floor(F.col("doc_id") / 8).cast("long"),
+                            F.lit(8)).alias("v")).alias("child"),
+        ).alias("tree"))
+
+    def node():
+        return z.fields({"v": z.integer(lte=5),
+                         "child": z.lazy(node, max_depth=4).optional()})
+
+    schema = z.fields({"doc_id": z.integer(),
+                       "tree": z.lazy(node, max_depth=4)})
+    res = z.validate(d, schema, id_cols=["doc_id"])
+    return (res.violations.groupBy("rule_id", "path_str")
+            .agg(F.count("*").alias("n")))
+
+
+def q_json_probe(spark, sf_dir):
+    """z.json() string-probe type (types/json.ex:4-16): every 23rd
+    event's props replaced with truncated (invalid) JSON; the probe
+    (try_parse_json JVM-side) must flag exactly those."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.pmod("event_id", F.lit(23)) == 0,
+               F.concat(F.lit('{"broken": '),
+                        F.col("event_id").cast("string")))
+         .otherwise(F.col("props")).alias("props"))
+    schema = z.fields({"event_id": z.integer(), "props": z.json()})
+    res = z.validate(ev, schema, id_cols=["event_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
+def q_stream_validate_docs(spark, sf_dir):
+    """Structured Streaming validation in the oracle gate: the
+    documents table read as a STREAM (file source), validated with the
+    flagship rule-set via zoi_spark.streaming.stream_violations
+    (stateless annotate + stream-static broadcast of the rule
+    catalog), sunk to parquet with an availableNow trigger, then the
+    materialized sink aggregated — identical semantics to the batch
+    path, so the batch SQL is the oracle."""
+    import shutil
+    import tempfile
+
+    from zoi_spark import streaming
+
+    out_dir = os.path.join(tempfile.gettempdir(), "zoi_stream_gate")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # the parquet file-stream source requires a DIRECTORY (its basePath);
+    # stage the table file into one — the same shape a real deployment
+    # streams from (a landing directory fed with arriving files)
+    in_dir = os.path.join(out_dir, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/documents.parquet",
+                os.path.join(in_dir, "documents.parquet"))
+    batch_schema = _read(spark, sf_dir, "documents").schema
+    sdf = spark.readStream.schema(batch_schema).parquet(in_dir)
+    viol = streaming.stream_violations(sdf, documents_schema(), ["doc_id"])
+    q = (viol.select("doc_id", "rule_id").writeStream
+         .format("parquet")
+         .option("path", f"{out_dir}/data")
+         .option("checkpointLocation", f"{out_dir}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{out_dir}/data")
+            .groupBy("rule_id").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
 
@@ -940,6 +1268,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "intersection_enum_remap": q_intersection_enum_remap,
         "mapkv_props": q_mapkv_props,
         "multiple_unique_decimal": q_multiple_unique_decimal,
+        # r3: the previously pytest-only §2 components
+        "scalar_coercion_matrix": q_scalar_coercion_matrix,
+        "schema_algebra": q_schema_algebra,
+        "json_schema_roundtrip": q_json_schema_roundtrip,
+        "refine_ctx_multi": q_refine_ctx_multi,
+        "email_variants": q_email_variants,
+        "schema_introspection": q_schema_introspection,
+        "validate_strict_parsed": q_validate_strict_parsed,
+        "lazy_tree": q_lazy_tree,
+        "json_probe": q_json_probe,
+        "stream_validate_docs": q_stream_validate_docs,
     }
 
 
@@ -1194,6 +1533,172 @@ def _ivf_ann_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 4) -> str:
           FROM scored)
         SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _scalar_matrix_sql() -> str:
+    """SQL twin of q_scalar_coercion_matrix: same pools, same strict
+    coercion guards, same chain-order semantics (min on raw, gte#1 on
+    trimmed+lowered), same parsed-value aggregates."""
+    pools = ",\n                     ".join(
+        _pool_sql(n, p) for n, p in _SCALAR_POOLS.items())
+    truthy = "('true','1','yes','on','y','enabled')"
+    falsy = "('false','0','no','off','n','disabled')"
+    num_re = r"^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$"
+    return f"""
+        WITH corpus AS (
+              SELECT doc_id,
+                     {pools},
+                     CASE WHEN ((doc_id % 10) + 10) % 10 = 0 THEN 'x' END
+                       AS null_c,
+                     'anything' AS any_c,
+                     CASE WHEN ((doc_id % 6) + 6) % 6 = 0 THEN 'Mixed'
+                          ELSE 'lower' END AS dc,
+                     CASE WHEN ((doc_id % 8) + 8) % 8 = 0 THEN 'mixed'
+                          ELSE 'UPPER' END AS uc,
+                     [((doc_id % 7) + 7) % 7,
+                      ((doc_id % 3) + 3) % 3] AS ms
+              FROM documents)
+        SELECT key, n FROM (
+          SELECT 'num_s.type' AS key, count(*)::BIGINT AS n FROM corpus
+            WHERE num_s IS NOT NULL
+              AND NOT regexp_matches(num_s, '{num_re}')
+          UNION ALL
+          SELECT 'num_s.gte', count(*)::BIGINT FROM corpus
+            WHERE num_s IS NOT NULL AND regexp_matches(num_s, '{num_re}')
+              AND NOT (num_s::DOUBLE >= 0.0)
+          UNION ALL
+          SELECT 'bool_s.type', count(*)::BIGINT FROM corpus
+            WHERE bool_s IS NOT NULL AND bool_s NOT IN ('true', 'false')
+          UNION ALL
+          SELECT 'sb.type', count(*)::BIGINT FROM corpus
+            WHERE sb IS NOT NULL AND lower(sb) NOT IN
+              ('true','1','yes','on','y','enabled',
+               'false','0','no','off','n','disabled')
+          UNION ALL
+          SELECT 'atom_s.one_of', count(*)::BIGINT FROM corpus
+            WHERE atom_s IS NOT NULL
+              AND atom_s NOT IN ('red', 'green', 'blue')
+          UNION ALL
+          SELECT 'null_c.type', count(*)::BIGINT FROM corpus
+            WHERE null_c IS NOT NULL
+          UNION ALL
+          SELECT 'time_s.type', count(*)::BIGINT FROM corpus
+            WHERE time_s IS NOT NULL AND NOT regexp_matches(time_s,
+              '^\\d{{2}}:\\d{{2}}:\\d{{2}}(\\.\\d{{1,6}})?$')
+          UNION ALL
+          SELECT 'ms.unique_items', count(*)::BIGINT FROM corpus
+            WHERE len(list_distinct(ms)) != len(ms)
+          UNION ALL
+          SELECT 'dc.downcase', count(*)::BIGINT FROM corpus
+            WHERE dc IS NOT NULL AND NOT regexp_matches(dc, '^[^A-Z]*$')
+          UNION ALL
+          SELECT 'uc.upcase', count(*)::BIGINT FROM corpus
+            WHERE uc IS NOT NULL AND NOT regexp_matches(uc, '^[^a-z]*$')
+          UNION ALL
+          SELECT 'chain.gte', count(*)::BIGINT FROM corpus
+            WHERE chain IS NOT NULL AND NOT (length(chain) >= 6)
+          UNION ALL
+          SELECT 'chain.gte#1', count(*)::BIGINT FROM corpus
+            WHERE chain IS NOT NULL
+              AND NOT (length(lower(trim(chain))) >= 5)
+          UNION ALL
+          SELECT 'num_sum_x100',
+                 (sum(CASE WHEN regexp_matches(num_s, '{num_re}')
+                           THEN num_s::DOUBLE END) * 100)::BIGINT
+          FROM corpus
+          UNION ALL
+          SELECT 'bool_true',
+                 sum(CASE WHEN bool_s = 'true' THEN 1 ELSE 0 END)::BIGINT
+          FROM corpus
+          UNION ALL
+          SELECT 'sb_true',
+                 sum(CASE WHEN lower(sb) IN {truthy} THEN 1
+                          ELSE 0 END)::BIGINT
+          FROM corpus
+          UNION ALL
+          SELECT 'tx_distinct', count(DISTINCT upper(trim(tx)))::BIGINT
+          FROM corpus
+          UNION ALL
+          SELECT 'atom_distinct', count(DISTINCT atom_s)::BIGINT
+          FROM corpus
+        ) WHERE n > 0
+    """
+
+
+def _refine_ctx_sql() -> str:
+    """SQL twin of q_refine_ctx_multi: the same dynamic/static
+    messages, plus the prettified/treefied post-processing of the
+    c_custkey <= 120 subset."""
+    branches = """
+              SELECT 'name ends ' || substr(c_name, length(c_name), 1)
+                AS key FROM customer
+                WHERE c_name IS NOT NULL
+                  AND substr(c_name, length(c_name), 1)
+                      IN ('0','1','2','3','4') {extra}
+              UNION ALL
+              SELECT 'padded name' FROM customer
+                WHERE c_name IS NOT NULL AND contains(c_name, '00') {extra}
+              UNION ALL
+              SELECT 'balance too high' FROM customer
+                WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal <= 9000.0)
+                {extra}
+              UNION ALL
+              SELECT 'nation out of range' FROM customer
+                WHERE c_nationkey IS NOT NULL
+                  AND NOT (c_nationkey BETWEEN 0 AND 20) {extra}
+    """
+    all_rows = branches.format(extra="")
+    sub = branches.format(extra="AND c_custkey <= 120")
+    return f"""
+        SELECT key, count(*)::BIGINT AS n FROM ({all_rows}) GROUP BY key
+        UNION ALL
+        SELECT 'pretty:' || key || ', at ' ||
+               CASE WHEN key IN ('balance too high') THEN 'c_acctbal'
+                    WHEN key IN ('nation out of range') THEN 'c_nationkey'
+                    ELSE 'c_name' END AS key,
+               count(*)::BIGINT FROM ({sub}) GROUP BY 1
+        UNION ALL
+        SELECT 'treefy:' ||
+               CASE WHEN key IN ('balance too high') THEN 'c_acctbal'
+                    WHEN key IN ('nation out of range') THEN 'c_nationkey'
+                    ELSE 'c_name' END AS key,
+               count(*)::BIGINT FROM ({sub}) GROUP BY 1
+    """
+
+
+def _email_variants_sql() -> str:
+    """SQL twins of the four email patterns; the default's lookaheads
+    re-expressed as conjunctions for RE2 (same device as
+    format_validators)."""
+    pool = _pool_sql("em", _EMAIL_POOL)
+    html5 = (r"(?i)^[\w.!#$%&''*+/=?^`{|}~-]+@[a-z\d](?:[a-z\d-]{0,61}"
+             r"[a-z\d])?(?:\.[a-z\d](?:[a-z\d-]{0,61}[a-z\d])?)*$")
+    # the apostrophe in the rfc5322 local-part class is doubled for the
+    # SQL string literal
+    rfc = (r'^(?:"[^"]+"|[!#-' + "''" + r'*+/-9=?A-Z^_`a-z{|}~]+)@'
+           r"(?:[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+"
+           r"[A-Za-z]{2,63}$")
+    simple = r"^[^@,;\s]+@[^@,;\s]+$"
+    return f"""
+        WITH corpus AS (SELECT doc_id, {pool} FROM documents)
+        SELECT rule_id, count(*)::BIGINT AS n FROM (
+          SELECT 'em_default.email' AS rule_id FROM corpus
+            WHERE em IS NOT NULL AND NOT (
+              regexp_matches(em,
+                '(?i)^([a-z0-9_''+\\-\\.]*)[a-z0-9_+\\-]@([a-z0-9][a-z0-9\\-]*\\.)+[a-z]{{2,}}$')
+              AND NOT regexp_matches(em, '^\\.')
+              AND NOT contains(em, '..'))
+          UNION ALL
+          SELECT 'em_html5.email' FROM corpus
+            WHERE em IS NOT NULL AND NOT regexp_matches(em, '{html5}')
+          UNION ALL
+          SELECT 'em_rfc.email' FROM corpus
+            WHERE em IS NOT NULL AND NOT regexp_matches(em, '{rfc}')
+          UNION ALL
+          SELECT 'em_simple.email' FROM corpus
+            WHERE em IS NOT NULL AND NOT regexp_matches(em, '{simple}')
+        ) GROUP BY rule_id
     """
 
 
@@ -1852,5 +2357,144 @@ def oracle_sql() -> dict[str, str]:
                      (sum(TRY_CAST(price_str AS DECIMAL(12,2))) * 100)::BIGINT
               FROM seeded
             ) WHERE n > 0
+        """,
+        "scalar_coercion_matrix": _scalar_matrix_sql(),
+        "schema_algebra": """
+            WITH seeded AS (
+              SELECT c_custkey, c_name,
+                     'tag-' || c_custkey::VARCHAR AS c_tag
+              FROM customer)
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 'c_custkey.gte' AS rule_id FROM seeded
+                WHERE c_custkey IS NOT NULL AND NOT (c_custkey >= 100)
+              UNION ALL
+              SELECT 'c_name.gte' FROM seeded
+                WHERE c_name IS NOT NULL AND NOT (length(c_name) >= 5)
+              UNION ALL
+              SELECT 'c_name.lte' FROM seeded
+                WHERE c_name IS NOT NULL AND NOT (length(c_name) <= 25)
+              UNION ALL
+              SELECT 'c_name.starts_with' FROM seeded
+                WHERE c_name IS NOT NULL
+                  AND NOT starts_with(c_name, 'Customer#')
+              UNION ALL
+              SELECT 'c_tag.gte' FROM seeded
+                WHERE c_tag IS NOT NULL AND NOT (length(c_tag) >= 8)
+              UNION ALL
+              SELECT 'c_tag.starts_with' FROM seeded
+                WHERE c_tag IS NOT NULL AND NOT starts_with(c_tag, 'tag-')
+            ) GROUP BY rule_id
+        """,
+        "json_schema_roundtrip": """
+            WITH ev AS (
+              SELECT event_id, event_type, value, user_id,
+                     json_extract_string(props, '$.k') AS k
+              FROM events)
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 'event_id.gte' AS rule_id FROM ev
+                WHERE event_id IS NOT NULL AND NOT (event_id >= 0)
+              UNION ALL
+              SELECT 'event_id.required' FROM ev WHERE event_id IS NULL
+              UNION ALL
+              SELECT 'event_type.type' FROM ev
+                WHERE event_type IS NOT NULL
+                  AND event_type NOT IN ('click','view','signup','purchase')
+              UNION ALL
+              SELECT 'event_type.required' FROM ev WHERE event_type IS NULL
+              UNION ALL
+              SELECT 'value.lte' FROM ev
+                WHERE value IS NOT NULL AND NOT (value <= 150.0)
+              UNION ALL
+              SELECT 'value.required' FROM ev WHERE value IS NULL
+              UNION ALL
+              SELECT 'user_id.gt' FROM ev
+                WHERE user_id IS NOT NULL AND NOT (user_id > 0)
+              UNION ALL
+              SELECT 'user_id.required' FROM ev WHERE user_id IS NULL
+              UNION ALL
+              SELECT 'k.regex' FROM ev
+                WHERE k IS NOT NULL
+                  AND NOT regexp_matches(k, '^[0-4]?[0-9]$')
+            ) GROUP BY rule_id
+        """,
+        "refine_ctx_multi": _refine_ctx_sql(),
+        "email_variants": _email_variants_sql(),
+        "schema_introspection": """
+            SELECT * FROM (VALUES
+              ('doc:doc_id', 'bigint', true),
+              ('doc:text', 'string', true),
+              ('doc:lang', 'string', true),
+              ('doc:source', 'string', true),
+              ('doc:n_chars', 'bigint', true),
+              ('doc:__ddl__',
+               'doc_id bigint NOT NULL, text string NOT NULL, ' ||
+               'lang string NOT NULL, source string NOT NULL, ' ||
+               'n_chars bigint NOT NULL', false),
+              ('mini:enforce_keys', 'a,c', false),
+              ('mini:struct_fields', 'a,b,c=7', false),
+              ('mini:a', 'bigint', true),
+              ('mini:b', 'string', false),
+              ('mini:c', 'bigint', false)
+            ) t(key, info, enforced)
+        """,
+        "validate_strict_parsed": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+            FROM customer
+            WHERE c_custkey >= 100
+              AND length(c_name) BETWEEN 5 AND 25
+              AND starts_with(c_name, 'Customer#')
+              AND c_nationkey BETWEEN 0 AND 24
+              AND c_acctbal <= 5000.0
+              AND c_mktsegment IN ('BUILDING','FURNITURE','MACHINERY')
+        """,
+        "lazy_tree": """
+            SELECT rule_id, path_str, count(*)::BIGINT AS n FROM (
+              SELECT 'tree.v.lte' AS rule_id, 'tree.v' AS path_str
+              FROM documents WHERE ((doc_id % 8) + 8) % 8 > 5
+              UNION ALL
+              SELECT 'tree.child.v.lte', 'tree.child.v'
+              FROM documents
+              WHERE (((doc_id // 8) % 8) + 8) % 8 > 5
+            ) GROUP BY 1, 2
+        """,
+        "json_probe": """
+            WITH seeded AS (
+              SELECT CASE WHEN ((event_id % 23) + 23) % 23 = 0
+                          THEN '{"broken": ' || event_id::VARCHAR
+                          ELSE props END AS p
+              FROM events)
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT CASE WHEN p IS NULL THEN 'props.required'
+                          WHEN NOT json_valid(p) THEN 'props.type'
+                     END AS rule_id
+              FROM seeded)
+            WHERE rule_id IS NOT NULL GROUP BY 1
+        """,
+        "stream_validate_docs": """
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 'doc_id.gte' AS rule_id FROM documents
+                WHERE doc_id IS NOT NULL AND NOT (doc_id >= 0)
+              UNION ALL
+              SELECT 'text.gte' FROM documents
+                WHERE text IS NOT NULL AND NOT (length(text) >= 50)
+              UNION ALL
+              SELECT 'text.lte' FROM documents
+                WHERE text IS NOT NULL AND NOT (length(text) <= 520)
+              UNION ALL
+              SELECT 'lang.gte' FROM documents
+                WHERE lang IS NOT NULL AND NOT (length(lang) >= 2)
+              UNION ALL
+              SELECT 'lang.lte' FROM documents
+                WHERE lang IS NOT NULL AND NOT (length(lang) <= 2)
+              UNION ALL
+              SELECT 'lang.one_of' FROM documents
+                WHERE lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
+              UNION ALL
+              SELECT 'source.starts_with' FROM documents
+                WHERE source IS NOT NULL AND NOT starts_with(source, 'src')
+              UNION ALL
+              SELECT 'n_chars.gte' FROM documents
+                WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
+            ) GROUP BY rule_id
         """,
     }

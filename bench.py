@@ -117,6 +117,30 @@ def bench_r2_queries(spark, sf_dir: str) -> dict[str, float]:
             for name in R2_NAMES}
 
 
+# queries added in r3 (the previously pytest-only SURVEY §2 components)
+# — reported separately; stream_validate_docs runs ONCE (a streaming
+# job materializes its sink as a side effect, so repeated noop passes
+# would not re-run it)
+R3_NAMES = [
+    "scalar_coercion_matrix", "schema_algebra", "json_schema_roundtrip",
+    "refine_ctx_multi", "email_variants", "schema_introspection",
+    "validate_strict_parsed", "lazy_tree", "json_probe",
+]
+
+
+def bench_r3_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    out = {name: round(_run(qs[name](spark, sf_dir), name), 3)
+           for name in R3_NAMES}
+    t0 = time.time()
+    qs["stream_validate_docs"](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+    out["stream_validate_docs"] = round(time.time() - t0, 3)
+    return out
+
+
 def bench_webtext_ruleset(spark, n_rows: int) -> tuple[float, float]:
     """The north-rule metric: full rule-set pass over the webtext
     shape; returns (seconds, docs/sec). Input is materialized (cached +
@@ -140,6 +164,7 @@ def main() -> None:
     wt_sec, docs_per_sec = bench_webtext_ruleset(spark, WEBTEXT_ROWS)
     queries["webtext_full_ruleset"] = round(wt_sec, 3)
     r2_queries = bench_r2_queries(spark, SF_DIR)
+    r3_queries = bench_r3_queries(spark, SF_DIR)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -147,11 +172,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
-        # r2 additions, reported but NOT in `value` so the headline
+        # r2/r3 additions, reported but NOT in `value` so the headline
         # total compares like-for-like against BENCH_r01
         "queries_added_r2": r2_queries,
+        "queries_added_r3": r3_queries,
         "total_incl_r2_additions_sec": round(
             total + sum(r2_queries.values()), 3),
+        "total_incl_all_additions_sec": round(
+            total + sum(r2_queries.values()) + sum(r3_queries.values()), 3),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "webtext_rows": WEBTEXT_ROWS,
         "webtext_docs_per_sec": round(docs_per_sec),
