@@ -129,3 +129,17 @@ def test_deprecated_warns_once_on_validate(spark):
         z.validate(df, schema, id_cols=["id"])
     msgs = [str(x.message) for x in w if x.category is DeprecationWarning]
     assert msgs == ["old is deprecated: use new_field"]
+
+
+def test_fields_strict_conflicting_unrecognized_raises():
+    import pytest
+    import zoi_spark as z
+
+    with pytest.raises(ValueError, match="contradictory"):
+        z.fields({"a": z.integer()}, strict=True, unrecognized="preserve")
+    # strict alone and strict + explicit 'error' both work
+    assert z.fields({"a": z.integer()}, strict=True) \
+        .params["unrecognized"] == "error"
+    assert z.fields({"a": z.integer()}, strict=True, unrecognized="error") \
+        .params["unrecognized"] == "error"
+    assert z.fields({"a": z.integer()}).params["unrecognized"] == "strip"

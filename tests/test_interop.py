@@ -111,8 +111,10 @@ def test_multimodal_fake_decode(spark):
         media, deterministic_fake=True).collect()}
     assert feats[1].feature == again[1].feature
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(media)
+    # non-BMP without the fake flag: the batch raises at execution time
+    # (the decode stub is per-payload now that BMP decodes for real)
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.decode_image_features(media).collect()
 
     frames = multimodal.sample_frames(media, deterministic_fake=True,
                                       every_n=10, max_frames=3)
@@ -122,6 +124,63 @@ def test_multimodal_fake_decode(spark):
 
     stats = multimodal.binary_stats(media).collect()[0]
     assert stats.n_rows == 3 and stats.n_null == 1
+
+
+def _golden_bmp():
+    """4x2 24-bit BMP built from raw pixels: top row RGBW-ish, known
+    channel means — the golden file for the real decode path."""
+    import numpy as np
+    px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]],
+                   [[0, 0, 0], [10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+                  dtype=np.uint8)
+    return px, multimodal.encode_bmp(px)
+
+
+def test_bmp_roundtrip_and_real_decode(spark):
+    import numpy as np
+    px, payload = _golden_bmp()
+    # pure-python round trip: encode → decode is exact
+    assert (multimodal.decode_bmp(payload) == px).all()
+
+    media = spark.createDataFrame([(1, payload), (2, b"\x89PNG" + bytes(60))],
+                                  "media_id long, payload binary")
+    feats = {r.media_id: r for r in multimodal.decode_image_features(
+        media, deterministic_fake=True).collect()}
+    real = feats[1]
+    assert (real.width, real.height) == (4, 2)
+    assert real.n_bytes == len(payload)
+    f64 = px.astype("float64")
+    exp = [round(float(v), 6) for v in f64.mean(axis=(0, 1))]
+    assert [round(v, 6) for v in real.feature[:3]] == exp
+    # std channels + gray min/max fill the remaining dims
+    assert real.feature[6] == 0.0 and real.feature[7] == 255.0
+    # the fake row keeps the seeded shape
+    assert feats[2].width == (64 % 1920) + 1
+
+    # real decode works WITHOUT the fake flag when payloads are BMP
+    only_bmp = spark.createDataFrame([(9, payload)],
+                                     "media_id long, payload binary")
+    row = multimodal.decode_image_features(only_bmp).collect()[0]
+    assert (row.width, row.height) == (4, 2)
+
+
+def test_bmp_real_resize(spark):
+    import numpy as np
+    # 64x32 gradient image -> fit inside 16 => 16x8, thumb decodable
+    w0, h0 = 64, 32
+    px = np.zeros((h0, w0, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(w0, dtype=np.uint8)[None, :]
+    px[:, :, 1] = (np.arange(h0, dtype=np.uint8) * 8)[:, None]
+    payload = multimodal.encode_bmp(px)
+    media = spark.createDataFrame([(1, payload)],
+                                  "media_id long, payload binary")
+    row = multimodal.resize_images(media, max_side=16).collect()[0]
+    assert (row.width, row.height) == (16, 8)
+    thumb = multimodal.decode_bmp(bytes(row.thumb))
+    assert thumb.shape == (8, 16, 3)
+    # nearest-neighbor: sampled pixels come from the source grid
+    assert thumb[0, 0, 0] == px[0, 0, 0]
+    assert thumb[7, 15, 1] == px[28, 60, 1]
 
 
 def test_media_metadata_rules(spark):
@@ -327,5 +386,5 @@ def test_multimodal_resize_stub(spark):
     for r in out.values():
         assert max(r.width, r.height) <= 64 and min(r.width, r.height) >= 1
         assert isinstance(r.thumb, (bytes, bytearray))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="codec libraries"):
         multimodal.resize_images(df).collect()

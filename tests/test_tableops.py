@@ -398,3 +398,84 @@ def test_suggest_salt_from_frequency_sketch(spark):
     assert s_uni == 1
     assert s_hot == tablechecks.suggest_salt(
         hot, "k", sample_fraction=0.05, target_rows_per_task=10_000)
+
+
+def test_embedding_near_dups_engines_agree(spark):
+    """The arrow matmul engine and the pure-Column join produce the
+    same pairs; max_block_size excludes oversized blocks."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)], i % 3)
+            for i in range(30)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>, label int")
+    a = {tuple(r) for r in dedup.embedding_near_dups(
+        df, threshold=0.3, block_col="label").collect()}
+    b = {tuple(r) for r in dedup.embedding_near_dups(
+        df, threshold=0.3, block_col="label", engine="column").collect()}
+    assert a == b and a
+    capped = dedup.embedding_near_dups(df, threshold=0.3, block_col="label",
+                                       max_block_size=2)
+    assert capped.count() == 0
+    with pytest.raises(ValueError):
+        dedup.embedding_near_dups(df, engine="nope")
+
+
+def test_duplicate_clusters_convergence_flag(spark):
+    """A chain deeper than max_iters emits the non-convergence warning
+    and flags the result; enough iters converge silently."""
+    import warnings
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bad = dedup.duplicate_clusters(chain, max_iters=2)
+        bad.count()
+    assert not bad._zoi_converged
+    assert any("did not converge" in str(x.message) for x in w)
+    good = dedup.duplicate_clusters(chain, max_iters=15)
+    assert good._zoi_converged
+    assert {r.cluster_id for r in good.collect()} == {0}
+
+
+def test_ngram_jaccard_block_cap(spark):
+    """max_block_size excludes oversized blocks from the pair join and
+    requires a block column."""
+    rows = [(i, "common words shared by every member here", "big")
+            for i in range(6)]
+    rows += [(10, "two small docs nearly the same text body", "sm"),
+             (11, "two small docs nearly the same text body!", "sm")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.5, block_col="blk",
+                                       max_block_size=3)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(10, 11)}
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(df, max_block_size=3)
+
+
+def test_suggest_bits_scales_with_corpus():
+    from zoi_spark import similarity
+
+    assert similarity.suggest_bits(1000) == 1
+    assert similarity.suggest_bits(1 << 20, target_block=1024) == 10
+    assert similarity.suggest_bits(10**12, target_block=1024) == 24
+    # doubling the corpus adds ~one bit -> expected block size bounded
+    assert (similarity.suggest_bits(2 << 20, target_block=1024)
+            == similarity.suggest_bits(1 << 20, target_block=1024) + 1)
+
+
+def test_mix_multiplier_distinct_offsets():
+    """shingle_n > 3 offsets get distinct multipliers (swapping tokens
+    j and j+3 must change the shingle hash)."""
+    import numpy as np
+
+    ks = [dedup._mix_multiplier(j) for j in range(8)]
+    assert len(set(ks)) == len(ks)
+    assert all(k % 2 == 1 or j < 3 for j, k in enumerate(ks))
+    h1 = np.array([11, 22, 33, 44, 55], dtype=np.uint64)
+    h2 = np.array([44, 22, 33, 11, 55], dtype=np.uint64)  # swap j=0, j=3
+    s1 = dedup._numeric_shingles(h1, 4)
+    s2 = dedup._numeric_shingles(h2, 4)
+    assert set(s1.tolist()) != set(s2.tolist())

@@ -1,23 +1,81 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, partition-friendly batch
-shapes, Arrow-vectorized UDF signatures over ``mapInPandas`` — while the
-actual media decode is STUBBED (codec libraries are not available in
-this environment): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``deterministic_fake=True``, which
-produces seeded fake features so the pipeline (including tests and
-plans) is fully exercisable.
+shapes, Arrow-vectorized UDF signatures over ``mapInPandas`` — and the
+image decode path is REAL for uncompressed BMP (BI_RGB 24/32-bit),
+parsed with pure numpy (no codec library needed): feature extraction
+and resize run on actual pixel data. Compressed formats (JPEG/PNG/
+video) still require codec libraries absent from this environment:
+those raise ``NotImplementedError`` unless ``deterministic_fake=True``,
+which produces seeded fake features so the pipeline (including tests
+and plans) is fully exercisable.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy BMP codec (uncompressed BI_RGB, 24/32-bit)
+# ---------------------------------------------------------------------------
+
+def is_bmp(payload: bytes | None) -> bool:
+    return bool(payload) and len(payload) >= 54 and payload[:2] == b"BM"
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """BMP bytes → (H, W, 3) uint8 RGB array. Supports the uncompressed
+    BI_RGB 24- and 32-bit variants (the only forms decodable without a
+    codec library); raises ValueError on anything else. Handles both
+    bottom-up (positive height) and top-down (negative height) rows and
+    the 4-byte row padding."""
+    if not is_bmp(payload):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+            " — compressed forms need a codec library")
+    top_down = height < 0
+    height = abs(height)
+    stride = ((bpp * width + 31) // 32) * 4
+    nbytes = stride * height
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=nbytes, offset=data_offset)
+    rows = raw.reshape(height, stride)
+    ch = bpp // 8
+    px = rows[:, : width * ch].reshape(height, width, ch)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A) — reorder to RGB, drop alpha
+    return px[:, :, 2::-1].copy()
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 RGB array → 24-bit bottom-up BI_RGB BMP bytes —
+    the inverse of :func:`decode_bmp` (round-trips exactly)."""
+    h, w, _ = arr.shape
+    stride = ((24 * w + 31) // 32) * 4
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    return header + dib + rows.tobytes()
 
 # metadata struct carried next to every media binary column
 MEDIA_META_DDL = ("struct<mime:string,width:int,height:int,"
@@ -49,38 +107,55 @@ def _fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     return [round(v / 997.0, 6) for v in acc]
 
 
+def _bmp_feature(px: "np.ndarray", dim: int) -> list[float]:
+    """Real content features from decoded pixels: per-channel means and
+    stds, gray min/max — first ``dim`` of the 8, zero-padded beyond."""
+    f64 = px.astype(np.float64)
+    gray = f64.mean(axis=2)
+    feats = [*f64.mean(axis=(0, 1)), *f64.std(axis=(0, 1)),
+             float(gray.min()), float(gray.max())]
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [round(float(v), 6) for v in feats]
+
+
 def decode_image_features(df: DataFrame, *, id_col: str = "media_id",
                           bin_col: str = "payload", dim: int = 8,
                           deterministic_fake: bool = False) -> DataFrame:
     """media binary → (media_id, width, height, n_bytes, feature).
 
-    Real decode path requires an image codec (PIL/opencv — not in this
-    container): STUB. With ``deterministic_fake`` the Arrow batch
-    plumbing runs end-to-end with seeded features.
+    REAL decode for uncompressed BMP payloads (pure-numpy
+    :func:`decode_bmp` inside the Arrow batch — true dimensions +
+    pixel-statistic features). Compressed formats (JPEG/PNG) need a
+    codec library absent here: with ``deterministic_fake=True`` they
+    get seeded byte-statistic features; otherwise they raise
+    ``NotImplementedError``.
     """
-    if not deterministic_fake:
+
+    def one(payload: bytes | None) -> tuple:
+        if payload is None:
+            return 0, 0, 0, [0.0] * dim
+        if is_bmp(payload):
+            px = decode_bmp(payload)
+            h, w = px.shape[:2]
+            return w, h, len(payload), _bmp_feature(px, dim)
+        if deterministic_fake:
+            return ((len(payload) % 1920) + 1, (len(payload) % 1080) + 1,
+                    len(payload), _fake_feature(payload, dim))
         raise NotImplementedError(
-            "image decode requires a codec library not present in this "
-            "environment; pass deterministic_fake=True to exercise the "
-            "pipeline with seeded features")
+            "non-BMP image decode requires a codec library not present "
+            "in this environment; pass deterministic_fake=True to "
+            "exercise the pipeline with seeded features")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pd.DataFrame({
+            decoded = [one(b) for b in pdf[bin_col]]
+            yield pd.DataFrame({
                 "media_id": pdf[id_col].astype("int64"),
-                # fake decode: dimensions derived from byte length
-                "width": pdf[bin_col].map(
-                    lambda b: 0 if b is None else (len(b) % 1920) + 1
-                ).astype("int32"),
-                "height": pdf[bin_col].map(
-                    lambda b: 0 if b is None else (len(b) % 1080) + 1
-                ).astype("int32"),
-                "n_bytes": pdf[bin_col].map(
-                    lambda b: 0 if b is None else len(b)).astype("int64"),
-                "feature": pdf[bin_col].map(
-                    lambda b: _fake_feature(b, dim)),
+                "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "n_bytes": pd.Series([d[2] for d in decoded], dtype="int64"),
+                "feature": pd.Series([d[3] for d in decoded], dtype=object),
             })
-            yield out
 
     return (df.select(id_col, bin_col)
             .mapInPandas(batches, IMAGE_FEATURES_SCHEMA))
@@ -129,36 +204,45 @@ def resize_images(df: DataFrame, *, id_col: str = "media_id",
                   bin_col: str = "payload", max_side: int = 64,
                   deterministic_fake: bool = False) -> DataFrame:
     """image binary -> (media_id, width, height, thumb) resized to fit
-    ``max_side``. STUB decode/re-encode (no codec libs in this
-    environment); the deterministic fake derives pseudo-dimensions from
-    the payload hash, scales them with the exact fit-inside arithmetic
-    a real resize would use, and emits a truncated payload as the
-    thumbnail bytes — so batch shape, schema and the scaling math are
-    real and tested while only the pixel work is faked."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image resize requires codec libraries unavailable in this "
-            "environment; pass deterministic_fake=True to exercise the "
-            "pipeline")
+    ``max_side``.
+
+    REAL for BMP payloads: decode → nearest-neighbor downscale (numpy
+    index sampling) → re-encode as 24-bit BMP, all pure numpy — the
+    thumb is a decodable image. Non-BMP formats need codec libraries
+    absent here; with ``deterministic_fake=True`` they get
+    pseudo-dimensions from content bytes with the same fit-inside
+    arithmetic and a truncated payload as the thumb."""
+
+    def one(payload: bytes | None) -> tuple:
+        payload = payload or b""
+        if is_bmp(payload):
+            px = decode_bmp(payload)
+            h0, w0 = px.shape[:2]
+            scale = min(1.0, max_side / max(w0, h0, 1))
+            w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+            yi = (np.arange(h) * (h0 / h)).astype(np.int64)
+            xi = (np.arange(w) * (w0 / w)).astype(np.int64)
+            return w, h, encode_bmp(px[yi][:, xi])
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "non-BMP image resize requires codec libraries "
+                "unavailable in this environment; pass "
+                "deterministic_fake=True to exercise the pipeline")
+        # pseudo-dimensions from content (stable across runs)
+        w0 = 64 + (sum(payload[:16]) % 1024)
+        h0 = 64 + (sum(payload[16:32]) % 1024)
+        scale = min(1.0, max_side / max(w0, h0))
+        w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+        return w, h, bytes(payload[: w * h // 8 or 1])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ws, hs, thumbs = [], [], []
-            for payload in pdf[bin_col]:
-                payload = payload or b""
-                # pseudo-dimensions from content (stable across runs)
-                w0 = 64 + (sum(payload[:16]) % 1024)
-                h0 = 64 + (sum(payload[16:32]) % 1024)
-                scale = min(1.0, max_side / max(w0, h0))
-                w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
-                ws.append(w)
-                hs.append(h)
-                thumbs.append(bytes(payload[: w * h // 8 or 1]))
+            res = [one(b) for b in pdf[bin_col]]
             yield pd.DataFrame({
                 "media_id": pdf[id_col],
-                "width": pd.Series(ws, dtype="int32"),
-                "height": pd.Series(hs, dtype="int32"),
-                "thumb": pd.Series(thumbs, dtype=object)})
+                "width": pd.Series([r[0] for r in res], dtype="int32"),
+                "height": pd.Series([r[1] for r in res], dtype="int32"),
+                "thumb": pd.Series([r[2] for r in res], dtype=object)})
 
     return (df.select(id_col, bin_col)
             .mapInPandas(batches, RESIZED_SCHEMA))
