@@ -496,8 +496,11 @@ def q_drift_len_kl(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked on label so the pair
-    join is an equi-join per block (dedup.embedding_near_dups)."""
+    """Embedding-cosine near-dup pairs blocked on the NATURAL label
+    column — the BOUNDED-corpus flavor (label has fixed cardinality, so
+    block population grows with the corpus; the flagship scale path is
+    q_embedding_near_dups_lsh). Pair scoring is the Arrow matmul
+    engine: one numpy (n×d)·(d×n) per block."""
     emb = _read(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dups(emb, id_col="vec_id",
                                      vec_col="embedding",
@@ -505,12 +508,14 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_embedding_near_dups_lsh(spark, sf_dir):
-    """The documented 100 TB path for embedding near-dup when no
-    natural block column exists: block on a seeded random-hyperplane
-    bucket (similarity.random_hyperplane_bucket) so the pair join is an
-    equi-join on the bucket key — candidates ~ n²/2^bits instead of n².
-    Same inlined-plane constants as the ANN queries, so the oracle
-    re-derives the buckets in SQL."""
+    """The FLAGSHIP 100 TB embedding near-dup path: block on a seeded
+    random-hyperplane bucket (similarity.random_hyperplane_bucket) so
+    the pair join is an equi-join on the bucket key — candidates ~
+    n²/2^bits instead of n². ``bits=4`` here is gate-scale; at corpus
+    scale derive it with ``similarity.suggest_bits(n)`` so the expected
+    block population stays bounded as the corpus grows. Same
+    inlined-plane constants as the ANN queries, so the oracle re-derives
+    the buckets in SQL."""
     emb = _read(spark, sf_dir, "embeddings")
     planes = similarity.hyperplanes(64, 4, seed=42)
     bucketed = emb.withColumn(
@@ -1167,6 +1172,36 @@ def q_json_probe(spark, sf_dir):
     return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
 
 
+_GRAPHEME_POOL = [
+    "hello!",                                   # 6 chars / 6 graphemes
+    "u\u0301n\u0301o\u0301",             # combining accents: 6 chars / 3 graphemes
+    "\U0001F1FA\U0001F1F8\U0001F1E9\U0001F1EA",  # 2 flags: 4 / 2
+    "\U0001F468\u200d\U0001F469\u200d\U0001F467 ok",  # ZWJ family: 8 / 4
+    "cafe\u0301 latte",                       # combining accents: 11 chars / 10 graphemes
+    "abc\u200ddef",                            # ZWJ between letters: 7 / 6
+    "plain ascii text",                         # 16 / 16
+]
+
+
+def q_grapheme_length_rules(spark, sf_dir):
+    """Grapheme-exact length mode (SURVEY §7 hard parts — the
+    reference's String.length/1 counts extended grapheme clusters, not
+    codepoints): the same unicode pool validated under BOTH modes; the
+    two rule sets must disagree exactly where clusters != codepoints.
+    The oracle recomputes with DuckDB's UAX#29 length_grapheme."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select("doc_id",
+                      _pool_col("gstr", _GRAPHEME_POOL),
+                      _pool_col("cstr", _GRAPHEME_POOL))
+    schema = z.fields({
+        "doc_id": z.integer(),
+        "gstr": z.string(min=6, length_mode="grapheme"),
+        "cstr": z.string(min=6),
+    })
+    res = z.validate(corpus, schema, id_cols=["doc_id"])
+    return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
+
+
 def q_stream_validate_docs(spark, sf_dir):
     """Structured Streaming validation in the oracle gate: the
     documents table read as a STREAM (file source), validated with the
@@ -1278,6 +1313,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "validate_strict_parsed": q_validate_strict_parsed,
         "lazy_tree": q_lazy_tree,
         "json_probe": q_json_probe,
+        "grapheme_length_rules": q_grapheme_length_rules,
         "stream_validate_docs": q_stream_validate_docs,
     }
 
@@ -2469,6 +2505,21 @@ def oracle_sql() -> dict[str, str]:
                      END AS rule_id
               FROM seeded)
             WHERE rule_id IS NOT NULL GROUP BY 1
+        """,
+        "grapheme_length_rules": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     {_pool_sql("gstr", _GRAPHEME_POOL)},
+                     {_pool_sql("cstr", _GRAPHEME_POOL)}
+              FROM documents)
+            SELECT rule_id, count(*)::BIGINT AS n FROM (
+              SELECT 'gstr.gte' AS rule_id FROM corpus
+                WHERE gstr IS NOT NULL
+                  AND NOT (length_grapheme(gstr) >= 6)
+              UNION ALL
+              SELECT 'cstr.gte' FROM corpus
+                WHERE cstr IS NOT NULL AND NOT (length(cstr) >= 6)
+            ) GROUP BY rule_id
         """,
         "stream_validate_docs": """
             SELECT rule_id, count(*)::BIGINT AS n FROM (

@@ -226,3 +226,35 @@ def test_error_override_flips_code_to_custom(spark):
         [{"id": 1, "v": "ab"}])
     assert viols[0]["code"] == "custom"
     assert viols[0]["message"] == "way too short"
+
+
+def test_grapheme_length_mode(spark):
+    """length_mode='grapheme': rules measure extended grapheme clusters
+    (combining marks, flags, emoji-ZWJ) while default mode counts
+    codepoints; mode inside arrays is rejected."""
+    from zoi_spark.text import _grapheme_count_py
+
+    assert _grapheme_count_py("u\u0301n\u0301o\u0301") == 3          # combining accents
+    assert _grapheme_count_py("\U0001F1FA\U0001F1F8") == 1    # flag pair
+    assert _grapheme_count_py("\U0001F468\u200d\U0001F469") == 1  # emoji ZWJ
+    assert _grapheme_count_py("abc\u200ddef") == 6  # ZWJ between letters
+    assert _grapheme_count_py(None) is None
+
+    df = spark.createDataFrame([(1, "u\u0301n\u0301o\u0301"), (2, "hello!")],
+                               "id long, s string")
+    g = z.validate(df, z.fields({
+        "id": z.integer(),
+        "s": z.string(min=4, length_mode="grapheme")}), ["id"])
+    assert {r.id for r in g.violations.collect()} == {1}
+    c = z.validate(df, z.fields({
+        "id": z.integer(), "s": z.string(min=4)}), ["id"])
+    assert c.violations.count() == 0               # 6 codepoints each
+
+    with pytest.raises(ValueError):
+        z.string(length_mode="bogus")
+    with pytest.raises(NotImplementedError):
+        z.validate(spark.createDataFrame([(1, [["x"]])],
+                                         "id long, a array<array<string>>"),
+                   z.fields({"id": z.integer(),
+                             "a": z.array(z.array(z.string(
+                                 min=1, length_mode="grapheme")))}), ["id"])

@@ -324,17 +324,23 @@ def _type_stage(schema: Schema, col: Column, itype: T.DataType
 # checks
 # ---------------------------------------------------------------------------
 
-def _measure(kind: str, value: Column) -> Column:
-    """What comparisons measure: strings their length, arrays their
-    size, everything else the value itself (SURVEY §2.2)."""
+def _measure(kind: str, value: Column, length_mode: str = "chars") -> Column:
+    """What comparisons measure: strings their length (codepoints by
+    default; extended grapheme clusters with ``length_mode='grapheme'``
+    — the reference's String.length/1 semantics, via an Arrow batch),
+    arrays their size, everything else the value itself (SURVEY §2.2)."""
     if kind == "string":
+        if length_mode == "grapheme":
+            from .text import grapheme_count
+            return grapheme_count(value)
         return F.length(value)
     if kind == "array":
         return F.size(value)
     return value
 
 
-def _check_pred_and_spec(schema_kind: str, chk: Check, value: Column
+def _check_pred_and_spec(schema_kind: str, chk: Check, value: Column,
+                         length_mode: str = "chars"
                          ) -> tuple[Column, E.ErrorSpec, Column | None]:
     """Returns (passing predicate, error spec, dynamic message or None)."""
     p = chk.params
@@ -342,19 +348,19 @@ def _check_pred_and_spec(schema_kind: str, chk: Check, value: Column
     k = chk.kind
 
     if k == "gte":
-        return (_measure(schema_kind, value) >= F.lit(p["value"]),
+        return (_measure(schema_kind, value, length_mode) >= F.lit(p["value"]),
                 E.greater_than_or_equal_to(schema_kind, p["value"], error=err), None)
     if k == "lte":
-        return (_measure(schema_kind, value) <= F.lit(p["value"]),
+        return (_measure(schema_kind, value, length_mode) <= F.lit(p["value"]),
                 E.less_than_or_equal_to(schema_kind, p["value"], error=err), None)
     if k == "gt":
-        return (_measure(schema_kind, value) > F.lit(p["value"]),
+        return (_measure(schema_kind, value, length_mode) > F.lit(p["value"]),
                 E.greater_than(schema_kind, p["value"], error=err), None)
     if k == "lt":
-        return (_measure(schema_kind, value) < F.lit(p["value"]),
+        return (_measure(schema_kind, value, length_mode) < F.lit(p["value"]),
                 E.less_than(schema_kind, p["value"], error=err), None)
     if k == "length":
-        return (_measure(schema_kind, value) == F.lit(p["value"]),
+        return (_measure(schema_kind, value, length_mode) == F.lit(p["value"]),
                 E.invalid_length(schema_kind, p["value"], error=err), None)
     if k == "multiple_of":
         v = p["value"]
@@ -509,6 +515,13 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
             F.when(check_guard & msgs.isNotNull(), cells)
             .otherwise(_empty_errors()))
 
+    length_mode = schema.params.get("length_mode", "chars")
+    if length_mode == "grapheme" and not allow_pandas:
+        raise NotImplementedError(
+            "grapheme length mode is not supported inside array elements "
+            "(the counter is an Arrow batch; lambda variables cannot feed "
+            "a pandas_udf)")
+
     def emit_check(chk: Check, current: Column) -> None:
         if chk.kind in ("refine", "refine_ctx") \
                 and chk.params.get("engine") != "expr" and not allow_pandas:
@@ -518,7 +531,8 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
         if chk.kind == "refine_ctx":
             emit_refine_ctx(chk, current)
             return
-        pred, spec, dyn_msg = _check_pred_and_spec(schema.kind, chk, current)
+        pred, spec, dyn_msg = _check_pred_and_spec(schema.kind, chk, current,
+                                                   length_mode)
         rid = ctx.rule_id(path, chk.kind if chk.kind != "regex"
                           else chk.params.get("format") or "regex")
         _ord = ctx.register(rid, spec, path, chk.kind, dict(chk.params))

@@ -280,8 +280,15 @@ class Schema:
 
 def string(*, coerce: bool = False, error: str | None = None,
            min: int | None = None, max: int | None = None,
-           length: int | None = None) -> Schema:
-    s = Schema("string", coerce=coerce, error=error)
+           length: int | None = None, length_mode: str = "chars") -> Schema:
+    """``length_mode='grapheme'`` makes every length-based rule on this
+    node measure EXTENDED GRAPHEME CLUSTERS (the reference's
+    String.length/1 semantics) via an Arrow-batched counter
+    (text.grapheme_count) instead of the default JVM codepoint length —
+    opt-in exactness for unicode-heavy corpora, off the hot path."""
+    if length_mode not in ("chars", "grapheme"):
+        raise ValueError(f"unknown length_mode: {length_mode!r}")
+    s = Schema("string", coerce=coerce, error=error, length_mode=length_mode)
     if min is not None:
         s = s.gte(min)
     if max is not None:

@@ -273,3 +273,57 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grapheme-exact length (SURVEY §7 hard parts: String.length/1 counts
+# GRAPHEMES; F.length counts codepoints)
+# ---------------------------------------------------------------------------
+
+def _grapheme_count_py(s: str | None) -> int | None:
+    """Extended-grapheme-cluster count, approximating UAX #29 with the
+    rules that matter for web text: combining marks (Mn/Me/Mc incl.
+    variation selectors) attach to the previous cluster, ZWJ joins only
+    when followed by an Extended_Pictographic (GB11 — ZWJ between plain
+    letters does NOT join), regional-indicator pairs form one flag
+    (GB12/13). Known delta vs full UAX #29: emoji skin-tone modifiers
+    (Sk category) count separately; Hangul LV/LVT sequences are not
+    special-cased. Matches Elixir String.length/1 and DuckDB
+    length_grapheme on the documented corpus classes."""
+    import unicodedata
+
+    if s is None:
+        return None
+    n = 0
+    prev_zwj = False
+    ri_run = 0
+    for ch in s:
+        o = ord(ch)
+        if ch == "\u200d":
+            prev_zwj = True
+            continue
+        is_mark = unicodedata.category(ch) in ("Mn", "Me", "Mc")
+        is_ext_pict = (0x1F000 <= o <= 0x1FAFF) or (0x2600 <= o <= 0x27BF)
+        if is_mark or (prev_zwj and is_ext_pict):
+            prev_zwj = False
+            continue
+        prev_zwj = False
+        if 0x1F1E6 <= o <= 0x1F1FF:
+            ri_run += 1
+            if ri_run % 2 == 0:
+                continue
+        else:
+            ri_run = 0
+        n += 1
+    return n
+
+
+def grapheme_count(col: Column) -> Column:
+    """Arrow-batched grapheme-cluster count — the opt-in EXACT length
+    mode for string rules (``z.string(length_mode='grapheme')``). This
+    is deliberately off the hot path: the default codepoint length is a
+    pure JVM expression; switch modes only where grapheme-exact parity
+    with the reference's String.length/1 matters."""
+    udf = F.pandas_udf(
+        lambda s: s.map(_grapheme_count_py), "long")
+    return udf(col)
