@@ -472,7 +472,15 @@ def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
 def unpersist_candidates(pairs: DataFrame) -> None:
     """Release the bucket cache a candidate/pairs DataFrame rides on
     (see :func:`minhash_lsh_candidates`). Call after the pairs have been
-    materialized; a no-op for frames without an attached cache."""
+    materialized; a no-op for frames without an attached cache.
+
+    CONTRACT: the ``_zoi_persisted`` handle lives on the EXACT frame
+    the operator returned — any further transformation (filter, select,
+    checkpoint) produces a new DataFrame without it, making this call a
+    silent no-op. Either call it on the returned frame, or keep the
+    handle yourself: ``cache = getattr(pairs, "_zoi_persisted", None)``
+    before transforming (pipeline.CurationResult.caches does exactly
+    that)."""
     cached = getattr(pairs, "_zoi_persisted", None)
     if cached is not None:
         cached.unpersist()
