@@ -1202,6 +1202,56 @@ def q_grapheme_length_rules(spark, sf_dir):
     return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + url-level dedup (zoi_spark.urls): five
+    byte-different decorations of the same resource (host case, :80,
+    utm params, fragment) must collapse to one canonical form — groups
+    of 10 per host at sf0.01. The cheapest dedup pass at corpus scale:
+    one string projection + one hash aggregation, run BEFORE any
+    content fingerprint."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(50)).cast("string")
+    base = F.concat(F.lit("http://host"), g, F.lit(".example.com/p/"), g)
+    variants = [
+        base,
+        F.concat(F.lit("HTTP://HOST"), g, F.lit(".EXAMPLE.COM/p/"), g),
+        F.concat(F.lit("http://host"), g, F.lit(".example.com:80/p/"), g),
+        F.concat(base, F.lit("?utm_source=x&utm_campaign=y")),
+        F.concat(base, F.lit("#frag")),
+    ]
+    v = F.pmod("doc_id", F.lit(5))
+    url = None
+    for i, expr in enumerate(variants):
+        url = F.when(v == i, expr) if url is None else url.when(v == i, expr)
+    docs = d.select("doc_id", url.alias("url"))
+    return urls.url_dedup_groups(docs)
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII hygiene scan (text.with_pii_flags): per-lang totals of
+    email / IPv4 / phone pattern matches over text seeded with known
+    PII strings — the flag-for-scrub pass of a training-data intake."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(11)) == 0,
+               F.lit(" contact bob@example.com")).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(13)) == 0,
+               F.lit(" server 192.168.1.1 up")).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(17)) == 0,
+               F.lit(" call +1 (555) 123-4567")).otherwise(F.lit("")))
+    flagged = text.with_pii_flags(
+        d.select("doc_id", "lang", seeded.alias("text")))
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pii_email").alias("emails"),
+        F.sum("n_pii_ipv4").alias("ips"),
+        F.sum("n_pii_phone").alias("phones"),
+        F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"))
+
+
 def q_stream_validate_docs(spark, sf_dir):
     """Structured Streaming validation in the oracle gate: the
     documents table read as a STREAM (file source), validated with the
@@ -1314,6 +1364,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lazy_tree": q_lazy_tree,
         "json_probe": q_json_probe,
         "grapheme_length_rules": q_grapheme_length_rules,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
     }
 
@@ -1735,6 +1787,69 @@ def _email_variants_sql() -> str:
           SELECT 'em_simple.email' FROM corpus
             WHERE em IS NOT NULL AND NOT regexp_matches(em, '{simple}')
         ) GROUP BY rule_id
+    """
+
+
+def _url_dedup_sql() -> str:
+    """SQL twin of q_url_canonical_dedup: same seeded decorations,
+    canonicalized with the urls.canonical_url_sql pipeline (identical
+    RE2 regex steps)."""
+    from zoi_spark.urls import canonical_url_sql
+
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE ((doc_id % 5) + 5) % 5
+                   WHEN 0 THEN 'http://host' || g || '.example.com/p/' || g
+                   WHEN 1 THEN 'HTTP://HOST' || g || '.EXAMPLE.COM/p/' || g
+                   WHEN 2 THEN 'http://host' || g || '.example.com:80/p/' || g
+                   WHEN 3 THEN 'http://host' || g || '.example.com/p/' || g
+                               || '?utm_source=x&utm_campaign=y'
+                   ELSE 'http://host' || g || '.example.com/p/' || g
+                        || '#frag'
+                 END AS url
+          FROM (SELECT doc_id,
+                       (((doc_id % 50) + 50) % 50)::VARCHAR AS g
+                FROM documents)),
+        canon AS (SELECT doc_id, {canonical_url_sql("url")} AS curl
+                  FROM seeded)
+        SELECT curl, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+        FROM canon WHERE curl IS NOT NULL AND curl != ''
+        GROUP BY curl HAVING count(*) > 1
+    """
+
+
+def _pii_scan_sql() -> str:
+    from zoi_spark.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    def cnt(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return (f"len(regexp_extract_all(coalesce(t, ''), '{esc}'))::BIGINT")
+
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, lang,
+                 text
+                 || CASE WHEN ((doc_id % 11) + 11) % 11 = 0
+                         THEN ' contact bob@example.com' ELSE '' END
+                 || CASE WHEN ((doc_id % 13) + 13) % 13 = 0
+                         THEN ' server 192.168.1.1 up' ELSE '' END
+                 || CASE WHEN ((doc_id % 17) + 17) % 17 = 0
+                         THEN ' call +1 (555) 123-4567' ELSE '' END AS t
+          FROM documents),
+        counted AS (
+          SELECT lang,
+                 {cnt(PII_EMAIL_RE)} AS e,
+                 {cnt(PII_IPV4_RE)} AS i,
+                 {cnt(PII_PHONE_RE)} AS p
+          FROM seeded)
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(e)::BIGINT AS emails,
+               sum(i)::BIGINT AS ips,
+               sum(p)::BIGINT AS phones,
+               sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS docs_with_pii
+        FROM counted GROUP BY lang
     """
 
 
@@ -2506,6 +2621,8 @@ def oracle_sql() -> dict[str, str]:
               FROM seeded)
             WHERE rule_id IS NOT NULL GROUP BY 1
         """,
+        "url_canonical_dedup": _url_dedup_sql(),
+        "pii_scan": _pii_scan_sql(),
         "grapheme_length_rules": f"""
             WITH corpus AS (
               SELECT doc_id,

@@ -125,7 +125,7 @@ R3_NAMES = [
     "scalar_coercion_matrix", "schema_algebra", "json_schema_roundtrip",
     "refine_ctx_multi", "email_variants", "schema_introspection",
     "validate_strict_parsed", "lazy_tree", "json_probe",
-    "grapheme_length_rules",
+    "grapheme_length_rules", "url_canonical_dedup", "pii_scan",
 ]
 
 

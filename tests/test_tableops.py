@@ -479,3 +479,48 @@ def test_mix_multiplier_distinct_offsets():
     s1 = dedup._numeric_shingles(h1, 4)
     s2 = dedup._numeric_shingles(h2, 4)
     assert set(s1.tolist()) != set(s2.tolist())
+
+
+def test_url_canonicalization(spark):
+    """canonical_url collapses host case, default ports, fragments and
+    tracking params; url_dedup keeps the min-id representative."""
+    from zoi_spark import urls
+
+    rows = [
+        (1, "http://Example.COM/Path?a=1#frag"),
+        (2, "http://example.com:80/Path?a=1"),
+        (3, "http://example.com/Path?a=1&utm_source=x"),
+        (4, "https://example.com:443/"),
+        (5, "https://example.com"),
+        (6, "http://example.com/Path?utm_campaign=y&a=1"),
+        (7, "http://other.com/Path?a=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {r.doc_id: r.c for r in df.select(
+        "doc_id", urls.canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[3] == canon[6] \
+        == "http://example.com/Path?a=1"
+    assert canon[4] == canon[5] == "https://example.com"
+    assert canon[7] == "http://other.com/Path?a=1"
+    kept = {r.doc_id for r in urls.url_dedup(df).collect()}
+    assert kept == {1, 4, 7}
+    groups = urls.url_dedup_groups(df)
+    assert {(r.n_docs, r.keep_id) for r in groups.collect()} \
+        == {(4, 1), (2, 4)}
+
+
+def test_pii_flags(spark):
+    from zoi_spark import text as zt
+
+    rows = [(1, "clean prose with no contact info at all"),
+            (2, "mail me at a.b+c@example.org thanks"),
+            (3, "host 10.0.0.255 and backup 192.168.1.1"),
+            (4, "call +44 20 7946 0958 now"),
+            (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in zt.with_pii_flags(df).collect()}
+    assert not out[1].has_pii
+    assert out[2].n_pii_email == 1 and out[2].has_pii
+    assert out[3].n_pii_ipv4 == 2
+    assert out[4].n_pii_phone == 1
+    assert not out[5].has_pii

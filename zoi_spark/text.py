@@ -327,3 +327,53 @@ def grapheme_count(col: Column) -> Column:
     udf = F.pandas_udf(
         lambda s: s.map(_grapheme_count_py), "long")
     return udf(col)
+
+
+# ---------------------------------------------------------------------------
+# PII pattern scan (training-data hygiene: flag documents carrying
+# emails / IPs / phone-shaped strings before they enter a corpus)
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookahead) so the DuckDB oracle evaluates the identical
+# patterns. Deliberately high-recall shapes — a hygiene scan flags for
+# review/scrub, it does not adjudicate.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (r"\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+               r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b")
+PII_PHONE_RE = r"\+[0-9][0-9()\-\s]{7,14}[0-9]"
+
+
+def _pattern_count(col: Column, pattern: str) -> Column:
+    return F.coalesce(
+        F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")),
+                                    F.lit(pattern), F.lit(0))),
+        F.lit(0)).cast("long")
+
+
+def pii_email_count(col: Column) -> Column:
+    return _pattern_count(col, PII_EMAIL_RE)
+
+
+def pii_ipv4_count(col: Column) -> Column:
+    return _pattern_count(col, PII_IPV4_RE)
+
+
+def pii_phone_count(col: Column) -> Column:
+    return _pattern_count(col, PII_PHONE_RE)
+
+
+def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document PII match counts + an any-PII flag — one
+    scan projection, pure expressions; compose with pipeline.curate's
+    quality gate (``.where(~F.col("has_pii")``) to scrub at intake."""
+    c = F.col(text_col)
+    out = df.select(
+        "*",
+        pii_email_count(c).alias("n_pii_email"),
+        pii_ipv4_count(c).alias("n_pii_ipv4"),
+        pii_phone_count(c).alias("n_pii_phone"),
+    )
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_pii_email") + F.col("n_pii_ipv4")
+         + F.col("n_pii_phone")) > 0)

@@ -1,0 +1,108 @@
+"""URL canonicalization + URL-level dedup for web corpora.
+
+Common-Crawl-style pipelines dedup on the CANONICAL url before any
+content pass: scheme/host case, default ports, fragments and tracking
+parameters produce byte-different urls for the same resource, and at
+10^12 documents the cheapest dedup win is collapsing those before
+content fingerprints are even computed (one string projection + one
+hash shuffle, vs a text-hash pass over every byte).
+
+Everything here is pure ``pyspark.sql.functions`` (JVM-side, RE2-safe
+regexes) so the DuckDB oracle can recompute canonical forms exactly.
+
+Canonicalization steps (the conservative, semantics-preserving subset):
+
+1. lowercase scheme and host (path/query case is preserved — it is
+   significant on most origin servers);
+2. strip the fragment (``#…`` — never sent to the server);
+3. drop default ports (``:80`` for http, ``:443`` for https);
+4. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``) and a then-empty ``?``;
+5. collapse a bare trailing ``/`` on an empty path.
+
+Reference seed: Zoi's ``url/1`` validates scheme+host
+(lib/zoi/types/string.ex:121-131); canonicalization is the table-level
+counterpart the 100 TB engine needs (SURVEY §2.6 charter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# tracking parameters dropped during canonicalization (public lists:
+# UTM family + the big ad-click ids)
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) url — pure expressions,
+    identical in Spark and DuckDB regex dialects (no lookahead)."""
+    # 1. lowercase scheme://host[:port] (text up to the first '/', '?'
+    #    or '#' after the scheme) — path/query case preserved
+    u = F.regexp_replace(
+        url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)",
+        F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)))
+    # 2. strip fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. default ports
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(/|\?|$)", r"$1$2")
+    # 4. tracking params (mid-query then leading), then dangling ?/&
+    u = F.regexp_replace(u, r"&" + TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"&", "?")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    # 5. bare trailing slash on an empty path: https://h/ -> https://h
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u
+
+
+def canonical_url_sql(col: str = "url") -> str:
+    """The DuckDB twin of :func:`canonical_url` — same steps, same
+    regexes (RE2), for oracle parity."""
+    t = TRACKING_PARAM_RE
+    u = (f"regexp_replace({col}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', "
+         f"lower(regexp_extract({col}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)))")
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = f"regexp_replace({u}, '^(http://[^/:?#]+):80(/|\\?|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/:?#]+):443(/|\\?|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '&{t}', '')"
+    u = f"regexp_replace({u}, '\\?{t}&', '?')"
+    u = f"regexp_replace({u}, '\\?{t}$', '')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1')"
+    return u
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (port stripped) — the partition/skew key for
+    host-level operations (hot hosts are THE skew source in web
+    corpora; see tablechecks.suggest_salt)."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def url_dedup_groups(df: DataFrame, *, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of rows sharing a canonical url: ``(curl, n_docs,
+    keep_id)`` for groups with >1 member — one projection + one hash
+    aggregation with map-side combine (the cheapest dedup pass; run it
+    BEFORE content fingerprints at scale)."""
+    return (df.select(canonical_url(F.col(url_col)).alias("curl"),
+                      F.col(id_col))
+            .where(F.col("curl").isNotNull() & (F.col("curl") != ""))
+            .groupBy("curl")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_docs") > 1))
+
+
+def url_dedup(df: DataFrame, *, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per canonical url (window over
+    the canonical form — one shuffle, no join; same shape as
+    dedup.exact_dedup)."""
+    w = Window.partitionBy(canonical_url(F.col(url_col))) \
+        .orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
