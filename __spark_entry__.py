@@ -1202,6 +1202,17 @@ def q_grapheme_length_rules(spark, sf_dir):
     return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
 
 
+def q_winnowing_overlap_pairs(spark, sf_dir):
+    """MOSS-style near-dup pairs via shared winnowed fingerprints
+    (dedup.winnowing_overlap_pairs): substring-level overlap robust to
+    insertion/reordering, pair join blocked on the hash with a
+    document-frequency cap pruning boilerplate n-grams before the
+    join (the stopword analogue of the LSH mega-bucket cap)."""
+    return dedup.winnowing_overlap_pairs(
+        _dup_docs(spark, sf_dir).select("doc_id", "text"),
+        k=5, w=8, min_shared=5, max_hash_docs=20)
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + url-level dedup (zoi_spark.urls): five
     byte-different decorations of the same resource (host case, :80,
@@ -1364,6 +1375,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lazy_tree": q_lazy_tree,
         "json_probe": q_json_probe,
         "grapheme_length_rules": q_grapheme_length_rules,
+        "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
         "url_canonical_dedup": q_url_canonical_dedup,
         "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
@@ -1483,6 +1495,51 @@ def _lsh_ann_sql(k: int = 5, bits: int = 4, dim: int = 64, seed: int = 42,
     """
 
 
+def _winnow_fp_ctes(k: int, w: int, source_sql: str) -> str:
+    """The shared winnowing CTE chain (norm → rolling hashes → window
+    minima → distinct fingerprint set ``fp(doc_id, u)``) over an
+    arbitrary ``(doc_id, text)`` source — used by both the per-doc
+    summary oracle and the overlap-pairs oracle."""
+    B, M = text.WINNOW_BASE, text.WINNOW_MOD
+    gram = " + ".join(
+        f"unicode(substr(s, i + {j}, 1))::BIGINT * {pow(B, k - 1 - j, M)}"
+        for j in range(k))
+    # len < k: whole text hashed with the last `len` powers — modular
+    # powers enumerated per concrete length (float power() would lose
+    # integer precision past 2^53)
+    short = " ".join(
+        "WHEN length(s) = {L} THEN [({terms}) % {M}]".format(
+            L=L, M=M,
+            terms=" + ".join(
+                f"unicode(substr(s, {j} + 1, 1))::BIGINT * {pow(B, L - 1 - j, M)}"
+                for j in range(L)))
+        for L in range(1, k))
+    return f"""norm AS (
+          SELECT doc_id, {_NORM_SQL} AS s
+          FROM ({source_sql})),
+        hashed AS (
+          SELECT doc_id, s,
+                 CASE
+                   WHEN length(s) = 0 THEN []
+                   {short}
+                   ELSE list_transform(
+                     range(1, length(s) - {k} + 2),
+                     i -> ({gram}) % {M})
+                 END AS hs
+          FROM norm),
+        winnowed AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN len(hs) = 0 THEN []
+                   WHEN len(hs) <= {w} THEN [list_min(hs)]
+                   ELSE list_transform(
+                     range(1, len(hs) - {w} + 2),
+                     i -> list_min(hs[i:i + {w} - 1]))
+                 END AS sel
+          FROM hashed),
+        fp AS (SELECT doc_id, list_distinct(sel) AS u FROM winnowed)"""
+
+
 def _winnowing_sql(k: int = 5, w: int = 8) -> str:
     """Re-derive the winnowing fingerprint summary in SQL: the same
     polynomial rolling hash over unicode codepoints (generated k-term
@@ -1533,6 +1590,25 @@ def _winnowing_sql(k: int = 5, w: int = 8) -> str:
                list_max(u) AS fp_max,
                coalesce(list_sum(u), 0)::BIGINT AS fp_sum
         FROM fp
+    """
+
+
+def _winnow_pairs_sql(k: int = 5, w: int = 8, min_shared: int = 5,
+                      max_hash_docs: int = 20) -> str:
+    """SQL twin of dedup.winnowing_overlap_pairs over the seeded dup
+    corpus: same fingerprint sets, the same document-frequency pruning,
+    the same shared-count threshold."""
+    return f"""
+        WITH {_winnow_fp_ctes(k, w, _DUP_DOCS_SQL)},
+        ex AS (SELECT doc_id, unnest(u) AS h FROM fp),
+        rare AS (SELECT h FROM ex GROUP BY h
+                 HAVING count(*) <= {max_hash_docs}),
+        pruned AS (SELECT ex.doc_id, ex.h FROM ex JOIN rare USING (h))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::BIGINT AS n_shared
+        FROM pruned a JOIN pruned b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}
     """
 
 
@@ -2621,6 +2697,8 @@ def oracle_sql() -> dict[str, str]:
               FROM seeded)
             WHERE rule_id IS NOT NULL GROUP BY 1
         """,
+        "winnowing_overlap_pairs": _winnow_pairs_sql(
+            k=5, w=8, min_shared=5, max_hash_docs=20),
         "url_canonical_dedup": _url_dedup_sql(),
         "pii_scan": _pii_scan_sql(),
         "grapheme_length_rules": f"""

@@ -524,3 +524,24 @@ def test_pii_flags(spark):
     assert out[3].n_pii_ipv4 == 2
     assert out[4].n_pii_phone == 1
     assert not out[5].has_pii
+
+
+def test_winnowing_overlap_pairs(spark):
+    """Shared-fingerprint pairs: a doc with an inserted sentence still
+    overlaps its source (local fingerprints survive edits); the
+    document-frequency cap prunes boilerplate hashes."""
+    base = ("the winnowing algorithm selects the minimum hash in every "
+            "window of consecutive k gram hashes across this document")
+    edited = base.replace("across this document",
+                          "with one inserted clause here across this document")
+    other = "completely different content about gardens and the weather today"
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in dedup.winnowing_overlap_pairs(
+                 df, min_shared=3, max_hash_docs=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # cap=0-like: max_hash_docs=1 prunes every shared hash -> no pairs
+    assert dedup.winnowing_overlap_pairs(
+        df, min_shared=1, max_hash_docs=1).count() == 0

@@ -665,6 +665,51 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# winnowing-overlap near-dup (MOSS-style shared local fingerprints)
+# ---------------------------------------------------------------------------
+
+def winnowing_overlap_pairs(df: DataFrame, *, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 5, w: int = 8,
+                            min_shared: int = 5,
+                            max_hash_docs: int | None = None) -> DataFrame:
+    """Pairs sharing ≥ ``min_shared`` winnowed k-gram fingerprints —
+    the MOSS/plagiarism-detection shape: local (substring-level)
+    overlap that survives insertions/reordering, where set-level
+    Jaccard/MinHash sees two different documents.
+
+    Plan shape at scale: explode the per-doc fingerprint set → ONE
+    equi-join on the hash → count per pair. Never quadratic in the
+    corpus — pair work is Σ_h df(h)², which ``max_hash_docs`` bounds:
+    hashes present in more than that many docs (boilerplate n-grams,
+    the web-corpus analogue of stopwords) are EXCLUDED before the join,
+    the same document-frequency pruning the mega-bucket cap applies to
+    LSH buckets. The (id, hash) projection is persisted for the
+    self-join; release via :func:`unpersist_candidates`."""
+    from .text import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(F.col(text_col), k=k, w=w)
+    sel = (df.select(F.col(id_col), F.explode_outer(fp).alias("__h"))
+           .where(F.col("__h").isNotNull())
+           .persist())
+    joinable = sel
+    if max_hash_docs is not None:
+        rare = (sel.groupBy("__h")
+                .agg(F.count("*").alias("__df"))
+                .where(F.col("__df") <= max_hash_docs)
+                .drop("__df"))
+        joinable = sel.join(rare, "__h")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    out = (a.join(b, "__h")
+           .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+           .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+           .agg(F.count("*").alias("n_shared"))
+           .where(F.col("n_shared") >= min_shared))
+    out._zoi_persisted = sel
+    return out
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
