@@ -545,3 +545,33 @@ def test_winnowing_overlap_pairs(spark):
     # cap=0-like: max_hash_docs=1 prunes every shared hash -> no pairs
     assert dedup.winnowing_overlap_pairs(
         df, min_shared=1, max_hash_docs=1).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key/count join WITHOUT an
+    Exchange — the pay-the-shuffle-once contract for big-big joins
+    (corpus-to-snapshot drift, violations-to-corpus)."""
+    from zoi_spark import bucketing
+
+    a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS vb")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketing.write_bucketed(a, "zoi_bt_a", key="k", buckets=4,
+                                 path=str(tmp_path / "a"))
+        bucketing.write_bucketed(b, "zoi_bt_b", key="k", buckets=4,
+                                 path=str(tmp_path / "b"))
+        j = bucketing.bucketed_join(spark, "zoi_bt_a", "zoi_bt_b", "k")
+        assert j.count() == 5000
+        bucketing.assert_no_shuffle_join(j)
+        # counter-example: an UNbucketed side must trip the assertion
+        plain = spark.range(0, 5000).selectExpr("id AS k", "id AS vc")
+        bad = spark.table("zoi_bt_a").join(plain, "k")
+        bad.count()
+        with pytest.raises(AssertionError):
+            bucketing.assert_no_shuffle_join(bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS zoi_bt_a")
+        spark.sql("DROP TABLE IF EXISTS zoi_bt_b")
