@@ -10,9 +10,12 @@ validated docs/sec over the deterministic webtext table:
   3-level nested struct, arrays of ~10 and ~100 validated elements,
   array-of-structs.
 
-Protocol matches bench.py: one untimed warmup pass, then best of two
+Protocol matches bench.py: one untimed warmup pass, then best of FOUR
 timed passes through the noop sink (the reference's own suites run a
-Benchee ``warmup`` phase first, bench/run.exs:55-61).
+Benchee ``warmup`` phase first, bench/run.exs:55-61; min-of-N because
+these sub-second jobs sit fully inside this host's scheduling-jitter
+band — the r2→r3 post-mortem measured 10-20× pass-to-pass swings on
+byte-identical plans).
 
 Writes BENCH/micro.json and prints it.
 """
@@ -52,7 +55,7 @@ def main() -> None:
     def timed(df) -> float:
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
