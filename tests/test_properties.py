@@ -144,3 +144,48 @@ def test_array_rules_match_reference_semantics(spark, values, mn):
         if len(set(v)) != len(v):
             exp.add("unique_items")
         assert got.get(i, set()) == exp, f"value={v} mn={mn}"
+
+
+def test_canonical_url_idempotent_and_dialect_parity(spark):
+    """canonical_url is idempotent, and the Spark expression agrees
+    byte-for-byte with the DuckDB twin (canonical_url_sql) over an
+    adversarial url pool — the contract that keeps the oracle honest."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from zoi_spark import urls
+
+    pool = [
+        "http://Example.COM/Path?a=1#frag",
+        "HTTPS://HOST.example.org:443/x?utm_source=a&b=2",
+        "http://h.co:80/",
+        "http://h.co:8080/keep-port",
+        "https://h.co/?utm_campaign=x",
+        "http://h.co/p?ref=abc&x=1",
+        "http://h.co/p?x=1&fbclid=zzz",
+        "http://h.co/p?gclid=1&msclkid=2",
+        "ftp://odd.scheme/UPPER",
+        "not a url at all",
+        "http://h.co/CaseSensitive/Path",
+        "https://h.co",
+        "http://h.co/p#a#b",
+        "http://h.co/p?utm_a=1&utm_b=2&keep=3",
+    ]
+    rng_rows = [(i, u) for i, u in enumerate(pool)]
+    df = spark.createDataFrame(rng_rows, "i long, url string")
+    once = urls.canonical_url(F.col("url"))
+    got = df.select("i", once.alias("c1"),
+                    urls.canonical_url(once).alias("c2")).collect()
+    spark_c = {}
+    for r in got:
+        assert r.c1 == r.c2, f"not idempotent for {pool[r.i]!r}: {r.c1!r} -> {r.c2!r}"
+        spark_c[r.i] = r.c1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rng_rows)
+    duck = dict(con.sql(
+        f"SELECT i, {urls.canonical_url_sql('url')} FROM t").fetchall())
+    for i, u in enumerate(pool):
+        assert spark_c[i] == duck[i], \
+            f"dialect drift for {u!r}: spark={spark_c[i]!r} duck={duck[i]!r}"

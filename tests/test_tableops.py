@@ -575,3 +575,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS zoi_bt_a")
         spark.sql("DROP TABLE IF EXISTS zoi_bt_b")
+
+
+def test_curate_url_and_pii_stages(spark):
+    """curate with url_col + drop_pii: the canonical-url dup and the
+    PII doc drop at their stages; clean docs survive."""
+    from zoi_spark import pipeline
+
+    base = ("a perfectly ordinary web document with plain words and "
+            "sentences that keep going for a while longer than needed")
+    other = ("entirely different prose about winter gardens and the "
+             "migratory habits of seabirds across northern coastlines")
+    rows = [
+        (1, base + " one", "http://a.com/p"),
+        (2, other, "http://b.com/p"),
+        (3, base + " one", "HTTP://A.COM/p#frag"),     # url dup of 1
+        (4, base + " mail me at x@example.com", "http://c.com/p"),  # PII
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    schema = z.fields({"doc_id": z.integer(), "text": z.string(min=10),
+                       "url": z.string()})
+    res = pipeline.curate(df, schema, id_col="doc_id", url_col="url",
+                          drop_pii=True)
+    kept = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert kept == {1, 2}
+    res.release()

@@ -72,6 +72,8 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            min_quality: float = 0.0,
            allowed_langs: Sequence[str] | None = None,
            lang_col: str | None = None,
+           url_col: str | None = None,
+           drop_pii: bool = False,
            near_dup_threshold: float = 0.85,
            minhash_bands: int = 16,
            max_bucket_size: int | None = None,
@@ -80,9 +82,23 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
     per-stage plan shapes. If cluster label propagation fails to
     converge within ``cluster_max_iters`` (already warned by
     duplicate_clusters), the result's ``converged`` flag is False —
-    check it before trusting the drop list."""
+    check it before trusting the drop list.
+
+    Optional intake stages (both fused into the early cheap passes):
+
+    * ``url_col`` — URL-level dedup FIRST (urls.url_dedup keep-min-id
+      on the canonical form): one string projection + one window, the
+      cheapest collapse of re-crawled resources, run before any
+      content hashing.
+    * ``drop_pii=True`` — drop documents with email/IP/phone-shaped
+      matches (text PII flags) inside the same quality-gate scan.
+    """
     res = validate(df, schema, id_cols=[id_col])
     valid = res.valid_rows
+
+    if url_col is not None:
+        from . import urls
+        valid = urls.url_dedup(valid, url_col=url_col, id_col=id_col)
 
     gated = valid.where(
         text.quality_score(F.col(text_col)) >= F.lit(min_quality))
@@ -90,6 +106,11 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
         lc = (F.col(lang_col) if lang_col
               else text.lang_id(F.col(text_col)))
         gated = gated.where(lc.isin(*allowed_langs))
+    if drop_pii:
+        c = F.col(text_col)
+        gated = gated.where(
+            (text.pii_email_count(c) + text.pii_ipv4_count(c)
+             + text.pii_phone_count(c)) == 0)
 
     exact = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col)
 
