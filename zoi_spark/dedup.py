@@ -100,39 +100,96 @@ def hashed_shingles(text: Column, n: int, *, chars: bool = False) -> Column:
     return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
+def _jaccard_block_batch_factory(threshold: float):
+    """applyInPandas kernel: all within-block exact Jaccards via ONE
+    incidence-matrix matmul per block. Shingle sets become rows of a
+    (n_docs × n_distinct_hashes) 0/1 matrix M; G = M·Mᵀ yields every
+    pairwise INTERSECTION size in one BLAS call, |A∪B| = |A|+|B|−|A∩B|.
+    All counts are exact integers (float64 holds them exactly), so the
+    output is bit-identical to the expression engine's
+    array_intersect/size arithmetic — same values, ~10² less time than
+    an interpreted per-pair set op."""
+    import numpy as np
+    import pandas as pd
+
+    def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        sets = [np.asarray(a if a is not None else [], dtype=np.int64)
+                for a in pdf["__shingles"]]
+        lens = np.array([s.size for s in sets], dtype=np.int64)
+        if lens.sum() == 0:
+            return empty
+        uniq, inv = np.unique(np.concatenate(sets), return_inverse=True)
+        M = np.zeros((n, uniq.size), dtype=np.float32)
+        off = 0
+        for r, s in enumerate(sets):
+            M[r, inv[off:off + s.size]] = 1.0
+            off += s.size
+        G = (M @ M.T).astype(np.float64)
+        iu, ju = np.triu_indices(n, k=1)
+        inter = G[iu, ju]
+        union = lens[iu] + lens[ju] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / union, 0.0)
+        j = np.round(j, 6)
+        keep = j >= threshold
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                             "jaccard": j[keep]})
+
+    return batch
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         block_col: str | None = None,
                         max_block_size: int | None = None,
-                        chars: bool = False) -> DataFrame:
+                        chars: bool = False,
+                        engine: str = "arrow") -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
-    WARNING: without ``block_col`` this is a full self-join — fine for
+    WARNING: without ``block_col`` this is all-pairs — fine for
     verification corpora, quadratic at scale. At 100 TB pass a blocking
     key (e.g. lang, or an LSH band from :func:`minhash_lsh_candidates`)
-    so the join is an equi-join per block — AND ``max_block_size``,
-    which EXCLUDES blocks above the cap from pairing (the
-    mega-bucket contract of :func:`minhash_lsh_candidates`): in-block
-    cost is quadratic, so one unbounded block defeats the blocking no
-    matter how rare, and capped blocks' members belong to the
-    fingerprint/LSH paths instead.
+    so pair work stays within blocks — AND ``max_block_size``, which
+    EXCLUDES blocks above the cap from pairing (the mega-bucket
+    contract of :func:`minhash_lsh_candidates`): in-block cost is
+    quadratic, so one unbounded block defeats the blocking no matter
+    how rare, and capped blocks' members belong to the fingerprint/LSH
+    paths instead.
 
-    Per-pair cost engineering (the hot loop at scale):
+    ``engine='arrow'`` (default): group by block, compute every
+    in-block pairwise intersection with one incidence-matrix matmul
+    (see :func:`_jaccard_block_batch_factory`) — exact integer counts,
+    bit-identical to the expression engine. ``engine='column'``: pure
+    expression self-equi-join; per-pair cost engineering there:
 
     * shingles are int64 hashes, not strings (see
       :func:`hashed_shingles`) — measured ~4× on the pair join;
     * a size-ratio prefilter runs before any set op: J(A,B) ≥ t forces
       t·|B| ≤ |A| ≤ |B|/t, so mismatched sizes never pay an intersect;
     * |A∪B| is derived as |A|+|B|−|A∩B| — one hash-set build per pair
-      instead of two. Catalyst pushes the threshold predicate below the
-      projection, so the intersect runs once per candidate and the
-      surviving pairs (a tiny fraction) recompute it once more.
+      instead of two.
     """
+    # arrow engine + word shingles: numeric-domain shingles from JVM
+    # token hashes (ONE Arrow batch — the string-domain construction is
+    # a CodegenFallback higher-order chain measured ~20× slower).
+    # Jaccard is invariant to the shingle hash domain (set semantics,
+    # ~2⁻⁶⁴ collisions), so both engines yield identical values.
+    shingle_col = (hashed_shingles_arrow(F.col(text_col), n)
+                   if engine == "arrow" and not chars
+                   else hashed_shingles(F.col(text_col), n, chars=chars))
     base = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
-        hashed_shingles(F.col(text_col), n, chars=chars).alias("__shingles"),
+        shingle_col.alias("__shingles"),
     )
     if max_block_size is not None:
         if block_col is None:
@@ -142,6 +199,18 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                  .where(F.col("__bs") <= max_block_size)
                  .drop("__bs"))
         base = base.join(sizes, block_col)
+
+    if engine == "arrow":
+        block = F.col(block_col) if block_col else F.lit(0)
+        grouped = base.select(F.col(id_col).cast("long").alias("__id"),
+                              F.col("__shingles"),
+                              block.alias("__block"))
+        out_ddl = "id_a long, id_b long, jaccard double"
+        return (grouped.groupBy("__block")
+                .applyInPandas(_jaccard_block_batch_factory(threshold),
+                               out_ddl))
+    if engine != "column":
+        raise ValueError(f"unknown ngram_jaccard_pairs engine: {engine!r}")
     # the pair join's cost lives on the STREAMED side (each of its rows
     # probes the broadcast/hash side for every in-block partner), so its
     # task count bounds parallelism. Small single-file inputs scan as
