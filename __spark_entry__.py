@@ -978,8 +978,11 @@ def q_schema_algebra(spark, sf_dir):
     c_mktsegment/one_of, no c_acctbal/lte rows may appear)."""
     c = _read(spark, sf_dir, "customer").withColumn(
         "c_tag", F.concat(F.lit("tag-"), F.col("c_custkey").cast("string")))
+    # the extension rides through the keyword alias (Zoi keyword/2,
+    # lib/zoi.ex:1549 — same field machinery as map/struct)
     extended = z.extend(customer_schema(),
-                        {"c_tag": z.string(min=8).starts_with("tag-")})
+                        z.keyword({"c_tag": z.string(min=8)
+                                   .starts_with("tag-")}))
     final = z.omit(z.pick(extended,
                           ["c_custkey", "c_name", "c_acctbal", "c_tag"]),
                    ["c_acctbal"])
