@@ -1266,6 +1266,85 @@ def q_pii_scan(spark, sf_dir):
         F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"))
 
 
+def _media_payloads() -> list[bytes]:
+    """Three deterministic 24-bit BMPs with ANALYTICALLY-known pixel
+    statistics (so the oracle's expected features are hand-derived
+    constants, not recomputed by the same decoder): solid red 8×4,
+    solid gray(100) 5×5, half-black/half-white 6×2."""
+    import numpy as np
+
+    from zoi_spark import multimodal
+
+    red = np.zeros((4, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    gray = np.full((5, 5, 3), 100, dtype=np.uint8)
+    half = np.zeros((2, 6, 3), dtype=np.uint8)
+    half[:, 3:, :] = 255
+    return [multimodal.encode_bmp(a) for a in (red, gray, half)]
+
+
+def q_media_decode_features(spark, sf_dir):
+    """Multimodal decode in the oracle gate: deterministic BMP payloads
+    (hex literals → unhex → binary column) run through the REAL
+    pure-numpy decode (multimodal.decode_image_features over
+    mapInPandas); per-variant dimensions and pixel-statistic features
+    must equal the hand-computed expectations in the SQL twin."""
+    from zoi_spark import multimodal
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    payloads = _media_payloads()
+    v = F.pmod("doc_id", F.lit(3))
+    payload = None
+    for i, p in enumerate(payloads):
+        expr = F.unhex(F.lit(p.hex()))
+        payload = (F.when(v == i, expr) if payload is None
+                   else payload.when(v == i, expr))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     payload.alias("payload"))
+    feats = multimodal.decode_image_features(media, dim=8)
+    variant = F.pmod("media_id", F.lit(3)).alias("variant")
+    fcols = [F.round(F.max(F.element_at("feature", i + 1)), 6)
+             .alias(f"f{i}") for i in range(8)]
+    return (feats.groupBy(variant)
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("width").alias("w"), F.max("height").alias("h"),
+                 F.max("n_bytes").alias("nb"), *fcols))
+
+
+def _media_decode_sql() -> str:
+    """Hand-derived expectations: features are [meanR, meanG, meanB,
+    stdR, stdG, stdB, grayMin, grayMax] — for solid colors the stds
+    are 0 and gray = channel mean; for the half-black/half-white image
+    every channel is Bernoulli(1/2)·255 → mean = std = 127.5. All
+    values are float32-exact, so no rounding ambiguity."""
+    payloads = _media_payloads()
+    nb = [len(p) for p in payloads]
+    rows = [
+        # variant, w, h, nb, f0..f7
+        (0, 8, 4, nb[0], 255.0, 0.0, 0.0, 0.0, 0.0, 0.0, 85.0, 85.0),
+        (1, 5, 5, nb[1], 100.0, 100.0, 100.0, 0.0, 0.0, 0.0, 100.0, 100.0),
+        (2, 6, 2, nb[2], 127.5, 127.5, 127.5, 127.5, 127.5, 127.5,
+         0.0, 255.0),
+    ]
+    values = ",\n              ".join(
+        "(" + ", ".join(repr(x) for x in r) + ")" for r in rows)
+    return f"""
+        WITH expected(variant, w, h, nb, f0, f1, f2, f3, f4, f5, f6, f7)
+          AS (VALUES
+              {values}),
+        counts AS (
+          SELECT ((doc_id % 3) + 3) % 3 AS variant,
+                 count(*)::BIGINT AS n_docs
+          FROM documents GROUP BY 1)
+        SELECT e.variant::BIGINT AS variant, c.n_docs,
+               e.w::INTEGER AS w, e.h::INTEGER AS h, e.nb::BIGINT AS nb,
+               e.f0::FLOAT AS f0, e.f1::FLOAT AS f1, e.f2::FLOAT AS f2,
+               e.f3::FLOAT AS f3, e.f4::FLOAT AS f4, e.f5::FLOAT AS f5,
+               e.f6::FLOAT AS f6, e.f7::FLOAT AS f7
+        FROM expected e JOIN counts c ON c.variant = e.variant
+    """
+
+
 def q_stream_validate_docs(spark, sf_dir):
     """Structured Streaming validation in the oracle gate: the
     documents table read as a STREAM (file source), validated with the
@@ -1379,6 +1458,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "json_probe": q_json_probe,
         "grapheme_length_rules": q_grapheme_length_rules,
         "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
+        "media_decode_features": q_media_decode_features,
         "url_canonical_dedup": q_url_canonical_dedup,
         "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
@@ -2702,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnowing_overlap_pairs": _winnow_pairs_sql(
             k=5, w=8, min_shared=5, max_hash_docs=20),
+        "media_decode_features": _media_decode_sql(),
         "url_canonical_dedup": _url_dedup_sql(),
         "pii_scan": _pii_scan_sql(),
         "grapheme_length_rules": f"""

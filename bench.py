@@ -126,7 +126,7 @@ R3_NAMES = [
     "refine_ctx_multi", "email_variants", "schema_introspection",
     "validate_strict_parsed", "lazy_tree", "json_probe",
     "grapheme_length_rules", "url_canonical_dedup", "pii_scan",
-    "winnowing_overlap_pairs",
+    "winnowing_overlap_pairs", "media_decode_features",
 ]
 
 
