@@ -1266,6 +1266,33 @@ def q_pii_scan(spark, sf_dir):
         F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"))
 
 
+def q_contamination_probes(spark, sf_dir):
+    """Benchmark-decontamination scan (text.contamination_check): the
+    probe set is derived lazily from the corpus itself (35-char
+    normalized substrings of three documents — guaranteed hits, no
+    driver collect) plus one miss probe; the corpus checks containment
+    against the broadcast probes in one scan."""
+    d = _read(spark, sf_dir, "documents")
+    norm = text.normalize_text(F.col("text"))
+    probes = (d.where(F.col("doc_id").isin(3, 57, 111))
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.substring(norm, 11, 35).alias("probe_text")))
+    miss = spark.createDataFrame([(999, "zzz qqq vvv")],
+                                 "probe_id long, probe_text string")
+    return text.contamination_check(d, probes.unionAll(miss))
+
+
+def q_top_bigrams(spark, sf_dir):
+    """Corpus bigram frequencies (text.ngram_counts): explode + hash
+    aggregation with map-side combine; top 15 by (count desc, gram asc)
+    — the candidate-generation shape for contamination and boilerplate
+    mining."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.ngram_counts(d, n=2, min_count=2)
+            .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+            .limit(15))
+
+
 def _media_payloads() -> list[bytes]:
     """Three deterministic 24-bit BMPs with ANALYTICALLY-known pixel
     statistics (so the oracle's expected features are hand-derived
@@ -1459,6 +1486,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "grapheme_length_rules": q_grapheme_length_rules,
         "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
         "media_decode_features": q_media_decode_features,
+        "contamination_probes": q_contamination_probes,
+        "top_bigrams": q_top_bigrams,
         "url_canonical_dedup": q_url_canonical_dedup,
         "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
@@ -2783,6 +2812,33 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_overlap_pairs": _winnow_pairs_sql(
             k=5, w=8, min_shared=5, max_hash_docs=20),
         "media_decode_features": _media_decode_sql(),
+        "contamination_probes": f"""
+            WITH docs AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            probes AS (
+              -- second normalization pass = trim only (the substring
+              -- of an already-normalized text can carry edge spaces)
+              SELECT doc_id AS probe_id, trim(substr(t, 11, 35)) AS p
+              FROM docs WHERE doc_id IN (3, 57, 111)
+              UNION ALL SELECT 999, 'zzz qqq vvv')
+            SELECT probe_id, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS first_doc_id
+            FROM docs JOIN probes ON contains(t, p)
+            GROUP BY probe_id
+        """,
+        "top_bigrams": f"""
+            WITH toks AS (
+              SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents),
+            grams AS (
+              SELECT unnest(
+                CASE WHEN len(t) <= 1 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t)),
+                                         i -> array_to_string(t[i:i+1], ' '))
+                END) AS ngram
+              FROM toks)
+            SELECT ngram, count(*)::BIGINT AS n_occurrences
+            FROM grams GROUP BY ngram HAVING count(*) >= 2
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 15
+        """,
         "url_canonical_dedup": _url_dedup_sql(),
         "pii_scan": _pii_scan_sql(),
         "grapheme_length_rules": f"""

@@ -600,3 +600,23 @@ def test_curate_url_and_pii_stages(spark):
     kept = {r.doc_id for r in res.kept.select("doc_id").collect()}
     assert kept == {1, 2}
     res.release()
+
+
+def test_contamination_and_ngrams(spark):
+    from zoi_spark import text as zt
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a totally unrelated sentence about shipping containers"),
+         (3, "we said the quick brown fox appears here too")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(10, "QUICK   Brown fox"), (11, "not present anywhere")],
+        "probe_id long, probe_text string")
+    hits = {r.probe_id: (r.n_docs, r.first_doc_id)
+            for r in zt.contamination_check(docs, probes).collect()}
+    assert hits == {10: (2, 1)}      # normalization bridges case/spacing
+    grams = {r.ngram: r.n_occurrences
+             for r in zt.ngram_counts(docs, n=2, min_count=2).collect()}
+    assert grams["quick brown"] == 2 and grams["brown fox"] == 2
+    assert "shipping containers" not in grams   # count 1 < min_count

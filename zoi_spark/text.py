@@ -377,3 +377,46 @@ def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         "has_pii",
         (F.col("n_pii_email") + F.col("n_pii_ipv4")
          + F.col("n_pii_phone")) > 0)
+
+
+# ---------------------------------------------------------------------------
+# decontamination + corpus n-gram stats
+# ---------------------------------------------------------------------------
+
+def contamination_check(df: DataFrame, probes: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        probe_id_col: str = "probe_id",
+                        probe_text_col: str = "probe_text") -> DataFrame:
+    """Benchmark-decontamination scan: per probe string, how many
+    documents CONTAIN it (after the same whitespace/case normalization
+    fingerprints use) and the smallest matching doc id.
+
+    Plan shape: the probe set (an eval benchmark — thousands of rows,
+    not billions) is BROADCAST and every document checks containment
+    against each probe in one scan-projection — no shuffle of the
+    corpus, cost = n_docs × n_probes substring searches, all JVM-side.
+    For probe sets beyond broadcast size, pre-filter candidates with
+    :func:`ngram_counts`-style gram joins before the contains pass."""
+    p = F.broadcast(probes.select(
+        F.col(probe_id_col),
+        normalize_text(F.col(probe_text_col)).alias("__probe")))
+    docs = df.select(F.col(id_col),
+                     normalize_text(F.col(text_col)).alias("__t"))
+    hits = docs.join(p, F.col("__t").contains(F.col("__probe")))
+    return (hits.groupBy(probe_id_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("first_doc_id")))
+
+
+def ngram_counts(df: DataFrame, *, text_col: str = "text",
+                 n: int = 2, min_count: int = 2) -> DataFrame:
+    """Corpus-level word n-gram frequencies: ``(ngram, n_occurrences)``
+    over the normalized token stream — one explode + one hash
+    aggregation with map-side combine (the standard shape for
+    contamination candidate generation, boilerplate mining and
+    quality lexicons)."""
+    grams = F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+    return (df.select(grams)
+            .groupBy("ngram")
+            .agg(F.count("*").alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count))
