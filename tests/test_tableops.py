@@ -620,3 +620,23 @@ def test_contamination_and_ngrams(spark):
              for r in zt.ngram_counts(docs, n=2, min_count=2).collect()}
     assert grams["quick brown"] == 2 and grams["brown fox"] == 2
     assert "shipping containers" not in grams   # count 1 < min_count
+
+
+def test_pair_operators_tolerate_empty_and_null_inputs(spark):
+    """Degenerate inputs must yield empty results, not batch errors:
+    empty frames, all-null vectors/texts."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.minhash_dedup_pairs(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, threshold=0.5).count() == 0
+    assert dedup.winnowing_overlap_pairs(empty_docs).count() == 0
+
+    emb = spark.createDataFrame(
+        [(1, None, 0), (2, None, 0), (3, [1.0, 0.0], 1), (4, [1.0, 0.1], 1)],
+        "vec_id long, embedding array<double>, label int")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.9, block_col="label")
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(3, 4)}
+
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "doc_id long, text string")
+    assert dedup.winnowing_overlap_pairs(nulls).count() == 0
+    assert dedup.ngram_jaccard_pairs(nulls, threshold=0.5).count() == 0

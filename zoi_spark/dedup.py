@@ -882,6 +882,9 @@ def _block_pair_batch_factory(threshold: float):
     import pandas as pd
 
     def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # null vectors cannot pair (the expression engine's fold yields
+        # null → filtered); drop them before the matmul
+        pdf = pdf[pdf["__vec"].notna()]
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
