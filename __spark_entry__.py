@@ -1266,6 +1266,39 @@ def q_pii_scan(spark, sf_dir):
         F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"))
 
 
+def q_cross_field_rules(spark, sf_dir):
+    """Cross-field (whole-row) refinements — Zoi's ``map |> refine``
+    (effects over the parsed map, lib/zoi/types/meta.ex:62-95): the
+    TOP-LEVEL fields schema carries two rules that relate columns —
+    net price sanity (extendedprice·(1−discount) ≤ 60000) and a
+    ctx-refine emitting a dynamic message when quantity and discount
+    are jointly extreme."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+
+    def net_ok(row):
+        return (row.getField("l_extendedprice")
+                * (F.lit(1.0) - row.getField("l_discount"))) <= 60000.0
+
+    def extreme(row):
+        q, d = row.getField("l_quantity"), row.getField("l_discount")
+        return F.filter(F.array(
+            F.when((q >= 49.0) & (d >= 0.09),
+                   F.concat(F.lit("extreme combo q="),
+                            q.cast("int").cast("string")))),
+            lambda m: m.isNotNull())
+
+    schema = z.fields({
+        "l_orderkey": z.integer(),
+        "l_quantity": z.float_(),
+        "l_extendedprice": z.float_(),
+        "l_discount": z.float_(),
+    }).refine(net_ok, error="net price too high", engine="expr") \
+      .refine_ctx(extreme, engine="expr")
+    res = z.validate(li, schema, id_cols=["l_orderkey"])
+    return res.violations.groupBy("message").agg(F.count("*").alias("n"))
+
+
 def q_contamination_probes(spark, sf_dir):
     """Benchmark-decontamination scan (text.contamination_check): the
     probe set is derived lazily from the corpus itself (35-char
@@ -1488,6 +1521,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "media_decode_features": q_media_decode_features,
         "contamination_probes": q_contamination_probes,
         "top_bigrams": q_top_bigrams,
+        "cross_field_rules": q_cross_field_rules,
         "url_canonical_dedup": q_url_canonical_dedup,
         "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
@@ -2812,6 +2846,17 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_overlap_pairs": _winnow_pairs_sql(
             k=5, w=8, min_shared=5, max_hash_docs=20),
         "media_decode_features": _media_decode_sql(),
+        "cross_field_rules": """
+            SELECT message, count(*)::BIGINT AS n FROM (
+              SELECT 'net price too high' AS message FROM lineitem
+                WHERE NOT coalesce(
+                  l_extendedprice * (1.0 - l_discount) <= 60000.0, false)
+              UNION ALL
+              SELECT 'extreme combo q=' || l_quantity::INTEGER::VARCHAR
+              FROM lineitem
+              WHERE l_quantity >= 49.0 AND l_discount >= 0.09
+            ) GROUP BY message
+        """,
         "contamination_probes": f"""
             WITH docs AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
             probes AS (

@@ -127,7 +127,7 @@ R3_NAMES = [
     "validate_strict_parsed", "lazy_tree", "json_probe",
     "grapheme_length_rules", "url_canonical_dedup", "pii_scan",
     "winnowing_overlap_pairs", "media_decode_features",
-    "contamination_probes", "top_bigrams",
+    "contamination_probes", "top_bigrams", "cross_field_rules",
 ]
 
 

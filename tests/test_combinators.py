@@ -357,3 +357,36 @@ def test_refine_ctx_expr_engine(spark):
                    ddl="id int, name string")
     assert [(v["id"], v["message"]) for v in viols] == \
         [(1, "too short: abc"), (1, "second error")]
+
+
+def test_fields_level_cross_field_refine(spark):
+    """Zoi map |> refine parity: node-level refinements on a fields
+    schema run over the PARSED struct (cross-field rules); chain order
+    holds through a struct transform; non-expr engines are rejected."""
+    df = spark.createDataFrame(
+        [(1, 2, 10), (2, 8, 5), (3, 1, 1)], "id long, a long, b long")
+    schema = z.fields({
+        "id": z.integer(), "a": z.integer(), "b": z.integer(),
+    }).refine(lambda s: s.getField("a") <= s.getField("b"),
+              error="a must not exceed b", engine="expr")
+    res = z.validate(df, schema, ["id"])
+    bad = {r.id: r.message for r in res.violations.collect()}
+    assert bad == {2: "a must not exceed b"}
+
+    # nested fields node: same machinery one level down
+    nested = spark.createDataFrame(
+        [(1, (2, 10)), (2, (8, 5))], "id long, p struct<a:long,b:long>")
+    nschema = z.fields({
+        "id": z.integer(),
+        "p": z.fields({"a": z.integer(), "b": z.integer()})
+             .refine(lambda s: s.getField("a") <= s.getField("b"),
+                     error="a>b", engine="expr"),
+    })
+    nbad = {r.id for r in z.validate(nested, nschema, ["id"])
+            .violations.collect()}
+    assert nbad == {2}
+
+    # non-expr engine on a fields node is a clear compile-time error
+    with pytest.raises(NotImplementedError, match="engine='expr'"):
+        z.validate(df, z.fields({"id": z.integer()})
+                   .refine(lambda s: s, engine="pandas"), ["id"])

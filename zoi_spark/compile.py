@@ -674,6 +674,59 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
             out_fields.append(T.StructField(name, val_node.out_type, True))
 
     value = F.struct(*parsed_fields) if parsed_fields else F.lit(None)
+
+    # node-level effect chain over the PARSED map: Zoi's map |> refine /
+    # map |> transform (effects run after field parsing on the whole
+    # parsed value, chain-ordered — lib/zoi/types/meta.ex:62-95;
+    # cross-field rules live here). Expression engine only — a pandas
+    # batch over a struct column has a different UDF signature, and
+    # cross-field predicates are plain Column expressions over getField.
+    maybe: list[tuple[Column, Column]] = []
+
+    def emit_node_check(chk: Check, current: Column) -> None:
+        if chk.kind not in ("refine", "refine_ctx"):
+            raise NotImplementedError(
+                f"check '{chk.kind}' does not apply to a fields schema; "
+                "use refine/refine_ctx for cross-field rules")
+        if chk.params.get("engine") != "expr":
+            raise NotImplementedError(
+                "fields-level refinements must use engine='expr' (the "
+                "predicate receives the parsed struct Column)")
+        if chk.kind == "refine":
+            spec = E.custom_error(chk.params.get("message", "is invalid"))
+            rid = ctx.rule_id(path, "refine")
+            _ord = ctx.register(rid, spec, path, "refine", dict(chk.params))
+            pred = F.coalesce(chk.params["fn"](current), F.lit(False))
+            maybe.append((field_guard & ~pred, _mk_error(_ord, path)))
+        else:
+            spec = E.custom_error("is invalid")
+            rid = ctx.rule_id(path, "refine_ctx")
+            _ord = ctx.register(rid, spec, path, "refine_ctx",
+                                dict(chk.params))
+            msgs = chk.params["fn"](current)
+            cells = F.transform(
+                msgs, lambda m: F.struct(
+                    F.lit(_ord).alias("i"),
+                    F.lit(None).cast("array<string>").alias("p"),
+                    m.alias("m")))
+            err_arrays.append(
+                F.when(field_guard & msgs.isNotNull(), cells)
+                .otherwise(_empty_errors()))
+
+    for chk in schema.checks:
+        emit_node_check(chk, value)
+    for tag, eff in schema.effects:
+        if tag == "check":
+            emit_node_check(eff, value)
+        else:
+            if eff.kind != "expr":
+                raise NotImplementedError(
+                    "fields-level transforms must use engine='expr' "
+                    "(the function receives the parsed struct Column)")
+            value = eff.fn(value)
+    if maybe:
+        err_arrays.append(_collect(maybe))
+
     return Node(value, _concat_err_arrays(err_arrays), T.StructType(out_fields))
 
 
