@@ -919,9 +919,12 @@ def q_scalar_coercion_matrix(spark, sf_dir):
     downcase/upcase refinements, trim + to_downcase/to_upcase
     transforms, and constraint-after-transform chain order
     (string(min=6).trim().to_downcase().gte(5) checks min on the RAW
-    value, gte on the trimmed+lowered one — lib/zoi/types/meta.ex:
-    62-95). Output = violation counts by rule + parsed-value aggregates
-    proving the coercions/transforms produced the right values."""
+    value, gte on the trimmed+lowered one, and the chained gte runs
+    ONLY when the field constraint passed — Context.parse skips
+    run_effects after a parse_type failure, lib/zoi/context.ex:42-44).
+    Output = violation counts by rule + parsed-value aggregates proving
+    the coercions/transforms produced the right values (and that a
+    node with errors parses to nil, meta.ex:90-95)."""
     d = _read(spark, sf_dir, "documents").select("doc_id")
     corpus = d.select(
         "doc_id",
@@ -1911,10 +1914,15 @@ def _scalar_matrix_sql() -> str:
           UNION ALL
           SELECT 'chain.gte#1', count(*)::BIGINT FROM corpus
             WHERE chain IS NOT NULL
+              AND length(chain) >= 6          -- effects skipped when the
+                                              -- field constraint failed
               AND NOT (length(lower(trim(chain))) >= 5)
           UNION ALL
           SELECT 'num_sum_x100',
+                 -- parsed is nil for any erring node: the gte-failing
+                 -- negatives drop out of the sum (meta.ex:90-95)
                  (sum(CASE WHEN regexp_matches(num_s, '{num_re}')
+                            AND num_s::DOUBLE >= 0.0
                            THEN num_s::DOUBLE END) * 100)::BIGINT
           FROM corpus
           UNION ALL
@@ -1930,7 +1938,9 @@ def _scalar_matrix_sql() -> str:
           SELECT 'tx_distinct', count(DISTINCT upper(trim(tx)))::BIGINT
           FROM corpus
           UNION ALL
-          SELECT 'atom_distinct', count(DISTINCT atom_s)::BIGINT
+          SELECT 'atom_distinct', count(DISTINCT CASE
+                   WHEN atom_s IN ('red', 'green', 'blue') THEN atom_s
+                 END)::BIGINT
           FROM corpus
         ) WHERE n > 0
     """

@@ -128,3 +128,33 @@ def test_default_skips_effects(spark):
             res.annotated.select("id", F.col("__zoi_parsed.v").alias("v"))
             .collect()}
     assert vals == {1: "keep-lower", 2: "X"}
+
+
+def test_effects_skipped_after_field_constraint_failure(spark):
+    """Context.parse runs effects only when parse_type succeeded — and
+    parse_type INCLUDES field constraints (lib/zoi/context.ex:42-44,
+    types/string.ex:42-49, test/zoi_test.exs:107-115): a min_length
+    failure suppresses the chained post-transform check entirely."""
+    schema = z.string(min=6).trim().gte(5)
+    res = _one(spark, "abc", schema)          # raw 3 < 6 AND trimmed 3 < 5
+    assert rule_ids(res) == {"v.gte"}         # only the FIELD constraint
+    res2 = _one(spark, "  ab  ", schema)      # raw 6 ok, trimmed 2 < 5
+    assert rule_ids(res2) == {"v.gte#1"}      # only the chained check
+
+
+def test_parsed_is_nil_for_erring_nodes(spark):
+    """A node that produced any error parses to nil (meta.ex:90-95
+    `%{ctx | parsed: nil}`); sibling fields keep their values (the
+    partial map output, context.ex:73-74)."""
+    df = spark.createDataFrame([(1, "ok", 5), (2, "ok", -3), (3, "x", 5)],
+                               "id long, s string, n long")
+    schema = z.fields({"id": z.integer(),
+                       "s": z.string(min=2),
+                       "n": z.integer().non_negative()})
+    res = z.validate(df, schema, ["id"])
+    parsed = {r.id: (r.s, r.n) for r in res.parsed
+              .toDF("key", "id", "s", "n").select("key", "s", "n")
+              .withColumnRenamed("key", "id").collect()}
+    assert parsed[1] == ("ok", 5)
+    assert parsed[2] == ("ok", None)          # n failed -> nil; s kept
+    assert parsed[3] == (None, 5)             # s failed -> nil; n kept

@@ -494,9 +494,10 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
     value = typed
     extra_err_arrays: list[Column] = []
 
-    def emit_refine_ctx(chk: Check, current: Column) -> None:
+    def emit_refine_ctx(chk: Check, current: Column, gate: Column) -> Column:
         """Context-style refine: one rule ordinal, N dynamic-message
-        error cells per row (Zoi Context.add_error, lib/zoi.ex:3120-3143)."""
+        error cells per row (Zoi Context.add_error, lib/zoi.ex:3120-3143).
+        Returns the passing predicate (no messages emitted)."""
         spec = E.custom_error("is invalid")
         rid = ctx.rule_id(path, "refine_ctx")
         _ord = ctx.register(rid, spec, path, "refine_ctx", dict(chk.params))
@@ -512,8 +513,9 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
                 F.lit(None).cast("array<string>").alias("p"),
                 m.alias("m")))
         extra_err_arrays.append(
-            F.when(check_guard & msgs.isNotNull(), cells)
+            F.when(gate & msgs.isNotNull(), cells)
             .otherwise(_empty_errors()))
+        return msgs.isNull() | (F.size(msgs) == 0)
 
     length_mode = schema.params.get("length_mode", "chars")
     if length_mode == "grapheme" and not allow_pandas:
@@ -522,42 +524,65 @@ def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
             "(the counter is an Arrow batch; lambda variables cannot feed "
             "a pandas_udf)")
 
-    def emit_check(chk: Check, current: Column) -> None:
+    def emit_check(chk: Check, current: Column, gate: Column) -> Column:
+        """Register one check; returns its passing predicate."""
         if chk.kind in ("refine", "refine_ctx") \
                 and chk.params.get("engine") != "expr" and not allow_pandas:
             raise NotImplementedError(
                 "pandas refinements are not supported inside array elements; "
                 "use engine='expr'")
         if chk.kind == "refine_ctx":
-            emit_refine_ctx(chk, current)
-            return
+            return emit_refine_ctx(chk, current, gate)
         pred, spec, dyn_msg = _check_pred_and_spec(schema.kind, chk, current,
                                                    length_mode)
         rid = ctx.rule_id(path, chk.kind if chk.kind != "regex"
                           else chk.params.get("format") or "regex")
         _ord = ctx.register(rid, spec, path, chk.kind, dict(chk.params))
-        maybe.append((check_guard & _safe_not(pred),
+        maybe.append((gate & _safe_not(pred),
                       _mk_error(_ord, path, dyn_msg)))
+        return F.coalesce(pred, F.lit(False))
 
     # field constraints: all evaluated on the typed value, errors
     # collected (lib/zoi/validations.ex:10-28)
-    for chk in schema.checks:
-        emit_check(chk, value)
+    cons_preds = [emit_check(chk, value, check_guard)
+                  for chk in schema.checks]
+    cons_ok = F.lit(True)
+    for p in cons_preds:
+        cons_ok = cons_ok & p
 
-    # ordered effect chain (lib/zoi/types/meta.ex:62-95)
+    # ordered effect chain (lib/zoi/types/meta.ex:62-95). The chain runs
+    # ONLY when parse_type succeeded — and for the reference, parse_type
+    # INCLUDES the field constraints (Type.parse's `with` runs
+    # validate_constraints before returning {:ok,...}; Context.parse
+    # skips run_effects otherwise — lib/zoi/context.ex:42-44,
+    # lib/zoi/types/string.ex:45-47, test/zoi_test.exs:107-115). Within
+    # the chain itself errors are collected, not fail-fast.
+    eff_gate = check_guard & cons_ok
+    eff_preds: list[Column] = []
     for tag, eff in schema.effects:
         if tag == "check":
-            emit_check(eff, value)
+            eff_preds.append(emit_check(eff, value, eff_gate))
         else:
             if eff.kind == "pandas" and not allow_pandas:
                 raise NotImplementedError(
                     "pandas transforms are not supported inside array elements")
             value = _apply_transform(eff, value, out_type)
 
+    # parsed-value contract (lib/zoi/types/meta.ex:90-95 `{ctx | parsed:
+    # nil}`, lib/zoi/context.ex:70-79): a node that produced ANY error
+    # yields a nil parsed value — the partial output carried alongside
+    # map errors is the struct of per-FIELD results, each nil-ed
+    # individually, which this per-node gate composes into.
+    node_ok = F.coalesce(type_ok, F.lit(False)) & cons_ok
+    for p in eff_preds:
+        node_ok = node_ok & p
     if has_default:
         # nil → default, skipping type stage and effects
         # (types/default.ex:16-23)
-        value = F.when(present, value).otherwise(F.lit(schema.default))
+        value = F.when(~present, F.lit(schema.default)) \
+            .otherwise(F.when(node_ok, value))
+    else:
+        value = F.when(node_ok, value)
 
     return Node(value,
                 _concat_err_arrays([_collect(maybe), *extra_err_arrays]),
