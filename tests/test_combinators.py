@@ -7,6 +7,7 @@ Ports the corresponding ExUnit shapes (zoi_test.exs "array/2" :2521,
 """
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
 import zoi_spark as z
@@ -390,3 +391,40 @@ def test_fields_level_cross_field_refine(spark):
     with pytest.raises(NotImplementedError, match="engine='expr'"):
         z.validate(df, z.fields({"id": z.integer()})
                    .refine(lambda s: s, engine="pandas"), ["id"])
+
+
+def test_combinator_level_refinements(spark):
+    """Effects are universal (meta on every type): refine on a union /
+    tuple runs over the parsed value, only when the combinator parse
+    succeeded; array-level constraints are skipped entirely when an
+    element erred (types/array.ex finalize_result)."""
+    # union |> refine: parsed collapses to string across branches
+    df = spark.createDataFrame([(1, "7"), (2, "abc"), (3, "12345")],
+                               "id long, v string")
+    u = z.union([z.integer(coerce=True), z.string(min=2)]) \
+        .refine(lambda c: F.length(c) <= 3, error="too wide", engine="expr")
+    res = z.validate(df, z.fields({"id": z.integer(), "v": u}), ["id"])
+    bad = {r.id: r.message for r in res.violations.collect()}
+    assert bad == {3: "too wide"}
+
+    # tuple |> refine over the parsed struct
+    t = spark.createDataFrame([(1, (1.0, 5.0)), (2, (9.0, 2.0))],
+                              "id long, p struct<a:double,b:double>")
+    ts = z.tuple_([z.float_(), z.float_()]).refine(
+        lambda s: s.getField("a") <= s.getField("b"),
+        error="not sorted", engine="expr")
+    tbad = {r.id for r in z.validate(
+        t, z.fields({"id": z.integer(), "p": ts}), ["id"])
+        .violations.collect()}
+    assert tbad == {2}
+
+    # element error suppresses the array-level constraint
+    a = spark.createDataFrame([(1, ["aa", ""]), (2, ["aa", "aa"])],
+                              "id long, v array<string>")
+    asch = z.fields({"id": z.integer(),
+                     "v": z.array(z.string(min=1), unique_items=True)})
+    rules = {}
+    for r in z.validate(a, asch, ["id"]).violations.collect():
+        rules.setdefault(r.id, set()).add(r.rule_id)
+    assert rules[1] == {"v.*.gte"}           # element error only
+    assert rules[2] == {"v.unique_items"}    # clean elements -> constraint

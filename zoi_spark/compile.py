@@ -78,7 +78,12 @@ class CompileCtx:
         self.rules: list[RuleInfo] = []
 
     def rule_id(self, path: Sequence[Any], kind: str) -> str:
-        base = ".".join(str(p) for p in path) if path else "$"
+        # dynamic components (runtime array indexes / map keys, carried
+        # as Columns) render as '*' — one rule id per RULE, not per key
+        parts = [p if isinstance(p, str)
+                 else ("*" if isinstance(p, Column) else str(p))
+                 for p in path]
+        base = ".".join(parts) if parts else "$"
         rid = f"{base}.{kind}"
         n = self._rule_ids.get(rid, 0)
         self._rule_ids[rid] = n + 1
@@ -459,20 +464,78 @@ def compile_node(ctx: CompileCtx, schema: Schema, col: Column,
         return _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas)
     if kind == "array":
         return _compile_array(ctx, schema, col, itype, path, guard)
-    if kind == "tuple":
-        return _compile_tuple(ctx, schema, col, itype, path, guard, allow_pandas)
-    if kind == "map_kv":
-        return _compile_map_kv(ctx, schema, col, itype, path, guard)
-    if kind == "union":
-        return _compile_union(ctx, schema, col, itype, path, guard, allow_pandas)
-    if kind == "intersection":
-        return _compile_intersection(ctx, schema, col, itype, path, guard, allow_pandas)
-    if kind == "discriminated_union":
-        return _compile_discriminated(ctx, schema, col, itype, path, guard, allow_pandas)
-    if kind == "codec":
-        return _compile_codec(ctx, schema, col, itype, path, guard, allow_pandas)
+
+    if kind in ("tuple", "map_kv", "union", "intersection",
+                "discriminated_union", "codec"):
+        fn = {"tuple": _compile_tuple, "union": _compile_union,
+              "intersection": _compile_intersection,
+              "discriminated_union": _compile_discriminated,
+              "codec": _compile_codec}.get(kind)
+        node = (_compile_map_kv(ctx, schema, col, itype, path, guard)
+                if kind == "map_kv"
+                else fn(ctx, schema, col, itype, path, guard, allow_pandas))
+        return _apply_post_effects(ctx, schema, node, path, guard)
 
     return _compile_scalar(ctx, schema, col, itype, path, guard, allow_pandas)
+
+
+def _apply_post_effects(ctx: CompileCtx, schema: Schema, node: Node,
+                        path: tuple, guard: Column) -> Node:
+    """Node-level refinements/transforms on combinator schemas (union /
+    intersection / discriminated union / tuple / map k-v / codec):
+    Zoi's effect chain is universal (meta on every type), runs over the
+    PARSED value and only when the type parse succeeded
+    (lib/zoi/context.ex:42-44). Expression engine only — the value is a
+    combinator output, and cross-value predicates are plain Column
+    expressions."""
+    if not schema.checks and not schema.effects:
+        return node
+    value = node.value
+    err_arrays = [node.errors]
+    maybe: list[tuple[Column, Column]] = []
+    gate = guard & (F.size(node.errors) == 0)
+
+    def emit(chk: Check, current: Column) -> None:
+        if chk.kind not in ("refine", "refine_ctx"):
+            raise NotImplementedError(
+                f"check '{chk.kind}' does not apply to a {schema.kind} "
+                "schema; use refine/refine_ctx")
+        if chk.params.get("engine") != "expr":
+            raise NotImplementedError(
+                f"{schema.kind}-level refinements must use engine='expr'")
+        if chk.kind == "refine":
+            spec = E.custom_error(chk.params.get("message", "is invalid"))
+            rid = ctx.rule_id(path, "refine")
+            _ord = ctx.register(rid, spec, path, "refine", dict(chk.params))
+            pred = F.coalesce(chk.params["fn"](current), F.lit(False))
+            maybe.append((gate & ~pred, _mk_error(_ord, path)))
+        else:
+            spec = E.custom_error("is invalid")
+            rid = ctx.rule_id(path, "refine_ctx")
+            _ord = ctx.register(rid, spec, path, "refine_ctx",
+                                dict(chk.params))
+            msgs = chk.params["fn"](current)
+            cells = F.transform(
+                msgs, lambda m: F.struct(
+                    F.lit(_ord).alias("i"),
+                    F.lit(None).cast("array<string>").alias("p"),
+                    m.alias("m")))
+            err_arrays.append(F.when(gate & msgs.isNotNull(), cells)
+                              .otherwise(_empty_errors()))
+
+    for chk in schema.checks:
+        emit(chk, value)
+    for tag, eff in schema.effects:
+        if tag == "check":
+            emit(eff, value)
+        else:
+            if eff.kind != "expr":
+                raise NotImplementedError(
+                    f"{schema.kind}-level transforms must use engine='expr'")
+            value = eff.fn(value)
+    if maybe:
+        err_arrays.append(_collect(maybe))
+    return Node(value, _concat_err_arrays(err_arrays), node.out_type)
 
 
 def _compile_scalar(ctx: CompileCtx, schema: Schema, col: Column,
@@ -805,16 +868,28 @@ def _compile_array(ctx, schema, col, itype, path, guard) -> Node:
 
     parsed = F.transform(col, elem_value)
 
-    # array-level constraints run on parsed element values
-    # (types/array.ex:127-135)
+    # array-level constraints run on parsed element values — but ONLY
+    # when every element parsed cleanly (types/array.ex finalize_result:
+    # element errors return immediately, constraints never run), and
+    # effect-chain checks additionally require the constraints to have
+    # passed (Context.parse skips run_effects on parse_type failure).
     maybe: list[tuple[Column, Column]] = []
     present_guard = guard & col.isNotNull()
-    for chk in schema.checks + [e for t, e in schema.effects if t == "check"]:
+    elements_ok = F.size(elem_err_arr) == 0
+    cons_gate = present_guard & elements_ok
+    cons_ok = F.lit(True)
+    for chk in schema.checks:
         pred, spec, _ = _check_pred_and_spec("array", chk, parsed)
         rid = ctx.rule_id(path, chk.kind)
         _ord = ctx.register(rid, spec, path, chk.kind, dict(chk.params))
-        maybe.append((present_guard & _safe_not(pred),
-                      _mk_error(_ord, path)))
+        maybe.append((cons_gate & _safe_not(pred), _mk_error(_ord, path)))
+        cons_ok = cons_ok & F.coalesce(pred, F.lit(False))
+    eff_gate = cons_gate & cons_ok
+    for chk in [e for t, e in schema.effects if t == "check"]:
+        pred, spec, _ = _check_pred_and_spec("array", chk, parsed)
+        rid = ctx.rule_id(path, chk.kind)
+        _ord = ctx.register(rid, spec, path, chk.kind, dict(chk.params))
+        maybe.append((eff_gate & _safe_not(pred), _mk_error(_ord, path)))
 
     errs = _concat_err_arrays([
         F.when(col.isNotNull(), elem_err_arr).otherwise(_empty_errors()),
