@@ -189,3 +189,51 @@ def test_canonical_url_idempotent_and_dialect_parity(spark):
     for i, u in enumerate(pool):
         assert spark_c[i] == duck[i], \
             f"dialect drift for {u!r}: spark={spark_c[i]!r} duck={duck[i]!r}"
+
+
+def _expected_chain_rules(v, mn_field, mn_eff):
+    """Independent interpretation of the effect-gating contract
+    (lib/zoi/context.ex:42-44 + types/string.ex:42-49): field
+    constraints all collect; the chained post-transform check runs only
+    when every field constraint passed, against the trimmed value; a
+    node with any error parses to nil, else to the transformed value."""
+    if v is None:
+        return {"required"}, None
+    rules = set()
+    if not (len(v) >= mn_field):
+        rules.add("gte")
+        return rules, None              # effects skipped entirely
+    if not (len(v.strip()) >= mn_eff):
+        rules.add("gte#1")
+        return rules, None
+    return rules, v.strip()
+
+
+@SET
+@given(
+    mn_field=st.integers(0, 8),
+    mn_eff=st.integers(0, 8),
+    values=st.lists(
+        st.one_of(st.none(),
+                  st.text(alphabet="ab ", min_size=0, max_size=12)),
+        min_size=1, max_size=20),
+)
+def test_effect_gating_matches_reference_semantics(spark, mn_field, mn_eff,
+                                                   values):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, v string")
+    schema = z.fields({"id": z.integer(),
+                       "v": z.string(min=mn_field).trim().gte(mn_eff)})
+    res = z.validate(df, schema, id_cols=["id"])
+    got: dict[int, set] = {}
+    for r in res.violations.collect():
+        got.setdefault(r.id, set()).add(
+            r.rule_id.split(".", 1)[1])
+    parsed = {r[0]: r[1] for r in res.parsed
+              .toDF("key", "id", "v").select("key", "v").collect()}
+    for i, v in enumerate(values):
+        want_rules, want_parsed = _expected_chain_rules(v, mn_field, mn_eff)
+        assert got.get(i, set()) == want_rules, \
+            f"v={v!r} mn={mn_field} eff={mn_eff}"
+        assert parsed[i] == want_parsed, \
+            f"parsed v={v!r} mn={mn_field} eff={mn_eff}: {parsed[i]!r}"
