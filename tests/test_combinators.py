@@ -387,6 +387,17 @@ def test_fields_level_cross_field_refine(spark):
             .violations.collect()}
     assert nbad == {2}
 
+    # a CHILD error suppresses the cross-field refine (Context.parse
+    # runs effects only when parse_type — incl. field parsing — was ok)
+    gated = spark.createDataFrame([(1, 9, 5)], "id long, a long, b long")
+    gschema = z.fields({
+        "id": z.integer(), "a": z.integer(lte=3), "b": z.integer(),
+    }).refine(lambda s: s.getField("a") <= s.getField("b"),
+              error="a must not exceed b", engine="expr")
+    grules = {r.rule_id for r in
+              z.validate(gated, gschema, ["id"]).violations.collect()}
+    assert grules == {"a.lte"}        # the refine never fires
+
     # non-expr engine on a fields node is a clear compile-time error
     with pytest.raises(NotImplementedError, match="engine='expr'"):
         z.validate(df, z.fields({"id": z.integer()})

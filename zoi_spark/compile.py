@@ -766,9 +766,15 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
     # node-level effect chain over the PARSED map: Zoi's map |> refine /
     # map |> transform (effects run after field parsing on the whole
     # parsed value, chain-ordered — lib/zoi/types/meta.ex:62-95;
-    # cross-field rules live here). Expression engine only — a pandas
+    # cross-field rules live here). Gated on EVERY child parsing
+    # cleanly: Context.parse runs effects only when parse_type returned
+    # ok, and a map's parse_type errors when any field erred
+    # (lib/zoi/context.ex:42-44). Expression engine only — a pandas
     # batch over a struct column has a different UDF signature, and
     # cross-field predicates are plain Column expressions over getField.
+    children_ok = F.size(_concat_err_arrays(list(err_arrays))) == 0 \
+        if err_arrays else F.lit(True)
+    node_gate = field_guard & children_ok
     maybe: list[tuple[Column, Column]] = []
 
     def emit_node_check(chk: Check, current: Column) -> None:
@@ -785,7 +791,7 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
             rid = ctx.rule_id(path, "refine")
             _ord = ctx.register(rid, spec, path, "refine", dict(chk.params))
             pred = F.coalesce(chk.params["fn"](current), F.lit(False))
-            maybe.append((field_guard & ~pred, _mk_error(_ord, path)))
+            maybe.append((node_gate & ~pred, _mk_error(_ord, path)))
         else:
             spec = E.custom_error("is invalid")
             rid = ctx.rule_id(path, "refine_ctx")
@@ -798,7 +804,7 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
                     F.lit(None).cast("array<string>").alias("p"),
                     m.alias("m")))
             err_arrays.append(
-                F.when(field_guard & msgs.isNotNull(), cells)
+                F.when(node_gate & msgs.isNotNull(), cells)
                 .otherwise(_empty_errors()))
 
     for chk in schema.checks:
