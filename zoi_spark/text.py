@@ -414,9 +414,20 @@ def ngram_counts(df: DataFrame, *, text_col: str = "text",
     over the normalized token stream — one explode + one hash
     aggregation with map-side combine (the standard shape for
     contamination candidate generation, boilerplate mining and
-    quality lexicons)."""
-    grams = F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
-    return (df.select(grams)
+    quality lexicons). Bigrams (the common case) build via one
+    ``zip_with`` of the token array against its tail instead of the
+    per-position slice+concat_ws chain — same strings, one pass."""
+    if n == 2:
+        tokens = F.split(normalize_text(F.col(text_col)), " ")
+        sh = F.when(
+            F.size(tokens) <= 1, F.array(F.concat_ws(" ", tokens))
+        ).otherwise(
+            F.zip_with(F.slice(tokens, 1, F.size(tokens) - 1),
+                       F.slice(tokens, 2, F.size(tokens) - 1),
+                       lambda a, b: F.concat(a, F.lit(" "), b)))
+    else:
+        sh = word_shingles(F.col(text_col), n)
+    return (df.select(F.explode(sh).alias("ngram"))
             .groupBy("ngram")
             .agg(F.count("*").alias("n_occurrences"))
             .where(F.col("n_occurrences") >= min_count))
