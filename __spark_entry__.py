@@ -1302,6 +1302,29 @@ def q_cross_field_rules(spark, sf_dir):
     return res.violations.groupBy("message").agg(F.count("*").alias("n"))
 
 
+def q_ivf_train_step(spark, sf_dir):
+    """One Lloyd iteration of IVF centroid training
+    (similarity.refine_centroids): md5-rank seed centroids → assign →
+    per-component means (rounded, so SQL re-derives the trained
+    centroids exactly) → re-assign. Output = per-centroid membership
+    counts before and after the step; the reassignment movement is the
+    oracle-checkable evidence the training step actually ran."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents0 = similarity.sample_centroids(emb, n_centroids=8)
+    cents1 = similarity.refine_centroids(emb, cents0, iters=1, round_to=6)
+    before = (emb.select(similarity.nearest_centroid(
+        F.col("embedding"), cents0).alias("cent"))
+        .groupBy("cent").agg(F.count("*").alias("n_before")))
+    after = (emb.select(similarity.nearest_centroid(
+        F.col("embedding"), cents1).alias("cent"))
+        .groupBy("cent").agg(F.count("*").alias("n_after")))
+    allc = spark.range(8).select(F.col("id").cast("int").alias("cent"))
+    return (allc.join(before, "cent", "left").join(after, "cent", "left")
+            .select("cent",
+                    F.coalesce("n_before", F.lit(0)).alias("n_before"),
+                    F.coalesce("n_after", F.lit(0)).alias("n_after")))
+
+
 def q_contamination_probes(spark, sf_dir):
     """Benchmark-decontamination scan (text.contamination_check): the
     probe set is derived lazily from the corpus itself (35-char
@@ -1525,6 +1548,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "contamination_probes": q_contamination_probes,
         "top_bigrams": q_top_bigrams,
         "cross_field_rules": q_cross_field_rules,
+        "ivf_train_step": q_ivf_train_step,
         "url_canonical_dedup": q_url_canonical_dedup,
         "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
@@ -2082,6 +2106,62 @@ def _pii_scan_sql() -> str:
                sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)::BIGINT
                  AS docs_with_pii
         FROM counted GROUP BY lang
+    """
+
+
+def _ivf_train_sql(n_centroids: int = 8, dim: int = 64,
+                   round_to: int = 6) -> str:
+    """Re-derive one Lloyd step end to end: md5-rank seed centroids,
+    9-dec-rounded argmax assignment, per-component means rounded to the
+    same grid refine_centroids uses, emptied clusters keep the seed
+    centroid, then re-assignment — counts before/after per centroid."""
+    mean_terms = ", ".join(f"avg(v[{i + 1}])" for i in range(dim))
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                   AS i, v AS cv
+          FROM c QUALIFY i < {n_centroids}),
+        a0 AS (
+          SELECT vec_id, v, i AS cent FROM (
+            SELECT c.vec_id, c.v, ct.i,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(list_dot_product(c.v, ct.cv), 9) DESC,
+                              ct.i ASC) AS rn
+            FROM c, cents ct)
+          WHERE rn = 1),
+        means AS (
+          SELECT cent, [{mean_terms}] AS m
+          FROM a0 GROUP BY cent),
+        normed AS (
+          -- spherical update: L2-normalize the mean, THEN round to the
+          -- shared grid (refine_centroids does the same driver-side)
+          SELECT cent,
+                 list_transform(m, x -> round(
+                   x / sqrt(list_dot_product(m, m)), {round_to})) AS cv
+          FROM means WHERE list_dot_product(m, m) > 0),
+        refined AS (
+          SELECT ct.i, coalesce(n.cv, ct.cv) AS cv
+          FROM cents ct LEFT JOIN normed n ON n.cent = ct.i),
+        a1 AS (
+          SELECT vec_id, i AS cent FROM (
+            SELECT c.vec_id, r.i,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(list_dot_product(c.v, r.cv), 9) DESC,
+                              r.i ASC) AS rn
+            FROM c, refined r)
+          WHERE rn = 1),
+        nb AS (SELECT cent, count(*) AS n FROM a0 GROUP BY 1),
+        na AS (SELECT cent, count(*) AS n FROM a1 GROUP BY 1)
+        SELECT t.i::INTEGER AS cent,
+               coalesce(nb.n, 0)::BIGINT AS n_before,
+               coalesce(na.n, 0)::BIGINT AS n_after
+        FROM (SELECT unnest(range({n_centroids})) AS i) t
+        LEFT JOIN nb ON nb.cent = t.i
+        LEFT JOIN na ON na.cent = t.i
     """
 
 
@@ -2856,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_overlap_pairs": _winnow_pairs_sql(
             k=5, w=8, min_shared=5, max_hash_docs=20),
         "media_decode_features": _media_decode_sql(),
+        "ivf_train_step": _ivf_train_sql(n_centroids=8, dim=64, round_to=6),
         "cross_field_rules": """
             SELECT message, count(*)::BIGINT AS n FROM (
               SELECT 'net price too high' AS message FROM lineitem

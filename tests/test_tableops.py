@@ -640,3 +640,26 @@ def test_pair_operators_tolerate_empty_and_null_inputs(spark):
                                   "doc_id long, text string")
     assert dedup.winnowing_overlap_pairs(nulls).count() == 0
     assert dedup.ngram_jaccard_pairs(nulls, threshold=0.5).count() == 0
+
+
+def test_refine_centroids_reduces_inertia(spark, sf_dir):
+    """One Lloyd step must not worsen the clustering objective: the
+    mean best-dot similarity under refined centroids >= under seeds."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c0 = similarity.sample_centroids(emb, n_centroids=8)
+    c1 = similarity.refine_centroids(emb, c0, iters=1)
+    assert len(c1) == len(c0) and len(c1[0]) == len(c0[0])
+    V = np.array([r[0] for r in emb.select("embedding").collect()],
+                 dtype=np.float64)
+
+    def mean_best_cosine(cents):
+        C = np.array(cents, dtype=np.float64)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return float((Vn @ C.T).max(axis=1).mean())
+
+    assert mean_best_cosine(c1) >= mean_best_cosine(c0) - 1e-9
+    # deterministic across invocations
+    assert c1 == similarity.refine_centroids(emb, c0, iters=1)

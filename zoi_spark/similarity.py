@@ -208,6 +208,48 @@ def top_centroids(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
     return F.transform(F.slice(ranked, 1, nprobe), lambda x: x.getField("i"))
 
 
+def refine_centroids(corpus: DataFrame, centroids: list[list[float]], *,
+                     vec_col: str = "embedding", iters: int = 1,
+                     round_to: int = 6) -> list[list[float]]:
+    """SPHERICAL k-means refinement of the coarse IVF centroids: assign
+    every vector to its nearest centroid (the deterministic
+    9-decimal-rounded argmax-dot of :func:`nearest_centroid`), replace
+    each centroid with the L2-NORMALIZED mean of its assigned vectors
+    (the correct update when assignment/probing rank by dot/cosine — a
+    raw mean shrinks toward zero and corrupts the dot ranking), an
+    emptied or zero-mean cluster keeps its old centroid; repeat
+    ``iters`` times.
+
+    Per iteration: ONE distributed aggregation (groupBy centroid with
+    per-component avg — map-side partial combine) and a driver collect
+    bounded by n_centroids × dim. Normalized components are rounded to
+    ``round_to`` decimals so the trained centroids — and therefore the
+    whole trained-IVF plan — remain re-derivable in ANSI SQL for the
+    oracle gate (cross-engine fold order drifts at ~1e-15, far inside
+    the rounding grid)."""
+    import math
+
+    cents = [list(map(float, c)) for c in centroids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = corpus.select(
+            nearest_centroid(F.col(vec_col), cents).alias("__c"),
+            F.col(vec_col).alias("__v"))
+        rows = (assigned.groupBy("__c")
+                .agg(*[F.avg(F.element_at(F.col("__v"), i + 1))
+                       .alias(f"m{i}")
+                       for i in range(dim)])
+                .collect())
+        new = {}
+        for r in rows:
+            m = [float(r[f"m{i}"]) for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in m))
+            if norm > 0:
+                new[int(r["__c"])] = [round(x / norm, round_to) for x in m]
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
              n_centroids: int = 16, nprobe: int = 2,
              corpus_id: str = "vec_id", query_id: str = "query_id",
