@@ -1325,6 +1325,18 @@ def q_ivf_train_step(spark, sf_dir):
                     F.coalesce("n_after", F.lit(0)).alias("n_after")))
 
 
+def q_ivf_topk_trained(spark, sf_dir):
+    """Trained-IVF ANN end to end: seed centroids refined with one
+    spherical-k-means step, then the standard inverted-list probe/rank
+    (similarity.ivf_topk(train_iters=1)) — training and search both
+    inside one oracle-checked plan."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4,
+                               train_iters=1)
+
+
 def q_contamination_probes(spark, sf_dir):
     """Benchmark-decontamination scan (text.contamination_check): the
     probe set is derived lazily from the corpus itself (35-char
@@ -1549,6 +1561,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_bigrams": q_top_bigrams,
         "cross_field_rules": q_cross_field_rules,
         "ivf_train_step": q_ivf_train_step,
+        "ivf_topk_trained": q_ivf_topk_trained,
         "url_canonical_dedup": q_url_canonical_dedup,
         "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
@@ -2109,15 +2122,13 @@ def _pii_scan_sql() -> str:
     """
 
 
-def _ivf_train_sql(n_centroids: int = 8, dim: int = 64,
-                   round_to: int = 6) -> str:
-    """Re-derive one Lloyd step end to end: md5-rank seed centroids,
-    9-dec-rounded argmax assignment, per-component means rounded to the
-    same grid refine_centroids uses, emptied clusters keep the seed
-    centroid, then re-assignment — counts before/after per centroid."""
+def _ivf_train_ctes(n_centroids: int, dim: int, round_to: int) -> str:
+    """Shared CTE chain for one Lloyd step: md5-rank seed centroids →
+    9-dec-rounded argmax assignment (a0) → per-component means →
+    spherical normalization rounded to the refine_centroids grid →
+    ``refined(i, cv)`` (emptied/zero-mean clusters keep the seed)."""
     mean_terms = ", ".join(f"avg(v[{i + 1}])" for i in range(dim))
-    return f"""
-        WITH c AS (
+    return f"""c AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (
           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
@@ -2144,7 +2155,15 @@ def _ivf_train_sql(n_centroids: int = 8, dim: int = 64,
           FROM means WHERE list_dot_product(m, m) > 0),
         refined AS (
           SELECT ct.i, coalesce(n.cv, ct.cv) AS cv
-          FROM cents ct LEFT JOIN normed n ON n.cent = ct.i),
+          FROM cents ct LEFT JOIN normed n ON n.cent = ct.i)"""
+
+
+def _ivf_train_sql(n_centroids: int = 8, dim: int = 64,
+                   round_to: int = 6) -> str:
+    """Membership counts before/after one Lloyd step (the twin of
+    q_ivf_train_step)."""
+    return f"""
+        WITH {_ivf_train_ctes(n_centroids, dim, round_to)},
         a1 AS (
           SELECT vec_id, i AS cent FROM (
             SELECT c.vec_id, r.i,
@@ -2162,6 +2181,47 @@ def _ivf_train_sql(n_centroids: int = 8, dim: int = 64,
         FROM (SELECT unnest(range({n_centroids})) AS i) t
         LEFT JOIN nb ON nb.cent = t.i
         LEFT JOIN na ON na.cent = t.i
+    """
+
+
+def _ivf_trained_topk_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 4,
+                          dim: int = 64, round_to: int = 6) -> str:
+    """Trained-IVF top-k: the full Lloyd-step chain, then list
+    assignment + probes + ranking against the REFINED centroids (probe
+    ties i DESC mirroring top_centroids' reverse sort; assignment ties
+    i ASC mirroring nearest_centroid)."""
+    return f"""
+        WITH {_ivf_train_ctes(n_centroids, dim, round_to)},
+        corp AS (
+          SELECT vec_id, v, i AS cent FROM (
+            SELECT c.vec_id, c.v, r.i,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(list_dot_product(c.v, r.cv), 9) DESC,
+                              r.i ASC) AS rn
+            FROM c, refined r)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, i AS cent FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, r.i,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.v, r.cv), 9) DESC,
+                              r.i DESC) AS rn
+            FROM (SELECT vec_id, v FROM c WHERE vec_id < 3) q, refined r)
+          WHERE rn <= {nprobe}),
+        scored AS (
+          SELECT p.query_id, corp.vec_id,
+                 round(list_cosine_similarity(corp.v, p.qv), 6) AS cosine
+          FROM corp JOIN probes p
+            ON corp.cent = p.cent AND corp.vec_id != p.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -2937,6 +2997,8 @@ def oracle_sql() -> dict[str, str]:
             k=5, w=8, min_shared=5, max_hash_docs=20),
         "media_decode_features": _media_decode_sql(),
         "ivf_train_step": _ivf_train_sql(n_centroids=8, dim=64, round_to=6),
+        "ivf_topk_trained": _ivf_trained_topk_sql(
+            k=5, n_centroids=8, nprobe=4, dim=64, round_to=6),
         "cross_field_rules": """
             SELECT message, count(*)::BIGINT AS n FROM (
               SELECT 'net price too high' AS message FROM lineitem

@@ -253,16 +253,24 @@ def refine_centroids(corpus: DataFrame, centroids: list[list[float]], *,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
              n_centroids: int = 16, nprobe: int = 2,
              corpus_id: str = "vec_id", query_id: str = "query_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", train_iters: int = 0) -> DataFrame:
     """IVF ANN: corpus vectors are inverted-listed under their nearest
     coarse centroid; each query scores only the lists of its ``nprobe``
     closest centroids. Candidate fraction ≈ nprobe / n_centroids.
+
+    ``train_iters`` > 0 refines the md5-rank seed centroids with that
+    many spherical-k-means Lloyd steps (:func:`refine_centroids`)
+    before building the lists — better-balanced lists and higher recall
+    at the same nprobe, still fully deterministic/oracle-checkable.
 
     The centroid id is also the natural repartition/bucketing key at
     scale — each executor owns whole inverted lists, and the query →
     list join is an equi-join on the centroid index."""
     cents = sample_centroids(corpus, n_centroids=n_centroids,
                              corpus_id=corpus_id, vec_col=vec_col)
+    if train_iters > 0:
+        cents = refine_centroids(corpus, cents, vec_col=vec_col,
+                                 iters=train_iters)
     c = corpus.withColumn("__cent",
                           nearest_centroid(F.col(vec_col), cents))
     q = F.broadcast(
