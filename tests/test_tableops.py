@@ -663,3 +663,20 @@ def test_refine_centroids_reduces_inertia(spark, sf_dir):
     assert mean_best_cosine(c1) >= mean_best_cosine(c0) - 1e-9
     # deterministic across invocations
     assert c1 == similarity.refine_centroids(emb, c0, iters=1)
+
+
+def test_verdicts_stable_under_repartitioning(spark, web):
+    """SURVEY §5 invariant 3: the violation set and per-partition
+    verdict inputs are identical whatever the physical partitioning —
+    rules are pure per-row expressions and the runner's partition id is
+    data-derived (pmod of the id hash), never spark_partition_id."""
+    schema = testgen.webtext_schema()
+    base = {(r.row_id, r.rule_id) for r in
+            z.validate(web, schema, id_cols=["row_id"])
+            .violations.select("row_id", "rule_id").collect()}
+    for reshaped in (web.repartition(3), web.repartition(17, "lang"),
+                     web.coalesce(1)):
+        got = {(r.row_id, r.rule_id) for r in
+               z.validate(reshaped, schema, id_cols=["row_id"])
+               .violations.select("row_id", "rule_id").collect()}
+        assert got == base
