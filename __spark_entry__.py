@@ -1443,6 +1443,81 @@ def _media_decode_sql() -> str:
     """
 
 
+def _audio_payloads() -> list[bytes]:
+    """Four PCM-16 WAVs with ANALYTIC feature expectations: constant
+    +1000 (rms=1000, zcr=0), alternating ±2000 (rms=2000, zcr=1),
+    silence (all zero), and a stereo pair (+500/−500) whose mono
+    mixdown is exactly zero."""
+    import numpy as np
+
+    from zoi_spark import multimodal
+
+    const = np.full(8, 1000, dtype=np.int16)
+    alt = np.array([2000, -2000] * 4, dtype=np.int16)
+    silence = np.zeros(16, dtype=np.int16)
+    stereo = np.tile(np.array([[500, -500]], dtype=np.int16), (4, 1))
+    return [multimodal.encode_wav(const, 8000),
+            multimodal.encode_wav(alt, 8000),
+            multimodal.encode_wav(silence, 16000),
+            multimodal.encode_wav(stereo, 8000)]
+
+
+def q_media_audio_features(spark, sf_dir):
+    """Audio decode in the oracle gate (the WAV analogue of
+    media_decode_features): deterministic PCM-16 payloads → real
+    pure-numpy decode (chunk walk, stereo mixdown) → per-variant
+    sample rate / frames / duration / rms / peak / zero-cross rate
+    checked against hand-derived constants."""
+    from zoi_spark import multimodal
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    payloads = _audio_payloads()
+    v = F.pmod("doc_id", F.lit(len(payloads)))
+    payload = None
+    for i, p in enumerate(payloads):
+        expr = F.unhex(F.lit(p.hex()))
+        payload = (F.when(v == i, expr) if payload is None
+                   else payload.when(v == i, expr))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     payload.alias("payload"))
+    feats = multimodal.decode_audio_features(media)
+    variant = F.pmod("media_id", F.lit(len(payloads))).alias("variant")
+    return (feats.groupBy(variant)
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("sample_rate").alias("rate"),
+                 F.max("n_frames").alias("frames"),
+                 F.round(F.max("duration_ms"), 6).alias("dur_ms"),
+                 F.round(F.max("rms"), 6).alias("rms"),
+                 F.max("peak").alias("peak"),
+                 F.round(F.max("zero_cross_rate"), 6).alias("zcr")))
+
+
+def _media_audio_sql() -> str:
+    rows = [
+        # variant, rate, frames, dur_ms, rms, peak, zcr
+        (0, 8000, 8, 1.0, 1000.0, 1000, 0.0),
+        (1, 8000, 8, 1.0, 2000.0, 2000, 1.0),
+        (2, 16000, 16, 1.0, 0.0, 0, 0.0),
+        (3, 8000, 4, 0.5, 0.0, 500, 0.0),
+    ]
+    values = ",\n              ".join(
+        "(" + ", ".join(repr(x) for x in r) + ")" for r in rows)
+    return f"""
+        WITH expected(variant, rate, frames, dur_ms, rms, peak, zcr)
+          AS (VALUES
+              {values}),
+        counts AS (
+          SELECT ((doc_id % 4) + 4) % 4 AS variant,
+                 count(*)::BIGINT AS n_docs
+          FROM documents GROUP BY 1)
+        SELECT e.variant::BIGINT AS variant, c.n_docs,
+               e.rate::INTEGER AS rate, e.frames::BIGINT AS frames,
+               e.dur_ms::DOUBLE AS dur_ms, e.rms::DOUBLE AS rms,
+               e.peak::INTEGER AS peak, e.zcr::DOUBLE AS zcr
+        FROM expected e JOIN counts c ON c.variant = e.variant
+    """
+
+
 def q_stream_validate_docs(spark, sf_dir):
     """Structured Streaming validation in the oracle gate: the
     documents table read as a STREAM (file source), validated with the
@@ -1557,6 +1632,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "grapheme_length_rules": q_grapheme_length_rules,
         "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
         "media_decode_features": q_media_decode_features,
+        "media_audio_features": q_media_audio_features,
         "contamination_probes": q_contamination_probes,
         "top_bigrams": q_top_bigrams,
         "cross_field_rules": q_cross_field_rules,
@@ -2996,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_overlap_pairs": _winnow_pairs_sql(
             k=5, w=8, min_shared=5, max_hash_docs=20),
         "media_decode_features": _media_decode_sql(),
+        "media_audio_features": _media_audio_sql(),
         "ivf_train_step": _ivf_train_sql(n_centroids=8, dim=64, round_to=6),
         "ivf_topk_trained": _ivf_trained_topk_sql(
             k=5, n_centroids=8, nprobe=4, dim=64, round_to=6),

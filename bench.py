@@ -128,7 +128,7 @@ R3_NAMES = [
     "grapheme_length_rules", "url_canonical_dedup", "pii_scan",
     "winnowing_overlap_pairs", "media_decode_features",
     "contamination_probes", "top_bigrams", "cross_field_rules",
-    "ivf_train_step", "ivf_topk_trained",
+    "ivf_train_step", "ivf_topk_trained", "media_audio_features",
 ]
 
 

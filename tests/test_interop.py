@@ -388,3 +388,31 @@ def test_multimodal_resize_stub(spark):
         assert isinstance(r.thumb, (bytes, bytearray))
     with pytest.raises(Exception, match="codec libraries"):
         multimodal.resize_images(df).collect()
+
+
+def test_wav_roundtrip_and_real_audio_decode(spark):
+    import numpy as np
+    sq = np.array([3000, -3000] * 10, dtype=np.int16)
+    payload = multimodal.encode_wav(sq, 16000)
+    rate, frames = multimodal.decode_wav(payload)
+    assert rate == 16000 and (frames[:, 0] == sq).all()
+
+    # chunk-walk robustness: an extra LIST chunk before `data`
+    extra = (payload[:12] + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+             + payload[12:])
+    fixed = extra[:4] + (len(extra) - 8).to_bytes(4, "little") + extra[8:]
+    rate2, frames2 = multimodal.decode_wav(fixed)
+    assert rate2 == 16000 and (frames2 == frames).all()
+
+    media = spark.createDataFrame(
+        [(1, payload), (2, b"\xffOGG" + bytes(60))],
+        "media_id long, payload binary")
+    rows = {r.media_id: r for r in multimodal.decode_audio_features(
+        media, deterministic_fake=True).collect()}
+    real = rows[1]
+    assert real.sample_rate == 16000 and real.n_frames == 20
+    assert real.rms == 3000.0 and real.peak == 3000
+    assert real.zero_cross_rate == 1.0
+    assert real.duration_ms == 1.25
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.decode_audio_features(media).collect()

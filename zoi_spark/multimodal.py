@@ -273,3 +273,127 @@ def binary_stats(df: DataFrame, bin_col: str = "payload") -> DataFrame:
         F.max(F.length(c)).alias("max_bytes"),
         F.round(F.avg(F.length(c)), 2).alias("avg_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy WAV codec (RIFF PCM 16-bit) — the audio analogue of the
+# BMP path: uncompressed containers decode with no codec library
+# ---------------------------------------------------------------------------
+
+def is_wav(payload: bytes | None) -> bool:
+    return (bool(payload) and len(payload) >= 44
+            and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """WAV bytes → (sample_rate, (n_frames, n_channels) int16 array).
+    Supports uncompressed PCM 16-bit (format tag 1); raises ValueError
+    on compressed/float variants (those need codec libraries). Walks
+    the RIFF chunk list properly — extra chunks (LIST/fact/cue) before
+    `data` are skipped, as real-world files carry them."""
+    if not is_wav(payload):
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+            if fmt is not None:
+                break
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, bits={bits})"
+            " — compressed/float forms need a codec library")
+    samples = np.frombuffer(data, dtype="<i2")
+    frames = samples.size // max(n_channels, 1)
+    return sample_rate, samples[: frames * n_channels].reshape(
+        frames, n_channels)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int16 array → PCM-16 WAV bytes — the
+    inverse of :func:`decode_wav` (round-trips exactly)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("zero_cross_rate", T.DoubleType()),
+])
+
+
+def decode_audio_features(df: DataFrame, *, id_col: str = "media_id",
+                          bin_col: str = "payload",
+                          deterministic_fake: bool = False) -> DataFrame:
+    """audio binary → (media_id, sample_rate, n_frames, duration_ms,
+    rms, peak, zero_cross_rate). REAL decode for PCM-16 WAV payloads
+    (pure numpy inside the Arrow batch; multi-channel audio is mixed
+    down by per-frame mean before the stats). Compressed formats
+    (mp3/ogg/aac) need codec libraries absent here: with
+    ``deterministic_fake=True`` they get byte-statistic stand-ins,
+    otherwise they raise."""
+
+    def one(payload: bytes | None) -> tuple:
+        if payload is None:
+            return 0, 0, 0.0, 0.0, 0, 0.0
+        if is_wav(payload):
+            rate, frames = decode_wav(payload)
+            mono = frames.astype(np.float64).mean(axis=1)
+            nf = mono.size
+            dur = round(1000.0 * nf / rate, 6) if rate else 0.0
+            rms = round(float(np.sqrt(np.mean(mono ** 2))), 6) if nf else 0.0
+            peak = int(np.abs(frames).max()) if frames.size else 0
+            zc = (round(float(np.mean(np.signbit(mono[1:])
+                                      != np.signbit(mono[:-1]))), 6)
+                  if nf > 1 else 0.0)
+            return rate, nf, dur, rms, peak, zc
+        if deterministic_fake:
+            n = len(payload)
+            return (8000, n, round(1000.0 * n / 8000, 6),
+                    round(float(sum(payload[:256]) % 997), 6),
+                    int(max(payload[:256] or b"\0")), 0.0)
+        raise NotImplementedError(
+            "non-WAV audio decode requires a codec library not present "
+            "in this environment; pass deterministic_fake=True")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(b) for b in pdf[bin_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "sample_rate": pd.Series([r[0] for r in rows], dtype="int32"),
+                "n_frames": pd.Series([r[1] for r in rows], dtype="int64"),
+                "duration_ms": pd.Series([r[2] for r in rows],
+                                         dtype="float64"),
+                "rms": pd.Series([r[3] for r in rows], dtype="float64"),
+                "peak": pd.Series([r[4] for r in rows], dtype="int32"),
+                "zero_cross_rate": pd.Series([r[5] for r in rows],
+                                             dtype="float64"),
+            })
+
+    return (df.select(id_col, bin_col)
+            .mapInPandas(batches, AUDIO_FEATURES_SCHEMA))
