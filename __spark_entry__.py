@@ -1518,6 +1518,49 @@ def _media_audio_sql() -> str:
     """
 
 
+def q_media_video_frames(spark, sf_dir):
+    """Video frame sampling in the oracle gate: a synthesized 6-frame
+    Y4M literal decoded for real (multimodal.sample_frames chunk-walks
+    the container and emits raw 4:2:0 frames); per sampled frame the
+    byte length and md5 digest must equal constants the oracle derives
+    from FIRST PRINCIPLES (frame j = 32 luma bytes of 20·(j+1) + 16
+    neutral chroma bytes — no decoder involved oracle-side)."""
+    import numpy as np
+
+    from zoi_spark import multimodal
+
+    payload = multimodal.encode_y4m(
+        [np.full((4, 8), 20 * (i + 1), dtype=np.uint8) for i in range(6)],
+        fps=(30, 1))
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.unhex(F.lit(payload.hex())).alias("payload"))
+    frames = multimodal.sample_frames(media, every_n=2, max_frames=3)
+    return (frames.groupBy("frame_idx")
+            .agg(F.count("*").alias("n_docs"),
+                 F.max(F.length("frame")).alias("nb"),
+                 F.max(F.md5("frame")).alias("digest")))
+
+
+def _media_video_sql() -> str:
+    import hashlib
+
+    rows = []
+    for j in (0, 2, 4):
+        frame = bytes([20 * (j + 1)]) * 32 + bytes([128]) * 16
+        rows.append((j, 48, hashlib.md5(frame).hexdigest()))
+    values = ",\n              ".join(
+        f"({j}, {nb}, '{dg}')" for j, nb, dg in rows)
+    return f"""
+        WITH expected(frame_idx, nb, digest) AS (VALUES
+              {values}),
+        total AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        SELECT e.frame_idx::INTEGER AS frame_idx, t.n_docs,
+               e.nb::INTEGER AS nb, e.digest
+        FROM expected e, total t
+    """
+
+
 def q_stream_validate_docs(spark, sf_dir):
     """Structured Streaming validation in the oracle gate: the
     documents table read as a STREAM (file source), validated with the
@@ -1633,6 +1676,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
         "media_decode_features": q_media_decode_features,
         "media_audio_features": q_media_audio_features,
+        "media_video_frames": q_media_video_frames,
         "contamination_probes": q_contamination_probes,
         "top_bigrams": q_top_bigrams,
         "cross_field_rules": q_cross_field_rules,
@@ -3073,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
             k=5, w=8, min_shared=5, max_hash_docs=20),
         "media_decode_features": _media_decode_sql(),
         "media_audio_features": _media_audio_sql(),
+        "media_video_frames": _media_video_sql(),
         "ivf_train_step": _ivf_train_sql(n_centroids=8, dim=64, round_to=6),
         "ivf_topk_trained": _ivf_trained_topk_sql(
             k=5, n_centroids=8, nprobe=4, dim=64, round_to=6),

@@ -129,6 +129,7 @@ R3_NAMES = [
     "winnowing_overlap_pairs", "media_decode_features",
     "contamination_probes", "top_bigrams", "cross_field_rules",
     "ivf_train_step", "ivf_topk_trained", "media_audio_features",
+    "media_video_frames",
 ]
 
 

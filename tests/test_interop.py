@@ -416,3 +416,28 @@ def test_wav_roundtrip_and_real_audio_decode(spark):
     assert real.duration_ms == 1.25
     with pytest.raises(Exception, match="codec library"):
         multimodal.decode_audio_features(media).collect()
+
+
+def test_y4m_real_frame_sampling(spark):
+    import numpy as np
+    lumas = [np.full((4, 6), 10 * (i + 1), dtype=np.uint8)
+             for i in range(9)]
+    payload = multimodal.encode_y4m(lumas, fps=(30, 1))
+    w, h, fps, fl = multimodal.decode_y4m(payload)
+    assert (w, h, fps, len(fl)) == (6, 4, (30, 1), 9)
+
+    media = spark.createDataFrame([(1, payload)],
+                                  "media_id long, payload binary")
+    rows = sorted((r.frame_idx, bytes(r.frame)) for r in
+                  multimodal.sample_frames(media, every_n=3,
+                                           max_frames=2).collect())
+    assert [i for i, _ in rows] == [0, 3]     # source frame numbers
+    # the sampled frame is the REAL luma plane
+    y0 = np.frombuffer(rows[0][1][:24], dtype=np.uint8)
+    y3 = np.frombuffer(rows[1][1][:24], dtype=np.uint8)
+    assert y0.mean() == 10.0 and y3.mean() == 40.0
+    # compressed video without the fake flag still raises
+    mp4 = spark.createDataFrame([(2, b"\x00\x00\x00 ftypmp42" + bytes(40))],
+                                "media_id long, payload binary")
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.sample_frames(mp4).collect()

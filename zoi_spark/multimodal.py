@@ -166,12 +166,14 @@ def sample_frames(df: DataFrame, *, id_col: str = "media_id",
                   max_frames: int = 4,
                   deterministic_fake: bool = False) -> DataFrame:
     """video binary → exploded (media_id, frame_idx, frame) rows.
-    STUB decode; the fake slices the payload into pseudo-frames so
-    downstream operators see realistic row multiplication."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "video decode requires a codec library not present in this "
-            "environment; pass deterministic_fake=True")
+
+    REAL for uncompressed Y4M payloads (pure-python
+    :func:`decode_y4m`): every ``every_n``-th frame up to
+    ``max_frames``, ``frame_idx`` = the SOURCE frame number, ``frame``
+    = the raw 4:2:0 planar YUV bytes (decodable downstream). Compressed
+    containers (mp4/webm) need codec libraries absent here; with
+    ``deterministic_fake=True`` they get payload-slice pseudo-frames,
+    otherwise they raise."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -179,6 +181,22 @@ def sample_frames(df: DataFrame, *, id_col: str = "media_id",
             for mid, payload in zip(pdf[id_col], pdf[bin_col]):
                 if payload is None:
                     continue
+                if is_y4m(payload):
+                    _w, _h, _fps, fl = decode_y4m(bytes(payload))
+                    taken = 0
+                    for j in range(0, len(fl), max(every_n, 1)):
+                        if taken >= max_frames:
+                            break
+                        ids.append(int(mid))
+                        idxs.append(j)
+                        frames.append(fl[j])
+                        taken += 1
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "non-Y4M video decode requires a codec library "
+                        "not present in this environment; pass "
+                        "deterministic_fake=True")
                 step = max(len(payload) // max(every_n, 1), 1)
                 for k in range(min(max_frames, max(len(payload) // step, 1))):
                     ids.append(int(mid))
@@ -397,3 +415,64 @@ def decode_audio_features(df: DataFrame, *, id_col: str = "media_id",
 
     return (df.select(id_col, bin_col)
             .mapInPandas(batches, AUDIO_FEATURES_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy Y4M codec (YUV4MPEG2, C420) — the video analogue of the
+# BMP/WAV paths: uncompressed frames decode with no codec library
+# ---------------------------------------------------------------------------
+
+def is_y4m(payload: bytes | None) -> bool:
+    return bool(payload) and payload[:9] == b"YUV4MPEG2"
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, tuple[int, int],
+                                        list[bytes]]:
+    """Y4M bytes → (width, height, (fps_num, fps_den), [frame bytes]).
+    Frames are raw 4:2:0 planar YUV (w·h luma + 2·(w/2·h/2) chroma
+    bytes). Only C420 variants are supported — anything else raises
+    (other samplings are rare in the wild and would silently skew the
+    byte math)."""
+    if not is_y4m(payload):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    w = h = 0
+    fps = (25, 1)
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            a, b = tok[1:].split(":")
+            fps = (int(a), int(b))
+        elif tok.startswith("C") and not tok[1:].startswith("420"):
+            raise ValueError(f"unsupported Y4M chroma sampling {tok!r}")
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    frames: list[bytes] = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        start = fl + 1
+        frames.append(payload[start:start + frame_size])
+        pos = start + frame_size
+    return w, h, fps, frames
+
+
+def encode_y4m(frames: list["np.ndarray"], *, fps: tuple[int, int] = (25, 1)
+               ) -> bytes:
+    """[(H, W) uint8 luma planes] → Y4M bytes with neutral (128)
+    chroma — the inverse of :func:`decode_y4m` for the luma plane."""
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A0:0 C420jpeg\n"
+           .encode("ascii")]
+    chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+    for f in frames:
+        out.append(b"FRAME\n" + f.astype(np.uint8).tobytes() + chroma)
+    return b"".join(out)
