@@ -1597,6 +1597,75 @@ def q_stream_validate_docs(spark, sf_dir):
             .groupBy("rule_id").agg(F.count("*").alias("n")))
 
 
+# -- corpus sampling / admission operators (web-scale curation) -------------
+
+def q_host_cap_sample(spark, sf_dir):
+    """Per-host throttle (sampling.host_cap): keep the 5
+    deterministically-chosen docs per source, two-phase pre-salted so a
+    mega-host never funnels into one task; returns the full kept
+    membership (id, host, rank) so the oracle checks WHICH rows
+    survive, not just how many. The two-phase plan provably equals the
+    single-phase one (pinned in tests/test_sampling.py)."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    return sampling.host_cap(d, host_col="source", id_col="doc_id",
+                             cap=5, presalt=4, keep_rank=True
+                             ).select("doc_id", "source", "host_rank")
+
+
+def q_stratified_sample_langs(spark, sf_dir):
+    """Token-budget shaping (sampling.stratified_sample): per-language
+    deterministic keep-rates via one shuffle-free md5-prefix filter —
+    the plan is a single codegen'd scan+filter at any corpus size.
+    Membership (not counts) is the oracled result."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d, id_col="doc_id", stratum_col="lang",
+        rates={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125},
+        default_rate=0.0).select("doc_id", "lang")
+
+
+def q_incremental_new_docs(spark, sf_dir):
+    """Cross-snapshot admission (dedup.incremental_new_docs): the new
+    crawl = genuinely-new docs (id ≥ 400) plus 50 re-crawls of base
+    pages (same text, re-keyed id+10000); the anti-join on the content
+    fingerprint must admit exactly the 100 new docs and reject every
+    re-crawl."""
+    d = _read(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") < 400)
+    recrawl = (d.where(F.col("doc_id") < 50)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(10000)))
+    new = d.where(F.col("doc_id") >= 400).unionByName(recrawl)
+    return dedup.incremental_new_docs(new, base).select("doc_id", "source")
+
+
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition gates (text.repetition_stats): per-doc
+    distinct-token ratio and top-unigram/-bigram fractions; the 20 most
+    repetitive docs. Both aggregation legs key on the doc id, so
+    corpus-level token skew cannot skew any partition."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.repetition_stats(d)
+            .orderBy(F.col("top_token_frac").desc(), F.col("doc_id"))
+            .limit(20))
+
+
+def q_stats_quantiles(spark, sf_dir):
+    """Per-language length quantiles (tablechecks.column_quantiles,
+    exact mode): one sort-based aggregation, linear interpolation —
+    bit-matching DuckDB's quantile_cont. The approx KLL-sketch mode
+    (the 10^12-row shape) shares the call-site and is pinned against
+    this exact result in tests/test_sampling.py."""
+    q = tablechecks.column_quantiles(
+        _read(spark, sf_dir, "documents"), "n_chars",
+        probs=(0.25, 0.5, 0.9), by="lang")
+    return q.select("lang", *[F.round(c, 6).alias(c)
+                              for c in ("q_0_25", "q_0_5", "q_0_9")])
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1685,6 +1754,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "url_canonical_dedup": q_url_canonical_dedup,
         "pii_scan": q_pii_scan,
         "stream_validate_docs": q_stream_validate_docs,
+        # r3 wave 2: corpus sampling / admission operators
+        "host_cap_sample": q_host_cap_sample,
+        "stratified_sample_langs": q_stratified_sample_langs,
+        "incremental_new_docs": q_incremental_new_docs,
+        "repetition_quality": q_repetition_quality,
+        "stats_quantiles": q_stats_quantiles,
     }
 
 
@@ -3202,5 +3277,71 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'n_chars.gte' FROM documents
                 WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
             ) GROUP BY rule_id
+        """,
+        "host_cap_sample": """
+            SELECT doc_id, source, host_rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id) AS host_rank
+              FROM documents)
+            WHERE host_rank <= 5
+        """,
+        "stratified_sample_langs": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN '80000000'
+                        WHEN 'de' THEN '40000000'
+                        WHEN 'fr' THEN '40000000'
+                        WHEN 'es' THEN '20000000'
+                        ELSE '00000000' END
+        """,
+        "incremental_new_docs": f"""
+            WITH base AS (
+              SELECT md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id < 400),
+            new_snap AS (
+              SELECT doc_id, text, source FROM documents WHERE doc_id >= 400
+              UNION ALL
+              SELECT doc_id + 10000, text, source FROM documents
+                WHERE doc_id < 50)
+            SELECT doc_id, source FROM new_snap
+            WHERE md5({_NORM_SQL}) NOT IN (SELECT fp FROM base)
+        """,
+        "repetition_quality": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents),
+            uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            u AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                         count(*)::BIGINT AS n_distinct, max(c) AS top_c
+                  FROM uni GROUP BY 1),
+            grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(l) <= 1
+                     THEN [list_aggregate(l, 'string_agg', ' ')]
+                     ELSE list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i + 1]) END
+              ) AS gram
+              FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l
+                    FROM documents)),
+            bc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+            b AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_bc
+                  FROM bc GROUP BY 1)
+            SELECT u.doc_id, n_tokens, n_distinct,
+                   round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio,
+                   round(top_c * 1.0 / n_tokens, 6) AS top_token_frac,
+                   round(top_bc * 1.0 / n_bigrams, 6) AS top_bigram_frac
+            FROM u JOIN b USING (doc_id)
+            ORDER BY top_token_frac DESC, u.doc_id
+            LIMIT 20
+        """,
+        "stats_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q_0_25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS q_0_5,
+                   round(quantile_cont(n_chars, 0.9), 6) AS q_0_9
+            FROM documents GROUP BY lang
         """,
     }

@@ -130,6 +130,9 @@ R3_NAMES = [
     "contamination_probes", "top_bigrams", "cross_field_rules",
     "ivf_train_step", "ivf_topk_trained", "media_audio_features",
     "media_video_frames",
+    # wave 2: corpus sampling / admission operators
+    "host_cap_sample", "stratified_sample_langs", "incremental_new_docs",
+    "repetition_quality", "stats_quantiles",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Corpus sampling / admission operators: determinism, the two-phase
+host-cap equivalence, nested-rate subset laws, incremental admission,
+repetition metrics on hand-computable docs, and the exact-vs-sketch
+quantile contract."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from zoi_spark import dedup, sampling, tablechecks, text
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet")
+
+
+# -- hash_sample / stratified_sample ----------------------------------------
+
+def test_hash_sample_deterministic_and_roughly_sized(docs):
+    a = sorted(r.doc_id for r in
+               sampling.hash_sample(docs, id_col="doc_id", rate=0.5)
+               .select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               sampling.hash_sample(docs, id_col="doc_id", rate=0.5)
+               .select("doc_id").collect())
+    n = docs.count()
+    assert a == b
+    assert 0.3 * n < len(a) < 0.7 * n
+
+
+def test_hash_sample_nested_rates_are_subsets(docs):
+    """rate r1 < r2 ⇒ sample(r1) ⊆ sample(r2) (same key, smaller
+    threshold) — the property that makes budget ladders reproducible."""
+    s25 = {r.doc_id for r in
+           sampling.hash_sample(docs, id_col="doc_id", rate=0.25)
+           .select("doc_id").collect()}
+    s50 = {r.doc_id for r in
+           sampling.hash_sample(docs, id_col="doc_id", rate=0.5)
+           .select("doc_id").collect()}
+    assert s25 <= s50
+
+
+def test_hash_sample_rate_bounds():
+    with pytest.raises(ValueError):
+        sampling._rate_threshold(1.5)
+    assert sampling._rate_threshold(0.0) == "00000000"
+    assert sampling._rate_threshold(1.0) == "gggggggg"
+    assert sampling._rate_threshold(0.5) == "80000000"
+
+
+def test_hash_sample_rate_one_keeps_everything(docs):
+    assert (sampling.hash_sample(docs, id_col="doc_id", rate=1.0).count()
+            == docs.count())
+
+
+def test_hash_sample_salt_decorrelates(docs):
+    s1 = {r.doc_id for r in
+          sampling.hash_sample(docs, id_col="doc_id", rate=0.5, salt="a")
+          .select("doc_id").collect()}
+    s2 = {r.doc_id for r in
+          sampling.hash_sample(docs, id_col="doc_id", rate=0.5, salt="b")
+          .select("doc_id").collect()}
+    assert s1 != s2  # independent passes pick different rows
+
+
+def test_stratified_sample_default_drops_unlisted(docs):
+    kept = sampling.stratified_sample(
+        docs, id_col="doc_id", stratum_col="lang",
+        rates={"en": 1.0}, default_rate=0.0)
+    assert kept.where(F.col("lang") != "en").count() == 0
+    assert (kept.count()
+            == docs.where(F.col("lang") == "en").count())
+
+
+# -- host_cap ----------------------------------------------------------------
+
+def test_host_cap_two_phase_equals_single_phase(docs):
+    plain = sampling.host_cap(docs, host_col="source", id_col="doc_id",
+                              cap=3, keep_rank=True)
+    salted = sampling.host_cap(docs, host_col="source", id_col="doc_id",
+                               cap=3, presalt=4, keep_rank=True)
+    key = lambda r: (r.source, r.host_rank, r.doc_id)  # noqa: E731
+    assert (sorted(map(key, plain.select("source", "host_rank", "doc_id")
+                       .collect()))
+            == sorted(map(key, salted.select("source", "host_rank", "doc_id")
+                          .collect())))
+
+
+def test_host_cap_caps_every_host(docs):
+    capped = sampling.host_cap(docs, host_col="source", id_col="doc_id",
+                               cap=2)
+    per_host = capped.groupBy("source").count().collect()
+    assert per_host and all(r["count"] <= 2 for r in per_host)
+
+
+def test_host_cap_rejects_bad_cap(docs):
+    with pytest.raises(ValueError):
+        sampling.host_cap(docs, host_col="source", id_col="doc_id", cap=0)
+
+
+# -- incremental_new_docs ----------------------------------------------------
+
+def test_incremental_admission(spark):
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=f"base page {i}") for i in range(5)])
+    new = spark.createDataFrame(
+        [Row(doc_id=100, text="base page 3"),      # re-crawl → rejected
+         Row(doc_id=101, text="Base  Page 4 "),    # re-crawl modulo norm
+         Row(doc_id=102, text="genuinely new")])
+    kept = dedup.incremental_new_docs(new, base)
+    assert [r.doc_id for r in kept.collect()] == [102]
+    # broadcast variant: identical admission set
+    kept_b = dedup.incremental_new_docs(new, base, broadcast_base=True)
+    assert [r.doc_id for r in kept_b.collect()] == [102]
+
+
+def test_incremental_keeps_within_snapshot_dups(spark):
+    """Within-snapshot duplicates are exact_dedup's job, not admission's
+    — both copies of a new page pass the base filter."""
+    base = spark.createDataFrame([Row(doc_id=1, text="old")])
+    new = spark.createDataFrame([Row(doc_id=10, text="fresh"),
+                                 Row(doc_id=11, text="fresh")])
+    assert dedup.incremental_new_docs(new, base).count() == 2
+
+
+# -- repetition_stats --------------------------------------------------------
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b"),   # top token a:3/4; bigram "a a":2/3
+         Row(doc_id=2, text="w x y z")])  # all distinct
+    rows = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_distinct) == (4, 2)
+    assert r1.top_token_frac == 0.75
+    assert r1.top_bigram_frac == round(2 / 3, 6)
+    r2 = rows[2]
+    assert r2.distinct_ratio == 1.0
+    assert r2.top_token_frac == 0.25
+    assert r2.top_bigram_frac == round(1 / 3, 6)
+
+
+def test_repetition_stats_degenerate_single_token(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="solo")])
+    r = text.repetition_stats(df).collect()[0]
+    assert (r.n_tokens, r.n_distinct, r.top_token_frac) == (1, 1, 1.0)
+    assert r.top_bigram_frac == 1.0  # single degenerate bigram
+
+
+# -- column_quantiles --------------------------------------------------------
+
+def test_quantiles_exact_matches_known_values(spark):
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(1, 101)])
+    r = tablechecks.column_quantiles(df, "v", probs=(0.5,)).collect()[0]
+    assert r.q_0_5 == pytest.approx(50.5)
+
+
+def test_quantiles_sketch_tracks_exact(docs):
+    """The percentile_approx sketch (the 10^12-row mode) must land
+    within the length distribution's neighborhood of the exact
+    per-group answer — the verification-run cross-check."""
+    exact = {r.lang: r.q_0_5 for r in tablechecks.column_quantiles(
+        docs, "n_chars", probs=(0.5,), by="lang").collect()}
+    approx = {r.lang: r.q_0_5 for r in tablechecks.column_quantiles(
+        docs, "n_chars", probs=(0.5,), by="lang",
+        approx_accuracy=10000).collect()}
+    for lang, v in exact.items():
+        assert abs(approx[lang] - v) <= max(5.0, 0.05 * v)

@@ -47,7 +47,7 @@ from . import describe as describe_mod  # noqa: F401
 from .describe import describe, to_ddl, to_struct_type  # noqa: F401
 from .json_schema import from_json_schema, to_json_schema  # noqa: F401
 from .struct_keys import enforce_keys, struct_fields  # noqa: F401
-from . import bucketing, pipeline, urls  # noqa: F401
+from . import bucketing, pipeline, sampling, urls  # noqa: F401
 
 # Zoi.type_spec/2 analogue: the engine-native "typespec" is the Spark
 # schema — exported as both StructType and DDL string emission.

@@ -79,6 +79,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def incremental_new_docs(new_df: DataFrame, base_df: DataFrame, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         broadcast_base: bool = False) -> DataFrame:
+    """Cross-snapshot incremental dedup: rows of the NEW crawl snapshot
+    whose normalized-content fingerprint does not already exist in the
+    BASE corpus — the admission filter run on every fresh Common-Crawl
+    dump before it is folded into a training corpus (re-crawled pages
+    are byte-identical re-fetches and must not re-enter).
+
+    Shape at 10^12 docs: a LEFT ANTI hash join on the md5 fingerprint —
+    both sides shuffle once on a uniformly distributed 128-bit key, so
+    there is no skew by construction (unlike joining on url/host). The
+    base side projects to the single fingerprint column before the
+    join (column pruning reaches the base scan), and only the *new*
+    snapshot — the small side of the workload — is rewritten. Set
+    ``broadcast_base=True`` only when the base fingerprint set fits an
+    executor (bootstrap runs); at full corpus scale the shuffle join
+    is the correct plan and AQE keeps it.
+
+    Within-snapshot duplicates are NOT collapsed here — compose with
+    `exact_dedup` for that; this operator is deliberately the
+    snapshot-vs-corpus step so the two concerns stay independently
+    testable (same split as the reference's per-rule tests,
+    test/zoi_test.exs strategy per SURVEY §5).
+    """
+    fp = fingerprint(F.col(text_col)).alias("__zoi_fp")
+    base_fps = base_df.select(fp).distinct()
+    if broadcast_base:
+        base_fps = F.broadcast(base_fps)
+    return (new_df.withColumn("__zoi_fp", fingerprint(F.col(text_col)))
+            .join(base_fps, "__zoi_fp", "left_anti")
+            .drop("__zoi_fp"))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard on candidate pairs
 # ---------------------------------------------------------------------------

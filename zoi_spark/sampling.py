@@ -1,0 +1,127 @@
+"""Corpus sampling / throttling operators for web-scale curation.
+
+A 10^12-doc Common-Crawl-style corpus is never consumed whole: training
+pipelines cap over-represented hosts, sample strata (languages,
+sources) to a token budget, and fold each new crawl snapshot into the
+corpus incrementally. These are first-class curation operators next to
+dedup/quality (reference analogue: Zoi validates per-row; corpus-level
+admission is the table-level extension SURVEY §2.6 models — same
+pattern as `tablechecks.unique_salted`).
+
+Design rules (100 TB):
+
+* **Deterministic.** All selection keys are md5-derived, so a re-run —
+  or the DuckDB oracle twin — picks the identical rows. No RNG, no
+  ``TABLESAMPLE`` (nondeterministic under AQE/split changes).
+* **Shuffle-free where possible.** `hash_sample` / `stratified_sample`
+  are pure filters: Catalyst pushes the md5-prefix predicate into the
+  scan stage; zero exchanges at any scale.
+* **Skew-safe where a shuffle is inherent.** `host_cap` is a per-host
+  top-N — a single window over a mega-host (a 10^9-page domain is
+  routine in Common Crawl) would funnel that host into ONE task, so
+  the two-phase pre-salted variant bounds per-task work at
+  ``cap × presalt`` rows without changing the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_sample",
+    "stratified_sample",
+    "host_cap",
+    "sample_key",
+]
+
+_HEX_WIDTH = 8  # 32 bits of the md5 → rate granularity 2^-32
+
+
+def sample_key(id_col: Column, *, salt: str = "") -> Column:
+    """Deterministic uniform sampling key: the first 8 hex chars of
+    ``md5(salt || id)``. Uniform over [0, 16^8); identical in DuckDB
+    (`md5` is bit-identical across engines, unlike xxhash64/`hash`),
+    so sampling decisions are oracle-checkable. ``salt`` decorrelates
+    independent sampling passes over the same ids."""
+    return F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))),
+                       1, _HEX_WIDTH)
+
+
+def _rate_threshold(rate: float) -> str:
+    """Lowercase 8-hex-digit threshold t with P[key < t] == rate (to
+    2^-32). rate=1.0 maps to 'g' (> every hex digit) so the filter
+    keeps all rows exactly."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g" * _HEX_WIDTH  # lexicographically above any hex key
+    return format(int(rate * (16 ** _HEX_WIDTH)), f"0{_HEX_WIDTH}x")
+
+
+def hash_sample(df: DataFrame, *, id_col: str, rate: float,
+                salt: str = "") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows — a pure filter
+    (`sample_key(id) < threshold`), NO shuffle, no action: at 10^12
+    docs this is a predicate inside the scan stage, and the same rows
+    survive on every re-run and on the oracle side. The comparison is
+    lexicographic on fixed-width lowercase hex, which orders exactly
+    like the integer value — no hex→int conversion needed in either
+    engine."""
+    key = sample_key(F.col(id_col), salt=salt)
+    return df.where(key < F.lit(_rate_threshold(rate)))
+
+
+def stratified_sample(df: DataFrame, *, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (language/source token-budget
+    shaping): each stratum gets its own keep-rate. Still a pure filter
+    — the per-stratum threshold is a chained CASE on ``stratum_col``,
+    so the whole operator stays inside whole-stage codegen with zero
+    exchanges. Strata not listed in ``rates`` fall to
+    ``default_rate`` (0.0 = drop, the conservative default for a
+    curation allow-list)."""
+    thr: Column = F.lit(_rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == value,
+                     F.lit(_rate_threshold(rate))).otherwise(thr)
+    key = sample_key(F.col(id_col), salt=salt)
+    return df.where(key < thr)
+
+
+def host_cap(df: DataFrame, *, host_col: str, id_col: str, cap: int,
+             presalt: int | None = None,
+             keep_rank: bool = False) -> DataFrame:
+    """Keep at most ``cap`` rows per host — the standard anti-
+    over-representation throttle for web corpora. Selection is
+    deterministic: rows rank by ``(sample_key(id), id)`` within the
+    host, so the "first cap" is a uniform, re-run-stable choice (NOT
+    insertion order, which depends on scan split planning).
+
+    Scale shape: ``row_number`` shuffles on ``host_col`` and a
+    mega-host lands in one task. With ``presalt = s``, a first
+    window over ``(host, pmod(md5-derived split, s))`` keeps the top
+    ``cap`` per salt — bounding any task at its salt's share — and
+    only the ≤ ``cap × s`` per-host survivors reach the global
+    window. The two-phase result is IDENTICAL to the single-phase one
+    (each salt's global top-cap members survive their salt-local
+    top-cap), which `tests/test_sampling.py` pins.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    key = sample_key(F.col(id_col))
+    order = [key.asc(), F.col(id_col).asc()]
+    if presalt is not None and presalt > 1:
+        # md5-derived salt split: deterministic, engine-portable
+        split = F.conv(F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string"))),
+            1, 8), 16, 10).cast("long") % presalt
+        w1 = Window.partitionBy(F.col(host_col), split).orderBy(*order)
+        df = (df.withColumn("_zoi_presalt_rk", F.row_number().over(w1))
+                .where(F.col("_zoi_presalt_rk") <= cap)
+                .drop("_zoi_presalt_rk"))
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = (df.withColumn("host_rank", F.row_number().over(w))
+             .where(F.col("host_rank") <= cap))
+    return out if keep_rank else out.drop("host_rank")

@@ -201,6 +201,33 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None,
     return df.agg(*aggs)
 
 
+def column_quantiles(df: DataFrame, column: str,
+                     probs: Sequence[float] = (0.25, 0.5, 0.9),
+                     by: str | None = None,
+                     approx_accuracy: int | None = None) -> DataFrame:
+    """Per-group quantiles of a numeric column — the length-band /
+    latency-band stats rule (Zoi's gte/lte range checks applied to a
+    distribution rather than a row, SURVEY §2.6): one row per group
+    with ``q_{p}`` columns.
+
+    Two modes with one call-site: exact ``percentile`` (a sort-based
+    aggregate — fine for verification runs and small strata; linear
+    interpolation, bit-matching DuckDB's ``quantile_cont``) or, when
+    ``approx_accuracy`` is set, ``percentile_approx`` (the
+    KLL/Greenwald-Khanna sketch: bounded memory, map-side combinable —
+    the only shape that survives a 10^12-row column; accuracy is the
+    standard 1/ε knob). Both are ONE aggregation riding one scan."""
+    def q(p: float) -> Column:
+        if approx_accuracy is not None:
+            c = F.percentile_approx(column, p, approx_accuracy)
+        else:
+            c = F.percentile(column, p)
+        return c.cast("double").alias(f"q_{str(p).replace('.', '_')}")
+
+    aggs = [q(p) for p in probs]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
 def stats_to_rows(stats_row: dict, histograms: Sequence[HistogramSpec] = ()
                   ) -> list[dict]:
     """Reshape the single wide stats row into per-(column, bucket) rows

@@ -431,3 +431,57 @@ def ngram_counts(df: DataFrame, *, text_col: str = "text",
             .groupBy("ngram")
             .agg(F.count("*").alias("n_occurrences"))
             .where(F.col("n_occurrences") >= min_count))
+
+
+def _bigram_array(tokens: Column) -> Column:
+    """Word bigrams via one zip_with of the token array against its own
+    tail (single pass; same strings as the slice+concat chain).
+    Degenerate ≤1-token docs yield one "bigram" = the whole text, the
+    same convention as `word_shingles`."""
+    return F.when(
+        F.size(tokens) <= 1, F.array(F.concat_ws(" ", tokens))
+    ).otherwise(
+        F.zip_with(F.slice(tokens, 1, F.size(tokens) - 1),
+                   F.slice(tokens, 2, F.size(tokens) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)))
+
+
+def repetition_stats(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals — the Gopher-style quality gates
+    (Rae et al. 2021, "Scaling Language Models", table A1) that catch
+    boilerplate and keyword-stuffed spam which per-char heuristics
+    miss: ``(id, n_tokens, n_distinct, distinct_ratio,
+    top_token_frac, top_bigram_frac)`` where *top_x_frac* is the share
+    of the document occupied by its single most frequent token/bigram.
+
+    Shape at 10^12 docs: explode → two-level hash aggregation, both
+    keyed on (doc, gram) then (doc) — partial aggregation combines
+    map-side, and because every key contains the doc id the shuffle is
+    uniform regardless of corpus-level token skew ("the" being 5% of
+    the corpus does not skew any partition). The unigram and bigram
+    legs aggregate independently and meet in an equi-join on the doc
+    id; at scale both sides arrive hash-partitioned on that same key,
+    so the join is co-located (no extra exchange under AQE).
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    uni = (df.select(F.col(id_col), F.explode(tokens).alias("tok"))
+           .groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count("*").alias("n_distinct"),
+                F.max("c").alias("top_c")))
+    bi = (df.select(F.col(id_col),
+                    F.explode(_bigram_array(tokens)).alias("gram"))
+          .groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+          .groupBy(id_col)
+          .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc")))
+    return (uni.join(bi, id_col)
+            .select(F.col(id_col),
+                    F.col("n_tokens"), F.col("n_distinct"),
+                    F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+                    .alias("distinct_ratio"),
+                    F.round(F.col("top_c") / F.col("n_tokens"), 6)
+                    .alias("top_token_frac"),
+                    F.round(F.col("top_bc") / F.col("n_bigrams"), 6)
+                    .alias("top_bigram_frac")))
