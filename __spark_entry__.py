@@ -1666,6 +1666,30 @@ def q_stats_quantiles(spark, sf_dir):
                               for c in ("q_0_25", "q_0_5", "q_0_9")])
 
 
+def q_zscore_outliers(spark, sf_dir):
+    """Distribution-aware range rule (tablechecks.zscore_outliers):
+    docs whose length is > 2σ from their language's mean. Per-stratum
+    moments are one tiny aggregation broadcast back onto the table —
+    NOT a window over the language key, which would shuffle the whole
+    corpus onto a handful of keys."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.zscore_outliers(d, "n_chars", by="lang", k=2.0)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (sampling.pack_sequences): per-shard
+    cumulative-budget chunking into ~3000-char bins; full (doc → shard,
+    bin) assignment is the oracled result. Shards pack in parallel —
+    the window never sees more than one shard's rows."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    return (sampling.pack_sequences(
+                d, token_col="n_chars", capacity=3000, order_col="doc_id",
+                shard_col=F.pmod("doc_id", F.lit(8)))
+            .select("doc_id", "pack_shard", "seq_bin"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1760,6 +1784,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "incremental_new_docs": q_incremental_new_docs,
         "repetition_quality": q_repetition_quality,
         "stats_quantiles": q_stats_quantiles,
+        "zscore_outliers": q_zscore_outliers,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -3343,5 +3369,27 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.5), 6) AS q_0_5,
                    round(quantile_cont(n_chars, 0.9), 6) AS q_0_9
             FROM documents GROUP BY lang
+        """,
+        "zscore_outliers": """
+            WITH s AS (SELECT lang, avg(n_chars) AS mu,
+                              stddev_samp(n_chars) AS sigma
+                       FROM documents GROUP BY lang)
+            SELECT doc_id, d.lang, n_chars,
+                   round((n_chars - mu) / sigma, 6) AS zscore,
+                   'n_chars.zscore_outlier' AS rule_id
+            FROM documents d JOIN s USING (lang)
+            WHERE sigma IS NOT NULL AND sigma > 0
+              AND abs((n_chars - mu) / sigma) > 2.0
+        """,
+        "pack_sequences": """
+            SELECT doc_id, pack_shard,
+                   CAST(floor((cums - n_chars) / 3000.0) AS BIGINT)
+                     AS seq_bin
+            FROM (
+              SELECT doc_id, n_chars, doc_id % 8 AS pack_shard,
+                     sum(n_chars) OVER (
+                       PARTITION BY doc_id % 8 ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cums
+              FROM documents)
         """,
     }

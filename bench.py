@@ -132,7 +132,8 @@ R3_NAMES = [
     "media_video_frames",
     # wave 2: corpus sampling / admission operators
     "host_cap_sample", "stratified_sample_langs", "incremental_new_docs",
-    "repetition_quality", "stats_quantiles",
+    "repetition_quality", "stats_quantiles", "zscore_outliers",
+    "pack_sequences",
 ]
 
 

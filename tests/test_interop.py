@@ -441,3 +441,43 @@ def test_y4m_real_frame_sampling(spark):
                                 "media_id long, payload binary")
     with pytest.raises(Exception, match="codec library"):
         multimodal.sample_frames(mp4).collect()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream drops key re-deliveries and (in content mode)
+    byte-identical re-crawls under different urls, with bounded state
+    (dropDuplicatesWithinWatermark evicts keys past the horizon)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("http://a.com/1", t0, "alpha body"),
+        ("http://a.com/1", t0 + dt.timedelta(minutes=1), "alpha body"),
+        ("http://b.com/2", t0, "beta body"),
+        ("http://c.com/3", t0 + dt.timedelta(minutes=2), "alpha body"),
+    ]
+    src = tmp_path / "in"
+    (spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+     .coalesce(1).write.parquet(str(src)))
+    sdf = (spark.readStream.schema("url string, warc_ts timestamp, text string")
+           .parquet(str(src)))
+
+    out = streaming.dedup_stream(sdf, id_col="url", ts_col="warc_ts")
+    q = (out.writeStream.format("memory").queryName("zoi_dedup_url")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    urls = sorted(r.url for r in spark.sql(
+        "select url from zoi_dedup_url").collect())
+    assert urls == ["http://a.com/1", "http://b.com/2", "http://c.com/3"]
+
+    out2 = streaming.dedup_stream(sdf, id_col="url", ts_col="warc_ts",
+                                  text_col="text")
+    q2 = (out2.writeStream.format("memory").queryName("zoi_dedup_content")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(60)
+    rows2 = spark.sql("select text from zoi_dedup_content").collect()
+    # content mode: the c.com re-crawl of "alpha body" collapses too
+    assert sorted(r.text for r in rows2) == ["alpha body", "beta body"]
+    assert "__zoi_fp" not in spark.table("zoi_dedup_content").columns

@@ -171,3 +171,57 @@ def test_quantiles_sketch_tracks_exact(docs):
         approx_accuracy=10000).collect()}
     for lang, v in exact.items():
         assert abs(approx[lang] - v) <= max(5.0, 0.05 * v)
+
+
+# -- pack_sequences ----------------------------------------------------------
+
+def test_pack_sequences_hand_computed(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, toks=t) for i, t in
+         enumerate([40, 40, 40, 10, 100, 5])])
+    out = sampling.pack_sequences(df, token_col="toks", capacity=100,
+                                  order_col="doc_id",
+                                  shard_col=F.lit(0))
+    bins = {r.doc_id: r.seq_bin for r in out.collect()}
+    # cumsum-before: 0,40,80,120,130,230 → //100 = 0,0,0,1,1,2
+    assert bins == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_pack_sequences_shards_are_independent(docs):
+    out = sampling.pack_sequences(docs, token_col="n_chars", capacity=2000,
+                                  order_col="doc_id", n_shards=4)
+    # each shard starts its own bin space at 0
+    per_shard_min = (out.groupBy("pack_shard")
+                     .agg(F.min("seq_bin").alias("m")).collect())
+    assert per_shard_min and all(r.m == 0 for r in per_shard_min)
+    # bins respect the budget: no bin's START offsets exceed capacity
+    # beyond one straddling doc (cumsum-chunking invariant: every doc's
+    # pre-sum lies inside its bin's window)
+    assert out.where(F.col("seq_bin") < 0).count() == 0
+
+
+def test_pack_sequences_requires_shard(docs):
+    with pytest.raises(ValueError):
+        sampling.pack_sequences(docs, token_col="n_chars", capacity=100,
+                                order_col="doc_id")
+
+
+# -- zscore_outliers ---------------------------------------------------------
+
+def test_zscore_outliers_flags_planted_extreme(spark):
+    rows = [Row(doc_id=i, lang="en", v=100) for i in range(20)]
+    rows[0] = Row(doc_id=0, lang="en", v=100000)           # the outlier
+    rows += [Row(doc_id=100 + i, lang="zz", v=7) for i in range(3)]  # σ=0
+    df = spark.createDataFrame(rows)
+    out = tablechecks.zscore_outliers(df, "v", by="lang", k=2.0,
+                                      id_col="doc_id").collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].rule_id == "v.zscore_outlier"
+    # zero-variance stratum emits nothing (no div-by-zero, no rows)
+    assert all(r.lang == "en" for r in out)
+
+
+def test_zscore_outliers_plan_broadcasts_stats(docs):
+    out = tablechecks.zscore_outliers(docs, "n_chars", by="lang", k=2.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "host_cap",
     "sample_key",
+    "pack_sequences",
 ]
 
 _HEX_WIDTH = 8  # 32 bits of the md5 → rate granularity 2^-32
@@ -125,3 +126,43 @@ def host_cap(df: DataFrame, *, host_col: str, id_col: str, cap: int,
     out = (df.withColumn("host_rank", F.row_number().over(w))
              .where(F.col("host_rank") <= cap))
     return out if keep_rank else out.drop("host_rank")
+
+
+def pack_sequences(df: DataFrame, *, token_col: str, capacity: int,
+                   order_col: str, shard_col: Column | str | None = None,
+                   n_shards: int = 0) -> DataFrame:
+    """Assign every document a training-sequence bin of ~``capacity``
+    tokens — the packing step that turns a curated corpus into
+    fixed-budget training sequences. Bin id = ``floor(running-token-
+    total-before-this-doc / capacity)`` in a deterministic document
+    order (cumulative-sum chunking: each bin holds the docs that start
+    inside one capacity window — the standard streaming-packing
+    approximation; a doc may straddle its boundary and is split by the
+    downstream tokenizer).
+
+    Scale shape: a global running sum would be ONE sorted partition —
+    the classic non-scalable window. Packing is therefore per-shard:
+    pass ``shard_col`` (e.g. an existing partition key) or ``n_shards``
+    to derive a deterministic md5 shard from ``order_col``; the window
+    partitions by shard and orders within it, so shards pack in
+    parallel and each emits its own independent bin space
+    ``(shard, seq_bin)``. Sharded packing is what a 1000-executor run
+    does anyway — sequences never span input shards.
+    """
+    if shard_col is None:
+        if n_shards < 1:
+            raise ValueError("pass shard_col or n_shards >= 1")
+        shard = F.conv(F.substring(
+            F.md5(F.concat(F.lit("shard:"),
+                           F.col(order_col).cast("string"))), 1, 8),
+            16, 10).cast("long") % n_shards
+    else:
+        shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    w = (Window.partitionBy(shard)
+         .orderBy(F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(token_col)).over(w)
+    return (df.withColumn("pack_shard", shard)
+            .withColumn("seq_bin",
+                        F.floor((cum - F.col(token_col))
+                                / F.lit(capacity)).cast("long")))

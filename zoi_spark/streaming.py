@@ -159,3 +159,32 @@ def stateful_violation_tracker(sdf: DataFrame, schema: Schema, *,
     return (ann.groupBy("__key")
             .applyInPandasWithState(track, out_type, state_type, "update",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def dedup_stream(sdf: DataFrame, *, id_col: str = "url",
+                 ts_col: str = "warc_ts", text_col: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming admission dedup: drop re-deliveries of the same key
+    (or same content when ``text_col`` is given — the fingerprint is
+    computed first so byte-identical re-crawls under different urls
+    also collapse) within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` — state for a key is
+    EVICTED once the watermark passes it, so state size is bounded by
+    the (keys × horizon) arrival rate instead of growing forever like
+    plain ``dropDuplicates`` would on an unbounded stream. That bound
+    is the only shape that survives a perpetual crawl feed; horizon
+    trade-off (longer = catches more re-deliveries, more state) is the
+    caller's knob. Cross-horizon exact dedup belongs to the batch
+    compaction pass (`dedup.exact_dedup` /
+    `dedup.incremental_new_docs`) over the materialized sink.
+    """
+    from .text import fingerprint
+
+    keys = [id_col]
+    if text_col is not None:
+        sdf = sdf.withColumn("__zoi_fp", fingerprint(F.col(text_col)))
+        keys = ["__zoi_fp"]
+    out = (sdf.withWatermark(ts_col, watermark)
+           .dropDuplicatesWithinWatermark(keys))
+    return out.drop("__zoi_fp") if text_col is not None else out

@@ -290,3 +290,39 @@ def check_drift(baseline: Sequence[tuple], current: Sequence[tuple],
     m["drifted"] = m["psi"] > psi_threshold
     m["psi_threshold"] = psi_threshold
     return m
+
+
+# ---------------------------------------------------------------------------
+# distribution-aware outlier rule — z-score vs per-stratum moments
+# ---------------------------------------------------------------------------
+
+def zscore_outliers(df: DataFrame, column: str, *, by: str,
+                    k: float = 2.5, id_col: str = "doc_id") -> DataFrame:
+    """Rows whose ``column`` deviates more than ``k`` sample standard
+    deviations from the mean of their ``by``-stratum — the
+    distribution-aware extension of Zoi's per-row gte/lte range rules
+    (SURVEY §2.2): the bound comes from the data, not the schema, so a
+    page that is "valid" in isolation still flags when it is wildly
+    atypical for its language/host.
+
+    Returns ``(id, by, column, zscore, rule_id)`` with rule_id
+    ``{column}.zscore_outlier`` matching the violation-row contract.
+
+    Scale shape: per-stratum moments are ONE tiny aggregation (strata
+    cardinality ≪ corpus), broadcast-joined back onto the full table —
+    deliberately NOT a window over the stratum, which would shuffle
+    10^12 rows onto a handful of language keys (maximal skew). The
+    broadcast join keeps the second pass embarrassingly parallel and
+    scan-partitioned. Degenerate strata (n < 2 or zero variance) emit
+    no outliers rather than dividing by zero.
+    """
+    stats = (df.groupBy(by)
+             .agg(F.avg(column).alias("__mu"),
+                  F.stddev_samp(column).alias("__sigma")))
+    z = (F.col(column) - F.col("__mu")) / F.col("__sigma")
+    return (df.join(F.broadcast(stats), by)
+            .where(F.col("__sigma").isNotNull() & (F.col("__sigma") > 0))
+            .where(F.abs(z) > k)
+            .select(F.col(id_col), F.col(by), F.col(column),
+                    F.round(z, 6).alias("zscore"),
+                    F.lit(f"{column}.zscore_outlier").alias("rule_id")))
