@@ -1690,6 +1690,79 @@ def q_pack_sequences(spark, sf_dir):
             .select("doc_id", "pack_shard", "seq_bin"))
 
 
+def _lined_docs(spark, sf_dir, *, words_per_line=3):
+    """The documents table with deterministic line structure: the token
+    stream re-chunked into fixed-width lines (text.chunk_lines) — the
+    fixture corpus carries no newlines, so line-level curation queries
+    synthesize them identically in Spark and the DuckDB twin."""
+    d = _read(spark, sf_dir, "documents")
+    return d.withColumn(
+        "text", text.chunk_lines(F.col("text"), words_per_line=words_per_line))
+
+
+def _lined_docs_sql(words_per_line=3):
+    k = words_per_line
+    return f"""
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(
+                   range(1, greatest(cast(ceil(len(string_split_regex(trim(text), '\\s+')) / {k}.0) AS INT), 1) + 1),
+                   i -> array_to_string(
+                          (string_split_regex(trim(text), '\\s+'))[(i-1)*{k}+1:(i-1)*{k}+{k}],
+                          ' ')),
+                 chr(10)) AS text
+        FROM documents
+    """
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """RefinedWeb/CCNet-style boilerplate removal
+    (text.frequent_lines + text.strip_boilerplate): mine the top-50
+    corpus-frequent lines (≥3 docs), broadcast the capped removal set,
+    rebuild every document from the surviving lines. md5 of the
+    cleaned text proves byte-exact line order preservation. Reference
+    parity: same repeated-value shape as Zoi's unique/one_of table
+    checks (`lib/zoi.ex` refinements), lifted to corpus scale."""
+    lined = _lined_docs(spark, sf_dir)
+    out = text.strip_boilerplate(lined, min_docs=3, max_lines=50)
+    return (out.select("doc_id", "n_lines", "n_kept",
+                       F.md5("clean_text").alias("clean_md5"))
+            .orderBy("doc_id").limit(400))
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line filter (text.c4_line_filter): ≥4 words, terminal
+    punctuation, no blocklist marker ('slow'). Terminal punctuation is
+    synthesized deterministically (lines whose length % 3 == 0 get a
+    trailing '.') since the word-salad fixture has none. One codegen'd
+    projection — no shuffle."""
+    lined = _lined_docs(spark, sf_dir, words_per_line=5)
+    punct = lined.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                text.split_lines(F.col("text")),
+                lambda x: F.when(F.length(x) % 3 == 0,
+                                 F.concat(x, F.lit("."))).otherwise(x)),
+            "\n"))
+    out = text.c4_line_filter(punct, min_words=4, require_terminal=True,
+                              blocklist=("slow",))
+    return (out.select("doc_id", "n_lines", "n_kept",
+                       F.md5("clean_text").alias("clean_md5"))
+            .orderBy("doc_id").limit(400))
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """CCNet-style perplexity proxy (text.unigram_logprob): corpus
+    unigram MLE → per-doc mean −log2 p; the 20 most surprising docs.
+    Vocabulary is broadcast back onto the (doc, token) counts — the
+    only corpus-wide shuffle is the first keyed aggregation."""
+    d = _read(spark, sf_dir, "documents")
+    out = text.unigram_logprob(d)
+    return (out.orderBy(F.col("mean_surprisal").desc(), "doc_id")
+            .limit(20))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1786,6 +1859,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stats_quantiles": q_stats_quantiles,
         "zscore_outliers": q_zscore_outliers,
         "pack_sequences": q_pack_sequences,
+        # r3 wave 3: line-level curation + perplexity proxy
+        "boilerplate_strip": q_boilerplate_strip,
+        "c4_line_filter": q_c4_line_filter,
+        "unigram_surprisal": q_unigram_surprisal,
     }
 
 
@@ -3391,5 +3468,85 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY doc_id % 8 ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING) AS cums
               FROM documents)
+        """,
+        "boilerplate_strip": f"""
+            WITH lined AS ({_lined_docs_sql()}),
+            doc_lines AS (
+              SELECT doc_id, trim(line) AS line
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, chr(10))) AS line
+                    FROM lined)
+              WHERE length(trim(line)) > 0),
+            freq AS (
+              SELECT line, count(*) AS n_docs
+              FROM (SELECT DISTINCT doc_id, line FROM doc_lines)
+              GROUP BY line HAVING count(*) >= 3
+              ORDER BY n_docs DESC, line LIMIT 50),
+            dropset AS (SELECT coalesce(list(line), []) AS drop_lines
+                        FROM freq),
+            stripped AS (
+              SELECT l.doc_id,
+                     len(list_filter(string_split(l.text, chr(10)),
+                                     x -> length(trim(x)) > 0))
+                       AS n_lines,
+                     list_filter(string_split(l.text, chr(10)),
+                                 x -> length(trim(x)) > 0
+                                      AND NOT list_contains(
+                                            d.drop_lines, trim(x)))
+                       AS kept
+              FROM lined l CROSS JOIN dropset d)
+            SELECT doc_id,
+                   CAST(n_lines AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+            FROM stripped ORDER BY doc_id LIMIT 400
+        """,
+        "c4_line_filter": f"""
+            WITH lined AS ({_lined_docs_sql(5)}),
+            punct AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         string_split(text, chr(10)),
+                         x -> CASE WHEN length(x) % 3 = 0
+                                   THEN x || '.' ELSE x END),
+                       chr(10)) AS text
+              FROM lined),
+            filt AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, chr(10)),
+                                     x -> length(trim(x)) > 0))
+                       AS n_lines,
+                     list_filter(
+                       string_split(text, chr(10)),
+                       x -> len(string_split_regex(trim(x), '\\s+')) >= 4
+                            AND length(trim(x)) > 0
+                            AND substr(trim(x), -1, 1) IN ('.', '!', '?')
+                            AND NOT contains(lower(trim(x)), 'slow'))
+                       AS kept
+              FROM punct)
+            SELECT doc_id,
+                   CAST(n_lines AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+            FROM filt ORDER BY doc_id LIMIT 400
+        """,
+        "unigram_surprisal": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents),
+            dt AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM toks WHERE length(tok) > 0
+              GROUP BY doc_id, tok),
+            vocab AS (SELECT tok, sum(c) AS cw FROM dt GROUP BY tok),
+            total AS (SELECT sum(cw) AS nt FROM vocab)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(sum(c * -log2(cw / nt)) / sum(c), 6)
+                     AS mean_surprisal
+            FROM dt JOIN vocab USING (tok) CROSS JOIN total
+            GROUP BY doc_id
+            ORDER BY mean_surprisal DESC, doc_id LIMIT 20
         """,
     }

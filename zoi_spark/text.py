@@ -485,3 +485,168 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text",
                     .alias("top_token_frac"),
                     F.round(F.col("top_bc") / F.col("n_bigrams"), 6)
                     .alias("top_bigram_frac")))
+
+
+# ---------------------------------------------------------------------------
+# line-level curation (CCNet / RefinedWeb / C4-style)
+# ---------------------------------------------------------------------------
+
+def split_lines(col: Column) -> Column:
+    """Document → array of lines (split on ``\\n``). Pure Column; the
+    unit every line-level curation operator below works on."""
+    return F.split(F.coalesce(col, F.lit("")), "\n")
+
+
+def chunk_lines(col: Column, *, words_per_line: int = 8) -> Column:
+    """Re-chunk a single-line token stream into fixed-width "lines" of
+    *words_per_line* whitespace tokens, joined with ``\\n`` — the
+    deterministic line-structure synthesizer for corpora whose
+    extracted text carries no newlines (the parquet fixtures). Pure
+    Column (sequence → transform → slice), identical semantics in
+    DuckDB list algebra, so line-level operators stay oracle-checkable
+    end to end."""
+    toks = F.split(F.trim(col), r"\s+")
+    k = words_per_line
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * k + 1, k), " "))
+    return F.array_join(lines, "\n")
+
+
+def frequent_lines(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", min_docs: int = 5,
+                   max_lines: int | None = 10_000) -> DataFrame:
+    """Corpus-level boilerplate mining: ``(line, n_docs)`` for every
+    distinct trimmed non-empty line that appears in ≥ *min_docs*
+    distinct documents (nav bars, cookie banners, footers — the CCNet
+    / RefinedWeb repeated-line signal).
+
+    Shape at 10^12 docs: explode lines → per-doc distinct (hash
+    aggregation keyed on (doc, line) — uniform, the doc id is in the
+    key) → count per line. The second aggregation keys on the line
+    alone; a mega-frequent line is ONE hot key whose partial counts
+    combine map-side, so the shuffle stays balanced. *max_lines* caps
+    the result at the top-K most frequent lines (the head of the Zipf
+    curve is where all the boilerplate mass lives), keeping the
+    removal set broadcastable no matter the corpus size.
+    """
+    line = F.trim(F.col("_line"))
+    per_doc = (df.select(F.col(id_col),
+                         F.explode(split_lines(F.col(text_col)))
+                         .alias("_line"))
+               .select(F.col(id_col), line.alias("line"))
+               .where(F.length("line") > 0)
+               .distinct())
+    freq = (per_doc.groupBy("line")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+    if max_lines is not None:
+        freq = (freq.orderBy(F.col("n_docs").desc(), F.col("line"))
+                .limit(max_lines))
+    return freq
+
+
+def strip_boilerplate(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", min_docs: int = 5,
+                      max_lines: int | None = 10_000,
+                      frequent: DataFrame | None = None,
+                      out_col: str = "clean_text") -> DataFrame:
+    """Remove corpus-frequent lines from every document, preserving the
+    order (and bytes) of the surviving lines — RefinedWeb-style
+    boilerplate removal.
+
+    Scale shape: the frequent-line set (capped at *max_lines* by
+    `frequent_lines`) is collapsed to ONE row holding the line array
+    and cross-joined back — a broadcast of a bounded set, after which
+    the removal is a pure ``filter``/``array_join`` projection: no
+    explode of the corpus, no per-doc regroup, no shuffle of document
+    text. Adds ``n_lines``, ``n_kept`` and *out_col*; never rewrites
+    *text_col* (byte-identity invariant).
+    """
+    if frequent is None:
+        frequent = frequent_lines(df, text_col=text_col, id_col=id_col,
+                                  min_docs=min_docs, max_lines=max_lines)
+    drop_set = frequent.agg(
+        F.coalesce(F.collect_set("line"), F.array().cast("array<string>"))
+        .alias("_drop_lines"))
+    lines = split_lines(F.col(text_col))
+    kept = F.filter(
+        lines,
+        lambda x: (F.length(F.trim(x)) > 0)
+        & ~F.array_contains(F.col("_drop_lines"), F.trim(x)))
+    return (df.crossJoin(F.broadcast(drop_set))
+            .withColumn("n_lines", F.size(F.filter(
+                lines, lambda x: F.length(F.trim(x)) > 0)))
+            .withColumn("n_kept", F.size(kept))
+            .withColumn(out_col, F.array_join(kept, "\n"))
+            .drop("_drop_lines"))
+
+
+def c4_line_filter(df: DataFrame, *, text_col: str = "text",
+                   min_words: int = 3, require_terminal: bool = True,
+                   blocklist: tuple[str, ...] = ("javascript", "cookie"),
+                   out_col: str = "clean_text") -> DataFrame:
+    """C4-style line filtering (Raffel et al. 2020 §2.2): keep only
+    lines with ≥ *min_words* words, (optionally) ending in terminal
+    punctuation, and containing no blocklist marker; rebuild the
+    document from the survivors. Pure Column (split → filter →
+    array_join) — one codegen'd projection, zero shuffle, the ideal
+    10^12-doc shape. Adds ``n_lines``, ``n_kept``, *out_col*."""
+    lines = split_lines(F.col(text_col))
+
+    def pred(x):
+        t = F.trim(x)
+        p = F.size(F.split(t, r"\s+")) >= F.lit(min_words)
+        p = p & (F.length(t) > 0)
+        if require_terminal:
+            p = p & F.substring(t, -1, 1).isin(".", "!", "?")
+        low = F.lower(t)
+        for marker in blocklist:
+            p = p & ~low.contains(marker)
+        return p
+
+    kept = F.filter(lines, pred)
+    return (df.withColumn("n_lines", F.size(F.filter(
+                lines, lambda x: F.length(F.trim(x)) > 0)))
+            .withColumn("n_kept", F.size(kept))
+            .withColumn(out_col, F.array_join(kept, "\n")))
+
+
+def unigram_logprob(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram surprisal — the CCNet-style
+    perplexity proxy: with corpus MLE probabilities p(w) =
+    count(w)/N, score(doc) = Σ c_w·(−log2 p(w)) / Σ c_w. Low = head
+    boilerplate, high = rare-token noise; both tails are what quality
+    gates trim.
+
+    Shape at 10^12 docs: one explode → (doc, token) counts (uniform,
+    doc id in the key) feeding BOTH legs: the corpus vocabulary is a
+    re-aggregation of those counts by token (map-side combine absorbs
+    Zipf skew), and the per-doc score joins the vocabulary back on the
+    token key. The vocabulary is tiny relative to the corpus (≤ a few
+    million rows for web text) → broadcast join, no shuffle of the
+    exploded side beyond the first aggregation.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("tok"))
+               .where(F.length("tok") > 0)
+               .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
+    doc_tok = doc_tok.persist()
+    vocab = (doc_tok.groupBy("tok").agg(F.sum("c").alias("cw")))
+    total = vocab.agg(F.sum("cw").alias("n_total"))
+    scored = (doc_tok
+              .join(F.broadcast(vocab), "tok")
+              .crossJoin(F.broadcast(total))
+              .groupBy(id_col)
+              .agg(F.sum("c").alias("n_tokens"),
+                   F.sum(F.col("c") * -F.log2(F.col("cw") / F.col("n_total")))
+                   .alias("_surprisal")))
+    out = scored.select(
+        F.col(id_col), F.col("n_tokens"),
+        F.round(F.col("_surprisal") / F.col("n_tokens"), 6)
+        .alias("mean_surprisal"))
+    out._zoi_persisted = [doc_tok]  # release after materialization
+    return out
