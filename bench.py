@@ -134,6 +134,8 @@ R3_NAMES = [
     "host_cap_sample", "stratified_sample_langs", "incremental_new_docs",
     "repetition_quality", "stats_quantiles", "zscore_outliers",
     "pack_sequences",
+    # wave 3: line-level curation + perplexity proxy
+    "boilerplate_strip", "c4_line_filter", "unigram_surprisal",
 ]
 
 
