@@ -602,6 +602,41 @@ def test_curate_url_and_pii_stages(spark):
     res.release()
 
 
+def test_curate_line_correction_stages(spark):
+    """curate with strip_frequent_lines + c4_filter: boilerplate lines
+    vanish from the working text, later stages (quality, dedup, token
+    ledger) run on the cleaned column, and docs emptied by the line
+    stages are dropped — while the original text column is untouched."""
+    from zoi_spark import pipeline
+
+    boiler = "accept cookies to continue"
+    body_a = ("A perfectly ordinary paragraph with plenty of words that "
+              "ends with terminal punctuation as C4 expects it to.")
+    body_b = ("Entirely different prose about winter gardens and the "
+              "migratory habits of seabirds across northern coastlines.")
+    rows = [
+        (1, boiler + "\n" + body_a),
+        (2, boiler + "\n" + body_b),
+        (3, boiler + "\n" + boiler),          # only boilerplate → dropped
+        (4, boiler + "\nshort line"),          # C4 kills the short line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    schema = z.fields({"doc_id": z.integer(), "text": z.string(min=5)})
+    res = pipeline.curate(
+        df, schema, id_col="doc_id",
+        strip_frequent_lines_min_docs=2,
+        c4_filter={"min_words": 3, "require_terminal": True})
+    out = {r.doc_id: r for r in res.kept.collect()}
+    assert set(out) == {1, 2}
+    # cleaned working column lost the boilerplate; original bytes intact
+    assert res.text_col == "__c4_clean"
+    assert out[1][res.text_col] == body_a
+    assert out[1].text == boiler + "\n" + body_a
+    ledger = res.report()
+    assert ledger["kept_ws_tokens"] > 0
+    res.release()
+
+
 def test_contamination_and_ngrams(spark):
     from zoi_spark import text as zt
 

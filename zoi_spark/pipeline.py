@@ -74,6 +74,8 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            lang_col: str | None = None,
            url_col: str | None = None,
            drop_pii: bool = False,
+           strip_frequent_lines_min_docs: int | None = None,
+           c4_filter: dict | None = None,
            near_dup_threshold: float = 0.85,
            minhash_bands: int = 16,
            max_bucket_size: int | None = None,
@@ -92,6 +94,21 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
       content hashing.
     * ``drop_pii=True`` — drop documents with email/IP/phone-shaped
       matches (text PII flags) inside the same quality-gate scan.
+
+    Line-level correction (RefinedWeb ordering: after URL/validity
+    intake, before the document-level quality gate); both stages write
+    a NEW cleaned column and every later stage (quality, dedup,
+    token ledger) runs on it — the original *text_col* bytes are never
+    rewritten:
+
+    * ``strip_frequent_lines_min_docs`` — remove corpus-frequent
+      boilerplate lines (text.strip_boilerplate; one extra mining
+      aggregation + a broadcast of the capped drop set).
+    * ``c4_filter`` — kwargs for text.c4_line_filter (e.g.
+      ``{"min_words": 3, "require_terminal": False}``); pure
+      projection, fused into the scan.
+
+    Documents left empty by line correction are dropped.
     """
     res = validate(df, schema, id_cols=[id_col])
     valid = res.valid_rows
@@ -99,6 +116,22 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
     if url_col is not None:
         from . import urls
         valid = urls.url_dedup(valid, url_col=url_col, id_col=id_col)
+
+    work_col = text_col
+    if strip_frequent_lines_min_docs is not None:
+        valid = text.strip_boilerplate(
+            valid, text_col=work_col, id_col=id_col,
+            min_docs=strip_frequent_lines_min_docs,
+            out_col="__line_clean").drop("n_lines", "n_kept")
+        work_col = "__line_clean"
+    if c4_filter is not None:
+        valid = text.c4_line_filter(
+            valid, text_col=work_col, out_col="__c4_clean",
+            **c4_filter).drop("n_lines", "n_kept")
+        work_col = "__c4_clean"
+    if work_col != text_col:
+        valid = valid.where(F.length(F.trim(F.col(work_col))) > 0)
+    text_col = work_col
 
     gated = valid.where(
         text.quality_score(F.col(text_col)) >= F.lit(min_quality))
