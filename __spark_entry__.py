@@ -1763,6 +1763,33 @@ def q_unigram_surprisal(spark, sf_dir):
             .limit(20))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (dedup.semantic_dedup): trained spherical-k-means cells
+    (same seed→Lloyd-step chain the IVF queries oracle) partition the
+    embeddings; one Arrow matmul per cell scores in-cell cosine; every
+    vector with a smaller-id neighbor ≥ 0.35 drops. Output = the kept
+    ids with their cell — the whole kept set is value-hashed, so the
+    assignment, the pairing AND the keep rule are all under the gate."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents0 = similarity.sample_centroids(emb, n_centroids=8)
+    cents = similarity.refine_centroids(emb, cents0, iters=1, round_to=6)
+    kept = dedup.semantic_dedup(emb, id_col="vec_id", vec_col="embedding",
+                                centroids=cents, threshold=0.35)
+    return kept.select("vec_id",
+                       F.col("__semdedup_cell").cast("int").alias("cell"))
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Cross-document duplicated 5-gram fraction
+    (text.dup_ngram_fraction): the shuffle-native stand-in for
+    exact-substring dedup — per doc, the share of its word 5-grams
+    found in ≥2 distinct documents. Docs with any duplicated gram
+    (the gate's decision set)."""
+    d = _read(spark, sf_dir, "documents")
+    out = text.dup_ngram_fraction(d, n=5, min_docs=2)
+    return out.where(F.col("n_dup") > 0)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1863,6 +1890,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "boilerplate_strip": q_boilerplate_strip,
         "c4_line_filter": q_c4_line_filter,
         "unigram_surprisal": q_unigram_surprisal,
+        # r3 wave 4: semantic dedup + substring-dup signal
+        "semantic_dedup": q_semantic_dedup,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
     }
 
 
@@ -3548,5 +3578,50 @@ def oracle_sql() -> dict[str, str]:
             FROM dt JOIN vocab USING (tok) CROSS JOIN total
             GROUP BY doc_id
             ORDER BY mean_surprisal DESC, doc_id LIMIT 20
+        """,
+        "semantic_dedup": f"""
+            WITH {_ivf_train_ctes(8, 64, 6)},
+            assign AS (
+              SELECT vec_id, v, i AS cell FROM (
+                SELECT c.vec_id, c.v, r.i,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY round(list_dot_product(c.v, r.cv), 9)
+                                    DESC,
+                                  r.i ASC) AS rn
+                FROM c, refined r)
+              WHERE rn = 1),
+            drops AS (
+              SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+            SELECT s.vec_id, s.cell::INTEGER AS cell
+            FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
+            WHERE d.vec_id IS NULL
+        """,
+        "dup_ngram_fraction": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 3),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                END) AS gram
+              FROM toks),
+            dfreq AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+            SELECT g.doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_dup,
+                   round(sum(CASE WHEN d.gram IS NOT NULL
+                                  THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                     AS dup_fraction
+            FROM grams g LEFT JOIN dfreq d ON g.gram = d.gram
+            GROUP BY g.doc_id
+            HAVING sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
         """,
     }

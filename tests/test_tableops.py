@@ -637,6 +637,45 @@ def test_curate_line_correction_stages(spark):
     res.release()
 
 
+def test_semantic_dedup_keep_rule(spark):
+    """semantic_dedup keeps the min-id representative of each in-cell
+    near-identical group and never pairs across cells."""
+    from zoi_spark import dedup
+
+    # two well-separated cells on the x/y axes; near-dups inside each
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.01]),    # cell 0 dups → keep 1
+        (3, [0.0, 1.0]), (4, [0.01, 0.999]),    # cell 1 dups → keep 3
+        (5, [0.6, 0.8]),                         # cell 1, but dissimilar
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    kept = dedup.semantic_dedup(df, id_col="vec_id", vec_col="embedding",
+                                centroids=cents, threshold=0.99)
+    assert {r.vec_id for r in kept.collect()} == {1, 3, 5}
+    # column engine agrees bit-for-bit on the kept set
+    kept2 = dedup.semantic_dedup(df, id_col="vec_id", vec_col="embedding",
+                                 centroids=cents, threshold=0.99,
+                                 engine="column")
+    assert {r.vec_id for r in kept2.collect()} == {1, 3, 5}
+
+
+def test_dup_ngram_fraction_values(spark):
+    from zoi_spark import text as zt
+
+    shared = "alpha beta gamma delta epsilon"        # one shared 5-gram
+    rows = [(1, shared + " zeta"),                   # 2 grams, 1 dup
+            (2, shared),                             # 1 gram, 1 dup
+            (3, "unrelated words entirely different here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           zt.dup_ngram_fraction(df, n=5, min_docs=2).collect()}
+    assert (out[1].n_grams, out[1].n_dup) == (2, 1)
+    assert out[1].dup_fraction == 0.5
+    assert (out[2].n_grams, out[2].n_dup) == (1, 1)
+    assert out[3].n_dup == 0
+
+
 def test_contamination_and_ngrams(spark):
     from zoi_spark import text as zt
 

@@ -1007,3 +1007,55 @@ def embedding_near_dups(df: DataFrame, *, id_col: str = "vec_id",
                     F.col("b.__id").alias("id_b"),
                     F.round(sim, 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, *, id_col: str = "doc_id",
+                   vec_col: str = "embedding",
+                   centroids: Sequence[Sequence[float]],
+                   threshold: float = 0.95,
+                   max_block_size: int | None = None,
+                   engine: str = "arrow",
+                   cell_col: str | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into k-means cells, score
+    cosine similarity only WITHIN each cell, and keep exactly one
+    representative per near-identical group — the smallest id, so the
+    kept set is deterministic.
+
+    Composition of existing primitives, so every scale property is
+    inherited: cell assignment is a pure expression chain over inlined
+    centroid literals (``similarity.nearest_centroid`` — typically the
+    trained output of ``similarity.refine_centroids``); in-cell pairing
+    is ``embedding_near_dups`` with the cell as the block key (one
+    numpy matmul per cell under the default Arrow engine, and the same
+    ``max_block_size`` degenerate-cell cap); the drop rule "has a
+    smaller-id neighbor at ≥ threshold" needs only the pair list's
+    ``id_b`` side — no label propagation, one anti-join.
+
+    At 10^12 docs: cells ≈ corpus/k, so k must grow with the corpus
+    (SemDeDup used 50k clusters for LAION) — size it like
+    ``similarity.suggest_bits`` sizes hyperplane bits. The anti-join is
+    deliberately NOT broadcast: semantic dup rates of 20-50% mean the
+    drop list scales with the corpus (AQE downgrades to broadcast when
+    it is in fact small).
+
+    Returns ``df`` minus the dropped rows, with a ``__semdedup_cell``
+    column when ``cell_col`` is not already supplied (callers wanting a
+    per-cell ledger can group on it; drop it otherwise).
+    """
+    from . import similarity
+
+    if cell_col is None:
+        cell_col = "__semdedup_cell"
+        df = df.withColumn(
+            cell_col, similarity.nearest_centroid(F.col(vec_col),
+                                                  list(centroids)))
+    pairs = embedding_near_dups(df, id_col=id_col, vec_col=vec_col,
+                                threshold=threshold, block_col=cell_col,
+                                max_block_size=max_block_size,
+                                engine=engine)
+    # pairs always satisfy id_a < id_b, so "drop every id_b" keeps
+    # precisely the docs with no smaller-id near-duplicate in-cell
+    drop = pairs.select(F.col("id_b").alias("__semdedup_drop")).distinct()
+    return df.join(drop, df[id_col] == F.col("__semdedup_drop"),
+                   "left_anti")

@@ -650,3 +650,45 @@ def unigram_logprob(df: DataFrame, *, text_col: str = "text",
         .alias("mean_surprisal"))
     out._zoi_persisted = [doc_tok]  # release after materialization
     return out
+
+
+def dup_ngram_fraction(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 5,
+                       min_docs: int = 2) -> DataFrame:
+    """Per-document cross-corpus duplicated n-gram fraction — the
+    distributed stand-in for exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499) and Gopher's dup-n-gram repetition signals (Rae
+    et al. 2021 §A1.1): the share of a document's word n-grams that
+    also appear in at least ``min_docs`` DISTINCT documents. High
+    fractions mark templated/boilerplate pages that survive whole-doc
+    dedup because their non-shared remainder differs.
+
+    A true suffix-array pass is a single-machine algorithm; this is the
+    shuffle-native reformulation: explode positional n-grams → one hash
+    aggregation for document frequency (map-side combine absorbs the
+    Zipf head) → hash equi-join back on the gram → per-doc aggregate.
+    Two shuffles, both on uniform hash keys, nothing quadratic. At
+    10^12 docs, pre-filter the frequency table to ``df >= min_docs``
+    before the join (done here) so the joined side carries only the
+    duplicated tail, and shingle hashes (``dedup.hashed_shingles``)
+    can replace gram strings to cut shuffle bytes.
+
+    Returns ``(id_col, n_grams, n_dup, dup_fraction)`` — gate with
+    e.g. ``dup_fraction <= 0.3``.
+    """
+    grams = (df.select(F.col(id_col),
+                       F.explode(word_shingles(F.col(text_col), n))
+                       .alias("gram")))
+    dfreq = (grams.groupBy("gram")
+             .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+             .where(F.col("_df") >= min_docs)
+             .select("gram"))
+    flagged = (grams.join(dfreq.withColumn("_dup", F.lit(1)),
+                          "gram", "left"))
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                 .alias("n_dup"))
+            .select(F.col(id_col), "n_grams", "n_dup",
+                    F.round(F.col("n_dup") / F.col("n_grams"), 6)
+                    .alias("dup_fraction")))
