@@ -1790,6 +1790,24 @@ def q_dup_ngram_fraction(spark, sf_dir):
     return out.where(F.col("n_dup") > 0)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher admission battery (text.gopher_quality_flags): all seven
+    rule booleans + the pass conjunction, per document — the whole
+    battery is one fused scan projection (no explode/UDF/shuffle), and
+    every boolean lands under the value hash. min_words lowered to 20
+    and the stop list re-seated on the synthetic corpus's head tokens
+    so every rule fires both ways on the gate corpus."""
+    d = _read(spark, sf_dir, "documents")
+    out = text.gopher_quality_flags(
+        d, min_words=20,
+        stopwords=("join", "hash", "row", "batch", "scan",
+                   "filter", "data", "merge"))
+    return out.select("doc_id", "g_word_count", "g_mean_word_len",
+                      "g_symbol_ratio", "g_bullet_ratio",
+                      "g_ellipsis_ratio", "g_alpha_ratio", "g_stopwords",
+                      "gopher_pass")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1890,9 +1908,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "boilerplate_strip": q_boilerplate_strip,
         "c4_line_filter": q_c4_line_filter,
         "unigram_surprisal": q_unigram_surprisal,
-        # r3 wave 4: semantic dedup + substring-dup signal
+        # r3 wave 4: semantic dedup + substring-dup signal + Gopher rules
         "semantic_dedup": q_semantic_dedup,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -3623,5 +3642,52 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g LEFT JOIN dfreq d ON g.gram = d.gram
             GROUP BY g.doc_id
             HAVING sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+        """,
+        "gopher_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> length(x) > 0) AS t,
+                     string_split(text, chr(10)) AS ls
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(t) AS nw,
+                     CASE WHEN len(t) > 0 THEN
+                       list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                         / len(t)
+                     ELSE 0.0 END AS mwl,
+                     len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.'))
+                       + len(regexp_extract_all(text, '…')) AS nsym,
+                     len(ls) AS nl,
+                     len(list_filter(ls,
+                       x -> regexp_matches(trim(x), '^[-*•]'))) AS nb,
+                     len(list_filter(ls,
+                       x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                       AS ne,
+                     len(list_filter(t,
+                       x -> regexp_matches(x, '[a-z]'))) AS na,
+                     len(list_intersect(t, ['join','hash','row','batch',
+                                            'scan','filter','data',
+                                            'merge'])) AS ns
+              FROM base)
+            SELECT doc_id,
+                   (nw >= 20 AND nw <= 100000) AS g_word_count,
+                   (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0)
+                     AS g_mean_word_len,
+                   (nw > 0 AND nsym / nw <= 0.1) AS g_symbol_ratio,
+                   (nl > 0 AND nb / nl <= 0.1) AS g_bullet_ratio,
+                   (nl > 0 AND ne / nl <= 0.3) AS g_ellipsis_ratio,
+                   (nw > 0 AND na / nw >= 0.8) AS g_alpha_ratio,
+                   (ns >= 2) AS g_stopwords,
+                   ((nw >= 20 AND nw <= 100000)
+                    AND (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0)
+                    AND (nw > 0 AND nsym / nw <= 0.1)
+                    AND (nl > 0 AND nb / nl <= 0.1)
+                    AND (nl > 0 AND ne / nl <= 0.3)
+                    AND (nw > 0 AND na / nw >= 0.8)
+                    AND (ns >= 2)) AS gopher_pass
+            FROM m
         """,
     }

@@ -136,6 +136,8 @@ R3_NAMES = [
     "pack_sequences",
     # wave 3: line-level curation + perplexity proxy
     "boilerplate_strip", "c4_line_filter", "unigram_surprisal",
+    # wave 4: semantic dedup, substring-dup signal, Gopher rules
+    "semantic_dedup", "dup_ngram_fraction", "gopher_quality",
 ]
 
 

@@ -676,6 +676,23 @@ def test_dup_ngram_fraction_values(spark):
     assert out[3].n_dup == 0
 
 
+def test_gopher_quality_flags(spark):
+    from zoi_spark import text as zt
+
+    good = ("the quick brown fox and the lazy dog have agreed to meet "
+            "with friends of that old be-whiskered cat near the river "
+            "bank where the tall reeds grow thick in summer light")
+    bullets = "- one\n- two\n- three\n- four"
+    symbols = "### " * 30 + "the of and to be"
+    rows = [(1, good), (2, bullets), (3, symbols)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           zt.gopher_quality_flags(df, min_words=10).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].g_bullet_ratio and not out[2].gopher_pass
+    assert not out[3].g_symbol_ratio and not out[3].gopher_pass
+
+
 def test_contamination_and_ngrams(spark):
     from zoi_spark import text as zt
 

@@ -692,3 +692,73 @@ def dup_ngram_fraction(df: DataFrame, *, text_col: str = "text",
             .select(F.col(id_col), "n_grams", "n_dup",
                     F.round(F.col("n_dup") / F.col("n_grams"), 6)
                     .alias("dup_fraction")))
+
+
+def gopher_quality_flags(df: DataFrame, *, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_word_ratio: float = 0.1,
+                         max_bullet_line_ratio: float = 0.1,
+                         max_ellipsis_line_ratio: float = 0.3,
+                         min_alpha_word_ratio: float = 0.8,
+                         min_stop_hits: int = 2,
+                         stopwords: tuple[str, ...] = (
+                             "the", "be", "to", "of", "and",
+                             "that", "have", "with")) -> DataFrame:
+    """Gopher-rule document quality flags (Rae et al. 2021, Gopher
+    appendix A1.1) — the standard pre-training admission battery:
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#``/ellipsis), bullet-started and ellipsis-ended line ratios,
+    alphabetic-word ratio, and a minimum distinct-stopword hit count.
+
+    Entirely expression-level (split / filter / aggregate over the
+    token and line arrays — no explode, no UDF, no shuffle): the whole
+    battery fuses into the scan projection, the ideal 10^12-doc shape.
+    Appends one boolean per rule plus the conjunction ``gopher_pass``;
+    gate with ``df.where("gopher_pass")`` or inspect per-rule drop
+    rates with one aggregation.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(normalize_text(c), " "),
+                    lambda t: F.length(t) > 0)
+    nw = F.size(toks)
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(toks, F.lit(0.0),
+                    lambda a, t: a + F.length(t)) / nw).otherwise(F.lit(0.0))
+    nsym = (F.regexp_count(c, F.lit("#"))
+            + F.regexp_count(c, F.lit(r"\.\.\."))
+            + F.regexp_count(c, F.lit("…")))
+    lines = F.split(c, "\n")
+    nl = F.size(lines)
+    nbullet = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike("^[-*•]")))
+    nell = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+    nalpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    nstop = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in stopwords])))
+
+    flags = {
+        "g_word_count": (nw >= min_words) & (nw <= max_words),
+        "g_mean_word_len": (nw > 0) & (mean_wl >= min_mean_word_len)
+                           & (mean_wl <= max_mean_word_len),
+        "g_symbol_ratio": (nw > 0)
+                          & (nsym / nw <= max_symbol_word_ratio),
+        "g_bullet_ratio": (nl > 0)
+                          & (nbullet / nl <= max_bullet_line_ratio),
+        "g_ellipsis_ratio": (nl > 0)
+                            & (nell / nl <= max_ellipsis_line_ratio),
+        "g_alpha_ratio": (nw > 0)
+                         & (nalpha / nw >= min_alpha_word_ratio),
+        "g_stopwords": nstop >= min_stop_hits,
+    }
+    out = df
+    for name, flag in flags.items():
+        out = out.withColumn(name, flag)
+    gopher_pass = None
+    for name in flags:
+        col = F.col(name)
+        gopher_pass = col if gopher_pass is None else gopher_pass & col
+    return out.withColumn("gopher_pass", gopher_pass)
