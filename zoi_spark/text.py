@@ -172,19 +172,30 @@ def fingerprint(col: Column) -> Column:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Array of n-word shingles over the normalized token stream —
-    expression-only (sequence + slice), no explode, no UDF."""
+    expression-only, no explode, no UDF.
+
+    Built by zip_with-chaining the token array against its shifted
+    copies (position p accumulates tokens p..p+j), NOT by
+    ``transform(sequence, i -> slice(tokens, i, n))``: an expression
+    referenced inside a higher-order-function lambda is re-evaluated
+    per element, so the slice form recomputes the normalize+split of
+    the whole document at every gram position — O(len²) per doc, a
+    100×-scale trap on long pages. The zip_with chain evaluates each
+    array child once: O(n·len), identical output strings."""
     tokens = F.split(normalize_text(col), " ")
     k = F.size(tokens) - (n - 1)
+    grams = tokens
+    for j in range(1, n):
+        shifted = F.slice(tokens, j + 1,
+                          F.greatest(F.size(tokens) - j, F.lit(0)))
+        # concat (not concat_ws) so positions past the end stay null
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(
         k <= 0,
         # degenerate short doc: single shingle = whole normalized text
         F.array(F.concat_ws(" ", tokens)),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        )
-    )
+    ).otherwise(F.slice(grams, 1, k))
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
