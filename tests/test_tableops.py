@@ -676,6 +676,36 @@ def test_dup_ngram_fraction_values(spark):
     assert out[3].n_dup == 0
 
 
+def test_curate_admission_gates(spark):
+    """curate with gopher + max_dup_ngram_fraction: the Gopher battery
+    and the cross-doc dup-gram cap each drop their target doc."""
+    from zoi_spark import pipeline
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota "
+              "kappa lambda mu")
+    good = ("the quick brown fox and the lazy dog have agreed to meet "
+            "with friends of that old cat near the river bank where "
+            "tall reeds grow thick in the long summer light each year")
+    rows = [
+        (1, good),
+        (2, "- one\n- two\n- three\n- four"),          # Gopher: bullets
+        (3, shared + " first tail of the document here now"),
+        (4, shared + " second tail of the document here now"),  # dup grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    schema = z.fields({"doc_id": z.integer(), "text": z.string(min=5)})
+    res = pipeline.curate(
+        df, schema, id_col="doc_id",
+        gopher={"min_words": 10},
+        max_dup_ngram_fraction=0.5,
+        near_dup_threshold=0.99)
+    kept = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert 1 in kept and 2 not in kept
+    # docs 3+4 share most 5-grams -> dup fraction above the 0.5 cap
+    assert 3 not in kept and 4 not in kept
+    res.release()
+
+
 def test_gopher_quality_flags(spark):
     from zoi_spark import text as zt
 

@@ -76,6 +76,8 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            drop_pii: bool = False,
            strip_frequent_lines_min_docs: int | None = None,
            c4_filter: dict | None = None,
+           gopher: dict | None = None,
+           max_dup_ngram_fraction: float | None = None,
            near_dup_threshold: float = 0.85,
            minhash_bands: int = 16,
            max_bucket_size: int | None = None,
@@ -109,6 +111,18 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
       projection, fused into the scan.
 
     Documents left empty by line correction are dropped.
+
+    Document-level admission gates (both run with the quality gate, on
+    the line-corrected text):
+
+    * ``gopher`` — kwargs for text.gopher_quality_flags (pass ``{}``
+      for the defaults); documents failing any Gopher rule drop. Pure
+      column expressions, fused into the gate scan.
+    * ``max_dup_ngram_fraction`` — drop documents whose cross-corpus
+      duplicated 5-gram share (text.dup_ngram_fraction) exceeds the
+      cap: the substring-level complement to whole-doc dedup. Costs
+      one extra keyed aggregation + an anti-join on the over-cap ids
+      (the drop side — smaller than the corpus by construction).
     """
     res = validate(df, schema, id_cols=[id_col])
     valid = res.valid_rows
@@ -144,6 +158,18 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
         gated = gated.where(
             (text.pii_email_count(c) + text.pii_ipv4_count(c)
              + text.pii_phone_count(c)) == 0)
+    if gopher is not None:
+        pre = gated.columns
+        gated = (text.gopher_quality_flags(gated, text_col=text_col,
+                                           **gopher)
+                 .where(F.col("gopher_pass")).select(*pre))
+    if max_dup_ngram_fraction is not None:
+        over = (text.dup_ngram_fraction(valid, text_col=text_col,
+                                        id_col=id_col)
+                .where(F.col("dup_fraction") > max_dup_ngram_fraction)
+                .select(F.col(id_col).alias("__dng_drop")))
+        gated = gated.join(over, gated[id_col] == F.col("__dng_drop"),
+                           "left_anti")
 
     exact = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col)
 
