@@ -199,11 +199,21 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
-    """Array of overlapping character n-grams of the normalized text."""
+    """Array of overlapping character n-grams of the normalized text.
+
+    Same zip_with-chain construction as :func:`word_shingles` (over the
+    single-character split) — ``transform(sequence, i -> substring(t,
+    i, n))`` would re-normalize the whole document at every position,
+    O(len²) per doc on long pages."""
     t = normalize_text(col)
+    chars = F.split(t, "")
     k = F.length(t) - (n - 1)
-    return F.when(k <= 0, F.array(t)).otherwise(
-        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, n)))
+    grams = chars
+    for j in range(1, n):
+        shifted = F.slice(chars, j + 1,
+                          F.greatest(F.size(chars) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, b))
+    return F.when(k <= 0, F.array(t)).otherwise(F.slice(grams, 1, k))
 
 
 # Winnowing (rolling-hash) fingerprints — Schleimer/Wilkerson/Aiken's
