@@ -1808,6 +1808,24 @@ def q_gopher_quality(spark, sf_dir):
                       "gopher_pass")
 
 
+def q_ngram_decontam(spark, sf_dir):
+    """13-gram-overlap decontamination (text.ngram_decontamination,
+    the GPT-3/PaLM protocol): probes are 20-token windows lifted from
+    three corpus documents (word-aligned, so overlap is guaranteed)
+    plus one synthetic miss; corpus and probe sides explode to
+    distinct (id, gram) and meet in ONE hash join on the gram."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(text.normalize_text(F.col("text")), " ")
+    probes = (d.where(F.col("doc_id").isin(7, 42, 203))
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.concat_ws(" ", F.slice(toks, 6, 20))
+                      .alias("probe_text")))
+    miss = spark.createDataFrame(
+        [(999, " ".join(f"w{i}" for i in range(20)))],
+        "probe_id long, probe_text string")
+    return text.ngram_decontamination(d, probes.unionAll(miss), n=13)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1912,6 +1930,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "semantic_dedup": q_semantic_dedup,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "gopher_quality": q_gopher_quality,
+        "ngram_decontam": q_ngram_decontam,
     }
 
 
@@ -3689,5 +3708,39 @@ def oracle_sql() -> dict[str, str]:
                     AND (nw > 0 AND na / nw >= 0.8)
                     AND (ns >= 2)) AS gopher_pass
             FROM m
+        """,
+        "ngram_decontam": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            probes AS (
+              SELECT doc_id AS probe_id,
+                     array_to_string(t[6:25], ' ') AS ptext
+              FROM toks WHERE doc_id IN (7, 42, 203)
+              UNION ALL
+              SELECT 999, 'w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 '
+                          || 'w13 w14 w15 w16 w17 w18 w19'),
+            pt AS (SELECT probe_id, string_split(ptext, ' ') AS t
+                   FROM probes),
+            pg AS (
+              SELECT DISTINCT probe_id, gram FROM (
+                SELECT probe_id, unnest(
+                  CASE WHEN len(t) <= 12 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(t[i:i+12], ' '))
+                  END) AS gram
+                FROM pt)),
+            dg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(t) <= 12 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(t[i:i+12], ' '))
+                  END) AS gram
+                FROM toks))
+            SELECT dg.doc_id, pg.probe_id,
+                   count(*)::BIGINT AS n_shared_grams
+            FROM dg JOIN pg USING (gram)
+            GROUP BY 1, 2
         """,
     }

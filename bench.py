@@ -136,8 +136,10 @@ R3_NAMES = [
     "pack_sequences",
     # wave 3: line-level curation + perplexity proxy
     "boilerplate_strip", "c4_line_filter", "unigram_surprisal",
-    # wave 4: semantic dedup, substring-dup signal, Gopher rules
+    # wave 4: semantic dedup, substring-dup signal, Gopher rules,
+    # n-gram-overlap decontamination
     "semantic_dedup", "dup_ngram_fraction", "gopher_quality",
+    "ngram_decontam",
 ]
 
 

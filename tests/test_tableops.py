@@ -723,6 +723,24 @@ def test_gopher_quality_flags(spark):
     assert not out[3].g_symbol_ratio and not out[3].gopher_pass
 
 
+def test_ngram_decontamination(spark):
+    """13-gram overlap fires on a shared window but not on reflowed
+    text shorter than n, and the miss probe matches nothing."""
+    from zoi_spark import text as zt
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base + " tail"), (2, "unrelated " * 20)],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(10, " ".join(f"tok{i}" for i in range(5, 25))),   # inside doc 1
+         (11, "never present anywhere at all")],
+        "probe_id long, probe_text string")
+    out = {(r.doc_id, r.probe_id): r.n_shared_grams
+           for r in zt.ngram_decontamination(docs, probes, n=13).collect()}
+    assert out == {(1, 10): 8}   # 20-token window -> 8 distinct 13-grams
+
+
 def test_contamination_and_ngrams(spark):
     from zoi_spark import text as zt
 

@@ -783,3 +783,33 @@ def gopher_quality_flags(df: DataFrame, *, text_col: str = "text",
         col = F.col(name)
         gopher_pass = col if gopher_pass is None else gopher_pass & col
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+def ngram_decontamination(df: DataFrame, probes: DataFrame, *,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          probe_id_col: str = "probe_id",
+                          probe_text_col: str = "probe_text",
+                          n: int = 13) -> DataFrame:
+    """N-gram-overlap benchmark decontamination (the GPT-3 appendix-C /
+    PaLM protocol): a document is contaminated by a probe when they
+    share ANY word n-gram (13-grams classically). Catches partial /
+    reflowed quotations that whole-substring containment
+    (:func:`contamination_check`) misses.
+
+    Shape: both sides explode to DISTINCT (id, gram) and meet in one
+    hash equi-join on the gram — corpus side shuffles once on the gram
+    key; the probe side is benchmark-sized (thousands of rows), so AQE
+    broadcasts it. Nothing quadratic, no UDF. Returns one row per
+    contaminated (doc, probe) pair with the shared-gram count — feed
+    the distinct doc ids to an anti-join to scrub.
+    """
+    doc_grams = (df.select(F.col(id_col),
+                           F.explode(word_shingles(F.col(text_col), n))
+                           .alias("gram")).distinct())
+    probe_grams = (probes.select(F.col(probe_id_col),
+                                 F.explode(word_shingles(
+                                     F.col(probe_text_col), n))
+                                 .alias("gram")).distinct())
+    return (doc_grams.join(probe_grams, "gram")
+            .groupBy(id_col, probe_id_col)
+            .agg(F.count("*").alias("n_shared_grams")))
