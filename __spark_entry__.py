@@ -1826,6 +1826,41 @@ def q_ngram_decontam(spark, sf_dir):
     return text.ngram_decontamination(d, probes.unionAll(miss), n=13)
 
 
+def q_url_quality(spark, sf_dir):
+    """FineWeb-style URL intake filtering (urls.url_quality_flags):
+    seven seeded variants per doc_id — clean, IPv4 host, blocklist
+    word, digit-heavy host, crawler-trap depth, param flood, over-long
+    — so every rule fires both ways; all seven booleans + the pass
+    conjunction land under the value hash."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(50)).cast("string")
+    base = F.concat(F.lit("http://host"), g, F.lit(".example.com/p/"), g)
+    variants = [
+        base,
+        F.concat(F.lit("http://93.184.216.34/p/"), g),
+        F.concat(F.lit("http://host"), g,
+                 F.lit(".example.com/casino/"), g),
+        F.concat(F.lit("http://9876543210"), g,
+                 F.lit(".example.com/p/"), g),
+        F.concat(F.lit("http://host"), g,
+                 F.lit(".example.com/a/b/c/d/e/f/g/h/i/j/k/l/m/"), g),
+        F.concat(base, F.lit("?" + "&".join(
+            f"p{i}=1" for i in range(12)))),
+        F.concat(base, F.lit("/" + "x" * 300)),
+    ]
+    sel = F.pmod("doc_id", F.lit(7))
+    url = F.when(sel == 0, variants[0])
+    for i, v in enumerate(variants[1:], 1):
+        url = url.when(sel == i, v)
+    seeded = d.select("doc_id", url.alias("url"))
+    out = urls.url_quality_flags(seeded)
+    return out.select("doc_id", "u_valid", "u_not_ip", "u_not_blocked",
+                      "u_host_digits", "u_depth", "u_params", "u_length",
+                      "url_pass")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1931,6 +1966,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "gopher_quality": q_gopher_quality,
         "ngram_decontam": q_ngram_decontam,
+        "url_quality": q_url_quality,
     }
 
 
@@ -3742,5 +3778,63 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_shared_grams
             FROM dg JOIN pg USING (gram)
             GROUP BY 1, 2
+        """,
+        "url_quality": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE ((doc_id % 7) + 7) % 7
+                       WHEN 0 THEN 'http://host' || g
+                                   || '.example.com/p/' || g
+                       WHEN 1 THEN 'http://93.184.216.34/p/' || g
+                       WHEN 2 THEN 'http://host' || g
+                                   || '.example.com/casino/' || g
+                       WHEN 3 THEN 'http://9876543210' || g
+                                   || '.example.com/p/' || g
+                       WHEN 4 THEN 'http://host' || g
+                         || '.example.com/a/b/c/d/e/f/g/h/i/j/k/l/m/' || g
+                       WHEN 5 THEN 'http://host' || g
+                         || '.example.com/p/' || g
+                         || '?p0=1&p1=1&p2=1&p3=1&p4=1&p5=1&p6=1&p7=1'
+                         || '&p8=1&p9=1&p10=1&p11=1'
+                       ELSE 'http://host' || g || '.example.com/p/' || g
+                            || '/' || repeat('x', 300)
+                     END AS url
+              FROM (SELECT doc_id,
+                           (((doc_id % 50) + 50) % 50)::VARCHAR AS g
+                    FROM documents)),
+            m AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS path
+              FROM seeded),
+            f AS (
+              SELECT doc_id,
+                     regexp_matches(url, '^https?://[^/:?#]+') AS u_valid,
+                     NOT regexp_matches(host,
+                       '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') AS u_not_ip,
+                     NOT regexp_matches(lower(url),
+                       '(casino|xxx|viagra|lottery)') AS u_not_blocked,
+                     (length(host) > 0 AND
+                      (length(host) - length(regexp_replace(host,
+                         '[0-9]', '', 'g'))) / length(host) <= 1.0/3)
+                       AS u_host_digits,
+                     (length(path) - length(replace(path, '/', ''))) <= 12
+                       AS u_depth,
+                     (CASE WHEN regexp_matches(url, '\\?')
+                           THEN length(regexp_replace(url, '[^&]', '',
+                                                      'g')) + 1
+                           ELSE 0 END) <= 10 AS u_params,
+                     length(url) <= 300 AS u_length
+              FROM m)
+            SELECT doc_id, u_valid, u_not_ip, u_not_blocked,
+                   u_host_digits, u_depth, u_params, u_length,
+                   (u_valid AND u_not_ip AND u_not_blocked
+                    AND u_host_digits AND u_depth AND u_params
+                    AND u_length) AS url_pass
+            FROM f
         """,
     }

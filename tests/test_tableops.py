@@ -601,6 +601,14 @@ def test_curate_url_and_pii_stages(spark):
     assert kept == {1, 2}
     res.release()
 
+    # url_filter=True additionally rejects a blocklisted url at intake
+    rows2 = rows + [(5, other + " again", "http://bad.example/casino/x")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, url string")
+    res2 = pipeline.curate(df2, schema, id_col="doc_id", url_col="url",
+                           url_filter=True, drop_pii=True)
+    assert 5 not in {r.doc_id for r in res2.kept.select("doc_id").collect()}
+    res2.release()
+
 
 def test_curate_line_correction_stages(spark):
     """curate with strip_frequent_lines + c4_filter: boilerplate lines
@@ -721,6 +729,27 @@ def test_gopher_quality_flags(spark):
     assert out[1].gopher_pass
     assert not out[2].g_bullet_ratio and not out[2].gopher_pass
     assert not out[3].g_symbol_ratio and not out[3].gopher_pass
+
+
+def test_url_quality_flags(spark):
+    from zoi_spark import urls
+
+    rows = [
+        (1, "http://good.example.com/p/1"),
+        (2, "http://10.1.2.3/p/1"),                       # ip host
+        (3, "http://ok.example.com/casino/bonus"),        # blocklist
+        (4, "notaurl:whatever"),                          # malformed
+        (5, "http://x.example.com/" + "/".join("abcdefghijklmn")),
+        (6, None),                                        # null url
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in urls.url_quality_flags(df).collect()}
+    assert out[1].url_pass
+    assert not out[2].u_not_ip and not out[2].url_pass
+    assert not out[3].u_not_blocked
+    assert not out[4].u_valid
+    assert not out[5].u_depth
+    assert not out[6].u_valid and not out[6].url_pass
 
 
 def test_ngram_decontamination(spark):

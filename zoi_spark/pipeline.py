@@ -73,6 +73,7 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            allowed_langs: Sequence[str] | None = None,
            lang_col: str | None = None,
            url_col: str | None = None,
+           url_filter: bool = False,
            drop_pii: bool = False,
            strip_frequent_lines_min_docs: int | None = None,
            c4_filter: dict | None = None,
@@ -94,6 +95,9 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
       on the canonical form): one string projection + one window, the
       cheapest collapse of re-crawled resources, run before any
       content hashing.
+    * ``url_filter=True`` (with ``url_col``) — FineWeb-style URL
+      quality battery (urls.url_quality_flags) BEFORE url dedup: a
+      rejected url costs one string projection, never a text pass.
     * ``drop_pii=True`` — drop documents with email/IP/phone-shaped
       matches (text PII flags) inside the same quality-gate scan.
 
@@ -129,6 +133,10 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
 
     if url_col is not None:
         from . import urls
+        if url_filter:
+            pre = valid.columns
+            valid = (urls.url_quality_flags(valid, url_col=url_col)
+                     .where(F.col("url_pass")).select(*pre))
         valid = urls.url_dedup(valid, url_col=url_col, id_col=id_col)
 
     work_col = text_col

@@ -106,3 +106,58 @@ def url_dedup(df: DataFrame, *, url_col: str = "url",
         .orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+
+
+# demo blocklist for url_quality_flags — real deployments load a
+# curated domain/word list (UT1-style); the operator takes it as a
+# parameter so the list is data, not code
+URL_BLOCKLIST = ("casino", "xxx", "viagra", "lottery")
+
+
+def url_quality_flags(df: DataFrame, *, url_col: str = "url",
+                      max_len: int = 300, max_depth: int = 12,
+                      max_params: int = 10,
+                      max_host_digit_ratio: float = 1 / 3,
+                      blocklist: tuple[str, ...] = URL_BLOCKLIST
+                      ) -> DataFrame:
+    """FineWeb/RefinedWeb-style URL intake filtering: one boolean per
+    rule (true = passes), plus the conjunction ``url_pass`` — run
+    BEFORE fetching/validating content, since a rejected url costs one
+    string projection instead of a text pass.
+
+    Rules: well-formed absolute http(s) url; host is not an IPv4
+    literal; no blocklist token anywhere in the lowercased url; host
+    is not digit-heavy (DGA/spam hosts); path depth and query
+    parameter count bounded (crawler traps); total length bounded.
+    Pure regex/length expressions — fused into the scan, zero shuffle,
+    and every regex is RE2-compatible for the DuckDB oracle.
+    """
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    low = F.lower(u)
+    host = url_host(u)
+    hd = F.length(host) - F.length(F.regexp_replace(host, "[0-9]", ""))
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    depth = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    nparams = F.when(
+        u.rlike(r"\?"),
+        F.length(F.regexp_replace(u, r"[^&]", "")) + 1).otherwise(F.lit(0))
+
+    block_pat = "(" + "|".join(blocklist) + ")"
+    flags = {
+        "u_valid": u.rlike(r"^https?://[^/:?#]+"),
+        "u_not_ip": ~host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"),
+        "u_not_blocked": ~low.rlike(block_pat),
+        "u_host_digits": (F.length(host) > 0)
+                         & (hd / F.length(host) <= max_host_digit_ratio),
+        "u_depth": depth <= max_depth,
+        "u_params": nparams <= max_params,
+        "u_length": F.length(u) <= max_len,
+    }
+    out = df
+    for name, flag in flags.items():
+        out = out.withColumn(name, flag)
+    url_pass = None
+    for name in flags:
+        c = F.col(name)
+        url_pass = c if url_pass is None else url_pass & c
+    return out.withColumn("url_pass", url_pass)
