@@ -1861,6 +1861,30 @@ def q_url_quality(spark, sf_dir):
                       "url_pass")
 
 
+def q_curate_e2e(spark, sf_dir):
+    """The ENTIRE curation pipeline under one oracle: pipeline.curate
+    (validate → quality gate ≥ 0.55 → exact dedup → MinHash-LSH +
+    exact-verify pairs at J ≥ 0.8 → connected components → keep one
+    per cluster) over the seeded dup corpus; output = the kept doc
+    ids. The DuckDB twin recomputes every stage (validity filter,
+    quality formula, md5 keep-min window, all-pairs exact Jaccard,
+    recursive-CTE transitive closure), so stage ORDER and the
+    composition itself are value-hashed — not just each operator in
+    isolation. Each stage provably bites on this corpus: the seeded
+    +10000 copies die at exact dedup, ~16% of docs die at the quality
+    gate, and 25 natural J≥0.8 pairs drive cluster drops."""
+    from zoi_spark import pipeline
+
+    d = _dup_docs(spark, sf_dir).select("doc_id", "text")
+    schema = z.fields({"doc_id": z.integer().non_negative(),
+                       "text": z.string(min=1)})
+    res = pipeline.curate(d, schema, id_col="doc_id",
+                          min_quality=0.55,
+                          near_dup_threshold=0.8,
+                          minhash_bands=16)
+    return res.kept.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1967,6 +1991,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "gopher_quality": q_gopher_quality,
         "ngram_decontam": q_ngram_decontam,
         "url_quality": q_url_quality,
+        "curate_e2e": q_curate_e2e,
     }
 
 
@@ -2238,6 +2263,81 @@ def _dedup_clusters_sql(threshold: float = 0.8) -> str:
           SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
         SELECT src AS doc_id, min(node) AS cluster_id
         FROM reach GROUP BY src
+    """
+
+
+def _curate_e2e_sql(min_quality: float = 0.55,
+                    threshold: float = 0.8) -> str:
+    """The whole pipeline.curate composition in one recursive query:
+    validity filter → quality_score gate → md5 keep-min exact dedup →
+    all-pairs exact Jaccard ≥ threshold → transitive closure → drop
+    non-representatives. Stage order mirrors curate() exactly."""
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, text FROM ({_DUP_DOCS_SQL})
+          WHERE doc_id IS NOT NULL AND doc_id >= 0
+            AND text IS NOT NULL AND length(text) >= 1),
+        q AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, round((
+              least(length(text)::DOUBLE / 2000.0, 1.0)
+              + least((CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END)::DOUBLE / 200.0, 1.0)
+              + 1.0 - least((CASE WHEN length(text) > 0 THEN
+                  (length(text) - length(regexp_replace(text,
+                     '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE / length(text)
+                ELSE 0.0 END) * 5.0, 1.0)
+              + 1.0 - least((CASE WHEN length(text) > 0 THEN
+                  (length(text) - length(regexp_replace(text, '[A-Z]', '',
+                     'g')))::DOUBLE / length(text)
+                ELSE 0.0 END) * 4.0, 1.0)
+            ) / 4.0, 6) AS qs FROM base)
+          WHERE qs >= {min_quality}),
+        ex AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+              PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+            FROM q)
+          WHERE rn = 1),
+        toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+                 FROM ex),
+        sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' '))
+              END) AS shingle
+            FROM toks)),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh
+                  GROUP BY 1),
+        jpairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::DOUBLE AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE i / (sa.sz + sb.sz - i) >= {threshold}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM jpairs
+          UNION
+          SELECT id_b, id_a FROM jpairs),
+        reach AS (
+          SELECT a AS src, a AS node FROM edges
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        clusters AS (
+          SELECT src AS doc_id, min(node) AS cluster_id
+          FROM reach GROUP BY src),
+        drops AS (
+          SELECT doc_id FROM clusters WHERE cluster_id != doc_id)
+        SELECT e.doc_id FROM ex e
+        LEFT JOIN drops d ON e.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL
     """
 
 
@@ -3837,4 +3937,5 @@ def oracle_sql() -> dict[str, str]:
                     AND u_length) AS url_pass
             FROM f
         """,
+        "curate_e2e": _curate_e2e_sql(min_quality=0.55, threshold=0.8),
     }

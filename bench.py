@@ -139,7 +139,7 @@ R3_NAMES = [
     # wave 4: semantic dedup, substring-dup signal, Gopher rules,
     # n-gram-overlap decontamination
     "semantic_dedup", "dup_ngram_fraction", "gopher_quality",
-    "ngram_decontam", "url_quality",
+    "ngram_decontam", "url_quality", "curate_e2e",
 ]
 
 
