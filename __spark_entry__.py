@@ -1885,6 +1885,65 @@ def q_curate_e2e(spark, sf_dir):
     return res.kept.select("doc_id")
 
 
+def q_dedup_doc_lines(spark, sf_dir):
+    """Within-document repeated-line removal
+    (text.strip_repeated_lines): every line keeps its first occurrence
+    — the in-doc complement of corpus-level boilerplate stripping, one
+    fused array_distinct projection. md5 of the rebuilt text proves
+    byte-exact first-occurrence order."""
+    lined = _lined_docs(spark, sf_dir)
+    out = text.strip_repeated_lines(lined)
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+def q_url_latest_dedup(spark, sf_dir):
+    """Recrawl handling (urls.url_dedup_latest): the same five seeded
+    canonical-url decorations as url_canonical_dedup, plus a
+    deterministic crawl timestamp per row — keep the LATEST fetch per
+    canonical form (ties → min id) instead of first-seen."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(50)).cast("string")
+    base = F.concat(F.lit("http://host"), g, F.lit(".example.com/p/"), g)
+    variants = [
+        base,
+        F.concat(F.lit("HTTP://HOST"), g, F.lit(".EXAMPLE.COM/p/"), g),
+        F.concat(F.lit("http://host"), g, F.lit(".example.com:80/p/"), g),
+        F.concat(base, F.lit("?utm_source=x&utm_campaign=y")),
+        F.concat(base, F.lit("#frag")),
+    ]
+    sel = F.pmod("doc_id", F.lit(5))
+    url = F.when(sel == 0, variants[0])
+    for i, v in enumerate(variants[1:], 1):
+        url = url.when(sel == i, v)
+    seeded = d.select(
+        "doc_id", url.alias("url"),
+        F.timestamp_seconds(
+            F.lit(1577836800)
+            + F.pmod(F.col("doc_id") * 7919, F.lit(100000))).alias("ts"))
+    return (urls.url_dedup_latest(seeded, url_col="url", ts_col="ts",
+                                  id_col="doc_id")
+            .select("doc_id"))
+
+
+def q_token_budget_fill(spark, sf_dir):
+    """Training-mixture assembly (sampling.token_budget_fill): walk
+    each lang stratum in doc_id order and keep documents while the
+    running whitespace-token total stays ≤ 5000 — one running-sum
+    window per stratum, the cumulative column itself value-hashed."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    dd = d.select("doc_id", "lang",
+                  text.token_count(F.col("text")).alias("n_tokens"))
+    out = sampling.token_budget_fill(dd, id_col="doc_id",
+                                     weight_col="n_tokens",
+                                     budget=5000, stratum_col="lang")
+    return out.select("doc_id", "lang", "cum_tokens")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1992,6 +2051,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_decontam": q_ngram_decontam,
         "url_quality": q_url_quality,
         "curate_e2e": q_curate_e2e,
+        # r3 wave 5: in-doc line dedup, recrawl handling, mixture fill
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "url_latest_dedup": q_url_latest_dedup,
+        "token_budget_fill": q_token_budget_fill,
     }
 
 
@@ -2263,6 +2326,42 @@ def _dedup_clusters_sql(threshold: float = 0.8) -> str:
           SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
         SELECT src AS doc_id, min(node) AS cluster_id
         FROM reach GROUP BY src
+    """
+
+
+def _url_latest_sql() -> str:
+    """SQL twin of q_url_latest_dedup: same seeded decorations and
+    deterministic crawl timestamp, canonicalized with the
+    urls.canonical_url_sql pipeline, keep latest (ties → min id)."""
+    from zoi_spark.urls import canonical_url_sql
+
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE ((doc_id % 5) + 5) % 5
+                   WHEN 0 THEN 'http://host' || g || '.example.com/p/' || g
+                   WHEN 1 THEN 'HTTP://HOST' || g || '.EXAMPLE.COM/p/' || g
+                   WHEN 2 THEN 'http://host' || g
+                               || '.example.com:80/p/' || g
+                   WHEN 3 THEN 'http://host' || g || '.example.com/p/' || g
+                               || '?utm_source=x&utm_campaign=y'
+                   ELSE 'http://host' || g || '.example.com/p/' || g
+                        || '#frag'
+                 END AS url,
+                 to_timestamp(1577836800
+                              + (((doc_id * 7919) % 100000) + 100000)
+                                % 100000) AS ts
+          FROM (SELECT doc_id,
+                       (((doc_id % 50) + 50) % 50)::VARCHAR AS g
+                FROM documents)),
+        c AS (
+          SELECT doc_id, ts, {canonical_url_sql('url')} AS curl
+          FROM seeded)
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY curl ORDER BY ts DESC, doc_id ASC) AS rn
+          FROM c)
+        WHERE rn = 1
     """
 
 
@@ -3938,4 +4037,41 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "curate_e2e": _curate_e2e_sql(min_quality=0.55, threshold=0.8),
+        "dedup_doc_lines": f"""
+            WITH lined AS ({_lined_docs_sql()}),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS pos
+              FROM lined),
+            f AS (
+              SELECT doc_id, line, min(pos) AS p
+              FROM l GROUP BY doc_id, line),
+            a AS (SELECT doc_id, count(*)::BIGINT AS n_lines
+                  FROM l GROUP BY 1),
+            b AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY p))
+                       AS clean_md5
+              FROM f GROUP BY doc_id)
+            SELECT a.doc_id, n_lines, n_kept, clean_md5
+            FROM a JOIN b USING (doc_id)
+        """,
+        "url_latest_dedup": _url_latest_sql(),
+        "token_budget_fill": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END)::BIGINT AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang,
+                     sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t)
+            SELECT doc_id, lang, cum_tokens::BIGINT AS cum_tokens
+            FROM c WHERE cum_tokens <= 5000
+        """,
     }

@@ -140,6 +140,8 @@ R3_NAMES = [
     # n-gram-overlap decontamination
     "semantic_dedup", "dup_ngram_fraction", "gopher_quality",
     "ngram_decontam", "url_quality", "curate_e2e",
+    # wave 5: in-doc line dedup, recrawl handling, mixture fill
+    "dedup_doc_lines", "url_latest_dedup", "token_budget_fill",
 ]
 
 

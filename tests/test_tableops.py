@@ -731,6 +731,47 @@ def test_gopher_quality_flags(spark):
     assert not out[3].g_symbol_ratio and not out[3].gopher_pass
 
 
+def test_strip_repeated_lines(spark):
+    from zoi_spark import text as zt
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, "solo")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in zt.strip_repeated_lines(df).collect()}
+    assert out[1].clean_text == "a\nb\nc"          # first occurrences, in order
+    assert (out[1].n_lines, out[1].n_kept) == (5, 3)
+    assert out[2].clean_text == "x"
+    assert out[3].clean_text == "solo"
+
+
+def test_url_dedup_latest(spark):
+    from zoi_spark import urls
+
+    rows = [
+        (1, "http://a.com/p", "2024-01-01 00:00:00"),
+        (2, "HTTP://A.COM/p#f", "2024-06-01 00:00:00"),   # same canonical, later
+        (3, "http://b.com/p", "2024-01-01 00:00:00"),
+        (4, "http://b.com:80/p", "2024-01-01 00:00:00"),  # same canonical, tie -> min id
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    kept = {r.doc_id for r in urls.url_dedup_latest(
+        df, url_col="url", ts_col="ts", id_col="doc_id").collect()}
+    assert kept == {2, 3}
+
+
+def test_token_budget_fill(spark):
+    from zoi_spark import sampling
+
+    rows = [(1, "en", 40), (2, "en", 50), (3, "en", 20),   # cum 40,90,110
+            (4, "de", 90), (5, "de", 20)]                   # cum 90,110
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = {r.doc_id: r.cum_tokens for r in sampling.token_budget_fill(
+        df, id_col="doc_id", weight_col="n", budget=100,
+        stratum_col="lang").collect()}
+    assert out == {1: 40, 2: 90, 4: 90}
+
+
 def test_url_quality_flags(spark):
     from zoi_spark import urls
 

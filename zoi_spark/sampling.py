@@ -166,3 +166,28 @@ def pack_sequences(df: DataFrame, *, token_col: str, capacity: int,
             .withColumn("seq_bin",
                         F.floor((cum - F.col(token_col))
                                 / F.lit(capacity)).cast("long")))
+
+
+def token_budget_fill(df: DataFrame, *, id_col: str, weight_col: str,
+                      budget: int,
+                      stratum_col: str | None = None) -> DataFrame:
+    """Greedy token-budget fill: walk each stratum in deterministic
+    ``id_col`` order and keep rows while the running token total stays
+    within *budget* — how a training mixture is actually assembled
+    ("N billion tokens of lang=X", "M tokens of domain=Y").
+
+    One window (running sum) per stratum; the window's sort shuffles
+    once on the stratum key. Always pass ``stratum_col`` at corpus
+    scale: with no stratum the running sum is a single total order —
+    one partition must sort everything, exactly like any global
+    cumulative operator.
+
+    Adds ``cum_tokens`` (the running total INCLUDING the row);
+    returns only rows that fit the budget.
+    """
+    part = F.col(stratum_col) if stratum_col else F.lit(0)
+    w = (Window.partitionBy(part).orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(weight_col)).over(w)
+    return (df.withColumn("cum_tokens", cum)
+            .where(F.col("cum_tokens") <= budget))

@@ -813,3 +813,23 @@ def ngram_decontamination(df: DataFrame, probes: DataFrame, *,
     return (doc_grams.join(probe_grams, "gram")
             .groupBy(id_col, probe_id_col)
             .agg(F.count("*").alias("n_shared_grams")))
+
+
+def strip_repeated_lines(df: DataFrame, *, text_col: str = "text",
+                         out_col: str = "clean_text") -> DataFrame:
+    """Within-document exact repeated-line removal — the in-doc
+    complement of corpus-level :func:`strip_boilerplate` (Gopher's
+    in-document repetition signals, Rae et al. 2021 §A1.1, applied as
+    a correction instead of a drop): every line keeps its FIRST
+    occurrence, later byte-identical repeats are removed.
+
+    ``array_distinct`` preserves first-occurrence order, so the whole
+    operator is one fused scan projection (split → array_distinct →
+    array_join): zero shuffle, zero UDF, the ideal 10^12-doc shape.
+    Adds ``n_lines``, ``n_kept``, *out_col*; original bytes untouched.
+    """
+    lines = split_lines(F.col(text_col))
+    kept = F.array_distinct(lines)
+    return (df.withColumn("n_lines", F.size(lines))
+            .withColumn("n_kept", F.size(kept))
+            .withColumn(out_col, F.array_join(kept, "\n")))

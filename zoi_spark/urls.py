@@ -161,3 +161,18 @@ def url_quality_flags(df: DataFrame, *, url_col: str = "url",
         c = F.col(name)
         url_pass = c if url_pass is None else url_pass & c
     return out.withColumn("url_pass", url_pass)
+
+
+def url_dedup_latest(df: DataFrame, *, url_col: str = "url",
+                     ts_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Keep the LATEST crawl per canonical url (ties → min id) — the
+    recrawl-handling variant of :func:`url_dedup`: Common-Crawl-style
+    corpora carry the same resource across snapshots, and training
+    pipelines usually want the freshest fetch, not the first-seen id.
+    Same shape as url_dedup: one string projection + one window over
+    the canonical form, one shuffle, no join.
+    """
+    w = (Window.partitionBy(canonical_url(F.col(url_col)))
+         .orderBy(F.col(ts_col).desc(), F.col(id_col).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
