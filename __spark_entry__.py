@@ -4012,7 +4012,8 @@ def oracle_sql() -> dict[str, str]:
               FROM seeded),
             f AS (
               SELECT doc_id,
-                     regexp_matches(url, '^https?://[^/:?#]+') AS u_valid,
+                     regexp_matches(url, '(?i)^https?://[^/:?#]+')
+                       AS u_valid,
                      NOT regexp_matches(host,
                        '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') AS u_not_ip,
                      NOT regexp_matches(lower(url),
@@ -4045,16 +4046,20 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(string_split(text, chr(10)), 1)
                        AS pos
               FROM lined),
-            f AS (
-              SELECT doc_id, line, min(pos) AS p
-              FROM l GROUP BY doc_id, line),
+            k AS (
+              SELECT doc_id, line, pos FROM (
+                SELECT doc_id, line, pos,
+                       row_number() OVER (
+                         PARTITION BY doc_id, line ORDER BY pos) AS rn
+                FROM l)
+              WHERE rn = 1 OR trim(line) = ''),
             a AS (SELECT doc_id, count(*)::BIGINT AS n_lines
                   FROM l GROUP BY 1),
             b AS (
               SELECT doc_id, count(*)::BIGINT AS n_kept,
-                     md5(string_agg(line, chr(10) ORDER BY p))
+                     md5(string_agg(line, chr(10) ORDER BY pos))
                        AS clean_md5
-              FROM f GROUP BY doc_id)
+              FROM k GROUP BY doc_id)
             SELECT a.doc_id, n_lines, n_kept, clean_md5
             FROM a JOIN b USING (doc_id)
         """,

@@ -735,13 +735,15 @@ def test_strip_repeated_lines(spark):
     from zoi_spark import text as zt
 
     df = spark.createDataFrame(
-        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, "solo")],
+        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, "solo"),
+         (4, "p1\n\np2\n\np3")],                    # blank separators exempt
         "doc_id long, text string")
     out = {r.doc_id: r for r in zt.strip_repeated_lines(df).collect()}
     assert out[1].clean_text == "a\nb\nc"          # first occurrences, in order
     assert (out[1].n_lines, out[1].n_kept) == (5, 3)
     assert out[2].clean_text == "x"
     assert out[3].clean_text == "solo"
+    assert out[4].clean_text == "p1\n\np2\n\np3"   # paragraph structure intact
 
 
 def test_url_dedup_latest(spark):

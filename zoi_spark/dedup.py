@@ -1018,9 +1018,15 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "doc_id",
                    cell_col: str | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus into k-means cells, score
-    cosine similarity only WITHIN each cell, and keep exactly one
-    representative per near-identical group — the smallest id, so the
-    kept set is deterministic.
+    cosine similarity only WITHIN each cell, and drop every vector
+    that has a SMALLER-ID in-cell neighbor at ≥ threshold. The kept
+    set is deterministic, and no two kept vectors in a cell are within
+    threshold of each other — but the rule is the greedy drop, NOT the
+    transitive closure: in a chain a≈b≈c with a̸≈c, b drops (neighbor
+    a) and c drops (neighbor b) even though c has no kept neighbor.
+    That matches SemDeDup's per-cluster greedy policy; when you want
+    one-representative-per-connected-component semantics instead, feed
+    the pair list to :func:`duplicate_clusters`.
 
     Composition of existing primitives, so every scale property is
     inherited: cell assignment is a pure expression chain over inlined
@@ -1028,9 +1034,9 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "doc_id",
     trained output of ``similarity.refine_centroids``); in-cell pairing
     is ``embedding_near_dups`` with the cell as the block key (one
     numpy matmul per cell under the default Arrow engine, and the same
-    ``max_block_size`` degenerate-cell cap); the drop rule "has a
-    smaller-id neighbor at ≥ threshold" needs only the pair list's
-    ``id_b`` side — no label propagation, one anti-join.
+    ``max_block_size`` degenerate-cell cap); the greedy drop rule
+    needs only the pair list's ``id_b`` side — no label propagation,
+    one anti-join.
 
     At 10^12 docs: cells ≈ corpus/k, so k must grow with the corpus
     (SemDeDup used 50k clusters for LAION) — size it like

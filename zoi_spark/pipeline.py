@@ -153,6 +153,12 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
         work_col = "__c4_clean"
     if work_col != text_col:
         valid = valid.where(F.length(F.trim(F.col(work_col))) > 0)
+        if work_col == "__c4_clean" and strip_frequent_lines_min_docs \
+                is not None:
+            # the boilerplate stage's intermediate column was
+            # superseded by the C4 pass — don't carry a second full
+            # copy of every document through the rest of the pipeline
+            valid = valid.drop("__line_clean")
     text_col = work_col
 
     gated = valid.where(
@@ -171,10 +177,12 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
         gated = (text.gopher_quality_flags(gated, text_col=text_col,
                                            **gopher)
                  .where(F.col("gopher_pass")).select(*pre))
+    extra_caches: list = []
     if max_dup_ngram_fraction is not None:
-        over = (text.dup_ngram_fraction(valid, text_col=text_col,
-                                        id_col=id_col)
-                .where(F.col("dup_fraction") > max_dup_ngram_fraction)
+        frac = text.dup_ngram_fraction(valid, text_col=text_col,
+                                       id_col=id_col)
+        extra_caches += getattr(frac, "_zoi_persisted", [])
+        over = (frac.where(F.col("dup_fraction") > max_dup_ngram_fraction)
                 .select(F.col(id_col).alias("__dng_drop")))
         gated = gated.join(over, gated[id_col] == F.col("__dng_drop"),
                            "left_anti")
@@ -195,7 +203,7 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
     kept = exact.join(drop, exact[id_col] == F.col("__drop_id"), "left_anti")
 
     caches = [c for c in [getattr(pairs, "_zoi_persisted", None)]
-              if c is not None]
+              if c is not None] + extra_caches
     return CurationResult(
         kept=kept,
         stages={"input": df, "valid": valid, "quality": gated,

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram-free heuristic
@@ -695,24 +695,31 @@ def dup_ngram_fraction(df: DataFrame, *, text_col: str = "text",
     can replace gram strings to cut shuffle bytes.
 
     Returns ``(id_col, n_grams, n_dup, dup_fraction)`` — gate with
-    e.g. ``dup_fraction <= 0.3``.
+    e.g. ``dup_fraction <= 0.3``. The exploded gram table feeds BOTH
+    the frequency aggregation and the join probe side, so it is
+    persisted for the call (otherwise the corpus-wide explode — the
+    dominant cost — runs twice); the handle rides on the result's
+    ``_zoi_persisted`` for release after materialization, same
+    contract as ``unigram_logprob``.
     """
     grams = (df.select(F.col(id_col),
                        F.explode(word_shingles(F.col(text_col), n))
-                       .alias("gram")))
+                       .alias("gram"))).persist()
     dfreq = (grams.groupBy("gram")
              .agg(F.count_distinct(F.col(id_col)).alias("_df"))
              .where(F.col("_df") >= min_docs)
              .select("gram"))
     flagged = (grams.join(dfreq.withColumn("_dup", F.lit(1)),
                           "gram", "left"))
-    return (flagged.groupBy(id_col)
-            .agg(F.count("*").alias("n_grams"),
-                 F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
-                 .alias("n_dup"))
-            .select(F.col(id_col), "n_grams", "n_dup",
-                    F.round(F.col("n_dup") / F.col("n_grams"), 6)
-                    .alias("dup_fraction")))
+    out = (flagged.groupBy(id_col)
+           .agg(F.count("*").alias("n_grams"),
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                .alias("n_dup"))
+           .select(F.col(id_col), "n_grams", "n_dup",
+                   F.round(F.col("n_dup") / F.col("n_grams"), 6)
+                   .alias("dup_fraction")))
+    out._zoi_persisted = [grams]  # release after materialization
+    return out
 
 
 def gopher_quality_flags(df: DataFrame, *, text_col: str = "text",
@@ -816,20 +823,38 @@ def ngram_decontamination(df: DataFrame, probes: DataFrame, *,
 
 
 def strip_repeated_lines(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id",
                          out_col: str = "clean_text") -> DataFrame:
     """Within-document exact repeated-line removal — the in-doc
     complement of corpus-level :func:`strip_boilerplate` (Gopher's
     in-document repetition signals, Rae et al. 2021 §A1.1, applied as
-    a correction instead of a drop): every line keeps its FIRST
-    occurrence, later byte-identical repeats are removed.
+    a correction instead of a drop): every NON-BLANK line keeps its
+    FIRST occurrence and later byte-identical repeats are removed;
+    blank/whitespace-only lines are EXEMPT — they are paragraph
+    structure, not repetition, and a naive ``array_distinct`` would
+    merge every paragraph after the first separator.
 
-    ``array_distinct`` preserves first-occurrence order, so the whole
-    operator is one fused scan projection (split → array_distinct →
-    array_join): zero shuffle, zero UDF, the ideal 10^12-doc shape.
-    Adds ``n_lines``, ``n_kept``, *out_col*; original bytes untouched.
+    Shape: posexplode → first-occurrence window on (doc, line) →
+    position-ordered re-aggregation → join back. Two keyed shuffles +
+    one id join — not a fused projection, because first-occurrence
+    with an exemption needs per-line ordering, and the in-expression
+    alternatives (array_position inside a filter lambda) re-scan the
+    line array per element, O(lines²) per doc. Adds ``n_lines``,
+    ``n_kept``, *out_col*; original bytes untouched.
     """
     lines = split_lines(F.col(text_col))
-    kept = F.array_distinct(lines)
-    return (df.withColumn("n_lines", F.size(lines))
-            .withColumn("n_kept", F.size(kept))
-            .withColumn(out_col, F.array_join(kept, "\n")))
+    base = df.withColumn("n_lines", F.size(lines))
+    exploded = base.select(
+        F.col(id_col), F.posexplode(lines).alias("__pos", "__line"))
+    w = Window.partitionBy(id_col, "__line").orderBy("__pos")
+    kept = (exploded.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) | (F.trim("__line") == "")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__line"))),
+                            lambda s: s["__line"]),
+                        "\n").alias(out_col)))
+    return base.join(rebuilt, id_col)

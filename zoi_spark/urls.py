@@ -27,6 +27,8 @@ counterpart the 100 TB engine needs (SURVEY §2.6 charter).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,11 +103,17 @@ def url_dedup(df: DataFrame, *, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per canonical url (window over
     the canonical form — one shuffle, no join; same shape as
-    dedup.exact_dedup)."""
-    w = Window.partitionBy(canonical_url(F.col(url_col))) \
-        .orderBy(F.col(id_col))
+    dedup.exact_dedup).
+
+    Rows with a NULL/empty url are EXEMPT (all kept): a null key is
+    not "the same resource" — without the guard the window would
+    collapse every url-less row into one partition and keep a single
+    survivor (same hazard url_dedup_groups filters against)."""
+    curl = canonical_url(F.col(url_col))
+    w = Window.partitionBy(curl).orderBy(F.col(id_col))
+    exempt = F.col(url_col).isNull() | (curl == "")
     return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1).drop("__rn"))
+            .where((F.col("__rn") == 1) | exempt).drop("__rn"))
 
 
 # demo blocklist for url_quality_flags — real deployments load a
@@ -142,11 +150,20 @@ def url_quality_flags(df: DataFrame, *, url_col: str = "url",
         u.rlike(r"\?"),
         F.length(F.regexp_replace(u, r"[^&]", "")) + 1).otherwise(F.lit(0))
 
-    block_pat = "(" + "|".join(blocklist) + ")"
+    # blocklist tokens are LITERALS, not regexes (re.escape); an empty
+    # blocklist disables the rule instead of matching everything (the
+    # bare alternation "()" would match every url)
+    if blocklist:
+        block_pat = "(" + "|".join(re.escape(b) for b in blocklist) + ")"
+        not_blocked = ~low.rlike(block_pat)
+    else:
+        not_blocked = F.lit(True)
     flags = {
-        "u_valid": u.rlike(r"^https?://[^/:?#]+"),
+        # scheme case is insignificant (RFC 3986; canonical_url
+        # lowercases it) — match it case-insensitively here too
+        "u_valid": u.rlike(r"(?i)^https?://[^/:?#]+"),
         "u_not_ip": ~host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"),
-        "u_not_blocked": ~low.rlike(block_pat),
+        "u_not_blocked": not_blocked,
         "u_host_digits": (F.length(host) > 0)
                          & (hd / F.length(host) <= max_host_digit_ratio),
         "u_depth": depth <= max_depth,
@@ -170,9 +187,12 @@ def url_dedup_latest(df: DataFrame, *, url_col: str = "url",
     corpora carry the same resource across snapshots, and training
     pipelines usually want the freshest fetch, not the first-seen id.
     Same shape as url_dedup: one string projection + one window over
-    the canonical form, one shuffle, no join.
+    the canonical form, one shuffle, no join. Rows with a NULL/empty
+    url are exempt (all kept) — same guard and rationale as url_dedup.
     """
-    w = (Window.partitionBy(canonical_url(F.col(url_col)))
+    curl = canonical_url(F.col(url_col))
+    w = (Window.partitionBy(curl)
          .orderBy(F.col(ts_col).desc(), F.col(id_col).asc()))
+    exempt = F.col(url_col).isNull() | (curl == "")
     return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1).drop("__rn"))
+            .where((F.col("__rn") == 1) | exempt).drop("__rn"))
