@@ -1944,6 +1944,23 @@ def q_token_budget_fill(spark, sf_dir):
     return out.select("doc_id", "lang", "cum_tokens")
 
 
+def q_cluster_best_rep(spark, sf_dir):
+    """Quality-based near-dup retention (dedup.cluster_representatives):
+    per duplicate cluster keep the argmax quality_score member (ties →
+    min id) instead of the smallest id — the retention policy real
+    pipelines run. Chain: LSH pairs at J ≥ 0.8 → connected components
+    → per-cluster argmax window; the oracle recomputes clusters via
+    the recursive-CTE closure and the identical quality formula."""
+    d = _dup_docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8, num_hashes=64,
+                                      bands=16)
+    clusters = dedup.duplicate_clusters(pairs)
+    scored = d.select("doc_id",
+                      text.quality_score(F.col("text")).alias("q"))
+    reps = dedup.cluster_representatives(clusters, scored, score_col="q")
+    return reps.select("cluster_id", "keep_id", "q")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2055,6 +2072,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_doc_lines": q_dedup_doc_lines,
         "url_latest_dedup": q_url_latest_dedup,
         "token_budget_fill": q_token_budget_fill,
+        "cluster_best_rep": q_cluster_best_rep,
     }
 
 
@@ -4064,6 +4082,33 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN b USING (doc_id)
         """,
         "url_latest_dedup": _url_latest_sql(),
+        "cluster_best_rep": f"""
+            WITH clus AS ({_dedup_clusters_sql(0.8)}),
+            scored AS (
+              SELECT doc_id, round((
+                least(length(text)::DOUBLE / 2000.0, 1.0)
+                + least((CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+'))
+                         END)::DOUBLE / 200.0, 1.0)
+                + 1.0 - least((CASE WHEN length(text) > 0 THEN
+                    (length(text) - length(regexp_replace(text,
+                       '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+                      / length(text)
+                  ELSE 0.0 END) * 5.0, 1.0)
+                + 1.0 - least((CASE WHEN length(text) > 0 THEN
+                    (length(text) - length(regexp_replace(text, '[A-Z]',
+                       '', 'g')))::DOUBLE / length(text)
+                  ELSE 0.0 END) * 4.0, 1.0)
+              ) / 4.0, 6) AS q
+              FROM ({_DUP_DOCS_SQL}))
+            SELECT cluster_id, keep_id, q FROM (
+              SELECT c.cluster_id, c.doc_id AS keep_id, s.q,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY s.q DESC, c.doc_id ASC) AS rn
+              FROM clus c JOIN scored s ON s.doc_id = c.doc_id)
+            WHERE rn = 1
+        """,
         "token_budget_fill": """
             WITH t AS (
               SELECT doc_id, lang,

@@ -731,6 +731,20 @@ def test_gopher_quality_flags(spark):
     assert not out[3].g_symbol_ratio and not out[3].gopher_pass
 
 
+def test_cluster_representatives(spark):
+    from zoi_spark import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.4)],
+        "doc_id long, score double")
+    reps = {r.cluster_id: r.keep_id for r in dedup.cluster_representatives(
+        clusters, scores).collect()}
+    assert reps == {1: 2, 7: 7}      # argmax score, tie -> min id
+
+
 def test_strip_repeated_lines(spark):
     from zoi_spark import text as zt
 

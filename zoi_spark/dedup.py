@@ -1065,3 +1065,32 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "doc_id",
     drop = pairs.select(F.col("id_b").alias("__semdedup_drop")).distinct()
     return df.join(drop, df[id_col] == F.col("__semdedup_drop"),
                    "left_anti")
+
+
+def cluster_representatives(clusters: DataFrame, scores: DataFrame, *,
+                            id_col: str = "doc_id",
+                            cluster_col: str = "cluster_id",
+                            score_col: str = "score") -> DataFrame:
+    """Pick the KEPT document per near-dup cluster by quality instead
+    of by id: argmax *score_col* (ties → min id) over each cluster
+    from :func:`duplicate_clusters`. Real pipelines keep the
+    best-quality member of a duplicate group (longest, cleanest,
+    highest classifier score), not the one with the smallest id — this
+    is that retention policy as a first-class operator.
+
+    One id equi-join (scores side is the corpus — hash join, AQE picks
+    the build side) + one window per cluster. Returns
+    ``(cluster_col, keep_id, score_col)``; anti-join the cluster
+    members against ``keep_id`` to drop the rest::
+
+        reps  = cluster_representatives(clusters, scored, ...)
+        drops = clusters.join(reps, cluster_col) \\
+                        .where(F.col(id_col) != F.col("keep_id"))
+    """
+    j = clusters.join(scores, id_col)
+    w = (Window.partitionBy(cluster_col)
+         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    return (j.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(cluster_col, F.col(id_col).alias("keep_id"),
+                    score_col))
