@@ -1961,6 +1961,49 @@ def q_cluster_best_rep(spark, sf_dir):
     return reps.select("cluster_id", "keep_id", "q")
 
 
+def q_stream_dedup_docs(spark, sf_dir):
+    """STREAMING content dedup in the oracle gate
+    (streaming.dedup_stream → dropDuplicatesWithinWatermark on the
+    content fingerprint): the seeded dup corpus staged as a landing
+    file, streamed with an availableNow trigger into a parquet sink.
+    WHICH twin of a duplicate pair survives depends on per-key arrival
+    order (racy if the scan ever splits the file across tasks), but
+    the survivor's CONTENT is identical by construction — so the gated
+    value is the kept rows' content fingerprints, order-invariant and
+    equal to the distinct fingerprint set of the corpus. Exactly-once
+    + dedup-happened are both under the value hash (520 rows → 500
+    fingerprints, each exactly once)."""
+    import shutil
+    import tempfile
+
+    from zoi_spark import streaming
+
+    out_dir = os.path.join(tempfile.gettempdir(), "zoi_stream_dedup_gate")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    in_dir = os.path.join(out_dir, "in")
+    os.makedirs(in_dir)
+    corpus = (_dup_docs(spark, sf_dir)
+              .select("doc_id", "text",
+                      F.timestamp_seconds(
+                          F.lit(1577836800) + F.pmod("doc_id", F.lit(600)))
+                      .alias("warc_ts"))
+              .coalesce(1).sortWithinPartitions("doc_id"))
+    corpus.write.mode("overwrite").parquet(in_dir)
+    sdf = spark.readStream.schema(corpus.schema).parquet(in_dir)
+    deduped = streaming.dedup_stream(sdf, id_col="doc_id",
+                                     ts_col="warc_ts", text_col="text",
+                                     watermark="1 hour")
+    q = (deduped.select(
+            text.fingerprint(F.col("text")).alias("fp")).writeStream
+         .format("parquet")
+         .option("path", f"{out_dir}/data")
+         .option("checkpointLocation", f"{out_dir}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{out_dir}/data").select("fp")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2073,6 +2116,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "url_latest_dedup": q_url_latest_dedup,
         "token_budget_fill": q_token_budget_fill,
         "cluster_best_rep": q_cluster_best_rep,
+        "stream_dedup_docs": q_stream_dedup_docs,
     }
 
 
@@ -4108,6 +4152,10 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY s.q DESC, c.doc_id ASC) AS rn
               FROM clus c JOIN scored s ON s.doc_id = c.doc_id)
             WHERE rn = 1
+        """,
+        "stream_dedup_docs": f"""
+            SELECT DISTINCT md5({_NORM_SQL}) AS fp
+            FROM ({_DUP_DOCS_SQL})
         """,
         "token_budget_fill": """
             WITH t AS (
