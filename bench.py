@@ -152,10 +152,11 @@ def bench_r3_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = em.queries()
     out = {name: round(_run(qs[name](spark, sf_dir), name), 3)
            for name in R3_NAMES}
-    t0 = time.time()
-    qs["stream_validate_docs"](spark, sf_dir).write.format("noop") \
-        .mode("overwrite").save()
-    out["stream_validate_docs"] = round(time.time() - t0, 3)
+    for sname in ["stream_validate_docs", "stream_dedup_docs"]:
+        t0 = time.time()
+        qs[sname](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        out[sname] = round(time.time() - t0, 3)
     return out
 
 

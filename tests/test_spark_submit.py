@@ -87,3 +87,43 @@ def test_spark_submit_py_files_roundtrip(tmp_path):
     rc2, summary2 = submit("r1")
     assert summary2["n_partitions_skipped"] == 8
     assert summary2["n_partitions_processed"] == 0
+
+
+@pytest.mark.timeout(600)
+def test_spark_submit_curate_mode(tmp_path):
+    """--mode curate via spark-submit: the whole curation pipeline is
+    deployable with the same --py-files shape; kept corpus written to
+    parquet, ledger JSON on stdout, exit 0."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__),
+                                    "bin", "spark-submit")
+    zpath = _zip_package(tmp_path)
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps(SCHEMA))
+    out_dir = str(tmp_path / "kept")
+
+    cmd = [spark_submit, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=8",
+           "--py-files", zpath,
+           os.path.join(REPO, "zoi_spark", "cli.py"),
+           "--mode", "curate",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--schema", str(schema_file),
+           "--id-col", "doc_id",
+           "--run-id", "c1",
+           "--output", out_dir,
+           "--min-quality", "0.55",
+           "--near-dup-threshold", "0.8"]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=540, cwd=str(tmp_path))
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert lines, f"no ledger JSON:\n{out.stdout}\n{out.stderr[-2000:]}"
+    ledger = json.loads(lines[0])
+    assert ledger["converged"] is True
+    assert 0 < ledger["near_dedup"] <= ledger["valid"] <= ledger["input"]
+    assert ledger["kept_ws_tokens"] > 0
+    assert os.path.isdir(out_dir)

@@ -28,19 +28,41 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zoi-spark",
                                 description="validate a table against a schema")
+    p.add_argument("--mode", choices=["validate", "curate"],
+                   default="validate",
+                   help="validate (default): resumable rule-set run; "
+                        "curate: full corpus-curation pipeline "
+                        "(validate → gates → dedup) writing the kept "
+                        "corpus to --output")
     p.add_argument("--input", required=True,
                    help="parquet path or iceberg table (catalog.db.table)")
     p.add_argument("--schema", required=True,
                    help="JSON-Schema file describing the rule-set")
     p.add_argument("--id-col", required=True)
-    p.add_argument("--manifest", required=True,
-                   help="parquet dir for the per-partition manifest")
+    p.add_argument("--manifest", default=None,
+                   help="parquet dir for the per-partition manifest "
+                        "(required in validate mode)")
     p.add_argument("--violations", default=None)
     p.add_argument("--run-id", required=True)
     p.add_argument("--partitions", type=int, default=256)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--stats", action="store_true",
                    help="also print the fused single-pass column stats")
+    # curate-mode options (ignored in validate mode)
+    p.add_argument("--output", default=None,
+                   help="parquet dir for the kept corpus (curate mode)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--allowed-langs", default=None,
+                   help="comma-separated lang allow-list")
+    p.add_argument("--lang-col", default=None)
+    p.add_argument("--url-col", default=None)
+    p.add_argument("--url-filter", action="store_true")
+    p.add_argument("--drop-pii", action="store_true")
+    p.add_argument("--gopher", action="store_true",
+                   help="apply the Gopher admission battery (defaults)")
+    p.add_argument("--max-dup-ngram-fraction", type=float, default=None)
+    p.add_argument("--near-dup-threshold", type=float, default=0.85)
     return p
 
 
@@ -66,6 +88,31 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = spark.read.table(args.input)
 
+    if args.mode == "curate":
+        if not args.output:
+            print("--output is required in curate mode", file=sys.stderr)
+            return 2
+        from zoi_spark import pipeline
+        res = pipeline.curate(
+            df, schema, id_col=args.id_col, text_col=args.text_col,
+            min_quality=args.min_quality,
+            allowed_langs=(args.allowed_langs.split(",")
+                           if args.allowed_langs else None),
+            lang_col=args.lang_col or None, url_col=args.url_col or None,
+            url_filter=args.url_filter, drop_pii=args.drop_pii,
+            gopher=({} if args.gopher else None),
+            max_dup_ngram_fraction=args.max_dup_ngram_fraction,
+            near_dup_threshold=args.near_dup_threshold)
+        res.kept.write.mode("overwrite").parquet(args.output)
+        ledger = res.report()
+        res.release()
+        print(json.dumps({"run_id": args.run_id,
+                          "converged": res.converged, **ledger}))
+        return 0
+
+    if not args.manifest:
+        print("--manifest is required in validate mode", file=sys.stderr)
+        return 2
     runner = ValidationRunner(
         spark, schema, id_col=args.id_col, n_partitions=args.partitions,
         manifest_dir=args.manifest, violations_dir=args.violations,
