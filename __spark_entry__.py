@@ -2004,6 +2004,33 @@ def q_stream_dedup_docs(spark, sf_dir):
     return spark.read.parquet(f"{out_dir}/data").select("fp")
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (tablechecks.sessionize): per user, a
+    >30-minute silence starts a new session; the per-session ledger
+    (user, session ordinal, event count, first event id) is
+    value-hashed, so the lag/flag/running-sum window chain is fully
+    oracle-checked. Ties broken by event_id — deterministic under any
+    physical row order."""
+    ev = _read(spark, sf_dir, "events")
+    s = tablechecks.sessionize(ev, user_col="user_id", ts_col="ts",
+                               gap_minutes=30, order_col="event_id")
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event")))
+
+
+def q_ks_drift_len(spark, sf_dir):
+    """Binned two-sample KS drift (tablechecks.ks_drift_binned) on the
+    doc-length distribution, even vs odd doc ids — the tail-sensitive
+    complement of the KL/PSI drift rows, same bucketing as
+    drift_len_kl; one hash aggregation + a window over ≤10 bucket
+    rows."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.ks_drift_binned(
+        d, "n_chars", split=F.col("doc_id") % 2 == 0,
+        bucket_width=100.0, n_buckets=10)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2117,6 +2144,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_budget_fill": q_token_budget_fill,
         "cluster_best_rep": q_cluster_best_rep,
         "stream_dedup_docs": q_stream_dedup_docs,
+        "sessionize_events": q_sessionize_events,
+        "ks_drift_len": q_ks_drift_len,
     }
 
 
@@ -4156,6 +4185,48 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_docs": f"""
             SELECT DISTINCT md5({_NORM_SQL}) AS fp
             FROM ({_DUP_DOCS_SQL})
+        """,
+        "sessionize_events": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            s AS (
+              SELECT user_id, event_id,
+                     sum(CASE WHEN prev_ts IS NULL
+                              OR floor(epoch(ts))::BIGINT
+                                 - floor(epoch(prev_ts))::BIGINT > 1800
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM lagged)
+            SELECT user_id, session_id,
+                   count(*)::BIGINT AS n_events,
+                   min(event_id) AS first_event
+            FROM s GROUP BY 1, 2
+        """,
+        "ks_drift_len": """
+            WITH hist AS (
+              SELECT least(floor(n_chars / 100.0), 9)::BIGINT AS bucket,
+                     sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS ca,
+                     sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS cb
+              FROM documents GROUP BY 1),
+            tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM hist),
+            cdf AS (
+              SELECT bucket,
+                     sum(ca) OVER (ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING)
+                       / ta AS cdf_a,
+                     sum(cb) OVER (ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING)
+                       / tb AS cdf_b
+              FROM hist, tot)
+            SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks,
+                   count(*)::BIGINT AS n_buckets
+            FROM cdf
         """,
         "token_budget_fill": """
             WITH t AS (

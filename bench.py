@@ -142,7 +142,7 @@ R3_NAMES = [
     "ngram_decontam", "url_quality", "curate_e2e",
     # wave 5: in-doc line dedup, recrawl handling, mixture fill
     "dedup_doc_lines", "url_latest_dedup", "token_budget_fill",
-    "cluster_best_rep",
+    "cluster_best_rep", "sessionize_events", "ks_drift_len",
 ]
 
 

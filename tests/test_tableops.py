@@ -731,6 +731,33 @@ def test_gopher_quality_flags(spark):
     assert not out[3].g_symbol_ratio and not out[3].gopher_pass
 
 
+def test_sessionize_gap_semantics(spark):
+    from zoi_spark import tablechecks
+
+    rows = [(1, 10, "2024-01-01 00:00:00"),
+            (2, 10, "2024-01-01 00:10:00"),     # same session (10 min)
+            (3, 10, "2024-01-01 01:00:00"),     # 50-min gap -> session 2
+            (4, 20, "2024-01-01 00:00:00")]     # other user -> own session 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_id: r.session_id for r in tablechecks.sessionize(
+        df, user_col="user_id", ts_col="ts", gap_minutes=30,
+        order_col="event_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_ks_drift_binned(spark):
+    from zoi_spark import tablechecks
+
+    # sample A all in bucket 0, sample B all in bucket 9 -> KS = 1.0
+    rows = [(i, 10.0 if i % 2 == 0 else 990.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, v double")
+    r = tablechecks.ks_drift_binned(
+        df, "v", split=F.col("doc_id") % 2 == 0,
+        bucket_width=100.0, n_buckets=10).first()
+    assert r.ks == 1.0 and r.n_buckets == 2
+
+
 def test_cluster_representatives(spark):
     from zoi_spark import dedup
 

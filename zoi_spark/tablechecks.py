@@ -23,7 +23,7 @@ import math
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -326,3 +326,76 @@ def zscore_outliers(df: DataFrame, column: str, *, by: str,
             .select(F.col(id_col), F.col(by), F.col(column),
                     F.round(z, 6).alias("zscore"),
                     F.lit(f"{column}.zscore_outlier").alias("rule_id")))
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based session ids over an event stream
+# ---------------------------------------------------------------------------
+
+def sessionize(df: DataFrame, *, user_col: str, ts_col: str,
+               gap_minutes: int = 30, order_col: str | None = None,
+               session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization: within each user, a new session starts
+    whenever the gap to the previous event exceeds *gap_minutes* — the
+    standard event-stream segmentation (the batch twin of Structured
+    Streaming's session windows).
+
+    One window per user (lag → gap flag → running sum), one shuffle on
+    the user key; at 10^12 events this is the same partitioning the
+    per-user state of a streaming session window would use. Ties on
+    *ts_col* are broken by *order_col* (pass the event id) so session
+    numbering is deterministic under any physical row order.
+
+    Appends *session_col* (1-based per-user session ordinal).
+    """
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    # NTZ timestamps can't cast straight to long (Spark 4 ANSI); going
+    # through timestamp applies the session tz — the engine requires
+    # UTC sessions (README deployment config), so this is epoch seconds
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(secs).over(w)
+    new_session = F.when(
+        prev.isNull() | ((secs - prev) > gap_minutes * 60),
+        1).otherwise(0)
+    sid = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(session_col, sid)
+
+
+# ---------------------------------------------------------------------------
+# KS drift — binned two-sample Kolmogorov–Smirnov statistic
+# ---------------------------------------------------------------------------
+
+def ks_drift_binned(df: DataFrame, column: str, *, split,
+                    bucket_width: float, n_buckets: int = 100) -> DataFrame:
+    """Binned two-sample KS statistic: max |CDF_a − CDF_b| over shared
+    histogram buckets — the tail-sensitive complement to KL/PSI
+    (:func:`drift_metrics`), which are mass-weighted and can miss a
+    pure location shift in a thin tail.
+
+    *split* is a boolean Column: True rows form sample A, False sample
+    B. Scale shape: ONE hash aggregation builds both histograms (the
+    distributed work), then the running-sum window runs over ≤
+    *n_buckets* rows — a global-order window is fine there because the
+    bucket table is tiny by construction; the raw values are never
+    globally sorted. Returns one row: ``(ks, n_buckets)``.
+    """
+    bucket = F.least(F.floor(F.col(column) / bucket_width),
+                     F.lit(n_buckets - 1)).cast("long")
+    hist = (df.select(bucket.alias("bucket"),
+                      F.when(split, 1).otherwise(0).alias("is_a"))
+            .groupBy("bucket")
+            .agg(F.sum("is_a").alias("ca"),
+                 F.sum(F.lit(1) - F.col("is_a")).alias("cb")))
+    tot = hist.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = (hist.crossJoin(F.broadcast(tot))
+           .select(F.col("bucket"),
+                   (F.sum("ca").over(w) / F.col("ta")).alias("cdf_a"),
+                   (F.sum("cb").over(w) / F.col("tb")).alias("cdf_b")))
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6)
+        .alias("ks"),
+        F.count(F.lit(1)).alias("n_buckets"))
