@@ -2031,6 +2031,17 @@ def q_ks_drift_len(spark, sf_dir):
         bucket_width=100.0, n_buckets=10)
 
 
+def q_temperature_weights(spark, sf_dir):
+    """Multinomial temperature re-weighting per language
+    (tablechecks.temperature_weights, the mBERT/XLM-R p^tau scheme):
+    stratum mass → q = p^tau / Σp^tau → per-doc boost factor; one hash
+    aggregation, the power/normalize math on the tiny stratum table.
+    All five columns (n, p, q, boost) land under the value hash."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.temperature_weights(d, stratum_col="lang",
+                                           tau=0.7)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2146,6 +2157,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_dedup_docs": q_stream_dedup_docs,
         "sessionize_events": q_sessionize_events,
         "ks_drift_len": q_ks_drift_len,
+        "temperature_weights": q_temperature_weights,
     }
 
 
@@ -4227,6 +4239,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks,
                    count(*)::BIGINT AS n_buckets
             FROM cdf
+        """,
+        "temperature_weights": """
+            WITH agg AS (
+              SELECT lang, count(*)::BIGINT AS n
+              FROM documents GROUP BY 1),
+            tot AS (SELECT sum(n) AS ntot FROM agg),
+            ps AS (SELECT sum(pow(n / ntot, 0.7)) AS s FROM agg, tot)
+            SELECT lang, n,
+                   round(n / ntot, 6) AS p,
+                   round(pow(n / ntot, 0.7) / s, 6) AS q,
+                   round((pow(n / ntot, 0.7) / s) / (n / ntot), 6)
+                     AS boost
+            FROM agg, tot, ps
         """,
         "token_budget_fill": """
             WITH t AS (

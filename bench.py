@@ -143,6 +143,7 @@ R3_NAMES = [
     # wave 5: in-doc line dedup, recrawl handling, mixture fill
     "dedup_doc_lines", "url_latest_dedup", "token_budget_fill",
     "cluster_best_rep", "sessionize_events", "ks_drift_len",
+    "temperature_weights",
 ]
 
 

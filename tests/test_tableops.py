@@ -758,6 +758,33 @@ def test_ks_drift_binned(spark):
     assert r.ks == 1.0 and r.n_buckets == 2
 
 
+def test_schema_drift_detection(spark):
+    from pyspark.sql import types as T
+    from zoi_spark import tablechecks
+
+    b = T.StructType([T.StructField("a", T.LongType()),
+                      T.StructField("b", T.StringType())])
+    c = T.StructType([T.StructField("a", T.DoubleType()),
+                      T.StructField("c", T.StringType())])
+    d = tablechecks.schema_drift(b, c)
+    assert d["added"] == ["c"] and d["removed"] == ["b"]
+    assert d["retyped"] == ["a"] and d["drifted"]
+    same = tablechecks.schema_drift(b, b)
+    assert not same["drifted"]
+
+
+def test_temperature_weights_boost_direction(spark):
+    from zoi_spark import tablechecks
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.lang: r for r in tablechecks.temperature_weights(
+        df, stratum_col="lang", tau=0.5).collect()}
+    # temperature < 1 upsamples the low-resource stratum
+    assert out["small"].boost > 1.0 > out["big"].boost
+    assert abs(out["small"].q + out["big"].q - 1.0) < 1e-6
+
+
 def test_cluster_representatives(spark):
     from zoi_spark import dedup
 

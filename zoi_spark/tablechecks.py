@@ -399,3 +399,73 @@ def ks_drift_binned(df: DataFrame, column: str, *, split,
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6)
         .alias("ks"),
         F.count(F.lit(1)).alias("n_buckets"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot schema drift — column add/remove/type-change detection
+# ---------------------------------------------------------------------------
+
+def schema_drift(baseline: "T.StructType", current: "T.StructType") -> dict:
+    """Structural drift between two table snapshots: columns added,
+    removed, type-changed, and nullability-changed — the cheap check a
+    validation run does BEFORE row-level rules, because a silently
+    added/retyped column is the most common upstream break in a
+    crawl-feed pipeline.
+
+    Driver-side on the StructTypes (no data pass — Spark already holds
+    the schema from the parquet/Iceberg footer). Field ORDER is
+    deliberately ignored: column order is not part of a table's
+    contract in either Spark or Iceberg.
+    """
+    b = {f.name: f for f in baseline.fields}
+    c = {f.name: f for f in current.fields}
+    added = sorted(set(c) - set(b))
+    removed = sorted(set(b) - set(c))
+    retyped = sorted(
+        n for n in set(b) & set(c)
+        if b[n].dataType.simpleString() != c[n].dataType.simpleString())
+    renullable = sorted(
+        n for n in set(b) & set(c)
+        if b[n].nullable != c[n].nullable
+        and b[n].dataType.simpleString() == c[n].dataType.simpleString())
+    return {"added": added, "removed": removed, "retyped": retyped,
+            "nullability_changed": renullable,
+            "drifted": bool(added or removed or retyped or renullable)}
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture weights — multinomial stratum re-weighting
+# ---------------------------------------------------------------------------
+
+def temperature_weights(df: DataFrame, *, stratum_col: str,
+                        tau: float = 0.7,
+                        weight_col: str | None = None) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum (the multinomial
+    re-weighting of multilingual/multi-domain corpora, e.g. mBERT /
+    XLM-R's p_i^tau): with stratum mass p_i = n_i / N (or a supplied
+    weight column's sum), the resampling probability is
+    q_i = p_i^tau / Σ p_j^tau, and ``boost`` = q_i / p_i is the
+    per-document up/down-sampling factor to hand to a sampler.
+
+    One hash aggregation over the corpus; the power/normalize math runs
+    on the ≤|strata| aggregated rows. Returns
+    ``(stratum_col, n, p, q, boost)`` with p/q/boost rounded to 6 for
+    cross-engine determinism.
+    """
+    mass = (F.sum(F.col(weight_col)) if weight_col
+            else F.count(F.lit(1))).alias("n")
+    agg = df.groupBy(stratum_col).agg(mass)
+    tot = agg.agg(F.sum("n").alias("__total"))
+    # p_i = n_i/N; q_i = p_i^tau / sum(p_j^tau). The stratum table is
+    # tiny — broadcast the two scalars back onto it.
+    powsum = (agg.crossJoin(F.broadcast(tot))
+              .agg(F.sum(F.pow(F.col("n") / F.col("__total"),
+                               F.lit(tau))).alias("__powsum"),
+                   F.first("__total").alias("__total")))
+    p = F.col("n") / F.col("__total")
+    q = F.pow(p, F.lit(tau)) / F.col("__powsum")
+    return (agg.crossJoin(F.broadcast(powsum))
+            .select(F.col(stratum_col), F.col("n"),
+                    F.round(p, 6).alias("p"),
+                    F.round(q, 6).alias("q"),
+                    F.round(q / p, 6).alias("boost")))
