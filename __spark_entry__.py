@@ -96,6 +96,23 @@ _DUP_DOCS_SQL = """
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+# the DuckDB twin of text.quality_score over a column named `text` —
+# defined ONCE; every oracle needing the quality formula interpolates
+# this (a drifted hand-copy would silently break a gate)
+_QUALITY_SQL = """round((
+    least(length(text)::DOUBLE / 2000.0, 1.0)
+    + least((CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END
+            )::DOUBLE / 200.0, 1.0)
+    + 1.0 - least((CASE WHEN length(text) > 0 THEN
+        (length(text) - length(regexp_replace(text,
+           '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / length(text)
+      ELSE 0.0 END) * 5.0, 1.0)
+    + 1.0 - least((CASE WHEN length(text) > 0 THEN
+        (length(text) - length(regexp_replace(text, '[A-Z]', '',
+           'g')))::DOUBLE / length(text)
+      ELSE 0.0 END) * 4.0, 1.0)) / 4.0, 6)"""
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -2481,20 +2498,7 @@ def _curate_e2e_sql(min_quality: float = 0.55,
             AND text IS NOT NULL AND length(text) >= 1),
         q AS (
           SELECT doc_id, text FROM (
-            SELECT doc_id, text, round((
-              least(length(text)::DOUBLE / 2000.0, 1.0)
-              + least((CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+'))
-                       END)::DOUBLE / 200.0, 1.0)
-              + 1.0 - least((CASE WHEN length(text) > 0 THEN
-                  (length(text) - length(regexp_replace(text,
-                     '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE / length(text)
-                ELSE 0.0 END) * 5.0, 1.0)
-              + 1.0 - least((CASE WHEN length(text) > 0 THEN
-                  (length(text) - length(regexp_replace(text, '[A-Z]', '',
-                     'g')))::DOUBLE / length(text)
-                ELSE 0.0 END) * 4.0, 1.0)
-            ) / 4.0, 6) AS qs FROM base)
+            SELECT doc_id, text, {_QUALITY_SQL} AS qs FROM base)
           WHERE qs >= {min_quality}),
         ex AS (
           SELECT doc_id, text FROM (
@@ -3146,26 +3150,10 @@ def oracle_sql() -> dict[str, str]:
                    END), 6) AS avg_tok_len
             FROM documents GROUP BY lang
         """,
-        "text_quality_buckets": """
-            WITH m AS (
-              SELECT
-                least(length(text)::DOUBLE / 2000.0, 1.0) AS length_c,
-                least((CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END
-                      )::DOUBLE / 200.0, 1.0) AS token_c,
-                1.0 - least((CASE WHEN length(text) > 0 THEN
-                    (length(text) - length(regexp_replace(text,
-                       '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / length(text)
-                  ELSE 0.0 END) * 5.0, 1.0) AS punct_c,
-                1.0 - least((CASE WHEN length(text) > 0 THEN
-                    (length(text) - length(regexp_replace(text, '[A-Z]', '',
-                       'g')))::DOUBLE / length(text)
-                  ELSE 0.0 END) * 4.0, 1.0) AS caps_c
-              FROM documents)
-            SELECT floor(round((length_c + token_c + punct_c + caps_c) / 4.0,
-                               6) * 10)::BIGINT AS bucket,
+        "text_quality_buckets": f"""
+            SELECT floor({_QUALITY_SQL} * 10)::BIGINT AS bucket,
                    count(*)::BIGINT AS n
-            FROM m GROUP BY 1
+            FROM documents GROUP BY 1
         """,
         "text_quality_stopword": _quality_stopword_sql(),
         "text_lang_id": """
@@ -4170,21 +4158,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_best_rep": f"""
             WITH clus AS ({_dedup_clusters_sql(0.8)}),
             scored AS (
-              SELECT doc_id, round((
-                least(length(text)::DOUBLE / 2000.0, 1.0)
-                + least((CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+'))
-                         END)::DOUBLE / 200.0, 1.0)
-                + 1.0 - least((CASE WHEN length(text) > 0 THEN
-                    (length(text) - length(regexp_replace(text,
-                       '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
-                      / length(text)
-                  ELSE 0.0 END) * 5.0, 1.0)
-                + 1.0 - least((CASE WHEN length(text) > 0 THEN
-                    (length(text) - length(regexp_replace(text, '[A-Z]',
-                       '', 'g')))::DOUBLE / length(text)
-                  ELSE 0.0 END) * 4.0, 1.0)
-              ) / 4.0, 6) AS q
+              SELECT doc_id, {_QUALITY_SQL} AS q
               FROM ({_DUP_DOCS_SQL}))
             SELECT cluster_id, keep_id, q FROM (
               SELECT c.cluster_id, c.doc_id AS keep_id, s.q,
@@ -4207,8 +4181,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT user_id, event_id,
                      sum(CASE WHEN prev_ts IS NULL
-                              OR floor(epoch(ts))::BIGINT
-                                 - floor(epoch(prev_ts))::BIGINT > 1800
+                              OR ts - prev_ts > INTERVAL 30 MINUTE
                               THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
@@ -4220,7 +4193,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ks_drift_len": """
             WITH hist AS (
-              SELECT least(floor(n_chars / 100.0), 9)::BIGINT AS bucket,
+              SELECT greatest(least(floor(n_chars / 100.0), 9), 0)
+                       ::BIGINT AS bucket,
                      sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
                        AS ca,
                      sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)

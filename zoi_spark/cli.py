@@ -104,11 +104,18 @@ def main(argv: list[str] | None = None) -> int:
             max_dup_ngram_fraction=args.max_dup_ngram_fraction,
             near_dup_threshold=args.near_dup_threshold)
         res.kept.write.mode("overwrite").parquet(args.output)
-        ledger = res.report()
+        # the ledger's kept-corpus legs (count + token sums) read the
+        # parquet just written instead of re-executing the near-dup
+        # join/cluster chain a second and third time
+        ledger = res.report(
+            kept_materialized=spark.read.parquet(args.output))
         res.release()
         print(json.dumps({"run_id": args.run_id,
                           "converged": res.converged, **ledger}))
-        return 0
+        # exit 4 = corpus written but the near-dup drop list did not
+        # converge within cluster_max_iters — mirror of validate
+        # mode's exit-3 contract so orchestration can gate on it
+        return 0 if res.converged else 4
 
     if not args.manifest:
         print("--manifest is required in validate mode", file=sys.stderr)

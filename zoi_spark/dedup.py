@@ -1079,7 +1079,12 @@ def cluster_representatives(clusters: DataFrame, scores: DataFrame, *,
     is that retention policy as a first-class operator.
 
     One id equi-join (scores side is the corpus — hash join, AQE picks
-    the build side) + one window per cluster. Returns
+    the build side) + one window per cluster. The join is LEFT outer
+    with unscored members ordered last: a scores frame computed on a
+    filtered subset (e.g. post-quality-gate) must never silently drop
+    cluster members from the argmax — an inner join would leave a
+    fully-unscored cluster with NO representative, so every duplicate
+    in it would survive the recommended drop pattern. Returns
     ``(cluster_col, keep_id, score_col)``; anti-join the cluster
     members against ``keep_id`` to drop the rest::
 
@@ -1087,9 +1092,10 @@ def cluster_representatives(clusters: DataFrame, scores: DataFrame, *,
         drops = clusters.join(reps, cluster_col) \\
                         .where(F.col(id_col) != F.col("keep_id"))
     """
-    j = clusters.join(scores, id_col)
+    j = clusters.join(scores, id_col, "left")
     w = (Window.partitionBy(cluster_col)
-         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+         .orderBy(F.col(score_col).desc_nulls_last(),
+                  F.col(id_col).asc()))
     return (j.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select(cluster_col, F.col(id_col).alias("keep_id"),

@@ -47,11 +47,21 @@ class CurationResult:
     caches: list = dc_field(default_factory=list)
     converged: bool = True
 
-    def report(self) -> dict:
+    def report(self, kept_materialized: DataFrame | None = None) -> dict:
         """Stage ledger: rows surviving each stage (one count job per
-        stage) + kept-corpus token totals in one aggregation."""
-        out = {name: df.count() for name, df in self.stages.items()}
-        toks = self.kept.agg(
+        stage) + kept-corpus token totals in one aggregation.
+
+        Pass ``kept_materialized`` (e.g. the parquet the kept corpus
+        was just written to) to source every kept-corpus leg from it —
+        otherwise the final count AND the token aggregation re-execute
+        the whole near-dup chain, the dominant cost of the pipeline.
+        """
+        kept = kept_materialized if kept_materialized is not None \
+            else self.kept
+        out = {}
+        for name, df in self.stages.items():
+            out[name] = kept.count() if df is self.kept else df.count()
+        toks = kept.agg(
             F.sum(text.token_count(F.col(self.text_col))).alias("ws"),
             F.sum(text.bpe_ish_token_count(F.col(self.text_col)))
             .alias("bpe")).collect()[0]

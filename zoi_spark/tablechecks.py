@@ -350,13 +350,15 @@ def sessionize(df: DataFrame, *, user_col: str, ts_col: str,
     """
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
-    # NTZ timestamps can't cast straight to long (Spark 4 ANSI); going
-    # through timestamp applies the session tz — the engine requires
-    # UTC sessions (README deployment config), so this is epoch seconds
-    secs = F.col(ts_col).cast("timestamp").cast("long")
-    prev = F.lag(secs).over(w)
+    # interval comparison, not epoch-second subtraction: it is exact to
+    # the microsecond and timezone-free (NTZ wall times never route
+    # through the session tz, so a non-UTC session or a DST gap cannot
+    # shift the split point)
+    prev = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
-        prev.isNull() | ((secs - prev) > gap_minutes * 60),
+        prev.isNull()
+        | ((F.col(ts_col) - prev)
+           > F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")),
         1).otherwise(0)
     sid = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -376,25 +378,30 @@ def ks_drift_binned(df: DataFrame, column: str, *, split,
 
     *split* is a boolean Column: True rows form sample A, False sample
     B. Scale shape: ONE hash aggregation builds both histograms (the
-    distributed work), then the running-sum window runs over ≤
-    *n_buckets* rows — a global-order window is fine there because the
-    bucket table is tiny by construction; the raw values are never
-    globally sorted. Returns one row: ``(ks, n_buckets)``.
+    distributed work — the totals come from a global window over the
+    aggregated frame, not a second corpus pass), then the running-sum
+    window runs over ≤ *n_buckets* rows — a global-order window is
+    fine there because the bucket table is tiny by construction
+    (values are clamped into [0, n_buckets) from BOTH ends, so signed
+    metrics cannot mint unbounded underflow buckets); the raw values
+    are never globally sorted. Returns one row: ``(ks, n_buckets)``.
     """
-    bucket = F.least(F.floor(F.col(column) / bucket_width),
-                     F.lit(n_buckets - 1)).cast("long")
+    bucket = F.greatest(
+        F.least(F.floor(F.col(column) / bucket_width),
+                F.lit(n_buckets - 1)),
+        F.lit(0)).cast("long")
     hist = (df.select(bucket.alias("bucket"),
                       F.when(split, 1).otherwise(0).alias("is_a"))
             .groupBy("bucket")
             .agg(F.sum("is_a").alias("ca"),
                  F.sum(F.lit(1) - F.col("is_a")).alias("cb")))
-    tot = hist.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    wall = Window.partitionBy()
     w = (Window.orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cdf = (hist.crossJoin(F.broadcast(tot))
-           .select(F.col("bucket"),
-                   (F.sum("ca").over(w) / F.col("ta")).alias("cdf_a"),
-                   (F.sum("cb").over(w) / F.col("tb")).alias("cdf_b")))
+    cdf = hist.select(
+        F.col("bucket"),
+        (F.sum("ca").over(w) / F.sum("ca").over(wall)).alias("cdf_a"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wall)).alias("cdf_b"))
     return cdf.agg(
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6)
         .alias("ks"),
@@ -447,25 +454,19 @@ def temperature_weights(df: DataFrame, *, stratum_col: str,
     q_i = p_i^tau / Σ p_j^tau, and ``boost`` = q_i / p_i is the
     per-document up/down-sampling factor to hand to a sampler.
 
-    One hash aggregation over the corpus; the power/normalize math runs
-    on the ≤|strata| aggregated rows. Returns
-    ``(stratum_col, n, p, q, boost)`` with p/q/boost rounded to 6 for
-    cross-engine determinism.
+    One hash aggregation over the corpus — the totals and the pow-sum
+    come from global windows over the ≤|strata|-row aggregated frame
+    (an earlier draft re-derived the aggregation for each scalar,
+    tripling the corpus scans). Returns ``(stratum_col, n, p, q,
+    boost)`` with p/q/boost rounded to 6 for cross-engine determinism.
     """
     mass = (F.sum(F.col(weight_col)) if weight_col
             else F.count(F.lit(1))).alias("n")
     agg = df.groupBy(stratum_col).agg(mass)
-    tot = agg.agg(F.sum("n").alias("__total"))
-    # p_i = n_i/N; q_i = p_i^tau / sum(p_j^tau). The stratum table is
-    # tiny — broadcast the two scalars back onto it.
-    powsum = (agg.crossJoin(F.broadcast(tot))
-              .agg(F.sum(F.pow(F.col("n") / F.col("__total"),
-                               F.lit(tau))).alias("__powsum"),
-                   F.first("__total").alias("__total")))
-    p = F.col("n") / F.col("__total")
-    q = F.pow(p, F.lit(tau)) / F.col("__powsum")
-    return (agg.crossJoin(F.broadcast(powsum))
-            .select(F.col(stratum_col), F.col("n"),
-                    F.round(p, 6).alias("p"),
-                    F.round(q, 6).alias("q"),
-                    F.round(q / p, 6).alias("boost")))
+    wall = Window.partitionBy()
+    p = F.col("n") / F.sum("n").over(wall)
+    q = F.pow(p, F.lit(tau)) / F.sum(F.pow(p, F.lit(tau))).over(wall)
+    return agg.select(F.col(stratum_col), F.col("n"),
+                      F.round(p, 6).alias("p"),
+                      F.round(q, 6).alias("q"),
+                      F.round(q / p, 6).alias("boost"))
