@@ -2078,6 +2078,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # Roster order: driver CORRECTNESS checks read the first ~50 entries.
+        # r4: the 42 queries the r3 driver window never reached come FIRST
+        # (VERDICT r3 "Next round" #1); the 50 three-round-green queries follow.
+        # tests/test_oracle_parity.py still replays ALL entries at two SFs.
+        "email_variants": q_email_variants,
+        "schema_introspection": q_schema_introspection,
+        "validate_strict_parsed": q_validate_strict_parsed,
+        "lazy_tree": q_lazy_tree,
+        "json_probe": q_json_probe,
+        "grapheme_length_rules": q_grapheme_length_rules,
+        "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
+        "media_decode_features": q_media_decode_features,
+        "media_audio_features": q_media_audio_features,
+        "media_video_frames": q_media_video_frames,
+        "contamination_probes": q_contamination_probes,
+        "top_bigrams": q_top_bigrams,
+        "cross_field_rules": q_cross_field_rules,
+        "ivf_train_step": q_ivf_train_step,
+        "ivf_topk_trained": q_ivf_topk_trained,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "pii_scan": q_pii_scan,
+        "stream_validate_docs": q_stream_validate_docs,
+        "host_cap_sample": q_host_cap_sample,
+        "stratified_sample_langs": q_stratified_sample_langs,
+        "incremental_new_docs": q_incremental_new_docs,
+        "repetition_quality": q_repetition_quality,
+        "stats_quantiles": q_stats_quantiles,
+        "zscore_outliers": q_zscore_outliers,
+        "pack_sequences": q_pack_sequences,
+        "boilerplate_strip": q_boilerplate_strip,
+        "c4_line_filter": q_c4_line_filter,
+        "unigram_surprisal": q_unigram_surprisal,
+        "semantic_dedup": q_semantic_dedup,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "gopher_quality": q_gopher_quality,
+        "ngram_decontam": q_ngram_decontam,
+        "url_quality": q_url_quality,
+        "curate_e2e": q_curate_e2e,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "url_latest_dedup": q_url_latest_dedup,
+        "token_budget_fill": q_token_budget_fill,
+        "cluster_best_rep": q_cluster_best_rep,
+        "stream_dedup_docs": q_stream_dedup_docs,
+        "sessionize_events": q_sessionize_events,
+        "ks_drift_len": q_ks_drift_len,
+        "temperature_weights": q_temperature_weights,
+        # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
         "orders_rule_counts": q_orders_rule_counts,
@@ -2124,57 +2171,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "intersection_enum_remap": q_intersection_enum_remap,
         "mapkv_props": q_mapkv_props,
         "multiple_unique_decimal": q_multiple_unique_decimal,
-        # r3: the previously pytest-only §2 components
         "scalar_coercion_matrix": q_scalar_coercion_matrix,
         "schema_algebra": q_schema_algebra,
         "json_schema_roundtrip": q_json_schema_roundtrip,
         "refine_ctx_multi": q_refine_ctx_multi,
-        "email_variants": q_email_variants,
-        "schema_introspection": q_schema_introspection,
-        "validate_strict_parsed": q_validate_strict_parsed,
-        "lazy_tree": q_lazy_tree,
-        "json_probe": q_json_probe,
-        "grapheme_length_rules": q_grapheme_length_rules,
-        "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
-        "media_decode_features": q_media_decode_features,
-        "media_audio_features": q_media_audio_features,
-        "media_video_frames": q_media_video_frames,
-        "contamination_probes": q_contamination_probes,
-        "top_bigrams": q_top_bigrams,
-        "cross_field_rules": q_cross_field_rules,
-        "ivf_train_step": q_ivf_train_step,
-        "ivf_topk_trained": q_ivf_topk_trained,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "pii_scan": q_pii_scan,
-        "stream_validate_docs": q_stream_validate_docs,
-        # r3 wave 2: corpus sampling / admission operators
-        "host_cap_sample": q_host_cap_sample,
-        "stratified_sample_langs": q_stratified_sample_langs,
-        "incremental_new_docs": q_incremental_new_docs,
-        "repetition_quality": q_repetition_quality,
-        "stats_quantiles": q_stats_quantiles,
-        "zscore_outliers": q_zscore_outliers,
-        "pack_sequences": q_pack_sequences,
-        # r3 wave 3: line-level curation + perplexity proxy
-        "boilerplate_strip": q_boilerplate_strip,
-        "c4_line_filter": q_c4_line_filter,
-        "unigram_surprisal": q_unigram_surprisal,
-        # r3 wave 4: semantic dedup + substring-dup signal + Gopher rules
-        "semantic_dedup": q_semantic_dedup,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "gopher_quality": q_gopher_quality,
-        "ngram_decontam": q_ngram_decontam,
-        "url_quality": q_url_quality,
-        "curate_e2e": q_curate_e2e,
-        # r3 wave 5: in-doc line dedup, recrawl handling, mixture fill
-        "dedup_doc_lines": q_dedup_doc_lines,
-        "url_latest_dedup": q_url_latest_dedup,
-        "token_budget_fill": q_token_budget_fill,
-        "cluster_best_rep": q_cluster_best_rep,
-        "stream_dedup_docs": q_stream_dedup_docs,
-        "sessionize_events": q_sessionize_events,
-        "ks_drift_len": q_ks_drift_len,
-        "temperature_weights": q_temperature_weights,
     }
 
 

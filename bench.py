@@ -63,6 +63,11 @@ def _session(cpus: int):
 # (r2 post-mortem: byte-identical plans measured 0.5s and 13s on
 # adjacent passes of this sandbox — min-of-N + spread is the protocol)
 SPREAD: dict[str, float] = {}
+# queries whose first 3 passes disagreed by >3x and got extra passes
+# (r3 post-mortem: ivf_ann_topk recorded 11.6s min-of-3 when all three
+# passes landed in one throttled grant window; the adjacent window
+# measured 0.794s — min-of-3 alone is not noise-proof on this host)
+RETRIED: dict[str, int] = {}
 
 
 def _run(df, name: str = "") -> float:
@@ -72,8 +77,21 @@ def _run(df, name: str = "") -> float:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
+    # noise guard: when the passes disagree by >3x the min (and the
+    # query is not sub-50ms, where relative jitter is meaningless),
+    # take up to 3 extra passes — a throttled grant window cannot then
+    # masquerade as a regression unless it spans all 6 passes
+    extra = 0
+    while (extra < 3 and min(times) > 0.05
+           and max(times) - min(times) > 3 * min(times)):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+        extra += 1
     if name:
         SPREAD[name] = round(max(times) - min(times), 3)
+        if extra:
+            RETRIED[name] = extra
     return min(times)
 
 
@@ -151,8 +169,20 @@ def bench_r3_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em
 
     qs = em.queries()
-    out = {name: round(_run(qs[name](spark, sf_dir), name), 3)
-           for name in R3_NAMES}
+    return {name: round(_run(qs[name](spark, sf_dir), name), 3)
+            for name in R3_NAMES}
+
+
+def bench_streaming_e2e(spark, sf_dir: str) -> dict[str, float]:
+    """Streaming queries, timed END-TO-END (stream construction +
+    availableNow drain + sink read): a streaming job materializes its
+    sink as a side effect, so repeated noop passes would not re-run
+    it, and the 8-9s setup cost is harness, not plan — reported under
+    a separate key so it never reads as query wall-time (VERDICT r3)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    out: dict[str, float] = {}
     for sname in ["stream_validate_docs", "stream_dedup_docs"]:
         t0 = time.time()
         qs[sname](spark, sf_dir).write.format("noop") \
@@ -185,9 +215,10 @@ def main() -> None:
     queries["webtext_full_ruleset"] = round(wt_sec, 3)
     r2_queries = bench_r2_queries(spark, SF_DIR)
     r3_queries = bench_r3_queries(spark, SF_DIR)
+    streaming = bench_streaming_e2e(spark, SF_DIR)
 
     total = round(sum(queries.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "total_headline_queries_sec",
         "value": total,
         "unit": "sec",
@@ -196,6 +227,8 @@ def main() -> None:
         # total compares like-for-like against BENCH_r01
         "queries_added_r2": r2_queries,
         "queries_added_r3": r3_queries,
+        # end-to-end harness numbers (setup-dominated), NOT wall-times
+        "queries_streaming_e2e": streaming,
         "total_incl_r2_additions_sec": round(
             total + sum(r2_queries.values()), 3),
         "total_incl_all_additions_sec": round(
@@ -204,10 +237,48 @@ def main() -> None:
         "webtext_rows": WEBTEXT_ROWS,
         "webtext_docs_per_sec": round(docs_per_sec),
         "cpus": CPUS,
-        # max-min over the 3 timed passes per query: the honest noise
+        # max-min over the timed passes per query: the honest noise
         # floor of this host (see SPREAD comment above)
         "pass_spread_sec": dict(sorted(SPREAD.items())),
-    }))
+        "noise_retried_queries": dict(sorted(RETRIED.items())),
+    }
+    # Full record: repo file + stderr (never stdout — the driver keeps
+    # only a ~2 KB TAIL of stdout, and r3's single >2 KB line lost its
+    # head and became unparseable; see VERDICT r3 "What's wrong" #1).
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "local_latest_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=False)
+    print(json.dumps(record), file=sys.stderr)
+
+    # stdout contract: EXACTLY ONE compact JSON line, small enough that
+    # the tail capture always contains the whole object
+    compact = {
+        "metric": record["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "total_incl_r2_additions_sec":
+            record["total_incl_r2_additions_sec"],
+        "total_incl_all_additions_sec":
+            record["total_incl_all_additions_sec"],
+        "queries_streaming_e2e": streaming,
+        "sf": record["sf"],
+        "webtext_rows": WEBTEXT_ROWS,
+        "webtext_docs_per_sec": round(docs_per_sec),
+        "cpus": CPUS,
+        "max_pass_spread_sec": round(max(SPREAD.values()), 3) if SPREAD
+        else 0.0,
+        "noise_retried_count": len(RETRIED),
+        "full_record": "BENCH/local_latest_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep headline queries; shed the rest first
+        compact.pop("queries_streaming_e2e", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

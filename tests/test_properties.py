@@ -170,6 +170,14 @@ def test_canonical_url_idempotent_and_dialect_parity(spark):
         "https://h.co",
         "http://h.co/p#a#b",
         "http://h.co/p?utm_a=1&utm_b=2&keep=3",
+        # '$' and '\' are legal URL bytes (RFC 3986 sub-delims /
+        # percent-encoding escapees in the wild) — regression for the
+        # regexp_replace dynamic-replacement injection (ADVICE r3):
+        # '$'+letter aborted the job, '$1' corrupted the canonical form
+        "http://a$bad.com/x",
+        "HTTP://A$1z.COM/P?utm_source=x",
+        "http://back\\slash.com:80/P?a=$1",
+        None,
     ]
     rng_rows = [(i, u) for i, u in enumerate(pool)]
     df = spark.createDataFrame(rng_rows, "i long, url string")

@@ -959,3 +959,65 @@ def test_verdicts_stable_under_repartitioning(spark, web):
                z.validate(reshaped, schema, id_cols=["row_id"])
                .violations.select("row_id", "rule_id").collect()}
         assert got == base
+
+
+def test_pair_kernels_preserve_string_ids(spark):
+    """ADVICE r3 regression: the Arrow pair kernels must carry string/
+    UUID ids through unchanged — the old cast-to-long aborted under
+    ANSI mode (CAST_INVALID_INPUT) or silently emitted zero pairs, and
+    semantic_dedup then kept every duplicate."""
+    emb = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [1.0, 0.001]),
+         ("doc-c", [0.0, 1.0])], "vec_id string, embedding array<double>")
+    pairs = dedup.embedding_near_dups(emb, id_col="vec_id",
+                                      vec_col="embedding", threshold=0.95)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] \
+        == [("doc-a", "doc-b")]
+    assert dict(pairs.dtypes)["id_a"] == "string"
+
+    txt = spark.createDataFrame(
+        [("u1", "the quick brown fox jumps over the lazy dog"),
+         ("u2", "the quick brown fox jumps over the lazy dog"),
+         ("u3", "completely different words entirely in here now")],
+        "doc_id string, text string")
+    jp = dedup.ngram_jaccard_pairs(txt, id_col="doc_id", threshold=0.8)
+    assert [(r.id_a, r.id_b) for r in jp.collect()] == [("u1", "u2")]
+
+    kept = dedup.semantic_dedup(emb, id_col="vec_id", vec_col="embedding",
+                                centroids=[[1.0, 0.0], [0.0, 1.0]],
+                                threshold=0.95)
+    assert sorted(r.vec_id for r in kept.collect()) == ["doc-a", "doc-c"]
+
+
+def test_url_dedup_exempt_rows_skip_window(spark):
+    """NULL/empty-url rows are all kept AND never enter the window
+    partitioning (ADVICE r3 skew note) — verified behaviorally here,
+    plan-wise by the Filter under the Window in explain output."""
+    from zoi_spark import urls
+
+    df = spark.createDataFrame(
+        [(1, "http://x.com/a"), (2, "http://X.com/a"), (3, None),
+         (4, None), (5, "")], "doc_id long, url string")
+    out = urls.url_dedup(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4, 5]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan  # exempt split + union-back shape
+    ts = df.withColumn("ts", F.col("doc_id").cast("timestamp"))
+    out2 = urls.url_dedup_latest(ts, ts_col="ts")
+    assert sorted(r.doc_id for r in out2.collect()) == [2, 3, 4, 5]
+
+
+def test_unpersist_candidates_accepts_all_shapes(spark):
+    """_zoi_persisted is a list everywhere now; unpersist_candidates
+    also accepts a bare frame (older callers) and frames without the
+    attribute (no-op)."""
+    df = spark.range(4).toDF("x")
+    dedup.unpersist_candidates(df)  # no attribute: no-op
+    cached = spark.range(4).toDF("y").persist()
+    df._zoi_persisted = cached
+    dedup.unpersist_candidates(df)  # bare-frame shape
+    assert not cached.is_cached
+    c2 = spark.range(4).toDF("z").persist()
+    df._zoi_persisted = [c2]
+    dedup.unpersist_candidates(df)
+    assert not c2.is_cached

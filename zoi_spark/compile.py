@@ -493,6 +493,7 @@ def _apply_post_effects(ctx: CompileCtx, schema: Schema, node: Node,
     value = node.value
     err_arrays = [node.errors]
     maybe: list[tuple[Column, Column]] = []
+    fail_conds: list[Column] = []
     gate = guard & (F.size(node.errors) == 0)
 
     def emit(chk: Check, current: Column) -> None:
@@ -509,6 +510,7 @@ def _apply_post_effects(ctx: CompileCtx, schema: Schema, node: Node,
             _ord = ctx.register(rid, spec, path, "refine", dict(chk.params))
             pred = F.coalesce(chk.params["fn"](current), F.lit(False))
             maybe.append((gate & ~pred, _mk_error(_ord, path)))
+            fail_conds.append(gate & ~pred)
         else:
             spec = E.custom_error("is invalid")
             rid = ctx.rule_id(path, "refine_ctx")
@@ -522,6 +524,7 @@ def _apply_post_effects(ctx: CompileCtx, schema: Schema, node: Node,
                     m.alias("m")))
             err_arrays.append(F.when(gate & msgs.isNotNull(), cells)
                               .otherwise(_empty_errors()))
+            fail_conds.append(gate & msgs.isNotNull() & (F.size(msgs) > 0))
 
     for chk in schema.checks:
         emit(chk, value)
@@ -535,6 +538,16 @@ def _apply_post_effects(ctx: CompileCtx, schema: Schema, node: Node,
             value = eff.fn(value)
     if maybe:
         err_arrays.append(_collect(maybe))
+    # parsed-nil contract on the node itself: the reference nils the
+    # parsed value on any node-level effect error (meta.ex run_effects
+    # -> {ctx | parsed: nil}) — same gate _compile_scalar composes as
+    # node_ok. Without this, a tuple/union/map row failing a node-level
+    # refine would expose a parsed value the reference nils.
+    if fail_conds:
+        any_fail = fail_conds[0]
+        for c in fail_conds[1:]:
+            any_fail = any_fail | c
+        value = F.when(~F.coalesce(any_fail, F.lit(False)), value)
     return Node(value, _concat_err_arrays(err_arrays), node.out_type)
 
 
@@ -776,6 +789,7 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
         if err_arrays else F.lit(True)
     node_gate = field_guard & children_ok
     maybe: list[tuple[Column, Column]] = []
+    fail_conds: list[Column] = []
 
     def emit_node_check(chk: Check, current: Column) -> None:
         if chk.kind not in ("refine", "refine_ctx"):
@@ -792,6 +806,7 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
             _ord = ctx.register(rid, spec, path, "refine", dict(chk.params))
             pred = F.coalesce(chk.params["fn"](current), F.lit(False))
             maybe.append((node_gate & ~pred, _mk_error(_ord, path)))
+            fail_conds.append(node_gate & ~pred)
         else:
             spec = E.custom_error("is invalid")
             rid = ctx.rule_id(path, "refine_ctx")
@@ -806,6 +821,8 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
             err_arrays.append(
                 F.when(node_gate & msgs.isNotNull(), cells)
                 .otherwise(_empty_errors()))
+            fail_conds.append(node_gate & msgs.isNotNull()
+                              & (F.size(msgs) > 0))
 
     for chk in schema.checks:
         emit_node_check(chk, value)
@@ -820,6 +837,16 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
             value = eff.fn(value)
     if maybe:
         err_arrays.append(_collect(maybe))
+
+    # parsed-nil on a failing cross-field refine: the reference nils
+    # the whole parsed map when a node-level effect errs (meta.ex
+    # run_effects), unlike FIELD errors which keep the partial map —
+    # same gate as _apply_post_effects / _compile_scalar's node_ok.
+    if fail_conds:
+        any_fail = fail_conds[0]
+        for c in fail_conds[1:]:
+            any_fail = any_fail | c
+        value = F.when(~F.coalesce(any_fail, F.lit(False)), value)
 
     return Node(value, _concat_err_arrays(err_arrays), T.StructType(out_fields))
 

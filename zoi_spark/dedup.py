@@ -31,6 +31,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import char_shingles, fingerprint, normalize_text, word_shingles
 
@@ -148,13 +149,16 @@ def _jaccard_block_batch_factory(threshold: float):
 
     def batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
+        # id columns keep their incoming dtype (long ids stay int64,
+        # string/UUID ids stay objects) — pandas string sort is
+        # code-point order, which equals Spark's UTF-8 binary `<`
+        empty = pd.DataFrame({"id_a": pdf["__id"].iloc[:0],
+                              "id_b": pdf["__id"].iloc[:0],
                               "jaccard": pd.Series([], dtype="float64")})
         if n < 2:
             return empty
         pdf = pdf.sort_values("__id").reset_index(drop=True)
-        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        ids = pdf["__id"].to_numpy()
         sets = [np.asarray(a if a is not None else [], dtype=np.int64)
                 for a in pdf["__shingles"]]
         lens = np.array([s.size for s in sets], dtype=np.int64)
@@ -236,13 +240,21 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
 
     if engine == "arrow":
         block = F.col(block_col) if block_col else F.lit(0)
-        grouped = base.select(F.col(id_col).cast("long").alias("__id"),
+        # ids flow through the kernel in their ORIGINAL type — string/
+        # UUID ids must not be cast to long (ANSI mode aborts; legacy
+        # mode nulls them and silently drops every pair)
+        id_type = df.schema[id_col].dataType
+        grouped = base.select(F.col(id_col).alias("__id"),
                               F.col("__shingles"),
                               block.alias("__block"))
-        out_ddl = "id_a long, id_b long, jaccard double"
+        out_schema = T.StructType([
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ])
         return (grouped.groupBy("__block")
                 .applyInPandas(_jaccard_block_batch_factory(threshold),
-                               out_ddl))
+                               out_schema))
     if engine != "column":
         raise ValueError(f"unknown ngram_jaccard_pairs engine: {engine!r}")
     # the pair join's cost lives on the STREAMED side (each of its rows
@@ -568,7 +580,7 @@ def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    out._zoi_persisted = buckets
+    out._zoi_persisted = [buckets]
     return out
 
 
@@ -583,10 +595,16 @@ def unpersist_candidates(pairs: DataFrame) -> None:
     silent no-op. Either call it on the returned frame, or keep the
     handle yourself: ``cache = getattr(pairs, "_zoi_persisted", None)``
     before transforming (pipeline.CurationResult.caches does exactly
-    that)."""
+    that).
+
+    ``_zoi_persisted`` is standardized as a LIST of cached frames;
+    single-frame handles (older callers) are accepted too."""
     cached = getattr(pairs, "_zoi_persisted", None)
-    if cached is not None:
-        cached.unpersist()
+    if cached is None:
+        return
+    frames = cached if isinstance(cached, (list, tuple)) else [cached]
+    for frame in frames:
+        frame.unpersist()
 
 
 def minhash_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -625,7 +643,7 @@ def minhash_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     )
     # propagate the bucket cache so unpersist_candidates works on the
     # verified pairs too
-    out._zoi_persisted = getattr(cands, "_zoi_persisted", None)
+    out._zoi_persisted = list(getattr(cands, "_zoi_persisted", []) or [])
     return out
 
 
@@ -763,7 +781,7 @@ def simhash_near_dups(df: DataFrame, *, id_col: str = "doc_id",
                 ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
-    out._zoi_persisted = blocked
+    out._zoi_persisted = [blocked]
     return out
 
 
@@ -808,7 +826,7 @@ def winnowing_overlap_pairs(df: DataFrame, *, text_col: str = "text",
                     F.col(f"b.{id_col}").alias("id_b"))
            .agg(F.count("*").alias("n_shared"))
            .where(F.col("n_shared") >= min_shared))
-    out._zoi_persisted = sel
+    out._zoi_persisted = [sel]
     return out
 
 
@@ -921,11 +939,12 @@ def _block_pair_batch_factory(threshold: float):
         pdf = pdf[pdf["__vec"].notna()]
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
+            # keep the incoming id dtype (see _jaccard_block_batch_factory)
+            return pd.DataFrame({"id_a": pdf["__id"].iloc[:0],
+                                 "id_b": pdf["__id"].iloc[:0],
                                  "cosine": pd.Series([], dtype="float64")})
         pdf = pdf.sort_values("__id").reset_index(drop=True)
-        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        ids = pdf["__id"].to_numpy()
         V = np.asarray([np.asarray(v, dtype=np.float64)
                         for v in pdf["__vec"]])
         G = V @ V.T
@@ -968,7 +987,9 @@ def embedding_near_dups(df: DataFrame, *, id_col: str = "vec_id",
     the plan, ~10² slower per pair (the dot product is an interpreted
     higher-order fold inside the join condition)."""
     block = F.col(block_col) if block_col else F.lit(0)
-    base = df.select(F.col(id_col).cast("long").alias("__id"),
+    # preserve the id type end-to-end (string/UUID ids supported; see
+    # ngram_jaccard_pairs arrow branch for the cast-to-long hazard)
+    base = df.select(F.col(id_col).alias("__id"),
                      F.col(vec_col).alias("__vec"),
                      block.alias("__block"))
     if max_block_size is not None:
@@ -979,9 +1000,15 @@ def embedding_near_dups(df: DataFrame, *, id_col: str = "vec_id",
         base = base.join(sizes, "__block")
 
     if engine == "arrow":
-        out_ddl = "id_a long, id_b long, cosine double"
+        id_type = df.schema[id_col].dataType
+        out_schema = T.StructType([
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ])
         return (base.groupBy("__block")
-                .applyInPandas(_block_pair_batch_factory(threshold), out_ddl))
+                .applyInPandas(_block_pair_batch_factory(threshold),
+                               out_schema))
     if engine != "column":
         raise ValueError(f"unknown embedding_near_dups engine: {engine!r}")
 

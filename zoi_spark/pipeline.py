@@ -212,8 +212,7 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
     # is the safe plan (AQE downgrades it to broadcast when it IS small)
     kept = exact.join(drop, exact[id_col] == F.col("__drop_id"), "left_anti")
 
-    caches = [c for c in [getattr(pairs, "_zoi_persisted", None)]
-              if c is not None] + extra_caches
+    caches = list(getattr(pairs, "_zoi_persisted", []) or []) + extra_caches
     return CurationResult(
         kept=kept,
         stages={"input": df, "valid": valid, "quality": gated,

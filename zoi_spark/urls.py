@@ -41,10 +41,17 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) url — pure expressions,
     identical in Spark and DuckDB regex dialects (no lookahead)."""
     # 1. lowercase scheme://host[:port] (text up to the first '/', '?'
-    #    or '#' after the scheme) — path/query case preserved
-    u = F.regexp_replace(
-        url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)",
-        F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)))
+    #    or '#' after the scheme) — path/query case preserved. Rebuilt
+    #    with concat+substr, NOT regexp_replace with a dynamic
+    #    replacement: Spark interprets '$'/'\' in replacement strings,
+    #    and '$' is legal in URL authorities (RFC 3986 sub-delims), so
+    #    'http://a$bad.com/x' would abort the job with an
+    #    illegal-group-reference error and '$1' would silently corrupt
+    #    the canonical form.
+    head = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    u = F.when(head == "", url).otherwise(
+        F.concat(F.lower(head),
+                 url.substr(F.length(head) + F.lit(1), F.length(url))))
     # 2. strip fragment
     u = F.regexp_replace(u, r"#.*$", "")
     # 3. default ports
@@ -64,8 +71,12 @@ def canonical_url_sql(col: str = "url") -> str:
     """The DuckDB twin of :func:`canonical_url` — same steps, same
     regexes (RE2), for oracle parity."""
     t = TRACKING_PARAM_RE
-    u = (f"regexp_replace({col}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', "
-         f"lower(regexp_extract({col}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)))")
+    # same literal-safe concat+substr rebuild as the Spark side; the
+    # IS NULL guard matters because DuckDB's concat treats NULL
+    # operands as '' while Spark's returns NULL
+    h = f"regexp_extract({col}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    u = (f"(CASE WHEN {col} IS NULL THEN NULL WHEN {h} = '' THEN {col} "
+         f"ELSE concat(lower({h}), substr({col}, length({h}) + 1)) END)")
     u = f"regexp_replace({u}, '#.*$', '')"
     u = f"regexp_replace({u}, '^(http://[^/:?#]+):80(/|\\?|$)', '\\1\\2')"
     u = f"regexp_replace({u}, '^(https://[^/:?#]+):443(/|\\?|$)', '\\1\\2')"
@@ -108,12 +119,20 @@ def url_dedup(df: DataFrame, *, url_col: str = "url",
     Rows with a NULL/empty url are EXEMPT (all kept): a null key is
     not "the same resource" — without the guard the window would
     collapse every url-less row into one partition and keep a single
-    survivor (same hazard url_dedup_groups filters against)."""
+    survivor (same hazard url_dedup_groups filters against).
+
+    Exempt rows are split out BEFORE the window and unioned back, so
+    they never land in the single NULL/'' window partition — at web
+    scale url-less rows are common enough that routing them through
+    one task is a straggler. Costs a second (filter-pushed) scan of
+    the source instead."""
     curl = canonical_url(F.col(url_col))
     w = Window.partitionBy(curl).orderBy(F.col(id_col))
     exempt = F.col(url_col).isNull() | (curl == "")
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") == 1) | exempt).drop("__rn"))
+    kept = (df.where(~exempt)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+    return kept.unionByName(df.where(exempt))
 
 
 # demo blocklist for url_quality_flags — real deployments load a
@@ -188,11 +207,14 @@ def url_dedup_latest(df: DataFrame, *, url_col: str = "url",
     pipelines usually want the freshest fetch, not the first-seen id.
     Same shape as url_dedup: one string projection + one window over
     the canonical form, one shuffle, no join. Rows with a NULL/empty
-    url are exempt (all kept) — same guard and rationale as url_dedup.
+    url are exempt (all kept) and split out before the window — same
+    guard, rationale and skew note as url_dedup.
     """
     curl = canonical_url(F.col(url_col))
     w = (Window.partitionBy(curl)
          .orderBy(F.col(ts_col).desc(), F.col(id_col).asc()))
     exempt = F.col(url_col).isNull() | (curl == "")
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") == 1) | exempt).drop("__rn"))
+    kept = (df.where(~exempt)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+    return kept.unionByName(df.where(exempt))
