@@ -1110,6 +1110,36 @@ def q_email_variants(spark, sf_dir):
     return res.violations.groupBy("rule_id").agg(F.count("*").alias("n"))
 
 
+def _schema_docs_mini() -> z.Schema:
+    """Branch-rich schema exercising describe()'s enum / array / union /
+    literal / default / optional renderings."""
+    return z.fields({
+        "kind": z.enum({"a": "A", "b": "B"}),
+        "tags": z.array(z.string(min=1), min_length=1).optional(),
+        "val": z.union([z.integer(), z.float_()]),
+        "flag": z.literal("on"),
+        "score": z.float_(gte=0.0).with_default(1.0),
+    })
+
+
+def q_schema_docs(spark, sf_dir):
+    """Zoi.describe/1 (lib/zoi/describe.ex:95-110, test
+    test/zoi/describe_test.exs): render the rule-set as markdown and
+    emit one row per line. The engine derives the rows from
+    describe(); the oracle is the hand-written expected text — a
+    renderer drift in either direction fails the hash (same contract
+    as q_schema_introspection)."""
+    from zoi_spark.describe import describe as zdescribe
+
+    rows = []
+    for part, schema in (("documents", documents_schema()),
+                         ("mini", _schema_docs_mini())):
+        for i, line in enumerate(zdescribe(schema).split("\n")):
+            rows.append((part, i, line))
+    return spark.createDataFrame(rows,
+                                 "part string, line_no long, line string")
+
+
 def q_schema_introspection(spark, sf_dir):
     """Driver-side schema derivations in the gate: Zoi.type_spec
     (to_struct_type/to_ddl, lib/zoi.ex:284-289),
@@ -2082,6 +2112,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # r4: the 42 queries the r3 driver window never reached come FIRST
         # (VERDICT r3 "Next round" #1); the 50 three-round-green queries follow.
         # tests/test_oracle_parity.py still replays ALL entries at two SFs.
+        "schema_docs": q_schema_docs,
         "email_variants": q_email_variants,
         "schema_introspection": q_schema_introspection,
         "validate_strict_parsed": q_validate_strict_parsed,
@@ -3634,6 +3665,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "refine_ctx_multi": _refine_ctx_sql(),
         "email_variants": _email_variants_sql(),
+        "schema_docs": """
+            SELECT * FROM (VALUES
+              ('documents', 0, '- object (5 fields)'),
+              ('documents', 1, '  - **doc_id**:'),
+              ('documents', 2, '    - integer  — gte(value=0)'),
+              ('documents', 3, '  - **text**:'),
+              ('documents', 4, '    - string  — gte(value=50); lte(value=520)'),
+              ('documents', 5, '  - **lang**:'),
+              ('documents', 6, '    - string  — gte(value=2); lte(value=2); one_of(values=[''en'', ''de'', ''es'', ''fr''])'),
+              ('documents', 7, '  - **source**:'),
+              ('documents', 8, '    - string  — starts_with(value=''src'')'),
+              ('documents', 9, '  - **n_chars**:'),
+              ('documents', 10, '    - integer  — gte(value=50)'),
+              ('mini', 0, '- object (5 fields)'),
+              ('mini', 1, '  - **kind**:'),
+              ('mini', 2, '    - enum of [A, B]'),
+              ('mini', 3, '  - **tags**:'),
+              ('mini', 4, '    - array  — gte(value=1); optional'),
+              ('mini', 5, '      - string  — gte(value=1)'),
+              ('mini', 6, '  - **val**:'),
+              ('mini', 7, '    - any of:'),
+              ('mini', 8, '      - integer'),
+              ('mini', 9, '      - float'),
+              ('mini', 10, '  - **flag**:'),
+              ('mini', 11, '    - literal `''on''`'),
+              ('mini', 12, '  - **score**:'),
+              ('mini', 13, '    - float  — gte(value=0.0); default=1.0')
+            ) t(part, line_no, line)
+        """,
         "schema_introspection": """
             SELECT * FROM (VALUES
               ('doc:doc_id', 'bigint', true),

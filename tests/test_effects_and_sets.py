@@ -6,6 +6,7 @@ lib/zoi/types/meta.ex:62-95 (effects run strictly in chain order) and
 the doc diagram at lib/zoi.ex:128-144.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 import zoi_spark as z
@@ -158,3 +159,58 @@ def test_parsed_is_nil_for_erring_nodes(spark):
     assert parsed[1] == ("ok", 5)
     assert parsed[2] == ("ok", None)          # n failed -> nil; s kept
     assert parsed[3] == (None, 5)             # s failed -> nil; n kept
+
+
+def test_register_kind_custom_type(spark):
+    """Zoi.Type extension point (lib/zoi/type.ex:1-62): a registered
+    kind plugs a type stage into the compiler; checks/meta/error
+    collection compose on it like any built-in kind."""
+    from pyspark.sql import types as T
+    from zoi_spark import errors as E
+
+    def even_int_stage(schema, col, itype):
+        if isinstance(itype, (T.LongType, T.IntegerType)):
+            ok = col % 2 == 0
+            return (F.when(ok, col.cast("long")), ok,
+                    E.invalid_type("even integer", error=schema.error),
+                    T.LongType())
+        if schema.coerce and isinstance(itype, T.StringType):
+            ok = col.rlike("^-?[0-9]+$") & (col.cast("long") % 2 == 0)
+            return (F.when(ok, col.cast("long")), ok,
+                    E.invalid_type("even integer", error=schema.error),
+                    T.LongType())
+        return (F.lit(None).cast("long"), F.lit(False),
+                E.invalid_type("even integer", error=schema.error),
+                T.LongType())
+
+    z.register_kind("even_int", even_int_stage)
+    try:
+        schema = z.fields({"n": z.custom("even_int").gte(0),
+                           "m": z.coerce(z.custom("even_int")).optional()})
+        df = spark.createDataFrame(
+            [(1, 4, "10"), (2, 3, "11"), (3, -2, "x"), (4, 8, None)],
+            "row_id long, n long, m string")
+        res = z.validate(df, schema, id_cols=["row_id"])
+        viol = {(r.row_id, r.rule_id) for r in
+                res.violations.select("row_id", "rule_id").collect()}
+        assert viol == {(2, "n.type"), (3, "n.gte"),
+                        (2, "m.type"), (3, "m.type")}
+        parsed = {r.row_id: (r.p.n, r.p.m)
+                  for r in res.annotated.select(
+                      "row_id", F.col("__zoi_parsed").alias("p")).collect()}
+        assert parsed[1] == (4, 10)
+        assert parsed[2] == (None, None)     # both fail their type stage
+        assert parsed[3][1] is None          # 'x' not coercible
+        assert parsed[4] == (8, None)        # optional m absent -> nil
+
+        # guards: no shadowing built-ins, no silent re-registration,
+        # unknown kinds fail at build time
+        with pytest.raises(ValueError):
+            z.register_kind("integer", even_int_stage)
+        with pytest.raises(ValueError):
+            z.register_kind("even_int", even_int_stage)
+        z.register_kind("even_int", even_int_stage, replace=True)
+        with pytest.raises(KeyError):
+            z.custom("odd_int")
+    finally:
+        z.unregister_kind("even_int")

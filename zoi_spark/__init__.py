@@ -32,6 +32,7 @@ from .schema import (  # noqa: F401
     to_time_struct,
     extend, pick, omit, traverse, coerce, coerce_all, reverse_codecs,
     object,
+    register_kind, unregister_kind, custom,
 )
 from .validate import (  # noqa: F401
     ParseError, ValidationResult, encode, parse, prepare_form, validate,

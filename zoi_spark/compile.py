@@ -322,6 +322,15 @@ def _type_stage(schema: Schema, col: Column, itype: T.DataType
             return col, ok, spec, T.StringType()
         return col.cast("string"), FALSE, spec, T.StringType()
 
+    # custom-type extension point (Zoi.Type analogue — lib/zoi/
+    # type.ex:1-62): registered kinds plug in their own type stage;
+    # every downstream stage (checks, effects, meta, error collection,
+    # parsed-nil gating) composes on top unchanged
+    from .schema import _CUSTOM_KINDS
+    hook = _CUSTOM_KINDS.get(kind)
+    if hook is not None:
+        return hook(schema, col, itype)
+
     raise NotImplementedError(f"no type stage for kind={kind!r}")
 
 

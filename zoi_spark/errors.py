@@ -45,12 +45,25 @@ _NUMBER_TYPES = {"integer", "float", "number", "decimal"}
 _DATE_TYPES = {"date", "datetime", "naive_datetime", "time"}
 
 
+# custom kinds (schema.register_kind) declare which message family
+# their ordering/length checks phrase with — default "number"
+_EXTRA_CATEGORIES: dict[str, str] = {}
+
+
+def register_type_category(kind: str, category: str) -> None:
+    _EXTRA_CATEGORIES[kind] = category
+
+
+def unregister_type_category(kind: str) -> None:
+    _EXTRA_CATEGORIES.pop(kind, None)
+
+
 def type_category(type_name: str) -> str:
     if type_name in _NUMBER_TYPES:
         return "number"
     if type_name in _DATE_TYPES:
         return "date"
-    return type_name  # string, array, enum, ...
+    return _EXTRA_CATEGORIES.get(type_name, type_name)  # string, array, ...
 
 
 def render(template: str, variables: Mapping[str, Any]) -> str:

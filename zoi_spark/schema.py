@@ -723,3 +723,77 @@ def reverse_codecs(schema: Schema) -> Schema:
         new.params["encode"] = s.params.get("decode")
         return new
     return traverse(schema, flip)
+
+
+# ---------------------------------------------------------------------------
+# custom-type extension point (Zoi.Type)
+# ---------------------------------------------------------------------------
+
+# kind -> type-stage fn. The reference lets users implement the
+# Zoi.Type behaviour for their own types (lib/zoi/type.ex:1-62: a
+# parse/2 callback the engine dispatches to by struct module); the
+# columnar analogue is a registered type-stage hook the compiler
+# dispatches to by kind string.
+_CUSTOM_KINDS: dict[str, Any] = {}
+
+
+def register_kind(kind: str, type_stage: Any, *, replace: bool = False,
+                  category: str = "number") -> None:
+    """Register a custom type kind (``Zoi.Type`` analogue,
+    lib/zoi/type.ex:1-62).
+
+    ``type_stage(schema, col, itype)`` must return the same 4-tuple the
+    built-in type stages produce::
+
+        (typed_value: Column,   # the parsed value (nil where invalid)
+         type_ok: Column,       # boolean predicate: type parse passed
+         error_spec,            # errors.ErrorSpec | None for type errors
+         out_type: DataType)    # Spark type of typed_value
+
+    Everything downstream composes automatically: refinements/
+    transforms/codec chains, required/optional/nullable/default meta,
+    error collection and parsed-nil gating all run on top of the
+    returned stage, exactly as they do for built-in kinds. Refine/
+    transform/codec remain the right tool for one-off cases; register
+    a kind when a reusable type with its own coercion rule is wanted.
+
+    Built-in kinds cannot be shadowed, and re-registration requires
+    ``replace=True`` (guards against import-order surprises).
+    ``category`` picks the message family ("number"/"string"/"date")
+    ordering and length checks phrase their errors with.
+    """
+    from . import errors as E
+    if kind in _BUILTIN_KINDS:
+        raise ValueError(f"cannot shadow built-in kind {kind!r}")
+    if not replace and kind in _CUSTOM_KINDS:
+        raise ValueError(f"custom kind {kind!r} already registered; "
+                         "pass replace=True to overwrite")
+    _CUSTOM_KINDS[kind] = type_stage
+    E.register_type_category(kind, category)
+
+
+def unregister_kind(kind: str) -> None:
+    """Remove a registered custom kind (mainly for tests)."""
+    from . import errors as E
+    _CUSTOM_KINDS.pop(kind, None)
+    E.unregister_type_category(kind)
+
+
+def custom(kind: str, *, error: str | None = None, **params: Any) -> Schema:
+    """Schema node for a registered custom kind (see
+    :func:`register_kind`); raises if the kind is unknown so typos
+    fail at schema-build time, not deep inside compilation."""
+    if kind not in _CUSTOM_KINDS:
+        raise KeyError(f"custom kind {kind!r} is not registered; call "
+                       "register_kind first")
+    return Schema(kind, error=error, **params)
+
+
+# kinds the compiler handles natively — the shadow guard's denylist
+_BUILTIN_KINDS = frozenset({
+    "string", "integer", "float", "number", "boolean", "string_boolean",
+    "decimal", "date", "time", "datetime", "naive_datetime", "null",
+    "any", "atom", "literal", "enum", "json", "array", "list", "map_set",
+    "tuple", "fields", "map_kv", "union", "intersection",
+    "discriminated_union", "lazy", "codec",
+})
