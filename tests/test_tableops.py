@@ -714,6 +714,37 @@ def test_curate_admission_gates(spark):
     res.release()
 
 
+def test_curate_auto_knob_sizing(spark):
+    """Blocking knobs default to "auto": bands from the threshold
+    S-curve (recall-floored), bucket cap from the pair-work bound,
+    cluster rounds from log2(n) — the CLI path needs no tuning, and
+    passing approx_rows skips the sizing count() job."""
+    from zoi_spark import dedup, pipeline
+
+    # threshold-only sizing: midpoint (1/b)^(1/r) must not exceed t
+    assert dedup.suggest_minhash_bands(64, 0.7) == 16
+    assert dedup.suggest_minhash_bands(64, 0.85) == 8
+    for t in (0.3, 0.5, 0.8, 0.95):
+        b = dedup.suggest_minhash_bands(64, t)
+        assert 64 % b == 0 and (1.0 / b) ** (b / 64) <= t
+    # pair-work bound: cap²/2 ≈ target, corpus size only tightens it
+    assert dedup.suggest_max_bucket_size(target_pairs=2_000_000) == 2000
+    assert dedup.suggest_max_bucket_size(100) == 100
+    assert dedup.suggest_max_bucket_size(10**12) == 2000
+    # round budget: log-scaled, clamped
+    assert dedup.suggest_cluster_iters(24) == 13      # ceil(log2)+8
+    assert dedup.suggest_cluster_iters(2) == 12       # floor
+    assert dedup.suggest_cluster_iters(10**12) == 48
+
+    rows = [(i, f"plain document number {i} with agreeable words "
+                "that run long enough to shingle cleanly") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    schema = z.fields({"doc_id": z.integer(), "text": z.string(min=5)})
+    res = pipeline.curate(df, schema, id_col="doc_id", approx_rows=8)
+    assert res.kept.count() == 8
+    res.release()
+
+
 def test_gopher_quality_flags(spark):
     from zoi_spark import text as zt
 

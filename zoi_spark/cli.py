@@ -63,6 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply the Gopher admission battery (defaults)")
     p.add_argument("--max-dup-ngram-fraction", type=float, default=None)
     p.add_argument("--near-dup-threshold", type=float, default=0.85)
+    # blocking knobs: default "auto" (threshold-derived bands,
+    # pair-work-bounded bucket cap, log2(n)-derived round budget) so
+    # the deployed job needs no per-corpus tuning; integers override
+    p.add_argument("--minhash-bands", default="auto",
+                   type=lambda s: s if s == "auto" else int(s))
+    p.add_argument("--max-bucket-size", default="auto",
+                   type=lambda s: s if s == "auto" else int(s))
+    p.add_argument("--cluster-max-iters", default="auto",
+                   type=lambda s: s if s == "auto" else int(s))
+    p.add_argument("--approx-rows", type=int, default=None,
+                   help="known/estimated input row count; skips the "
+                        "one count() job auto sizing otherwise runs")
     return p
 
 
@@ -102,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
             url_filter=args.url_filter, drop_pii=args.drop_pii,
             gopher=({} if args.gopher else None),
             max_dup_ngram_fraction=args.max_dup_ngram_fraction,
-            near_dup_threshold=args.near_dup_threshold)
+            near_dup_threshold=args.near_dup_threshold,
+            minhash_bands=args.minhash_bands,
+            max_bucket_size=args.max_bucket_size,
+            cluster_max_iters=args.cluster_max_iters,
+            approx_rows=args.approx_rows)
         res.kept.write.mode("overwrite").parquet(args.output)
         # the ledger's kept-corpus legs (count + token sums) read the
         # parquet just written instead of re-executing the near-dup

@@ -514,6 +514,77 @@ def with_minhash(df: DataFrame, *, text_col: str = "text",
                                            engine=engine))
 
 
+def suggest_minhash_bands(num_hashes: int = 64, threshold: float = 0.8,
+                          fp_weight: float = 0.25) -> int:
+    """Threshold-derived band count: pick the ``b`` (with ``r = n/b``
+    rows per band) minimizing the weighted false-positive +
+    false-negative mass of the S-curve ``P(candidate) = 1-(1-s^r)^b``
+    around ``threshold`` — the standard MMDS ch.3 tuning (same
+    selection datasketch's ``_optimal_param`` performs). The default
+    weighting biases toward recall because the pipeline verifies
+    candidates with exact Jaccard: a false positive costs one pruned
+    comparison, a false negative is an unrecoverable missed duplicate.
+    Pure numeric integration at plan time, no data peek;
+    deterministic.
+
+    Constraint: only bandings whose S-curve midpoint ``(1/b)^(1/r)``
+    sits at or below ``threshold`` are considered — the midpoint is
+    where candidate recall crosses 50%, so a midpoint above the query
+    threshold means pairs the caller asked for are more likely missed
+    than found. Within that recall floor, the weighted integral picks
+    the most selective banding."""
+    allowed = [b for b in range(1, num_hashes + 1)
+               if num_hashes % b == 0
+               and (1.0 / b) ** (b / num_hashes) <= threshold]
+    if not allowed:   # threshold below every midpoint: most permissive
+        allowed = [num_hashes]
+    best_b, best_err = allowed[0], float("inf")
+    steps = 500
+    for b in allowed:
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp * fp_weight + fn * (1.0 - fp_weight)
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
+def suggest_max_bucket_size(n_rows: int | None = None,
+                            target_pairs: int = 2_000_000) -> int:
+    """Pair-work-derived mega-bucket cap: the verify stage does
+    ``size·(size-1)/2`` comparisons per bucket, so cap bucket
+    population at ``≈ sqrt(2·target_pairs)`` — one task's worth of
+    pair work regardless of corpus size (buckets past that are
+    boilerplate-degenerate, not near-dup signal). ``n_rows`` (from a
+    count the caller already has) only bounds the cap for tiny
+    corpora, where capping is a no-op anyway."""
+    import math
+
+    cap = max(64, math.isqrt(2 * target_pairs))
+    if n_rows is not None:
+        cap = min(cap, max(64, n_rows))
+    return cap
+
+
+def suggest_cluster_iters(n_rows: int, *, floor: int = 12,
+                          ceiling: int = 48) -> int:
+    """Corpus-size-derived label-propagation round budget: min-label
+    spreads one hop per round, and observed near-dup chain diameters
+    grow ~logarithmically with corpus size, so budget
+    ``log2(n) + 8`` rounds (clamped) — enough headroom at 10^12 rows
+    without letting a pathological graph spin forever."""
+    import math
+
+    return max(floor, min(ceiling, math.ceil(math.log2(max(n_rows, 2))) + 8))
+
+
 def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 64,
                            bands: int = 16, shingle_n: int = 3,

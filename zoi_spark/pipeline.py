@@ -90,9 +90,10 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            gopher: dict | None = None,
            max_dup_ngram_fraction: float | None = None,
            near_dup_threshold: float = 0.85,
-           minhash_bands: int = 16,
-           max_bucket_size: int | None = None,
-           cluster_max_iters: int = 20) -> CurationResult:
+           minhash_bands: int | str = "auto",
+           max_bucket_size: int | str | None = "auto",
+           cluster_max_iters: int | str = "auto",
+           approx_rows: int | None = None) -> CurationResult:
     """Run the full curation composition; see module docstring for the
     per-stage plan shapes. If cluster label propagation fails to
     converge within ``cluster_max_iters`` (already warned by
@@ -137,7 +138,33 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
       cap: the substring-level complement to whole-doc dedup. Costs
       one extra keyed aggregation + an anti-join on the over-cap ids
       (the drop side — smaller than the corpus by construction).
+
+    Blocking knobs default to ``"auto"`` so the deployable CLI path is
+    scale-safe with no operator tuning:
+
+    * ``minhash_bands`` — from ``near_dup_threshold`` alone
+      (dedup.suggest_minhash_bands, the MMDS S-curve optimum); no data
+      peek.
+    * ``max_bucket_size`` — pair-work-bounded cap
+      (dedup.suggest_max_bucket_size); corpus-size-independent by
+      design.
+    * ``cluster_max_iters`` — ``log2(n)+8`` rounds
+      (dedup.suggest_cluster_iters) from ``approx_rows``; when auto is
+      requested and ``approx_rows`` is None, ONE ``df.count()`` job
+      runs at build time (negligible next to the dedup it sizes, but
+      it does break full laziness — pass ``approx_rows`` from a count
+      you already have, or an integer knob, to avoid it).
     """
+    if cluster_max_iters == "auto":
+        if approx_rows is None:
+            approx_rows = df.count()
+        cluster_max_iters = dedup.suggest_cluster_iters(approx_rows)
+    if minhash_bands == "auto":
+        minhash_bands = dedup.suggest_minhash_bands(
+            num_hashes=64, threshold=near_dup_threshold)
+    if max_bucket_size == "auto":
+        max_bucket_size = dedup.suggest_max_bucket_size(approx_rows)
+
     res = validate(df, schema, id_cols=[id_col])
     valid = res.valid_rows
 
