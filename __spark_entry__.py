@@ -2089,6 +2089,24 @@ def q_temperature_weights(spark, sf_dir):
                                            tau=0.7)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (sampling.dsir_logweights; Xie et
+    al. 2023): target = the lang='en' slice, raw = the whole corpus;
+    hashed-bigram (md5 mod 256) Laplace multinomials, per-doc
+    Σ count·log-ratio. The DuckDB twin re-derives the normalize →
+    bigram → bucket → smoothed-log-ratio → per-doc sum chain from
+    scratch, so estimator math AND feature hashing are value-checked.
+    Top 40 by (weight desc, id) keeps the gate row-stable."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    w = sampling.dsir_logweights(
+        d, d.where(F.col("lang") == "en"),
+        text_col="text", id_col="doc_id", buckets=256)
+    return (w.orderBy(F.col("dsir_logweight").desc(), F.col("doc_id"))
+            .limit(40))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2155,6 +2173,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize_events": q_sessionize_events,
         "ks_drift_len": q_ks_drift_len,
         "temperature_weights": q_temperature_weights,
+        "dsir_weights": q_dsir_weights,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -4301,5 +4320,38 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT doc_id, lang, cum_tokens::BIGINT AS cum_tokens
             FROM c WHERE cum_tokens <= 5000
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id, lang, unnest(
+                CASE WHEN len(t) <= 1 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t)),
+                                         i -> array_to_string(t[i:i+1], ' '))
+                END) AS gram
+              FROM toks),
+            feat AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(gram), 1, 8))::UBIGINT
+                      % 256)::BIGINT AS bucket
+              FROM grams WHERE gram <> ''),
+            q AS (SELECT bucket, count(*)::DOUBLE AS cq FROM feat
+                  GROUP BY bucket),
+            p AS (SELECT bucket, count(*)::DOUBLE AS cp FROM feat
+                  WHERE lang = 'en' GROUP BY bucket),
+            tq AS (SELECT sum(cq) AS t FROM q),
+            tp AS (SELECT sum(cp) AS t FROM p),
+            lr AS (
+              SELECT q.bucket,
+                     ln((coalesce(p.cp, 0) + 0.5) / (tp.t + 0.5 * 256))
+                   - ln((q.cq + 0.5) / (tq.t + 0.5 * 256)) AS lr
+              FROM q LEFT JOIN p ON q.bucket = p.bucket, tq, tp)
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+                   round(sum(lr.lr), 6) AS dsir_logweight
+            FROM feat JOIN lr ON feat.bucket = lr.bucket
+            GROUP BY doc_id
+            ORDER BY dsir_logweight DESC, doc_id LIMIT 40
         """,
     }

@@ -225,3 +225,40 @@ def test_zscore_outliers_plan_broadcasts_stats(docs):
     out = tablechecks.zscore_outliers(docs, "n_chars", by="lang", k=2.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# -- dsir_logweights ----------------------------------------------------------
+
+def test_dsir_logweights_prefers_target_like_docs(spark):
+    """Docs sharing the target's bigrams must outscore docs that
+    don't; counts and determinism hold across re-runs."""
+    from zoi_spark import sampling
+
+    cats = [(i, "the small cat sat on the warm mat near the door")
+            for i in range(5)]
+    dogs = [(10 + i, "ein großer hund lief schnell durch den park heute")
+            for i in range(5)]
+    df = spark.createDataFrame(cats + dogs, "doc_id long, text string")
+    target = df.where("doc_id < 5")
+    w = sampling.dsir_logweights(df, target, buckets=64)
+    rows = {r.doc_id: r for r in w.collect()}
+    assert len(rows) == 10
+    assert all(rows[i].n_grams == 10 for i in range(5))   # 11 tokens
+    assert all(rows[10 + i].n_grams == 8 for i in range(5))  # 9 tokens
+    cat_w = rows[0].dsir_logweight
+    dog_w = rows[10].dsir_logweight
+    assert cat_w > dog_w                     # target-like docs score higher
+    assert all(rows[i].dsir_logweight == cat_w for i in range(5))
+    rerun = {r.doc_id: r.dsir_logweight
+             for r in sampling.dsir_logweights(df, target,
+                                               buckets=64).collect()}
+    assert rerun == {i: r.dsir_logweight for i, r in rows.items()}
+
+
+def test_dsir_logweights_plan_broadcasts_ratio_table(docs):
+    from zoi_spark import sampling
+
+    w = sampling.dsir_logweights(docs, docs.where("lang = 'en'"),
+                                 buckets=128)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # k-row log-ratio table

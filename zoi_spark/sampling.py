@@ -34,6 +34,7 @@ __all__ = [
     "host_cap",
     "sample_key",
     "pack_sequences",
+    "dsir_logweights",
 ]
 
 _HEX_WIDTH = 8  # 32 bits of the md5 → rate granularity 2^-32
@@ -191,3 +192,106 @@ def token_budget_fill(df: DataFrame, *, id_col: str, weight_col: str,
     cum = F.sum(F.col(weight_col)).over(w)
     return (df.withColumn("cum_tokens", cum)
             .where(F.col("cum_tokens") <= budget))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling", NeurIPS — public)
+# ---------------------------------------------------------------------------
+
+def _gram_bucket(gram: Column, buckets: int) -> Column:
+    """Hashed-n-gram feature index: first 32 bits of md5(gram) mod
+    ``buckets``. md5 (not xxhash64) so the DuckDB oracle derives the
+    identical bucket for every gram."""
+    return (F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def dsir_logweights(df: DataFrame, target: DataFrame, *,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    shingle_n: int = 2, buckets: int = 1024,
+                    smoothing: float = 0.5) -> DataFrame:
+    """Per-document DSIR importance log-weight: score each raw doc by
+    how target-like its hashed n-gram profile is,
+    ``w(doc) = Σ_g count_g(doc) · (ln p̂_target[b(g)] − ln q̂_raw[b(g)])``
+    with Laplace-``smoothing`` multinomials over ``buckets`` hashed
+    n-gram features. Selecting/resampling by these weights is how DSIR
+    picks pre-training data matched to a target distribution (the
+    feature space and estimator follow the paper; selection itself
+    composes with :func:`hash_sample` / :func:`token_budget_fill` /
+    ``tablechecks.temperature_weights``).
+
+    Plan at 10^12 docs — three aggregations, no joins bigger than the
+    feature table:
+
+    1. raw-side bucket counts: explode grams → groupBy bucket (map-side
+       combine; ``buckets`` keys, so the shuffle is tiny regardless of
+       corpus size);
+    2. target-side bucket counts: same over ``target`` (the target
+       sample is small by construction — it's the distribution you
+       want more of);
+    3. per-doc weights: explode grams → broadcast-join the
+       ``buckets``-row log-ratio table → groupBy doc. The only big
+       shuffle keys on ``id_col`` (same cardinality as the corpus).
+
+    The raw corpus is scanned twice (bucket totals, then per-doc
+    scores); at scale persist the gram explode — or pass a
+    ``hash_sample`` of ``df`` as its own estimator corpus, since q̂
+    only needs enough mass per bucket to be stable.
+
+    Deterministic end-to-end (md5 buckets, closed-form estimates):
+    the DuckDB twin re-derives every weight bit-for-bit at 6 decimals.
+
+    Returns ``(id_col, n_grams, dsir_logweight)``.
+    """
+    from . import text as _text
+
+    k = F.lit(buckets)
+    a = F.lit(float(smoothing))
+
+    def grams(frame: DataFrame) -> DataFrame:
+        g = _text.word_shingles(F.col(text_col), shingle_n)
+        return (frame
+                .where(F.col(text_col).isNotNull())
+                .select(F.col(id_col),
+                        F.explode(g).alias("__gram"))
+                .where(F.col("__gram") != "")
+                .select(F.col(id_col),
+                        _gram_bucket(F.col("__gram"), buckets)
+                        .alias("__bucket")))
+
+    def bucket_probs(frame: DataFrame, out: str) -> DataFrame:
+        counts = grams(frame).groupBy("__bucket").agg(
+            F.count("*").alias("__c"))
+        total = counts.agg(F.sum("__c").alias("__t"))
+        # ln((c + a) / (T + a·k)) — broadcast the 1-row total
+        return (counts.crossJoin(F.broadcast(total))
+                .select("__bucket",
+                        (F.log((F.col("__c") + a)
+                               / (F.col("__t") + a * k))).alias(out)))
+
+    # buckets absent from an estimator still carry smoothed mass; a
+    # full-outer join + per-side floor ln(a / (T + a·k)) covers them.
+    # Totals are tiny scalars; re-derive the floors from the observed
+    # rows instead of a second action: exp(lp) sums to (T_obs + a·k_obs
+    # ...) — simpler and action-free to carry the totals along.
+    raw_counts = grams(df).groupBy("__bucket").agg(
+        F.count("*").alias("__cq"))
+    tgt_counts = grams(target).groupBy("__bucket").agg(
+        F.count("*").alias("__cp"))
+    totals = (raw_counts.agg(F.sum("__cq").alias("__tq"))
+              .crossJoin(tgt_counts.agg(F.sum("__cp").alias("__tp"))))
+    ratio = (raw_counts.join(tgt_counts, "__bucket", "full_outer")
+             .crossJoin(F.broadcast(totals))
+             .select(
+                 "__bucket",
+                 (F.log((F.coalesce(F.col("__cp"), F.lit(0)) + a)
+                        / (F.col("__tp") + a * k))
+                  - F.log((F.coalesce(F.col("__cq"), F.lit(0)) + a)
+                          / (F.col("__tq") + a * k))).alias("__lr")))
+
+    return (grams(df)
+            .join(F.broadcast(ratio), "__bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.sum("__lr"), 6).alias("dsir_logweight")))
