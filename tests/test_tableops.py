@@ -287,6 +287,51 @@ def test_duplicate_clusters_transitive(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_duplicate_clusters_long_chain_log_rounds(spark):
+    """Star contraction (large-star/small-star) collapses a 300-node
+    gradual-drift chain within a log-scale round budget — 1-hop label
+    propagation would need 300 rounds, the exact scale failure the
+    rewrite removes."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(300)],
+                                  "id_a long, id_b long")
+    out = dedup.duplicate_clusters(chain, max_iters=12)
+    assert out._zoi_converged
+    rows = out.collect()
+    assert len(rows) == 301
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Randomized equivalence vs a plain union-find closure: same
+    (doc -> component-min) map on arbitrary graphs (hubs, chains,
+    cliques, singleton-pair mixes)."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n = 80
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in
+                    {v for e in edges for v in e}}
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.duplicate_clusters(pairs).collect()}
+        assert got == expected, f"seed {seed}"
+
+
 def test_lsh_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.limit(3)

@@ -914,64 +914,100 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
 
     Near-dup PAIRS are not a dedup verdict: A≈B and B≈C must collapse
     to one kept document even when A≉C, which needs the transitive
-    closure. Min-label propagation: every node starts labeled with its
-    own id; each round joins labels across edges and keeps the minimum;
-    converges in O(component diameter) rounds — near-dup components are
-    shallow (stars around a template), so a handful of rounds suffice
-    at any scale. Each round is one equi-join + one groupBy min over
-    the EDGE list (size = number of near-dup pairs, ≪ corpus);
-    convergence is checked with a cheap count per round (driver-side
-    loop over a handful of tiny jobs, not over rows).
+    closure. Alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    algorithm behind GraphFrames' connectedComponents): each round
+    rewires every node toward its neighborhood minimum, so component
+    depth roughly HALVES per round and convergence takes O(log d)
+    rounds — unlike 1-hop min-label propagation, whose O(diameter)
+    rounds melt down on gradual-drift duplicate chains (A≈B≈…≈Z is
+    routine in recrawled/templated web pages). Neither phase ever
+    materializes a neighbor LIST: both are (groupBy-min + equi-join)
+    over the edge table (size = number of near-dup pairs, ≪ corpus),
+    so a 10^8-degree template hub costs a wide groupBy key, not an
+    executor-memory neighbor array.
 
-    Each round's labels are ``localCheckpoint(eager=True)``-ed, not
-    merely persisted: a persist leaves the full round tower in the
-    lineage, so the FINAL plan re-derives every round (hundreds of
-    scans) whenever a cached partition is lost — routine at scale — and
-    the plan itself grows toward optimizer blow-up. The checkpoint
-    truncates lineage to the materialized RDD each round; superseded
-    round RDDs are released by Spark's ContextCleaner as the driver
-    references drop.
+    Each round's edge set is ``localCheckpoint(eager=True)``-ed — a
+    mere persist leaves the full round tower in the lineage, so the
+    final plan re-derives every round (hundreds of scans) whenever a
+    cached partition is lost, and the plan itself grows toward
+    optimizer blow-up; the checkpoint truncates lineage to the
+    materialized RDD each round, and superseded round RDDs are freed
+    by Spark's ContextCleaner as driver references drop.
 
-    If the loop exhausts ``max_iters`` before converging (components
-    deeper than ``max_iters`` hops — e.g. templated page chains), the
-    returned labels are NOT a valid transitive closure: a
+    If the loop exhausts ``max_iters`` (each iteration = one
+    large-star + one small-star phase) before the edge set stabilizes,
+    the returned labels are NOT a valid transitive closure: a
     ``RuntimeWarning`` is emitted and the result carries
     ``_zoi_converged = False`` so callers (pipeline.curate) can fail
     loudly instead of dropping the wrong documents.
     """
     import warnings
 
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionAll(pairs.select(F.col(id_b).alias("src"),
-                                    F.col(id_a).alias("dst")))
-             .distinct().persist())
-    labels = (edges.select(F.col("src").alias("id"))
-              .distinct()
-              .select("id", F.col("id").alias("label")))
+    # symmetric undirected edge table; nodes remembered up front since
+    # star rounds contract singleton-adjacent edges away
+    edges0 = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+              .unionAll(pairs.select(F.col(id_b).alias("u"),
+                                     F.col(id_a).alias("v")))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+    nodes = (edges0.select(F.col("u").alias("doc_id")).distinct()
+             .localCheckpoint(eager=True))
+    edges = edges0.localCheckpoint(eager=True)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return (e.unionAll(e.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+                .where(F.col("u") != F.col("v")).distinct())
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # per node u: m = min(N(u) ∪ {u}); connect strictly-larger
+        # neighbors to m
+        m = (e.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (e.join(m, "u").where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient high→low; per node u: m = min of its smaller
+        # neighborhood; connect those neighbors AND u itself to m
+        lo = (e.where(F.col("v") < F.col("u"))
+              .unionAll(e.where(F.col("u") < F.col("v"))
+                        .select(F.col("v").alias("u"),
+                                F.col("u").alias("v"))))
+        m = lo.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = (lo.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        selfe = m.select(F.col("u"), F.col("m").alias("v"))
+        return (nbrs.unionAll(selfe)
+                .where(F.col("u") != F.col("v")).distinct())
+
     converged = False
     for _ in range(max_iters):
-        prop = (edges.join(labels, edges["dst"] == labels["id"])
-                .groupBy("src").agg(F.min("label").alias("nb_label")))
-        new_labels = (labels.join(prop, labels["id"] == prop["src"], "left")
-                      .select(labels["id"],
-                              F.least("label", F.coalesce("nb_label", "label"))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "id")
-                   .where(F.col("label") != F.col("old")).limit(1).count())
-        labels = new_labels
+        after = (_small_star(_sym(_large_star(_sym(edges))))
+                 .localCheckpoint(eager=True))
+        # stable iff the round was a no-op on the edge set (compare
+        # both directions with two tiny anti-join probes)
+        changed = (after.exceptAll(edges).limit(1).count()
+                   or edges.exceptAll(after).limit(1).count())
+        edges = after
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         warnings.warn(
-            f"duplicate_clusters: label propagation did not converge in "
+            f"duplicate_clusters: star contraction did not converge in "
             f"{max_iters} rounds — cluster ids are incomplete; raise "
-            f"max_iters (component diameter exceeds it)", RuntimeWarning)
-    out = labels.select(F.col("id").alias("doc_id"),
-                        F.col("label").alias("cluster_id"))
+            f"max_iters", RuntimeWarning)
+    # converged edge set is a star forest pointing at component minima;
+    # nodes that ARE the minimum have no outgoing low edge → label self
+    lab = (edges.where(F.col("v") < F.col("u"))
+           .groupBy("u").agg(F.min("v").alias("cluster_id"))
+           .select(F.col("u").alias("doc_id"), "cluster_id"))
+    out = (nodes.join(lab, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster_id", "doc_id").alias("cluster_id")))
     out._zoi_converged = converged
     return out
 
