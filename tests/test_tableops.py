@@ -301,6 +301,17 @@ def test_duplicate_clusters_long_chain_log_rounds(spark):
     assert {r.cluster_id for r in rows} == {0}
 
 
+def test_duplicate_clusters_keeps_selfpair_and_null_partner_nodes(spark):
+    """A doc whose only rows are self-pairs or NULL-partner pairs must
+    still appear in the doc->cluster map (labeled as itself), not
+    silently vanish."""
+    pairs = spark.createDataFrame([(7, 7), (8, None), (1, 2)],
+                                  "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 8: 8}
+
+
 def test_duplicate_clusters_matches_union_find(spark):
     """Randomized equivalence vs a plain union-find closure: same
     (doc -> component-min) map on arbitrary graphs (hubs, chains,

@@ -149,6 +149,19 @@ def _path_lits(path: Sequence[Any]) -> list[Column]:
     return [p if isinstance(p, Column) else F.lit(str(p)) for p in path]
 
 
+def _nil_on_any(value: Column, fail_conds: Sequence[Column]) -> Column:
+    """Parsed-nil contract for node-level effect errors (meta.ex
+    run_effects -> {ctx | parsed: nil}): nil the parsed value when any
+    failure predicate holds — the single gate both the scalar-combinator
+    and fields paths must share."""
+    if not fail_conds:
+        return value
+    any_fail = fail_conds[0]
+    for c in fail_conds[1:]:
+        any_fail = any_fail | c
+    return F.when(~F.coalesce(any_fail, F.lit(False)), value)
+
+
 def _safe_not(pred: Column) -> Column:
     # a null predicate counts as a failure (value escaped its guards)
     return ~F.coalesce(pred, F.lit(False))
@@ -547,16 +560,11 @@ def _apply_post_effects(ctx: CompileCtx, schema: Schema, node: Node,
             value = eff.fn(value)
     if maybe:
         err_arrays.append(_collect(maybe))
-    # parsed-nil contract on the node itself: the reference nils the
-    # parsed value on any node-level effect error (meta.ex run_effects
-    # -> {ctx | parsed: nil}) — same gate _compile_scalar composes as
-    # node_ok. Without this, a tuple/union/map row failing a node-level
-    # refine would expose a parsed value the reference nils.
-    if fail_conds:
-        any_fail = fail_conds[0]
-        for c in fail_conds[1:]:
-            any_fail = any_fail | c
-        value = F.when(~F.coalesce(any_fail, F.lit(False)), value)
+    # parsed-nil contract on the node itself — same gate
+    # _compile_scalar composes as node_ok; without it a
+    # tuple/union/map row failing a node-level refine would expose a
+    # parsed value the reference nils
+    value = _nil_on_any(value, fail_conds)
     return Node(value, _concat_err_arrays(err_arrays), node.out_type)
 
 
@@ -847,15 +855,10 @@ def _compile_fields(ctx, schema, col, itype, path, guard, allow_pandas) -> Node:
     if maybe:
         err_arrays.append(_collect(maybe))
 
-    # parsed-nil on a failing cross-field refine: the reference nils
-    # the whole parsed map when a node-level effect errs (meta.ex
-    # run_effects), unlike FIELD errors which keep the partial map —
-    # same gate as _apply_post_effects / _compile_scalar's node_ok.
-    if fail_conds:
-        any_fail = fail_conds[0]
-        for c in fail_conds[1:]:
-            any_fail = any_fail | c
-        value = F.when(~F.coalesce(any_fail, F.lit(False)), value)
+    # parsed-nil on a failing cross-field refine: node-level effect
+    # errors nil the WHOLE parsed map, unlike FIELD errors which keep
+    # the partial map — same shared gate as _apply_post_effects
+    value = _nil_on_any(value, fail_conds)
 
     return Node(value, _concat_err_arrays(err_arrays), T.StructType(out_fields))
 

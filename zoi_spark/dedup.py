@@ -944,16 +944,22 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     """
     import warnings
 
-    # symmetric undirected edge table; nodes remembered up front since
-    # star rounds contract singleton-adjacent edges away
-    edges0 = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-              .unionAll(pairs.select(F.col(id_b).alias("u"),
-                                     F.col(id_a).alias("v")))
-              .where(F.col("u") != F.col("v"))
-              .distinct())
-    nodes = (edges0.select(F.col("u").alias("doc_id")).distinct()
-             .localCheckpoint(eager=True))
-    edges = edges0.localCheckpoint(eager=True)
+    # nodes from BOTH pair columns before any edge filtering, so a doc
+    # whose only rows are self-pairs or NULL-partner pairs still gets a
+    # (doc, doc) label instead of vanishing from the map
+    nodes = (pairs.select(F.col(id_a).alias("doc_id"))
+             .unionAll(pairs.select(F.col(id_b).alias("doc_id")))
+             .where(F.col("doc_id").isNotNull())
+             .distinct().localCheckpoint(eager=True))
+    # symmetric undirected edge table (self-loops and NULL ends are
+    # connectivity no-ops; star rounds contract edges away, hence the
+    # separate node snapshot above)
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .unionAll(pairs.select(F.col(id_b).alias("u"),
+                                    F.col(id_a).alias("v")))
+             .where(F.col("u") != F.col("v"))
+             .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+             .distinct().localCheckpoint(eager=True))
 
     def _sym(e: DataFrame) -> DataFrame:
         return (e.unionAll(e.select(F.col("v").alias("u"),

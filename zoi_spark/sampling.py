@@ -260,21 +260,9 @@ def dsir_logweights(df: DataFrame, target: DataFrame, *,
                         _gram_bucket(F.col("__gram"), buckets)
                         .alias("__bucket")))
 
-    def bucket_probs(frame: DataFrame, out: str) -> DataFrame:
-        counts = grams(frame).groupBy("__bucket").agg(
-            F.count("*").alias("__c"))
-        total = counts.agg(F.sum("__c").alias("__t"))
-        # ln((c + a) / (T + a·k)) — broadcast the 1-row total
-        return (counts.crossJoin(F.broadcast(total))
-                .select("__bucket",
-                        (F.log((F.col("__c") + a)
-                               / (F.col("__t") + a * k))).alias(out)))
-
-    # buckets absent from an estimator still carry smoothed mass; a
-    # full-outer join + per-side floor ln(a / (T + a·k)) covers them.
-    # Totals are tiny scalars; re-derive the floors from the observed
-    # rows instead of a second action: exp(lp) sums to (T_obs + a·k_obs
-    # ...) — simpler and action-free to carry the totals along.
+    # buckets absent from one estimator still carry smoothed mass:
+    # full-outer join the two count tables, coalesce the missing side
+    # to 0, and carry the 1-row totals along via broadcast cross-joins
     raw_counts = grams(df).groupBy("__bucket").agg(
         F.count("*").alias("__cq"))
     tgt_counts = grams(target).groupBy("__bucket").agg(
