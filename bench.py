@@ -164,6 +164,10 @@ R3_NAMES = [
     "temperature_weights",
 ]
 
+R4_NAMES = [
+    "schema_docs", "dsir_weights",
+]
+
 
 def bench_r3_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em
@@ -171,6 +175,14 @@ def bench_r3_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = em.queries()
     return {name: round(_run(qs[name](spark, sf_dir), name), 3)
             for name in R3_NAMES}
+
+
+def bench_r4_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    return {name: round(_run(qs[name](spark, sf_dir), name), 3)
+            for name in R4_NAMES}
 
 
 def bench_streaming_e2e(spark, sf_dir: str) -> dict[str, float]:
@@ -215,6 +227,7 @@ def main() -> None:
     queries["webtext_full_ruleset"] = round(wt_sec, 3)
     r2_queries = bench_r2_queries(spark, SF_DIR)
     r3_queries = bench_r3_queries(spark, SF_DIR)
+    r4_queries = bench_r4_queries(spark, SF_DIR)
     streaming = bench_streaming_e2e(spark, SF_DIR)
 
     total = round(sum(queries.values()), 3)
@@ -227,12 +240,14 @@ def main() -> None:
         # total compares like-for-like against BENCH_r01
         "queries_added_r2": r2_queries,
         "queries_added_r3": r3_queries,
+        "queries_added_r4": r4_queries,
         # end-to-end harness numbers (setup-dominated), NOT wall-times
         "queries_streaming_e2e": streaming,
         "total_incl_r2_additions_sec": round(
             total + sum(r2_queries.values()), 3),
         "total_incl_all_additions_sec": round(
-            total + sum(r2_queries.values()) + sum(r3_queries.values()), 3),
+            total + sum(r2_queries.values()) + sum(r3_queries.values())
+            + sum(r4_queries.values()), 3),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "webtext_rows": WEBTEXT_ROWS,
         "webtext_docs_per_sec": round(docs_per_sec),

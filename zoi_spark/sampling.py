@@ -261,22 +261,24 @@ def dsir_logweights(df: DataFrame, target: DataFrame, *,
                         .alias("__bucket")))
 
     # buckets absent from one estimator still carry smoothed mass:
-    # full-outer join the two count tables, coalesce the missing side
-    # to 0, and carry the 1-row totals along via broadcast cross-joins
+    # full-outer join the two count tables and coalesce the missing
+    # side to 0. Totals come from a global window over the JOINED
+    # k-row table — a separate .agg(sum) would re-derive the whole
+    # gram explode (a third corpus scan at 10^12 docs); the window
+    # funnels only `buckets` rows (bounded, ≤ ~1M) into one task.
     raw_counts = grams(df).groupBy("__bucket").agg(
         F.count("*").alias("__cq"))
     tgt_counts = grams(target).groupBy("__bucket").agg(
         F.count("*").alias("__cp"))
-    totals = (raw_counts.agg(F.sum("__cq").alias("__tq"))
-              .crossJoin(tgt_counts.agg(F.sum("__cp").alias("__tp"))))
+    w = Window.partitionBy(F.lit(1))
+    cq = F.coalesce(F.col("__cq"), F.lit(0))
+    cp = F.coalesce(F.col("__cp"), F.lit(0))
     ratio = (raw_counts.join(tgt_counts, "__bucket", "full_outer")
-             .crossJoin(F.broadcast(totals))
              .select(
                  "__bucket",
-                 (F.log((F.coalesce(F.col("__cp"), F.lit(0)) + a)
-                        / (F.col("__tp") + a * k))
-                  - F.log((F.coalesce(F.col("__cq"), F.lit(0)) + a)
-                          / (F.col("__tq") + a * k))).alias("__lr")))
+                 (F.log((cp + a) / (F.sum(cp).over(w) + a * k))
+                  - F.log((cq + a) / (F.sum(cq).over(w) + a * k)))
+                 .alias("__lr")))
 
     return (grams(df)
             .join(F.broadcast(ratio), "__bucket")
