@@ -2107,6 +2107,114 @@ def q_dsir_weights(spark, sf_dir):
             .limit(40))
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (graph.pagerank; Page et al. 1999) — the
+    link-centrality quality prior of web intake (Common Crawl ships
+    host-level ranks computed exactly this way). The host graph is
+    derived deterministically: doc d on host d%40 links to hosts
+    (7d+11)%40 and (13d+5)%40; hosts 35-39 never source an edge, so
+    the dangling-mass redistribution path is exercised, not just
+    claimed. 4 power-iteration rounds, damping 0.85; the DuckDB twin
+    unrolls the same 4 rounds as a CTE chain, so the update rule —
+    teleport + damped in-contributions + uniform dangling share — is
+    value-checked to 1e-6."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    linking = d.where(F.pmod("doc_id", F.lit(40)) < 35)
+    src = F.pmod("doc_id", F.lit(40))
+    edges = linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 11, F.lit(40)).alias("dst")
+    ).unionAll(linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 13 + 5, F.lit(40)).alias("dst")))
+    pr = graph.pagerank(edges, iters=4, damping=0.85)
+    return pr.select(F.col("node").alias("host"),
+                     F.round("rank", 6).alias("pagerank")).orderBy("host")
+
+
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination screen (text.bloom_decontamination):
+    same probe set as `ngram_decontam` (three 20-token windows lifted
+    from the corpus + one synthetic miss), but membership goes through
+    k=4 md5 bit positions in an m=256 filter — m deliberately TINY at
+    this SF so false positives actually occur and the oracle checks
+    the Bloom semantics (all-k-bits-set), not just exact overlap. The
+    corpus side never shuffles on the gram key: the bit table is
+    broadcast. Returns per-doc totals for contaminated docs only,
+    capped to the top 40 by (hits desc, id) for row stability."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(text.normalize_text(F.col("text")), " ")
+    probes = (d.where(F.col("doc_id").isin(7, 42, 203))
+              .select(F.concat_ws(" ", F.slice(toks, 6, 20))
+                      .alias("probe_text")))
+    out = text.bloom_decontamination(d, probes, n=13, m=256, k=4)
+    return (out.where(F.col("bloom_contaminated"))
+            .orderBy(F.col("n_hit_grams").desc(), F.col("doc_id"))
+            .limit(40))
+
+
+def q_quality_linear(spark, sf_dir):
+    """Hashed-feature linear quality classifier
+    (text.linear_quality_score): the fastText/CCNet model-based
+    quality stage with a frozen md5-derived weight lattice so the
+    DuckDB twin re-derives every score — feature hashing (md5 mod
+    1024, real collisions), bucket→weight lookup, mean-pool, sigmoid —
+    bit-for-bit. Pure projection: no explode, no join, no shuffle.
+    Histogram of score deciles per lang keeps the gate row-stable
+    while hashing every document's score."""
+    d = _read(spark, sf_dir, "documents")
+    s = text.linear_quality_score(d)
+    withlang = s.join(d.select("doc_id", "lang"), "doc_id")
+    decile = F.least(F.floor(F.col("qlin_score") * 10), F.lit(9))
+    return (withlang.where(F.col("qlin_score").isNotNull())
+            .groupBy("lang", decile.cast("int").alias("decile"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("qlin_score"), 6).alias("avg_score"))
+            .orderBy("lang", "decile"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (text.perplexity_buckets;
+    Wenzek et al. 2020 §4.3): per-language ntile(3) over the unigram
+    surprisal proxy, ties broken on doc_id. Aggregated per (lang,
+    bucket) — the counts pin the ntile boundaries exactly and the
+    surprisal means value-check the scoring chain underneath."""
+    d = _read(spark, sf_dir, "documents")
+    b = text.perplexity_buckets(d, n_buckets=3)
+    return (b.groupBy("lang", "ppl_bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("mean_surprisal"), 6)
+                 .alias("avg_surprisal"))
+            .orderBy("lang", "ppl_bucket"))
+
+
+def q_crosscorpus_join(spark, sf_dir):
+    """Cross-corpus fuzzy join (dedup.minhash_lsh_join): fuzzy
+    benchmark decontamination — the 'benchmark' side is the first 3/4
+    of the tokens of every 97th document (a near-copy at Jaccard
+    ≈ 0.75 of its source, plus any seeded duplicates of that source),
+    LSH-met on shared band buckets and verified at Jaccard ≥ 0.6.
+    bands=32 over 64 hashes (r=2 rows/band) keeps per-pair miss
+    probability ≤ (1-0.6²)^32 ≈ 6e-7 — across the ≤ dozens of true
+    pairs at gate SFs the LSH layer is lossless, so the DuckDB twin is
+    the full cross-corpus shingle Jaccard with the same ROUNDED
+    threshold."""
+    from zoi_spark import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(text.normalize_text(F.col("text")), " ")
+    cut = F.greatest(F.floor(F.size(toks) * 3 / 4).cast("int"), F.lit(1))
+    bench = (d.where(F.pmod("doc_id", F.lit(97)) == 3)
+             .select(F.col("doc_id").alias("probe_id"),
+                     F.concat_ws(" ", F.slice(toks, 1, cut))
+                     .alias("probe_text")))
+    out = dedup.minhash_lsh_join(d, bench, threshold=0.6,
+                                 num_hashes=64, bands=32, shingle_n=3)
+    return out.orderBy("doc_id", "probe_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2174,6 +2282,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ks_drift_len": q_ks_drift_len,
         "temperature_weights": q_temperature_weights,
         "dsir_weights": q_dsir_weights,
+        "host_pagerank": q_host_pagerank,
+        "bloom_decontam": q_bloom_decontam,
+        "quality_linear": q_quality_linear,
+        "ccnet_buckets": q_ccnet_buckets,
+        "crosscorpus_join": q_crosscorpus_join,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -2981,6 +3094,54 @@ def _ivf_trained_topk_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 4,
         SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+def _pagerank_sql(iters: int) -> str:
+    """DuckDB twin of q_host_pagerank: the SAME deterministic host
+    graph (src = doc_id%40 for doc_id%40 < 35; dsts = (7d+11)%40 and
+    (13d+5)%40) and the SAME update rule as graph.pagerank — teleport
+    (1-d)/N + d·(weighted in-contributions + uniform dangling share) —
+    unrolled as one CTE trio (dangling mass, contributions, new ranks)
+    per power-iteration round."""
+    ctes = ["""e0 AS (
+              SELECT doc_id % 40 AS src, (doc_id * 7 + 11) % 40 AS dst
+              FROM documents WHERE doc_id % 40 < 35
+              UNION ALL
+              SELECT doc_id % 40, (doc_id * 13 + 5) % 40
+              FROM documents WHERE doc_id % 40 < 35),
+            e AS (SELECT src, dst, count(*)::DOUBLE AS w
+                  FROM e0 GROUP BY src, dst),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            ow AS (SELECT src AS node, sum(w) AS out_w
+                   FROM e GROUP BY src),
+            base AS (SELECT nodes.node, ow.out_w
+                     FROM nodes LEFT JOIN ow USING (node)),
+            r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank, out_w
+                   FROM base)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""d{i} AS (
+              SELECT coalesce(sum(CASE WHEN out_w IS NULL
+                                       THEN rank END), 0.0) AS dm
+              FROM r{i - 1}),
+            c{i} AS (
+              SELECT e.dst AS node, sum(r.rank * e.w / r.out_w) AS contrib
+              FROM e JOIN r{i - 1} r ON e.src = r.node
+              GROUP BY e.dst),
+            r{i} AS (
+              SELECT b.node,
+                     (SELECT 0.15::DOUBLE / n FROM nn)
+                     + 0.85::DOUBLE
+                       * (coalesce(c.contrib, 0.0)
+                          + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+                       AS rank,
+                     b.out_w
+              FROM base b LEFT JOIN c{i} c USING (node))""")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f"""
+            SELECT node AS host, round(rank, 6) AS pagerank
+            FROM r{iters} ORDER BY host""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4353,5 +4514,146 @@ def oracle_sql() -> dict[str, str]:
             FROM feat JOIN lr ON feat.bucket = lr.bucket
             GROUP BY doc_id
             ORDER BY dsir_logweight DESC, doc_id LIMIT 40
+        """,
+        "host_pagerank": _pagerank_sql(iters=4),
+        "bloom_decontam": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            probes AS (
+              SELECT array_to_string(t[6:25], ' ') AS ptext
+              FROM toks WHERE doc_id IN (7, 42, 203)),
+            pt AS (SELECT string_split(ptext, ' ') AS t FROM probes),
+            pg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(
+                  CASE WHEN len(t) <= 12 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(t[i:i+12], ' '))
+                  END) AS gram
+                FROM pt) WHERE gram <> ''),
+            bits AS (
+              SELECT DISTINCT
+                     (('0x' || substr(md5('bloom' || r.i || ':' || gram),
+                                      1, 8))::UBIGINT % 256)::BIGINT AS pos
+              FROM pg, range(4) AS r(i)),
+            dg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(t) <= 12 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(t[i:i+12], ' '))
+                  END) AS gram
+                FROM toks) WHERE gram <> ''),
+            dpos AS (
+              SELECT doc_id, gram, r.i,
+                     (('0x' || substr(md5('bloom' || r.i || ':' || gram),
+                                      1, 8))::UBIGINT % 256)::BIGINT AS pos
+              FROM dg, range(4) AS r(i)),
+            hitg AS (
+              SELECT doc_id, gram FROM dpos JOIN bits USING (pos)
+              GROUP BY doc_id, gram HAVING count(DISTINCT i) = 4),
+            hd AS (SELECT doc_id, count(*)::BIGINT AS n_hit_grams
+                   FROM hitg GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+                    FROM dg GROUP BY doc_id)
+            SELECT tot.doc_id, tot.n_grams, hd.n_hit_grams,
+                   TRUE AS bloom_contaminated
+            FROM tot JOIN hd USING (doc_id)
+            ORDER BY hd.n_hit_grams DESC, tot.doc_id LIMIT 40
+        """,
+        "quality_linear": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> len(x) > 0) AS t
+              FROM documents),
+            sc AS (
+              SELECT doc_id, lang, len(t) AS n,
+                     list_sum(list_transform(t, x ->
+                       (('0x' || substr(md5('qlin#' ||
+                            (('0x' || substr(md5(x), 1, 8))::UBIGINT
+                             % 1024)),
+                          1, 8))::UBIGINT % 2000001)::DOUBLE / 1e6
+                       - 1.0)) AS total
+              FROM s),
+            scored AS (
+              SELECT doc_id, lang,
+                     round(1.0 / (1.0 + exp(-(total / n))), 6) AS q
+              FROM sc WHERE n > 0)
+            SELECT lang, least(floor(q * 10), 9)::INT AS decile,
+                   count(*)::BIGINT AS n_docs,
+                   round(avg(q), 6) AS avg_score
+            FROM scored GROUP BY lang, decile ORDER BY lang, decile
+        """,
+        "ccnet_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents),
+            dt AS (
+              SELECT doc_id, lang, tok, count(*) AS c
+              FROM toks WHERE length(tok) > 0
+              GROUP BY doc_id, lang, tok),
+            vocab AS (SELECT tok, sum(c) AS cw FROM dt GROUP BY tok),
+            total AS (SELECT sum(cw) AS nt FROM vocab),
+            sc AS (
+              SELECT doc_id, lang,
+                     round(sum(c * -log2(cw / nt)) / sum(c), 6) AS ms
+              FROM dt JOIN vocab USING (tok) CROSS JOIN total
+              GROUP BY doc_id, lang),
+            b AS (
+              SELECT lang,
+                     (ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY ms, doc_id))::INT
+                       AS ppl_bucket,
+                     ms
+              FROM sc)
+            SELECT lang, ppl_bucket, count(*)::BIGINT AS n_docs,
+                   round(avg(ms), 6) AS avg_surprisal
+            FROM b GROUP BY lang, ppl_bucket ORDER BY lang, ppl_bucket
+        """,
+        "crosscorpus_join": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            bench AS (
+              SELECT doc_id AS probe_id,
+                     array_to_string(
+                       t[1:greatest((len(t) * 3) // 4, 1)], ' ') AS ptext
+              FROM toks WHERE doc_id % 97 = 3),
+            bt AS (SELECT probe_id, string_split(ptext, ' ') AS t
+                   FROM bench),
+            dsh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))
+                  END) AS shingle
+                FROM toks)),
+            bsh AS (
+              SELECT DISTINCT probe_id, shingle FROM (
+                SELECT probe_id, unnest(
+                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))
+                  END) AS shingle
+                FROM bt)),
+            dsz AS (SELECT doc_id, count(*)::DOUBLE AS sz
+                    FROM dsh GROUP BY 1),
+            bsz AS (SELECT probe_id, count(*)::DOUBLE AS sz
+                    FROM bsh GROUP BY 1),
+            inter AS (
+              SELECT d.doc_id, b.probe_id, count(*)::DOUBLE AS i
+              FROM dsh d JOIN bsh b USING (shingle)
+              GROUP BY 1, 2)
+            SELECT inter.doc_id, inter.probe_id,
+                   round(i / (dsz.sz + bsz.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN dsz ON dsz.doc_id = inter.doc_id
+            JOIN bsz ON bsz.probe_id = inter.probe_id
+            WHERE round(i / (dsz.sz + bsz.sz - i), 6) >= 0.6
+            ORDER BY inter.doc_id, inter.probe_id
         """,
     }

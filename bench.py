@@ -166,6 +166,10 @@ R3_NAMES = [
 
 R4_NAMES = [
     "schema_docs", "dsir_weights",
+    # wave 2: host-graph centrality, Bloom decontamination screen,
+    # frozen linear quality classifier, CCNet perplexity buckets
+    "host_pagerank", "bloom_decontam", "quality_linear", "ccnet_buckets",
+    "crosscorpus_join",
 ]
 
 

@@ -1,0 +1,238 @@
+"""Unit tests for the r4 graph/scoring wave: PageRank, Bloom
+decontamination, the frozen linear quality classifier, and CCNet
+perplexity buckets. Oracle-level value checks live in
+tests/test_oracle_parity.py; these pin the operator semantics on
+hand-computable graphs/corpora."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from zoi_spark import graph, text
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+class TestPagerank:
+    def test_two_node_cycle_is_uniform(self, spark):
+        e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        r = _ranks(graph.pagerank(e, iters=3, checkpoint=False))
+        assert r[1] == pytest.approx(0.5)
+        assert r[2] == pytest.approx(0.5)
+        assert sum(r.values()) == pytest.approx(1.0)
+
+    def test_star_sink_gets_the_mass(self, spark):
+        # 1,2,3 all point at 4; 4 is dangling
+        e = spark.createDataFrame(
+            [(1, 4), (2, 4), (3, 4)], "src long, dst long")
+        r = _ranks(graph.pagerank(e, iters=12))
+        assert sum(r.values()) == pytest.approx(1.0)
+        assert r[4] > r[1] > 0
+        assert r[1] == pytest.approx(r[2]) == pytest.approx(r[3])
+
+    def test_matches_dense_power_iteration(self, spark):
+        # reference: numpy-free dense power iteration on a small graph
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+        n, d, iters = 4, 0.85, 7
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        rank = [1.0 / n] * n
+        for _ in range(iters):
+            dm = sum(rank[v] for v in range(n) if v not in out)
+            contrib = [0.0] * n
+            for s, t in edges:
+                contrib[t] += rank[s] / out[s]
+            rank = [(1 - d) / n + d * (contrib[v] + dm / n)
+                    for v in range(n)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = _ranks(graph.pagerank(e, iters=iters, damping=d))
+        for v in range(n):
+            assert got[v] == pytest.approx(rank[v], abs=1e-12), v
+
+    def test_parallel_edges_sum_as_weight(self, spark):
+        # duplicate edge 1->2 must behave as weight 2 next to 1->3
+        e = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 3), (2, 1), (3, 1)],
+            "src long, dst long")
+        w = spark.createDataFrame(
+            [(1, 2, 2.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double")
+        a = _ranks(graph.pagerank(e, iters=5))
+        b = _ranks(graph.pagerank(w, weight_col="w", iters=5))
+        for v in a:
+            assert a[v] == pytest.approx(b[v], abs=1e-12)
+        assert a[2] > a[3]
+
+    def test_empty_graph(self, spark):
+        e = spark.createDataFrame([], "src long, dst long")
+        assert graph.pagerank(e, iters=2).count() == 0
+
+    def test_iters_validated(self, spark):
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            graph.pagerank(e, iters=0)
+
+
+class TestBloomDecontamination:
+    def _frames(self, spark, docs, probes):
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        p = spark.createDataFrame(probes, "probe_text string")
+        return d, p
+
+    def test_exact_overlap_flags(self, spark):
+        d, p = self._frames(
+            spark,
+            [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+            [("alpha beta gamma delta",)])
+        out = {r["doc_id"]: r.asDict() for r in text.bloom_decontamination(
+            d, p, n=3, m=1 << 20, k=4).collect()}
+        assert out[1]["bloom_contaminated"] is True
+        assert out[1]["n_hit_grams"] == out[1]["n_grams"] == 2
+        assert out[2]["bloom_contaminated"] is False
+        assert out[2]["n_hit_grams"] == 0
+
+    def test_no_false_negatives_ever(self, spark):
+        # Bloom filters can false-positive but NEVER false-negative:
+        # every doc sharing a real n-gram with a probe must flag.
+        docs = [(i, f"common prefix tokens w{i} x{i} y{i}")
+                for i in range(20)]
+        d, p = self._frames(spark, docs, [("common prefix tokens",)])
+        out = text.bloom_decontamination(d, p, n=3, m=64, k=2)
+        assert out.where(~F.col("bloom_contaminated")).count() == 0
+
+    def test_tiny_filter_false_positives(self, spark):
+        # m=4 bits: every position set -> everything collides
+        d, p = self._frames(
+            spark, [(1, "aa bb cc"), (2, "dd ee ff")],
+            [("gg hh ii",), ("jj kk ll",), ("mm nn oo",),
+             ("pp qq rr",), ("ss tt uu",)])
+        out = text.bloom_decontamination(d, p, n=3, m=4, k=1)
+        flagged = out.where(F.col("bloom_contaminated")).count()
+        assert flagged >= 1  # saturated filter must FP
+
+
+class TestLinearQualityScore:
+    def test_deterministic_and_bounded(self, spark):
+        d = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"),
+             (3, "lorem ipsum dolor sit amet")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                text.linear_quality_score(d).collect()}
+        assert rows[1]["qlin_score"] == rows[2]["qlin_score"]
+        for r in rows.values():
+            assert 0.0 < r["qlin_score"] < 1.0
+        assert rows[1]["n_tokens"] == 4
+
+    def test_empty_doc_scores_null(self, spark):
+        d = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "word")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                text.linear_quality_score(d).collect()}
+        assert rows[1]["qlin_score"] is None
+        assert rows[2]["qlin_score"] is None
+        assert rows[1]["n_tokens"] == 0
+        assert rows[3]["qlin_score"] is not None
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 1024
+
+        def weight(b):
+            h = int(hashlib.md5(f"qlin#{b}".encode()).hexdigest()[:8], 16)
+            return (h % 2_000_001) / 1e6 - 1.0
+
+        toks = ["alpha", "beta", "alpha", "gamma"]
+        expect = 1.0 / (1.0 + math.exp(
+            -sum(weight(bucket(t)) for t in toks) / len(toks)))
+        d = spark.createDataFrame([(1, " ".join(toks))],
+                                  "doc_id long, text string")
+        got = text.linear_quality_score(d).collect()[0]["qlin_score"]
+        assert got == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+class TestPerplexityBuckets:
+    def test_balanced_tertiles_per_lang(self, spark):
+        docs = [(i, f"tok{i % 7} tok{i % 3} filler", "en")
+                for i in range(9)]
+        docs += [(100 + i, f"wort{i} und", "de") for i in range(6)]
+        d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+        out = text.perplexity_buckets(d, n_buckets=3)
+        counts = {(r["lang"], r["ppl_bucket"]): r["n"] for r in
+                  out.groupBy("lang", "ppl_bucket")
+                  .agg(F.count("*").alias("n")).collect()}
+        assert counts[("en", 1)] == counts[("en", 2)] == counts[("en", 3)] == 3
+        assert counts[("de", 1)] == counts[("de", 2)] == counts[("de", 3)] == 2
+
+    def test_bucket_order_tracks_surprisal(self, spark):
+        d = spark.createDataFrame(
+            [(i, "common common common" if i < 4
+              else f"rare{i} unique{i} single{i}", "en")
+             for i in range(8)],
+            "doc_id long, text string, lang string")
+        out = text.perplexity_buckets(d, n_buckets=2).collect()
+        lo = [r for r in out if r["ppl_bucket"] == 1]
+        hi = [r for r in out if r["ppl_bucket"] == 2]
+        assert max(r["mean_surprisal"] for r in lo) <= min(
+            r["mean_surprisal"] for r in hi)
+
+
+class TestMinhashLshJoin:
+    def test_finds_cross_corpus_near_dups(self, spark):
+        from zoi_spark import dedup
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the deep green forest tonight")
+        left = spark.createDataFrame(
+            [(1, base),
+             (2, base.replace("fox", "cat")),
+             (3, "completely different text about spark plans and "
+                 "shuffle partitions at massive corpus scale")],
+            "doc_id long, text string")
+        right = spark.createDataFrame(
+            [(10, base), (11, "nothing shared here at all friends")],
+            "probe_id long, probe_text string")
+        out = dedup.minhash_lsh_join(left, right, threshold=0.5,
+                                     num_hashes=64, bands=32)
+        rows = {(r["doc_id"], r["probe_id"]): r["jaccard"]
+                for r in out.collect()}
+        dedup.unpersist_candidates(out)
+        assert rows[(1, 10)] == 1.0
+        assert (2, 10) in rows and 0.5 <= rows[(2, 10)] < 1.0
+        assert all(d != 3 and p != 11 for d, p in rows)
+
+    def test_never_pairs_left_with_left(self, spark):
+        from zoi_spark import dedup
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta"
+        left = spark.createDataFrame(
+            [(1, txt), (2, txt)], "doc_id long, text string")
+        right = spark.createDataFrame(
+            [(9, "unrelated words only here")],
+            "probe_id long, probe_text string")
+        out = dedup.minhash_lsh_join(left, right, threshold=0.3)
+        assert out.count() == 0  # identical LEFT twins are NOT a pair
+        dedup.unpersist_candidates(out)
+
+    def test_max_bucket_size_prunes(self, spark):
+        from zoi_spark import dedup
+
+        txt = "repeat me " * 6
+        left = spark.createDataFrame(
+            [(i, txt) for i in range(8)], "doc_id long, text string")
+        right = spark.createDataFrame(
+            [(99, txt)], "probe_id long, probe_text string")
+        capped = dedup.minhash_lsh_join(left, right, threshold=0.9,
+                                        max_bucket_size=4)
+        full = dedup.minhash_lsh_join(left, right, threshold=0.9)
+        assert capped.count() == 0   # mega-bucket excluded
+        assert full.count() == 8
+        dedup.unpersist_candidates(capped)
+        dedup.unpersist_candidates(full)

@@ -585,6 +585,38 @@ def suggest_cluster_iters(n_rows: int, *, floor: int = 12,
     return max(floor, min(ceiling, math.ceil(math.log2(max(n_rows, 2))) + 8))
 
 
+def _band_bucket_table(df: DataFrame, *, id_col: str, text_col: str,
+                       num_hashes: int, bands: int, shingle_n: int,
+                       chars: bool, engine: str) -> DataFrame:
+    """(id, band, bucket) rows: the minhash signature sliced into
+    ``bands`` slices, each hashed to one bucket key. Shared by the
+    self-join candidates (:func:`minhash_lsh_candidates`) and the
+    cross-corpus join (:func:`minhash_lsh_join`) — both sides of any
+    LSH meet must derive buckets with IDENTICAL parameters or the
+    banding guarantees are void.
+
+    explode_OUTER (band_arr is never empty, but a plain explode makes
+    InferFiltersFromGenerate add a size()>0 probe filter that would
+    re-inline the banding expression below the Generate)."""
+    rows_per_band = num_hashes // bands
+    sig_df = with_minhash(df.select(id_col, text_col), text_col=text_col,
+                          num_hashes=num_hashes, shingle_n=shingle_n,
+                          chars=chars, engine=engine)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(
+                ",", F.slice(F.col("__minhash"), b * rows_per_band + 1,
+                             rows_per_band))).alias("bucket"),
+        ),
+    )
+    return (sig_df
+            .withColumn("__band", F.explode_outer(band_arr))
+            .select(id_col, F.col("__band.band").alias("band"),
+                    F.col("__band.bucket").alias("bucket")))
+
+
 def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 64,
                            bands: int = 16, shingle_n: int = 3,
@@ -609,33 +641,16 @@ def minhash_lsh_candidates(df: DataFrame, *, id_col: str = "doc_id",
     the pruned join's worst-case per-bucket work is then bounded by
     max_bucket_size², independent of corpus size.
     """
-    rows_per_band = num_hashes // bands
-    sig_df = with_minhash(df.select(id_col, text_col), text_col=text_col,
-                          num_hashes=num_hashes, shingle_n=shingle_n,
-                          chars=chars, engine=engine)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.concat_ws(
-                ",", F.slice(F.col("__minhash"), b * rows_per_band + 1,
-                             rows_per_band))).alias("bucket"),
-        ),
-    )
     # persist the tiny (id, band, bucket) table: the self-join would
     # otherwise recompute every signature on BOTH sides of the join.
     # Lifecycle: the cache is NOT leaked for the session — the persisted
     # frame rides along on the result as ``_zoi_persisted`` and
     # :func:`unpersist_candidates` releases it once the pairs have been
     # consumed (materialize → write/collect → unpersist).
-    # explode_OUTER (band_arr is never empty, but a plain explode makes
-    # InferFiltersFromGenerate add a size()>0 probe filter that would
-    # re-inline the banding expression below the Generate)
-    buckets = (sig_df
-               .withColumn("__band", F.explode_outer(band_arr))
-               .select(id_col, F.col("__band.band").alias("band"),
-                       F.col("__band.bucket").alias("bucket"))
-               .persist())
+    buckets = _band_bucket_table(df, id_col=id_col, text_col=text_col,
+                                 num_hashes=num_hashes, bands=bands,
+                                 shingle_n=shingle_n, chars=chars,
+                                 engine=engine).persist()
     joinable = buckets
     if max_bucket_size is not None:
         sizes = (buckets.groupBy("band", "bucket")
@@ -715,6 +730,85 @@ def minhash_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     # propagate the bucket cache so unpersist_candidates works on the
     # verified pairs too
     out._zoi_persisted = list(getattr(cands, "_zoi_persisted", []) or [])
+    return out
+
+
+def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
+                     left_id: str = "doc_id", left_text: str = "text",
+                     right_id: str = "probe_id",
+                     right_text: str = "probe_text",
+                     threshold: float = 0.8, num_hashes: int = 64,
+                     bands: int = 16, shingle_n: int = 3,
+                     chars: bool = False, engine: str = "arrow",
+                     max_bucket_size: int | None = None,
+                     broadcast_right: bool = True) -> DataFrame:
+    """Cross-corpus fuzzy join: (left_id, right_id, jaccard) for every
+    pair whose word-shingle Jaccard ≥ ``threshold`` AND that collides
+    in at least one LSH band — fuzzy BENCHMARK DECONTAMINATION at
+    corpus scale (is any training document a near-copy of an eval
+    document?), cross-snapshot near-dup linking, and fuzzy
+    entity/record matching. The self-join operators
+    (:func:`minhash_dedup_pairs`) answer "which corpus docs duplicate
+    EACH OTHER"; this answers "which LEFT docs duplicate a RIGHT doc"
+    without ever pairing left against left — at 10^12 × 10^5
+    (corpus × benchmark) that difference is the whole job.
+
+    Both sides derive band buckets with IDENTICAL hash parameters
+    (same signature family, same banding — the S-curve collision
+    guarantee only holds on a shared hash family), meet in ONE
+    equi-join on (band, bucket), and candidates are verified with
+    exact hashed-shingle Jaccard. The right side is typically
+    benchmark-sized → its bucket table is broadcast by AQE and the
+    left side's only shuffles are its own bucket aggregation (when
+    ``max_bucket_size`` is set) and the final verify join on ids.
+
+    ``max_bucket_size`` caps LEFT-side mega-buckets exactly like
+    :func:`minhash_lsh_candidates` — a boilerplate bucket with 10^6
+    left members colliding with one right probe is 10^6 verify pairs;
+    above the cap those buckets are excluded (handle their members via
+    exact fingerprint matching instead).
+
+    Returns the verified pairs; release the bucket caches with
+    :func:`unpersist_candidates`.
+    """
+    lb = _band_bucket_table(left, id_col=left_id, text_col=left_text,
+                            num_hashes=num_hashes, bands=bands,
+                            shingle_n=shingle_n, chars=chars,
+                            engine=engine).persist()
+    rb = _band_bucket_table(right, id_col=right_id, text_col=right_text,
+                            num_hashes=num_hashes, bands=bands,
+                            shingle_n=shingle_n, chars=chars,
+                            engine=engine).persist()
+    joinable = lb
+    if max_bucket_size is not None:
+        sizes = (lb.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("__bs"))
+                 .where(F.col("__bs") <= max_bucket_size)
+                 .drop("__bs"))
+        joinable = lb.join(sizes, ["band", "bucket"])
+    cands = (joinable.join(rb, ["band", "bucket"])
+             .select(left_id, right_id).distinct())
+
+    shingle_col = (hashed_shingles_arrow
+                   if engine == "arrow" and not chars
+                   else lambda c, n: hashed_shingles(c, n, chars=chars))
+    lsets = left.select(F.col(left_id),
+                        shingle_col(F.col(left_text), shingle_n)
+                        .alias("__lsh"))
+    rsets = right.select(F.col(right_id),
+                         shingle_col(F.col(right_text), shingle_n)
+                         .alias("__rsh"))
+    sa = F.size("__lsh").cast("double")
+    sb = F.size("__rsh").cast("double")
+    inter = F.size(F.array_intersect(F.col("__lsh"),
+                                     F.col("__rsh"))).cast("double")
+    union = sa + sb - inter
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    rside = F.broadcast(rsets) if broadcast_right else rsets
+    out = (cands.join(lsets, left_id).join(rside, right_id)
+           .select(left_id, right_id, F.round(sim, 6).alias("jaccard"))
+           .where(F.col("jaccard") >= threshold))
+    out._zoi_persisted = [lb, rb]
     return out
 
 

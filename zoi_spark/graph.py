@@ -1,0 +1,115 @@
+"""Host-graph centrality operators for web-corpus curation.
+
+Web-scale training-data intake weighs pages by the standing of their
+host in the link graph (Common Crawl publishes exactly this as its
+host-level ranks; FineWeb/RefinedWeb-style pipelines consume such
+ranks as a quality prior next to the URL heuristics in
+``zoi_spark.urls``). The reference engine (phcurado/zoi) has no graph
+surface — this module is part of the LLM-pipeline inventory (SURVEY
+§8), not a port.
+
+Design stance (same as ``dedup.duplicate_clusters``): the graph lives
+in an EDGE TABLE ``(src, dst, weight)``; every iteration is a keyed
+aggregation + equi-join — no neighbor lists, no driver-side adjacency,
+nothing that grows with a hub's degree beyond a wide groupBy key. At
+10^12 pages the HOST graph is ~10^8 nodes / ~10^9 edges: the rank
+frame is small relative to the corpus and broadcast-joins into the
+edge scan, so one iteration costs one shuffle of the edge table on
+``dst`` (and that shuffle reuses the same partitioning every round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(edges: DataFrame, *, src_col: str = "src",
+             dst_col: str = "dst", weight_col: str | None = None,
+             iters: int = 5, damping: float = 0.85,
+             checkpoint: bool = True) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge table.
+
+    Returns ``(node, rank)`` with one row per distinct node appearing
+    as a source OR destination. Semantics (the standard power
+    iteration, Page et al. 1999, with the uniform dangling-mass
+    redistribution used by GraphX's ``staticPageRank``):
+
+    * ranks start uniform at ``1/N``;
+    * each round every node keeps ``(1-d)/N`` teleport mass plus ``d ×``
+      (the weighted in-contributions ``rank(src)·w/out(src)`` plus an
+      equal share of the total rank parked on dangling nodes — nodes
+      with no out-edges — so total rank stays 1 and the result is a
+      probability distribution);
+    * exactly ``iters`` rounds — deterministic output, no convergence
+      test (a fixed-round power iteration is also what makes the
+      DuckDB oracle twin expressible as an unrolled CTE chain).
+
+    Plan shape per round: ranks ⋈ out-weights (node-keyed, tiny) →
+    broadcast into the edge table → groupBy ``dst`` (ONE shuffle of
+    the edges, partial aggregation map-side) → outer-join back onto
+    the node frame. ``localCheckpoint(eager=True)`` truncates the
+    lineage each round — the same guard ``duplicate_clusters`` uses;
+    without it round k replays rounds 1..k-1 and the plan tower
+    re-scans the edges O(iters²) times.
+
+    Edge weights (``weight_col=None`` ⇒ every edge weighs 1) are
+    summed per (src, dst) first, so parallel edges behave as one
+    weighted edge.
+    """
+    if iters < 1:
+        raise ValueError("pagerank: iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"),
+        (F.col(weight_col) if weight_col is not None
+         else F.lit(1.0)).cast("double").alias("__w"))
+    e = (e.where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+         .groupBy("__src", "__dst").agg(F.sum("__w").alias("__w")))
+    e = e.persist()
+
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select(F.col("__dst")))
+             .distinct().persist())
+    n_nodes = nodes.count()  # also materializes both persists
+    if n_nodes == 0:
+        out = nodes.withColumn("rank", F.lit(None).cast("double"))
+        out._zoi_persisted = [e, nodes]
+        return out
+
+    out_w = e.groupBy(F.col("__src").alias("node")).agg(
+        F.sum("__w").alias("__out_w"))
+    # node frame with out-weight; __out_w NULL ⇔ dangling node
+    base = nodes.join(out_w, "node", "left").persist()
+    base.count()
+    nodes.unpersist()
+
+    ranks = base.select("node", F.lit(1.0 / n_nodes).alias("rank"),
+                        "__out_w")
+    for _ in range(iters):
+        # dangling mass stays IN-PLAN: a one-row aggregate broadcast
+        # into the update projection — no per-round driver collect
+        dangling = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("__out_w").isNull(),
+                                    F.col("rank"))),
+                       F.lit(0.0)).alias("__dm"))
+        contrib = (e.join(F.broadcast(ranks.where(
+                        F.col("__out_w").isNotNull())),
+                        e["__src"] == F.col("node"))
+                   .groupBy(F.col("__dst").alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("__w")
+                              / F.col("__out_w")).alias("__in")))
+        ranks = (base.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit((1.0 - damping) / n_nodes)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("__in"), F.lit(0.0))
+                             + F.col("__dm") / F.lit(float(n_nodes))))
+                         .alias("rank"),
+                         "__out_w"))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", F.col("rank").cast("double"))
+    out._zoi_persisted = [e, base]
+    return out

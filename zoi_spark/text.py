@@ -858,3 +858,183 @@ def strip_repeated_lines(df: DataFrame, *, text_col: str = "text",
                             lambda s: s["__line"]),
                         "\n").alias(out_col)))
     return base.join(rebuilt, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast-membership variant)
+# ---------------------------------------------------------------------------
+
+def _bloom_position(gram: Column, i: int, m: int) -> Column:
+    """Bit position i of a Bloom filter over word n-grams: first 32
+    bits of ``md5('bloom<i>:' || gram)`` mod ``m``. md5 (not
+    xxhash64) so the DuckDB oracle derives identical positions."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"bloom{i}:"), gram)), 1, 8), 16, 10)
+        .cast("long") % m)
+
+
+def bloom_decontamination(df: DataFrame, probes: DataFrame, *,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          probe_text_col: str = "probe_text",
+                          n: int = 13, m: int = 1 << 20,
+                          k: int = 4) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter over the probe
+    side's word n-grams — the constant-memory screen that scales where
+    the exact gram equi-join (:func:`ngram_decontamination`) shuffles
+    the corpus's full gram stream.
+
+    Build: every distinct probe n-gram sets ``k`` bit positions
+    (``md5('bloom<i>:'||gram) mod m``); the filter is materialized as
+    the DISTINCT position table — at most ``k × |probe grams|`` ints
+    regardless of corpus size, broadcast to every executor. Probe: a
+    document n-gram is flagged iff ALL ``k`` of its positions are set.
+    The corpus side therefore never shuffles on the gram key: its only
+    exchange is the final per-document aggregation.
+
+    Bloom semantics are preserved exactly — including false positives
+    (a gram whose k positions are covered by OTHER grams' bits flags
+    spuriously, rate ≈ (1 - e^(-k·g/m))^k for g build grams). That is
+    the operator's contract: a SCREEN whose hits feed the exact
+    verifier, mirroring how the LSH candidates feed
+    ``exact_jaccard_pairs``. The DuckDB twin re-derives the same bit
+    positions, so the gate checks the false-positive behavior too.
+
+    Returns ``(id_col, n_grams, n_hit_grams, bloom_contaminated)`` —
+    one row per document with at least one n-gram (short docs hash
+    their whole normalized text as the single gram, per
+    :func:`word_shingles`).
+    """
+    bits = None
+    probe_grams = (probes.select(
+        F.explode(word_shingles(F.col(probe_text_col), n)).alias("gram"))
+        .where(F.length("gram") > 0).distinct())
+    for i in range(k):
+        pos_i = probe_grams.select(
+            _bloom_position(F.col("gram"), i, m).alias("__pos"))
+        bits = pos_i if bits is None else bits.union(pos_i)
+    bits = bits.distinct()
+
+    doc_grams = (df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .where(F.length("gram") > 0))
+    probed = doc_grams.select(
+        F.col(id_col), F.col("gram"),
+        F.posexplode(F.array(*[
+            _bloom_position(F.col("gram"), i, m) for i in range(k)]))
+        .alias("__i", "__pos"))
+    hits = (probed.join(F.broadcast(bits), "__pos")
+            .groupBy(id_col, "gram")
+            .agg(F.countDistinct("__i").alias("__k_hit"))
+            .where(F.col("__k_hit") == k)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_grams")))
+    totals = (doc_grams.groupBy(id_col)
+              .agg(F.countDistinct("gram").alias("n_grams")))
+    return (totals.join(hits, id_col, "left")
+            .select(F.col(id_col), F.col("n_grams"),
+                    F.coalesce(F.col("n_hit_grams"), F.lit(0))
+                    .alias("n_hit_grams"),
+                    (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0)
+                    .alias("bloom_contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fastText-style, frozen weights)
+# ---------------------------------------------------------------------------
+
+QLIN_DIM = 1024          # hashed feature buckets (the "hashing trick")
+_QLIN_WSCALE = 2_000_001  # weight lattice: md5 % scale / 1e6 - 1 ∈ [-1, 1]
+
+
+def _qlin_weight(tok: Column, *, dim: int = QLIN_DIM,
+                 seed: str = "qlin") -> Column:
+    """Weight of a token under the frozen hashed-feature linear model:
+    bucket = md5(token) mod ``dim``; weight(bucket) = a deterministic
+    md5-derived lattice point in [-1, 1]. Two md5 stages so tokens
+    sharing a bucket share a weight — real hashing-trick collisions,
+    not per-token noise."""
+    bucket = (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10)
+              .cast("long") % dim)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}#"), bucket.cast("string"))),
+        1, 8), 16, 10).cast("long")
+    return (h % _QLIN_WSCALE).cast("double") / 1e6 - 1.0
+
+
+def linear_quality_score(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id", dim: int = QLIN_DIM,
+                         seed: str = "qlin", bias: float = 0.0) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over hashed
+    bag-of-words features — the plumbing of a fastText/logistic quality
+    filter (the CCNet / GPT-3 "quality classifier" stage), with the
+    trained weight table replaced by a FROZEN deterministic one so the
+    DuckDB oracle can re-derive every score bit-for-bit. In production
+    the weight vector is a broadcast array looked up by bucket; here
+    the lookup is inlined as two md5 stages (bucket, then weight),
+    which keeps the operator a PURE per-row projection.
+
+    score = sigmoid(bias + mean_token(weight(bucket(token)))) — the
+    mean (not sum) so score is length-invariant, matching how such
+    classifiers are applied per document regardless of length.
+
+    Plan shape: no explode, no join, no shuffle — one
+    ``F.aggregate`` fold over the token array inside whole-stage
+    codegen. At 10^12 docs this is scan-bound, exactly like
+    ``quality_score``; swapping in genuinely trained weights means
+    replacing :func:`_qlin_weight` with a broadcast map lookup and
+    changes nothing else in the plan.
+
+    Returns ``(id_col, n_tokens, qlin_score)``; empty/whitespace docs
+    score NULL (no tokens to average).
+    """
+    tokens = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                      lambda t: F.length(t) > 0)
+    n = F.size(tokens)
+    total = F.aggregate(
+        tokens, F.lit(0.0),
+        lambda acc, t: acc + _qlin_weight(t, dim=dim, seed=seed))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(
+        -(F.lit(bias) + total / n.cast("double"))))
+    return df.select(
+        F.col(id_col), n.cast("bigint").alias("n_tokens"),
+        F.when(n > 0, F.round(score, 6)).alias("qlin_score"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+def perplexity_buckets(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, §4.3):
+    rank every document WITHIN ITS LANGUAGE by the unigram-surprisal
+    perplexity proxy (:func:`unigram_logprob`) and cut into
+    ``n_buckets`` equal-count buckets — bucket 1 ("head") = most
+    fluent, bucket ``n`` ("tail") = most surprising. CCNet keeps head
+    +middle for LM pretraining and drops or down-weights the tail.
+
+    Per-doc rows carry the bucket; callers gate with
+    ``WHERE bucket < n`` or join the bucket as a sampling weight.
+    The ntile ordering ties on (rounded score, doc id) so the split is
+    deterministic and the DuckDB twin reproduces it exactly.
+
+    Shape at 10^12 docs: the surprisal pass is the dominant cost (see
+    :func:`unigram_logprob`); the ntile window shuffles the SCORED
+    frame (id, lang, score — bytes-per-row tiny) once on the language
+    key. Languages are few and huge → for production add a salt split
+    like ``sampling.host_cap`` and cut on per-split ntiles, or replace
+    ntile with approxQuantile cut points; at gate scale the exact
+    window IS the oracle-checkable contract.
+    """
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    withlang = scored.join(df.select(id_col, lang_col), id_col)
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.col("mean_surprisal"), F.col(id_col)))
+    out = withlang.select(
+        F.col(id_col), F.col(lang_col), F.col("n_tokens"),
+        F.col("mean_surprisal"),
+        F.ntile(n_buckets).over(w).alias("ppl_bucket"))
+    out._zoi_persisted = getattr(scored, "_zoi_persisted", [])
+    return out
