@@ -236,3 +236,11 @@ class TestMinhashLshJoin:
         assert full.count() == 8
         dedup.unpersist_candidates(capped)
         dedup.unpersist_candidates(full)
+
+    def test_same_id_name_rejected(self, spark):
+        from zoi_spark import dedup
+
+        left = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        right = spark.createDataFrame([(2, "a b c")], "doc_id long, probe_text string")
+        with pytest.raises(ValueError, match="must differ"):
+            dedup.minhash_lsh_join(left, right, right_id="doc_id")

@@ -769,8 +769,13 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
     exact fingerprint matching instead).
 
     Returns the verified pairs; release the bucket caches with
-    :func:`unpersist_candidates`.
+    :func:`unpersist_candidates`. ``left_id`` and ``right_id`` must
+    differ (the output carries both as columns); alias one side first.
     """
+    if left_id == right_id:
+        raise ValueError(
+            "minhash_lsh_join: left_id and right_id must differ "
+            f"(both {left_id!r}) — alias one side's id column first")
     lb = _band_bucket_table(left, id_col=left_id, text_col=left_text,
                             num_hashes=num_hashes, bands=bands,
                             shingle_n=shingle_n, chars=chars,

@@ -28,7 +28,8 @@ __all__ = ["pagerank"]
 def pagerank(edges: DataFrame, *, src_col: str = "src",
              dst_col: str = "dst", weight_col: str | None = None,
              iters: int = 5, damping: float = 0.85,
-             checkpoint: bool = True) -> DataFrame:
+             checkpoint: bool = True,
+             broadcast_ranks: bool = True) -> DataFrame:
     """Fixed-iteration weighted PageRank over an edge table.
 
     Returns ``(node, rank)`` with one row per distinct node appearing
@@ -57,6 +58,14 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
     Edge weights (``weight_col=None`` ⇒ every edge weighs 1) are
     summed per (src, dst) first, so parallel edges behave as one
     weighted edge.
+
+    ``broadcast_ranks`` (default True) hints the rank-frame side of
+    the edge join for broadcast — right for HOST graphs, whose node
+    count is orders of magnitude below the corpus. For graphs whose
+    rank frame exceeds executor broadcast budgets (page-level graphs,
+    ~10^12 nodes), pass False: the join falls back to a shuffled
+    equi-join and both sides hash-partition on the node key, which AQE
+    then keeps co-partitioned across rounds.
     """
     if iters < 1:
         raise ValueError("pagerank: iters must be >= 1")
@@ -93,9 +102,10 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
             F.coalesce(F.sum(F.when(F.col("__out_w").isNull(),
                                     F.col("rank"))),
                        F.lit(0.0)).alias("__dm"))
-        contrib = (e.join(F.broadcast(ranks.where(
-                        F.col("__out_w").isNotNull())),
-                        e["__src"] == F.col("node"))
+        sources = ranks.where(F.col("__out_w").isNotNull())
+        if broadcast_ranks:
+            sources = F.broadcast(sources)
+        contrib = (e.join(sources, e["__src"] == F.col("node"))
                    .groupBy(F.col("__dst").alias("node"))
                    .agg(F.sum(F.col("rank") * F.col("__w")
                               / F.col("__out_w")).alias("__in")))

@@ -904,39 +904,38 @@ def bloom_decontamination(df: DataFrame, probes: DataFrame, *,
     their whole normalized text as the single gram, per
     :func:`word_shingles`).
     """
-    bits = None
     probe_grams = (probes.select(
         F.explode(word_shingles(F.col(probe_text_col), n)).alias("gram"))
         .where(F.length("gram") > 0).distinct())
-    for i in range(k):
-        pos_i = probe_grams.select(
-            _bloom_position(F.col("gram"), i, m).alias("__pos"))
-        bits = pos_i if bits is None else bits.union(pos_i)
-    bits = bits.distinct()
+    bits = (probe_grams.select(
+        F.explode(F.array(*[
+            _bloom_position(F.col("gram"), i, m) for i in range(k)]))
+        .alias("__pos")).distinct())
 
+    # ONE pass over the corpus gram stream: the (doc, gram) distinct is
+    # the only corpus-keyed shuffle; position probing rides on it as a
+    # k-wide posexplode + broadcast left join, and BOTH the per-doc
+    # totals and the hit counts come out of the same aggregation chain.
     doc_grams = (df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
-        .where(F.length("gram") > 0))
+        .where(F.length("gram") > 0).distinct())
     probed = doc_grams.select(
         F.col(id_col), F.col("gram"),
         F.posexplode(F.array(*[
             _bloom_position(F.col("gram"), i, m) for i in range(k)]))
         .alias("__i", "__pos"))
-    hits = (probed.join(F.broadcast(bits), "__pos")
-            .groupBy(id_col, "gram")
-            .agg(F.countDistinct("__i").alias("__k_hit"))
-            .where(F.col("__k_hit") == k)
-            .groupBy(id_col)
-            .agg(F.count("*").alias("n_hit_grams")))
-    totals = (doc_grams.groupBy(id_col)
-              .agg(F.countDistinct("gram").alias("n_grams")))
-    return (totals.join(hits, id_col, "left")
-            .select(F.col(id_col), F.col("n_grams"),
-                    F.coalesce(F.col("n_hit_grams"), F.lit(0))
-                    .alias("n_hit_grams"),
-                    (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0)
-                    .alias("bloom_contaminated")))
+    marked = probed.join(
+        F.broadcast(bits.withColumn("__set", F.lit(True))), "__pos", "left")
+    per_gram = (marked.groupBy(id_col, "gram")
+                .agg((F.count(F.when(F.col("__set"), True)) == k)
+                     .alias("__hit")))
+    return (per_gram.groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.count(F.when(F.col("__hit"), True))
+                 .alias("n_hit_grams"))
+            .select(F.col(id_col), F.col("n_grams"), F.col("n_hit_grams"),
+                    (F.col("n_hit_grams") > 0).alias("bloom_contaminated")))
 
 
 # ---------------------------------------------------------------------------
