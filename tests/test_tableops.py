@@ -1108,3 +1108,39 @@ def test_unpersist_candidates_accepts_all_shapes(spark):
     df._zoi_persisted = [c2]
     dedup.unpersist_candidates(df)
     assert not c2.is_cached
+
+
+def test_curate_decontamination_gate(spark):
+    """curate with decontam_probes: exact 13-gram mode drops the doc
+    quoting a benchmark item verbatim; fuzzy mode also drops the
+    paraphrase-by-truncation that shares no 13-gram; clean docs stay."""
+    from zoi_spark import pipeline
+
+    bench = ("what is the capital of france answer paris because it has "
+             "been the seat of government for many centuries running")
+    clean = ("a wholly unrelated page about tending garden tomatoes in "
+             "late summer with notes on watering mulch and sunlight")
+    # verbatim quote inside a longer page -> shares 13-grams
+    quoting = "intro words " + bench + " closing words"
+    # first ~60% of the benchmark tokens -> high Jaccard, no shared 13-gram
+    fuzzy = " ".join(bench.split()[:12])
+    df = spark.createDataFrame(
+        [(1, clean), (2, quoting), (3, fuzzy)],
+        "doc_id long, text string")
+    probes = spark.createDataFrame([(100, bench)],
+                                   "probe_id long, probe_text string")
+    schema = z.fields({"doc_id": z.integer(), "text": z.string(min=5)})
+
+    exact = pipeline.curate(df, schema, id_col="doc_id",
+                            decontam_probes=probes, approx_rows=3)
+    kept = {r.doc_id for r in exact.kept.select("doc_id").collect()}
+    assert kept == {1, 3}          # verbatim quote dropped, fuzzy survives
+    assert "decontaminated" in exact.stages
+    exact.release()
+
+    fz = pipeline.curate(df, schema, id_col="doc_id",
+                         decontam_probes=probes,
+                         decontam_fuzzy_threshold=0.5, approx_rows=3)
+    kept = {r.doc_id for r in fz.kept.select("doc_id").collect()}
+    assert kept == {1}             # truncated paraphrase dropped too
+    fz.release()

@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approx-rows", type=int, default=None,
                    help="known/estimated input row count; skips the "
                         "one count() job auto sizing otherwise runs")
+    p.add_argument("--decontam-probes", default=None,
+                   help="parquet of (probe_id, probe_text) benchmark "
+                        "docs; kept corpus drops any document sharing "
+                        "a 13-gram with a probe (curate mode)")
+    p.add_argument("--decontam-fuzzy-threshold", type=float, default=None,
+                   help="use the MinHash-LSH cross-corpus join at this "
+                        "Jaccard threshold instead of exact 13-gram "
+                        "overlap (catches paraphrased near-copies)")
     return p
 
 
@@ -118,7 +126,10 @@ def main(argv: list[str] | None = None) -> int:
             minhash_bands=args.minhash_bands,
             max_bucket_size=args.max_bucket_size,
             cluster_max_iters=args.cluster_max_iters,
-            approx_rows=args.approx_rows)
+            approx_rows=args.approx_rows,
+            decontam_probes=(spark.read.parquet(args.decontam_probes)
+                             if args.decontam_probes else None),
+            decontam_fuzzy_threshold=args.decontam_fuzzy_threshold)
         res.kept.write.mode("overwrite").parquet(args.output)
         # the ledger's kept-corpus legs (count + token sums) read the
         # parquet just written instead of re-executing the near-dup

@@ -93,7 +93,12 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            minhash_bands: int | str = "auto",
            max_bucket_size: int | str | None = "auto",
            cluster_max_iters: int | str = "auto",
-           approx_rows: int | None = None) -> CurationResult:
+           approx_rows: int | None = None,
+           decontam_probes: DataFrame | None = None,
+           decontam_ngram: int = 13,
+           decontam_fuzzy_threshold: float | None = None,
+           probe_id_col: str = "probe_id",
+           probe_text_col: str = "probe_text") -> CurationResult:
     """Run the full curation composition; see module docstring for the
     per-stage plan shapes. If cluster label propagation fails to
     converge within ``cluster_max_iters`` (already warned by
@@ -154,6 +159,24 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
       runs at build time (negligible next to the dedup it sizes, but
       it does break full laziness — pass ``approx_rows`` from a count
       you already have, or an integer knob, to avoid it).
+
+    Benchmark decontamination (``decontam_probes`` = a
+    (probe_id, probe_text) frame of eval/benchmark documents) runs
+    LAST, on the near-dup survivors — every earlier stage only shrinks
+    the side that must be gram-exploded, and a contaminated document
+    dropped by dedup needs no check at all:
+
+    * default: the exact GPT-3/PaLM protocol — drop any document
+      sharing a word ``decontam_ngram``-gram (13 classically) with any
+      probe (text.ngram_decontamination).
+    * ``decontam_fuzzy_threshold`` — use the MinHash-LSH cross-corpus
+      join instead (dedup.minhash_lsh_join): drop documents whose
+      shingle Jaccard against any probe reaches the threshold, which
+      catches paraphrased/reflowed near-copies that share no exact
+      13-gram. ``id_col`` must differ from ``probe_id_col``.
+
+    The contaminated-id list is benchmark-bounded (≤ docs that matched
+    a probe), so AQE broadcasts the final anti-join.
     """
     if cluster_max_iters == "auto":
         if approx_rows is None:
@@ -240,10 +263,37 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
     kept = exact.join(drop, exact[id_col] == F.col("__drop_id"), "left_anti")
 
     caches = list(getattr(pairs, "_zoi_persisted", []) or []) + extra_caches
+    stages = {"input": df, "valid": valid, "quality": gated,
+              "exact_dedup": exact, "near_dedup": kept}
+    if decontam_probes is not None:
+        if decontam_fuzzy_threshold is not None:
+            # bands=32 over 64 hashes (r=2): decontamination is a
+            # recall-first gate — at the 0.5-0.6 thresholds it runs at,
+            # r=2 keeps per-pair miss probability ~1e-6 where the dedup
+            # default r=4 would miss ~1 in 3 threshold-grazing pairs
+            hits = dedup.minhash_lsh_join(
+                kept, decontam_probes, left_id=id_col,
+                left_text=text_col, right_id=probe_id_col,
+                right_text=probe_text_col,
+                threshold=decontam_fuzzy_threshold,
+                num_hashes=64, bands=32,
+                max_bucket_size=(max_bucket_size
+                                 if isinstance(max_bucket_size, int)
+                                 else None))
+            caches += list(getattr(hits, "_zoi_persisted", []) or [])
+        else:
+            hits = text.ngram_decontamination(
+                kept, decontam_probes, text_col=text_col, id_col=id_col,
+                probe_id_col=probe_id_col, probe_text_col=probe_text_col,
+                n=decontam_ngram)
+        contaminated = (hits.select(F.col(id_col).alias("__ct_drop"))
+                        .distinct())
+        kept = kept.join(contaminated,
+                         kept[id_col] == F.col("__ct_drop"), "left_anti")
+        stages["decontaminated"] = kept
     return CurationResult(
         kept=kept,
-        stages={"input": df, "valid": valid, "quality": gated,
-                "exact_dedup": exact, "near_dedup": kept},
+        stages=stages,
         text_col=text_col,
         caches=caches,
         converged=getattr(clusters, "_zoi_converged", True))
