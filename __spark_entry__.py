@@ -2215,6 +2215,41 @@ def q_crosscorpus_join(spark, sf_dir):
     return out.orderBy("doc_id", "probe_id")
 
 
+# script-sample literals shared VERBATIM by q_script_mix and its DuckDB
+# twin (a drifted hand-copy would silently break the byte-level counts)
+_SCRIPT_SAMPLES = {
+    1: "привет мир слова большой текст",
+    2: "漢字テスト中文の文章です",
+    3: "مرحبا بالعالم هذا نص",
+    4: "12345 67890 2024",
+}
+
+
+def q_script_mix(spark, sf_dir):
+    """Unicode script-mix QC (text.script_profile): every 5th document
+    is replaced by a pure-Cyrillic / CJK / Arabic / digit sample, so
+    dominant-script election, per-script counts, and latin_fraction
+    all vary and every branch of the tie-break CASE fires. Aggregated
+    per (lang, dominant_script); the DuckDB twin recomputes the counts
+    from the SAME range literals (interpolated from SCRIPT_RANGES, not
+    hand-copied)."""
+    d = _read(spark, sf_dir, "documents")
+    v = F.pmod("doc_id", F.lit(5))
+    body = F.col("text")
+    for k, s in _SCRIPT_SAMPLES.items():
+        body = F.when(v == k, F.lit(s)).otherwise(body)
+    seeded = d.select("doc_id", "lang", body.alias("text"))
+    p = text.script_profile(seeded)
+    withlang = p.join(seeded.select("doc_id", "lang"), "doc_id")
+    return (withlang.groupBy("lang", "dominant_script")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_cyrillic").alias("cyrillic_chars"),
+                 F.sum("n_cjk").alias("cjk_chars"),
+                 F.round(F.avg("latin_fraction"), 6)
+                 .alias("avg_latin_frac"))
+            .orderBy("lang", "dominant_script"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2287,6 +2322,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_linear": q_quality_linear,
         "ccnet_buckets": q_ccnet_buckets,
         "crosscorpus_join": q_crosscorpus_join,
+        "script_mix": q_script_mix,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3142,6 +3178,51 @@ def _pagerank_sql(iters: int) -> str:
             + f"""
             SELECT node AS host, round(rank, 6) AS pagerank
             FROM r{iters} ORDER BY host""")
+
+
+def _script_mix_sql() -> str:
+    """DuckDB twin of q_script_mix: the SAME seeded script samples
+    (_SCRIPT_SAMPLES) and the SAME codepoint ranges (interpolated from
+    text.SCRIPT_RANGES — single source of truth), counts by
+    regexp_replace deletion, dominant script = declaration-order-first
+    maximal count, per-doc rounded latin fraction averaged per group."""
+    ranges = text.SCRIPT_RANGES
+    cnt = {n: f"(length(text) - length(regexp_replace(text, '[{r}]', "
+              f"'', 'g')))" for n, r in ranges.items()}
+    total = " + ".join(cnt.values())
+    best = "greatest(" + ", ".join(f"n_{n}" for n in ranges) + ")"
+    dom = "CASE " + " ".join(
+        f"WHEN n_{n} = __best THEN '{n}'" for n in ranges) + " END"
+    case = " ".join(f"WHEN {k} THEN '{s}'"
+                    for k, s in _SCRIPT_SAMPLES.items())
+    count_sel = ",\n                     ".join(
+        f"{cnt[n]} AS n_{n}" for n in ranges)
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, lang,
+                 CASE doc_id % 5 {case} ELSE text END AS text
+          FROM documents),
+        counts AS (
+          SELECT doc_id, lang,
+                     {count_sel},
+                 ({total}) AS script_chars
+          FROM seeded),
+        prof AS (
+          SELECT *, {best} AS __best FROM counts),
+        dom AS (
+          SELECT doc_id, lang, n_cyrillic, n_cjk,
+                 CASE WHEN __best > 0 THEN {dom} END AS dominant_script,
+                 CASE WHEN script_chars > 0
+                      THEN round(n_latin::DOUBLE / script_chars, 6)
+                 END AS latin_fraction
+          FROM prof)
+        SELECT lang, dominant_script, count(*)::BIGINT AS n_docs,
+               sum(n_cyrillic)::BIGINT AS cyrillic_chars,
+               sum(n_cjk)::BIGINT AS cjk_chars,
+               round(avg(latin_fraction), 6) AS avg_latin_frac
+        FROM dom GROUP BY lang, dominant_script
+        ORDER BY lang, dominant_script
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4656,4 +4737,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(i / (dsz.sz + bsz.sz - i), 6) >= 0.6
             ORDER BY inter.doc_id, inter.probe_id
         """,
+        "script_mix": _script_mix_sql(),
     }

@@ -244,3 +244,36 @@ class TestMinhashLshJoin:
         right = spark.createDataFrame([(2, "a b c")], "doc_id long, probe_text string")
         with pytest.raises(ValueError, match="must differ"):
             dedup.minhash_lsh_join(left, right, right_id="doc_id")
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        d = spark.createDataFrame(
+            [(1, "hello мир 42"),       # 5 latin, 3 cyrillic, 2 digit
+             (2, "привет"),             # pure cyrillic
+             (3, "!!! ???"),            # no script chars at all
+             (4, "ab же")],             # 2 latin vs 2 cyrillic tie
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r.asDict()
+                for r in text.script_profile(d).collect()}
+        assert rows[1]["n_latin"] == 5
+        assert rows[1]["n_cyrillic"] == 3
+        assert rows[1]["n_digit"] == 2
+        assert rows[1]["dominant_script"] == "latin"
+        assert rows[1]["latin_fraction"] == 0.5
+        assert rows[2]["dominant_script"] == "cyrillic"
+        assert rows[2]["latin_fraction"] == 0.0
+        assert rows[3]["dominant_script"] is None
+        assert rows[3]["latin_fraction"] is None
+        # ties break by declaration order: latin first
+        assert rows[4]["dominant_script"] == "latin"
+
+    def test_cjk_and_arabic_ranges(self, spark):
+        d = spark.createDataFrame(
+            [(1, "漢字かなカナ가"), (2, "مرحبا")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r.asDict()
+                for r in text.script_profile(d).collect()}
+        assert rows[1]["n_cjk"] == 7 and rows[1]["dominant_script"] == "cjk"
+        assert rows[2]["n_arabic"] == 5
+        assert rows[2]["dominant_script"] == "arabic"

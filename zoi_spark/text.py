@@ -1037,3 +1037,78 @@ def perplexity_buckets(df: DataFrame, *, text_col: str = "text",
         F.ntile(n_buckets).over(w).alias("ppl_bucket"))
     out._zoi_persisted = getattr(scored, "_zoi_persisted", [])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile (script-mix QC)
+# ---------------------------------------------------------------------------
+
+# BMP codepoint ranges per script — deliberately EXPLICIT ranges (not
+# \p{Script=...} classes) so the Java-regex and RE2/DuckDB sides of the
+# oracle agree byte-for-byte. Order matters: `dominant_script` breaks
+# count ties by this declaration order.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "digit": "0-9",
+}
+
+
+def script_count(col: Column, script: str) -> Column:
+    """Number of characters of *col* inside the named script's ranges:
+    ``length(col) - length(regexp_replace(col, '[ranges]', ''))`` —
+    counting by deletion keeps the expression a plain JVM projection
+    and is reproducible verbatim in the DuckDB oracle."""
+    rng = SCRIPT_RANGES[script]
+    return (F.length(col)
+            - F.length(F.regexp_replace(col, f"[{rng}]", "")))
+
+
+def script_profile(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode script mix — the intake QC that catches
+    wrong-script-for-language pages (a `lang='en'` page that is 90%
+    Cyrillic is mislabeled or spam) and mixed-script keyword-stuffing
+    (CCNet and FineWeb both gate on script consistency before any
+    model-based language ID is trusted).
+
+    Emits one count column per :data:`SCRIPT_RANGES` entry plus
+    ``n_chars`` (total), ``script_chars`` (sum of matched counts —
+    punctuation/whitespace are in neither), ``dominant_script`` (the
+    declaration-order-first script with the maximal count; NULL when
+    no script character occurs) and ``latin_fraction`` (share of
+    matched characters that are Latin, NULL when none matched).
+
+    Plan shape: a pure per-row projection — one regexp_replace per
+    script class, all fused into the scan's codegen stage; no explode,
+    no shuffle, no UDF. At 10^12 docs this rides the same single pass
+    as the other quality columns.
+    """
+    c = F.col(text_col)
+    counts = {name: script_count(c, name) for name in SCRIPT_RANGES}
+    total = None
+    for expr in counts.values():
+        total = expr if total is None else total + expr
+    best = F.greatest(*counts.values())
+    dominant = F.lit(None).cast("string")
+    for name in reversed(list(SCRIPT_RANGES)):
+        dominant = F.when(counts[name] == best, F.lit(name)) \
+            .otherwise(dominant)
+    dominant = F.when(best > 0, dominant)
+    out_cols = [F.col(id_col)]
+    out_cols += [counts[n].cast("bigint").alias(f"n_{n}")
+                 for n in SCRIPT_RANGES]
+    out_cols += [
+        F.length(c).cast("bigint").alias("n_chars"),
+        total.cast("bigint").alias("script_chars"),
+        dominant.alias("dominant_script"),
+        F.when(total > 0,
+               F.round(counts["latin"].cast("double") / total, 6))
+        .alias("latin_fraction"),
+    ]
+    return df.select(*out_cols)
