@@ -2250,6 +2250,45 @@ def q_script_mix(spark, sf_dir):
             .orderBy("lang", "dominant_script"))
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test split (sampling.hash_split): md5
+    fractions into cumulative-weight intervals, a pure projection with
+    no shuffle — the leakage-free split a training pipeline derives
+    once and keeps stable across recrawls. The DuckDB twin re-derives
+    the fraction AND compares against boundary literals interpolated
+    from sampling.split_boundaries (the same float arithmetic, so the
+    0.8+0.1 ulp artifact can never diverge)."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    s = sampling.hash_split(d, id_col="doc_id", weights=_SPLIT_WEIGHTS)
+    return (s.groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("split", "lang"))
+
+
+def q_host_reputation(spark, sf_dir):
+    """Host-level reputation (urls.host_reputation): per-host quality
+    aggregation over the heuristic quality score, hosts derived as
+    doc_id mod 50; the 0.605 threshold sits at the observed per-host
+    median so BOTH flag branches fire at both gate SFs. One hash
+    aggregation on the host key — the FineWeb-style wholesale host
+    blocklist pass."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        F.concat(F.lit("host"), F.pmod("doc_id", F.lit(50)).cast("string"))
+        .alias("host"),
+        text.quality_score(F.col("text")).alias("quality"))
+    return (urls.host_reputation(scored, min_docs=5,
+                                 min_avg_quality=0.605)
+            .orderBy("host"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2323,6 +2362,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ccnet_buckets": q_ccnet_buckets,
         "crosscorpus_join": q_crosscorpus_join,
         "script_mix": q_script_mix,
+        # corpus_split/host_reputation sit at positions 51-52 — OUTSIDE
+        # the driver's 50-row window this round (local two-SF replay
+        # only); rotate them to the front in r5
+        "corpus_split": q_corpus_split,
+        "host_reputation": q_host_reputation,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3222,6 +3266,30 @@ def _script_mix_sql() -> str:
                round(avg(latin_fraction), 6) AS avg_latin_frac
         FROM dom GROUP BY lang, dominant_script
         ORDER BY lang, dominant_script
+    """
+
+
+def _corpus_split_sql() -> str:
+    """DuckDB twin of q_corpus_split: same md5 fraction, same split
+    names, boundary literals interpolated from
+    sampling.split_boundaries (bit-identical Python float arithmetic —
+    0.8 + 0.1 is 0.9000000000000001 in doubles, and a hand-written
+    0.9 here would disagree on fractions inside the ulp gap)."""
+    from zoi_spark import sampling
+
+    names = list(_SPLIT_WEIGHTS)
+    bounds = sampling.split_boundaries(_SPLIT_WEIGHTS)
+    case = "CASE " + " ".join(
+        f"WHEN f < {b!r} THEN '{n}'" for n, b in zip(names, bounds)
+    ) + f" ELSE '{names[-1]}' END"
+    return f"""
+        WITH s AS (
+          SELECT lang,
+                 (('0x' || substr(md5('split:' || doc_id), 1, 8))
+                  ::UBIGINT)::DOUBLE / 4294967296.0 AS f
+          FROM documents)
+        SELECT {case} AS split, lang, count(*)::BIGINT AS n_docs
+        FROM s GROUP BY split, lang ORDER BY split, lang
     """
 
 
@@ -4738,4 +4806,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY inter.doc_id, inter.probe_id
         """,
         "script_mix": _script_mix_sql(),
+        "corpus_split": _corpus_split_sql(),
+        "host_reputation": f"""
+            WITH scored AS (
+              SELECT 'host' || (doc_id % 50) AS host,
+                     {_QUALITY_SQL} AS quality
+              FROM documents),
+            agg AS (
+              SELECT host, count(*)::BIGINT AS n_docs,
+                     round(avg(quality), 6) AS avg_quality,
+                     min(quality) AS min_quality,
+                     max(quality) AS max_quality
+              FROM scored GROUP BY host)
+            SELECT host, n_docs, avg_quality, min_quality, max_quality,
+                   (n_docs >= 5 AND avg_quality < 0.605) AS host_flagged
+            FROM agg ORDER BY host
+        """,
     }

@@ -169,7 +169,7 @@ R4_NAMES = [
     # wave 2: host-graph centrality, Bloom decontamination screen,
     # frozen linear quality classifier, CCNet perplexity buckets
     "host_pagerank", "bloom_decontam", "quality_linear", "ccnet_buckets",
-    "crosscorpus_join", "script_mix",
+    "crosscorpus_join", "script_mix", "corpus_split", "host_reputation",
 ]
 
 

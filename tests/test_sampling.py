@@ -262,3 +262,52 @@ def test_dsir_logweights_plan_broadcasts_ratio_table(docs):
                                  buckets=128)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan       # k-row log-ratio table
+
+
+def test_hash_split_deterministic_and_leakfree(spark):
+    from zoi_spark import sampling
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.hash_split(df, id_col="doc_id", weights=w)
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    # integer weights normalize to the same assignment
+    b = sampling.hash_split(df, id_col="doc_id",
+                            weights={"train": 8, "val": 1, "test": 1})
+    assert a.exceptAll(b).count() == 0
+    # a GROWN corpus never reassigns an old doc (leak-free invariant)
+    grown = sampling.hash_split(
+        spark.range(0, 8000).withColumnRenamed("id", "doc_id"),
+        id_col="doc_id", weights=w)
+    assert grown.where("doc_id < 4000").exceptAll(a).count() == 0
+    # a different salt draws an independent split
+    c = sampling.hash_split(df, id_col="doc_id", weights=w, salt="exp2:")
+    assert c.exceptAll(a).count() > 0
+
+
+def test_hash_split_validates_weights(spark):
+    from zoi_spark import sampling
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, id_col="doc_id", weights={})
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, id_col="doc_id", weights={"a": 0.0})
+    one = sampling.hash_split(df, id_col="doc_id", weights={"all": 1.0})
+    assert {r["split"] for r in one.collect()} == {"all"}
+
+
+def test_split_boundaries_match_assignment_arithmetic():
+    from zoi_spark import sampling
+
+    b = sampling.split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert b == [0.8, 0.8 + 0.1]
+    # the ulp artifact the boundary export exists for: cumulative float
+    # sums are NOT the decimal literals a hand-written oracle would use
+    b2 = sampling.split_boundaries({"a": 0.1, "b": 0.2, "c": 0.7})
+    assert b2 == [0.1, 0.1 + 0.2]
+    assert b2[1] != 0.3               # 0.30000000000000004

@@ -1144,3 +1144,19 @@ def test_curate_decontamination_gate(spark):
     kept = {r.doc_id for r in fz.kept.select("doc_id").collect()}
     assert kept == {1}             # truncated paraphrase dropped too
     fz.release()
+
+
+def test_host_reputation_flags_and_min_docs_gate(spark):
+    from zoi_spark import urls
+
+    rows = ([("junk.example", 0.2)] * 6          # low quality, enough docs
+            + [("good.example", 0.9)] * 6        # high quality
+            + [("tiny.example", 0.1)] * 2)       # junk but too few docs
+    df = spark.createDataFrame(rows, "host string, quality double")
+    rep = {r["host"]: r.asDict() for r in urls.host_reputation(
+        df, min_docs=5, min_avg_quality=0.5).collect()}
+    assert rep["junk.example"]["host_flagged"] is True
+    assert rep["good.example"]["host_flagged"] is False
+    assert rep["tiny.example"]["host_flagged"] is False  # benefit of doubt
+    assert rep["junk.example"]["n_docs"] == 6
+    assert rep["good.example"]["avg_quality"] == 0.9

@@ -285,3 +285,55 @@ def dsir_logweights(df: DataFrame, target: DataFrame, *,
             .groupBy(id_col)
             .agg(F.count("*").alias("n_grams"),
                  F.round(F.sum("__lr"), 6).alias("dsir_logweight")))
+
+
+def hash_split(df: DataFrame, *, id_col: str,
+               weights: "dict[str, float]",
+               salt: str = "split:",
+               out_col: str = "split") -> DataFrame:
+    """Deterministic, leakage-free corpus split (train/val/test): each
+    document's md5 fraction ``conv(md5(salt||id)[:8]) / 2^32`` falls
+    into cumulative-weight intervals in ``weights`` declaration order.
+    The assignment is a pure projection keyed only on the id — stable
+    across re-runs, partitions, and snapshot growth (a document keeps
+    its split forever, the property that keeps eval sets leak-free as
+    the corpus is re-crawled), and resumable for free.
+
+    ``weights`` are normalized, so ``{"train": 8, "val": 1, "test": 1}``
+    and ``{"train": .8, "val": .1, "test": .1}`` are identical. Use a
+    different ``salt`` per experiment to draw independent splits.
+
+    Plan shape: one md5 + CASE per row fused into the scan — no
+    shuffle; downstream ``WHERE split = 'train'`` is a pushable
+    predicate on the materialized column.
+    """
+    if not weights:
+        raise ValueError("hash_split: weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("hash_split: weights must sum to > 0")
+    frac = (F.conv(sample_key(F.col(id_col), salt=salt), 16, 10)
+            .cast("double") / float(1 << 32))
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = frac < F.lit(cum)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(names[-1])
+    return df.withColumn(out_col,
+                         last if expr is None else expr.otherwise(last))
+
+
+def split_boundaries(weights: "dict[str, float]") -> "list[float]":
+    """The cumulative boundaries hash_split compares against, computed
+    with the SAME float arithmetic (exposed so the DuckDB oracle can
+    interpolate bit-identical literals instead of re-deriving them)."""
+    total = float(sum(weights.values()))
+    out, cum = [], 0.0
+    for name in list(weights)[:-1]:
+        cum += weights[name] / total
+        out.append(cum)
+    return out

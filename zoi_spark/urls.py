@@ -218,3 +218,37 @@ def url_dedup_latest(df: DataFrame, *, url_col: str = "url",
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
     return kept.unionByName(df.where(exempt))
+
+
+def host_reputation(df: DataFrame, *, host_col: str = "host",
+                    quality_col: str = "quality",
+                    min_docs: int = 5,
+                    min_avg_quality: float = 0.5) -> DataFrame:
+    """Host-level reputation aggregation — the FineWeb-style complement
+    to per-URL filtering: a host whose DOCUMENTS are consistently junk
+    is blocked wholesale, which catches spam farms whose individual
+    URLs look clean. Feed any per-document quality signal (heuristic
+    ``text.quality_score``, the linear classifier, a dup-rate flag).
+
+    Emits per-host ``(n_docs, avg_quality, min_quality, max_quality,
+    host_flagged)``; ``host_flagged`` only fires once the host has
+    ``min_docs`` documents — low-traffic hosts get the benefit of the
+    doubt rather than a verdict from one bad page. The flagged set is
+    the host blocklist: broadcast it back against the corpus
+    (anti-join on the host key) or persist it as the next crawl's
+    deny list.
+
+    Plan shape at 10^12 docs: ONE hash aggregation on the host key
+    (map-side partial absorbs the Zipf head); output cardinality is
+    the host count (~10^8), orders of magnitude below the corpus.
+    For pathological single-host skew the same salting
+    `tablechecks.suggest_salt` sizes for uniqueness applies.
+    """
+    return (df.groupBy(host_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(quality_col), 6).alias("avg_quality"),
+                 F.min(quality_col).alias("min_quality"),
+                 F.max(quality_col).alias("max_quality"))
+            .withColumn("host_flagged",
+                        (F.col("n_docs") >= min_docs)
+                        & (F.col("avg_quality") < min_avg_quality)))
