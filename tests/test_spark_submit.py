@@ -104,6 +104,18 @@ def test_spark_submit_curate_mode(tmp_path):
     schema_file.write_text(json.dumps(SCHEMA))
     out_dir = str(tmp_path / "kept")
 
+    # benchmark probes: a 20-word window lifted verbatim from doc 7, so
+    # the decontamination gate must drop at least that document
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    text7 = docs.filter(pa.compute.equal(docs["doc_id"], 7))["text"][0]
+    probe = " ".join(text7.as_py().split()[5:25])
+    probes_path = str(tmp_path / "probes.parquet")
+    pq.write_table(pa.table({"probe_id": [100], "probe_text": [probe]}),
+                   probes_path)
+
     cmd = [spark_submit, "--master", "local[4]",
            "--conf", "spark.ui.enabled=false",
            "--conf", "spark.sql.shuffle.partitions=8",
@@ -116,7 +128,8 @@ def test_spark_submit_curate_mode(tmp_path):
            "--run-id", "c1",
            "--output", out_dir,
            "--min-quality", "0.55",
-           "--near-dup-threshold", "0.8"]
+           "--near-dup-threshold", "0.8",
+           "--decontam-probes", probes_path]
     out = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=540, cwd=str(tmp_path))
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -125,5 +138,9 @@ def test_spark_submit_curate_mode(tmp_path):
     ledger = json.loads(lines[0])
     assert ledger["converged"] is True
     assert 0 < ledger["near_dedup"] <= ledger["valid"] <= ledger["input"]
+    # the probe source document must be gone from the written corpus
+    assert ledger["decontaminated"] < ledger["near_dedup"]
+    kept_ids = pq.read_table(out_dir, columns=["doc_id"])["doc_id"]
+    assert 7 not in set(kept_ids.to_pylist())
     assert ledger["kept_ws_tokens"] > 0
     assert os.path.isdir(out_dir)
