@@ -1160,3 +1160,25 @@ def test_host_reputation_flags_and_min_docs_gate(spark):
     assert rep["tiny.example"]["host_flagged"] is False  # benefit of doubt
     assert rep["junk.example"]["n_docs"] == 6
     assert rep["good.example"]["avg_quality"] == 0.9
+
+
+def test_curate_split_stamping(spark):
+    from zoi_spark import pipeline
+    from zoi_spark.cli import parse_split
+
+    assert parse_split("train:0.8,val:0.1,test:0.1") == {
+        "train": 0.8, "val": 0.1, "test": 0.1}
+    with pytest.raises(ValueError):
+        parse_split("train")
+
+    rows = [(i, f"plain document number {i} with agreeable words "
+                "that run long enough to shingle cleanly")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    schema = z.fields({"doc_id": z.integer(), "text": z.string(min=5)})
+    res = pipeline.curate(df, schema, id_col="doc_id", approx_rows=30,
+                          split_weights={"train": 0.8, "val": 0.2})
+    assert "split" in res.kept.columns
+    got = {r["split"] for r in res.kept.select("split").distinct().collect()}
+    assert got <= {"train", "val"} and "train" in got
+    res.release()

@@ -83,7 +83,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the MinHash-LSH cross-corpus join at this "
                         "Jaccard threshold instead of exact 13-gram "
                         "overlap (catches paraphrased near-copies)")
+    p.add_argument("--split", default=None,
+                   help="stamp a deterministic recrawl-stable split "
+                        "column on the kept corpus, e.g. "
+                        "'train:0.8,val:0.1,test:0.1' (curate mode)")
     return p
+
+
+def parse_split(spec: str) -> dict:
+    """'train:0.8,val:0.1,test:0.1' → ordered weights dict."""
+    out = {}
+    for part in spec.split(","):
+        name, _, w = part.partition(":")
+        if not name or not w:
+            raise ValueError(f"bad --split segment: {part!r}")
+        out[name.strip()] = float(w)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -129,7 +144,9 @@ def main(argv: list[str] | None = None) -> int:
             approx_rows=args.approx_rows,
             decontam_probes=(spark.read.parquet(args.decontam_probes)
                              if args.decontam_probes else None),
-            decontam_fuzzy_threshold=args.decontam_fuzzy_threshold)
+            decontam_fuzzy_threshold=args.decontam_fuzzy_threshold,
+            split_weights=(parse_split(args.split)
+                           if args.split else None))
         res.kept.write.mode("overwrite").parquet(args.output)
         # the ledger's kept-corpus legs (count + token sums) read the
         # parquet just written instead of re-executing the near-dup

@@ -98,7 +98,8 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
            decontam_ngram: int = 13,
            decontam_fuzzy_threshold: float | None = None,
            probe_id_col: str = "probe_id",
-           probe_text_col: str = "probe_text") -> CurationResult:
+           probe_text_col: str = "probe_text",
+           split_weights: "dict[str, float] | None" = None) -> CurationResult:
     """Run the full curation composition; see module docstring for the
     per-stage plan shapes. If cluster label propagation fails to
     converge within ``cluster_max_iters`` (already warned by
@@ -177,6 +178,11 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
 
     The contaminated-id list is benchmark-bounded (≤ docs that matched
     a probe), so AQE broadcasts the final anti-join.
+
+    ``split_weights`` (e.g. ``{"train": .8, "val": .1, "test": .1}``)
+    stamps the kept corpus with a deterministic, recrawl-stable
+    ``split`` column (sampling.hash_split) as the very last step — the
+    output is then directly partitionable by split at write time.
     """
     if cluster_max_iters == "auto":
         if approx_rows is None:
@@ -291,6 +297,10 @@ def curate(df: DataFrame, schema: Schema, *, id_col: str,
         kept = kept.join(contaminated,
                          kept[id_col] == F.col("__ct_drop"), "left_anti")
         stages["decontaminated"] = kept
+    if split_weights:
+        from . import sampling
+        kept = sampling.hash_split(kept, id_col=id_col,
+                                   weights=split_weights)
     return CurationResult(
         kept=kept,
         stages=stages,
