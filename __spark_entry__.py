@@ -2289,6 +2289,39 @@ def q_host_reputation(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_mojibake_scan(spark, sf_dir):
+    """Encoding-artifact scan (text.mojibake_stats; the detection half
+    of ftfy's fix_encoding heuristics): documents are deterministically
+    corrupted — every 7th gets 1-5 appended ' Ã©' double-decode
+    artifacts, every 11th a U+FFFD replacement char, every 13th a
+    leading in-body BOM — so every marker class and both flag branches
+    fire. Pure replace-and-measure projection, no regex; aggregated
+    per (lang, mojibake_flagged) with marker-class sums so the hash
+    covers every per-doc count."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.when(F.pmod("doc_id", F.lit(7)) == 2,
+               F.concat(t, F.repeat(
+                   F.lit(" Ã©"),
+                   (F.pmod("doc_id", F.lit(5)) + 1).cast("int")))
+               ).otherwise(t)
+    t = F.when(F.pmod("doc_id", F.lit(11)) == 3,
+               F.concat(t, F.lit(" �"))).otherwise(t)
+    t = F.when(F.pmod("doc_id", F.lit(13)) == 4,
+               F.concat(F.lit("﻿"), t)).otherwise(t)
+    seeded = d.select("doc_id", "lang", t.alias("text"))
+    m = text.mojibake_stats(seeded, max_ratio=0.004)
+    withlang = m.join(seeded.select("doc_id", "lang"), "doc_id")
+    return (withlang.groupBy("lang", "mojibake_flagged")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("mojibake_chars").alias("artifact_chars"),
+                 F.sum("n_utf8_latin1").alias("utf8_latin1_hits"),
+                 F.sum("n_replacement").alias("replacement_hits"),
+                 F.sum("n_stray_bom").alias("bom_hits"),
+                 F.round(F.avg("mojibake_ratio"), 6).alias("avg_ratio"))
+            .orderBy("lang", "mojibake_flagged"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2367,6 +2400,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # only); rotate them to the front in r5
         "corpus_split": q_corpus_split,
         "host_reputation": q_host_reputation,
+        "mojibake_scan": q_mojibake_scan,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3222,6 +3256,58 @@ def _pagerank_sql(iters: int) -> str:
             + f"""
             SELECT node AS host, round(rank, 6) AS pagerank
             FROM r{iters} ORDER BY host""")
+
+
+def _mojibake_sql() -> str:
+    """DuckDB twin of q_mojibake_scan: the SAME seeded corruption
+    (appended ' Ã©' repeats, U+FFFD, leading BOM — successive CTEs
+    mirror the Spark when-chain nesting order) and the SAME
+    replace-and-measure counts, marker literals interpolated from
+    text.MOJIBAKE_MARKERS (single source of truth)."""
+    cnt = {n: f"((length(text) - length(replace(text, '{m}', '')))"
+              f" // {len(m)})"
+           for n, m in text.MOJIBAKE_MARKERS.items()}
+    total = " + ".join(cnt.values())
+    count_sel = ",\n                 ".join(
+        f"{cnt[n]}::BIGINT AS n_{n}" for n in text.MOJIBAKE_MARKERS)
+    return f"""
+        WITH s1 AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 7 = 2
+                      THEN text || repeat(' Ã©', (doc_id % 5 + 1)::INT)
+                      ELSE text END AS text
+          FROM documents),
+        s2 AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 11 = 3 THEN text || ' �'
+                      ELSE text END AS text
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 13 = 4 THEN '﻿' || text
+                      ELSE text END AS text
+          FROM s2),
+        m AS (
+          SELECT doc_id, lang,
+                 {count_sel},
+                 ({total})::BIGINT AS mojibake_chars,
+                 CASE WHEN length(text) > 0
+                      THEN round(({total})::DOUBLE / length(text), 6)
+                 END AS mojibake_ratio
+          FROM s3),
+        f AS (
+          SELECT *, coalesce(mojibake_ratio > 0.004, false)
+                      AS mojibake_flagged
+          FROM m)
+        SELECT lang, mojibake_flagged, count(*)::BIGINT AS n_docs,
+               sum(mojibake_chars)::BIGINT AS artifact_chars,
+               sum(n_utf8_latin1)::BIGINT AS utf8_latin1_hits,
+               sum(n_replacement)::BIGINT AS replacement_hits,
+               sum(n_stray_bom)::BIGINT AS bom_hits,
+               round(avg(mojibake_ratio), 6) AS avg_ratio
+        FROM f GROUP BY lang, mojibake_flagged
+        ORDER BY lang, mojibake_flagged
+    """
 
 
 def _script_mix_sql() -> str:
@@ -4822,4 +4908,5 @@ def oracle_sql() -> dict[str, str]:
                    (n_docs >= 5 AND avg_quality < 0.605) AS host_flagged
             FROM agg ORDER BY host
         """,
+        "mojibake_scan": _mojibake_sql(),
     }

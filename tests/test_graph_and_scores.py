@@ -277,3 +277,37 @@ class TestScriptProfile:
         assert rows[1]["n_cjk"] == 7 and rows[1]["dominant_script"] == "cjk"
         assert rows[2]["n_arabic"] == 5
         assert rows[2]["dominant_script"] == "arabic"
+
+
+class TestMojibakeStats:
+    def test_marker_counts_and_flag(self, spark):
+        d = spark.createDataFrame(
+            [(1, "clean page"),
+             (2, "it Ã©tÃ© â€™quoted Â here"),   # 2×Ã, 1×â€, 1×Â
+             (3, "lossy � and ﻿ bom"),
+             (4, "")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r.asDict()
+                for r in text.mojibake_stats(d, max_ratio=0.05).collect()}
+        assert rows[1]["mojibake_chars"] == 0
+        assert rows[1]["mojibake_flagged"] is False
+        assert rows[2]["n_utf8_latin1"] == 2
+        assert rows[2]["n_win1252_punct"] == 1
+        assert rows[2]["n_nbsp_artifact"] == 1
+        assert rows[2]["mojibake_chars"] == 4
+        assert rows[2]["mojibake_flagged"] is True
+        assert rows[3]["n_replacement"] == 1
+        assert rows[3]["n_stray_bom"] == 1
+        # empty text: ratio NULL, flag coalesces to False
+        assert rows[4]["mojibake_ratio"] is None
+        assert rows[4]["mojibake_flagged"] is False
+
+    def test_ratio_threshold_boundary(self, spark):
+        # 1 artifact in 100 chars = ratio 0.01: strictly-greater gate
+        body = "x" * 99 + "�"
+        d = spark.createDataFrame([(1, body)], "doc_id long, text string")
+        at = text.mojibake_stats(d, max_ratio=0.01).collect()[0]
+        below = text.mojibake_stats(d, max_ratio=0.009).collect()[0]
+        assert at["mojibake_ratio"] == 0.01
+        assert at["mojibake_flagged"] is False
+        assert below["mojibake_flagged"] is True

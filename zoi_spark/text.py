@@ -1112,3 +1112,72 @@ def script_profile(df: DataFrame, *, text_col: str = "text",
         .alias("latin_fraction"),
     ]
     return df.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# encoding-artifact (mojibake) scan
+# ---------------------------------------------------------------------------
+
+# Literal marker substrings of the two dominant web encoding failures —
+# UTF-8 bytes decoded as Latin-1/Windows-1252 ("Ã", "â€", stray "Â")
+# and lossy decoder substitution (U+FFFD, in-body U+FEFF BOMs). Literal
+# substrings (NOT regexes) so both the Spark side and the DuckDB twin
+# count them with plain `replace`, byte-for-byte.
+MOJIBAKE_MARKERS: dict[str, str] = {
+    "utf8_latin1": "Ã",    # Ã — UTF-8 lead byte read as Latin-1
+    "win1252_punct": "â€",  # â€ — curly quote/dash via cp1252
+    "nbsp_artifact": "Â",  # Â — stray NBSP lead byte
+    "replacement": "�",    # � — decoder substitution
+    "stray_bom": "﻿",      # in-body byte-order mark
+}
+
+
+def substring_count(col: Column, literal: str) -> Column:
+    """Occurrences of a LITERAL substring, by replace-and-measure:
+    ``(length(col) - length(replace(col, lit, ''))) / length(lit)``.
+    Pure JVM projection, no regex dialect to reconcile with the
+    oracle."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(literal))))
+            / F.lit(len(literal))).cast("bigint")
+
+
+def mojibake_stats(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_ratio: float = 0.001) -> DataFrame:
+    """Per-document encoding-artifact scan — the ftfy-style intake QC
+    (Speer 2019, ftfy; the fix_encoding heuristics) reduced to its
+    detection half: count the marker substrings that UTF-8-as-Latin-1
+    double-decoding and lossy decoders leave behind, and flag documents
+    whose artifact density exceeds ``max_ratio``. Web crawls hit this
+    constantly (mis-declared charsets); a page full of "â€™" poisons
+    tokenizers and dedup shingles alike, so curation drops or re-decodes
+    it before anything downstream.
+
+    Emits one ``n_<marker>`` count per :data:`MOJIBAKE_MARKERS` entry
+    plus ``n_chars``, ``mojibake_chars`` (sum of counts),
+    ``mojibake_ratio`` (artifacts per character, NULL on empty text)
+    and ``mojibake_flagged``.
+
+    Plan shape: a pure per-row projection — one `replace` per marker,
+    fused into the scan's codegen stage; no explode, no shuffle, no
+    UDF, no regex. At 10^12 docs this rides the same single pass as
+    the other quality columns (`script_profile`, `quality_score`).
+    """
+    c = F.col(text_col)
+    counts = {name: substring_count(c, lit)
+              for name, lit in MOJIBAKE_MARKERS.items()}
+    total = None
+    for expr in counts.values():
+        total = expr if total is None else total + expr
+    ratio = F.when(F.length(c) > 0,
+                   F.round(total.cast("double") / F.length(c), 6))
+    out_cols = [F.col(id_col)]
+    out_cols += [counts[n].alias(f"n_{n}") for n in MOJIBAKE_MARKERS]
+    out_cols += [
+        F.length(c).cast("bigint").alias("n_chars"),
+        total.cast("bigint").alias("mojibake_chars"),
+        ratio.alias("mojibake_ratio"),
+        F.coalesce(ratio > max_ratio, F.lit(False))
+        .alias("mojibake_flagged"),
+    ]
+    return df.select(*out_cols)
