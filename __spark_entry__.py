@@ -2322,6 +2322,25 @@ def q_mojibake_scan(spark, sf_dir):
             .orderBy("lang", "mojibake_flagged"))
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_numeric_corr(spark, sf_dir):
+    """Cross-column correlation profile (tablechecks.correlation_stats):
+    Pearson corr + sample covariance for all six lineitem pairs in ONE
+    aggregation pass — the co-variation drift check next to the
+    per-column fused stats. corr is rounded at 6 (it is scale-free);
+    covariance at 2 (its magnitude rides the price scale, where the
+    engines' summation orders differ in the last few ulps)."""
+    from zoi_spark import tablechecks
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = tablechecks.correlation_stats(li, _CORR_COLS, round_to=6)
+    return (out.select("col_a", "col_b", "corr",
+                       F.round("covar", 2).alias("covar"))
+            .orderBy("col_a", "col_b"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2401,6 +2420,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_split": q_corpus_split,
         "host_reputation": q_host_reputation,
         "mojibake_scan": q_mojibake_scan,
+        "numeric_corr": q_numeric_corr,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3256,6 +3276,21 @@ def _pagerank_sql(iters: int) -> str:
             + f"""
             SELECT node AS host, round(rank, 6) AS pagerank
             FROM r{iters} ORDER BY host""")
+
+
+def _numeric_corr_sql() -> str:
+    """DuckDB twin of q_numeric_corr: the SAME pairs (interpolated from
+    _CORR_COLS) and the SAME double rounding — corr at 6, covariance at
+    6 then 2 (mirroring the Spark side's round(round(., 6), 2))."""
+    cols = _CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    sels = [f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+                       round(corr({a}, {b}), 6) AS corr,
+                       round(round(covar_samp({a}, {b}), 6), 2) AS covar
+                FROM lineitem""" for a, b in pairs]
+    body = "\n                UNION ALL\n                ".join(sels)
+    return (f"SELECT * FROM ({body})\n"
+            f"                ORDER BY col_a, col_b")
 
 
 def _mojibake_sql() -> str:
@@ -4909,4 +4944,5 @@ def oracle_sql() -> dict[str, str]:
             FROM agg ORDER BY host
         """,
         "mojibake_scan": _mojibake_sql(),
+        "numeric_corr": _numeric_corr_sql(),
     }

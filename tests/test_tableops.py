@@ -1182,3 +1182,39 @@ def test_curate_split_stamping(spark):
     got = {r["split"] for r in res.kept.select("split").distinct().collect()}
     assert got <= {"train", "val"} and "train" in got
     res.release()
+
+
+class TestCorrelationStats:
+    def test_pairs_and_values(self, spark):
+        from zoi_spark import tablechecks
+        # y = 2x (corr 1), z constant (corr NULL, zero variance)
+        d = spark.createDataFrame(
+            [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0),
+             (4.0, 8.0, 5.0)],
+            "x double, y double, z double")
+        out = tablechecks.correlation_stats(d, ["x", "y", "z"])
+        rows = {(r["col_a"], r["col_b"]): r for r in out.collect()}
+        assert set(rows) == {("x", "y"), ("x", "z"), ("y", "z")}
+        assert rows[("x", "y")]["corr"] == 1.0
+        # sample covariance of x with y=2x: 2 * var_samp(x) = 2*(5/3)
+        assert rows[("x", "y")]["covar"] == round(2 * 5 / 3, 6)
+        assert rows[("x", "z")]["corr"] is None
+        assert rows[("x", "z")]["covar"] == 0.0
+
+    def test_single_pass_plan(self, spark):
+        from zoi_spark import tablechecks
+        d = spark.range(100).selectExpr(
+            "cast(id as double) x", "cast(id * id as double) y",
+            "cast(id % 7 as double) z")
+        out = tablechecks.correlation_stats(d, ["x", "y", "z"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one aggregate pass: no join, no Python, single exchange
+        assert "Join" not in plan and "Python" not in plan
+        assert plan.count("Exchange") <= 1
+
+    def test_needs_two_columns(self, spark):
+        from zoi_spark import tablechecks
+        import pytest as _pt
+        d = spark.range(3).selectExpr("cast(id as double) x")
+        with _pt.raises(ValueError):
+            tablechecks.correlation_stats(d, ["x"])

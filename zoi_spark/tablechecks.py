@@ -470,3 +470,47 @@ def temperature_weights(df: DataFrame, *, stratum_col: str,
                       F.round(p, 6).alias("p"),
                       F.round(q, 6).alias("q"),
                       F.round(q / p, 6).alias("boost"))
+
+
+def correlation_stats(df: DataFrame, columns: Sequence[str],
+                      *, round_to: int = 6) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over the named
+    numeric columns, computed in ONE aggregation pass — the
+    cross-column half of the profiling battery (``column_stats`` covers
+    the per-column half). Catches the drift a per-column check can't:
+    a feed whose price and quantity stop co-varying is broken upstream
+    even when each column's own distribution still looks right.
+
+    Returns one row per unordered pair ``(col_a, col_b, corr, covar)``,
+    ``col_a < col_b`` in the given column order, values rounded to
+    ``round_to``; a constant column yields NULL corr (zero variance),
+    matching SQL semantics on both engines.
+
+    Plan shape: every ``corr``/``covar_samp`` is a partial-aggregating
+    JVM expression, so all C(n,2) pairs ride a single scan → one
+    map-side-combined aggregate → one-row result, unpivoted driver-free
+    with ``stack``. At 10^12 rows this costs exactly one pass over the
+    projected columns — no joins, no second scan, no Python.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("correlation_stats: need at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        # corr spelled as covar/(σa·σb) through try_divide, NOT F.corr:
+        # a zero-variance column must yield NULL (DuckDB semantics),
+        # where the native Corr aggregate raises DIVIDE_BY_ZERO under
+        # ANSI mode. Same formula, same single partial-agg pass.
+        aggs.append(F.round(
+            F.try_divide(F.covar_samp(a, b),
+                         F.stddev_samp(a) * F.stddev_samp(b)),
+            round_to).alias(f"__corr_{a}_{b}"))
+        aggs.append(F.round(F.covar_samp(a, b), round_to)
+                    .alias(f"__cov_{a}_{b}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `__corr_{a}_{b}`, `__cov_{a}_{b}`"
+        for a, b in pairs)
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr, covar)")
