@@ -2341,6 +2341,19 @@ def q_numeric_corr(spark, sf_dir):
             .orderBy("col_a", "col_b"))
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM surprisal (text.bigram_logprob): add-0.5-smoothed
+    corpus bigram model, one order up from `unigram_surprisal` — the
+    KenLM/CCNet conditional-probability construction with every count
+    (bigram, context, vocabulary size) re-derived by the DuckDB twin.
+    Top 20 by mean surprisal (the noise tail a perplexity gate trims),
+    rounded-value ordering with doc_id tiebreak for row stability."""
+    d = _read(spark, sf_dir, "documents")
+    s = text.bigram_logprob(d, k=0.5)
+    return (s.orderBy(F.col("mean_bigram_surprisal").desc(), "doc_id")
+            .limit(20))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2421,6 +2434,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "host_reputation": q_host_reputation,
         "mojibake_scan": q_mojibake_scan,
         "numeric_corr": q_numeric_corr,
+        "bigram_surprisal": q_bigram_surprisal,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -4945,4 +4959,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mojibake_scan": _mojibake_sql(),
         "numeric_corr": _numeric_corr_sql(),
+        "bigram_surprisal": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            el AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+            grams AS (
+              SELECT doc_id, unnest(
+                list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' ')))
+                AS gram
+              FROM el),
+            dg AS (SELECT doc_id, gram, count(*) AS c
+                   FROM grams GROUP BY 1, 2),
+            bg AS (SELECT gram, sum(c) AS c12 FROM dg GROUP BY 1),
+            ctx AS (SELECT string_split(gram, ' ')[1] AS w1,
+                           sum(c12) AS c1
+                    FROM bg GROUP BY 1),
+            vocab AS (
+              SELECT count(DISTINCT tok)::DOUBLE AS v FROM (
+                SELECT string_split(gram, ' ')[1] AS tok FROM bg
+                UNION
+                SELECT string_split(gram, ' ')[2] FROM bg))
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   round(sum(c * -log2((c12 + 0.5) / (c1 + 0.5 * v)))
+                         / sum(c), 6) AS mean_bigram_surprisal
+            FROM dg JOIN bg USING (gram)
+            JOIN ctx ON ctx.w1 = string_split(dg.gram, ' ')[1]
+            CROSS JOIN vocab
+            GROUP BY doc_id
+            ORDER BY mean_bigram_surprisal DESC, doc_id LIMIT 20
+        """,
     }

@@ -311,3 +311,30 @@ class TestMojibakeStats:
         assert at["mojibake_ratio"] == 0.01
         assert at["mojibake_flagged"] is False
         assert below["mojibake_flagged"] is True
+
+
+class TestBigramLogprob:
+    def test_hand_computed_model(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b"), (3, "x")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r.asDict()
+                for r in text.bigram_logprob(d, k=0.5).collect()}
+        # corpus: c(a,b)=3, c(b,a)=1; contexts a·=3, b·=1; V=2, k=0.5
+        # P(b|a)=(3+.5)/(3+1)=0.875, P(a|b)=(1+.5)/(1+1)=0.75
+        exp1 = (2 * -math.log2(0.875) + 1 * -math.log2(0.75)) / 3
+        assert rows[1]["n_bigrams"] == 3
+        assert rows[1]["mean_bigram_surprisal"] == round(exp1, 6)
+        assert rows[2]["n_bigrams"] == 1
+        assert rows[2]["mean_bigram_surprisal"] == round(
+            -math.log2(0.875), 6)
+        # single-token doc has no bigrams: excluded, not zero-scored
+        assert 3 not in rows
+
+    def test_normalization_and_case(self, spark):
+        # "A  b" normalizes to "a b" — same bigram as the lowercase doc
+        d = spark.createDataFrame(
+            [(1, "A  b"), (2, "a b")], "doc_id long, text string")
+        rows = text.bigram_logprob(d).collect()
+        vals = {r["mean_bigram_surprisal"] for r in rows}
+        assert len(vals) == 1 and len(rows) == 2

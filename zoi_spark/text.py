@@ -1181,3 +1181,62 @@ def mojibake_stats(df: DataFrame, *, text_col: str = "text",
         .alias("mojibake_flagged"),
     ]
     return df.select(*out_cols)
+
+
+def bigram_logprob(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", k: float = 0.5) -> DataFrame:
+    """Per-document mean bigram surprisal under an add-k-smoothed
+    corpus bigram LM — one model order up from :func:`unigram_logprob`,
+    the distributed stand-in for CCNet's KenLM perplexity stage (Wenzek
+    et al. 2020 §4.3; KenLM itself is a 5-gram variant of exactly this
+    conditional-count construction). With corpus counts c(w1,w2) and
+    context totals c(w1·) = Σ_w2 c(w1,w2) over a vocabulary of V
+    distinct tokens:
+
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
+        score(doc) = Σ occurrences −log2 P / n_bigrams
+
+    Documents with fewer than two tokens have no bigrams and are
+    excluded (the caller's length gate fires long before this anyway).
+
+    Shape at 10^12 docs: ONE explode → (doc, bigram) counts (uniform
+    keys, map-side combine), persisted because it feeds both the model
+    and the scoring probe. The model side is two re-aggregations of
+    that table (bigram totals, then context totals) — no second corpus
+    pass. Scoring joins the bigram table back on the gram key (hash
+    equi-join; the bigram vocabulary is Zipf-truncated by web text to
+    ≪ corpus size but too large to broadcast — the CONTEXT table,
+    one row per unigram, IS broadcast), and the vocabulary size rides
+    in as a broadcast one-row cross join, never a driver collect.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    eligible = df.where(F.size(toks) >= 2)
+    grams = (eligible.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("gram")))
+    doc_big = (grams.groupBy(id_col, "gram")
+               .agg(F.count("*").alias("c"))).persist()
+    big = (doc_big.groupBy("gram").agg(F.sum("c").alias("c12"))).persist()
+    w1 = F.split(F.col("gram"), " ")[0]
+    w2 = F.split(F.col("gram"), " ")[1]
+    ctx = big.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    vocab = (big.select(w1.alias("t")).union(big.select(w2))
+             .distinct().agg(F.count("*").alias("v")))
+    kk = F.lit(float(k))
+    scored = (doc_big
+              .join(big, "gram")
+              .withColumn("w1", w1)
+              .join(F.broadcast(ctx), "w1")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy(id_col)
+              .agg(F.sum("c").alias("n_bigrams"),
+                   F.sum(F.col("c") * -F.log2(
+                       (F.col("c12") + kk)
+                       / (F.col("c1") + kk * F.col("v"))))
+                   .alias("_surprisal")))
+    out = scored.select(
+        F.col(id_col), F.col("n_bigrams"),
+        F.round(F.col("_surprisal") / F.col("n_bigrams"), 6)
+        .alias("mean_bigram_surprisal"))
+    out._zoi_persisted = [doc_big, big]  # release after materialization
+    return out
