@@ -2354,6 +2354,30 @@ def q_bigram_surprisal(spark, sf_dir):
             .limit(20))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directed shingle containment (dedup.containment_pairs; Broder
+    1997): the corpus is augmented with derived excerpt docs — the
+    first 3/5 of the tokens of every 89th document under shifted ids —
+    so true subset relations exist: excerpt→source containment is 1.0
+    (and clears the 0.9 gate) while source→excerpt is ~0.6 (and is cut),
+    exercising the asymmetry that distinguishes containment from
+    Jaccard. max_shingle_docs=50 applies the boilerplate-shingle cap on
+    both engines."""
+    from zoi_spark import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(text.normalize_text(F.col("text")), " ")
+    cut = F.greatest(F.floor(F.size(toks) * 3 / 5).cast("int"), F.lit(1))
+    excerpts = (d.where(F.pmod("doc_id", F.lit(89)) == 4)
+                .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        F.concat_ws(" ", F.slice(toks, 1, cut))
+                        .alias("text")))
+    corpus = d.select("doc_id", "text").unionAll(excerpts)
+    out = dedup.containment_pairs(corpus, threshold=0.9, shingle_n=3,
+                                  max_shingle_docs=50)
+    return out.orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2435,6 +2459,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mojibake_scan": q_mojibake_scan,
         "numeric_corr": q_numeric_corr,
         "bigram_surprisal": q_bigram_surprisal,
+        "containment_pairs": q_containment_pairs,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -4989,5 +5014,47 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN vocab
             GROUP BY doc_id
             ORDER BY mean_bigram_surprisal DESC, doc_id LIMIT 20
+        """,
+        "containment_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            exc AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       t[1:greatest((len(t) * 3) // 5, 1)], ' ') AS text
+              FROM toks WHERE doc_id % 89 = 4),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM exc),
+            ct AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'),
+                                  ' ') AS t
+              FROM corpus),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))
+                  END) AS shingle
+                FROM ct)),
+            rare AS (SELECT shingle FROM sh
+                     GROUP BY shingle HAVING count(*) <= 50),
+            kept AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+            sz AS (SELECT doc_id, count(*)::DOUBLE AS s
+                   FROM kept GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS n_shared
+              FROM kept a JOIN kept b USING (shingle)
+              WHERE a.doc_id != b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b, n_shared,
+                   round(n_shared / s, 6) AS containment
+            FROM inter JOIN sz ON sz.doc_id = inter.id_a
+            WHERE round(n_shared / s, 6) >= 0.9
+            ORDER BY id_a, id_b
         """,
     }

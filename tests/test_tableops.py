@@ -1218,3 +1218,42 @@ class TestCorrelationStats:
         d = spark.range(3).selectExpr("cast(id as double) x")
         with _pt.raises(ValueError):
             tablechecks.correlation_stats(d, ["x"])
+
+
+class TestContainmentPairs:
+    def test_directed_asymmetry(self, spark):
+        from zoi_spark import dedup
+        d = spark.createDataFrame(
+            [(1, "a b c d e f"),   # shingles: abc bcd cde def
+             (2, "a b c d"),       # shingles: abc bcd
+             (3, "x y z")],
+            "doc_id long, text string")
+        out = dedup.containment_pairs(d, threshold=0.9, shingle_n=3)
+        rows = [(r["id_a"], r["id_b"], r["n_shared"], r["containment"])
+                for r in out.collect()]
+        # doc2 fully contained in doc1; the reverse is 0.5 and cut
+        assert rows == [(2, 1, 2, 1.0)]
+        dedup.unpersist_candidates(out)
+
+    def test_both_directions_for_exact_dups(self, spark):
+        from zoi_spark import dedup
+        d = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string")
+        out = dedup.containment_pairs(d, threshold=0.9, shingle_n=3)
+        got = sorted((r["id_a"], r["id_b"], r["containment"])
+                     for r in out.collect())
+        assert got == [(1, 2, 1.0), (2, 1, 1.0)]
+
+    def test_shingle_doc_cap_prunes_boilerplate(self, spark):
+        from zoi_spark import dedup
+        d = spark.createDataFrame(
+            [(1, "p q r"), (2, "p q r s"), (3, "p q r t")],
+            "doc_id long, text string")
+        uncapped = dedup.containment_pairs(d, threshold=0.9, shingle_n=3)
+        assert uncapped.count() > 0   # "p q r" links everything
+        capped = dedup.containment_pairs(d, threshold=0.9, shingle_n=3,
+                                         max_shingle_docs=2)
+        # the df=3 shingle is dropped from intersections AND sizes
+        assert capped.count() == 0
+        dedup.unpersist_candidates(uncapped)
+        dedup.unpersist_candidates(capped)

@@ -999,6 +999,69 @@ def winnowing_overlap_pairs(df: DataFrame, *, text_col: str = "text",
     out._zoi_persisted = [sel]
     return out
 
+def containment_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      shingle_n: int = 3,
+                      max_shingle_docs: int | None = None) -> DataFrame:
+    """Directed n-gram containment pairs: C(a→b) = |S(a)∩S(b)| / |S(a)|
+    over distinct word shingles — Broder's containment (1997, "On the
+    resemblance and containment of documents") next to the symmetric
+    resemblance the Jaccard/MinHash operators compute. Containment is
+    the signal for QUOTE/SUBSET relations: a short page embedded
+    verbatim in a long one scores ~1.0 here while its Jaccard washes
+    out toward |A|/|B|, so decontamination ("is this benchmark prompt
+    contained in a training doc?") and sub-page detection need this
+    asymmetric form.
+
+    Returns directed rows ``(id_a, id_b, n_shared, containment)`` —
+    the containment OF id_a's shingle set IN id_b — for pairs at or
+    above ``threshold`` (compared on the 6-rounded value, the oracle
+    convention). Both directions of a pair appear when both clear the
+    gate (exact duplicates emit 1.0 each way).
+
+    Plan shape at scale: explode distinct shingles → ONE equi-join on
+    the shingle → count per directed pair. Pair work is Σ_s df(s)²,
+    which ``max_shingle_docs`` bounds exactly as
+    :func:`winnowing_overlap_pairs` bounds hash buckets: shingles in
+    more than that many documents (boilerplate) are dropped from BOTH
+    the intersection and the denominators before the join, so the
+    ratio stays a true containment over the pruned universe. The
+    shingle projection is persisted (it feeds the frequency table, the
+    sizes, and both join sides); release via
+    :func:`unpersist_candidates`.
+    """
+    from .text import word_shingles
+
+    sh = (df.select(F.col(id_col),
+                    F.explode(F.array_distinct(
+                        word_shingles(F.col(text_col), shingle_n)))
+                    .alias("__sh"))
+          .persist())
+    handles = [sh]
+    kept = sh
+    if max_shingle_docs is not None:
+        rare = (sh.groupBy("__sh")
+                .agg(F.count("*").alias("__df"))
+                .where(F.col("__df") <= max_shingle_docs)
+                .drop("__df"))
+        kept = sh.join(rare, "__sh").persist()
+        handles.append(kept)
+    sizes = (kept.groupBy(F.col(id_col).alias("id_a"))
+             .agg(F.count("*").alias("__sz")))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (a.join(b, "__sh")
+             .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_shared")))
+    cont = F.round(F.col("n_shared") / F.col("__sz"), 6)
+    out = (inter.join(sizes, "id_a")
+           .select("id_a", "id_b", "n_shared",
+                   cont.alias("containment"))
+           .where(F.col("containment") >= threshold))
+    out._zoi_persisted = handles
+    return out
+
 
 # ---------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
