@@ -2378,6 +2378,33 @@ def q_containment_pairs(spark, sf_dir):
     return out.orderBy("id_a", "id_b")
 
 
+def q_host_hits(spark, sf_dir):
+    """Host-graph HITS (graph.hits; Kleinberg 1999): hubs/authorities
+    over a second deterministic host graph — doc d on host d%37 links
+    to hosts (11d+3)%37 and (5d+17)%37 when d%37 < 33, so hosts 33-36
+    receive links but never source them (hub 0, the link-farm
+    asymmetry HITS exists to expose). 4 max-normalized rounds; the
+    DuckDB twin unrolls the same 4 rounds (two join-aggregate halves +
+    two scalar maxima per round) as a CTE chain, value-checking the
+    whole mutual-reinforcement recursion to 1e-6."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    linking = d.where(F.pmod("doc_id", F.lit(37)) < 33)
+    src = F.pmod("doc_id", F.lit(37))
+    edges = linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 11 + 3, F.lit(37)).alias("dst")
+    ).unionAll(linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 5 + 17, F.lit(37)).alias("dst")))
+    h = graph.hits(edges, iters=4)
+    return (h.select(F.col("node").alias("host"),
+                     F.round("hub", 6).alias("hub"),
+                     F.round("authority", 6).alias("authority"))
+            .orderBy("host"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2460,6 +2487,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "numeric_corr": q_numeric_corr,
         "bigram_surprisal": q_bigram_surprisal,
         "containment_pairs": q_containment_pairs,
+        "host_hits": q_host_hits,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3315,6 +3343,54 @@ def _pagerank_sql(iters: int) -> str:
             + f"""
             SELECT node AS host, round(rank, 6) AS pagerank
             FROM r{iters} ORDER BY host""")
+
+
+def _hits_sql(iters: int) -> str:
+    """DuckDB twin of q_host_hits: the SAME deterministic host graph
+    (src = doc_id%37 for doc_id%37 < 33; dsts = (11d+3)%37 and
+    (5d+17)%37) and the SAME max-normalized HITS recursion as
+    graph.hits, unrolled one CTE quartet (authority raw/max, hub
+    raw/max) per round from hub ≡ 1. Every CTE is MATERIALIZED
+    (Postgres-style hint DuckDB honors): each level references the
+    previous one up to four times, so inlined evaluation is
+    O(4^iters) re-computation of the whole chain — materialization
+    makes it linear, with no change to the values."""
+    ctes = ["""e0 AS MATERIALIZED (
+              SELECT doc_id % 37 AS src, (doc_id * 11 + 3) % 37 AS dst
+              FROM documents WHERE doc_id % 37 < 33
+              UNION ALL
+              SELECT doc_id % 37, (doc_id * 5 + 17) % 37
+              FROM documents WHERE doc_id % 37 < 33),
+            e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w
+                  FROM e0 GROUP BY src, dst),
+            nodes AS MATERIALIZED (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS hub FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""ar{i} AS MATERIALIZED (
+              SELECT e.dst AS node, sum(h.hub * e.w) AS v
+              FROM e JOIN h{i - 1} h ON e.src = h.node
+              GROUP BY e.dst),
+            a{i} AS MATERIALIZED (
+              SELECT n.node,
+                     coalesce(r.v / (SELECT max(v) FROM ar{i}), 0.0)
+                       AS auth
+              FROM nodes n LEFT JOIN ar{i} r USING (node)),
+            hr{i} AS MATERIALIZED (
+              SELECT e.src AS node, sum(a.auth * e.w) AS v
+              FROM e JOIN a{i} a ON e.dst = a.node
+              GROUP BY e.src),
+            h{i} AS MATERIALIZED (
+              SELECT n.node,
+                     coalesce(r.v / (SELECT max(v) FROM hr{i}), 0.0)
+                       AS hub
+              FROM nodes n LEFT JOIN hr{i} r USING (node))""")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f"""
+            SELECT h.node AS host, round(h.hub, 6) AS hub,
+                   round(a.auth, 6) AS authority
+            FROM h{iters} h JOIN a{iters} a USING (node)
+            ORDER BY host""")
 
 
 def _numeric_corr_sql() -> str:
@@ -5057,4 +5133,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(n_shared / s, 6) >= 0.9
             ORDER BY id_a, id_b
         """,
+        "host_hits": _hits_sql(iters=4),
     }

@@ -170,6 +170,10 @@ R4_NAMES = [
     # frozen linear quality classifier, CCNet perplexity buckets
     "host_pagerank", "bloom_decontam", "quality_linear", "ccnet_buckets",
     "crosscorpus_join", "script_mix", "corpus_split", "host_reputation",
+    # wave 3: encoding QC, numeric profiling, bigram LM, containment,
+    # host-graph HITS
+    "mojibake_scan", "numeric_corr", "bigram_surprisal",
+    "containment_pairs", "host_hits",
 ]
 
 

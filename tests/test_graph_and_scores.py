@@ -77,6 +77,79 @@ class TestPagerank:
             graph.pagerank(e, iters=0)
 
 
+class TestHits:
+    def _scores(self, df):
+        return {r["node"]: (r["hub"], r["authority"]) for r in df.collect()}
+
+    def test_bipartite_hub_authority_split(self, spark):
+        # 1,2 point at 3,4: pure hubs score authority 0, pure
+        # authorities score hub 0 — the link-farm asymmetry.
+        e = spark.createDataFrame(
+            [(1, 3), (1, 4), (2, 3)], "src long, dst long")
+        s = self._scores(graph.hits(e, iters=3, checkpoint=False))
+        assert s[1] == (1.0, 0.0)          # 2 out-edges: best hub
+        assert s[2][0] < 1.0 and s[2][1] == 0.0
+        assert s[3] == (0.0, 1.0)          # 2 in-edges: best authority
+        assert s[4][1] < 1.0 and s[4][0] == 0.0
+
+    def test_matches_dense_reference(self, spark):
+        # numpy-free max-normalized HITS on a small digraph
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1)]
+        n, iters = 4, 4
+        hub = [1.0] * n
+        auth = [0.0] * n
+        for _ in range(iters):
+            auth = [0.0] * n
+            for s_, t in edges:
+                auth[t] += hub[s_]
+            m = max(auth)
+            auth = [v / m for v in auth]
+            hub = [0.0] * n
+            for s_, t in edges:
+                hub[s_] += auth[t]
+            m = max(hub)
+            hub = [v / m for v in hub]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = self._scores(graph.hits(e, iters=iters))
+        for v in range(n):
+            assert got[v][0] == pytest.approx(hub[v], abs=1e-12), v
+            assert got[v][1] == pytest.approx(auth[v], abs=1e-12), v
+
+    def test_parallel_edges_sum_as_weight(self, spark):
+        e = spark.createDataFrame(
+            [(1, 2), (1, 2), (3, 2), (2, 1), (2, 3)],
+            "src long, dst long")
+        w = spark.createDataFrame(
+            [(1, 2, 2.0), (3, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0)],
+            "src long, dst long, w double")
+        a = self._scores(graph.hits(e, iters=3))
+        b = self._scores(graph.hits(w, weight_col="w", iters=3))
+        for v in a:
+            assert a[v][0] == pytest.approx(b[v][0], abs=1e-12)
+            assert a[v][1] == pytest.approx(b[v][1], abs=1e-12)
+        assert a[1][0] > a[3][0]  # double-weight hub beats single
+
+    def test_scores_bounded_and_max_is_one(self, spark):
+        e = spark.createDataFrame(
+            [(i, (i * 7 + 1) % 5) for i in range(5)],
+            "src long, dst long")
+        s = self._scores(graph.hits(e, iters=5))
+        hubs = [v[0] for v in s.values()]
+        auths = [v[1] for v in s.values()]
+        assert max(hubs) == pytest.approx(1.0)
+        assert max(auths) == pytest.approx(1.0)
+        assert all(0.0 <= x <= 1.0 for x in hubs + auths)
+
+    def test_empty_graph(self, spark):
+        e = spark.createDataFrame([], "src long, dst long")
+        assert graph.hits(e, iters=2).count() == 0
+
+    def test_iters_validated(self, spark):
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            graph.hits(e, iters=0)
+
+
 class TestBloomDecontamination:
     def _frames(self, spark, docs, probes):
         d = spark.createDataFrame(docs, "doc_id long, text string")

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hits"]
 
 
 def pagerank(edges: DataFrame, *, src_col: str = "src",
@@ -122,4 +122,90 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("node", F.col("rank").cast("double"))
     out._zoi_persisted = [e, base]
+    return out
+
+
+def hits(edges: DataFrame, *, src_col: str = "src",
+         dst_col: str = "dst", weight_col: str | None = None,
+         iters: int = 4, checkpoint: bool = True,
+         broadcast_scores: bool = True) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in
+    a hyperlinked environment") over an edge table — the second
+    classical link-centrality prior next to :func:`pagerank`.
+    Authorities are pages good hubs point AT (content); hubs are pages
+    pointing at good authorities (directories/link farms) — web intake
+    uses the authority score as a quality prior and a HIGH hub score
+    with low authority as a spam/link-farm signal.
+
+    Returns ``(node, hub, authority)`` for every distinct node. Update
+    rule, max-normalized (each half-step divides by the step's maximum
+    score, keeping values in [0,1] without the sqrt an L2 norm needs):
+
+        auth_t(v) = Σ_{(u,v)∈E} hub_{t-1}(u)·w   then  /= max
+        hub_t(u)  = Σ_{(u,v)∈E} auth_t(v)·w      then  /= max
+
+    starting from hub ≡ 1. Exactly ``iters`` rounds — deterministic,
+    oracle-expressible as an unrolled CTE chain. Edge weights must be
+    positive (``weight_col=None`` ⇒ 1.0; parallel edges sum); a node
+    with no out-edges has hub 0, no in-edges authority 0.
+
+    Plan shape per round: two (score ⋈ edges → groupBy) halves — two
+    shuffles of the edge table on dst then src — plus two broadcast
+    one-row maxima folded in-plan (no driver collect).
+    ``localCheckpoint(eager=True)`` per round truncates lineage exactly
+    as :func:`pagerank` does; ``broadcast_scores`` hints the score side
+    of each edge join (right for host graphs, pass False for
+    page-level graphs beyond broadcast budgets).
+    """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"),
+        (F.col(weight_col) if weight_col is not None
+         else F.lit(1.0)).cast("double").alias("__w"))
+    e = (e.where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+         .groupBy("__src", "__dst").agg(F.sum("__w").alias("__w")))
+    e = e.persist()
+
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select(F.col("__dst")))
+             .distinct().persist())
+    n_nodes = nodes.count()  # materializes both persists
+    if n_nodes == 0:
+        out = (nodes.withColumn("hub", F.lit(None).cast("double"))
+               .withColumn("authority", F.lit(None).cast("double")))
+        out._zoi_persisted = [e, nodes]
+        return out
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        hub_side = F.broadcast(hub) if broadcast_scores else hub
+        ar = (e.join(hub_side, e["__src"] == F.col("node"))
+              .groupBy(F.col("__dst").alias("node"))
+              .agg(F.sum(F.col("hub") * F.col("__w")).alias("__v")))
+        amax = ar.agg(F.max("__v").alias("__m"))
+        auth = (nodes.join(ar, "node", "left")
+                .crossJoin(F.broadcast(amax))
+                .select("node",
+                        F.coalesce(F.col("__v") / F.col("__m"),
+                                   F.lit(0.0)).alias("authority")))
+        auth_side = F.broadcast(auth) if broadcast_scores else auth
+        hr = (e.join(auth_side, e["__dst"] == F.col("node"))
+              .groupBy(F.col("__src").alias("node"))
+              .agg(F.sum(F.col("authority") * F.col("__w")).alias("__v")))
+        hmax = hr.agg(F.max("__v").alias("__m"))
+        hub = (nodes.join(hr, "node", "left")
+               .crossJoin(F.broadcast(hmax))
+               .select("node",
+                       F.coalesce(F.col("__v") / F.col("__m"),
+                                  F.lit(0.0)).alias("hub")))
+        if checkpoint:
+            state = hub.join(auth, "node").localCheckpoint(eager=True)
+            hub = state.select("node", "hub")
+            auth = state.select("node", "authority")
+    out = hub.join(auth, "node").select(
+        "node", F.col("hub").cast("double"),
+        F.col("authority").cast("double"))
+    out._zoi_persisted = [e, nodes]
     return out
