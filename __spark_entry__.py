@@ -2405,6 +2405,107 @@ def q_host_hits(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords (text.tfidf_top_terms;
+    Salton & Buckley 1988, smoothed idf per scikit-learn's default):
+    the keyword-extraction pass of an indexing/clustering pipeline.
+    Rank within each doc uses the ROUNDED score (ties → term ASC) so
+    the k-th/k+1-th cut is engine-independent; the DuckDB twin
+    re-derives term counts, document frequencies, doc lengths and N
+    from the same normalized token stream."""
+    d = _read(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(d, k=5)
+    return out.orderBy("doc_id", "rank")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (text.dedup_paragraphs;
+    CCNet Wenzek et al. 2020 §4.2 — every duplicated paragraph keeps
+    only its globally FIRST (doc_id, position) occurrence). Documents
+    are re-composed into multi-paragraph pages: a 3-variant shared
+    boilerplate header, the doc's own 8-token lead, a blank paragraph
+    on every 5th doc (blank = layout, EXEMPT from dedup), an in-doc
+    repeat of the lead on every 4th doc (first-occurrence logic must
+    fire WITHIN a doc too), and a footer shared by all docs — so
+    cross-doc, in-doc, exempt and sole-survivor branches all fire."""
+    d = _read(spark, sf_dir, "documents")
+    own = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    boiler = F.concat(F.lit("subscribe to newsletter "),
+                      F.pmod("doc_id", F.lit(3)).cast("string"))
+    blank = F.when(F.pmod("doc_id", F.lit(5)) == 2, F.lit(""))
+    rep = F.when(F.pmod("doc_id", F.lit(4)) == 1, own)
+    footer = F.lit("copyright 2026 example corp")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws("\n", boiler, own, blank, rep, footer).alias("text"))
+    out = text.dedup_paragraphs(seeded)
+    return (out.select("doc_id", "n_paragraphs", "n_kept", "clean_text")
+            .orderBy("doc_id"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (text.pii_redact — the scrub pass behind the
+    pii_scan flags): seeded emails / IPv4s / phone numbers are replaced
+    with <EMAIL>/<IP>/<PHONE> tokens and counted on the original text;
+    the value hash covers the full redacted string of every affected
+    document, so substitution spans — not just counts — are checked."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(11)) == 0,
+               F.lit(" contact bob@example.com or sue@test.org")
+               ).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(13)) == 0,
+               F.lit(" server 192.168.1.1 up")).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(17)) == 0,
+               F.lit(" call +1 (555) 123-4567")).otherwise(F.lit("")))
+    r = text.pii_redact(d.select("doc_id", seeded.alias("text")))
+    return (r.where((F.col("n_pii_email") + F.col("n_pii_ipv4")
+                     + F.col("n_pii_phone")) > 0)
+            .select("doc_id", "n_pii_email", "n_pii_ipv4", "n_pii_phone",
+                    "redacted_text")
+            .orderBy("doc_id"))
+
+
+def q_zipf_profile(spark, sf_dir):
+    """Corpus Zipf fit (text.zipf_profile): OLS slope + r² of ln(freq)
+    on ln(rank) over the top-1000 terms, one summary row — the corpus
+    forensics gate (natural text ≈ −1; templates flatten). The DuckDB
+    twin recomputes the vocabulary, the (count DESC, term ASC) top-k
+    and the covar_pop/var_pop regression to 6 decimals."""
+    d = _read(spark, sf_dir, "documents")
+    return text.zipf_profile(d, max_rank=1000)
+
+
+_BLOCKLIST = ["tracker.example", "ads.example.com", "example.com",
+              "spam.test"]
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Registrable-domain blocklist intake gate
+    (urls.domain_blocklist_flags — the UT1/C4-style domain filter):
+    six seeded host shapes per doc — exact match (uppercased in the
+    URL to check case folding), subdomain inheriting the verdict, a
+    sibling look-alike that must stay clean, a second exact match, a
+    deep host matching TWO entries (deepest/longest must win), and a
+    clean host. blocked_domain carries the winning entry under the
+    value hash."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(6))
+    hosts = ["TRACKER.example", "ads.tracker.example",
+             "nottracker.example", "spam.test",
+             "deep.sub.ads.example.com", "clean.org"]
+    url = F.when(g == 0, F.lit(f"http://{hosts[0]}/p/0"))
+    for i, h in enumerate(hosts[1:], 1):
+        url = url.when(g == i, F.lit(f"http://{h}/p/{i}"))
+    seeded = d.select("doc_id", url.alias("url"))
+    out = urls.domain_blocklist_flags(seeded, _BLOCKLIST)
+    return (out.select("doc_id", "host", "blocked_domain", "blocked")
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2488,6 +2589,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bigram_surprisal": q_bigram_surprisal,
         "containment_pairs": q_containment_pairs,
         "host_hits": q_host_hits,
+        "tfidf_terms": q_tfidf_terms,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_redact": q_pii_redact,
+        "zipf_profile": q_zipf_profile,
+        "domain_blocklist": q_domain_blocklist,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3191,6 +3297,74 @@ def _pii_scan_sql() -> str:
                sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)::BIGINT
                  AS docs_with_pii
         FROM counted GROUP BY lang
+    """
+
+
+def _pii_redact_sql() -> str:
+    from zoi_spark.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    def esc(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    def cnt(pat: str) -> str:
+        return f"len(regexp_extract_all(t, '{esc(pat)}'))::BIGINT"
+
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' contact bob@example.com or sue@test.org'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN ' server 192.168.1.1 up' ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0
+                         THEN ' call +1 (555) 123-4567' ELSE '' END AS t
+          FROM documents),
+        red AS (
+          SELECT doc_id,
+                 {cnt(PII_EMAIL_RE)} AS n_pii_email,
+                 {cnt(PII_IPV4_RE)} AS n_pii_ipv4,
+                 {cnt(PII_PHONE_RE)} AS n_pii_phone,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '{esc(PII_EMAIL_RE)}',
+                                    '<EMAIL>', 'g'),
+                     '{esc(PII_IPV4_RE)}', '<IP>', 'g'),
+                   '{esc(PII_PHONE_RE)}', '<PHONE>', 'g')
+                   AS redacted_text
+          FROM seeded)
+        SELECT doc_id, n_pii_email, n_pii_ipv4, n_pii_phone,
+               redacted_text
+        FROM red
+        WHERE n_pii_email + n_pii_ipv4 + n_pii_phone > 0
+        ORDER BY doc_id
+    """
+
+
+def _domain_blocklist_sql() -> str:
+    hosts = ["TRACKER.example", "ads.tracker.example",
+             "nottracker.example", "spam.test",
+             "deep.sub.ads.example.com", "clean.org"]
+    cases = " ".join(
+        f"WHEN {i} THEN 'http://{h}/p/{i}'" for i, h in enumerate(hosts))
+    entries = ", ".join(f"('{d}')" for d in sorted(set(_BLOCKLIST)))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, CASE doc_id % 6 {cases} END AS url
+          FROM documents),
+        hosted AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+          FROM seeded)
+        SELECT doc_id, host,
+               (SELECT d FROM (VALUES {entries}) b(d)
+                WHERE host = d OR host LIKE '%.' || d
+                ORDER BY len(d) DESC, d DESC LIMIT 1) AS blocked_domain,
+               (SELECT count(*) > 0 FROM (VALUES {entries}) b(d)
+                WHERE host = d OR host LIKE '%.' || d) AS blocked
+        FROM hosted ORDER BY doc_id
     """
 
 
@@ -5134,4 +5308,91 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "host_hits": _hits_sql(iters=4),
+        "tfidf_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            dt AS (SELECT doc_id, term, count(*) AS c
+                   FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS dfc FROM dt GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs
+                   FROM dt),
+            dl AS (SELECT doc_id, sum(c)::DOUBLE AS dlen
+                   FROM dt GROUP BY 1),
+            scored AS (
+              SELECT dt.doc_id, dt.term,
+                     round((dt.c / dl.dlen)
+                           * (ln((nd.n_docs + 1.0) / (dfq.dfc + 1.0))
+                              + 1.0), 6) AS tfidf
+              FROM dt JOIN dfq USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN nd)
+            SELECT doc_id, rank, term, tfidf FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        "paragraph_dedup": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws(chr(10),
+                'subscribe to newsletter ' || (doc_id % 3)::VARCHAR,
+                array_to_string(string_split(text, ' ')[1:8], ' '),
+                CASE WHEN doc_id % 5 = 2 THEN '' END,
+                CASE WHEN doc_id % 4 = 1
+                     THEN array_to_string(string_split(text, ' ')[1:8],
+                                          ' ') END,
+                'copyright 2026 example corp') AS t
+              FROM documents),
+            sp AS (SELECT doc_id, string_split(t, chr(10)) AS paras
+                   FROM seeded),
+            occ AS (
+              SELECT doc_id, unnest(paras) AS para,
+                     unnest(range(0, len(paras))) AS pos
+              FROM sp),
+            first AS (
+              SELECT para, min({'d': doc_id, 'p': pos}) AS w
+              FROM occ WHERE trim(para) != '' GROUP BY 1),
+            kept AS (
+              SELECT occ.* FROM occ LEFT JOIN first USING (para)
+              WHERE trim(para) = ''
+                 OR (first.w['d'] = occ.doc_id
+                     AND first.w['p'] = occ.pos)),
+            rebuilt AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     string_agg(para, chr(10) ORDER BY pos)
+                       AS clean_text
+              FROM kept GROUP BY 1)
+            SELECT sp.doc_id, len(sp.paras)::INTEGER AS n_paragraphs,
+                   coalesce(rebuilt.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(rebuilt.clean_text, '') AS clean_text
+            FROM sp LEFT JOIN rebuilt USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "pii_redact": _pii_redact_sql(),
+        "zipf_profile": f"""
+            WITH tok AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents),
+            vocab AS (SELECT tok, count(*) AS cw FROM tok
+                      WHERE len(tok) > 0 GROUP BY 1),
+            totals AS (SELECT count(*)::BIGINT AS n_vocab,
+                              sum(cw)::BIGINT AS n_tokens FROM vocab),
+            top AS (SELECT tok, cw FROM vocab
+                    ORDER BY cw DESC, tok ASC LIMIT 1000),
+            xy AS (
+              SELECT ln(row_number() OVER (ORDER BY cw DESC, tok ASC)
+                        ::DOUBLE) AS x,
+                     ln(cw::DOUBLE) AS y
+              FROM top),
+            fit AS (SELECT count(*)::BIGINT AS n_ranks_fit,
+                           covar_pop(x, y) / var_pop(x) AS slope,
+                           corr(x, y) AS r FROM xy)
+            SELECT n_vocab, n_tokens, n_ranks_fit,
+                   round(slope, 6) AS zipf_slope,
+                   round(r * r, 6) AS zipf_r2
+            FROM fit CROSS JOIN totals
+        """,
+        "domain_blocklist": _domain_blocklist_sql(),
     }

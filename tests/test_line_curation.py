@@ -92,3 +92,77 @@ def test_unigram_logprob_matches_hand_mle(spark):
     assert abs(out[2].mean_surprisal - 2.0) < 1e-6
     for h in getattr(text.unigram_logprob(df), "_zoi_persisted", []):
         h.unpersist()
+
+
+def test_tfidf_top_terms_hand_check(spark):
+    # N=2; df: a->1 b->2 c->1; idf = ln((1+N)/(1+df)) + 1
+    df = _docs(spark, [(1, "a a b"), (2, "b c")])
+    out = text.tfidf_top_terms(df, k=1)
+    rows = {r.doc_id: r for r in out.collect()}
+    for h in getattr(out, "_zoi_persisted", []):
+        h.unpersist()
+    idf_rare = math.log(3 / 2) + 1
+    assert rows[1].term == "a"
+    assert abs(rows[1].tfidf - round((2 / 3) * idf_rare, 6)) < 1e-9
+    assert rows[2].term == "c"    # 0.5*idf_rare beats b's 0.5*1.0
+    assert abs(rows[2].tfidf - round(0.5 * idf_rare, 6)) < 1e-9
+
+
+def test_tfidf_rank_tie_breaks_by_term(spark):
+    # both terms unique to the doc -> identical score -> term ASC wins
+    df = _docs(spark, [(1, "y x")])
+    top = text.tfidf_top_terms(df, k=2)
+    got = [r.term for r in top.orderBy("rank").collect()]
+    for h in getattr(top, "_zoi_persisted", []):
+        h.unpersist()
+    assert got == ["x", "y"]
+
+
+def test_dedup_paragraphs_first_occurrence_and_exempt_blank(spark):
+    df = _docs(spark, [
+        (1, "dup\nunique one\n\ndup"),   # in-doc repeat + blank
+        (2, "dup\nother"),               # cross-doc loser
+        (3, "dup"),                      # loses everything
+    ])
+    out = {r.doc_id: r for r in text.dedup_paragraphs(df).collect()}
+    assert (out[1].n_paragraphs, out[1].n_kept) == (4, 3)
+    assert out[1].clean_text == "dup\nunique one\n"   # pos-3 repeat gone
+    assert out[2].clean_text == "other"
+    assert (out[3].n_kept, out[3].clean_text) == (0, "")
+    # original text column is untouched
+    assert out[2].text == "dup\nother"
+
+
+def test_pii_redact_substitutions_and_counts(spark):
+    df = _docs(spark, [
+        (1, "mail a@b.co ip 10.0.0.1 tel +1 (555) 123-4567 end"),
+        (2, "nothing sensitive here"),
+    ])
+    out = {r.doc_id: r for r in text.pii_redact(df).collect()}
+    r1 = out[1]
+    assert (r1.n_pii_email, r1.n_pii_ipv4, r1.n_pii_phone) == (1, 1, 1)
+    assert r1.redacted_text == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert out[2].redacted_text == "nothing sensitive here"
+    assert (out[2].n_pii_email, out[2].n_pii_ipv4,
+            out[2].n_pii_phone) == (0, 0, 0)
+
+
+def test_zipf_profile_matches_hand_ols(spark):
+    # counts 8/4/2/1 -> y = ln(2)*(3,2,1,0) over x = ln(1..4)
+    df = _docs(spark, [(1, " ".join(["a"] * 8 + ["b"] * 4)),
+                       (2, "c c d")])
+    out = text.zipf_profile(df, max_rank=10)
+    row = out.first()
+    for h in getattr(out, "_zoi_persisted", []):
+        h.unpersist()
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    mx = sum(xs) / 4
+    my = sum(ys) / 4
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 4
+    var = sum((x - mx) ** 2 for x in xs) / 4
+    assert (row.n_vocab, row.n_tokens, row.n_ranks_fit) == (4, 15, 4)
+    assert abs(row.zipf_slope - round(cov / var, 6)) < 1e-6
+    corr = cov / math.sqrt(
+        var * (sum((y - my) ** 2 for y in ys) / 4))
+    assert abs(row.zipf_r2 - round(corr ** 2, 6)) < 1e-6

@@ -1257,3 +1257,26 @@ class TestContainmentPairs:
         assert capped.count() == 0
         dedup.unpersist_candidates(uncapped)
         dedup.unpersist_candidates(capped)
+
+
+def test_domain_blocklist_flags_suffix_semantics(spark):
+    from zoi_spark import urls
+
+    rows = [(1, "http://TRACKER.example/a"),        # exact, case-folded
+            (2, "http://ads.tracker.example/b"),    # subdomain inherits
+            (3, "http://nottracker.example/c"),     # sibling stays clean
+            (4, "http://x.ads.example.com/d"),      # two matches -> deepest
+            (5, "http://clean.org/e")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in urls.domain_blocklist_flags(
+        df, ["tracker.example", "ads.example.com", "example.com"])
+        .collect()}
+    assert out[1].blocked_domain == "tracker.example"
+    assert out[2].blocked_domain == "tracker.example"
+    assert out[3].blocked is False and out[3].blocked_domain is None
+    assert out[4].blocked_domain == "ads.example.com"   # longest wins
+    assert out[5].blocked is False
+    assert out[1].host == "tracker.example"             # lowercased
+
+    with pytest.raises(ValueError):
+        urls.domain_blocklist_flags(df, [])

@@ -1240,3 +1240,174 @@ def bigram_logprob(df: DataFrame, *, text_col: str = "text",
         .alias("mean_bigram_surprisal"))
     out._zoi_persisted = [doc_big, big]  # release after materialization
     return out
+
+
+def tfidf_top_terms(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF terms (Salton & Buckley 1988;
+    smoothed idf per scikit-learn's TfidfVectorizer default) — the
+    keyword-extraction pass of a corpus indexing/clustering pipeline:
+
+        tf(t,d) = c(t,d) / Σ_t c(t,d)
+        idf(t)  = ln((1 + N) / (1 + df(t))) + 1
+        rank within doc by (round(tf·idf, 6) DESC, term ASC), keep ≤ k.
+
+    Ranking uses the ROUNDED score so the order is reproducible across
+    engines (ln differs in the last ulp between libm builds; a raw
+    float sort would make rank k vs k+1 platform-dependent). Documents
+    with no tokens yield no rows.
+
+    Shape at 10^12 docs: one explode → (doc, term) counts (map-side
+    combine), persisted because it feeds both legs; document
+    frequencies are a re-aggregation of that table (one row per term,
+    Zipf-bounded ≪ corpus → broadcast back), N rides in as a broadcast
+    one-row cross join, and both the doc-length sum and the top-k rank
+    are windows over the SAME doc-id partitioning — one shuffle
+    serves both.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("term"))
+               .where(F.length("term") > 0)
+               .groupBy(id_col, "term").agg(F.count("*").alias("c")))
+    doc_tok = doc_tok.persist()
+    dfreq = doc_tok.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = (doc_tok.select(id_col).distinct()
+             .agg(F.count("*").alias("n_docs")))
+    w_doc = Window.partitionBy(id_col)
+    scored = (doc_tok
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(ndocs))
+              .withColumn("__dl", F.sum("c").over(w_doc))
+              .withColumn("tfidf", F.round(
+                  (F.col("c") / F.col("__dl"))
+                  * (F.log((F.col("n_docs") + F.lit(1.0))
+                           / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                  6)))
+    w_rank = (Window.partitionBy(id_col)
+              .orderBy(F.desc("tfidf"), F.asc("term")))
+    out = (scored.withColumn("rank", F.row_number().over(w_rank))
+           .where(F.col("rank") <= int(k))
+           .select(F.col(id_col), F.col("rank"), F.col("term"),
+                   F.col("tfidf")))
+    out._zoi_persisted = [doc_tok]  # release after materialization
+    return out
+
+
+def dedup_paragraphs(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n",
+                     out_col: str = "clean_text") -> DataFrame:
+    """Corpus-level exact paragraph dedup — CCNet's sharded paragraph
+    deduplication (Wenzek et al. 2020 §4.2: duplicated paragraphs are
+    dropped corpus-wide, each keeps exactly its FIRST occurrence),
+    where :func:`strip_repeated_lines` is the within-doc and
+    :func:`strip_boilerplate` the frequency-threshold variant. The
+    first occurrence of paragraph p is the globally minimal
+    ``(doc_id, position)`` over every occurrence — including repeats
+    inside one document. Blank/whitespace-only paragraphs are EXEMPT
+    (they are layout, not content; deduping them would merge every
+    paragraph break after the first). Matching is byte-exact.
+
+    Output: every input row with ``n_paragraphs``, ``n_kept`` and the
+    rebuilt *out_col* (empty string when nothing survives — the row is
+    kept so the caller's length gate, not a silent inner join, decides
+    the drop).
+
+    Shape at 10^12 docs: posexplode → groupBy(paragraph) MIN-aggregate
+    (map-side combine absorbs the Zipf skew of viral paragraphs — a
+    window over the paragraph key would route every copy through one
+    task) → hash equi-join of the occurrence table back on the
+    paragraph key (linear: n_copies × 1 winner per key) → one doc-id
+    re-aggregation. The winner table scales with the paragraph
+    vocabulary, so it is NOT broadcast.
+    """
+    paras = F.split(F.col(text_col), sep)
+    base = df.withColumn("n_paragraphs", F.size(paras))
+    occ = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(paras).alias("__pos", "__para"))
+    first = (occ.where(F.trim("__para") != "")
+             .groupBy("__para")
+             .agg(F.min(F.struct("__id", "__pos")).alias("__first")))
+    kept = (occ.join(first, "__para", "left")
+            .where((F.trim("__para") == "")
+                   | ((F.col("__first.__id") == F.col("__id"))
+                      & (F.col("__first.__pos") == F.col("__pos")))))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__para"))),
+                            lambda s: s["__para"]),
+                        sep).alias(out_col)))
+    out = (base.join(rebuilt, base[id_col] == rebuilt["__id"], "left")
+           .drop("__id")
+           .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+           .withColumn(out_col, F.coalesce(out_col, F.lit(""))))
+    return out
+
+
+def pii_redact(df: DataFrame, *, text_col: str = "text",
+               out_col: str = "redacted_text") -> DataFrame:
+    """PII redaction — the scrub that :func:`with_pii_flags` only
+    flags: emails → ``<EMAIL>``, IPv4 literals → ``<IP>``, phone
+    numbers → ``<PHONE>`` (the standard pre-training anonymization
+    pass, e.g. BigCode/StarCoder's PII pipeline, Li et al. 2023 §IV.C,
+    reduced to the three regex classes this engine scans for).
+
+    Counts are measured on the ORIGINAL text per class; replacements
+    apply sequentially email → IPv4 → phone on the running result
+    (the replacement tokens contain no digits, so later passes cannot
+    re-match inside an earlier substitution). Pure projection — one
+    codegen stage, no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return (df.withColumn("n_pii_email", pii_email_count(t))
+            .withColumn("n_pii_ipv4", pii_ipv4_count(t))
+            .withColumn("n_pii_phone", pii_phone_count(t))
+            .withColumn(out_col, red))
+
+
+def zipf_profile(df: DataFrame, *, text_col: str = "text",
+                 max_rank: int = 1000) -> DataFrame:
+    """Corpus Zipf-law fit — ONE summary row: the OLS slope (and r²)
+    of ln(freq) on ln(rank) over the top *max_rank* terms, plus corpus
+    totals. Natural web text fits slope ≈ −1 (Zipf 1949); synthetic or
+    template-generated corpora flatten toward 0 and OCR noise steepens
+    the tail — a cheap corpus-forensics gate next to the per-doc
+    quality scores.
+
+    Rank ties break by (count DESC, term ASC), and the fit uses exact
+    integer counts, so the selected top-*max_rank* set is deterministic
+    across engines.
+
+    Shape at 10^12 docs: one explode → token counts (map-side
+    combine); totals are a one-row aggregate; the top-k is
+    TakeOrdered (orderBy + limit — per-partition heaps, NO global
+    sort), and the row_number window that assigns ranks runs over
+    max_rank ≈ 10³ rows on a single task by construction.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    vocab = (df.select(F.explode(tokens).alias("tok"))
+             .where(F.length("tok") > 0)
+             .groupBy("tok").agg(F.count("*").alias("cw"))).persist()
+    totals = vocab.agg(F.count("*").alias("n_vocab"),
+                       F.sum("cw").alias("n_tokens"))
+    top = vocab.orderBy(F.desc("cw"), F.asc("tok")).limit(int(max_rank))
+    w = Window.orderBy(F.desc("cw"), F.asc("tok"))
+    xy = (top.withColumn("__r", F.row_number().over(w))
+          .select(F.log(F.col("__r").cast("double")).alias("__x"),
+                  F.log(F.col("cw").cast("double")).alias("__y")))
+    fit = xy.agg(
+        F.count("*").alias("n_ranks_fit"),
+        (F.covar_pop("__x", "__y") / F.var_pop("__x")).alias("__slope"),
+        F.corr("__x", "__y").alias("__corr"))
+    out = (fit.crossJoin(F.broadcast(totals))
+           .select("n_vocab", "n_tokens", "n_ranks_fit",
+                   F.round("__slope", 6).alias("zipf_slope"),
+                   F.round(F.pow("__corr", F.lit(2)), 6).alias("zipf_r2")))
+    out._zoi_persisted = [vocab]  # release after materialization
+    return out

@@ -252,3 +252,52 @@ def host_reputation(df: DataFrame, *, host_col: str = "host",
             .withColumn("host_flagged",
                         (F.col("n_docs") >= min_docs)
                         & (F.col("avg_quality") < min_avg_quality)))
+
+
+def domain_blocklist_flags(df: DataFrame, blocked: list[str], *,
+                           url_col: str = "url") -> DataFrame:
+    """Registrable-domain blocklist matching — the UT1-blacklist /
+    adult-domain filter every public web-corpus pipeline starts with
+    (CCNet, C4 and RefinedWeb all gate on a curated domain list before
+    any content heuristic runs). Host h matches entry d iff
+    ``h == d`` or ``h`` ends with ``'.' + d`` — subdomains inherit the
+    verdict (``ads.tracker.example`` is blocked by ``tracker.example``)
+    but sibling look-alikes do NOT (``nottracker.example`` is clean).
+    Matching is case-insensitive; entries are normalized to lowercase.
+
+    Adds ``host``, ``blocked_domain`` (the DEEPEST matching entry —
+    longest, ties broken by lexicographically greatest — NULL when
+    clean: the most specific rule is the one an auditor wants to see)
+    and ``blocked``.
+
+    Scale: a curated blocklist is 10^2–10^6 literals — corpus-
+    independent, so it compiles into the plan as an array literal and
+    the whole operator is ONE projection (no join, no shuffle; the
+    in-plan sort runs over the tiny literal array per row). Lists
+    beyond literal-plan comfort (~10^5) belong in a broadcast join on
+    an exploded host-suffix key instead; this operator deliberately
+    targets the curated-list regime.
+    """
+    if not blocked:
+        raise ValueError("domain_blocklist_flags: blocked list is empty")
+    entries = sorted({d.strip().lower() for d in blocked if d.strip()})
+    # materialize host FIRST: an expression referenced inside a
+    # higher-order-function lambda is re-evaluated PER ELEMENT, so
+    # embedding the regexp_extract here would run it once per
+    # blocklist entry per row
+    df = df.withColumn("host", url_host(F.col(url_col)))
+    host = F.col("host")
+    arr = F.array(*[F.lit(d) for d in entries])
+    matches = F.filter(
+        arr, lambda d: (host == d)
+        | host.endswith(F.concat(F.lit("."), d)))
+    # F.get is NULL-safe on the empty (clean-host) array where ANSI
+    # mode makes element_at throw INVALID_ARRAY_INDEX
+    deepest = F.get(
+        F.reverse(F.array_sort(
+            F.transform(matches,
+                        lambda d: F.struct(F.length(d).alias("l"),
+                                           d.alias("d"))))),
+        0)["d"]
+    return (df.withColumn("blocked_domain", deepest)
+            .withColumn("blocked", F.col("blocked_domain").isNotNull()))
