@@ -2506,6 +2506,92 @@ def q_domain_blocklist(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate (text.oov_rate): per-doc fraction of
+    token occurrences outside the corpus top-20 vocabulary — the
+    tokenizer-prep gate. V=20 sits inside the synthetic corpus's ~31
+    word vocabulary so both in- and out-of-vocab branches carry mass,
+    and the V-th/V+1-th tie (count DESC, token ASC) is exercised."""
+    d = _read(spark, sf_dir, "documents")
+    out = text.oov_rate(d, vocab_size=20)
+    return out.orderBy("doc_id")
+
+
+def q_punct_normalize(spark, sf_dir):
+    """Unicode punctuation unification (text.normalize_punct): every
+    3rd doc gets curly quotes/em-dash/ellipsis appended, every 7th
+    NBSP + zero-width chars — the normalized text (substitution AND
+    deletion semantics of translate) plus a changed flag go under the
+    value hash; the DuckDB twin runs the identical translate+replace
+    chain."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.when(F.pmod("doc_id", F.lit(3)) == 1,
+               F.concat(t, F.lit(" “it’s” — fine…"))).otherwise(t)
+    t = F.when(F.pmod("doc_id", F.lit(7)) == 5,
+               F.concat(t, F.lit(" a b​c﻿d"))).otherwise(t)
+    seeded = d.select("doc_id", t.alias("text"))
+    norm = text.normalize_punct(F.col("text"))
+    return (seeded.select("doc_id", norm.alias("norm_text"),
+                          (norm != F.col("text")).alias("changed"))
+            .orderBy("doc_id"))
+
+
+def q_path_templates(spark, sf_dir):
+    """Crawler-trap template mining (urls.path_templates): per-host
+    '/item/{N}/view' templates accumulate ~20 distinct urls each and
+    cross the min_urls=5 trap line, while '/about' (repeated by many
+    docs but ONE distinct url) stays clean — distinct-url counting,
+    digit-run collapsing and the threshold all under the hash."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(20)).cast("string")
+    path = F.when(F.pmod("doc_id", F.lit(10)) < 2, F.lit("/about")
+                  ).otherwise(F.concat(F.lit("/item/"),
+                                       F.col("doc_id").cast("string"),
+                                       F.lit("/view")))
+    seeded = d.select(
+        "doc_id",
+        F.concat(F.lit("http://host"), g, F.lit(".example"), path)
+        .alias("url"))
+    out = urls.path_templates(seeded, min_urls=5)
+    return out.orderBy("host", "path_template")
+
+
+def q_sq_ann(spark, sf_dir):
+    """Int8 scalar-quantized ANN (similarity.with_quantized +
+    quantized_topk; the FAISS SQ8 storage path): cosine top-5 over
+    quantized codes for query vectors vec_id<3. The per-vector scales
+    cancel in cosine, so the whole score is integer dot products plus
+    one sqrt/divide — bit-reproducible across engines, making this the
+    rare ANN oracle with NO float-fuzz caveat (the DuckDB twin
+    re-derives scale, codes and score from the raw floats)."""
+    from zoi_spark import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qz = similarity.with_quantized(emb)
+    queries = (qz.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "q"))
+    out = similarity.quantized_topk(qz, queries, k=5)
+    return (out.select("query_id", "rank", "vec_id", "q_cosine")
+            .orderBy("query_id", "rank"))
+
+
+def q_js_drift(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source lang
+    distributions (tablechecks.js_divergence_pairs) — the symmetric,
+    disjoint-support-safe drift metric next to KL/PSI/KS. All 190
+    source pairs; the DuckDB twin recomputes the shared-mass
+    decomposition (inner join + complement terms, no full outer)."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents")
+    out = tablechecks.js_divergence_pairs(
+        d, group_col="source", value_col="lang")
+    return out.orderBy("g_a", "g_b")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2594,6 +2680,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pii_redact": q_pii_redact,
         "zipf_profile": q_zipf_profile,
         "domain_blocklist": q_domain_blocklist,
+        "oov_rate": q_oov_rate,
+        "punct_normalize": q_punct_normalize,
+        "path_templates": q_path_templates,
+        "sq_ann": q_sq_ann,
+        "js_drift": q_js_drift,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3365,6 +3456,29 @@ def _domain_blocklist_sql() -> str:
                (SELECT count(*) > 0 FROM (VALUES {entries}) b(d)
                 WHERE host = d OR host LIKE '%.' || d) AS blocked
         FROM hosted ORDER BY doc_id
+    """
+
+
+def _punct_normalize_sql() -> str:
+    from zoi_spark.text import _PUNCT_FROM, _PUNCT_TO
+
+    frm = _PUNCT_FROM.replace("'", "''")
+    to = _PUNCT_TO.replace("'", "''")
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 1
+                         THEN ' “it’s” — fine…' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 5
+                         THEN ' a b​c﻿d' ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               replace(translate(t, '{frm}', '{to}'), '…', '...')
+                 AS norm_text,
+               replace(translate(t, '{frm}', '{to}'), '…', '...') != t
+                 AS changed
+        FROM seeded ORDER BY doc_id
     """
 
 
@@ -5395,4 +5509,102 @@ def oracle_sql() -> dict[str, str]:
             FROM fit CROSS JOIN totals
         """,
         "domain_blocklist": _domain_blocklist_sql(),
+        "oov_rate": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            dt AS (SELECT doc_id, tok, count(*) AS c
+                   FROM tok WHERE len(tok) > 0 GROUP BY 1, 2),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, sum(c) AS cw FROM dt GROUP BY 1
+                ORDER BY cw DESC, tok ASC LIMIT 20)),
+            agg AS (
+              SELECT dt.doc_id, sum(dt.c)::BIGINT AS n_tokens,
+                     sum(CASE WHEN v.tok IS NULL THEN dt.c
+                              ELSE 0 END)::BIGINT AS n_oov
+              FROM dt LEFT JOIN vocab v USING (tok) GROUP BY 1)
+            SELECT doc_id, n_tokens, n_oov,
+                   round(n_oov / n_tokens::DOUBLE, 6) AS oov_rate
+            FROM agg ORDER BY doc_id
+        """,
+        "punct_normalize": _punct_normalize_sql(),
+        "path_templates": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     'http://host' || (doc_id % 20)::VARCHAR
+                     || '.example'
+                     || CASE WHEN doc_id % 10 < 2 THEN '/about'
+                             ELSE '/item/' || doc_id::VARCHAR || '/view'
+                        END AS url
+              FROM documents)
+            SELECT lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                   regexp_replace(
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '[0-9]+', '{N}', 'g') AS path_template,
+                   count(DISTINCT url)::BIGINT AS n_urls,
+                   count(DISTINCT url) >= 5 AS trap
+            FROM seeded GROUP BY 1, 2 ORDER BY host, path_template
+        """,
+        "sq_ann": """
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sc AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS s
+              FROM c),
+            q AS (
+              SELECT vec_id,
+                     CASE WHEN s > 0
+                          THEN list_transform(v, x -> round(x / s))
+                          ELSE list_transform(v, x -> 0.0) END AS qv
+              FROM sc),
+            n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nn
+                  FROM q),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id,
+                     round(list_dot_product(a.qv, b.qv)
+                           / sqrt(a.nn * b.nn), 6) AS q_cosine
+              FROM n a JOIN n b ON a.vec_id < 3
+                                AND b.vec_id != a.vec_id
+              WHERE a.nn > 0 AND b.nn > 0)
+            SELECT query_id, rank, vec_id, q_cosine FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY q_cosine DESC, vec_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "js_drift": """
+            WITH counts AS (
+              SELECT source, lang, count(*) AS c
+              FROM documents GROUP BY 1, 2),
+            p AS (
+              SELECT source, lang,
+                     c / sum(c) OVER (PARTITION BY source) AS p
+              FROM counts),
+            shared AS (
+              SELECT a.source AS g_a, b.source AS g_b,
+                     sum(a.p * log2(2.0 * a.p / (a.p + b.p))
+                         + b.p * log2(2.0 * b.p / (a.p + b.p))) AS t,
+                     sum(a.p) AS sa, sum(b.p) AS sb
+              FROM p a JOIN p b
+                ON a.lang = b.lang AND a.source < b.source
+              GROUP BY 1, 2),
+            g AS (SELECT DISTINCT source FROM documents),
+            pairs AS (
+              SELECT ga.source AS g_a, gb.source AS g_b
+              FROM g ga, g gb WHERE ga.source < gb.source)
+            SELECT g_a, g_b,
+                   round(0.5 * coalesce(t, 0)
+                         + 0.5 * (1 - coalesce(sa, 0))
+                         + 0.5 * (1 - coalesce(sb, 0)), 6)
+                     AS js_divergence
+            FROM pairs LEFT JOIN shared USING (g_a, g_b)
+            ORDER BY g_a, g_b
+        """,
     }

@@ -166,3 +166,30 @@ def test_zipf_profile_matches_hand_ols(spark):
     corr = cov / math.sqrt(
         var * (sum((y - my) ** 2 for y in ys) / 4))
     assert abs(row.zipf_r2 - round(corr ** 2, 6)) < 1e-6
+
+
+def test_oov_rate_against_topv_vocab(spark):
+    # corpus counts: a->3 b->2 c->1; V=2 -> vocab {a, b}
+    df = _docs(spark, [(1, "a a a b"), (2, "b c")])
+    out = text.oov_rate(df, vocab_size=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    for h in getattr(out, "_zoi_persisted", []):
+        h.unpersist()
+    assert (rows[1].n_tokens, rows[1].n_oov, rows[1].oov_rate) == (4, 0, 0.0)
+    assert (rows[2].n_tokens, rows[2].n_oov, rows[2].oov_rate) == (2, 1, 0.5)
+
+
+def test_oov_vocab_cut_tie_breaks_by_token(spark):
+    # y and z tie at count 1; V=2 keeps {x, y} (token ASC at the cut)
+    df = _docs(spark, [(1, "x x z y")])
+    out = text.oov_rate(df, vocab_size=2)
+    r = out.first()
+    for h in getattr(out, "_zoi_persisted", []):
+        h.unpersist()
+    assert (r.n_oov, r.n_tokens) == (1, 4)   # z is out
+
+
+def test_normalize_punct_map_and_deletion(spark):
+    df = _docs(spark, [(1, "“it’s” — a…b​ c d")])
+    got = df.select(text.normalize_punct(F.col("text")).alias("t")).first().t
+    assert got == "\"it's\" - a...b c d"

@@ -1280,3 +1280,65 @@ def test_domain_blocklist_flags_suffix_semantics(spark):
 
     with pytest.raises(ValueError):
         urls.domain_blocklist_flags(df, [])
+
+
+def test_path_templates_volume_trap(spark):
+    from zoi_spark import urls
+
+    rows = ([(i, f"http://a.example/item/{i}/view") for i in range(6)]
+            + [(9, "http://a.example/about"), (10, "http://a.example/about")]
+            + [(11, "http://b.example/item/1/view")])
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {(r.host, r.path_template): r
+           for r in urls.path_templates(df, min_urls=5).collect()}
+    trap = out[("a.example", "/item/{N}/view")]
+    assert (trap.n_urls, trap.trap) == (6, True)
+    about = out[("a.example", "/about")]          # repeated url counts once
+    assert (about.n_urls, about.trap) == (1, False)
+    assert out[("b.example", "/item/{N}/view")].trap is False
+
+
+def test_quantize_and_quantized_topk(spark):
+    from zoi_spark import similarity
+
+    rows = [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [-1.0, 0.0]),
+            (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qz = similarity.with_quantized(df)
+    q = {r.vec_id: r for r in qz.collect()}
+    assert q[0].q == [127, 0] and abs(q[0].q_scale - 1 / 127) < 1e-12
+    assert q[1].q == [127, 127]
+    assert q[2].q == [-127, 0]
+    assert q[3].q_scale is None and q[3].q == [0, 0]   # zero vector
+
+    queries = (qz.where(F.col("vec_id") == 0)
+               .selectExpr("vec_id AS query_id", "q"))
+    top = similarity.quantized_topk(qz, queries, k=4).collect()
+    got = [(r.vec_id, r.q_cosine) for r in sorted(top, key=lambda r: r.rank)]
+    # cos(0,1)=1/sqrt(2); cos(0,2)=-1; zero vector excluded
+    assert got[0][0] == 1 and abs(got[0][1] - round(2 ** -0.5, 6)) < 1e-9
+    assert got[1] == (2, -1.0)
+    assert len(got) == 2
+
+
+def test_js_divergence_pairs_hand_check(spark):
+    import math
+
+    from zoi_spark import tablechecks
+
+    rows = ([("g1", "x")] * 2 + [("g1", "y")]      # p = (2/3, 1/3)
+            + [("g2", "y"), ("g2", "z")]           # q = (1/2, 1/2)
+            + [("g3", "x")] * 2 + [("g3", "y")]    # same dist as g1
+            + [("g4", "w")])                       # disjoint support
+    df = spark.createDataFrame(rows, "src string, v string")
+    out = {(r.g_a, r.g_b): r.js_divergence
+           for r in tablechecks.js_divergence_pairs(
+               df, group_col="src", value_col="v").collect()}
+    pa, pb = 1 / 3, 1 / 2
+    term = (pa * math.log2(2 * pa / (pa + pb))
+            + pb * math.log2(2 * pb / (pa + pb)))
+    expect = 0.5 * term + 0.5 * (1 - pa) + 0.5 * (1 - pb)
+    assert abs(out[("g1", "g2")] - round(expect, 6)) < 1e-9
+    assert out[("g1", "g3")] == 0.0          # identical distributions
+    assert out[("g1", "g4")] == 1.0          # disjoint support -> 1 bit
+    assert len(out) == 6                     # all 4C2 pairs present

@@ -332,3 +332,62 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame, *,
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def with_quantized(df: DataFrame, *, vec_col: str = "embedding",
+                   q_col: str = "q", scale_col: str = "q_scale"
+                   ) -> DataFrame:
+    """Symmetric int8 scalar quantization (the SQ8 storage path of
+    FAISS/Milvus): per-vector ``scale = max|x|/127`` and
+    ``q_i = round(x_i/scale)`` ∈ [-127, 127] — 4-8× less memory and
+    bandwidth than float32, which is what makes a 10^10-vector corpus
+    scannable at all. The scale is materialized as a COLUMN before the
+    quantize lambda references it (an expression inside a
+    higher-order-function lambda re-evaluates per element — embedding
+    the array_max here would be O(d²) per row). Zero vectors get scale
+    NULL and an all-zero code."""
+    absmax = F.array_max(F.transform(
+        F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    df = df.withColumn(scale_col,
+                       F.when(absmax > 0, absmax / F.lit(127.0)))
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double")
+                                      / F.col(scale_col), 0).cast("int"))
+    zeros = F.transform(F.col(vec_col), lambda x: F.lit(0))
+    return df.withColumn(
+        q_col, F.when(F.col(scale_col).isNotNull(), q).otherwise(zeros))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quantized_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
+                   corpus_id: str = "vec_id", query_id: str = "query_id",
+                   q_col: str = "q") -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (run `with_quantized`
+    on both sides first). Key property: the per-vector scales CANCEL
+    in cosine — cos(s_a·q_a, s_b·q_b) = (q_a·q_b)/(|q_a||q_b|) — so
+    the whole score is integer dot products (exact in any engine; with
+    d=64 and |q_i|≤127 the products fit a long with 10^6× headroom)
+    plus one sqrt+divide, making quantized scores bit-reproducible
+    where float32 scans are ulp-wobbly. Broadcast the query block,
+    rank by (rounded score DESC, corpus id ASC); zero vectors (NULL
+    scale → zero code) score NULL and are excluded."""
+    qs = F.broadcast(queries.select(F.col(query_id),
+                                    F.col(q_col).alias("__qq")))
+    dot = _int_dot(F.col(q_col), F.col("__qq"))
+    naa = _int_dot(F.col(q_col), F.col(q_col))
+    nbb = _int_dot(F.col("__qq"), F.col("__qq"))
+    score = F.when((naa > 0) & (nbb > 0),
+                   F.round(dot / F.sqrt((naa * nbb).cast("double")), 6))
+    scored = (corpus.join(qs)
+              .where(F.col(corpus_id) != F.col(query_id))
+              .select(query_id, corpus_id, score.alias("q_cosine"))
+              .where(F.col("q_cosine").isNotNull()))
+    w = Window.partitionBy(query_id).orderBy(F.col("q_cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -514,3 +514,61 @@ def correlation_stats(df: DataFrame, columns: Sequence[str],
         for a, b in pairs)
     return row.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr, covar)")
+
+
+def js_divergence_pairs(df: DataFrame, *, group_col: str,
+                        value_col: str, round_to: int = 6) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (log2 → bits, bounded [0,1])
+    between the categorical *value_col* distributions of every pair of
+    *group_col* groups — the symmetric, always-finite complement of
+    the KL/PSI drift checks (KL blows up on categories one side lacks;
+    JS handles disjoint support, which is exactly the
+    new-source-vs-corpus intake question).
+
+    Decomposition that avoids a per-pair full-outer join: with
+    m = (p+q)/2,
+
+        JS(p,q) = ½·Σ_shared [p·log2(2p/(p+q)) + q·log2(2q/(p+q))]
+                  + ½·(1−Σ_shared p) + ½·(1−Σ_shared q)
+
+    (a category only one side has contributes p·log2(2p/p)/2 = p/2),
+    so an INNER join on the category key plus the two shared-mass sums
+    is sufficient.
+
+    Shape at scale: one count aggregation per (group, value) with
+    map-side combine, per-group totals by window over the group key,
+    the category-keyed self-join (categories are a vocabulary,
+    ≪ corpus), one (g_a, g_b) rollup, and a broadcast cross of the
+    group list to re-attach zero-overlap pairs. Cost rides the number
+    of GROUPS², not rows — the operator targets source/shard/lang
+    cardinalities (10²-10⁴ groups)."""
+    counts = (df.groupBy(group_col, value_col)
+              .agg(F.count("*").alias("__c")))
+    p = counts.withColumn(
+        "__p", F.col("__c") / F.sum("__c").over(
+            Window.partitionBy(group_col)))
+    a = p.select(F.col(group_col).alias("g_a"),
+                 F.col(value_col).alias("__v"), F.col("__p").alias("pa"))
+    b = p.select(F.col(group_col).alias("g_b"),
+                 F.col(value_col).alias("__v"), F.col("__p").alias("pb"))
+    two = F.lit(2.0)
+    term = (F.col("pa") * F.log2(two * F.col("pa")
+                                 / (F.col("pa") + F.col("pb")))
+            + F.col("pb") * F.log2(two * F.col("pb")
+                                   / (F.col("pa") + F.col("pb"))))
+    shared = (a.join(b, "__v").where(F.col("g_a") < F.col("g_b"))
+              .groupBy("g_a", "g_b")
+              .agg(F.sum(term).alias("__t"),
+                   F.sum("pa").alias("__sa"),
+                   F.sum("pb").alias("__sb")))
+    groups = df.select(F.col(group_col)).distinct()
+    pairs = (groups.select(F.col(group_col).alias("g_a"))
+             .join(F.broadcast(groups.select(
+                 F.col(group_col).alias("g_b"))))
+             .where(F.col("g_a") < F.col("g_b")))
+    js = (F.lit(0.5) * F.coalesce("__t", F.lit(0.0))
+          + F.lit(0.5) * (F.lit(1.0) - F.coalesce("__sa", F.lit(0.0)))
+          + F.lit(0.5) * (F.lit(1.0) - F.coalesce("__sb", F.lit(0.0))))
+    return (pairs.join(shared, ["g_a", "g_b"], "left")
+            .select("g_a", "g_b",
+                    F.round(js, round_to).alias("js_divergence")))

@@ -1411,3 +1411,67 @@ def zipf_profile(df: DataFrame, *, text_col: str = "text",
                    F.round(F.pow("__corr", F.lit(2)), 6).alias("zipf_r2")))
     out._zoi_persisted = [vocab]  # release after materialization
     return out
+
+
+# unicode punctuation unification: curly quotes -> ASCII, dash family ->
+# hyphen, NBSP/thin space -> space; zero-width chars are DELETED (the
+# trailing four entries of _PUNCT_FROM have no counterpart in _PUNCT_TO,
+# which is exactly translate()'s deletion rule in both Spark and DuckDB)
+_PUNCT_FROM = ("‘’‚‛"      # single quotes
+               "“”„‟"      # double quotes
+               "‒–—―"      # dash family
+               "  "                  # nbsp, thin space
+               "​‌‍﻿")     # zero-width (deleted)
+_PUNCT_TO = "''''\"\"\"\"----  "
+
+
+def normalize_punct(col: Column) -> Column:
+    """Unicode punctuation unification — the pre-hashing normalization
+    every dedup/fingerprint pass wants (curly quotes, the en/em-dash
+    family, NBSP/thin space, zero-width chars and the horizontal
+    ellipsis all collapse to their ASCII forms, so two crawls of the
+    same page that differ only in typography fingerprint identically).
+    One translate (1:1 map + zero-width deletion) + one literal
+    replace ('…' → '...'), pure codegen projection — no regex, no UDF,
+    no shuffle."""
+    return F.replace(F.translate(col, _PUNCT_FROM, _PUNCT_TO),
+                     F.lit("…"), F.lit("..."))
+
+
+def oov_rate(df: DataFrame, *, text_col: str = "text",
+             id_col: str = "doc_id", vocab_size: int = 1000) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-V
+    vocabulary — the tokenizer-prep metric that decides V (docs whose
+    tokens fall mostly outside the planned vocabulary are noise the
+    tokenizer will shred into bytes; BPE papers gate on exactly this).
+    The vocabulary is the top *vocab_size* tokens by corpus count,
+    ties broken by token ASC so the V-th/V+1-th cut is deterministic.
+
+    Output: one row per doc with ≥1 token — ``n_tokens``, ``n_oov``
+    and ``oov_rate`` (fraction of token OCCURRENCES outside the
+    vocabulary).
+
+    Shape at 10^12 docs: one explode → (doc, token) counts with
+    map-side combine; the vocabulary is a re-aggregation of that table
+    cut by TakeOrdered (per-partition heaps, no global sort) and — at
+    ≤10^6 entries by construction — broadcast back, so the per-doc leg
+    never shuffles again: explode-agg once, broadcast-join, doc-id agg
+    on the SAME key the counts already carry."""
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("tok"))
+               .where(F.length("tok") > 0)
+               .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
+    doc_tok = doc_tok.persist()
+    vocab = (doc_tok.groupBy("tok").agg(F.sum("c").alias("cw"))
+             .orderBy(F.desc("cw"), F.asc("tok"))
+             .limit(int(vocab_size))
+             .select("tok", F.lit(True).alias("__in_vocab")))
+    out = (doc_tok.join(F.broadcast(vocab), "tok", "left")
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_tokens"),
+                F.sum(F.when(F.col("__in_vocab").isNull(), F.col("c"))
+                      .otherwise(F.lit(0))).alias("n_oov"))
+           .withColumn("oov_rate",
+                       F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+    out._zoi_persisted = [doc_tok]  # release after materialization
+    return out

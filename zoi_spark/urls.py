@@ -301,3 +301,33 @@ def domain_blocklist_flags(df: DataFrame, blocked: list[str], *,
         0)["d"]
     return (df.withColumn("blocked_domain", deepest)
             .withColumn("blocked", F.col("blocked_domain").isNotNull()))
+
+
+def path_templates(df: DataFrame, *, url_col: str = "url",
+                   min_urls: int = 100) -> DataFrame:
+    """Crawler-trap template mining: collapse every digit run in the
+    URL path to ``{N}`` and count distinct urls per (host, template) —
+    calendar pages, session ids and paginated facets all share one
+    template with an unbounded url population, which is how trap
+    detection actually works in crawl pipelines (a static depth/param
+    rule like url_quality_flags catches the shape, this catches the
+    VOLUME). Emits ``host``, ``path_template``, ``n_urls`` and
+    ``trap`` (n_urls ≥ *min_urls*).
+
+    Shape at 10^12 rows: one projection (two regexp_extract + one
+    regexp_replace), then count(DISTINCT url) per (host, template) —
+    distinct-within-group shuffles on (host, template, url) first, so
+    even a trap template with 10^9 urls spreads across the cluster;
+    the final per-template rollup is the only narrow-key stage and its
+    cardinality is the template vocabulary, not the corpus."""
+    host = url_host(F.col(url_col))
+    path = F.regexp_extract(F.col(url_col),
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)",
+                            1)
+    template = F.regexp_replace(path, r"[0-9]+", "{N}")
+    return (df.select(host.alias("host"),
+                      template.alias("path_template"),
+                      F.col(url_col).alias("__url"))
+            .groupBy("host", "path_template")
+            .agg(F.countDistinct("__url").alias("n_urls"))
+            .withColumn("trap", F.col("n_urls") >= int(min_urls)))
