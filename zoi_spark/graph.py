@@ -209,3 +209,43 @@ def hits(edges: DataFrame, *, src_col: str = "src",
         F.col("authority").cast("double"))
     out._zoi_persisted = [e, nodes]
     return out
+
+
+def degree_stats(edges: DataFrame, *, src_col: str = "src",
+                 dst_col: str = "dst") -> DataFrame:
+    """Per-node degree profile over the DISTINCT edge set: ``out_deg``,
+    ``in_deg``, ``n_reciprocal`` (out-edges whose reverse edge exists)
+    and ``reciprocity`` (n_reciprocal/out_deg) — the web-graph QC that
+    separates organic link neighborhoods (reciprocity > 0) from link
+    farms and scraper rings (high out_deg, zero reciprocity), next to
+    pagerank/hits which need the same edge table.
+
+    Self-loops are excluded. Shape at 10^10 edges: one distinct (the
+    only full-width shuffle), two key-local aggregations, the
+    reciprocal check as a self-equi-join on the reversed key, and
+    node-keyed outer joins — every stage is hash-partitioned on node
+    ids, no windows, no driver state."""
+    e = (edges.select(F.col(src_col).alias("s"),
+                      F.col(dst_col).alias("d"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull()
+                & (F.col("s") != F.col("d")))
+         .distinct())
+    out_deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("out_deg"))
+    in_deg = e.groupBy(F.col("d").alias("node")).agg(
+        F.count("*").alias("in_deg"))
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = (e.join(rev, ["s", "d"])
+             .groupBy(F.col("s").alias("node"))
+             .agg(F.count("*").alias("n_reciprocal")))
+    return (out_deg.join(in_deg, "node", "full")
+            .join(recip, "node", "left")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("n_reciprocal", F.lit(0))
+                    .alias("n_reciprocal"))
+            .withColumn("reciprocity",
+                        F.when(F.col("out_deg") > 0, F.round(
+                            F.col("n_reciprocal") / F.col("out_deg"), 6))
+                        .otherwise(F.lit(0.0))))

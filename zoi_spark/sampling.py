@@ -337,3 +337,32 @@ def split_boundaries(weights: "dict[str, float]") -> "list[float]":
         cum += weights[name] / total
         out.append(cum)
     return out
+
+
+def recency_weights(df: DataFrame, *, ts_col: str = "ts",
+                    half_life_days: float = 30.0,
+                    out_col: str = "recency_weight") -> DataFrame:
+    """Exponential recency decay weights — ``0.5^(Δdays/half_life)``
+    with Δ measured from the corpus-maximum timestamp, the freshness
+    re-weighting a recrawl-heavy corpus applies before sampling (pair
+    with temperature_weights/token_budget_fill as the sampling rate).
+    Rows with a NULL timestamp get weight NULL (the caller's policy
+    decision, not a silent 0 or 1).
+
+    Shape at scale: the corpus max rides in as a broadcast one-row
+    cross join (the pagerank dangling-mass idiom) — the weight itself
+    is a pure projection, no window, no per-row shuffle."""
+    mx = df.agg(F.max(F.col(ts_col)).alias("__max_ts"))
+    # cast-to-double keeps sub-second precision (unix_timestamp
+    # truncates to whole seconds and would diverge from DuckDB
+    # epoch()); the intermediate timestamp cast covers TIMESTAMP_NTZ
+    # inputs, which cannot cast to double directly
+    def _secs(c: Column) -> Column:
+        return c.cast("timestamp").cast("double")
+
+    delta_days = ((_secs(F.col("__max_ts")) - _secs(F.col(ts_col)))
+                  / F.lit(86400.0))
+    w = F.pow(F.lit(0.5), delta_days / F.lit(float(half_life_days)))
+    return (df.crossJoin(F.broadcast(mx))
+            .withColumn(out_col, F.round(w, 6))
+            .drop("__max_ts"))

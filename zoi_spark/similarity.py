@@ -391,3 +391,42 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def centroid_drift(df: DataFrame, *, group_col: str = "label",
+                   vec_col: str = "embedding", round_to: int = 9
+                   ) -> DataFrame:
+    """Pairwise cosine between per-group MEAN embeddings — the
+    embedding-space drift check (did source X's content shift away
+    from source Y's? are two shards semantically interchangeable?)
+    that sits next to the token-space JS/KL checks. Component means
+    are rounded to *round_to* decimals before the cosine (the
+    refine_centroids precedent: engines sum floats in different orders
+    and the rounding grid absorbs the last-ulp wobble).
+
+    Shape at scale: posexplode to (group, dim) — dim is a constant
+    ~10²-10³ multiplier, not a blowup — one avg aggregation with
+    map-side combine, re-assembled per group (groups ≪ corpus), then
+    a broadcast self-join over the group list for the pairwise
+    cosines. Cost rides groups² · dim."""
+    comp = (df.select(F.col(group_col).alias("g"),
+                      F.posexplode(F.transform(
+                          F.col(vec_col),
+                          lambda x: x.cast("double"))).alias("i", "x"))
+            .groupBy("g", "i")
+            .agg(F.round(F.avg("x"), round_to).alias("m")))
+    cent = (comp.groupBy("g")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"]).alias("c")))
+    a = cent.select(F.col("g").alias("g_a"), F.col("c").alias("__ca"))
+    b = cent.select(F.col("g").alias("g_b"), F.col("c").alias("__cb"))
+    dot = F.aggregate(F.zip_with("__ca", "__cb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("__ca", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("__cb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.when((na > 0) & (nb > 0), F.round(dot / (na * nb), 6))
+    return (a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+            .select("g_a", "g_b", cos.alias("centroid_cosine")))

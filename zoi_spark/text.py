@@ -1475,3 +1475,84 @@ def oov_rate(df: DataFrame, *, text_col: str = "text",
                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
     out._zoi_persisted = [doc_tok]  # release after materialization
     return out
+
+
+def token_windows(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", window: int = 128,
+                  stride: int = 64) -> DataFrame:
+    """Sliding token windows — the pretraining chunker that turns one
+    long page into overlapping fixed-width training sequences (window
+    W, stride S; the last window is the final ≤W tokens so no suffix
+    is dropped). Complements pack_sequences (which BINS whole short
+    docs); this SPLITS long docs.
+
+    Output: one row per window — ``win_idx`` (0-based), ``win_tokens``
+    (≤ window) and ``window_text``. Docs with no tokens yield no rows.
+
+    Shape at 10^12 docs: the token array is materialized as a column
+    FIRST, then the start-position sequence explodes and the window is
+    a row-level ``slice`` of that column — never a slice inside a
+    higher-order-function lambda, which would re-run normalize+split
+    once per window (the O(len²) trap word_shingles documents). Pure
+    narrow ops: no shuffle at all."""
+    if window < 1 or stride < 1:
+        raise ValueError("token_windows: window and stride must be ≥ 1")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = (df.select(F.col(id_col), toks.alias("__toks"))
+            .withColumn("__n", F.size(F.filter(
+                F.col("__toks"), lambda t: F.length(t) > 0)))
+            .where(F.col("__n") > 0)
+            .withColumn("__toks", F.filter(
+                F.col("__toks"), lambda t: F.length(t) > 0)))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("__n") - F.lit(window) + 1, F.lit(1)),
+        F.lit(stride))
+    win = F.slice(F.col("__toks"), F.col("__start"), window)
+    return (base
+            .select(F.col(id_col), F.col("__toks"),
+                    F.posexplode(starts).alias("win_idx", "__start"))
+            .select(F.col(id_col), "win_idx",
+                    F.size(win).alias("win_tokens"),
+                    F.array_join(win, " ").alias("window_text")))
+
+
+def dup_paragraph_fraction(df: DataFrame, *, text_col: str = "text",
+                           sep: str = "\n") -> DataFrame:
+    """Within-doc duplicate-paragraph fractions — the paragraph half of
+    MassiveText's repetition battery (Rae et al. 2021 Table A1:
+    ``duplicate paragraphs`` and ``duplicate paragraphs chars``), next
+    to the n-gram half in dup_ngram_fraction. A paragraph occurrence
+    beyond the first of its byte-exact text is a duplicate; blank/
+    whitespace-only paragraphs are ignored. Adds ``n_paras``,
+    ``n_dup_paras``, ``dup_para_frac`` and ``dup_para_char_frac``
+    (duplicate occurrences' chars / all paragraph chars).
+
+    Pure array expressions — array_distinct against the full list
+    gives both counts and char sums without explode, join or shuffle;
+    one codegen projection."""
+    paras = F.filter(F.split(F.col(text_col), sep),
+                     lambda p: F.trim(p) != "")
+
+    def _chars(arr):
+        return F.aggregate(F.transform(arr, F.length),
+                           F.lit(0).cast("long"), lambda a, x: a + x)
+
+    out = (df.withColumn("__all", paras)
+           .withColumn("n_paras", F.size("__all"))
+           .withColumn("n_dup_paras",
+                       F.col("n_paras")
+                       - F.size(F.array_distinct(F.col("__all"))))
+           .withColumn("__c_all", _chars(F.col("__all")))
+           .withColumn("__c_uniq", _chars(F.array_distinct(F.col("__all"))))
+           .withColumn("dup_para_frac",
+                       F.when(F.col("n_paras") > 0, F.round(
+                           F.col("n_dup_paras") / F.col("n_paras"), 6))
+                       .otherwise(F.lit(0.0)))
+           .withColumn("dup_para_char_frac",
+                       F.when(F.col("__c_all") > 0, F.round(
+                           (F.col("__c_all") - F.col("__c_uniq"))
+                           / F.col("__c_all"), 6))
+                       .otherwise(F.lit(0.0)))
+           .drop("__all", "__c_all", "__c_uniq"))
+    return out
