@@ -174,6 +174,18 @@ R4_NAMES = [
     # host-graph HITS
     "mojibake_scan", "numeric_corr", "bigram_surprisal",
     "containment_pairs", "host_hits",
+    # wave 4: keyword extraction, paragraph dedup, PII scrub, Zipf
+    # forensics, domain blocklist
+    "tfidf_terms", "paragraph_dedup", "pii_redact", "zipf_profile",
+    "domain_blocklist",
+    # wave 5: OOV gate, punctuation unification, trap templates,
+    # SQ8 ANN, JS source drift
+    "oov_rate", "punct_normalize", "path_templates", "sq_ann",
+    "js_drift",
+    # wave 6: context chunking, paragraph repetition, centroid drift,
+    # recency decay, degree profile
+    "token_windows", "dup_paras", "centroid_drift", "recency_weights",
+    "degree_stats",
 ]
 
 
