@@ -2674,6 +2674,88 @@ def q_degree_stats(spark, sf_dir):
     return graph.degree_stats(edges).orderBy("node")
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary growth (text.heaps_profile): OLS fit of
+    ln(V) on ln(tokens) over 20 arithmetic doc-id prefixes — both the
+    cumulative-vocab trick (first-containing-doc ≤ bound) and the
+    regression re-derived by the twin."""
+    d = _read(spark, sf_dir, "documents")
+    return text.heaps_profile(d, n_points=20)
+
+
+def q_link_graph(spark, sf_dir):
+    """Outlink extraction (text.extract_links): documents seeded with
+    anchors in all three href quoting syntaxes (double, single, bare —
+    cycling by doc_id) plus a second link on every 4th doc; link
+    order, cleanup of the attribute prefix/quotes and the multi-link
+    enumeration all land under the value hash."""
+    d = _read(spark, sf_dir, "documents")
+    g = F.pmod("doc_id", F.lit(30)).cast("string")
+    tgt = F.concat(F.lit("http://host"), g, F.lit(".example/p/"), g)
+    sel = F.pmod("doc_id", F.lit(3))
+    a = F.when(sel == 0,
+               F.concat(F.lit(' <a href="'), tgt, F.lit('">x</a>')))
+    a = a.when(sel == 1,
+               F.concat(F.lit(" <a HREF='"), tgt, F.lit("'>x</a>")))
+    a = a.otherwise(F.concat(F.lit(" <a href="), tgt, F.lit(">x</a>")))
+    extra = F.when(F.pmod("doc_id", F.lit(4)) == 1,
+                   F.concat(F.lit(' <a href="http://extra'), g,
+                            F.lit('.example/q">y</a>'))
+                   ).otherwise(F.lit(""))
+    seeded = d.select(
+        "doc_id", F.concat(F.col("text"), a, extra).alias("text"))
+    out = text.extract_links(seeded)
+    return out.orderBy("doc_id", "link_idx")
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI collocations (text.pmi_collocations; word2vec's phrase
+    pass): top-40 adjacent-pair PMI with a min-count-5 floor — counts,
+    the shared bigram-slot denominator and the rounded-score ordering
+    all re-derived by the twin."""
+    d = _read(spark, sf_dir, "documents")
+    return text.pmi_collocations(d, min_count=5, top_k=40)
+
+
+def q_host_concentration(spark, sf_dir):
+    """Host concentration (urls.host_concentration): half the corpus
+    is pinned to one mega-host (doc_id%4 < 2) and the rest spread over
+    25 — HHI, host/doc totals and the top-5 share in one summary row,
+    with NULL-host rows (every 31st doc) excluded on both engines."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(F.pmod("doc_id", F.lit(31)) == 7, F.lit(None))
+    host = host.when(F.pmod("doc_id", F.lit(4)) < 2,
+                     F.lit("bighost.example"))
+    host = host.otherwise(F.concat(
+        F.lit("host"), F.pmod("doc_id", F.lit(25)).cast("string"),
+        F.lit(".example")))
+    seeded = d.select("doc_id", host.alias("host"))
+    return urls.host_concentration(seeded, top_k=5)
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation (similarity.recall_at_k): recall@5 of
+    the int8-quantized top-k against the exact float32 brute-force
+    top-k for queries vec_id<3 — the quantization-loss number an SQ8
+    deployment is tuned on. The twin recomputes BOTH rankings (integer
+    dot products for SQ, list_cosine_similarity for exact) and the
+    hit join."""
+    from zoi_spark import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qz = similarity.with_quantized(emb)
+    approx = similarity.quantized_topk(
+        qz, qz.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "q"), k=5)
+    exact = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding"), k=5)
+    out = similarity.recall_at_k(approx, exact)
+    return out.orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2772,6 +2854,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "centroid_drift": q_centroid_drift,
         "recency_weights": q_recency_weights,
         "degree_stats": q_degree_stats,
+        "heaps_fit": q_heaps_fit,
+        "link_graph": q_link_graph,
+        "pmi_bigrams": q_pmi_bigrams,
+        "host_concentration": q_host_concentration,
+        "ann_recall": q_ann_recall,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3566,6 +3653,49 @@ def _punct_normalize_sql() -> str:
                replace(translate(t, '{frm}', '{to}'), '…', '...') != t
                  AS changed
         FROM seeded ORDER BY doc_id
+    """
+
+
+def _link_graph_sql() -> str:
+    from zoi_spark.text import _HREF_RE
+
+    pat = _HREF_RE.replace("'", "''")
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 3
+                   WHEN 0 THEN ' <a href="http://host'
+                     || (doc_id % 30)::VARCHAR || '.example/p/'
+                     || (doc_id % 30)::VARCHAR || '">x</a>'
+                   WHEN 1 THEN ' <a HREF=''http://host'
+                     || (doc_id % 30)::VARCHAR || '.example/p/'
+                     || (doc_id % 30)::VARCHAR || '''>x</a>'
+                   ELSE ' <a href=http://host'
+                     || (doc_id % 30)::VARCHAR || '.example/p/'
+                     || (doc_id % 30)::VARCHAR || '>x</a>'
+                 END
+                 || CASE WHEN doc_id % 4 = 1
+                         THEN ' <a href="http://extra'
+                           || (doc_id % 30)::VARCHAR
+                           || '.example/q">y</a>'
+                         ELSE '' END AS t
+          FROM documents),
+        matched AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_extract_all(t, '{pat}'),
+                   m -> regexp_replace(
+                          regexp_replace(m, '(?i)^href\\s*=\\s*', '',
+                                         'g'),
+                          '^["'']|["''>]+$', '', 'g')) AS links
+          FROM seeded),
+        ex AS (
+          SELECT doc_id,
+                 unnest(range(0, len(links))) AS link_idx,
+                 unnest(links) AS href
+          FROM matched)
+        SELECT doc_id, link_idx, href FROM ex
+        WHERE href != '' ORDER BY doc_id, link_idx
     """
 
 
@@ -5811,5 +5941,142 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL JOIN i ON o.node = i.node
             LEFT JOIN r ON coalesce(o.node, i.node) = r.node
             ORDER BY node
+        """,
+        "heaps_fit": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(t) AS tok FROM toks),
+            tk AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+            first AS (SELECT tok, min(doc_id) AS f FROM tk GROUP BY 1),
+            per_doc AS (SELECT doc_id, count(*) AS c FROM tk
+                        GROUP BY 1),
+            rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                    FROM per_doc),
+            bounds AS (
+              SELECT DISTINCT
+                     lo + floor((hi - lo) * i / 20)::BIGINT AS b
+              FROM rng, range(1, 21) r(i)),
+            v AS (SELECT b, count(*) AS v FROM bounds, first
+                  WHERE f <= b GROUP BY 1),
+            t AS (SELECT b, sum(c) AS t FROM bounds, per_doc
+                  WHERE doc_id <= b GROUP BY 1),
+            xy AS (SELECT ln(t.t::DOUBLE) AS x, ln(v.v::DOUBLE) AS y
+                   FROM v JOIN t USING (b)),
+            fit AS (
+              SELECT count(*)::BIGINT AS n_points_fit,
+                     covar_pop(x, y) / var_pop(x) AS beta,
+                     avg(y) - covar_pop(x, y) / var_pop(x) * avg(x)
+                       AS lnk
+              FROM xy),
+            totals AS (
+              SELECT count(DISTINCT tok)::BIGINT AS n_vocab,
+                     count(*)::BIGINT AS n_tokens FROM tk)
+            SELECT n_vocab, n_tokens, n_points_fit,
+                   round(beta, 6) AS heaps_beta,
+                   round(exp(lnk), 6) AS heaps_k
+            FROM fit CROSS JOIN totals
+        """,
+        "link_graph": _link_graph_sql(),
+        "pmi_bigrams": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            el AS (SELECT t FROM toks WHERE len(t) >= 2),
+            grams AS (
+              SELECT unnest(
+                list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' ')))
+                AS bigram
+              FROM el),
+            big AS (SELECT bigram, count(*) AS c FROM grams
+                    GROUP BY 1),
+            w1 AS (SELECT string_split(bigram, ' ')[1] AS w,
+                          sum(c) AS c1 FROM big GROUP BY 1),
+            w2 AS (SELECT string_split(bigram, ' ')[2] AS w,
+                          sum(c) AS c2 FROM big GROUP BY 1),
+            tot AS (SELECT sum(c) AS n FROM big)
+            SELECT bigram, c,
+                   round(log2((c * n) / (c1 * c2)::DOUBLE), 6) AS pmi
+            FROM big
+            JOIN w1 ON w1.w = string_split(big.bigram, ' ')[1]
+            JOIN w2 ON w2.w = string_split(big.bigram, ' ')[2]
+            CROSS JOIN tot
+            WHERE c >= 5
+            ORDER BY pmi DESC, bigram ASC LIMIT 40
+        """,
+        "host_concentration": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 31 = 7 THEN NULL
+                          WHEN doc_id % 4 < 2 THEN 'bighost.example'
+                          ELSE 'host' || (doc_id % 25)::VARCHAR
+                               || '.example' END AS host
+              FROM documents),
+            counts AS (
+              SELECT host, count(*) AS c FROM seeded
+              WHERE host IS NOT NULL AND host != '' GROUP BY 1),
+            totals AS (SELECT count(*)::BIGINT AS n_hosts,
+                              sum(c)::BIGINT AS n_docs FROM counts),
+            topk AS (
+              SELECT sum(c) AS top FROM (
+                SELECT c FROM counts
+                ORDER BY c DESC, host ASC LIMIT 5)),
+            hhi AS (
+              SELECT round(sum(pow(c / n_docs::DOUBLE, 2)), 6) AS hhi
+              FROM counts CROSS JOIN totals)
+            SELECT n_hosts, n_docs, hhi,
+                   round(top / n_docs::DOUBLE, 6) AS topk_share
+            FROM totals CROSS JOIN hhi CROSS JOIN topk
+        """,
+        "ann_recall": """
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sc AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS s
+              FROM c),
+            q AS (
+              SELECT vec_id,
+                     CASE WHEN s > 0
+                          THEN list_transform(v, x -> round(x / s))
+                          ELSE list_transform(v, x -> 0.0) END AS qv
+              FROM sc),
+            n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nn
+                  FROM q),
+            sq AS (
+              SELECT query_id, vec_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id,
+                       row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY round(list_dot_product(a.qv, b.qv)
+                                        / sqrt(a.nn * b.nn), 6) DESC,
+                                  b.vec_id ASC) AS rank
+                FROM n a JOIN n b ON a.vec_id < 3
+                                  AND b.vec_id != a.vec_id
+                WHERE a.nn > 0 AND b.nn > 0)
+              WHERE rank <= 5),
+            ex AS (
+              SELECT query_id, vec_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id,
+                       row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                          b.v, a.v), 6) DESC,
+                                  b.vec_id ASC) AS rank
+                FROM c a JOIN c b ON a.vec_id < 3
+                                  AND b.vec_id != a.vec_id)
+              WHERE rank <= 5)
+            SELECT ex.query_id,
+                   count(*)::BIGINT AS n_exact,
+                   sum(CASE WHEN sq.vec_id IS NOT NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+                   round(sum(CASE WHEN sq.vec_id IS NOT NULL
+                                  THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS recall
+            FROM ex LEFT JOIN sq USING (query_id, vec_id)
+            GROUP BY ex.query_id ORDER BY ex.query_id
         """,
     }

@@ -235,3 +235,50 @@ def test_dup_paragraph_fraction_counts_and_chars(spark):
     assert abs(r1.dup_para_char_frac - round(3 / 11, 6)) < 1e-9
     assert (out[2].n_dup_paras, out[2].dup_para_frac) == (0, 0.0)
     assert (out[3].n_paras, out[3].dup_para_char_frac) == (0, 0.0)
+
+
+def test_extract_links_three_quoting_syntaxes(spark):
+    df = _docs(spark, [
+        (1, 'pre <a href="http://a.example/1">x</a> '
+            "mid <a HREF='http://b.example/2'>y</a> "
+            "end <a href=http://c.example/3>z</a>"),
+        (2, "no links here"),
+    ])
+    out = [(r.doc_id, r.link_idx, r.href)
+           for r in text.extract_links(df)
+           .orderBy("doc_id", "link_idx").collect()]
+    assert out == [(1, 0, "http://a.example/1"),
+                   (1, 1, "http://b.example/2"),
+                   (1, 2, "http://c.example/3")]
+
+
+def test_pmi_collocations_hand_check(spark):
+    import math
+
+    # bigrams: doc1 -> "a b"x3 + "b a"x2, doc2 -> "b a"x2 + "a b"x1,
+    # doc3 -> "b c"x1; totals: "a b"=4, "b a"=4, "b c"=1, 9 slots
+    # w1 (first-word slots): a->4 b->5 ; w2: a->4 b->4 c->1
+    df = _docs(spark, [(1, "a b a b a b"), (2, "b a b a"), (3, "b c")])
+    out = text.pmi_collocations(df, min_count=2, top_k=10)
+    rows = {r.bigram: r for r in out.collect()}
+    for h in getattr(out, "_zoi_persisted", []):
+        h.unpersist()
+    assert set(rows) == {"a b", "b a"}          # "b c" under min_count
+    assert rows["a b"].c == 4
+    assert abs(rows["a b"].pmi
+               - round(math.log2((4 * 9) / (4 * 4)), 6)) < 1e-9
+    assert abs(rows["b a"].pmi
+               - round(math.log2((4 * 9) / (5 * 4)), 6)) < 1e-9
+
+
+def test_heaps_profile_shape_and_totals(spark):
+    df = _docs(spark, [(i, f"w{i} w{i} common") for i in range(1, 21)])
+    out = text.heaps_profile(df, n_points=5)
+    r = out.first()
+    for h in getattr(out, "_zoi_persisted", []):
+        h.unpersist()
+    assert (r.n_vocab, r.n_tokens) == (21, 60)   # 20 uniques + common
+    assert r.n_points_fit == 5
+    # vocab grows sublinearly: 0 < beta < 1 for this corpus
+    assert 0.0 < r.heaps_beta < 1.0
+    assert r.heaps_k > 0

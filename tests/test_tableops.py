@@ -1342,3 +1342,33 @@ def test_js_divergence_pairs_hand_check(spark):
     assert out[("g1", "g3")] == 0.0          # identical distributions
     assert out[("g1", "g4")] == 1.0          # disjoint support -> 1 bit
     assert len(out) == 6                     # all 4C2 pairs present
+
+
+def test_host_concentration_hhi_and_topk(spark):
+    from zoi_spark import urls
+
+    rows = ([(i, "big.example") for i in range(6)]
+            + [(10, "a.example"), (11, "b.example"),
+               (12, None), (13, "")])
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    r = urls.host_concentration(df, top_k=1).first()
+    # shares: 6/8, 1/8, 1/8 -> HHI = 36/64 + 2/64 = 38/64
+    assert (r.n_hosts, r.n_docs) == (3, 8)
+    assert abs(r.hhi - round(38 / 64, 6)) < 1e-9
+    assert abs(r.topk_share - 0.75) < 1e-9
+
+
+def test_recall_at_k_join_semantics(spark):
+    from zoi_spark import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, vec_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 33), (2, 34)],
+        "query_id long, vec_id long")
+    out = {r.query_id: r for r in similarity.recall_at_k(
+        approx, exact).collect()}
+    assert (out[1].n_exact, out[1].n_hit) == (3, 2)
+    assert abs(out[1].recall - round(2 / 3, 6)) < 1e-9
+    assert (out[2].n_hit, out[2].recall) == (0, 0.0)

@@ -430,3 +430,29 @@ def centroid_drift(df: DataFrame, *, group_col: str = "label",
     cos = F.when((na > 0) & (nb > 0), F.round(dot / (na * nb), 6))
     return (a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
             .select("g_a", "g_b", cos.alias("centroid_cosine")))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, *,
+                query_id: str = "query_id",
+                corpus_id: str = "vec_id") -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the evaluation loop every ANN deployment runs before trading
+    recall for speed (quantization, LSH bits, nprobe are all tuned on
+    this number). Both inputs are (query, neighbor[, rank]) frames
+    (the shape every top-k operator here returns); k is whatever the
+    inputs carry. Output: per-query ``n_exact``, ``n_hit``,
+    ``recall`` — macro-average downstream as needed.
+
+    Shape: one equi-join on (query, neighbor) + one query-keyed
+    aggregation; both sides are query-count·k sized, ≪ corpus."""
+    ex = exact.select(F.col(query_id).alias("__q"),
+                      F.col(corpus_id).alias("__n"))
+    ap = (approx.select(F.col(query_id).alias("__q"),
+                        F.col(corpus_id).alias("__n"))
+          .withColumn("__hit", F.lit(1)))
+    return (ex.join(ap, ["__q", "__n"], "left")
+            .groupBy(F.col("__q").alias(query_id))
+            .agg(F.count("*").alias("n_exact"),
+                 F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"))
+            .withColumn("recall",
+                        F.round(F.col("n_hit") / F.col("n_exact"), 6)))

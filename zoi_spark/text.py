@@ -1556,3 +1556,145 @@ def dup_paragraph_fraction(df: DataFrame, *, text_col: str = "text",
                        .otherwise(F.lit(0.0)))
            .drop("__all", "__c_all", "__c_uniq"))
     return out
+
+
+def heaps_profile(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  n_points: int = 20) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — the companion corpus
+    forensic to :func:`zipf_profile`: V(n) ≈ K·n^β over document
+    prefixes in *id_col* order (natural text: β ≈ 0.4-0.6; template
+    spam saturates early, OCR noise never saturates). Returns ONE row:
+    the OLS fit of ln(V) on ln(tokens) over *n_points* evenly spaced
+    doc-count prefixes, plus corpus totals.
+
+    The cumulative-distinct trick: V(prefix) = #{tokens whose FIRST
+    containing doc ≤ prefix} and tokens(prefix) = Σ counts of docs ≤
+    prefix — both are aggregations over small derived tables, NOT a
+    running distinct-count window over the corpus (which would
+    serialize through one task; likewise the prefix boundaries are
+    ARITHMETIC over the id range — min/max agg plus a sequence — not a
+    row_number ranking, for the same reason). Shape at 10^12 docs: one
+    explode → (token, first_doc) + (doc, n_tokens) aggregations
+    (map-side combine), then a broadcast of the K prefix boundaries
+    crossed against those two vocab-sized tables."""
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    doc_tok = (df.select(F.col(id_col).alias("__doc"),
+                         F.explode(tokens).alias("tok"))
+               .where(F.length("tok") > 0))
+    doc_tok = doc_tok.persist()
+    first = doc_tok.groupBy("tok").agg(F.min("__doc").alias("__first"))
+    per_doc = doc_tok.groupBy("__doc").agg(F.count("*").alias("__c"))
+    # evenly spaced id-range prefix boundaries: lo + (hi-lo)*i/K
+    rng = per_doc.agg(F.min("__doc").alias("__lo"),
+                      F.max("__doc").alias("__hi"))
+    bounds = (rng.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.lit(int(n_points))),
+        lambda i: F.col("__lo") + F.floor(
+            (F.col("__hi") - F.col("__lo")) * i / F.lit(int(n_points)))
+        .cast("long"))).alias("__bound"))
+        .distinct())
+    vocab_at = (bounds.crossJoin(first)
+                .where(F.col("__first") <= F.col("__bound"))
+                .groupBy("__bound")
+                .agg(F.count("*").alias("__v")))
+    toks_at = (bounds.crossJoin(per_doc)
+               .where(F.col("__doc") <= F.col("__bound"))
+               .groupBy("__bound")
+               .agg(F.sum("__c").alias("__t")))
+    xy = (vocab_at.join(toks_at, "__bound")
+          .select(F.log(F.col("__t").cast("double")).alias("__x"),
+                  F.log(F.col("__v").cast("double")).alias("__y")))
+    fit = xy.agg(
+        F.count("*").alias("n_points_fit"),
+        (F.covar_pop("__x", "__y") / F.var_pop("__x")).alias("__beta"),
+        (F.avg("__y") - (F.covar_pop("__x", "__y") / F.var_pop("__x"))
+         * F.avg("__x")).alias("__lnk"))
+    totals = doc_tok.agg(
+        F.countDistinct("tok").alias("n_vocab"),
+        F.count("*").alias("n_tokens"))
+    out = (fit.crossJoin(F.broadcast(totals))
+           .select("n_vocab", "n_tokens", "n_points_fit",
+                   F.round("__beta", 6).alias("heaps_beta"),
+                   F.round(F.exp("__lnk"), 6).alias("heaps_k")))
+    out._zoi_persisted = [doc_tok]  # release after materialization
+    return out
+
+
+# href extraction: double-quoted, single-quoted, or bare attribute
+# values — the three syntaxes HTML actually ships with
+_HREF_RE = "(?i)href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))"
+
+
+def extract_links(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  out_col: str = "href") -> DataFrame:
+    """Outlink extraction — ``href`` attribute values from HTML-ish
+    text, one row per link occurrence in document order (``link_idx``).
+    This is where the graph operators' edge tables come FROM: compose
+    with urls.url_host + graph.pagerank/hits/degree_stats for the
+    page→host→centrality pipeline every crawl ranker runs.
+
+    Regex, not an HTML parser, by design: at 10^12 docs the intake
+    pass runs before any DOM-quality guarantee exists, and href
+    extraction is the one task crawl pipelines genuinely do with
+    regexes (all three attribute-quoting syntaxes covered). One
+    projection + one posexplode — no shuffle, no UDF."""
+    links = F.regexp_extract_all(F.col(text_col), F.lit(_HREF_RE), 0)
+    cleaned = F.transform(
+        links,
+        lambda m: F.regexp_replace(
+            F.regexp_replace(m, r"(?i)^href\s*=\s*", ""),
+            "^[\"']|[\"'>]+$", ""))
+    return (df.select(F.col(id_col),
+                      F.posexplode(cleaned).alias("link_idx", out_col))
+            .where(F.col(out_col) != ""))
+
+
+def pmi_collocations(df: DataFrame, *, text_col: str = "text",
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    phrase-detection pass tokenizer pipelines run before merging
+    multiword units (word2vec's phrase pass, Mikolov et al. 2013 §4):
+    PMI(a,b) = log2(p(ab) / (p(a)·p(b))) over adjacent token pairs,
+    floored at *min_count* occurrences (PMI is degenerate on rare
+    pairs — a hapax pair of two hapax words maxes the score), top-k by
+    (rounded PMI DESC, bigram ASC).
+
+    Unigram probabilities use the BIGRAM-SLOT totals (first-word
+    occurrences over total bigrams) so p(ab), p(a), p(b) share one
+    denominator — the textbook estimator, and exactly re-derivable in
+    SQL. Shape at scale: the bigram count table (map-side combine),
+    two vocabulary-sized re-aggregations joined back (Zipf-bounded →
+    broadcast), TakeOrdered for the top-k."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    pairs = F.zip_with(toks, F.slice(toks, 2, F.size(toks) - 1),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with NULL, so the last slot is a
+    # bare unigram — slice it off before exploding
+    pairs = F.slice(pairs, 1, F.size(toks) - 1)
+    big = (df.where(F.size(toks) >= 2)
+           .select(F.explode(pairs).alias("bigram"))
+           .groupBy("bigram").agg(F.count("*").alias("c")))
+    big = big.persist()
+    w1 = (big.groupBy(F.split("bigram", " ")[0].alias("__w1"))
+          .agg(F.sum("c").alias("c1")))
+    w2 = (big.groupBy(F.split("bigram", " ")[1].alias("__w2"))
+          .agg(F.sum("c").alias("c2")))
+    tot = big.agg(F.sum("c").alias("n"))
+    scored = (big.where(F.col("c") >= int(min_count))
+              .join(F.broadcast(w1),
+                    F.split("bigram", " ")[0] == F.col("__w1"))
+              .drop("__w1")
+              .join(F.broadcast(w2),
+                    F.split("bigram", " ")[1] == F.col("__w2"))
+              .drop("__w2")
+              .crossJoin(F.broadcast(tot))
+              .select("bigram", "c",
+                      F.round(F.log2((F.col("c") * F.col("n"))
+                                     / (F.col("c1") * F.col("c2"))), 6)
+                      .alias("pmi")))
+    out = (scored.orderBy(F.desc("pmi"), F.asc("bigram"))
+           .limit(int(top_k)))
+    out._zoi_persisted = [big]  # release after materialization
+    return out

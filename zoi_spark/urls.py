@@ -331,3 +331,39 @@ def path_templates(df: DataFrame, *, url_col: str = "url",
             .groupBy("host", "path_template")
             .agg(F.countDistinct("__url").alias("n_urls"))
             .withColumn("trap", F.col("n_urls") >= int(min_urls)))
+
+
+def host_concentration(df: DataFrame, *, host_col: str = "host",
+                       top_k: int = 10) -> DataFrame:
+    """Corpus host-concentration profile, ONE summary row: number of
+    hosts, Herfindahl-Hirschman index (Σ share², 1/n_hosts = uniform,
+    1 = single-host), and the corpus share of the top-*k* hosts by
+    document count (ties by host ASC) — the diversity gate that
+    catches a crawl gone circular (one forum mirror = 40% of docs)
+    before any per-doc quality score can. NULL/empty hosts are
+    excluded from shares.
+
+    Shape at 10^12 rows: one host-keyed count aggregation (map-side
+    combine absorbs hot hosts), then the HHI and totals are one-row
+    re-aggregations of that host-count table and the top-k is
+    TakeOrdered — nothing wider than the host vocabulary ever
+    shuffles."""
+    counts = (df.where(F.col(host_col).isNotNull()
+                       & (F.col(host_col) != ""))
+              .groupBy(host_col).agg(F.count("*").alias("__c")))
+    counts = counts.persist()
+    totals = counts.agg(F.count("*").alias("n_hosts"),
+                        F.sum("__c").alias("n_docs"))
+    topk = (counts.orderBy(F.desc("__c"), F.asc(host_col))
+            .limit(int(top_k))
+            .agg(F.sum("__c").alias("__top")))
+    hhi = (counts.crossJoin(F.broadcast(totals))
+           .agg(F.round(F.sum(F.pow(F.col("__c") / F.col("n_docs"),
+                                    F.lit(2))), 6).alias("hhi")))
+    out = (totals.crossJoin(F.broadcast(hhi))
+           .crossJoin(F.broadcast(topk))
+           .select("n_hosts", "n_docs", "hhi",
+                   F.round(F.col("__top") / F.col("n_docs"), 6)
+                   .alias("topk_share")))
+    out._zoi_persisted = [counts]  # release after materialization
+    return out
