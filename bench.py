@@ -186,6 +186,10 @@ R4_NAMES = [
     # recency decay, degree profile
     "token_windows", "dup_paras", "centroid_drift", "recency_weights",
     "degree_stats",
+    # wave 7: corpus forensics, link graph source, collocations,
+    # concentration, ANN eval
+    "heaps_fit", "link_graph", "pmi_bigrams", "host_concentration",
+    "ann_recall",
 ]
 
 
