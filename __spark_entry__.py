@@ -2756,6 +2756,91 @@ def q_ann_recall(spark, sf_dir):
     return out.orderBy("query_id")
 
 
+def q_token_entropy(spark, sf_dir):
+    """Token-distribution entropy + type/token ratio
+    (text.token_entropy) — the compressibility proxy, computed with
+    the Σc·log2(c) decomposition so one doc-keyed aggregation carries
+    both n and the entropy sum; the twin re-derives the identical
+    algebra."""
+    d = _read(spark, sf_dir, "documents")
+    return text.token_entropy(d).orderBy("doc_id")
+
+
+def q_sentence_stats(spark, sf_dir):
+    """Sentence-shape profile (text.sentence_stats): docs re-punctuated
+    into 9-word sentences over their first 27 tokens (index-aware
+    transform), every 3rd doc left WITHOUT terminal punctuation — so
+    sentence counting, the per-sentence word counts, the long-sentence
+    fraction (max_words=8 → only the partial tail is 'short') and the
+    ends_terminal branch all fire both ways."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 27)
+    dotted = F.array_join(F.transform(
+        toks,
+        lambda x, i: F.concat(
+            x, F.when((i + 1) % 9 == 0, F.lit(".")).otherwise(
+                F.lit("")))), " ")
+    seeded = d.select(
+        "doc_id",
+        F.concat(dotted,
+                 F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                        F.lit(" trailing no punct"))
+                 .otherwise(F.lit(""))).alias("text"))
+    out = text.sentence_stats(seeded, max_words=8)
+    return (out.select("doc_id", "n_sentences", "mean_sentence_words",
+                       "frac_long_sentences", "ends_terminal")
+            .orderBy("doc_id"))
+
+
+def q_boiler_phrases(spark, sf_dir):
+    """Boilerplate phrase battery (text.boilerplate_phrase_flags):
+    four seeded chrome phrases on overlapping doc_id moduli give hit
+    counts 0-4, so every per-phrase boolean and both flag branches
+    land under the hash."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.when(F.pmod("doc_id", F.lit(3)) == 0,
+               F.concat(t, F.lit(" Subscribe to our newsletter!"))
+               ).otherwise(t)
+    t = F.when(F.pmod("doc_id", F.lit(4)) == 0,
+               F.concat(t, F.lit(" All Rights Reserved."))).otherwise(t)
+    t = F.when(F.pmod("doc_id", F.lit(5)) == 0,
+               F.concat(t, F.lit(" click HERE"))).otherwise(t)
+    t = F.when(F.pmod("doc_id", F.lit(6)) == 0,
+               F.concat(t, F.lit(" enable JavaScript to continue"))
+               ).otherwise(t)
+    seeded = d.select("doc_id", t.alias("text"))
+    out = text.boilerplate_phrase_flags(seeded, max_hits=2)
+    return (out.select("doc_id", "bp_0", "bp_1", "bp_2", "bp_3", "bp_4",
+                       "bp_5", "n_boiler_hits", "boiler_flagged")
+            .orderBy("doc_id"))
+
+
+def q_trigram_surprisal(spark, sf_dir):
+    """Jelinek-Mercer interpolated trigram surprisal
+    (text.trigram_logprob): λ=(0.6,0.3,0.1) over prefix/suffix/unigram
+    slot marginals of ONE corpus trigram table — every marginal, the
+    interpolation and the mean re-derived by the twin. Top 20 by mean
+    surprisal, doc_id tiebreak."""
+    d = _read(spark, sf_dir, "documents")
+    s = text.trigram_logprob(d)
+    return (s.orderBy(F.col("mean_trigram_surprisal").desc(), "doc_id")
+            .limit(20))
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """Dedup report (dedup.cluster_size_histogram): size distribution
+    of the J≥0.8 near-dup components from the dedup_clusters pipeline —
+    the mirrors-vs-template-farm diagnostic; the twin wraps the same
+    recursive-CTE transitive closure."""
+    pairs = dedup.minhash_dedup_pairs(_dup_docs(spark, sf_dir),
+                                      threshold=0.8, num_hashes=64,
+                                      bands=16)
+    clusters = dedup.duplicate_clusters(pairs)
+    out = dedup.cluster_size_histogram(clusters)
+    return out.orderBy("cluster_size")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2859,6 +2944,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pmi_bigrams": q_pmi_bigrams,
         "host_concentration": q_host_concentration,
         "ann_recall": q_ann_recall,
+        "token_entropy": q_token_entropy,
+        "sentence_stats": q_sentence_stats,
+        "boiler_phrases": q_boiler_phrases,
+        "trigram_surprisal": q_trigram_surprisal,
+        "cluster_sizes": q_cluster_sizes,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3653,6 +3743,36 @@ def _punct_normalize_sql() -> str:
                replace(translate(t, '{frm}', '{to}'), '…', '...') != t
                  AS changed
         FROM seeded ORDER BY doc_id
+    """
+
+
+def _boiler_phrases_sql() -> str:
+    from zoi_spark.text import BOILER_PHRASES
+
+    flags = ", ".join(
+        f"contains(lower(t), '{p}') AS bp_{i}"
+        for i, p in enumerate(BOILER_PHRASES))
+    hits = " + ".join(
+        f"bp_{i}::INT" for i in range(len(BOILER_PHRASES)))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' Subscribe to our newsletter!'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN ' All Rights Reserved.' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' click HERE' ELSE '' END
+                 || CASE WHEN doc_id % 6 = 0
+                         THEN ' enable JavaScript to continue'
+                         ELSE '' END AS t
+          FROM documents),
+        flagged AS (SELECT doc_id, {flags} FROM seeded)
+        SELECT *, ({hits})::BIGINT AS n_boiler_hits,
+               ({hits}) >= 2 AS boiler_flagged
+        FROM flagged ORDER BY doc_id
     """
 
 
@@ -6078,5 +6198,113 @@ def oracle_sql() -> dict[str, str]:
                          / count(*)::DOUBLE, 6) AS recall
             FROM ex LEFT JOIN sq USING (query_id, vec_id)
             GROUP BY ex.query_id ORDER BY ex.query_id
+        """,
+        "token_entropy": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            dt AS (SELECT doc_id, tok, count(*) AS c
+                   FROM tok WHERE len(tok) > 0 GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_types,
+                     sum(c * log2(c)) AS clogc
+              FROM dt GROUP BY 1)
+            SELECT doc_id, n_tokens, n_types,
+                   round(n_types / n_tokens::DOUBLE, 6)
+                     AS type_token_ratio,
+                   round(log2(n_tokens) - clogc / n_tokens, 6)
+                     AS token_entropy
+            FROM agg ORDER BY doc_id
+        """,
+        "sentence_stats": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         range(1, least(len(string_split(text, ' ')),
+                                        27) + 1),
+                         i -> string_split(text, ' ')[i]
+                              || CASE WHEN i % 9 = 0 THEN '.'
+                                      ELSE '' END), ' ')
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' trailing no punct' ELSE '' END AS t
+              FROM documents),
+            sp AS (
+              SELECT doc_id, t,
+                     list_filter(string_split_regex(t, '[.!?]+'),
+                                 s -> trim(s) != '') AS sents
+              FROM seeded),
+            wc AS (
+              SELECT doc_id, t, len(sents) AS n,
+                     list_transform(sents,
+                       s -> len(list_filter(
+                              string_split_regex(trim(s), '\\s+'),
+                              w -> len(w) > 0))) AS wcs
+              FROM sp)
+            SELECT doc_id, n::INTEGER AS n_sentences,
+                   CASE WHEN n > 0 THEN round(
+                     coalesce(list_aggregate(wcs, 'sum'), 0)
+                     / n::DOUBLE, 6) ELSE 0.0 END
+                     AS mean_sentence_words,
+                   CASE WHEN n > 0 THEN round(
+                     len(list_filter(wcs, x -> x > 8)) / n::DOUBLE, 6)
+                     ELSE 0.0 END AS frac_long_sentences,
+                   regexp_matches(rtrim(t), '[.!?]$') AS ends_terminal
+            FROM wc ORDER BY doc_id
+        """,
+        "boiler_phrases": _boiler_phrases_sql(),
+        "trigram_surprisal": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            el AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+            grams AS (
+              SELECT doc_id, unnest(
+                list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')))
+                AS gram
+              FROM el),
+            dg AS (SELECT doc_id, gram, count(*) AS c
+                   FROM grams GROUP BY 1, 2),
+            tri AS (SELECT gram, sum(c) AS c123 FROM dg GROUP BY 1),
+            pre AS (SELECT array_to_string(
+                             string_split(gram, ' ')[1:2], ' ') AS w12,
+                           sum(c123) AS c12 FROM tri GROUP BY 1),
+            suf AS (SELECT array_to_string(
+                             string_split(gram, ' ')[2:3], ' ') AS w23,
+                           sum(c123) AS c23 FROM tri GROUP BY 1),
+            mid AS (SELECT string_split(gram, ' ')[2] AS w2,
+                           sum(c123) AS c2 FROM tri GROUP BY 1),
+            uni AS (SELECT string_split(gram, ' ')[3] AS w3,
+                           sum(c123) AS c3 FROM tri GROUP BY 1),
+            tot AS (SELECT sum(c123) AS n FROM tri)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                   round(sum(c * -log2(
+                       0.6 * c123 / c12 + 0.3 * c23 / c2
+                       + 0.1 * c3 / n)) / sum(c), 6)
+                     AS mean_trigram_surprisal
+            FROM dg
+            JOIN tri USING (gram)
+            JOIN pre ON pre.w12 = array_to_string(
+                          string_split(dg.gram, ' ')[1:2], ' ')
+            JOIN suf ON suf.w23 = array_to_string(
+                          string_split(dg.gram, ' ')[2:3], ' ')
+            JOIN mid ON mid.w2 = string_split(dg.gram, ' ')[2]
+            JOIN uni ON uni.w3 = string_split(dg.gram, ' ')[3]
+            CROSS JOIN tot
+            GROUP BY doc_id
+            ORDER BY mean_trigram_surprisal DESC, doc_id LIMIT 20
+        """,
+        "cluster_sizes": f"""
+            WITH clus AS ({_dedup_clusters_sql(0.8)}),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM clus GROUP BY 1)
+            SELECT cluster_size,
+                   count(*)::BIGINT AS n_clusters,
+                   sum(cluster_size)::BIGINT AS n_docs
+            FROM sizes GROUP BY 1 ORDER BY cluster_size
         """,
     }

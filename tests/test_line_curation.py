@@ -282,3 +282,66 @@ def test_heaps_profile_shape_and_totals(spark):
     # vocab grows sublinearly: 0 < beta < 1 for this corpus
     assert 0.0 < r.heaps_beta < 1.0
     assert r.heaps_k > 0
+
+
+def test_token_entropy_hand_check(spark):
+    # doc1 uniform over 4 distinct -> H=2 bits; doc2 all same -> 0
+    df = _docs(spark, [(1, "a b c d"), (2, "x x x x"), (3, "")])
+    out = {r.doc_id: r for r in text.token_entropy(df).collect()}
+    assert (out[1].n_tokens, out[1].n_types) == (4, 4)
+    assert out[1].token_entropy == 2.0
+    assert out[1].type_token_ratio == 1.0
+    assert out[2].token_entropy == 0.0
+    assert abs(out[2].type_token_ratio - 0.25) < 1e-9
+    assert 3 not in out                     # empty doc yields no row
+
+
+def test_sentence_stats_counts_and_flags(spark):
+    df = _docs(spark, [
+        (1, "one two three. four five six seven eight nine ten! tail"),
+        (2, "ends with period."),
+        (3, ""),
+    ])
+    out = {r.doc_id: r for r in text.sentence_stats(
+        df, max_words=5).collect()}
+    r1 = out[1]
+    assert r1.n_sentences == 3              # 3w, 7w, 1w
+    assert abs(r1.mean_sentence_words - round(11 / 3, 6)) < 1e-9
+    assert abs(r1.frac_long_sentences - round(1 / 3, 6)) < 1e-9
+    assert r1.ends_terminal is False        # 'tail' has no terminal
+    assert out[2].ends_terminal is True
+    assert (out[3].n_sentences, out[3].mean_sentence_words) == (0, 0.0)
+
+
+def test_boilerplate_phrase_flags_hits(spark):
+    df = _docs(spark, [
+        (1, "body All rights RESERVED and click here now"),
+        (2, "clean body"),
+    ])
+    out = {r.doc_id: r for r in text.boilerplate_phrase_flags(
+        df, max_hits=2).collect()}
+    assert out[1].bp_0 is True and out[1].bp_4 is True
+    assert out[1].n_boiler_hits == 2 and out[1].boiler_flagged is True
+    assert out[2].n_boiler_hits == 0 and out[2].boiler_flagged is False
+
+
+def test_trigram_logprob_single_path(spark):
+    import math
+
+    # one doc "a b c a b c": trigrams abc,bca,cab,abc -> self-model
+    df = _docs(spark, [(1, "a b c a b c")])
+    out = text.trigram_logprob(df, lambdas=(0.6, 0.3, 0.1))
+    r = out.first()
+    for h in getattr(out, "_zoi_persisted", []):
+        h.unpersist()
+    assert r.n_trigrams == 4
+    # slots: abc x2, bca x1, cab x1 (N=4)
+    def p(c123, c12, c23, c2, c3):
+        return 0.6 * c123 / c12 + 0.3 * c23 / c2 + 0.1 * c3 / 4
+    # marginals over slots: prefixes ab->2 bc->1 ca->1; mids b->2 c->1,a->1
+    # suffixes bc->... suffix of abc is 'b c'? suffix = (w2,w3): abc->(b,c)x2,
+    # bca->(c,a), cab->(a,b); unigram w3: c->2, a->1, b->1
+    s = (2 * -math.log2(p(2, 2, 2, 2, 2))     # abc: pre ab=2, suf bc=2, mid b=2, uni c=2
+         + 1 * -math.log2(p(1, 1, 1, 1, 1))   # bca: pre bc=1, suf ca=1, mid c=1, uni a=1
+         + 1 * -math.log2(p(1, 1, 1, 1, 1)))  # cab: pre ca=1, suf ab=1, mid a=1, uni b=1
+    assert abs(r.mean_trigram_surprisal - round(s / 4, 6)) < 1e-6

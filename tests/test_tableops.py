@@ -1372,3 +1372,16 @@ def test_recall_at_k_join_semantics(spark):
     assert (out[1].n_exact, out[1].n_hit) == (3, 2)
     assert abs(out[1].recall - round(2 / 3, 6)) < 1e-9
     assert (out[2].n_hit, out[2].recall) == (0, 0.0)
+
+
+def test_cluster_size_histogram(spark):
+    from zoi_spark import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_id long")
+    out = {r.cluster_size: r for r in dedup.cluster_size_histogram(
+        clusters).collect()}
+    assert (out[3].n_clusters, out[3].n_docs) == (1, 3)
+    assert (out[2].n_clusters, out[2].n_docs) == (1, 2)
+    assert (out[1].n_clusters, out[1].n_docs) == (1, 1)

@@ -1402,3 +1402,19 @@ def cluster_representatives(clusters: DataFrame, scores: DataFrame, *,
             .where(F.col("__rn") == 1)
             .select(cluster_col, F.col(id_col).alias("keep_id"),
                     score_col))
+
+
+def cluster_size_histogram(clusters: DataFrame, *,
+                           cluster_col: str = "cluster_id"
+                           ) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup REPORT (how
+    much of the corpus is 2-copies vs 10 000-copies tells you whether
+    you have mirrors or a template farm, and sizes the keep-one
+    savings estimate): one row per distinct cluster size with
+    ``n_clusters`` and ``n_docs``. Two key-local aggregations over the
+    duplicate_clusters output — nothing corpus-wide."""
+    sizes = (clusters.groupBy(cluster_col)
+             .agg(F.count("*").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("cluster_size").alias("n_docs")))

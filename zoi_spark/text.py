@@ -1698,3 +1698,165 @@ def pmi_collocations(df: DataFrame, *, text_col: str = "text",
            .limit(int(top_k)))
     out._zoi_persisted = [big]  # release after materialization
     return out
+
+
+def token_entropy(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-distribution entropy + type/token ratio —
+    the cheap compressibility proxy (repetitive spam compresses; its
+    token entropy collapses long before a human reads it): with
+    per-doc counts c(t) over n tokens,
+
+        H = −Σ_t (c/n)·log2(c/n)      (bits; 0 = one token repeated,
+                                       log2(n) = all distinct)
+
+    Adds ``n_tokens``, ``n_types``, ``type_token_ratio``,
+    ``token_entropy``. Docs with no tokens yield no rows.
+
+    Shape at 10^12 docs: one explode → (doc, token) counts with
+    map-side combine, then ONE doc-keyed aggregation — the sum needs
+    n first, so n rides along as sum(c) inside the same aggregate
+    using the Σc·log2(c) decomposition:
+    H = log2(n) − (Σ c·log2 c)/n (exact algebra, no second pass)."""
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("tok"))
+               .where(F.length("tok") > 0)
+               .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
+    agg = (doc_tok.groupBy(id_col)
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count("*").alias("n_types"),
+                F.sum(F.col("c") * F.log2("c")).alias("__clogc")))
+    return (agg.select(
+        F.col(id_col), "n_tokens", "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6)
+        .alias("type_token_ratio"),
+        F.round(F.log2("n_tokens")
+                - F.col("__clogc") / F.col("n_tokens"), 6)
+        .alias("token_entropy")))
+
+
+def sentence_stats(df: DataFrame, *, text_col: str = "text",
+                   max_words: int = 40) -> DataFrame:
+    """Sentence-level shape profile — the C4-adjacent signals the line
+    filter does not cover when text is NOT line-structured: sentences
+    are ``[.!?]+`` splits with blank fragments dropped; adds
+    ``n_sentences``, ``mean_sentence_words``, ``frac_long_sentences``
+    (> *max_words* words — run-on/merged-boilerplate detector) and
+    ``ends_terminal`` (truncated-page detector). Pure array
+    expressions, one projection — the per-sentence word count runs
+    inside a transform over the SENTENCE string (a lambda variable,
+    not a re-evaluated outer expression)."""
+    sents = F.filter(F.split(F.col(text_col), r"[.!?]+"),
+                     lambda s: F.trim(s) != "")
+    wc = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"),
+                                  lambda w: F.length(w) > 0)))
+    n = F.size(sents)
+    total = F.aggregate(wc, F.lit(0).cast("long"), lambda a, x: a + x)
+    nlong = F.aggregate(
+        F.transform(wc, lambda x: F.when(x > max_words, 1).otherwise(0)
+                    .cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return (df.withColumn("n_sentences", n)
+            .withColumn("mean_sentence_words",
+                        F.when(n > 0, F.round(total / n, 6))
+                        .otherwise(F.lit(0.0)))
+            .withColumn("frac_long_sentences",
+                        F.when(n > 0, F.round(nlong / n, 6))
+                        .otherwise(F.lit(0.0)))
+            .withColumn("ends_terminal",
+                        F.regexp_count(F.rtrim(F.col(text_col)),
+                                       F.lit(r"[.!?]$")) > 0))
+
+
+# boilerplate phrase battery — the literal markers RefinedWeb/C4-style
+# intake lists actually carry (parameterizable; this is the demo set)
+BOILER_PHRASES = ("all rights reserved", "cookie", "terms of service",
+                  "subscribe to our newsletter", "click here",
+                  "enable javascript")
+
+
+def boilerplate_phrase_flags(df: DataFrame, *, text_col: str = "text",
+                             phrases: tuple[str, ...] = BOILER_PHRASES,
+                             max_hits: int = 2) -> DataFrame:
+    """Boilerplate phrase battery: one case-insensitive literal
+    ``contains`` per phrase (``bp_0…bp_{n-1}`` in list order), the hit
+    total and ``boiler_flagged`` (hits ≥ *max_hits*) — the cheap
+    chrome/consent/footer detector that runs before any line-frequency
+    pass exists (frequent-line mining needs a second corpus pass;
+    this is a single projection fused into the scan)."""
+    low = F.lower(F.col(text_col))
+    flags = [low.contains(p.lower()).alias(f"bp_{i}")
+             for i, p in enumerate(phrases)]
+    out = df.select("*", *flags)
+    hits = sum(F.col(f"bp_{i}").cast("int") for i in range(len(phrases)))
+    return (out.withColumn("n_boiler_hits", hits.cast("long"))
+            .withColumn("boiler_flagged",
+                        F.col("n_boiler_hits") >= int(max_hits)))
+
+
+def trigram_logprob(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1)
+                    ) -> DataFrame:
+    """Per-document mean trigram surprisal under a Jelinek-Mercer
+    interpolated LM — the next order up from :func:`bigram_logprob`
+    and the closest pure-SQL-twinnable stand-in for KenLM's
+    interpolated n-gram scoring (Heafield 2011 §2; JM instead of
+    Kneser-Ney so every count is a plain aggregate):
+
+        P(w3|w1w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(·w2w3)/c(·w2·)
+                     + λ1·c(··w3)/N
+
+    ALL counts are slot counts over the corpus TRIGRAM table (prefix-,
+    middle- and suffix-marginals of one table, N = total trigram
+    slots) — self-scoring a corpus on its own model means every
+    denominator on the scoring path is ≥ 1, so no smoothing constant
+    is needed and the estimator is exactly re-derivable in SQL.
+    Documents with fewer than three tokens are excluded.
+
+    Shape at 10^12 docs: one explode → (doc, trigram) counts
+    (persisted: feeds model AND probe), three vocabulary-sized
+    marginal re-aggregations of the trigram-total table (the unigram
+    and middle marginals broadcast; the pair marginals hash-join on
+    their gram keys), N as a broadcast one-row cross join."""
+    l3, l2, l1 = (float(x) for x in lambdas)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    eligible = df.where(F.size(toks) >= 3)
+    grams = (eligible.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), 3)).alias("gram")))
+    doc_tri = (grams.groupBy(id_col, "gram")
+               .agg(F.count("*").alias("c"))).persist()
+    tri = (doc_tri.groupBy("gram").agg(F.sum("c").alias("c123"))
+           ).persist()
+    p = F.split(F.col("gram"), " ")
+    pre = tri.groupBy(F.concat_ws(" ", p[0], p[1]).alias("w12")).agg(
+        F.sum("c123").alias("c12"))
+    suf = tri.groupBy(F.concat_ws(" ", p[1], p[2]).alias("w23")).agg(
+        F.sum("c123").alias("c23"))
+    mid = tri.groupBy(p[1].alias("w2")).agg(F.sum("c123").alias("c2"))
+    uni = tri.groupBy(p[2].alias("w3")).agg(F.sum("c123").alias("c3"))
+    tot = tri.agg(F.sum("c123").alias("n"))
+    prob = (F.lit(l3) * F.col("c123") / F.col("c12")
+            + F.lit(l2) * F.col("c23") / F.col("c2")
+            + F.lit(l1) * F.col("c3") / F.col("n"))
+    scored = (doc_tri
+              .join(tri, "gram")
+              .withColumn("w12", F.concat_ws(" ", p[0], p[1]))
+              .withColumn("w23", F.concat_ws(" ", p[1], p[2]))
+              .join(pre, "w12")
+              .join(suf, "w23")
+              .join(F.broadcast(mid), p[1] == F.col("w2"))
+              .join(F.broadcast(uni), p[2] == F.col("w3"))
+              .crossJoin(F.broadcast(tot))
+              .groupBy(id_col)
+              .agg(F.sum("c").alias("n_trigrams"),
+                   F.sum(F.col("c") * -F.log2(prob)).alias("__s")))
+    out = scored.select(
+        F.col(id_col), "n_trigrams",
+        F.round(F.col("__s") / F.col("n_trigrams"), 6)
+        .alias("mean_trigram_surprisal"))
+    out._zoi_persisted = [doc_tri, tri]  # release after materialization
+    return out
