@@ -190,6 +190,10 @@ R4_NAMES = [
     # concentration, ANN eval
     "heaps_fit", "link_graph", "pmi_bigrams", "host_concentration",
     "ann_recall",
+    # wave 8: entropy, sentence profile, phrase battery, trigram LM,
+    # dedup report
+    "token_entropy", "sentence_stats", "boiler_phrases",
+    "trigram_surprisal", "cluster_sizes",
 ]
 
 
