@@ -5930,7 +5930,8 @@ def oracle_sql() -> dict[str, str]:
                          + b.p * log2(2.0 * b.p / (a.p + b.p))) AS t,
                      sum(a.p) AS sa, sum(b.p) AS sb
               FROM p a JOIN p b
-                ON a.lang = b.lang AND a.source < b.source
+                ON a.lang IS NOT DISTINCT FROM b.lang
+                AND a.source < b.source
               GROUP BY 1, 2),
             g AS (SELECT DISTINCT source FROM documents),
             pairs AS (
@@ -5952,13 +5953,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             nz AS (SELECT doc_id, t, len(t) AS n FROM toks
                    WHERE len(t) > 0),
+            grids AS (
+              SELECT doc_id, t,
+                     CASE WHEN (greatest(n - 31, 1) - 1) % 16 = 0
+                          THEN range(1, greatest(n - 31, 1) + 1, 16)
+                          ELSE list_append(
+                                 range(1, greatest(n - 31, 1) + 1, 16),
+                                 greatest(n - 31, 1))
+                     END AS starts
+              FROM nz),
             st AS (
               SELECT doc_id, t,
-                     unnest(range(0, len(range(1,
-                       greatest(n - 31, 1) + 1, 16)))) AS win_idx,
-                     unnest(range(1, greatest(n - 31, 1) + 1, 16))
-                       AS start
-              FROM nz)
+                     unnest(range(0, len(starts))) AS win_idx,
+                     unnest(starts) AS start
+              FROM grids)
             SELECT doc_id, win_idx,
                    len(t[start:start + 31])::INTEGER AS win_tokens,
                    array_to_string(t[start:start + 31], ' ')
@@ -6118,7 +6126,8 @@ def oracle_sql() -> dict[str, str]:
                           sum(c) AS c2 FROM big GROUP BY 1),
             tot AS (SELECT sum(c) AS n FROM big)
             SELECT bigram, c,
-                   round(log2((c * n) / (c1 * c2)::DOUBLE), 6) AS pmi
+                   round(log2((c::DOUBLE * n::DOUBLE)
+                              / (c1::DOUBLE * c2::DOUBLE)), 6) AS pmi
             FROM big
             JOIN w1 ON w1.w = string_split(big.bigram, ' ')[1]
             JOIN w2 ON w2.w = string_split(big.bigram, ' ')[2]

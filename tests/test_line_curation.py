@@ -196,10 +196,10 @@ def test_normalize_punct_map_and_deletion(spark):
 
 
 def test_token_windows_stride_and_tail(spark):
-    # 7 tokens, window 4, stride 2 -> starts 1,3 (last start = n-W+1=4?
-    # starts sequence(1, max(7-4+1,1)=4, 2) = 1,3 ; window at 3 covers
-    # tokens 3-6 -> tail token 7 NOT covered by starts beyond 4... see
-    # assertion: starts are 1 and 3, so last window is t[3..6].
+    # 7 tokens, window 4, stride 2: the stride grid [1, 3] misses the
+    # last full-coverage start 4 (n-W+1), so it is appended — the tail
+    # token t7 must appear in a window (the documented no-suffix-drop
+    # contract)
     df = _docs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, ""), (3, "x")])
     out = text.token_windows(df, window=4, stride=2)
     rows = [(r.doc_id, r.win_idx, r.win_tokens, r.window_text)
@@ -207,8 +207,14 @@ def test_token_windows_stride_and_tail(spark):
     assert rows == [
         (1, 0, 4, "t1 t2 t3 t4"),
         (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t4 t5 t6 t7"),  # appended tail-coverage start
         (3, 0, 1, "x"),            # short doc -> one (partial) window
     ]                              # doc 2 (no tokens) yields nothing
+    # when the grid already lands on n-W+1, nothing is appended
+    df2 = _docs(spark, [(1, "a b c d e")])    # n=5, W=4, S=1 -> 1,2
+    texts = [r.window_text for r in text.token_windows(
+        df2, window=4, stride=1).orderBy("win_idx").collect()]
+    assert texts == ["a b c d", "b c d e"]
 
 
 def test_token_windows_covers_suffix(spark):
@@ -345,3 +351,11 @@ def test_trigram_logprob_single_path(spark):
          + 1 * -math.log2(p(1, 1, 1, 1, 1))   # bca: pre bc=1, suf ca=1, mid c=1, uni a=1
          + 1 * -math.log2(p(1, 1, 1, 1, 1)))  # cab: pre ca=1, suf ab=1, mid a=1, uni b=1
     assert abs(r.mean_trigram_surprisal - round(s / 4, 6)) < 1e-6
+
+
+def test_boilerplate_phrases_empty_raises(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        text.boilerplate_phrase_flags(df, phrases=())

@@ -1385,3 +1385,25 @@ def test_cluster_size_histogram(spark):
     assert (out[3].n_clusters, out[3].n_docs) == (1, 3)
     assert (out[2].n_clusters, out[2].n_docs) == (1, 2)
     assert (out[1].n_clusters, out[1].n_docs) == (1, 1)
+
+
+def test_js_divergence_null_category_is_shared_mass(spark):
+    from zoi_spark import tablechecks
+
+    # identical distributions {NULL: 0.5, x: 0.5} -> JS must be 0
+    rows = [("g1", None), ("g1", "x"), ("g2", None), ("g2", "x")]
+    df = spark.createDataFrame(rows, "src string, v string")
+    out = tablechecks.js_divergence_pairs(
+        df, group_col="src", value_col="v").first()
+    assert out.js_divergence == 0.0
+
+
+def test_recall_at_k_dedups_approx_rows(spark):
+    from zoi_spark import similarity
+
+    exact = spark.createDataFrame([(1, 10), (1, 11)],
+                                  "query_id long, vec_id long")
+    approx = spark.createDataFrame([(1, 10), (1, 10)],   # dup row
+                                   "query_id long, vec_id long")
+    r = similarity.recall_at_k(approx, exact).first()
+    assert (r.n_exact, r.n_hit, r.recall) == (2, 1, 0.5)

@@ -376,11 +376,17 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
     where float32 scans are ulp-wobbly. Broadcast the query block,
     rank by (rounded score DESC, corpus id ASC); zero vectors (NULL
     scale → zero code) score NULL and are excluded."""
-    qs = F.broadcast(queries.select(F.col(query_id),
-                                    F.col(q_col).alias("__qq")))
+    # materialize both self-norms BEFORE the join: computed inside the
+    # joined projection, the corpus norm's O(d) fold would re-run once
+    # per QUERY instead of once per corpus row
+    qs = F.broadcast(
+        queries.select(F.col(query_id), F.col(q_col).alias("__qq"))
+        .withColumn("__nbb", _int_dot(F.col("__qq"), F.col("__qq"))))
+    corpus = corpus.withColumn(
+        "__naa", _int_dot(F.col(q_col), F.col(q_col)))
     dot = _int_dot(F.col(q_col), F.col("__qq"))
-    naa = _int_dot(F.col(q_col), F.col(q_col))
-    nbb = _int_dot(F.col("__qq"), F.col("__qq"))
+    naa = F.col("__naa")
+    nbb = F.col("__nbb")
     score = F.when((naa > 0) & (nbb > 0),
                    F.round(dot / F.sqrt((naa * nbb).cast("double")), 6))
     scored = (corpus.join(qs)
@@ -445,10 +451,13 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, *,
 
     Shape: one equi-join on (query, neighbor) + one query-keyed
     aggregation; both sides are query-count·k sized, ≪ corpus."""
+    # distinct both projections: duplicate (query, neighbor) rows (e.g.
+    # unioned LSH probe rounds) would fan the left join out and inflate
+    # n_exact
     ex = exact.select(F.col(query_id).alias("__q"),
-                      F.col(corpus_id).alias("__n"))
+                      F.col(corpus_id).alias("__n")).distinct()
     ap = (approx.select(F.col(query_id).alias("__q"),
-                        F.col(corpus_id).alias("__n"))
+                        F.col(corpus_id).alias("__n")).distinct()
           .withColumn("__hit", F.lit(1)))
     return (ex.join(ap, ["__q", "__n"], "left")
             .groupBy(F.col("__q").alias(query_id))

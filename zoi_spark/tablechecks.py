@@ -556,7 +556,11 @@ def js_divergence_pairs(df: DataFrame, *, group_col: str,
                                  / (F.col("pa") + F.col("pb")))
             + F.col("pb") * F.log2(two * F.col("pb")
                                    / (F.col("pa") + F.col("pb"))))
-    shared = (a.join(b, "__v").where(F.col("g_a") < F.col("g_b"))
+    # null-safe category join: a NULL category (e.g. lang undetected)
+    # is real probability mass on both sides — a plain equi-join would
+    # drop it and score identical distributions as drifted
+    shared = (a.join(b, a["__v"].eqNullSafe(b["__v"]))
+              .where(F.col("g_a") < F.col("g_b"))
               .groupBy("g_a", "g_b")
               .agg(F.sum(term).alias("__t"),
                    F.sum("pa").alias("__sa"),

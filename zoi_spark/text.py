@@ -651,11 +651,8 @@ def unigram_logprob(df: DataFrame, *, text_col: str = "text",
     million rows for web text) → broadcast join, no shuffle of the
     exploded side beyond the first aggregation.
     """
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
-    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("tok"))
-               .where(F.length("tok") > 0)
-               .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
-    doc_tok = doc_tok.persist()
+    doc_tok = _doc_token_counts(df, text_col=text_col,
+                                id_col=id_col).persist()
     vocab = (doc_tok.groupBy("tok").agg(F.sum("c").alias("cw")))
     total = vocab.agg(F.sum("cw").alias("n_total"))
     scored = (doc_tok
@@ -1242,6 +1239,21 @@ def bigram_logprob(df: DataFrame, *, text_col: str = "text",
     return out
 
 
+def _doc_token_counts(df: DataFrame, *, text_col: str, id_col: str,
+                      token_alias: str = "tok") -> DataFrame:
+    """Shared prologue of the per-doc token statistics operators
+    (tfidf / oov / entropy): (id, token, count) over the normalized
+    whitespace token stream, empty tokens dropped — one explode, one
+    hash aggregation with map-side combine. Persist policy stays with
+    the caller (only multi-leg consumers cache it)."""
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    return (df.select(F.col(id_col),
+                      F.explode(tokens).alias(token_alias))
+            .where(F.length(token_alias) > 0)
+            .groupBy(id_col, token_alias)
+            .agg(F.count("*").alias("c")))
+
+
 def tfidf_top_terms(df: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 5) -> DataFrame:
     """Per-document top-k TF-IDF terms (Salton & Buckley 1988;
@@ -1265,11 +1277,8 @@ def tfidf_top_terms(df: DataFrame, *, text_col: str = "text",
     are windows over the SAME doc-id partitioning — one shuffle
     serves both.
     """
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
-    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("term"))
-               .where(F.length("term") > 0)
-               .groupBy(id_col, "term").agg(F.count("*").alias("c")))
-    doc_tok = doc_tok.persist()
+    doc_tok = _doc_token_counts(df, text_col=text_col, id_col=id_col,
+                                token_alias="term").persist()
     dfreq = doc_tok.groupBy("term").agg(F.count("*").alias("df"))
     ndocs = (doc_tok.select(id_col).distinct()
              .agg(F.count("*").alias("n_docs")))
@@ -1457,11 +1466,8 @@ def oov_rate(df: DataFrame, *, text_col: str = "text",
     ≤10^6 entries by construction — broadcast back, so the per-doc leg
     never shuffles again: explode-agg once, broadcast-join, doc-id agg
     on the SAME key the counts already carry."""
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
-    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("tok"))
-               .where(F.length("tok") > 0)
-               .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
-    doc_tok = doc_tok.persist()
+    doc_tok = _doc_token_counts(df, text_col=text_col,
+                                id_col=id_col).persist()
     vocab = (doc_tok.groupBy("tok").agg(F.sum("c").alias("cw"))
              .orderBy(F.desc("cw"), F.asc("tok"))
              .limit(int(vocab_size))
@@ -1504,10 +1510,13 @@ def token_windows(df: DataFrame, *, text_col: str = "text",
             .where(F.col("__n") > 0)
             .withColumn("__toks", F.filter(
                 F.col("__toks"), lambda t: F.length(t) > 0)))
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.col("__n") - F.lit(window) + 1, F.lit(1)),
-        F.lit(stride))
+    # last full-coverage start; the stride grid may step over it, so it
+    # is appended explicitly when missed — otherwise up to stride-1
+    # trailing tokens would appear in no window
+    last = F.greatest(F.col("__n") - F.lit(window) + 1, F.lit(1))
+    grid = F.sequence(F.lit(1), last, F.lit(stride))
+    starts = F.when((last - 1) % F.lit(stride) == 0, grid).otherwise(
+        F.concat(grid, F.array(last)))
     win = F.slice(F.col("__toks"), F.col("__start"), window)
     return (base
             .select(F.col(id_col), F.col("__toks"),
@@ -1690,9 +1699,15 @@ def pmi_collocations(df: DataFrame, *, text_col: str = "text",
                     F.split("bigram", " ")[1] == F.col("__w2"))
               .drop("__w2")
               .crossJoin(F.broadcast(tot))
+              # multiply in DOUBLE: with n ~ 10^12 slots and a common
+              # bigram, c*n overflows a long — the most frequent
+              # collocations are exactly where that silently corrupts
               .select("bigram", "c",
-                      F.round(F.log2((F.col("c") * F.col("n"))
-                                     / (F.col("c1") * F.col("c2"))), 6)
+                      F.round(F.log2(
+                          (F.col("c").cast("double")
+                           * F.col("n").cast("double"))
+                          / (F.col("c1").cast("double")
+                             * F.col("c2").cast("double"))), 6)
                       .alias("pmi")))
     out = (scored.orderBy(F.desc("pmi"), F.asc("bigram"))
            .limit(int(top_k)))
@@ -1718,10 +1733,7 @@ def token_entropy(df: DataFrame, *, text_col: str = "text",
     n first, so n rides along as sum(c) inside the same aggregate
     using the Σc·log2(c) decomposition:
     H = log2(n) − (Σ c·log2 c)/n (exact algebra, no second pass)."""
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
-    doc_tok = (df.select(F.col(id_col), F.explode(tokens).alias("tok"))
-               .where(F.length("tok") > 0)
-               .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
+    doc_tok = _doc_token_counts(df, text_col=text_col, id_col=id_col)
     agg = (doc_tok.groupBy(id_col)
            .agg(F.sum("c").alias("n_tokens"),
                 F.count("*").alias("n_types"),
@@ -1786,6 +1798,8 @@ def boilerplate_phrase_flags(df: DataFrame, *, text_col: str = "text",
     chrome/consent/footer detector that runs before any line-frequency
     pass exists (frequent-line mining needs a second corpus pass;
     this is a single projection fused into the scan)."""
+    if not phrases:
+        raise ValueError("boilerplate_phrase_flags: phrases is empty")
     low = F.lower(F.col(text_col))
     flags = [low.contains(p.lower()).alias(f"bp_{i}")
              for i, p in enumerate(phrases)]
