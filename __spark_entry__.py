@@ -2841,6 +2841,124 @@ def q_cluster_sizes(spark, sf_dir):
     return out.orderBy("cluster_size")
 
 
+def _dhash_payloads() -> list[bytes]:
+    """Five deterministic BMPs with ANALYTICALLY-known dHashes: the
+    three solid/half fixtures (uniform rows → dhash 0) plus a column
+    checkerboard (alternating bits → 0xAAAA… = -6148914691236517206
+    signed) and a strictly descending gradient (all 64 bits set → -1).
+    Constants derived by hand from the 9×8 nearest-neighbor grid +
+    horizontal-pair rule (multimodal.dhash_bmp docstring)."""
+    import numpy as np
+
+    from zoi_spark import multimodal
+
+    red = np.zeros((4, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    gray = np.full((5, 5, 3), 100, dtype=np.uint8)
+    half = np.zeros((2, 6, 3), dtype=np.uint8)
+    half[:, 3:, :] = 255
+    checker = np.zeros((8, 9, 3), dtype=np.uint8)
+    checker[:, 1::2, :] = 255
+    grad = np.zeros((8, 18, 3), dtype=np.uint8)
+    for c in range(18):
+        grad[:, c, :] = 255 - c * 14
+    return [multimodal.encode_bmp(a)
+            for a in (red, gray, half, checker, grad)]
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hashing (multimodal.image_dhash): five
+    deterministic BMP variants through the REAL pure-numpy decode +
+    dHash — dimensions and the exact 64-bit hashes (0 / 0 / 0 /
+    0xAAAA… / all-ones) are hand-derived constants in the twin, the
+    same constants-not-recomputed pattern as the other media oracles."""
+    from zoi_spark import multimodal
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    payloads = _dhash_payloads()
+    v = F.pmod("doc_id", F.lit(5))
+    payload = None
+    for i, p in enumerate(payloads):
+        expr = F.unhex(F.lit(p.hex()))
+        payload = (F.when(v == i, expr) if payload is None
+                   else payload.when(v == i, expr))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     payload.alias("payload"))
+    out = multimodal.image_dhash(media)
+    return (out.groupBy(F.pmod("media_id", F.lit(5)).alias("variant"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("width").alias("w"), F.max("height").alias("h"),
+                 F.min("dhash").alias("dhash_min"),
+                 F.max("dhash").alias("dhash_max"))
+            .orderBy("variant"))
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Label-propagation communities (graph.lpa_communities; Raghavan
+    2007, synchronous min-tie-break variant): two 10-host chorded
+    rings joined by ONE bridge edge — connected components would merge
+    them, LPA keeps the dense sides apart, which is the point. 3
+    rounds; the twin unrolls the same 3 rounds (message join →
+    neighbor-label counts → (count DESC, label ASC) argmax →
+    isolated-node coalesce) as a CTE chain."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(10))
+    blk = F.pmod(F.floor(F.col("doc_id") / 10), F.lit(2)) * 10
+    ring = d.select((g + blk).alias("src"),
+                    (F.pmod(g + 1, F.lit(10)) + blk).alias("dst"))
+    chord = d.select((g + blk).alias("src"),
+                     (F.pmod(g + 2, F.lit(10)) + blk).alias("dst"))
+    bridge = d.where(F.pmod("doc_id", F.lit(97)) == 0).select(
+        F.lit(0).cast("long").alias("src"),
+        F.lit(10).cast("long").alias("dst"))
+    edges = ring.unionAll(chord).unionAll(bridge)
+    out = graph.lpa_communities(edges, iters=3)
+    return out.orderBy("node")
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle (sampling.shuffle_shards):
+    md5 shard assignment + shard-local md5 rank — the reproducible
+    (shard, shard_pos) permutation; both the hex→int shard arithmetic
+    and the within-shard ordering re-derived by the twin."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    out = sampling.shuffle_shards(d, id_col="doc_id", n_shards=8,
+                                  seed="r4")
+    return out.orderBy("shard", "shard_pos")
+
+
+def q_epoch_factors(spark, sf_dir):
+    """Mixture-by-repetition recipe (sampling.epoch_factors; the
+    LLaMA-style per-source epoch counts): targets over three of the
+    five langs (the other two pass through at factor 1), ceil math and
+    effective rows all re-derived by the twin."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    out = sampling.epoch_factors(
+        d, stratum_col="lang",
+        targets={"en": 0.5, "de": 0.2, "zh": 0.3})
+    return (out.select("lang", "n_rows", "target_share",
+                       "epoch_factor", "effective_rows")
+            .orderBy("lang"))
+
+
+def q_benford_prices(spark, sf_dir):
+    """Benford first-digit forensics (tablechecks.benford_profile) over
+    lineitem extended prices — string-based digit extraction (no float
+    log10 edge cases), all nine digits present with observed vs
+    Benford shares under the hash."""
+    from zoi_spark import tablechecks
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = tablechecks.benford_profile(li, "l_extendedprice")
+    return out.orderBy("digit")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2949,6 +3067,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "boiler_phrases": q_boiler_phrases,
         "trigram_surprisal": q_trigram_surprisal,
         "cluster_sizes": q_cluster_sizes,
+        "image_dhash": q_image_dhash,
+        "lpa_communities": q_lpa_communities,
+        "shuffle_shards": q_shuffle_shards,
+        "epoch_factors": q_epoch_factors,
+        "benford_prices": q_benford_prices,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -3773,6 +3896,72 @@ def _boiler_phrases_sql() -> str:
         SELECT *, ({hits})::BIGINT AS n_boiler_hits,
                ({hits}) >= 2 AS boiler_flagged
         FROM flagged ORDER BY doc_id
+    """
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled synchronous LPA twin: per round a message join, a
+    (node,label) count, the (count DESC, label ASC) argmax and the
+    isolated-node coalesce — mirroring graph.lpa_communities over the
+    two-chorded-rings-plus-bridge seeded graph."""
+    rounds = []
+    for r in range(1, iters + 1):
+        prev = f"l{r - 1}"
+        rounds.append(f"""
+        m{r} AS (
+          SELECT s.b AS dst, l.label, count(*) AS n
+          FROM sym s JOIN {prev} l ON s.a = l.node GROUP BY 1, 2),
+        w{r} AS (
+          SELECT dst, label FROM (
+            SELECT dst, label, row_number() OVER (
+                     PARTITION BY dst
+                     ORDER BY n DESC, label ASC) AS rn
+            FROM m{r}) WHERE rn = 1),
+        l{r} AS (
+          SELECT p.node, coalesce(w{r}.label, p.label) AS label
+          FROM {prev} p LEFT JOIN w{r} ON w{r}.dst = p.node)""")
+    return f"""
+        WITH d AS (
+          SELECT doc_id % 10 AS g,
+                 (doc_id // 10) % 2 * 10 AS blk, doc_id
+          FROM documents),
+        e0 AS (
+          SELECT g + blk AS a, (g + 1) % 10 + blk AS b FROM d
+          UNION ALL SELECT g + blk, (g + 2) % 10 + blk FROM d
+          UNION ALL SELECT 0, 10 FROM documents WHERE doc_id % 97 = 0),
+        e AS (SELECT a, b FROM e0 WHERE a != b),
+        sym AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM e UNION ALL SELECT b, a FROM e)),
+        n0 AS (SELECT DISTINCT a AS node FROM sym),
+        l0 AS (SELECT node, node AS label FROM n0),{','.join(rounds)}
+        SELECT node, label AS community FROM l{iters} ORDER BY node
+    """
+
+
+def _benford_sql(column: str, table: str) -> str:
+    from zoi_spark.tablechecks import _BENFORD
+
+    vals = ", ".join(f"({d}, {p!r}::DOUBLE)"
+                     for d, p in sorted(_BENFORD.items()))
+    return f"""
+        WITH vals AS (
+          SELECT {column} AS v FROM {table}
+          WHERE {column} IS NOT NULL AND {column} != 0),
+        dig AS (
+          SELECT substr(regexp_replace(regexp_replace(
+                   printf('%.9f', abs(v)), '[.,]', '', 'g'),
+                   '^0+', ''), 1, 1)::INT AS digit
+          FROM vals),
+        counted AS (SELECT digit, count(*) AS n FROM dig GROUP BY 1),
+        tot AS (SELECT sum(n) AS t FROM counted),
+        bens AS (SELECT * FROM (VALUES {vals}) b(digit, benford_p))
+        SELECT bens.digit,
+               coalesce(n, 0)::BIGINT AS n,
+               round(coalesce(n, 0) / t::DOUBLE, 6) AS observed_p,
+               round(benford_p, 6) AS benford_p
+        FROM bens LEFT JOIN counted USING (digit) CROSS JOIN tot
+        ORDER BY bens.digit
     """
 
 
@@ -6316,4 +6505,56 @@ def oracle_sql() -> dict[str, str]:
                    sum(cluster_size)::BIGINT AS n_docs
             FROM sizes GROUP BY 1 ORDER BY cluster_size
         """,
+        "image_dhash": """
+            WITH c AS (
+              SELECT doc_id % 5 AS variant, count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1),
+            k AS (SELECT * FROM (VALUES
+                    (0, 8, 4, 0),
+                    (1, 5, 5, 0),
+                    (2, 6, 2, 0),
+                    (3, 9, 8, -6148914691236517206),
+                    (4, 18, 8, -1)) t(variant, w, h, dh))
+            SELECT c.variant, n_docs, w, h,
+                   dh::BIGINT AS dhash_min, dh::BIGINT AS dhash_max
+            FROM c JOIN k USING (variant) ORDER BY c.variant
+        """,
+        "lpa_communities": _lpa_sql(iters=3),
+        "shuffle_shards": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5('r4:' || doc_id::VARCHAR) AS key
+              FROM documents),
+            s AS (
+              SELECT doc_id, key,
+                     (('0x' || substr(key, 1, 15))::UBIGINT % 8)
+                       ::BIGINT AS shard
+              FROM k)
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY key, doc_id)
+                     AS shard_pos
+            FROM s ORDER BY shard, shard_pos
+        """,
+        "epoch_factors": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n_rows FROM documents
+              GROUP BY 1),
+            tot AS (SELECT sum(n_rows) AS n FROM counts),
+            recipe AS (SELECT * FROM (VALUES
+                ('de', 0.2::DOUBLE), ('en', 0.5::DOUBLE),
+                ('zh', 0.3::DOUBLE)) t(lang, target_share))
+            SELECT c.lang, n_rows::BIGINT AS n_rows, r.target_share,
+                   CASE WHEN r.target_share IS NOT NULL
+                        THEN greatest(1, ceil(r.target_share * n * 1.0
+                                              / n_rows)::BIGINT)
+                        ELSE 1 END AS epoch_factor,
+                   CASE WHEN r.target_share IS NOT NULL
+                        THEN greatest(1, ceil(r.target_share * n * 1.0
+                                              / n_rows)::BIGINT)
+                        ELSE 1 END * n_rows AS effective_rows
+            FROM counts c LEFT JOIN recipe r USING (lang)
+            CROSS JOIN tot ORDER BY c.lang
+        """,
+        "benford_prices": _benford_sql("l_extendedprice", "lineitem"),
     }

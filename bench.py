@@ -194,6 +194,10 @@ R4_NAMES = [
     # dedup report
     "token_entropy", "sentence_stats", "boiler_phrases",
     "trigram_surprisal", "cluster_sizes",
+    # wave 9: perceptual image hashing, LPA communities, training-order
+    # shuffle, mixture-by-repetition recipe, Benford forensics
+    "image_dhash", "lpa_communities", "shuffle_shards", "epoch_factors",
+    "benford_prices",
 ]
 
 

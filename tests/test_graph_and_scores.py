@@ -447,3 +447,36 @@ class TestCentroidDrift:
         assert out[(0, 1)] == 0.0                     # orthogonal
         assert abs(out[(0, 2)] - round(2 ** -0.5, 6)) < 1e-9
         assert abs(out[(1, 2)] - round(2 ** -0.5, 6)) < 1e-9
+
+
+class TestLpaCommunities:
+    def test_bridge_keeps_triangles_apart(self, spark):
+        from zoi_spark import graph
+
+        # two triangles joined by ONE bridge edge: connected components
+        # would merge them; LPA's density bias keeps them apart.
+        edges = [(1, 2), (2, 3), (3, 1),
+                 (4, 5), (5, 6), (6, 4),
+                 (3, 4)]                      # the bridge
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.node: r.community
+               for r in graph.lpa_communities(df, iters=3).collect()}
+        # hand-unrolled 3 synchronous min-tie-break rounds
+        assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+        assert len({out[1], out[4]}) == 2     # two communities survive
+
+    def test_self_loops_and_nulls_dropped(self, spark):
+        from zoi_spark import graph
+
+        edges = [(7, 7), (None, 1), (1, None), (2, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.node: r.community
+               for r in graph.lpa_communities(df, iters=2).collect()}
+        # 7 only self-loops and the NULL-partner rows -> not nodes.
+        # A bare edge is bipartite: synchronous LPA swaps labels each
+        # round (the textbook oscillation), so after 2 rounds each node
+        # is back to its own label.
+        assert out == {2: 2, 3: 3}
+        out3 = {r.node: r.community
+                for r in graph.lpa_communities(df, iters=3).collect()}
+        assert out3 == {2: 3, 3: 2}

@@ -481,3 +481,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # content mode: the c.com re-crawl of "alpha body" collapses too
     assert sorted(r.text for r in rows2) == ["alpha body", "beta body"]
     assert "__zoi_fp" not in spark.table("zoi_dedup_content").columns
+
+
+def test_dhash_known_bitpatterns(spark):
+    """The three analytic dHash fixtures: uniform image -> 0, column
+    checkerboard -> alternating bits, strictly descending gradient ->
+    all 64 bits set (signed -1)."""
+    import numpy as np
+
+    flat = np.full((6, 11, 3), 77, dtype=np.uint8)
+    assert multimodal.dhash_bmp(flat) == 0
+    checker = np.zeros((8, 9, 3), dtype=np.uint8)
+    checker[:, 1::2, :] = 255
+    assert multimodal.dhash_bmp(checker) == -6148914691236517206
+    grad = np.zeros((8, 18, 3), dtype=np.uint8)
+    for c in range(18):
+        grad[:, c, :] = 255 - c * 14
+    assert multimodal.dhash_bmp(grad) == -1
+
+    # resized copy of the gradient hashes identically (the point of a
+    # perceptual hash): nearest-neighbor grid is scale-invariant here
+    grad2 = np.repeat(np.repeat(grad, 2, axis=0), 2, axis=1)
+    assert multimodal.dhash_bmp(grad2) == -1
+
+    media = spark.createDataFrame(
+        [(1, multimodal.encode_bmp(checker)), (2, None)],
+        "media_id long, payload binary")
+    rows = {r.media_id: r for r in
+            multimodal.image_dhash(media).collect()}
+    assert (rows[1].width, rows[1].height) == (9, 8)
+    assert rows[1].dhash == -6148914691236517206
+    assert (rows[2].width, rows[2].height, rows[2].dhash) == (0, 0, 0)
+
+    bad = spark.createDataFrame([(3, b"\x89PNG" + bytes(40))],
+                                "media_id long, payload binary")
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.image_dhash(bad).collect()

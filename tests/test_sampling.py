@@ -327,3 +327,56 @@ def test_recency_weights_half_life(spark):
     assert out[2] == 0.5
     assert out[3] == 0.25
     assert out[4] is None                    # NULL ts stays NULL
+
+
+def test_shuffle_shards_deterministic_permutation(docs):
+    out = sampling.shuffle_shards(docs.select("doc_id"),
+                                  id_col="doc_id", n_shards=8,
+                                  seed="t").collect()
+    again = sampling.shuffle_shards(docs.select("doc_id"),
+                                    id_col="doc_id", n_shards=8,
+                                    seed="t").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    n = docs.count()
+    assert len({r.doc_id for r in out}) == n          # a permutation
+    assert {r.shard for r in out} <= set(range(8))
+    # shard_pos is a dense 1..len rank within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shards_seed_reshuffles(docs):
+    a = {(r.doc_id, r.shard, r.shard_pos) for r in
+         sampling.shuffle_shards(docs.select("doc_id"), id_col="doc_id",
+                                 n_shards=4, seed="a").collect()}
+    b = {(r.doc_id, r.shard, r.shard_pos) for r in
+         sampling.shuffle_shards(docs.select("doc_id"), id_col="doc_id",
+                                 n_shards=4, seed="b").collect()}
+    assert a != b
+
+
+def test_epoch_factors_hand_computed(spark):
+    rows = [("en",)] * 6 + [("de",)] * 3 + [("fr",)] * 1
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.lang: r for r in sampling.epoch_factors(
+        df, stratum_col="lang",
+        targets={"en": 0.5, "de": 0.5}).collect()}
+    # N=10; en: ceil(0.5*10/6)=1, de: ceil(0.5*10/3)=2, fr: recipe-less
+    assert (out["en"].epoch_factor, out["en"].effective_rows) == (1, 6)
+    assert (out["de"].epoch_factor, out["de"].effective_rows) == (2, 6)
+    assert out["fr"].target_share is None
+    assert (out["fr"].epoch_factor, out["fr"].effective_rows) == (1, 1)
+    # budget_multiplier scales the numerator
+    out2 = {r.lang: r.epoch_factor for r in sampling.epoch_factors(
+        df, stratum_col="lang", targets={"en": 0.5, "de": 0.5},
+        budget_multiplier=3.0).collect()}
+    assert out2 == {"en": 3, "de": 5, "fr": 1}
+
+
+def test_epoch_factors_rejects_empty_recipe(spark):
+    df = spark.createDataFrame([("en",)], "lang string")
+    with pytest.raises(ValueError, match="targets is empty"):
+        sampling.epoch_factors(df, stratum_col="lang", targets={})

@@ -1407,3 +1407,20 @@ def test_recall_at_k_dedups_approx_rows(spark):
                                    "query_id long, vec_id long")
     r = similarity.recall_at_k(approx, exact).first()
     assert (r.n_exact, r.n_hit, r.recall) == (2, 1, 0.5)
+
+
+def test_benford_profile_hand_digits(spark):
+    from zoi_spark import tablechecks
+
+    vals = [1.5, -19.0, 0.0, None, 250.0, 0.02]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in
+           tablechecks.benford_profile(df, "v").collect()}
+    assert sorted(out) == list(range(1, 10))   # all 9 rows, always
+    # 1.5 -> 1, -19 -> 1, 250 -> 2, 0.02 -> 2; zero/NULL excluded
+    assert (out[1].n, out[2].n) == (2, 2)
+    assert out[1].observed_p == 0.5 and out[2].observed_p == 0.5
+    assert all(out[d].n == 0 and out[d].observed_p == 0.0
+               for d in range(3, 10))
+    import math
+    assert out[1].benford_p == round(math.log10(2.0), 6)

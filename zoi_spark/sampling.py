@@ -366,3 +366,69 @@ def recency_weights(df: DataFrame, *, ts_col: str = "ts",
     return (df.crossJoin(F.broadcast(mx))
             .withColumn(out_col, F.round(w, 6))
             .drop("__max_ts"))
+
+
+def shuffle_shards(df: DataFrame, *, id_col: str,
+                   n_shards: int = 1024, seed: str = "") -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a ``shard``
+    (md5 of seed+id, mod n_shards) and a ``shard_pos`` (md5-ordered
+    rank WITHIN the shard) — the reproducible global permutation a
+    training run reads as shard-major order. Changing *seed* reshuffles
+    everything; re-running never does.
+
+    Scale contract: there is deliberately NO global row_number (a
+    corpus-wide ordering window serializes through one task) — the
+    permutation is (shard, shard_pos), where each rank window runs over
+    one shard ≈ corpus/n_shards rows. Size n_shards so a shard fits an
+    executor's sort buffer."""
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+        F.lit(int(n_shards)))
+    w = Window.partitionBy("shard").orderBy(F.col("__key"),
+                                            F.col(id_col))
+    return (df.withColumn("__key", key)
+            .withColumn("shard", shard)
+            .withColumn("shard_pos", F.row_number().over(w))
+            .drop("__key"))
+
+
+def epoch_factors(df: DataFrame, *, stratum_col: str,
+                  targets: "dict[str, float]",
+                  budget_multiplier: float = 1.0) -> DataFrame:
+    """Per-stratum repetition factors — the LLaMA-style data recipe
+    step that hits a target mixture by REPEATING under-represented
+    strata whole numbers of times (epochs) rather than subsampling:
+    with corpus size N and normalized target share t_s,
+
+        factor_s = max(1, ceil(t_s · N · budget_multiplier / n_s))
+
+    Emits one row per stratum present in the corpus: ``n_rows``,
+    ``target_share`` (NULL → factor 1: strata missing from the recipe
+    are passed through once), ``epoch_factor`` and ``effective_rows``.
+    Materialize the repetition downstream with
+    ``join + explode(sequence(1, epoch_factor))``. One count
+    aggregation + a broadcast of the (tiny) recipe."""
+    if not targets:
+        raise ValueError("epoch_factors: targets is empty")
+    total = sum(targets.values())
+    recipe = [(k, float(v) / total) for k, v in sorted(targets.items())]
+    spark = df.sparkSession
+    tdf = F.broadcast(spark.createDataFrame(
+        recipe, f"{stratum_col} string, target_share double"))
+    counts = (df.groupBy(stratum_col)
+              .agg(F.count("*").alias("n_rows")))
+    n_total = counts.agg(F.sum("n_rows").alias("__n"))
+    factor = F.when(
+        F.col("target_share").isNotNull(),
+        F.greatest(F.lit(1), F.ceil(
+            F.col("target_share") * F.col("__n")
+            * F.lit(float(budget_multiplier)) / F.col("n_rows"))
+            .cast("long"))).otherwise(F.lit(1))
+    return (counts.join(tdf, stratum_col, "left")
+            .crossJoin(F.broadcast(n_total))
+            .withColumn("epoch_factor", factor)
+            .withColumn("effective_rows",
+                        F.col("epoch_factor") * F.col("n_rows"))
+            .drop("__n"))

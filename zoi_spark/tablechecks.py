@@ -576,3 +576,36 @@ def js_divergence_pairs(df: DataFrame, *, group_col: str,
     return (pairs.join(shared, ["g_a", "g_b"], "left")
             .select("g_a", "g_b",
                     F.round(js, round_to).alias("js_divergence")))
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    numeric-forensics QC (organically generated magnitudes follow it;
+    synthetic/templated/capped values do not): one row per digit 1-9
+    with the observed count/share and Benford's expectation. Zero and
+    NULL values are excluded (they have no first significant digit).
+    The digit extraction is string-based (first char of the digits of
+    abs(value)) so float log10 edge cases can't misclassify a
+    boundary value. One projection + one 9-key aggregation."""
+    digits = F.regexp_replace(
+        F.format_number(F.abs(F.col(column)).cast("double"), 9),
+        r"[.,]", "")
+    first = F.substring(F.regexp_replace(digits, "^0+", ""), 1, 1)
+    counted = (df.where(F.col(column).isNotNull()
+                        & (F.col(column) != 0))
+               .select(first.cast("int").alias("digit"))
+               .groupBy("digit").agg(F.count("*").alias("n")))
+    total = counted.agg(F.sum("n").alias("__t"))
+    bdf = F.broadcast(df.sparkSession.createDataFrame(
+        sorted(_BENFORD.items()), "digit int, benford_p double"))
+    return (bdf.join(counted, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.round(F.coalesce("n", F.lit(0)) / F.col("__t"), 6)
+                    .alias("observed_p"),
+                    F.round("benford_p", 6).alias("benford_p")))
