@@ -2959,6 +2959,69 @@ def q_benford_prices(spark, sf_dir):
     return out.orderBy("digit")
 
 
+def q_triangle_profile(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient
+    (graph.triangle_stats): a 12-node circulant host graph with an
+    extra irregular chord family ((7g+3) mod 12) so degrees and
+    triangle counts vary across nodes — the canonical-ordering
+    two-join node-iterator fully re-derived by the twin."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(12))
+    edges = (d.select(g.alias("src"),
+                      F.pmod(g + 1, F.lit(12)).alias("dst"))
+             .unionAll(d.select(g.alias("src"),
+                                F.pmod(g + 2, F.lit(12)).alias("dst")))
+             .unionAll(d.select(g.alias("src"),
+                                F.pmod(g * 7 + 3, F.lit(12))
+                                .alias("dst"))))
+    return graph.triangle_stats(edges).orderBy("node")
+
+
+def q_lang_source_chi2(spark, sf_dir):
+    """Chi-square independence of lang × source
+    (tablechecks.chi2_independence): full margin cross product with
+    zero-observed cells, dof and Cramér's V — one statistic row whose
+    every intermediate (margins, expected counts) the twin recomputes."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.chi2_independence(d, "lang", "source")
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Top-V token-mass coverage curve (text.vocab_coverage) at V ∈
+    {16, 256, 4096}: the tokenizer-sizing report. The Spark side cuts
+    the vocabulary with a distributed TakeOrdered (orderBy+limit),
+    never a corpus-wide window; the twin ranks with row_number over
+    the same (freq DESC, token ASC) order."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.vocab_coverage(d, thresholds=(16, 256, 4096))
+            .orderBy("vocab_size"))
+
+
+def q_source_lang_entropy(spark, sf_dir):
+    """Per-source language entropy (tablechecks.group_entropy): the
+    mixture-purity / spam-farm signal, computed with the single-pass
+    log2(n) − Σc·log2(c)/n decomposition (no totals join) that the
+    twin mirrors term by term."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.group_entropy(d, group_col="source",
+                                      cat_col="lang")
+            .orderBy("source"))
+
+
+def q_user_gaps(spark, sf_dir):
+    """Inter-arrival gap profile (tablechecks.interarrival_stats) over
+    events: per-user lag gaps in seconds (NTZ ts cast through
+    timestamp→double, the recency_weights-proven epoch path),
+    aggregated per event type of the LATER event — bot cadence shows
+    as min≈max."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.interarrival_stats(
+        ev, ts_col="ts", entity_col="user_id", order_col="event_id",
+        group_col="event_type").orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3072,6 +3135,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "shuffle_shards": q_shuffle_shards,
         "epoch_factors": q_epoch_factors,
         "benford_prices": q_benford_prices,
+        "triangle_profile": q_triangle_profile,
+        "lang_source_chi2": q_lang_source_chi2,
+        "vocab_coverage": q_vocab_coverage,
+        "source_lang_entropy": q_source_lang_entropy,
+        "user_gaps": q_user_gaps,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -6557,4 +6625,106 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot ORDER BY c.lang
         """,
         "benford_prices": _benford_sql("l_extendedprice", "lineitem"),
+        "triangle_profile": """
+            WITH g AS (SELECT doc_id % 12 AS g FROM documents),
+            e0 AS (
+              SELECT g AS s, (g + 1) % 12 AS d FROM g
+              UNION ALL SELECT g, (g + 2) % 12 FROM g
+              UNION ALL SELECT g, (g * 7 + 3) % 12 FROM g),
+            canon AS (
+              SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+              FROM e0 WHERE s != d),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM canon e1
+              JOIN canon e2 ON e2.u = e1.v
+              JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (
+              SELECT node, count(*) AS n_tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) GROUP BY 1),
+            deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM canon
+                UNION ALL SELECT v FROM canon) GROUP BY 1)
+            SELECT deg.node, degree,
+                   coalesce(n_tri, 0)::BIGINT AS n_triangles,
+                   CASE WHEN degree >= 2 THEN
+                     round(2.0 * coalesce(n_tri, 0)
+                           / (degree * (degree - 1)), 6)
+                   ELSE 0.0 END AS clustering
+            FROM deg LEFT JOIN corners USING (node) ORDER BY node
+        """,
+        "lang_source_chi2": """
+            WITH base AS (
+              SELECT lang AS a, source AS b FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL),
+            obs AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+            ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+            cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+            tot AS (SELECT sum(o) AS n FROM obs),
+            cells AS (
+              SELECT ra.a, cb.b, ra, cb, coalesce(o, 0) AS o, n
+              FROM ra CROSS JOIN cb
+              LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+              CROSS JOIN tot),
+            s AS (
+              SELECT sum(pow(o - ra * cb / n, 2) / (ra * cb / n))
+                       AS chi2,
+                     count(DISTINCT a) - 1 AS da,
+                     count(DISTINCT b) - 1 AS db,
+                     max(n) AS n_rows
+              FROM cells)
+            SELECT round(chi2, 6) AS chi2, (da * db)::BIGINT AS dof,
+                   n_rows::BIGINT AS n_rows,
+                   round(sqrt(chi2 / (n_rows * least(da, db))), 6)
+                     AS cramers_v
+            FROM s
+        """,
+        "vocab_coverage": f"""
+            WITH toks AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, count(*) AS n FROM toks
+              WHERE token != '' GROUP BY 1),
+            tot AS (SELECT sum(n) AS total FROM counts),
+            ranked AS (
+              SELECT n, row_number() OVER (
+                       ORDER BY n DESC, token ASC) AS rnk
+              FROM counts),
+            th AS (SELECT * FROM (VALUES (16), (256), (4096))
+                   t(vocab_size))
+            SELECT vocab_size,
+                   sum(n)::BIGINT AS covered_tokens,
+                   max(total)::BIGINT AS total_tokens,
+                   round(sum(n) / max(total)::DOUBLE, 6) AS coverage
+            FROM th JOIN ranked ON rnk <= vocab_size CROSS JOIN tot
+            GROUP BY 1 ORDER BY vocab_size
+        """,
+        "source_lang_entropy": """
+            WITH counts AS (
+              SELECT source, lang, count(*) AS c FROM documents
+              WHERE source IS NOT NULL GROUP BY 1, 2)
+            SELECT source, sum(c)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_cats,
+                   round(log2(sum(c))
+                         - sum(c * log2(c)) / sum(c), 6) AS entropy
+            FROM counts GROUP BY 1 ORDER BY source
+        """,
+        "user_gaps": """
+            WITH gaps AS (
+              SELECT event_type,
+                     epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS gap
+              FROM events WHERE ts IS NOT NULL)
+            SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   round(avg(gap), 6) AS mean_gap,
+                   round(min(gap), 6) AS min_gap,
+                   round(max(gap), 6) AS max_gap
+            FROM gaps WHERE gap IS NOT NULL
+            GROUP BY 1 ORDER BY event_type
+        """,
     }

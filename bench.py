@@ -198,6 +198,10 @@ R4_NAMES = [
     # shuffle, mixture-by-repetition recipe, Benford forensics
     "image_dhash", "lpa_communities", "shuffle_shards", "epoch_factors",
     "benford_prices",
+    # wave 10: triangle/clustering profile, chi-square independence,
+    # vocab coverage curve, mixture-purity entropy, inter-arrival gaps
+    "triangle_profile", "lang_source_chi2", "vocab_coverage",
+    "source_lang_entropy", "user_gaps",
 ]
 
 

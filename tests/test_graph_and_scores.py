@@ -480,3 +480,56 @@ class TestLpaCommunities:
         out3 = {r.node: r.community
                 for r in graph.lpa_communities(df, iters=3).collect()}
         assert out3 == {2: 3, 3: 2}
+
+
+class TestTriangleStats:
+    def test_circulant_hand_values(self, spark):
+        from zoi_spark import graph
+
+        # C12(1,2): every node has degree 4 and sits in exactly the 3
+        # triangles {g-2..g}, {g-1..g+1}, {g..g+2} -> cc = 3/6 = 0.5
+        edges = [(g, (g + 1) % 12) for g in range(12)] + \
+                [(g, (g + 2) % 12) for g in range(12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = graph.triangle_stats(df).collect()
+        assert len(out) == 12
+        assert all((r.degree, r.n_triangles, r.clustering)
+                   == (4, 3, 0.5) for r in out)
+
+    def test_duplicate_reverse_and_degenerate(self, spark):
+        from zoi_spark import graph
+
+        # triangle given with duplicate + reversed edges counts once;
+        # pendant node 4 (degree 1) has cc = 0.0 by convention
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.node: r for r in graph.triangle_stats(df).collect()}
+        assert (out[1].n_triangles, out[1].degree) == (1, 2)
+        assert out[3].degree == 3
+        assert out[3].clustering == round(2 * 1 / (3 * 2), 6)
+        assert (out[4].n_triangles, out[4].clustering) == (0, 0.0)
+
+
+class TestVocabCoverage:
+    def test_hand_counts_and_tiebreak(self, spark):
+        from zoi_spark import text as ztext
+
+        # tokens: the x4, cat x2, dog x2 (tie broken 'cat' < 'dog'), ox
+        d = spark.createDataFrame(
+            [(1, "the cat THE dog"), (2, "the cat dog the ox")],
+            "doc_id long, text string")
+        out = {r.vocab_size: r for r in ztext.vocab_coverage(
+            d, thresholds=(1, 2, 3)).collect()}
+        assert (out[1].covered_tokens, out[1].total_tokens) == (4, 9)
+        assert out[2].covered_tokens == 6      # the + cat (tiebreak)
+        assert out[3].covered_tokens == 8
+        assert out[3].coverage == round(8 / 9, 6)
+
+    def test_rejects_bad_thresholds(self, spark):
+        import pytest as _pt
+
+        from zoi_spark import text as ztext
+
+        d = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="thresholds"):
+            ztext.vocab_coverage(d, thresholds=(0,))

@@ -1424,3 +1424,67 @@ def test_benford_profile_hand_digits(spark):
                for d in range(3, 10))
     import math
     assert out[1].benford_p == round(math.log10(2.0), 6)
+
+
+def test_chi2_independence_hand_table(spark):
+    from zoi_spark import tablechecks
+
+    # classic 2x2: a=(x:30,y:10 | x:10,y:30) -> chi2 = 80*... hand:
+    # margins 40/40, 40/40, n=80, every expected cell = 20,
+    # chi2 = 4 * (10^2/20) = 20; dof = 1; V = sqrt(20/80) = 0.5
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10 +
+            [("b", "x")] * 10 + [("b", "y")] * 30 +
+            [(None, "x")] * 5 + [("a", None)] * 5)   # NULLs excluded
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = tablechecks.chi2_independence(df, "u", "v").first()
+    assert (r.chi2, r.dof, r.n_rows, r.cramers_v) == (20.0, 1, 80, 0.5)
+
+
+def test_chi2_counts_zero_observed_cells(spark):
+    from zoi_spark import tablechecks
+
+    # (a,y) never observed: the zero cell must still contribute
+    rows = [("a", "x")] * 2 + [("b", "x")] * 1 + [("b", "y")] * 1
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = tablechecks.chi2_independence(df, "u", "v").first()
+    # expected: a/x 1.5, a/y .5, b/x 1.5, b/y .5 ->
+    # chi2 = .25/1.5 + .25/.5 + .25/1.5 + .25/.5 = 4/3
+    assert r.chi2 == round(4.0 / 3.0, 6) and r.dof == 1
+
+
+def test_group_entropy_hand_values(spark):
+    from zoi_spark import tablechecks
+
+    rows = ([("s1", "en")] * 2 + [("s1", "de")] * 2 +    # uniform: 1 bit
+            [("s2", "en")] * 4 +                          # pure: 0 bits
+            [("s2", None)] * 4 +                          # NULL category
+            [(None, "en")])                               # NULL group out
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r.source: r for r in tablechecks.group_entropy(
+        df, group_col="source", cat_col="lang").collect()}
+    assert set(out) == {"s1", "s2"}
+    assert (out["s1"].n_rows, out["s1"].n_cats) == (4, 2)
+    assert out["s1"].entropy == 1.0
+    assert (out["s2"].n_rows, out["s2"].n_cats) == (8, 2)
+    assert out["s2"].entropy == 1.0      # en/NULL 50:50 -> 1 bit
+
+
+def test_interarrival_stats_hand_gaps(spark):
+    import datetime as dt
+
+    from zoi_spark import tablechecks
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [  # user 1: gaps 10s, 50s (types of LATER events: p, q)
+        (1, t0, "p", 1), (1, t0 + dt.timedelta(seconds=10), "p", 2),
+        (1, t0 + dt.timedelta(seconds=60), "q", 3),
+        # user 2: one event -> no gaps; NULL ts row ignored
+        (2, t0, "p", 4), (2, None, "p", 5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+              "event_id long")
+    out = {r.event_type: r for r in tablechecks.interarrival_stats(
+        df, ts_col="ts", entity_col="user_id", order_col="event_id",
+        group_col="event_type").collect()}
+    assert (out["p"].n_gaps, out["p"].mean_gap) == (1, 10.0)
+    assert (out["q"].min_gap, out["q"].max_gap) == (50.0, 50.0)

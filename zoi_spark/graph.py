@@ -294,3 +294,50 @@ def lpa_communities(edges: DataFrame, *, src_col: str = "src",
                           .alias("label"))
                   .localCheckpoint(eager=True))
     return labels.withColumnRenamed("label", "community")
+
+
+def triangle_stats(edges: DataFrame, *, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    distinct undirected edge set — the link-farm / community-density
+    profile (organic neighborhoods close triangles; spray-link spam
+    does not). Output: (node, degree, n_triangles, clustering) with
+    clustering = 2T / (deg·(deg−1)), 0.0 for degree < 2.
+
+    Node-iterator with canonical ordering: edges are canonicalized to
+    (u < v) once, so each triangle a<b<c is materialized exactly once
+    by two equi-joins (wedge a−b−c, then the closing probe a−c) and
+    never re-counted. At 10^10 edges this is two shuffles of the
+    canonical edge table on node keys — no neighbor-set explosion, no
+    per-node adjacency list; skew is bounded by the wedge count of the
+    hottest node, the standard distributed triangle-count shape."""
+    e = (edges.select(F.col(src_col).alias("s"),
+                      F.col(dst_col).alias("d"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull()
+                & (F.col("s") != F.col("d"))))
+    canon = (e.select(F.least("s", "d").alias("u"),
+                      F.greatest("s", "d").alias("v"))
+             .distinct())
+    e1 = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = canon.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = canon.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (e1.join(e2, e1["b"] == e2["b2"])
+           .join(e3, (F.col("a") == F.col("a3"))
+                 & (F.col("c") == F.col("c3")))
+           .select("a", "b", "c"))
+    corners = (tri.select(F.col("a").alias("node"))
+               .unionAll(tri.select(F.col("b").alias("node")))
+               .unionAll(tri.select(F.col("c").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    deg = (canon.select(F.col("u").alias("node"))
+           .unionAll(canon.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    t = F.coalesce("n_triangles", F.lit(0))
+    cc = F.when(F.col("degree") >= 2,
+                F.round(2.0 * t / (F.col("degree")
+                                   * (F.col("degree") - 1)), 6)) \
+        .otherwise(F.lit(0.0))
+    return (deg.join(corners, "node", "left")
+            .select("node", "degree",
+                    t.cast("long").alias("n_triangles"),
+                    cc.alias("clustering")))

@@ -609,3 +609,101 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
                     F.round(F.coalesce("n", F.lit(0)) / F.col("__t"), 6)
                     .alias("observed_p"),
                     F.round("benford_p", 6).alias("benford_p")))
+
+
+def chi2_independence(df: DataFrame, col_a: str,
+                      col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the categorical complement of ks_drift_binned /
+    js_divergence_pairs (is `lang` independent of `source`, or does
+    one crawl feed skew the mixture?). One row out: ``chi2``
+    (Σ (obs−exp)²/exp over the FULL margin cross product, zero-observed
+    cells included), ``dof`` = (|A|−1)(|B|−1), ``n_rows``, and
+    ``cramers_v`` = sqrt(chi2 / (n·min(|A|−1,|B|−1))) — the
+    sample-size-free effect size. NULL categories are excluded (they
+    have no margin). Compare chi2 against the chi-square quantile for
+    dof upstream; the statistic itself is deterministic.
+
+    One (a,b) hash aggregation over the corpus; margins and the cell
+    grid are |A|·|B| rows — broadcast-joined, never shuffled."""
+    base = df.where(F.col(col_a).isNotNull()
+                    & F.col(col_b).isNotNull())
+    obs = (base.groupBy(F.col(col_a).alias("a"),
+                        F.col(col_b).alias("b"))
+           .agg(F.count("*").alias("o")))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (ra.crossJoin(F.broadcast(cb))
+             .join(F.broadcast(obs), ["a", "b"], "left")
+             .crossJoin(F.broadcast(n)))
+    exp = F.col("ra") * F.col("cb") / F.col("n")
+    term = F.pow(F.coalesce("o", F.lit(0)) - exp, 2) / exp
+    stats = (cells.agg(
+        F.sum(term).alias("__chi2"),
+        (F.count_distinct("a") - 1).alias("__da"),
+        (F.count_distinct("b") - 1).alias("__db"),
+        F.max("n").alias("n_rows")))
+    v = F.sqrt(F.col("__chi2")
+               / (F.col("n_rows") * F.least("__da", "__db")))
+    return stats.select(
+        F.round("__chi2", 6).alias("chi2"),
+        (F.col("__da") * F.col("__db")).cast("long").alias("dof"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(v, 6).alias("cramers_v"))
+
+
+def group_entropy(df: DataFrame, *, group_col: str,
+                  cat_col: str) -> DataFrame:
+    """Per-group Shannon entropy (bits) of a categorical column — the
+    mixture-purity profile: a source/host serving 40 languages at
+    near-uniform entropy is a spam farm or an MT mill, while organic
+    sources are low-entropy. Output per group: ``n_rows``, ``n_cats``,
+    ``entropy`` = −Σ (c/n)·log2(c/n), rounded to 6. NULL category
+    values form their own category (a missing lang tag is itself
+    signal); NULL groups are excluded.
+
+    Two hash aggregations — (group, cat) counts, then the entropy fold
+    per group; both shuffle on the group key only."""
+    counts = (df.where(F.col(group_col).isNotNull())
+              .groupBy(group_col, cat_col)
+              .agg(F.count("*").alias("c")))
+    n = F.sum("c")
+    # −Σ c·log2(c)/n + log2(n): the single-pass decomposition, same
+    # trick as token_entropy — no second join against the totals
+    ent = F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n
+    return (counts.groupBy(group_col)
+            .agg(n.cast("long").alias("n_rows"),
+                 F.count("*").cast("long").alias("n_cats"),
+                 F.round(ent, 6).alias("entropy")))
+
+
+def interarrival_stats(df: DataFrame, *, ts_col: str,
+                       entity_col: str, order_col: str | None = None,
+                       group_col: str | None = None) -> DataFrame:
+    """Inter-arrival gap profile: per entity (user, host, crawler) the
+    events are ordered by timestamp and each event's gap to the
+    previous one is measured in seconds; gaps are then aggregated per
+    *group_col* (default: per entity) into ``n_gaps`` / ``mean_gap`` /
+    ``min_gap`` / ``max_gap``. Bot traffic shows near-constant gaps
+    (min≈max); re-crawl scheduling shows per-host periodicity. A gap
+    is attributed to the LATER event's group. First events have no gap
+    and are excluded, as are NULL timestamps.
+
+    One lag window per entity (one shuffle on the entity key — the
+    same partitioning sessionize uses), then one hash aggregation.
+    Ties on the timestamp are broken by *order_col* so the gap
+    sequence is deterministic under any physical row order."""
+    td = F.col(ts_col).cast("timestamp").cast("double")
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    gap = td - F.lag(td).over(w)
+    key = group_col or entity_col
+    return (df.where(F.col(ts_col).isNotNull())
+            .withColumn("__gap", gap)
+            .where(F.col("__gap").isNotNull())
+            .groupBy(key)
+            .agg(F.count("*").cast("long").alias("n_gaps"),
+                 F.round(F.avg("__gap"), 6).alias("mean_gap"),
+                 F.round(F.min("__gap"), 6).alias("min_gap"),
+                 F.round(F.max("__gap"), 6).alias("max_gap")))
