@@ -3022,6 +3022,85 @@ def q_user_gaps(spark, sf_dir):
         group_col="event_type").orderBy("event_type"))
 
 
+def _host_graph_edges(spark, sf_dir):
+    """The wave-11 host graph: a 24-ring with chords only on even
+    nodes (heterogeneous degrees — assortativity needs variance) used
+    by assortativity; kcore builds its own richer family."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(24))
+    ring = d.select(g.alias("src"),
+                    F.pmod(g + 1, F.lit(24)).alias("dst"))
+    chords = (d.where(F.pmod("doc_id", F.lit(2)) == 0)
+              .select(g.alias("src"),
+                      F.pmod(g + 2, F.lit(24)).alias("dst")))
+    return ring.unionAll(chords)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (graph.degree_assortativity; Newman 2002)
+    over a ring-with-even-chords host graph: exact integer moment sums
+    → a bit-deterministic Pearson coefficient the twin recomputes from
+    the same five sums."""
+    from zoi_spark import graph
+
+    return graph.degree_assortativity(_host_graph_edges(spark, sf_dir))
+
+
+def q_kcore_profile(spark, sf_dir):
+    """k-core peeling (graph.kcore, k=3, 4 unrolled rounds): the
+    C12(1,2) circulant with the irregular (7g+3) chord family PLUS
+    two-hop pendant chains — leaves peel in round 1, their anchors in
+    round 2, the dense nucleus survives with its final in-core
+    degrees. The twin unrolls the same degree→filter→semi-join rounds
+    as a CTE chain."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(12))
+    fam = [d.select(g.alias("src"),
+                    F.pmod(g + 1, F.lit(12)).alias("dst")),
+           d.select(g.alias("src"),
+                    F.pmod(g + 2, F.lit(12)).alias("dst")),
+           d.select(g.alias("src"),
+                    F.pmod(g * 7 + 3, F.lit(12)).alias("dst")),
+           d.select(g.alias("src"), (g + 100).alias("dst")),
+           d.select((g + 100).alias("src"), (g + 200).alias("dst"))]
+    edges = fam[0]
+    for f in fam[1:]:
+        edges = edges.unionAll(f)
+    return graph.kcore(edges, k=3, rounds=4).orderBy("node")
+
+
+def q_silhouette_labels(spark, sf_dir):
+    """Centroid silhouette per embedding label
+    (similarity.silhouette_centroid): own-centroid vs
+    nearest-other-centroid cosine distances, component means on the
+    9-decimal grid and per-point scores on the 6-decimal grid before
+    averaging — the centroid_drift numerical-pairing precedent."""
+    from zoi_spark import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.silhouette_centroid(emb).orderBy("label")
+
+
+def q_lang_fertility(spark, sf_dir):
+    """Tokenizer-fertility proxies per language (text.byte_fertility):
+    UTF-8 bytes/char, chars/token, bytes/token as corpus-level
+    SUM-ratios over exact integer accumulators — CJK languages separate
+    from Latin-script ones on the first ratio alone."""
+    d = _read(spark, sf_dir, "documents")
+    return text.byte_fertility(d).orderBy("lang")
+
+
+def q_gram_novelty(spark, sf_dir):
+    """First-occurrence 3-gram novelty (text.gram_novelty): per doc,
+    the fraction of its distinct shingles first seen (by ascending
+    doc_id) in that doc — the marginal-contribution score; min-agg on
+    the gram key, no first-seen join tower."""
+    d = _read(spark, sf_dir, "documents")
+    return text.gram_novelty(d, n=3).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3140,6 +3219,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "vocab_coverage": q_vocab_coverage,
         "source_lang_entropy": q_source_lang_entropy,
         "user_gaps": q_user_gaps,
+        "assortativity": q_assortativity,
+        "kcore_profile": q_kcore_profile,
+        "silhouette_labels": q_silhouette_labels,
+        "lang_fertility": q_lang_fertility,
+        "gram_novelty": q_gram_novelty,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -4030,6 +4114,38 @@ def _benford_sql(column: str, table: str) -> str:
                round(benford_p, 6) AS benford_p
         FROM bens LEFT JOIN counted USING (digit) CROSS JOIN tot
         ORDER BY bens.digit
+    """
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling twin: per round a degree count, the
+    ≥k survivor filter, and the two endpoint semi-joins — mirroring
+    graph.kcore over the circulant-plus-pendant-chains seeded graph."""
+    body = []
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        body.append(f"""
+        d{r} AS (SELECT a, count(*) AS d FROM {prev} GROUP BY 1),
+        k{r} AS (SELECT a FROM d{r} WHERE d >= {k}),
+        s{r} AS (
+          SELECT x.a, x.b FROM {prev} x
+          JOIN k{r} ka ON x.a = ka.a
+          JOIN k{r} kb ON x.b = kb.a)""")
+    return f"""
+        WITH g AS (SELECT doc_id % 12 AS g FROM documents),
+        e0 AS (
+          SELECT g AS s, (g + 1) % 12 AS d FROM g
+          UNION ALL SELECT g, (g + 2) % 12 FROM g
+          UNION ALL SELECT g, (g * 7 + 3) % 12 FROM g
+          UNION ALL SELECT g, g + 100 FROM g
+          UNION ALL SELECT g + 100, g + 200 FROM g),
+        e AS (SELECT s, d FROM e0 WHERE s != d),
+        s0 AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT s AS a, d AS b FROM e
+            UNION ALL SELECT d, s FROM e)),{','.join(body)}
+        SELECT a AS node, count(*)::BIGINT AS degree
+        FROM s{rounds} GROUP BY 1 ORDER BY node
     """
 
 
@@ -6712,6 +6828,119 @@ def oracle_sql() -> dict[str, str]:
                    round(log2(sum(c))
                          - sum(c * log2(c)) / sum(c), 6) AS entropy
             FROM counts GROUP BY 1 ORDER BY source
+        """,
+        "assortativity": """
+            WITH g AS (SELECT doc_id % 24 AS g, doc_id FROM documents),
+            e0 AS (
+              SELECT g AS s, (g + 1) % 24 AS d FROM g
+              UNION ALL
+              SELECT g, (g + 2) % 24 FROM g WHERE doc_id % 2 = 0),
+            e AS (SELECT s, d FROM e0 WHERE s != d),
+            sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT s AS a, d AS b FROM e
+                UNION ALL SELECT d, s FROM e)),
+            deg AS (SELECT a AS node, count(*) AS d FROM sym
+                    GROUP BY 1),
+            p AS (
+              SELECT dx.d AS x, dy.d AS y FROM sym
+              JOIN deg dx ON sym.a = dx.node
+              JOIN deg dy ON sym.b = dy.node),
+            s AS (
+              SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx,
+                     sum(y * y) AS syy
+              FROM p)
+            SELECT (m / 2)::BIGINT AS n_edges,
+                   CASE WHEN m * sxx - sx * sx > 0
+                         AND m * syy - sy * sy > 0 THEN
+                     round((m * sxy - sx * sy)
+                           / sqrt((m * sxx - sx * sx)::DOUBLE
+                                  * (m * syy - sy * sy)), 6)
+                   END AS assortativity
+            FROM s
+        """,
+        "kcore_profile": _kcore_sql(k=3, rounds=4),
+        "silhouette_labels": """
+            WITH c AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings),
+            comp AS (
+              SELECT label AS gl, i, round(avg(v[i]), 9) AS m
+              FROM c, range(1, 65) r(i) GROUP BY 1, 2),
+            cent AS (
+              SELECT gl, list(m ORDER BY i) AS cv FROM comp
+              GROUP BY 1),
+            cn AS (SELECT gl, cv, sqrt(list_dot_product(cv, cv)) AS nc
+                   FROM cent),
+            pn AS (SELECT vec_id, label, v,
+                          sqrt(list_dot_product(v, v)) AS nv
+                   FROM c),
+            d AS (
+              SELECT vec_id, label, gl,
+                     1.0 - list_dot_product(v, cv) / (nv * nc) AS dist
+              FROM pn CROSS JOIN cn WHERE nv > 0 AND nc > 0),
+            per AS (
+              SELECT vec_id, label,
+                     min(CASE WHEN gl = label THEN dist END) AS a,
+                     min(CASE WHEN gl != label THEN dist END) AS b
+              FROM d GROUP BY 1, 2),
+            per2 AS (
+              SELECT label,
+                     round(a * 1e6)::BIGINT AS ra,
+                     round(b * 1e6)::BIGINT AS rb,
+                     round((CASE WHEN greatest(a, b) > 0
+                                 THEN (b - a) / greatest(a, b)
+                                 ELSE 0.0 END) * 1e6)::BIGINT AS s
+              FROM per WHERE a IS NOT NULL AND b IS NOT NULL)
+            SELECT label, count(*)::BIGINT AS n_points,
+                   round(sum(ra) / 1e6 / count(*), 6) AS mean_a,
+                   round(sum(rb) / 1e6 / count(*), 6) AS mean_b,
+                   round(sum(s) / 1e6 / count(*), 6)
+                     AS mean_silhouette
+            FROM per2 GROUP BY 1 ORDER BY label
+        """,
+        "lang_fertility": """
+            WITH s AS (
+              SELECT lang, count(*) AS n_docs,
+                     sum(strlen(text)) AS b,
+                     sum(length(text)) AS c,
+                     sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text),
+                                                     '\\s+')) END) AS t
+              FROM documents GROUP BY 1)
+            SELECT lang, n_docs::BIGINT AS n_docs,
+                   coalesce(t, 0)::BIGINT AS n_tokens,
+                   CASE WHEN c > 0
+                        THEN round(b / c::DOUBLE, 6) END
+                     AS bytes_per_char,
+                   CASE WHEN t > 0
+                        THEN round(c / t::DOUBLE, 6) END
+                     AS chars_per_token,
+                   CASE WHEN t > 0
+                        THEN round(b / t::DOUBLE, 6) END
+                     AS bytes_per_token
+            FROM s ORDER BY lang
+        """,
+        "gram_novelty": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))
+                  END) AS g
+                FROM toks) WHERE g != ''),
+            f AS (SELECT g, min(doc_id) AS fst FROM sh GROUP BY 1)
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN fst = doc_id THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_novel,
+                   round(sum(CASE WHEN fst = doc_id THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS novelty
+            FROM sh JOIN f USING (g) GROUP BY 1 ORDER BY doc_id
         """,
         "user_gaps": """
             WITH gaps AS (

@@ -202,6 +202,10 @@ R4_NAMES = [
     # vocab coverage curve, mixture-purity entropy, inter-arrival gaps
     "triangle_profile", "lang_source_chi2", "vocab_coverage",
     "source_lang_entropy", "user_gaps",
+    # wave 11: assortativity, k-core peeling, centroid silhouette,
+    # byte fertility, first-occurrence novelty
+    "assortativity", "kcore_profile", "silhouette_labels",
+    "lang_fertility", "gram_novelty",
 ]
 
 

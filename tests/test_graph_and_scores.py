@@ -533,3 +533,132 @@ class TestVocabCoverage:
         d = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pt.raises(ValueError, match="thresholds"):
             ztext.vocab_coverage(d, thresholds=(0,))
+
+
+class TestAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from zoi_spark import graph
+
+        e = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                  "src long, dst long")
+        r = graph.degree_assortativity(e).first()
+        assert (r.n_edges, r.assortativity) == (3, -1.0)
+
+    def test_regular_graph_has_no_variance(self, spark):
+        from zoi_spark import graph
+
+        ring = [(i, (i + 1) % 5) for i in range(5)]
+        e = spark.createDataFrame(ring, "src long, dst long")
+        r = graph.degree_assortativity(e).first()
+        assert r.n_edges == 5 and r.assortativity is None
+
+
+class TestKcore:
+    def test_chain_peels_over_rounds(self, spark):
+        from zoi_spark import graph
+
+        # triangle {1,2,3} + chain 3-4-5: round 1 peels leaf 5 (which
+        # re-exposes 4 at degree 1), round 2 peels 4
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+            "src long, dst long")
+        one = {r.node: r.degree
+               for r in graph.kcore(e, k=2, rounds=1).collect()}
+        assert one == {1: 2, 2: 2, 3: 3, 4: 1}
+        two = {r.node: r.degree
+               for r in graph.kcore(e, k=2, rounds=2).collect()}
+        assert two == {1: 2, 2: 2, 3: 2}
+        # converged: extra rounds are no-ops
+        four = {r.node: r.degree
+                for r in graph.kcore(e, k=2, rounds=4).collect()}
+        assert four == two
+
+    def test_validates_params(self, spark):
+        from zoi_spark import graph
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            graph.kcore(e, k=0, rounds=1)
+        with pytest.raises(ValueError):
+            graph.kcore(e, k=2, rounds=0)
+
+
+class TestSilhouetteCentroid:
+    def test_separated_clusters_score_one(self, spark):
+        from zoi_spark import similarity
+
+        rows = [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+                (3, 1, [0.0, 1.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>")
+        out = {r.label: r for r in
+               similarity.silhouette_centroid(df).collect()}
+        assert (out[0].n_points, out[1].n_points) == (2, 1)
+        for lbl in (0, 1):
+            assert out[lbl].mean_a == 0.0
+            assert out[lbl].mean_b == 1.0       # orthogonal centroids
+            assert out[lbl].mean_silhouette == 1.0
+
+    def test_overlapping_clusters_score_negative_side(self, spark):
+        from zoi_spark import similarity
+
+        # label 1's point sits ON label 0's centroid direction:
+        # a = 1 - cos(45deg-ish)… simpler: point closer to the OTHER
+        # centroid must get s < 0
+        rows = [(1, 0, [1.0, 0.0]), (2, 0, [0.0, 1.0]),
+                (3, 1, [1.0, 0.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>")
+        out = {r.label: r for r in
+               similarity.silhouette_centroid(df).collect()}
+        # label-1 centroid IS its point -> a=0, s=1; label-0 points are
+        # 45deg from own centroid; point (1,0) is 0deg from label-1's
+        # centroid -> its s < 0 drags label-0's mean below label-1's
+        assert out[1].mean_silhouette == 1.0
+        assert out[0].mean_silhouette < out[1].mean_silhouette
+
+
+class TestByteFertility:
+    def test_sum_ratios(self, spark):
+        from zoi_spark import text as ztext
+
+        rows = [("en", "ab cd"), ("en", ""), ("zh", "中文")]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        out = {r.lang: r for r in ztext.byte_fertility(df).collect()}
+        assert (out["en"].n_docs, out["en"].n_tokens) == (2, 2)
+        assert out["en"].bytes_per_char == 1.0
+        assert out["en"].chars_per_token == 2.5
+        assert (out["zh"].bytes_per_char, out["zh"].bytes_per_token) \
+            == (3.0, 6.0)
+
+    def test_all_empty_lang_has_null_ratios(self, spark):
+        from zoi_spark import text as ztext
+
+        df = spark.createDataFrame([("fr", "")], "lang string, text string")
+        r = ztext.byte_fertility(df).first()
+        assert (r.n_docs, r.n_tokens) == (1, 0)
+        assert r.bytes_per_char is None and r.bytes_per_token is None
+
+
+class TestGramNovelty:
+    def test_first_occurrence_semantics(self, spark):
+        from zoi_spark import text as ztext
+
+        rows = [(1, "a b c d"), (2, "a b c d"), (3, "a b c x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               ztext.gram_novelty(df, n=3).collect()}
+        assert (out[1].n_grams, out[1].novelty) == (2, 1.0)
+        assert (out[2].n_novel, out[2].novelty) == (0, 0.0)
+        assert (out[3].n_grams, out[3].n_novel, out[3].novelty) \
+            == (2, 1, 0.5)
+
+    def test_short_doc_whole_text_shingle(self, spark):
+        from zoi_spark import text as ztext
+
+        rows = [(1, "hello"), (2, "hello"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               ztext.gram_novelty(df, n=3).collect()}
+        assert out[1].novelty == 1.0 and out[2].novelty == 0.0
+        assert 3 not in out                 # no grams -> omitted

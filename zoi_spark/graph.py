@@ -341,3 +341,82 @@ def triangle_stats(edges: DataFrame, *, src_col: str = "src",
             .select("node", "degree",
                     t.cast("long").alias("n_triangles"),
                     cc.alias("clustering")))
+
+
+def degree_assortativity(edges: DataFrame, *, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the undirected distinct edge set — the one
+    statistic that separates social-ish graphs (assortative, r > 0)
+    from web/link-farm topologies (disassortative hubs, r < 0). Each
+    undirected edge contributes both orientations, which is what makes
+    the coefficient symmetric. Output is one row: ``n_edges``
+    (undirected), ``assortativity`` (round 6, NULL for a
+    degree-regular graph where the variance is 0).
+
+    All five moments are accumulated as exact integer sums (degrees
+    are integers), so the coefficient is bit-deterministic — no
+    float-summation-order wobble. One degree aggregation + two joins
+    of the edge table against the (node, degree) table, shuffling on
+    node keys only."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    sym = e.unionAll(e.select(F.col("b").alias("a"),
+                              F.col("a").alias("b"))).distinct()
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    dx = deg.select(F.col("a").alias("__x"), F.col("d").alias("x"))
+    dy = deg.select(F.col("a").alias("__y"), F.col("d").alias("y"))
+    pairs = (sym.join(dx, sym["a"] == dx["__x"])
+             .join(dy, sym["b"] == dy["__y"])
+             .select("x", "y"))
+    s = pairs.agg(F.count("*").alias("m"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(num / F.sqrt(vx.cast("double")
+                                    * vy.cast("double")), 6))
+    return s.select((F.col("m") / 2).cast("long").alias("n_edges"),
+                    r.alias("assortativity"))
+
+
+def kcore(edges: DataFrame, *, k: int, rounds: int,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop every
+    node whose degree (over the surviving subgraph) is below *k* until
+    the subgraph is stable — the standard "dense nucleus" extractor
+    (spam rings and boilerplate mills live in deep cores; pendant
+    chains and crawl frontier noise peel off). Fixed *rounds* keeps the
+    recursion value-checkable; peeling converges monotonically, so
+    extra rounds past convergence are no-ops (each costs one count +
+    two semi-joins on an already-stable frame). Output: the surviving
+    (node, degree) rows, degree measured in the final subgraph —
+    all ≥ k once converged.
+
+    Per round: one degree aggregation and two semi-joins of the
+    symmetric edge table against the survivor set — all hash-keyed on
+    node ids, no neighbor lists; localCheckpoint per round truncates
+    the lineage exactly like pagerank/duplicate_clusters."""
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore: k and rounds must be >= 1")
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    sym = (e.unionAll(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    for _ in range(int(rounds)):
+        deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("a")
+        sym = (sym.join(keep, "a", "left_semi")
+               .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+               .localCheckpoint(eager=True))
+    return (sym.groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").cast("long").alias("degree")))

@@ -465,3 +465,76 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, *,
                  F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"))
             .withColumn("recall",
                         F.round(F.col("n_hit") / F.col("n_exact"), 6)))
+
+
+def silhouette_centroid(df: DataFrame, *, id_col: str = "vec_id",
+                        group_col: str = "label",
+                        vec_col: str = "embedding",
+                        round_to: int = 9) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for every
+    point, a = cosine distance to its OWN centroid, b = cosine distance
+    to the nearest OTHER centroid, s = (b−a)/max(a,b); emitted per
+    cluster as (label, n_points, mean_a, mean_b, mean_silhouette) —
+    the clustering-quality report for IVF/semantic-dedup partitions
+    without the O(n²) pairwise classic silhouette. Component means are
+    rounded to *round_to* decimals before any cosine (the
+    centroid_drift / refine_centroids precedent), per-point s to 6.
+    Zero-norm points or centroids are excluded (cosine undefined).
+
+    Shape at scale: centroids via one posexplode aggregation (dim is a
+    constant multiplier), then ONE broadcast join of the corpus
+    against the ≤groups-row centroid table — cost n·groups·dim, no
+    shuffle of the embedding column beyond the scan."""
+    comp = (df.select(F.col(group_col).alias("g"),
+                      F.posexplode(F.transform(
+                          F.col(vec_col),
+                          lambda x: x.cast("double"))).alias("i", "x"))
+            .groupBy("g", "i")
+            .agg(F.round(F.avg("x"), round_to).alias("m")))
+    cent = (comp.groupBy("g")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"]).alias("c")))
+    pts = df.select(F.col(id_col).alias("__id"),
+                    F.col(group_col).alias("__lbl"),
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("v"))
+    dot = F.aggregate(F.zip_with("v", "c", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nc = F.sqrt(F.aggregate(F.transform("c", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    d = (pts.join(F.broadcast(cent))
+         .where((nv > 0) & (nc > 0))
+         .select("__id", "__lbl", "g",
+                 (F.lit(1.0) - dot / (nv * nc)).alias("dist")))
+    per = (d.groupBy("__id", "__lbl")
+           .agg(F.min(F.when(F.col("g") == F.col("__lbl"),
+                             F.col("dist"))).alias("a"),
+                F.min(F.when(F.col("g") != F.col("__lbl"),
+                             F.col("dist"))).alias("b"))
+           .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    s = F.when(F.greatest("a", "b") > 0,
+               (F.col("b") - F.col("a")) / F.greatest("a", "b")) \
+        .otherwise(F.lit(0.0))
+    # per-point values quantized to exact micro-unit integers BEFORE
+    # aggregation: integer sums are order-independent, so the means
+    # can't wobble across engines at the 6th decimal the way a
+    # float-sum average can
+    def micro(c):
+        return F.round(c * 1e6).cast("long")
+
+    scored = per.select(F.col("__lbl").alias(group_col),
+                        micro(s).alias("s"),
+                        micro(F.col("a")).alias("ra"),
+                        micro(F.col("b")).alias("rb"))
+
+    def mean6(c):
+        return F.round(F.sum(c) / 1e6 / F.count("*"), 6)
+
+    return (scored.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 mean6(F.col("ra")).alias("mean_a"),
+                 mean6(F.col("rb")).alias("mean_b"),
+                 mean6(F.col("s")).alias("mean_silhouette")))

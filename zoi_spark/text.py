@@ -1919,3 +1919,59 @@ def vocab_coverage(df: DataFrame, *, text_col: str = "text",
                     F.round(F.col("covered_tokens")
                             / F.col("total_tokens"), 6)
                     .alias("coverage")))
+
+
+def byte_fertility(df: DataFrame, *, text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer-fertility proxies from corpus-level
+    ratios: UTF-8 bytes per character (≈1 for Latin scripts, ~3 for
+    CJK — the BPE byte-fallback cost), characters per whitespace token
+    and bytes per token. These are SUM-ratio statistics (Σbytes/Σchars),
+    not means of per-doc ratios, so short docs don't dominate; all
+    accumulators are exact integer sums, making the rounded ratios
+    bit-deterministic. Docs with zero chars/tokens contribute only to
+    ``n_docs``. One projection + one hash aggregation on the lang key."""
+    t = F.col(text_col)
+    agg = (df.groupBy(lang_col)
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.octet_length(t)).alias("__b"),
+                F.sum(F.length(t)).alias("__c"),
+                F.sum(token_count(t)).alias("__t")))
+    def ratio(num, den):
+        return F.when(F.col(den) > 0,
+                      F.round(F.col(num) / F.col(den), 6))
+    return agg.select(
+        lang_col, "n_docs",
+        F.coalesce("__t", F.lit(0)).cast("long").alias("n_tokens"),
+        ratio("__b", "__c").alias("bytes_per_char"),
+        ratio("__c", "__t").alias("chars_per_token"),
+        ratio("__b", "__t").alias("bytes_per_token"))
+
+
+def gram_novelty(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """First-occurrence n-gram novelty: per document, the fraction of
+    its DISTINCT word n-grams whose earliest appearance in the corpus
+    (by ascending *id_col* — ingestion order) is this document. The
+    marginal-contribution score behind "does this crawl snapshot add
+    anything": near-dups and boilerplate mirrors score ≈ 0, fresh
+    content ≈ 1. Output: (id, n_grams, n_novel, novelty round 6);
+    docs whose normalized text yields no non-empty gram are omitted.
+
+    One explode + distinct, one min-aggregation on the gram key, one
+    join back on the same key — gram-key shuffles only; hot boilerplate
+    grams skew the min-agg, which map-side combine absorbs (the min is
+    associative), unlike a join-based first-seen lookup."""
+    grams = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(word_shingles(F.col(text_col), n))
+                       .alias("g"))
+             .where(F.col("g") != "")
+             .distinct())
+    first = grams.groupBy("g").agg(F.min("__id").alias("__first"))
+    return (grams.join(first, "g")
+            .groupBy(F.col("__id").alias(id_col))
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum(F.when(F.col("__first") == F.col("__id"), 1)
+                       .otherwise(0)).cast("long").alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel") / F.col("n_grams"), 6)))
