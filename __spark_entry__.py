@@ -3101,6 +3101,63 @@ def q_gram_novelty(spark, sf_dir):
     return text.gram_novelty(d, n=3).orderBy("doc_id")
 
 
+def q_readability_langs(spark, sf_dir):
+    """Flesch reading-ease profile per language
+    (text.readability_profile): per-doc scores are pure functions of
+    three integer counts (words / sentence runs / vowel groups), group
+    means ride micro-unit integer sums — every division re-executed by
+    the twin in the same order."""
+    d = _read(spark, sf_dir, "documents")
+    return text.readability_profile(d).orderBy("lang")
+
+
+def q_source_len_gini(spark, sf_dir):
+    """Per-source Gini of doc lengths (tablechecks.gini): the
+    rank-formula coefficient from exact integer sums, ties broken by
+    doc_id — the inequality complement of the HHI concentration row."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.gini(d, group_col="source",
+                             value_col="n_chars", order_col="doc_id")
+            .orderBy("source"))
+
+
+def q_len_winsorize(spark, sf_dir):
+    """Rank-winsorization report per lang (sampling.winsorize_stats,
+    p05/p95): type-1 quantile thresholds (integer ranks, no
+    interpolation — thresholds are actual corpus values), clip counts
+    and the exact winsorized mean."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    return (sampling.winsorize_stats(
+        d, stratum_col="lang", value_col="n_chars",
+        order_col="doc_id", p_low=0.05, p_high=0.95).orderBy("lang"))
+
+
+def q_props_profile(spark, sf_dir):
+    """JSON field extraction QC (tablechecks.json_field_profile) over
+    events.props: $.k pulled JVM-side (get_json_object, no UDF),
+    malformed/missing become a count via try_cast instead of an ANSI
+    abort, numeric profile per event type."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.json_field_profile(
+        ev, json_col="props", field="k", group_col="event_type")
+        .orderBy("event_type"))
+
+
+def q_event_cooccurrence(spark, sf_dir):
+    """Item co-occurrence projection (graph.cooccurrence_pairs) of the
+    user↔event-type bipartite graph: distinct-entity overlap counts +
+    Jaccard affinity per unordered type pair — the market-basket
+    matrix, marginals broadcast onto the pair table."""
+    from zoi_spark import graph
+
+    ev = _read(spark, sf_dir, "events")
+    return (graph.cooccurrence_pairs(ev, entity_col="user_id",
+                                     item_col="event_type")
+            .orderBy("item_a", "item_b"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3224,6 +3281,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "silhouette_labels": q_silhouette_labels,
         "lang_fertility": q_lang_fertility,
         "gram_novelty": q_gram_novelty,
+        "readability_langs": q_readability_langs,
+        "source_len_gini": q_source_len_gini,
+        "len_winsorize": q_len_winsorize,
+        "props_profile": q_props_profile,
+        "event_cooccurrence": q_event_cooccurrence,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -6921,6 +6983,105 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(b / t::DOUBLE, 6) END
                      AS bytes_per_token
             FROM s ORDER BY lang
+        """,
+        "readability_langs": """
+            WITH per AS (
+              SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                                      '\\s+')) END AS w,
+                     greatest(1, len(regexp_extract_all(
+                       text, '[.!?]+'))) AS s,
+                     len(regexp_extract_all(
+                       lower(text), '[aeiouy]+')) AS y
+              FROM documents),
+            f AS (
+              SELECT lang, w, s, y,
+                     round((206.835 - 1.015 * (w / s)
+                            - 84.6 * (y / w)) * 1e6)::BIGINT AS f6
+              FROM per WHERE w > 0)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   round(sum(w) / count(*), 6) AS mean_words,
+                   round(sum(w) / sum(s), 6) AS words_per_sentence,
+                   round(sum(y) / sum(w), 6) AS syllables_per_word,
+                   round(sum(f6) / 1e6 / count(*), 6) AS mean_flesch
+            FROM f GROUP BY 1 ORDER BY lang
+        """,
+        "source_len_gini": """
+            WITH ranked AS (
+              SELECT source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id ASC) AS r
+              FROM documents WHERE n_chars IS NOT NULL)
+            SELECT source, count(*)::BIGINT AS n_rows,
+                   sum(n_chars)::BIGINT AS total,
+                   CASE WHEN count(*) * sum(n_chars) > 0 THEN
+                     round((2 * sum(r * n_chars)
+                            - (count(*) + 1) * sum(n_chars))
+                           / (count(*) * sum(n_chars)), 6)
+                   END AS gini
+            FROM ranked GROUP BY 1 ORDER BY source
+        """,
+        "len_winsorize": """
+            WITH ranked AS (
+              SELECT lang, n_chars, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars ASC, doc_id ASC) AS r,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents WHERE n_chars IS NOT NULL),
+            th AS (
+              SELECT lang, max(n) AS n_rows,
+                     max(CASE WHEN r = greatest(1, ceil(0.05 * n))
+                              THEN n_chars END) AS lo,
+                     max(CASE WHEN r = greatest(1, ceil(0.95 * n))
+                              THEN n_chars END) AS hi
+              FROM ranked GROUP BY 1)
+            SELECT d.lang, max(n_rows)::BIGINT AS n_rows,
+                   max(lo) AS lo, max(hi) AS hi,
+                   sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_clipped_low,
+                   sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_clipped_high,
+                   round(sum(greatest(lo, least(hi, n_chars)))
+                         / count(*), 6) AS winsorized_mean
+            FROM documents d JOIN th ON th.lang = d.lang
+            WHERE n_chars IS NOT NULL
+            GROUP BY 1 ORDER BY d.lang
+        """,
+        "props_profile": """
+            WITH v AS (
+              SELECT event_type,
+                     try_cast(json_extract_string(props, '$.k')
+                              AS BIGINT) AS v
+              FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_missing,
+                   min(v) AS min_value, max(v) AS max_value,
+                   round(sum(v) / count(v), 6) AS mean_value
+            FROM v GROUP BY 1 ORDER BY event_type
+        """,
+        "event_cooccurrence": """
+            WITH ei AS (
+              SELECT DISTINCT user_id AS e, event_type AS i
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+            co AS (
+              SELECT a.i AS item_a, b.i AS item_b,
+                     count(*) AS n_both
+              FROM ei a JOIN ei b ON a.e = b.e AND a.i < b.i
+              GROUP BY 1, 2),
+            sizes AS (SELECT i, count(*) AS n FROM ei GROUP BY 1)
+            SELECT item_a, item_b, n_both::BIGINT AS n_both,
+                   sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+                   round(n_both / (sa.n + sb.n - n_both), 6)
+                     AS affinity
+            FROM co
+            JOIN sizes sa ON sa.i = item_a
+            JOIN sizes sb ON sb.i = item_b
+            ORDER BY item_a, item_b
         """,
         "gram_novelty": f"""
             WITH toks AS (

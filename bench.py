@@ -206,6 +206,10 @@ R4_NAMES = [
     # byte fertility, first-occurrence novelty
     "assortativity", "kcore_profile", "silhouette_labels",
     "lang_fertility", "gram_novelty",
+    # wave 12: readability, Gini inequality, rank winsorization,
+    # JSON extraction QC, market-basket co-occurrence
+    "readability_langs", "source_len_gini", "len_winsorize",
+    "props_profile", "event_cooccurrence",
 ]
 
 

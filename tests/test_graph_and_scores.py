@@ -662,3 +662,20 @@ class TestGramNovelty:
                ztext.gram_novelty(df, n=3).collect()}
         assert out[1].novelty == 1.0 and out[2].novelty == 0.0
         assert 3 not in out                 # no grams -> omitted
+
+
+class TestCooccurrencePairs:
+    def test_hand_baskets(self, spark):
+        from zoi_spark import graph
+
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"),
+                (3, "C"), (3, "A")]           # dup (3,A) dedups
+        df = spark.createDataFrame(rows, "u long, item string")
+        out = {(r.item_a, r.item_b): r for r in
+               graph.cooccurrence_pairs(df, entity_col="u",
+                                        item_col="item").collect()}
+        assert set(out) == {("A", "B"), ("A", "C")}   # B-C never co-occur
+        ab = out[("A", "B")]
+        assert (ab.n_both, ab.n_a, ab.n_b) == (2, 3, 2)
+        assert ab.affinity == round(2 / 3, 6)
+        assert out[("A", "C")].affinity == round(1 / 3, 6)

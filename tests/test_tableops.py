@@ -1488,3 +1488,82 @@ def test_interarrival_stats_hand_gaps(spark):
         group_col="event_type").collect()}
     assert (out["p"].n_gaps, out["p"].mean_gap) == (1, 10.0)
     assert (out["q"].min_gap, out["q"].max_gap) == (50.0, 50.0)
+
+
+def test_readability_hand_flesch(spark):
+    from zoi_spark import text as ztext
+
+    d = spark.createDataFrame([("en", "Hi there. One two three!")],
+                              "lang string, text string")
+    r = ztext.readability_profile(d).first()
+    # words 5, sentence runs 2, vowel groups 7 ->
+    # 206.835 - 1.015*(5/2) - 84.6*(7/5) = 85.8575
+    assert (r.n_docs, r.mean_words) == (1, 5.0)
+    assert r.words_per_sentence == 2.5
+    assert r.syllables_per_word == 1.4
+    assert r.mean_flesch == 85.8575
+
+
+def test_readability_excludes_empty_docs(spark):
+    from zoi_spark import text as ztext
+
+    d = spark.createDataFrame([("en", ""), ("en", "word.")],
+                              "lang string, text string")
+    r = ztext.readability_profile(d).first()
+    assert r.n_docs == 1
+
+
+def test_gini_hand_values(spark):
+    from zoi_spark import tablechecks
+
+    rows = ([("even", 5, i) for i in range(4)] +
+            [("skew", 0, 1), ("skew", 0, 2), ("skew", 0, 3),
+             ("skew", 10, 4)] +
+            [("zero", 0, 1)])
+    df = spark.createDataFrame(rows, "g string, x long, id long")
+    out = {r.g: r for r in tablechecks.gini(
+        df, group_col="g", value_col="x", order_col="id").collect()}
+    assert out["even"].gini == 0.0
+    # ranks 1..4 over [0,0,0,10]: (2*40 - 5*10) / (4*10) = 0.75
+    assert (out["skew"].gini, out["skew"].total) == (0.75, 10)
+    assert out["zero"].gini is None
+
+
+def test_winsorize_stats_hand_thresholds(spark):
+    from zoi_spark import sampling
+
+    rows = [("en", v, v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "lang string, x long, id long")
+    r = sampling.winsorize_stats(df, stratum_col="lang", value_col="x",
+                                 order_col="id", p_low=0.1,
+                                 p_high=0.9).first()
+    # rank ceil(.1*10)=1 -> lo=1; rank ceil(.9*10)=9 -> hi=9
+    assert (r.lo, r.hi) == (1, 9)
+    assert (r.n_clipped_low, r.n_clipped_high) == (0, 1)
+    assert r.winsorized_mean == 5.4          # (45 - 10 + 9) / 10
+
+
+def test_winsorize_stats_validates_ps(spark):
+    from zoi_spark import sampling
+
+    df = spark.createDataFrame([("en", 1, 1)],
+                               "lang string, x long, id long")
+    with pytest.raises(ValueError, match="p_low"):
+        sampling.winsorize_stats(df, stratum_col="lang", value_col="x",
+                                 order_col="id", p_low=0.9, p_high=0.1)
+
+
+def test_json_field_profile_malformed_counted(spark):
+    from zoi_spark import tablechecks
+
+    rows = [("a", '{"k": 3}'), ("a", '{"k": 5}'),
+            ("a", '{"other": 1}'),          # missing field
+            ("a", "not json"),              # malformed
+            ("b", '{"k": "text"}')]         # non-numeric
+    df = spark.createDataFrame(rows, "t string, props string")
+    out = {r.t: r for r in tablechecks.json_field_profile(
+        df, json_col="props", field="k", group_col="t").collect()}
+    assert (out["a"].n_rows, out["a"].n_missing) == (4, 2)
+    assert (out["a"].min_value, out["a"].max_value) == (3, 5)
+    assert out["a"].mean_value == 4.0
+    assert (out["b"].n_missing, out["b"].mean_value) == (1, None)

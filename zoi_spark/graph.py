@@ -420,3 +420,45 @@ def kcore(edges: DataFrame, *, k: int, rounds: int,
                .localCheckpoint(eager=True))
     return (sym.groupBy(F.col("a").alias("node"))
             .agg(F.count("*").cast("long").alias("degree")))
+
+
+def cooccurrence_pairs(df: DataFrame, *, entity_col: str,
+                       item_col: str) -> DataFrame:
+    """Item co-occurrence projection of the (entity, item) bipartite
+    graph: for every unordered item pair, how many DISTINCT entities
+    touch both, plus the Jaccard affinity co/(nₐ+n_b−co) — the
+    market-basket / topic-affinity matrix (which event types share
+    users, which hosts share readers). Output:
+    (item_a, item_b, n_both, n_a, n_b, affinity round 6), item_a <
+    item_b.
+
+    The (entity, item) set is deduplicated first, then self-joined on
+    the entity key — work is Σ per-entity deg², so a hot entity is
+    quadratic: cap or sample hyper-connected entities upstream (the
+    minhash bucket-cap precedent) when entities can touch thousands of
+    items. Shuffles ride the entity key, then the pair key; item
+    marginals broadcast back onto the (small) pair table."""
+    ei = (df.select(F.col(entity_col).alias("e"),
+                    F.col(item_col).alias("i"))
+          .where(F.col("e").isNotNull() & F.col("i").isNotNull())
+          .distinct())
+    a = ei.select("e", F.col("i").alias("item_a"))
+    b = ei.select(F.col("e").alias("e2"), F.col("i").alias("item_b"))
+    both = (a.join(b, (a["e"] == b["e2"])
+                   & (F.col("item_a") < F.col("item_b")))
+            .groupBy("item_a", "item_b")
+            .agg(F.count("*").alias("n_both")))
+    sizes = ei.groupBy(F.col("i")).agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("i").alias("item_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("i").alias("item_b"),
+                      F.col("n").alias("n_b"))
+    aff = F.round(F.col("n_both")
+                  / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6)
+    return (both.join(F.broadcast(sa), "item_a")
+            .join(F.broadcast(sb), "item_b")
+            .select("item_a", "item_b",
+                    F.col("n_both").cast("long").alias("n_both"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    aff.alias("affinity")))

@@ -432,3 +432,51 @@ def epoch_factors(df: DataFrame, *, stratum_col: str,
             .withColumn("effective_rows",
                         F.col("epoch_factor") * F.col("n_rows"))
             .drop("__n"))
+
+
+def winsorize_stats(df: DataFrame, *, stratum_col: str,
+                    value_col: str, order_col: str,
+                    p_low: float = 0.01,
+                    p_high: float = 0.99) -> DataFrame:
+    """Per-stratum rank-winsorization report: the clip thresholds are
+    the values at ranks ceil(p·n) (type-1 quantiles — integer ranks,
+    NO interpolation, so the thresholds are actual corpus values and
+    the whole report is exact), plus how many rows each side would
+    clip and the winsorized mean. The outlier-taming step before
+    length/score-weighted sampling: one doc with a 100 MB body should
+    not own the batch budget. Ties rank deterministically by
+    *order_col*. Output per stratum: n_rows, lo, hi, n_clipped_low,
+    n_clipped_high, winsorized_mean (exact integer clip sums).
+
+    One per-stratum ranking window (each partition = one stratum, the
+    gini() caveat applies) + one aggregation."""
+    if not (0.0 < p_low < p_high < 1.0):
+        raise ValueError("winsorize_stats: need 0 < p_low < p_high < 1")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(value_col).asc(), F.col(order_col).asc())
+    nw = Window.partitionBy(stratum_col)
+    ranked = (df.where(F.col(value_col).isNotNull())
+              .withColumn("__r", F.row_number().over(w))
+              .withColumn("__n", F.count("*").over(nw)))
+    rlo = F.greatest(F.lit(1), F.ceil(F.lit(p_low) * F.col("__n")))
+    rhi = F.greatest(F.lit(1), F.ceil(F.lit(p_high) * F.col("__n")))
+    marked = ranked.select(
+        stratum_col, value_col, "__n",
+        F.when(F.col("__r") == rlo, F.col(value_col)).alias("__lo"),
+        F.when(F.col("__r") == rhi, F.col(value_col)).alias("__hi"))
+    th = (marked.groupBy(stratum_col)
+          .agg(F.max("__n").alias("n_rows"),
+               F.max("__lo").alias("lo"), F.max("__hi").alias("hi")))
+    joined = (df.where(F.col(value_col).isNotNull())
+              .join(th, stratum_col))
+    x = F.col(value_col)
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), x))
+    return (joined.groupBy(stratum_col)
+            .agg(F.max("n_rows").cast("long").alias("n_rows"),
+                 F.max("lo").alias("lo"), F.max("hi").alias("hi"),
+                 F.sum(F.when(x < F.col("lo"), 1).otherwise(0))
+                 .cast("long").alias("n_clipped_low"),
+                 F.sum(F.when(x > F.col("hi"), 1).otherwise(0))
+                 .cast("long").alias("n_clipped_high"),
+                 F.round(F.sum(clipped) / F.count("*"), 6)
+                 .alias("winsorized_mean")))

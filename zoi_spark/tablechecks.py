@@ -707,3 +707,57 @@ def interarrival_stats(df: DataFrame, *, ts_col: str,
                  F.round(F.avg("__gap"), 6).alias("mean_gap"),
                  F.round(F.min("__gap"), 6).alias("min_gap"),
                  F.round(F.max("__gap"), 6).alias("max_gap")))
+
+
+def gini(df: DataFrame, *, group_col: str, value_col: str,
+         order_col: str) -> DataFrame:
+    """Per-group Gini coefficient of an integer-valued column — the
+    inequality counterpart to host_concentration's HHI (0 = perfectly
+    even, →1 = one row holds all the mass): with values ranked
+    ascending (ties broken by *order_col* so the rank is
+    deterministic),
+
+        G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+
+    All accumulators are exact integer sums, so the rounded coefficient
+    is bit-deterministic. NULL for a group whose total is 0. One
+    per-group ranking window + one hash aggregation: each window
+    partition holds ONE group's rows — use this for numerous bounded
+    groups (per-source, per-host); for a corpus-wide Gini pre-aggregate
+    to per-key masses first or the single partition becomes the
+    serialization trap the docstrings keep warning about."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(),
+                                              F.col(order_col).asc())
+    ranked = (df.where(F.col(value_col).isNotNull())
+              .withColumn("__r", F.row_number().over(w)))
+    g = (2 * F.sum(F.col("__r") * F.col(value_col))
+         - (F.count("*") + 1) * F.sum(value_col))
+    tot = F.count("*") * F.sum(value_col)
+    return (ranked.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(value_col).cast("long").alias("total"),
+                 F.when(tot > 0, F.round(g / tot, 6)).alias("gini")))
+
+
+def json_field_profile(df: DataFrame, *, json_col: str, field: str,
+                       group_col: str) -> DataFrame:
+    """Semi-structured extraction QC: pull ``$.field`` out of a JSON
+    string column, count how often it is missing/non-numeric, and
+    profile the numeric values per group (n, n_missing, min, max,
+    mean). The try-cast keeps malformed payloads as NULLs instead of
+    failing the job under ANSI mode — corrupt props rows become a
+    count, not an abort. Integer accumulation → deterministic mean.
+    One projection (JSON path evaluation is JVM-side, no UDF) + one
+    hash aggregation."""
+    v = F.get_json_object(F.col(json_col),
+                          f"$.{field}").try_cast("long")
+    per = df.select(F.col(group_col), v.alias("__v"))
+    n = F.count("*")
+    return (per.groupBy(group_col)
+            .agg(n.cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_missing"),
+                 F.min("__v").alias("min_value"),
+                 F.max("__v").alias("max_value"),
+                 F.round(F.sum("__v")
+                         / F.count("__v"), 6).alias("mean_value")))

@@ -1975,3 +1975,43 @@ def gram_novelty(df: DataFrame, *, id_col: str = "doc_id",
                        .otherwise(0)).cast("long").alias("n_novel"))
             .withColumn("novelty",
                         F.round(F.col("n_novel") / F.col("n_grams"), 6)))
+
+
+def readability_profile(df: DataFrame, *, text_col: str = "text",
+                        group_col: str = "lang") -> DataFrame:
+    """Per-group Flesch reading-ease profile from three integer counts
+    per document — words (whitespace tokens), sentences (runs of
+    ``[.!?]``, floored at 1) and syllables (vowel-letter groups, the
+    standard cheap proxy):
+
+        flesch = 206.835 − 1.015·(words/sent) − 84.6·(syll/words)
+
+    The per-doc score is a pure function of integers (identical IEEE
+    doubles on any engine); group means go through micro-unit integer
+    accumulation, so the report is bit-deterministic. Docs with zero
+    words are excluded. ~30-50 is college prose, 90+ is child-level,
+    negative is garbage/boilerplate — a QC gate next to the quality
+    scores, cheaper than an LM perplexity pass. One projection + one
+    hash aggregation on the group key."""
+    t = F.col(text_col)
+    words = token_count(t)
+    sents = F.greatest(F.lit(1),
+                       F.regexp_count(t, F.lit(r"[.!?]+"))).cast("long")
+    syll = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words / sents)
+              - F.lit(84.6) * (syll / words))
+    per = (df.select(F.col(group_col), words.alias("__w"),
+                     sents.alias("__s"), syll.alias("__y"),
+                     F.round(flesch * 1e6).cast("long").alias("__f6"))
+           .where(F.col("__w") > 0))
+    n = F.count("*")
+    return (per.groupBy(group_col)
+            .agg(n.cast("long").alias("n_docs"),
+                 F.round(F.sum("__w") / n, 6).alias("mean_words"),
+                 F.round(F.sum("__w") / F.sum("__s"), 6)
+                 .alias("words_per_sentence"),
+                 F.round(F.sum("__y") / F.sum("__w"), 6)
+                 .alias("syllables_per_word"),
+                 F.round(F.sum("__f6") / 1e6 / n, 6)
+                 .alias("mean_flesch")))
