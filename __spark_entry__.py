@@ -3158,6 +3158,107 @@ def q_event_cooccurrence(spark, sf_dir):
             .orderBy("item_a", "item_b"))
 
 
+def q_signup_funnel(spark, sf_dir):
+    """First-occurrence conversion funnel (tablechecks.funnel_stages)
+    signup→view→click→purchase: stage reached iff the user's first
+    stage-k event is strictly later than their first stage-(k−1) event
+    — per-user conditional mins only, the twin chains the same flags."""
+    ev = _read(spark, sf_dir, "events")
+    return tablechecks.funnel_stages(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        stages=["signup", "view", "click", "purchase"]).orderBy(
+        "stage_idx")
+
+
+def q_seed_hop_distance(spark, sf_dir):
+    """Multi-source BFS (graph.seed_distance, TrustRank-style): a
+    30-ring with seeds {0, 15}, 3 hops — frontier-only expansion with
+    an anti-join against the reached set; the twin unrolls the same
+    hop CTEs."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(30))
+    edges = d.select(g.alias("src"),
+                     F.pmod(g + 1, F.lit(30)).alias("dst"))
+    seeds = spark.createDataFrame([(0,), (15,)], "node long")
+    out = graph.seed_distance(edges, seeds, max_hops=3)
+    return out.orderBy("node")
+
+
+def _scene_payloads() -> list[bytes]:
+    """Four deterministic Y4M clips with ANALYTICALLY-known cut
+    profiles at threshold 100 (strict >): luma sequences
+    [0,0,200,200] → 1 cut / max 200; [0,100,100] → 0 cuts / max
+    exactly 100 (the boundary — strict comparison pinned);
+    [10]*5 → 0 cuts; [0,255] → 1 cut / max 255."""
+    import numpy as np
+
+    from zoi_spark import multimodal
+
+    def clip(lumas, w=6, h=4):
+        return multimodal.encode_y4m(
+            [np.full((h, w), v, dtype=np.uint8) for v in lumas])
+
+    return [clip([0, 0, 200, 200]), clip([0, 100, 100]),
+            clip([10] * 5), clip([0, 255])]
+
+
+def q_video_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection (multimodal.scene_cuts): deterministic
+    Y4M clips through the REAL pure-python decode — frame counts, cut
+    counts and max luma deltas are hand-derived constants in the twin
+    (the constants-not-recomputed pattern of the other media oracles),
+    including the exactly-at-threshold clip that pins the strict
+    comparison."""
+    from zoi_spark import multimodal
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    payloads = _scene_payloads()
+    v = F.pmod("doc_id", F.lit(len(payloads)))
+    payload = None
+    for i, p in enumerate(payloads):
+        expr = F.unhex(F.lit(p.hex()))
+        payload = (F.when(v == i, expr) if payload is None
+                   else payload.when(v == i, expr))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     payload.alias("payload"))
+    out = multimodal.scene_cuts(media, threshold=100.0)
+    return (out.groupBy(F.pmod("media_id", F.lit(4)).alias("variant"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("n_frames").alias("n_frames"),
+                 F.max("n_cuts").alias("n_cuts"),
+                 F.max("max_diff").alias("max_diff"))
+            .orderBy("variant"))
+
+
+def q_lang_best_docs(spark, sf_dir):
+    """Per-stratum quality selection (sampling.best_per_stratum): the
+    top 25 docs per language by the v1 quality score, ties by doc_id —
+    the FineWeb-style keep-the-best budget step; WindowGroupLimit keeps
+    a 25-row heap per partition instead of sorting the stratum."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.withColumn("q", text.quality_score(F.col("text")))
+    out = sampling.best_per_stratum(scored, stratum_col="lang",
+                                    score_col="q", k=25,
+                                    order_col="doc_id")
+    return (out.select("lang", F.col("__rank").alias("rank"),
+                       "doc_id", "q")
+            .orderBy("lang", "rank"))
+
+
+def q_source_caps(spark, sf_dir):
+    """ALL-CAPS shoutiness QC (text.caps_profile) per source: exact
+    integer sum-ratios of ^[A-Z]{2,}$ tokens plus the per-doc shouty
+    flag count — lambda-filter token scan on the Spark side,
+    list_filter + regexp_full_match in the twin."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.caps_profile(d, shouty_ratio=0.05)
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3286,6 +3387,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "len_winsorize": q_len_winsorize,
         "props_profile": q_props_profile,
         "event_cooccurrence": q_event_cooccurrence,
+        "signup_funnel": q_signup_funnel,
+        "seed_hop_distance": q_seed_hop_distance,
+        "video_scene_cuts": q_video_scene_cuts,
+        "lang_best_docs": q_lang_best_docs,
+        "source_caps": q_source_caps,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -4208,6 +4314,35 @@ def _kcore_sql(k: int, rounds: int) -> str:
             UNION ALL SELECT d, s FROM e)),{','.join(body)}
         SELECT a AS node, count(*)::BIGINT AS degree
         FROM s{rounds} GROUP BY 1 ORDER BY node
+    """
+
+
+def _seed_bfs_sql(max_hops: int) -> str:
+    """Unrolled multi-source BFS twin: per hop, frontier-adjacent nodes
+    minus the reached set — mirroring graph.seed_distance over the
+    30-ring with seeds {0, 15}."""
+    body = []
+    for h in range(1, max_hops + 1):
+        prev = f"r{h - 1}"
+        pf = f"f{h - 1}"
+        body.append(f"""
+        n{h} AS (
+          SELECT DISTINCT b AS node FROM sym
+          JOIN {pf} ON sym.a = {pf}.node
+          WHERE b NOT IN (SELECT node FROM {prev})),
+        r{h} AS (SELECT node, distance FROM {prev}
+                 UNION ALL SELECT node, {h} FROM n{h}),
+        f{h} AS (SELECT node FROM n{h})""")
+    return f"""
+        WITH g AS (SELECT DISTINCT doc_id % 30 AS g FROM documents),
+        e AS (SELECT g AS s, (g + 1) % 30 AS d FROM g),
+        sym AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT s AS a, d AS b FROM e UNION ALL SELECT d, s FROM e)),
+        r0 AS (SELECT * FROM (VALUES (0::BIGINT, 0), (15::BIGINT, 0))
+               t(node, distance)),
+        f0 AS (SELECT node FROM r0),{','.join(body)}
+        SELECT node, distance FROM r{max_hops} ORDER BY node
     """
 
 
@@ -6983,6 +7118,86 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(b / t::DOUBLE, 6) END
                      AS bytes_per_token
             FROM s ORDER BY lang
+        """,
+        "signup_funnel": """
+            WITH per AS (
+              SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS t3
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IN
+                ('signup', 'view', 'click', 'purchase')
+              GROUP BY 1),
+            fl AS (
+              SELECT (t0 IS NOT NULL) AS f0,
+                     (t0 IS NOT NULL AND t1 > t0) AS f1,
+                     (t0 IS NOT NULL AND t1 > t0 AND t2 > t1) AS f2,
+                     (t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+                      AND t3 > t2) AS f3
+              FROM per),
+            c AS (SELECT sum(f0::INT) AS n0, sum(f1::INT) AS n1,
+                         sum(f2::INT) AS n2, sum(f3::INT) AS n3
+                  FROM fl)
+            SELECT * FROM (
+              SELECT 1 AS stage_idx, 'signup' AS stage,
+                     n0::BIGINT AS n_users, 1.0 AS conversion FROM c
+              UNION ALL SELECT 2, 'view', n1::BIGINT,
+                CASE WHEN n0 > 0 THEN round(n1 / n0, 6) END FROM c
+              UNION ALL SELECT 3, 'click', n2::BIGINT,
+                CASE WHEN n1 > 0 THEN round(n2 / n1, 6) END FROM c
+              UNION ALL SELECT 4, 'purchase', n3::BIGINT,
+                CASE WHEN n2 > 0 THEN round(n3 / n2, 6) END FROM c)
+            ORDER BY stage_idx
+        """,
+        "seed_hop_distance": _seed_bfs_sql(max_hops=3),
+        "video_scene_cuts": """
+            WITH c AS (
+              SELECT doc_id % 4 AS variant, count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1),
+            k AS (SELECT * FROM (VALUES
+                    (0, 4, 1, 200.0), (1, 3, 0, 100.0),
+                    (2, 5, 0, 0.0), (3, 2, 1, 255.0))
+                  t(variant, n_frames, n_cuts, max_diff))
+            SELECT c.variant, n_docs, n_frames, n_cuts, max_diff
+            FROM c JOIN k USING (variant) ORDER BY c.variant
+        """,
+        "lang_best_docs": f"""
+            WITH scored AS (
+              SELECT doc_id, lang, {_QUALITY_SQL} AS q
+              FROM documents),
+            r AS (
+              SELECT lang, doc_id, q,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY q DESC, doc_id ASC) AS rank
+              FROM scored)
+            SELECT lang, rank, doc_id, q FROM r
+            WHERE rank <= 25 ORDER BY lang, rank
+        """,
+        "source_caps": """
+            WITH per AS (
+              SELECT source,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END AS t,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(list_filter(
+                            string_split_regex(trim(text), '\\s+'),
+                            x -> regexp_full_match(x, '[A-Z]{2,}')))
+                END AS c
+              FROM documents)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(t)::BIGINT AS n_tokens,
+                   sum(c)::BIGINT AS n_caps_tokens,
+                   CASE WHEN sum(t) > 0
+                        THEN round(sum(c) / sum(t), 6) END
+                     AS caps_ratio,
+                   sum(CASE WHEN t > 0 AND c / t > 0.05
+                            THEN 1 ELSE 0 END)::BIGINT AS n_shouty
+            FROM per GROUP BY 1 ORDER BY source
         """,
         "readability_langs": """
             WITH per AS (

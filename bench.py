@@ -210,6 +210,10 @@ R4_NAMES = [
     # JSON extraction QC, market-basket co-occurrence
     "readability_langs", "source_len_gini", "len_winsorize",
     "props_profile", "event_cooccurrence",
+    # wave 13: conversion funnel, seed-distance BFS, scene cuts,
+    # top-k-per-stratum selection, shoutiness QC
+    "signup_funnel", "seed_hop_distance", "video_scene_cuts",
+    "lang_best_docs", "source_caps",
 ]
 
 

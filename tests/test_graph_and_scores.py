@@ -679,3 +679,67 @@ class TestCooccurrencePairs:
         assert (ab.n_both, ab.n_a, ab.n_b) == (2, 3, 2)
         assert ab.affinity == round(2 / 3, 6)
         assert out[("A", "C")].affinity == round(1 / 3, 6)
+
+
+class TestSeedDistance:
+    def test_path_graph_hops(self, spark):
+        from zoi_spark import graph
+
+        e = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "src long, dst long")
+        seeds = spark.createDataFrame([(0,)], "node long")
+        out = {r.node: r.distance for r in
+               graph.seed_distance(e, seeds, max_hops=2).collect()}
+        assert out == {0: 0, 1: 1, 2: 2}      # 3.. beyond the cap
+
+    def test_two_seeds_take_nearest(self, spark):
+        from zoi_spark import graph
+
+        e = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                  "src long, dst long")
+        seeds = spark.createDataFrame([(0,), (4,)], "node long")
+        out = {r.node: r.distance for r in
+               graph.seed_distance(e, seeds, max_hops=3).collect()}
+        assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+class TestBestPerStratum:
+    def test_topk_and_tiebreak(self, spark):
+        from zoi_spark import sampling
+
+        rows = [("en", 1, 0.9), ("en", 2, 0.9), ("en", 3, 0.5),
+                ("de", 4, 0.1)]
+        df = spark.createDataFrame(rows, "lang string, id long, q double")
+        out = sampling.best_per_stratum(df, stratum_col="lang",
+                                        score_col="q", k=2,
+                                        order_col="id").collect()
+        kept = {(r.lang, r.id): r["__rank"] for r in out}
+        assert kept == {("en", 1): 1, ("en", 2): 2, ("de", 4): 1}
+
+    def test_validates_k(self, spark):
+        from zoi_spark import sampling
+
+        df = spark.createDataFrame([("en", 1, 0.9)],
+                                   "lang string, id long, q double")
+        with pytest.raises(ValueError):
+            sampling.best_per_stratum(df, stratum_col="lang",
+                                      score_col="q", k=0,
+                                      order_col="id")
+
+
+class TestCapsProfile:
+    def test_hand_ratios(self, spark):
+        from zoi_spark import text as ztext
+
+        rows = [("s1", "HELLO WORLD yes"),     # 2/3 caps -> shouty
+                ("s1", "Ab AB A a8"),          # only AB counts: 1/4
+                ("s2", "")]                    # empty: 0 tokens
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = {r.source: r for r in ztext.caps_profile(
+            df, shouty_ratio=0.3).collect()}
+        s1 = out["s1"]
+        assert (s1.n_docs, s1.n_tokens, s1.n_caps_tokens) == (2, 7, 3)
+        assert s1.caps_ratio == round(3 / 7, 6)
+        assert s1.n_shouty == 1
+        s2 = out["s2"]
+        assert (s2.n_tokens, s2.caps_ratio, s2.n_shouty) == (0, None, 0)

@@ -517,3 +517,28 @@ def test_dhash_known_bitpatterns(spark):
                                 "media_id long, payload binary")
     with pytest.raises(Exception, match="codec library"):
         multimodal.image_dhash(bad).collect()
+
+
+def test_scene_cuts_boundary_and_stubs(spark):
+    import numpy as np
+
+    def clip(lumas):
+        return multimodal.encode_y4m(
+            [np.full((4, 6), v, dtype=np.uint8) for v in lumas])
+
+    media = spark.createDataFrame(
+        [(0, clip([0, 0, 200, 200])),    # one 200-jump
+         (1, clip([0, 100, 100])),       # exactly at threshold: NO cut
+         (2, None)],
+        "media_id long, payload binary")
+    out = {r.media_id: r for r in
+           multimodal.scene_cuts(media, threshold=100.0).collect()}
+    assert (out[0].n_frames, out[0].n_cuts, out[0].max_diff) \
+        == (4, 1, 200.0)
+    assert (out[1].n_cuts, out[1].max_diff) == (0, 100.0)
+    assert (out[2].n_frames, out[2].n_cuts) == (0, 0)
+
+    bad = spark.createDataFrame([(3, b"\x00\x01" * 40)],
+                                "media_id long, payload binary")
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.scene_cuts(bad).collect()

@@ -1567,3 +1567,38 @@ def test_json_field_profile_malformed_counted(spark):
     assert (out["a"].min_value, out["a"].max_value) == (3, 5)
     assert out["a"].mean_value == 4.0
     assert (out["b"].n_missing, out["b"].mean_value) == (1, None)
+
+
+def test_funnel_stages_hand_users(spark):
+    import datetime as dt
+
+    from zoi_spark import tablechecks
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [  # u1 completes the funnel in order
+        (1, t(0), "signup"), (1, t(1), "view"), (1, t(2), "click"),
+        (1, t(3), "purchase"),
+        # u2 stops after view
+        (2, t(0), "signup"), (2, t(5), "view"),
+        # u3's first view precedes signup -> stage 1 only
+        (3, t(0), "view"), (3, t(1), "signup"),
+        # u4 never signs up -> not an entrant
+        (4, t(0), "view"), (4, t(1), "click")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r.stage_idx: r for r in tablechecks.funnel_stages(
+        df, user_col="user_id", ts_col="ts", type_col="event_type",
+        stages=["signup", "view", "click", "purchase"]).collect()}
+    assert [out[i].n_users for i in (1, 2, 3, 4)] == [3, 2, 1, 1]
+    assert out[1].conversion == 1.0
+    assert out[2].conversion == round(2 / 3, 6)
+    assert out[3].conversion == 0.5 and out[4].conversion == 1.0
+
+
+def test_funnel_stages_validates(spark):
+    from zoi_spark import tablechecks
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="stages"):
+        tablechecks.funnel_stages(df, user_col="user_id", ts_col="ts",
+                                  type_col="t", stages=["only"])

@@ -462,3 +462,40 @@ def cooccurrence_pairs(df: DataFrame, *, entity_col: str,
                     F.col("n_a").cast("long").alias("n_a"),
                     F.col("n_b").cast("long").alias("n_b"),
                     aff.alias("affinity")))
+
+
+def seed_distance(edges: DataFrame, seeds: DataFrame, *,
+                  src_col: str = "src", dst_col: str = "dst",
+                  seed_col: str = "node",
+                  max_hops: int = 3) -> DataFrame:
+    """Multi-source BFS over the undirected edge set: hop distance from
+    the nearest seed, capped at *max_hops* — the TrustRank-style
+    "distance from a trusted/spam seed set" feature (unreached nodes
+    are simply absent; cap the hops, not the frontier). Output:
+    (node, distance).
+
+    Per hop: one join of the CURRENT FRONTIER (only nodes first reached
+    last hop, not the whole reached set) against the edge table, one
+    anti-join against reached — so total work is O(edges incident to
+    newly reached nodes) per hop, the textbook frontier BFS;
+    localCheckpoint per hop truncates lineage."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    sym = (e.unionAll(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    reached = (seeds.select(F.col(seed_col).alias("node")).distinct()
+               .withColumn("distance", F.lit(0))
+               .localCheckpoint(eager=True))
+    frontier = reached
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (sym.join(frontier.select(F.col("node").alias("a")), "a")
+               .select(F.col("b").alias("node")).distinct()
+               .join(reached.select("node"), "node", "left_anti")
+               .withColumn("distance", F.lit(hop))
+               .localCheckpoint(eager=True))
+        reached = reached.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached

@@ -480,3 +480,24 @@ def winsorize_stats(df: DataFrame, *, stratum_col: str,
                  .cast("long").alias("n_clipped_high"),
                  F.round(F.sum(clipped) / F.count("*"), 6)
                  .alias("winsorized_mean")))
+
+
+def best_per_stratum(df: DataFrame, *, stratum_col: str,
+                     score_col: str, k: int,
+                     order_col: str) -> DataFrame:
+    """Keep the top-*k* rows per stratum by descending score — the
+    "best N documents per language/source" curation step (FineWeb-style
+    quality-first selection under a per-stratum budget). Ties break by
+    ascending *order_col*, so the kept set is deterministic. Appends
+    ``__rank`` (1-based within the stratum).
+
+    One ranking window per stratum (single shuffle on the stratum key);
+    rank ≤ k lets Spark's WindowGroupLimit push the limit below the
+    sort, so each partition keeps a k-row heap rather than sorting the
+    full stratum."""
+    if k < 1:
+        raise ValueError("best_per_stratum: k must be >= 1")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(order_col).asc())
+    return (df.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k))

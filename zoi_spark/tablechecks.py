@@ -761,3 +761,48 @@ def json_field_profile(df: DataFrame, *, json_col: str, field: str,
                  F.max("__v").alias("max_value"),
                  F.round(F.sum("__v")
                          / F.count("__v"), 6).alias("mean_value")))
+
+
+def funnel_stages(df: DataFrame, *, user_col: str, ts_col: str,
+                  type_col: str, stages: "list[str]") -> DataFrame:
+    """First-occurrence funnel: a user reaches stage k when their FIRST
+    stage-k event is strictly later than their first stage-(k−1) event
+    (and they reached k−1) — the standard product/conversion funnel on
+    first touches, deterministic because only per-(user, stage) min
+    timestamps enter the comparison. Output one row per stage:
+    ``stage_idx``, ``stage``, ``n_users``, ``conversion`` (share of the
+    previous stage, round 6; stage 1's share of all funnel entrants is
+    1.0).
+
+    One conditional-min aggregation per user (single shuffle on the
+    user key, map-side combine), then a constant-width projection —
+    no window, no per-user event lists."""
+    if len(stages) < 2:
+        raise ValueError("funnel_stages: need at least 2 stages")
+    mins = [F.min(F.when(F.col(type_col) == s, F.col(ts_col)))
+            .alias(f"__t{i}") for i, s in enumerate(stages)]
+    per = (df.where(F.col(type_col).isin(list(stages))
+                    & F.col(ts_col).isNotNull())
+           .groupBy(user_col).agg(*mins))
+    reached = F.col("__t0").isNotNull()
+    flags = [reached]
+    for i in range(1, len(stages)):
+        reached = reached & (F.col(f"__t{i}") > F.col(f"__t{i - 1}"))
+        flags.append(reached)
+    counts = per.agg(*[
+        F.sum(fl.cast("long")).alias(f"__n{i}")
+        for i, fl in enumerate(flags)])
+    rows = []
+    for i, s in enumerate(stages):
+        conv = (F.lit(1.0) if i == 0 else
+                F.when(F.col(f"__n{i - 1}") > 0,
+                       F.round(F.col(f"__n{i}")
+                               / F.col(f"__n{i - 1}"), 6)))
+        rows.append(counts.select(
+            F.lit(i + 1).alias("stage_idx"), F.lit(s).alias("stage"),
+            F.col(f"__n{i}").cast("long").alias("n_users"),
+            conv.alias("conversion")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

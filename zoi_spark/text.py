@@ -2015,3 +2015,31 @@ def readability_profile(df: DataFrame, *, text_col: str = "text",
                  .alias("syllables_per_word"),
                  F.round(F.sum("__f6") / 1e6 / n, 6)
                  .alias("mean_flesch")))
+
+
+def caps_profile(df: DataFrame, *, text_col: str = "text",
+                 group_col: str = "source",
+                 shouty_ratio: float = 0.3) -> DataFrame:
+    """Per-group ALL-CAPS profile — the shoutiness QC (SEO spam, scraped
+    button/nav text and ad copy are caps-heavy): a caps token is a
+    whitespace token matching ``^[A-Z]{2,}$``. Emits per group:
+    ``n_docs``, ``n_tokens``, ``n_caps_tokens``, ``caps_ratio``
+    (sum-ratio, exact integer sums), ``n_shouty`` (docs whose OWN ratio
+    exceeds *shouty_ratio*). One projection + one hash aggregation."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = token_count(F.col(text_col))
+    n_caps = F.when(n_tok == 0, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Z]{2,}$"))))
+    per = df.select(F.col(group_col), n_tok.alias("__t"),
+                    n_caps.cast("long").alias("__c"))
+    shouty = ((F.col("__t") > 0)
+              & (F.col("__c") / F.col("__t") > F.lit(shouty_ratio)))
+    return (per.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("__t").cast("long").alias("n_tokens"),
+                 F.sum("__c").cast("long").alias("n_caps_tokens"),
+                 F.when(F.sum("__t") > 0,
+                        F.round(F.sum("__c") / F.sum("__t"), 6))
+                 .alias("caps_ratio"),
+                 F.sum(shouty.cast("long")).cast("long")
+                 .alias("n_shouty")))
