@@ -3259,6 +3259,117 @@ def q_source_caps(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_prefix_dups(spark, sf_dir):
+    """Truncation-duplicate groups (dedup.prefix_dup_groups, k=32):
+    docs with doc_id%7 < 2 get a 40-token shared head per doc_id%5
+    family (the truncated-recrawl seeding), everything else keeps its
+    own text — the md5-of-first-k-tokens grouping recomputed verbatim
+    by the twin, including the short-doc whole-text fallback."""
+    from zoi_spark import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    fam = F.pmod("doc_id", F.lit(5)).cast("string")
+    head = F.repeat(F.concat(F.lit("head"), fam, F.lit(" tok ")), 20)
+    seeded = d.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(7)) < 2,
+               F.concat(head, F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    out = dedup.prefix_dup_groups(seeded, k=32)
+    return out.orderBy("prefix_md5", "doc_id")
+
+
+def q_url_params(spark, sf_dir):
+    """Query-parameter mining (urls.query_param_profile): a seeded url
+    corpus exercising valued params, EMPTY values (utm_campaign=), bare
+    flags (no '='), and query-less urls — key extraction, distinct-url
+    counting and the value gate all re-derived by the twin."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    m = F.pmod("doc_id", F.lit(4))
+    q = (F.when(m == 0, F.lit("?utm_source=x&utm_campaign="))
+         .when(m == 1, F.concat(F.lit("?id="),
+                                F.col("doc_id").cast("string"),
+                                F.lit("&utm_source=y")))
+         .when(m == 2, F.lit("?flag")).otherwise(F.lit("")))
+    seeded = d.select(F.concat(
+        F.lit("http://h"), F.pmod("doc_id", F.lit(9)).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"), q)
+        .alias("url"))
+    return urls.query_param_profile(seeded).orderBy("param")
+
+
+def _silence_payloads() -> list[bytes]:
+    """Four deterministic WAV clips with ANALYTICALLY-known silence
+    profiles at threshold 256: mono 10×0+5×5000+5×0 (ratio 0.75,
+    longest run 10); stereo (+300,−300) frames whose MIXDOWN is 0
+    (ratio 1.0 — pins the mean-before-threshold order); all-loud
+    (0.0); alternating 0/5000 (0.5, run 1)."""
+    import numpy as np
+
+    from zoi_spark import multimodal
+
+    def wav(arr):
+        return multimodal.encode_wav(np.array(arr, dtype=np.int16),
+                                     8000)
+
+    return [wav([0] * 10 + [5000] * 5 + [0] * 5),
+            wav([[300, -300]] * 4),
+            wav([10000] * 8),
+            wav([0, 5000] * 4)]
+
+
+def q_audio_silence_profile(spark, sf_dir):
+    """Dead-air profiling (multimodal.audio_silence): deterministic PCM
+    clips through the REAL WAV decode — silence ratios and longest runs
+    are hand-derived constants in the twin, including the stereo clip
+    whose per-frame mixdown cancels to exact silence."""
+    from zoi_spark import multimodal
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    payloads = _silence_payloads()
+    v = F.pmod("doc_id", F.lit(len(payloads)))
+    payload = None
+    for i, p in enumerate(payloads):
+        expr = F.unhex(F.lit(p.hex()))
+        payload = (F.when(v == i, expr) if payload is None
+                   else payload.when(v == i, expr))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     payload.alias("payload"))
+    out = multimodal.audio_silence(media, threshold=256)
+    return (out.groupBy(F.pmod("media_id", F.lit(4)).alias("variant"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("n_frames").alias("n_frames"),
+                 F.max("silence_ratio").alias("silence_ratio"),
+                 F.max("longest_silence").alias("longest_silence"))
+            .orderBy("variant"))
+
+
+def q_event_volume_anomalies(spark, sf_dir):
+    """Daily-volume anomaly report (tablechecks.daily_volume_anomalies,
+    z=1.5): the z-test runs in INTEGER arithmetic — (c·n−Σc)² >
+    z²·(n·Σc²−(Σc)²) — so day classification has no float boundary;
+    the twin evaluates the same inequality."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.daily_volume_anomalies(
+        ev, ts_col="ts", group_col="event_type", z=1.5)
+        .orderBy("event_type"))
+
+
+def q_ab_arms(spark, sf_dir):
+    """Deterministic A/B readout (sampling.ab_readout, 3 arms): md5
+    unit assignment (the hash_split arithmetic) + micro-unit value
+    means per arm — assignment hex math and the quantized mean both
+    re-derived by the twin."""
+    from zoi_spark import sampling
+
+    ev = _read(spark, sf_dir, "events")
+    return (sampling.ab_readout(ev, unit_col="user_id",
+                                value_col="value", seed="exp1",
+                                arms=3).orderBy("arm"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3392,6 +3503,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "video_scene_cuts": q_video_scene_cuts,
         "lang_best_docs": q_lang_best_docs,
         "source_caps": q_source_caps,
+        "prefix_dups": q_prefix_dups,
+        "url_params": q_url_params,
+        "audio_silence_profile": q_audio_silence_profile,
+        "event_volume_anomalies": q_event_volume_anomalies,
+        "ab_arms": q_ab_arms,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -7118,6 +7234,104 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(b / t::DOUBLE, 6) END
                      AS bytes_per_token
             FROM s ORDER BY lang
+        """,
+        "prefix_dups": f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 < 2 THEN
+                  repeat('head' || (doc_id % 5)::VARCHAR || ' tok ', 20)
+                    || text
+                ELSE text END AS text
+              FROM documents),
+            toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM seeded),
+            keyed AS (
+              SELECT doc_id,
+                     md5(array_to_string(t[1:32], ' ')) AS prefix_md5
+              FROM toks),
+            g AS (
+              SELECT prefix_md5, count(*) AS n_docs,
+                     min(doc_id) AS first_doc
+              FROM keyed GROUP BY 1 HAVING count(*) >= 2)
+            SELECT prefix_md5, doc_id, n_docs::BIGINT AS n_docs,
+                   first_doc
+            FROM keyed JOIN g USING (prefix_md5)
+            ORDER BY prefix_md5, doc_id
+        """,
+        "url_params": """
+            WITH seeded AS (
+              SELECT 'http://h' || (doc_id % 9)::VARCHAR
+                     || '.example/p/' || doc_id::VARCHAR ||
+                CASE doc_id % 4
+                  WHEN 0 THEN '?utm_source=x&utm_campaign='
+                  WHEN 1 THEN '?id=' || doc_id::VARCHAR
+                              || '&utm_source=y'
+                  WHEN 2 THEN '?flag' ELSE '' END AS url
+              FROM documents),
+            q AS (
+              SELECT url AS u,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS qs
+              FROM seeded WHERE url IS NOT NULL),
+            p AS (
+              SELECT u, unnest(string_split(qs, '&')) AS p
+              FROM q WHERE qs != ''),
+            kv AS (
+              SELECT u, split_part(p, '=', 1) AS param,
+                     CASE WHEN len(string_split(p, '=')) > 1
+                           AND string_split(p, '=')[-1] != ''
+                          THEN 1 ELSE 0 END AS hv
+              FROM p WHERE p != '')
+            SELECT param, count(DISTINCT u)::BIGINT AS n_urls,
+                   count(*)::BIGINT AS n_occurrences,
+                   sum(hv)::BIGINT AS n_with_value
+            FROM kv GROUP BY 1 ORDER BY param
+        """,
+        "audio_silence_profile": """
+            WITH c AS (
+              SELECT doc_id % 4 AS variant, count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1),
+            k AS (SELECT * FROM (VALUES
+                    (0, 20, 0.75, 10), (1, 4, 1.0, 4),
+                    (2, 8, 0.0, 0), (3, 8, 0.5, 1))
+                  t(variant, n_frames, silence_ratio, longest_silence))
+            SELECT c.variant, n_docs, n_frames, silence_ratio,
+                   longest_silence
+            FROM c JOIN k USING (variant) ORDER BY c.variant
+        """,
+        "event_volume_anomalies": """
+            WITH days AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                     count(*) AS c
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            mom AS (
+              SELECT event_type, count(*) AS n, sum(c) AS s1,
+                     sum(c * c) AS s2
+              FROM days GROUP BY 1)
+            SELECT days.event_type, max(n)::BIGINT AS n_days,
+                   max(s1)::BIGINT AS total,
+                   round(max(s1) / max(n), 6) AS mean_daily,
+                   sum(CASE WHEN pow(c * n - s1, 2)
+                             > 2.25 * (n * s2 - s1 * s1)
+                            THEN 1 ELSE 0 END)::BIGINT
+                     AS n_anomaly_days
+            FROM days JOIN mom USING (event_type)
+            GROUP BY 1 ORDER BY event_type
+        """,
+        "ab_arms": """
+            WITH k AS (
+              SELECT user_id, value,
+                     md5('exp1:' || user_id::VARCHAR) AS key
+              FROM events),
+            a AS (
+              SELECT (('0x' || substr(key, 1, 15))::UBIGINT % 3)
+                       ::BIGINT AS arm,
+                     user_id, round(value * 1e6)::BIGINT AS v6
+              FROM k)
+            SELECT arm, count(*)::BIGINT AS n_rows,
+                   count(DISTINCT user_id)::BIGINT AS n_units,
+                   round(sum(v6) / 1e6 / count(v6), 6) AS mean_value
+            FROM a GROUP BY 1 ORDER BY arm
         """,
         "signup_funnel": """
             WITH per AS (

@@ -214,6 +214,10 @@ R4_NAMES = [
     # top-k-per-stratum selection, shoutiness QC
     "signup_funnel", "seed_hop_distance", "video_scene_cuts",
     "lang_best_docs", "source_caps",
+    # wave 14: truncation dups, query-param mining, audio silence,
+    # volume anomalies, A/B readout
+    "prefix_dups", "url_params", "audio_silence_profile",
+    "event_volume_anomalies", "ab_arms",
 ]
 
 

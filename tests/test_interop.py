@@ -542,3 +542,30 @@ def test_scene_cuts_boundary_and_stubs(spark):
                                 "media_id long, payload binary")
     with pytest.raises(Exception, match="codec library"):
         multimodal.scene_cuts(bad).collect()
+
+
+def test_audio_silence_mixdown_and_runs(spark):
+    import numpy as np
+
+    def wav(arr):
+        return multimodal.encode_wav(np.array(arr, dtype=np.int16),
+                                     8000)
+
+    media = spark.createDataFrame(
+        [(0, wav([0] * 10 + [5000] * 5 + [0] * 5)),
+         (1, wav([[300, -300]] * 4)),     # stereo mixdown cancels
+         (2, wav([0, 5000] * 4)),
+         (3, None)],
+        "media_id long, payload binary")
+    out = {r.media_id: r for r in
+           multimodal.audio_silence(media, threshold=256).collect()}
+    assert (out[0].n_frames, out[0].silence_ratio,
+            out[0].longest_silence) == (20, 0.75, 10)
+    assert (out[1].silence_ratio, out[1].longest_silence) == (1.0, 4)
+    assert (out[2].silence_ratio, out[2].longest_silence) == (0.5, 1)
+    assert (out[3].n_frames, out[3].longest_silence) == (0, 0)
+
+    bad = spark.createDataFrame([(4, b"\x01\x02" * 30)],
+                                "media_id long, payload binary")
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.audio_silence(bad).collect()

@@ -1602,3 +1602,84 @@ def test_funnel_stages_validates(spark):
     with pytest.raises(ValueError, match="stages"):
         tablechecks.funnel_stages(df, user_col="user_id", ts_col="ts",
                                   type_col="t", stages=["only"])
+
+
+def test_prefix_dup_groups_truncation_and_short(spark):
+    from zoi_spark import dedup
+
+    head = "w " * 40
+    rows = [(1, head + "unique tail one"),
+            (2, head + "completely different tail"),
+            (3, "standalone body three"),
+            (4, "tiny"), (5, "tiny")]        # short docs: whole text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.prefix_dup_groups(df, k=32).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r.prefix_md5, []).append(r)
+    assert len(groups) == 2
+    by_ids = {tuple(sorted(x.doc_id for x in g)): g
+              for g in groups.values()}
+    assert set(by_ids) == {(1, 2), (4, 5)}
+    assert all(x.first_doc == 1 and x.n_docs == 2
+               for x in by_ids[(1, 2)])
+    assert 3 not in {r.doc_id for r in out}   # singleton omitted
+
+
+def test_query_param_profile_hand_urls(spark):
+    from zoi_spark import urls
+
+    rows = [("http://a/x?utm=1&id=7",),
+            ("http://a/y?utm=2&empty=",),
+            ("http://a/y?utm=2&empty=",),     # same url: distinct once
+            ("http://a/z?flag",),
+            ("http://a/plain",), (None,)]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r.param: r for r in urls.query_param_profile(df).collect()}
+    assert (out["utm"].n_urls, out["utm"].n_occurrences,
+            out["utm"].n_with_value) == (2, 3, 3)
+    assert (out["empty"].n_urls, out["empty"].n_with_value) == (1, 0)
+    assert (out["flag"].n_occurrences, out["flag"].n_with_value) \
+        == (1, 0)
+    assert "plain" not in out
+
+
+def test_daily_volume_anomalies_integer_ztest(spark):
+    import datetime as dt
+
+    from zoi_spark import tablechecks
+
+    rows = []
+    # type 'a': 1 event/day for 9 days, 20 on day 10 -> one anomaly
+    for d in range(9):
+        rows.append(("a", dt.datetime(2026, 1, 1 + d)))
+    rows += [("a", dt.datetime(2026, 1, 10, h % 24)) for h in range(20)]
+    # type 'b': perfectly flat -> variance 0, no anomalies
+    for d in range(5):
+        rows += [("b", dt.datetime(2026, 1, 1 + d))] * 3
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in tablechecks.daily_volume_anomalies(
+        df, ts_col="ts", group_col="event_type", z=1.5).collect()}
+    a = out["a"]
+    assert (a.n_days, a.total, a.n_anomaly_days) == (10, 29, 1)
+    assert a.mean_daily == 2.9
+    assert (out["b"].n_anomaly_days, out["b"].mean_daily) == (0, 3.0)
+
+
+def test_ab_readout_deterministic_and_partitioned(spark):
+    from zoi_spark import sampling
+
+    rows = [(u, float(u % 7)) for u in range(200) for _ in range(2)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out1 = sorted(map(tuple, sampling.ab_readout(
+        df, unit_col="user_id", value_col="value", seed="s",
+        arms=4).collect()))
+    out2 = sorted(map(tuple, sampling.ab_readout(
+        df, unit_col="user_id", value_col="value", seed="s",
+        arms=4).collect()))
+    assert out1 == out2
+    assert sum(r[2] for r in out1) == 200      # units partition exactly
+    assert sum(r[1] for r in out1) == 400
+    with pytest.raises(ValueError):
+        sampling.ab_readout(df, unit_col="user_id", value_col="value",
+                            arms=1)

@@ -1418,3 +1418,33 @@ def cluster_size_histogram(clusters: DataFrame, *,
     return (sizes.groupBy("cluster_size")
             .agg(F.count("*").alias("n_clusters"),
                  F.sum("cluster_size").alias("n_docs")))
+
+
+def prefix_dup_groups(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 32) -> DataFrame:
+    """Truncation-duplicate detection: group documents by the md5 of
+    their first *k* normalized tokens — the cheap catch for re-crawls
+    cut off mid-page, paywalled tails and mirror sites that share the
+    article head byte-for-byte but diverge later (full-text exact dedup
+    misses them, MinHash needs the similarity to survive truncation).
+    Docs shorter than k tokens hash their whole normalized text, which
+    degrades gracefully to exact-dup grouping. Output: one row per
+    member of a group with ≥2 docs — (prefix_md5, id, n_docs,
+    first_doc) — keep ``id == first_doc`` downstream.
+
+    One projection + one count aggregation + one re-join keyed on the
+    16-byte hash (never the text): the standard two-pass group-and-mark,
+    no window."""
+    from .text import normalize_text
+
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    fp = F.md5(F.concat_ws(" ", F.slice(tokens, 1, int(k))))
+    keyed = df.select(F.col(id_col), fp.alias("prefix_md5"))
+    groups = (keyed.groupBy("prefix_md5")
+              .agg(F.count("*").alias("n_docs"),
+                   F.min(id_col).alias("first_doc"))
+              .where(F.col("n_docs") >= 2))
+    return (keyed.join(groups, "prefix_md5")
+            .select("prefix_md5", id_col,
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "first_doc"))

@@ -501,3 +501,32 @@ def best_per_stratum(df: DataFrame, *, stratum_col: str,
         F.col(score_col).desc(), F.col(order_col).asc())
     return (df.withColumn("__rank", F.row_number().over(w))
             .where(F.col("__rank") <= k))
+
+
+def ab_readout(df: DataFrame, *, unit_col: str, value_col: str,
+               seed: str = "", arms: int = 2) -> DataFrame:
+    """Deterministic A/B experiment readout: every unit is assigned an
+    ``arm`` by md5(seed:unit) mod *arms* (the same hash-interval
+    arithmetic as hash_split — re-running or adding data never
+    reassigns anyone), then each arm is profiled: rows, distinct units,
+    and the mean of *value_col* accumulated as micro-unit integers so
+    the readout is bit-deterministic. Change *seed* to re-randomize a
+    new experiment; arms stay balanced in expectation.
+
+    One projection + one aggregation on the arm key; the distinct-unit
+    count shuffles (arm, unit) once."""
+    if arms < 2:
+        raise ValueError("ab_readout: need at least 2 arms")
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(unit_col).cast("string")))
+    arm = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+        F.lit(int(arms)))
+    v6 = F.round(F.col(value_col) * 1e6).cast("long")
+    per = df.select(arm.alias("arm"), F.col(unit_col).alias("__u"),
+                    v6.alias("__v6"))
+    return (per.groupBy("arm")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.count_distinct("__u").alias("n_units"),
+                 F.round(F.sum("__v6") / 1e6 / F.count("__v6"), 6)
+                 .alias("mean_value")))

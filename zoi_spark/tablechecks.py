@@ -806,3 +806,38 @@ def funnel_stages(df: DataFrame, *, user_col: str, ts_col: str,
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def daily_volume_anomalies(df: DataFrame, *, ts_col: str,
+                           group_col: str, z: float = 3.0) -> DataFrame:
+    """Per-group daily-volume anomaly report: days whose event count
+    deviates from the group's mean by more than z standard deviations —
+    the crawl/ingest monitoring row (a collapsed fetcher or a
+    duplicate-feed burst shows up as a volume spike long before content
+    metrics move). The z-test is evaluated in INTEGER arithmetic —
+    (c·n − Σc)² > z²·(n·Σc² − (Σc)²) — so the day classification is
+    bit-deterministic with no float boundary. Output per group:
+    ``n_days``, ``total``, ``mean_daily`` (round 6),
+    ``n_anomaly_days``.
+
+    Two hash aggregations (day counts, then group moments joined back
+    onto the ≤days-per-group table) — both shuffle on the group key."""
+    days = (df.where(F.col(ts_col).isNotNull())
+            .groupBy(F.col(group_col),
+                     F.date_trunc("day", F.col(ts_col)).alias("__d"))
+            .agg(F.count("*").alias("c")))
+    mom = (days.groupBy(group_col)
+           .agg(F.count("*").alias("__n"), F.sum("c").alias("__s1"),
+                F.sum(F.col("c") * F.col("c")).alias("__s2")))
+    j = days.join(mom, group_col)
+    dev2 = F.pow(F.col("c") * F.col("__n") - F.col("__s1"), 2)
+    bound = (F.lit(float(z) * float(z))
+             * (F.col("__n") * F.col("__s2")
+                - F.col("__s1") * F.col("__s1")))
+    return (j.groupBy(group_col)
+            .agg(F.max("__n").cast("long").alias("n_days"),
+                 F.max("__s1").cast("long").alias("total"),
+                 F.round(F.max("__s1") / F.max("__n"), 6)
+                 .alias("mean_daily"),
+                 F.sum((dev2 > bound).cast("long")).cast("long")
+                 .alias("n_anomaly_days")))

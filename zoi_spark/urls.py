@@ -367,3 +367,32 @@ def host_concentration(df: DataFrame, *, host_col: str = "host",
                    .alias("topk_share")))
     out._zoi_persisted = [counts]  # release after materialization
     return out
+
+
+def query_param_profile(df: DataFrame, *, url_col: str = "url"
+                        ) -> DataFrame:
+    """Query-parameter mining: which ``?key=value`` keys appear across
+    the corpus, on how many DISTINCT urls, and how often they carry a
+    value — the evidence pass behind a canonical_url strip-list (utm_*
+    and session ids show up on huge distinct-url counts; real content
+    params on few). Output per key: ``n_urls`` (distinct),
+    ``n_occurrences``, ``n_with_value``.
+
+    One extract + explode over the query string (bounded by params per
+    url, not corpus size) and one hash aggregation on the key; the
+    distinct-url count shuffles (key, url) once — same shape as
+    path_templates."""
+    q = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    parts = F.explode(F.split(q, "&"))
+    base = (df.where(F.col(url_col).isNotNull() & (q != ""))
+            .select(F.col(url_col).alias("__u"), parts.alias("__p"))
+            .where(F.col("__p") != ""))
+    key = F.substring_index("__p", "=", 1)
+    has_val = F.col("__p").contains("=") & \
+        (F.substring_index("__p", "=", -1) != "")
+    kv = base.select("__u", key.alias("param"),
+                     has_val.cast("long").alias("__hv"))
+    return (kv.groupBy("param")
+            .agg(F.count_distinct("__u").alias("n_urls"),
+                 F.count("*").cast("long").alias("n_occurrences"),
+                 F.sum("__hv").cast("long").alias("n_with_value")))
