@@ -315,9 +315,12 @@ def triangle_stats(edges: DataFrame, *, src_col: str = "src",
                       F.col(dst_col).alias("d"))
          .where(F.col("s").isNotNull() & F.col("d").isNotNull()
                 & (F.col("s") != F.col("d"))))
+    # the canonical table feeds THREE joins — persist it so the wedge
+    # and closing probes read one materialized edge set instead of
+    # re-scanning (and re-distincting) the input three times
     canon = (e.select(F.least("s", "d").alias("u"),
                       F.greatest("s", "d").alias("v"))
-             .distinct())
+             .distinct().persist())
     e1 = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = canon.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = canon.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -337,10 +340,12 @@ def triangle_stats(edges: DataFrame, *, src_col: str = "src",
                 F.round(2.0 * t / (F.col("degree")
                                    * (F.col("degree") - 1)), 6)) \
         .otherwise(F.lit(0.0))
-    return (deg.join(corners, "node", "left")
-            .select("node", "degree",
-                    t.cast("long").alias("n_triangles"),
-                    cc.alias("clustering")))
+    out = (deg.join(corners, "node", "left")
+           .select("node", "degree",
+                   t.cast("long").alias("n_triangles"),
+                   cc.alias("clustering")))
+    out._zoi_persisted = [canon]  # release after materialization
+    return out
 
 
 def degree_assortativity(edges: DataFrame, *, src_col: str = "src",
@@ -363,9 +368,10 @@ def degree_assortativity(edges: DataFrame, *, src_col: str = "src",
                       F.col(dst_col).alias("b"))
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
                 & (F.col("a") != F.col("b"))))
-    sym = e.unionAll(e.select(F.col("b").alias("a"),
-                              F.col("a").alias("b"))).distinct()
-    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    sym = (e.unionAll(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+           .distinct().persist())
+    deg = sym.groupBy("a").agg(F.count("*").alias("d")).persist()
     dx = deg.select(F.col("a").alias("__x"), F.col("d").alias("x"))
     dy = deg.select(F.col("a").alias("__y"), F.col("d").alias("y"))
     pairs = (sym.join(dx, sym["a"] == dx["__x"])
@@ -382,8 +388,10 @@ def degree_assortativity(edges: DataFrame, *, src_col: str = "src",
     r = F.when((vx > 0) & (vy > 0),
                F.round(num / F.sqrt(vx.cast("double")
                                     * vy.cast("double")), 6))
-    return s.select((F.col("m") / 2).cast("long").alias("n_edges"),
-                    r.alias("assortativity"))
+    out = s.select((F.col("m") / 2).cast("long").alias("n_edges"),
+                   r.alias("assortativity"))
+    out._zoi_persisted = [sym, deg]  # release after materialization
+    return out
 
 
 def kcore(edges: DataFrame, *, k: int, rounds: int,
@@ -441,7 +449,7 @@ def cooccurrence_pairs(df: DataFrame, *, entity_col: str,
     ei = (df.select(F.col(entity_col).alias("e"),
                     F.col(item_col).alias("i"))
           .where(F.col("e").isNotNull() & F.col("i").isNotNull())
-          .distinct())
+          .distinct().persist())
     a = ei.select("e", F.col("i").alias("item_a"))
     b = ei.select(F.col("e").alias("e2"), F.col("i").alias("item_b"))
     both = (a.join(b, (a["e"] == b["e2"])
@@ -455,13 +463,15 @@ def cooccurrence_pairs(df: DataFrame, *, entity_col: str,
                       F.col("n").alias("n_b"))
     aff = F.round(F.col("n_both")
                   / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6)
-    return (both.join(F.broadcast(sa), "item_a")
-            .join(F.broadcast(sb), "item_b")
-            .select("item_a", "item_b",
-                    F.col("n_both").cast("long").alias("n_both"),
-                    F.col("n_a").cast("long").alias("n_a"),
-                    F.col("n_b").cast("long").alias("n_b"),
-                    aff.alias("affinity")))
+    out = (both.join(F.broadcast(sa), "item_a")
+           .join(F.broadcast(sb), "item_b")
+           .select("item_a", "item_b",
+                   F.col("n_both").cast("long").alias("n_both"),
+                   F.col("n_a").cast("long").alias("n_a"),
+                   F.col("n_b").cast("long").alias("n_b"),
+                   aff.alias("affinity")))
+    out._zoi_persisted = [ei]  # release after materialization
+    return out
 
 
 def seed_distance(edges: DataFrame, seeds: DataFrame, *,

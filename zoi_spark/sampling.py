@@ -417,8 +417,10 @@ def epoch_factors(df: DataFrame, *, stratum_col: str,
     spark = df.sparkSession
     tdf = F.broadcast(spark.createDataFrame(
         recipe, f"{stratum_col} string, target_share double"))
+    # counts feeds both the total and the recipe join — persist the
+    # strata-row aggregate so the corpus is scanned once
     counts = (df.groupBy(stratum_col)
-              .agg(F.count("*").alias("n_rows")))
+              .agg(F.count("*").alias("n_rows")).persist())
     n_total = counts.agg(F.sum("n_rows").alias("__n"))
     factor = F.when(
         F.col("target_share").isNotNull(),
@@ -426,12 +428,14 @@ def epoch_factors(df: DataFrame, *, stratum_col: str,
             F.col("target_share") * F.col("__n")
             * F.lit(float(budget_multiplier)) / F.col("n_rows"))
             .cast("long"))).otherwise(F.lit(1))
-    return (counts.join(tdf, stratum_col, "left")
-            .crossJoin(F.broadcast(n_total))
-            .withColumn("epoch_factor", factor)
-            .withColumn("effective_rows",
-                        F.col("epoch_factor") * F.col("n_rows"))
-            .drop("__n"))
+    out = (counts.join(tdf, stratum_col, "left")
+           .crossJoin(F.broadcast(n_total))
+           .withColumn("epoch_factor", factor)
+           .withColumn("effective_rows",
+                       F.col("epoch_factor") * F.col("n_rows"))
+           .drop("__n"))
+    out._zoi_persisted = [counts]  # release after materialization
+    return out
 
 
 def winsorize_stats(df: DataFrame, *, stratum_col: str,

@@ -595,20 +595,25 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
         F.format_number(F.abs(F.col(column)).cast("double"), 9),
         r"[.,]", "")
     first = F.substring(F.regexp_replace(digits, "^0+", ""), 1, 1)
+    # counted feeds both the total and the digit join — persist the
+    # <=9-row aggregate so the corpus is scanned once
     counted = (df.where(F.col(column).isNotNull()
                         & (F.col(column) != 0))
                .select(first.cast("int").alias("digit"))
-               .groupBy("digit").agg(F.count("*").alias("n")))
+               .groupBy("digit").agg(F.count("*").alias("n"))
+               .persist())
     total = counted.agg(F.sum("n").alias("__t"))
     bdf = F.broadcast(df.sparkSession.createDataFrame(
         sorted(_BENFORD.items()), "digit int, benford_p double"))
-    return (bdf.join(counted, "digit", "left")
-            .crossJoin(F.broadcast(total))
-            .select("digit",
-                    F.coalesce("n", F.lit(0)).alias("n"),
-                    F.round(F.coalesce("n", F.lit(0)) / F.col("__t"), 6)
-                    .alias("observed_p"),
-                    F.round("benford_p", 6).alias("benford_p")))
+    out = (bdf.join(counted, "digit", "left")
+           .crossJoin(F.broadcast(total))
+           .select("digit",
+                   F.coalesce("n", F.lit(0)).alias("n"),
+                   F.round(F.coalesce("n", F.lit(0)) / F.col("__t"), 6)
+                   .alias("observed_p"),
+                   F.round("benford_p", 6).alias("benford_p")))
+    out._zoi_persisted = [counted]  # release after materialization
+    return out
 
 
 def chi2_independence(df: DataFrame, col_a: str,
@@ -628,9 +633,12 @@ def chi2_independence(df: DataFrame, col_a: str,
     grid are |A|·|B| rows — broadcast-joined, never shuffled."""
     base = df.where(F.col(col_a).isNotNull()
                     & F.col(col_b).isNotNull())
+    # obs feeds four consumers (both margins, the total, the cell
+    # join) — persist the |A|x|B|-row aggregate so the corpus is
+    # scanned once, not four times
     obs = (base.groupBy(F.col(col_a).alias("a"),
                         F.col(col_b).alias("b"))
-           .agg(F.count("*").alias("o")))
+           .agg(F.count("*").alias("o")).persist())
     ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
     n = obs.agg(F.sum("o").alias("n"))
@@ -646,11 +654,13 @@ def chi2_independence(df: DataFrame, col_a: str,
         F.max("n").alias("n_rows")))
     v = F.sqrt(F.col("__chi2")
                / (F.col("n_rows") * F.least("__da", "__db")))
-    return stats.select(
+    out = stats.select(
         F.round("__chi2", 6).alias("chi2"),
         (F.col("__da") * F.col("__db")).cast("long").alias("dof"),
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round(v, 6).alias("cramers_v"))
+    out._zoi_persisted = [obs]  # release after materialization
+    return out
 
 
 def group_entropy(df: DataFrame, *, group_col: str,
@@ -792,20 +802,21 @@ def funnel_stages(df: DataFrame, *, user_col: str, ts_col: str,
     counts = per.agg(*[
         F.sum(fl.cast("long")).alias(f"__n{i}")
         for i, fl in enumerate(flags)])
-    rows = []
+    # one struct per stage exploded from the SINGLE 1-row aggregate —
+    # a per-stage select + union would re-run the whole funnel scan
+    # once per stage
+    structs = []
     for i, s in enumerate(stages):
         conv = (F.lit(1.0) if i == 0 else
                 F.when(F.col(f"__n{i - 1}") > 0,
                        F.round(F.col(f"__n{i}")
                                / F.col(f"__n{i - 1}"), 6)))
-        rows.append(counts.select(
+        structs.append(F.struct(
             F.lit(i + 1).alias("stage_idx"), F.lit(s).alias("stage"),
             F.col(f"__n{i}").cast("long").alias("n_users"),
-            conv.alias("conversion")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+            conv.cast("double").alias("conversion")))
+    return (counts.select(F.explode(F.array(*structs)).alias("__r"))
+            .select("__r.*"))
 
 
 def daily_volume_anomalies(df: DataFrame, *, ts_col: str,

@@ -1898,9 +1898,12 @@ def vocab_coverage(df: DataFrame, *, text_col: str = "text",
     if not ts or ts[0] <= 0:
         raise ValueError("vocab_coverage: thresholds must be positive")
     tok = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    # the vocab table feeds both the total and the top-V cut —
+    # persist it so the explode+aggregate over the corpus runs once
     counts = (df.select(tok.alias("token"))
               .where(F.col("token") != "")
-              .groupBy("token").agg(F.count("*").alias("n")))
+              .groupBy("token").agg(F.count("*").alias("n"))
+              .persist())
     total = counts.agg(F.sum("n").alias("total_tokens"))
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(ts[-1])
     ranked = top.withColumn(
@@ -1908,17 +1911,19 @@ def vocab_coverage(df: DataFrame, *, text_col: str = "text",
             Window.orderBy(F.desc("n"), F.asc("token"))))
     tdf = df.sparkSession.createDataFrame(
         [(t,) for t in ts], "vocab_size int")
-    return (ranked.join(F.broadcast(tdf),
-                        F.col("__rank") <= F.col("vocab_size"))
-            .groupBy("vocab_size")
-            .agg(F.sum("n").cast("long").alias("covered_tokens"))
-            .crossJoin(F.broadcast(total))
-            .select("vocab_size", "covered_tokens",
-                    F.col("total_tokens").cast("long")
-                    .alias("total_tokens"),
-                    F.round(F.col("covered_tokens")
-                            / F.col("total_tokens"), 6)
-                    .alias("coverage")))
+    out = (ranked.join(F.broadcast(tdf),
+                       F.col("__rank") <= F.col("vocab_size"))
+           .groupBy("vocab_size")
+           .agg(F.sum("n").cast("long").alias("covered_tokens"))
+           .crossJoin(F.broadcast(total))
+           .select("vocab_size", "covered_tokens",
+                   F.col("total_tokens").cast("long")
+                   .alias("total_tokens"),
+                   F.round(F.col("covered_tokens")
+                           / F.col("total_tokens"), 6)
+                   .alias("coverage")))
+    out._zoi_persisted = [counts]  # release after materialization
+    return out
 
 
 def byte_fertility(df: DataFrame, *, text_col: str = "text",
@@ -1962,19 +1967,24 @@ def gram_novelty(df: DataFrame, *, id_col: str = "doc_id",
     join back on the same key — gram-key shuffles only; hot boilerplate
     grams skew the min-agg, which map-side combine absorbs (the min is
     associative), unlike a join-based first-seen lookup."""
+    # the distinct gram table feeds both the min-agg and the join
+    # back — persist it so the explode+distinct shuffle runs once
     grams = (df.select(F.col(id_col).alias("__id"),
                        F.explode(word_shingles(F.col(text_col), n))
                        .alias("g"))
              .where(F.col("g") != "")
-             .distinct())
+             .distinct().persist())
     first = grams.groupBy("g").agg(F.min("__id").alias("__first"))
-    return (grams.join(first, "g")
+    out = (grams.join(first, "g")
             .groupBy(F.col("__id").alias(id_col))
             .agg(F.count("*").cast("long").alias("n_grams"),
                  F.sum(F.when(F.col("__first") == F.col("__id"), 1)
                        .otherwise(0)).cast("long").alias("n_novel"))
             .withColumn("novelty",
-                        F.round(F.col("n_novel") / F.col("n_grams"), 6)))
+                        F.round(F.col("n_novel") / F.col("n_grams"),
+                                6)))
+    out._zoi_persisted = [grams]  # release after materialization
+    return out
 
 
 def readability_profile(df: DataFrame, *, text_col: str = "text",
