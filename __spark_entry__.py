@@ -2841,6 +2841,20 @@ def q_cluster_sizes(spark, sf_dir):
     return out.orderBy("cluster_size")
 
 
+def _payload_by_variant(d, payloads):
+    """(doc_id frame, [bytes]) -> (media_id, payload) with payload i
+    assigned where doc_id % len(payloads) == i — the shared seeding for
+    every media oracle (dhash / frames / audio / scene cuts)."""
+    v = F.pmod("doc_id", F.lit(len(payloads)))
+    payload = None
+    for i, p in enumerate(payloads):
+        expr = F.unhex(F.lit(p.hex()))
+        payload = (F.when(v == i, expr) if payload is None
+                   else payload.when(v == i, expr))
+    return d.select(F.col("doc_id").alias("media_id"),
+                    payload.alias("payload"))
+
+
 def _dhash_payloads() -> list[bytes]:
     """Five deterministic BMPs with ANALYTICALLY-known dHashes: the
     three solid/half fixtures (uniform rows → dhash 0) plus a column
@@ -2875,15 +2889,7 @@ def q_image_dhash(spark, sf_dir):
     from zoi_spark import multimodal
 
     d = _read(spark, sf_dir, "documents").select("doc_id")
-    payloads = _dhash_payloads()
-    v = F.pmod("doc_id", F.lit(5))
-    payload = None
-    for i, p in enumerate(payloads):
-        expr = F.unhex(F.lit(p.hex()))
-        payload = (F.when(v == i, expr) if payload is None
-                   else payload.when(v == i, expr))
-    media = d.select(F.col("doc_id").alias("media_id"),
-                     payload.alias("payload"))
+    media = _payload_by_variant(d, _dhash_payloads())
     out = multimodal.image_dhash(media)
     return (out.groupBy(F.pmod("media_id", F.lit(5)).alias("variant"))
             .agg(F.count("*").alias("n_docs"),
@@ -3214,15 +3220,7 @@ def q_video_scene_cuts(spark, sf_dir):
     from zoi_spark import multimodal
 
     d = _read(spark, sf_dir, "documents").select("doc_id")
-    payloads = _scene_payloads()
-    v = F.pmod("doc_id", F.lit(len(payloads)))
-    payload = None
-    for i, p in enumerate(payloads):
-        expr = F.unhex(F.lit(p.hex()))
-        payload = (F.when(v == i, expr) if payload is None
-                   else payload.when(v == i, expr))
-    media = d.select(F.col("doc_id").alias("media_id"),
-                     payload.alias("payload"))
+    media = _payload_by_variant(d, _scene_payloads())
     out = multimodal.scene_cuts(media, threshold=100.0)
     return (out.groupBy(F.pmod("media_id", F.lit(4)).alias("variant"))
             .agg(F.count("*").alias("n_docs"),
@@ -3328,15 +3326,7 @@ def q_audio_silence_profile(spark, sf_dir):
     from zoi_spark import multimodal
 
     d = _read(spark, sf_dir, "documents").select("doc_id")
-    payloads = _silence_payloads()
-    v = F.pmod("doc_id", F.lit(len(payloads)))
-    payload = None
-    for i, p in enumerate(payloads):
-        expr = F.unhex(F.lit(p.hex()))
-        payload = (F.when(v == i, expr) if payload is None
-                   else payload.when(v == i, expr))
-    media = d.select(F.col("doc_id").alias("media_id"),
-                     payload.alias("payload"))
+    media = _payload_by_variant(d, _silence_payloads())
     out = multimodal.audio_silence(media, threshold=256)
     return (out.groupBy(F.pmod("media_id", F.lit(4)).alias("variant"))
             .agg(F.count("*").alias("n_docs"),
@@ -4385,9 +4375,7 @@ def _benford_sql(column: str, table: str) -> str:
           SELECT {column} AS v FROM {table}
           WHERE {column} IS NOT NULL AND {column} != 0),
         dig AS (
-          SELECT substr(regexp_replace(regexp_replace(
-                   printf('%.9f', abs(v)), '[.,]', '', 'g'),
-                   '^0+', ''), 1, 1)::INT AS digit
+          SELECT substr(printf('%.9e', abs(v)), 1, 1)::INT AS digit
           FROM vals),
         counted AS (SELECT digit, count(*) AS n FROM dig GROUP BY 1),
         tot AS (SELECT sum(n) AS t FROM counted),
@@ -7538,7 +7526,8 @@ def oracle_sql() -> dict[str, str]:
                      epoch(ts) - lag(epoch(ts)) OVER (
                        PARTITION BY user_id
                        ORDER BY ts, event_id) AS gap
-              FROM events WHERE ts IS NOT NULL)
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL)
             SELECT event_type, count(*)::BIGINT AS n_gaps,
                    round(avg(gap), 6) AS mean_gap,
                    round(min(gap), 6) AS min_gap,

@@ -92,6 +92,11 @@ def _run(df, name: str = "") -> float:
         SPREAD[name] = round(max(times) - min(times), 3)
         if extra:
             RETRIED[name] = extra
+    # release caches the operator persisted for its own reuse (minhash
+    # buckets, edge tables, vocab counts, …): queries are independent,
+    # and 100+ never-released caches would spill executor storage and
+    # distort every later timing
+    df.sparkSession.catalog.clearCache()
     return min(times)
 
 

@@ -58,6 +58,9 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_rows) == len(duck_rows), f"{name}: row-count mismatch"
     mismatches = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+    # queries are independent: drop whatever the operator persisted for
+    # its own reuse so 160+ parametrized runs don't accumulate caches
+    spark.catalog.clearCache()
 
 
 def test_entry_smoke(spark):

@@ -1412,16 +1412,20 @@ def test_recall_at_k_dedups_approx_rows(spark):
 def test_benford_profile_hand_digits(spark):
     from zoi_spark import tablechecks
 
-    vals = [1.5, -19.0, 0.0, None, 250.0, 0.02]
+    # 3e-10 pins the tiny-magnitude path: a fixed-decimal formatter
+    # renders it as all zeros and aborts the ANSI int cast; the
+    # scientific-notation extraction reads digit 3
+    vals = [1.5, -19.0, 0.0, None, 250.0, 0.02, 3e-10]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     out = {r.digit: r for r in
            tablechecks.benford_profile(df, "v").collect()}
     assert sorted(out) == list(range(1, 10))   # all 9 rows, always
-    # 1.5 -> 1, -19 -> 1, 250 -> 2, 0.02 -> 2; zero/NULL excluded
-    assert (out[1].n, out[2].n) == (2, 2)
-    assert out[1].observed_p == 0.5 and out[2].observed_p == 0.5
+    # 1.5 -> 1, -19 -> 1, 250 -> 2, 0.02 -> 2, 3e-10 -> 3; 0/NULL out
+    assert (out[1].n, out[2].n, out[3].n) == (2, 2, 1)
+    assert out[1].observed_p == 0.4 and out[2].observed_p == 0.4
+    assert out[3].observed_p == 0.2
     assert all(out[d].n == 0 and out[d].observed_p == 0.0
-               for d in range(3, 10))
+               for d in range(4, 10))
     import math
     assert out[1].benford_p == round(math.log10(2.0), 6)
 

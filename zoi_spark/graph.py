@@ -252,6 +252,21 @@ def degree_stats(edges: DataFrame, *, src_col: str = "src",
                         .otherwise(F.lit(0.0))))
 
 
+def _sym_edges(edges: "DataFrame", src_col: str, dst_col: str
+               ) -> "DataFrame":
+    """Shared edge hygiene for the undirected-graph operators: drop
+    NULL endpoints and self-loops, symmetrize, distinct — returning the
+    (a, b) table every round-based algorithm iterates over. Kept in ONE
+    place so LPA / assortativity / k-core / BFS cannot drift on what
+    counts as an edge."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    return e.unionAll(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b"))).distinct()
+
+
 def lpa_communities(edges: DataFrame, *, src_col: str = "src",
                     dst_col: str = "dst", iters: int = 3) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al. 2007)
@@ -271,13 +286,8 @@ def lpa_communities(edges: DataFrame, *, src_col: str = "src",
     the node's distinct neighbor-label count, not the graph), plus a
     left join back for isolated nodes. localCheckpoint per round
     truncates the lineage exactly like pagerank/duplicate_clusters."""
-    e = (edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))))
-    sym = e.unionAll(e.select(F.col("b").alias("a"),
-                              F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = _sym_edges(edges, src_col, dst_col).localCheckpoint(
+        eager=True)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("label"))
@@ -364,30 +374,33 @@ def degree_assortativity(edges: DataFrame, *, src_col: str = "src",
     float-summation-order wobble. One degree aggregation + two joins
     of the edge table against the (node, degree) table, shuffling on
     node keys only."""
-    e = (edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))))
-    sym = (e.unionAll(e.select(F.col("b").alias("a"),
-                               F.col("a").alias("b")))
-           .distinct().persist())
+    sym = _sym_edges(edges, src_col, dst_col).persist()
     deg = sym.groupBy("a").agg(F.count("*").alias("d")).persist()
     dx = deg.select(F.col("a").alias("__x"), F.col("d").alias("x"))
     dy = deg.select(F.col("a").alias("__y"), F.col("d").alias("y"))
     pairs = (sym.join(dx, sym["a"] == dx["__x"])
              .join(dy, sym["b"] == dy["__y"])
              .select("x", "y"))
-    s = pairs.agg(F.count("*").alias("m"),
-                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
-                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                  F.sum(F.col("y") * F.col("y")).alias("syy"))
+    # moments as DECIMAL(38,0): the long sums are safe, but their
+    # PRODUCTS (m·sxy, sx², …) blow past 2^63 around 10^9 edges —
+    # decimal keeps the five-sum formula exact to 38 digits instead of
+    # aborting with ARITHMETIC_OVERFLOW under ANSI mode
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    s = pairs.agg(dec(F.count("*")).alias("m"),
+                  dec(F.sum("x")).alias("sx"),
+                  dec(F.sum("y")).alias("sy"),
+                  dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+                  dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+                  dec(F.sum(F.col("y") * F.col("y"))).alias("syy"))
     num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
     r = F.when((vx > 0) & (vy > 0),
-               F.round(num / F.sqrt(vx.cast("double")
-                                    * vy.cast("double")), 6))
+               F.round(num.cast("double")
+                       / F.sqrt(vx.cast("double")
+                                * vy.cast("double")), 6))
     out = s.select((F.col("m") / 2).cast("long").alias("n_edges"),
                    r.alias("assortativity"))
     out._zoi_persisted = [sym, deg]  # release after materialization
@@ -413,13 +426,8 @@ def kcore(edges: DataFrame, *, k: int, rounds: int,
     the lineage exactly like pagerank/duplicate_clusters."""
     if k < 1 or rounds < 1:
         raise ValueError("kcore: k and rounds must be >= 1")
-    e = (edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))))
-    sym = (e.unionAll(e.select(F.col("b").alias("a"),
-                               F.col("a").alias("b")))
-           .distinct().localCheckpoint(eager=True))
+    sym = _sym_edges(edges, src_col, dst_col).localCheckpoint(
+        eager=True)
     for _ in range(int(rounds)):
         deg = sym.groupBy("a").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= k).select("a")
@@ -489,13 +497,8 @@ def seed_distance(edges: DataFrame, seeds: DataFrame, *,
     anti-join against reached — so total work is O(edges incident to
     newly reached nodes) per hop, the textbook frontier BFS;
     localCheckpoint per hop truncates lineage."""
-    e = (edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))))
-    sym = (e.unionAll(e.select(F.col("b").alias("a"),
-                               F.col("a").alias("b")))
-           .distinct().localCheckpoint(eager=True))
+    sym = _sym_edges(edges, src_col, dst_col).localCheckpoint(
+        eager=True)
     reached = (seeds.select(F.col(seed_col).alias("node")).distinct()
                .withColumn("distance", F.lit(0))
                .localCheckpoint(eager=True))

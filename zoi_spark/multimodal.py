@@ -638,10 +638,14 @@ def audio_silence(df: DataFrame, *, id_col: str = "media_id",
                 return 0, 0.0, 0
             silent = np.abs(mono) <= thr
             ratio = round(float(silent.mean()), 6)
-            longest = run = 0
-            for s in silent:
-                run = run + 1 if s else 0
-                longest = max(longest, run)
+            # vectorized run-length: boundaries of silent stretches via
+            # diff over a 0-padded int mask — a Python per-sample loop
+            # would dominate the decode on hour-long payloads
+            edges = np.diff(np.concatenate(
+                ([0], silent.astype(np.int8), [0])))
+            starts = np.flatnonzero(edges == 1)
+            ends = np.flatnonzero(edges == -1)
+            longest = int((ends - starts).max()) if starts.size else 0
             return n, ratio, longest
         raise NotImplementedError(
             "non-WAV audio decode requires a codec library not present "

@@ -588,13 +588,17 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
     synthetic/templated/capped values do not): one row per digit 1-9
     with the observed count/share and Benford's expectation. Zero and
     NULL values are excluded (they have no first significant digit).
-    The digit extraction is string-based (first char of the digits of
-    abs(value)) so float log10 edge cases can't misclassify a
-    boundary value. One projection + one 9-key aggregation."""
-    digits = F.regexp_replace(
-        F.format_number(F.abs(F.col(column)).cast("double"), 9),
-        r"[.,]", "")
-    first = F.substring(F.regexp_replace(digits, "^0+", ""), 1, 1)
+    The digit extraction is string-based — the first character of the
+    value's scientific notation ('%.9e') — so it never produces an
+    empty string (a fixed-decimal format would render |x| < 5e-10 as
+    all zeros and abort the ANSI int cast) and float log10 edge cases
+    can't misclassify. Values within half an ulp of a digit rollover
+    at the 10th significant digit round with IEEE semantics,
+    identically on every engine. One projection + one 9-key
+    aggregation."""
+    first = F.substring(
+        F.format_string("%.9e", F.abs(F.col(column)).cast("double")),
+        1, 1)
     # counted feeds both the total and the digit join — persist the
     # <=9-row aggregate so the corpus is scanned once
     counted = (df.where(F.col(column).isNotNull()
@@ -703,13 +707,17 @@ def interarrival_stats(df: DataFrame, *, ts_col: str,
     One lag window per entity (one shuffle on the entity key — the
     same partitioning sessionize uses), then one hash aggregation.
     Ties on the timestamp are broken by *order_col* so the gap
-    sequence is deterministic under any physical row order."""
+    sequence is deterministic under any physical row order. NULL
+    entities are excluded: they are unrelated events, and routing
+    them through one window partition would fabricate gaps AND
+    serialize a corpus-sized partition through one task."""
     td = F.col(ts_col).cast("timestamp").cast("double")
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy(entity_col).orderBy(*order)
     gap = td - F.lag(td).over(w)
     key = group_col or entity_col
-    return (df.where(F.col(ts_col).isNotNull())
+    return (df.where(F.col(ts_col).isNotNull()
+                     & F.col(entity_col).isNotNull())
             .withColumn("__gap", gap)
             .where(F.col("__gap").isNotNull())
             .groupBy(key)
@@ -825,9 +833,14 @@ def daily_volume_anomalies(df: DataFrame, *, ts_col: str,
     deviates from the group's mean by more than z standard deviations —
     the crawl/ingest monitoring row (a collapsed fetcher or a
     duplicate-feed burst shows up as a volume spike long before content
-    metrics move). The z-test is evaluated in INTEGER arithmetic —
-    (c·n − Σc)² > z²·(n·Σc² − (Σc)²) — so the day classification is
-    bit-deterministic with no float boundary. Output per group:
+    metrics move). The z-test is the cross-multiplied inequality
+    (c·n − Σc)² > z²·(n·Σc² − (Σc)²): the variance term is
+    accumulated as exact DECIMAL(38,0) (n·Σc² overflows a long around
+    10^9 events/day — decimal never aborts), and both sides convert
+    to double only at the final comparison, in the same operation
+    order as the DuckDB twin, so the classification is bit-identical
+    across engines and exact while magnitudes stay below 2^53.
+    Output per group:
     ``n_days``, ``total``, ``mean_daily`` (round 6),
     ``n_anomaly_days``.
 
@@ -837,14 +850,20 @@ def daily_volume_anomalies(df: DataFrame, *, ts_col: str,
             .groupBy(F.col(group_col),
                      F.date_trunc("day", F.col(ts_col)).alias("__d"))
             .agg(F.count("*").alias("c")))
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
     mom = (days.groupBy(group_col)
            .agg(F.count("*").alias("__n"), F.sum("c").alias("__s1"),
-                F.sum(F.col("c") * F.col("c")).alias("__s2")))
+                dec(F.sum(F.col("c") * F.col("c"))).alias("__s2")))
     j = days.join(mom, group_col)
+    # (c·n − s1) fits a long (counts × days); square it in DOUBLE —
+    # exactly what DuckDB's pow(int, 2) does — and compute the
+    # variance term exactly in decimal before its own double cast
     dev2 = F.pow(F.col("c") * F.col("__n") - F.col("__s1"), 2)
-    bound = (F.lit(float(z) * float(z))
-             * (F.col("__n") * F.col("__s2")
-                - F.col("__s1") * F.col("__s1")))
+    var = (dec(F.col("__n")) * F.col("__s2")
+           - dec(F.col("__s1")) * dec(F.col("__s1")))
+    bound = F.lit(float(z) * float(z)) * var.cast("double")
     return (j.groupBy(group_col)
             .agg(F.max("__n").cast("long").alias("n_days"),
                  F.max("__s1").cast("long").alias("total"),
