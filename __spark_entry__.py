@@ -3360,6 +3360,86 @@ def q_ab_arms(spark, sf_dir):
                                 arms=3).orderBy("arm"))
 
 
+_HTML_WRAP_PRE = ('<html><head><script type="x">var a=1;</script>'
+                  "<style>p{color:red}</style></head><body><p>")
+_HTML_WRAP_POST = "</p>&lt;tag&gt; &amp; &nbsp;done</body></html>"
+
+
+def q_html_strip_report(spark, sf_dir):
+    """HTML→text stripping (text.html_strip): a third of the docs are
+    wrapped in script/style/tag/entity chrome; the report compares raw
+    vs stripped character mass per source. The twin replays the exact
+    regexp chain and the entity-decode ORDER (&amp; last, decode after
+    tag-strip, so '&lt;tag&gt;' survives as literal text)."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id", "source",
+        F.when(F.pmod("doc_id", F.lit(3)) == 0,
+               F.concat(F.lit(_HTML_WRAP_PRE), F.col("text"),
+                        F.lit(_HTML_WRAP_POST)))
+        .otherwise(F.col("text")).alias("text"))
+    out = text.html_strip(seeded)
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).cast("long").alias("raw_chars"),
+                 F.sum(F.length("text_plain")).cast("long")
+                 .alias("plain_chars"),
+                 F.round(F.sum(F.length("text_plain"))
+                         / F.sum(F.length("text")), 6).alias("kept"))
+            .orderBy("source"))
+
+
+def q_retention_weeks(spark, sf_dir):
+    """Weekly cohort retention (tablechecks.retention_cohorts): ISO-week
+    cohorts by first event, distinct actives per (cohort, offset) cell —
+    the exact-integer day-diff/7 offsets re-derived by the twin."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.retention_cohorts(ev, user_col="user_id",
+                                          ts_col="ts")
+            .orderBy("cohort_week", "week_offset"))
+
+
+def q_tld_mix(spark, sf_dir):
+    """Corpus TLD mix (urls.tld_profile) over a seeded frontier with
+    three host families — .example, .org and a dot-less localhost (the
+    whole-host fallback pinned) — counts, distinct hosts and shares all
+    under the hash."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(9)).cast("string")
+    host = (F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("localhost"))
+            .when(F.pmod("doc_id", F.lit(5)) == 0,
+                  F.concat(F.lit("h"), g, F.lit(".test.org")))
+            .otherwise(F.concat(F.lit("h"), g, F.lit(".example"))))
+    seeded = d.select(F.concat(F.lit("http://"), host, F.lit("/p/"),
+                               F.col("doc_id").cast("string"))
+                      .alias("url"))
+    return urls.tld_profile(seeded).orderBy("tld")
+
+
+def q_word_len_mix(spark, sf_dir):
+    """Word-length histogram per lang (text.word_len_hist, cap 12):
+    corpus-shape QC with the overflow bucket and per-lang shares — the
+    window denominator rides the ≤12-row histogram, never the corpus."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.word_len_hist(d, max_len=12)
+            .orderBy("lang", "word_len"))
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN graph construction (similarity.mutual_topk_pairs,
+    k=5 over vec_id<300): pairs kept only when each side ranks the
+    other in its cosine top-5 — the twin re-ranks both directions with
+    the SAME fold-order cosine formula (dot / (√na·√nb), round 6, the
+    silhouette-proven numerical pairing) and semi-joins for mutuality."""
+    from zoi_spark import similarity
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return (similarity.mutual_topk_pairs(emb, k=5)
+            .orderBy("id_a", "id_b"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3498,6 +3578,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "audio_silence_profile": q_audio_silence_profile,
         "event_volume_anomalies": q_event_volume_anomalies,
         "ab_arms": q_ab_arms,
+        "html_strip_report": q_html_strip_report,
+        "retention_weeks": q_retention_weeks,
+        "tld_mix": q_tld_mix,
+        "word_len_mix": q_word_len_mix,
+        "mutual_knn": q_mutual_knn,
         # --- three-round driver-green queries (r1-r3) ---
         "customer_violation_rows": q_customer_violation_rows,
         "customer_rule_counts": q_customer_rule_counts,
@@ -7222,6 +7307,112 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(b / t::DOUBLE, 6) END
                      AS bytes_per_token
             FROM s ORDER BY lang
+        """,
+        "html_strip_report": f"""
+            WITH seeded AS (
+              SELECT source,
+                CASE WHEN doc_id % 3 = 0
+                     THEN '{_HTML_WRAP_PRE}' || text
+                          || '{_HTML_WRAP_POST}'
+                     ELSE text END AS t
+              FROM documents),
+            p AS (
+              SELECT source, t,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(t,
+                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                  '\\s+', ' ', 'g')) AS plain
+              FROM seeded)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(length(t))::BIGINT AS raw_chars,
+                   sum(length(plain))::BIGINT AS plain_chars,
+                   round(sum(length(plain))
+                         / sum(length(t)), 6) AS kept
+            FROM p GROUP BY 1 ORDER BY source
+        """,
+        "retention_weeks": """
+            WITH base AS (
+              SELECT user_id, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cw
+              FROM base GROUP BY 1),
+            act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM base),
+            j AS (SELECT act.user_id, w, cw
+                  FROM act JOIN f USING (user_id))
+            SELECT cw::DATE AS cohort_week,
+                   (date_diff('day', cw, w) / 7)::INT AS week_offset,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+        """,
+        "tld_mix": """
+            WITH seeded AS (
+              SELECT 'http://' ||
+                CASE WHEN doc_id % 7 = 0 THEN 'localhost'
+                     WHEN doc_id % 5 = 0
+                       THEN 'h' || (doc_id % 9)::VARCHAR || '.test.org'
+                     ELSE 'h' || (doc_id % 9)::VARCHAR || '.example'
+                END || '/p/' || doc_id::VARCHAR AS url
+              FROM documents),
+            h AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                     AS host
+              FROM seeded WHERE url IS NOT NULL),
+            t AS (
+              SELECT regexp_extract(host, '([^.]+)$', 1) AS tld, host
+              FROM h),
+            c AS (
+              SELECT tld, count(*) AS n_urls,
+                     count(DISTINCT host) AS n_hosts
+              FROM t WHERE tld != '' GROUP BY 1)
+            SELECT tld, n_urls::BIGINT AS n_urls,
+                   n_hosts::BIGINT AS n_hosts,
+                   round(n_urls / sum(n_urls) OVER (), 6) AS share
+            FROM c ORDER BY tld
+        """,
+        "word_len_mix": f"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS token
+              FROM documents),
+            c AS (
+              SELECT lang, least(length(token), 12) AS word_len,
+                     count(*) AS n_words
+              FROM toks WHERE token != '' GROUP BY 1, 2)
+            SELECT lang, word_len, n_words::BIGINT AS n_words,
+                   round(n_words / sum(n_words)
+                         OVER (PARTITION BY lang), 6) AS share
+            FROM c ORDER BY lang, word_len
+        """,
+        "mutual_knn": """
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 300),
+            scored AS (
+              SELECT q.vec_id AS a, e.vec_id AS b,
+                     round(list_dot_product(e.v, q.v)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.v, q.v))), 6)
+                       AS cosine
+              FROM c q JOIN c e ON e.vec_id != q.vec_id),
+            ranked AS (
+              SELECT a, b, cosine,
+                     row_number() OVER (PARTITION BY a
+                                        ORDER BY cosine DESC, b ASC)
+                       AS rnk
+              FROM scored),
+            top AS (SELECT a, b, cosine FROM ranked WHERE rnk <= 5)
+            SELECT t.a AS id_a, t.b AS id_b, t.cosine
+            FROM top t JOIN top r ON r.a = t.b AND r.b = t.a
+            WHERE t.a < t.b ORDER BY id_a, id_b
         """,
         "prefix_dups": f"""
             WITH seeded AS (

@@ -223,6 +223,10 @@ R4_NAMES = [
     # volume anomalies, A/B readout
     "prefix_dups", "url_params", "audio_silence_profile",
     "event_volume_anomalies", "ab_arms",
+    # wave 15: HTML stripping, retention cohorts, TLD mix,
+    # word-length shape, mutual-kNN graph
+    "html_strip_report", "retention_weeks", "tld_mix",
+    "word_len_mix", "mutual_knn",
 ]
 
 

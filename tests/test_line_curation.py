@@ -359,3 +359,33 @@ def test_boilerplate_phrases_empty_raises(spark):
     df = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError):
         text.boilerplate_phrase_flags(df, phrases=())
+
+
+def test_html_strip_semantics(spark):
+    from zoi_spark import text as ztext
+
+    raw = ('<html><script a="b">var x = "<p>";</script>'
+           '<style>p { c: d }</style><p class="big">Hello '
+           '<b>world</b></p>&lt;b&gt; &amp;lt; A&nbsp;B&#39;s</html>')
+    df = spark.createDataFrame([(1, raw), (2, "plain text")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r.text_plain
+           for r in ztext.html_strip(df).collect()}
+    # tags stripped BEFORE entity decode: '&lt;b&gt;' survives as the
+    # literal '<b>'; '&amp;lt;' decodes to '&lt;' exactly once
+    assert out[1] == "Hello world <b> &lt; A B's"
+    assert out[2] == "plain text"
+
+
+def test_word_len_hist_cap_and_shares(spark):
+    from zoi_spark import text as ztext
+
+    df = spark.createDataFrame(
+        [("en", "aa bbb aa toolongword")],
+        "lang string, text string")
+    out = {(r.lang, r.word_len): r for r in ztext.word_len_hist(
+        df, group_col="lang", max_len=4).collect()}
+    assert out[("en", 2)].n_words == 2
+    assert out[("en", 2)].share == 0.5
+    assert out[("en", 3)].n_words == 1
+    assert out[("en", 4)].n_words == 1          # capped overflow

@@ -1687,3 +1687,50 @@ def test_ab_readout_deterministic_and_partitioned(spark):
     with pytest.raises(ValueError):
         sampling.ab_readout(df, unit_col="user_id", value_col="value",
                             arms=1)
+
+
+def test_retention_cohorts_hand_matrix(spark):
+    import datetime as dt
+
+    from zoi_spark import tablechecks
+
+    w = lambda k, d=0: dt.datetime(2026, 1, 5 + 7 * k + d)  # Mondays
+    rows = [(1, w(0)), (1, w(0, 3)), (1, w(1)),   # cohort W0: wk 0,0,1
+            (2, w(0, 1)),                          # cohort W0: wk 0
+            (3, w(1)), (3, w(3)),                  # cohort W1: wk 0,2
+            (None, w(0))]                          # NULL user excluded
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in tablechecks.retention_cohorts(
+               df, user_col="user_id", ts_col="ts").collect()}
+    assert out == {("2026-01-05", 0): 2, ("2026-01-05", 1): 1,
+                   ("2026-01-12", 0): 1, ("2026-01-12", 2): 1}
+
+
+def test_tld_profile_fallbacks(spark):
+    from zoi_spark import urls
+
+    rows = [("http://a.example/x",), ("https://b.example/y",),
+            ("http://a.example/z?q=1",), ("http://localhost/w",),
+            (None,)]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r.tld: r for r in urls.tld_profile(df).collect()}
+    assert (out["example"].n_urls, out["example"].n_hosts) == (3, 2)
+    assert out["example"].share == 0.75
+    assert (out["localhost"].n_urls, out["localhost"].n_hosts) == (1, 1)
+
+
+def test_mutual_topk_prunes_one_directional(spark):
+    from zoi_spark import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]),
+            (3, [0.0, 1.0]), (4, [0.01, 1.0])]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    out = {(r.id_a, r.id_b) for r in
+           similarity.mutual_topk_pairs(df, k=1).collect()}
+    assert out == {(1, 2), (3, 4)}     # cross-cluster links pruned
+    # k=3: everyone's top-3 covers all others -> all 6 pairs mutual
+    all_pairs = {(r.id_a, r.id_b) for r in
+                 similarity.mutual_topk_pairs(df, k=3).collect()}
+    assert len(all_pairs) == 6

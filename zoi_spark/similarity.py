@@ -538,3 +538,33 @@ def silhouette_centroid(df: DataFrame, *, id_col: str = "vec_id",
                  mean6(F.col("ra")).alias("mean_a"),
                  mean6(F.col("rb")).alias("mean_b"),
                  mean6(F.col("s")).alias("mean_silhouette")))
+
+
+def mutual_topk_pairs(df: DataFrame, *, k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Mutual-kNN pairs: (a, b) kept only when each vector is in the
+    OTHER's cosine top-k — the standard symmetric-graph construction
+    for semantic dedup / clustering (one-directional kNN links hubs to
+    everything; mutuality prunes them). Output: (id_a, id_b, cosine)
+    with id_a < id_b, cosine rounded like brute_force_topk.
+
+    Built on brute_force_topk's broadcast scoring: all-pairs n²·dim —
+    run it per block/cell (IVF or LSH bucket) at corpus scale, exactly
+    like the exact-verify stage of the other dedup paths. The top-k
+    edge list is persisted: it feeds both join sides."""
+    qs = df.select(F.col(id_col).alias("query_id"),
+                   F.col(vec_col).alias(vec_col))
+    top = (brute_force_topk(df, qs, k=k, corpus_id=id_col,
+                            vec_col=vec_col)
+           .select(F.col("query_id").alias("a"),
+                   F.col(id_col).alias("b"), "cosine")
+           .persist())
+    rev = top.select(F.col("b").alias("ra"), F.col("a").alias("rb"))
+    out = (top.where(F.col("a") < F.col("b"))
+           .join(rev, (F.col("a") == F.col("ra"))
+                 & (F.col("b") == F.col("rb")), "left_semi")
+           .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+                   "cosine"))
+    out._zoi_persisted = [top]  # release after materialization
+    return out

@@ -871,3 +871,31 @@ def daily_volume_anomalies(df: DataFrame, *, ts_col: str,
                  .alias("mean_daily"),
                  F.sum((dev2 > bound).cast("long")).cast("long")
                  .alias("n_anomaly_days")))
+
+
+def retention_cohorts(df: DataFrame, *, user_col: str,
+                      ts_col: str) -> DataFrame:
+    """Weekly cohort retention: users are assigned to the ISO week of
+    their FIRST event; every (cohort_week, week_offset) cell counts the
+    distinct cohort members active that many weeks later — the
+    engagement matrix behind every retention curve, and for a corpus
+    the re-crawl persistence profile per ingestion batch. Output:
+    (cohort_week DATE, week_offset, n_users); offsets are exact integer
+    day-diffs / 7 between week-truncated timestamps, so the cells are
+    deterministic.
+
+    Two aggregations (first-event per user, then the distinct count per
+    cell) and one join back — all keyed on the user, the same
+    partitioning sessionize uses."""
+    base = df.where(F.col(user_col).isNotNull()
+                    & F.col(ts_col).isNotNull())
+    first = (base.groupBy(user_col)
+             .agg(F.date_trunc("week", F.min(ts_col)).alias("__cw")))
+    act = (base.select(user_col,
+                       F.date_trunc("week", F.col(ts_col)).alias("__w"))
+           .distinct()
+           .join(first, user_col))
+    offset = (F.datediff(F.col("__w"), F.col("__cw")) / 7).cast("int")
+    return (act.groupBy(F.col("__cw").cast("date").alias("cohort_week"),
+                        offset.alias("week_offset"))
+            .agg(F.count_distinct(user_col).alias("n_users")))

@@ -2053,3 +2053,52 @@ def caps_profile(df: DataFrame, *, text_col: str = "text",
                  .alias("caps_ratio"),
                  F.sum(shouty.cast("long")).cast("long")
                  .alias("n_shouty")))
+
+
+def html_strip(df: DataFrame, *, text_col: str = "text",
+               out_col: str = "text_plain") -> DataFrame:
+    """Boilerplate HTML → plain text, the first transform every web
+    crawl goes through: drop <script>/<style> blocks wholesale, drop
+    every remaining tag, decode the five core entities (&amp; LAST, so
+    '&amp;lt;' cannot double-decode), fold &nbsp; to a space, collapse
+    whitespace. Appends *out_col*; the raw column is untouched (the
+    byte-identity invariant). Regexes avoid backreferences and
+    lookaround on purpose — they run identically under Java regex and
+    RE2, which keeps the operator oracle-checkable.
+
+    Pure projection: stays inside whole-stage codegen, no UDF, no
+    shuffle."""
+    x = F.col(text_col)
+    x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return df.withColumn(out_col, x)
+
+
+def word_len_hist(df: DataFrame, *, text_col: str = "text",
+                  group_col: str = "lang",
+                  max_len: int = 20) -> DataFrame:
+    """Per-group word-length histogram (lengths capped at *max_len*,
+    the overflow bucket) — the corpus-shape QC that separates natural
+    prose (unimodal around 4-6 chars) from token salad, minified junk
+    and agglutinative-language or CJK-segmentation artifacts. Output:
+    (group, word_len, n_words, share round 6). One explode + one hash
+    aggregation; the share denominator rides a window over the ≤max_len
+    histogram rows, not the corpus."""
+    tok = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    wl = F.least(F.length("token"), F.lit(int(max_len)))
+    counts = (df.select(F.col(group_col), tok.alias("token"))
+              .where(F.col("token") != "")
+              .select(group_col, wl.alias("word_len"))
+              .groupBy(group_col, "word_len")
+              .agg(F.count("*").alias("n_words")))
+    tot = Window.partitionBy(group_col)
+    return counts.select(
+        group_col, "word_len", F.col("n_words").cast("long")
+        .alias("n_words"),
+        F.round(F.col("n_words") / F.sum("n_words").over(tot), 6)
+        .alias("share"))

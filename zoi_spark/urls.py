@@ -396,3 +396,30 @@ def query_param_profile(df: DataFrame, *, url_col: str = "url"
             .agg(F.count_distinct("__u").alias("n_urls"),
                  F.count("*").cast("long").alias("n_occurrences"),
                  F.sum("__hv").cast("long").alias("n_with_value")))
+
+
+def tld_profile(df: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """Corpus TLD mix: the last dot-separated label of each host (the
+    whole host when it has no dot — localhost, bare IPv4 last octet
+    caveat documented), with url and distinct-host volumes and the url
+    share — the crawl-frontier composition report (a .ru/.cn surge or a
+    spam-TLD bloom shows here first). Output per tld: ``n_urls``,
+    ``n_hosts``, ``share`` (round 6).
+
+    One projection + one aggregation on the tld; the distinct-host
+    count shuffles (tld, host) once; the share denominator is a window
+    over the ≤few-hundred-row TLD table."""
+    host = url_host(F.col(url_col))
+    tld = F.regexp_extract(host, r"([^.]+)$", 1)
+    base = (df.where(F.col(url_col).isNotNull())
+            .select(tld.alias("tld"), host.alias("__h"))
+            .where(F.col("tld") != ""))
+    counts = (base.groupBy("tld")
+              .agg(F.count("*").alias("n_urls"),
+                   F.count_distinct("__h").alias("n_hosts")))
+    tot = Window.partitionBy()
+    return counts.select(
+        "tld", F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        F.round(F.col("n_urls") / F.sum("n_urls").over(tot), 6)
+        .alias("share"))
