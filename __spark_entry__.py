@@ -3440,6 +3440,206 @@ def q_mutual_knn(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_asof_attribution(spark, sf_dir):
+    """Purchase→click as-of attribution (joins.asof_join): every
+    purchase is matched to the SAME USER's most recent prior-or-equal
+    click via the tag-union + running-last merge scan — one shuffle on
+    user_id, no candidate-pair blowup. Per-user rollup: purchases,
+    attributed purchases, total attribution gap in exact integer
+    microseconds (no float drift). The DuckDB twin is an independent
+    construct — its native ASOF LEFT JOIN — so the match semantics
+    (greatest right ts ≤ left ts, left-outer) are cross-validated
+    against a second engine's implementation, not a re-derivation."""
+    from zoi_spark import joins
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "event_id")
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id")
+    j = joins.asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                        payload=["ts"], right_order="event_id")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_purchase"),
+                 F.count("ts_asof").alias("n_attributed"),
+                 F.coalesce(
+                     F.sum(F.unix_micros(F.col("ts").cast("timestamp"))
+                           - F.unix_micros(F.col("ts_asof")
+                                           .cast("timestamp"))),
+                     F.lit(0).cast("long")).alias("gap_us_total"))
+            .orderBy("user_id"))
+
+
+def q_range_join_sessions(spark, sf_dir):
+    """Binned interval join (joins.range_join): purchases located
+    inside the same user's click/view sessions (tablechecks.sessionize,
+    12h gaps — long enough that the synthetic event cadence yields
+    real containment mass, ~140 hits at sf0.01, so the oracle checks
+    the BETWEEN path, not a vacuous zero column). The join is an
+    EQUI-join on (12h bucket, user) plus
+    the exact BETWEEN filter — the plan Catalyst cannot produce from a
+    raw theta-join (that would be a nested loop). Output per user:
+    session count and purchases landing in-session. The twin re-derives
+    sessions with the same lag/gap window and joins with a plain
+    BETWEEN predicate (DuckDB plans it as an IEJoin — again an
+    independent range-join implementation)."""
+    from zoi_spark import joins
+
+    ev = _read(spark, sf_dir, "events")
+    nav = ev.where(F.col("event_type").isin("click", "view"))
+    s = tablechecks.sessionize(nav, user_col="user_id", ts_col="ts",
+                               gap_minutes=720, order_col="event_id")
+    sessions = (s.groupBy("user_id", "session_id")
+                .agg(F.min("ts").alias("start_ts"),
+                     F.max("ts").alias("end_ts")))
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts")
+    inside = joins.range_join(purchases, sessions, point_col="ts",
+                              start_col="start_ts", end_col="end_ts",
+                              on="user_id", bucket_width=43200.0)
+    hits = inside.groupBy("user_id") \
+                 .agg(F.count("*").alias("n_in_session"))
+    counts = sessions.groupBy("user_id") \
+                     .agg(F.count("*").alias("n_sessions"))
+    return (counts.join(hits, "user_id", "left")
+            .select("user_id", "n_sessions",
+                    F.coalesce("n_in_session", F.lit(0).cast("long"))
+                     .alias("n_in_session"))
+            .orderBy("user_id"))
+
+
+def q_adamic_adar_hosts(spark, sf_dir):
+    """Adamic–Adar link affinity (graph.adamic_adar) over the SAME
+    deterministic 40-host graph as `host_pagerank`: for every host
+    pair sharing neighbors, common-neighbor count and Σ 1/ln(deg(z))
+    as exact micro-units (integer sums commute — no float-order
+    drift). include_connected=True keeps already-linked pairs so the
+    degree/contribution math is checked on every pair, not only the
+    sparse unlinked complement. Twin re-derives symmetrize → degree →
+    shared-neighbor self-join → integer-contribution sum from scratch.
+    Top 40 by (aa_micro desc, a, b) keeps the gate row-stable."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    linking = d.where(F.pmod("doc_id", F.lit(40)) < 35)
+    src = F.pmod("doc_id", F.lit(40))
+    edges = linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 11, F.lit(40)).alias("dst")
+    ).unionAll(linking.select(
+        src.alias("src"),
+        F.pmod(F.col("doc_id") * 13 + 5, F.lit(40)).alias("dst")))
+    aa = graph.adamic_adar(edges, include_connected=True)
+    return (aa.orderBy(F.col("aa_micro").desc(), "node_a", "node_b")
+            .limit(40))
+
+
+def q_markov_event_mix(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream
+    (tablechecks.markov_transitions): per-user time-ordered
+    (prev→next) event-type steps, counted and row-normalized — the
+    bot-vs-human behavioral fingerprint. p is a single division of
+    exact integer counts (identical op order both engines, round 6).
+    ≤25 output rows regardless of input size: the normalization window
+    rides the counts table, never the corpus."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.markov_transitions(
+                ev, entity_col="user_id", ts_col="ts",
+                state_col="event_type", order_col="event_id")
+            .orderBy("prev_state", "next_state"))
+
+
+def q_lev_prefix_pairs(spark, sf_dir):
+    """Edit-distance near-dup verify (dedup.levenshtein_verify_pairs):
+    pairs within Levenshtein ≤3 on the 40-char normalized prefix,
+    blocked by the first 8 chars with the mega-block cap at 200 —
+    the tracking-suffix / OCR-noise dedup pass where set similarity
+    is too coarse. Spark side uses the threshold form (banded DP,
+    early abandon); the twin recomputes full levenshtein() and
+    filters, so the threshold optimization is proven value-neutral.
+    Top 40 by (dist, id_a, id_b)."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.levenshtein_verify_pairs(
+        d, max_dist=3, key_len=40, block_prefix=8, max_block_size=200)
+    return pairs.orderBy("lev_dist", "id_a", "id_b").limit(40)
+
+
+def q_cusum_volume_shift(spark, sf_dir):
+    """CUSUM changepoint scan (tablechecks.cusum_shift) over daily
+    event volumes: cumulative deviation from the series mean, scaled
+    by n so every value is an exact BIGINT (n·prefix_k − k·total) —
+    the |S_k| peak marks the level-shift day. The twin re-derives the
+    identical integer recurrence with window sums; no float enters
+    either engine."""
+    ev = _read(spark, sf_dir, "events")
+    out = tablechecks.cusum_shift(ev, ts_col="ts", unit="day")
+    return (out.select(F.col("bucket_ts").cast("date").alias("day"),
+                       "n", "cusum_scaled", "is_peak")
+            .orderBy("day"))
+
+
+def q_mannwhitney_len(spark, sf_dir):
+    """Mann-Whitney U test (tablechecks.mann_whitney_u): EN doc length
+    vs all other languages. Rank sums are computed on the DISTINCT-
+    value counts table (2·avgrank = 2·cum_before + ties + 1 — exact
+    integers, no global row window), doubled to stay integral under
+    tie averaging; AUC is the one terminal division, micro-rounded
+    with identical op order in the twin."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.mann_whitney_u(d, value_col="n_chars",
+                                      group_col="lang", group_a="en")
+
+
+def q_rfm_customers(spark, sf_dir):
+    """RFM segmentation (tablechecks.rfm_segments) of customers from
+    orders: Recency/Frequency/Monetary quartiles (ntile over the
+    per-customer aggregate, ties broken by custkey; monetary summed
+    as exact CENTS so no float-sum order can flip a bucket), then
+    segment-cell counts. The twin mirrors the same three ntile
+    windows in DuckDB."""
+    o = _read(spark, sf_dir, "orders")
+    return (tablechecks.rfm_segments(
+                o, entity_col="o_custkey", ts_col="o_orderdate",
+                amount_col="o_totalprice", buckets=4)
+            .orderBy("r_bucket", "f_bucket", "m_bucket"))
+
+
+def q_volume_autocorr(spark, sf_dir):
+    """Daily-volume autocorrelation at lags 1/2/3/7
+    (tablechecks.volume_autocorr) — the weekly-rhythm fingerprint.
+    Numerator and denominator are both scaled by n² so the sums run
+    over exact BIGINT deviations (n·x_t − S); lag matching is calendar
+    arithmetic on the tiny buckets table; r is one micro-rounded
+    division, same op order in the twin."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.volume_autocorr(ev, ts_col="ts",
+                                        lags=(1, 2, 3, 7), unit="day")
+            .orderBy("lag"))
+
+
+def q_phash_dup_groups(spark, sf_dir):
+    """Perceptual-hash near-dup groups (dedup.hamming_dup_groups,
+    max_dist=3): 60 deterministic 64-bit hashes — 12 nibble-replicated
+    group codes (pairwise Hamming ≥ 4 by the repetition bound) × 5
+    low-bit noise offsets (pairwise ≤ 3) — so exactly the within-group
+    pairs survive. Spark finds candidates with the PIGEONHOLE banded
+    equi-join (4 bands of 16 bits: distance ≤ 3 ⇒ one band equal);
+    the twin does all-pairs over distinct hashes with
+    bit_count(xor(a,b)) — the blocking is proven recall-lossless
+    against an unblocked second engine."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.pmod("doc_id", F.lit(12))
+    noise = F.pmod("doc_id", F.lit(5))
+    offset = (F.when(noise == 0, 0).when(noise == 1, 1)
+              .when(noise == 2, 3).when(noise == 3, 1048576)
+              .otherwise(1048577))
+    h = d.select((g * F.lit(4369) * F.lit(1099511627776)
+                  + offset).alias("phash"))
+    return (dedup.hamming_dup_groups(h, hash_col="phash", max_dist=3)
+            .orderBy("hash_a", "hash_b"))
+
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3634,6 +3834,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "schema_algebra": q_schema_algebra,
         "json_schema_roundtrip": q_json_schema_roundtrip,
         "refine_ctx_multi": q_refine_ctx_multi,
+        # wave 16 (r4 session 5): temporal joins, link prediction,
+        # transition profiling, edit-distance verify
+        "asof_attribution": q_asof_attribution,
+        "range_join_sessions": q_range_join_sessions,
+        "adamic_adar_hosts": q_adamic_adar_hosts,
+        "markov_event_mix": q_markov_event_mix,
+        "lev_prefix_pairs": q_lev_prefix_pairs,
+        # wave 17 (r4 session 5): changepoint/rank/seasonality stats,
+        # RFM segmentation, perceptual-hash dup groups
+        "cusum_volume_shift": q_cusum_volume_shift,
+        "mannwhitney_len": q_mannwhitney_len,
+        "rfm_customers": q_rfm_customers,
+        "volume_autocorr": q_volume_autocorr,
+        "phash_dup_groups": q_phash_dup_groups,
     }
 
 
@@ -7726,4 +7940,246 @@ def oracle_sql() -> dict[str, str]:
             FROM gaps WHERE gap IS NOT NULL
             GROUP BY 1 ORDER BY event_type
         """,
+        # twin of q_asof_attribution — deliberately an INDEPENDENT
+        # construct: DuckDB's native ASOF LEFT JOIN vs the Spark-side
+        # tag-union merge scan
+        "asof_attribution": """
+            WITH p AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.user_id,
+                   count(*)::BIGINT AS n_purchase,
+                   count(c.ts)::BIGINT AS n_attributed,
+                   coalesce(sum(epoch_us(p.ts) - epoch_us(c.ts)), 0)
+                     ::BIGINT AS gap_us_total
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            GROUP BY p.user_id ORDER BY p.user_id
+        """,
+        # twin of q_range_join_sessions — sessions re-derived with the
+        # same lag/gap window; containment via a plain BETWEEN theta
+        # join (DuckDB IEJoin), vs Spark's binned equi-join
+        "range_join_sessions": """
+            WITH nav AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type IN ('click', 'view')),
+            lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM nav),
+            s AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL 720 MINUTE
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM lagged),
+            sessions AS (
+              SELECT user_id, session_id,
+                     min(ts) AS start_ts, max(ts) AS end_ts
+              FROM s GROUP BY 1, 2),
+            p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            hits AS (
+              SELECT se.user_id, count(*)::BIGINT AS n_in_session
+              FROM p JOIN sessions se
+                ON p.user_id = se.user_id
+               AND p.ts BETWEEN se.start_ts AND se.end_ts
+              GROUP BY 1),
+            counts AS (
+              SELECT user_id, count(*)::BIGINT AS n_sessions
+              FROM sessions GROUP BY 1)
+            SELECT c.user_id, c.n_sessions,
+                   coalesce(h.n_in_session, 0)::BIGINT AS n_in_session
+            FROM counts c LEFT JOIN hits h USING (user_id)
+            ORDER BY user_id
+        """,
+        # twin of q_adamic_adar_hosts — symmetrize → degree →
+        # shared-neighbor self-join → integer micro-contribution sum,
+        # re-derived from the same deterministic host graph
+        "adamic_adar_hosts": """
+            WITH raw AS (
+              SELECT doc_id % 40 AS src, (doc_id * 7 + 11) % 40 AS dst
+              FROM documents WHERE doc_id % 40 < 35
+              UNION ALL
+              SELECT doc_id % 40, (doc_id * 13 + 5) % 40
+              FROM documents WHERE doc_id % 40 < 35),
+            base AS (
+              SELECT src AS a, dst AS b FROM raw
+              WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst),
+            sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM base
+                UNION ALL SELECT b, a FROM base)),
+            deg AS (SELECT a AS z, count(*) AS dg FROM sym GROUP BY 1),
+            nbrs AS (
+              SELECT s.b AS z, s.a AS n,
+                     CAST(round(1e6 / ln(d.dg)) AS BIGINT) AS c
+              FROM sym s JOIN deg d ON d.z = s.b),
+            pairs AS (
+              SELECT l.n AS node_a, r.n AS node_b, l.c
+              FROM nbrs l JOIN nbrs r
+                ON l.z = r.z AND l.n < r.n)
+            SELECT node_a, node_b,
+                   count(*)::BIGINT AS common_neighbors,
+                   sum(c)::BIGINT AS aa_micro
+            FROM pairs GROUP BY 1, 2
+            ORDER BY aa_micro DESC, node_a, node_b LIMIT 40
+        """,
+        # twin of q_markov_event_mix — p is one division of exact
+        # integer counts (identical op order both engines)
+        "markov_event_mix": """
+            WITH steps AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_state,
+                     event_type AS next_state
+              FROM events),
+            counts AS (
+              SELECT prev_state, next_state, count(*)::BIGINT AS n
+              FROM steps WHERE prev_state IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT prev_state, next_state, n,
+                   round(n / sum(n) OVER (PARTITION BY prev_state), 6)
+                     AS p
+            FROM counts ORDER BY prev_state, next_state
+        """,
+        # twin of q_lev_prefix_pairs — FULL levenshtein() then filter,
+        # proving Spark's banded threshold form value-neutral
+        "lev_prefix_pairs": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     substr({_NORM_SQL}, 1, 40) AS key
+              FROM documents),
+            b AS (
+              SELECT doc_id, key, substr(key, 1, 8) AS block,
+                     length(key) AS len
+              FROM k),
+            ok AS (SELECT block FROM b GROUP BY block
+                   HAVING count(*) <= 200),
+            c AS (SELECT b.* FROM b JOIN ok USING (block)),
+            p AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                     levenshtein(l.key, r.key)::INTEGER AS lev_dist
+              FROM c l JOIN c r
+                ON l.block = r.block AND l.doc_id < r.doc_id
+               AND abs(l.len - r.len) <= 3)
+            SELECT id_a, id_b, lev_dist FROM p WHERE lev_dist <= 3
+            ORDER BY lev_dist, id_a, id_b LIMIT 40
+        """,
+        # twin of q_cusum_volume_shift — same integer recurrence
+        "cusum_volume_shift": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+              FROM events GROUP BY 1),
+            s AS (
+              SELECT day, n,
+                     count(*) OVER () AS nb,
+                     sum(n) OVER () AS tot,
+                     sum(n) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS pfx,
+                     row_number() OVER (ORDER BY day) AS k
+              FROM d),
+            c AS (
+              SELECT day, n,
+                     (nb * pfx - k * tot)::BIGINT AS cusum_scaled
+              FROM s)
+            SELECT day, n, cusum_scaled,
+                   abs(cusum_scaled) = max(abs(cusum_scaled)) OVER ()
+                     AS is_peak
+            FROM c ORDER BY day
+        """,
+        # twin of q_mannwhitney_len — distinct-value rank sums, exact
+        # doubled ranks, one terminal division
+        "mannwhitney_len": """
+            WITH vc AS (
+              SELECT n_chars AS v,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       ::BIGINT AS na,
+                     count(*)::BIGINT AS n
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+            r AS (
+              SELECT na, n - na AS nb,
+                     na * (2 * coalesce(sum(n) OVER (
+                               ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+                           + n + 1) AS r2a
+              FROM vc),
+            a AS (
+              SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+                     sum(r2a)::BIGINT AS r2a
+              FROM r)
+            SELECT n_a, n_b,
+                   (r2a - n_a * (n_a + 1))::BIGINT AS u2_a,
+                   (2 * n_a * n_b - (r2a - n_a * (n_a + 1)))::BIGINT
+                     AS u2_b,
+                   CAST(round(1e6 * (r2a - n_a * (n_a + 1))
+                              / (2 * n_a * n_b)) AS BIGINT) AS auc_micro
+            FROM a
+        """,
+        # twin of q_rfm_customers — same cents-exact aggregate, same
+        # (metric DESC, entity) ntile order
+        "rfm_customers": """
+            WITH per AS (
+              SELECT o_custkey AS e,
+                     max(epoch_us(o_orderdate))::BIGINT AS rec,
+                     count(*)::BIGINT AS frq,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       ::BIGINT AS mon
+              FROM orders GROUP BY 1),
+            b AS (
+              SELECT ntile(4) OVER (ORDER BY rec DESC, e) AS r_bucket,
+                     ntile(4) OVER (ORDER BY frq DESC, e) AS f_bucket,
+                     ntile(4) OVER (ORDER BY mon DESC, e) AS m_bucket
+              FROM per)
+            SELECT r_bucket, f_bucket, m_bucket,
+                   count(*)::BIGINT AS n_entities
+            FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # twin of q_volume_autocorr — n²-scaled integer deviations,
+        # calendar-matched lags
+        "volume_autocorr": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS n
+              FROM events GROUP BY 1),
+            dev AS (
+              SELECT b,
+                     ((SELECT count(*) FROM d) * n
+                      - (SELECT sum(n) FROM d))::BIGINT AS dd
+              FROM d),
+            den AS (SELECT sum(dd * dd)::BIGINT AS den FROM dev),
+            lags(lag) AS (VALUES (1), (2), (3), (7)),
+            num AS (
+              SELECT l.lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+                     sum(a.dd * c.dd)::BIGINT AS num
+              FROM lags l
+              JOIN dev a ON true
+              JOIN dev c ON c.b = a.b + l.lag * INTERVAL 1 DAY
+              GROUP BY 1)
+            SELECT lag, n_pairs,
+                   CAST(round(1e6 * num / den) AS BIGINT) AS r_micro
+            FROM num, den ORDER BY lag
+        """,
+        # twin of q_phash_dup_groups — all-pairs over distinct hashes,
+        # NO blocking: proves the pigeonhole bands recall-lossless
+        "phash_dup_groups": """
+            WITH ph AS (
+              SELECT (doc_id % 12) * 4369 * 1099511627776
+                     + CASE doc_id % 5
+                         WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+                         WHEN 3 THEN 1048576 ELSE 1048577 END AS h
+              FROM documents),
+            hc AS (SELECT h, count(*)::BIGINT AS n FROM ph GROUP BY 1)
+            SELECT l.h AS hash_a, r.h AS hash_b,
+                   bit_count(xor(l.h, r.h))::INTEGER AS hamming,
+                   l.n AS n_a, r.n AS n_b,
+                   (l.n * r.n)::BIGINT AS n_pairs
+            FROM hc l JOIN hc r ON l.h < r.h
+            WHERE bit_count(xor(l.h, r.h)) <= 3
+            ORDER BY hash_a, hash_b
+        """,
+
     }

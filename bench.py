@@ -227,6 +227,14 @@ R4_NAMES = [
     # word-length shape, mutual-kNN graph
     "html_strip_report", "retention_weeks", "tld_mix",
     "word_len_mix", "mutual_knn",
+    # wave 16: as-of / range joins, link prediction, Markov
+    # transitions, edit-distance verify
+    "asof_attribution", "range_join_sessions", "adamic_adar_hosts",
+    "markov_event_mix", "lev_prefix_pairs",
+    # wave 17: changepoint/rank/seasonality stats, RFM segmentation,
+    # perceptual-hash dup groups
+    "cusum_volume_shift", "mannwhitney_len", "rfm_customers",
+    "volume_autocorr", "phash_dup_groups",
 ]
 
 

@@ -743,3 +743,116 @@ class TestCapsProfile:
         assert s1.n_shouty == 1
         s2 = out["s2"]
         assert (s2.n_tokens, s2.caps_ratio, s2.n_shouty) == (0, None, 0)
+
+
+class TestAdamicAdar:
+    @staticmethod
+    def _aa_micro(deg):
+        import math
+        return round(1e6 / math.log(deg))
+
+    def test_butterfly_scores(self, spark):
+        from zoi_spark import graph
+
+        # 1 and 2 share neighbors {3, 4}; 3 and 4 share {1, 2};
+        # every node has degree 2
+        e = spark.createDataFrame([(1, 3), (2, 3), (1, 4), (2, 4)],
+                                  "src long, dst long")
+        out = {(r.node_a, r.node_b): (r.common_neighbors, r.aa_micro)
+               for r in graph.adamic_adar(e).collect()}
+        c = self._aa_micro(2)
+        assert out == {(1, 2): (2, 2 * c), (3, 4): (2, 2 * c)}
+
+    def test_connected_pairs_excluded_by_default(self, spark):
+        from zoi_spark import graph
+
+        e = spark.createDataFrame(
+            [(1, 3), (2, 3), (1, 2)], "src long, dst long")
+        # (1,2) share neighbor 3 but are themselves linked
+        assert graph.adamic_adar(e).where(
+            "node_a = 1 AND node_b = 2").count() == 0
+        kept = graph.adamic_adar(e, include_connected=True).where(
+            "node_a = 1 AND node_b = 2").collect()
+        # shared z=3 with deg(3)=2; 1 and 2's extra mutual edge only
+        # raises THEIR degrees, not the contribution
+        assert kept[0].common_neighbors == 1
+        assert kept[0].aa_micro == self._aa_micro(2)
+
+    def test_hub_cap_excludes_shared_role_only(self, spark):
+        from zoi_spark import graph
+
+        # hub 9 (degree 3) is every pair's shared neighbor; node 5
+        # (degree 2) is shared by (1,2) only
+        e = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 9), (1, 5), (2, 5)],
+            "src long, dst long")
+        out = {(r.node_a, r.node_b): r.aa_micro for r in
+               graph.adamic_adar(e, max_hub_degree=2).collect()}
+        # pairs via the hub vanish; (1,2) keeps only 5's contribution.
+        # (5,9) is legitimately shared by z=1 and z=2 (both deg 2) —
+        # the cap removes 9 from the SHARED role, not the pair role
+        c = self._aa_micro(2)
+        assert out == {(1, 2): c, (5, 9): 2 * c}
+
+
+def test_levenshtein_pairs_block_and_threshold(spark):
+    from zoi_spark import dedup
+
+    rows = [(1, "abcdefghij"),       # base
+            (2, "abcdefghiX"),       # dist 1, same block
+            (3, "abcdefZZZZ"),       # dist 4 > max_dist, same block
+            (4, "XYZdefghij")]       # edit inside prefix -> other block
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.lev_dist for r in
+           dedup.levenshtein_verify_pairs(
+               df, max_dist=3, key_len=10, block_prefix=6).collect()}
+    # (1,3)/(2,3) exceed the threshold (banded form returns -1);
+    # 4 never meets anyone -- prefix blocking recall tradeoff
+    assert out == {(1, 2): 1}
+
+
+def test_levenshtein_pairs_mega_block_cap(spark):
+    from zoi_spark import dedup
+
+    rows = [(i, "samePrefix" + str(i)) for i in range(5)] \
+        + [(10, "uniqueAAAA"), (11, "uniqueAAAB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b) for r in dedup.levenshtein_verify_pairs(
+        df, max_dist=3, key_len=10, block_prefix=6,
+        max_block_size=4).collect()}
+    # the 5-row 'samepr' block is excluded wholesale; the 2-row
+    # 'unique' block survives
+    assert out == {(10, 11)}
+
+
+class TestHammingDupGroups:
+    def test_hand_hashes_and_counts(self, spark):
+        from zoi_spark import dedup
+
+        # hashes: 0b0000 ×3 rows, 0b0001 ×2, 0b0111, and a far one
+        rows = [(0,), (0,), (0,), (1,), (1,), (7,), (-1,)]
+        df = spark.createDataFrame(rows, "phash long")
+        out = {(r.hash_a, r.hash_b): (r.hamming, r.n_pairs) for r in
+               dedup.hamming_dup_groups(df, hash_col="phash",
+                                        max_dist=3).collect()}
+        # (0,1)=1, (0,7)=3, (1,7)=2; -1 is 61+ bits from everything
+        assert out == {(0, 1): (1, 6), (0, 7): (3, 3), (1, 7): (2, 2)}
+
+    def test_banding_finds_high_bit_neighbors(self, spark):
+        from zoi_spark import dedup
+
+        # differ ONLY in the top band (bits 48+): pigeonhole still
+        # pairs them via the equal low bands
+        a, b = 5 << 48 | 123, 4 << 48 | 123
+        df = spark.createDataFrame([(a,), (b,)], "phash long")
+        got = dedup.hamming_dup_groups(df, hash_col="phash",
+                                       max_dist=3).collect()
+        assert len(got) == 1 and got[0].hamming == 1
+
+    def test_validates_max_dist(self, spark):
+        from zoi_spark import dedup
+        import pytest as _pt
+
+        df = spark.createDataFrame([(0,)], "phash long")
+        with _pt.raises(ValueError):
+            dedup.hamming_dup_groups(df, hash_col="phash", max_dist=64)

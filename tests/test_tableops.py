@@ -1734,3 +1734,113 @@ def test_mutual_topk_prunes_one_directional(spark):
     all_pairs = {(r.id_a, r.id_b) for r in
                  similarity.mutual_topk_pairs(df, k=3).collect()}
     assert len(all_pairs) == 6
+
+
+def test_markov_transitions_hand_matrix(spark):
+    from zoi_spark import tablechecks
+
+    rows = [("u1", 1, 1, "a"), ("u1", 2, 2, "b"),
+            ("u1", 3, 3, "a"), ("u1", 4, 4, "b"),
+            ("u2", 1, 1, "a"), ("u2", 2, 2, "a")]
+    df = spark.createDataFrame(rows,
+                               "user string, ts long, eid long, s string")
+    out = {(r.prev_state, r.next_state): (r.n, r.p) for r in
+           tablechecks.markov_transitions(
+               df, entity_col="user", ts_col="ts", state_col="s",
+               order_col="eid").collect()}
+    assert out == {("a", "b"): (2, round(2 / 3, 6)),
+                   ("a", "a"): (1, round(1 / 3, 6)),
+                   ("b", "a"): (1, 1.0)}
+
+
+def test_markov_transitions_tiebreak_by_order_col(spark):
+    from zoi_spark import tablechecks
+
+    # both events at ts=1: eid decides the sequence a->b (not b->a)
+    rows = [("u", 1, 1, "a"), ("u", 1, 2, "b")]
+    df = spark.createDataFrame(rows,
+                               "user string, ts long, eid long, s string")
+    out = [(r.prev_state, r.next_state) for r in
+           tablechecks.markov_transitions(
+               df, entity_col="user", ts_col="ts", state_col="s",
+               order_col="eid").collect()]
+    assert out == [("a", "b")]
+
+
+def test_cusum_shift_hand_series(spark):
+    from zoi_spark import tablechecks
+
+    # volumes 1,1,5,5 over 4 days: mean 3; S_k = -2,-4,-2,0 -> ×4 =
+    # -8,-16,-8,0; peak at day 2
+    rows = [(f"2024-01-0{d} 0{h}:00:00",)
+            for d, cnt in [(1, 1), (2, 1), (3, 5), (4, 5)]
+            for h in range(cnt)]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "ts string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+    out = {str(r.bucket_ts)[:10]: (r.n, r.cusum_scaled, r.is_peak)
+           for r in tablechecks.cusum_shift(df, ts_col="ts").collect()}
+    assert out == {"2024-01-01": (1, -8, False),
+                   "2024-01-02": (1, -16, True),
+                   "2024-01-03": (5, -8, False),
+                   "2024-01-04": (5, 0, False)}
+
+
+def test_mann_whitney_hand_values(spark):
+    from zoi_spark import tablechecks
+
+    # A = {1, 3}, B = {2, 3}: pairs (a>b): (3,2)=1 win; ties (3,3)=0.5;
+    # U_a = 1.5 -> u2_a = 3; AUC = 1.5/4 = 0.375
+    rows = [("a", 1), ("a", 3), ("b", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = tablechecks.mann_whitney_u(df, value_col="v", group_col="g",
+                                   group_a="a").collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a, r.u2_b) == (2, 2, 3, 5)
+    assert r.auc_micro == 375000
+
+
+def test_rfm_segments_deterministic_quartiles(spark):
+    from zoi_spark import tablechecks
+
+    rows = []
+    for cust in range(8):
+        for k in range(cust + 1):          # frequency 1..8
+            rows.append((cust, f"2024-01-{cust+1:02d} 00:00:00",
+                         float(10 * (cust + 1))))
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "c long, ts string, amt double") \
+        .select("c", F.col("ts").cast("timestamp").alias("ts"), "amt")
+    out = tablechecks.rfm_segments(df, entity_col="c", ts_col="ts",
+                                   amount_col="amt", buckets=4)
+    cells = {(r.r_bucket, r.f_bucket, r.m_bucket): r.n_entities
+             for r in out.collect()}
+    # recency, frequency and monetary all rank customers identically
+    # (cust 7 best on all three) -> diagonal cells, 2 customers each
+    assert cells == {(1, 1, 1): 2, (2, 2, 2): 2,
+                     (3, 3, 3): 2, (4, 4, 4): 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tablechecks.rfm_segments(df, entity_col="c", ts_col="ts",
+                                 amount_col="amt", buckets=1)
+
+
+def test_volume_autocorr_alternating_series(spark):
+    from zoi_spark import tablechecks
+
+    # daily volumes 1,3,1,3,1,3: lag-1 r = -1, lag-2 r = +1 (up to the
+    # truncated-pair edge effect: num pairs < n)
+    rows = [(f"2024-01-0{d} 0{h}:00:00",)
+            for d, cnt in [(1, 1), (2, 3), (3, 1), (4, 3), (5, 1),
+                           (6, 3)]
+            for h in range(cnt)]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "ts string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.lag: (r.n_pairs, r.r_micro) for r in
+           tablechecks.volume_autocorr(df, ts_col="ts",
+                                       lags=(1, 2)).collect()}
+    # dev×n: x=(1,3,...), mean=2 -> n·x−S = ±6; den = 6·36 = 216
+    # lag1: 5 pairs all opposite-sign -> num = −5·36 = −180 -> −833333
+    # lag2: 4 pairs all same-sign -> num = 144... wait 4·36 = 144
+    assert out[1] == (5, round(1e6 * -180 / 216))
+    assert out[2] == (4, round(1e6 * 144 / 216))

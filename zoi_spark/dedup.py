@@ -1448,3 +1448,120 @@ def prefix_dup_groups(df: DataFrame, *, id_col: str = "doc_id",
             .select("prefix_md5", id_col,
                     F.col("n_docs").cast("long").alias("n_docs"),
                     "first_doc"))
+
+
+def levenshtein_verify_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             max_dist: int = 3, key_len: int = 40,
+                             block_prefix: int = 8,
+                             max_block_size: int | None = None
+                             ) -> DataFrame:
+    """Edit-distance near-duplicate pairs over a normalized fixed-
+    length key: pairs (id_a < id_b) whose first *key_len* normalized
+    characters are within Levenshtein distance *max_dist* — the
+    verify stage for title/prefix-level dedup (tracking-id suffixes,
+    OCR single-char noise, mirrored pages differing by a byline),
+    where set-similarity (Jaccard/MinHash) is too coarse because a
+    1-char edit shifts every shingle.
+
+    Blocking: equal first *block_prefix* chars → candidate pairs stay
+    within blocks (pairs whose edits fall inside the prefix are missed
+    — the standard prefix-blocking recall tradeoff; run multiple
+    passes with rotated keys for higher recall). In-block cost is
+    quadratic, so ``max_block_size`` EXCLUDES oversized blocks (the
+    mega-bucket contract shared with :func:`minhash_lsh_candidates`).
+    A |len_a − len_b| ≤ max_dist prefilter runs before any distance —
+    length difference lower-bounds edit distance.
+
+    The distance itself is ``levenshtein(a, b, threshold=max_dist)``:
+    Spark's threshold form abandons a pair as soon as the running
+    distance exceeds the cap (banded DP, O(key_len·max_dist) instead
+    of O(key_len²)) and returns −1, which the filter drops — within
+    the threshold it returns the exact distance.
+
+    Returns ``(id_a, id_b, lev_dist)``.
+    """
+    key = F.substring(normalize_text(F.col(text_col)),
+                      1, int(key_len))
+    base = df.select(F.col(id_col).alias("__id"), key.alias("__key"),
+                     F.substring(key, 1, int(block_prefix))
+                      .alias("__block"),
+                     F.length(key).alias("__len"))
+    if max_block_size is not None:
+        sizes = (base.groupBy("__block")
+                 .agg(F.count("*").alias("__bs"))
+                 .where(F.col("__bs") <= int(max_block_size))
+                 .drop("__bs"))
+        base = base.join(sizes, "__block")
+    dist = F.levenshtein(F.col("l.__key"), F.col("r.__key"),
+                         int(max_dist))
+    return (base.alias("l")
+            .join(base.alias("r"),
+                  (F.col("l.__block") == F.col("r.__block"))
+                  & (F.col("l.__id") < F.col("r.__id"))
+                  & (F.abs(F.col("l.__len") - F.col("r.__len"))
+                     <= int(max_dist)))
+            .select(F.col("l.__id").alias("id_a"),
+                    F.col("r.__id").alias("id_b"),
+                    dist.alias("lev_dist"))
+            .where(F.col("lev_dist") >= 0))
+
+
+def hamming_dup_groups(df: DataFrame, *, hash_col: str,
+                       id_col: str = "media_id",
+                       max_dist: int = 3) -> DataFrame:
+    """Near-duplicate HASH-GROUP pairs under Hamming distance — the
+    second stage of perceptual-hash image dedup (dHash/pHash): two
+    images are near-dups when their 64-bit hashes differ in ≤
+    *max_dist* bits.
+
+    Two scale moves, both exact (zero recall loss):
+
+    1. the corpus collapses to DISTINCT (hash, count) first — exact-
+       duplicate groups, one shuffle — so the pair space is |H|², not
+       |rows|², and the exact-dup mass rides along as
+       ``n_pairs = n_a·n_b`` without being enumerated;
+    2. the self-join is a banded EQUI-join, not a theta nested-loop:
+       the 64-bit hash is sliced into ``max_dist + 1`` bit-bands — by
+       pigeonhole, two hashes within distance d agree on at least one
+       whole band — candidates meet on (band_id, band_bits) and the
+       exact ``bit_count(a XOR b)`` verifies. A pair agreeing on
+       several bands is deduped BEFORE the verify.
+
+    Distance is ``bit_count(a XOR b)`` — one JVM expression, no UDF.
+    Returns ``(hash_a, hash_b, hamming, n_a, n_b, n_pairs)`` with
+    hash_a < hash_b.
+    """
+    if not 0 <= max_dist <= 63:
+        raise ValueError("max_dist must be in [0, 63]")
+    n_bands = int(max_dist) + 1
+    width = 64 // n_bands
+    hc = (df.groupBy(F.col(hash_col).alias("__h"))
+          .agg(F.count("*").alias("__n"))).persist()
+    bands = []
+    for i in range(n_bands):
+        start = i * width
+        w_i = width if i < n_bands - 1 else 64 - start
+        bits = F.shiftrightunsigned(F.col("__h"), start)
+        if w_i < 64:
+            bits = bits.bitwiseAND(F.lit((1 << w_i) - 1))
+        bands.append(F.struct(F.lit(i).alias("b"), bits.alias("v")))
+    keyed = hc.select("__h", F.explode(F.array(*bands)).alias("__k"))
+    cand = (keyed.alias("l")
+            .join(keyed.alias("r"),
+                  (F.col("l.__k") == F.col("r.__k"))
+                  & (F.col("l.__h") < F.col("r.__h")))
+            .select(F.col("l.__h").alias("hash_a"),
+                    F.col("r.__h").alias("hash_b"))
+            .distinct())
+    dist = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+    out = (cand.withColumn("hamming", dist)
+           .where(F.col("hamming") <= int(max_dist))
+           .join(hc.select(F.col("__h").alias("hash_a"),
+                           F.col("__n").alias("n_a")), "hash_a")
+           .join(hc.select(F.col("__h").alias("hash_b"),
+                           F.col("__n").alias("n_b")), "hash_b")
+           .select("hash_a", "hash_b", "hamming", "n_a", "n_b",
+                   (F.col("n_a") * F.col("n_b")).alias("n_pairs")))
+    out._zoi_persisted = [hc]
+    return out

@@ -512,3 +512,66 @@ def seed_distance(edges: DataFrame, seeds: DataFrame, *,
         reached = reached.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return reached
+
+
+def adamic_adar(edges: DataFrame, *, src_col: str = "src",
+                dst_col: str = "dst",
+                max_hub_degree: int | None = None,
+                include_connected: bool = False) -> DataFrame:
+    """Common-neighbor link prediction over the undirected distinct
+    edge set: for every node pair (a < b) sharing ≥1 neighbor, emit
+    ``common_neighbors`` and the Adamic–Adar index Σ_z 1/ln(deg(z))
+    over shared neighbors z (Adamic & Adar 2003) — the standard
+    "which hosts are about to link" / "which mirror farms belong
+    together" signal on a web host graph.
+
+    The score is reported as ``aa_micro`` — per-neighbor contribution
+    ``round(1e6/ln(deg(z)))`` summed as a BIGINT — so it is exactly
+    reproducible across engines (integer sums commute; float sums
+    don't). deg(z) ≥ 2 for any shared neighbor, so ln is never 0.
+
+    Plan: symmetrize → degree table (node-keyed agg) → join degree
+    onto the shared-neighbor column → self-equi-join on z with a < b →
+    groupBy (a, b). The only quadratic term is Σ_z deg(z)², driven by
+    hub nodes: ``max_hub_degree`` EXCLUDES nodes above the cap from
+    the shared-neighbor role (their per-pair contribution 1/ln(deg)
+    is the smallest in the graph, and a 10^6-degree hub would alone
+    emit 10^12 pairs — the same mega-bucket contract as the dedup
+    blockers). Existing edges are anti-joined away by default (link
+    prediction scores NEW links); ``include_connected=True`` keeps
+    them (community-affinity use).
+    """
+    # sym feeds the degree agg, the neighbor list AND the final
+    # anti-join; nbrs feeds both sides of the self-join — persist so
+    # the symmetrize-distinct shuffle runs once, not 5×
+    sym = _sym_edges(edges, src_col, dst_col).persist()
+    deg = sym.groupBy(F.col("a").alias("z")) \
+             .agg(F.count("*").alias("__deg"))
+    if max_hub_degree is not None:
+        deg = deg.where(F.col("__deg") <= int(max_hub_degree))
+    # a degree-1 node can never be a SHARED neighbor, but its ln(1)=0
+    # would still evaluate in the projection below (ANSI divide-by-
+    # zero) — pruning it is semantics-preserving and saves join work
+    deg = deg.where(F.col("__deg") >= 2)
+    contrib = F.round(F.lit(1e6) / F.log(F.col("__deg"))) \
+               .cast("long").alias("__c")
+    nbrs = (sym.select(F.col("b").alias("z"), F.col("a").alias("n"))
+            .join(deg, "z")
+            .select("z", "n", contrib)).persist()
+    pairs = (nbrs.alias("l")
+             .join(nbrs.alias("r"),
+                   (F.col("l.z") == F.col("r.z"))
+                   & (F.col("l.n") < F.col("r.n")))
+             .select(F.col("l.n").alias("node_a"),
+                     F.col("r.n").alias("node_b"),
+                     F.col("l.__c").alias("__c")))
+    scored = (pairs.groupBy("node_a", "node_b")
+              .agg(F.count("*").alias("common_neighbors"),
+                   F.sum("__c").alias("aa_micro")))
+    if not include_connected:
+        scored = scored.join(
+            sym.select(F.col("a").alias("node_a"),
+                       F.col("b").alias("node_b")),
+            ["node_a", "node_b"], "left_anti")
+    scored._zoi_persisted = [sym, nbrs]
+    return scored

@@ -899,3 +899,211 @@ def retention_cohorts(df: DataFrame, *, user_col: str,
     return (act.groupBy(F.col("__cw").cast("date").alias("cohort_week"),
                         offset.alias("week_offset"))
             .agg(F.count_distinct(user_col).alias("n_users")))
+
+
+def markov_transitions(df: DataFrame, *, entity_col: str,
+                       ts_col: str, state_col: str,
+                       order_col: str | None = None) -> DataFrame:
+    """First-order Markov transition profile of an event stream:
+    within each entity's time-ordered history, count every
+    (prev_state → next_state) step and normalize per source state —
+    the behavioral fingerprint used for bot/crawler detection (crawler
+    traffic has near-deterministic transition rows) and for QC'ing
+    synthetic event generators against production mixes.
+
+    Returns ``(prev_state, next_state, n, p)`` where ``p`` is the
+    row-normalized probability round(n/Σn, 6) — a ratio of exact
+    integer counts computed with the same single division in any
+    engine, so it is reproducible without quantization tricks.
+
+    Plan: one shuffle on the entity key for the lag window, one
+    shuffle on (prev, next) for the count (map-side partial agg), and
+    the per-source normalization runs as a window over the COUNTS
+    table — |states|² rows, trivially small however large the input.
+    Ties on *ts_col* are broken by *order_col* so the step sequence is
+    deterministic under any physical row order.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    prev = F.lag(F.col(state_col)).over(w)
+    steps = (df.select(prev.alias("prev_state"),
+                       F.col(state_col).alias("next_state"))
+             .where(F.col("prev_state").isNotNull()))
+    counts = steps.groupBy("prev_state", "next_state") \
+                  .agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("prev_state"))
+    return counts.withColumn(
+        "p", F.round(F.col("n") / total, 6))
+
+
+def cusum_shift(df: DataFrame, *, ts_col: str,
+                unit: str = "day") -> DataFrame:
+    """CUSUM level-shift scan over per-*unit* event volumes: for each
+    time bucket k (ordered), the cumulative deviation from the series
+    mean S_k = Σ_{i≤k}(x_i − x̄) — the classic changepoint locator
+    (Page 1954): |S_k| peaks at the bucket where the level shifted
+    (pipeline regressions, crawler outages, traffic-source flips).
+
+    Everything is EXACT integers: with x̄ = S/n the deviation sum is
+    reported scaled by n — ``cusum_scaled = n·prefix_k − k·S`` — so no
+    float enters until never (both engines agree bit-for-bit).
+    ``is_peak`` marks the bucket(s) attaining max |cusum_scaled|.
+
+    Plan: one shuffle for the per-bucket count; the prefix window and
+    the scalar (n, S) broadcast ride the BUCKETS table (≤ thousands of
+    rows however large the input), never the corpus.
+    """
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("bucket_ts"))
+             .agg(F.count("*").alias("n")))
+    w_all = Window.partitionBy()
+    w_pfx = (Window.partitionBy().orderBy("bucket_ts")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_buckets = F.count("*").over(w_all)
+    total = F.sum("n").over(w_all)
+    k = F.row_number().over(Window.partitionBy().orderBy("bucket_ts"))
+    cusum = (n_buckets * F.sum("n").over(w_pfx) - k * total) \
+        .cast("long")
+    out = daily.select("bucket_ts", "n", cusum.alias("cusum_scaled"))
+    peak = F.max(F.abs(F.col("cusum_scaled"))).over(w_all)
+    return out.withColumn(
+        "is_peak", F.abs(F.col("cusum_scaled")) == peak)
+
+
+def mann_whitney_u(df: DataFrame, *, value_col: str, group_col: str,
+                   group_a) -> DataFrame:
+    """Mann–Whitney U rank test of *value_col* between group A
+    (``group_col == group_a``) and everything else — the standard
+    nonparametric two-sample location check (is EN doc length
+    distributed like the rest?) that, unlike the KS distance, yields
+    the directly interpretable AUC P(a > b) + ½P(a = b).
+
+    Exactness: average ranks over ties are half-integers, so the rank
+    sums are reported DOUBLED (``r2_a = Σ 2·avgrank``, an exact
+    BIGINT) and likewise ``u2 = 2·U = r2 − n(n+1)``. The AUC is the
+    single terminal division round(1e6·u2_a/(2·n_a·n_b))/1e6 — one
+    expression, same op order in any engine.
+
+    Plan: ranks are NOT a global row window — values are first
+    aggregated to a (value, n_a, n) counts table; cumulative counts
+    over THAT table (distinct values only) give every tie-group's
+    2·avgrank = 2·cum_before + n_ties + 1. One shuffle for the value
+    agg; the window rides the distinct-value table.
+    """
+    is_a = (F.col(group_col) == F.lit(group_a)).cast("long")
+    vc = (df.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(value_col).alias("__v"))
+          .agg(F.sum(is_a).alias("__na"), F.count("*").alias("__n")))
+    w_pfx = (Window.partitionBy().orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("__n").over(w_pfx), F.lit(0))
+    rank2 = 2 * cum + F.col("__n") + 1            # 2×average rank
+    scored = vc.select(
+        F.col("__na"), (F.col("__n") - F.col("__na")).alias("__nb"),
+        (F.col("__na") * rank2).alias("__r2a"))
+    agg = scored.agg(F.sum("__na").alias("n_a"),
+                     F.sum("__nb").alias("n_b"),
+                     F.sum("__r2a").alias("__r2a"))
+    u2_a = (F.col("__r2a") - F.col("n_a") * (F.col("n_a") + 1)) \
+        .alias("u2_a")
+    return (agg.select("n_a", "n_b", u2_a)
+            .withColumn("u2_b",
+                        2 * F.col("n_a") * F.col("n_b") - F.col("u2_a"))
+            .withColumn("auc_micro",
+                        F.round(F.lit(1e6) * F.col("u2_a")
+                                / (2 * F.col("n_a") * F.col("n_b")))
+                        .cast("long")))
+
+
+def rfm_segments(df: DataFrame, *, entity_col: str, ts_col: str,
+                 amount_col: str, buckets: int = 4) -> DataFrame:
+    """RFM segmentation: per entity, Recency (latest ts), Frequency
+    (row count) and Monetary (amount sum) are each ntile-bucketed into
+    *buckets* quantile groups (1 = worst … buckets = best), and the
+    segment cells are counted — the classic customer-base / host-
+    contribution health matrix.
+
+    Determinism: amounts are summed as CENTS (``round(x·100)`` per row
+    → BIGINT) so the Monetary ordering never depends on float sum
+    order; every ntile is ordered by (metric, entity) so ties split
+    identically in any engine. Recency ranks newest-first.
+
+    Plan: one shuffle to the per-entity aggregate; the three ntile
+    windows ride the AGGREGATED table (one row per entity — orders of
+    magnitude smaller than the input; a cluster sorts 10^8 aggregate
+    rows without drama, and the sort is once per metric).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    per = (df.groupBy(entity_col)
+           .agg(F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                .alias("__rec"),
+                F.count("*").alias("__frq"),
+                F.sum(F.round(F.col(amount_col) * 100).cast("long"))
+                .alias("__mon")))
+    r = F.ntile(buckets).over(
+        Window.partitionBy().orderBy(F.col("__rec").desc(),
+                                     F.col(entity_col)))
+    f = F.ntile(buckets).over(
+        Window.partitionBy().orderBy(F.col("__frq").desc(),
+                                     F.col(entity_col)))
+    m = F.ntile(buckets).over(
+        Window.partitionBy().orderBy(F.col("__mon").desc(),
+                                     F.col(entity_col)))
+    return (per.select(r.cast("long").alias("r_bucket"),
+                       f.cast("long").alias("f_bucket"),
+                       m.cast("long").alias("m_bucket"))
+            .groupBy("r_bucket", "f_bucket", "m_bucket")
+            .agg(F.count("*").alias("n_entities")))
+
+
+def volume_autocorr(df: DataFrame, *, ts_col: str,
+                    lags: Sequence[int] = (1, 7),
+                    unit: str = "day") -> DataFrame:
+    """Lag-k autocorrelation of per-*unit* event volumes — the
+    seasonality fingerprint (lag-7 ≈ weekly rhythm of human traffic;
+    bot floods flatten it; a dead lag-1 means white noise).
+
+    r_k = Σ_t (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)², both sides
+    multiplied by n² so every sum is an exact BIGINT over
+    ``n·x_t − S`` terms; the single terminal division is micro-rounded
+    with identical op order in any engine. Buckets are matched by
+    calendar arithmetic (t+k units), so gap buckets simply drop out of
+    the numerator (and stay in the denominator), deterministically.
+
+    Plan: one shuffle to the per-bucket counts; the lag matches are
+    equi-joins on the BUCKETS table. Lags are plan-time constants —
+    len(lags) small joins over a tiny frame, not a corpus scan each.
+    """
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("bucket_ts"))
+             .agg(F.count("*").alias("n"))).persist()
+    w_all = Window.partitionBy()
+    dev = (daily
+           .select("bucket_ts",
+                   (F.count("*").over(w_all) * F.col("n")
+                    - F.sum("n").over(w_all)).cast("long")
+                   .alias("__d"))).persist()
+    den = dev.agg(F.sum(F.col("__d") * F.col("__d"))
+                  .alias("__den"))
+    parts = []
+    for k in lags:
+        shifted = dev.select(
+            (F.col("bucket_ts") - F.expr(f"INTERVAL {int(k)} {unit}"))
+            .alias("bucket_ts"),
+            F.col("__d").alias("__d_lead"))
+        num = (dev.join(shifted, "bucket_ts")
+               .agg(F.sum(F.col("__d") * F.col("__d_lead"))
+                    .alias("__num"),
+                    F.count("*").alias("n_pairs")))
+        parts.append(num.select(F.lit(int(k)).cast("long").alias("lag"),
+                                "n_pairs", "__num"))
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    out = (stacked.crossJoin(F.broadcast(den))
+           .select("lag", "n_pairs",
+                   F.round(F.lit(1e6) * F.col("__num") / F.col("__den"))
+                   .cast("long").alias("r_micro")))
+    out._zoi_persisted = [daily, dev]
+    return out
