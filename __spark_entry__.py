@@ -3640,6 +3640,86 @@ def q_phash_dup_groups(spark, sf_dir):
 
 
 
+def q_trust_rank_hosts(spark, sf_dir):
+    """TrustRank (graph.trust_rank; Gyöngyi 2004) over the SAME
+    deterministic 40-host graph as `host_pagerank`, seeds {0,1,2},
+    4 rounds: teleport AND dangling mass flow to the seed set only, so
+    hosts unreachable from the trusted core rank ~0 — the spam-mass
+    complement of PageRank. The twin unrolls the identical recursion
+    as a CTE chain (see _trustrank_sql); round-6 match like
+    host_pagerank."""
+    from zoi_spark import graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    linking = d.where(F.pmod("doc_id", F.lit(40)) < 35)
+    src_ = F.pmod("doc_id", F.lit(40))
+    edges = linking.select(
+        src_.alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 11, F.lit(40)).alias("dst")
+    ).unionAll(linking.select(
+        src_.alias("src"),
+        F.pmod(F.col("doc_id") * 13 + 5, F.lit(40)).alias("dst")))
+    seeds = spark.range(3).select(F.col("id").alias("node"))
+    tr = graph.trust_rank(edges, seeds, iters=4)
+    return (tr.select(F.col("node").alias("host"),
+                      F.round("rank", 6).alias("trust"))
+            .orderBy("host"))
+
+
+def q_lang_source_rollup(spark, sf_dir):
+    """Multi-granularity corpus composition via ROLLUP: doc counts and
+    exact char sums at (lang, source), (lang) and () levels in ONE
+    aggregation pass (Spark plans rollup as a single Expand+Aggregate
+    — no per-level rescan), with grouping_id disambiguating subtotal
+    rows from genuine NULL groups. The twin is DuckDB's GROUP BY
+    ROLLUP + GROUPING() — same ANSI bit convention."""
+    d = _read(spark, sf_dir, "documents")
+    return (d.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("chars_total"),
+                 F.grouping_id().cast("long").alias("gid"))
+            .orderBy(F.col("gid"), F.col("lang").asc_nulls_first(),
+                     F.col("source").asc_nulls_first()))
+
+
+def q_click_paths(spark, sf_dir):
+    """Order-2 path mining (tablechecks.path_ngrams, n=3): every
+    3-step state run per user, counted corpus-wide — crawler loops and
+    funnel shortcuts that pairwise Markov rates hide. All lags come
+    from ONE per-user window pass. Top 40 by (count desc, path) keeps
+    the gate row-stable."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.path_ngrams(ev, entity_col="user_id",
+                                    ts_col="ts", state_col="event_type",
+                                    n=3, order_col="event_id")
+            .orderBy(F.col("n_occurrences").desc(), "path")
+            .limit(40))
+
+
+def q_user_key_skew(spark, sf_dir):
+    """Shuffle-skew forensics (tablechecks.key_skew_profile): the 10
+    hottest user_id values in events with exact micro-shares — the
+    report that decides salting/broadcast before any join on the key.
+    TakeOrdered top-k, no global window; total rides as a one-row
+    broadcast."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.key_skew_profile(ev, key_col="user_id",
+                                         top_k=10)
+            .orderBy("rank"))
+
+
+def q_cross_source_copy_map(spark, sf_dir):
+    """Cross-source syndication map (dedup.cross_source_copies,
+    prefix_chars=40): distinct truncation-level fingerprints shared by
+    source pairs — DISTINCT (fp, source) first, so per-source copy
+    mass can never blow up the pair join. The twin re-derives the
+    prefix-md5 + distinct + self-join from scratch."""
+    d = _read(spark, sf_dir, "documents")
+    return (dedup.cross_source_copies(d, prefix_chars=40)
+            .orderBy("source_a", "source_b"))
+
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3848,6 +3928,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rfm_customers": q_rfm_customers,
         "volume_autocorr": q_volume_autocorr,
         "phash_dup_groups": q_phash_dup_groups,
+        # wave 18 (r4 session 5): TrustRank, rollup composition,
+        # path mining, skew forensics, syndication map
+        "trust_rank_hosts": q_trust_rank_hosts,
+        "lang_source_rollup": q_lang_source_rollup,
+        "click_paths": q_click_paths,
+        "user_key_skew": q_user_key_skew,
+        "cross_source_copy_map": q_cross_source_copy_map,
     }
 
 
@@ -4940,6 +5027,55 @@ def _pagerank_sql(iters: int) -> str:
     return ("WITH " + ",\n            ".join(ctes)
             + f"""
             SELECT node AS host, round(rank, 6) AS pagerank
+            FROM r{iters} ORDER BY host""")
+
+
+def _trustrank_sql(iters: int) -> str:
+    """DuckDB twin of q_trust_rank_hosts: the SAME 40-host graph as
+    _pagerank_sql and the SAME TrustRank recursion as graph.trust_rank
+    — teleport (1-d)·s + d·(in-contributions + dm·s) with s uniform on
+    seeds {0,1,2} — unrolled one CTE trio per round from r0 = s."""
+    ctes = ["""e0 AS (
+              SELECT doc_id % 40 AS src, (doc_id * 7 + 11) % 40 AS dst
+              FROM documents WHERE doc_id % 40 < 35
+              UNION ALL
+              SELECT doc_id % 40, (doc_id * 13 + 5) % 40
+              FROM documents WHERE doc_id % 40 < 35),
+            e AS (SELECT src, dst, count(*)::DOUBLE AS w
+                  FROM e0 GROUP BY src, dst),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            ow AS (SELECT src AS node, sum(w) AS out_w
+                   FROM e GROUP BY src),
+            ns AS (SELECT count(*)::DOUBLE AS k FROM nodes
+                   WHERE node IN (0, 1, 2)),
+            base AS (SELECT nodes.node, ow.out_w,
+                            CASE WHEN nodes.node IN (0, 1, 2)
+                                 THEN 1.0 / (SELECT k FROM ns)
+                                 ELSE 0.0 END AS s
+                     FROM nodes LEFT JOIN ow USING (node)),
+            r0 AS (SELECT node, s AS rank, out_w, s FROM base)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""d{i} AS (
+              SELECT coalesce(sum(CASE WHEN out_w IS NULL
+                                       THEN rank END), 0.0) AS dm
+              FROM r{i - 1}),
+            c{i} AS (
+              SELECT e.dst AS node, sum(r.rank * e.w / r.out_w) AS contrib
+              FROM e JOIN r{i - 1} r ON e.src = r.node
+              WHERE r.out_w IS NOT NULL
+              GROUP BY e.dst),
+            r{i} AS (
+              SELECT b.node,
+                     0.15::DOUBLE * b.s
+                     + 0.85::DOUBLE
+                       * (coalesce(c.contrib, 0.0)
+                          + (SELECT dm FROM d{i}) * b.s) AS rank,
+                     b.out_w, b.s
+              FROM base b LEFT JOIN c{i} c USING (node))""")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f"""
+            SELECT node AS host, round(rank, 6) AS trust
             FROM r{iters} ORDER BY host""")
 
 
@@ -8181,5 +8317,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(l.h, r.h)) <= 3
             ORDER BY hash_a, hash_b
         """,
+        # twin of q_trust_rank_hosts — unrolled TrustRank CTE chain
+        "trust_rank_hosts": _trustrank_sql(iters=4),
+        # twin of q_lang_source_rollup — ANSI ROLLUP + GROUPING bits
+        "lang_source_rollup": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS chars_total,
+                   GROUPING(lang, source)::BIGINT AS gid
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+            ORDER BY gid, lang NULLS FIRST, source NULLS FIRST
+        """,
+        # twin of q_click_paths — two lags in one window, same
+        # tie-break, same top-40 cut
+        "click_paths": """
+            WITH s AS (
+              SELECT lag(event_type, 2) OVER w AS s1,
+                     lag(event_type, 1) OVER w AS s2,
+                     event_type AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT s1 || '>' || s2 || '>' || s3 AS path,
+                   count(*)::BIGINT AS n_occurrences
+            FROM s WHERE s1 IS NOT NULL
+            GROUP BY 1
+            ORDER BY n_occurrences DESC, path LIMIT 40
+        """,
+        # twin of q_user_key_skew — same (count desc, key) order, same
+        # single micro division
+        "user_key_skew": """
+            WITH c AS (
+              SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n_rows
+              FROM events GROUP BY 1),
+            t AS (SELECT sum(n_rows)::BIGINT AS tot FROM c),
+            top AS (
+              SELECT key, n_rows,
+                     row_number() OVER (ORDER BY n_rows DESC,
+                                        key ASC NULLS LAST)
+                       ::BIGINT AS rank
+              FROM c ORDER BY n_rows DESC, key ASC NULLS LAST LIMIT 10)
+            SELECT rank, key, n_rows,
+                   CAST(round(1e6 * n_rows / (SELECT tot FROM t))
+                        AS BIGINT) AS share_micro
+            FROM top ORDER BY rank
+        """,
+        # twin of q_cross_source_copy_map — prefix-40 md5, distinct
+        # (fp, source), self-join
+        "cross_source_copy_map": f"""
+            WITH fs AS (
+              SELECT DISTINCT
+                     md5(substr({_NORM_SQL}, 1, 40)) AS fp, source
+              FROM documents WHERE source IS NOT NULL)
+            SELECT l.source AS source_a, r.source AS source_b,
+                   count(*)::BIGINT AS n_shared_fps
+            FROM fs l JOIN fs r
+              ON l.fp = r.fp AND l.source < r.source
+            GROUP BY 1, 2 ORDER BY source_a, source_b
+        """,
+
 
     }

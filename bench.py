@@ -235,6 +235,10 @@ R4_NAMES = [
     # perceptual-hash dup groups
     "cusum_volume_shift", "mannwhitney_len", "rfm_customers",
     "volume_autocorr", "phash_dup_groups",
+    # wave 18: TrustRank, rollup composition, path mining, skew
+    # forensics, syndication map
+    "trust_rank_hosts", "lang_source_rollup", "click_paths",
+    "user_key_skew", "cross_source_copy_map",
 ]
 
 

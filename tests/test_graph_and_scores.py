@@ -856,3 +856,71 @@ class TestHammingDupGroups:
         df = spark.createDataFrame([(0,)], "phash long")
         with _pt.raises(ValueError):
             dedup.hamming_dup_groups(df, hash_col="phash", max_dist=64)
+
+
+class TestTrustRank:
+    def test_mass_stays_one_and_seeds_dominate(self, spark):
+        # seeds {1}; chain 1->2->3 plus an unreachable island 4->5
+        e = spark.createDataFrame([(1, 2), (2, 3), (4, 5)],
+                                  "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        r = {row.node: row["rank"] for row in
+             graph.trust_rank(e, seeds, iters=4,
+                              checkpoint=False).collect()}
+        assert sum(r.values()) == pytest.approx(1.0)
+        # island never reachable from the seed: zero trust
+        assert r[4] == 0.0 and r[5] == 0.0
+        # trust decays along the chain from 2 on (2 gets 0.85·r(1)
+        # wholesale, so it may out-rank the seed itself — the seed only
+        # keeps teleport + the dangling return); all reachable > 0
+        assert r[2] > r[3] > 0 and r[1] > 0
+
+    def test_matches_dense_reference(self, spark):
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+        seeds_l = [0, 3]
+        n, d, iters = 4, 0.85, 5
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        s_vec = [1.0 / len(seeds_l) if v in seeds_l else 0.0
+                 for v in range(n)]
+        rank = s_vec[:]
+        for _ in range(iters):
+            dm = sum(rank[v] for v in range(n) if v not in out)
+            contrib = [0.0] * n
+            for s, t in edges:
+                contrib[t] += rank[s] / out[s]
+            rank = [(1 - d) * s_vec[v]
+                    + d * (contrib[v] + dm * s_vec[v])
+                    for v in range(n)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame([(v,) for v in seeds_l],
+                                      "node long")
+        got = {row.node: row["rank"] for row in
+               graph.trust_rank(e, seeds, iters=iters,
+                                damping=d).collect()}
+        for v in range(n):
+            assert got[v] == pytest.approx(rank[v], abs=1e-12), v
+
+    def test_requires_in_graph_seed(self, spark):
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        seeds = spark.createDataFrame([(99,)], "node long")
+        with pytest.raises(ValueError):
+            graph.trust_rank(e, seeds, iters=2)
+
+
+def test_cross_source_copies_prefix_and_distinct(spark):
+    from zoi_spark import dedup
+
+    rows = [(1, "the same head but tail one", "a"),
+            (2, "the same head but tail two", "b"),
+            (3, "the same head but tail two", "b"),   # dup within b
+            (4, "entirely different text here", "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # full-text: only exact copies count -> none cross-source
+    assert dedup.cross_source_copies(df).count() == 0
+    # prefix-18 ('the same head but ') unifies a and b, ONCE despite
+    # b carrying the text twice
+    out = dedup.cross_source_copies(df, prefix_chars=18).collect()
+    assert [(r.source_a, r.source_b, r.n_shared_fps)
+            for r in out] == [("a", "b", 1)]

@@ -1844,3 +1844,37 @@ def test_volume_autocorr_alternating_series(spark):
     # lag2: 4 pairs all same-sign -> num = 144... wait 4·36 = 144
     assert out[1] == (5, round(1e6 * -180 / 216))
     assert out[2] == (4, round(1e6 * 144 / 216))
+
+
+def test_path_ngrams_hand_runs(spark):
+    from zoi_spark import tablechecks
+
+    rows = [("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 3, 3, "c"),
+            ("u1", 4, 4, "b"), ("u2", 1, 1, "a"), ("u2", 2, 2, "b")]
+    df = spark.createDataFrame(rows,
+                               "user string, ts long, eid long, s string")
+    out = {r.path: r.n_occurrences for r in
+           tablechecks.path_ngrams(df, entity_col="user", ts_col="ts",
+                                   state_col="s", n=3,
+                                   order_col="eid").collect()}
+    # u1: a>b>c, b>c>b; u2 too short for n=3
+    assert out == {"a>b>c": 1, "b>c>b": 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tablechecks.path_ngrams(df, entity_col="user", ts_col="ts",
+                                state_col="s", n=1)
+
+
+def test_key_skew_profile_shares_and_nulls(spark):
+    from zoi_spark import tablechecks
+
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(None,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = {r.rank: (r.key, r.n_rows, r.share_micro) for r in
+           tablechecks.key_skew_profile(df, key_col="k",
+                                        top_k=2).collect()}
+    assert out == {1: ("1", 6, 600000), 2: ("2", 3, 300000)}
+    # NULL key participates when k is large enough
+    all3 = tablechecks.key_skew_profile(df, key_col="k", top_k=5)
+    assert sorted((r.key for r in all3.collect()),
+                  key=lambda x: (x is None, x)) == ["1", "2", None]

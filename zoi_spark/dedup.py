@@ -1565,3 +1565,44 @@ def hamming_dup_groups(df: DataFrame, *, hash_col: str,
                    (F.col("n_a") * F.col("n_b")).alias("n_pairs")))
     out._zoi_persisted = [hc]
     return out
+
+
+def cross_source_copies(df: DataFrame, *, text_col: str = "text",
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        prefix_chars: int | None = None) -> DataFrame:
+    """Cross-source copy detection: for every pair of sources, how
+    many distinct document fingerprints they BOTH carry — the mirror/
+    scraper/syndication map of a multi-crawl corpus, and the first
+    number to check before attributing dedup mass to any one source.
+
+    Plan: (fingerprint, source) is made DISTINCT first (one shuffle) —
+    so a source that carries the same text 10^6 times still
+    contributes one row — and only then self-joined on the
+    fingerprint with source_a < source_b. Pair fan-out per
+    fingerprint is C(k,2) in its DISTINCT-source count k, bounded by
+    the (small, fixed) source vocabulary, never by corpus size.
+
+    ``prefix_chars`` fingerprints only the first k NORMALIZED chars —
+    the truncation-level identity of :func:`prefix_dup_groups`, which
+    catches syndication with differing boilerplate tails that the
+    whole-text fingerprint misses.
+
+    Returns ``(source_a, source_b, n_shared_fps)``.
+    """
+    norm = normalize_text(F.col(text_col))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, int(prefix_chars))
+    fs = (df.select(F.md5(norm).alias("__fp"),
+                    F.col(source_col).alias("__s"))
+          .where(F.col("__s").isNotNull())
+          .distinct()).persist()
+    out = (fs.alias("l")
+           .join(fs.alias("r"),
+                 (F.col("l.__fp") == F.col("r.__fp"))
+                 & (F.col("l.__s") < F.col("r.__s")))
+           .groupBy(F.col("l.__s").alias("source_a"),
+                    F.col("r.__s").alias("source_b"))
+           .agg(F.count("*").alias("n_shared_fps")))
+    out._zoi_persisted = [fs]
+    return out

@@ -575,3 +575,96 @@ def adamic_adar(edges: DataFrame, *, src_col: str = "src",
             ["node_a", "node_b"], "left_anti")
     scored._zoi_persisted = [sym, nbrs]
     return scored
+
+
+def trust_rank(edges: DataFrame, seeds: DataFrame, *,
+               src_col: str = "src", dst_col: str = "dst",
+               seed_col: str = "node", weight_col: str | None = None,
+               iters: int = 4, damping: float = 0.85,
+               checkpoint: bool = True,
+               broadcast_ranks: bool = True) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank
+    whose teleport vector is uniform over a hand-vetted SEED set
+    instead of uniform over all nodes — trust flows out of the seeds
+    along links and decays with distance, so spam farms with no
+    inbound path from the trusted core score ~0 however densely they
+    interlink. The standard web-intake complement to
+    :func:`pagerank`: rank says "important", trust says "reachable
+    from known-good".
+
+    Semantics: s(v) = 1/|S| on seed nodes (seeds not present in the
+    graph are ignored), 0 elsewhere; r_0 = s; each round
+
+        r(v) = (1−d)·s(v) + d·(Σ_in rank·w/out_w + dm·s(v))
+
+    with dangling mass dm redistributed BY s (back to the trusted
+    core, per the paper), not uniformly — total mass stays 1. Exactly
+    *iters* rounds, deterministic, oracle-expressible as an unrolled
+    CTE chain.
+
+    Plan shape per round is identical to :func:`pagerank` (one edge
+    shuffle, in-plan one-row dangling broadcast, per-round
+    localCheckpoint); the seed flag is one extra column on the
+    persisted node frame. ``broadcast_ranks`` follows the same
+    host-vs-page guidance as :func:`pagerank`.
+    """
+    if iters < 1:
+        raise ValueError("trust_rank: iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"),
+        (F.col(weight_col) if weight_col is not None
+         else F.lit(1.0)).cast("double").alias("__w"))
+    e = (e.where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+         .groupBy("__src", "__dst").agg(F.sum("__w").alias("__w")))
+    e = e.persist()
+
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select(F.col("__dst")))
+             .distinct())
+    seed_nodes = (seeds.select(F.col(seed_col).alias("node"))
+                  .distinct()
+                  .join(nodes, "node", "left_semi").persist())
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("trust_rank: no seed appears in the graph")
+
+    out_w = e.groupBy(F.col("__src").alias("node")).agg(
+        F.sum("__w").alias("__out_w"))
+    base = (nodes.join(out_w, "node", "left")
+            .join(seed_nodes.withColumn("__is_seed", F.lit(True)),
+                  "node", "left")
+            .select("node", "__out_w",
+                    F.when(F.col("__is_seed"), F.lit(1.0 / n_seeds))
+                     .otherwise(F.lit(0.0)).alias("__s"))).persist()
+    base.count()
+    seed_nodes.unpersist()
+
+    ranks = base.select("node", F.col("__s").alias("rank"),
+                        "__out_w", "__s")
+    for _ in range(iters):
+        dangling = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("__out_w").isNull(),
+                                    F.col("rank"))),
+                       F.lit(0.0)).alias("__dm"))
+        sources = ranks.where(F.col("__out_w").isNotNull()) \
+                       .select("node", "rank", "__out_w")
+        if broadcast_ranks:
+            sources = F.broadcast(sources)
+        contrib = (e.join(sources, e["__src"] == F.col("node"))
+                   .groupBy(F.col("__dst").alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("__w")
+                              / F.col("__out_w")).alias("__in")))
+        ranks = (base.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit(1.0 - damping) * F.col("__s")
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("__in"), F.lit(0.0))
+                             + F.col("__dm") * F.col("__s")))
+                         .alias("rank"),
+                         "__out_w", "__s"))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", F.col("rank").cast("double"))
+    out._zoi_persisted = [e, base]
+    return out

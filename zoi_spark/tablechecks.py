@@ -1107,3 +1107,73 @@ def volume_autocorr(df: DataFrame, *, ts_col: str,
                    .cast("long").alias("r_micro")))
     out._zoi_persisted = [daily, dev]
     return out
+
+
+def path_ngrams(df: DataFrame, *, entity_col: str, ts_col: str,
+                state_col: str, n: int = 3,
+                order_col: str | None = None,
+                sep: str = ">") -> DataFrame:
+    """Order-(n−1) path mining of an event stream: every length-*n*
+    run of consecutive states within an entity's time-ordered history,
+    counted corpus-wide — the "what do users actually do" view one
+    level above :func:`markov_transitions` (which is n=2): top paths
+    expose crawler loops (A>B>A>B…), funnel shortcuts and dead-end
+    cycles that pairwise transition rates hide.
+
+    Returns ``(path, n_occurrences)`` with *path* the states joined by
+    *sep*. Runs crossing entity boundaries never form (the lag window
+    is per-entity); histories shorter than n contribute nothing.
+
+    Plan: ONE shuffle on the entity key computes all n−1 lags in the
+    same window pass, then one count shuffle on the path string —
+    identical shape whatever n. Ties on *ts_col* break by *order_col*.
+    """
+    if n < 2:
+        raise ValueError("path_ngrams: n must be >= 2")
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    steps = [F.lag(F.col(state_col), n - 1 - i).over(w)
+             for i in range(n)]          # oldest … current
+    path = F.concat_ws(sep, *steps)
+    gate = steps[0].isNotNull()          # full window present
+    return (df.select(path.alias("path"), gate.alias("__ok"))
+            .where(F.col("__ok"))
+            .groupBy("path")
+            .agg(F.count("*").alias("n_occurrences")))
+
+
+def key_skew_profile(df: DataFrame, *, key_col: str,
+                     top_k: int = 10) -> DataFrame:
+    """Shuffle-skew forensics for a prospective join/groupBy key: the
+    *top_k* hottest key values with their exact share of the table —
+    the number that decides salting (`suggest_salt`), AQE skew-join
+    thresholds, and whether a key is broadcast-safe. A top-1 share of
+    20% means one reducer gets a fifth of the shuffle however many
+    partitions you give it.
+
+    Returns ``(rank, key, n_rows, share_micro)`` — share is the one
+    terminal division round(1e6·cnt/total) over exact counts. NULL
+    keys count as a key (they land in ONE partition too — often the
+    worst offender, see ADVICE r3 on NULL-url windows).
+
+    Plan: one count shuffle on the key, then TakeOrdered for the
+    top-k — no global sort, no window over the corpus; the total
+    rides along as a one-row broadcast.
+    """
+    if top_k < 1:
+        raise ValueError("key_skew_profile: top_k must be >= 1")
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count("*").alias("n_rows"))).persist()
+    total = counts.agg(F.sum("n_rows").alias("__tot"))
+    top = counts.orderBy(F.col("n_rows").desc(),
+                         F.col("key").asc_nulls_last()).limit(int(top_k))
+    w = Window.partitionBy().orderBy(F.col("n_rows").desc(),
+                                     F.col("key").asc_nulls_last())
+    out = (top.crossJoin(F.broadcast(total))
+           .select(F.row_number().over(w).cast("long").alias("rank"),
+                   "key", "n_rows",
+                   F.round(F.lit(1e6) * F.col("n_rows")
+                           / F.col("__tot")).cast("long")
+                    .alias("share_micro")))
+    out._zoi_persisted = [counts]
+    return out
