@@ -3720,6 +3720,65 @@ def q_cross_source_copy_map(spark, sf_dir):
 
 
 
+def q_embedding_angle_hist(spark, sf_dir):
+    """Embedding-space angular histogram (similarity.angular_histogram,
+    64 id-blocks, 10 bins): cosine distribution over a deterministic
+    blocked pair sample — duplicate mass shows as a spike near 1,
+    encoder collapse as mass at 0. Cosines are micro-rounded BEFORE
+    binning (integer bin edges can't flip between engines); the twin
+    re-derives the same blocks, the same fold-order dot products and
+    the same integer bin rule."""
+    from zoi_spark import similarity
+
+    e = _read(spark, sf_dir, "embeddings")
+    return (similarity.angular_histogram(e, n_blocks=64, bins=10)
+            .orderBy("bin"))
+
+
+def q_lang_vocab_overlap(spark, sf_dir):
+    """Pairwise language-vocabulary Jaccard (text.vocab_overlap):
+    distinct token sets per lang, token-keyed intersection join,
+    inclusion-exclusion union — the mislabeled-language detector.
+    Exact distinct counts; jaccard is the single micro division."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.vocab_overlap(d, group_col="lang", text_col="text")
+            .orderBy("group_a", "group_b"))
+
+
+def q_event_fano(spark, sf_dir):
+    """Daily-volume burstiness by event type (tablechecks.fano_factor):
+    variance-to-mean of bucket counts as one micro-rounded division of
+    exact decimal-widened integer moments — Poisson = 1e6, bursty > 1e6.
+    The twin re-derives the same cross-multiplied formula."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.fano_factor(ev, ts_col="ts",
+                                    group_col="event_type")
+            .orderBy("group"))
+
+
+def q_lang_source_mi(spark, sf_dir):
+    """Mutual information lang↔source (tablechecks.mutual_information):
+    MI = H(lang) + H(source) − H(lang, source) from exact BIGINT cell
+    counts, floats only in the final ln projection, round-6 (the
+    KL/PSI float-sum tolerance). One corpus scan; margins and
+    entropies reduce from the cells table."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.mutual_information(d, col_a="lang",
+                                          col_b="source")
+
+
+def q_event_volume_trend(spark, sf_dir):
+    """Per-event-type daily-volume OLS trend (tablechecks.volume_trend):
+    slope (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) over calendar day indices, exact
+    integer moments, one micro division; single-bucket groups yield
+    NULL in both engines (guarded degenerate denominator)."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.volume_trend(ev, ts_col="ts",
+                                     group_col="event_type")
+            .orderBy("group"))
+
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3935,6 +3994,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "click_paths": q_click_paths,
         "user_key_skew": q_user_key_skew,
         "cross_source_copy_map": q_cross_source_copy_map,
+        # wave 19 (r4 session 5): embedding-space health, vocab
+        # overlap, burstiness, mutual information, volume trends
+        "embedding_angle_hist": q_embedding_angle_hist,
+        "lang_vocab_overlap": q_lang_vocab_overlap,
+        "event_fano": q_event_fano,
+        "lang_source_mi": q_lang_source_mi,
+        "event_volume_trend": q_event_volume_trend,
     }
 
 
@@ -8374,6 +8440,127 @@ def oracle_sql() -> dict[str, str]:
               ON l.fp = r.fp AND l.source < r.source
             GROUP BY 1, 2 ORDER BY source_a, source_b
         """,
+        # twin of q_embedding_angle_hist — same blocks, same fold-order
+        # cosine, same integer micro bin rule
+        "embedding_angle_hist": """
+            WITH b AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                     vec_id % 64 AS blk
+              FROM embeddings),
+            p AS (
+              SELECT CAST(round(1e6 * (list_dot_product(l.v, r.v)
+                       / (sqrt(list_dot_product(l.v, l.v))
+                          * sqrt(list_dot_product(r.v, r.v)))))
+                     AS BIGINT) AS cm
+              FROM b l JOIN b r ON l.blk = r.blk AND l.id < r.id),
+            x AS (
+              SELECT least(floor((cm + 1000000) * 10 / 2000000),
+                           9)::BIGINT AS bin, cm
+              FROM p)
+            SELECT bin, count(*)::BIGINT AS n_pairs,
+                   min(cm) AS lo_micro, max(cm) AS hi_micro
+            FROM x GROUP BY 1 ORDER BY bin
+        """,
+        # twin of q_lang_vocab_overlap — distinct token sets,
+        # token-keyed intersection, inclusion-exclusion union
+        "lang_vocab_overlap": f"""
+            WITH toks AS (
+              SELECT DISTINCT lang AS g, t FROM (
+                SELECT lang,
+                       unnest(string_split({_NORM_SQL}, ' ')) AS t
+                FROM documents)
+              WHERE t <> '' AND g IS NOT NULL),
+            sizes AS (SELECT g, count(*)::BIGINT AS n
+                      FROM toks GROUP BY 1),
+            inter AS (
+              SELECT l.g AS group_a, r.g AS group_b,
+                     count(*)::BIGINT AS n_common
+              FROM toks l JOIN toks r ON l.t = r.t AND l.g < r.g
+              GROUP BY 1, 2)
+            SELECT group_a, group_b, n_common,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(round(1e6 * n_common
+                              / (sa.n + sb.n - n_common)) AS BIGINT)
+                     AS jaccard_micro
+            FROM inter
+            JOIN sizes sa ON sa.g = group_a
+            JOIN sizes sb ON sb.g = group_b
+            ORDER BY group_a, group_b
+        """,
+        # twin of q_event_fano — same cross-multiplied variance/mean
+        "event_fano": """
+            WITH d AS (
+              SELECT event_type AS grp, date_trunc('day', ts) AS b,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT grp, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                     sum(c * c)::BIGINT AS s2
+              FROM d GROUP BY 1)
+            SELECT grp AS "group", n AS n_buckets, s AS total,
+                   CASE WHEN n * s > 0
+                        THEN CAST(round(1e6 * (n * s2 - s * s)
+                                        / (n * s)) AS BIGINT) END
+                     AS fano_micro
+            FROM m ORDER BY "group"
+        """,
+        # twin of q_lang_source_mi — H identities from exact counts,
+        # floats only in the final ln projection
+        "lang_source_mi": """
+            WITH cells AS (
+              SELECT lang AS a, source AS b, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2),
+            ma AS (SELECT a, sum(c)::BIGINT AS c FROM cells GROUP BY 1),
+            mb AS (SELECT b, sum(c)::BIGINT AS c FROM cells GROUP BY 1),
+            ea AS (SELECT count(*)::BIGINT AS n_a,
+                          ln(sum(c)::DOUBLE)
+                          - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)
+                            AS ha
+                   FROM ma),
+            eb AS (SELECT count(*)::BIGINT AS n_b,
+                          ln(sum(c)::DOUBLE)
+                          - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)
+                            AS hb
+                   FROM mb),
+            eab AS (SELECT count(*)::BIGINT AS n_cells,
+                           ln(sum(c)::DOUBLE)
+                           - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)
+                             AS hab
+                    FROM cells)
+            SELECT n_a, n_b, n_cells,
+                   round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+                   round(hab, 6) AS h_ab,
+                   round(ha + hb - hab, 6) AS mi_nats
+            FROM ea, eb, eab
+        """,
+        # twin of q_event_volume_trend — same integer OLS moments,
+        # same guarded degenerate denominator
+        "event_volume_trend": """
+            WITH d AS (
+              SELECT event_type AS grp, date_trunc('day', ts) AS b,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            pts AS (
+              SELECT grp,
+                     date_diff('day',
+                               min(b::DATE) OVER (PARTITION BY grp),
+                               b::DATE)::BIGINT AS x,
+                     c AS y
+              FROM d),
+            m AS (
+              SELECT grp, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                     sum(x * x)::BIGINT AS sxx
+              FROM pts GROUP BY 1)
+            SELECT grp AS "group", n AS n_buckets, sy AS total,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN CAST(round(1e6 * (n * sxy - sx * sy)
+                                        / (n * sxx - sx * sx))
+                                  AS BIGINT) END
+                     AS slope_micro_per_unit
+            FROM m ORDER BY "group"
+        """,
+
 
 
     }

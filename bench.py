@@ -239,6 +239,10 @@ R4_NAMES = [
     # forensics, syndication map
     "trust_rank_hosts", "lang_source_rollup", "click_paths",
     "user_key_skew", "cross_source_copy_map",
+    # wave 19: embedding-space health, vocab overlap, burstiness,
+    # mutual information, volume trends
+    "embedding_angle_hist", "lang_vocab_overlap", "event_fano",
+    "lang_source_mi", "event_volume_trend",
 ]
 
 

@@ -924,3 +924,38 @@ def test_cross_source_copies_prefix_and_distinct(spark):
     out = dedup.cross_source_copies(df, prefix_chars=18).collect()
     assert [(r.source_a, r.source_b, r.n_shared_fps)
             for r in out] == [("a", "b", 1)]
+
+
+def test_angular_histogram_known_bins(spark):
+    from zoi_spark import similarity
+
+    # one block (ids 0..3 with n_blocks=1): vectors chosen so pair
+    # cosines are exactly +1 (0,1), -1 (0,2)/(1,2), 0 (x,3)
+    rows = [(0, [1.0, 0.0]), (1, [2.0, 0.0]),
+            (2, [-1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    out = {r.bin: (r.n_pairs, r.lo_micro, r.hi_micro) for r in
+           similarity.angular_histogram(df, n_blocks=1,
+                                        bins=10).collect()}
+    # cos -1 -> bin 0 (x2 pairs); cos 0 -> bin 5 (x3); cos 1 -> bin 9
+    assert out == {0: (2, -1000000, -1000000),
+                   5: (3, 0, 0),
+                   9: (1, 1000000, 1000000)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        similarity.angular_histogram(df, bins=0)
+
+
+def test_vocab_overlap_hand_sets(spark):
+    from zoi_spark import text as ztext
+
+    rows = [(1, "the cat sat", "en"), (2, "the cat ran", "en"),
+            (3, "the dog sat", "de"), (4, "unrelated words", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.group_a, r.group_b): (r.n_common, r.n_a, r.n_b,
+                                    r.jaccard_micro)
+           for r in ztext.vocab_overlap(df).collect()}
+    # en={the,cat,sat,ran}, de={the,dog,sat}: common {the,sat}=2,
+    # union 5 -> 0.4; fr shares nothing -> absent
+    assert out == {("de", "en"): (2, 3, 4, 400000)}

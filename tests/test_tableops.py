@@ -1878,3 +1878,55 @@ def test_key_skew_profile_shares_and_nulls(spark):
     all3 = tablechecks.key_skew_profile(df, key_col="k", top_k=5)
     assert sorted((r.key for r in all3.collect()),
                   key=lambda x: (x is None, x)) == ["1", "2", None]
+
+
+def test_fano_factor_hand_counts(spark):
+    from zoi_spark import tablechecks
+
+    # grp a: day counts 1, 3 -> var .. fano = (2*10-16)/(2*4) = 0.5
+    # grp b: single day -> fano 0 (n*s2 - s*s = 0)
+    rows = [("a", "2024-01-01 00:00:00"), ("a", "2024-01-02 00:00:00"),
+            ("a", "2024-01-02 01:00:00"), ("a", "2024-01-02 02:00:00"),
+            ("b", "2024-01-01 00:00:00")]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "g string, ts string") \
+        .select("g", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["group"]: (r.n_buckets, r.total, r.fano_micro) for r in
+           tablechecks.fano_factor(df, ts_col="ts",
+                                   group_col="g").collect()}
+    assert out == {"a": (2, 4, 500000), "b": (1, 1, 0)}
+
+
+def test_mutual_information_extremes(spark):
+    from zoi_spark import tablechecks
+    import math
+
+    # perfectly dependent: MI == H(a) == ln 2
+    dep = spark.createDataFrame([("x", "x"), ("y", "y")] * 3,
+                                "a string, b string")
+    r = tablechecks.mutual_information(dep, col_a="a",
+                                       col_b="b").collect()[0]
+    assert r.mi_nats == round(math.log(2), 6) == r.h_a == r.h_b
+    # independent uniform 2x2: MI == 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(2)],
+        "a string, b string")
+    r2 = tablechecks.mutual_information(ind, col_a="a",
+                                        col_b="b").collect()[0]
+    assert r2.mi_nats == 0.0 and r2.n_cells == 4
+
+
+def test_volume_trend_hand_slope(spark):
+    from zoi_spark import tablechecks
+
+    # grp a: counts 1,2,3 on consecutive days -> slope exactly 1/day
+    rows = ([("a", f"2024-01-0{d} 0{h}:00:00")
+             for d in (1, 2, 3) for h in range(d)]
+            + [("b", "2024-01-01 00:00:00")])
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "g string, ts string") \
+        .select("g", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["group"]: (r.n_buckets, r.total, r.slope_micro_per_unit)
+           for r in tablechecks.volume_trend(
+               df, ts_col="ts", group_col="g").collect()}
+    assert out == {"a": (3, 6, 1000000), "b": (1, 1, None)}

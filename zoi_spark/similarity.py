@@ -568,3 +568,48 @@ def mutual_topk_pairs(df: DataFrame, *, k: int = 10,
                    "cosine"))
     out._zoi_persisted = [top]  # release after materialization
     return out
+
+
+def angular_histogram(df: DataFrame, *, id_col: str = "vec_id",
+                      vec_col: str = "embedding", n_blocks: int = 64,
+                      bins: int = 10) -> DataFrame:
+    """Histogram of pairwise cosine similarity over a DETERMINISTIC
+    blocked pair sample — the embedding-space health check: a healthy
+    corpus has a unimodal mass away from 1.0; a spike near 1.0 means
+    duplicate mass, a spike near 0 with high dimension means the
+    encoder collapsed. Run before trusting any ANN/SemDeDup pass.
+
+    Sampling is id-arithmetic, not random: vectors pair within
+    ``id % n_blocks`` blocks (a < b) — every engine reproduces the
+    same pair set, and the pair count is Σ C(block,2) ≈ N²/(2·B),
+    tuned by ``n_blocks`` (scale B ∝ N for a linear sample).
+
+    Bins are computed in INTEGER micro-space: cos is micro-rounded
+    first (the proven round-6 cross-engine contract for fold-order
+    float sums), then ``floor((cos_micro + 1e6)·bins / 2e6)`` — the
+    division is exact in double for these magnitudes, so bin edges
+    can't flip between engines. Returns ``(bin, n_pairs, lo_micro,
+    hi_micro)`` per non-empty bin.
+    """
+    if bins < 1 or n_blocks < 1:
+        raise ValueError("bins and n_blocks must be >= 1")
+    from .dedup import cosine_similarity
+
+    b = df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).alias("__v"),
+                  F.pmod(id_col, F.lit(int(n_blocks))).alias("__blk"))
+    pairs = (b.alias("l")
+             .join(b.alias("r"),
+                   (F.col("l.__blk") == F.col("r.__blk"))
+                   & (F.col("l.__id") < F.col("r.__id"))))
+    cm = F.round(F.lit(1e6) * cosine_similarity(
+        F.col("l.__v"), F.col("r.__v"))).cast("long")
+    binned = pairs.select(cm.alias("__cm")).select(
+        F.least(F.floor((F.col("__cm") + F.lit(1_000_000))
+                        * F.lit(int(bins)) / F.lit(2_000_000)),
+                F.lit(bins - 1)).cast("long").alias("bin"),
+        "__cm")
+    return (binned.groupBy("bin")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min("__cm").alias("lo_micro"),
+                 F.max("__cm").alias("hi_micro")))

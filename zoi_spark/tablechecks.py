@@ -1177,3 +1177,136 @@ def key_skew_profile(df: DataFrame, *, key_col: str,
                     .alias("share_micro")))
     out._zoi_persisted = [counts]
     return out
+
+
+def fano_factor(df: DataFrame, *, ts_col: str, group_col: str,
+                unit: str = "day") -> DataFrame:
+    """Burstiness (Fano factor) of per-*unit* volumes by group:
+    variance-to-mean ratio of the bucket counts — 1 for Poisson
+    arrivals, ≫1 for bursty bot floods / batch replays, <1 for
+    rate-limited (sub-Poisson) clients. The dispersion complement of
+    :func:`volume_autocorr`'s rhythm view.
+
+    Population variance over mean, everything cross-multiplied to
+    integers: fano = ((n·Σc² − S²)/n²) / (S/n) = (n·Σc² − S²)/(n·S) —
+    one micro-rounded division of exact BIGINTs per group. Returns
+    ``(group, n_buckets, total, fano_micro)``.
+
+    Plan: one shuffle to (group, bucket) counts, one to the per-group
+    moments. Counts are widened to DECIMAL(38,0) for the squared sums
+    (the daily_volume_anomalies overflow lesson).
+    """
+    dec = T.DecimalType(38, 0)
+    daily = (df.groupBy(F.col(group_col).alias("group"),
+                        F.date_trunc(unit, F.col(ts_col)).alias("__b"))
+             .agg(F.count("*").alias("__c")))
+    c = F.col("__c").cast(dec)
+    mom = (daily.groupBy("group")
+           .agg(F.count("*").cast(dec).alias("__n"),
+                F.sum(c).alias("__s"),
+                F.sum(c * c).alias("__s2")))
+    num = (F.col("__n") * F.col("__s2")
+           - F.col("__s") * F.col("__s")).cast("double")
+    den = (F.col("__n") * F.col("__s")).cast("double")
+    return mom.select(
+        "group", F.col("__n").cast("long").alias("n_buckets"),
+        F.col("__s").cast("long").alias("total"),
+        F.when(den > 0,
+               F.round(F.lit(1e6) * num / den).cast("long"))
+         .alias("fano_micro"))
+
+
+def mutual_information(df: DataFrame, *, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns via
+    the entropy identity MI = H(a) + H(b) − H(a,b) — "how much does
+    source tell you about lang": 0 = independent mixes, high = sources
+    are language silos (stratify by source ≈ stratify by lang). The
+    info-theoretic complement of chi²/Cramér's V.
+
+    Each entropy is H = ln(T) − Σ c·ln(c)/T computed from EXACT
+    BIGINT counts with the float entering only in the final
+    projection; results round to 6 decimals (the established float-sum
+    tolerance used by the KL/PSI drift twins). NULL categories count
+    as a category. Returns one row
+    ``(n_a, n_b, n_cells, h_a, h_b, h_ab, mi_nats)``.
+
+    Plan: one shuffle to the (a, b) cell counts; both margins and all
+    three Σ c·ln c reduce from the CELLS table (|a|·|b| rows), so the
+    corpus is scanned once however large.
+    """
+    cells = (df.groupBy(F.col(col_a).alias("__a"),
+                        F.col(col_b).alias("__b"))
+             .agg(F.count("*").alias("__c"))).persist()
+    ma = cells.groupBy("__a").agg(F.sum("__c").alias("__c"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").alias("__c"))
+
+    def _ent(frame, n_alias):
+        return frame.agg(
+            F.count("*").alias(n_alias),
+            F.sum("__c").alias("__t"),
+            F.sum(F.col("__c").cast("double")
+                  * F.log(F.col("__c").cast("double"))).alias("__clc"))
+
+    ea = _ent(ma, "n_a").select(
+        "n_a", (F.log(F.col("__t").cast("double"))
+                - F.col("__clc") / F.col("__t")).alias("__ha"))
+    eb = _ent(mb, "n_b").select(
+        "n_b", (F.log(F.col("__t").cast("double"))
+                - F.col("__clc") / F.col("__t")).alias("__hb"))
+    eab = _ent(cells, "n_cells").select(
+        "n_cells", (F.log(F.col("__t").cast("double"))
+                    - F.col("__clc") / F.col("__t")).alias("__hab"))
+    out = (ea.crossJoin(eb).crossJoin(eab)
+           .select("n_a", "n_b", "n_cells",
+                   F.round("__ha", 6).alias("h_a"),
+                   F.round("__hb", 6).alias("h_b"),
+                   F.round("__hab", 6).alias("h_ab"),
+                   F.round(F.col("__ha") + F.col("__hb")
+                           - F.col("__hab"), 6).alias("mi_nats")))
+    out._zoi_persisted = [cells]
+    return out
+
+
+def volume_trend(df: DataFrame, *, ts_col: str, group_col: str,
+                 unit: str = "day") -> DataFrame:
+    """Least-squares trend of per-*unit* volumes by group — the
+    grow/shrink slope per event type (is error volume trending up?),
+    exact where it can be: x is the calendar bucket index
+    (datediff from the group's first bucket), y the bucket count, and
+    the OLS slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one micro-rounded
+    division of exact BIGINT moments. Groups with a single bucket
+    return NULL slope (degenerate denominator) in any engine.
+
+    Returns ``(group, n_buckets, total, slope_micro_per_unit)``.
+
+    Plan: one shuffle to (group, bucket) counts; the x-index needs the
+    group's min bucket — a per-group scalar computed in the same
+    moments pass via a window over the BUCKETS table, then one final
+    per-group aggregation.
+    """
+    dec = T.DecimalType(38, 0)
+    daily = (df.groupBy(F.col(group_col).alias("group"),
+                        F.date_trunc(unit, F.col(ts_col)).alias("__b"))
+             .agg(F.count("*").alias("__c")))
+    w = Window.partitionBy("group")
+    x = F.datediff(F.col("__b").cast("date"),
+                   F.min(F.col("__b").cast("date")).over(w)).cast(dec)
+    y = F.col("__c").cast(dec)
+    pts = daily.select("group", x.alias("__x"), y.alias("__y"))
+    mom = (pts.groupBy("group")
+           .agg(F.count("*").cast(dec).alias("__n"),
+                F.sum("__x").alias("__sx"),
+                F.sum("__y").alias("__sy"),
+                F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+                F.sum(F.col("__x") * F.col("__x")).alias("__sxx")))
+    num = (F.col("__n") * F.col("__sxy")
+           - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (F.col("__n") * F.col("__sxx")
+           - F.col("__sx") * F.col("__sx")).cast("double")
+    return mom.select(
+        "group", F.col("__n").cast("long").alias("n_buckets"),
+        F.col("__sy").cast("long").alias("total"),
+        F.when(den > 0,
+               F.round(F.lit(1e6) * num / den).cast("long"))
+         .alias("slope_micro_per_unit"))

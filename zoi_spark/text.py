@@ -2102,3 +2102,50 @@ def word_len_hist(df: DataFrame, *, text_col: str = "text",
         .alias("n_words"),
         F.round(F.col("n_words") / F.sum("n_words").over(tot), 6)
         .alias("share"))
+
+
+def vocab_overlap(df: DataFrame, *, group_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups: distinct token sets
+    per group, intersection via a token-keyed self-join, union by
+    inclusion-exclusion — the corpus-mix fingerprint (two "languages"
+    with Jaccard 0.8 are one language mislabeled; a lang whose overlap
+    with everything is ~0 is noise or a script mix-up).
+
+    Returns ``(group_a, group_b, n_common, n_a, n_b, jaccard_micro)``
+    for every pair sharing ≥1 token; jaccard is the single terminal
+    division over exact distinct counts, micro-rounded.
+
+    Plan: DISTINCT (group, token) first — one shuffle, after which
+    everything is token-keyed; a token present in k groups fans out
+    C(k,2) pairs, bounded by the group vocabulary (≤ #groups), never
+    by corpus size. Group sizes ride in as two broadcast joins on the
+    (tiny) per-group counts.
+    """
+    toks = (df.select(F.col(group_col).alias("__g"),
+                      F.explode(F.split(normalize_text(F.col(text_col)),
+                                        " ")).alias("__t"))
+            .where((F.col("__t") != "") & F.col("__g").isNotNull())
+            .distinct()).persist()
+    sizes = toks.groupBy("__g").agg(F.count("*").alias("__n"))
+    inter = (toks.alias("l")
+             .join(toks.alias("r"),
+                   (F.col("l.__t") == F.col("r.__t"))
+                   & (F.col("l.__g") < F.col("r.__g")))
+             .groupBy(F.col("l.__g").alias("group_a"),
+                      F.col("r.__g").alias("group_b"))
+             .agg(F.count("*").alias("n_common")))
+    out = (inter
+           .join(F.broadcast(sizes.select(F.col("__g").alias("group_a"),
+                                          F.col("__n").alias("n_a"))),
+                 "group_a")
+           .join(F.broadcast(sizes.select(F.col("__g").alias("group_b"),
+                                          F.col("__n").alias("n_b"))),
+                 "group_b")
+           .select("group_a", "group_b", "n_common", "n_a", "n_b",
+                   F.round(F.lit(1e6) * F.col("n_common")
+                           / (F.col("n_a") + F.col("n_b")
+                              - F.col("n_common"))).cast("long")
+                    .alias("jaccard_micro")))
+    out._zoi_persisted = [toks]
+    return out
