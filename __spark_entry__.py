@@ -3778,6 +3778,73 @@ def q_event_volume_trend(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_embedding_norm_qc(spark, sf_dir):
+    """Embedding-column intake QC (similarity.embedding_norm_qc): per
+    label, NULL-vector / dimension-drift / zero-norm / NaN counts plus
+    round-6 norm stats — one scan, one group aggregation; norms are
+    the proven left-fold sum-of-squares contract."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_norm_qc(e).orderBy("group")
+
+
+def q_emb_covariance(spark, sf_dir):
+    """Embedding covariance matrix (similarity.covariance_pairs): the
+    Arrow partial-aggregation pattern — one numpy XᵀX per batch, d²
+    partial sums reduced in one hash agg; the twin re-derives the
+    population covariance from per-position unnests."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.covariance_pairs(e).orderBy("i", "j")
+
+
+def q_ann_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of cosine and L2 rankings
+    (similarity.rrf_topk, k=5, rrf_k=60): both ranks from one
+    broadcast-join scored projection, fused = Σ 1/(60+rank) — exact
+    small-integer rationals, identical in every engine."""
+    e = _read(spark, sf_dir, "embeddings")
+    qs = (e.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (similarity.rrf_topk(e, qs, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def q_snapshot_host_overlap(spark, sf_dir):
+    """Consecutive-snapshot host-set Jaccard (urls.snapshot_host_overlap)
+    over a seeded 4-month webtext frame whose host vocabulary widens
+    each month (doc_id mod (20+10·month)) so every pair overlaps
+    partially; exact distinct-host counts, inclusion-exclusion, one
+    round-6 division."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    m = F.pmod("doc_id", F.lit(4)).cast("int")
+    # divide the month selector OUT of the host index: doc_id//4 walks
+    # every residue, so month m's host set is the PREFIX {0..20+10m-1}
+    # and consecutive months overlap by construction (jaccard 2/3, 3/4,
+    # 4/5 at full coverage) — a seed keyed on doc_id%… instead makes
+    # the sets parity-disjoint and the common-host path never fires
+    h = F.pmod(F.floor(F.col("doc_id") / F.lit(4)),
+               F.lit(20) + F.lit(10) * m)
+    url = F.concat(F.lit("http://host"), h.cast("string"),
+                   F.lit(".example.com/p/"),
+                   F.col("doc_id").cast("string"))
+    ts = F.add_months(F.to_date(F.lit("2024-01-01")), m).cast("timestamp")
+    seeded = d.select(url.alias("url"), ts.alias("warc_ts"))
+    return urls.snapshot_host_overlap(seeded).orderBy("snap_a")
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outliers on events.value by event_type
+    (tablechecks.mad_outliers, k=2.5): two exact-percentile stratum
+    aggregations broadcast back — the heavy-tail-safe twin of
+    zscore_outliers; both engines interpolate percentiles with the
+    same lower+(upper−lower)·frac rule."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.mad_outliers(ev, "value", by="event_type",
+                                     k=2.5, id_col="event_id")
+            .orderBy("event_id"))
+
+
 
 # ---------------------------------------------------------------------------
 # the contract
@@ -4001,6 +4068,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_fano": q_event_fano,
         "lang_source_mi": q_lang_source_mi,
         "event_volume_trend": q_event_volume_trend,
+        # wave 20 (r4 session 6): embedding QC, covariance matrix,
+        # RRF rank fusion, snapshot host drift, MAD robust outliers
+        "embedding_norm_qc": q_embedding_norm_qc,
+        "emb_covariance": q_emb_covariance,
+        "ann_rrf_fusion": q_ann_rrf_fusion,
+        "snapshot_host_overlap": q_snapshot_host_overlap,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -8560,7 +8634,149 @@ def oracle_sql() -> dict[str, str]:
                      AS slope_micro_per_unit
             FROM m ORDER BY "group"
         """,
-
-
-
+        # twin of q_embedding_norm_qc — same left-fold sum-of-squares
+        # norm, same NULL/dim/zero/NaN gates, round-6 norm stats
+        "embedding_norm_qc": """
+            WITH b AS (
+              SELECT label AS "group",
+                     CASE WHEN embedding IS NULL THEN NULL
+                          ELSE sqrt(list_aggregate(list_transform(
+                                 embedding,
+                                 x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                     END AS norm,
+                     CASE WHEN embedding IS NULL THEN NULL
+                          ELSE len(embedding)::INT END AS dim,
+                     CASE WHEN embedding IS NULL THEN NULL
+                          ELSE len(list_filter(
+                                 embedding,
+                                 x -> isnan(x::DOUBLE))) > 0
+                     END AS nan
+              FROM embeddings)
+            SELECT "group", count(norm)::BIGINT AS n_vecs,
+                   (count(*) - count(norm))::BIGINT AS n_null,
+                   min(dim) AS dim_min, max(dim) AS dim_max,
+                   sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_zero_norm,
+                   sum(CASE WHEN nan THEN 1 ELSE 0 END)::BIGINT
+                     AS n_nan,
+                   round(avg(norm), 6) AS norm_avg,
+                   round(min(norm), 6) AS norm_min,
+                   round(max(norm), 6) AS norm_max
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_emb_covariance — population covariance from
+        # per-position unnests; same sum/count − mean·mean shape
+        "emb_covariance": """
+            WITH x AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings WHERE embedding IS NOT NULL)
+            SELECT a.i::INT AS i, b.i::INT AS j,
+                   round(sum(a.v * b.v) / count(*)
+                         - (sum(a.v) / count(*))
+                         * (sum(b.v) / count(*)), 6) AS cov
+            FROM x a JOIN x b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i ORDER BY 1, 2
+        """,
+        # twin of q_ann_rrf_fusion — same round-6 metrics, same
+        # (metric, id) rank ties, same exact-rational fusion
+        "ann_rrf_fusion": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv), 6) AS c,
+                     round(list_distance(
+                       e.embedding::DOUBLE[], q.qv), 6) AS l
+              FROM embeddings e, q WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id ASC)
+                       AS rank_cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY l ASC, vec_id ASC)
+                       AS rank_l2
+              FROM scored),
+            fused AS (
+              SELECT *,
+                     1.0 / (60 + rank_cos) + 1.0 / (60 + rank_l2) AS f
+              FROM ranked)
+            SELECT query_id, vec_id, rank_cos, rank_l2,
+                   CAST(round(f * 1e6) AS BIGINT) AS rrf_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY f DESC, vec_id ASC)
+                     AS rank
+            FROM fused QUALIFY rank <= 5
+        """,
+        # twin of q_snapshot_host_overlap — same seeded 4-month frame,
+        # same distinct-host inclusion-exclusion jaccard
+        "snapshot_host_overlap": """
+            WITH seeded AS (
+              SELECT 'http://host'
+                       || ((doc_id // 4)
+                           % (20 + 10 * (doc_id % 4)))::VARCHAR
+                       || '.example.com/p/' || doc_id::VARCHAR AS url,
+                     (DATE '2024-01-01'
+                       + ((doc_id % 4)::INT) * INTERVAL 1 MONTH
+                     )::TIMESTAMP AS warc_ts
+              FROM documents),
+            hosts AS (
+              SELECT DISTINCT date_trunc('month', warc_ts)::DATE AS snap,
+                     lower(regexp_extract(
+                       url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host
+              FROM seeded WHERE warc_ts IS NOT NULL),
+            h2 AS (SELECT * FROM hosts WHERE host != ''),
+            snaps AS (
+              SELECT snap, row_number() OVER (ORDER BY snap) AS r
+              FROM (SELECT DISTINCT snap FROM h2)),
+            counts AS (SELECT snap, count(*) AS n FROM h2 GROUP BY snap),
+            h AS (SELECT h2.snap, h2.host, s.r
+                  FROM h2 JOIN snaps s USING (snap)),
+            common AS (
+              SELECT x.r AS r, count(*) AS n_common
+              FROM h x JOIN h y ON x.r + 1 = y.r AND x.host = y.host
+              GROUP BY x.r),
+            pairs AS (
+              SELECT a.snap AS snap_a, b.snap AS snap_b, a.r
+              FROM snaps a JOIN snaps b ON a.r + 1 = b.r)
+            SELECT snap_a, snap_b, ca.n::BIGINT AS hosts_a,
+                   cb.n::BIGINT AS hosts_b,
+                   coalesce(c.n_common, 0)::BIGINT AS n_common,
+                   round(coalesce(c.n_common, 0)
+                         / (ca.n + cb.n - coalesce(c.n_common, 0)), 6)
+                     AS jaccard
+            FROM pairs p
+            JOIN counts ca ON ca.snap = p.snap_a
+            JOIN counts cb ON cb.snap = p.snap_b
+            LEFT JOIN common c ON c.r = p.r
+            ORDER BY snap_a
+        """,
+        # twin of q_mad_outliers — same two-stage exact interpolated
+        # percentile, same 1.4826 Hampel scale, same k gate
+        "mad_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.med,
+                     abs(e.value - m.med) AS ad
+              FROM events e JOIN med m USING (event_type)),
+            mad AS (
+              SELECT event_type, quantile_cont(ad, 0.5) AS mad
+              FROM dev GROUP BY event_type)
+            SELECT d.event_id, d.event_type, d.value,
+                   round((d.value - d.med) / (1.4826 * t.mad), 6)
+                     AS mad_score,
+                   'value.mad_outlier' AS rule_id
+            FROM dev d JOIN mad t USING (event_type)
+            WHERE t.mad > 0
+              AND abs((d.value - d.med) / (1.4826 * t.mad)) > 2.5
+            ORDER BY d.event_id
+        """,
     }

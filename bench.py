@@ -243,6 +243,10 @@ R4_NAMES = [
     # mutual information, volume trends
     "embedding_angle_hist", "lang_vocab_overlap", "event_fano",
     "lang_source_mi", "event_volume_trend",
+    # wave 20: embedding QC, covariance matrix, RRF fusion, snapshot
+    # host drift, MAD robust outliers
+    "embedding_norm_qc", "emb_covariance", "ann_rrf_fusion",
+    "snapshot_host_overlap", "mad_outliers",
 ]
 
 

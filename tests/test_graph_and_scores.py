@@ -959,3 +959,59 @@ def test_vocab_overlap_hand_sets(spark):
     # en={the,cat,sat,ran}, de={the,dog,sat}: common {the,sat}=2,
     # union 5 -> 0.4; fr shares nothing -> absent
     assert out == {("de", "en"): (2, 3, 4, 400000)}
+
+
+def test_embedding_norm_qc_gates(spark):
+    from zoi_spark import similarity
+
+    rows = [(0, [3.0, 4.0], "a"),        # norm 5
+            (1, [0.0, 0.0], "a"),        # zero norm
+            (2, None, "a"),              # NULL vector
+            (3, [1.0, 0.0, 0.0], "b"),   # dim drift vs id 4
+            (4, [float("nan"), 1.0], "b")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = {r.group: r for r in
+           similarity.embedding_norm_qc(df, group_col="label").collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_vecs, a.n_null, a.n_zero_norm, a.n_nan) == (2, 1, 1, 0)
+    assert (a.dim_min, a.dim_max) == (2, 2)
+    assert (a.norm_min, a.norm_max, a.norm_avg) == (0.0, 5.0, 2.5)
+    assert (b.dim_min, b.dim_max) == (2, 3)
+    assert b.n_nan == 1
+
+
+def test_covariance_pairs_hand_matrix(spark):
+    import numpy as np
+
+    from zoi_spark import similarity
+
+    vs = [[1.0, 2.0], [3.0, 0.0], [5.0, 4.0], [7.0, 2.0]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vs)],
+                               "vec_id long, embedding array<double>")
+    out = {(r.i, r.j): r.cov for r in
+           similarity.covariance_pairs(df).collect()}
+    m = np.array(vs)
+    exp = np.cov(m, rowvar=False, bias=True)  # population covariance
+    assert set(out) == {(0, 0), (0, 1), (1, 1)}
+    for (i, j), c in out.items():
+        assert abs(c - exp[i][j]) < 1e-9
+
+
+def test_rrf_topk_rank_fusion(spark):
+    from zoi_spark import similarity
+
+    # query [1,0]; corpus: id1 same direction (cos rank 1) but FAR in
+    # L2; id2 near in L2 but orthogonal-ish; id3 both-bad
+    corpus = spark.createDataFrame(
+        [(1, [100.0, 0.0]), (2, [1.0, 1.0]), (3, [-1.0, 50.0])],
+        "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "query_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           similarity.rrf_topk(corpus, qs, k=3).collect()}
+    assert out[1].rank_cos == 1 and out[1].rank_l2 == 3
+    assert out[2].rank_l2 == 1
+    # id2 fuses best: ranks (2,1) -> 1/62+1/61 vs id1 (1,3) -> 1/61+1/63
+    assert out[2].rank == 1 and out[1].rank == 2
+    assert out[2].rrf_micro == round((1 / 62 + 1 / 61) * 1e6)

@@ -1930,3 +1930,44 @@ def test_volume_trend_hand_slope(spark):
            for r in tablechecks.volume_trend(
                df, ts_col="ts", group_col="g").collect()}
     assert out == {"a": (3, 6, 1000000), "b": (1, 1, None)}
+
+
+def test_snapshot_host_overlap_jaccard(spark):
+    from zoi_spark import urls
+
+    rows = [
+        ("http://A.com/x", "2024-01-05 00:00:00"),
+        ("http://b.com/x", "2024-01-20 00:00:00"),
+        ("http://a.com/y", "2024-02-01 00:00:00"),   # case-folds to a.com
+        ("http://c.com/x", "2024-02-02 00:00:00"),
+        ("http://c.com/y", "2024-02-03 00:00:00"),   # distinct-host dedup
+        ("http://d.com/x", "2024-03-01 00:00:00"),
+        ("http://nohost", None),                     # NULL ts excluded
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string") \
+        .selectExpr("url", "cast(warc_ts as timestamp) as warc_ts")
+    out = {(str(r.snap_a), str(r.snap_b)): r for r in
+           urls.snapshot_host_overlap(df).collect()}
+    jan_feb = out[("2024-01-01", "2024-02-01")]
+    # jan {a,b}, feb {a,c}: common 1, union 3
+    assert (jan_feb.hosts_a, jan_feb.hosts_b,
+            jan_feb.n_common, jan_feb.jaccard) == (2, 2, 1, 0.333333)
+    feb_mar = out[("2024-02-01", "2024-03-01")]
+    assert (feb_mar.n_common, feb_mar.jaccard) == (0, 0.0)
+    assert len(out) == 2  # consecutive pairs only
+
+
+def test_mad_outliers_robust_to_tail(spark):
+    from zoi_spark import tablechecks
+
+    # group g: nine values near 10 and one wild 1000 — the mean/std
+    # would be dragged; median 10, MAD 1 flags only the wild row
+    rows = [(i, "g", float(v)) for i, v in
+            enumerate([9, 9, 10, 10, 10, 10, 11, 11, 12, 1000])]
+    rows += [(100, "flat", 5.0), (101, "flat", 5.0)]  # MAD 0 -> none
+    df = spark.createDataFrame(rows, "event_id long, k string, v double")
+    out = tablechecks.mad_outliers(df, "v", by="k", k=3.5,
+                                   id_col="event_id").collect()
+    assert [(r.event_id, r.rule_id) for r in out] == \
+        [(9, "v.mad_outlier")]
+    assert abs(out[0].mad_score - (1000 - 10) / 1.4826) < 1e-3

@@ -613,3 +613,173 @@ def angular_histogram(df: DataFrame, *, id_col: str = "vec_id",
             .agg(F.count("*").alias("n_pairs"),
                  F.min("__cm").alias("lo_micro"),
                  F.max("__cm").alias("hi_micro")))
+
+
+def embedding_norm_qc(df: DataFrame, *, group_col: str = "label",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding-column intake QC — the checks an embedding
+    table must pass BEFORE any cosine-based operator is trusted: NULL
+    vectors (upstream encoder failures), dimension drift (a model swap
+    mid-corpus shows as dim_min != dim_max and silently breaks every
+    zip_with), zero-norm vectors (cosine is undefined; every operator
+    here guards them, but mass of them means the encoder is broken)
+    and NaN components (poisoned accumulators).
+
+    Output per group: ``n_vecs`` (non-NULL), ``n_null``, ``dim_min``,
+    ``dim_max``, ``n_zero_norm``, ``n_nan``, ``norm_avg`` / ``norm_min``
+    / ``norm_max`` (round-6; norms are per-row left-fold sums of
+    squares, the proven cross-engine float contract).
+
+    Shape at 10^10 vectors: ONE scan + one hash aggregation on the
+    group key with map-side combine — the same single-pass-stats shape
+    as ``tablechecks.column_stats``, just over array-typed payload.
+    Zoi seed: array type checks (lib/zoi/types/array.ex:54-80) do the
+    per-element walk one term at a time; here the walk is a fused
+    JVM fold per row.
+    """
+    v = F.col("__v")
+    norm = F.when(
+        v.isNotNull(),
+        F.sqrt(F.aggregate(v, F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double")
+                           * x.cast("double"))))
+    has_nan = F.when(v.isNotNull(),
+                     F.exists(v, lambda x: F.isnan(x.cast("double"))))
+    base = df.select(F.col(group_col).alias("group"),
+                     F.col(vec_col).alias("__v"))
+    base = base.select(
+        "group", norm.alias("__norm"),
+        F.when(v.isNotNull(), F.size(v)).alias("__dim"),
+        has_nan.alias("__nan"))
+    return (base.groupBy("group").agg(
+        F.count("__norm").alias("n_vecs"),
+        (F.count("*") - F.count("__norm")).alias("n_null"),
+        F.min("__dim").alias("dim_min"),
+        F.max("__dim").alias("dim_max"),
+        F.sum(F.when(F.col("__norm") == 0, 1).otherwise(0))
+        .cast("long").alias("n_zero_norm"),
+        F.sum(F.when(F.col("__nan"), 1).otherwise(0))
+        .cast("long").alias("n_nan"),
+        F.round(F.avg("__norm"), 6).alias("norm_avg"),
+        F.round(F.min("__norm"), 6).alias("norm_min"),
+        F.round(F.max("__norm"), 6).alias("norm_max")))
+
+
+def covariance_pairs(df: DataFrame, *, vec_col: str = "embedding",
+                     round_to: int = 6) -> DataFrame:
+    """Population covariance matrix of the embedding columns as
+    ``(i, j, cov)`` rows (upper triangle, i <= j) — the input to any
+    PCA/whitening step (anisotropic embeddings are the usual reason
+    raw cosine thresholds transfer badly between corpora; the
+    covariance spectrum is the diagnosis).
+
+    Physical shape — the canonical Arrow PARTIAL-AGGREGATION pattern:
+    ``mapInPandas`` reduces each Arrow batch to ONE partial row
+    ``(n, sum_vec, sum_outer)`` with a single numpy ``Xᵀ·X`` per
+    batch, then the partials (one row per ~10k-row batch — tiny at any
+    corpus size) explode to (position, value) and sum in one hash
+    aggregation. Nothing wider than d² ever shuffles, no per-row
+    Python, and the driver never sees raw vectors. A posexplode×2
+    per-row alternative would shuffle N·d² rows — that is the design
+    this operator exists to avoid at 100 TB.
+
+    NULL vectors are skipped; rows with inconsistent dims raise inside
+    the kernel (run :func:`embedding_norm_qc` first).
+    """
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            vs = [v for v in pdf["__v"] if v is not None]
+            if not vs:
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            yield pd.DataFrame({
+                "n": [len(m)],
+                "s": [m.sum(axis=0).tolist()],
+                "o": [(m.T @ m).ravel().tolist()],
+            })
+
+    parts = (df.select(F.col(vec_col).alias("__v"))
+             .mapInPandas(partials,
+                          "n long, s array<double>, o array<double>")
+             .withColumn("__d", F.size("s")))
+    parts = parts.persist()
+    # flatten to (pos, partial-sum) and reduce — d² keys, corpus-free
+    osum = (parts.select(F.col("__d"),
+                         F.posexplode("o").alias("p", "x"))
+            .groupBy("__d", "p").agg(F.sum("x").alias("oxx")))
+    ssum = (parts.select(F.posexplode("s").alias("i", "x"))
+            .groupBy("i").agg(F.sum("x").alias("sx")))
+    ntot = parts.agg(F.sum("n").alias("nn"))
+    mi = ssum.select(F.col("i").alias("__mi"), F.col("sx").alias("__si"))
+    mj = ssum.select(F.col("i").alias("__mj"), F.col("sx").alias("__sj"))
+    out = (osum
+           .withColumn("i", (F.col("p") / F.col("__d")).cast("int"))
+           .withColumn("j", F.pmod("p", F.col("__d")).cast("int"))
+           .where(F.col("i") <= F.col("j"))
+           .join(F.broadcast(mi), F.col("i") == F.col("__mi"))
+           .join(F.broadcast(mj), F.col("j") == F.col("__mj"))
+           .crossJoin(F.broadcast(ntot))
+           .select("i", "j",
+                   F.round(F.col("oxx") / F.col("nn")
+                           - (F.col("__si") / F.col("nn"))
+                           * (F.col("__sj") / F.col("nn")),
+                           round_to).alias("cov")))
+    out._zoi_persisted = [parts]
+    return out
+
+
+def rrf_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
+             rrf_k: int = 60, corpus_id: str = "vec_id",
+             query_id: str = "query_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Reciprocal-rank fusion of a cosine ranking and an L2 ranking
+    per query (Cormack et al., SIGIR'09): fused = Σ 1/(rrf_k + rank).
+    The standard way to combine retrieval signals WITHOUT calibrating
+    their score scales — here the two metrics disagree exactly when
+    vector norms carry information, which is also when picking one of
+    them silently loses it.
+
+    Both ranks come from ONE broadcast join + scored projection; the
+    two row_numbers share the same window partitioning, so the whole
+    operator is a single query-keyed shuffle. Ranks order by the
+    micro-rounded metric with the corpus id as tiebreak (the proven
+    deterministic-ties contract); the fused score is exact rational
+    arithmetic on small integers, identical in every engine.
+
+    Output: ``(query_id, corpus_id, rank_cos, rank_l2, rrf_micro,
+    rank)`` — top-*k* by (fused desc, id asc).
+    """
+    from .dedup import cosine_similarity
+
+    q = F.broadcast(queries.select(F.col(query_id),
+                                   F.col(vec_col).alias("__qvec")))
+    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6)
+    l2 = F.round(F.sqrt(F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("__qvec"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)), 6)
+    scored = (corpus.join(q)
+              .where(F.col(corpus_id) != F.col(query_id))
+              .select(query_id, corpus_id, cos.alias("__cos"),
+                      l2.alias("__l2")))
+    wc = Window.partitionBy(query_id).orderBy(
+        F.col("__cos").desc(), F.col(corpus_id).asc())
+    wl = Window.partitionBy(query_id).orderBy(
+        F.col("__l2").asc(), F.col(corpus_id).asc())
+    ranked = (scored
+              .withColumn("rank_cos", F.row_number().over(wc))
+              .withColumn("rank_l2", F.row_number().over(wl)))
+    fused = (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_cos"))
+             + F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_l2")))
+    wf = Window.partitionBy(query_id).orderBy(
+        fused.desc(), F.col(corpus_id).asc())
+    return (ranked
+            .withColumn("rrf_micro",
+                        F.round(fused * 1e6).cast("long"))
+            .withColumn("rank", F.row_number().over(wf))
+            .where(F.col("rank") <= int(k))
+            .select(query_id, corpus_id, "rank_cos", "rank_l2",
+                    "rrf_micro", "rank"))

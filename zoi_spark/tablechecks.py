@@ -1310,3 +1310,40 @@ def volume_trend(df: DataFrame, *, ts_col: str, group_col: str,
         F.when(den > 0,
                F.round(F.lit(1e6) * num / den).cast("long"))
          .alias("slope_micro_per_unit"))
+
+
+def mad_outliers(df: DataFrame, column: str, *, by: str,
+                 k: float = 3.5, id_col: str = "doc_id") -> DataFrame:
+    """Median-absolute-deviation robust outliers — the heavy-tail-safe
+    sibling of :func:`zscore_outliers`: on web-corpus length/value
+    distributions the sample mean and stddev are themselves dragged by
+    the outliers they are supposed to flag, while the median/MAD pair
+    has a 50% breakdown point (Hampel; the 1.4826 factor makes the
+    score ≈ a z-score under normality). Rows score
+    ``(x − median) / (1.4826 · MAD)`` within their ``by``-stratum and
+    flag when |score| > *k*.
+
+    Returns ``(id, by, column, mad_score, rule_id)`` with rule_id
+    ``{column}.mad_outlier`` — the violation-row contract
+    (errors.py; Zoi seed lib/zoi/error.ex).
+
+    Shape at scale: TWO stratum-keyed percentile aggregations (exact
+    interpolated percentile — strata cardinality ≪ corpus, and the
+    exact percentile's per-group sort rides the aggregation), each
+    broadcast back onto the scan-partitioned table; no corpus-wide
+    window, same anti-skew design as zscore_outliers. Degenerate
+    strata (MAD = 0) emit no outliers."""
+    med = df.groupBy(by).agg(
+        F.expr(f"percentile({column}, 0.5)").alias("__med"))
+    dev = (df.join(F.broadcast(med), by)
+           .withColumn("__ad", F.abs(F.col(column) - F.col("__med"))))
+    mad = dev.groupBy(by).agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    score = (F.col(column) - F.col("__med")) \
+        / (F.lit(1.4826) * F.col("__mad"))
+    return (dev.join(F.broadcast(mad), by)
+            .where(F.col("__mad") > 0)
+            .where(F.abs(score) > k)
+            .select(F.col(id_col), F.col(by), F.col(column),
+                    F.round(score, 6).alias("mad_score"),
+                    F.lit(f"{column}.mad_outlier").alias("rule_id")))

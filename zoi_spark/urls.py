@@ -423,3 +423,64 @@ def tld_profile(df: DataFrame, *, url_col: str = "url") -> DataFrame:
         F.col("n_hosts").cast("long").alias("n_hosts"),
         F.round(F.col("n_urls") / F.sum("n_urls").over(tot), 6)
         .alias("share"))
+
+
+def snapshot_host_overlap(df: DataFrame, *, url_col: str = "url",
+                          ts_col: str = "warc_ts") -> DataFrame:
+    """Host-set Jaccard between CONSECUTIVE monthly crawl snapshots —
+    the frontier-drift check on the crawl itself (the content-side
+    twins are js_divergence/centroid_drift): a collapsing overlap means
+    the crawler lost a seed list or a snapshot was mis-partitioned; an
+    overlap near 1 with rising volume means recrawl mass, which is
+    what url_dedup_latest then collapses.
+
+    Output per consecutive pair: ``(snap_a, snap_b, hosts_a, hosts_b,
+    n_common, jaccard)`` — inclusion-exclusion on exact distinct-host
+    counts, round-6 division at the end.
+
+    Shape at 10^12 rows: the ONLY corpus-scale stage is the
+    distinct (month, host) projection (one shuffle, map-side partial
+    distinct); everything after runs on the host vocabulary (~10^8),
+    with the snapshot rank window over the ≤10³-row snapshot list and
+    the pair join keyed on (rank, host). NULL-ts and empty-host rows
+    are excluded before the distinct."""
+    snap = F.date_trunc("month", F.col(ts_col)).cast("date")
+    hosts = (df.where(F.col(ts_col).isNotNull())
+             .select(snap.alias("snap"),
+                     url_host(F.col(url_col)).alias("host"))
+             .where(F.col("host") != "")
+             .distinct())
+    hosts = hosts.persist()
+    # snapshot list is tiny — a single-partition rank window is fine
+    snaps = (hosts.select("snap").distinct()
+             .withColumn("__r", F.row_number().over(
+                 Window.orderBy("snap"))))
+    h = hosts.join(F.broadcast(snaps), "snap")
+    counts = hosts.groupBy("snap").agg(F.count("*").alias("n"))
+    common = (h.alias("x")
+              .join(h.alias("y"),
+                    (F.col("x.__r") + 1 == F.col("y.__r"))
+                    & (F.col("x.host") == F.col("y.host")))
+              .groupBy(F.col("x.__r").alias("__r"))
+              .agg(F.count("*").alias("n_common")))
+    pairs = (snaps.alias("a")
+             .join(snaps.alias("b"),
+                   F.col("a.__r") + 1 == F.col("b.__r"))
+             .select(F.col("a.snap").alias("snap_a"),
+                     F.col("b.snap").alias("snap_b"),
+                     F.col("a.__r").alias("__r")))
+    out = (pairs
+           .join(F.broadcast(counts.withColumnRenamed("snap", "snap_a")
+                             .withColumnRenamed("n", "hosts_a")), "snap_a")
+           .join(F.broadcast(counts.withColumnRenamed("snap", "snap_b")
+                             .withColumnRenamed("n", "hosts_b")), "snap_b")
+           .join(F.broadcast(common), "__r", "left")
+           .select("snap_a", "snap_b", "hosts_a", "hosts_b",
+                   F.coalesce("n_common", F.lit(0)).cast("long")
+                   .alias("n_common"))
+           .withColumn("jaccard",
+                       F.round(F.col("n_common")
+                               / (F.col("hosts_a") + F.col("hosts_b")
+                                  - F.col("n_common")), 6)))
+    out._zoi_persisted = [hosts]
+    return out
