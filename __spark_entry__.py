@@ -3845,6 +3845,87 @@ def q_mad_outliers(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk, m=4 subspaces ×
+    ksub=8 seeded codebook centroids, k=5): corpus vectors compress to
+    4 argmin codes (9-decimal grid, first-index ties), queries score
+    by asymmetric distance through a per-query m×ksub table; the twin
+    re-derives codes and ADC sums from the same codebook literals."""
+    e = _read(spark, sf_dir, "embeddings")
+    qs = (e.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (similarity.pq_topk(e, qs, k=5, m=4, ksub=8, seed=42)
+            .orderBy("query_id", "rank"))
+
+
+def q_hill_tail(spark, sf_dir):
+    """Hill power-law tail index of document length by lang
+    (tablechecks.power_tail_hill, k=50): alpha from the top-50 log
+    ratios against the 51st order statistic — tie-straddling at the
+    rank boundary is value-multiset-invariant, so both engines land on
+    identical sums."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.power_tail_hill(d, "n_chars", by="lang", k=50)
+            .orderBy("lang"))
+
+
+def q_host_fetch_gaps(spark, sf_dir):
+    """Crawl-politeness cadence (urls.host_fetch_gaps) over a seeded
+    13-host webtext frame with quadratic-residue fetch times (doc_id²
+    mod 1e5 seconds past 2024-01-01): per-host min/median/max
+    inter-fetch gap in exact integer seconds; the median is the same
+    interpolated percentile on both engines."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod("doc_id", F.lit(13)).cast("string")
+    ts = F.timestamp_seconds(
+        F.lit(1704067200).cast("long")
+        + F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(100000)))
+    seeded = d.select(
+        F.concat(F.lit("http://host"), h,
+                 F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        ts.alias("warc_ts"))
+    return urls.host_fetch_gaps(seeded).orderBy("host")
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text mining per target host (text.anchor_texts):
+    documents seeded with anchors cycling quoting syntax, case and
+    two anchor-text variants (plus a second link every 4th doc) so
+    top-anchor selection, tie-breaks and the distinct-anchor counts
+    all land under the value hash."""
+    d = _read(spark, sf_dir, "documents")
+    g = F.pmod("doc_id", F.lit(12)).cast("string")
+    tgt = F.concat(F.lit("http://anchor"), g, F.lit(".example/p"))
+    sel = F.pmod("doc_id", F.lit(3))
+    atext = F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("Read More")) \
+        .otherwise(F.concat(F.lit("page "), g))
+    a = F.when(sel == 0, F.concat(F.lit(' <a href="'), tgt,
+                                  F.lit('">'), atext, F.lit("</a>")))
+    a = a.when(sel == 1, F.concat(F.lit(" <A HREF='"), tgt,
+                                  F.lit("'>"), atext, F.lit("</A>")))
+    a = a.otherwise(F.concat(F.lit(' <a class="x" href='), tgt,
+                             F.lit(">"), atext, F.lit("</a>")))
+    extra = F.when(F.pmod("doc_id", F.lit(4)) == 1,
+                   F.concat(F.lit(' <a href="http://anchor'), g,
+                            F.lit('.example/q">also this</a>'))
+                   ).otherwise(F.lit(""))
+    seeded = d.select(
+        "doc_id", F.concat(F.col("text"), a, extra).alias("text"))
+    return text.anchor_texts(seeded).orderBy("host")
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Decile calibration of the heuristic quality score against
+    exact-duplicate membership (text.quality_calibration): fingerprint
+    counts joined back, round-6 dup rate and mean score per score
+    decile — the does-the-gate-deserve-its-threshold report."""
+    d = _read(spark, sf_dir, "documents")
+    return text.quality_calibration(d).orderBy("bucket")
+
+
 
 # ---------------------------------------------------------------------------
 # the contract
@@ -4075,6 +4156,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_rrf_fusion": q_ann_rrf_fusion,
         "snapshot_host_overlap": q_snapshot_host_overlap,
         "mad_outliers": q_mad_outliers,
+        # wave 21 (r4 session 6): PQ ANN, Hill tail index, fetch
+        # cadence, anchor-text mining, quality calibration
+        "pq_ann": q_pq_ann,
+        "hill_tail": q_hill_tail,
+        "host_fetch_gaps": q_host_fetch_gaps,
+        "anchor_texts": q_anchor_texts,
+        "quality_calibration": q_quality_calibration,
     }
 
 
@@ -4491,6 +4579,131 @@ def _ivf_ann_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 4) -> str:
           FROM scored)
         SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _pq_ann_sql(k: int = 5, m: int = 4, ksub: int = 8,
+                seed: int = 42, dim: int = 64) -> str:
+    """Re-derive PQ end to end from the SAME seeded codebook literals
+    similarity.pq_codebooks generates: per-subspace squared-L2 via the
+    |a|²+|c|²−2a·c identity (each term a sequential list_dot_product),
+    9-decimal rounding before the argmin (ties → lowest centroid,
+    mirroring the when-chain), then ADC = sum of the query's rounded
+    subspace distances at the corpus codes, round-6, rank (adc ASC,
+    id ASC)."""
+    from zoi_spark.similarity import pq_codebooks
+
+    books = pq_codebooks(dim, m=m, ksub=ksub, seed=seed)
+    sub_d = dim // m
+    rows = ",\n                 ".join(
+        f"({s}, {c}, {list(map(float, cv))}::DOUBLE[])"
+        for s, book in enumerate(books)
+        for c, cv in enumerate(book))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(s, c, cv) AS (
+          VALUES {rows}),
+        cd AS (
+          SELECT vec_id, s, c,
+                 round(list_dot_product(sub, sub)
+                       + list_dot_product(cv, cv)
+                       - 2 * list_dot_product(sub, cv), 9) AS d2
+          FROM (SELECT vec_id, s, c, cv,
+                       list_slice(v, s * {sub_d} + 1,
+                                  s * {sub_d} + {sub_d}) AS sub
+                FROM e, cents) t),
+        codes AS (
+          SELECT vec_id, s, c AS code FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2 ASC, c ASC) AS rn
+            FROM cd) WHERE rn = 1),
+        qd AS (
+          SELECT vec_id AS query_id, s, c, d2 FROM cd
+          WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, kk.vec_id, round(sum(q.d2), 6) AS adc
+          FROM codes kk JOIN qd q
+            ON q.s = kk.s AND q.c = kk.code
+               AND kk.vec_id != q.query_id
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc ASC, vec_id ASC)
+                   AS rank
+          FROM scored)
+        SELECT query_id, vec_id, adc, rank FROM ranked
+        WHERE rank <= {k}
+    """
+
+
+def _anchor_texts_sql() -> str:
+    """Twin of q_anchor_texts: same seeded anchors, same element/href
+    regexes and cleanup as text.anchor_texts/extract_links, top anchor
+    via (count DESC, anchor ASC) row_number — the same order the
+    Spark side's min((-n, anchor)) struct encodes."""
+    from zoi_spark.text import _ANCHOR_RE, _HREF_RE
+
+    apat = _ANCHOR_RE.replace("'", "''")
+    hpat = _HREF_RE.replace("'", "''")
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 3
+                   WHEN 0 THEN ' <a href="http://anchor'
+                     || (doc_id % 12)::VARCHAR || '.example/p">'
+                     || CASE WHEN doc_id % 2 = 0 THEN 'Read More'
+                             ELSE 'page ' || (doc_id % 12)::VARCHAR
+                        END || '</a>'
+                   WHEN 1 THEN ' <A HREF=''http://anchor'
+                     || (doc_id % 12)::VARCHAR || '.example/p''>'
+                     || CASE WHEN doc_id % 2 = 0 THEN 'Read More'
+                             ELSE 'page ' || (doc_id % 12)::VARCHAR
+                        END || '</A>'
+                   ELSE ' <a class="x" href=http://anchor'
+                     || (doc_id % 12)::VARCHAR || '.example/p>'
+                     || CASE WHEN doc_id % 2 = 0 THEN 'Read More'
+                             ELSE 'page ' || (doc_id % 12)::VARCHAR
+                        END || '</a>'
+                 END
+                 || CASE WHEN doc_id % 4 = 1
+                         THEN ' <a href="http://anchor'
+                           || (doc_id % 12)::VARCHAR
+                           || '.example/q">also this</a>'
+                         ELSE '' END AS t
+          FROM documents),
+        els AS (
+          SELECT unnest(regexp_extract_all(t, '{apat}')) AS el
+          FROM seeded),
+        pairs AS (
+          SELECT lower(regexp_extract(
+                   regexp_replace(
+                     regexp_replace(regexp_extract(el, '{hpat}'),
+                                    '(?i)^href\\s*=\\s*', '', 'g'),
+                     '^["'']|["''>]+$', '', 'g'),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                   AS host,
+                 trim(lower(regexp_extract(el, '{apat}', 1))) AS anchor
+          FROM els),
+        counts AS (
+          SELECT host, anchor, count(*) AS n FROM pairs
+          WHERE host != '' AND anchor != '' GROUP BY 1, 2),
+        ranked AS (
+          SELECT host, anchor, n,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY n DESC, anchor ASC) AS r
+          FROM counts),
+        agg AS (
+          SELECT host, sum(n)::BIGINT AS n_links,
+                 count(*)::BIGINT AS n_anchors
+          FROM counts GROUP BY host)
+        SELECT a.host, a.n_links, a.n_anchors,
+               r.anchor AS top_anchor, r.n::BIGINT AS top_anchor_n
+        FROM agg a JOIN ranked r ON a.host = r.host AND r.r = 1
+        WHERE a.n_links >= 1
+        ORDER BY a.host
     """
 
 
@@ -8779,4 +8992,73 @@ def oracle_sql() -> dict[str, str]:
               AND abs((d.value - d.med) / (1.4826 * t.mad)) > 2.5
             ORDER BY d.event_id
         """,
+        "pq_ann": _pq_ann_sql(k=5, m=4, ksub=8, seed=42),
+        # twin of q_hill_tail — same top-(k+1) order statistics, same
+        # log-ratio sum against the tail pivot
+        "hill_tail": """
+            WITH d AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC) AS r
+              FROM documents WHERE n_chars IS NOT NULL),
+            top AS (SELECT * FROM d WHERE r <= 51),
+            piv AS (SELECT lang, count(*) AS m, min(n_chars) AS xt
+                    FROM top GROUP BY lang),
+            sizes AS (SELECT lang, count(*) AS n_rows FROM documents
+                      WHERE n_chars IS NOT NULL GROUP BY lang),
+            alpha AS (
+              SELECT t.lang, max(p.m) - 1 AS k_used,
+                     max(p.xt) AS x_tail,
+                     round((max(p.m) - 1)
+                           / sum(ln(t.n_chars / p.xt)), 6) AS alpha
+              FROM top t JOIN piv p USING (lang)
+              WHERE p.m >= 3 AND p.xt > 0 AND t.r < p.m
+              GROUP BY t.lang)
+            SELECT a.lang, s.n_rows::BIGINT AS n_rows,
+                   a.k_used::BIGINT AS k_used, a.x_tail, a.alpha
+            FROM alpha a JOIN sizes s USING (lang)
+            ORDER BY a.lang
+        """,
+        # twin of q_host_fetch_gaps — same seeded quadratic-residue
+        # fetch times, same lag gaps, same interpolated median
+        "host_fetch_gaps": """
+            WITH seeded AS (
+              SELECT 'host' || (doc_id % 13)::VARCHAR
+                       || '.example.com' AS host,
+                     1704067200 + (doc_id * doc_id) % 100000 AS t
+              FROM documents),
+            gaps AS (
+              SELECT host,
+                     t - lag(t) OVER (PARTITION BY host ORDER BY t)
+                       AS gap
+              FROM seeded QUALIFY gap IS NOT NULL)
+            SELECT host, (count(*) + 1)::BIGINT AS n_fetches,
+                   min(gap)::BIGINT AS min_gap_s,
+                   quantile_cont(gap, 0.5) AS median_gap_s,
+                   max(gap)::BIGINT AS max_gap_s
+            FROM gaps GROUP BY host
+            HAVING count(*) + 1 >= 3
+            ORDER BY host
+        """,
+        # twin of q_anchor_texts — same element regex, same href
+        # cleanup as link_graph, same min-struct top-anchor tie rule
+        "anchor_texts": _anchor_texts_sql(),
+        # twin of q_quality_calibration — same round-6 quality score,
+        # same fingerprint dup label, same decile floor
+        "quality_calibration": f"""
+            WITH b AS (
+              SELECT md5({{NORM}}) AS fp, {{QUALITY}} AS q
+              FROM documents),
+            c AS (SELECT fp, count(*) AS n FROM b GROUP BY fp)
+            SELECT least(floor(b.q * 10), 9)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup,
+                   round(avg(CASE WHEN c.n > 1 THEN 1 ELSE 0 END), 6)
+                     AS dup_rate,
+                   round(avg(b.q), 6) AS avg_quality
+            FROM b JOIN c USING (fp)
+            GROUP BY 1 ORDER BY 1
+        """.replace("{NORM}", _NORM_SQL).replace("{QUALITY}",
+                                                 _QUALITY_SQL),
     }

@@ -247,6 +247,10 @@ R4_NAMES = [
     # host drift, MAD robust outliers
     "embedding_norm_qc", "emb_covariance", "ann_rrf_fusion",
     "snapshot_host_overlap", "mad_outliers",
+    # wave 21: PQ ANN, Hill tail index, fetch cadence, anchor mining,
+    # quality calibration
+    "pq_ann", "hill_tail", "host_fetch_gaps", "anchor_texts",
+    "quality_calibration",
 ]
 
 

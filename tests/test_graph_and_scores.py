@@ -1015,3 +1015,40 @@ def test_rrf_topk_rank_fusion(spark):
     # id2 fuses best: ranks (2,1) -> 1/62+1/61 vs id1 (1,3) -> 1/61+1/63
     assert out[2].rank == 1 and out[1].rank == 2
     assert out[2].rrf_micro == round((1 / 62 + 1 / 61) * 1e6)
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    import numpy as np
+
+    from zoi_spark import similarity
+
+    rng = np.random.RandomState(7)
+    vs = rng.randn(12, 8).round(3)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vs)],
+        "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame([(0, vs[0].tolist())],
+                               "query_id long, embedding array<double>")
+    out = similarity.pq_topk(corpus, qs, k=3, m=2, ksub=4, seed=1)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 3 and all(r.rank in (1, 2, 3)
+                                  for r in rows.values())
+    # hand-recompute ADC for every corpus vector with the same books
+    books = np.array(similarity.pq_codebooks(8, m=2, ksub=4, seed=1))
+    q = vs[0]
+    expect = {}
+    for i, v in enumerate(vs[1:], start=1):
+        adc = 0.0
+        for s in range(2):
+            sub_v, sub_q = v[s * 4:(s + 1) * 4], q[s * 4:(s + 1) * 4]
+            d2 = [round(float(np.sum(sub_v**2) + np.sum(c**2)
+                              - 2 * np.dot(sub_v, c)), 9)
+                  for c in books[s]]
+            code = int(np.argmin(d2))
+            dq = round(float(np.sum(sub_q**2) + np.sum(books[s][code]**2)
+                             - 2 * np.dot(sub_q, books[s][code])), 9)
+            adc += dq
+        expect[i] = round(adc, 6)
+    want = sorted(expect.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+    assert [(r.vec_id, r.adc) for r in
+            sorted(rows.values(), key=lambda r: r.rank)] == want

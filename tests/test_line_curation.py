@@ -389,3 +389,46 @@ def test_word_len_hist_cap_and_shares(spark):
     assert out[("en", 2)].share == 0.5
     assert out[("en", 3)].n_words == 1
     assert out[("en", 4)].n_words == 1          # capped overflow
+
+
+def test_anchor_texts_top_and_ties(spark):
+    from zoi_spark import text as ztext
+
+    rows = [
+        (1, 'x <a href="http://t.com/a">Hello</a>'),
+        (2, "y <A HREF='http://t.com/b'>hello </A>"),   # folds to hello
+        (3, '<a class="z" href=http://t.com/c>bye</a>'),
+        (4, '<a href="http://other.org/">solo</a>'),
+        (5, 'no anchors here'),
+        (6, '<a href="http://t.com/d"></a>'),            # empty dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.host: r for r in ztext.anchor_texts(df).collect()}
+    t = out["t.com"]
+    # hello x2 (case/trim folded), bye x1 -> top anchor hello
+    assert (t.n_links, t.n_anchors, t.top_anchor, t.top_anchor_n) == \
+        (3, 2, "hello", 2)
+    assert out["other.org"].top_anchor == "solo"
+    # tie: two anchors with count 1 -> lexicographically smallest
+    df2 = spark.createDataFrame(
+        [(1, '<a href="http://x.io/">zz</a> <a href="http://x.io/">aa</a>')],
+        "doc_id long, text string")
+    assert ztext.anchor_texts(df2).collect()[0].top_anchor == "aa"
+
+
+def test_quality_calibration_dup_rate(spark):
+    from zoi_spark import text as ztext
+
+    dup = "The quick brown fox jumps over the lazy dog again and again."
+    uniq = ["A different sentence number %d with plain prose." % i
+            for i in range(3)]
+    rows = [(1, dup), (2, dup)] + \
+        [(10 + i, s) for i, s in enumerate(uniq)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ztext.quality_calibration(df).collect()
+    total = {(r.bucket): r for r in out}
+    assert sum(r.n_docs for r in out) == 5
+    assert sum(r.n_dup for r in out) == 2
+    for r in out:
+        assert abs(r.dup_rate - r.n_dup / r.n_docs) < 1e-9
+        assert 0 <= r.bucket <= 9

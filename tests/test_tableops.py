@@ -1971,3 +1971,40 @@ def test_mad_outliers_robust_to_tail(spark):
     assert [(r.event_id, r.rule_id) for r in out] == \
         [(9, "v.mad_outlier")]
     assert abs(out[0].mad_score - (1000 - 10) / 1.4826) < 1e-3
+
+
+def test_power_tail_hill_hand_alpha(spark):
+    import math
+
+    from zoi_spark import tablechecks
+
+    # group a: 16,8,4,2 then bulk — k=3 uses top3 vs pivot 2:
+    # alpha = 3 / (ln8 + ln4 + ln2) = 3 / (6 ln2)
+    rows = [("a", v) for v in [16, 8, 4, 2, 1, 1, 1]]
+    rows += [("tiny", 5), ("tiny", 3)]          # <3 rows -> dropped
+    rows += [("zero", 0), ("zero", 0), ("zero", 0), ("zero", 0)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r.lang: r for r in
+           tablechecks.power_tail_hill(df, "n_chars", by="lang",
+                                       k=3).collect()}
+    a = out["a"]
+    assert (a.n_rows, a.k_used, a.x_tail) == (7, 3, 2)
+    assert abs(a.alpha - 3 / (6 * math.log(2))) < 1e-6
+    assert "tiny" not in out and "zero" not in out
+
+
+def test_host_fetch_gaps_cadence(spark):
+    from zoi_spark import urls
+
+    rows = [("http://a.com/1", 100), ("http://a.com/2", 160),
+            ("http://a.com/3", 400),
+            ("http://b.com/1", 0), ("http://b.com/2", 50),  # 2 fetches
+            ("http://c.com/1", 10)]
+    df = spark.createDataFrame(rows, "url string, t long") \
+        .selectExpr("url", "timestamp_seconds(t) as warc_ts")
+    out = {r.host: r for r in urls.host_fetch_gaps(df).collect()}
+    # only a.com clears min_fetches=3; gaps 60, 240
+    assert list(out) == ["a.com"]
+    a = out["a.com"]
+    assert (a.n_fetches, a.min_gap_s, a.median_gap_s, a.max_gap_s) == \
+        (3, 60, 150.0, 240)

