@@ -3926,6 +3926,74 @@ def q_quality_calibration(spark, sf_dir):
     return text.quality_calibration(d).orderBy("bucket")
 
 
+def q_ppjoin_pairs(spark, sf_dir):
+    """Exact set-similarity join with prefix filtering
+    (dedup.ppjoin_pairs, t=0.9) over the doc_id%10 slice of the
+    dup-seeded corpus (the synthetic generator's template text makes
+    token-set similarity dense, so the full corpus at a loose
+    threshold emits millions of true pairs — correct but useless as a
+    gate row). The twin is deliberately the ALL-SHARED-TOKEN-pairs
+    exact Jaccard — PPJoin is exact, so matching it proves the prefix
+    filter loses nothing, not just that both sides ran the same
+    pruning."""
+    d = _dup_docs(spark, sf_dir).where(F.pmod("doc_id", F.lit(10)) == 0)
+    return (dedup.ppjoin_pairs(d, threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
+def q_diurnal_profile(spark, sf_dir):
+    """Circular time-of-day stats per event type
+    (tablechecks.diurnal_profile): resultant length R and circular
+    mean hour from Σcos/Σsin — the constant 2π/86400 and the 24/2π
+    remap are computed with the same op order on both engines."""
+    ev = _read(spark, sf_dir, "events")
+    return tablechecks.diurnal_profile(ev, ts_col="ts",
+                                       group_col="event_type")
+
+
+def q_quantile_norm(spark, sf_dir):
+    """Per-source percentile rank of n_chars
+    (tablechecks.quantile_normalize): the cumulative window runs over
+    the (source, value) DISTINCT table, rows join back on the pair key
+    — percent_rank semantics, NULL pct for single-row strata; output
+    the doc_id % 7 sample."""
+    d = _read(spark, sf_dir, "documents")
+    out = tablechecks.quantile_normalize(d, "n_chars", by="source")
+    return (out.where(F.pmod("doc_id", F.lit(7)) == 0)
+            .select("doc_id", "source", "n_chars", "pct")
+            .orderBy("doc_id"))
+
+
+def q_meta_robots(spark, sf_dir):
+    """Robots-meta directive census (text.meta_robots) over seeded
+    pages cycling quote style, case and directive lists (plus pages
+    with no tag) — first-tag extraction, comma split, trim+lower all
+    land under the value hash."""
+    d = _read(spark, sf_dir, "documents")
+    sel = F.pmod("doc_id", F.lit(4))
+    tag = F.when(sel == 0,
+                 F.lit(' <meta name="robots" content="noindex, nofollow">'))
+    tag = tag.when(sel == 1,
+                   F.lit(" <META NAME=ROBOTS CONTENT='noarchive'>"))
+    tag = tag.when(sel == 2,
+                   F.lit(' <meta name="robots" content="index, follow">'))
+    tag = tag.otherwise(F.lit(""))
+    seeded = d.select("doc_id",
+                      F.concat(F.col("text"), tag).alias("text"))
+    return text.meta_robots(seeded).orderBy("directive")
+
+
+def q_hashed_features(spark, sf_dir):
+    """Hashing-trick featurizer (text.hashed_features, 16 buckets,
+    md5-prefix hash) for the doc_id % 11 sample: L1-normalized sparse
+    (id, bucket, w) rows — the text→vector bridge whose md5 bucket
+    assignment DuckDB reproduces bit-identically."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.hashed_features(
+        d.where(F.pmod("doc_id", F.lit(11)) == 0))
+        .orderBy("doc_id", "bucket"))
+
+
 
 # ---------------------------------------------------------------------------
 # the contract
@@ -4163,6 +4231,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "host_fetch_gaps": q_host_fetch_gaps,
         "anchor_texts": q_anchor_texts,
         "quality_calibration": q_quality_calibration,
+        # wave 22 (r4 session 6): PPJoin, circular rhythm stats,
+        # quantile normalization, robots census, feature hashing
+        "ppjoin_pairs": q_ppjoin_pairs,
+        "diurnal_profile": q_diurnal_profile,
+        "quantile_norm": q_quantile_norm,
+        "meta_robots": q_meta_robots,
+        "hashed_features": q_hashed_features,
     }
 
 
@@ -9061,4 +9136,121 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """.replace("{NORM}", _NORM_SQL).replace("{QUALITY}",
                                                  _QUALITY_SQL),
+        # twin of q_ppjoin_pairs — the INDEPENDENT exact form (pairs
+        # sharing ≥1 token, full Jaccard): proves prefix filtering
+        # loses nothing
+        "ppjoin_pairs": f"""
+            WITH docs AS (
+              SELECT * FROM ({_DUP_DOCS_SQL}) WHERE doc_id % 10 = 0),
+            sets AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split({_NORM_SQL}, ' '),
+                       x -> x != '')) AS toks
+              FROM docs),
+            nz AS (SELECT * FROM sets WHERE len(toks) > 0),
+            tk AS (SELECT doc_id, unnest(toks) AS tok FROM nz),
+            sizes AS (SELECT doc_id, len(toks) AS n FROM nz),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS c
+              FROM tk a JOIN tk b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+                   c::BIGINT AS n_common,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(c / (sa.n + sb.n - c), 6) >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        # twin of q_diurnal_profile — same 2π/86400 and 24/2π
+        # constants (identical op order), round-6 aggregates
+        "diurnal_profile": """
+            WITH b AS (
+              SELECT event_type AS "group",
+                     (extract(hour FROM ts) * 3600
+                      + extract(minute FROM ts) * 60
+                      + extract(second FROM ts))::DOUBLE
+                       * (2 * pi() / 86400) AS theta
+              FROM events WHERE ts IS NOT NULL)
+            SELECT "group", count(*)::BIGINT AS n_events,
+                   round(sqrt(pow(sum(cos(theta)), 2)
+                              + pow(sum(sin(theta)), 2))
+                         / count(*), 6) AS r_concentration,
+                   round(((atan2(sum(sin(theta)), sum(cos(theta)))
+                           + 2 * pi()) % (2 * pi()))
+                         * (24 / (2 * pi())), 6) AS mean_hour
+            FROM b GROUP BY 1
+        """,
+        # twin of q_quantile_norm — same (stratum, value)-distinct
+        # cumulative table, same (rank−1)/(n−1) percent_rank rule
+        "quantile_norm": """
+            WITH vc AS (
+              SELECT source, n_chars, count(*) AS c FROM documents
+              WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+            cum AS (
+              SELECT source, n_chars,
+                     sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                                  ROWS UNBOUNDED PRECEDING) - c
+                       AS below,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM vc)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CASE WHEN cum.n > 1
+                        THEN round(cum.below / (cum.n - 1), 6) END
+                     AS pct
+            FROM documents d
+            LEFT JOIN cum ON d.source = cum.source
+                         AND d.n_chars = cum.n_chars
+            WHERE d.doc_id % 7 = 0 ORDER BY d.doc_id
+        """,
+        # twin of q_meta_robots — same seeded tags, same first-tag
+        # extraction + content split + trim/lower
+        "meta_robots": """
+            WITH seeded AS (
+              SELECT text || CASE doc_id % 4
+                WHEN 0 THEN ' <meta name="robots" content="noindex, nofollow">'
+                WHEN 1 THEN ' <META NAME=ROBOTS CONTENT=''noarchive''>'
+                WHEN 2 THEN ' <meta name="robots" content="index, follow">'
+                ELSE '' END AS t
+              FROM documents),
+            tags AS (
+              SELECT regexp_extract(t,
+                '(?i)<meta\\s[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*>')
+                AS tag
+              FROM seeded),
+            contents AS (
+              SELECT regexp_extract(tag,
+                '(?i)content\\s*=\\s*["'']([^"''>]*)', 1) AS content
+              FROM tags WHERE tag != ''),
+            parts AS (
+              SELECT trim(lower(unnest(string_split(content, ','))))
+                AS directive
+              FROM contents)
+            SELECT directive, count(*)::BIGINT AS n_docs FROM parts
+            WHERE directive != '' GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_hashed_features — bit-identical md5-prefix bucket,
+        # same L1 normalization
+        "hashed_features": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                        x -> x != '')) AS tok
+              FROM documents WHERE doc_id % 11 = 0),
+            b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16
+                       AS bucket
+              FROM tk),
+            c AS (SELECT doc_id, bucket, count(*) AS c FROM b
+                  GROUP BY 1, 2)
+            SELECT doc_id, bucket::BIGINT AS bucket,
+                   round(c / (sum(c) OVER (PARTITION BY doc_id)), 6)
+                     AS w
+            FROM c ORDER BY doc_id, bucket
+        """,
     }

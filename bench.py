@@ -251,6 +251,10 @@ R4_NAMES = [
     # quality calibration
     "pq_ann", "hill_tail", "host_fetch_gaps", "anchor_texts",
     "quality_calibration",
+    # wave 22: PPJoin set-similarity, circular rhythm stats, quantile
+    # normalization, robots census, feature hashing
+    "ppjoin_pairs", "diurnal_profile", "quantile_norm", "meta_robots",
+    "hashed_features",
 ]
 
 

@@ -1052,3 +1052,22 @@ def test_pq_topk_matches_numpy_adc(spark):
     want = sorted(expect.items(), key=lambda kv: (kv[1], kv[0]))[:3]
     assert [(r.vec_id, r.adc) for r in
             sorted(rows.values(), key=lambda r: r.rank)] == want
+
+
+def test_ppjoin_pairs_exact_and_pruned(spark):
+    from zoi_spark import dedup
+
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),      # J=1 with 1
+            (3, "alpha beta gamma delta zeta"),          # J=4/6 with 1
+            (4, "umlaut totally different words here"),
+            (5, "x")]                                    # length filter
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in
+           dedup.ppjoin_pairs(df, threshold=0.8).collect()}
+    assert list(out) == [(1, 2)]
+    assert (out[(1, 2)].n_common, out[(1, 2)].jaccard) == (5, 1.0)
+    # at 0.6 the (1,3)/(2,3) pairs clear the bar too
+    low = {(r.id_a, r.id_b) for r in
+           dedup.ppjoin_pairs(df, threshold=0.6).collect()}
+    assert low == {(1, 2), (1, 3), (2, 3)}

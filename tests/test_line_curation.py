@@ -432,3 +432,38 @@ def test_quality_calibration_dup_rate(spark):
     for r in out:
         assert abs(r.dup_rate - r.n_dup / r.n_docs) < 1e-9
         assert 0 <= r.bucket <= 9
+
+
+def test_meta_robots_variants(spark):
+    from zoi_spark import text as ztext
+
+    rows = [
+        (1, 'x <meta name="robots" content="noindex, nofollow"> y'),
+        (2, "x <META NAME=ROBOTS CONTENT='NoArchive'> y"),
+        (3, 'x <meta name="robots" content=""> y'),    # empty content
+        (4, 'no meta here'),
+        (5, '<meta name="viewport" content="width=1"> no robots'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.directive: r.n_docs for r in ztext.meta_robots(df).collect()}
+    assert out == {"noindex": 1, "nofollow": 1, "noarchive": 1}
+
+
+def test_hashed_features_l1_and_determinism(spark):
+    import hashlib
+
+    from zoi_spark import text as ztext
+
+    df = spark.createDataFrame([(1, "apple banana apple"),
+                                (2, "Apple  APPLE apple")],
+                               "doc_id long, text string")
+    out = ztext.hashed_features(df, buckets=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows_ in by_doc.values():
+        assert abs(sum(r.w for r in rows_) - 1.0) < 1e-6
+    apple_bucket = int(hashlib.md5(b"apple").hexdigest()[:15], 16) % 16
+    # doc 2 is all 'apple' after normalization -> one bucket, w=1
+    assert by_doc[2] == [r for r in by_doc[2]
+                         if r.bucket == apple_bucket and r.w == 1.0]

@@ -2008,3 +2008,34 @@ def test_host_fetch_gaps_cadence(spark):
     a = out["a.com"]
     assert (a.n_fetches, a.min_gap_s, a.median_gap_s, a.max_gap_s) == \
         (3, 60, 150.0, 240)
+
+
+def test_diurnal_profile_circular(spark):
+    rows = [("peak", f"2024-01-01 09:00:00") for _ in range(4)]
+    rows += [("flat", f"2024-01-01 {h:02d}:00:00") for h in (0, 6, 12, 18)]
+    rows += [("wrap", "2024-01-01 23:00:00"), ("wrap", "2024-01-02 01:00:00")]
+    df = spark.createDataFrame(rows, "k string, ts string") \
+        .selectExpr("k", "cast(ts as timestamp) as ts")
+    out = {r.group: r for r in
+           tablechecks.diurnal_profile(df, ts_col="ts",
+                                       group_col="k").collect()}
+    assert out["peak"].r_concentration == 1.0
+    assert out["peak"].mean_hour == 9.0
+    assert out["flat"].r_concentration < 1e-6
+    # 23:00 and 01:00 average to midnight, NOT noon
+    assert out["wrap"].mean_hour in (0.0, 24.0) or \
+        abs(out["wrap"].mean_hour) < 1e-6
+    assert abs(out["wrap"].r_concentration
+               - 0.965926) < 1e-6          # cos(pi/12)
+
+
+def test_quantile_normalize_rank_semantics(spark):
+    rows = [("a", 10), ("a", 20), ("a", 20), ("a", 40),
+            ("b", 7)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = tablechecks.quantile_normalize(df, "v", by="src").collect()
+    got = sorted((r.src, r.v, r.pct) for r in out)
+    # percent_rank: (rank-1)/(n-1); ties share rank
+    assert got == [("a", 10, 0.0), ("a", 20, 0.333333),
+                   ("a", 20, 0.333333), ("a", 40, 1.0),
+                   ("b", 7, None)]

@@ -1392,3 +1392,70 @@ def power_tail_hill(df: DataFrame, column: str, *, by: str,
             .join(F.broadcast(sizes), by)
             .select(by, "n_rows", F.col("k_used").cast("long"),
                     "x_tail", "alpha"))
+
+
+def diurnal_profile(df: DataFrame, *, ts_col: str, group_col: str,
+                    round_to: int = 6) -> DataFrame:
+    """Circular time-of-day statistics per group — the activity-rhythm
+    fingerprint: bots fire uniformly around the clock (resultant
+    length R near 0 means no daily rhythm — or exactly two antipodal
+    shifts), humans concentrate in waking hours (R → 1 is a single
+    sharp peak). Linear mean/stddev are WRONG on a circle (23:00 and
+    01:00 average to noon); the resultant-vector form is the standard
+    fix (Fisher, Statistical Analysis of Circular Data, §2.3).
+
+    Per group: ``n_events``, ``r_concentration`` = |Σe^{iθ}|/n and
+    ``mean_hour`` = atan2 of the resultant mapped to [0, 24), with
+    θ = 2π·(second of day)/86400, both round-*round_to*.
+
+    Shape: one projection (hour/minute/second of the timestamp) + one
+    group aggregation with map-side combine — nothing else."""
+    import math
+
+    sec = (F.hour(ts_col) * 3600 + F.minute(ts_col) * 60
+           + F.second(ts_col))
+    theta = sec.cast("double") * F.lit(2.0 * math.pi / 86400.0)
+    base = (df.where(F.col(ts_col).isNotNull())
+            .select(F.col(group_col).alias("group"),
+                    F.cos(theta).alias("__c"), F.sin(theta).alias("__s")))
+    tau = 2.0 * math.pi
+    mean_hour = F.pmod(F.atan2(F.sum("__s"), F.sum("__c")) + F.lit(tau),
+                       F.lit(tau)) * F.lit(24.0 / tau)
+    return (base.groupBy("group")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sqrt(F.pow(F.sum("__c"), 2)
+                                + F.pow(F.sum("__s"), 2))
+                         / F.count("*"), round_to)
+                 .alias("r_concentration"),
+                 F.round(mean_hour, round_to).alias("mean_hour")))
+
+
+def quantile_normalize(df: DataFrame, column: str, *, by: str,
+                       round_to: int = 6) -> DataFrame:
+    """Per-stratum percentile rank of ``column`` — quantile
+    normalization, the only way scores from different sources are
+    comparable when their raw distributions differ (a perplexity of
+    180 is elite for source A and garbage for source B; percentile 0.93
+    is percentile 0.93): ``pct = (rank − 1)/(n − 1)`` with rank = 1 +
+    count of strictly smaller values (percent_rank semantics, ties
+    share a rank).
+
+    Deliberately NOT a percent_rank window over the corpus: that
+    shuffles 10^12 rows onto a handful of stratum keys (maximal skew).
+    Instead the (stratum, value) DISTINCT table — bounded by the value
+    vocabulary, not the corpus — carries a cumulative count window,
+    and rows join back on the (stratum, value) key: the same
+    broadcast-stats shape as zscore_outliers. Adds ``pct`` (NULL for
+    single-row strata, where (n−1) is 0)."""
+    vc = (df.where(F.col(column).isNotNull())
+          .groupBy(by, column).agg(F.count("*").alias("__c")))
+    w = (Window.partitionBy(by).orderBy(column)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vc = (vc.withColumn("__below", F.sum("__c").over(w) - F.col("__c"))
+          .withColumn("__n", F.sum("__c").over(
+              Window.partitionBy(by).rowsBetween(
+                  Window.unboundedPreceding, Window.unboundedFollowing))))
+    pct = F.when(F.col("__n") > 1,
+                 F.round(F.col("__below") / (F.col("__n") - 1), round_to))
+    return (df.join(F.broadcast(vc.select(
+        by, column, pct.alias("pct"))), [by, column], "left"))

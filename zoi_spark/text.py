@@ -2238,3 +2238,68 @@ def quality_calibration(df: DataFrame, *, text_col: str = "text",
                  F.sum("__dup").cast("long").alias("n_dup"),
                  F.round(F.avg("__dup"), 6).alias("dup_rate"),
                  F.round(F.avg("__q"), 6).alias("avg_quality")))
+
+
+# first robots meta element; directives live in its content attribute
+_META_ROBOTS_RE = ("(?i)<meta\\s[^>]*name\\s*=\\s*[\"']?robots"
+                   "[\"']?[^>]*>")
+_META_CONTENT_RE = "(?i)content\\s*=\\s*[\"']([^\"'>]*)"
+
+
+def meta_robots(df: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Robots-meta directive census — the compliance gate a crawl
+    corpus must pass BEFORE training: pages carrying ``noindex``/
+    ``noarchive`` directives asked not to be republished, and several
+    public corpora now honor them at curation time (the regex-at-intake
+    charter of extract_links applies — this runs before any DOM
+    guarantee). Counts documents per lowercased directive from the
+    FIRST robots meta element of each page.
+
+    Output: ``(directive, n_docs)``. Pages with no robots meta emit
+    nothing; an empty content attribute emits nothing.
+
+    Shape: one regexp projection + bounded explode (directives per
+    page), one vocabulary-sized aggregation."""
+    tag = F.regexp_extract(F.col(text_col), _META_ROBOTS_RE, 0)
+    content = F.regexp_extract(tag, _META_CONTENT_RE, 1)
+    base = (df.where(tag != "")
+            .select(F.explode(F.split(content, ",")).alias("__p"))
+            .select(F.trim(F.lower("__p")).alias("directive")))
+    return (base.where(F.col("directive") != "")
+            .groupBy("directive")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def hashed_features(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    buckets: int = 16) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al., ICML'09): every
+    token hashes into one of *buckets* slots (md5-prefix hash — the
+    cross-engine-reproducible flavor token_hash60 documents), per-doc
+    slot mass is L1-normalized — the text → fixed-width-vector bridge
+    that feeds this module's OWN ANN/k-means/covariance operators when
+    no trained encoder is available (and the baseline any learned
+    embedding must beat).
+
+    Output: ``(id, bucket, w)`` rows — sparse form; pivot to an array
+    column downstream when an operator wants dense vectors.
+
+    Shape at 10^12 docs: explode (bounded by tokens per doc) + one
+    (id, bucket) aggregation that re-uses the id partitioning — no
+    vocabulary table, no join, which is the entire point of feature
+    hashing at scale."""
+    from .dedup import token_hash60
+
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                    lambda x: x != "")
+    rows = (df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+            .select(id_col,
+                    F.pmod(token_hash60(F.col("__tok"), hash="md5"),
+                           F.lit(int(buckets))).alias("bucket")))
+    counts = (rows.groupBy(id_col, "bucket")
+              .agg(F.count("*").alias("__c")))
+    tot = Window.partitionBy(id_col)
+    return counts.select(
+        id_col, F.col("bucket").cast("long").alias("bucket"),
+        F.round(F.col("__c") / F.sum("__c").over(tot), 6).alias("w"))
