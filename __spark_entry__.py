@@ -3994,6 +3994,72 @@ def q_hashed_features(spark, sf_dir):
         .orderBy("doc_id", "bucket"))
 
 
+def q_type_affinity(spark, sf_dir):
+    """Bipartite-projection cosine affinity between event types over
+    shared-user count vectors (tablechecks.type_affinity) — the
+    who-clicks-also-buys matrix; integer dot/norm sums keep the
+    round-6 cosine engine-exact."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.type_affinity(ev, entity_col="user_id",
+                                      type_col="event_type")
+            .orderBy("type_a", "type_b"))
+
+
+def q_event_debounce(spark, sf_dir):
+    """Lag-debounce duplicate-event suppression
+    (tablechecks.debounce_events, 60s gap): per (user, type) the gap
+    to the previous event — ordered by (ts, event_id) — flags retry
+    storms; epoch seconds are floored identically on both engines.
+    Output the event_id % 9 sample of the annotated stream."""
+    ev = _read(spark, sf_dir, "events")
+    out = tablechecks.debounce_events(ev, entity_col="user_id",
+                                      type_col="event_type",
+                                      ts_col="ts", id_col="event_id",
+                                      min_gap_s=60)
+    return (out.where(F.pmod("event_id", F.lit(9)) == 0)
+            .select("event_id", "user_id", "event_type", "gap_s",
+                    "bounce")
+            .orderBy("event_id"))
+
+
+def q_lognormal_len(spark, sf_dir):
+    """Log-normal fit of n_chars per lang (tablechecks.lognormal_fit):
+    mu/sigma from the explicit two-moment form (same op order in both
+    engines) plus the empirical mu±sigma mass — ≈0.68 under a true
+    log-normal; a deficit flags a second (spam) mode."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.lognormal_fit(d, "n_chars", by="lang")
+            .orderBy("lang"))
+
+
+def q_bitext_pairs(spark, sf_dir):
+    """Bitext-mining candidates (text.bitext_candidates, max_df=3):
+    cross-language pairs anchored by RARE shared tokens. The doc_id%13
+    slice is seeded with two per-pair anchor tokens and an alternating
+    en/de lang tag (the synthetic template vocabulary is all
+    high-df, so unseeded rare anchors barely exist) — the df≤3 filter
+    and the pair join run over real text + anchors on both engines."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.pmod("doc_id", F.lit(13)) == 0)
+    g = F.floor(F.col("doc_id") / 26).cast("long").cast("string")
+    seeded = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zqa"), g, F.lit(" zqb"), g)
+        .alias("text"),
+        F.when(F.pmod((F.col("doc_id") / F.lit(13)).cast("long"),
+                      F.lit(2)) == 0,
+               F.lit("en")).otherwise(F.lit("de")).alias("lang"))
+    return (text.bitext_candidates(seeded)
+            .orderBy("id_a", "id_b"))
+
+
+def q_good_turing(spark, sf_dir):
+    """Simple Good-Turing unseen-mass per lang (text.good_turing_mass):
+    P0 = singletons/total-tokens, the reserve a LM should hold for
+    never-seen tokens — all-integer aggregates, exact across engines."""
+    d = _read(spark, sf_dir, "documents")
+    return text.good_turing_mass(d).orderBy("lang")
+
 
 # ---------------------------------------------------------------------------
 # the contract
@@ -4238,6 +4304,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quantile_norm": q_quantile_norm,
         "meta_robots": q_meta_robots,
         "hashed_features": q_hashed_features,
+        # wave 23 (r4 session 7): type affinity, event debounce,
+        # log-normal fit, bitext mining, Good-Turing unseen mass
+        "type_affinity": q_type_affinity,
+        "event_debounce": q_event_debounce,
+        "lognormal_len": q_lognormal_len,
+        "bitext_pairs": q_bitext_pairs,
+        "good_turing": q_good_turing,
     }
 
 
@@ -9252,5 +9325,116 @@ def oracle_sql() -> dict[str, str]:
                    round(c / (sum(c) OVER (PARTITION BY doc_id)), 6)
                      AS w
             FROM c ORDER BY doc_id, bucket
+        """,
+        # twin of q_type_affinity — integer dot/norm sums, round-6
+        # cosine, type_a < type_b
+        "type_affinity": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+            n AS (
+              SELECT event_type, sqrt(sum(c * c)) AS nrm
+              FROM c GROUP BY 1)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_shared_entities,
+                   round(sum(a.c * b.c) / (na.nrm * nb.nrm), 6)
+                     AS cosine
+            FROM c a
+            JOIN c b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+            JOIN n na ON na.event_type = a.event_type
+            JOIN n nb ON nb.event_type = b.event_type
+            GROUP BY 1, 2, na.nrm, nb.nrm
+            ORDER BY 1, 2
+        """,
+        # twin of q_event_debounce — same floored epoch seconds, same
+        # (ts, event_id) order, NULL gap for each (user, type) head
+        "event_debounce": """
+            WITH g AS (
+              SELECT event_id, user_id, event_type,
+                     floor(epoch(ts))::BIGINT
+                     - lag(floor(epoch(ts))::BIGINT) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap_s
+              FROM events)
+            SELECT event_id, user_id, event_type, gap_s,
+                   coalesce(gap_s < 60, FALSE) AS bounce
+            FROM g WHERE event_id % 9 = 0 ORDER BY event_id
+        """,
+        # twin of q_lognormal_len — identical two-moment arithmetic
+        # (s2 - s*s/n)/(n-1), sigma-0 single-row strata, round 6
+        "lognormal_len": """
+            WITH base AS (
+              SELECT lang, ln(n_chars::DOUBLE) AS lx FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+            m AS (
+              SELECT lang, count(*) AS n, sum(lx) AS s,
+                     sum(lx * lx) AS s2
+              FROM base GROUP BY 1),
+            p AS (
+              SELECT lang, n, s / n AS mu,
+                     sqrt(greatest(coalesce(
+                       CASE WHEN n > 1
+                            THEN (s2 - s * s / n) / (n - 1) END,
+                       0.0), 0.0)) AS sig
+              FROM m)
+            SELECT b.lang, max(p.n)::BIGINT AS n,
+                   round(max(p.mu), 6) AS mu,
+                   round(max(p.sig), 6) AS sigma,
+                   CASE WHEN max(p.sig) > 0 THEN
+                     round(avg(CASE WHEN abs(b.lx - p.mu) <= p.sig
+                               THEN 1 ELSE 0 END), 6) END
+                     AS within_1sigma
+            FROM base b JOIN p ON p.lang = b.lang
+            GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_bitext_pairs — same seeded anchors/langs, same
+        # df<=3 rare-token filter, same cross-lang pair aggregation
+        "bitext_pairs": f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' zqa' || (doc_id // 26)::VARCHAR
+                          || ' zqb' || (doc_id // 26)::VARCHAR AS text,
+                     CASE WHEN (doc_id // 13) % 2 = 0
+                          THEN 'en' ELSE 'de' END AS lang
+              FROM documents WHERE doc_id % 13 = 0),
+            rows_ AS (
+              SELECT doc_id AS id, lang,
+                     unnest(list_distinct(list_filter(
+                       string_split({_NORM_SQL}, ' '),
+                       x -> x != ''))) AS tok
+              FROM seeded),
+            dfreq AS (
+              SELECT tok FROM rows_ GROUP BY 1
+              HAVING count(*) <= 3),
+            rare AS (SELECT r.* FROM rows_ r JOIN dfreq USING (tok))
+            SELECT a.id AS id_a, a.lang AS lang_a,
+                   b.id AS id_b, b.lang AS lang_b,
+                   count(*)::BIGINT AS n_shared
+            FROM rare a
+            JOIN rare b ON a.tok = b.tok AND a.id < b.id
+                       AND a.lang != b.lang
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) >= 2
+            ORDER BY id_a, id_b
+        """,
+        # twin of q_good_turing — all-integer aggregates, exact
+        "good_turing": f"""
+            WITH tk AS (
+              SELECT lang,
+                     unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                        x -> x != '')) AS tok
+              FROM documents),
+            tc AS (
+              SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+            SELECT lang, sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS singletons,
+                   sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS doubletons,
+                   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         / sum(c), 6) AS p_unseen
+            FROM tc GROUP BY 1 ORDER BY 1
         """,
     }

@@ -255,6 +255,10 @@ R4_NAMES = [
     # normalization, robots census, feature hashing
     "ppjoin_pairs", "diurnal_profile", "quantile_norm", "meta_robots",
     "hashed_features",
+    # wave 23: type affinity, event debounce, log-normal fit, bitext
+    # mining, Good-Turing unseen mass
+    "type_affinity", "event_debounce", "lognormal_len", "bitext_pairs",
+    "good_turing",
 ]
 
 

@@ -467,3 +467,49 @@ def test_hashed_features_l1_and_determinism(spark):
     # doc 2 is all 'apple' after normalization -> one bucket, w=1
     assert by_doc[2] == [r for r in by_doc[2]
                          if r.bucket == apple_bucket and r.w == 1.0]
+
+
+def test_bitext_candidates_rare_anchor(spark):
+    from zoi_spark import text as ztext
+    from zoi_spark.dedup import unpersist_candidates
+
+    rows = [
+        (1, "en", "the invoice X77 ref K99 total due"),
+        (2, "de", "rechnung X77 referenz K99 summe"),
+        (3, "en", "the quick brown fox the the"),
+        (4, "fr", "le renard brun rapide"),
+        (5, "en", "the invoice X77 again"),  # X77 df=3, still rare
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {(r.id_a, r.id_b): r for r in
+           ztext.bitext_candidates(df, max_df=3, min_shared=1).collect()}
+    # (1,2) share X77+K99 cross-lang; (2,5) share X77 cross-lang
+    assert (1, 2) in out and out[(1, 2)].n_shared == 2
+    assert (2, 5) in out and out[(2, 5)].n_shared == 1
+    # (1,5) same lang -> excluded despite shared rare token
+    assert (1, 5) not in out
+    # 'the' df=3 but same-lang only; no en-en pairs anywhere
+    assert all(a != b for (_, _), r in out.items()
+               for a, b in [(r.lang_a, r.lang_b)])
+    # min_shared=2 drops the single-anchor pair
+    pairs2 = ztext.bitext_candidates(df, max_df=3, min_shared=2)
+    assert {(r.id_a, r.id_b) for r in pairs2.collect()} == {(1, 2)}
+    unpersist_candidates(pairs2)
+
+
+def test_good_turing_mass_counts(spark):
+    from zoi_spark import text as ztext
+
+    df = spark.createDataFrame(
+        [(1, "en", "a a b c"), (2, "en", "a b d"),
+         (3, "de", "x")],
+        "doc_id long, lang string, text string")
+    out = {r.lang: r for r in ztext.good_turing_mass(df).collect()}
+    # en: tokens a*3 b*2 c*1 d*1 -> N=7, types=4, N1=2, N2=1
+    en = out["en"]
+    assert (en.n_tokens, en.n_types, en.singletons, en.doubletons) == \
+        (7, 4, 2, 1)
+    assert en.p_unseen == round(2 / 7, 6)
+    de = out["de"]
+    assert (de.n_tokens, de.n_types, de.singletons, de.p_unseen) == \
+        (1, 1, 1, 1.0)

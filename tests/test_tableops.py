@@ -2039,3 +2039,65 @@ def test_quantile_normalize_rank_semantics(spark):
     assert got == [("a", 10, 0.0), ("a", 20, 0.333333),
                    ("a", 20, 0.333333), ("a", 40, 1.0),
                    ("b", 7, None)]
+
+
+def test_type_affinity_cosine(spark):
+    # u1 touches A,B; u2 touches A,B; u3 touches only C
+    rows = [(1, "A"), (1, "A"), (1, "B"),
+            (2, "A"), (2, "B"), (2, "B"),
+            (3, "C")]
+    df = spark.createDataFrame(rows, "user_id long, et string")
+    out = {(r.type_a, r.type_b): r for r in
+           tablechecks.type_affinity(df, entity_col="user_id",
+                                     type_col="et").collect()}
+    # vectors over (u1,u2): A=(2,1), B=(1,2); cos = 4/5
+    assert list(out) == [("A", "B")]
+    r = out[("A", "B")]
+    assert r.n_shared_entities == 2
+    assert r.cosine == 0.8
+    # C shares no entity with anyone -> no row
+
+
+def test_debounce_events_lag_rule(spark):
+    rows = [(1, 10, "c", "2024-01-01 00:00:00"),
+            (2, 10, "c", "2024-01-01 00:00:03"),   # 3s gap -> bounce
+            (3, 10, "c", "2024-01-01 00:00:06"),   # 3s from #2 (lag rule)
+            (4, 10, "c", "2024-01-01 00:01:06"),   # 60s gap -> kept
+            (5, 10, "x", "2024-01-01 00:00:01"),   # other type: head
+            (6, 11, "c", "2024-01-01 00:00:02")]   # other user: head
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, et string, ts string"
+    ).selectExpr("event_id", "user_id", "et",
+                 "cast(ts as timestamp) as ts")
+    out = {r.event_id: r for r in
+           tablechecks.debounce_events(df, entity_col="user_id",
+                                       type_col="et", ts_col="ts",
+                                       id_col="event_id",
+                                       min_gap_s=5).collect()}
+    assert (out[1].gap_s, out[1].bounce) == (None, False)
+    assert (out[2].gap_s, out[2].bounce) == (3, True)
+    # LAG rule: #3's predecessor is #2, not the last KEPT row
+    assert (out[3].gap_s, out[3].bounce) == (3, True)
+    assert (out[4].gap_s, out[4].bounce) == (60, False)
+    assert out[5].gap_s is None and out[6].gap_s is None
+
+
+def test_lognormal_fit_moments(spark):
+    import math
+
+    # stratum a: ln values {0, ln4} -> mu=ln2, sigma=sqrt(2)*ln2
+    rows = [("a", 1), ("a", 4),
+            ("b", 7),                    # single row -> sigma 0, NULL mass
+            ("c", 0), ("c", -3), ("c", 5)]  # non-positives excluded
+    df = spark.createDataFrame(rows, "src string, v long")
+    out = {r.src: r for r in
+           tablechecks.lognormal_fit(df, "v", by="src").collect()}
+    ln2 = math.log(2)
+    assert out["a"].n == 2
+    assert abs(out["a"].mu - round(ln2, 6)) < 1e-9
+    assert abs(out["a"].sigma - round(math.sqrt(2) * ln2, 6)) < 1e-9
+    # both points inside mu +/- sigma (|ln2| <= sqrt(2) ln2)
+    assert out["a"].within_1sigma == 1.0
+    assert (out["b"].n, out["b"].sigma, out["b"].within_1sigma) == \
+        (1, 0.0, None)
+    assert out["c"].n == 1 and out["c"].mu == round(math.log(5), 6)

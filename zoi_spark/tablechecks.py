@@ -1459,3 +1459,120 @@ def quantile_normalize(df: DataFrame, column: str, *, by: str,
                  F.round(F.col("__below") / (F.col("__n") - 1), round_to))
     return (df.join(F.broadcast(vc.select(
         by, column, pct.alias("pct"))), [by, column], "left"))
+
+
+def type_affinity(df: DataFrame, *, entity_col: str, type_col: str,
+                  round_to: int = 6) -> DataFrame:
+    """Cosine affinity between categorical types over shared-entity
+    engagement vectors — the bipartite-projection similarity (who
+    clicks also buys?): type t's vector is its per-entity count
+    profile; affinity(a,b) = Σ_u c_ua·c_ub / (|a||b|). High affinity
+    means the types are near-interchangeable signals; near-zero means
+    disjoint populations (a segmentation the funnel/Markov operators
+    then explain).
+
+    Output: ``(type_a, type_b, n_shared_entities, cosine)`` for
+    type_a < type_b.
+
+    Shape at scale: one (entity, type) count aggregation, a self-join
+    keyed on the ENTITY (each entity contributes |types-it-touched|²
+    products — bounded by the type vocabulary, not the corpus), type-
+    keyed norm aggregation broadcast back. Never materializes the
+    dense type×entity matrix."""
+    c = (df.where(F.col(entity_col).isNotNull())
+         .groupBy(entity_col, type_col)
+         .agg(F.count("*").alias("__c")))
+    c = c.persist()
+    norms = (c.groupBy(type_col)
+             .agg(F.sqrt(F.sum(F.col("__c") * F.col("__c")))
+                  .alias("__nrm")))
+    a, b = c.alias("a"), c.alias("b")
+    dots = (a.join(b, (F.col(f"a.{entity_col}") == F.col(f"b.{entity_col}"))
+                   & (F.col(f"a.{type_col}") < F.col(f"b.{type_col}")))
+            .groupBy(F.col(f"a.{type_col}").alias("type_a"),
+                     F.col(f"b.{type_col}").alias("type_b"))
+            .agg(F.count("*").alias("n_shared_entities"),
+                 F.sum(F.col("a.__c") * F.col("b.__c")).alias("__dot")))
+    na = norms.select(F.col(type_col).alias("type_a"),
+                      F.col("__nrm").alias("__na"))
+    nb = norms.select(F.col(type_col).alias("type_b"),
+                      F.col("__nrm").alias("__nb"))
+    out = (dots.join(F.broadcast(na), "type_a")
+           .join(F.broadcast(nb), "type_b")
+           .select("type_a", "type_b",
+                   F.col("n_shared_entities").cast("long")
+                   .alias("n_shared_entities"),
+                   F.round(F.col("__dot") / (F.col("__na")
+                                             * F.col("__nb")),
+                           round_to).alias("cosine")))
+    out._zoi_persisted = [c]
+    return out
+
+
+def debounce_events(df: DataFrame, *, entity_col: str, type_col: str,
+                    ts_col: str, id_col: str,
+                    min_gap_s: int = 5) -> DataFrame:
+    """Lag-debounce duplicate-event suppression: a row whose gap to
+    the PREVIOUS row of the same (entity, type) — ordered by (ts, id)
+    — is under *min_gap_s* is flagged as a bounce (double-click,
+    retry storm, at-least-once redelivery). This is the LAG rule, not
+    the chained-kept rule: after a kept row at t, rows at t+3 and t+6
+    flag only t+3 (t+6's predecessor is t+3). The chained form needs
+    sequential state (applyInPandasWithState on a stream — see
+    streaming.py); the lag form is one window and catches the same
+    storms, slightly over-keeping inside a long burst.
+
+    Returns the input plus ``gap_s`` (NULL for each (entity, type)
+    head) and ``bounce``. One (entity, type)-keyed window — the same
+    shuffle sessionize pays."""
+    w = (Window.partitionBy(entity_col, type_col)
+         .orderBy(F.col(ts_col), F.col(id_col)))
+    gap = (F.unix_timestamp(F.col(ts_col))
+           - F.lag(F.unix_timestamp(F.col(ts_col))).over(w))
+    return (df.withColumn("gap_s", gap)
+            .withColumn("bounce",
+                        F.coalesce(F.col("gap_s") < min_gap_s,
+                                   F.lit(False))))
+
+
+def lognormal_fit(df: DataFrame, column: str, *, by: str,
+                  round_to: int = 6) -> DataFrame:
+    """Log-normal fit per stratum — the default null model for web
+    text-length distributions (lengths are multiplicative processes;
+    Mitzenmacher 2004): ``mu``/``sigma`` are the moments of ln(x) with
+    the explicit two-moment sample-variance form (identical arithmetic
+    in every engine, no streaming-variance implementation drift), and
+    ``within_1sigma`` is the empirical mass inside mu±sigma — ≈0.6827
+    under a true log-normal; a big deficit means a second mode (spam
+    mass) the histogram operators should then localize.
+
+    Rows with x ≤ 0/NULL are excluded. Output: ``(by, n, mu, sigma,
+    within_1sigma)``; single-row or zero-variance strata report
+    sigma 0 and NULL within_1sigma.
+
+    Shape: one moment aggregation + broadcast join back + one
+    re-aggregation — the zscore_outliers anti-skew pattern (no
+    stratum-keyed window over the corpus)."""
+    lx = F.log(F.col(column))
+    base = (df.where(F.col(column).isNotNull() & (F.col(column) > 0))
+            .select(F.col(by), lx.alias("__lx")))
+    m = (base.groupBy(by)
+         .agg(F.count("*").alias("n"), F.sum("__lx").alias("__s"),
+              F.sum(F.col("__lx") * F.col("__lx")).alias("__s2")))
+    mu = F.col("__s") / F.col("n")
+    var = F.when(F.col("n") > 1,
+                 (F.col("__s2") - F.col("__s") * F.col("__s")
+                  / F.col("n")) / (F.col("n") - 1))
+    m = m.select(by, "n", mu.alias("__mu"),
+                 F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sig"))
+    j = base.join(F.broadcast(m), by)
+    inside = F.abs(F.col("__lx") - F.col("__mu")) <= F.col("__sig")
+    return (j.groupBy(by)
+            .agg(F.max("n").alias("n"),
+                 F.round(F.max("__mu"), round_to).alias("mu"),
+                 F.round(F.max("__sig"), round_to).alias("sigma"),
+                 F.when(F.max("__sig") > 0,
+                        F.round(F.avg(inside.cast("int")), round_to))
+                 .alias("within_1sigma"))
+            .select(by, F.col("n").cast("long").alias("n"), "mu",
+                    "sigma", "within_1sigma"))

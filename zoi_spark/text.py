@@ -2303,3 +2303,85 @@ def hashed_features(df: DataFrame, *, text_col: str = "text",
     return counts.select(
         id_col, F.col("bucket").cast("long").alias("bucket"),
         F.round(F.col("__c") / F.sum("__c").over(tot), 6).alias("w"))
+
+
+def bitext_candidates(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", lang_col: str = "lang",
+                      max_df: int = 3,
+                      min_shared: int = 2) -> DataFrame:
+    """Bitext-mining candidates: cross-LANGUAGE document pairs sharing
+    RARE tokens (numbers, names, codes survive translation verbatim —
+    the classic parallel-corpus signal before any embedding aligner
+    runs; WikiMatrix/CCMatrix both start from cheap lexical anchors).
+    A token participates only when its document frequency is ≤
+    *max_df* — rare-token anchoring is what keeps the pair join from
+    exploding AND what makes a match meaningful ('the' proves nothing,
+    a shared invoice number does).
+
+    Output: ``(id_a, lang_a, id_b, lang_b, n_shared)`` with
+    id_a < id_b, lang_a != lang_b, n_shared ≥ *min_shared*.
+
+    Shape at 10^12 docs: token df is a hash agg; the pair join fans
+    out ≤ max_df² per anchoring token by construction — the
+    quadratic-control knob is in the semantics, not a cap."""
+    toks = F.array_distinct(F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda x: x != ""))
+    rows = (df.select(F.col(id_col).alias("__id"),
+                      F.col(lang_col).alias("__lang"),
+                      F.explode(toks).alias("__tok")))
+    rows = rows.persist()
+    dfreq = (rows.groupBy("__tok").agg(F.count("*").alias("__df"))
+             .where(F.col("__df") <= int(max_df)))
+    rare = rows.join(dfreq, "__tok")
+    out = (rare.alias("a")
+           .join(rare.alias("b"),
+                 (F.col("a.__tok") == F.col("b.__tok"))
+                 & (F.col("a.__id") < F.col("b.__id"))
+                 & (F.col("a.__lang") != F.col("b.__lang")))
+           .groupBy(F.col("a.__id").alias("id_a"),
+                    F.col("a.__lang").alias("lang_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.col("b.__lang").alias("lang_b"))
+           .agg(F.count("*").cast("long").alias("n_shared"))
+           .where(F.col("n_shared") >= int(min_shared)))
+    out._zoi_persisted = [rows]
+    return out
+
+
+def good_turing_mass(df: DataFrame, *, text_col: str = "text",
+                     lang_col: str = "lang",
+                     round_to: int = 6) -> DataFrame:
+    """Simple Good-Turing unseen-mass estimate per stratum: the
+    probability mass a language model should reserve for tokens never
+    seen in this corpus slice is P0 = N1/N (Gale & Sampson 1995's
+    simple Good-Turing zeroth term), where N1 = singleton types and
+    N = total tokens. High p_unseen → the slice undersamples its
+    language (more crawl needed before the LM sees the tail); a
+    near-zero p_unseen with tiny n_types → template spam (closed
+    vocabulary). Complements heaps_fit (growth CURVE) with the
+    single-number reserve estimate.
+
+    Output: ``(lang, n_tokens, n_types, singletons, doubletons,
+    p_unseen)`` — integer aggregates, so the oracle comparison is
+    exact, no float-order drift.
+
+    Shape at 10^12 docs: explode → two hash aggregations
+    ((lang, token) then lang), both map-side combinable; no window,
+    no join."""
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                    lambda x: x != "")
+    rows = df.select(F.col(lang_col).alias("lang"),
+                     F.explode(toks).alias("__tok"))
+    tc = (rows.groupBy("lang", "__tok")
+          .agg(F.count("*").alias("__c")))
+    one = F.when(F.col("__c") == 1, 1).otherwise(0)
+    two = F.when(F.col("__c") == 2, 1).otherwise(0)
+    return (tc.groupBy("lang")
+            .agg(F.sum("__c").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_types"),
+                 F.sum(one).cast("long").alias("singletons"),
+                 F.sum(two).cast("long").alias("doubletons"))
+            .withColumn("p_unseen",
+                        F.round(F.col("singletons")
+                                / F.col("n_tokens"), round_to)))
