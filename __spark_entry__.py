@@ -4061,6 +4061,96 @@ def q_good_turing(spark, sf_dir):
     return text.good_turing_mass(d).orderBy("lang")
 
 
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency audit (tablechecks.fd_violations): the
+    violated `source → lang` dependency (every multi-lang source is a
+    violation row with its lang span) UNION the holding `doc_id →
+    lang` (zero rows — the absence is the assertion). One hash
+    aggregation per dependency, no joins/windows."""
+    d = _read(spark, sf_dir, "documents")
+    v1 = (tablechecks.fd_violations(d, ["source"], "lang")
+          .select(F.lit("source->lang").alias("fd"),
+                  F.col("source").alias("determinant"),
+                  "n_rows", "n_dependent", "dep_min", "dep_max"))
+    v2 = (tablechecks.fd_violations(d, ["doc_id"], "lang")
+          .select(F.lit("doc_id->lang").alias("fd"),
+                  F.col("doc_id").cast("string").alias("determinant"),
+                  "n_rows", "n_dependent", "dep_min", "dep_max"))
+    return v1.unionByName(v2).orderBy("fd", "determinant")
+
+
+def q_key_profile(spark, sf_dir):
+    """Candidate-key discovery (tablechecks.key_candidates): distinct
+    ratio + is_key verdict for three combos of documents columns in
+    ONE aggregation over ONE scan (NULL-tagged concat keys; stack
+    unpivot of the single result row)."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.key_candidates(
+        d, [["doc_id"], ["source", "lang"],
+            ["source", "lang", "n_chars"]]).orderBy("combo")
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """KMV bottom-k sketch overlap (tablechecks.kmv_overlap, k=256)
+    between two seeded url snapshots (A: doc_id%3≠0, B: doc_id%2=0 —
+    true Jaccard 1/4 of the page universe): distinct/union/Jaccard/
+    intersection estimates from two 256-row sketches — the
+    trillion-url snapshot-overlap question WITHOUT a corpus join.
+    Side B lands under k (exact path); A and the union exercise the
+    (k−1)·2^48/h₍ₖ₎ estimator. md5-derived 48-bit hashes, engine
+    bit-identical."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("http://host"),
+                   F.pmod("doc_id", F.lit(97)).cast("string"),
+                   F.lit(".example.com/p/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    a = d.where(F.pmod("doc_id", F.lit(3)) != 0).select(url)
+    b = d.where(F.pmod("doc_id", F.lit(2)) == 0).select(url)
+    return tablechecks.kmv_overlap(a, b, "url", k=256)
+
+
+def q_completeness_by_source(spark, sf_dir):
+    """Per-source completeness matrix (tablechecks.completeness_matrix)
+    over documents with seeded holes (lang NULLed at doc_id%13=0,
+    text blanked at doc_id%17=0): null/empty rate per (source,
+    column) from ONE segment aggregation + stack unpivot — catches
+    the one-source extractor break a corpus-wide rate hides."""
+    d = _read(spark, sf_dir, "documents")
+    holed = d.select(
+        "doc_id", "source", "n_chars",
+        F.when(F.pmod("doc_id", F.lit(13)) == 0, F.lit(None))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(F.pmod("doc_id", F.lit(17)) == 0, F.lit(""))
+        .otherwise(F.col("text")).alias("text"))
+    return (tablechecks.completeness_matrix(
+        holed, ["text", "lang", "n_chars"], by="source")
+        .orderBy("segment", "column"))
+
+
+def q_url_content_churn(spark, sf_dir):
+    """Per-host refetch content churn (urls.content_churn) — the
+    north-rule byte-identity invariant as a table check. Two seeded
+    snapshots share a page universe (page = doc_id//2, host =
+    page%23); snapshot 1 mutates pages with page%10<3, so every host
+    converges to churn ≈ 0.3. Rows slim to (url, host, 48-bit
+    digest) BEFORE the url equi-join; text never ships."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    page = F.floor(F.col("doc_id") / 2).cast("long")
+    snap = F.pmod("doc_id", F.lit(2)).cast("int")
+    url = F.concat(F.lit("http://host"),
+                   F.pmod(page, F.lit(23)).cast("string"),
+                   F.lit(".example.com/p/"), page.cast("string"))
+    text = F.when((snap == 1) & (F.pmod(page, F.lit(10)) < 3),
+                  F.concat(F.lit("content-"), page.cast("string"),
+                           F.lit("-v2"))) \
+            .otherwise(F.concat(F.lit("content-"), page.cast("string")))
+    seeded = d.select(snap.alias("snap"), url.alias("url"),
+                      text.alias("text"))
+    return urls.content_churn(seeded).orderBy("host")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4311,6 +4401,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lognormal_len": q_lognormal_len,
         "bitext_pairs": q_bitext_pairs,
         "good_turing": q_good_turing,
+        "fd_check": q_fd_check,
+        "key_profile": q_key_profile,
+        "kmv_overlap": q_kmv_overlap,
+        "completeness_by_source": q_completeness_by_source,
+        "url_content_churn": q_url_content_churn,
     }
 
 
@@ -9436,5 +9531,157 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
                          / sum(c), 6) AS p_unseen
             FROM tc GROUP BY 1 ORDER BY 1
+        """,
+        "fd_check": """
+            WITH v1 AS (
+              SELECT 'source->lang' AS fd, source AS determinant,
+                     count(*)::BIGINT AS n_rows,
+                     count(DISTINCT lang)::BIGINT AS n_dependent,
+                     min(lang) AS dep_min, max(lang) AS dep_max
+              FROM documents GROUP BY source
+              HAVING count(DISTINCT lang) > 1),
+            v2 AS (
+              SELECT 'doc_id->lang' AS fd, doc_id::VARCHAR AS determinant,
+                     count(*)::BIGINT AS n_rows,
+                     count(DISTINCT lang)::BIGINT AS n_dependent,
+                     min(lang) AS dep_min, max(lang) AS dep_max
+              FROM documents GROUP BY doc_id
+              HAVING count(DISTINCT lang) > 1)
+            SELECT * FROM v1 UNION ALL SELECT * FROM v2
+            ORDER BY fd, determinant
+        """,
+        "key_profile": """
+            WITH s AS (
+              SELECT count(*) AS n_rows,
+                     count(DISTINCT
+                       CASE WHEN doc_id IS NULL THEN chr(1)||'N'
+                            ELSE chr(1)||'V'||doc_id::VARCHAR END)
+                       AS d0,
+                     count(DISTINCT
+                       (CASE WHEN source IS NULL THEN chr(1)||'N'
+                             ELSE chr(1)||'V'||source END)
+                       || (CASE WHEN lang IS NULL THEN chr(1)||'N'
+                                ELSE chr(1)||'V'||lang END)) AS d1,
+                     count(DISTINCT
+                       (CASE WHEN source IS NULL THEN chr(1)||'N'
+                             ELSE chr(1)||'V'||source END)
+                       || (CASE WHEN lang IS NULL THEN chr(1)||'N'
+                                ELSE chr(1)||'V'||lang END)
+                       || (CASE WHEN n_chars IS NULL THEN chr(1)||'N'
+                                ELSE chr(1)||'V'||n_chars::VARCHAR END))
+                       AS d2
+              FROM documents),
+            u AS (
+              SELECT 'doc_id' AS combo, n_rows, d0 AS n_distinct FROM s
+              UNION ALL
+              SELECT 'source+lang', n_rows, d1 FROM s
+              UNION ALL
+              SELECT 'source+lang+n_chars', n_rows, d2 FROM s)
+            SELECT combo, n_rows::BIGINT AS n_rows,
+                   n_distinct::BIGINT AS n_distinct,
+                   round(n_distinct / n_rows, 6) AS distinct_ratio,
+                   n_distinct = n_rows AS is_key
+            FROM u ORDER BY combo
+        """,
+        "kmv_overlap": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'http://host' || (doc_id % 97)::VARCHAR
+                       || '.example.com/p/' || doc_id::VARCHAR AS url
+              FROM documents),
+            ha AS (SELECT DISTINCT
+                     ('0x' || substr(md5(url), 1, 12))::BIGINT AS h
+                   FROM urls WHERE doc_id % 3 != 0
+                   ORDER BY h LIMIT 256),
+            hb AS (SELECT DISTINCT
+                     ('0x' || substr(md5(url), 1, 12))::BIGINT AS h
+                   FROM urls WHERE doc_id % 2 = 0
+                   ORDER BY h LIMIT 256),
+            merged AS (
+              SELECT coalesce(a.h, b.h) AS h,
+                     CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                     CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+              FROM ha a FULL JOIN hb b ON a.h = b.h
+              ORDER BY 1 LIMIT 256),
+            su AS (SELECT count(*) AS n_u, max(h) AS kth_u,
+                          sum(CASE WHEN in_a = 1 AND in_b = 1
+                              THEN 1 ELSE 0 END) AS n_both
+                   FROM merged),
+            sa AS (SELECT count(*) AS n_a, max(h) AS kth_a FROM ha),
+            sb AS (SELECT count(*) AS n_b, max(h) AS kth_b FROM hb)
+            SELECT 256 AS k,
+                   round(CASE WHEN n_a < 256 THEN n_a::DOUBLE
+                         ELSE CAST(71776119061217280 AS DOUBLE) / kth_a END, 6)
+                     AS d_a_est,
+                   round(CASE WHEN n_b < 256 THEN n_b::DOUBLE
+                         ELSE CAST(71776119061217280 AS DOUBLE) / kth_b END, 6)
+                     AS d_b_est,
+                   round(CASE WHEN n_u < 256 THEN n_u::DOUBLE
+                         ELSE CAST(71776119061217280 AS DOUBLE) / kth_u END, 6)
+                     AS d_union_est,
+                   round(n_both / n_u, 6) AS jaccard_est,
+                   round((n_both / n_u)
+                         * (CASE WHEN n_u < 256 THEN n_u::DOUBLE
+                            ELSE CAST(71776119061217280 AS DOUBLE) / kth_u END),
+                         6) AS d_intersection_est
+            FROM su, sa, sb
+        """,
+        "completeness_by_source": """
+            WITH holed AS (
+              SELECT source, n_chars,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          ELSE lang END AS lang,
+                     CASE WHEN doc_id % 17 = 0 THEN ''
+                          ELSE text END AS text
+              FROM documents),
+            g AS (
+              SELECT source AS segment, count(*) AS n_rows,
+                     sum(CASE WHEN text IS NULL OR text = ''
+                         THEN 1 ELSE 0 END) AS m0,
+                     sum(CASE WHEN lang IS NULL OR lang = ''
+                         THEN 1 ELSE 0 END) AS m1,
+                     sum(CASE WHEN n_chars IS NULL
+                         THEN 1 ELSE 0 END) AS m2
+              FROM holed GROUP BY source),
+            u AS (
+              SELECT segment, 'text' AS "column", n_rows, m0 AS n_null
+              FROM g
+              UNION ALL SELECT segment, 'lang', n_rows, m1 FROM g
+              UNION ALL SELECT segment, 'n_chars', n_rows, m2 FROM g)
+            SELECT segment, "column", n_rows::BIGINT AS n_rows,
+                   n_null::BIGINT AS n_null,
+                   round(n_null / n_rows, 6) AS null_rate
+            FROM u ORDER BY segment, "column"
+        """,
+        "url_content_churn": """
+            WITH s AS (
+              SELECT (doc_id % 2)::INT AS snap,
+                     doc_id // 2 AS page
+              FROM documents),
+            seeded AS (
+              SELECT snap,
+                     'http://host' || (page % 23)::VARCHAR
+                       || '.example.com/p/' || page::VARCHAR AS url,
+                     CASE WHEN snap = 1 AND page % 10 < 3
+                          THEN 'content-' || page::VARCHAR || '-v2'
+                          ELSE 'content-' || page::VARCHAR END AS text
+              FROM s),
+            slim AS (
+              SELECT snap, url,
+                     lower(regexp_extract(
+                       url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host,
+                     ('0x' || substr(md5(text), 1, 12))::BIGINT AS d
+              FROM seeded
+              WHERE url IS NOT NULL AND text IS NOT NULL),
+            a AS (SELECT url, host, d FROM slim WHERE snap = 0),
+            b AS (SELECT url, d AS d2 FROM slim WHERE snap = 1)
+            SELECT a.host, count(*)::BIGINT AS n_common,
+                   sum(CASE WHEN a.d != b.d2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_changed,
+                   round(sum(CASE WHEN a.d != b.d2 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS churn_rate
+            FROM a JOIN b ON a.url = b.url
+            GROUP BY a.host ORDER BY host
         """,
     }

@@ -259,6 +259,11 @@ R4_NAMES = [
     # mining, Good-Turing unseen mass
     "type_affinity", "event_debounce", "lognormal_len", "bitext_pairs",
     "good_turing",
+    # wave 24: schema-level invariants — functional dependencies,
+    # candidate keys, KMV sketch overlap, completeness matrix,
+    # refetch content churn
+    "fd_check", "key_profile", "kmv_overlap", "completeness_by_source",
+    "url_content_churn",
 ]
 
 

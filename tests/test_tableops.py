@@ -2101,3 +2101,69 @@ def test_lognormal_fit_moments(spark):
     assert (out["b"].n, out["b"].sigma, out["b"].within_1sigma) == \
         (1, 0.0, None)
     assert out["c"].n == 1 and out["c"].mu == round(math.log(5), 6)
+
+
+def test_fd_violations_basic(spark):
+    rows = [("a", "x"), ("a", "x"), ("a", "y"),   # a -> {x,y}: violated
+            ("b", "z"), ("b", "z"),               # b -> {z}: holds
+            ("c", None), ("c", "w")]              # NULL dep ignored: holds
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = tablechecks.fd_violations(df, ["k"], "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.k, r.n_rows, r.n_dependent, r.dep_min, r.dep_max) == \
+        ("a", 3, 2, "x", "y")
+
+
+def test_key_candidates_exact_and_null_tagging(spark):
+    rows = [(1, "a", None), (2, "a", ""), (3, "b", "x"), (4, "b", "x")]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    out = {r.combo: r for r in tablechecks.key_candidates(
+        df, [["id"], ["g"], ["g", "s"]]).collect()}
+    assert out["id"].is_key and out["id"].distinct_ratio == 1.0
+    assert not out["g"].is_key and out["g"].n_distinct == 2
+    # NULL-tagging: (a,NULL) != (a,'') -> 3 distinct pairs, not 2
+    assert out["g+s"].n_distinct == 3
+    # HLL variant keeps the same shape
+    approx = {r.combo: r for r in tablechecks.key_candidates(
+        df, [["id"]], exact=False).collect()}
+    assert approx["id"].n_rows == 4
+
+
+def test_completeness_matrix_empty_string_counts(spark):
+    rows = [("s1", "hello", 5), ("s1", "", None), ("s2", None, 3)]
+    df = spark.createDataFrame(rows, "src string, t string, n long")
+    out = {(r.segment, r.column): r for r in
+           tablechecks.completeness_matrix(df, ["t", "n"], by="src")
+           .collect()}
+    assert out[("s1", "t")].n_null == 1          # '' counts for strings
+    assert out[("s1", "n")].n_null == 1
+    assert out[("s2", "t")].null_rate == 1.0
+    assert out[("s2", "n")].n_null == 0
+
+
+def test_kmv_overlap_exact_small_sides(spark):
+    # both sides < k -> the sketch IS the set: exact counts
+    a = spark.createDataFrame([(f"u{i}",) for i in range(40)], "u string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(20, 60)],
+                              "u string")
+    r = tablechecks.kmv_overlap(a, b, "u", k=256).collect()[0]
+    assert (r.d_a_est, r.d_b_est, r.d_union_est) == (40.0, 40.0, 60.0)
+    assert abs(r.d_intersection_est - 20.0) < 1e-6
+    assert abs(r.jaccard_est - 20.0 / 60.0) < 1e-6
+
+
+def test_content_churn_counts(spark):
+    from zoi_spark import urls as U
+
+    mk = lambda s, p, t: (s, f"http://h{p % 2}.com/p/{p}", t)
+    rows = ([mk(0, p, f"c{p}") for p in range(10)]
+            + [mk(1, p, f"c{p}" if p % 5 else f"c{p}!") for p in range(8)])
+    df = spark.createDataFrame(rows, "snap int, url string, text string")
+    out = {r.host: r for r in U.content_churn(df).collect()}
+    # pages 0..7 common; changed: p in {0,5} -> hosts h0 gets p=0, h1 p=5
+    assert out["h0.com"].n_common == 4 and out["h0.com"].n_changed == 1
+    assert out["h1.com"].n_common == 4 and out["h1.com"].n_changed == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        U.content_churn(df.where("snap = 0"))

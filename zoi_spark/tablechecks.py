@@ -1576,3 +1576,171 @@ def lognormal_fit(df: DataFrame, column: str, *, by: str,
                  .alias("within_1sigma"))
             .select(by, F.col("n").cast("long").alias("n"), "mu",
                     "sigma", "within_1sigma"))
+
+
+# ---------------------------------------------------------------------------
+# functional dependencies, candidate keys, completeness, KMV overlap
+# (round-7 validation wave: schema-level invariants the reference's
+# per-value rules can't see — Zoi's `unique_items`/enum membership
+# generalized to whole-table dependency checks, types/array.ex:260-274)
+# ---------------------------------------------------------------------------
+
+def fd_violations(df: DataFrame, determinant: Sequence[str],
+                  dependent: str) -> DataFrame:
+    """Functional-dependency check ``determinant → dependent``: emit
+    one row per determinant value that maps to MORE than one distinct
+    dependent value — ``(*determinant, n_rows, n_dependent, dep_min,
+    dep_max)``.
+
+    Shape at 10^12 rows: ONE hash aggregation on the determinant with
+    map-side combine (count-distinct over the dependent rewrites to a
+    two-phase Expand aggregate); no window, no join. Skewed
+    determinants are just big groups — the agg is associative, so AQE
+    splits them. NULL determinants group together (SQL GROUP BY
+    semantics, same in the DuckDB twin); NULL dependents are ignored
+    by count(distinct) on both engines."""
+    return (df.groupBy(*determinant)
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct(dependent).alias("n_dependent"),
+                 F.min(dependent).alias("dep_min"),
+                 F.max(dependent).alias("dep_max"))
+            .where(F.col("n_dependent") > 1))
+
+
+def key_candidates(df: DataFrame, combos: Sequence[Sequence[str]],
+                   *, exact: bool = True,
+                   round_to: int = 6) -> DataFrame:
+    """Candidate-key uniqueness profile: for each column combo report
+    ``(combo, n_rows, n_distinct, distinct_ratio, is_key)`` — the
+    primary-key discovery pass a validation run does before wiring
+    `duplicates()` on the winner.
+
+    ONE aggregation over ONE scan profiles every combo: each combo
+    becomes a count-distinct over a NULL-tagged concat key (NULLs are
+    tagged, not coalesced away, so (NULL) ≠ ('') and a NULL-bearing
+    combo can never count as a key — count_distinct skips fully-NULL
+    keys only when every member is NULL). With ``exact=False`` the
+    count-distincts become HLL ``approx_count_distinct`` (±2%), the
+    10^12-row variant: the multi-distinct Expand (one input row
+    duplicated per combo) is replaced by mergeable sketches in a
+    single partial agg. The oracle twin runs exact."""
+    def key(cols):
+        parts = []
+        for c in cols:
+            parts.append(F.when(F.col(c).isNull(), F.lit("\x01N"))
+                         .otherwise(F.concat(F.lit("\x01V"),
+                                             F.col(c).cast("string"))))
+        return F.concat(*parts)
+
+    cnt = (F.approx_count_distinct if not exact else F.countDistinct)
+    aggs = [F.count("*").alias("n_rows")]
+    for i, cols in enumerate(combos):
+        aggs.append(cnt(key(cols)).alias(f"__d{i}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{'+'.join(cols)}', __d{i}" for i, cols in enumerate(combos))
+    out = row.selectExpr(
+        "n_rows", f"stack({len(combos)}, {stack}) AS (combo, n_distinct)")
+    return out.select(
+        "combo", F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.col("n_distinct") / F.col("n_rows"),
+                round_to).alias("distinct_ratio"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"))
+
+
+def completeness_matrix(df: DataFrame, columns: Sequence[str],
+                        *, by: str,
+                        round_to: int = 6) -> DataFrame:
+    """Per-segment completeness: ``(segment, column, n_rows, n_null,
+    null_rate)`` for every column in ``columns`` — the null-rate
+    matrix that catches a broken extractor in ONE source while the
+    corpus-wide rate stays green.
+
+    ONE hash aggregation on the segment key (every column's null
+    count is a sum aggregate in the same pass, map-side combined),
+    then a `stack` unpivot of the tiny per-segment result — no second
+    scan, no per-column jobs. Empty string counts as missing for
+    string columns (web-extractor convention, matching the
+    min-length-1 rules of webtext_schema)."""
+    aggs = [F.count("*").alias("n_rows")]
+    for i, c in enumerate(columns):
+        miss = F.col(c).isNull()
+        if dict(df.dtypes).get(c) == "string":
+            miss = miss | (F.col(c) == "")
+        aggs.append(F.sum(miss.cast("long")).alias(f"__m{i}"))
+    g = df.groupBy(F.col(by).alias("segment")).agg(*aggs)
+    stack = ", ".join(f"'{c}', __m{i}" for i, c in enumerate(columns))
+    return (g.selectExpr("segment", "n_rows",
+                         f"stack({len(columns)}, {stack})"
+                         " AS (column, n_null)")
+            .select("segment", "column",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_null").cast("long").alias("n_null"),
+                    F.round(F.col("n_null") / F.col("n_rows"),
+                            round_to).alias("null_rate")))
+
+
+_KMV_HEX = 12  # 48-bit hash: BIGINT-safe, collision odds ~n²/2^49
+
+
+def _kmv_hash(col) -> "F.Column":
+    # first 12 md5 hex chars → 48-bit integer; md5 is bit-identical
+    # across Spark and DuckDB (unlike xxhash64), same idiom as
+    # sampling.hash_sample
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, _KMV_HEX),
+                   16, 10).cast("long"))
+
+
+def kmv_overlap(df_a: DataFrame, df_b: DataFrame, column: str,
+                *, k: int = 256, round_to: int = 6) -> DataFrame:
+    """KMV (k-minimum-values) bottom-k sketch overlap of two key sets:
+    one row ``(k, d_a_est, d_b_est, d_union_est, jaccard_est,
+    d_intersection_est)``.
+
+    THE way to ask "how much does snapshot B overlap snapshot A?" at
+    10^12 urls without joining two trillion-row tables: each side
+    reduces to its k smallest distinct 48-bit key hashes (a
+    TakeOrdered — per-partition bottom-k, then a k·partitions merge
+    on the driver side of the exchange; NO full sort, NO shuffle of
+    the corpus), and the estimates come from k-row frames. D̂ =
+    (k−1)·2^48/h₍ₖ₎ (Beyer et al. 2007); Ĵ = |bottom-k(A∪B) ∩ A ∩
+    B| / k; |A∩B| ≈ Ĵ·D̂_union. Deterministic: md5 has no seed, so
+    the sketch — and the DuckDB oracle twin — is bit-identical run to
+    run. Sides smaller than k are exact by construction."""
+    ha = (df_a.select(_kmv_hash(F.col(column)).alias("h"))
+          .where(F.col("h").isNotNull()).distinct()
+          .orderBy("h").limit(k))
+    hb = (df_b.select(_kmv_hash(F.col(column)).alias("h"))
+          .where(F.col("h").isNotNull()).distinct()
+          .orderBy("h").limit(k))
+    a = ha.select("h", F.lit(1).alias("in_a"))
+    b = hb.select("h", F.lit(1).alias("in_b"))
+    merged = (a.join(b, "h", "full")
+              .select("h", F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                      F.coalesce("in_b", F.lit(0)).alias("in_b"))
+              .orderBy("h").limit(k))
+    full = float(16 ** _KMV_HEX)
+
+    def est(n_col, kth_col):
+        # fewer than k distinct hashes → the sketch IS the set
+        return F.when(n_col < k, n_col.cast("double")).otherwise(
+            (F.lit(float(k - 1)) * F.lit(full)) / kth_col)
+
+    stats = merged.agg(
+        F.count("*").alias("n_u"), F.max("h").alias("kth_u"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1))
+              .cast("long")).alias("n_both"))
+    for side, sk in (("a", ha), ("b", hb)):
+        s = sk.agg(F.count("*").alias(f"n_{side}"),
+                   F.max("h").alias(f"kth_{side}"))
+        stats = stats.crossJoin(F.broadcast(s))  # 1×1 frames
+    d_u = est(F.col("n_u"), F.col("kth_u"))
+    j = F.col("n_both") / F.col("n_u")
+    return stats.select(
+        F.lit(k).alias("k"),
+        F.round(est(F.col("n_a"), F.col("kth_a")), round_to).alias("d_a_est"),
+        F.round(est(F.col("n_b"), F.col("kth_b")), round_to).alias("d_b_est"),
+        F.round(d_u, round_to).alias("d_union_est"),
+        F.round(j, round_to).alias("jaccard_est"),
+        F.round(j * d_u, round_to).alias("d_intersection_est"))

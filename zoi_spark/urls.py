@@ -522,3 +522,49 @@ def host_fetch_gaps(df: DataFrame, *, url_col: str = "url",
                  F.expr("percentile(__gap, 0.5)").alias("median_gap_s"),
                  F.max("__gap").alias("max_gap_s"))
             .where(F.col("n_fetches") >= int(min_fetches)))
+
+
+def content_churn(df: DataFrame, *, url_col: str = "url",
+                  snap_col: str = "snap", text_col: str = "text",
+                  round_to: int = 6) -> DataFrame:
+    """Per-host content-churn between the two snapshots in ``snap_col``
+    (exactly two distinct values expected; extras raise): for urls
+    fetched in BOTH, did the extracted text change? Output ``(host,
+    n_common, n_changed, churn_rate)``.
+
+    This is the north-rule byte-identity invariant ("byte-identical
+    extracted text per url", BASELINE.json input_hint) turned into a
+    table check: a refetch whose digest drifts while the extractor
+    version is pinned flags a broken extractor or a cloaking host.
+
+    Shape at 10^12 rows: rows reduce to ``(url, host, 48-bit md5
+    digest)`` BEFORE the self-join — the join ships 3 narrow columns,
+    never text — then one url-keyed equi-join (AQE handles hot-host
+    skew; url is near-unique per side so no mega-groups) and one
+    host aggregation. Digest collisions (~2^-48 per pair) bias churn
+    DOWN by at most that."""
+    snaps = [r[0] for r in
+             df.select(snap_col).distinct().orderBy(snap_col).collect()]
+    if len(snaps) != 2:
+        raise ValueError(f"content_churn expects exactly 2 snapshots, "
+                         f"got {snaps!r}")
+    digest = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12),
+                    16, 10).cast("long")
+    slim = (df.where(F.col(url_col).isNotNull() & F.col(text_col).isNotNull())
+            .select(F.col(snap_col).alias("__s"),
+                    F.col(url_col).alias("__u"),
+                    url_host(F.col(url_col)).alias("host"),
+                    digest.alias("__d")))
+    a = slim.where(F.col("__s") == snaps[0]).drop("__s")
+    b = (slim.where(F.col("__s") == snaps[1])
+         .select("__u", F.col("__d").alias("__d2")))
+    j = a.join(b, "__u")
+    return (j.groupBy("host")
+            .agg(F.count("*").alias("n_common"),
+                 F.sum((F.col("__d") != F.col("__d2")).cast("long"))
+                 .alias("n_changed"))
+            .select("host",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.col("n_changed").cast("long").alias("n_changed"),
+                    F.round(F.col("n_changed") / F.col("n_common"),
+                            round_to).alias("churn_rate")))
