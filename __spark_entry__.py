@@ -4151,6 +4151,73 @@ def q_url_content_churn(spark, sf_dir):
     return urls.content_churn(seeded).orderBy("host")
 
 
+def q_session_overlap(spark, sf_dir):
+    """Overlapping-interval audit (tablechecks.interval_overlaps) over
+    seeded event intervals (start = epoch(ts), duration = 60 +
+    event_id%540 s): per-user running-max-end window — no self-join —
+    emitting every interval that starts inside a predecessor."""
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("start_s"),
+        (F.unix_timestamp("ts") + 60
+         + F.pmod("event_id", F.lit(540))).alias("end_s"))
+    return (tablechecks.interval_overlaps(
+        iv, entity_col="user_id", start_col="start_s",
+        end_col="end_s", id_col="event_id")
+        .orderBy("user_id", "event_id"))
+
+
+def q_sequence_audit(spark, sf_dir):
+    """Sequence-constraint audit (tablechecks.sequence_violations):
+    users whose first `purchase` precedes their first `signup` (or
+    who purchase without ever signing up) — one conditional-min hash
+    aggregation, no window/join."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.sequence_violations(
+        ev, entity_col="user_id", ts_col="ts",
+        type_col="event_type", first_type="signup",
+        then_type="purchase")
+        .orderBy("user_id"))
+
+
+def q_order_reconciliation(spark, sf_dir):
+    """Cross-table reconciliation (tablechecks.reconcile_totals):
+    o_totalprice vs Σ l_extendedprice·(1+tax)·(1−discount) per order,
+    in integer CENTS (associative sums — bit-identical across
+    partitionings and engines; float sums drift >1e-3 at this row
+    count), rolled up per order status. The synthetic data violates
+    the TPC-H invariant by design — the report measures it."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    fact_cents = F.round(F.col("o_totalprice") * 100, 0)
+    det_cents = F.round(F.col("l_extendedprice")
+                        * (1 + F.col("l_tax"))
+                        * (1 - F.col("l_discount")) * 100, 0)
+    return (tablechecks.reconcile_totals(
+        o.withColumnRenamed("o_orderkey", "okey"),
+        li.withColumnRenamed("l_orderkey", "okey"),
+        key="okey", fact_cents=fact_cents, detail_cents=det_cents,
+        by="o_orderstatus", tol_cents=1)
+        .orderBy("o_orderstatus"))
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate pressure (dedup.dup_rate_by_group)
+    over documents with seeded duplicates (doc_id%7=0 rows collapse to
+    a per-source template text): 1 − distinct md5 / rows per source —
+    predicts exactly what exact_dedup would drop, segment by
+    segment."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.select(
+        "source",
+        F.when(F.pmod("doc_id", F.lit(7)) == 0,
+               F.concat(F.lit("template:"), F.col("source")))
+        .otherwise(F.col("text")).alias("text"))
+    return (dedup.dup_rate_by_group(seeded, group_col="source")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4406,6 +4473,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kmv_overlap": q_kmv_overlap,
         "completeness_by_source": q_completeness_by_source,
         "url_content_churn": q_url_content_churn,
+        "session_overlap": q_session_overlap,
+        "sequence_audit": q_sequence_audit,
+        "order_reconciliation": q_order_reconciliation,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
 
 
@@ -9683,5 +9754,83 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS churn_rate
             FROM a JOIN b ON a.url = b.url
             GROUP BY a.host ORDER BY host
+        """,
+        "session_overlap": """
+            WITH iv AS (
+              SELECT user_id, event_id,
+                     floor(epoch(ts))::BIGINT AS start_s,
+                     floor(epoch(ts))::BIGINT + 60 + (event_id % 540)
+                       AS end_s
+              FROM events),
+            W AS (
+              SELECT user_id, event_id, start_s, end_s,
+                     max(end_s) OVER (
+                       PARTITION BY user_id
+                       ORDER BY start_s, end_s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+              FROM iv)
+            SELECT user_id, event_id, start_s, end_s, prev_end,
+                   least(end_s, prev_end) - start_s AS overlap
+            FROM W
+            WHERE prev_end IS NOT NULL AND start_s < prev_end
+            ORDER BY user_id, event_id
+        """,
+        "sequence_audit": """
+            WITH g AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup'
+                         THEN ts END) AS first_ts,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN ts END) AS then_ts
+              FROM events GROUP BY user_id)
+            SELECT user_id, first_ts, then_ts,
+                   CASE WHEN first_ts IS NULL THEN 'missing_precursor'
+                        ELSE 'out_of_order' END AS kind
+            FROM g
+            WHERE then_ts IS NOT NULL
+              AND (first_ts IS NULL OR then_ts < first_ts)
+            ORDER BY user_id
+        """,
+        "order_reconciliation": """
+            WITH d AS (
+              SELECT l_orderkey AS okey,
+                     sum(round(l_extendedprice * (1 + l_tax)
+                               * (1 - l_discount) * 100, 0)::BIGINT)
+                       AS dsum
+              FROM lineitem GROUP BY l_orderkey),
+            j AS (
+              SELECT o.o_orderstatus,
+                     round(o.o_totalprice * 100, 0)::BIGINT AS fsum,
+                     d.dsum
+              FROM orders o LEFT JOIN d ON d.okey = o.o_orderkey)
+            SELECT o_orderstatus,
+                   count(*)::BIGINT AS n_facts,
+                   sum(CASE WHEN dsum IS NOT NULL
+                            AND abs(fsum - dsum) > 1
+                       THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+                   sum(CASE WHEN dsum IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_missing_detail,
+                   round(sum(CASE WHEN dsum IS NOT NULL
+                                  AND abs(fsum - dsum) > 1
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                     AS mismatch_rate,
+                   max(CASE WHEN dsum IS NOT NULL
+                       THEN abs(fsum - dsum) END)::BIGINT
+                     AS max_abs_delta_cents
+            FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "dup_rate_by_source": """
+            WITH seeded AS (
+              SELECT source AS "group",
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'template:' || source
+                          ELSE text END AS text
+              FROM documents)
+            SELECT "group", count(*)::BIGINT AS n_rows,
+                   count(DISTINCT md5(text))::BIGINT AS n_distinct,
+                   round(1.0 - count(DISTINCT md5(text)) / count(*), 6)
+                     AS dup_rate
+            FROM seeded GROUP BY "group" ORDER BY "group"
         """,
     }

@@ -264,6 +264,10 @@ R4_NAMES = [
     # refetch content churn
     "fd_check", "key_profile", "kmv_overlap", "completeness_by_source",
     "url_content_churn",
+    # wave 25: interval-overlap audit, sequence-constraint audit,
+    # cross-table reconciliation, per-segment dup pressure
+    "session_overlap", "sequence_audit", "order_reconciliation",
+    "dup_rate_by_source",
 ]
 
 

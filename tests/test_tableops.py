@@ -2167,3 +2167,64 @@ def test_content_churn_counts(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         U.content_churn(df.where("snap = 0"))
+
+
+def test_interval_overlaps_running_max(spark):
+    rows = [("u", 1, 0, 100),    # long interval
+            ("u", 2, 10, 20),    # inside #1 (running max catches it)
+            ("u", 3, 50, 60),    # inside #1 even though #2 ended
+            ("u", 4, 100, 110),  # touches end: start == prev_end, OK
+            ("v", 5, 10, 20)]    # other entity, clean
+    df = spark.createDataFrame(rows, "e string, id int, s long, t long")
+    out = {r.id: r for r in tablechecks.interval_overlaps(
+        df, entity_col="e", start_col="s", end_col="t",
+        id_col="id").collect()}
+    assert set(out) == {2, 3}
+    assert out[2].overlap == 10 and out[2].prev_end == 100
+    assert out[3].overlap == 10
+
+
+def test_sequence_violations_kinds(spark):
+    rows = [("a", 1, "signup"), ("a", 2, "purchase"),   # fine
+            ("b", 5, "purchase"), ("b", 9, "signup"),   # out of order
+            ("c", 3, "purchase"),                       # no signup
+            ("d", 4, "signup")]                         # no purchase
+    df = spark.createDataFrame(rows, "u string, ts long, t string")
+    out = {r.u: r for r in tablechecks.sequence_violations(
+        df, entity_col="u", ts_col="ts", type_col="t",
+        first_type="signup", then_type="purchase").collect()}
+    assert set(out) == {"b", "c"}
+    assert out["b"].kind == "out_of_order" and out["b"].then_ts == 5
+    assert out["c"].kind == "missing_precursor"
+
+
+def test_reconcile_totals_cents(spark):
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, "A", 10.00), (2, "A", 5.00), (3, "B", 7.77)],
+        "k long, st string, total double")
+    det = spark.createDataFrame(
+        [(1, 6.00), (1, 4.00),       # matches
+         (2, 5.02)],                 # off by 2 cents
+        "k long, v double")          # fact 3 has no detail
+    out = {r.st: r for r in tablechecks.reconcile_totals(
+        fact, det, key="k", fact_cents=F.round(F.col("total") * 100, 0),
+        detail_cents=F.round(F.col("v") * 100, 0), by="st",
+        tol_cents=1).collect()}
+    assert out["A"].n_facts == 2 and out["A"].n_mismatch == 1
+    assert out["A"].max_abs_delta_cents == 2
+    assert out["B"].n_missing_detail == 1 and out["B"].n_mismatch == 0
+
+
+def test_dup_rate_by_group(spark):
+    from zoi_spark import dedup as D
+
+    rows = [("s1", "a"), ("s1", "a"), ("s1", "b"),
+            ("s2", "x"), ("s2", "y")]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {r.group: r for r in
+           D.dup_rate_by_group(df, group_col="src").collect()}
+    assert out["s1"].n_distinct == 2
+    assert abs(out["s1"].dup_rate - (1 - 2 / 3)) < 1e-6
+    assert out["s2"].dup_rate == 0.0

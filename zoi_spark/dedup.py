@@ -1686,3 +1686,28 @@ def ppjoin_pairs(df: DataFrame, *, id_col: str = "doc_id",
            .where(F.col("jaccard") >= t))
     out._zoi_persisted = [base]
     return out
+
+
+def dup_rate_by_group(df: DataFrame, *, group_col: str,
+                      text_col: str = "text",
+                      round_to: int = 6) -> DataFrame:
+    """Per-segment exact-duplicate rate: ``(group, n_rows,
+    n_distinct, dup_rate)`` where dup_rate = 1 − distinct
+    fingerprints / rows — the dedup-pressure report that says WHICH
+    source ships boilerplate before any dedup pass runs.
+
+    Fingerprint is md5 of the raw text (same key `exact_dedup` drops
+    on, so the report predicts exactly what that pass would remove).
+    ONE hash aggregation; the count-distinct rewrites to a two-phase
+    Expand aggregate with map-side partials. At 10^12 rows swap
+    `countDistinct` for `approx_count_distinct` (±2% HLL) to skip the
+    Expand — the report is advisory, the oracle twin runs exact."""
+    return (df.groupBy(F.col(group_col).alias("group"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.countDistinct(F.md5(F.col(text_col)))
+                 .alias("n_distinct"))
+            .select("group", "n_rows",
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    F.round(F.lit(1.0) - F.col("n_distinct")
+                            / F.col("n_rows"), round_to)
+                    .alias("dup_rate")))

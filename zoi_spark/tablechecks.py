@@ -1744,3 +1744,100 @@ def kmv_overlap(df_a: DataFrame, df_b: DataFrame, column: str,
         F.round(d_u, round_to).alias("d_union_est"),
         F.round(j, round_to).alias("jaccard_est"),
         F.round(j * d_u, round_to).alias("d_intersection_est"))
+
+
+def interval_overlaps(df: DataFrame, *, entity_col: str,
+                      start_col: str, end_col: str,
+                      id_col: str) -> DataFrame:
+    """Overlapping-interval audit: rows whose interval starts before a
+    previous interval of the SAME entity has ended — double-billing /
+    double-session / concurrent-crawl violations. Output: the
+    violating row's ``(entity, id, start, end)`` plus ``prev_end``
+    (the running max end among its predecessors) and ``overlap``
+    (``min(end, prev_end) − start``, > 0 by construction).
+
+    Start/end are numeric (cast timestamps to epoch seconds first —
+    keeps the op engine-portable and unit-explicit). Predecessor order
+    is ``(start, end, id)``; the running ``max(end)`` over the
+    preceding frame catches overlaps with ANY earlier interval, not
+    just the adjacent one (a long interval swallowing short ones).
+
+    Shape at 10^12 rows: ONE entity-keyed window (same shuffle
+    sessionize pays); no self-join — the O(n²) interval join collapses
+    into a running max because intervals are scanned in start order."""
+    w = (Window.partitionBy(entity_col)
+         .orderBy(start_col, end_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(end_col).over(w)
+    return (df.select(entity_col, id_col, start_col, end_col,
+                      prev_end.alias("prev_end"))
+            .where(F.col("prev_end").isNotNull()
+                   & (F.col(start_col) < F.col("prev_end")))
+            .withColumn("overlap",
+                        F.least(F.col(end_col), F.col("prev_end"))
+                        - F.col(start_col)))
+
+
+def sequence_violations(df: DataFrame, *, entity_col: str,
+                        ts_col: str, type_col: str,
+                        first_type: str, then_type: str) -> DataFrame:
+    """Sequence-constraint audit "``first_type`` happens before
+    ``then_type``": per entity, compare FIRST occurrences. Output one
+    row per violating entity — ``kind='out_of_order'`` (both present,
+    wrong order) or ``kind='missing_precursor'`` (``then_type``
+    without any ``first_type``) — with both first timestamps.
+
+    Shape: ONE hash aggregation (conditional mins, map-side combined)
+    + a filter; no window, no join — the funnel trick
+    (`funnel_stages`) applied to constraint checking."""
+    f = F.min(F.when(F.col(type_col) == first_type,
+                     F.col(ts_col))).alias("first_ts")
+    t = F.min(F.when(F.col(type_col) == then_type,
+                     F.col(ts_col))).alias("then_ts")
+    g = df.groupBy(entity_col).agg(f, t)
+    return (g.where(F.col("then_ts").isNotNull()
+                    & (F.col("first_ts").isNull()
+                       | (F.col("then_ts") < F.col("first_ts"))))
+            .select(entity_col, "first_ts", "then_ts",
+                    F.when(F.col("first_ts").isNull(),
+                           F.lit("missing_precursor"))
+                    .otherwise(F.lit("out_of_order")).alias("kind")))
+
+
+def reconcile_totals(fact: DataFrame, detail: DataFrame, *,
+                     key: str, fact_cents, detail_cents,
+                     by: str, tol_cents: int = 1,
+                     round_to: int = 6) -> DataFrame:
+    """Cross-table aggregate reconciliation: does the fact table's
+    stored total equal the sum over its detail rows? Per ``by``
+    segment: ``(by, n_facts, n_mismatch, n_missing_detail,
+    mismatch_rate, max_abs_delta_cents)``.
+
+    ``fact_cents`` / ``detail_cents`` are Column expressions yielding
+    INTEGER minor units (cents) — integer sums are associative, so the
+    result is bit-identical regardless of partitioning or engine
+    (float sums are NOT: at 15k doubles the accumulation-order error
+    already exceeds 1e-3). Facts with no detail rows count as
+    ``n_missing_detail``, not mismatches.
+
+    Shape at 10^12 rows: one key-keyed detail aggregation (map-side
+    combine), one equi-join fact↔agg (AQE-planned), one segment
+    aggregation. Detail skew = hot fact keys; the pre-aggregation
+    bounds each join group to one row per side."""
+    d = (detail.groupBy(F.col(key))
+         .agg(F.sum(detail_cents.cast("long")).alias("__dsum")))
+    j = (fact.select(F.col(key), F.col(by).alias("__by"),
+                     fact_cents.cast("long").alias("__fsum"))
+         .join(d, key, "left"))
+    delta = F.col("__fsum") - F.col("__dsum")
+    mismatch = (F.col("__dsum").isNotNull()
+                & (F.abs(delta) > tol_cents)).cast("long")
+    return (j.groupBy(F.col("__by").alias(by))
+            .agg(F.count("*").cast("long").alias("n_facts"),
+                 F.sum(mismatch).alias("n_mismatch"),
+                 F.sum(F.col("__dsum").isNull().cast("long"))
+                 .alias("n_missing_detail"),
+                 F.round(F.sum(mismatch)
+                         / F.count("*"), round_to).alias("mismatch_rate"),
+                 F.max(F.when(F.col("__dsum").isNotNull(), F.abs(delta)))
+                 .alias("max_abs_delta_cents")))
