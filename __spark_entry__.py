@@ -4218,6 +4218,71 @@ def q_dup_rate_by_source(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_derived_consistency(spark, sf_dir):
+    """Stored-vs-derived consistency audit (tablechecks.
+    derived_mismatch): n_chars vs length(text) per source, with a
+    seeded corruption (+7 at doc_id%19=0) — the broken-backfill
+    detector. Clean sources report rate 0 (the generator maintains
+    the invariant); corrupted rows surface with their max delta."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.select(
+        "source", "text",
+        F.when(F.pmod("doc_id", F.lit(19)) == 0,
+               F.col("n_chars") + 7)
+        .otherwise(F.col("n_chars")).alias("n_chars"))
+    return (tablechecks.derived_mismatch(
+        seeded, stored_col="n_chars", derived=F.length("text"),
+        by="source").orderBy("source"))
+
+
+def q_mode_share(spark, sf_dir):
+    """Dominant-value profile (tablechecks.mode_share) over lang /
+    source / n_chars with lang NULLed at doc_id%13=0 — the
+    constant-column detector; the NULL tag rides the same max(struct)
+    election as real values, ties break toward the larger string on
+    both engines."""
+    d = _read(spark, sf_dir, "documents")
+    holed = d.select(
+        "source", "n_chars",
+        F.when(F.pmod("doc_id", F.lit(13)) == 0, F.lit(None))
+        .otherwise(F.col("lang")).alias("lang"))
+    return (tablechecks.mode_share(holed, ["lang", "source", "n_chars"])
+            .orderBy("column"))
+
+
+def q_rate_cap(spark, sf_dir):
+    """Rate-limit audit (tablechecks.rate_cap_violations): users with
+    >1 event in a tumbling hour — one (user, hour-bucket) hash
+    aggregation, no window function, no self-join; the scraper /
+    retry-storm detector at fetch-log scale."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.rate_cap_violations(
+        ev, entity_col="user_id", ts_col="ts", cap=1, window_s=3600)
+        .orderBy("user_id", "window_start_s"))
+
+
+def q_selflink_ratio(spark, sf_dir):
+    """Per-host internal-link share (urls.selflink_ratio): pages on
+    host doc_id%6 carry one seeded link whose target alternates self /
+    next host by doc_id parity → every host converges near 0.5; link
+    extraction (carry-cols, no join-back) + host compare + one host
+    aggregation."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents")
+    g = F.pmod("doc_id", F.lit(6)).cast("string")
+    tgt = F.when(F.pmod("doc_id", F.lit(2)) == 0, g).otherwise(
+        F.pmod(F.col("doc_id") + 1, F.lit(6)).cast("string"))
+    seeded = d.select(
+        "doc_id",
+        F.concat(F.lit("http://host"), g, F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.col("text"), F.lit(' <a href="http://host'), tgt,
+                 F.lit('.example/q/'), F.col("doc_id").cast("string"),
+                 F.lit('">x</a>')).alias("text"))
+    return urls.selflink_ratio(seeded).orderBy("host")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4477,6 +4542,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sequence_audit": q_sequence_audit,
         "order_reconciliation": q_order_reconciliation,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "derived_consistency": q_derived_consistency,
+        "mode_share": q_mode_share,
+        "rate_cap": q_rate_cap,
+        "selflink_ratio": q_selflink_ratio,
     }
 
 
@@ -9832,5 +9901,111 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(DISTINCT md5(text)) / count(*), 6)
                      AS dup_rate
             FROM seeded GROUP BY "group" ORDER BY "group"
+        """,
+        "derived_consistency": """
+            WITH seeded AS (
+              SELECT source, text,
+                     CASE WHEN doc_id % 19 = 0 THEN n_chars + 7
+                          ELSE n_chars END AS n_chars
+              FROM documents),
+            m AS (
+              SELECT source,
+                     abs(n_chars - length(text)) AS delta,
+                     CASE WHEN n_chars IS NULL AND text IS NULL THEN 0
+                          WHEN n_chars IS NULL OR text IS NULL THEN 1
+                          WHEN abs(n_chars - length(text)) > 0 THEN 1
+                          ELSE 0 END AS mism
+              FROM seeded)
+            SELECT source, count(*)::BIGINT AS n_rows,
+                   sum(mism)::BIGINT AS n_mismatch,
+                   round(sum(mism) / count(*), 6) AS mismatch_rate,
+                   max(delta)::BIGINT AS max_abs_delta
+            FROM m GROUP BY source ORDER BY source
+        """,
+        "mode_share": """
+            WITH holed AS (
+              SELECT source, n_chars,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          ELSE lang END AS lang
+              FROM documents),
+            long AS (
+              SELECT 'lang' AS "column",
+                     coalesce(lang, chr(1) || 'NULL') AS value
+              FROM holed
+              UNION ALL
+              SELECT 'source', coalesce(source, chr(1) || 'NULL')
+              FROM holed
+              UNION ALL
+              SELECT 'n_chars',
+                     coalesce(n_chars::VARCHAR, chr(1) || 'NULL')
+              FROM holed),
+            counts AS (
+              SELECT "column", value, count(*) AS n
+              FROM long GROUP BY 1, 2),
+            ranked AS (
+              SELECT "column", value, n,
+                     sum(n) OVER (PARTITION BY "column") AS n_rows,
+                     row_number() OVER (
+                       PARTITION BY "column"
+                       ORDER BY n DESC, value DESC) AS r
+              FROM counts)
+            SELECT "column", value AS top_value, n::BIGINT AS n_top,
+                   n_rows::BIGINT AS n_rows,
+                   round(n / n_rows, 6) AS top_share
+            FROM ranked WHERE r = 1 ORDER BY "column"
+        """,
+        "rate_cap": """
+            SELECT user_id,
+                   (floor(epoch(ts))::BIGINT // 3600) * 3600
+                     AS window_start_s,
+                   count(*)::BIGINT AS n_events
+            FROM events
+            GROUP BY 1, 2 HAVING count(*) > 1
+            ORDER BY user_id, window_start_s
+        """,
+        "selflink_ratio": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     'http://host' || (doc_id % 6)::VARCHAR
+                       || '.example/p/' || doc_id::VARCHAR AS url,
+                     text || ' <a href="http://host'
+                       || (CASE WHEN doc_id % 2 = 0
+                           THEN doc_id % 6
+                           ELSE (doc_id + 1) % 6 END)::VARCHAR
+                       || '.example/q/' || doc_id::VARCHAR
+                       || '">x</a>' AS text
+              FROM documents),
+            pages AS (
+              SELECT doc_id,
+                     lower(regexp_extract(
+                       url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS src_host,
+                     text
+              FROM seeded WHERE url IS NOT NULL),
+            matched AS (
+              SELECT doc_id, src_host,
+                     list_transform(
+                       regexp_extract_all(text,
+                         '(?i)href\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>"'']+))'),
+                       m -> regexp_replace(
+                              regexp_replace(m, '(?i)^href\\s*=\\s*',
+                                             '', 'g'),
+                              '^["'']|["''>]+$', '', 'g')) AS links
+              FROM pages),
+            ex AS (
+              SELECT src_host, unnest(links) AS href FROM matched),
+            lk AS (
+              SELECT src_host,
+                     lower(regexp_extract(
+                       href, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS dst_host
+              FROM ex WHERE href != '' AND src_host != '')
+            SELECT src_host AS host, count(*)::BIGINT AS n_links,
+                   sum(CASE WHEN dst_host = src_host
+                       THEN 1 ELSE 0 END)::BIGINT AS n_self,
+                   round(sum(CASE WHEN dst_host = src_host
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                     AS self_ratio
+            FROM lk GROUP BY src_host ORDER BY host
         """,
     }

@@ -268,6 +268,9 @@ R4_NAMES = [
     # cross-table reconciliation, per-segment dup pressure
     "session_overlap", "sequence_audit", "order_reconciliation",
     "dup_rate_by_source",
+    # wave 26: derived-column consistency, dominant-value profile,
+    # rate-limit audit, internal-link share
+    "derived_consistency", "mode_share", "rate_cap", "selflink_ratio",
 ]
 
 

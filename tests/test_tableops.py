@@ -2228,3 +2228,58 @@ def test_dup_rate_by_group(spark):
     assert out["s1"].n_distinct == 2
     assert abs(out["s1"].dup_rate - (1 - 2 / 3)) < 1e-6
     assert out["s2"].dup_rate == 0.0
+
+
+def test_derived_mismatch_null_and_tol(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("a", 10, "x" * 10), ("a", 12, "x" * 10),   # delta 2
+            ("b", None, "hi"), ("b", 2, None),          # one-sided NULLs
+            ("c", None, None)]                          # both NULL: ok
+    df = spark.createDataFrame(rows, "src string, n int, t string")
+    out = {r.src: r for r in tablechecks.derived_mismatch(
+        df, stored_col="n", derived=F.length("t"), by="src",
+        tol=1).collect()}
+    assert out["a"].n_mismatch == 1 and out["a"].max_abs_delta == 2
+    assert out["b"].n_mismatch == 2
+    assert out["c"].n_mismatch == 0
+
+
+def test_mode_share_null_tag_and_tiebreak(spark):
+    rows = [("x", None), ("x", None), ("y", "b"), ("z", "a")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.column: r for r in
+           tablechecks.mode_share(df, ["g", "v"]).collect()}
+    # v: NULL dominates (2 of 4)
+    assert out["v"].top_value == "\x01NULL" and out["v"].top_share == 0.5
+    # g: x has 2; ties among y/z don't matter
+    assert out["g"].top_value == "x" and out["g"].n_top == 2
+    # deterministic tie-break: equal counts -> larger value wins
+    df2 = spark.createDataFrame([("a",), ("b",)], "v string")
+    assert tablechecks.mode_share(df2, ["v"]).collect()[0].top_value == "b"
+
+
+def test_rate_cap_violations_tumbling(spark):
+    rows = [("u", "2024-01-01 10:00:05"), ("u", "2024-01-01 10:00:50"),
+            ("u", "2024-01-01 10:01:10"),   # next minute
+            ("v", "2024-01-01 10:00:30")]
+    df = spark.createDataFrame(rows, "e string, ts string") \
+        .selectExpr("e", "cast(ts as timestamp) ts")
+    out = tablechecks.rate_cap_violations(
+        df, entity_col="e", ts_col="ts", cap=1, window_s=60).collect()
+    assert len(out) == 1
+    assert out[0].e == "u" and out[0].n_events == 2
+
+
+def test_selflink_ratio(spark):
+    from zoi_spark import urls as U
+
+    rows = [(1, "http://a.com/x",
+             '<a href="http://a.com/1">s</a> <a href="http://b.com/1">o</a>'),
+            (2, "http://a.com/y", '<a href="http://a.com/2">s</a>'),
+            (3, "http://b.com/z", '<a href="http://a.com/3">o</a>'),
+            (4, None, '<a href="http://a.com/4">dropped</a>')]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.host: r for r in U.selflink_ratio(df).collect()}
+    assert out["a.com"].n_links == 3 and out["a.com"].n_self == 2
+    assert out["b.com"].self_ratio == 0.0

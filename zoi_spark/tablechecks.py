@@ -1708,12 +1708,15 @@ def kmv_overlap(df_a: DataFrame, df_b: DataFrame, column: str,
     B| / k; |A∩B| ≈ Ĵ·D̂_union. Deterministic: md5 has no seed, so
     the sketch — and the DuckDB oracle twin — is bit-identical run to
     run. Sides smaller than k are exact by construction."""
+    # localCheckpoint the k-row sketches (eager, tiny): each is used
+    # twice (merge + per-side stats) — without it the LINEAGE re-runs
+    # and the corpus is scanned 4× instead of the minimal 2×
     ha = (df_a.select(_kmv_hash(F.col(column)).alias("h"))
           .where(F.col("h").isNotNull()).distinct()
-          .orderBy("h").limit(k))
+          .orderBy("h").limit(k).localCheckpoint(eager=True))
     hb = (df_b.select(_kmv_hash(F.col(column)).alias("h"))
           .where(F.col("h").isNotNull()).distinct()
-          .orderBy("h").limit(k))
+          .orderBy("h").limit(k).localCheckpoint(eager=True))
     a = ha.select("h", F.lit(1).alias("in_a"))
     b = hb.select("h", F.lit(1).alias("in_b"))
     merged = (a.join(b, "h", "full")
@@ -1841,3 +1844,91 @@ def reconcile_totals(fact: DataFrame, detail: DataFrame, *,
                          / F.count("*"), round_to).alias("mismatch_rate"),
                  F.max(F.when(F.col("__dsum").isNotNull(), F.abs(delta)))
                  .alias("max_abs_delta_cents")))
+
+
+def derived_mismatch(df: DataFrame, *, stored_col: str, derived,
+                     by: str, tol: float = 0,
+                     round_to: int = 6) -> DataFrame:
+    """Stored-vs-derived column consistency audit: does the
+    materialized column still equal the expression it claims to cache
+    (``n_chars`` vs ``length(text)``, a stored digest vs a recomputed
+    one)? Per ``by`` segment: ``(by, n_rows, n_mismatch,
+    mismatch_rate, max_abs_delta)`` — a broken backfill shows up as
+    one segment's rate jumping while the rest stay 0.
+
+    ``derived`` is a Column expression evaluated in the same
+    projection as the comparison: ONE scan, ONE hash aggregation,
+    nothing shuffled but the per-segment partials. NULL stored or
+    derived values count as mismatches unless both are NULL."""
+    delta = F.abs(F.col(stored_col) - derived)
+    mism = F.when(F.col(stored_col).isNull() & derived.isNull(),
+                  F.lit(0)) \
+            .when(F.col(stored_col).isNull() | derived.isNull(),
+                  F.lit(1)) \
+            .otherwise((delta > tol).cast("int")).cast("long")
+    return (df.groupBy(F.col(by))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(mism).alias("n_mismatch"),
+                 F.round(F.sum(mism) / F.count("*"),
+                         round_to).alias("mismatch_rate"),
+                 F.max(delta).alias("max_abs_delta")))
+
+
+def mode_share(df: DataFrame, columns: Sequence[str],
+               *, round_to: int = 6) -> DataFrame:
+    """Dominant-value profile: for each column, its most frequent
+    value and that value's share of rows — ``(column, top_value,
+    n_top, n_rows, top_share)``. A share near 1.0 flags a constant /
+    default-stuffed column (broken extractor writing its fallback),
+    the complement of the uniqueness checks.
+
+    One stack-unpivot projection (rows × len(columns), no Python) +
+    one two-key hash aggregation + one per-column max. The winner is
+    ``max(struct(count, value))`` — count first, then value — so ties
+    break deterministically toward the larger value string on BOTH
+    engines. NULLs are tallied as the tagged literal ``\\x01NULL`` so
+    a mostly-NULL column is correctly reported as dominated by it. At
+    10^12 rows the unpivot multiplies the shuffle by len(columns):
+    profile a hash sample (`sampling.hash_sample`) or swap the exact
+    count for a count-min sketch; shares, not exact counts, are the
+    signal."""
+    tagged = [F.coalesce(F.col(c).cast("string"),
+                         F.lit("\x01NULL")).alias(f"__v{i}")
+              for i, c in enumerate(columns)]
+    stack = ", ".join(f"'{c}', __v{i}" for i, c in enumerate(columns))
+    long = (df.select(*tagged)
+            .selectExpr(f"stack({len(columns)}, {stack})"
+                        " AS (column, value)"))
+    counts = long.groupBy("column", "value").agg(
+        F.count("*").alias("n"))
+    top = (counts.groupBy("column")
+           .agg(F.max(F.struct(F.col("n"), F.col("value"))).alias("t"),
+                F.sum("n").alias("n_rows")))
+    return top.select(
+        "column", F.col("t.value").alias("top_value"),
+        F.col("t.n").cast("long").alias("n_top"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("t.n") / F.col("n_rows"),
+                round_to).alias("top_share"))
+
+
+def rate_cap_violations(df: DataFrame, *, entity_col: str,
+                        ts_col: str, cap: int,
+                        window_s: int = 60) -> DataFrame:
+    """Rate-limit audit: ``(entity, window_start_s, n_events)`` for
+    every tumbling window where one entity exceeded ``cap`` events —
+    the bot / retry-storm / scraper detector on a fetch log.
+
+    Tumbling (not sliding) windows by design: one hash aggregation on
+    ``(entity, floor(epoch/window))``, map-side combined, no window
+    function, no self-join — at 10^12 events a sliding-window count
+    would shuffle every event into every overlapping frame. A burst
+    straddling a boundary can evade one tumbling grid by half a
+    window; run a second pass with ``window_s`` offset if that
+    matters operationally."""
+    win = (F.floor(F.unix_timestamp(F.col(ts_col))
+                   / F.lit(int(window_s))) * int(window_s))
+    return (df.groupBy(F.col(entity_col),
+                       win.cast("long").alias("window_start_s"))
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .where(F.col("n_events") > int(cap)))

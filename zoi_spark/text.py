@@ -1637,7 +1637,8 @@ _HREF_RE = "(?i)href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))"
 
 def extract_links(df: DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id",
-                  out_col: str = "href") -> DataFrame:
+                  out_col: str = "href",
+                  carry_cols: "Sequence[str]" = ()) -> DataFrame:
     """Outlink extraction — ``href`` attribute values from HTML-ish
     text, one row per link occurrence in document order (``link_idx``).
     This is where the graph operators' edge tables come FROM: compose
@@ -1655,7 +1656,7 @@ def extract_links(df: DataFrame, *, text_col: str = "text",
         lambda m: F.regexp_replace(
             F.regexp_replace(m, r"(?i)^href\s*=\s*", ""),
             "^[\"']|[\"'>]+$", ""))
-    return (df.select(F.col(id_col),
+    return (df.select(F.col(id_col), *[F.col(c) for c in carry_cols],
                       F.posexplode(cleaned).alias("link_idx", out_col))
             .where(F.col(out_col) != ""))
 

@@ -568,3 +568,37 @@ def content_churn(df: DataFrame, *, url_col: str = "url",
                     F.col("n_changed").cast("long").alias("n_changed"),
                     F.round(F.col("n_changed") / F.col("n_common"),
                             round_to).alias("churn_rate")))
+
+
+def selflink_ratio(df: DataFrame, *, url_col: str = "url",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   round_to: int = 6) -> DataFrame:
+    """Per-host internal-link share: of all outlinks on a host's
+    pages, what fraction point back at the SAME host? ``(host,
+    n_links, n_self, self_ratio)``. Near-1.0 hosts are closed link
+    farms / template navigation; near-0 hosts are syndication hubs —
+    both SEO-spam priors for the quality gate.
+
+    Composes text.extract_links (href regex, one posexplode, no UDF)
+    with the page host carried through ``carry_cols`` — the page→link
+    edge never needs a join back to its source row. One projection +
+    explode + one host aggregation."""
+    from . import text as _text
+
+    pages = (df.select(F.col(id_col),
+                       url_host(F.col(url_col)).alias("src_host"),
+                       F.col(text_col))
+             .where(F.col(url_col).isNotNull()))
+    links = _text.extract_links(pages, text_col=text_col,
+                                id_col=id_col,
+                                carry_cols=["src_host"])
+    dst = url_host(F.col("href"))
+    return (links.where(F.col("src_host") != "")
+            .groupBy(F.col("src_host").alias("host"))
+            .agg(F.count("*").cast("long").alias("n_links"),
+                 F.sum((dst == F.col("src_host")).cast("long"))
+                 .alias("n_self"))
+            .select("host", "n_links",
+                    F.col("n_self").cast("long").alias("n_self"),
+                    F.round(F.col("n_self") / F.col("n_links"),
+                            round_to).alias("self_ratio")))
