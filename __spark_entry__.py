@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 import zoi_spark as z
 from zoi_spark import dedup, similarity, tablechecks, text
@@ -4283,6 +4284,86 @@ def q_selflink_ratio(spark, sf_dir):
     return urls.selflink_ratio(seeded).orderBy("host")
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution gate (tablechecks.schema_drift_rows): the LIVE
+    parquet footer schema of documents diffed against a pinned
+    baseline contract (which expects lang:int and a quality column,
+    and predates n_chars) — added/removed/retyped rows from metadata
+    only, no data pass. The DuckDB twin derives the live side from
+    DESCRIBE, so both engines genuinely read their catalog."""
+    baseline = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("quality", T.DoubleType()),
+    ])
+    current = _read(spark, sf_dir, "documents").schema
+    return (tablechecks.schema_drift_rows(spark, baseline, current)
+            .orderBy("field"))
+
+
+def q_transition_audit(spark, sf_dir):
+    """State-machine conformance (tablechecks.transition_violations):
+    adjacent per-user event transitions outside the whitelist
+    signup→view→click→purchase (+ self-loops back to view) — one
+    (ts, event_id)-ordered lag window + one pair aggregation; the
+    enforcement complement of markov_event_mix."""
+    ev = _read(spark, sf_dir, "events")
+    allowed = [("signup", "view"), ("view", "click"),
+               ("click", "purchase"), ("view", "view"),
+               ("click", "view"), ("purchase", "view")]
+    return (tablechecks.transition_violations(
+        ev, entity_col="user_id", ts_col="ts",
+        type_col="event_type", id_col="event_id", allowed=allowed)
+        .orderBy("from_type", "to_type"))
+
+
+def q_canonical_audit(spark, sf_dir):
+    """rel=canonical conformance (urls.canonical_mismatch): pages on
+    host doc_id%5 declare a canonical for doc_id%3≠2; every 4th
+    declarer points at a mirror host instead of itself → per-host
+    mismatch rate ≈ 1/4. Declared and self urls both normalize
+    through canonical_url before comparing."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents")
+    g = F.pmod("doc_id", F.lit(5)).cast("string")
+    self_url = F.concat(F.lit("http://host"), g,
+                        F.lit(".example/p/"),
+                        F.col("doc_id").cast("string"))
+    href = F.when(F.pmod("doc_id", F.lit(4)) == 0,
+                  F.concat(F.lit("http://mirror.example/p/"),
+                           F.col("doc_id").cast("string"))) \
+            .otherwise(self_url)
+    decl = F.when(F.pmod("doc_id", F.lit(3)) != 2,
+                  F.concat(F.lit(' <link rel="canonical" href="'),
+                           href, F.lit('">'))).otherwise(F.lit(""))
+    seeded = d.select(self_url.alias("url"),
+                      F.concat(F.col("text"), decl).alias("text"))
+    return urls.canonical_mismatch(seeded).orderBy("host")
+
+
+def q_staleness_audit(spark, sf_dir):
+    """Freshness-SLA audit (urls.staleness_audit, 30-day SLA): host h
+    = doc_id%10 fetches on days 8h+doc_id%5, so the corpus watermark
+    sits at day 76 and hosts 0–5 fall >30 days behind — watermark-
+    anchored integer age, one host agg + one 1-row broadcast."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents")
+    h = F.pmod("doc_id", F.lit(10))
+    day = h * 8 + F.pmod("doc_id", F.lit(5))
+    ts = F.timestamp_seconds(F.lit(1704067200) + day * 86400)
+    seeded = d.select(
+        F.concat(F.lit("http://host"), h.cast("string"),
+                 F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        ts.alias("warc_ts"))
+    return (urls.staleness_audit(seeded, max_age_s=30 * 86400)
+            .orderBy("host"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4546,6 +4627,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mode_share": q_mode_share,
         "rate_cap": q_rate_cap,
         "selflink_ratio": q_selflink_ratio,
+        "schema_evolution": q_schema_evolution,
+        "transition_audit": q_transition_audit,
+        "canonical_audit": q_canonical_audit,
+        "staleness_audit": q_staleness_audit,
     }
 
 
@@ -6000,6 +6085,8 @@ def _corpus_split_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from zoi_spark.urls import canonical_url_sql as _url_canonical_sql
+
     return {
         "customer_violation_rows": """
             SELECT c_custkey, rule_id FROM (
@@ -10007,5 +10094,113 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / count(*), 6)
                      AS self_ratio
             FROM lk GROUP BY src_host ORDER BY host
+        """,
+        "schema_evolution": """
+            WITH cur AS (
+              SELECT column_name AS f,
+                     CASE column_type
+                       WHEN 'BIGINT' THEN 'bigint'
+                       WHEN 'INTEGER' THEN 'int'
+                       WHEN 'VARCHAR' THEN 'string'
+                       WHEN 'DOUBLE' THEN 'double'
+                       WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                       ELSE lower(column_type) END AS t
+              FROM (DESCRIBE SELECT * FROM documents)),
+            base AS (
+              SELECT * FROM (VALUES
+                ('doc_id', 'bigint'), ('text', 'string'),
+                ('lang', 'int'), ('source', 'string'),
+                ('quality', 'double')) AS v(f, t)),
+            added AS (
+              SELECT c.f AS field, 'added' AS change,
+                     NULL AS from_type, c.t AS to_type
+              FROM cur c LEFT JOIN base b ON b.f = c.f
+              WHERE b.f IS NULL),
+            removed AS (
+              SELECT b.f, 'removed', b.t, NULL
+              FROM base b LEFT JOIN cur c ON c.f = b.f
+              WHERE c.f IS NULL),
+            retyped AS (
+              SELECT b.f, 'retyped', b.t, c.t
+              FROM base b JOIN cur c ON c.f = b.f
+              WHERE b.t != c.t)
+            SELECT * FROM added
+            UNION ALL SELECT * FROM removed
+            UNION ALL SELECT * FROM retyped
+            ORDER BY field
+        """,
+        "transition_audit": """
+            WITH lagged AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS from_type,
+                     event_type AS to_type
+              FROM events)
+            SELECT from_type, to_type, count(*)::BIGINT AS n
+            FROM lagged
+            WHERE from_type IS NOT NULL
+              AND NOT ((from_type = 'signup' AND to_type = 'view')
+                    OR (from_type = 'view' AND to_type = 'click')
+                    OR (from_type = 'click' AND to_type = 'purchase')
+                    OR (from_type = 'view' AND to_type = 'view')
+                    OR (from_type = 'click' AND to_type = 'view')
+                    OR (from_type = 'purchase' AND to_type = 'view'))
+            GROUP BY from_type, to_type
+            ORDER BY from_type, to_type
+        """,
+        "canonical_audit": """
+            WITH seeded AS (
+              SELECT 'http://host' || (doc_id % 5)::VARCHAR
+                       || '.example/p/' || doc_id::VARCHAR AS url,
+                     text || CASE WHEN doc_id % 3 != 2
+                       THEN ' <link rel="canonical" href="'
+                         || CASE WHEN doc_id % 4 = 0
+                            THEN 'http://mirror.example/p/'
+                              || doc_id::VARCHAR
+                            ELSE 'http://host' || (doc_id % 5)::VARCHAR
+                              || '.example/p/' || doc_id::VARCHAR END
+                         || '">'
+                       ELSE '' END AS text
+              FROM documents),
+            base AS (
+              SELECT lower(regexp_extract(
+                       url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host,
+                     {self_canon} AS self_c,
+                     regexp_extract(text,
+                       '(?i)<link[^>]*rel=["\\x27]?canonical["\\x27]?[^>]*href=["\\x27]?([^"\\x27> ]+)',
+                       1) AS decl
+              FROM seeded WHERE url IS NOT NULL),
+            declared AS (
+              SELECT host, self_c, decl,
+                     {decl_canon} AS decl_c
+              FROM base WHERE decl != '' AND host != '')
+            SELECT host, count(*)::BIGINT AS n_canonical,
+                   sum(CASE WHEN decl_c != self_c
+                       THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+                   round(sum(CASE WHEN decl_c != self_c
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                     AS mismatch_rate
+            FROM declared GROUP BY host ORDER BY host
+        """.replace("{self_canon}", _url_canonical_sql("url"))
+           .replace("{decl_canon}", _url_canonical_sql("decl")),
+        "staleness_audit": """
+            WITH seeded AS (
+              SELECT (doc_id % 10) AS h,
+                     1704067200
+                       + ((doc_id % 10) * 8 + (doc_id % 5)) * 86400
+                       AS t
+              FROM documents),
+            per_host AS (
+              SELECT 'host' || h::VARCHAR || '.example' AS host,
+                     max(t)::BIGINT AS last_fetch_s,
+                     count(*)::BIGINT AS n_fetches
+              FROM seeded GROUP BY h),
+            wm AS (SELECT max(t)::BIGINT AS w FROM seeded)
+            SELECT host, last_fetch_s,
+                   (w - last_fetch_s)::BIGINT AS age_s, n_fetches
+            FROM per_host, wm
+            WHERE w - last_fetch_s > 30 * 86400
+            ORDER BY host
         """,
     }

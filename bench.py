@@ -271,6 +271,10 @@ R4_NAMES = [
     # wave 26: derived-column consistency, dominant-value profile,
     # rate-limit audit, internal-link share
     "derived_consistency", "mode_share", "rate_cap", "selflink_ratio",
+    # wave 27: schema-evolution gate, transition whitelist,
+    # rel=canonical conformance, freshness SLA
+    "schema_evolution", "transition_audit", "canonical_audit",
+    "staleness_audit",
 ]
 
 

@@ -2283,3 +2283,60 @@ def test_selflink_ratio(spark):
     out = {r.host: r for r in U.selflink_ratio(df).collect()}
     assert out["a.com"].n_links == 3 and out["a.com"].n_self == 2
     assert out["b.com"].self_ratio == 0.0
+
+
+def test_schema_drift_rows_kinds(spark):
+    from pyspark.sql import types as T
+
+    base = T.StructType([T.StructField("a", T.LongType()),
+                         T.StructField("b", T.StringType()),
+                         T.StructField("c", T.IntegerType())])
+    cur = T.StructType([T.StructField("a", T.LongType()),
+                        T.StructField("c", T.StringType()),
+                        T.StructField("d", T.DoubleType())])
+    out = {r.field: r for r in
+           tablechecks.schema_drift_rows(spark, base, cur).collect()}
+    assert out["d"].change == "added" and out["d"].to_type == "double"
+    assert out["b"].change == "removed" and out["b"].from_type == "string"
+    assert (out["c"].change, out["c"].from_type, out["c"].to_type) == \
+        ("retyped", "int", "string")
+    assert "a" not in out
+
+
+def test_transition_violations_whitelist(spark):
+    rows = [("u", 1, 1, "signup"), ("u", 2, 2, "view"),
+            ("u", 3, 3, "purchase"),          # view->purchase: violation
+            ("u", 4, 4, "view"),              # purchase->view: allowed
+            ("v", 1, 5, "click")]             # first event: no transition
+    df = spark.createDataFrame(rows, "e string, ts long, id long, t string")
+    allowed = [("signup", "view"), ("purchase", "view")]
+    out = tablechecks.transition_violations(
+        df, entity_col="e", ts_col="ts", type_col="t", id_col="id",
+        allowed=allowed).collect()
+    assert len(out) == 1
+    assert (out[0].from_type, out[0].to_type, out[0].n) == \
+        ("view", "purchase", 1)
+
+
+def test_canonical_mismatch_and_staleness(spark):
+    from pyspark.sql import functions as F
+    from zoi_spark import urls as U
+
+    rows = [("http://a.com/x", '<link rel="canonical" href="http://a.com/x">'),
+            ("http://a.com/y", "<link rel='canonical' href='http://b.com/y'>"),
+            ("http://a.com/z", "no declaration"),
+            ("http://b.com/q", '<LINK REL="CANONICAL" HREF="http://b.com/q">')]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.host: r for r in U.canonical_mismatch(df).collect()}
+    assert out["a.com"].n_canonical == 2 and out["a.com"].n_mismatch == 1
+    assert out["b.com"].mismatch_rate == 0.0
+
+    iv = spark.createDataFrame(
+        [("http://h1.com/a", 1000), ("http://h1.com/b", 100000),
+         ("http://h2.com/c", 5000)], "url string, s long") \
+        .select("url", F.timestamp_seconds("s").alias("warc_ts"))
+    st = {r.host: r for r in
+          U.staleness_audit(iv, max_age_s=3600).collect()}
+    # watermark = 100000; h2 last fetch 5000 -> stale; h1 fresh
+    assert set(st) == {"h2.com"}
+    assert st["h2.com"].age_s == 95000 and st["h2.com"].n_fetches == 1

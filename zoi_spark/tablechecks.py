@@ -1932,3 +1932,59 @@ def rate_cap_violations(df: DataFrame, *, entity_col: str,
                        win.cast("long").alias("window_start_s"))
             .agg(F.count("*").cast("long").alias("n_events"))
             .where(F.col("n_events") > int(cap)))
+
+
+def schema_drift_rows(spark, baseline: "T.StructType",
+                      current: "T.StructType") -> DataFrame:
+    """`schema_drift` as a row-shaped report: one row per drifted
+    field — ``(field, change ∈ {added, removed, retyped,
+    nullability_changed}, from_type, to_type)`` — so the schema gate
+    lands in the same violations sink as the row-level rules.
+
+    Driver-side on the StructTypes (footer metadata, no data pass);
+    the frame is trivially small. Types are `simpleString()` forms;
+    absent sides are NULL."""
+    b = {f.name: f for f in baseline.fields}
+    c = {f.name: f for f in current.fields}
+    rows = []
+    for n in sorted(set(c) - set(b)):
+        rows.append((n, "added", None, c[n].dataType.simpleString()))
+    for n in sorted(set(b) - set(c)):
+        rows.append((n, "removed", b[n].dataType.simpleString(), None))
+    for n in sorted(set(b) & set(c)):
+        bt = b[n].dataType.simpleString()
+        ct = c[n].dataType.simpleString()
+        if bt != ct:
+            rows.append((n, "retyped", bt, ct))
+        elif b[n].nullable != c[n].nullable:
+            rows.append((n, "nullability_changed", bt, ct))
+    schema = ("field string, change string, from_type string, "
+              "to_type string")
+    return spark.createDataFrame(rows, schema)
+
+
+def transition_violations(df: DataFrame, *, entity_col: str,
+                          ts_col: str, type_col: str, id_col: str,
+                          allowed: "Sequence[tuple]") -> DataFrame:
+    """State-machine conformance audit: count adjacent per-entity
+    transitions NOT in the ``allowed`` whitelist — ``(from_type,
+    to_type, n)``. The complement of `markov_transitions` (which
+    estimates probabilities): this one enforces the contract
+    "a session may only move signup→view→click→purchase…" and
+    surfaces everything else.
+
+    Order is ``(ts, id)`` within the entity (the id tie-break keeps
+    equal-timestamp rows deterministic). ONE entity-keyed window for
+    the lag + ONE (from,to) aggregation; the whitelist is a literal
+    `isin` over concatenated pair keys — no join, no Python."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    prev = F.lag(type_col).over(w)
+    pair = F.concat_ws("\x01", prev, F.col(type_col))
+    keys = ["\x01".join(p) for p in allowed]
+    return (df.select(prev.alias("from_type"),
+                      F.col(type_col).alias("to_type"),
+                      pair.alias("__p"))
+            .where(F.col("from_type").isNotNull()
+                   & ~F.col("__p").isin(keys))
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("long").alias("n")))

@@ -602,3 +602,64 @@ def selflink_ratio(df: DataFrame, *, url_col: str = "url",
                     F.col("n_self").cast("long").alias("n_self"),
                     F.round(F.col("n_self") / F.col("n_links"),
                             round_to).alias("self_ratio")))
+
+
+_CANONICAL_RE = (r'(?i)<link[^>]*rel=["\x27]?canonical["\x27]?'
+                 r'[^>]*href=["\x27]?([^"\x27> ]+)')
+
+
+def canonical_mismatch(df: DataFrame, *, url_col: str = "url",
+                       text_col: str = "text",
+                       round_to: int = 6) -> DataFrame:
+    """Per-host rel=canonical conformance: of pages declaring a
+    ``<link rel="canonical" href=…>``, how many declare a DIFFERENT
+    canonical than their own url (after `canonical_url`
+    normalization on both sides)? ``(host, n_canonical, n_mismatch,
+    mismatch_rate)``. High mismatch hosts are syndication mirrors /
+    parameter-spam — their pages should dedup to the declared target
+    BEFORE content fingerprints run.
+
+    One regexp_extract projection (rel-before-href attribute order,
+    the overwhelmingly dominant emitted form — documented contract) +
+    one host aggregation. No explode: only the FIRST declaration
+    counts, matching browser/crawler precedence."""
+    decl = F.regexp_extract(F.col(text_col), _CANONICAL_RE, 1)
+    base = (df.where(F.col(url_col).isNotNull())
+            .select(url_host(F.col(url_col)).alias("host"),
+                    canonical_url(F.col(url_col)).alias("__self"),
+                    decl.alias("__decl")))
+    base = base.where((F.col("__decl") != "") & (F.col("host") != ""))
+    mism = (canonical_url(F.col("__decl")) != F.col("__self"))
+    return (base.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_canonical"),
+                 F.sum(mism.cast("long")).alias("n_mismatch"))
+            .select("host", "n_canonical",
+                    F.col("n_mismatch").cast("long").alias("n_mismatch"),
+                    F.round(F.col("n_mismatch") / F.col("n_canonical"),
+                            round_to).alias("mismatch_rate")))
+
+
+def staleness_audit(df: DataFrame, *, url_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    max_age_s: int) -> DataFrame:
+    """Freshness-SLA audit: hosts whose LAST fetch is older than
+    ``max_age_s`` relative to the corpus watermark (the max fetch ts
+    anywhere) — ``(host, last_fetch_s, age_s, n_fetches)``. The
+    watermark, not wall-clock, anchors the age so the check is
+    deterministic and replayable on a frozen snapshot.
+
+    One host aggregation + one broadcast of the 1-row watermark;
+    epoch-seconds arithmetic (integer) end to end."""
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(url_col).isNotNull())
+            .select(url_host(F.col(url_col)).alias("host"),
+                    F.unix_timestamp(F.col(ts_col)).alias("__t"))
+            .where(F.col("host") != ""))
+    per_host = base.groupBy("host").agg(
+        F.max("__t").alias("last_fetch_s"),
+        F.count("*").cast("long").alias("n_fetches"))
+    wm = base.agg(F.max("__t").alias("__wm"))
+    return (per_host.crossJoin(F.broadcast(wm))  # 1-row watermark
+            .withColumn("age_s", F.col("__wm") - F.col("last_fetch_s"))
+            .where(F.col("age_s") > int(max_age_s))
+            .select("host", "last_fetch_s", "age_s", "n_fetches"))
