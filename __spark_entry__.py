@@ -4364,6 +4364,61 @@ def q_staleness_audit(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_rater_kappa(spark, sf_dir):
+    """Cohen's kappa (tablechecks.cohen_kappa) between the stored lang
+    label and a synthetic second rater that answers 'unk' on every 5th
+    document: po/pe/kappa from one (a,b) cell aggregation; the DuckDB
+    twin re-derives the marginal products exactly."""
+    d = _read(spark, sf_dir, "documents")
+    rater_b = (F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("unk"))
+               .otherwise(F.col("lang")))
+    seeded = (d.where(F.col("lang").isNotNull())
+              .select(F.col("lang").alias("rater_a"),
+                      rater_b.alias("rater_b")))
+    return tablechecks.cohen_kappa(seeded, "rater_a", "rater_b")
+
+
+def q_coverage_langs(spark, sf_dir):
+    """Combination-coverage audit (tablechecks.coverage_gaps): docs are
+    bucketed by source parity and the (zh, odd) combination is
+    structurally removed upstream — the audit must report exactly the
+    absent combos (n=0) under min_count=1, at every SF."""
+    d = _read(spark, sf_dir, "documents")
+    parity = (F.when(F.pmod(F.regexp_extract("source", r"(\d+)", 1)
+                            .cast("long"), F.lit(2)) == 0, "even")
+              .otherwise("odd"))
+    seeded = (d.where(F.col("lang").isNotNull())
+              .select("lang", parity.alias("src_parity"))
+              .where(~((F.col("lang") == "zh")
+                       & (F.col("src_parity") == "odd"))))
+    return (tablechecks.coverage_gaps(seeded, "lang", "src_parity",
+                                      min_count=1)
+            .orderBy("lang", "src_parity"))
+
+
+def q_cms_lang_counts(spark, sf_dir):
+    """Count-min sketch point estimates (tablechecks.cms_frequencies)
+    for two present langs and one absent probe, width=64 so collisions
+    actually occur — the DuckDB twin rebuilds the identical md5-bucket
+    grid and takes the same min over depths."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.cms_frequencies(d, "lang", ["en", "de", "xx"],
+                                        depth=3, width=64)
+            .orderBy("value"))
+
+
+def q_ewma_volume(spark, sf_dir):
+    """EWMA daily-volume baseline (tablechecks.ewma_anomalies) over the
+    events table. alpha=0.5 deliberately: powers of 0.5 are exact
+    dyadic doubles and every weighted partial sum here stays within a
+    53-bit span, so the weighted mean is bit-identical across
+    engines and aggregation orders (no float-drift hash risk)."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.ewma_anomalies(ev, ts_col="ts", alpha=0.5,
+                                       factor=1.2)
+            .orderBy("day"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4631,6 +4686,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "transition_audit": q_transition_audit,
         "canonical_audit": q_canonical_audit,
         "staleness_audit": q_staleness_audit,
+        "rater_kappa": q_rater_kappa,
+        "coverage_langs": q_coverage_langs,
+        "cms_lang_counts": q_cms_lang_counts,
+        "ewma_volume": q_ewma_volume,
     }
 
 
@@ -10202,5 +10261,92 @@ def oracle_sql() -> dict[str, str]:
             FROM per_host, wm
             WHERE w - last_fetch_s > 30 * 86400
             ORDER BY host
+        """,
+        "rater_kappa": """
+            WITH pairs AS (
+              SELECT lang AS a,
+                     CASE WHEN doc_id % 5 = 0 THEN 'unk'
+                          ELSE lang END AS b
+              FROM documents WHERE lang IS NOT NULL),
+            cells AS (
+              SELECT a, b, count(*) AS n FROM pairs GROUP BY a, b),
+            tot AS (
+              SELECT sum(n) AS n,
+                     sum(CASE WHEN a = b THEN n ELSE 0 END) AS n_agree
+              FROM cells),
+            ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+            mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+            pe AS (SELECT coalesce(sum(na * nb), 0) AS pe_num
+                   FROM ma JOIN mb ON ma.a = mb.b)
+            SELECT n::BIGINT AS n,
+                   round(n_agree / n, 6) AS po,
+                   round(pe_num / (n * n), 6) AS pe,
+                   round((n_agree / n - pe_num / (n * n))
+                         / (1 - pe_num / (n * n)), 6) AS kappa
+            FROM tot, pe
+        """,
+        "coverage_langs": """
+            WITH seeded AS (
+              SELECT lang,
+                     CASE WHEN regexp_extract(source, '(\\d+)', 1)::BIGINT
+                            % 2 = 0 THEN 'even' ELSE 'odd' END AS p
+              FROM documents WHERE lang IS NOT NULL),
+            filt AS (SELECT * FROM seeded
+                     WHERE NOT (lang = 'zh' AND p = 'odd')),
+            cells AS (
+              SELECT lang, p, count(*) AS n FROM filt GROUP BY lang, p),
+            da AS (SELECT DISTINCT lang FROM cells),
+            db AS (SELECT DISTINCT p FROM cells)
+            SELECT da.lang, db.p AS src_parity,
+                   coalesce(c.n, 0)::BIGINT AS n
+            FROM da CROSS JOIN db
+            LEFT JOIN cells c ON c.lang = da.lang AND c.p = db.p
+            WHERE coalesce(c.n, 0) < 1
+            ORDER BY da.lang, src_parity
+        """,
+        "cms_lang_counts": """
+            WITH vals AS (
+              SELECT lang AS v FROM documents WHERE lang IS NOT NULL),
+            cells AS (
+              SELECT d.i,
+                     ('0x' || substr(md5(d.i::VARCHAR || '|' || v),
+                                     1, 12))::BIGINT % 64 AS bkt,
+                     count(*) AS n
+              FROM vals CROSS JOIN (VALUES (0), (1), (2)) d(i)
+              GROUP BY 1, 2),
+            look AS (
+              SELECT p.value, d.i,
+                     ('0x' || substr(md5(d.i::VARCHAR || '|' || p.value),
+                                     1, 12))::BIGINT % 64 AS bkt
+              FROM (VALUES ('en'), ('de'), ('xx')) p(value)
+              CROSS JOIN (VALUES (0), (1), (2)) d(i))
+            SELECT value, min(coalesce(c.n, 0))::BIGINT AS est_n
+            FROM look l LEFT JOIN cells c
+              ON c.i = l.i AND c.bkt = l.bkt
+            GROUP BY value ORDER BY value
+        """,
+        "ewma_volume": """
+            WITH daily AS (
+              SELECT ts::DATE AS day, count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            ranked AS (
+              SELECT day, n,
+                     row_number() OVER (ORDER BY day) AS r
+              FROM daily),
+            ew AS (
+              SELECT c.day, c.n,
+                     sum(power(0.5, c.r - 1 - p.r) * p.n)
+                       / sum(power(0.5, c.r - 1 - p.r)) AS e
+              FROM ranked c JOIN ranked p ON p.r < c.r
+              GROUP BY c.day, c.n),
+            allr AS (
+              SELECT day, n, e FROM ew
+              UNION ALL
+              SELECT day, n, NULL FROM ranked WHERE r = 1)
+            SELECT day, n::BIGINT AS n_events,
+                   round(e, 6) AS ewma_prev,
+                   round(n / e, 6) AS ratio,
+                   coalesce(n / e > 1.2, FALSE) AS is_anomaly
+            FROM allr ORDER BY day
         """,
     }

@@ -275,6 +275,8 @@ R4_NAMES = [
     # rel=canonical conformance, freshness SLA
     "schema_evolution", "transition_audit", "canonical_audit",
     "staleness_audit",
+    # wave 28: kappa agreement, coverage gaps, count-min sketch, EWMA
+    "rater_kappa", "coverage_langs", "cms_lang_counts", "ewma_volume",
 ]
 
 

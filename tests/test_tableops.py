@@ -2340,3 +2340,72 @@ def test_canonical_mismatch_and_staleness(spark):
     # watermark = 100000; h2 last fetch 5000 -> stale; h1 fresh
     assert set(st) == {"h2.com"}
     assert st["h2.com"].age_s == 95000 and st["h2.com"].n_fetches == 1
+
+
+def test_cohen_kappa_known_value(spark):
+    # classic 2x2: a/b agree on 20+15 of 50, marginals 25/25 vs 30/20
+    rows = ([("yes", "yes")] * 20 + [("no", "no")] * 15
+            + [("yes", "no")] * 5 + [("no", "yes")] * 10)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = tablechecks.cohen_kappa(df, "a", "b").collect()[0]
+    # po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; k = 0.4
+    assert r.n == 50 and r.po == 0.7 and r.pe == 0.5
+    assert abs(r.kappa - 0.4) < 1e-9
+
+
+def test_cohen_kappa_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", None), (None, "x")], "a string, b string")
+    r = tablechecks.cohen_kappa(df, "a", "b").collect()[0]
+    assert r.n == 1 and r.po == 1.0
+    assert r.kappa is None  # pe == 1 -> undefined
+
+
+def test_coverage_gaps_missing_and_thin(spark):
+    rows = [("en", "web")] * 5 + [("en", "book")] * 1 + \
+        [("de", "web")] * 3
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {(r.lang, r.source): r.n for r in
+           tablechecks.coverage_gaps(df, "lang", "source",
+                                     min_count=2).collect()}
+    assert out == {("en", "book"): 1, ("de", "book"): 0}
+
+
+def test_cms_frequencies_overestimates(spark):
+    rows = [(f"v{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    est = {r.value: r.est_n for r in
+           tablechecks.cms_frequencies(
+               df, "k", ["v0", "v3", "absent"],
+               depth=3, width=64).collect()}
+    import collections
+    true = collections.Counter(r[0] for r in rows)
+    assert est["v0"] >= true["v0"] and est["v3"] >= true["v3"]
+    assert est["absent"] >= 0
+    # wide sketch vs 7 distinct values: estimates should be exact
+    wide = {r.value: r.est_n for r in
+            tablechecks.cms_frequencies(
+                df, "k", ["v0", "v3", "absent"],
+                depth=4, width=4096).collect()}
+    assert wide == {"v0": true["v0"], "v3": true["v3"], "absent": 0}
+
+
+def test_ewma_anomalies_spike(spark):
+    from pyspark.sql import functions as F
+    # 5 quiet days at 10/day then a 50-event spike
+    rows = [(d, i) for d in range(5) for i in range(10)] + \
+        [(5, i) for i in range(50)]
+    df = (spark.createDataFrame(rows, "d int, i int")
+          .select(F.timestamp_seconds(1704067200 + F.col("d") * 86400
+                                      + F.col("i")).alias("ts")))
+    out = {str(r.day): r for r in
+           tablechecks.ewma_anomalies(df, ts_col="ts",
+                                      factor=2.0).collect()}
+    assert len(out) == 6
+    assert out["2024-01-01"].ewma_prev is None
+    assert not out["2024-01-01"].is_anomaly
+    assert out["2024-01-03"].ewma_prev == 10.0  # constant history
+    assert not out["2024-01-03"].is_anomaly
+    spike = out["2024-01-06"]
+    assert spike.ewma_prev == 10.0 and spike.ratio == 5.0
+    assert spike.is_anomaly

@@ -1988,3 +1988,173 @@ def transition_violations(df: DataFrame, *, entity_col: str,
                    & ~F.col("__p").isin(keys))
             .groupBy("from_type", "to_type")
             .agg(F.count("*").cast("long").alias("n")))
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str, *,
+                round_to: int = 6) -> DataFrame:
+    """Chance-corrected agreement between two categorical verdict
+    columns (Cohen 1960) — the validation-tier question "do the old
+    and new rule engines / the model and the annotator actually agree,
+    beyond what the label mix alone predicts?". One row: ``(n,
+    po, pe, kappa)`` with po = observed agreement share, pe = expected
+    agreement under independent marginals Σ_k p_a(k)·p_b(k).
+
+    ONE corpus shuffle (the (a,b) cell-count aggregation with map-side
+    combine, ≤ |A|·|B| cells); everything after runs on the tiny cell
+    table — marginal sums, an inner category join, one scalar row.
+    Rows with a NULL on either side are excluded (no verdict ≠ a
+    verdict)."""
+    cells = (df.where(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("__a"),
+                      F.col(col_b).alias("__b"))
+             .agg(F.count("*").alias("__n")))
+    tot = cells.agg(
+        F.sum("__n").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))
+              .otherwise(F.lit(0))).alias("n_agree"))
+    ma = cells.groupBy("__a").agg(F.sum("__n").alias("na"))
+    mb = cells.groupBy("__b").agg(F.sum("__n").alias("nb"))
+    pe_num = (ma.join(mb, ma["__a"] == mb["__b"])
+              .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")),
+                              F.lit(0)).alias("pe_num")))
+    po = F.col("n_agree") / F.col("n")
+    pe = F.col("pe_num") / (F.col("n") * F.col("n"))
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return (tot.crossJoin(F.broadcast(pe_num))  # both single-row
+            .select(F.col("n").cast("long").alias("n"),
+                    F.round(po, round_to).alias("po"),
+                    F.round(pe, round_to).alias("pe"),
+                    F.round(kappa, round_to).alias("kappa")))
+
+
+def coverage_gaps(df: DataFrame, col_a: str, col_b: str, *,
+                  min_count: int = 1) -> DataFrame:
+    """Negative-space audit: expected category combinations that are
+    MISSING or under-populated — the cross product of the observed
+    per-column category sets, minus combinations with ≥ ``min_count``
+    rows. ``(col_a, col_b, n)`` with n = 0 for absent combos. The
+    completeness complement of `completeness_matrix` (which measures
+    null rates, not combination presence): "every lang should appear
+    in every source" style contracts.
+
+    ONE corpus shuffle (the (a,b) cell counts; the per-column distinct
+    sets are derived FROM the cell table, not by re-scanning). The
+    cross product and the left join run broadcast on category-sized
+    frames — this is a categorical tool; a high-cardinality column
+    pair belongs in `key_profile`/`fd_violations` instead."""
+    cells = (df.where(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("__a"),
+                      F.col(col_b).alias("__b"))
+             .agg(F.count("*").alias("__n"))
+             .persist())
+    da = cells.select("__a").distinct()
+    db = cells.select("__b").distinct()
+    out = (da.crossJoin(F.broadcast(db))
+           .join(F.broadcast(cells), ["__a", "__b"], "left")
+           .select(F.col("__a").alias(col_a),
+                   F.col("__b").alias(col_b),
+                   F.coalesce(F.col("__n"), F.lit(0))
+                   .cast("long").alias("n"))
+           .where(F.col("n") < int(min_count)))
+    out._zoi_persisted = [cells]  # release after materialization
+    return out
+
+
+def _cms_bucket(col: Column, depth_i: int, width: int) -> Column:
+    """Row-i count-min bucket: 48-bit md5 prefix of the salted value,
+    mod width — DuckDB recomputes it as
+    ``('0x' || substr(md5(i || '|' || v), 1, 12))::BIGINT % width``."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{depth_i}|"), col.cast("string"))),
+        1, 12), 16, 10).cast("long")
+    return F.pmod(h, F.lit(int(width)))
+
+
+def cms_frequencies(df: DataFrame, column: str,
+                    probes: Sequence[str], *, depth: int = 3,
+                    width: int = 256) -> DataFrame:
+    """Count-min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005): build a depth×width counter grid in ONE
+    aggregation pass, answer "how often does value v occur?" for the
+    ``probes`` without a per-probe corpus scan — ``(value, est_n)``,
+    est ≥ true count (one-sided overestimate from collisions; error
+    ≤ n/width with prob 1-2^-depth). The frequency sibling of the
+    KMV distinct sketch (`kmv_overlap`) and the Bloom membership
+    filter (`text.bloom_decontamination`).
+
+    Plan: one explode(depth) projection → ONE shuffle keyed on
+    (row, bucket) — at most depth·width cells regardless of corpus
+    size — then the probe lookup joins a depth·|probes| literal frame
+    against the broadcast sketch. Probe buckets are computed
+    driver-side with hashlib (bit-identical to the JVM md5)."""
+    import hashlib
+
+    col = F.col(column).cast("string")
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("__i"),
+                 _cms_bucket(col, i, width).alias("__bkt"))
+        for i in range(depth)])
+    sketch = (df.where(col.isNotNull())
+              .select(F.explode(cells).alias("c"))
+              .groupBy(F.col("c.__i").alias("__i"),
+                       F.col("c.__bkt").alias("__bkt"))
+              .agg(F.count("*").alias("__n")))
+
+    def bkt(v: str, i: int) -> int:
+        h = int(hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:12], 16)
+        return h % width
+
+    lookup = df.sparkSession.createDataFrame(
+        [(v, i, bkt(v, i)) for v in probes for i in range(depth)],
+        "value string, __i int, __bkt long")
+    return (lookup.join(F.broadcast(sketch),
+                        ["__i", "__bkt"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("__n"), F.lit(0)))
+                 .cast("long").alias("est_n")))
+
+
+def ewma_anomalies(df: DataFrame, *, ts_col: str,
+                   alpha: float = 0.3, factor: float = 2.0,
+                   round_to: int = 6) -> DataFrame:
+    """Daily-volume EWMA baseline + spike flags: per observed day,
+    ``(day, n_events, ewma_prev, ratio, is_anomaly)`` where ewma_prev
+    is the normalized exponentially-weighted mean of all PRIOR days'
+    volumes (weight (1-α)^gap in observed-day rank order — the
+    forecast a streaming monitor would hold entering the day) and
+    is_anomaly = ratio > factor. The memory-weighted sibling of
+    `daily_volume_anomalies` (global z) and `cusum_shift` (level
+    shift): EWMA tracks a moving level, so a slow ramp stays quiet
+    while a step spike fires.
+
+    ONE corpus shuffle (the daily rollup); the prior-day weighting is
+    a self-range-join on the tiny day table (≤ a few·10³ rows for
+    years of data — quadratic there is trivial and exactly
+    reproducible in SQL, unlike a recursive ewma). First day has NULL
+    ewma_prev/ratio and is never an anomaly."""
+    daily = (df.where(F.col(ts_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("day"))
+             .agg(F.count("*").alias("n_events")))
+    w = Window.orderBy("day")
+    ranked = daily.withColumn("__r", F.row_number().over(w))
+    cur, prev = ranked.alias("c"), ranked.alias("p")
+    wgt = F.pow(F.lit(1.0 - alpha),
+                (F.col("c.__r") - 1 - F.col("p.__r")).cast("double"))
+    ew = (cur.join(prev, F.col("p.__r") < F.col("c.__r"))
+          .groupBy(F.col("c.day").alias("day"),
+                   F.col("c.n_events").alias("n_events"))
+          .agg((F.sum(wgt * F.col("p.n_events")) / F.sum(wgt))
+               .alias("__ew")))
+    first = (ranked.where(F.col("__r") == 1)
+             .select("day", "n_events",
+                     F.lit(None).cast("double").alias("__ew")))
+    ratio = F.col("n_events") / F.col("__ew")
+    return (ew.unionByName(first)
+            .select("day",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.round(F.col("__ew"), round_to).alias("ewma_prev"),
+                    F.round(ratio, round_to).alias("ratio"),
+                    F.coalesce(ratio > factor, F.lit(False))
+                    .alias("is_anomaly")))
