@@ -129,6 +129,13 @@ R2_NAMES = [
     "intersection_enum_remap", "mapkv_props", "multiple_unique_decimal",
     "winnowing_fingerprints", "embedding_near_dups_lsh",
     "text_quality_stopword", "jaccard_blocked_verify", "codec_encode_shipdate",
+    # r1 roster queries that predate the headline list and were never
+    # timed anywhere — folded in here (NOT into `queries`) so every
+    # queries() entry has a bench number without moving the headline
+    # total's composition
+    "array_rules_embeddings", "customer_rule_counts", "drift_len_kl",
+    "form_ingest_events", "hist_doc_length", "orders_rule_counts",
+    "stats_by_source", "text_quality_buckets", "unique_salted",
 ]
 
 
