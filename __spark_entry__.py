@@ -4308,14 +4308,25 @@ def q_transition_audit(spark, sf_dir):
     adjacent per-user event transitions outside the whitelist
     signup→view→click→purchase (+ self-loops back to view) — one
     (ts, event_id)-ordered lag window + one pair aggregation; the
-    enforcement complement of markov_event_mix."""
+    enforcement complement of markov_event_mix. Every 97th event's
+    type is nulled to exercise the NULL-state contract: a NULL state
+    on either side of a real transition is a violation (rendered
+    '(null)' here so the row survives engine-specific NULL sort
+    orders), while first-rows-per-entity stay exempt."""
     ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "event_type",
+        F.when(F.pmod("event_id", F.lit(97)) == 0, F.lit(None))
+        .otherwise(F.col("event_type")))
     allowed = [("signup", "view"), ("view", "click"),
                ("click", "purchase"), ("view", "view"),
                ("click", "view"), ("purchase", "view")]
-    return (tablechecks.transition_violations(
+    out = tablechecks.transition_violations(
         ev, entity_col="user_id", ts_col="ts",
         type_col="event_type", id_col="event_id", allowed=allowed)
+    return (out.select(
+        F.coalesce("from_type", F.lit("(null)")).alias("from_type"),
+        F.coalesce("to_type", F.lit("(null)")).alias("to_type"), "n")
         .orderBy("from_type", "to_type"))
 
 
@@ -4323,8 +4334,10 @@ def q_canonical_audit(spark, sf_dir):
     """rel=canonical conformance (urls.canonical_mismatch): pages on
     host doc_id%5 declare a canonical for doc_id%3≠2; every 4th
     declarer points at a mirror host instead of itself → per-host
-    mismatch rate ≈ 1/4. Declared and self urls both normalize
-    through canonical_url before comparing."""
+    mismatch rate ≈ 1/4. doc_id%4==1 declarers use the common
+    ROOT-RELATIVE self-canonical form ('/p/N'), which resolve_href
+    absolutizes against the page url — it must count as a match.
+    Declared and self urls both normalize through canonical_url."""
     from zoi_spark import urls
 
     d = _read(spark, sf_dir, "documents")
@@ -4334,6 +4347,9 @@ def q_canonical_audit(spark, sf_dir):
                         F.col("doc_id").cast("string"))
     href = F.when(F.pmod("doc_id", F.lit(4)) == 0,
                   F.concat(F.lit("http://mirror.example/p/"),
+                           F.col("doc_id").cast("string"))) \
+            .when(F.pmod("doc_id", F.lit(4)) == 1,
+                  F.concat(F.lit("/p/"),
                            F.col("doc_id").cast("string"))) \
             .otherwise(self_url)
     decl = F.when(F.pmod("doc_id", F.lit(3)) != 2,
@@ -6151,6 +6167,7 @@ def _corpus_split_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from zoi_spark.urls import canonical_url_sql as _url_canonical_sql
+    from zoi_spark.urls import resolve_href_sql as _resolve_href_sql
 
     return {
         "customer_violation_rows": """
@@ -9966,8 +9983,10 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substr(md5(text), 1, 12))::BIGINT AS d
               FROM seeded
               WHERE url IS NOT NULL AND text IS NOT NULL),
-            a AS (SELECT url, host, d FROM slim WHERE snap = 0),
-            b AS (SELECT url, d AS d2 FROM slim WHERE snap = 1)
+            a AS (SELECT url, min(host) AS host, min(d) AS d
+                  FROM slim WHERE snap = 0 GROUP BY url),
+            b AS (SELECT url, min(d) AS d2
+                  FROM slim WHERE snap = 1 GROUP BY url)
             SELECT a.host, count(*)::BIGINT AS n_common,
                    sum(CASE WHEN a.d != b.d2 THEN 1 ELSE 0 END)::BIGINT
                      AS n_changed,
@@ -10195,23 +10214,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY field
         """,
         "transition_audit": """
-            WITH lagged AS (
-              SELECT lag(event_type) OVER (
-                       PARTITION BY user_id
-                       ORDER BY ts, event_id) AS from_type,
+            WITH src AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_id % 97 = 0 THEN NULL
+                          ELSE event_type END AS event_type
+              FROM events),
+            lagged AS (
+              SELECT lag(event_type) OVER w AS from_type,
+                     lag(1) OVER w AS prev_marker,
                      event_type AS to_type
-              FROM events)
-            SELECT from_type, to_type, count(*)::BIGINT AS n
+              FROM src
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id))
+            SELECT coalesce(from_type, '(null)') AS from_type,
+                   coalesce(to_type, '(null)') AS to_type,
+                   count(*)::BIGINT AS n
             FROM lagged
-            WHERE from_type IS NOT NULL
-              AND NOT ((from_type = 'signup' AND to_type = 'view')
+            WHERE prev_marker IS NOT NULL
+              AND NOT coalesce(
+                       (from_type = 'signup' AND to_type = 'view')
                     OR (from_type = 'view' AND to_type = 'click')
                     OR (from_type = 'click' AND to_type = 'purchase')
                     OR (from_type = 'view' AND to_type = 'view')
                     OR (from_type = 'click' AND to_type = 'view')
-                    OR (from_type = 'purchase' AND to_type = 'view'))
-            GROUP BY from_type, to_type
-            ORDER BY from_type, to_type
+                    OR (from_type = 'purchase' AND to_type = 'view'),
+                    FALSE)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "canonical_audit": """
             WITH seeded AS (
@@ -10222,13 +10251,16 @@ def oracle_sql() -> dict[str, str]:
                          || CASE WHEN doc_id % 4 = 0
                             THEN 'http://mirror.example/p/'
                               || doc_id::VARCHAR
+                            WHEN doc_id % 4 = 1
+                            THEN '/p/' || doc_id::VARCHAR
                             ELSE 'http://host' || (doc_id % 5)::VARCHAR
                               || '.example/p/' || doc_id::VARCHAR END
                          || '">'
                        ELSE '' END AS text
               FROM documents),
             base AS (
-              SELECT lower(regexp_extract(
+              SELECT url,
+                     lower(regexp_extract(
                        url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
                        AS host,
                      {self_canon} AS self_c,
@@ -10236,10 +10268,13 @@ def oracle_sql() -> dict[str, str]:
                        '(?i)<link[^>]*rel=["\\x27]?canonical["\\x27]?[^>]*href=["\\x27]?([^"\\x27> ]+)',
                        1) AS decl
               FROM seeded WHERE url IS NOT NULL),
+            resolved AS (
+              SELECT host, self_c, {decl_resolved} AS decl
+              FROM base WHERE decl != '' AND host != ''),
             declared AS (
               SELECT host, self_c, decl,
                      {decl_canon} AS decl_c
-              FROM base WHERE decl != '' AND host != '')
+              FROM resolved)
             SELECT host, count(*)::BIGINT AS n_canonical,
                    sum(CASE WHEN decl_c != self_c
                        THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
@@ -10248,6 +10283,7 @@ def oracle_sql() -> dict[str, str]:
                      AS mismatch_rate
             FROM declared GROUP BY host ORDER BY host
         """.replace("{self_canon}", _url_canonical_sql("url"))
+           .replace("{decl_resolved}", _resolve_href_sql("decl", "url"))
            .replace("{decl_canon}", _url_canonical_sql("decl")),
         "staleness_audit": """
             WITH seeded AS (

@@ -132,3 +132,33 @@ class TestRangeJoin:
             on="user", bucket_width=5.0
         )._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan
+
+
+class TestNullAndReversedEdges:
+    def test_asof_null_keys_never_match(self, spark):
+        # NULL-key left rows come back unmatched; NULL-key right rows
+        # match no one (SQL equality / DuckDB ASOF / merge_asof)
+        left = spark.createDataFrame(
+            [(None, 100, "p1"), (1, 100, "p2")],
+            "user long, ts long, pid string")
+        right = spark.createDataFrame(
+            [(None, 90, "c1"), (1, 90, "c2")],
+            "user long, ts long, cid string")
+        out = {r.pid: r.cid for r in joins.asof_join(
+            left, right, on="user", left_ts="ts",
+            payload=["cid"], right_order="cid").collect()}
+        assert out == {"p1": None, "p2": "c2"}
+
+    def test_range_join_reversed_interval_is_empty_not_exploded(
+            self, spark):
+        # end < start: BETWEEN matches nothing; the descending
+        # sequence() enumeration (which would bypass the span guard
+        # and emit ~start/width rows) must not run
+        pts = spark.createDataFrame([(5.0, "a")], "x double, pid string")
+        ivals = spark.createDataFrame(
+            [(2_000_000_000.0, 0.0, "bad"), (0.0, 10.0, "good")],
+            "lo double, hi double, iid string")
+        rows = joins.range_join(
+            pts, ivals, point_col="x", start_col="lo", end_col="hi",
+            bucket_width=1.0, max_span_buckets=100).collect()
+        assert [(r.pid, r.iid) for r in rows] == [("a", "good")]

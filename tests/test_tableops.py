@@ -2409,3 +2409,75 @@ def test_ewma_anomalies_spike(spark):
     spike = out["2024-01-06"]
     assert spike.ewma_prev == 10.0 and spike.ratio == 5.0
     assert spike.is_anomaly
+
+
+def test_transition_violations_null_state_and_separator_alias(spark):
+    # NULL state on either side of a real transition is a violation;
+    # first-row-per-entity stays exempt even when its value is NULL
+    rows = [("u", 1, 1, "signup"), ("u", 2, 2, None),
+            ("u", 3, 3, "view"),
+            ("v", 1, 4, None)]               # first event: exempt
+    df = spark.createDataFrame(rows, "e string, ts long, id long, t string")
+    out = {(r.from_type, r.to_type): r.n
+           for r in tablechecks.transition_violations(
+               df, entity_col="e", ts_col="ts", type_col="t",
+               id_col="id", allowed=[("signup", "view")]).collect()}
+    assert out == {("signup", None): 1, (None, "view"): 1}
+
+    # whitelisting ('a\x01b' -> 'c') must NOT whitelist ('a' -> 'b\x01c')
+    rows2 = [("w", 1, 1, "a"), ("w", 2, 2, "b\x01c")]
+    df2 = spark.createDataFrame(rows2, "e string, ts long, id long, t string")
+    out2 = tablechecks.transition_violations(
+        df2, entity_col="e", ts_col="ts", type_col="t", id_col="id",
+        allowed=[("a\x01b", "c")]).collect()
+    assert [(r.from_type, r.to_type) for r in out2] == [("a", "b\x01c")]
+
+
+def test_content_churn_refetches_count_once_per_url(spark):
+    from zoi_spark import urls as U
+
+    # url refetched twice per snapshot: 2x2 join pairs would report
+    # n_common=4; page-weighted semantics requires exactly 1
+    rows = [(0, "http://h.com/p", "v1"), (0, "http://h.com/p", "v1"),
+            (1, "http://h.com/p", "v2"), (1, "http://h.com/p", "v2")]
+    df = spark.createDataFrame(rows, "snap int, url string, text string")
+    r = U.content_churn(df).collect()[0]
+    assert (r.n_common, r.n_changed, r.churn_rate) == (1, 1, 1.0)
+
+
+def test_canonical_mismatch_resolves_relative_hrefs(spark):
+    from zoi_spark import urls as U
+
+    rows = [
+        # root-relative self-canonical: must count as a match
+        ("http://a.com/p/1", '<link rel="canonical" href="/p/1">'),
+        # page-relative self-canonical resolved against the directory
+        ("http://a.com/p/2", '<link rel="canonical" href="2">'),
+        # scheme-relative pointing elsewhere: mismatch
+        ("http://a.com/p/3", '<link rel="canonical" href="//b.com/p/3">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    r = U.canonical_mismatch(df).collect()[0]
+    assert (r.host, r.n_canonical, r.n_mismatch) == ("a.com", 3, 1)
+
+
+def test_resolve_href_branches(spark):
+    from zoi_spark import urls as U
+
+    base = "http://h.com/a/b?q=1"
+    cases = [("http://x.com/y", "http://x.com/y"),
+             ("//x.com/y", "http://x.com/y"),
+             ("/y", "http://h.com/y"),
+             ("y", "http://h.com/a/y"),
+             ("?p=2", "http://h.com/a/b?p=2"),
+             ("#frag", "http://h.com/a/b#frag")]
+    df = spark.createDataFrame([(h, base) for h, _ in cases],
+                               "href string, base string")
+    got = [r.r for r in df.select(
+        U.resolve_href(F.col("href"), F.col("base")).alias("r")).collect()]
+    assert got == [want for _, want in cases]
+    # DuckDB twin agrees branch-for-branch
+    import duckdb
+    for href, want in cases:
+        sql = U.resolve_href_sql(f"'{href}'", f"'{base}'")
+        assert duckdb.sql(f"SELECT {sql} AS r").fetchone()[0] == want

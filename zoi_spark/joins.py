@@ -46,7 +46,9 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     the right row with the greatest ``right_ts`` ≤ ``left_ts`` within
     the same ``on`` key (``strict=True`` uses ``<``). Unmatched left
     rows keep NULL payloads (left-outer semantics, like DuckDB's
-    ``ASOF LEFT JOIN`` and Pandas ``merge_asof``).
+    ``ASOF LEFT JOIN`` and Pandas ``merge_asof``). NULL keys follow
+    SQL equality: a NULL-key left row never matches anything (it is
+    returned unmatched), and NULL-key right rows match no one.
 
     Implementation: tag-and-union, not join —
 
@@ -80,6 +82,15 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     if payload is None:
         payload = [c for c in right.columns if c != on]
     lcols = left.columns
+
+    # NULL keys never match (SQL equality / DuckDB ASOF / merge_asof
+    # semantics): NULL-key left rows bypass the window entirely and
+    # come back with NULL payloads — which also keeps the all-NULL key
+    # out of the window shuffle (it would otherwise be the hottest
+    # partition on sparse-key data). NULL-key right rows are dropped.
+    left_null = left.where(F.col(on).isNull())
+    left = left.where(F.col(on).isNotNull())
+    right = right.where(F.col(on).isNotNull())
 
     p_struct = F.struct(
         F.col(right_ts).alias("__rts"),
@@ -133,11 +144,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
 
     taken = set(lcols)
     proj = [F.col(c) for c in lcols]
+    null_proj = [F.col(c) for c in lcols]
     for c in payload:
         name = c if c not in taken else c + suffix
         taken.add(name)
         proj.append(F.col("__m." + c).alias(name))
-    return out.select(*proj)
+        null_proj.append(
+            F.lit(None).cast(p_type[c].dataType).alias(name))
+    return out.select(*proj).unionByName(left_null.select(*null_proj))
 
 
 def range_join(points: DataFrame, intervals: DataFrame, *,
@@ -196,8 +210,14 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
         F.lit(f"range_join: interval spans more than {max_span_buckets}"
               " buckets; raise bucket_width or max_span_buckets"))
     hi_checked = hi + F.coalesce(span_ok.cast("long"), F.lit(0))
-    ivals = intervals.withColumn(
-        "__bucket", F.explode(F.sequence(lo, hi_checked)))
+    # reversed intervals (end < start) contain no point under BETWEEN,
+    # but sequence(lo, hi) would enumerate them DESCENDING — a corrupt
+    # row with start=2e9, end=0 would emit ~2e9 bucket rows and bypass
+    # the span guard (negative span < max always holds). Drop them
+    # before enumeration: their match set is empty by definition.
+    ivals = (intervals
+             .where(F.col(start_col) <= F.col(end_col))
+             .withColumn("__bucket", F.explode(F.sequence(lo, hi_checked))))
     pts = points.withColumn("__bucket", p_bucket)
 
     keys = ["__bucket"] + ([on] if on else [])

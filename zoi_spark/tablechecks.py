@@ -1019,7 +1019,10 @@ def rfm_segments(df: DataFrame, *, entity_col: str, ts_col: str,
                  amount_col: str, buckets: int = 4) -> DataFrame:
     """RFM segmentation: per entity, Recency (latest ts), Frequency
     (row count) and Monetary (amount sum) are each ntile-bucketed into
-    *buckets* quantile groups (1 = worst … buckets = best), and the
+    *buckets* quantile groups (1 = best … buckets = worst: every ntile
+    orders its metric descending, so the most-recent / most-frequent /
+    highest-spend entities land in bucket 1 — the conventional "RFM
+    cell 111 = champions" reading), and the
     segment cells are counted — the classic customer-base / host-
     contribution health matrix.
 
@@ -1975,17 +1978,27 @@ def transition_violations(df: DataFrame, *, entity_col: str,
 
     Order is ``(ts, id)`` within the entity (the id tie-break keeps
     equal-timestamp rows deterministic). ONE entity-keyed window for
-    the lag + ONE (from,to) aggregation; the whitelist is a literal
-    `isin` over concatenated pair keys — no join, no Python."""
+    the lag + ONE (from,to) aggregation; the whitelist compiles to a
+    literal OR-of-pairs predicate (null-safe equality per side — no
+    concatenated key, so state values containing any separator byte
+    can't alias each other, and a NULL state is never spuriously
+    whitelisted). A NULL ``type_col`` on either side of a real
+    transition IS a violation (a state machine has no NULL state);
+    only the first row per entity — no previous row at all,
+    distinguished from a NULL previous VALUE by a lagged marker —
+    is exempt."""
     w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
     prev = F.lag(type_col).over(w)
-    pair = F.concat_ws("\x01", prev, F.col(type_col))
-    keys = ["\x01".join(p) for p in allowed]
+    # lag of a literal: NULL exactly when there is no previous ROW
+    prev_exists = F.coalesce(F.lag(F.lit(True)).over(w), F.lit(False))
+    ok = F.lit(False)
+    for a, b in allowed:
+        ok = ok | (prev.eqNullSafe(F.lit(a))
+                   & F.col(type_col).eqNullSafe(F.lit(b)))
     return (df.select(prev.alias("from_type"),
                       F.col(type_col).alias("to_type"),
-                      pair.alias("__p"))
-            .where(F.col("from_type").isNotNull()
-                   & ~F.col("__p").isin(keys))
+                      prev_exists.alias("__e"), ok.alias("__ok"))
+            .where(F.col("__e") & ~F.col("__ok"))
             .groupBy("from_type", "to_type")
             .agg(F.count("*").cast("long").alias("n")))
 

@@ -2247,8 +2247,7 @@ _META_ROBOTS_RE = ("(?i)<meta\\s[^>]*name\\s*=\\s*[\"']?robots"
 _META_CONTENT_RE = "(?i)content\\s*=\\s*[\"']([^\"'>]*)"
 
 
-def meta_robots(df: DataFrame, *, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+def meta_robots(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Robots-meta directive census — the compliance gate a crawl
     corpus must pass BEFORE training: pages carrying ``noindex``/
     ``noarchive`` directives asked not to be republished, and several

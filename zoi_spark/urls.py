@@ -88,6 +88,56 @@ def canonical_url_sql(col: str = "url") -> str:
     return u
 
 
+def resolve_href(href: Column, base: Column) -> Column:
+    """Absolutize an href against its page url — the RFC 3986 subset
+    pure expressions can carry: absolute urls pass through,
+    scheme-relative ``//h/p`` takes the page scheme, root-relative
+    ``/p`` takes the page origin, query/fragment-only ``?q``/``#f``
+    append to the page path, and anything else resolves against the
+    page's directory (no ``..`` normalization — a deliberate
+    conservative miss, <0.1% of web hrefs). DuckDB twin:
+    :func:`resolve_href_sql`."""
+    scheme = F.lower(F.regexp_extract(
+        base, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    origin = F.regexp_extract(
+        base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    # page directory: everything up to the LAST '/' before any ?#;
+    # the greedy match on a path-less url ('http://h') stops inside
+    # '//', so guard on length > origin and fall back to origin+'/'
+    dirbase = F.regexp_extract(base, r"^([^?#]*/)", 1)
+    dir_ = F.when(F.length(dirbase) > F.length(origin), dirbase) \
+            .otherwise(F.concat(origin, F.lit("/")))
+    path = F.regexp_extract(base, r"^([^?#]*)", 1)
+    return (F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+            .when(href.startswith("//"),
+                  F.concat(scheme, F.lit(":"), href))
+            .when(href.startswith("/"), F.concat(origin, href))
+            .when(href.startswith("?") | href.startswith("#"),
+                  F.concat(path, href))
+            .otherwise(F.concat(dir_, href)))
+
+
+def resolve_href_sql(href: str, base: str) -> str:
+    """The DuckDB twin of :func:`resolve_href` — same branches, same
+    regexes, for oracle parity."""
+    scheme = (f"lower(regexp_extract({base}, "
+              f"'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))")
+    origin = (f"regexp_extract({base}, "
+              f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)")
+    dirbase = f"regexp_extract({base}, '^([^?#]*/)', 1)"
+    dir_ = (f"(CASE WHEN length({dirbase}) > length({origin}) "
+            f"THEN {dirbase} ELSE {origin} || '/' END)")
+    path = f"regexp_extract({base}, '^([^?#]*)', 1)"
+    return (f"(CASE "
+            f"WHEN regexp_matches({href}, "
+            f"'^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN {href} "
+            f"WHEN {href} LIKE '//%' THEN {scheme} || ':' || {href} "
+            f"WHEN {href} LIKE '/%' THEN {origin} || {href} "
+            f"WHEN {href} LIKE '?%' OR {href} LIKE '#%' "
+            f"THEN {path} || {href} "
+            f"ELSE {dir_} || {href} END)")
+
+
 def url_host(url: Column) -> Column:
     """Lowercased host (port stripped) — the partition/skew key for
     host-level operations (hot hosts are THE skew source in web
@@ -540,9 +590,12 @@ def content_churn(df: DataFrame, *, url_col: str = "url",
     Shape at 10^12 rows: rows reduce to ``(url, host, 48-bit md5
     digest)`` BEFORE the self-join — the join ships 3 narrow columns,
     never text — then one url-keyed equi-join (AQE handles hot-host
-    skew; url is near-unique per side so no mega-groups) and one
-    host aggregation. Digest collisions (~2^-48 per pair) bias churn
-    DOWN by at most that."""
+    skew) and one host aggregation. Each side is aggregated to ONE row
+    per url first (min digest breaks refetch ties deterministically),
+    so a url refetched k·m times contributes exactly one pair:
+    n_common counts common URLS, not join-multiplied refetch pairs,
+    and churn stays page-weighted. Digest collisions (~2^-48 per
+    pair) bias churn DOWN by at most that."""
     snaps = [r[0] for r in
              df.select(snap_col).distinct().orderBy(snap_col).collect()]
     if len(snaps) != 2:
@@ -555,9 +608,15 @@ def content_churn(df: DataFrame, *, url_col: str = "url",
                     F.col(url_col).alias("__u"),
                     url_host(F.col(url_col)).alias("host"),
                     digest.alias("__d")))
-    a = slim.where(F.col("__s") == snaps[0]).drop("__s")
+    # one row per url per side: refetches within a snapshot would
+    # otherwise multiply through the equi-join (k·m pairs per url)
+    # and make the rates refetch-weighted instead of page-weighted
+    a = (slim.where(F.col("__s") == snaps[0])
+         .groupBy("__u")
+         .agg(F.min("host").alias("host"), F.min("__d").alias("__d")))
     b = (slim.where(F.col("__s") == snaps[1])
-         .select("__u", F.col("__d").alias("__d2")))
+         .groupBy("__u")
+         .agg(F.min("__d").alias("__d2")))
     j = a.join(b, "__u")
     return (j.groupBy("host")
             .agg(F.count("*").alias("n_common"),
@@ -622,14 +681,20 @@ def canonical_mismatch(df: DataFrame, *, url_col: str = "url",
     One regexp_extract projection (rel-before-href attribute order,
     the overwhelmingly dominant emitted form — documented contract) +
     one host aggregation. No explode: only the FIRST declaration
-    counts, matching browser/crawler precedence."""
+    counts, matching browser/crawler precedence. Relative canonical
+    hrefs (the common ``href="/page"`` self-canonical form) are
+    resolved against the page url via :func:`resolve_href` before
+    comparing — a host whose pages all declare relative
+    self-canonicals correctly reports mismatch_rate 0."""
     decl = F.regexp_extract(F.col(text_col), _CANONICAL_RE, 1)
     base = (df.where(F.col(url_col).isNotNull())
-            .select(url_host(F.col(url_col)).alias("host"),
+            .select(F.col(url_col).alias("__url"),
+                    url_host(F.col(url_col)).alias("host"),
                     canonical_url(F.col(url_col)).alias("__self"),
                     decl.alias("__decl")))
     base = base.where((F.col("__decl") != "") & (F.col("host") != ""))
-    mism = (canonical_url(F.col("__decl")) != F.col("__self"))
+    resolved = resolve_href(F.col("__decl"), F.col("__url"))
+    mism = (canonical_url(resolved) != F.col("__self"))
     return (base.groupBy("host")
             .agg(F.count("*").cast("long").alias("n_canonical"),
                  F.sum(mism.cast("long")).alias("n_mismatch"))
