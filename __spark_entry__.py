@@ -4265,8 +4265,10 @@ def q_rate_cap(spark, sf_dir):
 def q_selflink_ratio(spark, sf_dir):
     """Per-host internal-link share (urls.selflink_ratio): pages on
     host doc_id%6 carry one seeded link whose target alternates self /
-    next host by doc_id parity → every host converges near 0.5; link
-    extraction (carry-cols, no join-back) + host compare + one host
+    next host by doc_id parity, EXCEPT doc_id%3==0 pages which use the
+    common ROOT-RELATIVE form ('/q/N') — a same-host link per RFC 3986
+    that must count as self regardless of parity. Link extraction
+    (carry-cols, no join-back) + host compare + one host
     aggregation."""
     from zoi_spark import urls
 
@@ -4274,12 +4276,17 @@ def q_selflink_ratio(spark, sf_dir):
     g = F.pmod("doc_id", F.lit(6)).cast("string")
     tgt = F.when(F.pmod("doc_id", F.lit(2)) == 0, g).otherwise(
         F.pmod(F.col("doc_id") + 1, F.lit(6)).cast("string"))
+    href = F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                  F.concat(F.lit("/q/"),
+                           F.col("doc_id").cast("string"))) \
+            .otherwise(F.concat(F.lit("http://host"), tgt,
+                                F.lit(".example/q/"),
+                                F.col("doc_id").cast("string")))
     seeded = d.select(
         "doc_id",
         F.concat(F.lit("http://host"), g, F.lit(".example/p/"),
                  F.col("doc_id").cast("string")).alias("url"),
-        F.concat(F.col("text"), F.lit(' <a href="http://host'), tgt,
-                 F.lit('.example/q/'), F.col("doc_id").cast("string"),
+        F.concat(F.col("text"), F.lit(' <a href="'), href,
                  F.lit('">x</a>')).alias("text"))
     return urls.selflink_ratio(seeded).orderBy("host")
 
@@ -10139,11 +10146,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      'http://host' || (doc_id % 6)::VARCHAR
                        || '.example/p/' || doc_id::VARCHAR AS url,
-                     text || ' <a href="http://host'
-                       || (CASE WHEN doc_id % 2 = 0
-                           THEN doc_id % 6
-                           ELSE (doc_id + 1) % 6 END)::VARCHAR
-                       || '.example/q/' || doc_id::VARCHAR
+                     text || ' <a href="'
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN '/q/' || doc_id::VARCHAR
+                          ELSE 'http://host'
+                            || (CASE WHEN doc_id % 2 = 0
+                                THEN doc_id % 6
+                                ELSE (doc_id + 1) % 6 END)::VARCHAR
+                            || '.example/q/' || doc_id::VARCHAR END
                        || '">x</a>' AS text
               FROM documents),
             pages AS (
@@ -10167,9 +10177,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT src_host, unnest(links) AS href FROM matched),
             lk AS (
               SELECT src_host,
-                     lower(regexp_extract(
-                       href, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
-                       AS dst_host
+                     CASE WHEN regexp_matches(href,
+                            '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                          THEN lower(regexp_extract(href,
+                            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                          WHEN href LIKE '//%'
+                          THEN lower(regexp_extract(href,
+                            '^//([^/:?#]+)', 1))
+                          ELSE src_host END AS dst_host
               FROM ex WHERE href != '' AND src_host != '')
             SELECT src_host AS host, count(*)::BIGINT AS n_links,
                    sum(CASE WHEN dst_host = src_host

@@ -2481,3 +2481,17 @@ def test_resolve_href_branches(spark):
     for href, want in cases:
         sql = U.resolve_href_sql(f"'{href}'", f"'{base}'")
         assert duckdb.sql(f"SELECT {sql} AS r").fetchone()[0] == want
+
+
+def test_selflink_ratio_relative_hrefs_are_self(spark):
+    from zoi_spark import urls as U
+
+    rows = [
+        ("http://a.com/p/1", 1, '<a href="/q/1">x</a>'),        # self
+        ("http://a.com/p/2", 2, '<a href="q2.html">x</a>'),     # self
+        ("http://a.com/p/3", 3, '<a href="//b.com/q/3">x</a>'), # other
+        ("http://a.com/p/4", 4, '<a href="http://b.com/z">x</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, doc_id long, text string")
+    r = U.selflink_ratio(df).collect()[0]
+    assert (r.host, r.n_links, r.n_self) == ("a.com", 4, 2)

@@ -641,7 +641,10 @@ def selflink_ratio(df: DataFrame, *, url_col: str = "url",
     Composes text.extract_links (href regex, one posexplode, no UDF)
     with the page host carried through ``carry_cols`` — the page→link
     edge never needs a join back to its source row. One projection +
-    explode + one host aggregation."""
+    explode + one host aggregation. Relative hrefs (root-, path-,
+    query- or fragment-relative) resolve to the PAGE's own host per
+    RFC 3986 and count as self-links; scheme-relative ``//h/…`` takes
+    its own authority."""
     from . import text as _text
 
     pages = (df.select(F.col(id_col),
@@ -651,7 +654,12 @@ def selflink_ratio(df: DataFrame, *, url_col: str = "url",
     links = _text.extract_links(pages, text_col=text_col,
                                 id_col=id_col,
                                 carry_cols=["src_host"])
-    dst = url_host(F.col("href"))
+    href = F.col("href")
+    dst = (F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+                  url_host(href))
+           .when(href.startswith("//"),
+                 F.lower(F.regexp_extract(href, r"^//([^/:?#]+)", 1)))
+           .otherwise(F.col("src_host")))
     return (links.where(F.col("src_host") != "")
             .groupBy(F.col("src_host").alias("host"))
             .agg(F.count("*").cast("long").alias("n_links"),
