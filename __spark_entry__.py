@@ -4442,6 +4442,66 @@ def q_ewma_volume(spark, sf_dir):
             .orderBy("day"))
 
 
+def q_fdr_drift(spark, sf_dir):
+    """Benjamini–Hochberg FDR control (tablechecks.bh_fdr, q=0.05)
+    over a seeded per-test p-value column, one family per source:
+    ~5% of tests (doc_id%20==0) carry genuinely tiny p ≤ 7e-4 (the
+    "real" drift alarms), the rest uniform-ish ≥ 0.1 noise — BH must
+    reject exactly the tiny block and nothing else. All p values are
+    integer-ratio doubles so both engines compare identical bits."""
+    d = _read(spark, sf_dir, "documents")
+    p = F.when(F.pmod("doc_id", F.lit(20)) == 0,
+               (F.pmod("doc_id", F.lit(7)) + 1) / F.lit(10000.0)) \
+         .otherwise((F.pmod(F.col("doc_id") * 37, F.lit(900)) + 100)
+                    / F.lit(1000.0))
+    seeded = d.select("source", p.alias("p"))
+    return (tablechecks.bh_fdr(seeded, "p", by="source", q=0.05)
+            .orderBy("source"))
+
+
+def q_welch_len_sources(spark, sf_dir):
+    """Welch's unequal-variance t (tablechecks.welch_ttest) comparing
+    mean n_chars between src0 and src1 — exact decimal moment sums
+    (integer inputs), one-row double combination."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.welch_ttest(d, "n_chars", group_col="source",
+                                   group_a="src0", group_b="src1")
+
+
+def q_spearman_len_tokens(spark, sf_dir):
+    """Spearman rank correlation (tablechecks.spearman_corr) between
+    n_chars and whitespace token count — tie-corrected via exact
+    doubled average ranks from value-distinct counts tables
+    (DECIMAL(38,0) moments; only the 1-row combination is double)."""
+    d = _read(spark, sf_dir, "documents")
+    base = d.where(F.col("text").isNotNull()).select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"))
+    return tablechecks.spearman_corr(base, "x", "y")
+
+
+def q_pass_rate_ztest(spark, sf_dir):
+    """Two-proportion pooled z-test (tablechecks.prop_ztest): did the
+    n_chars ≥ 128 pass rate move between src0 and src1? Exact integer
+    counts → bit-deterministic z."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.prop_ztest(
+        d, F.col("n_chars") >= 128, group_col="source",
+        group_a="src0", group_b="src1")
+
+
+def q_runs_pass_audit(spark, sf_dir):
+    """Wald–Wolfowitz runs test per user (tablechecks.runs_test):
+    are 'view' outcomes randomly interleaved with other event types,
+    or bursty? (ts, event_id)-ordered lag + one entity aggregation;
+    users need ≥5 of each outcome."""
+    ev = _read(spark, sf_dir, "events")
+    return (tablechecks.runs_test(
+        ev, F.col("event_type") == "view", entity_col="user_id",
+        ts_col="ts", id_col="event_id", min_each=5)
+        .orderBy("user_id"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4719,6 +4779,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "coverage_langs": q_coverage_langs,
         "cms_lang_counts": q_cms_lang_counts,
         "ewma_volume": q_ewma_volume,
+        "fdr_drift": q_fdr_drift,
+        "welch_len_sources": q_welch_len_sources,
+        "spearman_len_tokens": q_spearman_len_tokens,
+        "pass_rate_ztest": q_pass_rate_ztest,
+        "runs_pass_audit": q_runs_pass_audit,
     }
 
 
@@ -10405,5 +10470,147 @@ def oracle_sql() -> dict[str, str]:
                    round(n / e, 6) AS ratio,
                    coalesce(n / e > 1.2, FALSE) AS is_anomaly
             FROM allr ORDER BY day
+        """,
+        "fdr_drift": """
+            WITH seeded AS (
+              SELECT source,
+                     CASE WHEN doc_id % 20 = 0
+                          THEN ((doc_id % 7) + 1) / 10000.0
+                          ELSE ((doc_id * 37) % 900 + 100) / 1000.0
+                     END AS p
+              FROM documents),
+            r AS (
+              SELECT source, p,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY p) AS i,
+                     count(*) OVER (PARTITION BY source) AS m
+              FROM seeded WHERE p IS NOT NULL)
+            SELECT source, count(*)::BIGINT AS n_tests,
+                   coalesce(max(CASE WHEN p * m <= i * 0.05
+                                THEN i END), 0)::BIGINT AS n_rejected,
+                   round(max(CASE WHEN p * m <= i * 0.05 THEN p END),
+                         6) AS p_crit
+            FROM r GROUP BY source ORDER BY source
+        """,
+        "welch_len_sources": """
+            WITH g AS (
+              SELECT source, count(*)::DOUBLE AS n,
+                     sum(n_chars)::DOUBLE AS s,
+                     sum(n_chars * n_chars)::DOUBLE AS q2
+              FROM documents
+              WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+              GROUP BY source),
+            a AS (SELECT n AS na, s AS sa, q2 AS qa FROM g
+                  WHERE source = 'src0'),
+            b AS (SELECT n AS nb, s AS sb, q2 AS qb FROM g
+                  WHERE source = 'src1'),
+            j AS (SELECT * FROM a, b),
+            d AS (
+              SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                     (qa - sa * sa / na) / (na - 1) AS va,
+                     (qb - sb * sb / nb) / (nb - 1) AS vb
+              FROM j),
+            e AS (
+              SELECT na, nb, ma, mb, va, vb,
+                     va / na + vb / nb AS se2
+              FROM d)
+            SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round((ma - mb) / sqrt(se2), 6) AS t_stat,
+                   round((se2 * se2)
+                         / ((va / na) * (va / na) / (na - 1)
+                            + (vb / nb) * (vb / nb) / (nb - 1)), 6)
+                     AS df_welch
+            FROM e
+        """,
+        "spearman_len_tokens": """
+            WITH base AS (
+              SELECT n_chars AS x,
+                     array_length(string_split(text, ' '))::BIGINT AS y
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+            vx AS (SELECT x, count(*) AS c FROM base GROUP BY x),
+            rx AS (SELECT x,
+                     (2 * coalesce(sum(c) OVER (
+                        ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1)::HUGEINT AS r2x
+                   FROM vx),
+            vy AS (SELECT y, count(*) AS c FROM base GROUP BY y),
+            ry AS (SELECT y,
+                     (2 * coalesce(sum(c) OVER (
+                        ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1)::HUGEINT AS r2y
+                   FROM vy),
+            jj AS (SELECT r2x AS a, r2y AS b
+                   FROM base JOIN rx USING (x) JOIN ry USING (y)),
+            s AS (SELECT count(*)::DOUBLE AS n,
+                         sum(a)::DOUBLE AS sx, sum(b)::DOUBLE AS sy,
+                         sum(a * a)::DOUBLE AS sxx,
+                         sum(b * b)::DOUBLE AS syy,
+                         sum(a * b)::DOUBLE AS sxy
+                  FROM jj)
+            SELECT n::BIGINT AS n,
+                   CASE WHEN (n * sxx - sx * sx)
+                             * (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)
+                                   / sqrt((n * sxx - sx * sx)
+                                          * (n * syy - sy * sy)), 6)
+                   END AS rho
+            FROM s
+        """,
+        "pass_rate_ztest": """
+            WITH g AS (
+              SELECT source, count(*) AS n,
+                     sum(CASE WHEN n_chars >= 128 THEN 1 ELSE 0 END)
+                       AS k
+              FROM documents WHERE source IN ('src0', 'src1')
+              GROUP BY source),
+            a AS (SELECT n AS na, k AS ka FROM g WHERE source = 'src0'),
+            b AS (SELECT n AS nb, k AS kb FROM g WHERE source = 'src1'),
+            j AS (SELECT na::DOUBLE AS na, ka::DOUBLE AS ka,
+                         nb::DOUBLE AS nb, kb::DOUBLE AS kb
+                  FROM a, b),
+            d AS (
+              SELECT na, ka, nb, kb, ka / na AS pa, kb / nb AS pb,
+                     sqrt(((ka + kb) / (na + nb))
+                          * (1 - (ka + kb) / (na + nb))
+                          * (1 / na + 1 / nb)) AS se
+              FROM j)
+            SELECT na::BIGINT AS n_a, ka::BIGINT AS k_a,
+                   nb::BIGINT AS n_b, kb::BIGINT AS k_b,
+                   round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+                   CASE WHEN se > 0
+                        THEN round((pa - pb) / se, 6) END AS z_stat
+            FROM d
+        """,
+        "runs_pass_audit": """
+            WITH f AS (
+              SELECT user_id, ts, event_id,
+                     (event_type = 'view') AS fl
+              FROM events),
+            l AS (
+              SELECT user_id, fl,
+                     CASE WHEN lag(fl) OVER w IS NULL
+                            OR lag(fl) OVER w = fl
+                          THEN 0 ELSE 1 END AS s
+              FROM f
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)),
+            per AS (
+              SELECT user_id, count(*) AS n,
+                     sum(CASE WHEN fl THEN 1 ELSE 0 END) AS n1,
+                     sum(s) + 1 AS runs
+              FROM l GROUP BY user_id),
+            d AS (
+              SELECT user_id, n, n1, runs,
+                     n::DOUBLE AS nd, n1::DOUBLE AS n1d,
+                     (n - n1)::DOUBLE AS n0d
+              FROM per WHERE n1 >= 5 AND n - n1 >= 5)
+            SELECT user_id, n::BIGINT AS n, n1::BIGINT AS n_true,
+                   runs::BIGINT AS n_runs,
+                   round((runs::DOUBLE - (2 * n1d * n0d / nd + 1))
+                         / sqrt((2 * n1d * n0d * (2 * n1d * n0d - nd))
+                                / (nd * nd * (nd - 1))), 6) AS z_stat
+            FROM d ORDER BY user_id
         """,
     }

@@ -284,6 +284,8 @@ R4_NAMES = [
     "staleness_audit",
     # wave 28: kappa agreement, coverage gaps, count-min sketch, EWMA
     "rater_kappa", "coverage_langs", "cms_lang_counts", "ewma_volume",
+    "fdr_drift", "welch_len_sources", "spearman_len_tokens",
+    "pass_rate_ztest", "runs_pass_audit",
 ]
 
 

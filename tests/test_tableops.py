@@ -2495,3 +2495,83 @@ def test_selflink_ratio_relative_hrefs_are_self(spark):
     df = spark.createDataFrame(rows, "url string, doc_id long, text string")
     r = U.selflink_ratio(df).collect()[0]
     assert (r.host, r.n_links, r.n_self) == ("a.com", 4, 2)
+
+
+def test_bh_fdr_step_up(spark):
+    ps = [0.005, 0.009, 0.02, 0.04, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+    df = spark.createDataFrame([("f", p) for p in ps], "fam string, p double")
+    r = tablechecks.bh_fdr(df, "p", by="fam", q=0.1).collect()[0]
+    # thresholds i*0.01: i=1..4 all satisfied (0.04 <= 0.04), i>=5 not
+    assert (r.n_tests, r.n_rejected, r.p_crit) == (10, 4, 0.04)
+
+    none = spark.createDataFrame([("g", 0.5), ("g", 0.9)],
+                                 "fam string, p double")
+    r2 = tablechecks.bh_fdr(none, "p", by="fam", q=0.05).collect()[0]
+    assert (r2.n_rejected, r2.p_crit) == (0, None)
+
+
+def test_welch_ttest_hand_values(spark):
+    import math
+    a, b = [1, 2, 3, 4], [2, 4, 6, 8, 10]
+    df = spark.createDataFrame([("a", v) for v in a]
+                               + [("b", v) for v in b],
+                               "g string, x long")
+    r = tablechecks.welch_ttest(df, "x", group_col="g",
+                                group_a="a", group_b="b").collect()[0]
+    ma, mb = 2.5, 6.0
+    va = sum((v - ma) ** 2 for v in a) / 3
+    vb = sum((v - mb) ** 2 for v in b) / 4
+    se2 = va / 4 + vb / 5
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2 ** 2 / ((va / 4) ** 2 / 3 + (vb / 5) ** 2 / 4)
+    assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (4, 5, 2.5, 6.0)
+    assert abs(r.t_stat - round(t, 6)) < 1e-9
+    assert abs(r.df_welch - round(dfw, 6)) < 1e-9
+
+
+def test_spearman_corr_monotone_and_ties(spark):
+    up = spark.createDataFrame([(1, 2), (2, 4), (3, 6), (4, 8), (5, 10)],
+                               "x long, y long")
+    assert tablechecks.spearman_corr(up, "x", "y").collect()[0].rho == 1.0
+    down = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], "x long, y long")
+    assert tablechecks.spearman_corr(down, "x", "y").collect()[0].rho == -1.0
+    # all-tied column: zero rank variance -> NULL rho, not a crash
+    flat = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x long, y long")
+    r = tablechecks.spearman_corr(flat, "x", "y").collect()[0]
+    assert r.n == 3 and r.rho is None
+
+
+def test_prop_ztest_hand_values(spark):
+    import math
+    rows = ([("a", True)] * 80 + [("a", False)] * 20
+            + [("b", True)] * 60 + [("b", False)] * 40)
+    df = spark.createDataFrame(rows, "g string, f boolean")
+    r = tablechecks.prop_ztest(df, "f", group_col="g",
+                               group_a="a", group_b="b").collect()[0]
+    se = math.sqrt(0.7 * 0.3 * (1 / 100 + 1 / 100))
+    assert (r.n_a, r.k_a, r.n_b, r.k_b) == (100, 80, 100, 60)
+    assert (r.rate_a, r.rate_b) == (0.8, 0.6)
+    assert abs(r.z_stat - round(0.2 / se, 6)) < 1e-9
+
+
+def test_runs_test_bursty_sequence(spark):
+    import math
+    # u: TTTTTFFFFF -> 2 runs (maximally bursty); v: alternating -> 10
+    seq_u = [True] * 5 + [False] * 5
+    seq_v = [i % 2 == 0 for i in range(10)]
+    rows = ([("u", i, i, f) for i, f in enumerate(seq_u)]
+            + [("v", i, i, f) for i, f in enumerate(seq_v)])
+    df = spark.createDataFrame(rows, "e string, ts long, id long, f boolean")
+    out = {r.e: r for r in tablechecks.runs_test(
+        df, "f", entity_col="e", ts_col="ts", id_col="id",
+        min_each=5).collect()}
+    mu, var = 2 * 25 / 10 + 1, 2 * 25 * (50 - 10) / (100 * 9)
+    assert out["u"].n_runs == 2
+    assert abs(out["u"].z_stat - round((2 - mu) / math.sqrt(var), 6)) < 1e-9
+    assert out["v"].n_runs == 10
+    # entity with fewer than min_each of one outcome is excluded
+    few = spark.createDataFrame(
+        [("w", i, i, i < 2) for i in range(10)],
+        "e string, ts long, id long, f boolean")
+    assert tablechecks.runs_test(few, "f", entity_col="e", ts_col="ts",
+                                 id_col="id", min_each=5).count() == 0

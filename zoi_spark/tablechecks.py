@@ -2171,3 +2171,207 @@ def ewma_anomalies(df: DataFrame, *, ts_col: str,
                     F.round(ratio, round_to).alias("ratio"),
                     F.coalesce(ratio > factor, F.lit(False))
                     .alias("is_anomaly")))
+
+
+def bh_fdr(df: DataFrame, p_col: str, *, by: str, q: float = 0.05,
+           round_to: int = 6) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control per family (Benjamini &
+    Hochberg 1995): when a validation run fires THOUSANDS of per-rule /
+    per-segment hypothesis tests, raw p < 0.05 guarantees a flood of
+    false alarms; BH bounds the expected false-discovery RATE at ``q``.
+    Per family: ``(family, n_tests, n_rejected, p_crit)`` with
+    n_rejected = max{i : p_(i) ≤ i·q/m} (0 and NULL p_crit when
+    nothing survives).
+
+    Tie-stability: the threshold i·q/m grows with i, so equal p values
+    either all satisfy their own index or none do — row_number tie
+    order cannot change n_rejected (no tiebreak column needed).
+
+    Shape at 10^12 tests: ONE shuffle on the family key; the in-family
+    sort is bounded by tests-per-family (rule-count × segment-count,
+    thousands), never the corpus."""
+    w = Window.partitionBy(by).orderBy(F.col(p_col).asc())
+    i = F.row_number().over(w)
+    base = (df.where(F.col(p_col).isNotNull())
+            .select(F.col(by), F.col(p_col).alias("__p"),
+                    i.alias("__i")))
+    m = Window.partitionBy(by)
+    flag = (F.col("__p") * F.count("*").over(m)
+            <= F.col("__i") * F.lit(float(q)))
+    return (base.withColumn("__hit", flag)
+            .groupBy(by)
+            .agg(F.count("*").cast("long").alias("n_tests"),
+                 F.coalesce(F.max(F.when(F.col("__hit"), F.col("__i"))),
+                            F.lit(0)).cast("long").alias("n_rejected"),
+                 F.round(F.max(F.when(F.col("__hit"), F.col("__p"))),
+                         round_to).alias("p_crit")))
+
+
+def welch_ttest(df: DataFrame, value_col: str, *, group_col: str,
+                group_a, group_b, round_to: int = 6) -> DataFrame:
+    """Welch's unequal-variance two-sample t (the default two-engine /
+    two-source mean comparison — never assume equal variances across
+    web sources): one row ``(n_a, n_b, mean_a, mean_b, t_stat,
+    df_welch)`` with the Welch–Satterthwaite degrees of freedom.
+
+    Determinism: n, Σx, Σx² are accumulated EXACTLY (DECIMAL(38,6)),
+    so for integer-valued columns (lengths, counts — the usual QA
+    inputs) the statistic is bit-deterministic; the final combination
+    runs in double on one row. One corpus aggregation, no shuffle
+    beyond the 2-row partial merge."""
+    x = F.col(value_col).cast("decimal(20,6)")
+    g = (df.where(F.col(group_col).isin([group_a, group_b])
+                  & F.col(value_col).isNotNull())
+         .groupBy(group_col)
+         .agg(F.count("*").alias("n"),
+              F.sum(x).alias("s1"),
+              F.sum((x * x).cast("decimal(38,6)")).alias("s2")))
+    a = g.where(F.col(group_col) == group_a) \
+         .select(F.col("n").alias("na"), F.col("s1").alias("sa"),
+                 F.col("s2").alias("qa"))
+    b = g.where(F.col(group_col) == group_b) \
+         .select(F.col("n").alias("nb"), F.col("s1").alias("sb"),
+                 F.col("s2").alias("qb"))
+    j = a.crossJoin(F.broadcast(b))          # both single-row
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)       # sample variance
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                         + (vb / nb) * (vb / nb) / (nb - 1))
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, round_to).alias("mean_a"),
+        F.round(mb, round_to).alias("mean_b"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(dfw, round_to).alias("df_welch"))
+
+
+def spearman_corr(df: DataFrame, col_x: str, col_y: str, *,
+                  round_to: int = 6) -> DataFrame:
+    """Spearman rank correlation (tie-corrected: Pearson over average
+    ranks) between two numeric columns — the monotone-association QA
+    check that is robust to the heavy tails web-scale length/score
+    columns always have. One row: ``(n, rho)``.
+
+    Average ranks come from the VALUE-DISTINCT counts table of each
+    column (2·avgrank = 2·cum_before + n_ties + 1, the mannwhitney_u
+    construction), joined back to rows on the value — so the doubled
+    ranks are exact integers and every moment (accumulated as
+    DECIMAL(38,0), overflow-safe to n ≈ 10^12) is exact; only the
+    one-row final combination runs in double. Shape: two distinct-value
+    aggregations + two value-keyed equi-joins + one corpus aggregation;
+    value-key skew is AQE's standard case."""
+    base = (df.where(F.col(col_x).isNotNull()
+                     & F.col(col_y).isNotNull())
+            .select(F.col(col_x).alias("__x"),
+                    F.col(col_y).alias("__y")))
+
+    def rank2_table(col):
+        vc = base.groupBy(col).agg(F.count("*").alias("__n"))
+        w = (Window.partitionBy().orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        cum = F.coalesce(F.sum("__n").over(w), F.lit(0))
+        return vc.select(col, (2 * cum + F.col("__n") + 1)
+                         .cast("decimal(38,0)").alias(col + "_r2"))
+
+    ranked = (base.join(rank2_table("__x"), "__x")
+              .join(rank2_table("__y"), "__y"))
+    rx = F.col("__x_r2")
+    ry = F.col("__y_r2")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(rx).alias("sx"), F.sum(ry).alias("sy"),
+        F.sum((rx * rx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((ry * ry).cast("decimal(38,0)")).alias("syy"),
+        F.sum((rx * ry).cast("decimal(38,0)")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    rho = F.when(den > 0, F.round(num / den, round_to))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      rho.alias("rho"))
+
+
+def prop_ztest(df: DataFrame, flag_col, *, group_col: str,
+               group_a, group_b, round_to: int = 6) -> DataFrame:
+    """Two-proportion pooled z-test — "did the pass rate really move
+    between engine versions / sources, or is it sample noise?" (the
+    validation-tier A/B question). One row: ``(n_a, k_a, n_b, k_b,
+    rate_a, rate_b, z_stat)`` with the pooled-variance z; counts are
+    exact integers, so z is bit-deterministic. ``flag_col`` may be a
+    column name or a boolean Column expression. One corpus aggregation."""
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    g = (df.where(F.col(group_col).isin([group_a, group_b]))
+         .groupBy(group_col)
+         .agg(F.count("*").alias("n"),
+              F.sum(flag.cast("long")).alias("k")))
+    a = g.where(F.col(group_col) == group_a) \
+         .select(F.col("n").alias("na"), F.col("k").alias("ka"))
+    b = g.where(F.col(group_col) == group_b) \
+         .select(F.col("n").alias("nb"), F.col("k").alias("kb"))
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ka, kb = F.col("ka").cast("double"), F.col("kb").cast("double")
+    pa, pb = ka / na, kb / nb
+    pool = (ka + kb) / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when(se > 0, F.round((pa - pb) / se, round_to))
+    return j.select(F.col("na").cast("long").alias("n_a"),
+                    F.col("ka").cast("long").alias("k_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    F.col("kb").cast("long").alias("k_b"),
+                    F.round(pa, round_to).alias("rate_a"),
+                    F.round(pb, round_to).alias("rate_b"),
+                    z.alias("z_stat"))
+
+
+def runs_test(df: DataFrame, flag_col, *, entity_col: str,
+              ts_col: str, id_col: str, min_each: int = 5,
+              round_to: int = 6) -> DataFrame:
+    """Wald–Wolfowitz runs test per entity: are an entity's pass/fail
+    outcomes randomly interleaved, or do failures arrive in BURSTS
+    (clustered violations = a broken upstream batch, not row noise)?
+    Per entity with ≥ ``min_each`` of each outcome: ``(entity, n,
+    n_true, n_runs, z_stat)`` where z compares the observed run count
+    to μ = 2·n1·n0/n + 1 with the exact W-W variance. Sequence order
+    is (ts, id) — deterministic under ties. All counts are exact
+    integers; z is derived from them on the aggregated row.
+
+    Shape: ONE entity-keyed window (the lag) + ONE entity aggregation
+    — the same shuffle any per-entity audit pays."""
+    flag = (F.col(flag_col) if isinstance(flag_col, str)
+            else flag_col).cast("boolean")
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    prev = F.lag(flag.cast("int")).over(w)
+    step = F.when(prev.isNull() | (prev == flag.cast("int")),
+                  F.lit(0)).otherwise(F.lit(1))
+    per = (df.select(F.col(entity_col), flag.alias("__f"),
+                     step.alias("__s"))
+           .groupBy(entity_col)
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("__f").cast("long")).alias("n1"),
+                (F.sum("__s") + 1).alias("runs")))
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = n - n1
+    mu = 2 * n1 * n0 / n + 1
+    var = (2 * n1 * n0 * (2 * n1 * n0 - n)) / (n * n * (n - 1))
+    z = F.round((F.col("runs").cast("double") - mu) / F.sqrt(var),
+                round_to)
+    return (per.where((F.col("n1") >= int(min_each))
+                      & (F.col("n") - F.col("n1") >= int(min_each)))
+            .select(F.col(entity_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("n1").cast("long").alias("n_true"),
+                    F.col("runs").cast("long").alias("n_runs"),
+                    z.alias("z_stat")))
