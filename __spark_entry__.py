@@ -4502,6 +4502,81 @@ def q_runs_pass_audit(spark, sf_dir):
         .orderBy("user_id"))
 
 
+def q_hapax_langs(spark, sf_dir):
+    """Hapax-legomena share per lang (text.hapax_rate): the type-level
+    singleton share of each language's vocabulary — explode + two hash
+    aggregations, the standard corpus-vocabulary shuffle pair."""
+    from zoi_spark import text
+
+    d = _read(spark, sf_dir, "documents")
+    return text.hapax_rate(d).orderBy("lang")
+
+
+def q_quality_migration(spark, sf_dir):
+    """Quality-bucket migration matrix (tablechecks.bucket_migration,
+    fixed edges 25/50/75 — NO global sort): page = doc_id//2 scored
+    (page·31)%100 in snapshot 0; snapshot 1 shifts every 5th page's
+    score by +37 mod 100, so exactly the page%5==0 cells migrate."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    page = F.floor(F.col("doc_id") / 2).cast("long")
+    snap = F.pmod("doc_id", F.lit(2)).cast("int")
+    s0 = F.pmod(page * 31, F.lit(100))
+    score = F.when((snap == 1) & (F.pmod(page, F.lit(5)) == 0),
+                   F.pmod(s0 + 37, F.lit(100))).otherwise(s0)
+    seeded = d.select(snap.alias("snap"), page.alias("page"),
+                      score.cast("double").alias("score"))
+    return (tablechecks.bucket_migration(
+        seeded, snap_col="snap", id_col="page", score_col="score",
+        thresholds=[25.0, 50.0, 75.0])
+        .orderBy("from_bucket", "to_bucket"))
+
+
+def q_median_lang_lens(spark, sf_dir):
+    """Mood's median test (tablechecks.median_test) on n_chars across
+    langs — counts above the exact corpus median per group, one
+    chi-square verdict row (dof = g−1)."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.median_test(d, "n_chars", group_col="lang")
+
+
+def q_host_pass_shrunk(spark, sf_dir):
+    """Empirical-Bayes shrunken pass rates (tablechecks.
+    shrunk_pass_rates, prior strength 100): per seeded host
+    (doc_id%10), the n_chars ≥ 128 pass rate pulled toward the corpus
+    mean — the league-table-safe worst-host ranking."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.select(
+        F.concat(F.lit("host"), F.pmod("doc_id", F.lit(10))
+                 .cast("string")).alias("host"),
+        (F.col("n_chars") >= 128).alias("ok"))
+    return (tablechecks.shrunk_pass_rates(
+        seeded, "ok", by="host", prior_strength=100.0)
+        .orderBy("host"))
+
+
+def q_url_ext_mix(spark, sf_dir):
+    """Path-extension census (urls.url_ext_census): seven seeded url
+    shapes per doc_id%7 — extensionless file, .html, .php, case-folded
+    .HTML, .jpg, a directory path, and .tar.gz (ext = 'gz') — one
+    regexp projection + vocabulary-sized aggregation."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    k = F.pmod("doc_id", F.lit(7))
+    tail = (F.when(k == 0, F.lit("page"))
+            .when(k == 1, F.lit("a.html"))
+            .when(k == 2, F.lit("index.php"))
+            .when(k == 3, F.lit("UP.HTML"))
+            .when(k == 4, F.lit("img.jpg"))
+            .when(k == 5, F.lit("dir/"))
+            .otherwise(F.lit("pkg.tar.gz")))
+    seeded = d.select(
+        F.concat(F.lit("http://h"),
+                 F.pmod("doc_id", F.lit(3)).cast("string"),
+                 F.lit(".example/p/"), tail).alias("url"))
+    return urls.url_ext_census(seeded).orderBy("ext")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4784,6 +4859,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "spearman_len_tokens": q_spearman_len_tokens,
         "pass_rate_ztest": q_pass_rate_ztest,
         "runs_pass_audit": q_runs_pass_audit,
+        "hapax_langs": q_hapax_langs,
+        "quality_migration": q_quality_migration,
+        "median_lang_lens": q_median_lang_lens,
+        "host_pass_shrunk": q_host_pass_shrunk,
+        "url_ext_mix": q_url_ext_mix,
     }
 
 
@@ -10612,5 +10692,109 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((2 * n1d * n0d * (2 * n1d * n0d - nd))
                                 / (nd * nd * (nd - 1))), 6) AS z_stat
             FROM d ORDER BY user_id
+        """,
+        "hapax_langs": f"""
+            WITH tk AS (
+              SELECT lang,
+                     unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                        x -> x != '')) AS tok
+              FROM documents WHERE lang IS NOT NULL),
+            tc AS (
+              SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+            SELECT lang, count(*)::BIGINT AS vocab_size,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_hapax,
+                   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS hapax_share,
+                   sum(c)::BIGINT AS n_tokens
+            FROM tc GROUP BY lang ORDER BY lang
+        """,
+        "quality_migration": """
+            WITH seeded AS (
+              SELECT (doc_id % 2)::INT AS snap,
+                     doc_id // 2 AS page,
+                     (CASE WHEN doc_id % 2 = 1
+                             AND (doc_id // 2) % 5 = 0
+                           THEN ((doc_id // 2) * 31 + 37) % 100
+                           ELSE ((doc_id // 2) * 31) % 100
+                      END)::DOUBLE AS score
+              FROM documents),
+            bucketed AS (
+              SELECT snap, page,
+                     ((score >= 25)::INT + (score >= 50)::INT
+                      + (score >= 75)::INT)::BIGINT AS b
+              FROM seeded WHERE score IS NOT NULL),
+            a AS (SELECT page, min(b) AS from_bucket FROM bucketed
+                  WHERE snap = 0 GROUP BY page),
+            c AS (SELECT page, min(b) AS to_bucket FROM bucketed
+                  WHERE snap = 1 GROUP BY page)
+            SELECT from_bucket, to_bucket, count(*)::BIGINT AS n
+            FROM a JOIN c USING (page)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "median_lang_lens": """
+            WITH base AS (
+              SELECT lang, n_chars FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM base),
+            cells AS (
+              SELECT lang, count(*) AS n,
+                     sum(CASE WHEN n_chars > (SELECT m FROM med)
+                         THEN 1 ELSE 0 END) AS a
+              FROM base GROUP BY lang),
+            tot AS (SELECT sum(n) AS tn, sum(a) AS ta FROM cells),
+            j AS (SELECT * FROM cells, tot),
+            t AS (
+              SELECT n, a,
+                     n * ta / tn AS ea,
+                     n * (tn - ta) / tn AS eb
+              FROM j)
+            SELECT count(*)::BIGINT AS n_groups,
+                   sum(n)::BIGINT AS n_rows,
+                   round(sum((a - ea) * (a - ea) / ea
+                             + ((n - a) - eb) * ((n - a) - eb) / eb),
+                         6) AS chi2,
+                   (count(*) - 1)::BIGINT AS dof
+            FROM t
+        """,
+        "host_pass_shrunk": """
+            WITH seeded AS (
+              SELECT 'host' || (doc_id % 10)::VARCHAR AS host,
+                     (n_chars >= 128) AS ok
+              FROM documents),
+            cells AS (
+              SELECT host, count(*) AS n,
+                     sum(CASE WHEN ok THEN 1 ELSE 0 END) AS k
+              FROM seeded GROUP BY host),
+            tot AS (SELECT sum(k) / sum(n) AS mu FROM cells)
+            SELECT host, n::BIGINT AS n, k::BIGINT AS k,
+                   round(k / n, 6) AS rate_raw,
+                   round((k + 100.0 * (SELECT mu FROM tot))
+                         / (n + 100.0), 6) AS rate_shrunk
+            FROM cells ORDER BY host
+        """,
+        "url_ext_mix": """
+            WITH seeded AS (
+              SELECT 'http://h' || (doc_id % 3)::VARCHAR
+                       || '.example/p/'
+                       || CASE doc_id % 7
+                          WHEN 0 THEN 'page'
+                          WHEN 1 THEN 'a.html'
+                          WHEN 2 THEN 'index.php'
+                          WHEN 3 THEN 'UP.HTML'
+                          WHEN 4 THEN 'img.jpg'
+                          WHEN 5 THEN 'dir/'
+                          ELSE 'pkg.tar.gz' END AS url
+              FROM documents),
+            cells AS (
+              SELECT lower(regexp_extract(url,
+                       '^[^?#]*/[^/?#]*\\.([^./?#]+)([?#]|$)', 1))
+                       AS ext,
+                     count(*) AS n_urls
+              FROM seeded WHERE url IS NOT NULL GROUP BY 1),
+            tot AS (SELECT sum(n_urls) AS t FROM cells)
+            SELECT ext, n_urls::BIGINT AS n_urls,
+                   round(n_urls / (SELECT t FROM tot), 6) AS share
+            FROM cells ORDER BY ext
         """,
     }

@@ -2375,3 +2375,117 @@ def runs_test(df: DataFrame, flag_col, *, entity_col: str,
                     F.col("n1").cast("long").alias("n_true"),
                     F.col("runs").cast("long").alias("n_runs"),
                     z.alias("z_stat")))
+
+
+def bucket_migration(df: DataFrame, *, snap_col: str, id_col: str,
+                     score_col: str,
+                     thresholds: Sequence[float]) -> DataFrame:
+    """Quality-migration matrix between the two snapshots in
+    ``snap_col``: each id's score is bucketed by the EXPLICIT
+    ``thresholds`` edges (bucket b = # edges ≤ score, so len+1
+    buckets, 0-based) and the (from_bucket, to_bucket) transition
+    cells are counted — "did last month's top-quartile pages stay
+    top-quartile?". Output: ``(from_bucket, to_bucket, n)`` over ids
+    present in BOTH snapshots.
+
+    Thresholds are caller-provided VALUES (derive them once from
+    `stats_quantiles` / a KLL sketch) precisely so this needs NO
+    global sort or ntile at 10^12 rows: bucketing is a pure
+    projection, and the only shuffles are the id equi-join and the
+    (≤ (len+1)²)-cell count. An ntile formulation would sort half the
+    corpus in one task per snapshot."""
+    ts = sorted(float(t) for t in thresholds)
+    if not ts:
+        raise ValueError("bucket_migration: thresholds required")
+    snaps = [r[0] for r in
+             df.select(snap_col).distinct().orderBy(snap_col).collect()]
+    if len(snaps) != 2:
+        raise ValueError(f"bucket_migration expects exactly 2 "
+                         f"snapshots, got {snaps!r}")
+    b = F.lit(0)
+    for t in ts:
+        b = b + (F.col(score_col) >= F.lit(t)).cast("int")
+    slim = (df.where(F.col(score_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(snap_col).alias("__s"),
+                    F.col(id_col).alias("__id"),
+                    b.cast("long").alias("__b")))
+    a = (slim.where(F.col("__s") == snaps[0])
+         .groupBy("__id").agg(F.min("__b").alias("from_bucket")))
+    c = (slim.where(F.col("__s") == snaps[1])
+         .groupBy("__id").agg(F.min("__b").alias("to_bucket")))
+    return (a.join(c, "__id")
+            .groupBy("from_bucket", "to_bucket")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def median_test(df: DataFrame, value_col: str, *, group_col: str,
+                cutpoint: float | None = None,
+                round_to: int = 6) -> DataFrame:
+    """Mood's median test: do the groups share a common median?
+    Counts above/at-or-below a common cutpoint per group and reports
+    the chi-square statistic over the 2×g table (df = g−1) — the
+    rank-free, outlier-immune complement to `welch_ttest`. Output:
+    one row ``(n_groups, n_rows, chi2, dof)`` plus the per-group
+    cells via `median_cells`-style columns is deliberately NOT done —
+    the statistic row is the verdict; drill into `stats_quantiles`
+    for the shapes.
+
+    ``cutpoint``: at 10^12 rows pass an explicit value (from the KLL
+    sketch / stats_quantiles); when None the EXACT median is computed
+    (``percentile(value, 0.5)`` — exact but memory-bound per the
+    documented bounded-corpus contract, fine at test SF)."""
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull())
+    if cutpoint is None:
+        cutpoint = base.agg(
+            F.expr(f"percentile({value_col}, 0.5)")).collect()[0][0]
+    above = (F.col(value_col) > F.lit(float(cutpoint))).cast("long")
+    cells = (base.groupBy(group_col)
+             .agg(F.count("*").alias("n"), F.sum(above).alias("a")))
+    # NOT 'N'/'A': Spark resolution is case-insensitive by default,
+    # so upper-case totals would collide with the per-group cells
+    tot = cells.agg(F.sum("n").alias("__tn"), F.sum("a").alias("__ta"))
+    j = cells.crossJoin(F.broadcast(tot))
+    # expected above per group = n·A/N; chi2 sums both cells
+    ea = F.col("n") * F.col("__ta") / F.col("__tn")
+    eb = (F.col("n") * (F.col("__tn") - F.col("__ta"))
+          / F.col("__tn"))
+    term = ((F.col("a") - ea) * (F.col("a") - ea) / ea
+            + ((F.col("n") - F.col("a")) - eb)
+            * ((F.col("n") - F.col("a")) - eb) / eb)
+    return (j.agg(F.count("*").cast("long").alias("n_groups"),
+                  F.sum("n").cast("long").alias("n_rows"),
+                  F.round(F.sum(term), round_to).alias("chi2"))
+            .withColumn("dof", (F.col("n_groups") - 1).cast("long")))
+
+
+def shrunk_pass_rates(df: DataFrame, flag_col, *, by: str,
+                      prior_strength: float = 100.0,
+                      round_to: int = 6) -> DataFrame:
+    """Empirical-Bayes shrunken pass rates per segment: raw rate
+    k/n pulled toward the corpus mean μ with a fixed-strength prior —
+    ``shrunk = (k + s·μ) / (n + s)`` — so a 3-row host with one
+    failure doesn't outrank a 10^6-row host at 0.1% failure in the
+    "worst hosts" report (the classic small-sample league-table
+    fallacy). Output: ``(segment, n, k, rate_raw, rate_shrunk)``.
+
+    All inputs to the formula are exact integer counts plus the
+    one-row exact global ratio, so the output is bit-deterministic.
+    One segment aggregation + one 1-row broadcast."""
+    flag = (F.col(flag_col) if isinstance(flag_col, str)
+            else flag_col).cast("long")
+    cells = (df.where(F.col(by).isNotNull())
+             .groupBy(by)
+             .agg(F.count("*").alias("n"), F.sum(flag).alias("k")))
+    tot = cells.agg((F.sum("k") / F.sum("n")).alias("__mu"))
+    s = float(prior_strength)
+    return (cells.crossJoin(F.broadcast(tot))
+            .select(F.col(by),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("k").cast("long").alias("k"),
+                    F.round(F.col("k") / F.col("n"), round_to)
+                    .alias("rate_raw"),
+                    F.round((F.col("k") + F.lit(s) * F.col("__mu"))
+                            / (F.col("n") + F.lit(s)), round_to)
+                    .alias("rate_shrunk")))

@@ -2385,3 +2385,33 @@ def good_turing_mass(df: DataFrame, *, text_col: str = "text",
             .withColumn("p_unseen",
                         F.round(F.col("singletons")
                                 / F.col("n_tokens"), round_to)))
+
+
+def hapax_rate(df: DataFrame, *, text_col: str = "text",
+               by: str = "lang", round_to: int = 6) -> DataFrame:
+    """Hapax-legomena profile per group: what share of each group's
+    VOCABULARY occurs exactly once? Healthy natural-language corpora
+    sit near the Zipf-predicted ~50%; a collapsing hapax share means
+    template/boilerplate flooding, an exploding one means OCR noise /
+    mojibake minting junk types. Companion to `good_turing_mass`
+    (which reports the TOKEN-mass share of singletons, not the
+    type share) and `heaps_fit`. Output: ``(group, vocab_size,
+    n_hapax, hapax_share, n_tokens)``.
+
+    Shape at 10^12 docs: one explode + (group, token) hash aggregation
+    with map-side combine, then a group-sized re-aggregation — the
+    same two shuffles every corpus-vocabulary operator here pays."""
+    tok = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    counts = (df.where(F.col(by).isNotNull())
+              .select(F.col(by), tok.alias("__t"))
+              .where(F.col("__t") != "")
+              .groupBy(by, "__t").agg(F.count("*").alias("__n")))
+    return (counts.groupBy(by)
+            .agg(F.count("*").cast("long").alias("vocab_size"),
+                 F.sum((F.col("__n") == 1).cast("long"))
+                 .cast("long").alias("n_hapax"),
+                 F.sum("__n").cast("long").alias("n_tokens"))
+            .select(by, "vocab_size", "n_hapax",
+                    F.round(F.col("n_hapax") / F.col("vocab_size"),
+                            round_to).alias("hapax_share"),
+                    "n_tokens"))

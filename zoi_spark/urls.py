@@ -736,3 +736,29 @@ def staleness_audit(df: DataFrame, *, url_col: str = "url",
             .withColumn("age_s", F.col("__wm") - F.col("last_fetch_s"))
             .where(F.col("age_s") > int(max_age_s))
             .select("host", "last_fetch_s", "age_s", "n_fetches"))
+
+
+def url_ext_census(df: DataFrame, *, url_col: str = "url",
+                   round_to: int = 6) -> DataFrame:
+    """Path file-extension census — the cheapest frontier-composition
+    QC: a crawl whose .php/.asp share explodes is walking dynamic
+    parameter space; a .xml/.json surge means feed endpoints leaked
+    into the html frontier. Extension = lowercased text after the
+    LAST '.' of the LAST path segment (query/fragment stripped),
+    empty for extensionless paths — ``(ext, n_urls, share)``.
+
+    One regexp projection + one vocabulary-sized aggregation; the
+    share divides by the total via a 1-row broadcast."""
+    # last path segment's extension: after the final '/', a dot, then
+    # dot-free/slash-free tail up to ?#; RE2-safe in both engines
+    ext = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[^?#]*/[^/?#]*\.([^./?#]+)(?:[?#]|$)", 1))
+    base = (df.where(F.col(url_col).isNotNull())
+            .select(ext.alias("ext")))
+    cells = base.groupBy("ext").agg(F.count("*").alias("n_urls"))
+    tot = cells.agg(F.sum("n_urls").alias("__t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("ext",
+                    F.col("n_urls").cast("long").alias("n_urls"),
+                    F.round(F.col("n_urls") / F.col("__t"), round_to)
+                    .alias("share")))
