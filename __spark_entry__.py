@@ -4577,6 +4577,85 @@ def q_url_ext_mix(spark, sf_dir):
     return urls.url_ext_census(seeded).orderBy("ext")
 
 
+def q_jsd_lang_drift(spark, sf_dir):
+    """Distributed Jensen–Shannon drift (tablechecks.distribution_jsd)
+    between the lang distributions of two seeded snapshots
+    (doc_id%2) — the symmetric, bounded complement to drift_lang_psi;
+    one (lang) aggregation + 1-row broadcast, never driver-side."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.select(F.pmod("doc_id", F.lit(2)).cast("int").alias("snap"),
+                      "lang")
+    return tablechecks.distribution_jsd(seeded, "lang", snap_col="snap")
+
+
+def q_url_depth_mix(spark, sf_dir):
+    """Path-depth census (urls.url_depth_census): six seeded url
+    shapes per doc_id%6 — root, depth 1, depth 2, depth 3 with a
+    query string, a trailing-slash depth 1, and depth 5 — one
+    higher-order-function projection + tiny aggregation."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    k = F.pmod("doc_id", F.lit(6))
+    tail = (F.when(k == 0, F.lit(""))
+            .when(k == 1, F.lit("/a"))
+            .when(k == 2, F.lit("/a/b"))
+            .when(k == 3, F.lit("/a/b/c?x=1"))
+            .when(k == 4, F.lit("/a/"))
+            .otherwise(F.lit("/a/b/c/d/e")))
+    seeded = d.select(
+        F.concat(F.lit("http://h"),
+                 F.pmod("doc_id", F.lit(3)).cast("string"),
+                 F.lit(".example"), tail).alias("url"))
+    return urls.url_depth_census(seeded).orderBy("depth")
+
+
+def q_idn_hosts(spark, sf_dir):
+    """Suspicious-host census (urls.idn_host_census) over ten seeded
+    hosts (doc_id%10, five shapes ×2): clean, punycode `xn--` label,
+    digit-heavy, hyphen-stuffed, and over-long — hosts distinct-ed
+    FIRST, flags once per host, single verdict row."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    k = F.pmod("doc_id", F.lit(10))
+    shape = F.pmod(k, F.lit(5))
+    ks = k.cast("string")
+    host = (F.when(shape == 0, F.concat(F.lit("site"), ks,
+                                        F.lit(".example.com")))
+            .when(shape == 1, F.concat(F.lit("xn--site"), ks,
+                                       F.lit(".example")))
+            .when(shape == 2, F.concat(ks, F.lit("23456789.net")))
+            .when(shape == 3, F.concat(F.lit("s-i-t-e"), ks,
+                                       F.lit(".shop")))
+            .otherwise(F.concat(F.lit("a" * 40), ks, F.lit(".org"))))
+    seeded = d.select(F.concat(F.lit("http://"), host,
+                               F.lit("/p")).alias("url"))
+    return urls.idn_host_census(seeded)
+
+
+def q_lsh_curve(spark, sf_dir):
+    """MinHash-LSH S-curve planning table (dedup.lsh_tuning_curve,
+    64 hashes, threshold 0.8 → the suggest_minhash_bands banding):
+    19 grid rows of P(candidate) = 1−(1−s^r)^b — plan-time math over
+    spark.range, zero corpus scans."""
+    return (dedup.lsh_tuning_curve(spark, num_hashes=64, threshold=0.8)
+            .orderBy("s"))
+
+
+def q_neyman_alloc(spark, sf_dir):
+    """Neyman optimal audit-budget allocation (sampling.
+    neyman_allocation, budget 1000) of n_chars review rows across
+    langs — σ from exact integer power sums, allocation ∝ N_h·σ_h,
+    floored so Σ ≤ budget and the row set is bit-deterministic."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    return (sampling.neyman_allocation(d, "n_chars", stratum_col="lang",
+                                       budget=1000)
+            .orderBy("stratum"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4864,6 +4943,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "median_lang_lens": q_median_lang_lens,
         "host_pass_shrunk": q_host_pass_shrunk,
         "url_ext_mix": q_url_ext_mix,
+        "jsd_lang_drift": q_jsd_lang_drift,
+        "url_depth_mix": q_url_depth_mix,
+        "idn_hosts": q_idn_hosts,
+        "lsh_curve": q_lsh_curve,
+        "neyman_alloc": q_neyman_alloc,
     }
 
 
@@ -10796,5 +10880,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT ext, n_urls::BIGINT AS n_urls,
                    round(n_urls / (SELECT t FROM tot), 6) AS share
             FROM cells ORDER BY ext
+        """,
+        "jsd_lang_drift": """
+            WITH seeded AS (
+              SELECT (doc_id % 2)::INT AS snap, lang FROM documents
+              WHERE lang IS NOT NULL),
+            cells AS (
+              SELECT lang,
+                     sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS a,
+                     sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS b
+              FROM seeded GROUP BY lang),
+            tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM cells),
+            j AS (SELECT a, b, a / ta AS p, b / tb AS q
+                  FROM cells, tot),
+            t AS (
+              SELECT a, b,
+                     CASE WHEN a > 0
+                          THEN p * ln(p / ((p + q) / 2)) / 2
+                          ELSE 0 END
+                     + CASE WHEN b > 0
+                            THEN q * ln(q / ((p + q) / 2)) / 2
+                            ELSE 0 END AS term
+              FROM j)
+            SELECT count(*)::BIGINT AS n_buckets,
+                   sum(a)::BIGINT AS n_base, sum(b)::BIGINT AS n_curr,
+                   round(sum(term), 6) AS jsd_nats,
+                   round(sum(term) / ln(2), 6) AS jsd_bits
+            FROM t
+        """,
+        "url_depth_mix": """
+            WITH seeded AS (
+              SELECT 'http://h' || (doc_id % 3)::VARCHAR || '.example'
+                       || CASE doc_id % 6
+                          WHEN 0 THEN ''
+                          WHEN 1 THEN '/a'
+                          WHEN 2 THEN '/a/b'
+                          WHEN 3 THEN '/a/b/c?x=1'
+                          WHEN 4 THEN '/a/'
+                          ELSE '/a/b/c/d/e' END AS url
+              FROM documents),
+            cells AS (
+              SELECT len(list_filter(string_split(
+                       regexp_extract(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)',
+                         1), '/'), x -> x != ''))::BIGINT AS depth,
+                     count(*) AS n_urls
+              FROM seeded WHERE url IS NOT NULL GROUP BY 1),
+            tot AS (SELECT sum(n_urls) AS t FROM cells)
+            SELECT depth, n_urls::BIGINT AS n_urls,
+                   round(n_urls / (SELECT t FROM tot), 6) AS share
+            FROM cells ORDER BY depth
+        """,
+        "idn_hosts": """
+            WITH seeded AS (
+              SELECT (doc_id % 10) AS k, ((doc_id % 10) % 5) AS shape
+              FROM documents),
+            hosts AS (
+              SELECT DISTINCT
+                     CASE shape
+                       WHEN 0 THEN 'site' || k::VARCHAR || '.example.com'
+                       WHEN 1 THEN 'xn--site' || k::VARCHAR || '.example'
+                       WHEN 2 THEN k::VARCHAR || '23456789.net'
+                       WHEN 3 THEN 's-i-t-e' || k::VARCHAR || '.shop'
+                       ELSE repeat('a', 40) || k::VARCHAR || '.org'
+                     END AS h
+              FROM seeded),
+            flags AS (
+              SELECT h,
+                     regexp_matches(h, '(^|\\.)xn--') AS puny,
+                     (length(regexp_replace(h, '[^0-9]', '', 'g'))
+                      / length(h)) >= 0.25 AS dig,
+                     length(regexp_replace(h, '[^-]', '', 'g')) > 2
+                       AS hyp,
+                     length(h) > 39 AS lng
+              FROM hosts)
+            SELECT count(*)::BIGINT AS n_hosts,
+                   sum(puny::INT)::BIGINT AS n_punycode,
+                   sum(dig::INT)::BIGINT AS n_digit_heavy,
+                   sum(hyp::INT)::BIGINT AS n_hyphen_heavy,
+                   sum(lng::INT)::BIGINT AS n_long,
+                   round(sum((puny OR dig OR hyp OR lng)::INT)
+                         / count(*), 6) AS share_flagged
+            FROM flags
+        """,
+        "lsh_curve": """
+            SELECT round((range + 1) / 20.0, 6) AS s,
+                   round(1 - pow(1 - pow(round((range + 1) / 20.0, 6),
+                                         8.0), 8.0), 6) AS p_candidate,
+                   8::BIGINT AS bands, 8::BIGINT AS rows_per_band,
+                   round(pow(1.0 / 8.0, 1.0 / 8.0), 6) AS midpoint
+            FROM range(19) ORDER BY s
+        """,
+        "neyman_alloc": """
+            WITH cells AS (
+              SELECT lang AS stratum, count(*) AS n,
+                     sum(n_chars) AS s1,
+                     sum(n_chars * n_chars) AS s2
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+              GROUP BY lang),
+            m AS (
+              SELECT stratum, n,
+                     sqrt(greatest(
+                       CASE WHEN n > 1
+                            THEN (s2 - s1 * s1 / n) / (n - 1)
+                            ELSE 0 END, 0)) AS sigma
+              FROM cells),
+            tot AS (SELECT sum(n * sigma) AS tw FROM m)
+            SELECT stratum, n::BIGINT AS n_rows,
+                   round(sigma, 6) AS sigma,
+                   round(CASE WHEN (SELECT tw FROM tot) > 0
+                         THEN n * sigma / (SELECT tw FROM tot)
+                         ELSE 0 END, 6) AS alloc_share,
+                   floor(1000 * CASE WHEN (SELECT tw FROM tot) > 0
+                         THEN n * sigma / (SELECT tw FROM tot)
+                         ELSE 0 END)::BIGINT AS alloc_n
+            FROM m ORDER BY stratum
         """,
     }

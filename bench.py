@@ -100,23 +100,29 @@ def _run(df, name: str = "") -> float:
     return min(times)
 
 
+HEADLINE_NAMES = [
+    "documents_flagship", "customer_violation_rows",
+    "lineitem_rule_counts", "events_json_coercion",
+    "referential_custkey", "unique_doc_groups", "stats_customer",
+    "stats_hll", "drift_lang_psi", "dedup_jaccard_pairs",
+    "minhash_lsh_pairs", "ann_cosine_topk", "text_token_stats",
+    "text_lang_id", "fingerprints",
+    "disc_union_events", "union_mixed_ts", "codec_shipdate",
+    "partition_verdicts", "embedding_near_dups",
+    "exact_dedup_keepfirst",
+]
+
+# streaming queries are timed end-to-end under a separate key (see
+# bench_streaming_e2e) — never mixed into query wall-times
+STREAM_NAMES = ["stream_validate_docs", "stream_dedup_docs"]
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em
 
-    names = [
-        "documents_flagship", "customer_violation_rows",
-        "lineitem_rule_counts", "events_json_coercion",
-        "referential_custkey", "unique_doc_groups", "stats_customer",
-        "stats_hll", "drift_lang_psi", "dedup_jaccard_pairs",
-        "minhash_lsh_pairs", "ann_cosine_topk", "text_token_stats",
-        "text_lang_id", "fingerprints",
-        "disc_union_events", "union_mixed_ts", "codec_shipdate",
-        "partition_verdicts", "embedding_near_dups",
-        "exact_dedup_keepfirst",
-    ]
     qs = em.queries()
     out: dict[str, float] = {}
-    for name in names:
+    for name in HEADLINE_NAMES:
         out[name] = round(_run(qs[name](spark, sf_dir), name), 3)
     return out
 
@@ -286,6 +292,14 @@ R4_NAMES = [
     "rater_kappa", "coverage_langs", "cms_lang_counts", "ewma_volume",
     "fdr_drift", "welch_len_sources", "spearman_len_tokens",
     "pass_rate_ztest", "runs_pass_audit",
+    # wave 29: hapax profile, quality-bucket migration, Mood median
+    # test, empirical-Bayes pass rates, path-extension census
+    "hapax_langs", "quality_migration", "median_lang_lens",
+    "host_pass_shrunk", "url_ext_mix",
+    # wave 30: JSD drift, path-depth census, IDN host census,
+    # LSH S-curve table, Neyman allocation
+    "jsd_lang_drift", "url_depth_mix", "idn_hosts", "lsh_curve",
+    "neyman_alloc",
 ]
 
 
@@ -315,7 +329,7 @@ def bench_streaming_e2e(spark, sf_dir: str) -> dict[str, float]:
 
     qs = em.queries()
     out: dict[str, float] = {}
-    for sname in ["stream_validate_docs", "stream_dedup_docs"]:
+    for sname in STREAM_NAMES:
         t0 = time.time()
         qs[sname](spark, sf_dir).write.format("noop") \
             .mode("overwrite").save()

@@ -69,6 +69,21 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"doc_id", "rule_id"}
 
 
+def test_bench_covers_every_query():
+    """Every queries() entry must have a bench slot (headline, a
+    round list, or the streaming-e2e section) and the bench lists
+    must not name unknown queries — guards the drift VERDICT r3 #4
+    warned about when waves land without a timing record."""
+    import bench
+
+    slots = (set(bench.HEADLINE_NAMES) | set(bench.R2_NAMES)
+             | set(bench.R3_NAMES) | set(bench.R4_NAMES)
+             | set(bench.STREAM_NAMES))
+    roster = set(entry_mod.queries())
+    assert roster - slots == set(), f"unbenched: {sorted(roster - slots)}"
+    assert slots - roster == set(), f"unknown: {sorted(slots - roster)}"
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still execute and return rows."""
     qs = entry_mod.queries()

@@ -1711,3 +1711,35 @@ def dup_rate_by_group(df: DataFrame, *, group_col: str,
                     F.round(F.lit(1.0) - F.col("n_distinct")
                             / F.col("n_rows"), round_to)
                     .alias("dup_rate")))
+
+
+def lsh_tuning_curve(spark, *, num_hashes: int = 64,
+                     bands: int | None = None, threshold: float = 0.8,
+                     steps: int = 19, round_to: int = 6) -> DataFrame:
+    """The MinHash-LSH S-curve as a DataFrame — the planning readout
+    behind :func:`suggest_minhash_bands`: for each Jaccard similarity
+    ``s`` on a uniform grid, the candidate-pair probability
+    ``P = 1 − (1 − s^r)^b`` with ``r = num_hashes / bands``, plus the
+    curve midpoint ``(1/b)^(1/r)`` (where recall crosses 50%).
+    Defaults derive ``bands`` from the threshold exactly as the
+    pipeline does, so the emitted table documents the banding a
+    `minhash_lsh` run will actually use. Output:
+    ``(s, p_candidate, bands, rows_per_band, midpoint)``.
+
+    Plan-time math over a ``spark.range(steps)`` literal — no corpus
+    scan; emit it next to a dedup run's metrics so the recall/precision
+    trade sits in the audit record rather than in a notebook."""
+    b = bands if bands is not None else suggest_minhash_bands(
+        num_hashes, threshold)
+    if num_hashes % b != 0:
+        raise ValueError(f"bands={b} must divide num_hashes={num_hashes}")
+    r = num_hashes // b
+    mid = (1.0 / b) ** (1.0 / r)
+    s = F.round((F.col("id") + 1) / F.lit(float(steps + 1)), 6)
+    p = 1.0 - F.pow(1.0 - F.pow(s, F.lit(float(r))), F.lit(float(b)))
+    return (spark.range(steps)
+            .select(s.alias("s"),
+                    F.round(p, round_to).alias("p_candidate"),
+                    F.lit(int(b)).cast("long").alias("bands"),
+                    F.lit(int(r)).cast("long").alias("rows_per_band"),
+                    F.round(F.lit(mid), round_to).alias("midpoint")))

@@ -534,3 +534,44 @@ def ab_readout(df: DataFrame, *, unit_col: str, value_col: str,
                  F.count_distinct("__u").alias("n_units"),
                  F.round(F.sum("__v6") / 1e6 / F.count("__v6"), 6)
                  .alias("mean_value")))
+
+
+def neyman_allocation(df: DataFrame, value_col: str, *, stratum_col: str,
+                      budget: int, round_to: int = 6) -> DataFrame:
+    """Neyman optimal allocation of a fixed sampling ``budget`` across
+    strata: draw from stratum h in proportion to ``N_h·σ_h`` — the
+    allocation minimizing the variance of the stratified mean — so
+    volatile strata (mixed-quality hosts) get more audit rows than
+    uniform ones, instead of the proportional split `stratified_sample`
+    uses. Output: ``(stratum, n_rows, sigma, alloc_share, alloc_n)``
+    with ``alloc_n = floor(budget·share)`` (floored, so Σ ≤ budget and
+    the result is deterministic — no largest-remainder tie dance).
+
+    σ is computed from exact integer power sums (Σx, Σx²) so the
+    output is bit-deterministic under any partitioning; at 10^12 rows
+    swap the long sums for DECIMAL(38) (Σx² overflows long past
+    ~3·10^9 rows of 10^4-char pages — documented bounded contract
+    here, same as the other exact-moment operators)."""
+    v = F.col(value_col).cast("long")
+    cells = (df.where(F.col(value_col).isNotNull()
+                      & F.col(stratum_col).isNotNull())
+             .groupBy(stratum_col)
+             .agg(F.count("*").alias("__n"),
+                  F.sum(v).alias("__s1"),
+                  F.sum(v * v).alias("__s2")))
+    # sample variance from exact sums; degenerate strata (n<2) → σ=0
+    var = F.when(F.col("__n") > 1,
+                 (F.col("__s2") - F.col("__s1") * F.col("__s1")
+                  / F.col("__n")) / (F.col("__n") - 1)).otherwise(F.lit(0.0))
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    w = F.col("__n") * sigma
+    tot = (cells.select(w.alias("__w"))
+           .agg(F.sum("__w").alias("__tw")))
+    share = F.when(F.col("__tw") > 0, w / F.col("__tw")).otherwise(F.lit(0.0))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select(F.col(stratum_col).alias("stratum"),
+                    F.col("__n").cast("long").alias("n_rows"),
+                    F.round(sigma, round_to).alias("sigma"),
+                    F.round(share, round_to).alias("alloc_share"),
+                    F.floor(F.lit(int(budget)) * share).cast("long")
+                    .alias("alloc_n")))

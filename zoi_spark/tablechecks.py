@@ -2489,3 +2489,47 @@ def shrunk_pass_rates(df: DataFrame, flag_col, *, by: str,
                     F.round((F.col("k") + F.lit(s) * F.col("__mu"))
                             / (F.col("n") + F.lit(s)), round_to)
                     .alias("rate_shrunk")))
+
+
+def distribution_jsd(df: DataFrame, key_col: str, *, snap_col: str,
+                     round_to: int = 6) -> DataFrame:
+    """Jensen–Shannon divergence between the ``key_col`` distributions
+    of the two snapshots in ``snap_col`` — the symmetric, bounded
+    (≤ ln 2 nats) complement to the KL/PSI pair in `drift_metrics`:
+    KL explodes on buckets one side lacks (hence its epsilon floor),
+    while JSD handles them exactly (0·log0 = 0 against the mixture),
+    so it is the right verdict when snapshots may gain/lose whole
+    categories (new language, dropped source). Output one row:
+    ``(n_buckets, n_base, n_curr, jsd_nats, jsd_bits)``.
+
+    Fully distributed, unlike the driver-side `drift_metrics` math:
+    one (key) hash aggregation with conditional counts per side, a
+    1-row total broadcast, then a bucket-sized re-aggregation — so it
+    also serves histogram keys with millions of buckets (urls, hosts)
+    where collecting to the driver would not fly."""
+    snaps = [r[0] for r in
+             df.select(snap_col).distinct().orderBy(snap_col).collect()]
+    if len(snaps) != 2:
+        raise ValueError(f"distribution_jsd expects exactly 2 "
+                         f"snapshots, got {snaps!r}")
+    s0, s1 = snaps
+    cells = (df.where(F.col(key_col).isNotNull())
+             .groupBy(key_col)
+             .agg(F.sum((F.col(snap_col) == s0).cast("long")).alias("__a"),
+                  F.sum((F.col(snap_col) == s1).cast("long")).alias("__b")))
+    tot = cells.agg(F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb"))
+    j = cells.crossJoin(F.broadcast(tot))
+    p = F.col("__a") / F.col("__ta")
+    q = F.col("__b") / F.col("__tb")
+    m = (p + q) / 2
+    # 0·log(0/m) = 0 by continuity: gate each side on its count
+    term = (F.when(F.col("__a") > 0, p * F.log(p / m) / 2)
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("__b") > 0, q * F.log(q / m) / 2)
+            .otherwise(F.lit(0.0)))
+    return (j.agg(F.count("*").cast("long").alias("n_buckets"),
+                  F.sum("__a").cast("long").alias("n_base"),
+                  F.sum("__b").cast("long").alias("n_curr"),
+                  F.round(F.sum(term), round_to).alias("jsd_nats"),
+                  F.round(F.sum(term) / math.log(2.0), round_to)
+                  .alias("jsd_bits")))

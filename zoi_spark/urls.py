@@ -762,3 +762,66 @@ def url_ext_census(df: DataFrame, *, url_col: str = "url",
                     F.col("n_urls").cast("long").alias("n_urls"),
                     F.round(F.col("n_urls") / F.col("__t"), round_to)
                     .alias("share")))
+
+
+def url_depth_census(df: DataFrame, *, url_col: str = "url",
+                     round_to: int = 6) -> DataFrame:
+    """Path-depth census — crawl-frontier shape QC: depth = number of
+    non-empty '/'-separated path segments after the authority
+    (query/fragment stripped), 0 for root pages. A depth histogram
+    that keeps growing a long tail means the crawler is descending
+    calendar/pagination traps; a depth-0 spike means a seed-list
+    re-crawl leaked in. Output ``(depth, n_urls, share)``.
+
+    One regexp + higher-order-function projection, one ≤~50-bucket
+    aggregation, share via a 1-row broadcast — no corpus-wide sort."""
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"),
+                            lambda x: x != "")).cast("long")
+    cells = (df.where(F.col(url_col).isNotNull())
+             .select(depth.alias("depth"))
+             .groupBy("depth").agg(F.count("*").alias("n_urls")))
+    tot = cells.agg(F.sum("n_urls").alias("__t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("depth",
+                    F.col("n_urls").cast("long").alias("n_urls"),
+                    F.round(F.col("n_urls") / F.col("__t"), round_to)
+                    .alias("share")))
+
+
+def idn_host_census(df: DataFrame, *, url_col: str = "url",
+                    digit_share: float = 0.25, max_hyphens: int = 2,
+                    max_len: int = 39, round_to: int = 6) -> DataFrame:
+    """Suspicious-host census over DISTINCT hosts — the spam/phishing
+    composition gauge every crawl QC dashboard carries: punycode
+    (IDN `xn--` labels, the homograph-attack vehicle), digit-heavy
+    hosts (DGA/throwaway domains), hyphen-stuffed hosts (keyword-spam
+    domains) and over-long hosts. One row:
+    ``(n_hosts, n_punycode, n_digit_heavy, n_hyphen_heavy, n_long,
+    share_flagged)`` where share_flagged = hosts with ≥1 flag.
+
+    Hosts are distinct-ed FIRST (one hash aggregation — the flag math
+    then runs once per host, not per page), flags are pure string
+    expressions, and the verdict is a single global aggregate."""
+    host = url_host(F.col(url_col))
+    hosts = (df.where(F.col(url_col).isNotNull())
+             .select(host.alias("__h"))
+             .where(F.col("__h") != "")
+             .distinct())
+    puny = F.col("__h").rlike(r"(^|\.)xn--")
+    n_digits = F.length(F.regexp_replace("__h", r"[^0-9]", ""))
+    digit_heavy = (n_digits / F.length("__h")) >= F.lit(float(digit_share))
+    hyphen_heavy = (F.length(F.regexp_replace("__h", r"[^-]", ""))
+                    > F.lit(int(max_hyphens)))
+    long_host = F.length("__h") > F.lit(int(max_len))
+    flagged = puny | digit_heavy | hyphen_heavy | long_host
+    return (hosts.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum(puny.cast("long")).cast("long").alias("n_punycode"),
+        F.sum(digit_heavy.cast("long")).cast("long").alias("n_digit_heavy"),
+        F.sum(hyphen_heavy.cast("long")).cast("long")
+        .alias("n_hyphen_heavy"),
+        F.sum(long_host.cast("long")).cast("long").alias("n_long"),
+        F.round(F.sum(flagged.cast("long"))
+                / F.count("*"), round_to).alias("share_flagged")))
