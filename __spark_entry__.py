@@ -4656,6 +4656,72 @@ def q_neyman_alloc(spark, sf_dir):
             .orderBy("stratum"))
 
 
+def q_bm25_spark_docs(spark, sf_dir):
+    """BM25 top-20 (text.bm25_topk, Lucene idf, k1=1.2 b=0.75) for the
+    query {hash, spark, window} — postings filtered to the term set
+    BEFORE the tf shuffle, TakeOrdered cut on (rounded score, id)."""
+    d = _read(spark, sf_dir, "documents")
+    return text.bm25_topk(d, ["hash", "spark", "window"], k=20)
+
+
+def q_postings_sample(spark, sf_dir):
+    """Capped inverted index (text.build_postings, min_df 2, first 8
+    sorted doc ids per token): (token, df, cf, postings) over the
+    corpus vocabulary — explode + two hash aggregations."""
+    d = _read(spark, sf_dir, "documents")
+    return text.build_postings(d, min_df=2, max_postings=8) \
+        .orderBy("token")
+
+
+def q_theil_len_sources(spark, sf_dir):
+    """Theil-T inequality of n_chars across sources with exact
+    between/within decomposition (tablechecks.theil_decomposition) —
+    two power sums per source, group-sized math, one verdict row."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.theil_decomposition(d, "n_chars",
+                                           group_col="source")
+
+
+def q_code_switch_docs(spark, sf_dir):
+    """Code-switching scan (text.code_switch_profile): seeded
+    composite docs gluing doc 2p and doc 2p+1 with '. ', the second
+    half salted with its OWN lang's marker words (twice, to outvote
+    the shared tech vocab's stray 'the's) — so a de/fr/es right half
+    flips its segment verdict and the doc counts as mixed whenever
+    the two halves' languages disagree."""
+    d = _read(spark, sf_dir, "documents")
+    pid = F.floor(F.col("doc_id") / 2).cast("long")
+    mk = (F.when(F.col("lang") == "de",
+                 F.lit("der die und das nicht der die und das nicht"))
+          .when(F.col("lang") == "fr",
+                F.lit("le la et les des le la et les des"))
+          .when(F.col("lang") == "es",
+                F.lit("el los que por una el los que por una"))
+          .when(F.col("lang") == "en",
+                F.lit("the and of to in the and of to in"))
+          .otherwise(F.lit("")))
+    left = (d.where(F.pmod("doc_id", F.lit(2)) == 0)
+            .select(pid.alias("pid"), F.col("text").alias("t0")))
+    right = (d.where(F.pmod("doc_id", F.lit(2)) == 1)
+             .select(pid.alias("pid"),
+                     F.concat(mk, F.lit(" "), F.col("text"))
+                     .alias("t1")))
+    seeded = (left.join(right, "pid")
+              .select(F.col("pid").alias("doc_id"),
+                      F.concat("t0", F.lit(". "), F.col("t1"))
+                      .alias("text")))
+    return text.code_switch_profile(seeded)
+
+
+def q_partition_plan(spark, sf_dir):
+    """Parquet layout advisor (tablechecks.partition_advisor, 1 MiB
+    target so small-SF output is non-degenerate): measured row bytes →
+    rows-per-partition and partition count for the curated sink."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.partition_advisor(d, bytes_col="text",
+                                         target_mb=1)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -4948,6 +5014,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "idn_hosts": q_idn_hosts,
         "lsh_curve": q_lsh_curve,
         "neyman_alloc": q_neyman_alloc,
+        "bm25_spark_docs": q_bm25_spark_docs,
+        "postings_sample": q_postings_sample,
+        "theil_len_sources": q_theil_len_sources,
+        "code_switch_docs": q_code_switch_docs,
+        "partition_plan": q_partition_plan,
     }
 
 
@@ -10996,5 +11067,152 @@ def oracle_sql() -> dict[str, str]:
                          THEN n * sigma / (SELECT tw FROM tot)
                          ELSE 0 END)::BIGINT AS alloc_n
             FROM m ORDER BY stratum
+        """,
+        "bm25_spark_docs": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> x != '') AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+            d AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok
+                  FROM base),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+              FROM d WHERE tok IN ('hash', 'spark', 'window')
+              GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            st AS (SELECT count(*) AS n, avg(len(t)) AS avgdl
+                   FROM base),
+            sc AS (
+              SELECT doc_id,
+                     round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75
+                                          + 0.75 * dl / avgdl))), 6)
+                       AS score
+              FROM tf JOIN dfq USING (tok), st GROUP BY doc_id)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "postings_sample": f"""
+            WITH pairs AS (
+              SELECT tok, doc_id, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                          x -> x != '')) AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+              GROUP BY 1, 2)
+            SELECT tok AS token, count(*)::BIGINT AS df,
+                   sum(tf)::BIGINT AS cf,
+                   (list_sort(list(doc_id)))[1:8] AS postings
+            FROM pairs GROUP BY tok HAVING count(*) >= 2
+            ORDER BY token
+        """,
+        "theil_len_sources": """
+            WITH cells AS (
+              SELECT source AS g, count(*) AS n, sum(n_chars) AS s,
+                     sum(n_chars * ln(n_chars)) AS sl
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+                AND source IS NOT NULL
+              GROUP BY source),
+            tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(sl) AS tsl
+                    FROM cells),
+            j AS (SELECT * FROM cells, tot),
+            agg AS (
+              SELECT sum(n) AS n_rows, count(*) AS n_groups,
+                     min(tsl / ts - ln(ts / tn)) AS t_total,
+                     sum((s / ts) * ln((s / n) / (ts / tn)))
+                       AS t_between,
+                     sum((s / ts) * (sl / s - ln(s / n))) AS t_within
+              FROM j)
+            SELECT n_rows::BIGINT AS n_rows, n_groups::BIGINT AS n_groups,
+                   round(t_total, 6) AS theil_total,
+                   round(t_between, 6) AS theil_between,
+                   round(t_within, 6) AS theil_within,
+                   CASE WHEN round(t_total, 6) > 0
+                        THEN round(round(t_between, 6)
+                                   / round(t_total, 6), 6)
+                        ELSE 0.0 END AS between_share
+            FROM agg
+        """,
+        "code_switch_docs": """
+            WITH l AS (SELECT doc_id // 2 AS pid, text AS t0
+                       FROM documents WHERE doc_id % 2 = 0),
+            r AS (SELECT doc_id // 2 AS pid,
+                         CASE lang
+                           WHEN 'de' THEN 'der die und das nicht '
+                                       || 'der die und das nicht'
+                           WHEN 'fr' THEN 'le la et les des '
+                                       || 'le la et les des'
+                           WHEN 'es' THEN 'el los que por una '
+                                       || 'el los que por una'
+                           WHEN 'en' THEN 'the and of to in '
+                                       || 'the and of to in'
+                           ELSE '' END || ' ' || text AS t1
+                  FROM documents WHERE doc_id % 2 = 1),
+            seeded AS (
+              SELECT pid AS doc_id, t0 || '. ' || t1 AS text
+              FROM l JOIN r USING (pid)),
+            segs AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text, '[.!?]+\\s+'))
+                       AS seg
+              FROM seeded
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+            scored AS (
+              SELECT doc_id,
+                len(regexp_extract_all(seg,
+                  '(?i)\\b(the|and|of|to|in)\\b'))::BIGINT AS s_en,
+                len(regexp_extract_all(seg,
+                  '(?i)\\b(der|die|und|das|nicht)\\b'))::BIGINT AS s_de,
+                len(regexp_extract_all(seg,
+                  '(?i)\\b(le|la|et|les|des)\\b'))::BIGINT AS s_fr,
+                len(regexp_extract_all(seg,
+                  '(?i)\\b(el|los|que|por|una)\\b'))::BIGINT AS s_es
+              FROM segs WHERE trim(seg) != ''),
+            pred AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN s_en > 0 AND s_en > greatest(s_de, s_fr, s_es)
+                         THEN 'en'
+                       WHEN s_de > 0 AND s_de > greatest(s_en, s_fr, s_es)
+                         THEN 'de'
+                       WHEN s_fr > 0 AND s_fr > greatest(s_en, s_de, s_es)
+                         THEN 'fr'
+                       WHEN s_es > 0 AND s_es > greatest(s_en, s_de, s_fr)
+                         THEN 'es'
+                       ELSE 'und'
+                     END AS p
+              FROM scored),
+            per AS (
+              SELECT doc_id, count(*) AS nseg,
+                     count(DISTINCT CASE WHEN p != 'und' THEN p END)
+                       AS nlang
+              FROM pred GROUP BY doc_id)
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum((nseg > 1)::INT)::BIGINT AS n_multiseg,
+                   sum((nlang > 1)::INT)::BIGINT AS n_mixed,
+                   round(sum((nlang > 1)::INT) / count(*), 6)
+                     AS share_mixed
+            FROM per
+        """,
+        "partition_plan": """
+            WITH agg AS (
+              SELECT count(*) AS n,
+                     sum(strlen(text) + 64) AS b,
+                     max(strlen(text) + 64) AS m
+              FROM documents WHERE text IS NOT NULL)
+            SELECT n::BIGINT AS n_rows,
+                   round(b / n, 6) AS avg_row_bytes,
+                   m::BIGINT AS max_row_bytes,
+                   round(b / (1024.0 * 1024.0), 6) AS est_total_mb,
+                   greatest(floor(1048576 / (b / n)), 1)::BIGINT
+                     AS rows_per_partition,
+                   ceil(n / greatest(floor(1048576 / (b / n)), 1))
+                     ::BIGINT AS n_partitions
+            FROM agg
         """,
     }

@@ -300,6 +300,10 @@ R4_NAMES = [
     # LSH S-curve table, Neyman allocation
     "jsd_lang_drift", "url_depth_mix", "idn_hosts", "lsh_curve",
     "neyman_alloc",
+    # wave 31: BM25 retrieval, inverted-index postings, Theil
+    # decomposition, code-switch scan, partition-layout advisor
+    "bm25_spark_docs", "postings_sample", "theil_len_sources",
+    "code_switch_docs", "partition_plan",
 ]
 
 

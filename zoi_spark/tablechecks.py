@@ -2533,3 +2533,83 @@ def distribution_jsd(df: DataFrame, key_col: str, *, snap_col: str,
                   F.round(F.sum(term), round_to).alias("jsd_nats"),
                   F.round(F.sum(term) / math.log(2.0), round_to)
                   .alias("jsd_bits")))
+
+
+def theil_decomposition(df: DataFrame, value_col: str, *, group_col: str,
+                        round_to: int = 6) -> DataFrame:
+    """Theil-T inequality index of a positive measure with its exact
+    between/within-group decomposition — the property Gini
+    (`source_len_gini`) lacks: ``T = T_between + Σ s_g·T_g`` splits
+    corpus length/volume inequality into "sources differ from each
+    other" vs "docs differ inside a source", which decides whether to
+    rebalance the source mix or to filter within sources. Output one
+    row: ``(n_rows, n_groups, theil_total, theil_between,
+    theil_within, between_share)``.
+
+    Everything derives from two power sums per group (Σx as exact
+    long, Σ x·ln x as double) — one group aggregation, then
+    group-cardinality-sized math; rows with value ≤ 0 are excluded
+    (Theil is defined on positive measures)."""
+    x = F.col(value_col).cast("double")
+    cells = (df.where(F.col(value_col).isNotNull()
+                      & (F.col(value_col) > 0)
+                      & F.col(group_col).isNotNull())
+             .groupBy(group_col)
+             .agg(F.count("*").alias("__n"),
+                  F.sum(F.col(value_col).cast("long")).alias("__s"),
+                  F.sum(x * F.log(x)).alias("__sl")))
+    tot = cells.agg(F.sum("__n").alias("__tn"), F.sum("__s").alias("__ts"),
+                    F.sum("__sl").alias("__tsl"))
+    j = cells.crossJoin(F.broadcast(tot))
+    mu = F.col("__ts") / F.col("__tn")
+    mu_g = F.col("__s") / F.col("__n")
+    share = F.col("__s") / F.col("__ts")              # s_g: value share
+    t_g = F.col("__sl") / F.col("__s") - F.log(mu_g)  # within-group Theil
+    between_term = share * F.log(mu_g / mu)
+    total = F.col("__tsl") / F.col("__ts") - F.log(mu)
+    out = (j.agg(F.sum("__n").cast("long").alias("n_rows"),
+                 F.count("*").cast("long").alias("n_groups"),
+                 F.round(F.min(total), round_to).alias("theil_total"),
+                 F.round(F.sum(between_term), round_to)
+                 .alias("theil_between"),
+                 F.round(F.sum(share * t_g), round_to)
+                 .alias("theil_within")))
+    return out.withColumn(
+        "between_share",
+        F.when(F.col("theil_total") > 0,
+               F.round(F.col("theil_between") / F.col("theil_total"),
+                       round_to)).otherwise(F.lit(0.0)))
+
+
+def partition_advisor(df: DataFrame, *, bytes_col: str = "text",
+                      overhead_bytes: int = 64, target_mb: int = 128,
+                      round_to: int = 6) -> DataFrame:
+    """Parquet layout advisor: from exact measured row bytes
+    (``octet_length(bytes_col) + overhead_bytes`` for ids/metadata),
+    recommend rows-per-output-partition and the partition count that
+    hits ``target_mb`` per file — the number a `repartition(n)` before
+    the violations/curated sink should use, instead of the
+    shuffle-partition default that writes 10^12-row corpora as either
+    10-GB stragglers or millions of 100-KB files. Output one row:
+    ``(n_rows, avg_row_bytes, max_row_bytes, est_total_mb,
+    rows_per_partition, n_partitions)``.
+
+    One aggregation over exact long sums; the recommendation math is
+    driver-free column arithmetic on the 1-row result."""
+    rb = (F.octet_length(F.col(bytes_col).cast("string"))
+          + F.lit(int(overhead_bytes))).cast("long")
+    agg = (df.where(F.col(bytes_col).isNotNull())
+           .agg(F.count("*").alias("__n"), F.sum(rb).alias("__b"),
+                F.max(rb).alias("__m")))
+    target_bytes = int(target_mb) * 1024 * 1024
+    avg = F.col("__b") / F.col("__n")
+    rpp = F.greatest(F.floor(F.lit(target_bytes) / avg), F.lit(1)) \
+        .cast("long")
+    return agg.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.round(avg, round_to).alias("avg_row_bytes"),
+        F.col("__m").cast("long").alias("max_row_bytes"),
+        F.round(F.col("__b") / F.lit(1024.0 * 1024.0), round_to)
+        .alias("est_total_mb"),
+        rpp.alias("rows_per_partition"),
+        F.ceil(F.col("__n") / rpp).cast("long").alias("n_partitions"))

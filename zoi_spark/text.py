@@ -2415,3 +2415,119 @@ def hapax_rate(df: DataFrame, *, text_col: str = "text",
                     F.round(F.col("n_hapax") / F.col("vocab_size"),
                             round_to).alias("hapax_share"),
                     "n_tokens"))
+
+
+def bm25_topk(df: DataFrame, query_terms: "list[str]", *,
+              text_col: str = "text", id_col: str = "doc_id",
+              k: int = 20, k1: float = 1.2, b: float = 0.75,
+              round_to: int = 6) -> DataFrame:
+    """BM25 retrieval scoring of a fixed term query against the
+    corpus — the classic probabilistic ranking (Robertson/Spärck
+    Jones; Lucene's ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` variant so
+    idf stays positive) and the natural companion to the per-doc
+    `tfidf_terms` profile. Output: the top ``k`` docs as
+    ``(doc_id, score)``, ranked by (rounded score desc, id asc) so the
+    cut is bit-deterministic across engines.
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle (the term set is a literal ≤ dozens), so the tf
+    aggregation shuffles only matching postings, never the corpus
+    vocabulary; df/avgdl/N are a term-sized frame + a 1-row broadcast;
+    the final cut is a TakeOrdered top-k, not a global sort."""
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms required")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                    lambda x: x != "")
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(toks).alias("__t"),
+                    F.size(toks).cast("long").alias("__dl")))
+    hits = base.where(F.col("__t").isin(terms))
+    tf = (hits.groupBy("__id", "__t")
+          .agg(F.count("*").alias("__tf"), F.min("__dl").alias("__dl")))
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    stats = (df.where(F.col(text_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+             .agg(F.count("*").alias("__n"),
+                  F.avg(F.size(toks)).alias("__avgdl")))
+    idf = F.log(1.0 + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    norm = (F.col("__tf") * (k1 + 1.0)
+            / (F.col("__tf")
+               + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))))
+    scored = (tf.join(F.broadcast(dfreq), "__t")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("__id")
+              .agg(F.round(F.sum(idf * norm), round_to).alias("score")))
+    return (scored.select(F.col("__id").alias(id_col), "score")
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(int(k)))
+
+
+def build_postings(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 2,
+                   max_postings: int = 8) -> DataFrame:
+    """Capped inverted-index construction — the retrieval-side build
+    step over a validated corpus: per token, document frequency,
+    collection frequency, and the first ``max_postings`` doc ids of
+    the (sorted) posting list as a bounded sample. Output:
+    ``(token, df, cf, postings)``.
+
+    One explode + (token, doc) hash aggregation (map-side combine
+    collapses in-doc repeats), then a vocabulary-keyed re-aggregation.
+    The posting sample is capped BEFORE any driver contact — full
+    posting lists at 10^12 docs belong in a sharded sink (write the
+    (token, doc) frame bucketed by token), not in a collected column;
+    the capped sample is the audit/debug view."""
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    pairs = (df.where(F.col(text_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+             .select(F.col(id_col).alias("__id"), toks.alias("token"))
+             .where(F.col("token") != "")
+             .groupBy("token", "__id").agg(F.count("*").alias("__tf")))
+    return (pairs.groupBy("token")
+            .agg(F.count("*").cast("long").alias("df"),
+                 F.sum("__tf").cast("long").alias("cf"),
+                 F.slice(F.array_sort(F.collect_list("__id")), 1,
+                         int(max_postings)).alias("postings"))
+            .where(F.col("df") >= int(min_df)))
+
+
+def code_switch_profile(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        markers: "dict[str, list[str]] | None" = None,
+                        round_to: int = 6) -> DataFrame:
+    """Code-switching scan: split each doc into sentence segments
+    ([.!?]+ whitespace boundaries), language-ID each segment with the
+    marker heuristic, and report how many docs mix languages across
+    segments — concatenation artifacts (boilerplate gluing two pages),
+    template wrappers around foreign content, and genuinely
+    code-switched forum text all surface here; a doc-level lang_id
+    misses them because one language's markers dominate the vote.
+    Output one row: ``(n_docs, n_multiseg, n_mixed, share_mixed)``
+    (mixed = ≥2 distinct non-'und' segment predictions).
+
+    One explode + per-doc aggregation (uniform doc_id key — no skew),
+    then a single global rollup."""
+    seg = F.explode(F.split(F.col(text_col), r"[.!?]+\s+"))
+    segs = (df.where(F.col(text_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"), seg.alias("__seg"))
+            .where(F.trim(F.col("__seg")) != ""))
+    pred = lang_id(F.col("__seg"), markers)
+    per_doc = (segs.select("__id", pred.alias("__p"))
+               .groupBy("__id")
+               .agg(F.count("*").alias("__nseg"),
+                    F.count_distinct(
+                        F.when(F.col("__p") != "und", F.col("__p")))
+                    .alias("__nlang")))
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("__nseg") > 1).cast("long")).cast("long")
+        .alias("n_multiseg"),
+        F.sum((F.col("__nlang") > 1).cast("long")).cast("long")
+        .alias("n_mixed"),
+        F.round(F.sum((F.col("__nlang") > 1).cast("long"))
+                / F.count("*"), round_to).alias("share_mixed"))
