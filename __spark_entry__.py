@@ -4722,6 +4722,71 @@ def q_partition_plan(spark, sf_dir):
                                          target_mb=1)
 
 
+def q_shape_templates(spark, sf_dir):
+    """Template-shape census (text.shape_template_census, 40-char
+    prefix): four seeded header styles per doc_id%4 (id header, date
+    bracket, starred, raw) — letter/digit runs collapse so each style
+    lands on its own shape family."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.pmod("doc_id", F.lit(4))
+    ds = F.col("doc_id").cast("string")
+    seeded = d.select(
+        (F.when(k == 0, F.concat(F.lit("ID "), ds, F.lit(" - "),
+                                 F.col("text")))
+         .when(k == 1, F.concat(F.lit("[2024-01-15] "), F.col("text")))
+         .when(k == 2, F.concat(F.lit("*** "), F.col("text")))
+         .otherwise(F.col("text"))).alias("text"))
+    return text.shape_template_census(seeded).orderBy("template")
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church–Gale burstiness (text.term_burstiness, df ≥ 5, top 15):
+    cf/df per vocabulary term, deterministic (rounded burst, token)
+    cut — the keyword-stuffing / boilerplate-token gauge."""
+    d = _read(spark, sf_dir, "documents")
+    return text.term_burstiness(d, min_df=5, k=15)
+
+
+def q_lexical_hhi(spark, sf_dir):
+    """Per-doc unigram Herfindahl concentration histogram
+    (text.lexical_concentration): HHI from exact integer power sums,
+    10 fixed buckets — the word-stuffing detector."""
+    d = _read(spark, sf_dir, "documents")
+    return text.lexical_concentration(d).orderBy("bucket")
+
+
+def q_url_prefix_compression(spark, sf_dir):
+    """Delta-encoding win estimate (urls.prefix_compression_stats):
+    seeded per-host url manifests (5 hosts × section/page paths) —
+    host-partitioned sort, lag window, 8/16/32-char prefix-agreement
+    shares."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    seeded = d.select(
+        F.concat(F.lit("http://h"),
+                 F.pmod("doc_id", F.lit(5)).cast("string"),
+                 F.lit(".example/section"),
+                 F.pmod("doc_id", F.lit(20)).cast("string"),
+                 F.lit("/page"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return urls.prefix_compression_stats(seeded)
+
+
+def q_k_anonymity_docs(spark, sf_dir):
+    """k-anonymity audit (tablechecks.k_anonymity, k=5) on the quasi
+    tuple (lang, source, n_chars//100): class-size census + rows in
+    classes smaller than k — the structural privacy complement to
+    pii_scan."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.select("lang", "source",
+                      F.floor(F.col("n_chars") / 100).cast("long")
+                      .alias("len_bucket"))
+    return tablechecks.k_anonymity(seeded,
+                                   ["lang", "source", "len_bucket"],
+                                   k=5)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5019,6 +5084,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "theil_len_sources": q_theil_len_sources,
         "code_switch_docs": q_code_switch_docs,
         "partition_plan": q_partition_plan,
+        "shape_templates": q_shape_templates,
+        "term_burstiness": q_term_burstiness,
+        "lexical_hhi": q_lexical_hhi,
+        "url_prefix_compression": q_url_prefix_compression,
+        "k_anonymity_docs": q_k_anonymity_docs,
     }
 
 
@@ -11214,5 +11284,113 @@ def oracle_sql() -> dict[str, str]:
                    ceil(n / greatest(floor(1048576 / (b / n)), 1))
                      ::BIGINT AS n_partitions
             FROM agg
+        """,
+        "shape_templates": f"""
+            WITH seeded AS (
+              SELECT CASE doc_id % 4
+                       WHEN 0 THEN 'ID ' || doc_id::VARCHAR || ' - '
+                                   || text
+                       WHEN 1 THEN '[2024-01-15] ' || text
+                       WHEN 2 THEN '*** ' || text
+                       ELSE text END AS text
+              FROM documents),
+            cells AS (
+              SELECT regexp_replace(
+                       regexp_replace(
+                         substr({_NORM_SQL}, 1, 40),
+                         '[a-z]+', 'a', 'g'),
+                       '[0-9]+', '0', 'g') AS template,
+                     count(*) AS n_docs
+              FROM seeded WHERE text IS NOT NULL GROUP BY 1),
+            tot AS (SELECT sum(n_docs) AS t FROM cells)
+            SELECT template, n_docs::BIGINT AS n_docs,
+                   round(n_docs / (SELECT t FROM tot), 6) AS share
+            FROM cells ORDER BY template
+        """,
+        "term_burstiness": f"""
+            WITH pairs AS (
+              SELECT tok, doc_id, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                          x -> x != '')) AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+              GROUP BY 1, 2),
+            terms AS (
+              SELECT tok AS token, count(*)::BIGINT AS df,
+                     sum(tf)::BIGINT AS cf
+              FROM pairs GROUP BY tok HAVING count(*) >= 5)
+            SELECT token, df, cf, round(cf / df, 6) AS burst
+            FROM terms ORDER BY burst DESC, token LIMIT 15
+        """,
+        "lexical_hhi": f"""
+            WITH tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                          x -> x != '')) AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+              GROUP BY 1, 2),
+            per_doc AS (
+              SELECT doc_id, sum(tf * tf) AS s2, sum(tf) AS s1
+              FROM tf GROUP BY doc_id),
+            cells AS (
+              SELECT least(floor(10.0 * s2 / (s1 * s1)), 9)::BIGINT
+                       AS bucket,
+                     count(*) AS n_docs
+              FROM per_doc GROUP BY 1),
+            tot AS (SELECT sum(n_docs) AS t FROM cells)
+            SELECT bucket, n_docs::BIGINT AS n_docs,
+                   round(n_docs / (SELECT t FROM tot), 6) AS share
+            FROM cells ORDER BY bucket
+        """,
+        "url_prefix_compression": """
+            WITH seeded AS (
+              SELECT 'http://h' || (doc_id % 5)::VARCHAR
+                       || '.example/section' || (doc_id % 20)::VARCHAR
+                       || '/page' || doc_id::VARCHAR AS url
+              FROM documents),
+            base AS (
+              SELECT url AS u,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+                       AS h
+              FROM seeded WHERE url IS NOT NULL),
+            withp AS (
+              SELECT u, lag(u) OVER (PARTITION BY h ORDER BY u) AS p
+              FROM base WHERE h != '')
+            SELECT count(*)::BIGINT AS n_urls,
+                   count(p)::BIGINT AS n_pairs,
+                   round(sum(CASE WHEN p IS NOT NULL
+                             AND substr(u, 1, 8) = substr(p, 1, 8)
+                             THEN 1 ELSE 0 END) / count(p), 6)
+                     AS share_p8,
+                   round(sum(CASE WHEN p IS NOT NULL
+                             AND substr(u, 1, 16) = substr(p, 1, 16)
+                             THEN 1 ELSE 0 END) / count(p), 6)
+                     AS share_p16,
+                   round(sum(CASE WHEN p IS NOT NULL
+                             AND substr(u, 1, 32) = substr(p, 1, 32)
+                             THEN 1 ELSE 0 END) / count(p), 6)
+                     AS share_p32
+            FROM withp
+        """,
+        "k_anonymity_docs": """
+            WITH classes AS (
+              SELECT lang, source, (n_chars // 100) AS len_bucket,
+                     count(*) AS n
+              FROM documents GROUP BY 1, 2, 3)
+            SELECT sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_classes,
+                   min(n)::BIGINT AS min_class_size,
+                   sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_small_classes,
+                   sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+                     AS n_rows_at_risk,
+                   round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                         / sum(n), 6) AS share_at_risk,
+                   5::BIGINT AS k
+            FROM classes
         """,
     }

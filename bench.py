@@ -304,6 +304,10 @@ R4_NAMES = [
     # decomposition, code-switch scan, partition-layout advisor
     "bm25_spark_docs", "postings_sample", "theil_len_sources",
     "code_switch_docs", "partition_plan",
+    # wave 32: shape-template census, term burstiness, lexical HHI,
+    # URL prefix compression, k-anonymity audit
+    "shape_templates", "term_burstiness", "lexical_hhi",
+    "url_prefix_compression", "k_anonymity_docs",
 ]
 
 

@@ -2613,3 +2613,35 @@ def partition_advisor(df: DataFrame, *, bytes_col: str = "text",
         .alias("est_total_mb"),
         rpp.alias("rows_per_partition"),
         F.ceil(F.col("__n") / rpp).cast("long").alias("n_partitions"))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: "Sequence[str]", *,
+                k: int = 5, round_to: int = 6) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: every row
+    must share its quasi-identifier combination with ≥ k−1 others, or
+    the "anonymous" corpus re-identifies people by joining on the
+    quasi columns — the structural privacy check that complements the
+    direct-identifier `pii_scan`/`pii_redact` pair (a row can be
+    PII-clean and still unique on (lang, host, length, date)). Output
+    one row: ``(n_rows, n_classes, min_class_size, n_small_classes,
+    n_rows_at_risk, share_at_risk, k)``.
+
+    One hash aggregation on the quasi tuple + a class-cardinality
+    rollup; at-risk rows are counted, never materialized — suppress /
+    generalize them with a join against the small-class keys if the
+    audit fails."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols required")
+    classes = (df.groupBy(*[F.col(c) for c in quasi_cols])
+               .agg(F.count("*").alias("__n")))
+    small = F.col("__n") < int(k)
+    return classes.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("__n").cast("long").alias("min_class_size"),
+        F.sum(small.cast("long")).cast("long").alias("n_small_classes"),
+        F.sum(F.when(small, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long").alias("n_rows_at_risk"),
+        F.round(F.sum(F.when(small, F.col("__n")).otherwise(F.lit(0)))
+                / F.sum("__n"), round_to).alias("share_at_risk"),
+        F.lit(int(k)).cast("long").alias("k"))

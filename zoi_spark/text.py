@@ -2531,3 +2531,98 @@ def code_switch_profile(df: DataFrame, *, text_col: str = "text",
         .alias("n_mixed"),
         F.round(F.sum((F.col("__nlang") > 1).cast("long"))
                 / F.count("*"), round_to).alias("share_mixed"))
+
+
+def shape_template_census(df: DataFrame, *, text_col: str = "text",
+                          prefix_len: int = 40,
+                          round_to: int = 6) -> DataFrame:
+    """Structural-template census: collapse each doc's normalized
+    prefix to a SHAPE fingerprint (letter runs → 'a', digit runs →
+    '0', everything else kept) and count docs per shape — the
+    cheapest boilerplate/template detector there is: machine-minted
+    pages (listings, error pages, captcha walls) collapse onto a
+    handful of shapes while organic prose spreads thin. Prefix-only
+    (``prefix_len``) so the fingerprint cost is O(1) per doc, not
+    O(doc). Output: ``(template, n_docs, share)``.
+
+    One projection + one shape-cardinality aggregation; share via the
+    1-row broadcast (AQE collapses it to a ReusedExchange)."""
+    shape = F.regexp_replace(
+        F.regexp_replace(
+            F.substring(normalize_text(F.col(text_col)), 1,
+                        int(prefix_len)),
+            "[a-z]+", "a"),
+        "[0-9]+", "0")
+    cells = (df.where(F.col(text_col).isNotNull())
+             .select(shape.alias("template"))
+             .groupBy("template").agg(F.count("*").alias("n_docs")))
+    tot = cells.agg(F.sum("n_docs").alias("__t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("template",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(F.col("n_docs") / F.col("__t"), round_to)
+                    .alias("share")))
+
+
+def term_burstiness(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", min_df: int = 5,
+                    k: int = 15, round_to: int = 6) -> DataFrame:
+    """Church–Gale term burstiness: ``cf/df`` — the mean occurrences
+    per CONTAINING document. Function words sit near the Poisson
+    expectation; a content term with high burst concentrates in few
+    docs (topical), and an implausibly bursty "term" is usually a
+    boilerplate token or spam keyword being stuffed. Output: top ``k``
+    terms with df ≥ ``min_df`` as ``(token, df, cf, burst)``, ranked
+    (rounded burst desc, token asc) so the cut is deterministic.
+
+    Same two-shuffle shape as every vocabulary operator (explode +
+    (token,doc) agg with map-side combine, token re-agg); the cut is
+    a TakeOrdered over the vocabulary, never a corpus sort."""
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    pairs = (df.where(F.col(text_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+             .select(F.col(id_col).alias("__id"), toks.alias("token"))
+             .where(F.col("token") != "")
+             .groupBy("token", "__id").agg(F.count("*").alias("__tf")))
+    return (pairs.groupBy("token")
+            .agg(F.count("*").cast("long").alias("df"),
+                 F.sum("__tf").cast("long").alias("cf"))
+            .where(F.col("df") >= int(min_df))
+            .withColumn("burst",
+                        F.round(F.col("cf") / F.col("df"), round_to))
+            .orderBy(F.col("burst").desc(), F.col("token"))
+            .limit(int(k)))
+
+
+def lexical_concentration(df: DataFrame, *, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          round_to: int = 6) -> DataFrame:
+    """Per-doc unigram Herfindahl concentration (HHI = Σ(tf/len)²)
+    bucketed into a corpus histogram — the token-level repetitiveness
+    gauge that catches "same word stuffed 500 times" pages that pass
+    length and dup-n-gram gates (HHI → 1 as one type dominates;
+    healthy prose sits near 1/vocab). Buckets = floor(10·HHI) capped
+    at 9. Output: ``(bucket, n_docs, share)``.
+
+    HHI derives from exact integer power sums per doc (Σtf², (Σtf)²),
+    so bucketing is bit-deterministic; explode + per-doc agg + 10-row
+    rollup."""
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    tf = (df.where(F.col(text_col).isNotNull()
+                   & F.col(id_col).isNotNull())
+          .select(F.col(id_col).alias("__id"), toks.alias("__t"))
+          .where(F.col("__t") != "")
+          .groupBy("__id", "__t").agg(F.count("*").alias("__tf")))
+    per_doc = (tf.groupBy("__id")
+               .agg(F.sum(F.col("__tf") * F.col("__tf")).alias("__s2"),
+                    F.sum("__tf").alias("__s1")))
+    hhi = F.col("__s2") / (F.col("__s1") * F.col("__s1"))
+    bucket = F.least(F.floor(hhi * 10), F.lit(9)).cast("long")
+    cells = (per_doc.select(bucket.alias("bucket"))
+             .groupBy("bucket").agg(F.count("*").alias("n_docs")))
+    tot = cells.agg(F.sum("n_docs").alias("__t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(F.col("n_docs") / F.col("__t"), round_to)
+                    .alias("share")))
