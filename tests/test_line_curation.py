@@ -513,3 +513,74 @@ def test_good_turing_mass_counts(spark):
     de = out["de"]
     assert (de.n_tokens, de.n_types, de.singletons, de.p_unseen) == \
         (1, 1, 1, 1.0)
+
+
+def test_hapax_rate_counts(spark):
+    # en: tokens a a b -> vocab 2, hapax 1 (b); de: c d -> 2 hapax
+    df = spark.createDataFrame(
+        [("en", "a a b"), ("de", "c d")], "lang string, text string")
+    out = {r.lang: r for r in text.hapax_rate(df).collect()}
+    assert (out["en"].vocab_size, out["en"].n_hapax,
+            out["en"].n_tokens) == (2, 1, 3)
+    assert out["en"].hapax_share == 0.5
+    assert out["de"].hapax_share == 1.0
+
+
+def test_bm25_ranks_tf_and_rewards_rare_terms(spark):
+    # 'rare' occurs in 1 of 3 docs -> higher idf than 'common' (3 of 3)
+    rows = [(1, "common rare x"), (2, "common y z"), (3, "common w v")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = text.bm25_topk(df, ["rare", "common"], k=3).collect()
+    assert top[0].doc_id == 1 and top[0].score > top[1].score
+    # precomputed stats path agrees with the measured path
+    pre = text.bm25_topk(df, ["rare", "common"], k=3,
+                          corpus_stats=(3, 3.0)).collect()
+    assert [r.doc_id for r in pre] == [r.doc_id for r in top]
+
+
+def test_build_postings_caps_and_counts(spark):
+    rows = [(i, "tok tok other") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: r for r in text.build_postings(
+        df, min_df=2, max_postings=3).collect()}
+    assert out["tok"].df == 10 and out["tok"].cf == 20
+    assert out["tok"].postings == [0, 1, 2]   # sorted, capped
+    assert out["other"].cf == 10
+
+
+def test_code_switch_profile_detects_mixed(spark):
+    rows = [(1, "the and of to in. der die und das nicht"),   # en + de
+            (2, "the and of to in. the and of to in"),        # en only
+            (3, "zzz qqq. xxx www")]                          # und only
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = text.code_switch_profile(df).collect()[0]
+    assert (r.n_docs, r.n_multiseg, r.n_mixed) == (3, 3, 1)
+
+
+def test_shape_template_census_collapses_runs(spark):
+    df = spark.createDataFrame(
+        [("Item 42 - ok",), ("Item 7 - ok",), ("plain words",)],
+        "text string")
+    out = {r.template: r.n_docs
+           for r in text.shape_template_census(df).collect()}
+    assert out == {"a 0 - a": 2, "a a": 1}
+
+
+def test_term_burstiness_hand(spark):
+    # 'b' bursts (4 occurrences in 1 doc over 5 docs); 'a' uniform
+    rows = [(0, "a b b b b")] + [(i, "a") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: r for r in text.term_burstiness(
+        df, min_df=1, k=5).collect()}
+    assert out["b"].burst == 4.0 and out["b"].df == 1
+    assert out["a"].burst == 1.0 and out["a"].df == 5
+
+
+def test_lexical_concentration_buckets(spark):
+    # doc 1: one token repeated -> HHI 1 -> bucket 9
+    # doc 2: four distinct tokens -> HHI 0.25 -> bucket 2
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], "doc_id long, text string")
+    out = {r.bucket: r.n_docs
+           for r in text.lexical_concentration(df).collect()}
+    assert out == {9: 1, 2: 1}

@@ -2575,3 +2575,169 @@ def test_runs_test_bursty_sequence(spark):
         "e string, ts long, id long, f boolean")
     assert tablechecks.runs_test(few, "f", entity_col="e", ts_col="ts",
                                  id_col="id", min_each=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# waves 29-32: hand-derived values for the corpus-health / retrieval /
+# privacy additions
+# ---------------------------------------------------------------------------
+
+def test_bucket_migration_hand(spark):
+    rows = [(0, 1, 10.0), (1, 1, 60.0),    # id 1: bucket 0 -> 2
+            (0, 2, 80.0), (1, 2, 80.0),    # id 2: stays 3
+            (0, 3, 30.0)]                  # id 3: only in snap 0 -> dropped
+    df = spark.createDataFrame(rows, "s int, id long, x double")
+    out = {(r.from_bucket, r.to_bucket): r.n
+           for r in tablechecks.bucket_migration(
+               df, snap_col="s", id_col="id", score_col="x",
+               thresholds=[25.0, 50.0, 75.0]).collect()}
+    assert out == {(0, 2): 1, (3, 3): 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tablechecks.bucket_migration(
+            df.where("s = 0"), snap_col="s", id_col="id",
+            score_col="x", thresholds=[25.0])
+
+
+def test_median_test_hand(spark):
+    import math
+    # g=a: 1,2,3,4 ; g=b: 5,6,7,8 -> median 4.5; above: a=0, b=4
+    rows = [("a", v) for v in [1, 2, 3, 4]] + \
+           [("b", v) for v in [5, 6, 7, 8]]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = tablechecks.median_test(df, "x", group_col="g").collect()[0]
+    # chi2 = sum over 4 cells, expected 2 everywhere: 4*(2^2/2) = 8
+    assert (r.n_groups, r.n_rows, r.dof) == (2, 8, 1)
+    assert abs(r.chi2 - 8.0) < 1e-9
+
+
+def test_shrunk_pass_rates_hand(spark):
+    # corpus mu = 10/20; host small: 1/2, host big: 9/18
+    rows = [("s", i < 1) for i in range(2)] + \
+           [("b", i < 9) for i in range(18)]
+    df = spark.createDataFrame(rows, "h string, ok boolean")
+    out = {r.h: r for r in tablechecks.shrunk_pass_rates(
+        df, "ok", by="h", prior_strength=100.0).collect()}
+    assert out["s"].rate_raw == 0.5
+    assert abs(out["s"].rate_shrunk - round((1 + 50.0) / 102, 6)) < 1e-9
+    assert abs(out["b"].rate_shrunk - round((9 + 50.0) / 118, 6)) < 1e-9
+
+
+def test_distribution_jsd_hand(spark):
+    import math
+    # identical distributions -> 0; disjoint -> ln 2
+    same = spark.createDataFrame(
+        [(0, "x"), (0, "y"), (1, "x"), (1, "y")], "s int, k string")
+    r = tablechecks.distribution_jsd(same, "k", snap_col="s").collect()[0]
+    assert r.jsd_nats == 0.0
+    disj = spark.createDataFrame([(0, "x"), (1, "y")], "s int, k string")
+    r2 = tablechecks.distribution_jsd(disj, "k", snap_col="s").collect()[0]
+    assert abs(r2.jsd_nats - round(math.log(2), 6)) < 1e-9
+    assert r2.jsd_bits == 1.0
+
+
+def test_theil_decomposition_hand(spark):
+    import math
+    # two groups, all mass equal within groups: within = 0,
+    # between = sum s_g ln(mu_g/mu); a: 2 rows of 100, b: 2 rows of 300
+    rows = [("a", 100), ("a", 100), ("b", 300), ("b", 300)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = tablechecks.theil_decomposition(df, "x", group_col="g").collect()[0]
+    mu = 200.0
+    between = (200 / 800) * math.log(100 / mu) + \
+              (600 / 800) * math.log(300 / mu)
+    assert r.theil_within == 0.0
+    assert abs(r.theil_between - round(between, 6)) < 1e-9
+    assert abs(r.theil_total - round(between, 6)) < 2e-6
+
+
+def test_partition_advisor_hand(spark):
+    df = spark.createDataFrame([("a" * 100,)] * 10, "t string")
+    r = tablechecks.partition_advisor(
+        df, bytes_col="t", overhead_bytes=0, target_mb=1).collect()[0]
+    assert (r.n_rows, r.avg_row_bytes, r.max_row_bytes) == (10, 100.0, 100)
+    assert r.rows_per_partition == 1048576 // 100
+    assert r.n_partitions == 1
+
+
+def test_k_anonymity_hand(spark):
+    rows = [("en", 1)] * 5 + [("de", 1)] * 2 + [("fr", 2)]
+    df = spark.createDataFrame(rows, "l string, b long")
+    r = tablechecks.k_anonymity(df, ["l", "b"], k=5).collect()[0]
+    assert (r.n_rows, r.n_classes, r.min_class_size) == (8, 3, 1)
+    assert (r.n_small_classes, r.n_rows_at_risk) == (2, 3)
+    assert r.share_at_risk == 0.375 and r.k == 5
+
+
+def test_neyman_allocation_hand(spark):
+    # a: x in {0, 10} sigma = sqrt(50); b: constant -> sigma 0
+    rows = [("a", 0), ("a", 10), ("b", 7), ("b", 7)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.stratum: r for r in __import__("zoi_spark.sampling",
+           fromlist=["sampling"]).neyman_allocation(
+               df, "x", stratum_col="g", budget=100).collect()}
+    import math
+    assert abs(out["a"].sigma - round(math.sqrt(50), 6)) < 1e-9
+    assert out["b"].sigma == 0.0
+    assert out["a"].alloc_share == 1.0 and out["a"].alloc_n == 100
+    assert out["b"].alloc_n == 0
+
+
+def test_url_ext_census_hand(spark):
+    from zoi_spark import urls
+    df = spark.createDataFrame(
+        [("http://a/x.HTML",), ("http://a/dir/",), ("http://a/plain",),
+         ("http://a/p.tar.gz?v=1#f",)], "url string")
+    out = {r.ext: r for r in urls.url_ext_census(df).collect()}
+    assert out["html"].n_urls == 1 and out["gz"].n_urls == 1
+    assert out[""].n_urls == 2 and out[""].share == 0.5
+
+
+def test_url_depth_census_hand(spark):
+    from zoi_spark import urls
+    df = spark.createDataFrame(
+        [("http://a.example",), ("http://a.example/",),
+         ("http://a.example/x/y?q=1",), ("http://a.example/x/y/z",)],
+        "url string")
+    out = {r.depth: r.n_urls
+           for r in urls.url_depth_census(df).collect()}
+    assert out == {0: 2, 2: 1, 3: 1}
+
+
+def test_idn_host_census_flags(spark):
+    from zoi_spark import urls
+    df = spark.createDataFrame(
+        [("http://ok.example/p",), ("http://xn--bcher-kva.example/p",),
+         ("http://12345678.net/p",), ("http://a-b-c-d.shop/p",),
+         ("http://" + "a" * 45 + ".org/p",)], "url string")
+    r = urls.idn_host_census(df).collect()[0]
+    assert (r.n_hosts, r.n_punycode, r.n_digit_heavy) == (5, 1, 1)
+    # the xn-- host carries 3 hyphens, so it trips BOTH flags
+    assert (r.n_hyphen_heavy, r.n_long) == (2, 1)
+    assert r.share_flagged == 0.8
+
+
+def test_prefix_compression_stats_hand(spark):
+    from zoi_spark import urls
+    # one host, 3 urls sharing a 16-char prefix but not 32
+    df = spark.createDataFrame(
+        [("http://h.example/a/0000000000000001",),
+         ("http://h.example/a/0000000000000002",),
+         ("http://h.example/b/0000000000000003",)], "url string")
+    r = urls.prefix_compression_stats(df).collect()[0]
+    assert (r.n_urls, r.n_pairs) == (3, 2)
+    assert r.share_p8 == 1.0 and r.share_p16 == 1.0
+    assert r.share_p32 == 0.5   # a/...1 -> a/...2 shares 32; a->b not
+
+
+def test_lsh_tuning_curve_midpoint(spark):
+    curve = {r.s: r for r in dedup.lsh_tuning_curve(
+        spark, num_hashes=64, threshold=0.8).collect()}
+    assert len(curve) == 19
+    r = curve[0.75]
+    assert r.bands == 8 and r.rows_per_band == 8
+    p = 1 - (1 - 0.75 ** 8) ** 8
+    assert abs(r.p_candidate - round(p, 6)) < 1e-9
+    # probability rises monotonically in s
+    ps = [curve[k].p_candidate for k in sorted(curve)]
+    assert ps == sorted(ps)

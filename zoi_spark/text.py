@@ -2420,6 +2420,7 @@ def hapax_rate(df: DataFrame, *, text_col: str = "text",
 def bm25_topk(df: DataFrame, query_terms: "list[str]", *,
               text_col: str = "text", id_col: str = "doc_id",
               k: int = 20, k1: float = 1.2, b: float = 0.75,
+              corpus_stats: "tuple[int, float] | None" = None,
               round_to: int = 6) -> DataFrame:
     """BM25 retrieval scoring of a fixed term query against the
     corpus — the classic probabilistic ranking (Robertson/Spärck
@@ -2433,7 +2434,12 @@ def bm25_topk(df: DataFrame, query_terms: "list[str]", *,
     shuffle (the term set is a literal ≤ dozens), so the tf
     aggregation shuffles only matching postings, never the corpus
     vocabulary; df/avgdl/N are a term-sized frame + a 1-row broadcast;
-    the final cut is a TakeOrdered top-k, not a global sort."""
+    the final cut is a TakeOrdered top-k, not a global sort.
+
+    ``corpus_stats``: pass the precomputed ``(n_docs, avg_doc_len)``
+    (a retrieval deployment computes them ONCE per corpus snapshot,
+    not per query) to skip the stats branch — per-query cost then
+    touches the corpus exactly once."""
     if not query_terms:
         raise ValueError("bm25_topk: query_terms required")
     terms = sorted({t.lower() for t in query_terms})
@@ -2448,10 +2454,17 @@ def bm25_topk(df: DataFrame, query_terms: "list[str]", *,
     tf = (hits.groupBy("__id", "__t")
           .agg(F.count("*").alias("__tf"), F.min("__dl").alias("__dl")))
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
-    stats = (df.where(F.col(text_col).isNotNull()
-                      & F.col(id_col).isNotNull())
-             .agg(F.count("*").alias("__n"),
-                  F.avg(F.size(toks)).alias("__avgdl")))
+    if corpus_stats is not None:
+        n_docs, avgdl_v = corpus_stats
+        spark = df.sparkSession
+        stats = spark.range(1).select(
+            F.lit(int(n_docs)).cast("long").alias("__n"),
+            F.lit(float(avgdl_v)).alias("__avgdl"))
+    else:
+        stats = (df.where(F.col(text_col).isNotNull()
+                          & F.col(id_col).isNotNull())
+                 .agg(F.count("*").alias("__n"),
+                      F.avg(F.size(toks)).alias("__avgdl")))
     idf = F.log(1.0 + (F.col("__n") - F.col("__df") + 0.5)
                 / (F.col("__df") + 0.5))
     norm = (F.col("__tf") * (k1 + 1.0)
