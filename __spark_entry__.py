@@ -4773,6 +4773,86 @@ def q_url_prefix_compression(spark, sf_dir):
     return urls.prefix_compression_stats(seeded)
 
 
+def q_split_leakage_docs(spark, sf_dir):
+    """Train/eval leakage audit (sampling.split_leakage over the
+    hash_split assignment and the content fingerprint): every 25th
+    doc gets an identical-text copy under a NEW id (+5·10^5) — the
+    copy hashes into its own split, so ~88% of the dup groups straddle
+    a split boundary (exactly the eval-inflating groups the audit
+    exists to count; the testdata itself carries no exact dups)."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (d.where(F.pmod("doc_id", F.lit(25)) == 0)
+              .select((F.col("doc_id") + 500000).alias("doc_id"),
+                      "text"))
+    seeded = (d.unionByName(copies)
+              .select("doc_id",
+                      text.fingerprint(F.col("text")).alias("fp")))
+    return sampling.split_leakage(seeded, id_col="doc_id", fp_col="fp",
+                                  weights=_SPLIT_WEIGHTS)
+
+
+def q_golden_urls(spark, sf_dir):
+    """Golden-record survivorship merge (tablechecks.
+    survivorship_merge): 50 seeded entities × ~10 versions ordered by
+    doc_id, lang nulled every 3rd version and n_chars every 4th — the
+    merged row must carry the LATEST NON-NULL of each, not the latest
+    row's nulls."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.select(
+        F.concat(F.lit("u"), F.pmod("doc_id", F.lit(50)).cast("string"))
+        .alias("entity"),
+        F.col("doc_id").alias("version_ts"),
+        F.when(F.pmod("doc_id", F.lit(3)) != 0, F.col("lang"))
+        .alias("lang"),
+        F.when(F.pmod("doc_id", F.lit(4)) != 0, F.col("n_chars"))
+        .alias("n_chars"))
+    return (tablechecks.survivorship_merge(
+        seeded, "entity", ts_col="version_ts",
+        value_cols=["lang", "n_chars"])
+        .orderBy("entity"))
+
+
+def q_km_purchase(spark, sf_dir):
+    """Kaplan–Meier time-to-first-purchase (tablechecks.kaplan_meier,
+    1 h buckets): per-user first event → first purchase, never-buyers
+    right-censored at the corpus horizon; survival = windowed
+    exp(Σ ln(1−d/n)) over the bounded bucket curve."""
+    d = _read(spark, sf_dir, "events")
+    return (tablechecks.kaplan_meier(
+        d, entity_col="user_id", ts_col="ts",
+        event_pred=F.col("event_type") == "purchase", bucket_s=3600)
+        .orderBy("t_bucket"))
+
+
+def q_bag_dedup_groups(spark, sf_dir):
+    """Reorder-invariant dedup (dedup.bag_fingerprint_groups): every
+    10th doc gets a token-REVERSED copy (id + 10^6) — exact
+    fingerprints differ, bag fingerprints collapse, so exactly those
+    groups (plus any natural reorders) surface."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = (d.where(F.pmod("doc_id", F.lit(10)) == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.array_join(
+                       F.reverse(F.split(text.normalize_text(
+                           F.col("text")), " ")), " ").alias("text")))
+    seeded = d.unionByName(rev)
+    return (dedup.bag_fingerprint_groups(seeded, max_ids=8)
+            .orderBy("bag_fp"))
+
+
+def q_logreg_len_gate(spark, sf_dir):
+    """One exact Newton step of logistic regression (tablechecks.
+    logreg_newton_step) learning a length gate: x = n_chars/100,
+    y = (n_chars + 37·(doc_id%11) > 450) — power sums in one pass,
+    closed-form 2×2 solve, no iteration."""
+    d = _read(spark, sf_dir, "documents")
+    x = F.col("n_chars") / 100.0
+    y = (F.col("n_chars") + 37 * F.pmod("doc_id", F.lit(11)) > 450)
+    return tablechecks.logreg_newton_step(d, x, y)
+
+
 def q_k_anonymity_docs(spark, sf_dir):
     """k-anonymity audit (tablechecks.k_anonymity, k=5) on the quasi
     tuple (lang, source, n_chars//100): class-size census + rows in
@@ -5089,6 +5169,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lexical_hhi": q_lexical_hhi,
         "url_prefix_compression": q_url_prefix_compression,
         "k_anonymity_docs": q_k_anonymity_docs,
+        "split_leakage_docs": q_split_leakage_docs,
+        "golden_urls": q_golden_urls,
+        "km_purchase": q_km_purchase,
+        "bag_dedup_groups": q_bag_dedup_groups,
+        "logreg_len_gate": q_logreg_len_gate,
     }
 
 
@@ -6539,6 +6624,42 @@ def _corpus_split_sql() -> str:
           FROM documents)
         SELECT {case} AS split, lang, count(*)::BIGINT AS n_docs
         FROM s GROUP BY split, lang ORDER BY split, lang
+    """
+
+
+def _split_leakage_sql() -> str:
+    """DuckDB twin of q_split_leakage_docs: the corpus_split fraction
+    and boundary literals (see _corpus_split_sql), grouped by the
+    content fingerprint instead of (split, lang)."""
+    from zoi_spark import sampling
+
+    names = list(_SPLIT_WEIGHTS)
+    bounds = sampling.split_boundaries(_SPLIT_WEIGHTS)
+    case = "CASE " + " ".join(
+        f"WHEN f < {b!r} THEN '{n}'" for n, b in zip(names, bounds)
+    ) + f" ELSE '{names[-1]}' END"
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 500000 AS doc_id, text FROM documents
+          WHERE doc_id % 25 = 0),
+        s AS (
+          SELECT md5({_NORM_SQL}) AS fp,
+                 (('0x' || substr(md5('split:' || doc_id), 1, 8))
+                  ::UBIGINT)::DOUBLE / 4294967296.0 AS f
+          FROM seeded),
+        g AS (
+          SELECT fp, count(*) AS n, count(DISTINCT {case}) AS k
+          FROM s WHERE fp IS NOT NULL GROUP BY fp)
+        SELECT count(*)::BIGINT AS n_fp_groups,
+               sum((n > 1)::INT)::BIGINT AS n_dup_groups,
+               sum((k > 1)::INT)::BIGINT AS n_cross_split_groups,
+               sum(CASE WHEN k > 1 THEN n ELSE 0 END)::BIGINT
+                 AS n_docs_cross_split,
+               round(sum(CASE WHEN k > 1 THEN n ELSE 0 END) / sum(n),
+                     6) AS leak_share
+        FROM g
     """
 
 
@@ -11392,5 +11513,113 @@ def oracle_sql() -> dict[str, str]:
                          / sum(n), 6) AS share_at_risk,
                    5::BIGINT AS k
             FROM classes
+        """,
+        "split_leakage_docs": _split_leakage_sql(),
+        "golden_urls": """
+            WITH seeded AS (
+              SELECT 'u' || (doc_id % 50)::VARCHAR AS entity,
+                     doc_id AS version_ts,
+                     CASE WHEN doc_id % 3 != 0 THEN lang END AS lang,
+                     CASE WHEN doc_id % 4 != 0 THEN n_chars END
+                       AS n_chars
+              FROM documents)
+            SELECT entity, count(*)::BIGINT AS n_versions,
+                   min(version_ts) AS first_ts,
+                   max(version_ts) AS last_ts,
+                   arg_max(lang, CASE WHEN lang IS NOT NULL
+                                 THEN version_ts END) AS lang,
+                   arg_max(n_chars, CASE WHEN n_chars IS NOT NULL
+                                    THEN version_ts END) AS n_chars
+            FROM seeded
+            WHERE entity IS NOT NULL AND version_ts IS NOT NULL
+            GROUP BY entity ORDER BY entity
+        """,
+        "km_purchase": """
+            WITH per AS (
+              SELECT user_id, min(epoch(ts)) AS entry,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN epoch(ts) END) AS ev,
+                     max(epoch(ts)) AS lastts
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id),
+            h AS (SELECT max(lastts) AS hz FROM per),
+            marks AS (
+              SELECT floor((CASE WHEN ev IS NOT NULL THEN ev - entry
+                            ELSE hz - entry END) / 3600)::BIGINT
+                       AS t_bucket,
+                     count(*) AS alln,
+                     sum(CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END)
+                       AS d
+              FROM per, h GROUP BY 1),
+            curve AS (
+              SELECT t_bucket,
+                     sum(alln) OVER ()
+                       - coalesce(sum(alln) OVER (
+                           ORDER BY t_bucket ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+                     d AS n_events
+              FROM marks),
+            kmq AS (
+              SELECT t_bucket, n_risk, n_events,
+                     exp(sum(CASE WHEN n_events > 0
+                                  AND n_events < n_risk
+                             THEN ln(1 - n_events / n_risk)
+                             ELSE 0 END)
+                         OVER (ORDER BY t_bucket ROWS BETWEEN
+                               UNBOUNDED PRECEDING AND CURRENT ROW))
+                       AS sv,
+                     max(CASE WHEN n_events >= n_risk THEN 1
+                         ELSE 0 END)
+                         OVER (ORDER BY t_bucket ROWS BETWEEN
+                               UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS absorbed
+              FROM curve)
+            SELECT t_bucket, n_risk::BIGINT AS n_risk,
+                   n_events::BIGINT AS n_events,
+                   CASE WHEN absorbed = 1 THEN 0.0
+                        ELSE round(sv, 6) END AS survival
+            FROM kmq WHERE n_events > 0 ORDER BY t_bucket
+        """,
+        "bag_dedup_groups": f"""
+            WITH rev AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       list_reverse(string_split({_NORM_SQL}, ' ')),
+                       ' ') AS text
+              FROM documents WHERE doc_id % 10 = 0),
+            seeded AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM rev),
+            base AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(
+                       list_filter(string_split({_NORM_SQL}, ' '),
+                                   x -> x != '')), ' ')) AS bag_fp,
+                     md5({_NORM_SQL}) AS efp
+              FROM seeded
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+            SELECT bag_fp, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT efp)::BIGINT AS n_exact_variants,
+                   (list_sort(list(doc_id)))[1:8] AS sample_ids
+            FROM base GROUP BY bag_fp
+            HAVING count(*) > 1 AND count(DISTINCT efp) > 1
+            ORDER BY bag_fp
+        """,
+        "logreg_len_gate": """
+            WITH base AS (
+              SELECT n_chars / 100.0 AS x,
+                     CASE WHEN n_chars + 37 * (doc_id % 11) > 450
+                          THEN 1.0 ELSE 0.0 END AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+            s AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+                         sum(y) AS sy, sum(x * y) AS sxy
+                  FROM base)
+            SELECT n::BIGINT AS n,
+                   round((sxx * (sy - n / 2.0) - sx * (sxy - sx / 2.0))
+                         / ((n * sxx - sx * sx) / 4.0), 6) AS beta0,
+                   round((n * (sxy - sx / 2.0) - sx * (sy - n / 2.0))
+                         / ((n * sxx - sx * sx) / 4.0), 6) AS beta1
+            FROM s
         """,
     }

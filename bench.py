@@ -308,6 +308,10 @@ R4_NAMES = [
     # URL prefix compression, k-anonymity audit
     "shape_templates", "term_burstiness", "lexical_hhi",
     "url_prefix_compression", "k_anonymity_docs",
+    # wave 33: split-leakage audit, survivorship merge, Kaplan-Meier,
+    # reorder-invariant dedup, logistic Newton step
+    "split_leakage_docs", "golden_urls", "km_purchase",
+    "bag_dedup_groups", "logreg_len_gate",
 ]
 
 

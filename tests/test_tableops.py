@@ -2741,3 +2741,70 @@ def test_lsh_tuning_curve_midpoint(spark):
     # probability rises monotonically in s
     ps = [curve[k].p_candidate for k in sorted(curve)]
     assert ps == sorted(ps)
+
+
+def test_survivorship_merge_latest_nonnull(spark):
+    rows = [("u", 1, "en", 100), ("u", 2, None, 200), ("u", 3, "de", None)]
+    df = spark.createDataFrame(rows, "e string, ts long, l string, n long")
+    r = tablechecks.survivorship_merge(
+        df, "e", ts_col="ts", value_cols=["l", "n"]).collect()[0]
+    # latest non-null: l from ts=3, n from ts=2 (ts=3 row has n NULL)
+    assert (r.n_versions, r.first_ts, r.last_ts) == (3, 1, 3)
+    assert (r.l, r.n) == ("de", 200)
+
+
+def test_kaplan_meier_hand(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    def t(h): return base + dt.timedelta(hours=h)
+    # u1: enters 0h, buys at 1h; u2: enters 0h, never buys, last 3h
+    # u3: enters 0h, buys at 2h
+    rows = [("u1", t(0), "view"), ("u1", t(1.2), "purchase"),
+            ("u2", t(0), "view"), ("u2", t(3), "view"),
+            ("u3", t(0), "view"), ("u3", t(2.5), "purchase")]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, et string")
+    from pyspark.sql import functions as FF
+    out = {r.t_bucket: r for r in tablechecks.kaplan_meier(
+        df, entity_col="user_id", ts_col="ts",
+        event_pred=FF.col("et") == "purchase", bucket_s=3600).collect()}
+    # bucket 1: risk 3, 1 event -> S = 2/3; bucket 2: risk 2, 1 event
+    # -> S = 2/3 * 1/2 = 1/3 ; u2 censored at bucket 3
+    assert out[1].n_risk == 3 and out[1].n_events == 1
+    assert abs(out[1].survival - round(2 / 3, 6)) < 1e-9
+    assert abs(out[2].survival - round(1 / 3, 6)) < 1e-9
+
+
+def test_logreg_newton_step_hand(spark):
+    from pyspark.sql import functions as FF
+    # perfectly balanced, antisymmetric design: x=-1 y=0, x=1 y=1 (x2)
+    rows = [(-1.0, 0.0), (-1.0, 0.0), (1.0, 1.0), (1.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = tablechecks.logreg_newton_step(df, "x", "y").collect()[0]
+    # n=4, Sx=0, Sxx=4, Sy=2, Sxy=2 -> g=(0,2), H=diag(1,1) -> beta=(0,2)
+    assert r.n == 4 and r.beta0 == 0.0 and r.beta1 == 2.0
+
+
+def test_bag_fingerprint_groups_reorders(spark):
+    rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+            (3, "alpha beta gamma"),            # exact dup of 1
+            (4, "unrelated text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.bag_fingerprint_groups(df).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_docs == 3 and g.n_exact_variants == 2
+    assert g.sample_ids == [1, 2, 3]
+
+
+def test_split_leakage_counts(spark):
+    from zoi_spark import sampling as zs
+    # 40 ids share one fp -> certain to straddle a 50/50 split;
+    # 5 singleton fps -> never leak
+    rows = [(i, "shared") for i in range(40)] + \
+           [(100 + i, f"solo{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    r = zs.split_leakage(df, id_col="doc_id", fp_col="fp",
+                         weights={"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.n_fp_groups == 6 and r.n_dup_groups == 1
+    assert r.n_cross_split_groups == 1 and r.n_docs_cross_split == 40
+    assert abs(r.leak_share - round(40 / 45, 6)) < 1e-9

@@ -1743,3 +1743,37 @@ def lsh_tuning_curve(spark, *, num_hashes: int = 64,
                     F.lit(int(b)).cast("long").alias("bands"),
                     F.lit(int(r)).cast("long").alias("rows_per_band"),
                     F.round(F.lit(mid), round_to).alias("midpoint")))
+
+
+def bag_fingerprint_groups(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_ids: int = 8) -> DataFrame:
+    """Reorder-invariant duplicate groups: the bag fingerprint hashes
+    the SORTED token sequence (multiset, duplicates kept), so
+    token-shuffled copies — paragraph-reordered plagiarism, list pages
+    re-sorted by a template, sentence-permuted spins — collapse onto
+    one key even though their exact fingerprints differ. Emitted
+    groups have >1 doc AND >1 distinct exact fingerprint, i.e. the
+    reordered copies exact dedup cannot see. Output: ``(bag_fp,
+    n_docs, n_exact_variants, sample_ids)`` (first ``max_ids`` sorted).
+
+    Same one-shuffle shape as exact dedup — the sort is per-document
+    inside a projection (O(len log len) per row), not a corpus sort."""
+    from .text import normalize_text
+
+    toks = F.array_sort(F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda x: x != ""))
+    bag_fp = F.md5(F.array_join(toks, " "))
+    exact_fp = F.md5(normalize_text(F.col(text_col)))
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    bag_fp.alias("bag_fp"), exact_fp.alias("__efp")))
+    return (base.groupBy("bag_fp")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("__efp").alias("n_exact_variants"),
+                 F.slice(F.array_sort(F.collect_list("__id")), 1,
+                         int(max_ids)).alias("sample_ids"))
+            .where((F.col("n_docs") > 1)
+                   & (F.col("n_exact_variants") > 1)))

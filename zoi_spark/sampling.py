@@ -575,3 +575,35 @@ def neyman_allocation(df: DataFrame, value_col: str, *, stratum_col: str,
                     F.round(share, round_to).alias("alloc_share"),
                     F.floor(F.lit(int(budget)) * share).cast("long")
                     .alias("alloc_n")))
+
+
+def split_leakage(df: DataFrame, *, id_col: str, fp_col: str,
+                  weights: "dict[str, float]", salt: str = "split:",
+                  round_to: int = 6) -> DataFrame:
+    """Train/eval leakage audit: after `hash_split`, does any content
+    fingerprint appear in MORE THAN ONE split? Hash-splitting by id is
+    leakage-free only for EXACT rows — duplicated content with
+    different ids lands in different splits and inflates eval scores,
+    the classic benchmark-contamination failure. Output one row:
+    ``(n_fp_groups, n_dup_groups, n_cross_split_groups,
+    n_docs_cross_split, leak_share)`` where leak_share is the doc
+    share sitting in a cross-split duplicate group.
+
+    Same split math as `hash_split` (pure projection), then ONE
+    fingerprint-keyed aggregation; nothing is materialized per pair."""
+    s = hash_split(df, id_col=id_col, weights=weights, salt=salt)
+    groups = (s.where(F.col(fp_col).isNotNull())
+              .groupBy(fp_col)
+              .agg(F.count("*").alias("__n"),
+                   F.count_distinct("split").alias("__k")))
+    cross = F.col("__k") > 1
+    return groups.agg(
+        F.count("*").cast("long").alias("n_fp_groups"),
+        F.sum((F.col("__n") > 1).cast("long")).cast("long")
+        .alias("n_dup_groups"),
+        F.sum(cross.cast("long")).cast("long")
+        .alias("n_cross_split_groups"),
+        F.sum(F.when(cross, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long").alias("n_docs_cross_split"),
+        F.round(F.sum(F.when(cross, F.col("__n")).otherwise(F.lit(0)))
+                / F.sum("__n"), round_to).alias("leak_share"))

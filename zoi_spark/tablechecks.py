@@ -2645,3 +2645,130 @@ def k_anonymity(df: DataFrame, quasi_cols: "Sequence[str]", *,
         F.round(F.sum(F.when(small, F.col("__n")).otherwise(F.lit(0)))
                 / F.sum("__n"), round_to).alias("share_at_risk"),
         F.lit(int(k)).cast("long").alias("k"))
+
+
+def survivorship_merge(df: DataFrame, key_col: str, *, ts_col: str,
+                       value_cols: "Sequence[str]") -> DataFrame:
+    """Golden-record survivorship merge: one row per entity carrying,
+    for each value column, the LATEST NON-NULL observation (recency
+    survivorship — the standard MDM rule) — what a recrawl pipeline
+    runs to collapse months of partial refetches into the current
+    best row without letting a null-field refetch erase data an older
+    fetch had. Output: ``(key, n_versions, first_ts, last_ts,
+    <value_cols...>)``.
+
+    One hash aggregation on the entity key: each column is a
+    ``max_by(col, ts WHERE col IS NOT NULL)`` (both Spark's max_by and
+    DuckDB's arg_max skip NULL ordinals, which is what makes the rule
+    expressible without a per-column window)."""
+    if not value_cols:
+        raise ValueError("survivorship_merge: value_cols required")
+    aggs = [F.count("*").cast("long").alias("n_versions"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts")]
+    for c in value_cols:
+        aggs.append(F.max_by(
+            F.col(c), F.when(F.col(c).isNotNull(), F.col(ts_col)))
+            .alias(c))
+    return (df.where(F.col(key_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .groupBy(key_col).agg(*aggs))
+
+
+def kaplan_meier(df: DataFrame, *, entity_col: str, ts_col: str,
+                 event_pred: Column, bucket_s: int = 3600,
+                 round_to: int = 6) -> DataFrame:
+    """Kaplan–Meier survival estimate of time-to-first-event per
+    entity: duration runs from an entity's first observation to its
+    first row satisfying ``event_pred``; entities that never convert
+    are right-censored at the global observation end. Durations are
+    bucketed to ``bucket_s`` seconds so the curve is a bounded frame.
+    Output per event bucket: ``(t_bucket, n_risk, n_events,
+    survival)`` with ``S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)``.
+
+    Scale shape: one per-entity aggregation (uniform key), a global
+    1-row max (the censoring horizon), a bucket-sized aggregation,
+    then windows over the ≤ (horizon/bucket_s)-row curve — never over
+    entities. The cumulative product runs as exp(Σ ln), windowed in
+    deterministic bucket order."""
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    per = (df.where(F.col(entity_col).isNotNull())
+           .groupBy(entity_col)
+           .agg(F.min(ts).alias("__entry"),
+                F.min(F.when(event_pred, ts)).alias("__event"),
+                F.max(ts).alias("__last")))
+    horizon = per.agg(F.max("__last").alias("__h"))
+    j = per.crossJoin(F.broadcast(horizon))
+    observed = F.col("__event").isNotNull()
+    dur = F.when(observed, F.col("__event") - F.col("__entry")) \
+        .otherwise(F.col("__h") - F.col("__entry"))
+    b = F.floor(dur / F.lit(int(bucket_s))).cast("long")
+    marks = (j.select(b.alias("t_bucket"),
+                      observed.cast("long").alias("__d"))
+             .groupBy("t_bucket")
+             .agg(F.count("*").alias("__all"), F.sum("__d").alias("__d")))
+    w = Window.orderBy("t_bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    n_risk = (F.sum("__all").over(total)
+              - F.coalesce(F.sum("__all").over(w), F.lit(0)))
+    curve = marks.select("t_bucket", n_risk.alias("n_risk"),
+                         F.col("__d").alias("n_events"))
+    ws = Window.orderBy("t_bucket") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    # d == n_risk is the absorbing end of the curve (everyone still at
+    # risk converts in that bucket): survival is exactly 0 there, and
+    # ln(1 - d/n) would be ln 0 — Spark's log returns NULL (which sum
+    # would silently SKIP, corrupting the product) and DuckDB raises.
+    # Gate the log on d < n and carry the absorption as a windowed flag.
+    partial = (F.col("n_events") > 0) & (F.col("n_events")
+                                         < F.col("n_risk"))
+    logs = F.sum(F.when(partial,
+                        F.log(1.0 - F.col("n_events")
+                              / F.col("n_risk")))
+                 .otherwise(F.lit(0.0))).over(ws)
+    absorbed = F.max((F.col("n_events") >= F.col("n_risk"))
+                     .cast("int")).over(ws)
+    survival = F.when(absorbed == 1, F.lit(0.0)) \
+        .otherwise(F.round(F.exp(logs), round_to))
+    return (curve.where(F.col("n_events") > 0)
+            .select(F.col("t_bucket"),
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                    survival.alias("survival")))
+
+
+def logreg_newton_step(df: DataFrame, feature, label, *,
+                       round_to: int = 6) -> DataFrame:
+    """One exact Newton–Raphson step of logistic regression
+    (intercept + one feature) from β = 0 — the distributed "learn a
+    separating threshold" primitive behind calibrated quality gates:
+    at β = 0 every p̂ is exactly ½, so the gradient is
+    ``Σ (y−½)·[1,x]`` and the Hessian ``¼·Σ [1,x][1,x]ᵀ``, both plain
+    power sums — ONE aggregation pass, a closed-form 2×2 solve, no
+    iteration, no collect of anything but the 1-row result. Output:
+    ``(n, beta0, beta1)`` with β = H⁻¹·g.
+
+    Chain further steps by materializing p̂ and re-aggregating if full
+    convergence is needed; the single step is already the
+    direction+scale signal a monitoring gate wants, and it is
+    reproducible (no SGD order-dependence)."""
+    x = (F.col(feature) if isinstance(feature, str) else feature) \
+        .cast("double")
+    y = (F.col(label) if isinstance(label, str) else label) \
+        .cast("double")
+    agg = (df.where(x.isNotNull() & y.isNotNull())
+           .agg(F.count("*").alias("__n"), F.sum(x).alias("__sx"),
+                F.sum(x * x).alias("__sxx"), F.sum(y).alias("__sy"),
+                F.sum(x * y).alias("__sxy")))
+    g0 = F.col("__sy") - F.col("__n") / 2.0
+    g1 = F.col("__sxy") - F.col("__sx") / 2.0
+    # H = ¼·[[n,Sx],[Sx,Sxx]] → H⁻¹ = 4·M⁻¹, folded into det = det(M)/4
+    det = (F.col("__n") * F.col("__sxx")
+           - F.col("__sx") * F.col("__sx")) / 4.0
+    beta0 = (F.col("__sxx") * g0 - F.col("__sx") * g1) / det
+    beta1 = (F.col("__n") * g1 - F.col("__sx") * g0) / det
+    return agg.select(F.col("__n").cast("long").alias("n"),
+                      F.round(beta0, round_to).alias("beta0"),
+                      F.round(beta1, round_to).alias("beta1"))
