@@ -97,6 +97,37 @@ _DUP_DOCS_SQL = """
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+# the DuckDB twin of the flagship rule-set's violation rows — defined
+# ONCE and reused by documents_flagship AND rule_cooccurrence (a
+# drifted hand-copy would silently break one of the two gates)
+_FLAGSHIP_SQL = """
+    SELECT doc_id, rule_id FROM (
+      SELECT doc_id, 'doc_id.gte' AS rule_id FROM documents
+        WHERE doc_id IS NOT NULL AND NOT (doc_id >= 0)
+      UNION ALL
+      SELECT doc_id, 'text.gte' FROM documents
+        WHERE text IS NOT NULL AND NOT (length(text) >= 50)
+      UNION ALL
+      SELECT doc_id, 'text.lte' FROM documents
+        WHERE text IS NOT NULL AND NOT (length(text) <= 520)
+      UNION ALL
+      SELECT doc_id, 'lang.gte' FROM documents
+        WHERE lang IS NOT NULL AND NOT (length(lang) >= 2)
+      UNION ALL
+      SELECT doc_id, 'lang.lte' FROM documents
+        WHERE lang IS NOT NULL AND NOT (length(lang) <= 2)
+      UNION ALL
+      SELECT doc_id, 'lang.one_of' FROM documents
+        WHERE lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
+      UNION ALL
+      SELECT doc_id, 'source.starts_with' FROM documents
+        WHERE source IS NOT NULL AND NOT starts_with(source, 'src')
+      UNION ALL
+      SELECT doc_id, 'n_chars.gte' FROM documents
+        WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
+    )
+"""
+
 # the DuckDB twin of text.quality_score over a column named `text` —
 # defined ONCE; every oracle needing the quality formula interpolates
 # this (a drifted hand-copy would silently break a gate)
@@ -4853,6 +4884,64 @@ def q_logreg_len_gate(spark, sf_dir):
     return tablechecks.logreg_newton_step(d, x, y)
 
 
+def q_zorder_advisor(spark, sf_dir):
+    """Data-skipping advisor (tablechecks.clustering_skipping_estimate,
+    50-row files, predicate n_chars BETWEEN 200 AND 250): min/max
+    pruning hit rate in ingestion order vs n_chars-clustered order —
+    the Iceberg write.sort-order decision, quantified."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.clustering_skipping_estimate(
+        d, order_col="doc_id", cluster_col="n_chars",
+        value_lo=200, value_hi=250, file_rows=50)
+        .orderBy("ordering"))
+
+
+def q_rule_cooccurrence(spark, sf_dir):
+    """Validation-rule co-firing matrix (tablechecks.
+    rule_cooccurrence) over the flagship rule-set's violation rows —
+    root-cause triage read straight off the engine output."""
+    viol = q_documents_flagship(spark, sf_dir)
+    return (tablechecks.rule_cooccurrence(viol)
+            .orderBy("rule_a", "rule_b"))
+
+
+def q_bootstrap_len_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI (tablechecks.
+    poisson_bootstrap_ci, B=32, α=0.1) for mean n_chars — md5-derived
+    Poisson(1) weights, exact-long resample sums, bit-reproducible
+    interval."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.poisson_bootstrap_ci(d, "n_chars",
+                                            n_resamples=32, alpha=0.1)
+
+
+def q_event_lateness(spark, sf_dir):
+    """Event-time lateness histogram (tablechecks.lateness_profile,
+    1 h buckets). The synthetic events arrive in event-time order, so
+    arrival is seeded as the md5 permutation of event_id — a
+    deterministic out-of-order delivery that actually exercises the
+    watermark-sizing readout."""
+    d = _read(spark, sf_dir, "events")
+    arrival = F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long")
+    seeded = d.select("user_id", "ts", arrival.alias("arrival"))
+    return (tablechecks.lateness_profile(
+        seeded, entity_col="user_id", ts_col="ts", order_col="arrival",
+        bucket_s=3600 * 24)
+        .orderBy("lateness_bucket"))
+
+
+def q_agg_merge_check(spark, sf_dir):
+    """Algebraic partial-aggregate merge invariant (tablechecks.
+    mergeable_stats_check, halves = doc_id parity): merged
+    (n, Σ, min, max, Σx²) must equal the direct pass exactly — the
+    property the checkpoint/resume manifest relies on."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.mergeable_stats_check(
+        d, "n_chars", split_pred=F.pmod("doc_id", F.lit(2)) == 0)
+
+
 def q_k_anonymity_docs(spark, sf_dir):
     """k-anonymity audit (tablechecks.k_anonymity, k=5) on the quasi
     tuple (lang, source, n_chars//100): class-size census + rows in
@@ -5174,6 +5263,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "km_purchase": q_km_purchase,
         "bag_dedup_groups": q_bag_dedup_groups,
         "logreg_len_gate": q_logreg_len_gate,
+        "zorder_advisor": q_zorder_advisor,
+        "rule_cooccurrence": q_rule_cooccurrence,
+        "bootstrap_len_ci": q_bootstrap_len_ci,
+        "event_lateness": q_event_lateness,
+        "agg_merge_check": q_agg_merge_check,
     }
 
 
@@ -6916,33 +7010,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
         """,
         "winnowing_fingerprints": _winnowing_sql(k=5, w=8),
-        "documents_flagship": """
-            SELECT doc_id, rule_id FROM (
-              SELECT doc_id, 'doc_id.gte' AS rule_id FROM documents
-                WHERE doc_id IS NOT NULL AND NOT (doc_id >= 0)
-              UNION ALL
-              SELECT doc_id, 'text.gte' FROM documents
-                WHERE text IS NOT NULL AND NOT (length(text) >= 50)
-              UNION ALL
-              SELECT doc_id, 'text.lte' FROM documents
-                WHERE text IS NOT NULL AND NOT (length(text) <= 520)
-              UNION ALL
-              SELECT doc_id, 'lang.gte' FROM documents
-                WHERE lang IS NOT NULL AND NOT (length(lang) >= 2)
-              UNION ALL
-              SELECT doc_id, 'lang.lte' FROM documents
-                WHERE lang IS NOT NULL AND NOT (length(lang) <= 2)
-              UNION ALL
-              SELECT doc_id, 'lang.one_of' FROM documents
-                WHERE lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
-              UNION ALL
-              SELECT doc_id, 'source.starts_with' FROM documents
-                WHERE source IS NOT NULL AND NOT starts_with(source, 'src')
-              UNION ALL
-              SELECT doc_id, 'n_chars.gte' FROM documents
-                WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
-            )
-        """,
+        "documents_flagship": _FLAGSHIP_SQL,
         "disc_union_events": """
             SELECT rule_id, count(*)::BIGINT AS n FROM (
               SELECT CASE
@@ -11621,5 +11689,125 @@ def oracle_sql() -> dict[str, str]:
                    round((n * (sxy - sx / 2.0) - sx * (sy - n / 2.0))
                          / ((n * sxx - sx * sx) / 4.0), 6) AS beta1
             FROM s
+        """,
+        "zorder_advisor": """
+            WITH ing AS (
+              SELECT ((row_number() OVER (ORDER BY doc_id)) - 1) // 50
+                       AS f, n_chars AS v
+              FROM documents WHERE n_chars IS NOT NULL),
+            ingf AS (SELECT f, min(v) AS lo, max(v) AS hi FROM ing
+                     GROUP BY f),
+            clu AS (
+              SELECT ((row_number() OVER (ORDER BY n_chars, doc_id))
+                      - 1) // 50 AS f, n_chars AS v
+              FROM documents WHERE n_chars IS NOT NULL),
+            cluf AS (SELECT f, min(v) AS lo, max(v) AS hi FROM clu
+                     GROUP BY f)
+            SELECT 'ingest' AS ordering, count(*)::BIGINT AS n_files,
+                   sum((hi >= 200 AND lo <= 250)::INT)::BIGINT
+                     AS files_hit,
+                   round(1.0 - sum((hi >= 200 AND lo <= 250)::INT)
+                         / count(*), 6) AS skip_ratio
+            FROM ingf
+            UNION ALL
+            SELECT 'clustered', count(*)::BIGINT,
+                   sum((hi >= 200 AND lo <= 250)::INT)::BIGINT,
+                   round(1.0 - sum((hi >= 200 AND lo <= 250)::INT)
+                         / count(*), 6)
+            FROM cluf
+            ORDER BY ordering
+        """,
+        "rule_cooccurrence": f"""
+            WITH v AS (SELECT DISTINCT doc_id, rule_id
+                       FROM ({_FLAGSHIP_SQL}) WHERE doc_id IS NOT NULL)
+            SELECT a.rule_id AS rule_a, b.rule_id AS rule_b,
+                   count(*)::BIGINT AS n_docs
+            FROM v a JOIN v b USING (doc_id)
+            WHERE a.rule_id < b.rule_id
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "bootstrap_len_ci": """
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS id, n_chars::BIGINT AS x
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+            drawn AS (
+              SELECT b.range AS b, x,
+                     (('0x' || substr(md5(id || ':' || b.range::VARCHAR),
+                                      1, 8))::UBIGINT)::DOUBLE
+                       / 4294967296.0 AS u
+              FROM base CROSS JOIN range(32) b),
+            weighted AS (
+              SELECT b, x,
+                     CASE WHEN u < 0.36787944117144233 THEN 0
+                          WHEN u < 0.7357588823428847 THEN 1
+                          WHEN u < 0.9196986029286058 THEN 2
+                          WHEN u < 0.9810118431238462 THEN 3
+                          ELSE 4 END AS w
+              FROM drawn),
+            means AS (
+              SELECT b, sum(w * x) / sum(w) AS m
+              FROM weighted GROUP BY b),
+            ci AS (SELECT quantile_cont(m, 0.05) AS lo,
+                          quantile_cont(m, 0.95) AS hi FROM means),
+            d AS (SELECT avg(x) AS mean FROM base)
+            SELECT round(mean, 6) AS mean, round(lo, 6) AS ci_lo,
+                   round(hi, 6) AS ci_hi, 32::BIGINT AS n_resamples
+            FROM d, ci
+        """,
+        "event_lateness": """
+            WITH seeded AS (
+              SELECT user_id, ts,
+                     ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+                       ::UBIGINT::BIGINT AS arrival
+              FROM events),
+            late AS (
+              SELECT floor((max(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY arrival
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - epoch(ts)) / 86400)::BIGINT
+                       AS lateness_bucket
+              FROM seeded
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            cells AS (SELECT lateness_bucket, count(*) AS n_events
+                      FROM late GROUP BY 1),
+            tot AS (SELECT sum(n_events) AS t FROM cells)
+            SELECT lateness_bucket, n_events::BIGINT AS n_events,
+                   round(n_events / (SELECT t FROM tot), 6) AS share
+            FROM cells ORDER BY lateness_bucket
+        """,
+        "agg_merge_check": """
+            WITH a AS (
+              SELECT count(n_chars) AS n, sum(n_chars) AS s,
+                     min(n_chars) AS mn, max(n_chars) AS mx,
+                     sum(n_chars * n_chars) AS ss
+              FROM documents WHERE doc_id % 2 = 0),
+            b AS (
+              SELECT count(n_chars) AS n, sum(n_chars) AS s,
+                     min(n_chars) AS mn, max(n_chars) AS mx,
+                     sum(n_chars * n_chars) AS ss
+              FROM documents
+              WHERE NOT (doc_id % 2 = 0) OR (doc_id % 2 = 0) IS NULL),
+            d AS (
+              SELECT count(n_chars) AS n, sum(n_chars) AS s,
+                     min(n_chars) AS mn, max(n_chars) AS mx,
+                     sum(n_chars * n_chars) AS ss
+              FROM documents)
+            SELECT (a.n + b.n)::BIGINT AS n_merged,
+                   d.n::BIGINT AS n_direct,
+                   (coalesce(a.s, 0) + coalesce(b.s, 0))::BIGINT
+                     AS sum_merged,
+                   d.s::BIGINT AS sum_direct,
+                   least(a.mn, b.mn)::BIGINT AS min_merged,
+                   greatest(a.mx, b.mx)::BIGINT AS max_merged,
+                   (coalesce(a.ss, 0) + coalesce(b.ss, 0))::BIGINT
+                     AS sumsq_merged,
+                   (a.n + b.n = d.n
+                    AND coalesce(a.s, 0) + coalesce(b.s, 0) = d.s
+                    AND least(a.mn, b.mn) IS NOT DISTINCT FROM d.mn
+                    AND greatest(a.mx, b.mx) IS NOT DISTINCT FROM d.mx
+                    AND coalesce(a.ss, 0) + coalesce(b.ss, 0) = d.ss)
+                     AS all_equal
+            FROM a, b, d
         """,
     }

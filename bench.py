@@ -312,6 +312,10 @@ R4_NAMES = [
     # reorder-invariant dedup, logistic Newton step
     "split_leakage_docs", "golden_urls", "km_purchase",
     "bag_dedup_groups", "logreg_len_gate",
+    # wave 34: data-skipping advisor, rule co-occurrence, bootstrap CI,
+    # lateness profile, partial-agg merge invariant
+    "zorder_advisor", "rule_cooccurrence", "bootstrap_len_ci",
+    "event_lateness", "agg_merge_check",
 ]
 
 

@@ -2808,3 +2808,66 @@ def test_split_leakage_counts(spark):
     assert r.n_fp_groups == 6 and r.n_dup_groups == 1
     assert r.n_cross_split_groups == 1 and r.n_docs_cross_split == 40
     assert abs(r.leak_share - round(40 / 45, 6)) < 1e-9
+
+
+def test_clustering_skipping_estimate_hand(spark):
+    from pyspark.sql import functions as FF
+    # 100 rows, value interleaved 0..9: ingest order -> every 10-row
+    # file spans 0..9 (all hit a [3,4] range); clustered -> only the
+    # files holding 3s and 4s hit
+    rows = [(i, i % 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {r.ordering: r for r in tablechecks.clustering_skipping_estimate(
+        df, order_col="id", cluster_col="v", value_lo=3, value_hi=4,
+        file_rows=10).collect()}
+    assert out["ingest"].n_files == 10 and out["ingest"].files_hit == 10
+    assert out["ingest"].skip_ratio == 0.0
+    assert out["clustered"].files_hit == 2
+    assert out["clustered"].skip_ratio == 0.8
+
+
+def test_rule_cooccurrence_pairs(spark):
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, rule_id string")
+    out = {(r.rule_a, r.rule_b): r.n_docs
+           for r in tablechecks.rule_cooccurrence(df).collect()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    rows = [(i, 100 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, x long")
+    r = tablechecks.poisson_bootstrap_ci(
+        df, "x", n_resamples=32, alpha=0.1).collect()[0]
+    assert r.ci_lo <= r.mean <= r.ci_hi
+    assert r.ci_hi - r.ci_lo < 2.0      # tight for a near-constant column
+    # deterministic: identical on a second run
+    r2 = tablechecks.poisson_bootstrap_ci(
+        df, "x", n_resamples=32, alpha=0.1).collect()[0]
+    assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
+
+
+def test_lateness_profile_hand(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    def t(h): return base + dt.timedelta(hours=h)
+    # arrival order 1..4; event times 0h, 3h, 1h (2h late), 3.5h
+    rows = [("u", 1, t(0)), ("u", 2, t(3)), ("u", 3, t(1)),
+            ("u", 4, t(3.5))]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    out = {r.lateness_bucket: r.n_events
+           for r in tablechecks.lateness_profile(
+               df, entity_col="user_id", ts_col="ts",
+               order_col="event_id", bucket_s=3600).collect()}
+    assert out == {0: 3, 2: 1}
+
+
+def test_mergeable_stats_check_invariant(spark):
+    from pyspark.sql import functions as FF
+    rows = [(i, (i * 37) % 101) for i in range(200)] + [(200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    r = tablechecks.mergeable_stats_check(
+        df, "v", split_pred=FF.pmod("doc_id", FF.lit(3)) == 0).collect()[0]
+    assert r.all_equal
+    assert r.n_merged == r.n_direct == 200
+    assert r.sum_merged == r.sum_direct

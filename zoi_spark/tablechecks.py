@@ -2772,3 +2772,205 @@ def logreg_newton_step(df: DataFrame, feature, label, *,
     return agg.select(F.col("__n").cast("long").alias("n"),
                       F.round(beta0, round_to).alias("beta0"),
                       F.round(beta1, round_to).alias("beta1"))
+
+
+def clustering_skipping_estimate(df: DataFrame, *, order_col: str,
+                                 cluster_col: str, value_lo, value_hi,
+                                 file_rows: int = 1000,
+                                 round_to: int = 6) -> DataFrame:
+    """Data-skipping (Z-order/clustering) advisor: how many parquet
+    files would a range predicate ``cluster_col BETWEEN lo AND hi``
+    have to read if the table is written in ingestion order
+    (``order_col``) vs re-clustered on ``cluster_col``? Files are
+    simulated as consecutive ``file_rows``-row runs; a file is hit
+    when its min/max stripe overlaps the range — exactly the min/max
+    pruning parquet/Iceberg perform. Output two rows:
+    ``(ordering ∈ {ingest, clustered}, n_files, files_hit,
+    skip_ratio)``.
+
+    The row_number simulation is a global sort — run this on a SAMPLE
+    (it is an estimate by construction); at 10^12 rows the verdict
+    from a 10^7-row hash sample is the same, and the real clustering
+    decision this informs (``sortWithinPartitions`` / Iceberg
+    ``write.sort-order``) never needs the full sort either."""
+    out = []
+    for name, key in (("ingest", [F.col(order_col)]),
+                      ("clustered", [F.col(cluster_col),
+                                     F.col(order_col)])):
+        w = Window.orderBy(*key)
+        fid = F.floor((F.row_number().over(w) - 1)
+                      / F.lit(int(file_rows)))
+        files = (df.where(F.col(cluster_col).isNotNull())
+                 .select(fid.alias("__f"),
+                         F.col(cluster_col).alias("__v"))
+                 .groupBy("__f")
+                 .agg(F.min("__v").alias("__lo"),
+                      F.max("__v").alias("__hi")))
+        hit = ((F.col("__hi") >= F.lit(value_lo))
+               & (F.col("__lo") <= F.lit(value_hi))).cast("long")
+        out.append(files.agg(
+            F.lit(name).alias("ordering"),
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(hit).cast("long").alias("files_hit"),
+            F.round(1.0 - F.sum(hit) / F.count("*"), round_to)
+            .alias("skip_ratio")))
+    return out[0].unionByName(out[1])
+
+
+def rule_cooccurrence(violations: DataFrame, *, id_col: str = "doc_id",
+                      rule_col: str = "rule_id") -> DataFrame:
+    """Which validation rules fire TOGETHER? Pairs of distinct rules
+    co-firing on the same row, counted across the corpus — the
+    drill-down that separates one root cause ("truncated fetches fail
+    length AND lang AND url at once") from independent defects, read
+    straight off the engine's violation rows. Output:
+    ``(rule_a, rule_b, n_docs)`` with rule_a < rule_b.
+
+    Self-equi-join on the row id: per-row violation lists are tiny
+    (≤ rule count), so the pair blow-up is bounded by rules², never
+    by the corpus."""
+    v = (violations.where(F.col(id_col).isNotNull())
+         .select(F.col(id_col).alias("__id"),
+                 F.col(rule_col).alias("__r")).distinct())
+    a = v.select("__id", F.col("__r").alias("rule_a"))
+    b = v.select("__id", F.col("__r").alias("rule_b"))
+    return (a.join(b, "__id")
+            .where(F.col("rule_a") < F.col("rule_b"))
+            .groupBy("rule_a", "rule_b")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+# Poisson(1) inverse-CDF steps for the deterministic bootstrap:
+# P(0)=.3679, cum .7358, .9197, .9810, else 4+
+_POISSON1_CUM = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238462)
+
+
+def poisson_bootstrap_ci(df: DataFrame, value_col: str, *,
+                         id_col: str = "doc_id", n_resamples: int = 32,
+                         alpha: float = 0.1,
+                         round_to: int = 6) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean of an integer
+    measure: each (row, resample) draws a Poisson(1) weight from the
+    md5 fraction of ``id:b`` (inverse-CDF steps, no RNG state), so the
+    interval is bit-reproducible across runs, partitionings and
+    engines — the missing uncertainty bar for every mean this engine
+    reports. Output one row: ``(mean, ci_lo, ci_hi, n_resamples)``
+    with the (α/2, 1−α/2) percentiles over the resample means.
+
+    One pass over the corpus × B (explode of a B-literal array, no
+    shuffle before the B-keyed aggregation); resample sums are EXACT
+    longs (integer weights × integer values), so the means carry no
+    float-accumulation order noise."""
+    b = F.explode(F.array(*[F.lit(i) for i in range(int(n_resamples))]))
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).cast("string").alias("__id"),
+                    F.col(value_col).cast("long").alias("__x"))
+            .select("__id", "__x", b.alias("__b")))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col("__id"), F.lit(":"),
+                       F.col("__b").cast("string"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0))
+    w = (F.when(u < _POISSON1_CUM[0], 0)
+         .when(u < _POISSON1_CUM[1], 1)
+         .when(u < _POISSON1_CUM[2], 2)
+         .when(u < _POISSON1_CUM[3], 3)
+         .otherwise(4)).cast("long")
+    means = (base.select("__b", w.alias("__w"), F.col("__x"))
+             .groupBy("__b")
+             .agg((F.sum(F.col("__w") * F.col("__x"))
+                   / F.sum("__w")).alias("__m")))
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    direct = df.where(F.col(value_col).isNotNull()
+                      & F.col(id_col).isNotNull()) \
+        .agg(F.avg(F.col(value_col).cast("long")).alias("__mean"))
+    ci = means.agg(
+        F.expr(f"percentile(__m, {lo!r})").alias("__lo"),
+        F.expr(f"percentile(__m, {hi!r})").alias("__hi"))
+    return (direct.crossJoin(F.broadcast(ci))
+            .select(F.round("__mean", round_to).alias("mean"),
+                    F.round("__lo", round_to).alias("ci_lo"),
+                    F.round("__hi", round_to).alias("ci_hi"),
+                    F.lit(int(n_resamples)).cast("long")
+                    .alias("n_resamples")))
+
+
+def lateness_profile(df: DataFrame, *, entity_col: str, ts_col: str,
+                     order_col: str, bucket_s: int = 3600,
+                     round_to: int = 6) -> DataFrame:
+    """Event-time lateness histogram — the number that sizes a
+    Structured-Streaming watermark: per entity, each event's lateness
+    is how far its event time sits behind the running maximum already
+    seen (in arrival order ``order_col``); the histogram's tail says
+    what ``withWatermark`` horizon keeps (say) 99.9% of events out of
+    the late-drop path. Output: ``(lateness_bucket, n_events,
+    share)`` in ``bucket_s`` units (bucket 0 = in-order).
+
+    Windows are partitioned by the entity (uniform key), never a
+    global order; the histogram is bucket-sized."""
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    w = (Window.partitionBy(entity_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    late = F.max(ts).over(w) - ts
+    cells = (df.where(F.col(entity_col).isNotNull()
+                      & F.col(ts_col).isNotNull())
+             .select(F.floor(late / F.lit(int(bucket_s))).cast("long")
+                     .alias("lateness_bucket"))
+             .groupBy("lateness_bucket")
+             .agg(F.count("*").alias("n_events")))
+    tot = cells.agg(F.sum("n_events").alias("__t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("lateness_bucket",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.round(F.col("n_events") / F.col("__t"), round_to)
+                    .alias("share")))
+
+
+def mergeable_stats_check(df: DataFrame, value_col: str, *,
+                          split_pred: Column) -> DataFrame:
+    """Algebraic-merge property check for the resumable runner's
+    partial aggregates: compute (n, sum, min, max, sumsq) on the two
+    halves ``split_pred`` induces, merge the partials the way a
+    checkpoint-resume merges per-partition manifests, and compare
+    against the direct whole-corpus aggregation — all in exact integer
+    arithmetic, so ``all_equal`` is a hard invariant, not a tolerance.
+    Output one row: the merged and direct values plus ``all_equal``.
+
+    Two aggregations over one scan (the halves) + one direct pass; at
+    10^12 rows the point is the ALGEBRA (any partition of the corpus
+    merges to the same answer), which is what makes checkpoint/resume
+    and map-side combine sound."""
+    v = F.col(value_col).cast("long")
+    def stats(frame):
+        return frame.agg(F.count(v).alias("n"), F.sum(v).alias("s"),
+                         F.min(v).alias("mn"), F.max(v).alias("mx"),
+                         F.sum(v * v).alias("ss"))
+    a = stats(df.where(split_pred)).select(
+        *[F.col(c).alias(f"a_{c}") for c in ["n", "s", "mn", "mx", "ss"]])
+    bwhere = df.where(~split_pred | split_pred.isNull())
+    b = stats(bwhere).select(
+        *[F.col(c).alias(f"b_{c}") for c in ["n", "s", "mn", "mx", "ss"]])
+    direct = stats(df).select(
+        *[F.col(c).alias(f"d_{c}") for c in ["n", "s", "mn", "mx", "ss"]])
+    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(direct))
+    m_n = F.col("a_n") + F.col("b_n")
+    m_s = F.coalesce(F.col("a_s"), F.lit(0)) + \
+        F.coalesce(F.col("b_s"), F.lit(0))
+    m_mn = F.least("a_mn", "b_mn")
+    m_mx = F.greatest("a_mx", "b_mx")
+    m_ss = F.coalesce(F.col("a_ss"), F.lit(0)) + \
+        F.coalesce(F.col("b_ss"), F.lit(0))
+    eq = ((m_n == F.col("d_n")) & (m_s == F.col("d_s"))
+          & m_mn.eqNullSafe(F.col("d_mn"))
+          & m_mx.eqNullSafe(F.col("d_mx"))
+          & (m_ss == F.col("d_ss")))
+    return j.select(
+        m_n.cast("long").alias("n_merged"),
+        F.col("d_n").cast("long").alias("n_direct"),
+        m_s.cast("long").alias("sum_merged"),
+        F.col("d_s").cast("long").alias("sum_direct"),
+        m_mn.cast("long").alias("min_merged"),
+        m_mx.cast("long").alias("max_merged"),
+        m_ss.cast("long").alias("sumsq_merged"),
+        eq.alias("all_equal"))
