@@ -4956,6 +4956,140 @@ def q_k_anonymity_docs(spark, sf_dir):
                                    k=5)
 
 
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring shared spans (dedup.exact_substring_spans, the
+    Lee et al. 2021 suffix-array signal relationally): every 12-token
+    window hashed (48-bit md5 prefix), windows meet in one equi-join,
+    consecutive matches merge on constant diagonals into maximal
+    spans. Corpus = the seeded-dup documents, so exact duplicates
+    yield whole-document spans and natural near-dups yield partial
+    ones; window hashes in >20 docs are DF-pruned (both engines)."""
+    from zoi_spark import dedup
+
+    d = _dup_docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.exact_substring_spans(d, min_len=12,
+                                       max_window_docs=20)
+
+
+_ROBOTS_BODIES = [
+    "User-agent: *\nDisallow: /private\nAllow: /private/pub\n",
+    "User-agent: zoibot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp\n",
+    "# comments only\nUser-agent: *\nDisallow:\n",
+    ("User-agent: zoibot\nUser-agent: altbot\n"
+     "Disallow: /deep\nAllow: /deep/ok\n"),
+    "User-agent: *\nDisallow: /a\nDisallow: /b\nCrawl-delay: 5\n",
+    "",
+]
+
+_ROBOTS_PATHS = ["/private/pub/x", "/private/x", "/tmp/x", "/deep/ok/y",
+                 "/a/z"]
+
+
+def q_robots_check_urls(spark, sf_dir):
+    """robots.txt compliance (urls.robots_rules + robots_check, the
+    RFC 9309 prefix subset): six literal robots bodies — wildcard
+    group, agent-specific group beating '*', comment/empty bodies,
+    stacked user-agents, multiple disallows — parsed into rules, then
+    every (host, path) combination synthesized from doc_id is
+    evaluated for agent 'zoibot' (longest-prefix wins, allow beats
+    disallow on ties, absent host ⇒ allowed). The DuckDB twin
+    re-implements the PARSER (group windows) and the precedence pick
+    in SQL, so both stages sit under the value hash."""
+    from zoi_spark import urls as _urls
+
+    robots = spark.createDataFrame(
+        [(f"h{i}.example.com", b) for i, b in enumerate(_ROBOTS_BODIES)],
+        "host string, robots_txt string")
+    rules = _urls.robots_rules(robots)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    sel = F.pmod("doc_id", F.lit(5))
+    path = F.lit(_ROBOTS_PATHS[0])
+    for i, p in enumerate(_ROBOTS_PATHS[1:], 1):
+        path = F.when(sel == i, F.lit(p)).otherwise(path)
+    uu = d.select(F.concat(F.lit("http://"), host, path).alias("url")) \
+          .distinct()
+    return _urls.robots_check(uu, rules, agent="zoibot")
+
+
+def q_sitemap_frontier(spark, sf_dir):
+    """Sitemap frontier mining (urls.sitemap_locs): every 10th doc_id
+    carries a synthesized two-<loc> sitemap body (one url already in
+    the corpus, one new), locs are regex-mined + exploded, and the
+    anti-join against the corpus url set yields the per-host new
+    frontier: ``(host, n_locs, n_new)``."""
+    from zoi_spark import urls as _urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    site = F.concat(F.lit("http://s"),
+                    F.pmod("doc_id", F.lit(20)).cast("string"),
+                    F.lit(".example.com/page/"))
+    body = F.concat(
+        F.lit("<urlset><url><loc>"), site, F.col("doc_id").cast("string"),
+        F.lit("</loc></url><url><loc> "), site,
+        (F.col("doc_id") * 1000 + 7).cast("string"),
+        F.lit(" </loc></url></urlset>"))
+    sm = (d.where(F.col("doc_id") % 10 == 0)
+          .select("doc_id", body.alias("text")))
+    locs = _urls.sitemap_locs(sm)
+    known = d.select(F.concat(site, F.col("doc_id").cast("string"))
+                     .alias("url"))
+    n_locs = (locs.groupBy("host")
+              .agg(F.count("*").cast("long").alias("n_locs")))
+    n_new = (locs.join(known, locs["loc"] == known["url"], "left_anti")
+             .groupBy("host")
+             .agg(F.count("*").cast("long").alias("n_new")))
+    return (n_locs.join(n_new, "host", "left")
+            .select("host", "n_locs",
+                    F.coalesce("n_new", F.lit(0).cast("long"))
+                    .alias("n_new")))
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs,
+    Hernández-Stolfo merge/purge): the seeded-dup corpus sorted on the
+    normalized text within 4-char prefix blocks, window-2 successor
+    pairs — exact duplicates sort adjacent and surface as same_key
+    pairs; output ``(id_a, id_b, offset, same_key)``."""
+    from zoi_spark import dedup, text as _text
+
+    d = (_dup_docs(spark, sf_dir)
+         .select("doc_id", _text.normalize_text(F.col("text")).alias("k")))
+    pairs = dedup.sorted_neighborhood_pairs(d, key_col="k", window=2,
+                                            block_chars=4)
+    return pairs.select("id_a", "id_b",
+                        F.col("offset").cast("long").alias("offset"),
+                        (F.col("key_a") == F.col("key_b")).alias("same_key"))
+
+
+def q_link_density_main(spark, sf_dir):
+    """Link-density main-content extraction (text.link_density_strip,
+    the jusText/boilerpipe block heuristic): each document's text is
+    wrapped in synthetic page chrome — an all-anchor nav div (dropped:
+    link density 1), the body paragraph (kept), a one-anchor footer
+    (kept: density 0.2), and a tiny anchor div (dropped: too short) —
+    and the extractor must keep exactly the prose blocks. Output
+    ``(doc_id, n_blocks, n_kept, main_len, main_md5)``; the DuckDB
+    twin recomputes the block split, per-block visible/anchor lengths
+    and the position-ordered rebuild in SQL."""
+    from zoi_spark import text as _text
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/about">About</a>'
+              '</div><p>'),
+        F.col("text"),
+        F.lit('</p><p>Copyright 2026 Example Corp, all rights reserved '
+              '<a href="/terms">terms</a></p><div><a href="/x">x</a>'
+              '</div>'))
+    out = _text.link_density_strip(d.select("doc_id", html.alias("html")),
+                                   html_col="html")
+    return out.select("doc_id", "n_blocks", "n_kept",
+                      F.length("main_text").cast("long").alias("main_len"),
+                      F.md5("main_text").alias("main_md5"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5268,6 +5402,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bootstrap_len_ci": q_bootstrap_len_ci,
         "event_lateness": q_event_lateness,
         "agg_merge_check": q_agg_merge_check,
+        # wave 35 (round-4 additions; enter the driver window at the
+        # r5 rotation)
+        "substring_spans": q_substring_spans,
+        "robots_check_urls": q_robots_check_urls,
+        "sitemap_frontier": q_sitemap_frontier,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "link_density_main": q_link_density_main,
     }
 
 
@@ -11809,5 +11950,226 @@ def oracle_sql() -> dict[str, str]:
                     AND coalesce(a.ss, 0) + coalesce(b.ss, 0) = d.ss)
                      AS all_equal
             FROM a, b, d
+        """,
+        "substring_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+              FROM ({_DUP_DOCS_SQL})),
+            posd AS (
+              SELECT doc_id, t, unnest(
+                CASE WHEN len(t) <= 11 THEN [CAST(1 AS BIGINT)]
+                     ELSE range(1, len(t) - 10) END) AS pos
+              FROM toks),
+            wins AS (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5(array_to_string(
+                        t[pos:pos+11], ' ')), 1, 12))::UBIGINT::BIGINT AS h
+              FROM posd),
+            rare AS (
+              SELECT h FROM wins GROUP BY h
+              HAVING count(DISTINCT doc_id) <= 20),
+            jw AS (SELECT w.* FROM wins w JOIN rare USING (h)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM jw a JOIN jw b USING (h)
+              WHERE a.doc_id < b.doc_id),
+            isl AS (
+              SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                     pos_a - row_number() OVER (
+                       PARTITION BY id_a, id_b, pos_a - pos_b
+                       ORDER BY pos_a) AS grp
+              FROM pairs)
+            SELECT id_a, id_b,
+                   min(pos_a)::BIGINT AS start_a,
+                   min(pos_b)::BIGINT AS start_b,
+                   (count(*) + 11)::BIGINT AS len_tokens
+            FROM isl GROUP BY id_a, id_b, diag, grp
+        """,
+        "robots_check_urls": """
+            WITH robots(host, body) AS (VALUES
+              ('h0.example.com', e'User-agent: *\\nDisallow: /private\\nAllow: /private/pub\\n'),
+              ('h1.example.com', e'User-agent: zoibot\\nDisallow: /\\n\\nUser-agent: *\\nDisallow: /tmp\\n'),
+              ('h2.example.com', e'# comments only\\nUser-agent: *\\nDisallow:\\n'),
+              ('h3.example.com', e'User-agent: zoibot\\nUser-agent: altbot\\nDisallow: /deep\\nAllow: /deep/ok\\n'),
+              ('h4.example.com', e'User-agent: *\\nDisallow: /a\\nDisallow: /b\\nCrawl-delay: 5\\n'),
+              ('h5.example.com', '')),
+            ls0 AS (SELECT host, string_split(body, chr(10)) AS ls
+                    FROM robots),
+            ls1 AS (SELECT host, ls,
+                           unnest(range(1, len(ls) + 1)) AS pos
+                    FROM ls0),
+            parsed AS (
+              SELECT host, pos,
+                     lower(regexp_extract(ls[pos],
+                       '^\\s*([A-Za-z-]+)\\s*:', 1)) AS d,
+                     trim(regexp_extract(ls[pos],
+                       '^\\s*[A-Za-z-]+\\s*:\\s*([^#]*)', 1)) AS v
+              FROM ls1),
+            kept AS (SELECT * FROM parsed
+                     WHERE d IN ('user-agent', 'allow', 'disallow')),
+            flagged AS (
+              SELECT host, pos, d, v,
+                     CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END AS iu
+              FROM kept),
+            opened AS (
+              SELECT host, pos, d, v, iu,
+                     CASE WHEN iu = 1 AND coalesce(lag(iu) OVER (
+                       PARTITION BY host ORDER BY pos), 0) = 0
+                     THEN 1 ELSE 0 END AS opens
+              FROM flagged),
+            grouped AS (
+              SELECT host, pos, d, v,
+                     sum(opens) OVER (PARTITION BY host ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+              FROM opened),
+            agents AS (SELECT host, grp, lower(v) AS agent
+                       FROM grouped WHERE d = 'user-agent'),
+            rls AS (SELECT host, grp, d AS rule, v AS path
+                    FROM grouped WHERE d <> 'user-agent' AND v <> ''),
+            rule_tab AS (
+              SELECT DISTINCT host, agent, rule, path
+              FROM agents JOIN rls USING (host, grp)),
+            hx AS (SELECT host,
+                          max(CASE WHEN agent = 'zoibot' THEN 1 ELSE 0
+                              END) AS he
+                   FROM rule_tab GROUP BY host),
+            eff AS (
+              SELECT r.host, r.rule, r.path AS rule_path
+              FROM rule_tab r JOIN hx USING (host)
+              WHERE (agent = 'zoibot' AND he = 1)
+                 OR (agent = '*' AND he = 0)),
+            uu AS (
+              SELECT DISTINCT 'http://h' || (doc_id % 7)
+                || '.example.com'
+                || (CASE doc_id % 5 WHEN 1 THEN '/private/x'
+                    WHEN 2 THEN '/tmp/x' WHEN 3 THEN '/deep/ok/y'
+                    WHEN 4 THEN '/a/z' ELSE '/private/pub/x' END) AS url
+              FROM documents),
+            base AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host,
+                     CASE WHEN regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                       = '' THEN '/'
+                     ELSE regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                     END AS path
+              FROM uu),
+            m AS (
+              SELECT b.url, b.host, b.path, e.rule, e.rule_path,
+                     (e.rule_path IS NOT NULL
+                      AND starts_with(b.path, e.rule_path)) AS mt
+              FROM base b LEFT JOIN eff e USING (host)),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                ORDER BY mt DESC, length(rule_path) DESC, rule ASC)
+                AS rn
+              FROM m)
+            SELECT url, host, path,
+                   CASE WHEN mt THEN rule END AS rule,
+                   CASE WHEN mt THEN rule_path END AS rule_path,
+                   coalesce(CASE WHEN mt THEN rule = 'allow' END, true)
+                     AS allowed
+            FROM ranked WHERE rn = 1
+        """,
+        "sitemap_frontier": """
+            WITH d AS (SELECT doc_id FROM documents),
+            sm AS (
+              SELECT doc_id,
+                     '<urlset><url><loc>http://s' || (doc_id % 20)
+                     || '.example.com/page/' || doc_id
+                     || '</loc></url><url><loc> http://s'
+                     || (doc_id % 20) || '.example.com/page/'
+                     || (doc_id * 1000 + 7)
+                     || ' </loc></url></urlset>' AS text
+              FROM d WHERE doc_id % 10 = 0),
+            locs0 AS (
+              SELECT doc_id, unnest(regexp_extract_all(text,
+                '(?i)<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS loc
+              FROM sm),
+            locs AS (
+              SELECT doc_id, loc,
+                     lower(regexp_extract(loc,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host
+              FROM locs0 WHERE loc <> ''),
+            known AS (
+              SELECT 'http://s' || (doc_id % 20)
+                     || '.example.com/page/' || doc_id AS url
+              FROM d),
+            nl AS (SELECT host, count(*)::BIGINT AS n_locs
+                   FROM locs GROUP BY host),
+            nn AS (SELECT host, count(*)::BIGINT AS n_new
+                   FROM locs
+                   WHERE loc NOT IN (SELECT url FROM known)
+                   GROUP BY host)
+            SELECT nl.host, nl.n_locs,
+                   coalesce(nn.n_new, 0)::BIGINT AS n_new
+            FROM nl LEFT JOIN nn USING (host)
+        """,
+        "sorted_neighborhood": f"""
+            WITH c AS (
+              SELECT doc_id AS id, {_NORM_SQL} AS k
+              FROM ({_DUP_DOCS_SQL})),
+            r AS (
+              SELECT id, k,
+                     lead(id, 1) OVER w AS ib1, lead(k, 1) OVER w AS kb1,
+                     lead(id, 2) OVER w AS ib2, lead(k, 2) OVER w AS kb2
+              FROM c
+              WINDOW w AS (PARTITION BY substr(k, 1, 4)
+                           ORDER BY k, id)),
+            u AS (
+              SELECT id AS id_a, ib1 AS id_b, 1 AS off,
+                     (k = kb1) AS same_key
+              FROM r WHERE ib1 IS NOT NULL
+              UNION ALL
+              SELECT id, ib2, 2, (k = kb2)
+              FROM r WHERE ib2 IS NOT NULL)
+            SELECT id_a, id_b, off::BIGINT AS offset, same_key FROM u
+        """,
+        "link_density_main": """
+            WITH d AS (
+              SELECT doc_id,
+                '<div><a href="/">Home</a> <a href="/about">About</a></div><p>'
+                || text ||
+                '</p><p>Copyright 2026 Example Corp, all rights reserved <a href="/terms">terms</a></p><div><a href="/x">x</a></div>'
+                AS html
+              FROM documents),
+            blk AS (
+              SELECT doc_id, regexp_split_to_array(html,
+                '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|br)\\b[^>]*>')
+                AS bs
+              FROM d),
+            nb AS (SELECT doc_id, len(bs)::BIGINT AS n_blocks, bs
+                   FROM blk),
+            ex AS (SELECT doc_id, bs,
+                          unnest(range(1, len(bs) + 1)) AS pos
+                   FROM nb),
+            scored AS (
+              SELECT doc_id, pos,
+                     trim(regexp_replace(regexp_replace(bs[pos],
+                       '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS txt,
+                     coalesce(list_sum(list_transform(
+                       regexp_extract_all(bs[pos],
+                         '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                       s -> length(trim(regexp_replace(regexp_replace(
+                         s, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))))),
+                       0) AS alen
+              FROM ex),
+            kept AS (SELECT * FROM scored
+                     WHERE length(txt) >= 20
+                       AND alen <= 0.5 * length(txt)),
+            reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                           string_agg(txt, chr(10) ORDER BY pos) AS mt
+                    FROM kept GROUP BY doc_id)
+            SELECT nb.doc_id, nb.n_blocks,
+                   coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+                   length(coalesce(reb.mt, ''))::BIGINT AS main_len,
+                   md5(coalesce(reb.mt, '')) AS main_md5
+            FROM nb LEFT JOIN reb USING (doc_id)
         """,
     }

@@ -316,6 +316,10 @@ R4_NAMES = [
     # lateness profile, partial-agg merge invariant
     "zorder_advisor", "rule_cooccurrence", "bootstrap_len_ci",
     "event_lateness", "agg_merge_check",
+    # wave 35: exact-substring spans, robots.txt compliance, sitemap
+    # frontier, sorted-neighborhood blocking, link-density extraction
+    "substring_spans", "robots_check_urls", "sitemap_frontier",
+    "sorted_neighborhood", "link_density_main",
 ]
 
 

@@ -1777,3 +1777,142 @@ def bag_fingerprint_groups(df: DataFrame, *, text_col: str = "text",
                          int(max_ids)).alias("sample_ids"))
             .where((F.col("n_docs") > 1)
                    & (F.col("n_exact_variants") > 1)))
+
+
+def exact_substring_spans(df: DataFrame, *, text_col: str = "text",
+                          id_col: str = "doc_id", min_len: int = 20,
+                          max_window_docs: int | None = None) -> DataFrame:
+    """Maximal cross-document shared token spans of ≥ ``min_len``
+    words — the exact-substring dedup signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), re-expressed relationally: their suffix-array
+    pass finds substrings ≥ 50 tokens shared across documents; here
+    every ``min_len``-token window is hashed, windows meet in ONE
+    equi-join on the hash, and runs of consecutive matching windows
+    merge back into maximal spans with a gaps-and-islands pass (two
+    identical windows advance BOTH documents by one position, so a
+    contiguous match lies on a constant diagonal ``pos_a − pos_b``).
+
+    Returns ``(id_a, id_b, start_a, start_b, len_tokens)`` — one row
+    per maximal shared span (1-based token positions, id_a < id_b).
+    A span of k consecutive matching windows covers k + min_len − 1
+    tokens. Documents shorter than ``min_len`` tokens emit one
+    whole-document window (word_shingles' degenerate form), so exact
+    short-doc duplicates still pair.
+
+    ``max_window_docs``: window hashes present in more than that many
+    documents (licence boilerplate, navigation chrome — the substring
+    analogue of stopwords) are EXCLUDED before the self-join, the same
+    document-frequency pruning winnowing_overlap_pairs applies: pair
+    work is Σ_h df(h)², and one viral window defeats the plan.
+
+    Plan shape at 10^12 docs: the window explode is O(tokens) rows per
+    document (the published cost of exact-substring dedup — the suffix
+    array touches every token too), ONE hash equi-join, then the
+    island merge is a window function over (pair, diagonal) — keyed by
+    pair, so the shuffle after the join is pair-bounded, never
+    corpus-quadratic. Within a repeated-substring document the same
+    window hash appears at several positions; each (pos_a, pos_b)
+    combination joins, landing on different diagonals — internal
+    repetitions can therefore multi-count spans (documented; Lee et
+    al.'s suffix array has the same property).
+    """
+    w = int(min_len)
+    if w < 2:
+        raise ValueError("min_len must be ≥ 2 tokens")
+    grams = word_shingles(F.col(text_col), w)
+    # 48-bit md5 prefix as the join key: numeric equi-join, identical
+    # derivation in the DuckDB oracle, ~2^-48 per-pair collision odds
+    h = F.conv(F.substring(F.md5(F.col("__gram")), 1, 12), 16, 10) \
+        .cast("long")
+    wins = (df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(grams).alias("__pos0", "__gram"))
+            .select("__id", (F.col("__pos0") + 1).alias("pos"),
+                    h.alias("__h")))
+    if max_window_docs is not None:
+        wins = wins.persist()
+        rare = (wins.groupBy("__h")
+                .agg(F.count_distinct("__id").alias("__df"))
+                .where(F.col("__df") <= int(max_window_docs))
+                .drop("__df"))
+        joinable = wins.join(rare, "__h")
+    else:
+        joinable = wins
+    a, b = joinable.alias("a"), joinable.alias("b")
+    pairs = (a.join(b, "__h")
+             .where(F.col("a.__id") < F.col("b.__id"))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"),
+                     F.col("a.pos").alias("pos_a"),
+                     F.col("b.pos").alias("pos_b")))
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    iw = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    islands = (pairs.select("id_a", "id_b", "pos_a", "pos_b", diag)
+               .withColumn("__grp",
+                           F.col("pos_a") - F.row_number().over(iw)))
+    out = (islands.groupBy("id_a", "id_b", "__diag", "__grp")
+           .agg(F.min("pos_a").cast("long").alias("start_a"),
+                F.min("pos_b").cast("long").alias("start_b"),
+                (F.count("*") + w - 1).cast("long").alias("len_tokens"))
+           .select("id_a", "id_b", "start_a", "start_b", "len_tokens"))
+    if max_window_docs is not None:
+        out._zoi_persisted = [wins]
+    return out
+
+
+def sorted_neighborhood_pairs(df: DataFrame, *, key_col: str,
+                              id_col: str = "doc_id", window: int = 3,
+                              block_chars: int | None = None
+                              ) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995, the
+    merge/purge method): sort the corpus by a fuzzy blocking key and
+    emit every pair within a sliding window of ``window`` successors —
+    the classic record-linkage candidate generator for keys where
+    near-duplicates SORT near each other (normalized titles, name+zip,
+    canonical-url prefixes) but share no exact token, which defeats
+    equi-join blocking.
+
+    Returns ``(id_a, id_b, key_a, key_b, offset)`` — offset = rank
+    distance (1 = adjacent). id_a/id_b follow sort order, not id
+    order. Compose with a verify stage (ngram_jaccard_pairs on the
+    candidate ids, containment, edit distance) — this emits
+    CANDIDATES, not verdicts.
+
+    ``block_chars=None`` runs ONE global sort window — verification
+    scale only (a single-partition window at 10^12 rows is a
+    one-executor sort). At scale pass ``block_chars=b``: the window
+    partitions on the key's first *b* characters, so each block sorts
+    in parallel and pairs never cross blocks — the standard multi-pass
+    SNM answer is to run again with a different key (or block length)
+    to recover boundary pairs, which composes here by unioning two
+    calls. The blocked plan is one hash shuffle on the prefix + a
+    per-block sort: distributable, skew bounded by the hottest prefix
+    (pick b so prefixes stay under the partition budget).
+    """
+    k = int(window)
+    if k < 1:
+        raise ValueError("window must be ≥ 1")
+    sel = df.select(F.col(id_col).alias("__id"),
+                    F.col(key_col).alias("__k"))
+    if block_chars is not None:
+        blk = F.substring(F.col("__k"), 1, int(block_chars))
+        sel = sel.withColumn("__blk", blk)
+        w = Window.partitionBy("__blk").orderBy("__k", "__id")
+    else:
+        w = Window.orderBy("__k", "__id")
+    # window expressions can't live inside a generator: materialize the
+    # k leads as columns first, then explode the struct array
+    lead_cols = []
+    for i in range(1, k + 1):
+        sel = (sel.withColumn(f"__ib{i}", F.lead("__id", i).over(w))
+               .withColumn(f"__kb{i}", F.lead("__k", i).over(w)))
+        lead_cols.append(F.struct(F.col(f"__ib{i}").alias("id_b"),
+                                  F.col(f"__kb{i}").alias("key_b"),
+                                  F.lit(i).alias("offset")))
+    return (sel.select(F.col("__id").alias("id_a"),
+                       F.col("__k").alias("key_a"),
+                       F.explode(F.array(*lead_cols)).alias("__n"))
+            .where(F.col("__n.id_b").isNotNull())
+            .select("id_a", F.col("__n.id_b").alias("id_b"),
+                    "key_a", F.col("__n.key_b").alias("key_b"),
+                    F.col("__n.offset").alias("offset")))

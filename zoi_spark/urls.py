@@ -863,3 +863,136 @@ def prefix_compression_stats(df: DataFrame, *, url_col: str = "url",
         aggs.append(F.round(F.sum(match) / F.count("__p"), round_to)
                     .alias(f"share_p{t}"))
     return withp.agg(*aggs)
+
+
+def robots_rules(df: DataFrame, *, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """Parse robots.txt bodies into one rule row per
+    ``(host, agent, rule, path)`` — the crawl-compliance table the
+    frontier checks against (:func:`robots_check`). Implements the
+    RFC 9309 prefix subset: ``User-agent`` lines open a group (stacked
+    consecutive UA lines share it), ``Allow``/``Disallow`` lines in a
+    group apply to each of its agents, ``#`` comments and unknown
+    directives are ignored, and an EMPTY ``Disallow:`` value (the
+    allow-everything idiom) contributes no rule. ``*``/``$`` wildcards
+    in paths are NOT interpreted — they pass through as literals
+    (documented subset; wildcard support belongs to a regex-compiling
+    variant).
+
+    Shape at crawl scale: lines posexplode (bounded by robots.txt
+    size, ~10² lines), a per-host ordered window to assign group ids
+    (robots bodies are single short documents — the per-host window
+    partition is one file's lines, never corpus-wide), and one
+    group-keyed equi-join multiplying each rule by its group's agents.
+    Output cardinality ≈ hosts × rules-per-file.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = (df.where(F.col(host_col).isNotNull()
+                     & F.col(text_col).isNotNull())
+            .select(F.col(host_col).alias("host"),
+                    F.posexplode(lines).alias("__pos", "__line")))
+    directive = F.lower(F.regexp_extract(
+        "__line", r"^\s*([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(
+        "__line", r"^\s*[A-Za-z-]+\s*:\s*([^#]*)", 1))
+    parsed = (base.select("host", "__pos",
+                          directive.alias("__d"), value.alias("__v"))
+              .where(directive.isin("user-agent", "allow", "disallow")))
+    is_ua = (F.col("__d") == "user-agent").cast("int")
+    w = Window.partitionBy("host").orderBy("__pos")
+    # a UA line opens a NEW group unless it directly follows another
+    # UA line (stacked agents share the group)
+    opens = ((is_ua == 1)
+             & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0))
+    grouped = parsed.withColumn(
+        "__grp", F.sum(opens.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = (grouped.where(F.col("__d") == "user-agent")
+              .select("host", "__grp",
+                      F.lower("__v").alias("agent")))
+    rules = (grouped.where(F.col("__d") != "user-agent")
+             .where(F.col("__v") != "")  # empty Disallow: = no rule
+             .select("host", "__grp", F.col("__d").alias("rule"),
+                     F.col("__v").alias("path")))
+    return (agents.join(rules, ["host", "__grp"])
+            .select("host", "agent", "rule", "path")
+            .distinct())
+
+
+def robots_check(df: DataFrame, rules: DataFrame, *,
+                 url_col: str = "url", agent: str = "*") -> DataFrame:
+    """Evaluate each url against a parsed rule table
+    (:func:`robots_rules`) for one crawler identity: RFC 9309
+    precedence — the MOST SPECIFIC (longest-path-prefix) matching rule
+    wins, ``allow`` beats ``disallow`` on equal length, and a url with
+    no matching rule (or no rules for its host) is allowed. Group
+    selection follows the spec: when the host's robots.txt has a group
+    for this exact agent, ONLY those rules apply; otherwise the ``*``
+    groups do.
+
+    Returns the input's url column plus ``(host, path, rule, rule_path,
+    allowed)`` — rule/rule_path NULL when nothing matched.
+
+    Shape at 10^12 urls: rules are host-bounded (≈ hosts ×
+    rules-per-file ≪ corpus) so the host equi-join is
+    broadcast/AQE-friendly; the prefix match is a per-row string
+    expression; the winner pick is a window keyed by url — partition
+    cardinality = matching rules per url (tiny). Hot hosts skew the
+    join the same way every host-keyed operator here does; AQE
+    skew-join splitting covers it.
+    """
+    target = agent.lower()
+    # does this host define a group for the exact agent?
+    has_exact = (rules.groupBy("host")
+                 .agg(F.max((F.col("agent") == target).cast("int"))
+                      .alias("__has_exact")))
+    eff = (rules.join(has_exact, "host")
+           .where(((F.col("agent") == target)
+                   & (F.col("__has_exact") == 1))
+                  | ((F.col("agent") == "*")
+                     & (F.col("__has_exact") == 0)))
+           .select("host", "rule", F.col("path").alias("rule_path")))
+    u = F.col(url_col)
+    path0 = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    base = df.select(u.alias("url"),
+                     url_host(u).alias("host"),
+                     F.when(path0 == "", F.lit("/"))
+                     .otherwise(path0).alias("path"))
+    m = (base.join(eff, "host", "left")
+         .withColumn("__match",
+                     F.col("rule_path").isNotNull()
+                     & F.col("path").startswith(F.col("rule_path"))))
+    # keep at most one winner per url: longest prefix, allow on ties;
+    # urls whose rules all missed keep one NULL-rule row
+    pw = Window.partitionBy("url").orderBy(
+        F.col("__match").desc(),
+        F.length("rule_path").desc(), F.col("rule").asc())
+    return (m.withColumn("__rn", F.row_number().over(pw))
+            .where(F.col("__rn") == 1)
+            .select("url", "host", "path",
+                    F.when(F.col("__match"), F.col("rule")).alias("rule"),
+                    F.when(F.col("__match"), F.col("rule_path"))
+                    .alias("rule_path"),
+                    F.coalesce(F.when(F.col("__match"),
+                                      F.col("rule") == "allow"),
+                               F.lit(True)).alias("allowed")))
+
+
+def sitemap_locs(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Extract ``<loc>`` urls from sitemap-XML bodies — the frontier
+    expansion pass: crawlers mine fetched sitemaps for urls the link
+    graph hasn't surfaced. One regexp_extract_all + explode per
+    document (bounded by the 50k-url sitemap spec cap), no UDF, no
+    shuffle. Returns ``(id, loc, host)`` with surrounding whitespace
+    trimmed; compose with an anti-join against the corpus's canonical
+    urls to get the NEW frontier (see the `sitemap_frontier` query).
+    """
+    locs = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?i)<loc>\s*([^<]+?)\s*</loc>"), 1)
+    return (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.explode(locs).alias("loc"))
+            .select(id_col, F.col("loc"),
+                    url_host(F.col("loc")).alias("host"))
+            .where(F.col("loc") != ""))
