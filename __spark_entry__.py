@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -5090,6 +5090,101 @@ def q_link_density_main(spark, sf_dir):
                       F.md5("main_text").alias("main_md5"))
 
 
+def q_violation_examples(spark, sf_dir):
+    """Per-rule violation exemplars (triage view): for every flagship
+    rule, the three smallest violating doc_ids — the report a data
+    steward reads first. One windowed rank over the violation rows
+    (rule cardinality partitions, each tiny)."""
+    d = _read(spark, sf_dir, "documents")
+    res = z.validate(d, documents_schema(), id_cols=["doc_id"])
+    w = Window.partitionBy("rule_id").orderBy("doc_id")
+    return (res.violations.select("doc_id", "rule_id")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 3)
+            .select("rule_id", "rnk", "doc_id"))
+
+
+def q_l_diversity_docs(spark, sf_dir):
+    """l-diversity privacy audit (tablechecks.l_diversity_audit,
+    Machanavajjhala et al. 2007): QI = (lang, 100-char length bucket),
+    sensitive attribute = source, l = 3 — both the distinct and the
+    entropy instantiation gate each group."""
+    from zoi_spark import tablechecks
+
+    d = (_read(spark, sf_dir, "documents")
+         .select("lang", "source",
+                 F.floor(F.col("n_chars") / 100).cast("long")
+                 .alias("len_bucket")))
+    return tablechecks.l_diversity_audit(
+        d, qi_cols=["lang", "len_bucket"], sensitive_col="source", l=3)
+
+
+def q_crawl_plan(spark, sf_dir):
+    """Politeness-constrained crawl-capacity plan
+    (urls.crawl_schedule_plan): hosts synthesized from doc_id (50
+    hosts, uneven via the doc_id%7 == 0 doubling), 0.5s delay, 8
+    slots — one summary row with the LPT makespan lower bound and the
+    binding constraint."""
+    from zoi_spark import urls as _urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    dbl = d.where(F.col("doc_id") % 7 == 0)
+    host = F.concat(F.lit("h"), F.pmod("doc_id", F.lit(50)).cast("string"),
+                    F.lit(".example.com"))
+    hh = d.unionAll(dbl).select(host.alias("host"))
+    return _urls.crawl_schedule_plan(hh, delay_s=0.5, parallelism=8)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """Adjacent char-pair census (text.bpe_pair_counts) — the argmax
+    statistic of one BPE merge step — top 25 pairs over the documents
+    token stream."""
+    from zoi_spark import text as _text
+
+    d = _read(spark, sf_dir, "documents")
+    return _text.bpe_pair_counts(d, top_k=25)
+
+
+def q_stream_window_violations(spark, sf_dir):
+    """Event-time windowed violation counts over a STREAM
+    (streaming.windowed_violation_counts): documents stream from a
+    staged landing dir, event time synthesized from doc_id (10 one-
+    minute windows), watermarked windowed agg (append mode, state
+    bounded), sunk with availableNow. Append mode emits exactly the
+    windows the FINAL watermark (max event time − 2 min) has closed —
+    the last three windows stay in state, and the DuckDB oracle
+    encodes that eviction rule, so the value hash pins the watermark
+    semantics themselves, not just the counts."""
+    import shutil
+    import tempfile
+
+    from zoi_spark import streaming
+
+    out_dir = os.path.join(tempfile.gettempdir(), "zoi_stream_win")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    in_dir = os.path.join(out_dir, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/documents.parquet",
+                os.path.join(in_dir, "documents.parquet"))
+    batch_schema = _read(spark, sf_dir, "documents").schema
+    sdf = (spark.readStream.schema(batch_schema).parquet(in_dir)
+           .withColumn("ts", F.timestamp_seconds(
+               F.lit(1767225600) + F.pmod("doc_id", F.lit(600)))))
+    win = streaming.windowed_violation_counts(
+        sdf, documents_schema(), ts_col="ts",
+        window="1 minute", watermark="2 minutes")
+    q = (win.writeStream.format("parquet")
+         .option("path", f"{out_dir}/data")
+         .option("checkpointLocation", f"{out_dir}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{out_dir}/data")
+            .select("window_start", "window_end", "rule_id",
+                    F.col("n_violations").cast("long")
+                    .alias("n_violations")))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5409,6 +5504,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sitemap_frontier": q_sitemap_frontier,
         "sorted_neighborhood": q_sorted_neighborhood,
         "link_density_main": q_link_density_main,
+        # wave 36
+        "violation_examples": q_violation_examples,
+        "l_diversity_docs": q_l_diversity_docs,
+        "crawl_plan": q_crawl_plan,
+        "bpe_pairs": q_bpe_pairs,
+        "stream_window_violations": q_stream_window_violations,
     }
 
 
@@ -12171,5 +12272,99 @@ def oracle_sql() -> dict[str, str]:
                    length(coalesce(reb.mt, ''))::BIGINT AS main_len,
                    md5(coalesce(reb.mt, '')) AS main_md5
             FROM nb LEFT JOIN reb USING (doc_id)
+        """,
+        "violation_examples": f"""
+            WITH v AS ({_FLAGSHIP_SQL}),
+            r AS (
+              SELECT rule_id, doc_id,
+                     row_number() OVER (PARTITION BY rule_id
+                       ORDER BY doc_id)::BIGINT AS rnk
+              FROM v)
+            SELECT rule_id, rnk, doc_id FROM r WHERE rnk <= 3
+        """,
+        "l_diversity_docs": """
+            WITH base AS (
+              SELECT lang, source,
+                     CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket
+              FROM documents),
+            cells AS (
+              SELECT lang, len_bucket, source, count(*)::DOUBLE AS c
+              FROM base GROUP BY 1, 2, 3),
+            g AS (
+              SELECT lang, len_bucket,
+                     sum(c) AS n, count(*) AS l_distinct,
+                     round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
+                       AS entropy
+              FROM cells GROUP BY 1, 2)
+            SELECT lang, len_bucket, n::BIGINT AS n,
+                   l_distinct::BIGINT AS l_distinct, entropy,
+                   (l_distinct >= 3 AND entropy >= round(ln(3), 6))
+                     AS ok
+            FROM g
+        """,
+        "crawl_plan": """
+            WITH d AS (SELECT doc_id FROM documents),
+            hh AS (
+              SELECT 'h' || (doc_id % 50) || '.example.com' AS host
+              FROM d
+              UNION ALL
+              SELECT 'h' || (doc_id % 50) || '.example.com'
+              FROM d WHERE doc_id % 7 = 0),
+            counts AS (SELECT host, count(*) AS n FROM hh GROUP BY host),
+            top AS (SELECT host AS bottleneck_host,
+                           n AS max_host_urls
+                    FROM counts ORDER BY n DESC, host ASC LIMIT 1),
+            tot AS (SELECT count(*)::BIGINT AS n_hosts,
+                           sum(n)::BIGINT AS n_urls FROM counts)
+            SELECT n_hosts, n_urls,
+                   max_host_urls::BIGINT AS max_host_urls,
+                   bottleneck_host,
+                   round(max_host_urls * 0.5, 6) AS host_time_s,
+                   round(n_urls * 0.5 / 8, 6) AS fleet_time_s,
+                   round(greatest(max_host_urls * 0.5,
+                                  n_urls * 0.5 / 8), 6)
+                     AS makespan_lb_s,
+                   (max_host_urls * 0.5 >= n_urls * 0.5 / 8)
+                     AS host_bound
+            FROM tot, top
+        """,
+        "bpe_pairs": f"""
+            WITH words AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents),
+            ws AS (SELECT w FROM words WHERE length(w) >= 2),
+            pairs AS (
+              SELECT unnest(list_transform(range(1, length(w)),
+                i -> substr(w, i, 2))) AS pair
+              FROM ws),
+            cells AS (SELECT pair, count(*)::BIGINT AS n
+                      FROM pairs GROUP BY pair),
+            ranked AS (
+              SELECT pair, n,
+                     row_number() OVER (ORDER BY n DESC, pair ASC)
+                       ::BIGINT AS rank
+              FROM cells)
+            SELECT pair, n, rank FROM ranked WHERE rank <= 25
+        """,
+        "stream_window_violations": f"""
+            WITH v AS ({_FLAGSHIP_SQL}),
+            ts AS (
+              SELECT doc_id,
+                     TIMESTAMP '2026-01-01 00:00:00'
+                     + ((doc_id % 600) // 60) * INTERVAL 1 MINUTE
+                       AS window_start
+              FROM documents)
+            -- append mode only emits windows the final watermark has
+            -- closed: wm = max event time − 2 min, emit end ≤ wm
+            SELECT t.window_start,
+                   t.window_start + INTERVAL 1 MINUTE AS window_end,
+                   v.rule_id, count(*)::BIGINT AS n_violations
+            FROM v JOIN ts t USING (doc_id)
+            GROUP BY 1, 2, 3
+            HAVING t.window_start + INTERVAL 1 MINUTE <=
+              (SELECT TIMESTAMP '2026-01-01 00:00:00'
+                      + max((doc_id % 600)) * INTERVAL 1 SECOND
+                      - INTERVAL 2 MINUTE
+               FROM documents)
         """,
     }

@@ -114,7 +114,8 @@ HEADLINE_NAMES = [
 
 # streaming queries are timed end-to-end under a separate key (see
 # bench_streaming_e2e) — never mixed into query wall-times
-STREAM_NAMES = ["stream_validate_docs", "stream_dedup_docs"]
+STREAM_NAMES = ["stream_validate_docs", "stream_dedup_docs",
+                "stream_window_violations"]
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -320,6 +321,9 @@ R4_NAMES = [
     # frontier, sorted-neighborhood blocking, link-density extraction
     "substring_spans", "robots_check_urls", "sitemap_frontier",
     "sorted_neighborhood", "link_density_main",
+    # wave 36: violation triage, l-diversity, crawl capacity, BPE
+    # census (streaming window counts live in the streaming section)
+    "violation_examples", "l_diversity_docs", "crawl_plan", "bpe_pairs",
 ]
 
 

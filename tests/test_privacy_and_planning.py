@@ -1,0 +1,62 @@
+"""Hand-value tests for the wave-36 operators: l_diversity_audit,
+crawl_schedule_plan, bpe_pair_counts."""
+
+import math
+
+from zoi_spark import tablechecks, text, urls
+
+
+def test_l_diversity_distinct_and_entropy_gates(spark):
+    # group A: 4 rows, one sensitive value -> k-anonymous but NOT
+    # l-diverse; group B: 4 rows, two balanced values -> l=2 ok;
+    # group C: 4 rows, values 3+1 -> distinct-2 ok, entropy < ln(2)
+    rows = ([("A", "s1")] * 4 + [("B", "s1")] * 2 + [("B", "s2")] * 2
+            + [("C", "s1")] * 3 + [("C", "s2")])
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {r.qi: r for r in tablechecks.l_diversity_audit(
+        df, qi_cols=["qi"], sensitive_col="s", l=2).collect()}
+    assert (got["A"].n, got["A"].l_distinct, got["A"].entropy,
+            got["A"].ok) == (4, 1, 0.0, False)
+    assert got["B"].ok is True
+    assert got["B"].entropy == round(math.log(2), 6)
+    # H(3/4, 1/4) = ln4 - (3 ln3)/4 ≈ 0.562335 < ln 2
+    assert got["C"].l_distinct == 2
+    assert got["C"].entropy == round(math.log(4) - 3 * math.log(3) / 4, 6)
+    assert got["C"].ok is False
+
+
+def test_crawl_schedule_plan_bounds_and_bottleneck(spark):
+    # h1: 10 urls, h2: 2, h3: 2 -> total 14; delay 1s, 2 slots:
+    # host bound 10s > fleet bound 7s -> host-bound makespan
+    rows = [("h1",)] * 10 + [("h2",)] * 2 + [("h3",)] * 2
+    df = spark.createDataFrame(rows, "host string")
+    r = urls.crawl_schedule_plan(df, delay_s=1.0, parallelism=2) \
+        .collect()[0]
+    assert (r.n_hosts, r.n_urls, r.max_host_urls) == (3, 14, 10)
+    assert r.bottleneck_host == "h1"
+    assert (r.host_time_s, r.fleet_time_s, r.makespan_lb_s,
+            r.host_bound) == (10.0, 7.0, 10.0, True)
+    # with 14 slots the fleet bound collapses to 1s; host chain rules
+    r2 = urls.crawl_schedule_plan(df, delay_s=1.0, parallelism=14) \
+        .collect()[0]
+    assert (r2.makespan_lb_s, r2.host_bound) == (10.0, True)
+
+
+def test_crawl_schedule_bottleneck_tie_breaks_lexicographically(spark):
+    df = spark.createDataFrame([("b",), ("a",)], "host string")
+    r = urls.crawl_schedule_plan(df, delay_s=2.0, parallelism=1) \
+        .collect()[0]
+    assert r.bottleneck_host == "a"
+    assert r.makespan_lb_s == 4.0  # fleet bound binds: 2 urls · 2s / 1
+
+
+def test_bpe_pair_counts_hand_census(spark):
+    # "abab abc" -> words [abab, abc]; pairs ab,ba,ab + ab,bc
+    df = spark.createDataFrame([(1, "Abab ABC"), (2, "x")],
+                               "doc_id long, text string")
+    got = [(r.pair, r.n, r.rank) for r in
+           text.bpe_pair_counts(df, top_k=10).collect()]
+    assert got == [("ab", 3, 1), ("ba", 1, 2), ("bc", 1, 3)]
+    # 1-char words contribute nothing; top_k truncates
+    top1 = text.bpe_pair_counts(df, top_k=1).collect()
+    assert [(r.pair, r.n) for r in top1] == [("ab", 3)]

@@ -2974,3 +2974,40 @@ def mergeable_stats_check(df: DataFrame, value_col: str, *,
         m_mx.cast("long").alias("max_merged"),
         m_ss.cast("long").alias("sumsq_merged"),
         eq.alias("all_equal"))
+
+
+def l_diversity_audit(df: DataFrame, *, qi_cols: Sequence[str],
+                      sensitive_col: str, l: int = 2,
+                      round_to: int = 6) -> DataFrame:
+    """l-diversity audit over quasi-identifier groups (Machanavajjhala
+    et al. 2007) — the release-gate that k-anonymity
+    (:func:`k_anonymity_audit` twin in the roster) misses: a group can
+    be large (k-anonymous) yet carry ONE sensitive value, so membership
+    still discloses it. Per QI group this reports group size ``n``,
+    ``l_distinct`` (distinct sensitive values) and the entropy of the
+    sensitive distribution in nats; ``ok`` requires BOTH distinct
+    l-diversity (``l_distinct ≥ l``) and entropy l-diversity
+    (``entropy ≥ ln(l)``), the standard pair of instantiations.
+
+    Shape at 10^12 rows: two hash aggregations — (qi, sensitive) cell
+    counts with map-side combine, then the qi rollup computing entropy
+    from the cell counts. Nothing wider than the QI×sensitive
+    cross-cardinality shuffles; no window, no join.
+    """
+    if int(l) < 1:
+        raise ValueError("l must be ≥ 1")
+    qi = [F.col(c) for c in qi_cols]
+    cells = (df.groupBy(*qi, F.col(sensitive_col).alias("__s"))
+             .agg(F.count("*").alias("__c")))
+    n = F.sum("__c")
+    ent = -F.sum(F.col("__c") * F.log(F.col("__c")))  # partial form
+    out = (cells.groupBy(*[c.alias(name) for c, name
+                           in zip(qi, qi_cols)])
+           .agg(n.cast("long").alias("n"),
+                F.count("*").cast("long").alias("l_distinct"),
+                # H = ln(n) - (Σ c·ln c)/n, exact algebra of -Σ p ln p
+                F.round(F.log(n) + ent / n, round_to).alias("entropy")))
+    return out.withColumn(
+        "ok", (F.col("l_distinct") >= int(l))
+              & (F.col("entropy") >= F.round(F.lit(math.log(l)),
+                                             round_to)))

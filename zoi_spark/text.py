@@ -2707,3 +2707,32 @@ def link_density_strip(df: DataFrame, *, html_col: str = "text",
             .withColumn("n_kept",
                         F.coalesce("n_kept", F.lit(0).cast("long")))
             .withColumn(out_col, F.coalesce(out_col, F.lit(""))))
+
+
+def bpe_pair_counts(df: DataFrame, *, text_col: str = "text",
+                    top_k: int = 20) -> DataFrame:
+    """Corpus-level adjacent character-pair census — the statistic one
+    BPE merge step maximizes (Sennrich et al. 2016): the pair with the
+    highest corpus count becomes the next merge. Emits the ``top_k``
+    pairs as ``(pair, n, rank)`` over the normalized token stream
+    (pairs never cross word boundaries, matching BPE's word-internal
+    merges; no end-of-word sentinel — documented simplification).
+
+    Shape at 10^12 docs: tokenize → explode words (corpus token count,
+    the irreducible cost of any tokenizer-training statistic) → an
+    in-expression pair list per word → ONE hash aggregation on the
+    pair (map-side combine absorbs the Zipf head) → TakeOrdered-style
+    rank over the pair vocabulary (≤ alphabet², tiny)."""
+    words = (df.select(F.explode(F.split(normalize_text(
+        F.col(text_col)), " ")).alias("__w"))
+             .where(F.length("__w") >= 2))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("__w") - 1),
+        lambda i: F.col("__w").substr(i, F.lit(2)))
+    cells = (words.select(F.explode(pairs).alias("pair"))
+             .groupBy("pair").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (cells.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(top_k))
+            .select("pair", F.col("n").cast("long").alias("n"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -996,3 +996,56 @@ def sitemap_locs(df: DataFrame, *, text_col: str = "text",
             .select(id_col, F.col("loc"),
                     url_host(F.col("loc")).alias("host"))
             .where(F.col("loc") != ""))
+
+
+def crawl_schedule_plan(df: DataFrame, *, host_col: str = "host",
+                        delay_s: float = 1.0,
+                        parallelism: int = 1000,
+                        round_to: int = 6) -> DataFrame:
+    """Politeness-constrained crawl-capacity plan, ONE summary row:
+    with per-host fetch delay ``delay_s`` (robots Crawl-delay or the
+    crawler's politeness default) and ``parallelism`` worker slots,
+    the frontier's makespan is bounded below by BOTH the busiest
+    single host (its fetches are strictly serial — politeness forbids
+    intra-host parallelism) and total work / slots; the greatest of
+    the two is the classic LPT lower bound. A bottleneck host whose
+    serial chain exceeds total/slots is the actionable finding: no
+    fleet size fixes it, only a per-host cap (sampling.host_cap).
+
+    Output: ``(n_hosts, n_urls, max_host_urls, bottleneck_host,
+    host_time_s, fleet_time_s, makespan_lb_s, host_bound)`` —
+    bottleneck ties break to the lexicographically smallest host;
+    ``host_bound`` is true when the serial host chain is the binding
+    constraint.
+
+    Shape at 10^12 urls: one host-keyed count aggregation (map-side
+    combine), then a rank-1 pick and a 1-row rollup over the host
+    vocabulary — nothing beyond the host table shuffles."""
+    counts = (df.where(F.col(host_col).isNotNull()
+                       & (F.col(host_col) != ""))
+              .groupBy(F.col(host_col).alias("host"))
+              .agg(F.count("*").alias("__n")))
+    counts = counts.persist()
+    w = Window.orderBy(F.desc("__n"), F.asc("host"))
+    top = (counts.withColumn("__r", F.row_number().over(w))
+           .where(F.col("__r") == 1)
+           .select(F.col("host").alias("bottleneck_host"),
+                   F.col("__n").alias("max_host_urls")))
+    tot = counts.agg(F.count("*").cast("long").alias("n_hosts"),
+                     F.sum("__n").cast("long").alias("n_urls"))
+    d = float(delay_s)
+    p = int(parallelism)
+    host_t = F.col("max_host_urls") * d
+    fleet_t = F.col("n_urls") * d / p
+    out = (tot.crossJoin(F.broadcast(top))  # both sides are 1 row
+           .select("n_hosts", "n_urls",
+                   F.col("max_host_urls").cast("long")
+                   .alias("max_host_urls"),
+                   "bottleneck_host",
+                   F.round(host_t, round_to).alias("host_time_s"),
+                   F.round(fleet_t, round_to).alias("fleet_time_s"),
+                   F.round(F.greatest(host_t, fleet_t), round_to)
+                   .alias("makespan_lb_s"),
+                   (host_t >= fleet_t).alias("host_bound")))
+    out._zoi_persisted = [counts]
+    return out
