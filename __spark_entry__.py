@@ -5185,6 +5185,70 @@ def q_stream_window_violations(spark, sf_dir):
                     .alias("n_violations")))
 
 
+def q_weighted_jaccard(spark, sf_dir):
+    """Weighted (multiset) Jaccard pairs (dedup.weighted_jaccard_pairs)
+    at J_w ≥ 0.8 within the (lang, length-bucket) block — Σ min / Σ max
+    over token COUNTS, with the union mass derived as
+    tot_a + tot_b − Σ min so only the intersection join runs."""
+    from zoi_spark import dedup
+
+    d = _dup_docs(spark, sf_dir)
+    return dedup.weighted_jaccard_pairs(d, threshold=0.8,
+                                        block_col="block")
+
+
+def q_soft_dedup_weights(spark, sf_dir):
+    """Duplication-aware sampling weights (dedup.dup_inverse_weights,
+    soft dedup): every row of the seeded-dup corpus keeps weight
+    1/n_copies so each distinct content contributes unit training
+    mass; the min-id member is flagged canonical."""
+    from zoi_spark import dedup
+
+    d = _dup_docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.dup_inverse_weights(d)
+
+
+def q_structure_docs(spark, sf_dir):
+    """Document structure census (text.structure_profile): four seeded
+    shapes per doc_id%4 — prose (the real text), a fenced+braced code
+    block, a pipe table, a bullet list — every signal column and both
+    verdicts land under the value hash."""
+    from zoi_spark import text as _text
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    code = ("```\ndef f(x) {\n    return x;\n}\n```")
+    table = "| a | b |\n| 1 | 2 |\n| 3 | 4 |"
+    bullets = "- one\n- two\n1. three\nplain tail"
+    sel = F.pmod("doc_id", F.lit(4))
+    synth = (F.when(sel == 1, F.lit(code))
+             .when(sel == 2, F.lit(table))
+             .when(sel == 3, F.lit(bullets))
+             .otherwise(F.col("text")))
+    out = _text.structure_profile(d.select("doc_id",
+                                           synth.alias("text")))
+    return out.select("doc_id", "n_lines", "code_fences",
+                      "indent_ratio", "brace_semi_density",
+                      "table_lines", "bullet_ratio", "is_codeish",
+                      "is_tableish")
+
+
+def q_cluster_audit(spark, sf_dir):
+    """Clustering-invariant audit (dedup.cluster_consistency_audit):
+    near-dup pairs (LSH + exact verify at J ≥ 0.8, = the exhaustive
+    pair set per the banding recall argument) → connected components →
+    the audit must find ZERO pairs whose endpoints land in different
+    clusters. The DuckDB twin recomputes the closure with a recursive
+    CTE and re-derives every summary stat, so the value hash pins the
+    transitive-closure contract itself."""
+    from zoi_spark import dedup
+
+    d = _dup_docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8, num_hashes=64,
+                                      bands=16)
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.cluster_consistency_audit(pairs, clusters)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5510,6 +5574,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "crawl_plan": q_crawl_plan,
         "bpe_pairs": q_bpe_pairs,
         "stream_window_violations": q_stream_window_violations,
+        # wave 37
+        "weighted_jaccard": q_weighted_jaccard,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "structure_docs": q_structure_docs,
+        "cluster_audit": q_cluster_audit,
     }
 
 
@@ -12366,5 +12435,123 @@ def oracle_sql() -> dict[str, str]:
                       + max((doc_id % 600)) * INTERVAL 1 SECOND
                       - INTERVAL 2 MINUTE
                FROM documents)
+        """,
+        "weighted_jaccard": f"""
+            WITH docs AS ({_DUP_DOCS_SQL}),
+            toks AS (
+              SELECT doc_id, block,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM docs),
+            tc AS (
+              SELECT doc_id, block, tok, count(*)::BIGINT AS c
+              FROM toks WHERE tok <> '' GROUP BY 1, 2, 3),
+            tot AS (SELECT doc_id, sum(c) AS tot FROM tc GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(least(a.c, b.c)) AS min_mass
+              FROM tc a JOIN tc b
+                ON a.tok = b.tok AND a.block = b.block
+                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ta.tot::BIGINT AS tot_a, tb.tot::BIGINT AS tot_b,
+                   min_mass::BIGINT AS min_mass,
+                   round(min_mass / (ta.tot + tb.tot - min_mass), 6)
+                     AS weighted_jaccard
+            FROM inter
+            JOIN tot ta ON ta.doc_id = id_a
+            JOIN tot tb ON tb.doc_id = id_b
+            WHERE 0.8 * tb.tot <= ta.tot AND ta.tot <= tb.tot / 0.8
+              AND round(min_mass / (ta.tot + tb.tot - min_mass), 6)
+                  >= 0.8
+        """,
+        "soft_dedup_weights": f"""
+            WITH docs AS ({_DUP_DOCS_SQL}),
+            fp AS (SELECT doc_id, md5({_NORM_SQL}) AS f FROM docs)
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY f)::BIGINT AS n_copies,
+                   round(1.0 / count(*) OVER (PARTITION BY f), 6)
+                     AS weight,
+                   (doc_id = min(doc_id) OVER (PARTITION BY f))
+                     AS is_canonical
+            FROM fp
+        """,
+        "structure_docs": """
+            WITH synth AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 1 THEN e'```\\ndef f(x) {\\n    return x;\\n}\\n```'
+                       WHEN 2 THEN e'| a | b |\\n| 1 | 2 |\\n| 3 | 4 |'
+                       WHEN 3 THEN e'- one\\n- two\\n1. three\\nplain tail'
+                       ELSE text END AS text
+              FROM documents),
+            base AS (
+              SELECT doc_id, text,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM synth),
+            m AS (
+              SELECT doc_id,
+                     len(ls)::BIGINT AS n_lines,
+                     CAST(floor(len(list_filter(ls,
+                       x -> regexp_matches(x, '^```'))) / 2) AS BIGINT)
+                       AS code_fences,
+                     round(len(list_filter(ls,
+                       x -> regexp_matches(x, '^(    |\\t)')))
+                       / greatest(len(ls), 1), 6) AS indent_ratio,
+                     round((length(text) - length(regexp_replace(text,
+                       '[{};()=]', '', 'g')))
+                       / greatest(length(text), 1), 6)
+                       AS brace_semi_density,
+                     len(list_filter(ls,
+                       x -> length(x) - length(regexp_replace(x,
+                         '\\|', '', 'g')) >= 2))::BIGINT AS table_lines,
+                     round(len(list_filter(ls,
+                       x -> regexp_matches(x,
+                         '^\\s*(-|\\*|[0-9]+\\.)\\s')))
+                       / greatest(len(ls), 1), 6) AS bullet_ratio
+              FROM base)
+            SELECT doc_id, n_lines, code_fences, indent_ratio,
+                   brace_semi_density, table_lines, bullet_ratio,
+                   ((CASE WHEN code_fences >= 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN indent_ratio >= 0.2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN brace_semi_density >= 0.02 THEN 1
+                       ELSE 0 END)) >= 2 AS is_codeish,
+                   table_lines >= 3 AS is_tableish
+            FROM m
+        """,
+        "cluster_audit": f"""
+            WITH RECURSIVE jpairs AS ({_jaccard_pairs_sql(0.8)}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM jpairs
+              UNION
+              SELECT id_b, id_a FROM jpairs),
+            reach AS (
+              SELECT a AS src, a AS node FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e
+                ON r.node = e.a),
+            clusters AS (
+              SELECT src AS doc_id, min(node) AS cluster_id
+              FROM reach GROUP BY src),
+            pj AS (
+              SELECT p.id_a, p.id_b,
+                     ca.cluster_id AS c1, cb.cluster_id AS c2
+              FROM jpairs p
+              JOIN clusters ca ON ca.doc_id = p.id_a
+              JOIN clusters cb ON cb.doc_id = p.id_b),
+            ps AS (
+              SELECT count(*)::BIGINT AS n_pairs,
+                     coalesce(sum(CASE WHEN c1 <> c2 THEN 1 ELSE 0
+                       END), 0)::BIGINT AS n_pair_violations
+              FROM pj),
+            sz AS (SELECT cluster_id, count(*) AS n
+                   FROM clusters GROUP BY 1),
+            cs AS (SELECT sum(n)::BIGINT AS n_docs,
+                          count(*)::BIGINT AS n_clusters,
+                          max(n)::BIGINT AS max_cluster_size
+                   FROM sz)
+            SELECT n_pairs, n_pair_violations, n_docs, n_clusters,
+                   max_cluster_size, (n_pair_violations = 0) AS ok
+            FROM ps, cs
         """,
     }

@@ -324,6 +324,10 @@ R4_NAMES = [
     # wave 36: violation triage, l-diversity, crawl capacity, BPE
     # census (streaming window counts live in the streaming section)
     "violation_examples", "l_diversity_docs", "crawl_plan", "bpe_pairs",
+    # wave 37: weighted Jaccard, soft dedup, structure census,
+    # clustering invariant audit
+    "weighted_jaccard", "soft_dedup_weights", "structure_docs",
+    "cluster_audit",
 ]
 
 

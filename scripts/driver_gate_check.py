@@ -44,6 +44,7 @@ def _normalize(rows, columns):
 
 def main() -> int:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    offset = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -65,7 +66,9 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = list(queries)[:window]
+    # second arg = offset: `driver_gate_check.py 70 140` replays roster
+    # positions 140-209 — lets the full roster run in parallel slices
+    names = list(queries)[offset:offset + window]
     results: dict[str, dict] = {}
     n_fail = 0
     for name in names:

@@ -1,0 +1,72 @@
+"""Hand-value tests for the wave-37 operators: weighted_jaccard_pairs,
+dup_inverse_weights, structure_profile, cluster_consistency_audit."""
+
+from zoi_spark import dedup, text
+
+
+def test_weighted_jaccard_separates_repetition_profiles(spark):
+    # same token SET {a,b}; doc2 stuffs 'a' -> set Jaccard 1.0 but
+    # J_w = (min(1,4)+min(1,1)) / (max(1,4)+max(1,1)) = 2/5
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a a a b"), (3, "a b")],
+        "doc_id long, text string")
+    out = dedup.weighted_jaccard_pairs(df, threshold=0.3)
+    got = {(r.id_a, r.id_b): (r.tot_a, r.tot_b, r.min_mass,
+                              r.weighted_jaccard)
+           for r in out.collect()}
+    assert got[(1, 3)] == (2, 2, 2, 1.0)          # exact dup -> 1.0
+    assert got[(1, 2)] == (2, 5, 2, 0.4)
+    assert got[(2, 3)] == (5, 2, 2, 0.4)
+    # the size-ratio prefilter kills mismatched pairs before the join
+    strict = dedup.weighted_jaccard_pairs(df, threshold=0.8)
+    got_s = {(r.id_a, r.id_b) for r in strict.collect()}
+    assert got_s == {(1, 3)}
+
+
+def test_dup_inverse_weights_unit_mass_per_content(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"),
+         (4, "unique")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_copies, r.weight, r.is_canonical)
+           for r in dedup.dup_inverse_weights(df).collect()}
+    assert got[1] == (3, round(1 / 3, 6), True)
+    assert got[2] == (3, round(1 / 3, 6), False)
+    assert got[4] == (1, 1.0, True)
+    # total mass = number of distinct contents
+    assert round(sum(w for _, w, _ in got.values()), 4) == 2.0
+
+
+def test_structure_profile_code_table_bullets(spark):
+    code = "```\ndef f(x) {\n    return x;\n}\n```"
+    table = "| a | b |\n| 1 | 2 |\n| 3 | 4 |"
+    bullets = "- one\n- two\n1. three\nplain"
+    prose = "just a plain sentence with no structure at all"
+    df = spark.createDataFrame(
+        [(1, code), (2, table), (3, bullets), (4, prose)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in text.structure_profile(df).collect()}
+    assert (got[1].code_fences, got[1].indent_ratio,
+            got[1].is_codeish) == (1, 0.2, True)
+    assert (got[2].table_lines, got[2].is_tableish) == (3, True)
+    assert got[2].is_codeish is False
+    assert got[3].bullet_ratio == 0.75
+    assert got[4].n_lines == 1 and not got[4].is_codeish \
+        and not got[4].is_tableish
+
+
+def test_cluster_consistency_audit_detects_bad_labels(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    good = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    r = dedup.cluster_consistency_audit(pairs, good).collect()[0]
+    assert (r.n_pairs, r.n_pair_violations, r.n_docs, r.n_clusters,
+            r.max_cluster_size, r.ok) == (3, 0, 5, 2, 3, True)
+    # break one label: the 2-3 pair now crosses clusters
+    bad = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    r2 = dedup.cluster_consistency_audit(pairs, bad).collect()[0]
+    assert (r2.n_pair_violations, r2.ok) == (1, False)

@@ -1916,3 +1916,132 @@ def sorted_neighborhood_pairs(df: DataFrame, *, key_col: str,
             .select("id_a", F.col("__n.id_b").alias("id_b"),
                     "key_a", F.col("__n.key_b").alias("key_b"),
                     F.col("__n.offset").alias("offset")))
+
+
+def weighted_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           threshold: float = 0.8,
+                           block_col: str | None = None,
+                           max_block_size: int | None = None
+                           ) -> DataFrame:
+    """Pairs with WEIGHTED (multiset) Jaccard ≥ threshold:
+    J_w(a,b) = Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t)) over
+    token COUNTS — the tf-aware similarity that separates documents
+    whose token SETS coincide but whose repetition profiles differ
+    (template pages stuffing one keyword vs. the clean original),
+    which plain set Jaccard (:func:`ngram_jaccard_pairs`) scores 1.0.
+
+    The union mass never materializes: Σ max = tot_a + tot_b − Σ min,
+    so only the INTERSECTION join runs — (id, token, count) rows meet
+    in one equi-join on the token (within ``block_col`` when given,
+    same contract/cap as every pair operator here), then one pair
+    aggregation of min-counts and a broadcast-friendly join back to
+    the per-doc totals. A size-ratio prefilter (J_w ≥ t forces
+    t·tot_b ≤ tot_a ≤ tot_b/t) drops mismatched pairs before the
+    aggregate. Returns ``(id_a, id_b, tot_a, tot_b, min_mass,
+    weighted_jaccard)``; round-6 on the ratio (oracle convention).
+    """
+    t = float(threshold)
+    if not 0 < t <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                    lambda x: x != "")
+    blk = F.col(block_col) if block_col else F.lit(0)
+    base = (df.select(F.col(id_col).alias("__id"), blk.alias("__blk"),
+                      F.explode(toks).alias("__tok"))
+            .groupBy("__id", "__blk", "__tok")
+            .agg(F.count("*").alias("__c")))
+    base = base.persist()
+    if max_block_size is not None:
+        sizes = (base.select("__blk", "__id").distinct()
+                 .groupBy("__blk").agg(F.count("*").alias("__bs"))
+                 .where(F.col("__bs") <= int(max_block_size))
+                 .drop("__bs"))
+        base = base.join(sizes, "__blk")
+    totals = base.groupBy("__id").agg(F.sum("__c").alias("__tot"))
+    a, b = base.alias("a"), base.alias("b")
+    inter = (a.join(b, (F.col("a.__tok") == F.col("b.__tok"))
+                    & (F.col("a.__blk") == F.col("b.__blk"))
+                    & (F.col("a.__id") < F.col("b.__id")))
+             .groupBy(F.col("a.__id").alias("id_a"),
+                      F.col("b.__id").alias("id_b"))
+             .agg(F.sum(F.least("a.__c", "b.__c")).alias("min_mass")))
+    ta = totals.select(F.col("__id").alias("id_a"),
+                       F.col("__tot").alias("tot_a"))
+    tb = totals.select(F.col("__id").alias("id_b"),
+                       F.col("__tot").alias("tot_b"))
+    wj = F.round(F.col("min_mass")
+                 / (F.col("tot_a") + F.col("tot_b") - F.col("min_mass")),
+                 6)
+    out = (inter.join(ta, "id_a").join(tb, "id_b")
+           .where((F.lit(t) * F.col("tot_b") <= F.col("tot_a"))
+                  & (F.col("tot_a") <= F.col("tot_b") / F.lit(t)))
+           .select("id_a", "id_b",
+                   F.col("tot_a").cast("long").alias("tot_a"),
+                   F.col("tot_b").cast("long").alias("tot_b"),
+                   F.col("min_mass").cast("long").alias("min_mass"),
+                   wj.alias("weighted_jaccard"))
+           .where(F.col("weighted_jaccard") >= t))
+    out._zoi_persisted = [base]
+    return out
+
+
+def dup_inverse_weights(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        round_to: int = 6) -> DataFrame:
+    """Duplication-aware sampling weights — SOFT dedup: instead of
+    dropping exact duplicates, every row keeps weight 1/n where n is
+    its fingerprint group size, so each distinct CONTENT contributes
+    unit mass to training regardless of how many crawls carried it
+    (the sampling-weight alternative to exact_dedup that preserves
+    provenance and lets the sampler see all copies). Emits every input
+    row with ``(n_copies, weight, is_canonical)`` — canonical = the
+    min-id member, the row hard dedup would keep.
+
+    Shape: the same single fingerprint-keyed shuffle as exact_dedup
+    (one window, no join); weight math is per-row arithmetic."""
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy("__fp")
+    base = df.select(F.col(id_col), fp.alias("__fp"))
+    return (base
+            .withColumn("n_copies",
+                        F.count("*").over(w).cast("long"))
+            .withColumn("weight",
+                        F.round(F.lit(1.0) / F.col("n_copies"), round_to))
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.min(id_col).over(w))
+            .drop("__fp"))
+
+
+def cluster_consistency_audit(pairs: DataFrame, clusters: DataFrame, *,
+                              id_a: str = "id_a", id_b: str = "id_b",
+                              id_col: str = "doc_id",
+                              cluster_col: str = "cluster_id"
+                              ) -> DataFrame:
+    """Invariant audit over a dedup clustering: every near-dup PAIR's
+    endpoints must land in the SAME cluster (pairs ⊆ components — the
+    defining property of the transitive closure
+    :func:`duplicate_clusters` computes; a violation means truncated
+    label propagation or a stale cluster table joined against fresh
+    pairs). One verdict row: ``(n_pairs, n_pair_violations, n_docs,
+    n_clusters, max_cluster_size, ok)``.
+
+    Shape: two broadcast-friendly equi-joins of the pair table against
+    the (doc, cluster) table (both dedup-output-sized, ≪ corpus) and
+    one rollup — the audit costs less than the clustering it checks."""
+    ca = clusters.select(F.col(id_col).alias(id_a),
+                         F.col(cluster_col).alias("__ca"))
+    cb = clusters.select(F.col(id_col).alias(id_b),
+                         F.col(cluster_col).alias("__cb"))
+    joined = pairs.select(id_a, id_b).join(ca, id_a).join(cb, id_b)
+    pair_stats = joined.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("__ca") != F.col("__cb")).cast("long"))
+        .cast("long").alias("n_pair_violations"))
+    sizes = clusters.groupBy(cluster_col).agg(F.count("*").alias("__n"))
+    cstats = sizes.agg(F.sum("__n").cast("long").alias("n_docs"),
+                       F.count("*").cast("long").alias("n_clusters"),
+                       F.max("__n").cast("long")
+                       .alias("max_cluster_size"))
+    return (pair_stats.crossJoin(F.broadcast(cstats))  # 1 row × 1 row
+            .withColumn("ok", F.col("n_pair_violations") == 0))

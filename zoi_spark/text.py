@@ -2736,3 +2736,57 @@ def bpe_pair_counts(df: DataFrame, *, text_col: str = "text",
             .where(F.col("rank") <= int(top_k))
             .select("pair", F.col("n").cast("long").alias("n"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def structure_profile(df: DataFrame, *, text_col: str = "text",
+                      min_code_signals: int = 2,
+                      min_table_lines: int = 3,
+                      round_to: int = 6) -> DataFrame:
+    """Document structure census for training-mix routing: code, table
+    and list signals that decide whether a page belongs in the prose,
+    code or tabular bucket (mix ratios are a first-order training
+    lever; prose-only quality gates mis-score code and tables). All
+    pure line/regex expressions fused into the scan — no shuffle.
+
+    Adds per document: ``n_lines``, ``code_fences`` (paired \\`\\`\\`
+    markers), ``indent_ratio`` (lines starting with ≥4 spaces or a
+    tab), ``brace_semi_density`` ({};()= chars per char),
+    ``table_lines`` (lines with ≥2 pipe characters), ``bullet_ratio``
+    (-/*/digit-dot list lines), and the verdicts ``is_codeish``
+    (≥ ``min_code_signals`` of: a fence pair, indent_ratio ≥ 0.2,
+    brace_semi_density ≥ 0.02) and ``is_tableish``
+    (``table_lines ≥ min_table_lines``)."""
+    lines = split_lines(F.col(text_col))
+    nl = F.size(lines)
+    fences = F.floor(
+        F.size(F.filter(lines, lambda x: x.rlike("^```"))) / 2) \
+        .cast("long")
+    indent = F.size(F.filter(
+        lines, lambda x: x.rlike("^(    |\t)")))
+    braces = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[{};()=]", ""))
+    tlines = F.size(F.filter(
+        lines,
+        lambda x: F.length(x) - F.length(F.regexp_replace(x, r"\|", ""))
+        >= 2))
+    bullets = F.size(F.filter(
+        lines, lambda x: x.rlike(r"^\s*(-|\*|[0-9]+\.)\s")))
+    out = (df.withColumn("n_lines", nl.cast("long"))
+           .withColumn("code_fences", fences)
+           .withColumn("indent_ratio",
+                       F.round(indent / F.greatest(nl, F.lit(1)),
+                               round_to))
+           .withColumn("brace_semi_density",
+                       F.round(braces / F.greatest(
+                           F.length(text_col), F.lit(1)), round_to))
+           .withColumn("table_lines", tlines.cast("long"))
+           .withColumn("bullet_ratio",
+                       F.round(bullets / F.greatest(nl, F.lit(1)),
+                               round_to)))
+    signals = (F.col("code_fences") >= 1).cast("int") + \
+        (F.col("indent_ratio") >= 0.2).cast("int") + \
+        (F.col("brace_semi_density") >= 0.02).cast("int")
+    return (out.withColumn("is_codeish",
+                           signals >= int(min_code_signals))
+            .withColumn("is_tableish",
+                        F.col("table_lines") >= int(min_table_lines)))
