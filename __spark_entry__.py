@@ -5249,6 +5249,105 @@ def q_cluster_audit(spark, sf_dir):
     return dedup.cluster_consistency_audit(pairs, clusters)
 
 
+_ROBOTS_WILD = [
+    ("w0.example.com",
+     "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*\n"
+     "Allow: /tmp/keep$\n"),
+    ("w1.example.com",
+     "User-agent: *\nDisallow: /a/*/secret\nAllow: /a/*/secret/ok$\n"),
+]
+
+_WILD_PATHS = ["/doc.pdf", "/doc.pdfx", "/tmp/x", "/tmp/keep",
+               "/a/b/secret/no", "/a/b/secret/ok", "/clean"]
+
+
+def q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 WILDCARD rules (urls.robots_check): ``*`` mid-pattern,
+    trailing ``$`` anchors, and length-based specificity — patterns
+    compile to LIKE expressions identically in Spark and the DuckDB
+    twin, so the wildcard semantics themselves sit under the value
+    hash (``/doc.pdfx`` must escape the anchored ``/*.pdf$``;
+    ``/tmp/keep`` must win its longer anchored Allow)."""
+    from zoi_spark import urls as _urls
+
+    robots = spark.createDataFrame(_ROBOTS_WILD,
+                                   "host string, robots_txt string")
+    rules = _urls.robots_rules(robots)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("w"), F.pmod("doc_id", F.lit(2)).cast("string"),
+                    F.lit(".example.com"))
+    sel = F.pmod("doc_id", F.lit(7))
+    path = F.lit(_WILD_PATHS[0])
+    for i, p in enumerate(_WILD_PATHS[1:], 1):
+        path = F.when(sel == i, F.lit(p)).otherwise(path)
+    uu = d.select(F.concat(F.lit("http://"), host, path).alias("url")) \
+          .distinct()
+    return _urls.robots_check(uu, rules, agent="*")
+
+
+def q_homoglyph_dups(spark, sf_dir):
+    """Adversarial dedup via homoglyph folding
+    (text.homoglyph_fingerprint): every 25th document re-enters with
+    its latin a/e/o swapped for Cyrillic а/е/о (byte-different,
+    pixel-identical — the classic exact-dedup evasion); groups under
+    the folded key with >1 member AND >1 exact variant are exactly
+    those seeded evasions."""
+    from zoi_spark import text as _text
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (d.where(F.col("doc_id") % 25 == 0)
+              .select((F.col("doc_id") + 20000).alias("doc_id"),
+                      F.translate("text", "aeo", "аео").alias("text")))
+    u = d.unionAll(copies)
+    hfp = _text.homoglyph_fingerprint(F.col("text"))
+    efp = _text.fingerprint(F.col("text"))
+    return (u.select("doc_id", hfp.alias("hfp"), efp.alias("__e"))
+            .groupBy("hfp")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("__e").cast("long")
+                 .alias("n_exact_variants"),
+                 F.min("doc_id").alias("keep_id"))
+            .where((F.col("n_docs") > 1)
+                   & (F.col("n_exact_variants") > 1)))
+
+
+def q_emb_energy_hist(spark, sf_dir):
+    """Matryoshka-truncation QC (similarity.emb_prefix_energy): the
+    histogram of per-vector squared-mass share in the first half of
+    the dimensions — the store-truncated-embeddings decision
+    statistic."""
+    from zoi_spark import similarity as _sim
+
+    d = _read(spark, sf_dir, "embeddings")
+    return _sim.emb_prefix_energy(d)
+
+
+def q_incremental_lsh_join(spark, sf_dir):
+    """Persisted-index incremental dedup (dedup.write_minhash_index +
+    lsh_join_index): the base corpus (doc_id < 400) is signed ONCE
+    into an on-disk LSH index (buckets + shingle sets + hash-family
+    meta); the new snapshot (doc_id ≥ 400, plus 50 re-crawled copies
+    of base pages under new ids) joins against the stored index —
+    only the new side is ever signed. Every re-crawl must pair with
+    its base original at J = 1.0; the oracle recomputes the full
+    cross-corpus exact Jaccard."""
+    import shutil
+    import tempfile
+
+    from zoi_spark import dedup
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") < 400)
+    idx_dir = os.path.join(tempfile.gettempdir(), "zoi_lsh_index")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    dedup.write_minhash_index(base, idx_dir)
+    recrawl = (d.where(F.col("doc_id") < 50)
+               .select((F.col("doc_id") + 30000).alias("doc_id"),
+                       "text"))
+    new = d.where(F.col("doc_id") >= 400).unionByName(recrawl)
+    return dedup.lsh_join_index(new, idx_dir, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5579,6 +5678,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "soft_dedup_weights": q_soft_dedup_weights,
         "structure_docs": q_structure_docs,
         "cluster_audit": q_cluster_audit,
+        # wave 38
+        "robots_wildcards": q_robots_wildcards,
+        "homoglyph_dups": q_homoglyph_dups,
+        "emb_energy_hist": q_emb_energy_hist,
+        "incremental_lsh_join": q_incremental_lsh_join,
     }
 
 
@@ -12553,5 +12657,179 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_pairs, n_pair_violations, n_docs, n_clusters,
                    max_cluster_size, (n_pair_violations = 0) AS ok
             FROM ps, cs
+        """,
+        "robots_wildcards": """
+            WITH robots(host, body) AS (VALUES
+              ('w0.example.com', e'User-agent: *\\nDisallow: /*.pdf$\\nDisallow: /tmp*\\nAllow: /tmp/keep$\\n'),
+              ('w1.example.com', e'User-agent: *\\nDisallow: /a/*/secret\\nAllow: /a/*/secret/ok$\\n')),
+            ls0 AS (SELECT host, string_split(body, chr(10)) AS ls
+                    FROM robots),
+            ls1 AS (SELECT host, ls,
+                           unnest(range(1, len(ls) + 1)) AS pos
+                    FROM ls0),
+            parsed AS (
+              SELECT host, pos,
+                     lower(regexp_extract(ls[pos],
+                       '^\\s*([A-Za-z-]+)\\s*:', 1)) AS d,
+                     trim(regexp_extract(ls[pos],
+                       '^\\s*[A-Za-z-]+\\s*:\\s*([^#]*)', 1)) AS v
+              FROM ls1),
+            kept AS (SELECT * FROM parsed
+                     WHERE d IN ('user-agent', 'allow', 'disallow')),
+            opened AS (
+              SELECT host, pos, d, v,
+                     CASE WHEN d = 'user-agent'
+                          AND coalesce(lag(CASE WHEN d = 'user-agent'
+                            THEN 1 ELSE 0 END) OVER (
+                            PARTITION BY host ORDER BY pos), 0) = 0
+                     THEN 1 ELSE 0 END AS opens
+              FROM kept),
+            grouped AS (
+              SELECT host, pos, d, v,
+                     sum(opens) OVER (PARTITION BY host ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+              FROM opened),
+            agents AS (SELECT host, grp, lower(v) AS agent
+                       FROM grouped WHERE d = 'user-agent'),
+            rls AS (SELECT host, grp, d AS rule, v AS path
+                    FROM grouped WHERE d <> 'user-agent' AND v <> ''),
+            rule_tab AS (
+              SELECT DISTINCT host, agent, rule, path
+              FROM agents JOIN rls USING (host, grp)),
+            eff AS (
+              SELECT host, rule, path AS rule_path,
+                     (substr(path, length(path), 1) = '$') AS anch,
+                     CASE WHEN substr(path, length(path), 1) = '$'
+                       THEN substr(path, 1, length(path) - 1)
+                       ELSE path END AS raw
+              FROM rule_tab WHERE agent = '*'),
+            effp AS (
+              SELECT host, rule, rule_path,
+                     CASE WHEN anch THEN pat0 ELSE pat0 || '%' END
+                       AS pat
+              FROM (SELECT host, rule, rule_path, anch,
+                           replace(replace(replace(replace(raw,
+                             '\\', '\\\\'), '%', '\\%'), '_', '\\_'),
+                             '*', '%') AS pat0
+                    FROM eff)),
+            uu AS (
+              SELECT DISTINCT 'http://w' || (doc_id % 2)
+                || '.example.com'
+                || (CASE doc_id % 7 WHEN 1 THEN '/doc.pdfx'
+                    WHEN 2 THEN '/tmp/x' WHEN 3 THEN '/tmp/keep'
+                    WHEN 4 THEN '/a/b/secret/no'
+                    WHEN 5 THEN '/a/b/secret/ok' WHEN 6 THEN '/clean'
+                    ELSE '/doc.pdf' END) AS url
+              FROM documents),
+            base AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host,
+                     CASE WHEN regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                       = '' THEN '/'
+                     ELSE regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                     END AS path
+              FROM uu),
+            m AS (
+              SELECT b.url, b.host, b.path, e.rule, e.rule_path,
+                     (e.rule_path IS NOT NULL
+                      AND b.path LIKE e.pat ESCAPE '\\') AS mt
+              FROM base b LEFT JOIN effp e USING (host)),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                ORDER BY mt DESC, length(rule_path) DESC, rule ASC)
+                AS rn
+              FROM m)
+            SELECT url, host, path,
+                   CASE WHEN mt THEN rule END AS rule,
+                   CASE WHEN mt THEN rule_path END AS rule_path,
+                   coalesce(CASE WHEN mt THEN rule = 'allow' END, true)
+                     AS allowed
+            FROM ranked WHERE rn = 1
+        """,
+        "homoglyph_dups": f"""
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, translate(text, 'aeo', 'аео')
+              FROM documents WHERE doc_id % 25 = 0),
+            k AS (
+              SELECT doc_id,
+                     md5(translate({_NORM_SQL},
+                       'аеорсхуіјѕԛԝο', 'aeopcxyijsqwo')) AS hfp,
+                     md5({_NORM_SQL}) AS e
+              FROM u)
+            SELECT hfp, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT e)::BIGINT AS n_exact_variants,
+                   min(doc_id) AS keep_id
+            FROM k GROUP BY hfp
+            HAVING count(*) > 1 AND count(DISTINCT e) > 1
+        """,
+        "emb_energy_hist": """
+            WITH v AS (SELECT embedding AS e FROM embeddings
+                       WHERE embedding IS NOT NULL),
+            m AS (
+              SELECT
+                list_sum(list_transform(e,
+                  x -> x::DOUBLE * x::DOUBLE)) AS fe,
+                list_sum(list_transform(
+                  e[1:greatest(len(e) // 2, 1)],
+                  x -> x::DOUBLE * x::DOUBLE)) AS pe
+              FROM v),
+            s AS (SELECT round(CASE WHEN fe > 0 THEN pe / fe
+                                    ELSE 0 END, 6) AS share FROM m),
+            b AS (SELECT least(CAST(floor(share * 10) AS BIGINT),
+                               9) AS bucket FROM s)
+            SELECT bucket, round(bucket / 10.0, 6) AS lo,
+                   count(*)::BIGINT AS n_vecs
+            FROM b GROUP BY bucket
+        """,
+        "incremental_lsh_join": f"""
+            WITH base AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id < 400),
+            newd AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 400
+              UNION ALL
+              SELECT doc_id + 30000, text FROM documents
+              WHERE doc_id < 50),
+            bt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+                   FROM base),
+            nt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+                   FROM newd),
+            bsh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))
+                  END) AS shingle
+                FROM bt)),
+            nsh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' '))
+                  END) AS shingle
+                FROM nt)),
+            bsz AS (SELECT doc_id, count(*)::DOUBLE AS sz
+                    FROM bsh GROUP BY 1),
+            nsz AS (SELECT doc_id, count(*)::DOUBLE AS sz
+                    FROM nsh GROUP BY 1),
+            inter AS (
+              SELECT n.doc_id AS new_id, b.doc_id AS index_id,
+                     count(*)::DOUBLE AS i
+              FROM nsh n JOIN bsh b USING (shingle)
+              GROUP BY 1, 2)
+            SELECT new_id, index_id,
+                   round(i / (ns.sz + bs.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN nsz ns ON ns.doc_id = new_id
+            JOIN bsz bs ON bs.doc_id = index_id
+            WHERE i / (ns.sz + bs.sz - i) >= 0.8
         """,
     }

@@ -328,6 +328,10 @@ R4_NAMES = [
     # clustering invariant audit
     "weighted_jaccard", "soft_dedup_weights", "structure_docs",
     "cluster_audit",
+    # wave 38: robots wildcards, homoglyph dedup, embedding prefix
+    # energy, persisted-index incremental LSH join
+    "robots_wildcards", "homoglyph_dups", "emb_energy_hist",
+    "incremental_lsh_join",
 ]
 
 

@@ -2045,3 +2045,91 @@ def cluster_consistency_audit(pairs: DataFrame, clusters: DataFrame, *,
                        .alias("max_cluster_size"))
     return (pair_stats.crossJoin(F.broadcast(cstats))  # 1 row × 1 row
             .withColumn("ok", F.col("n_pair_violations") == 0))
+
+
+def write_minhash_index(df: DataFrame, path: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3, chars: bool = False,
+                        engine: str = "arrow") -> None:
+    """Persist a reusable MinHash-LSH index of this corpus:
+    ``path/buckets`` (index_id, band, bucket), ``path/shingles``
+    (index_id, hashed shingle set — the exact-verify side), and
+    ``path/meta`` (the hash-family parameters, as a 1-row parquet so
+    the layout is filesystem-agnostic). Incremental dedup then never
+    re-signs the base corpus: each new snapshot runs
+    :func:`lsh_join_index` against the stored index — at 10^12 base
+    docs, re-deriving signatures per snapshot IS the dominant cost,
+    and this amortizes it to one write.
+
+    The stored parameters are authoritative: the probe side derives
+    its buckets from ``path/meta``, because LSH guarantees only hold
+    when both sides share one hash family."""
+    spark = df.sparkSession
+    (_band_bucket_table(df, id_col=id_col, text_col=text_col,
+                        num_hashes=num_hashes, bands=bands,
+                        shingle_n=shingle_n, chars=chars, engine=engine)
+     .withColumnRenamed(id_col, "index_id")
+     .write.mode("overwrite").parquet(f"{path}/buckets"))
+    shingle_col = (hashed_shingles_arrow(F.col(text_col), shingle_n)
+                   if engine == "arrow" and not chars
+                   else hashed_shingles(F.col(text_col), shingle_n,
+                                        chars=chars))
+    (df.select(F.col(id_col).alias("index_id"),
+               shingle_col.alias("__shingles"))
+     .write.mode("overwrite").parquet(f"{path}/shingles"))
+    meta = spark.createDataFrame(
+        [(int(num_hashes), int(bands), int(shingle_n), bool(chars),
+          str(engine))],
+        "num_hashes int, bands int, shingle_n int, chars boolean, "
+        "engine string")
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lsh_join_index(df: DataFrame, path: str, *, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.8,
+                   max_bucket_size: int | None = None) -> DataFrame:
+    """Join NEW documents against a persisted MinHash index
+    (:func:`write_minhash_index`): ``(new_id, index_id, jaccard)`` for
+    every cross pair with exact shingle Jaccard ≥ ``threshold`` that
+    collides in ≥1 band — the incremental-snapshot dedup path: only
+    the new side is signed (O(new), not O(base)), buckets meet in one
+    equi-join, and the exact verify joins the stored shingle sets.
+
+    ``max_bucket_size`` prunes INDEX mega-buckets (boilerplate
+    shingle-sets) before the meet, the standard cap. Hash parameters
+    come from the index's own meta — passing different knobs here is
+    impossible by construction."""
+    spark = df.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    ib = spark.read.parquet(f"{path}/buckets")
+    ish = spark.read.parquet(f"{path}/shingles")
+    if max_bucket_size is not None:
+        ok_b = (ib.groupBy("band", "bucket")
+                .agg(F.count("*").alias("__bs"))
+                .where(F.col("__bs") <= int(max_bucket_size))
+                .drop("__bs"))
+        ib = ib.join(ok_b, ["band", "bucket"])
+    nb = _band_bucket_table(df, id_col=id_col, text_col=text_col,
+                            num_hashes=m.num_hashes, bands=m.bands,
+                            shingle_n=m.shingle_n, chars=m.chars,
+                            engine=m.engine)
+    cands = (nb.join(ib, ["band", "bucket"])
+             .select(F.col(id_col).alias("new_id"), "index_id")
+             .distinct())
+    shingle_col = (hashed_shingles_arrow(F.col(text_col), m.shingle_n)
+                   if m.engine == "arrow" and not m.chars
+                   else hashed_shingles(F.col(text_col), m.shingle_n,
+                                        chars=m.chars))
+    ns = df.select(F.col(id_col).alias("new_id"),
+                   shingle_col.alias("__ns"))
+    sa = F.size("__ns").cast("double")
+    sb = F.size("__shingles").cast("double")
+    inter = F.size(F.array_intersect("__ns", "__shingles")) \
+        .cast("double")
+    union = sa + sb - inter
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (cands.join(ns, "new_id").join(ish, "index_id")
+            .select("new_id", "index_id",
+                    F.round(sim, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= float(threshold)))

@@ -2790,3 +2790,30 @@ def structure_profile(df: DataFrame, *, text_col: str = "text",
                            signals >= int(min_code_signals))
             .withColumn("is_tableish",
                         F.col("table_lines") >= int(min_table_lines)))
+
+
+# lowercase confusables that survive normalize_text's lowering: the
+# Cyrillic/Greek glyphs rendered identically to Latin in most fonts —
+# the spammer's cheapest exact-dedup evasion (and the content-side
+# complement of the IDN xn-- host census)
+HOMOGLYPH_FROM = "аеорсхуіјѕԛԝο"
+HOMOGLYPH_TO = "aeopcxyijsqwo"
+
+
+def homoglyph_normalize(col: Column) -> Column:
+    """Fold common Cyrillic/Greek→Latin confusables into their Latin
+    look-alikes ON TOP of normalize_text — the dedup key that catches
+    byte-different, pixel-identical copies (exact fingerprints miss
+    them; MinHash mostly does too, since every containing shingle
+    changes). One ``translate`` — fused into the scan, O(1) per char,
+    identical builtin in DuckDB. The documented mapping is the
+    conservative 13-glyph set; extend per corpus audit
+    (`mojibake_scan` shows which confusables actually occur)."""
+    return F.translate(normalize_text(col), HOMOGLYPH_FROM,
+                       HOMOGLYPH_TO)
+
+
+def homoglyph_fingerprint(col: Column) -> Column:
+    """md5 over the homoglyph-folded normal form — drop-in replacement
+    key for exact_dedup when the corpus is adversarial."""
+    return F.md5(homoglyph_normalize(col))

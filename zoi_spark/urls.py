@@ -923,19 +923,29 @@ def robots_check(df: DataFrame, rules: DataFrame, *,
                  url_col: str = "url", agent: str = "*") -> DataFrame:
     """Evaluate each url against a parsed rule table
     (:func:`robots_rules`) for one crawler identity: RFC 9309
-    precedence — the MOST SPECIFIC (longest-path-prefix) matching rule
-    wins, ``allow`` beats ``disallow`` on equal length, and a url with
-    no matching rule (or no rules for its host) is allowed. Group
-    selection follows the spec: when the host's robots.txt has a group
-    for this exact agent, ONLY those rules apply; otherwise the ``*``
-    groups do.
+    precedence — the MOST SPECIFIC (longest-pattern) matching rule
+    wins (specificity = octet length of the raw pattern), ``allow``
+    beats ``disallow`` on equal length, and a url with no matching
+    rule (or no rules for its host) is allowed. Group selection
+    follows the spec: when the host's robots.txt has a group for this
+    exact agent, ONLY those rules apply; otherwise the ``*`` groups
+    do.
+
+    Pattern syntax (full RFC 9309): plain prefixes match as prefixes,
+    ``*`` matches any character sequence, and a trailing ``$`` anchors
+    the match to the END of the path. Patterns compile to SQL LIKE
+    expressions (``*`` → ``%``, LIKE metacharacters escaped, a ``%``
+    appended unless ``$``-anchored) — per-row expression matching in
+    both Spark and the DuckDB oracle, no regex compilation from
+    untrusted data.
 
     Returns the input's url column plus ``(host, path, rule, rule_path,
-    allowed)`` — rule/rule_path NULL when nothing matched.
+    allowed)`` — rule_path is the RAW pattern; NULL when nothing
+    matched.
 
     Shape at 10^12 urls: rules are host-bounded (≈ hosts ×
     rules-per-file ≪ corpus) so the host equi-join is
-    broadcast/AQE-friendly; the prefix match is a per-row string
+    broadcast/AQE-friendly; the LIKE match is a per-row string
     expression; the winner pick is a window keyed by url — partition
     cardinality = matching rules per url (tiny). Hot hosts skew the
     join the same way every host-keyed operator here does; AQE
@@ -952,6 +962,20 @@ def robots_check(df: DataFrame, rules: DataFrame, *,
                   | ((F.col("agent") == "*")
                      & (F.col("__has_exact") == 0)))
            .select("host", "rule", F.col("path").alias("rule_path")))
+    # compile the robots pattern to a LIKE pattern: strip a trailing
+    # '$' anchor, escape LIKE metacharacters (escape char '\'),
+    # '*' -> '%', then append '%' unless anchored
+    anchored = F.col("rule_path").endswith("$")
+    raw = F.when(anchored,
+                 F.expr("substring(rule_path, 1, length(rule_path) - 1)")) \
+        .otherwise(F.col("rule_path"))
+    esc = F.replace(F.replace(F.replace(raw, F.lit("\\"), F.lit("\\\\")),
+                              F.lit("%"), F.lit("\\%")),
+                    F.lit("_"), F.lit("\\_"))
+    like_pat = F.replace(esc, F.lit("*"), F.lit("%"))
+    eff = eff.withColumn(
+        "__pat", F.when(anchored, like_pat)
+                  .otherwise(F.concat(like_pat, F.lit("%"))))
     u = F.col(url_col)
     path0 = F.regexp_extract(
         u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
@@ -962,7 +986,8 @@ def robots_check(df: DataFrame, rules: DataFrame, *,
     m = (base.join(eff, "host", "left")
          .withColumn("__match",
                      F.col("rule_path").isNotNull()
-                     & F.col("path").startswith(F.col("rule_path"))))
+                     & F.expr("path LIKE __pat ESCAPE '\\\\'"))
+         .drop("__pat"))
     # keep at most one winner per url: longest prefix, allow on ties;
     # urls whose rules all missed keep one NULL-rule row
     pw = Window.partitionBy("url").orderBy(
