@@ -5348,6 +5348,85 @@ def q_incremental_lsh_join(spark, sf_dir):
     return dedup.lsh_join_index(new, idx_dir, threshold=0.8)
 
 
+def q_exact_len_quantiles(spark, sf_dir):
+    """Scale-exact discrete quantiles
+    (tablechecks.exact_discrete_quantiles): value-histogram +
+    cumulative pick — exact type-1 quantiles without a corpus sort or
+    a sketch; the window runs over the value VOCABULARY, not rows."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.exact_discrete_quantiles(
+        d, "n_chars", qs=(0.25, 0.5, 0.9, 0.99))
+
+
+def q_corpus_card(spark, sf_dir):
+    """Dataset-card summary (Datasheets-for-Datasets shape): one
+    (section, metric, value) row per headline corpus fact — sizes,
+    length profile, exact-dup rate, flagship-rule pass rate — each
+    re-derived independently by the DuckDB twin."""
+    d = _read(spark, sf_dir, "documents")
+    from zoi_spark import text as _text
+
+    fp = _text.fingerprint(F.col("text"))
+    sizes = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.round(F.lit(1) - F.count_distinct(fp) / F.count("*"), 6)
+        .alias("dup_rate"))
+    res = z.validate(d, documents_schema(), id_cols=["doc_id"])
+    bad = (res.violations.select("doc_id").distinct()
+           .agg(F.count("*").cast("double").alias("n_bad")))
+    card = sizes.crossJoin(F.broadcast(bad))  # both 1 row
+    rows = [("size", "n_docs", F.col("n_docs")),
+            ("size", "n_langs", F.col("n_langs")),
+            ("size", "n_sources", F.col("n_sources")),
+            ("length", "mean_chars", F.col("mean_chars")),
+            ("length", "p50_chars", F.col("p50_chars")),
+            ("dedup", "dup_rate", F.col("dup_rate")),
+            ("validate", "pass_rate",
+             F.round((F.col("n_docs") - F.col("n_bad"))
+                     / F.col("n_docs"), 6))]
+    stacked = F.explode(F.array(*[
+        F.struct(F.lit(s).alias("section"), F.lit(m).alias("metric"),
+                 v.cast("double").alias("value"))
+        for s, m, v in rows]))
+    return (card.select(stacked.alias("__r"))
+            .select("__r.section", "__r.metric", "__r.value"))
+
+
+def q_verdict_flips(spark, sf_dir):
+    """Cross-run manifest drift (tablechecks.verdict_transitions):
+    two synthesized partition manifests with overlapping key ranges —
+    the transition matrix must show the seeded pass→fail regressions,
+    fail→pass fixes, and appeared/disappeared partitions, with sorted
+    sample keys."""
+    pids = (_read(spark, sf_dir, "documents")
+            .select(F.pmod("doc_id", F.lit(24)).alias("partition_id"))
+            .distinct())
+    old = (pids.where(F.col("partition_id") < 20)
+           .withColumn("status",
+                       F.when(F.col("partition_id") % 3 != 0,
+                              F.lit("pass")).otherwise(F.lit("fail"))))
+    new = (pids.where(F.col("partition_id") >= 4)
+           .withColumn("status",
+                       F.when(F.col("partition_id") % 4 != 0,
+                              F.lit("pass")).otherwise(F.lit("fail"))))
+    return tablechecks.verdict_transitions(old, new)
+
+
+def q_negatives_sample(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (sampling.contrastive_negatives): 3 md5-derived negatives per
+    anchor over the dense doc_id domain — reproducible across runs
+    and engines, never the anchor itself."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return sampling.contrastive_negatives(d, k=3)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5683,6 +5762,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "homoglyph_dups": q_homoglyph_dups,
         "emb_energy_hist": q_emb_energy_hist,
         "incremental_lsh_join": q_incremental_lsh_join,
+        # wave 39
+        "exact_len_quantiles": q_exact_len_quantiles,
+        "corpus_card": q_corpus_card,
+        "verdict_flips": q_verdict_flips,
+        "negatives_sample": q_negatives_sample,
     }
 
 
@@ -12831,5 +12915,91 @@ def oracle_sql() -> dict[str, str]:
             JOIN nsz ns ON ns.doc_id = new_id
             JOIN bsz bs ON bs.doc_id = index_id
             WHERE i / (ns.sz + bs.sz - i) >= 0.8
+        """,
+        "exact_len_quantiles": """
+            WITH c AS (
+              SELECT n_chars AS value, count(*) AS c FROM documents
+              WHERE n_chars IS NOT NULL GROUP BY 1),
+            cum AS (
+              SELECT value,
+                     sum(c) OVER (ORDER BY value ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_count,
+                     sum(c) OVER () AS n_rows
+              FROM c),
+            qv(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (0.5), (0.9),
+                      (0.99)),
+            sel AS (
+              SELECT qv.q, cum.value, cum.cum_count, cum.n_rows,
+                     row_number() OVER (PARTITION BY qv.q
+                       ORDER BY cum.value) AS rn
+              FROM qv CROSS JOIN cum
+              WHERE cum.cum_count >= ceil(qv.q * cum.n_rows))
+            SELECT q, value, cum_count::BIGINT AS cum_count,
+                   n_rows::BIGINT AS n_rows
+            FROM sel WHERE rn = 1
+        """,
+        "corpus_card": f"""
+            WITH sizes AS (
+              SELECT count(*)::DOUBLE AS n_docs,
+                     count(DISTINCT lang)::DOUBLE AS n_langs,
+                     count(DISTINCT source)::DOUBLE AS n_sources,
+                     round(avg(n_chars), 6) AS mean_chars,
+                     quantile_cont(n_chars, 0.5) AS p50_chars,
+                     round(1 - count(DISTINCT md5({_NORM_SQL}))
+                           / count(*), 6) AS dup_rate
+              FROM documents),
+            bad AS (
+              SELECT count(DISTINCT doc_id)::DOUBLE AS n_bad
+              FROM ({_FLAGSHIP_SQL}))
+            SELECT section, metric, value FROM (
+              SELECT 'size' AS section, 'n_docs' AS metric,
+                     n_docs AS value FROM sizes
+              UNION ALL SELECT 'size', 'n_langs', n_langs FROM sizes
+              UNION ALL SELECT 'size', 'n_sources', n_sources
+                FROM sizes
+              UNION ALL SELECT 'length', 'mean_chars', mean_chars
+                FROM sizes
+              UNION ALL SELECT 'length', 'p50_chars', p50_chars
+                FROM sizes
+              UNION ALL SELECT 'dedup', 'dup_rate', dup_rate
+                FROM sizes
+              UNION ALL
+              SELECT 'validate', 'pass_rate',
+                     round((s.n_docs - b.n_bad) / s.n_docs, 6)
+              FROM sizes s, bad b)
+        """,
+        "verdict_flips": """
+            WITH pids AS (
+              SELECT DISTINCT doc_id % 24 AS partition_id
+              FROM documents),
+            old AS (
+              SELECT partition_id,
+                     CASE WHEN partition_id % 3 <> 0 THEN 'pass'
+                          ELSE 'fail' END AS old_status
+              FROM pids WHERE partition_id < 20),
+            new AS (
+              SELECT partition_id,
+                     CASE WHEN partition_id % 4 <> 0 THEN 'pass'
+                          ELSE 'fail' END AS new_status
+              FROM pids WHERE partition_id >= 4),
+            j AS (
+              SELECT coalesce(o.partition_id, n.partition_id) AS k,
+                     coalesce(o.old_status, 'absent') AS old_status,
+                     coalesce(n.new_status, 'absent') AS new_status
+              FROM old o FULL OUTER JOIN new n USING (partition_id))
+            SELECT old_status, new_status, count(*)::BIGINT AS n,
+                   (list_sort(list(k)))[1:5] AS sample_keys
+            FROM j GROUP BY 1, 2
+        """,
+        "negatives_sample": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            j(j) AS (VALUES (0), (1), (2))
+            SELECT d.doc_id AS anchor_id, j.j AS j,
+                   ((d.doc_id + 1
+                     + (('0x' || substr(md5('neg:' || d.doc_id
+                         || ':' || j.j), 1, 12))::UBIGINT::BIGINT
+                        % (n.n - 1))) % n.n) AS neg_id
+            FROM documents d, j, n
         """,
     }

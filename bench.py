@@ -332,6 +332,10 @@ R4_NAMES = [
     # energy, persisted-index incremental LSH join
     "robots_wildcards", "homoglyph_dups", "emb_energy_hist",
     "incremental_lsh_join",
+    # wave 39: exact quantiles, dataset card, verdict drift,
+    # contrastive negatives
+    "exact_len_quantiles", "corpus_card", "verdict_flips",
+    "negatives_sample",
 ]
 
 

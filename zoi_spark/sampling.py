@@ -607,3 +607,45 @@ def split_leakage(df: DataFrame, *, id_col: str, fp_col: str,
         .cast("long").alias("n_docs_cross_split"),
         F.round(F.sum(F.when(cross, F.col("__n")).otherwise(F.lit(0)))
                 / F.sum("__n"), round_to).alias("leak_share"))
+
+
+def contrastive_negatives(df: DataFrame, *, id_col: str = "doc_id",
+                          k: int = 4, seed: str = "neg") -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every anchor, ``k`` pseudo-random OTHER documents, derived
+    from md5 so the sample is reproducible across runs and engines
+    (no RNG state, no shuffle-order dependence). REQUIRES dense ids
+    0..n−1 (the standard post-shuffle-shard layout; re-index with a
+    row_number pass otherwise — checked at runtime against max id).
+
+    Negative j of anchor i is ``(i + 1 + h(i,j) mod (n−1)) mod n``
+    where h = the first 12 hex digits of md5('<seed>:<i>:<j>') — never
+    the anchor itself, uniform over the other n−1 ids, collision-free
+    per (anchor, j) pair only by chance (duplicates across j are kept:
+    sampling WITH replacement, the standard contrastive setup).
+
+    Shape at 10^12 rows: one projection + explode (k rows per anchor)
+    — no join against the corpus is needed to CHOOSE ids; joining the
+    negatives' CONTENT back is the caller's one equi-join."""
+    if int(k) < 1:
+        raise ValueError("k must be ≥ 1")
+    n_rows = df.select(F.max(id_col).alias("m"),
+                       F.count("*").alias("c")).collect()[0]
+    if n_rows.c != n_rows.m + 1:
+        raise ValueError(
+            f"contrastive_negatives requires dense ids 0..n-1 "
+            f"(max={n_rows.m}, count={n_rows.c})")
+    n = int(n_rows.c)
+    negs = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            ((F.col(id_col) + 1
+              + F.conv(F.substring(F.md5(F.concat(
+                  F.lit(f"{seed}:"), F.col(id_col).cast("string"),
+                  F.lit(f":{j}"))), 1, 12), 16, 10).cast("long")
+              % F.lit(n - 1)) % F.lit(n)).alias("neg_id"))
+        for j in range(int(k))])
+    return (df.select(F.col(id_col).alias("anchor_id"),
+                      F.explode(negs).alias("__n"))
+            .select("anchor_id", F.col("__n.j").alias("j"),
+                    F.col("__n.neg_id").alias("neg_id")))

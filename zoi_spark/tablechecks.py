@@ -3011,3 +3011,79 @@ def l_diversity_audit(df: DataFrame, *, qi_cols: Sequence[str],
         "ok", (F.col("l_distinct") >= int(l))
               & (F.col("entropy") >= F.round(F.lit(math.log(l)),
                                              round_to)))
+
+
+def exact_discrete_quantiles(df: DataFrame, col: str,
+                             qs: Sequence[float] = (0.25, 0.5, 0.75,
+                                                    0.9, 0.99)) -> DataFrame:
+    """EXACT quantiles of a discrete/integer column at unbounded scale
+    — the scale-correct alternative to both a global sort (one
+    executor owns the tail) and approx_percentile (a sketch, not a
+    number you can gate on): aggregate to (value, count) — vocabulary-
+    sized, the only corpus-wide stage — then take the cumulative sum
+    over the SORTED VALUE TABLE and pick, per q, the smallest value
+    whose cumulative count reaches ``ceil(q·n)`` (the classic "lower"
+    / type-1 quantile, exact and engine-agnostic — no interpolation,
+    so no float drift between engines).
+
+    Output: ``(q, value, cum_count, n_rows)`` per requested quantile.
+
+    Shape at 10^12 rows: one hash aggregation with map-side combine
+    (value domain ≪ corpus for lengths/counts/buckets — the operator's
+    documented applicability bound), then windows over the value
+    TABLE. The window is a single-partition sort of the value
+    vocabulary, not the corpus — for a 10^6-value domain that is one
+    task sorting 10^6 rows, deliberate and bounded."""
+    counts = (df.where(F.col(col).isNotNull())
+              .groupBy(F.col(col).alias("value"))
+              .agg(F.count("*").alias("__c")))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (counts.withColumn("cum_count", F.sum("__c").over(w))
+           .withColumn("n_rows",
+                       F.sum("__c").over(
+                           Window.partitionBy())))  # 1-value window
+    cum = cum.persist()
+    outs = []
+    for q in qs:
+        picked = (cum.where(
+            F.col("cum_count") >= F.ceil(F.lit(float(q))
+                                         * F.col("n_rows")))
+            .orderBy("value").limit(1)
+            .select(F.lit(float(q)).alias("q"),
+                    F.col("value"),
+                    F.col("cum_count").cast("long").alias("cum_count"),
+                    F.col("n_rows").cast("long").alias("n_rows")))
+        outs.append(picked)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    out._zoi_persisted = [cum]
+    return out
+
+
+def verdict_transitions(old: DataFrame, new: DataFrame, *,
+                        key_col: str = "partition_id",
+                        status_col: str = "status") -> DataFrame:
+    """Cross-run verdict drift over two partition manifests
+    (runner.ValidationRunner output): which partitions flipped
+    pass→fail (regressions — the rows an on-call reads first),
+    fail→pass (fixes), appeared, or disappeared. Output one row per
+    ``(old_status, new_status)`` cell with the count and up to 5
+    sample keys; absent sides read as status 'absent'.
+
+    One full-outer equi-join on the partition key (manifest-sized,
+    ≪ corpus) + one cell aggregation."""
+    o = old.select(F.col(key_col).alias("__k"),
+                   F.col(status_col).alias("old_status"))
+    n = new.select(F.col(key_col).alias("__k"),
+                   F.col(status_col).alias("new_status"))
+    j = (o.join(n, "__k", "full_outer")
+         .select("__k",
+                 F.coalesce("old_status", F.lit("absent"))
+                 .alias("old_status"),
+                 F.coalesce("new_status", F.lit("absent"))
+                 .alias("new_status")))
+    return (j.groupBy("old_status", "new_status")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.slice(F.array_sort(F.collect_list("__k")), 1, 5)
+                 .alias("sample_keys")))
