@@ -5427,6 +5427,58 @@ def q_negatives_sample(spark, sf_dir):
     return sampling.contrastive_negatives(d, k=3)
 
 
+def q_bm25_ndcg(spark, sf_dir):
+    """Retrieval-quality evaluation (tablechecks.ndcg_at_k): BM25
+    top-20 for ('hash','spark','window') graded against term-presence
+    relevance — NDCG@10 with round-6-deterministic rank order; the
+    DuckDB twin recomputes scores, grades, both rankings and the
+    log2 sums."""
+    d = _read(spark, sf_dir, "documents")
+    top = text.bm25_topk(d, ["hash", "spark", "window"], k=20)
+    toks = F.split(text.normalize_text(F.col("text")), " ")
+    rel = sum(F.array_contains(toks, t).cast("int")
+              for t in ["hash", "spark", "window"])
+    graded = top.join(d.select("doc_id", rel.alias("rel")), "doc_id")
+    return tablechecks.ndcg_at_k(graded, score_col="score",
+                                 rel_col="rel", id_col="doc_id", k=10)
+
+
+def q_join_advisor(spark, sf_dir):
+    """Join-strategy advisor (tablechecks.join_strategy_advisor):
+    documents (fact, 600 B/row) against the language dim (16 B/row) —
+    must recommend broadcast, size the shuffle, and report the hot
+    language's share with the salting verdict."""
+    d = _read(spark, sf_dir, "documents")
+    dim = d.select("lang").distinct()
+    return tablechecks.join_strategy_advisor(
+        d.select("lang"), dim, key_col="lang",
+        left_row_bytes=600.0, right_row_bytes=16.0)
+
+
+def q_infer_json_schema(spark, sf_dir):
+    """Schema inference (infer.schema_from_json_report): a synthesized
+    JSON column with integer/float/boolean/string fields, an optional
+    field (every 3rd row) and invalid rows (every 7th, excluded from
+    evidence) — the inferred (field, type, required) report is the
+    draft rule-set a deployment starts from."""
+    from zoi_spark import infer
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    ok = F.when(F.col("doc_id") % 2 == 0, F.lit("true")) \
+        .otherwise(F.lit("false"))
+    tag = F.when(F.col("doc_id") % 3 == 0,
+                 F.lit(', "tag": "x"')).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "score": '), F.pmod("doc_id", F.lit(10)).cast("string"),
+        F.lit('.5, "ok": '), ok,
+        F.lit(', "name": "u'), F.col("doc_id").cast("string"),
+        F.lit('"'), tag, F.lit("}"))
+    js = F.when(F.col("doc_id") % 7 == 0, F.lit("{oops")).otherwise(body)
+    return infer.schema_from_json_report(
+        d.select(js.alias("js")), json_col="js")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5767,6 +5819,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_card": q_corpus_card,
         "verdict_flips": q_verdict_flips,
         "negatives_sample": q_negatives_sample,
+        # wave 40
+        "bm25_ndcg": q_bm25_ndcg,
+        "join_advisor": q_join_advisor,
+        "infer_json_schema": q_infer_json_schema,
     }
 
 
@@ -13001,5 +13057,120 @@ def oracle_sql() -> dict[str, str]:
                          || ':' || j.j), 1, 12))::UBIGINT::BIGINT
                         % (n.n - 1))) % n.n) AS neg_id
             FROM documents d, j, n
+        """,
+        "bm25_ndcg": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                                 x -> x != '') AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+            d AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok
+                  FROM base),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+              FROM d WHERE tok IN ('hash', 'spark', 'window')
+              GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            st AS (SELECT count(*) AS n, avg(len(t)) AS avgdl
+                   FROM base),
+            sc AS (
+              SELECT doc_id,
+                     round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75
+                                          + 0.75 * dl / avgdl))), 6)
+                       AS score
+              FROM tf JOIN dfq USING (tok), st GROUP BY doc_id),
+            pool AS (SELECT doc_id, score FROM sc
+                     ORDER BY score DESC, doc_id LIMIT 20),
+            rel AS (
+              SELECT doc_id,
+                     (list_contains(t, 'hash')::INT
+                      + list_contains(t, 'spark')::INT
+                      + list_contains(t, 'window')::INT)::DOUBLE
+                       AS rel
+              FROM base),
+            g AS (SELECT p.doc_id, p.score, r.rel
+                  FROM pool p JOIN rel r USING (doc_id)),
+            rk AS (
+              SELECT doc_id, rel,
+                     row_number() OVER (ORDER BY round(score, 6) DESC,
+                                        doc_id) AS rank,
+                     row_number() OVER (ORDER BY rel DESC, doc_id)
+                       AS irank
+              FROM g),
+            dcg AS (SELECT sum(rel / log2(rank + 1)) AS dcg
+                    FROM rk WHERE rank <= 10),
+            idcg AS (SELECT sum(rel / log2(irank + 1)) AS idcg
+                     FROM rk WHERE irank <= 10)
+            SELECT 10 AS k, round(dcg, 6) AS dcg,
+                   round(idcg, 6) AS idcg,
+                   CASE WHEN idcg > 0 THEN round(dcg / idcg, 6)
+                        ELSE 0.0 END AS ndcg
+            FROM dcg, idcg
+        """,
+        "join_advisor": """
+            WITH l AS (SELECT count(*) AS n FROM documents),
+            r AS (SELECT count(DISTINCT lang) AS n FROM documents),
+            top AS (SELECT lang::VARCHAR AS top_key, count(*) AS tc
+                    FROM documents GROUP BY lang
+                    ORDER BY tc DESC, lang ASC LIMIT 1)
+            SELECT l.n::BIGINT AS left_rows, r.n::BIGINT AS right_rows,
+                   round(l.n * 600.0, 6) AS left_bytes_est,
+                   round(r.n * 16.0, 6) AS right_bytes_est,
+                   CASE WHEN least(l.n * 600.0, r.n * 16.0)
+                          <= 10 * 1024 * 1024 THEN 'broadcast'
+                        ELSE 'sort_merge' END AS strategy,
+                   greatest(1, ceil((l.n * 600.0 + r.n * 16.0)
+                                    / (128 * 1024 * 1024)))::BIGINT
+                     AS shuffle_partitions,
+                   top.top_key,
+                   round(top.tc / l.n, 6) AS top_key_share,
+                   (top.tc / l.n > 0.2) AS salt_recommended
+            FROM l, r, top
+        """,
+        "infer_json_schema": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN '{oops' ELSE
+                       '{"id": ' || doc_id || ', "score": '
+                       || (doc_id % 10) || '.5, "ok": '
+                       || (CASE WHEN doc_id % 2 = 0 THEN 'true'
+                           ELSE 'false' END)
+                       || ', "name": "u' || doc_id || '"'
+                       || (CASE WHEN doc_id % 3 = 0
+                           THEN ', "tag": "x"' ELSE '' END) || '}'
+                     END AS js
+              FROM documents),
+            valid AS (SELECT js FROM d WHERE json_valid(js)),
+            n AS (SELECT count(*) AS n_docs FROM valid),
+            kv AS (SELECT unnest(json_keys(js)) AS field, js
+                   FROM valid),
+            kv2 AS (SELECT field,
+                           json_extract_string(js, '$.' || field) AS v
+                    FROM kv),
+            agg AS (
+              SELECT field, count(*) AS n_present,
+                     min(CASE WHEN v IS NULL THEN NULL
+                         WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1
+                         ELSE 0 END) AS ai,
+                     min(CASE WHEN v IS NULL THEN NULL
+                         WHEN regexp_matches(v, '^-?[0-9]+$')
+                           OR regexp_matches(v, '^-?[0-9]+\\.[0-9]+$')
+                         THEN 1 ELSE 0 END) AS af,
+                     min(CASE WHEN v IS NULL THEN NULL
+                         WHEN v IN ('true', 'false') THEN 1
+                         ELSE 0 END) AS ab
+              FROM kv2 GROUP BY field)
+            SELECT field,
+                   CASE WHEN ab = 1 THEN 'boolean'
+                        WHEN ai = 1 THEN 'integer'
+                        WHEN af = 1 THEN 'float'
+                        ELSE 'string' END AS inferred_type,
+                   n_present::BIGINT AS n_present,
+                   n.n_docs::BIGINT AS n_docs,
+                   (n_present = n.n_docs) AS required
+            FROM agg, n
         """,
     }

@@ -336,6 +336,8 @@ R4_NAMES = [
     # contrastive negatives
     "exact_len_quantiles", "corpus_card", "verdict_flips",
     "negatives_sample",
+    # wave 40: ranking eval, join planning, schema inference
+    "bm25_ndcg", "join_advisor", "infer_json_schema",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Hand-value tests for the wave-40 operators: ndcg_at_k,
+join_strategy_advisor, schema inference from JSON."""
+
+from zoi_spark import infer, tablechecks
+from zoi_spark.validate import validate
+
+
+def test_ndcg_hand_computation(spark):
+    import math
+
+    # scores rank docs 1,2,3,4; relevance says 2 should be first
+    df = spark.createDataFrame(
+        [(1, 0.9, 1.0), (2, 0.8, 3.0), (3, 0.7, 0.0), (4, 0.6, 2.0)],
+        "doc_id long, score double, rel double")
+    r = tablechecks.ndcg_at_k(df, score_col="score", rel_col="rel",
+                              id_col="doc_id", k=3).collect()[0]
+    dcg = 1.0 / math.log2(2) + 3.0 / math.log2(3) + 0.0
+    idcg = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert r.k == 3
+    assert r.dcg == round(dcg, 6)
+    assert r.idcg == round(idcg, 6)
+    # ndcg divides the UNROUNDED sums (only the output is rounded)
+    assert r.ndcg == round(dcg / idcg, 6)
+
+
+def test_ndcg_perfect_and_empty(spark):
+    perfect = spark.createDataFrame(
+        [(1, 0.9, 2.0), (2, 0.5, 1.0)],
+        "doc_id long, score double, rel double")
+    r = tablechecks.ndcg_at_k(perfect, score_col="score",
+                              rel_col="rel", id_col="doc_id",
+                              k=2).collect()[0]
+    assert r.ndcg == 1.0
+    none_rel = spark.createDataFrame(
+        [(1, 0.9, 0.0)], "doc_id long, score double, rel double")
+    r0 = tablechecks.ndcg_at_k(none_rel, score_col="score",
+                               rel_col="rel", id_col="doc_id",
+                               k=2).collect()[0]
+    assert r0.ndcg == 0.0  # idcg 0 -> defined as 0
+
+
+def test_join_advisor_broadcast_vs_sortmerge_and_skew(spark):
+    left = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2,
+                                 "k string")
+    right = spark.createDataFrame([("a",), ("b",)], "k string")
+    r = tablechecks.join_strategy_advisor(
+        left, right, key_col="k", left_row_bytes=100.0,
+        right_row_bytes=100.0).collect()[0]
+    assert (r.left_rows, r.right_rows) == (10, 2)
+    assert r.strategy == "broadcast"
+    assert (r.top_key, r.top_key_share, r.salt_recommended) == \
+        ("a", 0.8, True)
+    # force sort_merge with a tiny broadcast threshold
+    r2 = tablechecks.join_strategy_advisor(
+        left, right, key_col="k", left_row_bytes=100.0,
+        right_row_bytes=100.0,
+        broadcast_threshold_mb=1e-6).collect()[0]
+    assert r2.strategy == "sort_merge"
+    assert r2.shuffle_partitions == 1
+
+
+def test_schema_inference_types_and_required(spark):
+    rows = [(1, '{"i": 1, "f": 1.5, "b": true, "s": "x", "opt": 2}'),
+            (2, '{"i": 2, "f": 2, "b": false, "s": "7"}'),
+            (3, "not json")]
+    df = spark.createDataFrame(rows, "doc_id long, js string")
+    rep = {r.field: r for r in infer.schema_from_json_report(
+        df, json_col="js").collect()}
+    assert rep["i"].inferred_type == "integer"
+    assert rep["f"].inferred_type == "float"   # mixes int + decimal
+    assert rep["b"].inferred_type == "boolean"
+    assert rep["s"].inferred_type == "string"  # 'x' breaks int vote
+    assert rep["opt"].inferred_type == "integer"
+    assert rep["i"].required is True and rep["opt"].required is False
+    assert rep["i"].n_docs == 2  # invalid row excluded entirely
+
+
+def test_inferred_schema_validates_its_own_corpus(spark):
+    rows = [(1, '{"i": 1, "s": "x"}'), (2, '{"i": 2, "s": "y"}'),
+            (3, '{"i": 3}')]
+    df = spark.createDataFrame(rows, "doc_id long, js string")
+    rep = infer.schema_from_json_report(df, json_col="js").collect()
+    schema = infer.schema_from_report(
+        [(r.field, r.inferred_type, r.required) for r in rep])
+    # apply the draft schema to the parsed key/value view
+    from pyspark.sql import functions as F
+
+    flat = df.select(
+        "doc_id",
+        F.get_json_object("js", "$.i").alias("i"),
+        F.get_json_object("js", "$.s").alias("s"))
+    res = validate(flat, schema, id_cols=["doc_id"])
+    assert res.violations.count() == 0  # the draft fits its corpus

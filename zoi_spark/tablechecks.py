@@ -3087,3 +3087,95 @@ def verdict_transitions(old: DataFrame, new: DataFrame, *,
             .agg(F.count("*").cast("long").alias("n"),
                  F.slice(F.array_sort(F.collect_list("__k")), 1, 5)
                  .alias("sample_keys")))
+
+
+def ndcg_at_k(df: DataFrame, *, score_col: str, rel_col: str,
+              id_col: str, k: int = 10, round_to: int = 6) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@k of a scored ranking against
+    graded relevance labels — THE retrieval-eval metric (Järvelin &
+    Kekäläinen 2002), here for grading BM25/ANN/fusion rankings
+    against an oracle labelling. Ranking order is (round-6 score desc,
+    id asc) so the cut is bit-deterministic across engines; DCG uses
+    the classic ``rel / log2(rank+1)`` form (not the 2^rel variant —
+    documented choice, exact for the small integer grades synthetic
+    labels carry). One verdict row: ``(k, dcg, idcg, ndcg)``;
+    idcg ranks by (relevance desc, id asc). ndcg = 0 when idcg = 0
+    (no relevant documents).
+
+    Shape: two top-k windows over the scored frame — at corpus scale
+    feed it the candidate pool (the top-k of retrieval output), not
+    the raw corpus; the metric is rank-k-bounded by construction."""
+    s = F.round(F.col(score_col), round_to)
+    ranked = (df.select(F.col(id_col), s.alias("__s"),
+                        F.col(rel_col).cast("double").alias("__r"))
+              .withColumn("__rank", F.row_number().over(
+                  Window.orderBy(F.col("__s").desc(),
+                                 F.col(id_col).asc())))
+              .withColumn("__irank", F.row_number().over(
+                  Window.orderBy(F.col("__r").desc(),
+                                 F.col(id_col).asc()))))
+    dcg = (ranked.where(F.col("__rank") <= int(k))
+           .agg(F.sum(F.col("__r")
+                      / F.log2(F.col("__rank") + 1)).alias("dcg")))
+    idcg = (ranked.where(F.col("__irank") <= int(k))
+            .agg(F.sum(F.col("__r")
+                       / F.log2(F.col("__irank") + 1)).alias("idcg")))
+    return (dcg.crossJoin(F.broadcast(idcg))  # two 1-row frames
+            .select(F.lit(int(k)).alias("k"),
+                    F.round("dcg", round_to).alias("dcg"),
+                    F.round("idcg", round_to).alias("idcg"),
+                    F.when(F.col("idcg") > 0,
+                           F.round(F.col("dcg") / F.col("idcg"),
+                                   round_to))
+                    .otherwise(F.lit(0.0)).alias("ndcg")))
+
+
+def join_strategy_advisor(left: DataFrame, right: DataFrame, *,
+                          key_col: str,
+                          left_row_bytes: float, right_row_bytes: float,
+                          broadcast_threshold_mb: float = 10.0,
+                          target_partition_mb: float = 128.0,
+                          skew_share: float = 0.2,
+                          round_to: int = 6) -> DataFrame:
+    """Join-strategy advisor — the planning calc an engineer runs
+    before a 10^12-row join, as one verdict row: row counts per side,
+    estimated bytes (rows × caller-supplied avg row bytes — table
+    stats a catalog carries; content-derived sizing would itself cost
+    a pass), the recommended strategy (``broadcast`` when the smaller
+    side fits the broadcast threshold, else ``sort_merge``), the
+    shuffle partition count sizing each partition at
+    ``target_partition_mb``, and the hot-key share of the LARGER side
+    with the salting verdict (share above ``skew_share`` → salt; the
+    companion sizing is tablechecks.suggest_salt).
+
+    Shape: one count per side + one key-distribution aggregation on
+    the larger side (map-side combine; output = key vocabulary) —
+    the advisor costs one cheap pass, the join it plans costs many."""
+    ln = left.count()
+    rn = right.count()
+    big = left if ln >= rn else right
+    lb = ln * float(left_row_bytes)
+    rb = rn * float(right_row_bytes)
+    small_bytes = min(lb, rb)
+    strategy = ("broadcast"
+                if small_bytes <= broadcast_threshold_mb * 1024 * 1024
+                else "sort_merge")
+    parts = max(1, int(-(-(lb + rb) //
+                         (target_partition_mb * 1024 * 1024))))
+    top = (big.groupBy(key_col).agg(F.count("*").alias("__c"))
+           .orderBy(F.desc("__c"), F.asc(key_col)).limit(1)
+           .select(F.col(key_col).cast("string").alias("top_key"),
+                   F.col("__c").alias("__tc")))
+    big_n = max(ln, rn)
+    return top.select(
+        F.lit(ln).cast("long").alias("left_rows"),
+        F.lit(rn).cast("long").alias("right_rows"),
+        F.round(F.lit(lb), round_to).alias("left_bytes_est"),
+        F.round(F.lit(rb), round_to).alias("right_bytes_est"),
+        F.lit(strategy).alias("strategy"),
+        F.lit(parts).cast("long").alias("shuffle_partitions"),
+        F.col("top_key"),
+        F.round(F.col("__tc") / F.lit(big_n), round_to)
+        .alias("top_key_share"),
+        (F.col("__tc") / F.lit(big_n) > F.lit(float(skew_share)))
+        .alias("salt_recommended"))
