@@ -5502,12 +5502,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # r4: the 42 queries the r3 driver window never reached come FIRST
         # (VERDICT r3 "Next round" #1); the 50 three-round-green queries follow.
         # tests/test_oracle_parity.py still replays ALL entries at two SFs.
-        # r5 rotation plan: once CORRECTNESS_r04 lands, the never-driver-
-        # checked remainder is positions 51-112 (the wave additions between
-        # `dsir_weights` and `mutual_knn`) and 163-end (everything after
-        # `refine_ctx_multi`) — move those 50-at-a-time to the front; the
-        # r3/r4-green blocks rotate to the back. Pre-flight any new order
-        # with `python scripts/driver_gate_check.py 50` (~2 min).
+        # r5 rotation plan: once CORRECTNESS_r04 lands (covering positions
+        # 1-50), the never-driver-checked remainder is positions 51-213
+        # (the r4 wave additions through `agg_merge_check`) plus the
+        # wave-35-40 block at the end (`substring_spans` ...
+        # `infer_json_schema`) — move 50 of those to the front each round;
+        # the driver-green blocks rotate to the back. Every entry stays
+        # covered by tests/test_oracle_parity.py at two SFs regardless of
+        # position. Pre-flight any new order with
+        # `python scripts/driver_gate_check.py 50` (~3 min), or replay the
+        # full roster in slices: `driver_gate_check.py 60 <offset>`.
         "schema_docs": q_schema_docs,
         "email_variants": q_email_variants,
         "schema_introspection": q_schema_introspection,
