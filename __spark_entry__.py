@@ -5479,6 +5479,62 @@ def q_infer_json_schema(spark, sf_dir):
         d.select(js.alias("js")), json_col="js")
 
 
+def q_multi_signal_dedup(spark, sf_dir):
+    """Union-of-evidence clustering (dedup.multi_signal_clusters):
+    MinHash-Jaccard pairs UNION canonical-url pairs (the seeded
+    re-crawls share a url) → one connected-components pass → per
+    cluster the member/pair counts and the sorted signal names that
+    built it. The DuckDB twin recomputes both pair sets, the closure
+    (recursive CTE) and the signal rollup."""
+    from zoi_spark import dedup
+
+    d = _dup_docs(spark, sf_dir)
+    jac = dedup.minhash_dedup_pairs(d, threshold=0.8, num_hashes=64,
+                                    bands=32).select("id_a", "id_b")
+    grp = F.pmod("doc_id", F.lit(10000))
+    w = Window.partitionBy(grp)
+    upairs = (d.select("doc_id", F.min("doc_id").over(w).alias("__mn"))
+              .where(F.col("doc_id") != F.col("__mn"))
+              .select(F.col("__mn").alias("id_a"),
+                      F.col("doc_id").alias("id_b")))
+    out = dedup.multi_signal_clusters({"jaccard": jac, "url": upairs})
+    return out.withColumn("signals", F.array_join("signals", ","))
+
+
+def q_frontier_scores(spark, sf_dir):
+    """OPIC frontier priority (urls.frontier_priority): every fetched
+    page (quality = (doc_id%100)/100) splits its mass over two
+    synthetic outlinks; unfetched-url priority = accumulated mass —
+    the crawl-ordering signal, one src join + one dst aggregation."""
+    from zoi_spark import urls as _urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    src = F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+    dsts = F.array(
+        F.concat(F.lit("http://t.example.com/a/"),
+                 F.pmod("doc_id", F.lit(37)).cast("string")),
+        F.concat(F.lit("http://t.example.com/b/"),
+                 F.pmod("doc_id", F.lit(23)).cast("string")))
+    edges = d.select(src.alias("src"), F.explode(dsts).alias("dst"))
+    quality = d.select(src.alias("src"),
+                       (F.pmod("doc_id", F.lit(100)) / 100.0)
+                       .alias("quality"))
+    return _urls.frontier_priority(edges, quality)
+
+
+def q_blocking_pairwork(spark, sf_dir):
+    """Blocking pair-work advisor (dedup.blocking_profile): the
+    Σ s·(s−1)/2 budget of the (lang, length-bucket) blocking key over
+    the seeded-dup corpus, the top block's share, and the before/after
+    of a max_block_size=100 cap — the quantitative case every capped
+    pair operator here rests on."""
+    from zoi_spark import dedup
+
+    d = _dup_docs(spark, sf_dir)
+    return dedup.blocking_profile(d, block_col="block",
+                                  max_block_size=100)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5827,6 +5883,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_ndcg": q_bm25_ndcg,
         "join_advisor": q_join_advisor,
         "infer_json_schema": q_infer_json_schema,
+        # wave 41
+        "multi_signal_dedup": q_multi_signal_dedup,
+        "frontier_scores": q_frontier_scores,
+        "blocking_pairwork": q_blocking_pairwork,
     }
 
 
@@ -13176,5 +13236,91 @@ def oracle_sql() -> dict[str, str]:
                    n.n_docs::BIGINT AS n_docs,
                    (n_present = n.n_docs) AS required
             FROM agg, n
+        """,
+        "multi_signal_dedup": f"""
+            WITH RECURSIVE jp AS ({_jaccard_pairs_sql(0.8)}),
+            docs AS ({_DUP_DOCS_SQL}),
+            up AS (
+              SELECT mn AS id_a, doc_id AS id_b FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY doc_id % 10000)
+                         AS mn
+                FROM docs)
+              WHERE doc_id <> mn),
+            tagged AS (
+              SELECT id_a, id_b, 'jaccard' AS signal FROM jp
+              UNION ALL
+              SELECT id_a, id_b, 'url' AS signal FROM up),
+            e0 AS (SELECT DISTINCT id_a, id_b FROM tagged),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM e0
+              UNION
+              SELECT id_b, id_a FROM e0),
+            reach AS (
+              SELECT a AS src, a AS node FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+            clusters AS (
+              SELECT src AS doc_id, min(node) AS cluster_id
+              FROM reach GROUP BY src),
+            mc AS (SELECT cluster_id, count(*)::BIGINT AS n_docs
+                   FROM clusters GROUP BY 1),
+            pe AS (SELECT c.cluster_id, t.id_a, t.id_b, t.signal
+                   FROM tagged t JOIN clusters c ON c.doc_id = t.id_a),
+            pc AS (SELECT cluster_id, count(*)::BIGINT AS n_pairs FROM (
+                     SELECT DISTINCT cluster_id, id_a, id_b FROM pe)
+                   GROUP BY 1),
+            sg AS (SELECT cluster_id,
+                          array_to_string(
+                            list_sort(list(DISTINCT signal)), ',')
+                            AS signals
+                   FROM pe GROUP BY 1)
+            SELECT mc.cluster_id, n_docs, n_pairs, signals
+            FROM mc
+            JOIN pc USING (cluster_id)
+            JOIN sg USING (cluster_id)
+        """,
+        "frontier_scores": """
+            WITH d AS (SELECT doc_id FROM documents),
+            e AS (
+              SELECT 'p' || doc_id AS src,
+                     'http://t.example.com/a/' || (doc_id % 37) AS dst
+              FROM d
+              UNION ALL
+              SELECT 'p' || doc_id,
+                     'http://t.example.com/b/' || (doc_id % 23)
+              FROM d),
+            q AS (SELECT 'p' || doc_id AS src,
+                         (doc_id % 100) / 100.0 AS quality
+                  FROM d),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            mass AS (SELECT q.src, quality / deg AS m
+                     FROM deg JOIN q USING (src))
+            SELECT dst, count(*)::BIGINT AS n_parents,
+                   round(sum(m), 6) AS priority
+            FROM e JOIN mass USING (src)
+            GROUP BY dst
+        """,
+        "blocking_pairwork": f"""
+            WITH docs AS ({_DUP_DOCS_SQL}),
+            counts AS (SELECT block, count(*) AS s FROM docs GROUP BY 1),
+            top AS (SELECT block AS top_block, s AS top_s FROM counts
+                    ORDER BY s DESC, block ASC LIMIT 1)
+            SELECT count(*)::BIGINT AS n_blocks,
+                   sum(s)::BIGINT AS n_rows,
+                   max(s)::BIGINT AS max_block_size,
+                   (SELECT top_block FROM top) AS top_block,
+                   sum(s * (s - 1) / 2)::BIGINT AS pair_work,
+                   round(((SELECT top_s FROM top)
+                          * ((SELECT top_s FROM top) - 1) / 2.0)
+                         / greatest(sum(s * (s - 1) / 2), 1), 6)
+                     AS top_block_pairwork_share,
+                   sum(CASE WHEN s <= 100 THEN s * (s - 1) / 2
+                       ELSE 0 END)::BIGINT AS capped_pair_work,
+                   round(sum(CASE WHEN s <= 100 THEN s * (s - 1) / 2
+                             ELSE 0 END)
+                         / greatest(sum(s * (s - 1) / 2), 1)::DOUBLE, 6)
+                     AS capped_share
+            FROM counts
         """,
     }

@@ -1071,3 +1071,56 @@ def test_ppjoin_pairs_exact_and_pruned(spark):
     low = {(r.id_a, r.id_b) for r in
            dedup.ppjoin_pairs(df, threshold=0.6).collect()}
     assert low == {(1, 2), (1, 3), (2, 3)}
+
+
+class TestMultiSignalClusters:
+    def test_union_of_evidence_and_signal_rollup(self, spark):
+        from zoi_spark import dedup
+        jac = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        url = spark.createDataFrame([(2, 3), (10, 11)],
+                                    "id_a long, id_b long")
+        out = {r["cluster_id"]: r for r in dedup.multi_signal_clusters(
+            {"jaccard": jac, "url": url}).collect()}
+        # 1-2 (jaccard) and 2-3 (url) merge into one cluster rooted at 1
+        assert out[1]["n_docs"] == 3
+        assert out[1]["n_pairs"] == 2
+        assert list(out[1]["signals"]) == ["jaccard", "url"]
+        # 10-11 is url-only evidence
+        assert out[10]["n_docs"] == 2
+        assert list(out[10]["signals"]) == ["url"]
+
+    def test_same_pair_in_two_signals_counts_once(self, spark):
+        from zoi_spark import dedup
+        p = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        row = dedup.multi_signal_clusters({"a": p, "b": p}).collect()[0]
+        assert row["n_pairs"] == 1
+        assert list(row["signals"]) == ["a", "b"]
+
+    def test_empty_signals_rejected(self, spark):
+        from zoi_spark import dedup
+        with pytest.raises(ValueError):
+            dedup.multi_signal_clusters({})
+
+
+class TestBlockingProfile:
+    def test_hand_pair_work_and_cap(self, spark):
+        from zoi_spark import dedup
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)]
+        df = spark.createDataFrame(rows, "block string")
+        r = dedup.blocking_profile(df, block_col="block",
+                                   max_block_size=3).collect()[0]
+        assert r["n_blocks"] == 3 and r["n_rows"] == 9
+        assert r["max_block_size"] == 5
+        assert r["top_block"] == "a"
+        assert r["pair_work"] == 10 + 3 + 0  # 5C2 + 3C2 + 1C2
+        assert r["top_block_pairwork_share"] == pytest.approx(
+            10 / 13, abs=1e-6)
+        assert r["capped_pair_work"] == 3  # only the size-3 block fits
+        assert r["capped_share"] == pytest.approx(3 / 13, abs=1e-6)
+
+    def test_no_cap_means_full_work(self, spark):
+        from zoi_spark import dedup
+        df = spark.createDataFrame([("x",)] * 4, "block string")
+        r = dedup.blocking_profile(df, block_col="block").collect()[0]
+        assert r["pair_work"] == 6 and r["capped_pair_work"] == 6
+        assert r["capped_share"] == pytest.approx(1.0)

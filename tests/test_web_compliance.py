@@ -139,3 +139,32 @@ def test_link_density_strip_threshold_boundary(spark):
     got = {r.doc_id: r.n_kept
            for r in text.link_density_strip(df).collect()}
     assert got == {1: 1, 2: 0}
+
+
+class TestFrontierPriority:
+    def test_opic_mass_split(self, spark):
+        import pytest
+        edges = spark.createDataFrame(
+            [("s1", "u1"), ("s1", "u2"), ("s2", "u2")],
+            "src string, dst string")
+        quality = spark.createDataFrame(
+            [("s1", 0.8), ("s2", 0.5)], "src string, quality double")
+        out = {r["dst"]: r for r in
+               urls.frontier_priority(edges, quality).collect()}
+        # s1 splits 0.8 over 2 outlinks; s2 sends all 0.5 to u2
+        assert out["u1"]["n_parents"] == 1
+        assert out["u1"]["priority"] == pytest.approx(0.4)
+        assert out["u2"]["n_parents"] == 2
+        assert out["u2"]["priority"] == pytest.approx(0.9)
+
+    def test_mass_conservation(self, spark):
+        import pytest
+        edges = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x")],
+            "src string, dst string")
+        quality = spark.createDataFrame(
+            [("a", 0.9), ("b", 0.3), ("orphan", 1.0)],
+            "src string, quality double")
+        rows = urls.frontier_priority(edges, quality).collect()
+        # orphan has no outlinks: its mass is not distributed
+        assert sum(r["priority"] for r in rows) == pytest.approx(1.2)

@@ -1074,3 +1074,35 @@ def crawl_schedule_plan(df: DataFrame, *, host_col: str = "host",
                    (host_t >= fleet_t).alias("host_bound")))
     out._zoi_persisted = [counts]
     return out
+
+
+def frontier_priority(edges: DataFrame, quality: DataFrame, *,
+                      src_col: str = "src", dst_col: str = "dst",
+                      quality_col: str = "quality",
+                      round_to: int = 6) -> DataFrame:
+    """Crawl-frontier priority scoring — the OPIC idea (Abiteboul,
+    Preda & Cobena, WWW 2003): each fetched page distributes its
+    quality mass equally across its outlinks, and an unfetched url's
+    priority is the mass it accumulates — so urls endorsed by many
+    good pages are crawled first, without waiting for a global
+    PageRank to converge. ``priority(dst) = Σ_src quality(src) /
+    outdeg(src)`` over the edge list; returns ``(dst, n_parents,
+    priority)``.
+
+    Shape at crawl scale: one src-keyed aggregation for outdegrees
+    (edge-bounded), one src equi-join of edges against (quality ×
+    outdeg), one dst-keyed aggregation — all keyed by graph columns,
+    nothing corpus-quadratic; hot dsts (everyone links the homepage)
+    are absorbed by the map-side partial sum."""
+    deg = (edges.groupBy(F.col(src_col).alias("__s"))
+           .agg(F.count("*").alias("__deg")))
+    q = quality.select(F.col(src_col).alias("__s"),
+                       F.col(quality_col).alias("__q"))
+    mass = deg.join(q, "__s").select(
+        "__s", (F.col("__q") / F.col("__deg")).alias("__m"))
+    return (edges.select(F.col(src_col).alias("__s"),
+                         F.col(dst_col).alias("dst"))
+            .join(mass, "__s")
+            .groupBy("dst")
+            .agg(F.count("*").cast("long").alias("n_parents"),
+                 F.round(F.sum("__m"), round_to).alias("priority")))
