@@ -5535,6 +5535,78 @@ def q_blocking_pairwork(spark, sf_dir):
                                   max_block_size=100)
 
 
+def q_expectation_battery(spark, sf_dir):
+    """Declarative aggregate-expectation battery
+    (tablechecks.expectation_suite — the Deequ/Great-Expectations
+    pattern as ONE fused agg): eight expectations over documents
+    (row count, mean/max/σ of text length, lang null-share, exact
+    lang vocabulary, lang shape regex, min id), one deliberately
+    failing (σ ≤ 60 vs the corpus's ~138) so the verdict row shape is
+    exercised both ways. The DuckDB twin computes the same aggregates
+    and re-derives every verdict."""
+    from zoi_spark import tablechecks
+
+    d = (_read(spark, sf_dir, "documents")
+         .withColumn("text_len", F.length("text")))
+    return tablechecks.expectation_suite(d, [
+        {"name": "has_rows", "kind": "row_count", "lo": 1},
+        {"name": "len_mean", "kind": "mean", "column": "text_len",
+         "lo": 50, "hi": 2000},
+        {"name": "lang_nulls", "kind": "null_share", "column": "lang",
+         "hi": 0.0},
+        {"name": "lang_vocab", "kind": "distinct", "column": "lang",
+         "lo": 2, "hi": 50},
+        {"name": "lang_shape", "kind": "match_share", "column": "lang",
+         "pattern": "^[a-z]{2}$", "lo": 0.99},
+        {"name": "id_min", "kind": "min", "column": "doc_id", "lo": 0},
+        {"name": "len_sd", "kind": "stddev", "column": "text_len",
+         "hi": 60.0},
+        {"name": "len_max", "kind": "max", "column": "text_len",
+         "hi": 1000},
+    ])
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Keyed snapshot diff (tablechecks.snapshot_diff): the new
+    snapshot drops every 17th doc, rewrites every 10th's text and adds
+    a re-keyed copy of every 13th — the operator classifies each key
+    added/removed/changed off a 16-byte-per-row hash join; the DuckDB
+    twin full-outer-joins the raw columns (IS DISTINCT FROM), proving
+    the hash classification exact on this corpus."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new = (d.where(F.col("doc_id") % 17 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 10 == 0,
+                              F.concat("text", F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    adds = (d.where(F.col("doc_id") % 13 == 0)
+            .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                    "text", "lang"))
+    return tablechecks.snapshot_diff(
+        d, new.unionByName(adds), key_col="doc_id",
+        compare_cols=["text", "lang"])
+
+
+def q_conditional_rules(spark, sf_dir):
+    """Cross-column conditional rules
+    (tablechecks.conditional_violations — JSON-Schema if/then as one
+    Project): English docs must be ≥80 chars, src3 docs must have even
+    ids, short docs must carry a major lang — violation rows (doc_id,
+    rule_id), NULL-when → not applicable, NULL-then → violation, same
+    coalesce(false) gate as the compiled refinements."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.conditional_violations(d, [
+        ("en_min_len", "lang = 'en'", "length(text) >= 80"),
+        ("src3_even_id", "source = 'src3'", "doc_id % 2 = 0"),
+        ("short_known_lang", "length(text) < 60",
+         "lang IN ('en','de','fr')"),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5887,6 +5959,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multi_signal_dedup": q_multi_signal_dedup,
         "frontier_scores": q_frontier_scores,
         "blocking_pairwork": q_blocking_pairwork,
+        # wave 42 — validation-core: expectation battery, snapshot
+        # diff, conditional cross-column rules
+        "expectation_battery": q_expectation_battery,
+        "snapshot_changes": q_snapshot_changes,
+        "conditional_rules": q_conditional_rules,
     }
 
 
@@ -13322,5 +13399,94 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(sum(s * (s - 1) / 2), 1)::DOUBLE, 6)
                      AS capped_share
             FROM counts
+        """,
+        "expectation_battery": """
+            WITH d AS (SELECT *, length(text) AS text_len
+                       FROM documents),
+            a AS (SELECT count(*)::DOUBLE AS c_rows,
+                         avg(text_len) AS m_len,
+                         avg((lang IS NULL)::INT)::DOUBLE AS ns_lang,
+                         count(DISTINCT lang)::DOUBLE AS d_lang,
+                         avg(CASE WHEN lang IS NULL THEN NULL
+                             WHEN regexp_matches(lang, '^[a-z]{2}$')
+                             THEN 1.0 ELSE 0.0 END) AS ms_lang,
+                         min(doc_id)::DOUBLE AS mn_id,
+                         stddev_samp(text_len) AS sd_len,
+                         max(text_len)::DOUBLE AS mx_len
+                  FROM d)
+            SELECT * FROM (
+              SELECT 'has_rows' AS expectation, 'row_count' AS kind,
+                     NULL::VARCHAR AS "column",
+                     round(c_rows, 6) AS observed,
+                     1.0::DOUBLE AS lo, NULL::DOUBLE AS hi,
+                     coalesce(c_rows >= 1.0, false) AS passed FROM a
+              UNION ALL
+              SELECT 'len_mean', 'mean', 'text_len', round(m_len, 6),
+                     50.0, 2000.0,
+                     coalesce(m_len >= 50.0 AND m_len <= 2000.0, false)
+              FROM a
+              UNION ALL
+              SELECT 'lang_nulls', 'null_share', 'lang',
+                     round(ns_lang, 6), NULL, 0.0,
+                     coalesce(ns_lang <= 0.0, false) FROM a
+              UNION ALL
+              SELECT 'lang_vocab', 'distinct', 'lang',
+                     round(d_lang, 6), 2.0, 50.0,
+                     coalesce(d_lang >= 2.0 AND d_lang <= 50.0, false)
+              FROM a
+              UNION ALL
+              SELECT 'lang_shape', 'match_share', 'lang',
+                     round(ms_lang, 6), 0.99, NULL,
+                     coalesce(ms_lang >= 0.99, false) FROM a
+              UNION ALL
+              SELECT 'id_min', 'min', 'doc_id', round(mn_id, 6),
+                     0.0, NULL, coalesce(mn_id >= 0.0, false) FROM a
+              UNION ALL
+              SELECT 'len_sd', 'stddev', 'text_len', round(sd_len, 6),
+                     NULL, 60.0, coalesce(sd_len <= 60.0, false) FROM a
+              UNION ALL
+              SELECT 'len_max', 'max', 'text_len', round(mx_len, 6),
+                     NULL, 1000.0, coalesce(mx_len <= 1000.0, false)
+              FROM a)
+        """,
+        "snapshot_changes": """
+            WITH d AS (SELECT doc_id, text, lang FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                          ELSE text END AS text,
+                     lang
+              FROM d WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000, text, lang FROM d
+              WHERE doc_id % 13 = 0),
+            j AS (SELECT coalesce(o.doc_id, n.doc_id) AS key,
+                         o.doc_id IS NOT NULL AS in_old,
+                         n.doc_id IS NOT NULL AS in_new,
+                         (o.text IS DISTINCT FROM n.text)
+                           OR (o.lang IS DISTINCT FROM n.lang) AS diff
+                  FROM d o FULL OUTER JOIN new n
+                    ON o.doc_id = n.doc_id)
+            SELECT key,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN diff THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM j
+            WHERE NOT (in_old AND in_new AND NOT diff)
+        """,
+        "conditional_rules": """
+            SELECT doc_id, rule_id FROM (
+              SELECT doc_id, 'en_min_len' AS rule_id FROM documents
+               WHERE coalesce(lang = 'en', false)
+                 AND NOT coalesce(length(text) >= 80, false)
+              UNION ALL
+              SELECT doc_id, 'src3_even_id' FROM documents
+               WHERE coalesce(source = 'src3', false)
+                 AND NOT coalesce(doc_id % 2 = 0, false)
+              UNION ALL
+              SELECT doc_id, 'short_known_lang' FROM documents
+               WHERE coalesce(length(text) < 60, false)
+                 AND NOT coalesce(lang IN ('en', 'de', 'fr'), false))
         """,
     }

@@ -338,6 +338,10 @@ R4_NAMES = [
     "negatives_sample",
     # wave 40: ranking eval, join planning, schema inference
     "bm25_ndcg", "join_advisor", "infer_json_schema",
+    # wave 41: union-of-evidence dedup, crawl frontier, blocking cost
+    "multi_signal_dedup", "frontier_scores", "blocking_pairwork",
+    # wave 42: expectation battery, snapshot diff, conditional rules
+    "expectation_battery", "snapshot_changes", "conditional_rules",
 ]
 
 

@@ -2871,3 +2871,101 @@ def test_mergeable_stats_check_invariant(spark):
     assert r.all_equal
     assert r.n_merged == r.n_direct == 200
     assert r.sum_merged == r.sum_direct
+
+
+class TestExpectationSuite:
+    def test_verdicts_and_bounds(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(1, "aa"), (2, "bb"), (3, None), (4, "zz")],
+            "x long, s string")
+        out = {r["expectation"]: r for r in tc.expectation_suite(df, [
+            {"name": "rows", "kind": "row_count", "lo": 4, "hi": 4},
+            {"name": "x_mean", "kind": "mean", "column": "x",
+             "lo": 2.0, "hi": 3.0},
+            {"name": "s_nulls", "kind": "null_share", "column": "s",
+             "hi": 0.1},
+            {"name": "s_vocab", "kind": "distinct", "column": "s",
+             "lo": 3},
+            {"name": "s_shape", "kind": "match_share", "column": "s",
+             "pattern": "^[a-z]{2}$", "lo": 1.0},
+            {"name": "x_sum", "kind": "sum", "column": "x", "hi": 9},
+        ]).collect()}
+        assert out["rows"]["observed"] == 4.0 and out["rows"]["passed"]
+        assert out["x_mean"]["observed"] == 2.5 and out["x_mean"]["passed"]
+        # 1 NULL of 4 = 0.25 > 0.1 -> fail
+        assert out["s_nulls"]["observed"] == 0.25
+        assert not out["s_nulls"]["passed"]
+        assert out["s_vocab"]["observed"] == 3.0 and out["s_vocab"]["passed"]
+        # match_share is over NON-NULL values only: 3/3
+        assert out["s_shape"]["observed"] == 1.0 and out["s_shape"]["passed"]
+        # sum 10 > 9 -> fail
+        assert out["x_sum"]["observed"] == 10.0
+        assert not out["x_sum"]["passed"]
+
+    def test_null_observed_fails_loudly(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(None,), (None,)], "x double")
+        r = tc.expectation_suite(df, [
+            {"name": "m", "kind": "mean", "column": "x", "lo": 0.0},
+        ]).collect()[0]
+        assert r["observed"] is None and r["passed"] is False
+
+    def test_validates_specs(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        df = spark.range(1)
+        with pytest.raises(ValueError):
+            tc.expectation_suite(df, [])
+        with pytest.raises(ValueError):
+            tc.expectation_suite(df, [{"name": "b", "kind": "nope"}])
+        with pytest.raises(ValueError):
+            tc.expectation_suite(df, [{"name": "b", "kind": "mean"}])
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark):
+        from zoi_spark import tablechecks as tc
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+        out = {r["key"]: r["status"] for r in tc.snapshot_diff(
+            old, new, key_col="k", compare_cols=["v"]).collect()}
+        assert out == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_nulls_compare_equal_and_unchanged_included(self, spark):
+        from zoi_spark import tablechecks as tc
+        old = spark.createDataFrame([(1, None)], "k long, v string")
+        new = spark.createDataFrame([(1, None)], "k long, v string")
+        rows = tc.snapshot_diff(old, new, key_col="k",
+                                compare_cols=["v"],
+                                include_unchanged=True).collect()
+        assert [(r["key"], r["status"]) for r in rows] == [(1, "unchanged")]
+
+
+class TestConditionalViolations:
+    def test_when_then_gates(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(1, "en", 10), (2, "en", 100), (3, "de", 10),
+             (4, None, 10), (5, "en", None)],
+            "doc_id long, lang string, n long")
+        out = {(r["doc_id"], r["rule_id"]) for r in
+               tc.conditional_violations(df, [
+                   ("en_big", "lang = 'en'", "n >= 50"),
+               ]).collect()}
+        # row 1: when holds, then fails; row 5: then NULL -> violation;
+        # rows 3/4: when false/NULL -> not applicable
+        assert out == {(1, "en_big"), (5, "en_big")}
+
+    def test_column_objects_and_empty_rules(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+        out = tc.conditional_violations(
+            df, [("r", F.col("n") > 0, F.col("n") > 10)]).collect()
+        assert [(r["doc_id"], r["rule_id"]) for r in out] == [(1, "r")]
+        with pytest.raises(ValueError):
+            tc.conditional_violations(df, [])

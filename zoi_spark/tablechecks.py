@@ -3179,3 +3179,163 @@ def join_strategy_advisor(left: DataFrame, right: DataFrame, *,
         .alias("top_key_share"),
         (F.col("__tc") / F.lit(big_n) > F.lit(float(skew_share)))
         .alias("salt_recommended"))
+
+
+_EXPECTATION_KINDS = ("row_count", "mean", "sum", "min", "max", "stddev",
+                      "null_share", "distinct", "distinct_approx",
+                      "match_share")
+
+
+def expectation_suite(df: DataFrame,
+                      expectations: "Sequence[dict]") -> DataFrame:
+    """Declarative aggregate-expectation battery (the Deequ
+    VerificationSuite / Great Expectations pattern, re-expressed as ONE
+    fused Spark aggregation): each expectation is a dict
+    ``{name, kind, column?, lo?, hi?, pattern?}`` with kind one of
+
+    - ``row_count`` — total rows (no column)
+    - ``mean`` / ``sum`` / ``min`` / ``max`` / ``stddev`` — numeric
+      aggregate of ``column`` (cast to double; ``stddev`` is the sample
+      standard deviation, matching SQL ``stddev_samp``)
+    - ``null_share`` — fraction of NULL values in ``column``
+    - ``distinct`` — exact COUNT DISTINCT (verification runs; one
+      expand at scale) / ``distinct_approx`` — the HyperLogLog sketch
+      (the 10^12-row shape: bounded memory, map-side combinable)
+    - ``match_share`` — fraction of NON-NULL ``column`` values matching
+      regex ``pattern``
+
+    and passes iff ``lo <= observed <= hi`` (missing bound =
+    unbounded; NULL observed — e.g. mean of an all-NULL column — fails
+    loudly rather than vacuously passing). Returns one verdict row per
+    expectation: ``(expectation, kind, column, observed, lo, hi,
+    passed)``.
+
+    Scale shape: the whole battery compiles into a single ``df.agg``
+    — one scan, one partial aggregate per partition (map-side
+    combine), one tiny final reduce, then a constant-size explode of
+    the 1-row result into verdict rows. Adding an expectation adds an
+    aggregate expression, never a job. Mirrors the fused-stats design
+    of :func:`column_stats` (north_star: "a single aggregation pass
+    per partition").
+    """
+    if not expectations:
+        raise ValueError("expectation_suite: no expectations given")
+    aggs = []
+    for i, e in enumerate(expectations):
+        kind = e["kind"]
+        col = e.get("column")
+        if kind not in _EXPECTATION_KINDS:
+            raise ValueError(f"expectation_suite: unknown kind {kind!r} "
+                             f"(one of {_EXPECTATION_KINDS})")
+        if kind != "row_count" and not col:
+            raise ValueError(f"expectation_suite: kind {kind!r} needs "
+                             f"a column ({e.get('name')!r})")
+        if kind == "row_count":
+            obs = F.count(F.lit(1)).cast("double")
+        elif kind == "mean":
+            obs = F.avg(F.col(col).cast("double"))
+        elif kind == "sum":
+            obs = F.sum(F.col(col).cast("double"))
+        elif kind == "min":
+            obs = F.min(F.col(col).cast("double"))
+        elif kind == "max":
+            obs = F.max(F.col(col).cast("double"))
+        elif kind == "stddev":
+            obs = F.stddev_samp(F.col(col).cast("double"))
+        elif kind == "null_share":
+            obs = F.avg(F.col(col).isNull().cast("double"))
+        elif kind == "distinct":
+            obs = F.count_distinct(F.col(col)).cast("double")
+        elif kind == "distinct_approx":
+            obs = F.approx_count_distinct(col).cast("double")
+        else:  # match_share
+            obs = F.avg(F.col(col).rlike(e["pattern"]).cast("double"))
+        aggs.append(obs.alias(f"__e{i}"))
+    one = df.agg(*aggs)
+    structs = []
+    for i, e in enumerate(expectations):
+        obs = F.col(f"__e{i}")
+        lo, hi = e.get("lo"), e.get("hi")
+        ok = F.lit(True)
+        if lo is not None:
+            ok = ok & (obs >= float(lo))
+        if hi is not None:
+            ok = ok & (obs <= float(hi))
+        structs.append(F.struct(
+            F.lit(e["name"]).alias("expectation"),
+            F.lit(e["kind"]).alias("kind"),
+            (F.lit(e.get("column")) if e.get("column") is not None
+             else F.lit(None).cast("string")).alias("column"),
+            F.round(obs, 6).alias("observed"),
+            (F.lit(float(lo)) if lo is not None
+             else F.lit(None).cast("double")).alias("lo"),
+            (F.lit(float(hi)) if hi is not None
+             else F.lit(None).cast("double")).alias("hi"),
+            F.coalesce(ok, F.lit(False)).alias("passed")))
+    return (one.select(F.explode(F.array(*structs)).alias("e"))
+            .select("e.*"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, *, key_col: str,
+                  compare_cols: "Sequence[str]",
+                  include_unchanged: bool = False) -> DataFrame:
+    """Keyed symmetric diff between two table snapshots — the
+    change-data audit behind incremental validation: per key, status
+    ``added`` (key only in ``new``), ``removed`` (only in ``old``) or
+    ``changed`` (in both, any ``compare_cols`` value differs; NULLs
+    compare as equal via the null-safe hash). Returns ``(key,
+    status)``; ``include_unchanged=True`` adds the (corpus-sized)
+    ``unchanged`` class for verification runs.
+
+    Scale shape: each side is projected to (key, xxhash64 of the
+    compared columns) BEFORE the join — the shuffle carries 16 bytes
+    per row, not the payload — then one full-outer hash join on key.
+    A 64-bit content-hash collision (p ≈ n²/2⁶⁵) can misclassify a
+    changed row as unchanged; verification runs can pass the raw
+    columns as their own twin. Downstream consumers filter on status,
+    which pushes through the join."""
+    oh = old.select(F.col(key_col).alias("key"),
+                    F.xxhash64(*[F.col(c) for c in compare_cols])
+                    .alias("__ho"))
+    nh = new.select(F.col(key_col).alias("key"),
+                    F.xxhash64(*[F.col(c) for c in compare_cols])
+                    .alias("__hn"))
+    j = oh.join(nh, "key", "full_outer")
+    status = (F.when(F.col("__ho").isNull(), F.lit("added"))
+              .when(F.col("__hn").isNull(), F.lit("removed"))
+              .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    out = j.select("key", status.alias("status"))
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
+def conditional_violations(df: DataFrame,
+                           rules: "Sequence[tuple]", *,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Cross-column conditional rules — the dependent-requirement
+    family JSON Schema spells ``if/then`` and Zoi users write as
+    fields-level ``refine`` (reference lib/zoi.ex refine/2 over a map):
+    each rule is ``(rule_id, when, then)`` where ``when``/``then`` are
+    Column predicates or SQL expression strings; a row VIOLATES when
+    ``when`` holds (NULL → not applicable) and ``then`` does not
+    (NULL → violation — same coalesce(false) gate as the compiled
+    refinements, compile.py). Emits ``(id, rule_id)`` violation rows.
+
+    Scale shape: all rules evaluate in one Project over one scan (the
+    flagship's concat-arrays + explode, zero Python, zero shuffle);
+    the explode emits only violations, so output is violation-bounded,
+    not rules×rows."""
+    if not rules:
+        raise ValueError("conditional_violations: no rules given")
+    arrs = []
+    for rid, when, then in rules:
+        w = F.expr(when) if isinstance(when, str) else when
+        t = F.expr(then) if isinstance(then, str) else then
+        hit = F.coalesce(w, F.lit(False)) & ~F.coalesce(t, F.lit(False))
+        arrs.append(F.when(hit, F.array(F.lit(rid)))
+                    .otherwise(F.array().cast("array<string>")))
+    arr = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    return df.select(F.col(id_col),
+                     F.explode(arr).alias("rule_id"))
