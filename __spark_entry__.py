@@ -5607,6 +5607,53 @@ def q_conditional_rules(spark, sf_dir):
     ])
 
 
+def q_suggest_rules(spark, sf_dir):
+    """Draft-rule suggestion from the typed documents table
+    (infer.suggest_rules — the tabular sibling of JSON-column
+    inference): one fused agg derives nullability, numeric gte/lte,
+    string length bounds, the tightest ladder regex and the one_of
+    vocabulary per column; the DuckDB twin recomputes every rule from
+    the same aggregates."""
+    from zoi_spark import infer
+
+    return infer.suggest_rules(_read(spark, sf_dir, "documents"))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sampling
+    (sampling.weighted_sample): quality weight (doc_id%100+1)/100,
+    top-10 per lang by ln(u)/w with md5-derived u — the DuckDB twin
+    recomputes the identical keys and windows (md5 is bit-identical
+    across engines; the log/exp forms only reorder on exact float
+    ties, which the id tiebreak resolves)."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "w", (F.pmod("doc_id", F.lit(100)) + 1) / 100.0)
+    return (sampling.weighted_sample(d, weight_col="w",
+                                     id_col="doc_id", k=10,
+                                     stratum_col="lang", salt="ws")
+            .select("doc_id", "lang"))
+
+
+def q_nfc_audit(spark, sf_dir):
+    """Unicode NFC QC (text.nfc_audit, Arrow-vectorized
+    unicodedata.is_normalized): every 7th doc gets a decomposed
+    e+U+0301 appended (NOT NFC), every 11th a precomposed U+00E9
+    (NFC-normal) — per-lang counts and shares; the DuckDB twin is
+    nfc_normalize(text) <> text over the same seeded corpus."""
+    from zoi_spark import text as zt
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit("e\u0301")))  # decomposed
+        .when(F.col("doc_id") % 11 == 0,
+              F.concat("text", F.lit("\u00e9")))  # precomposed
+        .otherwise(F.col("text")))
+    return zt.nfc_audit(d, text_col="text", by="lang")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5964,6 +6011,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "expectation_battery": q_expectation_battery,
         "snapshot_changes": q_snapshot_changes,
         "conditional_rules": q_conditional_rules,
+        # wave 43 — typed-table rule bootstrap, weighted sampling,
+        # Unicode normalization QC
+        "suggest_rules": q_suggest_rules,
+        "weighted_sample": q_weighted_sample,
+        "nfc_audit": q_nfc_audit,
     }
 
 
@@ -7450,6 +7502,63 @@ def _split_leakage_sql() -> str:
                round(sum(CASE WHEN k > 1 THEN n ELSE 0 END) / sum(n),
                      6) AS leak_share
         FROM g
+    """
+
+
+def _suggest_rules_sql() -> str:
+    """DuckDB twin of infer.suggest_rules over documents: one
+    aggregate CTE, then UNION ALL verdict selects gated by the same
+    conditions (tightest-ladder regex via CASE, one_of via exact
+    distinct ≤ 20)."""
+    ladder = ["^[0-9]+$", "^[a-z]+$", "^[A-Za-z]+$", "^[A-Za-z0-9_-]+$"]
+    num_cols = ["doc_id", "n_chars"]
+    str_cols = ["text", "lang", "source"]
+    aggs, picks = [], []
+    for c in num_cols:
+        aggs.append(f"sum(({c} IS NULL)::INT) AS n_{c}")
+        aggs.append(f"min({c})::DOUBLE AS mn_{c}")
+        aggs.append(f"max({c})::DOUBLE AS mx_{c}")
+        picks.append(f"""
+          SELECT '{c}' AS "column", 'required' AS rule,
+                 NULL::DOUBLE AS param_num, NULL::VARCHAR AS param_str
+          FROM a WHERE n_{c} = 0
+          UNION ALL SELECT '{c}', 'nullable', NULL, NULL FROM a
+            WHERE n_{c} > 0
+          UNION ALL SELECT '{c}', 'gte', mn_{c}, NULL FROM a
+            WHERE mn_{c} IS NOT NULL
+          UNION ALL SELECT '{c}', 'lte', mx_{c}, NULL FROM a
+            WHERE mx_{c} IS NOT NULL""")
+    for c in str_cols:
+        aggs.append(f"sum(({c} IS NULL)::INT) AS n_{c}")
+        aggs.append(f"min(length({c}))::DOUBLE AS lmn_{c}")
+        aggs.append(f"max(length({c}))::DOUBLE AS lmx_{c}")
+        for j, p in enumerate(ladder):
+            aggs.append(
+                f"avg(CASE WHEN {c} IS NULL THEN NULL WHEN "
+                f"regexp_matches({c}, '{p}') THEN 1.0 ELSE 0.0 END) "
+                f"AS s{j}_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+        aggs.append(f"array_to_string(list_sort(list(DISTINCT {c})), "
+                    f"',') AS v_{c}")
+        case = " ".join(f"WHEN s{j}_{c} = 1.0 THEN '{p}'"
+                        for j, p in enumerate(ladder))
+        picks.append(f"""
+          SELECT '{c}', 'required', NULL, NULL FROM a WHERE n_{c} = 0
+          UNION ALL SELECT '{c}', 'nullable', NULL, NULL FROM a
+            WHERE n_{c} > 0
+          UNION ALL SELECT '{c}', 'min_length', lmn_{c}, NULL FROM a
+            WHERE lmn_{c} IS NOT NULL
+          UNION ALL SELECT '{c}', 'max_length', lmx_{c}, NULL FROM a
+            WHERE lmx_{c} IS NOT NULL
+          UNION ALL SELECT '{c}', 'regex', NULL,
+            CASE {case} END FROM a
+            WHERE (CASE {case} END) IS NOT NULL
+          UNION ALL SELECT '{c}', 'one_of', NULL, v_{c} FROM a
+            WHERE nd_{c} > 0 AND nd_{c} <= 20""")
+    body = "\n          UNION ALL".join(picks)
+    return f"""
+        WITH a AS (SELECT {', '.join(aggs)} FROM documents)
+        {body}
     """
 
 
@@ -13488,5 +13597,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 'short_known_lang' FROM documents
                WHERE coalesce(length(text) < 60, false)
                  AND NOT coalesce(lang IN ('en', 'de', 'fr'), false))
+        """,
+        "suggest_rules": _suggest_rules_sql(),
+        "weighted_sample": """
+            WITH d AS (SELECT doc_id, lang,
+                              ((doc_id % 100) + 1) / 100.0 AS w
+                       FROM documents),
+            k AS (SELECT doc_id, lang,
+                         ln((('0x' || substr(md5('ws' || doc_id), 1, 8))
+                             ::BIGINT + 1.0) / 4294967297.0) / w AS key
+                  FROM d WHERE w IS NOT NULL AND w > 0)
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rn
+              FROM k)
+            WHERE rn <= 10
+        """,
+        "nfc_audit": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 7 = 0
+                            THEN text || 'e' || chr(769)
+                          WHEN doc_id % 11 = 0 THEN text || chr(233)
+                          ELSE text END AS text
+              FROM documents)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum((nfc_normalize(text) <> text)::INT)::BIGINT
+                     AS n_not_nfc,
+                   round(avg((nfc_normalize(text) <> text)::INT), 6)
+                     AS not_nfc_share
+            FROM d WHERE text IS NOT NULL
+            GROUP BY lang
         """,
     }

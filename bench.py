@@ -342,6 +342,9 @@ R4_NAMES = [
     "multi_signal_dedup", "frontier_scores", "blocking_pairwork",
     # wave 42: expectation battery, snapshot diff, conditional rules
     "expectation_battery", "snapshot_changes", "conditional_rules",
+    # wave 43: typed-table rule bootstrap, A-RES weighted sampling,
+    # Unicode NFC QC
+    "suggest_rules", "weighted_sample", "nfc_audit",
 ]
 
 

@@ -91,3 +91,57 @@ def test_inferred_schema_validates_its_own_corpus(spark):
         F.get_json_object("js", "$.s").alias("s"))
     res = validate(flat, schema, id_cols=["doc_id"])
     assert res.violations.count() == 0  # the draft fits its corpus
+
+
+class TestSuggestRules:
+    def test_typed_profile(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ab", 1.5), (2, "cd", None), (3, "Ef", 2.5)],
+            "id long, s string, x double")
+        rows = infer.suggest_rules(df).collect()
+        got = {(r["column"], r["rule"]): (r["param_num"], r["param_str"])
+               for r in rows}
+        assert ("id", "required") in got
+        assert got[("id", "gte")] == (1.0, None)
+        assert got[("id", "lte")] == (3.0, None)
+        assert ("s", "required") in got
+        assert got[("s", "min_length")] == (2.0, None)
+        assert got[("s", "max_length")] == (2.0, None)
+        # 'Ef' breaks ^[a-z]+$; the tightest all-match shape is mixed-case
+        assert got[("s", "regex")] == (None, "^[A-Za-z]+$")
+        # binary collation: uppercase sorts before lowercase
+        assert got[("s", "one_of")] == (None, "Ef,ab,cd")
+        assert ("x", "nullable") in got
+        assert got[("x", "gte")] == (1.5, None)
+        assert got[("x", "lte")] == (2.5, None)
+        assert ("x", "required") not in got
+
+    def test_all_null_and_enum_gate(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (None,)], "s string")
+        got = {(r["column"], r["rule"]) for r in
+               infer.suggest_rules(df).collect()}
+        # no evidence -> only the nullability verdict survives
+        assert got == {("s", "nullable")}
+        wide = spark.createDataFrame(
+            [(str(i),) for i in range(30)], "s string")
+        rules = {r["rule"] for r in
+                 infer.suggest_rules(wide, enum_max=20).collect()}
+        assert "one_of" not in rules  # 30 distinct > enum_max
+        rules_off = {r["rule"] for r in
+                     infer.suggest_rules(wide, enum_max=None).collect()}
+        assert "one_of" not in rules_off
+
+
+def test_nfc_audit_flags_decomposed(spark):
+    from zoi_spark import text as zt
+    df = spark.createDataFrame(
+        [(1, "café", "fr"),        # precomposed: NFC-normal
+         (2, "café", "fr"),       # decomposed: not NFC
+         (3, "plain ascii", "en"),
+         (4, None, "en")],              # NULL excluded
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in zt.nfc_audit(df).collect()}
+    assert out["fr"]["n_docs"] == 2 and out["fr"]["n_not_nfc"] == 1
+    assert out["fr"]["not_nfc_share"] == 0.5
+    assert out["en"]["n_docs"] == 1 and out["en"]["n_not_nfc"] == 0

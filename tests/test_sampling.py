@@ -380,3 +380,40 @@ def test_epoch_factors_rejects_empty_recipe(spark):
     df = spark.createDataFrame([("en",)], "lang string")
     with pytest.raises(ValueError, match="targets is empty"):
         sampling.epoch_factors(df, stratum_col="lang", targets={})
+
+
+class TestWeightedSample:
+    def test_deterministic_and_heavy_weight_wins(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1e9), (2, 1e-9), (3, 1e-9)],
+            "doc_id long, w double")
+        kept = sampling.weighted_sample(
+            df, weight_col="w", id_col="doc_id", k=1)
+        ids = [r["doc_id"] for r in kept.collect()]
+        # ln(u)/1e9 ~ 0- beats ln(u)/1e-9 ~ -inf for any u in (0,1)
+        assert ids == [1]
+        again = sampling.weighted_sample(
+            df, weight_col="w", id_col="doc_id", k=1).collect()
+        assert [r["doc_id"] for r in again] == ids
+
+    def test_strata_and_weight_hygiene(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 1.0, "a"), (3, 1.0, "b"),
+             (4, 0.0, "b"), (5, None, "b"), (6, -2.0, "b")],
+            "doc_id long, w double, g string")
+        kept = sampling.weighted_sample(
+            df, weight_col="w", id_col="doc_id", k=2, stratum_col="g")
+        by_g = {}
+        for r in kept.collect():
+            by_g.setdefault(r["g"], set()).add(r["doc_id"])
+        assert by_g["a"] == {1, 2}
+        # zero/NULL/negative weights are dropped before ranking
+        assert by_g["b"] == {3}
+
+    def test_k_validated_and_k_exceeds_rows(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+        with pytest.raises(ValueError):
+            sampling.weighted_sample(df, weight_col="w",
+                                     id_col="doc_id", k=0)
+        assert sampling.weighted_sample(
+            df, weight_col="w", id_col="doc_id", k=5).count() == 1

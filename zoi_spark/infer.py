@@ -95,3 +95,100 @@ def schema_from_report(rows) -> S.Schema:
         s = _BUILDERS[typ]()
         fields[name] = s if required else s.optional()
     return S.fields(fields)
+
+
+# candidate regex shapes for string columns, TIGHTEST FIRST — the
+# first whose match share over non-null values is 1.0 wins; patterns
+# chosen to be dialect-identical in Spark (Java regex) and DuckDB (RE2)
+_SHAPE_LADDER = (
+    r"^[0-9]+$",
+    r"^[a-z]+$",
+    r"^[A-Za-z]+$",
+    r"^[A-Za-z0-9_-]+$",
+)
+
+
+def suggest_rules(df: DataFrame, columns=None, *,
+                  enum_max: int | None = 20) -> DataFrame:
+    """Draft-rule suggestion from a TYPED table — the profiling
+    bootstrap for tabular data (the sibling of
+    :func:`schema_from_json_report`, which bootstraps from JSON text):
+    one fused aggregation pass derives, per column, the tightest rules
+    the observed data already satisfies, as ``(column, rule,
+    param_num, param_str)`` rows ready to be tightened by a human:
+
+    - ``required`` (zero NULLs observed) or ``nullable``
+    - numeric columns: ``gte`` (observed min), ``lte`` (observed max)
+    - string columns: ``min_length`` / ``max_length``, ``regex``
+      (tightest ladder shape every non-null value matches), and
+      ``one_of`` (the comma-joined sorted vocabulary) when the exact
+      distinct count is ≤ ``enum_max``
+    - boolean columns: just the null-rule (their domain IS the rule)
+
+    Scale shape: everything rides ONE ``df.agg`` (map-side combine,
+    tiny final reduce) and a constant-size explode — except the
+    ``one_of`` evidence, whose ``collect_set`` state grows with the
+    column's distinct count REGARDLESS of the ``enum_max`` gate (the
+    gate applies after aggregation). ``enum_max=None`` skips that
+    aggregate entirely — the right call at 10^12 rows unless an HLL
+    pass already bounded the column's cardinality.
+    """
+    dtypes = dict(df.dtypes)
+    columns = list(columns or df.columns)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float",
+               "double", "decimal"}
+    aggs, emitters = [], []
+
+    def _slot(col_expr, alias):
+        aggs.append(col_expr.alias(alias))
+        return F.col(alias)
+
+    for c in columns:
+        dt = dtypes[c].split("(")[0]
+        nulls = _slot(F.sum(F.col(c).isNull().cast("long")), f"__n_{c}")
+
+        def _rule(rule, num=None, s=None, cond=None, col=c):
+            st = F.struct(
+                F.lit(col).alias("column"), F.lit(rule).alias("rule"),
+                (num if num is not None
+                 else F.lit(None).cast("double")).alias("param_num"),
+                (s if s is not None
+                 else F.lit(None).cast("string")).alias("param_str"))
+            emitters.append(
+                F.when(cond, st) if cond is not None
+                else st.alias(f"__r_{len(emitters)}"))
+
+        _rule("required", cond=nulls == 0)
+        _rule("nullable", cond=nulls > 0)
+        if dt in numeric:
+            mn = _slot(F.min(F.col(c)).cast("double"), f"__mn_{c}")
+            mx = _slot(F.max(F.col(c)).cast("double"), f"__mx_{c}")
+            _rule("gte", num=mn, cond=mn.isNotNull())
+            _rule("lte", num=mx, cond=mx.isNotNull())
+        elif dt == "string":
+            lmn = _slot(F.min(F.length(c)).cast("double"), f"__lmn_{c}")
+            lmx = _slot(F.max(F.length(c)).cast("double"), f"__lmx_{c}")
+            _rule("min_length", num=lmn, cond=lmn.isNotNull())
+            _rule("max_length", num=lmx, cond=lmx.isNotNull())
+            # tightest ladder shape with 100% match over non-nulls
+            shares = [_slot(F.avg(F.col(c).rlike(p).cast("double")),
+                            f"__s{j}_{c}")
+                      for j, p in enumerate(_SHAPE_LADDER)]
+            pick = F.lit(None).cast("string")
+            for share, pat in reversed(list(zip(shares, _SHAPE_LADDER))):
+                pick = F.when(share == 1.0, F.lit(pat)).otherwise(pick)
+            _rule("regex", s=pick, cond=pick.isNotNull())
+            if enum_max is not None:
+                nd = _slot(F.count_distinct(F.col(c)).cast("long"),
+                           f"__nd_{c}")
+                vocab = _slot(
+                    F.array_join(F.array_sort(F.collect_set(c)), ","),
+                    f"__v_{c}")
+                _rule("one_of", s=vocab,
+                      cond=(nd > 0) & (nd <= int(enum_max)))
+    one = df.agg(*aggs)
+    # conditional emitters are null structs when their condition fails;
+    # explode keeps null elements, the final filter drops them
+    return (one.select(F.explode(F.array(*emitters)).alias("r"))
+            .select("r.*")
+            .where(F.col("rule").isNotNull()))

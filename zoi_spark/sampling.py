@@ -649,3 +649,43 @@ def contrastive_negatives(df: DataFrame, *, id_col: str = "doc_id",
                       F.explode(negs).alias("__n"))
             .select("anchor_id", F.col("__n.j").alias("j"),
                     F.col("__n.neg_id").alias("neg_id")))
+
+
+def weighted_sample(df: DataFrame, *, weight_col: str, id_col: str,
+                    k: int, stratum_col: str | None = None,
+                    salt: str = "") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-RES scheme (Inf. Proc. Letters 97(5), 2006):
+    each row draws a uniform u from the md5 of (salt, id) and is ranked
+    by ln(u)/w (the order-equivalent log form of u^(1/w)); the top-k
+    per stratum is EXACTLY a weight-proportional sample without
+    replacement, reproducible across runs and engines (md5 is
+    bit-identical everywhere, unlike xxhash64/rand). The quality-
+    weighted corpus draw: high-quality docs are favoured but every
+    positive-weight doc has a chance.
+
+    Rows with NULL or non-positive weight are dropped (they have no
+    defined inclusion probability) — pre-clamp upstream to keep them.
+
+    Scale shape: one Project for the key (inside the scan stage), one
+    hash shuffle on ``stratum_col`` + per-partition top-k via
+    row_number — identical to every keep-best window here; with no
+    stratum the single global window is the documented
+    verification-run shape (use strata at 10^12 rows)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8), 16, 10).cast("double") + 1.0)
+         / float(16 ** 8 + 1))  # u in (0, 1]: ln defined, 0 excluded
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = (Window.partitionBy(stratum_col) if stratum_col
+         else Window.partitionBy()).orderBy(
+             F.desc("__ares_key"), F.asc(id_col))
+    out = (df.where(F.col(weight_col).isNotNull()
+                    & (F.col(weight_col).cast("double") > 0))
+           .withColumn("__ares_key", key)
+           .withColumn("__ares_rank", F.row_number().over(w))
+           .where(F.col("__ares_rank") <= int(k))
+           .drop("__ares_key", "__ares_rank"))
+    return out

@@ -2817,3 +2817,37 @@ def homoglyph_fingerprint(col: Column) -> Column:
     """md5 over the homoglyph-folded normal form — drop-in replacement
     key for exact_dedup when the corpus is adversarial."""
     return F.md5(homoglyph_normalize(col))
+
+
+def nfc_audit(df: DataFrame, *, text_col: str = "text",
+              by: str | None = "lang") -> DataFrame:
+    """Unicode NFC normalization QC — mixed-crawl corpora carry the
+    same grapheme both precomposed (U+00E9) and decomposed
+    (e + U+0301), which silently splits dedup fingerprints, vocabulary
+    counts and equality joins. Per group: ``(n_docs, n_not_nfc,
+    not_nfc_share)`` where a doc counts when its text is NOT already
+    NFC-normal (``unicodedata.is_normalized`` — the O(1)-memory
+    quick-check path of UAX #15; the DuckDB twin is
+    ``nfc_normalize(text) <> text``). NULL texts are excluded from
+    both counts.
+
+    Scale shape: one Arrow-vectorized pandas_udf Project (the
+    is_normalized probe has no Column-expression equivalent), then one
+    group-keyed aggregation with map-side combine — the UDF adds one
+    boolean per row to the scan stage, nothing corpus-quadratic."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BooleanType())
+    def _is_nfc(s: "pd.Series") -> "pd.Series":
+        import unicodedata
+
+        return s.map(lambda v: None if v is None
+                     else unicodedata.is_normalized("NFC", v))
+
+    flagged = df.where(F.col(text_col).isNotNull()).select(
+        (F.col(by) if by else F.lit("all")).alias("grp"),
+        (~_is_nfc(F.col(text_col))).cast("int").alias("__bad"))
+    return (flagged.groupBy(F.col("grp").alias(by or "group"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("__bad").cast("long").alias("n_not_nfc"),
+                 F.round(F.avg("__bad"), 6).alias("not_nfc_share")))
