@@ -5654,6 +5654,58 @@ def q_nfc_audit(spark, sf_dir):
     return zt.nfc_audit(d, text_col="text", by="lang")
 
 
+def _transpile_demo_schema():
+    """Rule-set shared by q_transpiled_rules AND its oracle — the
+    oracle SQL is GENERATED from this schema by transpile.violations_sql,
+    so the driver's gate proves the transpiler emits the compiled
+    validator's exact violation rows."""
+    return z.fields({
+        "event_id": z.integer().non_negative(),
+        "event_type": z.string(min=3, max=20).one_of(
+            ["view", "click", "signup", "purchase"]),
+        "value": z.float_(gte=0.0).lt(100.0),
+        "props": z.string().starts_with("{").ends_with("}")
+                  .regex('^\\{"k": [0-9]+\\}$'),
+    })
+
+
+def q_transpiled_rules(spark, sf_dir):
+    """SQL-transpiler parity (zoi_spark.transpile): the Spark side is
+    the COMPILED validator's violation rows over events; the DuckDB
+    twin is not hand-written — it is transpile.violations_sql() output
+    for the same schema, so a green row proves rule-for-rule,
+    row-for-row equivalence of the two backends."""
+    res = z.validate(_read(spark, sf_dir, "events"),
+                     _transpile_demo_schema(), id_cols=["event_id"])
+    return res.violations.select("event_id", "rule_id")
+
+
+def q_sprt_langs(spark, sf_dir):
+    """Wald SPRT pass-rate monitoring (tablechecks.sprt_monitor): per
+    lang, is the short-doc failure rate (len<100) still ≤5% or already
+    ≥20%? The DuckDB twin recomputes the log-likelihood ratio with the
+    same folded constants and thresholds."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "bad", (F.length("text") < 100).cast("int"))
+    return tablechecks.sprt_monitor(d, "bad", by="lang",
+                                    p0=0.05, p1=0.2)
+
+
+def q_columns_psi(spark, sf_dir):
+    """Multi-column PSI triage (tablechecks.multi_column_psi): current
+    snapshot drops zh docs, so lang drifts hard while source barely
+    moves — one unpivoted pass per side ranks every column's drift at
+    once; the DuckDB twin recomputes both unpivots, the vocabulary
+    join and the smoothed PSI terms."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents")
+    cur = d.where(F.col("lang") != "zh")
+    return tablechecks.multi_column_psi(cur, d, ["lang", "source"])
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6016,6 +6068,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "suggest_rules": q_suggest_rules,
         "weighted_sample": q_weighted_sample,
         "nfc_audit": q_nfc_audit,
+        # wave 44 — SQL transpiler parity, SPRT monitoring,
+        # multi-column PSI triage
+        "transpiled_rules": q_transpiled_rules,
+        "sprt_langs": q_sprt_langs,
+        "columns_psi": q_columns_psi,
     }
 
 
@@ -7562,9 +7619,72 @@ def _suggest_rules_sql() -> str:
     """
 
 
+def _sprt_sql(p0: float = 0.05, p1: float = 0.2,
+              alpha: float = 0.05, beta: float = 0.05) -> str:
+    """DuckDB twin of q_sprt_langs: the same constants are folded in
+    Python (repr keeps all 17 significant digits) so both engines
+    multiply identical doubles."""
+    import math as _m
+
+    lr_f, lr_p = _m.log(p1 / p0), _m.log((1 - p1) / (1 - p0))
+    upper = _m.log((1 - beta) / alpha)
+    lower = _m.log(beta / (1 - alpha))
+    return f"""
+        WITH g AS (
+          SELECT lang, count(*)::BIGINT AS n,
+                 sum((length(text) < 100)::INT)::BIGINT AS k
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY lang),
+        l AS (SELECT lang, n, k,
+                     k * {lr_f!r}::DOUBLE
+                       + (n - k) * {lr_p!r}::DOUBLE AS llr
+              FROM g)
+        SELECT lang, n, k, round(llr, 6) AS llr,
+               CASE WHEN llr >= {upper!r}::DOUBLE THEN 'alert'
+                    WHEN llr <= {lower!r}::DOUBLE THEN 'ok'
+                    ELSE 'continue' END AS decision
+        FROM l
+    """
+
+
+def _columns_psi_sql(epsilon: float = 1e-9) -> str:
+    """DuckDB twin of q_columns_psi: both unpivots, the vocabulary
+    outer join and the max(share, eps) smoothing of
+    tablechecks.multi_column_psi."""
+    unpivot = """
+          SELECT 'lang' AS c, coalesce(lang, '∅') AS v FROM {src}
+          UNION ALL
+          SELECT 'source', coalesce(source, '∅') FROM {src}"""
+    cur_src = "(SELECT * FROM documents WHERE lang <> 'zh')"
+    return f"""
+        WITH cur AS (SELECT c, v, count(*)::DOUBLE AS cnt FROM (
+                       {unpivot.format(src=cur_src)}) GROUP BY c, v),
+        base AS (SELECT c, v, count(*)::DOUBLE AS cnt FROM (
+                   {unpivot.format(src='documents')}) GROUP BY c, v),
+        j AS (
+          SELECT coalesce(cur.c, base.c) AS c,
+                 coalesce(cur.v, base.v) AS v,
+                 coalesce(cur.cnt, 0.0) AS c_cur,
+                 coalesce(base.cnt, 0.0) AS c_base
+          FROM cur FULL OUTER JOIN base
+            ON cur.c = base.c AND cur.v = base.v),
+        t AS (
+          SELECT c, v, c_cur, c_base,
+                 greatest(c_cur / greatest(sum(c_cur) OVER
+                            (PARTITION BY c), 1.0), {epsilon!r}) AS q,
+                 greatest(c_base / greatest(sum(c_base) OVER
+                            (PARTITION BY c), 1.0), {epsilon!r}) AS p
+          FROM j)
+        SELECT c AS "column", count(*)::BIGINT AS n_values,
+               round(sum((q - p) * ln(q / p)), 6) AS psi
+        FROM t GROUP BY c
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from zoi_spark.urls import canonical_url_sql as _url_canonical_sql
     from zoi_spark.urls import resolve_href_sql as _resolve_href_sql
+    from zoi_spark.transpile import violations_sql as _transpile_violations_sql
 
     return {
         "customer_violation_rows": """
@@ -13629,4 +13749,9 @@ def oracle_sql() -> dict[str, str]:
             FROM d WHERE text IS NOT NULL
             GROUP BY lang
         """,
+        "transpiled_rules": _transpile_violations_sql(
+            _transpile_demo_schema(), table="events",
+            id_col="event_id"),
+        "sprt_langs": _sprt_sql(),
+        "columns_psi": _columns_psi_sql(),
     }

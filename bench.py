@@ -345,6 +345,8 @@ R4_NAMES = [
     # wave 43: typed-table rule bootstrap, A-RES weighted sampling,
     # Unicode NFC QC
     "suggest_rules", "weighted_sample", "nfc_audit",
+    # wave 44: SQL transpiler parity, SPRT monitoring, multi-col PSI
+    "transpiled_rules", "sprt_langs", "columns_psi",
 ]
 
 

@@ -145,3 +145,59 @@ def test_nfc_audit_flags_decomposed(spark):
     assert out["fr"]["n_docs"] == 2 and out["fr"]["n_not_nfc"] == 1
     assert out["fr"]["not_nfc_share"] == 0.5
     assert out["en"]["n_docs"] == 1 and out["en"]["n_not_nfc"] == 0
+
+
+class TestTranspile:
+    def _schema(self):
+        import zoi_spark as z
+        return z.fields({
+            "event_id": z.integer().non_negative(),
+            "event_type": z.string(min=3, max=20).one_of(
+                ["view", "click", "signup"]),
+            "value": z.float_(gte=0.0).lt(100.0),
+            "props": z.string().starts_with("{").ends_with("}"),
+        })
+
+    def test_matches_compiled_validator_row_for_row(self, spark):
+        import duckdb
+        import pandas as pd
+        from zoi_spark import transpile
+        from zoi_spark.validate import validate
+        rows = [(1, "view", 1.0, "{a}"), (-2, "click", 250.0, "{b}"),
+                (3, "no", -3.0, "nope"), (4, "unknown", 50.0, "{d}"),
+                (None, "click", None, "{e}")]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double, "
+                  "props string")
+        pdf = pd.DataFrame(rows, columns=["event_id", "event_type",
+                                          "value", "props"])
+        res = validate(df, self._schema(), id_cols=["event_id"])
+        got = {(r["event_id"], r["rule_id"])
+               for r in res.violations.collect()}
+        duck = duckdb.connect()
+        duck.register("t", pdf)
+        sql = transpile.violations_sql(self._schema(), table="t",
+                                       id_col="event_id")
+        want = set()
+        for eid, rid in duck.sql(sql).fetchall():
+            want.add((None if eid is None or pd.isna(eid) else int(eid),
+                      rid))
+        assert got == want and len(want) >= 6
+
+    def test_rule_ids_and_repeat_suffix(self, spark):
+        import zoi_spark as z
+        from zoi_spark import transpile
+        s = z.fields({"x": z.integer().gte(0).gte(10)})
+        rids = [r[0] for r in transpile.sql_rules(s)]
+        assert rids == ["x.required", "x.gte", "x.gte#1"]
+
+    def test_unsupported_raises(self, spark):
+        import pytest
+        import zoi_spark as z
+        from zoi_spark import transpile
+        with pytest.raises(ValueError, match="scalar"):
+            transpile.sql_rules(z.fields({"a": z.array(z.integer())}))
+        with pytest.raises(ValueError, match="effects"):
+            transpile.sql_rules(z.fields({"a": z.string().trim()}))
+        with pytest.raises(ValueError, match="top level"):
+            transpile.sql_rules(z.integer())

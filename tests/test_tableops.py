@@ -2969,3 +2969,65 @@ class TestConditionalViolations:
         assert [(r["doc_id"], r["rule_id"]) for r in out] == [(1, "r")]
         with pytest.raises(ValueError):
             tc.conditional_violations(df, [])
+
+
+class TestSprtMonitor:
+    def test_decisions_hand_llr(self, spark):
+        import math
+        from zoi_spark import tablechecks as tc
+        rows = ([("hot", 1)] * 9 + [("hot", 0)]          # 9/10 fail
+                + [("cold", 0)] * 12                     # 0/12 fail
+                + [("thin", 0)]                          # 1 trial
+                + [("gap", None)])                       # no evidence
+        df = spark.createDataFrame(rows, "grp string, bad int")
+        out = {r["grp"]: r for r in tc.sprt_monitor(
+            df, "bad", by="grp", p0=0.1, p1=0.3).collect()}
+        lr_f, lr_p = math.log(3.0), math.log(0.7 / 0.9)
+        assert out["hot"]["decision"] == "alert"
+        assert out["hot"]["llr"] == round(9 * lr_f + 1 * lr_p, 6)
+        assert out["cold"]["decision"] == "ok"   # 12*lr_p < ln(β/(1-α))
+        assert out["thin"]["decision"] == "continue"
+        assert "gap" not in out  # all-NULL group carries no evidence
+
+    def test_param_validation(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([("a", 1)], "grp string, bad int")
+        with pytest.raises(ValueError):
+            tc.sprt_monitor(df, "bad", by="grp", p0=0.3, p1=0.1)
+        with pytest.raises(ValueError):
+            tc.sprt_monitor(df, "bad", by="grp", p0=0.1, p1=0.3,
+                            alpha=0.0)
+
+
+class TestMultiColumnPsi:
+    def test_identical_is_zero_and_shift_ranks(self, spark):
+        from zoi_spark import tablechecks as tc
+        base = spark.createDataFrame(
+            [("en", "a")] * 5 + [("de", "b")] * 5,
+            "lang string, src string")
+        same = tc.multi_column_psi(base, base, ["lang", "src"])
+        for r in same.collect():
+            assert abs(r["psi"]) < 1e-6 and r["n_values"] == 2
+        cur = spark.createDataFrame(
+            [("en", "a")] * 9 + [("de", "b")] * 1,
+            "lang string, src string")
+        out = {r["column"]: r["psi"] for r in
+               tc.multi_column_psi(cur, base, ["lang", "src"]).collect()}
+        # lang shifted 50/50 -> 90/10; src shifted identically
+        assert out["lang"] > 0.5 and out["src"] > 0.5
+
+    def test_null_bucket_counts_as_drift(self, spark):
+        from zoi_spark import tablechecks as tc
+        base = spark.createDataFrame([("x",)] * 10, "c string")
+        cur = spark.createDataFrame([("x",)] * 5 + [(None,)] * 5,
+                                    "c string")
+        r = tc.multi_column_psi(cur, base, ["c"]).collect()[0]
+        assert r["n_values"] == 2 and r["psi"] > 1.0
+
+    def test_validates_columns(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([("x",)], "c string")
+        with pytest.raises(ValueError):
+            tc.multi_column_psi(df, df, [])

@@ -3339,3 +3339,102 @@ def conditional_violations(df: DataFrame,
     arr = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
     return df.select(F.col(id_col),
                      F.explode(arr).alias("rule_id"))
+
+
+def sprt_monitor(df: DataFrame, flag_col, *, by: str,
+                 p0: float, p1: float, alpha: float = 0.05,
+                 beta: float = 0.05) -> DataFrame:
+    """Wald's sequential probability ratio test over per-group failure
+    flags — the monitoring verdict behind "stop shipping this host's
+    data NOW vs keep watching": H0 failure rate ≤ ``p0`` (healthy) vs
+    H1 ≥ ``p1`` (degraded), error targets ``alpha`` (false alert) and
+    ``beta`` (missed alert). Per group with n trials / k failures the
+    log-likelihood ratio is ``k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))``;
+    decision = ``alert`` above ``ln((1−β)/α)``, ``ok`` below
+    ``ln(β/(1−α))``, else ``continue`` (not enough evidence yet — the
+    whole point of SPRT: it needs ~half the samples of a fixed-n test
+    at the same error rates, so small partitions get verdicts sooner).
+    Returns ``(by, n, k, llr, decision)``.
+
+    ``flag_col`` may be a name or boolean Column (TRUE/1 = failure;
+    NULL rows are excluded — they carry no evidence).
+
+    Scale shape: one group-keyed count aggregation (map-side combine),
+    constants folded driver-side — identical cost to the pass-rate
+    rollups."""
+    if not (0.0 < p0 < p1 < 1.0):
+        raise ValueError(f"need 0 < p0 < p1 < 1, got p0={p0}, p1={p1}")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError(f"alpha/beta must be in (0,1), got "
+                         f"{alpha}/{beta}")
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    flag = flag.cast("int")
+    lr_fail = math.log(p1 / p0)
+    lr_pass = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    g = (df.where(flag.isNotNull())
+         .groupBy(by)
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(flag).cast("long").alias("k")))
+    llr = (F.col("k") * F.lit(lr_fail)
+           + (F.col("n") - F.col("k")) * F.lit(lr_pass))
+    return g.select(
+        by, "n", "k", F.round(llr, 6).alias("llr"),
+        F.when(llr >= upper, F.lit("alert"))
+        .when(llr <= lower, F.lit("ok"))
+        .otherwise(F.lit("continue")).alias("decision"))
+
+
+def multi_column_psi(current: DataFrame, baseline: DataFrame,
+                     columns: "Sequence[str]", *,
+                     epsilon: float = 1e-9) -> DataFrame:
+    """Population-stability index for MANY categorical columns in one
+    distributed pass per side — the "which column drifted most"
+    triage that per-column drift checks (:func:`drift_metrics`,
+    :func:`distribution_jsd`) answer one column at a time: each side
+    is unpivoted to (column, value) via one explode, counted per
+    (column, value) with map-side combine, outer-joined on the shared
+    vocabulary, and reduced to one PSI row per column —
+    ``(column, n_values, psi)``, same ``max(share, ε)`` smoothing as
+    :func:`drift_metrics` so the two agree to the float on shared
+    inputs. NULL values count as the literal bucket ``∅`` (a
+    null-share shift IS drift).
+
+    Scale shape: 2 explodes (×len(columns) rows, value-width bounded),
+    2 (column,value)-keyed aggs, one join on the vocabulary (tiny),
+    one column-keyed reduce. Nothing corpus-quadratic; skew is bounded
+    by the hottest (column, value) pair, the same envelope as any
+    categorical histogram here."""
+    if not columns:
+        raise ValueError("multi_column_psi: no columns given")
+
+    def unpivot(df: DataFrame) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     F.coalesce(F.col(c).cast("string"),
+                                F.lit("∅")).alias("value"))
+            for c in columns])
+        return (df.select(F.explode(pairs).alias("p"))
+                .select("p.column", "p.value")
+                .groupBy("column", "value")
+                .agg(F.count("*").cast("double").alias("cnt")))
+
+    cur = unpivot(current).withColumnsRenamed({"cnt": "c_cur"})
+    base = unpivot(baseline).withColumnsRenamed({"cnt": "c_base"})
+    tot_c = Window.partitionBy("column")
+    j = (cur.join(base, ["column", "value"], "full_outer")
+         .select("column", "value",
+                 F.coalesce("c_cur", F.lit(0.0)).alias("c_cur"),
+                 F.coalesce("c_base", F.lit(0.0)).alias("c_base")))
+    q = F.greatest(F.col("c_cur") / F.greatest(F.sum("c_cur").over(tot_c),
+                                               F.lit(1.0)),
+                   F.lit(float(epsilon)))
+    p = F.greatest(F.col("c_base") / F.greatest(F.sum("c_base").over(tot_c),
+                                                F.lit(1.0)),
+                   F.lit(float(epsilon)))
+    term = (q - p) * F.log(q / p)
+    return (j.select("column", term.alias("__t"))
+            .groupBy("column")
+            .agg(F.count("*").cast("long").alias("n_values"),
+                 F.round(F.sum("__t"), 6).alias("psi")))
