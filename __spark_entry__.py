@@ -5706,6 +5706,56 @@ def q_columns_psi(spark, sf_dir):
     return tablechecks.multi_column_psi(cur, d, ["lang", "source"])
 
 
+def q_vocab_prune(spark, sf_dir):
+    """Vocabulary-pruning tradeoff curve (text.vocab_prune_curve):
+    per min_count threshold the surviving vocab size and covered token
+    mass — one token-keyed count, then the vocabulary table crossed
+    with the constant thresholds; the DuckDB twin recomputes the
+    token counts and every threshold row."""
+    from zoi_spark import text as zt
+
+    return zt.vocab_prune_curve(_read(spark, sf_dir, "documents"),
+                                thresholds=[1, 2, 5, 10, 20])
+
+
+def q_quality_woe(spark, sf_dir):
+    """Weight-of-evidence scorecard (tablechecks.woe_iv): does lang
+    separate long docs (≥300 chars) from short ones? Laplace-smoothed
+    WoE and IV contribution per lang; the DuckDB twin recomputes the
+    smoothed shares and logs."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "long_doc", (F.length("text") >= 300).cast("int"))
+    return tablechecks.woe_iv(d, bucket_col="lang",
+                              flag_col="long_doc", epsilon=0.5)
+
+
+def q_contract_verdicts(spark, sf_dir):
+    """Data-contract verdict artifact (contract.contract_check): the
+    flagship schema's 13-rule violation counts (zero-violation rules
+    present and passing), a 3-expectation battery, and a referential
+    lang dictionary that deliberately omits zh — one uniform
+    (check, kind, metric, passed) frame; the DuckDB twin re-derives
+    all three families including the rule catalog."""
+    from zoi_spark import contract
+
+    d = _read(spark, sf_dir, "documents")
+    dic = spark.createDataFrame([("en",), ("de",), ("es",), ("fr",)],
+                                "lang string")
+    return contract.contract_check(
+        d, schema=documents_schema(),
+        expectations=[
+            {"name": "rows", "kind": "row_count", "lo": 1},
+            {"name": "lang_nulls", "kind": "null_share",
+             "column": "lang", "hi": 0.0},
+            {"name": "nchars_mean", "kind": "mean", "column": "n_chars",
+             "lo": 50, "hi": 2000},
+        ],
+        references=[("lang", dic)],
+        id_cols=["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6073,6 +6123,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "transpiled_rules": q_transpiled_rules,
         "sprt_langs": q_sprt_langs,
         "columns_psi": q_columns_psi,
+        # wave 45 — vocab pruning curve, WoE/IV scorecard, data
+        # contract verdicts
+        "vocab_prune": q_vocab_prune,
+        "quality_woe": q_quality_woe,
+        "contract_verdicts": q_contract_verdicts,
     }
 
 
@@ -7678,6 +7733,62 @@ def _columns_psi_sql(epsilon: float = 1e-9) -> str:
         SELECT c AS "column", count(*)::BIGINT AS n_values,
                round(sum((q - p) * ln(q / p)), 6) AS psi
         FROM t GROUP BY c
+    """
+
+
+def _contract_sql() -> str:
+    """DuckDB twin of q_contract_verdicts: flagship check rules + the
+    5 required rules as the violation union, the 13-rule catalog as
+    VALUES (zero-violation rules pass), the 3-expectation battery and
+    the zh-less referential dictionary."""
+    fields = ["doc_id", "text", "lang", "source", "n_chars"]
+    req_branches = "\n              UNION ALL ".join(
+        f"SELECT doc_id, '{f}.required' AS rule_id FROM documents "
+        f"WHERE {f} IS NULL" for f in fields)
+    cat = ", ".join(
+        f"('{r}')" for r in
+        ["doc_id.gte", "doc_id.required", "text.gte", "text.lte",
+         "text.required", "lang.gte", "lang.lte", "lang.one_of",
+         "lang.required", "source.starts_with", "source.required",
+         "n_chars.gte", "n_chars.required"])
+    return f"""
+        WITH viol AS (
+          SELECT * FROM ({_FLAGSHIP_SQL})
+          UNION ALL {req_branches}),
+        vc AS (SELECT rule_id, count(*)::DOUBLE AS n FROM viol
+               GROUP BY rule_id),
+        cat(rule_id) AS (VALUES {cat}),
+        schema_rows AS (
+          SELECT 'schema:' || cat.rule_id AS "check",
+                 'schema' AS kind,
+                 coalesce(n, 0.0) AS metric,
+                 coalesce(n, 0.0) = 0.0 AS passed
+          FROM cat LEFT JOIN vc USING (rule_id)),
+        a AS (SELECT count(*)::DOUBLE AS c_rows,
+                     avg((lang IS NULL)::INT)::DOUBLE AS ns_lang,
+                     avg(n_chars) AS m_nc
+              FROM documents),
+        expect_rows AS (
+          SELECT 'expect:rows' AS "check", 'row_count' AS kind,
+                 round(c_rows, 6) AS metric,
+                 coalesce(c_rows >= 1.0, false) AS passed FROM a
+          UNION ALL
+          SELECT 'expect:lang_nulls', 'null_share', round(ns_lang, 6),
+                 coalesce(ns_lang <= 0.0, false) FROM a
+          UNION ALL
+          SELECT 'expect:nchars_mean', 'mean', round(m_nc, 6),
+                 coalesce(m_nc >= 50.0 AND m_nc <= 2000.0, false)
+          FROM a),
+        ref_rows AS (
+          SELECT 'ref:lang' AS "check", 'referential' AS kind,
+                 sum((lang IS NULL OR lang NOT IN
+                      ('en', 'de', 'es', 'fr'))::INT)::DOUBLE AS metric,
+                 sum((lang IS NULL OR lang NOT IN
+                      ('en', 'de', 'es', 'fr'))::INT) = 0 AS passed
+          FROM documents)
+        SELECT * FROM schema_rows
+        UNION ALL SELECT * FROM expect_rows
+        UNION ALL SELECT * FROM ref_rows
     """
 
 
@@ -13754,4 +13865,38 @@ def oracle_sql() -> dict[str, str]:
             id_col="event_id"),
         "sprt_langs": _sprt_sql(),
         "columns_psi": _columns_psi_sql(),
+        "vocab_prune": f"""
+            WITH toks AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents),
+            counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks
+                       WHERE tok <> '' GROUP BY tok),
+            th(min_count) AS (VALUES (1), (2), (5), (10), (20))
+            SELECT min_count::INT AS min_count,
+                   sum((c >= min_count)::INT)::BIGINT AS vocab_size,
+                   round(sum(CASE WHEN c >= min_count THEN c
+                             ELSE 0 END) / sum(c)::DOUBLE, 6)
+                     AS covered_share
+            FROM counts CROSS JOIN th
+            GROUP BY min_count
+        """,
+        "quality_woe": """
+            WITH g AS (
+              SELECT lang AS bucket,
+                     sum((length(text) >= 300)::INT)::DOUBLE AS pos,
+                     sum((length(text) < 300)::INT)::DOUBLE AS neg
+              FROM documents WHERE text IS NOT NULL
+              GROUP BY 1),
+            t AS (SELECT sum(pos) AS tp, sum(neg) AS tn,
+                         count(*)::DOUBLE AS nb FROM g),
+            s AS (SELECT bucket, pos, neg,
+                         (pos + 0.5) / (tp + 0.5 * nb) AS dp,
+                         (neg + 0.5) / (tn + 0.5 * nb) AS dn
+                  FROM g, t)
+            SELECT bucket, pos::BIGINT AS n_pos, neg::BIGINT AS n_neg,
+                   round(ln(dp / dn), 6) AS woe,
+                   round((dp - dn) * ln(dp / dn), 6) AS iv_term
+            FROM s
+        """,
+        "contract_verdicts": _contract_sql(),
     }

@@ -347,6 +347,8 @@ R4_NAMES = [
     "suggest_rules", "weighted_sample", "nfc_audit",
     # wave 44: SQL transpiler parity, SPRT monitoring, multi-col PSI
     "transpiled_rules", "sprt_langs", "columns_psi",
+    # wave 45: vocab prune curve, WoE/IV scorecard, data contract
+    "vocab_prune", "quality_woe", "contract_verdicts",
 ]
 
 

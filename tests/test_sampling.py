@@ -417,3 +417,25 @@ class TestWeightedSample:
                                      id_col="doc_id", k=0)
         assert sampling.weighted_sample(
             df, weight_col="w", id_col="doc_id", k=5).count() == 1
+
+
+class TestVocabPruneCurve:
+    def test_hand_curve(self, spark):
+        # corpus: 'a' x5, 'b' x2, 'c' x1 (normalize lowercases)
+        df = spark.createDataFrame(
+            [("a a A b",), ("a A b c",)], "text string")
+        out = {r["min_count"]: r for r in text.vocab_prune_curve(
+            df, thresholds=[1, 2, 3, 6]).collect()}
+        assert out[1]["vocab_size"] == 3
+        assert out[1]["covered_share"] == 1.0
+        assert out[2]["vocab_size"] == 2      # a, b survive
+        assert out[2]["covered_share"] == 0.875  # 7/8
+        assert out[3]["vocab_size"] == 1      # only a
+        assert out[3]["covered_share"] == 0.625  # 5/8
+        assert out[6]["vocab_size"] == 0
+        assert out[6]["covered_share"] == 0.0
+
+    def test_threshold_validation(self, spark):
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError):
+            text.vocab_prune_curve(df, thresholds=[0, 1])

@@ -3031,3 +3031,77 @@ class TestMultiColumnPsi:
         df = spark.createDataFrame([("x",)], "c string")
         with pytest.raises(ValueError):
             tc.multi_column_psi(df, df, [])
+
+
+class TestWoeIv:
+    def test_hand_woe(self, spark):
+        import math
+        from zoi_spark import tablechecks as tc
+        rows = ([("a", 1)] * 3 + [("a", 0)] * 1
+                + [("b", 1)] * 1 + [("b", 0)] * 3
+                + [("c", None)])
+        df = spark.createDataFrame(rows, "bucket string, flag int")
+        out = {r["bucket"]: r for r in tc.woe_iv(
+            df, bucket_col="bucket", flag_col="flag",
+            epsilon=0.5).collect()}
+        # totals: pos=4, neg=4, buckets=2 -> denominator 4 + 0.5*2 = 5
+        dp_a, dn_a = 3.5 / 5, 1.5 / 5
+        assert out["a"]["n_pos"] == 3 and out["a"]["n_neg"] == 1
+        assert out["a"]["woe"] == round(math.log(dp_a / dn_a), 6)
+        assert out["a"]["iv_term"] == round(
+            (dp_a - dn_a) * math.log(dp_a / dn_a), 6)
+        # symmetric bucket: mirrored woe
+        assert out["b"]["woe"] == -out["a"]["woe"]
+        assert "c" not in out  # NULL flag carries no evidence
+
+    def test_iv_orders_separating_features(self, spark):
+        from zoi_spark import tablechecks as tc
+        sep = spark.createDataFrame(
+            [("a", 1)] * 9 + [("a", 0)] * 1
+            + [("b", 1)] * 1 + [("b", 0)] * 9,
+            "bucket string, flag int")
+        noise = spark.createDataFrame(
+            [("a", 1)] * 5 + [("a", 0)] * 5
+            + [("b", 1)] * 5 + [("b", 0)] * 5,
+            "bucket string, flag int")
+        iv = lambda d: sum(r["iv_term"] for r in tc.woe_iv(
+            d, bucket_col="bucket", flag_col="flag").collect())
+        assert iv(sep) > 0.5 > iv(noise)
+
+
+class TestContractCheck:
+    def test_three_families_and_zero_rules_present(self, spark):
+        import zoi_spark as z
+        from zoi_spark import contract
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "xx"), (3, None)],
+            "doc_id long, lang string")
+        dic = spark.createDataFrame([("en",), ("de",)], "lang string")
+        out = {r["check"]: r for r in contract.contract_check(
+            df,
+            schema=z.fields({"doc_id": z.integer().non_negative(),
+                             "lang": z.string(min=2, max=2)}),
+            expectations=[{"name": "rows", "kind": "row_count",
+                           "lo": 3, "hi": 3},
+                          {"name": "lang_nulls", "kind": "null_share",
+                           "column": "lang", "hi": 0.0}],
+            references=[("lang", dic)],
+            id_cols=["doc_id"]).collect()}
+        # zero-violation schema rule still present and passing
+        assert out["schema:doc_id.gte"]["passed"] is True
+        assert out["schema:doc_id.gte"]["metric"] == 0.0
+        # NULL lang -> required violation counted
+        assert out["schema:lang.required"]["metric"] == 1.0
+        assert out["schema:lang.required"]["passed"] is False
+        assert out["expect:rows"]["passed"] is True
+        assert out["expect:lang_nulls"]["passed"] is False
+        # 'xx' and NULL both miss the dictionary
+        assert out["ref:lang"]["metric"] == 2.0
+        assert out["ref:lang"]["passed"] is False
+
+    def test_empty_contract_rejected(self, spark):
+        import pytest
+        from zoi_spark import contract
+        df = spark.createDataFrame([(1,)], "x long")
+        with pytest.raises(ValueError):
+            contract.contract_check(df)

@@ -2851,3 +2851,36 @@ def nfc_audit(df: DataFrame, *, text_col: str = "text",
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("__bad").cast("long").alias("n_not_nfc"),
                  F.round(F.avg("__bad"), 6).alias("not_nfc_share")))
+
+
+def vocab_prune_curve(df: DataFrame, *, text_col: str = "text",
+                      thresholds: "Sequence[int]" = (1, 2, 5, 10, 20),
+                      ) -> DataFrame:
+    """Vocabulary-pruning tradeoff curve — the tokenizer-design
+    question "what does min_count=t cost?": for each candidate
+    threshold, the surviving vocabulary size and the share of token
+    MASS it still covers (1 − that share = the OOV rate a model with
+    this vocab would see on its own training corpus). One row per
+    threshold: ``(min_count, vocab_size, covered_share)``.
+
+    Scale shape: one normalize+split explode (the corpus-token
+    stream), ONE token-keyed count (map-side combine — the only real
+    shuffle), then the count table (vocabulary-sized, ≪ corpus)
+    crossed with the constant threshold array and reduced. Adding a
+    threshold costs nothing measurable."""
+    ts = sorted({int(t) for t in thresholds})
+    if not ts or ts[0] < 1:
+        raise ValueError(f"thresholds must be >= 1, got {thresholds}")
+    toks = (df.select(F.explode(F.split(normalize_text(F.col(text_col)),
+                                        " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    tdf = counts.select(
+        "__c", F.explode(F.array(*[F.lit(t) for t in ts]))
+        .alias("min_count"))
+    keep = F.col("__c") >= F.col("min_count")
+    return (tdf.groupBy("min_count")
+            .agg(F.sum(keep.cast("long")).alias("vocab_size"),
+                 F.round(F.sum(F.when(keep, F.col("__c"))
+                               .otherwise(F.lit(0)))
+                         / F.sum("__c"), 6).alias("covered_share")))
