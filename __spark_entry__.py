@@ -5756,6 +5756,41 @@ def q_contract_verdicts(spark, sf_dir):
         id_cols=["doc_id"])
 
 
+def q_rule_catalog(spark, sf_dir):
+    """Rule-catalog lineage (ValidationResult.catalog): every compiled
+    rule of the flagship schema as (rule_id, code, path_str, message)
+    — fired or not; the DuckDB twin is the independently hand-derived
+    13-row catalog (the same strings Zoi's error templates render,
+    lib/zoi/error.ex)."""
+    res = z.validate(_read(spark, sf_dir, "documents"),
+                     documents_schema(), id_cols=["doc_id"])
+    return res.catalog()
+
+
+def q_ruleset_diff(spark, sf_dir):
+    """Schema-evolution diff (describe.schema_diff): the flagship
+    rule-set vs a successor that tightens text.lte, widens
+    lang.one_of, adds a required url, makes n_chars optional and drops
+    source — (path, change, detail, breaking) rows with
+    reader-compatibility verdicts; the DuckDB twin is the
+    independently hand-derived change list."""
+    from zoi_spark.describe import schema_diff
+
+    new = z.fields({
+        "doc_id": z.integer().non_negative(),
+        "text": z.string(min=50, max=400),
+        "lang": z.string(min=2, max=2).one_of(
+            ["en", "de", "es", "fr", "zh"]),
+        "url": z.string().starts_with("http"),
+        "n_chars": z.integer(gte=50).optional(),
+    })
+    rows = schema_diff(documents_schema(), new)
+    return spark.createDataFrame(
+        [(r["path"], r["change"], r["detail"], r["breaking"])
+         for r in rows],
+        "path string, change string, detail string, breaking boolean")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6128,6 +6163,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "vocab_prune": q_vocab_prune,
         "quality_woe": q_quality_woe,
         "contract_verdicts": q_contract_verdicts,
+        # wave 46 — rule-catalog lineage, schema-evolution diff
+        "rule_catalog": q_rule_catalog,
+        "ruleset_diff": q_ruleset_diff,
     }
 
 
@@ -13899,4 +13937,43 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "contract_verdicts": _contract_sql(),
+        "rule_catalog": """
+            SELECT * FROM (VALUES
+              ('doc_id.gte', 'greater_than_or_equal_to', 'doc_id',
+               'too small: must be at least 0'),
+              ('doc_id.required', 'required', 'doc_id', 'is required'),
+              ('text.gte', 'greater_than_or_equal_to', 'text',
+               'too small: must have at least 50 character(s)'),
+              ('text.lte', 'less_than_or_equal_to', 'text',
+               'too big: must have at most 520 character(s)'),
+              ('text.required', 'required', 'text', 'is required'),
+              ('lang.gte', 'greater_than_or_equal_to', 'lang',
+               'too small: must have at least 2 character(s)'),
+              ('lang.lte', 'less_than_or_equal_to', 'lang',
+               'too big: must have at most 2 character(s)'),
+              ('lang.one_of', 'not_in_values', 'lang',
+               'invalid value: expected one of en, de, es, fr'),
+              ('lang.required', 'required', 'lang', 'is required'),
+              ('source.starts_with', 'invalid_format', 'source',
+               'invalid format: must start with ''src'''),
+              ('source.required', 'required', 'source', 'is required'),
+              ('n_chars.gte', 'greater_than_or_equal_to', 'n_chars',
+               'too small: must be at least 50'),
+              ('n_chars.required', 'required', 'n_chars', 'is required')
+            ) AS t(rule_id, code, path_str, message)
+        """,
+        "ruleset_diff": """
+            SELECT * FROM (VALUES
+              ('lang', 'check_added',
+               'one_of(values=[''en'', ''de'', ''es'', ''fr'', ''zh''])',
+               true),
+              ('lang', 'check_removed',
+               'one_of(values=[''en'', ''de'', ''es'', ''fr''])', false),
+              ('n_chars', 'required_removed', '', false),
+              ('source', 'field_removed', 'kind=string', false),
+              ('text', 'check_added', 'lte(value=400)', true),
+              ('text', 'check_removed', 'lte(value=520)', false),
+              ('url', 'field_added', 'kind=string', true)
+            ) AS t(path, change, detail, breaking)
+        """,
     }

@@ -349,6 +349,8 @@ R4_NAMES = [
     "transpiled_rules", "sprt_langs", "columns_psi",
     # wave 45: vocab prune curve, WoE/IV scorecard, data contract
     "vocab_prune", "quality_woe", "contract_verdicts",
+    # wave 46: rule-catalog lineage, schema-evolution diff
+    "rule_catalog", "ruleset_diff",
 ]
 
 

@@ -201,3 +201,55 @@ class TestTranspile:
             transpile.sql_rules(z.fields({"a": z.string().trim()}))
         with pytest.raises(ValueError, match="top level"):
             transpile.sql_rules(z.integer())
+
+
+class TestSchemaDiff:
+    def test_changes_and_breaking_verdicts(self, spark):
+        import zoi_spark as z
+        from zoi_spark.describe import schema_diff
+        old = z.fields({
+            "a": z.integer().gte(0),
+            "b": z.string(min=2),
+            "gone": z.string(),
+        })
+        new = z.fields({
+            "a": z.integer().gte(10),          # tightened: -0, +10
+            "b": z.string(min=2).optional(),   # relaxed
+            "fresh": z.string(),               # new required field
+            "fresh_opt": z.string().optional(),
+        })
+        rows = {(r["path"], r["change"]): r
+                for r in schema_diff(old, new)}
+        assert rows[("a", "check_added")]["breaking"] is True
+        assert "value=10" in rows[("a", "check_added")]["detail"]
+        assert rows[("a", "check_removed")]["breaking"] is False
+        assert rows[("b", "required_removed")]["breaking"] is False
+        assert rows[("gone", "field_removed")]["breaking"] is False
+        assert rows[("fresh", "field_added")]["breaking"] is True
+        assert rows[("fresh_opt", "field_added")]["breaking"] is False
+        assert ("b", "check_added") not in rows  # unchanged check
+
+    def test_type_change_and_validation(self, spark):
+        import pytest
+        import zoi_spark as z
+        from zoi_spark.describe import schema_diff
+        old = z.fields({"x": z.integer()})
+        new = z.fields({"x": z.string()})
+        rows = {r["change"]: r for r in schema_diff(old, new)}
+        assert rows["type_changed"]["breaking"] is True
+        with pytest.raises(ValueError):
+            schema_diff(z.integer(), new)
+
+
+def test_validation_catalog_lists_every_rule(spark):
+    import zoi_spark as z
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    res = validate(df, z.fields({
+        "doc_id": z.integer().non_negative(),
+        "lang": z.string(min=2, max=2),
+    }), id_cols=["doc_id"])
+    cat = {r["rule_id"]: r for r in res.catalog().collect()}
+    assert set(cat) == {"doc_id.gte", "doc_id.required", "lang.gte",
+                        "lang.lte", "lang.required"}
+    assert cat["doc_id.gte"]["code"] == "greater_than_or_equal_to"
+    assert cat["lang.gte"]["path_str"] == "lang"

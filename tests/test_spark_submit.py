@@ -144,3 +144,51 @@ def test_spark_submit_curate_mode(tmp_path):
     assert 7 not in set(kept_ids.to_pylist())
     assert ledger["kept_ws_tokens"] > 0
     assert os.path.isdir(out_dir)
+
+
+def test_cli_contract_mode_in_process(tmp_path, spark):
+    """--mode contract: verdict rows printed, parquet written, exit
+    code folds the passed column (0 all-pass / 3 any-fail)."""
+    import zoi_spark.cli as cli
+
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps({
+        "type": "object",
+        "properties": {"doc_id": {"type": "integer", "minimum": 0},
+                       "lang": {"type": "string"}},
+        "required": ["doc_id", "lang"],
+    }))
+    contract_file = tmp_path / "contract.json"
+    contract_file.write_text(json.dumps({
+        "expectations": [
+            {"name": "rows", "kind": "row_count", "lo": 1},
+            {"name": "lang_nulls", "kind": "null_share",
+             "column": "lang", "hi": 0.0}],
+        "references": [{"column": "lang",
+                        "values": ["en", "de", "es", "fr"]}],
+    }))
+    out_dir = tmp_path / "verdicts"
+    argv = ["--mode", "contract",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--schema", str(schema_file),
+            "--contract", str(contract_file),
+            "--id-col", "doc_id", "--run-id", "t1",
+            "--output", str(out_dir)]
+    # zh docs miss the reference dictionary -> contract fails with 3
+    assert cli.main(argv) == 3
+    rows = {r["check"]: r for r in
+            spark.read.parquet(str(out_dir)).collect()}
+    assert rows["ref:lang"]["passed"] is False
+    assert rows["expect:rows"]["passed"] is True
+    assert any(c.startswith("schema:") for c in rows)
+
+    contract_file.write_text(json.dumps({
+        "references": [{"column": "lang",
+                        "values": ["en", "de", "es", "fr", "zh"]}],
+    }))
+    assert cli.main(["--mode", "contract",
+                     "--input",
+                     "/root/testdata/sf0.001/documents.parquet",
+                     "--schema", str(schema_file),
+                     "--contract", str(contract_file),
+                     "--id-col", "doc_id", "--run-id", "t2"]) == 0

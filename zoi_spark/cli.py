@@ -28,7 +28,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zoi-spark",
                                 description="validate a table against a schema")
-    p.add_argument("--mode", choices=["validate", "curate"],
+    p.add_argument("--mode", choices=["validate", "curate", "contract"],
                    default="validate",
                    help="validate (default): resumable rule-set run; "
                         "curate: full corpus-curation pipeline "
@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stamp a deterministic recrawl-stable split "
                         "column on the kept corpus, e.g. "
                         "'train:0.8,val:0.1,test:0.1' (curate mode)")
+    p.add_argument("--contract", default=None,
+                   help="contract JSON for --mode contract: "
+                        '{"expectations": [...], "references": '
+                        '[{"column": c, "values": [...]}]} — the '
+                        "row-level rules come from --schema")
     return p
 
 
@@ -122,6 +127,29 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.input)
     else:
         df = spark.read.table(args.input)
+
+    if args.mode == "contract":
+        from zoi_spark.contract import contract_check
+        spec = {}
+        if args.contract:
+            with open(args.contract) as f:
+                spec = json.load(f)
+        refs = []
+        for r in spec.get("references", ()):
+            dic = spark.createDataFrame(
+                [(v,) for v in r["values"]], f"{r['column']} string")
+            refs.append((r["column"], dic))
+        verdicts = contract_check(
+            df, schema=schema,
+            expectations=spec.get("expectations") or None,
+            references=refs, id_cols=[args.id_col]).collect()
+        for row in verdicts:
+            print(f"{'PASS' if row['passed'] else 'FAIL'}  "
+                  f"{row['check']}  metric={row['metric']}")
+        if args.output:
+            spark.createDataFrame(verdicts).write.mode(
+                "overwrite").parquet(args.output)
+        return 0 if all(r["passed"] for r in verdicts) else 3
 
     if args.mode == "curate":
         if not args.output:

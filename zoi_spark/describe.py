@@ -146,3 +146,81 @@ def _leaf_type(s: Schema) -> T.DataType:
         "literal": T.StringType(), "lazy": T.StringType(),
         "codec": T.StringType(),
     }.get(k) or T.StringType()
+
+
+def schema_diff(old: Schema, new: Schema) -> "list[dict]":
+    """Rule-set evolution diff — the release gate for schema changes:
+    compares two flat ``fields`` schemas and reports every change as
+    ``{path, change, detail, breaking}``, where ``breaking`` means
+    "rows that passed the old rule-set can now fail" (the reader-side
+    compatibility question; relaxations are non-breaking):
+
+    - ``field_added`` — breaking iff the new field is required with no
+      default (previously-valid rows lack it)
+    - ``field_removed`` — non-breaking for validation (extra columns
+      follow the fields-mode policy, not a rule)
+    - ``type_changed`` — always breaking
+    - ``check_added`` — breaking (tightens); ``check_removed`` —
+      non-breaking (loosens). A changed parameter reports as one
+      removed + one added entry (multiset diff — deterministic, no
+      same-kind pairing heuristics)
+    - ``required_added``/``required_removed``, ``nullable_added``/
+      ``nullable_removed``, ``default_added``/``default_removed``
+
+    Metadata-sized driver-side computation (a schema has hundreds of
+    rules, not 10^12) — returns plain rows; build a DataFrame if a
+    report artifact is needed."""
+    if old.kind != "fields" or new.kind != "fields":
+        raise ValueError("schema_diff compares z.fields(...) schemas, "
+                         f"got {old.kind!r} vs {new.kind!r}")
+    out: list[dict] = []
+
+    def row(path, change, detail, breaking):
+        out.append({"path": path, "change": change,
+                    "detail": detail, "breaking": bool(breaking)})
+
+    of, nf = old.params["fields"], new.params["fields"]
+    for name in sorted(set(of) | set(nf)):
+        if name not in of:
+            child = nf[name]
+            req = (child.required is not False and not child.nullable
+                   and child.default is _UNSET)
+            row(name, "field_added", f"kind={child.kind}", req)
+            continue
+        if name not in nf:
+            row(name, "field_removed", f"kind={of[name].kind}", False)
+            continue
+        o, n = of[name], nf[name]
+        if o.kind != n.kind:
+            row(name, "type_changed", f"{o.kind} -> {n.kind}", True)
+
+        def key(chk):
+            p = {k: v for k, v in dict(chk.params).items() if k != "fn"}
+            return (chk.kind,
+                    tuple(sorted((k, repr(v)) for k, v in p.items())))
+
+        oc = {key(c) for c in o.checks}
+        nc = {key(c) for c in n.checks}
+        for k in sorted(nc - oc):
+            row(name, "check_added",
+                k[0] + "(" + ", ".join(f"{a}={b}" for a, b in k[1]) + ")",
+                True)
+        for k in sorted(oc - nc):
+            row(name, "check_removed",
+                k[0] + "(" + ", ".join(f"{a}={b}" for a, b in k[1]) + ")",
+                False)
+        o_req = o.required is not False and not o.nullable
+        n_req = n.required is not False and not n.nullable
+        if n_req and not o_req:
+            row(name, "required_added", "", True)
+        if o_req and not n_req:
+            row(name, "required_removed", "", False)
+        if n.nullable and not o.nullable:
+            row(name, "nullable_added", "", False)
+        if o.nullable and not n.nullable:
+            row(name, "nullable_removed", "", True)
+        if o.default is _UNSET and n.default is not _UNSET:
+            row(name, "default_added", repr(n.default), False)
+        if o.default is not _UNSET and n.default is _UNSET:
+            row(name, "default_removed", repr(o.default), False)
+    return out

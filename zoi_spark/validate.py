@@ -127,6 +127,19 @@ class ValidationResult:
             F.sum((~F.col("__zoi_valid")).cast("long")).alias("n_invalid"),
         )
 
+    def catalog(self) -> DataFrame:
+        """Rule-catalog introspection as a DataFrame — ``(rule_id,
+        code, path_str, message)`` for every compiled rule (fired or
+        not): the lineage artifact reviewers diff between releases and
+        dashboards join violation counts against. Driver-sized (one
+        row per RULE, not per row of data)."""
+        meta = rules_meta_df(self.annotated.sparkSession,
+                             self.compiled.rules)
+        return meta.select(
+            "rule_id", "code",
+            F.array_join("__static_path", ".").alias("path_str"),
+            F.col("__static_message").alias("message"))
+
 
 def validate(df: DataFrame, schema: Schema,
              id_cols: Sequence[str] = ()) -> ValidationResult:
@@ -202,3 +215,4 @@ def prepare_form(df: DataFrame) -> DataFrame:
         if f.dataType.simpleString() == "string":
             out = out.withColumn(f.name, F.nullif(F.col(f.name), F.lit("")))
     return out
+
