@@ -5791,6 +5791,58 @@ def q_ruleset_diff(spark, sf_dir):
         "path string, change string, detail string, breaking boolean")
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Z-order clustering keys (tablechecks.zorder_key): (doc_id,
+    n_chars) min-max normalized to 8 bits each and bit-interleaved —
+    the OPTIMIZE ZORDER layout step; the DuckDB twin recomputes the
+    normalization and all 16 shift-and-or terms."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return tablechecks.zorder_key(d, ["doc_id", "n_chars"], bits=8)
+
+
+def q_repair_suggestions(spark, sf_dir):
+    """Violation auto-repair (repair.suggest_repairs): zh docs get
+    their Levenshtein-nearest dictionary lang, out-of-range n_chars
+    clamp to the violated bound, over-long text truncates — (id,
+    rule_id, current, suggestion) rows; the DuckDB twin recomputes the
+    edit-distance argmin (window over the candidate cross join) and
+    the clamps."""
+    from zoi_spark.repair import suggest_repairs
+
+    d = _read(spark, sf_dir, "documents")
+    schema = z.fields({
+        "lang": z.string().one_of(["en", "de", "es", "fr"]),
+        "n_chars": z.integer(gte=50, lte=400),
+        "text": z.string(max=520),
+    })
+    return suggest_repairs(d, schema, id_col="doc_id")
+
+
+def q_fk_sweep(spark, sf_dir):
+    """Referential-integrity sweep (tablechecks.fk_sweep): the whole
+    TPC-H FK graph — customer→nation, orders→customer,
+    lineitem→orders, supplier→nation, nation→region — orphan counts
+    per edge in one report; the DuckDB twin recomputes every edge with
+    NOT IN anti-semantics on non-NULL keys."""
+    from zoi_spark import tablechecks
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    r = _read(spark, sf_dir, "region")
+    return tablechecks.fk_sweep([
+        ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("orders->customer", o, "o_custkey", c, "c_custkey"),
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+        ("nation->region", n, "n_regionkey", r, "r_regionkey"),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6166,6 +6218,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # wave 46 — rule-catalog lineage, schema-evolution diff
         "rule_catalog": q_rule_catalog,
         "ruleset_diff": q_ruleset_diff,
+        # wave 47 — z-order layout keys, violation auto-repair,
+        # FK-graph sweep
+        "zorder_keys": q_zorder_keys,
+        "repair_suggestions": q_repair_suggestions,
+        "fk_integrity": q_fk_sweep,
     }
 
 
@@ -7771,6 +7828,90 @@ def _columns_psi_sql(epsilon: float = 1e-9) -> str:
         SELECT c AS "column", count(*)::BIGINT AS n_values,
                round(sum((q - p) * ln(q / p)), 6) AS psi
         FROM t GROUP BY c
+    """
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """DuckDB twin of q_zorder_keys: same min-max stats (recomputed in
+    a CTE), same clamp, same interleave — one shift-and-or term per
+    (column, bit)."""
+    cols = ["doc_id", "n_chars"]
+    top = (1 << bits) - 1
+    terms = []
+    for ci, c in enumerate(cols):
+        v = (f"least(greatest(coalesce(floor((({c}::DOUBLE) - mn_{c}) "
+             f"/ (mx_{c} - mn_{c}) * {top + 1}), 0), 0), {top})::BIGINT")
+        for b in range(bits):
+            terms.append(f"((({v} >> {b}) & 1) "
+                         f"<< {b * len(cols) + ci})")
+    key = "\n                 + ".join(terms)
+    stats = ", ".join(
+        f"min({c}::DOUBLE) AS mn_{c}, max({c}::DOUBLE) AS mx_{c}"
+        for c in cols)
+    return f"""
+        WITH s AS (SELECT {stats} FROM documents)
+        SELECT doc_id, n_chars,
+               ({key})::BIGINT AS zorder_key
+        FROM documents, s
+    """
+
+
+def _repair_sql() -> str:
+    """DuckDB twin of q_repair_suggestions: Levenshtein argmin via a
+    candidate cross join + row_number, numeric clamps, truncation."""
+    return """
+        WITH cand(v) AS (VALUES ('de'), ('en'), ('es'), ('fr')),
+        enumfix AS (
+          SELECT doc_id, lang, v,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY levenshtein(lang, v), v) AS rn
+          FROM documents CROSS JOIN cand
+          WHERE lang IS NOT NULL
+            AND lang NOT IN ('de', 'en', 'es', 'fr'))
+        SELECT doc_id, 'lang.one_of' AS rule_id, lang AS current,
+               v AS suggestion
+        FROM enumfix WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, 'n_chars.gte', n_chars::VARCHAR, '50'
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars < 50
+        UNION ALL
+        SELECT doc_id, 'n_chars.lte', n_chars::VARCHAR, '400'
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 400
+        UNION ALL
+        SELECT doc_id, 'text.lte', text, substr(text, 1, 520)
+        FROM documents WHERE text IS NOT NULL AND length(text) > 520
+    """
+
+
+def _fk_sweep_sql() -> str:
+    """DuckDB twin of q_fk_sweep: per edge, non-NULL key count and
+    NOT IN orphan count."""
+    edges = [
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("supplier->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    branches = []
+    for name, child, ck, parent, pk in edges:
+        branches.append(f"""
+          SELECT '{name}' AS edge,
+                 count(*)::BIGINT AS n_rows,
+                 sum(({ck} NOT IN (SELECT {pk} FROM {parent}
+                                   WHERE {pk} IS NOT NULL))::INT)
+                   ::BIGINT AS n_orphans
+          FROM {child} WHERE {ck} IS NOT NULL""")
+    u = "\n          UNION ALL".join(branches)
+    return f"""
+        SELECT edge, n_rows, n_orphans, n_orphans = 0 AS ok FROM (
+          {u})
     """
 
 
@@ -13976,4 +14117,7 @@ def oracle_sql() -> dict[str, str]:
               ('url', 'field_added', 'kind=string', true)
             ) AS t(path, change, detail, breaking)
         """,
+        "zorder_keys": _zorder_sql(),
+        "repair_suggestions": _repair_sql(),
+        "fk_integrity": _fk_sweep_sql(),
     }

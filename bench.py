@@ -351,6 +351,8 @@ R4_NAMES = [
     "vocab_prune", "quality_woe", "contract_verdicts",
     # wave 46: rule-catalog lineage, schema-evolution diff
     "rule_catalog", "ruleset_diff",
+    # wave 47: z-order layout keys, violation auto-repair, FK sweep
+    "zorder_keys", "repair_suggestions", "fk_integrity",
 ]
 
 

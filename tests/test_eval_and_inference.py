@@ -253,3 +253,45 @@ def test_validation_catalog_lists_every_rule(spark):
                         "lang.lte", "lang.required"}
     assert cat["doc_id.gte"]["code"] == "greater_than_or_equal_to"
     assert cat["lang.gte"]["path_str"] == "lang"
+
+
+class TestSuggestRepairs:
+    def test_enum_clamp_truncate(self, spark):
+        import zoi_spark as z
+        from zoi_spark.repair import suggest_repairs
+        df = spark.createDataFrame(
+            [(1, "enn", 5, "toolong"), (2, "de", -3, "ok"),
+             (3, None, 200, None)],
+            "doc_id long, lang string, n long, s string")
+        schema = z.fields({
+            "lang": z.string().one_of(["en", "de", "fr"]),
+            "n": z.integer().gte(0).lte(100),
+            "s": z.string(max=4),
+        })
+        rows = {(r["doc_id"], r["rule_id"]): r for r in
+                suggest_repairs(df, schema, id_col="doc_id").collect()}
+        assert rows[(1, "lang.one_of")]["suggestion"] == "en"
+        assert rows[(2, "n.gte")]["suggestion"] == "0"
+        assert rows[(3, "n.lte")]["suggestion"] == "100"
+        assert rows[(1, "s.lte")]["suggestion"] == "tool"
+        # NULLs and passing values emit nothing
+        assert (3, "lang.one_of") not in rows
+        assert (2, "lang.one_of") not in rows
+        assert len(rows) == 4
+
+    def test_tie_breaks_lexicographically(self, spark):
+        import zoi_spark as z
+        from zoi_spark.repair import suggest_repairs
+        df = spark.createDataFrame([(1, "ax")], "doc_id long, v string")
+        schema = z.fields({"v": z.string().one_of(["ay", "az"])})
+        r = suggest_repairs(df, schema, id_col="doc_id").collect()[0]
+        assert r["suggestion"] == "ay"  # both distance 1
+
+    def test_no_repairable_rules_raises(self, spark):
+        import pytest
+        import zoi_spark as z
+        from zoi_spark.repair import suggest_repairs
+        df = spark.createDataFrame([(1, "x")], "doc_id long, v string")
+        with pytest.raises(ValueError):
+            suggest_repairs(df, z.fields({"v": z.string().regex("^x")}),
+                            id_col="doc_id")

@@ -3105,3 +3105,71 @@ class TestContractCheck:
         df = spark.createDataFrame([(1,)], "x long")
         with pytest.raises(ValueError):
             contract.contract_check(df)
+
+
+class TestZorderKey:
+    def test_hand_interleave(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(0, 0), (3, 0), (0, 3), (3, 3)], "x long, y long")
+        out = {(r["x"], r["y"]): r["zorder_key"] for r in
+               tc.zorder_key(df, ["x", "y"], bits=2,
+                             stats={"x": (0, 3), "y": (0, 3)})
+               .collect()}
+        # normalized to 2 bits: 0->0, 3->3 (floor(3/3*4)=4 clamped 3)
+        # interleave x at even bit positions, y at odd
+        assert out[(0, 0)] == 0
+        assert out[(3, 0)] == 0b0101
+        assert out[(0, 3)] == 0b1010
+        assert out[(3, 3)] == 0b1111
+
+    def test_locality_beats_column_order(self, spark):
+        from pyspark.sql import functions as F
+        from zoi_spark import tablechecks as tc
+        # grid: rows sorted by zorder key keep BOTH dims locally tight
+        df = spark.range(256).select(
+            (F.col("id") % 16).alias("x"),
+            (F.col("id") / 16).cast("long").alias("y"))
+        z = tc.zorder_key(df, ["x", "y"], bits=4).orderBy("zorder_key")
+        ys = [r["y"] for r in z.limit(64).collect()]
+        xs = [r["x"] for r in z.limit(64).collect()]
+        # first quarter of z-order covers the 8x8 corner, not a stripe
+        assert max(ys) <= 7 and max(xs) <= 7
+
+    def test_nulls_constant_and_validation(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(None, 5), (1, 5)],
+                                   "x long, c long")
+        out = tc.zorder_key(df, ["x", "c"], bits=4).collect()
+        # constant column contributes 0; NULL x normalizes to 0
+        assert {r["zorder_key"] for r in out} == {0}
+        with pytest.raises(ValueError):
+            tc.zorder_key(df, ["x"], bits=63)
+        with pytest.raises(ValueError):
+            tc.zorder_key(df, [])
+
+
+class TestFkSweep:
+    def test_orphans_and_null_fk_exempt(self, spark):
+        from zoi_spark import tablechecks as tc
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None)],
+            "id long, fk long")
+        parent = spark.createDataFrame([(10,), (20,)], "pk long")
+        r = tc.fk_sweep([("child->parent", child, "fk",
+                          parent, "pk")]).collect()[0]
+        assert r["edge"] == "child->parent"
+        assert r["n_rows"] == 3        # NULL fk excluded
+        assert r["n_orphans"] == 1     # 99
+        assert r["ok"] is False
+
+    def test_multiple_edges(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        a = spark.createDataFrame([(1,)], "k long")
+        out = tc.fk_sweep([("self", a, "k", a, "k"),
+                           ("self2", a, "k", a, "k")]).collect()
+        assert all(r["ok"] for r in out) and len(out) == 2
+        with pytest.raises(ValueError):
+            tc.fk_sweep([])

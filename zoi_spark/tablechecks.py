@@ -3476,3 +3476,88 @@ def woe_iv(df: DataFrame, *, bucket_col: str, flag_col,
         F.col("__neg").cast("long").alias("n_neg"),
         F.round(woe, 6).alias("woe"),
         F.round((dp - dn) * woe, 6).alias("iv_term"))
+
+
+def zorder_key(df: DataFrame, columns: "Sequence[str]", *,
+               bits: int = 16,
+               stats: "dict[str, tuple[float, float]] | None" = None,
+               key_col: str = "zorder_key") -> DataFrame:
+    """Z-order (Morton) clustering key — the layout step behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``: each column is min-max
+    normalized to a ``bits``-bit integer and the bits are interleaved,
+    so a range-sort on the key co-locates rows that are close in EVERY
+    dimension; data-skipping on any single column then prunes ~the
+    fraction :func:`clustering_skipping_estimate` measures. Returns
+    the frame plus ``key_col``; follow with
+    ``repartitionByRange(key_col)`` + write.
+
+    ``stats``: per-column (min, max). When omitted, ONE tiny min/max
+    aggregate is collected driver-side (the documented small
+    aggregate; pass precomputed stats to keep the plan action-free at
+    10^12 rows). NULLs and constant columns normalize to 0 — they
+    cannot be ordered, only grouped.
+
+    Scale shape: the key is a pure Column expression
+    (``bits × n_cols`` shift-and-or terms inside whole-stage codegen)
+    — the expensive part is the range sort the CALLER chooses, exactly
+    as with any clustering rewrite. ``bits × n_cols`` must fit a
+    signed 64-bit key (≤ 62)."""
+    if not columns:
+        raise ValueError("zorder_key: no columns given")
+    if bits < 1 or bits * len(columns) > 62:
+        raise ValueError(f"bits*n_cols must be in [1, 62], got "
+                         f"{bits}*{len(columns)}")
+    if stats is None:
+        row = df.agg(*[F.min(F.col(c).cast("double")).alias(f"mn_{c}")
+                       for c in columns],
+                     *[F.max(F.col(c).cast("double")).alias(f"mx_{c}")
+                       for c in columns]).collect()[0]
+        stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in columns}
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(columns):
+        mn, mx = stats[c]
+        if mn is None or mx is None or mx <= mn:
+            continue  # all-NULL or constant: contributes 0
+        scaled = F.floor((F.col(c).cast("double") - float(mn))
+                         / (float(mx) - float(mn)) * (top + 1))
+        v = F.least(F.greatest(F.coalesce(scaled, F.lit(0)),
+                               F.lit(0)), F.lit(top)).cast("long")
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(v, b).bitwiseAND(F.lit(1)),
+                b * len(columns) + ci)
+    return df.withColumn(key_col, key)
+
+
+def fk_sweep(edges: "Sequence[tuple]") -> DataFrame:
+    """Referential-integrity sweep over a whole FK graph in one
+    report: each edge is ``(name, child_df, child_col, parent_df,
+    parent_col)``; per edge the row count with a non-NULL key, the
+    orphan count (keys with no parent — SQL FK semantics: NULL keys
+    are not violations) and the verdict. Returns ``(edge, n_rows,
+    n_orphans, ok)``.
+
+    Scale shape: per edge one anti-join on the key (AQE picks
+    broadcast when the parent's distinct-key projection is small —
+    dimension tables — and shuffled-hash otherwise) + one count; the
+    edges are independent jobs, so a contract runner can parallelize
+    or short-circuit them."""
+    if not edges:
+        raise ValueError("fk_sweep: no edges given")
+    parts = []
+    for name, child, child_col, parent, parent_col in edges:
+        keyed = child.where(F.col(child_col).isNotNull())
+        orphans = keyed.join(
+            parent.select(F.col(parent_col).alias("__pk")).distinct(),
+            on=keyed[child_col] == F.col("__pk"), how="left_anti")
+        n = keyed.agg(F.count("*").cast("long").alias("n")) \
+            .crossJoin(orphans.agg(F.count("*").cast("long")
+                                   .alias("n_orphans")))
+        parts.append(n.select(
+            F.lit(name).alias("edge"), F.col("n").alias("n_rows"),
+            "n_orphans", (F.col("n_orphans") == 0).alias("ok")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
