@@ -5843,6 +5843,47 @@ def q_fk_sweep(spark, sf_dir):
     ])
 
 
+def q_expectations_by_source(spark, sf_dir):
+    """Per-partition expectation verdicts (expectation_suite with
+    by=): the battery grouped by source — the north rule's
+    per-partition pass/fail as one grouped aggregation; the DuckDB
+    twin recomputes every (source, expectation) verdict."""
+    from zoi_spark import tablechecks
+
+    d = (_read(spark, sf_dir, "documents")
+         .withColumn("text_len", F.length("text")))
+    return tablechecks.expectation_suite(d, [
+        {"name": "rows", "kind": "row_count", "lo": 20},
+        {"name": "len_mean", "kind": "mean", "column": "text_len",
+         "lo": 50, "hi": 2000},
+        {"name": "langs", "kind": "distinct", "column": "lang",
+         "lo": 1},
+    ], by="source")
+
+
+def q_sampler_gof(spark, sf_dir):
+    """Sampler goodness-of-fit (sampling.sample_gof): per lang, does
+    the md5 hash-sampler keep the promised 20%? Binomial z and
+    chi-square terms; the DuckDB twin recomputes the sampler's own
+    md5-threshold predicate and the same statistics."""
+    from zoi_spark import sampling
+
+    return sampling.sample_gof(_read(spark, sf_dir, "documents"),
+                               id_col="doc_id", stratum_col="lang",
+                               rate=0.2, salt="gof")
+
+
+def q_rolling_psi(spark, sf_dir):
+    """Day-over-day distribution stability (tablechecks.rolling_psi):
+    PSI of the event_type mix per day vs the previous day, zero-filled
+    over the day×type grid; the DuckDB twin recomputes the grid,
+    shares, lags and smoothed terms."""
+    from zoi_spark import tablechecks
+
+    return tablechecks.rolling_psi(_read(spark, sf_dir, "events"),
+                                   ts_col="ts", key_col="event_type")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6223,6 +6264,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zorder_keys": q_zorder_keys,
         "repair_suggestions": q_repair_suggestions,
         "fk_integrity": q_fk_sweep,
+        # wave 48 — per-partition expectation verdicts, sampler GOF,
+        # rolling PSI
+        "expectations_by_source": q_expectations_by_source,
+        "sampler_gof": q_sampler_gof,
+        "rolling_psi": q_rolling_psi,
     }
 
 
@@ -7912,6 +7958,31 @@ def _fk_sweep_sql() -> str:
     return f"""
         SELECT edge, n_rows, n_orphans, n_orphans = 0 AS ok FROM (
           {u})
+    """
+
+
+def _sampler_gof_sql(rate: float = 0.2, salt: str = "gof") -> str:
+    """DuckDB twin of q_sampler_gof: the sampler's own md5-threshold
+    predicate (single source of truth: sampling._rate_threshold) and
+    the binomial statistics."""
+    from zoi_spark.sampling import _rate_threshold
+
+    thr = _rate_threshold(rate)
+    return f"""
+        WITH g AS (
+          SELECT lang AS stratum, count(*)::BIGINT AS n,
+                 sum((substr(md5('{salt}' || doc_id), 1, 8)
+                      < '{thr}')::INT)::BIGINT AS kept
+          FROM documents GROUP BY lang)
+        SELECT stratum, n, kept,
+               round(n * {rate!r}::DOUBLE, 6) AS expected,
+               round((kept - n * {rate!r}::DOUBLE)
+                     / sqrt(n * {rate!r}::DOUBLE
+                            * (1.0 - {rate!r}::DOUBLE)), 6) AS z,
+               round((kept - n * {rate!r}::DOUBLE)
+                     * (kept - n * {rate!r}::DOUBLE)
+                     / (n * {rate!r}::DOUBLE), 6) AS chi2_term
+        FROM g
     """
 
 
@@ -14120,4 +14191,53 @@ def oracle_sql() -> dict[str, str]:
         "zorder_keys": _zorder_sql(),
         "repair_suggestions": _repair_sql(),
         "fk_integrity": _fk_sweep_sql(),
+        "expectations_by_source": """
+            WITH a AS (
+              SELECT source, count(*)::DOUBLE AS c,
+                     avg(length(text)) AS m,
+                     count(DISTINCT lang)::DOUBLE AS dl
+              FROM documents GROUP BY source)
+            SELECT source, 'rows' AS expectation, 'row_count' AS kind,
+                   NULL::VARCHAR AS "column", round(c, 6) AS observed,
+                   20.0::DOUBLE AS lo, NULL::DOUBLE AS hi,
+                   coalesce(c >= 20.0, false) AS passed
+            FROM a
+            UNION ALL
+            SELECT source, 'len_mean', 'mean', 'text_len', round(m, 6),
+                   50.0, 2000.0,
+                   coalesce(m >= 50.0 AND m <= 2000.0, false)
+            FROM a
+            UNION ALL
+            SELECT source, 'langs', 'distinct', 'lang', round(dl, 6),
+                   1.0, NULL, coalesce(dl >= 1.0, false)
+            FROM a
+        """,
+        "sampler_gof": _sampler_gof_sql(),
+        "rolling_psi": """
+            WITH counts AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     coalesce(event_type, '∅') AS key,
+                     count(*)::DOUBLE AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            grid AS (SELECT d.day, k.key
+                     FROM (SELECT DISTINCT day FROM counts) d
+                     CROSS JOIN (SELECT DISTINCT key FROM counts) k),
+            filled AS (SELECT g.day, g.key,
+                              coalesce(c.cnt, 0.0) AS cnt
+                       FROM grid g LEFT JOIN counts c
+                         USING (day, key)),
+            sh AS (SELECT day, key,
+                          greatest(cnt / greatest(sum(cnt) OVER
+                                     (PARTITION BY day), 1.0),
+                                   1e-9) AS q
+                   FROM filled),
+            lagd AS (SELECT day, key, q,
+                            lag(q) OVER (PARTITION BY key
+                                         ORDER BY day) AS p
+                     FROM sh)
+            SELECT day, count(*)::BIGINT AS n_keys,
+                   round(sum((q - p) * ln(q / p)), 6) AS psi
+            FROM lagd WHERE p IS NOT NULL
+            GROUP BY day
+        """,
     }

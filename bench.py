@@ -353,6 +353,8 @@ R4_NAMES = [
     "rule_catalog", "ruleset_diff",
     # wave 47: z-order layout keys, violation auto-repair, FK sweep
     "zorder_keys", "repair_suggestions", "fk_integrity",
+    # wave 48: per-partition expectations, sampler GOF, rolling PSI
+    "expectations_by_source", "sampler_gof", "rolling_psi",
 ]
 
 

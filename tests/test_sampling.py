@@ -439,3 +439,29 @@ class TestVocabPruneCurve:
         df = spark.createDataFrame([("x",)], "text string")
         with pytest.raises(ValueError):
             text.vocab_prune_curve(df, thresholds=[0, 1])
+
+
+class TestSampleGof:
+    def test_unbiased_sampler_z_small(self, spark):
+        from pyspark.sql import functions as F
+        df = spark.range(20000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("g"))
+        out = sampling.sample_gof(df, id_col="doc_id", stratum_col="g",
+                                  rate=0.2, salt="gof").collect()
+        assert len(out) == 4
+        for r in out:
+            assert r["n"] == 5000
+            assert r["expected"] == 1000.0
+            assert abs(r["z"]) < 4  # md5 mixes; 4 sigma on 5k draws
+            # kept matches the actual sampler output exactly
+        kept_total = sum(r["kept"] for r in out)
+        assert kept_total == sampling.hash_sample(
+            df, id_col="doc_id", rate=0.2, salt="gof").count()
+
+    def test_rate_validated(self, spark):
+        import pytest
+        df = spark.range(5).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            sampling.sample_gof(df, id_col="doc_id", stratum_col="doc_id",
+                                rate=1.5)

@@ -3173,3 +3173,51 @@ class TestFkSweep:
         assert all(r["ok"] for r in out) and len(out) == 2
         with pytest.raises(ValueError):
             tc.fk_sweep([])
+
+
+class TestExpectationSuiteBy:
+    def test_per_group_verdicts(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 20), ("b", 1000)],
+            "g string, v long")
+        out = {(r["g"], r["expectation"]): r for r in
+               tc.expectation_suite(df, [
+                   {"name": "v_mean", "kind": "mean", "column": "v",
+                    "hi": 100},
+                   {"name": "rows", "kind": "row_count", "lo": 2},
+               ], by="g").collect()}
+        assert out[("a", "v_mean")]["observed"] == 15.0
+        assert out[("a", "v_mean")]["passed"] is True
+        assert out[("b", "v_mean")]["passed"] is False
+        assert out[("a", "rows")]["passed"] is True
+        assert out[("b", "rows")]["passed"] is False  # 1 row < 2
+
+
+class TestRollingPsi:
+    def test_stable_then_shifted_day(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("2026-01-01 00:00:00", "x")] * 5
+                + [("2026-01-01 00:00:00", "y")] * 5
+                + [("2026-01-02 00:00:00", "x")] * 5
+                + [("2026-01-02 00:00:00", "y")] * 5
+                + [("2026-01-03 00:00:00", "x")] * 9
+                + [("2026-01-03 00:00:00", "y")] * 1)
+        df = spark.createDataFrame(rows, "ts string, k string") \
+            .selectExpr("cast(ts as timestamp) ts", "k")
+        out = {str(r["day"]): r for r in tc.rolling_psi(
+            df, ts_col="ts", key_col="k").collect()}
+        assert "2026-01-01" not in out       # no predecessor
+        assert abs(out["2026-01-02"]["psi"]) < 1e-9  # identical mix
+        assert out["2026-01-03"]["psi"] > 0.5        # 50/50 -> 90/10
+        assert out["2026-01-03"]["n_keys"] == 2
+
+    def test_missing_key_zero_fills(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("2026-01-01 00:00:00", "x")] * 4
+                + [("2026-01-02 00:00:00", "y")] * 4)
+        df = spark.createDataFrame(rows, "ts string, k string") \
+            .selectExpr("cast(ts as timestamp) ts", "k")
+        r = tc.rolling_psi(df, ts_col="ts", key_col="k").collect()[0]
+        # day2 has zero x and all y: both keys present in the grid
+        assert r["n_keys"] == 2 and r["psi"] > 10

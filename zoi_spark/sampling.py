@@ -689,3 +689,34 @@ def weighted_sample(df: DataFrame, *, weight_col: str, id_col: str,
            .where(F.col("__ares_rank") <= int(k))
            .drop("__ares_key", "__ares_rank"))
     return out
+
+
+def sample_gof(df: DataFrame, *, id_col: str, stratum_col: str,
+               rate: float, salt: str = "") -> DataFrame:
+    """Goodness-of-fit audit of the deterministic md5 sampler — the
+    self-check that :func:`hash_sample` draws the rate it promises in
+    EVERY stratum (a biased id scheme — e.g. ids correlated with the
+    stratum — would show up here long before it skews a training mix):
+    per stratum the kept count, the binomial expectation n·rate, the
+    normal-approximation z-score and the chi-square term; |z| > 3 on a
+    large stratum means the id/salt combination is not mixing.
+    Returns ``(stratum, n, kept, expected, z, chi2_term)``.
+
+    Scale shape: the membership flag is the sampler's own pure-filter
+    predicate evaluated inline (no second pass over a materialized
+    sample), then one stratum-keyed aggregation."""
+    if not 0.0 < rate < 1.0:
+        raise ValueError(f"rate must be in (0, 1), got {rate}")
+    keep = (sample_key(F.col(id_col), salt=salt)
+            < F.lit(_rate_threshold(rate))).cast("int")
+    g = (df.groupBy(F.col(stratum_col).alias("stratum"))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(keep).cast("long").alias("kept")))
+    e = F.col("n") * float(rate)
+    var = F.col("n") * float(rate) * (1.0 - float(rate))
+    return g.select(
+        "stratum", "n", "kept",
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("kept") - e) / F.sqrt(var), 6).alias("z"),
+        F.round((F.col("kept") - e) * (F.col("kept") - e) / e, 6)
+        .alias("chi2_term"))

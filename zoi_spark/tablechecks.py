@@ -3187,7 +3187,8 @@ _EXPECTATION_KINDS = ("row_count", "mean", "sum", "min", "max", "stddev",
 
 
 def expectation_suite(df: DataFrame,
-                      expectations: "Sequence[dict]") -> DataFrame:
+                      expectations: "Sequence[dict]", *,
+                      by: str | None = None) -> DataFrame:
     """Declarative aggregate-expectation battery (the Deequ
     VerificationSuite / Great Expectations pattern, re-expressed as ONE
     fused Spark aggregation): each expectation is a dict
@@ -3217,6 +3218,12 @@ def expectation_suite(df: DataFrame,
     aggregate expression, never a job. Mirrors the fused-stats design
     of :func:`column_stats` (north_star: "a single aggregation pass
     per partition").
+
+    ``by``: evaluate the whole battery PER GROUP (source, host bucket,
+    date partition …) — the north rule's per-partition pass/fail
+    verdict, still one aggregation (grouped instead of global, same
+    map-side combine); output gains the ``by`` column and has
+    ``n_groups × n_expectations`` rows.
     """
     if not expectations:
         raise ValueError("expectation_suite: no expectations given")
@@ -3251,7 +3258,7 @@ def expectation_suite(df: DataFrame,
         else:  # match_share
             obs = F.avg(F.col(col).rlike(e["pattern"]).cast("double"))
         aggs.append(obs.alias(f"__e{i}"))
-    one = df.agg(*aggs)
+    one = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
     structs = []
     for i, e in enumerate(expectations):
         obs = F.col(f"__e{i}")
@@ -3272,8 +3279,9 @@ def expectation_suite(df: DataFrame,
             (F.lit(float(hi)) if hi is not None
              else F.lit(None).cast("double")).alias("hi"),
             F.coalesce(ok, F.lit(False)).alias("passed")))
-    return (one.select(F.explode(F.array(*structs)).alias("e"))
-            .select("e.*"))
+    head = [F.col(by)] if by else []
+    return (one.select(*head, F.explode(F.array(*structs)).alias("e"))
+            .select(*head, "e.*"))
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, *, key_col: str,
@@ -3561,3 +3569,44 @@ def fk_sweep(edges: "Sequence[tuple]") -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rolling_psi(df: DataFrame, *, ts_col: str, key_col: str,
+                epsilon: float = 1e-9) -> DataFrame:
+    """Day-over-day distribution stability of a categorical column —
+    the streaming-adjacent drift monitor: per day, the PSI of
+    ``key_col``'s share vector against the PREVIOUS day (same
+    ``max(share, ε)`` smoothing as :func:`drift_metrics`). A spike
+    says the event/type mix changed that day — the first question on
+    any ingest-volume anomaly. Returns ``(day, n_keys, psi)``; the
+    first day has no predecessor and is omitted.
+
+    Scale shape: one (day, key)-keyed count (map-side combine —
+    day×key is tiny), a zero-filled day×key grid built from two
+    sub-aggregates (broadcast cross join of two small sides), window
+    shares per day and a lag per key — everything after the first
+    aggregation is vocabulary-sized."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    counts = (df.where(F.col(ts_col).isNotNull())
+              .groupBy(day, F.coalesce(F.col(key_col).cast("string"),
+                                       F.lit("∅")).alias("key"))
+              .agg(F.count("*").cast("double").alias("cnt")))
+    days = counts.select("day").distinct()
+    keys = counts.select("key").distinct()
+    grid = days.crossJoin(F.broadcast(keys))
+    filled = (grid.join(counts, ["day", "key"], "left")
+              .select("day", "key",
+                      F.coalesce("cnt", F.lit(0.0)).alias("cnt")))
+    tot = Window.partitionBy("day")
+    share = F.greatest(F.col("cnt") / F.greatest(F.sum("cnt").over(tot),
+                                                 F.lit(1.0)),
+                       F.lit(float(epsilon)))
+    lagged = Window.partitionBy("key").orderBy("day")
+    w = (filled.withColumn("__q", share)
+         .withColumn("__p", F.lag("__q").over(lagged)))
+    term = (F.col("__q") - F.col("__p")) * F.log(F.col("__q")
+                                                 / F.col("__p"))
+    return (w.where(F.col("__p").isNotNull())
+            .groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 F.round(F.sum(term), 6).alias("psi")))
