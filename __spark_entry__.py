@@ -5884,6 +5884,59 @@ def q_rolling_psi(spark, sf_dir):
                                    ts_col="ts", key_col="event_type")
 
 
+def q_null_patterns(spark, sf_dir):
+    """Missingness-pattern census (tablechecks.null_patterns): the
+    testdata has no NULLs, so the query first masks fields with
+    deterministic doc_id rules (text %7, lang %5, source %11 -> '')
+    that the DuckDB twin mirrors verbatim, then counts rows per
+    missing-column combination with within-corpus shares."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .otherwise(F.col("source")).alias("source"))
+    return tablechecks.null_patterns(d, ["text", "lang", "source"])
+
+
+def q_ts_monotonic(spark, sf_dir):
+    """Per-key monotonicity audit (tablechecks.monotonic_violations):
+    treating events.value as a per-user counter ordered by the unique
+    event_id, report every user whose counter ever steps backwards —
+    the DuckDB twin re-derives the lag and the inversion counts."""
+    from zoi_spark import tablechecks
+
+    return tablechecks.monotonic_violations(
+        _read(spark, sf_dir, "events"), key_col="user_id",
+        order_col="event_id", value_col="value")
+
+
+def q_fd_mine(spark, sf_dir):
+    """Approximate-FD mining (tablechecks.fd_mine): g3 confidence for
+    the candidates lang->source (weak), source->lang (strong at this
+    SF) and doc_id->lang (exact, doc_id is the key); the DuckDB twin
+    recomputes max-per-lhs / total for each pair."""
+    from zoi_spark import tablechecks
+
+    return tablechecks.fd_mine(
+        _read(spark, sf_dir, "documents"),
+        [("lang", "source"), ("source", "lang"), ("doc_id", "lang")])
+
+
+def q_badword_rate(spark, sf_dir):
+    """C4-style blocklist gate (text.badword_rate): share of documents
+    per lang containing 'slow' or 'legacy' as a whole word,
+    case-insensitive; the DuckDB twin runs the identical alternation
+    regex under RE2 ('i' flag)."""
+    from zoi_spark import text
+
+    return text.badword_rate(_read(spark, sf_dir, "documents"),
+                             ["slow", "legacy"], by="lang")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6269,6 +6322,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "expectations_by_source": q_expectations_by_source,
         "sampler_gof": q_sampler_gof,
         "rolling_psi": q_rolling_psi,
+        # wave 49 — missingness-pattern census, per-key monotonicity,
+        # approximate-FD mining, C4 badword gate
+        "null_patterns": q_null_patterns,
+        "ts_monotonic": q_ts_monotonic,
+        "fd_mine": q_fd_mine,
+        "badword_rate": q_badword_rate,
     }
 
 
@@ -14239,5 +14298,101 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((q - p) * ln(q / p)), 6) AS psi
             FROM lagd WHERE p IS NOT NULL
             GROUP BY day
+        """,
+        "null_patterns": """
+            WITH masked AS (
+              SELECT CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE lang END AS lang,
+                     CASE WHEN doc_id % 11 = 0 THEN ''
+                          ELSE source END AS source
+              FROM documents),
+            flags AS (
+              SELECT (text IS NULL OR text = '') AS m0,
+                     (lang IS NULL OR lang = '') AS m1,
+                     (source IS NULL OR source = '') AS m2
+              FROM masked),
+            census AS (
+              SELECT concat(CASE WHEN m0 THEN '1' ELSE '0' END,
+                            CASE WHEN m1 THEN '1' ELSE '0' END,
+                            CASE WHEN m2 THEN '1' ELSE '0' END)
+                       AS pattern,
+                     concat_ws(',',
+                       CASE WHEN m0 THEN 'text' END,
+                       CASE WHEN m1 THEN 'lang' END,
+                       CASE WHEN m2 THEN 'source' END)
+                       AS missing_cols,
+                     count(*)::BIGINT AS n_rows
+              FROM flags GROUP BY 1, 2)
+            SELECT pattern, missing_cols, n_rows,
+                   round(n_rows / sum(n_rows) OVER (), 6) AS share
+            FROM census
+        """,
+        "ts_monotonic": """
+            WITH stepped AS (
+              SELECT user_id,
+                     CASE WHEN value < lag(value) OVER
+                            (PARTITION BY user_id ORDER BY event_id)
+                          THEN 1 ELSE 0 END AS inv
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND value IS NOT NULL),
+            agg AS (
+              SELECT user_id, count(*)::BIGINT AS n_rows,
+                     sum(inv)::BIGINT AS n_inversions
+              FROM stepped GROUP BY user_id)
+            SELECT user_id, n_rows, n_inversions,
+                   round(n_inversions / (n_rows - 1), 6)
+                     AS inversion_rate
+            FROM agg WHERE n_inversions > 0
+        """,
+        "fd_mine": """
+            WITH c1 AS (SELECT lang, source, count(*) AS c
+                        FROM documents WHERE lang IS NOT NULL
+                        GROUP BY 1, 2),
+            p1 AS (SELECT lang, max(c) AS mx, sum(c) AS tot
+                   FROM c1 GROUP BY lang),
+            r1 AS (SELECT 'lang' AS lhs, 'source' AS rhs,
+                          sum(tot)::BIGINT AS n_rows,
+                          count(*)::BIGINT AS n_lhs,
+                          round(sum(mx) / sum(tot), 6) AS confidence,
+                          sum(mx) = sum(tot) AS holds
+                   FROM p1),
+            c2 AS (SELECT source, lang, count(*) AS c
+                   FROM documents WHERE source IS NOT NULL
+                   GROUP BY 1, 2),
+            p2 AS (SELECT source, max(c) AS mx, sum(c) AS tot
+                   FROM c2 GROUP BY source),
+            r2 AS (SELECT 'source' AS lhs, 'lang' AS rhs,
+                          sum(tot)::BIGINT AS n_rows,
+                          count(*)::BIGINT AS n_lhs,
+                          round(sum(mx) / sum(tot), 6) AS confidence,
+                          sum(mx) = sum(tot) AS holds
+                   FROM p2),
+            c3 AS (SELECT doc_id, lang, count(*) AS c
+                   FROM documents WHERE doc_id IS NOT NULL
+                   GROUP BY 1, 2),
+            p3 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                   FROM c3 GROUP BY doc_id),
+            r3 AS (SELECT 'doc_id' AS lhs, 'lang' AS rhs,
+                          sum(tot)::BIGINT AS n_rows,
+                          count(*)::BIGINT AS n_lhs,
+                          round(sum(mx) / sum(tot), 6) AS confidence,
+                          sum(mx) = sum(tot) AS holds
+                   FROM p3)
+            SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3
+        """,
+        "badword_rate": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN regexp_matches(
+                              text, '\\b(?:slow|legacy)\\b', 'i')
+                            THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+                   round(sum(CASE WHEN regexp_matches(
+                              text, '\\b(?:slow|legacy)\\b', 'i')
+                            THEN 1 ELSE 0 END) / count(*), 6)
+                     AS flag_rate
+            FROM documents GROUP BY lang
         """,
     }

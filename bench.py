@@ -355,6 +355,8 @@ R4_NAMES = [
     "zorder_keys", "repair_suggestions", "fk_integrity",
     # wave 48: per-partition expectations, sampler GOF, rolling PSI
     "expectations_by_source", "sampler_gof", "rolling_psi",
+    # wave 49: missingness patterns, monotonicity, FD mining, badwords
+    "null_patterns", "ts_monotonic", "fd_mine", "badword_rate",
 ]
 
 

@@ -3221,3 +3221,71 @@ class TestRollingPsi:
         r = tc.rolling_psi(df, ts_col="ts", key_col="k").collect()[0]
         # day2 has zero x and all y: both keys present in the grid
         assert r["n_keys"] == 2 and r["psi"] > 10
+
+
+class TestNullPatterns:
+    def test_pattern_census(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [("t", "en"), (None, "en"), (None, None), ("", "de")],
+            "text string, lang string")
+        out = {r["pattern"]: r for r in
+               tc.null_patterns(df, ["text", "lang"]).collect()}
+        assert out["00"]["n_rows"] == 1
+        assert out["10"]["n_rows"] == 2      # NULL and '' both missing
+        assert out["11"]["missing_cols"] == "text,lang"
+        assert abs(out["10"]["share"] - 0.5) < 1e-9
+
+    def test_grouped_shares(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [("a", None), ("a", 1), ("b", 2)], "g string, v long")
+        out = {(r["g"], r["pattern"]): r["share"] for r in
+               tc.null_patterns(df, ["v"], by="g").collect()}
+        assert abs(out[("a", "1")] - 0.5) < 1e-9
+        assert abs(out[("b", "0")] - 1.0) < 1e-9
+
+
+class TestMonotonicViolations:
+    def test_counts_backward_steps(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, 15.0),
+                ("u2", 1, 5.0), ("u2", 2, 5.0), ("u2", 3, 6.0)]
+        df = spark.createDataFrame(rows, "k string, o long, v double")
+        out = {r["k"]: r for r in tc.monotonic_violations(
+            df, key_col="k", order_col="o", value_col="v").collect()}
+        assert out["u1"]["n_inversions"] == 1
+        assert abs(out["u1"]["inversion_rate"] - 0.5) < 1e-9
+        assert "u2" not in out               # ties are fine non-strict
+
+    def test_strict_flags_ties(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("u2", 1, 5.0), ("u2", 2, 5.0), ("u2", 3, 6.0)]
+        df = spark.createDataFrame(rows, "k string, o long, v double")
+        out = tc.monotonic_violations(
+            df, key_col="k", order_col="o", value_col="v",
+            strict=True).collect()
+        assert len(out) == 1 and out[0]["n_inversions"] == 1
+
+
+class TestFdMine:
+    def test_confidence_and_exactness(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", "x", 1), ("a", "x", 2), ("a", "y", 3),
+                ("b", "z", 4)]
+        df = spark.createDataFrame(rows, "l string, r string, k long")
+        out = {(r["lhs"], r["rhs"]): r for r in tc.fd_mine(
+            df, [("l", "r"), ("k", "l")]).collect()}
+        lr = out[("l", "r")]
+        # best assignment keeps a->x (2 of 3) and b->z: 3/4
+        assert abs(lr["confidence"] - 0.75) < 1e-9
+        assert lr["holds"] is False and lr["n_lhs"] == 2
+        kl = out[("k", "l")]
+        assert kl["holds"] is True and kl["confidence"] == 1.0
+
+    def test_empty_candidates_raise(self, spark):
+        import pytest as _pt
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(1,)], "a long")
+        with _pt.raises(ValueError):
+            tc.fd_mine(df, [])

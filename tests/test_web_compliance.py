@@ -168,3 +168,25 @@ class TestFrontierPriority:
         rows = urls.frontier_priority(edges, quality).collect()
         # orphan has no outlinks: its mass is not distributed
         assert sum(r["priority"] for r in rows) == pytest.approx(1.2)
+
+
+class TestBadwordRate:
+    def test_whole_word_case_insensitive(self, spark):
+        from zoi_spark import text as tx
+        rows = [("en", "a SLOW query"), ("en", "slowly but surely"),
+                ("de", "legacy system"), ("de", "clean")]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        out = {r["lang"]: r for r in tx.badword_rate(
+            df, ["slow", "legacy"], by="lang").collect()}
+        # 'slowly' must NOT match (word boundary)
+        assert out["en"]["n_flagged"] == 1
+        assert abs(out["de"]["flag_rate"] - 0.5) < 1e-9
+
+    def test_rejects_non_word_terms(self, spark):
+        import pytest as _pt
+        from zoi_spark import text as tx
+        df = spark.createDataFrame([("x",)], "text string")
+        with _pt.raises(ValueError):
+            tx.badword_rate(df, ["a.b"])
+        with _pt.raises(ValueError):
+            tx.badword_rate(df, [])

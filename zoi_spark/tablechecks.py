@@ -3610,3 +3610,121 @@ def rolling_psi(df: DataFrame, *, ts_col: str, key_col: str,
             .groupBy("day")
             .agg(F.count("*").cast("long").alias("n_keys"),
                  F.round(F.sum(term), 6).alias("psi")))
+
+
+def null_patterns(df: DataFrame, columns: Sequence[str], *,
+                  by: str | None = None) -> DataFrame:
+    """Row-level missingness-pattern census — the complement of
+    :func:`completeness_matrix` (which is column-level): each row is
+    reduced to the COMBINATION of columns it is missing ('101' =
+    missing 1st and 3rd of ``columns``), and the census counts rows
+    per combination. Co-missing fields expose the failure *mode*
+    (one broken extractor nulls title+date together; independent
+    sparsity nulls them separately) — the first diagnostic cut on any
+    completeness regression, and the standard missingness-mechanism
+    probe (MCAR vs systematic) from the imputation literature.
+
+    Empty string counts as missing for string columns (same
+    web-extractor convention as :func:`completeness_matrix`). Output:
+    ``(pattern, missing_cols, n_rows, share)`` (+ leading ``by``
+    column when given, shares within the group).
+
+    Scale shape: one projection + ONE hash aggregation whose key
+    cardinality is at most 2^len(columns) — tiny result regardless of
+    input rows (map-side combine does nearly all the work); the share
+    is a window over that tiny grouped result, not over the input."""
+    dtypes = dict(df.dtypes)
+    bits, names = [], []
+    for c in columns:
+        miss = F.col(c).isNull()
+        if dtypes.get(c) == "string":
+            miss = miss | (F.col(c) == "")
+        bits.append(F.when(miss, F.lit("1")).otherwise(F.lit("0")))
+        names.append(F.when(miss, F.lit(c)))
+    keys = ([F.col(by)] if by else []) + [
+        F.concat(*bits).alias("pattern"),
+        # concat_ws skips NULL operands -> comma list of missing cols
+        F.concat_ws(",", *names).alias("missing_cols")]
+    g = df.groupBy(*keys).agg(F.count("*").cast("long").alias("n_rows"))
+    w = Window.partitionBy(*([by] if by else []))
+    return g.withColumn(
+        "share", F.round(F.col("n_rows") / F.sum("n_rows").over(w), 6))
+
+
+def monotonic_violations(df: DataFrame, *, key_col: str,
+                         order_col: str, value_col: str,
+                         strict: bool = False) -> DataFrame:
+    """Per-key monotonicity audit: ordered by ``order_col`` (must be
+    unique per key, or the lag — here and in any SQL twin — is
+    nondeterministic), count the steps where ``value_col`` moves
+    backwards (``<`` previous; ``<=`` when ``strict``). The invariant
+    behind event-time ordering per session, cumulative counters,
+    version numbers and recrawl timestamps — `sequence_violations`
+    checks one type-pair precedence, this checks a whole numeric/time
+    column's ordering. Output one row per violating key:
+    ``(key, n_rows, n_inversions, inversion_rate)`` with rate over the
+    ``n_rows - 1`` steps.
+
+    Scale shape: ONE shuffle on the key — the window's hash
+    partitioning satisfies the following groupBy's distribution, so
+    the aggregation is shuffle-free; per-key state is a sort of that
+    key's rows only (no global sort)."""
+    clean = df.where(F.col(key_col).isNotNull()
+                     & F.col(order_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    prev = F.lag(value_col).over(w)
+    back = (F.col(value_col) <= prev) if strict \
+        else (F.col(value_col) < prev)
+    stepped = clean.select(
+        key_col, back.cast("long").alias("__inv"))  # NULL on first row
+    return (stepped.groupBy(key_col)
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.coalesce(F.sum("__inv"), F.lit(0))
+                 .cast("long").alias("n_inversions"))
+            .where(F.col("n_inversions") > 0)
+            .withColumn("inversion_rate",
+                        F.round(F.col("n_inversions")
+                                / (F.col("n_rows") - 1), 6)))
+
+
+def fd_mine(df: DataFrame,
+            candidates: "Sequence[tuple[str, str]]") -> DataFrame:
+    """Approximate functional-dependency mining over CANDIDATE column
+    pairs: for each ``(lhs, rhs)``, the g3-style confidence — the
+    share of rows kept by the best rhs-per-lhs assignment,
+    ``Σ_lhs max_rhs count / Σ count`` over non-NULL lhs rows (the
+    error measure of TANE, Huhtala et al. 1999, and Pyro, Kruse &
+    Naumann 2018). ``confidence = 1.0`` means the FD holds exactly
+    (what :func:`fd_violations` then pinpoints row-by-row); 0.9 means
+    enforcing it would rewrite 10% of rows. Output per candidate:
+    ``(lhs, rhs, n_rows, n_lhs, confidence, holds)``.
+
+    Scale shape: per candidate, a (lhs, rhs) hash aggregation, a
+    shuffle-free lhs re-aggregation (partitioning reuse), and a
+    singleton reduce; candidates are a handful, unioned driver-side.
+    Candidate GENERATION is deliberately the caller's job — the
+    lattice search of TANE is super-linear in columns and belongs on
+    a profiled sample, not the 10^12-row table."""
+    if not candidates:
+        raise ValueError("fd_mine: no candidate pairs given")
+    outs = []
+    for lhs, rhs in candidates:
+        pair = (df.where(F.col(lhs).isNotNull())
+                .groupBy(lhs, rhs).agg(F.count("*").alias("__c")))
+        per = pair.groupBy(lhs).agg(F.max("__c").alias("__mx"),
+                                    F.sum("__c").alias("__tot"))
+        one = per.agg(F.sum("__tot").alias("__n"),
+                      F.count("*").alias("__k"),
+                      F.sum("__mx").alias("__kept"))
+        outs.append(one.select(
+            F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("__k").cast("long").alias("n_lhs"),
+            F.round(F.col("__kept") / F.col("__n"), 6)
+            .alias("confidence"),
+            (F.col("__kept") == F.col("__n")).alias("holds")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

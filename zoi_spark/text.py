@@ -2884,3 +2884,42 @@ def vocab_prune_curve(df: DataFrame, *, text_col: str = "text",
                  F.round(F.sum(F.when(keep, F.col("__c"))
                                .otherwise(F.lit(0)))
                          / F.sum("__c"), 6).alias("covered_share")))
+
+
+def badword_rate(df: DataFrame, terms: "list[str]", *,
+                 text_col: str = "text",
+                 by: str | None = None) -> DataFrame:
+    """Blocklist-term document gate — the C4 "bad words" filter
+    (Raffel et al. 2020 drop any page containing a term from the
+    List-of-Dirty-Naughty-Obscene-and-Otherwise-Bad-Words; RefinedWeb
+    and FineWeb keep the same screen in their URL/content stages):
+    a document is flagged iff it contains ANY blocklist term as a
+    whole word, case-insensitively. Reported per group (lang, source,
+    …) as ``(by, n_docs, n_flagged, flag_rate)`` so a per-language
+    false-positive explosion (the classic C4 failure on medical /
+    minority-dialect text) is visible before anyone drops rows.
+
+    Terms must be plain word-characters (validated) — the single
+    alternation regex then means ONE compiled JVM matcher per task,
+    no per-term column, and the identical pattern runs on the RE2
+    side of a SQL oracle. Scale shape: one projection + one tiny hash
+    aggregation; no shuffle beyond the group key."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("badword_rate: empty term list")
+    for t in terms:
+        if not _re.fullmatch(r"\w+", t):
+            raise ValueError(f"badword_rate: term {t!r} is not plain "
+                             "word characters; escape/extend the "
+                             "pattern builder before widening it")
+    pat = r"(?i)\b(?:" + "|".join(terms) + r")\b"
+    flag = F.coalesce(F.col(text_col).rlike(pat), F.lit(False))
+    keys = [F.col(by)] if by else []
+    return (df.groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(flag.cast("long")).cast("long")
+                 .alias("n_flagged"))
+            .withColumn("flag_rate",
+                        F.round(F.col("n_flagged") / F.col("n_docs"),
+                                6)))
