@@ -5937,6 +5937,53 @@ def q_badword_rate(spark, sf_dir):
                              ["slow", "legacy"], by="lang")
 
 
+def q_scd2_history(spark, sf_dir):
+    """Type-2 SCD history build (tablechecks.scd2_history): collapse
+    each user's event log (ordered by the unique event_id) into runs
+    of consecutive identical event_type values with half-open
+    valid_from/valid_to intervals — the recrawl content-history
+    pattern. The DuckDB twin re-derives the lag change-points, the
+    running version sum, and the lead() interval bound."""
+    from zoi_spark import tablechecks
+
+    return tablechecks.scd2_history(
+        _read(spark, sf_dir, "events"), key_col="user_id",
+        ts_col="ts", state_col="event_type", order_col="event_id")
+
+
+def q_resolve_chains(spark, sf_dir):
+    """Redirect/alias-chain resolution by pointer doubling
+    (graph.resolve_chains): a synthetic functional redirect map over
+    doc_id (every doc not a multiple of 50 points one id down) is
+    collapsed so every source reports its chain endpoint — chains up
+    to 49 hops resolve in 6 doubling joins, not 49. The DuckDB twin
+    walks the same map with a recursive CTE to the terminal node."""
+    from zoi_spark import graph
+
+    edges = (_read(spark, sf_dir, "documents")
+             .where(F.col("doc_id") % 50 != 0)
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") - 1).alias("dst")))
+    return graph.resolve_chains(edges)
+
+
+def q_group_ols(spark, sf_dir):
+    """Per-group OLS fit (tablechecks.group_ols): slope/intercept/r²
+    of extendedprice on quantity per returnflag in ONE aggregation —
+    the 'does the size→cost line hold in every segment' profile.
+    r² is scale-free (round 6); slope/intercept ride the price scale,
+    so both sides double-round them (6 then 2), the numeric_corr
+    convention for magnitude-bearing floats."""
+    from zoi_spark import tablechecks
+
+    out = tablechecks.group_ols(
+        _read(spark, sf_dir, "lineitem"), x_col="l_quantity",
+        y_col="l_extendedprice", by="l_returnflag", round_to=6)
+    return out.select(
+        "l_returnflag", "n", F.round("slope", 2).alias("slope"),
+        F.round("intercept", 2).alias("intercept"), "r2")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6328,6 +6375,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ts_monotonic": q_ts_monotonic,
         "fd_mine": q_fd_mine,
         "badword_rate": q_badword_rate,
+        # wave 50 — SCD2 state history, pointer-doubling chain
+        # resolution, per-group OLS fit
+        "scd2_history": q_scd2_history,
+        "resolve_chains": q_resolve_chains,
+        "group_ols": q_group_ols,
     }
 
 
@@ -14394,5 +14446,73 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) / count(*), 6)
                      AS flag_rate
             FROM documents GROUP BY lang
+        """,
+        "scd2_history": """
+            WITH clean AS (
+              SELECT user_id AS key, ts AS __ts, event_id,
+                     coalesce(CAST(event_type AS VARCHAR), '∅')
+                       AS state
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            stepped AS (
+              SELECT key, __ts, state, event_id,
+                     CASE WHEN lag(state) OVER w IS NULL
+                               OR state <> lag(state) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM clean
+              WINDOW w AS (PARTITION BY key ORDER BY event_id)),
+            versioned AS (
+              SELECT key, __ts, state,
+                     sum(chg) OVER (PARTITION BY key ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                       AS version
+              FROM stepped),
+            runs AS (
+              SELECT key, version, state,
+                     min(__ts) AS valid_from,
+                     count(*)::BIGINT AS n_rows
+              FROM versioned GROUP BY 1, 2, 3)
+            SELECT key, version::BIGINT AS version, state, valid_from,
+                   lead(valid_from) OVER w2 AS valid_to, n_rows,
+                   lead(valid_from) OVER w2 IS NULL AS is_current
+            FROM runs
+            WINDOW w2 AS (PARTITION BY key ORDER BY version)
+        """,
+        "resolve_chains": """
+            WITH RECURSIVE emap AS (
+              SELECT src, min(dst) AS dst FROM (
+                SELECT doc_id AS src, doc_id - 1 AS dst
+                FROM documents WHERE doc_id % 50 <> 0)
+              GROUP BY src),
+            walk AS (
+              SELECT src, dst AS cur FROM emap
+              UNION ALL
+              SELECT w.src, e.dst FROM walk w
+              JOIN emap e ON w.cur = e.src)
+            SELECT w.src, w.cur AS resolved,
+                   w.cur NOT IN (SELECT src FROM emap) AS is_terminal
+            FROM walk w
+            WHERE w.cur NOT IN (SELECT src FROM emap)
+        """,
+        "group_ols": """
+            WITH g AS (
+              SELECT l_returnflag, count(*)::BIGINT AS n,
+                     avg(l_quantity) AS mx,
+                     avg(l_extendedprice) AS my,
+                     covar_samp(l_quantity, l_extendedprice) AS cxy,
+                     var_samp(l_quantity) AS vx,
+                     stddev_samp(l_quantity) AS sx,
+                     stddev_samp(l_extendedprice) AS sy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+              GROUP BY 1)
+            SELECT l_returnflag, n,
+                   round(round(cxy / vx, 6), 2) AS slope,
+                   round(round(my - (cxy / vx) * mx, 6), 2)
+                     AS intercept,
+                   round((cxy / (sx * sy)) * (cxy / (sx * sy)), 6)
+                     AS r2
+            FROM g
         """,
     }

@@ -357,6 +357,8 @@ R4_NAMES = [
     "expectations_by_source", "sampler_gof", "rolling_psi",
     # wave 49: missingness patterns, monotonicity, FD mining, badwords
     "null_patterns", "ts_monotonic", "fd_mine", "badword_rate",
+    # wave 50: SCD2 history, chain resolution, per-group OLS
+    "scd2_history", "resolve_chains", "group_ols",
 ]
 
 

@@ -1124,3 +1124,36 @@ class TestBlockingProfile:
         r = dedup.blocking_profile(df, block_col="block").collect()[0]
         assert r["pair_work"] == 6 and r["capped_pair_work"] == 6
         assert r["capped_share"] == pytest.approx(1.0)
+
+
+class TestResolveChains:
+    def test_chain_collapses_to_terminal(self, spark):
+        # 1->2->3->4 and 9->8; 4 and 8 are terminal
+        rows = [(1, 2), (2, 3), (3, 4), (9, 8)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r["src"]: (r["resolved"], r["is_terminal"])
+               for r in graph.resolve_chains(df).collect()}
+        assert out == {1: (4, True), 2: (4, True), 3: (4, True),
+                       9: (8, True)}
+
+    def test_cycle_is_reported_not_spun(self, spark):
+        # a 3-cycle: nothing terminates; is_terminal False everywhere
+        rows = [(1, 2), (2, 3), (3, 1)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = graph.resolve_chains(df, rounds=3).collect()
+        assert len(out) == 3
+        assert all(r["is_terminal"] is False for r in out)
+
+    def test_doubling_resolves_long_chain_in_log_rounds(self, spark):
+        # a 40-hop chain resolves with rounds=6 (2^6=64 >= 40)
+        rows = [(i, i + 1) for i in range(40)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r["src"]: r["resolved"]
+               for r in graph.resolve_chains(df, rounds=6).collect()}
+        assert out[0] == 40 and out[39] == 40
+
+    def test_non_functional_input_deduped_to_min(self, spark):
+        rows = [(1, 5), (1, 3)]  # min dst 3 wins, deterministically
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = graph.resolve_chains(df).collect()
+        assert len(out) == 1 and out[0]["resolved"] == 3

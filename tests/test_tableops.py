@@ -3289,3 +3289,67 @@ class TestFdMine:
         df = spark.createDataFrame([(1,)], "a long")
         with _pt.raises(ValueError):
             tc.fd_mine(df, [])
+
+
+class TestScd2History:
+    def test_runs_and_intervals(self, spark):
+        from datetime import datetime
+        from zoi_spark import tablechecks as tc
+        t = datetime
+        rows = [("u", t(2026, 1, 1), 1, "a"), ("u", t(2026, 1, 2), 2, "a"),
+                ("u", t(2026, 1, 3), 3, "b"), ("u", t(2026, 1, 4), 4, "a")]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, o long, s string")
+        out = sorted(tc.scd2_history(df, key_col="k", ts_col="ts",
+                                     state_col="s", order_col="o")
+                     .collect(), key=lambda r: r["version"])
+        assert [(r["version"], r["state"], r["n_rows"]) for r in out] \
+            == [(1, "a", 2), (2, "b", 1), (3, "a", 1)]
+        # half-open: v1 closes where v2 opens; only the last is current
+        assert out[0]["valid_to"] == out[1]["valid_from"]
+        assert [r["is_current"] for r in out] == [False, False, True]
+
+    def test_null_state_is_its_own_state(self, spark):
+        from datetime import datetime
+        from zoi_spark import tablechecks as tc
+        t = datetime
+        rows = [("u", t(2026, 1, 1), 1, "a"), ("u", t(2026, 1, 2), 2, None),
+                ("u", t(2026, 1, 3), 3, None)]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, o long, s string")
+        out = sorted(tc.scd2_history(df, key_col="k", ts_col="ts",
+                                     state_col="s", order_col="o")
+                     .collect(), key=lambda r: r["version"])
+        assert [(r["state"], r["n_rows"]) for r in out] \
+            == [("a", 1), ("∅", 2)]
+
+
+class TestGroupOls:
+    def test_exact_line_per_group(self, spark):
+        from zoi_spark import tablechecks as tc
+        # g1: y = 2x + 1 exactly; g2: y = -x exactly
+        rows = [("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+                ("g2", 1.0, -1.0), ("g2", 4.0, -4.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {r["g"]: r for r in tc.group_ols(
+            df, x_col="x", y_col="y", by="g").collect()}
+        assert out["g1"]["slope"] == pytest.approx(2.0, abs=1e-6)
+        assert out["g1"]["intercept"] == pytest.approx(1.0, abs=1e-6)
+        assert out["g1"]["r2"] == pytest.approx(1.0, abs=1e-6)
+        assert out["g2"]["slope"] == pytest.approx(-1.0, abs=1e-6)
+        assert out["g2"]["n"] == 2
+
+    def test_zero_variance_x_yields_null_not_error(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("g", 1.0, 1.0), ("g", 1.0, 2.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = tc.group_ols(df, x_col="x", y_col="y", by="g").collect()[0]
+        assert r["slope"] is None and r["r2"] is None
+
+    def test_null_pairs_excluded(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", None, 9.0),
+                ("g", 3.0, None)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = tc.group_ols(df, x_col="x", y_col="y", by="g").collect()[0]
+        assert r["n"] == 2 and r["slope"] == pytest.approx(2.0, abs=1e-6)

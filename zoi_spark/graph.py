@@ -668,3 +668,44 @@ def trust_rank(edges: DataFrame, seeds: DataFrame, *,
     out = ranks.select("node", F.col("rank").cast("double"))
     out._zoi_persisted = [e, base]
     return out
+
+
+def resolve_chains(edges: DataFrame, *, src_col: str = "src",
+                   dst_col: str = "dst", rounds: int = 6) -> DataFrame:
+    """Alias/redirect-chain resolution by pointer doubling: every
+    source follows its chain for exactly ``2^rounds`` steps (64 by
+    default) and reports where it landed — the scale-out way to
+    collapse HTTP redirect chains, canonical-link aliases, or merged-id
+    mappings before deduplication. A node with no outgoing edge stays
+    put (chains terminate), so after ``k`` doublings every chain of
+    length ≤ 2^k is fully resolved; ``is_terminal`` is False exactly
+    for the survivors of longer chains or cycles (a redirect loop —
+    report it, don't spin on it).
+
+    The input must be FUNCTIONAL (≤1 outgoing edge per source) — the
+    map is deduplicated to the min dst per src first so the result is
+    deterministic and any SQL twin can replay the identical walk.
+
+    Scale shape: ``rounds`` self-joins on the current mapping (each a
+    hash join on the id key), ``localCheckpoint(eager=True)`` per
+    round truncating lineage exactly like `pagerank`; log₂(longest
+    chain) rounds instead of chain-length rounds is the whole point —
+    a 64-hop chain costs 6 joins, not 64."""
+    cur = (edges.where(F.col(src_col).isNotNull()
+                       & F.col(dst_col).isNotNull())
+           .groupBy(F.col(src_col).alias("src"))
+           .agg(F.min(dst_col).alias("dst"))
+           .localCheckpoint(eager=True))
+    base = cur
+    for _ in range(rounds):
+        b = cur.select(F.col("src").alias("__s"),
+                       F.col("dst").alias("__d"))
+        cur = (cur.join(b, cur["dst"] == b["__s"], "left")
+               .select(F.col("src"),
+                       F.coalesce(F.col("__d"), F.col("dst"))
+                       .alias("dst"))
+               .localCheckpoint(eager=True))
+    srcs = base.select(F.col("src").alias("__t"))
+    return (cur.join(srcs, cur["dst"] == srcs["__t"], "left")
+            .select("src", F.col("dst").alias("resolved"),
+                    F.col("__t").isNull().alias("is_terminal")))

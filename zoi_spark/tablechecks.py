@@ -3728,3 +3728,94 @@ def fd_mine(df: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def scd2_history(df: DataFrame, *, key_col: str, ts_col: str,
+                 state_col: str,
+                 order_col: str | None = None) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build: collapse a
+    per-key event/recrawl log into state VERSIONS — one row per run
+    of consecutive identical ``state_col`` values, with
+    ``valid_from`` / ``valid_to`` interval bounds (half-open;
+    ``valid_to`` NULL on the current version). The warehouse pattern
+    behind recrawl content histories (url × fingerprint), subscription
+    states, and label audit trails — the inverse of "latest wins"
+    (`survivorship_merge` keeps one row; this keeps the full interval
+    history).
+
+    ``order_col`` (default ``ts_col``) must be unique per key — ties
+    make lag/lead nondeterministic here and in any SQL twin. NULL
+    states are their own state ('∅'), matching `rolling_psi`.
+
+    Output: ``(key, version, state, valid_from, valid_to, n_rows,
+    is_current)``; version is 1-based in order.
+
+    Scale shape: ONE shuffle on the key — change-point lag, running
+    version sum, the (key, version, state) aggregation, and the
+    valid_to lead all reuse the same HashPartitioning(key) (subset
+    satisfies superset clustering). The key keeps its ORIGINAL column
+    name until the final projection: renaming it earlier inserts two
+    extra exchanges because the window's output partitioning does not
+    propagate through the alias (verified empirically on 4.1.2 — the
+    aliased variant plans 3 exchanges, this one plans 1); per-key sort
+    only, no global sort."""
+    order = order_col or ts_col
+    clean = df.where(F.col(key_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+    st = F.coalesce(F.col(state_col).cast("string"), F.lit("∅"))
+    w = Window.partitionBy(key_col).orderBy(order)
+    chg = F.when(F.lag(st).over(w).isNull()
+                 | (st != F.lag(st).over(w)), F.lit(1)) \
+        .otherwise(F.lit(0))
+    ver = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (clean.select(F.col(key_col),
+                         F.col(ts_col).alias("__ts"),
+                         st.alias("state"), ver.alias("version"))
+            .groupBy(key_col, "version", "state")
+            .agg(F.min("__ts").alias("valid_from"),
+                 F.count("*").cast("long").alias("n_rows")))
+    w2 = Window.partitionBy(key_col).orderBy("version")
+    return (runs.select(
+        F.col(key_col).alias("key"),
+        F.col("version").cast("long").alias("version"),
+        "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"), "n_rows")
+        .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def group_ols(df: DataFrame, *, x_col: str, y_col: str, by: str,
+              round_to: int = 6) -> DataFrame:
+    """Per-group simple linear regression (OLS of ``y`` on ``x``):
+    slope, intercept, r² — the profiling question "does the
+    chars→tokens (or size→cost, length→score) relationship hold in
+    every segment, and with the same coefficient?". A segment whose
+    slope drifts from the corpus line has a different tokenizer,
+    encoding, or extraction bug even when both marginals look fine —
+    the bivariate sibling of :func:`correlation_stats`.
+
+    Spelled through the numerically-stable partial aggregates
+    (``covar_samp`` / ``var_samp`` / ``stddev_samp``) with
+    ``try_divide``, so a zero-variance group yields NULL slope/r²
+    instead of an ANSI divide error — the same convention (and the
+    same cross-engine float story) as `correlation_stats`. Rows with
+    NULL x or y are excluded pairwise.
+
+    Scale shape: ONE hash aggregation on the group key (all moments
+    partial-aggregating, map-side combined); the arithmetic runs on
+    the tiny grouped result."""
+    clean = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    g = clean.groupBy(F.col(by)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(x_col).alias("__mx"), F.avg(y_col).alias("__my"),
+        F.covar_samp(x_col, y_col).alias("__cxy"),
+        F.var_samp(x_col).alias("__vx"),
+        F.stddev_samp(x_col).alias("__sx"),
+        F.stddev_samp(y_col).alias("__sy"))
+    slope = F.try_divide(F.col("__cxy"), F.col("__vx"))
+    corr = F.try_divide(F.col("__cxy"), F.col("__sx") * F.col("__sy"))
+    return g.select(
+        by, "n", F.round(slope, round_to).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"),
+                round_to).alias("intercept"),
+        F.round(corr * corr, round_to).alias("r2"))
