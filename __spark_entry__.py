@@ -5984,6 +5984,66 @@ def q_group_ols(spark, sf_dir):
         F.round("intercept", 2).alias("intercept"), "r2")
 
 
+def q_roc_auc(spark, sf_dir):
+    """Per-language ROC AUC (tablechecks.roc_auc): does document
+    length discriminate docs containing 'table', per lang — the
+    threshold-free ranking audit for any score the pipeline gates on.
+    The DuckDB twin re-derives the distinct-score midrank formula
+    (cumulative negatives below + half the ties)."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.roc_auc(
+        d, score_col="n_chars",
+        label_col=F.col("text").contains("table"), by="lang")
+
+
+def q_lift_table(spark, sf_dir):
+    """Decile lift/gains table (tablechecks.lift_table): rank docs by
+    n_chars (doc_id tiebreak), split into 10 tiles, report per-tile
+    hit rate, cumulative lift and capture for docs containing
+    'spark'. The DuckDB twin runs the identical deterministic ntile
+    (same ORDER BY) and the same running-sum ratios."""
+    from zoi_spark import tablechecks
+
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.lift_table(
+        d, score_col="n_chars",
+        flag_col=F.col("text").contains("spark"),
+        id_col="doc_id", n_buckets=10)
+
+
+def q_fs_weights(spark, sf_dir):
+    """Fellegi–Sunter linkage weights (dedup.fs_linkage_weights):
+    candidate pairs are adjacent doc_ids within a lang; agreement
+    fields are same-source, same length-bucket (width 25), same
+    20-char prefix; the proxy match rule is exact n_chars equality.
+    The DuckDB twin rebuilds the same pairs and the same
+    Laplace-smoothed m/u → log₂ weight arithmetic per field."""
+    from zoi_spark import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+    a = d.select(*(F.col(c).alias(c + "_a") for c in cols))
+    b = d.select(*(F.col(c).alias(c + "_b") for c in cols))
+    pairs = (a.join(b, (F.col("doc_id_a") + 1 == F.col("doc_id_b"))
+                    & (F.col("lang_a") == F.col("lang_b")))
+             .select(
+                 (F.col("source_a") == F.col("source_b"))
+                 .alias("agree_source"),
+                 (F.floor(F.col("n_chars_a") / 25)
+                  == F.floor(F.col("n_chars_b") / 25))
+                 .alias("agree_len"),
+                 (F.substring("text_a", 1, 20)
+                  == F.substring("text_b", 1, 20))
+                 .alias("agree_prefix"),
+                 (F.col("n_chars_a") == F.col("n_chars_b"))
+                 .alias("proxy")))
+    return dedup.fs_linkage_weights(
+        pairs, agree_cols=["agree_source", "agree_len",
+                           "agree_prefix"], proxy_col="proxy")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6380,6 +6440,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scd2_history": q_scd2_history,
         "resolve_chains": q_resolve_chains,
         "group_ols": q_group_ols,
+        # wave 51 — score-evaluation + probabilistic linkage: ROC AUC,
+        # decile lift/gains, Fellegi–Sunter field weights
+        "roc_auc": q_roc_auc,
+        "lift_table": q_lift_table,
+        "fs_weights": q_fs_weights,
     }
 
 
@@ -14514,5 +14579,84 @@ def oracle_sql() -> dict[str, str]:
                    round((cxy / (sx * sy)) * (cxy / (sx * sy)), 6)
                      AS r2
             FROM g
+        """,
+        "roc_auc": """
+            WITH clean AS (
+              SELECT lang AS g, n_chars AS s,
+                     CASE WHEN contains(text, 'table')
+                          THEN 1 ELSE 0 END AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+            per_score AS (
+              SELECT g, s, sum(y) AS p, sum(1 - y) AS q
+              FROM clean GROUP BY 1, 2),
+            cum AS (
+              SELECT g, p, q,
+                     sum(q) OVER (PARTITION BY g ORDER BY s
+                                  ROWS UNBOUNDED PRECEDING) - q
+                       AS below
+              FROM per_score)
+            SELECT g AS lang, sum(p)::BIGINT AS n_pos,
+                   sum(q)::BIGINT AS n_neg,
+                   round(sum(p * (below + q / 2.0))
+                         / (sum(p)::DOUBLE * sum(q)::DOUBLE), 6)
+                     AS auc
+            FROM cum GROUP BY g
+        """,
+        "lift_table": """
+            WITH tiled AS (
+              SELECT ntile(10) OVER (ORDER BY n_chars DESC,
+                                     doc_id ASC) AS bucket,
+                     CASE WHEN contains(text, 'spark')
+                          THEN 1 ELSE 0 END AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+            per AS (
+              SELECT bucket, count(*)::BIGINT AS n,
+                     sum(y)::BIGINT AS n_flagged
+              FROM tiled GROUP BY 1)
+            SELECT bucket, n, n_flagged,
+                   round(n_flagged / n, 6) AS rate,
+                   round((sum(n_flagged) OVER w * 1.0
+                          / sum(n) OVER w)
+                         / (sum(n_flagged) OVER () * 1.0
+                            / sum(n) OVER ()), 6) AS cum_lift,
+                   round(sum(n_flagged) OVER w * 1.0
+                         / sum(n_flagged) OVER (), 6) AS cum_capture
+            FROM per
+            WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        """,
+        "fs_weights": """
+            WITH pairs AS (
+              SELECT (a.source = b.source)::INT AS g_source,
+                     (floor(a.n_chars / 25.0)
+                      = floor(b.n_chars / 25.0))::INT AS g_len,
+                     (substr(a.text, 1, 20)
+                      = substr(b.text, 1, 20))::INT AS g_prefix,
+                     (a.n_chars = b.n_chars)::INT AS m
+              FROM documents a JOIN documents b
+                ON a.doc_id + 1 = b.doc_id AND a.lang = b.lang),
+            f AS (
+              SELECT 'agree_source' AS field, sum(m) AS nm,
+                     sum(1 - m) AS nn, sum(g_source * m) AS am,
+                     sum(g_source * (1 - m)) AS au FROM pairs
+              UNION ALL
+              SELECT 'agree_len', sum(m), sum(1 - m),
+                     sum(g_len * m), sum(g_len * (1 - m)) FROM pairs
+              UNION ALL
+              SELECT 'agree_prefix', sum(m), sum(1 - m),
+                     sum(g_prefix * m), sum(g_prefix * (1 - m))
+              FROM pairs)
+            SELECT field, nm::BIGINT AS n_match,
+                   nn::BIGINT AS n_nonmatch,
+                   round((am + 0.5) / (nm + 1.0), 6) AS m,
+                   round((au + 0.5) / (nn + 1.0), 6) AS u,
+                   round(log2(((am + 0.5) / (nm + 1.0))
+                              / ((au + 0.5) / (nn + 1.0))), 6)
+                     AS agreement_weight,
+                   round(log2((1 - (am + 0.5) / (nm + 1.0))
+                              / (1 - (au + 0.5) / (nn + 1.0))), 6)
+                     AS disagreement_weight
+            FROM f
         """,
     }

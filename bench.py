@@ -359,6 +359,8 @@ R4_NAMES = [
     "null_patterns", "ts_monotonic", "fd_mine", "badword_rate",
     # wave 50: SCD2 history, chain resolution, per-group OLS
     "scd2_history", "resolve_chains", "group_ols",
+    # wave 51: ROC AUC, decile lift table, Fellegi-Sunter weights
+    "roc_auc", "lift_table", "fs_weights",
 ]
 
 

@@ -70,3 +70,44 @@ def test_cluster_consistency_audit_detects_bad_labels(spark):
         "doc_id long, cluster_id long")
     r2 = dedup.cluster_consistency_audit(pairs, bad).collect()[0]
     assert (r2.n_pair_violations, r2.ok) == (1, False)
+
+
+class TestFsLinkageWeights:
+    def test_hand_computed_weights(self, spark):
+        import math
+        import pytest
+        from zoi_spark import dedup
+        # 2 proxy matches (both agree), 2 non-matches (one agrees)
+        rows = [(True, True), (True, True), (True, False),
+                (False, False)]
+        df = spark.createDataFrame(rows, "a boolean, m boolean")
+        r = dedup.fs_linkage_weights(
+            df, agree_cols=["a"], proxy_col="m").collect()[0]
+        m = (2 + 0.5) / (2 + 1.0)   # 0.833333
+        u = (1 + 0.5) / (2 + 1.0)   # 0.5
+        assert r["n_match"] == 2 and r["n_nonmatch"] == 2
+        assert r["m"] == pytest.approx(m, abs=1e-6)
+        assert r["u"] == pytest.approx(u, abs=1e-6)
+        assert r["agreement_weight"] == pytest.approx(
+            math.log2(m / u), abs=1e-6)
+        assert r["disagreement_weight"] == pytest.approx(
+            math.log2((1 - m) / (1 - u)), abs=1e-6)
+
+    def test_smoothing_keeps_weights_finite(self, spark):
+        from zoi_spark import dedup
+        # every proxy match agrees, every non-match disagrees:
+        # unsmoothed u=0 would be -inf
+        rows = [(True, True), (False, False)]
+        df = spark.createDataFrame(rows, "a boolean, m boolean")
+        r = dedup.fs_linkage_weights(
+            df, agree_cols=["a"], proxy_col="m").collect()[0]
+        assert all(v is not None and abs(v) < 100
+                   for v in (r["agreement_weight"],
+                             r["disagreement_weight"]))
+
+    def test_empty_agree_cols_raise(self, spark):
+        import pytest as _pt
+        from zoi_spark import dedup
+        df = spark.createDataFrame([(True,)], "m boolean")
+        with _pt.raises(ValueError):
+            dedup.fs_linkage_weights(df, agree_cols=[], proxy_col="m")

@@ -3353,3 +3353,69 @@ class TestGroupOls:
         df = spark.createDataFrame(rows, "g string, x double, y double")
         r = tc.group_ols(df, x_col="x", y_col="y", by="g").collect()[0]
         assert r["n"] == 2 and r["slope"] == pytest.approx(2.0, abs=1e-6)
+
+
+class TestRocAuc:
+    def test_perfect_and_reversed(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        r = tc.roc_auc(df, score_col="s", label_col="y").collect()[0]
+        assert r["auc"] == pytest.approx(1.0) and r["n_pos"] == 2
+        rev = [(4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)]
+        df2 = spark.createDataFrame(rev, "s double, y int")
+        r2 = tc.roc_auc(df2, score_col="s", label_col="y").collect()[0]
+        assert r2["auc"] == pytest.approx(0.0)
+
+    def test_ties_get_midrank_half_credit(self, spark):
+        from zoi_spark import tablechecks as tc
+        # one pos and one neg at the same score: AUC exactly 0.5
+        rows = [(1.0, 0), (1.0, 1)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        r = tc.roc_auc(df, score_col="s", label_col="y").collect()[0]
+        assert r["auc"] == pytest.approx(0.5)
+
+    def test_degenerate_group_is_null(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("g", 1.0, 1), ("g", 2.0, 1)]
+        df = spark.createDataFrame(rows, "g string, s double, y int")
+        r = tc.roc_auc(df, score_col="s", label_col="y",
+                       by="g").collect()[0]
+        assert r["auc"] is None and r["n_neg"] == 0
+
+    def test_single_shuffle_per_group_plan(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("g", float(i), i % 2) for i in range(20)]
+        df = spark.createDataFrame(rows, "g string, s double, y int")
+        out = tc.roc_auc(df, score_col="s", label_col="y", by="g")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # agg to (g, s) shuffles on both keys; the window and final
+        # fold need only g, so one more exchange — never a global sort
+        assert plan.count("Exchange") <= 2
+        assert "rangepartitioning" not in plan.lower()
+
+
+class TestLiftTable:
+    def test_known_deciles(self, spark):
+        from zoi_spark import tablechecks as tc
+        # 10 rows, 2 buckets: top-5 scores carry all 3 flags
+        rows = [(i, float(100 - i), 1 if i < 3 else 0)
+                for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, s double, y int")
+        out = {r["bucket"]: r for r in tc.lift_table(
+            df, score_col="s", flag_col="y", id_col="id",
+            n_buckets=2).collect()}
+        assert out[1]["n"] == 5 and out[1]["n_flagged"] == 3
+        assert out[1]["rate"] == pytest.approx(0.6)
+        assert out[1]["cum_lift"] == pytest.approx(2.0)  # 0.6 / 0.3
+        assert out[1]["cum_capture"] == pytest.approx(1.0)
+        assert out[2]["cum_lift"] == pytest.approx(1.0)
+
+    def test_tie_break_is_deterministic(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1, 5.0, 1), (2, 5.0, 0)]  # tie: lower id first
+        df = spark.createDataFrame(rows, "id long, s double, y int")
+        out = {r["bucket"]: r for r in tc.lift_table(
+            df, score_col="s", flag_col="y", id_col="id",
+            n_buckets=2).collect()}
+        assert out[1]["n_flagged"] == 1 and out[2]["n_flagged"] == 0

@@ -2226,3 +2226,54 @@ def blocking_profile(df: DataFrame, *, block_col: str,
                            round_to).alias("capped_share")))
     out._zoi_persisted = [counts]
     return out
+
+
+def fs_linkage_weights(pairs: DataFrame, *,
+                       agree_cols: Sequence[str], proxy_col: str,
+                       laplace: float = 0.5,
+                       round_to: int = 6) -> DataFrame:
+    """Fellegi–Sunter record-linkage field weights (Fellegi & Sunter
+    1969): for each boolean agreement field over candidate pairs,
+    estimate m = P(agree | match) and u = P(agree | non-match) from a
+    deterministic proxy label (an exact-key rule, a seed list, a
+    prior model's verdict), and emit the log₂ evidence weights a
+    linkage scorer adds per field — agreement_weight = log₂(m/u),
+    disagreement_weight = log₂((1-m)/(1-u)). This is the classical
+    supervised-ish seed step of probabilistic entity resolution
+    (Splink-style); summing the weights over fields scores any pair.
+
+    Laplace-smoothed with ``laplace`` pseudo-counts on both sides so
+    a field that never (dis)agrees among the proxy matches yields a
+    finite weight instead of ±inf — the standard guard when the
+    proxy-match set is small.
+
+    Scale shape: the K agreement columns are unpivoted with
+    ``stack`` so the whole estimate is ONE hash aggregation on the
+    field name (K keys, map-side combined) over however many
+    candidate pairs the blocker produced; no collect, no per-row
+    Python. Output: (field, n_match, n_nonmatch, m, u,
+    agreement_weight, disagreement_weight), one row per field."""
+    if not agree_cols:
+        raise ValueError("agree_cols must be non-empty")
+    k = len(agree_cols)
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as int)" for c in agree_cols)
+    lng = (pairs.select(
+        F.col(proxy_col).cast("int").alias("__m"),
+        F.expr(f"stack({k}, {stack_args}) as (field, agree)"))
+        .where(F.col("agree").isNotNull() & F.col("__m").isNotNull()))
+    a = F.lit(float(laplace))
+    g = lng.groupBy("field").agg(
+        F.sum("__m").cast("long").alias("n_match"),
+        F.sum(1 - F.col("__m")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("agree") * F.col("__m")).alias("__am"),
+        F.sum(F.col("agree") * (1 - F.col("__m"))).alias("__au"))
+    m = (F.col("__am") + a) / (F.col("n_match") + 2 * a)
+    u = (F.col("__au") + a) / (F.col("n_nonmatch") + 2 * a)
+    return g.select(
+        "field", "n_match", "n_nonmatch",
+        F.round(m, round_to).alias("m"),
+        F.round(u, round_to).alias("u"),
+        F.round(F.log2(m / u), round_to).alias("agreement_weight"),
+        F.round(F.log2((1 - m) / (1 - u)),
+                round_to).alias("disagreement_weight"))

@@ -23,7 +23,7 @@ import math
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -3819,3 +3819,102 @@ def group_ols(df: DataFrame, *, x_col: str, y_col: str, by: str,
         F.round(F.col("__my") - slope * F.col("__mx"),
                 round_to).alias("intercept"),
         F.round(corr * corr, round_to).alias("r2"))
+
+
+def roc_auc(df: DataFrame, *, score_col: str, label_col,
+            by: str | None = None, round_to: int = 6) -> DataFrame:
+    """ROC AUC of a score against a boolean label, exactly (midrank
+    tie handling), optionally per group — the discrimination audit
+    for any quality/spam/match score the pipeline gates on: AUC 0.5
+    means the score carries no signal in that segment even when its
+    marginal distribution looks healthy. Complements
+    :func:`quality_calibration` (calibration) and :func:`woe_iv`
+    (per-bucket separation) with the threshold-free ranking view.
+
+    Computed via the rank-sum identity on DISTINCT score levels:
+    group scores, then AUC = Σ_s p_s·(cumneg_<s + q_s/2) / (P·Q) —
+    ties contribute half, which IS the midrank/trapezoid definition,
+    with no per-row ranking. A group that is all-positive or
+    all-negative yields NULL AUC (``try_divide``), not an error.
+
+    Scale shape: one hash aggregation to (group, score) — the only
+    shuffle — then a per-group window over DISTINCT scores (bounded
+    by score cardinality, not rows) and a final per-group fold that
+    reuses the same partitioning; no global sort, no per-row window.
+    """
+    lbl = (label_col if isinstance(label_col, Column)
+           else F.col(label_col))
+    grp = F.col(by) if by else F.lit(0)
+    clean = df.where(F.col(score_col).isNotNull() & lbl.isNotNull())
+    per_score = (clean.select(grp.alias("__g"),
+                              F.col(score_col).alias("__s"),
+                              lbl.cast("int").alias("__y"))
+                 .groupBy("__g", "__s")
+                 .agg(F.sum("__y").alias("__p"),
+                      F.sum(1 - F.col("__y")).alias("__q")))
+    w = (Window.partitionBy("__g").orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    contrib = (F.col("__p")
+               * (F.sum("__q").over(w) - F.col("__q")
+                  + F.col("__q") / F.lit(2.0)))
+    agg = (per_score.select("__g", "__p", "__q",
+                            contrib.alias("__c"))
+           .groupBy("__g")
+           .agg(F.sum("__p").cast("long").alias("n_pos"),
+                F.sum("__q").cast("long").alias("n_neg"),
+                F.round(F.try_divide(
+                    F.sum("__c"),
+                    F.sum("__p").cast("double")
+                    * F.sum("__q").cast("double")),
+                    round_to).alias("auc")))
+    if by:
+        return agg.select(F.col("__g").alias(by), "n_pos", "n_neg",
+                          "auc")
+    return agg.select("n_pos", "n_neg", "auc")
+
+
+def lift_table(df: DataFrame, *, score_col: str, flag_col,
+               id_col: str, n_buckets: int = 10,
+               round_to: int = 6) -> DataFrame:
+    """Decile lift/gains table: rank rows by score (best first),
+    split into ``n_buckets`` equal tiles, and report each tile's
+    response rate, cumulative lift over the base rate, and cumulative
+    capture share — the scorecard companion to :func:`woe_iv` that
+    answers "if we keep only the top k/10 by this score, what share
+    of the positives do we keep?". ``id_col`` (unique) breaks score
+    ties so both engines tile identically.
+
+    Scale shape: ntile is a SINGLE-PARTITION window (one global
+    sort) — this is an evaluation-sample tool for scored holdouts
+    (≤ millions of rows), deliberately exact; the corpus-scale paths
+    are `woe_iv` / `perplexity_buckets`, which bucket by value, not
+    rank. The rest is one tiny aggregation over ``n_buckets`` rows.
+    """
+    flag = (flag_col if isinstance(flag_col, Column)
+            else F.col(flag_col))
+    clean = df.where(F.col(score_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    tiled = clean.select(
+        F.ntile(n_buckets).over(w).alias("bucket"),
+        flag.cast("int").alias("__y"))
+    per = (tiled.groupBy("bucket")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("__y").cast("long").alias("n_flagged")))
+    w2 = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum_n = F.sum("n").over(w2)
+    cum_f = F.sum("n_flagged").over(w2)
+    base = F.sum("n_flagged").over(tot) / F.sum("n").over(tot)
+    return per.select(
+        "bucket", "n", "n_flagged",
+        F.round(F.col("n_flagged") / F.col("n"),
+                round_to).alias("rate"),
+        F.round(F.try_divide(cum_f / cum_n, base),
+                round_to).alias("cum_lift"),
+        F.round(F.try_divide(cum_f.cast("double"),
+                             F.sum("n_flagged").over(tot)
+                             .cast("double")),
+                round_to).alias("cum_capture"))
