@@ -6044,6 +6044,46 @@ def q_fs_weights(spark, sf_dir):
                            "agree_prefix"], proxy_col="proxy")
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (tablechecks.t_closeness_audit): per
+    (lang, 100-char length bucket) QI group, total-variation EMD of
+    the source distribution against the corpus-wide one, gated at
+    t=0.2 — the third privacy rung after k-anonymity/l-diversity.
+    The DuckDB twin re-derives the present-cells TVD fold."""
+    from zoi_spark import tablechecks
+
+    d = (_read(spark, sf_dir, "documents")
+         .withColumn("len_bucket", F.floor(F.col("n_chars") / 100)))
+    return tablechecks.t_closeness_audit(
+        d, qi_cols=["lang", "len_bucket"], sensitive_col="source",
+        t=0.2)
+
+
+def q_keyness(spark, sf_dir):
+    """Dunning log-likelihood keyness (text.keyness_terms): which
+    terms are over/under-represented in the English slice vs the
+    rest of the corpus, signed G² per term with total count ≥ 5.
+    The DuckDB twin recomputes the expected counts and the
+    0·ln0-guarded G² from the same normalized token stream."""
+    from zoi_spark import text
+
+    return text.keyness_terms(
+        _read(spark, sf_dir, "documents"),
+        focus=F.col("lang") == "en", min_count=5)
+
+
+def q_vocab_richness(spark, sf_dir):
+    """Chao1 vocabulary richness per lang (text.vocab_richness):
+    observed vocab, hapax/dis-legomena counts, the bias-corrected
+    Chao1 lower bound on true vocabulary size, and Good's coverage —
+    the unseen-SPECIES companion to good_turing_mass. The DuckDB
+    twin replays the (lang, term) count histogram fold."""
+    from zoi_spark import text
+
+    return text.vocab_richness(
+        _read(spark, sf_dir, "documents"), by="lang")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6445,6 +6485,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "roc_auc": q_roc_auc,
         "lift_table": q_lift_table,
         "fs_weights": q_fs_weights,
+        # wave 52 — t-closeness privacy gate, Dunning keyness,
+        # Chao1 vocabulary richness
+        "t_closeness": q_t_closeness,
+        "keyness": q_keyness,
+        "vocab_richness": q_vocab_richness,
     }
 
 
@@ -14658,5 +14703,83 @@ def oracle_sql() -> dict[str, str]:
                               / (1 - (au + 0.5) / (nn + 1.0))), 6)
                      AS disagreement_weight
             FROM f
+        """,
+        "t_closeness": """
+            WITH base AS (
+              SELECT lang, floor(n_chars / 100.0)::BIGINT
+                       AS len_bucket,
+                     coalesce(source, '∅') AS s
+              FROM documents),
+            cells AS (
+              SELECT lang, len_bucket, s, count(*) AS nc
+              FROM base GROUP BY 1, 2, 3),
+            gdist AS (
+              SELECT s, count(*) * 1.0
+                       / (SELECT count(*) FROM base) AS q
+              FROM base GROUP BY s),
+            j AS (
+              SELECT c.lang, c.len_bucket, c.nc, g.q,
+                     sum(c.nc) OVER (PARTITION BY c.lang,
+                                     c.len_bucket) AS n
+              FROM cells c JOIN gdist g USING (s))
+            SELECT lang, len_bucket, any_value(n)::BIGINT AS n,
+                   round((sum(abs(nc * 1.0 / n - q))
+                          + (1 - sum(q))) / 2, 6) AS emd,
+                   round((sum(abs(nc * 1.0 / n - q))
+                          + (1 - sum(q))) / 2, 6) <= 0.2 AS ok
+            FROM j GROUP BY 1, 2
+        """,
+        "keyness": f"""
+            WITH lng AS (
+              SELECT CASE WHEN lang IS NULL THEN NULL
+                          WHEN lang = 'en' THEN 1 ELSE 0 END AS f,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents),
+            counts AS (
+              SELECT term, sum(f)::DOUBLE AS a,
+                     sum(1 - f)::DOUBLE AS b
+              FROM lng WHERE term <> '' AND f IS NOT NULL
+              GROUP BY term),
+            tot AS (
+              SELECT sum(f)::DOUBLE AS c, sum(1 - f)::DOUBLE AS d
+              FROM lng WHERE term <> '' AND f IS NOT NULL),
+            j AS (
+              SELECT term, a, b, c, d,
+                     c * (a + b) / (c + d) AS e1,
+                     d * (a + b) / (c + d) AS e2
+              FROM counts, tot WHERE a + b >= 5),
+            g AS (
+              SELECT term, a, b, c, d,
+                     2 * (CASE WHEN a > 0 THEN a * ln(a / e1)
+                               ELSE 0 END
+                          + CASE WHEN b > 0 THEN b * ln(b / e2)
+                                 ELSE 0 END) AS g2
+              FROM j)
+            SELECT term, a::BIGINT AS n_focus, b::BIGINT AS n_ref,
+                   round(CASE WHEN a / c > b / d THEN g2
+                              ELSE -g2 END, 6) AS keyness
+            FROM g
+        """,
+        "vocab_richness": f"""
+            WITH lng AS (
+              SELECT lang AS g,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS t
+              FROM documents),
+            per AS (
+              SELECT g, t, count(*) AS c
+              FROM lng WHERE t <> '' GROUP BY 1, 2),
+            agg AS (
+              SELECT g, sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS vocab,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS f1,
+                     sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS f2
+              FROM per GROUP BY g)
+            SELECT g AS lang, n_tokens, vocab, f1, f2,
+                   round(vocab + f1 * (f1 - 1) / (2.0 * (f2 + 1)),
+                         6) AS chao1,
+                   round(1 - f1 * 1.0 / n_tokens, 6) AS coverage
+            FROM agg
         """,
     }

@@ -361,6 +361,8 @@ R4_NAMES = [
     "scd2_history", "resolve_chains", "group_ols",
     # wave 51: ROC AUC, decile lift table, Fellegi-Sunter weights
     "roc_auc", "lift_table", "fs_weights",
+    # wave 52: t-closeness gate, Dunning keyness, Chao1 richness
+    "t_closeness", "keyness", "vocab_richness",
 ]
 
 

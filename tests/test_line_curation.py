@@ -584,3 +584,51 @@ def test_lexical_concentration_buckets(spark):
     out = {r.bucket: r.n_docs
            for r in text.lexical_concentration(df).collect()}
     assert out == {9: 1, 2: 1}
+
+
+class TestKeynessTerms:
+    def test_enriched_term_is_positive(self, spark):
+        import pytest
+        from zoi_spark import text
+        from pyspark.sql import functions as F
+        rows = [("aaa aaa aaa bbb", True), ("bbb bbb bbb ccc", False),
+                ("aaa aaa bbb bbb", True), ("ccc ccc bbb bbb", False)]
+        df = spark.createDataFrame(rows, "text string, foc boolean")
+        out = {r["term"]: r for r in text.keyness_terms(
+            df, focus=F.col("foc"), min_count=1).collect()}
+        assert out["aaa"]["keyness"] > 0      # only in focus
+        assert out["ccc"]["keyness"] < 0      # only in reference
+        assert out["aaa"]["n_focus"] == 5 and out["aaa"]["n_ref"] == 0
+        # balanced term: G2 near zero
+        assert abs(out["bbb"]["keyness"]) < abs(out["aaa"]["keyness"])
+
+    def test_min_count_filters(self, spark):
+        from zoi_spark import text
+        from pyspark.sql import functions as F
+        rows = [("rare common common", True), ("common common", False)]
+        df = spark.createDataFrame(rows, "text string, foc boolean")
+        terms = {r["term"] for r in text.keyness_terms(
+            df, focus=F.col("foc"), min_count=2).collect()}
+        assert terms == {"common"}
+
+
+class TestVocabRichness:
+    def test_chao1_and_coverage(self, spark):
+        import pytest
+        from zoi_spark import text
+        # counts: a:3, b:1, c:1, d:2  -> V=4, f1=2, f2=1, N=7
+        df = spark.createDataFrame(
+            [("a a a b c d d",)], "text string")
+        r = text.vocab_richness(df).collect()[0]
+        assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) \
+            == (7, 4, 2, 1)
+        assert r["chao1"] == pytest.approx(4 + 2 * 1 / 4.0, abs=1e-6)
+        assert r["coverage"] == pytest.approx(1 - 2 / 7, abs=1e-6)
+
+    def test_no_hapax_means_full_coverage(self, spark):
+        import pytest
+        from zoi_spark import text
+        df = spark.createDataFrame([("x x y y",)], "text string")
+        r = text.vocab_richness(df).collect()[0]
+        assert r["chao1"] == pytest.approx(2.0)
+        assert r["coverage"] == pytest.approx(1.0)

@@ -60,3 +60,36 @@ def test_bpe_pair_counts_hand_census(spark):
     # 1-char words contribute nothing; top_k truncates
     top1 = text.bpe_pair_counts(df, top_k=1).collect()
     assert [(r.pair, r.n) for r in top1] == [("ab", 3)]
+
+
+class TestTCloseness:
+    def test_tvd_with_absent_values(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        # global: a=2/6, b=4/6. g1 has a=2/3,b=1/3 -> TVD 1/3;
+        # g2 has b only -> TVD = .5*(|1-2/3| + 2/6 absent) = 1/3
+        rows = [("g1", "a"), ("g1", "a"), ("g1", "b"),
+                ("g2", "b"), ("g2", "b"), ("g2", "b")]
+        df = spark.createDataFrame(rows, "qi string, s string")
+        out = {r["qi"]: r for r in tc.t_closeness_audit(
+            df, qi_cols=["qi"], sensitive_col="s", t=0.4).collect()}
+        assert out["g1"]["emd"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out["g2"]["emd"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out["g1"]["ok"] and out["g2"]["ok"]
+
+    def test_identical_distribution_is_zero(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")]
+        df = spark.createDataFrame(rows, "qi string, s string")
+        for r in tc.t_closeness_audit(df, qi_cols=["qi"],
+                                      sensitive_col="s").collect():
+            assert r["emd"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_invalid_t_raises(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([("g", "a")], "qi string, s string")
+        with pytest.raises(ValueError):
+            tc.t_closeness_audit(df, qi_cols=["qi"],
+                                 sensitive_col="s", t=0.0)

@@ -3918,3 +3918,57 @@ def lift_table(df: DataFrame, *, score_col: str, flag_col,
                              F.sum("n_flagged").over(tot)
                              .cast("double")),
                 round_to).alias("cum_capture"))
+
+
+def t_closeness_audit(df: DataFrame, *, qi_cols: Sequence[str],
+                      sensitive_col: str, t: float = 0.2,
+                      round_to: int = 6) -> DataFrame:
+    """t-closeness audit over quasi-identifier groups (Li, Li &
+    Venkatasubramanian 2007) — the third rung of the release-gate
+    ladder after :func:`k_anonymity` and :func:`l_diversity_audit`:
+    a group can be large AND diverse yet still leak if its sensitive
+    distribution differs sharply from the table's (e.g. one host
+    group is 90% flagged where the corpus is 5%). For a categorical
+    sensitive attribute with uniform ground distance the EMD is the
+    total-variation distance ½·Σ|p_i − q_i|; ``ok`` requires
+    ``emd ≤ t``.
+
+    Absent sensitive values (in the table but not the group)
+    contribute their full global mass; rather than materialising the
+    qi×sensitive grid, the fold uses
+    ½·(Σ_present|p−q| + (1 − Σ_present q)), which is algebraically
+    the same TVD over only the PRESENT cells.
+
+    Shape at 10^12 rows: one hash aggregation to (qi, sensitive)
+    cells, a broadcast join of the global sensitive distribution
+    (cardinality of the sensitive attribute — tiny), and one qi
+    rollup; no window, no grid blow-up."""
+    if not 0 < float(t) <= 1:
+        raise ValueError("t must be in (0, 1]")
+    qi = list(qi_cols)
+    s = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("∅"))
+    clean = df.select(*[F.col(c) for c in qi], s.alias("__s"))
+    cells = clean.groupBy(*qi, "__s").agg(
+        F.count("*").alias("__nc"))
+    glob = (clean.groupBy("__s")
+            .agg(F.count("*").alias("__ns"))
+            .withColumn("__q", F.col("__ns")
+                        / F.sum("__ns").over(Window.rowsBetween(
+                            Window.unboundedPreceding,
+                            Window.unboundedFollowing))))
+    joined = cells.join(F.broadcast(glob.select("__s", "__q")),
+                        "__s")
+    w = Window.partitionBy(*qi)
+    withn = joined.select(
+        *qi, "__q",
+        F.sum("__nc").over(w).alias("__n"),
+        F.col("__nc").alias("__nc"))
+    per = (withn.groupBy(*qi)
+           .agg(F.first("__n").cast("long").alias("n"),
+                F.sum(F.abs(F.col("__nc") / F.col("__n")
+                            - F.col("__q"))).alias("__sum_abs"),
+                F.sum("__q").alias("__sum_q")))
+    emd = (F.col("__sum_abs") + (1.0 - F.col("__sum_q"))) / 2.0
+    return per.select(
+        *qi, "n", F.round(emd, round_to).alias("emd"),
+        (F.round(emd, round_to) <= F.lit(t)).alias("ok"))

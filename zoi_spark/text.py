@@ -2923,3 +2923,92 @@ def badword_rate(df: DataFrame, terms: "list[str]", *,
             .withColumn("flag_rate",
                         F.round(F.col("n_flagged") / F.col("n_docs"),
                                 6)))
+
+
+def keyness_terms(df: DataFrame, *, focus, text_col: str = "text",
+                  min_count: int = 5,
+                  round_to: int = 6) -> DataFrame:
+    """Corpus-comparison keyness via the Dunning (1993) log-likelihood
+    G² — which terms are over/under-represented in a FOCUS slice
+    (one source, one language, one time window) against the rest of
+    the corpus. The workhorse behind "what is this crawl slice full
+    of?", boilerplate attribution, and topic drift triage; unlike
+    raw frequency ratios it is well-behaved for rare terms, and
+    unlike :func:`tfidf_top_terms` it is a two-corpus significance
+    test, not a per-document salience score.
+
+    For each term with total count ≥ ``min_count``:
+    a = focus count, b = reference count, c/d = corpus token totals;
+    E1 = c·(a+b)/(c+d), E2 = d·(a+b)/(c+d);
+    G² = 2·(a·ln(a/E1) + b·ln(b/E2)) with 0·ln0 = 0, signed positive
+    when the term is focus-enriched (a/c > b/d).
+
+    Shape at 10^12 docs: one explode + one (term, side) hash
+    aggregation with map-side combine, the two scalar totals
+    broadcast back via a 1-row cross join (the `crossJoin`-scalar
+    idiom used across this module); no window, no per-row Python."""
+    fc = focus if isinstance(focus, Column) else F.col(focus)
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    lng = (df.select(fc.cast("int").alias("__f"),
+                     F.explode(tokens).alias("term"))
+           .where((F.col("term") != "") & F.col("__f").isNotNull()))
+    counts = lng.groupBy("term").agg(
+        F.sum("__f").cast("double").alias("__a"),
+        F.sum(1 - F.col("__f")).cast("double").alias("__b"))
+    totals = lng.groupBy().agg(
+        F.sum("__f").cast("double").alias("__c"),
+        F.sum(1 - F.col("__f")).cast("double").alias("__d"))
+    j = counts.where(F.col("__a") + F.col("__b") >= min_count) \
+        .crossJoin(F.broadcast(totals))
+    e1 = F.col("__c") * (F.col("__a") + F.col("__b")) \
+        / (F.col("__c") + F.col("__d"))
+    e2 = F.col("__d") * (F.col("__a") + F.col("__b")) \
+        / (F.col("__c") + F.col("__d"))
+    xlx = (lambda x, e: F.when(x > 0, x * F.log(x / e))
+           .otherwise(F.lit(0.0)))
+    g2 = 2.0 * (xlx(F.col("__a"), e1) + xlx(F.col("__b"), e2))
+    enriched = (F.col("__a") / F.col("__c")
+                > F.col("__b") / F.col("__d"))
+    return j.select(
+        "term", F.col("__a").cast("long").alias("n_focus"),
+        F.col("__b").cast("long").alias("n_ref"),
+        F.round(F.when(enriched, g2).otherwise(-g2),
+                round_to).alias("keyness"))
+
+
+def vocab_richness(df: DataFrame, *, text_col: str = "text",
+                   by: str | None = None,
+                   round_to: int = 6) -> DataFrame:
+    """Vocabulary richness per group: observed vocabulary, hapax (f1)
+    and dis legomena (f2) counts, the bias-corrected Chao1 estimate
+    of TRUE vocabulary size V + f1·(f1−1)/(2·(f2+1)) (Chao 1984,
+    the f2=0-safe form), and Good's coverage 1 − f1/N — "how much of
+    this slice's vocabulary have we actually seen?". The unseen-MASS
+    companion is :func:`good_turing_mass`; this estimates unseen
+    SPECIES, the number a dedup vocabulary or tokenizer training run
+    still hasn't met. Chao1 is a lower bound, reported as such.
+
+    Shape: one explode + (group, term) hash aggregation, then a
+    group rollup that reuses the same hash partitioning (subset
+    key) — two logical aggs, one shuffle of the exploded stream."""
+    grp = F.col(by) if by else F.lit(0)
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    lng = (df.select(grp.alias("__g"), F.explode(tokens).alias("__t"))
+           .where(F.col("__t") != ""))
+    per_term = lng.groupBy("__g", "__t").agg(F.count("*").alias("__c"))
+    g = per_term.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("__c") == 2).cast("int")).cast("long").alias("f2"))
+    chao1 = (F.col("vocab")
+             + F.col("f1") * (F.col("f1") - 1)
+             / (2.0 * (F.col("f2") + 1)))
+    cov = 1.0 - F.col("f1") / F.col("n_tokens")
+    out = g.select(
+        "__g", "n_tokens", "vocab", "f1", "f2",
+        F.round(chao1, round_to).alias("chao1"),
+        F.round(cov, round_to).alias("coverage"))
+    if by:
+        return out.withColumnRenamed("__g", by)
+    return out.drop("__g")
