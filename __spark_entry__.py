@@ -6084,6 +6084,82 @@ def q_vocab_richness(spark, sf_dir):
         _read(spark, sf_dir, "documents"), by="lang")
 
 
+_RAKE_ROW_T = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15,
+               "zh": 0.15}
+_RAKE_COL_T = {f"src{i}": 0.05 for i in range(20)}
+
+
+def q_raking_weights(spark, sf_dir):
+    """IPF raking (sampling.raking_weights): per-(lang, source) cell
+    weights that make the corpus simultaneously 40% English and
+    uniform across the 20 sources — two full row/col passes. The
+    DuckDB twin unrolls the same four scaling stages as window-sum
+    CTEs over the identical cell frame."""
+    from zoi_spark import sampling
+
+    return sampling.raking_weights(
+        _read(spark, sf_dir, "documents"), row_col="lang",
+        col_col="source", row_targets=_RAKE_ROW_T,
+        col_targets=_RAKE_COL_T, rounds=2)
+
+
+def q_weight_ess(spark, sf_dir):
+    """Kish effective sample size (sampling.weight_ess) of a
+    deterministic inverse-length weight per lang — the audit that a
+    reweighting didn't quietly destroy the sample. The DuckDB twin
+    recomputes (Σw)²/Σw² and the design effect from the same
+    weights."""
+    from zoi_spark import sampling
+
+    d = (_read(spark, sf_dir, "documents")
+         .withColumn("w", 1.0 / (1.0 + F.col("n_chars") / 100.0)))
+    return sampling.weight_ess(d, weight_col="w", by="lang")
+
+
+def q_stream_psi(spark, sf_dir):
+    """STREAMING PSI drift monitor (streaming.stream_psi_drift):
+    documents stream from a staged landing dir (event time = doc_id
+    mod 600 s → 10 one-minute windows), per-window language mix
+    compared against the corpus-wide baseline via two chained
+    stateful operators in append mode. The DuckDB twin recomputes
+    per-window PSI AND the watermark eviction rule (emit end ≤ max
+    event − 2 min), so the value hash pins both the drift math and
+    the append-mode semantics."""
+    import shutil
+    import tempfile
+
+    from zoi_spark import streaming
+
+    out_dir = os.path.join(tempfile.gettempdir(), "zoi_stream_psi")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    in_dir = os.path.join(out_dir, "in")
+    os.makedirs(in_dir)
+    shutil.copy(f"{sf_dir}/documents.parquet",
+                os.path.join(in_dir, "documents.parquet"))
+    batch = _read(spark, sf_dir, "documents")
+    baseline = (batch.groupBy("lang")
+                .agg(F.count("*").alias("__n"))
+                .select("lang",
+                        (F.col("__n")
+                         / F.sum("__n").over(
+                             Window.rowsBetween(
+                                 Window.unboundedPreceding,
+                                 Window.unboundedFollowing)))
+                        .alias("share")))
+    sdf = (spark.readStream.schema(batch.schema).parquet(in_dir)
+           .withColumn("ts", F.timestamp_seconds(
+               F.lit(1767225600) + F.pmod("doc_id", F.lit(600)))))
+    res = streaming.stream_psi_drift(sdf, baseline, ts_col="ts",
+                                     key_col="lang")
+    q = (res.writeStream.format("parquet")
+         .option("path", f"{out_dir}/data")
+         .option("checkpointLocation", f"{out_dir}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{out_dir}/data")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6490,6 +6566,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t_closeness": q_t_closeness,
         "keyness": q_keyness,
         "vocab_richness": q_vocab_richness,
+        # wave 53 — IPF raking, weight ESS audit, streaming PSI drift
+        "raking_weights": q_raking_weights,
+        "weight_ess": q_weight_ess,
+        "stream_psi": q_stream_psi,
     }
 
 
@@ -7805,6 +7885,35 @@ def _hits_sql(iters: int) -> str:
                    round(a.auth, 6) AS authority
             FROM h{iters} h JOIN a{iters} a USING (node)
             ORDER BY host""")
+
+
+def _rake_sql() -> str:
+    """DuckDB twin of q_raking_weights: the SAME target shares
+    (interpolated from _RAKE_ROW_T/_RAKE_COL_T — one source of truth)
+    and the SAME two full IPF passes, unrolled as four window-sum
+    scaling stages over the identical (lang, source) cell frame."""
+    rc = " ".join(f"WHEN '{k}' THEN {v}"
+                  for k, v in _RAKE_ROW_T.items())
+    cc = " ".join(f"WHEN '{k}' THEN {v}"
+                  for k, v in _RAKE_COL_T.items())
+    stage = ("SELECT row_val, col_val, n, tr, tc, "
+             "{w} * {t} / (sum(n * {w}) OVER (PARTITION BY {p}) "
+             "/ sum(n * {w}) OVER ()) AS {o} FROM {src}")
+    s1 = stage.format(w="w", t="tr", p="row_val", o="w1", src="cells")
+    s2 = stage.format(w="w1", t="tc", p="col_val", o="w2", src="s1")
+    s3 = stage.format(w="w2", t="tr", p="row_val", o="w3", src="s2")
+    s4 = stage.format(w="w3", t="tc", p="col_val", o="w4", src="s3")
+    return f"""
+        WITH cells AS (
+          SELECT lang AS row_val, source AS col_val,
+                 count(*)::BIGINT AS n,
+                 CASE lang {rc} END AS tr,
+                 CASE source {cc} END AS tc,
+                 1.0 AS w
+          FROM documents GROUP BY 1, 2),
+        s1 AS ({s1}), s2 AS ({s2}), s3 AS ({s3}), s4 AS ({s4})
+        SELECT row_val, col_val, n, round(w4, 6) AS weight FROM s4
+    """
 
 
 def _numeric_corr_sql() -> str:
@@ -14781,5 +14890,64 @@ def oracle_sql() -> dict[str, str]:
                          6) AS chao1,
                    round(1 - f1 * 1.0 / n_tokens, 6) AS coverage
             FROM agg
+        """,
+        "raking_weights": _rake_sql(),
+        "weight_ess": """
+            WITH wts AS (
+              SELECT lang,
+                     1.0 / (1.0 + n_chars / 100.0) AS w
+              FROM documents),
+            g AS (
+              SELECT lang, count(*)::BIGINT AS n_rows,
+                     count(CASE WHEN w > 0 THEN w END)::BIGINT
+                       AS n_weighted,
+                     sum(CASE WHEN w > 0 THEN w END) AS sw,
+                     sum(CASE WHEN w > 0 THEN w * w END) AS sw2
+              FROM wts GROUP BY lang)
+            SELECT lang, n_rows, n_weighted,
+                   round(sw * sw / sw2, 6) AS ess,
+                   round(n_weighted * sw2 / (sw * sw), 6) AS deff
+            FROM g
+        """,
+        "stream_psi": """
+            WITH ts AS (
+              SELECT doc_id, lang,
+                     TIMESTAMP '2026-01-01 00:00:00'
+                     + ((doc_id % 600) // 60) * INTERVAL 1 MINUTE
+                       AS window_start
+              FROM documents),
+            base AS (
+              SELECT lang, count(*) * 1.0
+                       / (SELECT count(*) FROM documents) AS p
+              FROM documents GROUP BY lang),
+            counts AS (
+              SELECT window_start, lang, count(*) AS c
+              FROM ts GROUP BY 1, 2),
+            tot AS (
+              SELECT window_start, sum(c) AS n
+              FROM counts GROUP BY 1),
+            per AS (
+              SELECT c.window_start, any_value(t.n) AS n,
+                     sum((c.c * 1.0 / t.n - b.p)
+                         * (ln(greatest(c.c * 1.0 / t.n, 1e-9))
+                            - ln(greatest(b.p, 1e-9)))) AS psi,
+                     sum(b.p) AS covered
+              FROM counts c
+              JOIN base b USING (lang)
+              JOIN tot t USING (window_start)
+              GROUP BY 1)
+            -- append mode only emits windows the final watermark has
+            -- closed: wm = max event time - 2 min, emit end <= wm
+            SELECT window_start,
+                   window_start + INTERVAL 1 MINUTE AS window_end,
+                   n::BIGINT AS n, round(psi, 6) AS psi_present,
+                   round(1 - covered, 6) AS missing_share,
+                   round(psi, 6) > 0.2 AS drifted
+            FROM per
+            WHERE window_start + INTERVAL 1 MINUTE <=
+              (SELECT TIMESTAMP '2026-01-01 00:00:00'
+                      + max((doc_id % 600)) * INTERVAL 1 SECOND
+                      - INTERVAL 2 MINUTE
+               FROM documents)
         """,
     }

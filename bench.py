@@ -115,7 +115,7 @@ HEADLINE_NAMES = [
 # streaming queries are timed end-to-end under a separate key (see
 # bench_streaming_e2e) — never mixed into query wall-times
 STREAM_NAMES = ["stream_validate_docs", "stream_dedup_docs",
-                "stream_window_violations"]
+                "stream_window_violations", "stream_psi"]
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -363,6 +363,9 @@ R4_NAMES = [
     "roc_auc", "lift_table", "fs_weights",
     # wave 52: t-closeness gate, Dunning keyness, Chao1 richness
     "t_closeness", "keyness", "vocab_richness",
+    # wave 53: IPF raking, weight ESS (stream_psi is in the
+    # streaming-e2e section — its wall-time is harness-dominated)
+    "raking_weights", "weight_ess",
 ]
 
 

@@ -569,3 +569,45 @@ def test_audio_silence_mixdown_and_runs(spark):
                                 "media_id long, payload binary")
     with pytest.raises(Exception, match="codec library"):
         multimodal.audio_silence(bad).collect()
+
+
+def test_stream_psi_drift_flags_shifted_window(spark, tmp_path):
+    """Two one-minute windows: the first mirrors the baseline mix, the
+    second is all-'en' — only the second drifts, and only windows the
+    final watermark closed are emitted."""
+    import pytest
+    from pyspark.sql import functions as F
+    from zoi_spark import streaming
+
+    rows = []
+    # window 0 (t=0..59): 5 en + 5 de  — matches baseline 50/50
+    for i in range(5):
+        rows += [(i, 10 + i, "en"), (100 + i, 20 + i, "de")]
+    # window 1 (t=60..119): 10 en — drifted
+    for i in range(10):
+        rows.append((200 + i, 70 + i, "en"))
+    # window 5 (t=300): late sentinel advancing the watermark so
+    # windows 0 and 1 both close (wm = 300 - 120 = 180)
+    rows.append((999, 300, "en"))
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, "id long, sec long, lang string") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec"))) \
+        .coalesce(1).write.parquet(in_dir)
+    baseline = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.5)], "lang string, share double")
+    batch = spark.read.parquet(in_dir)
+    sdf = spark.readStream.schema(batch.schema).parquet(in_dir)
+    out = streaming.stream_psi_drift(sdf, baseline, ts_col="ts",
+                                     key_col="lang",
+                                     window="1 minute",
+                                     watermark="2 minutes")
+    q = (out.writeStream.format("memory").queryName("zoi_psi_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["window_start"].second + r["window_start"].minute * 60: r
+           for r in spark.sql("select * from zoi_psi_test").collect()}
+    assert set(got) == {0, 60}  # window 5 stays open in state
+    assert got[0]["psi_present"] == pytest.approx(0.0, abs=1e-6)
+    assert not got[0]["drifted"] and got[0]["missing_share"] == 0.0
+    assert got[60]["drifted"] and got[60]["n"] == 10
+    assert got[60]["missing_share"] == pytest.approx(0.5)

@@ -465,3 +465,73 @@ class TestSampleGof:
         with pytest.raises(ValueError):
             sampling.sample_gof(df, id_col="doc_id", stratum_col="doc_id",
                                 rate=1.5)
+
+
+class TestRakingWeights:
+    def test_marginals_converge(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+        from zoi_spark import sampling
+        rows = ([("a", "x")] * 30 + [("a", "y")] * 30
+                + [("b", "x")] * 30 + [("b", "y")] * 10)
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = sampling.raking_weights(
+            df, row_col="r", col_col="c",
+            row_targets={"a": 0.5, "b": 0.5},
+            col_targets={"x": 0.5, "y": 0.5}, rounds=8)
+        m = (out.groupBy("row_val")
+             .agg(F.sum(F.col("n") * F.col("weight")).alias("mass"))
+             .collect())
+        tot = sum(r["mass"] for r in m)
+        for r in m:
+            assert r["mass"] / tot == pytest.approx(0.5, abs=1e-3)
+        c = (out.groupBy("col_val")
+             .agg(F.sum(F.col("n") * F.col("weight")).alias("mass"))
+             .collect())
+        for r in c:
+            assert r["mass"] / tot == pytest.approx(0.5, abs=1e-3)
+
+    def test_unmatched_value_gets_null_weight(self, spark):
+        from zoi_spark import sampling
+        df = spark.createDataFrame([("a", "x"), ("q", "x")],
+                                   "r string, c string")
+        out = {r["row_val"]: r["weight"] for r in
+               sampling.raking_weights(
+                   df, row_col="r", col_col="c",
+                   row_targets={"a": 1.0},
+                   col_targets={"x": 1.0}).collect()}
+        assert out["q"] is None and out["a"] is not None
+
+    def test_bad_rounds_raise(self, spark):
+        import pytest
+        from zoi_spark import sampling
+        df = spark.createDataFrame([("a", "x")], "r string, c string")
+        with pytest.raises(ValueError):
+            sampling.raking_weights(df, row_col="r", col_col="c",
+                                    row_targets={"a": 1.0},
+                                    col_targets={"x": 1.0}, rounds=0)
+
+
+class TestWeightEss:
+    def test_uniform_weights_full_ess(self, spark):
+        import pytest
+        from zoi_spark import sampling
+        df = spark.createDataFrame([(1.0,)] * 8, "w double")
+        r = sampling.weight_ess(df, weight_col="w").collect()[0]
+        assert r["ess"] == pytest.approx(8.0)
+        assert r["deff"] == pytest.approx(1.0)
+
+    def test_dominant_weight_collapses_ess(self, spark):
+        import pytest
+        from zoi_spark import sampling
+        df = spark.createDataFrame([(1000.0,)] + [(0.001,)] * 99,
+                                   "w double")
+        r = sampling.weight_ess(df, weight_col="w").collect()[0]
+        assert r["ess"] == pytest.approx(1.0, abs=0.01)
+
+    def test_nonpositive_excluded_but_counted(self, spark):
+        from zoi_spark import sampling
+        df = spark.createDataFrame([(1.0,), (0.0,), (-2.0,), (None,)],
+                                   "w double")
+        r = sampling.weight_ess(df, weight_col="w").collect()[0]
+        assert r["n_rows"] == 4 and r["n_weighted"] == 1

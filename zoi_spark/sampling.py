@@ -720,3 +720,85 @@ def sample_gof(df: DataFrame, *, id_col: str, stratum_col: str,
         F.round((F.col("kept") - e) / F.sqrt(var), 6).alias("z"),
         F.round((F.col("kept") - e) * (F.col("kept") - e) / e, 6)
         .alias("chi2_term"))
+
+
+def raking_weights(df: DataFrame, *, row_col: str, col_col: str,
+                   row_targets: dict, col_targets: dict,
+                   rounds: int = 2, round_to: int = 6) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan
+    1940): per-cell weights that rebalance the corpus so BOTH
+    marginals match target shares simultaneously — the joint
+    counterpart of :func:`temperature_weights` (one marginal at a
+    time). The training-mixture use: "make the corpus 40% English
+    AND uniform across sources" cannot be done with two independent
+    reweights; IPF alternates row- and column-scaling passes and
+    converges geometrically for strictly positive cells.
+
+    ``row_targets`` / ``col_targets`` are {value: share} dicts (each
+    summing to 1). Cells whose value is missing from a target dict
+    get NULL weight — visible, not silently dropped. ``rounds`` full
+    (row+col) passes; 2 is plenty for reporting, raise it for exact
+    convergence checks.
+
+    Shape at 10^12 rows: ONE hash aggregation to (row, col) cells;
+    every IPF pass is two window sums over that R×C cell frame
+    (thousands of rows at most) — iteration cost is decoupled from
+    corpus size, the same cells-not-rows shape as `t_closeness_audit`.
+    Apply the result by broadcast-joining the weights back on
+    (row, col)."""
+    if rounds < 1:
+        raise ValueError("rounds must be ≥ 1")
+    rt = F.create_map(*[F.lit(x) for kv in row_targets.items()
+                        for x in kv])
+    ct = F.create_map(*[F.lit(x) for kv in col_targets.items()
+                        for x in kv])
+    cells = (df.groupBy(F.col(row_col).alias("row_val"),
+                        F.col(col_col).alias("col_val"))
+             .agg(F.count("*").cast("long").alias("n"))
+             .select("row_val", "col_val", "n",
+                     rt[F.col("row_val")].alias("__tr"),
+                     ct[F.col("col_val")].alias("__tc"),
+                     F.lit(1.0).alias("w")))
+    allw = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    for _ in range(rounds):
+        for part, tgt in (("row_val", "__tr"), ("col_val", "__tc")):
+            share = (F.sum(F.col("n") * F.col("w"))
+                     .over(Window.partitionBy(part))
+                     / F.sum(F.col("n") * F.col("w")).over(allw))
+            cells = cells.withColumn(
+                "w", F.col("w") * F.col(tgt) / share)
+    return cells.select("row_val", "col_val", "n",
+                        F.round("w", round_to).alias("weight"))
+
+
+def weight_ess(df: DataFrame, *, weight_col: str,
+               by: str | None = None,
+               round_to: int = 6) -> DataFrame:
+    """Kish effective sample size and design effect of a weight
+    column: ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)² — the one-line audit
+    that tells you whether a reweighting (raking, temperature,
+    inverse-duplication) quietly destroyed your sample ("1M rows at
+    deff 50 is 20k effective rows"). Run it on every weight column
+    a sampler emits before trusting downstream estimates.
+
+    Shape: one hash aggregation (all moments partial); NULL or
+    non-positive weights are excluded and counted."""
+    grp = F.col(by) if by else F.lit(0)
+    w = F.col(weight_col)
+    g = (df.select(grp.alias("__g"),
+                   F.when(w > 0, w).alias("__w"))
+         .groupBy("__g")
+         .agg(F.count("*").cast("long").alias("n_rows"),
+              F.count("__w").cast("long").alias("n_weighted"),
+              F.sum("__w").alias("__sw"),
+              F.sum(F.col("__w") * F.col("__w")).alias("__sw2")))
+    ess = F.try_divide(F.col("__sw") * F.col("__sw"), F.col("__sw2"))
+    deff = F.try_divide(F.col("n_weighted") * F.col("__sw2"),
+                        F.col("__sw") * F.col("__sw"))
+    out = g.select("__g", "n_rows", "n_weighted",
+                   F.round(ess, round_to).alias("ess"),
+                   F.round(deff, round_to).alias("deff"))
+    if by:
+        return out.withColumnRenamed("__g", by)
+    return out.drop("__g")

@@ -188,3 +188,65 @@ def dedup_stream(sdf: DataFrame, *, id_col: str = "url",
     out = (sdf.withWatermark(ts_col, watermark)
            .dropDuplicatesWithinWatermark(keys))
     return out.drop("__zoi_fp") if text_col is not None else out
+
+
+def stream_psi_drift(sdf: DataFrame, baseline: DataFrame, *,
+                     ts_col: str, key_col: str,
+                     window: str = "1 minute",
+                     watermark: str = "2 minutes",
+                     epsilon: float = 1e-9,
+                     psi_threshold: float = 0.2) -> DataFrame:
+    """STREAMING distribution-drift monitor: per event-time window,
+    PSI of the observed ``key_col`` mix against a static baseline
+    distribution — the online sibling of the batch KL/PSI checks
+    (`tablechecks.drift_metrics`) and of `rolling_psi`. A crawl whose
+    language mix lurches mid-stream alarms within one window +
+    watermark delay instead of at the nightly batch audit.
+
+    ``baseline`` is a static ``(key, share)`` frame (shares sum
+    to 1). Two chained stateful operators (Spark ≥ 3.4, append
+    mode): a watermarked (window, key) count, then a per-window fold
+    that packs the joined cells into an array and computes PSI with
+    higher-order functions — all JVM-side, no Python in the stream.
+    Keys ABSENT from a window contribute no finite PSI term (their
+    clamped contribution is unbounded); instead the monitor reports
+    ``missing_share`` (baseline mass unseen this window) alongside
+    ``psi_present`` and flags on either signal: ``drifted`` =
+    psi_present > threshold. State is bounded by the watermark ×
+    key-cardinality; the baseline joins broadcast (stream-static
+    joins are stateless)."""
+    wm = sdf.withWatermark(ts_col, watermark)
+    counts = (wm.groupBy(F.window(F.col(ts_col), window).alias("w"),
+                         F.col(key_col).alias("__k"))
+              .agg(F.count("*").alias("__c")))
+    b = F.broadcast(baseline.select(F.col(key_col).alias("__k"),
+                                    F.col("share").alias("__p")))
+    j = counts.join(b, "__k")
+    per = (j.groupBy("w")
+           .agg(F.collect_list(F.struct(F.col("__c").alias("c"),
+                                        F.col("__p").alias("p")))
+                .alias("cells")))
+    # hoist the window total out of the PSI fold: referencing it
+    # inside the lambda would re-run the count fold per element
+    withn = per.select(
+        "w", "cells",
+        F.aggregate("cells", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["c"]).alias("n"))
+    eps = F.lit(float(epsilon))
+    n = F.col("n")
+    psi = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, x: acc
+        + (x["c"] / n - x["p"])
+        * (F.log(F.greatest(x["c"] / n, eps))
+           - F.log(F.greatest(x["p"], eps))))
+    covered = F.aggregate("cells", F.lit(0.0),
+                          lambda acc, x: acc + x["p"])
+    return withn.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        n,
+        F.round(psi, 6).alias("psi_present"),
+        F.round(1.0 - covered, 6).alias("missing_share"),
+        (F.round(psi, 6) > F.lit(float(psi_threshold)))
+        .alias("drifted"))
