@@ -6160,6 +6160,64 @@ def q_stream_psi(spark, sf_dir):
     return spark.read.parquet(f"{out_dir}/data")
 
 
+def q_snapshot_parity(spark, sf_dir):
+    """Order-invariant replication-parity verdicts
+    (tablechecks.snapshot_parity): per-source (n, checksum) of
+    documents vs a deterministically perturbed replica — rows with
+    doc_id%101==0 dropped (count divergence) and text mutated where
+    doc_id%97==0 (content divergence at equal counts) — so the
+    verdict table exercises match=true, count-mismatch, and
+    same-count-different-content groups in one run. The checksum is
+    the commutative SUM(md5-digest) mod 2⁶¹ fold of
+    tablechecks.table_fingerprint: two single-pass map-side-combined
+    aggregations + one tiny outer join, no sort of either side. The
+    DuckDB twin recomputes the identical digest arithmetic
+    (('0x'||substr(md5,1,15))::HUGEINT), pinning the canonicalization
+    (NUL sentinel, unit separator) byte-for-byte."""
+    d = _read(spark, sf_dir, "documents")
+    replica = (d.where(F.pmod("doc_id", F.lit(101)) != 0)
+               .withColumn("text",
+                           F.when(F.pmod("doc_id", F.lit(97)) == 0,
+                                  F.concat(F.col("text"), F.lit("!")))
+                           .otherwise(F.col("text"))))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return (tablechecks.snapshot_parity(d, replica, cols, by="source")
+            .orderBy("source"))
+
+
+def q_jw_title_pairs(spark, sf_dir):
+    """Jaro-Winkler near-dup pairs (dedup.jaro_winkler_pairs) over the
+    40-char normalized document prefix, blocked on the first 8 chars
+    with the mega-block cap at 200 — the record-linkage similarity
+    for short keys where Levenshtein over-penalizes transpositions.
+    The Spark side scores candidates with an Arrow-batched pandas
+    kernel implementing the textbook JW (window ⌊max/2⌋−1, greedy
+    matching, half-transpositions, prefix boost p=0.1 past jaro 0.7);
+    the DuckDB twin scores the SAME blocked pairs with the built-in
+    jaro_winkler_similarity — value-identical by construction, so the
+    kernel's every branch is oracle-pinned. Top 40 by (jw desc,
+    id_a, id_b)."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.jaro_winkler_pairs(
+        d, threshold=0.9, key_len=40, block_prefix=8,
+        max_block_size=200)
+    return pairs.orderBy(F.desc("jw"), "id_a", "id_b").limit(40)
+
+
+def q_w1_len_drift(spark, sf_dir):
+    """Exact discrete 1-Wasserstein drift
+    (tablechecks.wasserstein_drift) between the doc-length
+    distributions of even vs odd doc ids — the CDF-gap-area metric
+    that prices drift in column units ("lengths moved N chars"),
+    complementing KS (max gap, drift_len_kl's bucketing) and KL/PSI
+    (mass-weighted). One hash aggregation to (value, c_even, c_odd),
+    then running-sum + lead windows over the distinct-value rows; the
+    twin re-integrates the identical CDF area with window sums."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.wasserstein_drift(
+        d, "n_chars", split=F.pmod("doc_id", F.lit(2)) == 0)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6570,6 +6628,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "raking_weights": q_raking_weights,
         "weight_ess": q_weight_ess,
         "stream_psi": q_stream_psi,
+        # wave 54 — replication-parity checksums, Jaro-Winkler linkage,
+        # exact Wasserstein-1 drift
+        "snapshot_parity": q_snapshot_parity,
+        "jw_title_pairs": q_jw_title_pairs,
+        "w1_len_drift": q_w1_len_drift,
     }
 
 
@@ -14949,5 +15012,105 @@ def oracle_sql() -> dict[str, str]:
                       + max((doc_id % 600)) * INTERVAL 1 SECOND
                       - INTERVAL 2 MINUTE
                FROM documents)
+        """,
+        # twin of q_snapshot_parity — identical digest arithmetic:
+        # NUL-sentineled, unit-separated canonical row string → md5 →
+        # first 15 hex chars as a 60-bit integer → commutative SUM
+        # mod 2^61 per source (HUGEINT here, decimal(38,0) in Spark)
+        "snapshot_parity": """
+            WITH canon AS (
+              SELECT source, doc_id,
+                     ('0x' || substr(md5(concat_ws(chr(31),
+                        coalesce(doc_id::VARCHAR, chr(0)),
+                        coalesce(text, chr(0)),
+                        coalesce(lang, chr(0)),
+                        coalesce(source, chr(0)),
+                        coalesce(n_chars::VARCHAR, chr(0)))),
+                        1, 15))::BIGINT AS d
+              FROM documents),
+            canon_b AS (
+              SELECT source, doc_id,
+                     ('0x' || substr(md5(concat_ws(chr(31),
+                        coalesce(doc_id::VARCHAR, chr(0)),
+                        coalesce(CASE WHEN doc_id % 97 = 0
+                                      THEN text || '!'
+                                      ELSE text END, chr(0)),
+                        coalesce(lang, chr(0)),
+                        coalesce(source, chr(0)),
+                        coalesce(n_chars::VARCHAR, chr(0)))),
+                        1, 15))::BIGINT AS d
+              FROM documents WHERE doc_id % 101 <> 0),
+            fa AS (
+              SELECT source, count(*)::BIGINT AS n_rows,
+                     (sum(d) % 2305843009213693952)::BIGINT AS fp,
+                     min(d)::BIGINT AS fp_min, max(d)::BIGINT AS fp_max
+              FROM canon GROUP BY source),
+            fb AS (
+              SELECT source, count(*)::BIGINT AS n_rows,
+                     (sum(d) % 2305843009213693952)::BIGINT AS fp,
+                     min(d)::BIGINT AS fp_min, max(d)::BIGINT AS fp_max
+              FROM canon_b GROUP BY source)
+            SELECT coalesce(fa.source, fb.source) AS source,
+                   coalesce(fa.n_rows, 0) AS n_a,
+                   coalesce(fb.n_rows, 0) AS n_b,
+                   fa.fp AS fp_a, fb.fp AS fp_b,
+                   (fa.n_rows IS NOT DISTINCT FROM fb.n_rows
+                    AND fa.fp IS NOT DISTINCT FROM fb.fp
+                    AND fa.fp_min IS NOT DISTINCT FROM fb.fp_min
+                    AND fa.fp_max IS NOT DISTINCT FROM fb.fp_max)
+                     AS match
+            FROM fa FULL JOIN fb ON fa.source = fb.source
+            ORDER BY source
+        """,
+        # twin of q_jw_title_pairs — same normalize/blocking CTEs as
+        # lev_prefix_pairs, scored with DuckDB's built-in
+        # jaro_winkler_similarity (the Spark pandas kernel implements
+        # the identical textbook JW, verified value-identical)
+        "jw_title_pairs": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     substr({_NORM_SQL}, 1, 40) AS key
+              FROM documents),
+            b AS (
+              SELECT doc_id, key, substr(key, 1, 8) AS block
+              FROM k),
+            ok AS (SELECT block FROM b GROUP BY block
+                   HAVING count(*) <= 200),
+            c AS (SELECT b.* FROM b JOIN ok USING (block)),
+            p AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                     round(jaro_winkler_similarity(l.key, r.key), 6)
+                       AS jw
+              FROM c l JOIN c r
+                ON l.block = r.block AND l.doc_id < r.doc_id)
+            SELECT id_a, id_b, jw FROM p WHERE jw >= 0.9
+            ORDER BY jw DESC, id_a, id_b LIMIT 40
+        """,
+        # twin of q_w1_len_drift — the same exact CDF-gap-area
+        # integral with window sums over the distinct-value rows
+        "w1_len_drift": """
+            WITH h AS (
+              SELECT n_chars AS v,
+                     sum(CASE WHEN doc_id % 2 = 0
+                              THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN doc_id % 2 = 0
+                              THEN 0 ELSE 1 END) AS cb
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY n_chars),
+            c AS (
+              SELECT v,
+                     sum(ca) OVER (ORDER BY v) * 1.0
+                       / sum(ca) OVER () AS cdf_a,
+                     sum(cb) OVER (ORDER BY v) * 1.0
+                       / sum(cb) OVER () AS cdf_b,
+                     lead(v) OVER (ORDER BY v) - v AS gap,
+                     sum(ca) OVER () AS na,
+                     sum(cb) OVER () AS nb
+              FROM h)
+            SELECT round(sum(abs(cdf_a - cdf_b) * gap), 6) AS w1,
+                   count(*)::BIGINT AS n_values,
+                   any_value(na)::BIGINT AS n_a,
+                   any_value(nb)::BIGINT AS n_b
+            FROM c
         """,
     }

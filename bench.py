@@ -366,6 +366,9 @@ R4_NAMES = [
     # wave 53: IPF raking, weight ESS (stream_psi is in the
     # streaming-e2e section — its wall-time is harness-dominated)
     "raking_weights", "weight_ess",
+    # wave 54: replication-parity checksums, Jaro-Winkler linkage,
+    # exact Wasserstein-1 drift
+    "snapshot_parity", "jw_title_pairs", "w1_len_drift",
 ]
 
 

@@ -1157,3 +1157,55 @@ class TestResolveChains:
         df = spark.createDataFrame(rows, "src long, dst long")
         out = graph.resolve_chains(df).collect()
         assert len(out) == 1 and out[0]["resolved"] == 3
+
+
+def test_jaro_winkler_kernel_matches_duckdb():
+    """The pandas JW kernel must be value-identical to DuckDB's
+    jaro_winkler_similarity (the oracle scorer) on the adversarial
+    cases: transpositions, window misses, repeated chars, empties,
+    sub-boost-threshold scores (no prefix bonus below jaro 0.7)."""
+    import duckdb
+    import pandas as pd
+    from zoi_spark.dedup import _jaro_winkler_batch
+
+    cases = [("martha", "marhta"), ("dixon", "dicksonx"),
+             ("abc", "abc"), ("", "x"), ("a", "b"), ("ab", "ba"),
+             ("hello world", "hello wrld"), ("DWAYNE", "DUANE"),
+             ("aaaa", "aaa"), ("prefixmatch", "prefixmatcx"),
+             ("zzzz", "zzyz"), ("abcdefgh", "hgfedcba")]
+    a = pd.Series([c[0] for c in cases])
+    b = pd.Series([c[1] for c in cases])
+    got = _jaro_winkler_batch(a, b).tolist()
+    for (s1, s2), g in zip(cases, got):
+        want = duckdb.sql(
+            f"select jaro_winkler_similarity('{s1}', '{s2}')"
+        ).fetchall()[0][0]
+        assert g == pytest.approx(want, abs=1e-12), (s1, s2)
+
+
+def test_jaro_winkler_pairs_blocking_and_threshold(spark):
+    from zoi_spark import dedup
+    rows = [(1, "shared prefix alpha beta gamma"),
+            (2, "shared prefix alpha beta gamma!"),   # near-dup of 1
+            (3, "shared prefix totally different tail xyz"),
+            (4, "other block entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.jw for r in dedup.jaro_winkler_pairs(
+        df, threshold=0.9, key_len=40, block_prefix=8).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.97
+    # cross-block pair (1,4) never scored; low-sim in-block pair
+    # (1,3) scored but filtered by the threshold
+    assert all(k[0] != 4 and k[1] != 4 for k in out)
+
+
+def test_jaro_winkler_pairs_mega_block_cap(spark):
+    from zoi_spark import dedup
+    rows = [(i, "same one text") for i in range(5)] + \
+        [(10, "rare pre text a"), (11, "rare pre text b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b) for r in dedup.jaro_winkler_pairs(
+        df, threshold=0.9, key_len=40, block_prefix=8,
+        max_block_size=3).collect()}
+    # the 5-doc block exceeds the cap and is excluded wholesale;
+    # the 2-doc block survives
+    assert out == {(10, 11)}

@@ -3419,3 +3419,86 @@ class TestLiftTable:
             df, score_col="s", flag_col="y", id_col="id",
             n_buckets=2).collect()}
         assert out[1]["n_flagged"] == 1 and out[2]["n_flagged"] == 0
+
+
+class TestTableFingerprint:
+    def test_order_and_partitioning_invariant(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")]
+        a = spark.createDataFrame(rows, "id long, s string, g string")
+        b = spark.createDataFrame(list(reversed(rows)),
+                                  "id long, s string, g string") \
+            .repartition(7)
+        fa = tc.table_fingerprint(a, ["id", "s", "g"]).collect()[0]
+        fb = tc.table_fingerprint(b, ["id", "s", "g"]).collect()[0]
+        assert (fa["n_rows"], fa["fp"], fa["fp_min"], fa["fp_max"]) \
+            == (fb["n_rows"], fb["fp"], fb["fp_min"], fb["fp_max"])
+
+    def test_content_change_changes_fp(self, spark):
+        from zoi_spark import tablechecks as tc
+        a = spark.createDataFrame([(1, "a")], "id long, s string")
+        b = spark.createDataFrame([(1, "b")], "id long, s string")
+        assert tc.table_fingerprint(a, ["id", "s"]).collect()[0]["fp"] \
+            != tc.table_fingerprint(b, ["id", "s"]).collect()[0]["fp"]
+
+    def test_null_position_not_ambiguous(self, spark):
+        # concat_ws skips NULLs — the sentinel must keep
+        # ('a', NULL) distinct from (NULL, 'a')
+        from zoi_spark import tablechecks as tc
+        a = spark.createDataFrame([("a", None)], "x string, y string")
+        b = spark.createDataFrame([(None, "a")], "x string, y string")
+        assert tc.table_fingerprint(a, ["x", "y"]).collect()[0]["fp"] \
+            != tc.table_fingerprint(b, ["x", "y"]).collect()[0]["fp"]
+
+    def test_snapshot_parity_verdicts(self, spark):
+        from zoi_spark import tablechecks as tc
+        a = spark.createDataFrame(
+            [(1, "a", "g1"), (2, "b", "g1"), (3, "c", "g2"),
+             (4, "d", "g3")], "id long, s string, g string")
+        # g1 identical (other order), g2 mutated content same count,
+        # g3 missing entirely on the replica, g4 extra on the replica
+        b = spark.createDataFrame(
+            [(2, "b", "g1"), (1, "a", "g1"), (3, "ZZ", "g2"),
+             (9, "e", "g4")], "id long, s string, g string")
+        out = {r["g"]: r for r in tc.snapshot_parity(
+            a, b, ["id", "s", "g"], by="g").collect()}
+        assert out["g1"]["match"] and out["g1"]["n_a"] == 2
+        assert not out["g2"]["match"]
+        assert out["g2"]["n_a"] == out["g2"]["n_b"] == 1
+        assert not out["g3"]["match"] and out["g3"]["n_b"] == 0
+        assert not out["g4"]["match"] and out["g4"]["n_a"] == 0
+
+
+class TestWassersteinDrift:
+    def test_hand_value(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        # A = {1,1,3}, B = {2,4}; support {1,2,3,4}, gaps all 1:
+        # |2/3-0| + |2/3-1/2| + |1-1/2| = 0.666667+0.166667+0.5
+        rows = [(1, True), (1, True), (3, True), (2, False), (4, False)]
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.wasserstein_drift(df, "v", split=F.col("a")) \
+            .collect()[0]
+        assert out["w1"] == pytest.approx(1.333333, abs=1e-6)
+        assert out["n_values"] == 4
+        assert out["n_a"] == 3 and out["n_b"] == 2
+
+    def test_identical_distributions_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = [(v, s) for v in (1, 5, 9) for s in (True, False)]
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.wasserstein_drift(df, "v", split=F.col("a")) \
+            .collect()[0]
+        assert out["w1"] == 0.0
+
+    def test_pure_shift_equals_shift_size(self, spark):
+        # W1 of a point mass at 0 vs at 7 is exactly 7 — the
+        # location-shift sensitivity KL/PSI bucketing can miss
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = [(0, True)] * 3 + [(7, False)] * 3
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.wasserstein_drift(df, "v", split=F.col("a")) \
+            .collect()[0]
+        assert out["w1"] == pytest.approx(7.0)

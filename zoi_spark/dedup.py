@@ -2277,3 +2277,100 @@ def fs_linkage_weights(pairs: DataFrame, *,
         F.round(F.log2(m / u), round_to).alias("agreement_weight"),
         F.round(F.log2((1 - m) / (1 - u)),
                 round_to).alias("disagreement_weight"))
+
+
+def _jaro_winkler_batch(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    """Arrow-batched Jaro-Winkler kernel — the EXACT textbook
+    definition DuckDB's ``jaro_winkler_similarity`` implements
+    (verified value-identical on the adversarial cases: transposition
+    'martha/marhta', window-miss 'ab/ba'→0, 'dixon/dicksonx',
+    repeated-char 'aaaa/aaa'): match window ⌊max/2⌋−1, greedy
+    left-to-right matching, half-transpositions, Winkler prefix boost
+    p=0.1 over the first 4 chars applied only when jaro > 0.7."""
+
+    def jw(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        if not l1 or not l2:
+            return 0.0
+        md = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        m = 0
+        for i, c in enumerate(s1):
+            for j in range(max(0, i - md), min(l2, i + md + 1)):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        j = (m / l1 + m / l2 + (m - t // 2) / m) / 3.0
+        if j <= 0.7:
+            return j
+        pre = 0
+        for x, y in zip(s1[:4], s2[:4]):
+            if x != y:
+                break
+            pre += 1
+        return j + pre * 0.1 * (1.0 - j)
+
+    return pd.Series([jw(x or "", y or "")
+                      for x, y in zip(a.tolist(), b.tolist())],
+                     dtype="float64")
+
+
+def jaro_winkler_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.9,
+                       key_len: int = 40, block_prefix: int = 8,
+                       max_block_size: int | None = None) -> DataFrame:
+    """Jaro-Winkler near-duplicate pairs over a normalized fixed-length
+    key: pairs (id_a < id_b) sharing the first *block_prefix*
+    normalized chars whose first *key_len* chars score ≥ *threshold* —
+    the record-linkage similarity of choice for short keys
+    (titles, names, product labels; Winkler 1990), where Levenshtein
+    over-penalizes transpositions and set-similarity has no signal at
+    all (JW is positional, not bag-of-tokens).
+
+    Blocking contract is shared with :func:`levenshtein_verify_pairs`:
+    equal-prefix blocks keep the join an equi-join (pairs differing
+    inside the prefix are missed — standard blocking recall tradeoff),
+    and ``max_block_size`` EXCLUDES oversized blocks so no single
+    block goes quadratic. The JW kernel itself runs as an
+    Arrow-batched pandas UDF over the already-blocked pairs (the
+    expensive O(key_len²)-per-pair character walk never sees the full
+    corpus, only the candidates), value-identical to DuckDB's
+    ``jaro_winkler_similarity`` so the whole operator is
+    oracle-checkable end-to-end.
+
+    Returns ``(id_a, id_b, jw)``, jw rounded to 6 dp.
+    """
+    key = F.substring(normalize_text(F.col(text_col)), 1, int(key_len))
+    base = df.select(F.col(id_col).alias("__id"), key.alias("__key"),
+                     F.substring(key, 1, int(block_prefix))
+                      .alias("__block"))
+    if max_block_size is not None:
+        sizes = (base.groupBy("__block")
+                 .agg(F.count("*").alias("__bs"))
+                 .where(F.col("__bs") <= int(max_block_size))
+                 .drop("__bs"))
+        base = base.join(sizes, "__block")
+    udf = F.pandas_udf(_jaro_winkler_batch, T.DoubleType())
+    pairs = (base.alias("l")
+             .join(base.alias("r"),
+                   (F.col("l.__block") == F.col("r.__block"))
+                   & (F.col("l.__id") < F.col("r.__id")))
+             .select(F.col("l.__id").alias("id_a"),
+                     F.col("r.__id").alias("id_b"),
+                     F.round(udf(F.col("l.__key"), F.col("r.__key")),
+                             6).alias("jw")))
+    return pairs.where(F.col("jw") >= float(threshold))
