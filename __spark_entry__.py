@@ -6204,6 +6204,50 @@ def q_jw_title_pairs(spark, sf_dir):
     return pairs.orderBy(F.desc("jw"), "id_a", "id_b").limit(40)
 
 
+def q_dp_lang_counts(spark, sf_dir):
+    """ε-DP per-language count release (tablechecks.dp_noisy_counts,
+    Laplace mechanism, Dwork et al. 2006) with the deterministic
+    md5-seeded inverse-CDF noise draw — reruns and the DuckDB twin
+    release the SAME value, so the mechanism's arithmetic (uniform
+    from 52 md5 bits, sgn·ln transform, clamp-at-0, half-up round) is
+    value-hash-verifiable end-to-end. One hash aggregation; noise math
+    runs on the |langs| aggregate rows."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.dp_noisy_counts(d, "lang", epsilon=0.5,
+                                        seed="dp-r4")
+            .orderBy("lang"))
+
+
+def q_ht_total_chars(spark, sf_dir):
+    """Horvitz-Thompson corpus-total estimation per language
+    (sampling.horvitz_thompson): deterministic Poisson sample with
+    size-proportional inclusion π = min(1, n_chars/500), estimate
+    Σ n_chars from the sampled rows alone as Σ y/π with the
+    Poisson-design SE — the way a 10¹²-doc validation prices a
+    full-corpus sum without a full pass. true_total/n_pop are emitted
+    here as the audit columns (test scale; the twin re-derives the
+    identical inclusion decisions and estimator terms)."""
+    from zoi_spark import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    return (sampling.horvitz_thompson(
+        d, "n_chars",
+        pi=F.least(F.lit(1.0), F.col("n_chars") / 500.0),
+        id_col="doc_id", by="lang", salt="ht")
+        .orderBy("lang"))
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (text.rake_phrases; Rose et al. 2010):
+    stopword/punctuation-delimited candidate phrases, word scores
+    degree/frequency over all phrase occurrences, phrase score = sum
+    of word scores; corpus top-20 by (score desc, phrase). The twin
+    re-runs the identical two regex delimits, split, and the same
+    two-aggregation + join pipeline in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    return text.rake_phrases(d, top_k=20)
+
+
 def q_w1_len_drift(spark, sf_dir):
     """Exact discrete 1-Wasserstein drift
     (tablechecks.wasserstein_drift) between the doc-length
@@ -6633,6 +6677,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "snapshot_parity": q_snapshot_parity,
         "jw_title_pairs": q_jw_title_pairs,
         "w1_len_drift": q_w1_len_drift,
+        # wave 55 — DP count release, Horvitz-Thompson estimation,
+        # RAKE keyword extraction
+        "dp_lang_counts": q_dp_lang_counts,
+        "ht_total_chars": q_ht_total_chars,
+        "rake_keywords": q_rake_keywords,
     }
 
 
@@ -15112,5 +15161,83 @@ def oracle_sql() -> dict[str, str]:
                    any_value(na)::BIGINT AS n_a,
                    any_value(nb)::BIGINT AS n_b
             FROM c
+        """,
+        # twin of q_dp_lang_counts — identical deterministic Laplace
+        # draw: 52 md5 bits → (0,1) uniform → inverse CDF with
+        # scale 1/ε = 2.0, clamp at 0, half-up round
+        "dp_lang_counts": """
+            WITH c AS (
+              SELECT lang, count(*)::BIGINT AS n
+              FROM documents GROUP BY lang),
+            u AS (
+              SELECT lang, n,
+                     (('0x' || substr(md5('dp-r4:' || lang), 1, 13))
+                        ::BIGINT + 0.5) / 4503599627370496.0 AS u
+              FROM c)
+            SELECT lang,
+                   greatest(0, round(n + (-2.0) * sign(u - 0.5)
+                                     * ln(1 - 2 * abs(u - 0.5)))
+                              ::BIGINT) AS noisy_count,
+                   0.5 AS epsilon
+            FROM u ORDER BY lang
+        """,
+        # twin of q_ht_total_chars — same inclusion decisions
+        # (uniform01 from md5('ht'||id), π = min(1, n_chars/500)) and
+        # the same HT total / Poisson-design variance terms
+        "ht_total_chars": """
+            WITH b AS (
+              SELECT lang, n_chars::DOUBLE AS y,
+                     least(1.0, n_chars / 500.0) AS pi,
+                     (('0x' || substr(md5('ht' || doc_id::VARCHAR),
+                                      1, 13))::BIGINT + 0.5)
+                       / 4503599627370496.0 AS u
+              FROM documents)
+            SELECT lang,
+                   sum(CASE WHEN u < pi THEN 1 ELSE 0 END)::BIGINT
+                     AS n_sampled,
+                   count(*)::BIGINT AS n_pop,
+                   round(sum(CASE WHEN u < pi THEN y / pi
+                             ELSE 0 END), 6) AS ht_total,
+                   round(sqrt(sum(CASE WHEN u < pi
+                                  THEN (1 - pi) / (pi * pi) * y * y
+                                  ELSE 0 END)), 6) AS ht_se,
+                   round(sum(y), 6) AS true_total
+            FROM b GROUP BY lang ORDER BY lang
+        """,
+        # twin of q_rake_keywords — identical delimiting regexes
+        # (punctuation runs and word-bounded stopwords → '|'), split,
+        # then the same word-stats agg + distinct-phrase agg + join
+        "rake_keywords": f"""
+            WITH frag AS (
+              SELECT unnest(string_split(
+                regexp_replace(
+                  regexp_replace({_NORM_SQL}, '[^a-z0-9 ]+', '|', 'g'),
+                  '\\b(?:{"|".join(text.RAKE_STOPWORDS)})\\b',
+                  '|', 'g'),
+                '|')) AS f
+              FROM documents),
+            phr AS (SELECT trim(f) AS phrase FROM frag
+                    WHERE trim(f) <> ''),
+            occ AS (SELECT phrase,
+                           len(string_split(phrase, ' '))::BIGINT
+                             AS plen
+                    FROM phr),
+            winst AS (SELECT plen,
+                             unnest(string_split(phrase, ' ')) AS word
+                      FROM occ),
+            ws AS (SELECT word,
+                          sum(plen) * 1.0 / count(*) AS wscore
+                   FROM winst GROUP BY word),
+            dp AS (SELECT phrase, count(*)::BIGINT AS n_occ,
+                          any_value(plen) AS n_words
+                   FROM occ GROUP BY phrase),
+            dw AS (SELECT phrase,
+                          unnest(string_split(phrase, ' ')) AS word
+                   FROM dp),
+            ps AS (SELECT phrase, round(sum(wscore), 6) AS score
+                   FROM dw JOIN ws USING (word) GROUP BY phrase)
+            SELECT dp.phrase, dp.n_words, dp.n_occ, ps.score
+            FROM dp JOIN ps USING (phrase)
+            ORDER BY score DESC, phrase LIMIT 20
         """,
     }

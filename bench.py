@@ -369,6 +369,8 @@ R4_NAMES = [
     # wave 54: replication-parity checksums, Jaro-Winkler linkage,
     # exact Wasserstein-1 drift
     "snapshot_parity", "jw_title_pairs", "w1_len_drift",
+    # wave 55: DP count release, Horvitz-Thompson estimation, RAKE
+    "dp_lang_counts", "ht_total_chars", "rake_keywords",
 ]
 
 

@@ -632,3 +632,37 @@ class TestVocabRichness:
         r = text.vocab_richness(df).collect()[0]
         assert r["chao1"] == pytest.approx(2.0)
         assert r["coverage"] == pytest.approx(1.0)
+
+
+class TestRakePhrases:
+    def test_hand_example(self, spark):
+        import pytest
+        from zoi_spark import text
+        # stopwords 'and', 'of' delimit; '.' delimits
+        df = spark.createDataFrame(
+            [("Red apple and green apple of doom.",)], "text string")
+        out = {r["phrase"]: r for r in text.rake_phrases(
+            df, top_k=10).collect()}
+        # freq: apple 2, red/green/doom 1; deg: apple 4, red/green 2,
+        # doom 1 → scores: apple 2, red 2, green 2, doom 1
+        assert out["red apple"]["score"] == pytest.approx(4.0)
+        assert out["green apple"]["score"] == pytest.approx(4.0)
+        assert out["doom"]["score"] == pytest.approx(1.0)
+        assert out["red apple"]["n_words"] == 2
+        assert out["red apple"]["n_occ"] == 1
+
+    def test_repeated_phrase_counts_once_with_occurrences(self, spark):
+        from zoi_spark import text
+        df = spark.createDataFrame(
+            [("alpha beta. alpha beta.",), ("alpha beta!",)],
+            "text string")
+        rows = text.rake_phrases(df, top_k=10).collect()
+        assert len(rows) == 1
+        assert rows[0]["phrase"] == "alpha beta"
+        assert rows[0]["n_occ"] == 3
+
+    def test_stopword_only_text_yields_nothing(self, spark):
+        from zoi_spark import text
+        df = spark.createDataFrame(
+            [("the and of to...",), (None,)], "text string")
+        assert text.rake_phrases(df, top_k=5).count() == 0

@@ -93,3 +93,44 @@ class TestTCloseness:
         with pytest.raises(ValueError):
             tc.t_closeness_audit(df, qi_cols=["qi"],
                                  sensitive_col="s", t=0.0)
+
+
+class TestDpNoisyCounts:
+    def test_deterministic_and_hand_checked(self, spark):
+        import hashlib
+        import math
+        import pytest
+        from zoi_spark import tablechecks as tc
+        rows = [("en",)] * 10 + [("de",)] * 3
+        df = spark.createDataFrame(rows, "lang string")
+        out = {r["lang"]: r for r in tc.dp_noisy_counts(
+            df, "lang", epsilon=0.5, seed="s").collect()}
+        again = {r["lang"]: r["noisy_count"] for r in tc.dp_noisy_counts(
+            df, "lang", epsilon=0.5, seed="s").collect()}
+        # hand-recompute the deterministic Laplace draw for each key
+        for key, n in (("en", 10), ("de", 3)):
+            d = int(hashlib.md5(f"s:{key}".encode()).hexdigest()[:13], 16)
+            u = (d + 0.5) / 2.0 ** 52
+            v = u - 0.5
+            noise = -2.0 * math.copysign(1.0, v) * math.log(1 - 2 * abs(v))
+            want = max(0, round(n + noise))
+            assert out[key]["noisy_count"] == want
+            assert again[key] == want
+            assert out[key]["epsilon"] == pytest.approx(0.5)
+
+    def test_clamped_at_zero(self, spark):
+        # small count + tiny epsilon: some key draws a large negative
+        # noise and must clamp to 0, never go negative
+        from zoi_spark import tablechecks as tc
+        rows = [(f"k{i}",) for i in range(40)]
+        df = spark.createDataFrame(rows, "k string")
+        vals = [r["noisy_count"] for r in tc.dp_noisy_counts(
+            df, "k", epsilon=0.05, seed="clamp").collect()]
+        assert min(vals) == 0 and all(v >= 0 for v in vals)
+
+    def test_bad_epsilon_raises(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError):
+            tc.dp_noisy_counts(df, "k", epsilon=0.0)

@@ -535,3 +535,41 @@ class TestWeightEss:
                                    "w double")
         r = sampling.weight_ess(df, weight_col="w").collect()[0]
         assert r["n_rows"] == 4 and r["n_weighted"] == 1
+
+
+class TestHorvitzThompson:
+    def test_full_inclusion_is_exact(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+        from zoi_spark import sampling
+        rows = [(i, float(i * 10)) for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, y double")
+        r = sampling.horvitz_thompson(
+            df, "y", pi=F.lit(1.0), id_col="doc_id").collect()[0]
+        assert r["n_sampled"] == r["n_pop"] == 5
+        assert r["ht_total"] == pytest.approx(r["true_total"])
+        assert r["ht_se"] == 0.0
+
+    def test_estimate_within_three_se(self, spark, sf_dir):
+        # deterministic sample → a fixed estimate; it must land
+        # within 3 SE of the truth (and SE must be > 0)
+        from pyspark.sql import functions as F
+        from zoi_spark import sampling
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        r = sampling.horvitz_thompson(
+            d, "n_chars",
+            pi=F.least(F.lit(1.0), F.col("n_chars") / 500.0),
+            id_col="doc_id").collect()[0]
+        assert 0 < r["n_sampled"] < r["n_pop"]
+        assert r["ht_se"] > 0
+        assert abs(r["ht_total"] - r["true_total"]) <= 3 * r["ht_se"]
+
+    def test_uniform01_strictly_inside_unit_interval(self, spark):
+        from pyspark.sql import functions as F
+        from zoi_spark import sampling
+        df = spark.range(0, 2000).select(
+            sampling.uniform01(F.col("id")).alias("u"))
+        r = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi"),
+                   F.avg("u").alias("mu")).collect()[0]
+        assert 0.0 < r["lo"] and r["hi"] < 1.0
+        assert 0.45 < r["mu"] < 0.55

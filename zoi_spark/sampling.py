@@ -802,3 +802,64 @@ def weight_ess(df: DataFrame, *, weight_col: str,
     if by:
         return out.withColumnRenamed("__g", by)
     return out.drop("__g")
+
+
+def uniform01(id_col: Column, *, salt: str = "") -> Column:
+    """Deterministic Uniform(0,1) from ``md5(salt || id)``: the first
+    13 hex chars (52 bits — exactly representable in a double) as an
+    integer, shifted by +0.5 and scaled by 2⁻⁵², so the result lies
+    strictly inside (0, 1) — both endpoints excluded, which keeps
+    downstream inverse-CDF transforms (Laplace, exponential) finite.
+    Bit-identical in DuckDB (``('0x'||substr(md5(..),1,13))::BIGINT``),
+    so every consumer stays oracle-checkable."""
+    d = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          id_col.cast("string"))),
+                           1, 13), 16, 10).cast("long")
+    return (d.cast("double") + F.lit(0.5)) / F.lit(float(2 ** 52))
+
+
+def horvitz_thompson(df: DataFrame, y_col: str, *,
+                     pi: Column, id_col: str = "doc_id",
+                     by: str | None = None, salt: str = "ht",
+                     round_to: int = 6) -> DataFrame:
+    """Horvitz-Thompson estimation under deterministic Poisson
+    sampling: row i is included iff ``uniform01(id) < π_i`` (*pi* is
+    the caller's inclusion-probability Column — e.g. size-proportional
+    ``least(1.0, n_chars/2000)``), and the population total of *y_col*
+    is estimated from the sample alone as ``Σ y_i/π_i`` with the
+    Poisson-design variance estimator ``Σ (1−π_i)/π_i² · y_i²``
+    (Horvitz & Thompson 1952; Särndal et al. 1992 eq. 2.8.8 — every
+    term is computable from the included rows, no joint-inclusion
+    probabilities needed under Poisson sampling).
+
+    This is how a 10¹²-doc validation run prices a full-corpus SUM
+    without a full-corpus pass: the sample is a pushed-down filter on
+    a deterministic hash (no shuffle, no state), and the estimator
+    carries its own standard error so the verdict can say "total is
+    X ± 2·SE" honestly. Emits per group (or one row): ``n_sampled``,
+    ``ht_total``, ``ht_se`` — plus ``true_total`` and ``n_pop`` for
+    audit runs at test scale where the truth is computable (drop
+    those columns in production use; computing them IS the full pass
+    the estimator exists to avoid).
+
+    Scale shape: ONE aggregation over the frame with the inclusion
+    flag fused into the scan projection; map-side partial combine
+    does the heavy lifting, the shuffle carries |groups| rows.
+    """
+    u = uniform01(F.col(id_col), salt=salt)
+    inc = (u < pi).cast("int")
+    y = F.col(y_col).cast("double")
+    keys = [by] if by else []
+    g = (df.select(*keys, y.alias("__y"), pi.alias("__pi"),
+                   inc.alias("__in"))
+         .groupBy(*keys))
+    return g.agg(
+        F.sum("__in").cast("long").alias("n_sampled"),
+        F.count(F.lit(1)).alias("n_pop"),
+        F.round(F.sum(F.col("__in") * F.col("__y") / F.col("__pi")),
+                round_to).alias("ht_total"),
+        F.round(F.sqrt(F.sum(F.col("__in") * (1.0 - F.col("__pi"))
+                             / (F.col("__pi") * F.col("__pi"))
+                             * F.col("__y") * F.col("__y"))),
+                round_to).alias("ht_se"),
+        F.round(F.sum("__y"), round_to).alias("true_total"))

@@ -4107,3 +4107,49 @@ def wasserstein_drift(df: DataFrame, value_col: str, *,
         F.count(F.lit(1)).alias("n_values"),
         F.first("na").cast("long").alias("n_a"),
         F.first("nb").cast("long").alias("n_b"))
+
+
+# ---------------------------------------------------------------------------
+# differentially-private count release — deterministic Laplace mechanism
+# ---------------------------------------------------------------------------
+
+def dp_noisy_counts(df: DataFrame, key_col: str, *,
+                    epsilon: float = 1.0,
+                    seed: str = "dp") -> DataFrame:
+    """ε-differentially-private per-key counts via the Laplace
+    mechanism (Dwork et al. 2006): released count = true count +
+    Laplace(Δf/ε) with sensitivity Δf = 1 (one row changes one key's
+    count by one), clamped at 0 and rounded to an integer.
+
+    The noise draw is DETERMINISTIC: U = uniform01-from-md5(seed‖key)
+    (52-bit mantissa, strictly inside (0,1)), then the Laplace inverse
+    CDF  noise = −(1/ε)·sgn(U−½)·ln(1−2|U−½|).  Determinism serves the
+    engineering contract — reruns, retries, and the DuckDB oracle all
+    release the SAME value, so the mechanism's arithmetic is
+    value-hash-verifiable — at the price of the formal guarantee
+    holding only per seed (an adversary who can request many seeds
+    averages the noise away; rotate ε-budget per seed exactly as the
+    DP accounting literature prescribes for repeated releases).
+
+    Scale shape: ONE hash aggregation to |keys| rows; the md5/ln noise
+    math runs on the aggregate, not the corpus. Emits
+    ``(key, noisy_count, epsilon)`` — deliberately NOT the true count
+    (that would be the leak the mechanism exists to prevent).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    d = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), F.col("key").cast("string"))),
+        1, 13), 16, 10).cast("long")
+    u = (d.cast("double") + F.lit(0.5)) / F.lit(float(2 ** 52))
+    v = u - F.lit(0.5)
+    noise = (F.lit(-1.0 / float(epsilon)) * F.signum(v)
+             * F.log(F.lit(1.0) - 2.0 * F.abs(v)))
+    return counts.select(
+        F.col("key").alias(key_col),
+        F.greatest(F.lit(0).cast("long"),
+                   F.round(F.col("__n") + noise, 0).cast("long"))
+         .alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"))

@@ -3012,3 +3012,72 @@ def vocab_richness(df: DataFrame, *, text_col: str = "text",
     if by:
         return out.withColumnRenamed("__g", by)
     return out.drop("__g")
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited phrases, degree/freq scores
+# ---------------------------------------------------------------------------
+
+# compact deterministic stopword list for RAKE phrase delimiting —
+# small and explicit so the SQL oracle twin carries the identical
+# alternation (the full SMART list would bloat the regex past what a
+# readable oracle should hold; callers pass their own for production)
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "in", "a", "is", "that", "for", "it",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+    "or", "from", "not", "but", "have", "has")
+
+
+def rake_phrases(df: DataFrame, *, text_col: str = "text",
+                 top_k: int = 20,
+                 stopwords: "tuple[str, ...]" = RAKE_STOPWORDS,
+                 round_to: int = 6) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal token runs between stopwords/punctuation; each
+    word scores degree/frequency where, over ALL phrase occurrences in
+    the corpus, freq(w) = occurrences of w and deg(w) = Σ length of
+    the phrases containing it (the co-occurrence-graph degree with
+    self-loop, the canonical formulation); a phrase scores the sum of
+    its words' scores. Returns the corpus top-*top_k* phrases by
+    (score desc, phrase) as ``(phrase, n_words, n_occ, score)``.
+
+    Delimiting is two regex replaces fused into the scan — punctuation
+    runs and word-bounded stopwords both become ``|`` — then one
+    explode of the split fragments. Scale shape: explode → TWO hash
+    aggregations (word stats over all occurrences; then per distinct
+    phrase) + one equi-join of phrase-words against the word-score
+    table; every stage is map-side combinable and the final top-k is
+    a TakeOrdered over |distinct phrases| aggregate rows, never a
+    global sort of the corpus.
+    """
+    sw = "|".join(stopwords)
+    delim = F.regexp_replace(
+        F.regexp_replace(normalize_text(F.col(text_col)),
+                         r"[^a-z0-9 ]+", "|"),
+        rf"\b(?:{sw})\b", "|")
+    phrases = F.filter(
+        F.transform(F.split(delim, r"\|"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0)
+    occ = (df.select(F.explode(phrases).alias("phrase"))
+           .select("phrase",
+                   F.size(F.split("phrase", " ")).alias("plen")))
+    winst = occ.select("phrase", "plen",
+                       F.explode(F.split("phrase", " ")).alias("word"))
+    wscore = (winst.groupBy("word")
+              .agg((F.sum("plen").cast("double") / F.count(F.lit(1)))
+                   .alias("wscore")))
+    dp = (occ.groupBy("phrase")
+          .agg(F.count(F.lit(1)).alias("n_occ"),
+               F.first("plen").alias("n_words")))
+    dw = dp.select("phrase",
+                   F.explode(F.split("phrase", " ")).alias("word"))
+    ps = (dw.join(wscore, "word")
+          .groupBy("phrase")
+          .agg(F.round(F.sum("wscore"), round_to).alias("score")))
+    return (dp.join(ps, "phrase")
+            .select("phrase",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_occ").cast("long").alias("n_occ"),
+                    "score")
+            .orderBy(F.desc("score"), "phrase")
+            .limit(int(top_k)))
