@@ -6262,6 +6262,63 @@ def q_w1_len_drift(spark, sf_dir):
         d, "n_chars", split=F.pmod("doc_id", F.lit(2)) == 0)
 
 
+def q_page_hinkley_volume(spark, sf_dir):
+    """Page-Hinkley sequential mean-shift detection
+    (tablechecks.page_hinkley; Page 1954, Gama et al. 2014) over the
+    daily event-volume series: one count-per-day hash aggregation,
+    then the running-mean / cumulative-deviation / running-min
+    windows over the ~30 day rows. Complements CUSUM (fixed
+    reference mean) and EWMA (smoother, no test) — PH self-references
+    the running mean, the cold-start drift monitor. The twin
+    re-derives the identical two window layers in SQL."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("volume")))
+    return (tablechecks.page_hinkley(daily, "volume", "day",
+                                     delta=0.0, lam=30.0)
+            .orderBy("order"))
+
+
+def q_ecod_outliers(spark, sf_dir):
+    """ECOD multivariate outlier scores (tablechecks.ecod_outliers;
+    Li et al., TKDE 2022) over (n_chars, whitespace token count):
+    per-dimension −log empirical tail probabilities aggregated
+    left/right/auto (skew-directed), released score = max of the
+    three. Scale shape: per dimension ONE distinct-value histogram
+    aggregation + windows over the tiny histogram + a broadcast join
+    back — no global sort of the corpus. Top 25 by (score desc,
+    doc_id); the twin re-derives the same tails from the same
+    histograms."""
+    d = _read(spark, sf_dir, "documents")
+    base = d.where(F.col("text").isNotNull()).select(
+        "doc_id", "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return (tablechecks.ecod_outliers(
+        base, ["n_chars", "n_tokens"], id_cols=["doc_id"])
+        .orderBy(F.desc("ecod_score"), "doc_id").limit(25))
+
+
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking shared-passage census
+    (dedup.cdc_shared_chunks; gear/FastCDC boundary idea, Xia et al.
+    ATC 2016, stateless form): chunk boundaries where the 8-char
+    window's md5 opens with '00' (expected chunk ≈256 chars), chunk
+    hashes aggregated across documents — the byte-level near-dup
+    signal that survives insertions which break fixed-offset
+    blocking. One codegen projection + one uniform-key hash
+    aggregation. Chunks ≥20 chars shared by ≥2 docs, top 30; the
+    twin re-derives boundaries per position with the same md5
+    predicate and chunks via a lead window over cut positions."""
+    d = _read(spark, sf_dir, "documents")
+    shared = dedup.cdc_shared_chunks(
+        d, text_col="text", id_col="doc_id",
+        window=8, boundary_nibbles=2, min_docs=2)
+    return (shared.where(F.col("chunk_len") >= 20)
+            .orderBy(F.desc("n_docs"), F.desc("n_occurrences"),
+                     "chunk_hash")
+            .limit(30))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6682,6 +6739,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dp_lang_counts": q_dp_lang_counts,
         "ht_total_chars": q_ht_total_chars,
         "rake_keywords": q_rake_keywords,
+        # wave 56: Page-Hinkley drift, ECOD outliers, CDC dedup
+        "page_hinkley_volume": q_page_hinkley_volume,
+        "ecod_outliers": q_ecod_outliers,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
     }
 
 
@@ -15239,5 +15300,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT dp.phrase, dp.n_words, dp.n_occ, ps.score
             FROM dp JOIN ps USING (phrase)
             ORDER BY score DESC, phrase LIMIT 20
+        """,
+        # twin of q_page_hinkley_volume — same two window layers
+        # (running mean first, then cumulative deviation + running
+        # min) over the same daily aggregation
+        "page_hinkley_volume": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS "order",
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            s1 AS (
+              SELECT "order", x,
+                     avg(x) OVER (ORDER BY "order"
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS run_mean
+              FROM daily),
+            s2 AS (
+              SELECT "order", x, run_mean,
+                     sum(x - run_mean) OVER (ORDER BY "order"
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS m
+              FROM s1),
+            s3 AS (
+              SELECT "order", x, run_mean, m,
+                     m - min(m) OVER (ORDER BY "order"
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ph
+              FROM s2)
+            SELECT "order", round(x, 6) AS x,
+                   round(run_mean, 6) AS run_mean,
+                   round(m, 6) AS m, round(ph, 6) AS ph,
+                   ph > 30.0 AS alarm
+            FROM s3 ORDER BY "order"
+        """,
+        # twin of q_ecod_outliers — identical per-dimension
+        # distinct-value histograms, tail probabilities and
+        # moment-based skew direction
+        "ecod_outliers": """
+            WITH base AS (
+              SELECT doc_id, n_chars::DOUBLE AS n_chars,
+                     len(string_split(text, ' '))::DOUBLE AS n_tokens
+              FROM documents WHERE text IS NOT NULL),
+            h1 AS (SELECT n_chars AS v, count(*)::DOUBLE AS c
+                   FROM base WHERE n_chars IS NOT NULL GROUP BY 1),
+            mo1 AS (SELECT sum(c) AS n, sum(v * c) / sum(c) AS mu,
+                           sum(v * v * c) / sum(c) AS m2,
+                           sum(v * v * v * c) / sum(c) AS m3
+                    FROM h1),
+            sk1 AS (SELECT (CASE WHEN m2 - mu * mu > 0
+                       THEN (m3 - 3 * mu * m2 + 2 * mu * mu * mu)
+                            / pow(m2 - mu * mu, 1.5)
+                       ELSE 0.0 END) < 0 AS neg FROM mo1),
+            t1 AS (SELECT v,
+                     sum(c) OVER (ORDER BY v) / (SELECT n FROM mo1)
+                       AS fl,
+                     ((SELECT n FROM mo1) - sum(c) OVER (ORDER BY v)
+                      + c) / (SELECT n FROM mo1) AS fr
+                   FROM h1),
+            h2 AS (SELECT n_tokens AS v, count(*)::DOUBLE AS c
+                   FROM base WHERE n_tokens IS NOT NULL GROUP BY 1),
+            mo2 AS (SELECT sum(c) AS n, sum(v * c) / sum(c) AS mu,
+                           sum(v * v * c) / sum(c) AS m2,
+                           sum(v * v * v * c) / sum(c) AS m3
+                    FROM h2),
+            sk2 AS (SELECT (CASE WHEN m2 - mu * mu > 0
+                       THEN (m3 - 3 * mu * m2 + 2 * mu * mu * mu)
+                            / pow(m2 - mu * mu, 1.5)
+                       ELSE 0.0 END) < 0 AS neg FROM mo2),
+            t2 AS (SELECT v,
+                     sum(c) OVER (ORDER BY v) / (SELECT n FROM mo2)
+                       AS fl,
+                     ((SELECT n FROM mo2) - sum(c) OVER (ORDER BY v)
+                      + c) / (SELECT n FROM mo2) AS fr
+                   FROM h2),
+            j AS (
+              SELECT b.doc_id, b.n_chars, b.n_tokens,
+                     coalesce(-ln(t1.fl), 0) AS l1,
+                     coalesce(-ln(t1.fr), 0) AS r1,
+                     coalesce(CASE WHEN (SELECT neg FROM sk1)
+                              THEN -ln(t1.fl) ELSE -ln(t1.fr) END, 0)
+                       AS a1,
+                     coalesce(-ln(t2.fl), 0) AS l2,
+                     coalesce(-ln(t2.fr), 0) AS r2,
+                     coalesce(CASE WHEN (SELECT neg FROM sk2)
+                              THEN -ln(t2.fl) ELSE -ln(t2.fr) END, 0)
+                       AS a2
+              FROM base b
+              LEFT JOIN t1 ON b.n_chars = t1.v
+              LEFT JOIN t2 ON b.n_tokens = t2.v)
+            SELECT doc_id, n_chars, n_tokens,
+                   round(l1 + l2, 6) AS score_left,
+                   round(r1 + r2, 6) AS score_right,
+                   round(a1 + a2, 6) AS score_auto,
+                   round(greatest(l1 + l2, r1 + r2, a1 + a2), 6)
+                     AS ecod_score
+            FROM j
+            ORDER BY ecod_score DESC, doc_id LIMIT 25
+        """,
+        # twin of q_cdc_chunk_dedup — boundaries re-derived per
+        # position with the same md5-window predicate, chunks via a
+        # lead window over cut positions
+        "cdc_chunk_dedup": """
+            WITH docs AS (
+              SELECT doc_id, text, length(text) AS ln FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0),
+            pos AS (
+              SELECT doc_id, text,
+                     unnest(range(2, greatest(2, ln - 6))) AS i
+              FROM docs),
+            cuts AS (
+              SELECT doc_id, i FROM pos
+              WHERE substr(md5(substr(text, i::INT, 8)), 1, 2)
+                    = '00'),
+            starts AS (
+              SELECT doc_id, 1::BIGINT AS s FROM docs
+              UNION ALL SELECT doc_id, i FROM cuts),
+            chunks AS (
+              SELECT st.doc_id,
+                     substr(d.text, st.s::INT,
+                            (coalesce(lead(st.s) OVER (
+                               PARTITION BY st.doc_id ORDER BY st.s),
+                               d.ln + 1) - st.s)::INT) AS chunk
+              FROM starts st JOIN docs d USING (doc_id))
+            SELECT md5(chunk) AS chunk_hash,
+                   max(length(chunk))::BIGINT AS chunk_len,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_occurrences
+            FROM chunks GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
+               AND max(length(chunk)) >= 20
+            ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+            LIMIT 30
         """,
     }

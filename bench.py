@@ -371,6 +371,8 @@ R4_NAMES = [
     "snapshot_parity", "jw_title_pairs", "w1_len_drift",
     # wave 55: DP count release, Horvitz-Thompson estimation, RAKE
     "dp_lang_counts", "ht_total_chars", "rake_keywords",
+    # wave 56: Page-Hinkley drift, ECOD outliers, CDC chunk dedup
+    "page_hinkley_volume", "ecod_outliers", "cdc_chunk_dedup",
 ]
 
 

@@ -111,3 +111,45 @@ class TestFsLinkageWeights:
         df = spark.createDataFrame([(True,)], "m boolean")
         with _pt.raises(ValueError):
             dedup.fs_linkage_weights(df, agree_cols=[], proxy_col="m")
+
+
+class TestCdcChunks:
+    def test_chunks_reassemble_to_text(self, spark):
+        from pyspark.sql import functions as F
+        from zoi_spark import dedup
+        texts = [(1, "hello world " * 30), (2, "abc"),
+                 (3, "x" * 7)]  # 3: shorter than window+1 -> 1 chunk
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        rows = dedup.cdc_chunks(df).orderBy("id", "chunk_idx").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], []).append(r)
+        # chunk lengths per doc sum to the text length, in order
+        for doc_id, text in texts:
+            assert sum(r["chunk_len"] for r in by_doc[doc_id]) \
+                == len(text)
+        assert len(by_doc[3]) == 1  # no full window -> whole text
+
+    def test_shared_passage_detected_despite_insertion(self, spark):
+        from zoi_spark import dedup
+        # same long passage, one copy with a prefix insertion that
+        # would break fixed-offset blocking
+        passage = ("the quick brown fox jumps over the lazy dog "
+                   * 20)
+        df = spark.createDataFrame(
+            [(1, passage), (2, "INSERTED PREFIX >>> " + passage)],
+            "doc_id long, text string")
+        shared = dedup.cdc_shared_chunks(
+            df, window=8, boundary_nibbles=1).collect()
+        assert any(r["n_docs"] == 2 and r["chunk_len"] > 8
+                   for r in shared)
+
+    def test_boundary_decision_is_local(self, spark):
+        # identical texts chunk identically: same hashes, same counts
+        from zoi_spark import dedup
+        t = "deterministic chunking text " * 15
+        df = spark.createDataFrame([(1, t), (2, t)],
+                                   "doc_id long, text string")
+        out = dedup.cdc_shared_chunks(df, boundary_nibbles=1).collect()
+        assert all(r["n_docs"] == 2 for r in out)
+        assert sum(r["n_occurrences"] for r in out) % 2 == 0

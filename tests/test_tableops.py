@@ -3502,3 +3502,78 @@ class TestWassersteinDrift:
         out = tc.wasserstein_drift(df, "v", split=F.col("a")) \
             .collect()[0]
         assert out["w1"] == pytest.approx(7.0)
+
+
+class TestPageHinkley:
+    def test_flat_series_no_alarm(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(i, 10.0) for i in range(8)],
+                                   "t long, x double")
+        rows = tc.page_hinkley(df, "x", "t", lam=1.0).collect()
+        assert all(r["ph"] == 0.0 for r in rows)
+        assert not any(r["alarm"] for r in rows)
+
+    def test_step_shift_alarms_after_jump(self, spark):
+        from zoi_spark import tablechecks as tc
+        # 10,10,10,10 then 50,50,50,50: PH grows once the mean jumps
+        vals = [10.0] * 4 + [50.0] * 4
+        df = spark.createDataFrame(list(enumerate(vals)),
+                                   "t long, x double")
+        rows = tc.page_hinkley(df, "x", "t", lam=20.0).collect()
+        rows.sort(key=lambda r: r["order"])
+        assert not rows[3]["alarm"]
+        assert rows[-1]["alarm"]
+        # PH is non-decreasing through a sustained upward shift
+        phs = [r["ph"] for r in rows[4:]]
+        assert phs == sorted(phs)
+
+    def test_hand_values_first_points(self, spark):
+        from zoi_spark import tablechecks as tc
+        # x = [4, 8]: mean_1=4, m_1=0; mean_2=6, m_2 = 0+(8-6)=2,
+        # ph_2 = 2 - min(0,2) = 2
+        df = spark.createDataFrame([(0, 4.0), (1, 8.0)],
+                                   "t long, x double")
+        rows = {r["order"]: r for r in
+                tc.page_hinkley(df, "x", "t").collect()}
+        assert rows[0]["m"] == 0.0 and rows[0]["ph"] == 0.0
+        assert rows[1]["m"] == 2.0 and rows[1]["ph"] == 2.0
+
+
+class TestEcodOutliers:
+    def test_extreme_point_scores_highest(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(v)) for i, v in
+                enumerate([5, 6, 7, 5, 6, 7, 5, 6, 7, 100])]
+        df = spark.createDataFrame(rows, "id long, v double")
+        out = tc.ecod_outliers(df, ["v"], id_cols=["id"]).collect()
+        top = max(out, key=lambda r: r["ecod_score"])
+        assert top["id"] == 9
+        # right tail of the max point includes only itself: -ln(1/10)
+        assert top["score_right"] == pytest.approx(2.302585, abs=1e-6)
+
+    def test_tail_probabilities_include_self(self, spark):
+        # min point: left tail = its own mass -> -ln(1/n); never inf
+        from zoi_spark import tablechecks as tc
+        import math
+        rows = [(i, float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        out = {r["id"]: r for r in
+               tc.ecod_outliers(df, ["v"], id_cols=["id"]).collect()}
+        assert out[0]["score_left"] == pytest.approx(math.log(5.0),
+                                                     abs=1e-6)
+        assert all(math.isfinite(r["ecod_score"])
+                   for r in out.values())
+
+    def test_multi_dim_sums_dimensions(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i), float(10 - i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        out = {r["id"]: r for r in
+               tc.ecod_outliers(df, ["a", "b"],
+                                id_cols=["id"]).collect()}
+        # symmetric construction: left score of id 0 equals a's left
+        # tail -ln(1/10) plus b's left tail -ln(1) = 0 contribution
+        one_dim = {r["id"]: r for r in
+                   tc.ecod_outliers(df, ["a"],
+                                    id_cols=["id"]).collect()}
+        assert out[0]["score_left"] >= one_dim[0]["score_left"]

@@ -2374,3 +2374,81 @@ def jaro_winkler_pairs(df: DataFrame, *, id_col: str = "doc_id",
                      F.round(udf(F.col("l.__key"), F.col("r.__key")),
                              6).alias("jw")))
     return pairs.where(F.col("jw") >= float(threshold))
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking — gear-style boundary dedup
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(df: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id", window: int = 8,
+               boundary_nibbles: int = 1) -> DataFrame:
+    """Content-defined chunking of *text_col*: a chunk boundary opens
+    at every position i whose *window*-char context hashes into the
+    boundary class — substr(md5(substr(text, i, window)), 1,
+    *boundary_nibbles*) all-zero, i.e. an expected chunk length of
+    16^nibbles characters. This is the gear/FastCDC family's core idea
+    (Xia et al., USENIX ATC 2016) restricted to its stateless form
+    (no min-length skip), so every position's boundary decision
+    depends ONLY on its local window — the property that makes CDC
+    robust to insertions (an edit reshuffles at most the chunks it
+    touches, unlike fixed-size blocks) AND makes this implementation
+    embarrassingly parallel: no sequential scan state, one array
+    expression per row.
+
+    Scale shape: boundary positions, chunk starts/ends and the chunk
+    substrings are all computed inside ONE whole-stage-codegen
+    projection (sequence → filter → zip_with); the only shuffle is
+    whatever the caller aggregates afterwards. Returns one row per
+    chunk: ``(id, chunk_idx, chunk_len, chunk_hash)`` — the chunk text
+    itself is hashed away so the exploded frame stays narrow.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    zeros = "0" * int(boundary_nibbles)
+    text = F.col(text_col)
+    ln = F.length(text)
+    cand = F.when(
+        ln >= window + 1,
+        F.sequence(F.lit(2), ln - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        cand,
+        lambda i: F.substring(F.md5(text.substr(i, F.lit(window))),
+                              1, int(boundary_nibbles)) == zeros)
+    starts = F.concat(F.array(F.lit(1)), cuts)
+    ends = F.concat(cuts, F.array(ln + 1))
+    chunks = F.zip_with(starts, ends,
+                        lambda s, e: text.substr(s, e - s))
+    rows = (df.where(text.isNotNull() & (ln > 0))
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(chunks).alias("chunk_idx", "__chunk")))
+    return rows.select(
+        "id", "chunk_idx",
+        F.length("__chunk").alias("chunk_len"),
+        F.md5("__chunk").alias("chunk_hash"))
+
+
+def cdc_shared_chunks(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 8,
+                      boundary_nibbles: int = 1,
+                      min_docs: int = 2) -> DataFrame:
+    """Cross-document shared-chunk census over :func:`cdc_chunks`:
+    chunks (by content hash) that appear in at least *min_docs*
+    distinct documents, with their occurrence counts and length —
+    the byte-level near-dup signal that catches shared passages that
+    whole-document fingerprints miss and that survives insertions
+    that break fixed-offset blocking.
+
+    Scale shape: one projection (the chunker), one hash aggregation
+    keyed by chunk_hash; skew-safe because md5 keys are uniform.
+    Returns ``(chunk_hash, chunk_len, n_docs, n_occurrences)``.
+    """
+    chunks = cdc_chunks(df, text_col=text_col, id_col=id_col,
+                        window=window,
+                        boundary_nibbles=boundary_nibbles)
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.max("chunk_len").alias("chunk_len"),
+                 F.countDistinct("id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_docs") >= int(min_docs)))

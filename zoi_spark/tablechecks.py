@@ -4153,3 +4153,123 @@ def dp_noisy_counts(df: DataFrame, key_col: str, *,
                    F.round(F.col("__n") + noise, 0).cast("long"))
          .alias("noisy_count"),
         F.lit(float(epsilon)).alias("epsilon"))
+
+
+# ---------------------------------------------------------------------------
+# sequential change detection — Page-Hinkley mean-shift test
+# ---------------------------------------------------------------------------
+
+def page_hinkley(df: DataFrame, value_col: str, order_col: str, *,
+                 delta: float = 0.0, lam: float = 50.0,
+                 round_to: int = 6) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detection (Page 1954;
+    Hinkley 1971; the streaming-drift formulation in Gama et al. 2014
+    "A survey on concept drift adaptation" §3.2) over the series
+    *value_col* ordered by *order_col*:
+
+        m_t  = Σ_{s≤t} (x_s − mean_s − δ)      (mean_s = running mean)
+        PH_t = m_t − min_{s≤t} m_s
+        alarm at t iff PH_t > λ
+
+    Complements the existing monitors: CUSUM (:func:`cusum_shift`)
+    tracks deviation from a FIXED reference mean, EWMA smooths but
+    does not test, while Page-Hinkley self-references the running mean
+    — the standard choice when no baseline window exists yet (cold
+    start of a validation deployment).
+
+    Scale shape: the caller aggregates the corpus to the series first
+    (e.g. one count-per-day hash aggregation), so the four windows
+    here run over |series| rows — days/hours, not documents. Windows
+    are unpartitioned BY DESIGN: a monitored series is one logical
+    timeline and must stay tiny; do not call this on a per-document
+    frame. Returns ``(order, x, run_mean, m, ph, alarm)`` per point.
+    """
+    w = (Window.orderBy("order")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = df.select(
+        F.col(order_col).alias("order"),
+        F.col(value_col).cast("double").alias("x"))
+    base = base.withColumn("run_mean", F.avg("x").over(w))
+    base = base.withColumn(
+        "m", F.sum(F.col("x") - F.col("run_mean") - F.lit(float(delta)))
+              .over(w))
+    base = base.withColumn("ph", F.col("m") - F.min("m").over(w))
+    return base.select(
+        "order",
+        F.round("x", round_to).alias("x"),
+        F.round("run_mean", round_to).alias("run_mean"),
+        F.round("m", round_to).alias("m"),
+        F.round("ph", round_to).alias("ph"),
+        (F.col("ph") > F.lit(float(lam))).alias("alarm"))
+
+
+# ---------------------------------------------------------------------------
+# multivariate outliers — ECOD (empirical-CDF tail product)
+# ---------------------------------------------------------------------------
+
+def ecod_outliers(df: DataFrame, cols: "Sequence[str]", *,
+                  id_cols: "Sequence[str]",
+                  round_to: int = 6) -> DataFrame:
+    """ECOD outlier scores (Li et al., TKDE 2022, "ECOD: Unsupervised
+    Outlier Detection Using Empirical Cumulative Distribution
+    Functions") over the numeric columns *cols*: per dimension j the
+    left/right empirical tail probabilities
+
+        F_j(x)  = P(X_j ≤ x)        Fr_j(x) = P(X_j ≥ x)
+
+    give dimension scores −log F_j / −log Fr_j; the aggregated scores
+
+        O_left  = Σ_j −log F_j(x_j)
+        O_right = Σ_j −log Fr_j(x_j)
+        O_auto  = Σ_j (−log F_j  if skew_j < 0 else −log Fr_j)
+
+    and the released score is max(O_left, O_right, O_auto) — larger =
+    more extreme in at least one consistent tail direction. Both tails
+    include the point itself, so no log(0).
+
+    Scale shape: NO global sort of the corpus. Per dimension, ONE hash
+    aggregation to the distinct-value histogram, running-sum windows
+    over those (tiny) aggregate rows to turn counts into tail
+    probabilities, then a broadcast join back on the value — the big
+    table is traversed once per dimension with no ordering
+    requirement. Skewness comes from the same histogram's moment sums.
+    Returns ``id_cols + [col..., score_left, score_right, score_auto,
+    ecod_score]``.
+    """
+    out = df.select(*[F.col(c) for c in id_cols],
+                    *[F.col(c).cast("double").alias(c) for c in cols])
+    sl, sr, sa = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+    for c in cols:
+        hist = (df.select(F.col(c).cast("double").alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .groupBy("__v").agg(F.count(F.lit(1)).alias("__c")))
+        wall = Window.partitionBy()
+        w = (Window.orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        n = F.sum("__c").over(wall)
+        m1 = F.sum(F.col("__v") * F.col("__c")).over(wall) / n
+        m2 = F.sum(F.col("__v") ** 2 * F.col("__c")).over(wall) / n
+        m3 = F.sum(F.col("__v") ** 3 * F.col("__c")).over(wall) / n
+        var = m2 - m1 ** 2
+        skew = F.when(var > 0,
+                      (m3 - 3 * m1 * m2 + 2 * m1 ** 3) / var ** 1.5) \
+                .otherwise(F.lit(0.0))
+        cum = F.sum("__c").over(w)
+        tails = hist.select(
+            F.col("__v"),
+            (cum / n).alias(f"__fl_{c}"),
+            ((n - cum + F.col("__c")) / n).alias(f"__fr_{c}"),
+            (skew < 0).alias(f"__neg_{c}"))
+        out = out.join(F.broadcast(tails),
+                       out[c] == tails["__v"], "left").drop("__v")
+        fl, fr = -F.log(f"__fl_{c}"), -F.log(f"__fr_{c}")
+        sl, sr = sl + F.coalesce(fl, F.lit(0.0)), \
+            sr + F.coalesce(fr, F.lit(0.0))
+        sa = sa + F.coalesce(
+            F.when(F.col(f"__neg_{c}"), fl).otherwise(fr), F.lit(0.0))
+    return out.select(
+        *id_cols, *cols,
+        F.round(sl, round_to).alias("score_left"),
+        F.round(sr, round_to).alias("score_right"),
+        F.round(sa, round_to).alias("score_auto"),
+        F.round(F.greatest(sl, sr, sa), round_to).alias("ecod_score"))
