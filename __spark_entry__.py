@@ -6319,6 +6319,44 @@ def q_cdc_chunk_dedup(spark, sf_dir):
             .limit(30))
 
 
+def q_kn_bigrams(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities
+    (text.kneser_ney_bigrams; Kneser & Ney 1995, Chen & Goodman 1998)
+    with discount 0.75: absolute discounting plus the
+    continuation-count backoff that down-weights words frequent in
+    only one context. Top 40 bigrams by (count desc, bigram); the
+    twin re-derives the same context totals, distinct-continuation
+    counts and type total from the same normalized tokens."""
+    d = _read(spark, sf_dir, "documents")
+    return text.kneser_ney_bigrams(d, discount=0.75, top_k=40)
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources
+    (text.burrows_delta; Burrows 2002): z-scored relative frequencies
+    of the corpus-top-40 words across source groups, Δ = mean |z_a −
+    z_b| per pair — the register-drift audit. Zero-filled group×word
+    grid (absent word = frequency 0, not a missing row). Ordered by
+    (group_a, group_b); the twin rebuilds the same grid with a cross
+    join and the same population z-scores."""
+    d = _read(spark, sf_dir, "documents")
+    return (text.burrows_delta(d, by="source", top_k_words=40)
+            .orderBy("group_a", "group_b"))
+
+
+def q_energy_len_drift(spark, sf_dir):
+    """Exact squared energy distance (tablechecks.energy_drift;
+    Székely & Rizzo 2004) between even/odd-doc_id length
+    distributions — 2E|X−Y| − E|X−X′| − E|Y−Y′| with every term an
+    exact CDF-product area over the merged distinct-value rows, the
+    shape-complete member of the drift family next to w1_len_drift's
+    location metric. Same single-aggregation scale shape; the twin
+    re-integrates the identical three areas."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.energy_drift(
+        d, "n_chars", split=F.pmod("doc_id", F.lit(2)) == 0)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6743,6 +6781,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "page_hinkley_volume": q_page_hinkley_volume,
         "ecod_outliers": q_ecod_outliers,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        # wave 57: Kneser-Ney LM, Burrows' Delta, energy distance
+        "kn_bigrams": q_kn_bigrams,
+        "burrows_delta_sources": q_burrows_delta,
+        "energy_len_drift": q_energy_len_drift,
     }
 
 
@@ -15431,5 +15473,100 @@ def oracle_sql() -> dict[str, str]:
                AND max(length(chunk)) >= 20
             ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
             LIMIT 30
+        """,
+        # twin of q_kn_bigrams — same normalized tokens, adjacent
+        # pairs by position, and the same four KN count tables
+        "kn_bigrams": f"""
+            WITH toks AS (
+              SELECT string_split({_NORM_SQL}, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+            big AS (
+              SELECT t[i] || ' ' || t[i + 1] AS bigram
+              FROM (SELECT t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            bc AS (SELECT bigram, count(*)::BIGINT AS c
+                   FROM big GROUP BY 1),
+            ctx AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                           sum(c) AS c_ctx, count(*) AS n1p_ctx
+                    FROM bc GROUP BY 1),
+            cont AS (SELECT string_split(bigram, ' ')[2] AS w2,
+                            count(*) AS n1p_cont
+                     FROM bc GROUP BY 1),
+            tot AS (SELECT count(*)::DOUBLE AS n1p_total FROM bc)
+            SELECT bigram, c,
+                   round(greatest(c - 0.75, 0) / c_ctx
+                         + (0.75 / c_ctx) * n1p_ctx
+                           * (n1p_cont / (SELECT n1p_total FROM tot)),
+                         6) AS p_kn
+            FROM bc
+            JOIN ctx ON string_split(bigram, ' ')[1] = ctx.w1
+            JOIN cont ON string_split(bigram, ' ')[2] = cont.w2
+            ORDER BY c DESC, bigram LIMIT 40
+        """,
+        # twin of q_burrows_delta — same zero-filled group × word
+        # grid, population z-scores, pairwise mean |z_a − z_b|
+        "burrows_delta_sources": f"""
+            WITH words AS (
+              SELECT source AS g,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL),
+            wf AS (SELECT g, w, count(*)::BIGINT AS c
+                   FROM words WHERE w <> '' GROUP BY 1, 2),
+            top AS (SELECT w FROM (
+                      SELECT w, sum(c) AS cw FROM wf GROUP BY 1)
+                    ORDER BY cw DESC, w LIMIT 40),
+            gt AS (SELECT g, sum(c) AS gtot FROM wf GROUP BY 1),
+            grid AS (
+              SELECT gt.g, top.w, gt.gtot,
+                     coalesce(wf.c, 0) AS c
+              FROM gt CROSS JOIN top
+              LEFT JOIN wf ON wf.g = gt.g AND wf.w = top.w),
+            freq AS (SELECT g, w, c * 1.0 / gtot AS f FROM grid),
+            st AS (SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+                   FROM freq GROUP BY 1),
+            z AS (SELECT g, freq.w AS w, (f - mu) / sd AS z
+                  FROM freq JOIN st ON freq.w = st.w
+                  WHERE sd > 0)
+            SELECT a.g AS group_a, b.g AS group_b,
+                   round(avg(abs(a.z - b.z)), 6) AS delta,
+                   count(*)::BIGINT AS n_words
+            FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+            GROUP BY 1, 2
+            ORDER BY group_a, group_b
+        """,
+        # twin of q_energy_len_drift — the three CDF-product areas
+        # over the same merged distinct-value rows as w1_len_drift
+        "energy_len_drift": """
+            WITH h AS (
+              SELECT n_chars AS v,
+                     sum(CASE WHEN doc_id % 2 = 0
+                              THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN doc_id % 2 = 0
+                              THEN 0 ELSE 1 END) AS cb
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY n_chars),
+            c AS (
+              SELECT sum(ca) OVER (ORDER BY v) * 1.0
+                       / sum(ca) OVER () AS fa,
+                     sum(cb) OVER (ORDER BY v) * 1.0
+                       / sum(cb) OVER () AS fb,
+                     lead(v) OVER (ORDER BY v) - v AS gap,
+                     sum(ca) OVER () AS na,
+                     sum(cb) OVER () AS nb
+              FROM h),
+            terms AS (
+              SELECT sum((fa * (1 - fb) + fb * (1 - fa)) * gap)
+                       AS exy,
+                     sum(2 * fa * (1 - fa) * gap) AS exx,
+                     sum(2 * fb * (1 - fb) * gap) AS eyy,
+                     any_value(na)::BIGINT AS n_a,
+                     any_value(nb)::BIGINT AS n_b
+              FROM c)
+            SELECT round(exy, 6) AS e_xy, round(exx, 6) AS e_xx,
+                   round(eyy, 6) AS e_yy,
+                   round(2 * exy - exx - eyy, 6) AS energy_d2,
+                   n_a, n_b
+            FROM terms
         """,
     }

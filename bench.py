@@ -373,6 +373,8 @@ R4_NAMES = [
     "dp_lang_counts", "ht_total_chars", "rake_keywords",
     # wave 56: Page-Hinkley drift, ECOD outliers, CDC chunk dedup
     "page_hinkley_volume", "ecod_outliers", "cdc_chunk_dedup",
+    # wave 57: Kneser-Ney bigram LM, Burrows' Delta, energy distance
+    "kn_bigrams", "burrows_delta_sources", "energy_len_drift",
 ]
 
 

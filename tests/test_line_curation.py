@@ -6,6 +6,7 @@ parity suite (`boilerplate_strip`, `c4_line_filter`,
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from zoi_spark import text
@@ -666,3 +667,74 @@ class TestRakePhrases:
         df = spark.createDataFrame(
             [("the and of to...",), (None,)], "text string")
         assert text.rake_phrases(df, top_k=5).count() == 0
+
+
+class TestKneserNeyBigrams:
+    def test_hand_probabilities(self, spark):
+        from zoi_spark import text as tx
+        # corpus: "a b" x3, "a c" x1 -> contexts: c(a .) = 4,
+        # N1+(a .) = 2; continuations: N1+(. b)=1, N1+(. c)=1,
+        # N1+(..)=2 -> p_cont(b)=p_cont(c)=0.5
+        # p_kn(b|a) = (3-0.75)/4 + (0.75/4)*2*0.5 = 0.75
+        # p_kn(c|a) = (1-0.75)/4 + (0.75/4)*2*0.5 = 0.25
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+            "doc_id long, text string")
+        out = {r["bigram"]: r for r in
+               tx.kneser_ney_bigrams(df).collect()}
+        assert out["a b"]["c"] == 3
+        assert out["a b"]["p_kn"] == pytest.approx(0.75)
+        assert out["a c"]["p_kn"] == pytest.approx(0.25)
+
+    def test_discount_mass_reserved_for_unseen(self, spark):
+        # context x saw both continuations {y, z} -> observed mass
+        # sums to 1; context w saw only y -> the sum over OBSERVED
+        # continuations is 1 minus the smoothing mass KN reserves for
+        # the unseen z: (1-d)/1 + d*1*p_cont(y) = 0.25 + 0.75*(2/3)
+        from zoi_spark import text as tx
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x z"), (3, "x y"), (4, "w y")],
+            "doc_id long, text string")
+        rows = tx.kneser_ney_bigrams(df, top_k=100).collect()
+        by_ctx = {}
+        for r in rows:
+            by_ctx.setdefault(r["bigram"].split(" ")[0], 0.0)
+            by_ctx[r["bigram"].split(" ")[0]] += r["p_kn"]
+        assert by_ctx["x"] == pytest.approx(1.0, abs=1e-5)
+        assert by_ctx["w"] == pytest.approx(0.25 + 0.75 * (2 / 3),
+                                            abs=1e-5)
+
+    def test_rejects_bad_discount(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame([(1, "a b")],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError):
+            tx.kneser_ney_bigrams(df, discount=1.5)
+
+
+class TestBurrowsDelta:
+    def test_identical_styles_zero_delta(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame(
+            [(1, "the cat sat", "s1"), (2, "the cat sat", "s2"),
+             (3, "a dog ran here", "s3")],
+            "doc_id long, text string, source string")
+        out = {(r["group_a"], r["group_b"]): r["delta"]
+               for r in tx.burrows_delta(df).collect()}
+        assert out[("s1", "s2")] == 0.0
+        assert out[("s1", "s3")] > 0
+
+    def test_absent_word_counts_as_zero_frequency(self, spark):
+        # s2 never uses "zebra": the grid must contain the zero row,
+        # otherwise the z-scores (and delta) are silently wrong
+        from zoi_spark import text as tx
+        df = spark.createDataFrame(
+            [(1, "zebra zebra other", "s1"), (2, "plain words here", "s2"),
+             (3, "plain zebra words", "s3")],
+            "doc_id long, text string, source string")
+        rows = tx.burrows_delta(df, top_k_words=10).collect()
+        pairs = {(r["group_a"], r["group_b"]) for r in rows}
+        assert ("s1", "s2") in pairs and ("s2", "s3") in pairs
+        deltas = {(r["group_a"], r["group_b"]): r["delta"]
+                  for r in rows}
+        assert all(d >= 0 for d in deltas.values())

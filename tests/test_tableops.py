@@ -3577,3 +3577,35 @@ class TestEcodOutliers:
                    tc.ecod_outliers(df, ["a"],
                                     id_cols=["id"]).collect()}
         assert out[0]["score_left"] >= one_dim[0]["score_left"]
+
+
+class TestEnergyDrift:
+    def test_identical_distributions_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = [(v, s) for v in (1, 5, 9) for s in (True, False)]
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.energy_drift(df, "v", split=F.col("a")).collect()[0]
+        assert out["energy_d2"] == 0.0
+        assert out["e_xy"] == out["e_xx"] == out["e_yy"]
+
+    def test_point_masses_hand_value(self, spark):
+        # A = delta at 0, B = delta at 7: E|X-Y| = 7, E|X-X'| =
+        # E|Y-Y'| = 0, D^2 = 14 (= 2 * W1 for point masses)
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = [(0, True)] * 3 + [(7, False)] * 3
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.energy_drift(df, "v", split=F.col("a")).collect()[0]
+        assert out["e_xy"] == pytest.approx(7.0)
+        assert out["e_xx"] == 0.0 and out["e_yy"] == 0.0
+        assert out["energy_d2"] == pytest.approx(14.0)
+
+    def test_nonnegative_on_overlap(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = ([(1, True), (2, True), (3, True)]
+                + [(2, False), (3, False), (9, False)])
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.energy_drift(df, "v", split=F.col("a")).collect()[0]
+        assert out["energy_d2"] > 0

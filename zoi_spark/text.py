@@ -3081,3 +3081,132 @@ def rake_phrases(df: DataFrame, *, text_col: str = "text",
                     "score")
             .orderBy(F.desc("score"), "phrase")
             .limit(int(top_k)))
+
+
+def kneser_ney_bigrams(df: DataFrame, *, text_col: str = "text",
+                       discount: float = 0.75,
+                       min_count: int = 1,
+                       top_k: int = 50) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; the Chen & Goodman 1998 interpolated form) — the standard
+    smoothed n-gram LM estimator, here as a corpus-quality surface:
+    a high-probability bigram under KN is "expected language", so the
+    per-bigram p_kn complements raw-count surprisal (which over-ranks
+    bigrams whose second word is frequent in ONE context only —
+    "Francisco" appears a lot but almost only after "San"; KN's
+    continuation count fixes exactly that):
+
+        p_kn(w2|w1) = max(c(w1 w2) − d, 0) / c(w1 •)
+                      + (d / c(w1 •)) · N1+(w1 •) · p_cont(w2)
+        p_cont(w2)  = N1+(• w2) / N1+(• •)
+
+    where N1+ counts DISTINCT continuations, not occurrences.
+
+    Shape at scale: the bigram count table (map-side combine), two
+    vocabulary-sized re-aggregations joined back (Zipf-bounded →
+    broadcast), one scalar type total; top-k by (count desc, bigram).
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    pairs = F.zip_with(toks, F.slice(toks, 2, F.size(toks) - 1),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    pairs = F.slice(pairs, 1, F.size(toks) - 1)
+    big = (df.where(F.size(toks) >= 2)
+           .select(F.explode(pairs).alias("bigram"))
+           .groupBy("bigram").agg(F.count("*").alias("c")))
+    big = big.persist()
+    # c(w1 •) and N1+(w1 •): occurrence total and distinct-type count
+    # of the context; N1+(• w2): distinct contexts of the continuation
+    ctx = (big.groupBy(F.split("bigram", " ")[0].alias("__w1"))
+           .agg(F.sum("c").alias("c_ctx"),
+                F.count(F.lit(1)).alias("n1p_ctx")))
+    cont = (big.groupBy(F.split("bigram", " ")[1].alias("__w2"))
+            .agg(F.count(F.lit(1)).alias("n1p_cont")))
+    tot = big.agg(F.count(F.lit(1)).alias("n1p_total"))
+    d = float(discount)
+    scored = (big.where(F.col("c") >= int(min_count))
+              .join(F.broadcast(ctx),
+                    F.split("bigram", " ")[0] == F.col("__w1"))
+              .drop("__w1")
+              .join(F.broadcast(cont),
+                    F.split("bigram", " ")[1] == F.col("__w2"))
+              .drop("__w2")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "bigram", "c",
+                  F.round(
+                      F.greatest(F.col("c") - F.lit(d), F.lit(0.0))
+                      / F.col("c_ctx")
+                      + (F.lit(d) / F.col("c_ctx"))
+                      * F.col("n1p_ctx")
+                      * (F.col("n1p_cont").cast("double")
+                         / F.col("n1p_total")), 6).alias("p_kn")))
+    out = (scored.orderBy(F.desc("c"), F.asc("bigram"))
+           .limit(int(top_k)))
+    out._zoi_persisted = [big]  # release after materialization
+    return out
+
+
+def burrows_delta(df: DataFrame, *, text_col: str = "text",
+                  by: str = "source",
+                  top_k_words: int = 50,
+                  round_to: int = 6) -> DataFrame:
+    """Burrows' Delta stylometric distance between groups (Burrows
+    2002 "'Delta': a measure of stylistic difference"; Evert et al.
+    2017 for the validation) — the standard authorship-attribution
+    statistic, here as a cross-source style-drift audit: for the
+    *top_k_words* most frequent words corpus-wide, z-score each
+    group's relative frequency across groups, then
+
+        Δ(a, b) = mean_w |z_a(w) − z_b(w)|
+
+    A source whose Δ to every other source is large writes in a
+    different register — the kind of corpus mixture a per-column
+    validator cannot see.
+
+    Shape at scale: one token explode + (group, word) hash
+    aggregation; everything after runs on |groups|·top_k rows (the
+    zero-filled grid is built by a broadcast cross join, tiny by
+    construction). Returns ``(group_a, group_b, delta, n_words)``
+    for a < b.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    words = (df.where(F.col(text_col).isNotNull()
+                      & F.col(by).isNotNull())
+             .select(F.col(by).alias("g"),
+                     F.explode(toks).alias("w"))
+             .where(F.col("w") != ""))
+    gw = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    gw = gw.persist()
+    top = (gw.groupBy("w").agg(F.sum("c").alias("cw"))
+           .orderBy(F.desc("cw"), F.asc("w"))
+           .limit(int(top_k_words)).select("w"))
+    gtot = gw.groupBy("g").agg(F.sum("c").alias("gt"))
+    # zero-filled group × word grid: a word a group never uses is
+    # frequency 0, not a missing row — the z-scores depend on it
+    grid = (gtot.crossJoin(F.broadcast(top))
+            .join(gw, ["g", "w"], "left")
+            .select("g", "w", "gt",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    freq = grid.select("g", "w",
+                       (F.col("c") / F.col("gt")).alias("f"))
+    stats = (freq.groupBy("w")
+             .agg(F.avg("f").alias("mu"),
+                  F.stddev_pop("f").alias("sd")))
+    z = (freq.join(F.broadcast(stats), "w")
+         .where(F.col("sd") > 0)
+         .select("g", "w",
+                 ((F.col("f") - F.col("mu")) / F.col("sd"))
+                 .alias("z")))
+    pairs = (z.alias("a")
+             .join(z.alias("b"),
+                   (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("group_a"),
+                      F.col("b.g").alias("group_b"))
+             .agg(F.round(F.avg(F.abs(F.col("a.z") - F.col("b.z"))),
+                          round_to).alias("delta"),
+                  F.count(F.lit(1)).alias("n_words")))
+    pairs._zoi_persisted = [gw]
+    return pairs
