@@ -6357,6 +6357,54 @@ def q_energy_len_drift(spark, sf_dir):
         d, "n_chars", split=F.pmod("doc_id", F.lit(2)) == 0)
 
 
+def q_mcnemar_rule_shift(spark, sf_dir):
+    """McNemar paired verdict-shift test (tablechecks.mcnemar;
+    McNemar 1947, continuity-corrected): does tightening the length
+    rule from n_chars≥100 to n_chars≥120 flip verdicts
+    asymmetrically? b/c discordant counts + χ²(1) in ONE aggregation
+    pass — the decision statistic on top of verdict_transitions'
+    flip listing. The twin recomputes the four cells and the
+    corrected χ²."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.mcnemar(d, F.col("n_chars") >= 100,
+                               F.col("n_chars") >= 120)
+
+
+def q_pan_luhn_scan(spark, sf_dir):
+    """Luhn-validated payment-card scan (text.luhn_pan_scan; ISO/IEC
+    7812 mod-10): digit runs of 13-19 are candidates, only
+    checksum-passing runs count as PAN hits — the false-positive gate
+    real PII scanners run after the regex. Deterministic fixture:
+    every 7th doc gets a Luhn-VALID test PAN appended, every 11th a
+    near-miss (last digit off by one); the scan must count the first
+    and reject the second. Matched digits are never emitted. The
+    twin re-runs the identical extraction and checksum with list
+    expressions."""
+    d = _read(spark, sf_dir, "documents")
+    inj = d.withColumn("text2", F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0,
+               F.lit(" 4111111111111111"))
+         .when(F.pmod("doc_id", F.lit(11)) == 0,
+               F.lit(" 4111111111111112"))
+         .otherwise(F.lit(""))))
+    return (text.luhn_pan_scan(inj, text_col="text2")
+            .orderBy("id"))
+
+
+def q_kn_source_ppl(spark, sf_dir):
+    """Per-source corpus perplexity under the interpolated Kneser-Ney
+    bigram LM (text.kn_cross_entropy): every document's bigrams
+    scored against the corpus-level KN table (top_k=None full
+    surface), H = −mean log₂ p_kn and 2^H per source — the
+    principled-smoothing register-drift monitor. Equi-join against
+    the Zipf-bounded bigram vocabulary, deliberately not broadcast.
+    Ordered by source; the twin re-derives the full LM and the same
+    join + aggregation."""
+    d = _read(spark, sf_dir, "documents")
+    return text.kn_cross_entropy(d, by="source").orderBy("group")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6785,6 +6833,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kn_bigrams": q_kn_bigrams,
         "burrows_delta_sources": q_burrows_delta,
         "energy_len_drift": q_energy_len_drift,
+        # wave 58: McNemar shift test, Luhn PAN scan, KN perplexity
+        "mcnemar_rule_shift": q_mcnemar_rule_shift,
+        "pan_luhn_scan": q_pan_luhn_scan,
+        "kn_source_ppl": q_kn_source_ppl,
     }
 
 
@@ -15568,5 +15620,110 @@ def oracle_sql() -> dict[str, str]:
                    round(2 * exy - exx - eyy, 6) AS energy_d2,
                    n_a, n_b
             FROM terms
+        """,
+        # twin of q_mcnemar_rule_shift — same four cells, same
+        # continuity-corrected chi-square
+        "mcnemar_rule_shift": """
+            WITH cells AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN n_chars >= 100 AND n_chars >= 120
+                         THEN 1 ELSE 0 END)::BIGINT AS n_pass_pass,
+                     sum(CASE WHEN n_chars >= 100
+                              AND NOT n_chars >= 120
+                         THEN 1 ELSE 0 END)::BIGINT AS n_pass_fail,
+                     sum(CASE WHEN NOT n_chars >= 100
+                              AND n_chars >= 120
+                         THEN 1 ELSE 0 END)::BIGINT AS n_fail_pass,
+                     sum(CASE WHEN NOT n_chars >= 100
+                              AND NOT n_chars >= 120
+                         THEN 1 ELSE 0 END)::BIGINT AS n_fail_fail
+              FROM documents),
+            st AS (
+              SELECT *,
+                     CASE WHEN n_pass_fail + n_fail_pass > 0
+                          THEN pow(abs(n_pass_fail - n_fail_pass)
+                                   - 1, 2)
+                               / (n_pass_fail + n_fail_pass)
+                          ELSE 0.0 END AS chi2_raw
+              FROM cells)
+            SELECT n, n_pass_pass, n_pass_fail, n_fail_pass,
+                   n_fail_fail, round(chi2_raw, 6) AS chi2,
+                   chi2_raw > 3.841459 AS significant_05
+            FROM st
+        """,
+        # twin of q_pan_luhn_scan — identical candidate regex and
+        # mod-10 checksum over the reversed digit run (DuckDB list
+        # lambdas are 1-based: position i even == Spark 0-based odd)
+        "pan_luhn_scan": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                                  THEN ' 4111111111111111'
+                                  WHEN doc_id % 11 = 0
+                                  THEN ' 4111111111111112'
+                                  ELSE '' END AS text2
+              FROM documents WHERE text IS NOT NULL),
+            c AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text2,
+                                               '\\d{13,19}')) AS run
+              FROM t),
+            v AS (
+              SELECT doc_id,
+                     (list_sum(list_transform(
+                        range(1, length(run) + 1),
+                        i -> CASE WHEN i % 2 = 0 THEN
+                               CASE WHEN CAST(substr(reverse(run),
+                                         i::INT, 1) AS INT) * 2 > 9
+                                    THEN CAST(substr(reverse(run),
+                                         i::INT, 1) AS INT) * 2 - 9
+                                    ELSE CAST(substr(reverse(run),
+                                         i::INT, 1) AS INT) * 2 END
+                             ELSE CAST(substr(reverse(run),
+                                       i::INT, 1) AS INT) END))
+                      % 10 = 0) AS ok
+              FROM c)
+            SELECT doc_id AS id, count(*)::BIGINT AS n_candidates,
+                   sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT
+                     AS n_luhn_valid
+            FROM v GROUP BY 1 ORDER BY id
+        """,
+        # twin of q_kn_source_ppl — full KN table (no limit) joined
+        # back to per-doc bigrams, per-source bits + perplexity
+        "kn_source_ppl": f"""
+            WITH toks AS (
+              SELECT source, string_split({_NORM_SQL}, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+            big AS (
+              SELECT source, t[i] || ' ' || t[i + 1] AS bigram
+              FROM (SELECT source, t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            bc AS (SELECT bigram, count(*)::BIGINT AS c
+                   FROM big GROUP BY 1),
+            ctx AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                           sum(c) AS c_ctx, count(*) AS n1p_ctx
+                    FROM bc GROUP BY 1),
+            cont AS (SELECT string_split(bigram, ' ')[2] AS w2,
+                            count(*) AS n1p_cont
+                     FROM bc GROUP BY 1),
+            tot AS (SELECT count(*)::DOUBLE AS n1p_total FROM bc),
+            lm AS (
+              SELECT bigram,
+                     round(greatest(c - 0.75, 0) / c_ctx
+                           + (0.75 / c_ctx) * n1p_ctx
+                             * (n1p_cont
+                                / (SELECT n1p_total FROM tot)),
+                           6) AS p_kn
+              FROM bc
+              JOIN ctx ON string_split(bigram, ' ')[1] = ctx.w1
+              JOIN cont ON string_split(bigram, ' ')[2] = cont.w2),
+            j AS (
+              SELECT big.source AS "group", lm.p_kn
+              FROM big JOIN lm USING (bigram)
+              WHERE big.source IS NOT NULL)
+            SELECT "group", count(*)::BIGINT AS n_bigrams,
+                   round(-avg(log2(p_kn)), 6) AS bits,
+                   round(pow(2, -avg(log2(p_kn))), 6) AS ppl
+            FROM j GROUP BY 1 ORDER BY "group"
         """,
     }

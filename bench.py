@@ -375,6 +375,8 @@ R4_NAMES = [
     "page_hinkley_volume", "ecod_outliers", "cdc_chunk_dedup",
     # wave 57: Kneser-Ney bigram LM, Burrows' Delta, energy distance
     "kn_bigrams", "burrows_delta_sources", "energy_len_drift",
+    # wave 58: McNemar shift test, Luhn PAN scan, KN perplexity
+    "mcnemar_rule_shift", "pan_luhn_scan", "kn_source_ppl",
 ]
 
 

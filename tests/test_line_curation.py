@@ -738,3 +738,55 @@ class TestBurrowsDelta:
         deltas = {(r["group_a"], r["group_b"]): r["delta"]
                   for r in rows}
         assert all(d >= 0 for d in deltas.values())
+
+
+class TestLuhnPanScan:
+    def test_valid_and_invalid_pans(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame(
+            [(1, "pay 4111111111111111 now"),       # Luhn-valid
+             (2, "id 4111111111111112 here"),       # checksum off
+             (3, "call 5500005555555559 or 4111111111111111"),
+             (4, "no digits at all")],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in tx.luhn_pan_scan(df).collect()}
+        assert out[1]["n_candidates"] == 1
+        assert out[1]["n_luhn_valid"] == 1
+        assert out[2]["n_luhn_valid"] == 0
+        assert out[3]["n_candidates"] == 2
+        assert out[3]["n_luhn_valid"] == 2
+        assert 4 not in out  # no candidates -> no row
+
+    def test_short_runs_not_candidates(self, spark):
+        from zoi_spark import text as tx
+        # 12 digits: below the PAN length floor, never a candidate
+        df = spark.createDataFrame([(1, "num 411111111111 x")],
+                                   "doc_id long, text string")
+        assert tx.luhn_pan_scan(df).count() == 0
+
+
+class TestKnCrossEntropy:
+    def test_uniform_corpus_bits(self, spark):
+        from zoi_spark import text as tx
+        import math
+        # one bigram type per context, every doc identical: each
+        # doc's bigrams score p_kn("a b") = p_kn of the only bigram
+        df = spark.createDataFrame(
+            [(1, "a b", "s1"), (2, "a b", "s2")],
+            "doc_id long, text string, source string")
+        rows = {r["group"]: r for r in
+                tx.kn_cross_entropy(df).collect()}
+        # p_kn(b|a) = (2-.75)/2 + (.75/2)*1*1 = 1.0 -> bits 0, ppl 1
+        assert rows["s1"]["bits"] == pytest.approx(0.0, abs=1e-6)
+        assert rows["s1"]["ppl"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_divergent_source_higher_ppl(self, spark):
+        from zoi_spark import text as tx
+        common = [(i, "the cat sat on the mat", "norm")
+                  for i in range(8)]
+        odd = [(100, "zq xw vv kk jj pp", "odd")]
+        df = spark.createDataFrame(
+            common + odd, "doc_id long, text string, source string")
+        rows = {r["group"]: r["ppl"] for r in
+                tx.kn_cross_entropy(df).collect()}
+        assert rows["odd"] > rows["norm"]

@@ -3609,3 +3609,38 @@ class TestEnergyDrift:
         df = spark.createDataFrame(rows, "v long, a boolean")
         out = tc.energy_drift(df, "v", split=F.col("a")).collect()[0]
         assert out["energy_d2"] > 0
+
+
+class TestMcnemar:
+    def test_hand_cells_and_chi2(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        # a: first 6 pass; b: first 2 pass -> b-cell (pass->fail)=4,
+        # c-cell=0, chi2 = (|4-0|-1)^2/4 = 2.25
+        rows = [(i,) for i in range(10)]
+        df = spark.createDataFrame(rows, "i long")
+        out = tc.mcnemar(df, F.col("i") < 6, F.col("i") < 2) \
+            .collect()[0]
+        assert out["n_pass_pass"] == 2 and out["n_pass_fail"] == 4
+        assert out["n_fail_pass"] == 0 and out["n_fail_fail"] == 4
+        assert out["chi2"] == pytest.approx(2.25)
+        assert not out["significant_05"]
+
+    def test_no_discordance_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(1,), (2,)], "i long")
+        out = tc.mcnemar(df, F.col("i") > 0, F.col("i") > 0) \
+            .collect()[0]
+        assert out["chi2"] == 0.0 and not out["significant_05"]
+
+    def test_large_asymmetric_shift_significant(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        # 30 pass->fail, 2 fail->pass: chi2 = 27^2/32 >> 3.84
+        rows = [(i,) for i in range(40)]
+        df = spark.createDataFrame(rows, "i long")
+        out = tc.mcnemar(df, F.col("i") < 32,
+                         (F.col("i") < 2) | (F.col("i") >= 38)) \
+            .collect()[0]
+        assert out["significant_05"]

@@ -4332,3 +4332,44 @@ def energy_drift(df: DataFrame, value_col: str, *,
         F.round(2 * F.col("exy") - F.col("exx") - F.col("eyy"),
                 round_to).alias("energy_d2"),
         "n_a", "n_b")
+
+
+def mcnemar(df: DataFrame, flag_a: Column, flag_b: Column, *,
+            round_to: int = 6) -> DataFrame:
+    """McNemar's test for paired verdict shifts (McNemar 1947), the
+    standard before/after significance test when the SAME rows are
+    judged under two rule versions: with discordant counts
+    b = pass→fail and c = fail→pass,
+
+        χ² = (|b − c| − 1)² / (b + c)     (continuity-corrected)
+
+    Under H₀ (the rule change only reshuffles symmetric noise),
+    χ² ~ χ²(1); χ² > 3.841 rejects at 5%. The concordant cells don't
+    enter the statistic — that is the point: a rule tightened on a
+    drifting corpus shows b ≫ c regardless of the (huge, stable)
+    concordant mass. Complements :func:`verdict_transitions` (which
+    lists the flips) with the decision statistic.
+
+    Scale shape: ONE aggregation pass, four conditional counts; the
+    χ² math runs on the single aggregate row. Returns
+    ``(n, n_pass_pass, n_pass_fail, n_fail_pass, n_fail_fail,
+    chi2, significant_05)``.
+    """
+    a = F.coalesce(flag_a.cast("boolean"), F.lit(False))
+    b = F.coalesce(flag_b.cast("boolean"), F.lit(False))
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).alias("n_pass_pass"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).alias("n_pass_fail"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).alias("n_fail_pass"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).alias("n_fail_fail"))
+    disc = F.col("n_pass_fail") + F.col("n_fail_pass")
+    chi2 = F.when(
+        disc > 0,
+        (F.abs(F.col("n_pass_fail") - F.col("n_fail_pass")) - 1) ** 2
+        / disc.cast("double")).otherwise(F.lit(0.0))
+    return agg.select(
+        "n", "n_pass_pass", "n_pass_fail", "n_fail_pass",
+        "n_fail_fail",
+        F.round(chi2, round_to).alias("chi2"),
+        (chi2 > 3.841459).alias("significant_05"))

@@ -3086,7 +3086,7 @@ def rake_phrases(df: DataFrame, *, text_col: str = "text",
 def kneser_ney_bigrams(df: DataFrame, *, text_col: str = "text",
                        discount: float = 0.75,
                        min_count: int = 1,
-                       top_k: int = 50) -> DataFrame:
+                       top_k: int | None = 50) -> DataFrame:
     """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
     1995; the Chen & Goodman 1998 interpolated form) — the standard
     smoothed n-gram LM estimator, here as a corpus-quality surface:
@@ -3142,8 +3142,11 @@ def kneser_ney_bigrams(df: DataFrame, *, text_col: str = "text",
                       * F.col("n1p_ctx")
                       * (F.col("n1p_cont").cast("double")
                          / F.col("n1p_total")), 6).alias("p_kn")))
-    out = (scored.orderBy(F.desc("c"), F.asc("bigram"))
-           .limit(int(top_k)))
+    # top_k=None returns the full scored table (the LM surface other
+    # operators join against, e.g. kn_cross_entropy)
+    out = (scored if top_k is None
+           else scored.orderBy(F.desc("c"), F.asc("bigram"))
+                      .limit(int(top_k)))
     out._zoi_persisted = [big]  # release after materialization
     return out
 
@@ -3210,3 +3213,85 @@ def burrows_delta(df: DataFrame, *, text_col: str = "text",
                   F.count(F.lit(1)).alias("n_words")))
     pairs._zoi_persisted = [gw]
     return pairs
+
+
+def luhn_pan_scan(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Luhn-validated payment-card-number scan — the checksum gate
+    every production PII scanner runs after the digit-run regex
+    (ISO/IEC 7812; the Luhn mod-10 check eliminates the ~90% of
+    random 13-19 digit runs that are phone numbers, ids, timestamps):
+    a candidate is any contiguous 13-19 digit run; it is a PAN hit
+    only if the Luhn checksum passes — doubling every second digit
+    from the right, subtracting 9 above 9, total ≡ 0 (mod 10).
+
+    Pure expressions end-to-end: regexp_extract_all for candidates,
+    transform+aggregate over the reversed digit array for the
+    checksum — one codegen projection, no shuffle before the caller's
+    aggregation. Returns one row per document that has at least one
+    candidate: ``(id, n_candidates, n_luhn_valid)``. The released
+    frame deliberately excludes the matched digits (emitting them
+    would BE the leak the scan exists to flag).
+    """
+    text = F.col(text_col)
+    cands = F.regexp_extract_all(text, F.lit(r"\d{13,19}"), 0)
+
+    def luhn_ok(run: Column) -> Column:
+        digits = F.regexp_extract_all(F.reverse(run), F.lit(r"\d"), 0)
+        terms = F.transform(
+            digits,
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                 .otherwise(d.cast("int") * 2))
+            .otherwise(d.cast("int")))
+        total = F.aggregate(terms, F.lit(0),
+                            lambda acc, x: acc + x)
+        return total % 10 == 0
+
+    valid = F.filter(cands, luhn_ok)
+    return (df.where(text.isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.size(cands).alias("n_candidates"),
+                    F.size(valid).alias("n_luhn_valid"))
+            .where(F.col("n_candidates") > 0))
+
+
+def kn_cross_entropy(df: DataFrame, *, text_col: str = "text",
+                     by: str = "source",
+                     discount: float = 0.75,
+                     round_to: int = 6) -> DataFrame:
+    """Per-group corpus cross-entropy under the interpolated
+    Kneser-Ney bigram LM (:func:`kneser_ney_bigrams`): every
+    document's bigrams scored against the CORPUS-level KN table,
+    then per group H = −mean log₂ p_kn and perplexity 2^H — the
+    principled-smoothing upgrade of :func:`unigram_logprob`'s
+    surprisal proxy: a source whose perplexity under the corpus LM is
+    high writes different text (drift, spam, or another language)
+    even when its length/stopword stats look normal.
+
+    Since the LM is trained on the scored corpus itself, every doc
+    bigram exists in the table — no OOV path — and the join is an
+    equi-join against the Zipf-bounded bigram vocabulary (NOT
+    broadcast by default: vocab² can exceed the broadcast budget at
+    web scale). Returns ``(group, n_bigrams, bits, ppl)``.
+    """
+    lm = kneser_ney_bigrams(df, text_col=text_col,
+                            discount=discount, top_k=None)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    pairs = F.zip_with(toks, F.slice(toks, 2, F.size(toks) - 1),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    pairs = F.slice(pairs, 1, F.size(toks) - 1)
+    doc = (df.where((F.size(toks) >= 2) & F.col(by).isNotNull())
+           .select(F.col(by).alias("group"),
+                   F.explode(pairs).alias("bigram")))
+    joined = doc.join(lm.select("bigram", "p_kn"), "bigram")
+    out = (joined.groupBy("group")
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(-F.avg(F.log2("p_kn")), round_to)
+                 .alias("bits"),
+                F.round(F.pow(F.lit(2.0),
+                              -F.avg(F.log2("p_kn"))), round_to)
+                 .alias("ppl")))
+    out._zoi_persisted = list(getattr(lm, "_zoi_persisted", []) or [])
+    return out
