@@ -6405,6 +6405,48 @@ def q_kn_source_ppl(spark, sf_dir):
     return text.kn_cross_entropy(d, by="source").orderBy("group")
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (text.textrank_keywords; Mihalcea
+    & Tarau 2004): 4-round weighted PageRank over the content-word
+    co-occurrence graph (adjacent normalized tokens, stopwords and
+    non-alphabetic tokens dropped, undirected count-weighted edges) —
+    rides graph.pagerank, so the dangling-mass and lineage-checkpoint
+    machinery is exercised on a second surface. Top 25 by (rank desc,
+    word); the twin unrolls the same 4 rounds as a CTE chain from the
+    same edge derivation."""
+    d = _read(spark, sf_dir, "documents")
+    return text.textrank_keywords(d, iters=4, top_k=25)
+
+
+def q_theil_sen_volume(spark, sf_dir):
+    """Theil-Sen robust trend slope (tablechecks.theil_sen; Sen 1968)
+    over the daily event-volume series: median of all pairwise
+    slopes + median-residual intercept — the monitoring trend line a
+    single corrupted day cannot drag, unlike OLS. O(n²) pair join
+    runs on the ~30 aggregated day rows by contract. The twin
+    re-derives the same medians (both engines interpolate the even-n
+    median)."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.groupBy(F.datediff(F.to_date("ts"),
+                                  F.lit("1970-01-01")).alias("day"))
+             .agg(F.count(F.lit(1)).alias("volume")))
+    return tablechecks.theil_sen(daily, "volume", "day")
+
+
+def q_mann_kendall_volume(spark, sf_dir):
+    """Mann-Kendall nonparametric trend test
+    (tablechecks.mann_kendall; Mann 1945) on the same daily
+    event-volume series as theil_sen_volume: S = Σ sign(x_j − x_i),
+    tie-corrected variance, continuity-corrected z — the
+    significance companion to the Theil-Sen slope estimate. The twin
+    recomputes S, the tie term and z."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.groupBy(F.datediff(F.to_date("ts"),
+                                  F.lit("1970-01-01")).alias("day"))
+             .agg(F.count(F.lit(1)).alias("volume")))
+    return tablechecks.mann_kendall(daily, "volume", "day")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6837,6 +6879,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mcnemar_rule_shift": q_mcnemar_rule_shift,
         "pan_luhn_scan": q_pan_luhn_scan,
         "kn_source_ppl": q_kn_source_ppl,
+        # wave 59: TextRank keywords, Theil-Sen slope, Mann-Kendall
+        "textrank_keywords": q_textrank_keywords,
+        "theil_sen_volume": q_theil_sen_volume,
+        "mann_kendall_volume": q_mann_kendall_volume,
     }
 
 
@@ -8055,6 +8101,65 @@ def _pagerank_sql(iters: int) -> str:
             + f"""
             SELECT node AS host, round(rank, 6) AS pagerank
             FROM r{iters} ORDER BY host""")
+
+
+def _textrank_sql(iters: int) -> str:
+    """DuckDB twin of q_textrank_keywords: the SAME content-word
+    co-occurrence edges (adjacent normalized tokens, non-alphabetic /
+    stopword / self pairs dropped, both directions, count-weighted)
+    and the SAME pagerank recursion as _pagerank_sql, unrolled one
+    CTE trio per round; top-25 by (rank desc, word)."""
+    sw_list = ", ".join(f"'{w}'" for w in text.RAKE_STOPWORDS)
+    ctes = [f"""toks AS (
+              SELECT string_split({_NORM_SQL}, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+            e0 AS (
+              SELECT t[i] AS a, t[i + 1] AS b
+              FROM (SELECT t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            ef AS (
+              SELECT a, b FROM e0
+              WHERE a <> b
+                AND regexp_matches(a, '^[a-z]+$')
+                AND regexp_matches(b, '^[a-z]+$')
+                AND a NOT IN ({sw_list})
+                AND b NOT IN ({sw_list})),
+            eb AS (SELECT a, b FROM ef
+                   UNION ALL SELECT b, a FROM ef),
+            e AS (SELECT a AS src, b AS dst, count(*)::DOUBLE AS w
+                  FROM eb GROUP BY 1, 2),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            ow AS (SELECT src AS node, sum(w) AS out_w
+                   FROM e GROUP BY src),
+            base AS (SELECT nodes.node, ow.out_w
+                     FROM nodes LEFT JOIN ow USING (node)),
+            r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank,
+                          out_w
+                   FROM base)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""d{i} AS (
+              SELECT coalesce(sum(CASE WHEN out_w IS NULL
+                                       THEN rank END), 0.0) AS dm
+              FROM r{i - 1}),
+            c{i} AS (
+              SELECT e.dst AS node, sum(r.rank * e.w / r.out_w) AS contrib
+              FROM e JOIN r{i - 1} r ON e.src = r.node
+              GROUP BY e.dst),
+            r{i} AS (
+              SELECT b.node,
+                     (SELECT 0.15::DOUBLE / n FROM nn)
+                     + 0.85::DOUBLE
+                       * (coalesce(c.contrib, 0.0)
+                          + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+                       AS rank,
+                     b.out_w
+              FROM base b LEFT JOIN c{i} c USING (node))""")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f"""
+            SELECT node AS word, round(rank, 8) AS rank
+            FROM r{iters} ORDER BY rank DESC, word LIMIT 25""")
 
 
 def _trustrank_sql(iters: int) -> str:
@@ -15725,5 +15830,62 @@ def oracle_sql() -> dict[str, str]:
                    round(-avg(log2(p_kn)), 6) AS bits,
                    round(pow(2, -avg(log2(p_kn))), 6) AS ppl
             FROM j GROUP BY 1 ORDER BY "group"
+        """,
+        # twin of q_textrank_keywords — same edges, same unrolled
+        # pagerank rounds (generator shared shape with host_pagerank)
+        "textrank_keywords": _textrank_sql(iters=4),
+        # twin of q_theil_sen_volume — same pairwise-slope and
+        # residual medians over the same daily aggregation
+        "theil_sen_volume": """
+            WITH daily AS (
+              SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::DOUBLE
+                       AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            p AS (SELECT (j.x - i.x) / (j.t - i.t) AS m
+                  FROM daily i JOIN daily j ON j.t > i.t),
+            a AS (SELECT median(m) AS slope,
+                         count(*)::BIGINT AS n_pairs FROM p),
+            r AS (SELECT median(x - (SELECT slope FROM a) * t)
+                    AS intercept FROM daily)
+            SELECT (SELECT count(*) FROM daily)::BIGINT AS n_points,
+                   (SELECT n_pairs FROM a) AS n_pairs,
+                   round((SELECT slope FROM a), 6) AS slope,
+                   round((SELECT intercept FROM r), 6) AS intercept
+        """,
+        # twin of q_mann_kendall_volume — same S, tie term and
+        # continuity-corrected z
+        "mann_kendall_volume": """
+            WITH daily AS (
+              SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::DOUBLE
+                       AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            p AS (SELECT sum(CASE WHEN j.x > i.x THEN 1
+                                  WHEN j.x < i.x THEN -1
+                                  ELSE 0 END)::BIGINT AS s
+                  FROM daily i JOIN daily j ON j.t > i.t),
+            tie AS (SELECT coalesce(sum(tc * (tc - 1)
+                                        * (2 * tc + 5)), 0)::DOUBLE
+                      AS tie_term
+                    FROM (SELECT count(*) AS tc FROM daily
+                          GROUP BY x)
+                    WHERE tc > 1),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM daily),
+            st AS (
+              SELECT n, (SELECT s FROM p) AS s,
+                     (n * (n - 1) * (2 * n + 5)
+                      - (SELECT tie_term FROM tie)) / 18.0 AS var_s
+              FROM nn),
+            zz AS (
+              SELECT *,
+                     CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                          WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                          ELSE 0.0 END AS z_raw
+              FROM st)
+            SELECT n::BIGINT AS n, s, round(var_s, 6) AS var_s,
+                   round(z_raw, 6) AS z,
+                   abs(z_raw) > 1.959964 AS trend_05
+            FROM zz
         """,
     }

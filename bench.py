@@ -377,6 +377,8 @@ R4_NAMES = [
     "kn_bigrams", "burrows_delta_sources", "energy_len_drift",
     # wave 58: McNemar shift test, Luhn PAN scan, KN perplexity
     "mcnemar_rule_shift", "pan_luhn_scan", "kn_source_ppl",
+    # wave 59: TextRank keywords, Theil-Sen slope, Mann-Kendall test
+    "textrank_keywords", "theil_sen_volume", "mann_kendall_volume",
 ]
 
 

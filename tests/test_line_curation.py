@@ -790,3 +790,28 @@ class TestKnCrossEntropy:
         rows = {r["group"]: r["ppl"] for r in
                 tx.kn_cross_entropy(df).collect()}
         assert rows["odd"] > rows["norm"]
+
+
+class TestTextrankKeywords:
+    def test_hub_word_outranks_isolated_pair(self, spark):
+        from zoi_spark import text as tx
+        # "core" co-occurs with 4 distinct words; "isolated"/"pairx"
+        # co-occur only with each other (same total count)
+        docs = [(1, "core alpha core beta core gamma core delta"),
+                (2, "isolated pairx isolated pairx isolated pairx")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r["word"]: r["rank"] for r in
+                tx.textrank_keywords(df, top_k=10).collect()}
+        assert rows["core"] > rows["isolated"]
+        assert rows["core"] > rows["pairx"]
+
+    def test_stopwords_and_nonalpha_excluded(self, spark):
+        from zoi_spark import text as tx
+        # only (alpha,beta) and (gamma,alpha) survive the filters:
+        # pairs through "the"/"and"/"x9" never become edges
+        df = spark.createDataFrame(
+            [(1, "the alpha beta and alpha beta x9 gamma alpha")],
+            "doc_id long, text string")
+        words = {r["word"] for r in
+                 tx.textrank_keywords(df, top_k=20).collect()}
+        assert words == {"alpha", "beta", "gamma"}

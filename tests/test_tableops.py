@@ -3644,3 +3644,50 @@ class TestMcnemar:
                          (F.col("i") < 2) | (F.col("i") >= 38)) \
             .collect()[0]
         assert out["significant_05"]
+
+
+class TestTheilSen:
+    def test_exact_line_recovers_slope(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(t, 3.0 * t + 2.0) for t in range(6)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.theil_sen(df, "x", "t").collect()[0]
+        assert out["slope"] == pytest.approx(3.0)
+        assert out["intercept"] == pytest.approx(2.0)
+        assert out["n_points"] == 6 and out["n_pairs"] == 15
+
+    def test_outlier_resistant_vs_mean(self, spark):
+        # one wild day on a flat series: median slope stays ~0
+        from zoi_spark import tablechecks as tc
+        rows = [(t, 10.0) for t in range(9)] + [(9, 1000.0)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.theil_sen(df, "x", "t").collect()[0]
+        assert abs(out["slope"]) < 1e-9
+
+
+class TestMannKendall:
+    def test_monotone_series_significant(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(t, float(t)) for t in range(12)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.mann_kendall(df, "x", "t").collect()[0]
+        assert out["s"] == 66  # all 66 pairs concordant
+        assert out["trend_05"]
+
+    def test_constant_series_all_ties(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(t, 5.0) for t in range(8)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.mann_kendall(df, "x", "t").collect()[0]
+        assert out["s"] == 0 and out["z"] == 0.0
+        assert not out["trend_05"]
+        # tie term equals the full variance term -> var_s == 0
+        assert out["var_s"] == 0.0
+
+    def test_hand_variance_no_ties(self, spark):
+        from zoi_spark import tablechecks as tc
+        # n=4 distinct: var = 4*3*13/18 = 26/3
+        rows = [(0, 3.0), (1, 1.0), (2, 4.0), (3, 2.0)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.mann_kendall(df, "x", "t").collect()[0]
+        assert out["var_s"] == pytest.approx(26 / 3, abs=1e-5)

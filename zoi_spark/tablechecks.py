@@ -4373,3 +4373,89 @@ def mcnemar(df: DataFrame, flag_a: Column, flag_b: Column, *,
         "n_fail_fail",
         F.round(chi2, round_to).alias("chi2"),
         (chi2 > 3.841459).alias("significant_05"))
+
+
+# ---------------------------------------------------------------------------
+# nonparametric trend battery — Theil-Sen slope + Mann-Kendall test
+# ---------------------------------------------------------------------------
+
+def theil_sen(df: DataFrame, value_col: str, order_col: str, *,
+              round_to: int = 6) -> DataFrame:
+    """Theil-Sen robust slope (Theil 1950; Sen 1968) over the series
+    *value_col* ordered by the NUMERIC *order_col*: the median of all
+    pairwise slopes (x_j − x_i)/(t_j − t_i), t_j > t_i — the trend
+    estimator that tolerates up to ~29% outliers where OLS
+    (:func:`group_ols`) is dragged by a single corrupted day.
+    Intercept is the median of (x − slope·t).
+
+    Scale shape: the caller aggregates the corpus to the monitored
+    series FIRST (days/hours), so the O(n²) pair join runs on n ≈
+    tens of points — deliberate and documented, same contract as
+    :func:`page_hinkley`. Returns one row
+    ``(n_points, n_pairs, slope, intercept)``.
+    """
+    s = df.select(F.col(order_col).cast("double").alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    pairs = (s.alias("i")
+             .join(s.alias("j"), F.col("j.t") > F.col("i.t"))
+             .select(((F.col("j.x") - F.col("i.x"))
+                      / (F.col("j.t") - F.col("i.t"))).alias("m")))
+    agg = pairs.agg(
+        F.expr("percentile(m, 0.5)").alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"))
+    n = s.agg(F.count(F.lit(1)).alias("n_points"))
+    resid = (s.crossJoin(F.broadcast(agg))
+             .agg(F.expr("percentile(x - slope * t, 0.5)")
+                  .alias("intercept"),
+                  F.first("slope").alias("slope"),
+                  F.first("n_pairs").alias("n_pairs")))
+    return (n.crossJoin(F.broadcast(resid))
+            .select("n_points", "n_pairs",
+                    F.round("slope", round_to).alias("slope"),
+                    F.round("intercept", round_to).alias("intercept")))
+
+
+def mann_kendall(df: DataFrame, value_col: str, order_col: str, *,
+                 round_to: int = 6) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945; Kendall 1975) — the
+    standard nonparametric companion to :func:`theil_sen`: with
+    S = Σ_{i<j} sign(x_j − x_i) and the tie-corrected variance
+
+        Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+
+    the normal approximation z = (S∓1)/√Var(S) (continuity-corrected
+    toward 0, z = 0 when S = 0) tests H₀ "no monotone trend". |z| >
+    1.96 rejects at 5%. Runs on the pre-aggregated monitored series
+    (same tiny-n contract as :func:`theil_sen`). Returns one row
+    ``(n, s, var_s, z, trend_05)``.
+    """
+    ser = df.select(F.col(order_col).cast("double").alias("t"),
+                    F.col(value_col).cast("double").alias("x")) \
+            .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    pairs = (ser.alias("i")
+             .join(ser.alias("j"), F.col("j.t") > F.col("i.t"))
+             .agg(F.sum(F.signum(F.col("j.x") - F.col("i.x")))
+                  .cast("long").alias("s")))
+    n = ser.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ties = (ser.groupBy("x").agg(F.count(F.lit(1)).alias("tc"))
+            .where(F.col("tc") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("tc") * (F.col("tc") - 1)
+                      * (2 * F.col("tc") + 5)), F.lit(0))
+                .cast("double").alias("tie_term")))
+    base = (n.crossJoin(F.broadcast(pairs))
+            .crossJoin(F.broadcast(ties)))
+    var_s = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+             - F.col("tie_term")) / 18.0
+    z = F.when(F.col("s") > 0,
+               (F.col("s") - 1) / F.sqrt(var_s)) \
+         .when(F.col("s") < 0,
+               (F.col("s") + 1) / F.sqrt(var_s)) \
+         .otherwise(F.lit(0.0))
+    return base.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s"),
+        F.round(var_s, round_to).alias("var_s"),
+        F.round(z, round_to).alias("z"),
+        (F.abs(z) > 1.959964).alias("trend_05"))

@@ -3295,3 +3295,52 @@ def kn_cross_entropy(df: DataFrame, *, text_col: str = "text",
                  .alias("ppl")))
     out._zoi_persisted = list(getattr(lm, "_zoi_persisted", []) or [])
     return out
+
+
+def textrank_keywords(df: DataFrame, *, text_col: str = "text",
+                      stopwords: "tuple[str, ...]" = RAKE_STOPWORDS,
+                      iters: int = 4, damping: float = 0.85,
+                      top_k: int = 25) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word co-occurrence graph — adjacent
+    content-word pairs (stopwords and non-alphabetic tokens dropped,
+    self-pairs excluded) become undirected weighted edges, and a
+    fixed-round power iteration scores centrality. Complements
+    :func:`rake_phrases`: RAKE scores phrases by degree/frequency
+    inside stopword-delimited runs; TextRank rewards words that
+    co-occur with OTHER well-connected words, so a mid-frequency hub
+    term can out-rank a high-frequency isolate.
+
+    Runs on :func:`zoi_spark.graph.pagerank` (same update rule,
+    dangling redistribution and per-round ``localCheckpoint`` lineage
+    guard), so the plan shape per round is one shuffle of the
+    vocabulary-sized edge table — corpus size only enters through the
+    initial bigram aggregation. Returns top-k ``(word, rank)`` by
+    (rank desc, word).
+    """
+    from .graph import pagerank
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    pairs_ab = F.zip_with(toks, F.slice(toks, 2, F.size(toks) - 1),
+                          lambda a, b: F.struct(a.alias("a"),
+                                                b.alias("b")))
+    pairs_ab = F.slice(pairs_ab, 1, F.size(toks) - 1)
+    sw = set(stopwords)
+    raw = (df.where(F.size(toks) >= 2)
+           .select(F.explode(pairs_ab).alias("p"))
+           .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+           .where((F.col("a") != F.col("b"))
+                  & F.col("a").rlike("^[a-z]+$")
+                  & F.col("b").rlike("^[a-z]+$")
+                  & ~F.col("a").isin(*sw) & ~F.col("b").isin(*sw)))
+    # undirected: emit both directions, then weight by count
+    edges = (raw.select("a", "b")
+             .unionAll(raw.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+             .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    ranks = pagerank(edges, weight_col="w", iters=iters,
+                     damping=damping)
+    return (ranks.select(F.col("node").alias("word"),
+                         F.round("rank", 8).alias("rank"))
+            .orderBy(F.desc("rank"), "word").limit(int(top_k)))
