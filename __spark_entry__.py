@@ -6447,6 +6447,56 @@ def q_mann_kendall_volume(spark, sf_dir):
     return tablechecks.mann_kendall(daily, "volume", "day")
 
 
+def q_user_day_cover(spark, sf_dir):
+    """Greedy max-coverage day selection (sampling.greedy_set_cover;
+    Nemhauser-Wolsey-Fisher 1978): which 3 days reach the most
+    distinct users — each round picks the day adding the most
+    not-yet-covered user_ids, stopping early once coverage is total.
+    The per-round winner is a documented tiny driver-side pick; the
+    twin unrolls the same 3 greedy rounds as CTEs and filters
+    zero-gain rounds exactly like the early stop."""
+    from zoi_spark import sampling
+
+    e = _read(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id")
+    return sampling.greedy_set_cover(du, group_col="day",
+                                     item_col="user_id", k=3)
+
+
+def q_ts_sanity(spark, sf_dir):
+    """Timestamp plausibility audit (tablechecks.ts_sanity_audit):
+    NULLs, epoch-zero defaults, rows after an explicit cutoff
+    literal, exact-midnight concentration (date-only values smuggled
+    into a timestamp), weekend share. Deterministic fixture: every
+    97th event becomes epoch zero, every 89th jumps 400 days into
+    the future, every 13th truncates to midnight — all five counters
+    are exercised, not just claimed. ONE fused aggregation pass."""
+    e = _read(spark, sf_dir, "events")
+    ts2 = (F.when(F.pmod("event_id", F.lit(97)) == 0,
+                  F.lit("1970-01-01 00:00:00").cast("timestamp"))
+           .when(F.pmod("event_id", F.lit(89)) == 0,
+                 F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+           .when(F.pmod("event_id", F.lit(13)) == 0,
+                 F.date_trunc("day", F.col("ts")))
+           .otherwise(F.col("ts")))
+    inj = e.select(ts2.alias("ts2"))
+    return tablechecks.ts_sanity_audit(inj, "ts2",
+                                       cutoff="2024-06-01 00:00:00")
+
+
+def q_binseg_volume(spark, sf_dir):
+    """Single-changepoint binary segmentation
+    (tablechecks.binseg_split; Scott & Knott 1974) on the daily
+    event-volume series: the split minimizing summed within-segment
+    SSE, from prefix sums — locates WHERE the regime changed, where
+    Page-Hinkley only alarms that it did. Argmin over the rounded
+    SSE so the twin picks the identical split."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("volume")))
+    return tablechecks.binseg_split(daily, "volume", "day")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6883,6 +6933,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "textrank_keywords": q_textrank_keywords,
         "theil_sen_volume": q_theil_sen_volume,
         "mann_kendall_volume": q_mann_kendall_volume,
+        # wave 60: greedy set cover, timestamp sanity, binseg split
+        "user_day_cover": q_user_day_cover,
+        "ts_sanity": q_ts_sanity,
+        "binseg_volume": q_binseg_volume,
     }
 
 
@@ -15887,5 +15941,120 @@ def oracle_sql() -> dict[str, str]:
                    round(z_raw, 6) AS z,
                    abs(z_raw) > 1.959964 AS trend_05
             FROM zz
+        """,
+        # twin of q_user_day_cover — the same 3 greedy rounds
+        # unrolled; zero-gain rounds filtered = the early stop
+        "user_day_cover": """
+            WITH du AS (
+              SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR)
+                       AS g, user_id AS w
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            g1 AS (SELECT g, count(DISTINCT w) AS gain
+                   FROM du GROUP BY 1),
+            p1 AS (SELECT g, gain FROM g1
+                   ORDER BY gain DESC, g LIMIT 1),
+            c1 AS (SELECT DISTINCT w FROM du
+                   WHERE g = (SELECT g FROM p1)),
+            g2 AS (SELECT g, count(DISTINCT w) AS gain FROM du
+                   WHERE w NOT IN (SELECT w FROM c1) GROUP BY 1),
+            p2 AS (SELECT g, gain FROM g2
+                   ORDER BY gain DESC, g LIMIT 1),
+            c2 AS (SELECT w FROM c1
+                   UNION SELECT w FROM du
+                   WHERE g = (SELECT g FROM p2)),
+            g3 AS (SELECT g, count(DISTINCT w) AS gain FROM du
+                   WHERE w NOT IN (SELECT w FROM c2) GROUP BY 1),
+            p3 AS (SELECT g, gain FROM g3
+                   ORDER BY gain DESC, g LIMIT 1)
+            SELECT * FROM (
+              SELECT 1 AS round, (SELECT g FROM p1) AS "group",
+                     (SELECT gain FROM p1)::BIGINT AS gain,
+                     (SELECT count(*) FROM c1)::BIGINT
+                       AS covered_total
+              UNION ALL
+              SELECT 2, (SELECT g FROM p2),
+                     (SELECT gain FROM p2)::BIGINT,
+                     (SELECT count(*) FROM c2)::BIGINT
+              UNION ALL
+              SELECT 3, (SELECT g FROM p3),
+                     (SELECT gain FROM p3)::BIGINT,
+                     ((SELECT count(*) FROM c2)
+                      + (SELECT coalesce(gain, 0) FROM p3))::BIGINT)
+            WHERE gain > 0 ORDER BY round
+        """,
+        # twin of q_ts_sanity — same injected anomalies (same
+        # when-chain precedence), same five fused counters
+        "ts_sanity": """
+            WITH inj AS (
+              SELECT CASE
+                       WHEN event_id % 97 = 0
+                         THEN TIMESTAMP '1970-01-01 00:00:00'
+                       WHEN event_id % 89 = 0
+                         THEN ts + INTERVAL 400 DAY
+                       WHEN event_id % 13 = 0
+                         THEN date_trunc('day', ts)
+                       ELSE ts END AS ts2
+              FROM events)
+            SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN ts2 IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_null,
+                   sum(CASE WHEN ts2 = TIMESTAMP
+                            '1970-01-01 00:00:00'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_epoch_zero,
+                   sum(CASE WHEN ts2 > TIMESTAMP
+                            '2024-06-01 00:00:00'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_future,
+                   sum(CASE WHEN ts2 IS NOT NULL
+                            AND extract(hour FROM ts2) = 0
+                            AND extract(minute FROM ts2) = 0
+                            AND extract(second FROM ts2) = 0
+                       THEN 1 ELSE 0 END)::BIGINT AS n_midnight,
+                   round(sum(CASE WHEN ts2 IS NOT NULL
+                                  AND isodow(ts2) IN (6, 7)
+                             THEN 1 ELSE 0 END) * 1.0
+                         / sum(CASE WHEN ts2 IS NOT NULL
+                               THEN 1 ELSE 0 END), 6)
+                     AS weekend_share
+            FROM inj
+        """,
+        # twin of q_binseg_volume — same prefix-sum SSE table,
+        # argmin over the same rounded sse_split
+        "binseg_volume": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            pre AS (
+              SELECT t,
+                     row_number() OVER (ORDER BY t) AS i,
+                     sum(x) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS s1,
+                     sum(x * x) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS s2,
+                     count(*) OVER ()::DOUBLE AS n,
+                     sum(x) OVER () AS t1,
+                     sum(x * x) OVER () AS t2
+              FROM daily),
+            scored AS (
+              SELECT t AS split_order, i::BIGINT AS n_left,
+                     (n - i)::BIGINT AS n_right,
+                     s1 / i AS ml,
+                     (t1 - s1) / (n - i) AS mr,
+                     round(t2 - t1 * t1 / n, 6) AS sse_tot,
+                     round((s2 - s1 * s1 / i)
+                           + ((t2 - s2)
+                              - (t1 - s1) * (t1 - s1) / (n - i)),
+                           6) AS sse_split
+              FROM pre WHERE i < n)
+            SELECT split_order, n_left, n_right,
+                   round(ml, 6) AS mean_left,
+                   round(mr, 6) AS mean_right,
+                   sse_tot AS sse_total, sse_split,
+                   round(sse_tot - sse_split, 6) AS gain
+            FROM scored
+            ORDER BY sse_split, split_order LIMIT 1
         """,
     }

@@ -379,6 +379,8 @@ R4_NAMES = [
     "mcnemar_rule_shift", "pan_luhn_scan", "kn_source_ppl",
     # wave 59: TextRank keywords, Theil-Sen slope, Mann-Kendall test
     "textrank_keywords", "theil_sen_volume", "mann_kendall_volume",
+    # wave 60: greedy set cover, timestamp sanity, binseg changepoint
+    "user_day_cover", "ts_sanity", "binseg_volume",
 ]
 
 

@@ -573,3 +573,37 @@ class TestHorvitzThompson:
                    F.avg("u").alias("mu")).collect()[0]
         assert 0.0 < r["lo"] and r["hi"] < 1.0
         assert 0.45 < r["mu"] < 0.55
+
+
+class TestGreedySetCover:
+    def test_greedy_order_and_gains(self, spark):
+        from zoi_spark import sampling
+        # A={1,2,3}, B={3,4}, C={4,5}: greedy picks A(3), then C(2)
+        # (beats B whose leftover {4} ties C's {4,5}), then B adds 0
+        rows = ([("A", i) for i in (1, 2, 3)]
+                + [("B", i) for i in (3, 4)]
+                + [("C", i) for i in (4, 5)])
+        df = spark.createDataFrame(rows, "g string, w long")
+        out = sampling.greedy_set_cover(df, group_col="g",
+                                        item_col="w", k=3).collect()
+        assert [(r["round"], r["group"], r["gain"]) for r in out] \
+            == [(1, "A", 3), (2, "C", 2)]
+        assert out[-1]["covered_total"] == 5
+
+    def test_tie_breaks_by_group_asc(self, spark):
+        from zoi_spark import sampling
+        rows = [("B", 1), ("B", 2), ("A", 3), ("A", 4)]
+        df = spark.createDataFrame(rows, "g string, w long")
+        out = sampling.greedy_set_cover(df, group_col="g",
+                                        item_col="w", k=1).collect()
+        assert out[0]["group"] == "A"
+
+    def test_text_wrapper_covers_vocab(self, spark):
+        from zoi_spark import sampling
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "c d", "s2"), (3, "a", "s3")],
+            "doc_id long, text string, source string")
+        out = sampling.source_set_cover(df, k=3).collect()
+        assert out[0]["group"] == "s1" and out[0]["gain"] == 3
+        assert out[1]["group"] == "s2" and out[1]["gain"] == 1
+        assert len(out) == 2  # s3 adds nothing -> early stop

@@ -3691,3 +3691,48 @@ class TestMannKendall:
         df = spark.createDataFrame(rows, "t long, x double")
         out = tc.mann_kendall(df, "x", "t").collect()[0]
         assert out["var_s"] == pytest.approx(26 / 3, abs=1e-5)
+
+
+class TestTsSanityAudit:
+    def test_counts_each_anomaly(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("2024-01-03 10:30:00",),   # weekday, fine
+                ("1970-01-01 00:00:00",),   # epoch zero (+ midnight)
+                ("2030-01-01 12:00:00",),   # future
+                ("2024-01-06 00:00:00",),   # saturday midnight
+                (None,)]
+        df = spark.createDataFrame(rows, "s string") \
+            .selectExpr("CAST(s AS TIMESTAMP) AS ts")
+        out = tc.ts_sanity_audit(df, "ts",
+                                 cutoff="2025-01-01 00:00:00") \
+            .collect()[0]
+        assert out["n"] == 5 and out["n_null"] == 1
+        assert out["n_epoch_zero"] == 1
+        assert out["n_future"] == 1
+        assert out["n_midnight"] == 2
+        # weekend among 4 non-null: epoch zero is a Thursday;
+        # only the Saturday row counts
+        assert out["weekend_share"] == pytest.approx(0.25)
+
+
+class TestBinsegSplit:
+    def test_finds_exact_step(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [10.0] * 5 + [50.0] * 5
+        df = spark.createDataFrame(list(enumerate(vals)),
+                                   "t long, x double")
+        out = tc.binseg_split(df, "x", "t").collect()[0]
+        assert out["split_order"] == 4    # last left point
+        assert out["n_left"] == 5 and out["n_right"] == 5
+        assert out["mean_left"] == 10.0
+        assert out["mean_right"] == 50.0
+        assert out["sse_split"] == 0.0
+        assert out["gain"] == out["sse_total"]
+
+    def test_flat_series_zero_gain(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(t, 7.0) for t in range(6)],
+                                   "t long, x double")
+        out = tc.binseg_split(df, "x", "t").collect()[0]
+        assert out["gain"] == 0.0
+        assert out["split_order"] == 0  # tie -> earliest split

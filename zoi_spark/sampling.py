@@ -863,3 +863,72 @@ def horvitz_thompson(df: DataFrame, y_col: str, *,
                              * F.col("__y") * F.col("__y"))),
                 round_to).alias("ht_se"),
         F.round(F.sum("__y"), round_to).alias("true_total"))
+
+
+def greedy_set_cover(df: DataFrame, *, group_col: str,
+                     item_col: str, k: int = 3) -> DataFrame:
+    """Greedy maximum-coverage group selection (the classic
+    (1-1/e)-approximate greedy for set cover / max-coverage,
+    Nemhauser-Wolsey-Fisher 1978): each round picks the group whose
+    set of distinct *item_col* values adds the most NOT-yet-covered
+    items (ties by group asc), adds them to the covered set, repeats
+    up to *k* rounds, stopping early once nothing remains.
+
+    The data-mixing / monitoring question it answers: "which k
+    sources buy the most distinct vocabulary", "which k days reach
+    the most distinct users" -- the submodular selection pass corpus
+    curation runs before committing acquisition budget.
+
+    Scale shape: ONE distinct (group, item) aggregation up front
+    (persisted and released); each round is an anti-join against the
+    covered set plus a groupBy -- k is small by construction. The
+    per-round winner is a driver-side single-row pick (a documented
+    tiny collect, the same pattern as IVF centroid seeding). Returns
+    up to k rows ``(round, group, gain, covered_total)``.
+    """
+    gw = (df.where(F.col(group_col).isNotNull()
+                   & F.col(item_col).isNotNull())
+          .select(F.col(group_col).cast("string").alias("g"),
+                  F.col(item_col).alias("w"))
+          .distinct()
+          .persist())
+    spark = df.sparkSession
+    covered = None
+    records = []
+    total = 0
+    for i in range(1, int(k) + 1):
+        remaining = (gw if covered is None
+                     else gw.join(covered, "w", "left_anti"))
+        gains = (remaining.groupBy("g")
+                 .agg(F.countDistinct("w").alias("gain"))
+                 .orderBy(F.desc("gain"), F.asc("g")).limit(1)
+                 .collect())
+        if not gains or gains[0]["gain"] == 0:
+            break
+        g, gain = gains[0]["g"], gains[0]["gain"]
+        total += gain
+        records.append((i, g, gain, total))
+        newly = gw.where(F.col("g") == g).select("w")
+        covered = (newly if covered is None
+                   else covered.union(newly).distinct())
+        covered = covered.persist()
+    gw.unpersist()
+    return spark.createDataFrame(
+        records, "round int, group string, gain long, "
+                 "covered_total long")
+
+
+def source_set_cover(df: DataFrame, *, text_col: str = "text",
+                     by: str = "source", k: int = 3) -> DataFrame:
+    """Vocabulary max-coverage over text groups: which k *by* groups
+    cover the most distinct normalized tokens -- a thin wrapper that
+    explodes tokens and delegates to :func:`greedy_set_cover`."""
+    from .text import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    words = (df.where(F.col(text_col).isNotNull())
+             .select(F.col(by).alias("__g"),
+                     F.explode(toks).alias("__w"))
+             .where(F.col("__w") != ""))
+    return greedy_set_cover(words, group_col="__g", item_col="__w",
+                            k=k)

@@ -4459,3 +4459,104 @@ def mann_kendall(df: DataFrame, value_col: str, order_col: str, *,
         F.round(var_s, round_to).alias("var_s"),
         F.round(z, round_to).alias("z"),
         (F.abs(z) > 1.959964).alias("trend_05"))
+
+
+def ts_sanity_audit(df: DataFrame, ts_col: str, *,
+                    cutoff: str,
+                    round_to: int = 6) -> DataFrame:
+    """Timestamp plausibility audit — the sentinel patterns corrupted
+    event feeds actually produce: NULLs, epoch-zero defaults
+    (1970-01-01T00:00:00, the uninitialized-field classic), rows
+    AFTER the supplied *cutoff* (clock skew / unit confusion),
+    exact-midnight concentration (date-only values smuggled into a
+    timestamp column), and the weekend share (a B2B feed whose
+    weekend share suddenly moves has a pipeline change, not new
+    users). *cutoff* is an explicit ISO literal, never wall-clock —
+    reruns and the oracle must agree.
+
+    ONE aggregation pass; all flags fuse into the scan projection.
+    Returns one row ``(n, n_null, n_epoch_zero, n_future,
+    n_midnight, weekend_share)``.
+    """
+    ts = F.col(ts_col)
+    nn = ts.isNotNull()
+    weekend = F.dayofweek(ts).isin(1, 7)  # Spark: 1=Sun, 7=Sat
+    midnight = ((F.hour(ts) == 0) & (F.minute(ts) == 0)
+                & (F.second(ts) == 0))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(ts.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(ts == F.lit("1970-01-01 00:00:00")
+                     .cast("timestamp"), 1).otherwise(0))
+         .alias("n_epoch_zero"),
+        F.sum(F.when(ts > F.lit(cutoff).cast("timestamp"), 1)
+              .otherwise(0)).alias("n_future"),
+        F.sum(F.when(nn & midnight, 1).otherwise(0))
+         .alias("n_midnight"),
+        F.round(F.sum(F.when(nn & weekend, 1).otherwise(0))
+                / F.sum(F.when(nn, 1).otherwise(0)),
+                round_to).alias("weekend_share"))
+
+
+def binseg_split(df: DataFrame, value_col: str, order_col: str, *,
+                 round_to: int = 6) -> DataFrame:
+    """Single-changepoint detection by binary segmentation (Scott &
+    Knott 1974; the first split of the binseg recursion every
+    changepoint library runs): over the series ordered by
+    *order_col*, choose the split that minimizes the summed
+    within-segment squared error
+
+        SSE(k) = Σ_left (x−x̄_L)² + Σ_right (x−x̄_R)²
+
+    evaluated for every k from prefix sums — no per-split rescan.
+    Reported gain = SSE_total − SSE_split is the variance explained
+    by the best single break; a large gain with a coherent date is a
+    regime change (deploy, feed swap), where Page-Hinkley
+    (:func:`page_hinkley`) only tells you THAT the mean moved.
+
+    Same tiny-series contract as the other monitors: aggregate the
+    corpus to the series first. Returns one row ``(split_order,
+    n_left, n_right, mean_left, mean_right, sse_total, sse_split,
+    gain)`` — split_order is the LAST point of the left segment.
+    """
+    s = df.select(F.col(order_col).alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    w = (Window.orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    pre = s.select(
+        "t",
+        F.row_number().over(Window.orderBy("t")).alias("i"),
+        F.sum("x").over(w).alias("s1"),
+        F.sum(F.col("x") ** 2).over(w).alias("s2"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("n"),
+        F.sum("x").over(wall).alias("t1"),
+        F.sum(F.col("x") ** 2).over(wall).alias("t2"))
+    cand = pre.where(F.col("i") < F.col("n"))
+    i, n = F.col("i").cast("double"), F.col("n")
+    sse_l = F.col("s2") - F.col("s1") ** 2 / i
+    sse_r = ((F.col("t2") - F.col("s2"))
+             - (F.col("t1") - F.col("s1")) ** 2 / (n - i))
+    sse_tot = F.col("t2") - F.col("t1") ** 2 / n
+    scored = cand.select(
+        F.col("t").alias("split_order"),
+        F.col("i").cast("long").alias("n_left"),
+        (n - i).cast("long").alias("n_right"),
+        (F.col("s1") / i).alias("ml"),
+        ((F.col("t1") - F.col("s1")) / (n - i)).alias("mr"),
+        F.round(sse_tot, round_to).alias("sse_tot"),
+        # argmin over the ROUNDED sse: raw doubles differ across
+        # summation orders at ~1e-12, and the oracle must pick the
+        # same split
+        F.round(sse_l + sse_r, round_to).alias("sse_split"))
+    best = scored.orderBy(F.asc("sse_split"),
+                          F.asc("split_order")).limit(1)
+    return best.select(
+        "split_order", "n_left", "n_right",
+        F.round("ml", round_to).alias("mean_left"),
+        F.round("mr", round_to).alias("mean_right"),
+        F.round("sse_tot", round_to).alias("sse_total"),
+        F.round("sse_split", round_to).alias("sse_split"),
+        F.round(F.col("sse_tot") - F.col("sse_split"), round_to)
+         .alias("gain"))
