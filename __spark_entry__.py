@@ -6497,6 +6497,44 @@ def q_binseg_volume(spark, sf_dir):
     return tablechecks.binseg_split(daily, "volume", "day")
 
 
+def q_weekly_seasonality(spark, sf_dir):
+    """Day-of-week seasonal profile with robust deviation flags
+    (tablechecks.weekly_seasonality): daily volumes vs same-weekday
+    means, residual z'd against 1.4826·MAD — flags the quiet Tuesday
+    a raw-volume z-score can't see past the weekly rhythm. ISO
+    weekday on both engines; exact interpolated medians. Ordered by
+    day."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.weekly_seasonality(e, "ts").orderBy("day")
+
+
+def q_bin_advisor(spark, sf_dir):
+    """Histogram bin-width advisor (tablechecks.bin_advisor):
+    Freedman-Diaconis, Scott and Sturges from one pass + two exact
+    interpolated percentiles over n_chars — the data-derived bucket
+    sizing for the PSI/KS histogram checks. One summary row; the
+    twin recomputes all three rules from the same moments and
+    quantiles."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.bin_advisor(d, "n_chars")
+
+
+def q_multibyte_audit(spark, sf_dir):
+    """UTF-8 byte-density audit per lang (text.multibyte_audit):
+    chars vs encoded bytes, bytes-per-char density, pure-ASCII doc
+    share. Deterministic fixture: every 5th doc gets a non-ASCII
+    suffix (accents + CJK) so the char≠byte path is exercised on
+    both engines, not just claimed. Ordered by group."""
+    d = _read(spark, sf_dir, "documents")
+    inj = d.withColumn(
+        "text2",
+        F.when(F.pmod("doc_id", F.lit(5)) == 0,
+               F.concat("text", F.lit(" café naïve 中文")))
+         .otherwise(F.col("text")))
+    return (text.multibyte_audit(inj, text_col="text2", by="lang")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6937,6 +6975,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "user_day_cover": q_user_day_cover,
         "ts_sanity": q_ts_sanity,
         "binseg_volume": q_binseg_volume,
+        # wave 61: weekly seasonality, bin advisor, multibyte audit
+        "weekly_seasonality": q_weekly_seasonality,
+        "bin_advisor": q_bin_advisor,
+        "multibyte_audit": q_multibyte_audit,
     }
 
 
@@ -16056,5 +16098,82 @@ def oracle_sql() -> dict[str, str]:
                    round(sse_tot - sse_split, 6) AS gain
             FROM scored
             ORDER BY sse_split, split_order LIMIT 1
+        """,
+        # twin of q_weekly_seasonality — same ISO-dow means, same
+        # median/MAD residual gate
+        "weekly_seasonality": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            b AS (
+              SELECT day, isodow(day) AS dow, x,
+                     avg(x) OVER (PARTITION BY isodow(day))
+                       AS dow_mean
+              FROM daily),
+            r AS (SELECT day, dow, x, dow_mean,
+                         x - dow_mean AS res FROM b),
+            mm AS (SELECT median(res) AS med_r FROM r),
+            dd AS (SELECT median(abs(res - (SELECT med_r FROM mm)))
+                     AS mad FROM r)
+            SELECT day, dow, x::BIGINT AS volume,
+                   round(dow_mean, 6) AS dow_mean,
+                   round(res, 6) AS residual,
+                   CASE WHEN (SELECT mad FROM dd) > 0
+                        THEN abs(res - (SELECT med_r FROM mm))
+                             > 3 * 1.4826 * (SELECT mad FROM dd)
+                        ELSE abs(res - (SELECT med_r FROM mm)) > 0
+                   END AS flagged
+            FROM r ORDER BY day
+        """,
+        # twin of q_bin_advisor — same moments, same exact
+        # interpolated quantiles, same three rules
+        "bin_advisor": """
+            WITH s AS (
+              SELECT n_chars::DOUBLE AS v FROM documents
+              WHERE n_chars IS NOT NULL),
+            a AS (
+              SELECT count(*)::DOUBLE AS n, min(v) AS vmin,
+                     max(v) AS vmax,
+                     quantile_cont(v, 0.75)
+                       - quantile_cont(v, 0.25) AS iqr,
+                     stddev_pop(v) AS sigma
+              FROM s),
+            w AS (
+              SELECT *, 2 * iqr / pow(n, 1.0 / 3) AS fd_w,
+                     3.49 * sigma / pow(n, 1.0 / 3) AS sc_w
+              FROM a)
+            SELECT n::BIGINT AS n, round(vmin, 6) AS vmin,
+                   round(vmax, 6) AS vmax, round(iqr, 6) AS iqr,
+                   round(sigma, 6) AS sigma,
+                   round(fd_w, 6) AS fd_width,
+                   round(sc_w, 6) AS scott_width,
+                   (CASE WHEN fd_w > 0
+                         THEN ceil((vmax - vmin) / fd_w) END)
+                     ::BIGINT AS fd_bins,
+                   (CASE WHEN sc_w > 0
+                         THEN ceil((vmax - vmin) / sc_w) END)
+                     ::BIGINT AS scott_bins,
+                   (ceil(log2(n)) + 1)::BIGINT AS sturges_bins
+            FROM w
+        """,
+        # twin of q_multibyte_audit — same injected non-ASCII
+        # suffix, chars via length(), bytes via strlen()
+        "multibyte_audit": """
+            WITH inj AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' café naïve 中文'
+                          ELSE text END AS t
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL)
+            SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+                   sum(length(t))::BIGINT AS total_chars,
+                   sum(strlen(t))::BIGINT AS total_bytes,
+                   round(sum(strlen(t)) * 1.0 / sum(length(t)), 6)
+                     AS bytes_per_char,
+                   round(sum(CASE WHEN length(t) = strlen(t)
+                             THEN 1 ELSE 0 END) * 1.0 / count(*),
+                         6) AS ascii_doc_share
+            FROM inj GROUP BY 1 ORDER BY "group"
         """,
     }

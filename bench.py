@@ -381,6 +381,8 @@ R4_NAMES = [
     "textrank_keywords", "theil_sen_volume", "mann_kendall_volume",
     # wave 60: greedy set cover, timestamp sanity, binseg changepoint
     "user_day_cover", "ts_sanity", "binseg_volume",
+    # wave 61: weekly seasonality, bin advisor, multibyte audit
+    "weekly_seasonality", "bin_advisor", "multibyte_audit",
 ]
 
 

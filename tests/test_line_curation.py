@@ -815,3 +815,22 @@ class TestTextrankKeywords:
         words = {r["word"] for r in
                  tx.textrank_keywords(df, top_k=20).collect()}
         assert words == {"alpha", "beta", "gamma"}
+
+
+class TestMultibyteAudit:
+    def test_ascii_vs_multibyte_density(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame(
+            [(1, "plain ascii", "en"), (2, "café", "fr"),
+             (3, "中文文本", "zh")],
+            "doc_id long, text string, lang string")
+        out = {r["group"]: r for r in
+               tx.multibyte_audit(df).collect()}
+        assert out["en"]["bytes_per_char"] == 1.0
+        assert out["en"]["ascii_doc_share"] == 1.0
+        # "café": 4 chars, 5 bytes
+        assert out["fr"]["total_chars"] == 4
+        assert out["fr"]["total_bytes"] == 5
+        assert out["fr"]["ascii_doc_share"] == 0.0
+        # CJK: 3 bytes per char
+        assert out["zh"]["bytes_per_char"] == 3.0

@@ -3736,3 +3736,66 @@ class TestBinsegSplit:
         out = tc.binseg_split(df, "x", "t").collect()[0]
         assert out["gain"] == 0.0
         assert out["split_order"] == 0  # tie -> earliest split
+
+
+class TestWeeklySeasonality:
+    def test_respecting_rhythm_not_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        # two weeks, Sundays always quiet: residuals all 0
+        rows = []
+        import datetime
+        for w in range(4):
+            for dw in range(7):
+                day = datetime.datetime(2024, 1, 1 + 7 * w + dw, 12)
+                vol = 10 if day.isoweekday() == 7 else 100
+                rows += [(day,)] * vol
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = tc.weekly_seasonality(df, "ts").collect()
+        assert not any(r["flagged"] for r in out)
+        assert all(r["residual"] == 0.0 for r in out)
+
+    def test_broken_rhythm_day_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime
+        rows = []
+        for d in range(28):
+            day = datetime.datetime(2024, 1, 1 + d, 12)
+            vol = 5 if d == 15 else 100  # one collapsed weekday
+            rows += [(day,)] * vol
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = {r["day"].isoformat(): r["flagged"]
+               for r in tc.weekly_seasonality(df, "ts").collect()}
+        assert out["2024-01-16"]
+        assert sum(out.values()) <= 5  # its weekday peers may co-flag
+
+    def test_iso_dow_convention(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime
+        # 2024-01-01 is a Monday -> ISO dow 1
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1, 8),)], "ts timestamp")
+        assert tc.weekly_seasonality(df, "ts").first()["dow"] == 1
+
+
+class TestBinAdvisor:
+    def test_hand_values_uniform(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        vals = [float(i) for i in range(1, 101)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = tc.bin_advisor(df, "v").collect()[0]
+        assert out["n"] == 100
+        assert out["vmin"] == 1.0 and out["vmax"] == 100.0
+        # exact interpolated IQR of 1..100 = 75.25 - 25.75 = 49.5
+        assert out["iqr"] == pytest.approx(49.5)
+        assert out["fd_width"] == pytest.approx(
+            2 * 49.5 / 100 ** (1 / 3), abs=1e-5)
+        assert out["sturges_bins"] == math.ceil(math.log2(100)) + 1
+        assert out["fd_bins"] == math.ceil(99 / (2 * 49.5 / 100 ** (1 / 3)))
+
+    def test_degenerate_constant_column(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(5.0,)] * 10, "v double")
+        out = tc.bin_advisor(df, "v").collect()[0]
+        assert out["iqr"] == 0.0 and out["sigma"] == 0.0
+        assert out["fd_bins"] is None and out["scott_bins"] is None

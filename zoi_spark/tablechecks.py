@@ -4560,3 +4560,88 @@ def binseg_split(df: DataFrame, value_col: str, order_col: str, *,
         F.round("sse_split", round_to).alias("sse_split"),
         F.round(F.col("sse_tot") - F.col("sse_split"), round_to)
          .alias("gain"))
+
+
+def weekly_seasonality(df: DataFrame, ts_col: str, *,
+                       mad_k: float = 3.0,
+                       round_to: int = 6) -> DataFrame:
+    """Day-of-week seasonal profile with robust deviation flags — the
+    weekly-rhythm audit for event feeds: daily volumes, each day's
+    same-weekday mean, the seasonal residual, and a flag when the
+    residual sits more than ``mad_k`` robust standard deviations
+    (1.4826·MAD) from the median residual. Volume anomalies that
+    respect the weekly rhythm (quiet Sundays) stay unflagged;
+    a quiet TUESDAY is flagged even when its raw volume is an
+    ordinary Sunday level — exactly what a raw-volume z-score
+    cannot express.
+
+    Weekday is ISO (1 = Monday … 7 = Sunday) so both engines agree.
+    Scale shape: one count-per-day hash aggregation, then windows
+    over the day rows (tiny-series contract, as :func:`page_hinkley`).
+    Returns per-day rows ``(day, dow, volume, dow_mean, residual,
+    flagged)`` — MAD internals stay internal.
+    """
+    daily = (df.where(F.col(ts_col).isNotNull())
+             .groupBy(F.to_date(ts_col).alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    dow = ((F.dayofweek("day") + 5) % 7) + 1
+    wd = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    base = daily.select("day", dow.alias("dow"), "x")
+    base = base.withColumn("dow_mean", F.avg("x").over(wd))
+    base = base.withColumn("res", F.col("x") - F.col("dow_mean"))
+    base = base.withColumn(
+        "med_r", F.expr("percentile(res, 0.5)").over(wall))
+    base = base.withColumn(
+        "mad", F.expr("percentile(abs(res - med_r), 0.5)")
+               .over(wall))
+    dev = F.abs(F.col("res") - F.col("med_r"))
+    flagged = F.when(F.col("mad") > 0,
+                     dev > F.lit(float(mad_k)) * 1.4826
+                     * F.col("mad")) \
+               .otherwise(dev > 0)
+    return base.select(
+        "day", "dow",
+        F.col("x").cast("long").alias("volume"),
+        F.round("dow_mean", round_to).alias("dow_mean"),
+        F.round("res", round_to).alias("residual"),
+        flagged.alias("flagged"))
+
+
+def bin_advisor(df: DataFrame, value_col: str, *,
+                round_to: int = 6) -> DataFrame:
+    """Histogram bin-width advisor — the three textbook rules
+    (Freedman-Diaconis 1981: 2·IQR·n^(−1/3); Scott 1979:
+    3.49·σ·n^(−1/3); Sturges 1926: ⌈log₂n⌉+1 bins) computed exactly
+    from one pass + two exact percentiles, so histogram-based checks
+    (:func:`ks_drift_binned`, PSI) can size their buckets from data
+    instead of a hardcoded 10. FD uses the exact interpolated IQR
+    (not a sketch) — deliberate: the advisor runs rarely, and both
+    engines interpolate quantiles identically.
+
+    Returns one row ``(n, vmin, vmax, iqr, sigma, fd_width,
+    scott_width, fd_bins, scott_bins, sturges_bins)``; the *_bins
+    counts are NULL when the corresponding width degenerates to 0.
+    """
+    s = df.select(F.col(value_col).cast("double").alias("v")) \
+          .where(F.col("v").isNotNull())
+    agg = s.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        (F.expr("percentile(v, 0.75)")
+         - F.expr("percentile(v, 0.25)")).alias("iqr"),
+        F.stddev_pop("v").alias("sigma"))
+    rng = F.col("vmax") - F.col("vmin")
+    fd_w = 2 * F.col("iqr") / F.col("n") ** (1.0 / 3.0)
+    sc_w = 3.49 * F.col("sigma") / F.col("n") ** (1.0 / 3.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("vmin", round_to).alias("vmin"),
+        F.round("vmax", round_to).alias("vmax"),
+        F.round("iqr", round_to).alias("iqr"),
+        F.round("sigma", round_to).alias("sigma"),
+        F.round(fd_w, round_to).alias("fd_width"),
+        F.round(sc_w, round_to).alias("scott_width"),
+        F.when(fd_w > 0, F.ceil(rng / fd_w)).alias("fd_bins"),
+        F.when(sc_w > 0, F.ceil(rng / sc_w)).alias("scott_bins"),
+        (F.ceil(F.log2("n")) + 1).cast("long").alias("sturges_bins"))

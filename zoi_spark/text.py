@@ -3344,3 +3344,35 @@ def textrank_keywords(df: DataFrame, *, text_col: str = "text",
     return (ranks.select(F.col("node").alias("word"),
                          F.round("rank", 8).alias("rank"))
             .orderBy(F.desc("rank"), "word").limit(int(top_k)))
+
+
+def multibyte_audit(df: DataFrame, *, text_col: str = "text",
+                    by: str = "lang",
+                    round_to: int = 6) -> DataFrame:
+    """UTF-8 byte-density audit per group — the encoding-mix monitor
+    a multilingual intake needs: characters vs encoded bytes, the
+    bytes-per-char density, and the pure-ASCII document share. A
+    `lang='en'` slice whose density drifts above ~1.0 is absorbing
+    non-ASCII content (mojibake, copy-paste Unicode punctuation, or
+    mislabeled language); a CJK slice near 1.0 is mislabeled ASCII —
+    both invisible to length rules, which count CHARS on both sides.
+
+    One fused aggregation over (chars, bytes) projections. Returns
+    ``(group, n_docs, total_chars, total_bytes, bytes_per_char,
+    ascii_doc_share)``.
+    """
+    chars = F.length(F.col(text_col))
+    octets = F.octet_length(F.col(text_col))
+    return (df.where(F.col(text_col).isNotNull()
+                     & F.col(by).isNotNull())
+            .groupBy(F.col(by).alias("group"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(chars).alias("total_chars"),
+                 F.sum(octets).alias("total_bytes"),
+                 F.round(F.sum(octets)
+                         / F.sum(chars).cast("double"), round_to)
+                  .alias("bytes_per_char"),
+                 F.round(F.sum(F.when(chars == octets, 1)
+                               .otherwise(0))
+                         / F.count(F.lit(1)).cast("double"),
+                         round_to).alias("ascii_doc_share")))
