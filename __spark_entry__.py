@@ -6535,6 +6535,48 @@ def q_multibyte_audit(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_cvm_len_drift(spark, sf_dir):
+    """Two-sample Cramér-von Mises drift (tablechecks.cvm_drift;
+    Anderson 1962) between even/odd-doc_id length distributions: the
+    integrated squared CDF gap, scale-free — completes the drift
+    family (KS max-gap, W₁ linear gap, energy shape-complete,
+    KL/PSI mass-weighted). Same single-aggregation shape; the twin
+    re-integrates the same pooled-multiplicity sum."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.cvm_drift(
+        d, "n_chars", split=F.pmod("doc_id", F.lit(2)) == 0)
+
+
+def q_anova_len_sources(spark, sf_dir):
+    """One-way ANOVA F across ALL sources (tablechecks.anova_oneway;
+    Fisher 1925) for mean doc length: between/within sums of squares
+    from ONE aggregation to per-group sufficient statistics — the
+    k-group screen before pairwise Welch drilling. The twin
+    recomputes SSB/SSW from the same (n, Σx, Σx²) triples."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.anova_oneway(d, "n_chars", by="source")
+
+
+def q_cdc_chunk_dedup_arrow(spark, sf_dir):
+    """Gear-hash CDC shared-chunk census — the 100-TB engine for
+    cdc_chunk_dedup (dedup.cdc_chunks engine='arrow'): a vectorized
+    numpy gear rolling hash picks boundaries over UTF-8 bytes and
+    md5 runs once PER CHUNK instead of per position (~window× less
+    hashing; see the waves bench window for the measured speedup).
+    Boundary function is gear, not md5-prefix, so this is
+    deliberately rows-only: structurally identical output, different
+    (equally valid) cut points — the expr twin stays the
+    value-oracled reference."""
+    d = _read(spark, sf_dir, "documents")
+    shared = dedup.cdc_shared_chunks(
+        d, text_col="text", id_col="doc_id",
+        window=8, boundary_nibbles=2, min_docs=2, engine="arrow")
+    return (shared.where(F.col("chunk_len") >= 20)
+            .orderBy(F.desc("n_docs"), F.desc("n_occurrences"),
+                     "chunk_hash")
+            .limit(30))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -6979,6 +7021,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "weekly_seasonality": q_weekly_seasonality,
         "bin_advisor": q_bin_advisor,
         "multibyte_audit": q_multibyte_audit,
+        # wave 62: CvM drift, one-way ANOVA, gear-CDC scale engine
+        "cvm_len_drift": q_cvm_len_drift,
+        "anova_len_sources": q_anova_len_sources,
+        "cdc_chunk_dedup_arrow": q_cdc_chunk_dedup_arrow,
     }
 
 
@@ -16175,5 +16221,59 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) * 1.0 / count(*),
                          6) AS ascii_doc_share
             FROM inj GROUP BY 1 ORDER BY "group"
+        """,
+        # twin of q_cvm_len_drift — same pooled-multiplicity
+        # integrated squared CDF gap
+        "cvm_len_drift": """
+            WITH h AS (
+              SELECT n_chars AS v,
+                     sum(CASE WHEN doc_id % 2 = 0
+                              THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN doc_id % 2 = 0
+                              THEN 0 ELSE 1 END) AS cb
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY n_chars),
+            c AS (
+              SELECT sum(ca) OVER (ORDER BY v) * 1.0
+                       / sum(ca) OVER () AS fa,
+                     sum(cb) OVER (ORDER BY v) * 1.0
+                       / sum(cb) OVER () AS fb,
+                     ca + cb AS m_tot,
+                     sum(ca) OVER ()::DOUBLE AS na,
+                     sum(cb) OVER ()::DOUBLE AS nb
+              FROM h)
+            SELECT round(any_value(na) * any_value(nb)
+                         / pow(any_value(na) + any_value(nb), 2)
+                         * sum((fa - fb) * (fa - fb) * m_tot), 6)
+                     AS t,
+                   any_value(na)::BIGINT AS n_a,
+                   any_value(nb)::BIGINT AS n_b
+            FROM c
+        """,
+        # twin of q_anova_len_sources — same sufficient statistics,
+        # same SSB/SSW decomposition
+        "anova_len_sources": """
+            WITH g AS (
+              SELECT source, count(*)::DOUBLE AS ni,
+                     sum(n_chars::DOUBLE) AS si,
+                     sum(n_chars::DOUBLE * n_chars) AS qi
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+              GROUP BY source),
+            a AS (
+              SELECT count(*)::DOUBLE AS k, sum(ni) AS n,
+                     sum(si) AS s, sum(qi) AS q,
+                     sum(si * si / ni) AS sg
+              FROM g),
+            t AS (
+              SELECT k, n, sg - s * s / n AS ssb, q - sg AS ssw
+              FROM a)
+            SELECT k::BIGINT AS k, n::BIGINT AS n,
+                   round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+                   (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+                   round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                              THEN (ssb / (k - 1))
+                                   / (ssw / (n - k)) END, 6) AS f
+            FROM t
         """,
     }

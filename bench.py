@@ -383,6 +383,8 @@ R4_NAMES = [
     "user_day_cover", "ts_sanity", "binseg_volume",
     # wave 61: weekly seasonality, bin advisor, multibyte audit
     "weekly_seasonality", "bin_advisor", "multibyte_audit",
+    # wave 62: CvM drift, one-way ANOVA, gear-CDC arrow engine
+    "cvm_len_drift", "anova_len_sources", "cdc_chunk_dedup_arrow",
 ]
 
 

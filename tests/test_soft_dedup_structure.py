@@ -153,3 +153,52 @@ class TestCdcChunks:
         out = dedup.cdc_shared_chunks(df, boundary_nibbles=1).collect()
         assert all(r["n_docs"] == 2 for r in out)
         assert sum(r["n_occurrences"] for r in out) % 2 == 0
+
+
+class TestGearCdcArrow:
+    def test_chunks_reassemble_to_utf8_bytes(self, spark):
+        from zoi_spark import dedup
+        texts = [(1, "hello wörld " * 40), (2, "短い"), (3, "x" * 5)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        rows = dedup.cdc_chunks(df, engine="arrow") \
+            .orderBy("id", "chunk_idx").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], 0)
+            by_doc[r["id"]] += r["chunk_len"]
+        for doc_id, text in texts:
+            assert by_doc[doc_id] == len(text.encode("utf-8"))
+
+    def test_deterministic_and_duplicate_detecting(self, spark):
+        from zoi_spark import dedup
+        passage = "the quick brown fox jumps over the dog " * 25
+        df = spark.createDataFrame(
+            [(1, passage), (2, "PREFIX >>> " + passage)],
+            "doc_id long, text string")
+        shared = dedup.cdc_shared_chunks(
+            df, engine="arrow", boundary_nibbles=1).collect()
+        # the shared tail must produce at least one cross-doc chunk
+        assert any(r["n_docs"] == 2 and r["chunk_len"] > 8
+                   for r in shared)
+
+    def test_engines_agree_on_totals(self, spark):
+        # engines cut differently but both must cover every byte of
+        # an ASCII corpus exactly once (chars == bytes for ASCII)
+        from pyspark.sql import functions as F
+        from zoi_spark import dedup
+        df = spark.createDataFrame(
+            [(i, "abcdefgh" * (10 + i)) for i in range(5)],
+            "doc_id long, text string")
+        tot_e = dedup.cdc_chunks(df, engine="expr") \
+            .agg(F.sum("chunk_len")).first()[0]
+        tot_a = dedup.cdc_chunks(df, engine="arrow") \
+            .agg(F.sum("chunk_len")).first()[0]
+        assert tot_e == tot_a
+
+    def test_rejects_unknown_engine(self, spark):
+        import pytest as _pt
+        from zoi_spark import dedup
+        df = spark.createDataFrame([(1, "abc")],
+                                   "doc_id long, text string")
+        with _pt.raises(ValueError):
+            dedup.cdc_chunks(df, engine="nope").collect()

@@ -3799,3 +3799,54 @@ class TestBinAdvisor:
         out = tc.bin_advisor(df, "v").collect()[0]
         assert out["iqr"] == 0.0 and out["sigma"] == 0.0
         assert out["fd_bins"] is None and out["scott_bins"] is None
+
+
+class TestCvmDrift:
+    def test_identical_distributions_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = [(v, s) for v in (1, 5, 9) for s in (True, False)]
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.cvm_drift(df, "v", split=F.col("a")).collect()[0]
+        assert out["t"] == 0.0
+
+    def test_hand_value_disjoint(self, spark):
+        # A = {0,0}, B = {7,7}: at v=0 Fa=1, Fb=0 (gap² = 1, 2 obs);
+        # at v=7 both 1 (gap 0). T = (2·2/16)·(1·2) = 0.5
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = [(0, True)] * 2 + [(7, False)] * 2
+        df = spark.createDataFrame(rows, "v long, a boolean")
+        out = tc.cvm_drift(df, "v", split=F.col("a")).collect()[0]
+        assert out["t"] == pytest.approx(0.5)
+        assert out["n_a"] == 2 and out["n_b"] == 2
+
+
+class TestAnovaOneway:
+    def test_hand_f_two_groups(self, spark):
+        # A = {1,2,3}, B = {4,5,6}: SSB = 13.5, SSW = 4,
+        # F = (13.5/1)/(4/4) = 13.5
+        from zoi_spark import tablechecks as tc
+        rows = ([(v, "A") for v in (1, 2, 3)]
+                + [(v, "B") for v in (4, 5, 6)])
+        df = spark.createDataFrame(rows, "v long, g string")
+        out = tc.anova_oneway(df, "v", by="g").collect()[0]
+        assert out["k"] == 2 and out["n"] == 6
+        assert out["ssb"] == pytest.approx(13.5)
+        assert out["ssw"] == pytest.approx(4.0)
+        assert out["f"] == pytest.approx(13.5)
+
+    def test_equal_means_f_near_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(v, "A") for v in (1, 2, 3)]
+                + [(v, "B") for v in (2, 1, 3)])
+        df = spark.createDataFrame(rows, "v long, g string")
+        out = tc.anova_oneway(df, "v", by="g").collect()[0]
+        assert out["ssb"] == 0.0 and out["f"] == 0.0
+
+    def test_degenerate_zero_within_variance(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1, "A"), (1, "A"), (2, "B"), (2, "B")]
+        df = spark.createDataFrame(rows, "v long, g string")
+        out = tc.anova_oneway(df, "v", by="g").collect()[0]
+        assert out["ssw"] == 0.0 and out["f"] is None

@@ -2380,9 +2380,74 @@ def jaro_winkler_pairs(df: DataFrame, *, id_col: str = "doc_id",
 # content-defined chunking — gear-style boundary dedup
 # ---------------------------------------------------------------------------
 
+def _gear_table() -> "list[int]":
+    """Deterministic 256-entry gear table: gear[b] = first 32 bits of
+    md5(byte b). Public construction (the gear/FastCDC papers leave
+    the table free; md5-derived keeps it seedless and reproducible)."""
+    import hashlib
+
+    return [int(hashlib.md5(bytes([b])).hexdigest()[:8], 16)
+            for b in range(256)]
+
+
+def _gear_cdc_batch_factory(window: int, mask: int):
+    """mapInPandas kernel: true gear rolling hash over UTF-8 BYTES,
+    vectorized — h_i = Σ_{j<W} gear[b_{i−j}] << j (the bounded-window
+    gear sum), cut before byte i when h over bytes[i−W:i] & mask == 0.
+    One md5 PER CHUNK (~expected-chunk-size bytes), not per position —
+    the ~W× hashing reduction that makes CDC viable at corpus scale.
+    """
+    import hashlib
+
+    import numpy as np
+
+    gear = None
+
+    def batches(it):
+        nonlocal gear
+        import pandas as pd
+
+        if gear is None:
+            gear = np.asarray(_gear_table(), dtype=np.uint64)
+        for pdf in it:
+            ids, idxs, lens, hashes = [], [], [], []
+            for id_, txt in zip(pdf["__id"], pdf["__text"]):
+                b = txt.encode("utf-8")
+                n = len(b)
+                if n == 0:
+                    continue
+                cuts = [0]
+                if n > window:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    g = gear[arr]
+                    # h over windows ending at positions W-1 .. n-2
+                    # (a cut BEFORE byte i needs the window ending
+                    # at i-1, i in [W, n-1])
+                    h = np.zeros(n - window, dtype=np.uint64)
+                    for j in range(window):
+                        h += (g[window - 1 - j: n - 1 - j]
+                              << np.uint64(j))
+                    cut_pos = (np.nonzero((h & np.uint64(mask)) == 0)
+                               [0] + window).tolist()
+                    cuts += cut_pos
+                cuts.append(n)
+                for k in range(len(cuts) - 1):
+                    chunk = b[cuts[k]:cuts[k + 1]]
+                    ids.append(id_)
+                    idxs.append(k)
+                    lens.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame({"id": ids, "chunk_idx": idxs,
+                                "chunk_len": lens,
+                                "chunk_hash": hashes})
+
+    return batches
+
+
 def cdc_chunks(df: DataFrame, *, text_col: str = "text",
                id_col: str = "doc_id", window: int = 8,
-               boundary_nibbles: int = 1) -> DataFrame:
+               boundary_nibbles: int = 1,
+               engine: str = "expr") -> DataFrame:
     """Content-defined chunking of *text_col*: a chunk boundary opens
     at every position i whose *window*-char context hashes into the
     boundary class — substr(md5(substr(text, i, window)), 1,
@@ -2402,9 +2467,34 @@ def cdc_chunks(df: DataFrame, *, text_col: str = "text",
     whatever the caller aggregates afterwards. Returns one row per
     chunk: ``(id, chunk_idx, chunk_len, chunk_hash)`` — the chunk text
     itself is hashed away so the exploded frame stays narrow.
+
+    Engines: ``"expr"`` (default) hashes EVERY window position with
+    md5 in pure Column expressions — oracle-twinnable, but one md5
+    per character; ``"arrow"`` is the 100-TB path: a vectorized gear
+    rolling hash (numpy) picks the boundaries and md5 runs once PER
+    CHUNK, an ~window× hashing reduction. The engines share the
+    stateless-window semantics but intentionally differ in boundary
+    function (gear vs md5-prefix) and offset unit (bytes vs chars),
+    so arrow output is structurally identical, not value-identical.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if engine == "arrow":
+        mask = 16 ** int(boundary_nibbles) - 1
+        out_schema = T.StructType([
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_len", T.IntegerType()),
+            T.StructField("chunk_hash", T.StringType()),
+        ])
+        base = (df.where(F.col(text_col).isNotNull()
+                         & (F.length(text_col) > 0))
+                .select(F.col(id_col).alias("__id"),
+                        F.col(text_col).alias("__text")))
+        return base.mapInPandas(
+            _gear_cdc_batch_factory(int(window), mask), out_schema)
+    if engine != "expr":
+        raise ValueError(f"unknown cdc_chunks engine: {engine!r}")
     zeros = "0" * int(boundary_nibbles)
     text = F.col(text_col)
     ln = F.length(text)
@@ -2432,7 +2522,8 @@ def cdc_chunks(df: DataFrame, *, text_col: str = "text",
 def cdc_shared_chunks(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", window: int = 8,
                       boundary_nibbles: int = 1,
-                      min_docs: int = 2) -> DataFrame:
+                      min_docs: int = 2,
+                      engine: str = "expr") -> DataFrame:
     """Cross-document shared-chunk census over :func:`cdc_chunks`:
     chunks (by content hash) that appear in at least *min_docs*
     distinct documents, with their occurrence counts and length —
@@ -2446,7 +2537,8 @@ def cdc_shared_chunks(df: DataFrame, *, text_col: str = "text",
     """
     chunks = cdc_chunks(df, text_col=text_col, id_col=id_col,
                         window=window,
-                        boundary_nibbles=boundary_nibbles)
+                        boundary_nibbles=boundary_nibbles,
+                        engine=engine)
     return (chunks.groupBy("chunk_hash")
             .agg(F.max("chunk_len").alias("chunk_len"),
                  F.countDistinct("id").alias("n_docs"),

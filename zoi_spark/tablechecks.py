@@ -4645,3 +4645,92 @@ def bin_advisor(df: DataFrame, value_col: str, *,
         F.when(fd_w > 0, F.ceil(rng / fd_w)).alias("fd_bins"),
         F.when(sc_w > 0, F.ceil(rng / sc_w)).alias("scott_bins"),
         (F.ceil(F.log2("n")) + 1).cast("long").alias("sturges_bins"))
+
+
+def cvm_drift(df: DataFrame, value_col: str, *,
+              split: Column,
+              round_to: int = 6) -> DataFrame:
+    """Two-sample Cramér-von Mises drift statistic (Anderson 1962)
+    between the distributions of *value_col* under the boolean
+    *split*:
+
+        T = n·m/(n+m)² · Σ_pooled (F_A(x) − F_B(x))²
+
+    summed over every pooled observation (each distinct value
+    weighted by its total multiplicity) — the INTEGRATED squared CDF
+    gap, between KS (max gap — one point of disagreement decides) and
+    W₁ (linear gap — long thin tails dominate). T is scale-free, so
+    one drift SLA threshold works across columns with different
+    units; the family member to alert on when you want "overall
+    shape moved" rather than "where" (binseg) or "how far" (W₁).
+
+    Scale shape: identical to :func:`wasserstein_drift` — ONE hash
+    aggregation to (value, count_a, count_b), windows over the
+    distinct-value rows. Returns ``(t, n_a, n_b)``.
+    """
+    hist = (df.select(F.col(value_col).alias("v"),
+                      F.when(split, 1).otherwise(0).alias("is_a"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.sum("is_a").alias("ca"),
+                 F.sum(F.lit(1) - F.col("is_a")).alias("cb")))
+    wall = Window.partitionBy()
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = hist.select(
+        (F.sum("ca").over(w) / F.sum("ca").over(wall)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wall)).alias("fb"),
+        (F.col("ca") + F.col("cb")).alias("m_tot"),
+        F.sum("ca").over(wall).cast("double").alias("na"),
+        F.sum("cb").over(wall).cast("double").alias("nb"))
+    return cdf.agg(
+        F.round(F.first("na") * F.first("nb")
+                / (F.first("na") + F.first("nb")) ** 2
+                * F.sum((F.col("fa") - F.col("fb")) ** 2
+                        * F.col("m_tot")), round_to).alias("t"),
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"))
+
+
+def anova_oneway(df: DataFrame, value_col: str, *, by: str,
+                 round_to: int = 6) -> DataFrame:
+    """One-way ANOVA F-test across ALL groups (Fisher 1925) — does
+    the mean of *value_col* differ between ANY of the *by* groups?
+    The k-group generalization of :func:`welch_t` pairs: with
+    between/within sums of squares,
+
+        F = (SSB / (k−1)) / (SSW / (n−k))
+
+    Computed from ONE aggregation to per-group (n, Σx, Σx²) — the
+    textbook sufficient statistics, no second pass. Classic ANOVA
+    assumes equal variances (use the pairwise Welch query when that
+    is in doubt); here it serves as the one-number screen before
+    drilling into pairs. Returns ``(k, n, ssb, ssw, df1, df2, f)``.
+    """
+    g = (df.where(F.col(value_col).isNotNull()
+                  & F.col(by).isNotNull())
+         .groupBy(by)
+         .agg(F.count(F.lit(1)).cast("double").alias("ni"),
+              F.sum(F.col(value_col).cast("double")).alias("si"),
+              F.sum(F.col(value_col).cast("double") ** 2)
+              .alias("qi")))
+    agg = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum(F.col("si") ** 2 / F.col("ni")).alias("sg"))
+    ssb = F.col("sg") - F.col("s") ** 2 / F.col("n")
+    ssw = F.col("q") - F.col("sg")
+    df1 = F.col("k") - 1
+    df2 = F.col("n") - F.col("k")
+    f = F.when((df1 > 0) & (df2 > 0) & (ssw > 0),
+               (ssb / df1) / (ssw / df2))
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(ssb, round_to).alias("ssb"),
+        F.round(ssw, round_to).alias("ssw"),
+        df1.cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+        F.round(f, round_to).alias("f"))
