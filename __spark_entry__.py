@@ -6577,6 +6577,41 @@ def q_cdc_chunk_dedup_arrow(spark, sf_dir):
             .limit(30))
 
 
+def q_tukey_hsd_langs(spark, sf_dir):
+    """Tukey-Kramer HSD pairwise q statistics
+    (tablechecks.tukey_hsd_pairs; Tukey 1949) for mean doc length
+    across langs — the post-hoc drill-down after the ANOVA screen:
+    |mean diff| over the pooled-MSW standard error per pair, ordered
+    by (group_a, group_b). The twin recomputes MSW and every q from
+    the same per-group sufficient statistics."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.tukey_hsd_pairs(d, "n_chars", by="lang")
+            .orderBy("group_a", "group_b"))
+
+
+def q_levene_len_langs(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test
+    (tablechecks.brown_forsythe; Levene with median centers, 1974)
+    for doc length across langs: the ANOVA-assumption check — F on
+    |x − group median|. Exact per-group interpolated medians,
+    broadcast back, then the one-pass ANOVA statistics on the
+    transformed values; the twin mirrors all three stages."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.brown_forsythe(d, "n_chars", by="lang")
+
+
+def q_power_advisor(spark, sf_dir):
+    """Two-proportion sample-size advisor (tablechecks.power_advisor;
+    Fleiss-Levin-Paik normal-approximation formula) seeded from the
+    observed n_chars≥128 pass rate: docs per group needed to detect
+    a 1-point absolute pass-rate shift at 5%/80% — the monitoring-
+    design number a validation SLA quotes. Fixed z literals, one
+    aggregation; the twin recomputes the same closed form."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.power_advisor(d, F.col("n_chars") >= 128,
+                                     mde=0.01)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7025,6 +7060,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cvm_len_drift": q_cvm_len_drift,
         "anova_len_sources": q_anova_len_sources,
         "cdc_chunk_dedup_arrow": q_cdc_chunk_dedup_arrow,
+        # wave 63: Tukey HSD, Brown-Forsythe, power advisor
+        "tukey_hsd_langs": q_tukey_hsd_langs,
+        "levene_len_langs": q_levene_len_langs,
+        "power_advisor": q_power_advisor,
     }
 
 
@@ -16275,5 +16314,77 @@ def oracle_sql() -> dict[str, str]:
                               THEN (ssb / (k - 1))
                                    / (ssw / (n - k)) END, 6) AS f
             FROM t
+        """,
+        # twin of q_tukey_hsd_langs — same per-group sufficient
+        # statistics, pooled MSW and Tukey-Kramer standard error
+        "tukey_hsd_langs": """
+            WITH g AS (
+              SELECT lang AS g, count(*)::DOUBLE AS ni,
+                     avg(n_chars::DOUBLE) AS mi,
+                     sum(n_chars::DOUBLE * n_chars) AS qi,
+                     sum(n_chars::DOUBLE) AS si
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1),
+            m AS (SELECT (sum(qi) - sum(si * si / ni))
+                           / (sum(ni) - count(*)) AS msw
+                  FROM g)
+            SELECT a.g AS group_a, b.g AS group_b,
+                   round(a.mi, 6) AS mean_a,
+                   round(b.mi, 6) AS mean_b,
+                   round(abs(a.mi - b.mi)
+                         / sqrt((SELECT msw FROM m) / 2
+                                * (1 / a.ni + 1 / b.ni)), 6) AS q
+            FROM g a JOIN g b ON a.g < b.g
+            ORDER BY group_a, group_b
+        """,
+        # twin of q_levene_len_langs — same median centers, same
+        # ANOVA decomposition on |x - median|
+        "levene_len_langs": """
+            WITH base AS (
+              SELECT lang AS g, n_chars::DOUBLE AS x
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            med AS (SELECT g, median(x) AS med FROM base GROUP BY 1),
+            z AS (SELECT base.g, abs(x - med) AS z
+                  FROM base JOIN med ON base.g = med.g),
+            gg AS (SELECT g, count(*)::DOUBLE AS ni, sum(z) AS si,
+                          sum(z * z) AS qi
+                   FROM z GROUP BY 1),
+            a AS (SELECT count(*)::DOUBLE AS k, sum(ni) AS n,
+                         sum(si) AS s, sum(qi) AS q,
+                         sum(si * si / ni) AS sg
+                  FROM gg),
+            t AS (SELECT k, n, sg - s * s / n AS ssb, q - sg AS ssw
+                  FROM a)
+            SELECT k::BIGINT AS k, n::BIGINT AS n,
+                   round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+                   (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+                   round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                              THEN (ssb / (k - 1))
+                                   / (ssw / (n - k)) END, 6) AS f
+            FROM t
+        """,
+        # twin of q_power_advisor — same closed form, same z
+        # literals
+        "power_advisor": """
+            WITH a AS (
+              SELECT count(*)::BIGINT AS n,
+                     avg(CASE WHEN coalesce(n_chars >= 128, FALSE)
+                         THEN 1.0 ELSE 0.0 END) AS p1
+              FROM documents),
+            w AS (SELECT n, p1,
+                         least(1.0, greatest(0.0, p1 + 0.01)) AS p2
+                  FROM a)
+            SELECT n, round(p1, 6) AS p1, round(p2, 6) AS p2,
+                   0.01::DOUBLE AS mde,
+                   ceil(pow(1.959964
+                            * sqrt(2 * ((p1 + p2) / 2)
+                                   * (1 - (p1 + p2) / 2))
+                            + 0.841621
+                              * sqrt(p1 * (1 - p1)
+                                     + p2 * (1 - p2)), 2)
+                        / pow(0.01, 2))::BIGINT AS n_per_group
+            FROM w
         """,
     }

@@ -385,6 +385,8 @@ R4_NAMES = [
     "weekly_seasonality", "bin_advisor", "multibyte_audit",
     # wave 62: CvM drift, one-way ANOVA, gear-CDC arrow engine
     "cvm_len_drift", "anova_len_sources", "cdc_chunk_dedup_arrow",
+    # wave 63: Tukey HSD, Brown-Forsythe, power advisor
+    "tukey_hsd_langs", "levene_len_langs", "power_advisor",
 ]
 
 

@@ -3850,3 +3850,79 @@ class TestAnovaOneway:
         df = spark.createDataFrame(rows, "v long, g string")
         out = tc.anova_oneway(df, "v", by="g").collect()[0]
         assert out["ssw"] == 0.0 and out["f"] is None
+
+
+class TestTukeyHsdPairs:
+    def test_hand_q_balanced(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        # A={1,2,3}, B={4,5,6}: MSW = 4/4 = 1,
+        # q = 3 / sqrt(1/2 * (2/3)) = 3 / sqrt(1/3)
+        rows = ([(v, "A") for v in (1, 2, 3)]
+                + [(v, "B") for v in (4, 5, 6)])
+        df = spark.createDataFrame(rows, "v long, g string")
+        out = tc.tukey_hsd_pairs(df, "v", by="g").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["group_a"], r["group_b"]) == ("A", "B")
+        assert r["q"] == pytest.approx(3 / math.sqrt(1 / 3), abs=1e-5)
+
+    def test_pair_count_is_k_choose_2(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(v + 10 * g, f"g{g}") for g in range(4)
+                for v in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "v long, g string")
+        assert tc.tukey_hsd_pairs(df, "v", by="g").count() == 6
+
+
+class TestBrownForsythe:
+    def test_equal_spreads_f_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        # same shape, different location: |x - med| identical
+        rows = ([(v, "A") for v in (1, 2, 3)]
+                + [(v + 100, "B") for v in (1, 2, 3)])
+        df = spark.createDataFrame(rows, "v long, g string")
+        out = tc.brown_forsythe(df, "v", by="g").collect()[0]
+        assert out["ssb"] == 0.0 and out["f"] == 0.0
+
+    def test_different_spreads_detected(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(v, "A") for v in (10, 11, 12, 10, 11, 12)]
+                + [(v, "B") for v in (0, 50, 100, 0, 50, 100)])
+        df = spark.createDataFrame(rows, "v long, g string")
+        out = tc.brown_forsythe(df, "v", by="g").collect()[0]
+        # B's |x - med| = {50, 0, 50, ...} vs A's {1, 0, 1, ...}:
+        # F = (3201.33/1)/(3334.67/10) = 9.6 — clearly significant
+        # (F(1,10) 5% critical ≈ 4.96)
+        assert out["f"] == pytest.approx(9.60016, abs=1e-4)
+
+
+class TestPowerAdvisor:
+    def test_monotone_in_mde(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(i,) for i in range(100)],
+                                   "i long")
+        flag = F.col("i") < 50
+        small = tc.power_advisor(df, flag, mde=0.01).first()
+        big = tc.power_advisor(df, flag, mde=0.10).first()
+        assert small["n_per_group"] > big["n_per_group"]
+        assert small["p1"] == 0.5
+
+    def test_hand_value_p_half(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        import math
+        df = spark.createDataFrame([(0,), (1,)], "i long")
+        out = tc.power_advisor(df, F.col("i") >= 1, mde=0.1).first()
+        p1, p2, pbar = 0.5, 0.6, 0.55
+        num = (1.959964 * math.sqrt(2 * pbar * (1 - pbar))
+               + 0.841621 * math.sqrt(p1 * 0.5 + p2 * 0.4)) ** 2
+        assert out["n_per_group"] == math.ceil(num / 0.01)
+
+    def test_rejects_bad_mde(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(1,)], "i long")
+        with pytest.raises(ValueError):
+            tc.power_advisor(df, F.col("i") > 0, mde=1.5)

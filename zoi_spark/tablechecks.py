@@ -4734,3 +4734,115 @@ def anova_oneway(df: DataFrame, value_col: str, *, by: str,
         df1.cast("long").alias("df1"),
         df2.cast("long").alias("df2"),
         F.round(f, round_to).alias("f"))
+
+
+def tukey_hsd_pairs(df: DataFrame, value_col: str, *, by: str,
+                    round_to: int = 6) -> DataFrame:
+    """Tukey HSD pairwise q statistics (Tukey 1949) — the post-hoc
+    drill-down after :func:`anova_oneway` says "some mean differs":
+    for every group pair,
+
+        q = |x̄_i − x̄_j| / √( MSW/2 · (1/n_i + 1/n_j) )
+
+    with MSW the one-way within-group mean square (the
+    Tukey-Kramer unequal-n form). The studentized-range critical
+    value depends on (k, n−k) and a table lookup — deliberately NOT
+    baked in; downstream compares q against its own α. Ranked by q
+    desc, the pairs that drive the ANOVA signal.
+
+    ONE aggregation to per-group (n, Σx, Σx²), then the pair join on
+    |groups|² tiny rows. Returns ``(group_a, group_b, mean_a,
+    mean_b, q)`` for a < b.
+    """
+    g = (df.where(F.col(value_col).isNotNull()
+                  & F.col(by).isNotNull())
+         .groupBy(F.col(by).alias("g"))
+         .agg(F.count(F.lit(1)).cast("double").alias("ni"),
+              F.avg(F.col(value_col).cast("double")).alias("mi"),
+              F.sum(F.col(value_col).cast("double") ** 2)
+              .alias("qi"),
+              F.sum(F.col(value_col).cast("double")).alias("si")))
+    msw = g.agg(
+        ((F.sum("qi") - F.sum(F.col("si") ** 2 / F.col("ni")))
+         / (F.sum("ni") - F.count(F.lit(1)))).alias("msw"))
+    pairs = (g.alias("a")
+             .join(g.alias("b"), F.col("a.g") < F.col("b.g"))
+             .crossJoin(F.broadcast(msw)))
+    q = (F.abs(F.col("a.mi") - F.col("b.mi"))
+         / F.sqrt(F.col("msw") / 2
+                  * (1 / F.col("a.ni") + 1 / F.col("b.ni"))))
+    return pairs.select(
+        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"),
+        F.round("a.mi", round_to).alias("mean_a"),
+        F.round("b.mi", round_to).alias("mean_b"),
+        F.round(q, round_to).alias("q"))
+
+
+def brown_forsythe(df: DataFrame, value_col: str, *, by: str,
+                   round_to: int = 6) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe
+    1974; Levene's test with the MEDIAN center — the robust form) —
+    the assumption check :func:`anova_oneway` needs: transform each
+    value to z = |x − median(group)| and run the one-way F on z. A
+    significant F says the groups' SPREADS differ, in which case the
+    classic ANOVA F on means is untrustworthy and the pairwise
+    Welch path is the right drill-down.
+
+    Scale shape: one per-group exact median (interpolated percentile
+    over the group — groups are the unit of monitoring, bounded), a
+    broadcast join of |groups| medians back, then the one-pass
+    ANOVA sufficient statistics on z. Returns the
+    :func:`anova_oneway` row shape.
+    """
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(by).isNotNull())
+            .select(F.col(by).alias("g"),
+                    F.col(value_col).cast("double").alias("x")))
+    med = (base.groupBy("g")
+           .agg(F.expr("percentile(x, 0.5)").alias("med")))
+    z = (base.join(F.broadcast(med), "g")
+         .select("g", F.abs(F.col("x") - F.col("med")).alias("z")))
+    return anova_oneway(z, "z", by="g", round_to=round_to)
+
+
+def power_advisor(df: DataFrame, flag: Column, *,
+                  mde: float, alpha_z: float = 1.959964,
+                  power_z: float = 0.841621,
+                  round_to: int = 6) -> DataFrame:
+    """Two-proportion sample-size calculator (the standard normal-
+    approximation power formula, e.g. Fleiss, Levin & Paik 2003
+    §4.2) seeded from the OBSERVED pass rate of *flag*: to detect an
+    absolute shift of *mde* in the pass rate at two-sided α (z =
+    ``alpha_z``, default 5%) with power (z = ``power_z``, default
+    80%),
+
+        n/group = ( z_α·√(2·p̄·(1−p̄)) + z_β·√(p₁q₁+p₂q₂) )² / δ²
+
+    with p₁ the observed rate, p₂ = p₁+δ clamped to [0,1], p̄ their
+    mean. This is the monitoring-design question a validation SLA
+    must answer — "how many sampled docs until a 1-point pass-rate
+    drop is detectable?" — priced from the corpus itself. ONE
+    aggregation; the z quantiles are fixed literals (no stats
+    library at runtime). Returns ``(n, p1, p2, mde, n_per_group)``.
+    """
+    if not 0 < mde < 1:
+        raise ValueError(f"mde must be in (0,1), got {mde}")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.coalesce(flag.cast("boolean"), F.lit(False))
+              .cast("double")).alias("p1"))
+    p1 = F.col("p1")
+    p2 = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                        p1 + F.lit(float(mde))))
+    pbar = (p1 + p2) / 2
+    num = (F.lit(float(alpha_z))
+           * F.sqrt(2 * pbar * (1 - pbar))
+           + F.lit(float(power_z))
+           * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+    npg = F.ceil(num / F.lit(float(mde)) ** 2)
+    return agg.select(
+        "n",
+        F.round(p1, round_to).alias("p1"),
+        F.round(p2, round_to).alias("p2"),
+        F.lit(float(mde)).alias("mde"),
+        npg.cast("long").alias("n_per_group"))
