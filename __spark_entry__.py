@@ -6612,6 +6612,53 @@ def q_power_advisor(spark, sf_dir):
                                      mde=0.01)
 
 
+def q_lang_id_prf(spark, sf_dir):
+    """Per-class precision/recall/F1 of the marker language-ID
+    against declared labels (tablechecks.classifier_prf over
+    text.lang_id) — the evaluation layer on top of text_lang_id's
+    raw confusion matrix: TP/FP/FN per class with guarded ratios.
+    The twin re-derives the same confusion counts from the same
+    marker scoring SQL and the same per-class sums."""
+    d = _read(spark, sf_dir, "documents")
+    base = d.select("lang",
+                    text.lang_id(F.col("text")).alias("pred"))
+    return (tablechecks.classifier_prf(base, "lang", "pred")
+            .orderBy("class"))
+
+
+def q_volume_xcorr(spark, sf_dir):
+    """Cross-correlation function (tablechecks.xcorr) between daily
+    view and purchase volumes at lags −3..3: r(k) = Pearson
+    corr(views_t, purchases_{t+k}) — a peak at positive k says views
+    LEAD purchases by k days. Sample Pearson on both engines; one
+    lead/lag window per lag over the ~30 day rows. Ordered by lag."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.where(F.col("ts").isNotNull())
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                        .otherwise(0)).alias("views"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("purchases")))
+    return (tablechecks.xcorr(daily, "views", "purchases", "day",
+                              max_lag=3)
+            .orderBy("lag"))
+
+
+def q_simpsons_check(spark, sf_dir):
+    """Simpson's-paradox screen (tablechecks.simpsons_check; Simpson
+    1951): per-lang OLS slope of token count on char count vs the
+    pooled slope, with a `reversed` flag when a stratum contradicts
+    the corpus-level trend — the aggregation trap a validator must
+    surface before anyone acts on a pooled conclusion. One
+    aggregation to per-group sufficient statistics; pooled sums are
+    the totals. Ordered by group."""
+    d = _read(spark, sf_dir, "documents")
+    doc = d.withColumn("n_tokens", F.size(F.split("text", " ")))
+    return (tablechecks.simpsons_check(doc, "n_chars", "n_tokens",
+                                       by="lang")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7064,6 +7111,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tukey_hsd_langs": q_tukey_hsd_langs,
         "levene_len_langs": q_levene_len_langs,
         "power_advisor": q_power_advisor,
+        # wave 64: classifier PRF, volume xcorr, Simpson's screen
+        "lang_id_prf": q_lang_id_prf,
+        "volume_xcorr": q_volume_xcorr,
+        "simpsons_check": q_simpsons_check,
     }
 
 
@@ -8341,6 +8392,32 @@ def _textrank_sql(iters: int) -> str:
             + f"""
             SELECT node AS word, round(rank, 8) AS rank
             FROM r{iters} ORDER BY rank DESC, word LIMIT 25""")
+
+
+def _xcorr_sql(max_lag: int) -> str:
+    """DuckDB twin of q_volume_xcorr: same daily (views, purchases)
+    series, one lead/lag window branch per lag, sample Pearson corr
+    on both engines."""
+    branches = []
+    for k in range(-max_lag, max_lag + 1):
+        fn = "lead" if k >= 0 else "lag"
+        branches.append(f"""
+            SELECT {k} AS lag, count(*)::BIGINT AS n_pairs,
+                   round(corr(x, ys), 6) AS r
+            FROM (SELECT x, {fn}(y, {abs(k)}) OVER (ORDER BY t)
+                    AS ys FROM daily)
+            WHERE ys IS NOT NULL AND x IS NOT NULL""")
+    return ("""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS t,
+                     sum(CASE WHEN event_type = 'view'
+                         THEN 1 ELSE 0 END)::DOUBLE AS x,
+                     sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END)::DOUBLE AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1)
+            SELECT * FROM ("""
+            + " UNION ALL ".join(branches)
+            + ") ORDER BY lag")
 
 
 def _trustrank_sql(iters: int) -> str:
@@ -16386,5 +16463,98 @@ def oracle_sql() -> dict[str, str]:
                                      + p2 * (1 - p2)), 2)
                         / pow(0.01, 2))::BIGINT AS n_per_group
             FROM w
+        """,
+        # twin of q_lang_id_prf — same marker scoring as the
+        # text_lang_id twin, then the same per-class TP/FP/FN sums
+        "lang_id_prf": """
+            WITH scores AS (
+              SELECT lang,
+                len(regexp_extract_all(text,
+                  '(?i)\\b(the|and|of|to|in)\\b'))::BIGINT AS s_en,
+                len(regexp_extract_all(text,
+                  '(?i)\\b(der|die|und|das|nicht)\\b'))::BIGINT
+                  AS s_de,
+                len(regexp_extract_all(text,
+                  '(?i)\\b(le|la|et|les|des)\\b'))::BIGINT AS s_fr,
+                len(regexp_extract_all(text,
+                  '(?i)\\b(el|los|que|por|una)\\b'))::BIGINT AS s_es
+              FROM documents WHERE text IS NOT NULL),
+            cm AS (
+              SELECT lang AS lbl,
+                     CASE
+                       WHEN s_en > 0 AND s_en
+                            > greatest(s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de > 0 AND s_de
+                            > greatest(s_en, s_fr, s_es) THEN 'de'
+                       WHEN s_fr > 0 AND s_fr
+                            > greatest(s_en, s_de, s_es) THEN 'fr'
+                       WHEN s_es > 0 AND s_es
+                            > greatest(s_en, s_de, s_fr) THEN 'es'
+                       ELSE 'und'
+                     END AS prd,
+                     count(*)::BIGINT AS c
+              FROM scores WHERE lang IS NOT NULL GROUP BY 1, 2),
+            classes AS (SELECT lbl AS cls FROM cm
+                        UNION SELECT prd FROM cm),
+            tp AS (SELECT lbl AS cls, sum(c) AS tp FROM cm
+                   WHERE lbl = prd GROUP BY 1),
+            fp AS (SELECT prd AS cls, sum(c) AS fp FROM cm
+                   WHERE lbl <> prd GROUP BY 1),
+            fn AS (SELECT lbl AS cls, sum(c) AS fn FROM cm
+                   WHERE lbl <> prd GROUP BY 1),
+            j AS (
+              SELECT cls, coalesce(tp, 0)::BIGINT AS tp,
+                     coalesce(fp, 0)::BIGINT AS fp,
+                     coalesce(fn, 0)::BIGINT AS fn
+              FROM classes LEFT JOIN tp USING (cls)
+              LEFT JOIN fp USING (cls) LEFT JOIN fn USING (cls))
+            SELECT cls AS class, tp, fp, fn,
+                   round(CASE WHEN tp + fp > 0
+                         THEN tp * 1.0 / (tp + fp) END, 6)
+                     AS precision,
+                   round(CASE WHEN tp + fn > 0
+                         THEN tp * 1.0 / (tp + fn) END, 6)
+                     AS recall,
+                   round(CASE WHEN 2 * tp + fp + fn > 0
+                         THEN 2.0 * tp / (2 * tp + fp + fn) END, 6)
+                     AS f1
+            FROM j ORDER BY class
+        """,
+        # twin of q_volume_xcorr — generated lead/lag branches
+        "volume_xcorr": _xcorr_sql(max_lag=3),
+        # twin of q_simpsons_check — same sufficient statistics,
+        # same slope guards and sign test
+        "simpsons_check": """
+            WITH base AS (
+              SELECT lang AS g, n_chars::DOUBLE AS x,
+                     len(string_split(text, ' '))::DOUBLE AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+                AND lang IS NOT NULL),
+            g AS (SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx
+                  FROM base GROUP BY 1),
+            t AS (SELECT sum(n) AS tn, sum(sx) AS tx,
+                         sum(sy) AS ty, sum(sxy) AS txy,
+                         sum(sxx) AS txx
+                  FROM g)
+            SELECT g AS "group", n::BIGINT AS n,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                         THEN (n * sxy - sx * sy)
+                              / (n * sxx - sx * sx) END, 6)
+                     AS slope,
+                   round(CASE WHEN tn * txx - tx * tx > 0
+                         THEN (tn * txy - tx * ty)
+                              / (tn * txx - tx * tx) END, 6)
+                     AS pooled_slope,
+                   (CASE WHEN n * sxx - sx * sx > 0
+                              AND tn * txx - tx * tx > 0
+                         THEN sign((n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx))
+                              * sign((tn * txy - tx * ty)
+                                     / (tn * txx - tx * tx)) < 0
+                         ELSE FALSE END) AS reversed
+            FROM g, t ORDER BY "group"
         """,
     }

@@ -387,6 +387,8 @@ R4_NAMES = [
     "cvm_len_drift", "anova_len_sources", "cdc_chunk_dedup_arrow",
     # wave 63: Tukey HSD, Brown-Forsythe, power advisor
     "tukey_hsd_langs", "levene_len_langs", "power_advisor",
+    # wave 64: classifier PRF, volume xcorr, Simpson's screen
+    "lang_id_prf", "volume_xcorr", "simpsons_check",
 ]
 
 

@@ -3926,3 +3926,76 @@ class TestPowerAdvisor:
         df = spark.createDataFrame([(1,)], "i long")
         with pytest.raises(ValueError):
             tc.power_advisor(df, F.col("i") > 0, mde=1.5)
+
+
+class TestClassifierPrf:
+    def test_hand_confusion(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", "a"), ("a", "a"), ("a", "b"),
+                ("b", "b"), ("b", "a"), ("c", "a")]
+        df = spark.createDataFrame(rows, "lbl string, prd string")
+        out = {r["class"]: r for r in
+               tc.classifier_prf(df, "lbl", "prd").collect()}
+        # class a: tp=2, fp=2 (b->a, c->a), fn=1 (a->b)
+        assert (out["a"]["tp"], out["a"]["fp"], out["a"]["fn"]) \
+            == (2, 2, 1)
+        assert out["a"]["precision"] == pytest.approx(0.5)
+        assert out["a"]["recall"] == pytest.approx(2 / 3)
+        # class c never predicted: precision NULL, recall 0
+        assert out["c"]["precision"] is None
+        assert out["c"]["recall"] == 0.0
+
+    def test_perfect_classifier(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("x", "x")] * 3 + [("y", "y")] * 2
+        df = spark.createDataFrame(rows, "lbl string, prd string")
+        out = tc.classifier_prf(df, "lbl", "prd").collect()
+        assert all(r["f1"] == 1.0 for r in out)
+
+
+class TestXcorr:
+    def test_shifted_copy_peaks_at_lag(self, spark):
+        from zoi_spark import tablechecks as tc
+        # y is x shifted by 2 steps: r(2) == 1.0 exactly
+        xs = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.0]
+        rows = [(t, xs[t], xs[t - 2] if t >= 2 else 0.0)
+                for t in range(10)]
+        df = spark.createDataFrame(rows, "t long, x double, y double")
+        out = {r["lag"]: r for r in
+               tc.xcorr(df, "x", "y", "t", max_lag=3).collect()}
+        assert out[2]["r"] == pytest.approx(1.0)
+        assert out[2]["n_pairs"] == 8
+        assert abs(out[0]["r"]) < 1.0
+
+    def test_lag_window_sizes(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(t, float(t), float(t * t)) for t in range(6)]
+        df = spark.createDataFrame(rows, "t long, x double, y double")
+        out = {r["lag"]: r["n_pairs"] for r in
+               tc.xcorr(df, "x", "y", "t", max_lag=2).collect()}
+        assert out == {-2: 4, -1: 5, 0: 6, 1: 5, 2: 4}
+
+
+class TestSimpsonsCheck:
+    def test_detects_reversal(self, spark):
+        from zoi_spark import tablechecks as tc
+        # within each group y DECREASES in x; pooled (group B offset
+        # high in both x and y) slope is POSITIVE -> classic paradox
+        rows = ([(x, 10.0 - x, "A") for x in (1.0, 2.0, 3.0)]
+                + [(x, 30.0 - x, "B") for x in (11.0, 12.0, 13.0)])
+        df = spark.createDataFrame(rows, "x double, y double, g string")
+        out = {r["group"]: r for r in
+               tc.simpsons_check(df, "x", "y", by="g").collect()}
+        assert out["A"]["slope"] == pytest.approx(-1.0)
+        assert out["A"]["pooled_slope"] > 0
+        assert out["A"]["reversed"] and out["B"]["reversed"]
+
+    def test_degenerate_group_null_slope(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 2.0, "A"), (1.0, 5.0, "A"),
+                (1.0, 1.0, "B"), (2.0, 2.0, "B")]
+        df = spark.createDataFrame(rows, "x double, y double, g string")
+        out = {r["group"]: r for r in
+               tc.simpsons_check(df, "x", "y", by="g").collect()}
+        assert out["A"]["slope"] is None
+        assert not out["A"]["reversed"]

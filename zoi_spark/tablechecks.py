@@ -4846,3 +4846,137 @@ def power_advisor(df: DataFrame, flag: Column, *,
         F.round(p2, round_to).alias("p2"),
         F.lit(float(mde)).alias("mde"),
         npg.cast("long").alias("n_per_group"))
+
+
+def classifier_prf(df: DataFrame, label_col: str, pred_col: str, *,
+                   round_to: int = 6) -> DataFrame:
+    """Per-class precision / recall / F1 from (label, prediction)
+    pairs — the evaluation harness for any in-pipeline classifier
+    (language-ID, quality gates, rule-suggestion) against declared
+    labels: per class c, TP = both c, FP = predicted c but labeled
+    otherwise, FN = labeled c but predicted otherwise.
+
+    ONE (label, pred) aggregation (|classes|² max rows), then the
+    per-class sums — corpus size enters once. NULL labels or
+    predictions are excluded (they are coverage, not confusion).
+    Returns ``(class, tp, fp, fn, precision, recall, f1)`` per class
+    appearing in labels or predictions.
+    """
+    cm = (df.where(F.col(label_col).isNotNull()
+                   & F.col(pred_col).isNotNull())
+          .groupBy(F.col(label_col).alias("lbl"),
+                   F.col(pred_col).alias("prd"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    classes = (cm.select(F.col("lbl").alias("cls"))
+               .union(cm.select("prd")).distinct())
+    tp = (cm.where(F.col("lbl") == F.col("prd"))
+          .select(F.col("lbl").alias("cls"),
+                  F.col("c").alias("tp")))
+    fp = (cm.where(F.col("lbl") != F.col("prd"))
+          .groupBy(F.col("prd").alias("cls"))
+          .agg(F.sum("c").alias("fp")))
+    fn = (cm.where(F.col("lbl") != F.col("prd"))
+          .groupBy(F.col("lbl").alias("cls"))
+          .agg(F.sum("c").alias("fn")))
+    j = (classes.join(tp, "cls", "left").join(fp, "cls", "left")
+         .join(fn, "cls", "left")
+         .select("cls",
+                 F.coalesce("tp", F.lit(0)).alias("tp"),
+                 F.coalesce("fp", F.lit(0)).alias("fp"),
+                 F.coalesce("fn", F.lit(0)).alias("fn")))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
+    return j.select(
+        F.col("cls").alias("class"), "tp", "fp", "fn",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"))
+
+
+def xcorr(df: DataFrame, x_col: str, y_col: str, order_col: str, *,
+          max_lag: int = 3, round_to: int = 6) -> DataFrame:
+    """Cross-correlation function between two aligned series — the
+    lead/lag monitor: r(k) = Pearson corr(x_t, y_{t+k}) for k in
+    [−max_lag, max_lag]. A peak at k > 0 says x LEADS y by k steps
+    (views today predict purchases in k days); the k = 0 column is
+    plain contemporaneous correlation. Sample Pearson on both
+    engines.
+
+    Same tiny-series contract as the other monitors (aggregate
+    first); one lead/lag window per lag over the series rows.
+    Returns ``(lag, n_pairs, r)`` ordered by lag.
+    """
+    s = df.select(F.col(order_col).alias("t"),
+                  F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y")) \
+          .where(F.col("t").isNotNull())
+    w = Window.orderBy("t")
+    outs = []
+    for k in range(-int(max_lag), int(max_lag) + 1):
+        shifted = (F.lead("y", k).over(w) if k >= 0
+                   else F.lag("y", -k).over(w))
+        pair = s.select("x", shifted.alias("ys")) \
+                .where(F.col("ys").isNotNull()
+                       & F.col("x").isNotNull())
+        outs.append(pair.agg(
+            F.lit(k).alias("lag"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("x", "ys"), round_to).alias("r")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def simpsons_check(df: DataFrame, x_col: str, y_col: str, *,
+                   by: str, round_to: int = 6) -> DataFrame:
+    """Simpson's-paradox screen (Simpson 1951): the pooled OLS slope
+    of y on x versus each group's slope — when a group's slope sign
+    CONTRADICTS the pooled sign, any corpus-level "longer docs score
+    higher" conclusion silently reverses inside that stratum, the
+    classic aggregation trap a per-table validator must surface
+    before anyone acts on the pooled trend.
+
+    ONE aggregation to per-group OLS sufficient statistics (n, Σx,
+    Σy, Σxy, Σx²); pooled sums are the column totals — no second
+    pass. Returns per-group ``(group, n, slope, pooled_slope,
+    reversed)``; slope is NULL for degenerate (zero-x-variance)
+    groups and `reversed` only fires on two well-defined opposite
+    signs.
+    """
+    base = (df.where(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull()
+                     & F.col(by).isNotNull())
+            .select(F.col(by).alias("g"),
+                    F.col(x_col).cast("double").alias("x"),
+                    F.col(y_col).cast("double").alias("y")))
+    g = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") ** 2).alias("sxx"))
+    tot = g.agg(F.sum("n").alias("tn"), F.sum("sx").alias("tx"),
+                F.sum("sy").alias("ty"), F.sum("sxy").alias("txy"),
+                F.sum("sxx").alias("txx"))
+    pooled = F.when(
+        F.col("tn") * F.col("txx") - F.col("tx") ** 2 > 0,
+        (F.col("tn") * F.col("txy") - F.col("tx") * F.col("ty"))
+        / (F.col("tn") * F.col("txx") - F.col("tx") ** 2))
+    slope = F.when(
+        F.col("n") * F.col("sxx") - F.col("sx") ** 2 > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") ** 2))
+    j = g.crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("g").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(pooled, round_to).alias("pooled_slope"),
+        (slope.isNotNull() & pooled.isNotNull()
+         & (F.signum(slope) * F.signum(pooled) < 0))
+        .alias("reversed"))
