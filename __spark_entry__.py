@@ -6659,6 +6659,47 @@ def q_simpsons_check(spark, sf_dir):
             .orderBy("group"))
 
 
+def _daily_volume(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    return (e.groupBy(F.datediff(F.to_date("ts"),
+                                 F.lit("1970-01-01")).alias("day"))
+            .agg(F.count(F.lit(1)).alias("volume")))
+
+
+def q_durbin_watson_volume(spark, sf_dir):
+    """Durbin-Watson serial-correlation diagnostic
+    (tablechecks.durbin_watson; 1950) on the OLS-trend residuals of
+    daily event volume — tests the iid-error assumption every
+    z-score/OLS monitor in this suite rests on. Sufficient-statistics
+    fit + one lag window; the twin recomputes the same fit and
+    difference ratio."""
+    return tablechecks.durbin_watson(
+        _daily_volume(spark, sf_dir), "volume", "day")
+
+
+def q_weekly_spectrum(spark, sf_dir):
+    """Single-frequency periodogram at the weekly period
+    (tablechecks.periodogram_at; Schuster 1898): cos/sin projections
+    of the mean-centered daily volume, power and the variance share
+    the 7-day cycle explains — the TEST behind what
+    weekly_seasonality assumes. One aggregation, exact on both
+    engines."""
+    return tablechecks.periodogram_at(
+        _daily_volume(spark, sf_dir), "volume", "day", period=7.0)
+
+
+def q_cooks_volume(spark, sf_dir):
+    """Cook's distance influence ranking (tablechecks.cooks_distance;
+    Cook 1977) for the daily-volume trend fit: leverage + residual →
+    D per day with the 4/n influence flag — which day to investigate
+    first when Theil-Sen and OLS disagree. Per-day rows ordered by
+    day; the twin recomputes e, h, s² and D from the same sufficient
+    statistics."""
+    return (tablechecks.cooks_distance(
+        _daily_volume(spark, sf_dir), "volume", "day")
+        .orderBy("order"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7115,6 +7156,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_id_prf": q_lang_id_prf,
         "volume_xcorr": q_volume_xcorr,
         "simpsons_check": q_simpsons_check,
+        # wave 65: OLS diagnostics battery — DW, periodogram, Cook's
+        "durbin_watson_volume": q_durbin_watson_volume,
+        "weekly_spectrum": q_weekly_spectrum,
+        "cooks_volume": q_cooks_volume,
     }
 
 
@@ -16556,5 +16601,100 @@ def oracle_sql() -> dict[str, str]:
                                      / (tn * txx - tx * tx)) < 0
                          ELSE FALSE END) AS reversed
             FROM g, t ORDER BY "group"
+        """,
+        # twin of q_durbin_watson_volume — same sufficient-stats
+        # fit, same residual-difference ratio
+        "durbin_watson_volume": """
+            WITH daily AS (
+              SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::DOUBLE
+                       AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            f AS (SELECT count(*)::DOUBLE AS n, sum(t) AS st,
+                         sum(x) AS sx, sum(t * x) AS stx,
+                         sum(t * t) AS stt
+                  FROM daily),
+            c AS (SELECT n,
+                         (n * stx - st * sx)
+                           / (n * stt - st * st) AS b,
+                         (sx - (n * stx - st * sx)
+                               / (n * stt - st * st) * st) / n AS a
+                  FROM f),
+            r AS (SELECT t, x - (SELECT a FROM c)
+                            - (SELECT b FROM c) * t AS e
+                  FROM daily),
+            d AS (SELECT e, e - lag(e) OVER (ORDER BY t) AS d
+                  FROM r)
+            SELECT (SELECT n FROM c)::BIGINT AS n,
+                   round((SELECT b FROM c), 6) AS slope,
+                   round((SELECT a FROM c), 6) AS intercept,
+                   round(sum(d * d) / sum(e * e), 6) AS dw
+            FROM d
+        """,
+        # twin of q_weekly_spectrum — same cos/sin projections of
+        # the mean-centered series
+        "weekly_spectrum": """
+            WITH daily AS (
+              SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::DOUBLE
+                       AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            m AS (SELECT avg(x) AS mu FROM daily),
+            agg AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum((x - (SELECT mu FROM m))
+                         * cos(2 * pi() / 7.0 * t)) AS a,
+                     sum((x - (SELECT mu FROM m))
+                         * sin(2 * pi() / 7.0 * t)) AS b,
+                     sum(pow(x - (SELECT mu FROM m), 2)) AS ss
+              FROM daily)
+            SELECT n::BIGINT AS n, 7.0::DOUBLE AS period,
+                   round(a, 6) AS a, round(b, 6) AS b,
+                   round((a * a + b * b) * 2 / n, 6) AS power,
+                   round(CASE WHEN ss > 0
+                         THEN (a * a + b * b) * 2 / n / ss END, 6)
+                     AS var_share
+            FROM agg
+        """,
+        # twin of q_cooks_volume — same fit, leverage, s² and D
+        "cooks_volume": """
+            WITH daily AS (
+              SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS ord,
+                     (CAST(ts AS DATE) - DATE '1970-01-01')::DOUBLE
+                       AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1, 2),
+            f AS (SELECT count(*)::DOUBLE AS n, sum(t) AS st,
+                         sum(x) AS sx, sum(t * x) AS stx,
+                         sum(t * t) AS stt
+                  FROM daily),
+            c AS (SELECT n,
+                         (n * stx - st * sx)
+                           / (n * stt - st * st) AS b,
+                         (sx - (n * stx - st * sx)
+                               / (n * stt - st * st) * st) / n
+                           AS a,
+                         st / n AS tbar,
+                         stt - st * st / n AS s_tt
+                  FROM f),
+            base AS (
+              SELECT ord, x,
+                     x - c.a - c.b * t AS e,
+                     1 / c.n + pow(t - c.tbar, 2) / c.s_tt AS h
+              FROM daily, c),
+            s2 AS (SELECT sum(e * e) / ((SELECT n FROM c) - 2)
+                     AS v FROM base)
+            SELECT ord AS "order", round(x, 6) AS x,
+                   round(e, 6) AS residual,
+                   round(h, 6) AS leverage,
+                   round(CASE WHEN (SELECT v FROM s2) > 0
+                         THEN e * e * h / (2 * (SELECT v FROM s2)
+                              * pow(1 - h, 2)) ELSE 0.0 END, 6)
+                     AS cooks_d,
+                   (CASE WHEN (SELECT v FROM s2) > 0
+                    THEN e * e * h / (2 * (SELECT v FROM s2)
+                         * pow(1 - h, 2)) ELSE 0.0 END)
+                     > 4 / (SELECT n FROM c) AS influential
+            FROM base ORDER BY "order"
         """,
     }

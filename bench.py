@@ -389,6 +389,8 @@ R4_NAMES = [
     "tukey_hsd_langs", "levene_len_langs", "power_advisor",
     # wave 64: classifier PRF, volume xcorr, Simpson's screen
     "lang_id_prf", "volume_xcorr", "simpsons_check",
+    # wave 65: OLS diagnostics — Durbin-Watson, periodogram, Cook's D
+    "durbin_watson_volume", "weekly_spectrum", "cooks_volume",
 ]
 
 

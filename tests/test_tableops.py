@@ -3999,3 +3999,66 @@ class TestSimpsonsCheck:
                tc.simpsons_check(df, "x", "y", by="g").collect()}
         assert out["A"]["slope"] is None
         assert not out["A"]["reversed"]
+
+
+class TestDurbinWatson:
+    def test_alternating_residuals_dw_near_4(self, spark):
+        from zoi_spark import tablechecks as tc
+        # zero-slope series with alternating +1/-1 residuals:
+        # DW = sum((±2)²)/(n·1) -> ~4 (negative autocorrelation)
+        vals = [10.0 + (1.0 if t % 2 == 0 else -1.0)
+                for t in range(20)]
+        df = spark.createDataFrame(list(enumerate(vals)),
+                                   "t long, x double")
+        out = tc.durbin_watson(df, "x", "t").collect()[0]
+        assert out["dw"] > 3.5
+
+    def test_trending_walk_dw_small(self, spark):
+        from zoi_spark import tablechecks as tc
+        # smooth curvature the line can't fit -> runs of same-sign
+        # residuals -> DW << 2
+        vals = [float(t * t) for t in range(20)]
+        df = spark.createDataFrame(list(enumerate(vals)),
+                                   "t long, x double")
+        out = tc.durbin_watson(df, "x", "t").collect()[0]
+        assert out["dw"] < 1.0
+
+
+class TestPeriodogramAt:
+    def test_pure_cycle_explains_all_variance(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        vals = [(t, 100 + 10 * math.cos(2 * math.pi * t / 7))
+                for t in range(28)]
+        df = spark.createDataFrame(vals, "t long, x double")
+        out = tc.periodogram_at(df, "x", "t", period=7.0) \
+            .collect()[0]
+        assert out["var_share"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_flat_series_zero_power(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(t, 5.0) for t in range(14)],
+                                   "t long, x double")
+        out = tc.periodogram_at(df, "x", "t").collect()[0]
+        assert out["power"] == 0.0
+        assert out["var_share"] is None  # ss == 0 -> undefined
+
+
+class TestCooksDistance:
+    def test_outlier_day_most_influential(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [float(2 * t) for t in range(12)]
+        vals[11] = 100.0  # high-leverage endpoint outlier
+        df = spark.createDataFrame(list(enumerate(vals)),
+                                   "t long, x double")
+        rows = tc.cooks_distance(df, "x", "t").collect()
+        top = max(rows, key=lambda r: r["cooks_d"])
+        assert top["order"] == 11 and top["influential"]
+
+    def test_perfect_line_no_influence(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(t, 3.0 * t + 1) for t in range(10)], "t long, x double")
+        rows = tc.cooks_distance(df, "x", "t").collect()
+        assert all(r["residual"] == 0.0 for r in rows)
+        assert not any(r["influential"] for r in rows)

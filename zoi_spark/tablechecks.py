@@ -4980,3 +4980,147 @@ def simpsons_check(df: DataFrame, x_col: str, y_col: str, *,
         (slope.isNotNull() & pooled.isNotNull()
          & (F.signum(slope) * F.signum(pooled) < 0))
         .alias("reversed"))
+
+
+def durbin_watson(df: DataFrame, value_col: str, order_col: str, *,
+                  round_to: int = 6) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic (Durbin & Watson
+    1950) on the residuals of the OLS trend fit of *value_col* on
+    *order_col*:
+
+        DW = Σ (e_t − e_{t−1})² / Σ e_t²       (range 0..4)
+
+    DW ≈ 2 means independent residuals; ≪ 2 positive autocorrelation
+    (volume shocks persist — alert thresholds tuned on an iid
+    assumption will misfire), ≫ 2 negative (oscillation, often a
+    batching artifact). The diagnostic that says whether the OLS /
+    z-score monitors' iid error assumption HOLDS on this feed.
+
+    Tiny-series contract (aggregate first). OLS fit from sufficient
+    statistics, residuals via one broadcast of the 2 coefficients,
+    lag window for the differences. Returns ``(n, slope, intercept,
+    dw)``.
+    """
+    s = df.select(F.col(order_col).cast("double").alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    fit = s.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"), F.sum("x").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+        F.sum(F.col("t") ** 2).alias("stt"))
+    slope = ((F.col("n") * F.col("stx") - F.col("st") * F.col("sx"))
+             / (F.col("n") * F.col("stt") - F.col("st") ** 2))
+    icept = (F.col("sx") - slope * F.col("st")) / F.col("n")
+    coef = fit.select(F.col("n"), slope.alias("b"),
+                      icept.alias("a"))
+    res = (s.crossJoin(F.broadcast(coef))
+           .select("t", (F.col("x") - F.col("a")
+                         - F.col("b") * F.col("t")).alias("e"),
+                   "n", "a", "b"))
+    w = Window.orderBy("t")
+    diff = res.select("n", "a", "b", "e",
+                      (F.col("e") - F.lag("e").over(w)).alias("d"))
+    return diff.agg(
+        F.first("n").cast("long").alias("n"),
+        F.round(F.first("b"), round_to).alias("slope"),
+        F.round(F.first("a"), round_to).alias("intercept"),
+        F.round(F.sum(F.col("d") ** 2) / F.sum(F.col("e") ** 2),
+                round_to).alias("dw"))
+
+
+def periodogram_at(df: DataFrame, value_col: str, order_col: str, *,
+                   period: float = 7.0,
+                   round_to: int = 6) -> DataFrame:
+    """Single-frequency periodogram ordinate (Schuster 1898) — the
+    spectral strength of a KNOWN candidate cycle, here defaulting to
+    the weekly period: with the mean-centered series,
+
+        a = Σ x̃_t·cos(2πt/P),  b = Σ x̃_t·sin(2πt/P)
+        power = (a² + b²)·2/n,  share = power / Σ x̃²
+
+    ``share`` ∈ [0, ~1] is the fraction of series variance the P-cycle
+    explains — the one-number answer to "is this feed weekly-
+    seasonal?" that :func:`weekly_seasonality` assumes rather than
+    tests. No FFT machinery: one aggregation with cos/sin
+    projections, exact on both engines. Returns ``(n, period, a, b,
+    power, var_share)``.
+    """
+    s = df.select(F.col(order_col).cast("double").alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    m = s.agg(F.avg("x").alias("mu"))
+    c = s.crossJoin(F.broadcast(m))
+    ang = 2 * math.pi / float(period) * F.col("t")
+    xt = F.col("x") - F.col("mu")
+    agg = c.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xt * F.cos(ang)).alias("a"),
+        F.sum(xt * F.sin(ang)).alias("b"),
+        F.sum(xt ** 2).alias("ss"))
+    power = (F.col("a") ** 2 + F.col("b") ** 2) * 2 / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(float(period)).alias("period"),
+        F.round("a", round_to).alias("a"),
+        F.round("b", round_to).alias("b"),
+        F.round(power, round_to).alias("power"),
+        F.round(F.when(F.col("ss") > 0, power / F.col("ss")), round_to)
+         .alias("var_share"))
+
+
+def cooks_distance(df: DataFrame, value_col: str, order_col: str, *,
+                   round_to: int = 6) -> DataFrame:
+    """Cook's distance influence diagnostics (Cook 1977) for the
+    simple OLS trend fit of *value_col* on *order_col*: per point,
+    leverage h = 1/n + (t−t̄)²/S_tt and
+
+        D = e²·h / (p·s²·(1−h)²)        (p = 2, s² = SSE/(n−2))
+
+    D ≳ 4/n marks a day that singlehandedly bends the trend line —
+    the "which day do I investigate first" ranking after
+    :func:`theil_sen` says the OLS slope is outlier-dragged.
+
+    Tiny-series contract. One sufficient-statistics fit, residuals +
+    leverages in one projection. Returns per-point ``(order, x,
+    residual, leverage, cooks_d, influential)`` (threshold 4/n).
+    """
+    s = df.select(F.col(order_col).alias("order"),
+                  F.col(order_col).cast("double").alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    fit = s.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"), F.sum("x").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+        F.sum(F.col("t") ** 2).alias("stt"))
+    slope = ((F.col("n") * F.col("stx") - F.col("st") * F.col("sx"))
+             / (F.col("n") * F.col("stt") - F.col("st") ** 2))
+    icept = (F.col("sx") - slope * F.col("st")) / F.col("n")
+    coef = fit.select("n", slope.alias("b"), icept.alias("a"),
+                      (F.col("st") / F.col("n")).alias("tbar"),
+                      (F.col("stt") - F.col("st") ** 2 / F.col("n"))
+                      .alias("s_tt"))
+    base = (s.crossJoin(F.broadcast(coef))
+            .withColumn("e", F.col("x") - F.col("a")
+                        - F.col("b") * F.col("t"))
+            .withColumn("h", 1 / F.col("n")
+                        + (F.col("t") - F.col("tbar")) ** 2
+                        / F.col("s_tt")))
+    wall = Window.partitionBy()
+    base = base.withColumn(
+        "s2", F.sum(F.col("e") ** 2).over(wall) / (F.col("n") - 2))
+    # s² = 0 (a perfect fit) must yield D = 0, not NaN — and Spark
+    # orders NaN above every number, so an unguarded D would flag
+    # every point of a perfectly regular feed as influential
+    d = F.when(F.col("s2") > 0,
+               F.col("e") ** 2 * F.col("h")
+               / (2 * F.col("s2") * (1 - F.col("h")) ** 2)) \
+         .otherwise(F.lit(0.0))
+    return base.select(
+        "order",
+        F.round("x", round_to).alias("x"),
+        F.round("e", round_to).alias("residual"),
+        F.round("h", round_to).alias("leverage"),
+        F.round(d, round_to).alias("cooks_d"),
+        (d > 4 / F.col("n")).alias("influential"))
