@@ -6700,6 +6700,64 @@ def q_cooks_volume(spark, sf_dir):
         .orderBy("order"))
 
 
+def q_negbin_user_events(spark, sf_dir):
+    """Negative-binomial method-of-moments fit
+    (tablechecks.negbin_fit; Hilbe 2011) over per-user event counts:
+    dispersion ratio s²/m plus the (r, p) shape when overdispersed —
+    the prior for per-entity rate thresholds. One aggregation over
+    the per-user counts; the twin recomputes the same sample
+    moments."""
+    e = _read(spark, sf_dir, "events")
+    uc = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    return tablechecks.negbin_fit(uc, "c")
+
+
+def q_cuped_users(spark, sf_dir):
+    """CUPED variance reduction (tablechecks.cuped; Deng et al. WSDM
+    2013): per-user first-half-of-month event count as the pre-period
+    covariate for the second-half count — θ, ρ and the 1−ρ² variance
+    ratio that prices the sample-size saving (composes with
+    power_advisor). Sample moments on both engines."""
+    e = _read(spark, sf_dir, "events")
+    up = (e.groupBy("user_id")
+          .agg(F.sum(F.when(F.dayofmonth("ts") <= 15, 1)
+                     .otherwise(0)).alias("pre"),
+               F.sum(F.when(F.dayofmonth("ts") > 15, 1)
+                     .otherwise(0)).alias("post")))
+    return tablechecks.cuped(up, "pre", "post")
+
+
+def q_pareto_sources(spark, sf_dir):
+    """Pareto-efficient source selection (sampling.pareto_front):
+    per-source vocab rate (max), exact-dup rate (min) and mean doc
+    length (max), metrics ROUNDED to 6 before the dominance join so
+    both engines compare identical values; sources off the front are
+    strictly worse trade-offs. |sources|² comparison on the tiny
+    metric rows; the twin re-derives the metrics and the dominance
+    EXISTS."""
+    d = (_read(spark, sf_dir, "documents")
+         .where(F.col("text").isNotNull()
+                & F.col("source").isNotNull()))
+    g1 = (d.groupBy("source")
+          .agg(F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+               F.round(1 - F.countDistinct(
+                   text.fingerprint(F.col("text")))
+                   / F.count(F.lit(1)), 6).alias("dup_rate")))
+    toks = F.split(text.normalize_text(F.col("text")), " ")
+    g2 = (d.select("source", F.explode(toks).alias("w"))
+          .where(F.col("w") != "")
+          .groupBy("source")
+          .agg(F.round(F.countDistinct("w") / F.count(F.lit(1)), 6)
+               .alias("vocab_rate")))
+    met = g1.join(g2, "source")
+    from zoi_spark import sampling
+
+    return (sampling.pareto_front(
+        met, by="source", maximize=["vocab_rate", "mean_chars"],
+        minimize=["dup_rate"])
+        .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7160,6 +7218,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "durbin_watson_volume": q_durbin_watson_volume,
         "weekly_spectrum": q_weekly_spectrum,
         "cooks_volume": q_cooks_volume,
+        # wave 66: negbin overdispersion, CUPED, Pareto sources
+        "negbin_user_events": q_negbin_user_events,
+        "cuped_users": q_cuped_users,
+        "pareto_sources": q_pareto_sources,
     }
 
 
@@ -16696,5 +16758,87 @@ def oracle_sql() -> dict[str, str]:
                          * pow(1 - h, 2)) ELSE 0.0 END)
                      > 4 / (SELECT n FROM c) AS influential
             FROM base ORDER BY "order"
+        """,
+        # twin of q_negbin_user_events — same sample moments and
+        # method-of-moments shape
+        "negbin_user_events": """
+            WITH uc AS (SELECT user_id, count(*)::DOUBLE AS c
+                        FROM events GROUP BY 1),
+            a AS (SELECT count(*)::DOUBLE AS n, avg(c) AS m,
+                         var_samp(c) AS v
+                  FROM uc)
+            SELECT n::BIGINT AS n, round(m, 6) AS mean,
+                   round(v, 6) AS var,
+                   round(CASE WHEN m > 0 THEN v / m END, 6)
+                     AS dispersion_ratio,
+                   round(CASE WHEN v > m
+                         THEN m * m / (v - m) END, 6) AS nb_r,
+                   round(CASE WHEN v > m THEN m / v END, 6) AS nb_p
+            FROM a
+        """,
+        # twin of q_cuped_users — same per-user pre/post windows,
+        # same sample covariance identities
+        "cuped_users": """
+            WITH up AS (
+              SELECT user_id,
+                     sum(CASE WHEN extract(day FROM ts) <= 15
+                         THEN 1 ELSE 0 END)::DOUBLE AS a,
+                     sum(CASE WHEN extract(day FROM ts) > 15
+                         THEN 1 ELSE 0 END)::DOUBLE AS b
+              FROM events GROUP BY 1),
+            g AS (SELECT count(*)::DOUBLE AS n,
+                         covar_samp(a, b) AS cab,
+                         var_samp(a) AS va, var_samp(b) AS vb
+                  FROM up)
+            SELECT n::BIGINT AS n,
+                   round(CASE WHEN va > 0 THEN cab / va END, 6)
+                     AS theta,
+                   round(CASE WHEN va > 0 AND vb > 0
+                         THEN cab / sqrt(va * vb) END, 6) AS rho,
+                   round(vb, 6) AS var_post,
+                   round(CASE WHEN va > 0 AND vb > 0
+                         THEN vb * (1 - pow(cab / sqrt(va * vb), 2))
+                         END, 6) AS var_adjusted,
+                   round(CASE WHEN va > 0 AND vb > 0
+                         THEN 1 - pow(cab / sqrt(va * vb), 2) END,
+                         6) AS var_ratio
+            FROM g
+        """,
+        # twin of q_pareto_sources — same rounded metrics, same
+        # dominance EXISTS
+        "pareto_sources": f"""
+            WITH base AS (
+              SELECT source, n_chars, md5({_NORM_SQL}) AS fp, text
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL),
+            g1 AS (SELECT source,
+                          round(avg(n_chars), 6) AS mean_chars,
+                          round(1 - count(DISTINCT fp) * 1.0
+                                    / count(*), 6) AS dup_rate
+                   FROM base GROUP BY 1),
+            tok AS (
+              SELECT source,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL),
+            g2 AS (SELECT source,
+                          round(count(DISTINCT w) * 1.0 / count(*),
+                                6) AS vocab_rate
+                   FROM (SELECT source, w FROM tok WHERE w <> '')
+                   GROUP BY 1),
+            m AS (SELECT g1.source, mean_chars, dup_rate, vocab_rate
+                  FROM g1 JOIN g2 USING (source))
+            SELECT m.source, m.mean_chars, m.dup_rate, m.vocab_rate,
+                   NOT EXISTS (
+                     SELECT 1 FROM m b
+                     WHERE b.source <> m.source
+                       AND b.vocab_rate >= m.vocab_rate
+                       AND b.mean_chars >= m.mean_chars
+                       AND b.dup_rate <= m.dup_rate
+                       AND (b.vocab_rate > m.vocab_rate
+                            OR b.mean_chars > m.mean_chars
+                            OR b.dup_rate < m.dup_rate))
+                     AS on_front
+            FROM m ORDER BY m.source
         """,
     }

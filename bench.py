@@ -391,6 +391,8 @@ R4_NAMES = [
     "lang_id_prf", "volume_xcorr", "simpsons_check",
     # wave 65: OLS diagnostics — Durbin-Watson, periodogram, Cook's D
     "durbin_watson_volume", "weekly_spectrum", "cooks_volume",
+    # wave 66: negbin overdispersion, CUPED, Pareto source front
+    "negbin_user_events", "cuped_users", "pareto_sources",
 ]
 
 

@@ -607,3 +607,32 @@ class TestGreedySetCover:
         assert out[0]["group"] == "s1" and out[0]["gain"] == 3
         assert out[1]["group"] == "s2" and out[1]["gain"] == 1
         assert len(out) == 2  # s3 adds nothing -> early stop
+
+
+class TestParetoFront:
+    def test_dominated_point_flagged(self, spark):
+        from zoi_spark import sampling
+        # B dominates A (higher cov, lower dup); C trades off
+        rows = [("A", 0.5, 0.2), ("B", 0.9, 0.1), ("C", 0.95, 0.3)]
+        df = spark.createDataFrame(rows,
+                                   "g string, cov double, dup double")
+        out = {r["g"]: r["on_front"] for r in
+               sampling.pareto_front(df, by="g", maximize=["cov"],
+                                     minimize=["dup"]).collect()}
+        assert out == {"A": False, "B": True, "C": True}
+
+    def test_duplicate_metric_rows_both_on_front(self, spark):
+        from zoi_spark import sampling
+        # equal vectors do not strictly dominate each other
+        rows = [("A", 1.0), ("B", 1.0)]
+        df = spark.createDataFrame(rows, "g string, m double")
+        out = sampling.pareto_front(df, by="g",
+                                    maximize=["m"]).collect()
+        assert all(r["on_front"] for r in out)
+
+    def test_requires_metrics(self, spark):
+        import pytest as _pt
+        from zoi_spark import sampling
+        df = spark.createDataFrame([("A", 1.0)], "g string, m double")
+        with _pt.raises(ValueError):
+            sampling.pareto_front(df, by="g")

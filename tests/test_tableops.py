@@ -4062,3 +4062,43 @@ class TestCooksDistance:
         rows = tc.cooks_distance(df, "x", "t").collect()
         assert all(r["residual"] == 0.0 for r in rows)
         assert not any(r["influential"] for r in rows)
+
+
+class TestNegbinFit:
+    def test_poisson_like_no_shape(self, spark):
+        from zoi_spark import tablechecks as tc
+        # variance <= mean -> degenerate, r/p NULL
+        df = spark.createDataFrame([(5.0,)] * 6, "c double")
+        out = tc.negbin_fit(df, "c").collect()[0]
+        assert out["var"] == 0.0
+        assert out["nb_r"] is None and out["nb_p"] is None
+
+    def test_hand_mom_values(self, spark):
+        from zoi_spark import tablechecks as tc
+        # counts 1,2,9: m=4, s²=19 -> r=16/15, p=4/19
+        df = spark.createDataFrame([(1.0,), (2.0,), (9.0,)],
+                                   "c double")
+        out = tc.negbin_fit(df, "c").collect()[0]
+        assert out["mean"] == pytest.approx(4.0)
+        assert out["var"] == pytest.approx(19.0)
+        assert out["nb_r"] == pytest.approx(16 / 15, abs=1e-5)
+        assert out["nb_p"] == pytest.approx(4 / 19, abs=1e-5)
+
+
+class TestCuped:
+    def test_perfectly_correlated_removes_variance(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(i), 2.0 * i + 3) for i in range(10)]
+        df = spark.createDataFrame(rows, "pre double, post double")
+        out = tc.cuped(df, "pre", "post").collect()[0]
+        assert out["theta"] == pytest.approx(2.0)
+        assert out["rho"] == pytest.approx(1.0)
+        assert out["var_ratio"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_independent_covariate_no_gain(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 5.0), (2.0, 5.0), (1.0, 9.0), (2.0, 9.0)]
+        df = spark.createDataFrame(rows, "pre double, post double")
+        out = tc.cuped(df, "pre", "post").collect()[0]
+        assert out["rho"] == pytest.approx(0.0)
+        assert out["var_ratio"] == pytest.approx(1.0)

@@ -932,3 +932,42 @@ def source_set_cover(df: DataFrame, *, text_col: str = "text",
              .where(F.col("__w") != ""))
     return greedy_set_cover(words, group_col="__g", item_col="__w",
                             k=k)
+
+
+def pareto_front(df: DataFrame, *, by: str,
+                 maximize: "list[str]" = (),
+                 minimize: "list[str]" = ()) -> DataFrame:
+    """Pareto non-dominance flag over per-group metric rows — the
+    multi-objective data-mixing decision (which sources are
+    EFFICIENT trade-offs of coverage vs duplication vs quality?
+    Everything off the front is strictly worse than some other
+    source on every axis): group a is dominated iff some b is at
+    least as good on EVERY metric and strictly better on at least
+    one, with *maximize*/*minimize* giving each metric's direction.
+
+    |groups|² comparison join on the (tiny, pre-aggregated) metric
+    rows. Input must already be one row per group. Returns the input
+    plus ``on_front`` boolean.
+    """
+    cols = list(maximize) + list(minimize)
+    if not cols:
+        raise ValueError("need at least one metric column")
+    a, b = df.alias("a"), df.alias("b")
+    geq = None
+    strict = None
+    for c in cols:
+        better = (F.col(f"b.{c}") >= F.col(f"a.{c}")
+                  if c in maximize else
+                  F.col(f"b.{c}") <= F.col(f"a.{c}"))
+        sbetter = (F.col(f"b.{c}") > F.col(f"a.{c}")
+                   if c in maximize else
+                   F.col(f"b.{c}") < F.col(f"a.{c}"))
+        geq = better if geq is None else (geq & better)
+        strict = sbetter if strict is None else (strict | sbetter)
+    dominated = (a.join(b, geq & strict
+                        & (F.col(f"a.{by}") != F.col(f"b.{by}")))
+                 .select(F.col(f"a.{by}").alias(by)).distinct())
+    return df.join(dominated.withColumn("__dom", F.lit(True)),
+                   by, "left") \
+             .withColumn("on_front", F.col("__dom").isNull()) \
+             .drop("__dom")

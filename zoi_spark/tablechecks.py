@@ -5124,3 +5124,77 @@ def cooks_distance(df: DataFrame, value_col: str, order_col: str, *,
         F.round("h", round_to).alias("leverage"),
         F.round(d, round_to).alias("cooks_d"),
         (d > 4 / F.col("n")).alias("influential"))
+
+
+def negbin_fit(df: DataFrame, count_col: str, *,
+               round_to: int = 6) -> DataFrame:
+    """Negative-binomial method-of-moments fit (the standard
+    overdispersion model for per-entity event counts; Hilbe 2011):
+    with sample mean m and sample variance s²,
+
+        r = m² / (s² − m),   p = m / s²     (valid iff s² > m)
+
+    The dispersion ratio s²/m is the one-number verdict: ≈1 the feed
+    is Poisson (a homogeneous process), ≫1 burst/heavy-user
+    structure — the prior every per-entity rate threshold should be
+    set against. Degenerate (s² ≤ m) fits return NULL r/p rather
+    than a negative shape. ONE aggregation over the pre-aggregated
+    per-entity counts. Returns ``(n, mean, var, dispersion_ratio,
+    nb_r, nb_p)``.
+    """
+    s = df.select(F.col(count_col).cast("double").alias("x")) \
+          .where(F.col("x").isNotNull())
+    agg = s.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"))
+    r = F.when(F.col("v") > F.col("m"),
+               F.col("m") ** 2 / (F.col("v") - F.col("m")))
+    p = F.when(F.col("v") > F.col("m"), F.col("m") / F.col("v"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("m", round_to).alias("mean"),
+        F.round("v", round_to).alias("var"),
+        F.round(F.when(F.col("m") > 0, F.col("v") / F.col("m")),
+                round_to).alias("dispersion_ratio"),
+        F.round(r, round_to).alias("nb_r"),
+        F.round(p, round_to).alias("nb_p"))
+
+
+def cuped(df: DataFrame, pre_col: str, post_col: str, *,
+          round_to: int = 6) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013) — the pre-period covariate adjustment every experimentation
+    platform applies before comparing groups: with θ =
+    cov(pre, post)/var(pre), the adjusted metric
+
+        post' = post − θ·(pre − mean(pre))
+
+    has variance var(post)·(1 − ρ²). The released numbers answer
+    "how much smaller can my experiment be if I adjust": var_ratio =
+    1 − ρ² (0.75 → a 25% sample-size saving at equal power,
+    composing directly with :func:`power_advisor`). ONE aggregation
+    over per-entity (pre, post) pairs; sample moments throughout.
+    Returns ``(n, theta, rho, var_post, var_adjusted, var_ratio)``.
+    """
+    s = df.select(F.col(pre_col).cast("double").alias("a"),
+                  F.col(post_col).cast("double").alias("b")) \
+          .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    agg = s.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.covar_samp("a", "b").alias("cab"),
+        F.var_samp("a").alias("va"),
+        F.var_samp("b").alias("vb"))
+    theta = F.when(F.col("va") > 0, F.col("cab") / F.col("va"))
+    rho = F.when((F.col("va") > 0) & (F.col("vb") > 0),
+                 F.col("cab") / F.sqrt(F.col("va") * F.col("vb")))
+    var_adj = F.when(rho.isNotNull(),
+                     F.col("vb") * (1 - rho ** 2))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(theta, round_to).alias("theta"),
+        F.round(rho, round_to).alias("rho"),
+        F.round("vb", round_to).alias("var_post"),
+        F.round(var_adj, round_to).alias("var_adjusted"),
+        F.round(F.when(rho.isNotNull(), 1 - rho ** 2), round_to)
+         .alias("var_ratio"))
