@@ -6758,6 +6758,40 @@ def q_pareto_sources(spark, sf_dir):
         .orderBy("source"))
 
 
+def q_renyi_langs(spark, sf_dir):
+    """Rényi entropy spectrum per lang (text.renyi_profile; Rényi
+    1961): H₀/H₁/H₂ of the token distribution in bits — the spectrum
+    GAPS separate long-tail natural text from keyword-stuffed
+    templates. One (group, token) aggregation; the twin recomputes
+    all three orders from the same counts. Ordered by group."""
+    d = _read(spark, sf_dir, "documents")
+    return text.renyi_profile(d, by="lang").orderBy("group")
+
+
+def q_jackknife_sources(spark, sf_dir):
+    """Delete-one-source jackknife SE for the corpus mean length
+    (tablechecks.jackknife_groups; Quenouille/Tukey): the
+    cluster-respecting standard error vs the naive iid one, with the
+    design ratio — the correction any corpus-mean SLA needs when
+    rows within a source correlate. Leave-one-out means derived from
+    totals, no second pass; the twin re-derives the same
+    pseudo-values."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.jackknife_groups(d, "n_chars", by="source")
+
+
+def q_markov_entropy(spark, sf_dir):
+    """Empirical Markov entropy rate of per-user event streams
+    (tablechecks.markov_entropy_rate; Shannon 1948 §7): H(next |
+    current) vs the marginal H(next) — the predictability gap that
+    separates scripted bots from organic sessions. Streams ordered
+    by (ts, event_id) so timestamp ties cannot reorder transitions
+    across engines."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.markov_entropy_rate(
+        e, "event_type", ["ts", "event_id"], by="user_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7222,6 +7256,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "negbin_user_events": q_negbin_user_events,
         "cuped_users": q_cuped_users,
         "pareto_sources": q_pareto_sources,
+        # wave 67: Rényi spectrum, jackknife SE, Markov entropy rate
+        "renyi_langs": q_renyi_langs,
+        "jackknife_sources": q_jackknife_sources,
+        "markov_entropy": q_markov_entropy,
     }
 
 
@@ -16840,5 +16878,95 @@ def oracle_sql() -> dict[str, str]:
                             OR b.dup_rate < m.dup_rate))
                      AS on_front
             FROM m ORDER BY m.source
+        """,
+        # twin of q_renyi_langs — same token counts, same three
+        # spectrum orders
+        "renyi_langs": f"""
+            WITH words AS (
+              SELECT lang AS "group",
+                     unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL),
+            gw AS (SELECT "group", w, count(*)::BIGINT AS c
+                   FROM words WHERE w <> '' GROUP BY 1, 2),
+            tot AS (SELECT "group", sum(c) AS n FROM gw GROUP BY 1)
+            SELECT gw."group",
+                   any_value(n)::BIGINT AS n_tokens,
+                   round(log2(count(*)), 6) AS h0,
+                   round(-sum((c * 1.0 / n)
+                              * log2(c * 1.0 / n)), 6) AS h1,
+                   round(-log2(sum(pow(c * 1.0 / n, 2))), 6) AS h2
+            FROM gw JOIN tot USING ("group")
+            GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_jackknife_sources — same leave-one-out means
+        # from totals
+        "jackknife_sources": """
+            WITH g AS (
+              SELECT source, count(*)::DOUBLE AS ni,
+                     sum(n_chars::DOUBLE) AS si,
+                     sum(n_chars::DOUBLE * n_chars) AS qi
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1),
+            tt AS (SELECT count(*)::DOUBLE AS gn, sum(ni) AS n,
+                          sum(si) AS s, sum(qi) AS q
+                   FROM g),
+            loo AS (SELECT (s - si) / (n - ni) AS theta FROM g, tt),
+            a AS (SELECT avg(theta) AS tbar,
+                         sum(theta * theta) AS t2
+                  FROM loo),
+            fin AS (SELECT tt.gn, tt.n, tt.s, tt.q, a.tbar, a.t2
+                    FROM tt, a)
+            SELECT gn::BIGINT AS g, n::BIGINT AS n,
+                   round(s / n, 6) AS mean,
+                   round(sqrt((q - s * s / n) / (n - 1) / n), 6)
+                     AS se_naive,
+                   round(sqrt((gn - 1) / gn
+                              * (t2 - gn * tbar * tbar)), 6)
+                     AS se_jackknife,
+                   round(CASE WHEN sqrt((q - s * s / n)
+                                        / (n - 1) / n) > 0
+                         THEN sqrt((gn - 1) / gn
+                                   * (t2 - gn * tbar * tbar))
+                              / sqrt((q - s * s / n)
+                                     / (n - 1) / n) END, 6)
+                     AS design_ratio
+            FROM fin
+        """,
+        # twin of q_markov_entropy — same (ts, event_id)-ordered
+        # streams, same conditional/marginal entropies
+        "markov_entropy": """
+            WITH tr AS (
+              SELECT event_type AS cur,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+              FROM events
+              WHERE event_type IS NOT NULL
+                AND user_id IS NOT NULL),
+            t2 AS (SELECT cur, nxt FROM tr WHERE nxt IS NOT NULL),
+            cnt AS (SELECT cur, nxt, count(*)::DOUBLE AS c
+                    FROM t2 GROUP BY 1, 2),
+            rw AS (SELECT cur, sum(c) AS rc FROM cnt GROUP BY 1),
+            tt AS (SELECT sum(c) AS n FROM cnt),
+            hr AS (SELECT -sum((c / (SELECT n FROM tt))
+                               * log2(c / rc)) AS h_rate
+                   FROM cnt JOIN rw USING (cur)),
+            mg AS (SELECT nxt, count(*)::DOUBLE AS mc
+                   FROM t2 GROUP BY 1),
+            hm AS (SELECT count(*)::BIGINT AS ns,
+                          -sum((mc / (SELECT n FROM tt))
+                               * log2(mc / (SELECT n FROM tt)))
+                            AS h_m
+                   FROM mg)
+            SELECT (SELECT n FROM tt)::BIGINT AS n_transitions,
+                   (SELECT ns FROM hm) AS n_states,
+                   round((SELECT h_rate FROM hr), 6) AS h_rate,
+                   round((SELECT h_m FROM hm), 6) AS h_marginal,
+                   round(CASE WHEN (SELECT h_m FROM hm) > 0
+                         THEN 1 - (SELECT h_rate FROM hr)
+                              / (SELECT h_m FROM hm) END, 6)
+                     AS predictability
         """,
     }

@@ -393,6 +393,8 @@ R4_NAMES = [
     "durbin_watson_volume", "weekly_spectrum", "cooks_volume",
     # wave 66: negbin overdispersion, CUPED, Pareto source front
     "negbin_user_events", "cuped_users", "pareto_sources",
+    # wave 67: Rényi spectrum, jackknife SE, Markov entropy rate
+    "renyi_langs", "jackknife_sources", "markov_entropy",
 ]
 
 

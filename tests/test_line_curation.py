@@ -834,3 +834,24 @@ class TestMultibyteAudit:
         assert out["fr"]["ascii_doc_share"] == 0.0
         # CJK: 3 bytes per char
         assert out["zh"]["bytes_per_char"] == 3.0
+
+
+class TestRenyiProfile:
+    def test_uniform_distribution_all_equal(self, spark):
+        from zoi_spark import text as tx
+        import math
+        df = spark.createDataFrame([(1, "a b c d", "s")],
+                                   "doc_id long, text string, source string")
+        out = tx.renyi_profile(df).collect()[0]
+        assert out["h0"] == pytest.approx(2.0)
+        assert out["h1"] == pytest.approx(2.0)
+        assert out["h2"] == pytest.approx(2.0)
+
+    def test_spectrum_is_nonincreasing(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame(
+            [(1, "a a a a a a b c d", "s")],
+            "doc_id long, text string, source string")
+        out = tx.renyi_profile(df).collect()[0]
+        assert out["h0"] >= out["h1"] >= out["h2"]
+        assert out["h0"] == pytest.approx(2.0)  # 4 types

@@ -4102,3 +4102,51 @@ class TestCuped:
         out = tc.cuped(df, "pre", "post").collect()[0]
         assert out["rho"] == pytest.approx(0.0)
         assert out["var_ratio"] == pytest.approx(1.0)
+
+
+class TestJackknifeGroups:
+    def test_iid_groups_ratio_near_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        # groups are arbitrary slices of the same distribution:
+        # the jackknife SE should not wildly exceed the naive SE
+        rows = [(float(v), f"g{v % 4}") for v in range(40)]
+        df = spark.createDataFrame(rows, "v double, g string")
+        out = tc.jackknife_groups(df, "v", by="g").collect()[0]
+        assert out["g"] == 4 and out["n"] == 40
+        assert 0.1 < out["design_ratio"] < 3.0
+
+    def test_clustered_means_inflate_se(self, spark):
+        from zoi_spark import tablechecks as tc
+        # extreme clustering: each group is a point mass at a very
+        # different level -> jackknife SE >> naive SE
+        rows = ([(0.0, "a")] * 10 + [(0.1, "b")] * 10
+                + [(100.0, "c")] * 10 + [(100.1, "d")] * 10)
+        df = spark.createDataFrame(rows, "v double, g string")
+        out = tc.jackknife_groups(df, "v", by="g").collect()[0]
+        assert out["design_ratio"] > 2.0
+
+
+class TestMarkovEntropyRate:
+    def test_deterministic_cycle_zero_rate(self, spark):
+        from zoi_spark import tablechecks as tc
+        # a->b->a->b...: next state fully determined -> h_rate 0,
+        # marginal entropy 1 bit -> predictability 1
+        rows = [(1, t, "a" if t % 2 == 0 else "b")
+                for t in range(20)]
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        out = tc.markov_entropy_rate(df, "s", "t", by="u") \
+            .collect()[0]
+        assert out["h_rate"] == 0.0
+        # 19 transitions: 10 b / 9 a -> H just under 1 bit
+        assert 0.99 < out["h_marginal"] <= 1.0
+        assert out["predictability"] == pytest.approx(1.0)
+
+    def test_single_state_stream(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1, t, "x") for t in range(5)]
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        out = tc.markov_entropy_rate(df, "s", "t", by="u") \
+            .collect()[0]
+        assert out["n_states"] == 1
+        assert out["h_rate"] == 0.0 and out["h_marginal"] == 0.0
+        assert out["predictability"] is None  # 0/0 -> undefined

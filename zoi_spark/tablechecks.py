@@ -5198,3 +5198,111 @@ def cuped(df: DataFrame, pre_col: str, post_col: str, *,
         F.round(var_adj, round_to).alias("var_adjusted"),
         F.round(F.when(rho.isNotNull(), 1 - rho ** 2), round_to)
          .alias("var_ratio"))
+
+
+def jackknife_groups(df: DataFrame, value_col: str, *, by: str,
+                     round_to: int = 6) -> DataFrame:
+    """Delete-one-GROUP jackknife (Quenouille 1956; Tukey 1958) for
+    the corpus mean of *value_col*, leaving out one *by* group at a
+    time — the variance estimate that respects cluster structure: at
+    web scale rows within a host/source are correlated, so the naive
+    iid SE of the mean is optimistically small; the jackknife over
+    groups is the standard design-based correction.
+
+        θ̂₍ᵢ₎ = mean without group i   (from totals — no second pass)
+        SE²  = (g−1)/g · Σ (θ̂₍ᵢ₎ − mean(θ̂₍·₎))²
+
+    ONE aggregation to per-group (n, Σx); every leave-one-out mean
+    is (T−Σxᵢ)/(N−nᵢ). Returns one row ``(g, n, mean, se_naive,
+    se_jackknife, design_ratio)`` — design_ratio > 1 quantifies the
+    clustering penalty.
+    """
+    g = (df.where(F.col(value_col).isNotNull()
+                  & F.col(by).isNotNull())
+         .groupBy(by)
+         .agg(F.count(F.lit(1)).cast("double").alias("ni"),
+              F.sum(F.col(value_col).cast("double")).alias("si"),
+              F.sum(F.col(value_col).cast("double") ** 2)
+              .alias("qi")))
+    tot = g.agg(F.count(F.lit(1)).cast("double").alias("gn"),
+                F.sum("ni").alias("n"), F.sum("si").alias("s"),
+                F.sum("qi").alias("q"))
+    loo = (g.crossJoin(F.broadcast(tot))
+           .select("gn", "n", "s", "q",
+                   ((F.col("s") - F.col("si"))
+                    / (F.col("n") - F.col("ni"))).alias("theta")))
+    agg = loo.agg(
+        F.first("gn").alias("gn"), F.first("n").alias("n"),
+        F.first("s").alias("s"), F.first("q").alias("q"),
+        F.avg("theta").alias("tbar"),
+        F.sum(F.col("theta") ** 2).alias("t2"))
+    se_jk = F.sqrt((F.col("gn") - 1) / F.col("gn")
+                   * (F.col("t2") - F.col("gn")
+                      * F.col("tbar") ** 2))
+    var = (F.col("q") - F.col("s") ** 2 / F.col("n")) \
+        / (F.col("n") - 1)
+    se_naive = F.sqrt(var / F.col("n"))
+    return agg.select(
+        F.col("gn").cast("long").alias("g"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s") / F.col("n"), round_to).alias("mean"),
+        F.round(se_naive, round_to).alias("se_naive"),
+        F.round(se_jk, round_to).alias("se_jackknife"),
+        F.round(F.when(se_naive > 0, se_jk / se_naive), round_to)
+         .alias("design_ratio"))
+
+
+def markov_entropy_rate(df: DataFrame, state_col: str,
+                        order_col, *, by: str,
+                        round_to: int = 6) -> DataFrame:
+    """Empirical Markov entropy rate of per-entity state streams —
+    the conditional entropy H(next | current) over observed
+    transitions (Shannon 1948 §7, the entropy of the source given
+    first-order structure), pooled across all *by* entities:
+
+        H = −Σ_{i,j} p(i,j) · log₂ p(j|i)        (bits/transition)
+
+    Compared against the marginal state entropy H(next): the gap is
+    how much the previous state PREDICTS the next one — a bot's
+    scripted loop shows H ≪ H(next) while organic traffic stays
+    near-independent. One lag window per entity stream + two
+    aggregations over the |states|² transition table. Returns one
+    row ``(n_transitions, n_states, h_rate, h_marginal,
+    predictability)``. *order_col* may be a list — pass a tiebreaker
+    (e.g. ``["ts", "event_id"]``): with timestamp ties the stream
+    order, hence the transition counts, would otherwise be
+    nondeterministic.
+    """
+    order_cols = ([order_col] if isinstance(order_col, str)
+                  else list(order_col))
+    w = Window.partitionBy(by).orderBy(*order_cols)
+    tr = (df.where(F.col(state_col).isNotNull()
+                   & F.col(by).isNotNull())
+          .select(F.col(state_col).alias("cur"),
+                  F.lead(state_col).over(w).alias("nxt"))
+          .where(F.col("nxt").isNotNull()))
+    cnt = tr.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    row = cnt.groupBy("cur").agg(F.sum("c").alias("rc"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    j = (cnt.join(F.broadcast(row), "cur")
+         .crossJoin(F.broadcast(tot)))
+    pij = F.col("c") / F.col("n")
+    pji = F.col("c") / F.col("rc")
+    hr = j.agg(
+        F.first("n").alias("n"),
+        (-F.sum(pij * F.log2(pji))).alias("h_rate"))
+    marg = (tr.groupBy("nxt").agg(F.count(F.lit(1)).alias("mc"))
+            .crossJoin(F.broadcast(tot)))
+    hm = marg.agg(
+        F.count(F.lit(1)).alias("ns"),
+        (-F.sum((F.col("mc") / F.col("n"))
+                * F.log2(F.col("mc") / F.col("n")))).alias("h_m"))
+    out = hr.crossJoin(F.broadcast(hm))
+    return out.select(
+        F.col("n").cast("long").alias("n_transitions"),
+        F.col("ns").cast("long").alias("n_states"),
+        F.round("h_rate", round_to).alias("h_rate"),
+        F.round("h_m", round_to).alias("h_marginal"),
+        F.round(F.when(F.col("h_m") > 0,
+                       1 - F.col("h_rate") / F.col("h_m")),
+                round_to).alias("predictability"))

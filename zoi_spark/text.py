@@ -3376,3 +3376,39 @@ def multibyte_audit(df: DataFrame, *, text_col: str = "text",
                                .otherwise(0))
                          / F.count(F.lit(1)).cast("double"),
                          round_to).alias("ascii_doc_share")))
+
+
+def renyi_profile(df: DataFrame, *, text_col: str = "text",
+                  by: str = "source",
+                  round_to: int = 6) -> DataFrame:
+    """Rényi entropy spectrum of the token distribution per group —
+    three points of the spectrum (Rényi 1961), in bits:
+
+        H₀ = log₂ V            (hartley/richness: vocabulary size)
+        H₁ = −Σ p log₂ p       (Shannon)
+        H₂ = −log₂ Σ p²        (collision entropy)
+
+    H₀ ≥ H₁ ≥ H₂ always; the GAPS are the signal: H₀−H₁ large means
+    a long tail of rare types (natural text), H₁−H₂ large means a
+    few dominant types under a broad vocabulary (template spam
+    padded with noise words — exactly the profile keyword-stuffed
+    pages show). One (group, token) aggregation, then per-group
+    sums. Returns ``(group, n_tokens, h0, h1, h2)``.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    words = (df.where(F.col(text_col).isNotNull()
+                      & F.col(by).isNotNull())
+             .select(F.col(by).alias("group"),
+                     F.explode(toks).alias("w"))
+             .where(F.col("w") != ""))
+    gw = words.groupBy("group", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = gw.groupBy("group").agg(F.sum("c").alias("n"))
+    j = gw.join(F.broadcast(tot), "group")
+    p = F.col("c") / F.col("n")
+    return (j.groupBy("group")
+            .agg(F.first("n").alias("n_tokens"),
+                 F.round(F.log2(F.count(F.lit(1)).cast("double")),
+                         round_to).alias("h0"),
+                 F.round(-F.sum(p * F.log2(p)), round_to).alias("h1"),
+                 F.round(-F.log2(F.sum(p ** 2)), round_to)
+                  .alias("h2")))
