@@ -6792,6 +6792,39 @@ def q_markov_entropy(spark, sf_dir):
         e, "event_type", ["ts", "event_id"], by="user_id")
 
 
+def q_chao_shen_langs(spark, sf_dir):
+    """Coverage-adjusted Shannon entropy per lang
+    (text.chao_shen_entropy; Chao & Shen 2003): Good-Turing coverage
+    from singletons, shrunk probabilities, Horvitz-Thompson detection
+    weights — the undersampling-honest entropy next to renyi_langs'
+    MLE H₁. Ordered by group; the twin re-derives coverage and both
+    entropies from the same token counts."""
+    d = _read(spark, sf_dir, "documents")
+    return text.chao_shen_entropy(d, by="lang").orderBy("group")
+
+
+def q_rolling_reach_users(spark, sf_dir):
+    """Rolling DAU/WAU reach (tablechecks.rolling_reach): per-day
+    distinct users, 7-day rolling distinct users, and the DAU/WAU
+    stickiness ratio — the churn-vs-rotation monitor plain counts
+    miss. Exact rolling distinct via the bounded range join (|days|
+    side tiny). Ordered by day."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.rolling_reach(e, "ts", "user_id")
+            .orderBy("day"))
+
+
+def q_daily_new_returning(spark, sf_dir):
+    """New-vs-returning user split per day
+    (tablechecks.new_vs_returning): first-seen day per user, then
+    the per-day active split and new-share — the intake-mix monitor
+    whose spike says the per-entity baselines need re-fitting. Two
+    aggregations; ordered by day."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.new_vs_returning(e, "ts", "user_id")
+            .orderBy("day"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7260,6 +7293,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "renyi_langs": q_renyi_langs,
         "jackknife_sources": q_jackknife_sources,
         "markov_entropy": q_markov_entropy,
+        # wave 68: Chao-Shen entropy, rolling reach, new/returning
+        "chao_shen_langs": q_chao_shen_langs,
+        "rolling_reach_users": q_rolling_reach_users,
+        "daily_new_returning": q_daily_new_returning,
     }
 
 
@@ -16968,5 +17005,78 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 - (SELECT h_rate FROM hr)
                               / (SELECT h_m FROM hm) END, 6)
                      AS predictability
+        """,
+        # twin of q_chao_shen_langs — same coverage shrinkage and
+        # detection weights
+        "chao_shen_langs": f"""
+            WITH words AS (
+              SELECT lang AS "group",
+                     unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL),
+            gw AS (SELECT "group", w, count(*)::BIGINT AS c
+                   FROM words WHERE w <> '' GROUP BY 1, 2),
+            tot AS (SELECT "group", sum(c) AS n,
+                           count(*) AS types,
+                           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS f1
+                    FROM gw GROUP BY 1)
+            SELECT gw."group",
+                   any_value(n)::BIGINT AS n_tokens,
+                   any_value(types)::BIGINT AS n_types,
+                   any_value(f1)::BIGINT AS f1,
+                   round(any_value(1 - f1 * 1.0 / n), 6)
+                     AS coverage,
+                   round(-sum((c * 1.0 / n)
+                              * log2(c * 1.0 / n)), 6) AS h_mle,
+                   round(-sum(CASE WHEN (1 - f1 * 1.0 / n)
+                                        * c / n > 0
+                              THEN ((1 - f1 * 1.0 / n) * c / n)
+                                   * log2((1 - f1 * 1.0 / n)
+                                          * c / n)
+                                   / (1 - pow(1 - (1 - f1 * 1.0 / n)
+                                              * c / n, n))
+                              ELSE 0.0 END), 6) AS h_cs
+            FROM gw JOIN tot USING ("group")
+            GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_rolling_reach_users — same bounded range join
+        "rolling_reach_users": """
+            WITH du AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            dau AS (SELECT d AS day, count(DISTINCT u) AS dau
+                    FROM du GROUP BY 1),
+            days AS (SELECT DISTINCT d AS day FROM du),
+            wau AS (
+              SELECT days.day, count(DISTINCT du.u) AS wau
+              FROM days JOIN du
+                ON du.d <= days.day
+               AND du.d >= days.day - INTERVAL 6 DAY
+              GROUP BY 1)
+            SELECT day, dau::BIGINT AS dau, wau::BIGINT AS wau,
+                   round(dau * 1.0 / wau, 6) AS stickiness
+            FROM dau JOIN wau USING (day) ORDER BY day
+        """,
+        # twin of q_daily_new_returning — same first-seen split
+        "daily_new_returning": """
+            WITH du AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            fs AS (SELECT u, min(day) AS first_day
+                   FROM du GROUP BY 1)
+            SELECT day,
+                   count(DISTINCT u)::BIGINT AS n_active,
+                   count(DISTINCT CASE WHEN day = first_day
+                         THEN u END)::BIGINT AS n_new,
+                   count(DISTINCT CASE WHEN day <> first_day
+                         THEN u END)::BIGINT AS n_returning,
+                   round(count(DISTINCT CASE WHEN day = first_day
+                               THEN u END) * 1.0
+                         / count(DISTINCT u), 6) AS new_share
+            FROM du JOIN fs USING (u)
+            GROUP BY day ORDER BY day
         """,
     }

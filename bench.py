@@ -395,6 +395,8 @@ R4_NAMES = [
     "negbin_user_events", "cuped_users", "pareto_sources",
     # wave 67: Rényi spectrum, jackknife SE, Markov entropy rate
     "renyi_langs", "jackknife_sources", "markov_entropy",
+    # wave 68: Chao-Shen entropy, rolling reach, new/returning split
+    "chao_shen_langs", "rolling_reach_users", "daily_new_returning",
 ]
 
 

@@ -855,3 +855,37 @@ class TestRenyiProfile:
         out = tx.renyi_profile(df).collect()[0]
         assert out["h0"] >= out["h1"] >= out["h2"]
         assert out["h0"] == pytest.approx(2.0)  # 4 types
+
+
+class TestChaoShenEntropy:
+    def test_fully_covered_sample_close_to_mle(self, spark):
+        from zoi_spark import text as tx
+        # no singletons -> coverage 1, h_cs ~ h_mle (HT weights ~1)
+        df = spark.createDataFrame(
+            [(1, "a a b b c c " * 10, "s")],
+            "doc_id long, text string, lang string")
+        out = tx.chao_shen_entropy(df).collect()[0]
+        assert out["f1"] == 0 and out["coverage"] == 1.0
+        assert out["h_cs"] == pytest.approx(out["h_mle"], abs=1e-3)
+
+    def test_undersampled_corrects_upward(self, spark):
+        from zoi_spark import text as tx
+        # singletons present -> coverage < 1; CS estimate must not
+        # fall below the (downward-biased) MLE
+        df = spark.createDataFrame(
+            [(1, "a a a b c d e f", "s")],
+            "doc_id long, text string, lang string")
+        out = tx.chao_shen_entropy(df).collect()[0]
+        assert out["f1"] == 5
+        assert out["coverage"] == pytest.approx(1 - 5 / 8)
+        assert out["h_cs"] > out["h_mle"] - 1e-9
+
+    def test_all_singletons_guarded(self, spark):
+        from zoi_spark import text as tx
+        # coverage 0: every shrunk probability is 0 -> guarded to 0
+        df = spark.createDataFrame(
+            [(1, "a b c d", "s")],
+            "doc_id long, text string, lang string")
+        out = tx.chao_shen_entropy(df).collect()[0]
+        assert out["coverage"] == 0.0
+        assert out["h_cs"] == 0.0

@@ -4150,3 +4150,48 @@ class TestMarkovEntropyRate:
         assert out["n_states"] == 1
         assert out["h_rate"] == 0.0 and out["h_marginal"] == 0.0
         assert out["predictability"] is None  # 0/0 -> undefined
+
+
+class TestRollingReach:
+    def test_hand_windows(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        rows = [(datetime.datetime(2024, 1, 1, 9), 1),
+                (datetime.datetime(2024, 1, 1, 10), 2),
+                (datetime.datetime(2024, 1, 5, 9), 2),
+                (datetime.datetime(2024, 1, 9, 9), 3)]
+        df = spark.createDataFrame(rows, "ts timestamp, u long")
+        out = {r["day"].isoformat(): r for r in
+               tc.rolling_reach(df, "ts", "u").collect()}
+        assert out["2024-01-01"]["dau"] == 2
+        assert out["2024-01-01"]["wau"] == 2
+        # Jan 5 window [Dec 30, Jan 5] includes Jan 1 users
+        assert out["2024-01-05"]["dau"] == 1
+        assert out["2024-01-05"]["wau"] == 2
+        # Jan 9 window [Jan 3, Jan 9]: users {2 (Jan 5), 3}
+        assert out["2024-01-09"]["wau"] == 2
+
+    def test_stickiness_one_when_same_users_daily(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        rows = [(datetime.datetime(2024, 1, d, 9), u)
+                for d in range(1, 8) for u in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "ts timestamp, u long")
+        out = tc.rolling_reach(df, "ts", "u").collect()
+        assert all(r["stickiness"] == 1.0 for r in out)
+
+
+class TestNewVsReturning:
+    def test_first_day_classification(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        rows = [(datetime.datetime(2024, 1, 1, 9), 1),
+                (datetime.datetime(2024, 1, 2, 9), 1),
+                (datetime.datetime(2024, 1, 2, 9), 2)]
+        df = spark.createDataFrame(rows, "ts timestamp, u long")
+        out = {r["day"].isoformat(): r for r in
+               tc.new_vs_returning(df, "ts", "u").collect()}
+        d1, d2 = out["2024-01-01"], out["2024-01-02"]
+        assert (d1["n_new"], d1["n_returning"]) == (1, 0)
+        assert (d2["n_new"], d2["n_returning"]) == (1, 1)
+        assert d2["new_share"] == 0.5

@@ -5306,3 +5306,68 @@ def markov_entropy_rate(df: DataFrame, state_col: str,
         F.round(F.when(F.col("h_m") > 0,
                        1 - F.col("h_rate") / F.col("h_m")),
                 round_to).alias("predictability"))
+
+
+def rolling_reach(df: DataFrame, ts_col: str, id_col: str, *,
+                  window_days: int = 7,
+                  round_to: int = 6) -> DataFrame:
+    """Rolling distinct reach — DAU, WAU and the DAU/WAU stickiness
+    ratio per day: WAU(d) = |distinct ids active in [d−6, d]|. The
+    canonical engagement/intake-health triple; a stickiness drop
+    with stable DAU means the feed is churning through NEW entities
+    (bot swarm or id-rotation), invisible to plain counts.
+
+    Exact rolling DISTINCT does not decompose into a running sum, so
+    the window is a bounded range join: the distinct (day, id) frame
+    joined to the day list within *window_days* — cost |days|·|daily
+    ids|, with the day side tiny after the first aggregation.
+    Returns ``(day, dau, wau, stickiness)`` per day.
+    """
+    du = (df.where(F.col(ts_col).isNotNull()
+                   & F.col(id_col).isNotNull())
+          .select(F.to_date(ts_col).alias("d"),
+                  F.col(id_col).alias("u"))
+          .distinct())
+    dau = du.groupBy(F.col("d").alias("day")) \
+            .agg(F.countDistinct("u").alias("dau"))
+    days = du.select(F.col("d").alias("day")).distinct()
+    wau = (days.join(du, (F.col("d") <= F.col("day"))
+                     & (F.col("d") >= F.date_sub(
+                         F.col("day"), int(window_days) - 1)))
+           .groupBy("day").agg(F.countDistinct("u").alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"), round_to)
+                     .alias("stickiness")))
+
+
+def new_vs_returning(df: DataFrame, ts_col: str, id_col: str, *,
+                     round_to: int = 6) -> DataFrame:
+    """New-vs-returning split per day: an id is NEW on its first
+    active day (within the observed window) and RETURNING after —
+    the intake-mix monitor: a new-share spike is an acquisition
+    event or an id-rotation attack; either way the per-entity
+    baselines (negbin, rate caps) need re-fitting.
+
+    Two aggregations: first-seen day per id, then the per-day
+    distinct-active counts split on it. Returns ``(day, n_active,
+    n_new, n_returning, new_share)``.
+    """
+    du = (df.where(F.col(ts_col).isNotNull()
+                   & F.col(id_col).isNotNull())
+          .select(F.to_date(ts_col).alias("day"),
+                  F.col(id_col).alias("u"))
+          .distinct())
+    first = du.groupBy("u").agg(F.min("day").alias("first_day"))
+    j = du.join(F.broadcast(first), "u")
+    return (j.groupBy("day")
+            .agg(F.countDistinct("u").alias("n_active"),
+                 F.countDistinct(
+                     F.when(F.col("day") == F.col("first_day"),
+                            F.col("u"))).alias("n_new"),
+                 F.countDistinct(
+                     F.when(F.col("day") != F.col("first_day"),
+                            F.col("u"))).alias("n_returning"))
+            .withColumn("new_share",
+                        F.round(F.col("n_new") / F.col("n_active"),
+                                round_to)))

@@ -3412,3 +3412,53 @@ def renyi_profile(df: DataFrame, *, text_col: str = "text",
                  F.round(-F.sum(p * F.log2(p)), round_to).alias("h1"),
                  F.round(-F.log2(F.sum(p ** 2)), round_to)
                   .alias("h2")))
+
+
+def chao_shen_entropy(df: DataFrame, *, text_col: str = "text",
+                      by: str = "lang",
+                      round_to: int = 6) -> DataFrame:
+    """Coverage-adjusted Shannon entropy per group (Chao & Shen
+    2003): the MLE entropy of a sampled vocabulary is biased LOW
+    (unseen types carry no mass), so estimate sample coverage from
+    singletons (Good-Turing: C = 1 − f₁/n), shrink the empirical
+    probabilities to p̃ = C·p̂, and Horvitz-Thompson-weight each term
+    by its detection probability 1 − (1−p̃)ⁿ:
+
+        Ĥ_CS = −Σ p̃·log₂ p̃ / (1 − (1−p̃)ⁿ)
+
+    The gap Ĥ_CS − Ĥ_MLE widens exactly when the vocabulary is
+    undersampled — the honest comparison when sources have very
+    different sizes (the smaller source's raw entropy is unfairly
+    low). One (group, token) aggregation + per-group sums. Returns
+    ``(group, n_tokens, n_types, f1, coverage, h_mle, h_cs)``.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    words = (df.where(F.col(text_col).isNotNull()
+                      & F.col(by).isNotNull())
+             .select(F.col(by).alias("group"),
+                     F.explode(toks).alias("w"))
+             .where(F.col("w") != ""))
+    gw = words.groupBy("group", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = gw.groupBy("group").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"))
+    j = gw.join(F.broadcast(tot), "group")
+    cov = 1 - F.col("f1") / F.col("n")
+    pt = cov * F.col("c") / F.col("n")
+    detect = 1 - (1 - pt) ** F.col("n")
+    p = F.col("c") / F.col("n")
+    return (j.groupBy("group")
+            .agg(F.first("n").alias("n_tokens"),
+                 F.first("types").alias("n_types"),
+                 F.first("f1").alias("f1"),
+                 F.round(F.first(cov), round_to).alias("coverage"),
+                 F.round(-F.sum(p * F.log2(p)), round_to)
+                  .alias("h_mle"),
+                 # pt = 0 (coverage 0: every type a singleton) must
+                 # contribute 0, not log2(0) — engines disagree on
+                 # 0·(−inf) otherwise
+                 F.round(-F.sum(F.when(pt > 0,
+                                       pt * F.log2(pt) / detect)
+                                .otherwise(F.lit(0.0))), round_to)
+                  .alias("h_cs")))
