@@ -6825,6 +6825,44 @@ def q_daily_new_returning(spark, sf_dir):
             .orderBy("day"))
 
 
+def q_ljung_box_volume(spark, sf_dir):
+    """Ljung-Box portmanteau test (tablechecks.ljung_box; 1978) over
+    daily event volume, lags 1-7: per-lag autocorrelations and the
+    accumulated Q ~ χ²(m) — the multi-lag echo detector Durbin-
+    Watson's single lag misses. Ordered by lag; the twin re-derives
+    the same centered autocorrelations and running Q."""
+    return (tablechecks.ljung_box(
+        _daily_volume(spark, sf_dir), "volume", "day", max_lag=7)
+        .orderBy("lag"))
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture population estimate
+    (tablechecks.capture_recapture; Chapman 1951): two deterministic
+    observation passes over doc ids (doc_id%3==0 and doc_id%5∈{0,1}),
+    overlap → N̂ + SE — the crawl-completeness estimator, with the
+    observed union as the audit column. One aggregation; the twin
+    recomputes the same flags and closed forms."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.capture_recapture(
+        d, "doc_id",
+        in_a=F.pmod("doc_id", F.lit(3)) == 0,
+        in_b=F.pmod("doc_id", F.lit(5)).isin(0, 1))
+
+
+def q_shift_share_volume(spark, sf_dir):
+    """Shift-share decomposition (tablechecks.shift_share; Dunn
+    1960) of per-event-type value totals between the two halves of
+    the month: growth effect vs mix effect (Σ mix = 0) — the triage
+    that separates overall growth from quiet redistribution between
+    types. Ordered by segment."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.shift_share(
+        e, "value", by="event_type",
+        period=F.dayofmonth("ts") > 15)
+        .orderBy("segment"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7297,6 +7335,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "chao_shen_langs": q_chao_shen_langs,
         "rolling_reach_users": q_rolling_reach_users,
         "daily_new_returning": q_daily_new_returning,
+        # wave 69: Ljung-Box, capture-recapture, shift-share
+        "ljung_box_volume": q_ljung_box_volume,
+        "capture_recapture": q_capture_recapture,
+        "shift_share_volume": q_shift_share_volume,
     }
 
 
@@ -8574,6 +8616,36 @@ def _textrank_sql(iters: int) -> str:
             + f"""
             SELECT node AS word, round(rank, 8) AS rank
             FROM r{iters} ORDER BY rank DESC, word LIMIT 25""")
+
+
+def _ljung_box_sql(max_lag: int) -> str:
+    """DuckDB twin of q_ljung_box_volume: same daily series, one lag
+    branch per k, same accumulated Q over the unioned lag rows."""
+    branches = []
+    for k in range(1, max_lag + 1):
+        branches.append(f"""
+            SELECT {k} AS lag, sum(e * el) / sum(e * e) AS r
+            FROM (SELECT e, lag(e, {k}) OVER (ORDER BY t) AS el
+                  FROM c)""")
+    return ("""
+            WITH daily AS (
+              SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::DOUBLE
+                       AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            m AS (SELECT avg(x) AS mu, count(*)::DOUBLE AS n
+                  FROM daily),
+            c AS (SELECT t, x - (SELECT mu FROM m) AS e FROM daily),
+            acf AS ("""
+            + " UNION ALL ".join(branches)
+            + """)
+            SELECT lag, round(r, 6) AS r,
+                   round((SELECT n FROM m) * ((SELECT n FROM m) + 2)
+                         * sum(r * r / ((SELECT n FROM m) - lag))
+                           OVER (ORDER BY lag
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW), 6) AS q_cum
+            FROM acf ORDER BY lag""")
 
 
 def _xcorr_sql(max_lag: int) -> str:
@@ -17078,5 +17150,51 @@ def oracle_sql() -> dict[str, str]:
                          / count(DISTINCT u), 6) AS new_share
             FROM du JOIN fs USING (u)
             GROUP BY day ORDER BY day
+        """,
+        # twin of q_ljung_box_volume — generated per-lag branches
+        "ljung_box_volume": _ljung_box_sql(max_lag=7),
+        # twin of q_capture_recapture — same membership flags,
+        # Chapman estimator and SE
+        "capture_recapture": """
+            WITH base AS (
+              SELECT doc_id,
+                     max(CASE WHEN doc_id % 3 = 0
+                         THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN doc_id % 5 IN (0, 1)
+                         THEN 1 ELSE 0 END) AS b
+              FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+            g AS (
+              SELECT sum(CASE WHEN a = 1 OR b = 1
+                         THEN 1 ELSE 0 END)::DOUBLE AS u,
+                     sum(a)::DOUBLE AS n1, sum(b)::DOUBLE AS n2,
+                     sum(CASE WHEN a = 1 AND b = 1
+                         THEN 1 ELSE 0 END)::DOUBLE AS m
+              FROM base)
+            SELECT u::BIGINT AS n_universe, n1::BIGINT AS n_a,
+                   n2::BIGINT AS n_b, m::BIGINT AS n_both,
+                   round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6)
+                     AS n_hat,
+                   round(sqrt((n1 + 1) * (n2 + 1) * (n1 - m)
+                              * (n2 - m)
+                              / (pow(m + 1, 2) * (m + 2))), 6)
+                     AS se
+            FROM g
+        """,
+        # twin of q_shift_share_volume — same period split, same
+        # growth/mix decomposition
+        "shift_share_volume": """
+            WITH g AS (
+              SELECT event_type AS segment,
+                     sum(CASE WHEN NOT (extract(day FROM ts) > 15)
+                         THEN value ELSE 0 END) AS v0,
+                     sum(CASE WHEN extract(day FROM ts) > 15
+                         THEN value ELSE 0 END) AS v1
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+            t AS (SELECT sum(v0) AS t0, sum(v1) AS t1 FROM g)
+            SELECT segment, round(v0, 6) AS v0, round(v1, 6) AS v1,
+                   round(v1 - v0, 6) AS delta,
+                   round(v0 * (t1 / t0 - 1), 6) AS growth_effect,
+                   round(v1 - v0 * (t1 / t0), 6) AS mix_effect
+            FROM g, t ORDER BY segment
         """,
     }

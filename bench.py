@@ -397,6 +397,8 @@ R4_NAMES = [
     "renyi_langs", "jackknife_sources", "markov_entropy",
     # wave 68: Chao-Shen entropy, rolling reach, new/returning split
     "chao_shen_langs", "rolling_reach_users", "daily_new_returning",
+    # wave 69: Ljung-Box, capture-recapture, shift-share
+    "ljung_box_volume", "capture_recapture", "shift_share_volume",
 ]
 
 

@@ -4195,3 +4195,71 @@ class TestNewVsReturning:
         assert (d1["n_new"], d1["n_returning"]) == (1, 0)
         assert (d2["n_new"], d2["n_returning"]) == (1, 1)
         assert d2["new_share"] == 0.5
+
+
+class TestLjungBox:
+    def test_strong_lag_echo_dominates_q(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        vals = [(t, 10 + 5 * math.cos(2 * math.pi * t / 4))
+                for t in range(40)]
+        df = spark.createDataFrame(vals, "t long, x double")
+        rows = {r["lag"]: r for r in
+                tc.ljung_box(df, "x", "t", max_lag=4).collect()}
+        # period-4 cosine: r(4) ~ +1, r(2) ~ -1
+        assert rows[4]["r"] > 0.8 and rows[2]["r"] < -0.8
+        assert rows[4]["q_cum"] > 50
+
+    def test_q_cum_monotone(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [(t, float((t * 7919) % 13)) for t in range(30)]
+        df = spark.createDataFrame(vals, "t long, x double")
+        rows = tc.ljung_box(df, "x", "t", max_lag=5) \
+            .orderBy("lag").collect()
+        qs = [r["q_cum"] for r in rows]
+        assert qs == sorted(qs)
+
+
+class TestCaptureRecapture:
+    def test_independent_passes_recover_n(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        # universe 0..999; A = 50% (even), B = 20% (id%5==0) —
+        # B ⊂ evens? no: id%5==0 includes odds (5,15..). Overlap =
+        # ids divisible by 10 -> m=100, n1=500, n2=200
+        df = spark.createDataFrame([(i,) for i in range(1000)],
+                                   "id long")
+        out = tc.capture_recapture(
+            df, "id", in_a=F.col("id") % 2 == 0,
+            in_b=F.col("id") % 5 == 0).collect()[0]
+        assert (out["n_a"], out["n_b"], out["n_both"]) \
+            == (500, 200, 100)
+        # Chapman: 501*201/101 - 1 = 996.06...
+        assert out["n_hat"] == pytest.approx(501 * 201 / 101 - 1,
+                                             abs=1e-4)
+
+    def test_duplicate_observations_collapse(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(1,), (1,), (2,)], "id long")
+        out = tc.capture_recapture(
+            df, "id", in_a=F.lit(True), in_b=F.lit(True)) \
+            .collect()[0]
+        assert out["n_universe"] == 2 and out["n_both"] == 2
+
+
+class TestShiftShare:
+    def test_mix_effects_sum_to_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        rows = [("a", 10.0, False), ("a", 30.0, True),
+                ("b", 20.0, False), ("b", 15.0, True)]
+        df = spark.createDataFrame(rows, "g string, v double, p boolean")
+        out = tc.shift_share(df, "v", by="g",
+                             period=F.col("p")).collect()
+        assert sum(r["mix_effect"] for r in out) == pytest.approx(
+            0.0, abs=1e-6)
+        # totals: 30 -> 45, ratio 1.5; a: growth 5, mix 30-15=15
+        ra = next(r for r in out if r["segment"] == "a")
+        assert ra["growth_effect"] == pytest.approx(5.0)
+        assert ra["mix_effect"] == pytest.approx(15.0)

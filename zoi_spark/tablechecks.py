@@ -5371,3 +5371,134 @@ def new_vs_returning(df: DataFrame, ts_col: str, id_col: str, *,
             .withColumn("new_share",
                         F.round(F.col("n_new") / F.col("n_active"),
                                 round_to)))
+
+
+def ljung_box(df: DataFrame, value_col: str, order_col: str, *,
+              max_lag: int = 7, round_to: int = 6) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test (Ljung & Box 1978)
+    over the series ordered by *order_col*: per lag k the sample
+    autocorrelation r_k of the mean-centered series, and the
+    accumulated statistic
+
+        Q(m) = n(n+2) · Σ_{k≤m} r_k² / (n−k)   ~  χ²(m) under iid
+
+    — the MULTI-lag complement to Durbin-Watson (which sees only lag
+    1): weekly echo at lag 7 shows up here while DW stays near 2.
+    Compare the last row's q_cum against the χ²(max_lag) quantile.
+
+    Tiny-series contract. One centering pass, one lag window per k
+    over the series rows. Returns per-lag rows ``(lag, r, q_cum)``.
+    """
+    s = df.select(F.col(order_col).alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    m = s.agg(F.avg("x").alias("mu"),
+              F.count(F.lit(1)).cast("double").alias("n"))
+    c = (s.crossJoin(F.broadcast(m))
+         .select("t", (F.col("x") - F.col("mu")).alias("e"), "n"))
+    w = Window.orderBy("t")
+    outs = []
+    for k in range(1, int(max_lag) + 1):
+        pair = c.select("e", F.lag("e", k).over(w).alias("el"), "n")
+        outs.append(pair.agg(
+            F.lit(k).alias("lag"),
+            (F.sum(F.col("e") * F.col("el"))
+             / F.sum(F.col("e") ** 2)).alias("r"),
+            F.first("n").alias("n")))
+    acf = outs[0]
+    for o in outs[1:]:
+        acf = acf.unionAll(o)
+    wq = (Window.orderBy("lag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    term = F.col("r") ** 2 / (F.col("n") - F.col("lag"))
+    return acf.select(
+        "lag",
+        F.round("r", round_to).alias("r"),
+        F.round(F.col("n") * (F.col("n") + 2)
+                * F.sum(term).over(wq), round_to).alias("q_cum"))
+
+
+def capture_recapture(df: DataFrame, id_col: str, *,
+                      in_a: Column, in_b: Column,
+                      round_to: int = 6) -> DataFrame:
+    """Chapman-corrected Lincoln-Petersen capture-recapture estimate
+    (Chapman 1951) of a population's true size from two overlapping
+    observation passes — the crawl-completeness question: if crawl A
+    saw n₁ urls, crawl B saw n₂, and m appeared in both,
+
+        N̂  = (n₁+1)(n₂+1)/(m+1) − 1
+        SE² = (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))
+
+    Validity rests on the passes sampling independently — ids must
+    not coordinate between passes. ONE aggregation over distinct ids
+    with two membership flags. Returns ``(n_universe, n_a, n_b,
+    n_both, n_hat, se)`` — n_universe (the observed union) is the
+    audit column the estimate should bracket at small scale.
+    """
+    base = (df.select(F.col(id_col).alias("i"),
+                      in_a.alias("a"), in_b.alias("b"))
+            .where(F.col("i").isNotNull())
+            .groupBy("i")
+            .agg(F.max("a").alias("a"), F.max("b").alias("b")))
+    agg = base.agg(
+        F.sum(F.when(F.col("a") | F.col("b"), 1).otherwise(0))
+         .cast("double").alias("u"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0))
+         .cast("double").alias("n1"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0))
+         .cast("double").alias("n2"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+         .cast("double").alias("m"))
+    nhat = ((F.col("n1") + 1) * (F.col("n2") + 1)
+            / (F.col("m") + 1) - 1)
+    se = F.sqrt((F.col("n1") + 1) * (F.col("n2") + 1)
+                * (F.col("n1") - F.col("m"))
+                * (F.col("n2") - F.col("m"))
+                / ((F.col("m") + 1) ** 2 * (F.col("m") + 2)))
+    return agg.select(
+        F.col("u").cast("long").alias("n_universe"),
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.col("m").cast("long").alias("n_both"),
+        F.round(nhat, round_to).alias("n_hat"),
+        F.round(se, round_to).alias("se"))
+
+
+def shift_share(df: DataFrame, value_col: str, *, by: str,
+                period: Column, round_to: int = 6) -> DataFrame:
+    """Shift-share decomposition of a volume change between two
+    periods (the regional-economics standard, Dunn 1960, applied to
+    feed monitoring): with segment totals v₀/v₁ and grand totals
+    T₀/T₁, each segment's change splits into
+
+        growth effect = v₀·(T₁/T₀ − 1)     (its share of overall)
+        mix effect    = v₁ − v₀·(T₁/T₀)    (segment-specific shift)
+
+    Σ mix = 0 by construction — a nonzero mix is REDISTRIBUTION, not
+    growth, which is exactly the triage question when total volume
+    looks flat but one event type quietly ate another.
+
+    *period* is a boolean Column (False → period 0, True → 1). ONE
+    aggregation to per-segment (v0, v1). Returns ``(segment, v0, v1,
+    delta, growth_effect, mix_effect)``.
+    """
+    g = (df.where(F.col(by).isNotNull())
+         .groupBy(F.col(by).alias("segment"))
+         .agg(F.sum(F.when(~period,
+                           F.col(value_col).cast("double"))
+                    .otherwise(0.0)).alias("v0"),
+              F.sum(F.when(period,
+                           F.col(value_col).cast("double"))
+                    .otherwise(0.0)).alias("v1")))
+    tot = g.agg(F.sum("v0").alias("t0"), F.sum("v1").alias("t1"))
+    j = g.crossJoin(F.broadcast(tot))
+    ratio = F.col("t1") / F.col("t0")
+    return j.select(
+        "segment",
+        F.round("v0", round_to).alias("v0"),
+        F.round("v1", round_to).alias("v1"),
+        F.round(F.col("v1") - F.col("v0"), round_to).alias("delta"),
+        F.round(F.col("v0") * (ratio - 1), round_to)
+         .alias("growth_effect"),
+        F.round(F.col("v1") - F.col("v0") * ratio, round_to)
+         .alias("mix_effect"))
