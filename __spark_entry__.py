@@ -6863,6 +6863,54 @@ def q_shift_share_volume(spark, sf_dir):
         .orderBy("segment"))
 
 
+def q_record_days(spark, sf_dir):
+    """Record-count anomaly check (tablechecks.record_days; records
+    theory, Rényi 1962): running-maximum count vs the harmonic-number
+    expectation — the distribution-free trend detector (a cumulative
+    column leaked into a rate field beats H_n immediately). One
+    window pass over the daily series."""
+    return tablechecks.record_days(
+        _daily_volume(spark, sf_dir), "volume", "day")
+
+
+def q_c_chart_volume(spark, sf_dir):
+    """Shewhart c-chart (tablechecks.c_chart; SPC standard) on daily
+    event volume: center from the FIXED first-two-weeks baseline,
+    Poisson ±3√c̄ limits, per-day out-of-control flags — the
+    non-adaptive complement to Page-Hinkley (slow drift cannot
+    recalibrate a frozen baseline away). Ordered by day."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("volume")))
+    return (tablechecks.c_chart(
+        daily, "volume", "day",
+        baseline=F.col("day") <= F.lit("2024-01-14").cast("date"))
+        .orderBy("order"))
+
+
+def q_pct_encoding_audit(spark, sf_dir):
+    """Percent-encoding validity census (urls.pct_encoding_audit;
+    RFC 3986): valid %XX escapes, strictly-illegal escapes and
+    %25XX double-encodings per url — the serialization-bug and
+    dedup-breaking-alias detector. Seeded url corpus exercising all
+    four cases (valid / double / invalid / multi-escape); pure
+    regexp_count projection. Ordered by url."""
+    from zoi_spark import urls
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    m = F.pmod("doc_id", F.lit(5))
+    seg = (F.when(m == 0, F.lit("%20ok"))
+           .when(m == 1, F.lit("%2541"))
+           .when(m == 2, F.lit("%zz"))
+           .when(m == 3, F.lit("%e9%a1"))
+           .otherwise(F.lit("plain")))
+    seeded = d.select(F.concat(
+        F.lit("http://h.example/p/"),
+        F.col("doc_id").cast("string"), F.lit("/"), seg)
+        .alias("url"))
+    return urls.pct_encoding_audit(seeded).orderBy("url")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7339,6 +7387,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ljung_box_volume": q_ljung_box_volume,
         "capture_recapture": q_capture_recapture,
         "shift_share_volume": q_shift_share_volume,
+        # wave 70: record days, c-chart, percent-encoding audit
+        "record_days": q_record_days,
+        "c_chart_volume": q_c_chart_volume,
+        "pct_encoding_audit": q_pct_encoding_audit,
     }
 
 
@@ -17196,5 +17248,77 @@ def oracle_sql() -> dict[str, str]:
                    round(v0 * (t1 / t0 - 1), 6) AS growth_effect,
                    round(v1 - v0 * (t1 / t0), 6) AS mix_effect
             FROM g, t ORDER BY segment
+        """,
+        # twin of q_record_days — same running-max flags and
+        # harmonic expectation
+        "record_days": """
+            WITH daily AS (
+              SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::DOUBLE
+                       AS t,
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            b AS (
+              SELECT CASE WHEN max(x) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                          OR x > max(x) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS rec,
+                     1.0 / row_number() OVER (ORDER BY t) AS inv_k
+              FROM daily)
+            SELECT count(*)::BIGINT AS n,
+                   sum(rec)::BIGINT AS n_records,
+                   round(sum(inv_k), 6) AS expected_records,
+                   round(sum(rec) - sum(inv_k), 6) AS excess
+            FROM b
+        """,
+        # twin of q_c_chart_volume — same frozen baseline and
+        # Poisson limits
+        "c_chart_volume": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS "order",
+                     count(*)::DOUBLE AS x
+              FROM events GROUP BY 1),
+            b AS (SELECT avg(x) AS c FROM daily
+                  WHERE "order" <= DATE '2024-01-14')
+            SELECT "order", round(x, 6) AS x,
+                   round((SELECT c FROM b), 6) AS center,
+                   round((SELECT c FROM b)
+                         + 3 * sqrt((SELECT c FROM b)), 6) AS ucl,
+                   round(greatest(0.0, (SELECT c FROM b)
+                         - 3 * sqrt((SELECT c FROM b))), 6) AS lcl,
+                   (x > (SELECT c FROM b)
+                        + 3 * sqrt((SELECT c FROM b))
+                    OR x < greatest(0.0, (SELECT c FROM b)
+                           - 3 * sqrt((SELECT c FROM b))))
+                     AS out_of_control
+            FROM daily ORDER BY "order"
+        """,
+        # twin of q_pct_encoding_audit — same seeded urls, same
+        # escape regexes
+        "pct_encoding_audit": """
+            WITH seeded AS (
+              SELECT 'http://h.example/p/' || doc_id::VARCHAR
+                     || '/' ||
+                     CASE doc_id % 5
+                       WHEN 0 THEN '%20ok'
+                       WHEN 1 THEN '%2541'
+                       WHEN 2 THEN '%zz'
+                       WHEN 3 THEN '%e9%a1'
+                       ELSE 'plain' END AS url
+              FROM documents)
+            SELECT url,
+                   len(regexp_extract_all(url,
+                       '%[0-9A-Fa-f]{2}'))::INT AS n_valid_escapes,
+                   (len(regexp_extract_all(url, '%'))
+                    - len(regexp_extract_all(url,
+                          '%[0-9A-Fa-f]{2}')))::INT
+                     AS n_invalid_escapes,
+                   len(regexp_extract_all(url,
+                       '%25[0-9A-Fa-f]{2}'))::INT
+                     AS n_double_encoded
+            FROM seeded WHERE contains(url, '%')
+            ORDER BY url
         """,
     }

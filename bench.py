@@ -399,6 +399,8 @@ R4_NAMES = [
     "chao_shen_langs", "rolling_reach_users", "daily_new_returning",
     # wave 69: Ljung-Box, capture-recapture, shift-share
     "ljung_box_volume", "capture_recapture", "shift_share_volume",
+    # wave 70: record days, c-chart, percent-encoding audit
+    "record_days", "c_chart_volume", "pct_encoding_audit",
 ]
 
 

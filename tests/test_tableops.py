@@ -4263,3 +4263,57 @@ class TestShiftShare:
         ra = next(r for r in out if r["segment"] == "a")
         assert ra["growth_effect"] == pytest.approx(5.0)
         assert ra["mix_effect"] == pytest.approx(15.0)
+
+
+class TestRecordDays:
+    def test_strictly_increasing_all_records(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(t, float(t)) for t in range(10)],
+                                   "t long, x double")
+        out = tc.record_days(df, "x", "t").collect()[0]
+        assert out["n_records"] == 10
+        # H_10 = 2.928968
+        assert out["expected_records"] == pytest.approx(2.928968,
+                                                        abs=1e-5)
+        assert out["excess"] == pytest.approx(10 - 2.928968,
+                                              abs=1e-5)
+
+    def test_decreasing_single_record(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(t, float(10 - t)) for t in range(10)], "t long, x double")
+        out = tc.record_days(df, "x", "t").collect()[0]
+        assert out["n_records"] == 1
+
+    def test_ties_are_not_records(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(0, 5.0), (1, 5.0), (2, 5.0)],
+                                   "t long, x double")
+        out = tc.record_days(df, "x", "t").collect()[0]
+        assert out["n_records"] == 1
+
+
+class TestCChart:
+    def test_limits_and_flags(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        import math
+        rows = [(t, 100.0) for t in range(10)] + [(10, 200.0)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = {r["order"]: r for r in
+               tc.c_chart(df, "x", "t",
+                          baseline=F.col("t") < 10).collect()}
+        assert out[0]["center"] == 100.0
+        assert out[0]["ucl"] == pytest.approx(100 + 30.0)
+        assert out[0]["lcl"] == pytest.approx(100 - 30.0)
+        assert not out[0]["out_of_control"]
+        assert out[10]["out_of_control"]
+
+    def test_lcl_floored_at_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(t, 2.0) for t in range(5)],
+                                   "t long, x double")
+        out = tc.c_chart(df, "x", "t",
+                         baseline=F.lit(True)).collect()[0]
+        assert out["lcl"] == 0.0  # 2 - 3*sqrt(2) < 0 -> floored

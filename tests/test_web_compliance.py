@@ -190,3 +190,32 @@ class TestBadwordRate:
             tx.badword_rate(df, ["a.b"])
         with _pt.raises(ValueError):
             tx.badword_rate(df, [])
+
+
+class TestPctEncodingAudit:
+    def test_escape_classes(self, spark):
+        from zoi_spark import urls
+        rows = [(1, "http://a/x%20y"),        # one valid
+                (2, "http://a/%2541"),        # valid AND double
+                (3, "http://a/%zz"),          # invalid
+                (4, "http://a/%e9%a1"),       # two valid
+                (5, "http://a/plain")]        # no '%' -> excluded
+        df = spark.createDataFrame(rows, "i long, url string")
+        out = {r["url"]: r for r in
+               urls.pct_encoding_audit(df).collect()}
+        assert len(out) == 4
+        assert out["http://a/x%20y"]["n_valid_escapes"] == 1
+        r2 = out["http://a/%2541"]
+        assert (r2["n_valid_escapes"], r2["n_double_encoded"]) \
+            == (1, 1)
+        r3 = out["http://a/%zz"]
+        assert (r3["n_valid_escapes"], r3["n_invalid_escapes"]) \
+            == (0, 1)
+        assert out["http://a/%e9%a1"]["n_valid_escapes"] == 2
+
+    def test_trailing_truncated_escape_invalid(self, spark):
+        from zoi_spark import urls
+        df = spark.createDataFrame([(1, "http://a/%2")],
+                                   "i long, url string")
+        r = urls.pct_encoding_audit(df).collect()[0]
+        assert r["n_invalid_escapes"] == 1

@@ -5502,3 +5502,69 @@ def shift_share(df: DataFrame, value_col: str, *, by: str,
          .alias("growth_effect"),
         F.round(F.col("v1") - F.col("v0") * ratio, round_to)
          .alias("mix_effect"))
+
+
+def record_days(df: DataFrame, value_col: str, order_col: str, *,
+                round_to: int = 6) -> DataFrame:
+    """Record-count anomaly check (classical records theory, Rényi
+    1962): in an iid series the k-th observation is a running
+    maximum with probability 1/k, so the expected number of records
+    is the harmonic number H_n ≈ ln n + γ. A record count well above
+    H_n means the series TRENDS (each step beats the last — a
+    runaway counter, a cumulative column leaked into a rate field);
+    well below, the early values are implausibly large (backfill
+    contamination). Distribution-free: no variance estimate to tune.
+
+    Tiny-series contract. One running-max window + one row-number
+    sum for H_n. Returns ``(n, n_records, expected_records,
+    excess)``.
+    """
+    s = df.select(F.col(order_col).alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    w = (Window.orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    rn = Window.orderBy("t")
+    base = s.select(
+        F.when(F.max("x").over(w).isNull()
+               | (F.col("x") > F.max("x").over(w)), 1)
+         .otherwise(0).alias("rec"),
+        (1.0 / F.row_number().over(rn)).alias("inv_k"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rec").cast("long").alias("n_records"),
+        F.round(F.sum("inv_k"), round_to).alias("expected_records"),
+        F.round(F.sum("rec") - F.sum("inv_k"), round_to)
+         .alias("excess"))
+
+
+def c_chart(df: DataFrame, value_col: str, order_col: str, *,
+            baseline: Column, round_to: int = 6) -> DataFrame:
+    """Shewhart c-chart for count data (the SPC standard, Shewhart
+    1931; counts assumed Poisson so σ = √c̄): center line c̄ = mean
+    of the *baseline* points, control limits c̄ ± 3√c̄ (LCL floored
+    at 0), every point flagged against them. The FIXED-baseline
+    member of the monitoring family: Page-Hinkley self-references
+    and adapts; a c-chart holds the commissioning window constant so
+    slow drift cannot recalibrate itself away.
+
+    Tiny-series contract. One baseline aggregation broadcast into
+    the per-point projection. Returns ``(order, x, center, ucl,
+    lcl, out_of_control)`` per point.
+    """
+    s = df.select(F.col(order_col).alias("order"),
+                  F.col(value_col).cast("double").alias("x"),
+                  baseline.alias("is_base")) \
+          .where(F.col("order").isNotNull() & F.col("x").isNotNull())
+    base = s.where(F.col("is_base")).agg(F.avg("x").alias("c"))
+    j = s.crossJoin(F.broadcast(base))
+    ucl = F.col("c") + 3 * F.sqrt(F.col("c"))
+    lcl = F.greatest(F.lit(0.0), F.col("c") - 3 * F.sqrt(F.col("c")))
+    return j.select(
+        "order",
+        F.round("x", round_to).alias("x"),
+        F.round("c", round_to).alias("center"),
+        F.round(ucl, round_to).alias("ucl"),
+        F.round(lcl, round_to).alias("lcl"),
+        ((F.col("x") > ucl) | (F.col("x") < lcl))
+        .alias("out_of_control"))

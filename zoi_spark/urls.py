@@ -1106,3 +1106,30 @@ def frontier_priority(edges: DataFrame, quality: DataFrame, *,
             .groupBy("dst")
             .agg(F.count("*").cast("long").alias("n_parents"),
                  F.round(F.sum("__m"), round_to).alias("priority")))
+
+
+def pct_encoding_audit(df: DataFrame, *, url_col: str = "url"
+                       ) -> DataFrame:
+    """Percent-encoding validity census per url — the RFC 3986
+    escapes web intakes actually get wrong: counts of valid escapes
+    (% followed by two hex digits), INVALID escapes (% followed by
+    anything else — strictly illegal, a serialization bug upstream),
+    and double-encodings (%25 followed by two hex digits — a url
+    encoded twice, the classic proxy/redirect-chain artifact that
+    breaks dedup because the same resource spells differently).
+
+    Pure regexp_count projections — one codegen stage, no shuffle
+    before the caller's aggregation. Returns ``(url, n_valid_escapes,
+    n_invalid_escapes, n_double_encoded)`` for urls containing '%'.
+    """
+    u = F.col(url_col)
+    return (df.where(u.isNotNull() & u.contains("%"))
+            .select(
+                u.alias("url"),
+                F.regexp_count(u, F.lit(r"%[0-9A-Fa-f]{2}"))
+                 .alias("n_valid_escapes"),
+                (F.regexp_count(u, F.lit("%"))
+                 - F.regexp_count(u, F.lit(r"%[0-9A-Fa-f]{2}")))
+                 .alias("n_invalid_escapes"),
+                F.regexp_count(u, F.lit(r"%25[0-9A-Fa-f]{2}"))
+                 .alias("n_double_encoded")))
