@@ -6911,6 +6911,58 @@ def q_pct_encoding_audit(spark, sf_dir):
     return urls.pct_encoding_audit(seeded).orderBy("url")
 
 
+def q_html_entity_audit(spark, sf_dir):
+    """HTML-entity residue census per lang (text.html_entity_audit):
+    named entities, numeric/hex references and bare ampersands — the
+    double-escape / under-decode detector whose spike means a group's
+    fingerprints diverged from their decoded twins. Deterministic
+    fixture: docs cycle through &amp; / &#65; / bare-& / &#x1F600;
+    suffixes so every counter is exercised. Ordered by group."""
+    d = _read(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(6))
+    ent = (F.when(m == 0, F.lit(" &amp; ok"))
+           .when(m == 1, F.lit(" &#65; num"))
+           .when(m == 2, F.lit(" a & b"))
+           .when(m == 3, F.lit(" &#x1F600; hex"))
+           .otherwise(F.lit("")))
+    inj = d.withColumn("t2", F.concat("text", ent))
+    return (text.html_entity_audit(inj, text_col="t2", by="lang")
+            .orderBy("group"))
+
+
+def q_control_char_audit(spark, sf_dir):
+    """Control/invisible-codepoint census per lang
+    (text.control_char_audit): CRLF vs bare-CR, C0 controls, BOM,
+    NBSP, zero-width space — the bytes that survive sloppy
+    extraction and break whitespace tokenizers. Deterministic
+    fixture injects CRLF, bare CR + BEL, and NBSP+ZWSP suffixes.
+    Ordered by group."""
+    d = _read(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(6))
+    cc = (F.when(m == 0, F.lit("\r\nline"))
+          .when(m == 1, F.lit("\rbare\x07bell"))
+          .when(m == 2, F.lit(" nb zw​"))
+          .otherwise(F.lit("")))
+    inj = d.withColumn("t2", F.concat("text", cc))
+    return (text.control_char_audit(inj, text_col="t2", by="lang")
+            .orderBy("group"))
+
+
+def q_truncation_audit(spark, sf_dir):
+    """Truncation detector per source (text.truncation_audit):
+    mid-sentence-ending share + modal-length ceiling spike — every
+    9th doc is cut to exactly 120 chars so the fixture plants the
+    VARCHAR-ceiling signature the audit must find (modal_len 120).
+    Ordered by group."""
+    d = _read(spark, sf_dir, "documents")
+    tr = d.withColumn(
+        "t2", F.when(F.pmod("doc_id", F.lit(9)) == 0,
+                     F.substring("text", 1, 120))
+              .otherwise(F.col("text")))
+    return (text.truncation_audit(tr, text_col="t2", by="source")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7391,6 +7443,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "record_days": q_record_days,
         "c_chart_volume": q_c_chart_volume,
         "pct_encoding_audit": q_pct_encoding_audit,
+        # wave 71: entity residue, control chars, truncation
+        "html_entity_audit": q_html_entity_audit,
+        "control_char_audit": q_control_char_audit,
+        "truncation_audit": q_truncation_audit,
     }
 
 
@@ -17320,5 +17376,107 @@ def oracle_sql() -> dict[str, str]:
                      AS n_double_encoded
             FROM seeded WHERE contains(url, '%')
             ORDER BY url
+        """,
+        # twin of q_html_entity_audit — same injected suffixes,
+        # same entity regexes
+        "html_entity_audit": """
+            WITH inj AS (
+              SELECT lang,
+                     text || CASE doc_id % 6
+                       WHEN 0 THEN ' &amp; ok'
+                       WHEN 1 THEN ' &#65; num'
+                       WHEN 2 THEN ' a & b'
+                       WHEN 3 THEN ' &#x1F600; hex'
+                       ELSE '' END AS t
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL)
+            SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(t,
+                       '&[a-zA-Z][a-zA-Z0-9]{1,31};')))::BIGINT
+                     AS n_named,
+                   sum(len(regexp_extract_all(t,
+                       '&#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});')))
+                     ::BIGINT AS n_numeric,
+                   sum(len(regexp_extract_all(t, '&'))
+                       - len(regexp_extract_all(t,
+                           '&[a-zA-Z][a-zA-Z0-9]{1,31};'))
+                       - len(regexp_extract_all(t,
+                           '&#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});'
+                         )))::BIGINT AS n_bare_amp,
+                   sum(CASE WHEN len(regexp_extract_all(t,
+                         '&[a-zA-Z][a-zA-Z0-9]{1,31};'))
+                         + len(regexp_extract_all(t,
+                         '&#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});'))
+                         > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS docs_with_entities
+            FROM inj GROUP BY 1 ORDER BY "group"
+        """,
+        # twin of q_control_char_audit — same injected bytes (via
+        # escape-string literals), same codepoint classes
+        "control_char_audit": """
+            WITH inj AS (
+              SELECT lang,
+                     text || CASE doc_id % 6
+                       WHEN 0 THEN E'\\r\\nline'
+                       WHEN 1 THEN E'\\rbare\\x07bell'
+                       WHEN 2 THEN ' nb' || chr(160) || 'zw'
+                                   || chr(8203)
+                       ELSE '' END AS t
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL)
+            SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(t, E'\\r\\n')))
+                     ::BIGINT AS n_crlf,
+                   sum(len(regexp_extract_all(t, E'\\r'))
+                       - len(regexp_extract_all(t, E'\\r\\n')))
+                     ::BIGINT AS n_bare_cr,
+                   sum(len(regexp_extract_all(t,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')))
+                     ::BIGINT AS n_ctrl,
+                   sum(len(regexp_extract_all(t, chr(65279))))
+                     ::BIGINT AS n_bom,
+                   sum(len(regexp_extract_all(t, chr(160))))
+                     ::BIGINT AS n_nbsp,
+                   sum(len(regexp_extract_all(t, chr(8203))))
+                     ::BIGINT AS n_zwsp
+            FROM inj GROUP BY 1 ORDER BY "group"
+        """,
+        # twin of q_truncation_audit — same 120-char cut, same
+        # terminal-punct class, same modal tie-break (count desc,
+        # length asc)
+        "truncation_audit": """
+            WITH tr AS (
+              SELECT source,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN substr(text, 1, 120)
+                          ELSE text END AS t
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL),
+            base AS (
+              SELECT source AS "group", length(trim(t)) AS ln,
+                     CASE WHEN NOT regexp_matches(trim(t),
+                          '[.!?"''”)]$') THEN 1 ELSE 0 END
+                       AS no_term
+              FROM tr),
+            lens AS (SELECT "group", ln, count(*) AS lc
+                     FROM base GROUP BY 1, 2),
+            modal AS (
+              SELECT "group", ln AS modal_len, lc AS modal_count
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY "group"
+                      ORDER BY lc DESC, ln ASC) AS rn
+                    FROM lens)
+              WHERE rn = 1),
+            g AS (SELECT "group", count(*)::BIGINT AS n_docs,
+                         sum(no_term) AS nt
+                  FROM base GROUP BY 1)
+            SELECT g."group", n_docs,
+                   round(nt * 1.0 / n_docs, 6)
+                     AS no_terminal_share,
+                   modal_len::BIGINT AS modal_len,
+                   round(modal_count * 1.0 / n_docs, 6)
+                     AS modal_share
+            FROM g JOIN modal USING ("group")
+            ORDER BY g."group"
         """,
     }

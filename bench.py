@@ -401,6 +401,8 @@ R4_NAMES = [
     "ljung_box_volume", "capture_recapture", "shift_share_volume",
     # wave 70: record days, c-chart, percent-encoding audit
     "record_days", "c_chart_volume", "pct_encoding_audit",
+    # wave 71: entity residue, control chars, truncation detector
+    "html_entity_audit", "control_char_audit", "truncation_audit",
 ]
 
 

@@ -889,3 +889,60 @@ class TestChaoShenEntropy:
         out = tx.chao_shen_entropy(df).collect()[0]
         assert out["coverage"] == 0.0
         assert out["h_cs"] == 0.0
+
+
+class TestHtmlEntityAudit:
+    def test_entity_classes(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "a &amp; b &#65; c & d &#x41; e", "s")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        out = tx.html_entity_audit(df).collect()[0]
+        assert out["n_named"] == 1
+        assert out["n_numeric"] == 2
+        assert out["n_bare_amp"] == 1
+        assert out["docs_with_entities"] == 1
+
+    def test_clean_text_all_zero(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame([(1, "no entities here", "s")],
+                                   "doc_id long, text string, source string")
+        out = tx.html_entity_audit(df).collect()[0]
+        assert (out["n_named"], out["n_numeric"],
+                out["n_bare_amp"]) == (0, 0, 0)
+
+
+class TestControlCharAudit:
+    def test_codepoint_classes(self, spark):
+        from zoi_spark import text as tx
+        t = "a\r\nb\rc\x07d﻿e f​g"
+        df = spark.createDataFrame([(1, t, "s")],
+                                   "doc_id long, text string, source string")
+        out = tx.control_char_audit(df).collect()[0]
+        assert out["n_crlf"] == 1
+        assert out["n_bare_cr"] == 1   # the \r before c
+        assert out["n_ctrl"] == 1      # BEL only; \r\n\t exempt
+        assert (out["n_bom"], out["n_nbsp"], out["n_zwsp"]) \
+            == (1, 1, 1)
+
+
+class TestTruncationAudit:
+    def test_ceiling_spike_and_terminal_share(self, spark):
+        from zoi_spark import text as tx
+        rows = ([(i, "x" * 80, "s") for i in range(6)]     # ceiling
+                + [(10, "Good sentence.", "s"),
+                   (11, "varied length here", "s")])
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        out = tx.truncation_audit(df).collect()[0]
+        assert out["modal_len"] == 80
+        assert out["modal_share"] == pytest.approx(6 / 8)
+        assert out["no_terminal_share"] == pytest.approx(7 / 8)
+
+    def test_modal_tie_breaks_smallest_length(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "aa", "s"), (2, "bbb", "s")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        out = tx.truncation_audit(df).collect()[0]
+        assert out["modal_len"] == 2

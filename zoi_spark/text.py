@@ -3462,3 +3462,107 @@ def chao_shen_entropy(df: DataFrame, *, text_col: str = "text",
                                        pt * F.log2(pt) / detect)
                                 .otherwise(F.lit(0.0))), round_to)
                   .alias("h_cs")))
+
+
+def html_entity_audit(df: DataFrame, *, text_col: str = "text",
+                      by: str = "source",
+                      round_to: int = 6) -> DataFrame:
+    """HTML-entity residue census per group — the tell that an
+    extraction pipeline double-escaped or under-decoded: counts of
+    named entities (&amp; …), numeric/hex character references
+    (&#65; &#x1F600;), and BARE ampersands (an '&' that opens no
+    entity). Extracted plain text should contain almost no entities;
+    a group where they spike re-encoded its HTML, and the dedup
+    fingerprints of those docs silently diverge from their decoded
+    twins.
+
+    Pure regexp_count projections fused into one aggregation.
+    Returns ``(group, n_docs, n_named, n_numeric, n_bare_amp,
+    docs_with_entities)``.
+    """
+    t = F.col(text_col)
+    named = F.regexp_count(t, F.lit(r"&[a-zA-Z][a-zA-Z0-9]{1,31};"))
+    numeric = F.regexp_count(
+        t, F.lit(r"&#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"))
+    amp = F.regexp_count(t, F.lit("&"))
+    return (df.where(t.isNotNull() & F.col(by).isNotNull())
+            .groupBy(F.col(by).alias("group"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(named).alias("n_named"),
+                 F.sum(numeric).alias("n_numeric"),
+                 F.sum(amp - named - numeric).alias("n_bare_amp"),
+                 F.sum(F.when(named + numeric > 0, 1).otherwise(0))
+                  .alias("docs_with_entities")))
+
+
+def control_char_audit(df: DataFrame, *, text_col: str = "text",
+                       by: str = "source") -> DataFrame:
+    """Control-character and invisible-codepoint census per group —
+    the bytes that survive a sloppy extraction: CRLF vs bare-CR line
+    endings (count('\\r') − count('\\r\\n') = CRs no newline
+    follows), C0 controls other than tab/LF/CR (terminal garbage,
+    binary bleed-through), BOMs mid-stream (concatenated files), and
+    the invisible spacing pair NBSP / zero-width-space that breaks
+    whitespace tokenizers while printing as nothing.
+
+    Pure regexp_count projections, one aggregation. Returns
+    ``(group, n_docs, n_crlf, n_bare_cr, n_ctrl, n_bom, n_nbsp,
+    n_zwsp)``.
+    """
+    t = F.col(text_col)
+    crlf = F.regexp_count(t, F.lit("\r\n"))
+    cr = F.regexp_count(t, F.lit("\r"))
+    ctrl = F.regexp_count(
+        t, F.lit("[\x00-\x08\x0b\x0c\x0e-\x1f]"))
+    return (df.where(t.isNotNull() & F.col(by).isNotNull())
+            .groupBy(F.col(by).alias("group"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(crlf).alias("n_crlf"),
+                 F.sum(cr - crlf).alias("n_bare_cr"),
+                 F.sum(ctrl).alias("n_ctrl"),
+                 F.sum(F.regexp_count(t, F.lit("﻿")))
+                  .alias("n_bom"),
+                 F.sum(F.regexp_count(t, F.lit(" ")))
+                  .alias("n_nbsp"),
+                 F.sum(F.regexp_count(t, F.lit("​")))
+                  .alias("n_zwsp")))
+
+
+def truncation_audit(df: DataFrame, *, text_col: str = "text",
+                     by: str = "source",
+                     round_to: int = 6) -> DataFrame:
+    """Truncation detector per group — two independent signals that
+    an ingestion stage cut documents: (1) the share of docs whose
+    trimmed text does NOT end in terminal punctuation (mid-sentence
+    endings), and (2) a modal-length spike — when one exact length
+    holds an outsized share of docs, that length is a ceiling
+    (VARCHAR(n), a fixed read buffer), not a coincidence.
+
+    One projection + two aggregations (per-(group, length) counts →
+    per-group max). Returns ``(group, n_docs, no_terminal_share,
+    modal_len, modal_share)``.
+    """
+    t = F.trim(F.col(text_col))
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(by).isNotNull())
+            .select(F.col(by).alias("group"),
+                    F.length(t).alias("ln"),
+                    (~t.rlike("[.!?\"'”)]$")).cast("int")
+                    .alias("no_term")))
+    lens = (base.groupBy("group", "ln")
+            .agg(F.count(F.lit(1)).alias("lc")))
+    modal = (lens.groupBy("group")
+             .agg(F.max(F.struct(F.col("lc"), (-F.col("ln"))
+                                 .alias("nl"))).alias("m"))
+             .select("group", F.col("m.lc").alias("modal_count"),
+                     (-F.col("m.nl")).alias("modal_len")))
+    g = (base.groupBy("group")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("no_term").alias("nt")))
+    return (g.join(modal, "group")
+            .select("group", "n_docs",
+                    F.round(F.col("nt") / F.col("n_docs"), round_to)
+                     .alias("no_terminal_share"),
+                    F.col("modal_len").cast("long").alias("modal_len"),
+                    F.round(F.col("modal_count") / F.col("n_docs"),
+                            round_to).alias("modal_share")))
