@@ -6963,6 +6963,55 @@ def q_truncation_audit(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_unit_mix(spark, sf_dir):
+    """Unit-confusion detector (tablechecks.unit_mix_detector): every
+    3rd 'view' value is scaled ×1000 — the ms-vs-seconds bug — and
+    the log-decade histogram must flag EXACTLY that type (a detached
+    ≥2-decade second mode above 20%). log10 rounded before flooring
+    so engine libm ulps can't flip buckets. Ordered by group."""
+    e = _read(spark, sf_dir, "events")
+    v2 = (F.when((F.col("event_type") == "view")
+                 & (F.pmod("event_id", F.lit(3)) == 0),
+                 F.col("value") * 1000)
+          .otherwise(F.col("value")))
+    inj = e.withColumn("v2", v2)
+    return (tablechecks.unit_mix_detector(inj, "v2",
+                                          by="event_type")
+            .orderBy("group"))
+
+
+def q_event_echo(spark, sf_dir):
+    """Duplicate-beacon echo audit (tablechecks.event_echo_audit):
+    every 13th event is re-sent 1s later with identical
+    (event_type, value) — at-least-once delivery's signature — and
+    the audit must count exactly those echoes within the 2s gap.
+    Per-entity lag windows with deterministic tie order."""
+    e = _read(spark, sf_dir, "events")
+    dup = (e.where(F.pmod("event_id", F.lit(13)) == 0)
+           .withColumn("ts", F.col("ts")
+                       + F.expr("INTERVAL 1 SECOND")))
+    ee = e.unionByName(dup)
+    return tablechecks.event_echo_audit(
+        ee, by="user_id", ts_col="ts",
+        state_cols=["event_type", "value"])
+
+
+def q_shouting_audit(spark, sf_dir):
+    """Shouting/exclamation spam profile per lang
+    (text.shouting_audit): uppercase share, ALL-CAPS-word share,
+    exclamation density and multi-'!' runs — the register-shift
+    tells quality gates don't price. Every 7th doc gets a clickbait
+    suffix so all four counters move. Ordered by group."""
+    d = _read(spark, sf_dir, "documents")
+    sh = d.withColumn(
+        "t2", F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                     F.concat("text",
+                              F.lit(" BUY NOW!!! AMAZING DEAL!")))
+              .otherwise(F.col("text")))
+    return (text.shouting_audit(sh, text_col="t2", by="lang")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7447,6 +7496,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "html_entity_audit": q_html_entity_audit,
         "control_char_audit": q_control_char_audit,
         "truncation_audit": q_truncation_audit,
+        # wave 72: unit mix, event echoes, shouting profile
+        "unit_mix": q_unit_mix,
+        "event_echo": q_event_echo,
+        "shouting_audit": q_shouting_audit,
     }
 
 
@@ -17478,5 +17531,111 @@ def oracle_sql() -> dict[str, str]:
                      AS modal_share
             FROM g JOIN modal USING ("group")
             ORDER BY g."group"
+        """,
+        # twin of q_unit_mix — same injection, same rounded-log10
+        # decade buckets, same two-mode rule
+        "unit_mix": """
+            WITH inj AS (
+              SELECT event_type,
+                     CASE WHEN event_type = 'view'
+                               AND event_id % 3 = 0
+                          THEN value * 1000 ELSE value END AS v
+              FROM events),
+            base AS (
+              SELECT event_type AS "group",
+                     floor(round(log10(v), 9))::BIGINT AS dec
+              FROM inj WHERE event_type IS NOT NULL AND v > 0),
+            cnt AS (SELECT "group", dec, count(*)::DOUBLE AS c
+                    FROM base GROUP BY 1, 2),
+            tot AS (SELECT "group", sum(c) AS n, count(*) AS nd
+                    FROM cnt GROUP BY 1),
+            j AS (SELECT cnt."group", dec, c / n AS share, n, nd
+                  FROM cnt JOIN tot USING ("group")),
+            top AS (SELECT * FROM (
+                      SELECT "group", dec AS top_decade,
+                             share AS top_share, n, nd,
+                             row_number() OVER (
+                               PARTITION BY "group"
+                               ORDER BY share DESC, dec ASC) AS rn
+                      FROM j) WHERE rn = 1),
+            far AS (SELECT j."group", j.dec, j.share
+                    FROM j JOIN top USING ("group")
+                    WHERE abs(j.dec - top.top_decade) >= 2),
+            sec AS (SELECT * FROM (
+                      SELECT "group", dec AS second_decade,
+                             share AS second_share,
+                             row_number() OVER (
+                               PARTITION BY "group"
+                               ORDER BY share DESC, dec ASC) AS rn
+                      FROM far) WHERE rn = 1)
+            SELECT top."group", n::BIGINT AS n,
+                   nd::BIGINT AS n_decades, top_decade,
+                   round(top_share, 6) AS top_share,
+                   second_decade,
+                   round(second_share, 6) AS second_share,
+                   coalesce(second_share, 0) >= 0.2 AS unit_mix
+            FROM top LEFT JOIN sec USING ("group")
+            ORDER BY "group"
+        """,
+        # twin of q_event_echo — same duplication, same tie-ordered
+        # lag windows and 2s gap
+        "event_echo": """
+            WITH ee AS (
+              SELECT user_id, ts, event_type, value FROM events
+              UNION ALL
+              SELECT user_id, ts + INTERVAL 1 SECOND, event_type,
+                     value
+              FROM events WHERE event_id % 13 = 0),
+            b AS (
+              SELECT user_id,
+                     (event_type IS NOT DISTINCT FROM
+                        lag(event_type) OVER w)
+                     AND (value IS NOT DISTINCT FROM
+                        lag(value) OVER w)
+                     AND (extract(epoch FROM ts)
+                          - lag(extract(epoch FROM ts)) OVER w
+                          <= 2.0) AS echo
+              FROM ee
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_type, value))
+            SELECT count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN echo THEN 1 ELSE 0 END)::BIGINT
+                     AS n_echoes,
+                   round(sum(CASE WHEN echo THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS echo_share,
+                   count(DISTINCT CASE WHEN echo
+                         THEN user_id END)::BIGINT
+                     AS n_entities_affected
+            FROM b
+        """,
+        # twin of q_shouting_audit — same suffix, same regex
+        # counters
+        "shouting_audit": """
+            WITH sh AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' BUY NOW!!! AMAZING DEAL!'
+                          ELSE text END AS t
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL)
+            SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+                   round(sum(len(regexp_extract_all(t, '[A-Z]')))
+                         * 1.0 / sum(greatest(
+                             len(regexp_extract_all(t,
+                                 '[A-Za-z]')), 1)), 6)
+                     AS upper_char_share,
+                   round(sum(len(regexp_extract_all(t,
+                             '\\b[A-Z]{3,}\\b'))) * 1.0
+                         / sum(greatest(len(regexp_extract_all(t,
+                             '\\b[A-Za-z]{3,}\\b')), 1)), 6)
+                     AS caps_word_share,
+                   round(sum(len(regexp_extract_all(t, '!')))
+                         * 1000.0
+                         / sum(greatest(length(t), 1)), 6)
+                     AS excl_per_kchar,
+                   sum(len(regexp_extract_all(t, '!{2,}')))
+                     ::BIGINT AS n_multi_excl
+            FROM sh GROUP BY 1 ORDER BY "group"
         """,
     }

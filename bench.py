@@ -403,6 +403,8 @@ R4_NAMES = [
     "record_days", "c_chart_volume", "pct_encoding_audit",
     # wave 71: entity residue, control chars, truncation detector
     "html_entity_audit", "control_char_audit", "truncation_audit",
+    # wave 72: unit mix, event echoes, shouting profile
+    "unit_mix", "event_echo", "shouting_audit",
 ]
 
 

@@ -946,3 +946,20 @@ class TestTruncationAudit:
                                    "doc_id long, text string, source string")
         out = tx.truncation_audit(df).collect()[0]
         assert out["modal_len"] == 2
+
+
+class TestShoutingAudit:
+    def test_clickbait_vs_prose(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "BUY NOW!!! AMAZING FREE DEAL!", "spam"),
+                (2, "A calm, ordinary sentence here.", "prose")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        out = {r["group"]: r for r in
+               tx.shouting_audit(df).collect()}
+        assert out["spam"]["caps_word_share"] == 1.0
+        assert out["spam"]["n_multi_excl"] == 1
+        assert out["prose"]["caps_word_share"] == 0.0
+        assert out["prose"]["n_multi_excl"] == 0
+        assert (out["spam"]["upper_char_share"]
+                > out["prose"]["upper_char_share"])

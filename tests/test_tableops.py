@@ -4317,3 +4317,67 @@ class TestCChart:
         out = tc.c_chart(df, "x", "t",
                          baseline=F.lit(True)).collect()[0]
         assert out["lcl"] == 0.0  # 2 - 3*sqrt(2) < 0 -> floored
+
+
+class TestUnitMixDetector:
+    def test_detached_mode_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("a", 5.0)] * 6 + [("a", 5000.0)] * 4
+                + [("b", 5.0)] * 10)
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r for r in
+               tc.unit_mix_detector(df, "v", by="g").collect()}
+        assert out["a"]["unit_mix"]
+        assert out["a"]["top_decade"] == 0
+        assert out["a"]["second_decade"] == 3
+        assert not out["b"]["unit_mix"]
+        assert out["b"]["second_decade"] is None
+
+    def test_adjacent_decades_not_flagged(self, spark):
+        # heavy tail spilling into the NEXT decade is normal
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 5.0)] * 6 + [("a", 50.0)] * 4
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.unit_mix_detector(df, "v", by="g").collect()[0]
+        assert not out["unit_mix"]
+
+    def test_nonpositive_values_excluded(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 10.0), ("a", 0.0), ("a", -5.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.unit_mix_detector(df, "v", by="g").collect()[0]
+        assert out["n"] == 1
+
+
+class TestEventEchoAudit:
+    def test_counts_injected_echo(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [(1, t0, "click", 5.0),
+                (1, t0 + datetime.timedelta(seconds=1),
+                 "click", 5.0),                      # echo
+                (1, t0 + datetime.timedelta(seconds=10),
+                 "click", 5.0),                      # too late
+                (1, t0 + datetime.timedelta(seconds=11),
+                 "view", 5.0),                       # different state
+                (2, t0, "click", 5.0)]               # other entity
+        df = spark.createDataFrame(
+            rows, "u long, ts timestamp, et string, v double")
+        out = tc.event_echo_audit(
+            df, by="u", ts_col="ts",
+            state_cols=["et", "v"]).collect()[0]
+        assert out["n_events"] == 5
+        assert out["n_echoes"] == 1
+        assert out["n_entities_affected"] == 1
+
+    def test_null_states_match_nullsafe(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(1, t0, None), (1, t0 + datetime.timedelta(seconds=1),
+                                None)]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+        out = tc.event_echo_audit(df, by="u", ts_col="ts",
+                                  state_cols=["s"]).collect()[0]
+        assert out["n_echoes"] == 1

@@ -5568,3 +5568,103 @@ def c_chart(df: DataFrame, value_col: str, order_col: str, *,
         F.round(lcl, round_to).alias("lcl"),
         ((F.col("x") > ucl) | (F.col("x") < lcl))
         .alias("out_of_control"))
+
+
+def unit_mix_detector(df: DataFrame, value_col: str, *, by: str,
+                      share_threshold: float = 0.2,
+                      round_to: int = 6) -> DataFrame:
+    """Unit-confusion detector per group — the ms-vs-seconds bug:
+    when part of a feed reports a quantity in different units, the
+    value distribution splits into clusters ~3 log-decades apart.
+    Bucket positive values by ⌊log₁₀⌋, flag a group whose decade
+    histogram has TWO OR MORE buckets above *share_threshold* with a
+    gap ≥ 2 decades between them — ordinary heavy-tailed data fills
+    adjacent decades; a detached second mode is a unit mix.
+
+    One hash aggregation to (group, decade) counts, windows over
+    those tiny rows. Returns per-group ``(group, n, n_decades,
+    top_decade, top_share, second_decade, second_share, unit_mix)``
+    where second_* is the strongest bucket ≥2 decades from the top.
+    """
+    base = (df.where(F.col(by).isNotNull()
+                     & (F.col(value_col).cast("double") > 0))
+            .select(F.col(by).alias("group"),
+                    # round log10 to 9 dp before flooring: at exact
+                    # powers of ten the engines' libm may differ by
+                    # 1 ulp and flip the bucket
+                    F.floor(F.round(
+                        F.log10(F.col(value_col).cast("double")), 9))
+                    .cast("long").alias("dec")))
+    cnt = base.groupBy("group", "dec").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("group").agg(F.sum("c").alias("n"),
+                                   F.count(F.lit(1)).alias("nd"))
+    j = cnt.join(F.broadcast(tot), "group") \
+           .withColumn("share", F.col("c") / F.col("n"))
+    w = Window.partitionBy("group").orderBy(
+        F.desc("share"), F.asc("dec"))
+    top = (j.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("group", F.col("dec").alias("top_decade"),
+                   F.col("share").alias("top_share"),
+                   "n", "nd"))
+    far = (j.join(top.select("group", "top_decade"), "group")
+           .where(F.abs(F.col("dec") - F.col("top_decade")) >= 2))
+    w2 = Window.partitionBy("group").orderBy(
+        F.desc("share"), F.asc("dec"))
+    second = (far.withColumn("rn", F.row_number().over(w2))
+              .where(F.col("rn") == 1)
+              .select("group", F.col("dec").alias("second_decade"),
+                      F.col("share").alias("second_share")))
+    thr = float(share_threshold)
+    return (top.join(second, "group", "left")
+            .select("group",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("nd").cast("long").alias("n_decades"),
+                    "top_decade",
+                    F.round("top_share", round_to).alias("top_share"),
+                    "second_decade",
+                    F.round("second_share", round_to)
+                     .alias("second_share"),
+                    (F.coalesce(F.col("second_share"), F.lit(0.0))
+                     >= thr).alias("unit_mix")))
+
+
+def event_echo_audit(df: DataFrame, *, by: str, ts_col: str,
+                     state_cols: "Sequence[str]",
+                     max_gap_seconds: float = 2.0,
+                     round_to: int = 6) -> DataFrame:
+    """Duplicate-beacon echo audit — the double-firing client bug:
+    an event whose *state_cols* exactly repeat the PREVIOUS event of
+    the same entity within *max_gap_seconds* is an echo, not new
+    behavior. Retry storms and at-least-once delivery both produce
+    this signature; counting it separates "volume grew" from "the
+    SDK started double-sending".
+
+    One lag window per entity stream (ordered by ts then the state
+    columns for tie determinism), one aggregation. Returns one row
+    ``(n_events, n_echoes, echo_share, n_entities_affected)``.
+    """
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in state_cols]
+    w = Window.partitionBy(by).orderBy(*order_cols)
+    same = None
+    for c in state_cols:
+        eq = F.col(c).eqNullSafe(F.lag(c).over(w))
+        same = eq if same is None else (same & eq)
+    # NTZ timestamps refuse a direct double cast — go via timestamp
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
+    base = (df.where(F.col(by).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(by).alias("e"),
+                    (same & (gap <= float(max_gap_seconds)))
+                    .alias("echo")))
+    return base.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("echo"), 1).otherwise(0))
+         .alias("n_echoes"),
+        F.round(F.sum(F.when(F.col("echo"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"), round_to)
+         .alias("echo_share"),
+        F.countDistinct(F.when(F.col("echo"), F.col("e")))
+         .alias("n_entities_affected"))

@@ -3566,3 +3566,41 @@ def truncation_audit(df: DataFrame, *, text_col: str = "text",
                     F.col("modal_len").cast("long").alias("modal_len"),
                     F.round(F.col("modal_count") / F.col("n_docs"),
                             round_to).alias("modal_share")))
+
+
+def shouting_audit(df: DataFrame, *, text_col: str = "text",
+                   by: str = "source",
+                   round_to: int = 6) -> DataFrame:
+    """Shouting/exclamation spam profile per group — the stylistic
+    spam tells the length/stopword quality gates don't price:
+    uppercase-letter share, ALL-CAPS-word share (≥3 letters),
+    exclamation density, and repeated-exclamation runs ("!!!" —
+    virtually absent from edited prose, dense in clickbait). A
+    group whose caps-word share jumps changed register, not topic.
+
+    Pure regexp_count projections fused into one aggregation.
+    Returns ``(group, n_docs, upper_char_share, caps_word_share,
+    excl_per_kchar, n_multi_excl)``.
+    """
+    t = F.col(text_col)
+    upper = F.regexp_count(t, F.lit("[A-Z]"))
+    letters = F.regexp_count(t, F.lit("[A-Za-z]"))
+    caps_words = F.regexp_count(t, F.lit(r"\b[A-Z]{3,}\b"))
+    words = F.regexp_count(t, F.lit(r"\b[A-Za-z]{3,}\b"))
+    excl = F.regexp_count(t, F.lit("!"))
+    multi = F.regexp_count(t, F.lit("!{2,}"))
+    return (df.where(t.isNotNull() & F.col(by).isNotNull())
+            .groupBy(F.col(by).alias("group"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(upper)
+                         / F.sum(F.greatest(letters, F.lit(1)))
+                         .cast("double"), round_to)
+                  .alias("upper_char_share"),
+                 F.round(F.sum(caps_words)
+                         / F.sum(F.greatest(words, F.lit(1)))
+                         .cast("double"), round_to)
+                  .alias("caps_word_share"),
+                 F.round(F.sum(excl) * 1000.0
+                         / F.sum(F.greatest(F.length(t), F.lit(1))),
+                         round_to).alias("excl_per_kchar"),
+                 F.sum(multi).alias("n_multi_excl")))
