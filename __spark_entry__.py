@@ -7012,6 +7012,41 @@ def q_shouting_audit(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_id_continuity(spark, sf_dir):
+    """Sequence-continuity audit (tablechecks.id_continuity_audit):
+    event_ids 400-449 are removed (a lost batch) and every 101st
+    surviving id is duplicated (double ingestion) — the audit must
+    report exactly 50 missing, the gap at 400, and the duplicate
+    count. One aggregation + one lag window over distinct ids."""
+    e = _read(spark, sf_dir, "events")
+    holes = e.where(~F.col("event_id").between(400, 449))
+    dups = holes.where(F.pmod("event_id", F.lit(101)) == 0)
+    inj = holes.unionByName(dups)
+    return tablechecks.id_continuity_audit(inj, "event_id")
+
+
+def q_partition_balance(spark, sf_dir):
+    """Hash-partition balance pre-flight
+    (tablechecks.partition_balance): user_id bucketed by a PORTABLE
+    md5-derived hash into 32 buckets — straggler skew ratio, empty
+    buckets and χ² vs uniform, the audit run before a column becomes
+    a shuffle key at the north rule's scale. One hash aggregation."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.partition_balance(e, "user_id", n_buckets=32)
+
+
+def q_decile_shift(spark, sf_dir):
+    """Per-decile quantile shift table (tablechecks.decile_shift)
+    between even/odd-doc_id length distributions: exact interpolated
+    q10..q90 per side + shifts — WHERE the drift lives, the
+    drill-down after the w1/cvm/energy scalars say something moved.
+    Ordered by decile."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.decile_shift(
+        d, "n_chars", split=F.pmod("doc_id", F.lit(2)) == 0)
+        .orderBy("decile"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7500,6 +7535,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "unit_mix": q_unit_mix,
         "event_echo": q_event_echo,
         "shouting_audit": q_shouting_audit,
+        # wave 73: id continuity, partition balance, decile shift
+        "id_continuity": q_id_continuity,
+        "partition_balance": q_partition_balance,
+        "decile_shift": q_decile_shift,
     }
 
 
@@ -17637,5 +17676,85 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(regexp_extract_all(t, '!{2,}')))
                      ::BIGINT AS n_multi_excl
             FROM sh GROUP BY 1 ORDER BY "group"
+        """,
+        # twin of q_id_continuity — same hole/dup injection, same
+        # distinct-id lag gaps
+        "id_continuity": """
+            WITH inj0 AS (
+              SELECT event_id FROM events
+              WHERE NOT (event_id BETWEEN 400 AND 449)),
+            inj AS (
+              SELECT event_id FROM inj0
+              UNION ALL
+              SELECT event_id FROM inj0 WHERE event_id % 101 = 0),
+            ids AS (SELECT event_id::BIGINT AS i FROM inj
+                    WHERE event_id IS NOT NULL),
+            dist AS (SELECT DISTINCT i FROM ids),
+            gaps AS (
+              SELECT i - lag(i) OVER (ORDER BY i) - 1 AS g,
+                     lag(i) OVER (ORDER BY i) AS prev
+              FROM dist),
+            gp AS (SELECT g AS max_gap, prev + 1 AS gap_start
+                   FROM gaps WHERE g > 0
+                   ORDER BY g DESC, prev ASC LIMIT 1),
+            agg AS (
+              SELECT count(*)::BIGINT AS n_rows,
+                     count(DISTINCT i)::BIGINT AS n_distinct,
+                     min(i) AS id_min, max(i) AS id_max
+              FROM ids)
+            SELECT n_rows, n_distinct, id_min, id_max,
+                   (id_max - id_min + 1 - n_distinct)::BIGINT
+                     AS n_missing,
+                   (n_rows - n_distinct)::BIGINT AS n_duplicated,
+                   (SELECT max_gap FROM gp)::BIGINT AS max_gap,
+                   (SELECT gap_start FROM gp)::BIGINT AS gap_start
+            FROM agg
+        """,
+        # twin of q_partition_balance — same portable md5 bucket,
+        # same skew facts (chi2 over all buckets incl. empties)
+        "partition_balance": """
+            WITH cnt AS (
+              SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+                       ::BIGINT % 32 AS b,
+                     count(*)::DOUBLE AS c
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            a AS (
+              SELECT sum(c) AS n, count(*) AS nb_seen,
+                     max(c) AS mx, min(c) AS mn,
+                     sum(c * c) AS c2
+              FROM cnt)
+            SELECT n::BIGINT AS n, 32 AS n_buckets,
+                   mx::BIGINT AS max_bucket,
+                   (CASE WHEN nb_seen < 32 THEN 0 ELSE mn END)
+                     ::BIGINT AS min_bucket,
+                   round(mx / (n / 32), 6) AS skew_ratio,
+                   (32 - nb_seen)::BIGINT AS n_empty_buckets,
+                   round(c2 / (n / 32) - n, 6) AS chi2
+            FROM a
+        """,
+        # twin of q_decile_shift — same exact interpolated deciles
+        # (quantile fractions must be constants in DuckDB, so the 9
+        # deciles are unrolled)
+        "decile_shift": """
+            WITH base AS (
+              SELECT n_chars::DOUBLE AS v,
+                     doc_id % 2 = 0 AS s
+              FROM documents WHERE n_chars IS NOT NULL),
+            qa AS (SELECT """ + ", ".join(
+            f"quantile_cont(v, {k / 10.0}) AS qa{k}"
+            for k in range(1, 10)) + """
+                   FROM base WHERE s),
+            qb AS (SELECT """ + ", ".join(
+            f"quantile_cont(v, {k / 10.0}) AS qb{k}"
+            for k in range(1, 10)) + """
+                   FROM base WHERE NOT s)
+            SELECT * FROM (""" + " UNION ALL ".join(
+            f"""SELECT {k * 10} AS decile,
+                   round((SELECT qa{k} FROM qa), 6) AS q_a,
+                   round((SELECT qb{k} FROM qb), 6) AS q_b,
+                   round((SELECT qb{k} FROM qb)
+                         - (SELECT qa{k} FROM qa), 6) AS shift"""
+            for k in range(1, 10)) + """
+            ) ORDER BY decile
         """,
     }

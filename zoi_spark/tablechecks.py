@@ -5668,3 +5668,126 @@ def event_echo_audit(df: DataFrame, *, by: str, ts_col: str,
          .alias("echo_share"),
         F.countDistinct(F.when(F.col("echo"), F.col("e")))
          .alias("n_entities_affected"))
+
+
+def id_continuity_audit(df: DataFrame, id_col: str, *,
+                        round_to: int = 6) -> DataFrame:
+    """Sequence-continuity audit for numeric surrogate ids — the
+    completeness check a monotoneously-assigned id column makes
+    free: with span = max − min + 1,
+
+        n_missing    = span − n_distinct      (dropped rows)
+        n_duplicated = n_rows − n_distinct    (double ingestion)
+
+    plus the largest internal gap and where it starts — one
+    coherent hole is a lost batch; missing ids sprinkled uniformly
+    are a lossy channel. One aggregation + one lag window over the
+    DISTINCT ids. Returns ``(n_rows, n_distinct, id_min, id_max,
+    n_missing, n_duplicated, max_gap, gap_start)``.
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("i")) \
+            .where(F.col("i").isNotNull())
+    dist = ids.distinct()
+    w = Window.orderBy("i")
+    gaps = dist.select(
+        "i", (F.col("i") - F.lag("i").over(w) - 1).alias("g"),
+        F.lag("i").over(w).alias("prev"))
+    # single-row gap summary even when NO gap exists (agg over an
+    # empty filter yields one NULL row — no driver-side count())
+    gap = (gaps.where(F.col("g") > 0)
+           .agg(F.max(F.struct(F.col("g"),
+                               (-F.col("prev")).alias("np")))
+                .alias("m"))
+           .select(F.col("m.g").alias("max_gap"),
+                   (-F.col("m.np") + 1).alias("gap_start")))
+    agg = ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("i").alias("n_distinct"),
+        F.min("i").alias("id_min"), F.max("i").alias("id_max"))
+    out = agg.crossJoin(F.broadcast(gap))
+    return out.select(
+        "n_rows", "n_distinct", "id_min", "id_max",
+        (F.col("id_max") - F.col("id_min") + 1
+         - F.col("n_distinct")).alias("n_missing"),
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicated"),
+        "max_gap", "gap_start")
+
+
+def partition_balance(df: DataFrame, key_col: str, *,
+                      n_buckets: int = 32,
+                      round_to: int = 6) -> DataFrame:
+    """Hash-partition balance audit for a candidate shuffle key —
+    the pre-flight for the north rule's explicit partitioning: rows
+    bucketed by a PORTABLE md5-derived hash (so the oracle agrees;
+    engine-native hashes differ), then the skew facts a partition
+    plan needs: max/mean bucket ratio (straggler factor), empty
+    buckets (wasted executors), and the χ² against uniform (dof =
+    buckets − 1). A key whose skew ratio is ≫1 needs salting before
+    it becomes a groupBy/join key at scale.
+
+    ONE hash aggregation to n_buckets rows. Returns one row
+    ``(n, n_buckets, max_bucket, min_bucket, skew_ratio,
+    n_empty_buckets, chi2)``.
+    """
+    nb = int(n_buckets)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(nb))
+    cnt = (df.where(F.col(key_col).isNotNull())
+           .groupBy(bucket.alias("b"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    agg = cnt.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nb_seen"),
+        F.max("c").alias("mx"), F.min("c").alias("mn"),
+        F.sum(F.col("c") ** 2).alias("c2"))
+    exp = F.col("n") / nb
+    # chi2 over ALL nb buckets incl. empties:
+    # sum((c-e)^2/e) = (sum c^2 - 2e*sum c + nb*e^2)/e = c2/e - n
+    chi2 = F.col("c2") / exp - F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(nb).alias("n_buckets"),
+        F.col("mx").cast("long").alias("max_bucket"),
+        F.when(F.col("nb_seen") < nb, F.lit(0))
+         .otherwise(F.col("mn")).cast("long").alias("min_bucket"),
+        F.round(F.col("mx") / exp, round_to).alias("skew_ratio"),
+        (F.lit(nb) - F.col("nb_seen")).cast("long")
+         .alias("n_empty_buckets"),
+        F.round(chi2, round_to).alias("chi2"))
+
+
+def decile_shift(df: DataFrame, value_col: str, *,
+                 split: Column, round_to: int = 6) -> DataFrame:
+    """Per-decile quantile shift table between the two split halves
+    — WHERE in the distribution the drift lives: exact interpolated
+    q10..q90 for A and B and their differences. A pure location
+    shift moves every decile equally; a tail event moves only q90 —
+    the drill-down after w1/cvm/energy say "something moved".
+
+    Two exact percentile aggregations (the advisor-grade exact form;
+    bin first at the 10¹²-row scale). Returns 9 rows ``(decile, q_a,
+    q_b, shift)``.
+    """
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     split.alias("s")) \
+             .where(F.col("v").isNotNull())
+    outs = []
+    for d in range(1, 10):
+        p = d / 10.0
+        qa = base.where(F.col("s")).agg(
+            F.expr(f"percentile(v, {p})").alias("qa"))
+        qb = base.where(~F.col("s")).agg(
+            F.expr(f"percentile(v, {p})").alias("qb"))
+        outs.append(
+            qa.crossJoin(F.broadcast(qb)).select(
+                F.lit(d * 10).alias("decile"),
+                F.round("qa", round_to).alias("q_a"),
+                F.round("qb", round_to).alias("q_b"),
+                F.round(F.col("qb") - F.col("qa"), round_to)
+                 .alias("shift")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
