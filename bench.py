@@ -405,6 +405,8 @@ R4_NAMES = [
     "html_entity_audit", "control_char_audit", "truncation_audit",
     # wave 72: unit mix, event echoes, shouting profile
     "unit_mix", "event_echo", "shouting_audit",
+    # wave 73: id continuity, partition balance, decile shift
+    "id_continuity", "partition_balance", "decile_shift",
 ]
 
 

@@ -4381,3 +4381,94 @@ class TestEventEchoAudit:
         out = tc.event_echo_audit(df, by="u", ts_col="ts",
                                   state_cols=["s"]).collect()[0]
         assert out["n_echoes"] == 1
+
+
+class TestIdContinuityAudit:
+    def test_hole_and_dups(self, spark):
+        from zoi_spark import tablechecks as tc
+        ids = [i for i in range(20) if i not in (7, 8, 9)] + [3, 3]
+        df = spark.createDataFrame([(i,) for i in ids], "i long")
+        out = tc.id_continuity_audit(df, "i").collect()[0]
+        assert out["n_rows"] == 19
+        assert out["n_distinct"] == 17
+        assert out["id_min"] == 0 and out["id_max"] == 19
+        assert out["n_missing"] == 3
+        assert out["n_duplicated"] == 2
+        assert out["max_gap"] == 3
+        assert out["gap_start"] == 7
+
+    def test_contiguous_has_null_gap(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(i,) for i in range(5)], "i long")
+        out = tc.id_continuity_audit(df, "i").collect()[0]
+        assert out["n_missing"] == 0 and out["n_duplicated"] == 0
+        assert out["max_gap"] is None and out["gap_start"] is None
+
+    def test_ties_break_on_earliest_gap(self, spark):
+        # two equal-size gaps -> report the EARLIEST start
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(0,), (3,), (6,)], "i long")
+        out = tc.id_continuity_audit(df, "i").collect()[0]
+        assert out["max_gap"] == 2 and out["gap_start"] == 1
+
+    def test_nulls_excluded(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(1,), (None,), (2,)], "i long")
+        out = tc.id_continuity_audit(df, "i").collect()[0]
+        assert out["n_rows"] == 2 and out["n_missing"] == 0
+
+
+class TestPartitionBalance:
+    def test_single_key_max_skew(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([("k",)] * 64, "k string")
+        out = tc.partition_balance(df, "k", n_buckets=8).collect()[0]
+        assert out["n"] == 64
+        assert out["max_bucket"] == 64
+        assert out["min_bucket"] == 0          # empties exist
+        assert out["skew_ratio"] == 8.0        # one bucket holds all
+        assert out["n_empty_buckets"] == 7
+        # chi2 for all-in-one-bucket over nb buckets = n*(nb-1)
+        assert out["chi2"] == 64.0 * 7
+
+    def test_balanced_keys_low_skew(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(4096)], "k string")
+        out = tc.partition_balance(df, "k", n_buckets=8).collect()[0]
+        assert out["n_empty_buckets"] == 0
+        assert out["skew_ratio"] < 1.3
+        assert out["chi2"] >= 0.0
+
+    def test_null_keys_excluded(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([("a",), (None,)], "k string")
+        out = tc.partition_balance(df, "k", n_buckets=4).collect()[0]
+        assert out["n"] == 1
+
+
+class TestDecileShift:
+    def test_constant_shift_everywhere(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = ([(float(v), True) for v in range(1, 101)]
+                + [(float(v) + 7.0, False) for v in range(1, 101)])
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.decile_shift(df, "v", split=F.col("s")).collect()
+        assert len(out) == 9
+        assert [r["decile"] for r in out] != []
+        for r in out:
+            assert r["shift"] == 7.0
+
+    def test_tail_only_shift(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        a = [float(v) for v in range(1, 101)]
+        b = a[:90] + [v + 1000.0 for v in a[90:]]
+        rows = ([(v, True) for v in a] + [(v, False) for v in b])
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = {r["decile"]: r["shift"] for r in
+               tc.decile_shift(df, "v", split=F.col("s")).collect()}
+        assert out[50] == 0.0
+        assert out[90] >= 100.0
