@@ -7047,6 +7047,37 @@ def q_decile_shift(spark, sf_dir):
         .orderBy("decile"))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact 1/k-heavy hitters (tablechecks.heavy_hitters) over
+    event_type with k=6: per-partition Misra-Gries-style candidate
+    pass in mapInPandas (superset guarantee by pigeonhole), broadcast
+    semi-join exact verify — the full-cardinality groupBy shuffle
+    never happens. Output is partitioning-invariant and exact."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.heavy_hitters(e, "event_type", k=6)
+
+
+def q_error_rate_trend(spark, sf_dir):
+    """Cochran-Armitage trend test (tablechecks.cochran_armitage):
+    is the error-event share drifting ACROSS ordered days? Scores =
+    day-of-month, flag = event_type='error' — the ordered-strata
+    complement of the unordered chi² independence and two-group
+    z-test. One groupBy(day) + one closing aggregation."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.cochran_armitage(
+        e, flag=F.col("event_type") == "error",
+        score=F.dayofmonth("ts"))
+
+
+def q_lorenz_table(spark, sf_dir):
+    """Lorenz concentration curve (tablechecks.lorenz_curve) of event
+    volume across users at the decile grid — the drill-down behind
+    the Gini scalar: cumulative value share at each ⌈n·d/10⌉ rank
+    cut, ties broken by user id."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.lorenz_curve(e, "user_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7539,6 +7570,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "id_continuity": q_id_continuity,
         "partition_balance": q_partition_balance,
         "decile_shift": q_decile_shift,
+        # wave 74: heavy hitters, error-rate trend, Lorenz curve
+        "heavy_hitters": q_heavy_hitters,
+        "error_rate_trend": q_error_rate_trend,
+        "lorenz_table": q_lorenz_table,
     }
 
 
@@ -17756,5 +17791,62 @@ def oracle_sql() -> dict[str, str]:
                          - (SELECT qa{k} FROM qa), 6) AS shift"""
             for k in range(1, 10)) + """
             ) ORDER BY decile
+        """,
+        # twin of q_heavy_hitters — plain GROUP BY + HAVING over the
+        # same N/k threshold (the Spark side's sketch+verify is exact,
+        # so the naive oracle agrees)
+        "heavy_hitters": """
+            WITH c AS (
+              SELECT event_type AS item, count(*)::BIGINT AS cnt
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+            n AS (SELECT sum(cnt)::DOUBLE AS n FROM c)
+            SELECT item, cnt,
+                   round(cnt / (SELECT n FROM n), 6) AS share
+            FROM c WHERE cnt > (SELECT n FROM n) / 6
+        """,
+        # twin of q_error_rate_trend — same per-day (n, x) table,
+        # same closed-form T / Var(T) / Z
+        "error_rate_trend": """
+            WITH s AS (
+              SELECT extract(day FROM ts)::DOUBLE AS s,
+                     count(*)::DOUBLE AS n,
+                     sum(CASE WHEN event_type = 'error'
+                              THEN 1 ELSE 0 END)::DOUBLE AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            a AS (
+              SELECT sum(n) AS nn, sum(x) AS xx,
+                     sum(n * s) AS ns, sum(n * s * s) AS ns2,
+                     sum(x * s) AS xs
+              FROM s)
+            SELECT nn::BIGINT AS n, xx::BIGINT AS x,
+                   round(xx / nn, 6) AS p_bar,
+                   round(xs - (xx / nn) * ns, 6) AS t_stat,
+                   round((xx / nn) * (1 - xx / nn)
+                         * (ns2 - ns * ns / nn), 6) AS var_t,
+                   round((xs - (xx / nn) * ns)
+                         / sqrt((xx / nn) * (1 - xx / nn)
+                                * (ns2 - ns * ns / nn)), 6) AS z
+            FROM a
+        """,
+        # twin of q_lorenz_table — same asc (t, unit) ranking, same
+        # ceil rank cuts
+        "lorenz_table": """
+            WITH u AS (
+              SELECT user_id AS unit, count(*)::DOUBLE AS t
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            r AS (SELECT t,
+                         row_number() OVER (ORDER BY t, unit) AS rn,
+                         sum(t) OVER (ORDER BY t, unit
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM u),
+            a AS (SELECT count(*)::BIGINT AS nu, sum(t) AS tot FROM u),
+            d AS (SELECT unnest(generate_series(1, 10)) AS d)
+            SELECT (d.d * 10)::INT AS decile,
+                   ceil(a.nu * d.d / 10.0)::BIGINT AS cut_rank,
+                   round(ceil(a.nu * d.d / 10.0) / a.nu, 6)
+                     AS unit_share,
+                   round(r.cum / a.tot, 6) AS value_share
+            FROM d, a, r WHERE r.rn = ceil(a.nu * d.d / 10.0)
+            ORDER BY decile
         """,
     }

@@ -407,6 +407,8 @@ R4_NAMES = [
     "unit_mix", "event_echo", "shouting_audit",
     # wave 73: id continuity, partition balance, decile shift
     "id_continuity", "partition_balance", "decile_shift",
+    # wave 74: heavy hitters, error-rate trend, Lorenz curve
+    "heavy_hitters", "error_rate_trend", "lorenz_table",
 ]
 
 

@@ -4472,3 +4472,106 @@ class TestDecileShift:
                tc.decile_shift(df, "v", split=F.col("s")).collect()}
         assert out[50] == 0.0
         assert out[90] >= 100.0
+
+
+class TestHeavyHitters:
+    def test_exact_over_threshold(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("a",)] * 50 + [("b",)] * 30
+                + [(f"x{i}",) for i in range(20)])
+        df = spark.createDataFrame(rows, "k string")
+        out = {r["item"]: r for r in
+               tc.heavy_hitters(df, "k", k=4).collect()}
+        assert set(out) == {"a", "b"}      # > 100/4 = 25
+        assert out["a"]["cnt"] == 50 and out["b"]["cnt"] == 30
+        assert out["a"]["share"] == 0.5
+
+    def test_partitioning_invariant(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("a",)] * 50 + [("b",)] * 30
+                + [(f"x{i}",) for i in range(20)])
+        df = spark.createDataFrame(rows, "k string").repartition(7)
+        out = sorted((r["item"], r["cnt"]) for r in
+                     tc.heavy_hitters(df, "k", k=4).collect())
+        assert out == [("a", 50), ("b", 30)] or \
+            out == [("a", 50), ("b", 30)][::-1] or \
+            sorted(out) == [("a", 50), ("b", 30)]
+
+    def test_no_hitters_empty(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [(f"u{i}",) for i in range(40)], "k string")
+        assert tc.heavy_hitters(df, "k", k=5).count() == 0
+
+    def test_boundary_strict(self, spark):
+        # exactly N/k is NOT a heavy hitter (strict >)
+        from zoi_spark import tablechecks as tc
+        rows = [("a",)] * 25 + [(f"x{i}",) for i in range(75)]
+        df = spark.createDataFrame(rows, "k string")
+        assert tc.heavy_hitters(df, "k", k=4).count() == 0
+
+
+class TestCochranArmitage:
+    def test_matches_closed_form(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # strata 1..3 with sizes 30/30/30, successes 3/9/15
+        rows = []
+        for s, x in ((1, 3), (2, 9), (3, 15)):
+            rows += [(s, i < x) for i in range(30)]
+        df = spark.createDataFrame(rows, "s int, f boolean")
+        out = tc.cochran_armitage(
+            df, flag=F.col("f"), score=F.col("s")).collect()[0]
+        n, xx = 90.0, 27.0
+        p = xx / n
+        ns, ns2 = 30 * (1 + 2 + 3), 30 * (1 + 4 + 9)
+        xs = 3 * 1 + 9 * 2 + 15 * 3
+        t = xs - p * ns
+        var = p * (1 - p) * (ns2 - ns ** 2 / n)
+        assert out["n"] == 90 and out["x"] == 27
+        assert out["t_stat"] == round(t, 6)
+        assert out["var_t"] == round(var, 6)
+        assert abs(out["z"] - t / var ** 0.5) < 1e-6
+        assert out["z"] > 1.96                 # clear upward trend
+
+    def test_flat_rate_small_z(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = []
+        for s in (1, 2, 3, 4):
+            rows += [(s, i < 10) for i in range(40)]
+        df = spark.createDataFrame(rows, "s int, f boolean")
+        out = tc.cochran_armitage(
+            df, flag=F.col("f"), score=F.col("s")).collect()[0]
+        assert abs(out["z"]) < 0.01            # exactly flat
+
+
+class TestLorenzCurve:
+    def test_triangular_values(self, spark):
+        from zoi_spark import tablechecks as tc
+        # unit i contributes i rows -> per-unit totals 1..10
+        rows = [(u,) for u in range(1, 11) for _ in range(u)]
+        df = spark.createDataFrame(rows, "u int")
+        out = {r["decile"]: r for r in
+               tc.lorenz_curve(df, "u").collect()}
+        assert len(out) == 10
+        for d in range(1, 11):
+            r = out[d * 10]
+            assert r["cut_rank"] == d
+            assert r["unit_share"] == round(d / 10, 6)
+            assert r["value_share"] == round(d * (d + 1) / 2 / 55, 6)
+
+    def test_perfect_equality_diagonal(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(u,) for u in range(20) for _ in range(3)]
+        df = spark.createDataFrame(rows, "u int")
+        for r in tc.lorenz_curve(df, "u").collect():
+            assert r["value_share"] == r["unit_share"]
+
+    def test_value_col_sum(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 8.0)], "u string, v double")
+        out = {r["decile"]: r["value_share"] for r in
+               tc.lorenz_curve(df, "u", value_col="v").collect()}
+        assert out[50] == 0.2 and out[100] == 1.0

@@ -5791,3 +5791,134 @@ def decile_shift(df: DataFrame, value_col: str, *,
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def heavy_hitters(df: DataFrame, item_col: str, *,
+                  k: int = 8, round_to: int = 6) -> DataFrame:
+    """Exact φ-heavy hitters (φ = 1/k) via the two-phase
+    Misra-Gries / "local frequent" pattern: phase 1 runs a
+    per-partition candidate pass inside ``mapInPandas`` emitting every
+    item whose LOCAL count exceeds n_partition/k — by pigeonhole an
+    item with global count > N/k must exceed the local threshold in
+    at least one partition, so the candidate union is a guaranteed
+    superset of the true heavy hitters while staying ≤ (k−1) items
+    per partition. Phase 2 verifies candidates EXACTLY: a broadcast
+    semi-join restricts the count shuffle to candidate-matching rows,
+    then the global threshold N/k filters.
+
+    This is the shape that survives 10^12 rows with ~10^9 distinct
+    keys: the full-cardinality groupBy shuffle never happens — only
+    candidate rows (a vanishing fraction) are shuffled, and the
+    candidate list itself is tiny (partitions × k). Output is exact
+    and partitioning-invariant. Returns ``(item, cnt, share)`` for
+    every item with cnt > N/k.
+    """
+    kk = int(k)
+    base = (df.select(F.col(item_col).cast("string").alias("item"))
+            .where(F.col("item").isNotNull()))
+
+    def _local_frequent(batches):
+        import pandas as pd
+        counts = None
+        for b in batches:
+            vc = b["item"].value_counts()
+            counts = vc if counts is None else counts.add(vc,
+                                                          fill_value=0)
+        if counts is None:
+            return
+        thresh = float(counts.sum()) / kk
+        hits = counts[counts > thresh]
+        yield pd.DataFrame({"item": hits.index.astype(str)})
+
+    cand = base.mapInPandas(_local_frequent,
+                            schema="item string").distinct()
+    exact = (base.join(F.broadcast(cand), "item")
+             .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (exact.crossJoin(F.broadcast(tot))
+            .where(F.col("cnt") > F.col("n") / kk)
+            .select("item", "cnt",
+                    F.round(F.col("cnt") / F.col("n"), round_to)
+                     .alias("share")))
+
+
+def lorenz_curve(df: DataFrame, unit_col: str, *,
+                 value_col: str | None = None,
+                 round_to: int = 6) -> DataFrame:
+    """Lorenz concentration curve at the decile grid — the drill-down
+    behind a Gini scalar (:func:`gini`): the share of total volume
+    held by the bottom 10%, 20%, …, 100% of units, units ranked by
+    their volume ascending (ties broken by unit id, so the curve is
+    deterministic). ``value_col=None`` counts rows per unit (event
+    volume); otherwise sums it. "Bottom 10% of users produce 0.4% of
+    events, top 10% produce 62%" is this table's two ends.
+
+    One per-unit aggregation (the only full shuffle), then a window
+    over the UNIT frame — small relative to raw rows, but at ~10^9
+    units bin the per-unit totals into a value histogram first and
+    integrate that instead (same trade the decile/quantile helpers
+    document). Returns 10 rows ``(decile, cut_rank, unit_share,
+    value_share)`` where cut_rank = ⌈n_units·d/10⌉.
+    """
+    val = (F.count(F.lit(1)) if value_col is None
+           else F.sum(F.col(value_col).cast("double")))
+    u = (df.where(F.col(unit_col).isNotNull())
+         .groupBy(F.col(unit_col).alias("unit"))
+         .agg(val.cast("double").alias("t")))
+    w = Window.orderBy("t", "unit")
+    r = u.select(
+        "t", F.row_number().over(w).alias("rn"),
+        F.sum("t").over(w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)).alias("cum"))
+    a = u.agg(F.count(F.lit(1)).alias("nu"), F.sum("t").alias("tot"))
+    d = df.sparkSession.range(1, 11).select(F.col("id").alias("d"))
+    cut = F.ceil(F.col("nu") * F.col("d") / 10.0)
+    return (d.crossJoin(F.broadcast(a))
+            .join(r, F.col("rn") == cut)
+            .select((F.col("d") * 10).cast("int").alias("decile"),
+                    cut.cast("long").alias("cut_rank"),
+                    F.round(cut / F.col("nu"), round_to)
+                     .alias("unit_share"),
+                    F.round(F.col("cum") / F.col("tot"), round_to)
+                     .alias("value_share"))
+            .orderBy("decile"))
+
+
+def cochran_armitage(df: DataFrame, *, flag: Column, score: Column,
+                     round_to: int = 6) -> DataFrame:
+    """Cochran-Armitage test for trend (Cochran 1954, Armitage 1955)
+    in a binary rate across ORDERED strata — "is the error share
+    DRIFTING with day / length decile / crawl depth", the question
+    the unordered chi² independence test cannot ask and the
+    two-group z-test can only ask pairwise. With strata score s_j,
+    size n_j, successes x_j and pooled rate p̄ = X/N:
+
+        T      = Σ s_j x_j − p̄ Σ s_j n_j
+        Var(T) = p̄(1−p̄) · (Σ n_j s_j² − (Σ n_j s_j)²/N)
+        Z      = T / √Var(T)      ~ N(0,1) under no-trend
+
+    |Z| > 1.96 rejects flat at 5%; Z's sign is the trend direction.
+    ONE groupBy(score) partial-agg + one single-row closing
+    aggregation — nothing here scales with rows beyond the first
+    scan. Returns one row ``(n, x, p_bar, t_stat, var_t, z)``.
+    """
+    s = df.select(score.cast("double").alias("s"),
+                  F.when(flag, 1.0).otherwise(0.0).alias("f")) \
+          .where(F.col("s").isNotNull())
+    g = s.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("n"),
+                           F.sum("f").alias("x"))
+    a = g.agg(F.sum("n").alias("nn"), F.sum("x").alias("xx"),
+              F.sum(F.col("n") * F.col("s")).alias("ns"),
+              F.sum(F.col("n") * F.col("s") ** 2).alias("ns2"),
+              F.sum(F.col("x") * F.col("s")).alias("xs"))
+    p = F.col("xx") / F.col("nn")
+    t = F.col("xs") - p * F.col("ns")
+    var = p * (1 - p) * (F.col("ns2")
+                         - F.col("ns") ** 2 / F.col("nn"))
+    return a.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("xx").cast("long").alias("x"),
+        F.round(p, round_to).alias("p_bar"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(var, round_to).alias("var_t"),
+        F.round(t / F.sqrt(var), round_to).alias("z"))
