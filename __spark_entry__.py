@@ -7078,6 +7078,45 @@ def q_lorenz_table(spark, sf_dir):
     return tablechecks.lorenz_curve(e, "user_id")
 
 
+def q_kruskal_len_langs(spark, sf_dir):
+    """Kruskal-Wallis H (tablechecks.kruskal_wallis) of doc length
+    across langs — the nonparametric k-sample sibling of the ANOVA
+    row: tie-corrected H from doubled average ranks over the
+    distinct-value counts table (the mann_whitney_u idiom), never a
+    global row window."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.kruskal_wallis(d, "n_chars", "lang")
+
+
+def q_fleiss_langs(spark, sf_dir):
+    """Fleiss' kappa (tablechecks.fleiss_kappa) over three synthetic
+    deterministic raters of each doc's lang: rater A = stored label,
+    rater B answers 'unk' every 5th doc, rater C mislabels to 'en'
+    every 7th — the multi-rater generalization of the Cohen row; the
+    DuckDB twin re-derives P̄/P_e from the same unpivoted ratings."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    ratings = d.select(
+        F.col("doc_id").alias("item"),
+        F.explode(F.array(
+            F.col("lang"),
+            F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("unk"))
+             .otherwise(F.col("lang")),
+            F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("en"))
+             .otherwise(F.col("lang")))).alias("cat"))
+    return tablechecks.fleiss_kappa(ratings, "item", "cat")
+
+
+def q_gumbel_daily_max(spark, sf_dir):
+    """Gumbel method-of-moments fit (tablechecks.gumbel_maxima) to
+    the daily maxima of event value, with the 100-day return level —
+    the capacity-planning complement of the records-theory and
+    c-chart rows."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.gumbel_maxima(
+        e, "value", block=F.to_date("ts"), return_period=100)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7574,6 +7613,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "heavy_hitters": q_heavy_hitters,
         "error_rate_trend": q_error_rate_trend,
         "lorenz_table": q_lorenz_table,
+        # wave 75: Kruskal-Wallis, Fleiss' kappa, Gumbel maxima
+        "kruskal_len_langs": q_kruskal_len_langs,
+        "fleiss_langs": q_fleiss_langs,
+        "gumbel_daily_max": q_gumbel_daily_max,
     }
 
 
@@ -17848,5 +17891,106 @@ def oracle_sql() -> dict[str, str]:
                    round(r.cum / a.tot, 6) AS value_share
             FROM d, a, r WHERE r.rn = ceil(a.nu * d.d / 10.0)
             ORDER BY decile
+        """,
+        # twin of q_kruskal_len_langs — same doubled-average-rank
+        # table over distinct values, same tie-corrected H
+        "kruskal_len_langs": """
+            WITH base AS (
+              SELECT n_chars::DOUBLE AS v, lang AS g FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            vt AS (SELECT v, count(*)::DOUBLE AS n FROM base
+                   GROUP BY v),
+            ranks AS (
+              SELECT v, n,
+                     2 * coalesce(sum(n) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         1 PRECEDING), 0) + n + 1 AS rank2
+              FROM vt),
+            gv AS (SELECT g, v, count(*)::DOUBLE AS ngv FROM base
+                   GROUP BY g, v),
+            per_g AS (
+              SELECT g, sum(ngv) AS ng,
+                     sum(ngv * r.rank2) AS r2g
+              FROM gv JOIN ranks r USING (v) GROUP BY g),
+            ties AS (SELECT sum(n*n*n - n) AS tsum FROM vt),
+            a AS (SELECT sum(ng) AS nn, count(*)::DOUBLE AS k,
+                         sum(r2g * r2g / ng) AS rr
+                  FROM per_g)
+            SELECT nn::BIGINT AS n, k::BIGINT AS k_groups,
+                   round(12.0/(nn*(nn+1)) * rr/4.0 - 3*(nn+1), 6)
+                     AS h,
+                   round(1.0 - (SELECT tsum FROM ties)
+                         / (nn*nn*nn - nn), 6) AS tie_c,
+                   round((12.0/(nn*(nn+1)) * rr/4.0 - 3*(nn+1))
+                         / (1.0 - (SELECT tsum FROM ties)
+                            / (nn*nn*nn - nn)), 6) AS h_adj,
+                   (k - 1)::BIGINT AS dof
+            FROM a
+        """,
+        # twin of q_fleiss_langs — same three deterministic raters
+        # unpivoted to ratings, same P̄ / P_e close
+        "fleiss_langs": """
+            WITH d AS (SELECT doc_id, lang FROM documents
+                       WHERE lang IS NOT NULL),
+            ratings AS (
+              SELECT doc_id AS i, lang AS c FROM d
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'unk'
+                          ELSE lang END FROM d
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'en'
+                          ELSE lang END FROM d),
+            cells AS (SELECT i, c, count(*)::DOUBLE AS nij
+                      FROM ratings GROUP BY i, c),
+            per_item AS (SELECT i, sum(nij) AS ni,
+                                sum(nij * nij) AS sq
+                         FROM cells GROUP BY i),
+            per_cat AS (SELECT c, sum(nij) AS nj FROM cells
+                        GROUP BY c),
+            ai AS (SELECT count(*)::DOUBLE AS n_items,
+                          min(ni) AS n_lo, max(ni) AS n_hi,
+                          sum(sq) AS sq_sum FROM per_item),
+            ac AS (SELECT count(*)::BIGINT AS n_cats,
+                          sum(nj * nj) AS nj2 FROM per_cat)
+            SELECT (CASE WHEN n_lo = n_hi THEN n_items END)::BIGINT
+                     AS n_items,
+                   n_lo::BIGINT AS n_per_item,
+                   n_cats AS n_categories,
+                   round((sq_sum - n_items * n_lo)
+                         / (n_items * n_lo * (n_lo - 1)), 6)
+                     AS p_bar,
+                   round(nj2 / (n_items * n_lo)
+                         / (n_items * n_lo), 6) AS p_e,
+                   round(((sq_sum - n_items * n_lo)
+                          / (n_items * n_lo * (n_lo - 1))
+                          - nj2 / (n_items*n_lo) / (n_items*n_lo))
+                         / (1 - nj2 / (n_items*n_lo)
+                            / (n_items*n_lo)), 6) AS kappa
+            FROM ai, ac
+        """,
+        # twin of q_gumbel_daily_max — same daily maxima, same MOM
+        # fit (sample stddev on both engines) and 100-day level
+        "gumbel_daily_max": """
+            WITH mx AS (
+              SELECT ts::DATE AS b, max(value) AS m FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+            a AS (SELECT count(*)::BIGINT AS n_blocks,
+                         avg(m) AS mm, stddev(m) AS sd,
+                         max(m) AS omax
+                  FROM mx)
+            SELECT n_blocks,
+                   round(mm, 6) AS max_mean,
+                   round(sd, 6) AS max_sd,
+                   round(mm - 0.5772156649015329
+                         * (sd * sqrt(6.0) / pi()), 6) AS mu,
+                   round(sd * sqrt(6.0) / pi(), 6) AS beta,
+                   round(mm - 0.5772156649015329
+                           * (sd * sqrt(6.0) / pi())
+                         - (sd * sqrt(6.0) / pi())
+                           * ln(-ln(1.0 - 1.0/100.0)), 6) AS rl_100,
+                   round(omax, 6) AS observed_max
+            FROM a
         """,
     }

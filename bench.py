@@ -409,6 +409,8 @@ R4_NAMES = [
     "id_continuity", "partition_balance", "decile_shift",
     # wave 74: heavy hitters, error-rate trend, Lorenz curve
     "heavy_hitters", "error_rate_trend", "lorenz_table",
+    # wave 75: Kruskal-Wallis, Fleiss' kappa, Gumbel maxima
+    "kruskal_len_langs", "fleiss_langs", "gumbel_daily_max",
 ]
 
 

@@ -4575,3 +4575,106 @@ class TestLorenzCurve:
         out = {r["decile"]: r["value_share"] for r in
                tc.lorenz_curve(df, "u", value_col="v").collect()}
         assert out[50] == 0.2 and out[100] == 1.0
+
+
+class TestKruskalWallis:
+    def test_matches_scipy_formula(self, spark):
+        from zoi_spark import tablechecks as tc
+        # no ties: groups with clearly separated values
+        rows = ([("a", float(v)) for v in (1, 2, 3)]
+                + [("b", float(v)) for v in (4, 5, 6)]
+                + [("c", float(v)) for v in (7, 8, 9)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.kruskal_wallis(df, "v", "g").collect()[0]
+        # hand: ranks 1..9, R = 6, 15, 24; H = 12/(9*10)*(36+225+576)/3 - 30
+        h = 12.0 / 90 * (36 + 225 + 576) / 3.0 - 30
+        assert out["n"] == 9 and out["k_groups"] == 3
+        assert out["h"] == round(h, 6)
+        assert out["tie_c"] == 1.0
+        assert out["h_adj"] == out["h"]
+        assert out["dof"] == 2
+
+    def test_tie_correction_applied(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.kruskal_wallis(df, "v", "g").collect()[0]
+        # tie group of 3 ones: C = 1 - (27-3)/(64-4) = 0.6
+        assert out["tie_c"] == 0.6
+        assert out["h_adj"] == round(out["h"] / 0.6, 6)
+
+    def test_identical_groups_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(g, float(v)) for g in ("a", "b")
+                for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.kruskal_wallis(df, "v", "g").collect()[0]
+        assert abs(out["h_adj"]) < 1e-9
+
+
+class TestFleissKappa:
+    def test_perfect_agreement(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, c) for i in range(10)
+                for c in [("x" if i < 5 else "y")] * 3]
+        df = spark.createDataFrame(rows, "i int, c string")
+        out = tc.fleiss_kappa(df, "i", "c").collect()[0]
+        assert out["n_per_item"] == 3
+        assert out["p_bar"] == 1.0 and out["kappa"] == 1.0
+
+    def test_textbook_value(self, spark):
+        # 2 items, 3 raters: item0 -> x,x,y ; item1 -> x,y,y
+        from zoi_spark import tablechecks as tc
+        rows = [(0, "x"), (0, "x"), (0, "y"),
+                (1, "x"), (1, "y"), (1, "y")]
+        df = spark.createDataFrame(rows, "i int, c string")
+        out = tc.fleiss_kappa(df, "i", "c").collect()[0]
+        # P_i = (4+1-3)/6 = 1/3 each; P_e = 0.5; kappa = (1/3-1/2)/(1/2)
+        assert out["p_bar"] == round(1 / 3, 6)
+        assert out["p_e"] == 0.5
+        assert out["kappa"] == round((1 / 3 - 0.5) / 0.5, 6)
+
+    def test_uneven_counts_nulls_audit(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(0, "x"), (0, "x"), (1, "x")]
+        df = spark.createDataFrame(rows, "i int, c string")
+        out = tc.fleiss_kappa(df, "i", "c").collect()[0]
+        assert out["n_items"] is None
+
+
+class TestGumbelMaxima:
+    def test_mom_fit_closed_form(self, spark):
+        import math
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # 4 blocks with maxima 10, 20, 30, 40
+        rows = [(b, float(v)) for b, mx in
+                ((1, 10), (2, 20), (3, 30), (4, 40))
+                for v in (mx, mx - 5)]
+        df = spark.createDataFrame(rows, "b int, v double")
+        out = tc.gumbel_maxima(df, "v", block=F.col("b"),
+                               return_period=50).collect()[0]
+        import statistics
+        maxima = [10.0, 20.0, 30.0, 40.0]
+        m, s = statistics.mean(maxima), statistics.stdev(maxima)
+        beta = s * math.sqrt(6) / math.pi
+        mu = m - 0.5772156649015329 * beta
+        rl = mu - beta * math.log(-math.log(1 - 1 / 50))
+        assert out["n_blocks"] == 4
+        assert out["max_mean"] == round(m, 6)
+        assert out["mu"] == round(mu, 6)
+        assert out["beta"] == round(beta, 6)
+        assert out["rl_50"] == round(rl, 6)
+        assert out["observed_max"] == 40.0
+
+    def test_return_level_grows_with_period(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(b, float((b * 7919) % 100)) for b in range(30)]
+        df = spark.createDataFrame(rows, "b int, v double")
+        r10 = tc.gumbel_maxima(df, "v", block=F.col("b"),
+                               return_period=10).collect()[0]["rl_10"]
+        r100 = tc.gumbel_maxima(
+            df, "v", block=F.col("b"),
+            return_period=100).collect()[0]["rl_100"]
+        assert r100 > r10

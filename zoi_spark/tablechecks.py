@@ -5922,3 +5922,154 @@ def cochran_armitage(df: DataFrame, *, flag: Column, score: Column,
         F.round(t, round_to).alias("t_stat"),
         F.round(var, round_to).alias("var_t"),
         F.round(t / F.sqrt(var), round_to).alias("z"))
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str, *,
+                   round_to: int = 6) -> DataFrame:
+    """Kruskal-Wallis H rank test (Kruskal & Wallis 1952) of
+    *value_col* across ALL groups — the k-sample extension of
+    Mann-Whitney and the nonparametric sibling of the one-way ANOVA:
+    heavy-tailed web-corpus lengths violate ANOVA's normality, ranks
+    don't care. With tie-averaged ranks R_g summed per group,
+
+        H  = 12/(N(N+1)) Σ_g R_g²/n_g − 3(N+1)
+        C  = 1 − Σ(t³−t)/(N³−N)   (tie correction, t = tie sizes)
+        H' = H/C                   ~ χ²(k−1) under equal locations
+
+    Exactness: the same doubled-average-rank idiom as
+    :func:`mann_whitney_u` — ranks come from a window over the
+    DISTINCT-value counts table (2·avgrank = 2·cum_before + n + 1 is
+    an exact integer), never a global row window. One value
+    aggregation + one (group, value) aggregation; everything after
+    rides tiny frames. Returns one row
+    ``(n, k_groups, h, tie_c, h_adj, dof)``.
+    """
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     F.col(group_col).alias("g")) \
+             .where(F.col("v").isNotNull() & F.col("g").isNotNull())
+    vt = base.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    w_pfx = (Window.partitionBy().orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ranks = vt.select(
+        "v", "n",
+        (2 * F.coalesce(F.sum("n").over(w_pfx), F.lit(0))
+         + F.col("n") + 1).alias("rank2"))
+    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("ngv"))
+    per_g = (gv.join(ranks.select("v", "rank2"), "v")
+             .groupBy("g")
+             .agg(F.sum("ngv").cast("double").alias("ng"),
+                  F.sum(F.col("ngv") * F.col("rank2"))
+                   .cast("double").alias("r2g")))
+    ties = vt.agg(F.sum(F.col("n") ** 3 - F.col("n"))
+                  .cast("double").alias("tsum"))
+    a = per_g.agg(
+        F.sum("ng").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r2g") ** 2 / F.col("ng")).alias("rr"))
+    nn = F.col("nn")
+    # R_g = r2g/2  ⇒  Σ R_g²/n_g = rr/4
+    h = 12.0 / (nn * (nn + 1)) * F.col("rr") / 4.0 - 3 * (nn + 1)
+    c = 1.0 - F.col("tsum") / (nn ** 3 - nn)
+    return (a.crossJoin(F.broadcast(ties))
+            .select(nn.cast("long").alias("n"),
+                    F.col("k").cast("long").alias("k_groups"),
+                    F.round(h, round_to).alias("h"),
+                    F.round(c, round_to).alias("tie_c"),
+                    F.round(F.when(c > 0, h / c), round_to)
+                     .alias("h_adj"),
+                    (F.col("k") - 1).cast("long").alias("dof")))
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, category_col: str, *,
+                 round_to: int = 6) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among
+    n raters per item (the MULTI-rater generalization of the 2-rater
+    :func:`cohen_kappa`): each input row is one rating (item,
+    category). With n_ij = ratings of item i in category j and n
+    ratings per item,
+
+        P_i = (Σ_j n_ij² − n) / (n(n−1))       per-item agreement
+        P̄  = mean_i P_i,   P_e = Σ_j p_j²,    p_j = Σ_i n_ij / (Nn)
+        κ   = (P̄ − P_e) / (1 − P_e)
+
+    Landis-Koch: >0.6 substantial, >0.8 almost perfect. Assumes a
+    CONSTANT rating count per item (the classic statistic); the
+    min==max audit nulls ``n_items`` when per-item counts vary, so
+    an invalid input cannot masquerade as a valid kappa.
+    Two aggregations: (item, category) cells, then single-row close.
+    Returns ``(n_items, n_per_item, n_categories, p_bar, p_e,
+    kappa)``.
+    """
+    cells = (df.select(F.col(item_col).alias("i"),
+                       F.col(category_col).alias("c"))
+             .where(F.col("i").isNotNull() & F.col("c").isNotNull())
+             .groupBy("i", "c")
+             .agg(F.count(F.lit(1)).cast("double").alias("nij")))
+    per_item = cells.groupBy("i").agg(
+        F.sum("nij").alias("ni"),
+        F.sum(F.col("nij") ** 2).alias("sq"))
+    per_cat = cells.groupBy("c").agg(F.sum("nij").alias("nj"))
+    a_items = per_item.agg(
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+        F.min("ni").alias("n_lo"), F.max("ni").alias("n_hi"),
+        F.sum("sq").alias("sq_sum"), F.sum("ni").alias("tot"))
+    a_cats = per_cat.agg(
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(F.col("nj") ** 2).alias("nj2"))
+    nn = F.col("n_items")
+    n = F.col("n_lo")                      # per-item rating count
+    # the audit gate doubles as the ANSI-safe divide guard: uneven or
+    # single-rating items null every derived column, never a crash
+    ok = (F.col("n_lo") == F.col("n_hi")) & (n > 1)
+    p_bar = F.when(ok, (F.col("sq_sum") - nn * n)
+                   / (nn * n * (n - 1)))
+    p_e = F.when(ok, F.col("nj2") / (nn * n) ** 2)
+    out = (a_items.crossJoin(F.broadcast(a_cats))
+           .select(F.when(ok, nn).cast("long").alias("n_items"),
+                   n.cast("long").alias("n_per_item"),
+                   F.col("n_cats").cast("long").alias("n_categories"),
+                   F.round(p_bar, round_to).alias("p_bar"),
+                   F.round(p_e, round_to).alias("p_e"),
+                   F.round(F.when(p_e < 1, (p_bar - p_e) / (1 - p_e)),
+                           round_to).alias("kappa")))
+    return out
+
+
+def gumbel_maxima(df: DataFrame, value_col: str, *, block: Column,
+                  return_period: int = 100,
+                  round_to: int = 6) -> DataFrame:
+    """Gumbel (EV-I) fit to BLOCK MAXIMA by the method of moments —
+    the extreme-value answer to "what daily peak should capacity be
+    budgeted for": Fisher-Tippett says block maxima of light-tailed
+    series converge to Gumbel, whose moments give
+
+        β̂ = s·√6/π,    μ̂ = m − γ·β̂          (γ = 0.57721…)
+        x_T = μ̂ − β̂·ln(−ln(1 − 1/T))          (T-block return level)
+
+    against which the observed all-time max is the sanity check
+    (records-theory and c-chart ask different questions: was today
+    anomalous vs what will the worst day in T look like). One
+    groupBy(block).max partial agg, one 1-row close over the maxima
+    (sample stddev, n−1 — both engines agree). Returns
+    ``(n_blocks, max_mean, max_sd, mu, beta, rl_T, observed_max)``.
+    """
+    gamma = 0.5772156649015329
+    mx = (df.select(block.alias("b"),
+                    F.col(value_col).cast("double").alias("v"))
+          .where(F.col("b").isNotNull() & F.col("v").isNotNull())
+          .groupBy("b").agg(F.max("v").alias("m")))
+    a = mx.agg(F.count(F.lit(1)).alias("n_blocks"),
+               F.avg("m").alias("mm"), F.stddev("m").alias("sd"),
+               F.max("m").alias("omax"))
+    beta = F.col("sd") * math.sqrt(6.0) / math.pi
+    mu = F.col("mm") - gamma * beta
+    t = float(return_period)
+    rl = mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / t)))
+    return a.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.round("mm", round_to).alias("max_mean"),
+        F.round("sd", round_to).alias("max_sd"),
+        F.round(mu, round_to).alias("mu"),
+        F.round(beta, round_to).alias("beta"),
+        F.round(rl, round_to).alias(f"rl_{return_period}"),
+        F.round("omax", round_to).alias("observed_max"))
