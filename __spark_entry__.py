@@ -7117,6 +7117,51 @@ def q_gumbel_daily_max(spark, sf_dir):
         e, "value", block=F.to_date("ts"), return_period=100)
 
 
+def q_friedman_types(spark, sf_dir):
+    """Friedman repeated-measures test (tablechecks.friedman_test):
+    event types ranked WITHIN each day by daily count — do the types
+    keep a consistent volume ordering across days? χ²_F + Kendall's
+    W; incomplete days dropped and counted. Per-day rank windows
+    ride k-row partitions, never the raw table."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.where(F.col("ts").isNotNull()
+                     & F.col("event_type").isNotNull())
+             .groupBy(F.to_date("ts").alias("day"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    return tablechecks.friedman_test(
+        daily, block_col="day", treat_col="event_type",
+        value_col="cnt")
+
+
+def q_cronbach_quality(spark, sf_dir):
+    """Cronbach's α (tablechecks.cronbach_alpha) over three derived
+    per-doc quality sub-scores (log length, alpha-share, avg word
+    length) — is the composite coherent enough to sum? One fused
+    variance aggregation; listwise-dropped rows counted."""
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        F.log(F.col("n_chars") + 1).alias("len_score"),
+        (F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+         / F.greatest(F.length("text"), F.lit(1))).alias("alpha_share"),
+        (F.length("text")
+         / F.greatest(F.size(F.split(F.col("text"), r"\s+")),
+                      F.lit(1))).alias("avg_wlen"))
+    return tablechecks.cronbach_alpha(
+        scored, ["len_score", "alpha_share", "avg_wlen"])
+
+
+def q_youden_len_gate(spark, sf_dir):
+    """Youden-J optimal threshold (tablechecks.youden_threshold) for
+    gating lang='en' on doc length — turns the roc_auc signal into
+    an operating point; ties on J break toward the LOWEST threshold.
+    Same distinct-score sweep shape as roc_auc."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    return tablechecks.youden_threshold(
+        d, score_col="n_chars", label_col=F.col("lang") == "en")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7617,6 +7662,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kruskal_len_langs": q_kruskal_len_langs,
         "fleiss_langs": q_fleiss_langs,
         "gumbel_daily_max": q_gumbel_daily_max,
+        # wave 76: Friedman test, Cronbach's alpha, Youden threshold
+        "friedman_types": q_friedman_types,
+        "cronbach_quality": q_cronbach_quality,
+        "youden_len_gate": q_youden_len_gate,
     }
 
 
@@ -17992,5 +18041,104 @@ def oracle_sql() -> dict[str, str]:
                            * ln(-ln(1.0 - 1.0/100.0)), 6) AS rl_100,
                    round(omax, 6) AS observed_max
             FROM a
+        """,
+        # twin of q_friedman_types — same per-day counts, same
+        # within-block 2×average ranks, same complete-block drop
+        "friedman_types": """
+            WITH daily AS (
+              SELECT ts::DATE AS b, event_type AS t,
+                     count(*)::DOUBLE AS v
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2),
+            k AS (SELECT count(DISTINCT t)::DOUBLE AS k FROM daily),
+            sizes AS (SELECT b, count(DISTINCT t) AS kb FROM daily
+                      GROUP BY b),
+            complete AS (
+              SELECT d.* FROM daily d JOIN sizes USING (b), k
+              WHERE sizes.kb = k.k),
+            ranked AS (
+              SELECT t,
+                     2 * rank() OVER (PARTITION BY b ORDER BY v)
+                       + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+              FROM complete),
+            per_t AS (SELECT t, sum(r2)::DOUBLE AS r2j,
+                             count(*)::DOUBLE AS n
+                      FROM ranked GROUP BY t),
+            a AS (SELECT any_value(n) AS n, count(*)::DOUBLE AS kk,
+                         sum(r2j * r2j) AS rr
+                  FROM per_t),
+            drp AS (SELECT count(*) AS n_dropped FROM sizes, k
+                    WHERE sizes.kb <> k.k)
+            SELECT n::BIGINT AS n_blocks,
+                   (SELECT n_dropped FROM drp)::BIGINT AS n_dropped,
+                   kk::BIGINT AS k_treat,
+                   round(12.0/(n*kk*(kk+1)) * rr/4.0
+                         - 3.0*n*(kk+1), 6) AS chi2_f,
+                   round((12.0/(n*kk*(kk+1)) * rr/4.0
+                          - 3.0*n*(kk+1)) / (n*(kk-1)), 6) AS w,
+                   (kk - 1)::BIGINT AS dof
+            FROM a
+        """,
+        # twin of q_cronbach_quality — same derived sub-scores, same
+        # sample variances (regex class matches the Spark side)
+        "cronbach_quality": """
+            WITH s AS (
+              SELECT ln(n_chars + 1) AS a,
+                     length(regexp_replace(text, '[^A-Za-z]', '',
+                                           'g'))
+                       / greatest(length(text), 1)::DOUBLE AS b,
+                     length(text) / greatest(
+                       length(regexp_split_to_array(text, '\\s+')),
+                       1)::DOUBLE AS c
+              FROM documents),
+            l AS (SELECT * FROM s
+                  WHERE a IS NOT NULL AND b IS NOT NULL
+                    AND c IS NOT NULL),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                     var_samp(a) + var_samp(b) + var_samp(c)
+                       AS var_sum,
+                     var_samp(a + b + c) AS var_total
+              FROM l),
+            tot AS (SELECT count(*)::BIGINT AS n_all FROM s)
+            SELECT n, (SELECT n_all FROM tot) - n AS n_dropped,
+                   3 AS k_items,
+                   round(var_sum, 6) AS var_sum,
+                   round(var_total, 6) AS var_total,
+                   round(CASE WHEN var_total > 0 THEN
+                     1.5 * (1 - var_sum / var_total) END, 6) AS alpha
+            FROM agg
+        """,
+        # twin of q_youden_len_gate — same distinct-score suffix
+        # sweep, same lowest-threshold tie-break
+        "youden_len_gate": """
+            WITH b AS (
+              SELECT n_chars::DOUBLE AS s,
+                     (lang = 'en')::INT AS y
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            per_s AS (SELECT s, sum(y)::DOUBLE AS p,
+                             sum(1 - y)::DOUBLE AS q
+                      FROM b GROUP BY s),
+            tot AS (SELECT sum(p) AS pp, sum(q) AS qq FROM per_s),
+            sw AS (
+              SELECT s,
+                     sum(p) OVER (ORDER BY s DESC
+                                  ROWS UNBOUNDED PRECEDING) AS tp,
+                     sum(q) OVER (ORDER BY s DESC
+                                  ROWS UNBOUNDED PRECEDING) AS fp
+              FROM per_s),
+            j AS (SELECT s, tp, fp,
+                         tp / t.pp - fp / t.qq AS jj
+                  FROM sw, tot t),
+            best AS (SELECT * FROM j
+                     ORDER BY jj DESC, s ASC LIMIT 1)
+            SELECT round(s, 6) AS threshold,
+                   tp::BIGINT AS tp, fp::BIGINT AS fp,
+                   round(tp / (SELECT pp FROM tot), 6) AS tpr,
+                   round(fp / (SELECT qq FROM tot), 6) AS fpr,
+                   round(jj, 6) AS youden_j
+            FROM best
         """,
     }

@@ -411,6 +411,8 @@ R4_NAMES = [
     "heavy_hitters", "error_rate_trend", "lorenz_table",
     # wave 75: Kruskal-Wallis, Fleiss' kappa, Gumbel maxima
     "kruskal_len_langs", "fleiss_langs", "gumbel_daily_max",
+    # wave 76: Friedman test, Cronbach's alpha, Youden threshold
+    "friedman_types", "cronbach_quality", "youden_len_gate",
 ]
 
 

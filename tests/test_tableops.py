@@ -4678,3 +4678,101 @@ class TestGumbelMaxima:
             df, "v", block=F.col("b"),
             return_period=100).collect()[0]["rl_100"]
         assert r100 > r10
+
+
+class TestFriedmanTest:
+    def test_perfect_ordering_max_w(self, spark):
+        from zoi_spark import tablechecks as tc
+        # 4 blocks, 3 treatments, identical ordering a<b<c each block
+        rows = [(b, t, float(v)) for b in range(4)
+                for t, v in (("a", 1), ("b", 2), ("c", 3))]
+        df = spark.createDataFrame(rows, "b int, t string, v double")
+        out = tc.friedman_test(df, block_col="b", treat_col="t",
+                               value_col="v").collect()[0]
+        # R = 4, 8, 12 -> chi2 = 12/(4*3*4)*(16+64+144) - 3*4*4 = 8
+        assert out["n_blocks"] == 4 and out["k_treat"] == 3
+        assert out["chi2_f"] == 8.0
+        assert out["w"] == 1.0                # perfect concordance
+        assert out["n_dropped"] == 0 and out["dof"] == 2
+
+    def test_incomplete_block_dropped(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(b, t, float(v)) for b in range(3)
+                for t, v in (("a", 1), ("b", 2), ("c", 3))]
+        rows += [(9, "a", 1.0)]               # block 9 misses b, c
+        df = spark.createDataFrame(rows, "b int, t string, v double")
+        out = tc.friedman_test(df, block_col="b", treat_col="t",
+                               value_col="v").collect()[0]
+        assert out["n_blocks"] == 3 and out["n_dropped"] == 1
+
+    def test_ties_average_ranks(self, spark):
+        from zoi_spark import tablechecks as tc
+        # all values equal -> every rank average, chi2 = 0
+        rows = [(b, t, 5.0) for b in range(3) for t in "abc"]
+        df = spark.createDataFrame(rows, "b int, t string, v double")
+        out = tc.friedman_test(df, block_col="b", treat_col="t",
+                               value_col="v").collect()[0]
+        assert out["chi2_f"] == 0.0 and out["w"] == 0.0
+
+
+class TestCronbachAlpha:
+    def test_perfectly_correlated_items(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v), float(v), float(v)) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = tc.cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+        # identical items: var_total = 9*var, var_sum = 3*var
+        # alpha = 1.5 * (1 - 3/9) = 1.0
+        assert out["alpha"] == 1.0
+        assert out["k_items"] == 3 and out["n"] == 10
+
+    def test_independent_items_low_alpha(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(7)
+        rows = [(rng.random(), rng.random(), rng.random())
+                for _ in range(200)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = tc.cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+        assert abs(out["alpha"]) < 0.35       # near zero
+
+    def test_null_rows_listwise_dropped(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 2.0), (2.0, None), (3.0, 4.0), (4.0, 5.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = tc.cronbach_alpha(df, ["a", "b"]).collect()[0]
+        assert out["n"] == 3 and out["n_dropped"] == 1
+
+
+class TestYoudenThreshold:
+    def test_separable_threshold(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # positives score 10..19, negatives 0..9 -> t=10 is perfect
+        rows = [(float(s), s >= 10) for s in range(20)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        out = tc.youden_threshold(
+            df, score_col="s", label_col=F.col("y")).collect()[0]
+        assert out["threshold"] == 10.0
+        assert out["tpr"] == 1.0 and out["fpr"] == 0.0
+        assert out["youden_j"] == 1.0
+
+    def test_tie_breaks_to_lowest_threshold(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # scores 1,2 both give J=1 when positives are {1,2}... build:
+        # pos at 2 and 3, neg at 0 -> t=2 and t=... J(2)=1, J(3)=0.5
+        rows = [(0.0, False), (2.0, True), (3.0, True)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        out = tc.youden_threshold(
+            df, score_col="s", label_col=F.col("y")).collect()[0]
+        assert out["threshold"] == 2.0
+
+    def test_single_class_null(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(float(s), True) for s in range(5)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        out = tc.youden_threshold(
+            df, score_col="s", label_col=F.col("y")).collect()[0]
+        assert out["youden_j"] is None

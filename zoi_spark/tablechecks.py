@@ -6073,3 +6073,148 @@ def gumbel_maxima(df: DataFrame, value_col: str, *, block: Column,
         F.round(beta, round_to).alias("beta"),
         F.round(rl, round_to).alias(f"rl_{return_period}"),
         F.round("omax", round_to).alias("observed_max"))
+
+
+def friedman_test(df: DataFrame, *, block_col: str, treat_col: str,
+                  value_col: str, round_to: int = 6) -> DataFrame:
+    """Friedman repeated-measures rank test (Friedman 1937) + its
+    effect size, Kendall's W: treatments (event types, engine
+    variants, …) ranked WITHIN each block (day, host, …), so every
+    block contributes equally and block-level volume swings cancel —
+    the question :func:`kruskal_wallis` cannot ask when measurements
+    are paired per block. With per-block average ranks summed to R_j,
+
+        χ²_F = 12/(nk(k+1)) Σ_j R_j² − 3n(k+1)   ~ χ²(k−1)
+        W    = χ²_F / (n(k−1))                     ∈ [0, 1]
+
+    Blocks missing any treatment are DROPPED (complete-block
+    design), and the dropped count is reported — silence would bias
+    R_j. Ties take average ranks (2·avgrank = 2·rank + eq − 1, exact
+    integers). Ranking windows ride (block) partitions — k rows
+    each, never the raw table. Returns one row
+    ``(n_blocks, n_dropped, k_treat, chi2_f, w, dof)``.
+    """
+    base = (df.select(F.col(block_col).alias("b"),
+                      F.col(treat_col).alias("t"),
+                      F.col(value_col).cast("double").alias("v"))
+            .where(F.col("b").isNotNull() & F.col("t").isNotNull()
+                   & F.col("v").isNotNull()))
+    k = base.agg(F.countDistinct("t").cast("double").alias("k"))
+    sizes = base.groupBy("b").agg(F.countDistinct("t").alias("kb"))
+    complete = (base.join(sizes, "b")
+                .crossJoin(F.broadcast(k))
+                .where(F.col("kb") == F.col("k")))
+    wb = Window.partitionBy("b").orderBy("v")
+    eq = F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
+    rank2 = 2 * F.rank().over(wb) + eq - 1          # 2×average rank
+    per_t = (complete.select("t", rank2.alias("r2"), "k")
+             .groupBy("t")
+             .agg(F.sum("r2").cast("double").alias("r2j"),
+                  F.count(F.lit(1)).cast("double").alias("n"),
+                  F.first("k").alias("k")))
+    a = per_t.agg(F.first("n").alias("n"), F.first("k").alias("k"),
+                  F.sum(F.col("r2j") ** 2).alias("rr"))
+    dropped = sizes.crossJoin(F.broadcast(k)) \
+                   .where(F.col("kb") != F.col("k")) \
+                   .agg(F.count(F.lit(1)).alias("n_dropped"))
+    n, kk = F.col("n"), F.col("k")
+    chi2 = (12.0 / (n * kk * (kk + 1)) * F.col("rr") / 4.0
+            - 3.0 * n * (kk + 1))
+    return (a.crossJoin(F.broadcast(dropped))
+            .select(n.cast("long").alias("n_blocks"),
+                    F.col("n_dropped").cast("long").alias("n_dropped"),
+                    kk.cast("long").alias("k_treat"),
+                    F.round(chi2, round_to).alias("chi2_f"),
+                    F.round(chi2 / (n * (kk - 1)), round_to)
+                     .alias("w"),
+                    (kk - 1).cast("long").alias("dof")))
+
+
+def cronbach_alpha(df: DataFrame, item_cols: Sequence[str], *,
+                   round_to: int = 6) -> DataFrame:
+    """Cronbach's α (Cronbach 1951) — internal-consistency audit for
+    a composite score assembled from k numeric item columns (quality
+    sub-scores, rubric dimensions): do the items move together
+    enough to justify summing them?
+
+        α = k/(k−1) · (1 − Σ_i var(item_i) / var(Σ items))
+
+    α < 0.5 says the composite is incoherent — gate on items
+    separately. Sample variances (n−1) throughout; rows with ANY
+    null item are dropped (listwise, the classical definition), and
+    the dropped count is reported. ONE aggregation pass — the item
+    variances and the total-score variance fuse into a single job.
+    Returns ``(n, n_dropped, k_items, var_sum, var_total, alpha)``.
+    """
+    items = [F.col(c).cast("double").alias(c) for c in item_cols]
+    kk = float(len(item_cols))
+    listwise = df.select(*items).na.drop("any", subset=list(item_cols))
+    total = sum((F.col(c) for c in item_cols[1:]),
+                F.col(item_cols[0]))
+    n_all = df.agg(F.count(F.lit(1)).alias("n_all"))  # stays lazy
+    a = listwise.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.var_samp(c).alias(f"v_{i}")
+          for i, c in enumerate(item_cols)],
+        F.var_samp(total).alias("vt")).crossJoin(F.broadcast(n_all))
+    vsum = sum((F.col(f"v_{i}") for i in range(1, len(item_cols))),
+               F.col("v_0"))
+    alpha = (kk / (kk - 1)) * (1.0 - vsum / F.col("vt"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("n_all") - F.col("n")).cast("long").alias("n_dropped"),
+        F.lit(int(kk)).alias("k_items"),
+        F.round(vsum, round_to).alias("var_sum"),
+        F.round("vt", round_to).alias("var_total"),
+        F.round(F.when(F.col("vt") > 0, alpha), round_to)
+         .alias("alpha"))
+
+
+def youden_threshold(df: DataFrame, *, score_col: str, label_col,
+                     round_to: int = 6) -> DataFrame:
+    """Optimal decision threshold by Youden's J (Youden 1950): sweep
+    every distinct score level t, J(t) = TPR(t) − FPR(t) with
+    decision rule score ≥ t, and return the maximizing row — the
+    threshold advisor that turns a :func:`roc_auc` "the score has
+    signal" into an operating point. Ties on J break toward the
+    LOWEST threshold (recall-preserving) deterministically.
+
+    Same scale shape as roc_auc: one aggregation to distinct score
+    levels, suffix-cumulative TP/FP via a window over THAT table,
+    then a 1-row argmax — no per-row ranking, no global row sort.
+    Returns ``(threshold, tp, fp, tpr, fpr, youden_j)``.
+    """
+    lbl = (label_col if isinstance(label_col, Column)
+           else F.col(label_col))
+    per_s = (df.where(F.col(score_col).isNotNull() & lbl.isNotNull())
+             .select(F.col(score_col).cast("double").alias("s"),
+                     lbl.cast("int").alias("y"))
+             .groupBy("s")
+             .agg(F.sum("y").alias("p"),
+                  F.sum(1 - F.col("y")).alias("q")))
+    w_sfx = (Window.partitionBy().orderBy("s")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    tot = per_s.agg(F.sum("p").cast("double").alias("pp"),
+                    F.sum("q").cast("double").alias("qq"))
+    sw = (per_s.select("s", F.sum("p").over(w_sfx).alias("tp"),
+                       F.sum("q").over(w_sfx).alias("fp"))
+          .crossJoin(F.broadcast(tot)))
+    # try_divide: a single-class label yields NULL J rows (and a NULL
+    # argmax), never an ANSI divide-by-zero abort
+    j = (F.try_divide(F.col("tp"), F.col("pp"))
+         - F.try_divide(F.col("fp"), F.col("qq")))
+    best = sw.where(j.isNotNull()).select(
+        F.struct(j.alias("j"), (-F.col("s")).alias("ns"),
+                 F.col("s").alias("s"), F.col("tp").alias("tp"),
+                 F.col("fp").alias("fp"), F.col("pp").alias("pp"),
+                 F.col("qq").alias("qq")).alias("r")
+    ).agg(F.max("r").alias("r"))
+    return best.select(
+        F.round(F.col("r.s"), round_to).alias("threshold"),
+        F.col("r.tp").cast("long").alias("tp"),
+        F.col("r.fp").cast("long").alias("fp"),
+        F.round(F.try_divide(F.col("r.tp"), F.col("r.pp")),
+                round_to).alias("tpr"),
+        F.round(F.try_divide(F.col("r.fp"), F.col("r.qq")),
+                round_to).alias("fpr"),
+        F.round(F.col("r.j"), round_to).alias("youden_j"))
