@@ -7162,6 +7162,42 @@ def q_youden_len_gate(spark, sf_dir):
         d, score_col="n_chars", label_col=F.col("lang") == "en")
 
 
+def q_mase_volume(spark, sf_dir):
+    """MASE forecast-accuracy audit (tablechecks.mase): does the
+    weekly rhythm (seasonal-naive lag 7) beat plain persistence
+    (lag 1) at predicting daily event volume? Calendar-date joins on
+    the per-day frame; unmatched days counted, never silently
+    shifted."""
+    e = _read(spark, sf_dir, "events")
+    daily = (e.where(F.col("ts").isNotNull())
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    return tablechecks.mase(daily, "cnt", "day", season=7)
+
+
+def q_nelson_aalen_purchase(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (tablechecks.nelson_aalen) of
+    time-to-first-purchase on the SAME duration model as the
+    Kaplan-Meier row (1 h buckets, right-censored never-buyers) —
+    hazard increments read as per-bucket conversion intensity, plus
+    the Fleming-Harrington survival exp(−H)."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.nelson_aalen(
+        e, entity_col="user_id", ts_col="ts",
+        event_pred=F.col("event_type") == "purchase", bucket_s=3600)
+        .orderBy("t_bucket"))
+
+
+def q_robust_shape_langs(spark, sf_dir):
+    """Moment-free shape profile (tablechecks.robust_shape) of doc
+    length per lang: Bowley quartile skewness + Moors octile
+    kurtosis — the shape readout that survives power-law tails where
+    third/fourth moments explode."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.robust_shape(d, "n_chars", by="lang")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7666,6 +7702,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "friedman_types": q_friedman_types,
         "cronbach_quality": q_cronbach_quality,
         "youden_len_gate": q_youden_len_gate,
+        # wave 77: MASE forecast audit, Nelson-Aalen, robust shape
+        "mase_volume": q_mase_volume,
+        "nelson_aalen_purchase": q_nelson_aalen_purchase,
+        "robust_shape_langs": q_robust_shape_langs,
     }
 
 
@@ -18140,5 +18180,106 @@ def oracle_sql() -> dict[str, str]:
                    round(fp / (SELECT qq FROM tot), 6) AS fpr,
                    round(jj, 6) AS youden_j
             FROM best
+        """,
+        # twin of q_mase_volume — same calendar-date forecast joins
+        "mase_volume": """
+            WITH s AS (
+              SELECT ts::DATE AS d, count(*)::DOUBLE AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            scored AS (
+              SELECT s.x, l1.x AS x1, l7.x AS xs
+              FROM s
+              LEFT JOIN s l1 ON l1.d + INTERVAL 1 DAY = s.d
+              LEFT JOIN s l7 ON l7.d + INTERVAL 7 DAY = s.d),
+            a AS (
+              SELECT count(*) FILTER (x1 IS NOT NULL
+                                      AND xs IS NOT NULL) AS n_scored,
+                     avg(abs(x - xs)) FILTER (x1 IS NOT NULL
+                                              AND xs IS NOT NULL)
+                       AS mae_s,
+                     avg(abs(x - x1)) FILTER (x1 IS NOT NULL
+                                              AND xs IS NOT NULL)
+                       AS mae_n,
+                     count(*) AS n_days
+              FROM scored)
+            SELECT n_days::BIGINT AS n_days,
+                   n_scored::BIGINT AS n_scored,
+                   (n_days - n_scored)::BIGINT AS n_unmatched,
+                   round(mae_s, 6) AS mae_seasonal,
+                   round(mae_n, 6) AS mae_naive,
+                   round(CASE WHEN mae_n > 0 THEN mae_s / mae_n END,
+                         6) AS mase
+            FROM a
+        """,
+        # twin of q_nelson_aalen_purchase — km_purchase's duration
+        # model, Nelson-Aalen close
+        "nelson_aalen_purchase": """
+            WITH per AS (
+              SELECT user_id, min(epoch(ts)) AS entry,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN epoch(ts) END) AS ev,
+                     max(epoch(ts)) AS lastts
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id),
+            h AS (SELECT max(lastts) AS hz FROM per),
+            marks AS (
+              SELECT floor((CASE WHEN ev IS NOT NULL THEN ev - entry
+                            ELSE hz - entry END) / 3600)::BIGINT
+                       AS t_bucket,
+                     count(*) AS alln,
+                     sum(CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END)
+                       AS d
+              FROM per, h GROUP BY 1),
+            curve AS (
+              SELECT t_bucket,
+                     sum(alln) OVER ()
+                       - coalesce(sum(alln) OVER (
+                           ORDER BY t_bucket ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+                     d AS n_events
+              FROM marks),
+            na AS (
+              SELECT t_bucket, n_risk, n_events,
+                     sum(n_events / n_risk)
+                       OVER (ORDER BY t_bucket ROWS BETWEEN
+                             UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ch,
+                     sum(n_events / (n_risk * n_risk))
+                       OVER (ORDER BY t_bucket ROWS BETWEEN
+                             UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS vh
+              FROM curve)
+            SELECT t_bucket, n_risk::BIGINT AS n_risk,
+                   n_events::BIGINT AS n_events,
+                   round(ch, 6) AS cum_hazard,
+                   round(vh, 6) AS var_hazard,
+                   round(exp(-ch), 6) AS fh_survival
+            FROM na WHERE n_events > 0 ORDER BY t_bucket
+        """,
+        # twin of q_robust_shape_langs — same interpolated octiles
+        "robust_shape_langs": """
+            WITH base AS (
+              SELECT lang AS g, n_chars::DOUBLE AS v FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     quantile_cont(v, 0.125) AS e1,
+                     quantile_cont(v, 0.250) AS e2,
+                     quantile_cont(v, 0.375) AS e3,
+                     quantile_cont(v, 0.500) AS e4,
+                     quantile_cont(v, 0.625) AS e5,
+                     quantile_cont(v, 0.750) AS e6,
+                     quantile_cont(v, 0.875) AS e7
+              FROM base GROUP BY g)
+            SELECT g AS "group", n,
+                   round(e2, 6) AS q1, round(e4, 6) AS median,
+                   round(e6, 6) AS q3,
+                   round(CASE WHEN e6 > e2 THEN
+                     (e6 + e2 - 2*e4) / (e6 - e2) END, 6)
+                     AS bowley_skew,
+                   round(CASE WHEN e6 > e2 THEN
+                     ((e7 - e5) + (e3 - e1)) / (e6 - e2) END, 6)
+                     AS moors_kurt
+            FROM a ORDER BY g
         """,
     }

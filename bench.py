@@ -413,6 +413,8 @@ R4_NAMES = [
     "kruskal_len_langs", "fleiss_langs", "gumbel_daily_max",
     # wave 76: Friedman test, Cronbach's alpha, Youden threshold
     "friedman_types", "cronbach_quality", "youden_len_gate",
+    # wave 77: MASE forecast audit, Nelson-Aalen, robust shape
+    "mase_volume", "nelson_aalen_purchase", "robust_shape_langs",
 ]
 
 

@@ -4776,3 +4776,122 @@ class TestYoudenThreshold:
         out = tc.youden_threshold(
             df, score_col="s", label_col=F.col("y")).collect()[0]
         assert out["youden_j"] is None
+
+
+class TestMase:
+    def test_perfect_weekly_rhythm(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        # period-7 series: seasonal-naive is exact, naive is not
+        d0 = datetime.date(2024, 1, 1)
+        vals = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+        rows = [(d0 + datetime.timedelta(days=i), vals[i % 7])
+                for i in range(28)]
+        df = spark.createDataFrame(rows, "d date, x double")
+        out = tc.mase(df, "x", "d", season=7).collect()[0]
+        assert out["n_days"] == 28
+        assert out["n_scored"] == 21           # first 7 unmatched
+        assert out["mae_seasonal"] == 0.0
+        assert out["mae_naive"] > 0
+        assert out["mase"] == 0.0
+
+    def test_gap_days_excluded(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        d0 = datetime.date(2024, 1, 1)
+        rows = [(d0 + datetime.timedelta(days=i), float(i))
+                for i in range(20) if i != 9]
+        df = spark.createDataFrame(rows, "d date, x double")
+        out = tc.mase(df, "x", "d", season=7).collect()[0]
+        # days 9 (missing), 0-7 (no lag7), 10 (no lag1), 16 (lag7=9)
+        assert out["n_days"] == 19
+        assert out["n_unmatched"] == 19 - out["n_scored"]
+        # linear series: both forecasts off by constant -> mase = 7
+        assert out["mase"] == 7.0
+
+    def test_white_noise_near_one(self, spark):
+        import datetime, random
+        from zoi_spark import tablechecks as tc
+        rng = random.Random(3)
+        d0 = datetime.date(2024, 1, 1)
+        rows = [(d0 + datetime.timedelta(days=i), rng.random())
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "d date, x double")
+        out = tc.mase(df, "x", "d", season=7).collect()[0]
+        assert 0.7 < out["mase"] < 1.4
+
+
+class TestNelsonAalen:
+    def test_hazard_increments(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        import pyspark.sql.functions as F
+        t0 = datetime.datetime(2024, 1, 1)
+        # 4 users enter at t0; converts at +1h, +2h; 2 never (censor
+        # at horizon +3h)
+        rows = []
+        for u in range(4):
+            rows.append((u, t0, "view"))
+        rows += [(0, t0 + datetime.timedelta(hours=1), "buy"),
+                 (1, t0 + datetime.timedelta(hours=2), "buy"),
+                 (2, t0 + datetime.timedelta(hours=3), "view"),
+                 (3, t0 + datetime.timedelta(hours=3), "view")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = {r["t_bucket"]: r for r in tc.nelson_aalen(
+            df, entity_col="u", ts_col="ts",
+            event_pred=F.col("et") == "buy", bucket_s=3600).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["n_risk"] == 4 and out[1]["n_events"] == 1
+        assert out[1]["cum_hazard"] == 0.25
+        assert out[2]["cum_hazard"] == round(0.25 + 1 / 3, 6)
+        assert out[2]["var_hazard"] == round(1 / 16 + 1 / 9, 6)
+        import math
+        assert out[2]["fh_survival"] == round(
+            math.exp(-(0.25 + 1 / 3)), 6)
+
+    def test_matches_km_duration_model(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        km = tc.kaplan_meier(e, entity_col="user_id", ts_col="ts",
+                             event_pred=F.col("event_type") ==
+                             "purchase", bucket_s=3600)
+        na = tc.nelson_aalen(e, entity_col="user_id", ts_col="ts",
+                             event_pred=F.col("event_type") ==
+                             "purchase", bucket_s=3600)
+        k = {r["t_bucket"]: r for r in km.collect()}
+        n = {r["t_bucket"]: r for r in na.collect()}
+        assert set(k) == set(n)                # same event buckets
+        for b in k:
+            assert k[b]["n_risk"] == n[b]["n_risk"]
+            assert k[b]["n_events"] == n[b]["n_events"]
+            # FH survival upper-bounds KM (standard inequality)
+            if k[b]["survival"] > 0:
+                assert n[b]["fh_survival"] >= k[b]["survival"] - 1e-9
+
+
+class TestRobustShape:
+    def test_symmetric_zero_skew(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", float(v)) for v in range(1, 102)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.robust_shape(df, "v", by="g").collect()[0]
+        assert out["bowley_skew"] == 0.0
+        assert out["median"] == 51.0
+        # uniform octiles are equally spaced: Moors = (12.5+12.5)/50... 
+        assert out["moors_kurt"] == 1.0
+
+    def test_right_skew_positive(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", float(v ** 2)) for v in range(1, 102)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.robust_shape(df, "v", by="g").collect()[0]
+        assert out["bowley_skew"] > 0.1
+
+    def test_constant_group_null_ratios(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 5.0)] * 9
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.robust_shape(df, "v", by="g").collect()[0]
+        assert out["bowley_skew"] is None
+        assert out["moors_kurt"] is None

@@ -6218,3 +6218,140 @@ def youden_threshold(df: DataFrame, *, score_col: str, label_col,
         F.round(F.try_divide(F.col("r.fp"), F.col("r.qq")),
                 round_to).alias("fpr"),
         F.round(F.col("r.j"), round_to).alias("youden_j"))
+
+
+def mase(df: DataFrame, value_col: str, date_col: str, *,
+         season: int = 7, round_to: int = 6) -> DataFrame:
+    """MASE — mean absolute scaled error (Hyndman & Koehler 2006) of
+    the SEASONAL-naive forecast (x̂_t = x_{t−season}) against the
+    plain naive baseline (x̂_t = x_{t−1}) over a daily series: the
+    scale-free "does the weekly rhythm actually predict volume"
+    audit. MASE < 1 ⇒ the seasonal pattern beats persistence —
+    schedule capacity by weekday; MASE ≥ 1 ⇒ the rhythm is noise.
+
+    Forecasts join by CALENDAR date arithmetic, so missing days
+    produce NULL forecasts that are excluded and COUNTED rather than
+    silently treated as consecutive. All joins ride the tiny
+    per-date frame (one row per day). Returns one row ``(n_days,
+    n_scored, n_unmatched, mae_seasonal, mae_naive, mase)``.
+    """
+    s = (df.select(F.col(date_col).cast("date").alias("d"),
+                   F.col(value_col).cast("double").alias("x"))
+         .where(F.col("d").isNotNull() & F.col("x").isNotNull()))
+    lag1 = s.select(F.date_add("d", 1).alias("d"),
+                    F.col("x").alias("x1"))
+    lagS = s.select(F.date_add("d", int(season)).alias("d"),
+                    F.col("x").alias("xs"))
+    joined = s.join(lag1, "d", "left").join(lagS, "d", "left")
+    scored = joined.where(F.col("x1").isNotNull()
+                          & F.col("xs").isNotNull())
+    a = scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(F.abs(F.col("x") - F.col("xs"))).alias("mae_s"),
+        F.avg(F.abs(F.col("x") - F.col("x1"))).alias("mae_n"))
+    n = s.agg(F.count(F.lit(1)).alias("n_days"))
+    return (n.crossJoin(F.broadcast(a))
+            .select(F.col("n_days").cast("long").alias("n_days"),
+                    F.col("n_scored").cast("long").alias("n_scored"),
+                    (F.col("n_days") - F.col("n_scored"))
+                    .cast("long").alias("n_unmatched"),
+                    F.round("mae_s", round_to).alias("mae_seasonal"),
+                    F.round("mae_n", round_to).alias("mae_naive"),
+                    F.round(F.try_divide(F.col("mae_s"),
+                                         F.col("mae_n")), round_to)
+                     .alias("mase")))
+
+
+def nelson_aalen(df: DataFrame, *, entity_col: str, ts_col: str,
+                 event_pred: Column, bucket_s: int = 3600,
+                 round_to: int = 6) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) on
+    the SAME duration model as :func:`kaplan_meier` (first
+    observation → first matching event per entity, never-converters
+    right-censored at the corpus horizon, durations bucketed):
+
+        H(t)   = Σ_{t_i ≤ t} d_i/n_i          cumulative hazard
+        Var(t) = Σ d_i/n_i²
+        S̃(t)  = exp(−H(t))                    Fleming-Harrington
+
+    where KM answers "what fraction survives", the hazard increments
+    d_i/n_i read directly as per-bucket conversion INTENSITY — flat
+    increments mean a memoryless process, a hump means a
+    conversion-window. Same scale shape as kaplan_meier: per-entity
+    aggregation, 1-row horizon, bucket aggregation, windows over the
+    bounded curve only. Returns per event-bucket rows ``(t_bucket,
+    n_risk, n_events, cum_hazard, var_hazard, fh_survival)``.
+    """
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    per = (df.where(F.col(entity_col).isNotNull())
+           .groupBy(entity_col)
+           .agg(F.min(ts).alias("__entry"),
+                F.min(F.when(event_pred, ts)).alias("__event"),
+                F.max(ts).alias("__last")))
+    horizon = per.agg(F.max("__last").alias("__h"))
+    j = per.crossJoin(F.broadcast(horizon))
+    observed = F.col("__event").isNotNull()
+    dur = F.when(observed, F.col("__event") - F.col("__entry")) \
+        .otherwise(F.col("__h") - F.col("__entry"))
+    b = F.floor(dur / F.lit(int(bucket_s))).cast("long")
+    marks = (j.select(b.alias("t_bucket"),
+                      observed.cast("long").alias("__d"))
+             .groupBy("t_bucket")
+             .agg(F.count("*").alias("__all"),
+                  F.sum("__d").alias("__d")))
+    w = Window.orderBy("t_bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    n_risk = (F.sum("__all").over(total)
+              - F.coalesce(F.sum("__all").over(w), F.lit(0)))
+    curve = marks.select("t_bucket", n_risk.alias("n_risk"),
+                         F.col("__d").alias("n_events"))
+    ws = Window.orderBy("t_bucket") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    h = F.sum(F.col("n_events") / F.col("n_risk")).over(ws)
+    v = F.sum(F.col("n_events") / F.col("n_risk") ** 2).over(ws)
+    return (curve.where(F.col("n_events") > 0)
+            .select("t_bucket",
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.round(h, round_to).alias("cum_hazard"),
+                    F.round(v, round_to).alias("var_hazard"),
+                    F.round(F.exp(-h), round_to)
+                     .alias("fh_survival")))
+
+
+def robust_shape(df: DataFrame, value_col: str, *, by: str,
+                 round_to: int = 6) -> DataFrame:
+    """Quantile-based distribution-shape profile per group: Bowley
+    skewness from quartiles and Moors kurtosis from octiles —
+
+        skew_B = (Q3 + Q1 − 2·Q2) / (Q3 − Q1)          ∈ [−1, 1]
+        kurt_M = ((E7−E5) + (E3−E1)) / (E6 − E2)       (1.23 ≈ normal)
+
+    — the moment-free shape readout that heavy-tailed web-corpus
+    columns demand: third/fourth moments explode on power-law
+    lengths (:func:`power_tail_hill`), octile ratios don't. One
+    exact-percentile aggregation per group (bin first at 10¹²-row
+    scale, as the decile helpers document). Returns per-group rows
+    ``(group, n, q1, median, q3, bowley_skew, moors_kurt)``.
+    """
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    octs = [F.expr(f"percentile(v, {i / 8.0})").alias(f"e{i}")
+            for i in range(1, 8)]
+    a = base.groupBy("g").agg(F.count(F.lit(1)).alias("n"), *octs)
+    bowley = F.try_divide(
+        F.col("e6") + F.col("e2") - 2 * F.col("e4"),
+        F.col("e6") - F.col("e2"))
+    moors = F.try_divide(
+        (F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1")),
+        F.col("e6") - F.col("e2"))
+    return a.select(
+        F.col("g").alias("group"), F.col("n").cast("long").alias("n"),
+        F.round("e2", round_to).alias("q1"),
+        F.round("e4", round_to).alias("median"),
+        F.round("e6", round_to).alias("q3"),
+        F.round(bowley, round_to).alias("bowley_skew"),
+        F.round(moors, round_to).alias("moors_kurt"))
