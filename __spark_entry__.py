@@ -7198,6 +7198,37 @@ def q_robust_shape_langs(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_gk_lambda_source_lang(spark, sf_dir):
+    """Goodman-Kruskal λ (tablechecks.gk_lambda) between source and
+    lang — does knowing the source reduce lang-prediction error
+    (and vice versa)? The error-rate-units association reading the
+    chi² row can't give. One (x,y) cell aggregation."""
+    d = _read(spark, sf_dir, "documents")
+    return tablechecks.gk_lambda(d, "source", "lang")
+
+
+def q_kuiper_diurnal(spark, sf_dir):
+    """Kuiper two-sample V (tablechecks.kuiper_two_sample) on
+    hour-of-day between weekend and weekday events — the cyclic-safe
+    drift test: a phase shift around midnight that KS under-reads
+    shows fully in V = D⁺ + D⁻."""
+    e = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hours = e.select(F.hour("ts").cast("double").alias("h"),
+                     F.dayofweek("ts").isin(1, 7).alias("wk"))
+    return tablechecks.kuiper_two_sample(hours, "h",
+                                         split=F.col("wk"))
+
+
+def q_poisson_scan_volume(spark, sf_dir):
+    """Kulldorff-style Poisson scan (tablechecks.poisson_scan) over
+    daily event volume at window lengths 1/3/7 days: each length's
+    max-LLR interval — where the burst is, not just that one day was
+    anomalous. RANGE windows over day indices, gap-safe."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.poisson_scan(e, "ts", windows=(1, 3, 7))
+            .orderBy("w_days"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7706,6 +7737,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mase_volume": q_mase_volume,
         "nelson_aalen_purchase": q_nelson_aalen_purchase,
         "robust_shape_langs": q_robust_shape_langs,
+        # wave 78: GK lambda, Kuiper diurnal, Poisson scan
+        "gk_lambda_source_lang": q_gk_lambda_source_lang,
+        "kuiper_diurnal": q_kuiper_diurnal,
+        "poisson_scan_volume": q_poisson_scan_volume,
     }
 
 
@@ -18281,5 +18316,106 @@ def oracle_sql() -> dict[str, str]:
                      ((e7 - e5) + (e3 - e1)) / (e6 - e2) END, 6)
                      AS moors_kurt
             FROM a ORDER BY g
+        """,
+        # twin of q_gk_lambda_source_lang — same cell table, both
+        # asymmetric directions
+        "gk_lambda_source_lang": """
+            WITH cells AS (
+              SELECT source AS x, lang AS y, count(*)::DOUBLE AS n
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1, 2),
+            px AS (SELECT x, max(n) AS mx, sum(n) AS nx FROM cells
+                   GROUP BY x),
+            py AS (SELECT y, max(n) AS my, sum(n) AS ny FROM cells
+                   GROUP BY y),
+            ax AS (SELECT sum(mx) AS sum_max_y,
+                          max(nx) AS max_marg_x FROM px),
+            ay AS (SELECT sum(my) AS sum_max_x,
+                          max(ny) AS max_marg_y,
+                          sum(ny) AS nn FROM py)
+            SELECT nn::BIGINT AS n,
+                   round((sum_max_y - max_marg_y)
+                         / nullif(nn - max_marg_y, 0), 6)
+                     AS lambda_y_given_x,
+                   round((sum_max_x - max_marg_x)
+                         / nullif(nn - max_marg_x, 0), 6)
+                     AS lambda_x_given_y
+            FROM ay, ax
+        """,
+        # twin of q_kuiper_diurnal — same distinct-value CDF sweep
+        "kuiper_diurnal": """
+            WITH base AS (
+              SELECT extract(hour FROM ts)::DOUBLE AS v,
+                     extract(dow FROM ts) IN (0, 6) AS s
+              FROM events WHERE ts IS NOT NULL),
+            vc AS (
+              SELECT v,
+                     sum(CASE WHEN s THEN 1 ELSE 0 END)::DOUBLE
+                       AS na,
+                     sum(CASE WHEN s THEN 0 ELSE 1 END)::DOUBLE
+                       AS nb
+              FROM base GROUP BY v),
+            tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM vc),
+            cdfs AS (
+              SELECT sum(na) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ca,
+                     sum(nb) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cb
+              FROM vc),
+            a AS (
+              SELECT greatest(max(ca / t.ta - cb / t.tb), 0)
+                       AS dp,
+                     greatest(max(cb / t.tb - ca / t.ta), 0)
+                       AS dm
+              FROM cdfs, tot t)
+            SELECT (SELECT ta FROM tot)::BIGINT AS n_a,
+                   (SELECT tb FROM tot)::BIGINT AS n_b,
+                   round(dp, 6) AS d_plus,
+                   round(dm, 6) AS d_minus,
+                   round(dp + dm, 6) AS v_stat
+            FROM a
+        """,
+        # twin of q_poisson_scan_volume — same RANGE windows over
+        # day indices, same Kulldorff LLR and earliest-start ties
+        "poisson_scan_volume": """
+            WITH daily AS (
+              SELECT ts::DATE AS d, count(*)::DOUBLE AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            lo AS (SELECT min(d) AS d0, max(d) AS d1,
+                          sum(x) AS nn FROM daily),
+            idx AS (
+              SELECT d, x, (d - lo.d0) AS i,
+                     (lo.d1 - lo.d0 + 1)::DOUBLE AS t, lo.nn
+              FROM daily, lo),
+            scans AS (
+              SELECT w, d, i, t, nn,
+                     sum(x) OVER (PARTITION BY w ORDER BY i
+                                  RANGE BETWEEN w - 1 PRECEDING
+                                  AND CURRENT ROW) AS wx
+              FROM idx CROSS JOIN
+                   (SELECT unnest([1, 3, 7]) AS w)),
+            scored AS (
+              SELECT w, d - (w - 1) AS start_day, i, wx,
+                     nn * w / t AS e, nn
+              FROM scans WHERE i >= w - 1),
+            llrs AS (
+              SELECT w, start_day, i, wx, e,
+                     CASE WHEN wx > e THEN
+                       wx * ln(wx / e)
+                       + CASE WHEN wx < nn THEN
+                           (nn - wx) * ln((nn - wx) / (nn - e))
+                         ELSE 0 END
+                     ELSE 0 END AS llr
+              FROM scored),
+            best AS (
+              SELECT w, start_day, wx, e, llr,
+                     row_number() OVER (PARTITION BY w
+                       ORDER BY llr DESC, i ASC) AS rn
+              FROM llrs)
+            SELECT w AS w_days, start_day,
+                   wx::BIGINT AS x, round(e, 6) AS expected,
+                   round(llr, 6) AS llr
+            FROM best WHERE rn = 1 ORDER BY w_days
         """,
     }

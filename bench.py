@@ -415,6 +415,8 @@ R4_NAMES = [
     "friedman_types", "cronbach_quality", "youden_len_gate",
     # wave 77: MASE forecast audit, Nelson-Aalen, robust shape
     "mase_volume", "nelson_aalen_purchase", "robust_shape_langs",
+    # wave 78: GK lambda, Kuiper diurnal, Poisson scan
+    "gk_lambda_source_lang", "kuiper_diurnal", "poisson_scan_volume",
 ]
 
 

@@ -4895,3 +4895,101 @@ class TestRobustShape:
         out = tc.robust_shape(df, "v", by="g").collect()[0]
         assert out["bowley_skew"] is None
         assert out["moors_kurt"] is None
+
+
+class TestGkLambda:
+    def test_perfect_prediction(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("s1", "en")] * 5 + [("s2", "de")] * 5
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = tc.gk_lambda(df, "x", "y").collect()[0]
+        assert out["lambda_y_given_x"] == 1.0
+        assert out["lambda_x_given_y"] == 1.0
+
+    def test_independent_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        # y marginal mode dominates regardless of x
+        rows = ([("s1", "en")] * 6 + [("s1", "de")] * 2
+                + [("s2", "en")] * 6 + [("s2", "de")] * 2)
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = tc.gk_lambda(df, "x", "y").collect()[0]
+        assert out["lambda_y_given_x"] == 0.0
+
+    def test_textbook_asymmetry(self, spark):
+        from zoi_spark import tablechecks as tc
+        # x=s1 -> mostly en; x=s2 -> mostly de, but unbalanced
+        rows = ([("s1", "en")] * 8 + [("s1", "de")] * 2
+                + [("s2", "de")] * 5 + [("s2", "en")] * 1)
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = tc.gk_lambda(df, "x", "y").collect()[0]
+        # lambda(y|x): (8+5 - 9)/(16-9) = 4/7
+        assert out["lambda_y_given_x"] == round(4 / 7, 6)
+        # lambda(x|y): (8+5 - 10)/(16-10) = 0.5
+        assert out["lambda_x_given_y"] == 0.5
+
+
+class TestKuiperTwoSample:
+    def test_identical_zero(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v), s) for v in range(10)
+                for s in (True, False)]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.kuiper_two_sample(df, "v",
+                                   split=F.col("s")).collect()[0]
+        assert out["v_stat"] == 0.0
+
+    def test_disjoint_max(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = ([(float(v), True) for v in range(5)]
+                + [(float(v + 10), False) for v in range(5)])
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.kuiper_two_sample(df, "v",
+                                   split=F.col("s")).collect()[0]
+        assert out["d_plus"] == 1.0 and out["d_minus"] == 0.0
+        assert out["v_stat"] == 1.0
+
+    def test_cyclic_shift_detected_both_sides(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # bimodal A at hours {2, 20}; B = A shifted 12h -> {14, 8}:
+        # the CDFs cross, so BOTH excursions light up
+        a = [2.0] * 20 + [20.0] * 20
+        rows = ([(v, True) for v in a]
+                + [((v + 12.0) % 24, False) for v in a])
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.kuiper_two_sample(df, "v",
+                                   split=F.col("s")).collect()[0]
+        assert out["d_plus"] == 0.5 and out["d_minus"] == 0.5
+        assert out["v_stat"] == 1.0
+
+
+class TestPoissonScan:
+    def test_finds_injected_burst(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        d0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for day in range(28):
+            n = 100 if 10 <= day <= 12 else 10
+            for i in range(n):
+                rows.append((d0 + datetime.timedelta(days=day,
+                                                     seconds=i),))
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = {r["w_days"]: r for r in
+               tc.poisson_scan(df, "ts", windows=(1, 3)).collect()}
+        assert str(out[3]["start_day"]) == "2024-01-11"
+        assert out[3]["x"] == 300
+        assert out[1]["x"] == 100
+        assert out[3]["llr"] > out[1]["llr"] > 0
+
+    def test_flat_series_zero_llr(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        d0 = datetime.datetime(2024, 1, 1)
+        rows = [(d0 + datetime.timedelta(days=day, seconds=i),)
+                for day in range(14) for i in range(10)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        for r in tc.poisson_scan(df, "ts", windows=(1, 7)).collect():
+            assert r["llr"] == 0.0

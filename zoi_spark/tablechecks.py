@@ -6355,3 +6355,149 @@ def robust_shape(df: DataFrame, value_col: str, *, by: str,
         F.round("e6", round_to).alias("q3"),
         F.round(bowley, round_to).alias("bowley_skew"),
         F.round(moors, round_to).alias("moors_kurt"))
+
+
+def gk_lambda(df: DataFrame, x_col: str, y_col: str, *,
+              round_to: int = 6) -> DataFrame:
+    """Goodman-Kruskal λ (Goodman & Kruskal 1954) — proportional
+    reduction in prediction error between two categoricals: how much
+    better does knowing X (source) make a modal guess of Y (lang)?
+
+        λ_{Y|X} = (Σ_x max_y n_xy − max_y n_{·y})
+                  / (N − max_y n_{·y})
+
+    λ = 0 means X is useless for predicting Y even when chi²
+    "finds" association (λ reads in error-rate units, chi² in
+    sample-size units); both directions are reported because λ is
+    asymmetric. ONE (x, y) cell aggregation feeds both directions.
+    Returns one row ``(n, lambda_y_given_x, lambda_x_given_y)``.
+    """
+    cells = (df.select(F.col(x_col).alias("x"),
+                       F.col(y_col).alias("y"))
+             .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+             .groupBy("x", "y")
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    per_x = cells.groupBy("x").agg(F.max("n").alias("mx"),
+                                   F.sum("n").alias("nx"))
+    per_y = cells.groupBy("y").agg(F.max("n").alias("my"),
+                                   F.sum("n").alias("ny"))
+    ax = per_x.agg(F.sum("mx").alias("sum_max_y"),
+                   F.max("nx").alias("max_marg_x"))
+    ay = per_y.agg(F.sum("my").alias("sum_max_x"),
+                   F.max("ny").alias("max_marg_y"),
+                   F.sum("ny").alias("nn"))
+    lam_yx = F.try_divide(F.col("sum_max_y") - F.col("max_marg_y"),
+                          F.col("nn") - F.col("max_marg_y"))
+    lam_xy = F.try_divide(F.col("sum_max_x") - F.col("max_marg_x"),
+                          F.col("nn") - F.col("max_marg_x"))
+    return (ay.crossJoin(F.broadcast(ax))
+            .select(F.col("nn").cast("long").alias("n"),
+                    F.round(lam_yx, round_to)
+                     .alias("lambda_y_given_x"),
+                    F.round(lam_xy, round_to)
+                     .alias("lambda_x_given_y")))
+
+
+def kuiper_two_sample(df: DataFrame, value_col: str, *,
+                      split: Column, round_to: int = 6) -> DataFrame:
+    """Kuiper two-sample test (Kuiper 1960): V = D⁺ + D⁻, the sum of
+    the largest CDF excursions in each direction — the KS variant
+    that is INVARIANT to a cyclic shift of the support, which makes
+    it the correct drift test for circular variables (hour-of-day,
+    day-of-week): KS near a cut point under-reads a phase shift,
+    Kuiper doesn't care where midnight is.
+
+    Same scale shape as the KS/CvM rows: one distinct-value counts
+    aggregation, cumulative CDFs via a window over THAT table, one
+    closing max. Returns one row ``(n_a, n_b, d_plus, d_minus,
+    v_stat)``.
+    """
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     split.alias("s")) \
+             .where(F.col("v").isNotNull() & F.col("s").isNotNull())
+    vc = base.groupBy("v").agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0))
+         .cast("double").alias("na"),
+        F.sum(F.when(~F.col("s"), 1).otherwise(0))
+         .cast("double").alias("nb"))
+    tot = vc.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdfs = (vc.select(F.sum("na").over(w).alias("ca"),
+                      F.sum("nb").over(w).alias("cb"))
+            .crossJoin(F.broadcast(tot)))
+    diff = F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+    a = cdfs.agg(F.max(diff).alias("dp"),
+                 F.max(-diff).alias("dm"),
+                 F.first("ta").alias("ta"), F.first("tb").alias("tb"))
+    dp = F.greatest(F.col("dp"), F.lit(0.0))
+    dm = F.greatest(F.col("dm"), F.lit(0.0))
+    return a.select(
+        F.col("ta").cast("long").alias("n_a"),
+        F.col("tb").cast("long").alias("n_b"),
+        F.round(dp, round_to).alias("d_plus"),
+        F.round(dm, round_to).alias("d_minus"),
+        F.round(dp + dm, round_to).alias("v_stat"))
+
+
+def poisson_scan(df: DataFrame, ts_col: str, *,
+                 windows: Sequence[int] = (1, 3, 7),
+                 round_to: int = 6) -> DataFrame:
+    """Kulldorff-style Poisson scan statistic over the daily series:
+    for each window length w, slide a w-day interval over the span
+    and score the count inside against the uniform-rate expectation
+
+        LLR = x·ln(x/e) + (N−x)·ln((N−x)/(N−e))    (0 unless x > e)
+
+    returning each length's maximizing interval — WHERE the burst is
+    and how implausible under a flat rate, the interval answer the
+    pointwise c-chart / EWMA rows cannot give. Calendar gaps are
+    handled by a RANGE window over day indices (absent days count
+    0); edge windows with partial coverage are excluded. Ties break
+    to the earliest start. Runs entirely on the per-day frame.
+    Returns one row per window length ``(w_days, start_day, x,
+    expected, llr)``.
+    """
+    daily = (df.select(F.to_date(F.col(ts_col)).alias("d"))
+             .where(F.col("d").isNotNull())
+             .groupBy("d").agg(F.count(F.lit(1))
+                               .cast("double").alias("x")))
+    lo = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"),
+                   F.sum("x").alias("nn"))
+    idx = (daily.crossJoin(F.broadcast(lo))
+           .select("d", "x", F.datediff("d", F.col("d0")).alias("i"),
+                   (F.datediff("d1", F.col("d0")) + 1)
+                   .cast("double").alias("t"), "nn"))
+    outs = []
+    for wdays in windows:
+        wd = int(wdays)
+        win = (Window.orderBy("i")
+               .rangeBetween(-(wd - 1), 0))
+        seg = (idx.select(
+            "d", "t", "nn", F.col("i"),
+            F.sum("x").over(win).alias("wx"))
+            .where(F.col("i") >= wd - 1))
+        e = F.col("nn") * wd / F.col("t")
+        x = F.col("wx")
+        n = F.col("nn")
+        llr = F.when(
+            x > e,
+            x * F.log(x / e)
+            + F.when(x < n, (n - x) * F.log((n - x) / (n - e)))
+               .otherwise(F.lit(0.0))).otherwise(F.lit(0.0))
+        start = F.date_sub("d", wd - 1)
+        best = (seg.select(F.struct(
+            llr.alias("llr"),
+            (-F.col("i")).alias("ni"),
+            start.alias("s"), x.alias("x"), e.alias("e")).alias("r"))
+            .agg(F.max("r").alias("r")))
+        outs.append(best.select(
+            F.lit(wd).alias("w_days"),
+            F.col("r.s").alias("start_day"),
+            F.col("r.x").cast("long").alias("x"),
+            F.round(F.col("r.e"), round_to).alias("expected"),
+            F.round(F.col("r.llr"), round_to).alias("llr")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
