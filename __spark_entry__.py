@@ -7229,6 +7229,53 @@ def q_poisson_scan_volume(spark, sf_dir):
             .orderBy("w_days"))
 
 
+def q_chow_value_halves(spark, sf_dir):
+    """Chow structural-break test (tablechecks.chow_break): did the
+    hour-of-day → value linear relation change between the first and
+    second half of the month? One conditional-sums aggregation —
+    SSEs from sufficient statistics, no residual frame."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    s = e.select(F.hour("ts").cast("double").alias("hh"),
+                 F.col("value"),
+                 (F.dayofmonth("ts") <= 15).alias("half"))
+    return tablechecks.chow_break(s, "hh", "value",
+                                  split=F.col("half"))
+
+
+def q_weighted_kappa_buckets(spark, sf_dir):
+    """Linearly weighted Cohen's kappa (tablechecks.weighted_kappa)
+    between two deterministic ordinal quality raters: rater A =
+    length quintile bucket 0-4, rater B = the same bucket nudged one
+    level up every 4th doc — near-misses earn partial credit, the
+    distinction the unweighted kappa row cannot make."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
+    bucket = F.least(F.floor(F.col("n_chars") / 120), F.lit(4))
+    rated = d.select(
+        bucket.alias("ra"),
+        F.least(bucket + F.when(F.pmod("doc_id", F.lit(4)) == 0,
+                                1).otherwise(0),
+                F.lit(4)).alias("rb"))
+    return tablechecks.weighted_kappa(rated, "ra", "rb")
+
+
+def q_partial_corr_len(spark, sf_dir):
+    """First-order partial correlation (tablechecks.partial_corr):
+    n_chars ~ token count with mean word length held constant — all
+    three Pearson r's in one fused aggregation, listwise nulls."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    feats = d.select(
+        F.col("n_chars").cast("double").alias("len"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("double")
+         .alias("toks"),
+        F.try_divide(F.length("text"),
+                     F.size(F.split(F.col("text"), r"\s+")))
+         .alias("wlen"))
+    return tablechecks.partial_corr(feats, "len", "toks", "wlen")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7741,6 +7788,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "gk_lambda_source_lang": q_gk_lambda_source_lang,
         "kuiper_diurnal": q_kuiper_diurnal,
         "poisson_scan_volume": q_poisson_scan_volume,
+        # wave 79: Chow break, weighted kappa, partial correlation
+        "chow_value_halves": q_chow_value_halves,
+        "weighted_kappa_buckets": q_weighted_kappa_buckets,
+        "partial_corr_len": q_partial_corr_len,
     }
 
 
@@ -18417,5 +18468,127 @@ def oracle_sql() -> dict[str, str]:
                    wx::BIGINT AS x, round(e, 6) AS expected,
                    round(llr, 6) AS llr
             FROM best WHERE rn = 1 ORDER BY w_days
+        """,
+        # twin of q_chow_value_halves — same sufficient-statistic
+        # SSEs, same degenerate-regime guard
+        "chow_value_halves": """
+            WITH s AS (
+              SELECT extract(hour FROM ts)::DOUBLE AS x,
+                     value AS y,
+                     extract(day FROM ts) <= 15 AS g
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+            a AS (
+              SELECT
+                sum(CASE WHEN g THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::DOUBLE AS n2,
+                count(*)::DOUBLE AS np,
+                sum(CASE WHEN g THEN x ELSE 0 END) AS sx1,
+                sum(CASE WHEN g THEN y ELSE 0 END) AS sy1,
+                sum(CASE WHEN g THEN x*y ELSE 0 END) AS sxy1,
+                sum(CASE WHEN g THEN x*x ELSE 0 END) AS sx21,
+                sum(CASE WHEN g THEN y*y ELSE 0 END) AS sy21,
+                sum(CASE WHEN NOT g THEN x ELSE 0 END) AS sx2,
+                sum(CASE WHEN NOT g THEN y ELSE 0 END) AS sy2,
+                sum(CASE WHEN NOT g THEN x*y ELSE 0 END) AS sxy2,
+                sum(CASE WHEN NOT g THEN x*x ELSE 0 END) AS sx22,
+                sum(CASE WHEN NOT g THEN y*y ELSE 0 END) AS sy22,
+                sum(x) AS sxp, sum(y) AS syp, sum(x*y) AS sxyp,
+                sum(x*x) AS sx2p, sum(y*y) AS sy2p
+              FROM s),
+            d AS (
+              SELECT n1, n2, np,
+                     sx21 - sx1*sx1/n1 AS sxx1,
+                     sxy1 - sx1*sy1/n1 AS sxy1c,
+                     sy21 - sy1*sy1/n1 AS syy1,
+                     sx22 - sx2*sx2/n2 AS sxx2,
+                     sxy2 - sx2*sy2/n2 AS sxy2c,
+                     sy22 - sy2*sy2/n2 AS syy2,
+                     sx2p - sxp*sxp/np AS sxxp,
+                     sxyp - sxp*syp/np AS sxypc,
+                     sy2p - syp*syp/np AS syyp
+              FROM a),
+            e AS (
+              SELECT n1, n2,
+                     syyp - sxypc*sxypc/sxxp AS ssep,
+                     syy1 - sxy1c*sxy1c/sxx1 AS sse1,
+                     syy2 - sxy2c*sxy2c/sxx2 AS sse2,
+                     (n1 >= 3 AND n2 >= 3 AND sxx1 > 0
+                      AND sxx2 > 0) AS ok
+              FROM d)
+            SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+                   round(ssep, 6) AS sse_pooled,
+                   round(CASE WHEN ok THEN sse1 + sse2 END, 6)
+                     AS sse_split,
+                   round(CASE WHEN ok AND sse1 + sse2 > 0 THEN
+                     ((ssep - sse1 - sse2) / 2.0)
+                     / ((sse1 + sse2) / (n1 + n2 - 4)) END, 6)
+                     AS f_stat,
+                   (n1 + n2 - 4)::BIGINT AS dof2
+            FROM e
+        """,
+        # twin of q_weighted_kappa_buckets — same cells, marginal
+        # cross, linear weights over the observed span
+        "weighted_kappa_buckets": """
+            WITH rated AS (
+              SELECT least(floor(n_chars / 120), 4)::BIGINT AS a,
+                     least(least(floor(n_chars / 120), 4)
+                           + CASE WHEN doc_id % 4 = 0 THEN 1
+                             ELSE 0 END, 4)::BIGINT AS b
+              FROM documents WHERE n_chars IS NOT NULL),
+            cells AS (SELECT a, b, count(*)::DOUBLE AS n FROM rated
+                      GROUP BY a, b),
+            span AS (SELECT least(min(a), min(b)) AS lo,
+                            greatest(max(a), max(b)) AS hi,
+                            sum(n) AS nn FROM cells),
+            po AS (
+              SELECT sum((CASE WHEN s.hi > s.lo THEN
+                          1.0 - abs(c.a - c.b)::DOUBLE
+                                / (s.hi - s.lo)
+                          ELSE 1.0 END) * c.n / s.nn) AS po
+              FROM cells c, span s),
+            ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+            mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+            pe AS (
+              SELECT sum((CASE WHEN s.hi > s.lo THEN
+                          1.0 - abs(ma.a - mb.b)::DOUBLE
+                                / (s.hi - s.lo)
+                          ELSE 1.0 END) * ma.na * mb.nb
+                         / (s.nn * s.nn)) AS pe
+              FROM ma, mb, span s)
+            SELECT s.nn::BIGINT AS n,
+                   (s.hi - s.lo + 1)::BIGINT AS k_levels,
+                   round(po.po, 6) AS po_w,
+                   round(pe.pe, 6) AS pe_w,
+                   round(CASE WHEN pe.pe < 1 THEN
+                     (po.po - pe.pe) / (1 - pe.pe) END, 6)
+                     AS kappa_w
+            FROM span s, po, pe
+        """,
+        # twin of q_partial_corr_len — same listwise frame, same
+        # three Pearson r's and the first-order formula
+        "partial_corr_len": """
+            WITH feats AS (
+              SELECT n_chars::DOUBLE AS x,
+                     length(regexp_split_to_array(text, '\\s+'))
+                       ::DOUBLE AS y,
+                     length(text)::DOUBLE
+                       / length(regexp_split_to_array(text, '\\s+'))
+                       AS z
+              FROM documents WHERE text IS NOT NULL),
+            l AS (SELECT * FROM feats
+                  WHERE x IS NOT NULL AND y IS NOT NULL
+                    AND z IS NOT NULL),
+            a AS (SELECT count(*)::BIGINT AS n,
+                         corr(x, y) AS rxy, corr(x, z) AS rxz,
+                         corr(y, z) AS ryz
+                  FROM l)
+            SELECT n, round(rxy, 6) AS r_xy,
+                   round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+                   round(CASE WHEN (1 - rxz*rxz) * (1 - ryz*ryz) > 0
+                     THEN (rxy - rxz*ryz)
+                          / sqrt((1 - rxz*rxz) * (1 - ryz*ryz))
+                     END, 6) AS partial_r
+            FROM a
         """,
     }

@@ -417,6 +417,8 @@ R4_NAMES = [
     "mase_volume", "nelson_aalen_purchase", "robust_shape_langs",
     # wave 78: GK lambda, Kuiper diurnal, Poisson scan
     "gk_lambda_source_lang", "kuiper_diurnal", "poisson_scan_volume",
+    # wave 79: Chow break, weighted kappa, partial correlation
+    "chow_value_halves", "weighted_kappa_buckets", "partial_corr_len",
 ]
 
 

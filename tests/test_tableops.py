@@ -4993,3 +4993,136 @@ class TestPoissonScan:
         df = spark.createDataFrame(rows, "ts timestamp")
         for r in tc.poisson_scan(df, "ts", windows=(1, 7)).collect():
             assert r["llr"] == 0.0
+
+
+class TestChowBreak:
+    def test_same_regime_low_f(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # identical linear law both halves: SSE_p == SSE1+SSE2, F=0
+        rows = [(float(x), 2.0 * x + 1.0, x % 2 == 0)
+                for x in range(40)]
+        df = spark.createDataFrame(rows, "x double, y double, g boolean")
+        out = tc.chow_break(df, "x", "y",
+                            split=F.col("g")).collect()[0]
+        assert out["sse_pooled"] == 0.0
+        assert out["f_stat"] is None           # zero residuals both
+
+    def test_slope_change_detected(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(11)
+        rows = []
+        for x in range(50):
+            rows.append((float(x), 1.0 * x + rng.gauss(0, 0.1), True))
+            rows.append((float(x), 5.0 * x + rng.gauss(0, 0.1), False))
+        df = spark.createDataFrame(rows, "x double, y double, g boolean")
+        out = tc.chow_break(df, "x", "y",
+                            split=F.col("g")).collect()[0]
+        assert out["f_stat"] > 100             # massive break
+        assert out["dof2"] == 96
+
+    def test_noisy_same_law_small_f(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(5)
+        rows = [(float(x), 2.0 * x + rng.gauss(0, 1.0), x % 2 == 0)
+                for x in range(200)]
+        df = spark.createDataFrame(rows, "x double, y double, g boolean")
+        out = tc.chow_break(df, "x", "y",
+                            split=F.col("g")).collect()[0]
+        assert out["f_stat"] < 5
+
+    def test_degenerate_regime_null(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 2.0, True), (1.0, 3.0, True),
+                (1.0, 4.0, True)] + \
+               [(float(x), float(x), False) for x in range(5)]
+        df = spark.createDataFrame(rows, "x double, y double, g boolean")
+        out = tc.chow_break(df, "x", "y",
+                            split=F.col("g")).collect()[0]
+        assert out["f_stat"] is None           # regime 1 constant x
+        assert out["sse_split"] is None
+
+
+class TestWeightedKappa:
+    def test_perfect_agreement(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i % 4, i % 4) for i in range(40)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        out = tc.weighted_kappa(df, "a", "b").collect()[0]
+        assert out["po_w"] == 1.0 and out["kappa_w"] == 1.0
+        assert out["k_levels"] == 4
+
+    def test_off_by_one_beats_random_wrong(self, spark):
+        from zoi_spark import tablechecks as tc
+        # rater B always one level above A (mod-free, clipped)
+        near = [(i % 4, min(i % 4 + 1, 3)) for i in range(80)]
+        far = [(i % 4, (i % 4 + 2) % 4) for i in range(80)]
+        d_near = spark.createDataFrame(near, "a long, b long")
+        d_far = spark.createDataFrame(far, "a long, b long")
+        k_near = tc.weighted_kappa(d_near, "a", "b").collect()[0]
+        k_far = tc.weighted_kappa(d_far, "a", "b").collect()[0]
+        assert k_near["po_w"] > k_far["po_w"]
+        assert k_near["kappa_w"] > k_far["kappa_w"]
+
+    def test_single_level_degenerate(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(2, 2)] * 10
+        df = spark.createDataFrame(rows, "a long, b long")
+        out = tc.weighted_kappa(df, "a", "b").collect()[0]
+        assert out["k_levels"] == 1
+        assert out["po_w"] == 1.0
+        assert out["kappa_w"] is None          # pe == 1
+
+
+class TestPartialCorr:
+    def test_confounder_explains_all(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(2)
+        rows = []
+        for _ in range(500):
+            z = rng.gauss(0, 1)
+            rows.append((z + rng.gauss(0, 0.05),
+                         z + rng.gauss(0, 0.05), z))
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        out = tc.partial_corr(df, "x", "y", "z").collect()[0]
+        assert out["r_xy"] > 0.9               # raw corr huge
+        assert abs(out["partial_r"]) < 0.2     # vanishes given z
+
+    def test_direct_relation_survives(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(4)
+        rows = []
+        for _ in range(500):
+            x = rng.gauss(0, 1)
+            z = rng.gauss(0, 1)
+            rows.append((x, x + 0.1 * rng.gauss(0, 1), z))
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        out = tc.partial_corr(df, "x", "y", "z").collect()[0]
+        assert out["partial_r"] > 0.9
+
+    def test_matches_closed_form(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 2.0, 3.0), (2.0, 4.1, 2.0), (3.0, 5.9, 4.0),
+                (4.0, 8.2, 1.0), (5.0, 9.8, 5.0)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        out = tc.partial_corr(df, "x", "y", "z").collect()[0]
+        import statistics
+        xs = [r[0] for r in rows]; ys = [r[1] for r in rows]
+        zs = [r[2] for r in rows]
+        def corr(a, b):
+            ma, mb = statistics.mean(a), statistics.mean(b)
+            num = sum((u - ma) * (v - mb) for u, v in zip(a, b))
+            da = sum((u - ma) ** 2 for u in a) ** 0.5
+            db = sum((v - mb) ** 2 for v in b) ** 0.5
+            return num / (da * db)
+        rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+        want = (rxy - rxz * ryz) / (
+            ((1 - rxz ** 2) * (1 - ryz ** 2)) ** 0.5)
+        assert abs(out["partial_r"] - want) < 1e-6

@@ -6501,3 +6501,156 @@ def poisson_scan(df: DataFrame, ts_col: str, *,
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def chow_break(df: DataFrame, x_col: str, y_col: str, *,
+               split: Column, round_to: int = 6) -> DataFrame:
+    """Chow structural-break test (Chow 1960): did the LINEAR
+    relationship y ~ a + b·x change between two regimes (before /
+    after a deploy, first / second half of the crawl)? Where
+    :func:`binseg_split` finds a MEAN shift, Chow detects a SLOPE or
+    intercept change with an F-verdict:
+
+        F = ((SSE_p − SSE₁ − SSE₂)/2) / ((SSE₁+SSE₂)/(n₁+n₂−4))
+                                           ~ F(2, n₁+n₂−4)
+
+    Every SSE comes from sufficient statistics (Σx Σy Σxy Σx² Σy²
+    per regime: SSE = S_yy − S_xy²/S_xx), so the whole test is ONE
+    aggregation pass with conditional sums — no residual
+    materialization. Returns one row ``(n1, n2, sse_pooled,
+    sse_split, f_stat, dof2)``; NULL F when either regime is
+    degenerate (< 3 rows or constant x).
+    """
+    s = df.select(F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y"),
+                  split.alias("g")) \
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull()
+                 & F.col("g").isNotNull())
+
+    def stats(pred):
+        m = lambda c: F.sum(F.when(pred, c).otherwise(F.lit(0.0)))
+        n = F.sum(F.when(pred, 1).otherwise(0)).cast("double")
+        return n, m(F.col("x")), m(F.col("y")), \
+            m(F.col("x") * F.col("y")), m(F.col("x") ** 2), \
+            m(F.col("y") ** 2)
+
+    cols = {}
+    for tag, pred in (("1", F.col("g")), ("2", ~F.col("g")),
+                      ("p", F.lit(True))):
+        n, sx, sy, sxy, sx2, sy2 = stats(pred)
+        cols[f"n{tag}"] = n
+        cols[f"sxx{tag}"] = sx2 - sx ** 2 / n
+        cols[f"sxy{tag}"] = sxy - sx * sy / n
+        cols[f"syy{tag}"] = sy2 - sy ** 2 / n
+    a = s.agg(*[v.alias(k) for k, v in cols.items()])
+    sse = {t: F.col(f"syy{t}")
+           - F.col(f"sxy{t}") ** 2 / F.col(f"sxx{t}")
+           for t in ("1", "2", "p")}
+    ok = ((F.col("n1") >= 3) & (F.col("n2") >= 3)
+          & (F.col("sxx1") > 0) & (F.col("sxx2") > 0))
+    dof2 = F.col("n1") + F.col("n2") - 4
+    f_stat = F.when(ok & (sse["1"] + sse["2"] > 0),
+                    ((sse["p"] - sse["1"] - sse["2"]) / 2.0)
+                    / ((sse["1"] + sse["2"]) / dof2))
+    return a.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(sse["p"], round_to).alias("sse_pooled"),
+        F.round(F.when(ok, sse["1"] + sse["2"]), round_to)
+         .alias("sse_split"),
+        F.round(f_stat, round_to).alias("f_stat"),
+        dof2.cast("long").alias("dof2"))
+
+
+def weighted_kappa(df: DataFrame, a_col: str, b_col: str, *,
+                   round_to: int = 6) -> DataFrame:
+    """Linearly weighted Cohen's kappa (Cohen 1968) for ORDINAL
+    labels (quality buckets, severity grades): near-misses earn
+    partial credit w_ij = 1 − |i−j|/(k−1), so a rater who is
+    consistently one bucket off scores far better than one who is
+    randomly wrong — the distinction unweighted :func:`cohen_kappa`
+    cannot make. Labels must be numeric ordinals; k spans the
+    OBSERVED min..max of both raters.
+
+        κ_w = (p_o,w − p_e,w) / (1 − p_e,w),
+        p_e,w = Σ_ij w_ij·p_i·q_j
+
+    One (a,b) cell aggregation; the expected term crosses the two
+    marginal vectors — k² rows, label-cardinality-bounded, never
+    row-bounded. Returns ``(n, k_levels, po_w, pe_w, kappa_w)``.
+    """
+    base = df.select(F.col(a_col).cast("long").alias("a"),
+                     F.col(b_col).cast("long").alias("b")) \
+             .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    span = cells.agg(
+        F.least(F.min("a"), F.min("b")).alias("lo"),
+        F.greatest(F.max("a"), F.max("b")).alias("hi"),
+        F.sum("n").alias("nn"))
+    def wspan():
+        return F.when(
+            F.col("hi") > F.col("lo"),
+            1.0 - F.abs(F.col("i") - F.col("j"))
+            / (F.col("hi") - F.col("lo"))).otherwise(F.lit(1.0))
+
+    # observed weighted agreement
+    obs = (cells.crossJoin(F.broadcast(span))
+           .select(F.col("a").alias("i"), F.col("b").alias("j"),
+                   "n", "nn", "lo", "hi"))
+    po_w = obs.agg(F.sum(wspan() * F.col("n") / F.col("nn"))
+                   .alias("po"),
+                   F.first("nn").alias("nn"),
+                   F.first("lo").alias("lo"),
+                   F.first("hi").alias("hi"))
+    ma = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("n").alias("nb"))
+    exp = (ma.crossJoin(mb).crossJoin(F.broadcast(span))
+           .select(F.col("a").alias("i"), F.col("b").alias("j"),
+                   "na", "nb", "nn", "lo", "hi"))
+    pe_w = exp.agg(F.sum(wspan() * F.col("na") * F.col("nb")
+                         / (F.col("nn") ** 2)).alias("pe"))
+    out = po_w.crossJoin(F.broadcast(pe_w))
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        (F.col("hi") - F.col("lo") + 1).cast("long")
+         .alias("k_levels"),
+        F.round("po", round_to).alias("po_w"),
+        F.round("pe", round_to).alias("pe_w"),
+        F.round(F.when(F.col("pe") < 1,
+                       (F.col("po") - F.col("pe"))
+                       / (1 - F.col("pe"))), round_to)
+         .alias("kappa_w"))
+
+
+def partial_corr(df: DataFrame, x_col: str, y_col: str,
+                 z_col: str, *, round_to: int = 6) -> DataFrame:
+    """First-order partial correlation — the x~y association with a
+    confounder z HELD CONSTANT:
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+
+    the one-step answer to "is length correlated with quality, or
+    are both just driven by language". All three Pearson
+    correlations fuse into ONE aggregation (Spark's corr is a
+    partial-aggregable JVM primitive). Rows with any null among
+    x/y/z are dropped listwise so the three r's share a population.
+    Returns ``(n, r_xy, r_xz, r_yz, partial_r)``.
+    """
+    base = df.select(F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"),
+                     F.col(z_col).cast("double").alias("z")) \
+             .na.drop("any")
+    a = base.agg(F.count(F.lit(1)).alias("n"),
+                 F.corr("x", "y").alias("rxy"),
+                 F.corr("x", "z").alias("rxz"),
+                 F.corr("y", "z").alias("ryz"))
+    den = F.sqrt((1 - F.col("rxz") ** 2) * (1 - F.col("ryz") ** 2))
+    pr = F.when(den > 0,
+                (F.col("rxy") - F.col("rxz") * F.col("ryz")) / den)
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("rxy", round_to).alias("r_xy"),
+        F.round("rxz", round_to).alias("r_xz"),
+        F.round("ryz", round_to).alias("r_yz"),
+        F.round(pr, round_to).alias("partial_r"))
