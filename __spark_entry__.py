@@ -7276,6 +7276,55 @@ def q_partial_corr_len(spark, sf_dir):
     return tablechecks.partial_corr(feats, "len", "toks", "wlen")
 
 
+def q_jonckheere_len_trend(spark, sf_dir):
+    """Jonckheere-Terpstra ordered trend (tablechecks.
+    jonckheere_terpstra): do doc lengths shift monotonically across
+    source-id buckets ordered 0..4? Tie-corrected null moments; the
+    trend refinement of the Kruskal-Wallis omnibus row. The grid
+    plan is bounded by group×value cardinality, never rows."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull())
+    scored = d.select(
+        (F.ascii(F.substring("source", -1, 1)) % 5)
+        .cast("double").alias("bucket"),
+        F.col("n_chars").cast("double").alias("len"))
+    return tablechecks.jonckheere_terpstra(scored, "len", "bucket")
+
+
+def q_emoji_sources(spark, sf_dir):
+    """Emoji/pictograph census (text.emoji_profile) per source over
+    a seeded frame: every 7th doc gets doc_id%3+1 flame emoji
+    appended (the synthetic corpus is emoji-free) — counts are
+    regexp MATCHES, codepoint-safe on both engines."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(7)) == 0,
+               F.concat(F.col("text"), F.lit(" "),
+                        F.repeat(F.lit("🔥"),
+                                 (F.pmod("doc_id", F.lit(3)) + 1)
+                                 .cast("int"))))
+         .otherwise(F.col("text")))
+    return (text.emoji_profile(seeded, by="source")
+            .orderBy("group"))
+
+
+def q_social_residue_sources(spark, sf_dir):
+    """Social-platform residue census (text.social_residue) per
+    source, seeded: every 11th doc gets ' #trending @user
+    http://t.co/abc' appended — hashtag/mention/URL rates per kchar,
+    the scraped-feed detector."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(11)) == 0,
+               F.concat(F.col("text"),
+                        F.lit(" #trending @user http://t.co/abc")))
+         .otherwise(F.col("text")))
+    return (text.social_residue(seeded, by="source")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7792,6 +7841,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "chow_value_halves": q_chow_value_halves,
         "weighted_kappa_buckets": q_weighted_kappa_buckets,
         "partial_corr_len": q_partial_corr_len,
+        # wave 80: Jonckheere trend, emoji census, social residue
+        "jonckheere_len_trend": q_jonckheere_len_trend,
+        "emoji_sources": q_emoji_sources,
+        "social_residue_sources": q_social_residue_sources,
     }
 
 
@@ -18590,5 +18643,119 @@ def oracle_sql() -> dict[str, str]:
                           / sqrt((1 - rxz*rxz) * (1 - ryz*ryz))
                      END, 6) AS partial_r
             FROM a
+        """,
+        # twin of q_jonckheere_len_trend — same dense grid, same
+        # tie-corrected moments
+        "jonckheere_len_trend": """
+            WITH base AS (
+              SELECT (ascii(right(source, 1)) % 5)::DOUBLE AS g,
+                     n_chars::DOUBLE AS v
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            cells AS (SELECT g, v, count(*)::DOUBLE AS n FROM base
+                      GROUP BY g, v),
+            grid AS (
+              SELECT gs.g, vs.v, coalesce(c.n, 0) AS n
+              FROM (SELECT DISTINCT g FROM cells) gs
+              CROSS JOIN (SELECT DISTINCT v FROM cells) vs
+              LEFT JOIN cells c ON c.g = gs.g AND c.v = vs.v),
+            g1 AS (
+              SELECT g, v, n,
+                     coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_lt
+              FROM grid),
+            g2 AS (
+              SELECT g, v, n,
+                     coalesce(sum(cum_lt) OVER (PARTITION BY v
+                       ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS a,
+                     coalesce(sum(n) OVER (PARTITION BY v ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS b
+              FROM g1),
+            jj AS (SELECT sum(n * (a + b / 2)) AS j FROM g2),
+            szs AS (SELECT g, sum(n) AS ng FROM cells GROUP BY g),
+            tvs AS (SELECT v, sum(n) AS tv FROM cells GROUP BY v),
+            m1 AS (SELECT sum(ng) AS nn, count(*)::BIGINT AS k,
+                          sum(ng*ng) AS s2,
+                          sum(ng*(ng-1)*(2*ng+5)) AS u1,
+                          sum(ng*(ng-1)*(ng-2)) AS u2,
+                          sum(ng*(ng-1)) AS u3
+                   FROM szs),
+            m2 AS (SELECT sum(tv*(tv-1)*(2*tv+5)) AS t1,
+                          sum(tv*(tv-1)*(tv-2)) AS t2,
+                          sum(tv*(tv-1)) AS t3
+                   FROM tvs)
+            SELECT nn::BIGINT AS n, k AS k_groups,
+                   round(j, 6) AS j_stat,
+                   round((nn*nn - s2) / 4.0, 6) AS mean_j,
+                   round((nn*(nn-1)*(2*nn+5) - u1 - t1) / 72.0
+                         + u2*t2 / (36.0*nn*(nn-1)*(nn-2))
+                         + u3*t3 / (8.0*nn*(nn-1)), 6) AS var_j,
+                   round((j - (nn*nn - s2) / 4.0)
+                         / sqrt((nn*(nn-1)*(2*nn+5) - u1 - t1)/72.0
+                                + u2*t2/(36.0*nn*(nn-1)*(nn-2))
+                                + u3*t3/(8.0*nn*(nn-1))), 6) AS z
+            FROM jj, m1, m2
+        """,
+        # twin of q_emoji_sources — same seeded injection, match
+        # counts via regexp_extract_all (DuckDB has no regexp_count)
+        "emoji_sources": """
+            WITH seeded AS (
+              SELECT source, n_chars,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' '
+                               || repeat('🔥', (doc_id % 3 + 1)::INT)
+                          ELSE text END AS text
+              FROM documents),
+            base AS (
+              SELECT source AS "group",
+                     len(regexp_extract_all(text,
+                       '[\\x{2600}-\\x{27BF}\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F680}-\\x{1F6FF}\\x{1F900}-\\x{1F9FF}\\x{1FA70}-\\x{1FAFF}]'))
+                       AS h,
+                     n_chars::DOUBLE AS c
+              FROM seeded
+              WHERE text IS NOT NULL AND source IS NOT NULL)
+            SELECT "group", count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS docs_with_emoji,
+                   sum(h)::BIGINT AS emoji_hits,
+                   round(sum(h) * 1000.0 / nullif(sum(c), 0), 6)
+                     AS emoji_per_kchar,
+                   round(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS docs_share
+            FROM base GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_social_residue_sources — same seeded injection
+        "social_residue_sources": """
+            WITH seeded AS (
+              SELECT source, n_chars,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN text
+                               || ' #trending @user http://t.co/abc'
+                          ELSE text END AS text
+              FROM documents),
+            base AS (
+              SELECT source AS "group",
+                     len(regexp_extract_all(text,
+                       '(^|\\s)#\\w{2,}')) AS ht,
+                     len(regexp_extract_all(text,
+                       '(^|\\s)@\\w{2,}')) AS mn,
+                     len(regexp_extract_all(text,
+                       'https?://[^\\s]+')) AS ur,
+                     n_chars::DOUBLE AS cc
+              FROM seeded
+              WHERE text IS NOT NULL AND source IS NOT NULL)
+            SELECT "group", count(*)::BIGINT AS n_docs,
+                   sum(ht)::BIGINT AS hashtag_hits,
+                   sum(mn)::BIGINT AS mention_hits,
+                   sum(ur)::BIGINT AS url_hits,
+                   sum(CASE WHEN ht + mn + ur > 0 THEN 1
+                       ELSE 0 END)::BIGINT AS docs_with_any,
+                   round((sum(ht) + sum(mn) + sum(ur)) * 1000.0
+                         / nullif(sum(cc), 0), 6)
+                     AS residue_per_kchar
+            FROM base GROUP BY 1 ORDER BY 1
         """,
     }

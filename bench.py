@@ -419,6 +419,8 @@ R4_NAMES = [
     "gk_lambda_source_lang", "kuiper_diurnal", "poisson_scan_volume",
     # wave 79: Chow break, weighted kappa, partial correlation
     "chow_value_halves", "weighted_kappa_buckets", "partial_corr_len",
+    # wave 80: Jonckheere trend, emoji census, social residue
+    "jonckheere_len_trend", "emoji_sources", "social_residue_sources",
 ]
 
 

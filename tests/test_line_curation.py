@@ -963,3 +963,53 @@ class TestShoutingAudit:
         assert out["prose"]["n_multi_excl"] == 0
         assert (out["spam"]["upper_char_share"]
                 > out["prose"]["upper_char_share"])
+
+
+class TestEmojiProfile:
+    def test_counts_astral_emoji(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "hello 🔥🔥 world", "a", 100),
+                (2, "plain prose", "a", 200),
+                (3, "🚀 to the moon 🚀🚀", "b", 50)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        out = {r["group"]: r for r in
+               tx.emoji_profile(df, by="source").collect()}
+        assert out["a"]["emoji_hits"] == 2
+        assert out["a"]["docs_with_emoji"] == 1
+        assert out["a"]["docs_share"] == 0.5
+        assert out["b"]["emoji_hits"] == 3
+        # per-kchar uses the STORED n_chars, not string length
+        assert out["b"]["emoji_per_kchar"] == 60.0
+
+    def test_emoji_free_zero(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "no pictographs here", "a", 19)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        out = tx.emoji_profile(df, by="source").collect()[0]
+        assert out["emoji_hits"] == 0 and out["docs_with_emoji"] == 0
+
+
+class TestSocialResidue:
+    def test_counts_each_kind(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "read #ai news from @alice at https://x.co/a b",
+                 "a", 1000),
+                (2, "email-like a@b and #x too short", "a", 1000)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        out = tx.social_residue(df, by="source").collect()[0]
+        assert out["hashtag_hits"] == 1        # '#x' too short
+        assert out["mention_hits"] == 1        # 'a@b' not ws-preceded
+        assert out["url_hits"] == 1
+        assert out["docs_with_any"] == 1
+        assert out["residue_per_kchar"] == 1.5
+
+    def test_clean_prose_zero(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "perfectly ordinary sentence.", "a", 28)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        out = tx.social_residue(df, by="source").collect()[0]
+        assert out["docs_with_any"] == 0

@@ -5126,3 +5126,37 @@ class TestPartialCorr:
         want = (rxy - rxz * ryz) / (
             ((1 - rxz ** 2) * (1 - ryz ** 2)) ** 0.5)
         assert abs(out["partial_r"] - want) < 1e-6
+
+
+class TestJonckheereTerpstra:
+    def test_monotone_trend_positive_z(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0.0, float(v)) for v in range(0, 10)]
+                + [(1.0, float(v)) for v in range(10, 20)]
+                + [(2.0, float(v)) for v in range(20, 30)])
+        df = spark.createDataFrame(rows, "g double, v double")
+        out = tc.jonckheere_terpstra(df, "v", "g").collect()[0]
+        # complete separation: J = all cross-group pairs = 3*100
+        assert out["j_stat"] == 300.0
+        assert out["mean_j"] == (900 - 300) / 4
+        assert out["z"] > 3
+        assert out["k_groups"] == 3 and out["n"] == 30
+
+    def test_no_trend_near_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        # same values in every group
+        rows = [(float(g), float(v)) for g in range(3)
+                for v in range(10)]
+        df = spark.createDataFrame(rows, "g double, v double")
+        out = tc.jonckheere_terpstra(df, "v", "g").collect()[0]
+        assert abs(out["z"]) < 0.2
+
+    def test_ties_half_credit(self, spark):
+        from zoi_spark import tablechecks as tc
+        # two groups, all values equal: J = n1*n2/2 exactly
+        rows = [(0.0, 5.0)] * 4 + [(1.0, 5.0)] * 6
+        df = spark.createDataFrame(rows, "g double, v double")
+        out = tc.jonckheere_terpstra(df, "v", "g").collect()[0]
+        assert out["j_stat"] == 12.0           # 24/2
+        assert out["mean_j"] == 12.0
+        assert out["z"] is None or abs(out["z"]) < 1e-9

@@ -6654,3 +6654,83 @@ def partial_corr(df: DataFrame, x_col: str, y_col: str,
         F.round("rxz", round_to).alias("r_xz"),
         F.round("ryz", round_to).alias("r_yz"),
         F.round(pr, round_to).alias("partial_r"))
+
+
+def jonckheere_terpstra(df: DataFrame, value_col: str,
+                        score_col: str, *,
+                        round_to: int = 6) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test (Jonckheere
+    1954, Terpstra 1952): are values MONOTONICALLY shifting across
+    groups ordered by *score_col*? The trend-aware refinement of
+    :func:`kruskal_wallis` (which only asks "any difference") and
+    the continuous-value counterpart of :func:`cochran_armitage`
+    (binary rates). J counts, over every ordered group pair, the
+    value pairs that agree with the ordering (ties credit ½):
+
+        J = Σ_{g<g'} U_{gg'},   z = (J − μ)/σ  with the
+        TIE-CORRECTED null moments (Hollander & Wolfe).
+
+    Plan: a (group, value) cell aggregation densified to the
+    group×value GRID (bounded by cardinalities, never rows), one
+    per-group cumulative window over values and one per-value
+    cumulative over ordered groups — J is then a single weighted
+    sum. Returns ``(n, k_groups, j_stat, mean_j, var_j, z)``.
+    """
+    base = df.select(F.col(score_col).cast("double").alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    cells = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    groups = cells.select("g").distinct()
+    values = cells.select("v").distinct()
+    grid = (groups.crossJoin(values)
+            .join(cells, ["g", "v"], "left")
+            .na.fill({"n": 0.0}))
+    w_v = (Window.partitionBy("g").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    g1 = grid.select("g", "v", "n",
+                     F.coalesce(F.sum("n").over(w_v), F.lit(0.0))
+                      .alias("cum_lt"))
+    w_g = (Window.partitionBy("v").orderBy("g")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    g2 = g1.select(
+        "g", "v", "n",
+        F.coalesce(F.sum("cum_lt").over(w_g), F.lit(0.0)).alias("a"),
+        F.coalesce(F.sum("n").over(w_g), F.lit(0.0)).alias("b"))
+    j = g2.agg(F.sum(F.col("n") * (F.col("a") + F.col("b") / 2))
+               .alias("j"))
+    szs = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+    ties = cells.groupBy("v").agg(F.sum("n").alias("tv"))
+    m1 = szs.agg(
+        F.sum("ng").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("ng") ** 2).alias("s2"),
+        F.sum(F.col("ng") * (F.col("ng") - 1)
+              * (2 * F.col("ng") + 5)).alias("u1"),
+        F.sum(F.col("ng") * (F.col("ng") - 1)
+              * (F.col("ng") - 2)).alias("u2"),
+        F.sum(F.col("ng") * (F.col("ng") - 1)).alias("u3"))
+    m2 = ties.agg(
+        F.sum(F.col("tv") * (F.col("tv") - 1)
+              * (2 * F.col("tv") + 5)).alias("t1"),
+        F.sum(F.col("tv") * (F.col("tv") - 1)
+              * (F.col("tv") - 2)).alias("t2"),
+        F.sum(F.col("tv") * (F.col("tv") - 1)).alias("t3"))
+    nn = F.col("nn")
+    mean_j = (nn ** 2 - F.col("s2")) / 4.0
+    var_j = ((nn * (nn - 1) * (2 * nn + 5) - F.col("u1")
+              - F.col("t1")) / 72.0
+             + F.col("u2") * F.col("t2")
+             / (36.0 * nn * (nn - 1) * (nn - 2))
+             + F.col("u3") * F.col("t3")
+             / (8.0 * nn * (nn - 1)))
+    out = (j.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2)))
+    return out.select(
+        nn.cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round("j", round_to).alias("j_stat"),
+        F.round(mean_j, round_to).alias("mean_j"),
+        F.round(var_j, round_to).alias("var_j"),
+        F.round(F.when(var_j > 0,
+                       (F.col("j") - mean_j) / F.sqrt(var_j)),
+                round_to).alias("z"))

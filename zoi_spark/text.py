@@ -3604,3 +3604,80 @@ def shouting_audit(df: DataFrame, *, text_col: str = "text",
                          / F.sum(F.greatest(F.length(t), F.lit(1))),
                          round_to).alias("excl_per_kchar"),
                  F.sum(multi).alias("n_multi_excl")))
+
+
+# one class per emoji-bearing Unicode block the census counts; kept
+# as explicit ranges so Java (Spark) and RE2 (DuckDB oracle) agree
+EMOJI_CLASS = (r"[\x{2600}-\x{27BF}"      # misc symbols + dingbats
+               r"\x{1F300}-\x{1F5FF}"     # misc symbols & pictographs
+               r"\x{1F600}-\x{1F64F}"     # emoticons
+               r"\x{1F680}-\x{1F6FF}"     # transport & map
+               r"\x{1F900}-\x{1F9FF}"     # supplemental symbols
+               r"\x{1FA70}-\x{1FAFF}]")   # symbols & pictographs ext
+
+
+def emoji_profile(df: DataFrame, *, text_col: str = "text",
+                  by: str = "source", chars_col: str = "n_chars",
+                  round_to: int = 6) -> DataFrame:
+    """Per-group emoji/pictograph census — the social-media-residue
+    signal web-corpus curation gates on (emoji-dense pages are chat
+    logs, comment dumps, or engagement spam, not prose; C4 and
+    FineWeb both strip or downweight them). Counts MATCHES via
+    regexp_count, which both engines define over codepoints — never
+    string length, whose UTF-16 (Spark) vs codepoint (DuckDB)
+    semantics diverge on astral-plane emoji. Normalization uses the
+    stored *chars_col* for the same reason.
+
+    Pure projection + one aggregation. Returns per-group rows
+    ``(group, n_docs, docs_with_emoji, emoji_hits, emoji_per_kchar,
+    docs_share)``.
+    """
+    hits = F.regexp_count(F.col(text_col), F.lit(EMOJI_CLASS))
+    base = df.where(F.col(text_col).isNotNull()
+                    & F.col(by).isNotNull()) \
+             .select(F.col(by).alias("group"), hits.alias("h"),
+                     F.col(chars_col).cast("double").alias("c"))
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("h") > 0).cast("long")).alias("docs_with_emoji"),
+        F.sum("h").cast("long").alias("emoji_hits"),
+        F.round(F.try_divide(F.sum("h") * 1000.0, F.sum("c")),
+                round_to).alias("emoji_per_kchar"),
+        F.round(F.try_divide(
+            F.sum((F.col("h") > 0).cast("long")),
+            F.count(F.lit(1))), round_to).alias("docs_share"))
+
+
+def social_residue(df: DataFrame, *, text_col: str = "text",
+                   by: str = "source", chars_col: str = "n_chars",
+                   round_to: int = 6) -> DataFrame:
+    """Per-group social-platform residue census: hashtags (#tag),
+    @-mentions and bare URLs inside the extracted TEXT (markup is
+    already stripped, so in-text URLs are share-bait or citation
+    residue). High residue marks scraped feeds / comment sections
+    masquerading as articles — a different failure mode than the PII
+    scan (leakage) or the boilerplate miner (template repetition).
+
+    One projection + one aggregation; rates per kchar use the stored
+    length column. Returns per-group rows ``(group, n_docs,
+    hashtag_hits, mention_hits, url_hits, docs_with_any,
+    residue_per_kchar)``.
+    """
+    c = F.col(text_col)
+    ht = F.regexp_count(c, F.lit(r"(^|\s)#\w{2,}"))
+    mn = F.regexp_count(c, F.lit(r"(^|\s)@\w{2,}"))
+    ur = F.regexp_count(c, F.lit(r"https?://[^\s]+"))
+    base = df.where(c.isNotNull() & F.col(by).isNotNull()) \
+             .select(F.col(by).alias("group"), ht.alias("ht"),
+                     mn.alias("mn"), ur.alias("ur"),
+                     F.col(chars_col).cast("double").alias("cc"))
+    any_hit = (F.col("ht") + F.col("mn") + F.col("ur")) > 0
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ht").cast("long").alias("hashtag_hits"),
+        F.sum("mn").cast("long").alias("mention_hits"),
+        F.sum("ur").cast("long").alias("url_hits"),
+        F.sum(any_hit.cast("long")).alias("docs_with_any"),
+        F.round(F.try_divide(
+            (F.sum("ht") + F.sum("mn") + F.sum("ur")) * 1000.0,
+            F.sum("cc")), round_to).alias("residue_per_kchar"))
