@@ -7325,6 +7325,49 @@ def q_social_residue_sources(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_sketch_quantile_audit(spark, sf_dir):
+    """GK-sketch quantile audit (tablechecks.sketch_quantile_audit):
+    per-lang p50/p90/p99 of n_chars — exact value plus whether
+    Spark's approx_percentile(accuracy=100) lands its rank within
+    the guaranteed n/accuracy bound. The production quantile path at
+    10^12 rows IS the sketch; this row proves it holds on real data.
+    The oracle twin re-derives exacts and expects every bound to
+    hold."""
+    d = _read(spark, sf_dir, "documents")
+    return (tablechecks.sketch_quantile_audit(
+        d, "n_chars", by="lang", probs=(0.5, 0.9, 0.99),
+        accuracy=100).orderBy("group", "prob"))
+
+
+def q_breusch_pagan_value(spark, sf_dir):
+    """Breusch-Pagan/Koenker heteroscedasticity test (tablechecks.
+    breusch_pagan): after value ~ hour-of-day, do squared residuals
+    trend with the hour? LM = n·R² against χ²(1); two chained
+    sufficient-statistic aggregations."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    s = e.select(F.hour("ts").cast("double").alias("hh"),
+                 F.col("value"))
+    return tablechecks.breusch_pagan(s, "hh", "value")
+
+
+def q_wilcoxon_user_halves(spark, sf_dir):
+    """Wilcoxon signed-rank (tablechecks.wilcoxon_signed_rank) on
+    paired per-user mean event values, first half vs second half of
+    the month — the paired complement of the Mann-Whitney row; zero
+    diffs dropped and counted, ranks on the distinct-|d| table."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    pairs = (e.groupBy("user_id")
+             .agg(F.avg(F.when(F.dayofmonth("ts") <= 15,
+                               F.col("value"))).alias("a"),
+                  F.avg(F.when(F.dayofmonth("ts") > 15,
+                               F.col("value"))).alias("b"))
+             .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    return tablechecks.wilcoxon_signed_rank(pairs, "a", "b")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7845,6 +7888,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "jonckheere_len_trend": q_jonckheere_len_trend,
         "emoji_sources": q_emoji_sources,
         "social_residue_sources": q_social_residue_sources,
+        # wave 81: sketch quantile audit, Breusch-Pagan, Wilcoxon
+        "sketch_quantile_audit": q_sketch_quantile_audit,
+        "breusch_pagan_value": q_breusch_pagan_value,
+        "wilcoxon_user_halves": q_wilcoxon_user_halves,
     }
 
 
@@ -18757,5 +18804,102 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(sum(cc), 0), 6)
                      AS residue_per_kchar
             FROM base GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_sketch_quantile_audit — exact quantiles; the
+        # sketch side is Spark-internal, so the oracle asserts the
+        # COVENANT (within_bound true) rather than the sketch value
+        "sketch_quantile_audit": """
+            WITH base AS (
+              SELECT lang AS g, n_chars::DOUBLE AS v FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     quantile_cont(v, 0.5) AS e0,
+                     quantile_cont(v, 0.9) AS e1,
+                     quantile_cont(v, 0.99) AS e2
+              FROM base GROUP BY g)
+            SELECT g AS "group", p.prob::DOUBLE AS prob, n,
+                   round(CASE p.i WHEN 0 THEN e0 WHEN 1 THEN e1
+                         ELSE e2 END, 6) AS exact_q,
+                   TRUE AS within_bound
+            FROM a CROSS JOIN (
+              SELECT * FROM (VALUES (0, 0.5), (1, 0.9), (2, 0.99))
+                AS t(i, prob)) p
+            ORDER BY "group", p.prob
+        """,
+        # twin of q_breusch_pagan_value — same two-stage closed form
+        "breusch_pagan_value": """
+            WITH s AS (
+              SELECT extract(hour FROM ts)::DOUBLE AS x, value AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+            a1 AS (
+              SELECT count(*)::DOUBLE AS n, avg(x) AS mx,
+                     avg(y) AS my, covar_pop(x, y) AS cxy,
+                     var_pop(x) AS vx
+              FROM s),
+            u AS (
+              SELECT s.x,
+                     pow(s.y - a1.my
+                         - (a1.cxy / a1.vx) * (s.x - a1.mx), 2)
+                       AS u, a1.n
+              FROM s, a1),
+            a2 AS (
+              SELECT any_value(n) AS n, corr(x, u) AS r,
+                     covar_pop(x, u) AS cu, var_pop(x) AS vx2
+              FROM u)
+            SELECT n::BIGINT AS n,
+                   round(CASE WHEN vx2 > 0 THEN cu / vx2 END, 6)
+                     AS resid_slope,
+                   round(r * r, 6) AS r2_resid,
+                   round(n * r * r, 6) AS lm_stat,
+                   1 AS dof
+            FROM a2
+        """,
+        # twin of q_wilcoxon_user_halves — same paired means, same
+        # doubled-average-rank table
+        "wilcoxon_user_halves": """
+            WITH pairs AS (
+              SELECT user_id,
+                     avg(CASE WHEN extract(day FROM ts) <= 15
+                         THEN value END) AS a,
+                     avg(CASE WHEN extract(day FROM ts) > 15
+                         THEN value END) AS b
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND user_id IS NOT NULL
+              GROUP BY user_id
+              HAVING a IS NOT NULL AND b IS NOT NULL),
+            d AS (SELECT b - a AS d FROM pairs),
+            nz AS (SELECT sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)
+                     AS n_zero FROM d),
+            r AS (SELECT abs(d) AS ad,
+                         CASE WHEN d > 0 THEN 1.0 ELSE 0.0 END
+                           AS pos
+                  FROM d WHERE d <> 0),
+            vc AS (SELECT ad, count(*)::DOUBLE AS n, sum(pos) AS np
+                   FROM r GROUP BY ad),
+            rk AS (
+              SELECT n, np,
+                     np * (2 * coalesce(sum(n) OVER (ORDER BY ad
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + n + 1) AS w2p,
+                     n*n*n - n AS tt
+              FROM vc),
+            a AS (SELECT sum(n) AS nr, sum(w2p) AS w2,
+                         sum(tt) AS ts FROM rk)
+            SELECT nr::BIGINT AS n_pairs,
+                   (SELECT n_zero FROM nz)::BIGINT AS n_zero,
+                   round(w2 / 2.0, 6) AS w_plus,
+                   round(nr*(nr+1)/2.0 - w2/2.0, 6) AS w_minus,
+                   round(nr*(nr+1)/4.0, 6) AS mean_w,
+                   round(nr*(nr+1)*(2*nr+1)/24.0 - ts/48.0, 6)
+                     AS var_w,
+                   round(CASE WHEN nr*(nr+1)*(2*nr+1)/24.0 - ts/48.0
+                              > 0 THEN
+                     (w2/2.0 - nr*(nr+1)/4.0)
+                     / sqrt(nr*(nr+1)*(2*nr+1)/24.0 - ts/48.0) END,
+                     6) AS z
+            FROM a
         """,
     }

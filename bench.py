@@ -421,6 +421,9 @@ R4_NAMES = [
     "chow_value_halves", "weighted_kappa_buckets", "partial_corr_len",
     # wave 80: Jonckheere trend, emoji census, social residue
     "jonckheere_len_trend", "emoji_sources", "social_residue_sources",
+    # wave 81: sketch quantile audit, Breusch-Pagan, Wilcoxon
+    "sketch_quantile_audit", "breusch_pagan_value",
+    "wilcoxon_user_halves",
 ]
 
 

@@ -5160,3 +5160,82 @@ class TestJonckheereTerpstra:
         assert out["j_stat"] == 12.0           # 24/2
         assert out["mean_j"] == 12.0
         assert out["z"] is None or abs(out["z"]) < 1e-9
+
+
+class TestSketchQuantileAudit:
+    def test_bounds_hold_and_exact_right(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", float(v)) for v in range(1, 1001)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["prob"]: r for r in tc.sketch_quantile_audit(
+            df, "v", by="g", probs=(0.5, 0.9),
+            accuracy=50).collect()}
+        assert out[0.5]["exact_q"] == 500.5
+        assert out[0.5]["within_bound"]
+        assert out[0.9]["within_bound"]
+
+    def test_groups_independent(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("a", float(v)) for v in range(100)]
+                + [("b", float(v * 10)) for v in range(100)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.sketch_quantile_audit(
+            df, "v", by="g", probs=(0.5,), accuracy=100).collect()
+        got = {r["group"]: r["exact_q"] for r in out}
+        assert got["b"] == got["a"] * 10
+        assert all(r["within_bound"] for r in out)
+
+
+class TestBreuschPagan:
+    def test_homoscedastic_small_lm(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(9)
+        rows = [(float(x % 50), 2.0 * (x % 50) + rng.gauss(0, 1))
+                for x in range(1000)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.breusch_pagan(df, "x", "y").collect()[0]
+        assert out["lm_stat"] < 11              # chi2(1) 0.1% ~ 10.8
+
+    def test_heteroscedastic_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(10)
+        rows = [(float(x % 50),
+                 2.0 * (x % 50) + rng.gauss(0, 0.2 + (x % 50)))
+                for x in range(1000)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.breusch_pagan(df, "x", "y").collect()[0]
+        assert out["lm_stat"] > 20
+        assert out["resid_slope"] > 0           # variance grows in x
+
+
+class TestWilcoxonSignedRank:
+    def test_textbook_small_sample(self, spark):
+        from zoi_spark import tablechecks as tc
+        # diffs: +1 +2 +3 -4  -> |d| ranks 1,2,3,4; W+ = 6, W- = 4
+        rows = [(0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (4.0, 0.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = tc.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        assert out["n_pairs"] == 4 and out["n_zero"] == 0
+        assert out["w_plus"] == 6.0 and out["w_minus"] == 4.0
+        assert out["mean_w"] == 5.0
+        assert out["var_w"] == 7.5
+
+    def test_zero_diffs_dropped(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 1.0), (2.0, 2.0), (0.0, 5.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = tc.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        assert out["n_zero"] == 2 and out["n_pairs"] == 1
+        assert out["w_plus"] == 1.0
+
+    def test_tied_diffs_average_ranks(self, spark):
+        from zoi_spark import tablechecks as tc
+        # diffs +5 +5 -5: |d| all tie -> each rank 2; W+ = 4, W- = 2
+        rows = [(0.0, 5.0), (0.0, 5.0), (5.0, 0.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = tc.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        assert out["w_plus"] == 4.0 and out["w_minus"] == 2.0
+        # tie correction: var = 3*4*7/24 - (27-3)/48 = 3.5 - 0.5
+        assert out["var_w"] == 3.0

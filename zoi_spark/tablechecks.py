@@ -6734,3 +6734,154 @@ def jonckheere_terpstra(df: DataFrame, value_col: str,
         F.round(F.when(var_j > 0,
                        (F.col("j") - mean_j) / F.sqrt(var_j)),
                 round_to).alias("z"))
+
+
+def sketch_quantile_audit(df: DataFrame, value_col: str, *, by: str,
+                          probs: Sequence[float] = (0.5, 0.9, 0.99),
+                          accuracy: int = 1000,
+                          round_to: int = 6) -> DataFrame:
+    """Mergeable-sketch quantile audit — the production path for
+    quantiles at 10¹² rows is ``approx_percentile`` (Greenwald-Khanna
+    partial-aggregable sketch), not the exact ``percentile`` the
+    small-SF drill-downs use; this operator VERIFIES the sketch's
+    contract on real data: for each group × prob, the sketch value's
+    true rank must sit within n/accuracy of p·n (the GK guarantee).
+
+    Per (group, prob): the exact quantile, and ``within_bound`` —
+    whether the interval [count(v < approx), count(v ≤ approx)]
+    intersects [p·n − n/acc, p·n + n/acc]. A FALSE row means the
+    sketch path cannot be trusted for that column's gating. Two
+    aggregations + a broadcast join of the tiny per-group quantile
+    table back onto the data for the rank count. Returns
+    ``(group, prob, n, exact_q, within_bound)``.
+    """
+    acc = int(accuracy)
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    pl = list(probs)
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.expr(f"percentile(v, {p})").alias(f"ex{i}")
+          for i, p in enumerate(pl)],
+        *[F.expr(f"approx_percentile(v, {p}, {acc})")
+          .alias(f"ap{i}") for i, p in enumerate(pl)])
+    joined = base.join(F.broadcast(agg), "g")
+    ranks = joined.groupBy("g").agg(
+        F.first("n").alias("n"),
+        *[F.first(f"ex{i}").alias(f"ex{i}") for i in range(len(pl))],
+        *[F.sum((F.col("v") < F.col(f"ap{i}")).cast("long"))
+          .cast("double").alias(f"lt{i}") for i in range(len(pl))],
+        *[F.sum((F.col("v") <= F.col(f"ap{i}")).cast("long"))
+          .cast("double").alias(f"le{i}") for i in range(len(pl))])
+    outs = []
+    for i, p in enumerate(pl):
+        lo = F.lit(p) * F.col("n") - F.col("n") / acc - 1
+        hi = F.lit(p) * F.col("n") + F.col("n") / acc + 1
+        ok = (F.col(f"le{i}") >= lo) & (F.col(f"lt{i}") <= hi)
+        outs.append(ranks.select(
+            F.col("g").alias("group"), F.lit(p).alias("prob"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col(f"ex{i}"), round_to).alias("exact_q"),
+            ok.alias("within_bound")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def breusch_pagan(df: DataFrame, x_col: str, y_col: str, *,
+                  round_to: int = 6) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Breusch & Pagan 1979,
+    Koenker's studentized LM form): after fitting y ~ a + b·x, do
+    the SQUARED residuals still depend on x? LM = n·R²(e², x) ~
+    χ²(1). Heteroscedastic event values mean a single global
+    variance gate misfires at the extremes — the premise behind
+    per-group z-score and c-chart rows breaks silently; this row
+    says when.
+
+    Two chained aggregations, both from sufficient statistics (the
+    slope lands via broadcast, residuals are a closed-form
+    projection, never materialized wide). Returns one row
+    ``(n, slope, r2_resid, lm_stat, dof)``.
+    """
+    s = df.select(F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y")) \
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    a1 = s.agg(F.count(F.lit(1)).cast("double").alias("n"),
+               F.avg("x").alias("mx"), F.avg("y").alias("my"),
+               F.covar_pop("x", "y").alias("cxy"),
+               F.var_pop("x").alias("vx"))
+    w = s.crossJoin(F.broadcast(a1))
+    b = F.col("cxy") / F.col("vx")
+    e2 = (F.col("y") - F.col("my")
+          - b * (F.col("x") - F.col("mx"))) ** 2
+    a2 = (w.select("x", e2.alias("u"), "n")
+          .agg(F.first("n").alias("n"),
+               F.corr("x", "u").alias("r"),
+               F.covar_pop("x", "u").alias("cu"),
+               F.var_pop("x").alias("vx2")))
+    r2 = F.col("r") ** 2
+    return a2.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.try_divide(F.col("cu"), F.col("vx2")), round_to)
+         .alias("resid_slope"),
+        F.round(r2, round_to).alias("r2_resid"),
+        F.round(F.col("n") * r2, round_to).alias("lm_stat"),
+        F.lit(1).alias("dof"))
+
+
+def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str, *,
+                         round_to: int = 6) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED
+    measurements (each row one entity measured twice: first-half vs
+    second-half volume, before vs after a deploy): rank |b−a| with
+    tie-averaged ranks, sum the ranks of positive differences,
+
+        W⁺,  μ = n_r(n_r+1)/4,
+        σ² = n_r(n_r+1)(2n_r+1)/24 − Σ(t³−t)/48,
+        z = (W⁺ − μ)/σ
+
+    — the paired complement of :func:`mann_whitney_u` (independent
+    samples) and the 2-level sibling of :func:`friedman_test`. Zero
+    differences are dropped and counted (the classical Wilcoxon
+    convention). Ranks ride the distinct-|d| counts table (the
+    doubled-average-rank idiom), never a per-row window. Returns one
+    row ``(n_pairs, n_zero, w_plus, w_minus, mean_w, var_w, z)``.
+    """
+    d = df.select((F.col(b_col).cast("double")
+                   - F.col(a_col).cast("double")).alias("d")) \
+          .where(F.col("d").isNotNull())
+    nz = d.agg(F.sum((F.col("d") == 0).cast("long")).alias("n_zero"))
+    r = d.where(F.col("d") != 0) \
+         .select(F.abs("d").alias("ad"),
+                 (F.col("d") > 0).cast("double").alias("pos"))
+    vc = r.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pos").alias("np"))
+    w_pfx = (Window.orderBy("ad")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    rank2 = (2 * F.coalesce(F.sum("n").over(w_pfx), F.lit(0))
+             + F.col("n") + 1)
+    scored = vc.select(
+        "n", "np", (F.col("np") * rank2).alias("w2p"),
+        (F.col("n") ** 3 - F.col("n")).alias("tt"))
+    a = scored.agg(F.sum("n").alias("nr"), F.sum("w2p").alias("w2"),
+                   F.sum("tt").alias("ts"))
+    nr = F.col("nr")
+    mean_w = nr * (nr + 1) / 4.0
+    var_w = (nr * (nr + 1) * (2 * nr + 1) / 24.0
+             - F.col("ts") / 48.0)
+    w_plus = F.col("w2") / 2.0
+    return (a.crossJoin(F.broadcast(nz))
+            .select(nr.cast("long").alias("n_pairs"),
+                    F.col("n_zero").cast("long").alias("n_zero"),
+                    F.round(w_plus, round_to).alias("w_plus"),
+                    F.round(nr * (nr + 1) / 2.0 - w_plus, round_to)
+                     .alias("w_minus"),
+                    F.round(mean_w, round_to).alias("mean_w"),
+                    F.round(var_w, round_to).alias("var_w"),
+                    F.round(F.when(var_w > 0,
+                                   (w_plus - mean_w)
+                                   / F.sqrt(var_w)), round_to)
+                     .alias("z")))
