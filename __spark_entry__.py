@@ -7368,6 +7368,43 @@ def q_wilcoxon_user_halves(spark, sf_dir):
     return tablechecks.wilcoxon_signed_rank(pairs, "a", "b")
 
 
+def q_hl_shift_lens(spark, sf_dir):
+    """Hodges-Lehmann shift estimate (tablechecks.
+    hodges_lehmann_shift) of doc length, en vs the rest — the robust
+    HOW-BIG companion to the rank-test verdict rows; the pair cloud
+    stays a distinct-value weighted grid, never row-materialized."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    return tablechecks.hodges_lehmann_shift(
+        d, "n_chars", split=F.col("lang") == "en")
+
+
+def q_ansari_bradley_lens(spark, sf_dir):
+    """Ansari-Bradley scale test (tablechecks.ansari_bradley): is
+    even-doc_id length dispersion equal to odd — the nonparametric
+    sibling of the Brown-Forsythe row; both-end tie-averaged scores
+    in closed form over the distinct-value table."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
+    return tablechecks.ansari_bradley(
+        d, "n_chars", split=F.pmod("doc_id", F.lit(2)) == 0)
+
+
+def q_gibberish_sources(spark, sf_dir):
+    """Gibberish/keyboard-mash profile (text.gibberish_profile) per
+    source over a seeded frame: every 13th doc gets ' asdfghjklzxcv'
+    appended (run of 13 consonants) — longest-consonant-run and
+    vowel-share flags, the model-free mash detector."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(13)) == 0,
+               F.concat(F.col("text"), F.lit(" asdfghjklzxcv")))
+         .otherwise(F.col("text")))
+    return (text.gibberish_profile(seeded, by="source")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7892,6 +7929,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sketch_quantile_audit": q_sketch_quantile_audit,
         "breusch_pagan_value": q_breusch_pagan_value,
         "wilcoxon_user_halves": q_wilcoxon_user_halves,
+        # wave 82: Hodges-Lehmann, Ansari-Bradley, gibberish profile
+        "hl_shift_lens": q_hl_shift_lens,
+        "ansari_bradley_lens": q_ansari_bradley_lens,
+        "gibberish_sources": q_gibberish_sources,
     }
 
 
@@ -18901,5 +18942,125 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt(nr*(nr+1)*(2*nr+1)/24.0 - ts/48.0) END,
                      6) AS z
             FROM a
+        """,
+        # twin of q_hl_shift_lens — same weighted diff grid and
+        # boundary-averaging weighted median
+        "hl_shift_lens": """
+            WITH base AS (
+              SELECT n_chars::DOUBLE AS v, lang = 'en' AS s
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            va AS (SELECT v AS a, count(*)::DOUBLE AS na FROM base
+                   WHERE s GROUP BY v),
+            vb AS (SELECT v AS b, count(*)::DOUBLE AS nb FROM base
+                   WHERE NOT s GROUP BY v),
+            cells AS (
+              SELECT b - a AS d, sum(na * nb) AS w
+              FROM va CROSS JOIN vb GROUP BY b - a),
+            c AS (
+              SELECT d,
+                     sum(w) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(w) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) - w AS cum_before,
+                     sum(w) OVER () AS tw
+              FROM cells),
+            med AS (
+              SELECT (min(d) + max(d)) / 2 AS hl FROM c
+              WHERE cum_before <= tw / 2.0 AND cum >= tw / 2.0),
+            counts AS (
+              SELECT sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT
+                       AS n_a,
+                     sum(CASE WHEN s THEN 0 ELSE 1 END)::BIGINT
+                       AS n_b
+              FROM base)
+            SELECT n_a, n_b, (n_a * n_b)::BIGINT AS n_pairs,
+                   round((SELECT hl FROM med), 6) AS hl_shift
+            FROM counts
+        """,
+        # twin of q_ansari_bradley_lens — same closed-form tie-block
+        # score means over the distinct-value table
+        "ansari_bradley_lens": """
+            WITH base AS (
+              SELECT n_chars::DOUBLE AS v, doc_id % 2 = 0 AS s
+              FROM documents WHERE n_chars IS NOT NULL),
+            vc AS (
+              SELECT v,
+                     sum(CASE WHEN s THEN 1 ELSE 0 END)::DOUBLE
+                       AS na,
+                     count(*)::DOUBLE AS n
+              FROM base GROUP BY v),
+            rk AS (
+              SELECT na, n,
+                     coalesce(sum(n) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cumb,
+                     sum(n) OVER () AS nn
+              FROM vc),
+            sc AS (
+              SELECT na, n, nn,
+                     -- forward segment: ranks <= floor(N/2)
+                     greatest(least(floor(nn/2) - (cumb+1) + 1, n),
+                              0) AS fc,
+                     cumb + 1 AS lo1
+              FROM rk),
+            sc2 AS (
+              SELECT na, n, nn,
+                     (fc * lo1 + fc * (fc - 1) / 2)
+                     + ((n - fc) * (nn + 1 - (lo1 + fc))
+                        - (n - fc) * (n - fc - 1) / 2) AS bsum
+              FROM sc),
+            scored AS (SELECT na, n, bsum / n AS sc FROM sc2),
+            a AS (
+              SELECT sum(na * sc) AS ab, sum(na) AS ta,
+                     sum(n) AS tn, sum(n * sc) AS ssum,
+                     sum(n * sc * sc) AS ssq
+              FROM scored)
+            SELECT ta::BIGINT AS n_a, (tn - ta)::BIGINT AS n_b,
+                   round(ab, 6) AS ab_stat,
+                   round(ta * ssum / tn, 6) AS mean_ab,
+                   round(ta * (tn - ta)
+                         * (ssq / tn - (ssum / tn) ^ 2)
+                         / (tn - 1), 6) AS var_ab,
+                   round((ab - ta * ssum / tn)
+                         / sqrt(ta * (tn - ta)
+                                * (ssq / tn - (ssum / tn) ^ 2)
+                                / (tn - 1)), 6) AS z
+            FROM a
+        """,
+        # twin of q_gibberish_sources — same seeded mash injection
+        "gibberish_sources": """
+            WITH seeded AS (
+              SELECT source,
+                     CASE WHEN doc_id % 13 = 0
+                          THEN text || ' asdfghjklzxcv'
+                          ELSE text END AS text
+              FROM documents),
+            base AS (
+              SELECT source AS "group",
+                     coalesce((SELECT max(length(r)) FROM unnest(
+                       regexp_extract_all(lower(text),
+                         '[bcdfghjklmnpqrstvwxz]+')) AS t(r)), 0)
+                       AS mr,
+                     len(regexp_extract_all(lower(text),
+                         '[aeiouy]'))::DOUBLE AS nv,
+                     len(regexp_extract_all(lower(text),
+                         '[a-z]'))::DOUBLE AS nl
+              FROM seeded
+              WHERE text IS NOT NULL AND source IS NOT NULL),
+            flags AS (
+              SELECT "group", mr,
+                     nv / nullif(nl, 0) AS vs,
+                     CASE WHEN mr >= 7
+                          OR nv / nullif(nl, 0) < 0.2
+                     THEN 1 ELSE 0 END AS fl
+              FROM base)
+            SELECT "group", count(*)::BIGINT AS n_docs,
+                   sum(fl)::BIGINT AS n_flagged,
+                   round(sum(fl) / count(*)::DOUBLE, 6)
+                     AS flagged_share,
+                   round(avg(vs), 6) AS mean_vowel_share,
+                   max(mr)::INT AS max_run_seen
+            FROM flags GROUP BY 1 ORDER BY 1
         """,
     }

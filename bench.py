@@ -424,6 +424,8 @@ R4_NAMES = [
     # wave 81: sketch quantile audit, Breusch-Pagan, Wilcoxon
     "sketch_quantile_audit", "breusch_pagan_value",
     "wilcoxon_user_halves",
+    # wave 82: Hodges-Lehmann, Ansari-Bradley, gibberish profile
+    "hl_shift_lens", "ansari_bradley_lens", "gibberish_sources",
 ]
 
 

@@ -1013,3 +1013,39 @@ class TestSocialResidue:
             rows, "doc_id long, text string, source string, n_chars long")
         out = tx.social_residue(df, by="source").collect()[0]
         assert out["docs_with_any"] == 0
+
+
+class TestGibberishProfile:
+    def test_mash_flagged(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "the quick brown fox jumps over the lazy dog",
+                 "a"),
+                (2, "qwrtpsdfghjklzxcvbnm mash", "a"),
+                (3, "normal prose again here", "b")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = {r["group"]: r for r in
+               tx.gibberish_profile(df, by="source").collect()}
+        assert out["a"]["n_flagged"] == 1
+        assert out["a"]["flagged_share"] == 0.5
+        assert out["a"]["max_run_seen"] >= 19
+        assert out["b"]["n_flagged"] == 0
+
+    def test_low_vowel_share_flagged(self, spark):
+        from zoi_spark import text as tx
+        # short runs but almost no vowels
+        rows = [(1, "xz bc df gh jk lm np qr st", "a")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = tx.gibberish_profile(df, by="source").collect()[0]
+        assert out["n_flagged"] == 1
+        assert out["mean_vowel_share"] == 0.0
+
+    def test_normal_english_clean(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "strength through clarity and plain words", "a")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = tx.gibberish_profile(df, by="source").collect()[0]
+        assert out["n_flagged"] == 0
+        assert out["mean_vowel_share"] > 0.25

@@ -5239,3 +5239,103 @@ class TestWilcoxonSignedRank:
         assert out["w_plus"] == 4.0 and out["w_minus"] == 2.0
         # tie correction: var = 3*4*7/24 - (27-3)/48 = 3.5 - 0.5
         assert out["var_w"] == 3.0
+
+
+class TestHodgesLehmann:
+    def test_clean_shift_recovered(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = ([(float(v), True) for v in range(1, 21)]
+                + [(float(v) + 7.0, False) for v in range(1, 21)])
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.hodges_lehmann_shift(
+            df, "v", split=F.col("s")).collect()[0]
+        assert out["hl_shift"] == 7.0
+        assert out["n_pairs"] == 400
+
+    def test_outlier_robust(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = ([(float(v), True) for v in range(1, 21)]
+                + [(float(v) + 7.0, False) for v in range(1, 20)]
+                + [(100000.0, False)])
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.hodges_lehmann_shift(
+            df, "v", split=F.col("s")).collect()[0]
+        assert abs(out["hl_shift"] - 7.0) <= 1.0
+
+    def test_matches_bruteforce_median(self, spark):
+        import pyspark.sql.functions as F, statistics
+        from zoi_spark import tablechecks as tc
+        a = [1.0, 3.0, 3.0, 8.0]
+        b = [2.0, 4.0, 9.0]
+        rows = [(v, True) for v in a] + [(v, False) for v in b]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.hodges_lehmann_shift(
+            df, "v", split=F.col("s")).collect()[0]
+        diffs = sorted(y - x for x in a for y in b)
+        assert out["hl_shift"] == statistics.median(diffs)
+
+
+class TestAnsariBradley:
+    def _brute(self, a_vals, b_vals):
+        """Reference AB: tie-averaged min(r, N+1-r) scores."""
+        allv = sorted(a_vals + b_vals)
+        n = len(allv)
+        raw = {}
+        # average scores per tied value
+        import collections
+        positions = collections.defaultdict(list)
+        for i, v in enumerate(allv, 1):
+            positions[v].append(min(i, n + 1 - i))
+        score = {v: sum(p) / len(p) for v, p in positions.items()}
+        ab = sum(score[v] for v in a_vals)
+        scores_all = [score[v] for v in allv]
+        import statistics
+        sbar = statistics.mean(scores_all)
+        s2bar = sum(s * s for s in scores_all) / n
+        na, nb = len(a_vals), len(b_vals)
+        mean = na * sbar
+        var = na * nb * (s2bar - sbar ** 2) / (n - 1)
+        return ab, mean, var
+
+    def test_matches_bruteforce_no_ties(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        a = [1.0, 4.0, 6.0, 9.0, 12.0]
+        b = [2.0, 3.0, 7.0, 10.0]
+        rows = [(v, True) for v in a] + [(v, False) for v in b]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.ansari_bradley(df, "v",
+                                split=F.col("s")).collect()[0]
+        ab, mean, var = self._brute(a, b)
+        assert out["ab_stat"] == round(ab, 6)
+        assert out["mean_ab"] == round(mean, 6)
+        assert out["var_ab"] == round(var, 6)
+
+    def test_matches_bruteforce_with_ties(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        a = [1.0, 4.0, 4.0, 9.0]
+        b = [4.0, 4.0, 7.0, 7.0, 11.0]
+        rows = [(v, True) for v in a] + [(v, False) for v in b]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.ansari_bradley(df, "v",
+                                split=F.col("s")).collect()[0]
+        ab, mean, var = self._brute(a, b)
+        assert out["ab_stat"] == round(ab, 6)
+        assert out["mean_ab"] == round(mean, 6)
+        assert out["var_ab"] == round(var, 6)
+
+    def test_spread_difference_lights_up(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # same center, A tight / B dispersed
+        a = [float(v) for v in range(45, 56)] * 5
+        b = [float(v) for v in range(0, 111, 2)]
+        rows = [(v, True) for v in a] + [(v, False) for v in b]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.ansari_bradley(df, "v",
+                                split=F.col("s")).collect()[0]
+        # tight side gets the HIGH center scores: z strongly +
+        assert out["z"] > 3

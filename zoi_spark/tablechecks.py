@@ -6885,3 +6885,139 @@ def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str, *,
                                    (w_plus - mean_w)
                                    / F.sqrt(var_w)), round_to)
                      .alias("z")))
+
+
+def hodges_lehmann_shift(df: DataFrame, value_col: str, *,
+                         split: Column,
+                         round_to: int = 6) -> DataFrame:
+    """Hodges-Lehmann shift estimator (Hodges & Lehmann 1963): the
+    MEDIAN of all pairwise differences b − a between the two split
+    sides — the robust "how big is the shift" companion to the
+    Wilcoxon/Mann-Whitney "is there a shift" verdicts: 30% outliers
+    barely move it, while mean-difference follows them anywhere.
+
+    The n_a×n_b pair cloud is never materialized row-wise: both
+    sides reduce to DISTINCT-value count tables, the difference grid
+    is |V_a|×|V_b| weighted cells (value-cardinality-bounded), and
+    the weighted median is one cumulative window over the sorted
+    grid. Bin values first if distinct cardinality is itself huge.
+    Interpolation follows the weighted-median convention: when the
+    half-weight falls exactly on a cell boundary, the midpoint of
+    the straddling diffs. Returns one row ``(n_a, n_b, n_pairs,
+    hl_shift)``.
+    """
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     split.alias("s")) \
+             .where(F.col("v").isNotNull() & F.col("s").isNotNull())
+    va = base.where(F.col("s")).groupBy(F.col("v").alias("a")) \
+             .agg(F.count(F.lit(1)).cast("double").alias("na"))
+    vb = base.where(~F.col("s")).groupBy(F.col("v").alias("b")) \
+             .agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    grid = (va.crossJoin(vb)
+            .select((F.col("b") - F.col("a")).alias("d"),
+                    (F.col("na") * F.col("nb")).alias("w")))
+    cells = grid.groupBy("d").agg(F.sum("w").alias("w"))
+    wc = (Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    c = cells.select(
+        "d", F.sum("w").over(wc).alias("cum"),
+        (F.sum("w").over(wc) - F.col("w")).alias("cum_before"),
+        F.sum("w").over(tot).alias("tw"))
+    half = F.col("tw") / 2.0
+    # cells that contain the half-weight point; exact-boundary cells
+    # contribute both straddling diffs, averaged
+    lo = c.where((F.col("cum_before") <= half)
+                 & (F.col("cum") >= half))
+    med = lo.agg(((F.min("d") + F.max("d")) / 2).alias("hl"))
+    counts = base.agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("s"), 1).otherwise(0)).alias("n_b"))
+    return (counts.crossJoin(F.broadcast(med))
+            .select(F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    (F.col("n_a") * F.col("n_b")).cast("long")
+                    .alias("n_pairs"),
+                    F.round("hl", round_to).alias("hl_shift")))
+
+
+def ansari_bradley(df: DataFrame, value_col: str, *, split: Column,
+                   round_to: int = 6) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test (Ansari & Bradley 1960):
+    are the two sides equally DISPERSED around a common center? Rank
+    from both ends inward — score(r) = min(r, N+1−r) on the joint
+    ordering, tie-averaged — and sum side A's scores. Where
+    Mann-Whitney sees location, AB sees spread: a variance blow-up
+    with an unmoved median is invisible to MW and lights up here
+    (the nonparametric sibling of :func:`brown_forsythe`).
+
+        A = Σ_{i∈a} score_i,  exact tie-aware moments from the
+        score-frequency table:  μ = n_a·s̄,
+        σ² = n_a·n_b·(ss̄ − s̄²)/(N−1),   z = (A − μ)/σ
+
+    Scores ride the DISTINCT-value counts table: tie-averaged
+    both-end ranks are (2·cum_before + n + 1) and (2·(N−cum) + n
+    + 1) halved-min composites — exact half-integers, no per-row
+    window. Returns one row ``(n_a, n_b, ab_stat, mean_ab, var_ab,
+    z)``.
+    """
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     split.alias("s")) \
+             .where(F.col("v").isNotNull() & F.col("s").isNotNull())
+    vc = base.groupBy("v").agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0))
+         .cast("double").alias("na"),
+        F.count(F.lit(1)).cast("double").alias("n"))
+    w_pfx = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cumb = F.coalesce(F.sum("n").over(w_pfx), F.lit(0.0))
+    nn = F.sum("n").over(tot)
+    # tie-block average of min(r, N+1-r) over the block's ranks:
+    # ranks occupy [cumb+1, cumb+n]; from-the-end ranks occupy
+    # [N-cumb-n+1, N-cumb]. The blockwise mean of the elementwise
+    # min is derived from the overlap of the two arithmetic runs.
+    lo1 = cumb + 1                       # first forward rank
+    lo2 = nn - cumb - F.col("n") + 1     # first backward rank
+    # elementwise: min(lo1+i, N+1-(lo1+i)) for i in 0..n-1.
+    # split at the crossover rank m = floor(N/2): forward ranks ≤ m
+    # keep themselves, ranks > N-m keep the mirrored value. Sum in
+    # closed form via clamped run segments.
+    m = F.floor(nn / 2)
+
+    def run_sum(first, cnt):
+        # sum of arithmetic run first, first+1, … (cnt terms)
+        return cnt * first + cnt * (cnt - 1) / 2
+
+    # forward part: ranks r in [lo1, lo1+n-1] with r <= m
+    fwd_cnt = F.greatest(
+        F.least(m - lo1 + 1, F.col("n")), F.lit(0.0))
+    fwd_sum = run_sum(lo1, fwd_cnt)
+    # mirrored part: remaining ranks use N+1-r, a descending run
+    rem_cnt = F.col("n") - fwd_cnt
+    rem_first = nn + 1 - (lo1 + fwd_cnt)     # largest mirrored score
+    rem_sum = rem_cnt * rem_first - rem_cnt * (rem_cnt - 1) / 2
+    block_sum = fwd_sum + rem_sum            # Σ scores in tie block
+    avg_score = block_sum / F.col("n")
+    scored = vc.select("na", "n", avg_score.alias("sc"))
+    a = scored.agg(
+        F.sum(F.col("na") * F.col("sc")).alias("ab"),
+        F.sum("na").alias("ta"),
+        F.sum("n").alias("tn"),
+        F.sum(F.col("n") * F.col("sc")).alias("ssum"),
+        F.sum(F.col("n") * F.col("sc") ** 2).alias("ssq"))
+    na, nb = F.col("ta"), F.col("tn") - F.col("ta")
+    sbar = F.col("ssum") / F.col("tn")
+    s2bar = F.col("ssq") / F.col("tn")
+    mean_ab = na * sbar
+    var_ab = na * nb * (s2bar - sbar ** 2) / (F.col("tn") - 1)
+    return a.select(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round("ab", round_to).alias("ab_stat"),
+        F.round(mean_ab, round_to).alias("mean_ab"),
+        F.round(var_ab, round_to).alias("var_ab"),
+        F.round(F.when(var_ab > 0,
+                       (F.col("ab") - mean_ab) / F.sqrt(var_ab)),
+                round_to).alias("z"))

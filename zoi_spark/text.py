@@ -3681,3 +3681,47 @@ def social_residue(df: DataFrame, *, text_col: str = "text",
         F.round(F.try_divide(
             (F.sum("ht") + F.sum("mn") + F.sum("ur")) * 1000.0,
             F.sum("cc")), round_to).alias("residue_per_kchar"))
+
+
+def gibberish_profile(df: DataFrame, *, text_col: str = "text",
+                      by: str = "source",
+                      max_consonant_run: int = 7,
+                      min_vowel_share: float = 0.2,
+                      round_to: int = 6) -> DataFrame:
+    """Keyboard-mash / gibberish detector for Latin-script text: the
+    two cheapest high-precision signals are (1) the longest
+    consonant run — English tops out around 6 ("latchstring");
+    "asdfghjkl" runs 9 — and (2) the vowel share among letters,
+    which natural Latin-script prose keeps above ~35% and mashing
+    drives toward 0. Flags docs breaching either bound; reports
+    per-group rates. A different axis than the n-gram logprob
+    scores (model-free, no vocabulary) and the repetition gates
+    (mash isn't repetitive).
+
+    Pure projection + one aggregation. Returns per-group rows
+    ``(group, n_docs, n_flagged, flagged_share, mean_vowel_share,
+    max_run_seen)``.
+    """
+    low = F.lower(F.col(text_col))
+    cons_runs = F.regexp_extract_all(
+        low, F.lit(r"[bcdfghjklmnpqrstvwxz]+"), 0)
+    max_run = F.coalesce(
+        F.array_max(F.transform(cons_runs, F.length)), F.lit(0))
+    n_vowel = F.regexp_count(low, F.lit(r"[aeiouy]"))
+    n_alpha = F.regexp_count(low, F.lit(r"[a-z]"))
+    vshare = F.try_divide(n_vowel.cast("double"),
+                          n_alpha.cast("double"))
+    flagged = ((max_run >= int(max_consonant_run))
+               | (vshare < float(min_vowel_share)))
+    base = df.where(F.col(text_col).isNotNull()
+                    & F.col(by).isNotNull()) \
+             .select(F.col(by).alias("group"),
+                     max_run.alias("mr"), vshare.alias("vs"),
+                     flagged.cast("long").alias("fl"))
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fl").alias("n_flagged"),
+        F.round(F.try_divide(F.sum("fl"), F.count(F.lit(1))),
+                round_to).alias("flagged_share"),
+        F.round(F.avg("vs"), round_to).alias("mean_vowel_share"),
+        F.max("mr").alias("max_run_seen"))
