@@ -7405,6 +7405,55 @@ def q_gibberish_sources(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_hampel_days(spark, sf_dir):
+    """Hampel rolling median±MAD outlier filter (tablechecks.
+    hampel_filter, ±3 days, k=3) over daily event volume — the
+    robust rolling detector a level shift cannot drag along;
+    RANGE-joined neighborhoods shrink at gaps instead of
+    stretching."""
+    e = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    lo = daily.agg(F.min("d").alias("d0"))
+    idx = (daily.crossJoin(F.broadcast(lo))
+           .select(F.datediff("d", F.col("d0")).cast("double")
+                   .alias("i"), "cnt"))
+    return (tablechecks.hampel_filter(idx, "cnt", "i",
+                                      half_window=3, k=3.0)
+            .orderBy("order"))
+
+
+def q_rbo_terms_halves(spark, sf_dir):
+    """Rank-biased overlap (tablechecks.rbo_top_terms, k=50, p=0.9)
+    of the top-term lists between even- and odd-doc_id halves — the
+    top-weighted 'did the vocabulary head move' score; ranking is
+    (count desc, term asc), fully deterministic."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = d.select(F.pmod("doc_id", F.lit(2)).alias("h"),
+                    F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                     .alias("term")) \
+            .where(F.length("term") >= 3)
+    return tablechecks.rbo_top_terms(
+        toks.where(F.col("h") == 0), toks.where(F.col("h") == 1),
+        "term", k=50, p=0.9)
+
+
+def q_ratio_value_per_click(spark, sf_dir):
+    """Delta-method ratio CI (tablechecks.ratio_ci_delta): purchase
+    value per click with USER-clustered variance — numerator and
+    denominator share users, so the unit-level covariance term is
+    load-bearing; aggregate per user first, then one moment pass."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1.0)
+              .otherwise(0.0)).alias("y"))
+    return tablechecks.ratio_ci_delta(per_user, "x", "y")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7933,6 +7982,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hl_shift_lens": q_hl_shift_lens,
         "ansari_bradley_lens": q_ansari_bradley_lens,
         "gibberish_sources": q_gibberish_sources,
+        # wave 83: Hampel filter, RBO top terms, ratio-metric CI
+        "hampel_days": q_hampel_days,
+        "rbo_terms_halves": q_rbo_terms_halves,
+        "ratio_value_per_click": q_ratio_value_per_click,
     }
 
 
@@ -19062,5 +19115,109 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(vs), 6) AS mean_vowel_share,
                    max(mr)::INT AS max_run_seen
             FROM flags GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_hampel_days — same RANGE self-joined
+        # neighborhoods, same median/MAD scoring
+        "hampel_days": """
+            WITH daily AS (
+              SELECT ts::DATE AS d, count(*)::DOUBLE AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            lo AS (SELECT min(d) AS d0 FROM daily),
+            idx AS (SELECT (d - lo.d0)::DOUBLE AS i, cnt AS v
+                    FROM daily, lo),
+            med AS (
+              SELECT a.i, quantile_cont(b.v, 0.5) AS med
+              FROM idx a JOIN idx b
+                ON b.i BETWEEN a.i - 3 AND a.i + 3
+              GROUP BY a.i),
+            curve AS (
+              SELECT a.i, any_value(a.v) AS v,
+                     any_value(m.med) AS med,
+                     quantile_cont(abs(b.v - m.med), 0.5) AS mad
+              FROM idx a
+              JOIN idx b ON b.i BETWEEN a.i - 3 AND a.i + 3
+              JOIN med m ON m.i = a.i
+              GROUP BY a.i)
+            SELECT i AS "order",
+                   round(v, 6) AS value, round(med, 6) AS med,
+                   round(mad, 6) AS mad,
+                   round(CASE WHEN 1.4826 * mad > 0
+                     THEN abs(v - med) / (1.4826 * mad) END, 6)
+                     AS score,
+                   CASE WHEN mad > 0
+                        THEN abs(v - med) > 3.0 * 1.4826 * mad
+                        ELSE v <> med END AS flagged
+            FROM curve ORDER BY i
+        """,
+        # twin of q_rbo_terms_halves — same deterministic ranking,
+        # same suffix tail table
+        "rbo_terms_halves": """
+            WITH toks AS (
+              SELECT doc_id % 2 AS h, t.term
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text),
+                          '[^a-z]+')) AS t(term)
+              WHERE text IS NOT NULL AND length(t.term) >= 3),
+            ca AS (SELECT term, count(*) AS n FROM toks WHERE h = 0
+                   GROUP BY term),
+            cb AS (SELECT term, count(*) AS n FROM toks WHERE h = 1
+                   GROUP BY term),
+            ra AS (SELECT term, row_number() OVER
+                     (ORDER BY n DESC, term) AS r FROM ca
+                   QUALIFY r <= 50),
+            rb AS (SELECT term, row_number() OVER
+                     (ORDER BY n DESC, term) AS r FROM cb
+                   QUALIFY r <= 50),
+            joined AS (
+              SELECT greatest(ra.r, rb.r) AS m
+              FROM ra JOIN rb USING (term)),
+            depths AS (
+              SELECT d, pow(0.9, d - 1) / d AS wd
+              FROM (SELECT unnest(generate_series(1, 50)) AS d)),
+            tails AS (
+              SELECT d AS m,
+                     sum(wd) OVER (ORDER BY d ROWS BETWEEN
+                       CURRENT ROW AND UNBOUNDED FOLLOWING) AS tail
+              FROM depths),
+            agg AS (
+              SELECT count(*)::BIGINT AS n_common,
+                     sum(t.tail) AS tsum
+              FROM joined j JOIN tails t ON t.m = j.m)
+            SELECT 50 AS k, 0.9::DOUBLE AS p, n_common,
+                   round(0.1 * coalesce(tsum, 0), 6) AS rbo
+            FROM agg
+        """,
+        # twin of q_ratio_value_per_click — same user-level moments
+        "ratio_value_per_click": """
+            WITH per_user AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase'
+                         THEN value ELSE 0 END) AS x,
+                     sum(CASE WHEN event_type = 'click'
+                         THEN 1.0 ELSE 0 END) AS y
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id),
+            a AS (
+              SELECT count(*)::DOUBLE AS n, avg(x) AS mx,
+                     avg(y) AS my, var_samp(x) AS vx,
+                     var_samp(y) AS vy, covar_samp(x, y) AS cxy
+              FROM per_user
+              WHERE x IS NOT NULL AND y IS NOT NULL)
+            SELECT n::BIGINT AS n,
+                   round(CASE WHEN my > 0 AND n >= 2
+                     THEN mx / my END, 6) AS ratio,
+                   round(CASE WHEN my > 0 AND n >= 2 THEN
+                     sqrt(greatest((vx + pow(mx/my, 2) * vy
+                           - 2 * (mx/my) * cxy) / (n * my * my),
+                          0)) END, 6) AS se,
+                   round(CASE WHEN my > 0 AND n >= 2 THEN
+                     mx/my - 1.96 * sqrt(greatest((vx
+                       + pow(mx/my, 2)*vy - 2*(mx/my)*cxy)
+                       / (n*my*my), 0)) END, 6) AS ci_lo,
+                   round(CASE WHEN my > 0 AND n >= 2 THEN
+                     mx/my + 1.96 * sqrt(greatest((vx
+                       + pow(mx/my, 2)*vy - 2*(mx/my)*cxy)
+                       / (n*my*my), 0)) END, 6) AS ci_hi
+            FROM a
         """,
     }

@@ -426,6 +426,8 @@ R4_NAMES = [
     "wilcoxon_user_halves",
     # wave 82: Hodges-Lehmann, Ansari-Bradley, gibberish profile
     "hl_shift_lens", "ansari_bradley_lens", "gibberish_sources",
+    # wave 83: Hampel filter, RBO top terms, ratio-metric CI
+    "hampel_days", "rbo_terms_halves", "ratio_value_per_click",
 ]
 
 

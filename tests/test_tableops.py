@@ -5339,3 +5339,104 @@ class TestAnsariBradley:
                                 split=F.col("s")).collect()[0]
         # tight side gets the HIGH center scores: z strongly +
         assert out["z"] > 3
+
+
+class TestHampelFilter:
+    def test_spike_flagged_level_shift_not_dragged(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [10.0] * 10
+        vals[5] = 100.0                     # lone spike
+        rows = [(float(i), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "i double, v double")
+        out = {r["order"]: r for r in tc.hampel_filter(
+            df, "v", "i", half_window=3, k=3.0).collect()}
+        assert out[5.0]["flagged"]
+        # neighbors of the spike must NOT be dragged into flagging
+        assert not out[4.0]["flagged"] and not out[6.0]["flagged"]
+
+    def test_constant_series_clean(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(i), 7.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "i double, v double")
+        for r in tc.hampel_filter(df, "v", "i").collect():
+            assert not r["flagged"]
+
+    def test_gap_shrinks_window(self, spark):
+        from zoi_spark import tablechecks as tc
+        # indices 0,1,2 then 100,101,102: windows never mix sides
+        rows = ([(float(i), 5.0) for i in (0, 1, 2)]
+                + [(float(i), 50.0) for i in (100, 101, 102)])
+        df = spark.createDataFrame(rows, "i double, v double")
+        for r in tc.hampel_filter(df, "v", "i",
+                                  half_window=3).collect():
+            assert not r["flagged"]          # each side self-consistent
+
+
+class TestRboTopTerms:
+    def test_identical_lists_full_score(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(f"t{i % 10}",) for i in range(100)]
+        df = spark.createDataFrame(rows, "term string")
+        out = tc.rbo_top_terms(df, df, "term", k=10,
+                               p=0.9).collect()[0]
+        assert out["n_common"] == 10
+        # truncated RBO of identical lists = (1-p)*sum(p^(d-1)) at
+        # each depth overlap fraction 1 -> = 1 - p^k
+        assert abs(out["rbo"] - (1 - 0.9 ** 10)) < 1e-6
+
+    def test_disjoint_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        a = spark.createDataFrame([(f"a{i}",) for i in range(20)],
+                                  "term string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(20)],
+                                  "term string")
+        out = tc.rbo_top_terms(a, b, "term", k=10).collect()[0]
+        assert out["n_common"] == 0 and out["rbo"] == 0.0
+
+    def test_top_weighted(self, spark):
+        from zoi_spark import tablechecks as tc
+        # swap at the HEAD hurts more than at the tail
+        def mk(terms_counts):
+            rows = [(t,) for t, c in terms_counts for _ in range(c)]
+            return spark.createDataFrame(rows, "term string")
+        base = [(f"t{i}", 100 - i) for i in range(10)]
+        head_swap = [("zz", 100)] + base[1:]
+        tail_swap = base[:9] + [("zz", 91 - 9)]
+        r_head = tc.rbo_top_terms(mk(base), mk(head_swap), "term",
+                                  k=10).collect()[0]["rbo"]
+        r_tail = tc.rbo_top_terms(mk(base), mk(tail_swap), "term",
+                                  k=10).collect()[0]["rbo"]
+        assert r_head < r_tail
+
+
+class TestRatioCiDelta:
+    def test_matches_closed_form(self, spark):
+        from zoi_spark import tablechecks as tc
+        import statistics
+        xs = [10.0, 20.0, 30.0, 40.0]
+        ys = [1.0, 2.0, 3.0, 4.0]
+        df = spark.createDataFrame(list(zip(xs, ys)),
+                                   "x double, y double")
+        out = tc.ratio_ci_delta(df, "x", "y").collect()[0]
+        mx, my = statistics.mean(xs), statistics.mean(ys)
+        r = mx / my
+        vx, vy = statistics.variance(xs), statistics.variance(ys)
+        cxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / 3
+        var_r = (vx + r * r * vy - 2 * r * cxy) / (4 * my * my)
+        assert out["ratio"] == 10.0
+        assert out["se"] == round(var_r ** 0.5, 6)
+
+    def test_perfectly_proportional_zero_se(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(3.0 * y, y) for y in (1.0, 2.0, 5.0, 9.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.ratio_ci_delta(df, "x", "y").collect()[0]
+        assert out["ratio"] == 3.0 and out["se"] == 0.0
+        assert out["ci_lo"] == 3.0 and out["ci_hi"] == 3.0
+
+    def test_zero_denominator_null(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 0.0), (2.0, 0.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.ratio_ci_delta(df, "x", "y").collect()[0]
+        assert out["ratio"] is None

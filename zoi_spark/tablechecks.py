@@ -7021,3 +7021,151 @@ def ansari_bradley(df: DataFrame, value_col: str, *, split: Column,
         F.round(F.when(var_ab > 0,
                        (F.col("ab") - mean_ab) / F.sqrt(var_ab)),
                 round_to).alias("z"))
+
+
+def hampel_filter(df: DataFrame, value_col: str, order_col: str, *,
+                  half_window: int = 3, k: float = 3.0,
+                  round_to: int = 6) -> DataFrame:
+    """Hampel identifier (Hampel 1974) over an ordered series:
+    each point is scored against the MEDIAN and MAD of its ±w
+    neighborhood — the robust rolling outlier filter that a level
+    shift cannot drag along (a rolling mean ± z·sd follows the
+    outlier; the rolling median doesn't). Flag when
+
+        |x_i − med_i| > k · 1.4826 · MAD_i      (MAD_i > 0)
+
+    and, when the whole window is constant (MAD 0), when the value
+    differs from the window median at all. Tiny-series contract
+    (daily/hourly aggregates): the neighborhood is a RANGE self-join
+    on the numeric order column, so calendar gaps shrink the
+    neighborhood instead of silently stretching it. Returns the full
+    scored curve ``(order, value, med, mad, score, flagged)``.
+    """
+    s = df.select(F.col(order_col).cast("double").alias("i"),
+                  F.col(value_col).cast("double").alias("v")) \
+          .where(F.col("i").isNotNull() & F.col("v").isNotNull())
+    w = float(half_window)
+    a, b = s.alias("a"), s.alias("b")
+    nbrs = a.join(b, (F.col("b.i") >= F.col("a.i") - w)
+                  & (F.col("b.i") <= F.col("a.i") + w))
+    med = (nbrs.groupBy(F.col("a.i").alias("i"))
+           .agg(F.expr("percentile(b.v, 0.5)").alias("med")))
+    nbrs2 = (a.join(b, (F.col("b.i") >= F.col("a.i") - w)
+                    & (F.col("b.i") <= F.col("a.i") + w))
+             .join(med.alias("m"), F.col("a.i") == F.col("m.i"))
+             .select(F.col("a.i").alias("i"),
+                     F.col("a.v").alias("v"), F.col("m.med"),
+                     F.abs(F.col("b.v") - F.col("m.med"))
+                      .alias("dev")))
+    curve = (nbrs2.groupBy("i")
+             .agg(F.first("v").alias("v"), F.first("med").alias("med"),
+                  F.expr("percentile(dev, 0.5)").alias("mad")))
+    score = F.try_divide(F.abs(F.col("v") - F.col("med")),
+                         1.4826 * F.col("mad"))
+    flagged = F.when(F.col("mad") > 0,
+                     F.abs(F.col("v") - F.col("med"))
+                     > k * 1.4826 * F.col("mad")) \
+               .otherwise(F.col("v") != F.col("med"))
+    return curve.select(
+        F.col("i").alias("order"),
+        F.round("v", round_to).alias("value"),
+        F.round("med", round_to).alias("med"),
+        F.round("mad", round_to).alias("mad"),
+        F.round(score, round_to).alias("score"),
+        flagged.alias("flagged"))
+
+
+def rbo_top_terms(df_a: DataFrame, df_b: DataFrame, term_col: str,
+                  *, k: int = 50, p: float = 0.9,
+                  round_to: int = 6) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010), truncated
+    at depth k, between the two sides' TOP-TERM lists — the
+    principled "did the vocabulary head change" score: top-weighted
+    (a swap at rank 2 costs more than at rank 40), and defined for
+    lists that only partially overlap, where plain Jaccard@k throws
+    the ranks away and Spearman needs identical membership.
+
+        RBO_trunc = (1−p) Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d
+                  = (1−p) Σ_{t∈A∩B} T(max(r_A, r_B)),
+        T(m) = Σ_{d=m}^{k} p^{d−1}/d     (suffix table, k rows)
+
+    Inputs are term frames (one row per occurrence); ranking is by
+    (count desc, term asc) — fully deterministic. Everything beyond
+    the two term counts rides k-row frames. Returns one row
+    ``(k, p, n_common, rbo)``.
+    """
+    kk, pp = int(k), float(p)
+
+    def top(d: DataFrame) -> DataFrame:
+        c = (d.where(F.col(term_col).isNotNull())
+             .groupBy(F.col(term_col).alias("t"))
+             .agg(F.count(F.lit(1)).alias("n")))
+        w = Window.orderBy(F.col("n").desc(), F.col("t"))
+        return (c.select("t", F.row_number().over(w).alias("r"))
+                .where(F.col("r") <= kk))
+    ta, tb = top(df_a), top(df_b)
+    joined = (ta.alias("x").join(tb.alias("y"),
+                                 F.col("x.t") == F.col("y.t"))
+              .select(F.greatest(F.col("x.r"), F.col("y.r"))
+                      .alias("m")))
+    spark = df_a.sparkSession
+    depths = spark.range(1, kk + 1).select(
+        F.col("id").alias("d"),
+        (F.pow(F.lit(pp), F.col("id") - 1) / F.col("id"))
+         .alias("wd"))
+    wsfx = (Window.orderBy("d")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    tails = depths.select(F.col("d").alias("m"),
+                          F.sum("wd").over(wsfx).alias("tail"))
+    contrib = joined.join(F.broadcast(tails), "m")
+    agg = contrib.agg(F.count(F.lit(1)).alias("n_common"),
+                      F.sum("tail").alias("tsum"))
+    return agg.select(
+        F.lit(kk).alias("k"), F.lit(pp).alias("p"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round((1 - pp) * F.coalesce(F.col("tsum"), F.lit(0.0)),
+                round_to).alias("rbo"))
+
+
+def ratio_ci_delta(df: DataFrame, num_col: str, den_col: str, *,
+                   by: str | None = None,
+                   round_to: int = 6) -> DataFrame:
+    """Delta-method CI for a RATIO-of-sums metric (Σx/Σy — revenue
+    per click, tokens per doc, violations per crawl) over iid units:
+    naive per-row CIs are wrong because numerator and denominator
+    share units; the delta method propagates the unit-level
+    covariance:
+
+        r = x̄/ȳ,
+        Var(r) ≈ (var_x + r²·var_y − 2r·cov_xy) / (n·ȳ²)
+
+    (Fieller's exact interval degenerates at the same places the
+    guard nulls this one.) Aggregate to the UNIT level first — the
+    CI is clustered on whatever rows represent. ONE aggregation per
+    group, sample moments. Returns ``([group], n, ratio, se, ci_lo,
+    ci_hi)`` with 95% normal bounds; NULL when ȳ ≤ 0 or n < 2.
+    """
+    grp = F.col(by) if by else F.lit(0)
+    base = df.select(grp.alias("g"),
+                     F.col(num_col).cast("double").alias("x"),
+                     F.col(den_col).cast("double").alias("y")) \
+             .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    a = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"), F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"))
+    r = F.col("mx") / F.col("my")
+    ok = (F.col("my") > 0) & (F.col("n") >= 2)
+    var_r = (F.col("vx") + r ** 2 * F.col("vy")
+             - 2 * r * F.col("cxy")) / (F.col("n")
+                                        * F.col("my") ** 2)
+    se = F.sqrt(F.greatest(var_r, F.lit(0.0)))
+    out = a.select(
+        F.col("g").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, r), round_to).alias("ratio"),
+        F.round(F.when(ok, se), round_to).alias("se"),
+        F.round(F.when(ok, r - 1.96 * se), round_to).alias("ci_lo"),
+        F.round(F.when(ok, r + 1.96 * se), round_to).alias("ci_hi"))
+    return out if by else out.drop("group")
