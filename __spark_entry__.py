@@ -7454,6 +7454,49 @@ def q_ratio_value_per_click(spark, sf_dir):
     return tablechecks.ratio_ci_delta(per_user, "x", "y")
 
 
+def q_float_anomalies(spark, sf_dir):
+    """IEEE-754 hygiene census (tablechecks.float_anomalies) over a
+    seeded value column: every 17th event becomes NaN, 19th +Inf,
+    23rd −0.0, 29th a subnormal — representation defects a null
+    check can't see; −0.0 detected via the string cast (both
+    engines print '-0.0')."""
+    e = _read(spark, sf_dir, "events")
+    seeded = e.withColumn(
+        "value",
+        F.when(F.pmod("event_id", F.lit(17)) == 0,
+               F.lit(float("nan")))
+         .when(F.pmod("event_id", F.lit(19)) == 0,
+               F.lit(float("inf")))
+         .when(F.pmod("event_id", F.lit(23)) == 0, F.lit(-0.0))
+         .when(F.pmod("event_id", F.lit(29)) == 0, F.lit(1e-310))
+         .otherwise(F.col("value")))
+    return tablechecks.float_anomalies(seeded, "value")
+
+
+def q_attribution_purchase(spark, sf_dir):
+    """Multi-touch attribution (tablechecks.attribution_credit):
+    purchases distribute credit over the user's PRIOR click/view
+    touches under first/last/linear/U-shaped models — per-conversion
+    rank windows ride tiny partitions; the only shuffle is the
+    entity join."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.attribution_credit(
+        e, entity_col="user_id", ts_col="ts",
+        conv_pred=F.col("event_type") == "purchase",
+        touch_pred=F.col("event_type").isin("click", "view"),
+        type_col="event_type").orderBy("touch_type"))
+
+
+def q_cvar_value_types(spark, sf_dir):
+    """Expected shortfall per event type (tablechecks.cvar_tail,
+    α=0.95): VaR plus the mean of the tail at-or-beyond it — how bad
+    the bad days are, not just where they start."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return (tablechecks.cvar_tail(e, "value", by="event_type",
+                                  alpha=0.95).orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -7986,6 +8029,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hampel_days": q_hampel_days,
         "rbo_terms_halves": q_rbo_terms_halves,
         "ratio_value_per_click": q_ratio_value_per_click,
+        # wave 84: float anomalies, attribution, expected shortfall
+        "float_anomalies": q_float_anomalies,
+        "attribution_purchase": q_attribution_purchase,
+        "cvar_value_types": q_cvar_value_types,
     }
 
 
@@ -19219,5 +19266,95 @@ def oracle_sql() -> dict[str, str]:
                        + pow(mx/my, 2)*vy - 2*(mx/my)*cxy)
                        / (n*my*my), 0)) END, 6) AS ci_hi
             FROM a
+        """,
+        # twin of q_float_anomalies — same seeded IEEE defects; the
+        # -0.0 probe is the string cast on both engines
+        "float_anomalies": """
+            WITH seeded AS (
+              SELECT CASE
+                       WHEN event_id % 17 = 0 THEN 'nan'::DOUBLE
+                       WHEN event_id % 19 = 0 THEN 'inf'::DOUBLE
+                       WHEN event_id % 23 = 0 THEN -0.0::DOUBLE
+                       WHEN event_id % 29 = 0 THEN 1e-310::DOUBLE
+                       ELSE value END AS v
+              FROM events),
+            f AS (
+              SELECT v,
+                     (v IS NULL) AS is_null,
+                     coalesce(isnan(v), FALSE) AS is_nan,
+                     coalesce(v = 'inf'::DOUBLE, FALSE) AS posinf,
+                     coalesce(v = '-inf'::DOUBLE, FALSE) AS neginf,
+                     coalesce(v = 0 AND v::VARCHAR LIKE '-%',
+                              FALSE) AS negzero,
+                     coalesce(abs(v) > 0 AND abs(v) <
+                       2.2250738585072014e-308, FALSE) AS subn
+              FROM seeded)
+            SELECT count(*)::BIGINT AS n,
+                   sum(is_null::INT)::BIGINT AS n_null,
+                   sum(is_nan::INT)::BIGINT AS n_nan,
+                   sum(posinf::INT)::BIGINT AS n_posinf,
+                   sum(neginf::INT)::BIGINT AS n_neginf,
+                   sum(negzero::INT)::BIGINT AS n_negzero,
+                   sum(subn::INT)::BIGINT AS n_subnormal,
+                   sum((NOT (is_null OR is_nan OR posinf OR neginf
+                        OR negzero OR subn))::INT)::BIGINT
+                     AS n_clean
+            FROM f
+        """,
+        # twin of q_attribution_purchase — same prior-touch pairs,
+        # same per-conversion ranks and credit models
+        "attribution_purchase": """
+            WITH convs AS (
+              SELECT user_id AS e, epoch(ts) AS tc FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL),
+            touches AS (
+              SELECT user_id AS e, epoch(ts) AS tt,
+                     event_type AS ty
+              FROM events
+              WHERE event_type IN ('click', 'view')
+                AND user_id IS NOT NULL AND ts IS NOT NULL),
+            pairs AS (
+              SELECT c.e, c.tc, t.tt, t.ty
+              FROM convs c JOIN touches t USING (e)
+              WHERE t.tt < c.tc),
+            scored AS (
+              SELECT ty,
+                     row_number() OVER (PARTITION BY e, tc
+                       ORDER BY tt, ty) AS rn,
+                     count(*) OVER (PARTITION BY e, tc) AS kk
+              FROM pairs),
+            credits AS (
+              SELECT ty,
+                     CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END AS ft,
+                     CASE WHEN rn = kk THEN 1.0 ELSE 0.0 END AS lt,
+                     1.0 / kk AS lin,
+                     CASE WHEN kk = 1 THEN 1.0
+                          WHEN kk = 2 THEN 0.5
+                          WHEN rn = 1 OR rn = kk THEN 0.4
+                          ELSE 0.2 / (kk - 2) END AS u
+              FROM scored)
+            SELECT ty AS touch_type, count(*)::BIGINT AS n_touches,
+                   round(sum(ft), 6) AS ft_credit,
+                   round(sum(lt), 6) AS lt_credit,
+                   round(sum(lin), 6) AS linear_credit,
+                   round(sum(u), 6) AS u_credit
+            FROM credits GROUP BY ty ORDER BY ty
+        """,
+        # twin of q_cvar_value_types — same threshold-inclusive tail
+        "cvar_value_types": """
+            WITH base AS (
+              SELECT event_type AS g, value AS v FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            q AS (SELECT g, quantile_cont(v, 0.95) AS var_q,
+                         count(*)::BIGINT AS n
+                  FROM base GROUP BY g)
+            SELECT b.g AS "group", any_value(q.n) AS n,
+                   round(any_value(q.var_q), 6) AS var_q,
+                   round(avg(b.v), 6) AS cvar,
+                   count(*)::BIGINT AS tail_n
+            FROM base b JOIN q ON q.g = b.g
+            WHERE b.v >= q.var_q
+            GROUP BY b.g ORDER BY b.g
         """,
     }

@@ -428,6 +428,8 @@ R4_NAMES = [
     "hl_shift_lens", "ansari_bradley_lens", "gibberish_sources",
     # wave 83: Hampel filter, RBO top terms, ratio-metric CI
     "hampel_days", "rbo_terms_halves", "ratio_value_per_click",
+    # wave 84: float anomalies, attribution, expected shortfall
+    "float_anomalies", "attribution_purchase", "cvar_value_types",
 ]
 
 

@@ -5440,3 +5440,108 @@ class TestRatioCiDelta:
         df = spark.createDataFrame(rows, "x double, y double")
         out = tc.ratio_ci_delta(df, "x", "y").collect()[0]
         assert out["ratio"] is None
+
+
+class TestFloatAnomalies:
+    def test_each_defect_counted(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0,), (float("nan"),), (float("inf"),),
+                (float("-inf"),), (-0.0,), (1e-310,), (None,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.float_anomalies(df, "v").collect()[0]
+        assert out["n"] == 7
+        assert out["n_null"] == 1 and out["n_nan"] == 1
+        assert out["n_posinf"] == 1 and out["n_neginf"] == 1
+        assert out["n_negzero"] == 1 and out["n_subnormal"] == 1
+        assert out["n_clean"] == 1
+
+    def test_positive_zero_clean(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(0.0,), (2.5,)], "v double")
+        out = tc.float_anomalies(df, "v").collect()[0]
+        assert out["n_negzero"] == 0 and out["n_clean"] == 2
+
+    def test_grouped(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", float("nan")), ("b", 1.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r for r in
+               tc.float_anomalies(df, "v", by="g").collect()}
+        assert out["a"]["n_nan"] == 1 and out["b"]["n_clean"] == 1
+
+
+class TestAttributionCredit:
+    def test_models_on_three_touches(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        mk = lambda m, ty: (1, t0 + datetime.timedelta(minutes=m), ty)
+        rows = [mk(0, "view"), mk(1, "click"), mk(2, "view"),
+                mk(3, "purchase")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = {r["touch_type"]: r for r in tc.attribution_credit(
+            df, entity_col="u", ts_col="ts",
+            conv_pred=F.col("et") == "purchase",
+            touch_pred=F.col("et").isin("click", "view"),
+            type_col="et").collect()}
+        # first=view, last=view, middle=click
+        assert out["view"]["ft_credit"] == 1.0
+        assert out["view"]["lt_credit"] == 1.0
+        assert out["click"]["linear_credit"] == round(1 / 3, 6)
+        assert out["view"]["u_credit"] == 0.8
+        assert out["click"]["u_credit"] == 0.2
+
+    def test_single_touch_full_credit(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(1, t0, "click"),
+                (1, t0 + datetime.timedelta(minutes=5), "purchase")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = tc.attribution_credit(
+            df, entity_col="u", ts_col="ts",
+            conv_pred=F.col("et") == "purchase",
+            touch_pred=F.col("et").isin("click", "view"),
+            type_col="et").collect()[0]
+        for c in ("ft_credit", "lt_credit", "linear_credit",
+                  "u_credit"):
+            assert out[c] == 1.0
+
+    def test_touch_after_conversion_ignored(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(1, t0, "purchase"),
+                (1, t0 + datetime.timedelta(minutes=5), "click")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = tc.attribution_credit(
+            df, entity_col="u", ts_col="ts",
+            conv_pred=F.col("et") == "purchase",
+            touch_pred=F.col("et").isin("click", "view"),
+            type_col="et").collect()
+        assert out == []
+
+
+class TestCvarTail:
+    def test_uniform_tail(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", float(v)) for v in range(1, 101)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.cvar_tail(df, "v", by="g", alpha=0.9).collect()[0]
+        # q90 of 1..100 = 90.1; tail = 91..100 mean 95.5
+        assert out["var_q"] == 90.1
+        assert out["cvar"] == 95.5
+        assert out["tail_n"] == 10
+
+    def test_heavy_tail_separates(self, spark):
+        from zoi_spark import tablechecks as tc
+        a = [("a", float(v)) for v in range(1, 100)] + [("a", 100.0)]
+        b = [("b", float(v)) for v in range(1, 100)] + [("b", 10000.0)]
+        df = spark.createDataFrame(a + b, "g string, v double")
+        out = {r["group"]: r for r in
+               tc.cvar_tail(df, "v", by="g", alpha=0.95).collect()}
+        assert abs(out["a"]["var_q"] - out["b"]["var_q"]) < 1.0
+        assert out["b"]["cvar"] > out["a"]["cvar"] * 10

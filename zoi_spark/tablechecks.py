@@ -7169,3 +7169,131 @@ def ratio_ci_delta(df: DataFrame, num_col: str, den_col: str, *,
         F.round(F.when(ok, r - 1.96 * se), round_to).alias("ci_lo"),
         F.round(F.when(ok, r + 1.96 * se), round_to).alias("ci_hi"))
     return out if by else out.drop("group")
+
+
+def float_anomalies(df: DataFrame, value_col: str, *,
+                    by: str | None = None) -> DataFrame:
+    """IEEE-754 hygiene census for a double column — the float
+    anomalies that sail through a null check and poison aggregates
+    downstream: NaN (kills sums silently in some engines, propagates
+    in others), ±Inf (one overflow in a derived metric), NEGATIVE
+    ZERO (breaks naive `sign(x) == -1 or x == 0` branching and
+    string round-trips), and SUBNORMALS (precision collapse, often
+    an underflowed division upstream). A different axis than the
+    range/outlier rows: these are REPRESENTATION defects, not
+    statistical ones. Negative zero is detected via the string cast
+    (both engines print "-0.0"), since 1/x probes trip ANSI
+    division guards.
+
+    ONE aggregation. Returns ``([group], n, n_null, n_nan, n_posinf,
+    n_neginf, n_negzero, n_subnormal, n_clean)``.
+    """
+    grp = F.col(by) if by else F.lit(0)
+    v = F.col(value_col).cast("double")
+    base = df.select(grp.alias("g"), v.alias("v"))
+    is_null = F.col("v").isNull()
+    is_nan = F.isnan("v")
+    posinf = F.col("v") == float("inf")
+    neginf = F.col("v") == float("-inf")
+    negzero = ((F.col("v") == 0)
+               & F.col("v").cast("string").startswith("-"))
+    subnormal = ((F.abs("v") > 0)
+                 & (F.abs("v") < 2.2250738585072014e-308))
+    bad = (is_null | is_nan | posinf | neginf | negzero | subnormal)
+    c = lambda p: F.sum(p.cast("long"))
+    out = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        c(is_null).alias("n_null"), c(is_nan).alias("n_nan"),
+        c(posinf).alias("n_posinf"), c(neginf).alias("n_neginf"),
+        c(negzero).alias("n_negzero"),
+        c(subnormal).alias("n_subnormal"),
+        c(~bad).alias("n_clean"))
+    out = out.withColumnRenamed("g", "group")
+    return out if by else out.drop("group")
+
+
+def attribution_credit(df: DataFrame, *, entity_col: str,
+                       ts_col: str, conv_pred: Column,
+                       touch_pred: Column, type_col: str,
+                       round_to: int = 6) -> DataFrame:
+    """Multi-touch attribution over event streams: every conversion
+    distributes one unit of credit across the entity's PRIOR touch
+    events under four standard models — first-touch, last-touch,
+    linear (1/k each) and U-shaped (40/20/40: 0.4 to first and last,
+    0.2 split over the middle; 1.0 / 0.5-0.5 for k=1 / k=2). The
+    per-touch-type totals answer "which upstream event type actually
+    precedes purchases", which a raw funnel share cannot (funnels
+    ignore multiplicity and position).
+
+    Plan: conversions × prior-touches join keyed on the entity (the
+    one real shuffle; per-entity history is the bounded dimension —
+    cap or window it upstream for hot entities), then rank windows
+    PER CONVERSION (tiny partitions) and one final type aggregation.
+    Returns per-type rows ``(touch_type, n_touches, ft_credit,
+    lt_credit, linear_credit, u_credit)``.
+    """
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    base = df.where(F.col(entity_col).isNotNull()
+                    & F.col(ts_col).isNotNull())
+    convs = base.where(conv_pred).select(
+        F.col(entity_col).alias("e"), ts.alias("tc"))
+    touches = base.where(touch_pred).select(
+        F.col(entity_col).alias("e"), ts.alias("tt"),
+        F.col(type_col).alias("ty"))
+    pairs = convs.join(touches, "e").where(F.col("tt") < F.col("tc"))
+    wconv = Window.partitionBy("e", "tc")
+    rn = F.row_number().over(wconv.orderBy("tt", "ty"))
+    kk = F.count(F.lit(1)).over(wconv)
+    scored = pairs.select("ty", rn.alias("rn"), kk.alias("kk"))
+    first = F.col("rn") == 1
+    last = F.col("rn") == F.col("kk")
+    ft = F.when(first, 1.0).otherwise(0.0)
+    lt = F.when(last, 1.0).otherwise(0.0)
+    lin = 1.0 / F.col("kk")
+    u = (F.when(F.col("kk") == 1, 1.0)
+         .when(F.col("kk") == 2, 0.5)
+         .otherwise(F.when(first | last, 0.4)
+                    .otherwise(0.2 / (F.col("kk") - 2))))
+    agg = scored.groupBy(F.col("ty").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(ft).cast("long").alias("conversions_first"),
+        F.round(F.sum(ft), round_to).alias("ft_credit"),
+        F.round(F.sum(lt), round_to).alias("lt_credit"),
+        F.round(F.sum(lin), round_to).alias("linear_credit"),
+        F.round(F.sum(u), round_to).alias("u_credit"))
+    return agg.drop("conversions_first")
+
+
+def cvar_tail(df: DataFrame, value_col: str, *, by: str,
+              alpha: float = 0.95, round_to: int = 6) -> DataFrame:
+    """Conditional value-at-risk (expected shortfall) per group:
+    VaR_α is the α-quantile; CVaR_α is the MEAN of everything at or
+    beyond it — "when a bad day happens, how bad is it on average",
+    the coherent tail metric the quantile alone understates (two
+    corpora can share q95 while one's tail is 10× heavier). The
+    companion to :func:`gumbel_maxima` (block extremes) for
+    within-block tails.
+
+    Exact two-stage: per-group quantile, broadcast back, conditional
+    mean over v ≥ VaR (ties at the threshold included — documented
+    convention). Returns ``(group, n, var_q, cvar, tail_n)``.
+    """
+    a = float(alpha)
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    q = base.groupBy("g").agg(
+        F.expr(f"percentile(v, {a})").alias("var_q"),
+        F.count(F.lit(1)).alias("n"))
+    j = base.join(F.broadcast(q), "g")
+    out = (j.where(F.col("v") >= F.col("var_q"))
+           .groupBy("g")
+           .agg(F.first("n").alias("n"),
+                F.first("var_q").alias("var_q"),
+                F.avg("v").alias("cvar"),
+                F.count(F.lit(1)).alias("tail_n")))
+    return out.select(
+        F.col("g").alias("group"), F.col("n").cast("long").alias("n"),
+        F.round("var_q", round_to).alias("var_q"),
+        F.round("cvar", round_to).alias("cvar"),
+        F.col("tail_n").cast("long").alias("tail_n"))
