@@ -7497,6 +7497,43 @@ def q_cvar_value_types(spark, sf_dir):
                                   alpha=0.95).orderBy("group"))
 
 
+def q_encoding_advisor(spark, sf_dir):
+    """Columnar-encoding advisor (tablechecks.encoding_advisor) over
+    events in event_id write order: distinct ratio, run lengths and
+    monotone share per column → dict/rle/delta/plain suggestion —
+    the physical-design sibling of the partition/zorder advisors."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.encoding_advisor(
+        e, ["event_type", "user_id", "event_id"], "event_id")
+        .orderBy("column"))
+
+
+def q_breusch_godfrey_daily(spark, sf_dir):
+    """Breusch-Godfrey LM test (tablechecks.breusch_godfrey) for
+    lag-1 serial correlation in daily-volume residuals after the
+    volume ~ day-index fit — the x-conditioned replacement for the
+    Durbin-Watson row; tiny-series contract."""
+    e = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    lo = daily.agg(F.min("d").alias("d0"))
+    idx = (daily.crossJoin(F.broadcast(lo))
+           .select(F.datediff("d", F.col("d0")).cast("double")
+                   .alias("i"), "cnt"))
+    return tablechecks.breusch_godfrey(idx, "i", "cnt", "i")
+
+
+def q_yuen_trimmed_lens(spark, sf_dir):
+    """Yuen's 20%-trimmed-mean t (tablechecks.yuen_trimmed_t):
+    en vs rest doc length in VALUE units with heavy-tail-proof
+    error rates — exact order-statistic trim thresholds off the
+    distinct-value cumulative table."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    return tablechecks.yuen_trimmed_t(
+        d, "n_chars", split=F.col("lang") == "en", trim=0.2)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8033,6 +8070,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "float_anomalies": q_float_anomalies,
         "attribution_purchase": q_attribution_purchase,
         "cvar_value_types": q_cvar_value_types,
+        # wave 85: encoding advisor, Breusch-Godfrey, Yuen's t
+        "encoding_advisor": q_encoding_advisor,
+        "breusch_godfrey_daily": q_breusch_godfrey_daily,
+        "yuen_trimmed_lens": q_yuen_trimmed_lens,
     }
 
 
@@ -19356,5 +19397,159 @@ def oracle_sql() -> dict[str, str]:
             FROM base b JOIN q ON q.g = b.g
             WHERE b.v >= q.var_q
             GROUP BY b.g ORDER BY b.g
+        """,
+        # twin of q_encoding_advisor — same write-order lag probes
+        "encoding_advisor": """
+            WITH s AS (
+              SELECT event_type, user_id, event_id,
+                     lag(event_type) OVER (ORDER BY event_id)
+                       AS l_et,
+                     lag(user_id) OVER (ORDER BY event_id) AS l_u,
+                     lag(event_id) OVER (ORDER BY event_id) AS l_id
+              FROM events),
+            a AS (
+              SELECT
+                count(event_type)::DOUBLE AS n_et,
+                count(DISTINCT event_type)::DOUBLE AS d_et,
+                sum(CASE WHEN event_type IS DISTINCT FROM l_et
+                    THEN 1 ELSE 0 END)::DOUBLE AS runs_et,
+                avg(CASE WHEN l_et IS NULL THEN NULL
+                    WHEN event_type >= l_et THEN 1.0 ELSE 0.0 END)
+                  AS ms_et,
+                count(user_id)::DOUBLE AS n_u,
+                count(DISTINCT user_id)::DOUBLE AS d_u,
+                sum(CASE WHEN user_id IS DISTINCT FROM l_u
+                    THEN 1 ELSE 0 END)::DOUBLE AS runs_u,
+                avg(CASE WHEN l_u IS NULL THEN NULL
+                    WHEN user_id >= l_u THEN 1.0 ELSE 0.0 END)
+                  AS ms_u,
+                count(event_id)::DOUBLE AS n_id,
+                count(DISTINCT event_id)::DOUBLE AS d_id,
+                sum(CASE WHEN event_id IS DISTINCT FROM l_id
+                    THEN 1 ELSE 0 END)::DOUBLE AS runs_id,
+                avg(CASE WHEN l_id IS NULL THEN NULL
+                    WHEN event_id >= l_id THEN 1.0 ELSE 0.0 END)
+                  AS ms_id
+              FROM s)
+            SELECT * FROM (
+              SELECT 'event_type' AS "column", n_et::BIGINT AS n,
+                     d_et::BIGINT AS n_distinct,
+                     round(d_et / n_et, 6) AS distinct_ratio,
+                     round(n_et / runs_et, 6) AS avg_run_len,
+                     round(ms_et, 6) AS monotone_share,
+                     CASE WHEN n_et / runs_et >= 4 THEN 'rle'
+                          WHEN d_et / n_et < 0.01 THEN 'dict'
+                          WHEN ms_et > 0.99 THEN 'delta'
+                          ELSE 'plain' END AS suggestion
+              FROM a
+              UNION ALL
+              SELECT 'user_id', n_u::BIGINT, d_u::BIGINT,
+                     round(d_u / n_u, 6), round(n_u / runs_u, 6),
+                     round(ms_u, 6),
+                     CASE WHEN n_u / runs_u >= 4 THEN 'rle'
+                          WHEN d_u / n_u < 0.01 THEN 'dict'
+                          WHEN ms_u > 0.99 THEN 'delta'
+                          ELSE 'plain' END
+              FROM a
+              UNION ALL
+              SELECT 'event_id', n_id::BIGINT, d_id::BIGINT,
+                     round(d_id / n_id, 6), round(n_id / runs_id, 6),
+                     round(ms_id, 6),
+                     CASE WHEN n_id / runs_id >= 4 THEN 'rle'
+                          WHEN d_id / n_id < 0.01 THEN 'dict'
+                          WHEN ms_id > 0.99 THEN 'delta'
+                          ELSE 'plain' END
+              FROM a
+            ) ORDER BY "column"
+        """,
+        # twin of q_breusch_godfrey_daily — same residual lag pass
+        "breusch_godfrey_daily": """
+            WITH daily AS (
+              SELECT ts::DATE AS d, count(*)::DOUBLE AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            lo AS (SELECT min(d) AS d0 FROM daily),
+            idx AS (SELECT (d - lo.d0)::DOUBLE AS i, cnt AS y
+                    FROM daily, lo),
+            a1 AS (SELECT avg(i) AS mx, avg(y) AS my,
+                          covar_pop(i, y) AS cxy, var_pop(i) AS vx
+                   FROM idx),
+            res AS (
+              SELECT i AS x,
+                     y - a1.my - (a1.cxy / a1.vx) * (i - a1.mx)
+                       AS e
+              FROM idx, a1),
+            lagd AS (
+              SELECT x, e, lag(e) OVER (ORDER BY x) AS el
+              FROM res QUALIFY el IS NOT NULL),
+            a2 AS (SELECT count(*)::DOUBLE AS n,
+                          corr(e, x) AS r1, corr(e, el) AS r2,
+                          corr(x, el) AS r12
+                   FROM lagd)
+            SELECT n::BIGINT AS n,
+                   round((r1*r1 + r2*r2 - 2*r1*r2*r12)
+                         / (1 - r12*r12), 6) AS r2_aux,
+                   round(n * (r1*r1 + r2*r2 - 2*r1*r2*r12)
+                         / (1 - r12*r12), 6) AS lm_stat,
+                   1 AS dof
+            FROM a2
+        """,
+        # twin of q_yuen_trimmed_lens — same exact order-statistic
+        # thresholds and winsorized close
+        "yuen_trimmed_lens": """
+            WITH base AS (
+              SELECT n_chars::DOUBLE AS v, lang = 'en' AS s
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            ns AS (SELECT s, count(*)::DOUBLE AS n FROM base
+                   GROUP BY s),
+            vc AS (SELECT s, v, count(*)::DOUBLE AS c FROM base
+                   GROUP BY s, v),
+            cum AS (
+              SELECT s, v,
+                     sum(c) OVER (PARTITION BY s ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM vc),
+            thr AS (
+              SELECT ns.s, ns.n, floor(ns.n * 0.2) AS g,
+                     (SELECT min(v) FROM cum
+                      WHERE cum.s = ns.s
+                        AND cum.cum >= floor(ns.n * 0.2) + 1)
+                       AS lo,
+                     (SELECT min(v) FROM cum
+                      WHERE cum.s = ns.s
+                        AND cum.cum >= ns.n - floor(ns.n * 0.2))
+                       AS hi
+              FROM ns),
+            wins AS (
+              SELECT b.s, t.n, t.g, t.lo, t.hi,
+                     greatest(least(b.v, t.hi), t.lo) AS vw
+              FROM base b JOIN thr t ON t.s = b.s),
+            per AS (
+              SELECT s, any_value(n) AS n, any_value(g) AS g,
+                     any_value(lo) AS lo, any_value(hi) AS hi,
+                     avg(vw) AS wm, var_samp(vw) AS wv
+              FROM wins GROUP BY s),
+            sided AS (
+              SELECT s, n, n - 2*g AS h,
+                     (n * wm - g * lo - g * hi) / (n - 2*g) AS tm,
+                     (n - 1) * wv / ((n - 2*g) * (n - 2*g - 1))
+                       AS d
+              FROM per),
+            j AS (
+              SELECT a.n AS n_a, b.n AS n_b, a.h AS h_a,
+                     b.h AS h_b, a.tm AS tm_a, b.tm AS tm_b,
+                     a.d AS d_a, b.d AS d_b
+              FROM (SELECT * FROM sided WHERE s) a,
+                   (SELECT * FROM sided WHERE NOT s) b)
+            SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   h_a::BIGINT AS h_a, h_b::BIGINT AS h_b,
+                   round(tm_a, 6) AS tm_a, round(tm_b, 6) AS tm_b,
+                   round(CASE WHEN d_a + d_b > 0 THEN
+                     (tm_a - tm_b) / sqrt(d_a + d_b) END, 6)
+                     AS t_stat,
+                   round(1.0 / (pow(d_a/(d_a+d_b), 2) / (h_a - 1)
+                         + pow(1 - d_a/(d_a+d_b), 2) / (h_b - 1)),
+                         6) AS dof
+            FROM j
         """,
     }

@@ -430,6 +430,8 @@ R4_NAMES = [
     "hampel_days", "rbo_terms_halves", "ratio_value_per_click",
     # wave 84: float anomalies, attribution, expected shortfall
     "float_anomalies", "attribution_purchase", "cvar_value_types",
+    # wave 85: encoding advisor, Breusch-Godfrey, Yuen's t
+    "encoding_advisor", "breusch_godfrey_daily", "yuen_trimmed_lens",
 ]
 
 

@@ -5545,3 +5545,99 @@ class TestCvarTail:
                tc.cvar_tail(df, "v", by="g", alpha=0.95).collect()}
         assert abs(out["a"]["var_q"] - out["b"]["var_q"]) < 1.0
         assert out["b"]["cvar"] > out["a"]["cvar"] * 10
+
+
+class TestEncodingAdvisor:
+    def test_suggestions_by_shape(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, "x" if i < 500 else "y",   # 2 runs -> rle
+                 f"k{i % 3}" if i % 1 else "", # low card, mixed runs
+                 i)                            # monotone -> delta
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, "o long, a string, b string, c long")
+        out = {r["column"]: r for r in tc.encoding_advisor(
+            df, ["a", "c"], "o").collect()}
+        assert out["a"]["suggestion"] == "rle"
+        assert out["a"]["avg_run_len"] == 500.0
+        assert out["c"]["suggestion"] == "delta"
+        assert out["c"]["monotone_share"] == 1.0
+
+    def test_high_card_shuffled_plain(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, f"u{(i * 7919) % 1000}") for i in range(1000)]
+        df = spark.createDataFrame(rows, "o long, a string")
+        out = tc.encoding_advisor(df, ["a"], "o").collect()[0]
+        assert out["suggestion"] == "plain"
+        assert out["n_distinct"] == 1000
+
+    def test_low_card_shuffled_dict(self, spark):
+        from zoi_spark import tablechecks as tc
+        # 5 distinct over 1000 rows, shuffled so runs stay short
+        rows = [(i, f"k{(i * 7) % 5}") for i in range(1000)]
+        df = spark.createDataFrame(rows, "o long, a string")
+        out = tc.encoding_advisor(df, ["a"], "o").collect()[0]
+        assert out["distinct_ratio"] == 0.005
+        assert out["suggestion"] == "dict"
+
+
+class TestBreuschGodfrey:
+    def test_ar1_residuals_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(21)
+        rows, e = [], 0.0
+        for t in range(300):
+            e = 0.9 * e + rng.gauss(0, 1)
+            rows.append((float(t), 0.5 * t + e))
+        df = spark.createDataFrame(rows, "i double, y double")
+        out = tc.breusch_godfrey(df, "i", "y", "i").collect()[0]
+        assert out["lm_stat"] > 50
+
+    def test_iid_residuals_small(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(22)
+        rows = [(float(t), 0.5 * t + rng.gauss(0, 1))
+                for t in range(300)]
+        df = spark.createDataFrame(rows, "i double, y double")
+        out = tc.breusch_godfrey(df, "i", "y", "i").collect()[0]
+        assert out["lm_stat"] < 11
+
+
+class TestYuenTrimmedT:
+    def test_outliers_do_not_flip_verdict(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # same trimmed location; side B has monster outliers
+        a = [float(v) for v in range(1, 101)]
+        b = [float(v) for v in range(1, 99)] + [1e6, -1e6]
+        rows = [(v, True) for v in a] + [(v, False) for v in b]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.yuen_trimmed_t(df, "v",
+                                split=F.col("s")).collect()[0]
+        assert abs(out["t_stat"]) < 2.5
+        assert out["h_a"] == 60 and out["h_b"] == 60
+
+    def test_real_shift_detected(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        a = [float(v) for v in range(1, 101)]
+        b = [float(v) + 40.0 for v in range(1, 101)]
+        rows = [(v, True) for v in a] + [(v, False) for v in b]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.yuen_trimmed_t(df, "v",
+                                split=F.col("s")).collect()[0]
+        assert out["tm_b"] - out["tm_a"] == 40.0
+        assert out["t_stat"] < -5
+
+    def test_trimmed_mean_exact(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # n=10, trim 0.2 -> g=2: trimmed mean of 3..8
+        a = [float(v) for v in range(1, 11)]
+        rows = [(v, True) for v in a] + [(v, False) for v in a]
+        df = spark.createDataFrame(rows, "v double, s boolean")
+        out = tc.yuen_trimmed_t(df, "v",
+                                split=F.col("s")).collect()[0]
+        assert out["tm_a"] == 5.5 and out["tm_b"] == 5.5
+        assert out["h_a"] == 6

@@ -7297,3 +7297,188 @@ def cvar_tail(df: DataFrame, value_col: str, *, by: str,
         F.round("var_q", round_to).alias("var_q"),
         F.round("cvar", round_to).alias("cvar"),
         F.col("tail_n").cast("long").alias("tail_n"))
+
+
+def encoding_advisor(df: DataFrame, cols: Sequence[str],
+                     order_col: str, *,
+                     round_to: int = 6) -> DataFrame:
+    """Columnar-encoding advisor — the physical-design sibling of
+    :func:`partition_advisor` / :func:`zorder_key`: per column,
+    the three statistics that decide a parquet/ORC encoding and the
+    suggestion they imply:
+
+        distinct_ratio < 1%            → DICT
+        avg run length ≥ 4 (ordered)   → RLE   (wins over dict)
+        ≥ 99% non-decreasing steps     → DELTA (numeric ids, ts)
+        otherwise                      → PLAIN
+
+    Run-length and monotonicity are measured in *order_col* order —
+    the file's write order, which is what the encoder sees. ONE sort
+    window feeds every column's lag probes, then one aggregation;
+    at 10¹² rows run this on a file-sized SAMPLE (the advisor's
+    answer is per-file anyway). Returns one row per column
+    ``(column, n, n_distinct, distinct_ratio, avg_run_len,
+    monotone_share, suggestion)``.
+    """
+    w = Window.orderBy(order_col)
+    probes = []
+    for c in cols:
+        v = F.col(c)
+        lagv = F.lag(c).over(w)
+        probes += [
+            (~v.eqNullSafe(lagv)).cast("long").alias(f"brk_{c}"),
+            F.when(lagv.isNull(), None)
+             .otherwise((v >= lagv).cast("long"))
+             .alias(f"mono_{c}")]
+    s = df.select(*[F.col(c) for c in cols], *probes)
+    aggs = []
+    for c in cols:
+        aggs += [F.count(F.col(c)).alias(f"n_{c}"),
+                 F.countDistinct(F.col(c)).alias(f"d_{c}"),
+                 F.sum(f"brk_{c}").alias(f"runs_{c}"),
+                 F.avg(f"mono_{c}").alias(f"ms_{c}")]
+    a = s.agg(*aggs)
+    outs = []
+    for c in cols:
+        n = F.col(f"n_{c}").cast("double")
+        ratio = F.try_divide(F.col(f"d_{c}"), n)
+        avg_run = F.try_divide(n, F.col(f"runs_{c}"))
+        mono = F.col(f"ms_{c}")
+        sugg = (F.when(avg_run >= 4, F.lit("rle"))
+                .when(ratio < 0.01, F.lit("dict"))
+                .when(mono > 0.99, F.lit("delta"))
+                .otherwise(F.lit("plain")))
+        outs.append(a.select(
+            F.lit(c).alias("column"),
+            n.cast("long").alias("n"),
+            F.col(f"d_{c}").cast("long").alias("n_distinct"),
+            F.round(ratio, round_to).alias("distinct_ratio"),
+            F.round(avg_run, round_to).alias("avg_run_len"),
+            F.round(mono, round_to).alias("monotone_share"),
+            sugg.alias("suggestion")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def breusch_godfrey(df: DataFrame, x_col: str, y_col: str,
+                    order_col: str, *,
+                    round_to: int = 6) -> DataFrame:
+    """Breusch-Godfrey LM test (Breusch 1978, Godfrey 1978) for
+    FIRST-ORDER serial correlation in the residuals of y ~ a + b·x
+    ordered by *order_col*: the auxiliary regression e_t ~ x_t +
+    e_{t−1} gives LM = (n−1)·R²_aux ~ χ²(1). Durbin-Watson's lag-1
+    statistic is biased toward 2 when x is itself trending; BG
+    conditions on x and is the textbook replacement. Tiny-series
+    contract (run on the aggregated daily frame).
+
+    R²_aux for the two-regressor case closes over the pairwise
+    correlations — everything is sufficient statistics, two chained
+    aggregations. Returns one row ``(n, r2_aux, lm_stat, dof)``.
+    """
+    s = df.select(F.col(order_col).alias("t"),
+                  F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull()
+                 & F.col("y").isNotNull())
+    a1 = s.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"),
+               F.covar_pop("x", "y").alias("cxy"),
+               F.var_pop("x").alias("vx"))
+    res = (s.crossJoin(F.broadcast(a1))
+           .select("t", "x",
+                   (F.col("y") - F.col("my")
+                    - F.col("cxy") / F.col("vx")
+                    * (F.col("x") - F.col("mx"))).alias("e")))
+    w = Window.orderBy("t")
+    lagd = res.select("x", "e", F.lag("e").over(w).alias("el")) \
+              .where(F.col("el").isNotNull())
+    a2 = lagd.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.corr("e", "x").alias("r1"),
+                  F.corr("e", "el").alias("r2"),
+                  F.corr("x", "el").alias("r12"))
+    r2aux = F.when(
+        F.col("r12") ** 2 < 1,
+        (F.col("r1") ** 2 + F.col("r2") ** 2
+         - 2 * F.col("r1") * F.col("r2") * F.col("r12"))
+        / (1 - F.col("r12") ** 2))
+    return a2.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(r2aux, round_to).alias("r2_aux"),
+        F.round(F.col("n") * r2aux, round_to).alias("lm_stat"),
+        F.lit(1).alias("dof"))
+
+
+def yuen_trimmed_t(df: DataFrame, value_col: str, *, split: Column,
+                   trim: float = 0.2,
+                   round_to: int = 6) -> DataFrame:
+    """Yuen's trimmed-mean t-test (Yuen 1974): Welch's test on
+    20%-TRIMMED means with winsorized variances — the two-sample
+    location test that keeps its nominal error rate under the heavy
+    tails that wreck the plain t (and answers in VALUE units, which
+    the rank tests don't). Trim thresholds are EXACT order
+    statistics x_(g+1), x_(n−g) per side, found on the distinct-
+    value cumulative table; winsorization is then a clamp, and the
+    trimmed mean closes over the winsorized sum:
+
+        tm = (n·x̄_w − g·lo − g·hi) / h,    h = n − 2g
+        d  = (n−1)·s²_w / (h(h−1)),        t = Δtm / √(d₁+d₂)
+
+    with Welch-Satterthwaite df on (h₁−1, h₂−1). Two aggregations
+    plus two tiny threshold joins. Returns one row ``(n_a, n_b,
+    h_a, h_b, tm_a, tm_b, t_stat, dof)``.
+    """
+    tr = float(trim)
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     split.alias("s")) \
+             .where(F.col("v").isNotNull() & F.col("s").isNotNull())
+    vc = base.groupBy("s", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    wcum = (Window.partitionBy("s").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = vc.select("s", "v", F.sum("c").over(wcum).alias("cum"))
+    ns = base.groupBy("s").agg(F.count(F.lit(1)).cast("double")
+                               .alias("n"))
+    g = F.floor(F.col("n") * tr)
+    cumn = cum.join(F.broadcast(ns), "s")
+    lo = (cumn.where(F.col("cum") >= g + 1)
+          .groupBy("s").agg(F.min("v").alias("lo")))
+    hi = (cumn.where(F.col("cum") >= F.col("n") - g)
+          .groupBy("s").agg(F.min("v").alias("hi")))
+    thr = ns.join(F.broadcast(lo), "s").join(F.broadcast(hi), "s") \
+            .select("s", "n", g.alias("g"), "lo", "hi")
+    wins = (base.join(F.broadcast(thr), "s")
+            .select("s", "n", "g", "lo", "hi",
+                    F.greatest(F.least(F.col("v"), F.col("hi")),
+                               F.col("lo")).alias("vw")))
+    per = wins.groupBy("s").agg(
+        F.first("n").alias("n"), F.first("g").alias("g"),
+        F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+        F.avg("vw").alias("wm"), F.var_samp("vw").alias("wv"))
+    h = F.col("n") - 2 * F.col("g")
+    tm = (F.col("n") * F.col("wm") - F.col("g") * F.col("lo")
+          - F.col("g") * F.col("hi")) / h
+    d = (F.col("n") - 1) * F.col("wv") / (h * (h - 1))
+    sided = per.select("s", F.col("n").alias("n"), h.alias("h"),
+                       tm.alias("tm"), d.alias("d"))
+    a = sided.where(F.col("s")).select(
+        F.col("n").alias("n_a"), F.col("h").alias("h_a"),
+        F.col("tm").alias("tm_a"), F.col("d").alias("d_a"))
+    b = sided.where(~F.col("s")).select(
+        F.col("n").alias("n_b"), F.col("h").alias("h_b"),
+        F.col("tm").alias("tm_b"), F.col("d").alias("d_b"))
+    j = a.crossJoin(F.broadcast(b))
+    dsum = F.col("d_a") + F.col("d_b")
+    t = (F.col("tm_a") - F.col("tm_b")) / F.sqrt(dsum)
+    cshare = F.col("d_a") / dsum
+    dof = 1.0 / (cshare ** 2 / (F.col("h_a") - 1)
+                 + (1 - cshare) ** 2 / (F.col("h_b") - 1))
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("h_a").cast("long").alias("h_a"),
+        F.col("h_b").cast("long").alias("h_b"),
+        F.round("tm_a", round_to).alias("tm_a"),
+        F.round("tm_b", round_to).alias("tm_b"),
+        F.round(F.when(dsum > 0, t), round_to).alias("t_stat"),
+        F.round(dof, round_to).alias("dof"))
