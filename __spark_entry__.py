@@ -7534,6 +7534,50 @@ def q_yuen_trimmed_lens(spark, sf_dir):
         d, "n_chars", split=F.col("lang") == "en", trim=0.2)
 
 
+def q_cluster_robust_hour(spark, sf_dir):
+    """Cluster-robust OLS (tablechecks.cluster_robust_slope): the
+    value ~ hour slope with USER-clustered CR1 sandwich errors —
+    events from one user are not independent draws, and the
+    inflation column says how badly the naive SE lies."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull())
+    s = e.select(F.hour("ts").cast("double").alias("hh"),
+                 F.col("value"), F.col("user_id"))
+    return tablechecks.cluster_robust_slope(
+        s, "hh", "value", cluster_col="user_id")
+
+
+def q_permutation_value_weekend(spark, sf_dir):
+    """Deterministic randomization test (tablechecks.
+    permutation_test_mean, 64 md5-seeded relabelings): weekend vs
+    weekday mean event value — reproducible on any engine, no RNG
+    state; p-value add-one smoothed."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    s = e.select(F.col("value"), F.col("event_id"),
+                 F.dayofweek("ts").isin(1, 7).alias("wk"))
+    return tablechecks.permutation_test_mean(
+        s, "value", split=F.col("wk"), id_col="event_id",
+        n_perm=64)
+
+
+def q_common_prefix_sources(spark, sf_dir):
+    """Template-head census (text.common_prefix_profile) per source
+    over a seeded frame: three sources get a shared 'NEWSLETTER |
+    subscribe now || ' opener prepended — set-LCP computed from just
+    the lexicographic (min, max) pair, one aggregation."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(F.col("source").isin("src1", "src2", "src3"),
+               F.concat(F.lit("NEWSLETTER | subscribe now || "),
+                        F.col("text")))
+         .otherwise(F.col("text")))
+    return (text.common_prefix_profile(seeded, by="source")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8074,6 +8118,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "encoding_advisor": q_encoding_advisor,
         "breusch_godfrey_daily": q_breusch_godfrey_daily,
         "yuen_trimmed_lens": q_yuen_trimmed_lens,
+        # wave 86: cluster-robust SE, permutation test, prefix LCP
+        "cluster_robust_hour": q_cluster_robust_hour,
+        "permutation_value_weekend": q_permutation_value_weekend,
+        "common_prefix_sources": q_common_prefix_sources,
     }
 
 
@@ -19551,5 +19599,111 @@ def oracle_sql() -> dict[str, str]:
                          + pow(1 - d_a/(d_a+d_b), 2) / (h_b - 1)),
                          6) AS dof
             FROM j
+        """,
+        # twin of q_cluster_robust_hour — same CR1 sandwich sums
+        "cluster_robust_hour": """
+            WITH s AS (
+              SELECT extract(hour FROM ts)::DOUBLE AS x,
+                     value AS y, user_id AS g
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND user_id IS NOT NULL),
+            a1 AS (SELECT count(*)::DOUBLE AS n, avg(x) AS mx,
+                          avg(y) AS my, covar_pop(x, y) AS cxy,
+                          var_pop(x) AS vx
+                   FROM s),
+            per_g AS (
+              SELECT s.g,
+                     sum((s.x - a1.mx) * (s.y - a1.my
+                         - (a1.cxy/a1.vx) * (s.x - a1.mx))) AS ug,
+                     sum(pow(s.x - a1.mx, 2)) AS x2g,
+                     sum(pow(s.y - a1.my
+                         - (a1.cxy/a1.vx) * (s.x - a1.mx), 2))
+                       AS e2g,
+                     any_value(a1.n) AS n,
+                     any_value(a1.cxy) AS cxy,
+                     any_value(a1.vx) AS vx
+              FROM s, a1 GROUP BY s.g),
+            a2 AS (
+              SELECT any_value(n) AS n, count(*)::DOUBLE AS gg,
+                     sum(ug * ug) AS u2, sum(x2g) AS sxx,
+                     sum(e2g) AS sse, any_value(cxy) AS cxy,
+                     any_value(vx) AS vx
+              FROM per_g)
+            SELECT n::BIGINT AS n, gg::BIGINT AS n_clusters,
+                   round(cxy / vx, 6) AS slope,
+                   round(sqrt(sse / (n - 2) / sxx), 6) AS se_naive,
+                   round(sqrt(gg/(gg-1) * (n-1)/(n-2) * u2
+                              / (sxx * sxx)), 6) AS se_cluster,
+                   round(sqrt(gg/(gg-1) * (n-1)/(n-2) * u2
+                              / (sxx * sxx))
+                         / sqrt(sse / (n - 2) / sxx), 6)
+                     AS inflation
+            FROM a2
+        """,
+        # twin of q_permutation_value_weekend — same md5 coin flips
+        "permutation_value_weekend": """
+            WITH base AS (
+              SELECT value AS v,
+                     extract(dow FROM ts) IN (0, 6) AS s,
+                     event_id::VARCHAR AS i
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+            obs AS (
+              SELECT avg(v) FILTER (s) - avg(v) FILTER (NOT s)
+                       AS d_obs,
+                     sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT
+                       AS n_a,
+                     sum(CASE WHEN s THEN 0 ELSE 1 END)::BIGINT
+                       AS n_b
+              FROM base),
+            perms AS (
+              SELECT b.v, p.b,
+                     ('0x' || substr(md5(b.i || '|' || p.b::VARCHAR),
+                      1, 8))::BIGINT % 2 = 0 AS f
+              FROM base b CROSS JOIN
+                   (SELECT unnest(generate_series(0, 63)) AS b) p),
+            deltas AS (
+              SELECT b, avg(v) FILTER (f) - avg(v) FILTER (NOT f)
+                       AS d
+              FROM perms GROUP BY b),
+            agg AS (
+              SELECT sum(CASE WHEN abs(d) >=
+                     (SELECT abs(d_obs) FROM obs)
+                     THEN 1 ELSE 0 END)::BIGINT AS n_ge
+              FROM deltas)
+            SELECT o.n_a, o.n_b, round(o.d_obs, 6) AS delta_obs,
+                   64 AS n_perm, a.n_ge,
+                   round((a.n_ge + 1) / 65.0, 6) AS p_value
+            FROM obs o, agg a
+        """,
+        # twin of q_common_prefix_sources — same (min, max) LCP
+        "common_prefix_sources": """
+            WITH seeded AS (
+              SELECT source,
+                     CASE WHEN source IN ('src1', 'src2', 'src3')
+                          THEN 'NEWSLETTER | subscribe now || '
+                               || text
+                          ELSE text END AS text
+              FROM documents),
+            agg AS (
+              SELECT source AS "group", count(*)::BIGINT AS n_docs,
+                     min(text) AS lo, max(text) AS hi
+              FROM seeded
+              WHERE text IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1),
+            scored AS (
+              SELECT "group", n_docs, lo, hi,
+                     least(coalesce(
+                       (SELECT min(p) FROM unnest(
+                          generate_series(1, 100)) AS t(p)
+                        WHERE substr(lo, p, 1) <> substr(hi, p, 1))
+                       - 1, 100),
+                       least(length(lo), length(hi), 100))
+                       AS lcp
+              FROM agg)
+            SELECT "group", n_docs, lcp::BIGINT AS lcp_len,
+                   substr(lo, 1, least(lcp, 20)::INT) AS lcp_head
+            FROM scored ORDER BY "group"
         """,
     }

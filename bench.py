@@ -432,6 +432,9 @@ R4_NAMES = [
     "float_anomalies", "attribution_purchase", "cvar_value_types",
     # wave 85: encoding advisor, Breusch-Godfrey, Yuen's t
     "encoding_advisor", "breusch_godfrey_daily", "yuen_trimmed_lens",
+    # wave 86: cluster-robust SE, permutation test, prefix LCP
+    "cluster_robust_hour", "permutation_value_weekend",
+    "common_prefix_sources",
 ]
 
 

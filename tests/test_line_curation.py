@@ -1049,3 +1049,32 @@ class TestGibberishProfile:
         out = tx.gibberish_profile(df, by="source").collect()[0]
         assert out["n_flagged"] == 0
         assert out["mean_vowel_share"] > 0.25
+
+
+class TestCommonPrefixProfile:
+    def test_shared_template_head(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "HEADER || alpha body", "a"),
+                (2, "HEADER || beta body", "a"),
+                (3, "HEADER || gamma", "a"),
+                (4, "totally different", "b"),
+                (5, "unrelated words", "b")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = {r["group"]: r for r in
+               tx.common_prefix_profile(df, by="source").collect()}
+        assert out["a"]["lcp_len"] == len("HEADER || ")
+        assert out["a"]["lcp_head"] == "HEADER || "
+        assert out["b"]["lcp_len"] == 0
+        assert out["b"]["lcp_head"] == ""
+
+    def test_identical_docs_capped(self, spark):
+        from zoi_spark import text as tx
+        long = "z" * 500
+        rows = [(1, long, "a"), (2, long, "a")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = tx.common_prefix_profile(df, by="source",
+                                       cap=100).collect()[0]
+        assert out["lcp_len"] == 100           # capped
+        assert out["lcp_head"] == "z" * 20

@@ -5641,3 +5641,75 @@ class TestYuenTrimmedT:
                                 split=F.col("s")).collect()[0]
         assert out["tm_a"] == 5.5 and out["tm_b"] == 5.5
         assert out["h_a"] == 6
+
+
+class TestClusterRobustSlope:
+    def test_clustered_noise_inflates_se(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(31)
+        rows = []
+        for g in range(40):
+            shock = rng.gauss(0, 5)            # shared per cluster
+            x = rng.random() * 10              # cluster-level x:
+            for _ in range(25):                # the Moulton case
+                rows.append((x, 1.0 * x + shock + rng.gauss(0, .2),
+                             g))
+        df = spark.createDataFrame(rows, "x double, y double, g long")
+        out = tc.cluster_robust_slope(
+            df, "x", "y", cluster_col="g").collect()[0]
+        assert out["n"] == 1000 and out["n_clusters"] == 40
+        assert abs(out["slope"] - 1.0) < 0.3
+        assert out["inflation"] > 1.0          # naive SE too small
+
+    def test_iid_noise_no_inflation(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(32)
+        rows = [(rng.random() * 10, 0.0, i % 40) for i in range(1000)]
+        rows = [(x, 2.0 * x + rng.gauss(0, 1), g) for x, _, g in rows]
+        df = spark.createDataFrame(rows, "x double, y double, g long")
+        out = tc.cluster_robust_slope(
+            df, "x", "y", cluster_col="g").collect()[0]
+        assert 0.6 < out["inflation"] < 1.4
+
+
+class TestPermutationTestMean:
+    def test_huge_effect_small_p(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = ([(i, float(i % 7), True) for i in range(200)]
+                + [(i + 1000, 50.0 + i % 7, False)
+                   for i in range(200)])
+        df = spark.createDataFrame(rows, "i long, v double, s boolean")
+        out = tc.permutation_test_mean(
+            df, "v", split=F.col("s"), id_col="i",
+            n_perm=64).collect()[0]
+        assert out["p_value"] == round(1 / 65, 6)
+        assert out["n_ge"] == 0
+
+    def test_null_effect_large_p(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(41)
+        rows = [(i, rng.gauss(0, 1), i % 2 == 0) for i in range(400)]
+        df = spark.createDataFrame(rows, "i long, v double, s boolean")
+        out = tc.permutation_test_mean(
+            df, "v", split=F.col("s"), id_col="i",
+            n_perm=64).collect()[0]
+        assert out["p_value"] > 0.1
+
+    def test_deterministic_across_runs(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i % 13), i % 3 == 0) for i in range(150)]
+        df = spark.createDataFrame(rows, "i long, v double, s boolean")
+        r1 = tc.permutation_test_mean(
+            df, "v", split=F.col("s"), id_col="i",
+            n_perm=32).collect()[0]
+        r2 = tc.permutation_test_mean(
+            df.repartition(7), "v", split=F.col("s"), id_col="i",
+            n_perm=32).collect()[0]
+        assert r1["p_value"] == r2["p_value"]
+        assert r1["n_ge"] == r2["n_ge"]

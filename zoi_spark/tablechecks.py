@@ -7482,3 +7482,117 @@ def yuen_trimmed_t(df: DataFrame, value_col: str, *, split: Column,
         F.round("tm_b", round_to).alias("tm_b"),
         F.round(F.when(dsum > 0, t), round_to).alias("t_stat"),
         F.round(dof, round_to).alias("dof"))
+
+
+def cluster_robust_slope(df: DataFrame, x_col: str, y_col: str, *,
+                         cluster_col: str,
+                         round_to: int = 6) -> DataFrame:
+    """OLS slope of y ~ a + b·x with CLUSTER-ROBUST (CR1 /
+    Liang-Zeger) standard errors: rows sharing a cluster (user,
+    host, day) violate the iid assumption every naive SE rests on —
+    with strong within-cluster correlation the naive SE can be
+    wrong by √(cluster size). The sandwich sums the per-cluster
+    score Σ_{i∈g} x̃_i e_i BEFORE squaring:
+
+        Var(b) = c/Sxx² · Σ_g (Σ_{i∈g} x̃_i e_i)²,
+        c = G/(G−1) · (n−1)/(n−2)
+
+    Three chained aggregations, all sufficient statistics (the
+    residual is a closed-form projection). Returns one row ``(n,
+    n_clusters, slope, se_naive, se_cluster, inflation)``.
+    """
+    s = df.select(F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y"),
+                  F.col(cluster_col).alias("g")) \
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull()
+                 & F.col("g").isNotNull())
+    a1 = s.agg(F.count(F.lit(1)).cast("double").alias("n"),
+               F.avg("x").alias("mx"), F.avg("y").alias("my"),
+               F.covar_pop("x", "y").alias("cxy"),
+               F.var_pop("x").alias("vx"))
+    j = s.crossJoin(F.broadcast(a1))
+    xt = F.col("x") - F.col("mx")
+    e = (F.col("y") - F.col("my")
+         - F.col("cxy") / F.col("vx") * xt)
+    per_g = (j.select("g", (xt * e).alias("u"),
+                      (xt ** 2).alias("x2"), (e ** 2).alias("e2"),
+                      "n", "cxy", "vx")
+             .groupBy("g")
+             .agg(F.sum("u").alias("ug"), F.sum("x2").alias("x2g"),
+                  F.sum("e2").alias("e2g"),
+                  F.first("n").alias("n"),
+                  F.first("cxy").alias("cxy"),
+                  F.first("vx").alias("vx")))
+    a2 = per_g.agg(
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("gg"),
+        F.sum(F.col("ug") ** 2).alias("u2"),
+        F.sum("x2g").alias("sxx"), F.sum("e2g").alias("sse"),
+        F.first("cxy").alias("cxy"), F.first("vx").alias("vx"))
+    n, gg = F.col("n"), F.col("gg")
+    slope = F.col("cxy") / F.col("vx")
+    se_naive = F.sqrt(F.col("sse") / (n - 2) / F.col("sxx"))
+    corr = gg / (gg - 1) * (n - 1) / (n - 2)
+    se_cl = F.sqrt(corr * F.col("u2") / F.col("sxx") ** 2)
+    return a2.select(
+        n.cast("long").alias("n"), gg.cast("long").alias("n_clusters"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(se_naive, round_to).alias("se_naive"),
+        F.round(se_cl, round_to).alias("se_cluster"),
+        F.round(F.try_divide(se_cl, se_naive), round_to)
+         .alias("inflation"))
+
+
+def permutation_test_mean(df: DataFrame, value_col: str, *,
+                          split: Column, id_col: str,
+                          n_perm: int = 64,
+                          round_to: int = 6) -> DataFrame:
+    """Deterministic randomization test for a mean difference: the
+    observed Δ = mean_A − mean_B is compared against *n_perm*
+    pseudo-random relabelings derived from md5(id, b) — fully
+    reproducible on any engine, no RNG state, no exchange of the
+    actual label column. The p-value is the share of relabeled
+    |Δ_b| ≥ |Δ_obs| (add-one smoothed, the standard Monte-Carlo
+    convention). Note the relabeling is a fair-coin assignment, not
+    a size-preserving permutation — the Eden-Yates randomization
+    variant; document when exact group sizes matter.
+
+    Plan: ONE explode by n_perm (bounded blowup — run on aggregates
+    or a sample when n·n_perm is prohibitive) and two aggregations.
+    Returns ``(n_a, n_b, delta_obs, n_perm, n_ge, p_value)``.
+    """
+    b = int(n_perm)
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     split.alias("s"),
+                     F.col(id_col).cast("string").alias("i")) \
+             .where(F.col("v").isNotNull() & F.col("s").isNotNull())
+    obs = base.agg(
+        (F.avg(F.when(F.col("s"), F.col("v")))
+         - F.avg(F.when(~F.col("s"), F.col("v")))).alias("d_obs"),
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("s"), 1).otherwise(0)).alias("n_b"))
+    perms = base.select(
+        "v", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+        "i")
+    flag = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("i"), F.col("b"))), 1, 8),
+        16, 10).cast("long") % 2) == 0
+    deltas = (perms.select("b", "v", flag.alias("f"))
+              .groupBy("b")
+              .agg((F.avg(F.when(F.col("f"), F.col("v")))
+                    - F.avg(F.when(~F.col("f"), F.col("v"))))
+                   .alias("d")))
+    jd = deltas.crossJoin(F.broadcast(obs))
+    agg = jd.agg(
+        F.first("d_obs").alias("d_obs"),
+        F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"),
+        F.sum((F.abs(F.col("d"))
+               >= F.abs(F.col("d_obs"))).cast("long")).alias("n_ge"))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("d_obs", round_to).alias("delta_obs"),
+        F.lit(b).alias("n_perm"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.round((F.col("n_ge") + 1) / F.lit(float(b + 1)),
+                round_to).alias("p_value"))

@@ -3725,3 +3725,43 @@ def gibberish_profile(df: DataFrame, *, text_col: str = "text",
                 round_to).alias("flagged_share"),
         F.round(F.avg("vs"), round_to).alias("mean_vowel_share"),
         F.max("mr").alias("max_run_seen"))
+
+
+def common_prefix_profile(df: DataFrame, *, text_col: str = "text",
+                          by: str = "source", cap: int = 100,
+                          round_to: int = 6) -> DataFrame:
+    """Per-group longest-common-prefix census — the template-head
+    detector: docs scraped through one CMS share a boilerplate
+    opening ("Subscribe to our newsletter…"), and the LCP of a SET
+    equals the LCP of just its lexicographic MIN and MAX strings —
+    so the whole group reduces to one (min, max) aggregation and a
+    bounded character comparison (first *cap* chars), never a
+    pairwise pass. A long shared prefix over many docs is template
+    residue the line-level boilerplate miner can miss when the head
+    is a single long line.
+
+    Returns per-group rows ``(group, n_docs, lcp_len, lcp_head)``
+    with lcp_len capped at *cap* and lcp_head the first 20 shared
+    chars.
+    """
+    cp = int(cap)
+    agg = (df.where(F.col(text_col).isNotNull()
+                    & F.col(by).isNotNull())
+           .groupBy(F.col(by).alias("group"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.min(F.col(text_col)).alias("lo"),
+                F.max(F.col(text_col)).alias("hi")))
+    pos = F.sequence(F.lit(1), F.lit(cp))
+    mismatch = F.filter(
+        pos, lambda p: (F.col("lo").substr(p, F.lit(1))
+                        != F.col("hi").substr(p, F.lit(1))))
+    # first mismatching position − 1, capped; array_min of the
+    # mismatch positions (empty → NULL → full cap or shorter string)
+    shortest = F.least(F.length("lo"), F.length("hi"), F.lit(cp))
+    lcp = F.least(
+        F.coalesce(F.array_min(mismatch) - 1, F.lit(cp)), shortest)
+    return agg.select(
+        "group", "n_docs", lcp.cast("long").alias("lcp_len"),
+        F.col("lo").substr(F.lit(1),
+                           F.least(lcp, F.lit(20)).cast("int"))
+         .alias("lcp_head"))
