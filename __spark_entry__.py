@@ -19659,8 +19659,8 @@ def oracle_sql() -> dict[str, str]:
               FROM base),
             perms AS (
               SELECT b.v, p.b,
-                     ('0x' || substr(md5(b.i || '|' || p.b::VARCHAR),
-                      1, 8))::BIGINT % 2 = 0 AS f
+                     ((('0x' || substr(md5(b.i), (p.b // 4) + 1,
+                        1))::BIGINT >> (p.b % 4)) & 1) = 0 AS f
               FROM base b CROSS JOIN
                    (SELECT unnest(generate_series(0, 63)) AS b) p),
             deltas AS (

@@ -7548,51 +7548,58 @@ def permutation_test_mean(df: DataFrame, value_col: str, *,
                           n_perm: int = 64,
                           round_to: int = 6) -> DataFrame:
     """Deterministic randomization test for a mean difference: the
-    observed Δ = mean_A − mean_B is compared against *n_perm*
-    pseudo-random relabelings derived from md5(id, b) — fully
-    reproducible on any engine, no RNG state, no exchange of the
-    actual label column. The p-value is the share of relabeled
-    |Δ_b| ≥ |Δ_obs| (add-one smoothed, the standard Monte-Carlo
-    convention). Note the relabeling is a fair-coin assignment, not
-    a size-preserving permutation — the Eden-Yates randomization
-    variant; document when exact group sizes matter.
+    observed Δ = mean_A − mean_B is compared against *n_perm* ≤ 128
+    pseudo-random relabelings, every one derived from the BITS of a
+    single md5(id) per row — fully reproducible on any engine, no
+    RNG state, and NO row blowup: relabeling b uses bit b of the
+    hash, so all n_perm deltas fold into one aggregation pass (2
+    conditional sums per b), then a driver-free horizontal array
+    fold computes the p-value. Add-one smoothed, the standard
+    Monte-Carlo convention. The relabeling is a fair-coin
+    assignment, not a size-preserving permutation — the
+    randomization-test variant; document when exact group sizes
+    matter.
 
-    Plan: ONE explode by n_perm (bounded blowup — run on aggregates
-    or a sample when n·n_perm is prohibitive) and two aggregations.
     Returns ``(n_a, n_b, delta_obs, n_perm, n_ge, p_value)``.
     """
     b = int(n_perm)
+    if b > 128:
+        raise ValueError("n_perm is capped at 128 (md5 bit budget)")
     base = df.select(F.col(value_col).cast("double").alias("v"),
                      split.alias("s"),
-                     F.col(id_col).cast("string").alias("i")) \
+                     F.md5(F.col(id_col).cast("string")).alias("h")) \
              .where(F.col("v").isNotNull() & F.col("s").isNotNull())
-    obs = base.agg(
+
+    def bit(i: int):
+        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10) \
+               .cast("long")
+        return F.shiftright(nib, i % 4).bitwiseAND(F.lit(1)) == 0
+
+    aggs = [
         (F.avg(F.when(F.col("s"), F.col("v")))
          - F.avg(F.when(~F.col("s"), F.col("v")))).alias("d_obs"),
         F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(~F.col("s"), 1).otherwise(0)).alias("n_b"))
-    perms = base.select(
-        "v", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
-        "i")
-    flag = (F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.col("i"), F.col("b"))), 1, 8),
-        16, 10).cast("long") % 2) == 0
-    deltas = (perms.select("b", "v", flag.alias("f"))
-              .groupBy("b")
-              .agg((F.avg(F.when(F.col("f"), F.col("v")))
-                    - F.avg(F.when(~F.col("f"), F.col("v"))))
-                   .alias("d")))
-    jd = deltas.crossJoin(F.broadcast(obs))
-    agg = jd.agg(
-        F.first("d_obs").alias("d_obs"),
-        F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"),
-        F.sum((F.abs(F.col("d"))
-               >= F.abs(F.col("d_obs"))).cast("long")).alias("n_ge"))
-    return agg.select(
+        F.sum(F.when(~F.col("s"), 1).otherwise(0)).alias("n_b")]
+    for i in range(b):
+        f = bit(i)
+        aggs += [F.sum(F.when(f, F.col("v"))).alias(f"sx{i}"),
+                 F.sum(F.when(f, 1).otherwise(0)).alias(f"cx{i}")]
+    # one total sum/count pair serves every b
+    aggs += [F.sum("v").alias("s_tot"),
+             F.count(F.lit(1)).cast("double").alias("c_tot")]
+    a = base.agg(*aggs)
+    deltas = F.array(*[
+        (F.col(f"sx{i}") / F.col(f"cx{i}")
+         - (F.col("s_tot") - F.col(f"sx{i}"))
+         / (F.col("c_tot") - F.col(f"cx{i}")))
+        for i in range(b)])
+    n_ge = F.size(F.filter(
+        deltas, lambda d: F.abs(d) >= F.abs(F.col("d_obs"))))
+    return a.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round("d_obs", round_to).alias("delta_obs"),
         F.lit(b).alias("n_perm"),
-        F.col("n_ge").cast("long").alias("n_ge"),
-        F.round((F.col("n_ge") + 1) / F.lit(float(b + 1)),
-                round_to).alias("p_value"))
+        n_ge.cast("long").alias("n_ge"),
+        F.round((n_ge + 1) / F.lit(float(b + 1)), round_to)
+         .alias("p_value"))
