@@ -7578,6 +7578,51 @@ def q_common_prefix_sources(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_conformal_value_hour(spark, sf_dir):
+    """Split-conformal interval (tablechecks.conformal_interval,
+    α=0.1): value ~ hour fit on one md5-bit half, the exact
+    ⌈(n+1)·0.9⌉-th absolute residual on the other — an assumption-
+    free accept band; coverage column is the calibration check."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    s = e.select(F.hour("ts").cast("double").alias("hh"),
+                 F.col("value"), F.col("event_id"))
+    return tablechecks.conformal_interval(
+        s, "hh", "value", id_col="event_id", alpha=0.1)
+
+
+def q_bernstein_error_days(spark, sf_dir):
+    """Empirical-Bernstein bound (tablechecks.bernstein_bound,
+    δ=0.05) on the per-day error-event rate — finite-sample valid
+    at daily n where the z-interval is a hope; out-of-range rows
+    counted, never silently clipped."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    s = e.select(F.to_date("ts").cast("string").alias("day"),
+                 (F.col("event_type") == "error")
+                 .cast("double").alias("err"))
+    return (tablechecks.bernstein_bound(
+        s, "err", by="day", lo=0.0, hi=1.0, delta=0.05)
+        .orderBy("group"))
+
+
+def q_hyphenation_sources(spark, sf_dir):
+    """Hyphenation-artifact census (text.hyphenation_artifacts) per
+    source, seeded: every 9th doc gets ' exam-\\nple hy-\\nphen'
+    appended and every 15th a soft hyphen — the PDF-extraction
+    fingerprint tokenizers choke on."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(9)) == 0,
+               F.concat(F.col("text"), F.lit(" exam-\nple hy-\nphen")))
+         .when(F.pmod("doc_id", F.lit(15)) == 0,
+               F.concat(F.col("text"), F.lit("soft­hyphen")))
+         .otherwise(F.col("text")))
+    return (text.hyphenation_artifacts(seeded, by="source")
+            .orderBy("group"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8122,6 +8167,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cluster_robust_hour": q_cluster_robust_hour,
         "permutation_value_weekend": q_permutation_value_weekend,
         "common_prefix_sources": q_common_prefix_sources,
+        # wave 87: conformal interval, Bernstein bound, hyphenation
+        "conformal_value_hour": q_conformal_value_hour,
+        "bernstein_error_days": q_bernstein_error_days,
+        "hyphenation_sources": q_hyphenation_sources,
     }
 
 
@@ -19705,5 +19754,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT "group", n_docs, lcp::BIGINT AS lcp_len,
                    substr(lo, 1, least(lcp, 20)::INT) AS lcp_head
             FROM scored ORDER BY "group"
+        """,
+        # twin of q_conformal_value_hour — same md5-bit split, same
+        # exact conformal order statistic
+        "conformal_value_hour": """
+            WITH base AS (
+              SELECT extract(hour FROM ts)::DOUBLE AS x,
+                     value AS y,
+                     (('0x' || substr(md5(event_id::VARCHAR), 1, 1))
+                      ::BIGINT & 1) = 0 AS calib
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+            fit AS (
+              SELECT count(*)::BIGINT AS n_fit, avg(x) AS mx,
+                     avg(y) AS my, covar_pop(x, y) AS cxy,
+                     var_pop(x) AS vx
+              FROM base WHERE NOT calib),
+            cal AS (
+              SELECT abs(b.y - f.my - (f.cxy / f.vx)
+                         * (b.x - f.mx)) AS r
+              FROM base b, fit f WHERE b.calib),
+            nc AS (SELECT count(*)::BIGINT AS n_c FROM cal),
+            cum AS (
+              SELECT r, sum(c) OVER (ORDER BY r
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM (SELECT r, count(*) AS c FROM cal GROUP BY r)),
+            q AS (
+              SELECT min(r) AS q_hat FROM cum, nc
+              WHERE cum >= least(ceil((nc.n_c + 1) * 0.9),
+                                 nc.n_c)),
+            cov AS (
+              SELECT avg(CASE WHEN cal.r <= q.q_hat THEN 1.0
+                         ELSE 0.0 END) AS coverage
+              FROM cal, q)
+            SELECT f.n_fit, (SELECT n_c FROM nc) AS n_calib,
+                   round(f.cxy / f.vx, 6) AS slope,
+                   round(f.my - (f.cxy / f.vx) * f.mx, 6)
+                     AS intercept,
+                   round((SELECT q_hat FROM q), 6) AS q_hat,
+                   round((SELECT coverage FROM cov), 6) AS coverage
+            FROM fit f
+        """,
+        # twin of q_bernstein_error_days — same closed-form bound
+        "bernstein_error_days": """
+            WITH base AS (
+              SELECT ts::DATE::VARCHAR AS g,
+                     (event_type = 'error')::INT::DOUBLE AS v
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            a AS (
+              SELECT g, count(*)::DOUBLE AS n,
+                     sum(CASE WHEN v < 0 OR v > 1 THEN 1
+                         ELSE 0 END)::BIGINT AS n_oob,
+                     avg(v) AS m, var_samp(v) AS s2
+              FROM base GROUP BY g)
+            SELECT g AS "group", n::BIGINT AS n, n_oob,
+                   round(m, 6) AS mean, round(s2, 6) AS var,
+                   round(sqrt(2 * s2 * ln(3.0/0.05) / n)
+                         + 3 * 1.0 * ln(3.0/0.05) / n, 6)
+                     AS eb_half,
+                   round(greatest(m - (sqrt(2*s2*ln(3.0/0.05)/n)
+                         + 3*ln(3.0/0.05)/n), 0.0), 6) AS lo_bound,
+                   round(least(m + (sqrt(2*s2*ln(3.0/0.05)/n)
+                         + 3*ln(3.0/0.05)/n), 1.0), 6) AS hi_bound
+            FROM a ORDER BY g
+        """,
+        # twin of q_hyphenation_sources — same seeded artifacts;
+        # soft hyphen built via chr(173) so no invisible literals
+        "hyphenation_sources": """
+            WITH seeded AS (
+              SELECT source, n_chars,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN text || ' exam-' || chr(10)
+                               || 'ple hy-' || chr(10) || 'phen'
+                          WHEN doc_id % 15 = 0
+                          THEN text || 'soft' || chr(173) || 'hyphen'
+                          ELSE text END AS text
+              FROM documents),
+            base AS (
+              SELECT source AS "group",
+                     len(regexp_extract_all(text,
+                       '[a-z]-' || chr(10) || '[a-z]')) AS b,
+                     len(regexp_extract_all(text,
+                       '-' || chr(10))) AS d,
+                     len(regexp_extract_all(text, chr(173))) AS s,
+                     n_chars::DOUBLE AS cc
+              FROM seeded
+              WHERE text IS NOT NULL AND source IS NOT NULL)
+            SELECT "group", count(*)::BIGINT AS n_docs,
+                   sum(b)::BIGINT AS hyphen_breaks,
+                   sum(d)::BIGINT AS dangling_hyphen_lines,
+                   sum(s)::BIGINT AS soft_hyphens,
+                   sum(CASE WHEN b + d + s > 0 THEN 1
+                       ELSE 0 END)::BIGINT AS docs_affected,
+                   round((sum(b) + sum(d) + sum(s)) * 1000.0
+                         / nullif(sum(cc), 0), 6)
+                     AS artifacts_per_kchar
+            FROM base GROUP BY 1 ORDER BY 1
         """,
     }

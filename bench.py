@@ -435,6 +435,9 @@ R4_NAMES = [
     # wave 86: cluster-robust SE, permutation test, prefix LCP
     "cluster_robust_hour", "permutation_value_weekend",
     "common_prefix_sources",
+    # wave 87: conformal interval, Bernstein bound, hyphenation
+    "conformal_value_hour", "bernstein_error_days",
+    "hyphenation_sources",
 ]
 
 

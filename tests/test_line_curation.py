@@ -1078,3 +1078,28 @@ class TestCommonPrefixProfile:
                                        cap=100).collect()[0]
         assert out["lcp_len"] == 100           # capped
         assert out["lcp_head"] == "z" * 20
+
+
+class TestHyphenationArtifacts:
+    def test_counts_break_kinds(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "exam-\nple and hy-\nphens", "a", 100),
+                (2, "clean text entirely", "a", 100),
+                (3, "soft­hyphen here", "b", 50)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        out = {r["group"]: r for r in
+               tx.hyphenation_artifacts(df, by="source").collect()}
+        assert out["a"]["hyphen_breaks"] == 2
+        assert out["a"]["dangling_hyphen_lines"] == 2
+        assert out["a"]["docs_affected"] == 1
+        assert out["b"]["soft_hyphens"] == 1
+        assert out["b"]["artifacts_per_kchar"] == 20.0
+
+    def test_ordinary_hyphens_not_flagged(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "well-known state-of-the-art results", "a", 35)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        out = tx.hyphenation_artifacts(df, by="source").collect()[0]
+        assert out["docs_affected"] == 0

@@ -5713,3 +5713,60 @@ class TestPermutationTestMean:
             n_perm=32).collect()[0]
         assert r1["p_value"] == r2["p_value"]
         assert r1["n_ge"] == r2["n_ge"]
+
+
+class TestConformalInterval:
+    def test_coverage_at_least_nominal(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(51)
+        rows = [(i, float(i % 24),
+                 2.0 * (i % 24) + rng.gauss(0, 3)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "i long, x double, y double")
+        out = tc.conformal_interval(
+            df, "x", "y", id_col="i", alpha=0.1).collect()[0]
+        assert out["coverage"] >= 0.9
+        assert out["q_hat"] > 0
+        assert abs(out["slope"] - 2.0) < 0.5
+        assert out["n_fit"] + out["n_calib"] == 2000
+
+    def test_noise_free_tiny_band(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i % 10), 3.0 * (i % 10) + 1.0)
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "i long, x double, y double")
+        out = tc.conformal_interval(
+            df, "x", "y", id_col="i", alpha=0.1).collect()[0]
+        assert out["q_hat"] < 1e-6
+        assert out["coverage"] == 1.0
+        assert out["intercept"] == 1.0
+
+
+class TestBernsteinBound:
+    def test_bound_contains_truth_small_n(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 1.0 if i < 3 else 0.0) for i in range(30)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.bernstein_bound(df, "v", by="g",
+                                 lo=0.0, hi=1.0).collect()[0]
+        assert out["lo_bound"] <= 0.1 <= out["hi_bound"]
+        assert out["lo_bound"] >= 0.0 and out["hi_bound"] <= 1.0
+
+    def test_variance_adaptive_tighter_than_hoeffding(self, spark):
+        import math
+        from zoi_spark import tablechecks as tc
+        # near-constant values: EB half-width << Hoeffding's
+        rows = [("a", 0.5)] * 500
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.bernstein_bound(df, "v", by="g",
+                                 lo=0.0, hi=1.0).collect()[0]
+        hoeffding = math.sqrt(math.log(2 / 0.05) / (2 * 500))
+        assert out["eb_half"] < hoeffding
+
+    def test_out_of_range_counted(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 0.5), ("a", 2.0), ("a", -1.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.bernstein_bound(df, "v", by="g",
+                                 lo=0.0, hi=1.0).collect()[0]
+        assert out["n_oob"] == 2

@@ -7603,3 +7603,112 @@ def permutation_test_mean(df: DataFrame, value_col: str, *,
         n_ge.cast("long").alias("n_ge"),
         F.round((n_ge + 1) / F.lit(float(b + 1)), round_to)
          .alias("p_value"))
+
+def conformal_interval(df: DataFrame, x_col: str, y_col: str, *,
+                       id_col: str, alpha: float = 0.1,
+                       round_to: int = 6) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al.; Lei et al.
+    2018) for the linear gate y ~ a + b·x: fit on one md5-bit half,
+    take the ⌈(n_c+1)(1−α)⌉-th smallest absolute residual on the
+    OTHER half — the resulting ŷ ± q̂ interval has ≥ 1−α coverage
+    for exchangeable data with NO distributional assumption, which
+    is the honest way to turn a regression into an accept band
+    (normal-theory intervals silently assume the Gaussian tails web
+    data never has). Split is deterministic (bit 0 of md5(id)).
+
+    Fit is closed-form sufficient statistics; the conformal
+    quantile is an EXACT order statistic off the distinct-|r|
+    cumulative table. Returns one row ``(n_fit, n_calib, slope,
+    intercept, q_hat, coverage)`` — coverage is the calibration-side
+    empirical check, ≥ 1−α by construction.
+    """
+    a = float(alpha)
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                           1, 1), 16, 10).cast("long")
+    base = df.select(F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"),
+                     (h.bitwiseAND(F.lit(1)) == 0).alias("calib")) \
+             .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    fit = base.where(~F.col("calib")).agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"))
+    cal = (base.where(F.col("calib"))
+           .crossJoin(F.broadcast(fit))
+           .select("n_fit", "mx", "my", "cxy", "vx",
+                   F.abs(F.col("y") - F.col("my")
+                         - F.col("cxy") / F.col("vx")
+                         * (F.col("x") - F.col("mx"))).alias("r")))
+    nc = cal.agg(F.count(F.lit(1)).alias("n_c"))
+    vc = cal.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (Window.orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = vc.select("r", F.sum("c").over(wcum).alias("cum")) \
+            .crossJoin(F.broadcast(nc))
+    k = F.least(F.ceil((F.col("n_c") + 1) * (1.0 - a)),
+                F.col("n_c"))
+    q = (cum.where(F.col("cum") >= k)
+         .agg(F.min("r").alias("q_hat")))
+    cov = (cal.crossJoin(F.broadcast(q))
+           .agg(F.avg((F.col("r") <= F.col("q_hat"))
+                      .cast("double")).alias("coverage"),
+                F.first("q_hat").alias("q_hat"),
+                F.count(F.lit(1)).alias("n_calib"),
+                F.first("n_fit").alias("n_fit"),
+                F.first("cxy").alias("cxy"),
+                F.first("vx").alias("vx"),
+                F.first("mx").alias("mx"),
+                F.first("my").alias("my")))
+    slope = F.col("cxy") / F.col("vx")
+    return cov.select(
+        F.col("n_fit").cast("long").alias("n_fit"),
+        F.col("n_calib").cast("long").alias("n_calib"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), round_to)
+         .alias("intercept"),
+        F.round("q_hat", round_to).alias("q_hat"),
+        F.round("coverage", round_to).alias("coverage"))
+
+
+def bernstein_bound(df: DataFrame, value_col: str, *, by: str,
+                    lo: float, hi: float, delta: float = 0.05,
+                    round_to: int = 6) -> DataFrame:
+    """Empirical-Bernstein confidence bound (Maurer & Pontil 2009)
+    for the mean of a BOUNDED metric per group:
+
+        half = √(2·v̂·ln(3/δ)/n) + 3(hi−lo)·ln(3/δ)/n
+
+    — a FINITE-SAMPLE guarantee, no normality plea: valid at n=30
+    where the CLT interval is a hope, and variance-adaptive where
+    plain Hoeffding pays the full range. The right bound for gating
+    small segments (per-host pass rates, per-lang shares) where the
+    z-interval under-covers. Values are clamp-audited: rows outside
+    [lo, hi] are COUNTED (they void the guarantee), not silently
+    clipped. One aggregation. Returns ``(group, n, n_oob, mean,
+    var, eb_half, lo_bound, hi_bound)`` with bounds clipped to the
+    metric range.
+    """
+    d = float(delta)
+    rng = float(hi) - float(lo)
+    ln3d = math.log(3.0 / d)
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    oob = (F.col("v") < float(lo)) | (F.col("v") > float(hi))
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(oob.cast("long")).alias("n_oob"),
+        F.avg("v").alias("m"), F.var_samp("v").alias("s2"))
+    half = (F.sqrt(2 * F.col("s2") * ln3d / F.col("n"))
+            + 3 * rng * ln3d / F.col("n"))
+    return agg.select(
+        F.col("g").alias("group"), F.col("n").cast("long").alias("n"),
+        F.col("n_oob").cast("long").alias("n_oob"),
+        F.round("m", round_to).alias("mean"),
+        F.round("s2", round_to).alias("var"),
+        F.round(half, round_to).alias("eb_half"),
+        F.round(F.greatest(F.col("m") - half, F.lit(float(lo))),
+                round_to).alias("lo_bound"),
+        F.round(F.least(F.col("m") + half, F.lit(float(hi))),
+                round_to).alias("hi_bound"))

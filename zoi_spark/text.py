@@ -3765,3 +3765,43 @@ def common_prefix_profile(df: DataFrame, *, text_col: str = "text",
         F.col("lo").substr(F.lit(1),
                            F.least(lcp, F.lit(20)).cast("int"))
          .alias("lcp_head"))
+
+
+def hyphenation_artifacts(df: DataFrame, *, text_col: str = "text",
+                          by: str = "source",
+                          chars_col: str = "n_chars",
+                          round_to: int = 6) -> DataFrame:
+    """Line-break hyphenation artifact census — the PDF/column-
+    extraction fingerprint: "exam-\\nple" style breaks (a hyphen at
+    end-of-line continuing into a lowercase letter), bare
+    hyphen-terminated lines, and SOFT HYPHENS (U+00AD, invisible in
+    most renderers, catastrophic for tokenizers). High rates mean
+    the extractor never re-joined wrapped words — fix upstream or
+    every affected token is out-of-vocabulary. Distinct from the
+    control-character census (soft hyphen is a printable format
+    char) and the mojibake stats (encoding is fine, SEGMENTATION
+    broke).
+
+    Pure projection + one aggregation; rates per kchar via the
+    stored length column. Returns per-group rows ``(group, n_docs,
+    hyphen_breaks, dangling_hyphen_lines, soft_hyphens,
+    docs_affected, artifacts_per_kchar)``.
+    """
+    c = F.col(text_col)
+    brk = F.regexp_count(c, F.lit(r"[a-z]-\n[a-z]"))
+    dangle = F.regexp_count(c, F.lit(r"-\n"))
+    soft = F.regexp_count(c, F.lit("\u00ad"))
+    base = df.where(c.isNotNull() & F.col(by).isNotNull()) \
+             .select(F.col(by).alias("group"), brk.alias("b"),
+                     dangle.alias("d"), soft.alias("s"),
+                     F.col(chars_col).cast("double").alias("cc"))
+    hit = (F.col("b") + F.col("d") + F.col("s")) > 0
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("b").cast("long").alias("hyphen_breaks"),
+        F.sum("d").cast("long").alias("dangling_hyphen_lines"),
+        F.sum("s").cast("long").alias("soft_hyphens"),
+        F.sum(hit.cast("long")).alias("docs_affected"),
+        F.round(F.try_divide(
+            (F.sum("b") + F.sum("d") + F.sum("s")) * 1000.0,
+            F.sum("cc")), round_to).alias("artifacts_per_kchar"))
