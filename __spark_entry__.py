@@ -7623,6 +7623,52 @@ def q_hyphenation_sources(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_basket_rules_types(spark, sf_dir):
+    """Pairwise association rules (tablechecks.basket_rules) over
+    user-day baskets of event types: support/confidence/lift with
+    the basket-level distinct first so multiplicity never inflates
+    support. min_support=0.05."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    s = e.select(F.col("user_id"),
+                 F.to_date("ts").cast("string").alias("day"),
+                 F.col("event_type"))
+    return (tablechecks.basket_rules(
+        s, basket_cols=["user_id", "day"], item_col="event_type",
+        min_support=0.05).orderBy("antecedent", "consequent"))
+
+
+def q_dkw_len_band(spark, sf_dir):
+    """DKW simultaneous CDF band (tablechecks.dkw_band, δ=0.05)
+    around the document-length deciles — every decile gate is
+    really a probability in [p−ε, p+ε], uniformly."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
+    return (tablechecks.dkw_band(d, "n_chars", delta=0.05)
+            .orderBy("decile"))
+
+
+def q_typosquat_hosts(spark, sf_dir):
+    """Typosquat detector (urls.typosquat_candidates) over seeded
+    hosts: docs map to host{0..12}.example.com, every 97th doc's
+    host is spoofed to h0st{k} — rare edit-distance-≤2 neighbors of
+    high-volume hosts, volume-ratio-gated so legit siblings stay
+    out. k×|hosts| levenshtein pass, never |hosts|²."""
+    from zoi_spark import urls
+    d = _read(spark, sf_dir, "documents")
+    legit = F.concat(F.lit("host"),
+                     F.pmod("doc_id", F.lit(13)).cast("string"),
+                     F.lit(".example.com"))
+    spoof = F.concat(F.lit("h0st"),
+                     F.pmod("doc_id", F.lit(13)).cast("string"),
+                     F.lit(".example.com"))
+    seeded = d.select(
+        F.when(F.pmod("doc_id", F.lit(97)) == 0, spoof)
+         .otherwise(legit).alias("host"))
+    return (urls.typosquat_candidates(seeded, "host", top_k=13)
+            .orderBy("suspect", "legit"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8171,6 +8217,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "conformal_value_hour": q_conformal_value_hour,
         "bernstein_error_days": q_bernstein_error_days,
         "hyphenation_sources": q_hyphenation_sources,
+        # wave 88: basket rules, DKW band, typosquat hosts
+        "basket_rules_types": q_basket_rules_types,
+        "dkw_len_band": q_dkw_len_band,
+        "typosquat_hosts": q_typosquat_hosts,
     }
 
 
@@ -19851,5 +19901,85 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(sum(cc), 0), 6)
                      AS artifacts_per_kchar
             FROM base GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_basket_rules_types — same distinct-first baskets
+        "basket_rules_types": """
+            WITH items AS (
+              SELECT DISTINCT user_id::VARCHAR || '|'
+                       || ts::DATE::VARCHAR AS bk,
+                     event_type AS it
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            nb AS (SELECT count(DISTINCT bk)::DOUBLE AS n_baskets
+                   FROM items),
+            per_item AS (SELECT it, count(*)::DOUBLE AS ni
+                         FROM items GROUP BY it),
+            pairs AS (
+              SELECT a.it AS ia, b.it AS ib,
+                     count(*)::DOUBLE AS nab
+              FROM items a JOIN items b ON a.bk = b.bk
+              WHERE a.it <> b.it GROUP BY a.it, b.it),
+            j AS (
+              SELECT p.ia, p.ib, p.nab, x.ni AS na, y.ni AS nbi,
+                     nb.n_baskets
+              FROM pairs p
+              JOIN per_item x ON x.it = p.ia
+              JOIN per_item y ON y.it = p.ib, nb)
+            SELECT ia AS antecedent, ib AS consequent,
+                   nab::BIGINT AS n_both,
+                   round(nab / n_baskets, 6) AS support,
+                   round(nab / na, 6) AS confidence,
+                   round((nab / na) / (nbi / n_baskets), 6) AS lift
+            FROM j WHERE nab / n_baskets >= 0.05
+            ORDER BY antecedent, consequent
+        """,
+        # twin of q_dkw_len_band — same closed-form epsilon
+        "dkw_len_band": """
+            WITH base AS (SELECT n_chars::DOUBLE AS v
+                          FROM documents WHERE n_chars IS NOT NULL),
+            a AS (
+              SELECT count(*)::DOUBLE AS n, """ + ", ".join(
+            f"quantile_cont(v, {k / 10.0}) AS q{k}"
+            for k in range(1, 10)) + """
+              FROM base)
+            SELECT * FROM (""" + " UNION ALL ".join(
+            f"""SELECT {k * 10} AS decile,
+                   round(q{k}, 6) AS value,
+                   round(greatest({k / 10.0}
+                     - sqrt(ln(2.0/0.05)/(2*n)), 0.0), 6) AS p_lo,
+                   round(least({k / 10.0}
+                     + sqrt(ln(2.0/0.05)/(2*n)), 1.0), 6) AS p_hi,
+                   round(sqrt(ln(2.0/0.05)/(2*n)), 6) AS epsilon
+                FROM a"""
+            for k in range(1, 10)) + """
+            ) ORDER BY decile
+        """,
+        # twin of q_typosquat_hosts — same seeded spoofs, same
+        # top-k broadcast levenshtein pass
+        "typosquat_hosts": """
+            WITH seeded AS (
+              SELECT CASE WHEN doc_id % 97 = 0
+                     THEN 'h0st' || (doc_id % 13)::VARCHAR
+                          || '.example.com'
+                     ELSE 'host' || (doc_id % 13)::VARCHAR
+                          || '.example.com' END AS host
+              FROM documents),
+            counts AS (SELECT host AS h, count(*)::BIGINT AS c
+                       FROM seeded GROUP BY host),
+            top AS (SELECT h AS legit, c AS n_legit FROM counts
+                    ORDER BY c DESC, h LIMIT 13),
+            cand AS (SELECT h AS suspect, c AS n_suspect
+                     FROM counts)
+            SELECT suspect, legit,
+                   levenshtein(suspect, legit)::INT AS dist,
+                   n_suspect, n_legit,
+                   round(n_suspect / n_legit::DOUBLE, 6)
+                     AS volume_ratio
+            FROM cand CROSS JOIN top
+            WHERE suspect <> legit
+              AND levenshtein(suspect, legit) <= 2
+              AND n_suspect <= 0.1 * n_legit
+            ORDER BY suspect, legit
         """,
     }

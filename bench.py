@@ -438,6 +438,8 @@ R4_NAMES = [
     # wave 87: conformal interval, Bernstein bound, hyphenation
     "conformal_value_hour", "bernstein_error_days",
     "hyphenation_sources",
+    # wave 88: basket rules, DKW band, typosquat hosts
+    "basket_rules_types", "dkw_len_band", "typosquat_hosts",
 ]
 
 

@@ -5770,3 +5770,96 @@ class TestBernsteinBound:
         out = tc.bernstein_bound(df, "v", by="g",
                                  lo=0.0, hi=1.0).collect()[0]
         assert out["n_oob"] == 2
+
+
+class TestBasketRules:
+    def test_support_confidence_lift(self, spark):
+        from zoi_spark import tablechecks as tc
+        # 10 baskets: A in all, B in the 6 with A-and-B, C alone in 4
+        rows = []
+        for b in range(10):
+            rows.append((b, "A"))
+            if b < 6:
+                rows.append((b, "B"))
+            else:
+                rows.append((b, "C"))
+        df = spark.createDataFrame(rows, "bk long, it string")
+        out = {(r["antecedent"], r["consequent"]): r
+               for r in tc.basket_rules(
+                   df, basket_cols=["bk"], item_col="it",
+                   min_support=0.0).collect()}
+        ab = out[("A", "B")]
+        assert ab["support"] == 0.6
+        assert ab["confidence"] == 0.6       # P(B|A): A in all 10
+        assert ab["lift"] == 1.0             # B also 0.6 overall
+        ba = out[("B", "A")]
+        assert ba["confidence"] == 1.0
+
+    def test_multiplicity_ignored(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1, "A")] * 5 + [(1, "B")] + [(2, "A")]
+        df = spark.createDataFrame(rows, "bk long, it string")
+        out = {(r["antecedent"], r["consequent"]): r
+               for r in tc.basket_rules(
+                   df, basket_cols=["bk"], item_col="it",
+                   min_support=0.0).collect()}
+        assert out[("A", "B")]["n_both"] == 1
+        assert out[("A", "B")]["support"] == 0.5
+
+    def test_min_support_filters(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(b, "A") for b in range(100)] + [(0, "Z")]
+        df = spark.createDataFrame(rows, "bk long, it string")
+        out = tc.basket_rules(df, basket_cols=["bk"],
+                              item_col="it",
+                              min_support=0.05).collect()
+        assert out == []                      # A-Z pair support 1%
+
+
+class TestDkwBand:
+    def test_epsilon_and_bounds(self, spark):
+        import math
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v),) for v in range(1, 201)]
+        df = spark.createDataFrame(rows, "v double")
+        out = {r["decile"]: r for r in
+               tc.dkw_band(df, "v", delta=0.05).collect()}
+        eps = math.sqrt(math.log(2 / 0.05) / (2 * 200))
+        assert out[50]["epsilon"] == round(eps, 6)
+        assert out[50]["p_lo"] == round(0.5 - eps, 6)
+        assert out[10]["p_lo"] == round(max(0.1 - eps, 0), 6)
+        assert out[90]["p_hi"] == round(min(0.9 + eps, 1), 6)
+        assert out[50]["value"] == 100.5
+
+    def test_epsilon_shrinks_with_n(self, spark):
+        from zoi_spark import tablechecks as tc
+        small = spark.createDataFrame(
+            [(float(v),) for v in range(50)], "v double")
+        big = spark.createDataFrame(
+            [(float(v),) for v in range(5000)], "v double")
+        e_small = tc.dkw_band(small, "v").collect()[0]["epsilon"]
+        e_big = tc.dkw_band(big, "v").collect()[0]["epsilon"]
+        assert e_big < e_small / 5
+
+
+class TestTyposquatCandidates:
+    def test_spoof_found_siblings_excluded(self, spark):
+        from zoi_spark import urls
+        rows = ([("host1.example.com",)] * 500
+                + [("host2.example.com",)] * 480
+                + [("h0st1.example.com",)] * 3)
+        df = spark.createDataFrame(rows, "host string")
+        out = urls.typosquat_candidates(df, "host",
+                                        top_k=5).collect()
+        pairs = {(r["suspect"], r["legit"]) for r in out}
+        assert ("h0st1.example.com", "host1.example.com") in pairs
+        # heavy siblings never reported against each other
+        assert ("host2.example.com", "host1.example.com") not in pairs
+
+    def test_distance_cap(self, spark):
+        from zoi_spark import urls
+        rows = ([("alpha.example.com",)] * 100
+                + [("totally-different.org",)] * 2)
+        df = spark.createDataFrame(rows, "host string")
+        out = urls.typosquat_candidates(df, "host").collect()
+        assert out == []

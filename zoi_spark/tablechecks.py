@@ -7712,3 +7712,92 @@ def bernstein_bound(df: DataFrame, value_col: str, *, by: str,
                 round_to).alias("lo_bound"),
         F.round(F.least(F.col("m") + half, F.lit(float(hi))),
                 round_to).alias("hi_bound"))
+
+
+def basket_rules(df: DataFrame, *, basket_cols: Sequence[str],
+                 item_col: str, min_support: float = 0.01,
+                 round_to: int = 6) -> DataFrame:
+    """Pairwise association rules over baskets (the support /
+    confidence / lift triple of Agrawal et al. 1993, restricted to
+    single-item antecedents): a basket is whatever *basket_cols*
+    identifies (user x day, session, order), and for every ordered
+    item pair A->B present together in >= min_support of baskets:
+
+        support    = P(A and B)      confidence = P(B | A)
+        lift       = P(B | A)/P(B)   (>1 means genuine affinity)
+
+    The basket-level DISTINCT projection comes first, so item
+    multiplicity inside a basket never inflates support, and the
+    pair join runs per basket (bounded by per-basket item
+    cardinality, not rows). Returns ``(antecedent, consequent,
+    n_both, support, confidence, lift)``.
+    """
+    bcols = [F.col(c) for c in basket_cols]
+    items = (df.where(F.col(item_col).isNotNull())
+             .select(F.concat_ws("|", *bcols).alias("bk"),
+                     F.col(item_col).alias("it"))
+             .where(F.col("bk") != "")
+             .distinct())
+    nb = items.select("bk").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    per_item = items.groupBy("it").agg(
+        F.count(F.lit(1)).cast("double").alias("ni"))
+    pairs = (items.alias("a")
+             .join(items.alias("b"), F.col("a.bk") == F.col("b.bk"))
+             .where(F.col("a.it") != F.col("b.it"))
+             .groupBy(F.col("a.it").alias("ia"),
+                      F.col("b.it").alias("ib"))
+             .agg(F.count(F.lit(1)).cast("double").alias("nab")))
+    j = (pairs
+         .join(per_item.select(F.col("it").alias("ia"),
+                               F.col("ni").alias("na")), "ia")
+         .join(per_item.select(F.col("it").alias("ib"),
+                               F.col("ni").alias("nbi")), "ib")
+         .crossJoin(F.broadcast(nb)))
+    supp = F.col("nab") / F.col("n_baskets")
+    conf = F.col("nab") / F.col("na")
+    lift = conf / (F.col("nbi") / F.col("n_baskets"))
+    return (j.where(supp >= float(min_support))
+            .select(F.col("ia").alias("antecedent"),
+                    F.col("ib").alias("consequent"),
+                    F.col("nab").cast("long").alias("n_both"),
+                    F.round(supp, round_to).alias("support"),
+                    F.round(conf, round_to).alias("confidence"),
+                    F.round(lift, round_to).alias("lift")))
+
+
+def dkw_band(df: DataFrame, value_col: str, *,
+             delta: float = 0.05,
+             round_to: int = 6) -> DataFrame:
+    """Dvoretzky-Kiefer-Wolfowitz confidence band around the
+    empirical CDF: with eps = sqrt(ln(2/delta)/2n), the TRUE
+    distribution function lies within +/- eps of the empirical one
+    EVERYWHERE, simultaneously - the uniform finite-sample companion
+    to the pointwise quantile drill-downs: a gate placed at an
+    empirical decile is really a gate at a probability in
+    [p-eps, p+eps]. One quantile aggregation; eps is closed-form.
+    Returns 9 rows ``(decile, value, p_lo, p_hi, epsilon)``.
+    """
+    dl = float(delta)
+    base = df.select(F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("v").isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.expr(f"percentile(v, {k / 10.0})").alias(f"q{k}")
+          for k in range(1, 10)])
+    eps = F.sqrt(F.log(F.lit(2.0 / dl)) / (2 * F.col("n")))
+    outs = []
+    for k in range(1, 10):
+        p = k / 10.0
+        outs.append(agg.select(
+            F.lit(k * 10).alias("decile"),
+            F.round(F.col(f"q{k}"), round_to).alias("value"),
+            F.round(F.greatest(F.lit(p) - eps, F.lit(0.0)),
+                    round_to).alias("p_lo"),
+            F.round(F.least(F.lit(p) + eps, F.lit(1.0)),
+                    round_to).alias("p_hi"),
+            F.round(eps, round_to).alias("epsilon")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

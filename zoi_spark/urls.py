@@ -1133,3 +1133,42 @@ def pct_encoding_audit(df: DataFrame, *, url_col: str = "url"
                  .alias("n_invalid_escapes"),
                 F.regexp_count(u, F.lit(r"%25[0-9A-Fa-f]{2}"))
                  .alias("n_double_encoded")))
+
+
+def typosquat_candidates(df: DataFrame, host_col: str, *,
+                         top_k: int = 20, max_dist: int = 2,
+                         ratio: float = 0.1,
+                         round_to: int = 6) -> DataFrame:
+    """Typosquat / spoof-host detector: rare hosts within edit
+    distance <= *max_dist* of a HIGH-volume host ("h0st3" next to
+    "host3") are either typos polluting per-host stats or active
+    spoofing - both poison host-level reputation joins. Candidates
+    must be at most *ratio* x the legit host's volume, which keeps
+    sibling legitimate hosts (host1 vs host2, both heavy) out of
+    the report.
+
+    Plan: one host count aggregation; the top-k legit list is a
+    TakeOrdered k-row frame, broadcast against the full distinct-
+    host table - the levenshtein pass is k x |hosts|, never
+    |hosts| squared. Returns ``(suspect, legit, dist, n_suspect,
+    n_legit, volume_ratio)``.
+    """
+    counts = (df.where(F.col(host_col).isNotNull())
+              .groupBy(F.col(host_col).alias("h"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    top = (counts.orderBy(F.col("c").desc(), F.col("h"))
+           .limit(int(top_k))
+           .select(F.col("h").alias("legit"),
+                   F.col("c").alias("n_legit")))
+    cand = counts.select(F.col("h").alias("suspect"),
+                         F.col("c").alias("n_suspect"))
+    dist = F.levenshtein("suspect", "legit")
+    return (cand.join(F.broadcast(top),
+                      (F.col("suspect") != F.col("legit")))
+            .where((dist <= int(max_dist))
+                   & (F.col("n_suspect")
+                      <= float(ratio) * F.col("n_legit")))
+            .select("suspect", "legit", dist.alias("dist"),
+                    "n_suspect", "n_legit",
+                    F.round(F.col("n_suspect") / F.col("n_legit"),
+                            round_to).alias("volume_ratio")))
