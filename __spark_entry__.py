@@ -7669,6 +7669,49 @@ def q_typosquat_hosts(spark, sf_dir):
             .orderBy("suspect", "legit"))
 
 
+def q_krippendorff_langs(spark, sf_dir):
+    """Krippendorff's nominal alpha (tablechecks.
+    krippendorff_alpha) over a VARIABLE-rater seeded frame: every
+    doc gets the stored lang, even docs a second rating ('unk'
+    every 5th), %3 docs a third ('en' every 7th) — single-rating
+    items drop from the pairable pool, the crowdsourcing shape
+    Cohen/Fleiss can't take."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    r1 = d.select(F.col("doc_id").alias("item"),
+                  F.col("lang").alias("cat"))
+    r2 = d.where(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.col("doc_id").alias("item"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("unk"))
+         .otherwise(F.col("lang")).alias("cat"))
+    r3 = d.where(F.pmod("doc_id", F.lit(3)) == 0).select(
+        F.col("doc_id").alias("item"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("en"))
+         .otherwise(F.col("lang")).alias("cat"))
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return tablechecks.krippendorff_alpha(ratings, "item", "cat")
+
+
+def q_dalenius_len_strata(spark, sf_dir):
+    """Dalenius-Hodges cum-√f stratification advisor (tablechecks.
+    dalenius_strata, 4 strata over 50 bins) for doc length — the
+    design step in front of the Neyman-allocation row."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
+    return tablechecks.dalenius_strata(d, "n_chars", n_strata=4,
+                                       n_bins=50)
+
+
+def q_median_rollup_bias(spark, sf_dir):
+    """Hierarchical-median rollup bias audit (tablechecks.
+    median_rollup_bias): global median vs mean- and median-of-lang-
+    medians — the medians-don't-compose evidence behind shipping
+    quantile sketches instead of per-group medians."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    return tablechecks.median_rollup_bias(d, "n_chars", by="lang")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8221,6 +8264,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "basket_rules_types": q_basket_rules_types,
         "dkw_len_band": q_dkw_len_band,
         "typosquat_hosts": q_typosquat_hosts,
+        # wave 89: Krippendorff alpha, Dalenius strata, median bias
+        "krippendorff_langs": q_krippendorff_langs,
+        "dalenius_len_strata": q_dalenius_len_strata,
+        "median_rollup_bias": q_median_rollup_bias,
     }
 
 
@@ -19981,5 +20028,119 @@ def oracle_sql() -> dict[str, str]:
               AND levenshtein(suspect, legit) <= 2
               AND n_suspect <= 0.1 * n_legit
             ORDER BY suspect, legit
+        """,
+        # twin of q_krippendorff_langs — same variable-rater seed,
+        # same coincidence-form disagreements
+        "krippendorff_langs": """
+            WITH d AS (SELECT doc_id, lang FROM documents
+                       WHERE lang IS NOT NULL),
+            ratings AS (
+              SELECT doc_id AS u, lang AS c FROM d
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'unk'
+                          ELSE lang END
+              FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'en'
+                          ELSE lang END
+              FROM d WHERE doc_id % 3 = 0),
+            cells AS (SELECT u, c, count(*)::DOUBLE AS n
+                      FROM ratings GROUP BY u, c),
+            per_u AS (SELECT u, sum(n) AS m FROM cells GROUP BY u),
+            pair AS (SELECT cells.*, per_u.m
+                     FROM cells JOIN per_u USING (u)
+                     WHERE per_u.m > 1),
+            do_terms AS (
+              SELECT u, any_value(m) AS m,
+                     sum(n * (m - n) / (m - 1)) AS du
+              FROM pair GROUP BY u),
+            a1 AS (SELECT count(*)::BIGINT AS n_pairable,
+                          sum(m) AS nn, sum(du) AS d_o_sum
+                   FROM do_terms),
+            marg AS (
+              SELECT sum(nc * nc) AS nc2, sum(nc) AS ntot
+              FROM (SELECT c, sum(n) AS nc FROM pair GROUP BY c)),
+            ni AS (SELECT count(DISTINCT u)::BIGINT AS n_items
+                   FROM cells)
+            SELECT ni.n_items, a1.n_pairable,
+                   a1.nn::BIGINT AS n_ratings,
+                   round(a1.d_o_sum / a1.nn, 6) AS d_o,
+                   round((1.0 - marg.nc2 / (marg.ntot * marg.ntot))
+                         * marg.ntot / (marg.ntot - 1), 6) AS d_e,
+                   round(1.0 - (a1.d_o_sum / a1.nn)
+                         / ((1.0 - marg.nc2
+                             / (marg.ntot * marg.ntot))
+                            * marg.ntot / (marg.ntot - 1)), 6)
+                     AS alpha
+            FROM a1, marg, ni
+        """,
+        # twin of q_dalenius_len_strata — same bins, same cum-sqrt
+        "dalenius_len_strata": """
+            WITH base AS (SELECT n_chars::DOUBLE AS v
+                          FROM documents WHERE n_chars IS NOT NULL),
+            ext AS (SELECT min(v) AS lo, max(v) AS hi,
+                           count(*)::DOUBLE AS n FROM base),
+            binned AS (
+              SELECT least(floor((v - ext.lo)
+                       / ((ext.hi - ext.lo) / 50)), 49)::BIGINT
+                       AS b,
+                     count(*)::DOUBLE AS c,
+                     any_value(ext.lo) AS lo,
+                     any_value(ext.hi) AS hi,
+                     any_value(ext.n) AS n
+              FROM base, ext GROUP BY 1),
+            scored AS (
+              SELECT b, c, lo, hi, n,
+                     sum(sqrt(c)) OVER (ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS csf,
+                     sum(sqrt(c)) OVER () AS tsf
+              FROM binned),
+            tagged AS (
+              SELECT least(floor(csf / tsf * 4 + 1e-12), 3)::BIGINT
+                       AS stratum,
+                     b, c, lo, hi, n,
+                     (hi - lo) / 50 AS w
+              FROM scored),
+            per AS (
+              SELECT stratum,
+                     any_value(lo) + min(b) * any_value(w)
+                       AS lo_edge,
+                     any_value(lo) + (max(b) + 1) * any_value(w)
+                       AS hi_edge_raw,
+                     max(hi) AS vmax, sum(c) AS n_rows,
+                     any_value(n) AS n
+              FROM tagged GROUP BY stratum)
+            SELECT stratum, round(lo_edge, 6) AS lo_edge,
+                   round(CASE WHEN stratum = 3 THEN vmax
+                         ELSE hi_edge_raw END, 6) AS hi_edge,
+                   n_rows::BIGINT AS n_rows,
+                   round(n_rows / n, 6) AS share
+            FROM per ORDER BY stratum
+        """,
+        # twin of q_median_rollup_bias — same three medians
+        "median_rollup_bias": """
+            WITH base AS (
+              SELECT lang AS g, n_chars::DOUBLE AS v
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            per_g AS (SELECT g, quantile_cont(v, 0.5) AS med,
+                             count(*) AS ng
+                      FROM base GROUP BY g),
+            ga AS (SELECT count(*)::BIGINT AS n_groups,
+                          sum(ng)::BIGINT AS n,
+                          avg(med) AS mom,
+                          quantile_cont(med, 0.5) AS mmed
+                   FROM per_g),
+            gl AS (SELECT quantile_cont(v, 0.5) AS gmed FROM base)
+            SELECT ga.n, ga.n_groups,
+                   round(gl.gmed, 6) AS global_median,
+                   round(ga.mom, 6) AS mean_of_medians,
+                   round(ga.mmed, 6) AS median_of_medians,
+                   round(greatest(abs(ga.mom - gl.gmed),
+                                  abs(ga.mmed - gl.gmed)), 6)
+                     AS max_abs_gap
+            FROM ga, gl
         """,
     }

@@ -440,6 +440,9 @@ R4_NAMES = [
     "hyphenation_sources",
     # wave 88: basket rules, DKW band, typosquat hosts
     "basket_rules_types", "dkw_len_band", "typosquat_hosts",
+    # wave 89: Krippendorff alpha, Dalenius strata, median bias
+    "krippendorff_langs", "dalenius_len_strata",
+    "median_rollup_bias",
 ]
 
 

@@ -5863,3 +5863,84 @@ class TestTyposquatCandidates:
         df = spark.createDataFrame(rows, "host string")
         out = urls.typosquat_candidates(df, "host").collect()
         assert out == []
+
+
+class TestKrippendorffAlpha:
+    def test_hand_derived_value(self, spark):
+        from zoi_spark import tablechecks as tc
+        # u1: [a,a]  u2: [a,b]  u3: [b,b]  -> alpha = 4/9
+        rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"),
+                (3, "b"), (3, "b")]
+        df = spark.createDataFrame(rows, "u long, c string")
+        out = tc.krippendorff_alpha(df, "u", "c").collect()[0]
+        assert out["alpha"] == round(4 / 9, 6)
+        assert out["d_o"] == round(1 / 3, 6)
+        assert out["d_e"] == 0.6
+
+    def test_perfect_agreement(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(u, "x") for u in range(5) for _ in range(3)]
+        df = spark.createDataFrame(rows, "u long, c string")
+        out = tc.krippendorff_alpha(df, "u", "c").collect()[0]
+        assert out["d_o"] == 0.0
+        # single-category data: D_e = 0 too -> alpha NULL (undefined)
+        assert out["alpha"] is None
+
+    def test_single_rating_items_dropped(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1, "a"), (1, "a"), (2, "b")]   # item 2 unpairable
+        df = spark.createDataFrame(rows, "u long, c string")
+        out = tc.krippendorff_alpha(df, "u", "c").collect()[0]
+        assert out["n_items"] == 2
+        assert out["n_pairable"] == 1
+        assert out["n_ratings"] == 2
+
+
+class TestDaleniusStrata:
+    def test_equal_freq_uniform(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v),) for v in range(1000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.dalenius_strata(df, "v", n_strata=4,
+                                 n_bins=50).collect()
+        assert len(out) == 4
+        shares = [r["share"] for r in out]
+        assert all(abs(s - 0.25) < 0.05 for s in shares)
+        assert out[0]["lo_edge"] == 0.0
+        assert out[-1]["hi_edge"] == 999.0
+        # edges tile contiguously
+        for a, b in zip(out, out[1:]):
+            assert abs(a["hi_edge"] - b["lo_edge"]) < 1e-6
+
+    def test_skew_narrows_dense_strata(self, spark):
+        from zoi_spark import tablechecks as tc
+        # heavy mass near zero, thin tail to 1000
+        rows = ([(float(v % 50),) for v in range(2000)]
+                + [(float(v),) for v in range(50, 1001, 10)])
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.dalenius_strata(df, "v", n_strata=4,
+                                 n_bins=50).collect()
+        w0 = out[0]["hi_edge"] - out[0]["lo_edge"]
+        w3 = out[-1]["hi_edge"] - out[-1]["lo_edge"]
+        assert w0 < w3                         # dense stratum narrow
+
+
+class TestMedianRollupBias:
+    def test_balanced_groups_agree(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(g, float(v)) for g in ("a", "b")
+                for v in range(1, 102)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.median_rollup_bias(df, "v", by="g").collect()[0]
+        assert out["global_median"] == 51.0
+        assert out["mean_of_medians"] == 51.0
+        assert out["max_abs_gap"] == 0.0
+
+    def test_unbalanced_groups_diverge(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("big", float(v)) for v in range(1, 1002)]
+                + [("tiny", 10000.0)] * 3)
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.median_rollup_bias(df, "v", by="g").collect()[0]
+        # rollup averages the tiny group's 10000 median equally
+        assert out["max_abs_gap"] > 1000

@@ -7801,3 +7801,160 @@ def dkw_band(df: DataFrame, value_col: str, *,
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def krippendorff_alpha(df: DataFrame, item_col: str,
+                       category_col: str, *,
+                       round_to: int = 6) -> DataFrame:
+    """Krippendorff's alpha (nominal data): chance-corrected
+    agreement that, unlike :func:`cohen_kappa` (exactly 2 raters)
+    and :func:`fleiss_kappa` (constant rater count), accepts a
+    VARIABLE number of ratings per item and simply drops
+    single-rating items - the real shape of crowdsourced labels.
+    From per-item category counts n_uc (item u, category c, m_u =
+    total ratings of u, pairable items only):
+
+        D_o = sum_u sum_c n_uc (m_u - n_uc) / (m_u - 1)
+        D_e = (N - sum_c p_c^2 N) ...  via  1 - sum_c (N_c/N)^2
+        alpha = 1 - (D_o / N) / (1 - sum_c (N_c/N)^2) * ...
+
+    concretely the coincidence-matrix form: observed disagreement
+    rate divided by expected disagreement rate over the pooled
+    margins. Two aggregations over (item, category) cells. Returns
+    ``(n_items, n_pairable, n_ratings, d_o, d_e, alpha)``.
+    """
+    cells = (df.select(F.col(item_col).alias("u"),
+                       F.col(category_col).alias("c"))
+             .where(F.col("u").isNotNull() & F.col("c").isNotNull())
+             .groupBy("u", "c")
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    per_u = cells.groupBy("u").agg(F.sum("n").alias("m"))
+    pair = cells.join(per_u, "u").where(F.col("m") > 1)
+    # observed within-item disagreement, normalized per item pair
+    do_terms = pair.groupBy("u").agg(
+        F.first("m").alias("m"),
+        F.sum(F.col("n") * (F.col("m") - F.col("n"))
+              / (F.col("m") - 1)).alias("du"))
+    a1 = do_terms.agg(
+        F.count(F.lit(1)).alias("n_pairable"),
+        F.sum("m").alias("nn"),
+        F.sum("du").alias("d_o_sum"))
+    marg = (pair.groupBy("c").agg(F.sum("n").alias("nc"))
+            .agg(F.sum(F.col("nc") ** 2).alias("nc2"),
+                 F.sum("nc").alias("ntot")))
+    n_items = cells.select("u").distinct().agg(
+        F.count(F.lit(1)).alias("n_items"))
+    j = (a1.crossJoin(F.broadcast(marg))
+         .crossJoin(F.broadcast(n_items)))
+    d_o = F.col("d_o_sum") / F.col("nn")
+    d_e = (1.0 - F.col("nc2") / F.col("ntot") ** 2) \
+        * F.col("ntot") / (F.col("ntot") - 1)
+    alpha = 1.0 - F.try_divide(d_o, d_e)
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_pairable").cast("long").alias("n_pairable"),
+        F.col("nn").cast("long").alias("n_ratings"),
+        F.round(d_o, round_to).alias("d_o"),
+        F.round(d_e, round_to).alias("d_e"),
+        F.round(alpha, round_to).alias("alpha"))
+
+
+def dalenius_strata(df: DataFrame, value_col: str, *,
+                    n_strata: int = 4, n_bins: int = 50,
+                    round_to: int = 6) -> DataFrame:
+    """Dalenius-Hodges cum-sqrt(f) stratification advisor (Dalenius
+    & Hodges 1959): bin the column into *n_bins* equal-width bins,
+    accumulate sqrt(bin frequency), and cut where the cumulative
+    crosses equal shares - the classical rule that makes strata
+    near-optimal for Neyman allocation (:func:`neyman_allocation`
+    ALLOCATES to given strata; this DESIGNS them). Skewed web
+    metrics stratified this way need far fewer samples per audit
+    than equal-width strata.
+
+    One histogram aggregation, windows over the n_bins frame.
+    Returns per-stratum rows ``(stratum, lo_edge, hi_edge, n_rows,
+    share)`` (hi edge of the last stratum = column max).
+    """
+    ks, nb = int(n_strata), int(n_bins)
+    base = df.select(F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("v").isNotNull())
+    ext = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                   F.count(F.lit(1)).cast("double").alias("n"))
+    width = (F.col("hi") - F.col("lo")) / nb
+    binned = (base.crossJoin(F.broadcast(ext))
+              .select(F.least(
+                  F.floor((F.col("v") - F.col("lo")) / width),
+                  F.lit(nb - 1)).cast("long").alias("b"),
+                  "lo", "hi", "n")
+              .groupBy("b")
+              .agg(F.count(F.lit(1)).cast("double").alias("c"),
+                   F.first("lo").alias("lo"),
+                   F.first("hi").alias("hi"),
+                   F.first("n").alias("n")))
+    wc = (Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    scored = binned.select(
+        "b", "c", "lo", "hi", "n",
+        F.sum(F.sqrt("c")).over(wc).alias("csf"),
+        F.sum(F.sqrt("c")).over(tot).alias("tsf"))
+    stratum = F.least(
+        F.floor(F.col("csf") / F.col("tsf") * ks + 1e-12),
+        F.lit(ks - 1)).cast("long")
+    width2 = (F.col("hi") - F.col("lo")) / nb
+    per = (scored.select(stratum.alias("stratum"), "b", "c",
+                         "lo", "hi", "n", width2.alias("w"))
+           .groupBy("stratum")
+           .agg((F.first("lo") + F.min("b") * F.first("w"))
+                .alias("lo_edge"),
+                (F.first("lo") + (F.max("b") + 1) * F.first("w"))
+                .alias("hi_edge_raw"),
+                F.max("hi").alias("vmax"),
+                F.sum("c").alias("n_rows"),
+                F.first("n").alias("n")))
+    hi_edge = F.when(F.col("stratum") == ks - 1, F.col("vmax")) \
+               .otherwise(F.col("hi_edge_raw"))
+    return per.select(
+        "stratum",
+        F.round("lo_edge", round_to).alias("lo_edge"),
+        F.round(hi_edge, round_to).alias("hi_edge"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / F.col("n"), round_to)
+         .alias("share")).orderBy("stratum")
+
+
+def median_rollup_bias(df: DataFrame, value_col: str, *, by: str,
+                       round_to: int = 6) -> DataFrame:
+    """Hierarchical-median rollup bias audit: the GLOBAL median vs
+    the mean-of-group-medians vs the median-of-group-medians - the
+    three numbers dashboards silently conflate when a per-partition
+    pre-aggregate gets re-aggregated (medians do not compose;
+    means do). A large spread between the three is the concrete
+    evidence that a rollup pipeline must ship raw quantile sketches
+    (:func:`sketch_quantile_audit`) instead of per-group medians.
+    Two aggregations. Returns one row ``(n, n_groups,
+    global_median, mean_of_medians, median_of_medians, max_abs_gap)``.
+    """
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    per_g = base.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("ng"))
+    g_agg = per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("ng").alias("n"),
+        F.avg("med").alias("mom"),
+        F.expr("percentile(med, 0.5)").alias("mmed"))
+    glob = base.agg(F.expr("percentile(v, 0.5)").alias("gmed"))
+    j = g_agg.crossJoin(F.broadcast(glob))
+    gap = F.greatest(F.abs(F.col("mom") - F.col("gmed")),
+                     F.abs(F.col("mmed") - F.col("gmed")))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.round("gmed", round_to).alias("global_median"),
+        F.round("mom", round_to).alias("mean_of_medians"),
+        F.round("mmed", round_to).alias("median_of_medians"),
+        F.round(gap, round_to).alias("max_abs_gap"))
