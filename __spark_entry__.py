@@ -7712,6 +7712,50 @@ def q_median_rollup_bias(spark, sf_dir):
     return tablechecks.median_rollup_bias(d, "n_chars", by="lang")
 
 
+def q_cochran_q_rules(spark, sf_dir):
+    """Cochran's Q (tablechecks.cochran_q) over three derived
+    pass/fail 'validator versions' of each doc (length gates at
+    150/250/350 chars) — does the pass rate differ across rulesets
+    GIVEN per-doc pairing; the k-ary McNemar."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
+    rows = d.select(
+        F.col("doc_id").alias("item"),
+        F.explode(F.array(
+            F.struct(F.lit("v150").alias("t"),
+                     (F.col("n_chars") >= 150).alias("x")),
+            F.struct(F.lit("v250").alias("t"),
+                     (F.col("n_chars") >= 250).alias("x")),
+            F.struct(F.lit("v350").alias("t"),
+                     (F.col("n_chars") >= 350).alias("x"))))
+        .alias("r")) \
+        .select("item", F.col("r.t").alias("treat"),
+                F.col("r.x").alias("x"))
+    return tablechecks.cochran_q(rows, item_col="item",
+                                 treat_col="treat", flag_col="x")
+
+
+def q_turning_points_daily(spark, sf_dir):
+    """Turning-point randomness test (tablechecks.turning_points)
+    on daily event volume — too few extrema = trend, too many =
+    alternation; the directional one-glance complement of the
+    Ljung-Box row."""
+    e = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    return tablechecks.turning_points(daily, "cnt", "d")
+
+
+def q_last_digit_values(spark, sf_dir):
+    """Last-digit uniformity audit (tablechecks.
+    last_digit_uniformity, cents scale) over event values — the
+    fabrication/rounding detector complementing the Benford
+    first-digit row."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return tablechecks.last_digit_uniformity(e, "value", scale=100)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8268,6 +8312,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "krippendorff_langs": q_krippendorff_langs,
         "dalenius_len_strata": q_dalenius_len_strata,
         "median_rollup_bias": q_median_rollup_bias,
+        # wave 90: Cochran's Q, turning points, last digits
+        "cochran_q_rules": q_cochran_q_rules,
+        "turning_points_daily": q_turning_points_daily,
+        "last_digit_values": q_last_digit_values,
     }
 
 
@@ -20142,5 +20190,90 @@ def oracle_sql() -> dict[str, str]:
                                   abs(ga.mmed - gl.gmed)), 6)
                      AS max_abs_gap
             FROM ga, gl
+        """,
+        # twin of q_cochran_q_rules — same three derived rulesets
+        "cochran_q_rules": """
+            WITH rows_ AS (
+              SELECT doc_id AS i, t.t,
+                     CASE t.t WHEN 'v150' THEN n_chars >= 150
+                              WHEN 'v250' THEN n_chars >= 250
+                              ELSE n_chars >= 350
+                     END::INT::DOUBLE AS x
+              FROM documents CROSS JOIN
+                   (SELECT unnest(['v150','v250','v350']) AS t) t
+              WHERE n_chars IS NOT NULL),
+            per_i AS (SELECT i, count(DISTINCT t) AS kt,
+                             sum(x) AS li
+                      FROM rows_ GROUP BY i),
+            k AS (SELECT count(DISTINCT t)::DOUBLE AS k
+                  FROM rows_),
+            complete AS (SELECT per_i.* FROM per_i, k
+                         WHERE per_i.kt = k.k),
+            per_t AS (
+              SELECT r.t, sum(r.x) AS gj
+              FROM rows_ r JOIN complete c ON c.i = r.i
+              GROUP BY r.t),
+            at AS (SELECT count(*)::DOUBLE AS k, sum(gj) AS gsum,
+                          sum(gj * gj) AS g2
+                   FROM per_t),
+            ai AS (SELECT count(*)::BIGINT AS n_items,
+                          sum(li) AS lsum, sum(li * li) AS l2
+                   FROM complete),
+            drp AS (SELECT count(*)::BIGINT AS n_dropped
+                    FROM per_i, k WHERE per_i.kt <> k.k)
+            SELECT ai.n_items, drp.n_dropped,
+                   at.k::BIGINT AS k_treat,
+                   round(CASE WHEN at.k * ai.lsum - ai.l2 > 0 THEN
+                     at.k * (at.k - 1)
+                     * (at.g2 - at.gsum * at.gsum / at.k)
+                     / (at.k * ai.lsum - ai.l2) END, 6) AS q_stat,
+                   (at.k - 1)::BIGINT AS dof
+            FROM at, ai, drp
+        """,
+        # twin of q_turning_points_daily — same strict extrema
+        "turning_points_daily": """
+            WITH daily AS (
+              SELECT ts::DATE AS d, count(*)::DOUBLE AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            s AS (
+              SELECT x, lag(x) OVER (ORDER BY d) AS lx,
+                     lead(x) OVER (ORDER BY d) AS nx
+              FROM daily),
+            a AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(CASE WHEN lx IS NOT NULL
+                              AND nx IS NOT NULL
+                              AND ((x > lx AND x > nx)
+                                   OR (x < lx AND x < nx))
+                         THEN 1 ELSE 0 END)::BIGINT AS t_points
+              FROM s)
+            SELECT n::BIGINT AS n, t_points,
+                   round(2.0 * (n - 2) / 3.0, 6) AS expect_t,
+                   round((16.0 * n - 29.0) / 90.0, 6) AS var_t,
+                   round((t_points - 2.0 * (n - 2) / 3.0)
+                         / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z
+            FROM a
+        """,
+        # twin of q_last_digit_values — same cents digit histogram
+        "last_digit_values": """
+            WITH base AS (
+              SELECT (round(value * 100)::BIGINT % 10 + 10) % 10
+                       AS d
+              FROM events WHERE value IS NOT NULL),
+            cnt AS (SELECT d, count(*)::DOUBLE AS c FROM base
+                    GROUP BY d),
+            a AS (
+              SELECT sum(c) AS n, sum(c * c) AS c2,
+                     max(CASE WHEN d = 0 THEN c END) AS c0,
+                     max(CASE WHEN d = 5 THEN c END) AS c5,
+                     max(c) AS cmax
+              FROM cnt)
+            SELECT n::BIGINT AS n,
+                   round(c2 / (n / 10.0) - n, 6) AS chi2,
+                   9 AS dof,
+                   round(coalesce(c0, 0) / n, 6) AS share_0,
+                   round(coalesce(c5, 0) / n, 6) AS share_5,
+                   round(cmax / n, 6) AS max_digit_share
+            FROM a
         """,
     }

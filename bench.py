@@ -443,6 +443,8 @@ R4_NAMES = [
     # wave 89: Krippendorff alpha, Dalenius strata, median bias
     "krippendorff_langs", "dalenius_len_strata",
     "median_rollup_bias",
+    # wave 90: Cochran's Q, turning points, last digits
+    "cochran_q_rules", "turning_points_daily", "last_digit_values",
 ]
 
 

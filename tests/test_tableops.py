@@ -5944,3 +5944,101 @@ class TestMedianRollupBias:
         out = tc.median_rollup_bias(df, "v", by="g").collect()[0]
         # rollup averages the tiny group's 10000 median equally
         assert out["max_abs_gap"] > 1000
+
+
+class TestCochranQ:
+    def test_textbook_small_case(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # 4 items x 3 treatments, hand-computable
+        data = {1: (1, 1, 0), 2: (1, 0, 0), 3: (1, 1, 1),
+                4: (1, 1, 0)}
+        rows = [(i, f"t{j}", bool(v))
+                for i, vs in data.items() for j, v in enumerate(vs)]
+        df = spark.createDataFrame(rows, "i long, t string, x boolean")
+        out = tc.cochran_q(df, item_col="i", treat_col="t",
+                           flag_col="x").collect()[0]
+        # G = (4, 3, 1), L = (2, 1, 3, 2): Q = k(k-1)(sum G^2 -
+        # Gsum^2/k)/(k*sumL - sumL^2) = 3*2*(26-64/3)/(24-18)
+        q = 6 * (26 - 64 / 3) / 6.0
+        assert out["q_stat"] == round(q, 6)
+        assert out["k_treat"] == 3 and out["dof"] == 2
+        assert out["n_items"] == 4 and out["n_dropped"] == 0
+
+    def test_incomplete_item_dropped(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(1, "a", True), (1, "b", False),
+                (2, "a", True)]                # item 2 misses b
+        df = spark.createDataFrame(rows, "i long, t string, x boolean")
+        out = tc.cochran_q(df, item_col="i", treat_col="t",
+                           flag_col="x").collect()[0]
+        assert out["n_items"] == 1 and out["n_dropped"] == 1
+
+    def test_balanced_passes_zero_q(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # each item passes exactly one distinct treatment -> all
+        # G_j equal -> Q = 0 with a positive denominator
+        rows = [(i, t, t == "abc"[i % 3])
+                for i in range(9) for t in ("a", "b", "c")]
+        df = spark.createDataFrame(rows, "i long, t string, x boolean")
+        out = tc.cochran_q(df, item_col="i", treat_col="t",
+                           flag_col="x").collect()[0]
+        assert out["q_stat"] == 0.0
+
+    def test_no_within_item_variation_null(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # all-pass / all-fail items: denominator 0, Q undefined
+        rows = [(i, t, i % 2 == 0) for i in range(10)
+                for t in ("a", "b", "c")]
+        df = spark.createDataFrame(rows, "i long, t string, x boolean")
+        out = tc.cochran_q(df, item_col="i", treat_col="t",
+                           flag_col="x").collect()[0]
+        assert out["q_stat"] is None
+
+
+class TestTurningPoints:
+    def test_alternating_series_max_points(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i % 2)) for i in range(20)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.turning_points(df, "x", "t").collect()[0]
+        assert out["t_points"] == 18           # every interior point
+        assert out["z"] > 3
+
+    def test_monotone_series_zero_points(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.turning_points(df, "x", "t").collect()[0]
+        assert out["t_points"] == 0
+        assert out["z"] < -3
+
+    def test_ties_produce_no_points(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, 5.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        out = tc.turning_points(df, "x", "t").collect()[0]
+        assert out["t_points"] == 0
+
+
+class TestLastDigitUniformity:
+    def test_rounded_data_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v),) for v in range(1, 501)]  # all .00 cents
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.last_digit_uniformity(df, "v").collect()[0]
+        assert out["share_0"] == 1.0
+        assert out["chi2"] == 4500.0           # 500*9
+        assert out["max_digit_share"] == 1.0
+
+    def test_uniform_digits_low_chi2(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [((v % 1000) / 100.0 + 0.001 * 0,)
+                for v in range(5000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.last_digit_uniformity(df, "v").collect()[0]
+        assert out["chi2"] < 30
+        assert abs(out["share_0"] - 0.1) < 0.02

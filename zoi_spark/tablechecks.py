@@ -7958,3 +7958,137 @@ def median_rollup_bias(df: DataFrame, value_col: str, *, by: str,
         F.round("mom", round_to).alias("mean_of_medians"),
         F.round("mmed", round_to).alias("median_of_medians"),
         F.round(gap, round_to).alias("max_abs_gap"))
+
+
+def cochran_q(df: DataFrame, *, item_col: str, treat_col: str,
+              flag_col, round_to: int = 6) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) - the k-treatment extension
+    of :func:`mcnemar` and the binary sibling of
+    :func:`friedman_test`: each item (url, doc) carries a PASS/FAIL
+    under every treatment (validator version, ruleset, crawler),
+    and Q asks whether the pass rates differ beyond chance GIVEN
+    the per-item pairing:
+
+        Q = k(k-1) * sum_j (G_j - G_bar)^2
+            / (k * sum_i L_i - sum_i L_i^2)    ~  chi2(k-1)
+
+    with G_j = passes under treatment j, L_i = passes of item i
+    across treatments. Items missing any treatment are DROPPED and
+    counted (complete-block design, as in friedman_test). Two
+    aggregations over the (item, treatment) grid. Returns one row
+    ``(n_items, n_dropped, k_treat, q_stat, dof)``.
+    """
+    flag = (flag_col if isinstance(flag_col, Column)
+            else F.col(flag_col))
+    base = (df.select(F.col(item_col).alias("i"),
+                      F.col(treat_col).alias("t"),
+                      flag.cast("double").alias("x"))
+            .where(F.col("i").isNotNull() & F.col("t").isNotNull()
+                   & F.col("x").isNotNull()))
+    k = base.agg(F.countDistinct("t").cast("double").alias("k"))
+    per_i = base.groupBy("i").agg(
+        F.countDistinct("t").alias("kt"),
+        F.sum("x").alias("li"))
+    complete = per_i.crossJoin(F.broadcast(k)) \
+                    .where(F.col("kt") == F.col("k"))
+    dropped = per_i.crossJoin(F.broadcast(k)) \
+                   .where(F.col("kt") != F.col("k")) \
+                   .agg(F.count(F.lit(1)).alias("n_dropped"))
+    rows = base.join(complete.select("i"), "i")
+    per_t = rows.groupBy("t").agg(F.sum("x").alias("gj"))
+    at = per_t.agg(F.count(F.lit(1)).cast("double").alias("k"),
+                   F.sum("gj").alias("gsum"),
+                   F.sum(F.col("gj") ** 2).alias("g2"))
+    ai = complete.agg(F.count(F.lit(1)).alias("n_items"),
+                      F.sum("li").alias("lsum"),
+                      F.sum(F.col("li") ** 2).alias("l2"))
+    j = (at.crossJoin(F.broadcast(ai))
+         .crossJoin(F.broadcast(dropped)))
+    kk = F.col("k")
+    num = kk * (kk - 1) * (F.col("g2")
+                           - F.col("gsum") ** 2 / kk)
+    den = kk * F.col("lsum") - F.col("l2")
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        kk.cast("long").alias("k_treat"),
+        F.round(F.try_divide(num, den), round_to).alias("q_stat"),
+        (kk - 1).cast("long").alias("dof"))
+
+
+def turning_points(df: DataFrame, value_col: str, order_col: str, *,
+                   round_to: int = 6) -> DataFrame:
+    """Turning-point test for serial randomness (Kendall): count
+    strict local extrema in the ordered series; under iid,
+
+        E[T] = 2(n-2)/3,   Var[T] = (16n - 29)/90,
+        z = (T - E)/sqrt(Var)
+
+    Too FEW turning points means trend/stickiness, too MANY means
+    alternation (over-correction, load-balancer ping-pong) - the
+    direction Ljung-Box's omnibus Q cannot give in one glance.
+    Tiny-series contract; ties produce no turning point (strict
+    inequalities). One lag/lead window over the series frame.
+    Returns one row ``(n, t_points, expect_t, var_t, z)``.
+    """
+    s = df.select(F.col(order_col).alias("t"),
+                  F.col(value_col).cast("double").alias("x")) \
+          .where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    w = Window.orderBy("t")
+    lagx = F.lag("x").over(w)
+    leadx = F.lead("x").over(w)
+    tp = ((lagx.isNotNull()) & (leadx.isNotNull())
+          & (((F.col("x") > lagx) & (F.col("x") > leadx))
+             | ((F.col("x") < lagx) & (F.col("x") < leadx))))
+    a = s.select(tp.cast("long").alias("tp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("tp").alias("t_points"))
+    n = F.col("n")
+    et = 2.0 * (n - 2) / 3.0
+    vt = (16.0 * n - 29.0) / 90.0
+    return a.select(
+        n.cast("long").alias("n"),
+        F.col("t_points").cast("long").alias("t_points"),
+        F.round(et, round_to).alias("expect_t"),
+        F.round(vt, round_to).alias("var_t"),
+        F.round(F.when(vt > 0, (F.col("t_points") - et)
+                       / F.sqrt(vt)), round_to).alias("z"))
+
+
+def last_digit_uniformity(df: DataFrame, value_col: str, *,
+                          scale: int = 100,
+                          round_to: int = 6) -> DataFrame:
+    """Last-digit uniformity audit - the fabrication/rounding
+    detector that complements the FIRST-digit Benford row: genuine
+    fine-grained measurements have a UNIFORM final digit (at the
+    *scale* precision, e.g. cents at scale=100), while fabricated or
+    silently rounded data piles onto 0 and 5. Reports the digit
+    histogram's chi2 against uniform (dof 9) plus the round-number
+    shares. One aggregation. Returns one row ``(n, chi2, dof,
+    share_0, share_5, max_digit_share)``.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.pmod(F.round(v * int(scale)).cast("long"), 10)
+    base = df.where(v.isNotNull()) \
+             .select(digit.alias("d"))
+    cnt = base.groupBy("d").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    a = cnt.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") ** 2).alias("c2"),
+        F.max(F.when(F.col("d") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("d") == 5, F.col("c"))).alias("c5"),
+        F.max("c").alias("cmax"))
+    n = F.col("n")
+    # chi2 vs uniform over 10 digits: sum((c-n/10)^2/(n/10))
+    chi2 = F.col("c2") / (n / 10.0) - n
+    return a.select(
+        n.cast("long").alias("n"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.lit(9).alias("dof"),
+        F.round(F.coalesce(F.col("c0"), F.lit(0.0)) / n, round_to)
+         .alias("share_0"),
+        F.round(F.coalesce(F.col("c5"), F.lit(0.0)) / n, round_to)
+         .alias("share_5"),
+        F.round(F.col("cmax") / n, round_to)
+         .alias("max_digit_share"))
