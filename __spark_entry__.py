@@ -7756,6 +7756,43 @@ def q_last_digit_values(spark, sf_dir):
     return tablechecks.last_digit_uniformity(e, "value", scale=100)
 
 
+def q_stump_split_len(spark, sf_dir):
+    """Gini decision-stump split (tablechecks.stump_split) for
+    gating lang='en' on doc length — the CART-objective counterpart
+    of the Youden row; same distinct-score suffix sweep, ties to
+    the lowest threshold."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    return tablechecks.stump_split(
+        d, score_col="n_chars", label_col=F.col("lang") == "en")
+
+
+def q_context_truncation(spark, sf_dir):
+    """Context-length truncation planner (tablechecks.
+    context_truncation_loss) over whitespace token counts at
+    L ∈ {64, 128, 256, 512} — the token-loss share the doc-share
+    number understates on heavy tails."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    return (tablechecks.context_truncation_loss(
+        d, toks, lengths=(64, 128, 256, 512))
+        .orderBy("context_len"))
+
+
+def q_deming_len_tokens(spark, sf_dir):
+    """Deming errors-in-both regression (tablechecks.deming_fit,
+    λ=1): n_chars vs 5×whitespace-tokens — two noisy measurements of
+    document size; the attenuation column is how much naive OLS
+    understates the relation."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+    s = d.select(F.col("n_chars").cast("double").alias("x"),
+                 (F.size(F.split(F.col("text"), r"\s+")) * 5.0)
+                 .alias("y"))
+    return tablechecks.deming_fit(s, "x", "y", lam=1.0)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8316,6 +8353,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cochran_q_rules": q_cochran_q_rules,
         "turning_points_daily": q_turning_points_daily,
         "last_digit_values": q_last_digit_values,
+        # wave 91: Gini stump, truncation planner, Deming fit
+        "stump_split_len": q_stump_split_len,
+        "context_truncation": q_context_truncation,
+        "deming_len_tokens": q_deming_len_tokens,
     }
 
 
@@ -20275,5 +20316,99 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(c5, 0) / n, 6) AS share_5,
                    round(cmax / n, 6) AS max_digit_share
             FROM a
+        """,
+        # twin of q_stump_split_len — same suffix sweep, same
+        # lowest-threshold tie-break
+        "stump_split_len": """
+            WITH b AS (
+              SELECT n_chars::DOUBLE AS s, (lang = 'en')::INT AS y
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            per_s AS (SELECT s, sum(y)::DOUBLE AS p,
+                             sum(1 - y)::DOUBLE AS q
+                      FROM b GROUP BY s),
+            tot AS (SELECT sum(p) AS pp, sum(q) AS qq FROM per_s),
+            sw AS (
+              SELECT s,
+                     sum(p) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING) AS rp,
+                     sum(q) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING) AS rq
+              FROM per_s),
+            scored AS (
+              SELECT s, rp, rq, t.pp, t.qq,
+                     t.pp + t.qq AS n, rp + rq AS nr,
+                     t.pp + t.qq - rp - rq AS nl,
+                     t.pp - rp AS lp, t.qq - rq AS lq
+              FROM sw, tot t),
+            g AS (
+              SELECT s, nl, nr,
+                     1.0 - pow(pp/n, 2) - pow(qq/n, 2) AS gp,
+                     (nl/n) * (CASE WHEN nl > 0 THEN
+                        1.0 - pow(lp/nl, 2) - pow(lq/nl, 2)
+                        ELSE 0 END)
+                     + (nr/n) * (CASE WHEN nr > 0 THEN
+                        1.0 - pow(rp/nr, 2) - pow(rq/nr, 2)
+                        ELSE 0 END) AS gs
+              FROM scored WHERE nl > 0 AND nr > 0),
+            best AS (
+              SELECT *, gp - gs AS gain FROM g
+              ORDER BY gain DESC, s ASC LIMIT 1)
+            SELECT round(s, 6) AS threshold,
+                   nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+                   round(gp, 6) AS gini_parent,
+                   round(gs, 6) AS gini_split,
+                   round(gain, 6) AS gain
+            FROM best
+        """,
+        # twin of q_context_truncation — same conditional sums
+        "context_truncation": """
+            WITH b AS (
+              SELECT length(regexp_split_to_array(text, '\\s+'))
+                       ::DOUBLE AS t
+              FROM documents WHERE text IS NOT NULL),
+            a AS (
+              SELECT count(*)::BIGINT AS n, sum(t) AS tt,
+                     """ + ", ".join(
+            f"""sum(CASE WHEN t > {ln} THEN 1 ELSE 0 END)::BIGINT
+                       AS o{ln},
+                     sum(greatest(t - {ln}, 0)) AS l{ln}"""
+            for ln in (64, 128, 256, 512)) + """
+              FROM b)
+            SELECT * FROM (""" + " UNION ALL ".join(
+            f"""SELECT {ln} AS context_len, n AS n_docs,
+                   o{ln} AS docs_over,
+                   round(o{ln} / n::DOUBLE, 6) AS docs_over_share,
+                   tt::BIGINT AS tokens_total,
+                   l{ln}::BIGINT AS tokens_lost,
+                   round(l{ln} / tt, 6) AS token_loss_share
+                FROM a"""
+            for ln in (64, 128, 256, 512)) + """
+            ) ORDER BY context_len
+        """,
+        # twin of q_deming_len_tokens — same closed form
+        "deming_len_tokens": """
+            WITH s AS (
+              SELECT n_chars::DOUBLE AS x,
+                     length(regexp_split_to_array(text, '\\s+'))
+                       * 5.0 AS y
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+            a AS (
+              SELECT count(*)::DOUBLE AS n, avg(x) AS mx,
+                     avg(y) AS my, covar_pop(x, y) AS sxy,
+                     var_pop(x) AS sxx, var_pop(y) AS syy
+              FROM s),
+            f AS (
+              SELECT n, mx, my, sxy, sxx, syy,
+                     CASE WHEN sxy <> 0 THEN
+                       (syy - sxx + sqrt(pow(syy - sxx, 2)
+                        + 4 * sxy * sxy)) / (2 * sxy) END AS b
+              FROM a)
+            SELECT n::BIGINT AS n, round(b, 6) AS slope,
+                   round(my - b * mx, 6) AS intercept,
+                   round(sxy / sxx, 6) AS ols_slope,
+                   round((sxy / sxx) / b, 6) AS attenuation
+            FROM f
         """,
     }

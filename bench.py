@@ -445,6 +445,8 @@ R4_NAMES = [
     "median_rollup_bias",
     # wave 90: Cochran's Q, turning points, last digits
     "cochran_q_rules", "turning_points_daily", "last_digit_values",
+    # wave 91: Gini stump, truncation planner, Deming fit
+    "stump_split_len", "context_truncation", "deming_len_tokens",
 ]
 
 

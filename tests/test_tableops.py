@@ -6042,3 +6042,101 @@ class TestLastDigitUniformity:
         out = tc.last_digit_uniformity(df, "v").collect()[0]
         assert out["chi2"] < 30
         assert abs(out["share_0"] - 0.1) < 0.02
+
+
+class TestStumpSplit:
+    def test_separable_perfect_gain(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(float(s), s >= 10) for s in range(20)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        out = tc.stump_split(df, score_col="s",
+                             label_col=F.col("y")).collect()[0]
+        assert out["threshold"] == 10.0
+        assert out["gini_split"] == 0.0
+        assert out["gain"] == 0.5              # balanced parent
+
+    def test_gini_vs_youden_divergence(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # imbalanced classes: both defined, gain positive
+        rows = ([(float(s), True) for s in range(90, 100)]
+                + [(float(s), False) for s in range(90)])
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        out = tc.stump_split(df, score_col="s",
+                             label_col=F.col("y")).collect()[0]
+        assert out["threshold"] == 90.0
+        assert out["gain"] > 0.1
+
+    def test_no_signal_near_zero_gain(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(float(i % 10), (i // 10) % 2 == 0)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        out = tc.stump_split(df, score_col="s",
+                             label_col=F.col("y")).collect()[0]
+        assert out["gain"] < 0.01
+
+
+class TestContextTruncationLoss:
+    def test_exact_loss_accounting(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(100.0,), (600.0,), (1500.0,)]
+        df = spark.createDataFrame(rows, "t double")
+        out = {r["context_len"]: r for r in
+               tc.context_truncation_loss(
+                   df, F.col("t"), lengths=(512, 1024)).collect()}
+        assert out[512]["docs_over"] == 2
+        assert out[512]["tokens_lost"] == (600 - 512) + (1500 - 512)
+        assert out[1024]["docs_over"] == 1
+        assert out[1024]["tokens_lost"] == 476
+        assert out[512]["tokens_total"] == 2200
+        assert out[512]["token_loss_share"] == round(1076 / 2200, 6)
+
+    def test_token_share_exceeds_doc_share_on_tail(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(10.0,)] * 98 + [(100000.0,)] * 2
+        df = spark.createDataFrame(rows, "t double")
+        out = tc.context_truncation_loss(
+            df, F.col("t"), lengths=(512,)).collect()[0]
+        assert out["docs_over_share"] == 0.02
+        assert out["token_loss_share"] > 0.9
+
+
+class TestDemingFit:
+    def test_noise_free_recovers_line(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(x), 2.0 * x + 3.0) for x in range(1, 101)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.deming_fit(df, "x", "y").collect()[0]
+        assert out["slope"] == 2.0
+        assert out["intercept"] == 3.0
+        assert out["attenuation"] == 1.0
+
+    def test_noise_in_x_ols_attenuates_deming_does_not(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(61)
+        rows = []
+        for _ in range(3000):
+            t = rng.gauss(0, 5)
+            rows.append((t + rng.gauss(0, 2), t + rng.gauss(0, 2)))
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.deming_fit(df, "x", "y", lam=1.0).collect()[0]
+        # true slope 1; OLS attenuated by 25/(25+4)
+        assert abs(out["slope"] - 1.0) < 0.08
+        assert out["ols_slope"] < 0.93
+        assert out["attenuation"] < 0.95
+
+    def test_symmetry_in_x_y(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(x), float((x * 13) % 37)) for x in range(50)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        swapped = spark.createDataFrame(
+            [(y, x) for x, y in rows], "x double, y double")
+        a = tc.deming_fit(df, "x", "y").collect()[0]["slope"]
+        b = tc.deming_fit(swapped, "x", "y").collect()[0]["slope"]
+        assert abs(a * b - 1.0) < 1e-4         # inverse slopes

@@ -8092,3 +8092,146 @@ def last_digit_uniformity(df: DataFrame, value_col: str, *,
          .alias("share_5"),
         F.round(F.col("cmax") / n, round_to)
          .alias("max_digit_share"))
+
+
+def stump_split(df: DataFrame, *, score_col: str, label_col,
+                round_to: int = 6) -> DataFrame:
+    """Best decision-stump threshold by Gini impurity decrease (the
+    CART split criterion, Breiman et al. 1984): sweep every distinct
+    score level t, split at score >= t, and maximize
+
+        gain = gini(parent) - w_L*gini(L) - w_R*gini(R)
+
+    The Gini-optimal cut is NOT the Youden-optimal one
+    (:func:`youden_threshold` weighs classes equally; Gini weighs by
+    mass), which is exactly why a gate tuned on one criterion
+    surprises on the other - this row shows both worlds. Same scale
+    shape as roc_auc: distinct-score aggregation, suffix-cumulative
+    counts via a window over THAT table, 1-row argmax (ties break
+    to the LOWEST threshold). Returns ``(threshold, n_left,
+    n_right, gini_parent, gini_split, gain)``.
+    """
+    lbl = (label_col if isinstance(label_col, Column)
+           else F.col(label_col))
+    per_s = (df.where(F.col(score_col).isNotNull() & lbl.isNotNull())
+             .select(F.col(score_col).cast("double").alias("s"),
+                     lbl.cast("int").alias("y"))
+             .groupBy("s")
+             .agg(F.sum("y").cast("double").alias("p"),
+                  F.sum(1 - F.col("y")).cast("double").alias("q")))
+    tot = per_s.agg(F.sum("p").alias("pp"), F.sum("q").alias("qq"))
+    w_sfx = (Window.orderBy("s")
+             .rowsBetween(Window.currentRow,
+                          Window.unboundedFollowing))
+    sw = (per_s.select("s", F.sum("p").over(w_sfx).alias("rp"),
+                       F.sum("q").over(w_sfx).alias("rq"))
+          .crossJoin(F.broadcast(tot)))
+    n = F.col("pp") + F.col("qq")
+    nr = F.col("rp") + F.col("rq")
+    nl = n - nr
+    lp = F.col("pp") - F.col("rp")
+    lq = F.col("qq") - F.col("rq")
+    gini = lambda a, b, m: F.when(
+        m > 0, 1.0 - (a / m) ** 2 - (b / m) ** 2).otherwise(0.0)
+    g_parent = gini(F.col("pp"), F.col("qq"), n)
+    g_split = (nl / n) * gini(lp, lq, nl) + (nr / n) \
+        * gini(F.col("rp"), F.col("rq"), nr)
+    gain = g_parent - g_split
+    best = (sw.where((nl > 0) & (nr > 0))
+            .select(F.struct(
+                gain.alias("gain"), (-F.col("s")).alias("ns"),
+                F.col("s").alias("s"), nl.alias("nl"),
+                nr.alias("nr"), g_parent.alias("gp"),
+                g_split.alias("gs")).alias("r"))
+            .agg(F.max("r").alias("r")))
+    return best.select(
+        F.round(F.col("r.s"), round_to).alias("threshold"),
+        F.col("r.nl").cast("long").alias("n_left"),
+        F.col("r.nr").cast("long").alias("n_right"),
+        F.round(F.col("r.gp"), round_to).alias("gini_parent"),
+        F.round(F.col("r.gs"), round_to).alias("gini_split"),
+        F.round(F.col("r.gain"), round_to).alias("gain"))
+
+
+def context_truncation_loss(df: DataFrame, token_count_col, *,
+                            lengths: Sequence[int] = (512, 1024,
+                                                      2048, 4096),
+                            round_to: int = 6) -> DataFrame:
+    """Context-length truncation planner for LM training: for each
+    candidate context length L, the share of DOCS that overflow and
+    - the number that actually matters - the share of TOKENS lost to
+    the cutoff (sum of max(0, t - L) over total tokens). Doc-share
+    understates the damage by orders of magnitude on heavy-tailed
+    corpora: 2% of docs can carry 30% of the tokens. One aggregation
+    with one conditional sum per L. Returns per-L rows
+    ``(context_len, n_docs, docs_over, docs_over_share,
+    tokens_total, tokens_lost, token_loss_share)``.
+    """
+    tc = (token_count_col if isinstance(token_count_col, Column)
+          else F.col(token_count_col))
+    base = df.select(tc.cast("double").alias("t")) \
+             .where(F.col("t").isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("t").alias("tt")]
+    for ln in lengths:
+        aggs += [
+            F.sum((F.col("t") > ln).cast("long")).alias(f"o{ln}"),
+            F.sum(F.greatest(F.col("t") - ln, F.lit(0.0)))
+             .alias(f"l{ln}")]
+    a = base.agg(*aggs)
+    outs = []
+    for ln in lengths:
+        outs.append(a.select(
+            F.lit(int(ln)).alias("context_len"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.col(f"o{ln}").cast("long").alias("docs_over"),
+            F.round(F.col(f"o{ln}") / F.col("n"), round_to)
+             .alias("docs_over_share"),
+            F.col("tt").cast("long").alias("tokens_total"),
+            F.col(f"l{ln}").cast("long").alias("tokens_lost"),
+            F.round(F.col(f"l{ln}") / F.col("tt"), round_to)
+             .alias("token_loss_share")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def deming_fit(df: DataFrame, x_col: str, y_col: str, *,
+               lam: float = 1.0, round_to: int = 6) -> DataFrame:
+    """Deming regression (Deming 1943) - the line when BOTH
+    variables carry measurement error (error-variance ratio *lam* =
+    var_ey/var_ex): comparing two token counters, two extraction
+    pipelines, two replica measurements, OLS is simply wrong (its
+    slope attenuates toward 0 by the noise in x); Deming's closed
+    form is symmetric:
+
+        b = (Syy - lam*Sxx + sqrt((Syy - lam*Sxx)^2
+             + 4*lam*Sxy^2)) / (2*Sxy)
+
+    ONE aggregation of the five sufficient statistics. Returns one
+    row ``(n, slope, intercept, ols_slope, attenuation)`` -
+    attenuation = ols/deming, how much naive OLS understates.
+    """
+    s = df.select(F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y")) \
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    a = s.agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.avg("x").alias("mx"), F.avg("y").alias("my"),
+              F.covar_pop("x", "y").alias("sxy"),
+              F.var_pop("x").alias("sxx"),
+              F.var_pop("y").alias("syy"))
+    lm = float(lam)
+    diff = F.col("syy") - lm * F.col("sxx")
+    b = F.when(F.col("sxy") != 0,
+               (diff + F.sqrt(diff ** 2
+                              + 4 * lm * F.col("sxy") ** 2))
+               / (2 * F.col("sxy")))
+    ols = F.try_divide(F.col("sxy"), F.col("sxx"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b, round_to).alias("slope"),
+        F.round(F.col("my") - b * F.col("mx"), round_to)
+         .alias("intercept"),
+        F.round(ols, round_to).alias("ols_slope"),
+        F.round(F.try_divide(ols, b), round_to)
+         .alias("attenuation"))
