@@ -7793,6 +7793,40 @@ def q_deming_len_tokens(spark, sf_dir):
     return tablechecks.deming_fit(s, "x", "y", lam=1.0)
 
 
+def q_effect_size_langs(spark, sf_dir):
+    """Pairwise Hedges-g effect sizes (tablechecks.
+    effect_size_pairs) of doc length across langs — the practical-
+    significance companion to the Tukey row; G×G join on the tiny
+    group-moment frame."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    return (tablechecks.effect_size_pairs(d, "n_chars", by="lang")
+            .orderBy("group_a", "group_b"))
+
+
+def q_mahalanobis_len_tokens(spark, sf_dir):
+    """Bivariate Mahalanobis audit (tablechecks.mahalanobis_2d) on
+    (n_chars, token count): correlation-aware outliers the
+    univariate z-score rows cannot see; χ²(2) 95% threshold."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+    s = d.select(F.col("n_chars").cast("double").alias("x"),
+                 F.size(F.split(F.col("text"), r"\s+"))
+                 .cast("double").alias("y"))
+    return tablechecks.mahalanobis_2d(s, "x", "y")
+
+
+def q_design_effect_users(spark, sf_dir):
+    """Survey design effect (tablechecks.design_effect): event
+    values clustered by user — ICC via ANOVA components, DEFF and
+    the iid-equivalent effective n; the design-stage sibling of the
+    cluster-robust-SE row."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    return tablechecks.design_effect(e, "value",
+                                     cluster_col="user_id")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8357,6 +8391,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stump_split_len": q_stump_split_len,
         "context_truncation": q_context_truncation,
         "deming_len_tokens": q_deming_len_tokens,
+        # wave 92: effect sizes, Mahalanobis, design effect
+        "effect_size_langs": q_effect_size_langs,
+        "mahalanobis_len_tokens": q_mahalanobis_len_tokens,
+        "design_effect_users": q_design_effect_users,
     }
 
 
@@ -20410,5 +20448,96 @@ def oracle_sql() -> dict[str, str]:
                    round(sxy / sxx, 6) AS ols_slope,
                    round((sxy / sxx) / b, 6) AS attenuation
             FROM f
+        """,
+        # twin of q_effect_size_langs — same pooled-SD pairs
+        "effect_size_langs": """
+            WITH per AS (
+              SELECT lang AS g, count(*)::DOUBLE AS n,
+                     avg(n_chars) AS m, var_samp(n_chars) AS s2
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY lang),
+            j AS (
+              SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+                     b.m - a.m AS md,
+                     sqrt(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
+                          / (a.n + b.n - 2)) AS sd
+              FROM per a JOIN per b ON a.g < b.g)
+            SELECT ga AS group_a, gb AS group_b,
+                   na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   round(md, 6) AS mean_diff,
+                   round(sd, 6) AS pooled_sd,
+                   round(md / sd, 6) AS cohens_d,
+                   round(md / sd
+                         * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)),
+                         6) AS hedges_g
+            FROM j ORDER BY group_a, group_b
+        """,
+        # twin of q_mahalanobis_len_tokens — same closed-form
+        # 2x2 inverse
+        "mahalanobis_len_tokens": """
+            WITH s AS (
+              SELECT n_chars::DOUBLE AS x,
+                     length(regexp_split_to_array(text, '\\s+'))
+                       ::DOUBLE AS y
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+            m AS (
+              SELECT avg(x) AS mx, avg(y) AS my,
+                     var_samp(x) AS vx, var_samp(y) AS vy,
+                     covar_samp(x, y) AS cxy
+              FROM s),
+            scored AS (
+              SELECT (m.vy * pow(s.x - m.mx, 2)
+                      - 2 * m.cxy * (s.x - m.mx) * (s.y - m.my)
+                      + m.vx * pow(s.y - m.my, 2))
+                     / (m.vx * m.vy - m.cxy * m.cxy) AS d2,
+                     m.cxy / sqrt(m.vx * m.vy) AS r
+              FROM s, m)
+            SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN d2 > 5.991 THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_flagged,
+                   round(avg(CASE WHEN d2 > 5.991 THEN 1.0
+                             ELSE 0.0 END), 6) AS flag_share,
+                   round(max(d2), 6) AS max_d2,
+                   round(any_value(r), 6) AS corr_xy
+            FROM scored
+        """,
+        # twin of q_design_effect_users — same ANOVA components
+        "design_effect_users": """
+            WITH base AS (
+              SELECT user_id AS g, value AS v FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            gmean AS (SELECT avg(v) AS gm FROM base),
+            per AS (
+              SELECT g, count(*)::DOUBLE AS m, avg(v) AS mg,
+                     sum(pow(v - gmean.gm, 2)) AS tss,
+                     any_value(gmean.gm) AS gm
+              FROM base, gmean GROUP BY g),
+            a AS (
+              SELECT sum(m) AS n, count(*)::DOUBLE AS gg,
+                     sum(m * m) AS m2,
+                     sum(m * pow(mg - gm, 2)) AS ssb,
+                     sum(tss) AS sst
+              FROM per),
+            f AS (
+              SELECT n, gg, m2, ssb, sst - ssb AS ssw,
+                     ssb / (gg - 1) AS msb,
+                     (sst - ssb) / (n - gg) AS msw,
+                     (n - m2 / n) / (gg - 1) AS m0
+              FROM a),
+            icc AS (
+              SELECT n, gg,
+                     (msb - msw) / (msb + (m0 - 1) * msw) AS rho
+              FROM f)
+            SELECT n::BIGINT AS n, gg::BIGINT AS n_clusters,
+                   round(n / gg, 6) AS avg_cluster,
+                   round(rho, 6) AS icc,
+                   round(1.0 + (n / gg - 1) * greatest(rho, 0.0),
+                         6) AS deff,
+                   round(n / (1.0 + (n / gg - 1)
+                              * greatest(rho, 0.0)), 6)
+                     AS n_effective
+            FROM icc
         """,
     }

@@ -447,6 +447,9 @@ R4_NAMES = [
     "cochran_q_rules", "turning_points_daily", "last_digit_values",
     # wave 91: Gini stump, truncation planner, Deming fit
     "stump_split_len", "context_truncation", "deming_len_tokens",
+    # wave 92: effect sizes, Mahalanobis, design effect
+    "effect_size_langs", "mahalanobis_len_tokens",
+    "design_effect_users",
 ]
 
 

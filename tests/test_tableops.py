@@ -6140,3 +6140,81 @@ class TestDemingFit:
         a = tc.deming_fit(df, "x", "y").collect()[0]["slope"]
         b = tc.deming_fit(swapped, "x", "y").collect()[0]["slope"]
         assert abs(a * b - 1.0) < 1e-4         # inverse slopes
+
+
+class TestEffectSizePairs:
+    def test_known_d(self, spark):
+        from zoi_spark import tablechecks as tc
+        import statistics
+        a = [float(v) for v in range(1, 11)]
+        b = [float(v) + 3.0 for v in range(1, 11)]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.effect_size_pairs(df, "v", by="g").collect()[0]
+        sd = statistics.stdev(a)               # equal variances
+        d = 3.0 / sd
+        assert out["mean_diff"] == 3.0
+        assert out["cohens_d"] == round(d, 6)
+        assert out["hedges_g"] == round(d * (1 - 3 / (4 * 20 - 9)), 6)
+
+    def test_pair_count(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(g, float(i)) for g in "abcd" for i in range(5)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.effect_size_pairs(df, "v", by="g").collect()
+        assert len(out) == 6                   # C(4,2)
+
+
+class TestMahalanobis2d:
+    def test_correlation_aware_flagging(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(71)
+        rows = []
+        for _ in range(1000):
+            t = rng.gauss(0, 10)
+            rows.append((t, t + rng.gauss(0, 1)))
+        # marginally normal but jointly absurd point
+        rows.append((10.0, -10.0))
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.mahalanobis_2d(df, "x", "y").collect()[0]
+        assert out["n_flagged"] >= 1
+        assert out["corr_xy"] > 0.9
+        assert out["max_d2"] > 50
+
+    def test_uncorrelated_reduces_to_z2(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(x), float(y)) for x in range(-5, 6)
+                for y in range(-5, 6)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.mahalanobis_2d(df, "x", "y").collect()[0]
+        assert abs(out["corr_xy"]) < 1e-9
+        # grid extremes: d2 = x^2/vx + y^2/vy = 2*25/10 = 5 < 5.991
+        assert out["n_flagged"] == 0
+
+
+class TestDesignEffect:
+    def test_strong_clustering_inflates_deff(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(81)
+        rows = []
+        for g in range(40):
+            center = rng.gauss(0, 10)          # big between-cluster
+            for _ in range(25):
+                rows.append((g, center + rng.gauss(0, 0.5)))
+        df = spark.createDataFrame(rows, "g long, v double")
+        out = tc.design_effect(df, "v", cluster_col="g").collect()[0]
+        assert out["icc"] > 0.9
+        assert out["deff"] > 15
+        assert out["n_effective"] < 100
+
+    def test_no_clustering_deff_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(82)
+        rows = [(i % 40, rng.gauss(0, 1)) for i in range(1000)]
+        df = spark.createDataFrame(rows, "g long, v double")
+        out = tc.design_effect(df, "v", cluster_col="g").collect()[0]
+        assert out["deff"] < 2
+        assert out["n_effective"] > 500

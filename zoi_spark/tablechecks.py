@@ -8235,3 +8235,132 @@ def deming_fit(df: DataFrame, x_col: str, y_col: str, *,
         F.round(ols, round_to).alias("ols_slope"),
         F.round(F.try_divide(ols, b), round_to)
          .alias("attenuation"))
+
+
+def effect_size_pairs(df: DataFrame, value_col: str, *, by: str,
+                      round_to: int = 6) -> DataFrame:
+    """Pairwise standardized effect sizes between all groups:
+    Cohen's d on the pooled SD plus Hedges' small-sample correction
+    g = d*(1 - 3/(4(n1+n2)-9)) - the PRACTICAL-significance
+    companion to the Tukey/Games-Howell p-value rows: with web-scale
+    n everything is "significant", and d says whether anyone should
+    care (0.2 small / 0.5 medium / 0.8 large). One per-group moment
+    aggregation, then a G x G self-join on the tiny group frame
+    (a < b ordering, each unordered pair once). Returns
+    ``(group_a, group_b, n_a, n_b, mean_diff, pooled_sd, cohens_d,
+    hedges_g)``.
+    """
+    per = (df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v"))
+           .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+           .groupBy("g")
+           .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.avg("v").alias("m"),
+                F.var_samp("v").alias("s2")))
+    a, b = per.alias("a"), per.alias("b")
+    j = a.join(b, F.col("a.g") < F.col("b.g"))
+    na, nb = F.col("a.n"), F.col("b.n")
+    pooled = F.sqrt(((na - 1) * F.col("a.s2")
+                     + (nb - 1) * F.col("b.s2")) / (na + nb - 2))
+    d = F.try_divide(F.col("b.m") - F.col("a.m"), pooled)
+    g = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+    return j.select(
+        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"),
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(F.col("b.m") - F.col("a.m"), round_to)
+         .alias("mean_diff"),
+        F.round(pooled, round_to).alias("pooled_sd"),
+        F.round(d, round_to).alias("cohens_d"),
+        F.round(g, round_to).alias("hedges_g"))
+
+
+def mahalanobis_2d(df: DataFrame, x_col: str, y_col: str, *,
+                   threshold: float = 5.991,
+                   round_to: int = 6) -> DataFrame:
+    """Bivariate Mahalanobis outlier audit on (x, y): squared
+    distance d2 = z' S^-1 z with the 2x2 covariance inverted in
+    closed form - the CORRELATION-AWARE outlier test the univariate
+    z-score/MAD rows cannot be: a doc whose length and token count
+    are each unremarkable but mutually inconsistent (len 50, tokens
+    4000) only lights up here. d2 ~ chi2(2) under normality;
+    threshold defaults to its 95% quantile (5.991). Two chained
+    aggregations (moments, then the scored pass). Returns one
+    summary row ``(n, n_flagged, flag_share, max_d2, corr_xy)``.
+    """
+    s = df.select(F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y")) \
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    m = s.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"),
+              F.var_samp("x").alias("vx"),
+              F.var_samp("y").alias("vy"),
+              F.covar_samp("x", "y").alias("cxy"))
+    j = s.crossJoin(F.broadcast(m))
+    det = F.col("vx") * F.col("vy") - F.col("cxy") ** 2
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (F.col("vy") * dx ** 2 - 2 * F.col("cxy") * dx * dy
+          + F.col("vx") * dy ** 2) / det
+    scored = j.select(d2.alias("d2"),
+                      F.try_divide(
+                          F.col("cxy"),
+                          F.sqrt(F.col("vx") * F.col("vy")))
+                      .alias("r"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("d2") > float(threshold)).cast("long"))
+         .alias("n_flagged"),
+        F.round(F.avg((F.col("d2") > float(threshold))
+                      .cast("double")), round_to)
+         .alias("flag_share"),
+        F.round(F.max("d2"), round_to).alias("max_d2"),
+        F.round(F.first("r"), round_to).alias("corr_xy"))
+
+
+def design_effect(df: DataFrame, value_col: str, *,
+                  cluster_col: str,
+                  round_to: int = 6) -> DataFrame:
+    """Survey design effect for cluster sampling (Kish 1965): the
+    one-way ANOVA variance components give the intraclass
+    correlation rho, and
+
+        DEFF = 1 + (m_bar - 1) * rho,    n_eff = n / DEFF
+
+    - how many iid-equivalent observations a clustered sample is
+    really worth (crawl batches by host, events by user). The
+    DESIGN-stage sibling of :func:`cluster_robust_slope` (which
+    fixes the ANALYSIS stage). rho uses the standard ANOVA
+    estimator with m0 = (n - sum(m_g^2)/n)/(G-1) for unequal
+    clusters. Two aggregations. Returns ``(n, n_clusters,
+    avg_cluster, icc, deff, n_effective)``.
+    """
+    base = df.select(F.col(cluster_col).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    glob = base.agg(F.avg("v").alias("gm"))
+    per = (base.crossJoin(F.broadcast(glob))
+           .groupBy("g")
+           .agg(F.count(F.lit(1)).cast("double").alias("m"),
+                F.avg("v").alias("mg"),
+                F.sum((F.col("v") - F.col("gm")) ** 2).alias("tss"),
+                F.first("gm").alias("gm")))
+    a = per.agg(
+        F.sum("m").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("gg"),
+        F.sum(F.col("m") ** 2).alias("m2"),
+        F.sum(F.col("m") * (F.col("mg") - F.col("gm")) ** 2)
+         .alias("ssb"),
+        F.sum("tss").alias("sst"))
+    n, gg = F.col("n"), F.col("gg")
+    ssw = F.col("sst") - F.col("ssb")
+    msb = F.col("ssb") / (gg - 1)
+    msw = ssw / (n - gg)
+    m0 = (n - F.col("m2") / n) / (gg - 1)
+    icc = F.try_divide(msb - msw, msb + (m0 - 1) * msw)
+    mbar = n / gg
+    deff = 1.0 + (mbar - 1) * F.greatest(icc, F.lit(0.0))
+    return a.select(
+        n.cast("long").alias("n"), gg.cast("long").alias("n_clusters"),
+        F.round(mbar, round_to).alias("avg_cluster"),
+        F.round(icc, round_to).alias("icc"),
+        F.round(deff, round_to).alias("deff"),
+        F.round(n / deff, round_to).alias("n_effective"))
