@@ -7827,6 +7827,42 @@ def q_design_effect_users(spark, sf_dir):
                                      cluster_col="user_id")
 
 
+def q_bidi_audit_sources(spark, sf_dir):
+    """Trojan-Source bidi census (text.bidi_audit) per source over
+    a seeded frame: every 21st doc gets a BALANCED RLO…PDF span,
+    every 35th a lone RLO — overrides/isolates counted and
+    unbalanced embeddings (the attack tell) reported separately."""
+    d = _read(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(F.pmod("doc_id", F.lit(21)) == 0,
+               F.concat(F.col("text"), F.lit("‮evil‬")))
+         .when(F.pmod("doc_id", F.lit(35)) == 0,
+               F.concat(F.col("text"), F.lit("‮")))
+         .otherwise(F.col("text")))
+    return (text.bidi_audit(seeded, by="source").orderBy("group"))
+
+
+def q_gpd_value_tail(spark, sf_dir):
+    """Peaks-over-threshold GPD fit (tablechecks.gpd_tail_fit,
+    u = q95) on event values — every exceedance informs the tail,
+    not one per block; rl_10x is the once-per-10n level."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return tablechecks.gpd_tail_fit(e, "value", tail_q=0.95)
+
+
+def q_seasonal_mk_volume(spark, sf_dir):
+    """Seasonal Mann-Kendall (tablechecks.seasonal_mann_kendall)
+    on daily event volume — Mondays only compare with Mondays, so
+    the weekly rhythm cannot masquerade as trend; tie-corrected,
+    continuity-corrected."""
+    e = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    return tablechecks.seasonal_mann_kendall(daily, "cnt", "d")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8395,6 +8431,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "effect_size_langs": q_effect_size_langs,
         "mahalanobis_len_tokens": q_mahalanobis_len_tokens,
         "design_effect_users": q_design_effect_users,
+        # wave 93: bidi audit, GPD tail fit, seasonal Mann-Kendall
+        "bidi_audit_sources": q_bidi_audit_sources,
+        "gpd_value_tail": q_gpd_value_tail,
+        "seasonal_mk_volume": q_seasonal_mk_volume,
     }
 
 
@@ -20539,5 +20579,102 @@ def oracle_sql() -> dict[str, str]:
                               * greatest(rho, 0.0)), 6)
                      AS n_effective
             FROM icc
+        """,
+        # twin of q_bidi_audit_sources — same seeded spans; chr()
+        # builds the controls so no invisible literals in SQL
+        "bidi_audit_sources": """
+            WITH seeded AS (
+              SELECT source,
+                     CASE WHEN doc_id % 21 = 0
+                          THEN text || chr(8238) || 'evil'
+                               || chr(8236)
+                          WHEN doc_id % 35 = 0
+                          THEN text || chr(8238)
+                          ELSE text END AS text
+              FROM documents),
+            base AS (
+              SELECT source AS "group",
+                     len(regexp_extract_all(text,
+                       '[' || chr(8234) || '-' || chr(8238) || ']'))
+                       AS ov,
+                     len(regexp_extract_all(text,
+                       '[' || chr(8294) || '-' || chr(8297) || ']'))
+                       AS iso,
+                     len(regexp_extract_all(text,
+                       '[' || chr(8234) || chr(8235) || chr(8237)
+                       || chr(8238) || ']'))
+                       <> len(regexp_extract_all(text, chr(8236)))
+                     OR len(regexp_extract_all(text,
+                       '[' || chr(8294) || chr(8295) || chr(8296)
+                       || ']'))
+                       <> len(regexp_extract_all(text, chr(8297)))
+                       AS ub
+              FROM seeded
+              WHERE text IS NOT NULL AND source IS NOT NULL)
+            SELECT "group", count(*)::BIGINT AS n_docs,
+                   sum(ov)::BIGINT AS n_overrides,
+                   sum(iso)::BIGINT AS n_isolates,
+                   sum(CASE WHEN ov + iso > 0 THEN 1 ELSE 0 END)
+                     ::BIGINT AS docs_affected,
+                   sum(ub::INT)::BIGINT AS unbalanced_docs
+            FROM base GROUP BY 1 ORDER BY 1
+        """,
+        # twin of q_gpd_value_tail — same MOM closed form
+        "gpd_value_tail": """
+            WITH base AS (SELECT value AS v FROM events
+                          WHERE value IS NOT NULL),
+            th AS (SELECT quantile_cont(v, 0.95) AS u,
+                          count(*)::BIGINT AS n FROM base),
+            exc AS (SELECT b.v - th.u AS e, th.u, th.n
+                    FROM base b, th WHERE b.v > th.u),
+            a AS (
+              SELECT count(*)::DOUBLE AS ne, avg(e) AS m,
+                     var_samp(e) AS s2, any_value(u) AS u,
+                     any_value(n) AS n
+              FROM exc),
+            f AS (
+              SELECT n, ne, u, m,
+                     0.5 * (1.0 - m*m/s2) AS xi,
+                     0.5 * m * (1.0 + m*m/s2) AS sigma
+              FROM a)
+            SELECT n, ne::BIGINT AS n_exceed,
+                   round(u, 6) AS threshold,
+                   round(m, 6) AS mean_excess,
+                   round(xi, 6) AS xi, round(sigma, 6) AS sigma,
+                   round(CASE WHEN abs(xi) > 1e-9 THEN
+                     u + sigma/xi * (pow(10.0*ne, xi) - 1)
+                     ELSE u + sigma * ln(10.0*ne) END, 6) AS rl_10x
+            FROM f
+        """,
+        # twin of q_seasonal_mk_volume — same per-season pairs
+        "seasonal_mk_volume": """
+            WITH daily AS (
+              SELECT ts::DATE AS d, count(*)::DOUBLE AS v
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            s AS (SELECT (dayofweek(d) + 1) AS w, d, v FROM daily),
+            st AS (
+              SELECT sum(sign(b.v - a.v)) AS s
+              FROM s a JOIN s b ON a.w = b.w AND a.d < b.d),
+            per AS (SELECT w, count(*)::DOUBLE AS n FROM s
+                    GROUP BY w),
+            ties AS (
+              SELECT w, sum(t * (t - 1) * (2*t + 5)) AS tc
+              FROM (SELECT w, v, count(*)::DOUBLE AS t FROM s
+                    GROUP BY w, v)
+              GROUP BY w),
+            var AS (
+              SELECT sum(per.n * (per.n - 1) * (2*per.n + 5) / 18.0
+                         - ties.tc / 18.0) AS var,
+                     count(*)::BIGINT AS n_seasons,
+                     sum(per.n)::BIGINT AS n_obs
+              FROM per JOIN ties USING (w))
+            SELECT var.n_seasons, var.n_obs,
+                   round(st.s, 6) AS s_total,
+                   round(var.var, 6) AS var_total,
+                   round(CASE WHEN var.var > 0 THEN
+                     CASE WHEN st.s <> 0 THEN
+                       (st.s - sign(st.s)) / sqrt(var.var)
+                     ELSE 0.0 END END, 6) AS z
+            FROM var, st
         """,
     }

@@ -450,6 +450,8 @@ R4_NAMES = [
     # wave 92: effect sizes, Mahalanobis, design effect
     "effect_size_langs", "mahalanobis_len_tokens",
     "design_effect_users",
+    # wave 93: bidi audit, GPD tail fit, seasonal Mann-Kendall
+    "bidi_audit_sources", "gpd_value_tail", "seasonal_mk_volume",
 ]
 
 

@@ -1103,3 +1103,31 @@ class TestHyphenationArtifacts:
             rows, "doc_id long, text string, source string, n_chars long")
         out = tx.hyphenation_artifacts(df, by="source").collect()[0]
         assert out["docs_affected"] == 0
+
+
+class TestBidiAudit:
+    def test_balanced_and_unbalanced(self, spark):
+        from zoi_spark import text as tx
+        rlo, pdf = "‮", "‬"
+        rli, pdi = "⁧", "⁩"
+        rows = [(1, f"ok {rlo}x{pdf} done", "a"),     # balanced
+                (2, f"bad {rlo}half", "a"),           # unbalanced
+                (3, f"iso {rli}x{pdi}", "b"),         # balanced iso
+                (4, "clean prose", "b")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = {r["group"]: r for r in
+               tx.bidi_audit(df, by="source").collect()}
+        assert out["a"]["n_overrides"] == 3     # 2x RLO + 1x PDF
+        assert out["a"]["docs_affected"] == 2
+        assert out["a"]["unbalanced_docs"] == 1
+        assert out["b"]["n_isolates"] == 2
+        assert out["b"]["unbalanced_docs"] == 0
+
+    def test_clean_corpus_silent(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "nothing suspicious here", "a")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = tx.bidi_audit(df, by="source").collect()[0]
+        assert out["n_overrides"] == 0 and out["unbalanced_docs"] == 0

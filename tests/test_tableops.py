@@ -6218,3 +6218,73 @@ class TestDesignEffect:
         out = tc.design_effect(df, "v", cluster_col="g").collect()[0]
         assert out["deff"] < 2
         assert out["n_effective"] > 500
+
+
+class TestGpdTailFit:
+    def test_exponential_tail_xi_near_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(91)
+        rows = [(rng.expovariate(1.0),) for _ in range(20000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.gpd_tail_fit(df, "v", tail_q=0.9).collect()[0]
+        # exponential excesses are GPD with xi = 0
+        assert abs(out["xi"]) < 0.08
+        assert abs(out["mean_excess"] - 1.0) < 0.1
+        assert out["rl_10x"] > out["threshold"]
+
+    def test_heavy_tail_positive_xi(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(92)
+        # Pareto(alpha=2): xi = 0.5
+        rows = [((1 - rng.random()) ** (-1 / 2.0),)
+                for _ in range(20000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.gpd_tail_fit(df, "v", tail_q=0.9).collect()[0]
+        assert out["xi"] > 0.2
+
+    def test_exceed_count(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v),) for v in range(1, 101)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.gpd_tail_fit(df, "v", tail_q=0.95).collect()[0]
+        assert out["n_exceed"] == 5            # 96..100 > 95.05
+
+
+class TestSeasonalMannKendall:
+    def test_weekly_rhythm_alone_no_trend(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        d0 = datetime.date(2024, 1, 1)
+        wk = [100.0, 10.0, 12.0, 11.0, 13.0, 12.0, 80.0]
+        rows = [(d0 + datetime.timedelta(days=i), wk[i % 7])
+                for i in range(56)]
+        df = spark.createDataFrame(rows, "d date, v double")
+        out = tc.seasonal_mann_kendall(df, "v", "d").collect()[0]
+        assert out["s_total"] == 0.0           # constant per season
+        assert out["z"] is None                # all-tied: var 0
+
+    def test_alternating_jitter_no_trend(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        d0 = datetime.date(2024, 1, 1)
+        wk = [100.0, 10.0, 12.0, 11.0, 13.0, 12.0, 80.0]
+        rows = [(d0 + datetime.timedelta(days=i),
+                 wk[i % 7] + (0.5 if (i // 7) % 2 else -0.5))
+                for i in range(56)]
+        df = spark.createDataFrame(rows, "d date, v double")
+        out = tc.seasonal_mann_kendall(df, "v", "d").collect()[0]
+        assert abs(out["z"]) < 1.96            # not significant
+
+    def test_true_trend_detected(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        d0 = datetime.date(2024, 1, 1)
+        wk = [100.0, 10.0, 12.0, 11.0, 13.0, 12.0, 80.0]
+        rows = [(d0 + datetime.timedelta(days=i),
+                 wk[i % 7] + 2.0 * i) for i in range(56)]
+        df = spark.createDataFrame(rows, "d date, v double")
+        out = tc.seasonal_mann_kendall(df, "v", "d").collect()[0]
+        assert out["z"] > 3
+        assert out["n_seasons"] == 7 and out["n_obs"] == 56

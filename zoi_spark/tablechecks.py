@@ -8364,3 +8364,106 @@ def design_effect(df: DataFrame, value_col: str, *,
         F.round(icc, round_to).alias("icc"),
         F.round(deff, round_to).alias("deff"),
         F.round(n / deff, round_to).alias("n_effective"))
+
+
+def gpd_tail_fit(df: DataFrame, value_col: str, *,
+                 tail_q: float = 0.95,
+                 round_to: int = 6) -> DataFrame:
+    """Peaks-over-threshold GPD fit by method of moments: excesses
+    over the tail_q quantile follow (asymptotically) a generalized
+    Pareto with
+
+        xi    = 0.5 * (1 - m^2/s^2)          (shape; >0 heavy tail)
+        sigma = 0.5 * m * (1 + m^2/s^2)      (scale)
+
+    from the excess mean/variance - the OTHER pillar of extreme-
+    value theory next to :func:`gumbel_maxima` (block maxima): POT
+    uses every exceedance instead of one per block, so it sees far
+    more of the tail. The reported return level is the value
+    expected to be exceeded once per 10n observations (10x rarer
+    than anything in-sample):
+
+        x_RL = u + sigma/xi * ((10 * n_exc)^xi - 1)    (xi != 0)
+
+    Two chained aggregations (quantile, then excess moments).
+    Returns one row ``(n, n_exceed, threshold, mean_excess, xi,
+    sigma, rl_10x)``; xi = 0.5 means infinite variance - mean-based
+    gates are fiction there.
+    """
+    tq = float(tail_q)
+    base = df.select(F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("v").isNotNull())
+    th = base.agg(F.expr(f"percentile(v, {tq})").alias("u"),
+                  F.count(F.lit(1)).alias("n"))
+    exc = (base.crossJoin(F.broadcast(th))
+           .where(F.col("v") > F.col("u"))
+           .select((F.col("v") - F.col("u")).alias("e"),
+                   "u", "n"))
+    a = exc.agg(F.count(F.lit(1)).cast("double").alias("ne"),
+                F.avg("e").alias("m"), F.var_samp("e").alias("s2"),
+                F.first("u").alias("u"), F.first("n").alias("n"))
+    ratio = F.col("m") ** 2 / F.col("s2")
+    xi = 0.5 * (1.0 - ratio)
+    sigma = 0.5 * F.col("m") * (1.0 + ratio)
+    rl = F.when(
+        F.abs(xi) > 1e-9,
+        F.col("u") + sigma / xi
+        * (F.pow(10.0 * F.col("ne"), xi) - 1)) \
+        .otherwise(F.col("u") + sigma * F.log(10.0 * F.col("ne")))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ne").cast("long").alias("n_exceed"),
+        F.round("u", round_to).alias("threshold"),
+        F.round("m", round_to).alias("mean_excess"),
+        F.round(xi, round_to).alias("xi"),
+        F.round(sigma, round_to).alias("sigma"),
+        F.round(rl, round_to).alias("rl_10x"))
+
+
+def seasonal_mann_kendall(df: DataFrame, value_col: str,
+                          date_col: str, *,
+                          round_to: int = 6) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984):
+    the plain MK statistic computed WITHIN each season (day-of-week
+    here) and summed - a weekly rhythm no longer masquerades as
+    trend, because Mondays are only ever compared with Mondays:
+
+        S = sum_seasons S_i,  Var = sum Var_i (tie-corrected),
+        Z = (S - sign(S)) / sqrt(Var)        (continuity-corrected)
+
+    Tiny-series contract: pair enumeration is a per-season
+    self-join over the per-day frame (days/7 rows per season).
+    Returns one row ``(n_seasons, n_obs, s_total, var_total, z)``.
+    """
+    s = df.select(F.col(date_col).cast("date").alias("d"),
+                  F.col(value_col).cast("double").alias("v")) \
+          .where(F.col("d").isNotNull() & F.col("v").isNotNull()) \
+          .select(F.dayofweek("d").alias("w"), "d", "v")
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.d") < F.col("b.d")))
+    s_tot = pairs.agg(
+        F.sum(F.signum(F.col("b.v") - F.col("a.v"))).alias("s"))
+    per_season = s.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    ties = (s.groupBy("w", "v")
+            .agg(F.count(F.lit(1)).cast("double").alias("t"))
+            .groupBy("w")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tc")))
+    var = (per_season.join(ties, "w")
+           .agg(F.sum(F.col("n") * (F.col("n") - 1)
+                      * (2 * F.col("n") + 5) / 18.0
+                      - F.col("tc") / 18.0).alias("var"),
+                F.count(F.lit(1)).alias("n_seasons"),
+                F.sum("n").alias("n_obs")))
+    j = var.crossJoin(F.broadcast(s_tot))
+    z = F.when(F.col("s") != 0,
+               (F.col("s") - F.signum(F.col("s")))
+               / F.sqrt(F.col("var"))).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n_seasons").cast("long").alias("n_seasons"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("s", round_to).alias("s_total"),
+        F.round("var", round_to).alias("var_total"),
+        F.round(F.when(F.col("var") > 0, z), round_to).alias("z"))

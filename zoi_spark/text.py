@@ -3805,3 +3805,45 @@ def hyphenation_artifacts(df: DataFrame, *, text_col: str = "text",
         F.round(F.try_divide(
             (F.sum("b") + F.sum("d") + F.sum("s")) * 1000.0,
             F.sum("cc")), round_to).alias("artifacts_per_kchar"))
+
+
+BIDI_OVERRIDES = "[\u202a-\u202e]"     # LRE RLE PDF LRO RLO
+BIDI_ISOLATES = "[\u2066-\u2069]"      # LRI RLI FSI PDI
+
+
+def bidi_audit(df: DataFrame, *, text_col: str = "text",
+               by: str = "source",
+               round_to: int = 6) -> DataFrame:
+    """Bidirectional-control census - the Trojan Source vector
+    (Boucher & Anderson 2021, CVE-2021-42574): RLO/LRE/... overrides
+    and LRI/RLI/FSI isolates reorder what a HUMAN sees without
+    changing what a parser reads, so a "benign" rendered string can
+    carry a different logical payload. Any of these inside scraped
+    prose is at best extraction garbage and at worst adversarial;
+    UNBALANCED embeddings (an opener with no matching PDF/PDI) are
+    the strongest tell and are counted separately. Extends the
+    control-character census, which treats these as generic
+    invisibles.
+
+    Pure projection + one aggregation. Returns per-group rows
+    ``(group, n_docs, n_overrides, n_isolates, docs_affected,
+    unbalanced_docs)``.
+    """
+    t = F.col(text_col)
+    n_ov = F.regexp_count(t, F.lit(BIDI_OVERRIDES))
+    n_iso = F.regexp_count(t, F.lit(BIDI_ISOLATES))
+    opens_e = F.regexp_count(t, F.lit("[\u202a\u202b\u202d\u202e]"))
+    closes_e = F.regexp_count(t, F.lit("\u202c"))
+    opens_i = F.regexp_count(t, F.lit("[\u2066\u2067\u2068]"))
+    closes_i = F.regexp_count(t, F.lit("\u2069"))
+    unbal = (opens_e != closes_e) | (opens_i != closes_i)
+    base = df.where(t.isNotNull() & F.col(by).isNotNull()) \
+             .select(F.col(by).alias("group"), n_ov.alias("ov"),
+                     n_iso.alias("iso"), unbal.alias("ub"))
+    hit = (F.col("ov") + F.col("iso")) > 0
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ov").cast("long").alias("n_overrides"),
+        F.sum("iso").cast("long").alias("n_isolates"),
+        F.sum(hit.cast("long")).alias("docs_affected"),
+        F.sum(F.col("ub").cast("long")).alias("unbalanced_docs"))
