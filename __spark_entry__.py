@@ -7863,6 +7863,40 @@ def q_seasonal_mk_volume(spark, sf_dir):
     return tablechecks.seasonal_mann_kendall(daily, "cnt", "d")
 
 
+def q_qq_normal_values(spark, sf_dir):
+    """Q-Q-against-normal decile table (tablechecks.
+    qq_normal_table) for event values — WHERE normality fails, in
+    SD units; one fused moments+percentiles pass."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return (tablechecks.qq_normal_table(e, "value")
+            .orderBy("decile"))
+
+
+def q_ts_rounding_audit(spark, sf_dir):
+    """Timestamp digit-preference audit (tablechecks.
+    timestamp_rounding_audit) over a seeded frame: every 11th event
+    truncated to the whole minute — the cron/backfill fingerprint
+    as share-vs-uniform ratios plus the 60-bin second chi²."""
+    e = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    seeded = e.withColumn(
+        "ts", F.when(F.pmod("event_id", F.lit(11)) == 0,
+                     F.date_trunc("minute", F.col("ts")))
+               .otherwise(F.col("ts")))
+    return tablechecks.timestamp_rounding_audit(seeded, "ts")
+
+
+def q_aa_calibration_values(spark, sf_dir):
+    """A/A calibration harness (tablechecks.aa_calibration, 64
+    md5-bit splits): how often does a Welch z cross 1.96 on null
+    splits of event value — the is-my-testing-pipeline-overconfident
+    audit; one pass, no explode."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return tablechecks.aa_calibration(e, "value", id_col="event_id",
+                                      n_splits=64)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8435,6 +8469,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bidi_audit_sources": q_bidi_audit_sources,
         "gpd_value_tail": q_gpd_value_tail,
         "seasonal_mk_volume": q_seasonal_mk_volume,
+        # wave 94: QQ table, timestamp rounding, A/A calibration
+        "qq_normal_values": q_qq_normal_values,
+        "ts_rounding_audit": q_ts_rounding_audit,
+        "aa_calibration_values": q_aa_calibration_values,
     }
 
 
@@ -20676,5 +20714,98 @@ def oracle_sql() -> dict[str, str]:
                        (st.s - sign(st.s)) / sqrt(var.var)
                      ELSE 0.0 END END, 6) AS z
             FROM var, st
+        """,
+        # twin of q_qq_normal_values — same decile z constants
+        "qq_normal_values": """
+            WITH base AS (SELECT value AS v FROM events
+                          WHERE value IS NOT NULL),
+            a AS (
+              SELECT avg(v) AS mu, stddev(v) AS sd, """ + ", ".join(
+            f"quantile_cont(v, {k / 100.0}) AS q{k}"
+            for k in range(10, 100, 10)) + """
+              FROM base)
+            SELECT * FROM (""" + " UNION ALL ".join(
+            f"""SELECT {k} AS decile,
+                   round(q{k}, 6) AS empirical_q,
+                   round(mu + ({z}) * sd, 6) AS normal_q,
+                   round(q{k} - (mu + ({z}) * sd), 6) AS gap,
+                   round((q{k} - (mu + ({z}) * sd)) / sd, 6)
+                     AS gap_in_sd
+                FROM a"""
+            for k, z in ((10, -1.281552), (20, -0.841621),
+                         (30, -0.524401), (40, -0.253347),
+                         (50, 0.0), (60, 0.253347),
+                         (70, 0.524401), (80, 0.841621),
+                         (90, 1.281552))) + """
+            ) ORDER BY decile
+        """,
+        # twin of q_ts_rounding_audit — same seeded truncation
+        "ts_rounding_audit": """
+            WITH seeded AS (
+              SELECT CASE WHEN event_id % 11 = 0
+                          THEN date_trunc('minute', ts)
+                          ELSE ts END AS ts
+              FROM events WHERE ts IS NOT NULL),
+            base AS (
+              SELECT extract(second FROM ts)::INT AS s,
+                     extract(minute FROM ts)::INT AS m,
+                     (epoch_us(ts) % 1000000 = 0)::INT AS u0
+              FROM seeded),
+            per_s AS (SELECT s, count(*)::DOUBLE AS c FROM base
+                      GROUP BY s),
+            chi AS (SELECT sum(c) AS n, sum(c * c) AS c2
+                    FROM per_s),
+            a AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(CASE WHEN s = 0 THEN 1.0 ELSE 0.0 END)
+                       AS s0,
+                     avg(CASE WHEN m = 0 THEN 1.0 ELSE 0.0 END)
+                       AS m0,
+                     avg(u0) AS u0
+              FROM base)
+            SELECT a.n::BIGINT AS n,
+                   round(a.s0, 6) AS sec0_share,
+                   round(a.s0 * 60.0, 6) AS sec0_ratio,
+                   round(a.m0, 6) AS min0_share,
+                   round(a.m0 * 60.0, 6) AS min0_ratio,
+                   round(a.u0, 6) AS micro0_share,
+                   round(chi.c2 / (chi.n / 60.0) - chi.n, 6)
+                     AS subsec_uniform_chi2
+            FROM a, chi
+        """,
+        # twin of q_aa_calibration_values — same md5-bit splits,
+        # Welch z per split (oracle may explode; flags must match)
+        "aa_calibration_values": """
+            WITH base AS (
+              SELECT value AS v, md5(event_id::VARCHAR) AS h
+              FROM events WHERE value IS NOT NULL),
+            perms AS (
+              SELECT v, p.b,
+                     ((('0x' || substr(h, (p.b // 4) + 1, 1))
+                       ::BIGINT >> (p.b % 4)) & 1) = 0 AS f
+              FROM base CROSS JOIN
+                   (SELECT unnest(generate_series(0, 63)) AS b) p),
+            per_b AS (
+              SELECT b,
+                     avg(v) FILTER (f) AS m1,
+                     avg(v) FILTER (NOT f) AS m2,
+                     var_samp(v) FILTER (f) AS v1,
+                     var_samp(v) FILTER (NOT f) AS v2,
+                     count(*) FILTER (f)::DOUBLE AS c1,
+                     count(*) FILTER (NOT f)::DOUBLE AS c2
+              FROM perms GROUP BY b),
+            zs AS (
+              SELECT b, (m1 - m2) / sqrt(v1/c1 + v2/c2) AS z
+              FROM per_b),
+            agg AS (
+              SELECT sum(CASE WHEN abs(z) > 1.96 THEN 1
+                         ELSE 0 END)::BIGINT AS n_sig,
+                     max(abs(z)) AS max_abs_z
+              FROM zs),
+            nn AS (SELECT count(*)::BIGINT AS n FROM base)
+            SELECT nn.n, 64 AS n_splits, agg.n_sig,
+                   round(agg.n_sig / 64.0, 6) AS sig_share,
+                   round(agg.max_abs_z, 6) AS max_abs_z
+            FROM nn, agg
         """,
     }

@@ -452,6 +452,9 @@ R4_NAMES = [
     "design_effect_users",
     # wave 93: bidi audit, GPD tail fit, seasonal Mann-Kendall
     "bidi_audit_sources", "gpd_value_tail", "seasonal_mk_volume",
+    # wave 94: QQ table, timestamp rounding, A/A calibration
+    "qq_normal_values", "ts_rounding_audit",
+    "aa_calibration_values",
 ]
 
 

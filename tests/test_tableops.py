@@ -6288,3 +6288,92 @@ class TestSeasonalMannKendall:
         out = tc.seasonal_mann_kendall(df, "v", "d").collect()[0]
         assert out["z"] > 3
         assert out["n_seasons"] == 7 and out["n_obs"] == 56
+
+
+class TestQqNormalTable:
+    def test_normal_data_small_gaps(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(101)
+        rows = [(rng.gauss(50, 10),) for _ in range(20000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.qq_normal_table(df, "v").collect()
+        assert len(out) == 9
+        for r in out:
+            assert abs(r["gap_in_sd"]) < 0.05
+
+    def test_lognormal_right_tail_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random, math
+        rng = random.Random(102)
+        rows = [(math.exp(rng.gauss(0, 1)),) for _ in range(20000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = {r["decile"]: r for r in
+               tc.qq_normal_table(df, "v").collect()}
+        # heavy right tail: low deciles sit ABOVE the normal line
+        # (which dives negative), while the median and q90 fall
+        # BELOW the mean-anchored prediction — the classic S
+        assert out[10]["gap_in_sd"] > 0.3
+        assert out[50]["gap_in_sd"] < -0.1
+        assert out[90]["gap_in_sd"] < -0.2
+
+
+class TestTimestampRoundingAudit:
+    def test_injected_rounding_detected(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for i in range(600):
+            sec = 0 if i % 3 == 0 else (i % 59) + 1
+            rows.append((t0 + datetime.timedelta(minutes=i,
+                                                 seconds=sec),))
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = tc.timestamp_rounding_audit(df, "ts").collect()[0]
+        assert abs(out["sec0_share"] - 1 / 3) < 0.01
+        assert out["sec0_ratio"] > 15
+        assert out["subsec_uniform_chi2"] > 500
+
+    def test_uniform_seconds_low_ratio(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(t0 + datetime.timedelta(seconds=i * 61 + 7,
+                                         microseconds=123),)
+                for i in range(600)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = tc.timestamp_rounding_audit(df, "ts").collect()[0]
+        assert out["sec0_ratio"] < 2.5
+        assert out["micro0_share"] == 0.0
+
+
+class TestAaCalibration:
+    def test_iid_data_calibrated(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(111)
+        rows = [(i, rng.gauss(0, 1)) for i in range(4000)]
+        df = spark.createDataFrame(rows, "i long, v double")
+        out = tc.aa_calibration(df, "v", id_col="i",
+                                n_splits=64).collect()[0]
+        assert out["n_splits"] == 64
+        assert out["sig_share"] <= 0.15        # ~5% expected
+        assert out["max_abs_z"] < 4
+
+    def test_deterministic(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i % 17)) for i in range(1000)]
+        df = spark.createDataFrame(rows, "i long, v double")
+        a = tc.aa_calibration(df, "v", id_col="i",
+                              n_splits=32).collect()[0]
+        b = tc.aa_calibration(df.repartition(5), "v", id_col="i",
+                              n_splits=32).collect()[0]
+        assert a["n_sig"] == b["n_sig"]
+        assert a["max_abs_z"] == b["max_abs_z"]
+
+    def test_split_cap(self, spark):
+        import pytest
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(1, 1.0)], "i long, v double")
+        with pytest.raises(ValueError):
+            tc.aa_calibration(df, "v", id_col="i", n_splits=200)

@@ -8467,3 +8467,144 @@ def seasonal_mann_kendall(df: DataFrame, value_col: str,
         F.round("s", round_to).alias("s_total"),
         F.round("var", round_to).alias("var_total"),
         F.round(F.when(F.col("var") > 0, z), round_to).alias("z"))
+
+
+# Phi^-1 at the deciles, the only normal-theory constants the QQ
+# table needs (Abramowitz-Stegun values, 6 dp)
+_NORMAL_DECILE_Z = {10: -1.281552, 20: -0.841621, 30: -0.524401,
+                    40: -0.253347, 50: 0.0, 60: 0.253347,
+                    70: 0.524401, 80: 0.841621, 90: 1.281552}
+
+
+def qq_normal_table(df: DataFrame, value_col: str, *,
+                    round_to: int = 6) -> DataFrame:
+    """Q-Q-against-normal table at the deciles: the empirical
+    quantile next to the Gaussian prediction mu + sigma*z_p - WHERE
+    normality fails, not just that it does (a goodness-of-fit
+    scalar): right-tail points drifting above the line = heavy
+    upper tail (log the column); an S-shape = mixture. One fused
+    aggregation (moments + 9 exact percentiles). Returns 9 rows
+    ``(decile, empirical_q, normal_q, gap, gap_in_sd)``.
+    """
+    base = df.select(F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("v").isNotNull())
+    agg = base.agg(
+        F.avg("v").alias("mu"), F.stddev("v").alias("sd"),
+        *[F.expr(f"percentile(v, {k / 100.0})").alias(f"q{k}")
+          for k in _NORMAL_DECILE_Z])
+    outs = []
+    for k, z in _NORMAL_DECILE_Z.items():
+        nq = F.col("mu") + F.lit(z) * F.col("sd")
+        gap = F.col(f"q{k}") - nq
+        outs.append(agg.select(
+            F.lit(k).alias("decile"),
+            F.round(F.col(f"q{k}"), round_to).alias("empirical_q"),
+            F.round(nq, round_to).alias("normal_q"),
+            F.round(gap, round_to).alias("gap"),
+            F.round(F.try_divide(gap, F.col("sd")), round_to)
+             .alias("gap_in_sd")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def timestamp_rounding_audit(df: DataFrame, ts_col: str, *,
+                             round_to: int = 6) -> DataFrame:
+    """Timestamp digit-preference audit - the bot / batch-import
+    fingerprint: organic events land uniformly within the minute
+    and hour, while schedulers and backfills pile onto :00 seconds,
+    :00 minutes and whole microseconds. Reported as the observed
+    share vs the uniform expectation and their RATIO (a ratio of 5
+    on second==0 means five-fold digit preference; the on-the-hour
+    ratio is the cron tell). One aggregation. Returns one row
+    ``(n, sec0_share, sec0_ratio, min0_share, min0_ratio,
+    micro0_share, subsec_uniform_chi2)`` - the chi2 is over the 60
+    second-of-minute bins (dof 59).
+    """
+    ts = F.col(ts_col)
+    # NTZ-safe: unix_micros requires TIMESTAMP; the cast goes
+    # through the session zone and keeps the fractional second
+    base = df.where(ts.isNotNull()).select(
+        F.second(ts).alias("s"), F.minute(ts).alias("m"),
+        (F.unix_micros(ts.cast("timestamp")) % 1000000 == 0)
+        .cast("long").alias("u0"))
+    per_s = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    chi = per_s.agg(F.sum("c").alias("n"),
+                    F.sum(F.col("c") ** 2).alias("c2"))
+    a = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg((F.col("s") == 0).cast("double")).alias("s0"),
+        F.avg((F.col("m") == 0).cast("double")).alias("m0"),
+        F.avg("u0").alias("u0"))
+    j = a.crossJoin(F.broadcast(
+        chi.select((F.col("c2") / (F.col("n") / 60.0)
+                    - F.col("n")).alias("chi2"))))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("s0", round_to).alias("sec0_share"),
+        F.round(F.col("s0") * 60.0, round_to).alias("sec0_ratio"),
+        F.round("m0", round_to).alias("min0_share"),
+        F.round(F.col("m0") * 60.0, round_to).alias("min0_ratio"),
+        F.round("u0", round_to).alias("micro0_share"),
+        F.round("chi2", round_to).alias("subsec_uniform_chi2"))
+
+
+def aa_calibration(df: DataFrame, value_col: str, *, id_col: str,
+                   n_splits: int = 64,
+                   round_to: int = 6) -> DataFrame:
+    """A/A-test calibration harness: split the data *n_splits* <=
+    128 times by the BITS of one md5(id) per row (no RNG, no
+    explode - the :func:`permutation_test_mean` trick), run the
+    Welch z for a mean difference on every split, and report how
+    often "significance" fires. On iid data ~5% of A/A splits
+    should cross |z| > 1.96; materially more means the testing
+    pipeline's variance model is broken for this data (clustering -
+    see :func:`design_effect` - or heavy tails), and every real A/B
+    read-out built on it is overconfident. One aggregation pass (4
+    conditional moments per split), then a horizontal array fold.
+    Returns ``(n, n_splits, n_sig, sig_share, max_abs_z)``.
+    """
+    b = int(n_splits)
+    if b > 128:
+        raise ValueError("n_splits is capped at 128 (md5 bits)")
+    base = df.select(F.col(value_col).cast("double").alias("v"),
+                     F.md5(F.col(id_col).cast("string")).alias("h")) \
+             .where(F.col("v").isNotNull())
+
+    def bit(i: int):
+        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10) \
+               .cast("long")
+        return F.shiftright(nib, i % 4).bitwiseAND(F.lit(1)) == 0
+
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s_tot"),
+            F.sum(F.col("v") ** 2).alias("s2_tot")]
+    for i in range(b):
+        f = bit(i)
+        aggs += [F.sum(F.when(f, F.col("v"))).alias(f"s{i}"),
+                 F.sum(F.when(f, F.col("v") ** 2)).alias(f"q{i}"),
+                 F.sum(F.when(f, 1).otherwise(0)).cast("double")
+                  .alias(f"c{i}")]
+    a = base.agg(*aggs)
+    zs = []
+    for i in range(b):
+        c1 = F.col(f"c{i}")
+        c2 = F.col("n") - c1
+        m1 = F.col(f"s{i}") / c1
+        m2 = (F.col("s_tot") - F.col(f"s{i}")) / c2
+        v1 = (F.col(f"q{i}") - c1 * m1 ** 2) / (c1 - 1)
+        v2 = ((F.col("s2_tot") - F.col(f"q{i}")) - c2 * m2 ** 2) \
+            / (c2 - 1)
+        zs.append((m1 - m2) / F.sqrt(v1 / c1 + v2 / c2))
+    arr = F.array(*zs)
+    n_sig = F.size(F.filter(arr, lambda z: F.abs(z) > 1.96))
+    max_z = F.array_max(F.transform(arr, F.abs))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(b).alias("n_splits"),
+        n_sig.cast("long").alias("n_sig"),
+        F.round(n_sig / F.lit(float(b)), round_to)
+         .alias("sig_share"),
+        F.round(max_z, round_to).alias("max_abs_z"))
