@@ -8569,14 +8569,20 @@ def aa_calibration(df: DataFrame, value_col: str, *, id_col: str,
     b = int(n_splits)
     if b > 128:
         raise ValueError("n_splits is capped at 128 (md5 bits)")
-    base = df.select(F.col(value_col).cast("double").alias("v"),
-                     F.md5(F.col(id_col).cast("string")).alias("h")) \
-             .where(F.col("v").isNotNull())
+    n_nib = (b + 3) // 4
+    h = F.md5(F.col(id_col).cast("string"))
+    # parse each needed hex nibble ONCE in a projection; the 3*b
+    # aggregate expressions then read cheap integer columns instead
+    # of re-deriving conv(substring(md5)) per expression
+    base = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        *[F.conv(F.substring(h, i + 1, 1), 16, 10).cast("long")
+          .alias(f"nib{i}") for i in range(n_nib)]) \
+        .where(F.col("v").isNotNull())
 
     def bit(i: int):
-        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10) \
-               .cast("long")
-        return F.shiftright(nib, i % 4).bitwiseAND(F.lit(1)) == 0
+        return F.shiftright(F.col(f"nib{i // 4}"), i % 4) \
+                .bitwiseAND(F.lit(1)) == 0
 
     aggs = [F.count(F.lit(1)).alias("n"),
             F.sum("v").alias("s_tot"),
