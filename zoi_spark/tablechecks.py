@@ -7565,15 +7565,19 @@ def permutation_test_mean(df: DataFrame, value_col: str, *,
     b = int(n_perm)
     if b > 128:
         raise ValueError("n_perm is capped at 128 (md5 bit budget)")
-    base = df.select(F.col(value_col).cast("double").alias("v"),
-                     split.alias("s"),
-                     F.md5(F.col(id_col).cast("string")).alias("h")) \
-             .where(F.col("v").isNotNull() & F.col("s").isNotNull())
+    n_nib = (b + 3) // 4
+    h = F.md5(F.col(id_col).cast("string"))
+    # hex nibbles parsed ONCE in a projection (same trick as
+    # aa_calibration): the 2*b aggregates read integer columns
+    base = df.select(
+        F.col(value_col).cast("double").alias("v"), split.alias("s"),
+        *[F.conv(F.substring(h, i + 1, 1), 16, 10).cast("long")
+          .alias(f"nib{i}") for i in range(n_nib)]) \
+        .where(F.col("v").isNotNull() & F.col("s").isNotNull())
 
     def bit(i: int):
-        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10) \
-               .cast("long")
-        return F.shiftright(nib, i % 4).bitwiseAND(F.lit(1)) == 0
+        return F.shiftright(F.col(f"nib{i // 4}"), i % 4) \
+                .bitwiseAND(F.lit(1)) == 0
 
     aggs = [
         (F.avg(F.when(F.col("s"), F.col("v")))
