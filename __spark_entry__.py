@@ -7897,6 +7897,42 @@ def q_aa_calibration_values(spark, sf_dir):
                                       n_splits=64)
 
 
+def q_logrank_purchase_cohorts(spark, sf_dir):
+    """Two-group log-rank test (tablechecks.logrank_test) on the
+    km_purchase duration model: even vs odd user_id cohorts — do
+    they convert at the same rate, weighting every bucket by who is
+    still at risk; the censoring-aware verdict a raw conversion
+    share cannot give."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.logrank_test(
+        e, entity_col="user_id", ts_col="ts",
+        event_pred=F.col("event_type") == "purchase",
+        group_pred=F.pmod("user_id", F.lit(2)) == 0,
+        bucket_s=3600)
+
+
+def q_cem_weekend_balance(spark, sf_dir):
+    """CEM L1 imbalance (tablechecks.cem_imbalance): weekend vs
+    weekday events over (hour-of-day band × value quartile band)
+    strata — how confounded a naive weekend/weekday outcome
+    comparison would be."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    return tablechecks.cem_imbalance(
+        e, treat=F.dayofweek("ts").isin(1, 7),
+        strata=[F.floor(F.hour("ts") / 6),
+                F.least(F.floor(F.col("value") / 50), F.lit(4))])
+
+
+def q_jarque_bera_types(spark, sf_dir):
+    """Jarque-Bera normality verdict (tablechecks.jarque_bera) per
+    event type — which segments license normal-theory gates at all;
+    classical population moments, engine-neutral two-pass."""
+    e = _read(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return tablechecks.jarque_bera(e, "value", by="event_type")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8473,6 +8509,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "qq_normal_values": q_qq_normal_values,
         "ts_rounding_audit": q_ts_rounding_audit,
         "aa_calibration_values": q_aa_calibration_values,
+        # wave 95: log-rank test, CEM imbalance, Jarque-Bera
+        "logrank_purchase_cohorts": q_logrank_purchase_cohorts,
+        "cem_weekend_balance": q_cem_weekend_balance,
+        "jarque_bera_types": q_jarque_bera_types,
     }
 
 
@@ -20807,5 +20847,109 @@ def oracle_sql() -> dict[str, str]:
                    round(agg.n_sig / 64.0, 6) AS sig_share,
                    round(agg.max_abs_z, 6) AS max_abs_z
             FROM nn, agg
+        """,
+        # twin of q_logrank_purchase_cohorts — km duration model,
+        # O-E / V accumulation over event buckets
+        "logrank_purchase_cohorts": """
+            WITH per AS (
+              SELECT user_id, min(epoch(ts)) AS entry,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN epoch(ts) END) AS ev,
+                     max(epoch(ts)) AS lastts,
+                     max(CASE WHEN user_id % 2 = 0 THEN 1
+                         ELSE 0 END) AS g1
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id),
+            h AS (SELECT max(lastts) AS hz FROM per),
+            marks AS (
+              SELECT floor((CASE WHEN ev IS NOT NULL THEN ev - entry
+                            ELSE hz - entry END) / 3600)::BIGINT
+                       AS t,
+                     count(*)::DOUBLE AS all_,
+                     sum(g1)::DOUBLE AS all1,
+                     sum(CASE WHEN ev IS NOT NULL THEN 1
+                         ELSE 0 END)::DOUBLE AS d,
+                     sum(CASE WHEN ev IS NOT NULL THEN g1
+                         ELSE 0 END)::DOUBLE AS d1
+              FROM per, h GROUP BY 1),
+            curve AS (
+              SELECT t, d, d1,
+                     sum(all_) OVER ()
+                       - coalesce(sum(all_) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n,
+                     sum(all1) OVER ()
+                       - coalesce(sum(all1) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n1
+              FROM marks),
+            terms AS (
+              SELECT sum(d1 - d * n1 / n) AS oe,
+                     sum(d * (n1/n) * ((n - n1)/n) * (n - d)
+                         / (n - 1)) AS v
+              FROM curve WHERE d > 0 AND n > 1),
+            sides AS (
+              SELECT sum(g1)::BIGINT AS n1,
+                     sum(1 - g1)::BIGINT AS n2,
+                     sum(CASE WHEN ev IS NOT NULL AND g1 = 1
+                         THEN 1 ELSE 0 END)::BIGINT AS e1,
+                     sum(CASE WHEN ev IS NOT NULL AND g1 = 0
+                         THEN 1 ELSE 0 END)::BIGINT AS e2
+              FROM per)
+            SELECT s.n1, s.n2, s.e1 AS events1, s.e2 AS events2,
+                   round(t.oe, 6) AS o_minus_e,
+                   round(t.v, 6) AS var,
+                   round(CASE WHEN t.v > 0 THEN t.oe * t.oe / t.v
+                         END, 6) AS chi2
+            FROM sides s, terms t
+        """,
+        # twin of q_cem_weekend_balance — same strata grid
+        "cem_weekend_balance": """
+            WITH cells AS (
+              SELECT floor(extract(hour FROM ts) / 6) AS s0,
+                     least(floor(value / 50), 4) AS s1,
+                     sum((extract(dow FROM ts) IN (0, 6))::INT)
+                       ::DOUBLE AS nt,
+                     sum((extract(dow FROM ts) NOT IN (0, 6))::INT)
+                       ::DOUBLE AS nc
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2),
+            a AS (
+              SELECT sum(nt) AS tt, sum(nc) AS tc,
+                     count(*)::BIGINT AS n_strata,
+                     sum(CASE WHEN nt > 0 AND nc > 0 THEN 1
+                         ELSE 0 END)::BIGINT AS n_common
+              FROM cells)
+            SELECT a.tt::BIGINT AS n_treated,
+                   a.tc::BIGINT AS n_control,
+                   a.n_strata, a.n_common AS n_common_strata,
+                   round(0.5 * (SELECT sum(abs(c.nt / a.tt
+                                              - c.nc / a.tc))
+                                FROM cells c), 6) AS l1
+            FROM a
+        """,
+        # twin of q_jarque_bera_types — same two-pass central
+        # moments
+        "jarque_bera_types": """
+            WITH base AS (
+              SELECT event_type AS g, value AS v FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            means AS (SELECT g, avg(v) AS mu FROM base GROUP BY g),
+            dev AS (SELECT b.g, b.v - m.mu AS d
+                    FROM base b JOIN means m ON m.g = b.g),
+            a AS (
+              SELECT g, count(*)::DOUBLE AS n,
+                     avg(d*d) AS m2, avg(d*d*d) AS m3,
+                     avg(d*d*d*d) AS m4
+              FROM dev GROUP BY g)
+            SELECT g AS "group", n::BIGINT AS n,
+                   round(m3 / pow(m2, 1.5), 6) AS skewness,
+                   round(m4 / (m2*m2) - 3.0, 6) AS ex_kurtosis,
+                   round(n/6.0 * (pow(m3/pow(m2,1.5), 2)
+                         + pow(m4/(m2*m2) - 3.0, 2)/4.0), 6)
+                     AS jb_stat,
+                   2 AS dof
+            FROM a ORDER BY "group"
         """,
     }

@@ -455,6 +455,9 @@ R4_NAMES = [
     # wave 94: QQ table, timestamp rounding, A/A calibration
     "qq_normal_values", "ts_rounding_audit",
     "aa_calibration_values",
+    # wave 95: log-rank test, CEM imbalance, Jarque-Bera
+    "logrank_purchase_cohorts", "cem_weekend_balance",
+    "jarque_bera_types",
 ]
 
 

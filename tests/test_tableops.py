@@ -6377,3 +6377,118 @@ class TestAaCalibration:
         df = spark.createDataFrame([(1, 1.0)], "i long, v double")
         with pytest.raises(ValueError):
             tc.aa_calibration(df, "v", id_col="i", n_splits=200)
+
+
+class TestLogrankTest:
+    def test_identical_cohorts_null(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        # mirrored cohorts: identical conversion times
+        for u in range(20):
+            rows.append((u, t0, "view"))
+            rows.append((u, t0 + datetime.timedelta(
+                hours=(u // 2) % 10 + 1), "buy"))
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = tc.logrank_test(
+            df, entity_col="u", ts_col="ts",
+            event_pred=F.col("et") == "buy",
+            group_pred=F.pmod("u", F.lit(2)) == 0).collect()[0]
+        assert out["n1"] == 10 and out["n2"] == 10
+        assert abs(out["o_minus_e"]) < 1e-9
+        assert out["chi2"] == 0.0
+
+    def test_faster_cohort_flagged(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for u in range(40):
+            rows.append((u, t0, "view"))
+            # even users convert within 1-2h, odd at 20-30h
+            h = (u % 2) * 19 + (u % 3) + 1
+            rows.append((u, t0 + datetime.timedelta(hours=h), "buy"))
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = tc.logrank_test(
+            df, entity_col="u", ts_col="ts",
+            event_pred=F.col("et") == "buy",
+            group_pred=F.pmod("u", F.lit(2)) == 0).collect()[0]
+        assert out["chi2"] > 10
+
+    def test_censoring_counts(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(1, t0, "view"),
+                (1, t0 + datetime.timedelta(hours=2), "buy"),
+                (2, t0, "view"),
+                (2, t0 + datetime.timedelta(hours=5), "view")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = tc.logrank_test(
+            df, entity_col="u", ts_col="ts",
+            event_pred=F.col("et") == "buy",
+            group_pred=F.col("u") == 1).collect()[0]
+        assert out["events1"] == 1 and out["events2"] == 0
+
+
+class TestCemImbalance:
+    def test_identical_distributions_zero(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(t, float(v % 5)) for t in (True, False)
+                for v in range(100)]
+        df = spark.createDataFrame(rows, "tr boolean, v double")
+        out = tc.cem_imbalance(
+            df, treat=F.col("tr"),
+            strata=[F.col("v")]).collect()[0]
+        assert out["l1"] == 0.0
+        assert out["n_common_strata"] == out["n_strata"]
+
+    def test_disjoint_support_one(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = ([(True, float(v)) for v in range(5)] * 10
+                + [(False, float(v + 100)) for v in range(5)] * 10)
+        df = spark.createDataFrame(rows, "tr boolean, v double")
+        out = tc.cem_imbalance(
+            df, treat=F.col("tr"),
+            strata=[F.col("v")]).collect()[0]
+        assert out["l1"] == 1.0
+        assert out["n_common_strata"] == 0
+
+    def test_partial_overlap_between(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = ([(True, 0.0)] * 80 + [(True, 1.0)] * 20
+                + [(False, 0.0)] * 20 + [(False, 1.0)] * 80)
+        df = spark.createDataFrame(rows, "tr boolean, v double")
+        out = tc.cem_imbalance(
+            df, treat=F.col("tr"),
+            strata=[F.col("v")]).collect()[0]
+        assert out["l1"] == 0.6
+
+
+class TestJarqueBera:
+    def test_normal_small_jb(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(121)
+        rows = [("a", rng.gauss(0, 1)) for _ in range(5000)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.jarque_bera(df, "v", by="g").collect()[0]
+        assert out["jb_stat"] < 15
+        assert abs(out["skewness"]) < 0.15
+
+    def test_exponential_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(122)
+        rows = [("a", rng.expovariate(1.0)) for _ in range(5000)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.jarque_bera(df, "v", by="g").collect()[0]
+        assert out["skewness"] > 1.5           # theory: 2
+        assert out["jb_stat"] > 1000
