@@ -7933,6 +7933,37 @@ def q_jarque_bera_types(spark, sf_dir):
     return tablechecks.jarque_bera(e, "value", by="event_type")
 
 
+def q_file_layout_docs(spark, sf_dir):
+    """Parquet small-files audit (tablechecks.file_layout_audit)
+    over the documents scan — per-file row distribution, skew, and
+    the coalesce target for 1M-row files; rows attributed via
+    input_file_name()."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tablechecks.file_layout_audit(
+        d, target_rows_per_file=1_000_000)
+
+
+def q_session_gap_curve(spark, sf_dir):
+    """Session-gap sensitivity curve (tablechecks.
+    session_gap_curve) at 5m/30m/1h/4h thresholds — one lag pass
+    gives the whole curve; the knee justifies the sessionize
+    timeout instead of folklore."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.session_gap_curve(
+        e, entity_col="user_id", ts_col="ts",
+        gaps_s=(300, 1800, 3600, 14400)).orderBy("gap_s"))
+
+
+def q_qn_scale_lens(spark, sf_dir):
+    """Rousseeuw-Croux Qn scale (tablechecks.qn_scale) of doc
+    length next to the MAD and SD scales — the symmetry-free robust
+    dispersion; k-th pairwise distance off the distinct-value
+    weighted grid."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
+    return tablechecks.qn_scale(d, "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8513,6 +8544,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "logrank_purchase_cohorts": q_logrank_purchase_cohorts,
         "cem_weekend_balance": q_cem_weekend_balance,
         "jarque_bera_types": q_jarque_bera_types,
+        # wave 96: file layout, session-gap curve, Qn scale
+        "file_layout_docs": q_file_layout_docs,
+        "session_gap_curve": q_session_gap_curve,
+        "qn_scale_lens": q_qn_scale_lens,
     }
 
 
@@ -20951,5 +20986,89 @@ def oracle_sql() -> dict[str, str]:
                      AS jb_stat,
                    2 AS dof
             FROM a ORDER BY "group"
+        """,
+        # twin of q_file_layout_docs — the oracle sees only the
+        # registered VIEW, not filenames; the driver testdata is one
+        # parquet file per table at every SF, so the twin derives
+        # the same report from that known layout (the Spark side
+        # measures it for real via input_file_name)
+        "file_layout_docs": """
+            WITH a AS (SELECT count(*)::DOUBLE AS rt
+                       FROM documents)
+            SELECT 1::BIGINT AS n_files,
+                   rt::BIGINT AS rows_total,
+                   rt::BIGINT AS rows_min,
+                   round(rt, 6) AS rows_median,
+                   rt::BIGINT AS rows_max,
+                   1.0 AS skew_ratio,
+                   0::BIGINT AS small_files,
+                   greatest(ceil(rt / 1000000.0), 1)::BIGINT
+                     AS suggested_files
+            FROM a
+        """,
+        # twin of q_session_gap_curve — same lag pass
+        "session_gap_curve": """
+            WITH base AS (
+              SELECT user_id AS e, epoch(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            gapped AS (
+              SELECT e, t - lag(t) OVER (PARTITION BY e
+                       ORDER BY t) AS gap
+              FROM base),
+            a AS (
+              SELECT count(*)::DOUBLE AS n_events,
+                     count(DISTINCT e)::DOUBLE AS n_ent,
+                     """ + ", ".join(
+            f"""sum(CASE WHEN gap > {g} THEN 1 ELSE 0 END)
+                       ::DOUBLE AS brk{g}"""
+            for g in (300, 1800, 3600, 14400)) + """
+              FROM gapped)
+            SELECT * FROM (""" + " UNION ALL ".join(
+            f"""SELECT {g} AS gap_s,
+                   (n_ent + brk{g})::BIGINT AS n_sessions,
+                   round(n_events / (n_ent + brk{g}), 6)
+                     AS events_per_session,
+                   round((n_ent + brk{g}) / n_ent, 6)
+                     AS sessions_per_entity
+                FROM a"""
+            for g in (300, 1800, 3600, 14400)) + """
+            ) ORDER BY gap_s
+        """,
+        # twin of q_qn_scale_lens — same weighted pair grid
+        "qn_scale_lens": """
+            WITH base AS (SELECT n_chars::DOUBLE AS v
+                          FROM documents WHERE n_chars IS NOT NULL),
+            vc AS (SELECT v, count(*)::DOUBLE AS c FROM base
+                   GROUP BY v),
+            cross_ AS (
+              SELECT b.v - a.v AS d, a.c * b.c AS w
+              FROM vc a JOIN vc b ON a.v < b.v
+              UNION ALL
+              SELECT 0.0, c * (c - 1) / 2 FROM vc WHERE c > 1),
+            dists AS (SELECT d, sum(w) AS w FROM cross_ GROUP BY d),
+            n_agg AS (
+              SELECT count(*)::DOUBLE AS n, stddev(v) AS sd,
+                     quantile_cont(v, 0.5) AS med
+              FROM base),
+            mad AS (
+              SELECT quantile_cont(abs(b.v - n_agg.med), 0.5)
+                       AS mad
+              FROM base b, n_agg),
+            cum AS (
+              SELECT d, sum(w) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM dists),
+            k AS (
+              SELECT (floor(n/2) + 1) * floor(n/2) / 2 AS k, n, sd
+              FROM n_agg),
+            dk AS (
+              SELECT min(cum.d) AS d_k FROM cum, k
+              WHERE cum.cum >= k.k)
+            SELECT k.n::BIGINT AS n, k.k::BIGINT AS k,
+                   round(dk.d_k, 6) AS d_k,
+                   round(dk.d_k * 2.2219, 6) AS qn,
+                   round(mad.mad * 1.4826, 6) AS mad_scaled,
+                   round(k.sd, 6) AS stddev
+            FROM dk, k, mad
         """,
     }

@@ -458,6 +458,8 @@ R4_NAMES = [
     # wave 95: log-rank test, CEM imbalance, Jarque-Bera
     "logrank_purchase_cohorts", "cem_weekend_balance",
     "jarque_bera_types",
+    # wave 96: file layout, session-gap curve, Qn scale
+    "file_layout_docs", "session_gap_curve", "qn_scale_lens",
 ]
 
 

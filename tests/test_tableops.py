@@ -6492,3 +6492,101 @@ class TestJarqueBera:
         out = tc.jarque_bera(df, "v", by="g").collect()[0]
         assert out["skewness"] > 1.5           # theory: 2
         assert out["jb_stat"] > 1000
+
+
+class TestFileLayoutAudit:
+    def test_multi_file_layout_measured(self, spark, tmp_path):
+        from zoi_spark import tablechecks as tc
+        path = str(tmp_path / "layout")
+        spark.range(0, 1000).repartition(8).write.parquet(path)
+        df = spark.read.parquet(path)
+        out = tc.file_layout_audit(
+            df, target_rows_per_file=100).collect()[0]
+        assert out["n_files"] == 8
+        assert out["rows_total"] == 1000
+        assert out["suggested_files"] == 10
+        assert out["rows_min"] > 0
+
+    def test_small_files_counted(self, spark, tmp_path):
+        from zoi_spark import tablechecks as tc
+        import pyspark.sql.functions as F
+        path = str(tmp_path / "skewed")
+        spark.range(0, 900).coalesce(1).write.parquet(path)
+        spark.range(900, 905).coalesce(1) \
+            .write.mode("append").parquet(path)
+        df = spark.read.parquet(path)
+        out = tc.file_layout_audit(df).collect()[0]
+        assert out["n_files"] == 2
+        assert out["small_files"] == 1
+        assert out["skew_ratio"] > 1.5
+
+
+class TestSessionGapCurve:
+    def test_counts_at_thresholds(self, spark):
+        import datetime
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        # user 1: events at 0s, 10s, 1000s, 5000s
+        for s in (0, 10, 1000, 5000):
+            rows.append((1, t0 + datetime.timedelta(seconds=s)))
+        rows.append((2, t0))                   # single-event user
+        df = spark.createDataFrame(rows, "u long, ts timestamp")
+        out = {r["gap_s"]: r for r in tc.session_gap_curve(
+            df, entity_col="u", ts_col="ts",
+            gaps_s=(100, 2000, 10000)).collect()}
+        assert out[100]["n_sessions"] == 4     # 2 breaks + 2 users
+        assert out[2000]["n_sessions"] == 3    # 1 break
+        assert out[10000]["n_sessions"] == 2   # none
+        assert out[10000]["events_per_session"] == 2.5
+
+    def test_monotone_in_gap(self, spark):
+        import datetime, random
+        from zoi_spark import tablechecks as tc
+        rng = random.Random(131)
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(i % 20, t0 + datetime.timedelta(
+            seconds=rng.randrange(0, 400000))) for i in range(2000)]
+        df = spark.createDataFrame(rows, "u long, ts timestamp")
+        out = [r["n_sessions"] for r in tc.session_gap_curve(
+            df, entity_col="u", ts_col="ts",
+            gaps_s=(60, 600, 6000)).orderBy("gap_s").collect()]
+        assert out[0] >= out[1] >= out[2]
+
+
+class TestQnScale:
+    def _brute_qn(self, vals):
+        n = len(vals)
+        h = n // 2 + 1
+        k = h * (h - 1) // 2
+        dists = sorted(abs(a - b) for i, a in enumerate(vals)
+                       for b in vals[i + 1:])
+        return 2.2219 * dists[k - 1]
+
+    def test_matches_bruteforce(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [1.0, 3.0, 4.0, 4.0, 7.0, 11.0, 15.0, 16.0, 20.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = tc.qn_scale(df, "v").collect()[0]
+        assert out["qn"] == round(self._brute_qn(vals), 6)
+        assert out["k"] == 10                  # h=5 -> C(5,2)
+
+    def test_gaussian_consistency(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(141)
+        rows = [(rng.gauss(0, 10),) for _ in range(3000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = tc.qn_scale(df, "v").collect()[0]
+        # Qn, scaled MAD and SD all estimate sigma = 10
+        assert abs(out["qn"] - 10) < 1.0
+        assert abs(out["mad_scaled"] - 10) < 1.0
+        assert abs(out["stddev"] - 10) < 1.0
+
+    def test_outlier_robust_vs_sd(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [float(v) for v in range(100)] + [1e6] * 5
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = tc.qn_scale(df, "v").collect()[0]
+        assert out["qn"] < 100
+        assert out["stddev"] > 10000

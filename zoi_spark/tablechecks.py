@@ -8776,3 +8776,142 @@ def jarque_bera(df: DataFrame, value_col: str, *, by: str,
         F.round(ek, round_to).alias("ex_kurtosis"),
         F.round(jb, round_to).alias("jb_stat"),
         F.lit(2).alias("dof")).orderBy("group")
+
+
+def file_layout_audit(df: DataFrame, *,
+                      target_rows_per_file: int = 1_000_000,
+                      round_to: int = 6) -> DataFrame:
+    """Small-files audit - the physical-layout pathology that
+    quietly dominates 10^12-row scans: thousands of tiny parquet
+    files mean scheduler overhead, broken row-group statistics and
+    open-cost-bound reads. Rows are attributed to their source file
+    via input_file_name() (so *df* must be a direct file scan), and
+    the report gives the per-file row distribution plus the
+    coalesce target that would hit *target_rows_per_file*. One
+    aggregation per file then a 1-row close. Returns ``(n_files,
+    rows_total, rows_min, rows_median, rows_max, skew_ratio,
+    small_files, suggested_files)`` - small_files counts files
+    under half the median.
+    """
+    per = (df.select(F.regexp_extract(F.input_file_name(),
+                                      r"[^/]+$", 0).alias("f"))
+           .groupBy("f")
+           .agg(F.count(F.lit(1)).cast("double").alias("r")))
+    a = per.agg(
+        F.count(F.lit(1)).cast("double").alias("nf"),
+        F.sum("r").alias("rt"), F.min("r").alias("rmin"),
+        F.expr("percentile(r, 0.5)").alias("rmed"),
+        F.max("r").alias("rmax"))
+    small = (per.crossJoin(F.broadcast(a))
+             .agg(F.sum((F.col("r") < F.col("rmed") / 2)
+                        .cast("long")).alias("small")))
+    j = a.crossJoin(F.broadcast(small))
+    return j.select(
+        F.col("nf").cast("long").alias("n_files"),
+        F.col("rt").cast("long").alias("rows_total"),
+        F.col("rmin").cast("long").alias("rows_min"),
+        F.round("rmed", round_to).alias("rows_median"),
+        F.col("rmax").cast("long").alias("rows_max"),
+        F.round(F.col("rmax") / (F.col("rt") / F.col("nf")),
+                round_to).alias("skew_ratio"),
+        F.col("small").cast("long").alias("small_files"),
+        F.greatest(F.ceil(F.col("rt")
+                          / float(target_rows_per_file)),
+                   F.lit(1)).cast("long").alias("suggested_files"))
+
+
+def session_gap_curve(df: DataFrame, *, entity_col: str,
+                      ts_col: str,
+                      gaps_s: Sequence[int] = (300, 1800, 3600,
+                                               14400),
+                      round_to: int = 6) -> DataFrame:
+    """Session-gap sensitivity curve - the advisor in FRONT of
+    :func:`sessionize`: the session count at threshold g is
+    n_entities + #(inter-event gaps > g), so one per-entity lag
+    pass with one conditional sum per candidate yields the whole
+    curve; the knee (where halving g stops multiplying sessions) is
+    the defensible timeout, instead of the folklore 30 minutes.
+    Returns per-gap rows ``(gap_s, n_sessions, events_per_session,
+    sessions_per_entity)``.
+    """
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    base = df.where(F.col(entity_col).isNotNull()
+                    & F.col(ts_col).isNotNull()) \
+             .select(F.col(entity_col).alias("e"), ts.alias("t"))
+    w = Window.partitionBy("e").orderBy("t")
+    gapped = base.select(
+        "e", (F.col("t") - F.lag("t").over(w)).alias("gap"))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.countDistinct("e").cast("double").alias("n_ent")]
+    for g in gaps_s:
+        aggs.append(F.sum((F.col("gap") > int(g)).cast("long"))
+                    .alias(f"brk{g}"))
+    a = gapped.agg(*aggs)
+    outs = []
+    for g in gaps_s:
+        ns = F.col("n_ent") + F.col(f"brk{g}")
+        outs.append(a.select(
+            F.lit(int(g)).alias("gap_s"),
+            ns.cast("long").alias("n_sessions"),
+            F.round(F.col("n_events") / ns, round_to)
+             .alias("events_per_session"),
+            F.round(ns / F.col("n_ent"), round_to)
+             .alias("sessions_per_entity")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def qn_scale(df: DataFrame, value_col: str, *,
+             round_to: int = 6) -> DataFrame:
+    """Rousseeuw-Croux Qn robust scale estimator (1993): 2.2219
+    times the k-th smallest pairwise distance |x_i - x_j|, k =
+    C(h,2), h = floor(n/2)+1 - 50% breakdown like the MAD but (a)
+    82% Gaussian efficiency (MAD: 37%) and (b) NO symmetry
+    assumption, which skewed web metrics violate by construction.
+    The pair cloud reduces to the distinct-value weighted grid
+    (the :func:`hodges_lehmann_shift` trick - bin first if distinct
+    cardinality is itself huge), and the k-th order statistic is
+    one cumulative window over sorted distances. Returns one row
+    ``(n, k, d_k, qn, mad_scaled, stddev)`` with the MAD- and
+    SD-based scales alongside for the divergence read-out.
+    """
+    base = df.select(F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("v").isNotNull())
+    vc = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    a1, b1 = vc.alias("a"), vc.alias("b")
+    cross = (a1.join(b1, F.col("a.v") < F.col("b.v"))
+             .select((F.col("b.v") - F.col("a.v")).alias("d"),
+                     (F.col("a.c") * F.col("b.c")).alias("w")))
+    zeros = vc.where(F.col("c") > 1).select(
+        F.lit(0.0).alias("d"),
+        (F.col("c") * (F.col("c") - 1) / 2).alias("w"))
+    dists = cross.unionByName(zeros).groupBy("d").agg(
+        F.sum("w").alias("w"))
+    n_agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.stddev("v").alias("sd"),
+        F.expr("percentile(v, 0.5)").alias("med"))
+    mad = (base.crossJoin(F.broadcast(n_agg))
+           .select(F.abs(F.col("v") - F.col("med")).alias("ad"))
+           .agg(F.expr("percentile(ad, 0.5)").alias("mad")))
+    wcum = (Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dists.select("d", F.sum("w").over(wcum).alias("cum")) \
+               .crossJoin(F.broadcast(n_agg))
+    h = F.floor(F.col("n") / 2) + 1
+    k = h * (h - 1) / 2
+    dk = (cum.where(F.col("cum") >= k)
+          .agg(F.min("d").alias("d_k"), F.first("n").alias("n"),
+               F.first("sd").alias("sd")))
+    j = dk.crossJoin(F.broadcast(mad))
+    hh = F.floor(F.col("n") / 2) + 1
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        (hh * (hh - 1) / 2).cast("long").alias("k"),
+        F.round("d_k", round_to).alias("d_k"),
+        F.round(F.col("d_k") * 2.2219, round_to).alias("qn"),
+        F.round(F.col("mad") * 1.4826, round_to).alias("mad_scaled"),
+        F.round("sd", round_to).alias("stddev"))
