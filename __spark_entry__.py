@@ -7964,6 +7964,47 @@ def q_qn_scale_lens(spark, sf_dir):
     return tablechecks.qn_scale(d, "n_chars")
 
 
+def q_rmst_purchase_cohorts(spark, sf_dir):
+    """Restricted mean survival time (tablechecks.rmst_cohorts,
+    τ=72h, 1h buckets) for even vs odd user cohorts on the
+    km_purchase duration model — the time-unit effect size behind
+    the log-rank verdict; robust where median survival is
+    undefined."""
+    e = _read(spark, sf_dir, "events")
+    return tablechecks.rmst_cohorts(
+        e, entity_col="user_id", ts_col="ts",
+        event_pred=F.col("event_type") == "purchase",
+        group_pred=F.pmod("user_id", F.lit(2)) == 0,
+        tau_s=72 * 3600, bucket_s=3600)
+
+
+def q_bland_altman_size(spark, sf_dir):
+    """Bland-Altman limits of agreement (tablechecks.bland_altman)
+    between two document-size measurements (n_chars/5 vs whitespace
+    tokens) — can one replace the other, and is the bias
+    proportional; the decision companion to the Deming row."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+    s = d.select((F.col("n_chars") / 5.0).alias("a"),
+                 F.size(F.split(F.col("text"), r"\s+"))
+                 .cast("double").alias("b"))
+    return tablechecks.bland_altman(s, "a", "b")
+
+
+def q_siegel_volume_trend(spark, sf_dir):
+    """Siegel repeated-median slope (tablechecks.siegel_slope) of
+    daily volume on day index — 50% breakdown robust trend, the
+    step beyond the Theil-Sen row; tiny-series contract."""
+    e = _read(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    lo = daily.agg(F.min("d").alias("d0"))
+    idx = (daily.crossJoin(F.broadcast(lo))
+           .select(F.datediff("d", F.col("d0")).cast("double")
+                   .alias("i"), "cnt"))
+    return tablechecks.siegel_slope(idx, "i", "cnt")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8548,6 +8589,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "file_layout_docs": q_file_layout_docs,
         "session_gap_curve": q_session_gap_curve,
         "qn_scale_lens": q_qn_scale_lens,
+        # wave 97: RMST, Bland-Altman, Siegel slope
+        "rmst_purchase_cohorts": q_rmst_purchase_cohorts,
+        "bland_altman_size": q_bland_altman_size,
+        "siegel_volume_trend": q_siegel_volume_trend,
     }
 
 
@@ -21070,5 +21115,121 @@ def oracle_sql() -> dict[str, str]:
                    round(mad.mad * 1.4826, 6) AS mad_scaled,
                    round(k.sd, 6) AS stddev
             FROM dk, k, mad
+        """,
+        # twin of q_rmst_purchase_cohorts — same duration model and
+        # step integral of the per-cohort KM curve
+        "rmst_purchase_cohorts": """
+            WITH per AS (
+              SELECT user_id, min(epoch(ts)) AS entry,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN epoch(ts) END) AS ev,
+                     max(epoch(ts)) AS lastts,
+                     max(CASE WHEN user_id % 2 = 0 THEN 1
+                         ELSE 0 END) AS g
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id),
+            h AS (SELECT max(lastts) AS hz FROM per),
+            marks AS (
+              SELECT g,
+                     floor((CASE WHEN ev IS NOT NULL THEN ev - entry
+                            ELSE hz - entry END) / 3600)::BIGINT
+                       AS t,
+                     count(*)::DOUBLE AS all_,
+                     sum(CASE WHEN ev IS NOT NULL THEN 1
+                         ELSE 0 END)::DOUBLE AS d
+              FROM per, h GROUP BY g, 2),
+            curve AS (
+              SELECT g, t, d,
+                     sum(all_) OVER (PARTITION BY g)
+                       - coalesce(sum(all_) OVER (PARTITION BY g
+                           ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS n
+              FROM marks),
+            stepped AS (
+              SELECT g, t,
+                     CASE WHEN max(CASE WHEN d >= n THEN 1
+                               ELSE 0 END)
+                            OVER (PARTITION BY g ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) = 1
+                     THEN 0.0
+                     ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                               THEN ln(1 - d / n) ELSE 0 END)
+                            OVER (PARTITION BY g ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) END AS s
+              FROM curve),
+            seg AS (
+              SELECT g, s,
+                     least(t + 1, 72.0) AS lo,
+                     least(coalesce(lead(t) OVER (PARTITION BY g
+                             ORDER BY t) + 1, 72.0), 72.0) AS hi,
+                     min(t) OVER (PARTITION BY g) AS t0
+              FROM stepped),
+            contrib AS (
+              SELECT g,
+                     sum(CASE WHEN hi > lo THEN (hi - lo) * s
+                         ELSE 0 END) AS tail_area,
+                     least(min(t0) + 1, 72.0) AS head
+              FROM seg GROUP BY g),
+            sides AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     sum(CASE WHEN ev IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS n_events
+              FROM per GROUP BY g)
+            SELECT s.g::BIGINT AS cohort, s.n, s.n_events,
+                   round((coalesce(c.head, 72.0)
+                          + coalesce(c.tail_area, 0)) * 3600, 6)
+                     AS rmst_s,
+                   round((coalesce(c.head, 72.0)
+                          + coalesce(c.tail_area, 0)) / 72.0, 6)
+                     AS rmst_share
+            FROM sides s LEFT JOIN contrib c ON c.g = s.g
+            ORDER BY cohort
+        """,
+        # twin of q_bland_altman_size — same diff moments
+        "bland_altman_size": """
+            WITH s AS (
+              SELECT n_chars / 5.0 AS a,
+                     length(regexp_split_to_array(text, '\\s+'))
+                       ::DOUBLE AS b
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+            d AS (SELECT b - a AS d, (a + b) / 2 AS m FROM s),
+            agg AS (
+              SELECT count(*)::BIGINT AS n, avg(d) AS bias,
+                     stddev(d) AS sd, corr(d, m) AS r
+              FROM d)
+            SELECT n, round(bias, 6) AS bias,
+                   round(sd, 6) AS sd_diff,
+                   round(bias - 1.96 * sd, 6) AS loa_lo,
+                   round(bias + 1.96 * sd, 6) AS loa_hi,
+                   round(r, 6) AS prop_bias_r
+            FROM agg
+        """,
+        # twin of q_siegel_volume_trend — same repeated medians
+        "siegel_volume_trend": """
+            WITH daily AS (
+              SELECT ts::DATE AS d, count(*)::DOUBLE AS cnt
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            lo AS (SELECT min(d) AS d0 FROM daily),
+            s AS (SELECT (d - lo.d0)::DOUBLE AS x, cnt AS y
+                  FROM daily, lo),
+            pairs AS (
+              SELECT a.x, (b.y - a.y) / (b.x - a.x) AS sl
+              FROM s a JOIN s b ON a.x <> b.x),
+            per_pt AS (SELECT x, quantile_cont(sl, 0.5) AS ms
+                       FROM pairs GROUP BY x),
+            slope AS (SELECT quantile_cont(ms, 0.5) AS slope
+                      FROM per_pt),
+            icept AS (
+              SELECT quantile_cont(s.y - sl.slope * s.x, 0.5)
+                       AS icept,
+                     any_value(sl.slope) AS slope,
+                     count(*)::BIGINT AS n
+              FROM s, slope sl)
+            SELECT n, round(slope, 6) AS slope,
+                   round(icept, 6) AS intercept
+            FROM icept
         """,
     }

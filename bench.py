@@ -460,6 +460,9 @@ R4_NAMES = [
     "jarque_bera_types",
     # wave 96: file layout, session-gap curve, Qn scale
     "file_layout_docs", "session_gap_curve", "qn_scale_lens",
+    # wave 97: RMST, Bland-Altman, Siegel slope
+    "rmst_purchase_cohorts", "bland_altman_size",
+    "siegel_volume_trend",
 ]
 
 

@@ -6590,3 +6590,83 @@ class TestQnScale:
         out = tc.qn_scale(df, "v").collect()[0]
         assert out["qn"] < 100
         assert out["stddev"] > 10000
+
+
+class TestRmstCohorts:
+    def test_hand_computed_integral(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        td = datetime.timedelta
+        rows = [(0, t0, "view"), (0, t0 + td(minutes=90), "buy"),
+                (1, t0, "view"), (1, t0 + td(hours=5), "view"),
+                (2, t0, "view"), (2, t0 + td(minutes=30), "buy"),
+                (3, t0, "view"), (3, t0 + td(hours=5), "view")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = {r["cohort"]: r for r in tc.rmst_cohorts(
+            df, entity_col="u", ts_col="ts",
+            event_pred=F.col("et") == "buy",
+            group_pred=F.col("u") < 2,
+            tau_s=4 * 3600, bucket_s=3600).collect()}
+        # cohort 1: S=1 on [0,2), 0.5 on [2,4) -> 3 bucket-hours
+        assert out[1]["rmst_s"] == 3 * 3600.0
+        assert out[1]["rmst_share"] == 0.75
+        # cohort 0: S=1 on [0,1), 0.5 on [1,4) -> 2.5 bucket-hours
+        assert out[0]["rmst_s"] == 2.5 * 3600.0
+        assert out[0]["rmst_share"] == 0.625
+        assert out[1]["n_events"] == 1 and out[0]["n_events"] == 1
+
+    def test_never_converting_full_share(self, spark):
+        import datetime
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(u, t0 + datetime.timedelta(hours=h), "view")
+                for u in range(4) for h in (0, 50)]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+        out = tc.rmst_cohorts(
+            df, entity_col="u", ts_col="ts",
+            event_pred=F.col("et") == "buy",
+            group_pred=F.lit(True),
+            tau_s=10 * 3600).collect()
+        full = [r for r in out if r["cohort"] == 1][0]
+        assert full["rmst_share"] == 1.0       # nobody converts
+
+
+class TestBlandAltman:
+    def test_constant_offset(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v), float(v) + 5.0) for v in range(50)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = tc.bland_altman(df, "a", "b").collect()[0]
+        assert out["bias"] == 5.0
+        assert out["sd_diff"] == 0.0
+        assert out["loa_lo"] == 5.0 and out["loa_hi"] == 5.0
+
+    def test_proportional_bias_detected(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v), float(v) * 1.2) for v in range(1, 101)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = tc.bland_altman(df, "a", "b").collect()[0]
+        assert out["prop_bias_r"] > 0.99       # diff grows with mean
+
+
+class TestSiegelSlope:
+    def test_clean_line(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(x), 3.0 * x + 2.0) for x in range(20)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.siegel_slope(df, "x", "y").collect()[0]
+        assert out["slope"] == 3.0
+        assert out["intercept"] == 2.0
+
+    def test_half_corrupted_survives(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(x), 3.0 * x + 2.0) for x in range(20)]
+        # corrupt 9 of 20 points (45%) to a stuck sensor
+        rows = [(x, 0.0) if i < 9 else (x, y)
+                for i, (x, y) in enumerate(rows)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.siegel_slope(df, "x", "y").collect()[0]
+        assert abs(out["slope"] - 3.0) < 0.5

@@ -8915,3 +8915,162 @@ def qn_scale(df: DataFrame, value_col: str, *,
         F.round(F.col("d_k") * 2.2219, round_to).alias("qn"),
         F.round(F.col("mad") * 1.4826, round_to).alias("mad_scaled"),
         F.round("sd", round_to).alias("stddev"))
+
+
+def rmst_cohorts(df: DataFrame, *, entity_col: str, ts_col: str,
+                 event_pred: Column, group_pred: Column,
+                 tau_s: int, bucket_s: int = 3600,
+                 round_to: int = 6) -> DataFrame:
+    """Restricted mean survival time per cohort - the EFFECT-SIZE
+    companion to the :func:`logrank_test` verdict: RMST(tau) =
+    integral of the KM curve over [0, tau] reads directly as "mean
+    event-free time within the window", and the cohort difference
+    is in time units managers understand, robust where median
+    survival is undefined (fewer than half convert). Same duration
+    model as the other survival rows; the integral is a step-sum
+    over each cohort's bounded KM curve. Returns one row per cohort
+    ``(cohort, n, n_events, rmst_s, rmst_share)`` - rmst_share =
+    RMST/tau.
+    """
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    per = (df.where(F.col(entity_col).isNotNull())
+           .groupBy(entity_col)
+           .agg(F.min(ts).alias("entry"),
+                F.min(F.when(event_pred, ts)).alias("ev"),
+                F.max(ts).alias("lastts"),
+                F.max(F.when(group_pred, 1).otherwise(0))
+                 .alias("g1")))
+    horizon = per.agg(F.max("lastts").alias("hz"))
+    j = per.crossJoin(F.broadcast(horizon))
+    observed = F.col("ev").isNotNull()
+    dur = F.when(observed, F.col("ev") - F.col("entry")) \
+        .otherwise(F.col("hz") - F.col("entry"))
+    b = F.floor(dur / F.lit(int(bucket_s))).cast("long")
+    marks = (j.select(F.col("g1").alias("g"), b.alias("t"),
+                      observed.cast("long").alias("d"))
+             .groupBy("g", "t")
+             .agg(F.count("*").cast("double").alias("all_"),
+                  F.sum("d").cast("double").alias("d")))
+    wp = (Window.partitionBy("g").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    tot = (Window.partitionBy("g")
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing))
+    n_r = (F.sum("all_").over(tot)
+           - F.coalesce(F.sum("all_").over(wp), F.lit(0.0)))
+    curve = marks.select("g", "t", "d", n_r.alias("n"))
+    ws = (Window.partitionBy("g").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    part = (F.col("d") > 0) & (F.col("d") < F.col("n"))
+    logs = F.sum(F.when(part, F.log(1.0 - F.col("d")
+                                    / F.col("n")))
+                 .otherwise(F.lit(0.0))).over(ws)
+    absorbed = F.max((F.col("d") >= F.col("n")).cast("int")).over(ws)
+    surv = F.when(absorbed == 1, F.lit(0.0)).otherwise(F.exp(logs))
+    # S(t) holds on [t_bucket_end, next_bucket_end); integrate step
+    # widths within [0, tau]; S=1 before the first event bucket ends
+    tau_b = float(tau_s) / float(bucket_s)
+    stepped = curve.select("g", "t", surv.alias("s"))
+    wlead = Window.partitionBy("g").orderBy("t")
+    seg = stepped.select(
+        "g", "s",
+        F.least(F.col("t") + 1, F.lit(tau_b)).alias("lo"),
+        F.least(F.coalesce(F.lead("t").over(wlead) + 1,
+                           F.lit(tau_b)), F.lit(tau_b)).alias("hi"),
+        F.first("t").over(
+            Window.partitionBy("g").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)).alias("t0"))
+    contrib = (seg.groupBy("g")
+               .agg(F.sum(F.when(F.col("hi") > F.col("lo"),
+                                 (F.col("hi") - F.col("lo"))
+                                 * F.col("s"))
+                          .otherwise(0.0)).alias("tail_area"),
+                    (F.least(F.min("t0") + 1, F.lit(tau_b)))
+                    .alias("head")))
+    sides = per.groupBy(F.col("g1").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ev").isNotNull(), 1).otherwise(0))
+         .alias("n_events"))
+    out = sides.join(contrib, "g", "left")
+    rmst_b = (F.coalesce(F.col("head"), F.lit(tau_b))
+              + F.coalesce(F.col("tail_area"), F.lit(0.0)))
+    return out.select(
+        F.col("g").cast("long").alias("cohort"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(rmst_b * float(bucket_s), round_to).alias("rmst_s"),
+        F.round(rmst_b / tau_b, round_to).alias("rmst_share")
+    ).orderBy("cohort")
+
+
+def bland_altman(df: DataFrame, a_col: str, b_col: str, *,
+                 round_to: int = 6) -> DataFrame:
+    """Bland-Altman limits of agreement (Bland & Altman 1986): for
+    two measurements of the same quantity, the mean difference
+    (bias) and bias +/- 1.96 sd(diff) - the interval within which
+    95% of method disagreements live. The DECISION companion to
+    :func:`deming_fit`: Deming says what the structural relation
+    is; Bland-Altman says whether one method can replace the other
+    at the precision you need. Proportional bias (diff growing with
+    magnitude) shows in the diff~mean correlation, reported too.
+    One aggregation. Returns ``(n, bias, sd_diff, loa_lo, loa_hi,
+    prop_bias_r)``.
+    """
+    s = df.select(F.col(a_col).cast("double").alias("a"),
+                  F.col(b_col).cast("double").alias("b")) \
+          .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    d = s.select((F.col("b") - F.col("a")).alias("d"),
+                 ((F.col("a") + F.col("b")) / 2).alias("m"))
+    # corr() raises under ANSI when a side is constant (perfect
+    # agreement up to offset); the covariance form degrades to NULL
+    agg = d.agg(F.count(F.lit(1)).alias("n"),
+                F.avg("d").alias("bias"),
+                F.stddev("d").alias("sd"),
+                F.try_divide(
+                    F.covar_samp("d", "m"),
+                    F.stddev("d") * F.stddev("m")).alias("r"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("bias", round_to).alias("bias"),
+        F.round("sd", round_to).alias("sd_diff"),
+        F.round(F.col("bias") - 1.96 * F.col("sd"), round_to)
+         .alias("loa_lo"),
+        F.round(F.col("bias") + 1.96 * F.col("sd"), round_to)
+         .alias("loa_hi"),
+        F.round("r", round_to).alias("prop_bias_r"))
+
+
+def siegel_slope(df: DataFrame, x_col: str, y_col: str, *,
+                 round_to: int = 6) -> DataFrame:
+    """Siegel repeated-median slope (Siegel 1982): for each point
+    the MEDIAN of its pairwise slopes, then the median of those -
+    50% breakdown, against Theil-Sen's 29%: HALF the series can be
+    garbage (a sensor stuck at zero for two weeks) and the trend
+    estimate still stands. Tiny-series contract (daily aggregates):
+    the pair enumeration is a self-join on the series frame, the
+    per-point median a grouped exact percentile. Returns one row
+    ``(n, slope, intercept)`` with the median-based intercept
+    med(y - slope*x).
+    """
+    s = df.select(F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y")) \
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.x") != F.col("b.x")) \
+             .select(F.col("a.x").alias("x"),
+                     ((F.col("b.y") - F.col("a.y"))
+                      / (F.col("b.x") - F.col("a.x"))).alias("sl"))
+    per_pt = pairs.groupBy("x").agg(
+        F.expr("percentile(sl, 0.5)").alias("ms"))
+    slope = per_pt.agg(F.expr("percentile(ms, 0.5)").alias("slope"))
+    icept = (s.crossJoin(F.broadcast(slope))
+             .select((F.col("y") - F.col("slope") * F.col("x"))
+                     .alias("r"), "slope")
+             .agg(F.expr("percentile(r, 0.5)").alias("icept"),
+                  F.first("slope").alias("slope"),
+                  F.count(F.lit(1)).alias("n")))
+    return icept.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("slope", round_to).alias("slope"),
+        F.round("icept", round_to).alias("intercept"))
