@@ -8005,6 +8005,49 @@ def q_siegel_volume_trend(spark, sf_dir):
     return tablechecks.siegel_slope(idx, "i", "cnt")
 
 
+def q_sample_topk_terms(spark, sf_dir):
+    """Sample-sufficiency advisor (tablechecks.
+    sample_topk_stability): top-10 term recovery at 1%/5%/25%
+    md5-hash samples of token occurrences — which profiling rate is
+    safe for head-of-distribution questions."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = (d.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.lower("text"), "[^a-z]+"))
+        .alias("pos", "term"))
+        .where(F.length("term") >= 3)
+        .select((F.col("doc_id") * 10000 + F.col("pos"))
+                .alias("occ_id"), "term"))
+    return (tablechecks.sample_topk_stability(
+        toks, "term", rates=(0.01, 0.05, 0.25), k=10,
+        id_col="occ_id").orderBy("rate"))
+
+
+def q_filter_funnel_docs(spark, sf_dir):
+    """Ordered filter-funnel attribution (tablechecks.
+    filter_funnel) over four curation gates (length ≥ 100, lang
+    known, text non-empty, length ≤ 520) — solo failure rate vs
+    marginal kills per stage, the over-blocking diagnosis."""
+    d = _read(spark, sf_dir, "documents")
+    gates = [
+        ("min_len", F.col("n_chars") >= 100),
+        ("lang_known", F.col("lang").isNotNull()),
+        ("has_text", F.col("text").isNotNull()
+         & (F.length("text") > 0)),
+        ("max_len", F.col("n_chars") <= 520)]
+    return (tablechecks.filter_funnel(d, gates).orderBy("stage"))
+
+
+def q_median_ci_langs(spark, sf_dir):
+    """Distribution-free median CI (tablechecks.median_ci) per lang
+    via order-statistic ranks — honest uncertainty for quantile
+    gates, no normality plea."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull())
+    return tablechecks.median_ci(d, "n_chars", by="lang")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8593,6 +8636,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rmst_purchase_cohorts": q_rmst_purchase_cohorts,
         "bland_altman_size": q_bland_altman_size,
         "siegel_volume_trend": q_siegel_volume_trend,
+        # wave 98: sample sufficiency, filter funnel, median CI
+        "sample_topk_terms": q_sample_topk_terms,
+        "filter_funnel_docs": q_filter_funnel_docs,
+        "median_ci_langs": q_median_ci_langs,
     }
 
 
@@ -21231,5 +21278,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, round(slope, 6) AS slope,
                    round(icept, 6) AS intercept
             FROM icept
+        """,
+        # twin of q_sample_topk_terms — same occurrence ids, same
+        # md5 cut, same deterministic ranking
+        "sample_topk_terms": """
+            WITH arrs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '[^a-z]+')
+                       AS a
+              FROM documents WHERE text IS NOT NULL),
+            toks AS (
+              SELECT doc_id * 10000 + (s.i - 1) AS occ_id,
+                     a[s.i] AS term
+              FROM arrs,
+                   unnest(generate_series(1, len(a))) AS s(i)
+              WHERE length(a[s.i]) >= 3),
+            base AS (
+              SELECT term AS t,
+                     ('0x' || substr(md5(occ_id::VARCHAR), 1, 8))
+                       ::BIGINT % 1000000 AS hk
+              FROM toks),
+            full_top AS (
+              SELECT t FROM (
+                SELECT t, row_number() OVER
+                  (ORDER BY count(*) DESC, t) AS r
+                FROM base GROUP BY t) WHERE r <= 10),
+            o1 AS (SELECT count(*)::BIGINT AS ov FROM full_top
+                   JOIN (SELECT t FROM (
+                     SELECT t, row_number() OVER
+                       (ORDER BY count(*) DESC, t) AS r
+                     FROM base WHERE hk < 10000 GROUP BY t)
+                     WHERE r <= 10) s USING (t)),
+            o5 AS (SELECT count(*)::BIGINT AS ov FROM full_top
+                   JOIN (SELECT t FROM (
+                     SELECT t, row_number() OVER
+                       (ORDER BY count(*) DESC, t) AS r
+                     FROM base WHERE hk < 50000 GROUP BY t)
+                     WHERE r <= 10) s USING (t)),
+            o25 AS (SELECT count(*)::BIGINT AS ov FROM full_top
+                    JOIN (SELECT t FROM (
+                      SELECT t, row_number() OVER
+                        (ORDER BY count(*) DESC, t) AS r
+                      FROM base WHERE hk < 250000 GROUP BY t)
+                      WHERE r <= 10) s USING (t))
+            SELECT 0.01::DOUBLE AS rate, 10 AS k, o1.ov AS overlap,
+                   round(o1.ov / 10.0, 6) AS overlap_share FROM o1
+            UNION ALL
+            SELECT 0.05::DOUBLE, 10, o5.ov,
+                   round(o5.ov / 10.0, 6) FROM o5
+            UNION ALL
+            SELECT 0.25::DOUBLE, 10, o25.ov,
+                   round(o25.ov / 10.0, 6) FROM o25
+            ORDER BY rate
+        """,
+        # twin of q_filter_funnel_docs — same conditional sums
+        "filter_funnel_docs": """
+            WITH a AS (
+              SELECT count(*)::DOUBLE AS n,
+                sum((NOT (n_chars >= 100))::INT)::BIGINT AS solo0,
+                sum((NOT (n_chars >= 100))::INT)::BIGINT AS kill0,
+                sum((NOT (lang IS NOT NULL))::INT)::BIGINT
+                  AS solo1,
+                sum(((n_chars >= 100) AND lang IS NULL)::INT)
+                  ::BIGINT AS kill1,
+                sum((NOT (text IS NOT NULL AND length(text) > 0))
+                    ::INT)::BIGINT AS solo2,
+                sum(((n_chars >= 100) AND lang IS NOT NULL
+                     AND NOT (text IS NOT NULL
+                              AND length(text) > 0))::INT)::BIGINT
+                  AS kill2,
+                sum((NOT (n_chars <= 520))::INT)::BIGINT AS solo3,
+                sum(((n_chars >= 100) AND lang IS NOT NULL
+                     AND text IS NOT NULL AND length(text) > 0
+                     AND NOT (n_chars <= 520))::INT)::BIGINT
+                  AS kill3
+              FROM documents)
+            SELECT * FROM (
+              SELECT 1 AS stage, 'min_len' AS gate,
+                     solo0 AS n_fail_solo,
+                     round(solo0 / n, 6) AS solo_share,
+                     kill0 AS n_kill_marginal,
+                     (n - kill0)::BIGINT AS survivors_after FROM a
+              UNION ALL
+              SELECT 2, 'lang_known', solo1, round(solo1 / n, 6),
+                     kill1, (n - kill0 - kill1)::BIGINT FROM a
+              UNION ALL
+              SELECT 3, 'has_text', solo2, round(solo2 / n, 6),
+                     kill2, (n - kill0 - kill1 - kill2)::BIGINT
+              FROM a
+              UNION ALL
+              SELECT 4, 'max_len', solo3, round(solo3 / n, 6),
+                     kill3,
+                     (n - kill0 - kill1 - kill2 - kill3)::BIGINT
+              FROM a
+            ) ORDER BY stage
+        """,
+        # twin of q_median_ci_langs — same order-statistic ranks
+        "median_ci_langs": """
+            WITH base AS (
+              SELECT lang AS g, n_chars::DOUBLE AS v
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            ns AS (SELECT g, count(*)::DOUBLE AS n,
+                          quantile_cont(v, 0.5) AS med
+                   FROM base GROUP BY g),
+            vc AS (SELECT g, v, count(*)::DOUBLE AS c FROM base
+                   GROUP BY g, v),
+            cum AS (
+              SELECT vc.g, vc.v,
+                     sum(vc.c) OVER (PARTITION BY vc.g ORDER BY vc.v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     ns.n
+              FROM vc JOIN ns ON ns.g = vc.g),
+            lo AS (
+              SELECT g, min(v) AS ci_lo FROM cum
+              WHERE cum >= greatest(floor(n/2 - 1.96*sqrt(n)/2), 1)
+              GROUP BY g),
+            hi AS (
+              SELECT g, min(v) AS ci_hi FROM cum
+              WHERE cum >= least(ceil(n/2 + 1.96*sqrt(n)/2 + 1), n)
+              GROUP BY g)
+            SELECT ns.g AS "group", ns.n::BIGINT AS n,
+                   round(ns.med, 6) AS median,
+                   round(lo.ci_lo, 6) AS ci_lo,
+                   round(hi.ci_hi, 6) AS ci_hi
+            FROM ns JOIN lo ON lo.g = ns.g
+            JOIN hi ON hi.g = ns.g
+            ORDER BY "group"
         """,
     }

@@ -463,6 +463,8 @@ R4_NAMES = [
     # wave 97: RMST, Bland-Altman, Siegel slope
     "rmst_purchase_cohorts", "bland_altman_size",
     "siegel_volume_trend",
+    # wave 98: sample sufficiency, filter funnel, median CI
+    "sample_topk_terms", "filter_funnel_docs", "median_ci_langs",
 ]
 
 

@@ -6670,3 +6670,85 @@ class TestSiegelSlope:
         df = spark.createDataFrame(rows, "x double, y double")
         out = tc.siegel_slope(df, "x", "y").collect()[0]
         assert abs(out["slope"] - 3.0) < 0.5
+
+
+class TestSampleTopkStability:
+    def test_full_rate_perfect_overlap(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, f"t{i % 20}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "occ long, term string")
+        out = {r["rate"]: r for r in tc.sample_topk_stability(
+            df, "term", rates=(1.0, 0.5), k=5,
+            id_col="occ").collect()}
+        assert out[1.0]["overlap"] == 5
+        assert out[1.0]["overlap_share"] == 1.0
+        assert out[0.5]["overlap"] >= 3        # heavy head survives
+
+    def test_tiny_rate_degrades(self, spark):
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(151)
+        # near-uniform 200 terms: a 1% sample can't fix the top 10
+        rows = [(i, f"t{rng.randrange(200)}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "occ long, term string")
+        out = {r["rate"]: r for r in tc.sample_topk_stability(
+            df, "term", rates=(0.01, 1.0), k=10,
+            id_col="occ").collect()}
+        assert out[0.01]["overlap"] < out[1.0]["overlap"]
+
+
+class TestFilterFunnel:
+    def test_solo_vs_marginal(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        # 100 rows: 30 fail A; of those, 20 also fail B; 10 fail
+        # only B
+        rows = []
+        for i in range(100):
+            fail_a = i < 30
+            fail_b = i < 20 or (30 <= i < 40)
+            rows.append((not fail_a, not fail_b))
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        out = {r["gate"]: r for r in tc.filter_funnel(
+            df, [("A", F.col("a")), ("B", F.col("b"))]).collect()}
+        assert out["A"]["n_fail_solo"] == 30
+        assert out["A"]["n_kill_marginal"] == 30
+        assert out["B"]["n_fail_solo"] == 30
+        assert out["B"]["n_kill_marginal"] == 10   # 20 already dead
+        assert out["B"]["survivors_after"] == 60
+
+    def test_stage_order_preserved(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(1,)], "x int")
+        out = tc.filter_funnel(
+            df, [("g1", F.lit(True)), ("g2", F.lit(True)),
+                 ("g3", F.lit(False))]).orderBy("stage").collect()
+        assert [r["gate"] for r in out] == ["g1", "g2", "g3"]
+        assert out[-1]["survivors_after"] == 0
+
+
+class TestMedianCi:
+    def test_interval_brackets_median(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", float(v)) for v in range(1, 402)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.median_ci(df, "v", by="g").collect()[0]
+        assert out["ci_lo"] <= out["median"] <= out["ci_hi"]
+        # for n=401 uniform ints the CI is tight around 201
+        assert out["median"] == 201.0
+        assert 175 < out["ci_lo"] < 201
+        assert 201 < out["ci_hi"] < 227
+
+    def test_narrows_with_n(self, spark):
+        from zoi_spark import tablechecks as tc
+        small = spark.createDataFrame(
+            [("a", float(v)) for v in range(100)], "g string, v double")
+        big = spark.createDataFrame(
+            [("a", float(v % 1000)) for v in range(100000)],
+            "g string, v double")
+        s = tc.median_ci(small, "v", by="g").collect()[0]
+        b = tc.median_ci(big, "v", by="g").collect()[0]
+        rel_s = (s["ci_hi"] - s["ci_lo"]) / 100
+        rel_b = (b["ci_hi"] - b["ci_lo"]) / 1000
+        assert rel_b < rel_s

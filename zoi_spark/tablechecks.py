@@ -9074,3 +9074,136 @@ def siegel_slope(df: DataFrame, x_col: str, y_col: str, *,
         F.col("n").cast("long").alias("n"),
         F.round("slope", round_to).alias("slope"),
         F.round("icept", round_to).alias("intercept"))
+
+
+def sample_topk_stability(df: DataFrame, term_col: str, *,
+                          rates: Sequence[float] = (0.01, 0.05,
+                                                    0.25),
+                          k: int = 10, id_col: str | None = None,
+                          round_to: int = 6) -> DataFrame:
+    """Sample-sufficiency advisor for top-k profiling: at each
+    deterministic md5-hash sample rate, how much of the FULL top-k
+    does the sample's top-k recover? Counting queries over 10^12
+    rows are routinely answered on samples; this row says which
+    rate is safe for head-of-distribution questions (overlap ~ k)
+    and which silently lies (overlap near 0). Sampling hashes the
+    term occurrence's id (or the term itself when id_col is None -
+    then sampling is BY TERM, keeping or dropping whole terms).
+    Ranking is (count desc, term asc), deterministic. One counts
+    pass per rate over the shared base. Returns per-rate rows
+    ``(rate, k, overlap, overlap_share)``.
+    """
+    kk = int(k)
+    key = (F.col(id_col) if id_col else F.col(term_col))
+    base = df.where(F.col(term_col).isNotNull()).select(
+        F.col(term_col).alias("t"),
+        (F.conv(F.substring(F.md5(key.cast("string")), 1, 8),
+                16, 10).cast("long") % 1000000).alias("hk"))
+
+    def top(frame):
+        c = frame.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(F.col("n").desc(), F.col("t"))
+        return (c.select("t", F.row_number().over(w).alias("r"))
+                .where(F.col("r") <= kk).select("t"))
+    full = top(base)
+    outs = []
+    for rate in rates:
+        cut = int(float(rate) * 1000000)
+        samp = top(base.where(F.col("hk") < cut))
+        ov = (full.join(samp, "t")
+              .agg(F.count(F.lit(1)).alias("overlap")))
+        outs.append(ov.select(
+            F.lit(float(rate)).alias("rate"),
+            F.lit(kk).alias("k"),
+            F.col("overlap").cast("long").alias("overlap"),
+            F.round(F.col("overlap") / kk, round_to)
+             .alias("overlap_share")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def filter_funnel(df: DataFrame, gates: Sequence[tuple], *,
+                  round_to: int = 6) -> DataFrame:
+    """Ordered filter-funnel attribution: for a curation pipeline's
+    gate sequence, each gate's SOLO failure rate (how many rows
+    fail it alone) next to its MARGINAL kill count (rows it
+    removes given everything before it already ran) - the two
+    numbers that explain "gate 4 looks harmless solo but kills
+    nothing because gate 2 already took its prey" vs "gate 4 is
+    the only thing standing between us and 30% junk". One
+    conditional-sums pass. *gates* is a sequence of (name,
+    boolean-Column PASS predicate) pairs. Returns one row per gate
+    in order ``(stage, gate, n_fail_solo, solo_share,
+    n_kill_marginal, survivors_after)``.
+    """
+    names = [g[0] for g in gates]
+    preds = [g[1] for g in gates]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    run = F.lit(True)
+    for i, p in enumerate(preds):
+        aggs.append(F.sum((~p).cast("long")).alias(f"solo{i}"))
+        aggs.append(F.sum((run & ~p).cast("long"))
+                    .alias(f"kill{i}"))
+        run = run & p
+    aggs.append(F.sum(run.cast("long")).alias("final"))
+    a = df.agg(*aggs)
+    outs = []
+    survivors = F.col("n")
+    for i, name in enumerate(names):
+        survivors = survivors - F.col(f"kill{i}")
+        outs.append(a.select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(name).alias("gate"),
+            F.col(f"solo{i}").cast("long").alias("n_fail_solo"),
+            F.round(F.col(f"solo{i}") / F.col("n"), round_to)
+             .alias("solo_share"),
+            F.col(f"kill{i}").cast("long").alias("n_kill_marginal"),
+            survivors.cast("long").alias("survivors_after")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def median_ci(df: DataFrame, value_col: str, *, by: str,
+              round_to: int = 6) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN via
+    order statistics: the interval [x_(l), x_(u)] with l,u =
+    n/2 -+ 1.96*sqrt(n)/2 (the binomial normal approximation)
+    covers the true median at ~95% with NO distributional
+    assumption - the honest uncertainty for the quantile gates the
+    robust rows recommend, where a normal-theory mean CI is both
+    wrong-parameter and wrong-model. Order statistics come off the
+    per-group distinct-value cumulative table. Returns per-group
+    rows ``(group, n, median, ci_lo, ci_hi)``.
+    """
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+    ns = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.expr("percentile(v, 0.5)").alias("med"))
+    vc = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    wc = (Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = vc.select("g", "v", F.sum("c").over(wc).alias("cum")) \
+            .join(F.broadcast(ns), "g")
+    l_rank = F.greatest(F.floor(F.col("n") / 2
+                                - 1.96 * F.sqrt(F.col("n")) / 2),
+                        F.lit(1))
+    u_rank = F.least(F.ceil(F.col("n") / 2
+                            + 1.96 * F.sqrt(F.col("n")) / 2 + 1),
+                     F.col("n"))
+    lo = (cum.where(F.col("cum") >= l_rank)
+          .groupBy("g").agg(F.min("v").alias("ci_lo")))
+    hi = (cum.where(F.col("cum") >= u_rank)
+          .groupBy("g").agg(F.min("v").alias("ci_hi")))
+    out = ns.join(F.broadcast(lo), "g").join(F.broadcast(hi), "g")
+    return out.select(
+        F.col("g").alias("group"), F.col("n").cast("long").alias("n"),
+        F.round("med", round_to).alias("median"),
+        F.round("ci_lo", round_to).alias("ci_lo"),
+        F.round("ci_hi", round_to).alias("ci_hi")).orderBy("group")
