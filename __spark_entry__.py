@@ -8048,6 +8048,41 @@ def q_median_ci_langs(spark, sf_dir):
     return tablechecks.median_ci(d, "n_chars", by="lang")
 
 
+def q_spiegelhalter_len_gate(spark, sf_dir):
+    """Spiegelhalter calibration Z (tablechecks.spiegelhalter_z):
+    a logistic length score p = σ((len−300)/50) predicting
+    lang='en' — are the probabilities probabilities; the yardstick
+    the binned reliability table lacks."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+    p = 1.0 / (1.0 + F.exp(-(F.col("n_chars") - 300.0) / 50.0))
+    s = d.select(p.alias("p"),
+                 (F.col("lang") == "en").alias("y"))
+    return tablechecks.spiegelhalter_z(s, prob_col="p",
+                                       label_col=F.col("y"))
+
+
+def q_lin_ccc_size(spark, sf_dir):
+    """Lin's concordance correlation (tablechecks.lin_ccc) between
+    n_chars/5 and whitespace tokens — agreement with the 45° line,
+    with C_b separating precision from accuracy; the scalar beside
+    the Bland-Altman and Deming rows."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+    s = d.select((F.col("n_chars") / 5.0).alias("a"),
+                 F.size(F.split(F.col("text"), r"\s+"))
+                 .cast("double").alias("b"))
+    return tablechecks.lin_ccc(s, "a", "b")
+
+
+def q_yule_k_sources(spark, sf_dir):
+    """Yule's K repeat-rate (text.yule_k) per source — the length-
+    invariant vocabulary-dispersion constant; template churn reads
+    high, rich prose low."""
+    d = _read(spark, sf_dir, "documents")
+    return text.yule_k(d, by="source")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8640,6 +8675,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sample_topk_terms": q_sample_topk_terms,
         "filter_funnel_docs": q_filter_funnel_docs,
         "median_ci_langs": q_median_ci_langs,
+        # wave 99: Spiegelhalter Z, Lin's CCC, Yule's K
+        "spiegelhalter_len_gate": q_spiegelhalter_len_gate,
+        "lin_ccc_size": q_lin_ccc_size,
+        "yule_k_sources": q_yule_k_sources,
     }
 
 
@@ -21405,5 +21444,68 @@ def oracle_sql() -> dict[str, str]:
             FROM ns JOIN lo ON lo.g = ns.g
             JOIN hi ON hi.g = ns.g
             ORDER BY "group"
+        """,
+        # twin of q_spiegelhalter_len_gate — same logistic score
+        "spiegelhalter_len_gate": """
+            WITH s AS (
+              SELECT 1.0 / (1.0 + exp(-(n_chars - 300.0) / 50.0))
+                       AS p,
+                     (lang = 'en')::INT::DOUBLE AS y
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            a AS (
+              SELECT count(*)::BIGINT AS n, avg(y) AS br,
+                     avg(p) AS mp,
+                     sum((y - p) * (1 - 2*p)) AS num,
+                     sum(pow(1 - 2*p, 2) * p * (1 - p)) AS den
+              FROM s)
+            SELECT n, round(br, 6) AS base_rate,
+                   round(mp, 6) AS mean_pred,
+                   round(CASE WHEN den > 0 THEN num / sqrt(den)
+                         END, 6) AS z
+            FROM a
+        """,
+        # twin of q_lin_ccc_size — same closed form
+        "lin_ccc_size": """
+            WITH s AS (
+              SELECT n_chars / 5.0 AS x,
+                     length(regexp_split_to_array(text, '\\s+'))
+                       ::DOUBLE AS y
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+            a AS (
+              SELECT count(*)::BIGINT AS n, avg(x) AS mx,
+                     avg(y) AS my, var_pop(x) AS vx,
+                     var_pop(y) AS vy, covar_pop(x, y) AS cxy
+              FROM s),
+            f AS (
+              SELECT n,
+                     cxy / sqrt(vx * vy) AS r,
+                     2 * cxy / (vx + vy + pow(mx - my, 2)) AS ccc
+              FROM a)
+            SELECT n, round(r, 6) AS pearson_r,
+                   round(ccc / r, 6) AS c_b,
+                   round(ccc, 6) AS ccc
+            FROM f
+        """,
+        # twin of q_yule_k_sources — same token aggregation
+        "yule_k_sources": """
+            WITH toks AS (
+              SELECT source AS g, t.term AS t
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text),
+                          '[^a-z]+')) AS t(term)
+              WHERE text IS NOT NULL AND source IS NOT NULL
+                AND length(t.term) >= 1),
+            tc AS (SELECT g, t, count(*)::DOUBLE AS n FROM toks
+                   GROUP BY g, t),
+            a AS (
+              SELECT g, sum(n) AS nn, count(*)::BIGINT AS types,
+                     sum(n * n) AS n2
+              FROM tc GROUP BY g)
+            SELECT g AS "group", nn::BIGINT AS n_tokens,
+                   types AS n_types,
+                   round(1e4 * (n2 - nn) / (nn * nn), 6) AS yule_k
+            FROM a ORDER BY "group"
         """,
     }

@@ -465,6 +465,8 @@ R4_NAMES = [
     "siegel_volume_trend",
     # wave 98: sample sufficiency, filter funnel, median CI
     "sample_topk_terms", "filter_funnel_docs", "median_ci_langs",
+    # wave 99: Spiegelhalter Z, Lin's CCC, Yule's K
+    "spiegelhalter_len_gate", "lin_ccc_size", "yule_k_sources",
 ]
 
 

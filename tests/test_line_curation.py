@@ -1131,3 +1131,32 @@ class TestBidiAudit:
             rows, "doc_id long, text string, source string")
         out = tx.bidi_audit(df, by="source").collect()[0]
         assert out["n_overrides"] == 0 and out["unbalanced_docs"] == 0
+
+
+class TestYuleK:
+    def test_repetitive_higher_than_rich(self, spark):
+        from zoi_spark import text as tx
+        import string
+        rep = " ".join(["the cat sat"] * 50)
+        words = [a + b + c for a in string.ascii_lowercase
+                 for b in string.ascii_lowercase
+                 for c in "xyz"][:150]
+        rich = " ".join(words)
+        rows = [(1, rep, "a"), (2, rich, "b")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = {r["group"]: r for r in
+               tx.yule_k(df, by="source").collect()}
+        assert out["a"]["yule_k"] > 100 * out["b"]["yule_k"] or \
+            out["b"]["yule_k"] == 0.0
+        assert out["b"]["n_types"] == 150
+
+    def test_hand_value(self, spark):
+        from zoi_spark import text as tx
+        # tokens: a a a b b c -> N=6, sum n^2 = 9+4+1 = 14
+        rows = [(1, "a a a b b c", "s")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = tx.yule_k(df, by="source").collect()[0]
+        assert out["n_tokens"] == 6 and out["n_types"] == 3
+        assert out["yule_k"] == round(1e4 * (14 - 6) / 36, 6)

@@ -6752,3 +6752,67 @@ class TestMedianCi:
         rel_s = (s["ci_hi"] - s["ci_lo"]) / 100
         rel_b = (b["ci_hi"] - b["ci_lo"]) / 1000
         assert rel_b < rel_s
+
+
+class TestSpiegelhalterZ:
+    def test_perfectly_calibrated_small_z(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(161)
+        rows = []
+        for _ in range(5000):
+            p = rng.random()
+            rows.append((p, rng.random() < p))
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        out = tc.spiegelhalter_z(df, prob_col="p",
+                                 label_col=F.col("y")).collect()[0]
+        assert abs(out["z"]) < 2.5
+
+    def test_overconfident_flagged(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        import random
+        rng = random.Random(162)
+        rows = []
+        for _ in range(5000):
+            p = 0.9 if rng.random() < 0.5 else 0.1
+            y = rng.random() < (0.6 if p > 0.5 else 0.4)
+            rows.append((p, y))
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        out = tc.spiegelhalter_z(df, prob_col="p",
+                                 label_col=F.col("y")).collect()[0]
+        assert abs(out["z"]) > 5
+
+
+class TestLinCcc:
+    def test_identity_perfect(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v), float(v)) for v in range(100)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.lin_ccc(df, "x", "y").collect()[0]
+        assert out["ccc"] == 1.0 and out["pearson_r"] == 1.0
+
+    def test_scale_bias_punished(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v), 2.0 * v + 7.0) for v in range(100)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.lin_ccc(df, "x", "y").collect()[0]
+        assert out["pearson_r"] == 1.0         # r blind to bias
+        assert out["ccc"] < 0.7                # CCC is not
+        assert out["c_b"] < 0.7
+
+    def test_matches_closed_form(self, spark):
+        from zoi_spark import tablechecks as tc
+        import statistics
+        xs = [1.0, 2.0, 4.0, 7.0]
+        ys = [2.0, 2.5, 4.5, 6.0]
+        df = spark.createDataFrame(list(zip(xs, ys)),
+                                   "x double, y double")
+        out = tc.lin_ccc(df, "x", "y").collect()[0]
+        mx, my = statistics.mean(xs), statistics.mean(ys)
+        vx = sum((v - mx) ** 2 for v in xs) / 4
+        vy = sum((v - my) ** 2 for v in ys) / 4
+        cxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / 4
+        ccc = 2 * cxy / (vx + vy + (mx - my) ** 2)
+        assert out["ccc"] == round(ccc, 6)

@@ -9207,3 +9207,74 @@ def median_ci(df: DataFrame, value_col: str, *, by: str,
         F.round("med", round_to).alias("median"),
         F.round("ci_lo", round_to).alias("ci_lo"),
         F.round("ci_hi", round_to).alias("ci_hi")).orderBy("group")
+
+
+def spiegelhalter_z(df: DataFrame, *, prob_col, label_col,
+                    round_to: int = 6) -> DataFrame:
+    """Spiegelhalter's calibration Z test (Spiegelhalter 1986): for
+    predicted probabilities p and outcomes y,
+
+        Z = sum (y - p)(1 - 2p) / sqrt(sum (1-2p)^2 p(1-p))
+
+    - a TEST of calibration with an exact null variance, where the
+    binned reliability table (:func:`quality_calibration`) is a
+    picture and ECE a summary without a yardstick. |Z| > 1.96 says
+    the score's probabilities are not probabilities; discrimination
+    (:func:`roc_auc`) can still be fine. ONE aggregation. Returns
+    ``(n, base_rate, mean_pred, z)``.
+    """
+    p = (prob_col if isinstance(prob_col, Column)
+         else F.col(prob_col))
+    y = (label_col if isinstance(label_col, Column)
+         else F.col(label_col))
+    base = df.select(p.cast("double").alias("p"),
+                     y.cast("int").cast("double").alias("y")) \
+             .where(F.col("p").isNotNull() & F.col("y").isNotNull())
+    a = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("br"), F.avg("p").alias("mp"),
+        F.sum((F.col("y") - F.col("p"))
+              * (1 - 2 * F.col("p"))).alias("num"),
+        F.sum((1 - 2 * F.col("p")) ** 2 * F.col("p")
+              * (1 - F.col("p"))).alias("den"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("br", round_to).alias("base_rate"),
+        F.round("mp", round_to).alias("mean_pred"),
+        F.round(F.when(F.col("den") > 0,
+                       F.col("num") / F.sqrt(F.col("den"))),
+                round_to).alias("z"))
+
+
+def lin_ccc(df: DataFrame, x_col: str, y_col: str, *,
+            round_to: int = 6) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989):
+
+        CCC = 2*cov(x,y) / (var_x + var_y + (mu_x - mu_y)^2)
+
+    - agreement with the 45-degree line, not just linearity:
+    Pearson's r is 1 for y = 2x + 7; CCC punishes both the scale
+    and location bias, which is exactly the question when two
+    pipelines are supposed to produce the SAME number. The scalar
+    companion to :func:`bland_altman` (interval view) and
+    :func:`deming_fit` (structural view); the bias-correction
+    factor C_b = CCC/r separates precision from accuracy. ONE
+    aggregation. Returns ``(n, pearson_r, c_b, ccc)``.
+    """
+    s = df.select(F.col(x_col).cast("double").alias("x"),
+                  F.col(y_col).cast("double").alias("y")) \
+          .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    a = s.agg(F.count(F.lit(1)).alias("n"),
+              F.avg("x").alias("mx"), F.avg("y").alias("my"),
+              F.var_pop("x").alias("vx"), F.var_pop("y").alias("vy"),
+              F.covar_pop("x", "y").alias("cxy"))
+    ccc = (2 * F.col("cxy")
+           / (F.col("vx") + F.col("vy")
+              + (F.col("mx") - F.col("my")) ** 2))
+    r = F.try_divide(F.col("cxy"),
+                     F.sqrt(F.col("vx") * F.col("vy")))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(r, round_to).alias("pearson_r"),
+        F.round(F.try_divide(ccc, r), round_to).alias("c_b"),
+        F.round(ccc, round_to).alias("ccc"))

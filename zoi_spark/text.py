@@ -3847,3 +3847,40 @@ def bidi_audit(df: DataFrame, *, text_col: str = "text",
         F.sum("iso").cast("long").alias("n_isolates"),
         F.sum(hit.cast("long")).alias("docs_affected"),
         F.sum(F.col("ub").cast("long")).alias("unbalanced_docs"))
+
+
+def yule_k(df: DataFrame, *, text_col: str = "text",
+           by: str | None = None,
+           round_to: int = 6) -> DataFrame:
+    """Yule's characteristic K (Yule 1944) per group - the repeat-
+    rate constant of vocabulary use:
+
+        K = 10^4 * (sum_t n_t^2 - N) / N^2
+
+    famously LENGTH-INVARIANT (unlike the type-token ratio), so
+    sources of different sizes compare honestly: template-churned
+    text pushes K up (the same tokens over and over), rich prose
+    sits low. The dispersion complement of :func:`vocab_richness`
+    (which counts species) and :func:`lexical_concentration` (share
+    of the head). One explode + term aggregation. Returns per-group
+    rows ``(group, n_tokens, n_types, yule_k)``.
+    """
+    grp = F.col(by) if by else F.lit("all")
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(grp.alias("g"),
+                    F.explode(F.split(F.lower(F.col(text_col)),
+                                      "[^a-z]+")).alias("t"))
+            .where(F.length("t") >= 1))
+    tc = toks.groupBy("g", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    a = tc.groupBy("g").agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("types"),
+        F.sum(F.col("n") ** 2).alias("n2"))
+    k = 1e4 * (F.col("n2") - F.col("nn")) / (F.col("nn") ** 2)
+    out = a.select(
+        F.col("g").alias("group"),
+        F.col("nn").cast("long").alias("n_tokens"),
+        F.col("types").cast("long").alias("n_types"),
+        F.round(k, round_to).alias("yule_k")).orderBy("group")
+    return out
