@@ -8083,6 +8083,51 @@ def q_yule_k_sources(spark, sf_dir):
     return text.yule_k(d, by="source")
 
 
+def q_corpus_scorecard(spark, sf_dir):
+    """One-pass corpus health scorecard (text.corpus_scorecard):
+    ten hygiene signals fused into a single scan — the sentinel
+    that says WHICH drill-down operator to run on one pass's
+    budget."""
+    d = _read(spark, sf_dir, "documents")
+    return text.corpus_scorecard(d)
+
+
+def q_skew_scan_events(spark, sf_dir):
+    """Multi-column tail sweep (tablechecks.skew_scan) over
+    (value, user_id, event_id) — p50/p99/p999, tail ratio and CV
+    per column in one fused aggregation; the triage before any
+    heavy tail machinery."""
+    e = _read(spark, sf_dir, "events")
+    return (tablechecks.skew_scan(
+        e, ["value", "user_id", "event_id"]).orderBy("column"))
+
+
+def q_page_trend_rules(spark, sf_dir):
+    """Page's L ordered trend (tablechecks.page_trend) over three
+    per-doc 'version scores' (length rescaled by 1.0/1.02/1.04) —
+    the one-signed-z monotone-improvement read the Friedman omnibus
+    dilutes."""
+    d = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
+    rows = d.select(
+        F.col("doc_id").alias("blk"),
+        F.explode(F.array(
+            F.struct(F.lit(1.0).alias("j"),
+                     (F.col("n_chars") * 1.0
+                      + F.pmod("doc_id", F.lit(7))).alias("v")),
+            F.struct(F.lit(2.0).alias("j"),
+                     (F.col("n_chars") * 1.02
+                      + F.pmod("doc_id", F.lit(5))).alias("v")),
+            F.struct(F.lit(3.0).alias("j"),
+                     (F.col("n_chars") * 1.04
+                      + F.pmod("doc_id", F.lit(3))).alias("v"))))
+        .alias("r")) \
+        .select("blk", F.col("r.j").alias("j"),
+                F.col("r.v").alias("v"))
+    return tablechecks.page_trend(rows, block_col="blk",
+                                  treat_score="j", value_col="v")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8679,6 +8724,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "spiegelhalter_len_gate": q_spiegelhalter_len_gate,
         "lin_ccc_size": q_lin_ccc_size,
         "yule_k_sources": q_yule_k_sources,
+        # wave 100: fused scorecard, skew scan, Page trend
+        "corpus_scorecard": q_corpus_scorecard,
+        "skew_scan_events": q_skew_scan_events,
+        "page_trend_rules": q_page_trend_rules,
     }
 
 
@@ -21507,5 +21556,124 @@ def oracle_sql() -> dict[str, str]:
                    types AS n_types,
                    round(1e4 * (n2 - nn) / (nn * nn), 6) AS yule_k
             FROM a ORDER BY "group"
+        """,
+        # twin of q_corpus_scorecard — same fused signal definitions
+        "corpus_scorecard": """
+            WITH base AS (
+              SELECT
+                len(regexp_extract_all(text,
+                  '[\\x{2600}-\\x{27BF}\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F680}-\\x{1F6FF}\\x{1F900}-\\x{1F9FF}\\x{1FA70}-\\x{1FAFF}]'))
+                  AS em,
+                len(regexp_extract_all(text, '(^|\\s)#\\w{2,}'))
+                + len(regexp_extract_all(text, '(^|\\s)@\\w{2,}'))
+                + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                  AS so,
+                coalesce((SELECT max(length(r)) FROM unnest(
+                  regexp_extract_all(lower(text),
+                    '[bcdfghjklmnpqrstvwxz]+')) AS t(r)), 0) AS mr,
+                len(regexp_extract_all(lower(text), '[aeiouy]'))
+                  ::DOUBLE AS nv,
+                len(regexp_extract_all(lower(text), '[a-z]'))
+                  ::DOUBLE AS nl,
+                len(regexp_extract_all(text, '-' || chr(10)))
+                + len(regexp_extract_all(text, chr(173))) AS hy,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS pi,
+                len(regexp_extract_all(text,
+                  '[' || chr(8234) || '-' || chr(8238) || ']'))
+                + len(regexp_extract_all(text,
+                  '[' || chr(8294) || '-' || chr(8297) || ']'))
+                  AS bd,
+                len(regexp_extract_all(text, '[A-Z]'))::DOUBLE
+                  AS nu,
+                md5(text) AS fp,
+                n_chars::DOUBLE AS cc
+              FROM documents WHERE text IS NOT NULL),
+            a AS (
+              SELECT count(*)::DOUBLE AS n, avg(cc) AS mc,
+                     count(DISTINCT fp)::DOUBLE AS nd,
+                     sum(em) AS em, sum(so) AS so,
+                     sum(CASE WHEN mr >= 7
+                              OR nv / nullif(nl, 0) < 0.2
+                         THEN 1 ELSE 0 END) AS gb,
+                     sum(hy) AS hy, sum(pi) AS pi, sum(bd) AS bd,
+                     avg(nu / nullif(nu + nl, 0)) AS cp,
+                     avg(nv / nullif(nl, 0)) AS vs
+              FROM base)
+            SELECT n::BIGINT AS n_docs,
+                   round(mc, 6) AS mean_chars,
+                   round(nd / n, 6) AS dup_fingerprint_ratio,
+                   round(em * 1000.0 / n, 6) AS emoji_per_kdoc,
+                   round(so * 1000.0 / n, 6) AS social_per_kdoc,
+                   round(gb / n, 6) AS gibberish_share,
+                   round(hy * 1000.0 / n, 6) AS hyphen_per_kdoc,
+                   round(pi * 1000.0 / n, 6) AS pii_email_per_kdoc,
+                   round(bd * 1000.0 / n, 6) AS bidi_per_kdoc,
+                   round(cp, 6) AS caps_share,
+                   round(vs, 6) AS vowel_share
+            FROM a
+        """,
+        # twin of q_skew_scan_events — same fused percentiles
+        "skew_scan_events": """
+            WITH a AS (
+              SELECT """ + ", ".join(
+            f"""count({c})::BIGINT AS n_{c},
+                     quantile_cont({c}, 0.5) AS p50_{c},
+                     quantile_cont({c}, 0.99) AS p99_{c},
+                     quantile_cont({c}, 0.999) AS p999_{c},
+                     avg({c}) AS m_{c}, stddev({c}) AS s_{c}"""
+            for c in ("value", "user_id", "event_id")) + """
+              FROM events)
+            SELECT * FROM (""" + " UNION ALL ".join(
+            f"""SELECT '{c}' AS "column", n_{c} AS n,
+                   round(p50_{c}, 6) AS p50,
+                   round(p99_{c}, 6) AS p99,
+                   round(p999_{c}, 6) AS p999,
+                   round(p99_{c} / nullif(p50_{c}, 0), 6)
+                     AS tail_ratio,
+                   round(s_{c} / nullif(m_{c}, 0), 6) AS cv
+                FROM a"""
+            for c in ("value", "user_id", "event_id")) + """
+            ) ORDER BY "column"
+        """,
+        # twin of q_page_trend_rules — same within-block ranks
+        "page_trend_rules": """
+            WITH rows_ AS (
+              SELECT doc_id AS b, t.j,
+                     CASE t.j WHEN 1.0 THEN n_chars * 1.0
+                              + (doc_id % 7)
+                          WHEN 2.0 THEN n_chars * 1.02
+                              + (doc_id % 5)
+                          ELSE n_chars * 1.04 + (doc_id % 3)
+                     END AS v
+              FROM documents CROSS JOIN
+                   (SELECT unnest([1.0, 2.0, 3.0]) AS j) t
+              WHERE n_chars IS NOT NULL),
+            ranked AS (
+              SELECT b, j,
+                     2 * rank() OVER (PARTITION BY b ORDER BY v)
+                       + count(*) OVER (PARTITION BY b, v) - 1
+                       AS r2
+              FROM rows_),
+            per_j AS (
+              SELECT j, sum(r2)::DOUBLE AS r2j,
+                     count(*)::DOUBLE AS nb
+              FROM ranked GROUP BY j),
+            pos AS (SELECT row_number() OVER (ORDER BY j) AS pos,
+                           r2j, nb
+                    FROM per_j),
+            a AS (SELECT any_value(nb) AS b,
+                         count(*)::DOUBLE AS k,
+                         sum(pos * r2j / 2.0) AS l
+                  FROM pos)
+            SELECT b::BIGINT AS n_blocks, 0::BIGINT AS n_dropped,
+                   k::BIGINT AS k_treat,
+                   round(l, 6) AS l_stat,
+                   round(b * k * pow(k + 1, 2) / 4.0, 6) AS mean_l,
+                   round((l - b * k * pow(k + 1, 2) / 4.0)
+                         / sqrt(b * pow(k*k*k - k, 2)
+                                / (144.0 * (k - 1))), 6) AS z
+            FROM a
         """,
     }

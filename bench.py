@@ -467,6 +467,8 @@ R4_NAMES = [
     "sample_topk_terms", "filter_funnel_docs", "median_ci_langs",
     # wave 99: Spiegelhalter Z, Lin's CCC, Yule's K
     "spiegelhalter_len_gate", "lin_ccc_size", "yule_k_sources",
+    # wave 100: fused scorecard, skew scan, Page trend
+    "corpus_scorecard", "skew_scan_events", "page_trend_rules",
 ]
 
 

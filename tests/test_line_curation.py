@@ -1160,3 +1160,33 @@ class TestYuleK:
         out = tx.yule_k(df, by="source").collect()[0]
         assert out["n_tokens"] == 6 and out["n_types"] == 3
         assert out["yule_k"] == round(1e4 * (14 - 6) / 36, 6)
+
+
+class TestCorpusScorecard:
+    def test_signals_fire_on_seeded_docs(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "clean ordinary prose about things", "a", 34),
+                (2, "fire 🔥 emoji and #tag plus http://x.co/a",
+                 "a", 41),
+                (3, "contact me at bob@example.com please", "a", 36),
+                (4, "clean ordinary prose about things", "a", 34)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        out = tx.corpus_scorecard(df).collect()[0]
+        assert out["n_docs"] == 4
+        assert out["dup_fingerprint_ratio"] == 0.75   # one exact dup
+        assert out["emoji_per_kdoc"] == 250.0
+        assert out["social_per_kdoc"] == 500.0        # #tag + url
+        assert out["pii_email_per_kdoc"] == 250.0
+        assert out["gibberish_share"] == 0.0
+        assert 0.3 < out["vowel_share"] < 0.55
+
+    def test_single_pass_plan(self, spark):
+        from zoi_spark import text as tx
+        rows = [(1, "anything at all", "a", 15)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+        plan = tx.corpus_scorecard(df)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        # ONE scan feeds everything: the relation appears once
+        assert plan.count("LogicalRDD") <= 1

@@ -6816,3 +6816,57 @@ class TestLinCcc:
         cxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / 4
         ccc = 2 * cxy / (vx + vy + (mx - my) ** 2)
         assert out["ccc"] == round(ccc, 6)
+
+
+class TestSkewScan:
+    def test_tail_ratio_separates(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(v % 100 + 1), float(10 ** (v % 5)))
+                for v in range(5000)]
+        df = spark.createDataFrame(rows, "flat double, heavy double")
+        out = {r["column"]: r for r in
+               tc.skew_scan(df, ["flat", "heavy"]).collect()}
+        assert out["flat"]["tail_ratio"] < 3
+        assert out["heavy"]["tail_ratio"] > 50
+        assert out["heavy"]["cv"] > out["flat"]["cv"]
+
+    def test_null_columns_counted(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, None), (2.0, 5.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = {r["column"]: r for r in
+               tc.skew_scan(df, ["a", "b"]).collect()}
+        assert out["a"]["n"] == 2 and out["b"]["n"] == 1
+
+
+class TestPageTrend:
+    def test_perfect_order_max_l(self, spark):
+        import pyspark.sql.functions as F
+        from zoi_spark import tablechecks as tc
+        rows = [(b, float(j), float(j)) for b in range(12)
+                for j in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "b long, j double, v double")
+        out = tc.page_trend(df, block_col="b", treat_score="j",
+                            value_col="v").collect()[0]
+        # ranks 1,2,3 aligned with positions: L = b*(1+4+9) = 168
+        assert out["l_stat"] == 168.0
+        assert out["mean_l"] == 144.0
+        assert out["z"] > 3
+
+    def test_reversed_order_negative_z(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(b, float(j), float(4 - j)) for b in range(12)
+                for j in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "b long, j double, v double")
+        out = tc.page_trend(df, block_col="b", treat_score="j",
+                            value_col="v").collect()[0]
+        assert out["z"] < -3
+
+    def test_all_tied_mean_l(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(b, float(j), 5.0) for b in range(10)
+                for j in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "b long, j double, v double")
+        out = tc.page_trend(df, block_col="b", treat_score="j",
+                            value_col="v").collect()[0]
+        assert out["l_stat"] == out["mean_l"]

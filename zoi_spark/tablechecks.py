@@ -9278,3 +9278,102 @@ def lin_ccc(df: DataFrame, x_col: str, y_col: str, *,
         F.round(r, round_to).alias("pearson_r"),
         F.round(F.try_divide(ccc, r), round_to).alias("c_b"),
         F.round(ccc, round_to).alias("ccc"))
+
+
+def skew_scan(df: DataFrame, cols: Sequence[str], *,
+              round_to: int = 6) -> DataFrame:
+    """Multi-column tail-heaviness sweep - the five-second triage
+    that decides which columns need the heavy tail machinery
+    (:func:`power_tail_hill`, :func:`gpd_tail_fit`, robust scales)
+    and which are safe for mean-based gates: per numeric column,
+    p50/p99/p999, the p99/p50 TAIL RATIO (>10 = log it before
+    anything else) and the coefficient of variation. ONE fused
+    aggregation for every column. Returns one row per column
+    ``(column, n, p50, p99, p999, tail_ratio, cv)``.
+    """
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"n_{c}"),
+            F.expr(f"percentile({c}, 0.5)").alias(f"p50_{c}"),
+            F.expr(f"percentile({c}, 0.99)").alias(f"p99_{c}"),
+            F.expr(f"percentile({c}, 0.999)").alias(f"p999_{c}"),
+            F.avg(v).alias(f"m_{c}"),
+            F.stddev(v).alias(f"s_{c}")]
+    a = df.agg(*aggs)
+    outs = []
+    for c in cols:
+        outs.append(a.select(
+            F.lit(c).alias("column"),
+            F.col(f"n_{c}").cast("long").alias("n"),
+            F.round(F.col(f"p50_{c}"), round_to).alias("p50"),
+            F.round(F.col(f"p99_{c}"), round_to).alias("p99"),
+            F.round(F.col(f"p999_{c}"), round_to).alias("p999"),
+            F.round(F.try_divide(F.col(f"p99_{c}"),
+                                 F.col(f"p50_{c}")), round_to)
+             .alias("tail_ratio"),
+            F.round(F.try_divide(F.col(f"s_{c}"), F.col(f"m_{c}")),
+                    round_to).alias("cv")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def page_trend(df: DataFrame, *, block_col: str, treat_score,
+               value_col: str, round_to: int = 6) -> DataFrame:
+    """Page's L trend test (Page 1963) - the ORDERED-alternative
+    refinement of :func:`friedman_test`, exactly as Jonckheere
+    refines Kruskal-Wallis: treatments carry a hypothesized order
+    (version 1 < 2 < 3), values are ranked within blocks, and
+
+        L = sum_j j * R_j,
+        mu = b*k(k+1)^2/4,
+        sigma^2 = b*(k^3 - k)^2 / (144*(k - 1))
+
+    so a monotone improvement that Friedman's omnibus chi2 dilutes
+    across k-1 dof shows as one signed z. Complete blocks only
+    (dropped count reported); ties take average ranks. Returns one
+    row ``(n_blocks, n_dropped, k_treat, l_stat, mean_l, z)``.
+    """
+    score = (treat_score if isinstance(treat_score, Column)
+             else F.col(treat_score))
+    base = (df.select(F.col(block_col).alias("b"),
+                      score.cast("double").alias("j"),
+                      F.col(value_col).cast("double").alias("v"))
+            .where(F.col("b").isNotNull() & F.col("j").isNotNull()
+                   & F.col("v").isNotNull()))
+    k = base.agg(F.countDistinct("j").cast("double").alias("k"))
+    sizes = base.groupBy("b").agg(F.countDistinct("j").alias("kb"))
+    complete = (base.join(sizes, "b").crossJoin(F.broadcast(k))
+                .where(F.col("kb") == F.col("k")))
+    dropped = sizes.crossJoin(F.broadcast(k)) \
+                   .where(F.col("kb") != F.col("k")) \
+                   .agg(F.count(F.lit(1)).alias("n_dropped"))
+    wb = Window.partitionBy("b").orderBy("v")
+    eq = F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
+    rank2 = 2 * F.rank().over(wb) + eq - 1
+    per_j = (complete.select("j", rank2.alias("r2"), "k")
+             .groupBy("j")
+             .agg(F.sum("r2").cast("double").alias("r2j"),
+                  F.count(F.lit(1)).cast("double").alias("nb"),
+                  F.first("k").alias("k")))
+    # rank of the treatment score itself defines j's position 1..k
+    wj = Window.orderBy("j")
+    pos = per_j.select(F.row_number().over(wj).alias("pos"),
+                       "r2j", "nb", "k")
+    a = pos.agg(F.first("nb").alias("b"), F.first("k").alias("k"),
+                F.sum(F.col("pos") * F.col("r2j") / 2.0)
+                 .alias("l"))
+    bq, kq = F.col("b"), F.col("k")
+    mean_l = bq * kq * (kq + 1) ** 2 / 4.0
+    var_l = bq * (kq ** 3 - kq) ** 2 / (144.0 * (kq - 1))
+    return a.crossJoin(F.broadcast(dropped)).select(
+        bq.cast("long").alias("n_blocks"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        kq.cast("long").alias("k_treat"),
+        F.round("l", round_to).alias("l_stat"),
+        F.round(mean_l, round_to).alias("mean_l"),
+        F.round(F.when(var_l > 0, (F.col("l") - mean_l)
+                       / F.sqrt(var_l)), round_to).alias("z"))

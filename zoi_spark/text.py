@@ -3884,3 +3884,78 @@ def yule_k(df: DataFrame, *, text_col: str = "text",
         F.col("types").cast("long").alias("n_types"),
         F.round(k, round_to).alias("yule_k")).orderBy("group")
     return out
+
+
+def corpus_scorecard(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     chars_col: str = "n_chars",
+                     round_to: int = 6) -> DataFrame:
+    """ONE-PASS corpus health scorecard - operator fusion as a
+    feature: ten hygiene signals that would naively cost ten scans
+    (emoji, social residue, gibberish, hyphenation artifacts, PII
+    emails, bidi controls, caps share, exact-dup ratio, mean
+    length, vowel share) fused into a single projection + a single
+    aggregation, which at 10^12 rows is the difference between one
+    pass over 100 TB and ten. Each signal matches its dedicated
+    operator's definition (same regexes), so the scorecard is a
+    cheap sentinel: a moving number says WHICH drill-down operator
+    to run, on one scan's budget. Returns one row ``(n_docs,
+    mean_chars, dup_fingerprint_ratio, emoji_per_kdoc,
+    social_per_kdoc, gibberish_share, hyphen_per_kdoc,
+    pii_email_per_kdoc, bidi_per_kdoc, caps_share,
+    vowel_share)``.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    emoji = F.regexp_count(t, F.lit(EMOJI_CLASS))
+    social = (F.regexp_count(t, F.lit(r"(^|\s)#\w{2,}"))
+              + F.regexp_count(t, F.lit(r"(^|\s)@\w{2,}"))
+              + F.regexp_count(t, F.lit(r"https?://[^\s]+")))
+    cons = F.coalesce(F.array_max(F.transform(
+        F.regexp_extract_all(low,
+                             F.lit(r"[bcdfghjklmnpqrstvwxz]+"), 0),
+        F.length)), F.lit(0))
+    n_vowel = F.regexp_count(low, F.lit(r"[aeiouy]"))
+    n_alpha = F.regexp_count(low, F.lit(r"[a-z]"))
+    vshare = F.try_divide(n_vowel.cast("double"),
+                          n_alpha.cast("double"))
+    gib = ((cons >= 7) | (vshare < 0.2)).cast("long")
+    hyph = (F.regexp_count(t, F.lit(r"-\n"))
+            + F.regexp_count(t, F.lit("­")))
+    pii = F.regexp_count(
+        t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+    bidi = (F.regexp_count(t, F.lit(BIDI_OVERRIDES))
+            + F.regexp_count(t, F.lit(BIDI_ISOLATES)))
+    n_upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    caps = F.try_divide(n_upper.cast("double"),
+                        (n_upper + n_alpha).cast("double"))
+    fp = F.md5(t)
+    base = df.where(t.isNotNull()).select(
+        emoji.alias("em"), social.alias("so"), gib.alias("gb"),
+        hyph.alias("hy"), pii.alias("pi"), bidi.alias("bd"),
+        caps.alias("cp"), vshare.alias("vs"), fp.alias("fp"),
+        F.col(chars_col).cast("double").alias("cc"))
+    a = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("cc").alias("mc"),
+        F.countDistinct("fp").cast("double").alias("nd"),
+        F.sum("em").alias("em"), F.sum("so").alias("so"),
+        F.sum("gb").alias("gb"), F.sum("hy").alias("hy"),
+        F.sum("pi").alias("pi"), F.sum("bd").alias("bd"),
+        F.avg("cp").alias("cp"), F.avg("vs").alias("vs"))
+    per_kdoc = lambda c: F.round(F.col(c) * 1000.0 / F.col("n"),
+                                 round_to)
+    return a.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("mc", round_to).alias("mean_chars"),
+        F.round(F.col("nd") / F.col("n"), round_to)
+         .alias("dup_fingerprint_ratio"),
+        per_kdoc("em").alias("emoji_per_kdoc"),
+        per_kdoc("so").alias("social_per_kdoc"),
+        F.round(F.col("gb") / F.col("n"), round_to)
+         .alias("gibberish_share"),
+        per_kdoc("hy").alias("hyphen_per_kdoc"),
+        per_kdoc("pi").alias("pii_email_per_kdoc"),
+        per_kdoc("bd").alias("bidi_per_kdoc"),
+        F.round("cp", round_to).alias("caps_share"),
+        F.round("vs", round_to).alias("vowel_share"))
