@@ -8128,6 +8128,33 @@ def q_page_trend_rules(spark, sf_dir):
                                   treat_score="j", value_col="v")
 
 
+def q_effective_dim_emb(spark, sf_dir):
+    """Participation-ratio effective dimension (similarity.
+    effective_dim) of the embeddings — how many of the 64 dims the
+    corpus actually uses; dead dims are broken featurizer
+    outputs."""
+    em = _read(spark, sf_dir, "embeddings")
+    return similarity.effective_dim(em, "embedding")
+
+
+def q_anisotropy_emb(spark, sf_dir):
+    """Exact corpus anisotropy (similarity.anisotropy): the mean
+    pairwise cosine via the ||Σu||² identity — one pass instead of
+    n²/2 dot products; high values collapse cosine's useful
+    range."""
+    em = _read(spark, sf_dir, "embeddings")
+    return similarity.anisotropy(em, "embedding")
+
+
+def q_norm_length_bias(spark, sf_dir):
+    """Embedding-norm vs doc-length bias (similarity.
+    norm_length_bias): is the norm a length feature in disguise —
+    one id join + one moment pass."""
+    em = _read(spark, sf_dir, "embeddings")
+    d = _read(spark, sf_dir, "documents")
+    return similarity.norm_length_bias(em, d)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8728,6 +8755,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_scorecard": q_corpus_scorecard,
         "skew_scan_events": q_skew_scan_events,
         "page_trend_rules": q_page_trend_rules,
+        # wave 101: effective dim, anisotropy, norm-length bias
+        "effective_dim_emb": q_effective_dim_emb,
+        "anisotropy_emb": q_anisotropy_emb,
+        "norm_length_bias": q_norm_length_bias,
     }
 
 
@@ -21674,6 +21705,79 @@ def oracle_sql() -> dict[str, str]:
                    round((l - b * k * pow(k + 1, 2) / 4.0)
                          / sqrt(b * pow(k*k*k - k, 2)
                                 / (144.0 * (k - 1))), 6) AS z
+            FROM a
+        """,
+        # twin of q_effective_dim_emb — same per-dim variances
+        "effective_dim_emb": """
+            WITH per AS (
+              SELECT s.i,
+                     var_pop(embedding[s.i]::DOUBLE) AS v,
+                     count(*)::BIGINT AS n
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding)))
+                     AS s(i)
+              WHERE embedding IS NOT NULL
+              GROUP BY s.i),
+            a AS (
+              SELECT any_value(n) AS n, count(*)::BIGINT AS d,
+                     sum(v) AS sv, sum(v * v) AS sv2,
+                     sum(CASE WHEN v < 1e-12 THEN 1 ELSE 0 END)
+                       ::BIGINT AS dead,
+                     max(v) AS vmax
+              FROM per)
+            SELECT n, d, round(sv, 6) AS total_var,
+                   round(sv * sv / sv2, 6) AS pr_effective_dim,
+                   dead AS n_dead_dims,
+                   round(vmax / sv, 6) AS top_var_share
+            FROM a
+        """,
+        # twin of q_anisotropy_emb — same normalized component sums
+        "anisotropy_emb": """
+            WITH base AS (
+              SELECT embedding AS e,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> x::DOUBLE * x::DOUBLE))) AS nm
+              FROM embeddings WHERE embedding IS NOT NULL),
+            keep AS (SELECT * FROM base WHERE nm > 0),
+            per AS (
+              SELECT s.i,
+                     sum(e[s.i]::DOUBLE / nm) AS su,
+                     count(*)::BIGINT AS n,
+                     avg(nm) AS mn
+              FROM keep,
+                   unnest(generate_series(1, len(e))) AS s(i)
+              GROUP BY s.i),
+            a AS (
+              SELECT any_value(n) AS n, count(*)::BIGINT AS d,
+                     sum(su * su) AS s2, any_value(mn) AS mn
+              FROM per)
+            SELECT n, d,
+                   round((s2 - n) / (n * (n - 1.0)), 6)
+                     AS mean_cosine,
+                   round(mn, 6) AS mean_norm
+            FROM a
+        """,
+        # twin of q_norm_length_bias — same join and moments
+        "norm_length_bias": """
+            WITH e AS (
+              SELECT vec_id AS id,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> x::DOUBLE * x::DOUBLE))) AS nm
+              FROM embeddings WHERE embedding IS NOT NULL),
+            d AS (SELECT doc_id AS id, n_chars::DOUBLE AS ln
+                  FROM documents WHERE n_chars IS NOT NULL),
+            j AS (SELECT e.nm, d.ln FROM e JOIN d USING (id)),
+            a AS (
+              SELECT count(*)::BIGINT AS n, avg(nm) AS mn,
+                     covar_pop(nm, ln) AS c,
+                     stddev_pop(nm) AS sn, stddev_pop(ln) AS sl,
+                     var_pop(ln) AS vl
+              FROM j)
+            SELECT n, round(mn, 6) AS mean_norm,
+                   round(CASE WHEN sn * sl > 0 THEN c / (sn * sl)
+                         END, 6) AS pearson_r,
+                   round(CASE WHEN vl > 0 THEN c / vl * 1000.0
+                         END, 6) AS slope_per_kchar
             FROM a
         """,
     }

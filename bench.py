@@ -469,6 +469,8 @@ R4_NAMES = [
     "spiegelhalter_len_gate", "lin_ccc_size", "yule_k_sources",
     # wave 100: fused scorecard, skew scan, Page trend
     "corpus_scorecard", "skew_scan_events", "page_trend_rules",
+    # wave 101: effective dim, anisotropy, norm-length bias
+    "effective_dim_emb", "anisotropy_emb", "norm_length_bias",
 ]
 
 

@@ -1209,3 +1209,95 @@ def test_jaro_winkler_pairs_mega_block_cap(spark):
     # the 5-doc block exceeds the cap and is excluded wholesale;
     # the 2-doc block survives
     assert out == {(10, 11)}
+
+
+class TestEffectiveDim:
+    def test_isotropic_uses_all_dims(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(171)
+        rows = [([rng.gauss(0, 1) for _ in range(8)],)
+                for _ in range(2000)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = sim.effective_dim(df).collect()[0]
+        assert out["d"] == 8
+        assert out["pr_effective_dim"] > 7.0
+        assert out["n_dead_dims"] == 0
+
+    def test_dead_and_dominant_dims(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(172)
+        # dim0 dominant, dims 2-7 constant (dead)
+        rows = [([rng.gauss(0, 10), rng.gauss(0, 1)]
+                 + [0.5] * 6,) for _ in range(2000)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = sim.effective_dim(df).collect()[0]
+        assert out["n_dead_dims"] == 6
+        assert out["pr_effective_dim"] < 1.3
+        assert out["top_var_share"] > 0.95
+
+
+class TestAnisotropy:
+    def test_identical_vectors_cos_one(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [([1.0, 2.0, 2.0],)] * 50
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = sim.anisotropy(df).collect()[0]
+        assert out["mean_cosine"] == 1.0
+        assert out["mean_norm"] == 3.0
+
+    def test_matches_bruteforce_pairs(self, spark):
+        from zoi_spark import similarity as sim
+        import random, math
+        rng = random.Random(173)
+        vecs = [[rng.gauss(0, 1) for _ in range(5)]
+                for _ in range(40)]
+        df = spark.createDataFrame([(v,) for v in vecs],
+                                   "embedding array<double>")
+        out = sim.anisotropy(df).collect()[0]
+        unit = []
+        for v in vecs:
+            nm = math.sqrt(sum(x * x for x in v))
+            unit.append([x / nm for x in v])
+        tot, cnt = 0.0, 0
+        for i in range(40):
+            for k in range(40):
+                if i != k:
+                    tot += sum(a * b for a, b in
+                               zip(unit[i], unit[k]))
+                    cnt += 1
+        assert abs(out["mean_cosine"] - tot / cnt) < 1e-6
+
+
+class TestNormLengthBias:
+    def test_planted_bias_detected(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(174)
+        emb_rows, doc_rows = [], []
+        for i in range(500):
+            ln = rng.randrange(50, 1000)
+            scale = 0.01 * ln                  # norm grows with len
+            emb_rows.append((i, [scale * rng.gauss(0, 1)
+                                 for _ in range(4)]))
+            doc_rows.append((i, ln))
+        e = spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<double>")
+        d = spark.createDataFrame(doc_rows, "doc_id long, n_chars long")
+        out = sim.norm_length_bias(e, d).collect()[0]
+        assert out["pearson_r"] > 0.7
+        assert out["slope_per_kchar"] > 0
+
+    def test_unbiased_near_zero(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(175)
+        emb_rows = [(i, [rng.gauss(0, 1) for _ in range(4)])
+                    for i in range(500)]
+        doc_rows = [(i, rng.randrange(50, 1000)) for i in range(500)]
+        e = spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<double>")
+        d = spark.createDataFrame(doc_rows, "doc_id long, n_chars long")
+        out = sim.norm_length_bias(e, d).collect()[0]
+        assert abs(out["pearson_r"]) < 0.15

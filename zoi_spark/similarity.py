@@ -926,3 +926,122 @@ def emb_prefix_energy(df: DataFrame, *, vec_col: str = "embedding",
             .select("bucket",
                     F.round(F.col("bucket") / n_buckets, round_to)
                     .alias("lo"), "n_vecs"))
+
+
+def effective_dim(df: DataFrame, vec_col: str = "embedding", *,
+                  dead_eps: float = 1e-12,
+                  round_to: int = 6) -> DataFrame:
+    """Participation-ratio effective dimension of an embedding
+    column: PR = (sum var_d)^2 / sum var_d^2 over the per-dimension
+    variances - the eigendecomposition-free estimate of how many
+    dimensions the corpus ACTUALLY uses (diagonal approximation:
+    exact when dims are uncorrelated, a ceiling otherwise,
+    documented). An advertised-768-dim embedding with PR 40 pays
+    19x storage and ANN cost for nothing; dead dims (var < eps) are
+    broken featurizer outputs. One explode + per-dim aggregation +
+    1-row close. Returns ``(n, d, total_var, pr_effective_dim,
+    n_dead_dims, top_var_share)``.
+    """
+    per = (df.where(F.col(vec_col).isNotNull())
+           .select(F.posexplode(F.col(vec_col))
+                   .alias("i", "x"))
+           .groupBy("i")
+           .agg(F.var_pop("x").alias("v"),
+                F.count(F.lit(1)).alias("n")))
+    a = per.agg(
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") ** 2).alias("sv2"),
+        F.sum((F.col("v") < float(dead_eps)).cast("long"))
+         .alias("dead"),
+        F.max("v").alias("vmax"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("d").cast("long").alias("d"),
+        F.round("sv", round_to).alias("total_var"),
+        F.round(F.col("sv") ** 2 / F.col("sv2"), round_to)
+         .alias("pr_effective_dim"),
+        F.col("dead").cast("long").alias("n_dead_dims"),
+        F.round(F.col("vmax") / F.col("sv"), round_to)
+         .alias("top_var_share"))
+
+
+def anisotropy(df: DataFrame, vec_col: str = "embedding", *,
+               round_to: int = 6) -> DataFrame:
+    """EXACT mean pairwise cosine similarity of the corpus
+    (Ethayarajh 2019's anisotropy) without a pair in sight: for
+    L2-normalized vectors u_i,
+
+        mean_{i != j} cos(u_i, u_j)
+            = (||sum_i u_i||^2 - n) / (n(n-1))
+
+    so one pass summing normalized components answers what a naive
+    implementation would need n^2/2 dot products for. High
+    anisotropy (all vectors crowd a cone) destroys cosine's
+    discriminative range - the reason whitening exists. One explode
+    + per-dim sums. Returns ``(n, d, mean_cosine, mean_norm)`` -
+    mean_norm is the pre-normalization L2 mean, the scale sanity
+    check.
+    """
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    base = df.where(F.col(vec_col).isNotNull()) \
+             .select(F.col(vec_col).alias("e"), norm.alias("nm")) \
+             .where(F.col("nm") > 0)
+    per = (base.select(
+        "nm", F.posexplode(F.col("e")).alias("i", "x"))
+        .select("i", (F.col("x").cast("double")
+                      / F.col("nm")).alias("u"), "nm")
+        .groupBy("i")
+        .agg(F.sum("u").alias("su"), F.count(F.lit(1)).alias("n"),
+             F.avg("nm").alias("mn")))
+    a = per.agg(F.first("n").alias("n"),
+                F.count(F.lit(1)).alias("d"),
+                F.sum(F.col("su") ** 2).alias("s2"),
+                F.first("mn").alias("mn"))
+    mean_cos = (F.col("s2") - F.col("n")) \
+        / (F.col("n") * (F.col("n") - 1))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("d").cast("long").alias("d"),
+        F.round(mean_cos, round_to).alias("mean_cosine"),
+        F.round("mn", round_to).alias("mean_norm"))
+
+
+def norm_length_bias(emb_df: DataFrame, doc_df: DataFrame, *,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     doc_id_col: str = "doc_id",
+                     len_col: str = "n_chars",
+                     round_to: int = 6) -> DataFrame:
+    """Embedding-norm vs document-length bias audit: if ||e(doc)||
+    correlates with length, cosine-ranked retrieval silently
+    prefers (or punishes) long documents, and any norm-based
+    filtering is a length filter in disguise. One join on the id
+    column + one moment aggregation. Returns ``(n, mean_norm,
+    pearson_r, slope_per_kchar)``.
+    """
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    e = emb_df.where(F.col(vec_col).isNotNull()) \
+              .select(F.col(id_col).alias("id"), norm.alias("nm"))
+    d = doc_df.where(F.col(len_col).isNotNull()) \
+              .select(F.col(doc_id_col).alias("id"),
+                      F.col(len_col).cast("double").alias("ln"))
+    j = e.join(d, "id")
+    a = j.agg(F.count(F.lit(1)).alias("n"),
+              F.avg("nm").alias("mn"),
+              F.try_divide(F.covar_pop("nm", "ln"),
+                           F.stddev_pop("nm")
+                           * F.stddev_pop("ln")).alias("r"),
+              F.try_divide(F.covar_pop("nm", "ln"),
+                           F.var_pop("ln")).alias("sl"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("mn", round_to).alias("mean_norm"),
+        F.round("r", round_to).alias("pearson_r"),
+        F.round(F.col("sl") * 1000.0, round_to)
+         .alias("slope_per_kchar"))
