@@ -8155,6 +8155,32 @@ def q_norm_length_bias(spark, sf_dir):
     return similarity.norm_length_bias(em, d)
 
 
+def q_label_retrieval_eval(spark, sf_dir):
+    """Label-as-relevance retrieval eval (similarity.
+    label_retrieval_eval, k=10, 20 queries): precision@k, MRR and
+    coverage from exact cosine ranking — is the embedding
+    retrieval-ready before any index exists."""
+    em = _read(spark, sf_dir, "embeddings")
+    return similarity.label_retrieval_eval(em, k=10, n_queries=20)
+
+
+def q_cluster_validity_emb(spark, sf_dir):
+    """Calinski-Harabasz + Davies-Bouldin validity (similarity.
+    cluster_validity) of the label partition — centroid/scatter
+    math only, never a pairwise point pass."""
+    em = _read(spark, sf_dir, "embeddings")
+    return similarity.cluster_validity(em)
+
+
+def q_label_confusability(spark, sf_dir):
+    """Label-pair centroid-cosine confusability matrix (similarity.
+    label_confusability) — which classes the space cannot tell
+    apart; k×k tiny pair frame."""
+    em = _read(spark, sf_dir, "embeddings")
+    return (similarity.label_confusability(em)
+            .orderBy("label_a", "label_b"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8759,6 +8785,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "effective_dim_emb": q_effective_dim_emb,
         "anisotropy_emb": q_anisotropy_emb,
         "norm_length_bias": q_norm_length_bias,
+        # wave 102: retrieval eval, cluster validity, confusability
+        "label_retrieval_eval": q_label_retrieval_eval,
+        "cluster_validity_emb": q_cluster_validity_emb,
+        "label_confusability": q_label_confusability,
     }
 
 
@@ -21779,5 +21809,118 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN vl > 0 THEN c / vl * 1000.0
                          END, 6) AS slope_per_kchar
             FROM a
+        """,
+        # twin of q_label_retrieval_eval — same exact cosine ranks
+        "label_retrieval_eval": """
+            WITH base AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+                     label AS lb
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            qs AS (SELECT id AS qid, e AS qe, lb AS qlb FROM base
+                   ORDER BY id LIMIT 20),
+            scored AS (
+              SELECT q.qid, q.qlb, b.id, b.lb,
+                     list_cosine_similarity(b.e, q.qe) AS cos
+              FROM base b, qs q WHERE b.id <> q.qid),
+            ranked AS (
+              SELECT qid, qlb, lb,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, id) AS r
+              FROM scored QUALIFY r <= 10),
+            per_q AS (
+              SELECT qid,
+                     avg((lb = qlb)::INT::DOUBLE) AS p_at_k,
+                     min(CASE WHEN lb = qlb THEN r END)
+                       AS first_hit
+              FROM ranked GROUP BY qid),
+            a AS (
+              SELECT count(*)::BIGINT AS nq, avg(p_at_k) AS p,
+                     avg(coalesce(1.0 / first_hit, 0.0)) AS mrr,
+                     avg((first_hit IS NOT NULL)::INT::DOUBLE)
+                       AS cov
+              FROM per_q)
+            SELECT nq AS n_queries, 10 AS k,
+                   round(p, 6) AS precision_at_k,
+                   round(mrr, 6) AS mrr,
+                   round(cov, 6) AS coverage_at_k
+            FROM a
+        """,
+        # twin of q_cluster_validity_emb — same centroid math
+        "cluster_validity_emb": """
+            WITH base AS (
+              SELECT label AS lb, s.i,
+                     embedding[s.i]::DOUBLE AS x
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding)))
+                     AS s(i)
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            per AS (
+              SELECT lb, i, avg(x) AS c, sum(x * x) AS sx2,
+                     count(*)::DOUBLE AS n
+              FROM base GROUP BY lb, i),
+            per_l AS (
+              SELECT lb, any_value(n) AS n,
+                     sum(sx2 - n * c * c) AS w
+              FROM per GROUP BY lb),
+            gl AS (SELECT i, avg(x) AS g FROM base GROUP BY i),
+            betw AS (
+              SELECT per.lb, any_value(per.n) AS n,
+                     sum(pow(per.c - gl.g, 2)) AS b2
+              FROM per JOIN gl USING (i) GROUP BY per.lb),
+            tot AS (
+              SELECT per_l.lb, per_l.n, per_l.w, betw.b2
+              FROM per_l JOIN betw ON betw.lb = per_l.lb),
+            a AS (
+              SELECT sum(n) AS nn, count(*)::DOUBLE AS k,
+                     sum(w) AS ww, sum(n * b2) AS bb
+              FROM tot),
+            pair_d AS (
+              SELECT x.lb AS la, y.lb AS lc,
+                     sqrt(sum(pow(x.c - y.c, 2))) AS d
+              FROM per x JOIN per y
+                ON x.i = y.i AND x.lb <> y.lb
+              GROUP BY x.lb, y.lb),
+            s_l AS (SELECT lb, sqrt(w / n) AS s FROM per_l),
+            ratios AS (
+              SELECT p.la, (sa.s + sc.s) / p.d AS ratio
+              FROM pair_d p
+              JOIN s_l sa ON sa.lb = p.la
+              JOIN s_l sc ON sc.lb = p.lc),
+            db AS (
+              SELECT avg(r) AS db FROM (
+                SELECT la, max(ratio) AS r FROM ratios
+                GROUP BY la))
+            SELECT a.nn::BIGINT AS n, a.k::BIGINT AS k_labels,
+                   round((a.bb / (a.k - 1))
+                         / (a.ww / (a.nn - a.k)), 6) AS ch_index,
+                   round(db.db, 6) AS db_index
+            FROM a, db
+        """,
+        # twin of q_label_confusability — same centroid cosines
+        "label_confusability": """
+            WITH per AS (
+              SELECT label AS lb, s.i,
+                     avg(embedding[s.i]::DOUBLE) AS c,
+                     count(*)::BIGINT AS n
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding)))
+                     AS s(i)
+              WHERE embedding IS NOT NULL AND label IS NOT NULL
+              GROUP BY label, s.i),
+            pairs AS (
+              SELECT a.lb AS label_a, b.lb AS label_b,
+                     sum(a.c * b.c) AS dot,
+                     sqrt(sum(a.c * a.c)) AS na,
+                     sqrt(sum(b.c * b.c)) AS nb,
+                     any_value(a.n) AS n_a, any_value(b.n) AS n_b
+              FROM per a JOIN per b
+                ON a.i = b.i AND a.lb < b.lb
+              GROUP BY a.lb, b.lb)
+            SELECT label_a, label_b, n_a, n_b,
+                   round(CASE WHEN na * nb > 0
+                         THEN dot / (na * nb) END, 6)
+                     AS centroid_cosine
+            FROM pairs ORDER BY label_a, label_b
         """,
     }

@@ -471,6 +471,9 @@ R4_NAMES = [
     "corpus_scorecard", "skew_scan_events", "page_trend_rules",
     # wave 101: effective dim, anisotropy, norm-length bias
     "effective_dim_emb", "anisotropy_emb", "norm_length_bias",
+    # wave 102: retrieval eval, cluster validity, confusability
+    "label_retrieval_eval", "cluster_validity_emb",
+    "label_confusability",
 ]
 
 

@@ -1301,3 +1301,78 @@ class TestNormLengthBias:
         d = spark.createDataFrame(doc_rows, "doc_id long, n_chars long")
         out = sim.norm_length_bias(e, d).collect()[0]
         assert abs(out["pearson_r"]) < 0.15
+
+
+class TestLabelRetrievalEval:
+    def test_separable_labels_perfect(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(181)
+        rows = []
+        for i in range(60):
+            lb = i % 3
+            center = [10.0 * (lb == j) for j in range(3)]
+            rows.append((i, [c + rng.gauss(0, 0.1) for c in center],
+                         lb))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        out = sim.label_retrieval_eval(df, k=5,
+                                       n_queries=10).collect()[0]
+        assert out["precision_at_k"] == 1.0
+        assert out["mrr"] == 1.0
+        assert out["coverage_at_k"] == 1.0
+
+    def test_random_labels_near_base_rate(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(182)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(6)], i % 4)
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        out = sim.label_retrieval_eval(df, k=10,
+                                       n_queries=20).collect()[0]
+        assert 0.1 < out["precision_at_k"] < 0.45   # base rate .25
+
+
+class TestClusterValidity:
+    def test_tight_separated_clusters(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(183)
+        rows = []
+        for i in range(300):
+            lb = i % 3
+            rows.append(([20.0 * lb + rng.gauss(0, 0.5),
+                          rng.gauss(0, 0.5)], lb))
+        df = spark.createDataFrame(
+            rows, "embedding array<double>, label int")
+        out = sim.cluster_validity(df).collect()[0]
+        assert out["ch_index"] > 1000
+        assert out["db_index"] < 0.2
+
+    def test_random_labels_poor_indices(self, spark):
+        from zoi_spark import similarity as sim
+        import random
+        rng = random.Random(184)
+        rows = [([rng.gauss(0, 1), rng.gauss(0, 1)], i % 3)
+                for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "embedding array<double>, label int")
+        out = sim.cluster_validity(df).collect()[0]
+        assert out["ch_index"] < 5
+        assert out["db_index"] > 3
+
+
+class TestLabelConfusability:
+    def test_aligned_centroids_high_cosine(self, spark):
+        from zoi_spark import similarity as sim
+        rows = ([([1.0, 0.0], 0)] * 10 + [([0.9, 0.1], 1)] * 10
+                + [([0.0, 1.0], 2)] * 10)
+        df = spark.createDataFrame(
+            rows, "embedding array<double>, label int")
+        out = {(r["label_a"], r["label_b"]): r["centroid_cosine"]
+               for r in sim.label_confusability(df).collect()}
+        assert out[(0, 1)] > 0.99              # near-duplicate dirs
+        assert out[(0, 2)] < 0.1               # orthogonal
+        assert len(out) == 3                   # C(3,2)

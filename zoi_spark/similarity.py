@@ -1045,3 +1045,176 @@ def norm_length_bias(emb_df: DataFrame, doc_df: DataFrame, *,
         F.round("r", round_to).alias("pearson_r"),
         F.round(F.col("sl") * 1000.0, round_to)
          .alias("slope_per_kchar"))
+
+
+def label_retrieval_eval(df: DataFrame, *,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         label_col: str = "label",
+                         k: int = 10, n_queries: int = 20,
+                         round_to: int = 6) -> DataFrame:
+    """Label-as-relevance retrieval eval: using each sampled query's
+    LABEL as the relevance oracle, rank the corpus by exact cosine
+    and report precision@k (the mean same-label share in the top
+    k), MRR (how high the FIRST relevant hit sits) and coverage@k
+    (queries with any hit) - the three numbers that say whether an
+    embedding is retrieval-ready before any ANN index exists.
+    Queries are the n_queries smallest ids (deterministic). The
+    query block is a broadcast k x d matrix against the corpus -
+    the documented small-side pattern of the ANN rows. Returns one
+    row ``(n_queries, k, precision_at_k, mrr, coverage_at_k)``.
+    """
+    kk = int(k)
+    base = df.where(F.col(vec_col).isNotNull()
+                    & F.col(label_col).isNotNull()) \
+             .select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("e"),
+                     F.col(label_col).alias("lb"))
+    qs = base.orderBy("id").limit(int(n_queries)) \
+             .select(F.col("id").alias("qid"),
+                     F.col("e").alias("qe"),
+                     F.col("lb").alias("qlb"))
+    pairs = (base.crossJoin(F.broadcast(qs))
+             .where(F.col("id") != F.col("qid")))
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b:
+                   a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double")
+                            * x.cast("double")))
+    nb = F.sqrt(F.aggregate(F.col("qe"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double")
+                            * x.cast("double")))
+    scored = pairs.select(
+        "qid", "qlb", "id", "lb",
+        (dot / na / nb).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("id"))
+    ranked = scored.select("qid", "qlb", "lb",
+                           F.row_number().over(w).alias("r")) \
+                   .where(F.col("r") <= kk)
+    hit = (F.col("lb") == F.col("qlb")).cast("double")
+    per_q = ranked.groupBy("qid").agg(
+        F.avg(hit).alias("p_at_k"),
+        F.min(F.when(F.col("lb") == F.col("qlb"),
+                     F.col("r"))).alias("first_hit"))
+    agg = per_q.agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.avg("p_at_k").alias("p"),
+        F.avg(F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)))
+         .alias("mrr"),
+        F.avg(F.col("first_hit").isNotNull().cast("double"))
+         .alias("cov"))
+    return agg.select(
+        F.col("nq").cast("long").alias("n_queries"),
+        F.lit(kk).alias("k"),
+        F.round("p", round_to).alias("precision_at_k"),
+        F.round("mrr", round_to).alias("mrr"),
+        F.round("cov", round_to).alias("coverage_at_k"))
+
+
+def cluster_validity(df: DataFrame, *, vec_col: str = "embedding",
+                     label_col: str = "label",
+                     round_to: int = 6) -> DataFrame:
+    """Calinski-Harabasz and Davies-Bouldin validity indices for a
+    labeled embedding corpus - the two standard "are these labels
+    geometric clusters" scalars (CH higher-better: between/within
+    variance ratio; DB lower-better: worst-pair compactness/
+    separation), both computable from per-label centroids and
+    scatters alone, so the plan is one explode aggregation + a
+    k x k centroid matrix, never a pairwise pass over points.
+    Returns one row ``(n, k_labels, ch_index, db_index)``.
+    """
+    base = df.where(F.col(vec_col).isNotNull()
+                    & F.col(label_col).isNotNull()) \
+             .select(F.col(label_col).alias("lb"),
+                     F.posexplode(F.col(vec_col)).alias("i", "x")) \
+             .select("lb", "i", F.col("x").cast("double").alias("x"))
+    per = base.groupBy("lb", "i").agg(
+        F.avg("x").alias("c"),
+        F.sum(F.col("x") ** 2).alias("sx2"),
+        F.count(F.lit(1)).cast("double").alias("n"))
+    # within-cluster scatter per label: sum over dims of
+    # (sum x^2 - n*c^2); intra = sqrt(W_l / n_l)
+    per_l = per.groupBy("lb").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("sx2") - F.col("n") * F.col("c") ** 2)
+         .alias("w"))
+    glob = base.groupBy("i").agg(F.avg("x").alias("g"))
+    between = (per.join(glob, "i")
+               .groupBy("lb")
+               .agg(F.first("n").alias("n"),
+                    F.sum((F.col("c") - F.col("g")) ** 2)
+                    .alias("b2")))
+    tot = per_l.join(between.select("lb", "b2"), "lb")
+    a = tot.agg(F.sum("n").alias("nn"),
+                F.count(F.lit(1)).cast("double").alias("k"),
+                F.sum("w").alias("ww"),
+                F.sum(F.col("n") * F.col("b2")).alias("bb"))
+    ch = (F.col("bb") / (F.col("k") - 1)) \
+        / (F.col("ww") / (F.col("nn") - F.col("k")))
+    # DB: centroid pair distances from the tiny per-label frame
+    cents = per.select("lb", "i", "c", "n")
+    x, y = cents.alias("x"), cents.alias("y")
+    pair_d = (x.join(y, (F.col("x.i") == F.col("y.i"))
+                     & (F.col("x.lb") != F.col("y.lb")))
+              .groupBy(F.col("x.lb").alias("la"),
+                       F.col("y.lb").alias("lc"))
+              .agg(F.sqrt(F.sum((F.col("x.c") - F.col("y.c")) ** 2))
+                   .alias("d")))
+    s_l = per_l.select("lb", F.sqrt(F.col("w") / F.col("n"))
+                       .alias("s"))
+    ratios = (pair_d
+              .join(s_l.select(F.col("lb").alias("la"),
+                               F.col("s").alias("sa")), "la")
+              .join(s_l.select(F.col("lb").alias("lc"),
+                               F.col("s").alias("sc")), "lc")
+              .select("la", ((F.col("sa") + F.col("sc"))
+                             / F.col("d")).alias("ratio")))
+    db = ratios.groupBy("la").agg(F.max("ratio").alias("r")) \
+               .agg(F.avg("r").alias("db"))
+    out = a.crossJoin(F.broadcast(db))
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_labels"),
+        F.round(ch, round_to).alias("ch_index"),
+        F.round("db", round_to).alias("db_index"))
+
+
+def label_confusability(df: DataFrame, *,
+                        vec_col: str = "embedding",
+                        label_col: str = "label",
+                        round_to: int = 6) -> DataFrame:
+    """Label-pair confusability matrix: the cosine between label
+    CENTROIDS for every unordered pair - which classes the
+    embedding space cannot tell apart (centroid cosine near 1),
+    i.e. where a nearest-centroid router or a dedup-by-label
+    assumption will bleed. Per-label centroids from one explode
+    aggregation; the pair matrix is k x k tiny. Returns per-pair
+    rows ``(label_a, label_b, n_a, n_b, centroid_cosine)``.
+    """
+    per = (df.where(F.col(vec_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+           .select(F.col(label_col).alias("lb"),
+                   F.posexplode(F.col(vec_col)).alias("i", "x"))
+           .groupBy("lb", "i")
+           .agg(F.avg(F.col("x").cast("double")).alias("c"),
+                F.count(F.lit(1)).alias("n")))
+    a, b = per.alias("a"), per.alias("b")
+    pairs = (a.join(b, (F.col("a.i") == F.col("b.i"))
+                    & (F.col("a.lb") < F.col("b.lb")))
+             .groupBy(F.col("a.lb").alias("label_a"),
+                      F.col("b.lb").alias("label_b"))
+             .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+                  F.sqrt(F.sum(F.col("a.c") ** 2)).alias("na"),
+                  F.sqrt(F.sum(F.col("b.c") ** 2)).alias("nb"),
+                  F.first("a.n").alias("n_a"),
+                  F.first("b.n").alias("n_b")))
+    return pairs.select(
+        "label_a", "label_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.try_divide(F.col("dot"),
+                             F.col("na") * F.col("nb")), round_to)
+         .alias("centroid_cosine"))
