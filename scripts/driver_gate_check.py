@@ -3,7 +3,7 @@
 The driver checks only the FIRST ~50 entries of ``queries()`` against
 their ``oracle_sql()`` twins (observed cap: r1=34, r2=46, r3=50 of a
 92-entry roster).  ``tests/test_oracle_parity.py`` replays ALL entries,
-but takes ~45 min for the full 333-query roster; this script replays
+but takes over an hour for the full 470+-query roster; this script replays
 exactly the window the driver will grade, in roster order, so a round
 can be pre-flighted in a few minutes:
 
