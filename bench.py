@@ -474,6 +474,8 @@ R4_NAMES = [
     # wave 102: retrieval eval, cluster validity, confusability
     "label_retrieval_eval", "cluster_validity_emb",
     "label_confusability",
+    # wave 103: ISBN/IBAN checksum folds, Atkinson index
+    "isbn_audit", "iban_audit", "atkinson_len_sources",
 ]
 
 

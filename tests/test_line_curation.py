@@ -1190,3 +1190,47 @@ class TestCorpusScorecard:
             .optimizedPlan().toString()
         # ONE scan feeds everything: the relation appears once
         assert plan.count("LogicalRDD") <= 1
+
+
+class TestChecksumValidators:
+    def test_isbn13_known_vectors(self, spark):
+        from zoi_spark import text as tx
+        rows = [("9780306406157",),   # valid (classic test vector)
+                ("9780131103627",),   # valid (K&R C)
+                ("9780306406158",),   # bad check digit
+                ("978030640615",),    # 12 digits
+                ("97803064061570",),  # 14 digits
+                ("978030640615a",),   # non-digit
+                (None,)]
+        df = spark.createDataFrame(rows, "s string")
+        out = [r["ok"] for r in df.select(
+            tx.isbn13_valid(F.col("s")).alias("ok")).collect()]
+        assert out == [True, True, False, False, False, False,
+                       False]
+
+    def test_iban_known_vectors(self, spark):
+        from zoi_spark import text as tx
+        rows = [("GB82WEST12345698765432",),   # valid
+                ("DE89370400440532013000",),   # valid
+                ("FR1420041010050500013M02606",),  # valid, letters
+                ("gb82west12345698765432",),   # lowercase ok
+                ("GB82WEST12345698765433",),   # bad check
+                ("GB82WEST1234569876543",),    # wrong length ok?
+                ("1234",)]
+        df = spark.createDataFrame(rows, "s string")
+        out = [r["ok"] for r in df.select(
+            tx.iban_valid(F.col("s")).alias("ok")).collect()]
+        assert out[:5] == [True, True, True, True, False]
+        assert out[6] is False                 # shape-gated
+
+    def test_single_digit_corruption_always_caught(self, spark):
+        from zoi_spark import text as tx
+        base = "9780306406157"
+        rows = []
+        for pos in range(13):
+            d = (int(base[pos]) + 1) % 10
+            rows.append((base[:pos] + str(d) + base[pos + 1:],))
+        df = spark.createDataFrame(rows, "s string")
+        out = [r["ok"] for r in df.select(
+            tx.isbn13_valid(F.col("s")).alias("ok")).collect()]
+        assert not any(out)          # every single-digit bump fails

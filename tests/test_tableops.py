@@ -6870,3 +6870,45 @@ class TestPageTrend:
         out = tc.page_trend(df, block_col="b", treat_score="j",
                             value_col="v").collect()[0]
         assert out["l_stat"] == out["mean_l"]
+
+
+class TestAtkinsonIndex:
+    def test_equality_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 7.0)] * 50
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.atkinson_index(df, "v", by="g").collect()[0]
+        assert out["atkinson"] == 0.0
+        assert out["ede"] == 7.0
+
+    def test_hand_value_eps_half(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [1.0, 4.0]
+        df = spark.createDataFrame([("a", v) for v in vals],
+                                   "g string, v double")
+        out = tc.atkinson_index(df, "v", by="g",
+                                eps=0.5).collect()[0]
+        # ede = (mean(sqrt))^2 = ((1+2)/2)^2 = 2.25; mean = 2.5
+        assert out["ede"] == 2.25
+        assert out["atkinson"] == round(1 - 2.25 / 2.5, 6)
+
+    def test_eps_one_geometric(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        vals = [1.0, 100.0]
+        df = spark.createDataFrame([("a", v) for v in vals],
+                                   "g string, v double")
+        out = tc.atkinson_index(df, "v", by="g",
+                                eps=1.0).collect()[0]
+        assert out["ede"] == round(math.sqrt(100.0), 6)
+        assert out["atkinson"] == round(1 - 10.0 / 50.5, 6)
+
+    def test_more_aversion_more_inequality(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", float(v)) for v in (1, 1, 1, 50)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        lo = tc.atkinson_index(df, "v", by="g",
+                               eps=0.2).collect()[0]["atkinson"]
+        hi = tc.atkinson_index(df, "v", by="g",
+                               eps=0.9).collect()[0]["atkinson"]
+        assert hi > lo

@@ -9377,3 +9377,44 @@ def page_trend(df: DataFrame, *, block_col: str, treat_score,
         F.round(mean_l, round_to).alias("mean_l"),
         F.round(F.when(var_l > 0, (F.col("l") - mean_l)
                        / F.sqrt(var_l)), round_to).alias("z"))
+
+
+def atkinson_index(df: DataFrame, value_col: str, *, by: str,
+                   eps: float = 0.5,
+                   round_to: int = 6) -> DataFrame:
+    """Atkinson inequality index per group (Atkinson 1970): 1 minus
+    the ratio of the equally-distributed-equivalent value to the
+    mean, with inequality aversion eps -
+
+        eps != 1:  A = 1 - (mean(x^(1-eps)))^(1/(1-eps)) / mean(x)
+        eps == 1:  A = 1 - geomean(x) / mean(x)
+
+    The NORMATIVE member of the inequality family (:func:`gini` is
+    geometric, Theil information-theoretic): A = 0.3 reads directly
+    as "we could discard 30% of total volume and, distributed
+    equally, be as well off" - the right framing for crawl-budget
+    and sampling-fairness questions. Positive values only. One
+    aggregation per group. Returns ``(group, n, mean, ede,
+    atkinson)``.
+    """
+    e = float(eps)
+    base = df.select(F.col(by).alias("g"),
+                     F.col(value_col).cast("double").alias("v")) \
+             .where(F.col("g").isNotNull() & (F.col("v") > 0))
+    if abs(e - 1.0) < 1e-12:
+        a = base.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("v").alias("m"),
+            F.exp(F.avg(F.log("v"))).alias("ede"))
+    else:
+        p = 1.0 - e
+        a = base.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("v").alias("m"),
+            F.pow(F.avg(F.pow("v", p)), 1.0 / p).alias("ede"))
+    return a.select(
+        F.col("g").alias("group"), F.col("n").cast("long").alias("n"),
+        F.round("m", round_to).alias("mean"),
+        F.round("ede", round_to).alias("ede"),
+        F.round(1.0 - F.col("ede") / F.col("m"), round_to)
+         .alias("atkinson")).orderBy("group")

@@ -3959,3 +3959,52 @@ def corpus_scorecard(df: DataFrame, *, text_col: str = "text",
         per_kdoc("bd").alias("bidi_per_kdoc"),
         F.round("cp", round_to).alias("caps_share"),
         F.round("vs", round_to).alias("vowel_share"))
+
+
+def isbn13_valid(col: Column) -> Column:
+    """ISBN-13 / EAN-13 checksum validator as a pure Column: digits
+    weighted 1,3,1,3,... must sum to 0 mod 10. NULL-safe: non-13-
+    digit strings are FALSE, not errors. The fold runs inside
+    whole-stage codegen (zip_with over a position sequence +
+    aggregate) - no UDF, so it validates 10^12 identifiers at scan
+    speed; the checksum family sibling of the Luhn PAN scan.
+    """
+    digits = F.split(col, "")
+    ok_shape = col.rlike("^[0-9]{13}$")
+    weighted = F.zip_with(
+        F.slice(digits, 1, 13),
+        F.sequence(F.lit(1), F.lit(13)),
+        lambda d, i: d.cast("int")
+        * F.when(i % 2 == 1, 1).otherwise(3))
+    total = F.aggregate(weighted, F.lit(0),
+                        lambda acc, x: acc + x)
+    return F.when(ok_shape, total % 10 == 0).otherwise(F.lit(False))
+
+
+def iban_valid(col: Column) -> Column:
+    """IBAN mod-97 checksum validator as a pure Column (ISO 13616):
+    move the first 4 chars to the end, map A-Z to 10-35, and the
+    resulting digit string must be 1 mod 97. The big-integer modulus
+    that usually forces a UDF is a left-to-right fold instead:
+    acc = (acc*10 + digit) mod 97 via aggregate over the expanded
+    digit array - codegen all the way, engine-portable. Shape gate:
+    2 letters + 2 digits + 11-30 alphanumerics.
+    """
+    up = F.upper(col)
+    ok_shape = up.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    rearranged = F.concat(F.substring(up, 5, 40),
+                          F.substring(up, 1, 4))
+    chars = F.filter(F.split(rearranged, ""), lambda c: c != "")
+    # expand each char to its digit string: '7' -> [7]; 'K' -> [2,0]
+    digit_arrays = F.transform(
+        chars,
+        lambda c: F.when(
+            c.rlike("[0-9]"), F.array(c.cast("int")))
+        .otherwise(F.array(
+            F.floor((F.ascii(c) - 55) / 10).cast("int"),
+            F.pmod(F.ascii(c) - 55, F.lit(10)).cast("int"))))
+    digits = F.flatten(digit_arrays)
+    mod = F.aggregate(
+        digits, F.lit(0),
+        lambda acc, d: F.pmod(acc * 10 + d.cast("int"), F.lit(97)))
+    return F.when(ok_shape, mod == 1).otherwise(F.lit(False))
