@@ -476,6 +476,8 @@ R4_NAMES = [
     "label_confusability",
     # wave 103: ISBN/IBAN checksum folds, Atkinson index
     "isbn_audit", "iban_audit", "atkinson_len_sources",
+    # wave 104: Pettitt change-point, Cliff's delta, Hellinger drift
+    "pettitt_volume", "cliffs_delta_langs", "hellinger_len_drift",
 ]
 
 

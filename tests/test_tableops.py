@@ -6912,3 +6912,107 @@ class TestAtkinsonIndex:
         hi = tc.atkinson_index(df, "v", by="g",
                                eps=0.9).collect()[0]["atkinson"]
         assert hi > lo
+
+
+class TestPettitt:
+    def test_monotone_shift_located(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows = []
+        eid = 0
+        for day, vol in enumerate([1, 2, 3, 10, 11, 12]):
+            for _ in range(vol):
+                rows.append((eid, dt.datetime(2024, 1, day + 1, 9)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = tc.pettitt_test(df, ts_col="ts").orderBy("bucket_ts") \
+                .collect()
+        # distinct ascending values: V_k = 2*rank - n - 1
+        assert [r["u_stat"] for r in out] == [-5, -8, -9, -8, -5, 0]
+        peaks = [r["bucket_ts"].day for r in out if r["is_peak"]]
+        assert peaks == [3]          # max |U| = 9 at the third day
+
+    def test_ties_match_double_sum(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows = []
+        eid = 0
+        for day, vol in enumerate([5, 5, 9]):
+            for _ in range(vol):
+                rows.append((eid, dt.datetime(2024, 2, day + 1)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = tc.pettitt_test(df, ts_col="ts").orderBy("bucket_ts") \
+                .collect()
+        # direct U_k = sum_{i<=k,j>k} sgn(x_i-x_j): [-1, -2, 0]
+        assert [r["u_stat"] for r in out] == [-1, -2, 0]
+        assert [r["is_peak"] for r in out] == [False, True, False]
+
+
+class TestCliffsDelta:
+    def test_total_dominance(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 3), ("a", 4), ("b", 1), ("b", 2)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {r["group"]: r for r in
+               tc.cliffs_delta(df, value_col="v", group_col="g")
+               .collect()}
+        assert out["a"]["delta_micro"] == 1000000
+        assert out["a"]["magnitude"] == "large"
+        assert out["b"]["delta_micro"] == -1000000
+        assert out["a"]["n_a"] == 2 and out["a"]["n_b"] == 2
+
+    def test_balanced_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 1), ("a", 3), ("b", 2), ("b", 2)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {r["group"]: r for r in
+               tc.cliffs_delta(df, value_col="v", group_col="g")
+               .collect()}
+        # pairs (1,2),(1,2) lose; (3,2),(3,2) win -> delta 0
+        assert out["a"]["delta_micro"] == 0
+        assert out["a"]["magnitude"] == "negligible"
+
+    def test_ties_half_credit(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 2), ("b", 2), ("b", 1)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {r["group"]: r for r in
+               tc.cliffs_delta(df, value_col="v", group_col="g")
+               .collect()}
+        # a vs rest: tie with 2 (0), win vs 1 (+1) -> delta = 1/2
+        assert out["a"]["delta_micro"] == 500000
+        assert out["a"]["magnitude"] == "large"
+
+
+class TestHellingerDrift:
+    def test_identical_sides_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, (i // 2) * 40) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        out = tc.hellinger_drift(
+            df, "v", split=F.pmod("id", F.lit(2)) == 0).collect()[0]
+        assert out["bc"] == 1.0
+        assert out["hellinger"] == 0.0
+        assert out["n_a"] == 50 and out["n_b"] == 50
+
+    def test_disjoint_sides_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, 0 if i % 2 == 0 else 40) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        out = tc.hellinger_drift(
+            df, "v", split=F.pmod("id", F.lit(2)) == 0).collect()[0]
+        assert out["bc"] == 0.0
+        assert out["hellinger"] == 1.0
+
+    def test_hand_value_half_overlap(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        # side a: one row bin0 + one row bin1; side b: one row bin0
+        rows = [(0, 0), (2, 40), (1, 0)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        out = tc.hellinger_drift(
+            df, "v", split=F.pmod("id", F.lit(2)) == 0).collect()[0]
+        bc = math.sqrt(0.5)
+        assert out["bc"] == round(bc, 6)
+        assert out["hellinger"] == round(math.sqrt(1 - bc), 6)

@@ -9418,3 +9418,136 @@ def atkinson_index(df: DataFrame, value_col: str, *, by: str,
         F.round("ede", round_to).alias("ede"),
         F.round(1.0 - F.col("ede") / F.col("m"), round_to)
          .alias("atkinson")).orderBy("group")
+
+
+def pettitt_test(df: DataFrame, *, ts_col: str,
+                 unit: str = "day") -> DataFrame:
+    """Pettitt (1979) rank-based change-point scan over per-*unit*
+    event volumes: U_k = Σ_{i≤k} Σ_{j>k} sgn(x_i − x_j), the
+    nonparametric sibling of :func:`cusum_shift` — immune to the
+    heavy-tailed daily volumes that drag a mean-based CUSUM around,
+    the standard "did the level shift, and when" test for series
+    with outliers (crawler bursts, bot storms).
+
+    Exactness: via the rank identity U_k = Σ_{i≤k} V_i with
+    V_i = Σ_j sgn(x_i − x_j) = 2·rank_i + ties_i − n − 2 (average
+    ranks doubled → pure BIGINT arithmetic), both engines agree
+    bit-for-bit; no O(n²) pair loop on the Spark side. ``is_peak``
+    marks the bucket(s) attaining max |U_k| — the located
+    change-point; the classic significance approximation is
+    p ≈ 2·exp(−6K²/(n³+n²)) on K = max|U_k|.
+
+    Plan: one shuffle to the per-bucket counts; the rank / tie /
+    prefix windows ride the BUCKETS table (≤ thousands of rows
+    however large the input), never the corpus.
+    """
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("bucket_ts"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    w_all = Window.partitionBy()
+    n_buckets = F.count(F.lit(1)).over(w_all)
+    rnk = F.rank().over(Window.partitionBy().orderBy("n"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("n"))
+    v_k = (2 * rnk + ties - n_buckets - 2).cast("long")
+    w_pfx = (Window.partitionBy().orderBy("bucket_ts")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scored = daily.select("bucket_ts", F.col("n").cast("long").alias("n"),
+                          v_k.alias("__v"))
+    out = scored.select(
+        "bucket_ts", "n",
+        F.sum("__v").over(w_pfx).cast("long").alias("u_stat"))
+    peak = F.max(F.abs(F.col("u_stat"))).over(w_all)
+    return out.withColumn("is_peak", F.abs(F.col("u_stat")) == peak)
+
+
+def cliffs_delta(df: DataFrame, *, value_col: str,
+                 group_col: str) -> DataFrame:
+    """Cliff's delta of *value_col* for EACH group vs the rest of the
+    corpus: δ = (#{a>b} − #{a<b}) / (n_a·n_b), the ordinal effect
+    size (= 2·AUC − 1) that, unlike Hedges g, needs no normality and
+    saturates at ±1 — the robust "how much longer are EN docs,
+    really" number. ``magnitude`` applies the Romano et al. (2006)
+    thresholds (|δ| < .147 negligible, < .33 small, < .474 medium,
+    else large) on the ROUNDED value so both engines label
+    identically.
+
+    Exactness: one GLOBAL pooled ranking serves every group at once —
+    for sample-vs-complement, pooled(a ∪ rest) IS the corpus, so
+    2·U_a = R2_a − n_a(n_a+1) with R2_a the doubled rank sum
+    (BIGINT), and δ = (2U_a − 2U_b)/(2·n_a·n_b) is a single terminal
+    division reported as round(1e6·δ) → ``delta_micro``.
+
+    Plan: one shuffle to the (value, group) counts; the cumulative
+    window rides the DISTINCT-VALUE table; a second small shuffle to
+    the per-group aggregate. Never a pair join.
+    """
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull()) \
+             .select(F.col(group_col).alias("g"),
+                     F.col(value_col).alias("__v"))
+    vc = base.groupBy("__v", "g").agg(F.count(F.lit(1)).alias("__na"))
+    dv = vc.groupBy("__v").agg(F.sum("__na").alias("__nv"))
+    w_pfx = (Window.partitionBy().orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    rank2 = (2 * F.coalesce(F.sum("__nv").over(w_pfx), F.lit(0))
+             + F.col("__nv") + 1)
+    ranked = dv.select("__v", rank2.alias("__r2"))
+    agg = (vc.join(ranked, "__v")
+           .groupBy("g")
+           .agg(F.sum("__na").alias("n_a"),
+                F.sum(F.col("__na") * F.col("__r2")).alias("__r2a")))
+    n_total = F.sum("n_a").over(Window.partitionBy())
+    scored = agg.select(
+        F.col("g"), F.col("n_a").cast("long").alias("n_a"),
+        (n_total - F.col("n_a")).cast("long").alias("n_b"),
+        (F.col("__r2a") - F.col("n_a") * (F.col("n_a") + 1))
+        .alias("__u2a"))
+    u2b = 2 * F.col("n_a") * F.col("n_b") - F.col("__u2a")
+    delta_micro = F.round(F.lit(1e6) * (F.col("__u2a") - u2b)
+                          / (2 * F.col("n_a") * F.col("n_b"))) \
+                   .cast("long")
+    out = scored.select(
+        F.col("g").alias("group"), "n_a", "n_b",
+        delta_micro.alias("delta_micro"))
+    mag = (F.when(F.abs(F.col("delta_micro")) < 147000, "negligible")
+           .when(F.abs(F.col("delta_micro")) < 330000, "small")
+           .when(F.abs(F.col("delta_micro")) < 474000, "medium")
+           .otherwise("large"))
+    return out.withColumn("magnitude", mag).orderBy("group")
+
+
+def hellinger_drift(df: DataFrame, value_col: str, *, split,
+                    bin_width: int = 32, max_bin: int = 63,
+                    round_to: int = 6) -> DataFrame:
+    """Hellinger distance H and Bhattacharyya coefficient BC between
+    the *value_col* histograms of the two *split* sides:
+    BC = Σ √(p_i·q_i), H = √(1 − BC) — the bounded [0,1] member of
+    the drift family, symmetric (unlike KL), defined on
+    zero-overlap bins (unlike PSI's ±∞), and metric (triangle
+    inequality holds — usable as a distance in drift clustering).
+
+    Binning is EXACT integer division (``least(v div bin_width,
+    max_bin)``) so bin assignment is engine-identical; the only
+    floats are the ≤ ``max_bin``+1 √(pq) terms, far inside the
+    round-6 report. Plan: one hash aggregation to (bin, side
+    counts) — ≤ 64 rows — then a scalar aggregate. One shuffle.
+    """
+    side = F.when(split, F.lit(0)).otherwise(F.lit(1))
+    h = (df.where(F.col(value_col).isNotNull())
+         .groupBy(F.least(F.expr(f"{value_col} div {int(bin_width)}"),
+                          F.lit(int(max_bin))).alias("bin"))
+         .agg(F.sum(F.when(side == 0, 1).otherwise(0)).alias("ca"),
+              F.sum(F.when(side == 1, 1).otherwise(0)).alias("cb")))
+    w_all = Window.partitionBy()
+    na = F.sum("ca").over(w_all)
+    nb = F.sum("cb").over(w_all)
+    terms = h.select(
+        F.col("ca"), F.col("cb"),
+        F.sqrt((F.col("ca") / na) * (F.col("cb") / nb)).alias("__t"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.round(F.sum("__t"), round_to).alias("bc"),
+        F.round(F.sqrt(1.0 - F.least(F.sum("__t"), F.lit(1.0))),
+                round_to).alias("hellinger"))
