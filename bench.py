@@ -478,6 +478,8 @@ R4_NAMES = [
     "isbn_audit", "iban_audit", "atkinson_len_sources",
     # wave 104: Pettitt change-point, Cliff's delta, Hellinger drift
     "pettitt_volume", "cliffs_delta_langs", "hellinger_len_drift",
+    # wave 105: Brier decomposition, Kendall's W, Taylor's law
+    "brier_len_gate", "kendall_w_sources", "taylor_law_users",
 ]
 
 

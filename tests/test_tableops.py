@@ -7016,3 +7016,87 @@ class TestHellingerDrift:
         bc = math.sqrt(0.5)
         assert out["bc"] == round(bc, 6)
         assert out["hellinger"] == round(math.sqrt(1 - bc), 6)
+
+
+class TestBrierDecomposition:
+    def test_murphy_identity_hand_case(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0.2, 0)] * 4 + [(0.2, 1)]
+                + [(0.8, 1)] * 4 + [(0.8, 0)])
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = tc.brier_decomposition(df, prob_col="p",
+                                     label_col="y").collect()[0]
+        # perfectly calibrated bins: REL 0; RES 0.09; UNC 0.25
+        assert out["reliability"] == 0.0
+        assert out["resolution"] == 0.09
+        assert out["uncertainty"] == 0.25
+        assert out["brier"] == 0.16          # = REL - RES + UNC
+        assert out["n"] == 10 and out["n_bins"] == 2
+
+    def test_uninformative_forecast(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(0.5, i % 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = tc.brier_decomposition(df, prob_col="p",
+                                     label_col="y").collect()[0]
+        assert out["resolution"] == 0.0      # no discrimination
+        assert out["reliability"] == 0.0     # but honest about it
+        assert out["brier"] == 0.25
+
+
+class TestKendallsW:
+    def test_perfect_agreement(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(r, i, float(v)) for r in "xyz"
+                for i, v in [("a", 1), ("b", 2), ("c", 3)]]
+        df = spark.createDataFrame(rows, "r string, i string, v double")
+        out = tc.kendalls_w(df, rater_col="r", item_col="i",
+                            value_col="v").collect()[0]
+        assert out["w"] == 1.0
+        assert out["n_raters"] == 3 and out["n_items"] == 3
+
+    def test_opposite_rankings_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("x", "a", 1.0), ("x", "b", 2.0), ("x", "c", 3.0),
+                ("y", "a", 3.0), ("y", "b", 2.0), ("y", "c", 1.0)]
+        df = spark.createDataFrame(rows, "r string, i string, v double")
+        out = tc.kendalls_w(df, rater_col="r", item_col="i",
+                            value_col="v").collect()[0]
+        assert out["w"] == 0.0
+
+    def test_tie_correction_and_incomplete_drop(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("x", "a", 1.0), ("x", "b", 1.0), ("x", "c", 2.0),
+                ("y", "a", 1.0), ("y", "b", 2.0), ("y", "c", 3.0),
+                ("x", "d", 9.0)]      # d: rater y never saw it
+        df = spark.createDataFrame(rows, "r string, i string, v double")
+        out = tc.kendalls_w(df, rater_col="r", item_col="i",
+                            value_col="v").collect()[0]
+        # S=6.5, denom = 4*24 - 2*6 = 84 -> W = 78/84
+        assert out["n_items"] == 3
+        assert out["w"] == round(78 / 84, 6)
+
+
+class TestTaylorsLaw:
+    def test_perfect_power_law_slope_two(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt, math
+        rows, eid = [], 0
+        day1 = dt.datetime(2024, 3, 1, 12)
+        day2 = dt.datetime(2024, 3, 2, 12)
+        for uid, (c1, c2) in enumerate([(2, 2), (1, 3), (2, 6),
+                                        (4, 12)]):
+            for _ in range(c1):
+                rows.append((eid, uid, day1)); eid += 1
+            for _ in range(c2):
+                rows.append((eid, uid, day2)); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp")
+        out = tc.taylors_law(df, entity_col="user_id",
+                             ts_col="ts").collect()[0]
+        # user 0 has var 0 -> excluded; the rest lie on ln v = 2 ln m
+        #   + ln(1/4): (m,v) = (2,1), (4,4), (8,16)
+        assert out["n_entities"] == 3
+        assert out["slope"] == 2.0
+        assert out["intercept"] == round(-2 * math.log(2), 6)
+        assert out["r2"] == 1.0

@@ -9551,3 +9551,169 @@ def hellinger_drift(df: DataFrame, value_col: str, *, split,
         F.round(F.sum("__t"), round_to).alias("bc"),
         F.round(F.sqrt(1.0 - F.least(F.sum("__t"), F.lit(1.0))),
                 round_to).alias("hellinger"))
+
+
+def brier_decomposition(df: DataFrame, *, prob_col: str,
+                        label_col: str, bins: int = 10,
+                        round_to: int = 6) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score into
+    reliability − resolution + uncertainty over *bins* equal-width
+    probability bins:
+
+        REL = Σ n_k (p̄_k − ō_k)² / N   (calibration error — lower
+                                          is better)
+        RES = Σ n_k (ō_k − ō)² / N     (discrimination — higher is
+                                          better)
+        UNC = ō (1 − ō)                (irreducible base-rate term)
+
+    plus the DIRECT Brier = mean (p − y)². The diagnostic sibling of
+    :func:`spiegelhalter_z` (which only answers "is calibration
+    wrong"): decomposition says whether a bad score is a calibration
+    problem (REL) or a no-signal problem (RES) — the difference
+    between recalibrating a quality gate and retraining it.
+
+    Binning is ``least(floor(p·bins), bins−1)`` — IEEE multiply +
+    floor, engine-identical. Plan: one hash aggregation to ≤ *bins*
+    rows carrying exact (n_k, Σp, Σy), then a scalar aggregate; the
+    direct Brier rides the same pass as Σp², Σpy. One shuffle.
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int").cast("double")
+    b = F.least(F.floor(p * bins), F.lit(bins - 1))
+    per = (df.where(p.isNotNull() & y.isNotNull())
+           .groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).cast("double").alias("nk"),
+                F.avg(p).alias("pk"), F.avg(y).alias("ok"),
+                F.sum((p - y) ** 2).alias("sq")))
+    w_all = Window.partitionBy()
+    n = F.sum("nk").over(w_all)
+    obar = F.sum(F.col("nk") * F.col("ok")).over(w_all) / n
+    t = per.select(
+        "nk", "sq",
+        (F.col("nk") * (F.col("pk") - F.col("ok")) ** 2).alias("rl"),
+        (F.col("nk") * (F.col("ok") - obar) ** 2).alias("rs"),
+        obar.alias("ob"))
+    return t.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum("sq") / F.sum("nk"), round_to).alias("brier"),
+        F.round(F.sum("rl") / F.sum("nk"), round_to)
+         .alias("reliability"),
+        F.round(F.sum("rs") / F.sum("nk"), round_to)
+         .alias("resolution"),
+        F.round(F.any_value("ob") * (1.0 - F.any_value("ob")),
+                round_to).alias("uncertainty"))
+
+
+def kendalls_w(df: DataFrame, *, rater_col: str, item_col: str,
+               value_col: str, round_to: int = 6) -> DataFrame:
+    """Kendall's W coefficient of concordance with tie correction:
+    m raters each rank n items by *value_col* (one row per
+    rater×item; average ranks over ties), and
+
+        W = 12·S / (m²(n³−n) − m·ΣT_j),   T_j = Σ_ties (t³−t)
+
+    — do the raters agree on the ORDERING at all (sources ranking
+    langs by length, snapshots ranking hosts by volume), the
+    many-rater generalization of Spearman that :func:`fleiss_kappa`
+    (nominal labels) and :func:`weighted_kappa` (two raters) don't
+    cover. ``chi2`` = m(n−1)W is the large-n test statistic.
+
+    Items missing from any rater are DROPPED (complete-block design
+    required); ranks use the doubled-rank identity so everything
+    before the terminal division is exact integers. Plan: windows
+    ride the rater×item table (m·n rows — tiny by construction since
+    the caller pre-aggregates), one shuffle to the per-item rank
+    sums.
+    """
+    base = df.select(F.col(rater_col).alias("r"),
+                     F.col(item_col).alias("i"),
+                     F.col(value_col).alias("v")) \
+             .where(F.col("r").isNotNull() & F.col("i").isNotNull()
+                    & F.col("v").isNotNull())
+    m = base.select("r").distinct().count()
+    complete = (base.groupBy("i")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") == m).drop("__c"))
+    base = base.join(F.broadcast(complete), "i")
+    rnk = F.rank().over(Window.partitionBy("r").orderBy("v"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("r", "v"))
+    ranked = base.select("r", "i", "v",
+                         (2 * rnk + ties - 1).alias("__r2"),
+                         ties.alias("__t"))
+    # per-item doubled rank sums -> S4 = sum (R2_i - mean R2)^2 = 4S
+    per_item = ranked.groupBy("i").agg(F.sum("__r2").alias("__R2"))
+    w_all = Window.partitionBy()
+    meanr = F.avg("__R2").over(w_all)
+    s4 = per_item.select(((F.col("__R2") - meanr) ** 2).alias("__d")) \
+                 .agg(F.sum("__d").alias("s4"),
+                      F.count(F.lit(1)).alias("n_items"))
+    # tie term: each tie-group of size t contributes t*(t^2-1) once;
+    # ranked carries t per ROW, so divide the row-sum by t -> count
+    # groups exactly (integer arithmetic: sum (t^2-1) per group)
+    tsum = ranked.select("r", "v", F.col("__t")).distinct() \
+                 .agg(F.coalesce(F.sum(F.col("__t")
+                                       * (F.col("__t") ** 2 - 1)),
+                                 F.lit(0)).alias("tsum"))
+    out = s4.crossJoin(F.broadcast(tsum))
+    n_i = F.col("n_items")
+    denom = (F.lit(float(m * m)) * (n_i ** 3 - n_i)
+             - F.lit(float(m)) * F.col("tsum"))
+    w = F.lit(3.0) * F.col("s4") / denom
+    return out.select(
+        F.lit(m).cast("long").alias("n_raters"),
+        n_i.cast("long").alias("n_items"),
+        F.round(w, round_to).alias("w"),
+        F.round(F.lit(float(m)) * (n_i - 1) * w, round_to)
+         .alias("chi2"))
+
+
+def taylors_law(df: DataFrame, *, entity_col: str, ts_col: str,
+                unit: str = "day", min_buckets: int = 2,
+                round_to: int = 6) -> DataFrame:
+    """Taylor's power law fit across entities: per entity the mean m
+    and variance v of its per-*unit* event counts (over the buckets
+    it is ACTIVE in — absence days are not zeros), then the OLS fit
+
+        ln v = intercept + slope · ln m
+
+    across entities with v > 0. slope ≈ 1 is Poisson-like arrival,
+    slope → 2 is burst-dominated (sessions, bots, campaigns) — the
+    cross-entity aggregation law complementing the per-type Fano
+    factor (fluctuation scaling, Taylor 1961; Eisler et al. 2008).
+
+    Per-entity moments come from exact integer (k, Σx, Σx²) sums —
+    population variance (Σx² − (Σx)²/k)/k — so entity points are
+    engine-identical before the log; the OLS is closed-form over the
+    entity table. Two shuffles (entity×bucket, then entity), both
+    key-uniform. Returns one row ``(n_entities, slope, intercept,
+    r2)``.
+    """
+    per_bucket = (df.where(F.col(entity_col).isNotNull())
+                  .groupBy(F.col(entity_col).alias("e"),
+                           F.date_trunc(unit, F.col(ts_col))
+                           .alias("b"))
+                  .agg(F.count(F.lit(1)).alias("x")))
+    per_entity = (per_bucket.groupBy("e")
+                  .agg(F.count(F.lit(1)).alias("k"),
+                       F.sum("x").alias("s1"),
+                       F.sum(F.col("x") * F.col("x")).alias("s2")))
+    mean = F.col("s1") / F.col("k")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) \
+        / F.col("k")
+    pts = (per_entity.where(F.col("k") >= min_buckets)
+           .select(F.log(mean).alias("lx"), F.log(var).alias("ly"))
+           .where(F.col("ly").isNotNull()))   # var > 0 only
+    agg = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.avg("lx").alias("mx"), F.avg("ly").alias("my"),
+                  F.covar_pop("lx", "ly").alias("cxy"),
+                  F.var_pop("lx").alias("vx"),
+                  F.var_pop("ly").alias("vy"))
+    slope = F.col("cxy") / F.col("vx")
+    return agg.select(
+        F.col("n").cast("long").alias("n_entities"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), round_to)
+         .alias("intercept"),
+        F.round((F.col("cxy") ** 2) / (F.col("vx") * F.col("vy")),
+                round_to).alias("r2"))
