@@ -480,6 +480,8 @@ R4_NAMES = [
     "pettitt_volume", "cliffs_delta_langs", "hellinger_len_drift",
     # wave 105: Brier decomposition, Kendall's W, Taylor's law
     "brier_len_gate", "kendall_w_sources", "taylor_law_users",
+    # wave 106: Hopkins, TwoNN intrinsic dim, Gries DP dispersion
+    "hopkins_emb", "twonn_dim_emb", "gries_dp_terms",
 ]
 
 

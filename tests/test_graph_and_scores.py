@@ -1376,3 +1376,63 @@ class TestLabelConfusability:
         assert out[(0, 1)] > 0.99              # near-duplicate dirs
         assert out[(0, 2)] < 0.1               # orthogonal
         assert len(out) == 3                   # C(3,2)
+
+
+class TestHopkins:
+    def _clustered(self, spark):
+        # two tight blobs far apart in 4-d
+        rows = []
+        for i in range(30):
+            base = 0.0 if i % 2 == 0 else 100.0
+            rows.append((i, [base + (i % 5) * 0.01] * 4))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_clustered_cloud_above_half(self, spark):
+        from zoi_spark import similarity as sim
+        df = self._clustered(spark)
+        out = sim.hopkins_statistic(df, m=16).collect()[0]
+        assert out["hopkins"] > 0.8        # blobs: uniforms land far
+        assert out["n"] == 30 and out["m"] == 16
+
+    def test_grid_cloud_near_half(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 6), float(i // 6)])
+                for i in range(36)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.hopkins_statistic(df, m=12).collect()[0]
+        assert 0.1 < out["hopkins"] < 0.75   # space-filling ≈ noise
+
+    def test_deterministic(self, spark):
+        from zoi_spark import similarity as sim
+        df = self._clustered(spark)
+        a = sim.hopkins_statistic(df, m=16).collect()[0]
+        b = sim.hopkins_statistic(df, m=16).collect()[0]
+        assert a == b
+
+
+class TestTwoNN:
+    def test_hand_line_case(self, spark):
+        from zoi_spark import similarity as sim
+        import math
+        pts = {0: 0.0, 1: 1.0, 2: 3.0, 3: 7.0}
+        rows = [(i, [x, 0.0]) for i, x in pts.items()]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.twonn_intrinsic_dim(df, m=10).collect()[0]
+        # mus: A 3/1, B 2/1, C 3/2, D 6/4 -> sum ln = ln(3*2*1.5*1.5)
+        s = math.log(3) + math.log(2) + 2 * math.log(1.5)
+        assert out["n_probes"] == 4 and out["n_dropped"] == 0
+        assert out["intrinsic_dim"] == round(4 / s, 6)
+        assert out["mean_mu"] == round((3 + 2 + 1.5 + 1.5) / 4, 6)
+
+    def test_duplicate_points_dropped(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]),
+                (2, [1.0, 0.0]), (3, [3.0, 0.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.twonn_intrinsic_dim(df, m=10).collect()[0]
+        # vec 0 and 1 coincide: r1 = 0 -> both dropped
+        assert out["n_probes"] == 2
+        assert out["n_dropped"] == 2

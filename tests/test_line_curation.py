@@ -1234,3 +1234,31 @@ class TestChecksumValidators:
         out = [r["ok"] for r in df.select(
             tx.isbn13_valid(F.col("s")).alias("ok")).collect()]
         assert not any(out)          # every single-digit bump fails
+
+
+class TestGriesDP:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows,
+                                     "doc_id long, text string, source string")
+
+    def test_corpus_proportional_term_zero(self, spark):
+        from zoi_spark import text as tx
+        rows = [(0, "b b b b a a a a", "X"),     # X: 8 tokens
+                (1, "b x", "Y")]                 # Y: 2 tokens
+        out = {r["token"]: r for r in
+               tx.gries_dp(self._df(spark, rows), part_col="source",
+                           k=5, min_cf=1).collect()}
+        # "a" lives only in X (s_X=.8): DP = .5*(|1-.8| + .2) = 0.2
+        assert out["a"]["dp"] == 0.2
+        # "b": 4/1 split == 8/2 corpus split -> DP = 0
+        assert out["b"]["dp"] == 0.0
+        # "x" only in Y (s_Y=.2): DP = .5*(|1-.2| + .8) = 0.8
+        assert out["x"]["dp"] == 0.8
+
+    def test_ordering_and_cut(self, spark):
+        from zoi_spark import text as tx
+        rows = [(0, "c c c d d", "X"), (1, "c d e", "Y")]
+        out = tx.gries_dp(self._df(spark, rows), part_col="source",
+                          k=2, min_cf=1).collect()
+        assert [r["token"] for r in out] == ["c", "d"]  # cf desc
+        assert out[0]["cf"] == 4

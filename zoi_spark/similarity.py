@@ -1218,3 +1218,137 @@ def label_confusability(df: DataFrame, *,
         F.round(F.try_divide(F.col("dot"),
                              F.col("na") * F.col("nb")), round_to)
          .alias("centroid_cosine"))
+
+
+def _euclid(a: Column, b: Column) -> Column:
+    """Euclidean distance between two double arrays — a sequential
+    zip_with/aggregate fold, the same IEEE op order as DuckDB's
+    list_distance, so both engines produce bit-identical doubles."""
+    sq = F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    return F.sqrt(sq)
+
+
+def hopkins_statistic(df: DataFrame, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", m: int = 48,
+                      round_to: int = 6) -> DataFrame:
+    """Hopkins clusterability statistic (Hopkins & Skellam 1954,
+    distance-sum variant): m synthetic points uniform in the
+    per-dimension bounding box vs m real probe points; with
+    u = Σ min-dist(synthetic → data) and w = Σ min-dist(probe →
+    data∖{probe}),  H = u / (u + w).  H ≈ 0.5 reads "as clusterable
+    as noise", H → 1 "strongly clustered" — the run-BEFORE-k-means
+    gate that cluster_validity's CH/DB indices (which presume you
+    already clustered) cannot provide.
+
+    Determinism: probes are the m smallest md5(id) (the IVF-seed
+    rank trick); synthetic coordinates are md5(i:j)-fraction uniforms
+    scaled into the bbox — no RNG at execution time, both engines
+    regenerate identical points. Distances are sequential folds
+    (same IEEE order as list_distance).
+
+    Plan at scale: the bbox is one aggregation (collected: 2·dim
+    scalars); probes + synthetics are ≤ 2m rows BROADCAST against the
+    corpus — one pass, min per probe, no shuffle of the data side.
+    ``m`` stays fixed as the corpus grows (statistic converges in m,
+    not n).
+    """
+    data = (df.where(F.col(vec_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).cast("array<double>").alias("__v")))
+    dim_rows = (data.select(F.posexplode("__v").alias("j", "x"))
+                .groupBy("j").agg(F.min("x").alias("mn"),
+                                  F.max("x").alias("mx"))
+                .orderBy("j").collect())
+    mn = [r["mn"] for r in dim_rows]
+    span = [r["mx"] - r["mn"] for r in dim_rows]
+    spark = df.sparkSession
+    frac = lambda i, j: (F.conv(F.substring(
+        F.md5(F.concat_ws(":", i.cast("string"), F.lit(str(j)))),
+        1, 8), 16, 10).cast("double") / F.lit(4294967296.0))
+    synth = spark.range(int(m)).select(
+        F.col("id").alias("__q"),
+        F.array(*[(F.lit(mn[j]) + frac(F.col("id"), j)
+                   * F.lit(span[j]))
+                  for j in range(len(mn))]).alias("__v"))
+    probes = (data.orderBy(F.md5(F.col("__id").cast("string")))
+              .limit(int(m))
+              .select(F.col("__id").alias("__q"),
+                      F.col("__v").alias("__pv")))
+    u = (F.broadcast(synth).alias("s")
+         .crossJoin(data.alias("d"))
+         .select("s.__q", _euclid(F.col("s.__v"), F.col("d.__v"))
+                 .alias("__d"))
+         .groupBy("__q").agg(F.min("__d").alias("__u"))
+         .agg(F.sum("__u").alias("sum_u"),
+              F.count(F.lit(1)).alias("__m")))
+    w = (F.broadcast(probes).alias("p")
+         .join(data.alias("d"), F.col("p.__q") != F.col("d.__id"))
+         .select("p.__q", _euclid(F.col("p.__pv"), F.col("d.__v"))
+                 .alias("__d"))
+         .groupBy("__q").agg(F.min("__d").alias("__w"))
+         .agg(F.sum("__w").alias("sum_w")))
+    n = data.count()
+    return (u.crossJoin(w)
+            .select(F.lit(n).cast("long").alias("n"),
+                    F.col("__m").cast("long").alias("m"),
+                    F.round("sum_u", round_to).alias("sum_u"),
+                    F.round("sum_w", round_to).alias("sum_w"),
+                    F.round(F.col("sum_u")
+                            / (F.col("sum_u") + F.col("sum_w")),
+                            round_to).alias("hopkins")))
+
+
+def twonn_intrinsic_dim(df: DataFrame, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", m: int = 64,
+                        round_to: int = 6) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for m
+    probe points, μ = r₂/r₁ (first/second neighbor distances), and
+    the MLE  d̂ = k / Σ ln μ.  A 64-dim embedding cloud that lives on
+    a d̂ ≈ 9 manifold tells you how hard ANN recall will be and how
+    much PCA/PQ compression is safe — the geometry diagnostic behind
+    effective_dim_emb's covariance-spectrum view (TwoNN is local and
+    nonlinear, the participation ratio global and linear).
+
+    r₂ is min{d : d > r₁} in BOTH engines (strict — duplicate-point
+    probes with r₁ = 0 or no strictly-larger distance are dropped and
+    counted in ``n_dropped``). Probes are the m smallest md5(id).
+    Plan: probes broadcast against the corpus, one pass for r₁, a
+    self-join of the tiny per-probe table for r₂ — the data side is
+    scanned twice, shuffled never; ``m`` is fixed as n grows.
+    """
+    data = (df.where(F.col(vec_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).cast("array<double>").alias("__v")))
+    probes = (data.orderBy(F.md5(F.col("__id").cast("string")))
+              .limit(int(m))
+              .select(F.col("__id").alias("__q"),
+                      F.col("__v").alias("__pv")))
+    n_probes_sel = probes.count()
+    dists = (F.broadcast(probes).alias("p")
+             .join(data.alias("d"), F.col("p.__q") != F.col("d.__id"))
+             .select("p.__q", _euclid(F.col("p.__pv"), F.col("d.__v"))
+                     .alias("__d"))
+             .persist())
+    r1 = dists.groupBy("__q").agg(F.min("__d").alias("r1"))
+    r2 = (dists.join(F.broadcast(r1), "__q")
+          .where(F.col("__d") > F.col("r1"))
+          .groupBy("__q").agg(F.any_value("r1").alias("r1"),
+                              F.min("__d").alias("r2")))
+    used = r2.where(F.col("r1") > 0)
+    out = used.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.round(F.count(F.lit(1))
+                / F.sum(F.log(F.col("r2") / F.col("r1"))),
+                round_to).alias("intrinsic_dim"),
+        F.round(F.avg(F.col("r2") / F.col("r1")), round_to)
+         .alias("mean_mu"))
+    out = out.select(
+        "n_probes",
+        (F.lit(int(n_probes_sel)) - F.col("n_probes")).cast("long")
+        .alias("n_dropped"),
+        "intrinsic_dim", "mean_mu")
+    out._zoi_persisted = [dists]
+    return out

@@ -4008,3 +4008,46 @@ def iban_valid(col: Column) -> Column:
         digits, F.lit(0),
         lambda acc, d: F.pmod(acc * 10 + d.cast("int"), F.lit(97)))
     return F.when(ok_shape, mod == 1).otherwise(F.lit(False))
+
+
+def gries_dp(df: DataFrame, *, text_col: str = "text",
+             part_col: str = "source", k: int = 15,
+             min_cf: int = 10, round_to: int = 6) -> DataFrame:
+    """Gries' DP (deviation of proportions, 2008): for each of the
+    top-*k* corpus terms, DP = ½·Σ_parts |v_i − s_i| where s_i is the
+    part's share of ALL tokens and v_i the part's share of THIS
+    term's occurrences. DP ≈ 0 means the term is spread exactly like
+    the corpus (function word / true boilerplate); DP → 1 means it
+    lives in one part (source-specific vocabulary, template residue).
+    The ACROSS-parts evenness axis that :func:`term_burstiness`
+    (within-doc clumping, cf/df) doesn't see.
+
+    Parts missing a term contribute |0 − s_i| = s_i, folded in
+    closed-form as DP = ½·(Σ_present |v−s| + 1 − Σ_present s) — no
+    dense term×part cross join. Plan: one (part, token) aggregation
+    with map-side combine, a part-sizes broadcast, a TakeOrdered cut
+    of the vocabulary. Two uniform-key shuffles.
+    """
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    pt = (df.where(F.col(text_col).isNotNull()
+                   & F.col(part_col).isNotNull())
+          .select(F.col(part_col).alias("part"), toks.alias("token"))
+          .where(F.col("token") != "")
+          .groupBy("part", "token").agg(F.count(F.lit(1)).alias("c")))
+    sizes = pt.groupBy("part").agg(F.sum("c").alias("tot"))
+    grand = F.sum("tot").over(Window.partitionBy())
+    sizes = sizes.select("part", (F.col("tot") / grand).alias("s"))
+    terms = (pt.groupBy("token").agg(F.sum("c").alias("cf"))
+             .where(F.col("cf") >= int(min_cf))
+             .orderBy(F.col("cf").desc(), "token").limit(int(k)))
+    joined = (pt.join(F.broadcast(terms), "token")
+              .join(F.broadcast(sizes), "part")
+              .select("token", "cf",
+                      (F.col("c") / F.col("cf")).alias("v"),
+                      F.col("s")))
+    return (joined.groupBy("token")
+            .agg(F.any_value("cf").cast("long").alias("cf"),
+                 F.round(0.5 * (F.sum(F.abs(F.col("v") - F.col("s")))
+                                + 1.0 - F.sum("s")), round_to)
+                 .alias("dp"))
+            .orderBy(F.col("cf").desc(), "token"))
