@@ -482,6 +482,8 @@ R4_NAMES = [
     "brier_len_gate", "kendall_w_sources", "taylor_law_users",
     # wave 106: Hopkins, TwoNN intrinsic dim, Gries DP dispersion
     "hopkins_emb", "twonn_dim_emb", "gries_dp_terms",
+    # wave 107: Anderson-Darling drift, Bowker symmetry, odds ratio
+    "ad_len_drift", "bowker_type_shift", "odds_ratio_weekend",
 ]
 
 

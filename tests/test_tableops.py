@@ -7100,3 +7100,98 @@ class TestTaylorsLaw:
         assert out["slope"] == 2.0
         assert out["intercept"] == round(-2 * math.log(2), 6)
         assert out["r2"] == 1.0
+
+
+class TestADDrift:
+    def test_identical_sides_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, v) for i in range(2) for v in (1, 2)]
+        df = spark.createDataFrame(rows, "side int, v int")
+        out = tc.ad_drift(df, "v",
+                          split=F.col("side") == 0).collect()[0]
+        assert out["a2"] == 0.0
+        assert out["n_a"] == 2 and out["n_b"] == 2
+
+    def test_separated_hand_value(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(0, 1), (0, 2), (1, 3), (1, 4)]
+        df = spark.createDataFrame(rows, "side int, v int")
+        out = tc.ad_drift(df, "v",
+                          split=F.col("side") == 0).collect()[0]
+        # terms: 1/3 + 1 + 1/3 (hand-computed Scholz-Stephens sum)
+        assert out["a2"] == round(1 / 3 + 1 + 1 / 3, 6)
+        assert out["n_values"] == 4
+
+    def test_tail_sensitivity_vs_cvm(self, spark):
+        from zoi_spark import tablechecks as tc
+        # same body, shifted extreme tail: AD reacts more than CvM
+        a = [50] * 48 + [100, 101]
+        b = [50] * 48 + [400, 401]
+        rows = [(0, v) for v in a] + [(1, v) for v in b]
+        df = spark.createDataFrame(rows, "side int, v int")
+        split = F.col("side") == 0
+        ad = tc.ad_drift(df, "v", split=split).collect()[0]["a2"]
+        cvm = tc.cvm_drift(df, "v", split=split).collect()[0]["t"]
+        assert ad > 4 * cvm
+
+
+class TestBowker:
+    def test_directional_switches(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 2)
+        t1 = dt.datetime(2024, 1, 20)
+        rows = [(1, t0, "a"), (1, t1, "b"),
+                (2, t0, "a"), (2, t1, "b"),
+                (3, t0, "b"), (3, t1, "a"),
+                (4, t0, "c"), (4, t1, "c"),
+                (5, t0, "a")]          # only one phase -> dropped
+        df = spark.createDataFrame(rows, "u long, ts timestamp, t string")
+        out = tc.bowker_test(
+            df, id_col="u", cat_col="t",
+            split=F.col("ts") < F.lit("2024-01-16")
+            .cast("timestamp")).collect()[0]
+        assert out["n_subjects"] == 4
+        assert out["n_switchers"] == 3
+        assert out["df"] == 1
+        assert out["chi2"] == round(1 / 3, 6)   # (2-1)^2/(2+1)
+
+    def test_modal_tiebreak_alphabetical(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        t0, t1 = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 20)
+        # phase0: tie between 'b' and 'a' -> 'a' wins
+        rows = [(1, t0, "b"), (1, t0, "a"), (1, t1, "a")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, t string")
+        out = tc.bowker_test(
+            df, id_col="u", cat_col="t",
+            split=F.col("ts") < F.lit("2024-01-16")
+            .cast("timestamp")).collect()[0]
+        assert out["n_switchers"] == 0          # a -> a
+
+
+class TestOddsRatio:
+    def test_hand_cells_and_ci(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        rows = ([(1, 1)] * 2 + [(1, 0)] * 3
+                + [(0, 1)] * 4 + [(0, 0)] * 6)
+        df = spark.createDataFrame(rows, "e int, o int")
+        out = tc.odds_ratio(df, exposure=F.col("e") == 1,
+                            outcome=F.col("o") == 1).collect()[0]
+        assert (out["a"], out["b"], out["c"], out["d"]) == (2, 3, 4, 6)
+        assert out["odds_ratio"] == 1.0
+        assert out["corrected"] is False
+        se = math.sqrt(1 / 2 + 1 / 3 + 1 / 4 + 1 / 6)
+        assert out["ci_lo"] == round(math.exp(-1.959964 * se), 6)
+        assert out["ci_hi"] == round(math.exp(1.959964 * se), 6)
+
+    def test_haldane_correction_on_zero_cell(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1, 0)] * 3 + [(0, 1)] * 4 + [(0, 0)] * 6
+        df = spark.createDataFrame(rows, "e int, o int")
+        out = tc.odds_ratio(df, exposure=F.col("e") == 1,
+                            outcome=F.col("o") == 1).collect()[0]
+        assert out["a"] == 0 and out["corrected"] is True
+        expect = (0.5 * 6.5) / (3.5 * 4.5)
+        assert out["odds_ratio"] == round(expect, 6)

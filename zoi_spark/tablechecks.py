@@ -9717,3 +9717,153 @@ def taylors_law(df: DataFrame, *, entity_col: str, ts_col: str,
          .alias("intercept"),
         F.round((F.col("cxy") ** 2) / (F.col("vx") * F.col("vy")),
                 round_to).alias("r2"))
+
+
+def ad_drift(df: DataFrame, value_col: str, *, split,
+             round_to: int = 6) -> DataFrame:
+    """Two-sample Anderson–Darling drift statistic (Scholz–Stephens
+    1987, k=2, tie-aware discrete form): over the pooled distinct
+    values z_j (multiplicity l_j, pooled cumulative B_j, per-side
+    cumulative M_aj/M_bj),
+
+        A² = Σ_{B_j<N} (l_j/N) · [ (N·M_aj − n·B_j)²/(n·B_j(N−B_j))
+                                 + (N·M_bj − m·B_j)²/(m·B_j(N−B_j)) ]
+
+    — the EDF member that up-weights the TAILS (weight 1/(F(1−F))),
+    where CvM weighs uniformly, KS takes the max and W₁ the area:
+    the alarm for "the p99 moved" when the body of the distribution
+    hasn't. Under H₀, E[A²] ≈ 1; large values reject.
+
+    Every squared numerator is exact BIGINT (counts only); divisions
+    are terminal. Scale shape identical to :func:`cvm_drift`: ONE
+    hash aggregation to (value, count_a, count_b), windows over the
+    distinct-value rows. Returns ``(a2, n_values, n_a, n_b)``.
+    """
+    hist = (df.select(F.col(value_col).alias("v"),
+                      F.when(split, 1).otherwise(0).alias("is_a"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.sum("is_a").alias("ca"),
+                 F.sum(F.lit(1) - F.col("is_a")).alias("cb")))
+    wall = Window.partitionBy()
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.sum("ca").over(wall)
+    m = F.sum("cb").over(wall)
+    cum = hist.select(
+        (F.col("ca") + F.col("cb")).cast("long").alias("l"),
+        F.sum("ca").over(w).cast("long").alias("ma"),
+        F.sum("cb").over(w).cast("long").alias("mb"),
+        (F.sum("ca").over(w) + F.sum("cb").over(w)).cast("long")
+        .alias("b"),
+        n.cast("long").alias("n"), m.cast("long").alias("m"),
+        (n + m).cast("long").alias("nn"))
+    da = F.col("nn") * F.col("ma") - F.col("n") * F.col("b")
+    db = F.col("nn") * F.col("mb") - F.col("m") * F.col("b")
+    t = cum.where(F.col("b") < F.col("nn")).select(
+        "l", "n", "m", "nn",
+        (da * da).alias("qa"), (db * db).alias("qb"),
+        (F.col("b") * (F.col("nn") - F.col("b"))).alias("w"))
+    term = (F.col("l") / F.col("nn")
+            * (F.col("qa") / (F.col("n") * F.col("w"))
+               + F.col("qb") / (F.col("m") * F.col("w"))))
+    return t.agg(
+        F.round(F.sum(term), round_to).alias("a2"),
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_values"),
+        F.any_value("n").alias("n_a"),
+        F.any_value("m").alias("n_b"))
+
+
+def bowker_test(df: DataFrame, *, id_col: str, cat_col: str,
+                split, round_to: int = 6) -> DataFrame:
+    """Bowker (1948) symmetry test — the k×k generalization of
+    McNemar: each subject's MODAL category under the two *split*
+    phases (ties broken by (count desc, category asc) so both
+    engines pick identically), then
+
+        χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji),
+        df = #{pairs i<j with n_ij + n_ji > 0}
+
+    — are the switches BALANCED (style drift both ways) or
+    DIRECTIONAL (the corpus is migrating i→j)? :func:`mcnemar` only
+    answers this for two categories; transition_audit shows the
+    matrix but doesn't test it. Subjects seen in only one phase are
+    dropped (paired design).
+
+    All numerators/denominators are exact integer cell counts; the
+    division is terminal. Plan: one (id, phase, cat) aggregation,
+    a row_number window over it, an id-keyed self-join of the tiny
+    modal table, a cell aggregation — every post-corpus stage rides
+    subjects, not events. Returns ``(n_subjects, n_switchers, df,
+    chi2)``.
+    """
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(cat_col).isNotNull())
+            .select(F.col(id_col).alias("i"),
+                    F.when(split, 0).otherwise(1).alias("h"),
+                    F.col(cat_col).alias("c")))
+    counts = base.groupBy("i", "h", "c").agg(
+        F.count(F.lit(1)).alias("k"))
+    rn = F.row_number().over(
+        Window.partitionBy("i", "h")
+        .orderBy(F.col("k").desc(), F.col("c")))
+    modal = counts.withColumn("__rn", rn).where(F.col("__rn") == 1)
+    a = modal.where(F.col("h") == 0).select("i", F.col("c").alias("c1"))
+    b = modal.where(F.col("h") == 1).select("i", F.col("c").alias("c2"))
+    cells = (a.join(b, "i")
+             .groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("n")))
+    tot = cells.agg(F.sum("n").cast("long").alias("n_subjects"))
+    off = cells.where(F.col("c1") != F.col("c2"))
+    pairs = (off.groupBy(F.least("c1", "c2").alias("x"),
+                         F.greatest("c1", "c2").alias("y"))
+             .agg(F.sum(F.when(F.col("c1") < F.col("c2"),
+                               F.col("n")).otherwise(0)).alias("nij"),
+                  F.sum(F.when(F.col("c1") > F.col("c2"),
+                               F.col("n")).otherwise(0)).alias("nji")))
+    stat = pairs.agg(
+        F.coalesce(F.sum(F.col("nij") + F.col("nji")), F.lit(0))
+        .cast("long").alias("n_switchers"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.round(F.coalesce(
+            F.sum(((F.col("nij") - F.col("nji")) ** 2)
+                  / (F.col("nij") + F.col("nji"))), F.lit(0.0)),
+            round_to).alias("chi2"))
+    return (F.broadcast(tot).crossJoin(stat)
+            .select("n_subjects", "n_switchers", "df", "chi2"))
+
+
+def odds_ratio(df: DataFrame, *, exposure, outcome,
+               round_to: int = 6) -> DataFrame:
+    """2×2 odds ratio with the Woolf (1955) confidence interval:
+    OR = ad/bc and ln OR ± 1.96·√(1/a+1/b+1/c+1/d) — the effect-size
+    companion to the chi-square/G independence tests: "how much more
+    likely is a purchase on a weekend", with a CI that says whether
+    the data can even support the claim. When ANY cell is zero the
+    Haldane–Anscombe ½ correction is applied to all four cells
+    (``corrected`` column says so).
+
+    One aggregation pass over the corpus computing the four exact
+    integer cells; everything after is scalar arithmetic. Returns
+    ``(a, b, c, d, corrected, odds_ratio, ci_lo, ci_hi)``.
+    """
+    e = F.when(exposure, 1).otherwise(0)
+    o = F.when(outcome, 1).otherwise(0)
+    cells = df.agg(
+        F.sum(e * o).cast("long").alias("a"),
+        F.sum(e * (1 - o)).cast("long").alias("b"),
+        F.sum((1 - e) * o).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - o)).cast("long").alias("d"))
+    zero = ((F.col("a") == 0) | (F.col("b") == 0)
+            | (F.col("c") == 0) | (F.col("d") == 0))
+    adj = F.when(zero, 0.5).otherwise(0.0)
+    aa = F.col("a") + adj
+    bb = F.col("b") + adj
+    cc = F.col("c") + adj
+    dd = F.col("d") + adj
+    lor = F.log(aa * dd / (bb * cc))
+    se = F.sqrt(1.0 / aa + 1.0 / bb + 1.0 / cc + 1.0 / dd)
+    return cells.select(
+        "a", "b", "c", "d", zero.alias("corrected"),
+        F.round(aa * dd / (bb * cc), round_to).alias("odds_ratio"),
+        F.round(F.exp(lor - 1.959964 * se), round_to).alias("ci_lo"),
+        F.round(F.exp(lor + 1.959964 * se), round_to).alias("ci_hi"))
