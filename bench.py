@@ -484,6 +484,8 @@ R4_NAMES = [
     "hopkins_emb", "twonn_dim_emb", "gries_dp_terms",
     # wave 107: Anderson-Darling drift, Bowker symmetry, odds ratio
     "ad_len_drift", "bowker_type_shift", "odds_ratio_weekend",
+    # wave 108: IND discovery, Damm checksum, Cohen's h
+    "ind_keys", "damm_audit", "cohens_h_langs",
 ]
 
 

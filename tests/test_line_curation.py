@@ -1262,3 +1262,39 @@ class TestGriesDP:
                           k=2, min_cf=1).collect()
         assert [r["token"] for r in out] == ["c", "d"]  # cf desc
         assert out[0]["cf"] == 4
+
+
+class TestDammChecksum:
+    def test_known_vector_and_corruptions(self, spark):
+        from zoi_spark import text as tx
+        rows = [("5724",),      # canonical Damm example: valid
+                ("5723",),      # wrong check digit
+                ("7524",),      # adjacent transposition: caught
+                ("572a",), ("",), (None,)]
+        df = spark.createDataFrame(rows, "s string")
+        out = [r["ok"] for r in df.select(
+            tx.damm_valid(F.col("s")).alias("ok")).collect()]
+        assert out == [True, False, False, False, False, False]
+
+    def test_check_digit_closes_chain(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame([("572",), ("123456789",)],
+                                   "p string")
+        out = df.select(
+            F.concat(F.col("p"),
+                     tx.damm_interim(F.col("p")).cast("string"))
+            .alias("full")).select(
+            tx.damm_valid(F.col("full")).alias("ok")).collect()
+        assert all(r["ok"] for r in out)
+
+    def test_every_single_digit_bump_caught(self, spark):
+        from zoi_spark import text as tx
+        base = "5724"
+        rows = []
+        for pos in range(4):
+            d = (int(base[pos]) + 3) % 10
+            rows.append((base[:pos] + str(d) + base[pos + 1:],))
+        df = spark.createDataFrame(rows, "s string")
+        out = [r["ok"] for r in df.select(
+            tx.damm_valid(F.col("s")).alias("ok")).collect()]
+        assert not any(out)

@@ -7195,3 +7195,51 @@ class TestOddsRatio:
         assert out["a"] == 0 and out["corrected"] is True
         expect = (0.5 * 6.5) / (3.5 * 4.5)
         assert out["odds_ratio"] == round(expect, 6)
+
+
+class TestINDDiscovery:
+    def test_recovers_containment(self, spark):
+        from zoi_spark import tablechecks as tc
+        child = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        out = {(r["lhs"], r["rhs"]): r for r in tc.ind_discovery(
+            [("child.k", child, "k"),
+             ("parent.k", parent, "k")]).collect()}
+        fwd = out[("child.k", "parent.k")]
+        assert fwd["holds"] is True and fwd["n_violations"] == 0
+        assert fwd["n_lhs_distinct"] == 2
+        rev = out[("parent.k", "child.k")]
+        assert rev["holds"] is False and rev["n_violations"] == 1
+
+    def test_duplicate_label_raises(self, spark):
+        from zoi_spark import tablechecks as tc
+        import pytest as pt
+        df = spark.createDataFrame([(1,)], "k long")
+        with pt.raises(ValueError):
+            tc.ind_discovery([("x", df, "k"), ("x", df, "k")])
+
+    def test_string_normalized_match(self, spark):
+        from zoi_spark import tablechecks as tc
+        a = spark.createDataFrame([(7,)], "k long")
+        b = spark.createDataFrame([("7",)], "k string")
+        out = tc.ind_discovery([("a", a, "k"),
+                                ("b", b, "k")]).collect()
+        assert all(r["holds"] for r in out)
+
+
+class TestCohensH:
+    def test_extreme_and_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        rows = ([("a", 1)] * 4 + [("b", 0)] * 4
+                + [("c", 1)] * 2 + [("c", 0)] * 2
+                + [("d", 1)] * 2 + [("d", 0)] * 2)
+        df = spark.createDataFrame(rows, "g string, s int")
+        out = {(r["group_a"], r["group_b"]): r for r in tc.cohens_h(
+            df, group_col="g", success=F.col("s") == 1).collect()}
+        ab = out[("a", "b")]
+        assert ab["h"] == round(math.pi, 6)     # 1.0 vs 0.0
+        assert ab["magnitude"] == "large"
+        cd = out[("c", "d")]
+        assert cd["h"] == 0.0
+        assert cd["magnitude"] == "negligible"

@@ -9867,3 +9867,95 @@ def odds_ratio(df: DataFrame, *, exposure, outcome,
         F.round(aa * dd / (bb * cc), round_to).alias("odds_ratio"),
         F.round(F.exp(lor - 1.959964 * se), round_to).alias("ci_lo"),
         F.round(F.exp(lor + 1.959964 * se), round_to).alias("ci_hi"))
+
+
+def ind_discovery(sources, *, round_to: int = 6) -> DataFrame:
+    """Unary inclusion-dependency discovery (the SPIDER/Binder
+    profiling primitive): *sources* is a list of ``(label, df,
+    column)`` triples; for every ORDERED pair (L, R) report whether
+    distinct(L) ⊆ distinct(R) and how many L-values violate it —
+    the candidate-foreign-key map a schema auditor starts from,
+    upstream of :func:`fk_integrity` (which checks ONE declared FK
+    with row counts).
+
+    Values are compared as strings (the standard profiling
+    normalization — documented, deterministic in both engines).
+    Plan: one distinct over the unioned (label, value) pairs, ONE
+    aggregation computing all |pairs|² presence sums from a
+    collect_set per value (labels are few; the agg emits L·(L−1)
+    scalar columns), then an unpivot — the value table is scanned
+    once however many pairs there are. Returns ``(lhs, rhs,
+    n_lhs_distinct, n_violations, holds)`` ordered by (lhs, rhs).
+    """
+    labels = [lab for lab, _, _ in sources]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate labels in sources")
+    parts = []
+    for lab, df, col in sources:
+        parts.append(df.where(F.col(col).isNotNull())
+                     .select(F.lit(lab).alias("lab"),
+                             F.col(col).cast("string").alias("v")))
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    m = uni.distinct().groupBy("v").agg(
+        F.collect_set("lab").alias("labs"))
+    aggs = []
+    names = []
+    for ia, a in enumerate(labels):
+        has_a = F.array_contains("labs", a).cast("long")
+        aggs.append(F.sum(has_a).alias(f"__n_{ia}"))
+        for ib, b in enumerate(labels):
+            if a == b:
+                continue
+            miss_b = (~F.array_contains("labs", b)).cast("long")
+            aggs.append(F.sum(has_a * miss_b)
+                        .alias(f"__v_{ia}_{ib}"))
+            names.append((ia, ib))
+    wide = m.agg(*aggs)
+    esc = [lab.replace("'", "''") for lab in labels]
+    stack_args = [
+        f"'{esc[ia]}', '{esc[ib]}', __n_{ia}, __v_{ia}_{ib}"
+        for ia, ib in names]
+    expr = (f"stack({len(names)}, {', '.join(stack_args)}) "
+            "as (lhs, rhs, n_lhs_distinct, n_violations)")
+    return (wide.selectExpr(expr)
+            .withColumn("holds", F.col("n_violations") == 0)
+            .orderBy("lhs", "rhs"))
+
+
+def cohens_h(df: DataFrame, *, group_col: str, success,
+             round_to: int = 6) -> DataFrame:
+    """Cohen's h effect size for PROPORTIONS between every group
+    pair: h = 2·asin√p₁ − 2·asin√p₂ (the arcsine-stabilized gap,
+    Cohen 1988), labeled with the conventional |h| thresholds
+    (< 0.2 negligible, < 0.5 small, < 0.8 medium, else large) on
+    the ROUNDED value. The proportion sibling of Hedges g (means)
+    and Cliff's delta (orderings): "is the pass-rate difference
+    between DE and EN practically meaningful", independent of the
+    sample sizes a p-value rides on.
+
+    One aggregation to per-group (n, successes); the pair join rides
+    the tiny group table. Returns ``(group_a, group_b, p_a, p_b, h,
+    magnitude)`` for group_a < group_b.
+    """
+    s = F.when(success, 1).otherwise(0)
+    per = (df.where(F.col(group_col).isNotNull())
+           .groupBy(F.col(group_col).alias("g"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum(s).alias("k")))
+    per = per.select("g", (F.col("k") / F.col("n")).alias("p"))
+    a, b = per.alias("a"), per.alias("b")
+    phi = lambda p: 2.0 * F.asin(F.sqrt(p))
+    h = phi(F.col("a.p")) - phi(F.col("b.p"))
+    out = (a.join(b, F.col("a.g") < F.col("b.g"))
+           .select(F.col("a.g").alias("group_a"),
+                   F.col("b.g").alias("group_b"),
+                   F.round("a.p", round_to).alias("p_a"),
+                   F.round("b.p", round_to).alias("p_b"),
+                   F.round(h, round_to).alias("h")))
+    mag = (F.when(F.abs(F.col("h")) < 0.2, "negligible")
+           .when(F.abs(F.col("h")) < 0.5, "small")
+           .when(F.abs(F.col("h")) < 0.8, "medium")
+           .otherwise("large"))
+    return out.withColumn("magnitude", mag) \
+              .orderBy("group_a", "group_b")

@@ -4051,3 +4051,53 @@ def gries_dp(df: DataFrame, *, text_col: str = "text",
                                 + 1.0 - F.sum("s")), round_to)
                  .alias("dp"))
             .orderBy(F.col("cf").desc(), "token"))
+
+
+# the standard Damm quasigroup (totally anti-symmetric, zero
+# diagonal) — public table from Damm's 2004 dissertation
+_DAMM_TABLE = [
+    [0, 3, 1, 7, 5, 9, 8, 6, 4, 2],
+    [7, 0, 9, 2, 1, 5, 4, 8, 6, 3],
+    [4, 2, 0, 6, 8, 7, 1, 3, 5, 9],
+    [1, 7, 5, 0, 9, 8, 3, 4, 2, 6],
+    [6, 1, 2, 3, 0, 4, 5, 9, 7, 8],
+    [3, 6, 7, 4, 2, 0, 9, 5, 8, 1],
+    [5, 8, 6, 9, 7, 2, 0, 1, 3, 4],
+    [8, 9, 4, 5, 3, 6, 2, 0, 1, 7],
+    [9, 4, 3, 8, 6, 1, 7, 2, 0, 5],
+    [2, 5, 8, 1, 4, 3, 6, 7, 9, 0],
+]
+
+
+def _damm_matrix() -> Column:
+    return F.array(*[F.array(*[F.lit(x) for x in row])
+                     for row in _DAMM_TABLE])
+
+
+def damm_interim(col: Column) -> Column:
+    """Final Damm interim digit of a digit string — the CHECK DIGIT
+    to append (zero diagonal makes appending it close the chain to
+    0). Pure codegen fold: element_at(element_at(M, acc), d)."""
+    m = _damm_matrix()
+    ds = F.filter(F.split(col, ""), lambda x: x != "")
+    return F.aggregate(
+        ds, F.lit(0),
+        lambda acc, d: F.element_at(F.element_at(m, acc + 1),
+                                    d.cast("int") + 1))
+
+
+def damm_valid(col: Column) -> Column:
+    """Damm (2004) quasigroup checksum validator as a pure Column:
+    fold interim = M[interim][digit] over the digits; valid iff the
+    final interim is 0. Unlike Luhn, Damm catches ALL single-digit
+    errors AND all adjacent transpositions — the strongest
+    single-check-digit scheme over base 10, with no weighting or
+    splitting (the fold is one table lookup per digit, fully inside
+    whole-stage codegen — 10^12 ids at scan speed). NULL-safe:
+    non-digit or empty strings are FALSE, not errors. Family:
+    :func:`isbn13_valid` (weighted mod 10), :func:`iban_valid`
+    (mod 97), the Luhn PAN scan.
+    """
+    ok_shape = col.rlike("^[0-9]+$")
+    return F.when(ok_shape, damm_interim(col) == 0) \
+            .otherwise(F.lit(False))
