@@ -486,6 +486,8 @@ R4_NAMES = [
     "ad_len_drift", "bowker_type_shift", "odds_ratio_weekend",
     # wave 108: IND discovery, Damm checksum, Cohen's h
     "ind_keys", "damm_audit", "cohens_h_langs",
+    # wave 109: Brunner-Munzel, Mantel-Haenszel OR, Kupiec POF
+    "brunner_munzel_len", "mh_odds_types", "kupiec_value_gate",
 ]
 
 

@@ -7243,3 +7243,96 @@ class TestCohensH:
         cd = out[("c", "d")]
         assert cd["h"] == 0.0
         assert cd["magnitude"] == "negligible"
+
+
+class TestBrunnerMunzel:
+    def test_published_example(self, spark):
+        from zoi_spark import tablechecks as tc
+        # the worked example from Brunner & Munzel (2000), as used in
+        # scipy.stats.brunnermunzel's docs: W = 3.1374674823
+        x1 = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+        x2 = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+        rows = ([("a", v) for v in x1] + [("b", v) for v in x2])
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = tc.brunner_munzel(df, value_col="v", group_col="g",
+                                group_a="a").collect()[0]
+        assert out["n_a"] == 14 and out["n_b"] == 11
+        assert abs(abs(out["w"]) - 3.137467) < 1e-6
+        assert out["w"] > 0      # rest stochastically larger than a
+        assert 0.5 < out["p_hat"] <= 1.0
+
+    def test_symmetric_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("a", v) for v in (1, 2, 3, 4)]
+                + [("b", v) for v in (1, 2, 3, 4)])
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = tc.brunner_munzel(df, value_col="v", group_col="g",
+                                group_a="a").collect()[0]
+        assert out["w"] == 0.0
+        assert out["p_hat"] == 0.5
+
+
+class TestMHOdds:
+    def test_hand_strata(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = []
+        def stratum(s, a, b, c, d):
+            rows.extend([(s, 1, 1)] * a + [(s, 1, 0)] * b
+                        + [(s, 0, 1)] * c + [(s, 0, 0)] * d)
+        stratum("s1", 2, 1, 1, 2)
+        stratum("s2", 3, 2, 2, 3)
+        df = spark.createDataFrame(rows, "s string, e int, o int")
+        out = tc.mh_odds(df, stratum_col="s",
+                         exposure=F.col("e") == 1,
+                         outcome=F.col("o") == 1).collect()[0]
+        num = 2 * 2 / 6 + 3 * 3 / 10
+        den = 1 * 1 / 6 + 2 * 2 / 10
+        assert out["n_strata"] == 2
+        assert out["or_mh"] == round(num / den, 6)
+        dev = (2 - 3 * 3 / 6) + (3 - 5 * 5 / 10)
+        var = (81 / (36 * 5)) + (625 / (100 * 9))
+        assert out["cmh_chi2"] == round(dev * dev / var, 6)
+
+    def test_singleton_stratum_ignored(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("s1", 1, 1), ("s1", 1, 0), ("s1", 0, 1),
+                ("s1", 0, 0), ("solo", 1, 1)]
+        df = spark.createDataFrame(rows, "s string, e int, o int")
+        out = tc.mh_odds(df, stratum_col="s",
+                         exposure=F.col("e") == 1,
+                         outcome=F.col("o") == 1).collect()[0]
+        assert out["n_strata"] == 2      # listed, but var-contrib 0
+        assert out["or_mh"] is not None
+
+
+class TestKupiecPOF:
+    def test_hand_case(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        rows = ([(2 * i, float(i + 1)) for i in range(10)]     # cal 1..10
+                + [(2 * i + 1, float(v)) for i, v in
+                   enumerate([1, 2, 3, 4, 5, 6, 7, 8, 20, 30])])
+        df = spark.createDataFrame(rows, "event_id long, value double")
+        out = tc.kupiec_pof(
+            df, value_col="value",
+            split=F.pmod("event_id", F.lit(2)) == 0,
+            nominal=0.1).collect()[0]
+        assert out["threshold"] == 9.0   # type-1 p90 of 1..10
+        assert out["n"] == 10 and out["x"] == 2
+        lr = -2 * (8 * math.log(0.9) + 2 * math.log(0.1)
+                   - 2 * math.log(0.2) - 8 * math.log(0.8))
+        assert out["lr"] == round(lr, 6)
+        assert out["reject"] is False    # 0.2 on n=10: not enough
+
+    def test_perfect_coverage_lr_zero_ish(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(2 * i, float(i + 1)) for i in range(10)]
+                + [(2 * i + 1, float(i + 1)) for i in range(10)])
+        df = spark.createDataFrame(rows, "event_id long, value double")
+        out = tc.kupiec_pof(
+            df, value_col="value",
+            split=F.pmod("event_id", F.lit(2)) == 0,
+            nominal=0.1).collect()[0]
+        assert out["x"] == 1 and out["miss_rate"] == 0.1
+        assert out["lr"] == 0.0
+        assert out["reject"] is False

@@ -9959,3 +9959,184 @@ def cohens_h(df: DataFrame, *, group_col: str, success,
            .otherwise("large"))
     return out.withColumn("magnitude", mag) \
               .orderBy("group_a", "group_b")
+
+
+def brunner_munzel(df: DataFrame, *, value_col: str, group_col: str,
+                   group_a, round_to: int = 6) -> DataFrame:
+    """Brunner–Munzel test (2000) of *value_col* between group A and
+    the rest — the rank test that, unlike Mann–Whitney, does NOT
+    assume equal variances/shapes under H₀ (the nonparametric
+    Behrens–Fisher problem): the right default when EN doc lengths
+    are both shifted AND differently spread. Reports the stochastic
+    superiority p̂ = P(A < B) + ½P(A = B), the studentized statistic
+    W and its Welch-type df (scipy.stats.brunnermunzel's
+    formulation).
+
+    Exactness: pooled and within-sample midranks are DOUBLED
+    integers from distinct-value cumulative windows (never a row
+    window); each distinct (value, side) row carries an exact
+    placement d2 = rank2_pooled − rank2_within, and the S² terms are
+    count-weighted variances of d2 — floats enter only in the
+    terminal variance/ratio arithmetic. One shuffle to the value
+    histogram. Returns ``(n_a, n_b, p_hat, w, df)``.
+    """
+    is_a = (F.col(group_col) == F.lit(group_a)).cast("int")
+    vc = (df.where(F.col(value_col).isNotNull()
+                   & F.col(group_col).isNotNull())
+          .groupBy(F.col(value_col).alias("v"),
+                   is_a.alias("a"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    # pooled doubled midranks over distinct values
+    dv = vc.groupBy("v").agg(F.sum("c").alias("nv"))
+    wp = (Window.partitionBy().orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    pooled = dv.select(
+        "v", (2 * F.coalesce(F.sum("nv").over(wp), F.lit(0))
+              + F.col("nv") + 1).alias("r2c"))
+    # within-side doubled midranks
+    ww = (Window.partitionBy("a").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    within = vc.select(
+        "v", "a", "c",
+        (2 * F.coalesce(F.sum("c").over(ww), F.lit(0))
+         + F.col("c") + 1).alias("r2w"))
+    j = within.join(pooled, "v").select(
+        "a", "c", "r2c",
+        (F.col("r2c") - F.col("r2w")).alias("d2"))
+    per = j.groupBy("a").agg(
+        F.sum("c").alias("n"),
+        (F.sum(F.col("c") * F.col("r2c")) / (2.0 * F.sum("c")))
+        .alias("rbar"),
+        F.sum(F.col("c") * F.col("d2")).alias("sd2"),
+        F.sum(F.col("c") * F.col("d2") * F.col("d2")).alias("sq2"))
+    # count-weighted sample variance of d2/2 with (n-1) divisor
+    s2 = ((F.col("sq2") - F.col("sd2") * F.col("sd2") / F.col("n"))
+          / (4.0 * (F.col("n") - 1)))
+    per = per.select("a", "n", "rbar", s2.alias("s2"))
+    a = per.where(F.col("a") == 1).select(
+        F.col("n").alias("na"), F.col("rbar").alias("ra"),
+        F.col("s2").alias("sa"))
+    b = per.where(F.col("a") == 0).select(
+        F.col("n").alias("nb"), F.col("rbar").alias("rb"),
+        F.col("s2").alias("sb"))
+    t = a.crossJoin(F.broadcast(b))
+    nn = F.col("na") + F.col("nb")
+    num = F.col("na") * F.col("nb") * (F.col("rb") - F.col("ra"))
+    den = nn * F.sqrt(F.col("na") * F.col("sa")
+                      + F.col("nb") * F.col("sb"))
+    dfree = (((F.col("na") * F.col("sa")
+               + F.col("nb") * F.col("sb")) ** 2)
+             / ((F.col("na") * F.col("sa")) ** 2 / (F.col("na") - 1)
+                + (F.col("nb") * F.col("sb")) ** 2
+                / (F.col("nb") - 1)))
+    p_hat = (F.col("rb") - (F.col("nb") + 1) / 2.0) / F.col("na")
+    return t.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(p_hat, round_to).alias("p_hat"),
+        F.round(num / den, round_to).alias("w"),
+        F.round(dfree, round_to).alias("df"))
+
+
+def mh_odds(df: DataFrame, *, stratum_col: str, exposure, outcome,
+            round_to: int = 6) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio + Cochran–MH χ² (1 df, no
+    continuity correction) across strata:
+
+        OR_MH = Σᵢ aᵢdᵢ/Nᵢ  /  Σᵢ bᵢcᵢ/Nᵢ
+        χ²    = (Σᵢ (aᵢ − r1ᵢc1ᵢ/Nᵢ))² / Σᵢ r1ᵢr0ᵢc1ᵢc0ᵢ/(Nᵢ²(Nᵢ−1))
+
+    — the confounder-adjusted effect the crude :func:`odds_ratio`
+    can't give: when simpsons_check says the marginal association
+    flips within strata, THIS is the number to report instead.
+    Single-row strata (Nᵢ ≤ 1) contribute nothing to either sum
+    (0/0 guards → 0). One aggregation to the per-stratum cells;
+    everything after rides the strata table. Returns ``(n_strata,
+    or_mh, cmh_chi2)``.
+    """
+    e = F.when(exposure, 1).otherwise(0)
+    o = F.when(outcome, 1).otherwise(0)
+    cells = (df.where(F.col(stratum_col).isNotNull())
+             .groupBy(F.col(stratum_col).alias("s"))
+             .agg(F.sum(e * o).alias("a"),
+                  F.sum(e * (1 - o)).alias("b"),
+                  F.sum((1 - e) * o).alias("c"),
+                  F.sum((1 - e) * (1 - o)).alias("d")))
+    nn = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    r1 = F.col("a") + F.col("b")
+    r0 = F.col("c") + F.col("d")
+    c1 = F.col("a") + F.col("c")
+    c0 = F.col("b") + F.col("d")
+    t = cells.select(
+        (F.col("a") * F.col("d") / nn).alias("num"),
+        (F.col("b") * F.col("c") / nn).alias("den"),
+        (F.col("a") - r1 * c1 / nn).alias("dev"),
+        F.when(nn > 1, r1 * r0 * c1 * c0 / (nn * nn * (nn - 1)))
+         .otherwise(0.0).alias("var"))
+    agg = t.agg(F.count(F.lit(1)).cast("long").alias("n_strata"),
+                F.sum("num").alias("num"), F.sum("den").alias("den"),
+                F.sum("dev").alias("dev"), F.sum("var").alias("var"))
+    return agg.select(
+        "n_strata",
+        F.round(F.col("num") / F.col("den"), round_to)
+         .alias("or_mh"),
+        F.round(F.col("dev") * F.col("dev") / F.col("var"),
+                round_to).alias("cmh_chi2"))
+
+
+def kupiec_pof(df: DataFrame, *, value_col: str, split,
+               nominal: float = 0.1, round_to: int = 6) -> DataFrame:
+    """Kupiec proportion-of-failures backtest (1995): calibrate a
+    (1−*nominal*) upper threshold on the *split*=true half (exact
+    type-1 quantile: smallest value whose CDF ≥ 1−nominal), count
+    exceedances x in n held-out rows, and test x/n against nominal
+    with the likelihood ratio
+
+        LR = −2[ (n−x)·ln(1−p) + x·ln p
+                 − (n−x)·ln(1−x/n) − x·ln(x/n) ]  ~  χ²₁
+
+    — the coverage audit for ANY quantile gate (outlier caps, SLA
+    thresholds, conformal intervals): "the p90 cap we shipped — does
+    it still cap 10%?" ``reject`` applies the 95% χ²₁ cut (3.841459)
+    on the rounded LR. x = 0 or x = n degenerate terms use the
+    0·ln(0) = 0 convention via guards.
+
+    Plan: one distinct-value histogram of the calibration half
+    (cumulative window over distinct values, never a row sort), one
+    scalar threshold broadcast, one count pass over the held-out
+    half. Returns ``(threshold, n, x, miss_rate, lr, reject)``.
+    """
+    p = float(nominal)
+    cal = (df.where(split & F.col(value_col).isNotNull())
+           .groupBy(F.col(value_col).alias("v"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdfed = cal.select(
+        "v", (F.sum("c").over(wp) / F.sum("c").over(wall))
+        .alias("cdf"))
+    thr = (cdfed.where(F.col("cdf") >= 1.0 - p)
+           .agg(F.min("v").alias("threshold")))
+    test = df.where((~split) & F.col(value_col).isNotNull())
+    t = (test.crossJoin(F.broadcast(thr))
+         .agg(F.any_value("threshold").alias("threshold"),
+              F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.when(F.col(value_col)
+                           > F.col("threshold"), 1).otherwise(0))
+              .cast("long").alias("x")))
+    n = F.col("n").cast("double")
+    x = F.col("x").cast("double")
+    import math
+    term_p = (n - x) * F.lit(math.log(1.0 - p)) \
+        + x * F.lit(math.log(p))
+    term_hat = (F.when(x > 0, x * F.log(x / n)).otherwise(0.0)
+                + F.when(x < n, (n - x) * F.log(1.0 - x / n))
+                .otherwise(0.0))
+    lr = F.round(-2.0 * (term_p - term_hat), round_to)
+    out = t.select(
+        "threshold", "n", "x",
+        F.round(x / n, round_to).alias("miss_rate"),
+        lr.alias("lr"))
+    return out.withColumn("reject", F.col("lr") > 3.841459)
