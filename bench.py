@@ -488,6 +488,8 @@ R4_NAMES = [
     "ind_keys", "damm_audit", "cohens_h_langs",
     # wave 109: Brunner-Munzel, Mantel-Haenszel OR, Kupiec POF
     "brunner_munzel_len", "mh_odds_types", "kupiec_value_gate",
+    # wave 110: Cucconi, Wilson interval, distance correlation
+    "cucconi_len_drift", "wilson_pass_langs", "dcor_value_hour",
 ]
 
 

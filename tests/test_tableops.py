@@ -7336,3 +7336,85 @@ class TestKupiecPOF:
         assert out["x"] == 1 and out["miss_rate"] == 0.1
         assert out["lr"] == 0.0
         assert out["reject"] is False
+
+
+class TestCucconi:
+    def test_identical_sides_null(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(s, v) for s in (0, 1) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, "side int, v int")
+        out = tc.cucconi_test(df, value_col="v",
+                              split=F.col("side") == 0).collect()[0]
+        assert abs(out["u"]) < 0.05 and abs(out["v"]) < 0.05
+        assert out["c"] < 0.01
+        assert out["p_approx"] > 0.99
+
+    def test_location_shift_fires(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0, v) for v in range(1, 11)]
+                + [(1, v + 100) for v in range(1, 11)])
+        df = spark.createDataFrame(rows, "side int, v int")
+        out = tc.cucconi_test(df, value_col="v",
+                              split=F.col("side") == 0).collect()[0]
+        assert out["c"] > 3.0 and out["p_approx"] < 0.05
+
+    def test_pure_scale_change_fires(self, spark):
+        from zoi_spark import tablechecks as tc
+        a = [50 + d for d in (-2, -1, 0, 1, 2)] * 4
+        b = [50 + d for d in (-40, -20, 0, 20, 40)] * 4
+        rows = ([(0, v) for v in a] + [(1, v) for v in b])
+        df = spark.createDataFrame(rows, "side int, v int")
+        out = tc.cucconi_test(df, value_col="v",
+                              split=F.col("side") == 0).collect()[0]
+        assert out["c"] > 3.0        # same medians, spread differs
+
+
+class TestWilsonInterval:
+    def test_zero_successes_nonzero_upper(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 0)] * 10
+        df = spark.createDataFrame(rows, "g string, s int")
+        out = tc.wilson_interval(df, group_col="g",
+                                 success=F.col("s") == 1).collect()[0]
+        zz = 1.959964 ** 2
+        hi = (zz / 10) / (1 + zz / 10)
+        assert out["p"] == 0.0 and out["lo"] == 0.0
+        assert out["hi"] == round(hi, 6)     # Wald would say 0
+
+    def test_symmetry(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 1)] * 3 + [("a", 0)] * 7 \
+            + [("b", 0)] * 3 + [("b", 1)] * 7
+        df = spark.createDataFrame(rows, "g string, s int")
+        out = {r["group"]: r for r in tc.wilson_interval(
+            df, group_col="g", success=F.col("s") == 1).collect()}
+        assert out["a"]["lo"] == round(1 - out["b"]["hi"], 6)
+        assert out["a"]["hi"] == round(1 - out["b"]["lo"], 6)
+
+
+class TestDistanceCorrelation:
+    def test_perfect_linear_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i), float(2 * i + 3)) for i in range(40)]
+        df = spark.createDataFrame(rows, "i long, x double, y double")
+        out = tc.distance_correlation(
+            df, x_col="x", y_col="y", id_col="i", m=40).collect()[0]
+        assert out["m"] == 40
+        assert out["dcor"] == 1.0
+
+    def test_constant_column_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i), 7.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "i long, x double, y double")
+        out = tc.distance_correlation(
+            df, x_col="x", y_col="y", id_col="i", m=20).collect()[0]
+        assert out["dcor"] == 0.0 and out["dvar_y"] == 0.0
+
+    def test_nonlinear_u_shape_detected(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i - 20), float((i - 20) ** 2))
+                for i in range(41)]
+        df = spark.createDataFrame(rows, "i long, x double, y double")
+        out = tc.distance_correlation(
+            df, x_col="x", y_col="y", id_col="i", m=41).collect()[0]
+        assert out["dcor"] > 0.3     # Pearson on this data is ~0

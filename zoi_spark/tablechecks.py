@@ -10140,3 +10140,156 @@ def kupiec_pof(df: DataFrame, *, value_col: str, split,
         F.round(x / n, round_to).alias("miss_rate"),
         lr.alias("lr"))
     return out.withColumn("reject", F.col("lr") > 3.841459)
+
+
+def cucconi_test(df: DataFrame, *, value_col: str, split,
+                 round_to: int = 6) -> DataFrame:
+    """Cucconi (1968) joint location-scale rank test between the two
+    *split* sides: with S_j the pooled midranks of side B,
+
+        U = (6ΣS_j² − m(N+1)(2N+1)) / √(nm(N+1)(2N+1)(8N+11)/5)
+        V = same with contrary ranks (N+1−S_j)
+        ρ = 2(N²−4)/((2N+1)(8N+11)) − 1
+        C = (U² + V² − 2ρUV) / (2(1−ρ²))
+
+    — ONE statistic that fires on a location shift OR a scale change
+    (or both): the single-alarm alternative to running mannwhitney
+    (location) and ansari_bradley (scale) separately, and older and
+    usually more powerful than the Lepage combination. Under H₀,
+    C ~ Exp(1): P(C > c) = e^{−c} — ``p_approx`` reports it.
+
+    Midranks are DOUBLED integers from the distinct-value histogram
+    (ΣS² is carried as the exact BIGINT Σc·r2², = 4ΣS²); floats
+    enter only in the terminal normalizations. One shuffle to the
+    value histogram. Returns ``(n_a, n_b, u, v, c, p_approx)``.
+    """
+    is_b = F.when(split, 0).otherwise(1)
+    vc = (df.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(value_col).alias("v"))
+          .agg(F.sum(is_b).alias("cb"),
+               F.count(F.lit(1)).alias("ct")))
+    wp = (Window.partitionBy().orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    r2 = (2 * F.coalesce(F.sum("ct").over(wp), F.lit(0))
+          + F.col("ct") + 1)
+    wall = Window.partitionBy()
+    nn = F.sum("ct").over(wall)
+    scored = vc.select(
+        "cb", "ct", r2.alias("r2"), nn.alias("nn"))
+    agg = scored.agg(
+        F.any_value("nn").cast("long").alias("n"),
+        F.sum("cb").cast("long").alias("m"),
+        F.sum(F.col("cb") * F.col("r2") * F.col("r2"))
+        .alias("s2_4x"),                    # 4·ΣS²   (exact)
+        F.sum(F.col("cb") * F.col("r2")).alias("s1_2x"))  # 2·ΣS
+    n_tot = F.col("n").cast("double")
+    m_b = F.col("m").cast("double")
+    n_a = n_tot - m_b
+    s2 = F.col("s2_4x") / 4.0
+    # contrary ranks: Σ(N+1−S)² = m(N+1)² − 2(N+1)ΣS + ΣS²
+    s1 = F.col("s1_2x") / 2.0
+    s2c = (m_b * (n_tot + 1) * (n_tot + 1)
+           - 2 * (n_tot + 1) * s1 + s2)
+    denom = F.sqrt(n_a * m_b * (n_tot + 1) * (2 * n_tot + 1)
+                   * (8 * n_tot + 11) / 5.0)
+    u = (6.0 * s2 - m_b * (n_tot + 1) * (2 * n_tot + 1)) / denom
+    v = (6.0 * s2c - m_b * (n_tot + 1) * (2 * n_tot + 1)) / denom
+    rho = (2.0 * (n_tot * n_tot - 4.0)
+           / ((2 * n_tot + 1) * (8 * n_tot + 11)) - 1.0)
+    c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1 - rho * rho))
+    return agg.select(
+        n_a.cast("long").alias("n_a"), F.col("m").alias("n_b"),
+        F.round(u, round_to).alias("u"),
+        F.round(v, round_to).alias("v"),
+        F.round(c, round_to).alias("c"),
+        F.round(F.exp(-c), round_to).alias("p_approx"))
+
+
+def wilson_interval(df: DataFrame, *, group_col: str, success,
+                    z: float = 1.959964,
+                    round_to: int = 6) -> DataFrame:
+    """Wilson (1927) score interval for a proportion, per group:
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    — the proportion CI that behaves at p̂ near 0/1 and small n,
+    where the Wald interval collapses to zero width around an
+    estimate of 0 ("this source had no violations… so far"). The
+    per-group uncertainty report backing pass_rate_ztest's pairwise
+    verdicts. One aggregation. Returns ``(group, n, k, p, lo, hi)``
+    with lo/hi clamped to [0, 1].
+    """
+    s = F.when(success, 1).otherwise(0)
+    per = (df.where(F.col(group_col).isNotNull())
+           .groupBy(F.col(group_col).alias("group"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(s).cast("long").alias("k")))
+    zz = float(z) * float(z)
+    n = F.col("n").cast("double")
+    p = F.col("k") / n
+    denom = 1.0 + zz / n
+    center = (p + zz / (2 * n)) / denom
+    half = (float(z)
+            * F.sqrt(p * (1 - p) / n + zz / (4 * n * n)) / denom)
+    return per.select(
+        "group", "n", "k",
+        F.round(p, round_to).alias("p"),
+        F.round(F.greatest(center - half, F.lit(0.0)), round_to)
+         .alias("lo"),
+        F.round(F.least(center + half, F.lit(1.0)), round_to)
+         .alias("hi")).orderBy("group")
+
+
+def distance_correlation(df: DataFrame, *, x_col: str, y_col: str,
+                         id_col: str, m: int = 128,
+                         round_to: int = 6) -> DataFrame:
+    """Székely's distance correlation (2007) on an md5-ranked sample
+    of *m* rows: double-centered pairwise |Δx|, |Δy| matrices,
+    dCov² = ΣA_ij·B_ij/m², dCor = dCov/√(dVarx·dVary). dCor = 0 IFF
+    independent — the dependence detector that catches the U-shaped
+    and heteroscedastic relations Pearson/Spearman (numeric_corr,
+    partial_corr) miss entirely.
+
+    The O(m²) pair table is the SAMPLE squared (fixed as the corpus
+    grows — the estimator converges in m), built from one broadcast
+    self-join; the sample is the deterministic md5 rank, so both
+    engines center identical matrices. Returns ``(m, dcor, dvar_x,
+    dvar_y)``.
+    """
+    s = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(x_col).cast("double").alias("x"),
+                 F.col(y_col).cast("double").alias("y")))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"),
+                     F.abs(F.col("a.x") - F.col("b.x")).alias("dx"),
+                     F.abs(F.col("a.y") - F.col("b.y")).alias("dy")))
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    wall = Window.partitionBy()
+    cen = pairs.select(
+        (F.col("dx") - F.avg("dx").over(wi) - F.avg("dx").over(wj)
+         + F.avg("dx").over(wall)).alias("ax"),
+        (F.col("dy") - F.avg("dy").over(wi) - F.avg("dy").over(wj)
+         + F.avg("dy").over(wall)).alias("by"))
+    agg = cen.agg(
+        (F.count(F.lit(1))).alias("m2"),
+        F.avg(F.col("ax") * F.col("by")).alias("dcov2"),
+        F.avg(F.col("ax") * F.col("ax")).alias("dvarx"),
+        F.avg(F.col("by") * F.col("by")).alias("dvary"))
+    dcor = F.when(
+        (F.col("dvarx") > 0) & (F.col("dvary") > 0),
+        F.sqrt(F.sqrt(F.col("dcov2") * F.col("dcov2"))
+               / F.sqrt(F.col("dvarx") * F.col("dvary")))
+        * F.when(F.col("dcov2") < 0, -1.0).otherwise(1.0)) \
+        .otherwise(0.0)
+    return agg.select(
+        F.sqrt(F.col("m2")).cast("long").alias("m"),
+        F.round(dcor, round_to).alias("dcor"),
+        F.round("dvarx", round_to).alias("dvar_x"),
+        F.round("dvary", round_to).alias("dvar_y"))
