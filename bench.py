@@ -490,6 +490,9 @@ R4_NAMES = [
     "brunner_munzel_len", "mh_odds_types", "kupiec_value_gate",
     # wave 110: Cucconi, Wilson interval, distance correlation
     "cucconi_len_drift", "wilson_pass_langs", "dcor_value_hour",
+    # wave 111: Fisher exact, GK gamma/tau-c, Theil's U
+    "fisher_exact_weekend", "gk_gamma_len_tokens",
+    "theils_u_lang_source",
 ]
 
 

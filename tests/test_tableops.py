@@ -7418,3 +7418,79 @@ class TestDistanceCorrelation:
         out = tc.distance_correlation(
             df, x_col="x", y_col="y", id_col="i", m=41).collect()[0]
         assert out["dcor"] > 0.3     # Pearson on this data is ~0
+
+
+class TestFisherExact:
+    def _df(self, spark, a, b, c, d):
+        rows = ([(i, 1, 1) for i in range(a)]
+                + [(100 + i, 1, 0) for i in range(b)]
+                + [(200 + i, 0, 1) for i in range(c)]
+                + [(300 + i, 0, 0) for i in range(d)])
+        return spark.createDataFrame(rows, "id long, e int, o int")
+
+    def test_tea_tasting(self, spark):
+        from zoi_spark import tablechecks as tc
+        out = tc.fisher_exact(
+            self._df(spark, 3, 1, 1, 3),
+            exposure=F.col("e") == 1, outcome=F.col("o") == 1,
+            id_col="id", sample_m=100).collect()[0]
+        # Fisher's lady-tasting-tea table: two-sided p = 0.485714
+        assert out["p_two_sided"] == 0.485714
+        assert (out["a"], out["b"], out["c"], out["d"]) == (3, 1, 1, 3)
+
+    def test_perfect_separation(self, spark):
+        from zoi_spark import tablechecks as tc
+        out = tc.fisher_exact(
+            self._df(spark, 5, 0, 0, 5),
+            exposure=F.col("e") == 1, outcome=F.col("o") == 1,
+            id_col="id", sample_m=100).collect()[0]
+        # only the two extreme tables: p = 2/C(10,5) = 2/252
+        assert out["p_two_sided"] == round(2 / 252, 6)
+
+    def test_degenerate_support(self, spark):
+        from zoi_spark import tablechecks as tc
+        out = tc.fisher_exact(
+            self._df(spark, 0, 4, 0, 4),
+            exposure=F.col("e") == 1, outcome=F.col("o") == 1,
+            id_col="id", sample_m=100).collect()[0]
+        assert out["p_two_sided"] == 1.0     # no outcome column mass
+
+
+class TestGKGamma:
+    def test_hand_cells(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0, 0)] * 3 + [(0, 1)] * 1
+                + [(1, 0)] * 1 + [(1, 1)] * 2)
+        df = spark.createDataFrame(rows, "x int, y int")
+        out = tc.gk_gamma(df, x_bin=F.col("x"),
+                          y_bin=F.col("y")).collect()[0]
+        assert out["concordant"] == 6 and out["discordant"] == 1
+        assert out["gamma"] == round(5 / 7, 6)
+        assert out["tau_c"] == round(20 / 49, 6)
+
+    def test_perfect_order_agreement(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, i) for i in range(5) for _ in range(2)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        out = tc.gk_gamma(df, x_bin=F.col("x"),
+                          y_bin=F.col("y")).collect()[0]
+        assert out["gamma"] == 1.0 and out["discordant"] == 0
+
+
+class TestTheilsU:
+    def test_perfect_dependence(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(c, c) for c in "aabbcc"]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = tc.theils_u(df, x_col="x", y_col="y").collect()[0]
+        assert out["u_x_given_y"] == 1.0
+        assert out["u_y_given_x"] == 1.0
+        assert out["mi"] == out["h_x"] == out["h_y"]
+
+    def test_independence_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(x, y) for x in "ab" for y in "cd" for _ in range(3)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = tc.theils_u(df, x_col="x", y_col="y").collect()[0]
+        assert out["mi"] == 0.0
+        assert out["u_x_given_y"] == 0.0

@@ -10293,3 +10293,172 @@ def distance_correlation(df: DataFrame, *, x_col: str, y_col: str,
         F.round(dcor, round_to).alias("dcor"),
         F.round("dvarx", round_to).alias("dvar_x"),
         F.round("dvary", round_to).alias("dvar_y"))
+
+
+def fisher_exact(df: DataFrame, *, exposure, outcome, id_col: str,
+                 sample_m: int = 120,
+                 round_to: int = 6) -> DataFrame:
+    """Fisher's EXACT 2×2 test on an md5-ranked sample of
+    *sample_m* rows — the small-cell regime where the chi-square /
+    G approximations (and the Woolf CI) break down is exactly where
+    a fixed-size audit sample lands, so the sampling IS the use
+    case. Two-sided p by the standard rule: sum the hypergeometric
+    probabilities of every table as or less likely than the observed
+    one (tolerance 1+1e-7 for float ties).
+
+    No factorials: log-weights are built along the support
+    k ∈ [max(0, c1−r0), min(r1, c1)] from the exact ratio recurrence
+    w(k+1)/w(k) = (r1−k)(c1−k)/((k+1)(r0−c1+k+1)) as cumulative
+    log-sums inside ONE array expression (same fold in DuckDB), then
+    normalized by the max — no overflow at any table size, fully
+    deterministic. Plan: the sample is a TakeOrdered md5 rank, the
+    cells one aggregation, the support arithmetic a single-row
+    expression. Returns ``(a, b, c, d, p_two_sided)``.
+    """
+    s = (df.where(F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(sample_m)))
+    e = F.when(exposure, 1).otherwise(0)
+    o = F.when(outcome, 1).otherwise(0)
+    cells = s.agg(F.sum(e * o).cast("long").alias("a"),
+                  F.sum(e * (1 - o)).cast("long").alias("b"),
+                  F.sum((1 - e) * o).cast("long").alias("c"),
+                  F.sum((1 - e) * (1 - o)).cast("long").alias("d"))
+    r1 = F.col("a") + F.col("b")
+    r0 = F.col("c") + F.col("d")
+    c1 = F.col("a") + F.col("c")
+    k0 = F.greatest(F.lit(0), c1 - r0)
+    kmax = F.least(r1, c1)
+    # ln of the ratio w(k+1)/w(k) along the support
+    lr = F.transform(
+        F.sequence(k0, kmax - 1),
+        lambda k: F.log((r1 - k) * (c1 - k))
+        - F.log((k + 1) * (r0 - c1 + k + 1)))
+    # cumulative log-weights, lw(k0) = 0
+    lws = F.transform(
+        F.sequence(k0, kmax),
+        lambda k: F.aggregate(F.slice(lr, 1, (k - k0).cast("int")),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    t = cells.select(
+        "a", "b", "c", "d", k0.alias("k0"), lws.alias("lws"))
+    lw_obs = F.element_at(
+        F.col("lws"), (F.col("a") - F.col("k0") + 1).cast("int"))
+    wmax = F.array_max("lws")
+    total = F.aggregate(F.col("lws"), F.lit(0.0),
+                        lambda acc, x: acc + F.exp(x - wmax))
+    extreme = F.aggregate(
+        F.col("lws"), F.lit(0.0),
+        lambda acc, x: acc + F.when(x <= lw_obs + 1e-7,
+                                    F.exp(x - wmax)).otherwise(0.0))
+    # degenerate support (one possible table): p = 1; also guards
+    # Spark's sequence(start, stop) flipping DESCENDING when the
+    # support is empty
+    support = F.size("lws") > 1
+    return t.select(
+        "a", "b", "c", "d",
+        F.round(F.when(support,
+                       F.least(extreme / total, F.lit(1.0)))
+                .otherwise(F.lit(1.0)), round_to)
+         .alias("p_two_sided"))
+
+
+def gk_gamma(df: DataFrame, *, x_bin, y_bin,
+             round_to: int = 6) -> DataFrame:
+    """Goodman–Kruskal gamma and Stuart–Kendall tau-c between two
+    ORDINAL binnings: from the contingency cells, concordant pairs
+    C = Σ n_ij·(mass below-right), discordant D = (mass below-left),
+
+        γ = (C − D)/(C + D),    τ_c = 2m(C − D)/(N²(m − 1))
+
+    (m = min(rows, cols)). γ ignores ties (interpretable as "of the
+    untied pairs, how many agree"); τ_c corrects for table shape —
+    the ordinal-association pair that Pearson (linear) and the
+    nominal chi-square both miss. The caller supplies integer bin
+    EXPRESSIONS so binning is engine-exact.
+
+    Plan: one aggregation to the (x, y) cells, then a self-join of
+    the TINY cells table (≤ bins² rows) — never a pair join over
+    rows. All counts exact BIGINT; divisions terminal. Returns
+    ``(n, n_cells, concordant, discordant, gamma, tau_c)``.
+    """
+    cells = (df.groupBy(x_bin.alias("x"), y_bin.alias("y"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (a.join(F.broadcast(b),
+                 (F.col("b.x") > F.col("a.x"))
+                 & (F.col("b.y") != F.col("a.y")))
+          .select((F.col("a.n") * F.col("b.n")).alias("prod"),
+                  (F.col("b.y") > F.col("a.y")).alias("conc")))
+    sums = cd.agg(
+        F.coalesce(F.sum(F.when(F.col("conc"), F.col("prod"))),
+                   F.lit(0)).cast("long").alias("cc"),
+        F.coalesce(F.sum(F.when(~F.col("conc"), F.col("prod"))),
+                   F.lit(0)).cast("long").alias("dd"))
+    shape = cells.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.least(F.count_distinct("x"), F.count_distinct("y"))
+        .cast("double").alias("m"))
+    t = sums.crossJoin(F.broadcast(shape))
+    n = F.col("n_rows").cast("double")
+    gamma = F.when(F.col("cc") + F.col("dd") > 0,
+                   (F.col("cc") - F.col("dd"))
+                   / (F.col("cc") + F.col("dd"))).otherwise(0.0)
+    tau_c = (2.0 * F.col("m") * (F.col("cc") - F.col("dd"))
+             / (n * n * (F.col("m") - 1)))
+    return t.select(
+        F.col("n_rows").alias("n"), "n_cells",
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.round(gamma, round_to).alias("gamma"),
+        F.round(tau_c, round_to).alias("tau_c"))
+
+
+def theils_u(df: DataFrame, *, x_col: str, y_col: str,
+             round_to: int = 6) -> DataFrame:
+    """Theil's uncertainty coefficient between two categoricals,
+    BOTH directions: U(x|y) = MI/H(x) and U(y|x) = MI/H(y) (natural
+    logs) — the asymmetric, [0,1]-normalized "how much of x does
+    knowing y explain", the pandas-profiling association default.
+    Complements the symmetric raw MI (lang_source_mi) and the
+    modal-error lambda (gk_lambda): U is the one that says WHICH
+    column predicts which.
+
+    One aggregation to the joint cells; marginals and entropies ride
+    the tiny cells table. Returns ``(n, h_x, h_y, mi, u_x_given_y,
+    u_y_given_x)``.
+    """
+    base = df.where(F.col(x_col).isNotNull()
+                    & F.col(y_col).isNotNull())
+    cells = (base.groupBy(F.col(x_col).alias("x"),
+                          F.col(y_col).alias("y"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    wall = Window.partitionBy()
+    n = F.sum("c").over(wall)
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    cx = F.sum("c").over(wx)
+    cy = F.sum("c").over(wy)
+    t = cells.select(
+        "c", n.alias("n"), cx.alias("cx"), cy.alias("cy"),
+        (F.col("c") / n * F.log(F.col("c") / n)).alias("hxy_t"),
+        (F.col("c") / n
+         * F.log((F.col("c") * n)
+                 / (cx.cast("double") * cy))).alias("mi_t"))
+    agg = t.agg(
+        F.any_value("n").cast("long").alias("n"),
+        (-F.sum(F.col("c") / F.col("n")
+                * F.log(F.col("cx") / F.col("n")))).alias("hx"),
+        (-F.sum(F.col("c") / F.col("n")
+                * F.log(F.col("cy") / F.col("n")))).alias("hy"),
+        F.sum("mi_t").alias("mi"))
+    return agg.select(
+        "n",
+        F.round("hx", round_to).alias("h_x"),
+        F.round("hy", round_to).alias("h_y"),
+        F.round("mi", round_to).alias("mi"),
+        F.round(F.col("mi") / F.col("hx"), round_to)
+         .alias("u_x_given_y"),
+        F.round(F.col("mi") / F.col("hy"), round_to)
+         .alias("u_y_given_x"))
