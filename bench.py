@@ -493,6 +493,9 @@ R4_NAMES = [
     # wave 111: Fisher exact, GK gamma/tau-c, Theil's U
     "fisher_exact_weekend", "gk_gamma_len_tokens",
     "theils_u_lang_source",
+    # wave 112: Soundex key, Bartlett, Welch ANOVA
+    "soundex_first_tokens", "bartlett_len_langs",
+    "welch_anova_sources",
 ]
 
 

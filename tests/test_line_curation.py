@@ -1298,3 +1298,38 @@ class TestDammChecksum:
         out = [r["ok"] for r in df.select(
             tx.damm_valid(F.col("s")).alias("ok")).collect()]
         assert not any(out)
+
+
+class TestSoundex:
+    def test_canonical_vectors(self, spark):
+        from zoi_spark import text as tx
+        vec = [("Robert", "R163"), ("Rupert", "R163"),
+               ("Ashcraft", "A261"),      # the H/W rule
+               ("Ashcroft", "A261"), ("Tymczak", "T522"),
+               ("Pfister", "P236"), ("Honeyman", "H555"),
+               ("Washington", "W252"), ("Lee", "L000"),
+               ("Gutierrez", "G362"), ("Jackson", "J250"),
+               ("O'Brien", "O165")]
+        df = spark.createDataFrame([(w,) for w, _ in vec],
+                                   "w string")
+        out = [r["k"] for r in df.select(
+            tx.soundex_key(F.col("w")).alias("k")).collect()]
+        assert out == [k for _, k in vec]
+
+    def test_null_and_letterless(self, spark):
+        from zoi_spark import text as tx
+        df = spark.createDataFrame([(None,), ("123",), ("",)],
+                                   "w string")
+        out = [r["k"] for r in df.select(
+            tx.soundex_key(F.col("w")).alias("k")).collect()]
+        assert out == [None, None, None]
+
+    def test_vowel_separates_codes(self, spark):
+        from zoi_spark import text as tx
+        # 'Tested': T, s->2, t->3, d->3 with vowels between: T230...
+        df = spark.createDataFrame([("Tested",), ("Tssttdd",)],
+                                   "w string")
+        out = [r["k"] for r in df.select(
+            tx.soundex_key(F.col("w")).alias("k")).collect()]
+        assert out[0] == "T233"      # vowels keep t/d separate
+        assert out[1] == "T230"      # runs collapse without vowels

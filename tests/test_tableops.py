@@ -7494,3 +7494,50 @@ class TestTheilsU:
         out = tc.theils_u(df, x_col="x", y_col="y").collect()[0]
         assert out["mi"] == 0.0
         assert out["u_x_given_y"] == 0.0
+
+
+class TestBartlett:
+    def test_equal_variances_near_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(g, v) for g in "abc" for v in (1, 2, 3, 4, 5)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = tc.bartlett_test(df, "v", by="g").collect()[0]
+        assert out["k"] == 3 and out["n"] == 15
+        assert out["t_stat"] == 0.0          # identical variances
+        assert out["pooled_var"] == 2.5
+
+    def test_hand_value_two_groups(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        a = [1.0, 2.0, 3.0]          # s2 = 1
+        b = [1.0, 5.0, 9.0]          # s2 = 16
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.bartlett_test(df, "v", by="g").collect()[0]
+        sp2 = (2 * 1 + 2 * 16) / 4
+        num = 4 * math.log(sp2) - (2 * math.log(1) + 2 * math.log(16))
+        c = 1 + (1 / 2 + 1 / 2 - 1 / 4) / (3 * 1)
+        assert out["pooled_var"] == sp2
+        assert out["t_stat"] == round(num / c, 6)
+
+
+class TestWelchAnova:
+    def test_equal_means_zero_f(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("a", v) for v in (1, 2, 3)]
+                + [("b", v) for v in (0, 2, 4)]
+                + [("c", v) for v in (-2, 2, 6)])
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = tc.welch_anova(df, "v", by="g").collect()[0]
+        assert out["k"] == 3 and out["df1"] == 2
+        assert out["f_stat"] == 0.0          # all means = 2
+
+    def test_separated_means_fire(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([("a", v) for v in (1, 2, 3)]
+                + [("b", v) for v in (101, 102, 103)]
+                + [("c", v) for v in (201, 202, 203)])
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = tc.welch_anova(df, "v", by="g").collect()[0]
+        assert out["f_stat"] > 1000
+        assert out["df2"] > 0

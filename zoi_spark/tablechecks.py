@@ -10462,3 +10462,104 @@ def theils_u(df: DataFrame, *, x_col: str, y_col: str,
          .alias("u_x_given_y"),
         F.round(F.col("mi") / F.col("hy"), round_to)
          .alias("u_y_given_x"))
+
+
+def bartlett_test(df: DataFrame, value_col: str, *, by: str,
+                  round_to: int = 6) -> DataFrame:
+    """Bartlett's (1937) test of equal variances across k groups:
+
+        T = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²]
+            / (1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)))  ~  χ²_{k−1}
+
+    — the MOST POWERFUL equal-variance test when the data are close
+    to normal, and notoriously oversensitive to heavy tails: read it
+    NEXT TO the robust :func:`levene` (levene_len_langs) — Bartlett
+    fires & Levene doesn't ⇒ tails, not variances, differ. Groups
+    with nᵢ < 2 are dropped (variance undefined).
+
+    ONE aggregation to per-group (n, Σx, Σx²) — sᵢ² is the exact
+    (Σx² − (Σx)²/n)/(n−1); logs/divisions are terminal. Returns
+    ``(k, n, pooled_var, t_stat)``.
+    """
+    g = (df.where(F.col(value_col).isNotNull()
+                  & F.col(by).isNotNull())
+         .groupBy(by)
+         .agg(F.count(F.lit(1)).alias("ni"),
+              F.sum(F.col(value_col).cast("double")).alias("si"),
+              F.sum(F.col(value_col).cast("double")
+                    * F.col(value_col).cast("double")).alias("qi")))
+    g = g.where(F.col("ni") >= 2)
+    ni = F.col("ni").cast("double")
+    s2 = ((F.col("qi") - F.col("si") * F.col("si") / ni)
+          / (ni - 1))
+    t = g.select(ni.alias("ni"), s2.alias("s2"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum((F.col("ni") - 1) * F.col("s2")).alias("ssw"),
+        F.sum((F.col("ni") - 1) * F.log("s2")).alias("sumlog"),
+        F.sum(1.0 / (F.col("ni") - 1)).alias("suminv"))
+    nk = F.col("n") - F.col("k")
+    sp2 = F.col("ssw") / nk
+    num = nk * F.log(sp2) - F.col("sumlog")
+    cfac = (1.0 + (F.col("suminv") - 1.0 / nk)
+            / (3.0 * (F.col("k") - 1)))
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(sp2, round_to).alias("pooled_var"),
+        F.round(num / cfac, round_to).alias("t_stat"))
+
+
+def welch_anova(df: DataFrame, value_col: str, *, by: str,
+                round_to: int = 6) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (1951): with weights
+    wᵢ = nᵢ/sᵢ² and the weighted grand mean x̄_w,
+
+        F* = [Σ wᵢ(x̄ᵢ − x̄_w)²/(k−1)] / [1 + 2(k−2)Λ/(k²−1)],
+        Λ  = Σ (1 − wᵢ/Σw)²/(nᵢ−1),   df₂ = (k²−1)/(3Λ)
+
+    — the k-group mean test that stays valid when variances differ
+    (classic :func:`anova_oneway` assumes they don't; the pairwise
+    welch_len_sources is this test's k=2 special case). Groups with
+    nᵢ < 2 or sᵢ² = 0 are dropped.
+
+    ONE aggregation to per-group sufficient statistics, a scalar
+    combine after. Returns ``(k, n, f_stat, df1, df2)``.
+    """
+    g = (df.where(F.col(value_col).isNotNull()
+                  & F.col(by).isNotNull())
+         .groupBy(by)
+         .agg(F.count(F.lit(1)).alias("ni"),
+              F.sum(F.col(value_col).cast("double")).alias("si"),
+              F.sum(F.col(value_col).cast("double")
+                    * F.col(value_col).cast("double")).alias("qi")))
+    ni = F.col("ni").cast("double")
+    mean = F.col("si") / ni
+    s2 = (F.col("qi") - F.col("si") * F.col("si") / ni) / (ni - 1)
+    t = (g.where(F.col("ni") >= 2)
+         .select(ni.alias("ni"), mean.alias("mi"), s2.alias("s2"))
+         .where(F.col("s2") > 0)
+         .select("ni", "mi", (F.col("ni") / F.col("s2")).alias("w")))
+    wall = Window.partitionBy()
+    sw = F.sum("w").over(wall)
+    xw = F.sum(F.col("w") * F.col("mi")).over(wall) / sw
+    per = t.select(
+        "ni", "w",
+        (F.col("w") * (F.col("mi") - xw) * (F.col("mi") - xw))
+        .alias("bt"),
+        ((1.0 - F.col("w") / sw) * (1.0 - F.col("w") / sw)
+         / (F.col("ni") - 1)).alias("lt"))
+    agg = per.agg(F.count(F.lit(1)).cast("double").alias("k"),
+                  F.sum("ni").alias("n"),
+                  F.sum("bt").alias("b"), F.sum("lt").alias("lam"))
+    k = F.col("k")
+    a = F.col("b") / (k - 1)
+    denom = 1.0 + 2.0 * (k - 2) * F.col("lam") / (k * k - 1)
+    return agg.select(
+        k.cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(a / denom, round_to).alias("f_stat"),
+        (k - 1).cast("long").alias("df1"),
+        F.round((k * k - 1) / (3.0 * F.col("lam")), round_to)
+         .alias("df2"))

@@ -4101,3 +4101,35 @@ def damm_valid(col: Column) -> Column:
     ok_shape = col.rlike("^[0-9]+$")
     return F.when(ok_shape, damm_interim(col) == 0) \
             .otherwise(F.lit(False))
+
+
+def soundex_key(col: Column) -> Column:
+    """American Soundex code (Russell/Odell, as specified by the US
+    National Archives, INCLUDING the H/W rule: same-coded letters
+    separated by h/w collapse) built from primitive string ops that
+    exist identically in Spark and DuckDB — no engine builtin, so
+    the oracle twin runs the byte-identical chain:
+
+      strip non-letters → uppercase → drop H/W after position 1 →
+      translate consonant classes to digits (vowels→0) → collapse
+      digit runs → drop the first code, drop the 0 separators →
+      first letter + first 3 digits padded with 0.
+
+    Canonical vectors (Robert→R163, Ashcraft→A261, Tymczak→T522,
+    Pfister→P236, Honeyman→H555) are pinned in tests. NULL/empty or
+    letterless input → NULL. The phonetic blocking key for name-ish
+    fields: exact-join on the key replaces a quadratic fuzzy match,
+    the same blocking role md5 fingerprints play for full texts.
+    """
+    up = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    u2 = F.concat(F.substring(up, 1, 1),
+                  F.regexp_replace(F.substring(up, 2, 1000000),
+                                   "[HW]", ""))
+    c = F.translate(u2, "BFPVCGJKQSXZDTLMNRAEIOUY",
+                    "111122222222334556000000")
+    for d in "0123456":
+        c = F.regexp_replace(c, d + "+", d)
+    rest = F.translate(F.substring(c, 2, 1000000), "0", "")
+    key = F.concat(F.substring(u2, 1, 1),
+                   F.substring(F.concat(rest, F.lit("000")), 1, 3))
+    return F.when(F.length(up) > 0, key)
