@@ -496,6 +496,9 @@ R4_NAMES = [
     # wave 112: Soundex key, Bartlett, Welch ANOVA
     "soundex_first_tokens", "bartlett_len_langs",
     "welch_anova_sources",
+    # wave 113: Bernoulli e-process, Benford MAD, p-chart
+    "eprocess_purchase_rate", "benford_mad_values",
+    "p_chart_purchase",
 ]
 
 

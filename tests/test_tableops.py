@@ -7541,3 +7541,86 @@ class TestWelchAnova:
         out = tc.welch_anova(df, "v", by="g").collect()[0]
         assert out["f_stat"] > 1000
         assert out["df2"] > 0
+
+
+class TestBernoulliEProcess:
+    def _df(self, spark, day_specs):
+        import datetime as dt
+        rows, eid = [], 0
+        for day, (n, k) in enumerate(day_specs):
+            for i in range(n):
+                rows.append((eid, dt.datetime(2024, 5, day + 1),
+                             1 if i < k else 0))
+                eid += 1
+        return spark.createDataFrame(rows,
+                                     "id long, ts timestamp, s int")
+
+    def test_drifted_rate_rejects_and_latches(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        df = self._df(spark, [(10, 9), (10, 10), (10, 5)])
+        out = tc.bernoulli_eprocess(
+            df, ts_col="ts", success=F.col("s") == 1,
+            p0=0.5, lam=0.5).orderBy("bucket_ts").collect()
+        up, dn = math.log(1.25), math.log(0.75)
+        assert out[0]["ln_e"] == round(9 * up + dn, 6)
+        assert out[1]["ln_e"] == round(19 * up + dn, 6)
+        assert [r["rejected"] for r in out] == [False, True, True]
+        # day 3 is at-null but the rejection LATCHES
+
+    def test_null_rate_stays_quiet(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = self._df(spark, [(10, 5)] * 5)
+        out = tc.bernoulli_eprocess(
+            df, ts_col="ts", success=F.col("s") == 1,
+            p0=0.5, lam=0.5).collect()
+        assert not any(r["rejected"] for r in out)
+
+    def test_bad_lambda_raises(self, spark):
+        from zoi_spark import tablechecks as tc
+        import pytest as pt
+        df = self._df(spark, [(2, 1)])
+        with pt.raises(ValueError):
+            tc.bernoulli_eprocess(df, ts_col="ts",
+                                  success=F.col("s") == 1,
+                                  p0=0.5, lam=2.5)
+
+
+class TestBenfordMAD:
+    def test_log_uniform_conforms(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, 10.0 ** (1 + i / 2000.0)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "i long, value double")
+        out = tc.benford_mad(df, "value").collect()[0]
+        assert out["mad"] < 0.0012       # stratified log-uniform
+        assert out["conformity"] in ("close", "acceptable")
+
+    def test_constant_digits_nonconforming(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, 42.0 + i * 0.001) for i in range(500)]
+        df = spark.createDataFrame(rows, "i long, value double")
+        out = tc.benford_mad(df, "value").collect()[0]
+        assert out["conformity"] == "nonconforming"
+        assert out["worst_digit"] == 42
+
+
+class TestPChart:
+    def test_spike_day_flagged(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt, math
+        rows, eid = [], 0
+        for day in range(10):
+            k = 50 if day == 7 else 20
+            for i in range(100):
+                rows.append((eid, dt.datetime(2024, 6, day + 1),
+                             1 if i < k else 0))
+                eid += 1
+        df = spark.createDataFrame(rows,
+                                   "id long, ts timestamp, s int")
+        out = tc.p_chart(df, ts_col="ts",
+                         success=F.col("s") == 1).collect()
+        flags = [r["out_of_control"] for r in out]
+        assert flags == [False] * 7 + [True] + [False] * 2
+        pbar = 230 / 1000
+        half = 3 * math.sqrt(pbar * (1 - pbar) / 100)
+        assert out[0]["ucl"] == round(pbar + half, 6)

@@ -10563,3 +10563,143 @@ def welch_anova(df: DataFrame, value_col: str, *, by: str,
         (k - 1).cast("long").alias("df1"),
         F.round((k * k - 1) / (3.0 * F.col("lam")), round_to)
          .alias("df2"))
+
+
+def bernoulli_eprocess(df: DataFrame, *, ts_col: str, success,
+                       p0: float, lam: float = 0.5,
+                       unit: str = "day", alpha: float = 0.05,
+                       round_to: int = 6) -> DataFrame:
+    """Anytime-valid e-process for a Bernoulli rate (the betting
+    martingale of Waudby-Smith & Ramdas 2023): against H₀ "success
+    rate = p0", wealth multiplies by (1 + λ(x − p0)) per
+    observation, so per time bucket
+
+        Δln E = k·ln(1 + λ(1 − p0)) + (n − k)·ln(1 − λ·p0)
+
+    and the RUNNING ln E (cumulative, ordered by bucket) can be
+    monitored continuously: reject whenever ln E ≥ ln(1/α) — no
+    peeking penalty, ever (Ville's inequality), unlike the fixed-n
+    z-test (pass_rate_ztest) or even the SPRT (sprt_langs, which
+    needs a point alternative). λ ∈ (0, 1/p0) is the bet size.
+
+    Exact integer (k, n) per bucket; the two log constants are
+    computed once; the prefix window rides the bucket table.
+    Returns ``(bucket_ts, n, k, ln_e, rejected)`` where ``rejected``
+    latches once the boundary ln(1/α) has been crossed.
+    """
+    import math
+    p = float(p0)
+    l = float(lam)
+    if not 0 < l < 1.0 / p:
+        raise ValueError("lam must be in (0, 1/p0)")
+    up = math.log(1.0 + l * (1.0 - p))
+    dn = math.log(1.0 - l * p)
+    s = F.when(success, 1).otherwise(0)
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("bucket_ts"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum(s).cast("long").alias("k")))
+    wp = (Window.partitionBy().orderBy("bucket_ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lne = F.sum(F.col("k") * F.lit(up)
+                + (F.col("n") - F.col("k")) * F.lit(dn)).over(wp)
+    bound = math.log(1.0 / float(alpha))
+    out = daily.select("bucket_ts", "n", "k",
+                       F.round(lne, round_to).alias("ln_e"))
+    crossed = F.max((F.col("ln_e") >= round(bound, 6))
+                    .cast("int")).over(wp)
+    return out.withColumn("rejected", crossed == 1)
+
+
+def benford_mad(df: DataFrame, value_col: str, *,
+                round_to: int = 6) -> DataFrame:
+    """First-TWO-digit Benford conformity via Nigrini's MAD: digits
+    are read from the INTEGER-CENTS STRING (round(v·100) → string —
+    float formatting never enters, so digit assignment is
+    engine-exact), all 90 bins 10-99 are scored including absent
+    ones, and
+
+        MAD = mean_d |p̂(d) − log₁₀(1 + 1/d)|
+
+    labeled with Nigrini's first-two-digit bands (< .0006 close,
+    < .0012 acceptable, < .0022 marginal, else nonconforming) — the
+    forensic refinement of the first-digit screen (benford_prices):
+    invented values pass first-digit far more often than first-two.
+
+    One aggregation to ≤ 90 bins, a broadcast join against the
+    literal bin table. Returns ``(n, mad, worst_digit, worst_gap,
+    conformity)``.
+    """
+    cents = F.round(F.abs(F.col(value_col)) * 100).cast("long")
+    istr = F.regexp_replace(cents.cast("string"), "^0+", "")
+    d2 = F.substring(istr, 1, 2).cast("int")
+    obs = (df.where(F.col(value_col).isNotNull())
+           .select(d2.alias("d"), F.length(istr).alias("len"))
+           .where(F.col("len") >= 2)
+           .groupBy("d").agg(F.count(F.lit(1)).alias("c")))
+    spark = df.sparkSession
+    bins = spark.range(10, 100).select(F.col("id").cast("int")
+                                       .alias("d"))
+    full = (bins.join(obs, "d", "left")
+            .select("d", F.coalesce("c", F.lit(0)).alias("c")))
+    wall = Window.partitionBy()
+    n = F.sum("c").over(wall)
+    pben = F.log10(1.0 + 1.0 / F.col("d"))
+    t = full.select(
+        "d", n.alias("n"),
+        F.abs(F.col("c") / n - pben).alias("gap"))
+    agg = t.agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.avg("gap").alias("mad"),
+        # deterministic tie-break: (gap, d) lexicographic
+        F.max_by("d", F.struct(F.col("gap"), F.col("d")))
+        .alias("worst_digit"),
+        F.max("gap").alias("worst_gap"))
+    conf = (F.when(F.col("mad") < 0.0006, "close")
+            .when(F.col("mad") < 0.0012, "acceptable")
+            .when(F.col("mad") < 0.0022, "marginal")
+            .otherwise("nonconforming"))
+    return agg.select(
+        "n", F.round("mad", round_to).alias("mad"),
+        F.col("worst_digit").cast("long").alias("worst_digit"),
+        F.round("worst_gap", round_to).alias("worst_gap"),
+        conf.alias("conformity"))
+
+
+def p_chart(df: DataFrame, *, ts_col: str, success,
+            unit: str = "day", round_to: int = 6) -> DataFrame:
+    """Shewhart p-chart: per time bucket the success share p̂ with
+    variable 3σ control limits around the overall center line,
+
+        p̄ ± 3·√(p̄(1−p̄)/nᵢ)   (clamped to [0, 1])
+
+    — the SPC view for RATES with uneven bucket sizes, next to the
+    count c-chart (c_chart_volume): a quiet Sunday's wide limits
+    won't false-alarm, a busy Monday's tight ones will catch a real
+    shift. ``out_of_control`` flags buckets outside their limits.
+
+    One shuffle to the bucket table; the center line is a window
+    over it. Returns ``(bucket_ts, n, k, p, lcl, ucl,
+    out_of_control)``.
+    """
+    s = F.when(success, 1).otherwise(0)
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("bucket_ts"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum(s).cast("long").alias("k")))
+    wall = Window.partitionBy()
+    pbar = F.sum("k").over(wall) / F.sum("n").over(wall)
+    half = 3.0 * F.sqrt(pbar * (1.0 - pbar)
+                        / F.col("n").cast("double"))
+    t = daily.select(
+        "bucket_ts", "n", "k",
+        (F.col("k") / F.col("n")).alias("p"),
+        F.greatest(pbar - half, F.lit(0.0)).alias("lcl"),
+        F.least(pbar + half, F.lit(1.0)).alias("ucl"))
+    return t.select(
+        "bucket_ts", "n", "k",
+        F.round("p", round_to).alias("p"),
+        F.round("lcl", round_to).alias("lcl"),
+        F.round("ucl", round_to).alias("ucl"),
+        ((F.col("p") < F.col("lcl")) | (F.col("p") > F.col("ucl")))
+        .alias("out_of_control")).orderBy("bucket_ts")
