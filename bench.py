@@ -499,6 +499,9 @@ R4_NAMES = [
     # wave 113: Bernoulli e-process, Benford MAD, p-chart
     "eprocess_purchase_rate", "benford_mad_values",
     "p_chart_purchase",
+    # wave 114: seasonal strength, Hurst R/S, Granger lag-1
+    "seasonal_strength_volume", "hurst_volume",
+    "granger_click_purchase",
 ]
 
 

@@ -7624,3 +7624,92 @@ class TestPChart:
         pbar = 230 / 1000
         half = 3 * math.sqrt(pbar * (1 - pbar) / 100)
         assert out[0]["ucl"] == round(pbar + half, 6)
+
+
+def _daily_events(spark, counts_by_type):
+    """counts_by_type: list over days of {type: count} dicts."""
+    import datetime as dt
+    rows, eid = [], 0
+    for day, spec in enumerate(counts_by_type):
+        for typ, n in spec.items():
+            for _ in range(n):
+                rows.append((eid, dt.datetime(2024, 7, day + 1, 12),
+                             typ))
+                eid += 1
+    return spark.createDataFrame(rows,
+                                 "id long, ts timestamp, t string")
+
+
+class TestSeasonalStrength:
+    def test_pure_sawtooth_plus_trend(self, spark):
+        from zoi_spark import tablechecks as tc
+        days = [{"e": 10 * (i % 7) + i + 5} for i in range(21)]
+        df = _daily_events(spark, days)
+        out = tc.seasonal_strength(df, ts_col="ts",
+                                   period=7).collect()[0]
+        # centered MA(7) removes the sawtooth exactly: remainder 0
+        assert out["seasonal_strength"] == 1.0
+        assert out["trend_strength"] == 1.0
+        assert out["n_buckets"] == 21 and out["n_used"] == 15
+
+    def test_values_bounded(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [13, 7, 19, 4, 16, 9, 21, 6, 14, 8, 17, 5, 20, 11]
+        df = _daily_events(spark, [{"e": v} for v in vals])
+        out = tc.seasonal_strength(df, ts_col="ts",
+                                   period=7).collect()[0]
+        assert 0.0 <= out["seasonal_strength"] <= 1.0
+        assert 0.0 <= out["trend_strength"] <= 1.0
+
+
+class TestHurstRS:
+    def test_ramp_persistent(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = _daily_events(spark, [{"e": i + 1} for i in range(30)])
+        out = tc.hurst_rs(df, ts_col="ts",
+                          block_sizes=(5, 10, 15)).collect()[0]
+        assert out["hurst"] > 0.8        # trending series
+        assert out["n_sizes"] == 3
+
+    def test_alternating_antipersistent(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = _daily_events(spark,
+                           [{"e": 5 if i % 2 == 0 else 15}
+                            for i in range(30)])
+        out = tc.hurst_rs(df, ts_col="ts",
+                          block_sizes=(5, 10, 15)).collect()[0]
+        assert out["hurst"] < 0.3        # mean-reverting series
+
+
+class TestGrangerLag1:
+    def test_perfect_lead_fires(self, spark):
+        from zoi_spark import tablechecks as tc
+        x = [7, 3, 11, 5, 13, 2, 9, 6, 12, 4, 10, 8, 14, 3, 7]
+        days = []
+        for i in range(len(x)):
+            days.append({"click": x[i],
+                         "purchase": x[i - 1] if i > 0 else 5})
+        df = _daily_events(spark, days)
+        out = tc.granger_lag1(
+            df, ts_col="ts",
+            y_on=F.col("t") == "purchase",
+            x_on=F.col("t") == "click").collect()[0]
+        # y_t = x_{t-1} exactly: unrestricted RSS collapses; F is
+        # either astronomically large or NULL ("unbounded evidence")
+        assert out["rss_u"] < 1e-6
+        assert out["f_stat"] is None or out["f_stat"] > 1000
+        assert out["n"] == len(x) - 1
+
+    def test_rss_ordering(self, spark):
+        from zoi_spark import tablechecks as tc
+        y = [6, 8, 5, 9, 7, 6, 8, 4, 9, 7, 5, 8, 6, 9]
+        x = [3, 7, 2, 8, 4, 6, 3, 7, 5, 2, 8, 4, 6, 3]
+        days = [{"purchase": y[i], "click": x[i]}
+                for i in range(len(y))]
+        df = _daily_events(spark, days)
+        out = tc.granger_lag1(
+            df, ts_col="ts",
+            y_on=F.col("t") == "purchase",
+            x_on=F.col("t") == "click").collect()[0]
+        assert 0 <= out["rss_u"] <= out["rss_r"]
+        assert out["f_stat"] >= 0

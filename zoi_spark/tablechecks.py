@@ -10703,3 +10703,193 @@ def p_chart(df: DataFrame, *, ts_col: str, success,
         F.round("ucl", round_to).alias("ucl"),
         ((F.col("p") < F.col("lcl")) | (F.col("p") > F.col("ucl")))
         .alias("out_of_control")).orderBy("bucket_ts")
+
+
+def seasonal_strength(df: DataFrame, *, ts_col: str,
+                      unit: str = "day", period: int = 7,
+                      round_to: int = 6) -> DataFrame:
+    """Hyndman's seasonal / trend strength from a classical moving-
+    average decomposition of the per-*unit* volume series: trend =
+    centered MA(period) (full windows only), seasonal = mean
+    detrended value per phase (position mod period), remainder = the
+    rest, and
+
+        F_seasonal = max(0, 1 − Var(R)/Var(S+R))
+        F_trend    = max(0, 1 − Var(R)/Var(T+R))
+
+    — the two [0,1] numbers that say whether weekly_seasonality's
+    pattern and event_volume_trend's slope are LOAD-BEARING or
+    noise. Deterministic: phase comes from the row_number of the
+    ordered bucket series, not calendar dow, so gaps don't desync
+    the engines.
+
+    All windows ride the bucket table. Returns ``(n_buckets,
+    n_used, seasonal_strength, trend_strength)``.
+    """
+    p = int(period)
+    half = p // 2
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    wo = Window.partitionBy().orderBy("b")
+    idx = F.row_number().over(wo) - 1
+    wma = (Window.partitionBy().orderBy("b")
+           .rowsBetween(-half, half))
+    t = daily.select(
+        "b", "x", idx.alias("i"),
+        F.when(F.count(F.lit(1)).over(wma) == 2 * half + 1,
+               F.avg("x").over(wma)).alias("trend"))
+    t = t.where(F.col("trend").isNotNull()) \
+         .select("b", "x", "i", "trend",
+                 (F.col("x") - F.col("trend")).alias("d"),
+                 F.pmod("i", F.lit(p)).alias("ph"))
+    wph = Window.partitionBy("ph")
+    t2 = t.select(
+        "b", "x", "d", "trend",
+        F.avg("d").over(wph).alias("s"))
+    t2 = t2.select(
+        "d", (F.col("d") - F.col("s")).alias("r"),
+        (F.col("x") - F.col("s")).alias("deseas"))
+    n_all = daily.count()
+    agg = t2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.var_pop("r").alias("vr"),
+        F.var_pop("d").alias("vd"),
+        F.var_pop("deseas").alias("vt"))
+    return agg.select(
+        F.lit(n_all).cast("long").alias("n_buckets"), "n_used",
+        F.round(F.greatest(F.lit(0.0),
+                           1.0 - F.col("vr") / F.col("vd")),
+                round_to).alias("seasonal_strength"),
+        F.round(F.greatest(F.lit(0.0),
+                           1.0 - F.col("vr") / F.col("vt")),
+                round_to).alias("trend_strength"))
+
+
+def hurst_rs(df: DataFrame, *, ts_col: str, unit: str = "day",
+             block_sizes=(5, 10, 15),
+             round_to: int = 6) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the
+    per-*unit* volume series: for each block size m, split the
+    ordered series into full blocks, compute R/S per block (range of
+    the cumulative mean-deviation over the population std), average
+    across blocks, and fit ln(R/S) = c + H·ln(m). H ≈ 0.5 reads
+    memoryless arrivals, H → 1 persistent bursts (heavy crawl
+    sessions), H < 0.5 mean-reverting — the long-memory axis that
+    the lag-1 autocorrelation (volume_autocorr) and Taylor's law
+    (cross-entity) don't measure.
+
+    Blocks with zero variance are dropped. Two window layers per
+    (m, block) over the tiny bucket×|sizes| table; closed-form OLS
+    over |sizes| points. Returns ``(n_buckets, hurst, r2,
+    n_sizes)``.
+    """
+    sizes = [int(m) for m in block_sizes]
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    wo = Window.partitionBy().orderBy("b")
+    ser = daily.select("b", "x",
+                       (F.row_number().over(wo) - 1).alias("i"))
+    spark = df.sparkSession
+    ms = spark.createDataFrame([(m,) for m in sizes], "m int")
+    e = (ser.crossJoin(F.broadcast(ms))
+         .select("m", "x", "i",
+                 F.floor(F.col("i") / F.col("m")).alias("blk")))
+    wb = Window.partitionBy("m", "blk")
+    e = e.select(
+        "m", "blk", "x", "i",
+        F.count(F.lit(1)).over(wb).alias("bn"),
+        F.avg("x").over(wb).alias("bm"),
+        F.stddev_pop("x").over(wb).alias("bs"))
+    e = e.where(F.col("bn") == F.col("m"))
+    wcum = (Window.partitionBy("m", "blk").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.currentRow))
+    cum = F.sum(F.col("x") - F.col("bm")).over(wcum)
+    per_blk = (e.select("m", "blk", "bs", cum.alias("c"))
+               .groupBy("m", "blk")
+               .agg((F.max("c") - F.min("c")).alias("r"),
+                    F.any_value("bs").alias("s")))
+    rs = (per_blk.where(F.col("s") > 0)
+          .groupBy("m")
+          .agg(F.avg(F.col("r") / F.col("s")).alias("rs")))
+    pts = rs.where(F.col("rs") > 0).select(
+        F.log(F.col("m").cast("double")).alias("lx"),
+        F.log("rs").alias("ly"))
+    fit = pts.agg(F.count(F.lit(1)).cast("long").alias("n_sizes"),
+                  F.covar_pop("lx", "ly").alias("cxy"),
+                  F.var_pop("lx").alias("vx"),
+                  F.var_pop("ly").alias("vy"))
+    n_all = daily.count()
+    return fit.select(
+        F.lit(n_all).cast("long").alias("n_buckets"),
+        F.round(F.col("cxy") / F.col("vx"), round_to)
+         .alias("hurst"),
+        F.round((F.col("cxy") * F.col("cxy"))
+                / (F.col("vx") * F.col("vy")), round_to)
+         .alias("r2"),
+        "n_sizes")
+
+
+def granger_lag1(df: DataFrame, *, ts_col: str, y_on, x_on,
+                 unit: str = "day", round_to: int = 6) -> DataFrame:
+    """Lag-1 Granger causality F-test: does yesterday's x series
+    improve today's y forecast beyond yesterday's y?
+
+        restricted:    y_t = a + b·y_{t−1}
+        unrestricted:  y_t = a + b·y_{t−1} + c·x_{t−1}
+        F = (RSS_r − RSS_u) / (RSS_u / (n − 3))  ~  F(1, n−3)
+
+    — the TEST volume_xcorr's raw cross-correlation curve lacks: a
+    lagged correlation that survives y's own autocorrelation.
+    Direction matters; run it both ways to separate "clicks lead
+    purchases" from the converse. (Granger ≠ causation — it rules
+    predictive value IN, confounders not OUT.)
+
+    One shuffle to the per-bucket (y, x) counts, a lag window, one
+    closed-form 2-predictor OLS (exact determinant algebra on
+    centered sums). Returns ``(n, f_stat, df2, rss_r, rss_u)``.
+    """
+    yv = F.sum(F.when(y_on, 1).otherwise(0)).cast("double")
+    xv = F.sum(F.when(x_on, 1).otherwise(0)).cast("double")
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(yv.alias("y"), xv.alias("x")))
+    wo = Window.partitionBy().orderBy("b")
+    lagged = daily.select(
+        "b", "y",
+        F.lag("y").over(wo).alias("z1"),
+        F.lag("x").over(wo).alias("z2")) \
+        .where(F.col("z1").isNotNull())
+    wall = Window.partitionBy()
+    cen = lagged.select(
+        (F.col("y") - F.avg("y").over(wall)).alias("cy"),
+        (F.col("z1") - F.avg("z1").over(wall)).alias("c1"),
+        (F.col("z2") - F.avg("z2").over(wall)).alias("c2"))
+    s = cen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+        F.sum(F.col("c1") * F.col("c1")).alias("s11"),
+        F.sum(F.col("c2") * F.col("c2")).alias("s22"),
+        F.sum(F.col("c1") * F.col("c2")).alias("s12"),
+        F.sum(F.col("c1") * F.col("cy")).alias("s1y"),
+        F.sum(F.col("c2") * F.col("cy")).alias("s2y"))
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    bb = (F.col("s1y") * F.col("s22")
+          - F.col("s2y") * F.col("s12")) / det
+    cc = (F.col("s2y") * F.col("s11")
+          - F.col("s1y") * F.col("s12")) / det
+    rss_u = (F.col("syy") - bb * F.col("s1y") - cc * F.col("s2y"))
+    rss_r = (F.col("syy")
+             - F.col("s1y") * F.col("s1y") / F.col("s11"))
+    # rss_u = 0 (x_{t-1} predicts y_t EXACTLY) makes F infinite:
+    # reported as NULL, read "unbounded evidence"
+    fstat = F.when(rss_u > 0,
+                   (rss_r - rss_u) / (rss_u / (F.col("n") - 3)))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(fstat, round_to).alias("f_stat"),
+        (F.col("n") - 3).cast("long").alias("df2"),
+        F.round(rss_r, round_to).alias("rss_r"),
+        F.round(rss_u, round_to).alias("rss_u"))
