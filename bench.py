@@ -502,6 +502,8 @@ R4_NAMES = [
     # wave 114: seasonal strength, Hurst R/S, Granger lag-1
     "seasonal_strength_volume", "hurst_volume",
     "granger_click_purchase",
+    # wave 115: Cochran-Armitage trend, Quade, BWS
+    "cochran_armitage_len", "quade_types", "bws_len_drift",
 ]
 
 

@@ -7713,3 +7713,76 @@ class TestGrangerLag1:
             x_on=F.col("t") == "click").collect()[0]
         assert 0 <= out["rss_u"] <= out["rss_r"]
         assert out["f_stat"] >= 0
+
+
+class TestCochranArmitage:
+    def test_rising_rates_hand_value(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        rows = ([(0, 1)] * 1 + [(0, 0)] * 9
+                + [(1, 1)] * 5 + [(1, 0)] * 5
+                + [(2, 1)] * 9 + [(2, 0)] * 1)
+        df = spark.createDataFrame(rows, "sc int, y int")
+        out = tc.cochran_armitage(
+            df, score=F.col("sc"),
+            success=F.col("y") == 1).collect()[0]
+        # T=23, E=15, Var=5 -> Z = 8/sqrt(5)
+        assert out["t"] == 23
+        assert out["z"] == round(8 / math.sqrt(5), 6)
+        assert out["n"] == 30 and out["n_levels"] == 3
+
+    def test_flat_rates_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(sc, y) for sc in range(3)
+                for y in ([1] * 4 + [0] * 6)]
+        df = spark.createDataFrame(rows, "sc int, y int")
+        out = tc.cochran_armitage(
+            df, score=F.col("sc"),
+            success=F.col("y") == 1).collect()[0]
+        assert out["z"] == 0.0
+
+
+class TestQuade:
+    def test_hand_blocks(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("b1", "A", 1), ("b1", "B", 2),
+                ("b2", "A", 1), ("b2", "B", 3),
+                ("b3", "A", 5), ("b3", "B", 4)]
+        df = spark.createDataFrame(rows, "blk string, trt string, v int")
+        out = tc.quade_test(df, block_col="blk", treat_col="trt",
+                            value_col="v").collect()[0]
+        # A=108, B=24 -> F = 2*24/84
+        assert out["b"] == 3 and out["k"] == 2
+        assert out["f_stat"] == round(48 / 84, 6)
+        assert out["df1"] == 1 and out["df2"] == 2
+
+    def test_incomplete_block_dropped(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("b1", "A", 1), ("b1", "B", 2),
+                ("b2", "A", 1), ("b2", "B", 3),
+                ("b3", "A", 5), ("b3", "B", 4),
+                ("b4", "A", 9)]                  # B missing
+        df = spark.createDataFrame(rows, "blk string, trt string, v int")
+        out = tc.quade_test(df, block_col="blk", treat_col="trt",
+                            value_col="v").collect()[0]
+        assert out["b"] == 3                     # b4 excluded
+
+
+class TestBWS:
+    def test_identical_sides_small(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(s, v) for s in (0, 1) for v in range(1, 21)]
+        df = spark.createDataFrame(rows, "side int, v int")
+        out = tc.bws_test(df, value_col="v",
+                          split=F.col("side") == 0).collect()[0]
+        assert out["b_a"] == out["b_b"]          # symmetric layout
+        assert out["b"] < 0.5
+
+    def test_separated_sides_fire(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0, v) for v in range(1, 21)]
+                + [(1, v + 100) for v in range(1, 21)])
+        df = spark.createDataFrame(rows, "side int, v int")
+        out = tc.bws_test(df, value_col="v",
+                          split=F.col("side") == 0).collect()[0]
+        assert out["b"] > 5.0                    # ~B critical is 2.5
