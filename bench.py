@@ -504,6 +504,8 @@ R4_NAMES = [
     "granger_click_purchase",
     # wave 115: Cochran-Armitage trend, Quade, BWS
     "cochran_armitage_len", "quade_types", "bws_len_drift",
+    # wave 116: eTLD+1 census, lang-script agreement, burstiness
+    "etld1_hosts", "lang_script_agreement", "burstiness_user_gaps",
 ]
 
 

@@ -7786,3 +7786,45 @@ class TestBWS:
         out = tc.bws_test(df, value_col="v",
                           split=F.col("side") == 0).collect()[0]
         assert out["b"] > 5.0                    # ~B critical is 2.5
+
+
+class TestBurstiness:
+    def _df(self, spark, per_user_ts):
+        import datetime as dt
+        rows, eid = [], 0
+        for uid, seconds in per_user_ts.items():
+            for s in seconds:
+                rows.append((eid, uid,
+                             dt.datetime(2024, 8, 1) +
+                             dt.timedelta(seconds=s)))
+                eid += 1
+        return spark.createDataFrame(rows,
+                                     "id long, user_id long, ts timestamp")
+
+    def test_metronome_negative_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = self._df(spark, {1: [0, 10, 20, 30, 40, 50]})
+        out = tc.burstiness(df, entity_col="user_id",
+                            ts_col="ts").collect()[0]
+        # constant gaps: sigma = 0 -> B = -1
+        assert out["mean_b"] == -1.0
+        assert out["n_entities"] == 1
+
+    def test_bursty_positive(self, spark):
+        from zoi_spark import tablechecks as tc
+        # long silences with tight bursts: sigma >> mu
+        ts = [0, 1, 2, 3, 10000, 10001, 10002, 20000, 20001]
+        df = self._df(spark, {1: ts})
+        out = tc.burstiness(df, entity_col="user_id",
+                            ts_col="ts").collect()[0]
+        assert out["mean_b"] > 0.2
+
+    def test_quartiles_ordered(self, spark):
+        from zoi_spark import tablechecks as tc
+        users = {1: [0, 10, 20, 30], 2: [0, 1, 2, 9000],
+                 3: [0, 5, 11, 18], 4: [0, 100, 101, 300]}
+        df = self._df(spark, users)
+        out = tc.burstiness(df, entity_col="user_id",
+                            ts_col="ts").collect()[0]
+        assert out["n_entities"] == 4
+        assert out["p25_b"] <= out["p50_b"] <= out["p75_b"]

@@ -2,6 +2,7 @@
 operators: exact_substring_spans, sorted_neighborhood_pairs,
 robots_rules/robots_check, sitemap_locs, link_density_strip."""
 
+from pyspark.sql import functions as F
 from zoi_spark import dedup, text, urls
 
 
@@ -219,3 +220,47 @@ class TestPctEncodingAudit:
                                    "i long, url string")
         r = urls.pct_encoding_audit(df).collect()[0]
         assert r["n_invalid_escapes"] == 1
+
+
+class TestRegistrableDomain:
+    def test_psl_and_fallbacks(self, spark):
+        from zoi_spark import urls
+        rows = [("news.BBC.co.uk",), ("m.bbc.co.uk",),
+                ("a.b.c.example.com",), ("example.com",),
+                ("shop.x.com.au",), ("localhost",), ("co.uk",)]
+        df = spark.createDataFrame(rows, "h string")
+        out = [r["rd"] for r in df.select(
+            urls.registrable_domain(F.col("h")).alias("rd"))
+            .collect()]
+        assert out[0] == "bbc.co.uk" and out[1] == "bbc.co.uk"
+        assert out[2] == "example.com"
+        assert out[3] == "example.com"
+        assert out[4] == "x.com.au"
+        assert out[5] == "localhost"      # single label passes thru
+        # bare public suffix has no registrable part: falls back to
+        # the two-label string itself (documented mini-PSL limit)
+        assert out[6] == "co.uk"
+
+    def test_extra_suffixes(self, spark):
+        from zoi_spark import urls
+        df = spark.createDataFrame([("a.b.example.test",)], "h string")
+        out = df.select(urls.registrable_domain(
+            F.col("h"), extra_suffixes=("example.test",))
+            .alias("rd")).collect()[0]["rd"]
+        assert out == "b.example.test"
+
+
+class TestLangScriptAgreement:
+    def test_mislabeled_rows_flagged(self, spark):
+        from zoi_spark import text as tx
+        rows = [(0, "hello plain english words", "en"),
+                (1, "你好世界", "zh"),     # real CJK
+                (2, "latin text labeled chinese", "zh"),
+                (3, "mixed 你好 ok", "en")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        out = {r["lang"]: r for r in tx.lang_script_agreement(
+            df).collect()}
+        assert out["en"]["n"] == 2 and out["en"]["n_agree"] == 2
+        assert out["zh"]["n"] == 2 and out["zh"]["n_agree"] == 1
+        assert out["zh"]["agree_share"] == 0.5

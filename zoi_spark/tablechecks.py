@@ -11058,3 +11058,58 @@ def bws_test(df: DataFrame, *, value_col: str, split,
         F.round("bb", round_to).alias("b_b"),
         F.round((F.col("ba") + F.col("bb")) / 2.0, round_to)
          .alias("b"))
+
+
+def burstiness(df: DataFrame, *, entity_col: str, ts_col: str,
+               min_events: int = 3,
+               round_to: int = 6) -> DataFrame:
+    """Goh–Barabási burstiness (2008) of inter-event gaps, per
+    entity then summarized:  B = (σ − μ)/(σ + μ)  over each
+    entity's gap sequence — B ≈ −1 metronome (a polite crawler),
+    B ≈ 0 Poisson, B → 1 heavy bursts (sessions, retry storms).
+    The DIMENSIONLESS per-entity shape number that the gap
+    magnitudes (host_fetch_gaps) and the cross-entity Taylor slope
+    don't give; entities need ≥ *min_events* events (≥ 2 gaps).
+
+    Gaps are exact integer seconds (unix_timestamp); per-entity μ/σ
+    come from exact (k, Σg, Σg²); the population summary reports
+    the mean and exact type-1 quartiles of B over entities. Two
+    uniform-key shuffles. Returns one row ``(n_entities, mean_b,
+    p25_b, p50_b, p75_b)``.
+    """
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(entity_col).alias("e"),
+                    F.unix_timestamp(F.col(ts_col)).alias("t")))
+    w = Window.partitionBy("e").orderBy("t")
+    gaps = base.select(
+        "e", (F.col("t") - F.lag("t").over(w)).alias("g")) \
+        .where(F.col("g").isNotNull())
+    per = gaps.groupBy("e").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("g").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"))
+    k = F.col("k").cast("double")
+    mu = F.col("s1") / k
+    sig = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / k) / k)
+    b = (per.where(F.col("k") >= int(min_events) - 1)
+         .select(F.when(sig + mu > 0, (sig - mu) / (sig + mu))
+                 .otherwise(0.0).alias("b"))
+         .where(F.col("b").isNotNull()))
+    # exact type-1 quartiles over the per-entity B values
+    dv = b.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = dv.select("b", (F.sum("c").over(wp)
+                          / F.sum("c").over(wall)).alias("cdf"))
+    q = lambda p: (cdf.where(F.col("cdf") >= p)
+                   .agg(F.min("b").alias(f"q")))
+    stats = b.agg(F.count(F.lit(1)).cast("long").alias("n_entities"),
+                  F.round(F.avg("b"), round_to).alias("mean_b"))
+    q25 = q(0.25).select(F.round("q", round_to).alias("p25_b"))
+    q50 = q(0.50).select(F.round("q", round_to).alias("p50_b"))
+    q75 = q(0.75).select(F.round("q", round_to).alias("p75_b"))
+    return (stats.crossJoin(F.broadcast(q25))
+            .crossJoin(F.broadcast(q50))
+            .crossJoin(F.broadcast(q75)))

@@ -4133,3 +4133,63 @@ def soundex_key(col: Column) -> Column:
     key = F.concat(F.substring(u2, 1, 1),
                    F.substring(F.concat(rest, F.lit("000")), 1, 3))
     return F.when(F.length(up) > 0, key)
+
+
+# per-language dominant-script expectations (letter-class regexes
+# valid in BOTH Java regex and RE2 — \x{...} ranges)
+SCRIPT_EXPECTATIONS = {
+    "en": r"[A-Za-z]",
+    "de": r"[A-Za-z]",
+    "es": r"[A-Za-z]",
+    "fr": r"[A-Za-z]",
+    "zh": r"[\x{4E00}-\x{9FFF}]",
+    "ru": r"[\x{0400}-\x{04FF}]",
+    "ja": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]",
+    "ko": r"[\x{AC00}-\x{D7AF}]",
+    "ar": r"[\x{0600}-\x{06FF}]",
+}
+
+
+def lang_script_agreement(df: DataFrame, *, text_col: str = "text",
+                          lang_col: str = "lang",
+                          min_share: float = 0.5,
+                          round_to: int = 6) -> DataFrame:
+    """Language↔script consistency audit: for each declared lang
+    with a known dominant script (SCRIPT_EXPECTATIONS), the share
+    of the document's LETTERS that belong to that script; a doc
+    AGREES when the share ≥ *min_share*. A lang='zh' row whose text
+    is pure Latin is a mislabeled row the referential allowed-lang
+    check can't see — label vs content, the validation rule
+    bridging lang-ID (text_lang_id) and the script census
+    (script_mix). Langs without an expectation are reported with
+    NULL shares (counted, never judged).
+
+    Letters = [letter-ish] via the union of all expectation classes
+    plus ASCII; pure regexp_count, one aggregation per lang.
+    Returns ``(lang, n, n_agree, agree_share, mean_script_share)``.
+    """
+    letters = (r"[A-Za-z\x{4E00}-\x{9FFF}\x{0400}-\x{04FF}"
+               r"\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}"
+               r"\x{0600}-\x{06FF}]")
+    t = F.col(text_col)
+    total = F.regexp_count(t, F.lit(letters))
+    expect = None
+    for lang, pat in sorted(SCRIPT_EXPECTATIONS.items()):
+        cnt = F.regexp_count(t, F.lit(pat))
+        expect = (F.when(F.col(lang_col) == lang, cnt)
+                  if expect is None
+                  else expect.when(F.col(lang_col) == lang, cnt))
+    share = F.when(total > 0, expect / total)
+    agree = (share >= float(min_share)).cast("int")
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(lang_col).isNotNull())
+            .select(F.col(lang_col).alias("lang"),
+                    share.alias("sh"), agree.alias("ag")))
+    return (base.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("ag").cast("long").alias("n_agree"),
+                 F.round(F.avg(F.col("ag").cast("double")),
+                         round_to).alias("agree_share"),
+                 F.round(F.avg("sh"), round_to)
+                 .alias("mean_script_share"))
+            .orderBy("lang"))

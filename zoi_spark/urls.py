@@ -1172,3 +1172,39 @@ def typosquat_candidates(df: DataFrame, host_col: str, *,
                     "n_suspect", "n_legit",
                     F.round(F.col("n_suspect") / F.col("n_legit"),
                             round_to).alias("volume_ratio")))
+
+
+# common multi-label public suffixes (a deliberately small, PINNED
+# subset of the Mozilla Public Suffix List — the full list is data,
+# not code; callers pass extras for their crawl's tail)
+MINI_PSL = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.za", "com.ar",
+    "com.tr", "co.kr", "com.sg", "com.hk", "co.nz", "com.tw",
+)
+
+
+def registrable_domain(host: Column,
+                       extra_suffixes=()) -> Column:
+    """eTLD+1 (registrable domain) of a hostname against a PINNED
+    mini public-suffix list: if the last TWO labels are a listed
+    public suffix (co.uk, com.au, …), take the last THREE labels,
+    else the last two; hosts with a single label pass through
+    unchanged. Lowercased first, so dedup keys never split on case.
+
+    This is the grouping key host-level ops should aggregate by —
+    ``news.bbc.co.uk`` and ``m.bbc.co.uk`` are the same publisher,
+    which per-host counts (host_hits, host_concentration) miss. The
+    suffix test is a set-membership on the last-two-label string —
+    one expression, no join, identical in both engines.
+    """
+    suffixes = set(MINI_PSL) | {s.lower() for s in extra_suffixes}
+    h = F.lower(host)
+    last2 = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    reg = F.when(last2.isin(*sorted(suffixes))
+                 & (last3 != ""), last3) \
+           .when(last2 != "", last2) \
+           .otherwise(h)
+    return reg
