@@ -506,6 +506,9 @@ R4_NAMES = [
     "cochran_armitage_len", "quade_types", "bws_len_drift",
     # wave 116: eTLD+1 census, lang-script agreement, burstiness
     "etld1_hosts", "lang_script_agreement", "burstiness_user_gaps",
+    # wave 117: Pickands tail, extremal index, mean excess
+    "pickands_value_tail", "extremal_index_volume",
+    "mean_excess_values",
 ]
 
 

@@ -7828,3 +7828,91 @@ class TestBurstiness:
                             ts_col="ts").collect()[0]
         assert out["n_entities"] == 4
         assert out["p25_b"] <= out["p50_b"] <= out["p75_b"]
+
+
+class TestPickands:
+    def test_exponential_like_near_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        # exact exponential quantiles: x_i = -ln(1 - i/(n+1)); the
+        # Pickands estimator on true exponential order stats is ~0
+        n = 400
+        rows = [(i, -math.log(1 - (i + 1) / (n + 1)))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "i long, v double")
+        out = tc.pickands_tail(df, "v", k=25).collect()[0]
+        assert abs(out["xi"]) < 0.15
+        assert out["x_k"] > out["x_2k"] > out["x_4k"]
+
+    def test_heavy_pareto_positive(self, spark):
+        from zoi_spark import tablechecks as tc
+        n = 400
+        # Pareto(alpha=1) quantiles: x = 1/(1-p) -> xi = 1
+        rows = [(i, 1.0 / (1 - (i + 1) / (n + 1.0)))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "i long, v double")
+        out = tc.pickands_tail(df, "v", k=25).collect()[0]
+        assert 0.7 < out["xi"] < 1.3
+
+    def test_too_few_rows_raises(self, spark):
+        from zoi_spark import tablechecks as tc
+        import pytest as pt
+        df = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                   "i long, v double")
+        with pt.raises(ValueError):
+            tc.pickands_tail(df, "v", k=25)
+
+
+class TestExtremalIndex:
+    def _df(self, spark, daily_counts):
+        import datetime as dt
+        rows, eid = [], 0
+        for day, n in enumerate(daily_counts):
+            for _ in range(n):
+                rows.append((eid, dt.datetime(2024, 9, day + 1)))
+                eid += 1
+        return spark.createDataFrame(rows, "id long, ts timestamp")
+
+    def test_isolated_extremes_theta_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        counts = [5, 5, 50, 5, 5, 5, 60, 5, 5, 5, 55, 5]
+        df = self._df(spark, counts)
+        out = tc.extremal_index(df, ts_col="ts", q=0.7,
+                                run=1).collect()[0]
+        assert out["theta"] == 1.0          # every storm length 1
+        assert out["n_exceed"] == out["n_clusters"] == 3
+
+    def test_storms_lower_theta(self, spark):
+        from zoi_spark import tablechecks as tc
+        counts = [5, 50, 55, 60, 5, 5, 5, 52, 58, 5, 5, 5]
+        df = self._df(spark, counts)
+        out = tc.extremal_index(df, ts_col="ts", q=0.6,
+                                run=1).collect()[0]
+        # threshold u=50 (type-1 q60): 4 strict exceedances
+        # (55,60 | 52,58) in 2 storms
+        assert out["n_exceed"] == 4
+        assert out["n_clusters"] == 2
+        assert out["theta"] == 0.5
+
+
+class TestMeanExcess:
+    def test_exponential_flat(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        n = 2000
+        rows = [(i, -100.0 * math.log(1 - (i + 1) / (n + 1)))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "i long, v double")
+        out = tc.mean_excess(df, "v").collect()
+        assert [r["p"] for r in out] == [0.5, 0.6, 0.7, 0.8, 0.9]
+        es = [r["mean_excess"] for r in out]
+        # memoryless: e(u) ~ constant (the exponential mean, 100)
+        assert all(80 < e < 120 for e in es)
+
+    def test_bounded_tail_falls(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, float(i)) for i in range(1000)]   # uniform
+        df = spark.createDataFrame(rows, "i long, v double")
+        out = tc.mean_excess(df, "v").collect()
+        es = [r["mean_excess"] for r in out]
+        assert es == sorted(es, reverse=True)  # strictly decreasing

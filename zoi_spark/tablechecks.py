@@ -11113,3 +11113,148 @@ def burstiness(df: DataFrame, *, entity_col: str, ts_col: str,
     return (stats.crossJoin(F.broadcast(q25))
             .crossJoin(F.broadcast(q50))
             .crossJoin(F.broadcast(q75)))
+
+
+def pickands_tail(df: DataFrame, value_col: str, *, k: int = 25,
+                  round_to: int = 6) -> DataFrame:
+    """Pickands (1975) tail-index estimator from three upper order
+    statistics:
+
+        ξ̂ = ln[(X₍k₎ − X₍2k₎) / (X₍2k₎ − X₍4k₎)] / ln 2
+
+    — valid for EVERY tail domain (ξ > 0 heavy, = 0 exponential-ish,
+    < 0 bounded), where the Hill estimator (hill_tail) presumes
+    heavy; Hill says "how heavy", Pickands says "which regime".
+    Depends only on the sorted multiset, so rank ties cannot
+    introduce nondeterminism.
+
+    Plan: TakeOrdered of the top 4k values (no full sort — Spark
+    pushes the limit into the sort), then a 3-value pivot. Returns
+    ``(n, k, x_k, x_2k, x_4k, xi)``; ξ is NULL when an order-stat
+    gap is zero (discrete plateaus — raise k).
+    """
+    kk = int(k)
+    base = df.where(F.col(value_col).isNotNull()) \
+             .select(F.col(value_col).cast("double").alias("v"))
+    n = base.count()
+    if n < 4 * kk:
+        raise ValueError(f"need at least {4 * kk} rows, got {n}")
+    top = base.orderBy(F.col("v").desc()).limit(4 * kk)
+    rn = F.row_number().over(Window.partitionBy()
+                             .orderBy(F.col("v").desc()))
+    picked = (top.select("v", rn.alias("rn"))
+              .where(F.col("rn").isin(kk, 2 * kk, 4 * kk))
+              .agg(F.max(F.when(F.col("rn") == kk, F.col("v")))
+                   .alias("x_k"),
+                   F.max(F.when(F.col("rn") == 2 * kk, F.col("v")))
+                   .alias("x_2k"),
+                   F.max(F.when(F.col("rn") == 4 * kk, F.col("v")))
+                   .alias("x_4k")))
+    import math
+    num = F.col("x_k") - F.col("x_2k")
+    den = F.col("x_2k") - F.col("x_4k")
+    xi = F.when((num > 0) & (den > 0),
+                F.log(num / den) / F.lit(math.log(2.0)))
+    return picked.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(kk).cast("long").alias("k"),
+        F.round("x_k", round_to).alias("x_k"),
+        F.round("x_2k", round_to).alias("x_2k"),
+        F.round("x_4k", round_to).alias("x_4k"),
+        F.round(xi, round_to).alias("xi"))
+
+
+def extremal_index(df: DataFrame, *, ts_col: str,
+                   unit: str = "day", q: float = 0.9,
+                   run: int = 1,
+                   round_to: int = 6) -> DataFrame:
+    """Extremal index θ by runs declustering (Leadbetter): threshold
+    u = type-1 q-quantile of the per-*unit* volumes; exceedance
+    buckets separated by more than *run* quiet buckets form
+    clusters, and θ̂ = clusters / exceedances ∈ (0,1] — θ ≈ 1 reads
+    independent extremes, small θ "extremes arrive in storms" (the
+    GEV/GPD fits, gumbel_daily_max and gpd_value_tail, silently
+    assume θ = 1; this measures whether that's true, and 1/θ is the
+    mean storm length).
+
+    Exact type-1 quantile from the distinct-value histogram;
+    clustering is one lag over the exceedance-day indices. All
+    windows ride the bucket table. Returns ``(n_buckets, threshold,
+    n_exceed, n_clusters, theta)``.
+    """
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dv = daily.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    cdf = dv.select("x", (F.sum("c").over(wp.orderBy("x"))
+                          / F.sum("c").over(wall)).alias("cdf"))
+    thr = (cdf.where(F.col("cdf") >= float(q))
+           .agg(F.min("x").alias("u")))
+    idx = daily.select(
+        "b", "x",
+        F.row_number().over(Window.partitionBy().orderBy("b"))
+        .alias("i"))
+    exc = (idx.crossJoin(F.broadcast(thr))
+           .where(F.col("x") > F.col("u")))
+    lagged = exc.select(
+        "i", "u",
+        F.lag("i").over(Window.partitionBy().orderBy("i"))
+        .alias("pi"))
+    starts = F.when(F.col("pi").isNull()
+                    | (F.col("i") - F.col("pi") > int(run) + 0),
+                    1).otherwise(0)
+    agg = lagged.agg(F.any_value("u").alias("threshold"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_exceed"),
+                     F.sum(starts).cast("long").alias("n_clusters"))
+    n_all = daily.count()
+    return agg.select(
+        F.lit(n_all).cast("long").alias("n_buckets"),
+        F.col("threshold").cast("long").alias("threshold"),
+        "n_exceed", "n_clusters",
+        F.round(F.col("n_clusters") / F.col("n_exceed"), round_to)
+         .alias("theta"))
+
+
+def mean_excess(df: DataFrame, value_col: str, *,
+                probs=(0.5, 0.6, 0.7, 0.8, 0.9),
+                round_to: int = 6) -> DataFrame:
+    """Mean-residual-life table: for thresholds u at the type-1
+    quantiles *probs*, the mean excess e(u) = E[X − u | X > u] —
+    the diagnostic BEHIND gpd_value_tail's fit: e(u) linear in u ⇒
+    GPD regime (slope ξ/(1−ξ)); flat ⇒ exponential; falling ⇒ a
+    bounded tail. Five numbers that tell you whether fitting a GPD
+    was legitimate at all.
+
+    One distinct-value pass for all thresholds, one broadcast of
+    the |probs|-row threshold table against the data (filtered
+    pre-aggregation, so the blowup is only on exceedances).
+    Returns ``(p, threshold, n_exceed, mean_excess)`` per prob.
+    """
+    base = df.where(F.col(value_col).isNotNull()) \
+             .select(F.col(value_col).cast("double").alias("v"))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cdf = dv.select("v", (F.sum("c").over(wp)
+                          / F.sum("c").over(wall)).alias("cdf"))
+    thr = None
+    for p in probs:
+        t = (cdf.where(F.col("cdf") >= float(p))
+             .agg(F.lit(float(p)).alias("p"),
+                  F.min("v").alias("u")))
+        thr = t if thr is None else thr.unionByName(t)
+    joined = base.crossJoin(F.broadcast(thr)) \
+                 .where(F.col("v") > F.col("u"))
+    return (joined.groupBy("p", "u")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exceed"),
+                 F.round(F.avg(F.col("v") - F.col("u")), round_to)
+                 .alias("mean_excess"))
+            .select(F.round("p", round_to).alias("p"),
+                    F.round("u", round_to).alias("threshold"),
+                    "n_exceed", "mean_excess")
+            .orderBy("p"))
