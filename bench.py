@@ -509,6 +509,9 @@ R4_NAMES = [
     # wave 117: Pickands tail, extremal index, mean excess
     "pickands_value_tail", "extremal_index_volume",
     "mean_excess_values",
+    # wave 118: skyline, competing-risks CIF, Lorenz asymmetry
+    "skyline_len_tokens", "cif_purchase_competing",
+    "lorenz_asymmetry_sources",
 ]
 
 

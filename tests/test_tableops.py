@@ -7916,3 +7916,94 @@ class TestMeanExcess:
         out = tc.mean_excess(df, "v").collect()
         es = [r["mean_excess"] for r in out]
         assert es == sorted(es, reverse=True)  # strictly decreasing
+
+
+class TestSkyline2:
+    def test_hand_frontier(self, spark):
+        from zoi_spark import tablechecks as tc
+        pts = [(1, 1, 9), (2, 5, 5), (3, 9, 1),     # frontier
+               (4, 4, 4), (5, 1, 8), (6, 9, 1)]     # 6 ties with 3
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = tc.skyline2(df, x_col="x", y_col="y",
+                          id_col="id").collect()
+        ids = sorted(r["id"] for r in out)
+        # (4,4) dominated by (5,5); (1,8) by (1,9); duplicate (9,1)
+        # points are mutually non-dominating: both kept
+        assert ids == [1, 2, 3, 6]
+
+    def test_single_max_dominates_all(self, spark):
+        from zoi_spark import tablechecks as tc
+        pts = [(i, i, i) for i in range(10)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = tc.skyline2(df, x_col="x", y_col="y",
+                          id_col="id").collect()
+        assert [r["id"] for r in out] == [9]
+
+
+class TestCIFCompeting:
+    def test_hand_curve(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        # day1: 2 purchases + 2 churns of 10 users; day2: 1 + 1
+        rows = []
+        eid = 0
+        def ev(uid, day, typ):
+            nonlocal eid
+            rows.append((eid, uid, dt.datetime(2024, 10, day), typ))
+            eid += 1
+        for u in range(2): ev(u, 1, "purchase")
+        for u in range(2, 4): ev(u, 1, "click")
+        ev(4, 2, "purchase"); ev(5, 2, "click")
+        for u in range(6, 10): ev(u, 3, "click")
+        df = spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp, t string")
+        out = tc.cif_competing(
+            df, entity_col="user_id", ts_col="ts",
+            cause=F.col("t") == "purchase").collect()
+        # day1: n=10, d1=2 -> CIF 0.2; day2: S=0.6, d1=1/6 -> +0.1
+        assert out[0]["cif"] == 0.2
+        assert out[1]["cif"] == round(0.2 + 0.6 * (1 / 6), 6)
+        assert out[2]["d_cause"] == 0
+        assert out[2]["cif"] == out[1]["cif"]    # no more purchases
+
+    def test_same_day_cause_priority(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows = [(0, 1, dt.datetime(2024, 10, 1, 9), "click"),
+                (1, 1, dt.datetime(2024, 10, 1, 15), "purchase")]
+        df = spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp, t string")
+        out = tc.cif_competing(
+            df, entity_col="user_id", ts_col="ts",
+            cause=F.col("t") == "purchase").collect()
+        # same-bucket tie resolves to the cause (documented rule)
+        assert out[0]["d_cause"] == 1 and out[0]["d_other"] == 0
+
+
+class TestLorenzAsymmetry:
+    def test_few_giants_above_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", v) for v in [1.0] * 9 + [100.0]]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.lorenz_asymmetry(df, "v", by="g").collect()[0]
+        assert out["s_asym"] > 1.0       # one giant drives it
+
+    def test_many_tiny_below_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", v) for v in [1.0] * 3 + [50.0] * 7]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.lorenz_asymmetry(df, "v", by="g").collect()[0]
+        assert out["s_asym"] < 1.0       # a tiny-values foot
+
+    def test_hand_delta(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [1.0, 2.0, 3.0, 10.0]     # mean 4, m=3, xm=3, xm1=10
+        df = spark.createDataFrame([("a", v) for v in vals],
+                                   "g string, v double")
+        out = tc.lorenz_asymmetry(df, "v", by="g").collect()[0]
+        delta = (4 - 3) / (10 - 3)
+        f_mu = (3 + delta) / 4
+        l_mu = (6 + delta * 10) / 16
+        assert out["f_mu"] == round(f_mu, 6)
+        assert out["l_mu"] == round(l_mu, 6)
+        assert out["s_asym"] == round(f_mu + l_mu, 6)

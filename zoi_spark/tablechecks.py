@@ -11258,3 +11258,159 @@ def mean_excess(df: DataFrame, value_col: str, *,
                     F.round("u", round_to).alias("threshold"),
                     "n_exceed", "mean_excess")
             .orderBy("p"))
+
+
+def skyline2(df: DataFrame, *, x_col: str, y_col: str,
+             id_col: str) -> DataFrame:
+    """2-criteria skyline (Pareto frontier, Börzsönyi 2001): rows
+    not DOMINATED — no other row is ≥ in both of (*x_col*, *y_col*)
+    and > in at least one (both maximized; negate a column to
+    minimize). The multi-objective "best documents" operator a
+    single weighted score can't express: every weighting's optimum
+    lies ON the skyline, so materializing it once serves every
+    downstream trade-off.
+
+    Plan (integer criteria): dominance is resolved with TWO window
+    maxima — max(y) over strictly-greater x (a RANGE frame, so the
+    window is by VALUE, no self-join) and max(y) within the same x —
+    never the O(n²) pairwise check. One sort-shuffle by x. Returns
+    the skyline rows ``(id, x, y)`` ordered by x desc.
+    """
+    base = (df.where(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y")))
+    w_gt = (Window.partitionBy().orderBy("x")
+            .rangeBetween(1, Window.unboundedFollowing))
+    w_eq = Window.partitionBy("x")
+    best_gt = F.max("y").over(w_gt)
+    best_eq = F.max("y").over(w_eq)
+    t = base.select(
+        "id", "x", "y", best_gt.alias("bg"), best_eq.alias("be"))
+    keep = ((F.col("bg").isNull() | (F.col("bg") < F.col("y")))
+            & (F.col("be") <= F.col("y")))
+    return (t.where(keep).select("id", "x", "y")
+            .orderBy(F.col("x").desc(), F.col("id")))
+
+
+def cif_competing(df: DataFrame, *, entity_col: str, ts_col: str,
+                  cause, unit: str = "day",
+                  round_to: int = 6) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under competing risks:
+    each entity's FIRST event is either the cause of interest or a
+    competing one; with per-time risk sets nⱼ, cause counts d₁ⱼ and
+    competing counts d₂ⱼ,
+
+        S(tⱼ₋₁) = Π_{i<j} (1 − (d₁ᵢ+d₂ᵢ)/nᵢ),
+        CIF(tⱼ)  = Σ_{i≤j} S(tᵢ₋₁)·d₁ᵢ/nᵢ
+
+    — the honest "share who purchased by day t" when churning first
+    REMOVES you: the naive 1−KM of purchases alone overstates it
+    (the classic competing-risks bias; Putter 2007). Completes the
+    survival family (km/nelson_aalen/logrank/rmst are single-risk).
+
+    First-event extraction is one min_by per entity; everything
+    after rides the event-time grid (≤ buckets rows): the product
+    is an exp-sum-log prefix window. Returns per bucket
+    ``(bucket_ts, n_risk, d_cause, d_other, cif)``.
+    """
+    c = F.when(cause, 1).otherwise(0)
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(entity_col).alias("e"),
+                    F.date_trunc(unit, F.col(ts_col)).alias("b"),
+                    c.alias("c")))
+    # first event per entity: earliest bucket, cause resolved by
+    # (bucket, cause desc) so a same-bucket cause event wins
+    # deterministically
+    rn = F.row_number().over(
+        Window.partitionBy("e").orderBy("b", F.col("c").desc()))
+    first = base.withColumn("__rn", rn).where(F.col("__rn") == 1)
+    grid = (first.groupBy("b")
+            .agg(F.sum("c").alias("d1"),
+                 F.sum(1 - F.col("c")).alias("d2")))
+    wall = Window.partitionBy()
+    wo = Window.partitionBy().orderBy("b")
+    later = (F.sum(F.col("d1") + F.col("d2")).over(wall)
+             - F.coalesce(F.sum(F.col("d1") + F.col("d2"))
+                          .over(wo.rowsBetween(
+                              Window.unboundedPreceding, -1)),
+                          F.lit(0)))
+    t = grid.select("b", "d1", "d2", later.alias("n_risk"))
+    frac = (F.col("d1") + F.col("d2")) / F.col("n_risk")
+    # the final bucket's hazard is 1 (everyone left leaves): its
+    # ln(0) is never inside any prior-prefix frame, but guard it so
+    # neither engine evaluates a log of zero
+    safe_log = F.when(frac < 1.0, F.log(1.0 - frac)).otherwise(0.0)
+    s_prev = F.exp(F.coalesce(
+        F.sum(safe_log).over(
+            Window.partitionBy().orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0.0)))
+    term = s_prev * F.col("d1") / F.col("n_risk")
+    t2 = t.select("b", "d1", "d2", "n_risk", term.alias("__t"))
+    cif = F.sum("__t").over(
+        Window.partitionBy().orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (t2.select(F.col("b").alias("bucket_ts"),
+                      F.col("n_risk").cast("long").alias("n_risk"),
+                      F.col("d1").cast("long").alias("d_cause"),
+                      F.col("d2").cast("long").alias("d_other"),
+                      F.round(cif, round_to).alias("cif"))
+            .orderBy("bucket_ts"))
+
+
+def lorenz_asymmetry(df: DataFrame, value_col: str, *, by: str,
+                     round_to: int = 6) -> DataFrame:
+    """Damgaard–Weiner Lorenz asymmetry coefficient per group:
+    S = F(μ) + L(μ), where the Lorenz curve crosses slope 1 — with
+    m = #{x < μ}, the bracketing order stats x₍m₎ ≤ μ ≤ x₍m+1₎,
+    δ = (μ − x₍m₎)/(x₍m+1₎ − x₍m₎):
+
+        F(μ) = (m + δ)/n,   L(μ) = (Σ_{x<μ} x + δ·x₍m+1₎)/Σx
+
+    S = 1 is a symmetric Lorenz curve; S > 1 says the inequality
+    (source_len_gini's number) is driven by a FEW HUGE documents,
+    S < 1 by MANY TINY ones — the "which end do I trim" answer the
+    Gini/Atkinson/Theil scalars can't give.
+
+    Two aggregations per group (mean, then the conditional sums and
+    bracketing stats — max below / min at-or-above the mean). All
+    conditional aggregates, no sort. Returns ``(group, n, mean,
+    f_mu, l_mu, s_asym)``.
+    """
+    base = (df.where(F.col(by).isNotNull()
+                     & F.col(value_col).isNotNull()
+                     & (F.col(value_col) > 0))
+            .select(F.col(by).alias("g"),
+                    F.col(value_col).cast("double").alias("v")))
+    mu = base.groupBy("g").agg(F.avg("v").alias("mu"))
+    j = base.join(F.broadcast(mu), "g")
+    agg = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.any_value("mu").alias("mu"),
+        F.sum("v").alias("tot"),
+        F.sum(F.when(F.col("v") < F.col("mu"), F.col("v"))
+              .otherwise(0.0)).alias("below"),
+        F.sum(F.when(F.col("v") < F.col("mu"), 1).otherwise(0))
+        .cast("double").alias("m"),
+        F.max(F.when(F.col("v") < F.col("mu"), F.col("v")))
+        .alias("xm"),
+        F.min(F.when(F.col("v") >= F.col("mu"), F.col("v")))
+        .alias("xm1"))
+    delta = F.when(F.col("xm1") != F.col("xm"),
+                   (F.col("mu") - F.col("xm"))
+                   / (F.col("xm1") - F.col("xm"))).otherwise(0.0)
+    delta = F.when(F.col("xm").isNull(), 0.0).otherwise(delta)
+    f_mu = (F.col("m") + delta) / F.col("n")
+    l_mu = (F.col("below") + delta * F.col("xm1")) / F.col("tot")
+    return agg.select(
+        F.col("g").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mu", round_to).alias("mean"),
+        F.round(f_mu, round_to).alias("f_mu"),
+        F.round(l_mu, round_to).alias("l_mu"),
+        F.round(f_mu + l_mu, round_to).alias("s_asym")) \
+        .orderBy("group")
