@@ -512,6 +512,9 @@ R4_NAMES = [
     # wave 118: skyline, competing-risks CIF, Lorenz asymmetry
     "skyline_len_tokens", "cif_purchase_competing",
     "lorenz_asymmetry_sources",
+    # wave 119: postings gap bits, Cox-Stuart, Bartels RVN
+    "index_gap_bits_terms", "cox_stuart_volume",
+    "bartels_rank_volume",
 ]
 
 

@@ -1333,3 +1333,29 @@ class TestSoundex:
             tx.soundex_key(F.col("w")).alias("k")).collect()]
         assert out[0] == "T233"      # vowels keep t/d separate
         assert out[1] == "T230"      # runs collapse without vowels
+
+
+class TestIndexGapBits:
+    def test_hand_postings(self, spark):
+        from zoi_spark import text as tx
+        # "t" in docs 1,3,7 -> gaps 2,2,4 (first codes id+1=2)
+        rows = [(1, "t a"), (3, "t b"), (7, "t c"),
+                (2, "a b"), (4, "a c"), (5, "a d"), (6, "b d"),
+                (8, "b e"), (9, "c d"), (10, "c e")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["token"]: r for r in tx.index_gap_bits(
+            df, k=5, min_df=3).collect()}
+        # gamma bits: g=2 -> 3 bits, g=2 -> 3, g=4 -> 5
+        assert out["t"]["df"] == 3
+        assert out["t"]["total_bits"] == 11
+        assert out["t"]["bits_per_posting"] == round(11 / 3, 6)
+
+    def test_dense_postings_compress_harder(self, spark):
+        from zoi_spark import text as tx
+        rows = ([(i, "dense x") for i in range(40)]
+                + [(i * 50, "sparse y") for i in range(1, 9)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["token"]: r["bits_per_posting"]
+               for r in tx.index_gap_bits(df, k=5,
+                                          min_df=3).collect()}
+        assert out["dense"] < out["sparse"]

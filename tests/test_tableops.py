@@ -8007,3 +8007,37 @@ class TestLorenzAsymmetry:
         assert out["f_mu"] == round(f_mu, 6)
         assert out["l_mu"] == round(l_mu, 6)
         assert out["s_asym"] == round(f_mu + l_mu, 6)
+
+
+class TestCoxStuart:
+    def test_monotone_trend(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = _daily_events(spark, [{"e": i + 1} for i in range(20)])
+        out = tc.cox_stuart(df, ts_col="ts").collect()[0]
+        # every later-half value beats its pair: S+ = m = 10
+        assert out["m"] == 10 and out["s_plus"] == 10
+        assert out["z"] == round((10 - 5) / (10 / 4) ** 0.5, 6)
+
+    def test_flat_series_ties_dropped(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = _daily_events(spark, [{"e": 7}] * 12)
+        out = tc.cox_stuart(df, ts_col="ts").collect()[0]
+        assert out["m"] == 0 and out["s_plus"] == 0
+        assert out["z"] is None
+
+
+class TestBartelsRank:
+    def test_alternating_oscillation_high(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = _daily_events(spark,
+                           [{"e": 5 if i % 2 == 0 else 20}
+                            for i in range(16)])
+        out = tc.bartels_rank(df, ts_col="ts").collect()[0]
+        assert out["rvn"] > 3.0 and out["z"] > 2.0
+
+    def test_trend_low(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = _daily_events(spark, [{"e": i + 1} for i in range(16)])
+        out = tc.bartels_rank(df, ts_col="ts").collect()[0]
+        # monotone ranks: successive diffs are minimal -> RVN << 2
+        assert out["rvn"] < 0.5 and out["z"] < -2.0

@@ -11414,3 +11414,93 @@ def lorenz_asymmetry(df: DataFrame, value_col: str, *, by: str,
         F.round(l_mu, round_to).alias("l_mu"),
         F.round(f_mu + l_mu, round_to).alias("s_asym")) \
         .orderBy("group")
+
+
+def cox_stuart(df: DataFrame, *, ts_col: str, unit: str = "day",
+               round_to: int = 6) -> DataFrame:
+    """Cox–Stuart trend test (1955): pair bucket i with bucket
+    i + ⌈n/2⌉ and count how often the LATER value is larger; under
+    no-trend S⁺ ~ Binomial(m, ½) over the m non-tied pairs, so
+
+        z = (S⁺ − m/2) / √(m/4)
+
+    — the sign-test-simple trend check whose verdict survives ANY
+    monotone transform of the series (Mann-Kendall compares all
+    O(n²) pairs; Cox-Stuart only the half-offset ones — weaker but
+    assumption-free and O(n)). Ties are dropped, exactly.
+
+    One index join on the tiny bucket table. Returns ``(n_buckets,
+    m, s_plus, z)``.
+    """
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    idx = daily.select(
+        "x", (F.row_number().over(Window.partitionBy().orderBy("b"))
+              - 1).alias("i"))
+    n = idx.count()
+    h = (n + 1) // 2
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (a.join(b, F.col("b.i") == F.col("a.i") + h)
+             .select(F.col("a.x").alias("x1"),
+                     F.col("b.x").alias("x2")))
+    agg = pairs.agg(
+        F.sum(F.when(F.col("x2") != F.col("x1"), 1).otherwise(0))
+        .cast("long").alias("m"),
+        F.sum(F.when(F.col("x2") > F.col("x1"), 1).otherwise(0))
+        .cast("long").alias("s_plus"))
+    m = F.col("m").cast("double")
+    z = F.when(m > 0, (F.col("s_plus") - m / 2.0)
+               / F.sqrt(m / 4.0))
+    return agg.select(
+        F.lit(n).cast("long").alias("n_buckets"), "m", "s_plus",
+        F.round(z, round_to).alias("z"))
+
+
+def bartels_rank(df: DataFrame, *, ts_col: str, unit: str = "day",
+                 round_to: int = 6) -> DataFrame:
+    """Bartels' rank version of the von Neumann ratio (1982):
+    with midranks rᵢ of the ordered-in-time series,
+
+        RVN = Σ (rᵢ − rᵢ₊₁)² / Σ (rᵢ − r̄)²
+
+    ≈ 2 under randomness; << 2 means positive serial dependence
+    (trend/regime), >> 2 oscillation — the RANK randomness test
+    beside the parametric Durbin-Watson (its statistic twin on raw
+    values) and the sign-only turning-point test. z uses the exact
+    small-sample variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+
+    Doubled midranks keep both sums exact integers (the scale
+    cancels in the ratio); all windows ride the bucket table.
+    Returns ``(n_buckets, rvn, z)``.
+    """
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    rnk = F.rank().over(Window.partitionBy().orderBy("x"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("x"))
+    r2 = 2 * rnk + ties - 1
+    t = daily.select("b", r2.alias("r2"))
+    nxt = F.lead("r2").over(Window.partitionBy().orderBy("b"))
+    wall = Window.partitionBy()
+    rbar2 = F.avg("r2").over(wall)           # doubled mean rank
+    scored = t.select(
+        "r2", nxt.alias("r2n"), rbar2.alias("rb"))
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("r2n").isNotNull(),
+                     (F.col("r2") - F.col("r2n"))
+                     * (F.col("r2") - F.col("r2n")))
+              .otherwise(0)).alias("num4"),
+        F.sum((F.col("r2") - F.col("rb"))
+              * (F.col("r2") - F.col("rb"))).alias("den4"))
+    n = F.col("n")
+    rvn = F.col("num4") / F.col("den4")
+    var = (4.0 * (n - 2) * (5 * n * n - 2 * n - 9)
+           / (5.0 * n * (n + 1) * (n - 1) * (n - 1)))
+    z = (rvn - 2.0) / F.sqrt(var)
+    return agg.select(
+        n.cast("long").alias("n_buckets"),
+        F.round(rvn, round_to).alias("rvn"),
+        F.round(z, round_to).alias("z"))

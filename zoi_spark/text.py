@@ -4193,3 +4193,46 @@ def lang_script_agreement(df: DataFrame, *, text_col: str = "text",
                  F.round(F.avg("sh"), round_to)
                  .alias("mean_script_share"))
             .orderBy("lang"))
+
+
+def index_gap_bits(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 15,
+                   min_df: int = 5,
+                   round_to: int = 6) -> DataFrame:
+    """Inverted-index postings-size estimate under Elias-gamma gap
+    coding: per top-*k* term, postings = sorted containing doc ids,
+    gaps g (first posting codes id+1), and each gap costs
+    2·⌊log₂ g⌋ + 1 bits. ⌊log₂⌋ is EXACT — the length of the
+    binary-string rendering minus one, never a float log — so both
+    engines bill identical bits. ``bits_per_posting`` against the
+    64-bit raw id shows the compression a delta-coded index buys —
+    frequent terms (dense postings, tiny gaps) compress hardest,
+    exactly why search engines gap-code.
+
+    Same two-shuffle vocabulary shape as every term operator; the
+    per-term lag window rides (token, doc) pairs. Returns ``(token,
+    df, total_bits, bits_per_posting)`` for the top k by df.
+    """
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    pairs = (df.where(F.col(text_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+             .select(F.col(id_col).alias("id"), toks.alias("token"))
+             .where(F.col("token") != "")
+             .distinct())
+    top = (pairs.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") >= int(min_df))
+           .orderBy(F.col("df").desc(), "token").limit(int(k)))
+    p = pairs.join(F.broadcast(top), "token")
+    w = Window.partitionBy("token").orderBy("id")
+    gap = F.coalesce(F.col("id") - F.lag("id").over(w),
+                     F.col("id") + 1)
+    bits = 2 * (F.length(F.bin(gap)) - 1) + 1
+    return (p.select("token", "df", bits.alias("b"))
+            .groupBy("token")
+            .agg(F.any_value("df").cast("long").alias("df"),
+                 F.sum("b").cast("long").alias("total_bits"))
+            .withColumn("bits_per_posting",
+                        F.round(F.col("total_bits") / F.col("df"),
+                                round_to))
+            .orderBy(F.col("df").desc(), "token"))
