@@ -515,6 +515,9 @@ R4_NAMES = [
     # wave 119: postings gap bits, Cox-Stuart, Bartels RVN
     "index_gap_bits_terms", "cox_stuart_volume",
     "bartels_rank_volume",
+    # wave 120: James-Stein, OBF boundaries, k-center prototypes
+    "james_stein_sources", "obf_pass_daily",
+    "kcenter_prototypes_emb",
 ]
 
 

@@ -1436,3 +1436,43 @@ class TestTwoNN:
         # vec 0 and 1 coincide: r1 = 0 -> both dropped
         assert out["n_probes"] == 2
         assert out["n_dropped"] == 2
+
+
+class TestKCenterPrototypes:
+    def test_matches_reference_greedy(self, spark):
+        from zoi_spark import similarity as sim
+        import hashlib, math
+        pts = {1: (0.0, 0.0), 2: (10.0, 0.0), 3: (0.0, 10.0),
+               4: (1.0, 1.0), 5: (9.0, 1.0)}
+        rows = [(i, [x, y]) for i, (x, y) in pts.items()]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.kcenter_prototypes(df, k=3,
+                                     sample_m=10).collect()
+        # reference greedy in plain python
+        md5 = lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        dist = lambda a, b: math.dist(pts[a], pts[b])
+        start = min(pts, key=md5)
+        chosen = [start]
+        mind = {i: dist(i, start) for i in pts}
+        expect = [(0, start, None)]
+        for step in (1, 2):
+            far = max(pts, key=lambda i: (mind[i], -i))
+            expect.append((step, far, round(mind[far], 6)))
+            for i in pts:
+                mind[i] = min(mind[i], dist(i, far))
+            chosen.append(far)
+        got = [(r["step"], r["id"], r["radius"]) for r in out]
+        assert got == expect
+
+    def test_radius_non_increasing(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 7), float(i // 7)])
+                for i in range(30)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.kcenter_prototypes(df, k=5,
+                                     sample_m=30).collect()
+        radii = [r["radius"] for r in out if r["radius"] is not None]
+        assert radii == sorted(radii, reverse=True)
+        assert len(set(r["id"] for r in out)) == 5

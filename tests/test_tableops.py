@@ -8041,3 +8041,58 @@ class TestBartelsRank:
         out = tc.bartels_rank(df, ts_col="ts").collect()[0]
         # monotone ranks: successive diffs are minimal -> RVN << 2
         assert out["rvn"] < 0.5 and out["z"] < -2.0
+
+
+class TestJamesStein:
+    def test_hand_shrinkage(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", 0.0), ("a", 2.0), ("b", 10.0), ("b", 12.0),
+                ("c", 20.0), ("c", 22.0), ("d", 30.0), ("d", 32.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r for r in tc.james_stein(
+            df, "v", by="g").collect()}
+        # V = 1, mu = 16, ssb = 500 -> c = 1 - 1/500
+        c = 1 - 1 / 500
+        assert out["a"]["shrinkage_c"] == round(c, 6)
+        assert out["a"]["js_mean"] == round(16 + c * (1 - 16), 6)
+        assert out["d"]["js_mean"] == round(16 + c * (31 - 16), 6)
+
+    def test_equal_means_full_shrink(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(g, v) for g in "abcd" for v in (4.0, 6.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = tc.james_stein(df, "v", by="g").collect()
+        assert all(r["shrinkage_c"] == 0.0 for r in out)
+        assert all(r["js_mean"] == 5.0 for r in out)
+
+
+class TestOBFBoundaries:
+    def test_extreme_first_day_crosses_and_latches(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows = []
+        eid = 0
+        for i in range(100):      # day 1: all successes
+            rows.append((eid, dt.datetime(2024, 11, 1), 1)); eid += 1
+        for i in range(100):      # day 2: balanced
+            rows.append((eid, dt.datetime(2024, 11, 2), i % 2))
+            eid += 1
+        df = spark.createDataFrame(rows, "id long, ts timestamp, s int")
+        out = tc.obf_boundaries(
+            df, ts_col="ts", success=F.col("s") == 1,
+            p0=0.5).collect()
+        # day1: z = 50/5 = 10 vs bound 1.959964/sqrt(.5) = 2.77
+        assert out[0]["z"] == 10.0
+        assert out[0]["crossed"] is True
+        assert out[1]["crossed"] is True      # latched
+
+    def test_null_rate_never_crosses(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows = [(d * 100 + i, dt.datetime(2024, 11, d + 1), i % 2)
+                for d in range(5) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, ts timestamp, s int")
+        out = tc.obf_boundaries(
+            df, ts_col="ts", success=F.col("s") == 1,
+            p0=0.5).collect()
+        assert not any(r["crossed"] for r in out)

@@ -1352,3 +1352,56 @@ def twonn_intrinsic_dim(df: DataFrame, *, vec_col: str = "embedding",
         "intrinsic_dim", "mean_mu")
     out._zoi_persisted = [dists]
     return out
+
+
+def kcenter_prototypes(df: DataFrame, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id", k: int = 8,
+                       sample_m: int = 256,
+                       round_to: int = 6) -> DataFrame:
+    """Greedy k-center prototype selection (Gonzalez 1985,
+    2-approximation) on an md5-ranked sample: start from the
+    md5-first point, then repeatedly add the point FARTHEST from
+    the chosen set (ties → smallest id). The classic coreset /
+    prototype builder for training-data diversity — unlike k-means
+    centroids these are REAL documents, and the selection radius
+    sequence is the coverage guarantee (every sample point is
+    within ``radius`` of a prototype).
+
+    k−1 tiny Spark rounds over the persisted sample (the chosen
+    point — one row — is collected each round and inlined as a
+    literal; the min-distance column folds with ``least``).
+    ``sample_m`` is fixed as the corpus grows. Returns ``(step,
+    id, radius)`` — radius is the max-min distance at selection
+    time (NULL for step 0), non-increasing.
+    """
+    data = (df.where(F.col(vec_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.md5(F.col("id").cast("string")))
+            .limit(int(sample_m))
+            .persist())
+    first = data.orderBy(F.md5(F.col("id").cast("string"))) \
+                .limit(1).collect()[0]
+    chosen = [(0, first["id"], None)]
+    lit_vec = lambda vals: F.array(*[F.lit(float(x)) for x in vals])
+    cur = data.select(
+        "id", "v", _euclid(F.col("v"), lit_vec(first["v"]))
+        .alias("mind"))
+    for step in range(1, int(k)):
+        far = (cur.orderBy(F.col("mind").desc(), F.col("id"))
+               .limit(1).collect()[0])
+        chosen.append((step, far["id"],
+                       round(float(far["mind"]), round_to)))
+        cur = cur.select(
+            "id", "v",
+            F.least(F.col("mind"),
+                    _euclid(F.col("v"), lit_vec(far["v"])))
+            .alias("mind"))
+    data.unpersist()
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        chosen, "step int, id long, radius double")
+    return out.select(F.col("step").cast("long").alias("step"),
+                      F.col("id").alias("id"),
+                      F.col("radius")).orderBy("step")

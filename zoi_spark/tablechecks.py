@@ -11504,3 +11504,114 @@ def bartels_rank(df: DataFrame, *, ts_col: str, unit: str = "day",
         n.cast("long").alias("n_buckets"),
         F.round(rvn, round_to).alias("rvn"),
         F.round(z, round_to).alias("z"))
+
+
+def james_stein(df: DataFrame, value_col: str, *, by: str,
+                round_to: int = 6) -> DataFrame:
+    """James–Stein shrinkage of per-group means (the Efron–Morris
+    1975 practical form): with group means x̄ᵢ, common sampling
+    variance V = mean(sᵢ²/nᵢ) and grand mean μ̄,
+
+        c = max(0, 1 − (k−3)·V / Σ(x̄ᵢ − μ̄)²),
+        x̃ᵢ = μ̄ + c·(x̄ᵢ − μ̄)
+
+    — dominates the raw means in total squared error whenever
+    k ≥ 4: the MEANS sibling of the empirical-Bayes rate shrinkage
+    (host_pass_shrunk), and the honest leaderboard when some
+    sources have 30 docs and others 30k. Groups with nᵢ < 2 are
+    dropped.
+
+    One aggregation to per-group sufficient statistics, a scalar
+    combine, a broadcast join back. Returns ``(group, n, mean,
+    js_mean, shrinkage_c)`` ordered by group.
+    """
+    g = (df.where(F.col(value_col).isNotNull()
+                  & F.col(by).isNotNull())
+         .groupBy(F.col(by).alias("g"))
+         .agg(F.count(F.lit(1)).alias("ni"),
+              F.sum(F.col(value_col).cast("double")).alias("si"),
+              F.sum(F.col(value_col).cast("double")
+                    * F.col(value_col).cast("double")).alias("qi"))
+         .where(F.col("ni") >= 2))
+    ni = F.col("ni").cast("double")
+    mean = F.col("si") / ni
+    s2 = (F.col("qi") - F.col("si") * F.col("si") / ni) / (ni - 1)
+    per = g.select("g", ni.alias("ni"), mean.alias("mi"),
+                   (s2 / ni).alias("vi"))
+    wall = Window.partitionBy()
+    per2 = per.select(
+        "g", "ni", "mi",
+        F.count(F.lit(1)).over(wall).alias("k"),
+        F.avg("mi").over(wall).alias("mu"),
+        F.avg("vi").over(wall).alias("v"))
+    per3 = per2.select(
+        "g", "ni", "mi", "k", "mu", "v",
+        F.sum((F.col("mi") - F.col("mu"))
+              * (F.col("mi") - F.col("mu"))).over(wall)
+        .alias("ssb"))
+    # ssb = 0 (all group means equal) → shrink fully; also keeps
+    # ANSI mode from erroring on the double zero-division
+    c = F.when(F.col("ssb") > 0,
+               F.greatest(F.lit(0.0),
+                          1.0 - (F.col("k") - 3).cast("double")
+                          * F.col("v") / F.col("ssb"))) \
+         .otherwise(0.0)
+    t = per3.select(
+        "g", F.col("ni").cast("long").alias("n"),
+        F.round("mi", round_to).alias("mean"),
+        F.round(F.col("mu") + c * (F.col("mi") - F.col("mu")),
+                round_to).alias("js_mean"),
+        F.round(c, round_to).alias("shrinkage_c"))
+    return t.select(F.col("g").alias("group"), "n", "mean",
+                    "js_mean", "shrinkage_c").orderBy("group")
+
+
+def obf_boundaries(df: DataFrame, *, ts_col: str, success,
+                   p0: float, unit: str = "day",
+                   z_alpha: float = 1.959964,
+                   round_to: int = 6) -> DataFrame:
+    """O'Brien–Fleming group-sequential boundary check: the daily
+    CUMULATIVE pass-rate z against the OBF-shaped boundary
+    u(t) = z_α/√t (t = information fraction n_cum/N) — spend almost
+    no alpha early, the full z_α at the end. The scheduled-looks
+    classic between pass_rate_ztest's single fixed-n look and the
+    fully-continuous e-process: the shape regulators and clinical
+    monitors expect.
+
+    Exact integer cumulative counts; the boundary is one terminal
+    expression per bucket row. Returns ``(bucket_ts, n_cum, k_cum,
+    t_frac, z, obf_bound, crossed)`` where ``crossed`` latches.
+    """
+    import math
+    p = float(p0)
+    s = F.when(success, 1).otherwise(0)
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("bucket_ts"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum(s).cast("long").alias("k")))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy("bucket_ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ncum = F.sum("n").over(wp)
+    kcum = F.sum("k").over(wp)
+    ntot = F.sum("n").over(wall)
+    t = daily.select(
+        "bucket_ts", ncum.alias("n_cum"), kcum.alias("k_cum"),
+        ntot.alias("ntot"))
+    nn = F.col("n_cum").cast("double")
+    tf = nn / F.col("ntot").cast("double")
+    z = ((F.col("k_cum") - nn * p)
+         / F.sqrt(nn * p * (1.0 - p)))
+    bound = F.lit(float(z_alpha)) / F.sqrt(tf)
+    scored = t.select(
+        "bucket_ts", "n_cum", "k_cum",
+        F.round(tf, round_to).alias("t_frac"),
+        F.round(z, round_to).alias("z"),
+        F.round(bound, round_to).alias("obf_bound"),
+        (F.abs(F.round(z, round_to))
+         >= F.round(bound, round_to)).cast("int").alias("__x"))
+    crossed = F.max("__x").over(
+        Window.partitionBy().orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (scored.withColumn("crossed", crossed == 1)
+            .drop("__x").orderBy("bucket_ts"))
