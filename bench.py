@@ -518,6 +518,8 @@ R4_NAMES = [
     # wave 120: James-Stein, OBF boundaries, k-center prototypes
     "james_stein_sources", "obf_pass_daily",
     "kcenter_prototypes_emb",
+    # wave 121: Otsu threshold, Kneedle knee, Dunn index
+    "otsu_len_threshold", "kneedle_vocab_knee", "dunn_index_emb",
 ]
 
 

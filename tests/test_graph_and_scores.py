@@ -1476,3 +1476,28 @@ class TestKCenterPrototypes:
         radii = [r["radius"] for r in out if r["radius"] is not None]
         assert radii == sorted(radii, reverse=True)
         assert len(set(r["id"] for r in out)) == 5
+
+
+class TestDunnIndex:
+    def test_separated_clusters_high(self, spark):
+        from zoi_spark import similarity as sim
+        rows = ([(i, [0.0 + (i % 3) * 0.1, 0.0], 0)
+                 for i in range(10)]
+                + [(100 + i, [50.0 + (i % 3) * 0.1, 0.0], 1)
+                   for i in range(10)])
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = sim.dunn_index(df, sample_m=50).collect()[0]
+        assert out["dunn"] > 100          # gap 50 vs diameter 0.2
+        assert out["n_labels"] == 2
+
+    def test_touching_clusters_low(self, spark):
+        from zoi_spark import similarity as sim
+        rows = ([(i, [float(i), 0.0], 0) for i in range(5)]
+                + [(100 + i, [4.5 + i, 0.0], 1) for i in range(5)])
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = sim.dunn_index(df, sample_m=50).collect()[0]
+        # clusters overlap: min inter gap 0.5 << diameter 4
+        assert out["dunn"] < 0.2
+        assert out["min_inter"] == 0.5

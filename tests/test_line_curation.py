@@ -1359,3 +1359,32 @@ class TestIndexGapBits:
                for r in tx.index_gap_bits(df, k=5,
                                           min_df=3).collect()}
         assert out["dense"] < out["sparse"]
+
+
+class TestVocabKnee:
+    def test_sharp_head_knee(self, spark):
+        from zoi_spark import text as tx
+        # two huge head tokens, long flat tail: knee right after head
+        docs, did = [], 0
+        for _ in range(200):
+            docs.append((did, "alpha")); did += 1
+        for _ in range(150):
+            docs.append((did, "beta")); did += 1
+        for i in range(40):
+            for _ in range(5):
+                docs.append((did, f"tail{i:02d}")); did += 1
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = tx.vocab_knee(df, k=42).collect()[0]
+        assert out["knee_rank"] <= 4      # the elbow is in the head
+        assert out["gap"] > 0.5
+
+    def test_linear_curve_degenerate(self, spark):
+        from zoi_spark import text as tx
+        docs, did = [], 0
+        for i in range(10):
+            for _ in range(10 - i):
+                docs.append((did, f"w{i}")); did += 1
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = tx.vocab_knee(df, k=10).collect()[0]
+        # perfectly linear: every gap 0, tie -> rank 1
+        assert out["gap"] == 0.0 and out["knee_rank"] == 1

@@ -8096,3 +8096,22 @@ class TestOBFBoundaries:
             df, ts_col="ts", success=F.col("s") == 1,
             p0=0.5).collect()
         assert not any(r["crossed"] for r in out)
+
+
+class TestOtsuThreshold:
+    def test_bimodal_split(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [10, 11, 12, 13, 14] * 10 + [90, 91, 92, 93, 94] * 10
+        df = spark.createDataFrame([(i, v) for i, v in
+                                    enumerate(vals)], "i long, v int")
+        out = tc.otsu_threshold(df, "v").collect()[0]
+        assert 14 <= out["threshold"] < 90     # cut in the valley
+        assert out["mu0"] == 12.0 and out["mu1"] == 92.0
+        assert out["w0"] == 0.5
+
+    def test_tie_takes_smallest(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(0, 1), (1, 1), (2, 9), (3, 9)],
+                                   "i long, v int")
+        out = tc.otsu_threshold(df, "v").collect()[0]
+        assert out["threshold"] == 1

@@ -1405,3 +1405,52 @@ def kcenter_prototypes(df: DataFrame, *, vec_col: str = "embedding",
     return out.select(F.col("step").cast("long").alias("step"),
                       F.col("id").alias("id"),
                       F.col("radius")).orderBy("step")
+
+
+def dunn_index(df: DataFrame, *, vec_col: str = "embedding",
+               id_col: str = "vec_id", label_col: str = "label",
+               sample_m: int = 200,
+               round_to: int = 6) -> DataFrame:
+    """Dunn index (1974) of a labeled embedding cloud, exact on an
+    md5-ranked sample: min inter-cluster pair distance over max
+    intra-cluster diameter — the worst-case separation/compactness
+    ratio that the AVERAGE-based CH/DB indices
+    (cluster_validity_emb) smooth away: one pair of touching
+    clusters tanks Dunn while barely moving CH. Higher is better;
+    > 1 means every cluster gap exceeds every cluster diameter.
+
+    The O(m²) pair table is the fixed-size sample squared (the
+    index converges in m; the corpus never pairs with itself), one
+    broadcast self-join. Returns ``(m, n_labels, min_inter,
+    max_intra, dunn)``.
+    """
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(sample_m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(label_col).alias("l"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .where(F.col("a.i") < F.col("b.i"))
+             .select((F.col("a.l") == F.col("b.l")).alias("same"),
+                     _euclid(F.col("a.v"), F.col("b.v"))
+                     .alias("d")))
+    agg = pairs.agg(
+        F.min(F.when(~F.col("same"), F.col("d")))
+        .alias("min_inter"),
+        F.max(F.when(F.col("same"), F.col("d")))
+        .alias("max_intra"))
+    counts = s.agg(F.count(F.lit(1)).cast("long").alias("m"),
+                   F.count_distinct("l").cast("long")
+                   .alias("n_labels"))
+    t = counts.crossJoin(F.broadcast(agg))
+    dunn = F.when(F.col("max_intra") > 0,
+                  F.col("min_inter") / F.col("max_intra"))
+    return t.select(
+        "m", "n_labels",
+        F.round("min_inter", round_to).alias("min_inter"),
+        F.round("max_intra", round_to).alias("max_intra"),
+        F.round(dunn, round_to).alias("dunn"))

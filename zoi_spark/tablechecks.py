@@ -11615,3 +11615,48 @@ def obf_boundaries(df: DataFrame, *, ts_col: str, success,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (scored.withColumn("crossed", crossed == 1)
             .drop("__x").orderBy("bucket_ts"))
+
+
+def otsu_threshold(df: DataFrame, value_col: str, *,
+                   round_to: int = 6) -> DataFrame:
+    """Otsu's threshold (1979) on the exact value histogram: the
+    cut t maximizing the between-class variance
+    w₀(1−w₀)(μ₀−μ₁)² — the optimal 2-class Jenks break, computed
+    the way image binarization does it but over ANY numeric column:
+    the parameter-free answer to "where should the quality gate
+    go" that replaces an eyeballed round number. Ties resolve to
+    the smallest threshold.
+
+    ONE distinct-value pass: cumulative (count, sum) windows give
+    every candidate's class moments simultaneously; exact integers
+    until the terminal divisions. Returns ``(threshold, w0,
+    mu0, mu1, between_var)``.
+    """
+    dv = (df.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(value_col).alias("v"))
+          .agg(F.count(F.lit(1)).alias("c"),
+               F.sum(F.col(value_col).cast("double")).alias("s")))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = dv.select(
+        "v",
+        F.sum("c").over(wp).alias("cn"),
+        F.sum("s").over(wp).alias("cs"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("s").over(wall).alias("ts"))
+    t = t.where(F.col("cn") < F.col("n"))   # both classes non-empty
+    w0 = F.col("cn") / F.col("n")
+    mu0 = F.col("cs") / F.col("cn")
+    mu1 = (F.col("ts") - F.col("cs")) / (F.col("n") - F.col("cn"))
+    bv = w0 * (1.0 - w0) * (mu0 - mu1) * (mu0 - mu1)
+    scored = t.select("v", w0.alias("w0"), mu0.alias("mu0"),
+                      mu1.alias("mu1"), bv.alias("bv"))
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("bv").desc(), "v"))
+    return (scored.withColumn("__rn", rn).where(F.col("__rn") == 1)
+            .select(F.col("v").alias("threshold"),
+                    F.round("w0", round_to).alias("w0"),
+                    F.round("mu0", round_to).alias("mu0"),
+                    F.round("mu1", round_to).alias("mu1"),
+                    F.round("bv", round_to).alias("between_var")))

@@ -4236,3 +4236,41 @@ def index_gap_bits(df: DataFrame, *, text_col: str = "text",
                         F.round(F.col("total_bits") / F.col("df"),
                                 round_to))
             .orderBy(F.col("df").desc(), "token"))
+
+
+def vocab_knee(df: DataFrame, *, text_col: str = "text",
+               k: int = 200, round_to: int = 6) -> DataFrame:
+    """Kneedle knee of the token frequency-rank curve (Satopää
+    2011, simplified for a decreasing convex curve): normalize rank
+    and frequency to [0,1] over the top-*k* terms and take the
+    point FURTHEST BELOW the (0,1)→(1,0) diagonal — gap
+    g = (1 − x̂) − ŷ, ties to the smallest rank. The knee is where
+    the head vocabulary ends: everything left of it is the
+    stopword/boilerplate head a prune list should cover
+    (vocab_prune's budget, made parameter-free). One vocabulary
+    aggregation + windows over k rows. Returns one row
+    ``(knee_rank, token, cf, gap)``.
+    """
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    top = (df.where(F.col(text_col).isNotNull())
+           .select(toks.alias("token"))
+           .where(F.col("token") != "")
+           .groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+           .orderBy(F.col("cf").desc(), "token").limit(int(k)))
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("cf").desc(), "token"))
+    t = top.select("token", "cf", rn.alias("r"))
+    wall = Window.partitionBy()
+    kk = F.max("r").over(wall).cast("double")
+    cmax = F.max("cf").over(wall).cast("double")
+    cmin = F.min("cf").over(wall).cast("double")
+    xn = (F.col("r") - 1) / (kk - 1)
+    yn = (F.col("cf") - cmin) / (cmax - cmin)
+    gap = (1.0 - xn) - yn
+    scored = t.select("token", "cf", "r", gap.alias("gap"))
+    pick = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("gap").desc(), "r"))
+    return (scored.withColumn("__p", pick).where(F.col("__p") == 1)
+            .select(F.col("r").cast("long").alias("knee_rank"),
+                    "token", F.col("cf").cast("long").alias("cf"),
+                    F.round("gap", round_to).alias("gap")))
