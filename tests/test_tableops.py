@@ -7715,7 +7715,9 @@ class TestGrangerLag1:
         assert out["f_stat"] >= 0
 
 
-class TestCochranArmitage:
+class TestCochranArmitageLen:
+    # exercises the SHARED cochran_armitage operator (also driven by
+    # error_rate_trend) through the length-level query's shape
     def test_rising_rates_hand_value(self, spark):
         from zoi_spark import tablechecks as tc
         import math
@@ -7724,12 +7726,13 @@ class TestCochranArmitage:
                 + [(2, 1)] * 9 + [(2, 0)] * 1)
         df = spark.createDataFrame(rows, "sc int, y int")
         out = tc.cochran_armitage(
-            df, score=F.col("sc"),
-            success=F.col("y") == 1).collect()[0]
-        # T=23, E=15, Var=5 -> Z = 8/sqrt(5)
-        assert out["t"] == 23
+            df, flag=F.col("y") == 1,
+            score=F.col("sc")).collect()[0]
+        # T = 23 - 0.5*30 = 8, Var = 5 -> Z = 8/sqrt(5)
+        assert out["t_stat"] == 8.0
+        assert out["var_t"] == 5.0
         assert out["z"] == round(8 / math.sqrt(5), 6)
-        assert out["n"] == 30 and out["n_levels"] == 3
+        assert out["n"] == 30 and out["x"] == 15
 
     def test_flat_rates_zero(self, spark):
         from zoi_spark import tablechecks as tc
@@ -7737,8 +7740,8 @@ class TestCochranArmitage:
                 for y in ([1] * 4 + [0] * 6)]
         df = spark.createDataFrame(rows, "sc int, y int")
         out = tc.cochran_armitage(
-            df, score=F.col("sc"),
-            success=F.col("y") == 1).collect()[0]
+            df, flag=F.col("y") == 1,
+            score=F.col("sc")).collect()[0]
         assert out["z"] == 0.0
 
 

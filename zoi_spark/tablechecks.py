@@ -10895,47 +10895,6 @@ def granger_lag1(df: DataFrame, *, ts_col: str, y_on, x_on,
         F.round(rss_u, round_to).alias("rss_u"))
 
 
-def cochran_armitage(df: DataFrame, *, score, success,
-                     round_to: int = 6) -> DataFrame:
-    """Cochran–Armitage trend test: is the success PROPORTION
-    monotone in an ordinal *score* (dose-response)? With per-level
-    (nᵢ, kᵢ) and scores sᵢ,
-
-        T = Σ kᵢsᵢ,   E = p̄·Σ nᵢsᵢ,
-        Var = p̄(1−p̄)·[Σ nᵢsᵢ² − (Σ nᵢsᵢ)²/N],   Z = (T−E)/√Var
-
-    — the TREND-aware alternative to the k-level chi-square (which
-    burns power on non-monotone alternatives): "does the violation
-    rate RISE with document length", not just "does it differ".
-    Jonckheere (jonckheere_len_trend) is its rank cousin for
-    continuous responses; this is the proportions version.
-
-    One aggregation to the score levels; every moment is exact
-    integer until the p̄ division. Returns ``(n, n_levels, t, z)``.
-    """
-    s = F.when(success, 1).otherwise(0)
-    per = (df.groupBy(score.alias("sc"))
-           .agg(F.count(F.lit(1)).alias("ni"),
-                F.sum(s).alias("ki"))
-           .where(F.col("sc").isNotNull()))
-    agg = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_levels"),
-        F.sum("ni").alias("n"), F.sum("ki").alias("k"),
-        F.sum(F.col("ki") * F.col("sc")).alias("t"),
-        F.sum(F.col("ni") * F.col("sc")).alias("ns"),
-        F.sum(F.col("ni") * F.col("sc") * F.col("sc")).alias("ns2"))
-    n = F.col("n").cast("double")
-    pbar = F.col("k") / n
-    e = pbar * F.col("ns")
-    var = (pbar * (1.0 - pbar)
-           * (F.col("ns2") - F.col("ns") * F.col("ns") / n))
-    z = F.when(var > 0, (F.col("t") - e) / F.sqrt(var))
-    return agg.select(
-        F.col("n").cast("long").alias("n"), "n_levels",
-        F.col("t").cast("long").alias("t"),
-        F.round(z, round_to).alias("z"))
-
-
 def quade_test(df: DataFrame, *, block_col: str, treat_col: str,
                value_col: str, round_to: int = 6) -> DataFrame:
     """Quade test (1979): the block-weighted Friedman — blocks are
