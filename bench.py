@@ -520,6 +520,9 @@ R4_NAMES = [
     "kcenter_prototypes_emb",
     # wave 121: Otsu threshold, Kneedle knee, Dunn index
     "otsu_len_threshold", "kneedle_vocab_knee", "dunn_index_emb",
+    # wave 122: spectral entropy, permutation entropy, typography
+    "spectral_entropy_volume", "permutation_entropy_volume",
+    "typography_sources",
 ]
 
 

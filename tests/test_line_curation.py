@@ -1388,3 +1388,22 @@ class TestVocabKnee:
         out = tx.vocab_knee(df, k=10).collect()[0]
         # perfectly linear: every gap 0, tie -> rank 1
         assert out["gap"] == 0.0 and out["knee_rank"] == 1
+
+
+class TestTypographyCensus:
+    def test_pipeline_fingerprints(self, spark):
+        from zoi_spark import text as tx
+        rows = [(0, 'he said "hi" and \'bye\' ...', "term"),
+                (1, "she said “hello” and ‘so’ … — yes", "word"),
+                (2, "code `x` and \"y\"", "term")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        out = {r["group"]: r for r in tx.typography_census(
+            df).collect()}
+        assert out["term"]["straight_quotes_per_kc"] > 0
+        assert out["term"]["curly_quotes_per_kc"] == 0.0
+        assert out["word"]["curly_quotes_per_kc"] > 0
+        assert out["word"]["ellipsis_char_per_kc"] > 0
+        assert out["word"]["dashes_per_kc"] > 0
+        assert out["term"]["dot_runs_per_kc"] > 0
+        assert out["term"]["backticks_per_kc"] > 0

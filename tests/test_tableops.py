@@ -8118,3 +8118,49 @@ class TestOtsuThreshold:
                                    "i long, v int")
         out = tc.otsu_threshold(df, "v").collect()[0]
         assert out["threshold"] == 1
+
+
+class TestSpectralEntropy:
+    def test_pure_cycle_low(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        days = [{"e": 50 + int(40 * math.sin(2 * math.pi * i / 7))}
+                for i in range(28)]
+        df = _daily_events(spark, days)
+        out = tc.spectral_entropy(df, ts_col="ts",
+                                  max_freq=10).collect()[0]
+        assert out["peak_freq"] == 4          # 28/7 cycles
+        assert out["peak_share"] > 0.8
+        assert out["entropy"] < 0.4
+
+    def test_irregular_high(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [13, 7, 29, 4, 16, 9, 21, 6, 14, 31, 8, 17,
+                5, 20, 11, 26, 3, 18, 12, 24, 7, 15, 28, 9]
+        df = _daily_events(spark, [{"e": v} for v in vals])
+        out = tc.spectral_entropy(df, ts_col="ts",
+                                  max_freq=10).collect()[0]
+        assert out["entropy"] > 0.7
+
+
+class TestPermutationEntropy:
+    def test_monotone_ramp_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = _daily_events(spark, [{"e": i + 1} for i in range(20)])
+        out = tc.permutation_entropy(df, ts_col="ts").collect()[0]
+        assert out["perm_entropy"] == 0.0     # only pattern '012'
+        assert out["modal_pattern"] == "012"
+        assert out["n_patterns_seen"] == 1
+
+    def test_alternation_two_patterns(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        df = _daily_events(spark,
+                           [{"e": 5 if i % 2 == 0 else 15}
+                            for i in range(20)])
+        out = tc.permutation_entropy(df, ts_col="ts").collect()[0]
+        # strict alternation: only '102' and '120'... exactly two
+        # patterns with equal mass -> H = ln2/ln6
+        assert out["n_patterns_seen"] == 2
+        assert out["perm_entropy"] == round(math.log(2)
+                                            / math.log(6), 6)

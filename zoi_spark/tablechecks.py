@@ -11619,3 +11619,114 @@ def otsu_threshold(df: DataFrame, value_col: str, *,
                     F.round("mu0", round_to).alias("mu0"),
                     F.round("mu1", round_to).alias("mu1"),
                     F.round("bv", round_to).alias("between_var")))
+
+
+def spectral_entropy(df: DataFrame, *, ts_col: str,
+                     unit: str = "day", max_freq: int = 10,
+                     round_to: int = 6) -> DataFrame:
+    """Normalized spectral entropy of the per-*unit* volume series:
+    DFT power at frequencies 1..K (centered series, direct cos/sin
+    sums — no FFT needed at bucket counts), normalized to a
+    probability vector, and H = −Σ p·ln p / ln K ∈ [0,1]. H → 0
+    reads "one periodicity owns the series" (strict weekly cycle),
+    H → 1 "white noise" — the one-number regularity score that
+    weekly_spectrum's single-frequency power and seasonal_strength's
+    period-7 decomposition both presuppose a period for.
+
+    The freq table (K rows) broadcasts against the bucket table —
+    O(n·K) trig terms, all on the tiny bucket frame. Returns
+    ``(n_buckets, n_freqs, peak_freq, peak_share, entropy)``.
+    """
+    import math
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    wall = Window.partitionBy()
+    wo = Window.partitionBy().orderBy("b")
+    ser = daily.select(
+        (F.col("x") - F.avg("x").over(wall)).alias("x"),
+        (F.row_number().over(wo) - 1).cast("double").alias("i"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("n"))
+    spark = df.sparkSession
+    freqs = spark.range(1, int(max_freq) + 1).select(
+        F.col("id").cast("double").alias("f"))
+    terms = (ser.crossJoin(F.broadcast(freqs))
+             .select("f",
+                     (F.col("x") * F.cos(2.0 * math.pi * F.col("f")
+                                         * F.col("i") / F.col("n")))
+                     .alias("c"),
+                     (F.col("x") * F.sin(2.0 * math.pi * F.col("f")
+                                         * F.col("i") / F.col("n")))
+                     .alias("s")))
+    power = (terms.groupBy("f")
+             .agg((F.sum("c") * F.sum("c")
+                   + F.sum("s") * F.sum("s")).alias("p")))
+    tot = F.sum("p").over(Window.partitionBy())
+    probs = power.select("f", (F.col("p") / tot).alias("pr"))
+    n_buckets = daily.count()
+    agg = probs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_freqs"),
+        # deterministic tie-break: (power share, then frequency)
+        F.max_by("f", F.struct(F.col("pr"), F.col("f")))
+        .cast("long").alias("peak_freq"),
+        F.round(F.max("pr"), round_to).alias("peak_share"),
+        F.round(-F.sum(F.when(F.col("pr") > 0,
+                              F.col("pr") * F.log("pr"))
+                       .otherwise(0.0))
+                / F.lit(math.log(float(max_freq))), round_to)
+        .alias("entropy"))
+    return agg.select(F.lit(n_buckets).cast("long")
+                      .alias("n_buckets"), "n_freqs", "peak_freq",
+                      "peak_share", "entropy")
+
+
+def permutation_entropy(df: DataFrame, *, ts_col: str,
+                        unit: str = "day",
+                        round_to: int = 6) -> DataFrame:
+    """Bandt–Pompe permutation entropy (order 3) of the per-*unit*
+    volume series: each consecutive triple maps to its ordinal
+    pattern (ties broken by position, the original convention), and
+    H = −Σ p·ln p / ln 6 ∈ [0,1] over the 6 patterns. H → 0 means
+    the DYNAMICS are deterministic (monotone ramps, strict cycles)
+    whatever the marginal distribution; H → 1 is dynamically random
+    — complements spectral entropy (frequency view) with a
+    shape-of-motion view that is immune to any monotone transform
+    of the values.
+
+    Patterns come from two lead windows + exact comparisons on the
+    bucket table. Returns ``(n_windows, n_patterns_seen,
+    modal_pattern, perm_entropy)`` — pattern encoded as the rank
+    string of the three positions (e.g. '012' ascending).
+    """
+    import math
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    wo = Window.partitionBy().orderBy("b")
+    t = daily.select(
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(wo).alias("m"),
+        F.lead("x", 2).over(wo).alias("c")) \
+        .where(F.col("m").isNotNull() & F.col("c").isNotNull())
+    lt = lambda u, v, tie: F.when(F.col(u) < F.col(v), 1) \
+        .when((F.col(u) == F.col(v)) & F.lit(tie), 1).otherwise(0)
+    # rank of each position among the triple; ties -> earlier
+    # position ranks lower (Bandt-Pompe order-of-appearance rule)
+    r0 = lt("m", "a", False) + lt("c", "a", False)
+    r1 = lt("a", "m", True) + lt("c", "m", False)
+    r2 = lt("a", "c", True) + lt("m", "c", True)
+    pat = F.concat(r0.cast("string"), r1.cast("string"),
+                   r2.cast("string"))
+    counts = t.select(pat.alias("p")).groupBy("p") \
+        .agg(F.count(F.lit(1)).alias("c"))
+    tot = F.sum("c").over(Window.partitionBy())
+    probs = counts.select("p", "c", (F.col("c") / tot).alias("pr"))
+    agg = probs.agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns_seen"),
+        F.max_by("p", F.struct(F.col("c"), F.col("p")))
+        .alias("modal_pattern"),
+        F.round(-F.sum(F.col("pr") * F.log("pr"))
+                / F.lit(math.log(6.0)), round_to)
+        .alias("perm_entropy"))
+    return agg

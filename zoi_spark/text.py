@@ -4274,3 +4274,51 @@ def vocab_knee(df: DataFrame, *, text_col: str = "text",
             .select(F.col("r").cast("long").alias("knee_rank"),
                     "token", F.col("cf").cast("long").alias("cf"),
                     F.round("gap", round_to).alias("gap")))
+
+
+def typography_census(df: DataFrame, *, text_col: str = "text",
+                      by: str = "source",
+                      round_to: int = 6) -> DataFrame:
+    """Typography provenance census per group: rates per 1000 chars
+    of straight vs curly quotes, apostrophe forms, backticks,
+    ellipsis character vs three-dot runs, em/en dashes. Word
+    processors emit curly+ellipsis, terminals/code straight+dots,
+    OCR mixes them mid-document — so the MIX identifies the
+    production pipeline behind a source and flags style-inconsistent
+    (likely scraped-and-stitched) corpora; the typographic sibling
+    of the mojibake/entity/control-char encoding audits.
+
+    Pure regexp_count over one aggregation. Returns per group
+    ``(group, n_docs, straight_quotes_per_kc, curly_quotes_per_kc,
+    backticks_per_kc, ellipsis_char_per_kc, dot_runs_per_kc,
+    dashes_per_kc)``.
+    """
+    t = F.col(text_col)
+    counts = {
+        "straight": r"""["']""",
+        "curly": "[“”‘’]",
+        "backtick": r"`",
+        "ellipsis": "…",
+        "dotrun": r"\.\.\.",
+        "dash": "[–—]",
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(t)).alias("__chars")]
+    for k, pat in counts.items():
+        aggs.append(F.sum(F.regexp_count(t, F.lit(pat)))
+                    .alias(f"__{k}"))
+    g = (df.where(F.col(text_col).isNotNull()
+                  & F.col(by).isNotNull())
+         .groupBy(F.col(by).alias("group"))
+         .agg(*aggs))
+    per_kc = lambda c: F.round(F.col(c) * 1000.0 / F.col("__chars"),
+                               round_to)
+    return (g.select(
+        "group", "n_docs",
+        per_kc("__straight").alias("straight_quotes_per_kc"),
+        per_kc("__curly").alias("curly_quotes_per_kc"),
+        per_kc("__backtick").alias("backticks_per_kc"),
+        per_kc("__ellipsis").alias("ellipsis_char_per_kc"),
+        per_kc("__dotrun").alias("dot_runs_per_kc"),
+        per_kc("__dash").alias("dashes_per_kc"))
+        .orderBy("group"))
