@@ -523,6 +523,9 @@ R4_NAMES = [
     # wave 122: spectral entropy, permutation entropy, typography
     "spectral_entropy_volume", "permutation_entropy_volume",
     "typography_sources",
+    # wave 123: Weibull gap fit, triplet accuracy, CKA halves
+    "weibull_user_gaps", "triplet_accuracy_emb",
+    "cka_dim_halves_emb",
 ]
 
 

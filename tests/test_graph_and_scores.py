@@ -1501,3 +1501,53 @@ class TestDunnIndex:
         # clusters overlap: min inter gap 0.5 << diameter 4
         assert out["dunn"] < 0.2
         assert out["min_inter"] == 0.5
+
+
+class TestTripletAccuracy:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+
+    def test_separated_labels_perfect(self, spark):
+        from zoi_spark import similarity as sim
+        rows = ([(i, [0.0 + i * 0.01, 0.0], 0) for i in range(10)]
+                + [(100 + i, [50.0 + i * 0.01, 0.0], 1)
+                   for i in range(10)])
+        out = sim.triplet_accuracy(self._df(spark, rows),
+                                   m=20).collect()[0]
+        assert out["accuracy"] == 1.0
+        assert out["mean_margin"] > 40
+
+    def test_interleaved_labels_poor(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i), 0.0], i % 2) for i in range(20)]
+        out = sim.triplet_accuracy(self._df(spark, rows),
+                                   m=20).collect()[0]
+        # neighbors always carry the OTHER label on this lattice
+        assert out["accuracy"] == 0.0
+        assert out["mean_margin"] < 0
+
+
+class TestCKADimHalves:
+    def test_duplicated_halves_one(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 7), float(i // 7)] * 2)
+                for i in range(30)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.cka_dim_halves(df, m=30).collect()[0]
+        assert out["cka"] == 1.0              # identical geometry
+
+    def test_independent_halves_low(self, spark):
+        from zoi_spark import similarity as sim
+        # first half varies with i%5, second with an md5-derived
+        # pattern uncorrelated with it
+        import hashlib
+        h = lambda i: int(hashlib.md5(str(i).encode())
+                          .hexdigest()[:4], 16) % 11
+        rows = [(i, [float(i % 5), 0.0, float(h(i)), 0.0])
+                for i in range(40)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.cka_dim_halves(df, m=40).collect()[0]
+        assert out["cka"] < 0.3

@@ -8164,3 +8164,38 @@ class TestPermutationEntropy:
         assert out["n_patterns_seen"] == 2
         assert out["perm_entropy"] == round(math.log(2)
                                             / math.log(6), 6)
+
+
+class TestWeibullFit:
+    def _df_from_gaps(self, spark, gaps):
+        import datetime as dt
+        t, rows, eid = 0, [], 0
+        base = dt.datetime(2024, 12, 1)
+        rows.append((eid, 1, base)); eid += 1
+        for g in gaps:
+            t += g
+            rows.append((eid, 1,
+                         base + dt.timedelta(seconds=t))); eid += 1
+        return spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp")
+
+    def test_exponential_gaps_shape_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        n = 300
+        gaps = [max(1, int(round(-1000 * math.log(1 - (i + 1)
+                                                  / (n + 1)))))
+                for i in range(n)]
+        df = self._df_from_gaps(spark, gaps)
+        out = tc.weibull_fit(df, entity_col="user_id",
+                             ts_col="ts").collect()[0]
+        assert 0.85 < out["shape"] < 1.15     # memoryless
+        assert out["r2"] > 0.95
+
+    def test_bursty_mixture_shape_below_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        gaps = ([1, 2, 3] * 40) + ([9000, 11000, 13000] * 10)
+        df = self._df_from_gaps(spark, gaps)
+        out = tc.weibull_fit(df, entity_col="user_id",
+                             ts_col="ts").collect()[0]
+        assert out["shape"] < 0.6             # heavy silence tail

@@ -1454,3 +1454,107 @@ def dunn_index(df: DataFrame, *, vec_col: str = "embedding",
         F.round("min_inter", round_to).alias("min_inter"),
         F.round("max_intra", round_to).alias("max_intra"),
         F.round(dunn, round_to).alias("dunn"))
+
+
+def triplet_accuracy(df: DataFrame, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     label_col: str = "label", m: int = 96,
+                     round_to: int = 6) -> DataFrame:
+    """Triplet accuracy of a labeled embedding space on m md5-ranked
+    anchors: for each anchor, is the nearest SAME-label point closer
+    than the nearest OTHER-label point? The ranking-free version of
+    the retrieval eval (label_retrieval_eval's P@k needs a k; this
+    asks the minimal metric-learning question directly), plus the
+    mean margin (d_diff − d_same) that says HOW separable. Anchors
+    with no same-label peer are dropped.
+
+    Anchors broadcast against the corpus — one pass, two
+    conditional mins per anchor; m fixed as the corpus grows.
+    Returns ``(n_anchors, accuracy, mean_margin)``.
+    """
+    data = (df.where(F.col(vec_col).isNotNull()
+                     & F.col(id_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(label_col).alias("l"),
+                    F.col(vec_col).cast("array<double>").alias("v")))
+    anchors = (data.orderBy(F.md5(F.col("id").cast("string")))
+               .limit(int(m))
+               .select(F.col("id").alias("aid"),
+                       F.col("l").alias("al"),
+                       F.col("v").alias("av")))
+    pairs = (F.broadcast(anchors).alias("a")
+             .join(data.alias("d"),
+                   F.col("a.aid") != F.col("d.id"))
+             .select("a.aid",
+                     (F.col("a.al") == F.col("d.l")).alias("same"),
+                     _euclid(F.col("a.av"), F.col("d.v"))
+                     .alias("dist")))
+    per = pairs.groupBy("aid").agg(
+        F.min(F.when(F.col("same"), F.col("dist")))
+        .alias("d_same"),
+        F.min(F.when(~F.col("same"), F.col("dist")))
+        .alias("d_diff"))
+    used = per.where(F.col("d_same").isNotNull()
+                     & F.col("d_diff").isNotNull())
+    return used.agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.round(F.avg((F.col("d_same") < F.col("d_diff"))
+                      .cast("double")), round_to).alias("accuracy"),
+        F.round(F.avg(F.col("d_diff") - F.col("d_same")), round_to)
+         .alias("mean_margin"))
+
+
+def cka_dim_halves(df: DataFrame, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id", m: int = 128,
+                   round_to: int = 6) -> DataFrame:
+    """Linear CKA (Kornblith 2019) between the FIRST and SECOND
+    halves of the embedding dimensions, on an md5-ranked sample:
+    centered Gram matrices K (first half) and L (second half),
+    CKA = ΣK_c∘L_c / √(ΣK_c² · ΣL_c²) ∈ [0,1]. High CKA says the
+    two dim-halves encode the SAME geometry — the representation is
+    redundant and PQ/PCA compression (what twonn/effective_dim
+    size) is nearly free; low CKA says the halves carry different
+    information and truncation is lossy.
+
+    Same fixed-sample O(m²) pair shape as distance_correlation,
+    with dot products instead of distances. Returns ``(m, cka)``.
+    """
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    half = F.size("v") / 2
+    s = s.select(
+        "i",
+        F.slice("v", 1, half.cast("int")).alias("x"),
+        F.expr("slice(v, int(size(v)/2) + 1, "
+               "size(v) - int(size(v)/2))").alias("y"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0),
+        lambda acc, z: acc + z)
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"),
+                     dot(F.col("a.x"), F.col("b.x")).alias("k"),
+                     dot(F.col("a.y"), F.col("b.y")).alias("l")))
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    wall = Window.partitionBy()
+    cen = pairs.select(
+        (F.col("k") - F.avg("k").over(wi) - F.avg("k").over(wj)
+         + F.avg("k").over(wall)).alias("kc"),
+        (F.col("l") - F.avg("l").over(wi) - F.avg("l").over(wj)
+         + F.avg("l").over(wall)).alias("lc"))
+    agg = cen.agg(F.count(F.lit(1)).alias("m2"),
+                  F.sum(F.col("kc") * F.col("lc")).alias("hsic"),
+                  F.sum(F.col("kc") * F.col("kc")).alias("kk"),
+                  F.sum(F.col("lc") * F.col("lc")).alias("ll"))
+    cka = F.when((F.col("kk") > 0) & (F.col("ll") > 0),
+                 F.col("hsic")
+                 / F.sqrt(F.col("kk") * F.col("ll")))
+    return agg.select(
+        F.sqrt(F.col("m2").cast("double")).cast("long").alias("m"),
+        F.round(cka, round_to).alias("cka"))

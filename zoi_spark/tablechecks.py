@@ -11730,3 +11730,54 @@ def permutation_entropy(df: DataFrame, *, ts_col: str,
                 / F.lit(math.log(6.0)), round_to)
         .alias("perm_entropy"))
     return agg
+
+
+def weibull_fit(df: DataFrame, *, entity_col: str, ts_col: str,
+                round_to: int = 6) -> DataFrame:
+    """Weibull plot fit of pooled inter-event gaps: with the
+    midpoint empirical CDF F over distinct gap values,
+
+        ln(−ln(1−F))  =  k·ln(g) − k·ln(λ)
+
+    so the OLS slope IS the shape k and exp(−intercept/k) the scale
+    λ. k < 1 reads "bursty/clustered arrivals" (decreasing hazard —
+    the longer the silence, the longer it will last), k = 1
+    memoryless, k > 1 aging — the PARAMETRIC companion to the
+    burstiness index: B says whether, k says how, and λ prices the
+    timeout to set. Gaps are exact integer seconds; the regression
+    rides the distinct-gap table. Returns ``(n_gaps, shape, scale,
+    r2)``.
+    """
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(entity_col).alias("e"),
+                    F.unix_timestamp(F.col(ts_col)).alias("t")))
+    w = Window.partitionBy("e").orderBy("t")
+    gaps = base.select(
+        (F.col("t") - F.lag("t").over(w)).alias("g")) \
+        .where(F.col("g").isNotNull() & (F.col("g") > 0))
+    dv = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    n = F.sum("c").over(wall)
+    fmid = ((F.coalesce(F.sum("c").over(wp), F.lit(0))
+             + F.col("c") / 2.0) / n)
+    pts = dv.select(
+        F.log(F.col("g").cast("double")).alias("x"),
+        F.log(-F.log(1.0 - fmid)).alias("y"),
+        n.alias("n"))
+    agg = pts.agg(
+        F.any_value("n").cast("long").alias("n_gaps"),
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"), F.var_pop("y").alias("vy"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    k = F.col("cxy") / F.col("vx")
+    intercept = F.col("my") - k * F.col("mx")
+    return agg.select(
+        "n_gaps",
+        F.round(k, round_to).alias("shape"),
+        F.round(F.exp(-intercept / k), round_to).alias("scale"),
+        F.round(F.col("cxy") * F.col("cxy")
+                / (F.col("vx") * F.col("vy")), round_to)
+         .alias("r2"))
