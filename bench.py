@@ -526,6 +526,8 @@ R4_NAMES = [
     # wave 123: Weibull gap fit, triplet accuracy, CKA halves
     "weibull_user_gaps", "triplet_accuracy_emb",
     "cka_dim_halves_emb",
+    # wave 124: simhash bit bias, 1-NN C2ST, discord week
+    "simhash_bit_bias", "c2st_emb_halves", "discord_week_volume",
 ]
 
 

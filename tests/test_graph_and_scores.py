@@ -1551,3 +1551,27 @@ class TestCKADimHalves:
                                    "vec_id long, embedding array<float>")
         out = sim.cka_dim_halves(df, m=40).collect()[0]
         assert out["cka"] < 0.3
+
+
+class TestC2ST:
+    def test_same_distribution_near_half(self, spark):
+        from zoi_spark import similarity as sim
+        import hashlib
+        h = lambda i, j: int(hashlib.md5(f"{i}:{j}".encode())
+                             .hexdigest()[:6], 16) % 1000 / 1000.0
+        rows = [(i, [h(i, 0), h(i, 1), h(i, 2)]) for i in range(80)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.c2st_1nn(df, m=80).collect()[0]
+        assert 0.25 <= out["accuracy"] <= 0.75
+        assert abs(out["z"]) < 4.5
+
+    def test_shifted_halves_detected(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 7) + (0.0 if i % 2 == 0 else 100.0),
+                     0.0]) for i in range(60)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.c2st_1nn(df, m=60).collect()[0]
+        assert out["accuracy"] == 1.0
+        assert out["z"] > 5

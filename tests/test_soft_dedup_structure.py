@@ -202,3 +202,29 @@ class TestGearCdcArrow:
                                    "doc_id long, text string")
         with _pt.raises(ValueError):
             dedup.cdc_chunks(df, engine="nope").collect()
+
+
+class TestSimhashBitBias:
+    def test_varied_corpus_balanced(self, spark):
+        from zoi_spark import dedup
+        # ODD token count: with even n the strict-majority rule
+        # (ties -> 0) biases every bit share toward 5/16, not 1/2
+        rows = [(i, f"alpha{i} beta{i*7} gamma{i*13} delta{i*29} "
+                    f"eps{i*31}")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.simhash_bit_bias(df, hash="md5").collect()[0]
+        assert out["n_docs"] == 200
+        assert out["max_abs_bias"] < 0.2      # healthy-ish hash
+        assert 0 <= out["worst_bit"] < 60
+
+    def test_degenerate_corpus_saturates(self, spark):
+        from zoi_spark import dedup
+        rows = [(i, "same template text every time")
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.simhash_bit_bias(df, hash="md5").collect()[0]
+        # one template -> every doc has the identical fingerprint:
+        # every bit share is 0 or 1, bias saturates at 0.5
+        assert out["max_abs_bias"] == 0.5
+        assert out["mean_abs_bias"] == 0.5

@@ -8199,3 +8199,28 @@ class TestWeibullFit:
         out = tc.weibull_fit(df, entity_col="user_id",
                              ts_col="ts").collect()[0]
         assert out["shape"] < 0.6             # heavy silence tail
+
+
+class TestDiscordWeek:
+    def test_anomalous_week_found(self, spark):
+        from zoi_spark import tablechecks as tc
+        # weekly ramp, one REVERSED week in the middle (the ramp
+        # is asymmetric, so the reversal is a genuine shape change)
+        vals = []
+        for wk in range(4):
+            base = [5, 10, 15, 20, 25, 30, 35]
+            vals.extend(base[::-1] if wk == 2 else base)
+        df = _daily_events(spark, [{"e": v} for v in vals])
+        out = tc.discord_week(df, ts_col="ts", w=7).collect()[0]
+        # windows aligned to the reversed week correlate worst
+        assert 8 <= out["discord_start"] <= 20
+        assert out["motif_corr"] > 0.99   # two identical ramps
+        assert out["discord_best_corr"] < 0.9
+
+    def test_pure_cycle_motif_perfect(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [5, 9, 14, 20, 14, 9, 5] * 4
+        df = _daily_events(spark, [{"e": v} for v in vals])
+        out = tc.discord_week(df, ts_col="ts", w=7).collect()[0]
+        assert out["motif_corr"] == 1.0
+        assert out["n_windows"] == 22

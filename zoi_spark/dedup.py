@@ -2544,3 +2544,40 @@ def cdc_shared_chunks(df: DataFrame, *, text_col: str = "text",
                  F.countDistinct("id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .where(F.col("n_docs") >= int(min_docs)))
+
+
+def simhash_bit_bias(df: DataFrame, *, text_col: str = "text",
+                     hash: str = "md5",
+                     round_to: int = 6) -> DataFrame:
+    """Bit-balance audit of the simhash fingerprint itself: per bit
+    j ∈ 0..59, the share of documents with bit j set, summarized as
+    the worst and mean absolute deviation from ½. A healthy token
+    hash keeps every bit near 0.5; a biased bit means the underlying
+    hash (or a degenerate token distribution — one template owning
+    the corpus) is collapsing fingerprint entropy, which silently
+    RAISES simhash collision rates and near-dup false positives. The
+    QC for the dedup pipeline's own instrument, upstream of
+    simhash_pairs.
+
+    One pass computing all 60 bit shares in a single aggregation.
+    Returns ``(n_docs, worst_bit, max_abs_bias, mean_abs_bias)``.
+    """
+    h = simhash(F.col(text_col), hash=hash, engine="column")
+    base = df.where(F.col(text_col).isNotNull()).select(h.alias("h"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for j in range(SIMHASH_BITS):
+        p = 1 << j
+        bit = (F.pmod(F.col("h"), F.lit(p * 2)) >= p).cast("double")
+        aggs.append(F.avg(bit).alias(f"b{j}"))
+    wide = base.agg(*aggs)
+    shares = F.array(*[F.col(f"b{j}") for j in range(SIMHASH_BITS)])
+    devs = F.transform(shares, lambda s: F.abs(s - 0.5))
+    worst = F.array_position(devs, F.array_max(devs)) - 1
+    return wide.select(
+        "n_docs",
+        worst.cast("long").alias("worst_bit"),
+        F.round(F.array_max(devs), round_to).alias("max_abs_bias"),
+        F.round(F.aggregate(devs, F.lit(0.0),
+                            lambda a, x: a + x)
+                / F.lit(float(SIMHASH_BITS)), round_to)
+        .alias("mean_abs_bias"))

@@ -1558,3 +1558,54 @@ def cka_dim_halves(df: DataFrame, *, vec_col: str = "embedding",
     return agg.select(
         F.sqrt(F.col("m2").cast("double")).cast("long").alias("m"),
         F.round(cka, round_to).alias("cka"))
+
+
+def c2st_1nn(df: DataFrame, *, vec_col: str = "embedding",
+             id_col: str = "vec_id", split=None, m: int = 128,
+             round_to: int = 6) -> DataFrame:
+    """Classifier two-sample test via leave-one-out 1-NN (the
+    train-free C2ST of Lopez-Paz & Oquab 2017, Friedman 2004): label
+    each sampled vector by *split* (default: even/odd id), predict
+    each point's label from its nearest OTHER sample point, and
+    compare accuracy to the 50% a single distribution would give:
+
+        z = (acc − ½) / √(¼/m)
+
+    — the two-sample drift test for EMBEDDINGS, where the scalar
+    drift family (KS/AD/W1/…) has no natural multivariate form: did
+    this week's encoder output drift from last week's? Ties break to
+    the smaller id, deterministically.
+
+    The O(m²) pair table is the fixed sample squared; one broadcast
+    self-join. Returns ``(m, accuracy, z)``.
+    """
+    sp = split if split is not None \
+        else F.pmod(F.col(id_col), F.lit(2)) == 0
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(m))
+         .select(F.col(id_col).alias("i"),
+                 F.when(sp, 0).otherwise(1).alias("c"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .where(F.col("a.i") != F.col("b.i"))
+             .select(F.col("a.i").alias("i"),
+                     F.col("a.c").alias("c"),
+                     F.col("b.i").alias("j"),
+                     F.col("b.c").alias("cj"),
+                     _euclid(F.col("a.v"), F.col("b.v"))
+                     .alias("d")))
+    rn = F.row_number().over(
+        Window.partitionBy("i").orderBy("d", "j"))
+    nn = pairs.withColumn("__rn", rn).where(F.col("__rn") == 1)
+    agg = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.avg((F.col("c") == F.col("cj")).cast("double"))
+        .alias("acc"))
+    z = ((F.col("acc") - 0.5)
+         / F.sqrt(0.25 / F.col("m").cast("double")))
+    return agg.select(
+        "m", F.round("acc", round_to).alias("accuracy"),
+        F.round(z, round_to).alias("z"))

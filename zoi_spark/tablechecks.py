@@ -11781,3 +11781,77 @@ def weibull_fit(df: DataFrame, *, entity_col: str, ts_col: str,
         F.round(F.col("cxy") * F.col("cxy")
                 / (F.col("vx") * F.col("vy")), round_to)
          .alias("r2"))
+
+
+def discord_week(df: DataFrame, *, ts_col: str, unit: str = "day",
+                 w: int = 7, round_to: int = 6) -> DataFrame:
+    """Matrix-profile-style discord/motif scan of the per-*unit*
+    volume series with window length *w*: every window's Pearson
+    correlation to every other window at least *w* apart (the
+    standard trivial-match exclusion zone), then
+
+        discord = the window whose BEST match is worst
+        motif   = the pair that matches best
+
+    — "which week behaved like no other" (incident forensics) and
+    "which two weeks rhyme" (seasonality evidence), the shape-based
+    anomaly view that point outlier tests (z-score/Hampel/ECOD)
+    can't see. Ties break to smaller indices.
+
+    The window×position table is buckets·w rows; the pair join is
+    windows², both tiny. Returns one row ``(n_windows,
+    discord_start, discord_best_corr, motif_i, motif_j,
+    motif_corr)`` — starts are 0-based bucket indices.
+    """
+    daily = (df.groupBy(F.date_trunc(unit, F.col(ts_col))
+                        .alias("b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    wo = Window.partitionBy().orderBy("b")
+    ser = daily.select(
+        "x", (F.row_number().over(wo) - 1).alias("i"))
+    spark = df.sparkSession
+    offs = spark.range(int(w)).select(F.col("id").alias("p"))
+    wins = (ser.crossJoin(F.broadcast(offs))
+            .select((F.col("i") - F.col("p")).alias("win"),
+                    "p", "x")
+            .where(F.col("win") >= 0))
+    full = (wins.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") == int(w)).select("win"))
+    wins = wins.join(F.broadcast(full), "win")
+    a, b = wins.alias("a"), wins.alias("b")
+    pairs = (a.join(b, (F.col("a.p") == F.col("b.p"))
+                    & (F.col("b.win") >= F.col("a.win") + int(w)))
+             .groupBy(F.col("a.win").alias("wi"),
+                      F.col("b.win").alias("wj"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.sum(F.col("a.x")).alias("sx"),
+                  F.sum(F.col("b.x")).alias("sy"),
+                  F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+                  F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+                  F.sum(F.col("b.x") * F.col("b.x")).alias("syy")))
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    sym = pairs.select("wi", "wj", corr.alias("r")) \
+        .where(F.col("r").isNotNull())
+    both = sym.unionByName(
+        sym.select(F.col("wj").alias("wi"), F.col("wi").alias("wj"),
+                   "r"))
+    best = both.groupBy("wi").agg(F.max("r").alias("best"))
+    rn_d = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("best"), F.col("wi")))
+    discord = best.withColumn("__r", rn_d).where(F.col("__r") == 1)
+    rn_m = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("r").desc(), "wi", "wj"))
+    motif = sym.withColumn("__r", rn_m).where(F.col("__r") == 1)
+    n_win = full.count()
+    return (discord.select(
+        F.lit(n_win).cast("long").alias("n_windows"),
+        F.col("wi").cast("long").alias("discord_start"),
+        F.round("best", round_to).alias("discord_best_corr"))
+        .crossJoin(F.broadcast(motif.select(
+            F.col("wi").cast("long").alias("motif_i"),
+            F.col("wj").cast("long").alias("motif_j"),
+            F.round("r", round_to).alias("motif_corr")))))
