@@ -528,6 +528,8 @@ R4_NAMES = [
     "cka_dim_halves_emb",
     # wave 124: simhash bit bias, 1-NN C2ST, discord week
     "simhash_bit_bias", "c2st_emb_halves", "discord_week_volume",
+    # wave 125: Gorilla ts bits, AMS F2 sketch, session depth
+    "gorilla_ts_bits_users", "ams_f2_terms", "session_depth_types",
 ]
 
 

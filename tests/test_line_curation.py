@@ -1407,3 +1407,25 @@ class TestTypographyCensus:
         assert out["word"]["dashes_per_kc"] > 0
         assert out["term"]["dot_runs_per_kc"] > 0
         assert out["term"]["backticks_per_kc"] > 0
+
+
+class TestAMSF2:
+    def test_exact_and_sketch_match_reference(self, spark):
+        from zoi_spark import text as tx
+        import hashlib
+        docs = [(0, "a a a b b c"), (1, "a b d d"), (2, "c c e")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = tx.ams_f2(df, estimators=16).collect()[0]
+        counts = {"a": 4, "b": 3, "c": 3, "d": 2, "e": 1}
+        f2 = sum(c * c for c in counts.values())
+        assert out["f2_exact"] == f2
+        assert out["n_tokens"] == 13 and out["n_distinct"] == 5
+        # replicate the md5-signed projections in plain python
+        def sign(k, tok):
+            h = hashlib.md5(f"{k}:{tok}".encode()).hexdigest()[:8]
+            return 1 if int(h, 16) % 2 == 0 else -1
+        zs = [sum(sign(k, t) * c for t, c in counts.items())
+              for k in range(16)]
+        est = sum(z * z for z in zs) / 16.0
+        assert out["f2_ams"] == round(est, 6)
+        assert out["rel_error"] == round(abs(est - f2) / f2, 6)

@@ -8224,3 +8224,75 @@ class TestDiscordWeek:
         out = tc.discord_week(df, ts_col="ts", w=7).collect()[0]
         assert out["motif_corr"] == 1.0
         assert out["n_windows"] == 22
+
+
+class TestGorillaTsBits:
+    def test_metronome_one_bit(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows = [(i, 1, dt.datetime(2024, 12, 1)
+                 + dt.timedelta(seconds=60 * i)) for i in range(50)]
+        df = spark.createDataFrame(rows,
+                                   "id long, user_id long, ts timestamp")
+        out = tc.gorilla_ts_bits(df, entity_col="user_id",
+                                 ts_col="ts").collect()[0]
+        assert out["bits_per_event"] == 1.0   # dod = 0 throughout
+        assert out["ratio_vs_64bit"] == 64.0
+        assert out["share_zero_dod"] == 1.0
+
+    def test_bit_classes_hand(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        # gaps 10, 10, 74, 74, 374, 374: dods 0, 64, 0, 300, 0
+        gaps = [10, 10, 74, 74, 374, 374]
+        t, ts = 0, []
+        for g in gaps:
+            t += g
+            ts.append(t)
+        rows = [(i, 1, dt.datetime(2024, 12, 1)
+                 + dt.timedelta(seconds=s))
+                for i, s in enumerate([0] + ts)]
+        df = spark.createDataFrame(rows,
+                                   "id long, user_id long, ts timestamp")
+        out = tc.gorilla_ts_bits(df, entity_col="user_id",
+                                 ts_col="ts").collect()[0]
+        # bits: 1 + 9 + 1 + 16 + 1 = 28 over 5 dods
+        assert out["n_events"] == 5
+        assert out["bits_total"] == 28
+
+
+class TestSessionDepth:
+    def test_deterministic_chain(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows = []
+        eid = 0
+        for u in range(5):
+            for j, s in enumerate(["A", "B", "C"]):
+                rows.append((eid, u, dt.datetime(2024, 12, 1, j), s))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp, t string")
+        out = {r["state"]: r for r in tc.session_depth(
+            df, entity_col="user_id", ts_col="ts", type_col="t",
+            horizon=4).collect()}
+        assert out["A"]["v"] == 2.0
+        assert out["B"]["v"] == 1.0
+        assert out["C"]["v"] == 0.0
+        assert out["C"]["p_end"] == 1.0
+        assert out["A"]["p_end"] == 0.0
+
+    def test_horizon_truncates(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        # a 6-step chain: horizon 4 must report at most 4 from the head
+        rows = []
+        for j, s in enumerate("ABCDEF"):
+            rows.append((j, 1, dt.datetime(2024, 12, 1, j), s))
+        df = spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp, t string")
+        out = {r["state"]: r["v"] for r in tc.session_depth(
+            df, entity_col="user_id", ts_col="ts", type_col="t",
+            horizon=4).collect()}
+        assert out["A"] == 4.0                # truncated lower bound
+        assert out["C"] == 3.0

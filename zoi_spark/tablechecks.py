@@ -11855,3 +11855,117 @@ def discord_week(df: DataFrame, *, ts_col: str, unit: str = "day",
             F.col("wi").cast("long").alias("motif_i"),
             F.col("wj").cast("long").alias("motif_j"),
             F.round("r", round_to).alias("motif_corr")))))
+
+
+def gorilla_ts_bits(df: DataFrame, *, entity_col: str,
+                    ts_col: str, round_to: int = 6) -> DataFrame:
+    """Gorilla timestamp-compression estimate (Pelkonen 2015, the
+    Facebook TSDB paper): per entity stream, second deltas-of-deltas
+    D = (tᵢ−tᵢ₋₁) − (tᵢ₋₁−tᵢ₋₂) are billed with the paper's
+    variable-length classes —
+
+        D = 0 → 1 bit;  [−63,64] → 9;  [−255,256] → 12;
+        [−2047,2048] → 16;  else → 36
+
+    — the time-column sibling of the Elias-gamma postings estimate:
+    how many bits/event a Gorilla-style encoder would spend on THIS
+    corpus's arrival pattern (regular crawls compress ~60×, bursty
+    event streams don't). First two events per entity are billed at
+    64 and 9+... their actual cost is amortized out; they are
+    EXCLUDED here (documented), so the number is the steady-state
+    rate. All integers exact. Returns ``(n_events, bits_total,
+    bits_per_event, ratio_vs_64bit, share_zero_dod)``.
+    """
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(entity_col).alias("e"),
+                    F.unix_timestamp(F.col(ts_col)).alias("t")))
+    w = Window.partitionBy("e").orderBy("t")
+    # dod = (t_i - t_{i-1}) - (t_{i-1} - t_{i-2}), two lags over the
+    # per-entity time order
+    dd = base.select(
+        "e",
+        (F.col("t") - 2 * F.lag("t", 1).over(w)
+         + F.lag("t", 2).over(w)).alias("dod")) \
+        .where(F.col("dod").isNotNull())
+    bits = (F.when(F.col("dod") == 0, 1)
+            .when((F.col("dod") >= -63) & (F.col("dod") <= 64), 9)
+            .when((F.col("dod") >= -255) & (F.col("dod") <= 256), 12)
+            .when((F.col("dod") >= -2047) & (F.col("dod") <= 2048),
+                  16)
+            .otherwise(36))
+    t = dd.select(bits.alias("b"),
+                  (F.col("dod") == 0).cast("int").alias("z"))
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("b").cast("long").alias("bits_total"),
+        F.round(F.avg(F.col("b").cast("double")), round_to)
+         .alias("bits_per_event"),
+        F.round(64.0 / F.avg(F.col("b").cast("double")), round_to)
+         .alias("ratio_vs_64bit"),
+        F.round(F.avg(F.col("z").cast("double")), round_to)
+         .alias("share_zero_dod"))
+
+
+def session_depth(df: DataFrame, *, entity_col: str, ts_col: str,
+                  type_col: str, horizon: int = 4,
+                  round_to: int = 6) -> DataFrame:
+    """Expected remaining events by current event type, via
+    *horizon* rounds of value iteration on the empirical transition
+    matrix (absorbing END state where a user's stream stops):
+
+        v₀ = 0,   v_{k+1}(s) = Σ_t P(s→t)·(1 + v_k(t)),  P(s→END)
+        contributes 0
+
+    — "a user who just searched has how many events left", the
+    number session-length histograms can't give per STATE. The
+    horizon TRUNCATES (documented): v_h is the expected events
+    within the next h steps, a lower bound on the true absorption
+    depth; like the fixed-round PageRank, truncation is what makes
+    the DuckDB twin an unrolled CTE chain.
+
+    One transition aggregation (lead over the per-entity order);
+    each round rides the k×(k+1) matrix. Returns ``(state, n_out,
+    p_end, v)`` ordered by state.
+    """
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(ts_col).isNotNull()
+                     & F.col(type_col).isNotNull())
+            .select(F.col(entity_col).alias("e"),
+                    F.col(ts_col).alias("t"),
+                    F.col(type_col).alias("s")))
+    w = Window.partitionBy("e").orderBy("t", "s")
+    trans = base.select(
+        "s", F.lead("s").over(w).alias("nxt"))
+    counts = (trans.groupBy("s", "nxt")
+              .agg(F.count(F.lit(1)).alias("c")))
+    outs = counts.groupBy("s").agg(F.sum("c").alias("tot"))
+    p = (counts.join(outs, "s")
+         .select("s", "nxt", (F.col("c") / F.col("tot"))
+                 .alias("p"))
+         .persist())
+    states = outs.select("s").persist()
+    v = states.select("s", F.lit(0.0).alias("v"))
+    for _ in range(int(horizon)):
+        nv = (p.where(F.col("nxt").isNotNull())
+              .join(v.select(F.col("s").alias("nxt"),
+                             F.col("v").alias("vn")), "nxt")
+              .groupBy("s")
+              .agg(F.sum(F.col("p") * (1.0 + F.col("vn")))
+                   .alias("v")))
+        v = (states.join(nv, "s", "left")
+             .select("s", F.coalesce("v", F.lit(0.0)).alias("v")))
+        v = v.localCheckpoint(eager=True)
+    pend = (p.groupBy("s")
+            .agg(F.coalesce(
+                F.sum(F.when(F.col("nxt").isNull(), F.col("p"))),
+                F.lit(0.0)).alias("p_end")))
+    out = (outs.join(pend, "s").join(v, "s")
+           .select(F.col("s").alias("state"),
+                   F.col("tot").cast("long").alias("n_out"),
+                   F.round("p_end", round_to).alias("p_end"),
+                   F.round("v", round_to).alias("v"))
+           .orderBy("state"))
+    p.unpersist()
+    states.unpersist()
+    return out

@@ -4322,3 +4322,50 @@ def typography_census(df: DataFrame, *, text_col: str = "text",
         per_kc("__dotrun").alias("dot_runs_per_kc"),
         per_kc("__dash").alias("dashes_per_kc"))
         .orderBy("group"))
+
+
+def ams_f2(df: DataFrame, *, text_col: str = "text",
+           estimators: int = 16,
+           round_to: int = 6) -> DataFrame:
+    """AMS second-frequency-moment sketch audit (Alon–Matias–Szegedy
+    1996): F2 = Σ_token count² — the self-join size / skew number —
+    estimated by *estimators* independent ±1 hash projections
+    (Z_k = Σ s_k(token)·count, estimate = mean of Z_k²) and compared
+    against the EXACT F2 from the same pass. The classic streaming
+    sketch with its error measured rather than trusted: F2 is what
+    prices every token self-join (pair counts = Σc², the quantity
+    the max_hash_docs/mega-bucket caps bound), and the AMS form is
+    what you'd keep when the vocabulary itself no longer fits.
+
+    Signs come from md5(k:token) parity — deterministic in both
+    engines. One vocabulary aggregation; the estimator sums ride
+    the vocab table. Returns ``(n_tokens, n_distinct, f2_exact,
+    f2_ams, rel_error)``.
+    """
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    vocab = (df.where(F.col(text_col).isNotNull())
+             .select(toks.alias("token"))
+             .where(F.col("token") != "")
+             .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    sign = lambda k: (
+        F.when(F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("token"))),
+            1, 8), 16, 10).cast("long") % 2 == 0, 1)
+        .otherwise(-1))
+    aggs = [F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).cast("long")
+            .alias("f2_exact")]
+    for k in range(int(estimators)):
+        aggs.append(F.sum(sign(k) * F.col("c")).alias(f"__z{k}"))
+    wide = vocab.agg(*aggs)
+    zs = F.array(*[F.col(f"__z{k}")
+                   for k in range(int(estimators))])
+    est = (F.aggregate(zs, F.lit(0.0),
+                       lambda a, z: a + (z * z).cast("double"))
+           / F.lit(float(estimators)))
+    return wide.select(
+        "n_tokens", "n_distinct", "f2_exact",
+        F.round(est, round_to).alias("f2_ams"),
+        F.round(F.abs(est - F.col("f2_exact"))
+                / F.col("f2_exact"), round_to).alias("rel_error"))
