@@ -2547,7 +2547,7 @@ def cdc_shared_chunks(df: DataFrame, *, text_col: str = "text",
 
 
 def simhash_bit_bias(df: DataFrame, *, text_col: str = "text",
-                     hash: str = "md5",
+                     hash: str = "md5", engine: str = "arrow",
                      round_to: int = 6) -> DataFrame:
     """Bit-balance audit of the simhash fingerprint itself: per bit
     j ∈ 0..59, the share of documents with bit j set, summarized as
@@ -2559,10 +2559,13 @@ def simhash_bit_bias(df: DataFrame, *, text_col: str = "text",
     QC for the dedup pipeline's own instrument, upstream of
     simhash_pairs.
 
-    One pass computing all 60 bit shares in a single aggregation.
-    Returns ``(n_docs, worst_bit, max_abs_bias, mean_abs_bias)``.
+    One pass computing all 60 bit shares in a single aggregation;
+    the fingerprint uses the Arrow vote kernel by default (its
+    output is bit-identical to the Column fold, ~10x faster — see
+    :func:`simhash`). Returns ``(n_docs, worst_bit, max_abs_bias,
+    mean_abs_bias)``.
     """
-    h = simhash(F.col(text_col), hash=hash, engine="column")
+    h = simhash(F.col(text_col), hash=hash, engine=engine)
     base = df.where(F.col(text_col).isNotNull()).select(h.alias("h"))
     aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
     for j in range(SIMHASH_BITS):
