@@ -530,6 +530,9 @@ R4_NAMES = [
     "simhash_bit_bias", "c2st_emb_halves", "discord_week_volume",
     # wave 125: Gorilla ts bits, AMS F2 sketch, session depth
     "gorilla_ts_bits_users", "ams_f2_terms", "session_depth_types",
+    # wave 126: Good-Toulmin, greedy cover, Bayes-error bound
+    "good_toulmin_vocab", "greedy_source_cover",
+    "bayes_error_bound_emb",
 ]
 
 

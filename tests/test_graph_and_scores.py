@@ -1575,3 +1575,25 @@ class TestC2ST:
         out = sim.c2st_1nn(df, m=60).collect()[0]
         assert out["accuracy"] == 1.0
         assert out["z"] > 5
+
+
+class TestBayesErrorBound:
+    def test_clean_labels_zero(self, spark):
+        from zoi_spark import similarity as sim
+        rows = ([(i, [0.0 + i * 0.01, 0.0], 0) for i in range(10)]
+                + [(100 + i, [50.0 + i * 0.01, 0.0], 1)
+                   for i in range(10)])
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = sim.bayes_error_bound(df, m=20).collect()[0]
+        assert out["nn_error"] == 0.0
+        assert out["bayes_lo"] == 0.0 and out["bayes_hi"] == 0.0
+
+    def test_hopeless_labels_high(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i), 0.0], i % 2) for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = sim.bayes_error_bound(df, m=20).collect()[0]
+        assert out["nn_error"] == 1.0     # lattice alternation
+        assert out["bayes_lo"] == 0.5

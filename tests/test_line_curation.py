@@ -1429,3 +1429,52 @@ class TestAMSF2:
         est = sum(z * z for z in zs) / 16.0
         assert out["f2_ams"] == round(est, 6)
         assert out["rel_error"] == round(abs(est - f2) / f2, 6)
+
+
+class TestGoodToulmin:
+    def test_hand_prediction(self, spark):
+        from zoi_spark import text as tx
+        # fit half (even ids): counts a:1 b:2 c:1 -> V1=2, V2=1
+        # -> delta_hat = 2 - 1 = 1; held half brings exactly 'd'
+        rows = [(0, "a b b c"), (1, "b c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = tx.good_toulmin(df).collect()[0]
+        assert out["v_fit"] == 3
+        assert out["delta_hat"] == 1
+        assert out["delta_actual"] == 1
+        assert out["rel_error"] == 0.0
+
+    def test_saturated_vocab(self, spark):
+        from zoi_spark import text as tx
+        rows = [(i, "x y z x y z") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = tx.good_toulmin(df).collect()[0]
+        # fit counts are all 10 (even) -> V10=3 lands with a minus
+        # sign: the raw GT series oscillates (its known weakness,
+        # deliberately reported un-truncated); actual new vocab is 0
+        assert out["delta_hat"] == -3
+        assert out["delta_actual"] == 0
+
+
+class TestGreedySourceCover:
+    def test_picks_and_break(self, spark):
+        from zoi_spark import text as tx
+        rows = [(0, "a b c", "X"),       # bigrams: 'a b', 'b c'
+                (1, "a b", "Y"),          # subset of X
+                (2, "c d", "Z")]          # new bigram 'c d'
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        out = tx.greedy_source_cover(df, k=3).collect()
+        assert [(r["source"], r["gain"]) for r in out] == \
+            [("X", 2), ("Z", 1)]          # Y adds nothing: loop ends
+        assert out[-1]["covered_total"] == 3
+
+    def test_gains_non_increasing(self, spark):
+        from zoi_spark import text as tx
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(i + 2)),
+                 f"s{i}") for i in range(6)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        out = tx.greedy_source_cover(df, k=4).collect()
+        gains = [r["gain"] for r in out]
+        assert gains == sorted(gains, reverse=True)

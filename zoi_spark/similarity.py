@@ -1609,3 +1609,55 @@ def c2st_1nn(df: DataFrame, *, vec_col: str = "embedding",
     return agg.select(
         "m", F.round("acc", round_to).alias("accuracy"),
         F.round(z, round_to).alias("z"))
+
+
+def bayes_error_bound(df: DataFrame, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      label_col: str = "label", m: int = 200,
+                      round_to: int = 6) -> DataFrame:
+    """Cover–Hart Bayes-error bracket from leave-one-out 1-NN on an
+    md5-ranked sample: with 1-NN error ε over k classes, the
+    irreducible Bayes risk R* satisfies (asymptotically)
+
+        ε/2  ≤  R*  ≤  ε
+
+    — the label-noise / class-overlap floor: if ε says 30%, NO
+    model can beat ~15-30% error on these labels, so a classifier
+    stuck at 25% is near the ceiling, not underfit. The
+    quality-of-the-LABELS diagnostic beside triplet_accuracy's
+    quality-of-the-SPACE one. NN ties break to the smaller id.
+
+    Fixed-sample O(m²) pair table, one broadcast self-join.
+    Returns ``(m, n_classes, nn_error, bayes_lo, bayes_hi)``.
+    """
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(label_col).alias("l"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .where(F.col("a.i") != F.col("b.i"))
+             .select(F.col("a.i").alias("i"),
+                     F.col("a.l").alias("l"),
+                     F.col("b.i").alias("j"),
+                     F.col("b.l").alias("lj"),
+                     _euclid(F.col("a.v"), F.col("b.v"))
+                     .alias("d")))
+    rn = F.row_number().over(
+        Window.partitionBy("i").orderBy("d", "j"))
+    nn = pairs.withColumn("__rn", rn).where(F.col("__rn") == 1)
+    classes = s.agg(F.count_distinct("l").alias("k"))
+    agg = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.avg((F.col("l") != F.col("lj")).cast("double"))
+        .alias("err"))
+    t = agg.crossJoin(F.broadcast(classes))
+    return t.select(
+        "m", F.col("k").cast("long").alias("n_classes"),
+        F.round("err", round_to).alias("nn_error"),
+        F.round(F.col("err") / 2.0, round_to).alias("bayes_lo"),
+        F.round("err", round_to).alias("bayes_hi"))

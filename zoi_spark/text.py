@@ -4369,3 +4369,111 @@ def ams_f2(df: DataFrame, *, text_col: str = "text",
         F.round(est, round_to).alias("f2_ams"),
         F.round(F.abs(est - F.col("f2_exact"))
                 / F.col("f2_exact"), round_to).alias("rel_error"))
+
+
+def good_toulmin(df: DataFrame, *, text_col: str = "text",
+                 split=None, id_col: str = "doc_id",
+                 max_k: int = 12,
+                 round_to: int = 6) -> DataFrame:
+    """Good–Toulmin vocabulary extrapolation (1956; Efron–Thisted's
+    "how many words did Shakespeare know"), SELF-VALIDATED: fit on
+    the *split* half of the corpus, predict how many NEW distinct
+    tokens the other half will contribute —
+
+        Δ̂ = V₁ − V₂ + V₃ − … (alternating frequency-of-frequency
+        sum, truncated at max_k)
+
+    — and report the ACTUAL new-token count from the held-out half
+    next to the prediction. The unseen-mass question behind crawl
+    budgeting ("is more data buying new vocabulary or more of the
+    same"), with its own error bar measured instead of assumed;
+    Good-Turing (singleton mass) and Heaps (power-law fit) are the
+    neighboring estimators.
+
+    Two vocabulary aggregations + a frequency-of-frequency fold.
+    Returns ``(v_fit, delta_hat, delta_actual, rel_error)``.
+    """
+    sp = split if split is not None \
+        else F.pmod(F.col(id_col), F.lit(2)) == 0
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.when(sp, 0).otherwise(1).alias("h"),
+                    toks.alias("token"))
+            .where(F.col("token") != ""))
+    fitv = (base.where(F.col("h") == 0)
+            .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    fof = fitv.groupBy("c").agg(F.count(F.lit(1)).alias("vk"))
+    sign = F.when(F.pmod(F.col("c"), F.lit(2)) == 1, 1).otherwise(-1)
+    pred = (fof.where(F.col("c") <= int(max_k))
+            .agg(F.coalesce(F.sum(sign * F.col("vk")), F.lit(0))
+                 .cast("long").alias("delta_hat")))
+    v_fit = fitv.agg(F.count(F.lit(1)).cast("long").alias("v_fit"))
+    held = (base.where(F.col("h") == 1).select("token").distinct()
+            .join(fitv.select("token"), "token", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("delta_actual")))
+    t = v_fit.crossJoin(F.broadcast(pred)) \
+             .crossJoin(F.broadcast(held))
+    rel = F.when(F.col("delta_actual") > 0,
+                 F.abs(F.col("delta_hat").cast("double")
+                       - F.col("delta_actual"))
+                 / F.col("delta_actual"))
+    return t.select("v_fit", "delta_hat", "delta_actual",
+                    F.round(rel, round_to).alias("rel_error"))
+
+
+def greedy_source_cover(df: DataFrame, *, text_col: str = "text",
+                        by: str = "source", k: int = 4,
+                        round_to: int = 6) -> DataFrame:
+    """Greedy maximum-coverage source selection (the classic
+    (1−1/e)-approximate submodular greedy): pick *k* sources, each
+    round taking the source adding the most NOT-YET-COVERED distinct
+    tokens — "which crawl sources buy the most vocabulary
+    diversity", the curation question temperature/DSIR weighting
+    answers by reweighting and this answers by SELECTION. Ties
+    break to the lexicographically smaller source.
+
+    Coverage universe = distinct token BIGRAMS (unigram vocabularies
+    saturate on template-heavy corpora; bigram sets still
+    discriminate). k tiny rounds over the (source, bigram) presence
+    table (the pick — one row — is collected per round; the covered
+    set stays distributed as an anti-join). Returns ``(step,
+    source, gain, covered_total)`` — gains are non-increasing, the
+    submodularity signature.
+    """
+    t = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                 lambda x: x != "")
+    n = F.size(t)
+    bigrams = F.explode(F.zip_with(
+        F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+        lambda a_, b_: F.concat(a_, F.lit(" "), b_)))
+    pres = (df.where(F.col(text_col).isNotNull()
+                     & F.col(by).isNotNull())
+            .select(F.col(by).alias("s"), bigrams.alias("token"))
+            .distinct().persist())
+    covered = None
+    out = []
+    total = 0
+    for step in range(int(k)):
+        remaining = pres if covered is None else \
+            pres.join(covered, "token", "left_anti")
+        gains = (remaining.groupBy("s")
+                 .agg(F.count(F.lit(1)).alias("g"))
+                 .orderBy(F.col("g").desc(), "s").limit(1)
+                 .collect())
+        if not gains:
+            break
+        pick, gain = gains[0]["s"], int(gains[0]["g"])
+        total += gain
+        out.append((step, pick, gain, total))
+        new_cov = pres.where(F.col("s") == pick) \
+                      .select("token").distinct()
+        covered = new_cov if covered is None else \
+            covered.unionByName(new_cov).distinct() \
+                   .localCheckpoint(eager=True)
+    pres.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "step int, source string, gain long, covered_total long") \
+        .select(F.col("step").cast("long").alias("step"),
+                "source", "gain", "covered_total").orderBy("step")
