@@ -533,6 +533,8 @@ R4_NAMES = [
     # wave 126: Good-Toulmin, greedy cover, Bayes-error bound
     "good_toulmin_vocab", "greedy_source_cover",
     "bayes_error_bound_emb",
+    # wave 127: schema matching, Markov drift, canopy blocking
+    "schema_match_keys", "markov_drift_types", "canopy_blocks_emb",
 ]
 
 

@@ -1597,3 +1597,33 @@ class TestBayesErrorBound:
         out = sim.bayes_error_bound(df, m=20).collect()[0]
         assert out["nn_error"] == 1.0     # lattice alternation
         assert out["bayes_lo"] == 0.5
+
+
+class TestCanopyBlocks:
+    def test_two_tight_clusters(self, spark):
+        from zoi_spark import similarity as sim
+        rows = ([(i, [0.0 + (i % 4) * 0.1, 0.0])
+                 for i in range(10)]
+                + [(100 + i, [50.0 + (i % 4) * 0.1, 0.0])
+                   for i in range(10)])
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.canopy_blocks(df, t2=1.0,
+                                max_centers=6).collect()
+        # two canopies absorb everything; terminal row shows 0 left
+        assert len(out) == 3
+        assert [r["n_assigned"] for r in out[:2]] == [10, 10]
+        assert out[2]["center_id"] is None
+        assert out[2]["n_assigned"] == 0
+        assert out[2]["step"] == 2
+
+    def test_cap_leaves_remainder(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i * 10), 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.canopy_blocks(df, t2=1.0,
+                                max_centers=3).collect()
+        assert len(out) == 4                  # 3 canopies + rest
+        assert all(r["n_assigned"] == 1 for r in out[:3])
+        assert out[3]["n_assigned"] == 7

@@ -8296,3 +8296,61 @@ class TestSessionDepth:
             horizon=4).collect()}
         assert out["A"] == 4.0                # truncated lower bound
         assert out["C"] == 3.0
+
+
+class TestSchemaMatch:
+    def test_value_overlap_ranks(self, spark):
+        from zoi_spark import tablechecks as tc
+        a = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+        c = spark.createDataFrame([("x",), ("y",)], "k string")
+        out = tc.schema_match([("a.k", a, "k"), ("b.k", b, "k"),
+                               ("c.k", c, "k")]).collect()
+        top = out[0]
+        assert (top["col_a"], top["col_b"]) == ("a.k", "b.k")
+        assert top["jaccard"] == 0.5          # {2,3} of {1,2,3,4}
+        assert all(r["jaccard"] == 0.0 for r in out[1:])
+
+    def test_duplicate_label_raises(self, spark):
+        from zoi_spark import tablechecks as tc
+        import pytest as pt
+        df = spark.createDataFrame([(1,)], "k long")
+        with pt.raises(ValueError):
+            tc.schema_match([("x", df, "k"), ("x", df, "k")])
+
+
+class TestMarkovDrift:
+    def _df(self, spark, phase_chains):
+        import datetime as dt
+        rows, eid = [], 0
+        for phase, chains in enumerate(phase_chains):
+            day0 = dt.datetime(2024, 1, 2 if phase == 0 else 20)
+            for u, chain in enumerate(chains):
+                uid = phase * 1000 + u
+                for j, s in enumerate(chain):
+                    rows.append((eid, uid,
+                                 day0 + dt.timedelta(minutes=j), s))
+                    eid += 1
+        return spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp, t string")
+
+    def test_flipped_dynamics_max_jsd(self, spark):
+        from zoi_spark import tablechecks as tc
+        import math
+        df = self._df(spark, [["AB"] * 5, ["AC"] * 5])
+        out = {r["state"]: r for r in tc.markov_drift(
+            df, entity_col="user_id", ts_col="ts", type_col="t",
+            split=F.col("ts") < F.lit("2024-01-16")
+            .cast("timestamp")).collect()}
+        # A -> B always in phase 1, A -> C always in phase 2
+        assert out["A"]["jsd"] == round(math.log(2), 6)
+        assert out["A"]["n_1"] == 5 and out["A"]["n_2"] == 5
+
+    def test_identical_dynamics_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = self._df(spark, [["ABAB"] * 4, ["ABAB"] * 4])
+        out = {r["state"]: r["jsd"] for r in tc.markov_drift(
+            df, entity_col="user_id", ts_col="ts", type_col="t",
+            split=F.col("ts") < F.lit("2024-01-16")
+            .cast("timestamp")).collect()}
+        assert all(v == 0.0 for v in out.values())

@@ -1661,3 +1661,52 @@ def bayes_error_bound(df: DataFrame, *, vec_col: str = "embedding",
         F.round("err", round_to).alias("nn_error"),
         F.round(F.col("err") / 2.0, round_to).alias("bayes_lo"),
         F.round("err", round_to).alias("bayes_hi"))
+
+
+def canopy_blocks(df: DataFrame, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id", t2: float = 1.3,
+                  max_centers: int = 6,
+                  round_to: int = 6) -> DataFrame:
+    """Canopy clustering (McCallum–Nigam–Ungar 2000) as a blocking
+    pre-pass: repeatedly take the md5-first still-UNASSIGNED point
+    as a canopy center and assign every unassigned point within the
+    cheap-metric radius *t2* to it — the classic
+    create-overlapping-ish-blocks-cheaply step upstream of an
+    expensive pairwise match, the distance-threshold sibling of the
+    hash-bucket LSH blocks. Bounded at *max_centers* rounds (the
+    remainder is reported as the final unassigned count), which is
+    also what lets the DuckDB twin unroll.
+
+    Each round: one broadcast of the center against the unassigned
+    frame. Returns ``(step, center_id, n_assigned)`` rows plus a
+    terminal ``(step = max, center_id = NULL, n_assigned =
+    n_unassigned)`` remainder row.
+    """
+    data = (df.where(F.col(vec_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                    F.md5(F.col(id_col).cast("string"))
+                    .alias("rk"))
+            .persist())
+    un = data
+    out = []
+    step = 0
+    for step in range(int(max_centers)):
+        head = un.orderBy("rk").limit(1).collect()
+        if not head:
+            break
+        c = head[0]
+        lit_vec = F.array(*[F.lit(float(x)) for x in c["v"]])
+        dcol = _euclid(F.col("v"), lit_vec)
+        n_assigned = un.where(dcol <= float(t2)).count()
+        out.append((step, int(c["id"]), n_assigned))
+        un = un.where(dcol > float(t2)).localCheckpoint(eager=True)
+    rest = un.count()
+    out.append((len(out), None, rest))
+    data.unpersist()
+    spark = df.sparkSession
+    return (spark.createDataFrame(
+        out, "step int, center_id long, n_assigned long")
+        .select(F.col("step").cast("long").alias("step"),
+                "center_id", "n_assigned").orderBy("step"))

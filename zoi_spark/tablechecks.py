@@ -11969,3 +11969,127 @@ def session_depth(df: DataFrame, *, entity_col: str, ts_col: str,
     p.unpersist()
     states.unpersist()
     return out
+
+
+def schema_match(sources, *, round_to: int = 6) -> DataFrame:
+    """Instance-based schema matching (the COMA/Valentine family
+    primitive): *sources* is a list of ``(label, df, column)``; for
+    every UNORDERED pair, the Jaccard similarity of their distinct
+    value sets (as strings — the profiling normalization). Where
+    :func:`ind_discovery` asks the boolean "is A contained in B",
+    this RANKS candidate column correspondences for schema
+    integration — c_nationkey ↔ s_nationkey surfaces by VALUES, no
+    name heuristics.
+
+    One distinct over the unioned (label, value) pairs; pair
+    intersections come from per-value label-set co-occurrence —
+    the value table is scanned once however many columns are
+    compared. Returns ``(col_a, col_b, n_a, n_b, n_common,
+    jaccard)`` ordered by jaccard desc, then names.
+    """
+    labels = [lab for lab, _, _ in sources]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate labels in sources")
+    parts = []
+    for lab, df, col in sources:
+        parts.append(df.where(F.col(col).isNotNull())
+                     .select(F.lit(lab).alias("lab"),
+                             F.col(col).cast("string").alias("v")))
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    d = uni.distinct().persist()
+    sizes = d.groupBy("lab").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (a.join(b, (F.col("a.v") == F.col("b.v"))
+                    & (F.col("a.lab") < F.col("b.lab")))
+             .groupBy(F.col("a.lab").alias("la"),
+                      F.col("b.lab").alias("lb"))
+             .agg(F.count(F.lit(1)).alias("nc")))
+    # every unordered pair, including zero-overlap ones
+    from itertools import combinations
+    spark = sources[0][1].sparkSession
+    pairs = spark.createDataFrame(
+        [(x, y) for x, y in combinations(sorted(labels), 2)],
+        "la string, lb string")
+    t = (pairs.join(inter, ["la", "lb"], "left")
+         .join(sizes.select(F.col("lab").alias("la"),
+                            F.col("n").alias("n_a")), "la")
+         .join(sizes.select(F.col("lab").alias("lb"),
+                            F.col("n").alias("n_b")), "lb")
+         .select("la", "lb", "n_a", "n_b",
+                 F.coalesce("nc", F.lit(0)).alias("nc")))
+    jac = (F.col("nc")
+           / (F.col("n_a") + F.col("n_b") - F.col("nc")))
+    out = t.select(
+        F.col("la").alias("col_a"), F.col("lb").alias("col_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("nc").cast("long").alias("n_common"),
+        F.round(jac, round_to).alias("jaccard")) \
+        .orderBy(F.col("jaccard").desc(), "col_a", "col_b")
+    d.unpersist()
+    return out
+
+
+def markov_drift(df: DataFrame, *, entity_col: str, ts_col: str,
+                 type_col: str, split,
+                 round_to: int = 6) -> DataFrame:
+    """Drift of the DYNAMICS: per current state, the Jensen-Shannon
+    divergence between the next-state distributions of the two
+    *split* phases (transitions stay within their phase; an
+    entity's phase-crossing step is dropped). The scalar drift
+    family watches marginals; transition_audit shows one matrix —
+    this TESTS whether the behavioral graph itself moved, state by
+    state ("after a search, users now click less"). JSD is bounded
+    [0, ln 2] and defined on zero-probability cells.
+
+    One transition aggregation per phase (lead windows), the JSD
+    fold on the tiny state×state table. Returns per state
+    ``(state, n_1, n_2, jsd)`` ordered by state.
+    """
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(ts_col).isNotNull()
+                     & F.col(type_col).isNotNull())
+            .select(F.col(entity_col).alias("e"),
+                    F.col(ts_col).alias("t"),
+                    F.col(type_col).alias("s"),
+                    F.when(split, 0).otherwise(1).alias("h")))
+    w = Window.partitionBy("e", "h").orderBy("t", "s")
+    trans = base.select(
+        "h", "s", F.lead("s").over(w).alias("nxt")) \
+        .where(F.col("nxt").isNotNull())
+    counts = (trans.groupBy("h", "s", "nxt")
+              .agg(F.count(F.lit(1)).alias("c")))
+    tot = Window.partitionBy("h", "s")
+    p = counts.select(
+        "h", "s", "nxt",
+        (F.col("c") / F.sum("c").over(tot)).alias("p"))
+    p1 = p.where(F.col("h") == 0).select(
+        "s", "nxt", F.col("p").alias("p1"))
+    p2 = p.where(F.col("h") == 1).select(
+        "s", "nxt", F.col("p").alias("p2"))
+    j = (p1.join(p2, ["s", "nxt"], "full_outer")
+         .select("s", "nxt",
+                 F.coalesce("p1", F.lit(0.0)).alias("p1"),
+                 F.coalesce("p2", F.lit(0.0)).alias("p2")))
+    mmid = (F.col("p1") + F.col("p2")) / 2.0
+    term = (F.when(F.col("p1") > 0,
+                   F.col("p1") / 2.0 * F.log(F.col("p1") / mmid))
+            .otherwise(0.0)
+            + F.when(F.col("p2") > 0,
+                     F.col("p2") / 2.0 * F.log(F.col("p2") / mmid))
+            .otherwise(0.0))
+    per_s = j.groupBy("s").agg(F.sum(term).alias("jsd"))
+    n1 = (trans.where(F.col("h") == 0).groupBy("s")
+          .agg(F.count(F.lit(1)).alias("n_1")))
+    n2 = (trans.where(F.col("h") == 1).groupBy("s")
+          .agg(F.count(F.lit(1)).alias("n_2")))
+    return (per_s.join(n1, "s", "left").join(n2, "s", "left")
+            .select(F.col("s").alias("state"),
+                    F.coalesce("n_1", F.lit(0)).cast("long")
+                    .alias("n_1"),
+                    F.coalesce("n_2", F.lit(0)).cast("long")
+                    .alias("n_2"),
+                    F.round("jsd", round_to).alias("jsd"))
+            .orderBy("state"))
