@@ -535,6 +535,8 @@ R4_NAMES = [
     "bayes_error_bound_emb",
     # wave 127: schema matching, Markov drift, canopy blocking
     "schema_match_keys", "markov_drift_types", "canopy_blocks_emb",
+    # wave 128: Huber location, L-moments, LOF outliers
+    "huber_location_lens", "lmoments_lens", "lof_outliers_emb",
 ]
 
 

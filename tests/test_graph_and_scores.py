@@ -1627,3 +1627,28 @@ class TestCanopyBlocks:
         assert len(out) == 4                  # 3 canopies + rest
         assert all(r["n_assigned"] == 1 for r in out[:3])
         assert out[3]["n_assigned"] == 7
+
+
+class TestLOFOutliers:
+    def test_isolated_point_tops(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 5) * 0.2, float(i // 5) * 0.2])
+                for i in range(25)]
+        rows.append((999, [50.0, 50.0]))
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.lof_outliers(df, k=5, sample_m=50,
+                               top=3).collect()
+        assert out[0]["id"] == 999
+        assert out[0]["lof"] > 5
+        assert out[1]["lof"] < 2             # grid points are fine
+
+    def test_uniform_grid_near_one(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 6), float(i // 6)])
+                for i in range(36)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.lof_outliers(df, k=5, sample_m=40,
+                               top=5).collect()
+        assert all(0.8 <= r["lof"] <= 1.6 for r in out)

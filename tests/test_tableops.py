@@ -8354,3 +8354,46 @@ class TestMarkovDrift:
             split=F.col("ts") < F.lit("2024-01-16")
             .cast("timestamp")).collect()}
         assert all(v == 0.0 for v in out.values())
+
+
+class TestHuberLocation:
+    def test_outlier_resistant_hand_value(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = list(range(1, 10)) + [1000]
+        df = spark.createDataFrame([("a", float(v)) for v in vals],
+                                   "g string, v double")
+        out = tc.huber_location(df, "v", by="g").collect()[0]
+        # med 5, mad 2; sum psi = 1.345, 5 inliers -> 5 + 2*.269
+        assert out["median"] == 5.0 and out["mad"] == 2.0
+        assert out["huber"] == round(5 + 2 * 1.345 / 5, 6)
+        assert out["mean"] == 104.5          # what we escaped
+
+    def test_zero_mad_falls_back_to_median(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [7.0] * 9 + [100.0]
+        df = spark.createDataFrame([("a", v) for v in vals],
+                                   "g string, v double")
+        out = tc.huber_location(df, "v", by="g").collect()[0]
+        assert out["mad"] == 0.0
+        assert out["huber"] == 7.0
+
+
+class TestLMoments:
+    def test_symmetric_sample_exact(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([("a", float(v))
+                                    for v in range(1, 10)],
+                                   "g string, v double")
+        out = tc.lmoments(df, "v", by="g").collect()[0]
+        assert out["l1"] == 5.0
+        # sample L-scale of 1..n = gini-mean-diff/2 = (n+1)/6
+        assert out["l2"] == round(10 / 6, 6)
+        assert out["t3"] == 0.0              # exact symmetry
+
+    def test_right_skew_positive_t3(self, spark):
+        from zoi_spark import tablechecks as tc
+        vals = [1.0] * 8 + [10.0, 100.0]
+        df = spark.createDataFrame([("a", v) for v in vals],
+                                   "g string, v double")
+        out = tc.lmoments(df, "v", by="g").collect()[0]
+        assert out["t3"] > 0.5

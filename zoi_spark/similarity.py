@@ -1710,3 +1710,63 @@ def canopy_blocks(df: DataFrame, *, vec_col: str = "embedding",
         out, "step int, center_id long, n_assigned long")
         .select(F.col("step").cast("long").alias("step"),
                 "center_id", "n_assigned").orderBy("step"))
+
+
+def lof_outliers(df: DataFrame, *, vec_col: str = "embedding",
+                 id_col: str = "vec_id", k: int = 5,
+                 sample_m: int = 128, top: int = 5,
+                 round_to: int = 6) -> DataFrame:
+    """Local Outlier Factor (Breunig 2000) on an md5-ranked sample:
+    per point, k-distance, reachability-smoothed local density
+    lrd = 1/avg(max(kdist(B), d(A,B)) over the k neighbors), and
+    LOF = avg neighbor-lrd / own-lrd — DENSITY-relative outliers: a
+    point at the edge of a sparse cluster scores ~1 while the same
+    distance from a dense cluster screams. The embedding-space
+    outlier detector beside the scalar z-score/MAD/Hampel/ECOD kit
+    (and the outlier complement to c2st's drift and LOF cousin
+    ECOD's marginal view). Neighbor ties break by id.
+
+    Fixed-sample O(m²) pair table + rank windows. Returns the
+    ``top`` rows by LOF desc ``(id, kdist, lrd, lof)``.
+    """
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(sample_m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .where(F.col("a.i") != F.col("b.i"))
+             .select(F.col("a.i").alias("i"),
+                     F.col("b.i").alias("j"),
+                     _euclid(F.col("a.v"), F.col("b.v"))
+                     .alias("d")))
+    rn = F.row_number().over(
+        Window.partitionBy("i").orderBy("d", "j"))
+    nb = pairs.withColumn("__rn", rn) \
+              .where(F.col("__rn") <= int(k)).persist()
+    kd = nb.groupBy("i").agg(F.max("d").alias("kdist"))
+    reach = (nb.join(kd.select(F.col("i").alias("j"),
+                               F.col("kdist").alias("kd_j")), "j")
+             .select("i", "j",
+                     F.greatest(F.col("d"), F.col("kd_j"))
+                     .alias("r")))
+    lrd = reach.groupBy("i").agg(
+        (1.0 / F.avg("r")).alias("lrd"))
+    lof = (nb.select("i", "j")
+           .join(lrd.select(F.col("i").alias("j"),
+                            F.col("lrd").alias("lrd_j")), "j")
+           .groupBy("i").agg(F.avg("lrd_j").alias("alrd")))
+    out = (lrd.join(lof, "i").join(kd, "i")
+           .select("i", "kdist", "lrd",
+                   (F.col("alrd") / F.col("lrd")).alias("lof")))
+    res = (out.orderBy(F.col("lof").desc(), "i").limit(int(top))
+           .select(F.col("i").alias("id"),
+                   F.round("kdist", round_to).alias("kdist"),
+                   F.round("lrd", round_to).alias("lrd"),
+                   F.round("lof", round_to).alias("lof"))
+           .orderBy(F.col("lof").desc(), "id"))
+    # release via dedup.unpersist_candidates after materialization
+    res._zoi_persisted = [nb]
+    return res
