@@ -537,6 +537,9 @@ R4_NAMES = [
     "schema_match_keys", "markov_drift_types", "canopy_blocks_emb",
     # wave 128: Huber location, L-moments, LOF outliers
     "huber_location_lens", "lmoments_lens", "lof_outliers_emb",
+    # wave 129: DBSCAN roles, calibration slope, Cramér's V
+    "dbscan_labels_emb", "calibration_slope_gate",
+    "cramers_v_langsource",
 ]
 
 

@@ -1652,3 +1652,29 @@ class TestLOFOutliers:
         out = sim.lof_outliers(df, k=5, sample_m=40,
                                top=5).collect()
         assert all(0.8 <= r["lof"] <= 1.6 for r in out)
+
+
+class TestDBSCANLabels:
+    def test_cluster_plus_scatter(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 5) * 0.2, float(i // 5) * 0.2])
+                for i in range(25)]
+        rows += [(100, [50.0, 0.0]), (101, [80.0, 0.0]),
+                 (102, [0.0, 70.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.dbscan_labels(df, eps=1.0, min_pts=5,
+                                sample_m=50).collect()[0]
+        assert out["m"] == 28
+        assert out["n_noise"] == 3
+        assert out["n_core"] + out["n_border"] == 25
+        assert out["noise_share"] == round(3 / 28, 6)
+
+    def test_tight_eps_all_noise(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i * 10), 0.0]) for i in range(12)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.dbscan_labels(df, eps=1.0, min_pts=3,
+                                sample_m=20).collect()[0]
+        assert out["n_noise"] == 12 and out["n_core"] == 0

@@ -8397,3 +8397,48 @@ class TestLMoments:
                                    "g string, v double")
         out = tc.lmoments(df, "v", by="g").collect()[0]
         assert out["t3"] > 0.5
+
+
+class TestCalibrationSlope:
+    def test_perfect_calibration(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0.2, 0)] * 4 + [(0.2, 1)]
+                + [(0.8, 1)] * 4 + [(0.8, 0)])
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = tc.calibration_slope(df, prob_col="p",
+                                   label_col="y").collect()[0]
+        assert out["slope"] == 1.0
+        assert out["intercept"] == 0.0
+        assert out["r2"] == 1.0
+
+    def test_overconfident_half_slope(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0.1, 1)] * 3 + [(0.1, 0)] * 7
+                + [(0.9, 1)] * 7 + [(0.9, 0)] * 3)
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = tc.calibration_slope(df, prob_col="p",
+                                   label_col="y").collect()[0]
+        # observed 0.3 @ 0.1 and 0.7 @ 0.9 -> slope 0.5
+        assert out["slope"] == 0.5
+        assert out["intercept"] == 0.25
+
+
+class TestCramersVCorrected:
+    def test_perfect_association_one(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(c, c) for c in "abcd" for _ in range(25)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = tc.cramers_v_corrected(df, x_col="x",
+                                     y_col="y").collect()[0]
+        assert out["v_raw"] == 1.0
+        assert out["v_corrected"] > 0.95
+
+    def test_independence_corrected_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(x, y) for x in "ab" for y in "cd"
+                for _ in range(10)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = tc.cramers_v_corrected(df, x_col="x",
+                                     y_col="y").collect()[0]
+        assert out["chi2"] == 0.0
+        assert out["v_corrected"] == 0.0

@@ -1770,3 +1770,67 @@ def lof_outliers(df: DataFrame, *, vec_col: str = "embedding",
     # release via dedup.unpersist_candidates after materialization
     res._zoi_persisted = [nb]
     return res
+
+
+def dbscan_labels(df: DataFrame, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id", eps: float = 1.2,
+                  min_pts: int = 5, sample_m: int = 200,
+                  round_to: int = 6) -> DataFrame:
+    """DBSCAN point-role classification on an md5-ranked sample:
+    CORE (≥ min_pts neighbors within eps, self included), BORDER
+    (non-core within eps of a core), NOISE (the rest) — the
+    parameter diagnostic run BEFORE committing to a density
+    clustering: all-noise says eps is too tight, all-core says it's
+    vacuous, and the noise share at the chosen (eps, min_pts) IS
+    the outlier rate a DBSCAN run would discard. Role counts are
+    closed-form from the pair table — no connectivity iteration
+    (cluster extraction is lpa_communities' job).
+
+    Fixed-sample O(m²) pair table. Returns one row ``(m, n_core,
+    n_border, n_noise, core_share, noise_share)``.
+    """
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(sample_m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .select(F.col("a.i").alias("i"),
+                     F.col("b.i").alias("j"),
+                     _euclid(F.col("a.v"), F.col("b.v"))
+                     .alias("d"))
+             .where(F.col("d") <= float(eps)))   # includes self d=0
+    deg = pairs.groupBy("i").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.where(F.col("deg") >= int(min_pts)) \
+              .select(F.col("i").alias("c")).persist()
+    near_core = (pairs.join(core, pairs["j"] == core["c"])
+                 .select("i").distinct())
+    roles = (deg.join(core.select(F.col("c").alias("i"))
+                      .withColumn("__is_core", F.lit(1)),
+                      "i", "left")
+             .join(near_core.withColumn("__near", F.lit(1)),
+                   "i", "left"))
+    t = roles.select(
+        F.when(F.col("__is_core") == 1, "core")
+        .when(F.col("__near") == 1, "border")
+        .otherwise("noise").alias("role"))
+    agg = t.groupBy().pivot("role", ["core", "border", "noise"]) \
+           .count()
+    m_n = s.count()
+    out = agg.select(
+        F.lit(m_n).cast("long").alias("m"),
+        F.coalesce("core", F.lit(0)).cast("long").alias("n_core"),
+        F.coalesce("border", F.lit(0)).cast("long")
+        .alias("n_border"),
+        F.coalesce("noise", F.lit(0)).cast("long")
+        .alias("n_noise"))
+    out = out.select(
+        "m", "n_core", "n_border", "n_noise",
+        F.round(F.col("n_core") / F.col("m").cast("double"),
+                round_to).alias("core_share"),
+        F.round(F.col("n_noise") / F.col("m").cast("double"),
+                round_to).alias("noise_share"))
+    out._zoi_persisted = [core]
+    return out

@@ -12211,3 +12211,114 @@ def lmoments(df: DataFrame, value_col: str, *, by: str,
         F.round(F.when(l2 != 0, l3 / l2), round_to).alias("t3"),
         F.round(F.when(l2 != 0, l4 / l2), round_to).alias("t4")) \
         .orderBy("group")
+
+
+def calibration_slope(df: DataFrame, *, prob_col: str,
+                      label_col: str, bins: int = 10,
+                      round_to: int = 6) -> DataFrame:
+    """Weak-calibration line: count-weighted OLS of observed rate on
+    mean predicted probability across *bins* equal-width bins —
+
+        slope < 1: overconfident (predictions too spread),
+        slope > 1: underconfident,  intercept ≠ 0: base-rate shift
+
+    — the RECALIBRATION RECIPE the Brier decomposition's REL scalar
+    doesn't give: o ≈ a + b·p says exactly how to squeeze the
+    scores. Same engine-exact binning as
+    :func:`brier_decomposition`; one aggregation to ≤ bins rows,
+    closed-form weighted OLS after. Returns ``(n, n_bins, slope,
+    intercept, r2)``.
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int").cast("double")
+    b = F.least(F.floor(p * bins), F.lit(bins - 1))
+    per = (df.where(p.isNotNull() & y.isNotNull())
+           .groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).cast("double").alias("w"),
+                F.avg(p).alias("pk"), F.avg(y).alias("ok")))
+    wall = Window.partitionBy()
+    sw = F.sum("w").over(wall)
+    mx = F.sum(F.col("w") * F.col("pk")).over(wall) / sw
+    my = F.sum(F.col("w") * F.col("ok")).over(wall) / sw
+    t = per.select(
+        "w", "pk", "ok", sw.alias("sw"), mx.alias("mx"),
+        my.alias("my"))
+    agg = t.agg(
+        F.any_value("sw").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.col("w") * (F.col("pk") - F.col("mx"))
+              * (F.col("ok") - F.col("my"))).alias("sxy"),
+        F.sum(F.col("w") * (F.col("pk") - F.col("mx"))
+              * (F.col("pk") - F.col("mx"))).alias("sxx"),
+        F.sum(F.col("w") * (F.col("ok") - F.col("my"))
+              * (F.col("ok") - F.col("my"))).alias("syy"),
+        F.any_value("mx").alias("mx"), F.any_value("my").alias("my"))
+    slope = F.col("sxy") / F.col("sxx")
+    return agg.select(
+        F.col("n").cast("long").alias("n"), "n_bins",
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), round_to)
+         .alias("intercept"),
+        F.round(F.when(F.col("syy") > 0,
+                       F.col("sxy") * F.col("sxy")
+                       / (F.col("sxx") * F.col("syy")))
+                .otherwise(1.0), round_to).alias("r2"))
+
+
+def cramers_v_corrected(df: DataFrame, *, x_col: str, y_col: str,
+                        round_to: int = 6) -> DataFrame:
+    """Bias-corrected Cramér's V (Bergsma 2013) between two
+    categoricals: from the chi-square φ² = χ²/n,
+
+        φ²' = max(0, φ² − (r−1)(c−1)/(n−1)),
+        r' = r − (r−1)²/(n−1),  c' = c − (c−1)²/(n−1),
+        V' = √(φ²' / min(r'−1, c'−1))
+
+    — the small-sample-honest effect size for the lang×source
+    association the raw chi-square screen (lang_source_chi2)
+    detects: raw V is inflated exactly when tables are sparse, the
+    regime a drilled-down drift check lives in. One cells
+    aggregation; expected counts from marginal windows. Returns
+    ``(n, r, c, chi2, v_raw, v_corrected)``.
+    """
+    base = df.where(F.col(x_col).isNotNull()
+                    & F.col(y_col).isNotNull())
+    cells = (base.groupBy(F.col(x_col).alias("x"),
+                          F.col(y_col).alias("y"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    wall = Window.partitionBy()
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    n = F.sum("o").over(wall)
+    e = (F.sum("o").over(wx).cast("double")
+         * F.sum("o").over(wy) / n)
+    t = cells.select(
+        "x", "y", "o", n.alias("n"), e.alias("e"))
+    # chi2 over PRESENT cells only understates when zeros exist:
+    # add the missing-cell term sum(e) over absent cells =
+    # n - sum(e_present)
+    agg = t.agg(
+        F.any_value("n").cast("double").alias("n"),
+        F.count_distinct("x").cast("double").alias("r"),
+        F.count_distinct("y").cast("double").alias("c"),
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+              / F.col("e")).alias("chi2_present"),
+        F.sum("e").alias("e_present"))
+    chi2 = F.col("chi2_present") + (F.col("n") - F.col("e_present"))
+    phi2 = chi2 / F.col("n")
+    rr = F.col("r")
+    cc = F.col("c")
+    nn = F.col("n")
+    phi2c = F.greatest(F.lit(0.0),
+                       phi2 - (rr - 1) * (cc - 1) / (nn - 1))
+    rprime = rr - (rr - 1) * (rr - 1) / (nn - 1)
+    cprime = cc - (cc - 1) * (cc - 1) / (nn - 1)
+    vraw = F.sqrt(phi2 / F.least(rr - 1, cc - 1))
+    vcorr = F.sqrt(phi2c / F.least(rprime - 1, cprime - 1))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(vraw, round_to).alias("v_raw"),
+        F.round(vcorr, round_to).alias("v_corrected"))
