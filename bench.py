@@ -540,6 +540,8 @@ R4_NAMES = [
     # wave 129: DBSCAN roles, calibration slope, Cramér's V
     "dbscan_labels_emb", "calibration_slope_gate",
     "cramers_v_langsource",
+    # wave 130: NB lang-ID eval, anonymity curve, ECE
+    "nb_langid_eval", "anonymity_curve_docs", "ece_gate",
 ]
 
 

@@ -1478,3 +1478,35 @@ class TestGreedySourceCover:
         out = tx.greedy_source_cover(df, k=4).collect()
         gains = [r["gain"] for r in out]
         assert gains == sorted(gains, reverse=True)
+
+
+class TestNBLangIdEval:
+    def test_separable_langs_perfect(self, spark):
+        from zoi_spark import text as tx
+        rows = []
+        for i in range(20):
+            rows.append((2 * i, "aaa bbb aaa", "A"))      # train A
+            rows.append((2 * i + 100 + 1, "aaa bbb", "A"))  # odd: test
+        for i in range(20):
+            rows.append((1000 + 2 * i, "ccc ddd ccc", "B"))
+            rows.append((1000 + 2 * i + 1, "ccc ddd", "B"))
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        out = {r["lang"]: r for r in tx.nb_langid_eval(df).collect()}
+        assert out["A"]["accuracy"] == 1.0
+        assert out["B"]["accuracy"] == 1.0
+
+    def test_unseen_tokens_fall_back_to_prior(self, spark):
+        from zoi_spark import text as tx
+        # test docs made of tokens the training half never saw:
+        # every candidate scores only prior+unseen mass, and the
+        # argmax resolves deterministically
+        rows = [(0, "aaa aaa", "A"), (2, "bbb bbb", "B"),
+                (4, "aaa", "A"), (6, "bbb", "B"),
+                (1, "zzz qqq", "A"), (3, "zzz qqq", "B")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        out = tx.nb_langid_eval(df).collect()
+        assert sum(r["n_docs"] for r in out) == 2
+        # both test docs get the SAME predicted lang (tie rules)
+        assert sum(r["n_correct"] for r in out) == 1

@@ -8442,3 +8442,53 @@ class TestCramersVCorrected:
                                      y_col="y").collect()[0]
         assert out["chi2"] == 0.0
         assert out["v_corrected"] == 0.0
+
+
+class TestAnonymityCurve:
+    def test_coarsening_reduces_risk(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("g", 100 + i) for i in range(40)]
+        df = spark.createDataFrame(rows, "lang string, n_chars long")
+        df = df.withColumn("source", F.lit("s"))
+        out = tc.anonymity_curve(df, quasi_cols=["lang", "source"],
+                                 value_col="n_chars",
+                                 widths=(1, 8, 64), k=5).collect()
+        shares = [r["risk_share"] for r in out]
+        assert shares[0] == 1.0       # width 1: every row unique
+        assert shares == sorted(shares, reverse=True)
+        # width 64: values 100..139 split at 128 -> classes of 28
+        # and 12, both clearing k=5
+        assert out[2]["risk_share"] == 0.0
+        assert out[2]["n_classes"] == 2
+        assert out[2]["min_class"] == 12
+
+    def test_class_counts_exact(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("a", v) for v in (0, 1, 2, 3)] + [("b", 0)]
+        df = spark.createDataFrame(rows, "lang string, n_chars long")
+        df = df.withColumn("source", F.lit("s"))
+        out = {r["width"]: r for r in tc.anonymity_curve(
+            df, quasi_cols=["lang", "source"],
+            value_col="n_chars", widths=(1, 4), k=2).collect()}
+        assert out[1]["n_classes"] == 5 and out[1]["n_at_risk"] == 5
+        assert out[4]["n_classes"] == 2       # a:{0-3}, b:{0}
+        assert out[4]["n_at_risk"] == 1       # b's singleton
+
+
+class TestECE:
+    def test_perfect_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0.2, 0)] * 4 + [(0.2, 1)]
+                + [(0.8, 1)] * 4 + [(0.8, 0)])
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = tc.ece(df, prob_col="p", label_col="y").collect()[0]
+        assert out["ece"] == 0.0 and out["mce"] == 0.0
+
+    def test_overconfident_hand_value(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = ([(0.1, 1)] * 3 + [(0.1, 0)] * 7
+                + [(0.9, 1)] * 7 + [(0.9, 0)] * 3)
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = tc.ece(df, prob_col="p", label_col="y").collect()[0]
+        assert out["ece"] == 0.2              # |0.3-0.1| both bins
+        assert out["mce"] == 0.2

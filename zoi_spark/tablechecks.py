@@ -12322,3 +12322,71 @@ def cramers_v_corrected(df: DataFrame, *, x_col: str, y_col: str,
         F.round(chi2, round_to).alias("chi2"),
         F.round(vraw, round_to).alias("v_raw"),
         F.round(vcorr, round_to).alias("v_corrected"))
+
+
+def anonymity_curve(df: DataFrame, *, quasi_cols, value_col: str,
+                    widths=(1, 2, 4, 8, 16, 32, 64, 128),
+                    k: int = 5, round_to: int = 6) -> DataFrame:
+    """k-anonymity generalization curve: for each bucket *width*
+    applied to *value_col* (the numeric quasi-identifier), the
+    equivalence classes over (*quasi_cols*, bucketed value) and
+
+        min_class, share of rows in classes smaller than k
+
+    — the privacy-utility TRADE-OFF the single-width k_anonymity
+    check can't show: how much coarsening buys how much anonymity,
+    the table you pick a generalization level from. Integer
+    division bucketing, engine-exact.
+
+    One aggregation per width over the class keys (widths are few;
+    each is a uniform-key shuffle). Returns per width ``(width,
+    n_classes, min_class, n_at_risk, risk_share)``.
+    """
+    rows = None
+    for w in widths:
+        bucket = F.expr(f"{value_col} div {int(w)}")
+        classes = (df.where(F.col(value_col).isNotNull())
+                   .groupBy(*[F.col(c) for c in quasi_cols],
+                            bucket.alias("__b"))
+                   .agg(F.count(F.lit(1)).alias("c")))
+        agg = classes.agg(
+            F.lit(int(w)).cast("long").alias("width"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("c").cast("long").alias("min_class"),
+            F.sum(F.when(F.col("c") < int(k), F.col("c"))
+                  .otherwise(0)).cast("long").alias("n_at_risk"),
+            F.round(F.sum(F.when(F.col("c") < int(k), F.col("c"))
+                          .otherwise(0))
+                    / F.sum("c").cast("double"), round_to)
+            .alias("risk_share"))
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows.orderBy("width")
+
+
+def ece(df: DataFrame, *, prob_col: str, label_col: str,
+        bins: int = 10, round_to: int = 6) -> DataFrame:
+    """Expected and Maximum Calibration Error over equal-width
+    probability bins:
+
+        ECE = Σ (n_k/N)·|ō_k − p̄_k|,   MCE = max_k |ō_k − p̄_k|
+
+    — THE quoted calibration scalars (Guo 2017), completing the
+    calibration kit: the reliability table shows, Spiegelhalter
+    tests, Brier decomposes, the slope prescribes — ECE/MCE are the
+    headline numbers papers compare. Same engine-exact binning as
+    brier_decomposition. Returns ``(n, n_bins, ece, mce)``.
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int").cast("double")
+    b = F.least(F.floor(p * bins), F.lit(bins - 1))
+    per = (df.where(p.isNotNull() & y.isNotNull())
+           .groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).cast("double").alias("nk"),
+                F.avg(p).alias("pk"), F.avg(y).alias("ok")))
+    gap = F.abs(F.col("ok") - F.col("pk"))
+    return per.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum(F.col("nk") * gap) / F.sum("nk"), round_to)
+         .alias("ece"),
+        F.round(F.max(gap), round_to).alias("mce"))

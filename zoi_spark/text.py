@@ -4477,3 +4477,89 @@ def greedy_source_cover(df: DataFrame, *, text_col: str = "text",
         out, "step int, source string, gain long, covered_total long") \
         .select(F.col("step").cast("long").alias("step"),
                 "source", "gain", "covered_total").orderBy("step")
+
+
+def nb_langid_eval(df: DataFrame, *, text_col: str = "text",
+                   label_col: str = "lang", split=None,
+                   id_col: str = "doc_id", alpha: float = 1.0,
+                   round_to: int = 6) -> DataFrame:
+    """TRAIN-AND-EVALUATE naive-Bayes language ID, entirely in the
+    engine: token likelihoods with add-α smoothing are fit on the
+    *split* half, held-out docs are classified by
+    argmax_L [ln P(L) + Σ_tokens ln P(token|L)], and the verdict is
+    per-true-lang accuracy. Where text_lang_id is a fixed marker
+    heuristic and lang_id_prf scores it, THIS is a trained model —
+    the fit/predict/evaluate loop expressed as joins and windows,
+    no ML library. Unseen tokens get the smoothed α/(N_L + αV)
+    mass. Argmax ties break to the alphabetically first lang.
+
+    Plan: one vocabulary aggregation per lang (train), one
+    token-join + per-doc log-sum (score), one argmax window.
+    Returns per true lang ``(lang, n_docs, n_correct, accuracy)``.
+    """
+    import math
+    sp = split if split is not None \
+        else F.pmod(F.col(id_col), F.lit(2)) == 0
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(label_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(label_col).alias("y"),
+                    F.when(sp, 0).otherwise(1).alias("h"),
+                    toks.alias("token"))
+            .where(F.col("token") != ""))
+    train = base.where(F.col("h") == 0)
+    vocab_n = train.select("token").distinct().count()
+    a = float(alpha)
+    counts = (train.groupBy("y", "token")
+              .agg(F.count(F.lit(1)).alias("c")))
+    totals = (train.groupBy("y")
+              .agg(F.count(F.lit(1)).alias("nl"),
+                   F.count_distinct("id").alias("dl")))
+    docs_total = train.select("id").distinct().count()
+    langs = totals.select(
+        "y", "nl",
+        (F.log(F.col("dl") / F.lit(float(docs_total))))
+        .alias("prior"),
+        F.log(a / (F.col("nl") + a * vocab_n)).alias("unseen")) \
+        .persist()
+    lik = (counts.join(langs.select("y", "nl"), "y")
+           .select("y", "token",
+                   F.log((F.col("c") + a)
+                         / (F.col("nl") + a * vocab_n))
+                   .alias("lp")))
+    test = base.where(F.col("h") == 1)
+    # score every (doc, candidate lang): known-token mass via the
+    # likelihood join, unseen mass via the per-lang constant
+    cand = test.select("id", "y", "token") \
+               .crossJoin(F.broadcast(langs.select(
+                   F.col("y").alias("cl"), "prior", "unseen")))
+    scored = (cand.join(lik.select(F.col("y").alias("cl"),
+                                   "token", "lp"),
+                        ["cl", "token"], "left")
+              .groupBy("id", "y", "cl")
+              .agg((F.any_value("prior")
+                    + F.sum(F.coalesce(F.col("lp"),
+                                       F.col("unseen"))))
+                   .alias("score")))
+    # argmax on the ROUNDED score: identical-distribution langs tie
+    # up to float-sum dust, and the tie must break on `cl` the same
+    # way in both engines
+    pick = F.row_number().over(
+        Window.partitionBy("id").orderBy(
+            F.round(F.col("score"), 6).desc(), "cl"))
+    pred = scored.withColumn("__p", pick).where(F.col("__p") == 1)
+    out = (pred.groupBy("y")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum((F.col("cl") == F.col("y")).cast("long"))
+                .alias("n_correct"))
+           .withColumn("accuracy",
+                       F.round(F.col("n_correct")
+                               / F.col("n_docs").cast("double"),
+                               round_to))
+           .select(F.col("y").alias("lang"), "n_docs", "n_correct",
+                   "accuracy")
+           .orderBy("lang"))
+    out._zoi_persisted = [langs]
+    return out
