@@ -542,6 +542,8 @@ R4_NAMES = [
     "cramers_v_langsource",
     # wave 130: NB lang-ID eval, anonymity curve, ECE
     "nb_langid_eval", "anonymity_curve_docs", "ece_gate",
+    # wave 131: rich club, hubness, disguised nulls
+    "rich_club_hosts", "hubness_emb", "disguised_nulls_docs",
 ]
 
 

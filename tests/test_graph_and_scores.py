@@ -1678,3 +1678,54 @@ class TestDBSCANLabels:
         out = sim.dbscan_labels(df, eps=1.0, min_pts=3,
                                 sample_m=20).collect()[0]
         assert out["n_noise"] == 12 and out["n_core"] == 0
+
+
+class TestRichClub:
+    def test_clique_of_hubs(self, spark):
+        from zoi_spark import graph
+        # 4-clique (each degree >= 3) plus a pendant leaf per node
+        edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+        edges += [(i, 10 + i) for i in range(4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["k"]: r for r in graph.rich_club(
+            df, thresholds=(2, 4)).collect()}
+        # d>2: exactly the clique (degree 4 = 3 club + 1 pendant)
+        assert out[2]["n_nodes"] == 4
+        assert out[2]["phi"] == 1.0
+        assert out[4]["n_nodes"] == 0 and out[4]["phi"] is None
+
+    def test_star_no_club(self, spark):
+        from zoi_spark import graph
+        edges = [(0, i) for i in range(1, 9)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["k"]: r for r in graph.rich_club(
+            df, thresholds=(2,)).collect()}
+        assert out[2]["n_nodes"] == 1        # only the hub
+        assert out[2]["phi"] is None         # no pair to wire
+
+
+class TestHubness:
+    def test_center_point_hub(self, spark):
+        from zoi_spark import similarity as sim
+        import math
+        # 10 points on a circle: 1-step chords 6.18, 2-step 11.76,
+        # so the center (distance 10) is everyone's 3rd neighbor
+        rows = [(i, [10 * math.cos(2 * math.pi * i / 10),
+                     10 * math.sin(2 * math.pi * i / 10)])
+                for i in range(10)]
+        rows.append((999, [0.0, 0.0]))        # universal 3rd NN
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.hubness(df, k=3, sample_m=30).collect()[0]
+        assert out["max_nk"] == 10            # the center saturates
+        assert out["skew_nk"] > 1.0
+
+    def test_lattice_balanced(self, spark):
+        from zoi_spark import similarity as sim
+        rows = [(i, [float(i % 6), float(i // 6)])
+                for i in range(36)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.hubness(df, k=3, sample_m=40).collect()[0]
+        assert out["share_antihubs"] < 0.3
+        assert out["skew_nk"] < 1.5

@@ -8492,3 +8492,19 @@ class TestECE:
         out = tc.ece(df, prob_col="p", label_col="y").collect()[0]
         assert out["ece"] == 0.2              # |0.3-0.1| both bins
         assert out["mce"] == 0.2
+
+
+class TestDisguisedNulls:
+    def test_census_exact(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [("en", "good"), ("N/A", "fine"), (None, "ok"),
+                ("  null ", "x"), ("de", "-"), ("fr", "text")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = {r["col_name"]: r for r in tc.disguised_nulls(
+            df, cols=["a", "b"]).collect()}
+        # 'N/A' + '  null ' (trimmed+lowered) disguise column a
+        assert out["a"]["n_null"] == 1
+        assert out["a"]["n_disguised"] == 2
+        assert out["a"]["disguised_share"] == round(2 / 6, 6)
+        assert out["b"]["n_disguised"] == 1   # the '-'
+        assert out["b"]["n_null"] == 0

@@ -709,3 +709,52 @@ def resolve_chains(edges: DataFrame, *, src_col: str = "src",
     return (cur.join(srcs, cur["dst"] == srcs["__t"], "left")
             .select("src", F.col("dst").alias("resolved"),
                     F.col("__t").isNull().alias("is_terminal")))
+
+
+def rich_club(edges: DataFrame, *, src_col: str = "src",
+              dst_col: str = "dst", thresholds=(2, 4, 8, 16),
+              round_to: int = 6) -> DataFrame:
+    """Rich-club coefficient (Zhou–Mondragón 2004) on the
+    undirected simple graph: for each degree threshold k, the
+    density φ(k) = 2·E_k / (N_k(N_k−1)) among nodes of degree > k —
+    φ rising with k reads "the hubs form their own tightly-wired
+    club" (a link-exchange cartel in a host graph), φ falling reads
+    hub-and-spoke. The density-among-elites axis that
+    assortativity (one global correlation) and k-core (peeling
+    order) don't measure.
+
+    One degree aggregation, then per threshold a broadcast
+    membership filter over the edge table — edges are scanned once
+    per threshold, thresholds are few. Returns ``(k, n_nodes,
+    n_edges, phi)``.
+    """
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v"))
+         .distinct().persist())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionByName(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+           .persist())
+    rows = None
+    for k in thresholds:
+        elite = deg.where(F.col("d") > int(k)).select("n")
+        nk = (e.join(elite.select(F.col("n").alias("u")), "u")
+              .join(elite.select(F.col("n").alias("v")), "v")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        cnt = elite.agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_nodes"))
+        t = cnt.crossJoin(F.broadcast(nk)).select(
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_nodes", "n_edges",
+            F.round(F.when(F.col("n_nodes") >= 2,
+                           2.0 * F.col("n_edges")
+                           / (F.col("n_nodes")
+                              * (F.col("n_nodes") - 1))),
+                    round_to).alias("phi"))
+        rows = t if rows is None else rows.unionByName(t)
+    out = rows.orderBy("k")
+    out._zoi_persisted = [e, deg]
+    return out

@@ -1834,3 +1834,63 @@ def dbscan_labels(df: DataFrame, *, vec_col: str = "embedding",
                 round_to).alias("noise_share"))
     out._zoi_persisted = [core]
     return out
+
+
+def hubness(df: DataFrame, *, vec_col: str = "embedding",
+            id_col: str = "vec_id", k: int = 5,
+            sample_m: int = 200,
+            round_to: int = 6) -> DataFrame:
+    """Hubness audit (Radovanović 2010) on an md5-ranked sample:
+    N_k(x) = how often x appears in OTHER points' k-NN lists; its
+    skewness is THE high-dimensionality pathology number — hubs
+    (N_k ≫ k) dominate every neighbor list and poison k-NN dedup
+    and retrieval, anti-hubs (N_k = 0) are unreachable. Rising
+    N_k-skew is the early warning that the kNN-based operators
+    (semantic dedup, triplet eval, LOF) are degrading.
+
+    From the same fixed-sample pair table as the other kNN audits;
+    the N_k census is one aggregation over the neighbor lists.
+    Returns ``(m, k, max_nk, skew_nk, share_hubs, share_antihubs)``
+    — hubs: N_k ≥ 2k; anti-hubs: N_k = 0.
+    """
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(sample_m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .where(F.col("a.i") != F.col("b.i"))
+             .select(F.col("a.i").alias("i"),
+                     F.col("b.i").alias("j"),
+                     _euclid(F.col("a.v"), F.col("b.v"))
+                     .alias("d")))
+    rn = F.row_number().over(
+        Window.partitionBy("i").orderBy("d", "j"))
+    nb = pairs.withColumn("__rn", rn).where(F.col("__rn") <= int(k))
+    nk = (s.select(F.col("i").alias("j"))
+          .join(nb.groupBy("j").agg(F.count(F.lit(1)).alias("nk")),
+                "j", "left")
+          .select(F.coalesce("nk", F.lit(0)).alias("nk")))
+    mstats = nk.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.max("nk").cast("long").alias("max_nk"),
+        F.avg(F.col("nk").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("nk").cast("double")).alias("sd"),
+        (F.sum(F.pow(F.col("nk").cast("double"), 3))
+         / F.count(F.lit(1))).alias("m3r"),
+        F.avg((F.col("nk") >= 2 * int(k)).cast("double"))
+        .alias("hub_share"),
+        F.avg((F.col("nk") == 0).cast("double"))
+        .alias("anti_share"))
+    # population skew from raw moments: (E[x^3] - 3 mu s^2 - mu^3)/s^3
+    skew = ((F.col("m3r") - 3 * F.col("mu") * F.col("sd")
+             * F.col("sd") - F.col("mu") ** 3)
+            / (F.col("sd") ** 3))
+    return mstats.select(
+        "m", F.lit(int(k)).cast("long").alias("k"), "max_nk",
+        F.round(F.when(F.col("sd") > 0, skew).otherwise(0.0),
+                round_to).alias("skew_nk"),
+        F.round("hub_share", round_to).alias("share_hubs"),
+        F.round("anti_share", round_to).alias("share_antihubs"))

@@ -12390,3 +12390,49 @@ def ece(df: DataFrame, *, prob_col: str, label_col: str,
         F.round(F.sum(F.col("nk") * gap) / F.sum("nk"), round_to)
          .alias("ece"),
         F.round(F.max(gap), round_to).alias("mce"))
+
+
+# blank-like strings that disguise missing values (case-insensitive;
+# the classic census list from data-quality practice)
+DISGUISED_NULL_TOKENS = (
+    "", " ", "-", "--", "n/a", "na", "null", "none", "nil",
+    "unknown", "undefined", "missing", "?", ".",
+)
+
+
+def disguised_nulls(df: DataFrame, *, cols,
+                    round_to: int = 6) -> DataFrame:
+    """Disguised-missing-value census: per string column, how many
+    values are REAL nulls vs blank-like stand-ins ('', 'N/A',
+    'null', 'unknown', '-', …; matched after trim+lower) — the
+    classic data-quality trap null_patterns (true-NULL
+    co-occurrence) cannot see: a feed that writes 'N/A' passes
+    every NOT NULL check while poisoning group-bys and joins.
+
+    One aggregation computing all columns' counts in a single pass.
+    Returns per column ``(col_name, n, n_null, n_disguised,
+    disguised_share)`` ordered by col_name.
+    """
+    toks = [t for t in DISGUISED_NULL_TOKENS]
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        low = F.lower(F.trim(F.col(c)))
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"__null_{c}"))
+        aggs.append(F.sum(low.isin(*toks).cast("long"))
+                    .alias(f"__dis_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __dis_{c}" for c in cols)
+    out = wide.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) "
+        "as (col_name, n_null, n_disguised)")
+    return (out.select(
+        "col_name", F.col("__n").alias("n"),
+        F.coalesce("n_null", F.lit(0)).alias("n_null"),
+        F.coalesce("n_disguised", F.lit(0)).alias("n_disguised"),
+        F.round(F.coalesce("n_disguised", F.lit(0))
+                / F.col("__n").cast("double"), round_to)
+        .alias("disguised_share"))
+        .orderBy("col_name"))

@@ -4268,8 +4268,11 @@ def vocab_knee(df: DataFrame, *, text_col: str = "text",
     yn = (F.col("cf") - cmin) / (cmax - cmin)
     gap = (1.0 - xn) - yn
     scored = t.select("token", "cf", "r", gap.alias("gap"))
+    # pick on the ROUNDED gap: an exactly-linear curve has every
+    # gap 0 up to float dust, and the tie must break on rank
     pick = F.row_number().over(
-        Window.partitionBy().orderBy(F.col("gap").desc(), "r"))
+        Window.partitionBy().orderBy(
+            F.round(F.col("gap"), 6).desc(), "r"))
     return (scored.withColumn("__p", pick).where(F.col("__p") == 1)
             .select(F.col("r").cast("long").alias("knee_rank"),
                     "token", F.col("cf").cast("long").alias("cf"),
