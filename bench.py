@@ -544,6 +544,12 @@ R4_NAMES = [
     "nb_langid_eval", "anonymity_curve_docs", "ece_gate",
     # wave 131: rich club, hubness, disguised nulls
     "rich_club_hosts", "hubness_emb", "disguised_nulls_docs",
+    # wave 132: NB confusion, metricity audit, water-filling
+    "nb_langid_confusion", "metricity_audit_emb",
+    "waterfill_tokens",
+    # wave 133: clustering factor, rank turbulence, word graph
+    "clustering_factor_docs", "rank_turbulence_vocab",
+    "word_graph_smallworld",
 ]
 
 

@@ -1729,3 +1729,18 @@ class TestHubness:
         out = sim.hubness(df, k=3, sample_m=40).collect()[0]
         assert out["share_antihubs"] < 0.3
         assert out["skew_nk"] < 1.5
+
+
+class TestMetricityAudit:
+    def test_euclidean_clean_cosine_flagged(self, spark):
+        from zoi_spark import similarity as sim
+        # vectors spread over directions AND magnitudes: cosine
+        # distance concentrates by angle and breaks triangles
+        rows = [(i, [float(1 + i % 5), float(i % 7) - 3.0,
+                     float(i % 3)]) for i in range(18)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = sim.metricity_audit(df, sample_m=18).collect()[0]
+        assert out["eucl_violations"] == 0     # L2 is a metric
+        assert out["n_triples"] == 816         # C(18,3)
+        assert 0.0 <= out["cos_violation_share"] <= 1.0

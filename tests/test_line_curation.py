@@ -1510,3 +1510,23 @@ class TestNBLangIdEval:
         assert sum(r["n_docs"] for r in out) == 2
         # both test docs get the SAME predicted lang (tie rules)
         assert sum(r["n_correct"] for r in out) == 1
+
+
+class TestNBLangIdConfusion:
+    def test_cells_sum_to_eval(self, spark):
+        from zoi_spark import text as tx
+        rows = []
+        for i in range(10):
+            rows.append((2 * i, "aaa bbb", "A"))
+            rows.append((2 * i + 1, "aaa bbb", "A"))
+            rows.append((100 + 2 * i, "ccc ddd", "B"))
+            rows.append((100 + 2 * i + 1, "ccc ddd", "B"))
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        cells = tx.nb_langid_confusion(df).collect()
+        total = sum(r["n"] for r in cells)
+        ev = tx.nb_langid_eval(df).collect()
+        assert total == sum(r["n_docs"] for r in ev)
+        # separable corpus: only diagonal cells, row shares 1
+        assert all(r["true_lang"] == r["pred_lang"] for r in cells)
+        assert all(r["row_share"] == 1.0 for r in cells)

@@ -8508,3 +8508,50 @@ class TestDisguisedNulls:
         assert out["a"]["disguised_share"] == round(2 / 6, 6)
         assert out["b"]["n_disguised"] == 1   # the '-'
         assert out["b"]["n_null"] == 0
+
+
+class TestWaterfill:
+    def _df(self, spark, caps):
+        return spark.createDataFrame(
+            [(k, float(c)) for k, c in caps.items()],
+            "k string, cap double")
+
+    def test_hand_level(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = self._df(spark, {"a": 1, "b": 5, "c": 10})
+        out = {r["key"]: r for r in tc.waterfill(
+            df, key_col="k", cap_col="cap", budget=12).collect()}
+        # level 6: a filled at 1, b filled at 5, c gets 6
+        assert out["a"]["alloc"] == 1.0 and out["a"]["filled"]
+        assert out["b"]["alloc"] == 5.0 and out["b"]["filled"]
+        assert out["c"]["alloc"] == 6.0 and not out["c"]["filled"]
+
+    def test_budget_exceeds_capacity(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = self._df(spark, {"a": 2, "b": 3})
+        out = {r["key"]: r["alloc"] for r in tc.waterfill(
+            df, key_col="k", cap_col="cap", budget=100).collect()}
+        assert out == {"a": 2.0, "b": 3.0}
+
+    def test_small_budget_equal_split(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = self._df(spark, {"a": 10, "b": 10, "c": 10})
+        out = {r["key"]: r["alloc"] for r in tc.waterfill(
+            df, key_col="k", cap_col="cap", budget=6).collect()}
+        assert out == {"a": 2.0, "b": 2.0, "c": 2.0}
+
+
+class TestClusteringFactor:
+    def test_sorted_vs_scattered(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, "a" if i < 50 else "b",
+                 "x" if i % 2 == 0 else "y") for i in range(100)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, sorted string, alt string")
+        out = {r["col_name"]: r for r in tc.clustering_factor(
+            df, order_col="doc_id",
+            cols=["sorted", "alt"]).collect()}
+        assert out["sorted"]["n_runs"] == 2
+        assert out["sorted"]["factor"] == 1.0     # perfect zones
+        assert out["alt"]["n_runs"] == 100        # every row breaks
+        assert out["alt"]["factor"] == 50.0

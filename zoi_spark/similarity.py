@@ -1894,3 +1894,81 @@ def hubness(df: DataFrame, *, vec_col: str = "embedding",
                 round_to).alias("skew_nk"),
         F.round("hub_share", round_to).alias("share_hubs"),
         F.round("anti_share", round_to).alias("share_antihubs"))
+
+
+def metricity_audit(df: DataFrame, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", sample_m: int = 40,
+                    round_to: int = 6) -> DataFrame:
+    """Triangle-inequality audit of TWO similarity-derived
+    distances on all sampled triples: euclidean (a true metric —
+    violations must be 0, the harness sanity check) and cosine
+    DISTANCE 1−cos (famously NOT a metric): the violation share
+    says how badly — which prices how much trust canopy radii,
+    k-center coverage guarantees and LOF reachability deserve when
+    run on cosine instead of L2. Violation: d(a,c) > d(a,b) +
+    d(b,c) + 1e-12 (float guard).
+
+    The triple table is the m-sample's ordered 3-subsets (~m³/6
+    rows — m stays small); distances come from one m² pair table
+    joined three ways. Returns ``(m, n_triples, eucl_violations,
+    cos_violation_share)``.
+    """
+    s = (df.where(F.col(vec_col).isNotNull()
+                  & F.col(id_col).isNotNull())
+         .orderBy(F.md5(F.col(id_col).cast("string")))
+         .limit(int(sample_m))
+         .select(F.col(id_col).alias("i"),
+                 F.col(vec_col).cast("array<double>").alias("v")))
+    a, b = s.alias("a"), s.alias("b")
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0),
+        lambda acc, z: acc + z)
+    nrm = lambda x: F.sqrt(dot(x, x))
+    pairs = (F.broadcast(a).crossJoin(F.broadcast(b))
+             .where(F.col("a.i") < F.col("b.i"))
+             .select(F.col("a.i").alias("x"),
+                     F.col("b.i").alias("y"),
+                     _euclid(F.col("a.v"), F.col("b.v"))
+                     .alias("de"),
+                     (1.0 - dot(F.col("a.v"), F.col("b.v"))
+                      / (nrm(F.col("a.v")) * nrm(F.col("b.v"))))
+                     .alias("dc"))
+             .persist())
+    ids = s.select("i")
+    tri = (ids.alias("p").crossJoin(ids.alias("q"))
+           .crossJoin(ids.alias("r"))
+           .where((F.col("p.i") < F.col("q.i"))
+                  & (F.col("q.i") < F.col("r.i")))
+           .select(F.col("p.i").alias("ia"),
+                   F.col("q.i").alias("ib"),
+                   F.col("r.i").alias("ic")))
+    def leg(x, y, de, dc):
+        return pairs.select(F.col("x").alias(x),
+                            F.col("y").alias(y),
+                            F.col("de").alias(de),
+                            F.col("dc").alias(dc))
+    t = (tri.join(leg("ia", "ib", "e_ab", "c_ab"), ["ia", "ib"])
+         .join(leg("ib", "ic", "e_bc", "c_bc"), ["ib", "ic"])
+         .join(leg("ia", "ic", "e_ac", "c_ac"), ["ia", "ic"]))
+    eps = 1e-12
+    # each unordered triple yields three triangle inequalities;
+    # check all three per distance
+    def viol(d1, d2, d3):
+        return ((F.col(d3) > F.col(d1) + F.col(d2) + eps)
+                | (F.col(d1) > F.col(d2) + F.col(d3) + eps)
+                | (F.col(d2) > F.col(d1) + F.col(d3) + eps)) \
+            .cast("long")
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.sum(viol("e_ab", "e_bc", "e_ac"))
+        .alias("eucl_violations"),
+        F.avg(viol("c_ab", "c_bc", "c_ac").cast("double"))
+        .alias("cos_share"))
+    m_n = s.count()
+    out = agg.select(
+        F.lit(m_n).cast("long").alias("m"), "n_triples",
+        "eucl_violations",
+        F.round("cos_share", round_to)
+        .alias("cos_violation_share"))
+    out._zoi_persisted = [pairs]
+    return out

@@ -12436,3 +12436,105 @@ def disguised_nulls(df: DataFrame, *, cols,
                 / F.col("__n").cast("double"), round_to)
         .alias("disguised_share"))
         .orderBy("col_name"))
+
+
+def waterfill(df: DataFrame, *, key_col: str, cap_col: str,
+              budget: float, round_to: int = 6) -> DataFrame:
+    """Water-filling (max-min fair) budget allocation: give every
+    key an equal share, but never more than its cap — small keys
+    are filled COMPLETELY and their leftovers raise everyone
+    else's water level:
+
+        alloc_i = min(cap_i, level),
+        level = (B − Σ_{caps<level} cap) / #{caps ≥ level}
+
+    — the fair token-budget splitter across sources
+    (temperature_weights reweights proportionally, THIS guarantees
+    min-share fairness; the classic link-bandwidth algorithm). If
+    the budget exceeds total capacity every key gets its cap.
+
+    Closed form, no iteration: sort caps ascending, and the level
+    is determined by the FIRST prefix position where the remaining
+    equal-split fits under the next cap — one cumulative window
+    over the keys table. Returns ``(key, cap, alloc, filled)``
+    ordered by key.
+    """
+    b = float(budget)
+    base = (df.where(F.col(key_col).isNotNull()
+                     & F.col(cap_col).isNotNull())
+            .select(F.col(key_col).alias("k"),
+                    F.col(cap_col).cast("double").alias("cap")))
+    wo = Window.partitionBy().orderBy("cap", "k")
+    wall = Window.partitionBy()
+    t = base.select(
+        "k", "cap",
+        F.row_number().over(wo).alias("r"),
+        F.sum("cap").over(wo.rowsBetween(
+            Window.unboundedPreceding, -1)).alias("cum_before"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    cumb = F.coalesce(F.col("cum_before"), F.lit(0.0))
+    remaining = F.lit(b) - cumb
+    share = remaining / (F.col("n") - F.col("r") + 1)
+    # the level applies at the FIRST r where the equal split fits
+    # under this cap (later rows qualify trivially with negative
+    # shares once the budget is exhausted — struct-min on (r, share)
+    # picks the earliest, not the smallest share)
+    lvl_struct = F.min(F.when(share <= F.col("cap"),
+                              F.struct(F.col("r").alias("r"),
+                                       share.alias("s")))) \
+                  .over(wall)
+    level = lvl_struct.getField("s")
+    alloc = F.when(level.isNull(), F.col("cap")) \
+             .otherwise(F.least(F.col("cap"),
+                                F.greatest(level, F.lit(0.0))))
+    out = t.select(
+        F.col("k").alias("key"),
+        F.round("cap", round_to).alias("cap"),
+        F.round(alloc, round_to).alias("alloc"),
+        (alloc >= F.col("cap") - 1e-9).alias("filled"))
+    return out.orderBy("key")
+
+
+def clustering_factor(df: DataFrame, *, order_col: str, cols,
+                      round_to: int = 6) -> DataFrame:
+    """Zone-map clustering factor per column: scanning the table in
+    *order_col* order, how many RUNS does each column break into,
+    and the factor runs/distinct — 1.0 means every value sits in
+    one contiguous stretch (zone maps / min-max pruning skip
+    perfectly), n_rows/distinct means fully scattered (pruning
+    skips nothing). The measured input behind the z-order and
+    partition advisors: THIS is what those layouts are trying to
+    drive toward 1.
+
+    One pass with a lag window per column (computed together in a
+    single projection). Returns per column ``(col_name, n_rows,
+    n_distinct, n_runs, factor)`` ordered by col_name.
+    """
+    w = Window.partitionBy().orderBy(order_col)
+    lagged = df.select(
+        order_col,
+        *[F.col(c) for c in cols],
+        *[(F.col(c).eqNullSafe(F.lag(c).over(w)) == False)
+          .cast("long").alias(f"__brk_{c}") for c in cols])
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(f"__brk_{c}").alias(f"__runs_{c}"))
+        aggs.append(F.count_distinct(F.col(c))
+                    .alias(f"__dist_{c}"))
+    wide = lagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __runs_{c}, __dist_{c}" for c in cols)
+    out = wide.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) "
+        "as (col_name, n_breaks, n_distinct)")
+    # the first row's lag is NULL, and eqNullSafe(value, NULL) is
+    # false, so it registers as a break: n_breaks == n_runs exactly
+    return (out.select(
+        "col_name", F.col("__n").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_breaks").cast("long").alias("n_runs"),
+        F.round(F.col("n_breaks")
+                / F.col("n_distinct").cast("double"), round_to)
+        .alias("factor"))
+        .orderBy("col_name"))

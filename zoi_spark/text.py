@@ -4565,4 +4565,78 @@ def nb_langid_eval(df: DataFrame, *, text_col: str = "text",
                    "accuracy")
            .orderBy("lang"))
     out._zoi_persisted = [langs]
+    out._zoi_predictions = pred.select("id", "y", "cl")
     return out
+
+
+def nb_langid_confusion(df: DataFrame, *, text_col: str = "text",
+                        label_col: str = "lang", split=None,
+                        id_col: str = "doc_id",
+                        alpha: float = 1.0,
+                        round_to: int = 6) -> DataFrame:
+    """Full confusion matrix of the trained naive-Bayes language-ID
+    (:func:`nb_langid_eval`'s fit/predict loop, cells instead of
+    the per-lang accuracy roll-up): WHICH langs the model confuses
+    — the asymmetric confusion structure (es→fr but not fr→es)
+    that drives targeted training-data additions; the trained-model
+    sibling of the marker-heuristic label_confusability matrix.
+    Returns ``(true_lang, pred_lang, n, row_share)`` for observed
+    cells, ordered by (true_lang, pred_lang).
+    """
+    ev = nb_langid_eval(df, text_col=text_col, label_col=label_col,
+                        split=split, id_col=id_col, alpha=alpha,
+                        round_to=round_to)
+    pred = ev._zoi_predictions
+    cells = (pred.groupBy("y", "cl")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = Window.partitionBy("y")
+    out = cells.select(
+        F.col("y").alias("true_lang"),
+        F.col("cl").alias("pred_lang"), "n",
+        F.round(F.col("n") / F.sum("n").over(tot), round_to)
+        .alias("row_share")).orderBy("true_lang", "pred_lang")
+    out._zoi_persisted = getattr(ev, "_zoi_persisted", [])
+    return out
+
+
+def rank_turbulence(df: DataFrame, *, text_col: str = "text",
+                    split=None, id_col: str = "doc_id",
+                    top: int = 10, min_cf: int = 5,
+                    round_to: int = 6) -> DataFrame:
+    """Rank-turbulence movers (the α=1 core of Dodds 2020's
+    rank-turbulence divergence): rank the vocabulary by frequency
+    in each *split* half and surface the terms with the largest
+    |1/r₁ − 1/r₂| — the principled "what words MOVED" leaderboard
+    (a term going 1→3 matters, 1000→3000 doesn't), where RBO
+    (rbo_terms_halves) scores the overlap and this names the
+    movers. Terms absent from a half take 1/r = 0 (rank ∞).
+
+    Two vocabulary aggregations + doubled-rank windows on the
+    frequency tables. Returns the ``top`` rows ``(token, r1, r2,
+    divergence)`` by divergence desc, ties to token.
+    """
+    sp = split if split is not None \
+        else F.pmod(F.col(id_col), F.lit(2)) == 0
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.when(sp, 0).otherwise(1).alias("h"),
+                    toks.alias("token"))
+            .where(F.col("token") != ""))
+    def ranks(h):
+        vocab = (base.where(F.col("h") == h)
+                 .groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("cf"))
+                 .where(F.col("cf") >= int(min_cf)))
+        r = F.row_number().over(
+            Window.partitionBy().orderBy(F.col("cf").desc(),
+                                         "token"))
+        return vocab.select("token", r.alias(f"r{h + 1}"))
+    j = ranks(0).join(ranks(1), "token", "full_outer")
+    inv = lambda c: F.when(F.col(c).isNotNull(),
+                           1.0 / F.col(c)).otherwise(0.0)
+    div = F.abs(inv("r1") - inv("r2"))
+    return (j.select("token", "r1", "r2",
+                     F.round(div, round_to).alias("divergence"))
+            .orderBy(F.col("divergence").desc(), "token")
+            .limit(int(top)))
