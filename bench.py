@@ -550,6 +550,8 @@ R4_NAMES = [
     # wave 133: clustering factor, rank turbulence, word graph
     "clustering_factor_docs", "rank_turbulence_vocab",
     "word_graph_smallworld",
+    # wave 134: Markov order test, SymSpell typos, N50
+    "markov_order_events", "symspell_typos", "n50_docs",
 ]
 
 

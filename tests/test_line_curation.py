@@ -1530,3 +1530,29 @@ class TestNBLangIdConfusion:
         # separable corpus: only diagonal cells, row shares 1
         assert all(r["true_lang"] == r["pred_lang"] for r in cells)
         assert all(r["row_share"] == 1.0 for r in cells)
+
+
+class TestSymspellTypos:
+    def test_repair_pairs_found(self, spark):
+        from zoi_spark import text as tx
+        docs, did = [], 0
+        for _ in range(60):
+            docs.append((did, "hello world")); did += 1
+        docs += [(did, "helo there"), (did + 1, "wxrld again"),
+                 (did + 2, "zzz unrelated")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {(r["rare_token"], r["frequent_token"]): r
+               for r in tx.symspell_typo_pairs(
+                   df, rare_max=2, freq_min=50, top=10).collect()}
+        assert ("helo", "hello") in out
+        assert ("wxrld", "world") in out
+        assert not any(rt == "zzz" for rt, _ in out)
+
+    def test_distance_two_not_matched(self, spark):
+        from zoi_spark import text as tx
+        docs = [(i, "hello") for i in range(60)]
+        docs.append((100, "hxlxo only"))     # two substitutions
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = tx.symspell_typo_pairs(df, rare_max=2, freq_min=50,
+                                     top=10).collect()
+        assert not any(r["rare_token"] == "hxlxo" for r in out)

@@ -8555,3 +8555,55 @@ class TestClusteringFactor:
         assert out["sorted"]["factor"] == 1.0     # perfect zones
         assert out["alt"]["n_runs"] == 100        # every row breaks
         assert out["alt"]["factor"] == 50.0
+
+
+class TestMarkovOrderTest:
+    def test_true_order_one_zero(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows, eid = [], 0
+        for u in range(5):
+            for j, s in enumerate("ABABABAB"):
+                rows.append((eid, u, dt.datetime(2024, 1, 1, j), s))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp, t string")
+        out = tc.markov_order_test(
+            df, entity_col="user_id", ts_col="ts",
+            type_col="t").collect()[0]
+        assert out["g2"] == 0.0       # next state depends on b only
+
+    def test_second_order_memory_detected(self, spark):
+        from zoi_spark import tablechecks as tc
+        import datetime as dt
+        rows, eid = [], 0
+        for u in range(5):
+            for j, s in enumerate("ABBABBABB"):
+                rows.append((eid, u, dt.datetime(2024, 1, 1, j), s))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "id long, user_id long, ts timestamp, t string")
+        out = tc.markov_order_test(
+            df, entity_col="user_id", ts_col="ts",
+            type_col="t").collect()[0]
+        assert out["g2"] > 5.0        # after B, history decides
+
+
+class TestN50:
+    def test_hand_values(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(i, v) for i, v in
+                                    enumerate([10, 5, 3, 2])],
+                                   "i long, v long")
+        out = tc.n50(df, "v").collect()[0]
+        assert out["total"] == 20
+        assert out["n50"] == 10 and out["l50"] == 1
+        assert out["n90"] == 3 and out["l90"] == 3
+
+    def test_uniform_sizes(self, spark):
+        from zoi_spark import tablechecks as tc
+        df = spark.createDataFrame([(i, 7) for i in range(10)],
+                                   "i long, v long")
+        out = tc.n50(df, "v").collect()[0]
+        assert out["n50"] == 7
+        assert out["l50"] == 10       # the tie group counts whole

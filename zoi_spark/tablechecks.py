@@ -12538,3 +12538,115 @@ def clustering_factor(df: DataFrame, *, order_col: str, cols,
                 / F.col("n_distinct").cast("double"), round_to)
         .alias("factor"))
         .orderBy("col_name"))
+
+
+def markov_order_test(df: DataFrame, *, entity_col: str,
+                      ts_col: str, type_col: str,
+                      round_to: int = 6) -> DataFrame:
+    """Likelihood-ratio test of Markov ORDER (1 vs 2): with triple
+    counts n(a,b,c) and the order-1/order-2 conditional MLEs,
+
+        G² = 2·Σ n(a,b,c)·ln[ P̂(c|a,b) / P̂(c|b) ]
+        df = k(k−1)² (k observed states)
+
+    — does YESTERDAY-BEFORE-LAST matter: the modeling-assumption
+    test every first-order machinery here (markov_event_mix,
+    session_depth, markov_drift) silently makes. G² far above df
+    says the chain has memory the order-1 matrix is erasing.
+
+    One lead-window pass building triples, two count aggregations;
+    all numerators are exact integers. Returns ``(n_triples, k, g2,
+    dof)``.
+    """
+    base = (df.where(F.col(entity_col).isNotNull()
+                     & F.col(ts_col).isNotNull()
+                     & F.col(type_col).isNotNull())
+            .select(F.col(entity_col).alias("e"),
+                    F.col(ts_col).alias("t"),
+                    F.col(type_col).alias("s")))
+    w = Window.partitionBy("e").orderBy("t", "s")
+    tri = base.select(
+        F.col("s").alias("a"),
+        F.lead("s", 1).over(w).alias("b"),
+        F.lead("s", 2).over(w).alias("c")) \
+        .where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    n3 = tri.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("n"))
+    # order-2 denominator: triples sharing (a, b); order-1 ratio
+    # P(c|b) from the SAME triple table (so both models see
+    # identical data)
+    w_ab = Window.partitionBy("a", "b")
+    w_b = Window.partitionBy("b")
+    w_bc = Window.partitionBy("b", "c")
+    t = n3.select(
+        "a", "b", "c", "n",
+        F.sum("n").over(w_ab).alias("n_ab"),
+        F.sum("n").over(w_bc).alias("n_bc"),
+        F.sum("n").over(w_b).alias("n_b"))
+    term = (F.col("n")
+            * F.log((F.col("n") / F.col("n_ab"))
+                    / (F.col("n_bc") / F.col("n_b"))))
+    k = tri.select("a").unionByName(tri.select(F.col("b")
+                                               .alias("a"))) \
+        .unionByName(tri.select(F.col("c").alias("a"))) \
+        .distinct().count()
+    agg = t.agg(
+        F.sum("n").cast("long").alias("n_triples"),
+        F.round(2.0 * F.sum(term), round_to).alias("g2"))
+    return agg.select(
+        "n_triples", F.lit(k).cast("long").alias("k"), "g2",
+        F.lit(k * (k - 1) * (k - 1)).cast("long").alias("dof"))
+
+
+def n50(df: DataFrame, value_col: str, *,
+        round_to: int = 6) -> DataFrame:
+    """N50/L50 of a size distribution (the genome-assembly
+    statistic, applied to corpus documents): sort by size
+    descending; N50 is the size of the element at which the
+    cumulative mass crosses HALF the total, L50 how many elements
+    that took —
+
+        "half the corpus volume lives in the L50 biggest docs,
+         each at least N50 units long"
+
+    — the one-line concentration summary that speaks in UNITS
+    (chars) where Gini/Lorenz speak in shares; N90/L90 ride along
+    for the tail. Cumulative windows over the distinct-size
+    histogram (never a row sort). Returns ``(n, total, n50, l50,
+    n90, l90)``.
+    """
+    base = (df.where(F.col(value_col).isNotNull()
+                     & (F.col(value_col) > 0))
+            .select(F.col(value_col).cast("long").alias("v")))
+    dv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    wp = (Window.partitionBy().orderBy(F.col("v").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = dv.select(
+        "v", "c",
+        F.sum(F.col("v") * F.col("c")).over(wp).alias("cum_mass"),
+        F.sum("c").over(wp).alias("cum_n"),
+        F.sum(F.col("v") * F.col("c")).over(wall).alias("total"),
+        F.sum("c").over(wall).alias("n"))
+    # exact integer thresholds: cum_mass*10 >= total*5 (N50) and
+    # cum_mass*10 >= total*9 (N90) avoid float fractions entirely
+    n50_row = (t.where(F.col("cum_mass") * 10 >= F.col("total") * 5)
+               .agg(F.max("v").alias("n50v")))
+    l50_row = (t.where(F.col("cum_mass") * 10 >= F.col("total") * 5)
+               .agg(F.min("cum_n").alias("l50v")))
+    n90_row = (t.where(F.col("cum_mass") * 10 >= F.col("total") * 9)
+               .agg(F.max("v").alias("n90v")))
+    l90_row = (t.where(F.col("cum_mass") * 10 >= F.col("total") * 9)
+               .agg(F.min("cum_n").alias("l90v")))
+    tot = t.agg(F.any_value("n").cast("long").alias("n"),
+                F.any_value("total").cast("long").alias("total"))
+    out = (tot.crossJoin(F.broadcast(n50_row))
+           .crossJoin(F.broadcast(l50_row))
+           .crossJoin(F.broadcast(n90_row))
+           .crossJoin(F.broadcast(l90_row)))
+    return out.select(
+        "n", "total",
+        F.col("n50v").cast("long").alias("n50"),
+        F.col("l50v").cast("long").alias("l50"),
+        F.col("n90v").cast("long").alias("n90"),
+        F.col("l90v").cast("long").alias("l90"))

@@ -4640,3 +4640,60 @@ def rank_turbulence(df: DataFrame, *, text_col: str = "text",
                      F.round(div, round_to).alias("divergence"))
             .orderBy(F.col("divergence").desc(), "token")
             .limit(int(top)))
+
+
+def symspell_typo_pairs(df: DataFrame, *, text_col: str = "text",
+                        rare_max: int = 2, freq_min: int = 50,
+                        top: int = 15,
+                        round_to: int = 6) -> DataFrame:
+    """SymSpell-style typo detection (Garbe's delete-1 algorithm):
+    a RARE token (cf ≤ rare_max) that is within edit distance 1 of
+    a FREQUENT token (cf ≥ freq_min) is almost certainly its typo/
+    OCR variant. The trick that makes it scale: generate each
+    token's DELETE-1 variants (plus itself) and equi-join on the
+    variant — two tokens are within edit distance 1 iff they share
+    a variant — so the plan is explode + one hash join, never a
+    pairwise edit-distance scan.
+
+    Returns the ``top`` rows ``(rare_token, frequent_token,
+    rare_cf, freq_cf, ratio)`` by freq_cf desc then names — the
+    normalization map a cleanup pass applies.
+    """
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    vocab = (df.where(F.col(text_col).isNotNull())
+             .select(toks.alias("token"))
+             .where(F.col("token") != "")
+             .groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+             .persist())
+    dels = lambda: F.array_union(
+        F.array(F.col("token")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("token")),
+            lambda i: F.concat(
+                F.col("token").substr(F.lit(1), i - 1),
+                F.col("token").substr(i + 1, F.lit(1000000)))))
+    rare = (vocab.where(F.col("cf") <= int(rare_max))
+            .select(F.col("token").alias("rt"),
+                    F.col("cf").alias("rcf"),
+                    F.explode(dels()).alias("v")))
+    freq = (vocab.where(F.col("cf") >= int(freq_min))
+            .select(F.col("token").alias("ft"),
+                    F.col("cf").alias("fcf"),
+                    F.explode(dels()).alias("v")))
+    pairs = (rare.join(freq, "v")
+             .where(F.col("rt") != F.col("ft"))
+             .groupBy("rt", "ft")
+             .agg(F.any_value("rcf").alias("rcf"),
+                  F.any_value("fcf").alias("fcf")))
+    out = (pairs.select(
+        F.col("rt").alias("rare_token"),
+        F.col("ft").alias("frequent_token"),
+        F.col("rcf").cast("long").alias("rare_cf"),
+        F.col("fcf").cast("long").alias("freq_cf"),
+        F.round(F.col("fcf") / F.col("rcf").cast("double"),
+                round_to).alias("ratio"))
+        .orderBy(F.col("freq_cf").desc(), "rare_token",
+                 "frequent_token")
+        .limit(int(top)))
+    out._zoi_persisted = [vocab]
+    return out
