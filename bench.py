@@ -552,6 +552,9 @@ R4_NAMES = [
     "word_graph_smallworld",
     # wave 134: Markov order test, SymSpell typos, N50
     "markov_order_events", "symspell_typos", "n50_docs",
+    # wave 135: casing variants, tau-b, hash collisions
+    "casing_variants_docs", "taub_source_metrics",
+    "hash_collision_audit",
 ]
 
 

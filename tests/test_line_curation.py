@@ -1556,3 +1556,19 @@ class TestSymspellTypos:
         out = tx.symspell_typo_pairs(df, rare_max=2, freq_min=50,
                                      top=10).collect()
         assert not any(r["rare_token"] == "hxlxo" for r in out)
+
+
+class TestCasingVariants:
+    def test_variant_census(self, spark):
+        from zoi_spark import text as tx
+        docs = ([(i, "Apple pie") for i in range(6)]
+                + [(10 + i, "apple tart") for i in range(3)]
+                + [(20, "APPLE crumble"), (21, "plain words")])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["token_lower"]: r for r in tx.casing_variants(
+            df, top=5, min_total=2).collect()}
+        a = out["apple"]
+        assert a["n_casings"] == 3 and a["total_cf"] == 10
+        assert a["dominant"] == "Apple"
+        assert a["dominant_share"] == 0.6
+        assert "plain" not in out            # single casing

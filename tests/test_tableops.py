@@ -8607,3 +8607,39 @@ class TestN50:
         out = tc.n50(df, "v").collect()[0]
         assert out["n50"] == 7
         assert out["l50"] == 10       # the tie group counts whole
+
+
+class TestKendallTauB:
+    def test_perfect_agreement(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(float(i), float(i * 2)) for i in range(8)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.kendall_tau_b(df, x_col="x",
+                               y_col="y").collect()[0]
+        assert out["tau_b"] == 1.0 and out["discordant"] == 0
+
+    def test_ties_reduce_magnitude(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 4.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = tc.kendall_tau_b(df, x_col="x",
+                               y_col="y").collect()[0]
+        # C=5, D=0, Tx=1 -> tau = 5/sqrt(6*5)
+        assert out["concordant"] == 5 and out["ties_x"] == 1
+        assert out["tau_b"] == round(5 / (30 ** 0.5), 6)
+
+
+class TestHashCollisionAudit:
+    def test_forced_collisions_at_narrow_width(self, spark):
+        from zoi_spark import tablechecks as tc
+        rows = [(i, f"key{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "i long, k string")
+        out = {r["bits"]: r for r in tc.hash_collision_audit(
+            df, key_col="k", bits=(8, 32)).collect()}
+        # 2000 keys into 256 buckets: nearly every hash collides
+        assert out[8]["n_distinct_hashes"] == 256
+        assert out[8]["collisions_observed"] == 2000 - 256
+        assert out[8]["collisions_expected"] > 3000
+        # 32 bits: expectation < 1/2, observed should be tiny
+        assert out[32]["collisions_observed"] <= 2
+        assert out[32]["collisions_expected"] < 0.5

@@ -12650,3 +12650,96 @@ def n50(df: DataFrame, value_col: str, *,
         F.col("l50v").cast("long").alias("l50"),
         F.col("n90v").cast("long").alias("n90"),
         F.col("l90v").cast("long").alias("l90"))
+
+
+def kendall_tau_b(df: DataFrame, *, x_col: str, y_col: str,
+                  round_to: int = 6) -> DataFrame:
+    """Kendall's tau-b between two numeric columns over a SMALL
+    keyed table (aggregate metrics per group — the intended input):
+
+        τ_b = (C − D) / √((C + D + Tx)(C + D + Ty))
+
+    with concordant/discordant/tied pair counts — the tie-aware
+    rank correlation for "do sources rank the same by volume as by
+    quality", completing gamma (ignores ties) and tau-c (table
+    shape). Pairs come from a self-join of the aggregate table —
+    the caller aggregates FIRST, so the join is rows², rows tiny.
+    All counts exact integers. Returns ``(n, concordant,
+    discordant, ties_x, ties_y, tau_b)``.
+    """
+    base = (df.where(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull())
+            .select(F.col(x_col).alias("x"),
+                    F.col(y_col).alias("y")))
+    base = base.withColumn(
+        "__i", F.row_number().over(
+            Window.partitionBy().orderBy("x", "y")))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (a.join(b, F.col("a.__i") < F.col("b.__i"))
+             .select(
+                 F.signum(F.col("b.x") - F.col("a.x")).alias("sx"),
+                 F.signum(F.col("b.y") - F.col("a.y")).alias("sy")))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum((F.col("sx") * F.col("sy") > 0).cast("long"))
+        .alias("cc"),
+        F.sum((F.col("sx") * F.col("sy") < 0).cast("long"))
+        .alias("dd"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") != 0))
+              .cast("long")).alias("tx"),
+        F.sum(((F.col("sy") == 0) & (F.col("sx") != 0))
+              .cast("long")).alias("ty"))
+    n_rows = base.count()
+    denom = F.sqrt((F.col("cc") + F.col("dd") + F.col("tx"))
+                   .cast("double")
+                   * (F.col("cc") + F.col("dd") + F.col("ty")))
+    tau = F.when(denom > 0,
+                 (F.col("cc") - F.col("dd")) / denom)
+    return agg.select(
+        F.lit(n_rows).cast("long").alias("n"),
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("tx").alias("ties_x"), F.col("ty").alias("ties_y"),
+        F.round(tau, round_to).alias("tau_b"))
+
+
+def hash_collision_audit(df: DataFrame, *, key_col: str,
+                         bits=(16, 24, 32),
+                         round_to: int = 6) -> DataFrame:
+    """Fingerprint-width advisor: truncate md5(key) to each *bits*
+    width, count OBSERVED collisions (n − distinct hashes) next to
+    the birthday-bound expectation n(n−1)/2^{b+1} — the measured
+    answer to "how wide must the dedup fingerprint be", where the
+    rule-of-thumb only estimates. A width whose observed collisions
+    exceed ~2× expectation flags a biased key distribution, not
+    just bad luck.
+
+    One distinct + one aggregation per width (widths are few).
+    Returns ``(bits, n, n_distinct_hashes, collisions_observed,
+    collisions_expected)``.
+    """
+    base = (df.where(F.col(key_col).isNotNull())
+            .select(F.col(key_col).cast("string").alias("k"))
+            .distinct().persist())
+    rows = None
+    for b in bits:
+        hexd = (int(b) + 3) // 4
+        h = F.conv(F.substring(F.md5("k"), 1, hexd), 16, 10) \
+             .cast("long") % (1 << int(b))
+        agg = base.select(h.alias("h")).agg(
+            F.lit(int(b)).cast("long").alias("bits"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("h").cast("long")
+            .alias("n_distinct_hashes"))
+        agg = agg.select(
+            "bits", "n", "n_distinct_hashes",
+            (F.col("n") - F.col("n_distinct_hashes")).cast("long")
+            .alias("collisions_observed"),
+            F.round(F.col("n").cast("double")
+                    * (F.col("n") - 1)
+                    / F.lit(float(2 ** (int(b) + 1))), round_to)
+            .alias("collisions_expected"))
+        rows = agg if rows is None else rows.unionByName(agg)
+    out = rows.orderBy("bits")
+    out._zoi_persisted = [base]
+    return out

@@ -4697,3 +4697,41 @@ def symspell_typo_pairs(df: DataFrame, *, text_col: str = "text",
         .limit(int(top)))
     out._zoi_persisted = [vocab]
     return out
+
+
+def casing_variants(df: DataFrame, *, text_col: str = "text",
+                    top: int = 10, min_total: int = 5,
+                    round_to: int = 6) -> DataFrame:
+    """Case-normalization candidates: tokens (split on whitespace,
+    case PRESERVED) whose lowercase form occurs under ≥ 2 distinct
+    casings — 'Apple'/'apple'/'APPLE' — ranked by total frequency,
+    reporting the dominant casing and its share. The decision input
+    for whether lowercasing loses information (NER-ish corpora) or
+    merges noise (shouting/OCR); the case-sensitivity sibling of
+    the typography census.
+
+    One vocabulary aggregation on the raw tokens, one re-aggregate
+    on the lowercase key. Returns ``(token_lower, n_casings,
+    total_cf, dominant, dominant_share)`` top rows by total desc.
+    """
+    raw = F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+    vocab = (df.where(F.col(text_col).isNotNull())
+             .select(raw.alias("t"))
+             .where(F.col("t") != "")
+             .groupBy("t").agg(F.count(F.lit(1)).alias("cf")))
+    low = vocab.select(F.lower("t").alias("k"), "t", "cf")
+    per = (low.groupBy("k")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_casings"),
+                F.sum("cf").cast("long").alias("total_cf"),
+                F.max_by("t", F.struct(F.col("cf"), F.col("t")))
+                .alias("dominant"),
+                F.max("cf").alias("dom_cf")))
+    return (per.where((F.col("n_casings") >= 2)
+                      & (F.col("total_cf") >= int(min_total)))
+            .select(F.col("k").alias("token_lower"), "n_casings",
+                    "total_cf", "dominant",
+                    F.round(F.col("dom_cf")
+                            / F.col("total_cf").cast("double"),
+                            round_to).alias("dominant_share"))
+            .orderBy(F.col("total_cf").desc(), "token_lower")
+            .limit(int(top)))
