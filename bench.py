@@ -555,6 +555,8 @@ R4_NAMES = [
     # wave 135: casing variants, tau-b, hash collisions
     "casing_variants_docs", "taub_source_metrics",
     "hash_collision_audit",
+    # wave 136: richness panel, CLI/ARI readability
+    "richness_indices_langs", "cli_ari_langs",
 ]
 
 

@@ -1572,3 +1572,57 @@ class TestCasingVariants:
         assert a["dominant"] == "Apple"
         assert a["dominant_share"] == 0.6
         assert "plain" not in out            # single casing
+
+
+class TestRichnessIndices:
+    def test_hand_panel(self, spark):
+        from zoi_spark import text as tx
+        import math
+        # corpus: a x4, b x2, c x1, d x1 -> N=8, V=4, V1=2, V2=1
+        rows = [(0, "a a a a b b c d", "x")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        out = tx.richness_indices(df, by="lang").collect()[0]
+        assert (out["n_tokens"], out["v"], out["v1"],
+                out["v2"]) == (8, 4, 2, 1)
+        assert out["sichel_s"] == 0.25
+        assert out["honore_r"] == round(100 * math.log(8)
+                                        / (1 - 2 / 4), 6)
+        assert out["margalef"] == round(3 / math.log(8), 6)
+        assert out["menhinick"] == round(4 / math.sqrt(8), 6)
+        h = -sum(p * math.log(p) for p in (0.5, 0.25, 0.125, 0.125))
+        assert out["pielou_j"] == round(h / math.log(4), 6)
+
+    def test_all_hapax_honore_null(self, spark):
+        from zoi_spark import text as tx
+        rows = [(0, "p q r s", "x")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        out = tx.richness_indices(df, by="lang").collect()[0]
+        assert out["honore_r"] is None
+        assert out["pielou_j"] == 1.0        # perfectly even
+
+
+class TestCLIARI:
+    def test_hand_scores(self, spark):
+        from zoi_spark import text as tx
+        import math
+        txt = "The cat sat. The dog ran!"
+        rows = [(0, txt, "x")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        out = tx.cli_ari(df, by="lang").collect()[0]
+        l = sum(ch.isalpha() for ch in txt)
+        w, s = 6, 2
+        cli = 0.0588 * (100 * l / w) - 0.296 * (100 * s / w) - 15.8
+        ari = 4.71 * (l / w) + 0.5 * (w / s) - 21.43
+        assert out["cli"] == round(cli, 6)
+        assert out["ari"] == round(ari, 6)
+
+    def test_no_terminator_floors_sentences(self, spark):
+        from zoi_spark import text as tx
+        rows = [(0, "words without any stops here", "x")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        out = tx.cli_ari(df, by="lang").collect()[0]
+        assert out["n_docs"] == 1            # s floored at 1, no div0

@@ -4735,3 +4735,93 @@ def casing_variants(df: DataFrame, *, text_col: str = "text",
                             round_to).alias("dominant_share"))
             .orderBy(F.col("total_cf").desc(), "token_lower")
             .limit(int(top)))
+
+
+def richness_indices(df: DataFrame, *, text_col: str = "text",
+                     by: str = "lang",
+                     round_to: int = 6) -> DataFrame:
+    """The classical stylometric richness battery per group —
+    Sichel's S = V₂/V, Honoré's R = 100·ln N / (1 − V₁/V),
+    Margalef d = (V−1)/ln N, Menhinick = V/√N, and Pielou's
+    evenness J = H/ln V — five one-number vocabulary-structure
+    summaries with DIFFERENT sample-size sensitivities, read as a
+    panel (authorship/stylometry practice): Chao1
+    (vocab_richness) asks how much is unseen, these ask how the
+    SEEN vocabulary is shaped. Honoré is NULL when every type is a
+    hapax, Pielou when V = 1.
+
+    One (group, token) aggregation, one frequency fold. Returns
+    ``(group, n_tokens, v, v1, v2, sichel_s, honore_r, margalef,
+    menhinick, pielou_j)``.
+    """
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " "))
+    tt = (df.where(F.col(text_col).isNotNull()
+                   & F.col(by).isNotNull())
+          .select(F.col(by).alias("g"), toks.alias("token"))
+          .where(F.col("token") != "")
+          .groupBy("g", "token").agg(F.count(F.lit(1)).alias("c")))
+    wall = Window.partitionBy("g")
+    n = F.sum("c").over(wall)
+    t = tt.select("g", "c", n.alias("n"))
+    agg = t.groupBy("g").agg(
+        F.any_value("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum((F.col("c") == 1).cast("long")).alias("v1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("v2"),
+        (-F.sum((F.col("c") / F.col("n"))
+                * F.log(F.col("c") / F.col("n")))).alias("h"))
+    nn = F.col("n_tokens").cast("double")
+    v = F.col("v").cast("double")
+    v1 = F.col("v1").cast("double")
+    return agg.select(
+        F.col("g").alias("group"), "n_tokens", "v", "v1", "v2",
+        F.round(F.col("v2") / v, round_to).alias("sichel_s"),
+        F.round(F.when(v1 < v,
+                       100.0 * F.log(nn) / (1.0 - v1 / v)),
+                round_to).alias("honore_r"),
+        F.round((v - 1) / F.log(nn), round_to).alias("margalef"),
+        F.round(v / F.sqrt(nn), round_to).alias("menhinick"),
+        F.round(F.when(F.col("v") > 1,
+                       F.col("h") / F.log(v)), round_to)
+         .alias("pielou_j")).orderBy("group")
+
+
+def cli_ari(df: DataFrame, *, text_col: str = "text",
+            by: str = "lang", round_to: int = 6) -> DataFrame:
+    """Coleman–Liau and Automated Readability Index per group —
+    the two SYLLABLE-FREE readability formulas (letters, words,
+    sentences only), deliberately complementing Flesch
+    (readability_profile), whose vowel-group syllable proxy is the
+    weakest link on web text:
+
+        CLI = 0.0588·(100L/W) − 0.296·(100S/W) − 15.8
+        ARI = 4.71·(L/W) + 0.5·(W/S) − 21.43
+
+    Per-doc scores are pure functions of three integer counts
+    (sentence runs floored at 1); docs with zero words are
+    excluded. Returns ``(group, n_docs, cli, ari)``.
+    """
+    t = F.col(text_col)
+    letters = F.regexp_count(t, F.lit("[A-Za-z]"))
+    words = F.size(F.filter(
+        F.split(normalize_text(t), " "), lambda x: x != ""))
+    sents = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    base = (df.where(F.col(text_col).isNotNull()
+                     & F.col(by).isNotNull())
+            .select(F.col(by).alias("g"),
+                    letters.cast("double").alias("l"),
+                    words.cast("double").alias("w"),
+                    sents.cast("double").alias("s"))
+            .where(F.col("w") > 0))
+    cli = (0.0588 * (100.0 * F.col("l") / F.col("w"))
+           - 0.296 * (100.0 * F.col("s") / F.col("w")) - 15.8)
+    ari = (4.71 * (F.col("l") / F.col("w"))
+           + 0.5 * (F.col("w") / F.col("s")) - 21.43)
+    return (base.select("g", cli.alias("cli"), ari.alias("ari"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("cli"), round_to).alias("cli"),
+                 F.round(F.avg("ari"), round_to).alias("ari"))
+            .select(F.col("g").alias("group"), "n_docs", "cli",
+                    "ari")
+            .orderBy("group"))
