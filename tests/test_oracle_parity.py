@@ -78,7 +78,7 @@ def test_bench_covers_every_query():
 
     slots = (set(bench.HEADLINE_NAMES) | set(bench.R2_NAMES)
              | set(bench.R3_NAMES) | set(bench.R4_NAMES)
-             | set(bench.STREAM_NAMES))
+             | set(bench.R5_NAMES) | set(bench.STREAM_NAMES))
     roster = set(entry_mod.queries())
     assert roster - slots == set(), f"unbenched: {sorted(roster - slots)}"
     assert slots - roster == set(), f"unknown: {sorted(slots - roster)}"
