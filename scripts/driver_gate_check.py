@@ -105,6 +105,11 @@ def main() -> int:
 
     print(json.dumps({"window": window, "checked": len(names),
                       "failed": n_fail}))
+    # third positional arg: dump the per-query records as JSON so
+    # parallel slice runs can be aggregated into ORACLE_FULL_r{N}.json
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as fh:
+            json.dump(results, fh, indent=1)
     spark.stop()
     return 1 if n_fail else 0
 
